@@ -1,0 +1,117 @@
+"""Text-analysis functions for the LLM-data-pipeline surface
+(BASELINE.json north-star; SURVEY.md §7 M7): tokenization, n-grams,
+quality scoring, language ID, fingerprinting.
+
+All built on JVM-side expressions (split / higher-order functions /
+regexp) — no Python UDFs in the hot path, so they survive 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword seeds for the n-gram/stopword language
+# heuristic. Deliberately small and deterministic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"],
+    "es": ["el", "la", "los", "las", "y", "de", "un", "una", "es", "que"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (fixtures are space-separated word soup);
+    filters empty tokens."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: word-pieces + digits + punctuation split via
+    regex (a public GPT-2-style pre-tokenizer shape), counted JVM-side."""
+    pieces = F.filter(
+        F.split(text, r"(?=[\s\p{Punct}])|(?<=[\s\p{Punct}])"),
+        lambda t: F.trim(t) != "")
+    return F.size(pieces)
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Word n-gram shingles as an array<string>; empty array when the doc
+    has fewer than n tokens. Pure HOF (transform over an index sequence)."""
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.array_join(F.slice(toks, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def char_ngrams(text: Column, n: int) -> Column:
+    t = text
+    return F.when(
+        F.length(t) >= n,
+        F.transform(F.sequence(F.lit(1), F.length(t) - (n - 1)),
+                    lambda i: F.substring(t, i, n)),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[\p{Punct}]", "")
+    return (F.length(text) - F.length(stripped)) / F.greatest(F.length(text), F.lit(1))
+
+
+def digit_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[0-9]", "")
+    return (F.length(text) - F.length(stripped)) / F.greatest(F.length(text), F.lit(1))
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite heuristic quality score in [0,1]: rewards moderate length,
+    low punctuation/digit noise, plausible word lengths. Deterministic,
+    expression-only — the standard cheap pre-filter of a training-data
+    pipeline."""
+    length_term = F.least(token_count(text) / F.lit(50.0), F.lit(1.0))
+    noise_term = F.lit(1.0) - F.least(punct_ratio(text) * 4 + digit_ratio(text) * 2, F.lit(1.0))
+    wl = mean_word_length(text)
+    wl_term = F.when((wl >= 2) & (wl <= 12), F.lit(1.0)).otherwise(F.lit(0.3))
+    return F.round(length_term * 0.4 + noise_term * 0.4 + wl_term * 0.2, 6)
+
+
+def lang_guess(text: Column) -> Column:
+    """Stopword-vote language ID over the seeded languages; 'und' when no
+    stopword hits. Expression-only n-gram-heuristic analog."""
+    toks = tokens(F.lower(text))
+    scores = []
+    for lang, words in STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        scores.append(
+            F.struct(F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).alias("hits"),
+                     F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint64(text: Column) -> Column:
+    """Document fingerprint: xxhash64 of the normalized (lowercased,
+    whitespace-collapsed) text — exact-dup key that survives trivial
+    formatting differences."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.xxhash64(norm)

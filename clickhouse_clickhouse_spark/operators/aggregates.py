@@ -1,0 +1,109 @@
+"""Aggregation-adjacent operators from the reference with no 1:1 Spark
+primitive (SURVEY.md §2.4).
+
+Spark's HashAggregateExec already does the two-phase partial→final merge,
+spill and two-level parallelism the reference's ``Aggregator.cpp``
+hand-implements — these helpers only add *semantics*.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def limit_by(df: DataFrame, n: int, by: Sequence[str],
+             order_by: Sequence[Column | str], offset: int = 0) -> DataFrame:
+    """``LIMIT n [OFFSET m] BY k`` — first n rows per key by an explicit
+    order (reference ``LimitByTransform``). One window, one shuffle on the
+    key; Spark pushes rank filters into the sort at scale."""
+    order = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    w = Window.partitionBy(*by).orderBy(*order)
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") > offset) & (F.col("__rn") <= offset + n))
+            .drop("__rn"))
+
+
+def top_k_per_group(df: DataFrame, k: int, by: Sequence[str],
+                    value: Column | str, ascending: bool = False) -> DataFrame:
+    """Exact ``topK`` per group — rank by value, keep k (reference
+    ``topK(n)`` exact path)."""
+    v = F.col(value) if isinstance(value, str) else value
+    order = v.asc() if ascending else v.desc()
+    return limit_by(df, k, by, [order])
+
+
+def final_dedup(df: DataFrame, keys: Sequence[str],
+                version: Column | str) -> DataFrame:
+    """``FINAL`` / ReplacingMergeTree dedup-on-read: latest version per key
+    wins (reference ``ReplacingSortedAlgorithm``; SURVEY.md §4.3 item 6).
+    Equivalent to the background-merge result without waiting for one."""
+    v = F.col(version) if isinstance(version, str) else version
+    w = Window.partitionBy(*keys).orderBy(v.desc())
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def sum_map(df: DataFrame, keys: Sequence[str], map_col: str,
+            assemble: bool = True) -> DataFrame:
+    """``sumMap`` — element-wise sum of map values grouped by key
+    (reference ``AggregateFunctionSumMap``). Explode → re-aggregate →
+    optionally reassemble a (key-sorted, deterministic) map.
+
+    Scale: explode multiplies rows by map cardinality but stays fully
+    distributed; the re-agg is an ordinary partial/final hash agg.
+    """
+    exploded = df.select(*keys, F.explode(F.col(map_col)).alias("__k", "__v"))
+    summed = exploded.groupBy(*keys, "__k").agg(F.sum("__v").alias("__v"))
+    if not assemble:
+        return summed.withColumnRenamed("__k", "map_key").withColumnRenamed("__v", "map_value")
+    entries = summed.groupBy(*keys).agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct(F.col("__k"), F.col("__v"))))
+        ).alias(f"sum_{map_col}"))
+    return entries
+
+
+def with_totals(df: DataFrame, keys: Sequence[str], aggs: dict[str, Column]) -> DataFrame:
+    """``GROUP BY ... WITH TOTALS`` (reference ``TotalsHavingTransform``):
+    grouped rows plus one grand-total row with NULL keys. Implemented as a
+    zero-key rollup restricted to the two interesting grouping sets —
+    Spark computes both in one pass."""
+    grouped = df.rollup(*keys).agg(
+        *[c.alias(n) for n, c in aggs.items()],
+        F.grouping_id(*keys).alias("__gid"))
+    full = (1 << len(keys)) - 1
+    return (grouped.filter((F.col("__gid") == 0) | (F.col("__gid") == full))
+            .drop("__gid"))
+
+
+def histogram(df: DataFrame, value: Column | str, lo: float, hi: float,
+              nbuckets: int) -> DataFrame:
+    """``histogram(n)`` — fixed-bound equi-width histogram as
+    (bucket, lo, hi, count) rows. The reference's adaptive histogram is
+    presentation-oriented; fixed bounds keep the result deterministic and
+    oracle-checkable. Single hash agg, fully distributed."""
+    v = (F.col(value) if isinstance(value, str) else value).cast("double")
+    width = (hi - lo) / nbuckets
+    bucket = F.least(F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
+                     F.lit(nbuckets - 1)).cast("int")
+    return (df.filter(v.isNotNull())
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("bucket_lo", F.round(F.lit(lo) + F.col("bucket") * F.lit(width), 6))
+            .withColumn("bucket_hi", F.round(F.lit(lo) + (F.col("bucket") + 1) * F.lit(width), 6)))
+
+
+def delta_sum(df: DataFrame, keys: Sequence[str], order_by: Column | str,
+              value: Column | str) -> DataFrame:
+    """``deltaSum`` — sum of positive deltas of consecutive values in order
+    (reference ``AggregateFunctionDeltaSum``): window lag diff + clamp + sum."""
+    v = F.col(value) if isinstance(value, str) else value
+    o = F.col(order_by) if isinstance(order_by, str) else order_by
+    w = Window.partitionBy(*keys).orderBy(o)
+    diff = v - F.lag(v).over(w)
+    return (df.withColumn("__d", F.when(diff > 0, diff).otherwise(F.lit(0.0)))
+            .groupBy(*keys)
+            .agg(F.round(F.sum("__d"), 6).alias("delta_sum")))

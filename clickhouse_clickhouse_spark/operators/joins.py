@@ -1,0 +1,118 @@
+"""Join semantics the reference supports beyond Spark's native kinds.
+
+Reference surface (SURVEY.md §2.3; upstream ``src/Interpreters/HashJoin/``,
+``AsofRowRefs``, ``PasteJoinTransform``): Spark covers
+inner/left/right/full/cross/semi/anti natively; this module adds the
+strictness variants (ANY), ASOF, and PASTE as scalable DataFrame
+compositions — no collect, one key-shuffle each.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def any_join(left: DataFrame, right: DataFrame, on: Sequence[str],
+             how: str = "inner", order_by: Sequence[Column | str] | None = None) -> DataFrame:
+    """``ANY JOIN`` — at most one build-side row per key (reference
+    strictness=Any, upstream ``HashJoin.cpp`` kind/strictness matrix).
+
+    Spark-first: deduplicate the build side with a per-key ``row_number``
+    before a normal join. ``order_by`` makes "first match" deterministic
+    (the reference's is arrival-order-dependent; we require an explicit
+    order — same stance as our PASTE join).
+
+    Scale: the dedup is one shuffle on the join key, which AQE then reuses
+    for the join itself when partitioning matches.
+    """
+    order = [F.col(c) if isinstance(c, str) else c for c in (order_by or on)]
+    w = Window.partitionBy(*on).orderBy(*order)
+    deduped = (right.withColumn("__rn", F.row_number().over(w))
+               .filter(F.col("__rn") == 1).drop("__rn"))
+    return left.join(deduped, list(on), how)
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
+              left_ts: str, right_ts: str,
+              direction: str = "backward", strict: bool = False,
+              right_cols: Sequence[str] | None = None,
+              how: str = "inner") -> DataFrame:
+    """``ASOF JOIN`` — for each left row, the nearest earlier (backward) or
+    later (forward) right row sharing the equi keys (reference
+    ``AsofRowRefs``; SURVEY.md §4.3 item 2).
+
+    Algorithm (union-tag, O(n log n), no row explosion — designed for
+    100 TB): tag both sides, union with null padding, ONE window per key
+    ordered by timestamp, carry the last non-null right payload forward
+    (``last(..., ignorenulls=True)``), keep left rows. A single shuffle on
+    the key; no per-key pandas, no range crossJoin.
+
+    Tie handling: non-strict backward means right_ts <= left_ts, so right
+    rows sort BEFORE left rows at equal timestamps; strict flips that.
+
+    Returns left columns plus the matched right payload columns (renamed
+    ``{col}`` as given in right_cols). ``how='inner'`` drops unmatched left
+    rows, ``'left'`` keeps them with nulls.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    on = list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in on and c != right_ts]
+    payload = F.struct(*[F.col(c) for c in [right_ts, *right_cols]])
+
+    l_tag = left.withColumn("__ts", F.col(left_ts).cast("timestamp")) \
+                .withColumn("__is_left", F.lit(1)) \
+                .withColumn("__payload", F.lit(None).cast(
+                    right.select(payload.alias("p")).schema["p"].dataType))
+    r_tag = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).cast("timestamp").alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        payload.alias("__payload"),
+    )
+    for c in left.columns:
+        if c not in r_tag.columns:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(l_tag.dtypes)[c]))
+    unioned = l_tag.unionByName(r_tag.select(l_tag.columns))
+
+    asc = direction == "backward"
+    ts_order = F.col("__ts").asc() if asc else F.col("__ts").desc()
+    # Non-strict: right row visible at equal ts -> right (tag 0) sorts first.
+    # Strict: left row must not see an equal-ts right row -> left (tag 1) first.
+    tag_order = F.col("__is_left").desc() if strict else F.col("__is_left").asc()
+    w = (Window.partitionBy(*on).orderBy(ts_order, tag_order)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    matched = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+    out = matched.filter(F.col("__is_left") == 1)
+    if strict:
+        # Window order put left first at ties, but an equal-ts right row from
+        # an EARLIER position could still be non-strict; with distinct ts per
+        # side this suffices. Guard exact equality explicitly:
+        cmp = F.col("__match")[right_ts] < F.col(left_ts) if direction == "backward" \
+            else F.col("__match")[right_ts] > F.col(left_ts)
+        out = out.withColumn("__match", F.when(cmp, F.col("__match")))
+    if how == "inner":
+        out = out.filter(F.col("__match").isNotNull())
+    sel = [F.col(c) for c in left.columns]
+    sel.append(F.col("__match")[right_ts].alias(f"asof_{right_ts}"))
+    sel += [F.col("__match")[c].alias(c) for c in right_cols]
+    return out.select(*sel)
+
+
+def paste_join(left: DataFrame, right: DataFrame,
+               left_order: Sequence[Column | str], right_order: Sequence[Column | str]) -> DataFrame:
+    """``PASTE JOIN`` — positional zip of two relations (reference
+    ``PasteJoinTransform``). Spark has no stable unordered row identity, so
+    an explicit total order per side is REQUIRED; rows are numbered by it
+    and equi-joined on the number. Extra rows on the longer side drop
+    (reference semantics: zip to the shorter length).
+    """
+    wl = Window.orderBy(*[F.col(c) if isinstance(c, str) else c for c in left_order])
+    wr = Window.orderBy(*[F.col(c) if isinstance(c, str) else c for c in right_order])
+    ln = left.withColumn("__rn", F.row_number().over(wl))
+    rn = right.withColumn("__rn", F.row_number().over(wr))
+    return ln.join(rn, "__rn", "inner").drop("__rn")

@@ -1,0 +1,190 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §7 M7;
+BASELINE.json north-star: "dedup, similarity search, ... at 100 TB").
+
+Exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup —
+all as distributed DataFrame compositions (shuffle-bounded, no driver
+collect, no per-row Python).
+
+Token hashing has two modes:
+- ``"xxhash"`` (default, the 100 TB path): tokens hash via ``xxhash64`` —
+  no global vocabulary, embarrassingly parallel.
+- ``"vocab"`` (the oracle path): tokens map to dense ids via a sorted
+  global vocabulary (row_number over distinct tokens). Deterministic and
+  re-expressible in ANSI SQL, so DuckDB can verify the whole MinHash
+  pipeline bit-for-bit. Vocabulary build is a sort of DISTINCT tokens —
+  fine while |vocab| ≪ corpus (true for natural text), but the xxhash mode
+  is what you run at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from clickhouse_clickhouse_spark.functions.text import tokens, word_ngrams
+
+# Deterministic affine-hash parameters over a Mersenne prime — the classic
+# (a*x + b) mod p universal-hash family, same constants in the DuckDB oracle.
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+MINHASH_COEFFS = [(2 * k + 1, 7919 * (k + 1)) for k in range(16)]
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: keep the lowest-id row per identical text. Hash-groupBy
+    on the text (Spark hashes the group key — equivalent to grouping on
+    fingerprint64 but collision-proof)."""
+    w = Window.partitionBy(text_col).orderBy(id_col)
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def _token_table(df: DataFrame, id_col: str, text_col: str, shingle: int) -> DataFrame:
+    """(id, token) pairs — distinct shingles per doc."""
+    sh = word_ngrams(F.col(text_col), shingle) if shingle > 1 else tokens(F.col(text_col))
+    return (df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("token")))
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       num_hashes: int = 16, shingle: int = 2,
+                       token_hash: str = "xxhash") -> DataFrame:
+    """MinHash signature per document: shingle → token-int → k affine
+    hashes → per-doc min of each. Returns (id, mh0..mh{k-1}).
+
+    One explode + one hash-agg; signature columns are k ints per doc.
+    """
+    tok = _token_table(df, id_col, text_col, shingle)
+    if token_hash == "xxhash":
+        tok = tok.withColumn("tid", F.pmod(F.xxhash64("token"), F.lit(MINHASH_PRIME)))
+    elif token_hash == "vocab":
+        vocab = (tok.select("token").distinct()
+                 .withColumn("tid", F.row_number().over(Window.orderBy("token"))
+                             .cast("long")))
+        tok = tok.join(F.broadcast(vocab), "token")
+    else:
+        raise ValueError("token_hash must be 'xxhash' or 'vocab'")
+    aggs = [
+        F.min((F.lit(a) * F.col("tid") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{k}")
+        for k, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
+    ]
+    return tok.groupBy(id_col).agg(*aggs)
+
+
+def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
+                            num_hashes: int = 16, bands: int = 4, shingle: int = 2,
+                            token_hash: str = "xxhash") -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands, group docs by
+    (band index, band value), emit candidate pairs (a < b) that share at
+    least one band. Returns distinct (id_a, id_b).
+
+    Scale: the band-join is a self-equi-join on the band key — shuffle by
+    band hash; hot buckets (boilerplate docs) are the skew risk, handled by
+    AQE skew-join or a bucket-size cap upstream.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle, token_hash)
+    band_cols = []
+    for b in range(bands):
+        members = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"),
+                                  F.array(*members).alias("sig")))
+    banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")) \
+                .select(id_col, F.col("bb.band").alias("band"),
+                        F.col("bb.sig").cast("array<long>").alias("sig"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band")) &
+                    (F.col("a.sig") == F.col("b.sig")) &
+                    (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+             .distinct())
+    return pairs
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        block_col: str, shingle: int = 2,
+                        threshold: float = 0.0) -> DataFrame:
+    """Exact n-gram Jaccard similarity for doc pairs inside a blocking key
+    (e.g. same source/bucket — full cross-product is quadratic, blocking
+    bounds it). Returns (id_a, id_b, jaccard).
+
+    Jaccard over DISTINCT shingles via array_intersect/size — all JVM HOFs.
+    """
+    sh = df.select(F.col(id_col), F.col(block_col),
+                   F.array_distinct(word_ngrams(F.col(text_col), shingle)).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    uni = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = F.round(inter.cast("double") / F.greatest(uni, F.lit(1)).cast("double"), 6)
+    return (a.join(b, (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")) &
+                   (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str,
+            bits: int = 16, shingle: int = 1,
+            token_hash: str = "xxhash") -> DataFrame:
+    """SimHash per document: each token votes ±1 on each signature bit
+    (bit k of its affine hash); bit is 1 when the vote sum is positive.
+    Returns (id, simhash) with simhash in [0, 2^bits).
+
+    Implemented as explode(tokens) × explode(bit positions) → hash agg —
+    row count × bits, but each row is tiny and the agg is partial/final.
+    """
+    tok = _token_table(df, id_col, text_col, shingle)
+    if token_hash == "xxhash":
+        tok = tok.withColumn("tid", F.pmod(F.xxhash64("token"), F.lit(MINHASH_PRIME)))
+    else:
+        vocab = (tok.select("token").distinct()
+                 .withColumn("tid", F.row_number().over(Window.orderBy("token"))
+                             .cast("long")))
+        tok = tok.join(F.broadcast(vocab), "token")
+    h = (F.lit(MINHASH_COEFFS[0][0]) * F.col("tid") + F.lit(MINHASH_COEFFS[0][1])) \
+        % F.lit(MINHASH_PRIME)
+    tok = tok.withColumn("h", h)
+    votes = (tok.select(id_col, "h",
+                        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"))
+             .withColumn("vote",
+                         F.when(F.expr("shiftright(h, bit) & 1") == 1,
+                                F.lit(1)).otherwise(F.lit(-1)))
+             .groupBy(id_col, "bit").agg(F.sum("vote").alias("v")))
+    return (votes.groupBy(id_col)
+            .agg(F.sum(F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)"))
+                       .otherwise(F.lit(0))).alias("simhash")))
+
+
+def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                             threshold: float = 0.95,
+                             bucket_bits: int = 0) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs. ``bucket_bits=0`` is the
+    exact quadratic path (use only with blocking / small partitions);
+    ``bucket_bits=k`` prefilters by a k-bit sign-LSH bucket (sign of the
+    first k coordinates ≈ axis-aligned random hyperplanes): near-identical
+    vectors agree on signs with high probability, cutting the join to
+    per-bucket cross products.
+    """
+    from clickhouse_clickhouse_spark.functions.vectors import cosine_similarity
+
+    base = df.select(F.col(id_col), F.col(vec_col).alias("v"))
+    if bucket_bits > 0:
+        sig = F.aggregate(
+            F.sequence(F.lit(0), F.lit(bucket_bits - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc * 2 + F.when(F.element_at(F.col("v"), i + 1) > 0, 1).otherwise(0),
+        )
+        base = base.withColumn("__bkt", sig)
+        cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & \
+               (F.col("a.__bkt") == F.col("b.__bkt"))
+    else:
+        cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    a, b = base.alias("a"), base.alias("b")
+    cos = F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6)
+    out = (a.join(b, cond)
+           .select(F.col(f"a.{id_col}").alias("id_a"),
+                   F.col(f"b.{id_col}").alias("id_b"),
+                   cos.alias("cosine"))
+           .filter(F.col("cosine") >= threshold))
+    return out

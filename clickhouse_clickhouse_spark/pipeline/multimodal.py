@@ -1,0 +1,91 @@
+"""Multimodal column plumbing (SURVEY.md §7 M7 / driver brief): image,
+audio, video as opaque ``binary`` columns with typed metadata structs.
+
+The decode/feature-extraction kernels require media libraries not present
+in this container, so the *kernels* are stubbed (deterministic fakes or
+``NotImplementedError``), but the Spark-side plumbing — schemas, Arrow
+batch shape, ``mapInPandas`` signatures, partitioning — is real and
+tested. Swapping in a real decoder is a one-function change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Typed metadata carried alongside the opaque payload.
+IMAGE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("meta", T.StructType([
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]), True),
+])
+
+FEATURE_DIM = 16
+
+_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("feature", T.ArrayType(T.FloatType()), True),
+])
+
+
+def synthetic_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table: payload = seeded bytes, metadata
+    consistent with it. Stands in for `spark.read.format('binaryFile')`."""
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(seed=i)
+        payload = rng.integers(0, 256, size=64, dtype=np.uint8).tobytes()
+        rows.append((i, bytearray(payload), ("fake/raw", 8, 8)))
+    return spark.createDataFrame(rows, IMAGE_SCHEMA)
+
+
+def _decode_stub(payload: bytes) -> np.ndarray:
+    """STUB decode: real implementation would call PIL/ffmpeg. The fake is
+    deterministic in the payload bytes so tests can assert end-to-end."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    return arr.reshape(-1)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Feature extraction over opaque payloads via ``mapInPandas`` — the
+    Arrow-batched slow path the reference reaches with executable UDFs
+    (SURVEY.md §2.10). Batches stream per partition; nothing accumulates
+    on the driver."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                if payload is None:
+                    feats.append(None)
+                    continue
+                decoded = _decode_stub(bytes(payload))
+                # STUB feature: histogram of byte values into FEATURE_DIM bins.
+                hist, _ = np.histogram(decoded, bins=FEATURE_DIM, range=(0, 256))
+                feats.append((hist / max(hist.sum(), 1)).astype(np.float32).tolist())
+            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
+
+    return media.mapInPandas(run, schema=_FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize — kernel NOT implemented in this container (no PIL);
+    plumbing kept so the operator slot exists."""
+    raise NotImplementedError("image resize requires a media library absent "
+                              "from this environment; plug a decoder into "
+                              "extract_features-style mapInPandas")
+
+
+def frame_sample(media: DataFrame, every_n: int) -> DataFrame:
+    """Video frame sampling — kernel NOT implemented (no ffmpeg); see
+    resize_images."""
+    raise NotImplementedError("video decode requires ffmpeg; absent here")

@@ -1,0 +1,327 @@
+"""M2 — aggregation function surface (SURVEY.md §2.4).
+
+DuckDB sums of integers return HUGEINT — every integer sum in an oracle is
+CAST to BIGINT so schemas line up with Spark's LongType.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from clickhouse_clickhouse_spark.operators.aggregates import (
+    delta_sum, histogram, limit_by, sum_map, top_k_per_group, with_totals,
+)
+from clickhouse_clickhouse_spark.registry import register
+from clickhouse_clickhouse_spark.tables import load_table
+
+
+@register("agg_argminmax", oracle="""
+SELECT c_nationkey,
+       arg_max(c_name, c_acctbal) AS richest,
+       arg_min(c_name, c_acctbal) AS poorest,
+       round(max(c_acctbal), 4) AS max_bal,
+       round(min(c_acctbal), 4) AS min_bal
+FROM customer GROUP BY c_nationkey
+""")
+def agg_argminmax(spark, sf):
+    """argMin/argMax → min_by/max_by (§2.4 table)."""
+    c = load_table(spark, sf, "customer")
+    return (c.groupBy("c_nationkey")
+            .agg(F.max_by("c_name", "c_acctbal").alias("richest"),
+                 F.min_by("c_name", "c_acctbal").alias("poorest"),
+                 F.round(F.max("c_acctbal"), 4).alias("max_bal"),
+                 F.round(F.min("c_acctbal"), 4).alias("min_bal")))
+
+
+@register("agg_uniq_exact", oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_orderkey) AS uniq_orders,
+       count(DISTINCT l_partkey)  AS uniq_parts
+FROM lineitem GROUP BY l_returnflag
+""")
+def agg_uniq_exact(spark, sf):
+    """uniqExact → countDistinct (exact dedup-count, shuffle on
+    group+value with partial dedup)."""
+    li = load_table(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.countDistinct("l_orderkey").alias("uniq_orders"),
+                 F.countDistinct("l_partkey").alias("uniq_parts")))
+
+
+@register("agg_uniq_approx")
+def agg_uniq_approx(spark, sf):
+    """uniq/uniqHLL12 → approx_count_distinct (HLL++). Sketches differ
+    numerically from any oracle's — rows-only check by design
+    (SURVEY.md §4.3 item 3)."""
+    li = load_table(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.approx_count_distinct("l_orderkey").alias("approx_orders")))
+
+
+@register("agg_quantiles", oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6)  AS median_qty,
+       round(quantile_cont(l_quantity, 0.9), 6)  AS p90_qty,
+       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price
+FROM lineitem GROUP BY l_returnflag
+""")
+def agg_quantiles(spark, sf):
+    """quantileExact/median → percentile (exact, linear interpolation —
+    same definition as DuckDB quantile_cont)."""
+    li = load_table(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+                 F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90_qty"),
+                 F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25_price")))
+
+
+@register("agg_group_array", oracle="""
+SELECT r_name, string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations
+FROM region JOIN nation ON r_regionkey = n_regionkey
+GROUP BY r_name
+""")
+def agg_group_array(spark, sf):
+    """groupUniqArray → collect_set, emitted as a sorted joined string so
+    the comparison is order-proof."""
+    r = load_table(spark, sf, "region")
+    n = load_table(spark, sf, "nation")
+    return (r.join(n, r.r_regionkey == n.n_regionkey)
+            .groupBy("r_name")
+            .agg(F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("nations")))
+
+
+@register("agg_count_if", oracle="""
+SELECT cast(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted,
+       round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END), 2)
+           AS returned_value,
+       round(avg(CASE WHEN l_quantity > 25 THEN l_extendedprice END), 6)
+           AS avg_price_bulk
+FROM lineitem
+""")
+def agg_count_if(spark, sf):
+    """-If combinator family: countIf/sumIf/avgIf → count_if / sum(when) /
+    avg(when) (§2.4)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.round(F.sum(F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice"))
+                      .otherwise(0)), 2).alias("returned_value"),
+        F.round(F.avg(F.when(F.col("l_quantity") > 25, F.col("l_extendedprice"))), 6)
+        .alias("avg_price_bulk"))
+
+
+@register("agg_stats", oracle="""
+SELECT round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+       round(stddev_samp(l_extendedprice), 4)            AS std_price,
+       round(var_pop(l_quantity), 6)                     AS var_qty
+FROM lineitem
+""")
+def agg_stats(spark, sf):
+    """Statistical aggregates: corr/covar/stddev/var (§2.4)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qp"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.var_pop("l_quantity"), 6).alias("var_qty"))
+
+
+@register("agg_skew_kurt", oracle="""
+WITH s AS (SELECT avg(l_quantity) AS mu, stddev_pop(l_quantity) AS sig,
+                  count(*) AS n FROM lineitem)
+SELECT round(avg(pow(l_quantity - mu, 3)) / pow(sig, 3), 6) AS skew_qty,
+       round(avg(pow(l_quantity - mu, 4)) / pow(sig, 4) - 3, 6) AS kurt_qty
+FROM lineitem, s
+GROUP BY mu, sig
+""")
+def agg_skew_kurt(spark, sf):
+    """skewPop/kurtPop → skewness/kurtosis. Spark's definitions are the
+    population moments (m3/σ³, m4/σ⁴−3); the oracle spells the same
+    formula out (DuckDB's named functions use the sample-corrected
+    variant — SURVEY.md §2.4 note)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.agg(F.round(F.skewness("l_quantity"), 6).alias("skew_qty"),
+                  F.round(F.kurtosis("l_quantity"), 6).alias("kurt_qty"))
+
+
+@register("agg_weighted_avg", oracle="""
+SELECT l_returnflag,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS w_avg_price
+FROM lineitem GROUP BY l_returnflag
+""")
+def agg_weighted_avg(spark, sf):
+    """avgWeighted → sum(x*w)/sum(w)."""
+    li = load_table(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+                         / F.sum("l_quantity"), 6).alias("w_avg_price")))
+
+
+@register("agg_uniq_up_to", oracle="""
+SELECT o_orderstatus, least(count(DISTINCT o_custkey), 51) AS uniq_upto_50
+FROM orders GROUP BY o_orderstatus
+""")
+def agg_uniq_up_to(spark, sf):
+    """uniqUpTo(N): exact distinct count clamped at N+1."""
+    o = load_table(spark, sf, "orders")
+    return (o.groupBy("o_orderstatus")
+            .agg(F.least(F.countDistinct("o_custkey"), F.lit(51)).alias("uniq_upto_50")))
+
+
+@register("agg_rollup", oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def agg_rollup(spark, sf):
+    """WITH ROLLUP (reference RollupStep)."""
+    li = load_table(spark, sf, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.count("*").alias("n")))
+
+
+@register("agg_cube", oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""")
+def agg_cube(spark, sf):
+    """WITH CUBE (reference CubeStep)."""
+    li = load_table(spark, sf, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty")))
+
+
+@register("agg_grouping_sets", oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       cast(grouping(l_returnflag) AS INT) AS g_flag,
+       cast(grouping(l_linestatus) AS INT) AS g_status
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""")
+def agg_grouping_sets(spark, sf):
+    """GROUPING SETS + grouping() marker (reference grouping()/
+    AggregatingStep grouping-sets support)."""
+    li = load_table(spark, sf, "lineitem")
+    li.createOrReplaceTempView("__li_gs")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               cast(grouping(l_returnflag) AS INT) AS g_flag,
+               cast(grouping(l_linestatus) AS INT) AS g_status
+        FROM __li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+@register("agg_with_totals", oracle="""
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), ())
+""")
+def agg_with_totals(spark, sf):
+    """GROUP BY ... WITH TOTALS via the with_totals helper (grouped rows +
+    grand-total row, one pass)."""
+    li = load_table(spark, sf, "lineitem")
+    return with_totals(li, ["l_returnflag", "l_linestatus"],
+                       {"sum_qty": F.round(F.sum("l_quantity"), 2),
+                        "n": F.count("*")})
+
+
+@register("agg_limit_by", oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) t WHERE rn <= 2
+""")
+def agg_limit_by(spark, sf):
+    """LIMIT 2 BY custkey (reference LimitByTransform) via limit_by helper."""
+    o = load_table(spark, sf, "orders")
+    return limit_by(o.select("o_custkey", "o_orderkey", "o_totalprice"),
+                    2, ["o_custkey"],
+                    [F.col("o_totalprice").desc(), F.col("o_orderkey")])
+
+
+@register("agg_topk_per_group", oracle="""
+SELECT p_brand, p_partkey, p_retailprice FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rn
+  FROM part) t WHERE rn <= 3
+""")
+def agg_topk_per_group(spark, sf):
+    """Exact topK(3) per group (reference topK exact path)."""
+    p = load_table(spark, sf, "part")
+    return top_k_per_group(
+        p.select("p_brand", "p_partkey", "p_retailprice"),
+        3, ["p_brand"],
+        F.struct(F.col("p_retailprice"), (-F.col("p_partkey")).alias("neg")))
+
+
+@register("agg_histogram", oracle="""
+SELECT least(greatest(cast(floor(o_totalprice / 60000.0) AS INT), 0), 9) AS bucket,
+       count(*) AS cnt,
+       round(least(greatest(cast(floor(o_totalprice / 60000.0) AS INT), 0), 9) * 60000.0, 6)
+           AS bucket_lo,
+       round((least(greatest(cast(floor(o_totalprice / 60000.0) AS INT), 0), 9) + 1) * 60000.0, 6)
+           AS bucket_hi
+FROM orders WHERE o_totalprice IS NOT NULL
+GROUP BY 1
+""")
+def agg_histogram(spark, sf):
+    """histogram(10) over [0, 600000) (fixed-bound deterministic variant)."""
+    o = load_table(spark, sf, "orders")
+    return histogram(o, "o_totalprice", 0.0, 600000.0, 10)
+
+
+@register("agg_delta_sum", oracle="""
+SELECT user_id, round(sum(CASE WHEN d > 0 THEN d ELSE 0 END), 6) AS delta_sum
+FROM (SELECT user_id, value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS d
+      FROM events) t
+GROUP BY user_id
+""")
+def agg_delta_sum(spark, sf):
+    """deltaSum: sum of positive consecutive diffs in time order."""
+    ev = load_table(spark, sf, "events")
+    return delta_sum(ev, ["user_id"], "ts", "value")
+
+
+@register("agg_sum_map", oracle="""
+SELECT user_id, event_type AS map_key, round(sum(value), 4) AS map_value
+FROM events GROUP BY user_id, event_type
+""")
+def agg_sum_map(spark, sf):
+    """sumMap (relational form): build a map per event, explode,
+    re-aggregate per (entity, key) — reference AggregateFunctionSumMap."""
+    ev = load_table(spark, sf, "events")
+    mapped = ev.select("user_id",
+                       F.create_map(F.col("event_type"), F.col("value")).alias("m"))
+    out = sum_map(mapped, ["user_id"], "m", assemble=False)
+    return out.select("user_id", "map_key", F.round("map_value", 4).alias("map_value"))
+
+
+@register("agg_two_phase_state_merge", oracle="""
+WITH partial AS (
+  SELECT l_returnflag, l_linestatus,
+         sum(l_quantity) AS s, count(*) AS c
+  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+SELECT l_returnflag,
+       round(sum(s), 2) AS sum_qty,
+       cast(sum(c) AS BIGINT) AS n,
+       round(sum(s) / sum(c), 6) AS avg_qty
+FROM partial GROUP BY l_returnflag
+""")
+def agg_two_phase_state_merge(spark, sf):
+    """-State/-Merge combinator semantics (SURVEY.md §4.3 item 1): partial
+    aggregate at a finer grouping, then merge to a coarser one — the
+    storable-aggregate-state pattern restructured as two DF aggregations
+    (sum-of-sums / sum-of-counts reconstitutes avg exactly)."""
+    li = load_table(spark, sf, "lineitem")
+    partial = (li.groupBy("l_returnflag", "l_linestatus")
+               .agg(F.sum("l_quantity").alias("s"), F.count("*").alias("c")))
+    return (partial.groupBy("l_returnflag")
+            .agg(F.round(F.sum("s"), 2).alias("sum_qty"),
+                 F.sum("c").cast("long").alias("n"),
+                 F.round(F.sum("s") / F.sum("c"), 6).alias("avg_qty")))

@@ -1,0 +1,131 @@
+"""M0 — scan / filter / project / aggregate / sort / limit slice
+(SURVEY.md §7 M0; reference read path §2.1, filters §2.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_clickhouse_spark.registry import register
+from clickhouse_clickhouse_spark.tables import load_table
+
+
+@register("q1_pricing_summary", oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 6)                                        AS avg_qty,
+       round(avg(l_extendedprice), 6)                                   AS avg_price,
+       round(avg(l_discount), 6)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark, sf):
+    """TPC-H-Q1-style pricing summary: the flagship scan→filter→agg→sort
+    slice. Catalyst pushes the shipdate filter to the Parquet scan and runs
+    a partial/final hash agg (2 group keys × 8 aggregates)."""
+    li = load_table(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+                 F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+@register("select_distinct", oracle="""
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+""")
+def select_distinct(spark, sf):
+    """DISTINCT (reference DistinctTransform §2.4) — hash-based, partial
+    per-partition dedup then final."""
+    return load_table(spark, sf, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register("limit_offset", oracle="""
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_orderkey LIMIT 10 OFFSET 5
+""")
+def limit_offset(spark, sf):
+    """LIMIT n OFFSET m over a deterministic total order (reference
+    LimitTransform/offset §2.6)."""
+    return (load_table(spark, sf, "orders")
+            .select("o_orderkey", "o_totalprice")
+            .orderBy("o_orderkey").offset(5).limit(10))
+
+
+@register("having_filter", oracle="""
+SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+""")
+def having_filter(spark, sf):
+    """HAVING — filter after aggregation (§2.2)."""
+    return (load_table(spark, sf, "orders")
+            .groupBy("o_custkey")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("spend"))
+            .filter(F.col("n_orders") >= 12))
+
+
+@register("count_star", oracle="SELECT count(*) AS n FROM lineitem")
+def count_star(spark, sf):
+    """Trivial count — Spark answers from Parquet footers (the reference's
+    trivial-count-from-metadata optimization, §4.1)."""
+    return load_table(spark, sf, "lineitem").agg(F.count("*").alias("n"))
+
+
+@register("projection_pushdown", oracle="""
+SELECT l_orderkey, round(l_extendedprice * (1 - l_discount), 4) AS net
+FROM lineitem WHERE l_discount > 0.08 AND l_quantity < 5
+""")
+def projection_pushdown(spark, sf):
+    """Narrow projection + selective filter: exercises predicate pushdown +
+    column pruning (the PREWHERE analog, §2.2 — verify with
+    .explain: PushedFilters + 4-column ReadSchema)."""
+    li = load_table(spark, sf, "lineitem")
+    return (li.filter((F.col("l_discount") > 0.08) & (F.col("l_quantity") < 5))
+            .select("l_orderkey",
+                    F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net")))
+
+
+@register("sample_deterministic", oracle="""
+SELECT count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+FROM orders WHERE (o_orderkey * 2654435761) % 100 < 10
+""")
+def sample_deterministic(spark, sf):
+    """Key-deterministic SAMPLE (reference samples by a hash of the
+    sampling key in the PK, §2.2): arithmetic hash-mod filter — same rows
+    every run, on every engine, at any parallelism."""
+    o = load_table(spark, sf, "orders")
+    return (o.filter(F.pmod(F.col("o_orderkey") * 2654435761, F.lit(100)) < 10)
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("o_totalprice"), 4).alias("avg_price")))
+
+
+@register("values_inline", oracle="""
+SELECT * FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) AS t(id, tag) WHERE id >= 2
+""")
+def values_inline(spark, sf):
+    """VALUES / inline table source (table function surface §2.1)."""
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id int, tag string")
+    return df.filter(F.col("id") >= 2)
+
+
+@register("numbers_range", oracle="""
+SELECT cast(sum(n * n) AS BIGINT) AS sum_sq FROM generate_series(1, 1000) AS t(n)
+""")
+def numbers_range(spark, sf):
+    """numbers(N) table function → spark.range (§2.1)."""
+    return (spark.range(1, 1001)
+            .agg(F.sum(F.col("id") * F.col("id")).cast("long").alias("sum_sq")))

@@ -1,0 +1,137 @@
+"""M5/M6 — ordered-event analytics + batch-mode streaming windows
+(SURVEY.md §2.4 windowFunnel/retention/sequence*, §2.9 tumble/hop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_clickhouse_spark.operators.events import (
+    retention, sequence_count, sessionize, window_funnel,
+)
+from clickhouse_clickhouse_spark.registry import register
+from clickhouse_clickhouse_spark.streaming.windows import hop_agg, tumble_agg
+from clickhouse_clickhouse_spark.tables import load_table
+
+
+@register("tumble_hourly", oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS w_end,
+       event_type,
+       count(*) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2, 3
+""")
+def tumble_hourly(spark, sf):
+    """tumble(ts, 1h) aggregation — identical expression batch/streaming
+    (reference WindowView tumble §2.9)."""
+    ev = load_table(spark, sf, "events")
+    return tumble_agg(ev, "ts", "1 hour", ["event_type"],
+                      {"n": F.count("*"),
+                       "total_value": F.round(F.sum("value"), 4)})
+
+
+@register("hop_6h_3h", oracle="""
+WITH k AS (SELECT unnest([0, 1]) AS k)
+SELECT time_bucket(INTERVAL '3 hours', ts) - k * INTERVAL 3 HOUR          AS w_start,
+       time_bucket(INTERVAL '3 hours', ts) - k * INTERVAL 3 HOUR + INTERVAL 6 HOUR AS w_end,
+       count(*) AS n
+FROM events, k
+GROUP BY 1, 2
+""")
+def hop_6h_3h(spark, sf):
+    """hop(ts, 3h slide, 6h size): every event lands in size/slide = 2
+    windows (reference WindowView hop; Spark window(size, slide))."""
+    ev = load_table(spark, sf, "events")
+    return hop_agg(ev, "ts", "6 hours", "3 hours", [], {"n": F.count("*")})
+
+
+@register("funnel_levels", oracle="""
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(ts) AS t2
+       FROM events e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND ts > t1 AND ts <= t1 + INTERVAL 7 DAY
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(ts) AS t3
+       FROM events e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+       WHERE event_type = 'purchase' AND ts > t2 AND ts <= t1 + INTERVAL 7 DAY
+       GROUP BY e.user_id)
+SELECT s1.user_id,
+       cast(CASE WHEN t3 IS NOT NULL THEN 3
+                 WHEN t2 IS NOT NULL THEN 2
+                 ELSE 1 END AS INT) AS level
+FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+""")
+def funnel_levels(spark, sf):
+    """windowFunnel(7 days)(view→click→purchase): greedy earliest-chain
+    levels per user via the DF-native cascade (SURVEY.md §4.3 item 4)."""
+    ev = load_table(spark, sf, "events")
+    return window_funnel(ev, "user_id", "ts", "event_type",
+                         ["view", "click", "purchase"], "7 DAYS")
+
+
+@register("retention_flags", oracle="""
+SELECT user_id,
+       max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS r1,
+       max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+         * max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS r2,
+       max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+         * max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS r3
+FROM events GROUP BY user_id
+""")
+def retention_flags(spark, sf):
+    """retention(signup, purchase, error) per user (reference
+    AggregateFunctionRetention)."""
+    ev = load_table(spark, sf, "events")
+    return retention(ev, "user_id",
+                     [F.col("event_type") == "signup",
+                      F.col("event_type") == "purchase",
+                      F.col("event_type") == "error"])
+
+
+@register("sequence_count_vc", oracle="""
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(CASE event_type WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
+                    WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                    ELSE 'v' END, '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id)
+SELECT user_id, cast(len(regexp_extract_all(seq, 'vc')) AS INT) AS n_matches
+FROM seqs
+""")
+def sequence_count_vc(spark, sf):
+    """sequenceCount('vc'): adjacent view→click occurrences per user over
+    the time-ordered event string (reference sequenceCount; collapsed-
+    string + regex strategy, §2.4)."""
+    ev = load_table(spark, sf, "events")
+    return sequence_count(ev, "user_id", "ts", "event_type", "event_id",
+                          {"click": "c", "error": "e", "purchase": "p",
+                           "signup": "s", "view": "v"}, "vc")
+
+
+@register("session_stats", oracle="""
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g)
+SELECT user_id,
+       cast(max(session_id) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM s GROUP BY user_id
+""")
+def session_stats(spark, sf):
+    """Gap-based sessionization (30-min gap): sessions per user."""
+    ev = load_table(spark, sf, "events")
+    s = sessionize(ev, "user_id", "ts", 1800)
+    return (s.groupBy("user_id")
+            .agg(F.max("session_id").cast("long").alias("n_sessions"),
+                 F.count("*").alias("n_events")))

@@ -1,0 +1,229 @@
+"""M1 — join surface (SURVEY.md §2.3).
+
+Every reference join kind/strictness: native Spark kinds where they exist,
+the helpers in operators/joins.py for ANY / ASOF / PASTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_clickhouse_spark.operators.joins import any_join, asof_join, paste_join
+from clickhouse_clickhouse_spark.registry import register
+from clickhouse_clickhouse_spark.tables import load_table
+
+
+@register("join_inner_3way", oracle="""
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""")
+def join_inner_3way(spark, sf):
+    """TPC-H-Q3-style 3-way equi-join + agg + top-10. customer is
+    broadcast (dimension ≪ fact); lineitem⋈orders shuffles on the order
+    key — the layout both tables share, so at 100 TB a bucketed layout
+    makes this shuffle-free."""
+    c = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .select("l_orderkey", "revenue", "o_orderdate")
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+            .limit(10))
+
+
+@register("join_left", oracle="""
+SELECT c_custkey, count(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+""")
+def join_left(spark, sf):
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("n_orders")))
+
+
+@register("join_right", oracle="""
+SELECT n_name, count(c_custkey) AS n_customers
+FROM customer RIGHT JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""")
+def join_right(spark, sf):
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    return (c.join(n, c.c_nationkey == n.n_nationkey, "right")
+            .groupBy("n_name")
+            .agg(F.count("c_custkey").alias("n_customers")))
+
+
+@register("join_full", oracle="""
+WITH cn AS (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY c_nationkey),
+     sn AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+       coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+FROM cn FULL OUTER JOIN sn ON c_nationkey = s_nationkey
+""")
+def join_full(spark, sf):
+    """FULL OUTER between two aggregated sides (some nations have only
+    customers or only suppliers)."""
+    c = (load_table(spark, sf, "customer").groupBy("c_nationkey")
+         .agg(F.count("*").alias("n_cust")))
+    s = (load_table(spark, sf, "supplier").groupBy("s_nationkey")
+         .agg(F.count("*").alias("n_supp")))
+    j = c.join(s, c.c_nationkey == s.s_nationkey, "full")
+    return j.select(
+        F.coalesce(c.c_nationkey, s.s_nationkey).alias("nationkey"),
+        F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+        F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"))
+
+
+@register("join_semi", oracle="""
+SELECT c_custkey, c_acctbal FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+""")
+def join_semi(spark, sf):
+    """SEMI JOIN / IN-subquery (reference CreatingSetsStep + semi
+    strictness): left_semi — build side never duplicates left rows."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(F.col("o_totalprice") > 300000)
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey", "c_acctbal"))
+
+
+@register("join_anti", oracle="""
+SELECT c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""")
+def join_anti(spark, sf):
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@register("join_cross", oracle="""
+SELECT r_name, n_name FROM region CROSS JOIN nation
+""")
+def join_cross(spark, sf):
+    """CROSS JOIN (tiny×tiny here; Spark BroadcastNestedLoop)."""
+    r = load_table(spark, sf, "region").select("r_name")
+    n = load_table(spark, sf, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@register("join_theta", oracle="""
+SELECT s_suppkey, count(*) AS n_richer_customers
+FROM supplier JOIN customer
+  ON s_nationkey = c_nationkey AND s_acctbal < c_acctbal
+GROUP BY s_suppkey
+""")
+def join_theta(spark, sf):
+    """Theta join — equi key + inequality in ON (reference mixed-condition
+    HashJoin): Spark equi-joins on the nation key and filters the
+    inequality post-probe, no cartesian explosion."""
+    s = load_table(spark, sf, "supplier")
+    c = load_table(spark, sf, "customer")
+    return (s.join(c, (s.s_nationkey == c.c_nationkey) & (s.s_acctbal < c.c_acctbal))
+            .groupBy("s_suppkey")
+            .agg(F.count("*").alias("n_richer_customers")))
+
+
+@register("join_any", oracle="""
+SELECT o_orderkey, l.l_linenumber, l.l_quantity
+FROM orders
+JOIN (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_quantity, l_partkey) AS rn
+  FROM lineitem
+) l ON l.l_orderkey = o_orderkey AND l.rn = 1
+""")
+def join_any(spark, sf):
+    """ANY JOIN (strictness=Any): at most one lineitem per order. The
+    fixture has duplicate (orderkey, linenumber) pairs, so the helper gets
+    a full deterministic tiebreak (reference ANY is arrival-order-
+    dependent; we require a total order — SURVEY.md §2.3)."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    j = any_join(o.select("o_orderkey"),
+                 li.select("o_orderkey", "l_linenumber", "l_quantity", "l_partkey"),
+                 on=["o_orderkey"],
+                 order_by=["l_linenumber", "l_quantity", "l_partkey"])
+    return j.select("o_orderkey", "l_linenumber", "l_quantity")
+
+
+@register("join_asof", oracle="""
+SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts, c.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""")
+def join_asof(spark, sf):
+    """ASOF JOIN: each purchase matched to the user's most recent click at
+    or before it (union-tag window algorithm — one shuffle, O(n log n);
+    SURVEY.md §4.3 item 2). DuckDB's native ASOF JOIN is the oracle."""
+    ev = load_table(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+                  .select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select("user_id", F.col("ts").alias("c_ts"), "value")
+    j = asof_join(purchases, clicks, on=["user_id"], left_ts="ts", right_ts="c_ts",
+                  direction="backward", how="inner", right_cols=["value"])
+    return j.select("event_id", "user_id", "ts",
+                    F.col("asof_c_ts").alias("click_ts"),
+                    F.col("value").alias("click_value"))
+
+
+@register("join_paste", oracle="""
+WITH s AS (SELECT s_suppkey, s_name,
+                  row_number() OVER (ORDER BY s_suppkey) AS rn FROM supplier),
+     n AS (SELECT n_name,
+                  row_number() OVER (ORDER BY n_nationkey) AS rn FROM nation)
+SELECT s_suppkey, s_name, n_name FROM s JOIN n USING (rn)
+""")
+def join_paste(spark, sf):
+    """PASTE JOIN — positional zip under an explicit order (reference
+    PasteJoinTransform; order required because Spark has no stable row id)."""
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    j = paste_join(s, n, left_order=["s_suppkey"], right_order=["n_nationkey"])
+    return j.select("s_suppkey", "s_name", "n_name")
+
+
+@register("join_dict_broadcast", oracle="""
+SELECT n_name, round(sum(s_acctbal), 2) AS total_bal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+""")
+def join_dict_broadcast(spark, sf):
+    """dictGet analog (reference external dictionaries §2.8): a broadcast
+    dimension join — the RAM-resident key→value lookup, Spark-style."""
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    return (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum("s_acctbal"), 2).alias("total_bal")))
+
+
+@register("join_in_subquery", oracle="""
+SELECT count(*) AS n FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
+""")
+def join_in_subquery(spark, sf):
+    """IN (subquery) → left_semi (reference Set/CreatingSetsStep §2.2)."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").filter(F.col("p_size") > 40)
+    return (li.join(p, li.l_partkey == p.p_partkey, "left_semi")
+            .agg(F.count("*").alias("n")))

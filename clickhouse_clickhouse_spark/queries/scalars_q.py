@@ -1,0 +1,427 @@
+"""M4 — scalar function library, by family (SURVEY.md §2.8).
+
+Each query exercises a whole family with aliased outputs; dialect
+differences between Spark and DuckDB are resolved on the ORACLE side (e.g.
+DuckDB floor() returns double → cast, dayofweek bases differ → isodow
+arithmetic), never by weakening the Spark expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_clickhouse_spark.functions.datetime_fmt import format_date_time
+from clickhouse_clickhouse_spark.registry import register
+from clickhouse_clickhouse_spark.tables import load_table
+
+
+@register("str_funcs", oracle="""
+SELECT p_partkey,
+       length(p_name)                       AS name_len,
+       upper(p_name)                        AS name_upper,
+       lower(p_brand)                       AS brand_lower,
+       substring(p_name, 1, 8)              AS name_prefix,
+       p_brand || ':' || p_type             AS brand_type,
+       lpad(cast(p_size AS VARCHAR), 4, '0') AS size_padded,
+       reverse(p_brand)                     AS brand_rev,
+       repeat(p_brand, 2)                   AS brand_twice,
+       replace(p_name, 'a', '@')            AS name_subst,
+       trim('  ' || p_brand || '  ')        AS brand_trimmed
+FROM part WHERE p_partkey <= 50
+""")
+def str_funcs(spark, sf):
+    """String family: length/upper/lower/substring/concat/lpad/reverse/
+    repeat/replace/trim (§2.8 strings)."""
+    p = load_table(spark, sf, "part").filter(F.col("p_partkey") <= 50)
+    return p.select(
+        "p_partkey",
+        F.length("p_name").alias("name_len"),
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat("p_brand", 2).alias("brand_twice"),
+        F.expr("replace(p_name, 'a', '@')").alias("name_subst"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  ")))
+        .alias("brand_trimmed"))
+
+
+@register("str_search", oracle="""
+SELECT c_custkey,
+       c_name LIKE '%1%'                          AS has_one,
+       cast(position('Customer' IN c_name) AS INT) AS pos_customer,
+       starts_with(c_name, 'Customer')            AS is_customer,
+       regexp_extract(c_name, '([0-9]+)', 1)      AS digits,
+       contains(c_mktsegment, 'MACH')             AS seg_mach
+FROM customer WHERE c_custkey <= 40
+""")
+def str_search(spark, sf):
+    """Search family: like/position/startsWith/match-extract/contains."""
+    c = load_table(spark, sf, "customer").filter(F.col("c_custkey") <= 40)
+    return c.select(
+        "c_custkey",
+        F.col("c_name").like("%1%").alias("has_one"),
+        F.locate("Customer", F.col("c_name")).alias("pos_customer"),
+        F.col("c_name").startswith("Customer").alias("is_customer"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.col("c_mktsegment").contains("MACH").alias("seg_mach"))
+
+
+@register("split_funcs", oracle="""
+SELECT doc_id,
+       cast(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       string_split(text, ' ')[1]              AS first_token,
+       array_to_string(string_split(text, ' ')[1:3], '-') AS first3
+FROM documents WHERE doc_id <= 30
+""")
+def split_funcs(spark, sf):
+    """splitByChar + arrayStringConcat (replace/split family §2.8)."""
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") <= 30)
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        toks.getItem(0).alias("first_token"),
+        F.array_join(F.slice(toks, 1, 3), "-").alias("first3"))
+
+
+@register("datetime_funcs", oracle="""
+SELECT o_orderkey,
+       cast(year(o_orderdate) AS INT)                 AS y,
+       cast(month(o_orderdate) AS INT)                AS m,
+       cast(day(o_orderdate) AS INT)                  AS d,
+       cast(quarter(o_orderdate) AS INT)              AS q,
+       cast(isodow(o_orderdate) - 1 AS INT)           AS wd,
+       date_trunc('month', o_orderdate)               AS month_start,
+       cast(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS plus30d,
+       cast(o_orderdate + INTERVAL 2 MONTH AS TIMESTAMP) AS plus2m,
+       cast(datediff('day', DATE '1995-01-01', o_orderdate::DATE) AS INT) AS days_since_95,
+       strftime(o_orderdate, '%Y-%m-%d')              AS iso_day,
+       cast(epoch(o_orderdate) AS BIGINT)             AS unix_ts
+FROM orders WHERE o_orderkey <= 100
+""")
+def datetime_funcs(spark, sf):
+    """Date/time family incl. the formatDateTime %-code translation
+    (SURVEY.md §4.3 item 7). Spark weekday() == DuckDB isodow-1 (Mon=0)."""
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") <= 100)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        F.weekday("o_orderdate").alias("wd"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("plus30d"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 2 MONTHS")).alias("plus2m"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .alias("days_since_95"),
+        format_date_time(F.col("o_orderdate"), "%Y-%m-%d").alias("iso_day"),
+        F.unix_timestamp("o_orderdate").alias("unix_ts"))
+
+
+@register("to_start_of_interval", oracle="""
+SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket_15m,
+       count(*) AS n, round(sum(value), 4) AS total
+FROM events GROUP BY 1
+""")
+def to_start_of_interval(spark, sf):
+    """toStartOfInterval(ts, 15 min) → timestamp_seconds(floor(unix/900)*900)
+    — the reference's arbitrary-interval bucketing (§2.8 date/time)."""
+    ev = load_table(spark, sf, "events")
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp("ts") / 900) * 900).alias("bucket_15m")
+    return (ev.groupBy(bucket)
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("total")))
+
+
+@register("conditional_funcs", oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 300000 THEN 'high'
+            WHEN o_totalprice > 150000 THEN 'mid'
+            ELSE 'low' END                            AS price_band,
+       coalesce(nullif(o_orderstatus, 'O'), 'OPEN')   AS status_or_open,
+       greatest(o_totalprice, 200000.0::DOUBLE)       AS at_least_200k,
+       least(o_totalprice, 200000.0::DOUBLE)          AS at_most_200k,
+       if(o_orderpriority = '1-URGENT', 1, 0)         AS is_urgent
+FROM orders WHERE o_orderkey <= 200
+""")
+def conditional_funcs(spark, sf):
+    """Conditionals: if/multiIf/coalesce/nullIf/greatest/least (§2.8)."""
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") <= 200)
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 150000, "mid")
+        .otherwise("low").alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN"))
+        .alias("status_or_open"),
+        F.greatest(F.col("o_totalprice"), F.lit(200000.0)).alias("at_least_200k"),
+        F.least(F.col("o_totalprice"), F.lit(200000.0)).alias("at_most_200k"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        .alias("is_urgent"))
+
+
+@register("math_funcs", oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(abs(l_quantity - 25), 6)        AS abs_dev,
+       cast(floor(l_extendedprice) AS BIGINT) AS price_floor,
+       cast(ceil(l_extendedprice)  AS BIGINT) AS price_ceil,
+       round(sqrt(l_quantity), 6)            AS sqrt_qty,
+       round(exp(l_discount), 6)             AS exp_disc,
+       round(ln(l_extendedprice), 6)         AS ln_price,
+       round(log10(l_extendedprice), 6)      AS log10_price,
+       round(pow(l_quantity, 2), 6)          AS qty_sq,
+       cast(sign(l_quantity - 25) AS DOUBLE) AS sign_dev,
+       round(sin(l_discount), 6)             AS sin_disc
+FROM lineitem WHERE l_orderkey <= 60
+""")
+def math_funcs(spark, sf):
+    """Math family (§2.8): identical names JVM-side; DuckDB floor/ceil
+    return double → cast in oracle. Spark sign returns double → cast."""
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 60)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.abs(F.col("l_quantity") - 25), 6).alias("abs_dev"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(F.exp("l_discount"), 6).alias("exp_disc"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
+        F.round(F.log10("l_extendedprice"), 6).alias("log10_price"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("qty_sq"),
+        F.signum(F.col("l_quantity") - 25).cast("double").alias("sign_dev"),
+        F.round(F.sin("l_discount"), 6).alias("sin_disc"))
+
+
+@register("rounding_funcs", oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice, 1)            AS r1,
+       round(l_extendedprice, -2)           AS rneg2,
+       cast(trunc(l_extendedprice) AS BIGINT) AS truncated
+FROM lineitem WHERE l_orderkey <= 60
+""")
+def rounding_funcs(spark, sf):
+    """Rounding family: round at positive/negative scale, trunc (§2.8)."""
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 60)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round("l_extendedprice", 1).alias("r1"),
+        F.round("l_extendedprice", -2).alias("rneg2"),
+        F.col("l_extendedprice").cast("long").alias("truncated"))
+
+
+@register("cast_funcs", oracle="""
+SELECT l_orderkey, l_linenumber,
+       cast(trunc(l_quantity) AS INT)       AS qty_int,
+       cast(l_orderkey AS VARCHAR)          AS key_str,
+       cast(cast(l_shipdate AS DATE) AS TIMESTAMP) AS ship_day,
+       cast(cast(l_orderkey AS SMALLINT) AS INT) AS key_i16
+FROM lineitem WHERE l_orderkey <= 60
+""")
+def cast_funcs(spark, sf):
+    """Type-conversion family (§2.8): double→int truncates toward zero in
+    Spark, DuckDB cast rounds → oracle uses trunc()."""
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 60)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_orderkey").cast("string").alias("key_str"),
+        F.col("l_shipdate").cast("date").cast("timestamp").alias("ship_day"),
+        F.col("l_orderkey").cast("smallint").cast("int").alias("key_i16"))
+
+
+@register("json_funcs", oracle="""
+SELECT event_type,
+       cast(sum(cast(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       count_if(json_extract_string(props, '$.k') IS NOT NULL) :: BIGINT  AS n_with_k
+FROM events GROUP BY event_type
+""")
+def json_funcs(spark, sf):
+    """JSON family on events.props (§2.8): get_json_object / typed cast."""
+    ev = load_table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (ev.groupBy("event_type")
+            .agg(F.sum(k).cast("long").alias("sum_k"),
+                 F.count_if(k.isNotNull()).alias("n_with_k")))
+
+
+@register("hash_funcs", oracle="""
+SELECT p_partkey,
+       md5(p_name)                 AS name_md5,
+       length(md5(p_name))         AS md5_len,
+       sha256(p_brand)             AS brand_sha256
+FROM part WHERE p_partkey <= 30
+""")
+def hash_funcs(spark, sf):
+    """Cryptographic hash family (§2.8): md5/sha256 agree across engines;
+    cityHash/sipHash are engine-internal (xxhash64 is our analog —
+    exercised in the dedup pipeline, not oracle-compared)."""
+    p = load_table(spark, sf, "part").filter(F.col("p_partkey") <= 30)
+    return p.select(
+        "p_partkey",
+        F.md5("p_name").alias("name_md5"),
+        F.length(F.md5("p_name")).alias("md5_len"),
+        F.sha2("p_brand", 256).alias("brand_sha256"))
+
+
+@register("bit_funcs", oracle="""
+SELECT event_id,
+       event_id & 255                        AS low_byte,
+       event_id | 16                         AS with_bit4,
+       xor(event_id, 85)                     AS xored,
+       event_id << 2                         AS shl2,
+       event_id >> 3                         AS shr3,
+       cast(bit_count(event_id) AS INT)      AS popcount
+FROM events WHERE event_id <= 100
+""")
+def bit_funcs(spark, sf):
+    """Bit family (§2.8)."""
+    ev = load_table(spark, sf, "events").filter(F.col("event_id") <= 100)
+    e = F.col("event_id")
+    return ev.select(
+        "event_id",
+        e.bitwiseAND(255).alias("low_byte"),
+        e.bitwiseOR(16).alias("with_bit4"),
+        e.bitwiseXOR(85).alias("xored"),
+        F.shiftleft(e, 2).alias("shl2"),
+        F.shiftright(e, 3).alias("shr3"),
+        F.bit_count(e).alias("popcount"))
+
+
+@register("enc_funcs", oracle="""
+SELECT p_partkey,
+       hex(p_partkey)          AS key_hex,
+       to_base64(p_brand::BLOB) AS brand_b64,
+       cast(ascii(p_name) AS INT) AS first_cp
+FROM part WHERE p_partkey <= 30
+""")
+def enc_funcs(spark, sf):
+    """Encoding family: hex/base64/ascii (§2.8)."""
+    p = load_table(spark, sf, "part").filter(F.col("p_partkey") <= 30)
+    return p.select(
+        "p_partkey",
+        F.hex("p_partkey").alias("key_hex"),
+        F.base64(F.col("p_brand").cast("binary")).alias("brand_b64"),
+        F.ascii("p_name").alias("first_cp"))
+
+
+@register("url_funcs", oracle="""
+WITH u AS (
+  SELECT p_partkey,
+         'https://shop.example.com/parts/' || p_partkey || '?brand=' || replace(p_brand, '#', '-') AS url
+  FROM part WHERE p_partkey <= 30)
+SELECT p_partkey,
+       regexp_extract(url, '^[a-z]+://([^/]+)', 1)  AS host,
+       regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, 'brand=([^&]+)', 1)      AS brand_param,
+       regexp_extract(url, '^([a-z]+)://', 1)       AS protocol
+FROM u
+""")
+def url_funcs(spark, sf):
+    """URL family (§2.8): Spark parse_url vs regexp-based oracle."""
+    p = load_table(spark, sf, "part").filter(F.col("p_partkey") <= 30)
+    url = F.concat(F.lit("https://shop.example.com/parts/"),
+                   F.col("p_partkey").cast("string"),
+                   F.lit("?brand="), F.regexp_replace("p_brand", "#", "-"))
+    u = p.select("p_partkey", url.alias("url"))
+    return u.select(
+        "p_partkey",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("brand")).alias("brand_param"),
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"))
+
+
+@register("array_funcs", oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE doc_id <= 30)
+SELECT doc_id,
+       cast(len(toks) AS INT)                      AS n_toks,
+       cast(len(list_distinct(toks)) AS INT)       AS n_uniq,
+       list_contains(toks, 'data')                 AS has_data,
+       list_sort(toks)[1]                          AS min_tok,
+       array_to_string(list_sort(list_distinct(toks))[1:5], ',') AS first5_sorted,
+       cast(list_position(toks, 'the') AS INT)     AS pos_the
+FROM t
+""")
+def array_funcs(spark, sf):
+    """Array family (§2.8): size/distinct/contains/sort/slice/indexOf.
+    Spark array_position and DuckDB list_position both return 0/NULL-safe
+    1-based positions (DuckDB returns NULL when absent → coalesce both to 0)."""
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") <= 30)
+    toks = F.split("text", " ")
+    t = d.select("doc_id", toks.alias("toks"))
+    return t.select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        F.size(F.array_distinct("toks")).alias("n_uniq"),
+        F.array_contains("toks", "data").alias("has_data"),
+        F.array_sort("toks").getItem(0).alias("min_tok"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct("toks")), 1, 5), ",")
+        .alias("first5_sorted"),
+        F.array_position("toks", "the").cast("int").alias("pos_the"))
+
+
+@register("hof_funcs", oracle="""
+SELECT vec_id,
+       round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum'), 6)
+           AS sum_sq,
+       cast(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+       round(list_aggregate(embedding, 'max')::DOUBLE, 6) AS max_dim
+FROM embeddings WHERE vec_id <= 40
+""")
+def hof_funcs(spark, sf):
+    """Higher-order functions: arrayMap/arrayFilter/arrayReduce →
+    transform/filter/aggregate lambdas (§2.8 arrays)."""
+    e = load_table(spark, sf, "embeddings").filter(F.col("vec_id") <= 40)
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.round(F.aggregate(
+            F.transform(emb, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v), 6).alias("sum_sq"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+        F.round(F.array_max(emb).cast("double"), 6).alias("max_dim"))
+
+
+@register("map_funcs", oracle="""
+SELECT event_type,
+       cast(m['cnt'][1] AS BIGINT) AS cnt_entry,
+       round(m2['total'][1], 4) AS total_entry
+FROM (
+  SELECT event_type,
+         map {'cnt': count(*)}            AS m,
+         map {'total': sum(value)}        AS m2
+  FROM events GROUP BY event_type) t
+""")
+def map_funcs(spark, sf):
+    """Map family (§2.8): create_map / element_at round-trip."""
+    ev = load_table(spark, sf, "events")
+    g = ev.groupBy("event_type").agg(
+        F.create_map(F.lit("cnt"), F.count("*")).alias("m"),
+        F.create_map(F.lit("total"), F.sum("value")).alias("m2"))
+    return g.select(
+        "event_type",
+        F.element_at("m", "cnt").alias("cnt_entry"),
+        F.round(F.element_at("m2", "total"), 4).alias("total_entry"))
+
+
+@register("string_distance", oracle="""
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       cast(levenshtein(a.p_brand, b.p_brand) AS INT) AS lev
+FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+WHERE a.p_partkey <= 12 AND b.p_partkey <= 12
+""")
+def string_distance(spark, sf):
+    """String distance family (§2.8): levenshtein (editDistance)."""
+    p = load_table(spark, sf, "part").select("p_partkey", "p_brand")
+    a, b = p.alias("a"), p.alias("b")
+    return (a.join(b, F.col("a.p_partkey") < F.col("b.p_partkey"))
+            .filter((F.col("a.p_partkey") <= 12) & (F.col("b.p_partkey") <= 12))
+            .select(F.col("a.p_partkey").alias("key_a"),
+                    F.col("b.p_partkey").alias("key_b"),
+                    F.levenshtein(F.col("a.p_brand"), F.col("b.p_brand")).alias("lev")))

@@ -1,0 +1,217 @@
+"""M7 — LLM-pipeline text operators on `documents` (SURVEY.md §7 M7).
+
+The MinHash/SimHash oracles are built from the SAME hash constants as the
+Spark implementation (pipeline/dedup.py) so both engines compute the
+identical deterministic pipeline; token-ids come from the sorted-vocabulary
+mode (the oracle-checkable variant — xxhash64 mode is the 100 TB path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_clickhouse_spark.pipeline.dedup import (
+    MINHASH_COEFFS, MINHASH_PRIME,
+    exact_dedup, minhash_candidate_pairs, minhash_signatures,
+    ngram_jaccard_pairs, simhash,
+)
+from clickhouse_clickhouse_spark.functions import text as TXT
+from clickhouse_clickhouse_spark.registry import register
+from clickhouse_clickhouse_spark.tables import load_table
+
+P = MINHASH_PRIME
+
+# Shared oracle CTEs: bigram shingles + sorted-vocab token ids.
+_BIGRAM_VOCAB_CTE = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, token FROM (
+         SELECT doc_id,
+                unnest(list_transform(generate_series(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i + 1])) AS token
+         FROM toks) u),
+vocab AS (SELECT token, cast(row_number() OVER (ORDER BY token) AS BIGINT) AS tid
+          FROM (SELECT DISTINCT token FROM sh) v),
+tt AS (SELECT doc_id, tid FROM sh JOIN vocab USING (token))
+"""
+
+_MH8 = ",\n       ".join(
+    f"min(({a} * tid + {b}) % {P}) AS mh{k}"
+    for k, (a, b) in enumerate(MINHASH_COEFFS[:8]))
+
+
+@register("text_stats", oracle="""
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars,
+       round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+FROM documents GROUP BY lang
+""")
+def text_stats(spark, sf):
+    """Per-language corpus profile: doc counts, char/token means."""
+    d = load_table(spark, sf, "documents")
+    return (d.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+                 F.round(F.avg(F.size(F.split("text", " "))), 4).alias("avg_tokens")))
+
+
+@register("text_quality", oracle="""
+SELECT doc_id,
+       cast(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+             / greatest(length(text), 1), 6) AS digit_ratio,
+       round(cast(list_aggregate(list_transform(string_split(text, ' '),
+                                                x -> length(x)), 'sum') AS DOUBLE)
+             / greatest(len(string_split(text, ' ')), 1), 6) AS mean_word_len
+FROM documents WHERE doc_id <= 40
+""")
+def text_quality(spark, sf):
+    """Quality-signal columns: token count, digit ratio, mean word length
+    (the cheap pre-filters of a training-data pipeline)."""
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") <= 40)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TXT.token_count(t).alias("n_tokens"),
+        F.round(TXT.digit_ratio(t), 6).alias("digit_ratio"),
+        F.round(TXT.mean_word_length(t).cast("double"), 6).alias("mean_word_len"))
+
+
+@register("dedup_exact", oracle="""
+WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+SELECT lang, count(*) AS n_surviving
+FROM documents JOIN surv USING (doc_id)
+GROUP BY lang
+""")
+def dedup_exact(spark, sf):
+    """Exact dedup: lowest doc_id survives per identical text; survivors
+    counted per language (pipeline/dedup.exact_dedup)."""
+    d = load_table(spark, sf, "documents")
+    return exact_dedup(d, "text", "doc_id").groupBy("lang") \
+        .agg(F.count("*").alias("n_surviving"))
+
+
+@register("fingerprint_md5", oracle="""
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+           AS n_fingerprints
+FROM documents GROUP BY source
+""")
+def fingerprint_md5(spark, sf):
+    """Document fingerprinting: hash of normalized text per source (md5
+    here for cross-engine checkability; functions.text.fingerprint64 is
+    the cheaper xxhash64 production variant)."""
+    d = load_table(spark, sf, "documents")
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    return (d.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct(F.md5(norm)).alias("n_fingerprints")))
+
+
+@register("minhash_signatures_q", oracle=f"""
+WITH {_BIGRAM_VOCAB_CTE}
+SELECT doc_id, {_MH8}
+FROM tt WHERE doc_id <= 30 GROUP BY doc_id
+""")
+def minhash_signatures_q(spark, sf):
+    """MinHash(8) signatures over bigram shingles, sorted-vocab token ids
+    (deterministic oracle mode of pipeline/dedup.minhash_signatures)."""
+    d = load_table(spark, sf, "documents")
+    sig = minhash_signatures(d, "doc_id", "text", num_hashes=8, shingle=2,
+                             token_hash="vocab")
+    return sig.filter(F.col("doc_id") <= 30)
+
+
+@register("minhash_lsh_pairs", oracle=f"""
+WITH {_BIGRAM_VOCAB_CTE},
+sig AS (SELECT doc_id, {_MH8} FROM tt GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, mh0 || '_' || mh1 AS key FROM sig
+  UNION ALL SELECT doc_id, 1, mh2 || '_' || mh3 FROM sig
+  UNION ALL SELECT doc_id, 2, mh4 || '_' || mh5 FROM sig
+  UNION ALL SELECT doc_id, 3, mh6 || '_' || mh7 FROM sig)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+""")
+def minhash_lsh_pairs(spark, sf):
+    """MinHash-LSH near-dup candidate pairs: 8 hashes, 4 bands × 2 rows
+    (pipeline/dedup.minhash_candidate_pairs, vocab mode)."""
+    d = load_table(spark, sf, "documents")
+    return minhash_candidate_pairs(d, "doc_id", "text", num_hashes=8,
+                                   bands=4, shingle=2, token_hash="vocab")
+
+
+@register("ngram_jaccard_by_source", oracle="""
+WITH sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(generate_series(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents) u)
+SELECT a.source AS source,
+       count(*) AS n_pairs,
+       round(sum(round(cast(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                 / greatest(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)), 1), 6)), 6)
+           AS sum_jaccard
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+GROUP BY a.source
+""")
+def ngram_jaccard_by_source(spark, sf):
+    """Exact bigram-Jaccard over source-blocked pairs; per-source pair
+    count + total similarity mass (sum of per-pair 6-dp jaccards: sums over
+    the decimal grid are immune to round-half boundary flips that averages
+    can hit; pipeline/dedup.ngram_jaccard_pairs)."""
+    d = load_table(spark, sf, "documents")
+    p = ngram_jaccard_pairs(d, "doc_id", "text", "source", shingle=2)
+    src = d.select("doc_id", "source")
+    return (p.join(src, p.id_a == src.doc_id)
+            .groupBy("source")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.round(F.sum("jaccard"), 6).alias("sum_jaccard")))
+
+
+@register("simhash_q", oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, token FROM (
+         SELECT doc_id, unnest(t) AS token FROM toks) u),
+vocab AS (SELECT token, cast(row_number() OVER (ORDER BY token) AS BIGINT) AS tid
+          FROM (SELECT DISTINCT token FROM sh) v),
+h AS (SELECT doc_id, ({MINHASH_COEFFS[0][0]} * tid + {MINHASH_COEFFS[0][1]}) % {P} AS h
+      FROM sh JOIN vocab USING (token)),
+votes AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h, (SELECT unnest(generate_series(0, 15)) AS bit) bits
+  GROUP BY doc_id, bit)
+SELECT doc_id,
+       cast(sum(CASE WHEN v > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash
+FROM votes WHERE doc_id <= 30 GROUP BY doc_id
+""")
+def simhash_q(spark, sf):
+    """16-bit SimHash per document, unigram tokens, vocab-id mode
+    (pipeline/dedup.simhash)."""
+    d = load_table(spark, sf, "documents")
+    return simhash(d, "doc_id", "text", bits=16, shingle=1,
+                   token_hash="vocab").filter(F.col("doc_id") <= 30)
+
+
+@register("lang_guess_q")
+def lang_guess_q(spark, sf):
+    """Stopword-vote language ID vs the labeled lang column (confusion
+    counts). Heuristic scoring — rows-only check (the vote tie-break is
+    struct-ordering-dependent; semantics verified in unit tests)."""
+    d = load_table(spark, sf, "documents")
+    return (d.select("lang", TXT.lang_guess(F.col("text")).alias("guess"))
+            .groupBy("lang", "guess").agg(F.count("*").alias("n")))
+
+
+@register("quality_score_by_source")
+def quality_score_by_source(spark, sf):
+    """Composite quality score distribution per source (rows-only: the
+    score is our own composite; components are oracle-checked in
+    text_quality)."""
+    d = load_table(spark, sf, "documents")
+    return (d.groupBy("source")
+            .agg(F.round(F.avg(TXT.quality_score(F.col("text"))), 6).alias("avg_quality"),
+                 F.count("*").alias("n_docs")))

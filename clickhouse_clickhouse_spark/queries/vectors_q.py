@@ -1,0 +1,109 @@
+"""M7 — vector/similarity operators on `embeddings` (SURVEY.md §2.8
+distance family + §7 M7 ANN).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_clickhouse_spark.functions.vectors import (
+    cosine_similarity, dot_product, l2_distance,
+)
+from clickhouse_clickhouse_spark.pipeline.similarity import (
+    brute_force_topk, label_centroids, lsh_bucketed_topk,
+)
+from clickhouse_clickhouse_spark.registry import register
+from clickhouse_clickhouse_spark.tables import load_table
+
+
+@register("vec_distances", oracle="""
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE a.vec_id < 3 AND b.vec_id < 8),
+x AS (
+  SELECT id_a, id_b,
+         sum(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS dot,
+         sum(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)) AS na,
+         sum(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS nb,
+         sum(pow(CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE), 2)) AS sq
+  FROM p, (SELECT unnest(generate_series(1, 64)) AS i) g
+  GROUP BY id_a, id_b)
+SELECT id_a, id_b,
+       round(dot, 6)                        AS dot,
+       round(sqrt(sq), 6)                   AS l2_dist,
+       round(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
+FROM x
+""")
+def vec_distances(spark, sf):
+    """dotProduct / L2Distance / cosine (reference arrayDotProduct /
+    arrayDistance) via JVM higher-order functions."""
+    e = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    a = e.alias("a")
+    b = e.alias("b")
+    ea, eb = F.col("a.embedding"), F.col("b.embedding")
+    return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .filter((F.col("a.vec_id") < 3) & (F.col("b.vec_id") < 8))
+            .select(F.col("a.vec_id").alias("id_a"),
+                    F.col("b.vec_id").alias("id_b"),
+                    F.round(dot_product(ea, eb), 6).alias("dot"),
+                    F.round(l2_distance(ea, eb), 6).alias("l2_dist"),
+                    F.round(cosine_similarity(ea, eb), 6).alias("cosine")))
+
+
+@register("topk_cosine", oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+x AS (
+  SELECT query_id, corpus_id,
+         sum(CAST(cv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)) AS dot,
+         sum(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)) AS nc,
+         sum(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)) AS nq
+  FROM c JOIN q ON corpus_id <> query_id,
+       (SELECT unnest(generate_series(1, 64)) AS i) g
+  GROUP BY query_id, corpus_id),
+s AS (SELECT query_id, corpus_id,
+             round(dot / (sqrt(nc) * sqrt(nq)), 6) AS cosine FROM x)
+SELECT query_id, corpus_id, cosine, rk FROM (
+  SELECT query_id, corpus_id, cosine,
+         cast(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, corpus_id) AS INT) AS rk
+  FROM s) t WHERE rk <= 5
+""")
+def topk_cosine(spark, sf):
+    """Brute-force cosine top-5 per query vector (queries = vec_id < 3,
+    broadcast against the corpus; the exact-ANN baseline). Deterministic
+    tiebreak on (rounded cosine, corpus_id)."""
+    e = load_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    return brute_force_topk(e, q, k=5,
+                            corpus_id="vec_id", corpus_vec="embedding",
+                            query_id="vec_id", query_vec="embedding")
+
+
+@register("label_centroids_q", oracle="""
+SELECT label, cast(i - 1 AS INT) AS dim,
+       round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_val
+FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g
+GROUP BY label, i
+""")
+def label_centroids_q(spark, sf):
+    """Label-wise centroids in relational (label, dim, mean) form —
+    posexplode + hash agg (pipeline/similarity.label_centroids)."""
+    e = load_table(spark, sf, "embeddings")
+    return (e.select("label", F.posexplode("embedding").alias("dim", "val"))
+            .groupBy("label", "dim")
+            .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("mean_val"))
+            .select("label", F.col("dim").cast("int").alias("dim"), "mean_val"))
+
+
+@register("ann_lsh_topk")
+def ann_lsh_topk(spark, sf):
+    """Sign-LSH bucketed ANN top-5 (6-bit buckets, 1-bit multiprobe) —
+    approximate by construction → rows-only check; recall vs the exact
+    baseline is asserted in unit tests (pipeline/similarity.lsh_bucketed_topk)."""
+    e = load_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    return lsh_bucketed_topk(e, q, k=5, bits=6, multiprobe=1,
+                             corpus_id="vec_id", corpus_vec="embedding",
+                             query_id="vec_id", query_vec="embedding")

@@ -1,0 +1,65 @@
+"""Streaming surface (SURVEY.md §2.9).
+
+The reference's streaming = ingestion engines + materialized views +
+WindowView tumble/hop with watermark (upstream
+``src/Storages/WindowView/StorageWindowView.cpp``). Structured Streaming is
+a strict superset; the SAME ``window()`` expressions run in batch mode,
+which is how the DuckDB oracle checks them (time_bucket equivalence).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumble_agg(df: DataFrame, ts: str, size: str,
+               keys: Sequence[str], aggs: dict[str, F.Column]) -> DataFrame:
+    """``tumble(ts, INTERVAL size)`` aggregation — batch and streaming use
+    the identical expression. Window struct is flattened to start/end so
+    results stay oracle-comparable."""
+    g = df.groupBy(F.window(ts, size).alias("w"), *keys) \
+          .agg(*[c.alias(n) for n, c in aggs.items()])
+    return g.select(F.col("w.start").alias("w_start"),
+                    F.col("w.end").alias("w_end"),
+                    *keys, *aggs.keys())
+
+
+def hop_agg(df: DataFrame, ts: str, size: str, slide: str,
+            keys: Sequence[str], aggs: dict[str, F.Column]) -> DataFrame:
+    """``hop(ts, INTERVAL slide, INTERVAL size)`` — sliding windows; each
+    row lands in size/slide windows (Spark explodes internally)."""
+    g = df.groupBy(F.window(ts, size, slide).alias("w"), *keys) \
+          .agg(*[c.alias(n) for n, c in aggs.items()])
+    return g.select(F.col("w.start").alias("w_start"),
+                    F.col("w.end").alias("w_end"),
+                    *keys, *aggs.keys())
+
+
+def streaming_tumble_counts(spark, src_dir: str, schema, ts: str, size: str,
+                            keys: Sequence[str], watermark: str = "1 hour",
+                            query_name: str = "tumble_out"):
+    """True Structured Streaming pipeline over a parquet directory source
+    (stands in for the reference's Kafka→MV chain): readStream → watermark
+    → tumble agg → memory sink. Returns the started StreamingQuery; caller
+    drives it with processAllAvailable().
+
+    In production the sink is ``foreachBatch`` writing a partitioned
+    Parquet/Delta table — the MV-to-MergeTree analog."""
+    stream = (spark.readStream.schema(schema).format("parquet")
+              .option("path", src_dir).load())
+    agg = (stream
+           .withWatermark(ts, watermark)
+           .groupBy(F.window(ts, size), *keys)
+           .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value")))
+    return (agg.writeStream.outputMode("append")
+            .format("memory").queryName(query_name).start())
+
+
+def dedup_stream(stream: DataFrame, keys: Sequence[str], ts: str,
+                 watermark: str = "1 hour") -> DataFrame:
+    """ReplacingMergeTree-style ingest dedup on a stream: watermark-bounded
+    dropDuplicates (state expires past the watermark)."""
+    return stream.withWatermark(ts, watermark).dropDuplicates(list(keys))

@@ -1,0 +1,58 @@
+"""Fixture-table access — the engine's scan layer over Parquet.
+
+The reference's MergeTree read path (part pruning → sparse-PK mark pruning →
+column reads; upstream ``src/Storages/MergeTree/MergeTreeDataSelectExecutor.cpp``)
+maps to Spark's Parquet source: directory partition pruning + row-group
+min/max stats + predicate pushdown + column pruning (SURVEY.md §2.1). At
+100 TB the same call reads a partitioned/bucketed Parquet layout; nothing
+here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "customer", "part"})
+
+
+def ensure_engine_confs(spark: SparkSession) -> None:
+    """Set the engine's semantics-critical runtime confs on an externally
+    created session (the driver hands us its own SparkSession — it won't
+    have our session.py defaults):
+
+    - ns-precision parquet timestamps read as long (else the scan throws
+      PARQUET_TYPE_ILLEGAL on events.parquet);
+    - UTC session timezone (fixtures are tz-naive; oracle compares naive);
+    - ANSI off (reference-permissive arithmetic, SURVEY.md §4.2).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table. Plain ``spark.read.parquet`` so Catalyst
+    keeps full pushdown/pruning freedom."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    ensure_engine_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ns-precision column surfaced as long via nanosAsLong: truncate to µs
+        # (same behavior as DuckDB's read of the ns column).
+        from pyspark.sql import functions as F
+        # integer division: double math would lose precision at 1e18 ns
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register fixture tables as temp views for the SQL API."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
