@@ -1,0 +1,72 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headliners cover the engine's main execution shapes: columnar scan+agg,
+multi-way join, window functions, distinct-agg, ASOF join, time bucketing,
+funnel cascade, MinHash-LSH dedup, vector top-k.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_inner_3way",
+    "agg_rollup",
+    "agg_uniq_exact",
+    "window_ranks",
+    "join_asof",
+    "tumble_hourly",
+    "funnel_levels",
+    "session_stats",
+    "dedup_exact",
+    "minhash_lsh_pairs_xxhash",
+    "topk_cosine",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from clickhouse_clickhouse_spark.registry import all_queries
+    from clickhouse_clickhouse_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = all_queries()
+
+    # Warm the JVM/codegen/parquet-reader once so query timings measure
+    # the plans, not session spin-up or first-touch class loading.
+    spark.range(1000).count()
+    from clickhouse_clickhouse_spark.tables import load_table
+    load_table(spark, sf_dir, "lineitem").limit(10).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        # count() forces full execution of every operator in the plan
+        # without serializing the result set to the driver.
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -85,11 +85,14 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     band_cols = []
     for b in range(bands):
         members = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(F.struct(F.lit(b).alias("band"),
-                                  F.array(*members).alias("sig")))
+        # Flat string key (same shape as the SQL oracle's mh||'_'||mh):
+        # a scalar join key hashes/compares cheaper than array equality.
+        band_cols.append(F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("_", *[m.cast("string") for m in members]).alias("sig")))
     banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")) \
                 .select(id_col, F.col("bb.band").alias("band"),
-                        F.col("bb.sig").cast("array<long>").alias("sig"))
+                        F.col("bb.sig").alias("sig"))
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band")) &

@@ -143,6 +143,17 @@ def minhash_lsh_pairs(spark, sf):
                                    bands=4, shingle=2, token_hash="vocab")
 
 
+@register("minhash_lsh_pairs_xxhash")
+def minhash_lsh_pairs_xxhash(spark, sf):
+    """MinHash-LSH candidate pairs, xxhash64 token mode — the 100 TB path:
+    no global vocabulary sort, tokens hash independently per partition.
+    Rows-only check (xxhash64 has no DuckDB equivalent); the algorithm
+    itself is oracle-verified via the vocab-mode twin (minhash_lsh_pairs)."""
+    d = load_table(spark, sf, "documents")
+    return minhash_candidate_pairs(d, "doc_id", "text", num_hashes=8,
+                                   bands=4, shingle=2, token_hash="xxhash")
+
+
 @register("ngram_jaccard_by_source", oracle="""
 WITH sh AS (
   SELECT doc_id, source,
