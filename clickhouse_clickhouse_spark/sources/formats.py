@@ -1,0 +1,43 @@
+"""I/O format surface (SURVEY.md §2.1: the reference's ~70 formats map to
+Spark's built-in sources; fixtures are Parquet, the rest are exercised by
+round-trip tests).
+
+Supported here: parquet, orc, csv (with header), json (lines), text.
+Avro/Delta/Iceberg need jars absent from this environment — they raise a
+clear error instead of failing obscurely (import-try gating per brief).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_NATIVE = {"parquet", "orc", "csv", "json", "text"}
+_NEEDS_JARS = {"avro", "delta", "iceberg", "hudi"}
+
+
+def write_any(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") -> None:
+    if fmt in _NEEDS_JARS:
+        raise NotImplementedError(
+            f"format {fmt!r} requires connector jars not present in this "
+            "environment; gate behind a deployment that ships them")
+    if fmt not in _NATIVE:
+        raise ValueError(f"unknown format {fmt!r}")
+    w = df.write.mode(mode)
+    if fmt == "csv":
+        w = w.option("header", "true")
+    w.format(fmt).save(path)
+
+
+def read_any(spark: SparkSession, path: str, fmt: str,
+             schema: T.StructType | None = None) -> DataFrame:
+    if fmt in _NEEDS_JARS:
+        raise NotImplementedError(f"format {fmt!r} requires connector jars")
+    if fmt not in _NATIVE:
+        raise ValueError(f"unknown format {fmt!r}")
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    elif fmt == "csv":
+        r = r.option("header", "true").option("inferSchema", "true")
+    return r.format(fmt).load(path)

@@ -1,0 +1,96 @@
+"""Write path — the MergeTree ingest/merge/mutation analogs
+(SURVEY.md §2.1, §3.2).
+
+Reference mapping:
+- ``INSERT`` part writing (split by PARTITION BY → sort by ORDER BY →
+  write column files; upstream ``MergeTreeDataWriter.cpp``) →
+  ``partitionBy().sortWithinPartitions().parquet()`` — the in-file sort is
+  what gives Parquet row-group min/max stats their pruning power (the
+  sparse-PK-index analog).
+- Background merge / ``OPTIMIZE`` (``MergeTask.cpp``) → compaction job:
+  read → repartition to target file count → re-sort → atomic overwrite.
+- ``ALTER TABLE UPDATE/DELETE`` mutations (``MutationsInterpreter.cpp``) →
+  read → transform → overwrite (rewrite-the-parts semantics, same as the
+  reference; a lakehouse format would do this transactionally).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def insert_partitioned(df: DataFrame, path: str,
+                       partition_by: Sequence[str] = (),
+                       sort_by: Sequence[str] = (),
+                       mode: str = "overwrite") -> None:
+    """INSERT: partition layout + in-file sort order (PARTITION BY +
+    ORDER BY of a MergeTree table)."""
+    out = df
+    if sort_by:
+        if partition_by:
+            out = out.repartition(*[F.col(c) for c in partition_by])
+        out = out.sortWithinPartitions(*sort_by)
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def optimize_compact(spark: SparkSession, path: str,
+                     sort_by: Sequence[str] = (),
+                     target_files: int = 1,
+                     partition_by: Sequence[str] = ()) -> None:
+    """OPTIMIZE / background merge: rewrite the layout with fewer, sorted
+    files. Stages through a temp dir then swaps (the poor-man's atomic
+    rename the reference does per part). ``partition_by`` preserves the
+    table's partition-directory layout across the rewrite."""
+    df = spark.read.parquet(path)
+    compacted = df.coalesce(target_files)
+    if sort_by:
+        compacted = compacted.sortWithinPartitions(*sort_by)
+    _rewrite(spark, compacted, path, partition_by)
+
+
+def mutate_update(spark: SparkSession, path: str,
+                  assignments: dict[str, Column], where: Column,
+                  partition_by: Sequence[str] = ()) -> None:
+    """ALTER TABLE ... UPDATE col = expr WHERE cond (mutation rewrite).
+    Pass the table's ``partition_by`` to keep its directory layout."""
+    df = spark.read.parquet(path)
+    out = df
+    for col, expr in assignments.items():
+        out = out.withColumn(col, F.when(where, expr).otherwise(F.col(col)))
+    _rewrite(spark, out, path, partition_by)
+
+
+def mutate_delete(spark: SparkSession, path: str, where: Column,
+                  partition_by: Sequence[str] = ()) -> None:
+    """ALTER TABLE ... DELETE WHERE cond (anti-filter rewrite)."""
+    df = spark.read.parquet(path)
+    out = df.filter(~where | where.isNull())
+    _rewrite(spark, out, path, partition_by)
+
+
+def _rewrite(spark: SparkSession, df: DataFrame, path: str,
+             partition_by: Sequence[str]) -> None:
+    tmp = path.rstrip("/") + "__rewriting"
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
+    _swap_dirs(spark, tmp, path)
+
+
+def _swap_dirs(spark: SparkSession, tmp: str, path: str) -> None:
+    """Replace ``path`` with ``tmp`` via the JVM Hadoop FS API (works on
+    any Hadoop-compatible FS, not just local disk)."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(path).getFileSystem(conf)
+    fs.delete(Path(path), True)
+    fs.rename(Path(tmp), Path(path))

@@ -1,0 +1,71 @@
+"""Tests for ordered-event operators with hand-built histories."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from clickhouse_clickhouse_spark.operators.events import (
+    funnel_apply_in_pandas, retention, sequence_count, sessionize, window_funnel,
+)
+
+T = datetime.datetime
+
+
+def _events(spark):
+    rows = [
+        # user 1: full funnel within window
+        (1, T(2024, 1, 1, 0), "view"), (1, T(2024, 1, 2, 0), "click"),
+        (1, T(2024, 1, 3, 0), "purchase"),
+        # user 2: view then click outside 7-day window
+        (2, T(2024, 1, 1, 0), "view"), (2, T(2024, 1, 20, 0), "click"),
+        # user 3: click before view (wrong order) -> level 1 only
+        (3, T(2024, 1, 1, 0), "click"), (3, T(2024, 1, 2, 0), "view"),
+        # user 4: never viewed
+        (4, T(2024, 1, 1, 0), "purchase"),
+    ]
+    return spark.createDataFrame(
+        [(u, ts, e, i) for i, (u, ts, e) in enumerate(rows)],
+        "user_id long, ts timestamp, event_type string, event_id long")
+
+
+def test_window_funnel_levels(spark):
+    out = {r.user_id: r.level for r in
+           window_funnel(_events(spark), "user_id", "ts", "event_type",
+                         ["view", "click", "purchase"], "7 DAYS").collect()}
+    assert out == {1: 3, 2: 1, 3: 1}  # user 4 absent (no first step)
+
+
+def test_funnel_pandas_path_agrees(spark):
+    out = {r.user_id: r.level for r in
+           funnel_apply_in_pandas(_events(spark), "user_id", "ts", "event_type",
+                                  ["view", "click", "purchase"],
+                                  7 * 86400).collect()}
+    assert out[1] == 3 and out[2] == 1 and out[3] == 1 and out[4] == 0
+
+
+def test_retention_flags(spark):
+    out = {r.user_id: (r.r1, r.r2) for r in
+           retention(_events(spark), "user_id",
+                     [F.col("event_type") == "view",
+                      F.col("event_type") == "purchase"]).collect()}
+    assert out[1] == (1, 1)   # viewed and purchased
+    assert out[2] == (1, 0)   # viewed, no purchase
+    assert out[4] == (0, 0)   # purchased but never viewed -> r2 gated on r1
+
+
+def test_sequence_count_nonoverlapping(spark):
+    out = {r.user_id: r.n_matches for r in
+           sequence_count(_events(spark), "user_id", "ts", "event_type",
+                          "event_id",
+                          {"view": "v", "click": "c", "purchase": "p"},
+                          "vc").collect()}
+    assert out[1] == 1 and out[3] == 0
+
+
+def test_sessionize_gap(spark):
+    rows = [(1, T(2024, 1, 1, 0, 0)), (1, T(2024, 1, 1, 0, 10)),
+            (1, T(2024, 1, 1, 2, 0)), (1, T(2024, 1, 1, 2, 5))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = sessionize(df, "user_id", "ts", 1800).collect()
+    sessions = sorted((r.ts, r.session_id) for r in out)
+    assert [s for _, s in sessions] == [1, 1, 2, 2]

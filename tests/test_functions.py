@@ -1,0 +1,86 @@
+"""Tests for scalar/vector/text function helpers (SURVEY.md §2.8)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_clickhouse_spark.functions.datetime_fmt import ch_format_to_java
+from clickhouse_clickhouse_spark.functions import text as TXT
+from clickhouse_clickhouse_spark.functions.vectors import (
+    cosine_similarity, dot_product, l2_distance, l2_norm,
+)
+
+
+def test_ch_format_translation():
+    assert ch_format_to_java("%Y-%m-%d") == "yyyy-MM-dd"
+    assert ch_format_to_java("%H:%M:%S") == "HH:mm:ss"
+    assert ch_format_to_java("%F %T") == "yyyy-MM-dd HH:mm:ss"
+    assert ch_format_to_java("%d/%m/%y") == "dd/MM/yy"
+    with pytest.raises(ValueError):
+        ch_format_to_java("%q")
+
+
+def test_ch_format_quotes_literals(spark):
+    # alphabetic literal text must be quoted, not parsed as pattern letters
+    java = ch_format_to_java("%Yyear")
+    df = spark.createDataFrame([("2024-03-05 01:02:03",)], "s string")
+    out = df.select(F.date_format(F.col("s").cast("timestamp"), java).alias("x")).collect()
+    assert out[0].x == "2024year"
+
+
+def test_vector_math_matches_numpy(spark):
+    a = [0.5, -1.0, 2.0, 0.0]
+    b = [1.0, 1.0, 0.5, -3.0]
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    row = df.select(
+        dot_product(F.col("a"), F.col("b")).alias("dot"),
+        l2_norm(F.col("a")).alias("na"),
+        l2_distance(F.col("a"), F.col("b")).alias("d"),
+        cosine_similarity(F.col("a"), F.col("b")).alias("cos")).collect()[0]
+    na, nb = np.array(a), np.array(b)
+    assert math.isclose(row.dot, float(na @ nb), rel_tol=1e-12)
+    assert math.isclose(row.na, float(np.linalg.norm(na)), rel_tol=1e-12)
+    assert math.isclose(row.d, float(np.linalg.norm(na - nb)), rel_tol=1e-12)
+    assert math.isclose(row.cos, float(na @ nb / (np.linalg.norm(na) * np.linalg.norm(nb))),
+                        rel_tol=1e-12)
+
+
+def test_tokens_and_ngrams(spark):
+    df = spark.createDataFrame([("a b c d",), ("x",)], "text string")
+    out = df.select(
+        TXT.token_count(F.col("text")).alias("n"),
+        TXT.word_ngrams(F.col("text"), 2).alias("bi"),
+        TXT.char_ngrams(F.col("text"), 3).alias("tri")).collect()
+    assert out[0].n == 4
+    assert out[0].bi == ["a b", "b c", "c d"]
+    assert out[0].tri[:2] == ["a b", " b "]
+    assert out[1].n == 1 and out[1].bi == []  # shorter than shingle
+
+
+def test_quality_and_ratios(spark):
+    df = spark.createDataFrame([("clean words here only now",),
+                                ("!!! 123 ### 456 $$$",)], "text string")
+    rows = df.select(
+        TXT.punct_ratio(F.col("text")).alias("p"),
+        TXT.digit_ratio(F.col("text")).alias("d"),
+        TXT.quality_score(F.col("text")).alias("q")).collect()
+    assert rows[0].p == 0.0 and rows[0].d == 0.0
+    assert rows[1].p > 0.3 and rows[1].d > 0.2
+    assert rows[0].q > rows[1].q  # clean text scores higher
+
+
+def test_lang_guess_votes(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog is in a house for it",),
+         ("der hund und die katze ist von dem haus zu",),
+         ("zzz qqq xxx",)], "text string")
+    got = [r.g for r in df.select(TXT.lang_guess(F.col("text")).alias("g")).collect()]
+    assert got[0] == "en" and got[1] == "de" and got[2] == "und"
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame([("Hello  World",), ("hello world",)], "text string")
+    fps = [r.f for r in df.select(TXT.fingerprint64(F.col("text")).alias("f")).collect()]
+    assert fps[0] == fps[1]

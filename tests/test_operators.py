@@ -1,0 +1,128 @@
+"""Unit tests for the custom operator semantics (SURVEY.md §2.3-2.6
+helpers) against small hand-built frames — golden-output style, the
+reference's 0_stateless analog at micro scale."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from clickhouse_clickhouse_spark.operators.joins import any_join, asof_join, paste_join
+from clickhouse_clickhouse_spark.operators.aggregates import (
+    delta_sum, final_dedup, limit_by, sum_map, top_k_per_group, with_totals,
+)
+from clickhouse_clickhouse_spark.operators.fill import with_fill
+from clickhouse_clickhouse_spark.operators.windows import limit_with_ties
+
+TS = datetime.datetime
+
+
+def test_asof_backward(spark):
+    left = spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 10)), (1, TS(2024, 1, 1, 12)), (2, TS(2024, 1, 1, 9))],
+        "k int, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 9), 100.0), (1, TS(2024, 1, 1, 11), 200.0),
+         (2, TS(2024, 1, 1, 9), 300.0)],
+        "k int, rts timestamp, v double")
+    out = asof_join(left, right, ["k"], "ts", "rts", "backward")
+    got = {(r.k, r.ts): r.v for r in out.collect()}
+    assert got == {(1, TS(2024, 1, 1, 10)): 100.0,
+                   (1, TS(2024, 1, 1, 12)): 200.0,
+                   (2, TS(2024, 1, 1, 9)): 300.0}  # ties match (non-strict)
+
+
+def test_asof_strict_excludes_equal(spark):
+    left = spark.createDataFrame([(1, TS(2024, 1, 1, 9))], "k int, ts timestamp")
+    right = spark.createDataFrame([(1, TS(2024, 1, 1, 9), 1.0)],
+                                  "k int, rts timestamp, v double")
+    assert asof_join(left, right, ["k"], "ts", "rts", strict=True).count() == 0
+    assert asof_join(left, right, ["k"], "ts", "rts", strict=False).count() == 1
+
+
+def test_asof_forward(spark):
+    left = spark.createDataFrame([(1, TS(2024, 1, 1, 10))], "k int, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 9), 1.0), (1, TS(2024, 1, 1, 11), 2.0)],
+        "k int, rts timestamp, v double")
+    out = asof_join(left, right, ["k"], "ts", "rts", "forward").collect()
+    assert len(out) == 1 and out[0].v == 2.0
+
+
+def test_asof_left_keeps_unmatched(spark):
+    left = spark.createDataFrame([(9, TS(2024, 1, 1))], "k int, ts timestamp")
+    right = spark.createDataFrame([(1, TS(2024, 1, 1), 1.0)],
+                                  "k int, rts timestamp, v double")
+    out = asof_join(left, right, ["k"], "ts", "rts", how="left").collect()
+    assert len(out) == 1 and out[0].v is None
+
+
+def test_any_join_picks_first_by_order(spark):
+    left = spark.createDataFrame([(1,)], "k int")
+    right = spark.createDataFrame([(1, 5), (1, 3), (1, 9)], "k int, v int")
+    out = any_join(left, right, ["k"], order_by=["v"]).collect()
+    assert len(out) == 1 and out[0].v == 3
+
+
+def test_paste_join_zips_to_shorter(spark):
+    a = spark.createDataFrame([(i,) for i in range(5)], "x int")
+    b = spark.createDataFrame([(chr(97 + i),) for i in range(3)], "y string")
+    out = paste_join(a, b, ["x"], ["y"]).orderBy("x").collect()
+    assert [(r.x, r.y) for r in out] == [(0, "a"), (1, "b"), (2, "c")]
+
+
+def test_limit_by_with_offset(spark):
+    df = spark.createDataFrame([(1, i) for i in range(5)] + [(2, 0)], "k int, v int")
+    out = limit_by(df, 2, ["k"], ["v"], offset=1)
+    got = sorted((r.k, r.v) for r in out.collect())
+    assert got == [(1, 1), (1, 2)]  # group 2 has no row past the offset
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame([("a", 1), ("a", 3), ("a", 2), ("b", 9)], "g string, v int")
+    out = top_k_per_group(df, 2, ["g"], "v")
+    got = sorted((r.g, r.v) for r in out.collect())
+    assert got == [("a", 2), ("a", 3), ("b", 9)]
+
+
+def test_final_dedup_latest_version_wins(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "old"), (1, 2, "new"), (2, 1, "only")], "k int, ver int, val string")
+    out = final_dedup(df, ["k"], "ver")
+    got = {r.k: r.val for r in out.collect()}
+    assert got == {1: "new", 2: "only"}
+
+
+def test_sum_map_assembled(spark):
+    df = spark.createDataFrame(
+        [(1, {"a": 1.0, "b": 2.0}), (1, {"b": 3.0, "c": 4.0})],
+        "k int, m map<string,double>")
+    out = sum_map(df, ["k"], "m").collect()
+    assert out[0]["sum_m"] == {"a": 1.0, "b": 5.0, "c": 4.0}
+
+
+def test_with_totals_adds_grand_total(spark):
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "g string, v int")
+    out = with_totals(df, ["g"], {"s": F.sum("v")})
+    rows = {r.g: r.s for r in out.collect()}
+    assert rows == {"a": 1, "b": 2, None: 3}
+
+
+def test_with_fill_interpolates(spark):
+    df = spark.createDataFrame([(1, 10.0), (4, 40.0)], "k int, v double")
+    out = with_fill(df, "k", 1, 5, 1, carry_forward=["v"])
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {1: 10.0, 2: 10.0, 3: 10.0, 4: 40.0, 5: 40.0}
+
+
+def test_limit_with_ties(spark):
+    df = spark.createDataFrame([(v,) for v in [1, 1, 2, 2, 3]], "v int")
+    out = limit_with_ties(df, 3, ["v"])
+    assert sorted(r.v for r in out.collect()) == [1, 1, 2, 2]
+
+
+def test_delta_sum_positive_only(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 15.0), (1, 3, 5.0), (1, 4, 8.0)],
+        "k int, t int, v double")
+    out = delta_sum(df, ["k"], "t", "v").collect()
+    assert out[0].delta_sum == 8.0  # +5 (10→15) +3 (5→8)

@@ -1,0 +1,133 @@
+"""Tests for the LLM-pipeline operators: dedup, similarity, multimodal
+(SURVEY.md §7 M7)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from clickhouse_clickhouse_spark.pipeline.dedup import (
+    embedding_near_dup_pairs, exact_dedup, minhash_candidate_pairs,
+    minhash_signatures, ngram_jaccard_pairs, simhash,
+)
+from clickhouse_clickhouse_spark.pipeline.multimodal import (
+    FEATURE_DIM, extract_features, synthetic_media,
+)
+from clickhouse_clickhouse_spark.pipeline.similarity import (
+    brute_force_topk, label_centroids, lsh_bucketed_topk,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "s1"),
+        (2, "the quick brown fox jumps over the lazy cat", "s1"),  # near-dup of 1
+        (3, "the quick brown fox jumps over the lazy dog", "s1"),  # exact dup of 1
+        (4, "completely different text about spark engines here", "s1"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    out = exact_dedup(_docs(spark), "text", "doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2, 4]
+
+
+def test_minhash_finds_near_dups_both_hash_modes(spark):
+    for mode in ("xxhash", "vocab"):
+        pairs = {(r.id_a, r.id_b) for r in
+                 minhash_candidate_pairs(_docs(spark), "doc_id", "text",
+                                         num_hashes=8, bands=4, shingle=2,
+                                         token_hash=mode).collect()}
+        assert (1, 3) in pairs  # exact dups always collide
+        assert (1, 2) in pairs or (2, 3) in pairs  # near-dup shares bands
+        assert not any(4 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_minhash_signature_identical_for_identical_docs(spark):
+    sig = minhash_signatures(_docs(spark), "doc_id", "text", 8, 2).collect()
+    by_id = {r.doc_id: tuple(r)[1:] for r in sig}
+    assert by_id[1] == by_id[3]
+    assert by_id[1] != by_id[4]
+
+
+def test_ngram_jaccard_values(spark):
+    out = {(r.id_a, r.id_b): r.jaccard for r in
+           ngram_jaccard_pairs(_docs(spark), "doc_id", "text", "source",
+                               shingle=2).collect()}
+    assert out[(1, 3)] == 1.0          # identical
+    assert 0.5 < out[(1, 2)] < 1.0     # near-dup
+    assert out[(1, 4)] == 0.0          # disjoint
+
+
+def test_simhash_close_for_near_dups(spark):
+    out = {r.doc_id: r.simhash for r in
+           simhash(_docs(spark), "doc_id", "text", bits=16).collect()}
+    assert out[1] == out[3]
+    ham_near = bin(out[1] ^ out[2]).count("1")
+    ham_far = bin(out[1] ^ out[4]).count("1")
+    assert ham_near < ham_far
+
+
+def _vectors(spark, n=50, dim=16, seed=7):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        v = rng.normal(size=dim)
+        rows.append((i, (v / np.linalg.norm(v)).astype(float).tolist(), i % 3))
+    # vector 100: near-duplicate of vector 0
+    base = np.array(rows[0][1])
+    noisy = base + rng.normal(scale=0.01, size=dim)
+    rows.append((100, (noisy / np.linalg.norm(noisy)).tolist(), 0))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    df = _vectors(spark)
+    q = df.filter(F.col("vec_id") == 0)
+    got = [(r.corpus_id, r.cosine) for r in
+           brute_force_topk(df, q, k=3, query_id="vec_id").orderBy("rk").collect()]
+    emb = {r.vec_id: np.array(r.embedding) for r in df.collect()}
+    sims = sorted(((i, float(emb[0] @ v)) for i, v in emb.items() if i != 0),
+                  key=lambda t: -t[1])[:3]
+    assert [g[0] for g in got] == [s[0] for s in sims]
+    assert got[0][0] == 100  # the planted near-duplicate ranks first
+
+
+def test_embedding_near_dup_pairs_finds_planted_dup(spark):
+    df = _vectors(spark)
+    pairs = embedding_near_dup_pairs(df, "vec_id", "embedding",
+                                     threshold=0.95).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 100)}
+    # sign-LSH bucketing keeps the (near-identical) pair
+    bucketed = embedding_near_dup_pairs(df, "vec_id", "embedding",
+                                        threshold=0.95, bucket_bits=4).collect()
+    assert {(r.id_a, r.id_b) for r in bucketed} == {(0, 100)}
+
+
+def test_lsh_topk_recovers_near_neighbor(spark):
+    df = _vectors(spark)
+    q = df.filter(F.col("vec_id") == 0)
+    got = lsh_bucketed_topk(df, q, k=3, bits=4, multiprobe=1,
+                            query_id="vec_id").orderBy("rk").collect()
+    assert got and got[0].corpus_id == 100  # planted dup found despite pruning
+
+
+def test_label_centroids_match_numpy(spark):
+    df = _vectors(spark)
+    cents = {r.label: np.array(r.centroid) for r in label_centroids(df).collect()}
+    rows = df.collect()
+    for lbl in (0, 1, 2):
+        expect = np.mean([np.array(r.embedding) for r in rows if r.label == lbl], axis=0)
+        assert np.allclose(cents[lbl], expect, atol=1e-12)
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = synthetic_media(spark, n=8)
+    feats = extract_features(media).collect()
+    assert len(feats) == 8
+    for r in feats:
+        assert len(r.feature) == FEATURE_DIM
+        assert abs(sum(r.feature) - 1.0) < 1e-5  # normalized histogram
+    # deterministic: same payload -> same feature
+    again = extract_features(media).collect()
+    assert {r.media_id: tuple(r.feature) for r in feats} == \
+           {r.media_id: tuple(r.feature) for r in again}

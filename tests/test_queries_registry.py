@@ -1,0 +1,35 @@
+"""Registry-level smoke: the driver contract holds (every query callable,
+oracle keys subset of query keys, spot-run a representative sample at
+sf0.001, entry() returns rows)."""
+
+import pytest
+
+import __spark_entry__ as E
+
+SPOT = [
+    "q1_pricing_summary", "join_inner_3way", "join_asof", "agg_rollup",
+    "window_ranks", "with_fill_days", "tumble_hourly", "funnel_levels",
+    "minhash_lsh_pairs_xxhash", "topk_cosine", "dedup_exact", "json_funcs",
+]
+
+
+def test_contract_shapes():
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    assert len(qs) >= 90
+    assert set(oracles) <= set(qs)
+    # the vast majority must be oracle-checked, not rows-only
+    assert len(oracles) >= len(qs) - 6
+
+
+def test_entry_returns_rows(spark):
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "sum_qty" in df.columns
+
+
+@pytest.mark.parametrize("name", SPOT)
+def test_spot_queries_run(spark, sf_dir, name):
+    df = E.queries()[name](spark, sf_dir)
+    assert df.count() > 0

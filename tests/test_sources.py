@@ -1,0 +1,74 @@
+"""Write path / formats / mutations tests (SURVEY.md §2.1, §3.2)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_clickhouse_spark.sources.formats import read_any, write_any
+from clickhouse_clickhouse_spark.sources.write import (
+    insert_partitioned, mutate_delete, mutate_update, optimize_compact,
+)
+
+
+@pytest.fixture
+def sample(spark):
+    return spark.createDataFrame(
+        [(i, i % 3, float(i) * 1.5, f"row{i}") for i in range(100)],
+        "id long, part int, val double, name string")
+
+
+def test_insert_partitioned_layout_and_roundtrip(spark, sample, tmp_path):
+    path = str(tmp_path / "t")
+    insert_partitioned(sample, path, partition_by=["part"], sort_by=["id"])
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    # partition dirs exist -> partition pruning is a directory skip
+    import os
+    assert sorted(d for d in os.listdir(path) if d.startswith("part=")) == \
+        ["part=0", "part=1", "part=2"]
+    # pruned read touches one partition only
+    assert back.filter(F.col("part") == 1).count() == 33
+
+
+def test_format_roundtrips(spark, sample, tmp_path):
+    for fmt in ("parquet", "orc", "csv", "json"):
+        p = str(tmp_path / fmt)
+        write_any(sample, p, fmt)
+        back = read_any(spark, p, fmt, schema=sample.schema if fmt != "csv" else None)
+        assert back.count() == 100, fmt
+        got = {r.id for r in back.select("id").collect()}
+        assert got == set(range(100)), fmt
+
+
+def test_format_needs_jars_raises(spark, sample, tmp_path):
+    with pytest.raises(NotImplementedError):
+        write_any(sample, str(tmp_path / "x"), "avro")
+    with pytest.raises(ValueError):
+        write_any(sample, str(tmp_path / "x"), "bogus")
+
+
+def test_mutate_update(spark, sample, tmp_path):
+    path = str(tmp_path / "t")
+    sample.write.parquet(path)
+    mutate_update(spark, path, {"val": F.lit(-1.0)}, F.col("id") < 10)
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("val") == -1.0).count() == 10
+    assert back.count() == 100
+
+
+def test_mutate_delete(spark, sample, tmp_path):
+    path = str(tmp_path / "t")
+    sample.write.parquet(path)
+    mutate_delete(spark, path, F.col("part") == 0)
+    back = spark.read.parquet(path)
+    assert back.count() == 66
+    assert back.filter(F.col("part") == 0).count() == 0
+
+
+def test_optimize_compact(spark, sample, tmp_path):
+    path = str(tmp_path / "t")
+    sample.repartition(8).write.parquet(path)
+    optimize_compact(spark, path, sort_by=["id"], target_files=1)
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    import glob
+    assert len(glob.glob(path + "/*.parquet")) == 1

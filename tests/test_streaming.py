@@ -1,0 +1,62 @@
+"""Structured Streaming surface tests (SURVEY.md §2.9): the reference's
+WindowView/Kafka-MV chain as readStream → window agg → sink, driven
+synchronously with processAllAvailable()."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_clickhouse_spark.streaming.windows import (
+    dedup_stream, streaming_tumble_counts,
+)
+from clickhouse_clickhouse_spark.tables import load_table
+
+
+@pytest.fixture
+def events_dir(spark, sf_dir, tmp_path):
+    """Copy events (ns timestamps normalized) to a stream-source dir."""
+    src = str(tmp_path / "events_src")
+    load_table(spark, sf_dir, "events").write.parquet(src)
+    return src
+
+
+def test_streaming_append_with_short_watermark(spark, events_dir):
+    schema = spark.read.parquet(events_dir).schema
+    q = streaming_tumble_counts(spark, events_dir, schema, "ts", "1 day",
+                                ["event_type"], watermark="1 hour",
+                                query_name="t_out2")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT * FROM t_out2")
+    batch = (spark.read.parquet(events_dir)
+             .groupBy(F.window("ts", "1 day").alias("window"), "event_type")
+             .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value")))
+    # all but the final (unclosed) day's windows must match batch exactly
+    n_out = out.count()
+    n_batch = batch.count()
+    assert 0 < n_out <= n_batch
+    joined = (out.alias("s").join(
+        batch.alias("b"),
+        (F.col("s.window") == F.col("b.window")) &
+        (F.col("s.event_type") == F.col("b.event_type"))))
+    mismatches = joined.filter(F.col("s.n") != F.col("b.n")).count()
+    assert mismatches == 0
+
+
+def test_dedup_stream(spark, events_dir):
+    schema = spark.read.parquet(events_dir).schema
+    stream = (spark.readStream.schema(schema).format("parquet")
+              .option("path", events_dir).load())
+    deduped = dedup_stream(stream, ["user_id", "event_type"], "ts",
+                           watermark="100 days")
+    q = (deduped.writeStream.outputMode("append")
+         .format("memory").queryName("dd_out").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n = spark.sql("SELECT count(*) AS n FROM dd_out").collect()[0].n
+    distinct = (spark.read.parquet(events_dir)
+                .select("user_id", "event_type").distinct().count())
+    assert n == distinct
