@@ -1,0 +1,169 @@
+"""Advanced aggregate operators from the reference with no Spark builtin
+(SURVEY.md §2.4: exponentialMovingAverage, maxIntersections,
+intervalLengthSum, entropy, anyHeavy/mode, statistical tests).
+
+All are DataFrame compositions: windows + hash aggs, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ema(df: DataFrame, keys: Sequence[str], order_by: Column | str,
+        value: Column | str, alpha: float) -> DataFrame:
+    """Index-based exponential moving average over each key's ordered
+    series (reference ``exponentialMovingAverage``): the final EMA value
+    per key via the closed form
+
+        ema_N = v_1 (1-a)^(N-1) + a * sum_{i=2..N} v_i (1-a)^(N-i)
+
+    One window for row numbers + one agg; weights computed JVM-side.
+    """
+    o = F.col(order_by) if isinstance(order_by, str) else order_by
+    v = F.col(value) if isinstance(value, str) else value
+    w = Window.partitionBy(*keys).orderBy(o)
+    rn = F.row_number().over(w)
+    d = df.withColumn("__rn", rn).withColumn("__v", v)
+    d = d.withColumn("__n", F.max("__rn").over(Window.partitionBy(*keys)))
+    weight = F.pow(F.lit(1 - alpha), F.col("__n") - F.col("__rn")) * \
+        F.when(F.col("__rn") == 1, F.lit(1.0)).otherwise(F.lit(alpha))
+    return (d.groupBy(*keys)
+            .agg(F.round(F.sum(F.col("__v") * weight), 6).alias("ema")))
+
+
+def max_intersections(df: DataFrame, keys: Sequence[str],
+                      start: Column | str, end: Column | str) -> DataFrame:
+    """``maxIntersections``: maximum number of simultaneously open
+    intervals per key (end exclusive). Event-sweep: explode each interval
+    to (+1 at start, −1 at end), order by (t, delta), running sum, max.
+    One explode (2× rows) + one window — scales as a sort per key."""
+    s = F.col(start) if isinstance(start, str) else start
+    e = F.col(end) if isinstance(end, str) else end
+    events = df.select(
+        *keys,
+        F.explode(F.array(
+            F.struct(s.cast("double").alias("t"), F.lit(1).alias("d")),
+            F.struct(e.cast("double").alias("t"), F.lit(-1).alias("d")),
+        )).alias("ev"))
+    w = (Window.partitionBy(*keys)
+         .orderBy(F.col("ev.t"), F.col("ev.d"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    running = events.withColumn("__open", F.sum("ev.d").over(w))
+    return running.groupBy(*keys).agg(F.max("__open").alias("max_intersections"))
+
+
+def interval_length_sum(df: DataFrame, keys: Sequence[str],
+                        start: Column | str, end: Column | str) -> DataFrame:
+    """``intervalLengthSum``: total length of the UNION of intervals per
+    key (overlaps counted once). Sort by start; each interval contributes
+    max(0, end − max(start, max-prev-end)); running max via a lagged
+    window. One shuffle per key."""
+    s = (F.col(start) if isinstance(start, str) else start).cast("double")
+    e = (F.col(end) if isinstance(end, str) else end).cast("double")
+    d = df.select(*keys, s.alias("__s"), e.alias("__e"))
+    w = Window.partitionBy(*keys).orderBy("__s", "__e")
+    d = d.withColumn("__pme", F.max("__e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+    contrib = F.greatest(
+        F.lit(0.0),
+        F.col("__e") - F.greatest(F.col("__s"), F.coalesce(F.col("__pme"),
+                                                           F.col("__s"))))
+    return (d.withColumn("__c", contrib)
+            .groupBy(*keys)
+            .agg(F.round(F.sum("__c"), 6).alias("interval_length_sum")))
+
+
+def entropy(df: DataFrame, keys: Sequence[str], value: Column | str) -> DataFrame:
+    """Shannon entropy (bits) of the value distribution per key
+    (reference ``entropy``): two-level agg — counts per (key, value), then
+    −Σ p·log2 p."""
+    v = F.col(value) if isinstance(value, str) else value
+    counts = df.groupBy(*keys, v.alias("__v")).agg(F.count("*").alias("__c"))
+    totals = counts.groupBy(*keys).agg(F.sum("__c").alias("__t"))
+    j = counts.join(totals, list(keys))
+    p = F.col("__c") / F.col("__t")
+    return (j.groupBy(*keys)
+            .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("entropy")))
+
+
+def mode(df: DataFrame, keys: Sequence[str], value: Column | str) -> DataFrame:
+    """Most frequent value per key (reference ``anyHeavy``/``topK(1)``
+    exact): counts + deterministic rank (count desc, value asc)."""
+    v = F.col(value) if isinstance(value, str) else value
+    counts = df.groupBy(*keys, v.alias("mode_value")).agg(F.count("*").alias("__c"))
+    w = Window.partitionBy(*keys).orderBy(F.col("__c").desc(),
+                                          F.col("mode_value").asc())
+    return (counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(*keys, "mode_value", F.col("__c").alias("mode_count")))
+
+
+def welch_t_statistic(df: DataFrame, value: Column | str,
+                      group: Column | str, group_a, group_b) -> DataFrame:
+    """Welch's t statistic between two groups (reference ``welchTTest``
+    returns (t, p); we emit t — the p-value needs the t CDF, out of DF
+    scope). t = (m_a − m_b) / sqrt(s²_a/n_a + s²_b/n_b)."""
+    v = F.col(value) if isinstance(value, str) else value
+    g = F.col(group) if isinstance(group, str) else group
+    stats = (df.filter(g.isin([group_a, group_b]))
+             .groupBy(g.alias("__g"))
+             .agg(F.avg(v).alias("m"), F.var_samp(v).alias("s2"),
+                  F.count("*").alias("n")))
+    a = stats.filter(F.col("__g") == group_a)
+    b = stats.filter(F.col("__g") == group_b)
+    j = a.crossJoin(b.select(F.col("m").alias("mb"), F.col("s2").alias("s2b"),
+                             F.col("n").alias("nb")))
+    t = (F.col("m") - F.col("mb")) / \
+        F.sqrt(F.col("s2") / F.col("n") + F.col("s2b") / F.col("nb"))
+    return j.select(F.round(t, 6).alias("t_statistic"))
+
+
+def cramers_v(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cramér's V association between two categorical columns (reference
+    ``cramersV``): χ² from observed vs expected cell counts, normalized by
+    n·min(r−1, c−1). Pure joins of marginal aggregates."""
+    obs = df.groupBy(col_a, col_b).agg(F.count("*").alias("o"))
+    ra = df.groupBy(col_a).agg(F.count("*").alias("ra"))
+    rb = df.groupBy(col_b).agg(F.count("*").alias("rb"))
+    n = df.count()  # scalar dimensionality constant, not data motion
+    r = df.select(col_a).distinct().count()
+    c = df.select(col_b).distinct().count()
+    j = obs.join(ra, col_a).join(rb, col_b)
+    e = F.col("ra") * F.col("rb") / F.lit(float(n))
+    chi2 = F.sum(F.pow(F.col("o") - e, 2) / e)
+    denom = float(n * min(r - 1, c - 1))
+    return j.agg(F.round(F.sqrt(chi2 / F.lit(denom)), 6).alias("cramers_v"))
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in km (reference ``greatCircleDistance``,
+    haversine form) — pure trigonometric expressions."""
+    dphi = F.radians(lat2 - lat1) / 2
+    dlmb = F.radians(lon2 - lon1) / 2
+    a = F.sin(dphi) ** 2 + \
+        F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlmb) ** 2
+    return F.lit(2 * 6371.0) * F.asin(F.sqrt(a))
+
+
+def ipv4_num_to_string(n: Column) -> Column:
+    """``IPv4NumToString``: uint32 → dotted quad, integer arithmetic only."""
+    return F.concat_ws(
+        ".",
+        ((n / 16777216).cast("long") % 256).cast("string"),
+        ((n / 65536).cast("long") % 256).cast("string"),
+        ((n / 256).cast("long") % 256).cast("string"),
+        (n % 256).cast("string"))
+
+
+def ipv4_string_to_num(s: Column) -> Column:
+    """``IPv4StringToNum``: dotted quad → uint32."""
+    parts = F.split(s, r"\.")
+    return (parts.getItem(0).cast("long") * 16777216 +
+            parts.getItem(1).cast("long") * 65536 +
+            parts.getItem(2).cast("long") * 256 +
+            parts.getItem(3).cast("long"))

@@ -14,4 +14,5 @@ from clickhouse_clickhouse_spark.queries import (  # noqa: F401
     events_q,
     text_q,
     vectors_q,
+    advanced_q,
 )

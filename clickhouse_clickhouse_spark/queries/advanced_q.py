@@ -1,0 +1,340 @@
+"""Advanced operator queries: ARRAY JOIN, star modifiers, EMA, interval
+sweeps, entropy/mode/statistics, IP/geo functions, session windows
+(SURVEY.md §2.2, §2.4, §2.8, §2.9)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_clickhouse_spark.operators.advanced import (
+    cramers_v, ema, entropy, haversine_km, interval_length_sum,
+    ipv4_num_to_string, ipv4_string_to_num, max_intersections, mode,
+    welch_t_statistic,
+)
+from clickhouse_clickhouse_spark.registry import register
+from clickhouse_clickhouse_spark.tables import load_table
+
+
+@register("array_join_explode", oracle="""
+SELECT token, cnt FROM (
+  SELECT token, count(*) AS cnt,
+         row_number() OVER (ORDER BY count(*) DESC, token) AS rn
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+  GROUP BY token) x
+WHERE rn <= 20
+""")
+def array_join_explode(spark, sf):
+    """ARRAY JOIN / arrayJoin → explode: token frequency top-20 with a
+    deterministic tiebreak (reference ArrayJoinAction §2.2)."""
+    d = load_table(spark, sf, "documents")
+    counts = (d.select(F.explode(F.split("text", " ")).alias("token"))
+              .groupBy("token").agg(F.count("*").alias("cnt")))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    return (counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 20).select("token", "cnt"))
+
+
+@register("left_array_join", oracle="""
+SELECT count(*) AS n_exploded_rows,
+       cast(count_if(len(long_toks) = 0) AS BIGINT) AS n_docs_empty
+FROM (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> length(x) >= 9) AS long_toks
+  FROM documents) t,
+  LATERAL (SELECT greatest(len(long_toks), 1) AS m) g,
+  LATERAL (SELECT unnest(generate_series(1, m)) AS i) u
+""")
+def left_array_join(spark, sf):
+    """LEFT ARRAY JOIN → explode_outer: docs whose filtered array is empty
+    still produce one (null) row (reference LEFT ARRAY JOIN semantics).
+    Output: exploded row count + empty-array doc count."""
+    d = load_table(spark, sf, "documents")
+    arr = F.filter(F.split("text", " "), lambda x: F.length(x) >= 9)
+    exploded = d.select("doc_id", arr.alias("a")) \
+                .select("doc_id", F.size("a").alias("sz"),
+                        F.explode_outer("a").alias("tok"))
+    return exploded.agg(
+        F.count("*").alias("n_exploded_rows"),
+        F.count_if(F.col("tok").isNull()).alias("n_docs_empty"))
+
+
+@register("star_except_replace", oracle="""
+SELECT c_custkey, c_nationkey, round(c_acctbal, 0) AS c_acctbal, c_mktsegment
+FROM customer WHERE c_custkey <= 50
+""")
+def star_except_replace(spark, sf):
+    """SELECT * EXCEPT (c_name) REPLACE (round(c_acctbal) AS c_acctbal) —
+    the reference's star modifiers via df.columns manipulation (§2.2)."""
+    c = load_table(spark, sf, "customer").filter(F.col("c_custkey") <= 50)
+    cols = []
+    for name in c.columns:
+        if name == "c_name":            # EXCEPT
+            continue
+        if name == "c_acctbal":         # REPLACE
+            cols.append(F.round("c_acctbal", 0).alias("c_acctbal"))
+        else:
+            cols.append(F.col(name))
+    return c.select(*cols)
+
+
+@register("agg_ema", oracle="""
+WITH o AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*)    OVER (PARTITION BY user_id) AS n
+  FROM events)
+SELECT user_id,
+       round(sum(value * pow(0.7, n - rn) *
+                 (CASE WHEN rn = 1 THEN 1.0 ELSE 0.3 END)), 6) AS ema
+FROM o GROUP BY user_id
+""")
+def agg_ema(spark, sf):
+    """exponentialMovingAverage(α=0.3) per user over time order."""
+    ev = load_table(spark, sf, "events")
+    return ema(ev, ["user_id"], F.struct("ts", "event_id"), "value", alpha=0.3)
+
+
+@register("agg_max_intersections", oracle="""
+WITH iv AS (SELECT user_id, epoch(ts) AS s, epoch(ts) + 3600 AS e FROM events),
+ev AS (
+  SELECT user_id, s AS t, 1 AS d FROM iv
+  UNION ALL SELECT user_id, e, -1 FROM iv),
+r AS (
+  SELECT user_id,
+         sum(d) OVER (PARTITION BY user_id ORDER BY t, d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+  FROM ev)
+SELECT user_id, cast(max(open) AS BIGINT) AS max_intersections
+FROM r GROUP BY user_id
+""")
+def agg_max_intersections(spark, sf):
+    """maxIntersections: peak number of concurrently open 1-hour event
+    intervals per user (event-sweep window)."""
+    ev = load_table(spark, sf, "events")
+    # fractional epoch seconds (cast, not unix_timestamp: that truncates
+    # to whole seconds while the oracle's epoch() keeps the microseconds)
+    iv = ev.select("user_id",
+                   F.col("ts").cast("double").alias("s"),
+                   (F.col("ts").cast("double") + 3600).alias("e"))
+    out = max_intersections(iv, ["user_id"], "s", "e")
+    return out.select("user_id", F.col("max_intersections").cast("long")
+                      .alias("max_intersections"))
+
+
+@register("agg_interval_length_sum", oracle="""
+WITH iv AS (SELECT user_id, epoch(ts) AS s, epoch(ts) + 3600.0 AS e FROM events),
+r AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM iv)
+SELECT user_id,
+       round(sum(greatest(0.0, e - greatest(s, coalesce(pme, s)))), 6)
+           AS interval_length_sum
+FROM r GROUP BY user_id
+""")
+def agg_interval_length_sum(spark, sf):
+    """intervalLengthSum: covered seconds of the union of 1-hour event
+    intervals per user (overlaps counted once)."""
+    ev = load_table(spark, sf, "events")
+    iv = ev.select("user_id",
+                   F.col("ts").cast("double").alias("s"),
+                   (F.col("ts").cast("double") + 3600).alias("e"))
+    return interval_length_sum(iv, ["user_id"], "s", "e")
+
+
+@register("agg_entropy", oracle="""
+WITH c AS (SELECT user_id, event_type, count(*) AS c
+           FROM events GROUP BY user_id, event_type),
+t AS (SELECT user_id, sum(c) AS t FROM c GROUP BY user_id)
+SELECT c.user_id,
+       round(-sum((c / t) * log2(c / t)), 6) AS entropy
+FROM c JOIN t ON c.user_id = t.user_id
+GROUP BY c.user_id
+""")
+def agg_entropy(spark, sf):
+    """entropy: Shannon entropy (bits) of each user's event-type mix."""
+    ev = load_table(spark, sf, "events")
+    return entropy(ev, ["user_id"], "event_type")
+
+
+@register("agg_mode", oracle="""
+SELECT user_id, mode_value, mode_count FROM (
+  SELECT user_id, event_type AS mode_value, count(*) AS mode_count,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type) t
+WHERE rn = 1
+""")
+def agg_mode(spark, sf):
+    """anyHeavy/mode: each user's most frequent event type (deterministic
+    tiebreak)."""
+    ev = load_table(spark, sf, "events")
+    return mode(ev, ["user_id"], "event_type")
+
+
+@register("agg_welch_ttest", oracle="""
+WITH s AS (
+  SELECT event_type, avg(value) AS m, var_samp(value) AS s2, count(*) AS n
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY event_type)
+SELECT round((a.m - b.m) / sqrt(a.s2 / a.n + b.s2 / b.n), 6) AS t_statistic
+FROM (SELECT * FROM s WHERE event_type = 'click') a,
+     (SELECT * FROM s WHERE event_type = 'view') b
+""")
+def agg_welch_ttest(spark, sf):
+    """welchTTest (statistic): click vs view event values."""
+    ev = load_table(spark, sf, "events")
+    return welch_t_statistic(ev, "value", "event_type", "click", "view")
+
+
+@register("agg_cramers_v", oracle="""
+WITH o AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY lang, source),
+ra AS (SELECT lang, count(*) AS ra FROM documents GROUP BY lang),
+rb AS (SELECT source, count(*) AS rb FROM documents GROUP BY source),
+n AS (SELECT count(*) AS n, count(DISTINCT lang) AS r,
+             count(DISTINCT source) AS c FROM documents)
+SELECT round(sqrt(sum(pow(o - ra * rb / n, 2) / (ra * rb / n))
+             / (n * least(r - 1, c - 1))), 6) AS cramers_v
+FROM o JOIN ra USING (lang) JOIN rb USING (source), n
+GROUP BY n, r, c
+""")
+def agg_cramers_v(spark, sf):
+    """cramersV(lang, source): categorical association on documents."""
+    d = load_table(spark, sf, "documents")
+    return cramers_v(d, "lang", "source")
+
+
+@register("ip_funcs", oracle="""
+WITH x AS (SELECT event_id, (event_id * 2654435761) % 4294967296 AS ip_num
+           FROM events WHERE event_id <= 50)
+SELECT event_id, ip_num,
+       cast((ip_num // 16777216) % 256 AS VARCHAR) || '.' ||
+       cast((ip_num // 65536) % 256 AS VARCHAR) || '.' ||
+       cast((ip_num // 256) % 256 AS VARCHAR) || '.' ||
+       cast(ip_num % 256 AS VARCHAR) AS ip_str,
+       ((ip_num // 16777216) % 256) * 16777216 + ((ip_num // 65536) % 256) * 65536
+         + ((ip_num // 256) % 256) * 256 + ip_num % 256 AS roundtrip
+FROM x
+""")
+def ip_funcs(spark, sf):
+    """IPv4NumToString / IPv4StringToNum (§2.8 IP family) — integer
+    arithmetic, round-trips exactly."""
+    ev = load_table(spark, sf, "events").filter(F.col("event_id") <= 50)
+    x = ev.select("event_id",
+                  F.pmod(F.col("event_id") * 2654435761, F.lit(4294967296))
+                  .alias("ip_num"))
+    x = x.withColumn("ip_str", ipv4_num_to_string(F.col("ip_num")))
+    return x.withColumn("roundtrip", ipv4_string_to_num(F.col("ip_str")))
+
+
+@register("geo_funcs", oracle="""
+WITH pts AS (
+  SELECT n_nationkey, n_nationkey * 3.0 - 30.0 AS lat,
+         n_regionkey * 50.0 - 100.0 AS lon
+  FROM nation)
+SELECT n_nationkey,
+       round(2 * 6371.0 * asin(sqrt(
+         pow(sin(radians(48.85 - lat) / 2), 2) +
+         cos(radians(lat)) * cos(radians(48.85)) *
+         pow(sin(radians(2.35 - lon) / 2), 2))), 4) AS dist_to_paris_km
+FROM pts
+""")
+def geo_funcs(spark, sf):
+    """greatCircleDistance (haversine, km) from synthetic nation
+    coordinates to a fixed point (§2.8 geo family)."""
+    n = load_table(spark, sf, "nation")
+    lat = F.col("n_nationkey") * 3.0 - 30.0
+    lon = F.col("n_regionkey") * 50.0 - 100.0
+    return n.select(
+        "n_nationkey",
+        F.round(haversine_km(lat, lon, F.lit(48.85), F.lit(2.35)), 4)
+        .alias("dist_to_paris_km"))
+
+
+@register("array_transforms", oracle="""
+WITH a AS (
+  SELECT vec_id,
+         list_transform(embedding[1:8],
+                        x -> cast(round(cast(x AS DOUBLE) * 1000, 0) AS INT)) AS v
+  FROM embeddings WHERE vec_id <= 30)
+SELECT vec_id,
+       array_to_string([0] || list_transform(generate_series(2, len(v)),
+                                             i -> v[i] - v[i - 1]), ',') AS diffs,
+       array_to_string(list_transform(generate_series(1, len(v)),
+                                      i -> cast(list_aggregate(v[1:i], 'sum') AS INT)), ',')
+           AS cumsum
+FROM a
+""")
+def array_transforms(spark, sf):
+    """arrayDifference / arrayCumSum over int-quantized embedding prefixes
+    (§2.8 arrays) — emitted as joined int strings (engine-stable)."""
+    e = load_table(spark, sf, "embeddings").filter(F.col("vec_id") <= 30)
+    v = F.transform(F.slice("embedding", 1, 8),
+                    lambda x: F.round(x.cast("double") * 1000, 0).cast("int"))
+    a = e.select("vec_id", v.alias("v"))
+    diffs = F.concat(
+        F.array(F.lit(0)),
+        F.zip_with(F.slice("v", 2, 7), F.slice("v", 1, 7), lambda x, y: x - y))
+    cumsum = F.transform(
+        F.sequence(F.lit(1), F.size("v")),
+        lambda i: F.aggregate(F.slice("v", 1, i), F.lit(0), lambda acc, x: acc + x))
+    return a.select("vec_id",
+                    F.array_join(diffs.cast("array<string>"), ",").alias("diffs"),
+                    F.array_join(cumsum.cast("array<string>"), ",").alias("cumsum"))
+
+
+@register("tuple_null_funcs", oracle="""
+SELECT n_nationkey,
+       {'name': n_name, 'region': n_regionkey}.name   AS t_name,
+       {'name': n_name, 'region': n_regionkey}.region AS t_region,
+       cnt IS NULL                                     AS no_customers,
+       coalesce(cnt, 0)                                AS cnt_or_zero
+FROM nation LEFT JOIN (SELECT c_nationkey, count(*) AS cnt
+                       FROM customer GROUP BY c_nationkey) c
+  ON n_nationkey = c_nationkey
+""")
+def tuple_null_funcs(spark, sf):
+    """tuple()/tupleElement + NULL family (isNull/ifNull/assumeNotNull)
+    over a left join that actually produces NULLs (§2.8)."""
+    n = load_table(spark, sf, "nation")
+    c = (load_table(spark, sf, "customer").groupBy("c_nationkey")
+         .agg(F.count("*").alias("cnt")))
+    j = n.join(c, n.n_nationkey == c.c_nationkey, "left")
+    tup = F.struct(F.col("n_name").alias("name"), F.col("n_regionkey").alias("region"))
+    return j.select(
+        "n_nationkey",
+        tup.getField("name").alias("t_name"),
+        tup.getField("region").alias("t_region"),
+        F.col("cnt").isNull().alias("no_customers"),
+        F.coalesce("cnt", F.lit(0)).alias("cnt_or_zero"))
+
+
+@register("session_window_agg", oracle="""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g)
+SELECT user_id, min(ts) AS w_start, max(ts) + INTERVAL 30 MINUTE AS w_end,
+       count(*) AS n
+FROM s GROUP BY user_id, sid
+""")
+def session_window_agg(spark, sf):
+    """session_window(ts, 30 min) batch aggregation — Spark-native session
+    windows (CH lacks them; §2.9 'free win'); oracle reconstructs sessions
+    via the gap-and-cumsum idiom."""
+    ev = load_table(spark, sf, "events")
+    g = (ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+         .agg(F.count("*").alias("n")))
+    return g.select("user_id",
+                    F.col("w.start").alias("w_start"),
+                    F.col("w.end").alias("w_end"), "n")
