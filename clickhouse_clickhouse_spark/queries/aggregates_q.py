@@ -325,3 +325,55 @@ def agg_two_phase_state_merge(spark, sf):
             .agg(F.round(F.sum("s"), 2).alias("sum_qty"),
                  F.sum("c").cast("long").alias("n"),
                  F.round(F.sum("s") / F.sum("c"), 6).alias("avg_qty")))
+
+
+@register("agg_bit", oracle="""
+SELECT event_type,
+       bit_and(event_id) AS band,
+       bit_or(event_id)  AS bor,
+       bit_xor(event_id) AS bxor
+FROM events GROUP BY event_type
+""")
+def agg_bit(spark, sf):
+    """groupBitAnd/Or/Xor → bit_and/bit_or/bit_xor (§2.4)."""
+    ev = load_table(spark, sf, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.bit_and("event_id").alias("band"),
+                 F.bit_or("event_id").alias("bor"),
+                 F.bit_xor("event_id").alias("bxor")))
+
+
+@register("agg_mannwhitney_u", oracle="""
+WITH v AS (SELECT event_type, value FROM events
+           WHERE event_type IN ('click', 'view')),
+r AS (SELECT event_type, value,
+             rank()    OVER (ORDER BY value) AS rk,
+             count(*)  OVER (PARTITION BY value) AS ties
+      FROM v),
+s AS (SELECT event_type,
+             sum(rk + (ties - 1) / 2.0) AS rsum, count(*) AS n
+      FROM r GROUP BY event_type)
+SELECT round(a.n * b.n + a.n * (a.n + 1) / 2.0 - a.rsum, 4) AS u_statistic
+FROM (SELECT * FROM s WHERE event_type = 'click') a,
+     (SELECT * FROM s WHERE event_type = 'view') b
+""")
+def agg_mannwhitney_u(spark, sf):
+    """mannWhitneyUTest (U statistic, average-rank tie handling):
+    click vs view event values — rank windows, no UDF (§2.4)."""
+    ev = load_table(spark, sf, "events")
+    v = ev.filter(F.col("event_type").isin("click", "view")) \
+          .select("event_type", "value")
+    w_all = Window.orderBy("value")
+    w_val = Window.partitionBy("value")
+    r = v.select(
+        "event_type",
+        (F.rank().over(w_all) + (F.count("*").over(w_val) - 1) / 2.0).alias("ar"))
+    s = r.groupBy("event_type").agg(F.sum("ar").alias("rsum"),
+                                    F.count("*").alias("n"))
+    a = s.filter(F.col("event_type") == "click") \
+         .select(F.col("rsum").alias("r1"), F.col("n").alias("n1"))
+    b = s.filter(F.col("event_type") == "view") \
+         .select(F.col("n").alias("n2"))
+    return a.crossJoin(b).select(
+        F.round(F.col("n1") * F.col("n2") + F.col("n1") * (F.col("n1") + 1) / 2.0
+                - F.col("r1"), 4).alias("u_statistic"))

@@ -227,3 +227,21 @@ def join_in_subquery(spark, sf):
     p = load_table(spark, sf, "part").filter(F.col("p_size") > 40)
     return (li.join(p, li.l_partkey == p.p_partkey, "left_semi")
             .agg(F.count("*").alias("n")))
+
+
+@register("dict_get_map_literal", oracle="""
+SELECT s_suppkey, n_name AS nation, s_nationkey IN (SELECT n_nationkey FROM nation) AS known
+FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+""")
+def dict_get_map_literal(spark, sf):
+    """dictGet via compiled map literal (reference RAM dictionary §2.8):
+    the lookup becomes a pure expression — zero joins in the plan."""
+    from clickhouse_clickhouse_spark.operators.dictionary import Dictionary
+
+    nation = load_table(spark, sf, "nation")
+    d = Dictionary(nation, "n_nationkey", "n_name")
+    sup = load_table(spark, sf, "supplier")
+    key = F.col("s_nationkey").cast("int")
+    return sup.select("s_suppkey",
+                      d.get(key).alias("nation"),
+                      d.has(key).alias("known"))

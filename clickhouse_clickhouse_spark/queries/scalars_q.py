@@ -425,3 +425,41 @@ def string_distance(spark, sf):
             .select(F.col("a.p_partkey").alias("key_a"),
                     F.col("b.p_partkey").alias("key_b"),
                     F.levenshtein(F.col("a.p_brand"), F.col("b.p_brand")).alias("lev")))
+
+
+@register("parse_datetime", oracle="""
+WITH s AS (SELECT o_orderkey, strftime(o_orderdate, '%d/%m/%Y') AS txt
+           FROM orders WHERE o_orderkey <= 60)
+SELECT o_orderkey, txt,
+       strptime(txt, '%d/%m/%Y') AS parsed,
+       try_strptime('not a date', '%d/%m/%Y') IS NULL AS bad_is_null
+FROM s
+""")
+def parse_datetime(spark, sf):
+    """parseDateTime / parseDateTimeBestEffort → to_timestamp(fmt) +
+    try_to_timestamp fallback (§2.8 conversions; format dialect translated
+    from CH %-codes by functions/datetime_fmt.py)."""
+    from clickhouse_clickhouse_spark.functions.datetime_fmt import ch_format_to_java
+    fmt = ch_format_to_java("%d/%m/%Y")  # -> dd/MM/yyyy
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") <= 60)
+    s = o.select("o_orderkey",
+                 F.date_format("o_orderdate", fmt).alias("txt"))
+    return s.select(
+        "o_orderkey", "txt",
+        F.to_timestamp("txt", fmt).alias("parsed"),
+        F.try_to_timestamp(F.lit("not a date"), F.lit(fmt)).isNull()
+        .alias("bad_is_null"))
+
+
+@register("round_bankers", oracle="""
+SELECT l_orderkey, l_linenumber,
+       round_even(l_quantity / 4.0, 1) AS bankers_1dp
+FROM lineitem WHERE l_orderkey <= 60
+""")
+def round_bankers(spark, sf):
+    """roundBankers → bround (half-to-even; §2.8 rounding). Operand chosen
+    so .x5 boundaries actually occur (quantity/4 has exact binary halves)."""
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 60)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.bround(F.col("l_quantity") / 4.0, 1).alias("bankers_1dp"))
