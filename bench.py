@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "q1_pricing_summary",
     "join_inner_3way",
+    "tpch_q5_local_supplier",
     "agg_rollup",
     "agg_uniq_exact",
     "window_ranks",

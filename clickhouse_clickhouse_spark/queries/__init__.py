@@ -15,4 +15,5 @@ from clickhouse_clickhouse_spark.queries import (  # noqa: F401
     text_q,
     vectors_q,
     advanced_q,
+    tpch_q,
 )

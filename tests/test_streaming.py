@@ -60,3 +60,33 @@ def test_dedup_stream(spark, events_dir):
     distinct = (spark.read.parquet(events_dir)
                 .select("user_id", "event_type").distinct().count())
     assert n == distinct
+
+
+def test_materialized_view_cascade(spark, events_dir, tmp_path):
+    """Kafka→MV→targets analog (SURVEY.md §3.2): one stream fans out to
+    two derived tables inside foreachBatch — the INSERT-trigger cascade."""
+    raw_out = str(tmp_path / "mv_raw")
+    agg_out = str(tmp_path / "mv_agg")
+    schema = spark.read.parquet(events_dir).schema
+
+    def fan_out(batch_df, epoch_id):
+        batch_df.write.mode("append").parquet(raw_out)
+        (batch_df.groupBy("event_type")
+         .agg(F.count("*").alias("n"))
+         .write.mode("append").parquet(agg_out))
+
+    stream = (spark.readStream.schema(schema).format("parquet")
+              .option("path", events_dir).load())
+    q = stream.writeStream.foreachBatch(fan_out).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_src = spark.read.parquet(events_dir).count()
+    assert spark.read.parquet(raw_out).count() == n_src
+    agg = (spark.read.parquet(agg_out).groupBy("event_type")
+           .agg(F.sum("n").alias("n")))
+    batch = (spark.read.parquet(events_dir).groupBy("event_type")
+             .agg(F.count("*").alias("n")))
+    assert {(r.event_type, r.n) for r in agg.collect()} == \
+           {(r.event_type, r.n) for r in batch.collect()}
