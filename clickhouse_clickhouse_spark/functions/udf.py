@@ -31,15 +31,11 @@ def get_function(name: str) -> Callable[..., Column]:
     return _REGISTRY[name]
 
 
-def register_sql_function(spark: SparkSession, name: str,
-                          fn: Callable[..., Column], *arg_names: str) -> None:
-    """Expose a sql_lambda to the SQL API too: builds a temp view-level
-    expression via spark.udf? No — expression composition can't cross the
-    SQL string boundary without serialization, so for SQL-side use we
-    register the equivalent as a SQL expression macro using CREATE
-    TEMPORARY FUNCTION semantics is unavailable in PySpark; instead the
-    recommended path is selectExpr with the expression inlined. Kept as
-    documentation of the boundary."""
-    raise NotImplementedError(
-        "SQL-string-side lambda functions need Spark SQL macros; use the "
-        "Python composition (sql_lambda) or inline the expression")
+def register_sql_function(spark: SparkSession, name: str, body: str,
+                          *arg_names: str) -> None:
+    """Expose a lambda UDF to the SQL-string API as a SQL temp function
+    (``CREATE TEMPORARY FUNCTION f AS (x) -> expr`` analog): Spark ≥3.5
+    supports ``CREATE TEMPORARY FUNCTION ... RETURN <expr>`` SQL UDFs."""
+    args = ", ".join(f"{a} DOUBLE" for a in arg_names)
+    spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({args}) "
+              f"RETURNS DOUBLE RETURN {body}")

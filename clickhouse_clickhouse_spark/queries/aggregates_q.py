@@ -377,3 +377,35 @@ def agg_mannwhitney_u(spark, sf):
     return a.crossJoin(b).select(
         F.round(F.col("n1") * F.col("n2") + F.col("n1") * (F.col("n1") + 1) / 2.0
                 - F.col("r1"), 4).alias("u_statistic"))
+
+
+@register("agg_sum_distinct", oracle="""
+SELECT l_returnflag,
+       round(sum(DISTINCT l_quantity), 2) AS sum_dist_qty,
+       round(avg(DISTINCT l_quantity), 6) AS avg_dist_qty
+FROM lineitem GROUP BY l_returnflag
+""")
+def agg_sum_distinct(spark, sf):
+    """-Distinct combinator: sumDistinct/avgDistinct (§2.4)."""
+    li = load_table(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_dist_qty"),
+                 F.round(F.expr("avg(DISTINCT l_quantity)"), 6).alias("avg_dist_qty")))
+
+
+@register("agg_array_combinator", oracle="""
+SELECT label,
+       round(sum(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                'sum')), 6) AS sum_all_dims,
+       cast(sum(len(embedding)) AS BIGINT) AS total_elems
+FROM embeddings GROUP BY label
+""")
+def agg_array_combinator(spark, sf):
+    """-Array combinator (sumArray): aggregate each row's array with a
+    HOF fold, then aggregate across rows — no explode needed (§2.4)."""
+    e = load_table(spark, sf, "embeddings")
+    row_sum = F.aggregate(F.col("embedding"), F.lit(0.0),
+                          lambda acc, x: acc + x.cast("double"))
+    return (e.groupBy("label")
+            .agg(F.round(F.sum(row_sum), 6).alias("sum_all_dims"),
+                 F.sum(F.size("embedding")).cast("long").alias("total_elems")))

@@ -207,11 +207,34 @@ def simhash_q(spark, sf):
                    token_hash="vocab").filter(F.col("doc_id") <= 30)
 
 
-@register("lang_guess_q")
+def _lang_hits_sql(lang):
+    from clickhouse_clickhouse_spark.functions.text import STOPWORDS
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (f"len(list_filter(string_split(lower(text), ' '), "
+            f"t -> list_contains([{words}], t)))")
+
+
+@register("lang_guess_q", oracle=f"""
+WITH h AS (
+  SELECT lang,
+         {_lang_hits_sql('de')} AS h_de,
+         {_lang_hits_sql('en')} AS h_en,
+         {_lang_hits_sql('es')} AS h_es,
+         {_lang_hits_sql('fr')} AS h_fr
+  FROM documents)
+SELECT lang,
+       CASE WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de AND h_fr > 0 THEN 'fr'
+            WHEN h_es >= h_en AND h_es >= h_de AND h_es > 0 THEN 'es'
+            WHEN h_en >= h_de AND h_en > 0 THEN 'en'
+            WHEN h_de > 0 THEN 'de'
+            ELSE 'und' END AS guess,
+       count(*) AS n
+FROM h GROUP BY 1, 2
+""")
 def lang_guess_q(spark, sf):
     """Stopword-vote language ID vs the labeled lang column (confusion
-    counts). Heuristic scoring — rows-only check (the vote tie-break is
-    struct-ordering-dependent; semantics verified in unit tests)."""
+    counts). Oracle replicates the vote with the same tiebreak (highest
+    hit count, lexicographically larger language on ties)."""
     d = load_table(spark, sf, "documents")
     return (d.select("lang", TXT.lang_guess(F.col("text")).alias("guess"))
             .groupBy("lang", "guess").agg(F.count("*").alias("n")))
@@ -226,3 +249,75 @@ def quality_score_by_source(spark, sf):
     return (d.groupBy("source")
             .agg(F.round(F.avg(TXT.quality_score(F.col("text"))), 6).alias("avg_quality"),
                  F.count("*").alias("n_docs")))
+
+
+@register("minhash_verified_pairs", oracle=f"""
+WITH {_BIGRAM_VOCAB_CTE},
+sig AS (SELECT doc_id, {_MH8} FROM tt GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, mh0 || '_' || mh1 AS key FROM sig
+  UNION ALL SELECT doc_id, 1, mh2 || '_' || mh3 FROM sig
+  UNION ALL SELECT doc_id, 2, mh4 || '_' || mh5 FROM sig
+  UNION ALL SELECT doc_id, 3, mh6 || '_' || mh7 FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+g AS (SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(t) - 1),
+                                          i -> t[i] || ' ' || t[i + 1])) AS g
+      FROM toks)
+SELECT id_a, id_b,
+       round(cast(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+             / greatest(len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)), 1), 6)
+           AS jaccard
+FROM cand JOIN g ga ON ga.doc_id = id_a JOIN g gb ON gb.doc_id = id_b
+WHERE cast(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+      / greatest(len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)), 1) >= 0.2
+""")
+def minhash_verified_pairs(spark, sf):
+    """The full near-dup pipeline: MinHash-LSH candidate generation, then
+    exact Jaccard verification of ONLY the candidates (the production
+    shape — verification cost is |candidates|, not |corpus|²), keeping
+    pairs with true similarity >= 0.2."""
+    d = load_table(spark, sf, "documents")
+    cand = minhash_candidate_pairs(d, "doc_id", "text", num_hashes=8,
+                                   bands=4, shingle=2, token_hash="vocab")
+    sh = d.select(
+        F.col("doc_id"),
+        F.array_distinct(TXT.word_ngrams(F.col("text"), 2)).alias("g"))
+    ga, gb = sh.alias("ga"), sh.alias("gb")
+    j = (cand.join(ga, cand.id_a == F.col("ga.doc_id"))
+         .join(gb, cand.id_b == F.col("gb.doc_id")))
+    inter = F.size(F.array_intersect(F.col("ga.g"), F.col("gb.g")))
+    uni = F.size(F.col("ga.g")) + F.size(F.col("gb.g")) - inter
+    jac = inter.cast("double") / F.greatest(uni, F.lit(1)).cast("double")
+    return (j.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= 0.2))
+
+
+@register("pipeline_end_to_end", oracle="""
+WITH q AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 10),
+surv AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text)
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(n_tokens), 4) AS avg_tokens,
+       cast(sum(n_chars) AS BIGINT) AS total_chars
+FROM q JOIN surv USING (doc_id)
+GROUP BY lang
+""")
+def pipeline_end_to_end(spark, sf):
+    """A complete training-data pipeline stage: quality filter (min
+    length) → exact dedup (lowest id survives) → per-language corpus
+    stats. Composition of the M7 operators in one declarative plan."""
+    d = load_table(spark, sf, "documents")
+    q = d.filter(TXT.token_count(F.col("text")) >= 10)
+    deduped = exact_dedup(q, "text", "doc_id")
+    return (deduped.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg(TXT.token_count(F.col("text"))), 4).alias("avg_tokens"),
+                 F.sum("n_chars").cast("long").alias("total_chars")))

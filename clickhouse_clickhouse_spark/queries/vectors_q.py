@@ -107,3 +107,36 @@ def ann_lsh_topk(spark, sf):
     return lsh_bucketed_topk(e, q, k=5, bits=6, multiprobe=1,
                              corpus_id="vec_id", corpus_vec="embedding",
                              query_id="vec_id", query_vec="embedding")
+
+
+@register("vec_near_dup_blocked", oracle="""
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE a.vec_id < 120 AND b.vec_id < 120),
+x AS (
+  SELECT id_a, id_b,
+         sum(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS dot,
+         sum(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)) AS na,
+         sum(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS nb
+  FROM p, (SELECT unnest(generate_series(1, 64)) AS i) g
+  GROUP BY id_a, id_b)
+SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
+FROM x WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.2
+""")
+def vec_near_dup_blocked(spark, sf):
+    """Embedding near-dup candidates inside a blocking key (label):
+    label-equi join bounds the pair count, cosine filter keeps the
+    near-duplicates (pipeline/dedup.embedding_near_dup_pairs shape)."""
+    e = (load_table(spark, sf, "embeddings")
+         .filter(F.col("vec_id") < 120)
+         .select("vec_id", "label", "embedding"))
+    a, b = e.alias("a"), e.alias("b")
+    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    return (a.join(b, (F.col("a.label") == F.col("b.label")) &
+                   (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("id_a"),
+                    F.col("b.vec_id").alias("id_b"),
+                    F.round(cos, 6).alias("cosine"))
+            .filter(F.col("cosine") >= 0.2))

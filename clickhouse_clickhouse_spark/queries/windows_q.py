@@ -201,3 +201,37 @@ def orderby_nulls_last(spark, sf):
                      F.col("cnt").alias("n_cust"))
             .orderBy(F.col("n_cust").desc_nulls_last(), F.col("nationkey"))
             .limit(10))
+
+
+@register("with_fill_interpolate", oracle="""
+WITH spine AS (
+  SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-03-31',
+                                INTERVAL 1 DAY))::DATE AS day
+), daily AS (
+  SELECT o_orderdate::DATE AS day, round(sum(o_totalprice), 2) AS revenue
+  FROM orders
+  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01'
+  GROUP BY 1),
+j AS (SELECT spine.day AS day, revenue
+      FROM spine LEFT JOIN daily ON spine.day = daily.day)
+SELECT cast(day AS TIMESTAMP) AS day,
+       last_value(revenue IGNORE NULLS) OVER (
+         ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS revenue_filled
+FROM j
+""")
+def with_fill_interpolate(spark, sf):
+    """WITH FILL ... INTERPOLATE: gap-filled daily revenue with previous
+    non-null carried forward (FillingTransform INTERPOLATE §2.6) via the
+    with_fill helper's carry_forward."""
+    import datetime
+    o = load_table(spark, sf, "orders")
+    daily = (o.filter((F.col("o_orderdate") >= "1995-01-01") &
+                      (F.col("o_orderdate") < "1995-04-01"))
+             .groupBy(F.to_date("o_orderdate").alias("day"))
+             .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+    filled = with_fill(daily, "day",
+                       datetime.date(1995, 1, 1), datetime.date(1995, 3, 31),
+                       F.expr("INTERVAL 1 DAY"), carry_forward=["revenue"])
+    return filled.select(F.col("day").cast("timestamp").alias("day"),
+                         F.col("revenue").alias("revenue_filled"))
