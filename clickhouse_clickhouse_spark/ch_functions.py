@@ -1,0 +1,261 @@
+"""ClickHouse-named function surface — ``from clickhouse_clickhouse_spark
+import ch_functions as ch`` and write ``ch.toStartOfMonth(col)`` exactly as
+in the reference dialect (SURVEY.md §2.8 name mapping, made executable).
+
+Each name is a thin alias over the Spark expression the survey's mapping
+table picked; all stay JVM-side. Names follow the reference's camelCase.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from clickhouse_clickhouse_spark.functions.datetime_fmt import format_date_time
+from clickhouse_clickhouse_spark.functions.vectors import (
+    cosine_distance as _cosine_distance,
+    dot_product as _dot,
+    l2_distance as _l2,
+    l2_norm as _l2norm,
+)
+
+
+def _c(x) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+# -- arithmetic / rounding ------------------------------------------------
+def plus(a, b): return _c(a) + _c(b)
+def minus(a, b): return _c(a) - _c(b)
+def multiply(a, b): return _c(a) * _c(b)
+def divide(a, b): return _c(a) / _c(b)
+def intDiv(a, b): return F.expr(f"div({a}, {b})") if isinstance(a, str) else (_c(a) / _c(b)).cast("long")
+def modulo(a, b): return _c(a) % _c(b)
+def negate(a): return -_c(a)
+def abs_(a): return F.abs(_c(a))
+def round_(a, n=0): return F.round(_c(a), n)
+def roundBankers(a, n=0): return F.bround(_c(a), n)
+def floor_(a): return F.floor(_c(a))
+def ceil_(a): return F.ceil(_c(a))
+def trunc_(a): return _c(a).cast("long")
+
+
+# -- conditionals ---------------------------------------------------------
+def if_(cond, then, else_): return F.when(_c(cond), then).otherwise(else_)
+def multiIf(*args):
+    *pairs, default = args
+    expr = None
+    for i in range(0, len(pairs), 2):
+        expr = (F.when(_c(pairs[i]), pairs[i + 1]) if expr is None
+                else expr.when(_c(pairs[i]), pairs[i + 1]))
+    return expr.otherwise(default)
+def ifNull(a, b): return F.coalesce(_c(a), _c(b) if isinstance(b, Column) else F.lit(b))
+def nullIf(a, b): return F.nullif(_c(a), _c(b) if isinstance(b, Column) else F.lit(b))
+def assumeNotNull(a): return F.coalesce(_c(a))
+def greatest(*xs): return F.greatest(*[_c(x) for x in xs])
+def least(*xs): return F.least(*[_c(x) for x in xs])
+
+
+# -- strings --------------------------------------------------------------
+def length(a): return F.length(_c(a))
+def lengthUTF8(a): return F.length(_c(a))
+def lower(a): return F.lower(_c(a))
+def upper(a): return F.upper(_c(a))
+def reverse(a): return F.reverse(_c(a))
+def concat(*xs): return F.concat(*[_c(x) for x in xs])
+def substring(a, pos, ln): return F.substring(_c(a), pos, ln)
+def trimBoth(a): return F.trim(_c(a))
+def leftPad(a, n, pad=" "): return F.lpad(_c(a), n, pad)
+def rightPad(a, n, pad=" "): return F.rpad(_c(a), n, pad)
+def repeat(a, n): return F.repeat(_c(a), n)
+def position(hay, needle): return F.locate(needle, _c(hay))
+def like(a, pat): return _c(a).like(pat)
+def ilike(a, pat): return F.lower(_c(a)).like(pat.lower())
+def match(a, re): return _c(a).rlike(re)
+def extract(a, re, group=1): return F.regexp_extract(_c(a), re, group)
+def extractAll(a, re): return F.regexp_extract_all(_c(a), F.lit(re), F.lit(0))
+def replaceOne(a, pat, rep):
+    # first occurrence only: overlay at the located position (no-op if absent)
+    pos = F.locate(pat, _c(a))
+    return F.when(pos == 0, _c(a)).otherwise(
+        F.overlay(_c(a), F.lit(rep), pos, F.lit(len(pat))))
+def replaceAll(a, pat, rep): return F.replace(_c(a), F.lit(pat), F.lit(rep))
+def replaceRegexpAll(a, re_, rep): return F.regexp_replace(_c(a), re_, rep)
+def splitByChar(sep, a):
+    import re as _re
+    return F.split(_c(a), _re.escape(sep), -1)
+def arrayStringConcat(arr, sep=""): return F.array_join(_c(arr), sep)
+def startsWith(a, p): return _c(a).startswith(p)
+def endsWith(a, p): return _c(a).endswith(p)
+def empty(a): return F.length(_c(a)) == 0
+def notEmpty(a): return F.length(_c(a)) > 0
+def levenshteinDistance(a, b): return F.levenshtein(_c(a), _c(b))
+def soundex(a): return F.soundex(_c(a))
+
+
+# -- dates / times --------------------------------------------------------
+def toYear(a): return F.year(_c(a))
+def toMonth(a): return F.month(_c(a))
+def toDayOfMonth(a): return F.dayofmonth(_c(a))
+def toHour(a): return F.hour(_c(a))
+def toMinute(a): return F.minute(_c(a))
+def toSecond(a): return F.second(_c(a))
+def toDayOfWeek(a): return F.weekday(_c(a)) + 1          # CH: Mon=1
+def toQuarter(a): return F.quarter(_c(a))
+def toDate(a): return _c(a).cast("date")
+def toStartOfDay(a): return F.date_trunc("day", _c(a))
+def toStartOfWeek(a): return F.date_trunc("week", _c(a))
+def toStartOfMonth(a): return F.date_trunc("month", _c(a))
+def toStartOfQuarter(a): return F.date_trunc("quarter", _c(a))
+def toStartOfYear(a): return F.date_trunc("year", _c(a))
+def toStartOfHour(a): return F.date_trunc("hour", _c(a))
+def toStartOfInterval(a, seconds: int):
+    return F.timestamp_seconds(F.floor(F.unix_timestamp(_c(a)) / seconds) * seconds)
+def toMonday(a): return F.date_trunc("week", _c(a)).cast("date")
+def addDays(a, n): return F.date_add(_c(a), n) if not _is_ts(a) else _c(a) + F.expr(f"INTERVAL {n} DAYS")
+def addMonths(a, n): return F.add_months(_c(a), n)
+def dateDiff(unit, a, b):
+    if unit == "day":
+        return F.datediff(F.to_date(_c(b)), F.to_date(_c(a)))
+    return F.expr(f"timestampdiff({unit}, {a}, {b})")
+def dateTrunc(unit, a): return F.date_trunc(unit, _c(a))
+def toUnixTimestamp(a): return F.unix_timestamp(_c(a))
+def fromUnixTimestamp(a): return F.timestamp_seconds(_c(a))
+def formatDateTime(a, fmt): return format_date_time(_c(a), fmt)
+def now(): return F.current_timestamp()
+def today(): return F.current_date()
+
+
+def _is_ts(a):
+    return False  # date_add works for both; interval form kept for clarity
+
+
+# -- arrays ---------------------------------------------------------------
+def array(*xs): return F.array(*[x if isinstance(x, Column) else F.lit(x) for x in xs])
+def arrayElement(a, i): return F.element_at(_c(a), i)
+def has(a, x): return F.array_contains(_c(a), x)
+def hasAll(a, b): return F.forall(_c(b), lambda x: F.array_contains(_c(a), x))
+def hasAny(a, b): return F.arrays_overlap(_c(a), _c(b))
+def indexOf(a, x): return F.array_position(_c(a), x)
+def arrayConcat(*xs): return F.concat(*[_c(x) for x in xs])
+def arraySlice(a, off, ln): return F.slice(_c(a), off, ln)
+def arraySort(a): return F.array_sort(_c(a))
+def arrayReverseSort(a): return F.reverse(F.array_sort(_c(a)))
+def arrayUniq(a): return F.size(F.array_distinct(_c(a)))
+def arrayDistinct(a): return F.array_distinct(_c(a))
+def arrayFlatten(a): return F.flatten(_c(a))
+def arrayZip(*xs): return F.arrays_zip(*[_c(x) for x in xs])
+def arrayIntersect(a, b): return F.array_intersect(_c(a), _c(b))
+def arrayMap(fn, a): return F.transform(_c(a), fn)
+def arrayFilter(fn, a): return F.filter(_c(a), fn)
+def arrayExists(fn, a): return F.exists(_c(a), fn)
+def arrayAll(fn, a): return F.forall(_c(a), fn)
+def arrayCount(fn, a): return F.size(F.filter(_c(a), fn))
+def arraySum(a): return F.aggregate(_c(a), F.lit(0.0), lambda s, x: s + x.cast("double"))
+def arrayAvg(a): return arraySum(a) / F.greatest(F.size(_c(a)), F.lit(1))
+def arrayMin(a): return F.array_min(_c(a))
+def arrayMax(a): return F.array_max(_c(a))
+def arrayFold(fn, a, init): return F.aggregate(_c(a), init, fn)
+def range_(n): return F.sequence(F.lit(0), _c(n) - 1) if isinstance(n, Column) \
+    else F.sequence(F.lit(0), F.lit(n - 1))
+def emptyArrayToSingle(a):
+    return F.when(F.size(_c(a)) == 0, F.array(F.lit(None))).otherwise(_c(a))
+
+
+# -- maps / tuples --------------------------------------------------------
+def map_(*kv): return F.create_map(*[x if isinstance(x, Column) else F.lit(x) for x in kv])
+def mapKeys(m): return F.map_keys(_c(m))
+def mapValues(m): return F.map_values(_c(m))
+def mapContains(m, k): return F.map_contains_key(_c(m), k)
+def tuple_(*xs): return F.struct(*[_c(x) for x in xs])
+def tupleElement(t, name): return _c(t).getField(name)
+
+
+# -- JSON -----------------------------------------------------------------
+def JSONExtractString(j, path="$"): return F.get_json_object(_c(j), path)
+def JSONExtractInt(j, path="$"): return F.get_json_object(_c(j), path).cast("long")
+def JSONExtractFloat(j, path="$"): return F.get_json_object(_c(j), path).cast("double")
+def JSONHas(j, path): return F.get_json_object(_c(j), path).isNotNull()
+def isValidJSON(j): return F.from_json(_c(j), "k STRING").isNotNull()
+def toJSONString(x): return F.to_json(_c(x))
+
+
+# -- hashing / encoding ---------------------------------------------------
+def cityHash64(*xs): return F.xxhash64(*[_c(x) for x in xs])   # engine-analog hash
+def sipHash64(*xs): return F.xxhash64(*[_c(x) for x in xs])
+def MD5(a): return F.md5(_c(a))
+def SHA256(a): return F.sha2(_c(a), 256)
+def hex_(a): return F.hex(_c(a))
+def unhex(a): return F.unhex(_c(a))
+def base64Encode(a): return F.base64(_c(a).cast("binary"))
+def base64Decode(a): return F.unbase64(_c(a)).cast("string")
+def bin_(a): return F.bin(_c(a))
+
+
+# -- math -----------------------------------------------------------------
+def exp_(a): return F.exp(_c(a))
+def log_(a): return F.log(_c(a))
+def log2(a): return F.log2(_c(a))
+def log10(a): return F.log10(_c(a))
+def sqrt_(a): return F.sqrt(_c(a))
+def cbrt(a): return F.cbrt(_c(a))
+def pow_(a, b): return F.pow(_c(a), b)
+def sigmoid(a): return F.lit(1.0) / (F.lit(1.0) + F.exp(-_c(a)))
+def sign(a): return F.signum(_c(a))
+def e(): return F.lit(2.718281828459045)
+def pi(): return F.lit(3.141592653589793)
+
+
+# -- vectors / distance ---------------------------------------------------
+def dotProduct(a, b): return _dot(_c(a), _c(b))
+def L2Distance(a, b): return _l2(_c(a), _c(b))
+def L2Norm(a): return _l2norm(_c(a))
+def cosineDistance(a, b): return _cosine_distance(_c(a), _c(b))
+
+
+# -- aggregate-name aliases (use inside .agg()) ---------------------------
+def count(): return F.count("*")
+def countIf(cond): return F.count_if(_c(cond))
+def sum_(a): return F.sum(_c(a))
+def sumIf(a, cond): return F.sum(F.when(_c(cond), _c(a)))
+def avg(a): return F.avg(_c(a))
+def min_(a): return F.min(_c(a))
+def max_(a): return F.max(_c(a))
+def argMin(a, b): return F.min_by(_c(a), _c(b))
+def argMax(a, b): return F.max_by(_c(a), _c(b))
+def any_(a): return F.first(_c(a), ignorenulls=True)
+def anyLast(a): return F.last(_c(a), ignorenulls=True)
+def uniq(a): return F.approx_count_distinct(_c(a))
+def uniqExact(a): return F.countDistinct(_c(a))
+def quantile(a, q=0.5): return F.percentile(_c(a), F.lit(q))
+def quantileExact(a, q=0.5): return F.percentile(_c(a), F.lit(q))
+def median(a): return F.percentile(_c(a), F.lit(0.5))
+def groupArray(a): return F.collect_list(_c(a))
+def groupUniqArray(a): return F.collect_set(_c(a))
+def corr(a, b): return F.corr(_c(a), _c(b))
+def stddevPop(a): return F.stddev_pop(_c(a))
+def stddevSamp(a): return F.stddev_samp(_c(a))
+def varPop(a): return F.var_pop(_c(a))
+def varSamp(a): return F.var_samp(_c(a))
+def skewPop(a): return F.skewness(_c(a))
+def kurtPop(a): return F.kurtosis(_c(a))
+
+
+# CH names that clash with Python builtins/keywords resolve through the
+# module __getattr__ (PEP 562) so module-internal builtins stay intact:
+# ch.round / ch.abs / ch.if_ ... all work at the attribute level.
+_KEYWORD_ALIASES = {
+    "abs": abs_, "round": round_, "floor": floor_, "ceil": ceil_,
+    "if": if_, "map": map_, "tuple": tuple_, "range": range_,
+    "sum": sum_, "min": min_, "max": max_, "hex": hex_, "bin": bin_,
+    "exp": exp_, "log": log_, "sqrt": sqrt_, "pow": pow_, "any": any_,
+    "trunc": trunc_,
+}
+
+
+def __getattr__(name):
+    try:
+        return _KEYWORD_ALIASES[name]
+    except KeyError:
+        raise AttributeError(
+            f"module 'ch_functions' has no attribute {name!r}") from None

@@ -463,3 +463,31 @@ def round_bankers(spark, sf):
     return li.select(
         "l_orderkey", "l_linenumber",
         F.bround(F.col("l_quantity") / 4.0, 1).alias("bankers_1dp"))
+
+
+@register("ch_dialect_demo", oracle="""
+SELECT o_orderkey,
+       cast(year(o_orderdate) AS INT) AS yr,
+       date_trunc('month', o_orderdate) AS mon,
+       CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS size_band,
+       round(o_totalprice / 1000.0, 2) AS price_k,
+       upper(o_orderstatus) AS status_u,
+       cast(isodow(o_orderdate) AS INT) AS dow
+FROM orders WHERE o_orderkey <= 100
+""")
+def ch_dialect_demo(spark, sf):
+    """Reference-dialect spelling: the same query written entirely with
+    CH-named functions from the ch_functions namespace (toYear,
+    toStartOfMonth, if, round, upper, toDayOfWeek)."""
+    from clickhouse_clickhouse_spark import ch_functions as ch
+
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") <= 100)
+    return o.select(
+        "o_orderkey",
+        ch.toYear("o_orderdate").alias("yr"),
+        ch.toStartOfMonth("o_orderdate").alias("mon"),
+        ch.if_(F.col("o_totalprice") > 200000, F.lit("big"), F.lit("small"))
+        .alias("size_band"),
+        ch.round_(F.col("o_totalprice") / 1000.0, 2).alias("price_k"),
+        ch.upper("o_orderstatus").alias("status_u"),
+        ch.toDayOfWeek("o_orderdate").alias("dow"))

@@ -1,0 +1,69 @@
+"""Smoke the CH-named function namespace: every exported name builds a
+valid Column and a sample evaluates correctly."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from clickhouse_clickhouse_spark import ch_functions as ch
+
+
+def test_ch_names_evaluate(spark):
+    df = spark.createDataFrame(
+        [(5, -2.7, "Hello World", [3.0, 1.0, 2.0],
+          datetime.datetime(2024, 3, 5, 10, 30), '{"k": 7}')],
+        "i long, d double, s string, a array<double>, ts timestamp, j string")
+    row = df.select(
+        ch.plus("i", F.lit(2)).alias("plus"),
+        ch.abs_("d").alias("abs"),
+        ch.roundBankers(F.lit(2.5), 0).alias("bankers"),
+        ch.if_(F.col("i") > 3, F.lit("y"), F.lit("n")).alias("iff"),
+        ch.multiIf(F.col("i") > 10, F.lit("a"), F.col("i") > 3, F.lit("b"),
+                   F.lit("c")).alias("mif"),
+        ch.position("s", "World").alias("pos"),
+        ch.replaceOne("s", "l", "L").alias("rep1"),
+        ch.replaceAll("s", "l", "L").alias("repall"),
+        ch.splitByChar(" ", "s").alias("split"),
+        ch.toStartOfMonth("ts").alias("som"),
+        ch.toDayOfWeek("ts").alias("dow"),
+        ch.formatDateTime("ts", "%Y-%m-%d").alias("fmt"),
+        ch.arraySort("a").alias("asort"),
+        ch.arraySum("a").alias("asum"),
+        ch.hasAll("a", F.array(F.lit(1.0), F.lit(3.0))).alias("hasall"),
+        ch.arrayMap(lambda x: x * 2, "a").alias("amap"),
+        ch.JSONExtractInt("j", "$.k").alias("jint"),
+        ch.sigmoid(F.lit(0.0)).alias("sig"),
+        ch.dotProduct("a", "a").alias("dot"),
+        ch.toDayOfWeek(F.lit("2024-03-04").cast("date")).alias("monday"),
+    ).collect()[0]
+    assert row.plus == 7
+    assert row.abs == 2.7
+    assert row.bankers == 2.0          # half-to-even
+    assert row.iff == "y" and row.mif == "b"
+    assert row.pos == 7
+    assert row.rep1 == "HeLlo World"
+    assert row.repall == "HeLLo WorLd"
+    assert row.split == ["Hello", "World"]
+    assert row.som == datetime.datetime(2024, 3, 1)
+    assert row.dow == 2                # Tuesday, CH Mon=1
+    assert row.fmt == "2024-03-05"
+    assert row.asort == [1.0, 2.0, 3.0]
+    assert row.asum == 6.0
+    assert row.hasall
+    assert row.amap == [6.0, 2.0, 4.0]
+    assert row.jint == 7
+    assert row.sig == 0.5
+    assert row.dot == 14.0
+    assert row.monday == 1
+
+
+def test_ch_aggregates(spark):
+    df = spark.createDataFrame([("a", 1.0), ("a", 3.0), ("b", 5.0)],
+                               "g string, v double")
+    out = {r.g: r for r in df.groupBy("g").agg(
+        ch.count().alias("n"),
+        ch.uniqExact("v").alias("u"),
+        ch.argMax("v", "v").alias("am"),
+        ch.quantileExact("v", 0.5).alias("med")).collect()}
+    assert out["a"].n == 2 and out["a"].u == 2
+    assert out["a"].am == 3.0 and out["a"].med == 2.0

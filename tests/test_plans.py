@@ -1,0 +1,67 @@
+"""Plan-shape regression tests — the engine's scale guarantees, asserted
+against the actual physical plans (SURVEY.md §4: pushdown, pruning,
+broadcast, single-shuffle operators). These protect the 100 TB posture the
+way golden outputs protect semantics."""
+
+from clickhouse_clickhouse_spark.registry import all_queries
+
+
+def _plan(spark, name, sf_dir):
+    df = all_queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(spark, name, sf_dir):
+    df = all_queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+
+def test_q1_filter_pushed_and_columns_pruned(spark, sf_dir):
+    plan = _formatted(spark, "q1_pricing_summary", sf_dir)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # 7 needed columns only — no l_orderkey/l_partkey/l_suppkey in the scan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    plan = _formatted(spark, "tpch_q6_revenue_forecast", sf_dir)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+
+
+def test_3way_join_broadcasts_dimension(spark, sf_dir):
+    plan = _plan(spark, "join_inner_3way", sf_dir)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, "tpch_q5_local_supplier", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The union-tag ASOF algorithm must cost exactly one key shuffle —
+    a second Exchange would mean the window repartitioned again."""
+    plan = _plan(spark, "join_asof", sf_dir)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}"
+
+
+def test_topk_broadcasts_query_side(spark, sf_dir):
+    plan = _plan(spark, "topk_cosine", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_dict_get_has_no_join(spark, sf_dir):
+    plan = _plan(spark, "dict_get_map_literal", sf_dir)
+    assert "Join" not in plan
+
+
+def test_wholestage_codegen_everywhere_simple(spark, sf_dir):
+    # codegen'd operators carry the "*(n)" stage prefix in plan toString
+    plan = _plan(spark, "projection_pushdown", sf_dir)
+    assert "*(1)" in plan
