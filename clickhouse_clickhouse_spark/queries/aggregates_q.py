@@ -409,3 +409,23 @@ def agg_array_combinator(spark, sf):
     return (e.groupBy("label")
             .agg(F.round(F.sum(row_sum), 6).alias("sum_all_dims"),
                  F.sum(F.size("embedding")).cast("long").alias("total_elems")))
+
+
+@register("agg_quantile_approx")
+def agg_quantile_approx(spark, sf):
+    """quantileTDigest/quantileBFloat16 → approx_percentile (Greenwald-
+    Khanna). Sketch-approximate — rows-only check by design (§4.3 item 3);
+    the exact variants are oracle-checked in agg_quantiles."""
+    li = load_table(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.percentile_approx("l_extendedprice", 0.5, 1000)
+                 .alias("approx_median_price")))
+
+
+@register("agg_freq_items")
+def agg_freq_items(spark, sf):
+    """topK (approximate heavy hitters) → DataFrame.stat.freqItems —
+    rows-only (the sketch's contents are support-dependent; exact topK is
+    oracle-checked in agg_topk_per_group/agg_mode)."""
+    o = load_table(spark, sf, "orders")
+    return o.stat.freqItems(["o_orderpriority"], support=0.15)

@@ -129,3 +129,29 @@ def numbers_range(spark, sf):
     """numbers(N) table function → spark.range (§2.1)."""
     return (spark.range(1, 1001)
             .agg(F.sum(F.col("id") * F.col("id")).cast("long").alias("sum_sq")))
+
+
+@register("generate_random", oracle="""
+WITH g AS (
+  SELECT n, ((n * 2654435761 + 1013904223) % 1000003) / 1000003.0 AS u
+  FROM generate_series(0, 9999) AS t(n))
+SELECT count(*) AS n_rows,
+       round(avg(u), 6) AS mean_u,
+       round(stddev_pop(u), 6) AS std_u,
+       round(min(u), 6) AS min_u,
+       round(max(u), 6) AS max_u
+FROM g
+""")
+def generate_random(spark, sf):
+    """generateRandom table function — deterministic affine-hash uniforms
+    over spark.range (seeded, reproducible on any engine; the reference's
+    generateRandom is likewise seed-deterministic)."""
+    n = spark.range(0, 10000)
+    u = (F.pmod(F.col("id") * 2654435761 + 1013904223, F.lit(1000003))
+         / 1000003.0)
+    return (n.select(u.alias("u"))
+            .agg(F.count("*").alias("n_rows"),
+                 F.round(F.avg("u"), 6).alias("mean_u"),
+                 F.round(F.stddev_pop("u"), 6).alias("std_u"),
+                 F.round(F.min("u"), 6).alias("min_u"),
+                 F.round(F.max("u"), 6).alias("max_u")))
