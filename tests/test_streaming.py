@@ -90,3 +90,24 @@ def test_materialized_view_cascade(spark, events_dir, tmp_path):
              .agg(F.count("*").alias("n")))
     assert {(r.event_type, r.n) for r in agg.collect()} == \
            {(r.event_type, r.n) for r in batch.collect()}
+
+
+def test_materialized_view_class(spark, events_dir, tmp_path):
+    from clickhouse_clickhouse_spark.streaming.matview import MaterializedView
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = (spark.readStream.schema(schema).format("parquet")
+              .option("path", events_dir).load())
+    t1, t2 = str(tmp_path / "mv1"), str(tmp_path / "mv2")
+    mv = MaterializedView(stream, [
+        (lambda df: df.select("event_id", "user_id"), t1),
+        (lambda df: df.groupBy("user_id").agg(F.count("*").alias("n")), t2),
+    ])
+    q = mv.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_src = spark.read.parquet(events_dir).count()
+    assert spark.read.parquet(t1).count() == n_src
+    assert spark.read.parquet(t2).agg(F.sum("n")).collect()[0][0] == n_src
