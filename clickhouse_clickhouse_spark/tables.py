@@ -36,12 +36,23 @@ def ensure_engine_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.ansi.enabled", "false")
 
 
+# Analyzed-relation cache: fixture tables are immutable, so re-listing the
+# files and re-reading parquet footers on every query build is pure
+# overhead. Keyed by session so a fresh session (new driver round, tests)
+# rebuilds cleanly. Holds unresolved plans only — no data is pinned.
+_RELATION_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table. Plain ``spark.read.parquet`` so Catalyst
     keeps full pushdown/pruning freedom."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     ensure_engine_confs(spark)
+    key = (id(spark), sf_dir, name)
+    cached = _RELATION_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ns-precision column surfaced as long via nanosAsLong: truncate to µs
@@ -49,6 +60,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
         # integer division: double math would lose precision at 1e18 ns
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _RELATION_CACHE[key] = df
     return df
 
 
