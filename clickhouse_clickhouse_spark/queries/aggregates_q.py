@@ -429,3 +429,48 @@ def agg_freq_items(spark, sf):
     oracle-checked in agg_topk_per_group/agg_mode)."""
     o = load_table(spark, sf, "orders")
     return o.stat.freqItems(["o_orderpriority"], support=0.15)
+
+
+@register("agg_weighted_median", oracle="""
+WITH w AS (
+  SELECT l_returnflag, l_extendedprice AS v, l_quantity AS wt,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+  FROM lineitem)
+SELECT l_returnflag, round(min(v), 4) AS weighted_median
+FROM w WHERE cw >= tw / 2.0
+GROUP BY l_returnflag
+""")
+def agg_weighted_median(spark, sf):
+    """quantileExactWeighted(0.5): first value whose cumulative weight
+    crosses half the total (deterministic tiebreak on the sort). Two
+    windows over one key shuffle (§2.4)."""
+    li = load_table(spark, sf, "lineitem")
+    w = (Window.partitionBy("l_returnflag")
+         .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy("l_returnflag")
+    d = li.select("l_returnflag",
+                  F.col("l_extendedprice").alias("v"),
+                  F.sum("l_quantity").over(w).alias("cw"),
+                  F.sum("l_quantity").over(wt).alias("tw"))
+    return (d.filter(F.col("cw") >= F.col("tw") / 2.0)
+            .groupBy("l_returnflag")
+            .agg(F.round(F.min("v"), 4).alias("weighted_median")))
+
+
+@register("agg_decimal_path", oracle="""
+SELECT l_returnflag,
+       round(cast(sum(cast(l_extendedprice AS DECIMAL(18, 2))) AS DOUBLE), 2)
+           AS sum_dec
+FROM lineitem GROUP BY l_returnflag
+""")
+def agg_decimal_path(spark, sf):
+    """Decimal(P,S) arithmetic (§1.2 type mapping): exact decimal
+    summation, surfaced as double for engine-neutral comparison."""
+    li = load_table(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                         .cast("double"), 2).alias("sum_dec")))

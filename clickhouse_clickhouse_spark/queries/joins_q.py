@@ -245,3 +245,45 @@ def dict_get_map_literal(spark, sf):
     return sup.select("s_suppkey",
                       d.get(key).alias("nation"),
                       d.has(key).alias("known"))
+
+
+@register("join_asof_forward", oracle="""
+SELECT c.event_id, c.user_id, c.ts, p.ts AS next_purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+""")
+def join_asof_forward(spark, sf):
+    """ASOF JOIN forward direction: each click matched to the user's next
+    purchase at-or-after it (same union-tag algorithm, reversed order)."""
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+                  .select("user_id", F.col("ts").alias("p_ts"))
+    j = asof_join(clicks, purchases, on=["user_id"], left_ts="ts",
+                  right_ts="p_ts", direction="forward", how="inner",
+                  right_cols=[])
+    return j.select("event_id", "user_id", "ts",
+                    F.col("asof_p_ts").alias("next_purchase_ts"))
+
+
+@register("join_asof_left_outer", oracle="""
+SELECT s.event_id, s.user_id, c.ts AS prior_click_ts
+FROM (SELECT * FROM events WHERE event_type = 'signup') s
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON s.user_id = c.user_id AND s.ts >= c.ts
+""")
+def join_asof_left_outer(spark, sf):
+    """ASOF LEFT JOIN: signups keep a NULL match when the user has no
+    prior click (outer variant of the union-tag window)."""
+    ev = load_table(spark, sf, "events")
+    signups = ev.filter(F.col("event_type") == "signup") \
+                .select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select("user_id", F.col("ts").alias("c_ts"))
+    j = asof_join(signups, clicks, on=["user_id"], left_ts="ts",
+                  right_ts="c_ts", direction="backward", how="left",
+                  right_cols=[])
+    return j.select("event_id", "user_id",
+                    F.col("asof_c_ts").alias("prior_click_ts"))

@@ -491,3 +491,29 @@ def ch_dialect_demo(spark, sf):
         ch.round_(F.col("o_totalprice") / 1000.0, 2).alias("price_k"),
         ch.upper("o_orderstatus").alias("status_u"),
         ch.toDayOfWeek("o_orderdate").alias("dow"))
+
+
+@register("arith_edge_semantics", oracle="""
+WITH x AS (SELECT event_id, cast(event_id - 50 AS BIGINT) AS a FROM events
+           WHERE event_id <= 100)
+SELECT event_id, a,
+       a // 7                    AS int_div,
+       a % 7                     AS mod_signed,
+       cast(a % 7 + 7 AS BIGINT) % 7 AS pmod7,
+       -a                        AS negated,
+       abs(a)                    AS abs_a
+FROM x
+""")
+def arith_edge_semantics(spark, sf):
+    """Negative-operand arithmetic semantics pinned cross-engine (§2.8
+    arithmetic; SURVEY.md intDiv note): truncating integer division,
+    sign-of-dividend modulo, positive pmod."""
+    ev = load_table(spark, sf, "events").filter(F.col("event_id") <= 100)
+    a = (F.col("event_id") - 50).cast("long")
+    return ev.select(
+        "event_id", a.alias("a"),
+        F.expr("div(event_id - 50, 7)").alias("int_div"),
+        (a % 7).alias("mod_signed"),
+        F.pmod(a, F.lit(7)).cast("long").alias("pmod7"),
+        (-a).alias("negated"),
+        F.abs(a).alias("abs_a"))
