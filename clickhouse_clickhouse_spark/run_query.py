@@ -1,0 +1,52 @@
+"""CLI runner: execute a registered query (or list them) against a
+fixture scale directory.
+
+    python -m clickhouse_clickhouse_spark.run_query --list
+    python -m clickhouse_clickhouse_spark.run_query q1_pricing_summary
+    python -m clickhouse_clickhouse_spark.run_query join_asof \\
+        --sf /root/testdata/sf0.01 --limit 50 --explain
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="run a registered engine query")
+    ap.add_argument("name", nargs="?", help="query name (see --list)")
+    ap.add_argument("--sf", default="/root/testdata/sf0.001",
+                    help="fixture scale directory")
+    ap.add_argument("--limit", type=int, default=20, help="rows to show")
+    ap.add_argument("--explain", action="store_true",
+                    help="print the formatted physical plan instead")
+    ap.add_argument("--list", action="store_true", help="list query names")
+    args = ap.parse_args(argv)
+
+    from clickhouse_clickhouse_spark.registry import all_oracles, all_queries
+
+    qs = all_queries()
+    if args.list or not args.name:
+        oracles = all_oracles()
+        for name in sorted(qs):
+            kind = "oracle" if name in oracles else "rows  "
+            print(f"{kind}  {name}")
+        return 0
+    if args.name not in qs:
+        print(f"unknown query {args.name!r}; use --list", file=sys.stderr)
+        return 2
+
+    from clickhouse_clickhouse_spark.session import get_spark
+
+    spark = get_spark("run_query")
+    df = qs[args.name](spark, args.sf)
+    if args.explain:
+        df.explain("formatted")
+    else:
+        df.show(args.limit, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

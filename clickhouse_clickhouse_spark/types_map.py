@@ -1,0 +1,133 @@
+"""Reference type-system → Spark type mapping, executable (SURVEY.md §1.2).
+
+``parse_ch_type`` turns a reference type string (``Nullable(Int64)``,
+``Array(Float32)``, ``DateTime64(3)``, ``Map(String, UInt32)``,
+``Tuple(a Int8, b String)``, ``LowCardinality(String)``, ...) into a Spark
+``DataType`` (+ nullability), and ``ch_schema_to_struct`` maps a full DDL
+column list. Documented losses follow the survey table: UInt64→Long
+(wraparound >2^63), DateTime64(9)→µs truncation, Decimal P>38 unsupported.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import types as T
+
+_SIMPLE: dict[str, T.DataType] = {
+    "Int8": T.ByteType(), "Int16": T.ShortType(), "Int32": T.IntegerType(),
+    "Int64": T.LongType(),
+    "UInt8": T.ShortType(), "UInt16": T.IntegerType(), "UInt32": T.LongType(),
+    "UInt64": T.LongType(),          # documented wraparound beyond 2^63
+    "Float32": T.FloatType(), "Float64": T.DoubleType(),
+    "String": T.StringType(), "UUID": T.StringType(),
+    "IPv4": T.StringType(), "IPv6": T.StringType(),
+    "Date": T.DateType(), "Date32": T.DateType(),
+    "DateTime": T.TimestampType(),
+    "Bool": T.BooleanType(),
+    "JSON": T.StringType(),
+    "Nothing": T.NullType(),
+}
+
+_WRAPPERS_TRANSPARENT = ("LowCardinality", "SimpleAggregateFunction")
+
+
+def parse_ch_type(s: str) -> tuple[T.DataType, bool]:
+    """Return (spark_type, nullable). Reference columns are NOT NULL by
+    default; only Nullable(...) flips it."""
+    s = s.strip()
+    m = re.match(r"^(\w+)\s*\((.*)\)$", s, re.DOTALL)
+    if not m:
+        if s in _SIMPLE:
+            return _SIMPLE[s], False
+        if s.startswith("Enum"):
+            return T.StringType(), False
+        raise ValueError(f"unsupported reference type: {s!r}")
+    head, inner = m.group(1), m.group(2)
+    if head == "Nullable":
+        dt, _ = parse_ch_type(inner)
+        return dt, True
+    if head == "LowCardinality":
+        return parse_ch_type(inner)
+    if head == "SimpleAggregateFunction":
+        # SimpleAggregateFunction(f, T) stores plain T (§1.2)
+        return parse_ch_type(_split_args(inner)[-1])
+    if head == "Array":
+        dt, null = parse_ch_type(inner)
+        return T.ArrayType(dt, containsNull=null), False
+    if head == "Map":
+        k, v = _split_args(inner)
+        kt, _ = parse_ch_type(k)
+        vt, vnull = parse_ch_type(v)
+        return T.MapType(kt, vt, valueContainsNull=vnull), False
+    if head == "Tuple":
+        fields = []
+        for i, part in enumerate(_split_args(inner)):
+            nm = re.match(r"^(\w+)\s+(.+)$", part.strip(), re.DOTALL)
+            if nm and not re.match(r"^(\w+)\s*\(", part.strip()):
+                name, typ = nm.group(1), nm.group(2)
+            else:
+                name, typ = f"_{i + 1}", part
+            dt, null = parse_ch_type(typ)
+            fields.append(T.StructField(name, dt, null))
+        return T.StructType(fields), False
+    if head == "Nested":
+        inner_struct, _ = parse_ch_type(f"Tuple({inner})")
+        return T.ArrayType(inner_struct, containsNull=False), False
+    if head == "Decimal":
+        p, sc = [int(x) for x in _split_args(inner)]
+        if p > 38:
+            raise ValueError(f"Decimal precision {p} > 38 unsupported (documented)")
+        return T.DecimalType(p, sc), False
+    if head in ("Decimal32", "Decimal64", "Decimal128"):
+        scale = int(inner)
+        prec = {"Decimal32": 9, "Decimal64": 18, "Decimal128": 38}[head]
+        return T.DecimalType(prec, scale), False
+    if head == "DateTime64":
+        # scale 9 (ns) truncates to Spark's µs — documented loss
+        return T.TimestampType(), False
+    if head == "DateTime":
+        return T.TimestampType(), False
+    if head == "FixedString":
+        return T.BinaryType(), False
+    if head.startswith("Enum"):
+        return T.StringType(), False
+    if head == "AggregateFunction":
+        raise ValueError("AggregateFunction state columns are out of scope "
+                         "(SURVEY.md §4.3 item 1): recompute from raw data")
+    raise ValueError(f"unsupported reference type: {s!r}")
+
+
+def _split_args(s: str) -> list[str]:
+    """Split on top-level commas (respects nested parens)."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def ch_schema_to_struct(ddl: str) -> T.StructType:
+    """Map a reference DDL column list (``name Type, name Type, ...``) to
+    a Spark StructType."""
+    fields = []
+    for part in _split_args(ddl):
+        part = part.strip()
+        if not part:
+            continue
+        m = re.match(r"^(`?)(\w+)\1\s+(.+)$", part, re.DOTALL)
+        if not m:
+            raise ValueError(f"cannot parse column definition: {part!r}")
+        name, typ = m.group(2), m.group(3)
+        dt, nullable = parse_ch_type(typ)
+        fields.append(T.StructField(name, dt, nullable))
+    return T.StructType(fields)

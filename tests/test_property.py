@@ -1,0 +1,74 @@
+"""Property-based tests (hypothesis) — the analog of the reference's
+query fuzzing (SURVEY.md §5): random inputs, independent ground truth.
+
+Example counts are kept small: each example pays a Spark job.
+"""
+
+import datetime
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from clickhouse_clickhouse_spark.operators.joins import asof_join
+from clickhouse_clickhouse_spark.operators.aggregates import limit_by
+
+_ts = st.integers(min_value=0, max_value=10_000).map(
+    lambda s: datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s))
+
+_events = st.lists(
+    st.tuples(st.integers(1, 3), _ts), min_size=1, max_size=25)
+
+
+@settings(max_examples=12, deadline=None)
+@given(left=_events, right=_events)
+def test_asof_matches_pandas_merge_asof(spark, left, right):
+    """Backward non-strict ASOF must agree with pandas merge_asof for any
+    key/timestamp distribution (ties, missing keys, duplicates)."""
+    ldf = spark.createDataFrame([(k, t, i) for i, (k, t) in enumerate(left)],
+                                "k long, ts timestamp, lid long")
+    rdf = spark.createDataFrame([(k, t, float(i)) for i, (k, t) in enumerate(right)],
+                                "k long, rts timestamp, v double")
+    got = asof_join(ldf, rdf, ["k"], "ts", "rts", "backward", how="left")
+    got_map = {r.lid: r.asof_rts for r in got.collect()}
+
+    lp = pd.DataFrame([(k, t, i) for i, (k, t) in enumerate(left)],
+                      columns=["k", "ts", "lid"]).sort_values(["ts", "lid"])
+    rp = pd.DataFrame([(k, t, float(i)) for i, (k, t) in enumerate(right)],
+                      columns=["k", "rts", "v"]).sort_values(["rts", "v"])
+    exp = pd.merge_asof(lp, rp, left_on="ts", right_on="rts", by="k",
+                        direction="backward")
+    exp_map = {int(r.lid): (None if pd.isna(r.rts) else r.rts.to_pydatetime())
+               for r in exp.itertuples()}
+    assert got_map == exp_map
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=st.lists(st.tuples(st.integers(1, 4), st.integers(0, 50)),
+                     min_size=1, max_size=40),
+       n=st.integers(1, 3))
+def test_limit_by_matches_python(spark, rows, n):
+    """LIMIT n BY k over (k, v, uid) must equal the sorted-slice-per-key
+    computed in plain Python."""
+    data = [(k, v, i) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k long, v long, uid long")
+    got = sorted((r.k, r.v, r.uid) for r in
+                 limit_by(df, n, ["k"], ["v", "uid"]).collect())
+    by_key = {}
+    for k, v, uid in data:
+        by_key.setdefault(k, []).append((v, uid))
+    exp = sorted((k, v, uid) for k, items in by_key.items()
+                 for v, uid in sorted(items)[:n])
+    assert got == exp
+
+
+@settings(max_examples=8, deadline=None)
+@given(vals=st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                               allow_nan=False), min_size=1, max_size=60))
+def test_percentile_bounds(spark, vals):
+    """Exact percentile stays within [min, max] and median of a singleton
+    equals it — sanity property for the quantile surface."""
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    row = df.agg(F.percentile("v", F.lit(0.5)).alias("med"),
+                 F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
+    assert row.lo <= row.med <= row.hi
