@@ -259,3 +259,69 @@ def __getattr__(name):
     except KeyError:
         raise AttributeError(
             f"module 'ch_functions' has no attribute {name!r}") from None
+
+
+# -- URL family -----------------------------------------------------------
+def protocol(u): return F.parse_url(_c(u), F.lit("PROTOCOL"))
+def domain(u): return F.parse_url(_c(u), F.lit("HOST"))
+def path(u): return F.parse_url(_c(u), F.lit("PATH"))
+def queryString(u): return F.parse_url(_c(u), F.lit("QUERY"))
+def extractURLParameter(u, name):
+    return F.parse_url(_c(u), F.lit("QUERY"), F.lit(name))
+def cutQueryString(u):
+    return F.regexp_replace(_c(u), r"\?.*$", "")
+def decodeURLComponent(u): return F.url_decode(_c(u))
+
+
+# -- IP family ------------------------------------------------------------
+def IPv4NumToString(n):
+    from clickhouse_clickhouse_spark.operators.advanced import ipv4_num_to_string
+    return ipv4_num_to_string(_c(n))
+def IPv4StringToNum(s):
+    from clickhouse_clickhouse_spark.operators.advanced import ipv4_string_to_num
+    return ipv4_string_to_num(_c(s))
+
+
+# -- geo ------------------------------------------------------------------
+def greatCircleDistance(lon1, lat1, lon2, lat2):
+    """Meters, like the reference (haversine)."""
+    from clickhouse_clickhouse_spark.operators.advanced import haversine_km
+    return haversine_km(_c(lat1), _c(lon1), _c(lat2), _c(lon2)) * 1000.0
+
+
+# -- bit family -----------------------------------------------------------
+def bitAnd(a, b): return _c(a).bitwiseAND(_c(b) if isinstance(b, Column) else b)
+def bitOr(a, b): return _c(a).bitwiseOR(_c(b) if isinstance(b, Column) else b)
+def bitXor(a, b): return _c(a).bitwiseXOR(_c(b) if isinstance(b, Column) else b)
+def bitShiftLeft(a, n): return F.shiftleft(_c(a), n)
+def bitShiftRight(a, n): return F.shiftright(_c(a), n)
+def bitCount(a): return F.bit_count(_c(a))
+def bitTest(a, k): return F.getbit(_c(a), F.lit(k)).cast("boolean")
+
+
+# -- introspection / presentation ----------------------------------------
+def formatReadableSize(n):
+    """Bytes → human string ('1.23 MiB'), when-chain over unit boundaries."""
+    b = _c(n).cast("double")
+    KiB, MiB, GiB = 1024.0, 1024.0 ** 2, 1024.0 ** 3
+    return (F.when(b >= GiB, F.concat(F.round(b / GiB, 2).cast("string"), F.lit(" GiB")))
+            .when(b >= MiB, F.concat(F.round(b / MiB, 2).cast("string"), F.lit(" MiB")))
+            .when(b >= KiB, F.concat(F.round(b / KiB, 2).cast("string"), F.lit(" KiB")))
+            .otherwise(F.concat(b.cast("long").cast("string"), F.lit(" B"))))
+
+
+def bar(x, lo, hi, width=80):
+    """ASCII bar chart cell: proportional run of '#'."""
+    frac = (F.least(F.greatest(_c(x).cast("double"), F.lit(float(lo))), F.lit(float(hi)))
+            - lo) / float(hi - lo)
+    return F.repeat(F.lit("#"), F.round(frac * width, 0).cast("int"))
+
+
+def transform(x, from_vals, to_vals, default):
+    """transform(x, [a,b], [x,y], d): value-mapping via a literal map."""
+    pairs = []
+    for f_, t_ in zip(from_vals, to_vals):
+        pairs.append(F.lit(f_))
+        pairs.append(F.lit(t_))
+    m = F.create_map(*pairs)
+    return F.coalesce(F.element_at(m, _c(x)), F.lit(default))

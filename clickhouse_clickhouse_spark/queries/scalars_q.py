@@ -517,3 +517,33 @@ def arith_edge_semantics(spark, sf):
         F.pmod(a, F.lit(7)).cast("long").alias("pmod7"),
         (-a).alias("negated"),
         F.abs(a).alias("abs_a"))
+
+
+@register("misc_presentation_funcs", oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice * 100 >= 1073741824.0
+              THEN cast(round(o_totalprice * 100 / 1073741824.0, 2) AS VARCHAR) || ' GiB'
+            WHEN o_totalprice * 100 >= 1048576.0
+              THEN cast(round(o_totalprice * 100 / 1048576.0, 2) AS VARCHAR) || ' MiB'
+            WHEN o_totalprice * 100 >= 1024.0
+              THEN cast(round(o_totalprice * 100 / 1024.0, 2) AS VARCHAR) || ' KiB'
+            ELSE cast(cast(o_totalprice * 100 AS BIGINT) AS VARCHAR) || ' B' END
+           AS readable,
+       repeat('#', cast(round(least(greatest(o_totalprice, 0.0), 500000.0)
+                              / 500000.0 * 20, 0) AS INT)) AS bar,
+       coalesce(CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'filled' END,
+                'other') AS status_name
+FROM orders WHERE o_orderkey <= 80
+""")
+def misc_presentation_funcs(spark, sf):
+    """Introspection/presentation family (§2.8): formatReadableSize, bar,
+    transform(x, [..], [..], default) via the ch namespace."""
+    from clickhouse_clickhouse_spark import ch_functions as ch
+
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") <= 80)
+    return o.select(
+        "o_orderkey",
+        ch.formatReadableSize(F.col("o_totalprice") * 100).alias("readable"),
+        ch.bar(F.col("o_totalprice"), 0, 500000, width=20).alias("bar"),
+        ch.transform("o_orderstatus", ["O", "F"], ["open", "filled"], "other")
+        .alias("status_name"))
