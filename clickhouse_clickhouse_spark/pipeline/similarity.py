@@ -99,3 +99,84 @@ def label_centroids(embeddings: DataFrame, label: str = "label",
             .agg(F.transform(
                 F.array_sort(F.collect_list(F.struct("dim", "mean_val"))),
                 lambda s: s["mean_val"]).alias("centroid")))
+
+
+def kmeans_centroids(corpus: DataFrame, k: int, iterations: int = 2,
+                     vec: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Coarse k-means for IVF: seeds = the k lowest-id vectors
+    (deterministic), then Lloyd iterations entirely as DataFrame ops —
+    assignment is a broadcast-centroid cosine argmax, update is the
+    label_centroids aggregation. Returns (centroid_id, centroid).
+
+    Scale: each iteration is one broadcast join + one explode/agg over the
+    corpus — no driver-side data motion beyond the k centroid vectors.
+    """
+    from pyspark.sql import Window
+
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec).alias("centroid"))
+    w = Window.orderBy("cid")
+    cents = (c.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+             .select((F.col("rn") - 1).alias("centroid_id"), "centroid"))
+    for _ in range(iterations):
+        assigned = assign_to_centroids(corpus, cents, vec=vec, id_col=id_col)
+        cents = (assigned.join(corpus, id_col)
+                 .select("centroid_id", F.posexplode(F.col(vec)).alias("dim", "v"))
+                 .groupBy("centroid_id", "dim").agg(F.avg("v").alias("m"))
+                 .groupBy("centroid_id")
+                 .agg(F.transform(F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                                  lambda s: s["m"]).alias("centroid")))
+    return cents
+
+
+def assign_to_centroids(corpus: DataFrame, centroids: DataFrame,
+                        vec: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Nearest-centroid assignment by cosine (broadcast centroids)."""
+    from pyspark.sql import Window
+
+    scored = (corpus.select(F.col(id_col), F.col(vec).alias("__v"))
+              .crossJoin(F.broadcast(centroids))
+              .select(id_col, "centroid_id",
+                      cosine_similarity(F.col("__v"), F.col("centroid")).alias("sim")))
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(),
+                                           F.col("centroid_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).select(id_col, "centroid_id"))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
+             n_centroids: int = 8, n_probe: int = 2,
+             corpus_id: str = "vec_id", corpus_vec: str = "embedding",
+             query_id: str = "query_id", query_vec: str = "embedding") -> DataFrame:
+    """IVF ANN: coarse-quantize the corpus into n_centroids inverted lists
+    (k-means), score each query only against its n_probe nearest lists.
+    At scale the corpus is WRITTEN partitioned by centroid_id, so a probe
+    is a partition-pruned scan of n_probe/n_centroids of the data.
+    Approximate; recall grows with n_probe."""
+    from pyspark.sql import Window
+
+    cents = kmeans_centroids(corpus, n_centroids, iterations=2,
+                             vec=corpus_vec, id_col=corpus_id)
+    lists = assign_to_centroids(corpus, cents, vec=corpus_vec, id_col=corpus_id)
+    c = corpus.select(F.col(corpus_id).alias("corpus_id"),
+                      F.col(corpus_vec).alias("cv")) \
+              .join(lists.withColumnRenamed(corpus_id, "corpus_id"), "corpus_id")
+    # queries probe their n_probe closest centroids
+    q = queries.select(F.col(query_id).alias("query_id"),
+                       F.col(query_vec).alias("qv"))
+    qs = (q.crossJoin(F.broadcast(cents))
+          .select("query_id", "qv", "centroid_id",
+                  cosine_similarity(F.col("qv"), F.col("centroid")).alias("csim")))
+    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(),
+                                                F.col("centroid_id"))
+    probes = (qs.withColumn("rn", F.row_number().over(wq))
+              .filter(F.col("rn") <= n_probe)
+              .select("query_id", "qv", "centroid_id"))
+    joined = c.join(F.broadcast(probes), "centroid_id") \
+              .filter(F.col("corpus_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id", "corpus_id",
+        F.round(cosine_similarity(F.col("cv"), F.col("qv")), 6).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("corpus_id").asc())
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k))

@@ -140,3 +140,17 @@ def vec_near_dup_blocked(spark, sf):
                     F.col("b.vec_id").alias("id_b"),
                     F.round(cos, 6).alias("cosine"))
             .filter(F.col("cosine") >= 0.2))
+
+
+@register("ann_ivf_topk")
+def ann_ivf_topk(spark, sf):
+    """IVF ANN top-5: k-means coarse quantizer (8 lists, 2 Lloyd
+    iterations, deterministic seeds), 2-probe search
+    (pipeline/similarity.ivf_topk). Approximate — rows-only; recall vs the
+    exact baseline asserted in unit tests."""
+    from clickhouse_clickhouse_spark.pipeline.similarity import ivf_topk
+
+    e = load_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    return ivf_topk(e, q, k=5, n_centroids=8, n_probe=2,
+                    query_id="vec_id", query_vec="embedding")

@@ -16,7 +16,11 @@ _NATIVE = {"parquet", "orc", "csv", "json", "text"}
 _NEEDS_JARS = {"avro", "delta", "iceberg", "hudi"}
 
 
-def write_any(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") -> None:
+def write_any(df: DataFrame, path: str, fmt: str, mode: str = "overwrite",
+              compression: str | None = None) -> None:
+    """``compression``: per-format codec (parquet: snappy/zstd/gzip/none;
+    orc: zlib/snappy/zstd; csv/json/text: gzip/bzip2/none) — the
+    reference's column-codec setting (CODEC(ZSTD)) at file granularity."""
     if fmt in _NEEDS_JARS:
         raise NotImplementedError(
             f"format {fmt!r} requires connector jars not present in this "
@@ -26,6 +30,8 @@ def write_any(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") -> No
     w = df.write.mode(mode)
     if fmt == "csv":
         w = w.option("header", "true")
+    if compression:
+        w = w.option("compression", compression)
     w.format(fmt).save(path)
 
 

@@ -131,3 +131,20 @@ def test_multimodal_feature_plumbing(spark):
     again = extract_features(media).collect()
     assert {r.media_id: tuple(r.feature) for r in feats} == \
            {r.media_id: tuple(r.feature) for r in again}
+
+
+def test_ivf_topk_recovers_planted_dup(spark):
+    from clickhouse_clickhouse_spark.pipeline.similarity import (
+        assign_to_centroids, ivf_topk, kmeans_centroids,
+    )
+    df = _vectors(spark)
+    q = df.filter(F.col("vec_id") == 0)
+    got = ivf_topk(df, q, k=3, n_centroids=4, n_probe=2,
+                   query_id="vec_id").orderBy("rk").collect()
+    assert got and got[0].corpus_id == 100  # planted near-dup survives IVF pruning
+    # centroids: k rows, correct dimensionality, every vector assigned
+    cents = kmeans_centroids(df, 4)
+    assert cents.count() == 4
+    assert all(len(r.centroid) == 16 for r in cents.collect())
+    assigned = assign_to_centroids(df, cents)
+    assert assigned.count() == df.count()

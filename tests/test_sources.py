@@ -72,3 +72,13 @@ def test_optimize_compact(spark, sample, tmp_path):
     assert back.count() == 100
     import glob
     assert len(glob.glob(path + "/*.parquet")) == 1
+
+
+def test_write_compression_codecs(spark, sample, tmp_path):
+    import glob
+    for codec, ext in [("zstd", ".zstd.parquet"), ("gzip", ".gz.parquet")]:
+        p = str(tmp_path / f"c_{codec}")
+        write_any(sample, p, "parquet", compression=codec)
+        files = glob.glob(p + "/*.parquet")
+        assert files and any(ext in f for f in files), (codec, files)
+        assert spark.read.parquet(p).count() == 100

@@ -111,3 +111,35 @@ def test_materialized_view_class(spark, events_dir, tmp_path):
     n_src = spark.read.parquet(events_dir).count()
     assert spark.read.parquet(t1).count() == n_src
     assert spark.read.parquet(t2).agg(F.sum("n")).collect()[0][0] == n_src
+
+
+def test_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
+    """Exactly-once restart semantics: a checkpointed stream restarted
+    after new files arrive processes ONLY the new data (the reference's
+    Kafka offset-commit analog)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ev = load_table(spark, sf_dir, "events")
+    ev.filter(F.col("event_id") < 500).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        stream = (spark.readStream.schema(schema).format("parquet")
+                  .option("path", src).load())
+        q = (stream.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    # new data arrives while the stream is down
+    ev.filter(F.col("event_id") >= 500).write.mode("append").parquet(src)
+    run_once()
+    total = spark.read.parquet(out).count()
+    assert n1 == ev.filter(F.col("event_id") < 500).count()
+    assert total == ev.count()          # no re-processing of old files
