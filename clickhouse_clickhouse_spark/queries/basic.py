@@ -155,3 +155,24 @@ def generate_random(spark, sf):
                  F.round(F.stddev_pop("u"), 6).alias("std_u"),
                  F.round(F.min("u"), 6).alias("min_u"),
                  F.round(F.max("u"), 6).alias("max_u")))
+
+
+@register("recursive_cte_series", oracle="""
+WITH RECURSIVE t(n, fib, prev) AS (
+  SELECT 1, 1, 0
+  UNION ALL
+  SELECT n + 1, fib + prev, fib FROM t WHERE n < 30
+)
+SELECT n, cast(fib AS BIGINT) AS fib FROM t
+""")
+def recursive_cte_series(spark, sf):
+    """WITH RECURSIVE (Spark 4 recursive CTE — iterative series without
+    driver loops; the reference added recursive CTEs in the same era)."""
+    return spark.sql("""
+        WITH RECURSIVE t(n, fib, prev) AS (
+          SELECT 1, CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+          UNION ALL
+          SELECT n + 1, fib + prev, fib FROM t WHERE n < 30
+        )
+        SELECT n, fib FROM t
+    """)

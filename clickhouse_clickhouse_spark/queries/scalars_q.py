@@ -547,3 +547,26 @@ def misc_presentation_funcs(spark, sf):
         ch.bar(F.col("o_totalprice"), 0, 500000, width=20).alias("bar"),
         ch.transform("o_orderstatus", ["O", "F"], ["open", "filled"], "other")
         .alias("status_name"))
+
+
+@register("tz_funcs", oracle="""
+SELECT o_orderkey,
+       timezone('America/New_York', o_orderdate AT TIME ZONE 'UTC') AS ny_local,
+       timezone('Asia/Tokyo', o_orderdate AT TIME ZONE 'UTC')       AS tokyo_local,
+       cast(timezone('UTC',
+                     timezone('America/New_York', o_orderdate AT TIME ZONE 'UTC')
+                       AT TIME ZONE 'America/New_York')
+            AS TIMESTAMP)                                           AS back_to_utc
+FROM orders WHERE o_orderkey <= 60
+""")
+def tz_funcs(spark, sf):
+    """toTimeZone family (§2.8 date/time): UTC-naive fixture timestamps
+    shifted into/out of named zones (from_utc_timestamp/to_utc_timestamp)."""
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") <= 60)
+    return o.select(
+        "o_orderkey",
+        F.from_utc_timestamp("o_orderdate", "America/New_York").alias("ny_local"),
+        F.from_utc_timestamp("o_orderdate", "Asia/Tokyo").alias("tokyo_local"),
+        F.to_utc_timestamp(
+            F.from_utc_timestamp("o_orderdate", "America/New_York"),
+            "America/New_York").alias("back_to_utc"))
