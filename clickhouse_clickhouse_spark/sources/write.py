@@ -25,9 +25,15 @@ from pyspark.sql import functions as F
 def insert_partitioned(df: DataFrame, path: str,
                        partition_by: Sequence[str] = (),
                        sort_by: Sequence[str] = (),
-                       mode: str = "overwrite") -> None:
+                       mode: str = "overwrite",
+                       bloom_filter_cols: Sequence[str] = ()) -> None:
     """INSERT: partition layout + in-file sort order (PARTITION BY +
-    ORDER BY of a MergeTree table)."""
+    ORDER BY of a MergeTree table).
+
+    ``bloom_filter_cols`` writes Parquet bloom filters for the named
+    columns — the analog of the reference's bloom_filter skip index
+    (point-lookup pruning on non-sort-key columns); the in-file sort
+    already gives min/max row-group pruning on the sort key."""
     out = df
     if sort_by:
         if partition_by:
@@ -36,6 +42,8 @@ def insert_partitioned(df: DataFrame, path: str,
     writer = out.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    for c in bloom_filter_cols:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
     writer.parquet(path)
 
 
