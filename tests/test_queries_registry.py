@@ -19,7 +19,7 @@ def test_contract_shapes():
     assert len(qs) >= 90
     assert set(oracles) <= set(qs)
     # the vast majority must be oracle-checked, not rows-only
-    assert len(oracles) >= len(qs) - 6
+    assert len(oracles) >= len(qs) - 8
 
 
 def test_entry_returns_rows(spark):
