@@ -16,4 +16,5 @@ from clickhouse_clickhouse_spark.queries import (  # noqa: F401
     vectors_q,
     advanced_q,
     tpch_q,
+    clickbench_q,
 )

@@ -135,3 +135,31 @@ def session_stats(spark, sf):
     return (s.groupBy("user_id")
             .agg(F.max("session_id").cast("long").alias("n_sessions"),
                  F.count("*").alias("n_events")))
+
+
+@register("sequence_match_bool", oracle="""
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(CASE event_type WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
+                    WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                    ELSE 'v' END, '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id)
+SELECT user_id,
+       regexp_matches(seq, 'v.*p') AS viewed_then_purchased,
+       regexp_matches(seq, 's.*e') AS signup_then_error
+FROM seqs
+""")
+def sequence_match_bool(spark, sf):
+    """sequenceMatch('(?1).*(?2)') — boolean pattern over the ordered
+    event string (reference sequenceMatch; the .* between steps is the
+    events-in-between semantics)."""
+    from clickhouse_clickhouse_spark.operators.events import event_string
+
+    ev = load_table(spark, sf, "events")
+    seq = event_string(ev, "user_id", "ts", "event_type", "event_id",
+                       {"click": "c", "error": "e", "purchase": "p",
+                        "signup": "s", "view": "v"})
+    return seq.select(
+        "user_id",
+        F.col("seq").rlike("v.*p").alias("viewed_then_purchased"),
+        F.col("seq").rlike("s.*e").alias("signup_then_error"))

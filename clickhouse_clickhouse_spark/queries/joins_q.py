@@ -287,3 +287,21 @@ def join_asof_left_outer(spark, sf):
                   right_cols=[])
     return j.select("event_id", "user_id",
                     F.col("asof_c_ts").alias("prior_click_ts"))
+
+
+@register("join_null_safe", oracle="""
+WITH a AS (SELECT event_id, CASE WHEN value > 100 THEN event_type END AS k
+           FROM events WHERE event_id < 200),
+b AS (SELECT CASE WHEN value > 100 THEN event_type END AS k, count(*) AS n
+      FROM events GROUP BY 1)
+SELECT a.event_id, a.k, b.n
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+""")
+def join_null_safe(spark, sf):
+    """NULL-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping (§2.3 semantics edge)."""
+    ev = load_table(spark, sf, "events")
+    k = F.when(F.col("value") > 100, F.col("event_type"))
+    a = ev.filter(F.col("event_id") < 200).select("event_id", k.alias("k"))
+    b = ev.select(k.alias("k")).groupBy("k").agg(F.count("*").alias("n"))
+    return a.join(b, a.k.eqNullSafe(b.k)).select(a.event_id, a.k, b.n)

@@ -570,3 +570,33 @@ def tz_funcs(spark, sf):
         F.to_utc_timestamp(
             F.from_utc_timestamp("o_orderdate", "America/New_York"),
             "America/New_York").alias("back_to_utc"))
+
+
+@register("array_enumerate", oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ')[1:10] AS a
+           FROM documents WHERE doc_id <= 20)
+SELECT doc_id,
+       array_to_string(list_transform(generate_series(1, len(a)),
+                                      i -> cast(i AS VARCHAR)), ',') AS enum_idx,
+       array_to_string(list_transform(generate_series(1, len(a)),
+           i -> cast(len(list_filter(a[1:i], x -> x = a[i])) AS VARCHAR)), ',')
+           AS enum_uniq
+FROM t
+""")
+def array_enumerate(spark, sf):
+    """arrayEnumerate (1..n) + arrayEnumerateUniq (occurrence index of
+    each value) over token prefixes (§2.8 arrays) — emitted as joined int
+    strings."""
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") <= 20)
+    a = F.slice(F.split("text", " "), 1, 10)
+    t = d.select("doc_id", a.alias("a"))
+    enum_idx = F.transform(F.sequence(F.lit(1), F.size("a")),
+                           lambda i: i.cast("string"))
+    enum_uniq = F.transform(
+        F.sequence(F.lit(1), F.size("a")),
+        lambda i: F.size(F.filter(F.slice("a", 1, i),
+                                  lambda x: x == F.element_at(F.col("a"), i)))
+        .cast("string"))
+    return t.select("doc_id",
+                    F.array_join(enum_idx, ",").alias("enum_idx"),
+                    F.array_join(enum_uniq, ",").alias("enum_uniq"))
