@@ -261,7 +261,7 @@ def agg_topk_per_group(spark, sf):
 
 
 @register("agg_histogram", oracle="""
-SELECT least(greatest(cast(floor(o_totalprice / 60000.0) AS INT), 0), 9) AS bucket,
+SELECT cast(least(greatest(cast(floor(o_totalprice / 60000.0) AS INT), 0), 9) AS INT) AS bucket,
        count(*) AS cnt,
        round(least(greatest(cast(floor(o_totalprice / 60000.0) AS INT), 0), 9) * 60000.0, 6)
            AS bucket_lo,

@@ -17,7 +17,7 @@ from clickhouse_clickhouse_spark.tables import load_table
 
 @register("str_funcs", oracle="""
 SELECT p_partkey,
-       length(p_name)                       AS name_len,
+       cast(length(p_name) AS INT)          AS name_len,
        upper(p_name)                        AS name_upper,
        lower(p_brand)                       AS brand_lower,
        substring(p_name, 1, 8)              AS name_prefix,
@@ -252,7 +252,7 @@ def json_funcs(spark, sf):
 @register("hash_funcs", oracle="""
 SELECT p_partkey,
        md5(p_name)                 AS name_md5,
-       length(md5(p_name))         AS md5_len,
+       cast(length(md5(p_name)) AS INT) AS md5_len,
        sha256(p_brand)             AS brand_sha256
 FROM part WHERE p_partkey <= 30
 """)
