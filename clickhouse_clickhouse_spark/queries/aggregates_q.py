@@ -261,14 +261,14 @@ def agg_topk_per_group(spark, sf):
 
 
 @register("agg_histogram", oracle="""
-SELECT cast(least(greatest(cast(floor(o_totalprice / 60000.0) AS INT), 0), 9) AS INT) AS bucket,
-       count(*) AS cnt,
-       round(least(greatest(cast(floor(o_totalprice / 60000.0) AS INT), 0), 9) * 60000.0, 6)
-           AS bucket_lo,
-       round((least(greatest(cast(floor(o_totalprice / 60000.0) AS INT), 0), 9) + 1) * 60000.0, 6)
-           AS bucket_hi
-FROM orders WHERE o_totalprice IS NOT NULL
-GROUP BY 1
+WITH b AS (
+  SELECT cast(least(greatest(cast(floor(o_totalprice / 60000.0) AS INT), 0), 9) AS INT)
+             AS bucket
+  FROM orders WHERE o_totalprice IS NOT NULL)
+SELECT bucket, count(*) AS cnt,
+       round(bucket * 60000.0, 6)       AS bucket_lo,
+       round((bucket + 1) * 60000.0, 6) AS bucket_hi
+FROM b GROUP BY bucket
 """)
 def agg_histogram(spark, sf):
     """histogram(10) over [0, 600000) (fixed-bound deterministic variant)."""
