@@ -240,14 +240,33 @@ def lang_guess_q(spark, sf):
             .groupBy("lang", "guess").agg(F.count("*").alias("n")))
 
 
-@register("quality_score_by_source")
+@register("quality_score_by_source", oracle="""
+WITH q AS (
+  SELECT source,
+         least(len(string_split(text, ' ')) / 50.0, 1.0) AS length_term,
+         1.0 - least(
+           ((length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')))
+              / greatest(length(text), 1)) * 4
+           + ((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+              / greatest(length(text), 1)) * 2, 1.0) AS noise_term,
+         CASE WHEN cast(list_aggregate(list_transform(string_split(text, ' '),
+                                                      x -> length(x)), 'sum') AS DOUBLE)
+                   / greatest(len(string_split(text, ' ')), 1) BETWEEN 2 AND 12
+              THEN 1.0 ELSE 0.3 END AS wl_term
+  FROM documents)
+SELECT source,
+       round(sum(round(length_term * 0.4 + noise_term * 0.4 + wl_term * 0.2, 6)), 6)
+           AS sum_quality,
+       count(*) AS n_docs
+FROM q GROUP BY source
+""")
 def quality_score_by_source(spark, sf):
-    """Composite quality score distribution per source (rows-only: the
-    score is our own composite; components are oracle-checked in
-    text_quality)."""
+    """Composite quality score per source — the oracle replicates the full
+    formula (length, punct/digit noise, word-length terms); summed over
+    the 6-dp grid (boundary-safe) rather than averaged."""
     d = load_table(spark, sf, "documents")
     return (d.groupBy("source")
-            .agg(F.round(F.avg(TXT.quality_score(F.col("text"))), 6).alias("avg_quality"),
+            .agg(F.round(F.sum(TXT.quality_score(F.col("text"))), 6).alias("sum_quality"),
                  F.count("*").alias("n_docs")))
 
 

@@ -34,6 +34,13 @@ def ensure_engine_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    # externally created sessions default to 200 shuffle partitions — far
+    # too many for the fixture scales; AQE coalesces, but a right-sized
+    # default avoids scheduling overhead entirely
+    if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+        import os
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(os.cpu_count() or 8))
 
 
 # Analyzed-relation cache: fixture tables are immutable, so re-listing the
