@@ -474,3 +474,19 @@ def agg_decimal_path(spark, sf):
     return (li.groupBy("l_returnflag")
             .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
                          .cast("double"), 2).alias("sum_dec")))
+
+
+@register("agg_limit_by_offset", oracle="""
+SELECT o_custkey, o_orderkey FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) t WHERE rn > 1 AND rn <= 3
+""")
+def agg_limit_by_offset(spark, sf):
+    """LIMIT 2 OFFSET 1 BY custkey (reference LIMIT BY offset form)."""
+    o = load_table(spark, sf, "orders")
+    return limit_by(o.select("o_custkey", "o_orderkey", "o_totalprice"),
+                    2, ["o_custkey"],
+                    [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+                    offset=1).select("o_custkey", "o_orderkey")

@@ -600,3 +600,55 @@ def array_enumerate(spark, sf):
     return t.select("doc_id",
                     F.array_join(enum_idx, ",").alias("enum_idx"),
                     F.array_join(enum_uniq, ",").alias("enum_uniq"))
+
+
+@register("str_search2", oracle="""
+SELECT doc_id,
+       cast((length(text) - length(replace(text, 'data', ''))) / 4 AS INT)
+           AS n_data_occurrences,
+       (contains(text, 'spark') OR contains(text, 'query') OR contains(text, 'merge'))
+           AS multi_any,
+       cast(position('key' IN substring(text, 20)) AS INT) AS pos_from_20
+FROM documents WHERE doc_id <= 40
+""")
+def str_search2(spark, sf):
+    """countSubstrings / multiSearchAny / position-with-offset (§2.8
+    search family, second batch)."""
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") <= 40)
+    t = F.col("text")
+    count_sub = ((F.length(t) - F.length(F.replace(t, F.lit("data"), F.lit(""))))
+                 / 4).cast("int")
+    multi_any = (t.contains("spark") | t.contains("query") | t.contains("merge"))
+    return d.select(
+        "doc_id",
+        count_sub.alias("n_data_occurrences"),
+        multi_any.alias("multi_any"),
+        F.locate("key", F.substring(t, 20, 1 << 30)).alias("pos_from_20"))
+
+
+@register("array_mutation_funcs", oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ')[1:6] AS a
+           FROM documents WHERE doc_id <= 20)
+SELECT doc_id,
+       array_to_string(list_append(a, 'END'), ',')             AS pushed_back,
+       array_to_string(list_prepend('START', a), ',')          AS pushed_front,
+       array_to_string(a[1:3], ',')                            AS resized_down,
+       array_to_string(a || ['pad', 'pad'], ',')               AS extended,
+       array_to_string(list_reverse(a), ',')                   AS reversed
+FROM t
+""")
+def array_mutation_funcs(spark, sf):
+    """arrayPushBack/PushFront/Resize/Concat/Reverse (§2.8 arrays,
+    mutation-shaped builders)."""
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") <= 20)
+    a = F.slice(F.split("text", " "), 1, 6)
+    t = d.select("doc_id", a.alias("a"))
+    return t.select(
+        "doc_id",
+        F.array_join(F.concat("a", F.array(F.lit("END"))), ",").alias("pushed_back"),
+        F.array_join(F.concat(F.array(F.lit("START")), F.col("a")), ",")
+        .alias("pushed_front"),
+        F.array_join(F.slice("a", 1, 3), ",").alias("resized_down"),
+        F.array_join(F.concat("a", F.array(F.lit("pad"), F.lit("pad"))), ",")
+        .alias("extended"),
+        F.array_join(F.reverse("a"), ",").alias("reversed"))

@@ -143,3 +143,32 @@ def test_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
     total = spark.read.parquet(out).count()
     assert n1 == ev.filter(F.col("event_id") < 500).count()
     assert total == ev.count()          # no re-processing of old files
+
+
+def test_streaming_session_window(spark, events_dir):
+    """session_window in TRUE streaming mode (watermark + append): closed
+    sessions match the batch session_window aggregation."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = (spark.readStream.schema(schema).format("parquet")
+              .option("path", events_dir).load())
+    agg = (stream.withWatermark("ts", "1 hour")
+           .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+           .agg(F.count("*").alias("n")))
+    q = (agg.writeStream.outputMode("append").format("memory")
+         .queryName("sw_out").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT session_window, user_id, n FROM sw_out")
+    batch = (spark.read.parquet(events_dir)
+             .groupBy(F.session_window("ts", "30 minutes").alias("session_window"),
+                      "user_id")
+             .agg(F.count("*").alias("n")))
+    n_out, n_batch = out.count(), batch.count()
+    assert 0 < n_out <= n_batch
+    joined = out.alias("s").join(
+        batch.alias("b"),
+        (F.col("s.session_window") == F.col("b.session_window")) &
+        (F.col("s.user_id") == F.col("b.user_id")))
+    assert joined.filter(F.col("s.n") != F.col("b.n")).count() == 0
