@@ -652,3 +652,67 @@ def array_mutation_funcs(spark, sf):
         F.array_join(F.concat("a", F.array(F.lit("pad"), F.lit("pad"))), ",")
         .alias("extended"),
         F.array_join(F.reverse("a"), ",").alias("reversed"))
+
+
+@register("map_hof_funcs", oracle="""
+WITH g AS (
+  SELECT user_id,
+         cast(count_if(event_type = 'click') AS BIGINT) AS n_click,
+         cast(count_if(event_type = 'view') AS BIGINT)  AS n_view
+  FROM events GROUP BY user_id)
+SELECT user_id,
+       n_click * 2      AS clicks_doubled,
+       n_click + n_view AS clicks_plus_views,
+       n_view >= 5      AS many_views
+FROM g
+""")
+def map_hof_funcs(spark, sf):
+    """Map higher-order functions (§2.8 maps: mapApply/transform_values,
+    mapFilter, mapZipWith/map_zip_with): values are transformed inside
+    Spark map columns; the oracle checks the extracted results directly."""
+    ev = load_table(spark, sf, "events")
+    g = ev.groupBy("user_id").agg(
+        F.map_from_entries(F.array(
+            F.struct(F.lit("click").alias("k"),
+                     F.count_if(F.col("event_type") == "click").alias("v")),
+            F.struct(F.lit("view").alias("k"),
+                     F.count_if(F.col("event_type") == "view").alias("v")),
+        )).alias("m"))
+    doubled = F.transform_values("m", lambda k, v: v * 2)
+    zipped = F.map_zip_with("m", doubled, lambda k, v1, v2: v2 - v1)
+    filtered = F.map_filter("m", lambda k, v: v >= 5)
+    return g.select(
+        "user_id",
+        F.element_at(doubled, "click").alias("clicks_doubled"),
+        # map_zip_with check folded in: (2m - m)[click] + m[view]
+        (F.element_at(zipped, "click") + F.element_at("m", "view"))
+        .alias("clicks_plus_views"),
+        F.map_contains_key(filtered, "view").alias("many_views"))
+
+
+@register("udtf_split_words", oracle="""
+SELECT doc_id, unnest(string_split(text, ' ')[1:5]) AS word
+FROM documents WHERE doc_id <= 10
+""")
+def udtf_split_words(spark, sf):
+    """Python UDTF as a table function (§2.10 executable table function
+    analog): splits each doc's first tokens into rows; oracle is plain
+    unnest (the UDTF mechanism is what's under test)."""
+    from pyspark.sql.functions import udtf
+
+    if not hasattr(udtf_split_words, "_registered"):
+        @udtf(returnType="doc_id bigint, word string")
+        class SplitWords:
+            def eval(self, doc_id: int, text: str):
+                for w in text.split(" ")[:5]:
+                    yield doc_id, w
+
+        spark.udtf.register("split_words_udtf", SplitWords)
+        udtf_split_words._registered = True
+    load_table(spark, sf, "documents").filter(F.col("doc_id") <= 10) \
+        .createOrReplaceTempView("__docs_udtf")
+    return spark.sql("""
+        SELECT s.doc_id, s.word
+        FROM __docs_udtf d,
+             LATERAL split_words_udtf(d.doc_id, d.text) s
+    """)
