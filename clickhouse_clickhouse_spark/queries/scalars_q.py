@@ -716,3 +716,77 @@ def udtf_split_words(spark, sf):
         FROM __docs_udtf d,
              LATERAL split_words_udtf(d.doc_id, d.text) s
     """)
+
+
+@register("str_regex_backref", oracle="""
+SELECT c_custkey,
+       regexp_replace(c_name, '(Customer)#0*([0-9]+)', '\\2-\\1') AS reordered,
+       regexp_replace(c_name, '[0-9]', '*', 'g')                  AS masked
+FROM customer WHERE c_custkey <= 40
+""")
+def str_regex_backref(spark, sf):
+    """replaceRegexpOne/All with capture-group backreferences (§2.8) —
+    dialect note: Spark uses $n, DuckDB \\n; same semantics."""
+    c = load_table(spark, sf, "customer").filter(F.col("c_custkey") <= 40)
+    return c.select(
+        "c_custkey",
+        F.regexp_replace("c_name", r"(Customer)#0*([0-9]+)", r"$2-$1")
+        .alias("reordered"),
+        F.regexp_replace("c_name", "[0-9]", "*").alias("masked"))
+
+
+@register("parse_best_effort", oracle="""
+WITH s AS (
+  SELECT o_orderkey,
+         CASE o_orderkey % 3 WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+              WHEN 1 THEN strftime(o_orderdate, '%d/%m/%Y')
+              ELSE strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') END AS txt
+  FROM orders WHERE o_orderkey <= 90)
+SELECT o_orderkey, txt,
+       coalesce(try_strptime(txt, '%Y-%m-%d'),
+                try_strptime(txt, '%d/%m/%Y'),
+                try_strptime(txt, '%Y-%m-%dT%H:%M:%S')) AS parsed
+FROM s
+""")
+def parse_best_effort(spark, sf):
+    """parseDateTimeBestEffort: fallback chain of try_to_timestamp over
+    candidate formats (§2.8 conversions) — mixed-format input column
+    parses fully with no errors (ANSI off)."""
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") <= 90)
+    txt = (F.when(F.col("o_orderkey") % 3 == 0,
+                  F.date_format("o_orderdate", "yyyy-MM-dd"))
+           .when(F.col("o_orderkey") % 3 == 1,
+                 F.date_format("o_orderdate", "dd/MM/yyyy"))
+           .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss")))
+    s = o.select("o_orderkey", txt.alias("txt"))
+    best_effort = F.coalesce(
+        F.try_to_timestamp("txt", F.lit("yyyy-MM-dd")),
+        F.try_to_timestamp("txt", F.lit("dd/MM/yyyy")),
+        F.try_to_timestamp("txt", F.lit("yyyy-MM-dd'T'HH:mm:ss")))
+    return s.select("o_orderkey", "txt", best_effort.alias("parsed"))
+
+
+@register("null_semantics", oracle="""
+SELECT n_nationkey,
+       (cnt = cnt) IS NULL            AS null_eq_is_null,
+       cnt + 1 IS NULL                AS null_arith_propagates,
+       coalesce(cnt, -1)              AS coalesced,
+       cnt IS DISTINCT FROM NULL      AS has_value
+FROM nation LEFT JOIN (SELECT c_nationkey, count(*) AS cnt
+                       FROM customer GROUP BY c_nationkey) c
+  ON n_nationkey = c_nationkey
+""")
+def null_semantics(spark, sf):
+    """Three-valued-logic parity (§2.8 comparison/logical): NULL = NULL is
+    NULL, arithmetic propagates NULL, IS DISTINCT FROM, coalesce —
+    exercised against real NULLs from an unmatched left join."""
+    n = load_table(spark, sf, "nation")
+    c = (load_table(spark, sf, "customer").groupBy("c_nationkey")
+         .agg(F.count("*").alias("cnt")))
+    j = n.join(c, n.n_nationkey == c.c_nationkey, "left")
+    return j.select(
+        "n_nationkey",
+        (F.col("cnt") == F.col("cnt")).isNull().alias("null_eq_is_null"),
+        (F.col("cnt") + 1).isNull().alias("null_arith_propagates"),
+        F.coalesce("cnt", F.lit(-1)).alias("coalesced"),
+        F.col("cnt").isNotNull().alias("has_value"))

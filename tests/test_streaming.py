@@ -172,3 +172,23 @@ def test_streaming_session_window(spark, events_dir):
         (F.col("s.session_window") == F.col("b.session_window")) &
         (F.col("s.user_id") == F.col("b.user_id")))
     assert joined.filter(F.col("s.n") != F.col("b.n")).count() == 0
+
+
+def test_live_view_complete_mode(spark, events_dir):
+    """LiveView analog (§2.9): continuously re-evaluated aggregation in
+    complete output mode — final state equals the batch aggregate."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = (spark.readStream.schema(schema).format("parquet")
+              .option("path", events_dir).load())
+    agg = stream.groupBy("event_type").agg(F.count("*").alias("n"))
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName("live_out").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.event_type: r.n for r in spark.sql("SELECT * FROM live_out").collect()}
+    expect = {r.event_type: r.n for r in
+              spark.read.parquet(events_dir).groupBy("event_type")
+              .agg(F.count("*").alias("n")).collect()}
+    assert got == expect
