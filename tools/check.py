@@ -84,6 +84,8 @@ def values_equal(a, b, tol=1e-9):
 
 def main():
     args = sys.argv[1:]
+    write_json = "--json" in args
+    args = [a for a in args if a != "--json"]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = [a for a in args if "/" not in a]
 
@@ -147,6 +149,15 @@ def main():
         print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
 
     print(f"\n{len(names) - len(failures)}/{len(names)} passed")
+    if write_json:
+        import json
+        summary = {"sf_dir": sf_dir, "total": len(names),
+                   "passed": len(names) - len(failures),
+                   "rows_only": [n for n in names if n not in oracles],
+                   "failures": failures}
+        with open(f"{REPO}/CORRECTNESS_local.json", "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"wrote CORRECTNESS_local.json")
     if failures:
         print("failures:", " ".join(failures))
         sys.exit(1)
