@@ -127,3 +127,37 @@ def funnel_apply_in_pandas(df: DataFrame, entity: str, ts: str, event: str,
         return pd.DataFrame({entity: [pdf[entity].iloc[0]], "level": [level]})
 
     return df.groupBy(entity).applyInPandas(scan, schema=f"{entity} long, level int")
+
+
+def window_funnel_hof(df: DataFrame, entity: str, ts: str, event: str,
+                      steps: Sequence[str], window_seconds: int) -> DataFrame:
+    """Single-shuffle windowFunnel: collect each entity's events into a
+    sorted array and run the greedy chain scan as a JVM ``aggregate``
+    higher-order fold — same semantics as the cascade form
+    (window_funnel), but ONE shuffle instead of one per step. The better
+    100 TB shape when k is large; per-entity history must fit in memory
+    (the same bound the reference's AggregateFunctionWindowFunnel has).
+    Returns (entity, level) for entities that reached step 1."""
+    win_us = int(window_seconds) * 1_000_000
+    evs = F.array_sort(F.collect_list(F.struct(
+        F.unix_micros(F.col(ts)).alias("t"),
+        F.col(event).alias("e"))))
+    init = F.struct(F.lit(0).alias("level"),
+                    F.lit(0).cast("long").alias("t0"),
+                    F.lit(0).cast("long").alias("tp"))
+
+    def step_fn(acc, e):
+        start = F.struct(F.lit(1).alias("level"),
+                         e["t"].alias("t0"), e["t"].alias("tp"))
+        out = F.when((acc["level"] == 0) & (e["e"] == steps[0]), start)
+        for lvl in range(1, len(steps)):
+            advanced = F.struct((acc["level"] + 1).alias("level"),
+                                acc["t0"].alias("t0"), e["t"].alias("tp"))
+            out = out.when((acc["level"] == lvl) & (e["e"] == steps[lvl]) &
+                           (e["t"] > acc["tp"]) &
+                           (e["t"] <= acc["t0"] + F.lit(win_us)), advanced)
+        return out.otherwise(acc)
+
+    g = df.groupBy(entity).agg(
+        F.aggregate(evs, init, step_fn).getField("level").alias("level"))
+    return g.filter(F.col("level") >= 1)

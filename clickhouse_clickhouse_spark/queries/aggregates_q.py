@@ -490,3 +490,23 @@ def agg_limit_by_offset(spark, sf):
                     2, ["o_custkey"],
                     [F.col("o_totalprice").desc(), F.col("o_orderkey")],
                     offset=1).select("o_custkey", "o_orderkey")
+
+
+@register("agg_resample", oracle="""
+SELECT l_returnflag,
+       cast(least(cast(floor(l_quantity / 10.0) AS INT), 4) AS INT) AS qty_bucket,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag, 2
+""")
+def agg_resample(spark, sf):
+    """-Resample combinator (sumResample(0,50,10)): aggregate per value
+    bucket of a second column — relational form: the bucket joins the
+    grouping key (SURVEY.md §2.4 combinators)."""
+    li = load_table(spark, sf, "lineitem")
+    bucket = F.least(F.floor(F.col("l_quantity") / 10.0).cast("int"),
+                     F.lit(4)).cast("int")
+    return (li.groupBy("l_returnflag", bucket.alias("qty_bucket"))
+            .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+                 F.count("*").alias("n")))

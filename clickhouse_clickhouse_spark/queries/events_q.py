@@ -163,3 +163,33 @@ def sequence_match_bool(spark, sf):
         "user_id",
         F.col("seq").rlike("v.*p").alias("viewed_then_purchased"),
         F.col("seq").rlike("s.*e").alias("signup_then_error"))
+
+
+@register("funnel_levels_hof", oracle="""
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(ts) AS t2
+       FROM events e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND ts > t1 AND ts <= t1 + INTERVAL 7 DAY
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(ts) AS t3
+       FROM events e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+       WHERE event_type = 'purchase' AND ts > t2 AND ts <= t1 + INTERVAL 7 DAY
+       GROUP BY e.user_id)
+SELECT s1.user_id,
+       cast(CASE WHEN t3 IS NOT NULL THEN 3
+                 WHEN t2 IS NOT NULL THEN 2
+                 ELSE 1 END AS INT) AS level
+FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+""")
+def funnel_levels_hof(spark, sf):
+    """windowFunnel via the single-shuffle JVM-fold implementation
+    (operators/events.window_funnel_hof) — same oracle as the cascade
+    form, proving the two algorithms agree; this is the shape to run at
+    100 TB (one shuffle regardless of funnel depth)."""
+    from clickhouse_clickhouse_spark.operators.events import window_funnel_hof
+
+    ev = load_table(spark, sf, "events")
+    return window_funnel_hof(ev, "user_id", "ts", "event_type",
+                             ["view", "click", "purchase"], 7 * 86400)

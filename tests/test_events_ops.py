@@ -69,3 +69,31 @@ def test_sessionize_gap(spark):
     out = sessionize(df, "user_id", "ts", 1800).collect()
     sessions = sorted((r.ts, r.session_id) for r in out)
     assert [s for _, s in sessions] == [1, 1, 2, 2]
+
+
+def test_funnel_hof_matches_cascade(spark, sf_dir):
+    """Single-shuffle HOF funnel must agree with the oracle-checked
+    cascade on the real fixture."""
+    from clickhouse_clickhouse_spark.operators.events import window_funnel_hof
+    from clickhouse_clickhouse_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    cascade = {r.user_id: r.level for r in
+               window_funnel(ev, "user_id", "ts", "event_type",
+                             ["view", "click", "purchase"], "7 DAYS").collect()}
+    hof = {r.user_id: r.level for r in
+           window_funnel_hof(ev, "user_id", "ts", "event_type",
+                             ["view", "click", "purchase"],
+                             7 * 86400).collect()}
+    assert cascade == hof
+
+
+def test_funnel_hof_single_shuffle(spark, sf_dir):
+    from clickhouse_clickhouse_spark.operators.events import window_funnel_hof
+    from clickhouse_clickhouse_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = window_funnel_hof(ev, "user_id", "ts", "event_type",
+                            ["view", "click", "purchase"], 7 * 86400)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
