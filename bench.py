@@ -27,7 +27,7 @@ HEADLINE = [
     "window_ranks",
     "join_asof",
     "tumble_hourly",
-    "funnel_levels",
+    "funnel_levels_hof",
     "session_stats",
     "dedup_exact",
     "minhash_lsh_pairs_xxhash",

@@ -176,3 +176,19 @@ def recursive_cte_series(spark, sf):
         )
         SELECT n, fib FROM t
     """)
+
+
+@register("group_by_all", oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ALL ORDER BY ALL
+""")
+def group_by_all(spark, sf):
+    """GROUP BY ALL / ORDER BY ALL — modern dialect sugar both the
+    reference and Spark 4 support (all non-aggregate columns group)."""
+    load_table(spark, sf, "lineitem").createOrReplaceTempView("__li_gba")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM __li_gba GROUP BY ALL ORDER BY ALL
+    """)
