@@ -16,5 +16,6 @@ from clickhouse_clickhouse_spark.queries import (  # noqa: F401
     vectors_q,
     advanced_q,
     tpch_q,
+    tpch_full_q,
     clickbench_q,
 )
