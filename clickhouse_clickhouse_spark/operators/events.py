@@ -130,32 +130,69 @@ def funnel_apply_in_pandas(df: DataFrame, entity: str, ts: str, event: str,
 
 
 def window_funnel_hof(df: DataFrame, entity: str, ts: str, event: str,
-                      steps: Sequence[str], window_seconds: int) -> DataFrame:
+                      steps: Sequence[str], window_seconds: int,
+                      mode: str = "default",
+                      tiebreak: str | None = None) -> DataFrame:
     """Single-shuffle windowFunnel: collect each entity's events into a
     sorted array and run the greedy chain scan as a JVM ``aggregate``
     higher-order fold — same semantics as the cascade form
     (window_funnel), but ONE shuffle instead of one per step. The better
     100 TB shape when k is large; per-entity history must fit in memory
     (the same bound the reference's AggregateFunctionWindowFunnel has).
-    Returns (entity, level) for entities that reached step 1."""
+
+    ``mode`` mirrors the reference's windowFunnel modes
+    ([U] src/AggregateFunctions/AggregateFunctionWindowFunnel.cpp):
+
+    - ``default``: greedy earliest chain; a step advances when its event
+      occurs strictly after the previous step and within ``window`` of
+      the chain start; unrelated events are ignored.
+    - ``strict_order``: once the chain starts, ANY event other than the
+      next expected step freezes the chain at its current level.
+    - ``strict_dedup``: a repeat of an already-matched step event before
+      the next step freezes the chain; other events are ignored.
+
+    ``tiebreak`` names a column giving a total order for equal
+    timestamps (required for deterministic strict modes). Returns
+    (entity, level) for entities that reached step 1."""
     win_us = int(window_seconds) * 1_000_000
-    evs = F.array_sort(F.collect_list(F.struct(
-        F.unix_micros(F.col(ts)).alias("t"),
-        F.col(event).alias("e"))))
+    fields = [F.unix_micros(F.col(ts)).alias("t")]
+    if tiebreak:
+        fields.append(F.col(tiebreak).alias("tb"))
+    fields.append(F.col(event).alias("e"))
+    evs = F.array_sort(F.collect_list(F.struct(*fields)))
     init = F.struct(F.lit(0).alias("level"),
                     F.lit(0).cast("long").alias("t0"),
-                    F.lit(0).cast("long").alias("tp"))
+                    F.lit(0).cast("long").alias("tp"),
+                    F.lit(False).alias("dead"))
+
+    def mk(level, t0, tp, dead=F.lit(False)):
+        return F.struct(level.alias("level"), t0.alias("t0"),
+                        tp.alias("tp"), dead.alias("dead"))
 
     def step_fn(acc, e):
-        start = F.struct(F.lit(1).alias("level"),
-                         e["t"].alias("t0"), e["t"].alias("tp"))
-        out = F.when((acc["level"] == 0) & (e["e"] == steps[0]), start)
+        in_window = e["t"] <= acc["t0"] + F.lit(win_us)
+        start = mk(F.lit(1), e["t"], e["t"])
+        advanced = mk(acc["level"] + 1, acc["t0"], e["t"])
+        frozen = mk(acc["level"], acc["t0"], acc["tp"], F.lit(True))
+        out = F.when(acc["dead"], acc)
+        out = out.when((acc["level"] == 0) & (e["e"] == steps[0]), start)
         for lvl in range(1, len(steps)):
-            advanced = F.struct((acc["level"] + 1).alias("level"),
-                                acc["t0"].alias("t0"), e["t"].alias("tp"))
-            out = out.when((acc["level"] == lvl) & (e["e"] == steps[lvl]) &
-                           (e["t"] > acc["tp"]) &
-                           (e["t"] <= acc["t0"] + F.lit(win_us)), advanced)
+            at = (acc["level"] == lvl) & (e["e"] == steps[lvl])
+            if mode == "default":
+                out = out.when(at & (e["t"] > acc["tp"]) & in_window, advanced)
+            else:
+                out = out.when(at & in_window, advanced)
+        if mode == "strict_order":
+            # any non-advancing event after the chain started freezes it
+            out = out.when((acc["level"] >= 1) &
+                           (acc["level"] < len(steps)), frozen)
+        elif mode == "strict_dedup":
+            # a repeat of an already-matched step freezes the chain
+            dup = F.lit(False)
+            for lvl in range(1, len(steps)):
+                dup = dup | ((acc["level"] >= lvl) & (acc["level"] < len(steps)) &
+                             (e["e"] == steps[lvl - 1]))
+            out = out.when(dup, frozen)
         return out.otherwise(acc)
 
     g = df.groupBy(entity).agg(

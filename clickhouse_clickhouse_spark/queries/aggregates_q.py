@@ -510,3 +510,63 @@ def agg_resample(spark, sf):
     return (li.groupBy("l_returnflag", bucket.alias("qty_bucket"))
             .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
                  F.count("*").alias("n")))
+
+
+@register("agg_group_bitmap", oracle="""
+WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+SELECT event_type,
+       CAST(count(*) AS INT) AS card,
+       CAST(sum(CASE WHEN user_id IN (SELECT user_id FROM c)
+                     THEN 1 ELSE 0 END) AS INT) AS and_card,
+       CAST(count(*) + (SELECT count(*) FROM c)
+            - sum(CASE WHEN user_id IN (SELECT user_id FROM c)
+                       THEN 1 ELSE 0 END) AS INT) AS or_card,
+       CAST(count(*) + (SELECT count(*) FROM c)
+            - 2 * sum(CASE WHEN user_id IN (SELECT user_id FROM c)
+                           THEN 1 ELSE 0 END) AS INT) AS xor_card,
+       sum(CASE WHEN user_id IN (SELECT user_id FROM c)
+                THEN 1 ELSE 0 END) > 0 AS has_any_click
+FROM u GROUP BY event_type
+""")
+def agg_group_bitmap(spark, sf):
+    """groupBitmapState + bitmapAnd/Or/Xor/HasAny cardinalities
+    (operators/bitmap.py — sorted-distinct-array bitmaps, all JVM array
+    kernels): per event-type audience bitmap intersected with the
+    'click' audience. The reference does this with roaring bitmaps;
+    the sorted-array state gives the same algebra with built-ins."""
+    from clickhouse_clickhouse_spark.operators import bitmap as B
+
+    ev = load_table(spark, sf, "events")
+    bm = (ev.groupBy("event_type")
+          .agg(B.group_bitmap_state("user_id").alias("bm")))
+    clicks = (bm.filter(F.col("event_type") == "click")
+              .select(F.col("bm").alias("cb")))
+    return (bm.crossJoin(F.broadcast(clicks))
+            .select("event_type",
+                    B.bitmap_cardinality(F.col("bm")).alias("card"),
+                    B.bitmap_cardinality(
+                        B.bitmap_and(F.col("bm"), F.col("cb"))).alias("and_card"),
+                    B.bitmap_cardinality(
+                        B.bitmap_or(F.col("bm"), F.col("cb"))).alias("or_card"),
+                    B.bitmap_cardinality(
+                        B.bitmap_xor(F.col("bm"), F.col("cb"))).alias("xor_card"),
+                    B.bitmap_has_any(F.col("bm"), F.col("cb"))
+                    .alias("has_any_click")))
+
+
+@register("agg_group_bitmap_and", oracle="""
+SELECT CAST(count(*) AS INT) AS and_cardinality
+FROM (SELECT user_id FROM (SELECT DISTINCT event_type, user_id FROM events)
+      GROUP BY user_id
+      HAVING count(*) = (SELECT count(DISTINCT event_type) FROM events))
+""")
+def agg_group_bitmap_and(spark, sf):
+    """groupBitmapAnd across groups: users present in EVERY event-type
+    audience — the cross-group bitmap intersection computed as a
+    distinct-count-per-value aggregate (one shuffle; nothing collected
+    but the group count)."""
+    from clickhouse_clickhouse_spark.operators.bitmap import group_bitmap_and
+
+    ev = load_table(spark, sf, "events")
+    return group_bitmap_and(ev, "event_type", "user_id")

@@ -193,3 +193,65 @@ def funnel_levels_hof(spark, sf):
     ev = load_table(spark, sf, "events")
     return window_funnel_hof(ev, "user_id", "ts", "event_type",
                              ["view", "click", "purchase"], 7 * 86400)
+
+
+@register("funnel_strict_order", oracle="""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                    WHEN 'purchase' THEN 'p' ELSE 'x' END, ''
+                    ORDER BY ts, event_id) AS s
+  FROM events GROUP BY user_id),
+cut AS (SELECT user_id, substr(s, strpos(s, 'v')) AS t
+        FROM seq WHERE strpos(s, 'v') > 0)
+SELECT user_id,
+       CAST(CASE WHEN t LIKE 'vcp%' THEN 3
+                 WHEN t LIKE 'vc%'  THEN 2
+                 ELSE 1 END AS INT) AS level
+FROM cut
+""")
+def funnel_strict_order(spark, sf):
+    """windowFunnel strict_order mode (reference [U]
+    AggregateFunctionWindowFunnel.cpp): after the chain starts, any event
+    other than the next expected step freezes the level — so the level
+    is the longest exact event-prefix view→click→purchase. Oracle mirrors
+    it as a string prefix match over the (ts, event_id)-ordered event
+    letters. Window is set beyond the fixture span so ordering alone
+    decides (window semantics are covered by the default-mode funnels)."""
+    from clickhouse_clickhouse_spark.operators.events import window_funnel_hof
+
+    ev = load_table(spark, sf, "events")
+    return window_funnel_hof(ev, "user_id", "ts", "event_type",
+                             ["view", "click", "purchase"], 365 * 86400,
+                             mode="strict_order", tiebreak="event_id")
+
+
+@register("funnel_strict_dedup", oracle="""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                    WHEN 'purchase' THEN 'p' ELSE 'x' END, ''
+                    ORDER BY ts, event_id) AS s
+  FROM events GROUP BY user_id),
+cut AS (SELECT user_id, substr(s, strpos(s, 'v')) AS t
+        FROM seq WHERE strpos(s, 'v') > 0)
+SELECT user_id,
+       CAST(CASE WHEN regexp_matches(t, '^v[^vc]*c[^vcp]*p') THEN 3
+                 WHEN regexp_matches(t, '^v[^vc]*c')         THEN 2
+                 ELSE 1 END AS INT) AS level
+FROM cut
+""")
+def funnel_strict_dedup(spark, sf):
+    """windowFunnel strict_dedup mode: a repeat of an already-matched
+    step before the next step freezes the chain (a second 'view' before
+    the click, or a view/click repeat before the purchase); unrelated
+    events pass through. Greedy: at each level the FIRST
+    decision-relevant event (advance or duplicate) settles the outcome.
+    Oracle: regex over the ordered event letters whose negated character
+    classes admit only decision-irrelevant letters between steps."""
+    from clickhouse_clickhouse_spark.operators.events import window_funnel_hof
+
+    ev = load_table(spark, sf, "events")
+    return window_funnel_hof(ev, "user_id", "ts", "event_type",
+                             ["view", "click", "purchase"], 365 * 86400,
+                             mode="strict_dedup", tiebreak="event_id")

@@ -790,3 +790,30 @@ def null_semantics(spark, sf):
         (F.col("cnt") + 1).isNull().alias("null_arith_propagates"),
         F.coalesce("cnt", F.lit(-1)).alias("coalesced"),
         F.col("cnt").isNotNull().alias("has_value"))
+
+
+@register("collate_case_insensitive", oracle="""
+WITH t AS (SELECT p_brand,
+                  CASE WHEN p_partkey % 2 = 0 THEN upper(p_name)
+                       ELSE p_name END AS name2
+           FROM part)
+SELECT p_brand,
+       CAST(count(DISTINCT name2) AS INT)        AS n_binary,
+       CAST(count(DISTINCT lower(name2)) AS INT) AS n_ci,
+       min(lower(name2))                         AS first_ci
+FROM t GROUP BY p_brand
+""")
+def collate_case_insensitive(spark, sf):
+    """COLLATE (§2.6 — Spark 4 collations): distinct-count and min under
+    the UTF8_LCASE collation vs binary collation, over a mixed-case
+    column synthesized from p_name. The collated comparison happens
+    JVM-side in the agg (no lower() copy of the data); the oracle models
+    UTF8_LCASE as lower()."""
+    p = load_table(spark, sf, "part")
+    name2 = F.when(F.col("p_partkey") % 2 == 0,
+                   F.upper("p_name")).otherwise(F.col("p_name"))
+    ci = F.collate(name2, "UTF8_LCASE")
+    return (p.groupBy("p_brand")
+            .agg(F.countDistinct(name2).cast("int").alias("n_binary"),
+                 F.countDistinct(ci).cast("int").alias("n_ci"),
+                 F.lower(F.min(ci)).cast("string").alias("first_ci")))

@@ -97,3 +97,57 @@ def test_funnel_hof_single_shuffle(spark, sf_dir):
                             ["view", "click", "purchase"], 7 * 86400)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def _strict_events(spark):
+    rows = [
+        # user 1: v c p consecutive -> 3 in every mode
+        (1, T(2024, 1, 1, 0), "view"), (1, T(2024, 1, 2, 0), "click"),
+        (1, T(2024, 1, 3, 0), "purchase"),
+        # user 2: v (signup) c p -> strict_order breaks at signup (1);
+        # strict_dedup skips it (3)
+        (2, T(2024, 1, 1, 0), "view"), (2, T(2024, 1, 2, 0), "signup"),
+        (2, T(2024, 1, 3, 0), "click"), (2, T(2024, 1, 4, 0), "purchase"),
+        # user 3: v c c p -> strict_order breaks at 2nd c (2);
+        # strict_dedup breaks too (duplicate of matched click) (2)
+        (3, T(2024, 1, 1, 0), "view"), (3, T(2024, 1, 2, 0), "click"),
+        (3, T(2024, 1, 3, 0), "click"), (3, T(2024, 1, 4, 0), "purchase"),
+        # user 4: v v c p -> dedup breaks at 2nd v (1); default reaches 3
+        (4, T(2024, 1, 1, 0), "view"), (4, T(2024, 1, 2, 0), "view"),
+        (4, T(2024, 1, 3, 0), "click"), (4, T(2024, 1, 4, 0), "purchase"),
+    ]
+    return spark.createDataFrame(
+        [(u, ts, e, i) for i, (u, ts, e) in enumerate(rows)],
+        "user_id long, ts timestamp, event_type string, event_id long")
+
+
+def test_window_funnel_strict_order(spark):
+    from clickhouse_clickhouse_spark.operators.events import window_funnel_hof
+
+    out = {r.user_id: r.level for r in
+           window_funnel_hof(_strict_events(spark), "user_id", "ts",
+                             "event_type", ["view", "click", "purchase"],
+                             30 * 86400, mode="strict_order",
+                             tiebreak="event_id").collect()}
+    assert out == {1: 3, 2: 1, 3: 2, 4: 1}
+
+
+def test_window_funnel_strict_dedup(spark):
+    from clickhouse_clickhouse_spark.operators.events import window_funnel_hof
+
+    out = {r.user_id: r.level for r in
+           window_funnel_hof(_strict_events(spark), "user_id", "ts",
+                             "event_type", ["view", "click", "purchase"],
+                             30 * 86400, mode="strict_dedup",
+                             tiebreak="event_id").collect()}
+    assert out == {1: 3, 2: 3, 3: 2, 4: 1}
+
+
+def test_window_funnel_default_mode_unchanged(spark):
+    from clickhouse_clickhouse_spark.operators.events import window_funnel_hof
+
+    out = {r.user_id: r.level for r in
+           window_funnel_hof(_strict_events(spark), "user_id", "ts",
+                             "event_type", ["view", "click", "purchase"],
+                             30 * 86400).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}

@@ -126,3 +126,36 @@ def test_delta_sum_positive_only(spark):
         "k int, t int, v double")
     out = delta_sum(df, ["k"], "t", "v").collect()
     assert out[0].delta_sum == 8.0  # +5 (10→15) +3 (5→8)
+
+
+def test_bitmap_algebra(spark):
+    from clickhouse_clickhouse_spark.operators import bitmap as B
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 2), ("a", 3), ("b", 2), ("b", 3), ("b", 4)],
+        "g string, v long")
+    bm = df.groupBy("g").agg(B.group_bitmap_state("v").alias("bm"))
+    a = bm.filter("g = 'a'").select(F.col("bm").alias("a"))
+    b = bm.filter("g = 'b'").select(F.col("bm").alias("b"))
+    row = (a.crossJoin(b)
+           .select(B.bitmap_and(F.col("a"), F.col("b")).alias("and_"),
+                   B.bitmap_or(F.col("a"), F.col("b")).alias("or_"),
+                   B.bitmap_xor(F.col("a"), F.col("b")).alias("xor_"),
+                   B.bitmap_andnot(F.col("a"), F.col("b")).alias("andnot"),
+                   B.bitmap_has_all(F.col("a"), F.col("b")).alias("hasall"),
+                   B.bitmap_has_any(F.col("a"), F.col("b")).alias("hasany"),
+                   B.bitmap_subset_in_range(F.col("a"), 2, 4).alias("rng"))
+           .collect()[0])
+    assert row.and_ == [2, 3] and row.or_ == [1, 2, 3, 4]
+    assert row.xor_ == [1, 4] and row.andnot == [1]
+    assert row.hasall is False and row.hasany is True
+    assert row.rng == [2, 3]
+
+
+def test_group_bitmap_and_cross_groups(spark):
+    from clickhouse_clickhouse_spark.operators.bitmap import group_bitmap_and
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 2), ("b", 3), ("c", 2), ("c", 1)],
+        "g string, v long")
+    assert group_bitmap_and(df, "g", "v").collect()[0].and_cardinality == 1
