@@ -570,3 +570,140 @@ def agg_group_bitmap_and(spark, sf):
 
     ev = load_table(spark, sf, "events")
     return group_bitmap_and(ev, "event_type", "user_id")
+
+
+@register("agg_min_max_map", oracle="""
+SELECT user_id, event_type AS map_key,
+       round(min(value), 4) AS map_min, round(max(value), 4) AS map_max
+FROM events GROUP BY user_id, event_type
+""")
+def agg_min_max_map(spark, sf):
+    """minMap/maxMap (reference AggregateFunctionSumMap variants):
+    per-key map minima/maxima via the same explode→re-aggregate shape as
+    sumMap (one partial/final hash agg on the composite key)."""
+    ev = load_table(spark, sf, "events")
+    mapped = ev.select(
+        "user_id", F.explode(F.create_map(F.col("event_type"),
+                                          F.col("value"))).alias("map_key", "v"))
+    return (mapped.groupBy("user_id", "map_key")
+            .agg(F.round(F.min("v"), 4).alias("map_min"),
+                 F.round(F.max("v"), 4).alias("map_max")))
+
+
+@register("agg_topk_weighted", oracle="""
+WITH w AS (SELECT c_mktsegment, o_orderpriority, sum(o_totalprice) AS wt
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_mktsegment, o_orderpriority),
+r AS (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY wt DESC, o_orderpriority) AS rn
+      FROM w)
+SELECT c_mktsegment, o_orderpriority, round(wt, 2) AS weight
+FROM r WHERE rn <= 3
+""")
+def agg_topk_weighted(spark, sf):
+    """topKWeighted(3)(priority, totalprice): heaviest values by summed
+    weight per group — exact form (weight agg + ranked window;
+    SURVEY.md §2.4 topK row). Deterministic tiebreak on the value."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    w = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .groupBy("c_mktsegment", "o_orderpriority")
+         .agg(F.sum("o_totalprice").alias("wt")))
+    win = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("wt").desc(), "o_orderpriority")
+    return (w.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") <= 3)
+            .select("c_mktsegment", "o_orderpriority",
+                    F.round("wt", 2).alias("weight")))
+
+
+@register("agg_any_heavy", oracle="""
+WITH f AS (SELECT l_returnflag, l_partkey, count(*) AS c
+           FROM lineitem GROUP BY l_returnflag, l_partkey),
+r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                   ORDER BY c DESC, l_partkey) AS rn FROM f)
+SELECT l_returnflag, l_partkey AS heavy FROM r WHERE rn = 1
+""")
+def agg_any_heavy(spark, sf):
+    """anyHeavy ≈ heavy hitter = the modal value per group (reference
+    AggregateFunctionAnyHeavy — approximate majority element; we give
+    the exact mode with a deterministic smallest-value tiebreak): count
+    per candidate then max_by over (count, -value)."""
+    li = load_table(spark, sf, "lineitem")
+    f = li.groupBy("l_returnflag", "l_partkey").agg(F.count("*").alias("c"))
+    return (f.groupBy("l_returnflag")
+            .agg(F.max_by("l_partkey",
+                          F.struct(F.col("c"), (-F.col("l_partkey"))))
+                 .alias("heavy")))
+
+
+@register("agg_bounding_ratio", oracle="""
+WITH e AS (SELECT user_id, value, date_trunc('microseconds', ts) AS tus,
+                event_id,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS rn_a,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn_d
+           FROM events)
+SELECT user_id,
+       round((max(CASE WHEN rn_d = 1 THEN value END)
+              - max(CASE WHEN rn_a = 1 THEN value END))
+             / (epoch(max(tus)) - epoch(min(tus))) * 86400, 6) AS slope_per_day
+FROM e GROUP BY user_id HAVING epoch(max(tus)) > epoch(min(tus))
+""")
+def agg_bounding_ratio(spark, sf):
+    """boundingRatio(ts, value): slope between the first and last point
+    of each series — (last value - first value)/(time span); one hash
+    agg with min_by/max_by, no sort. Scaled to per-day units."""
+    ev = load_table(spark, sf, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    g = (ev.groupBy("user_id")
+         .agg(F.max_by("value", key).alias("vl"),
+              F.min_by("value", key).alias("vf"),
+              F.max(F.col("ts").cast("double")).alias("tl"),
+              F.min(F.col("ts").cast("double")).alias("tf")))
+    return (g.filter(F.col("tl") > F.col("tf"))
+            .select("user_id",
+                    F.round((F.col("vl") - F.col("vf"))
+                            / (F.col("tl") - F.col("tf")) * 86400, 6)
+                    .alias("slope_per_day")))
+
+
+@register("agg_theils_u", oracle="""
+WITH j AS (SELECT l_returnflag AS x, l_linestatus AS y, count(*)::DOUBLE AS c
+           FROM lineitem GROUP BY 1, 2),
+tot AS (SELECT sum(c) AS n FROM j),
+hx AS (SELECT -sum(p * ln(p)) AS h
+       FROM (SELECT sum(c) / (SELECT n FROM tot) AS p FROM j GROUP BY x)),
+yc AS (SELECT y, sum(c) AS cy FROM j GROUP BY y),
+hxy AS (SELECT sum((cy / (SELECT n FROM tot)) * hc) AS h FROM (
+          SELECT j.y, max(cy) AS cy,
+                 -sum((c / cy) * ln(c / cy)) AS hc
+          FROM j JOIN yc USING (y) GROUP BY j.y))
+SELECT round(((SELECT h FROM hx) - (SELECT h FROM hxy))
+             / (SELECT h FROM hx), 8) AS theils_u
+""")
+def agg_theils_u(spark, sf):
+    """theilsU(x, y) = (H(X) - H(X|Y)) / H(X) — the uncertainty
+    coefficient (reference AggregateFunctionTheilsU): three small
+    aggregates over the joint-count table, combined with DF math
+    (the joint table is tiny — everything after the first groupBy is a
+    broadcast-sized computation)."""
+    li = load_table(spark, sf, "lineitem")
+    j = (li.groupBy(F.col("l_returnflag").alias("x"),
+                    F.col("l_linestatus").alias("y"))
+         .agg(F.count("*").cast("double").alias("c")))
+    tot = j.agg(F.sum("c").alias("n"))
+    jn = j.crossJoin(F.broadcast(tot))
+    hx = (jn.groupBy("x").agg((F.sum("c") / F.first("n")).alias("p"))
+          .agg((-F.sum(F.col("p") * F.log("p"))).alias("hx")))
+    wy = Window.partitionBy("y")
+    hxy = (jn.withColumn("pxy", F.col("c") / F.sum("c").over(wy))
+           .groupBy("y")
+           .agg((F.first("n")).alias("n"),
+                F.sum("c").alias("cy"),
+                (-F.sum(F.col("pxy") * F.log("pxy"))).alias("hc"))
+           .agg(F.sum((F.col("cy") / F.col("n")) * F.col("hc")).alias("hxy")))
+    return (hx.crossJoin(F.broadcast(hxy))
+            .select(F.round((F.col("hx") - F.col("hxy")) / F.col("hx"), 8)
+                    .alias("theils_u")))

@@ -255,3 +255,28 @@ def funnel_strict_dedup(spark, sf):
     return window_funnel_hof(ev, "user_id", "ts", "event_type",
                              ["view", "click", "purchase"], 365 * 86400,
                              mode="strict_dedup", tiebreak="event_id")
+
+
+@register("sequence_next_node", oracle="""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                    WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                    ELSE 'e' END, '' ORDER BY ts, event_id) AS s
+  FROM events GROUP BY user_id)
+SELECT user_id, regexp_extract(s, 'vc(.)', 1) AS next_node
+FROM seq
+""")
+def sequence_next_node(spark, sf):
+    """sequenceNextNode (reference [U] src/AggregateFunctions/
+    AggregateFunctionSequenceNextNode.cpp): the event immediately after
+    the first consecutive view→click pair per user ('' when the pair
+    never occurs). One shuffle: ordered event-letter string + regex."""
+    from clickhouse_clickhouse_spark.operators.events import event_string
+
+    ev = load_table(spark, sf, "events")
+    seq = event_string(ev, "user_id", "ts", "event_type", "event_id",
+                       {"view": "v", "click": "c", "purchase": "p",
+                        "signup": "s", "error": "e"})
+    return seq.select("user_id",
+                      F.regexp_extract("seq", "vc(.)", 1).alias("next_node"))

@@ -817,3 +817,38 @@ def collate_case_insensitive(spark, sf):
             .agg(F.countDistinct(name2).cast("int").alias("n_binary"),
                  F.countDistinct(ci).cast("int").alias("n_ci"),
                  F.lower(F.min(ci)).cast("string").alias("first_ci")))
+
+
+@register("enc_morton", oracle="""
+WITH m AS (
+  SELECT p_partkey, p_size,
+         CAST(list_sum(list_transform(range(0, 16),
+              i -> (((p_partkey >> i) & 1)::BIGINT << (2 * i))
+                   + (((p_size::BIGINT >> i) & 1)::BIGINT << (2 * i + 1))))
+              AS BIGINT) AS morton
+  FROM part WHERE p_partkey <= 200)
+SELECT p_partkey, p_size, morton,
+       CAST(list_sum(list_transform(range(0, 16),
+            i -> ((morton >> (2 * i)) & 1)::BIGINT << i)) AS BIGINT) AS x_back,
+       CAST(list_sum(list_transform(range(0, 16),
+            i -> ((morton >> (2 * i + 1)) & 1)::BIGINT << i)) AS BIGINT) AS y_back
+FROM m
+""")
+def enc_morton(spark, sf):
+    """mortonEncode/mortonDecode (reference [U] src/Functions/
+    mortonEncode.cpp — space-filling-curve locality codes): 16-bit ×
+    16-bit bit interleave as a JVM higher-order fold over bit positions,
+    plus the decode roundtrip. The morton code is the reference's tool
+    for multidimensional range pruning; at scale it doubles as a
+    locality-preserving sort/partition key."""
+    p = load_table(spark, sf, "part").filter(F.col("p_partkey") <= 200)
+    enc = ("aggregate(sequence(0, 15), 0L, (acc, i) -> acc"
+           " + shiftleft(shiftright(p_partkey, i) & 1, 2 * i)"
+           " + shiftleft(shiftright(cast(p_size AS bigint), i) & 1, 2 * i + 1))")
+    dx = ("aggregate(sequence(0, 15), 0L, (acc, i) -> acc"
+          " + shiftleft(shiftright(morton, 2 * i) & 1, i))")
+    dy = ("aggregate(sequence(0, 15), 0L, (acc, i) -> acc"
+          " + shiftleft(shiftright(morton, 2 * i + 1) & 1, i))")
+    return (p.select("p_partkey", "p_size", F.expr(enc).alias("morton"))
+            .select("p_partkey", "p_size", "morton",
+                    F.expr(dx).alias("x_back"), F.expr(dy).alias("y_back")))
