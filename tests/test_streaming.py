@@ -192,3 +192,41 @@ def test_live_view_complete_mode(spark, events_dir):
               spark.read.parquet(events_dir).groupBy("event_type")
               .agg(F.count("*").alias("n")).collect()}
     assert got == expect
+
+
+def test_streaming_window_funnel_state_across_batches(spark, sf_dir, tmp_path):
+    """Stateful streaming windowFunnel (streaming/funnel.py): events
+    split time-wise into two files → two micro-batches; funnel chains
+    that span the batch boundary must still complete, and the final
+    per-user levels must equal the batch operator's."""
+    from clickhouse_clickhouse_spark.operators.events import window_funnel
+    from clickhouse_clickhouse_spark.streaming.funnel import (
+        streaming_window_funnel,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "funnel_src")
+    cut = "2024-01-15"
+    ev.filter(F.col("ts") < cut).coalesce(1).write.mode("append").parquet(src)
+    ev.filter(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = (spark.readStream.schema(schema).format("parquet")
+              .option("maxFilesPerTrigger", 1).option("path", src).load())
+    steps = ["view", "click", "purchase"]
+    q = (streaming_window_funnel(stream, "user_id", "ts", "event_type",
+                                 steps, 7 * 86400)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("funnel_state_out").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # level is monotone per user, so the final state is the max emission
+    got = {r.user_id: r.level for r in spark.sql(
+        "SELECT user_id, max(level) AS level FROM funnel_state_out "
+        "GROUP BY user_id").collect() if r.level > 0}
+    expect = {r.user_id: r.level for r in
+              window_funnel(ev, "user_id", "ts", "event_type",
+                            steps, "7 DAYS").collect()}
+    assert got == expect
