@@ -114,3 +114,134 @@ def cb_type_share_per_user(spark, sf):
                          .cast("double") / F.count("*"), 6).alias("purchase_share"),
                  F.round(F.count_if(F.col("event_type") == "view")
                          .cast("double") / F.count("*"), 6).alias("view_share")))
+
+
+@register("cb_json_prop_buckets", oracle="""
+SELECT CAST(CAST(json_extract_string(props, '$.k') AS INT) % 10 AS INT) AS k_bucket,
+       count(*) AS n, round(avg(value), 6) AS avg_value
+FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY 1
+""")
+def cb_json_prop_buckets(spark, sf):
+    """ClickBench URL-parameter-extraction shape: JSON prop pulled out of
+    every row, bucketed, aggregated (scan-heavy string work)."""
+    ev = load_table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (ev.filter(k.isNotNull())
+            .groupBy((k % 10).cast("int").alias("k_bucket"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("value"), 6).alias("avg_value")))
+
+
+@register("cb_weekday_purchase_rate", oracle="""
+SELECT CAST(isodow(ts) AS INT) AS weekday,
+       count(*) AS n,
+       round(count_if(event_type = 'purchase') * 100.0 / count(*), 6)
+         AS purchase_pct
+FROM events GROUP BY 1
+""")
+def cb_weekday_purchase_rate(spark, sf):
+    """Day-of-week activity profile with a conditional-rate column."""
+    ev = load_table(spark, sf, "events")
+    wd = F.dayofweek("ts")  # Sun=1..Sat=7 -> ISO Mon=1..Sun=7
+    iso = F.when(wd == 1, 7).otherwise(wd - 1).cast("int")
+    return (ev.groupBy(iso.alias("weekday"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.count_if(F.col("event_type") == "purchase")
+                         * 100.0 / F.count("*"), 6).alias("purchase_pct")))
+
+
+@register("cb_like_filter_topk", oracle="""
+SELECT event_type, count(*) AS n
+FROM events WHERE props LIKE '%7%'
+GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5
+""")
+def cb_like_filter_topk(spark, sf):
+    """ClickBench LIKE-scan shape: substring filter over the payload
+    column, then top-k groups (the filter pushes to the Parquet scan)."""
+    ev = load_table(spark, sf, "events")
+    return (ev.filter(F.col("props").like("%7%"))
+            .groupBy("event_type").agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), "event_type").limit(5))
+
+
+@register("cb_multi_distinct", oracle="""
+SELECT count(DISTINCT user_id) AS u_users,
+       count(DISTINCT event_type) AS u_types,
+       count(DISTINCT CAST(ts AS DATE)) AS u_days,
+       count(*) AS n
+FROM events
+""")
+def cb_multi_distinct(spark, sf):
+    """Several exact distinct counts in one statement (Spark expands to
+    an expand+two-phase aggregate — one logical pass over the scan)."""
+    ev = load_table(spark, sf, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("u_users"),
+        F.countDistinct("event_type").alias("u_types"),
+        F.countDistinct(F.col("ts").cast("date")).alias("u_days"),
+        F.count("*").alias("n"))
+
+
+@register("cb_value_pow2_histogram", oracle="""
+SELECT CAST(CASE WHEN value <= 0 THEN 0
+            ELSE power(2, ceil(log2(value))) END AS DOUBLE) AS bucket,
+       count(*) AS n
+FROM events GROUP BY 1
+""")
+def cb_value_pow2_histogram(spark, sf):
+    """roundToExp2-style histogram: power-of-two value buckets
+    (reference FunctionsRound roundToExp2 / ClickBench duration
+    histograms)."""
+    ev = load_table(spark, sf, "events")
+    bucket = (F.when(F.col("value") <= 0, F.lit(0.0))
+              .otherwise(F.pow(F.lit(2.0), F.ceil(F.log2("value")))))
+    return (ev.groupBy(bucket.cast("double").alias("bucket"))
+            .agg(F.count("*").alias("n")))
+
+
+@register("cb_busiest_10min", oracle="""
+SELECT time_bucket(INTERVAL 10 MINUTE, date_trunc('microseconds', ts)) AS bucket,
+       count(*) AS n
+FROM events GROUP BY 1 ORDER BY n DESC, bucket LIMIT 10
+""")
+def cb_busiest_10min(spark, sf):
+    """Top-10 busiest 10-minute buckets (toStartOfInterval + top-k —
+    the reference's traffic-spike query shape)."""
+    ev = load_table(spark, sf, "events")
+    return (ev.groupBy(F.window("ts", "10 minutes").getField("start")
+                       .alias("bucket"))
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), "bucket").limit(10))
+
+
+@register("cb_user_value_page2", oracle="""
+SELECT user_id, round(sum(value), 4) AS total_value
+FROM events GROUP BY user_id
+ORDER BY total_value DESC, user_id LIMIT 10 OFFSET 10
+""")
+def cb_user_value_page2(spark, sf):
+    """Pagination shape: second page of the user-value ranking
+    (ORDER BY ... LIMIT n OFFSET m)."""
+    ev = load_table(spark, sf, "events")
+    return (ev.groupBy("user_id")
+            .agg(F.round(F.sum("value"), 4).alias("total_value"))
+            .orderBy(F.col("total_value").desc(), "user_id")
+            .offset(10).limit(10))
+
+
+@register("cb_regex_extract_group", oracle="""
+SELECT regexp_extract(props, '([0-9])', 1) AS first_digit,
+       count(*) AS n, count(DISTINCT user_id) AS u
+FROM events WHERE regexp_extract(props, '([0-9])', 1) <> ''
+GROUP BY 1
+""")
+def cb_regex_extract_group(spark, sf):
+    """Regex extraction over the payload column feeding the group key
+    (ClickBench extract-from-URL shape)."""
+    ev = load_table(spark, sf, "events")
+    d = F.regexp_extract("props", r"([0-9])", 1)
+    return (ev.filter(d != "")
+            .groupBy(d.alias("first_digit"))
+            .agg(F.count("*").alias("n"),
+                 F.countDistinct("user_id").alias("u")))
