@@ -107,3 +107,30 @@ def delta_sum(df: DataFrame, keys: Sequence[str], order_by: Column | str,
     return (df.withColumn("__d", F.when(diff > 0, diff).otherwise(F.lit(0.0)))
             .groupBy(*keys)
             .agg(F.round(F.sum("__d"), 6).alias("delta_sum")))
+
+
+def quantile_exact_pick(df: DataFrame, keys: Sequence[str], value: str,
+                        qs: dict[str, tuple[float, str]]) -> DataFrame:
+    """quantileExactLow / quantileExactHigh (reference
+    AggregateFunctionQuantileExact variants): the EXACT element at index
+    floor(q*(n-1)) ('low') or ceil(q*(n-1)) ('high') of the sorted
+    per-group values — element picks, not interpolation (contrast
+    Spark's ``percentile``).
+
+    ``qs`` maps output column name -> (q, 'low'|'high'). Distributed
+    form: rank every row once with a window, then one conditional-max
+    agg per requested quantile — no per-group collect, so group size is
+    unbounded. One shuffle (window and agg share the key partitioning).
+    """
+    w = Window.partitionBy(*keys).orderBy(value)
+    wn = Window.partitionBy(*keys)
+    r = (df.select(*keys, value)
+         .withColumn("__rn", F.row_number().over(w))
+         .withColumn("__n", F.count("*").over(wn)))
+    aggs = []
+    for out, (q, variant) in qs.items():
+        idx = F.floor(F.lit(q) * (F.col("__n") - 1)) if variant == "low" \
+            else F.ceil(F.lit(q) * (F.col("__n") - 1))
+        aggs.append(F.max(F.when(F.col("__rn") - 1 == idx,
+                                 F.col(value))).alias(out))
+    return r.groupBy(*keys).agg(*aggs)

@@ -707,3 +707,33 @@ def agg_theils_u(spark, sf):
     return (hx.crossJoin(F.broadcast(hxy))
             .select(F.round((F.col("hx") - F.col("hxy")) / F.col("hx"), 8)
                     .alias("theils_u")))
+
+
+@register("agg_quantile_exact_low_high", oracle="""
+WITH r AS (SELECT l_returnflag, l_quantity,
+                  row_number() OVER (PARTITION BY l_returnflag
+                                     ORDER BY l_quantity) AS rn,
+                  count(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM lineitem)
+SELECT l_returnflag,
+  max(CASE WHEN rn - 1 = CAST(floor(0.5 * (n - 1)) AS BIGINT)
+           THEN l_quantity END) AS median_low,
+  max(CASE WHEN rn - 1 = CAST(ceil(0.5 * (n - 1)) AS BIGINT)
+           THEN l_quantity END) AS median_high,
+  max(CASE WHEN rn - 1 = CAST(floor(0.9 * (n - 1)) AS BIGINT)
+           THEN l_quantity END) AS p90_low
+FROM r GROUP BY l_returnflag
+""")
+def agg_quantile_exact_low_high(spark, sf):
+    """quantileExactLow/quantileExactHigh (element picks at
+    floor/ceil(q*(n-1)) of the sorted group — the reference's exact
+    quantile family, distinct from interpolating percentile)."""
+    from clickhouse_clickhouse_spark.operators.aggregates import (
+        quantile_exact_pick,
+    )
+
+    li = load_table(spark, sf, "lineitem")
+    return quantile_exact_pick(
+        li, ["l_returnflag"], "l_quantity",
+        {"median_low": (0.5, "low"), "median_high": (0.5, "high"),
+         "p90_low": (0.9, "low")})
