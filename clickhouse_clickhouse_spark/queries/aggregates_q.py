@@ -737,3 +737,32 @@ def agg_quantile_exact_low_high(spark, sf):
         li, ["l_returnflag"], "l_quantity",
         {"median_low": (0.5, "low"), "median_high": (0.5, "high"),
          "p90_low": (0.9, "low")})
+
+
+@register("agg_auc", oracle="""
+WITH r AS (SELECT event_type = 'purchase' AS pos, value,
+                  row_number() OVER (ORDER BY value, event_id) AS rk
+           FROM events),
+s AS (SELECT sum(CASE WHEN pos THEN rk ELSE 0 END) AS pos_rank_sum,
+             count_if(pos)::DOUBLE AS p, count_if(NOT pos)::DOUBLE AS n
+      FROM r)
+SELECT round((pos_rank_sum - p * (p + 1) / 2) / (p * n), 8) AS auc
+FROM s
+""")
+def agg_auc(spark, sf):
+    """arrayAUC as a table aggregate (reference [U]
+    src/Functions/array/arrayAUC.cpp computes it over array pairs): AUC
+    of value as a score for the 'purchase' class via the Mann-Whitney
+    rank-sum identity — one global rank window + one aggregate, no
+    pairwise comparison (O(n log n), distributes as a range-partitioned
+    sort). Deterministic tiebreak on event_id."""
+    ev = load_table(spark, sf, "events")
+    w = Window.orderBy("value", "event_id")
+    r = ev.select((F.col("event_type") == "purchase").alias("pos"),
+                  F.row_number().over(w).alias("rk"))
+    return (r.agg(F.sum(F.when(F.col("pos"), F.col("rk")).otherwise(0))
+                  .cast("double").alias("prs"),
+                  F.count_if("pos").cast("double").alias("p"),
+                  F.count_if(~F.col("pos")).cast("double").alias("n"))
+            .select(F.round((F.col("prs") - F.col("p") * (F.col("p") + 1) / 2)
+                            / (F.col("p") * F.col("n")), 8).alias("auc")))

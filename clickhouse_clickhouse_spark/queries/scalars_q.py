@@ -852,3 +852,23 @@ def enc_morton(spark, sf):
     return (p.select("p_partkey", "p_size", F.expr(enc).alias("morton"))
             .select("p_partkey", "p_size", "morton",
                     F.expr(dx).alias("x_back"), F.expr(dy).alias("y_back")))
+
+
+@register("json_variant_type", oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INT) AS k_int,
+       json_type(json(props)) AS top_type
+FROM events WHERE event_id <= 80
+""")
+def json_variant_type(spark, sf):
+    """The reference's semi-structured JSON/Dynamic column type (§1.2)
+    on Spark 4's VariantType: parse once with parse_json, then typed
+    variant_get extraction + schema introspection — the engine-native
+    answer to ClickHouse's JSON object type (vs string re-parsing)."""
+    ev = load_table(spark, sf, "events").filter(F.col("event_id") <= 80)
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.regexp_extract(F.schema_of_variant(v), "^([A-Z]+)", 1)
+        .alias("top_type"))

@@ -340,3 +340,24 @@ def pipeline_end_to_end(spark, sf):
             .agg(F.count("*").alias("n_docs"),
                  F.round(F.avg(TXT.token_count(F.col("text"))), 4).alias("avg_tokens"),
                  F.sum("n_chars").cast("long").alias("total_chars")))
+
+
+@register("fingerprint_normalize_query", oracle="""
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(lower(text), '[0-9]+', '?', 'g'),
+                          ' +', ' ', 'g')) AS norm_hash,
+       regexp_replace(regexp_replace(lower(text), '[0-9]+', '?', 'g'),
+                      ' +', ' ', 'g') AS norm_text
+FROM documents WHERE doc_id <= 40
+""")
+def fingerprint_normalize_query(spark, sf):
+    """normalizeQuery/normalizedQueryHash (reference [U]
+    src/Functions/normalizeQuery.cpp — literals replaced by
+    placeholders, then hashed, for query-log dedup): numeric literals →
+    '?', whitespace collapsed, md5 fingerprint. Pure JVM string kernels
+    (scan-parallel, no shuffle)."""
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") <= 40)
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower("text"), "[0-9]+", "?"), " +", " ")
+    return d.select("doc_id", F.md5(norm).alias("norm_hash"),
+                    norm.alias("norm_text"))
