@@ -57,3 +57,35 @@ def dict_get_join(df: DataFrame, lookup: DataFrame, key_col: str,
     small = F.broadcast(lookup.select(F.col(lookup_key).alias("__k"),
                                       F.col(value_col).alias(out_col)))
     return df.join(small, df[key_col] == small["__k"], "left").drop("__k")
+
+
+class HierarchicalDictionary(Dictionary):
+    """Hierarchical dictionary (reference ``dictGetHierarchy`` /
+    ``dictIsIn`` — upstream src/Dictionaries hierarchy support +
+    src/Functions/FunctionsExternalDictionaries.h): a key→parent map
+    walked a bounded number of levels entirely as compiled expressions
+    (each level is one map lookup — no join, no recursion at runtime;
+    the reference bounds hierarchy depth the same way its loop does,
+    we bound it statically with ``max_depth``)."""
+
+    def __init__(self, lookup: DataFrame, key_col: str, parent_col: str,
+                 max_depth: int = 8, max_entries: int = 100_000):
+        super().__init__(lookup, key_col, parent_col, max_entries)
+        self._max_depth = max_depth
+
+    def get_hierarchy(self, key: Column | str) -> Column:
+        """``dictGetHierarchy(key)`` — array [key, parent, grandparent,
+        ...] stopping at the first key with no parent."""
+        k = F.col(key) if isinstance(key, str) else key
+        chain = [k]
+        cur = k
+        for _ in range(self._max_depth):
+            cur = self.get(cur)
+            chain.append(cur)
+        return F.filter(F.array(*chain), lambda x: x.isNotNull())
+
+    def is_in(self, child: Column | str, ancestor: Column | str) -> Column:
+        """``dictIsIn(child, ancestor)`` — ancestor appears in the
+        child's hierarchy chain (including child itself)."""
+        a = F.col(ancestor) if isinstance(ancestor, str) else ancestor
+        return F.array_contains(self.get_hierarchy(child), a)

@@ -305,3 +305,34 @@ def join_null_safe(spark, sf):
     a = ev.filter(F.col("event_id") < 200).select("event_id", k.alias("k"))
     b = ev.select(k.alias("k")).groupBy("k").agg(F.count("*").alias("n"))
     return a.join(b, a.k.eqNullSafe(b.k)).select(a.event_id, a.k, b.n)
+
+
+@register("dict_hierarchy", oracle="""
+SELECT c_custkey,
+       CAST(c_nationkey AS BIGINT) || ',' ||
+       CAST(n_regionkey + 100 AS BIGINT) AS hierarchy,
+       n_regionkey + 100 = 102 AS in_asia
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_custkey <= 80
+""")
+def dict_hierarchy(spark, sf):
+    """dictGetHierarchy/dictIsIn over a customer→nation→region parent
+    chain (region ids offset by 100 into the shared id space): the
+    ancestor walk compiles to nested map lookups — zero joins in the
+    plan (the oracle spells the same chain as a join)."""
+    from clickhouse_clickhouse_spark.operators.dictionary import (
+        HierarchicalDictionary,
+    )
+
+    n = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"),
+        (F.col("n_regionkey").cast("long") + 100).alias("p"))
+    d = HierarchicalDictionary(n, "k", "p", max_depth=4)
+    c = load_table(spark, sf, "customer").filter(F.col("c_custkey") <= 80)
+    key = F.col("c_nationkey").cast("long")
+    return c.select(
+        "c_custkey",
+        F.array_join(F.transform(d.get_hierarchy(key),
+                                 lambda x: x.cast("string")), ",")
+        .alias("hierarchy"),
+        d.is_in(key, F.lit(102)).alias("in_asia"))

@@ -147,3 +147,24 @@ def test_apply_in_pandas_with_state(spark, sf_dir, tmp_path):
               spark.read.parquet(src).groupBy("user_id")
               .agg(F.count("*").alias("n")).collect()}
     assert got == expect
+
+
+def test_hierarchical_dictionary(spark):
+    from clickhouse_clickhouse_spark.operators.dictionary import (
+        HierarchicalDictionary,
+    )
+
+    # 1 -> 10 -> 100 (root); 2 -> 10; 3 orphan
+    parents = spark.createDataFrame(
+        [(1, 10), (2, 10), (10, 100)], "k long, p long")
+    d = HierarchicalDictionary(parents, "k", "p", max_depth=4)
+    df = spark.createDataFrame([(1,), (2,), (3,), (10,)], "k long")
+    rows = {r.k: (r.h, r.in100, r.in10) for r in df.select(
+        "k",
+        d.get_hierarchy("k").alias("h"),
+        d.is_in("k", F.lit(100)).alias("in100"),
+        d.is_in("k", F.lit(10)).alias("in10")).collect()}
+    assert rows[1] == ([1, 10, 100], True, True)
+    assert rows[2] == ([2, 10, 100], True, True)
+    assert rows[3] == ([3], False, False)
+    assert rows[10] == ([10, 100], True, True)
