@@ -766,3 +766,62 @@ def agg_auc(spark, sf):
                   F.count_if(~F.col("pos")).cast("double").alias("n"))
             .select(F.round((F.col("prs") - F.col("p") * (F.col("p") + 1) / 2)
                             / (F.col("p") * F.col("n")), 8).alias("auc")))
+
+
+@register("agg_ks_test", oracle="""
+WITH r AS (
+  SELECT l_quantity AS v, l_linestatus = 'O' AS g1 FROM lineitem),
+tot AS (SELECT count_if(g1)::DOUBLE AS n1, count_if(NOT g1)::DOUBLE AS n2
+        FROM r),
+e AS (SELECT v,
+             sum(CASE WHEN g1 THEN 1 ELSE 0 END) OVER w AS c1,
+             sum(CASE WHEN g1 THEN 0 ELSE 1 END) OVER w AS c2
+      FROM r WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW))
+SELECT round(max(abs(c1 / (SELECT n1 FROM tot)
+                    - c2 / (SELECT n2 FROM tot))), 8) AS ks_d
+FROM (SELECT v, max(c1) AS c1, max(c2) AS c2 FROM e GROUP BY v)
+""")
+def agg_ks_test(spark, sf):
+    """kolmogorovSmirnovTest (reference [U] src/AggregateFunctions/
+    AggregateFunctionKolmogorovSmirnovTest.cpp) — the D statistic
+    between the 'O' and 'F' l_quantity distributions: one global sort
+    (range-partitioned), running ECDF counts per group, max gap taken
+    at each distinct value. No per-group collect; p-value needs the KS
+    CDF and is declared out of DF scope like the t-test p-values."""
+    li = load_table(spark, sf, "lineitem")
+    r = li.select(F.col("l_quantity").alias("v"),
+                  (F.col("l_linestatus") == "O").alias("g1"))
+    tot = r.agg(F.count_if("g1").cast("double").alias("n1"),
+                F.count_if(~F.col("g1")).cast("double").alias("n2"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    e = r.select(
+        "v",
+        F.sum(F.when(F.col("g1"), 1).otherwise(0)).over(w).alias("c1"),
+        F.sum(F.when(F.col("g1"), 0).otherwise(1)).over(w).alias("c2"))
+    per_v = e.groupBy("v").agg(F.max("c1").alias("c1"), F.max("c2").alias("c2"))
+    return (per_v.crossJoin(F.broadcast(tot))
+            .agg(F.round(F.max(F.abs(F.col("c1") / F.col("n1")
+                                     - F.col("c2") / F.col("n2"))), 8)
+                 .alias("ks_d")))
+
+
+@register("agg_or_null_or_default", oracle="""
+SELECT max(CASE WHEN l_quantity > 1e9 THEN l_quantity END) AS max_or_null,
+       coalesce(sum(CASE WHEN l_quantity > 1e9 THEN l_quantity END), 0)
+         AS sum_or_default,
+       CAST(coalesce(count(CASE WHEN l_quantity > 1e9 THEN 1 END), 0)
+            AS BIGINT) AS count_if_empty
+FROM lineitem
+""")
+def agg_or_null_or_default(spark, sf):
+    """-OrNull / -OrDefault combinators (reference Combinators/
+    AggregateFunctionOrFill.h): aggregates over an empty-by-filter set
+    yield NULL (OrNull) vs the type default (OrDefault) — spelled as
+    conditional aggregation + coalesce."""
+    li = load_table(spark, sf, "lineitem")
+    empty = F.when(F.col("l_quantity") > 1e9, F.col("l_quantity"))
+    return li.agg(
+        F.max(empty).alias("max_or_null"),
+        F.coalesce(F.sum(empty), F.lit(0.0)).alias("sum_or_default"),
+        F.coalesce(F.count(empty), F.lit(0)).alias("count_if_empty"))

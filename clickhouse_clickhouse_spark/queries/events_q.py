@@ -4,6 +4,7 @@
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from clickhouse_clickhouse_spark.operators.events import (
@@ -280,3 +281,33 @@ def sequence_next_node(spark, sf):
                         "signup": "s", "error": "e"})
     return seq.select("user_id",
                       F.regexp_extract("seq", "vc(.)", 1).alias("next_node"))
+
+
+@register("sequence_match_time", oracle="""
+WITH p AS (
+  SELECT DISTINCT v.user_id
+  FROM events v JOIN events c
+    ON v.user_id = c.user_id
+   AND v.event_type = 'view' AND c.event_type = 'click'
+   AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR)
+SELECT u.user_id, p.user_id IS NOT NULL AS matched
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN p USING (user_id)
+""")
+def sequence_match_time(spark, sf):
+    """sequenceMatch('(?1)(?t<=3600)(?2)') — time-constrained pattern
+    (reference sequenceMatch time conditions): view followed by a click
+    within one hour. DF-native single-shuffle form: a forward-looking
+    window takes each row's NEXT click timestamp, so no self-join pair
+    explosion (the oracle spells the naive pair join)."""
+    ev = load_table(spark, sf, "events")
+    wf = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(1, Window.unboundedFollowing))
+    next_click = F.min(F.when(F.col("event_type") == "click",
+                              F.col("ts"))).over(wf)
+    hit = ((F.col("event_type") == "view") &
+           next_click.isNotNull() &
+           (next_click <= F.col("ts") + F.expr("INTERVAL 1 HOUR")))
+    return (ev.withColumn("__hit", hit)
+            .groupBy("user_id")
+            .agg(F.max(F.coalesce("__hit", F.lit(False))).alias("matched")))
