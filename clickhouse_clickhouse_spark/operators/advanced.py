@@ -150,6 +150,91 @@ def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colu
     return F.lit(2 * 6371.0) * F.asin(F.sqrt(a))
 
 
+def rank_corr(df: DataFrame, keys: Sequence[str], x: str, y: str,
+              out: str = "rank_corr") -> DataFrame:
+    """Spearman rank correlation per key (reference ``rankCorr``,
+    AggregateFunctionRankCorrelation.h): fractional (average) ranks for
+    ties — rank() gives 1 + #strictly-smaller; adding (tie_count − 1)/2
+    yields the midrank — then Pearson correlation of the two rank
+    columns. Two window sorts + one hash agg; no Python."""
+    wx = Window.partitionBy(*keys).orderBy(F.col(x))
+    wy = Window.partitionBy(*keys).orderBy(F.col(y))
+    tx = Window.partitionBy(*keys, x)
+    ty = Window.partitionBy(*keys, y)
+    rx = F.rank().over(wx) + (F.count("*").over(tx) - 1) / 2.0
+    ry = F.rank().over(wy) + (F.count("*").over(ty) - 1) / 2.0
+    d = df.select(*keys, F.col(x), F.col(y)) \
+          .withColumn("__rx", rx).withColumn("__ry", ry)
+    return (d.groupBy(*keys)
+            .agg(F.round(F.corr("__rx", "__ry"), 6).alias(out)))
+
+
+def student_t_statistic(df: DataFrame, value: Column | str,
+                        group: Column | str, group_a, group_b) -> DataFrame:
+    """Student's (pooled-variance) t statistic between two groups
+    (reference ``studentTTest``): sp² = ((n_a−1)s²_a + (n_b−1)s²_b) /
+    (n_a+n_b−2); t = (m_a − m_b) / (sp·sqrt(1/n_a + 1/n_b)). Same
+    two-scalar-agg shape as :func:`welch_t_statistic`; p-value needs the
+    t CDF (out of DF scope, documented)."""
+    v = F.col(value) if isinstance(value, str) else value
+    g = F.col(group) if isinstance(group, str) else group
+    stats = (df.filter(g.isin([group_a, group_b]))
+             .groupBy(g.alias("__g"))
+             .agg(F.avg(v).alias("m"), F.var_samp(v).alias("s2"),
+                  F.count("*").alias("n")))
+    a = stats.filter(F.col("__g") == group_a)
+    b = stats.filter(F.col("__g") == group_b)
+    j = a.crossJoin(b.select(F.col("m").alias("mb"), F.col("s2").alias("s2b"),
+                             F.col("n").alias("nb")))
+    sp2 = ((F.col("n") - 1) * F.col("s2") + (F.col("nb") - 1) * F.col("s2b")) \
+        / (F.col("n") + F.col("nb") - 2)
+    t = (F.col("m") - F.col("mb")) / \
+        F.sqrt(sp2 * (1 / F.col("n") + 1 / F.col("nb")))
+    return j.select(F.round(t, 6).alias("t_statistic"))
+
+
+def contingency(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Contingency coefficient between two categorical columns (reference
+    ``contingency``, AggregateFunctionContingencyCoefficient):
+    sqrt(χ² / (χ² + n)) — same observed-vs-expected join as
+    :func:`cramers_v` with a different normalization."""
+    obs = df.groupBy(col_a, col_b).agg(F.count("*").alias("o"))
+    ra = df.groupBy(col_a).agg(F.count("*").alias("ra"))
+    rb = df.groupBy(col_b).agg(F.count("*").alias("rb"))
+    n = df.count()  # scalar dimensionality constant, not data motion
+    j = obs.join(ra, col_a).join(rb, col_b)
+    e = F.col("ra") * F.col("rb") / F.lit(float(n))
+    chi2 = F.sum(F.pow(F.col("o") - e, 2) / e)
+    return j.agg(F.round(F.sqrt(chi2 / (chi2 + F.lit(float(n)))), 6)
+                 .alias("contingency"))
+
+
+def exp_time_decayed_sum(df: DataFrame, keys: Sequence[str], ts: str,
+                         value: Column | str, tau_seconds: float,
+                         tiebreak: str | None = None) -> DataFrame:
+    """Per-row exponentially time-decayed sum over each key's ordered
+    series (reference window function ``exponentialTimeDecayedSum``):
+
+        S(t) = Σ_{t_i ≤ t} v_i · exp(−(t − t_i)/τ)
+
+    Computed in O(n log n) instead of O(n²) via the algebraic split
+    S(t) = exp(−(t−t0)/τ) · Σ v_i·exp((t_i−t0)/τ) with t0 = per-key min
+    time (keeps exponents small): one running-sum window per key. Adds
+    column ``decayed_sum``; caller aggregates/filters."""
+    v = F.col(value) if isinstance(value, str) else value
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    sec = F.col(ts).cast("double")  # fractional epoch seconds (µs kept)
+    t0 = F.min(sec).over(Window.partitionBy(*keys))
+    w = (Window.partitionBy(*keys).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    d = (df.withColumn("__dt", sec - t0)
+           .withColumn("__run", F.sum(v * F.exp(F.col("__dt") / tau_seconds))
+                       .over(w)))
+    return (d.withColumn("decayed_sum",
+                         F.col("__run") * F.exp(-F.col("__dt") / tau_seconds))
+            .drop("__dt", "__run"))
+
+
 def ipv4_num_to_string(n: Column) -> Column:
     """``IPv4NumToString``: uint32 → dotted quad, integer arithmetic only."""
     return F.concat_ws(

@@ -7,9 +7,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from clickhouse_clickhouse_spark.operators.advanced import (
-    cramers_v, ema, entropy, haversine_km, interval_length_sum,
-    ipv4_num_to_string, ipv4_string_to_num, max_intersections, mode,
-    welch_t_statistic,
+    contingency, cramers_v, ema, entropy, exp_time_decayed_sum,
+    haversine_km, interval_length_sum, ipv4_num_to_string,
+    ipv4_string_to_num, max_intersections, mode, rank_corr,
+    student_t_statistic, welch_t_statistic,
 )
 from clickhouse_clickhouse_spark.registry import register
 from clickhouse_clickhouse_spark.tables import load_table
@@ -338,3 +339,90 @@ def session_window_agg(spark, sf):
     return g.select("user_id",
                     F.col("w.start").alias("w_start"),
                     F.col("w.end").alias("w_end"), "n")
+
+
+@register("agg_rank_corr", oracle="""
+SELECT l_returnflag, round(corr(rx, ry), 6) AS rank_corr
+FROM (
+  SELECT l_returnflag,
+         rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+           + (count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0
+           AS rx,
+         rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+           + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1)
+             / 2.0 AS ry
+  FROM lineitem) t
+GROUP BY l_returnflag
+""")
+def agg_rank_corr(spark, sf):
+    """rankCorr(l_quantity, l_extendedprice) per return flag (reference
+    AggregateFunctionRankCorrelation.h): Spearman via midranks + Pearson
+    corr — two window sorts, one agg, JVM-side throughout."""
+    li = load_table(spark, sf, "lineitem")
+    return rank_corr(li, ["l_returnflag"], "l_quantity", "l_extendedprice")
+
+
+@register("agg_student_ttest", oracle="""
+WITH s AS (
+  SELECT event_type AS g, avg(value) AS m, var_samp(value) AS s2,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1)
+SELECT round((a.m - b.m)
+             / sqrt((((a.n - 1) * a.s2 + (b.n - 1) * b.s2) / (a.n + b.n - 2))
+                    * (1.0 / a.n + 1.0 / b.n)), 6) AS t_statistic
+FROM s a, s b WHERE a.g = 'click' AND b.g = 'purchase'
+""")
+def agg_student_ttest(spark, sf):
+    """studentTTest (pooled variance) of event value, click vs purchase
+    (reference AggregateFunctionTTest.h, studentTTest variant)."""
+    ev = load_table(spark, sf, "events")
+    return student_t_statistic(ev, "value", "event_type", "click", "purchase")
+
+
+@register("agg_contingency", oracle="""
+WITH obs AS (SELECT o_orderstatus AS a, o_orderpriority AS b,
+                    CAST(count(*) AS DOUBLE) AS o FROM orders GROUP BY 1, 2),
+ma AS (SELECT o_orderstatus AS a, CAST(count(*) AS DOUBLE) AS ca
+       FROM orders GROUP BY 1),
+mb AS (SELECT o_orderpriority AS b, CAST(count(*) AS DOUBLE) AS cb
+       FROM orders GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM orders),
+x AS (SELECT sum(pow(o - ca * cb / n, 2) / (ca * cb / n)) AS chi2, max(n) AS n
+      FROM obs JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN nn)
+SELECT round(sqrt(chi2 / (chi2 + n)), 6) AS contingency FROM x
+""")
+def agg_contingency(spark, sf):
+    """contingency(o_orderstatus, o_orderpriority) — contingency
+    coefficient sqrt(chi2/(chi2+n)) (reference ``contingency`` in
+    AggregateFunctionsStatisticsSimple family)."""
+    o = load_table(spark, sf, "orders")
+    return contingency(o, "o_orderstatus", "o_orderpriority")
+
+
+@register("window_time_decayed_sum", oracle="""
+WITH e AS (
+  SELECT user_id, event_id,
+         epoch_us(date_trunc('microseconds', ts)) / 1000000.0 AS sec, value
+  FROM events WHERE user_id < 10),
+d AS (
+  SELECT user_id, event_id, value,
+         sec - min(sec) OVER (PARTITION BY user_id) AS dt
+  FROM e),
+r AS (
+  SELECT user_id, event_id, dt,
+         sum(value * exp(dt / 86400.0))
+           OVER (PARTITION BY user_id ORDER BY dt, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM d)
+SELECT user_id, event_id, round(run * exp(-dt / 86400.0), 6) AS decayed_sum
+FROM r
+""")
+def window_time_decayed_sum(spark, sf):
+    """exponentialTimeDecayedSum(τ = 1 day) per user over event time
+    (reference window function ExponentialTimeDecayedSum): O(n·log n)
+    running-sum formulation instead of the naive O(n²) pairwise decay."""
+    ev = load_table(spark, sf, "events").filter(F.col("user_id") < 10)
+    out = exp_time_decayed_sum(ev, ["user_id"], "ts", "value", 86400.0,
+                               tiebreak="event_id")
+    return out.select("user_id", "event_id",
+                      F.round("decayed_sum", 6).alias("decayed_sum"))
