@@ -325,3 +325,11 @@ def transform(x, from_vals, to_vals, default):
         pairs.append(F.lit(t_))
     m = F.create_map(*pairs)
     return F.coalesce(F.element_at(m, _c(x)), F.lit(default))
+
+
+def extractKeyValuePairs(s, key_value_delimiter=":", pair_delimiters=","):
+    """``extractKeyValuePairs('a:1,b:2')`` → map (reference
+    src/Functions/keyvaluepair/): Spark-native ``str_to_map`` with the
+    delimiters as regex character classes — stays in codegen."""
+    return F.str_to_map(_c(s), F.lit("[" + pair_delimiters + "]"),
+                        F.lit("[" + key_value_delimiter + "]"))

@@ -134,3 +134,28 @@ def quantile_exact_pick(df: DataFrame, keys: Sequence[str], value: str,
         aggs.append(F.max(F.when(F.col("__rn") - 1 == idx,
                                  F.col(value))).alias(out))
     return r.groupBy(*keys).agg(*aggs)
+
+
+def group_array_moving(df: DataFrame, keys: Sequence[str],
+                       order_by: Sequence[str], value: str, k: int,
+                       kind: str = "sum", decimals: int = 6) -> DataFrame:
+    """``groupArrayMovingSum(k)`` / ``groupArrayMovingAvg(k)`` (reference
+    AggregateFunctionGroupArrayMoving): per key, the ordered array of
+    window-``k`` moving sums (or averages) of ``value``.
+
+    One window pass computes the per-row moving aggregate; collect_list
+    of (order, value) structs + array_sort makes the array order
+    deterministic regardless of shuffle arrival order. Array length per
+    group is the group's row count — callers should bound group size (it
+    is an array-returning aggregate in the reference, too)."""
+    w = (Window.partitionBy(*keys).orderBy(*order_by)
+         .rowsBetween(-(k - 1), 0))
+    mv = F.sum(F.col(value)).over(w)
+    if kind == "avg":
+        mv = mv / F.least(F.count("*").over(w), F.lit(k))
+    d = df.withColumn("__mv", F.round(mv, decimals))
+    pack = F.struct(*[F.col(c) for c in order_by], F.col("__mv"))
+    return (d.groupBy(*keys)
+            .agg(F.transform(F.array_sort(F.collect_list(pack)),
+                             lambda s: s["__mv"])
+                 .alias(f"moving_{kind}s")))

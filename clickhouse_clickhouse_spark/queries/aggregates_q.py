@@ -10,6 +10,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from clickhouse_clickhouse_spark.operators.aggregates import (
+    group_array_moving,
     delta_sum, histogram, limit_by, sum_map, top_k_per_group, with_totals,
 )
 from clickhouse_clickhouse_spark.registry import register
@@ -825,3 +826,29 @@ def agg_or_null_or_default(spark, sf):
         F.max(empty).alias("max_or_null"),
         F.coalesce(F.sum(empty), F.lit(0.0)).alias("sum_or_default"),
         F.coalesce(F.count(empty), F.lit(0)).alias("count_if_empty"))
+
+
+@register("agg_group_array_moving", oracle="""
+WITH m AS (
+  SELECT user_id, ts, event_id,
+         round(sum(value) OVER w3, 6)  AS mv_sum,
+         round(sum(value) OVER w3
+               / least(count(*) OVER w3, 3), 6) AS mv_avg
+  FROM events WHERE user_id < 8
+  WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+SELECT user_id,
+       list(mv_sum ORDER BY ts, event_id) AS moving_sums,
+       list(mv_avg ORDER BY ts, event_id) AS moving_avgs
+FROM m GROUP BY user_id
+""")
+def agg_group_array_moving(spark, sf):
+    """groupArrayMovingSum(3) + groupArrayMovingAvg(3) of event value per
+    user (reference AggregateFunctionGroupArrayMoving.h): one window pass
+    each, deterministic array order via sorted (ts, event_id) structs."""
+    ev = load_table(spark, sf, "events").filter(F.col("user_id") < 8)
+    sums = group_array_moving(ev, ["user_id"], ["ts", "event_id"],
+                              "value", 3, kind="sum")
+    avgs = group_array_moving(ev, ["user_id"], ["ts", "event_id"],
+                              "value", 3, kind="avg")
+    return sums.join(avgs, "user_id")

@@ -872,3 +872,31 @@ def json_variant_type(spark, sf):
         F.variant_get(v, "$.k", "int").alias("k_int"),
         F.regexp_extract(F.schema_of_variant(v), "^([A-Z]+)", 1)
         .alias("top_type"))
+
+
+@register("extract_key_value_pairs", oracle="""
+SELECT o_orderkey,
+       o_orderstatus                 AS status_v,
+       o_orderpriority               AS prio_v,
+       cast(o_custkey AS VARCHAR)    AS cust_v,
+       CAST(3 AS INT)                AS n_pairs
+FROM orders WHERE o_orderkey <= 200
+""")
+def extract_key_value_pairs(spark, sf):
+    """extractKeyValuePairs (reference src/Functions/keyvaluepair/
+    extractKeyValuePairs.cpp): serialize columns into 'k:v,k:v' text, parse
+    back with str_to_map (codegen-side), extract by key — the oracle checks
+    the round-trip against the source columns."""
+    from clickhouse_clickhouse_spark.ch_functions import extractKeyValuePairs
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") <= 200)
+    kv = F.concat_ws(",",
+                     F.concat(F.lit("status:"), "o_orderstatus"),
+                     F.concat(F.lit("prio:"), "o_orderpriority"),
+                     F.concat(F.lit("cust:"), F.col("o_custkey").cast("string")))
+    m = extractKeyValuePairs(kv)
+    return o.select(
+        "o_orderkey",
+        m.getItem("status").alias("status_v"),
+        m.getItem("prio").alias("prio_v"),
+        m.getItem("cust").alias("cust_v"),
+        F.size(F.map_keys(m)).alias("n_pairs"))
