@@ -426,3 +426,71 @@ def window_time_decayed_sum(spark, sf):
                                tiebreak="event_id")
     return out.select("user_id", "event_id",
                       F.round("decayed_sum", 6).alias("decayed_sum"))
+
+
+from clickhouse_clickhouse_spark.functions.geo import (  # noqa: E402
+    geohash_decode, geohash_encode, geohash_oracle_expr,
+    point_in_polygon, point_in_polygon_oracle_expr,
+)
+
+# L-shaped (non-convex) test polygon shared by the Spark expression and
+# the generated oracle; grid points chosen off the edges.
+_PIP_POLY = [(0.0, 0.0), (10.0, 0.0), (10.0, 4.0), (4.0, 4.0),
+             (4.0, 10.0), (0.0, 10.0)]
+
+_GH_LON = "CAST((p_partkey % 360) - 180 + 0.5 AS DOUBLE)"
+_GH_LAT = "CAST(((p_partkey * 7) % 180) - 90 + 0.25 AS DOUBLE)"
+_GH_SCALE = 1 << 15
+
+
+@register("geo_point_in_polygon", oracle=f"""
+SELECT p_partkey,
+       {point_in_polygon_oracle_expr('px', 'py', _PIP_POLY)} AS inside
+FROM (SELECT p_partkey,
+             (p_partkey % 37) * CAST(0.31 AS DOUBLE) AS px,
+             ((p_partkey * 13) % 41) * CAST(0.27 AS DOUBLE) AS py
+      FROM part) t
+""")
+def geo_point_in_polygon(spark, sf):
+    """pointInPolygon over a non-convex polygon (reference
+    src/Functions/pointInPolygon.cpp): even-odd ray casting unrolled to
+    constant-folded codegen arithmetic — no UDF, no shuffle."""
+    p = load_table(spark, sf, "part")
+    px = (F.col("p_partkey") % 37) * 0.31
+    py = ((F.col("p_partkey") * 13) % 41) * 0.27
+    return p.select(
+        "p_partkey",
+        point_in_polygon(px, py, _PIP_POLY).alias("inside"))
+
+
+@register("geo_geohash_roundtrip", oracle=f"""
+WITH pts AS (
+  SELECT p_partkey, {_GH_LON} AS lon, {_GH_LAT} AS lat FROM part),
+q AS (
+  SELECT p_partkey, lon, lat,
+         least(CAST(floor((lon + 180.0) / 360.0 * {_GH_SCALE}) AS BIGINT),
+               {_GH_SCALE - 1}) AS lon_q,
+         least(CAST(floor((lat + 90.0) / 180.0 * {_GH_SCALE}) AS BIGINT),
+               {_GH_SCALE - 1}) AS lat_q
+  FROM pts)
+SELECT p_partkey,
+       {geohash_oracle_expr('lon', 'lat')} AS gh,
+       round((lon_q + 0.5) / {_GH_SCALE} * 360.0 - 180.0, 6) AS dec_lon,
+       round((lat_q + 0.5) / {_GH_SCALE} * 180.0 - 90.0, 6) AS dec_lat
+FROM q
+""")
+def geo_geohash_roundtrip(spark, sf):
+    """geohashEncode + geohashDecode round-trip (reference
+    src/Functions/geohash.cpp): morton bit-interleave + base32, fully
+    unrolled constant expressions; decode reads back the cell center
+    from the encoded string."""
+    p = load_table(spark, sf, "part")
+    lon = (F.col("p_partkey") % 360) - 180 + 0.5
+    lat = ((F.col("p_partkey") * 7) % 180) - 90 + 0.25
+    gh = geohash_encode(lon, lat, 6)
+    d = p.select("p_partkey", gh.alias("gh"))
+    dec = geohash_decode(F.col("gh"), 6)
+    return d.select(
+        "p_partkey", "gh",
+        F.round(dec["lon"], 6).alias("dec_lon"),
+        F.round(dec["lat"], 6).alias("dec_lat"))

@@ -1,0 +1,81 @@
+"""Geo functions: geohash encode/decode vs an independent classic
+subdivision reference; pointInPolygon vs hand-checked points."""
+
+from pyspark.sql import functions as F
+
+from clickhouse_clickhouse_spark.functions.geo import (
+    GEOHASH_ALPHABET, geohash_decode, geohash_encode, point_in_polygon,
+)
+
+
+def ref_geohash(lat, lon, precision):
+    """Classic interval-subdivision geohash (public algorithm as on
+    geohash.org / Wikipedia) — structurally unlike the morton form."""
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    bits, out, even = 0, [], True
+    ch = 0
+    while len(out) < precision:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                ch = ch * 2 + 1
+                lon_lo = mid
+            else:
+                ch = ch * 2
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                ch = ch * 2 + 1
+                lat_lo = mid
+            else:
+                ch = ch * 2
+                lat_hi = mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out.append(GEOHASH_ALPHABET[ch])
+            bits, ch = 0, 0
+    return "".join(out)
+
+
+POINTS = [(57.64911, 10.40744), (38.897, -77.036), (-33.8568, 151.2153),
+          (0.0001, 0.0001), (-89.9, -179.9), (89.9, 179.9)]
+
+L_POLY = [(0.0, 0.0), (10.0, 0.0), (10.0, 4.0), (4.0, 4.0),
+          (4.0, 10.0), (0.0, 10.0)]
+
+
+def test_geohash_matches_subdivision_reference(spark):
+    rows = spark.createDataFrame(
+        [(la, lo) for la, lo in POINTS], "lat double, lon double")
+    got = rows.select(
+        geohash_encode(F.col("lon"), F.col("lat"), 6).alias("gh")).collect()
+    want = [ref_geohash(la, lo, 6) for la, lo in POINTS]
+    assert [r.gh for r in got] == want
+    assert want[0] == "u4pruy"  # canonical published example (Jutland)
+
+
+def test_geohash_decode_center_within_cell(spark):
+    rows = spark.createDataFrame(
+        [(la, lo) for la, lo in POINTS], "lat double, lon double")
+    d = rows.select(
+        "lat", "lon",
+        geohash_decode(geohash_encode(F.col("lon"), F.col("lat"), 6),
+                       6).alias("c"))
+    for r in d.collect():
+        # precision-6 even-split cell: 360/2^15 lon, 180/2^15 lat
+        assert abs(r.c.lon - r.lon) <= 360.0 / (1 << 15) / 2 + 1e-9
+        assert abs(r.c.lat - r.lat) <= 180.0 / (1 << 15) / 2 + 1e-9
+
+
+def test_point_in_polygon_hand_checked(spark):
+    cases = [((2.0, 2.0), True), ((8.0, 2.0), True), ((8.0, 8.0), False),
+             ((2.0, 8.0), True), ((5.0, 5.0), False), ((-1.0, 5.0), False),
+             ((3.9, 9.9), True), ((10.5, 2.0), False)]
+    rows = spark.createDataFrame(
+        [(x, y) for (x, y), _ in cases], "x double, y double")
+    got = rows.select(
+        point_in_polygon(F.col("x"), F.col("y"), L_POLY).alias("i")).collect()
+    assert [r.i for r in got] == [want for _, want in cases]
