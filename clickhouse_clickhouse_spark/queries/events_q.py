@@ -311,3 +311,52 @@ def sequence_match_time(spark, sf):
     return (ev.withColumn("__hit", hit)
             .groupBy("user_id")
             .agg(F.max(F.coalesce("__hit", F.lit(False))).alias("matched")))
+
+
+@register("lttb_downsample", oracle="""
+WITH RECURSIVE
+src AS (
+  SELECT epoch_us(date_trunc('microseconds', ts)) / 1000000.0 AS x, value AS y
+  FROM events WHERE event_type = 'click'),
+pts AS (SELECT x, y, row_number() OVER (ORDER BY x, y) - 1 AS i FROM src),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              (count(*) - 2) / 18.0 AS every FROM pts),
+b AS (
+  SELECT k,
+         CAST(floor(k * every) AS BIGINT) + 1       AS lo,
+         CAST(floor((k + 1) * every) AS BIGINT) + 1 AS hi,
+         least(CAST(floor((k + 2) * every) AS BIGINT) + 1, n) AS nhi
+  FROM (SELECT unnest(generate_series(0, 17)) AS k), nn),
+cent AS (
+  SELECT b.k, avg(p.x) AS cx, avg(p.y) AS cy
+  FROM b JOIN pts p ON p.i >= b.hi AND p.i < b.nhi
+  GROUP BY b.k),
+sel(k, a_i, ax, ay) AS (
+  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), x, y FROM pts WHERE i = 0
+  UNION ALL
+  (SELECT sel.k + 1, c.i, c.x, c.y
+   FROM sel
+   JOIN b    ON b.k = sel.k
+   JOIN cent ON cent.k = sel.k
+   JOIN pts c ON c.i >= b.lo AND c.i < b.hi
+   WHERE sel.k < 18
+   ORDER BY abs((sel.ax - cent.cx) * (c.y - sel.ay)
+                - (sel.ax - c.x) * (cent.cy - sel.ay)) DESC, c.i
+   LIMIT 1)),
+final AS (SELECT a_i AS i FROM sel
+          UNION ALL SELECT n - 1 FROM nn)
+SELECT 'click' AS event_type, i, round(p.x, 6) AS x, round(p.y, 6) AS y
+FROM pts p JOIN final USING (i)
+""")
+def lttb_downsample(spark, sf):
+    """largestTriangleThreeBuckets(20) over the click-event series
+    (reference AggregateFunctionLargestTriangleThreeBuckets.cpp). The
+    oracle replays the sequential bucket-argmax selection with a
+    recursive CTE (ORDER BY area DESC LIMIT 1 per step)."""
+    from clickhouse_clickhouse_spark.operators.downsample import lttb
+    ev = load_table(spark, sf, "events").filter(F.col("event_type") == "click")
+    ev = ev.select("event_type", F.col("ts").cast("double").alias("xs"),
+                   "value")
+    out = lttb(ev, ["event_type"], "xs", "value", 20)
+    return out.select("event_type", "i",
+                      F.round("x", 6).alias("x"), F.round("y", 6).alias("y"))
