@@ -29,7 +29,10 @@ def plus(a, b): return _c(a) + _c(b)
 def minus(a, b): return _c(a) - _c(b)
 def multiply(a, b): return _c(a) * _c(b)
 def divide(a, b): return _c(a) / _c(b)
-def intDiv(a, b): return F.expr(f"div({a}, {b})") if isinstance(a, str) else (_c(a) / _c(b)).cast("long")
+def intDiv(a, b):
+    # exact integer division on both paths (double division truncates
+    # wrongly past 2^53); call_function routes Columns to the same SQL div
+    return F.call_function("div", _c(a).cast("long"), _c(b).cast("long"))
 def modulo(a, b): return _c(a) % _c(b)
 def negate(a): return -_c(a)
 def abs_(a): return F.abs(_c(a))
@@ -104,7 +107,13 @@ def toDayOfWeek(a): return F.weekday(_c(a)) + 1          # CH: Mon=1
 def toQuarter(a): return F.quarter(_c(a))
 def toDate(a): return _c(a).cast("date")
 def toStartOfDay(a): return F.date_trunc("day", _c(a))
-def toStartOfWeek(a): return F.date_trunc("week", _c(a))
+def toStartOfWeek(a, mode: int = 0):
+    # reference default mode 0 = round down to nearest SUNDAY (returns
+    # Date); mode 1 = Monday start (ISO weeks, = toMonday)
+    if mode == 1:
+        return F.date_trunc("week", _c(a)).cast("date")
+    d = F.to_date(_c(a))
+    return F.date_sub(d, F.dayofweek(d) - 1)  # dayofweek: Sun=1
 def toStartOfMonth(a): return F.date_trunc("month", _c(a))
 def toStartOfQuarter(a): return F.date_trunc("quarter", _c(a))
 def toStartOfYear(a): return F.date_trunc("year", _c(a))

@@ -218,21 +218,51 @@ def exp_time_decayed_sum(df: DataFrame, keys: Sequence[str], ts: str,
         S(t) = Σ_{t_i ≤ t} v_i · exp(−(t − t_i)/τ)
 
     Computed in O(n log n) instead of O(n²) via the algebraic split
-    S(t) = exp(−(t−t0)/τ) · Σ v_i·exp((t_i−t0)/τ) with t0 = per-key min
-    time (keeps exponents small): one running-sum window per key. Adds
-    column ``decayed_sum``; caller aggregates/filters."""
+    S(t) = exp(−(t−t_e)/τ) · Σ v_i·exp((t_i−t_e)/τ), with the anchor t_e
+    renormalized *piecewise*: rows are segmented into epochs of length
+    C·τ (C = 500 < 709, the double-exp overflow bound), each epoch runs
+    its own anchored running sum, and mass from the previous epoch is
+    carried across the boundary with a bounded rescale
+    exp(−gap·C) — so a key whose time span is ≫ 709·τ (the overflow trap
+    of a single min-anchored pass) stays finite.
+
+    Double-precision exactness note: epochs ≥ 2 steps back contribute a
+    relative factor ≤ exp(−C) ≈ 7e−218, below double resolution for any
+    |Σv| < 1e190 — carrying only the adjacent epoch's total is therefore
+    exact in IEEE754, and keys spanning < C·τ reproduce the single-anchor
+    arithmetic bit-for-bit (everything lands in epoch 0 with zero carry).
+    Adds column ``decayed_sum``; caller aggregates/filters."""
+    C = 500.0
+    seg = C * tau_seconds
     v = F.col(value) if isinstance(value, str) else value
     order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
     sec = F.col(ts).cast("double")  # fractional epoch seconds (µs kept)
     t0 = F.min(sec).over(Window.partitionBy(*keys))
-    w = (Window.partitionBy(*keys).orderBy(*order)
-         .rowsBetween(Window.unboundedPreceding, 0))
     d = (df.withColumn("__dt", sec - t0)
-           .withColumn("__run", F.sum(v * F.exp(F.col("__dt") / tau_seconds))
-                       .over(w)))
-    return (d.withColumn("decayed_sum",
-                         F.col("__run") * F.exp(-F.col("__dt") / tau_seconds))
-            .drop("__dt", "__run"))
+           .withColumn("__ep", F.floor(F.col("__dt") / seg))
+           .withColumn("__dtl", F.col("__dt") - F.col("__ep") * seg))
+    w = (Window.partitionBy(*keys, "__ep").orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    d = d.withColumn("__run", F.sum(v * F.exp(F.col("__dtl") / tau_seconds))
+                     .over(w))
+    # per-(key, epoch) totals -> carry-in from the adjacent earlier epoch
+    # (summed from the addends, not max(__run): values may be negative)
+    totals = (d.groupBy(*keys, "__ep")
+              .agg(F.sum(v * F.exp(F.col("__dtl") / tau_seconds))
+                   .alias("__tot")))
+    wk = Window.partitionBy(*keys).orderBy("__ep")
+    carries = totals.select(
+        *keys, "__ep",
+        F.coalesce(
+            F.lag("__tot").over(wk)
+            * F.exp((F.lag("__ep").over(wk) - F.col("__ep")) * C),
+            F.lit(0.0)).alias("__carry"))
+    d = d.join(carries, [*keys, "__ep"])
+    return (d.withColumn(
+                "decayed_sum",
+                (F.col("__run") + F.col("__carry"))
+                * F.exp(-F.col("__dtl") / tau_seconds))
+            .drop("__dt", "__ep", "__dtl", "__run", "__carry"))
 
 
 def ipv4_num_to_string(n: Column) -> Column:

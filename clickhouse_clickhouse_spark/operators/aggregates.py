@@ -147,12 +147,18 @@ def group_array_moving(df: DataFrame, keys: Sequence[str],
     of (order, value) structs + array_sort makes the array order
     deterministic regardless of shuffle arrival order. Array length per
     group is the group's row count — callers should bound group size (it
-    is an array-returning aggregate in the reference, too)."""
+    is an array-returning aggregate in the reference, too).
+
+    ``avg`` divides by the window size ``k`` unconditionally — leading
+    elements are sum/k, matching the reference groupArrayMovingAvg
+    (NOT a least(count, k) partial-window average). Deviation kept: the
+    reference integer-truncates the avg for integer inputs; this always
+    returns the real quotient (cast the result to reproduce that)."""
     w = (Window.partitionBy(*keys).orderBy(*order_by)
          .rowsBetween(-(k - 1), 0))
     mv = F.sum(F.col(value)).over(w)
     if kind == "avg":
-        mv = mv / F.least(F.count("*").over(w), F.lit(k))
+        mv = mv / F.lit(k)
     d = df.withColumn("__mv", F.round(mv, decimals))
     pack = F.struct(*[F.col(c) for c in order_by], F.col("__mv"))
     return (d.groupBy(*keys)

@@ -1,0 +1,189 @@
+"""Distributed global ordering primitives (no single-partition exchange).
+
+The reference's window engine (upstream ``src/Processors/Transforms/
+WindowTransform.cpp``) evaluates an un-PARTITIONed ``OVER (ORDER BY ...)``
+by streaming the whole sorted input through one transform. Spark's
+``WindowExec`` does the same thing — ``Window.orderBy`` with no
+``partitionBy`` compiles to ``Exchange SinglePartition`` and funnels every
+row through one task, which is a scale killer at 100 TB even though it is
+correct at test scale.
+
+This module provides the scale-safe equivalents used by the rank-based
+statistics (AUC, Mann-Whitney U, Kolmogorov-Smirnov, ntile deciles,
+global RANGE frames, PASTE JOIN numbering):
+
+* rows are range-bucketed on the leading order key using approximate
+  quantile boundaries computed *lazily inside the same plan* (a 1-row
+  aggregate, broadcast) — deterministic under re-computation, unlike
+  ``repartitionByRange``'s sampled boundaries;
+* each bucket is ranked/prefix-summed independently with an ordinary
+  partitioned window (hash shuffle, fully parallel);
+* per-bucket totals (one row per bucket) are offset-cumulated with a
+  broadcast triangular self-join — tiny, and crucially *not* an
+  ``Exchange SinglePartition`` — and broadcast-joined back.
+
+Every operator here therefore produces a plan whose only exchanges are
+hash/broadcast; ``tests/test_plans.py`` pins that invariant.
+
+Skew note: all rows sharing one value of the leading key land in one
+bucket (required for correctness of ties). A single pathological key —
+e.g. 30 % of rows having the same value — concentrates in one task, the
+same behavior ``repartitionByRange`` would have; AQE skew handling does
+not split windows, so extreme cases need a finer ``buckets`` value or a
+pre-aggregation at the key granularity.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_BKT = "__gr_bkt"
+_BNDS = "__gr_bnds"
+
+
+def _bucketize(df: DataFrame, key: str, buckets: int,
+               keep_bounds: bool = False) -> DataFrame:
+    """Add a range-bucket id column ``__gr_bkt`` for the numeric/temporal
+    column ``key``: bucket = number of quantile boundaries strictly below
+    the value (NULLs → -1, matching ASC NULLS FIRST). Boundaries come from
+    ``percentile_approx`` evaluated lazily in-plan and broadcast — the
+    whole construction is deterministic, so downstream branches that
+    recompute it agree on bucket assignment (``repartitionByRange``'s
+    RNG-sampled boundaries do not have that property across jobs)."""
+    probs = [i / buckets for i in range(1, buckets)]
+    bounds = df.agg(F.percentile_approx(
+        F.col(key).cast("double"), probs, 10000).alias(_BNDS))
+    out = (df.crossJoin(F.broadcast(bounds))
+           .withColumn(
+               _BKT,
+               F.when(F.col(key).isNull(), F.lit(-1)).otherwise(
+                   F.size(F.filter(
+                       F.col(_BNDS),
+                       lambda b: F.col(key).cast("double") > b)))))
+    return out if keep_bounds else out.drop(_BNDS)
+
+
+def _bucket_offsets(counts: DataFrame, sum_cols: Sequence[str]) -> DataFrame:
+    """Exclusive prefix totals over bucket ids via a broadcast triangular
+    self-join — O(buckets²) on a buckets-row relation, no single-partition
+    exchange (a tiny ``Window.orderBy`` would reintroduce one)."""
+    lower = counts.select(
+        F.col(_BKT).alias("__b2"),
+        *[F.col(c).alias(f"__p_{c}") for c in sum_cols])
+    joined = counts.join(F.broadcast(lower),
+                         F.col("__b2") < F.col(_BKT), "left")
+    aggs = [F.coalesce(F.sum(f"__p_{c}"), F.lit(0)).alias(f"__off_{c}")
+            for c in sum_cols]
+    return joined.groupBy(_BKT).agg(*aggs)
+
+
+def global_row_number(df: DataFrame, key: str,
+                      tiebreaks: Sequence[str] = (),
+                      out: str = "rn", buckets: int = 64) -> DataFrame:
+    """Global ``row_number() OVER (ORDER BY key ASC, *tiebreaks ASC)``
+    without a single-partition window: per-bucket ``row_number`` plus the
+    broadcast cumulative count of earlier buckets. ``key`` must be a
+    numeric or temporal column (it is range-bucketed by value)."""
+    order = [F.col(key).asc(), *[F.col(t).asc() for t in tiebreaks]]
+    b = _bucketize(df, key, buckets)
+    wloc = Window.partitionBy(_BKT).orderBy(*order)
+    local = b.withColumn("__lrn", F.row_number().over(wloc))
+    counts = b.groupBy(_BKT).agg(F.count("*").alias("__cnt"))
+    offsets = _bucket_offsets(counts, ["__cnt"])
+    return (local.join(F.broadcast(offsets), _BKT)
+            .withColumn(out, (F.col("__lrn") + F.col("__off___cnt"))
+                        .cast("long"))
+            .drop(_BKT, "__lrn", "__off___cnt"))
+
+
+def global_prefix_sums(df: DataFrame, key: str,
+                       sums: dict[str, Column],
+                       buckets: int = 64) -> DataFrame:
+    """Global inclusive running sums in ``ORDER BY key ASC`` order — each
+    entry of ``sums`` (name -> addend expression) becomes a column holding
+    ``SUM(expr) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING..CURRENT)``.
+    Rows tied on ``key`` get an arbitrary order *within* the tie (callers
+    that need tie-stable results should reduce per distinct key after,
+    e.g. ``groupBy(key).max(...)`` — the KS statistic does exactly that).
+    """
+    names = list(sums)
+    b = _bucketize(df, key, buckets)
+    for n in names:
+        b = b.withColumn(f"__a_{n}", sums[n])
+    wloc = (Window.partitionBy(_BKT).orderBy(F.col(key).asc())
+            .rowsBetween(Window.unboundedPreceding, 0))
+    local = b
+    for n in names:
+        local = local.withColumn(f"__l_{n}",
+                                 F.sum(f"__a_{n}").over(wloc))
+    totals = b.groupBy(_BKT).agg(
+        *[F.sum(f"__a_{n}").alias(f"__t_{n}") for n in names])
+    offsets = _bucket_offsets(totals, [f"__t_{n}" for n in names])
+    out = local.join(F.broadcast(offsets), _BKT)
+    for n in names:
+        out = out.withColumn(n, F.col(f"__l_{n}") + F.col(f"__off___t_{n}"))
+    drop = [_BKT] + [c for n in names
+                     for c in (f"__a_{n}", f"__l_{n}", f"__off___t_{n}")]
+    return out.drop(*drop)
+
+
+def global_ntile(df: DataFrame, key: str, n_tiles: int,
+                 tiebreaks: Sequence[str] = (),
+                 out: str = "tile", buckets: int = 64) -> DataFrame:
+    """Global ``ntile(n) OVER (ORDER BY key, *tiebreaks)`` with exact SQL
+    ntile semantics (the first ``n_rows % n`` tiles get the extra row):
+    global row number from :func:`global_row_number` plus a broadcast
+    total count, bucket arithmetic in exact integer math."""
+    rn = global_row_number(df, key, tiebreaks, out="__grn",
+                           buckets=buckets)
+    total = df.agg(F.count("*").alias("__n"))
+    r = rn.crossJoin(F.broadcast(total))
+    q = (F.col("__n") / n_tiles).cast("long")         # floor: both positive
+    rem = F.col("__n") % n_tiles
+    big = rem * (q + 1)                               # rows in the fat tiles
+    ceil_div = lambda a, b: ((a + b - 1) / b).cast("long")  # noqa: E731
+    tile = F.when(F.col("__grn") <= big,
+                  ceil_div(F.col("__grn"), q + 1)) \
+            .otherwise(rem + ceil_div(F.col("__grn") - big,
+                                      F.greatest(q, F.lit(1))))
+    return (r.withColumn(out, tile.cast("int"))
+            .drop("__grn", "__n"))
+
+
+def global_range_count(df: DataFrame, key: str, preceding: float,
+                       out: str, buckets: int = 64) -> DataFrame:
+    """Global ``count(*) OVER (ORDER BY key RANGE BETWEEN <preceding>
+    PRECEDING AND CURRENT ROW)`` — a value-range frame over the total
+    order, computed per bucket with a *halo exchange*: every row is also
+    shipped as a "ghost" to each later bucket whose lower boundary lies
+    within ``preceding`` of it, so each bucket window sees the full frame
+    of its own rows. Ghost copies participate in counting but are dropped
+    from the output. Ghost fan-out is bounded by how many bucket spans one
+    frame crosses (≈ preceding / bucket_width + 1). ``key`` must be
+    non-null numeric; ``preceding`` must be integer-valued (Spark's
+    ``rangeBetween`` takes long boundaries — pre-scale the key for
+    fractional ranges)."""
+    if not float(preceding).is_integer():
+        raise ValueError("preceding must be integer-valued; "
+                         "scale the key column for fractional ranges")
+    b = _bucketize(df, key, buckets, keep_bounds=True)
+    with_idx = F.transform(F.col(_BNDS),
+                           lambda v, i: F.struct(v.alias("v"), i.alias("i")))
+    targets = F.transform(
+        F.filter(with_idx,
+                 lambda s: (s["i"] + 1 > F.col(_BKT))
+                 & (s["v"] < F.col(key).cast("double") + F.lit(preceding))),
+        lambda s: (s["i"] + 1).cast("int"))
+    cols = df.columns
+    real = b.select(*cols, F.col(_BKT).alias("__tgt"),
+                    F.lit(False).alias("__ghost"))
+    ghosts = (b.select(*cols, F.explode(targets).alias("__tgt"),
+                       F.lit(True).alias("__ghost")))
+    u = real.unionByName(ghosts)
+    w = (Window.partitionBy("__tgt").orderBy(F.col(key).cast("double"))
+         .rangeBetween(-int(preceding), 0))
+    return (u.withColumn(out, F.count("*").over(w))
+            .filter(~F.col("__ghost")).drop("__tgt", "__ghost"))

@@ -110,9 +110,27 @@ def paste_join(left: DataFrame, right: DataFrame,
     an explicit total order per side is REQUIRED; rows are numbered by it
     and equi-joined on the number. Extra rows on the longer side drop
     (reference semantics: zip to the shorter length).
+
+    Numbering uses the distributed bucketed global rank
+    (operators/grank.py — no single-partition exchange) when the leading
+    order key is numeric/temporal; non-range-bucketable keys (strings)
+    fall back to the single-window path, documented as small-input only.
     """
-    wl = Window.orderBy(*[F.col(c) if isinstance(c, str) else c for c in left_order])
-    wr = Window.orderBy(*[F.col(c) if isinstance(c, str) else c for c in right_order])
-    ln = left.withColumn("__rn", F.row_number().over(wl))
-    rn = right.withColumn("__rn", F.row_number().over(wr))
+    ln = _ordered_rn(left, left_order)
+    rn = _ordered_rn(right, right_order)
     return ln.join(rn, "__rn", "inner").drop("__rn")
+
+
+def _ordered_rn(df: DataFrame, order: Sequence[Column | str]) -> DataFrame:
+    from pyspark.sql.types import DateType, NumericType, TimestampType
+
+    from clickhouse_clickhouse_spark.operators.grank import global_row_number
+
+    lead = order[0]
+    if isinstance(lead, str) and all(isinstance(c, str) for c in order) \
+            and isinstance(df.schema[lead].dataType,
+                           (NumericType, DateType, TimestampType)):
+        return global_row_number(df, lead, list(order[1:]), out="__rn")
+    w = Window.orderBy(*[F.col(c) if isinstance(c, str) else c
+                         for c in order])
+    return df.withColumn("__rn", F.row_number().over(w))

@@ -20,11 +20,16 @@ def qualify(df: DataFrame, window_col: Column, predicate) -> DataFrame:
 
 
 def limit_with_ties(df: DataFrame, n: int,
-                    order_by: Sequence[Column | str]) -> DataFrame:
-    """``LIMIT n WITH TIES`` (reference ``LimitTransform`` ties mode):
-    rank() over the global order, keep rank <= n — rows tying the nth value
-    are included."""
-    order = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    w = Window.orderBy(*order)
-    return (df.withColumn("__rk", F.rank().over(w))
-            .filter(F.col("__rk") <= n).drop("__rk"))
+                    order_by: Sequence[str]) -> DataFrame:
+    """``LIMIT n WITH TIES`` (reference ``LimitTransform`` ties mode)
+    without a global rank window: pass 1 reduces ``orderBy().limit(n)``
+    (TakeOrderedAndProject — per-partition top-n heaps, no
+    single-partition exchange) to the nth row's sort-key tuple; pass 2
+    keeps every row whose key tuple is ``<=`` that broadcast boundary —
+    rows tying the nth value are included. Ascending non-null sort keys
+    (derive a negated/cleaned column for other orders)."""
+    cols = [F.col(c) for c in order_by]
+    boundary = (df.select(*cols).orderBy(*cols).limit(n)
+                .agg(F.max(F.struct(*cols)).alias("__b")))
+    return (df.crossJoin(F.broadcast(boundary))
+            .filter(F.struct(*cols) <= F.col("__b")).drop("__b"))

@@ -360,15 +360,21 @@ FROM (SELECT * FROM s WHERE event_type = 'click') a,
 """)
 def agg_mannwhitney_u(spark, sf):
     """mannWhitneyUTest (U statistic, average-rank tie handling):
-    click vs view event values — rank windows, no UDF (§2.4)."""
+    click vs view event values. Average rank of a tie group =
+    (min + max global row number) / 2 — the global numbering is the
+    distributed bucketed rank (operators/grank.py), the tie min/max is a
+    value-partitioned (hash-parallel) window; no single-partition
+    exchange, no UDF (§2.4)."""
+    from clickhouse_clickhouse_spark.operators.grank import global_row_number
+
     ev = load_table(spark, sf, "events")
     v = ev.filter(F.col("event_type").isin("click", "view")) \
           .select("event_type", "value")
-    w_all = Window.orderBy("value")
     w_val = Window.partitionBy("value")
-    r = v.select(
-        "event_type",
-        (F.rank().over(w_all) + (F.count("*").over(w_val) - 1) / 2.0).alias("ar"))
+    r = (global_row_number(v, "value", out="__grn")
+         .select("event_type",
+                 ((F.min("__grn").over(w_val) + F.max("__grn").over(w_val))
+                  / 2.0).alias("ar")))
     s = r.groupBy("event_type").agg(F.sum("ar").alias("rsum"),
                                     F.count("*").alias("n"))
     a = s.filter(F.col("event_type") == "click") \
@@ -754,13 +760,16 @@ def agg_auc(spark, sf):
     """arrayAUC as a table aggregate (reference [U]
     src/Functions/array/arrayAUC.cpp computes it over array pairs): AUC
     of value as a score for the 'purchase' class via the Mann-Whitney
-    rank-sum identity — one global rank window + one aggregate, no
-    pairwise comparison (O(n log n), distributes as a range-partitioned
-    sort). Deterministic tiebreak on event_id."""
+    rank-sum identity — distributed global rank (bucketed, no
+    single-partition window — operators/grank.py) + one aggregate, no
+    pairwise comparison. Deterministic tiebreak on event_id."""
+    from clickhouse_clickhouse_spark.operators.grank import global_row_number
+
     ev = load_table(spark, sf, "events")
-    w = Window.orderBy("value", "event_id")
-    r = ev.select((F.col("event_type") == "purchase").alias("pos"),
-                  F.row_number().over(w).alias("rk"))
+    r = (global_row_number(
+            ev.select("value", "event_id", "event_type"),
+            "value", ["event_id"], out="rk")
+         .select((F.col("event_type") == "purchase").alias("pos"), "rk"))
     return (r.agg(F.sum(F.when(F.col("pos"), F.col("rk")).otherwise(0))
                   .cast("double").alias("prs"),
                   F.count_if("pos").cast("double").alias("p"),
@@ -786,20 +795,22 @@ FROM (SELECT v, max(c1) AS c1, max(c2) AS c2 FROM e GROUP BY v)
 def agg_ks_test(spark, sf):
     """kolmogorovSmirnovTest (reference [U] src/AggregateFunctions/
     AggregateFunctionKolmogorovSmirnovTest.cpp) — the D statistic
-    between the 'O' and 'F' l_quantity distributions: one global sort
-    (range-partitioned), running ECDF counts per group, max gap taken
-    at each distinct value. No per-group collect; p-value needs the KS
-    CDF and is declared out of DF scope like the t-test p-values."""
+    between the 'O' and 'F' l_quantity distributions: distributed
+    running ECDF counts (bucketed prefix sums, operators/grank.py — no
+    single-partition window), max gap taken at each distinct value. No
+    per-group collect; p-value needs the KS CDF and is declared out of
+    DF scope like the t-test p-values."""
+    from clickhouse_clickhouse_spark.operators.grank import global_prefix_sums
+
     li = load_table(spark, sf, "lineitem")
     r = li.select(F.col("l_quantity").alias("v"),
                   (F.col("l_linestatus") == "O").alias("g1"))
     tot = r.agg(F.count_if("g1").cast("double").alias("n1"),
                 F.count_if(~F.col("g1")).cast("double").alias("n2"))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    e = r.select(
-        "v",
-        F.sum(F.when(F.col("g1"), 1).otherwise(0)).over(w).alias("c1"),
-        F.sum(F.when(F.col("g1"), 0).otherwise(1)).over(w).alias("c2"))
+    e = global_prefix_sums(
+        r, "v",
+        {"c1": F.when(F.col("g1"), 1).otherwise(0),
+         "c2": F.when(F.col("g1"), 0).otherwise(1)})
     per_v = e.groupBy("v").agg(F.max("c1").alias("c1"), F.max("c2").alias("c2"))
     return (per_v.crossJoin(F.broadcast(tot))
             .agg(F.round(F.max(F.abs(F.col("c1") / F.col("n1")
@@ -832,8 +843,7 @@ def agg_or_null_or_default(spark, sf):
 WITH m AS (
   SELECT user_id, ts, event_id,
          round(sum(value) OVER w3, 6)  AS mv_sum,
-         round(sum(value) OVER w3
-               / least(count(*) OVER w3, 3), 6) AS mv_avg
+         round(sum(value) OVER w3 / 3.0, 6) AS mv_avg
   FROM events WHERE user_id < 8
   WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))

@@ -54,14 +54,15 @@ SELECT user_id, n_errors, n_total FROM (
 WHERE rn <= 10
 """)
 def cb_top_users_by_errors(spark, sf):
-    """Top-10 users by error count (conditional agg + global rank)."""
+    """Top-10 users by error count. orderBy().limit() compiles to
+    TakeOrderedAndProject (per-partition top-10 heaps merged on the
+    driver) — no global rank window, no single-partition exchange."""
     ev = load_table(spark, sf, "events")
     g = ev.groupBy("user_id").agg(
         F.count_if(F.col("event_type") == "error").alias("n_errors"),
         F.count("*").alias("n_total"))
-    w = Window.orderBy(F.col("n_errors").desc(), F.col("user_id"))
-    return (g.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= 10).select("user_id", "n_errors", "n_total"))
+    return (g.orderBy(F.col("n_errors").desc(), F.col("user_id")).limit(10)
+            .select("user_id", "n_errors", "n_total"))
 
 
 @register("cb_daily_unique_active", oracle="""
@@ -88,10 +89,14 @@ FROM (SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS d
 GROUP BY 1
 """)
 def cb_value_deciles(spark, sf):
-    """Decile profile of the value distribution (global ntile)."""
+    """Decile profile of the value distribution — exact SQL ntile
+    semantics via the distributed bucketed rank (operators/grank.py);
+    no single-partition window."""
+    from clickhouse_clickhouse_spark.operators.grank import global_ntile
+
     ev = load_table(spark, sf, "events")
-    w = Window.orderBy("value", "event_id")
-    return (ev.select("value", F.ntile(10).over(w).alias("decile"))
+    return (global_ntile(ev.select("value", "event_id"), "value", 10,
+                         tiebreaks=["event_id"], out="decile")
             .groupBy("decile")
             .agg(F.count("*").alias("n"),
                  F.round(F.min("value"), 4).alias("lo"),

@@ -92,11 +92,14 @@ SELECT o_orderkey, o_totalprice,
 FROM orders
 """)
 def window_range_frame(spark, sf):
-    """RANGE BETWEEN value frame (§2.5)."""
+    """RANGE BETWEEN value frame (§2.5) over the global order — computed
+    per range-bucket with halo-exchanged ghost rows
+    (operators/grank.global_range_count); no single-partition window."""
+    from clickhouse_clickhouse_spark.operators.grank import global_range_count
+
     o = load_table(spark, sf, "orders")
-    w = Window.orderBy("o_totalprice").rangeBetween(-10000, 0)
-    return o.select("o_orderkey", "o_totalprice",
-                    F.count("*").over(w).alias("n_within_10k"))
+    return global_range_count(o.select("o_orderkey", "o_totalprice"),
+                              "o_totalprice", 10000, out="n_within_10k")
 
 
 @register("window_value_funcs", oracle="""

@@ -50,17 +50,27 @@ def aggregating_merge(df: DataFrame, keys: Sequence[str],
 def collapsing_merge(df: DataFrame, keys: Sequence[str], sign: str,
                      order_by: Sequence[str] = ()) -> DataFrame:
     """CollapsingMergeTree: +1/−1 sign rows cancel pairwise per key; a key
-    whose sign-sum is positive keeps its LAST +1 row (by ``order_by``),
-    zero or negative sums vanish (the reference drops unbalanced −1s at
-    merge time)."""
+    whose sign-sum is positive keeps its LAST +1 row (by ``order_by``); a
+    key whose cancel rows outnumber state rows (sign-sum < 0) keeps its
+    FIRST −1 row — the reference merge algorithm retains that dangling
+    cancel; only exactly-balanced keys (sign-sum = 0) vanish."""
     sums = df.groupBy(*keys).agg(F.sum(sign).alias("__s"))
-    survivors = sums.filter(F.col("__s") > 0).drop("__s")
-    plus = df.filter(F.col(sign) == 1)
-    order = [F.col(c).desc() for c in (order_by or keys)]
-    w = Window.partitionBy(*keys).orderBy(*order)
-    latest_plus = (plus.withColumn("__rn", F.row_number().over(w))
-                   .filter(F.col("__rn") == 1).drop("__rn"))
-    return latest_plus.join(survivors, list(keys), "left_semi")
+    pos_keys = sums.filter(F.col("__s") > 0).drop("__s")
+    neg_keys = sums.filter(F.col("__s") < 0).drop("__s")
+    order = order_by or keys
+    w_desc = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() for c in order])
+    latest_plus = (df.filter(F.col(sign) == 1)
+                   .withColumn("__rn", F.row_number().over(w_desc))
+                   .filter(F.col("__rn") == 1).drop("__rn")
+                   .join(pos_keys, list(keys), "left_semi"))
+    w_asc = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).asc() for c in order])
+    first_minus = (df.filter(F.col(sign) == -1)
+                   .withColumn("__rn", F.row_number().over(w_asc))
+                   .filter(F.col("__rn") == 1).drop("__rn")
+                   .join(neg_keys, list(keys), "left_semi"))
+    return latest_plus.unionByName(first_minus)
 
 
 def apply_ttl(spark: SparkSession, path: str, ts_col: str,

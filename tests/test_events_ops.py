@@ -151,3 +151,57 @@ def test_window_funnel_default_mode_unchanged(spark):
                              "event_type", ["view", "click", "purchase"],
                              30 * 86400).collect()}
     assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_exp_time_decayed_sum_long_span_stays_finite(spark):
+    """A key spanning >> 709*tau used to overflow the single-anchor
+    running sum (exp(dt/tau) -> inf); the piecewise-renormalized version
+    must stay finite and match the O(n^2) brute force."""
+    import datetime
+    import math
+
+    from clickhouse_clickhouse_spark.operators.advanced import (
+        exp_time_decayed_sum,
+    )
+
+    tau = 3600.0  # 1 hour; 90 days span = 2160*tau >> 709*tau
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(1, i, t0 + datetime.timedelta(days=3 * i), float(i + 1))
+            for i in range(31)]  # 0..90 days
+    df = spark.createDataFrame(rows, "k int, seq int, ts timestamp, v double")
+    out = {r.seq: r.decayed_sum for r in
+           exp_time_decayed_sum(df, ["k"], "ts", "v", tau,
+                                tiebreak="seq").collect()}
+    times = {seq: (ts - t0).total_seconds() for _, seq, ts, _ in
+             [(r[0], r[1], r[2], r[3]) for r in rows]}
+    for seq, t in times.items():
+        brute = sum(v * math.exp(-(t - times[s]) / tau)
+                    for _, s, _, v in [(r[0], r[1], r[2], r[3]) for r in rows]
+                    if times[s] <= t)
+        got = out[seq]
+        assert math.isfinite(got), f"seq {seq} not finite"
+        assert abs(got - brute) <= 1e-9 * max(1.0, abs(brute)), (seq, got, brute)
+
+
+def test_exp_time_decayed_sum_short_span_single_epoch(spark):
+    """Spans < 500*tau must reproduce the original single-anchor
+    arithmetic exactly (everything in epoch 0, zero carry)."""
+    import datetime
+    import math
+
+    from clickhouse_clickhouse_spark.operators.advanced import (
+        exp_time_decayed_sum,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(1, i, t0 + datetime.timedelta(hours=i), float(10 - i))
+            for i in range(5)]
+    df = spark.createDataFrame(rows, "k int, seq int, ts timestamp, v double")
+    out = {r.seq: r.decayed_sum for r in
+           exp_time_decayed_sum(df, ["k"], "ts", "v", 86400.0,
+                                tiebreak="seq").collect()}
+    run = 0.0
+    for i in range(5):
+        dt = i * 3600.0
+        run += (10.0 - i) * math.exp(dt / 86400.0)
+        assert abs(out[i] - run * math.exp(-dt / 86400.0)) < 1e-12

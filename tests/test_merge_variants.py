@@ -46,11 +46,14 @@ def test_collapsing_merge(spark):
          (1, 3, 1, 120.0),    # insert v2 -> survives
          (2, 1, 1, 50.0),
          (2, 2, -1, 50.0),    # fully cancelled -> key 2 vanishes
-         (3, 1, -1, 10.0)],   # unbalanced -1 -> dropped
+         (3, 1, -1, 10.0),    # dangling -1 -> kept (reference keeps it)
+         (4, 1, -1, 7.0),     # two cancels, one state: sign-sum -1
+         (4, 2, 1, 8.0),      #   -> FIRST -1 row (seq 1) survives
+         (4, 3, -1, 9.0)],
         "k int, seq int, sign int, v double")
     out = {r.k: r.v for r in
            collapsing_merge(df, ["k"], "sign", order_by=["seq"]).collect()}
-    assert out == {1: 120.0}
+    assert out == {1: 120.0, 3: 10.0, 4: 7.0}
 
 
 def test_ttl_and_optimize_with(spark, tmp_path):

@@ -65,3 +65,40 @@ def test_wholestage_codegen_everywhere_simple(spark, sf_dir):
     # codegen'd operators carry the "*(n)" stage prefix in plan toString
     plan = _plan(spark, "projection_pushdown", sf_dir)
     assert "*(1)" in plan
+
+
+# -- distributed global-rank invariants (operators/grank.py) --------------
+#
+# A Window/Sort fed by Exchange SinglePartition is the scale anti-pattern
+# the grank module exists to remove: every row would stream through one
+# task. Global *aggregates* legitimately end in a single-partition exchange
+# (one row per upstream task), so the assert is positional — no Sort or
+# Window node may sit directly above an Exchange SinglePartition.
+
+_GRANK_QUERIES = (
+    "agg_auc", "agg_ks_test", "agg_mannwhitney_u", "cb_value_deciles",
+    "window_range_frame", "cb_top_users_by_errors", "limit_with_ties_q",
+    "join_paste",
+)
+
+
+def _assert_no_single_partition_sort_or_window(plan: str, name: str):
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        ctx = " ".join(lines[max(0, i - 2):i])
+        assert "Sort " not in ctx and "Window " not in ctx, (
+            f"{name}: Sort/Window over Exchange SinglePartition\n"
+            + "\n".join(lines[max(0, i - 2):i + 1]))
+
+
+def test_rank_statistics_have_no_single_partition_window(spark, sf_dir):
+    for name in _GRANK_QUERIES:
+        _assert_no_single_partition_sort_or_window(
+            _plan(spark, name, sf_dir), name)
+
+
+def test_top_users_uses_take_ordered(spark, sf_dir):
+    assert "TakeOrderedAndProject" in _plan(
+        spark, "cb_top_users_by_errors", sf_dir)
