@@ -236,6 +236,15 @@ def any_(a): return F.first(_c(a), ignorenulls=True)
 def anyLast(a): return F.last(_c(a), ignorenulls=True)
 def uniq(a): return F.approx_count_distinct(_c(a))
 def uniqExact(a): return F.countDistinct(_c(a))
+def uniqCombined(a): return F.hll_sketch_estimate(F.hll_sketch_agg(_c(a)))
+def uniqCombinedState(a): return F.hll_sketch_agg(_c(a))
+def uniqCombinedMerge(a): return F.hll_sketch_estimate(F.hll_union_agg(_c(a)))
+def uniqTheta(a): return F.theta_sketch_estimate(F.theta_sketch_agg(_c(a)))
+def uniqThetaState(a): return F.theta_sketch_agg(_c(a))
+def uniqThetaMerge(a): return F.theta_sketch_estimate(F.theta_union_agg(_c(a)))
+def uniqThetaUnion(a, b): return F.theta_union(_c(a), _c(b))
+def uniqThetaIntersect(a, b): return F.theta_intersection(_c(a), _c(b))
+def uniqThetaNot(a, b): return F.theta_difference(_c(a), _c(b))
 def quantile(a, q=0.5): return F.percentile(_c(a), F.lit(q))
 def quantileExact(a, q=0.5): return F.percentile(_c(a), F.lit(q))
 def median(a): return F.percentile(_c(a), F.lit(0.5))

@@ -161,13 +161,15 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
 
 def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                              threshold: float = 0.95,
-                             bucket_bits: int = 0) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs. ``bucket_bits=0`` is the
-    exact quadratic path (use only with blocking / small partitions);
-    ``bucket_bits=k`` prefilters by a k-bit sign-LSH bucket (sign of the
+                             bucket_bits: int = 8) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs. The default
+    ``bucket_bits=8`` prefilters by an 8-bit sign-LSH bucket (sign of the
     first k coordinates ≈ axis-aligned random hyperplanes): near-identical
     vectors agree on signs with high probability, cutting the join to
-    per-bucket cross products.
+    per-bucket cross products — the only default that survives 100 TB.
+    ``bucket_bits=0`` is an explicit opt-in to the exact all-pairs
+    quadratic self-join; use it only under an external blocking key or on
+    provably small inputs.
     """
     from clickhouse_clickhouse_spark.functions.vectors import cosine_similarity
 

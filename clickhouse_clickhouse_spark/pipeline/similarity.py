@@ -111,11 +111,15 @@ def kmeans_centroids(corpus: DataFrame, k: int, iterations: int = 2,
     Scale: each iteration is one broadcast join + one explode/agg over the
     corpus — no driver-side data motion beyond the k centroid vectors.
     """
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec).alias("centroid"))
+    # k lowest ids via TakeOrderedAndProject (per-partition heaps), then a
+    # tiny k-row window for the 0..k-1 numbering — not a full-corpus scan
+    # through one task
     from pyspark.sql import Window
 
-    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec).alias("centroid"))
+    seeds = c.orderBy("cid").limit(k)
     w = Window.orderBy("cid")
-    cents = (c.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    cents = (seeds.withColumn("rn", F.row_number().over(w))
              .select((F.col("rn") - 1).alias("centroid_id"), "centroid"))
     for _ in range(iterations):
         assigned = assign_to_centroids(corpus, cents, vec=vec, id_col=id_col)

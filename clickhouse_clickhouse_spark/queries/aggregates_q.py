@@ -862,3 +862,110 @@ def agg_group_array_moving(spark, sf):
     avgs = group_array_moving(ev, ["user_id"], ["ts", "event_id"],
                               "value", 3, kind="avg")
     return sums.join(avgs, "user_id")
+
+
+@register("agg_uniq_merge_two_phase")
+def agg_uniq_merge_two_phase(spark, sf):
+    """uniqCombined -State/-Merge algebra (reference [U]
+    src/AggregateFunctions/UniqCombined, AggregateFunctionUniq.h) via
+    Spark Datasketches HLL: union-merge partial sketches of two DIFFERENT
+    granularities ((returnflag, linestatus) vs (returnflag, suppkey mod
+    8)) up to the same coarse key and compare. In dense HLL mode union is
+    register-wise max — associative and order-invariant — so the two
+    estimates agree exactly; below the sparse->dense promotion boundary
+    the per-split promotion points can differ, so ``merge_consistent``
+    asserts agreement within 1% rather than bit equality (sketches have
+    no SQL oracle — rows-only by design, the bool is the real check).
+    ``est_direct`` (streamed sketch, HIP estimator — intentionally a
+    different estimator than post-union composite) is reported for
+    visibility."""
+    li = load_table(spark, sf, "lineitem")
+    via_ls = (li.groupBy("l_returnflag", "l_linestatus")
+              .agg(F.hll_sketch_agg("l_orderkey").alias("sk"))
+              .groupBy("l_returnflag")
+              .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                   .alias("est_via_linestatus")))
+    via_sm = (li.groupBy("l_returnflag",
+                         (F.col("l_suppkey") % 8).alias("bucket"))
+              .agg(F.hll_sketch_agg("l_orderkey").alias("sk"))
+              .groupBy("l_returnflag")
+              .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                   .alias("est_via_suppbucket")))
+    direct = (li.groupBy("l_returnflag")
+              .agg(F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey"))
+                   .alias("est_direct")))
+    return (via_ls.join(via_sm, "l_returnflag").join(direct, "l_returnflag")
+            .select("l_returnflag", "est_via_linestatus",
+                    "est_via_suppbucket", "est_direct",
+                    (F.abs(F.col("est_via_linestatus")
+                           - F.col("est_via_suppbucket"))
+                     <= 0.01 * F.col("est_via_linestatus") + 1)
+                    .alias("merge_consistent")))
+
+
+@register("agg_uniq_theta")
+def agg_uniq_theta(spark, sf):
+    """uniqTheta + its set algebra (reference uniqThetaUnion/Intersect/Not,
+    [U] src/AggregateFunctions/AggregateFunctionUniq.h theta variant) via
+    Spark theta sketches: distinct orderkeys of the 'O' vs 'F'
+    linestatus populations, then union / intersection / difference
+    estimates between the two sketches. Approximate — rows-only; the
+    union >= max(side) and intersection <= min(side) invariants are
+    asserted in tests."""
+    li = load_table(spark, sf, "lineitem")
+    sides = (li.filter(F.col("l_linestatus").isin("O", "F"))
+             .groupBy("l_linestatus")
+             .agg(F.theta_sketch_agg("l_orderkey").alias("sk")))
+    o = sides.filter(F.col("l_linestatus") == "O") \
+             .select(F.col("sk").alias("sk_o"))
+    f = sides.filter(F.col("l_linestatus") == "F") \
+             .select(F.col("sk").alias("sk_f"))
+    j = o.crossJoin(f)
+    return j.select(
+        F.theta_sketch_estimate(F.col("sk_o")).alias("uniq_o"),
+        F.theta_sketch_estimate(F.col("sk_f")).alias("uniq_f"),
+        F.theta_sketch_estimate(F.theta_union(F.col("sk_o"), F.col("sk_f")))
+        .alias("uniq_union"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("sk_o"), F.col("sk_f")))
+        .alias("uniq_intersect"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("sk_o"), F.col("sk_f")))
+        .alias("uniq_o_not_f"))
+
+
+@register("agg_quantile_kll_merge")
+def agg_quantile_kll_merge(spark, sf):
+    """Mergeable quantile sketch (reference quantileTDigest-class -State/
+    -Merge, [U] src/AggregateFunctions/QuantileTDigest.h) via Spark KLL
+    doubles sketches: partial sketches per (l_returnflag, l_linestatus)
+    merged up to l_returnflag, median read from the merged sketch, exact
+    median alongside; ``within_tol`` self-verifies the KLL error bound
+    (~1.7% rank error at default k) since sketches have no SQL oracle."""
+    li = load_table(spark, sf, "lineitem")
+    partial = (li.groupBy("l_returnflag", "l_linestatus")
+               .agg(F.kll_sketch_agg_double(
+                   F.col("l_quantity").cast("double")).alias("sk")))
+    # kll_sketch_merge_double is a binary scalar merge (no aggregate
+    # form) — fold the per-group sketch list pairwise
+    merged = (partial.groupBy("l_returnflag")
+              .agg(F.collect_list("sk").alias("sks"))
+              .select("l_returnflag",
+                      F.kll_sketch_get_quantile_double(
+                          F.aggregate(
+                              F.slice(F.col("sks"), 2,
+                                      F.greatest(F.size("sks") - 1, F.lit(0))),
+                              F.element_at(F.col("sks"), 1),
+                              lambda acc, x:
+                              F.call_function("kll_sketch_merge_double",
+                                              acc, x)),
+                          F.lit(0.5)).alias("median_kll")))
+    exact = (li.groupBy("l_returnflag")
+             .agg(F.percentile("l_quantity", F.lit(0.5)).alias("median_exact"),
+                  F.max("l_quantity").alias("max_qty"),
+                  F.min("l_quantity").alias("min_qty")))
+    return (merged.join(exact, "l_returnflag")
+            .select("l_returnflag", "median_kll", "median_exact",
+                    (F.abs(F.col("median_kll") - F.col("median_exact"))
+                     <= 0.05 * (F.col("max_qty") - F.col("min_qty")) + 1e-9)
+                    .alias("within_tol")))

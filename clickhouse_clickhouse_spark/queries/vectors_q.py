@@ -154,3 +154,42 @@ def ann_ivf_topk(spark, sf):
     q = e.filter(F.col("vec_id") < 3)
     return ivf_topk(e, q, k=5, n_centroids=8, n_probe=2,
                     query_id="vec_id", query_vec="embedding")
+
+
+# sign-LSH bucket (8 bits over the first 8 coordinates) spelled in plain
+# SQL for the oracle — identical arithmetic to the fold in
+# pipeline/dedup.embedding_near_dup_pairs
+_SIGN_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN CAST(embedding[{i + 1}] AS DOUBLE) > 0 "
+    f"THEN {1 << (7 - i)} ELSE 0 END)" for i in range(8))
+
+
+@register("vec_near_dup_bucketed", oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding, {_SIGN_BUCKET_SQL} AS bkt FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS ea, b.embedding AS eb
+  FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id),
+x AS (
+  SELECT id_a, id_b,
+         sum(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS dot,
+         sum(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)) AS na,
+         sum(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS nb
+  FROM p, (SELECT unnest(generate_series(1, 64)) AS i) g
+  GROUP BY id_a, id_b)
+SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
+FROM x WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.2
+""")
+def vec_near_dup_bucketed(spark, sf):
+    """Embedding near-dup pairs through the sign-LSH bucketed DEFAULT path
+    of pipeline/dedup.embedding_near_dup_pairs (bucket_bits=8): the
+    self-join is equi on the bucket key — per-bucket cross products, not
+    all-pairs — which is the 100 TB-safe default."""
+    from clickhouse_clickhouse_spark.pipeline.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    e = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    return embedding_near_dup_pairs(e, "vec_id", "embedding",
+                                    threshold=0.2)

@@ -168,3 +168,55 @@ def test_hierarchical_dictionary(spark):
     assert rows[2] == ([2, 10, 100], True, True)
     assert rows[3] == ([3], False, False)
     assert rows[10] == ([10, 100], True, True)
+
+
+def test_summary_routes_uniq_sketches(spark, sf_dir, tmp_path):
+    """Mergeable distinct-count (HLL) and quantile (KLL) sketch states in
+    a summary table must answer coarser rollups with results identical to
+    the base-table path (same sketch algorithms both ways)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    summ = SummaryTable(
+        path=str(tmp_path / "s_sk"),
+        keys=("l_returnflag", "l_linestatus"),
+        measures={"u_orders": ("l_orderkey", "uniq"),
+                  "ut_orders": ("l_orderkey", "uniq_theta"),
+                  "med_qty": ("l_quantity", "quantile:0.5")})
+    summ.build(li)
+    routed = route_aggregation(spark, li, [summ], ["l_returnflag"],
+                               {"u_orders": ("l_orderkey", "uniq"),
+                                "ut_orders": ("l_orderkey", "uniq_theta"),
+                                "med_qty": ("l_quantity", "quantile:0.5")})
+    rows = {r.l_returnflag: r for r in routed.collect()}
+    exact = {r.l_returnflag: (r.n, float(r.med)) for r in
+             li.groupBy("l_returnflag")
+             .agg(F.countDistinct("l_orderkey").alias("n"),
+                  F.expr("percentile(l_quantity, 0.5)").alias("med"))
+             .collect()}
+    for k, (n_exact, med_exact) in exact.items():
+        r = rows[k]
+        assert abs(r.u_orders - n_exact) <= 0.05 * n_exact, (k, r.u_orders, n_exact)
+        assert abs(r.ut_orders - n_exact) <= 0.05 * n_exact
+        # KLL rank error ~1.7% at default k: compare by value tolerance
+        assert abs(r.med_qty - med_exact) <= max(2.0, 0.1 * med_exact)
+    # summary is actually used
+    plan = routed._jdf.queryExecution().toString()
+    assert "s_sk" in plan and "lineitem" not in plan
+
+
+def test_theta_sketch_set_algebra_invariants(spark, sf_dir):
+    from clickhouse_clickhouse_spark.registry import all_queries
+
+    r = all_queries()["agg_uniq_theta"](spark, sf_dir).collect()[0]
+    assert r.uniq_union >= max(r.uniq_o, r.uniq_f) * 0.99
+    assert r.uniq_intersect <= min(r.uniq_o, r.uniq_f) * 1.01
+    assert r.uniq_o_not_f >= 0
+    # inclusion-exclusion within sketch error
+    approx = r.uniq_o + r.uniq_f - r.uniq_intersect
+    assert abs(approx - r.uniq_union) <= 0.05 * r.uniq_union
+
+
+def test_hll_merge_is_consistent_across_splits(spark, sf_dir):
+    from clickhouse_clickhouse_spark.registry import all_queries
+
+    rows = all_queries()["agg_uniq_merge_two_phase"](spark, sf_dir).collect()
+    assert rows and all(r.merge_consistent for r in rows)
