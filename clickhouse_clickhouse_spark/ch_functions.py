@@ -190,8 +190,15 @@ def toJSONString(x): return F.to_json(_c(x))
 
 
 # -- hashing / encoding ---------------------------------------------------
-def cityHash64(*xs): return F.xxhash64(*[_c(x) for x in xs])   # engine-analog hash
-def sipHash64(*xs): return F.xxhash64(*[_c(x) for x in xs])
+def cityHash64(x):
+    # bit-parity CityHash64 v1.0.2 (functions/hashing.py, Arrow UDF — the
+    # compatibility path; use xxHash64 for new fast JVM-side hashing)
+    from clickhouse_clickhouse_spark.functions.hashing import city_hash64
+    return city_hash64(_c(x))
+def sipHash64(x):
+    # bit-parity SipHash-2-4 zero-key (functions/hashing.py, Arrow UDF)
+    from clickhouse_clickhouse_spark.functions.hashing import sip_hash64
+    return sip_hash64(_c(x))
 def MD5(a): return F.md5(_c(a))
 def SHA256(a): return F.sha2(_c(a), 256)
 def hex_(a): return F.hex(_c(a))

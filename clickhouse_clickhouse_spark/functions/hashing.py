@@ -1,0 +1,260 @@
+"""Bit-parity hash functions (reference ``sipHash64`` / ``cityHash64``,
+upstream ``src/Functions/FunctionsHashing.h``).
+
+Anyone porting data with PERSISTED hash keys (sampling keys, shard keys,
+pre-computed fingerprints) needs these exact bit patterns — xxhash64
+(``F.xxhash64``, JVM-side) remains this engine's fast path for new hashes,
+and these two exist as the compatibility escape hatch, implemented from
+the public algorithm specifications:
+
+* ``sipHash64`` — SipHash-2-4 (Aumasson & Bernstein, the published
+  reference algorithm) with the zero key, which is what the reference
+  engine uses for its keyless ``sipHash64``. The core is verified in
+  tests against the official test vectors from the SipHash paper.
+* ``cityHash64`` — CityHash64 v1.0.2 (Pike & Alakuijala, Google; the
+  exact version the reference pins for compatibility). Implemented from
+  the public v1.0.2 algorithm; deterministic and self-consistent, pinned
+  by regression vectors in tests.
+
+Both are Arrow-batched pandas UDFs — the deliberate slow path: Python
+per-row hashing costs ~10-50x a JVM hash, so they are for porting /
+verification workloads, not hot-loop hashing. The pure-Python cores
+(``siphash64_py`` / ``cityhash64_py``) are importable for oracle
+generation.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql.functions import pandas_udf
+
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, b: int) -> int:
+    return ((x << b) | (x >> (64 - b))) & _M64
+
+
+def siphash64_py(data: bytes, k0: int = 0, k1: int = 0) -> int:
+    """SipHash-2-4 of ``data`` (public reference algorithm). The
+    reference engine's ``sipHash64`` is this with k0 = k1 = 0."""
+    v0 = k0 ^ 0x736F6D6570736575
+    v1 = k1 ^ 0x646F72616E646F6D
+    v2 = k0 ^ 0x6C7967656E657261
+    v3 = k1 ^ 0x7465646279746573
+
+    def sipround():
+        nonlocal v0, v1, v2, v3
+        v0 = (v0 + v1) & _M64
+        v1 = _rotl(v1, 13)
+        v1 ^= v0
+        v0 = _rotl(v0, 32)
+        v2 = (v2 + v3) & _M64
+        v3 = _rotl(v3, 16)
+        v3 ^= v2
+        v0 = (v0 + v3) & _M64
+        v3 = _rotl(v3, 21)
+        v3 ^= v0
+        v2 = (v2 + v1) & _M64
+        v1 = _rotl(v1, 17)
+        v1 ^= v2
+        v2 = _rotl(v2, 32)
+
+    n = len(data)
+    end = n - (n % 8)
+    for off in range(0, end, 8):
+        m = struct.unpack_from("<Q", data, off)[0]
+        v3 ^= m
+        sipround()
+        sipround()
+        v0 ^= m
+    b = (n & 0xFF) << 56
+    for i, ch in enumerate(data[end:]):
+        b |= ch << (8 * i)
+    v3 ^= b
+    sipround()
+    sipround()
+    v0 ^= b
+    v2 ^= 0xFF
+    for _ in range(4):
+        sipround()
+    return (v0 ^ v1 ^ v2 ^ v3) & _M64
+
+
+# -- CityHash64 v1.0.2 ----------------------------------------------------
+
+_K0 = 0xC3A5C85C97CB3127
+_K1 = 0xB492B66FBE98F273
+_K2 = 0x9AE16A3B2F90404F
+_K3 = 0xC949D7C7509E6557
+_KMUL = 0x9DDFEA08EB382D69
+
+
+def _f64(s: bytes, i: int) -> int:
+    return struct.unpack_from("<Q", s, i)[0]
+
+
+def _f32(s: bytes, i: int) -> int:
+    return struct.unpack_from("<I", s, i)[0]
+
+
+def _rot(v: int, shift: int) -> int:
+    return v if shift == 0 else ((v >> shift) | (v << (64 - shift))) & _M64
+
+
+def _rot1(v: int, shift: int) -> int:   # RotateByAtLeast1
+    return ((v >> shift) | (v << (64 - shift))) & _M64 if shift else _rot(v, 1)
+
+
+def _shiftmix(v: int) -> int:
+    return (v ^ (v >> 47)) & _M64
+
+
+def _hash16(u: int, v: int) -> int:     # Hash128to64
+    a = ((u ^ v) * _KMUL) & _M64
+    a ^= a >> 47
+    b = ((v ^ a) * _KMUL) & _M64
+    b ^= b >> 47
+    return (b * _KMUL) & _M64
+
+
+def _len0to16(s: bytes) -> int:
+    n = len(s)
+    if n >= 8:
+        a = _f64(s, 0)
+        b = _f64(s, n - 8)
+        return (_hash16(a, _rot1((b + n) & _M64, n & 63)) ^ b) & _M64
+    if n >= 4:
+        a = _f32(s, 0)
+        return _hash16((n + (a << 3)) & _M64, _f32(s, n - 4))
+    if n > 0:
+        a, b, c = s[0], s[n >> 1], s[n - 1]
+        y = (a + (b << 8)) & _M64
+        z = (n + (c << 2)) & _M64
+        return (_shiftmix((y * _K2 ^ z * _K3) & _M64) * _K2) & _M64
+    return _K2
+
+
+def _len17to32(s: bytes) -> int:
+    n = len(s)
+    a = (_f64(s, 0) * _K1) & _M64
+    b = _f64(s, 8)
+    c = (_f64(s, n - 8) * _K2) & _M64
+    d = (_f64(s, n - 16) * _K0) & _M64
+    return _hash16(
+        (_rot((a - b) & _M64, 43) + _rot(c, 30) + d) & _M64,
+        (a + _rot((b ^ _K3) & _M64, 20) - c + n) & _M64)
+
+
+def _weak32(s: bytes, i: int, a: int, b: int) -> tuple[int, int]:
+    w, x, y, z = _f64(s, i), _f64(s, i + 8), _f64(s, i + 16), _f64(s, i + 24)
+    a = (a + w) & _M64
+    b = _rot((b + a + z) & _M64, 21)
+    c = a
+    a = (a + x + y) & _M64
+    b = (b + _rot(a, 44)) & _M64
+    return (a + z) & _M64, (b + c) & _M64
+
+
+def _len33to64(s: bytes) -> int:
+    n = len(s)
+    z = _f64(s, 24)
+    a = (_f64(s, 0) + (n + _f64(s, n - 16)) * _K0) & _M64
+    b = _rot((a + z) & _M64, 52)
+    c = _rot(a, 37)
+    a = (a + _f64(s, 8)) & _M64
+    c = (c + _rot(a, 7)) & _M64
+    a = (a + _f64(s, 16)) & _M64
+    vf = (a + z) & _M64
+    vs = (b + _rot(a, 31) + c) & _M64
+    a = (_f64(s, 16) + _f64(s, n - 32)) & _M64
+    z = _f64(s, n - 8)
+    b = _rot((a + z) & _M64, 52)
+    c = _rot(a, 37)
+    a = (a + _f64(s, n - 24)) & _M64
+    c = (c + _rot(a, 7)) & _M64
+    a = (a + _f64(s, n - 16)) & _M64
+    wf = (a + z) & _M64
+    ws = (b + _rot(a, 31) + c) & _M64
+    r = _shiftmix(((vf + ws) * _K2 + (wf + vs) * _K0) & _M64)
+    return (_shiftmix((r * _K0 + vs) & _M64) * _K2) & _M64
+
+
+def cityhash64_py(s: bytes) -> int:
+    """CityHash64 v1.0.2 of ``s`` (public algorithm)."""
+    n = len(s)
+    if n <= 16:
+        return _len0to16(s)
+    if n <= 32:
+        return _len17to32(s)
+    if n <= 64:
+        return _len33to64(s)
+    x = _f64(s, n - 40)
+    y = (_f64(s, n - 16) + _f64(s, n - 56)) & _M64
+    z = _hash16((_f64(s, n - 48) + n) & _M64, _f64(s, n - 24))
+    v = _weak32(s, n - 64, n, z)
+    w = _weak32(s, n - 32, (y + _K1) & _M64, x)
+    x = (x * _K1 + _f64(s, 0)) & _M64
+    i = 0
+    remaining = (n - 1) & ~63
+    while True:
+        x = (_rot((x + y + v[0] + _f64(s, i + 8)) & _M64, 37) * _K1) & _M64
+        y = (_rot((y + v[1] + _f64(s, i + 48)) & _M64, 42) * _K1) & _M64
+        x ^= w[1]
+        y = (y + v[0] + _f64(s, i + 40)) & _M64
+        z = (_rot((z + w[0]) & _M64, 33) * _K1) & _M64
+        v = _weak32(s, i, (v[1] * _K1) & _M64, (x + w[0]) & _M64)
+        w = _weak32(s, i + 32, (z + w[1]) & _M64,
+                    (y + _f64(s, i + 16)) & _M64)
+        z, x = x, z
+        i += 64
+        remaining -= 64
+        if remaining == 0:
+            break
+    return _hash16(
+        (_hash16(v[0], w[0]) + _shiftmix(y) * _K1 + z) & _M64,
+        (_hash16(v[1], w[1]) + x) & _M64)
+
+
+def _to_signed(u: int) -> int:
+    """uint64 -> the two's-complement int64 Spark LongType carries
+    (the reference returns UInt64; the BITS are identical)."""
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def _as_bytes(v) -> bytes:
+    return v if isinstance(v, (bytes, bytearray)) else str(v).encode("utf-8")
+
+
+# pandas_udf construction needs an active SparkSession -> build lazily
+_UDFS: dict[str, object] = {}
+
+
+def _udf(name: str):
+    if name not in _UDFS:
+        if name == "sip":
+            @pandas_udf("long")
+            def _sip(s: pd.Series) -> pd.Series:
+                return s.map(lambda v: None if v is None else _to_signed(
+                    siphash64_py(_as_bytes(v))))
+            _UDFS[name] = _sip
+        else:
+            @pandas_udf("long")
+            def _city(s: pd.Series) -> pd.Series:
+                return s.map(lambda v: None if v is None else _to_signed(
+                    cityhash64_py(_as_bytes(v))))
+            _UDFS[name] = _city
+    return _UDFS[name]
+
+
+def sip_hash64(c: Column) -> Column:
+    """Column wrapper: ``sipHash64(x)`` (SipHash-2-4, zero key)."""
+    return _udf("sip")(c)
+
+
+def city_hash64(c: Column) -> Column:
+    """Column wrapper: ``cityHash64(x)`` (CityHash64 v1.0.2)."""
+    return _udf("city")(c)

@@ -969,3 +969,25 @@ def agg_quantile_kll_merge(spark, sf):
                     (F.abs(F.col("median_kll") - F.col("median_exact"))
                      <= 0.05 * (F.col("max_qty") - F.col("min_qty")) + 1e-9)
                     .alias("within_tol")))
+
+
+@register("agg_simple_linreg", oracle="""
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+FROM lineitem GROUP BY l_returnflag
+""")
+def agg_simple_linreg(spark, sf):
+    """simpleLinearRegression (reference [U]
+    AggregateFunctionSimpleLinearRegression.cpp): least-squares (k, b)
+    of extendedprice ~ quantity per return flag via Spark's native
+    regr_slope / regr_intercept / regr_r2 aggregates."""
+    li = load_table(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6)
+                 .alias("slope"),
+                 F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4)
+                 .alias("intercept"),
+                 F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6)
+                 .alias("r2")))

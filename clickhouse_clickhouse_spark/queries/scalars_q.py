@@ -900,3 +900,125 @@ def extract_key_value_pairs(spark, sf):
         m.getItem("prio").alias("prio_v"),
         m.getItem("cust").alias("cust_v"),
         F.size(F.map_keys(m)).alias("n_pairs"))
+
+
+# -- IPv6 codec family (functions/ip.py) ----------------------------------
+# Oracle expectations generated by Python's stdlib `ipaddress` module — an
+# independent trusted RFC 5952 implementation — and baked into a VALUES
+# oracle; the Spark side computes everything from the raw strings.
+
+def _ipv6_vectors():
+    import ipaddress
+
+    addrs = [
+        ("2001:0db8:0000:0000:0000:ff00:0042:8329", 32),
+        ("2001:db8::ff00:42:8329", 48),
+        ("::1", 128),
+        ("::", 0),
+        ("fe80::204:61ff:fe9d:f156", 10),
+        ("::ffff:192.168.100.228", 96),
+        ("2001:DB8::8:800:200C:417A", 60),   # uppercase input
+        ("0:0:0:0:8:800:200c:417a", 64),     # zero run at start
+        ("2001:db8:a::", 126),               # zero run at end
+        ("1:0:0:2:0:0:0:3", 17),             # tie-break: longest-left rule
+        ("a:b:c:d:1:2:3:4", 128),            # no compression
+    ]
+    def render(ip):
+        # the reference (and RFC 5952 section 5) renders v4-mapped
+        # addresses dotted; Python ipaddress prints hex groups instead
+        v4 = ip.ipv4_mapped
+        return f"::ffff:{v4}" if v4 is not None else str(ip)
+
+    rows = []
+    for a, p in addrs:
+        ip = ipaddress.IPv6Address(a)
+        net = ipaddress.IPv6Network((int(ip) & int(
+            ipaddress.IPv6Network(f"::/{p}").netmask), p))
+        rows.append((a, p, render(ip), render(net.network_address),
+                     render(net.broadcast_address),
+                     ip in net))
+    return rows
+
+
+_IPV6_ROWS = _ipv6_vectors()
+_IPV6_VALUES = ",\n  ".join(
+    f"('{a}', {p}, '{c}', '{lo}', '{hi}', {str(inr).upper()})"
+    for a, p, c, lo, hi, inr in _IPV6_ROWS)
+
+
+@register("ip_funcs_v6", oracle=f"""
+SELECT addr, prefix, canonical, range_lo, range_hi, in_range
+FROM (VALUES
+  {_IPV6_VALUES}
+) AS t(addr, prefix, canonical, range_lo, range_hi, in_range)
+""")
+def ip_funcs_v6(spark, sf):
+    """IPv6 codec family (reference FunctionsCodingIP.cpp): parse ->
+    binary16, RFC 5952 canonical rendering, CIDR range bounds, range
+    membership — all pure JVM column expressions (functions/ip.py), hash-
+    checked against Python-ipaddress-generated expectations."""
+    from clickhouse_clickhouse_spark.functions.ip import (
+        ipv6_string_to_num, with_ipv6_canonical, with_ipv6_cidr_range,
+        with_ipv6_in_range,
+    )
+
+    df = spark.createDataFrame([(a, p) for a, p, *_ in _IPV6_ROWS],
+                               "addr string, prefix int")
+    d = df.withColumn("__bin", ipv6_string_to_num(F.col("addr")))
+    d = with_ipv6_canonical(d, "__bin", "canonical")
+    d = with_ipv6_cidr_range(d, "addr", "prefix", "__lo", "__hi")
+    d = with_ipv6_canonical(d, "__lo", "range_lo")
+    d = with_ipv6_canonical(d, "__hi", "range_hi")
+    d = with_ipv6_in_range(
+        d, "addr", F.concat_ws("/", F.col("addr"), F.col("prefix")),
+        "in_range")
+    return d.select("addr", "prefix", "canonical", "range_lo",
+                    "range_hi", "in_range")
+
+
+# -- bit-parity hashes (functions/hashing.py) -----------------------------
+
+def _hash_vector_rows():
+    from clickhouse_clickhouse_spark.functions.hashing import (
+        cityhash64_py, siphash64_py,
+    )
+
+    def sgn(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    inputs = ["", "a", "ab", "abc", "abcd", "hello world",
+              "0123456789abcdef",              # 16B boundary
+              "0123456789abcdefg",             # 17B
+              "x" * 32, "x" * 33, "x" * 64, "x" * 65, "x" * 200,
+              "ClickHouse compatibility vector éü中"]
+    return [(s, sgn(siphash64_py(s.encode())), sgn(cityhash64_py(s.encode())))
+            for s in inputs]
+
+
+_HASH_ROWS = _hash_vector_rows()
+_HASH_VALUES = ",\n  ".join(
+    "(" + "'" + s.replace("'", "''") + "'" + f", CAST({sip} AS BIGINT), "
+    f"CAST({city} AS BIGINT))" for s, sip, city in _HASH_ROWS)
+
+
+@register("hash_parity", oracle=f"""
+SELECT s, sip_hash64, city_hash64
+FROM (VALUES
+  {_HASH_VALUES}
+) AS t(s, sip_hash64, city_hash64)
+""")
+def hash_parity(spark, sf):
+    """sipHash64 / cityHash64 bit-parity surface (reference [U]
+    src/Functions/FunctionsHashing.h): SipHash-2-4 zero-key and CityHash64
+    v1.0.2 as Arrow pandas UDFs over fixed test vectors. The SipHash core
+    is verified against the official vectors from the SipHash paper
+    (tests/test_functions.py); the oracle here pins the distributed UDF
+    path to the same bits as the local cores — determinism + plumbing,
+    the strongest check possible without the reference engine present."""
+    from clickhouse_clickhouse_spark.functions.hashing import (
+        city_hash64, sip_hash64,
+    )
+
+    df = spark.createDataFrame([(s,) for s, *_ in _HASH_ROWS], "s string")
+    return df.select("s", sip_hash64(F.col("s")).alias("sip_hash64"),
+                     city_hash64(F.col("s")).alias("city_hash64"))

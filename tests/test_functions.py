@@ -84,3 +84,37 @@ def test_fingerprint_normalizes_whitespace_and_case(spark):
     df = spark.createDataFrame([("Hello  World",), ("hello world",)], "text string")
     fps = [r.f for r in df.select(TXT.fingerprint64(F.col("text")).alias("f")).collect()]
     assert fps[0] == fps[1]
+
+
+def test_siphash24_official_paper_vectors():
+    """SipHash-2-4 core vs the official test vectors from the SipHash
+    paper (key 000102..0f, messages of increasing length)."""
+    from clickhouse_clickhouse_spark.functions.hashing import siphash64_py
+
+    k0 = int.from_bytes(bytes(range(8)), "little")
+    k1 = int.from_bytes(bytes(range(8, 16)), "little")
+    # first eight rows of the published vectors_sip64 table
+    expected = [0x726FDB47DD0E0E31, 0x74F839C593DC67FD, 0x0D6C8009D9A94F5A,
+                0x85676696D7FB7E2D, 0xCF2794E0277187B7, 0x18765564CD99A68D,
+                0xCBC9466E58FEE3CE, 0xAB0200F58B01D137]
+    for n, want in enumerate(expected):
+        assert siphash64_py(bytes(range(n)), k0, k1) == want, n
+    # the 15-byte vector quoted in the paper body
+    assert siphash64_py(bytes(range(15)), k0, k1) == 0xA129CA6149BE45E5
+
+
+def test_cityhash64_pinned_regression_vectors():
+    """CityHash64 v1.0.2 implementation pinned by regression — empty
+    input must equal the algorithm's k2 constant, and known lengths
+    crossing every size-class boundary stay stable."""
+    from clickhouse_clickhouse_spark.functions.hashing import cityhash64_py
+
+    assert cityhash64_py(b"") == 0x9AE16A3B2F90404F  # k2 by definition
+    pinned = {b"a": 0x2420662CD003ACFA,
+              b"0123456789abcdef": 0x099D21E99DAC3317,
+              b"x" * 17: 0xCCDE5B4C17D97655,
+              b"y" * 33: 0xF7770436C8C4F917,
+              b"z" * 65: 0xFDF05150BA8C92AB,
+              b"w" * 200: 0x5E2472CC5058C894}
+    for data, want in pinned.items():
+        assert cityhash64_py(data) == want, data[:4]
