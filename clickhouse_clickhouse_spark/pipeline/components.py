@@ -1,0 +1,66 @@
+"""Connected components over a candidate-pair graph — the step that turns
+near-duplicate PAIRS (MinHash/LSH/embedding buckets) into duplicate
+CLUSTERS so a pipeline can keep one canonical document per cluster.
+
+Min-label propagation: every node starts labeled with its own id; each
+iteration replaces a node's label with the minimum label in its
+neighborhood (one hash-shuffle join + one aggregate per iteration — no
+driver-side graph). Converges in O(component diameter) iterations;
+near-dup clusters are dense and shallow, so a handful of rounds closes
+them. The per-iteration driver traffic is ONE scalar (did-anything-change
+count with an early-exit limit), and lineage is truncated with
+localCheckpoint every few rounds so 100-iteration worst cases don't build
+mile-long plans.
+
+This mirrors what the reference-ecosystem dedup jobs do after LSH
+banding; Spark-side it is the classic iterative-algorithm shape (compare
+GraphX CC, re-expressed in plain DataFrame ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, src: str, dst: str,
+                         max_iter: int = 25,
+                         checkpoint_every: int = 3) -> DataFrame:
+    """Labels every node that appears in ``edges`` with the minimum node
+    id reachable from it. Returns (node, component). Node ids must be
+    orderable (the min id becomes the cluster's canonical id)."""
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .unionByName(edges.select(F.col(dst).alias("a"),
+                                     F.col(src).alias("b")))
+           .distinct())
+    lbl = (sym.select(F.col("a").alias("n")).distinct()
+           .withColumn("lbl", F.col("n")))
+    for i in range(max_iter):
+        nbr = (sym.join(lbl.select(F.col("n").alias("b"),
+                                   F.col("lbl").alias("lbl_b")), "b")
+               .groupBy("a").agg(F.min("lbl_b").alias("nbr_min")))
+        stepped = (lbl.join(nbr, lbl["n"] == nbr["a"], "left")
+                   .select(lbl["n"],
+                           lbl["lbl"].alias("old"),
+                           F.least(lbl["lbl"],
+                                   F.coalesce(F.col("nbr_min"),
+                                              lbl["lbl"])).alias("lbl")))
+        if (i + 1) % checkpoint_every == 0:
+            stepped = stepped.localCheckpoint(eager=True)
+        # one bounded scalar per iteration: is any label still shrinking?
+        if stepped.filter(F.col("lbl") < F.col("old")).limit(1).count() == 0:
+            return stepped.select("n", "lbl")
+        lbl = stepped.select("n", "lbl")
+    return lbl
+
+
+def dedup_keep_canonical(df: DataFrame, id_col: str,
+                         pairs: DataFrame, pair_src: str,
+                         pair_dst: str) -> DataFrame:
+    """End-to-end near-dup removal: cluster the candidate pairs, then keep
+    only rows that are their cluster's canonical (minimum) id — rows not
+    in any pair survive untouched (left join, label null)."""
+    comp = connected_components(pairs, pair_src, pair_dst)
+    return (df.join(comp, df[id_col] == comp["n"], "left")
+            .filter(F.col("lbl").isNull() | (df[id_col] == F.col("lbl")))
+            .drop("n", "lbl"))

@@ -991,3 +991,31 @@ def agg_simple_linreg(spark, sf):
                  .alias("intercept"),
                  F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6)
                  .alias("r2")))
+
+
+@register("agg_sum_foreach", oracle="""
+WITH x AS (
+  SELECT label, i, round(sum(CAST(embedding[i] AS DOUBLE)), 6) AS s,
+         round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+  FROM embeddings, (SELECT unnest(generate_series(1, 8)) AS i) g
+  GROUP BY label, i)
+SELECT label,
+       list(s ORDER BY i) AS sum_foreach,
+       list(m ORDER BY i) AS avg_foreach
+FROM x GROUP BY label
+""")
+def agg_sum_foreach(spark, sf):
+    """-ForEach combinator (reference sumForEach/avgForEach,
+    Combinators/AggregateFunctionForEach.h): element-wise aggregation
+    across rows of array columns — posexplode + per-position hash-agg +
+    ordered reassembly (first 8 dims of the embedding)."""
+    e = load_table(spark, sf, "embeddings")
+    per_pos = (e.select("label", F.posexplode(F.slice("embedding", 1, 8))
+                        .alias("i", "v"))
+               .groupBy("label", "i")
+               .agg(F.round(F.sum(F.col("v").cast("double")), 6).alias("s"),
+                    F.round(F.avg(F.col("v").cast("double")), 6).alias("m")))
+    packed = F.array_sort(F.collect_list(F.struct("i", "s", "m")))
+    return (per_pos.groupBy("label")
+            .agg(F.transform(packed, lambda t: t["s"]).alias("sum_foreach"),
+                 F.transform(packed, lambda t: t["m"]).alias("avg_foreach")))

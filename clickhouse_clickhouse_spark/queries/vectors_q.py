@@ -193,3 +193,53 @@ def vec_near_dup_bucketed(spark, sf):
     e = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
     return embedding_near_dup_pairs(e, "vec_id", "embedding",
                                     threshold=0.2)
+
+
+_V_PAIR_SQL = f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, embedding, {_SIGN_BUCKET_SQL} AS bkt FROM embeddings),
+p0 AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS ea, b.embedding AS eb
+  FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id),
+x AS (
+  SELECT id_a, id_b,
+         sum(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS dot,
+         sum(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)) AS na,
+         sum(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) AS nb
+  FROM p0, (SELECT unnest(generate_series(1, 64)) AS i) g
+  GROUP BY id_a, id_b),
+pairs AS (
+  SELECT id_a, id_b FROM x
+  WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.2)
+"""
+
+
+@register("dedup_connected_components", oracle=_V_PAIR_SQL + """,
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(n, m) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a)
+SELECT n AS vec_id, min(m) AS component FROM reach GROUP BY n
+""")
+def dedup_connected_components(spark, sf):
+    """Near-dup clustering: sign-LSH bucketed candidate pairs ->
+    connected components by min-label propagation
+    (pipeline/components.py) — the pairs-to-clusters step of a dedup
+    pipeline. Oracle: DuckDB recursive-CTE reachability closure over the
+    identical pair set."""
+    from clickhouse_clickhouse_spark.pipeline.components import (
+        connected_components,
+    )
+    from clickhouse_clickhouse_spark.pipeline.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    e = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    pairs = embedding_near_dup_pairs(e, "vec_id", "embedding",
+                                     threshold=0.2)
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.select(F.col("n").alias("vec_id"),
+                       F.col("lbl").alias("component"))

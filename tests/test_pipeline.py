@@ -148,3 +148,24 @@ def test_ivf_topk_recovers_planted_dup(spark):
     assert all(len(r.centroid) == 16 for r in cents.collect())
     assigned = assign_to_centroids(df, cents)
     assert assigned.count() == df.count()
+
+
+def test_connected_components_clusters_and_canonical_dedup(spark):
+    from clickhouse_clickhouse_spark.pipeline.components import (
+        connected_components, dedup_keep_canonical,
+    )
+
+    # two chains and one singleton edge: {1,2,3,4}, {10,11}, {20,21}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], "id_a long, id_b long")
+    comp = {r.n: r.lbl for r in
+            connected_components(edges, "id_a", "id_b").collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in
+                                  [1, 2, 3, 4, 10, 11, 20, 21, 99]],
+                                 "doc_id long, body string")
+    kept = sorted(r.doc_id for r in
+                  dedup_keep_canonical(docs, "doc_id", edges,
+                                       "id_a", "id_b").collect())
+    assert kept == [1, 10, 20, 99]  # one canonical per cluster + untouched
