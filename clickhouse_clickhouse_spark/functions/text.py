@@ -125,3 +125,55 @@ def fingerprint64(text: Column) -> Column:
     formatting differences."""
     norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return F.xxhash64(norm)
+
+
+def winnowing_fingerprints(df, id_col: str, text_col: str,
+                           k: int = 5, w: int = 4,
+                           max_chars: int = 256):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): k-gram polynomial rolling hashes, then per window of
+    ``w`` consecutive grams keep the minimum hash (rightmost on ties).
+    Guarantees a match of length >= w+k-1 between two documents shares at
+    least one fingerprint — the property LSH-free local dedup relies on.
+
+    Pure column ops: positions exploded JVM-side, the window minimum is a
+    per-document ROWS frame (hash-partitioned by doc — parallel), and the
+    rightmost-tie rule is encoded arithmetically (ord = h * 2^21 +
+    (2^20 - pos), so min(ord) = min hash with the LARGEST position) —
+    the same integer arithmetic an ANSI oracle can replay exactly.
+    Returns (id, fingerprint hash, gram position), distinct.
+    """
+    from pyspark.sql import Window
+
+    B, M = 131, 1073741789           # polynomial base / modulus (< 2^30)
+    t = F.regexp_replace(F.lower(F.substring(F.col(text_col), 1, max_chars)),
+                         "[^a-z0-9 ]", "")
+    d = df.select(F.col(id_col), t.alias("__t"),
+                  F.length(t).alias("__len"))
+    d = d.filter(F.col("__len") >= k)
+    d = d.select(id_col, "__t",
+                 F.explode(F.sequence(F.lit(1),
+                                      F.col("__len") - (k - 1)))
+                 .alias("p"))
+    h = F.lit(0).cast("long")
+    for j in range(k):
+        # ascii() is int32 — widen BEFORE multiplying (131^4 * 122
+        # overflows int)
+        h = h + F.ascii(F.substring(F.col("__t"), F.col("p") + j,
+                                    F.lit(1))).cast("long") * (B ** j)
+    d = d.withColumn("h", h % M)
+    d = d.withColumn("ord", F.col("h") * 2097152
+                     + (1048576 - F.col("p")))
+    frame = (Window.partitionBy(id_col).orderBy("p")
+             .rowsBetween(-(w - 1), 0))
+    d = d.withColumn("mo", F.min("ord").over(frame))
+    # complete windows only (frame end >= w), except docs shorter than w
+    # windows which contribute their single partial-window minimum
+    d = d.withColumn("maxp", F.max("p").over(Window.partitionBy(id_col)))
+    d = d.filter((F.col("p") >= w)
+                 | ((F.col("maxp") < w) & (F.col("p") == F.col("maxp"))))
+    return (d.select(F.col(id_col),
+                     (F.col("mo") / 2097152).cast("long").alias("fp_hash"),
+                     (1048576 - F.col("mo") % 2097152).cast("long")
+                     .alias("fp_pos"))
+            .distinct())

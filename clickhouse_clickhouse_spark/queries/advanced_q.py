@@ -30,10 +30,10 @@ def array_join_explode(spark, sf):
     d = load_table(spark, sf, "documents")
     counts = (d.select(F.explode(F.split("text", " ")).alias("token"))
               .groupBy("token").agg(F.count("*").alias("cnt")))
-    from pyspark.sql import Window
-    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
-    return (counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= 20).select("token", "cnt"))
+    # top-20 via TakeOrderedAndProject (per-partition heaps) — not a
+    # global rank window over the whole token vocabulary
+    return (counts.orderBy(F.col("cnt").desc(), F.col("token")).limit(20)
+            .select("token", "cnt"))
 
 
 @register("left_array_join", oracle="""

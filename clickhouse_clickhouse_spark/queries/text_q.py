@@ -361,3 +361,61 @@ def fingerprint_normalize_query(spark, sf):
         F.regexp_replace(F.lower("text"), "[0-9]+", "?"), " +", " ")
     return d.select("doc_id", F.md5(norm).alias("norm_hash"),
                     norm.alias("norm_text"))
+
+
+@register("winnowing_fingerprints_q", oracle="""
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(lower(substr(text, 1, 256)), '[^a-z0-9 ]', '', 'g')
+           AS t
+  FROM documents WHERE doc_id < 200),
+g AS (
+  SELECT doc_id, t, p
+  FROM d, (SELECT unnest(generate_series(1, 256)) AS p) s
+  WHERE length(t) >= 5 AND p <= length(t) - 4),
+h AS (
+  SELECT doc_id, p,
+         (ascii(substr(t, p, 1))::BIGINT
+          + ascii(substr(t, p + 1, 1))::BIGINT * 131
+          + ascii(substr(t, p + 2, 1))::BIGINT * 17161
+          + ascii(substr(t, p + 3, 1))::BIGINT * 2248091
+          + ascii(substr(t, p + 4, 1))::BIGINT * 294499921) % 1073741789 AS hh
+  FROM g),
+o AS (
+  SELECT doc_id, p, hh * 2097152 + (1048576 - p) AS ord FROM h),
+m AS (
+  SELECT doc_id, p,
+         min(ord) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mo,
+         max(p) OVER (PARTITION BY doc_id) AS maxp
+  FROM o),
+sel AS (
+  SELECT DISTINCT doc_id,
+         CAST(mo // 2097152 AS BIGINT) AS fp_hash
+  FROM m WHERE p >= 4 OR (maxp < 4 AND p = maxp))
+SELECT doc_id, cast(count(*) AS BIGINT) AS n_fp,
+       cast(min(fp_hash) AS BIGINT) AS min_fp,
+       cast(max(fp_hash) AS BIGINT) AS max_fp,
+       cast(sum(fp_hash) AS BIGINT) AS sum_fp
+FROM sel GROUP BY doc_id
+""")
+def winnowing_fingerprints_q(spark, sf):
+    """Winnowing (MOSS) document fingerprints — k=5 grams, window w=4,
+    rightmost-min selection encoded arithmetically so the DuckDB oracle
+    replays the identical integer math (functions/text.py
+    winnowing_fingerprints). Aggregated to per-doc count/min/max/sum of
+    selected hashes for a compact hash-compare."""
+    from clickhouse_clickhouse_spark.functions.text import (
+        winnowing_fingerprints,
+    )
+
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    fp = winnowing_fingerprints(d, "doc_id", "text", k=5, w=4,
+                                max_chars=256)
+    agg = (fp.select("doc_id", "fp_hash").distinct()
+           .groupBy("doc_id")
+           .agg(F.count("*").alias("n_fp"),
+                F.min("fp_hash").alias("min_fp"),
+                F.max("fp_hash").alias("max_fp"),
+                F.sum("fp_hash").alias("sum_fp")))
+    return agg

@@ -169,3 +169,25 @@ def test_connected_components_clusters_and_canonical_dedup(spark):
                   dedup_keep_canonical(docs, "doc_id", edges,
                                        "id_a", "id_b").collect())
     assert kept == [1, 10, 20, 99]  # one canonical per cluster + untouched
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing's core property: documents sharing a substring of length
+    >= w + k - 1 (= 8 for k=5, w=4) share at least one fingerprint."""
+    from clickhouse_clickhouse_spark.functions.text import (
+        winnowing_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [(1, "aaa " + shared + " bbb ccc ddd"),
+         (2, "zzz yyy " + shared + " qqq"),
+         (3, "completely different content with no overlap here at all")],
+        "doc_id long, text string")
+    fp = winnowing_fingerprints(docs, "doc_id", "text", k=5, w=4)
+    by_doc = {i: {r.fp_hash for r in rows} for i, rows in
+              ((i, [r for r in fp.collect() if r.doc_id == i])
+               for i in (1, 2, 3))}
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    # and fingerprinting is selective, not all-grams
+    assert len(by_doc[1]) < 40
