@@ -63,3 +63,30 @@ def dedup_stream(stream: DataFrame, keys: Sequence[str], ts: str,
     """ReplacingMergeTree-style ingest dedup on a stream: watermark-bounded
     dropDuplicates (state expires past the watermark)."""
     return stream.withWatermark(ts, watermark).dropDuplicates(list(keys))
+
+
+def stream_stream_interval_join(left: DataFrame, right: DataFrame,
+                                key: str, left_ts: str, right_ts: str,
+                                lower: str, upper: str,
+                                left_watermark: str,
+                                right_watermark: str) -> DataFrame:
+    """Stream-stream event-time interval join (the reference's
+    upstream streaming JOIN between two Kafka-fed tables): both sides
+    watermarked, equi on ``key``, right event constrained to
+    [left_ts - lower, left_ts + upper]. Spark buffers only the watermark
+    horizon of state per side — bounded memory at any input rate, the
+    property an unconstrained stream join lacks (and the reason the time
+    bound is REQUIRED here, matching Spark's own inner-join rule).
+
+    Column name collisions: right's key/ts are suffixed ``_r``.
+    """
+    l = left.withWatermark(left_ts, left_watermark)
+    r = right.withWatermark(right_ts, right_watermark)
+    for c in (key, right_ts):
+        r = r.withColumnRenamed(c, c + "_r")
+    cond = ((F.col(key) == F.col(key + "_r"))
+            & (F.col(right_ts + "_r")
+               >= F.col(left_ts) - F.expr(f"INTERVAL {lower}"))
+            & (F.col(right_ts + "_r")
+               <= F.col(left_ts) + F.expr(f"INTERVAL {upper}")))
+    return l.join(r, cond, "inner")

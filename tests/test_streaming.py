@@ -230,3 +230,45 @@ def test_streaming_window_funnel_state_across_batches(spark, sf_dir, tmp_path):
               window_funnel(ev, "user_id", "ts", "event_type",
                             steps, "7 DAYS").collect()}
     assert got == expect
+
+
+def test_stream_stream_interval_join(spark, events_dir, tmp_path):
+    """Two event streams (clicks vs purchases) interval-joined on
+    user_id within 1 hour — results must equal the equivalent batch
+    interval join."""
+    from clickhouse_clickhouse_spark.streaming.windows import (
+        stream_stream_interval_join,
+    )
+
+    schema = spark.read.parquet(events_dir).schema
+    src = spark.readStream.schema(schema).parquet(events_dir)
+    clicks = (src.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("ts").alias("c_ts"),
+                      F.col("event_id").alias("c_id")))
+    purchases = (spark.readStream.schema(schema).parquet(events_dir)
+                 .filter(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("ts").alias("p_ts"),
+                         F.col("event_id").alias("p_id")))
+    joined = stream_stream_interval_join(
+        clicks, purchases, "user_id", "c_ts", "p_ts",
+        lower="0 seconds", upper="1 hour",
+        left_watermark="2 hours", right_watermark="2 hours")
+    q = (joined.writeStream.format("memory").queryName("ssj_out")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT count(*) AS n FROM ssj_out").collect()[0].n
+    ev = spark.read.parquet(events_dir)
+    c = ev.filter(F.col("event_type") == "click") \
+          .select("user_id", F.col("ts").alias("c_ts"))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("user_id").alias("user_id_r"),
+                 F.col("ts").alias("p_ts")))
+    want = c.join(p, (F.col("user_id") == F.col("user_id_r"))
+                  & (F.col("p_ts") >= F.col("c_ts"))
+                  & (F.col("p_ts") <= F.col("c_ts")
+                     + F.expr("INTERVAL 1 hour"))).count()
+    assert got == want and want > 0
