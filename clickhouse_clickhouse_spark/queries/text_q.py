@@ -419,3 +419,67 @@ def winnowing_fingerprints_q(spark, sf):
                 F.max("fp_hash").alias("max_fp"),
                 F.sum("fp_hash").alias("sum_fp")))
     return agg
+
+
+@register("doc_chunking", oracle="""
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+           WHERE doc_id < 300),
+c AS (
+  SELECT doc_id, s.i AS chunk_id,
+         substr(text, 1 + s.i * 80, 100) AS chunk
+  FROM d, (SELECT unnest(generate_series(0, 20)) AS i) s
+  WHERE 1 + s.i * 80 <= n)
+SELECT doc_id, cast(chunk_id AS BIGINT) AS chunk_id,
+       cast(length(chunk) AS INT) AS chunk_len,
+       md5(chunk) AS chunk_md5
+FROM c
+""")
+def doc_chunking(spark, sf):
+    """Training-pipeline document chunking: fixed-size overlapping
+    windows (size 100, stride 80 — 20-char overlap keeps boundary
+    context) exploded JVM-side; one narrow transform, no shuffle. The
+    md5 in the output makes the chunk content hash-comparable without
+    shipping full text through the compare."""
+    d = (load_table(spark, sf, "documents").filter(F.col("doc_id") < 300)
+         .select("doc_id", "text", F.length("text").alias("n")))
+    c = (d.select("doc_id", "text",
+                  F.explode(F.sequence(F.lit(0), F.lit(20))).alias("chunk_id"))
+         .filter(1 + F.col("chunk_id") * 80 <= F.col("n"))
+         .select("doc_id", F.col("chunk_id").cast("long"),
+                 F.substring(F.col("text"), F.col("chunk_id") * 80 + 1,
+                             F.lit(100)).alias("chunk")))
+    return c.select("doc_id", "chunk_id",
+                    F.length("chunk").alias("chunk_len"),
+                    F.md5("chunk").alias("chunk_md5"))
+
+
+@register("stratified_sample", oracle="""
+WITH h AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 100 AS bucket
+  FROM documents)
+SELECT source, cast(count(*) AS BIGINT) AS n_sampled,
+       cast(min(doc_id) AS BIGINT) AS min_id,
+       cast(sum(doc_id) AS BIGINT) AS id_sum
+FROM h
+WHERE (source = 'web' AND bucket < 10)
+   OR (source <> 'web' AND bucket < 50)
+GROUP BY source
+""")
+def stratified_sample(spark, sf):
+    """Deterministic stratified sampling for training-data mixing:
+    per-source rates (10% of 'web', 50% of everything else) keyed on
+    md5(doc_id) buckets — reproducible across engines and runs, unlike
+    Bernoulli sample(); the filter pushes to the scan as a deterministic
+    predicate. The same shape the reference's SAMPLE key gives per-table,
+    extended to per-stratum rates."""
+    d = load_table(spark, sf, "documents")
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                 1, 8), 16, 10).cast("long") % 100)
+    keep = ((F.col("source") == "web") & (bucket < 10)) | \
+           ((F.col("source") != "web") & (bucket < 50))
+    return (d.filter(keep).groupBy("source")
+            .agg(F.count("*").alias("n_sampled"),
+                 F.min("doc_id").alias("min_id"),
+                 F.sum("doc_id").alias("id_sum")))

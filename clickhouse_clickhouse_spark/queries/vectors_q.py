@@ -243,3 +243,44 @@ def dedup_connected_components(spark, sf):
     comp = connected_components(pairs, "id_a", "id_b")
     return comp.select(F.col("n").alias("vec_id"),
                        F.col("lbl").alias("component"))
+
+
+@register("vec_quantize_int8", oracle="""
+WITH s AS (
+  SELECT vec_id, embedding,
+         greatest(list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))), 1e-12) AS scale
+  FROM embeddings WHERE vec_id < 100),
+q AS (
+  SELECT vec_id, scale,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) / scale * 127) AS BIGINT)) AS qv
+  FROM s)
+SELECT vec_id, round(scale, 6) AS scale,
+       cast(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+       cast(list_aggregate(qv, 'min') AS BIGINT) AS q_min,
+       cast(list_aggregate(qv, 'max') AS BIGINT) AS q_max
+FROM q
+""")
+def vec_quantize_int8(spark, sf):
+    """Symmetric int8 embedding quantization (the 4x storage cut every
+    100 TB vector corpus takes): per-vector absmax scale, round(v/scale
+    * 127). Pure HOF arithmetic — no UDF, no shuffle; summarized to
+    sum/min/max per vector for a compact hash-compare."""
+    e = (load_table(spark, sf, "embeddings").filter(F.col("vec_id") < 100)
+         .select("vec_id", "embedding"))
+    absmax = F.greatest(
+        F.array_max(F.transform(F.col("embedding"),
+                                lambda x: F.abs(x.cast("double")))),
+        F.lit(1e-12))
+    d = e.withColumn("scale", absmax)
+    qv = F.transform(F.col("embedding"),
+                     lambda x: F.round(x.cast("double") / F.col("scale")
+                                       * 127, 0).cast("long"))
+    d = d.withColumn("qv", qv)
+    return d.select(
+        "vec_id", F.round("scale", 6).alias("scale"),
+        F.aggregate("qv", F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("q_sum"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"))
