@@ -102,3 +102,36 @@ def test_rank_statistics_have_no_single_partition_window(spark, sf_dir):
 def test_top_users_uses_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in _plan(
         spark, "cb_top_users_by_errors", sf_dir)
+
+
+# Repo-wide sweep: EVERY registered query must avoid Sort/Window over
+# Exchange SinglePartition, except the documented bounded cases:
+#   - minhash vocab-mode twins: the global row_number assigns token ids
+#     over the DISTINCT TOKEN VOCABULARY (not the corpus) and exists only
+#     as the DuckDB-oracle-checkable twin; xxhash mode (no vocabulary,
+#     no window) is the 100 TB path and is what the bench runs.
+#   - with_fill_interpolate: the carry-forward window runs over the
+#     GENERATED date spine, whose size is the fill range (days), not the
+#     data size.
+_SINGLE_PARTITION_ALLOWED = {
+    "minhash_lsh_pairs", "minhash_signatures_q", "minhash_verified_pairs",
+    "simhash_q", "with_fill_interpolate",
+}
+
+
+def test_no_query_sorts_or_windows_on_single_partition(spark, sf_dir):
+    from clickhouse_clickhouse_spark.registry import all_queries
+
+    offenders = {}
+    for name, fn in sorted(all_queries().items()):
+        if name in _SINGLE_PARTITION_ALLOWED:
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" not in line:
+                continue
+            ctx = " ".join(lines[max(0, i - 2):i])
+            if "Sort " in ctx or "Window " in ctx:
+                offenders[name] = lines[max(0, i - 2)].strip()[:80]
+    assert not offenders, offenders
