@@ -24,18 +24,26 @@ from pyspark.sql import functions as F
 
 
 def connected_components(edges: DataFrame, src: str, dst: str,
-                         max_iter: int = 25,
-                         checkpoint_every: int = 3) -> DataFrame:
+                         max_iter: int = 25) -> DataFrame:
     """Labels every node that appears in ``edges`` with the minimum node
     id reachable from it. Returns (node, component). Node ids must be
-    orderable (the min id becomes the cluster's canonical id)."""
+    orderable (the min id becomes the cluster's canonical id).
+
+    The symmetrized edge list is checkpointed ONCE up front — edges
+    usually arrive as a lazily-defined LSH/banding join, and without the
+    checkpoint every iteration would re-execute that join from scratch.
+    Each iteration's result is likewise checkpointed so the convergence
+    probe and the next iteration share one materialization (on a real
+    cluster swap localCheckpoint for a reliable checkpoint dir; the
+    pattern is identical)."""
     sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .unionByName(edges.select(F.col(dst).alias("a"),
                                      F.col(src).alias("b")))
-           .distinct())
+           .distinct()
+           .localCheckpoint(eager=True))
     lbl = (sym.select(F.col("a").alias("n")).distinct()
            .withColumn("lbl", F.col("n")))
-    for i in range(max_iter):
+    for _ in range(max_iter):
         nbr = (sym.join(lbl.select(F.col("n").alias("b"),
                                    F.col("lbl").alias("lbl_b")), "b")
                .groupBy("a").agg(F.min("lbl_b").alias("nbr_min")))
@@ -44,9 +52,8 @@ def connected_components(edges: DataFrame, src: str, dst: str,
                            lbl["lbl"].alias("old"),
                            F.least(lbl["lbl"],
                                    F.coalesce(F.col("nbr_min"),
-                                              lbl["lbl"])).alias("lbl")))
-        if (i + 1) % checkpoint_every == 0:
-            stepped = stepped.localCheckpoint(eager=True)
+                                              lbl["lbl"])).alias("lbl"))
+                   .localCheckpoint(eager=True))
         # one bounded scalar per iteration: is any label still shrinking?
         if stepped.filter(F.col("lbl") < F.col("old")).limit(1).count() == 0:
             return stepped.select("n", "lbl")
