@@ -8,6 +8,7 @@ table picked; all stay JVM-side. Names follow the reference's camelCase.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -358,3 +359,106 @@ def extractKeyValuePairs(s, key_value_delimiter=":", pair_delimiters=","):
     delimiters as regex character classes — stays in codegen."""
     return F.str_to_map(_c(s), F.lit("[" + pair_delimiters + "]"),
                         F.lit("[" + key_value_delimiter + "]"))
+
+
+# -- round-2 long-tail additions ------------------------------------------
+def gcd(a, b):
+    """gcd — numpy ufunc via Arrow batches (no JVM builtin; np.gcd is
+    vectorized C, not per-row Python)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _gcd(x: pd.Series, y: pd.Series) -> pd.Series:
+        import numpy as np
+        return pd.Series(np.gcd(x.fillna(0).astype("int64"),
+                                y.fillna(0).astype("int64")))
+    return _gcd(_c(a).cast("long"), _c(b).cast("long"))
+
+
+def lcm(a, b):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _lcm(x: pd.Series, y: pd.Series) -> pd.Series:
+        import numpy as np
+        return pd.Series(np.lcm(x.fillna(0).astype("int64"),
+                                y.fillna(0).astype("int64")))
+    return _lcm(_c(a).cast("long"), _c(b).cast("long"))
+
+
+def bitHammingDistance(a, b):
+    return F.bit_count(_c(a).cast("long").bitwiseXOR(_c(b).cast("long")))
+
+
+def roundToExp2(a):
+    """Round down to the nearest power of two (0 for x <= 0). log2 float
+    error at exact powers is repaired with one exact fix-up step."""
+    x = _c(a).cast("long")
+    guess = F.pow(F.lit(2.0), F.floor(F.log2(x.cast("double")))).cast("long")
+    fixed = F.when(guess * 2 <= x, guess * 2) \
+             .when(guess > x, (guess / 2).cast("long")).otherwise(guess)
+    return F.when(x <= 0, F.lit(0)).otherwise(fixed)
+
+
+_ROUND_DURATIONS = [36000, 18000, 7200, 3600, 1800, 1200, 600, 300, 240,
+                    180, 120, 60, 30, 10, 1]
+
+
+def roundDuration(a):
+    """Reference roundDuration: round down to the fixed duration set."""
+    x = _c(a).cast("long")
+    expr = F.lit(0)
+    for d in reversed(_ROUND_DURATIONS):     # ascending: later whens win
+        expr = F.when(x >= d, F.lit(d)).otherwise(expr)
+    return expr
+
+
+def roundAge(a):
+    """Reference roundAge: {0, 17, 18, 25, 35, 45, 55} buckets."""
+    x = _c(a).cast("long")
+    return (F.when(x < 1, 0).when(x <= 17, 17).when(x <= 24, 18)
+            .when(x <= 34, 25).when(x <= 44, 35).when(x <= 54, 45)
+            .otherwise(55))
+
+
+def crc32(a): return F.crc32(_c(a).cast("binary"))
+
+
+def halfMD5(a):
+    """First 8 bytes of md5, big-endian unsigned decimal STRING (conv
+    output) — bit-parity with the reference, JVM-side only."""
+    return F.conv(F.substring(F.md5(_c(a)), 1, 16), 16, 10)
+
+
+def mapAdd(a, b):
+    """Merge two maps summing values on key collision."""
+    m = F.map_zip_with(_c(a), _c(b),
+                       lambda k, x, y: F.coalesce(x, F.lit(0))
+                       + F.coalesce(y, F.lit(0)))
+    return m
+
+
+def accurateCastOrNull(a, t: str): return _c(a).try_cast(t)
+def accurateCast(a, t: str): return _c(a).cast(t)
+
+
+def neighbor(col, offset: int, order_by, partition_by=()):
+    """Reference neighbor(x, offset) is a block-order hack; the principled
+    Spark form requires an explicit order (and optional partitioning)."""
+    from pyspark.sql import Window
+    w = (Window.partitionBy(*[_c(p) for p in partition_by])
+         if partition_by else Window.partitionBy())
+    w = w.orderBy(*[_c(o) for o in order_by])
+    return F.lead(_c(col), offset).over(w) if offset >= 0 \
+        else F.lag(_c(col), -offset).over(w)
+
+
+def runningAccumulate(col, order_by, partition_by=()):
+    """Running sum in explicit order (reference runningAccumulate is
+    block-order; this is the principled windowed form)."""
+    from pyspark.sql import Window
+    w = (Window.partitionBy(*[_c(p) for p in partition_by])
+         if partition_by else Window.partitionBy())
+    w = (w.orderBy(*[_c(o) for o in order_by])
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return F.sum(_c(col)).over(w)

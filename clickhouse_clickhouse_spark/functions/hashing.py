@@ -258,3 +258,100 @@ def sip_hash64(c: Column) -> Column:
 def city_hash64(c: Column) -> Column:
     """Column wrapper: ``cityHash64(x)`` (CityHash64 v1.0.2)."""
     return _udf("city")(c)
+
+
+def murmurhash2_64_py(data: bytes, seed: int = 0) -> int:
+    """MurmurHash2 64A (Appleby's public algorithm; the reference's
+    murmurHash2_64 with seed 0)."""
+    m = 0xC6A4A7935BD1E995
+    r = 47
+    n = len(data)
+    h = (seed ^ (n * m)) & _M64
+    end = n - (n % 8)
+    for off in range(0, end, 8):
+        k = struct.unpack_from("<Q", data, off)[0]
+        k = (k * m) & _M64
+        k ^= k >> r
+        k = (k * m) & _M64
+        h ^= k
+        h = (h * m) & _M64
+    rem = n & 7
+    if rem:
+        tail = 0
+        for i in range(rem - 1, -1, -1):
+            tail = (tail << 8) | data[end + i]
+        h ^= tail
+        h = (h * m) & _M64
+    h ^= h >> r
+    h = (h * m) & _M64
+    h ^= h >> r
+    return h
+
+
+def jaro_winkler_py(s1: str, s2: str) -> float:
+    """Jaro-Winkler similarity (public algorithm: Jaro matches within
+    floor(max/2)-1, half-transpositions, Winkler prefix boost p=0.1 up to
+    4 chars when jaro > 0.7 — the same definition DuckDB's
+    jaro_winkler_similarity implements, which the oracle leans on —
+    including its empty-vs-empty = 0.0 edge)."""
+    n1, n2 = len(s1), len(s2)
+    if n1 == 0 or n2 == 0:
+        return 0.0
+    if s1 == s2:
+        return 1.0
+    window = max(n1, n2) // 2 - 1
+    m1 = [False] * n1
+    m2 = [False] * n2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - window), min(n2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(n1):
+        if m1[i]:
+            while not m2[j]:
+                j += 1
+            if s1[i] != s2[j]:
+                t += 1
+            j += 1
+    # DuckDB (rapidfuzz convention) floors the half-transposition count
+    jaro = (matches / n1 + matches / n2
+            + (matches - t // 2) / matches) / 3
+    if jaro > 0.7:
+        prefix = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            prefix += 1
+        jaro += prefix * 0.1 * (1 - jaro)
+    return jaro
+
+
+def murmur_hash2_64(c: Column) -> Column:
+    """Column wrapper: ``murmurHash2_64(x)`` (Arrow UDF slow path)."""
+    if "murmur2" not in _UDFS:
+        @pandas_udf("long")
+        def _mm2(s: pd.Series) -> pd.Series:
+            return s.map(lambda v: None if v is None else _to_signed(
+                murmurhash2_64_py(_as_bytes(v))))
+        _UDFS["murmur2"] = _mm2
+    return _UDFS["murmur2"](c)
+
+
+def jaro_winkler(a: Column, b: Column) -> Column:
+    """Column wrapper: ``jaroWinklerSimilarity(a, b)``."""
+    if "jw" not in _UDFS:
+        @pandas_udf("double")
+        def _jw(x: pd.Series, y: pd.Series) -> pd.Series:
+            return pd.Series(
+                None if u is None or v is None else jaro_winkler_py(u, v)
+                for u, v in zip(x, y))
+        _UDFS["jw"] = _jw
+    return _UDFS["jw"](a, b)

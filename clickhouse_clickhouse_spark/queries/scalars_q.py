@@ -1022,3 +1022,64 @@ def hash_parity(spark, sf):
     df = spark.createDataFrame([(s,) for s, *_ in _HASH_ROWS], "s string")
     return df.select("s", sip_hash64(F.col("s")).alias("sip_hash64"),
                      city_hash64(F.col("s")).alias("city_hash64"))
+
+
+@register("ch_dialect_demo2", oracle="""
+SELECT p_partkey,
+       cast(gcd(p_partkey, 36) AS BIGINT) AS g,
+       cast(lcm(p_partkey % 7 + 1, 6) AS BIGINT) AS l,
+       cast(bit_count(xor(p_partkey, p_partkey // 3)) AS INT) AS hamming,
+       cast(CASE WHEN p_partkey <= 0 THEN 0
+                 ELSE power(2, floor(log2(p_partkey)))::BIGINT END AS BIGINT)
+           AS exp2_floor,
+       cast(CASE WHEN p_partkey % 50000 >= 36000 THEN 36000
+                 WHEN p_partkey % 50000 >= 18000 THEN 18000
+                 WHEN p_partkey % 50000 >= 7200 THEN 7200
+                 WHEN p_partkey % 50000 >= 3600 THEN 3600
+                 WHEN p_partkey % 50000 >= 1800 THEN 1800
+                 WHEN p_partkey % 50000 >= 1200 THEN 1200
+                 WHEN p_partkey % 50000 >= 600 THEN 600
+                 WHEN p_partkey % 50000 >= 300 THEN 300
+                 WHEN p_partkey % 50000 >= 240 THEN 240
+                 WHEN p_partkey % 50000 >= 180 THEN 180
+                 WHEN p_partkey % 50000 >= 120 THEN 120
+                 WHEN p_partkey % 50000 >= 60 THEN 60
+                 WHEN p_partkey % 50000 >= 30 THEN 30
+                 WHEN p_partkey % 50000 >= 10 THEN 10
+                 WHEN p_partkey % 50000 >= 1 THEN 1
+                 ELSE 0 END AS BIGINT) AS dur,
+       cast(CASE WHEN p_partkey % 90 < 1 THEN 0
+                 WHEN p_partkey % 90 <= 17 THEN 17
+                 WHEN p_partkey % 90 <= 24 THEN 18
+                 WHEN p_partkey % 90 <= 34 THEN 25
+                 WHEN p_partkey % 90 <= 44 THEN 35
+                 WHEN p_partkey % 90 <= 54 THEN 45
+                 ELSE 55 END AS BIGINT) AS age_bucket,
+       CAST(('0x' || substr(md5(p_name), 1, 16)) AS UBIGINT)::VARCHAR
+           AS half_md5,
+       round(jaro_winkler_similarity(p_name, p_brand), 6) AS jw
+FROM part WHERE p_partkey < 300
+""")
+def ch_dialect_demo2(spark, sf):
+    """Round-2 long-tail dialect surface: gcd/lcm (numpy ufunc Arrow
+    batches), bitHammingDistance, roundToExp2/roundDuration/roundAge,
+    halfMD5 (JVM-side bit-parity), jaroWinklerSimilarity (public
+    algorithm, matches DuckDB's definition)."""
+    from clickhouse_clickhouse_spark import ch_functions as ch
+    from clickhouse_clickhouse_spark.functions.hashing import jaro_winkler
+
+    p = load_table(spark, sf, "part").filter(F.col("p_partkey") < 300)
+    return p.select(
+        "p_partkey",
+        ch.gcd("p_partkey", F.lit(36)).alias("g"),
+        ch.lcm(F.col("p_partkey") % 7 + 1, F.lit(6)).alias("l"),
+        ch.bitHammingDistance(
+            "p_partkey",
+            F.call_function("div", F.col("p_partkey"), F.lit(3)))
+        .alias("hamming"),
+        ch.roundToExp2("p_partkey").cast("long").alias("exp2_floor"),
+        ch.roundDuration(F.col("p_partkey") % 50000).cast("long").alias("dur"),
+        ch.roundAge(F.col("p_partkey") % 90).cast("long").alias("age_bucket"),
+        ch.halfMD5("p_name").alias("half_md5"),
+        F.round(jaro_winkler(F.col("p_name"), F.col("p_brand")), 6)
+        .alias("jw"))

@@ -67,3 +67,52 @@ def test_ch_aggregates(spark):
         ch.quantileExact("v", 0.5).alias("med")).collect()}
     assert out["a"].n == 2 and out["a"].u == 2
     assert out["a"].am == 3.0 and out["a"].med == 2.0
+
+
+def test_round2_longtail_functions(spark):
+    from clickhouse_clickhouse_spark import ch_functions as ch
+
+    df = spark.createDataFrame(
+        [(12, 18, {"a": 1}, {"a": 2, "b": 5})],
+        "x long, y long, m1 map<string,int>, m2 map<string,int>")
+    r = df.select(
+        ch.gcd("x", "y").alias("g"), ch.lcm("x", "y").alias("l"),
+        ch.bitHammingDistance("x", "y").alias("h"),
+        ch.roundToExp2(F.lit(1000)).alias("e2"),
+        ch.roundDuration(F.lit(125)).alias("dur"),
+        ch.roundAge(F.lit(40)).alias("age"),
+        ch.mapAdd("m1", "m2").alias("ma"),
+        ch.accurateCastOrNull(F.lit("xx"), "int").alias("bad_cast"),
+    ).collect()[0]
+    assert (r.g, r.l) == (6, 36)
+    assert r.h == bin(12 ^ 18).count("1")
+    assert r.e2 == 512 and r.dur == 120 and r.age == 35
+    assert r.ma == {"a": 3, "b": 5}
+    assert r.bad_cast is None
+
+
+def test_murmurhash2_64_pinned():
+    """MurmurHash2 64A implementation pinned by regression vectors
+    (public Appleby algorithm, seed 0)."""
+    from clickhouse_clickhouse_spark.functions.hashing import (
+        murmurhash2_64_py,
+    )
+
+    assert murmurhash2_64_py(b"hello") == 0x1E68D17C457BF117
+    assert murmurhash2_64_py(b"") == 0
+    # determinism + 8-byte-boundary coverage
+    assert murmurhash2_64_py(b"12345678") == murmurhash2_64_py(b"12345678")
+    assert murmurhash2_64_py(b"12345678") != murmurhash2_64_py(b"12345679")
+
+
+def test_jaro_winkler_matches_duckdb():
+    import duckdb
+
+    from clickhouse_clickhouse_spark.functions.hashing import jaro_winkler_py
+
+    pairs = [("martha", "marhta"), ("dixon", "dicksonx"), ("old ring", "Brand#20"),
+             ("jellyfish", "smellyfish"), ("", ""), ("abc", ""), ("x", "x")]
+    for a, b in pairs:
+        want = duckdb.sql(
+            f"select jaro_winkler_similarity('{a}','{b}')").fetchone()[0]
+        assert abs(jaro_winkler_py(a, b) - want) < 1e-12, (a, b)
