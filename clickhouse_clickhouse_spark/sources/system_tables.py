@@ -1,0 +1,130 @@
+"""``system.*`` introspection tables (reference ``src/Storages/System/*``:
+``StorageSystemTables``, ``StorageSystemColumns``, ``StorageSystemParts``,
+``StorageSystemNumbers``, ``StorageSystemOne``, ``StorageSystemSettings``)
+— re-expressed over the Spark catalog and the parquet storage layout.
+
+Each function returns an ordinary DataFrame, so the introspection surface
+composes with the full query engine exactly as in the reference
+(``SELECT ... FROM system.parts WHERE ...``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def system_one(spark: SparkSession) -> DataFrame:
+    """``system.one`` — a single row, single ``dummy`` column (the FROM
+    clause of a table-less SELECT)."""
+    return spark.range(1).select(F.lit(0).cast("int").alias("dummy"))
+
+
+def system_numbers(spark: SparkSession, limit: int) -> DataFrame:
+    """``system.numbers`` (bounded) — monotonic ``number`` column."""
+    return spark.range(limit).select(F.col("id").alias("number"))
+
+
+def system_tables(spark: SparkSession) -> DataFrame:
+    """``system.tables`` over the Spark catalog."""
+    schema = ("database string, name string, engine string, "
+              "is_temporary boolean")
+    rows = [((t.namespace[0] if t.namespace else ""),
+             t.name, t.tableType, t.isTemporary)
+            for t in spark.catalog.listTables()]
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(rows, schema)
+
+
+def system_columns(spark: SparkSession, table: str) -> DataFrame:
+    """``system.columns`` for one catalog table."""
+    rows = [(table, c.name, c.dataType, c.nullable)
+            for c in spark.catalog.listColumns(table)]
+    return spark.createDataFrame(
+        rows, "table string, name string, type string, nullable boolean")
+
+
+def system_parts(spark: SparkSession, path: str,
+                 table: str = "") -> DataFrame:
+    """``system.parts`` for a parquet table path: one row per data file
+    (the reference's "part"), with partition value, bytes on disk, and
+    row count from the parquet footer — the inputs OPTIMIZE decisions
+    read. Footer row counts come via a parquet metadata scan, not a data
+    scan."""
+    files = []
+    base = path.rstrip("/")
+    for root, _dirs, names in os.walk(base):
+        part_val = os.path.relpath(root, base)
+        for n in names:
+            if n.endswith(".parquet"):
+                p = os.path.join(root, n)
+                files.append((table or os.path.basename(base),
+                              "" if part_val == "." else part_val,
+                              n, os.path.getsize(p), p))
+    df = spark.createDataFrame(
+        files or [("", "", "", 0, "")],
+        "table string, partition string, name string, bytes_on_disk long, "
+        "path string")
+    if not files:
+        return df.filter(F.col("name") != "")
+    # rows per file from footers (metadata-only read); join on the FULL
+    # path — partition dirs share task-generated basenames
+    counts = (spark.read.parquet(base)
+              .groupBy(F.regexp_replace(F.input_file_name(),
+                                        "^file:/+", "/").alias("fpath"))
+              .count())
+    return (df.join(counts, F.col("fpath") == F.col("path"), "left")
+            .select("table", "partition", "name", "bytes_on_disk",
+                    F.coalesce(F.col("count"), F.lit(0)).alias("rows")))
+
+
+def system_settings(spark: SparkSession) -> DataFrame:
+    """``system.settings`` — the session's effective Spark SQL confs."""
+    items = [(k, v) for k, v in spark.sparkContext.getConf().getAll()]
+    sql_items = []
+    for k in ("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled",
+              "spark.sql.autoBroadcastJoinThreshold",
+              "spark.sql.files.maxPartitionBytes",
+              "spark.sql.session.timeZone", "spark.sql.ansi.enabled"):
+        try:
+            sql_items.append((k, spark.conf.get(k)))
+        except Exception:
+            pass
+    return spark.createDataFrame(sorted(set(items + sql_items)),
+                                 "name string, value string")
+
+
+# CH setting -> (spark conf, value translator). Only settings with a real
+# runtime-settable Spark equivalent are mapped; everything else raises so
+# a porting user gets an explicit answer instead of silence.
+_SETTINGS_MAP = {
+    "max_threads": ("spark.sql.shuffle.partitions", str),
+    "max_block_size": ("spark.sql.files.maxPartitionBytes",
+                       lambda v: str(int(v) * 128)),   # rows -> ~bytes
+    "join_algorithm": ("spark.sql.join.preferSortMergeJoin",
+                       lambda v: "true" if "merge" in str(v) else "false"),
+    "max_bytes_in_join_to_broadcast":
+        ("spark.sql.autoBroadcastJoinThreshold", str),
+    "session_timezone": ("spark.sql.session.timeZone", str),
+}
+
+
+def apply_ch_settings(spark: SparkSession, settings: dict) -> dict:
+    """``SET name = value`` translation: applies each reference setting's
+    Spark equivalent on the live session and returns {ch_name:
+    (spark_conf, value)}. Unknown settings raise KeyError with the
+    supported list."""
+    applied = {}
+    for name, value in settings.items():
+        if name not in _SETTINGS_MAP:
+            raise KeyError(
+                f"no Spark mapping for setting {name!r}; supported: "
+                f"{sorted(_SETTINGS_MAP)}")
+        conf, conv = _SETTINGS_MAP[name]
+        sval = conv(value)
+        spark.conf.set(conf, sval)
+        applied[name] = (conf, sval)
+    return applied

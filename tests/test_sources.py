@@ -1,6 +1,7 @@
 """Write path / formats / mutations tests (SURVEY.md §2.1, §3.2)."""
 
 import pytest
+from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from clickhouse_clickhouse_spark.sources.formats import read_any, write_any
@@ -100,3 +101,45 @@ def test_bloom_filter_skip_index(spark, sample, tmp_path):
     size_bf = sum(os.path.getsize(f) for f in glob.glob(path + "/*.parquet"))
     size_plain = sum(os.path.getsize(f) for f in glob.glob(plain + "/*.parquet"))
     assert size_bf > size_plain
+
+
+def test_system_tables_surface(spark, sf_dir, tmp_path):
+    from clickhouse_clickhouse_spark.sources.system_tables import (
+        apply_ch_settings, system_columns, system_numbers, system_one,
+        system_parts, system_settings, system_tables,
+    )
+
+    assert system_one(spark).collect() == [Row(dummy=0)]
+    assert system_numbers(spark, 5).agg(F.sum("number")).collect()[0][0] == 10
+
+    spark.createDataFrame([(1, "x")], "k int, v string") \
+         .createOrReplaceTempView("sys_probe")
+    tables = system_tables(spark)
+    assert tables.filter(F.col("name") == "sys_probe").count() == 1
+    cols = {r.name: r.type for r in
+            system_columns(spark, "sys_probe").collect()}
+    assert cols == {"k": "int", "v": "string"}
+
+    path = str(tmp_path / "pt")
+    spark.read.parquet(f"{sf_dir}/nation.parquet") \
+         .write.partitionBy("n_regionkey").parquet(path)
+    parts = system_parts(spark, path, table="nation")
+    rows = parts.collect()
+    assert len(rows) >= 5 and all(r.bytes_on_disk > 0 for r in rows)
+    assert parts.agg(F.sum("rows")).collect()[0][0] == 25
+
+    assert system_settings(spark).filter(
+        F.col("name") == "spark.sql.shuffle.partitions").count() == 1
+
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    applied = apply_ch_settings(
+        spark, {"max_bytes_in_join_to_broadcast": 12345678})
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "12345678"
+    assert applied["max_bytes_in_join_to_broadcast"][0] == \
+        "spark.sql.autoBroadcastJoinThreshold"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+    try:
+        apply_ch_settings(spark, {"definitely_unknown": 1})
+        raise AssertionError("should have raised")
+    except KeyError:
+        pass
