@@ -483,3 +483,54 @@ def stratified_sample(spark, sf):
             .agg(F.count("*").alias("n_sampled"),
                  F.min("doc_id").alias("min_id"),
                  F.sum("doc_id").alias("id_sum")))
+
+
+@register("multimodal_features", oracle="""
+WITH m AS (
+  SELECT doc_id AS media_id, encode(text) AS payload FROM documents
+  WHERE doc_id < 100),
+b AS (
+  SELECT media_id, payload, i,
+         CAST(('0x' || substr(hex(payload), i * 16 + 1, 2)) AS INT) AS byte0
+  FROM m, (SELECT unnest(generate_series(0, 1000)) AS i) g
+  WHERE i * 8 < octet_length(payload))
+SELECT media_id,
+       cast(octet_length(any_value(payload)) AS BIGINT) AS n_bytes,
+       cast(count(*) AS INT) AS n_chunks,
+       cast(sum(byte0) AS BIGINT) AS chunk_head_sum
+FROM b GROUP BY media_id
+""")
+def multimodal_features(spark, sf):
+    """Multimodal-column plumbing, oracle-checked end to end: fixture
+    text re-encoded as an opaque BINARY payload, then a REAL
+    mapInPandas Arrow pass (pipeline/multimodal-style batch signature)
+    computes per-payload chunk features (byte length, 8-byte chunk
+    count, sum of chunk head bytes). The decode kernel here is the
+    deterministic byte reader — the exact shape a PIL/ffmpeg kernel
+    plugs into — so schema, batching, and partitioning are verified
+    against an independent engine even though media libs are absent."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    d = (load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
+         .select(F.col("doc_id").alias("media_id"),
+                 F.encode("text", "utf-8").alias("payload")))
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("n_chunks", T.IntegerType(), True),
+        T.StructField("chunk_head_sum", T.LongType(), True),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                heads = [b[i] for i in range(0, len(b), 8)]
+                out.append((mid, len(b), len(heads), sum(heads)))
+            yield pd.DataFrame(out, columns=["media_id", "n_bytes",
+                                             "n_chunks", "chunk_head_sum"])
+
+    return d.mapInPandas(run, schema=schema)
