@@ -102,3 +102,63 @@ def _swap_dirs(spark: SparkSession, tmp: str, path: str) -> None:
     fs = Path(path).getFileSystem(conf)
     fs.delete(Path(path), True)
     fs.rename(Path(tmp), Path(path))
+
+
+def detach_partition(path: str, partition_col: str, value) -> str:
+    """``ALTER TABLE ... DETACH PARTITION`` (reference
+    MergeTreeData::movePartitionToDetached): moves the partition's
+    directory under ``<table>/_detached/`` (underscore prefix: Spark's
+    file index skips it, like the reference's detached/ being outside the
+    active part set) — a metadata move, no data rewrite. Returns the
+    detached dir."""
+    import os
+    import shutil
+
+    src = os.path.join(path, f"{partition_col}={value}")
+    if not os.path.isdir(src):
+        raise FileNotFoundError(f"no partition dir {src}")
+    detached = os.path.join(path, "_detached")
+    os.makedirs(detached, exist_ok=True)
+    dst = os.path.join(detached, f"{partition_col}={value}")
+    shutil.move(src, dst)
+    return dst
+
+
+def attach_partition(path: str, partition_col: str, value) -> str:
+    """``ALTER TABLE ... ATTACH PARTITION`` — moves a previously detached
+    partition directory back into the table layout."""
+    import os
+    import shutil
+
+    src = os.path.join(path, "_detached", f"{partition_col}={value}")
+    if not os.path.isdir(src):
+        raise FileNotFoundError(f"no detached partition {src}")
+    dst = os.path.join(path, f"{partition_col}={value}")
+    shutil.move(src, dst)
+    return dst
+
+
+def drop_partition(path: str, partition_col: str, value) -> None:
+    """``ALTER TABLE ... DROP PARTITION`` — removes the directory; an
+    O(partition) metadata operation, never a table rewrite."""
+    import shutil
+    import os
+
+    src = os.path.join(path, f"{partition_col}={value}")
+    if not os.path.isdir(src):
+        raise FileNotFoundError(f"no partition dir {src}")
+    shutil.rmtree(src)
+
+
+def apply_column_ttl(spark: SparkSession, path: str, ts_col: str,
+                     cutoff: Column, ttl_cols: "Sequence[str]",
+                     partition_by: "Sequence[str]" = ()) -> None:
+    """Column-level TTL (reference ``TTL ... TO COLUMN`` semantics inside
+    MergeTask): expired rows keep their keys but the TTL'd columns reset
+    to NULL — a rewrite of only the affected rows' columns, here a full
+    overwrite like the row-TTL analog ``apply_ttl``."""
+    df = spark.read.parquet(path)
+    expired = F.col(ts_col) < cutoff
+    for c in ttl_cols:
+        df = df.withColumn(c, F.when(expired, F.lit(None)).otherwise(F.col(c)))
+    _rewrite(spark, df, path, partition_by)

@@ -143,3 +143,60 @@ def test_system_tables_surface(spark, sf_dir, tmp_path):
         raise AssertionError("should have raised")
     except KeyError:
         pass
+
+
+def test_partition_attach_detach_drop(spark, sf_dir, tmp_path):
+    from clickhouse_clickhouse_spark.sources.write import (
+        attach_partition, detach_partition, drop_partition,
+    )
+
+    path = str(tmp_path / "adm")
+    spark.read.parquet(f"{sf_dir}/nation.parquet") \
+         .write.partitionBy("n_regionkey").parquet(path)
+    assert spark.read.parquet(path).count() == 25
+
+    detach_partition(path, "n_regionkey", 2)
+    assert spark.read.option("basePath", path).parquet(path).count() == 20
+    attach_partition(path, "n_regionkey", 2)
+    assert spark.read.parquet(path).count() == 25
+    drop_partition(path, "n_regionkey", 2)
+    assert spark.read.parquet(path).count() == 20
+
+
+def test_column_ttl_nulls_expired_columns(spark, tmp_path):
+    import datetime
+
+    from clickhouse_clickhouse_spark.sources.write import apply_column_ttl
+
+    T0 = datetime.datetime(2024, 1, 1)
+    rows = [(i, T0 + datetime.timedelta(days=i), f"pii{i}", float(i))
+            for i in range(6)]
+    path = str(tmp_path / "ttl")
+    spark.createDataFrame(rows, "k int, ts timestamp, pii string, v double") \
+         .write.parquet(path)
+    apply_column_ttl(spark, path, "ts",
+                     F.lit(T0 + datetime.timedelta(days=3)), ["pii"])
+    out = {r.k: (r.pii, r.v) for r in spark.read.parquet(path).collect()}
+    assert all(out[k][0] is None for k in (0, 1, 2))      # expired: nulled
+    assert all(out[k][0] == f"pii{k}" for k in (3, 4, 5))  # fresh: kept
+    assert all(out[k][1] == float(k) for k in range(6))    # other col intact
+
+
+def test_sort_projection_routing_and_pruning(spark, sf_dir, tmp_path):
+    from clickhouse_clickhouse_spark.plans.sort_projection import (
+        SortProjection, route_scan,
+    )
+
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    proj = SortProjection(path=str(tmp_path / "by_cust"),
+                          order_by=("o_custkey",))
+    proj.build(base)
+
+    routed = route_scan(spark, base, [proj], ["o_custkey"])
+    got = routed.filter(F.col("o_custkey") == 371) \
+                .agg(F.count("*"), F.sum("o_totalprice")).collect()
+    want = base.filter(F.col("o_custkey") == 371) \
+               .agg(F.count("*"), F.sum("o_totalprice")).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # routes back to base when keys don't match
+    assert route_scan(spark, base, [proj], ["o_orderdate"]) is base
