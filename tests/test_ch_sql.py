@@ -1,0 +1,129 @@
+"""ClickHouse-dialect SQL front end (ch_sql.py): each supported construct
+translated and executed, results checked against the equivalent Spark
+SQL / DataFrame computation on the same fixture views."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_clickhouse_spark.ch_sql import ch_sql, translate
+from clickhouse_clickhouse_spark.tables import load_table
+
+
+@pytest.fixture
+def views(spark, sf_dir):
+    for t in ("orders", "lineitem", "events", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark
+
+
+def test_function_name_rewrites(views):
+    out = ch_sql(views, """
+        SELECT toStartOfMonth(o_orderdate) AS m,
+               uniqExact(o_custkey) AS u,
+               countIf(o_totalprice > 1000) AS big,
+               argMax(o_orderkey, o_totalprice) AS top_order,
+               median(o_totalprice) AS med
+        FROM orders GROUP BY m ORDER BY m LIMIT 3""").collect()
+    want = views.sql("""
+        SELECT DATE_TRUNC('month', o_orderdate) AS m,
+               COUNT(DISTINCT o_custkey) AS u,
+               COUNT_IF(o_totalprice > 1000) AS big,
+               MAX_BY(o_orderkey, o_totalprice) AS top_order,
+               PERCENTILE(o_totalprice, 0.5) AS med
+        FROM orders GROUP BY m ORDER BY m LIMIT 3""").collect()
+    assert out == want
+
+
+def test_nested_calls_and_multiif(views):
+    out = ch_sql(views, """
+        SELECT multiIf(toYear(o_orderdate) = 1995, 'a',
+                       toYear(o_orderdate) = 1996, 'b', 'z') AS tag,
+               count() AS n
+        FROM orders GROUP BY tag ORDER BY tag""").collect()
+    want = views.sql("""
+        SELECT CASE WHEN YEAR(o_orderdate) = 1995 THEN 'a'
+                    WHEN YEAR(o_orderdate) = 1996 THEN 'b'
+                    ELSE 'z' END AS tag, COUNT(*) AS n
+        FROM orders GROUP BY tag ORDER BY tag""").collect()
+    assert out == want
+
+
+def test_prewhere_merges_into_where(views):
+    out = ch_sql(views, """
+        SELECT count() AS n FROM lineitem
+        PREWHERE l_quantity > 10 WHERE l_discount < 0.05""").collect()
+    want = views.sql("""
+        SELECT COUNT(*) AS n FROM lineitem
+        WHERE l_quantity > 10 AND l_discount < 0.05""").collect()
+    assert out == want
+
+
+def test_parametric_quantile(views):
+    out = ch_sql(views, "SELECT quantileExact(0.9)(o_totalprice) AS p90 "
+                        "FROM orders").collect()
+    want = views.sql("SELECT PERCENTILE(o_totalprice, 0.9) AS p90 "
+                     "FROM orders").collect()
+    assert out == want
+
+
+def test_limit_by(views):
+    out = ch_sql(views, """
+        SELECT o_orderstatus, o_orderkey FROM orders
+        ORDER BY o_orderstatus, o_orderkey
+        LIMIT 2 BY o_orderstatus""").collect()
+    want = views.sql("""
+        SELECT o_orderstatus, o_orderkey FROM (
+          SELECT o_orderstatus, o_orderkey,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY o_orderstatus, o_orderkey) rn
+          FROM orders) WHERE rn <= 2""").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, want))
+
+
+def test_final_dedup_on_read(views, spark):
+    spark.createDataFrame(
+        [(1, 1, "old"), (1, 2, "new"), (2, 1, "only")],
+        "k int, ver int, v string").createOrReplaceTempView("versions")
+    out = {r.k: r.v for r in ch_sql(
+        spark, "SELECT k, v FROM versions FINAL ORDER BY k",
+        final_keys={"versions": (["k"], "ver")}).collect()}
+    assert out == {1: "new", 2: "only"}
+    with pytest.raises(ValueError):
+        translate("SELECT * FROM versions FINAL")
+
+
+def test_settings_format_global_stripped(views):
+    out = ch_sql(views, """
+        SELECT n_name FROM nation
+        WHERE n_nationkey GLOBAL IN (SELECT 1)
+        ORDER BY n_name
+        SETTINGS max_threads = 8""").collect()
+    assert [r.n_name for r in out] == ["NATION_1"]
+
+
+def test_registered_parity_hashes(views):
+    from clickhouse_clickhouse_spark.functions.hashing import (
+        cityhash64_py, siphash64_py,
+    )
+
+    r = ch_sql(views, "SELECT sipHash64(n_name) AS s, cityHash64(n_name) "
+                      "AS c FROM nation WHERE n_nationkey = 0").collect()[0]
+
+    def sgn(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    assert r.s == sgn(siphash64_py(b"NATION_0"))
+    assert r.c == sgn(cityhash64_py(b"NATION_0"))
+
+
+def test_sample_translates(views):
+    n_all = views.sql("SELECT COUNT(*) n FROM lineitem").collect()[0].n
+    out = ch_sql(views, "SELECT count() AS n FROM lineitem SAMPLE 0.1") \
+        .collect()[0].n
+    assert 0 < out < n_all
+
+
+def test_arrayjoin_explode(views):
+    out = ch_sql(views, "SELECT arrayJoin(splitByChar('_', n_name)) AS t "
+                        "FROM nation WHERE n_nationkey = 3").collect()
+    assert [r.t for r in out] == ["NATION", "3"]
