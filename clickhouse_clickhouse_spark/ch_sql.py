@@ -280,6 +280,19 @@ def translate(sql: str,
                flags=re.IGNORECASE)
     q = q.replace("==", "=")
 
+    # strictness/positional joins change SEMANTICS — refuse loudly rather
+    # than translate to a plain join that returns different rows
+    m = re.search(r"\b(ANY|ASOF|PASTE)\s+(?:(?:LEFT|RIGHT|INNER|OUTER)"
+                  r"\s+)*JOIN\b", q, re.IGNORECASE)
+    if m:
+        kind = m.group(1).upper()
+        helper = {"ANY": "operators.joins.any_join",
+                  "ASOF": "operators.joins.asof_join",
+                  "PASTE": "operators.joins.paste_join"}[kind]
+        raise ValueError(
+            f"{kind} JOIN has no faithful SQL translation here — use the "
+            f"DataFrame operator {helper} (same semantics, scale-safe)")
+
     # FROM t FINAL -> dedup-on-read subquery (needs declared merge keys)
     def final_sub(m: re.Match) -> str:
         t = m.group(1)

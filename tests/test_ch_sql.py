@@ -127,3 +127,10 @@ def test_arrayjoin_explode(views):
     out = ch_sql(views, "SELECT arrayJoin(splitByChar('_', n_name)) AS t "
                         "FROM nation WHERE n_nationkey = 3").collect()
     assert [r.t for r in out] == ["NATION", "3"]
+
+
+def test_strictness_joins_refused_with_pointer(views):
+    with pytest.raises(ValueError, match="asof_join"):
+        translate("SELECT * FROM a ASOF LEFT JOIN b ON a.k = b.k")
+    with pytest.raises(ValueError, match="any_join"):
+        translate("SELECT * FROM a ANY JOIN b USING k")
