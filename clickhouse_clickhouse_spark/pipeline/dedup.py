@@ -159,6 +159,19 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
                        .otherwise(F.lit(0))).alias("simhash")))
 
 
+def auto_bucket_bits(n_rows: int, target_occupancy: int = 1024) -> int:
+    """Sign-LSH bucket width that keeps expected bucket occupancy ~flat
+    as the corpus grows (bits ≈ log2(n / target)): the scale lever the
+    10x measurements in SCALE.md call out — fixed bits means per-bucket
+    pair work grows quadratically with corpus size; log-scaled bits holds
+    it constant. Clamped to [4, 24]."""
+    import math
+
+    if n_rows <= target_occupancy:
+        return 4
+    return max(4, min(24, math.ceil(math.log2(n_rows / target_occupancy))))
+
+
 def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                              threshold: float = 0.95,
                              bucket_bits: int = 8) -> DataFrame:

@@ -191,3 +191,16 @@ def test_winnowing_shared_substring_guarantee(spark):
     assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
     # and fingerprinting is selective, not all-grams
     assert len(by_doc[1]) < 40
+
+
+def test_auto_bucket_bits_scales_with_corpus():
+    from clickhouse_clickhouse_spark.pipeline.dedup import auto_bucket_bits
+
+    assert auto_bucket_bits(500) == 4
+    assert auto_bucket_bits(1 << 20) == 10          # 1M rows -> 2^10 buckets
+    assert auto_bucket_bits(1 << 30) == 20          # 1B rows
+    assert auto_bucket_bits(10**12) == 24           # clamped
+    # occupancy stays ~target across 3 orders of magnitude
+    for n in (10**5, 10**7, 10**9):
+        bits = auto_bucket_bits(n)
+        assert 256 <= n / (1 << bits) <= 2048

@@ -72,3 +72,45 @@ def test_percentile_bounds(spark, vals):
     row = df.agg(F.percentile("v", F.lit(0.5)).alias("med"),
                  F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
     assert row.lo <= row.med <= row.hi
+
+
+_vals = st.lists(st.tuples(st.integers(-50, 50), st.integers(0, 10_000)),
+                 min_size=1, max_size=60)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=_vals)
+def test_global_row_number_matches_single_window(spark, rows):
+    """The bucketed distributed rank must equal row_number over a plain
+    global window for any value distribution (duplicates, negatives,
+    skew), with few buckets forcing multi-bucket offsets."""
+    from pyspark.sql import Window
+
+    from clickhouse_clickhouse_spark.operators.grank import global_row_number
+
+    df = spark.createDataFrame([(v, i) for v, (v, i) in
+                                zip([r[0] for r in rows], rows)],
+                               "v long, tb long")
+    got = {(r.v, r.tb): r.rn for r in
+           global_row_number(df, "v", ["tb"], out="rn", buckets=4).collect()}
+    w = Window.orderBy(F.col("v").asc(), F.col("tb").asc())
+    want = {(r.v, r.tb): r.rn for r in
+            df.withColumn("rn", F.row_number().over(w)).collect()}
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=_vals)
+def test_global_range_count_matches_single_window(spark, rows):
+    from pyspark.sql import Window
+
+    from clickhouse_clickhouse_spark.operators.grank import global_range_count
+
+    df = spark.createDataFrame([(float(v), i) for i, (v, _t) in
+                                enumerate(rows)], "v double, id long")
+    got = {r.id: r.n for r in
+           global_range_count(df, "v", 10, out="n", buckets=4).collect()}
+    w = Window.orderBy("v").rangeBetween(-10, 0)
+    want = {r.id: r.n for r in
+            df.withColumn("n", F.count("*").over(w)).collect()}
+    assert got == want
