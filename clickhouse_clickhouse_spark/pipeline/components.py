@@ -58,7 +58,11 @@ def connected_components(edges: DataFrame, src: str, dst: str,
         if stepped.filter(F.col("lbl") < F.col("old")).limit(1).count() == 0:
             return stepped.select("n", "lbl")
         lbl = stepped.select("n", "lbl")
-    return lbl
+    raise RuntimeError(
+        f"label propagation did not converge in {max_iter} iterations — "
+        f"the graph has a component with diameter > {max_iter} (e.g. a "
+        f"long chain). Use connected_components_star (O(log n) rounds, "
+        f"diameter-independent) for such topologies.")
 
 
 def dedup_keep_canonical(df: DataFrame, id_col: str,
@@ -71,3 +75,53 @@ def dedup_keep_canonical(df: DataFrame, id_col: str,
     return (df.join(comp, df[id_col] == comp["n"], "left")
             .filter(F.col("lbl").isNull() | (df[id_col] == F.col("lbl")))
             .drop("n", "lbl"))
+
+
+def connected_components_star(edges: DataFrame, src: str, dst: str,
+                              max_iter: int = 40) -> DataFrame:
+    """Connected components by alternating Large-Star / Small-Star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    converges in O(log n) rounds regardless of component DIAMETER, where
+    plain min-label propagation needs O(diameter) rounds (a long chain
+    graph defeats it). Use this for adversarial topologies; the
+    label-propagation variant stays the default for shallow near-dup
+    clusters (fewer shuffles per round).
+
+    Large-Star: every node u links its larger neighbors to
+    m = min(N(u) ∪ {u}). Small-Star: links its smaller-or-self closure to
+    the local min. The edge set contracts to a star per component whose
+    center is the component minimum. Returns (n, lbl) for every node.
+    """
+    E = (edges.select(F.col(src).cast("long").alias("u"),
+                      F.col(dst).cast("long").alias("v"))
+         .filter(F.col("u") != F.col("v")).distinct()
+         .localCheckpoint(eager=True))
+    isolated = None  # all input nodes appear in E (self-loops dropped)
+    for _ in range(max_iter):
+        # ---- large star
+        sym = E.unionByName(E.select(F.col("v").alias("u"),
+                                     F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+                .select("u", F.least("mn", "u").alias("m")))
+        e1 = (sym.join(mins, "u").filter(F.col("v") > F.col("u"))
+              .select(F.col("v").alias("u"), F.col("m").alias("v"))
+              .filter(F.col("u") != F.col("v")).distinct())
+        # ---- small star
+        sym1 = e1.unionByName(e1.select(F.col("v").alias("u"),
+                                        F.col("u").alias("v")))
+        lt = sym1.filter(F.col("v") < F.col("u"))
+        mins2 = lt.groupBy("u").agg(F.min("v").alias("m"))
+        e2 = (lt.join(mins2, "u")
+              .select(F.col("v").alias("u"), F.col("m").alias("v"))
+              .unionByName(mins2.select("u", F.col("m").alias("v")))
+              .filter(F.col("u") != F.col("v")).distinct()
+              .localCheckpoint(eager=True))
+        same = (e2.count() == E.count()
+                and e2.exceptAll(E).limit(1).count() == 0)
+        E = e2
+        if same:
+            break
+    roots = E.select(F.col("v").alias("n")).distinct() \
+             .withColumn("lbl", F.col("n"))
+    members = E.select(F.col("u").alias("n"), F.col("v").alias("lbl"))
+    return members.unionByName(roots).distinct()

@@ -204,3 +204,36 @@ def test_auto_bucket_bits_scales_with_corpus():
     for n in (10**5, 10**7, 10**9):
         bits = auto_bucket_bits(n)
         assert 256 <= n / (1 << bits) <= 2048
+
+
+def test_star_components_matches_label_propagation(spark):
+    """Large/small-star CC must agree with label propagation on random
+    graphs AND on the adversarial long chain that label propagation
+    needs O(n) rounds for (star converges in O(log n))."""
+    import random
+
+    from clickhouse_clickhouse_spark.pipeline.components import (
+        connected_components, connected_components_star,
+    )
+
+    rng = random.Random(7)
+    rand_edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(50)]
+    df = spark.createDataFrame(
+        [(a, b) for a, b in rand_edges if a != b], "id_a long, id_b long")
+    star = {r.n: r.lbl for r in
+            connected_components_star(df, "id_a", "id_b").collect()}
+    prop = {r.n: r.lbl for r in
+            connected_components(df, "id_a", "id_b").collect()}
+    assert star == prop
+
+    # a 30-edge chain: diameter exceeds label propagation's max_iter=25
+    # -> it must now FAIL LOUDLY (it used to return silently-wrong
+    # labels); the star variant collapses it to root 0 in O(log n) rounds
+    chain = spark.createDataFrame([(i, i + 1) for i in range(30)],
+                                  "id_a long, id_b long")
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="connected_components_star"):
+        connected_components(chain, "id_a", "id_b")
+    cstar = {r.n: r.lbl for r in
+             connected_components_star(chain, "id_a", "id_b").collect()}
+    assert set(cstar.values()) == {0} and len(cstar) == 31
