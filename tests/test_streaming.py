@@ -272,3 +272,58 @@ def test_stream_stream_interval_join(spark, events_dir, tmp_path):
                   & (F.col("p_ts") <= F.col("c_ts")
                      + F.expr("INTERVAL 1 hour"))).count()
     assert got == want and want > 0
+
+
+def test_transform_with_state_sessions(spark, events_dir, tmp_path):
+    """Stateful sessionizer (applyInPandasWithState): closed sessions
+    emitted by the processor must match batch gap-sessionization over
+    the same events (excluding each user's final — still open —
+    session). The transformWithStateInPandas twin is environment-gated
+    (no protobuf) and must say so explicitly."""
+    import pytest as _pytest
+
+    from clickhouse_clickhouse_spark.streaming.sessions import (
+        streaming_sessions, streaming_sessions_tws,
+    )
+
+    with _pytest.raises(EnvironmentError, match="protobuf"):
+        streaming_sessions_tws(
+            spark.readStream.schema(spark.read.parquet(events_dir).schema)
+            .parquet(events_dir), "user_id", "ts", "value", 3600)
+
+    schema = spark.read.parquet(events_dir).schema
+    src = (spark.readStream.schema(schema).parquet(events_dir)
+           .filter(F.col("user_id") < 50)
+           .select("user_id", "ts", "value"))
+    out = streaming_sessions(src, "user_id", "ts", "value",
+                             gap_seconds=6 * 3600)
+    q = (out.writeStream.format("memory").queryName("tws_sessions")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.user_id, r.start_us, r.end_us, r.n_events)
+           for r in spark.sql("SELECT * FROM tws_sessions").collect()}
+
+    ev = (spark.read.parquet(events_dir).filter(F.col("user_id") < 50)
+          .select("user_id", F.col("ts").cast("double").alias("sec"),
+                  "value"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("sec")
+    s = (ev.withColumn("gap", F.col("sec") - F.lag("sec").over(w))
+         .withColumn("new", F.when((F.col("gap").isNull())
+                                   | (F.col("gap") > 6 * 3600), 1)
+                     .otherwise(0))
+         .withColumn("sid", F.sum("new").over(
+             w.rowsBetween(Window.unboundedPreceding, 0))))
+    sess = (s.groupBy("user_id", "sid")
+            .agg((F.min("sec") * 1e6).cast("long").alias("start_us"),
+                 (F.max("sec") * 1e6).cast("long").alias("end_us"),
+                 F.count("*").alias("n_events"),
+                 F.max("sid").alias("_")))
+    last_sid = sess.groupBy("user_id").agg(F.max("sid").alias("last_sid"))
+    want = {(r.user_id, r.start_us, r.end_us, r.n_events)
+            for r in sess.join(last_sid, "user_id")
+            .filter(F.col("sid") != F.col("last_sid")).collect()}
+    assert got == want and len(want) > 0
