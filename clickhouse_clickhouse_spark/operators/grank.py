@@ -44,25 +44,42 @@ _BKT = "__gr_bkt"
 _BNDS = "__gr_bnds"
 
 
+def _bucket_key_expr(df: DataFrame, key: str):
+    """Numeric range-bucketing key for ``key``. Numeric/temporal columns
+    cast to double. STRING columns map to their first 7 UTF-8 bytes as a
+    56-bit integer — UTF-8 byte order equals code-point order, and Spark
+    and DuckDB both compare strings in binary order, so the prefix key is
+    exactly monotone with the string sort; rows sharing a 7-byte prefix
+    merely share a bucket (per-bucket ordering handles the tails). Long
+    shared prefixes therefore skew buckets — same caveat as any range
+    partitioner on such data."""
+    from pyspark.sql.types import StringType
+
+    if isinstance(df.schema[key].dataType, StringType):
+        return F.conv(F.rpad(F.hex(F.substring(
+            F.encode(F.col(key), "utf-8"), 1, 7)), 14, "0"), 16, 10) \
+            .cast("long").cast("double")
+    return F.col(key).cast("double")
+
+
 def _bucketize(df: DataFrame, key: str, buckets: int,
                keep_bounds: bool = False) -> DataFrame:
-    """Add a range-bucket id column ``__gr_bkt`` for the numeric/temporal
-    column ``key``: bucket = number of quantile boundaries strictly below
-    the value (NULLs → -1, matching ASC NULLS FIRST). Boundaries come from
-    ``percentile_approx`` evaluated lazily in-plan and broadcast — the
-    whole construction is deterministic, so downstream branches that
-    recompute it agree on bucket assignment (``repartitionByRange``'s
-    RNG-sampled boundaries do not have that property across jobs)."""
+    """Add a range-bucket id column ``__gr_bkt`` for the numeric/temporal/
+    string column ``key``: bucket = number of quantile boundaries strictly
+    below the value (NULLs → -1, matching ASC NULLS FIRST). Boundaries
+    come from ``percentile_approx`` evaluated lazily in-plan and
+    broadcast — the whole construction is deterministic, so downstream
+    branches that recompute it agree on bucket assignment
+    (``repartitionByRange``'s RNG-sampled boundaries do not have that
+    property across jobs)."""
+    kx = _bucket_key_expr(df, key)
     probs = [i / buckets for i in range(1, buckets)]
-    bounds = df.agg(F.percentile_approx(
-        F.col(key).cast("double"), probs, 10000).alias(_BNDS))
+    bounds = df.agg(F.percentile_approx(kx, probs, 10000).alias(_BNDS))
     out = (df.crossJoin(F.broadcast(bounds))
            .withColumn(
                _BKT,
                F.when(F.col(key).isNull(), F.lit(-1)).otherwise(
-                   F.size(F.filter(
-                       F.col(_BNDS),
-                       lambda b: F.col(key).cast("double") > b)))))
+                   F.size(F.filter(F.col(_BNDS), lambda b: kx > b)))))
     return out if keep_bounds else out.drop(_BNDS)
 
 

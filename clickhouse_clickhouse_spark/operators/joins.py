@@ -122,14 +122,17 @@ def paste_join(left: DataFrame, right: DataFrame,
 
 
 def _ordered_rn(df: DataFrame, order: Sequence[Column | str]) -> DataFrame:
-    from pyspark.sql.types import DateType, NumericType, TimestampType
+    from pyspark.sql.types import (
+        DateType, NumericType, StringType, TimestampType,
+    )
 
     from clickhouse_clickhouse_spark.operators.grank import global_row_number
 
     lead = order[0]
     if isinstance(lead, str) and all(isinstance(c, str) for c in order) \
             and isinstance(df.schema[lead].dataType,
-                           (NumericType, DateType, TimestampType)):
+                           (NumericType, DateType, TimestampType,
+                            StringType)):
         return global_row_number(df, lead, list(order[1:]), out="__rn")
     w = Window.orderBy(*[F.col(c) if isinstance(c, str) else c
                          for c in order])

@@ -56,9 +56,15 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     if token_hash == "xxhash":
         tok = tok.withColumn("tid", F.pmod(F.xxhash64("token"), F.lit(MINHASH_PRIME)))
     elif token_hash == "vocab":
-        vocab = (tok.select("token").distinct()
-                 .withColumn("tid", F.row_number().over(Window.orderBy("token"))
-                             .cast("long")))
+        from clickhouse_clickhouse_spark.operators.grank import (
+            global_row_number,
+        )
+
+        # sorted-vocabulary ids via the distributed bucketed rank (string
+        # keys bucket on their 7-byte UTF-8 prefix) - no single-partition
+        # window even in oracle mode
+        vocab = global_row_number(tok.select("token").distinct(),
+                                  "token", out="tid")
         tok = tok.join(F.broadcast(vocab), "token")
     else:
         raise ValueError("token_hash must be 'xxhash' or 'vocab'")
@@ -141,9 +147,15 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
     if token_hash == "xxhash":
         tok = tok.withColumn("tid", F.pmod(F.xxhash64("token"), F.lit(MINHASH_PRIME)))
     else:
-        vocab = (tok.select("token").distinct()
-                 .withColumn("tid", F.row_number().over(Window.orderBy("token"))
-                             .cast("long")))
+        from clickhouse_clickhouse_spark.operators.grank import (
+            global_row_number,
+        )
+
+        # sorted-vocabulary ids via the distributed bucketed rank (string
+        # keys bucket on their 7-byte UTF-8 prefix) - no single-partition
+        # window even in oracle mode
+        vocab = global_row_number(tok.select("token").distinct(),
+                                  "token", out="tid")
         tok = tok.join(F.broadcast(vocab), "token")
     h = (F.lit(MINHASH_COEFFS[0][0]) * F.col("tid") + F.lit(MINHASH_COEFFS[0][1])) \
         % F.lit(MINHASH_PRIME)

@@ -105,17 +105,14 @@ def test_top_users_uses_take_ordered(spark, sf_dir):
 
 
 # Repo-wide sweep: EVERY registered query must avoid Sort/Window over
-# Exchange SinglePartition, except the documented bounded cases:
-#   - minhash vocab-mode twins: the global row_number assigns token ids
-#     over the DISTINCT TOKEN VOCABULARY (not the corpus) and exists only
-#     as the DuckDB-oracle-checkable twin; xxhash mode (no vocabulary,
-#     no window) is the 100 TB path and is what the bench runs.
+# Exchange SinglePartition, except the documented bounded case:
 #   - with_fill_interpolate: the carry-forward window runs over the
 #     GENERATED date spine, whose size is the fill range (days), not the
 #     data size.
+# (The minhash vocab twins were exceptions until the vocabulary ids moved
+# onto the string-keyed bucketed rank in round 2.)
 _SINGLE_PARTITION_ALLOWED = {
-    "minhash_lsh_pairs", "minhash_signatures_q", "minhash_verified_pairs",
-    "simhash_q", "with_fill_interpolate",
+    "with_fill_interpolate",
 }
 
 

@@ -114,3 +114,27 @@ def test_global_range_count_matches_single_window(spark, rows):
     want = {r.id: r.n for r in
             df.withColumn("n", F.count("*").over(w)).collect()}
     assert got == want
+
+
+_strs = st.lists(st.tuples(st.text(alphabet=st.characters(
+    codec="utf-8", min_codepoint=32, max_codepoint=0x2FFF),
+    max_size=12), st.integers(0, 1000)), min_size=1, max_size=40)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=_strs)
+def test_global_row_number_string_keys(spark, rows):
+    """String-keyed bucketed rank (7-byte UTF-8 prefix buckets) must
+    equal the single-window row_number for arbitrary unicode strings —
+    UTF-8 byte order == code-point order makes the prefix key monotone."""
+    from pyspark.sql import Window
+
+    from clickhouse_clickhouse_spark.operators.grank import global_row_number
+
+    df = spark.createDataFrame(rows, "s string, tb long")
+    got = {(r.s, r.tb): r.rn for r in
+           global_row_number(df, "s", ["tb"], out="rn", buckets=4).collect()}
+    w = Window.orderBy(F.col("s").asc(), F.col("tb").asc())
+    want = {(r.s, r.tb): r.rn for r in
+            df.withColumn("rn", F.row_number().over(w)).collect()}
+    assert got == want
