@@ -2,9 +2,11 @@
 Spark's built-in sources; fixtures are Parquet, the rest are exercised by
 round-trip tests).
 
-Supported here: parquet, orc, csv (with header), json (lines), text.
-Avro/Delta/Iceberg need jars absent from this environment — they raise a
-clear error instead of failing obscurely (import-try gating per brief).
+Supported here: parquet, orc, csv (with header), json (lines), text,
+xml (Spark 4 built-in; maps the reference's XML output format — rows
+under a fixed rowTag). Avro/Delta/Iceberg need jars absent from this
+environment — they raise a clear error instead of failing obscurely
+(import-try gating per brief).
 """
 
 from __future__ import annotations
@@ -12,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-_NATIVE = {"parquet", "orc", "csv", "json", "text"}
+_NATIVE = {"parquet", "orc", "csv", "json", "text", "xml"}
 _NEEDS_JARS = {"avro", "delta", "iceberg", "hudi"}
 
 
@@ -30,6 +32,8 @@ def write_any(df: DataFrame, path: str, fmt: str, mode: str = "overwrite",
     w = df.write.mode(mode)
     if fmt == "csv":
         w = w.option("header", "true")
+    if fmt == "xml":
+        w = w.option("rowTag", "row")
     if compression:
         w = w.option("compression", compression)
     w.format(fmt).save(path)
@@ -46,4 +50,6 @@ def read_any(spark: SparkSession, path: str, fmt: str,
         r = r.schema(schema)
     elif fmt == "csv":
         r = r.option("header", "true").option("inferSchema", "true")
+    if fmt == "xml":
+        r = r.option("rowTag", "row")
     return r.format(fmt).load(path)

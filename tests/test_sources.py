@@ -31,7 +31,7 @@ def test_insert_partitioned_layout_and_roundtrip(spark, sample, tmp_path):
 
 
 def test_format_roundtrips(spark, sample, tmp_path):
-    for fmt in ("parquet", "orc", "csv", "json"):
+    for fmt in ("parquet", "orc", "csv", "json", "xml"):
         p = str(tmp_path / fmt)
         write_any(sample, p, fmt)
         back = read_any(spark, p, fmt, schema=sample.schema if fmt != "csv" else None)
