@@ -341,9 +341,10 @@ def translate(sql: str,
         if om:
             order = om.group(1).strip()
             body = body[:om.start()].strip()
+        # outer ORDER BY keeps the reference's post-LIMIT-BY ordering
         q = (f"SELECT * EXCEPT(__ch_rn) FROM (SELECT *, ROW_NUMBER() OVER "
              f"(PARTITION BY {keys} ORDER BY {order}) AS __ch_rn FROM "
-             f"({body})) WHERE __ch_rn <= {n} {rest}")
+             f"({body})) WHERE __ch_rn <= {n} ORDER BY {order} {rest}")
 
     return _rewrite_calls(q)
 

@@ -38,3 +38,41 @@ class MaterializedView:
             writer = writer.option("checkpointLocation", checkpoint)
         self._query = writer.start()
         return self._query
+
+
+def sketch_rollup_view(source: DataFrame, keys: Sequence[str],
+                       uniq_col: str, sum_col: str, target: str,
+                       checkpoint: str | None = None):
+    """Streaming maintenance of a MERGEABLE-SKETCH rollup — the
+    reference's Kafka → MV → AggregatingMergeTree(uniqCombinedState, ...)
+    chain: every micro-batch appends PARTIAL states (HLL sketch binary,
+    partial sum/count) per key to the summary table; readers merge states
+    at query time (``read_sketch_rollup``). Appends are tiny (one row per
+    key per batch) and never rewrite history — exactly the
+    AggregatingMergeTree ingest pattern, with background OPTIMIZE
+    replaced by the query-time merge (or an occasional compaction of the
+    summary itself via ``plans.summary``).
+    """
+    from pyspark.sql import functions as F
+
+    def to_partial(batch: DataFrame) -> DataFrame:
+        return (batch.groupBy(*keys)
+                .agg(F.hll_sketch_agg(uniq_col).alias("uniq_state"),
+                     F.sum(sum_col).alias("sum_partial"),
+                     F.count("*").alias("count_partial")))
+
+    return MaterializedView(source, [(to_partial, target)]) \
+        .start(checkpoint=checkpoint)
+
+
+def read_sketch_rollup(spark, target: str, keys: Sequence[str]):
+    """Query-time merge of the streamed partial states: HLL union for
+    distincts, re-sum for additive measures — the -Merge side of the
+    -State/-Merge algebra."""
+    from pyspark.sql import functions as F
+
+    return (spark.read.parquet(target).groupBy(*keys)
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("uniq_state"))
+                 .alias("uniq_merged"),
+                 F.sum("sum_partial").alias("sum_total"),
+                 F.sum("count_partial").alias("n_total")))

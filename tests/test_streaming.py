@@ -327,3 +327,35 @@ def test_transform_with_state_sessions(spark, events_dir, tmp_path):
             for r in sess.join(last_sid, "user_id")
             .filter(F.col("sid") != F.col("last_sid")).collect()}
     assert got == want and len(want) > 0
+
+
+def test_streaming_sketch_rollup_matches_batch(spark, events_dir, tmp_path):
+    """Streamed HLL-partial rollup merged at read time must match exact
+    batch answers within sketch tolerance (and sums exactly)."""
+    from clickhouse_clickhouse_spark.streaming.matview import (
+        read_sketch_rollup, sketch_rollup_view,
+    )
+
+    schema = spark.read.parquet(events_dir).schema
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(events_dir))
+    target = str(tmp_path / "rollup")
+    q = sketch_rollup_view(src, ["event_type"], "user_id", "value",
+                           target, checkpoint=str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.event_type: r for r in
+           read_sketch_rollup(spark, target, ["event_type"]).collect()}
+    want = {r.event_type: r for r in
+            spark.read.parquet(events_dir).groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("u"),
+                 F.sum("value").alias("s"),
+                 F.count("*").alias("n")).collect()}
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert abs(g.uniq_merged - w.u) <= 0.05 * w.u    # HLL tolerance
+        assert abs(g.sum_total - w.s) < 1e-6             # exact re-sum
+        assert g.n_total == w.n
