@@ -250,3 +250,40 @@ def cb_regex_extract_group(spark, sf):
             .groupBy(d.alias("first_digit"))
             .agg(F.count("*").alias("n"),
                  F.countDistinct("user_id").alias("u")))
+
+
+@register("cb_dialect_top_types", oracle="""
+SELECT event_type, count(DISTINCT user_id) AS u, count(*) AS c
+FROM events GROUP BY event_type ORDER BY u DESC, event_type LIMIT 10
+""")
+def cb_dialect_top_types(spark, sf):
+    """ClickBench shape written in the reference DIALECT and executed
+    through the ch_sql front end (uniqExact/count()/ORDER..LIMIT)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return ch_sql(spark, """
+        SELECT event_type, uniqExact(user_id) AS u, count() AS c
+        FROM events GROUP BY event_type
+        ORDER BY u DESC, event_type LIMIT 10""")
+
+
+@register("cb_dialect_daily", oracle="""
+SELECT date_trunc('day', ts) AS d,
+       count(DISTINCT user_id) AS dau,
+       cast(count_if(event_type = 'purchase') AS BIGINT) AS buys,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1
+""")
+def cb_dialect_daily(spark, sf):
+    """Daily-active rollup in dialect SQL (toStartOfDay, uniqExact,
+    countIf with the dialect's == operator) via ch_sql."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return ch_sql(spark, """
+        SELECT toStartOfDay(ts) AS d,
+               uniqExact(user_id) AS dau,
+               countIf(event_type == 'purchase') AS buys,
+               round(avg(value), 6) AS avg_value
+        FROM events GROUP BY d""")
