@@ -76,3 +76,25 @@ def read_sketch_rollup(spark, target: str, keys: Sequence[str]):
                  .alias("uniq_merged"),
                  F.sum("sum_partial").alias("sum_total"),
                  F.sum("count_partial").alias("n_total")))
+
+
+def compact_sketch_rollup(spark, target: str, keys: Sequence[str]) -> None:
+    """Background-merge analog for the streamed rollup: collapse the
+    accumulated per-batch partial rows to ONE row per key — HLL union
+    keeps the merged SKETCH (state, not estimate), sums re-add. Readers
+    see identical answers before and after (the test asserts it); the
+    summary just stops growing with batch count, exactly what the
+    reference's background merge does to AggregatingMergeTree parts."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    compacted = (spark.read.parquet(target).groupBy(*keys)
+                 .agg(F.hll_union_agg("uniq_state").alias("uniq_state"),
+                      F.sum("sum_partial").alias("sum_partial"),
+                      F.sum("count_partial").alias("count_partial")))
+    tmp = target.rstrip("/") + "__compact"
+    compacted.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(target)
+    os.rename(tmp, target)

@@ -359,3 +359,35 @@ def test_streaming_sketch_rollup_matches_batch(spark, events_dir, tmp_path):
         assert abs(g.uniq_merged - w.u) <= 0.05 * w.u    # HLL tolerance
         assert abs(g.sum_total - w.s) < 1e-6             # exact re-sum
         assert g.n_total == w.n
+
+
+def test_sketch_rollup_compaction_preserves_answers(spark, events_dir,
+                                                    tmp_path):
+    from clickhouse_clickhouse_spark.streaming.matview import (
+        compact_sketch_rollup, read_sketch_rollup, sketch_rollup_view,
+    )
+
+    multi = str(tmp_path / "events_multi")
+    spark.read.parquet(events_dir).repartition(4).write.parquet(multi)
+    schema = spark.read.parquet(multi).schema
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(multi))
+    target = str(tmp_path / "rollup2")
+    q = sketch_rollup_view(src, ["event_type"], "user_id", "value",
+                           target, checkpoint=str(tmp_path / "ck2"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    before = {r.event_type: (r.uniq_merged, round(r.sum_total, 6), r.n_total)
+              for r in read_sketch_rollup(spark, target,
+                                          ["event_type"]).collect()}
+    n_rows_before = spark.read.parquet(target).count()
+    assert n_rows_before > len(before)   # multiple batches accumulated
+    compact_sketch_rollup(spark, target, ["event_type"])
+    after = {r.event_type: (r.uniq_merged, round(r.sum_total, 6), r.n_total)
+             for r in read_sketch_rollup(spark, target,
+                                         ["event_type"]).collect()}
+    assert after == before                      # identical answers
+    assert spark.read.parquet(target).count() < n_rows_before
+    assert spark.read.parquet(target).count() == len(after)
