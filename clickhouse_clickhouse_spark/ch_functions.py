@@ -462,3 +462,75 @@ def runningAccumulate(col, order_by, partition_by=()):
     w = (w.orderBy(*[_c(o) for o in order_by])
          .rowsBetween(Window.unboundedPreceding, 0))
     return F.sum(_c(col)).over(w)
+
+
+# -- round-2 batch 2: array calculus / time buckets / misc ---------------
+def arrayCumSum(a):
+    """Running sums within an array — positional fold keeping each prefix."""
+    arr = _c(a)
+    return F.transform(
+        arr, lambda x, i: F.aggregate(F.slice(arr, 1, i + 1),
+                                      F.lit(0.0),
+                                      lambda s, y: s + y.cast("double")))
+
+
+def arrayDifference(a):
+    """[x0, x1-x0, x2-x1, ...] (reference arrayDifference)."""
+    arr = _c(a)
+    return F.transform(
+        arr, lambda x, i: F.when(i == 0, F.lit(0.0)).otherwise(
+            x.cast("double") - F.element_at(arr, i).cast("double")))
+
+
+def bitmaskToList(n):
+    """Powers of two composing n, ascending — '1,4,16'-style string."""
+    x = _c(n).cast("long")
+    bits = F.filter(
+        F.transform(F.sequence(F.lit(0), F.lit(62)),
+                    lambda i: F.when(
+                        F.call_function("shiftright", x, i.cast("int"))
+                        .bitwiseAND(1) == 1,
+                        F.pow(F.lit(2.0), i.cast("double")).cast("long"))),
+        lambda v: v.isNotNull())
+    return F.array_join(F.transform(bits, lambda v: v.cast("string")), ",")
+
+
+def sumCount(a):
+    """(sum, count) struct — the reference's fused two-accumulator agg."""
+    return F.struct(F.sum(_c(a)).alias("sum"), F.count(_c(a)).alias("count"))
+
+
+def toStartOfFiveMinutes(a): return toStartOfInterval(a, 300)
+def toStartOfFifteenMinutes(a): return toStartOfInterval(a, 900)
+def toStartOfTenMinutes(a): return toStartOfInterval(a, 600)
+def timeSlot(a): return toStartOfInterval(a, 1800)
+
+
+def toRelativeDayNum(a):
+    return F.datediff(F.to_date(_c(a)), F.lit("1970-01-01"))
+
+
+def toRelativeHourNum(a):
+    return (F.unix_timestamp(_c(a)) / 3600).cast("long")
+
+
+def age(unit: str, a, b):
+    """Complete units between a and b (reference age())."""
+    return F.expr(f"timestampdiff({unit}, {a}, {b})") if isinstance(a, str) \
+        else F.timestampdiff(unit, _c(a), _c(b))
+
+
+def parseDateTimeBestEffort(s):
+    """Best-effort parse: try common formats in order, first non-null
+    wins (reference parseDateTimeBestEffort fallback chain)."""
+    c = _c(s)
+    return F.coalesce(
+        F.try_to_timestamp(c),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd HH:mm:ss")),
+        F.try_to_timestamp(c, F.lit("yyyy/MM/dd HH:mm:ss")),
+        F.try_to_timestamp(c, F.lit("dd.MM.yyyy HH:mm:ss")),
+        F.try_to_timestamp(c, F.lit("yyyyMMddHHmmss")),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd")),
+        F.try_to_timestamp(c, F.lit("yyyy/MM/dd")),
+        F.try_to_timestamp(c, F.lit("dd.MM.yyyy")),
+        F.try_to_timestamp(c, F.lit("yyyyMMdd")))

@@ -272,7 +272,7 @@ def cb_dialect_top_types(spark, sf):
 SELECT date_trunc('day', ts) AS d,
        count(DISTINCT user_id) AS dau,
        cast(count_if(event_type = 'purchase') AS BIGINT) AS buys,
-       round(avg(value), 6) AS avg_value
+       round(sum(value), 4) AS value_sum
 FROM events GROUP BY 1
 """)
 def cb_dialect_daily(spark, sf):
@@ -285,5 +285,5 @@ def cb_dialect_daily(spark, sf):
         SELECT toStartOfDay(ts) AS d,
                uniqExact(user_id) AS dau,
                countIf(event_type == 'purchase') AS buys,
-               round(avg(value), 6) AS avg_value
+               round(sum(value), 4) AS value_sum
         FROM events GROUP BY d""")

@@ -116,3 +116,30 @@ def test_jaro_winkler_matches_duckdb():
         want = duckdb.sql(
             f"select jaro_winkler_similarity('{a}','{b}')").fetchone()[0]
         assert abs(jaro_winkler_py(a, b) - want) < 1e-12, (a, b)
+
+
+def test_round2_batch2_functions(spark):
+    import datetime
+
+    from clickhouse_clickhouse_spark import ch_functions as ch
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], 21, "2024-03-05 10:34:56")],
+        "arr array<double>, mask long, s string")
+    r = df.select(
+        ch.arrayCumSum("arr").alias("cs"),
+        ch.arrayDifference("arr").alias("ad"),
+        ch.bitmaskToList("mask").alias("bm"),
+        ch.toStartOfFiveMinutes(ch.parseDateTimeBestEffort("s")).alias("t5"),
+        ch.timeSlot(ch.parseDateTimeBestEffort("s")).alias("slot"),
+        ch.parseDateTimeBestEffort(F.lit("05.03.2024")).alias("de"),
+    ).collect()[0]
+    assert r.cs == [1.0, 3.0, 6.0]
+    assert r.ad == [0.0, 1.0, 1.0]
+    assert r.bm == "1,4,16"
+    assert r.t5 == datetime.datetime(2024, 3, 5, 10, 30)
+    assert r.slot == datetime.datetime(2024, 3, 5, 10, 30)
+    assert r.de == datetime.datetime(2024, 3, 5)
+    agg = df.select(F.explode("arr").alias("x")) \
+            .agg(ch.sumCount("x").alias("sc")).collect()[0].sc
+    assert (agg["sum"], agg["count"]) == (6.0, 3)
