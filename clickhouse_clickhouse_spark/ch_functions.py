@@ -534,3 +534,26 @@ def parseDateTimeBestEffort(s):
         F.try_to_timestamp(c, F.lit("yyyy/MM/dd")),
         F.try_to_timestamp(c, F.lit("dd.MM.yyyy")),
         F.try_to_timestamp(c, F.lit("yyyyMMdd")))
+
+
+def runningDifference(col, order_by, partition_by=()):
+    """Reference runningDifference (block-order hack) in the principled
+    windowed form: x - lag(x) with an explicit order, 0 for the first
+    row (the reference's first-row behavior)."""
+    from pyspark.sql import Window
+    w = (Window.partitionBy(*[_c(p) for p in partition_by])
+         if partition_by else Window.partitionBy())
+    w = w.orderBy(*[_c(o) for o in order_by])
+    return _c(col) - F.coalesce(F.lag(_c(col)).over(w), _c(col))
+
+
+def nonNegativeDerivative(col, ts, order_by=None, partition_by=()):
+    """Rate of change per second, clamped at zero on counter resets."""
+    from pyspark.sql import Window
+    order = order_by or [ts]
+    w = (Window.partitionBy(*[_c(p) for p in partition_by])
+         if partition_by else Window.partitionBy())
+    w = w.orderBy(*[_c(o) for o in order])
+    dv = _c(col) - F.lag(_c(col)).over(w)
+    dt = _c(ts).cast("double") - F.lag(_c(ts).cast("double")).over(w)
+    return F.greatest(dv / F.nullif(dt, F.lit(0.0)), F.lit(0.0))

@@ -227,3 +227,27 @@ def ch_sql_frontend(spark, sf):
         WHERE o_orderdate < DATE '1995-07-01'
         GROUP BY m
         SETTINGS max_threads = 32""")
+
+
+@register("tpch_q6_dialect", oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1994-01-01'
+  AND l_shipdate < DATE '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def tpch_q6_dialect(spark, sf):
+    """TPC-H Q6 exactly as a reference user writes it (toDate casts,
+    PREWHERE on the cheap predicate, multiply/round) — through the
+    ch_sql front end; same plan-level pushdown as the DataFrame form."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return ch_sql(spark, """
+        SELECT round(sum(multiply(l_extendedprice, l_discount)), 4)
+                 AS revenue
+        FROM lineitem
+        PREWHERE l_shipdate >= toDate('1994-01-01')
+          AND l_shipdate < toDate('1995-01-01')
+        WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")

@@ -143,3 +143,20 @@ def test_round2_batch2_functions(spark):
     agg = df.select(F.explode("arr").alias("x")) \
             .agg(ch.sumCount("x").alias("sc")).collect()[0].sc
     assert (agg["sum"], agg["count"]) == (6.0, 3)
+
+
+def test_running_difference_and_derivative(spark):
+    from clickhouse_clickhouse_spark import ch_functions as ch
+
+    df = spark.createDataFrame(
+        [(1, 0, 10.0), (1, 10, 16.0), (1, 20, 4.0), (2, 0, 5.0)],
+        "k int, t long, v double")
+    out = {(r.k, r.t): (r.rd, r.nnd) for r in df.select(
+        "k", "t",
+        ch.runningDifference("v", ["t"], partition_by=["k"]).alias("rd"),
+        ch.nonNegativeDerivative("v", "t", partition_by=["k"]).alias("nnd"),
+    ).collect()}
+    assert out[(1, 0)] == (0.0, None)
+    assert out[(1, 10)] == (6.0, 0.6)
+    assert out[(1, 20)] == (-12.0, 0.0)   # counter reset clamped
+    assert out[(2, 0)] == (0.0, None)
