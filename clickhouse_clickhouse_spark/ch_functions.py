@@ -554,6 +554,10 @@ def nonNegativeDerivative(col, ts, order_by=None, partition_by=()):
     w = (Window.partitionBy(*[_c(p) for p in partition_by])
          if partition_by else Window.partitionBy())
     w = w.orderBy(*[_c(o) for o in order])
-    dv = _c(col) - F.lag(_c(col)).over(w)
+    prev = F.lag(_c(col)).over(w)
+    dv = _c(col) - prev
     dt = _c(ts).cast("double") - F.lag(_c(ts).cast("double")).over(w)
-    return F.greatest(dv / F.nullif(dt, F.lit(0.0)), F.lit(0.0))
+    # greatest() skips NULLs, which would turn the undefined first-row
+    # derivative into 0 — keep it NULL explicitly
+    return F.when(prev.isNull(), F.lit(None).cast("double")) \
+            .otherwise(F.greatest(dv / F.nullif(dt, F.lit(0.0)), F.lit(0.0)))
