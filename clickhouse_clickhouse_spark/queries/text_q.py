@@ -492,6 +492,8 @@ WITH m AS (
 b AS (
   SELECT media_id, payload, i,
          CAST(('0x' || substr(hex(payload), i * 16 + 1, 2)) AS INT) AS byte0
+  -- 1000-chunk cap covers payloads <= 8008 bytes (fixture max: 549);
+  -- raise alongside any fixture that grows documents past that
   FROM m, (SELECT unnest(generate_series(0, 1000)) AS i) g
   WHERE i * 8 < octet_length(payload))
 SELECT media_id,
