@@ -177,3 +177,66 @@ def winnowing_fingerprints(df, id_col: str, text_col: str,
                      (1048576 - F.col("mo") % 2097152).cast("long")
                      .alias("fp_pos"))
             .distinct())
+
+
+# -- PII redaction + repetition filters (Gopher-rule family) ---------------
+
+# Ordered: email before phone (digits in local parts), card before phone
+# (a 4-4-4-4 card contains phone-shaped digit runs), ip before phone.
+# Patterns are kept to syntax shared by Java regex (Spark) and RE2
+# (DuckDB) so the oracle runs the same automaton.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("card", r"\b[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}\b", "<CARD>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub emails / card numbers / IPv4s / phone numbers, replacing
+    each with a typed tag — the standard pre-training privacy pass.
+    Pure chained ``regexp_replace`` (JVM-side, whole-stage codegen)."""
+    out = text
+    for _, pat, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-type match counts (for audit metrics alongside the scrub)."""
+    return {kind: F.regexp_count(text, F.lit(pat))
+            for kind, pat, _ in PII_PATTERNS}
+
+
+def word_repetition_fraction(text: Column) -> Column:
+    """Fraction of tokens that are repeats of an earlier token:
+    1 - distinct/total. One of the Gopher repetition signals."""
+    toks = tokens(text)
+    return (F.lit(1.0)
+            - F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)))
+
+
+def repetition_profile(df, id_col: str = "doc_id", text_col: str = "text",
+                       *, max_word_rep: float = 0.6,
+                       max_top_bigram: float = 0.10):
+    """Gopher-style repetition filter profile per document:
+    ``(id_col, word_rep_frac, top_bigram_frac, keep)``.
+
+    top_bigram_frac (share of all bigrams taken by the most common one)
+    needs a per-(doc, gram) count — one keyed shuffle on the doc id, so
+    the whole profile is embarrassingly parallel at corpus scale; no
+    global state, no driver collection.
+    """
+    d = df.select(F.col(id_col),
+                  F.round(word_repetition_fraction(F.col(text_col)), 6)
+                   .alias("word_rep_frac"),
+                  F.explode(word_ngrams(F.col(text_col), 2)).alias("gram"))
+    per_gram = d.groupBy(id_col, "word_rep_frac", "gram").count()
+    prof = (per_gram.groupBy(id_col, "word_rep_frac")
+            .agg(F.round(F.max("count") / F.sum("count"), 6)
+                 .alias("top_bigram_frac")))
+    return prof.withColumn(
+        "keep",
+        (F.col("word_rep_frac") <= max_word_rep)
+        & (F.col("top_bigram_frac") <= max_top_bigram))

@@ -536,3 +536,139 @@ def multimodal_features(spark, sf):
                                              "n_chunks", "chunk_head_sum"])
 
     return d.mapInPandas(run, schema=schema)
+
+
+@register("decontam_ngram_overlap", oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (SELECT DISTINCT doc_id,
+        unnest(list_transform(generate_series(1, len(t) - 2),
+                              i -> array_to_string(t[i:i+2], ' '))) AS gram
+      FROM toks WHERE len(t) >= 3),
+bench AS (SELECT doc_id AS bid, gram FROM g WHERE doc_id % 41 = 0)
+SELECT g.doc_id,
+       count(DISTINCT gram) AS n_gram_hits,
+       count(DISTINCT bid) AS n_bench_docs
+FROM g JOIN bench USING (gram)
+WHERE g.doc_id <> bench.bid
+GROUP BY g.doc_id
+""")
+def decontam_ngram_overlap(spark, sf):
+    """Benchmark decontamination (GPT-3 appendix-C style): per-doc count
+    of word n-grams shared with a benchmark set (here the deterministic
+    ``doc_id % 41`` slice of the corpus; n=3 at fixture scale — the
+    production default is n=13). Plan: distinct grams per side, 64-bit
+    xxhash gram keys, benchmark side BROADCAST, so the corpus never
+    shuffles for the join — see pipeline/decontam.py."""
+    from clickhouse_clickhouse_spark.pipeline.decontam import ngram_contamination
+
+    d = load_table(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 41 == 0)
+    return ngram_contamination(d, bench, n=3)
+
+
+@register("decontam_survivors", oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (SELECT DISTINCT doc_id,
+        unnest(list_transform(generate_series(1, len(t) - 2),
+                              i -> array_to_string(t[i:i+2], ' '))) AS gram
+      FROM toks WHERE len(t) >= 3),
+bench AS (SELECT doc_id AS bid, gram FROM g WHERE doc_id % 41 = 0),
+bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
+        WHERE g.doc_id <> bench.bid)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d ANTI JOIN bad USING (doc_id)
+""")
+def decontam_survivors(spark, sf):
+    """The decontaminated corpus (left-anti join against the
+    contamination report) — the actual training-set output."""
+    from clickhouse_clickhouse_spark.pipeline.decontam import decontaminate
+
+    d = load_table(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 41 == 0)
+    return decontaminate(d, bench, n=3).select("doc_id", "lang", "source")
+
+
+@register("pii_redact", oracle=r"""
+WITH s AS (
+  SELECT doc_id,
+         'contact u' || doc_id || '@ex' || (doc_id % 7) || '.org tel '
+           || lpad(cast(doc_id % 1000 AS VARCHAR), 3, '0') || '-555-'
+           || lpad(cast((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+           || ' from 10.' || (doc_id % 256) || '.0.' || ((doc_id * 3) % 256)
+           || ' card 4111-1111-1111-'
+           || lpad(cast(doc_id % 10000 AS VARCHAR), 4, '0')
+           || ' ' || substr(text, 1, 40) AS raw
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\b[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}\b', '<CARD>', 'g'),
+         '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+         '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g') AS redacted,
+       cast(len(regexp_extract_all(raw,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+       cast(len(regexp_extract_all(raw,
+         '\b[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}\b')) AS INT) AS n_card,
+       cast(len(regexp_extract_all(raw,
+         '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INT) AS n_ipv4,
+       cast(len(regexp_extract_all(raw,
+         '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS INT) AS n_phone
+FROM s
+""")
+def pii_redact(spark, sf):
+    """PII scrub (pre-training privacy pass): emails, card numbers,
+    IPv4s, phone numbers replaced with typed tags via chained JVM-side
+    regexp_replace — functions/text.redact_pii. The fixture corpus has
+    no real PII, so a deterministic PII-laden column is synthesized from
+    doc_id and the scrubbed STRING itself is value-hashed against the
+    oracle (a byte-exact regex-equivalence check across engines), plus
+    per-type audit counts."""
+    from clickhouse_clickhouse_spark.functions.text import (PII_PATTERNS,
+                                                            redact_pii)
+
+    d = load_table(spark, sf, "documents")
+    did = F.col("doc_id")
+    raw = F.concat(
+        F.lit("contact u"), did.cast("string"),
+        F.lit("@ex"), (did % 7).cast("string"), F.lit(".org tel "),
+        F.lpad((did % 1000).cast("string"), 3, "0"), F.lit("-555-"),
+        F.lpad(((did * 7) % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."), (did % 256).cast("string"), F.lit(".0."),
+        ((did * 3) % 256).cast("string"),
+        F.lit(" card 4111-1111-1111-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.lit(" "), F.substring("text", 1, 40))
+    d = d.select("doc_id", raw.alias("raw"))
+    counts = [F.regexp_count("raw", F.lit(pat)).cast("int").alias(f"n_{kind}")
+              for kind, pat, _ in PII_PATTERNS]
+    return d.select("doc_id", redact_pii(F.col("raw")).alias("redacted"),
+                    *counts)
+
+
+@register("gopher_repetition", oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+w AS (SELECT doc_id,
+             round(1.0 - len(list_distinct(t)) * 1.0 / greatest(len(t), 1), 6)
+               AS word_rep_frac
+      FROM toks),
+b AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> array_to_string(t[i:i+1], ' '))) AS g
+      FROM toks),
+bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2),
+tb AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_bigram_frac
+       FROM bc GROUP BY 1)
+SELECT w.doc_id, word_rep_frac, top_bigram_frac,
+       word_rep_frac <= 0.6 AND top_bigram_frac <= 0.10 AS keep
+FROM w JOIN tb USING (doc_id)
+""")
+def gopher_repetition(spark, sf):
+    """Gopher-style repetition filter: per-doc repeated-word fraction and
+    top-bigram share with a composite keep flag — the cheap repetition
+    gate of a training-data pipeline. One keyed shuffle on doc_id; both
+    signals compared AFTER 6-dp rounding on both engines so the flag
+    can't flip on float noise. functions/text.repetition_profile."""
+    from clickhouse_clickhouse_spark.functions.text import repetition_profile
+
+    d = load_table(spark, sf, "documents")
+    return repetition_profile(d)

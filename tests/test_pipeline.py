@@ -237,3 +237,65 @@ def test_star_components_matches_label_propagation(spark):
     cstar = {r.n: r.lbl for r in
              connected_components_star(chain, "id_a", "id_b").collect()}
     assert set(cstar.values()) == {0} and len(cstar) == 31
+
+
+def test_decontamination_detects_planted_overlap(spark):
+    """A training doc sharing a 3-gram with a benchmark doc is flagged;
+    disjoint docs survive; self-overlap (same id on both sides) does not
+    count as contamination."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_clickhouse_spark.pipeline.decontam import (
+        decontaminate, ngram_contamination,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps high"),
+         (2, "totally unrelated clean words here"),
+         (3, "short doc")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps high"),      # same id: ignored
+         (100, "lazy dogs saw the quick brown fox")],
+        "doc_id long, text string")
+
+    rep = {r.doc_id: (r.n_gram_hits, r.n_bench_docs)
+           for r in ngram_contamination(train, bench, n=3).collect()}
+    # doc 1 shares "the quick brown"/"quick brown fox" with bench doc 100
+    assert rep == {1: (2, 1)}
+    left = {r.doc_id for r in decontaminate(train, bench, n=3).collect()}
+    assert left == {2, 3}
+
+    # the benchmark gram set must be broadcast (corpus side never shuffles)
+    plan = ngram_contamination(train, bench, n=3)._jdf.queryExecution() \
+        .explainString(spark._jvm.org.apache.spark.sql.execution
+                       .ExplainMode.fromString("formatted"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_redact_pii_and_repetition_profile(spark):
+    from pyspark.sql import functions as F
+
+    from clickhouse_clickhouse_spark.functions.text import (
+        redact_pii, repetition_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp-mail.co.uk now 192.168.0.1 "
+             "call 415-555-0199 pay 4111-1111-1111-1234 end")],
+        "doc_id long, text string")
+    out = df.select(redact_pii(F.col("text")).alias("r")).first().r
+    assert out == "mail <EMAIL> now <IP> call <PHONE> pay <CARD> end"
+
+    # note: a doc needs >10 bigrams before the 0.10 top-bigram default can
+    # pass at all — the Gopher thresholds are calibrated for real doc
+    # lengths, not toy strings
+    clean = " ".join(f"t{i}" for i in range(21))
+    rep = spark.createDataFrame(
+        [(1, "a a a a b"),              # rep frac 0.6, top bigram 'a a' 3/4
+         (2, clean)],                   # 21 distinct tokens, top bigram 1/20
+        "doc_id long, text string")
+    prof = {r.doc_id: r for r in repetition_profile(rep).collect()}
+    assert prof[1].word_rep_frac == 0.6 and prof[1].top_bigram_frac == 0.75
+    assert not prof[1].keep
+    assert prof[2].word_rep_frac == 0.0 and prof[2].keep
