@@ -132,3 +132,139 @@ def point_in_polygon_oracle_expr(px_sql: str, py_sql: str,
             f"AND ({px_sql} < {float(x2 - x1)!r} * ({py_sql} - {y1!r}) "
             f"/ {float(y2 - y1)!r} + {x1!r}) THEN 1 ELSE 0 END")
     return "((" + " + ".join(cases) + ") % 2 = 1)"
+
+
+# -- Hierarchical tile cells + hexagonal binning (h3/s2-class capability) --
+#
+# The reference exposes h3*/s2* cell indexing (upstream [U]
+# src/Functions/h3*.cpp, s2*.cpp — bindings to the native libs, which
+# are not in this environment and whose cell ids are bit-parity-bound to
+# those libraries). The *capability* those functions provide — map a
+# point to a hierarchical cell id for binning/joining, walk cell
+# neighborhoods — is covered here with two public schemes that are pure
+# arithmetic and therefore oracle-checkable:
+#
+# - Web-Mercator slippy tiles + Bing quadkeys (OSM/Bing public
+#   algorithm): hierarchical quad cells, prefix-of-quadkey = ancestor —
+#   the s2-style hierarchy property.
+# - Axial hex binning on the Web-Mercator plane with cube rounding
+#   (Red Blob Games' public hex-grid construction): equal-size planar
+#   hexes — the h3-style "hex binning at scale" use-case. NOT
+#   bit-compatible with H3 ids (documented; H3's icosahedral projection
+#   needs its base-cell tables), but neighbor arithmetic (the 6 axial
+#   offsets) and bucketing semantics carry over.
+#
+# Only +,-,*,/ and tan/ln/atan/exp touch floats; basic IEEE arithmetic
+# is bit-identical across engines, and the libm calls would need to land
+# within 1 ulp of a cell boundary to flip a floor() — the oracle-expr
+# generators below emit the SAME formula with the SAME Python-computed
+# literal constants, so both engines evaluate the identical expression
+# tree.
+
+_MERC_R = 6378137.0
+
+
+def lat_lng_to_tile(lat: Column, lon: Column, z: int) -> Column:
+    """Slippy-map tile at zoom ``z``: struct(tx, ty). Public OSM
+    formula: tx = floor((lon+180)/360 * 2^z), ty via the Mercator
+    y-projection. Inputs clamped to the Web-Mercator latitude bound."""
+    n = 1 << z
+    la = F.greatest(F.least(lat, F.lit(85.05112878)), F.lit(-85.05112878))
+    rad = F.radians(la)
+    tx = F.least(F.floor((lon + 180.0) / 360.0 * n).cast("long"),
+                 F.lit(n - 1))
+    merc = F.log(F.tan(rad) + 1.0 / F.cos(rad))
+    ty = F.least(F.floor((1.0 - merc / F.lit(3.141592653589793)) / 2.0 * n)
+                 .cast("long"), F.lit(n - 1))
+    tx = F.greatest(tx, F.lit(0))
+    ty = F.greatest(ty, F.lit(0))
+    return F.struct(tx.alias("tx"), ty.alias("ty"))
+
+
+def tile_quadkey(tx: Column, ty: Column, z: int) -> Column:
+    """Bing quadkey for a tile: z base-4 digits MSB-first, digit =
+    x-bit + 2*y-bit. An ancestor cell's quadkey is a string prefix of
+    its descendants' — the hierarchy join/rollup property."""
+    digits = [
+        (F.shiftright(tx, i).bitwiseAND(F.lit(1))
+         + F.shiftright(ty, i).bitwiseAND(F.lit(1)) * 2).cast("string")
+        for i in range(z - 1, -1, -1)
+    ]
+    return F.concat(*digits)
+
+
+def tile_center(tx: Column, ty: Column, z: int) -> Column:
+    """struct(lon, lat) of a tile's center (inverse slippy formula;
+    sinh written out as (exp(x)-exp(-x))/2 so both engines evaluate the
+    same primitive calls)."""
+    n = 1 << z
+    lon = (tx.cast("double") + 0.5) / n * 360.0 - 180.0
+    m = F.lit(3.141592653589793) * (1.0 - 2.0 * (ty.cast("double") + 0.5) / n)
+    sinh_m = (F.exp(m) - F.exp(-m)) / 2.0
+    lat = F.degrees(F.atan(sinh_m))
+    return F.struct(lon.alias("lon"), lat.alias("lat"))
+
+
+def _merc_xy(lat: Column, lon: Column) -> tuple[Column, Column]:
+    la = F.greatest(F.least(lat, F.lit(85.05112878)), F.lit(-85.05112878))
+    mx = F.lit(_MERC_R) * F.radians(lon)
+    my = F.lit(_MERC_R) * F.log(F.tan(F.lit(0.7853981633974483)
+                                      + F.radians(la) / 2.0))
+    return mx, my
+
+
+def hex_bin(lat: Column, lon: Column, size_m: float) -> Column:
+    """Axial hex-cell id struct(hq, hr) for a point: pointy-top hexes of
+    circumradius ``size_m`` meters on the Web-Mercator plane, fractional
+    axial coords cube-rounded to the containing cell. The 6 neighbors of
+    (q, r) are the fixed axial offsets (+1,0)(+1,-1)(0,-1)(-1,0)(-1,+1)
+    (0,+1) — k-ring expansion is pure integer arithmetic."""
+    mx, my = _merc_xy(lat, lon)
+    q = (F.lit(0.5773502691896258) * mx - F.lit(1.0) / 3.0 * my) / size_m
+    r = (F.lit(2.0) / 3.0 * my) / size_m
+    rx, ry, rz = F.round(q, 0), F.round(-q - r, 0), F.round(r, 0)
+    dx, dy, dz = F.abs(rx - q), F.abs(ry - (-q - r)), F.abs(rz - r)
+    hq = F.when((dx > dy) & (dx > dz), -ry - rz).otherwise(rx)
+    hr = F.when(~((dx > dy) & (dx > dz)) & ~(dy > dz), -rx - ry).otherwise(rz)
+    return F.struct(hq.cast("long").alias("hq"), hr.cast("long").alias("hr"))
+
+
+def tile_oracle_exprs(lat_sql: str, lon_sql: str, z: int) -> tuple[str, str]:
+    """DuckDB SQL for (tx, ty) — the identical formula and constants."""
+    n = 1 << z
+    la = f"greatest(least({lat_sql}, 85.05112878), -85.05112878)"
+    rad = f"radians({la})"
+    tx = (f"greatest(least(CAST(floor(({lon_sql} + 180.0) / 360.0 * {n}) "
+          f"AS BIGINT), {n - 1}), 0)")
+    merc = f"ln(tan({rad}) + 1.0 / cos({rad}))"
+    ty = (f"greatest(least(CAST(floor((1.0 - {merc} / 3.141592653589793) "
+          f"/ 2.0 * {n}) AS BIGINT), {n - 1}), 0)")
+    return tx, ty
+
+
+def quadkey_oracle_expr(tx_sql: str, ty_sql: str, z: int) -> str:
+    digits = [
+        f"CAST((({tx_sql} >> {i}) & 1) + (({ty_sql} >> {i}) & 1) * 2 "
+        f"AS VARCHAR)"
+        for i in range(z - 1, -1, -1)
+    ]
+    return " || ".join(digits)
+
+
+def hex_bin_oracle_exprs(lat_sql: str, lon_sql: str,
+                         size_m: float) -> tuple[str, str]:
+    """DuckDB SQL for (hq, hr) with the identical cube rounding."""
+    la = f"greatest(least({lat_sql}, 85.05112878), -85.05112878)"
+    mx = f"({_MERC_R!r} * radians({lon_sql}))"
+    my = f"({_MERC_R!r} * ln(tan(0.7853981633974483 + radians({la}) / 2.0)))"
+    q = f"((0.5773502691896258 * {mx} - 1.0 / 3.0 * {my}) / {size_m!r})"
+    r = f"((2.0 / 3.0 * {my}) / {size_m!r})"
+    rx, ry, rz = f"round({q})", f"round(-{q} - {r})", f"round({r})"
+    dx = f"abs({rx} - {q})"
+    dy = f"abs({ry} - (-{q} - {r}))"
+    dz = f"abs({rz} - {r})"
+    big_dx = f"({dx} > {dy} AND {dx} > {dz})"
+    hq = f"CAST(CASE WHEN {big_dx} THEN -{ry} - {rz} ELSE {rx} END AS BIGINT)"
+    hr = (f"CAST(CASE WHEN NOT {big_dx} AND NOT ({dy} > {dz}) "
+          f"THEN -{rx} - {ry} ELSE {rz} END AS BIGINT)")
+    return hq, hr

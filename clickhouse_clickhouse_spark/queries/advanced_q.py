@@ -494,3 +494,62 @@ def geo_geohash_roundtrip(spark, sf):
         "p_partkey", "gh",
         F.round(dec["lon"], 6).alias("dec_lon"),
         F.round(dec["lat"], 6).alias("dec_lat"))
+
+
+from clickhouse_clickhouse_spark.functions.geo import (  # noqa: E402
+    hex_bin, hex_bin_oracle_exprs, lat_lng_to_tile, quadkey_oracle_expr,
+    tile_center, tile_oracle_exprs, tile_quadkey,
+)
+
+_TILE_LAT = "((p_partkey * 37) % 1600) / 10.0 - 80.0 + 0.0137"
+_TILE_LON = "((p_partkey * 91) % 3600) / 10.0 - 180.0 + 0.0071"
+_TX, _TY = tile_oracle_exprs(_TILE_LAT, _TILE_LON, 7)
+_HQ, _HR = hex_bin_oracle_exprs(_TILE_LAT, _TILE_LON, 250_000.0)
+
+
+@register("geo_tile_quadkey", oracle=f"""
+WITH t AS (SELECT p_partkey, {_TX} AS tx, {_TY} AS ty FROM part)
+SELECT p_partkey, tx, ty,
+       {quadkey_oracle_expr('tx', 'ty', 7)} AS qk,
+       round((tx + 0.5) / 128 * 360.0 - 180.0, 6) AS c_lon,
+       round(degrees(atan((exp(3.141592653589793 * (1.0 - 2.0 * (ty + 0.5)
+                     / 128)) - exp(-(3.141592653589793 * (1.0 - 2.0
+                     * (ty + 0.5) / 128)))) / 2.0)), 6) AS c_lat
+FROM t
+""")
+def geo_tile_quadkey(spark, sf):
+    """Hierarchical cell indexing, the s2/h3-class capability (upstream
+    [U] src/Functions/s2*.cpp, h3*.cpp — see functions/geo.py for the
+    public-scheme mapping): slippy tile at z=7, its Bing quadkey (prefix
+    = ancestor), and the cell-center inverse. All constant-folded
+    arithmetic — no UDF."""
+    p = load_table(spark, sf, "part")
+    lat = ((F.col("p_partkey") * 37) % 1600) / 10.0 - 80.0 + 0.0137
+    lon = ((F.col("p_partkey") * 91) % 3600) / 10.0 - 180.0 + 0.0071
+    d = p.select("p_partkey", lat_lng_to_tile(lat, lon, 7).alias("t"))
+    d = d.select("p_partkey", F.col("t.tx").alias("tx"),
+                 F.col("t.ty").alias("ty"))
+    c = tile_center(F.col("tx"), F.col("ty"), 7)
+    return d.select(
+        "p_partkey", "tx", "ty",
+        tile_quadkey(F.col("tx"), F.col("ty"), 7).alias("qk"),
+        F.round(c["lon"], 6).alias("c_lon"),
+        F.round(c["lat"], 6).alias("c_lat"))
+
+
+@register("geo_hex_bin_counts", oracle=f"""
+SELECT hq, hr, count(*) AS n_points
+FROM (SELECT {_HQ} AS hq, {_HR} AS hr FROM part) t
+GROUP BY hq, hr
+""")
+def geo_hex_bin_counts(spark, sf):
+    """Hex binning at scale (the h3 use-case): points bucketed into
+    250 km axial hex cells on the Web-Mercator plane (cube rounding),
+    then a plain hash aggregation per cell — one shuffle keyed by the
+    cell id, the same plan shape an h3ToParent rollup would have."""
+    p = load_table(spark, sf, "part")
+    lat = ((F.col("p_partkey") * 37) % 1600) / 10.0 - 80.0 + 0.0137
+    lon = ((F.col("p_partkey") * 91) % 3600) / 10.0 - 180.0 + 0.0071
+    return (p.select(hex_bin(lat, lon, 250_000.0).alias("h"))
+            .groupBy(F.col("h.hq").alias("hq"), F.col("h.hr").alias("hr"))
+            .agg(F.count("*").alias("n_points")))

@@ -79,3 +79,41 @@ def test_point_in_polygon_hand_checked(spark):
     got = rows.select(
         point_in_polygon(F.col("x"), F.col("y"), L_POLY).alias("i")).collect()
     assert [r.i for r in got] == [want for _, want in cases]
+
+
+def test_tile_quadkey_hierarchy_and_hex_roundtrip(spark):
+    """Quadkey of an ancestor cell is a string prefix of its
+    descendants' (the hierarchy/rollup property); hex_bin maps each
+    cell's own center point back to that cell id."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_clickhouse_spark.functions.geo import (
+        hex_bin, lat_lng_to_tile, tile_quadkey,
+    )
+
+    pts = [(i, -70.0 + i * 7.3, -170.0 + i * 17.1) for i in range(20)]
+    df = spark.createDataFrame(pts, "i long, lat double, lon double")
+    t7 = lat_lng_to_tile(F.col("lat"), F.col("lon"), 7)
+    t4 = lat_lng_to_tile(F.col("lat"), F.col("lon"), 4)
+    out = df.select(
+        tile_quadkey(t7["tx"], t7["ty"], 7).alias("qk7"),
+        tile_quadkey(t4["tx"], t4["ty"], 4).alias("qk4")).collect()
+    assert all(len(r.qk7) == 7 and r.qk7.startswith(r.qk4) for r in out)
+
+    # hex centers -> lat/lng -> hex_bin must return the original cell
+    R, size = 6378137.0, 250_000.0
+    cells = [(q, r) for q in (-3, 0, 2, 5) for r in (-2, 0, 4)]
+    rows = []
+    for q, r in cells:
+        mx = size * math.sqrt(3.0) * (q + r / 2.0)
+        my = size * 1.5 * r
+        lon = math.degrees(mx / R)
+        lat = math.degrees(2.0 * math.atan(math.exp(my / R)) - math.pi / 2.0)
+        rows.append((q, r, lat, lon))
+    hdf = spark.createDataFrame(rows, "q long, r long, lat double, lon double")
+    got = hdf.select("q", "r",
+                     hex_bin(F.col("lat"), F.col("lon"), size).alias("h")) \
+             .collect()
+    assert all(r.h.hq == r.q and r.h.hr == r.r for r in got)
