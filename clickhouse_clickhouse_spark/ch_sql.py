@@ -10,7 +10,11 @@ Covered dialect surface (the constructs that differ from Spark SQL):
   declared (keys, version) — ReplacingMergeTree semantics), ``SAMPLE f``
   (→ TABLESAMPLE), ``LIMIT n BY k, ...`` (→ row_number window wrap),
   trailing ``SETTINGS ...`` / ``FORMAT ...`` (stripped), ``GLOBAL
-  IN/JOIN`` (→ plain — Spark's planner owns distribution), ``==`` → ``=``.
+  IN/JOIN`` (→ plain — Spark's planner owns distribution), ``==`` → ``=``,
+  ``[LEFT] ARRAY JOIN expr AS x`` (→ LATERAL VIEW [OUTER] EXPLODE; the
+  multi-array zip form and the bare-name form are refused with the
+  faithful alternative named), ``WITH FILL``/``INTERPOLATE`` (refused →
+  operators.fill.with_fill).
 * parametric aggregates: ``quantile(p)(x)``-style double-call syntax for
   the quantile family and ``topK(k)(x)``.
 * ~80 function-name mappings (`_FUNCS` below): conversions, date/time,
@@ -58,6 +62,13 @@ _FUNCS: dict[str, str] = {
     "toStartOfQuarter": "DATE_TRUNC('quarter', {0})",
     "toStartOfYear": "DATE_TRUNC('year', {0})",
     "toMonday": "CAST(DATE_TRUNC('week', {0}) AS DATE)",
+    # reference default mode 0 = round down to nearest SUNDAY
+    "toStartOfWeek": "DATE_SUB(CAST({0} AS DATE), DAYOFWEEK({0}) - 1)",
+    "toDayOfYear": "DAYOFYEAR({0})", "toISOWeek": "WEEKOFYEAR({0})",
+    "toStartOfFiveMinutes":
+        "TIMESTAMP_SECONDS(FLOOR(UNIX_TIMESTAMP({0}) / 300) * 300)",
+    "toStartOfFifteenMinutes":
+        "TIMESTAMP_SECONDS(FLOOR(UNIX_TIMESTAMP({0}) / 900) * 900)",
     "toYYYYMM": "CAST(DATE_FORMAT({0}, 'yyyyMM') AS INT)",
     "toYYYYMMDD": "CAST(DATE_FORMAT({0}, 'yyyyMMdd') AS INT)",
     "toUnixTimestamp": "UNIX_TIMESTAMP({0})",
@@ -107,6 +118,10 @@ _FUNCS: dict[str, str] = {
     "arrayDistinct": "ARRAY_DISTINCT({0})", "arraySort": "ARRAY_SORT({0})",
     "arrayConcat": "CONCAT({*})", "arrayFlatten": "FLATTEN({0})",
     "arraySum": "AGGREGATE({0}, CAST(0 AS DOUBLE), (s, x) -> s + x)",
+    # higher-order: CH takes the lambda FIRST, Spark takes it last
+    "arrayMap": "TRANSFORM({1}, {0})", "arrayFilter": "FILTER({1}, {0})",
+    "arrayExists": "EXISTS({1}, {0})", "arrayAll": "FORALL({1}, {0})",
+    "arrayCount": "SIZE(FILTER({1}, {0}))",
     # arithmetic / misc
     "intDiv": "DIV(CAST({0} AS BIGINT), CAST({1} AS BIGINT))",
     "modulo": "(({0}) % ({1}))", "plus": "(({0}) + ({1}))",
@@ -259,6 +274,19 @@ def _rewrite_calls(sql: str) -> str:
     return "".join(out)
 
 
+def _strip_parens(s: str) -> str:
+    """Blank out parenthesized spans so a top-level comma test can't be
+    fooled by commas inside function calls."""
+    out, depth = [], 0
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        out.append(" " if depth > 0 or ch in "()" else ch)
+    return "".join(out)
+
+
 _PREWHERE = re.compile(r"\bPREWHERE\b(.*?)(?=\bWHERE\b|\bGROUP\s+BY\b|"
                        r"\bORDER\s+BY\b|\bLIMIT\b|\bHAVING\b|$)",
                        re.IGNORECASE | re.DOTALL)
@@ -292,6 +320,40 @@ def translate(sql: str,
         raise ValueError(
             f"{kind} JOIN has no faithful SQL translation here — use the "
             f"DataFrame operator {helper} (same semantics, scale-safe)")
+
+    # WITH FILL / INTERPOLATE need sequence generation, not a rewrite —
+    # refuse loudly with the operator that has the semantics
+    if re.search(r"\bWITH\s+FILL\b|\bINTERPOLATE\s*\(", q, re.IGNORECASE):
+        raise ValueError(
+            "ORDER BY ... WITH FILL / INTERPOLATE has no SQL translation "
+            "here — use the DataFrame operator operators.fill.with_fill "
+            "(same semantics, distributed spine generation)")
+
+    # [LEFT] ARRAY JOIN expr AS alias -> LATERAL VIEW [OUTER] EXPLODE.
+    # Single aliased array only: CH zips MULTIPLE arrays positionally
+    # (not a cross product) and makes a BARE array name refer to its
+    # elements — both would silently change semantics under a naive
+    # rewrite, so they are refused with the faithful alternative named.
+    def aj_sub(m: re.Match) -> str:
+        outer = "OUTER " if m.group(1) else ""
+        expr, alias = m.group(2).strip(), m.group(3)
+        if "," in _strip_parens(expr):
+            raise ValueError(
+                "ARRAY JOIN over multiple arrays zips them positionally — "
+                "translate as ARRAY JOIN arrays_zip(a, b) AS z (fields "
+                "z.a, z.b), or use explode(arrays_zip(...)) in DataFrame "
+                "code")
+        return f"LATERAL VIEW {outer}EXPLODE({expr}) __ch_aj AS {alias}"
+    aj_re = re.compile(r"\b(LEFT\s+)?ARRAY\s+JOIN\s+(.+?)\s+AS\s+(\w+)"
+                       r"(?=\s+WHERE\b|\s+GROUP\s+BY\b|\s+ORDER\s+BY\b|"
+                       r"\s+LIMIT\b|\s+HAVING\b|\s*$)",
+                       re.IGNORECASE | re.DOTALL)
+    q = aj_re.sub(aj_sub, q)
+    if re.search(r"\bARRAY\s+JOIN\b", q, re.IGNORECASE):
+        raise ValueError(
+            "ARRAY JOIN without AS makes the array name refer to its "
+            "elements — alias it (ARRAY JOIN arr AS x) so the rewrite "
+            "cannot shadow the array column")
 
     # FROM t FINAL -> dedup-on-read subquery (needs declared merge keys)
     def final_sub(m: re.Match) -> str:

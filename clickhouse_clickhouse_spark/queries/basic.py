@@ -251,3 +251,27 @@ def tpch_q6_dialect(spark, sf):
         PREWHERE l_shipdate >= toDate('1994-01-01')
           AND l_shipdate < toDate('1995-01-01')
         WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")
+
+
+@register("ch_sql_array_join", oracle="""
+WITH g AS (SELECT lang, list_sort(list_distinct(list(source))) AS srcs,
+                  count(*) AS n_docs
+           FROM documents GROUP BY lang)
+SELECT lang, unnest(list_filter(srcs, x -> x != 'src3')) AS src, n_docs
+FROM g
+""")
+def ch_sql_array_join(spark, sf):
+    """ARRAY JOIN through the dialect front end: the clause rewrites to
+    LATERAL VIEW EXPLODE (ch_sql.py), with the CH lambda-first
+    higher-order functions (arrayFilter/arraySort/arrayDistinct)
+    rewritten to Spark's array-first forms along the way."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "documents").createOrReplaceTempView("documents")
+    return ch_sql(spark, """
+        SELECT lang, src, n_docs
+        FROM (SELECT lang, arraySort(arrayDistinct(groupArray(source))) AS srcs,
+                     count() AS n_docs
+              FROM documents GROUP BY lang)
+        ARRAY JOIN arrayFilter(x -> x != 'src3', srcs) AS src
+    """)

@@ -134,3 +134,44 @@ def test_strictness_joins_refused_with_pointer(views):
         translate("SELECT * FROM a ASOF LEFT JOIN b ON a.k = b.k")
     with pytest.raises(ValueError, match="any_join"):
         translate("SELECT * FROM a ANY JOIN b USING k")
+
+
+def test_array_join_clause(views):
+    out = ch_sql(views, """
+        SELECT n, x
+        FROM (SELECT n_nationkey AS n,
+                     arrayMap(v -> v * 10, array(n_nationkey, n_nationkey + 1))
+                       AS xs
+              FROM nation WHERE n_nationkey < 2)
+        ARRAY JOIN xs AS x ORDER BY n, x""").collect()
+    assert [(r.n, r.x) for r in out] == [(0, 0), (0, 10), (1, 10), (1, 20)]
+
+    # LEFT ARRAY JOIN keeps empty-array rows (null element)
+    out = ch_sql(views, """
+        SELECT n, x
+        FROM (SELECT n_nationkey AS n,
+                     arrayFilter(v -> v > 100, array(n_nationkey)) AS xs
+              FROM nation WHERE n_nationkey < 2)
+        LEFT ARRAY JOIN xs AS x ORDER BY n""").collect()
+    assert [(r.n, r.x) for r in out] == [(0, None), (1, None)]
+
+
+def test_array_join_refusals_and_with_fill(views):
+    with pytest.raises(ValueError, match="arrays_zip"):
+        translate("SELECT a, b FROM t ARRAY JOIN xs, ys AS b")
+    with pytest.raises(ValueError, match="alias it"):
+        translate("SELECT xs FROM t ARRAY JOIN xs")
+    with pytest.raises(ValueError, match="with_fill"):
+        translate("SELECT d FROM t ORDER BY d WITH FILL")
+
+
+def test_week_and_bucket_functions(views):
+    # 1995-06-15 was a Thursday -> Sunday start = 1995-06-11
+    r = ch_sql(views, """
+        SELECT toStartOfWeek(DATE '1995-06-15') AS w0,
+               toStartOfFifteenMinutes(TIMESTAMP '1995-06-15 13:47:21') AS q,
+               toDayOfYear(DATE '1995-06-15') AS doy
+        FROM nation WHERE n_nationkey = 0""").collect()[0]
+    assert str(r.w0) == "1995-06-11"
+    assert str(r.q) == "1995-06-15 13:45:00"
+    assert r.doy == 166
