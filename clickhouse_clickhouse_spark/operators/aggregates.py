@@ -46,24 +46,43 @@ def final_dedup(df: DataFrame, keys: Sequence[str],
             .filter(F.col("__rn") == 1).drop("__rn"))
 
 
-def sum_map(df: DataFrame, keys: Sequence[str], map_col: str,
-            assemble: bool = True) -> DataFrame:
-    """``sumMap`` — element-wise sum of map values grouped by key
-    (reference ``AggregateFunctionSumMap``). Explode → re-aggregate →
-    optionally reassemble a (key-sorted, deterministic) map.
+def map_combinator(df: DataFrame, keys: Sequence[str], map_col: str,
+                   agg="sum", assemble: bool = True,
+                   out_col: str | None = None) -> DataFrame:
+    """Generic ``-Map`` combinator (reference ``AggregateFunctionMap.h``:
+    any aggregate + ``Map`` suffix applies it element-wise per map key —
+    sumMap/minMap/maxMap/avgMap/countMap...). Explode → re-aggregate on
+    the composite (group keys, map key) → optionally reassemble a
+    (key-sorted, deterministic) map.
+
+    ``agg`` is a builtin name ('sum', 'min', 'max', 'avg', 'count') or
+    any ``Column -> Column`` aggregate callable.
 
     Scale: explode multiplies rows by map cardinality but stays fully
     distributed; the re-agg is an ordinary partial/final hash agg.
     """
+    fns = {"sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg,
+           "count": F.count}
+    fn = fns[agg] if isinstance(agg, str) else agg
+    name = agg if isinstance(agg, str) else "agg"
+    out_col = out_col or f"{name}_{map_col}"
     exploded = df.select(*keys, F.explode(F.col(map_col)).alias("__k", "__v"))
-    summed = exploded.groupBy(*keys, "__k").agg(F.sum("__v").alias("__v"))
+    agged = exploded.groupBy(*keys, "__k").agg(fn(F.col("__v")).alias("__v"))
     if not assemble:
-        return summed.withColumnRenamed("__k", "map_key").withColumnRenamed("__v", "map_value")
-    entries = summed.groupBy(*keys).agg(
+        return (agged.withColumnRenamed("__k", "map_key")
+                .withColumnRenamed("__v", "map_value"))
+    return agged.groupBy(*keys).agg(
         F.map_from_entries(
             F.array_sort(F.collect_list(F.struct(F.col("__k"), F.col("__v"))))
-        ).alias(f"sum_{map_col}"))
-    return entries
+        ).alias(out_col))
+
+
+def sum_map(df: DataFrame, keys: Sequence[str], map_col: str,
+            assemble: bool = True) -> DataFrame:
+    """``sumMap`` (reference ``AggregateFunctionSumMap``) — the ``sum``
+    instance of :func:`map_combinator`."""
+    return map_combinator(df, keys, map_col, "sum", assemble,
+                          out_col=f"sum_{map_col}")
 
 
 def with_totals(df: DataFrame, keys: Sequence[str], aggs: dict[str, Column]) -> DataFrame:

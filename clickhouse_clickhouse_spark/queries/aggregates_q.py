@@ -1019,3 +1019,32 @@ def agg_sum_foreach(spark, sf):
     return (per_pos.groupBy("label")
             .agg(F.transform(packed, lambda t: t["s"]).alias("sum_foreach"),
                  F.transform(packed, lambda t: t["m"]).alias("avg_foreach")))
+
+
+@register("agg_avg_map", oracle="""
+SELECT user_id, event_type AS map_key,
+       round(sum(value), 4) AS map_sum,
+       count(*) AS map_n
+FROM events GROUP BY user_id, event_type
+""")
+def agg_avg_map(spark, sf):
+    """avgMap via the generic -Map combinator (reference
+    AggregateFunctionMap.h: any aggregate + Map applies element-wise per
+    map key) — operators/aggregates.map_combinator instantiated twice
+    (agg='sum', agg='count'); the hash-oracle output is the grid-exact
+    (rounded sum, count) decomposition rather than round(avg(...)),
+    which flips half-boundaries (the cb_dialect_daily lesson); the
+    agg='avg' path itself is exact-literal-tested in pytest."""
+    from clickhouse_clickhouse_spark.operators.aggregates import map_combinator
+
+    ev = load_table(spark, sf, "events")
+    mapped = ev.select("user_id",
+                       F.create_map(F.col("event_type"),
+                                    F.col("value")).alias("m"))
+    s = map_combinator(mapped, ["user_id"], "m", "sum", assemble=False)
+    c = map_combinator(mapped, ["user_id"], "m", "count", assemble=False)
+    return (s.withColumnRenamed("map_value", "map_sum")
+            .join(c.withColumnRenamed("map_value", "map_n"),
+                  ["user_id", "map_key"])
+            .select("user_id", "map_key",
+                    F.round("map_sum", 4).alias("map_sum"), "map_n"))

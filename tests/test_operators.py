@@ -159,3 +159,27 @@ def test_group_bitmap_and_cross_groups(spark):
         [("a", 1), ("a", 2), ("b", 2), ("b", 3), ("c", 2), ("c", 1)],
         "g string, v long")
     assert group_bitmap_and(df, "g", "v").collect()[0].and_cardinality == 1
+
+
+def test_map_combinator_avg_and_assembled(spark):
+    """The generic -Map combinator: avg path with exact literals, and
+    the assembled (key-sorted map) output form."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_clickhouse_spark.operators.aggregates import map_combinator
+
+    df = spark.createDataFrame(
+        [(1, {"a": 2.0, "b": 10.0}), (1, {"a": 4.0}), (2, {"b": 1.0})],
+        "g long, m map<string,double>")
+    flat = {(r.g, r.map_key): r.map_value
+            for r in map_combinator(df, ["g"], "m", "avg",
+                                    assemble=False).collect()}
+    assert flat == {(1, "a"): 3.0, (1, "b"): 10.0, (2, "b"): 1.0}
+
+    asm = {r.g: r.avg_m
+           for r in map_combinator(df, ["g"], "m", "avg").collect()}
+    assert asm == {1: {"a": 3.0, "b": 10.0}, 2: {"b": 1.0}}
+
+    cnt = {r.g: r.count_m for r in map_combinator(df, ["g"], "m",
+                                                  "count").collect()}
+    assert cnt == {1: {"a": 2, "b": 1}, 2: {"b": 1}}
