@@ -672,3 +672,59 @@ def gopher_repetition(spark, sf):
 
     d = load_table(spark, sf, "documents")
     return repetition_profile(d)
+
+
+@register("pipeline_full_curation", oracle="""
+WITH toks AS (SELECT doc_id, text, lang, source, n_chars,
+                     string_split(text, ' ') AS t
+              FROM documents),
+w AS (SELECT doc_id,
+             round(1.0 - len(list_distinct(t)) * 1.0 / greatest(len(t), 1), 6)
+               AS wr
+      FROM toks),
+b AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> array_to_string(t[i:i+1], ' '))) AS g
+      FROM toks),
+bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2),
+tb AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS tbf
+       FROM bc GROUP BY 1),
+keepers AS (SELECT doc_id FROM w JOIN tb USING (doc_id)
+            WHERE wr <= 0.6 AND tbf <= 0.10),
+base AS (SELECT toks.* FROM toks JOIN keepers USING (doc_id)
+         WHERE len(t) >= 10),
+surv AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY text),
+ded AS (SELECT base.* FROM base JOIN surv USING (doc_id)),
+g3 AS (SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                               i -> array_to_string(t[i:i+2], ' '))) AS gram
+       FROM toks WHERE len(t) >= 3),
+bench AS (SELECT doc_id AS bid, gram FROM g3 WHERE doc_id % 41 = 0),
+bad AS (SELECT DISTINCT g3.doc_id FROM g3 JOIN bench USING (gram)
+        WHERE g3.doc_id <> bench.bid),
+clean AS (SELECT ded.* FROM ded ANTI JOIN bad USING (doc_id))
+SELECT source, count(*) AS n_docs, cast(sum(len(t)) AS BIGINT) AS total_tokens
+FROM clean GROUP BY source
+""")
+def pipeline_full_curation(spark, sf):
+    """The full curation pipeline in ONE declarative plan — the
+    north-star composition: Gopher repetition gate → token-count floor →
+    exact dedup (lowest id survives) → benchmark decontamination
+    (broadcast 3-gram set) → per-source corpus stats. Every stage is the
+    already-oracled operator; Catalyst fuses the chain (the repetition
+    profile and the dedup re-use the same scan; the decontamination side
+    is map-side against a broadcast)."""
+    from clickhouse_clickhouse_spark.functions.text import repetition_profile
+    from clickhouse_clickhouse_spark.pipeline.decontam import decontaminate
+
+    d = load_table(spark, sf, "documents")
+    keep_ids = repetition_profile(d).filter("keep").select("doc_id")
+    base = (d.join(keep_ids, "doc_id")
+            .filter(TXT.token_count(F.col("text")) >= 10))
+    deduped = exact_dedup(base, "text", "doc_id")
+    bench = d.filter(F.col("doc_id") % 41 == 0)
+    clean = decontaminate(deduped, bench, n=3)
+    return (clean.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(TXT.token_count(F.col("text"))).cast("long")
+                  .alias("total_tokens")))

@@ -138,3 +138,47 @@ def test_global_row_number_string_keys(spark, rows):
     want = {(r.s, r.tb): r.rn for r in
             df.withColumn("rn", F.row_number().over(w)).collect()}
     assert got == want
+
+
+_words = st.sampled_from(["a", "b", "c", "d", "e"])
+_doc = st.lists(_words, min_size=0, max_size=12).map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=10)
+
+
+@settings(max_examples=10, deadline=None)
+@given(train=_corpus, bench=_corpus, n=st.integers(2, 4))
+def test_ngram_contamination_matches_bruteforce(spark, train, bench, n):
+    """Contamination report must equal the brute-force Python n-gram
+    intersection for any corpus shape (short docs, empty docs, shared
+    ids between train and bench, duplicate grams)."""
+    from clickhouse_clickhouse_spark.pipeline.decontam import ngram_contamination
+
+    tdf = spark.createDataFrame(list(enumerate(train)),
+                                "doc_id long, text string")
+    # bench ids overlap train ids (0..) on purpose: same-id self matches
+    # must not count
+    bdf = spark.createDataFrame(list(enumerate(bench)),
+                                "doc_id long, text string")
+
+    def grams(s):
+        t = s.split(" ") if s else []
+        return {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+
+    exp = {}
+    bg = [(i, grams(s)) for i, s in enumerate(bench)]
+    for i, s in enumerate(train):
+        g = grams(s)
+        hit_grams, hit_docs = set(), set()
+        for j, gb in bg:
+            if j == i:
+                continue
+            inter = g & gb
+            if inter:
+                hit_grams |= inter
+                hit_docs.add(j)
+        if hit_grams:
+            exp[i] = (len(hit_grams), len(hit_docs))
+
+    got = {r.doc_id: (r.n_gram_hits, r.n_bench_docs)
+           for r in ngram_contamination(tdf, bdf, n=n).collect()}
+    assert got == exp
