@@ -287,3 +287,63 @@ def cb_dialect_daily(spark, sf):
                countIf(event_type == 'purchase') AS buys,
                round(sum(value), 4) AS value_sum
         FROM events GROUP BY d""")
+
+
+@register("cb_wide_sums", oracle="""
+SELECT date_trunc('day', ts) AS d,
+       round(sum(value), 4) AS total_value,
+       cast(count_if(event_type = 'view') AS BIGINT) AS n_view,
+       cast(count_if(event_type = 'click') AS BIGINT) AS n_click,
+       cast(count_if(event_type = 'purchase') AS BIGINT) AS n_buy,
+       cast(count_if(event_type = 'error') AS BIGINT) AS n_err,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4)
+           AS buy_value,
+       cast(max(cast(json_extract(props, '$.k') AS INT)) AS INT) AS max_k
+FROM events GROUP BY 1
+""")
+def cb_wide_sums(spark, sf):
+    """The ClickBench 'many aggregates in one pass' shape (Q30-class):
+    eight aggregates over one scan — a single two-phase hash agg, every
+    conditional count map-side combined; nothing re-reads the table."""
+    ev = load_table(spark, sf, "events")
+    return (ev.groupBy(F.date_trunc("day", "ts").alias("d"))
+            .agg(F.round(F.sum("value"), 4).alias("total_value"),
+                 F.count_if(F.col("event_type") == "view").alias("n_view"),
+                 F.count_if(F.col("event_type") == "click").alias("n_click"),
+                 F.count_if(F.col("event_type") == "purchase").alias("n_buy"),
+                 F.count_if(F.col("event_type") == "error").alias("n_err"),
+                 F.round(F.sum(F.when(F.col("event_type") == "purchase",
+                                      F.col("value"))), 4).alias("buy_value"),
+                 F.max(F.get_json_object("props", "$.k").cast("int"))
+                  .alias("max_k")))
+
+
+@register("cb_heavy_users", oracle="""
+SELECT user_id, n FROM (
+  SELECT user_id, count(*) AS n,
+         row_number() OVER (ORDER BY count(*) DESC, user_id) AS rn
+  FROM events GROUP BY user_id HAVING count(*) > 50) t
+WHERE rn <= 20
+""")
+def cb_heavy_users(spark, sf):
+    """Heavy-hitter selection (HAVING over a count) + top-k: hash agg,
+    post-agg filter, TakeOrderedAndProject — no global rank window."""
+    ev = load_table(spark, sf, "events")
+    g = ev.groupBy("user_id").agg(F.count("*").alias("n")).filter("n > 50")
+    return g.orderBy(F.col("n").desc(), F.col("user_id")).limit(20)
+
+
+@register("cb_star_filter_page", oracle="""
+SELECT * FROM events
+WHERE event_type = 'purchase' AND value > 40
+ORDER BY ts, event_id LIMIT 25
+""")
+def cb_star_filter_page(spark, sf):
+    """SELECT * pagination under a pushed filter (ClickBench Q23-class):
+    the predicate reaches the parquet scan, the full-width rows ride a
+    TakeOrderedAndProject top-25 — wide projection does NOT force a wide
+    shuffle."""
+    ev = load_table(spark, sf, "events")
+    return (ev.filter((F.col("event_type") == "purchase")
+                      & (F.col("value") > 40))
+            .orderBy("ts", "event_id").limit(25))
