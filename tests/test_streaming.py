@@ -391,3 +391,48 @@ def test_sketch_rollup_compaction_preserves_answers(spark, events_dir,
     assert after == before                      # identical answers
     assert spark.read.parquet(target).count() < n_rows_before
     assert spark.read.parquet(target).count() == len(after)
+
+
+def test_streaming_curation_end_to_end(spark, tmp_path):
+    """The streaming curation chain: PII redacted in-stream, short and
+    repetitive docs gated, cross-batch exact dedup (first batch wins),
+    per-batch broadcast decontamination — survivors equal the hand
+    computation."""
+    from clickhouse_clickhouse_spark.streaming.curation import (
+        streaming_curation,
+    )
+
+    src = str(tmp_path / "docs_src")
+    tgt = str(tmp_path / "curated")
+    ckp = str(tmp_path / "ckp")
+    normal = "alpha beta gamma delta eps zeta eta theta iota kappa lam mu"
+    b1 = [
+        (1, normal),
+        (2, "write to a.b@mail.io " + normal),
+        (3, "rep rep rep rep rep rep rep rep rep rep rep rep"),  # rep gate
+        (4, "too short"),                                        # floor
+        (5, "the quick brown fox " + normal[:-3]),               # contaminated
+    ]
+    b2 = [
+        (6, normal),                                             # dup of 1
+        (7, normal.replace("alpha", "omega")),
+    ]
+    spark.createDataFrame(b1, "doc_id long, text string") \
+        .coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2, "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    bench = spark.createDataFrame(
+        [(100, "saw the quick brown fox leap")], "doc_id long, text string")
+
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema).format("parquet")
+              .option("maxFilesPerTrigger", 1).load(src))
+    q = streaming_curation(stream, bench, tgt, ckp)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = {r.doc_id: r.text for r in spark.read.parquet(tgt).collect()}
+    assert set(out) == {1, 2, 7}          # 6 deduped against 1 across batches
+    assert out[2].startswith("write to <EMAIL> ")
