@@ -28,17 +28,19 @@ from clickhouse_clickhouse_spark.functions.text import word_ngrams
 
 
 def doc_ngrams(df: DataFrame, *, n: int, id_col: str = "doc_id",
-               text_col: str = "text") -> DataFrame:
-    """Distinct word n-grams per document: ``(id_col, gram)``.
+               text_col: str = "text", distinct: bool = True) -> DataFrame:
+    """Word n-grams per document: ``(id_col, gram)``, distinct per doc
+    by default.
 
     Tokenization is whitespace split (the corpus-side convention of the
     other pipeline ops, via :func:`functions.text.word_ngrams` — the
     O(len) zip_with shingler). Documents shorter than ``n`` tokens
-    contribute no rows.
+    contribute no rows. ``distinct=False`` skips the dedup shuffle —
+    use it when a downstream aggregate dedups anyway.
     """
-    return (df.select(F.col(id_col),
-                      F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
-            .distinct())
+    out = df.select(F.col(id_col),
+                    F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+    return out.distinct() if distinct else out
 
 
 def ngram_contamination(df: DataFrame, bench: DataFrame, *, n: int = 13,
@@ -56,8 +58,15 @@ def ngram_contamination(df: DataFrame, bench: DataFrame, *, n: int = 13,
     A training doc that also appears in ``bench`` (same id) is not
     matched against itself, so a corpus can be screened against a
     benchmark drawn from it.
+
+    The corpus side is NOT pre-deduplicated: the broadcast join is
+    map-side, the final ``countDistinct`` dedups repeated grams, and the
+    only corpus-side shuffle carries the post-join HIT set (grams that
+    actually match the benchmark — tiny next to the gram stream). A
+    pre-join ``distinct`` would shuffle every gram of every document.
     """
-    g = doc_ngrams(df, n=n, id_col=id_col, text_col=text_col)
+    g = doc_ngrams(df, n=n, id_col=id_col, text_col=text_col,
+                   distinct=False)
     b = (doc_ngrams(bench, n=n, id_col=bench_id_col, text_col=bench_text_col)
          .withColumnRenamed(bench_id_col, "__bench_id"))
     if hash_grams:
