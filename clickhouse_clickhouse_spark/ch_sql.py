@@ -11,6 +11,7 @@ Covered dialect surface (the constructs that differ from Spark SQL):
   (→ TABLESAMPLE), ``LIMIT n BY k, ...`` (→ row_number window wrap),
   trailing ``SETTINGS ...`` / ``FORMAT ...`` (stripped), ``GLOBAL
   IN/JOIN`` (→ plain — Spark's planner owns distribution), ``==`` → ``=``,
+  ``LIMIT offset, count`` (→ LIMIT count OFFSET offset),
   ``[LEFT] ARRAY JOIN expr AS x`` (→ LATERAL VIEW [OUTER] EXPLODE; the
   multi-array zip form and the bare-name form are refused with the
   faithful alternative named), ``WITH FILL``/``INTERPOLATE`` (refused →
@@ -390,6 +391,12 @@ def translate(sql: str,
                 if "/" in v else float(v))
         return f"TABLESAMPLE ({frac * 100:g} PERCENT)"
     q = _SAMPLE.sub(sample_sub, q)
+
+    # LIMIT offset, count (MySQL-style CH form) -> LIMIT count OFFSET n.
+    # Only at clause position and NOT followed by BY (LIMIT n BY is the
+    # per-group form handled below).
+    q = re.sub(r"\bLIMIT\s+(\d+)\s*,\s*(\d+)(?!\s*BY\b)",
+               r"LIMIT \2 OFFSET \1", q, flags=re.IGNORECASE)
 
     # LIMIT n BY k,... -> row_number wrap of the whole query
     m = _LIMIT_BY.search(q)

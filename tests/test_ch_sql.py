@@ -175,3 +175,9 @@ def test_week_and_bucket_functions(views):
     assert str(r.w0) == "1995-06-11"
     assert str(r.q) == "1995-06-15 13:45:00"
     assert r.doy == 166
+
+
+def test_limit_offset_comma_form(views):
+    out = ch_sql(views, """
+        SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 2, 3""")
+    assert [r.n_nationkey for r in out.collect()] == [2, 3, 4]
