@@ -184,3 +184,128 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
                                                F.col("corpus_id").asc())
     return (scored.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k))
+
+
+# -- Product quantization (PQ) -------------------------------------------
+
+def _subvectors(df: DataFrame, m: int, dim: int, vec: str,
+                id_col: str) -> DataFrame:
+    """(id, sub, subvec): each vector sliced into m contiguous blocks of
+    dim/m — built as one posexplode of an array-of-slices (no UDF)."""
+    d = dim // m
+    slices = F.array(*[F.slice(F.col(vec), s * d + 1, d) for s in range(m)])
+    return df.select(F.col(id_col),
+                     F.posexplode(slices).alias("sub", "subvec"))
+
+
+def _l2sq(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def pq_train(corpus: DataFrame, *, m: int = 8, codes: int = 16, dim: int,
+             iterations: int = 2, vec: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """Train a product-quantization codebook: m independent sub-space
+    k-means (squared-L2 Lloyd), all sub-spaces in ONE DataFrame pipeline
+    per iteration. Returns (sub, code_id, codeword).
+
+    Seeds are the subvectors of the ``codes`` lowest-id corpus rows
+    (deterministic, TakeOrderedAndProject — no full scan through one
+    task). Each iteration: broadcast the m*codes codewords, argmin
+    assign (window keyed by (id, sub) — parallel), re-average per
+    (sub, code, dim). No driver data motion beyond the codebook.
+    """
+    subs = _subvectors(corpus, m, dim, vec, id_col)
+    seed_ids = corpus.select(id_col).orderBy(id_col).limit(codes)
+    from pyspark.sql import Window
+    w = Window.partitionBy("sub").orderBy(id_col)
+    cb = (subs.join(F.broadcast(seed_ids), id_col)
+          .withColumn("code_id", F.row_number().over(w) - 1)
+          .select("sub", "code_id", F.col("subvec").alias("codeword")))
+    for _ in range(iterations):
+        assigned = _pq_assign(subs, cb, id_col)
+        cb = (assigned.join(subs, [id_col, "sub"])
+              .select("sub", "code_id",
+                      F.posexplode("subvec").alias("dim", "v"))
+              .groupBy("sub", "code_id", "dim").agg(F.avg("v").alias("mv"))
+              .groupBy("sub", "code_id")
+              .agg(F.transform(
+                  F.array_sort(F.collect_list(F.struct("dim", "mv"))),
+                  lambda s: s["mv"].cast("float")).alias("codeword")))
+    return cb
+
+
+def _pq_assign(subs: DataFrame, codebook: DataFrame,
+               id_col: str) -> DataFrame:
+    """Nearest codeword per (id, sub) — broadcast codebook, window
+    argmin keyed by (id, sub) (parallel across the corpus)."""
+    from pyspark.sql import Window
+
+    scored = (subs.join(F.broadcast(codebook), "sub")
+              .select(id_col, "sub", "code_id",
+                      _l2sq(F.col("subvec"), F.col("codeword")).alias("d")))
+    w = Window.partitionBy(id_col, "sub").orderBy("d", "code_id")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).select(id_col, "sub", "code_id"))
+
+
+def pq_encode(corpus: DataFrame, codebook: DataFrame, *, m: int, dim: int,
+              vec: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """(id, codes): each vector reduced to m small ints — the 100 TB
+    storage form (m bytes/vector at codes<=256 vs 4*dim)."""
+    subs = _subvectors(corpus, m, dim, vec, id_col)
+    a = _pq_assign(subs, codebook, id_col)
+    return (a.groupBy(id_col)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code_id"))),
+                lambda s: s["code_id"]).alias("codes")))
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, k: int, *, m: int = 8,
+            codes: int = 16, dim: int, iterations: int = 2,
+            corpus_id: str = "vec_id", corpus_vec: str = "embedding",
+            query_id: str = "query_id", query_vec: str = "embedding"
+            ) -> DataFrame:
+    """PQ ANN top-k by asymmetric distance (ADC): exact query subvectors
+    against quantized corpus codes. Per query, distances to the m*codes
+    codewords form a lookup table; a corpus row's distance is m table
+    lookups summed — pure JVM expression over the broadcast tables, NO
+    per-query shuffle of the corpus (the only corpus-wide exchange is
+    the final per-query top-k window, on hit rows only after rank
+    pruning). Approximate; quality grows with m and codes.
+    """
+    from pyspark.sql import Window
+
+    cb = pq_train(corpus, m=m, codes=codes, dim=dim, iterations=iterations,
+                  vec=corpus_vec, id_col=corpus_id)
+    enc = pq_encode(corpus, cb, m=m, dim=dim, vec=corpus_vec,
+                    id_col=corpus_id)
+    qsubs = _subvectors(
+        queries.select(F.col(query_id), F.col(query_vec).alias("__qv")),
+        m, dim, "__qv", query_id)
+    # per-query nested lookup table: qtab[sub][code] = squared L2
+    qtab = (qsubs.join(F.broadcast(cb), "sub")
+            .select(query_id, "sub", "code_id",
+                    _l2sq(F.col("subvec"), F.col("codeword")).alias("d"))
+            .groupBy(query_id, "sub")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("code_id", "d"))),
+                lambda s: s["d"]).alias("row"))
+            .groupBy(query_id)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "row"))),
+                lambda s: s["row"]).alias("qtab")))
+    scored = (enc.withColumnRenamed(corpus_id, "corpus_id")
+              .crossJoin(F.broadcast(qtab))
+              .filter(F.col("corpus_id") != F.col(query_id))
+              .select(query_id, "corpus_id",
+                      F.round(F.aggregate(
+                          F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0),
+                          lambda acc, s: acc + F.element_at(
+                              F.element_at(F.col("qtab"), s + 1),
+                              F.element_at(F.col("codes"), s + 1) + 1))
+                       , 6).alias("adc_dist")))
+    w = Window.partitionBy(query_id).orderBy("adc_dist", "corpus_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -284,3 +284,18 @@ def vec_quantize_int8(spark, sf):
                     lambda a, x: a + x).alias("q_sum"),
         F.array_min("qv").alias("q_min"),
         F.array_max("qv").alias("q_max"))
+
+
+@register("ann_pq_topk")
+def ann_pq_topk(spark, sf):
+    """Product-quantization ANN top-5 (the 100 TB storage/scan path: m
+    bytes per vector + table-lookup ADC distances): 8 subspaces x 16
+    codes over the 64-dim fixture, asymmetric distance, rank-pruned
+    per-query top-k. Approximate — rows-only; recall vs exact L2
+    asserted in unit tests (pipeline/similarity.pq_topk)."""
+    from clickhouse_clickhouse_spark.pipeline.similarity import pq_topk
+
+    e = load_table(spark, sf, "embeddings")
+    q = (e.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return pq_topk(e, q, k=5, m=8, codes=16, dim=64, query_id="query_id")

@@ -299,3 +299,38 @@ def test_redact_pii_and_repetition_profile(spark):
     assert prof[1].word_rep_frac == 0.6 and prof[1].top_bigram_frac == 0.75
     assert not prof[1].keep
     assert prof[2].word_rep_frac == 0.0 and prof[2].keep
+
+
+def test_pq_topk_planted_dup_and_recall(spark):
+    """PQ ADC search must surface the planted near-duplicate at rank 1
+    and keep decent recall@5 vs exact L2; the codebook/encoding shapes
+    must be (m*codes rows, m-long code arrays)."""
+    from clickhouse_clickhouse_spark.pipeline.similarity import (
+        pq_encode, pq_topk, pq_train,
+    )
+
+    df = _vectors(spark)                     # 51 vectors, dim 16
+    cb = pq_train(df, m=4, codes=8, dim=16)
+    assert cb.count() == 4 * 8
+    assert all(len(r.codeword) == 4 for r in cb.collect())
+    enc = pq_encode(df, cb, m=4, dim=16)
+    assert enc.count() == df.count()
+    assert all(len(r.codes) == 4 and all(0 <= c < 8 for c in r.codes)
+               for r in enc.collect())
+
+    q = df.filter(F.col("vec_id") == 0).withColumnRenamed("vec_id",
+                                                          "query_id")
+    got = pq_topk(df, q, k=5, m=4, codes=8, dim=16,
+                  query_id="query_id").collect()
+    assert got and sorted(r.rank for r in got) == [1, 2, 3, 4, 5]
+    assert got[0].corpus_id == 100 or any(
+        r.corpus_id == 100 and r.rank <= 2 for r in got)
+
+    # recall@5 vs exact squared-L2 (numpy ground truth)
+    rows = {r.vec_id: np.array(r.embedding) for r in df.collect()}
+    q0 = rows[0]
+    exact = sorted((float(np.sum((v - q0) ** 2)), i)
+                   for i, v in rows.items() if i != 0)[:5]
+    exact_ids = {i for _, i in exact}
+    got_ids = {r.corpus_id for r in got}
+    assert len(exact_ids & got_ids) >= 3   # recall@5 >= 0.6 on 4x8 PQ
