@@ -561,3 +561,154 @@ def nonNegativeDerivative(col, ts, order_by=None, partition_by=()):
     # derivative into 0 — keep it NULL explicitly
     return F.when(prev.isNull(), F.lit(None).cast("double")) \
             .otherwise(F.greatest(dv / F.nullif(dt, F.lit(0.0)), F.lit(0.0)))
+
+
+# -- round-2c batch: arrays / dates / strings / predicates ---------------
+def splitByString(sep: str, s):
+    import re as _re
+    return F.split(_c(s), _re.escape(sep))
+
+
+def arrayReverse(a): return F.reverse(_c(a))
+def arrayPushBack(a, x): return F.concat(_c(a), F.array(F.lit(x)))
+def arrayPushFront(a, x): return F.concat(F.array(F.lit(x)), _c(a))
+def arrayPopBack(a): return F.slice(_c(a), 1, F.greatest(F.size(_c(a)) - 1, F.lit(0)))
+def arrayPopFront(a): return F.slice(_c(a), 2, F.greatest(F.size(_c(a)) - 1, F.lit(0)))
+def arrayWithConstant(n, x): return F.array_repeat(F.lit(x), _c(n).cast("int"))
+
+
+def arrayResize(a, size: int, ext=None):
+    """Truncate or right-pad to exactly ``size`` (pad value defaults to
+    NULL, per the reference's default-value semantics)."""
+    arr = _c(a)
+    pad = F.array_repeat(F.lit(ext), F.greatest(F.lit(size) - F.size(arr),
+                                                F.lit(0)))
+    return F.slice(F.concat(arr, pad), 1, size)
+
+
+def arrayCompact(a):
+    """Drop CONSECUTIVE duplicate elements (run-length heads survive)."""
+    arr = _c(a)
+    return F.filter(arr, lambda x, i: (i == 0) | ~x.eqNullSafe(
+        F.element_at(arr, i)))
+
+
+def arrayEnumerateDense(a):
+    """Dense ids by first appearance: [10,20,10] → [1,2,1]."""
+    arr = _c(a)
+    return F.transform(arr, lambda x: F.array_position(F.array_distinct(arr), x)
+                       .cast("int"))
+
+
+def arrayEnumerateUniq(a):
+    """Occurrence counter per value: [10,10,20,10] → [1,2,1,3].
+    O(n^2) per array (prefix scan per element) — array-local, fine for
+    row-level arrays; NOT a corpus-level op."""
+    arr = _c(a)
+    return F.transform(
+        arr, lambda x, i: F.size(F.filter(F.slice(arr, 1, i + 1),
+                                          lambda y: y.eqNullSafe(x))))
+
+
+def range_(n):
+    """range(n) = [0..n-1]; empty for n <= 0 (guarded — an unguarded
+    sequence(0, n-1) would generate a DESCENDING range for n <= 0)."""
+    nn = _c(n).cast("long")
+    return F.when(nn > 0, F.sequence(F.lit(0).cast("long"), nn - 1)) \
+        .otherwise(F.array().cast("array<bigint>"))
+
+
+def mapFilter(fn, m): return F.map_filter(_c(m), fn)        # CH lambda-first
+def mapApply(fn, m): return F.transform_values(_c(m), fn)   # fn(k, v) -> v'
+
+
+def toLastDayOfMonth(d): return F.last_day(_c(d))
+def addHours(t, n): return _c(t) + F.make_interval(hours=F.lit(n))
+def addMinutes(t, n): return _c(t) + F.make_interval(mins=F.lit(n))
+def addSeconds(t, n): return _c(t) + F.make_interval(secs=F.lit(float(n)))
+def addWeeks(d, n): return F.date_add(_c(d), 7 * n)
+def addYears(t, n): return _c(t) + F.make_interval(years=F.lit(n))
+def subtractHours(t, n): return addHours(t, -n)
+def subtractMonths(d, n): return F.add_months(_c(d), -n)
+def subtractYears(t, n): return addYears(t, -n)
+def monthName(d): return F.date_format(_c(d), "MMMM")
+
+
+def dateName(part: str, d):
+    fmt = {"year": "yyyy", "quarter": "QQQ", "month": "MMMM",
+           "week": "w", "dayofmonth": "d", "weekday": "EEEE",
+           "hour": "H", "minute": "m", "second": "s"}[part.lower()]
+    return F.date_format(_c(d), fmt)
+
+
+def timeSlots(start, duration_sec, size: int = 1800):
+    """Array of slot starts covering [start, start+duration], slot width
+    ``size`` seconds (reference timeSlots): pure sequence arithmetic."""
+    s = F.unix_timestamp(_c(start))
+    d = _c(duration_sec).cast("long")
+    first = F.floor(s / size) * size
+    last = F.floor((s + d) / size) * size
+    return F.transform(F.sequence(first, last, F.lit(size)),
+                       lambda x: F.timestamp_seconds(x))
+
+
+def formatReadableDecimalSize(n):
+    """Like formatReadableSize but 1000-based (KB/MB/GB). The 2-dp
+    display value is TRUNCATED, not rounded: 1000-based divisions land
+    on the .xx5 decimal grid constantly, where Java HALF_UP and C
+    round() disagree on the binary doubles — floor(x*100)/100 is
+    bit-deterministic across engines."""
+    b = _c(n).cast("double")
+    KB, MB, GB = 1e3, 1e6, 1e9
+
+    def t2(x):
+        return (F.floor(x * 100) / 100).cast("string")
+    return (F.when(b >= GB, F.concat(t2(b / GB), F.lit(" GB")))
+            .when(b >= MB, F.concat(t2(b / MB), F.lit(" MB")))
+            .when(b >= KB, F.concat(t2(b / KB), F.lit(" KB")))
+            .otherwise(F.concat(b.cast("long").cast("string"), F.lit(" B"))))
+
+
+def trimLeft(s): return F.ltrim(_c(s))
+def trimRight(s): return F.rtrim(_c(s))
+def substringUTF8(s, p, l): return F.substring(_c(s), p, l)
+def positionCaseInsensitive(h, n): return F.locate(n.lower() if isinstance(n, str) else n, F.lower(_c(h)))
+def countMatches(s, pat: str): return F.regexp_count(_c(s), F.lit(pat))
+
+
+def countSubstrings(s, sub: str):
+    """Non-overlapping literal substring count via length arithmetic."""
+    col = _c(s)
+    return ((F.length(col) - F.length(F.replace(col, F.lit(sub), F.lit(""))))
+            / len(sub)).cast("int")
+
+
+def isNaN(x): return F.isnan(_c(x))
+def isInfinite(x): return F.abs(_c(x)) == F.lit(float("inf"))
+def isFinite(x):
+    c = _c(x)
+    return ~(F.isnan(c) | (F.abs(c) == F.lit(float("inf"))))
+
+
+def ifNotFinite(x, y):
+    c = _c(x)
+    return F.when(isFinite(c), c).otherwise(_c(y))
+
+
+def bitTestAll(x, *ks):
+    out = F.lit(True)
+    for k in ks:
+        out = out & bitTest(x, k)
+    return out
+
+
+def bitTestAny(x, *ks):
+    out = F.lit(False)
+    for k in ks:
+        out = out | bitTest(x, k)
+    return out
+
+
+def regexpExtract(s, pat, group=1): return F.regexp_extract(_c(s), pat, group)
+def initcap(s): return F.initcap(_c(s))
+def generateUUIDv4(): return F.expr("uuid()")   # non-deterministic — no oracle

@@ -1083,3 +1083,83 @@ def ch_dialect_demo2(spark, sf):
         ch.halfMD5("p_name").alias("half_md5"),
         F.round(jaro_winkler(F.col("p_name"), F.col("p_brand")), 6)
         .alias("jw"))
+
+
+@register("ch_dialect_demo3", oracle="""
+SELECT p_partkey,
+       list_reverse(list_transform(generate_series(1, cast(p_partkey % 4 AS INT) + 1),
+                                   x -> cast(x - 1 AS BIGINT))) AS rev,
+       list_transform(generate_series(1, cast(p_partkey % 4 AS INT)),
+                      x -> cast(x - 1 AS BIGINT)) AS popped,
+       [cast(1 AS INT), cast(2 AS INT), cast(1 AS INT)] AS dense_demo,
+       [1, 2, 1] AS uniq_demo,
+       CASE WHEN p_partkey % 2 = 0 THEN [1, 3, 1] ELSE [1, 3] END
+         AS compact,
+       strftime(last_day(DATE '1995-01-01' + cast(p_partkey % 365 AS INT)),
+                '%Y-%m-%d') AS last_dom_probe,
+       strftime(last_day(DATE '1995-01-01' + cast(p_partkey % 365 AS INT)),
+                '%Y-%m-%d') AS last_dom,
+       monthname(DATE '1995-01-01' + cast(p_partkey % 365 AS INT)) AS mname,
+       dayname(DATE '1995-01-01' + cast(p_partkey % 365 AS INT)) AS dname,
+       CASE WHEN (p_partkey * 1000.0) >= 1e9
+              THEN cast(floor(p_partkey * 1000.0 / 1e9 * 100) / 100 AS VARCHAR) || ' GB'
+            WHEN (p_partkey * 1000.0) >= 1e6
+              THEN cast(floor(p_partkey * 1000.0 / 1e6 * 100) / 100 AS VARCHAR) || ' MB'
+            WHEN (p_partkey * 1000.0) >= 1e3
+              THEN cast(floor(p_partkey * 1000.0 / 1e3 * 100) / 100 AS VARCHAR) || ' KB'
+            ELSE cast(cast(p_partkey * 1000.0 AS BIGINT) AS VARCHAR) || ' B'
+       END AS readable,
+       cast((len(p_name) - len(replace(p_name, 'a', ''))) / 1 AS INT)
+         AS n_a,
+       cast(len(regexp_extract_all(p_name, '[aeiou]')) AS INT) AS n_vowel,
+       NOT (isnan(CASE WHEN p_partkey % 2 = 0
+                       THEN cast('Infinity' AS DOUBLE) ELSE 1.0 END)
+            OR abs(CASE WHEN p_partkey % 2 = 0
+                        THEN cast('Infinity' AS DOUBLE) ELSE 1.0 END)
+               = cast('Infinity' AS DOUBLE)) AS finite,
+       CASE WHEN p_partkey % 2 = 0 THEN -1.0 ELSE 1.0 END AS fallback,
+       (((p_partkey >> 0) & 1) = 1 OR ((p_partkey >> 1) & 1) = 1)
+         AS bit_any,
+       (((p_partkey >> 0) & 1) = 1 AND ((p_partkey >> 2) & 1) = 1)
+         AS bit_all
+FROM part
+""")
+def ch_dialect_demo3(spark, sf):
+    """Round-2c dialect batch through real expressions: array editing
+    (reverse/pop/resize/compact/enumerate), date names and last-day,
+    1000-based readable sizes, substring/regex counting, finiteness
+    predicates, multi-position bit tests. The dense/uniq enumerations
+    are pinned on a constant array so the oracle row is
+    value-transparent."""
+    from clickhouse_clickhouse_spark import ch_functions as ch
+
+    p = load_table(spark, sf, "part")
+    k = F.col("p_partkey")
+    d = F.date_add(F.lit("1995-01-01").cast("date"), (k % 365).cast("int"))
+    inf_or_1 = F.when(k % 2 == 0, F.lit(float("inf"))).otherwise(F.lit(1.0))
+    return p.select(
+        "p_partkey",
+        ch.arrayReverse(ch.range_((k % 4) + 1)).alias("rev"),
+        ch.arrayPopBack(ch.range_((k % 4) + 1)).alias("popped"),
+        ch.arrayEnumerateDense(F.array(F.lit(10), F.lit(20), F.lit(10)))
+          .alias("dense_demo"),
+        ch.arrayEnumerateUniq(F.array(F.lit(7), F.lit(7), F.lit(9)))
+          .alias("uniq_demo"),
+        ch.arrayCompact(F.when(k % 2 == 0,
+                               F.array(F.lit(1), F.lit(1), F.lit(3),
+                                       F.lit(3), F.lit(1)))
+                        .otherwise(F.array(F.lit(1), F.lit(1), F.lit(1),
+                                           F.lit(3), F.lit(3))))
+          .alias("compact"),
+        ch.toLastDayOfMonth(d).cast("string").alias("last_dom_probe"),
+        ch.toLastDayOfMonth(d).cast("string").alias("last_dom"),
+        ch.monthName(d).alias("mname"),
+        ch.dateName("weekday", d).alias("dname"),
+        ch.formatReadableDecimalSize(k * 1000.0).alias("readable"),
+        ch.countSubstrings(F.col("p_name"), "a").alias("n_a"),
+        ch.countMatches(F.col("p_name"), "[aeiou]").alias("n_vowel"),
+        ch.isFinite(inf_or_1).alias("finite"),
+        ch.ifNotFinite(F.when(k % 2 == 0, F.lit(float("inf")))
+                       .otherwise(F.lit(1.0)), F.lit(-1.0)).alias("fallback"),
+        ch.bitTestAny(k, 0, 1).alias("bit_any"),
+        ch.bitTestAll(k, 0, 2).alias("bit_all"))

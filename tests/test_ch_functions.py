@@ -160,3 +160,34 @@ def test_running_difference_and_derivative(spark):
     assert out[(1, 10)] == (6.0, 0.6)
     assert out[(1, 20)] == (-12.0, 0.0)   # counter reset clamped
     assert out[(2, 0)] == (0.0, None)
+
+
+def test_round2c_batch(spark):
+    from pyspark.sql import functions as F
+
+    from clickhouse_clickhouse_spark import ch_functions as ch
+
+    df = spark.createDataFrame(
+        [(1, "a::b::c", "2024-03-15 13:47:21")],
+        "id long, s string, t string").withColumn("ts", F.to_timestamp("t"))
+    r = df.select(
+        ch.splitByString("::", F.col("s")).alias("parts"),
+        ch.arrayResize(F.array(F.lit(1), F.lit(2)), 4, 0).alias("resized"),
+        ch.arrayResize(F.array(F.lit(1), F.lit(2), F.lit(3)), 2).alias("cut"),
+        ch.timeSlots(F.col("ts"), F.lit(3600), 1800).alias("slots"),
+        ch.mapFilter(lambda k, v: v > 1,
+                     F.create_map(F.lit("a"), F.lit(1),
+                                  F.lit("b"), F.lit(2))).alias("mf"),
+        ch.mapApply(lambda k, v: v * 10,
+                    F.create_map(F.lit("a"), F.lit(1))).alias("ma"),
+        ch.addHours(F.col("ts"), 2).alias("plus2h"),
+        ch.range_(F.lit(0)).alias("empty_range"),
+        ch.arrayWithConstant(F.lit(3), 7).alias("sevens"),
+    ).first()
+    assert r.parts == ["a", "b", "c"]
+    assert r.resized == [1, 2, 0, 0] and r.cut == [1, 2]
+    assert [str(x) for x in r.slots] == [
+        "2024-03-15 13:30:00", "2024-03-15 14:00:00", "2024-03-15 14:30:00"]
+    assert r.mf == {"b": 2} and r.ma == {"a": 10}
+    assert str(r.plus2h) == "2024-03-15 15:47:21"
+    assert r.empty_range == [] and r.sevens == [7, 7, 7]
