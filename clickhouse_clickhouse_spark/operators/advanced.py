@@ -282,3 +282,34 @@ def ipv4_string_to_num(s: Column) -> Column:
             parts.getItem(1).cast("long") * 65536 +
             parts.getItem(2).cast("long") * 256 +
             parts.getItem(3).cast("long"))
+
+
+def anova_f(df: DataFrame, group_col: str, value: Column | str) -> DataFrame:
+    """One-way ANOVA (reference ``analysisOfVariance``/``anova``): the
+    between/within-group F statistic, computed as two chained hash
+    aggregations (per-group moments, then global combine) — no window,
+    no driver math. Returns one row: (f_stat, df_between, df_within).
+
+    p-values need the F-distribution CDF (out of DataFrame scope, as
+    with the t-tests — documented in SURVEY §2.4 notes).
+    """
+    v = (F.col(value) if isinstance(value, str) else value).cast("double")
+    g = (df.filter(v.isNotNull())
+         .groupBy(group_col)
+         .agg(F.count("*").alias("n_g"), F.avg(v).alias("mean_g"),
+              # within-group sum of squares via the moment identity
+              (F.sum(v * v) - F.count("*") * F.avg(v) * F.avg(v))
+              .alias("ssw_g")))
+    return (g.agg(
+        F.count("*").alias("k"),
+        F.sum("n_g").alias("n"),
+        (F.sum(F.col("n_g") * F.col("mean_g")) / F.sum("n_g")).alias("gm"),
+        F.sum("ssw_g").alias("ssw"),
+        F.sum(F.col("n_g") * F.col("mean_g") * F.col("mean_g")).alias("s2w"))
+        .select(
+            F.round(((F.col("s2w") - F.col("n") * F.col("gm") * F.col("gm"))
+                     / (F.col("k") - 1))
+                    / (F.col("ssw") / (F.col("n") - F.col("k"))), 6)
+            .alias("f_stat"),
+            (F.col("k") - 1).cast("long").alias("df_between"),
+            (F.col("n") - F.col("k")).cast("long").alias("df_within")))

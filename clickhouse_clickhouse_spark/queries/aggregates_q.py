@@ -1048,3 +1048,48 @@ def agg_avg_map(spark, sf):
                   ["user_id", "map_key"])
             .select("user_id", "map_key",
                     F.round("map_sum", 4).alias("map_sum"), "map_n"))
+
+
+@register("agg_anova", oracle="""
+WITH g AS (
+  SELECT event_type,
+         count(*) AS n_g,
+         avg(value) AS mean_g,
+         sum(value * value) - count(*) * avg(value) * avg(value) AS ssw_g
+  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+SELECT round(((sum(n_g * mean_g * mean_g)
+               - sum(n_g) * pow(sum(n_g * mean_g) / sum(n_g), 2))
+              / (count(*) - 1))
+             / (sum(ssw_g) / (sum(n_g) - count(*))), 6) AS f_stat,
+       cast(count(*) - 1 AS BIGINT) AS df_between,
+       cast(sum(n_g) - count(*) AS BIGINT) AS df_within
+FROM g
+""")
+def agg_anova(spark, sf):
+    """analysisOfVariance (one-way ANOVA F statistic over event_type
+    groups) — reference AggregateFunctionAnalysisOfVariance; two chained
+    hash aggregations via operators/advanced.anova_f."""
+    from clickhouse_clickhouse_spark.operators.advanced import anova_f
+
+    ev = load_table(spark, sf, "events")
+    return anova_f(ev, "event_type", "value")
+
+
+@register("agg_group_concat", oracle="""
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY event_type, event_id) AS types
+FROM events WHERE event_id < 2000
+GROUP BY user_id
+""")
+def agg_group_concat(spark, sf):
+    """groupConcat (24.x reference addition; ≡ string_agg): sorted-
+    deterministic concatenation via array_sort(collect_list(struct)) —
+    one hash agg; the struct sort key makes the result order-stable
+    under any partitioning."""
+    ev = load_table(spark, sf, "events").filter(F.col("event_id") < 2000)
+    return (ev.groupBy("user_id")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("event_type", "event_id"))),
+                    lambda s: s["event_type"]), ",").alias("types")))
