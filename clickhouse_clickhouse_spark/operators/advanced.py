@@ -313,3 +313,38 @@ def anova_f(df: DataFrame, group_col: str, value: Column | str) -> DataFrame:
             .alias("f_stat"),
             (F.col("k") - 1).cast("long").alias("df_between"),
             (F.col("n") - F.col("k")).cast("long").alias("df_within")))
+
+
+def tukey_outliers(df: DataFrame, keys: Sequence[str], value: Column | str,
+                   k: float = 1.5) -> DataFrame:
+    """Tukey-fence outlier profile per key group (reference
+    ``seriesOutliersDetectTukey``, the q1/q3 ± k*IQR rule; this
+    relational form returns per-group fences + outlier counts rather
+    than the reference's per-point score array — the per-point flags are
+    the broadcast-join of this result back onto the rows, demonstrated
+    in the registered query's oracle).
+
+    Two hash aggregations: exact interpolated quartiles per group
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, both type-7), then
+    a broadcast join back for the flag count. No window, no sort of the
+    full data.
+    """
+    v = (F.col(value) if isinstance(value, str) else value).cast("double")
+    keys = list(keys)
+    fences = (df.filter(v.isNotNull()).groupBy(*keys)
+              .agg(F.percentile(v, F.lit(0.25)).alias("q1"),
+                   F.percentile(v, F.lit(0.75)).alias("q3")))
+    fences = fences.select(
+        *keys,
+        F.round("q1", 6).alias("q1"), F.round("q3", 6).alias("q3"),
+        F.round(F.col("q1") - k * (F.col("q3") - F.col("q1")), 6).alias("lo"),
+        F.round(F.col("q3") + k * (F.col("q3") - F.col("q1")), 6).alias("hi"))
+    joined = df.filter(v.isNotNull()).join(F.broadcast(fences), keys)
+    return (joined.groupBy(*keys)
+            .agg(F.any_value(F.col("q1")).alias("q1"),
+                 F.any_value(F.col("q3")).alias("q3"),
+                 F.any_value(F.col("lo")).alias("lo"),
+                 F.any_value(F.col("hi")).alias("hi"),
+                 F.count("*").alias("n"),
+                 F.count_if((v < F.col("lo")) | (v > F.col("hi")))
+                 .alias("n_outliers")))

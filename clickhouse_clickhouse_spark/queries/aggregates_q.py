@@ -1093,3 +1093,33 @@ def agg_group_concat(spark, sf):
                     F.array_sort(F.collect_list(
                         F.struct("event_type", "event_id"))),
                     lambda s: s["event_type"]), ",").alias("types")))
+
+
+@register("series_outliers_tukey", oracle="""
+WITH f AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.25), 6) AS q1,
+         round(quantile_cont(value, 0.75), 6) AS q3,
+         round(quantile_cont(value, 0.25)
+               - 1.5 * (quantile_cont(value, 0.75)
+                        - quantile_cont(value, 0.25)), 6) AS lo,
+         round(quantile_cont(value, 0.75)
+               + 1.5 * (quantile_cont(value, 0.75)
+                        - quantile_cont(value, 0.25)), 6) AS hi
+  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+SELECT e.event_type, q1, q3, lo, hi,
+       count(*) AS n,
+       cast(count_if(value < lo OR value > hi) AS BIGINT) AS n_outliers
+FROM events e JOIN f ON e.event_type = f.event_type
+WHERE value IS NOT NULL
+GROUP BY e.event_type, q1, q3, lo, hi
+""")
+def series_outliers_tukey(spark, sf):
+    """seriesOutliersDetectTukey-class anomaly detection: per-group
+    Tukey fences (exact type-7 quartiles) + outlier counts —
+    operators/advanced.tukey_outliers; fences broadcast back, so the
+    per-point flag pass never shuffles the fact rows."""
+    from clickhouse_clickhouse_spark.operators.advanced import tukey_outliers
+
+    ev = load_table(spark, sf, "events")
+    return tukey_outliers(ev, ["event_type"], "value")
