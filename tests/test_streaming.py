@@ -436,3 +436,46 @@ def test_streaming_curation_end_to_end(spark, tmp_path):
     out = {r.doc_id: r.text for r in spark.read.parquet(tgt).collect()}
     assert set(out) == {1, 2, 7}          # 6 deduped against 1 across batches
     assert out[2].startswith("write to <EMAIL> ")
+
+
+def test_streaming_curation_state_survives_restart(spark, tmp_path):
+    """The cross-batch dedup state must be recovered from the checkpoint:
+    a duplicate arriving AFTER a stop/restart is still deduplicated, and
+    already-curated output is not re-emitted (exactly-once)."""
+    from clickhouse_clickhouse_spark.streaming.curation import (
+        streaming_curation,
+    )
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    ckp = str(tmp_path / "ckp")
+    normal = "alpha beta gamma delta eps zeta eta theta iota kappa lam mu"
+    bench = spark.createDataFrame([(100, "zzz yyy xxx www")],
+                                  "doc_id long, text string")
+    schema = "doc_id long, text string"
+
+    spark.createDataFrame([(1, normal)], schema).coalesce(1) \
+        .write.parquet(src)
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .format("parquet").option("maxFilesPerTrigger", 1).load(src))
+    q = streaming_curation(stream, bench, tgt, ckp)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert {r.doc_id for r in spark.read.parquet(tgt).collect()} == {1}
+
+    # second batch lands while the stream is DOWN: a dup of doc 1 + a new doc
+    spark.createDataFrame(
+        [(2, normal), (3, normal.replace("alpha", "omega"))],
+        schema).coalesce(1).write.mode("append").parquet(src)
+    stream2 = (spark.readStream.schema(spark.read.parquet(src).schema)
+               .format("parquet").option("maxFilesPerTrigger", 1).load(src))
+    q2 = streaming_curation(stream2, bench, tgt, ckp)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    out = [r.doc_id for r in spark.read.parquet(tgt).collect()]
+    assert sorted(out) == [1, 3]          # 2 deduped across the restart
+    assert out.count(1) == 1              # batch 1 not re-emitted
