@@ -162,3 +162,41 @@ def apply_column_ttl(spark: SparkSession, path: str, ts_col: str,
     for c in ttl_cols:
         df = df.withColumn(c, F.when(expired, F.lit(None)).otherwise(F.col(c)))
     _rewrite(spark, df, path, partition_by)
+
+
+def optimize_deduplicate(spark: SparkSession, path: str,
+                         by: Sequence[str] | None = None,
+                         order_by: Sequence[str] = (),
+                         partition_by: Sequence[str] = ()) -> None:
+    """``OPTIMIZE TABLE ... [DEDUPLICATE [BY cols]]`` — drop duplicate
+    rows in place (reference MergeTree dedup merge). ``by=None`` dedups
+    on ALL columns (the reference default); with ``by`` + ``order_by``
+    the FIRST row per key in that order survives (deterministic, unlike
+    a bare dropDuplicates under shuffle)."""
+    df = spark.read.parquet(path)
+    if by is None:
+        out = df.dropDuplicates()
+    else:
+        from pyspark.sql import Window
+        keys = list(by)
+        order = [F.col(c) for c in order_by] or [F.col(c) for c in keys]
+        w = Window.partitionBy(*keys).orderBy(*order)
+        out = (df.withColumn("__rn", F.row_number().over(w))
+               .filter(F.col("__rn") == 1).drop("__rn"))
+    _rewrite(spark, out, path, partition_by)
+
+
+def modify_column_type(spark: SparkSession, path: str, column: str,
+                       new_type: str,
+                       partition_by: Sequence[str] = ()) -> None:
+    """``ALTER TABLE ... MODIFY COLUMN c Type`` — schema-evolution
+    mutation: cast-rewrite the files (the reference also rewrites parts;
+    ``new_type`` accepts reference type names via types_map)."""
+    from clickhouse_clickhouse_spark.types_map import parse_ch_type
+    try:
+        spark_type, _nullable = parse_ch_type(new_type)
+    except Exception:
+        spark_type = new_type  # already a Spark type string
+    df = spark.read.parquet(path)
+    _rewrite(spark, df.withColumn(column, F.col(column).cast(spark_type)),
+             path, partition_by)

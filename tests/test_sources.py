@@ -200,3 +200,30 @@ def test_sort_projection_routing_and_pruning(spark, sf_dir, tmp_path):
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     # routes back to base when keys don't match
     assert route_scan(spark, base, [proj], ["o_orderdate"]) is base
+
+
+def test_optimize_deduplicate_and_modify_column(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from clickhouse_clickhouse_spark.sources.write import (
+        modify_column_type, optimize_deduplicate,
+    )
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 5), (1, "a", 5), (1, "b", 9), (2, "a", 7)],
+        "k long, s string, v long").write.parquet(p)
+
+    # all-columns dedup drops only the exact-duplicate row
+    optimize_deduplicate(spark, p)
+    assert spark.read.parquet(p).count() == 3
+
+    # keyed dedup keeps the first row per k ordered by v desc
+    optimize_deduplicate(spark, p, by=["k"], order_by=["v"])
+    rows = {r.k: (r.s, r.v) for r in spark.read.parquet(p).collect()}
+    assert rows == {1: ("a", 5), 2: ("a", 7)}
+
+    # MODIFY COLUMN v -> reference type name maps through types_map
+    modify_column_type(spark, p, "v", "Float64")
+    assert dict(spark.read.parquet(p).dtypes)["v"] == "double"
+    assert {r.v for r in spark.read.parquet(p).collect()} == {5.0, 7.0}
