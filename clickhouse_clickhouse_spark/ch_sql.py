@@ -294,6 +294,7 @@ _PREWHERE = re.compile(r"\bPREWHERE\b(.*?)(?=\bWHERE\b|\bGROUP\s+BY\b|"
 _LIMIT_BY = re.compile(r"\bLIMIT\s+(\d+)\s+BY\s+([^\n;]+?)"
                        r"(?=\s+LIMIT\b|\s*$)", re.IGNORECASE)
 _SAMPLE = re.compile(r"\bSAMPLE\s+(0?\.\d+|\d+/\d+)", re.IGNORECASE)
+_SAMPLE_N = re.compile(r"\bSAMPLE\s+(\d+)\b(?!\s*/)", re.IGNORECASE)
 _FINAL = re.compile(r"\bFROM\s+(\w+)\s+FINAL\b", re.IGNORECASE)
 
 
@@ -391,6 +392,8 @@ def translate(sql: str,
                 if "/" in v else float(v))
         return f"TABLESAMPLE ({frac * 100:g} PERCENT)"
     q = _SAMPLE.sub(sample_sub, q)
+    # SAMPLE n (approximate row-count form) -> TABLESAMPLE (n ROWS)
+    q = _SAMPLE_N.sub(lambda m: f"TABLESAMPLE ({m.group(1)} ROWS)", q)
 
     # LIMIT offset, count (MySQL-style CH form) -> LIMIT count OFFSET n.
     # Only at clause position and NOT followed by BY (LIMIT n BY is the

@@ -181,3 +181,9 @@ def test_limit_offset_comma_form(views):
     out = ch_sql(views, """
         SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 2, 3""")
     assert [r.n_nationkey for r in out.collect()] == [2, 3, 4]
+
+
+def test_sample_rows_form(views):
+    out = ch_sql(views, "SELECT count() AS n FROM lineitem SAMPLE 37") \
+        .collect()[0].n
+    assert out == 37
