@@ -12,6 +12,10 @@ Covered dialect surface (the constructs that differ from Spark SQL):
   trailing ``SETTINGS ...`` / ``FORMAT ...`` (stripped), ``GLOBAL
   IN/JOIN`` (→ plain — Spark's planner owns distribution), ``==`` → ``=``,
   ``LIMIT offset, count`` (→ LIMIT count OFFSET offset),
+  scalar ``WITH <expr> AS <name>`` constant aliases (inlined as
+  parenthesized expressions, string-literal-safe; constants must come
+  BEFORE any CTE in the WITH list — a later constant fails loudly at
+  Spark's parser rather than silently misbinding),
   ``[LEFT] ARRAY JOIN expr AS x`` (→ LATERAL VIEW [OUTER] EXPLODE; the
   multi-array zip form and the bare-name form are refused with the
   faithful alternative named), ``WITH FILL``/``INTERPOLATE`` (refused →
@@ -275,6 +279,51 @@ def _rewrite_calls(sql: str) -> str:
     return "".join(out)
 
 
+def _split_top_commas(s: str) -> list[str]:
+    """Split on commas at paren depth 0, respecting string literals."""
+    out, buf, depth, in_str = [], [], 0, False
+    for ch in s:
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    if buf:
+        out.append("".join(buf))
+    return out
+
+
+def _subst_ident(sql: str, name: str, repl: str) -> str:
+    """Replace whole-word ``name`` outside single-quoted strings."""
+    pat = re.compile(rf"\b{re.escape(name)}\b")
+    out, i = [], 0
+    while i < len(sql):
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < len(sql) and sql[j] != "'":
+                j += 1
+            out.append(sql[i:j + 1])
+            i = j + 1
+            continue
+        nxt = sql.find("'", i)
+        chunk = sql[i:nxt] if nxt != -1 else sql[i:]
+        out.append(pat.sub(repl, chunk))
+        i = nxt if nxt != -1 else len(sql)
+    return "".join(out)
+
+
 def _strip_parens(s: str) -> str:
     """Blank out parenthesized spans so a top-level comma test can't be
     fooled by commas inside function calls."""
@@ -322,6 +371,32 @@ def translate(sql: str,
         raise ValueError(
             f"{kind} JOIN has no faithful SQL translation here — use the "
             f"DataFrame operator {helper} (same semantics, scale-safe)")
+
+    # CH scalar WITH: ``WITH <expr> AS <name>`` (expression FIRST —
+    # distinct from the CTE form ``name AS (SELECT ...)``). Constants
+    # are inlined as parenthesized expressions; CTE items pass through.
+    m = re.match(r"^\s*WITH\s+(.*?)\s+(SELECT\b.*)$", q,
+                 re.IGNORECASE | re.DOTALL)
+    if m:
+        items = _split_top_commas(m.group(1))
+        ctes, consts = [], []
+        for it in items:
+            it = it.strip()
+            if re.match(r"^\w+\s+AS\s*\(", it, re.IGNORECASE):
+                ctes.append(it)
+                continue
+            cm = re.match(r"^(.+?)\s+AS\s+(\w+)$", it,
+                          re.IGNORECASE | re.DOTALL)
+            if cm:
+                consts.append((cm.group(2), cm.group(1).strip()))
+            else:
+                ctes.append(it)
+        if consts:
+            rest = m.group(2)
+            for name, expr in consts:
+                rest = _subst_ident(rest, name, f"({expr})")
+                ctes = [_subst_ident(c, name, f"({expr})") for c in ctes]
+            q = (f"WITH {', '.join(ctes)} {rest}" if ctes else rest)
 
     # WITH FILL / INTERPOLATE need sequence generation, not a rewrite —
     # refuse loudly with the operator that has the semantics

@@ -187,3 +187,17 @@ def test_sample_rows_form(views):
     out = ch_sql(views, "SELECT count() AS n FROM lineitem SAMPLE 37") \
         .collect()[0].n
     assert out == 37
+
+
+def test_scalar_with_constants(views):
+    # CH scalar WITH (expression first), mixed with a real CTE
+    out = ch_sql(views, """
+        WITH 2 AS two,
+             big AS (SELECT n_nationkey FROM nation WHERE n_nationkey >= two)
+        SELECT count() AS n, min(n_nationkey) + two AS lo_plus
+        FROM big""").collect()[0]
+    assert out.lo_plus == 4          # min is 2, + two
+    # the name must NOT be replaced inside string literals
+    r = ch_sql(views, "WITH 9 AS k SELECT 'k' AS s, k AS v FROM nation "
+                      "WHERE n_nationkey = 0").collect()[0]
+    assert r.s == "k" and r.v == 9
