@@ -275,3 +275,35 @@ def ch_sql_array_join(spark, sf):
               FROM documents GROUP BY lang)
         ARRAY JOIN arrayFilter(x -> x != 'src3', srcs) AS src
     """)
+
+
+@register("ch_sql_frontend2", oracle="""
+WITH g AS (
+  SELECT o_custkey,
+         (CAST(o_orderdate AS DATE) - CAST(dayofweek(o_orderdate) AS INT)) AS wk,
+         o_totalprice
+  FROM orders WHERE o_totalprice > 100000.0)
+SELECT o_custkey, strftime(wk, '%Y-%m-%d') AS wk,
+       count(*) AS n, round(sum(o_totalprice), 2) AS vol
+FROM g GROUP BY o_custkey, wk
+ORDER BY vol DESC, o_custkey, wk
+LIMIT 15 OFFSET 5
+""")
+def ch_sql_frontend2(spark, sf):
+    """Second dialect end-to-end: scalar WITH constant, Sunday-start
+    toStartOfWeek, the LIMIT offset,count comma form, and ORDER BY over
+    a translated aggregate — all through ch_sql.translate."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "orders").createOrReplaceTempView("orders")
+    return ch_sql(spark, """
+        WITH 100000.0 AS floor_price
+        SELECT o_custkey,
+               toString(toStartOfWeek(o_orderdate)) AS wk,
+               count() AS n,
+               round(sum(o_totalprice), 2) AS vol
+        FROM orders
+        PREWHERE o_totalprice > floor_price
+        GROUP BY o_custkey, wk
+        ORDER BY vol DESC, o_custkey, wk
+        LIMIT 5, 15""")
