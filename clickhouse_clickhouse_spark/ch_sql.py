@@ -127,6 +127,26 @@ _FUNCS: dict[str, str] = {
     "arrayMap": "TRANSFORM({1}, {0})", "arrayFilter": "FILTER({1}, {0})",
     "arrayExists": "EXISTS({1}, {0})", "arrayAll": "FORALL({1}, {0})",
     "arrayCount": "SIZE(FILTER({1}, {0}))",
+    # round-2c SQL-side mirrors of the ch_functions batch
+    "splitByString": "SPLIT({1}, CONCAT('\\\\Q', {0}, '\\\\E'))",
+    "arrayReverse": "REVERSE({0})",
+    "arrayPushBack": "CONCAT({0}, ARRAY({1}))",
+    "arrayPushFront": "CONCAT(ARRAY({1}), {0})",
+    "arrayPopBack": "SLICE({0}, 1, GREATEST(SIZE({0}) - 1, 0))",
+    "arrayPopFront": "SLICE({0}, 2, GREATEST(SIZE({0}) - 1, 0))",
+    "arrayWithConstant": "ARRAY_REPEAT({1}, CAST({0} AS INT))",
+    "range": "CASE WHEN ({0}) > 0 THEN SEQUENCE(CAST(0 AS BIGINT), "
+             "CAST({0} AS BIGINT) - 1) ELSE ARRAY() END",
+    "toLastDayOfMonth": "LAST_DAY({0})",
+    "monthName": "DATE_FORMAT({0}, 'MMMM')",
+    "addHours": "({0} + MAKE_INTERVAL(0, 0, 0, 0, {1}, 0, 0))",
+    "addMinutes": "({0} + MAKE_INTERVAL(0, 0, 0, 0, 0, {1}, 0))",
+    "addYears": "({0} + MAKE_INTERVAL({1}, 0, 0, 0, 0, 0, 0))",
+    "trimLeft": "LTRIM({0})", "trimRight": "RTRIM({0})",
+    "trimBoth": "TRIM({0})", "initcap": "INITCAP({0})",
+    "countMatches": "REGEXP_COUNT({0}, {1})",
+    "isNaN": "ISNAN({0})",
+    "isFinite": "(NOT (ISNAN({0}) OR ABS({0}) = CAST('Infinity' AS DOUBLE)))",
     # arithmetic / misc
     "intDiv": "DIV(CAST({0} AS BIGINT), CAST({1} AS BIGINT))",
     "modulo": "(({0}) % ({1}))", "plus": "(({0}) + ({1}))",

@@ -201,3 +201,23 @@ def test_scalar_with_constants(views):
     r = ch_sql(views, "WITH 9 AS k SELECT 'k' AS s, k AS v FROM nation "
                       "WHERE n_nationkey = 0").collect()[0]
     assert r.s == "k" and r.v == 9
+
+
+def test_round2c_sql_renames(views):
+    r = ch_sql(views, """
+        SELECT splitByString('__', 'a__b__c') AS parts,
+               arrayReverse(range(3)) AS rev,
+               arrayPopBack(range(3)) AS popped,
+               range(0) AS empty,
+               toString(toLastDayOfMonth(DATE '1995-06-15')) AS eom,
+               monthName(DATE '1995-06-15') AS mn,
+               toString(addHours(TIMESTAMP '1995-06-15 10:00:00', 3)) AS t3,
+               initcap('hello world') AS ic,
+               countMatches('banana', 'an') AS cm,
+               isFinite(1.0) AS fin
+        FROM nation WHERE n_nationkey = 0""").collect()[0]
+    assert r.parts == ["a", "b", "c"]
+    assert r.rev == [2, 1, 0] and r.popped == [0, 1] and r.empty == []
+    assert r.eom == "1995-06-30" and r.mn == "June"
+    assert r.t3 == "1995-06-15 13:00:00"
+    assert r.ic == "Hello World" and r.cm == 2 and r.fin is True
