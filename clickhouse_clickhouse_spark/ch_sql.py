@@ -161,6 +161,11 @@ _FUNCS: dict[str, str] = {
 
 # parametric double-call forms: name(params)(args)
 _PARAMETRIC: dict[str, str] = {
+    # HLL precision bits -> Spark's relative-error parameter (the
+    # standard HLL rsd ~ 1.04/sqrt(2^bits)); Spark needs a LITERAL rsd,
+    # so the division is folded at translate time ({p0:hll_rsd})
+    "uniqCombined": "APPROX_COUNT_DISTINCT({a0}, {p0:hll_rsd})",
+    "uniqHLL12": "APPROX_COUNT_DISTINCT({a0}, {p0:hll_rsd})",
     "quantile": "PERCENTILE_APPROX({a0}, {p0})",
     "quantileExact": "PERCENTILE({a0}, {p0})",
     "quantileTDigest": "PERCENTILE_APPROX({a0}, {p0})",
@@ -278,6 +283,10 @@ def _rewrite_calls(sql: str) -> str:
                 tpl = _PARAMETRIC[name]
                 text = tpl.replace("{p*}", ", ".join(params))
                 for idx, p in enumerate(params):
+                    if "{p%d:hll_rsd}" % idx in text:
+                        rsd = 1.04 / (2.0 ** float(p)) ** 0.5
+                        text = text.replace("{p%d:hll_rsd}" % idx,
+                                            repr(rsd))
                     text = text.replace("{p%d}" % idx, p)
                 for idx, a in enumerate(args):
                     text = text.replace("{a%d}" % idx, a)

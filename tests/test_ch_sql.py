@@ -221,3 +221,11 @@ def test_round2c_sql_renames(views):
     assert r.eom == "1995-06-30" and r.mn == "June"
     assert r.t3 == "1995-06-15 13:00:00"
     assert r.ic == "Hello World" and r.cm == 2 and r.fin is True
+
+
+def test_parametric_uniq_precision(views):
+    n = views.sql("SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem") \
+        .collect()[0].n
+    est = ch_sql(views, "SELECT uniqCombined(14)(l_orderkey) AS u "
+                        "FROM lineitem").collect()[0].u
+    assert abs(est - n) / n < 0.05
