@@ -309,3 +309,74 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int, *, m: int = 8,
     w = Window.partitionBy(query_id).orderBy("adc_dist", "corpus_id")
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
+                n_centroids: int = 8, n_probe: int = 2, m: int = 8,
+                codes: int = 16, dim: int, iterations: int = 2,
+                corpus_id: str = "vec_id", corpus_vec: str = "embedding",
+                query_id: str = "query_id", query_vec: str = "embedding"
+                ) -> DataFrame:
+    """IVF-PQ — the standard billion-scale ANN composition: the IVF
+    coarse quantizer prunes the corpus to n_probe/n_centroids of its
+    inverted lists, then PQ ADC scores only those candidates (no
+    residual encoding — codes are trained on the raw vectors, the
+    simpler FAISS ``IVFx,PQy`` non-residual variant, documented).
+
+    At scale the corpus is stored partitioned by centroid_id with the
+    m-byte PQ codes as columns: a query touches n_probe partitions and
+    never reads the raw vectors.
+    """
+    from pyspark.sql import Window
+
+    cents = kmeans_centroids(corpus, n_centroids, iterations=iterations,
+                             vec=corpus_vec, id_col=corpus_id)
+    lists = assign_to_centroids(corpus, cents, vec=corpus_vec,
+                                id_col=corpus_id)
+    cb = pq_train(corpus, m=m, codes=codes, dim=dim, iterations=iterations,
+                  vec=corpus_vec, id_col=corpus_id)
+    enc = (pq_encode(corpus, cb, m=m, dim=dim, vec=corpus_vec,
+                     id_col=corpus_id)
+           .join(lists, corpus_id)
+           .withColumnRenamed(corpus_id, "corpus_id"))
+
+    q = queries.select(F.col(query_id), F.col(query_vec).alias("__qv"))
+    qs = (q.crossJoin(F.broadcast(cents))
+          .select(query_id, "__qv", "centroid_id",
+                  cosine_similarity(F.col("__qv"),
+                                    F.col("centroid")).alias("csim")))
+    wq = Window.partitionBy(query_id).orderBy(F.col("csim").desc(),
+                                              F.col("centroid_id"))
+    probes = (qs.withColumn("rn", F.row_number().over(wq))
+              .filter(F.col("rn") <= n_probe)
+              .select(query_id, "__qv", "centroid_id"))
+
+    qsubs = _subvectors(probes.select(query_id, "__qv").distinct(),
+                        m, dim, "__qv", query_id)
+    qtab = (qsubs.join(F.broadcast(cb), "sub")
+            .select(query_id, "sub", "code_id",
+                    _l2sq(F.col("subvec"), F.col("codeword")).alias("d"))
+            .groupBy(query_id, "sub")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("code_id", "d"))),
+                lambda s: s["d"]).alias("row"))
+            .groupBy(query_id)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "row"))),
+                lambda s: s["row"]).alias("qtab")))
+
+    cand = (enc.join(F.broadcast(probes.select(query_id, "centroid_id")),
+                     "centroid_id")
+            .filter(F.col("corpus_id") != F.col(query_id))
+            .join(F.broadcast(qtab), query_id))
+    scored = cand.select(
+        query_id, "corpus_id",
+        F.round(F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0),
+            lambda acc, s: acc + F.element_at(
+                F.element_at(F.col("qtab"), s + 1),
+                F.element_at(F.col("codes"), s + 1) + 1)), 6)
+        .alias("adc_dist"))
+    w = Window.partitionBy(query_id).orderBy("adc_dist", "corpus_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -299,3 +299,18 @@ def ann_pq_topk(spark, sf):
     q = (e.filter(F.col("vec_id") < 3)
          .select(F.col("vec_id").alias("query_id"), "embedding"))
     return pq_topk(e, q, k=5, m=8, codes=16, dim=64, query_id="query_id")
+
+
+@register("ann_ivf_pq_topk")
+def ann_ivf_pq_topk(spark, sf):
+    """IVF-PQ ANN top-5 (the billion-scale composition: coarse lists
+    prune the corpus, PQ ADC scores only probed candidates from m-byte
+    codes). Approximate — rows-only; planted-duplicate recovery pinned
+    in unit tests (pipeline/similarity.ivf_pq_topk)."""
+    from clickhouse_clickhouse_spark.pipeline.similarity import ivf_pq_topk
+
+    e = load_table(spark, sf, "embeddings")
+    q = (e.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return ivf_pq_topk(e, q, k=5, n_centroids=8, n_probe=3, m=8, codes=16,
+                       dim=64, query_id="query_id")

@@ -334,3 +334,18 @@ def test_pq_topk_planted_dup_and_recall(spark):
     exact_ids = {i for _, i in exact}
     got_ids = {r.corpus_id for r in got}
     assert len(exact_ids & got_ids) >= 3   # recall@5 >= 0.6 on 4x8 PQ
+
+
+def test_ivf_pq_topk_recovers_planted_dup(spark):
+    """IVF-PQ: the planted near-duplicate must survive BOTH the coarse
+    pruning and the PQ quantization, and candidates must come only from
+    probed lists (result size bounded by the probe set)."""
+    from clickhouse_clickhouse_spark.pipeline.similarity import ivf_pq_topk
+
+    df = _vectors(spark)
+    q = (df.filter(F.col("vec_id") == 0)
+         .withColumnRenamed("vec_id", "query_id"))
+    got = ivf_pq_topk(df, q, k=5, n_centroids=4, n_probe=2, m=4, codes=8,
+                      dim=16, query_id="query_id").collect()
+    assert got and sorted(r.rank for r in got) == [1, 2, 3, 4, 5]
+    assert any(r.corpus_id == 100 and r.rank <= 2 for r in got)

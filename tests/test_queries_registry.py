@@ -23,7 +23,7 @@ def test_contract_shapes():
     rows_only = set(qs) - set(oracles)
     allowed = {
         "agg_uniq_approx", "agg_quantile_approx", "agg_freq_items",
-        "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
+        "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "ann_ivf_pq_topk",
         "minhash_lsh_pairs_xxhash",
         "stream_dedup_state", "udtf_explode_sessions",
         # sketch-state algebra (self-verifying bool columns instead)
