@@ -712,3 +712,50 @@ def bitTestAny(x, *ks):
 def regexpExtract(s, pat, group=1): return F.regexp_extract(_c(s), pat, group)
 def initcap(s): return F.initcap(_c(s))
 def generateUUIDv4(): return F.expr("uuid()")   # non-deterministic — no oracle
+
+
+def arrayUnion(*arrs):
+    """Distinct union of arrays (reference arrayUnion, 24.x)."""
+    out = F.concat(*[_c(a) for a in arrs])
+    return F.array_distinct(out)
+
+
+def arrayProduct(a):
+    return F.aggregate(_c(a), F.lit(1.0), lambda acc, x: acc * x.cast("double"))
+
+
+def hasSubstr(a, b):
+    """True when array b appears as a CONTIGUOUS subsequence of a
+    (reference hasSubstr) — positional window check, O(n*m) in-row."""
+    arr, sub = _c(a), _c(b)
+    n, m = F.size(arr), F.size(sub)
+    return F.when(m == 0, F.lit(True)).otherwise(
+        F.exists(
+            F.sequence(F.lit(1), F.greatest(n - m + 1, F.lit(0))),
+            lambda i: F.forall(
+                F.sequence(F.lit(0), m - 1),
+                lambda j: F.element_at(arr, (i + j).cast("int"))
+                .eqNullSafe(F.element_at(sub, (j + 1).cast("int"))))))
+
+
+def topLevelDomain(url):
+    """Last dot-label of the host (reference topLevelDomain)."""
+    host = F.parse_url(_c(url), F.lit("HOST"))
+    return F.element_at(F.split(host, r"\."), -1)
+
+
+def domainWithoutWWW(url):
+    host = F.parse_url(_c(url), F.lit("HOST"))
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def pathFull(url):
+    """Path + query string (reference pathFull)."""
+    u = _c(url)
+    p = F.parse_url(u, F.lit("PATH"))
+    q = F.parse_url(u, F.lit("QUERY"))
+    return F.when(q.isNotNull(), F.concat(p, F.lit("?"), q)).otherwise(p)
+
+
+def soundex(s):
+    return F.soundex(_c(s))

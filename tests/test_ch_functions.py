@@ -191,3 +191,29 @@ def test_round2c_batch(spark):
     assert r.mf == {"b": 2} and r.ma == {"a": 10}
     assert str(r.plus2h) == "2024-03-15 15:47:21"
     assert r.empty_range == [] and r.sevens == [7, 7, 7]
+
+
+def test_array_url_soundex_additions(spark):
+    from pyspark.sql import functions as F
+
+    from clickhouse_clickhouse_spark import ch_functions as ch
+
+    df = spark.createDataFrame(
+        [("https://www.shop.example.co/cart/item?id=9&x=1", )], "url string")
+    r = df.select(
+        ch.arrayUnion(F.array(F.lit(1), F.lit(2)),
+                      F.array(F.lit(2), F.lit(3))).alias("u"),
+        ch.arrayProduct(F.array(F.lit(2), F.lit(3), F.lit(4))).alias("p"),
+        ch.hasSubstr(F.array(F.lit(1), F.lit(2), F.lit(3), F.lit(4)),
+                     F.array(F.lit(2), F.lit(3))).alias("h1"),
+        ch.hasSubstr(F.array(F.lit(1), F.lit(2), F.lit(3)),
+                     F.array(F.lit(3), F.lit(2))).alias("h2"),
+        ch.topLevelDomain(F.col("url")).alias("tld"),
+        ch.domainWithoutWWW(F.col("url")).alias("dom"),
+        ch.pathFull(F.col("url")).alias("pf"),
+        ch.soundex(F.lit("Robert")).alias("sx"),
+    ).first()
+    assert sorted(r.u) == [1, 2, 3] and r.p == 24.0
+    assert r.h1 is True and r.h2 is False
+    assert r.tld == "co" and r.dom == "shop.example.co"
+    assert r.pf == "/cart/item?id=9&x=1" and r.sx == "R163"
