@@ -5,6 +5,12 @@ fixture scale directory.
     python -m clickhouse_clickhouse_spark.run_query q1_pricing_summary
     python -m clickhouse_clickhouse_spark.run_query join_asof \\
         --sf /root/testdata/sf0.01 --limit 50 --explain
+    python -m clickhouse_clickhouse_spark.run_query \\
+        --sql "SELECT count() FROM lineitem PREWHERE l_quantity < 10"
+
+``--sql`` is the clickhouse-client analog: the fixture tables are
+registered as views and the text goes through the ch_sql dialect
+translator before Catalyst.
 """
 
 from __future__ import annotations
@@ -22,11 +28,27 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--explain", action="store_true",
                     help="print the formatted physical plan instead")
     ap.add_argument("--list", action="store_true", help="list query names")
+    ap.add_argument("--sql", help="run a ClickHouse-dialect SQL string "
+                    "against the fixture tables (ch_sql translator)")
     args = ap.parse_args(argv)
 
     from clickhouse_clickhouse_spark.registry import all_oracles, all_queries
 
     qs = all_queries()
+    if args.sql:
+        from clickhouse_clickhouse_spark.ch_sql import ch_sql
+        from clickhouse_clickhouse_spark.session import get_spark
+        from clickhouse_clickhouse_spark.tables import TABLES, load_table
+
+        spark = get_spark("run_query")
+        for t in TABLES:
+            load_table(spark, args.sf, t).createOrReplaceTempView(t)
+        df = ch_sql(spark, args.sql)
+        if args.explain:
+            df.explain("formatted")
+        else:
+            df.show(args.limit, truncate=False)
+        return 0
     if args.list or not args.name:
         oracles = all_oracles()
         for name in sorted(qs):
