@@ -19,7 +19,9 @@ Covered dialect surface (the constructs that differ from Spark SQL):
   ``[LEFT] ARRAY JOIN expr AS x`` (→ LATERAL VIEW [OUTER] EXPLODE; the
   multi-array zip form and the bare-name form are refused with the
   faithful alternative named), ``WITH FILL``/``INTERPOLATE`` (refused →
-  operators.fill.with_fill).
+  operators.fill.with_fill), ``EXPLAIN <query>`` (passes through — the
+  inner dialect text is translated and Spark's EXPLAIN statement
+  returns the plan rows).
 * parametric aggregates: ``quantile(p)(x)``-style double-call syntax for
   the quantile family and ``topK(k)(x)``.
 * ~80 function-name mappings (`_FUNCS` below): conversions, date/time,

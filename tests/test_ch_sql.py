@@ -229,3 +229,9 @@ def test_parametric_uniq_precision(views):
     est = ch_sql(views, "SELECT uniqCombined(14)(l_orderkey) AS u "
                         "FROM lineitem").collect()[0].u
     assert abs(est - n) / n < 0.05
+
+
+def test_explain_passthrough(views):
+    plan = ch_sql(views, "EXPLAIN SELECT count() FROM lineitem "
+                         "PREWHERE l_quantity < 10").collect()[0][0]
+    assert "HashAggregate" in plan

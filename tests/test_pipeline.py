@@ -349,3 +349,23 @@ def test_ivf_pq_topk_recovers_planted_dup(spark):
                       dim=16, query_id="query_id").collect()
     assert got and sorted(r.rank for r in got) == [1, 2, 3, 4, 5]
     assert any(r.corpus_id == 100 and r.rank <= 2 for r in got)
+
+
+def test_pq_degenerates_to_exact_with_full_codebook(spark):
+    """Exactness degeneracy: with m=1 subspace and codes >= n vectors,
+    every vector becomes its own codeword, so ADC distances are exact
+    squared L2 and the PQ ranking equals the brute-force ranking."""
+    from clickhouse_clickhouse_spark.pipeline.similarity import pq_topk
+
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.normal(size=8).tolist()) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = (df.filter(F.col("vec_id") == 0)
+         .withColumnRenamed("vec_id", "query_id"))
+    got = [r.corpus_id for r in
+           pq_topk(df, q, k=11, m=1, codes=12, dim=8, iterations=1,
+                   query_id="query_id").orderBy("rank").collect()]
+    v = {i: np.array(e) for i, e in rows}
+    exact = [i for _, i in sorted(
+        (float(np.sum((v[i] - v[0]) ** 2)), i) for i in v if i != 0)]
+    assert got == exact
