@@ -355,6 +355,60 @@ def _subst_ident(sql: str, name: str, repl: str) -> str:
     return "".join(out)
 
 
+def _mask_strings(s: str) -> str:
+    """Length-preserving copy with single-quoted literal CONTENTS
+    replaced by NUL, so clause regexes cannot match keywords inside
+    string literals (spans stay valid on the original)."""
+    out = list(s)
+    i, n = 0, len(s)
+    while i < n:
+        if s[i] == "'":
+            j = i + 1
+            while j < n and s[j] != "'":
+                out[j] = "\x00"
+                j += 1
+            i = j + 1
+        else:
+            i += 1
+    return "".join(out)
+
+
+class _SpanMatch:
+    """Match facade: spans from a match on the masked twin, group TEXT
+    from the original string."""
+
+    def __init__(self, m: re.Match, orig: str):
+        self._m, self._o = m, orig
+
+    def group(self, i: int = 0):
+        s, e = self._m.span(i)
+        return None if s == -1 else self._o[s:e]
+
+    def start(self, i: int = 0) -> int:
+        return self._m.start(i)
+
+    def end(self, i: int = 0) -> int:
+        return self._m.end(i)
+
+
+def _masked_search(regex: re.Pattern, q: str) -> _SpanMatch | None:
+    m = regex.search(_mask_strings(q))
+    return _SpanMatch(m, q) if m else None
+
+
+def _masked_sub(regex: re.Pattern, repl, q: str) -> str:
+    """re.sub outside string literals; ``repl`` is a callable on the
+    span-match (original-text groups)."""
+    mask = _mask_strings(q)
+    out, last = [], 0
+    for m in regex.finditer(mask):
+        out.append(q[last:m.start()])
+        out.append(repl(_SpanMatch(m, q)))
+        last = m.end()
+    out.append(q[last:])
+    return "".join(out)
+
+
 def _strip_parens(s: str) -> str:
     """Blank out parenthesized spans so a top-level comma test can't be
     fooled by commas inside function calls."""
@@ -383,17 +437,26 @@ def translate(sql: str,
               ) -> str:
     """Translate one reference-dialect query to Spark SQL text."""
     q = sql.strip().rstrip(";")
+    # Every clause-level rewrite below goes through the string-literal
+    # mask: keywords inside '...' literals are NEVER clause syntax.
     # trailing FORMAT / SETTINGS are client directives, not semantics
-    q = re.sub(r"\bSETTINGS\s+[\w\s=,.'']+$", "", q, flags=re.IGNORECASE)
-    q = re.sub(r"\bFORMAT\s+\w+\s*$", "", q, flags=re.IGNORECASE)
-    q = re.sub(r"\bGLOBAL\s+(IN|JOIN|LEFT|RIGHT|INNER|ANY)\b", r"\1", q,
-               flags=re.IGNORECASE)
-    q = q.replace("==", "=")
+    m = _masked_search(re.compile(r"\bSETTINGS\s[\s\S]*$", re.IGNORECASE), q)
+    if m:
+        q = q[:m.start()].rstrip()
+    m = _masked_search(re.compile(r"\bFORMAT\s+\w+\s*$", re.IGNORECASE), q)
+    if m:
+        q = q[:m.start()].rstrip()
+    q = _masked_sub(
+        re.compile(r"\bGLOBAL\s+(IN|JOIN|LEFT|RIGHT|INNER|ANY)\b",
+                   re.IGNORECASE),
+        lambda m: m.group(1), q)
+    q = _masked_sub(re.compile(r"=="), lambda m: "=", q)
 
     # strictness/positional joins change SEMANTICS — refuse loudly rather
     # than translate to a plain join that returns different rows
-    m = re.search(r"\b(ANY|ASOF|PASTE)\s+(?:(?:LEFT|RIGHT|INNER|OUTER)"
-                  r"\s+)*JOIN\b", q, re.IGNORECASE)
+    m = _masked_search(
+        re.compile(r"\b(ANY|ASOF|PASTE)\s+(?:(?:LEFT|RIGHT|INNER|OUTER)"
+                   r"\s+)*JOIN\b", re.IGNORECASE), q)
     if m:
         kind = m.group(1).upper()
         helper = {"ANY": "operators.joins.any_join",
@@ -406,8 +469,8 @@ def translate(sql: str,
     # CH scalar WITH: ``WITH <expr> AS <name>`` (expression FIRST —
     # distinct from the CTE form ``name AS (SELECT ...)``). Constants
     # are inlined as parenthesized expressions; CTE items pass through.
-    m = re.match(r"^\s*WITH\s+(.*?)\s+(SELECT\b.*)$", q,
-                 re.IGNORECASE | re.DOTALL)
+    m = _masked_search(re.compile(r"^\s*WITH\s+(.*?)\s+(SELECT\b.*)$",
+                                  re.IGNORECASE | re.DOTALL), q)
     if m:
         items = _split_top_commas(m.group(1))
         ctes, consts = [], []
@@ -431,7 +494,8 @@ def translate(sql: str,
 
     # WITH FILL / INTERPOLATE need sequence generation, not a rewrite —
     # refuse loudly with the operator that has the semantics
-    if re.search(r"\bWITH\s+FILL\b|\bINTERPOLATE\s*\(", q, re.IGNORECASE):
+    if _masked_search(re.compile(r"\bWITH\s+FILL\b|\bINTERPOLATE\s*\(",
+                                 re.IGNORECASE), q):
         raise ValueError(
             "ORDER BY ... WITH FILL / INTERPOLATE has no SQL translation "
             "here — use the DataFrame operator operators.fill.with_fill "
@@ -442,7 +506,7 @@ def translate(sql: str,
     # (not a cross product) and makes a BARE array name refer to its
     # elements — both would silently change semantics under a naive
     # rewrite, so they are refused with the faithful alternative named.
-    def aj_sub(m: re.Match) -> str:
+    def aj_sub(m) -> str:
         outer = "OUTER " if m.group(1) else ""
         expr, alias = m.group(2).strip(), m.group(3)
         if "," in _strip_parens(expr):
@@ -456,15 +520,15 @@ def translate(sql: str,
                        r"(?=\s+WHERE\b|\s+GROUP\s+BY\b|\s+ORDER\s+BY\b|"
                        r"\s+LIMIT\b|\s+HAVING\b|\s*$)",
                        re.IGNORECASE | re.DOTALL)
-    q = aj_re.sub(aj_sub, q)
-    if re.search(r"\bARRAY\s+JOIN\b", q, re.IGNORECASE):
+    q = _masked_sub(aj_re, aj_sub, q)
+    if _masked_search(re.compile(r"\bARRAY\s+JOIN\b", re.IGNORECASE), q):
         raise ValueError(
             "ARRAY JOIN without AS makes the array name refer to its "
             "elements — alias it (ARRAY JOIN arr AS x) so the rewrite "
             "cannot shadow the array column")
 
     # FROM t FINAL -> dedup-on-read subquery (needs declared merge keys)
-    def final_sub(m: re.Match) -> str:
+    def final_sub(m) -> str:
         t = m.group(1)
         if not final_keys or t not in final_keys:
             raise ValueError(
@@ -476,39 +540,43 @@ def translate(sql: str,
         return (f"FROM (SELECT * EXCEPT(__ch_rn) FROM (SELECT *, "
                 f"ROW_NUMBER() OVER (PARTITION BY {ks} ORDER BY {ver} "
                 f"DESC) AS __ch_rn FROM {t}) WHERE __ch_rn = 1) {t}")
-    q = _FINAL.sub(final_sub, q)
+    q = _masked_sub(_FINAL, final_sub, q)
 
     # PREWHERE -> merge into WHERE
-    m = _PREWHERE.search(q)
+    m = _masked_search(_PREWHERE, q)
     if m:
         pre = m.group(1).strip()
         q = q[:m.start()] + q[m.end():]
-        wm = re.search(r"\bWHERE\b", q, re.IGNORECASE)
+        wm = _masked_search(re.compile(r"\bWHERE\b", re.IGNORECASE), q)
         if wm:
             q = q[:wm.end()] + f" ({pre}) AND" + q[wm.end():]
         else:
-            ins = re.search(r"\bGROUP\s+BY\b|\bORDER\s+BY\b|\bLIMIT\b|$",
-                            q, re.IGNORECASE)
+            ins = _masked_search(
+                re.compile(r"\bGROUP\s+BY\b|\bORDER\s+BY\b|\bLIMIT\b|$",
+                           re.IGNORECASE), q)
             q = q[:ins.start()] + f" WHERE {pre} " + q[ins.start():]
 
     # SAMPLE f -> TABLESAMPLE (f*100 PERCENT)
-    def sample_sub(m: re.Match) -> str:
+    def sample_sub(m) -> str:
         v = m.group(1)
         frac = (float(v.split("/")[0]) / float(v.split("/")[1])
                 if "/" in v else float(v))
         return f"TABLESAMPLE ({frac * 100:g} PERCENT)"
-    q = _SAMPLE.sub(sample_sub, q)
+    q = _masked_sub(_SAMPLE, sample_sub, q)
     # SAMPLE n (approximate row-count form) -> TABLESAMPLE (n ROWS)
-    q = _SAMPLE_N.sub(lambda m: f"TABLESAMPLE ({m.group(1)} ROWS)", q)
+    q = _masked_sub(_SAMPLE_N,
+                    lambda m: f"TABLESAMPLE ({m.group(1)} ROWS)", q)
 
     # LIMIT offset, count (MySQL-style CH form) -> LIMIT count OFFSET n.
     # Only at clause position and NOT followed by BY (LIMIT n BY is the
     # per-group form handled below).
-    q = re.sub(r"\bLIMIT\s+(\d+)\s*,\s*(\d+)(?!\s*BY\b)",
-               r"LIMIT \2 OFFSET \1", q, flags=re.IGNORECASE)
+    q = _masked_sub(
+        re.compile(r"\bLIMIT\s+(\d+)\s*,\s*(\d+)(?!\s*BY\b)",
+                   re.IGNORECASE),
+        lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", q)
 
     # LIMIT n BY k,... -> row_number wrap of the whole query
-    m = _LIMIT_BY.search(q)
+    m = _masked_search(_LIMIT_BY, q)
     if m:
         n, keys = int(m.group(1)), m.group(2).strip()
         rest = q[m.end():].strip()

@@ -235,3 +235,23 @@ def test_explain_passthrough(views):
     plan = ch_sql(views, "EXPLAIN SELECT count() FROM lineitem "
                          "PREWHERE l_quantity < 10").collect()[0][0]
     assert "HashAggregate" in plan
+
+
+def test_translate_leaves_plain_ansi_unchanged():
+    """The translator must be a no-op on text with no dialect constructs
+    — guards every clause regex against overreach."""
+    samples = [
+        "SELECT a, sum(b) AS s FROM t WHERE c > 1 GROUP BY a HAVING "
+        "sum(b) > 2 ORDER BY s DESC LIMIT 10",
+        "SELECT * FROM t1 JOIN t2 ON t1.k = t2.k LEFT JOIN t3 USING (k)",
+        "WITH cte AS (SELECT 1 AS x) SELECT x FROM cte",
+        "SELECT CASE WHEN a = 'WITH FILL text' THEN 1 ELSE 2 END FROM t",
+        "SELECT a FROM t WHERE s = 'SAMPLE 0.5' OR s = 'LIMIT 1, 2'",
+    ]
+    # the call scanner re-emits `name (` as `name(` — cosmetic only
+    import re as _re
+
+    def norm(x):
+        return _re.sub(r"\s+\(", "(", x)
+    for q in samples:
+        assert norm(translate(q)) == norm(q), q
