@@ -91,6 +91,7 @@ _FUNCS: dict[str, str] = {
     "uniqHLL12": "APPROX_COUNT_DISTINCT({0})",
     "uniqExact": "COUNT(DISTINCT {*})",
     "median": "PERCENTILE({0}, 0.5)",
+    "medianExact": "PERCENTILE({0}, 0.5)",
     "any": "FIRST({0})", "anyLast": "LAST({0})",
     "argMin": "MIN_BY({0}, {1})", "argMax": "MAX_BY({0}, {1})",
     "groupArray": "COLLECT_LIST({0})", "groupUniqArray": "COLLECT_SET({0})",
@@ -169,6 +170,13 @@ _PARAMETRIC: dict[str, str] = {
     "uniqCombined": "APPROX_COUNT_DISTINCT({a0}, {p0:hll_rsd})",
     "uniqHLL12": "APPROX_COUNT_DISTINCT({a0}, {p0:hll_rsd})",
     "quantile": "PERCENTILE_APPROX({a0}, {p0})",
+    "groupArraySorted": "SLICE(ARRAY_SORT(COLLECT_LIST({a0})), 1, {p0})",
+    "topKWeighted": "SLICE(TRANSFORM(ARRAY_SORT(MAP_ENTRIES("
+                    "MAP_FROM_ARRAYS(COLLECT_LIST({a0}), "
+                    "COLLECT_LIST({a1}))), (e1, e2) -> "
+                    "CASE WHEN e1.value > e2.value THEN -1 "
+                    "WHEN e1.value < e2.value THEN 1 ELSE 0 END), "
+                    "e -> e.key), 1, {p0})",
     "quantileExact": "PERCENTILE({a0}, {p0})",
     "quantileTDigest": "PERCENTILE_APPROX({a0}, {p0})",
     "quantiles": "PERCENTILE_APPROX({a0}, ARRAY({p*}))",

@@ -255,3 +255,12 @@ def test_translate_leaves_plain_ansi_unchanged():
         return _re.sub(r"\s+\(", "(", x)
     for q in samples:
         assert norm(translate(q)) == norm(q), q
+
+
+def test_group_array_sorted_parametric(views):
+    r = ch_sql(views, "SELECT groupArraySorted(3)(n_nationkey) AS a, "
+                      "medianExact(n_nationkey) AS m FROM nation") \
+        .collect()[0]
+    exp_m = views.sql(
+        "SELECT percentile(n_nationkey, 0.5) AS m FROM nation").first().m
+    assert r.a == [0, 1, 2] and r.m == exp_m
