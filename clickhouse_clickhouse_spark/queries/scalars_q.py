@@ -1163,3 +1163,39 @@ def ch_dialect_demo3(spark, sf):
                        .otherwise(F.lit(1.0)), F.lit(-1.0)).alias("fallback"),
         ch.bitTestAny(k, 0, 1).alias("bit_any"),
         ch.bitTestAll(k, 0, 2).alias("bit_all"))
+
+
+@register("ch_dialect_demo4", oracle="""
+SELECT n_nationkey,
+       array_to_string(string_split(n_name, '_'), '-') AS joined,
+       list_reverse(list_transform(
+           generate_series(1, cast(n_nationkey % 3 AS INT) + 1),
+           x -> cast(x - 1 AS BIGINT))) AS rev,
+       strftime(TIMESTAMP '1995-06-15 10:00:00' + INTERVAL 5 HOUR,
+                '%Y-%m-%d %H:%M:%S') AS t5,
+       monthname(DATE '1995-06-15') AS mn,
+       trim('  pad  ') AS tb,
+       'Hello World' AS ic,
+       cast(len(regexp_extract_all(n_name, '[AEIOU]')) AS INT) AS vowels,
+       true AS fin
+FROM nation
+""")
+def ch_dialect_demo4(spark, sf):
+    """Round-2c names through the SQL front end (the _FUNCS mirrors,
+    oracle-gated rather than pytest-only): splitByString, guarded
+    range, arrayReverse, interval add, month name, trim, initcap,
+    regex counting, finiteness."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "nation").createOrReplaceTempView("nation")
+    return ch_sql(spark, """
+        SELECT n_nationkey,
+               arrayStringConcat(splitByString('_', n_name), '-') AS joined,
+               arrayReverse(range(toInt64(n_nationkey % 3) + 1)) AS rev,
+               toString(addHours(toDateTime('1995-06-15 10:00:00'), 5)) AS t5,
+               monthName(toDate('1995-06-15')) AS mn,
+               trimBoth('  pad  ') AS tb,
+               initcap('hello world') AS ic,
+               countMatches(n_name, '[AEIOU]') AS vowels,
+               isFinite(1.0) AS fin
+        FROM nation""")
