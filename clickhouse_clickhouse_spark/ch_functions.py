@@ -759,3 +759,51 @@ def pathFull(url):
 
 def soundex(s):
     return F.soundex(_c(s))
+
+
+def arrayRotateLeft(a, n):
+    """Cyclic left rotation by n (negative n rotates right)."""
+    arr = _c(a)
+    sz = F.size(arr)
+    k = F.when(sz > 0, ((F.lit(n).cast("int") % sz) + sz) % sz) \
+        .otherwise(F.lit(0))
+    return F.concat(F.slice(arr, k + 1, sz), F.slice(arr, 1, k))
+
+
+def arrayRotateRight(a, n):
+    return arrayRotateLeft(a, -n if isinstance(n, int) else -_c(n))
+
+
+def arrayShiftLeft(a, n, fill=None):
+    """Shift left by n, right-padding with ``fill`` (NULL default)."""
+    arr = _c(a)
+    sz = F.size(arr)
+    k = F.least(F.lit(n).cast("int"), sz)
+    return F.concat(F.slice(arr, k + 1, sz),
+                    F.array_repeat(F.lit(fill), k))
+
+
+def arrayShiftRight(a, n, fill=None):
+    arr = _c(a)
+    sz = F.size(arr)
+    k = F.least(F.lit(n).cast("int"), sz)
+    return F.concat(F.array_repeat(F.lit(fill), k),
+                    F.slice(arr, 1, sz - k))
+
+
+def mapUpdate(m1, m2):
+    """Merge maps, keys of m2 winning (reference mapUpdate) — built
+    from entry arrays so it does not depend on the session's
+    mapKeyDedupPolicy."""
+    a, b = _c(m1), _c(m2)
+    keep = F.filter(F.map_entries(a),
+                    lambda e: ~F.array_contains(F.map_keys(b), e["key"]))
+    return F.map_from_entries(F.concat(keep, F.map_entries(b)))
+
+
+def mapConcat(*ms):
+    """Left-to-right merge with later maps winning on key clashes."""
+    out = _c(ms[0])
+    for m in ms[1:]:
+        out = mapUpdate(out, m)
+    return out

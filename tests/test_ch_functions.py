@@ -217,3 +217,28 @@ def test_array_url_soundex_additions(spark):
     assert r.h1 is True and r.h2 is False
     assert r.tld == "co" and r.dom == "shop.example.co"
     assert r.pf == "/cart/item?id=9&x=1" and r.sx == "R163"
+
+
+def test_array_rotate_shift_map_update(spark):
+    from pyspark.sql import functions as F
+
+    from clickhouse_clickhouse_spark import ch_functions as ch
+
+    arr = F.array(F.lit(1), F.lit(2), F.lit(3), F.lit(4))
+    df = spark.range(1)
+    r = df.select(
+        ch.arrayRotateLeft(arr, 1).alias("rl"),
+        ch.arrayRotateLeft(arr, 6).alias("rl6"),
+        ch.arrayRotateRight(arr, 1).alias("rr"),
+        ch.arrayShiftLeft(arr, 2, 0).alias("sl"),
+        ch.arrayShiftRight(arr, 2, 0).alias("sr"),
+        ch.arrayRotateLeft(F.array().cast("array<int>"), 3).alias("empty"),
+        ch.mapUpdate(F.create_map(F.lit("a"), F.lit(1), F.lit("b"), F.lit(2)),
+                     F.create_map(F.lit("b"), F.lit(9), F.lit("c"), F.lit(3)))
+          .alias("mu"),
+    ).first()
+    assert r.rl == [2, 3, 4, 1] and r.rl6 == [3, 4, 1, 2]
+    assert r.rr == [4, 1, 2, 3]
+    assert r.sl == [3, 4, 0, 0] and r.sr == [0, 0, 1, 2]
+    assert r.empty == []
+    assert r.mu == {"a": 1, "b": 9, "c": 3}
