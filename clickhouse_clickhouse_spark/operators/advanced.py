@@ -348,3 +348,77 @@ def tukey_outliers(df: DataFrame, keys: Sequence[str], value: Column | str,
                  F.count("*").alias("n"),
                  F.count_if((v < F.col("lo")) | (v > F.col("hi")))
                  .alias("n_outliers")))
+
+
+def exp_time_decayed_count(df: DataFrame, keys: Sequence[str], ts: str,
+                           tau_seconds: float,
+                           tiebreak: str | None = None) -> DataFrame:
+    """``exponentialTimeDecayedCount``: the decayed-sum machinery with
+    v ≡ 1 (same piecewise renormalization, same overflow safety). Adds
+    ``decayed_count``."""
+    out = exp_time_decayed_sum(df.withColumn("__one", F.lit(1.0)), keys,
+                               ts, "__one", tau_seconds, tiebreak=tiebreak)
+    return (out.withColumnRenamed("decayed_sum", "decayed_count")
+            .drop("__one"))
+
+
+def exp_time_decayed_avg(df: DataFrame, keys: Sequence[str], ts: str,
+                         value: Column | str, tau_seconds: float,
+                         tiebreak: str | None = None) -> DataFrame:
+    """``exponentialTimeDecayedAvg`` = decayed sum / decayed count (the
+    reference's definition). Adds ``decayed_avg``."""
+    s = exp_time_decayed_sum(df, keys, ts, value, tau_seconds,
+                             tiebreak=tiebreak) \
+        .withColumnRenamed("decayed_sum", "__ds")
+    sc = exp_time_decayed_count(s, keys, ts, tau_seconds,
+                                tiebreak=tiebreak)
+    return (sc.withColumn("decayed_avg",
+                          F.col("__ds") / F.col("decayed_count"))
+            .withColumnRenamed("__ds", "decayed_sum"))
+
+
+def exp_time_decayed_max(df: DataFrame, keys: Sequence[str], ts: str,
+                         value: Column | str, tau_seconds: float,
+                         tiebreak: str | None = None) -> DataFrame:
+    """``exponentialTimeDecayedMax``: max over i≤t of v_i·exp(−(t−t_i)/τ).
+
+    Same epoch decomposition as the sum: within an epoch the anchored
+    running max of v_i·exp(dtl_i/τ) is order-preserving under the
+    common positive rescale exp(−dtl/τ); across the boundary only the
+    ADJACENT previous epoch is carried (lag of its anchored max,
+    rescaled by exp(−C)) — anything older contributes a relative factor
+    ≤ exp(−C) ≈ 7e−218, below double resolution, exactly the sum's
+    carry argument. Adds ``decayed_max``."""
+    import math
+
+    C = 500.0
+    seg = C * tau_seconds
+    v = (F.col(value) if isinstance(value, str) else value).cast("double")
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    sec = F.col(ts).cast("double")
+    t0 = F.min(sec).over(Window.partitionBy(*keys))
+    d = (df.withColumn("__dt", sec - t0)
+         .withColumn("__ep", F.floor(F.col("__dt") / seg))
+         .withColumn("__dtl", F.col("__dt") - F.col("__ep") * seg))
+    term = v * F.exp(F.col("__dtl") / tau_seconds)
+    w = (Window.partitionBy(*(list(keys) + ["__ep"])).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    d = d.withColumn("__run", F.max(term).over(w))
+    ep_tot = (d.groupBy(*keys, "__ep")
+              .agg(F.max(term).alias("__ep_max")))
+    wlag = Window.partitionBy(*keys).orderBy("__ep")
+    prev = (ep_tot
+            .withColumn("__pm", F.lag("__ep_max").over(wlag))
+            .withColumn("__pe", F.lag("__ep").over(wlag))
+            .withColumn("__carry",
+                        F.when(F.col("__pe") == F.col("__ep") - 1,
+                               F.col("__pm") * math.exp(-C)))
+            .select(*keys, "__ep", "__carry"))
+    d = (d.join(prev, [*keys, "__ep"], "left")
+         .withColumn("decayed_max",
+                     F.greatest(F.col("__run"),
+                                F.coalesce(F.col("__carry"),
+                                           F.col("__run")))
+                     * F.exp(-F.col("__dtl") / tau_seconds))
+         .drop("__dt", "__ep", "__dtl", "__run", "__carry"))
+    return d

@@ -553,3 +553,41 @@ def geo_hex_bin_counts(spark, sf):
     return (p.select(hex_bin(lat, lon, 250_000.0).alias("h"))
             .groupBy(F.col("h.hq").alias("hq"), F.col("h.hr").alias("hr"))
             .agg(F.count("*").alias("n_points")))
+
+
+@register("window_time_decayed_avg", oracle="""
+WITH e AS (
+  SELECT user_id, event_id,
+         epoch_us(date_trunc('microseconds', ts)) / 1000000.0 AS sec, value
+  FROM events WHERE user_id < 10),
+d AS (
+  SELECT user_id, event_id, value,
+         sec - min(sec) OVER (PARTITION BY user_id) AS dt
+  FROM e),
+r AS (
+  SELECT user_id, event_id, dt,
+         sum(value * exp(dt / 86400.0))
+           OVER (PARTITION BY user_id ORDER BY dt, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+         sum(exp(dt / 86400.0))
+           OVER (PARTITION BY user_id ORDER BY dt, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM d)
+SELECT user_id, event_id, round(s / c, 6) AS decayed_avg
+FROM r
+""")
+def window_time_decayed_avg(spark, sf):
+    """exponentialTimeDecayedAvg (decayed sum / decayed count, both via
+    the piecewise-renormalized epoch machinery that stays finite past
+    709*tau — operators/advanced.exp_time_decayed_avg; the anchored
+    ratio cancels the common exp(-dt/tau) factor, which the oracle
+    exploits directly)."""
+    from clickhouse_clickhouse_spark.operators.advanced import (
+        exp_time_decayed_avg,
+    )
+
+    ev = load_table(spark, sf, "events").filter(F.col("user_id") < 10)
+    out = exp_time_decayed_avg(ev, ["user_id"], "ts", "value", 86400.0,
+                               tiebreak="event_id")
+    return out.select("user_id", "event_id",
+                      F.round("decayed_avg", 6).alias("decayed_avg"))

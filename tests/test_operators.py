@@ -183,3 +183,35 @@ def test_map_combinator_avg_and_assembled(spark):
     cnt = {r.g: r.count_m for r in map_combinator(df, ["g"], "m",
                                                   "count").collect()}
     assert cnt == {1: {"a": 2, "b": 1}, 2: {"b": 1}}
+
+
+def test_exp_time_decayed_family_vs_bruteforce(spark):
+    """decayed count/avg/max must equal the O(n^2) direct computation,
+    including across an epoch boundary (span > 500*tau)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_clickhouse_spark.operators.advanced import (
+        exp_time_decayed_avg, exp_time_decayed_count, exp_time_decayed_max,
+    )
+
+    tau = 1.0
+    # times cross the 500s epoch boundary; values include a big early max
+    pts = [(0.0, 9.0), (1.0, 2.0), (499.5, 5.0), (500.5, 1.0), (502.0, 3.0)]
+    rows = [(1, float(t), float(v)) for t, v in pts]
+    df = spark.createDataFrame(rows, "k long, ts double, v double")
+
+    got_c = {r.ts: r.decayed_count for r in
+             exp_time_decayed_count(df, ["k"], "ts", tau).collect()}
+    got_a = {r.ts: r.decayed_avg for r in
+             exp_time_decayed_avg(df, ["k"], "ts", "v", tau).collect()}
+    got_m = {r.ts: r.decayed_max for r in
+             exp_time_decayed_max(df, ["k"], "ts", "v", tau).collect()}
+    for t, _ in pts:
+        cnt = sum(math.exp(-(t - ti)) for ti, _ in pts if ti <= t)
+        sm = sum(vi * math.exp(-(t - ti)) for ti, vi in pts if ti <= t)
+        mx = max(vi * math.exp(-(t - ti)) for ti, vi in pts if ti <= t)
+        assert abs(got_c[t] - cnt) < 1e-9 * max(cnt, 1)
+        assert abs(got_a[t] - sm / cnt) < 1e-9 * max(abs(sm / cnt), 1)
+        assert abs(got_m[t] - mx) < 1e-9 * max(abs(mx), 1)
