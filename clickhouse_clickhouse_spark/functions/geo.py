@@ -268,3 +268,20 @@ def hex_bin_oracle_exprs(lat_sql: str, lon_sql: str,
     hr = (f"CAST(CASE WHEN NOT {big_dx} AND NOT ({dy} > {dz}) "
           f"THEN -{rx} - {ry} ELSE {rz} END AS BIGINT)")
     return hq, hr
+
+
+def hex_kring(hq: Column, hr: Column, k: int) -> Column:
+    """All axial cells within hex distance ``k`` of (hq, hr) — the
+    h3 kRing analog (upstream [U] src/Functions/h3kRing.cpp). Pure
+    integer arithmetic unrolled at plan-build time: the ring-k disc is
+    the fixed offset set {(dq, dr): |dq|<=k, |dr|<=k, |dq+dr|<=k},
+    (2k+1)cells^2-ish (3k^2+3k+1 cells). Returns array<struct<hq,hr>>
+    ordered by (dq, dr) — deterministic for joins/rollups."""
+    cells = []
+    for dq in range(-k, k + 1):
+        for dr in range(-k, k + 1):
+            if abs(dq + dr) <= k:
+                cells.append(F.struct(
+                    (hq + dq).cast("long").alias("hq"),
+                    (hr + dr).cast("long").alias("hr")))
+    return F.array(*cells)

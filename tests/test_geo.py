@@ -117,3 +117,28 @@ def test_tile_quadkey_hierarchy_and_hex_roundtrip(spark):
                      hex_bin(F.col("lat"), F.col("lon"), size).alias("h")) \
              .collect()
     assert all(r.h.hq == r.q and r.h.hr == r.r for r in got)
+
+
+def test_hex_kring_disc(spark):
+    """kRing(0) is the cell itself; kRing(1) is the 7-cell disc whose
+    non-center members are exactly the 6 axial neighbors; kRing(2) has
+    3*4+2*2+... = 19 cells; every member is within hex distance k."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_clickhouse_spark.functions.geo import hex_kring
+
+    df = spark.createDataFrame([(2, -1)], "q long, r long")
+    r0, r1, r2 = df.select(
+        hex_kring(F.col("q"), F.col("r"), 0).alias("k0"),
+        hex_kring(F.col("q"), F.col("r"), 1).alias("k1"),
+        hex_kring(F.col("q"), F.col("r"), 2).alias("k2")).first()
+    assert [(c.hq, c.hr) for c in r0] == [(2, -1)]
+    cells1 = {(c.hq, c.hr) for c in r1}
+    neigh = {(3, -1), (3, -2), (2, -2), (1, -1), (1, 0), (2, 0)}
+    assert cells1 == neigh | {(2, -1)} and len(r1) == 7
+    assert len(r2) == 19
+
+    def hexdist(a, b):
+        dq, dr = a[0] - b[0], a[1] - b[1]
+        return max(abs(dq), abs(dr), abs(dq + dr))
+    assert all(hexdist((c.hq, c.hr), (2, -1)) <= 2 for c in r2)
