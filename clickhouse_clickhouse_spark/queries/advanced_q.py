@@ -591,3 +591,46 @@ def window_time_decayed_avg(spark, sf):
                                tiebreak="event_id")
     return out.select("user_id", "event_id",
                       F.round("decayed_avg", 6).alias("decayed_avg"))
+
+
+@register("geo_hex_smooth", oracle=f"""
+WITH cells AS (
+  SELECT hq, hr, count(*) AS n
+  FROM (SELECT {_HQ} AS hq, {_HR} AS hr FROM part) t GROUP BY hq, hr),
+ring AS (
+  SELECT c.hq, c.hr, d.dq, d.dr
+  FROM cells c, (VALUES (0,0),(1,0),(1,-1),(0,-1),(-1,0),(-1,1),(0,1))
+       AS d(dq, dr))
+SELECT r.hq, r.hr,
+       any_value(c0.n) AS n_self,
+       cast(sum(coalesce(cn.n, 0)) AS BIGINT) AS n_ring
+FROM ring r
+JOIN cells c0 ON c0.hq = r.hq AND c0.hr = r.hr
+LEFT JOIN cells cn ON cn.hq = r.hq + r.dq AND cn.hr = r.hr + r.dr
+GROUP BY r.hq, r.hr
+""")
+def geo_hex_smooth(spark, sf):
+    """kRing-1 spatial smoothing — the distributed use of hex
+    neighborhoods: per-cell counts, each cell exploded to its 7-cell
+    disc (hex_kring), re-joined on the cell id and summed. One hash agg
+    + one self-equi-join on (hq, hr) — the plan shape of any h3-based
+    density/rollup query; the ring expansion is a constant 7x explode,
+    not a shuffle multiplier."""
+    from clickhouse_clickhouse_spark.functions.geo import hex_bin, hex_kring
+
+    p = load_table(spark, sf, "part")
+    lat = ((F.col("p_partkey") * 37) % 1600) / 10.0 - 80.0 + 0.0137
+    lon = ((F.col("p_partkey") * 91) % 3600) / 10.0 - 180.0 + 0.0071
+    cells = (p.select(hex_bin(lat, lon, 250_000.0).alias("h"))
+             .groupBy(F.col("h.hq").alias("hq"), F.col("h.hr").alias("hr"))
+             .agg(F.count("*").alias("n")))
+    ring = (cells.select("hq", "hr", F.col("n").alias("n_self"),
+                         F.explode(hex_kring(F.col("hq"), F.col("hr"), 1))
+                          .alias("nb")))
+    nb = cells.select(F.col("hq").alias("nq"), F.col("hr").alias("nr"),
+                      F.col("n").alias("nn"))
+    return (ring.join(nb, (F.col("nb.hq") == F.col("nq"))
+                      & (F.col("nb.hr") == F.col("nr")), "left")
+            .groupBy("hq", "hr")
+            .agg(F.any_value("n_self").alias("n_self"),
+                 F.sum(F.coalesce(F.col("nn"), F.lit(0))).alias("n_ring")))
