@@ -170,6 +170,8 @@ _PARAMETRIC: dict[str, str] = {
     "uniqCombined": "APPROX_COUNT_DISTINCT({a0}, {p0:hll_rsd})",
     "uniqHLL12": "APPROX_COUNT_DISTINCT({a0}, {p0:hll_rsd})",
     "quantile": "PERCENTILE_APPROX({a0}, {p0})",
+    # reference: exact count while <= N, else N+1
+    "uniqUpTo": "LEAST(COUNT(DISTINCT {a0}), {p0} + 1)",
     "groupArraySorted": "SLICE(ARRAY_SORT(COLLECT_LIST({a0})), 1, {p0})",
     "topKWeighted": "SLICE(TRANSFORM(ARRAY_SORT(MAP_ENTRIES("
                     "MAP_FROM_ARRAYS(COLLECT_LIST({a0}), "

@@ -264,3 +264,11 @@ def test_group_array_sorted_parametric(views):
     exp_m = views.sql(
         "SELECT percentile(n_nationkey, 0.5) AS m FROM nation").first().m
     assert r.a == [0, 1, 2] and r.m == exp_m
+
+
+def test_uniq_up_to_parametric(views):
+    r = ch_sql(views, "SELECT uniqUpTo(3)(n_nationkey) AS capped, "
+                      "uniqUpTo(100)(n_regionkey) AS exact FROM nation") \
+        .collect()[0]
+    assert r.capped == 4          # > 3 distinct -> N+1
+    assert r.exact == 5           # 5 regions, under the cap
