@@ -130,6 +130,22 @@ _FUNCS: dict[str, str] = {
     "arrayMap": "TRANSFORM({1}, {0})", "arrayFilter": "FILTER({1}, {0})",
     "arrayExists": "EXISTS({1}, {0})", "arrayAll": "FORALL({1}, {0})",
     "arrayCount": "SIZE(FILTER({1}, {0}))",
+    # vector distances (SQL names of functions/vectors.py)
+    "dotProduct": "AGGREGATE(ZIP_WITH({0}, {1}, (x, y) -> x * y), "
+                  "CAST(0 AS DOUBLE), (s, v) -> s + v)",
+    "L2Distance": "SQRT(AGGREGATE(ZIP_WITH({0}, {1}, "
+                  "(x, y) -> (x - y) * (x - y)), "
+                  "CAST(0 AS DOUBLE), (s, v) -> s + v))",
+    "L2Norm": "SQRT(AGGREGATE(TRANSFORM({0}, x -> x * x), "
+              "CAST(0 AS DOUBLE), (s, v) -> s + v))",
+    "cosineDistance": "(1.0 - AGGREGATE(ZIP_WITH({0}, {1}, "
+                      "(x, y) -> x * y), CAST(0 AS DOUBLE), "
+                      "(s, v) -> s + v) / (SQRT(AGGREGATE(TRANSFORM({0}, "
+                      "x -> x * x), CAST(0 AS DOUBLE), (s, v) -> s + v)) "
+                      "* SQRT(AGGREGATE(TRANSFORM({1}, x -> x * x), "
+                      "CAST(0 AS DOUBLE), (s, v) -> s + v))))",
+    "visitParamHas": "(GET_JSON_OBJECT({0}, CONCAT('$.', {1})) "
+                     "IS NOT NULL)",
     # round-2c SQL-side mirrors of the ch_functions batch
     "splitByString": "SPLIT({1}, CONCAT('\\\\Q', {0}, '\\\\E'))",
     "arrayReverse": "REVERSE({0})",

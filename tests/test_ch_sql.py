@@ -272,3 +272,17 @@ def test_uniq_up_to_parametric(views):
         .collect()[0]
     assert r.capped == 4          # > 3 distinct -> N+1
     assert r.exact == 5           # 5 regions, under the cap
+
+
+def test_vector_distance_sql_names(views):
+    r = ch_sql(views, """
+        SELECT dotProduct(array(1.0, 2.0), array(3.0, 4.0)) AS dp,
+               L2Distance(array(0.0, 0.0), array(3.0, 4.0)) AS l2,
+               L2Norm(array(3.0, 4.0)) AS nrm,
+               round(cosineDistance(array(1.0, 0.0), array(0.0, 1.0)), 6)
+                 AS cd,
+               visitParamHas('{"k": 1}', 'k') AS h1,
+               visitParamHas('{"k": 1}', 'z') AS h0
+        FROM nation WHERE n_nationkey = 0""").collect()[0]
+    assert r.dp == 11.0 and r.l2 == 5.0 and r.nrm == 5.0
+    assert r.cd == 1.0 and r.h1 is True and r.h0 is False
