@@ -422,3 +422,36 @@ def exp_time_decayed_max(df: DataFrame, keys: Sequence[str], ts: str,
                      * F.exp(-F.col("__dtl") / tau_seconds))
          .drop("__dt", "__ep", "__dtl", "__run", "__carry"))
     return d
+
+
+def acf_periodogram(df: DataFrame, keys: Sequence[str], ts: str,
+                    bucket_seconds: int, max_lag: int) -> DataFrame:
+    """Autocorrelation periodogram per key series — the period-detection
+    capability of the reference's ``seriesPeriodDetectFFT`` ([U]
+    src/Functions/seriesPeriodDetectFFT.cpp), via the ACF rather than an
+    FFT (documented deviation: the FFT needs a row-local numeric kernel;
+    the ACF is pure relational algebra, so it distributes and
+    oracle-checks). Returns (keys..., lag, acf): Pearson correlation of
+    the bucketed count series against itself shifted by ``lag`` buckets,
+    for lag = 1..max_lag. The dominant period is the argmax row —
+    returned unreduced so ties stay deterministic.
+
+    Plan: one bucketing hash agg, a constant max_lag-way spine explode,
+    one equi-join on (key, bucket+lag), one corr agg — no windows, no
+    single-partition stage.
+    """
+    keys = list(keys)
+    b = (F.floor(F.col(ts).cast("double") / bucket_seconds)
+         .cast("long").alias("__b"))
+    series = df.groupBy(*keys, b).agg(F.count("*").alias("__n"))
+    lags = F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag")
+    left = series.select(*keys, "__b", "__n", lags)
+    right = series.select(
+        *[F.col(k).alias(f"__r_{k}") for k in keys],
+        F.col("__b").alias("__rb"), F.col("__n").alias("__rn"))
+    cond = (F.col("__rb") == F.col("__b") + F.col("lag"))
+    for k in keys:
+        cond = cond & (F.col(f"__r_{k}") == F.col(k))
+    return (left.join(right, cond)
+            .groupBy(*keys, "lag")
+            .agg(F.round(F.corr("__n", "__rn"), 6).alias("acf")))

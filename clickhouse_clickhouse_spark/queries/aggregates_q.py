@@ -1123,3 +1123,28 @@ def series_outliers_tukey(spark, sf):
 
     ev = load_table(spark, sf, "events")
     return tukey_outliers(ev, ["event_type"], "value")
+
+
+@register("series_acf_periodogram", oracle="""
+WITH s AS (
+  SELECT event_type,
+         cast(floor(epoch_us(date_trunc('microseconds', ts)) / 1000000.0
+                    / 21600) AS BIGINT) AS b,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+l AS (SELECT unnest(generate_series(1, 8)) AS lag)
+SELECT s.event_type, l.lag, round(corr(s.n, r.n), 6) AS acf
+FROM s CROSS JOIN l
+JOIN s r ON r.event_type = s.event_type AND r.b = s.b + l.lag
+GROUP BY s.event_type, l.lag
+""")
+def series_acf_periodogram(spark, sf):
+    """Series period detection (seriesPeriodDetectFFT-class, via the
+    ACF — operators/advanced.acf_periodogram): 6-hour-bucketed event
+    counts per type, autocorrelation at lags 1..8; the dominant period
+    is the per-type argmax row. Lagged self-equi-join on (type, bucket),
+    no window."""
+    from clickhouse_clickhouse_spark.operators.advanced import acf_periodogram
+
+    ev = load_table(spark, sf, "events")
+    return acf_periodogram(ev, ["event_type"], "ts", 21600, 8)
