@@ -455,3 +455,45 @@ def acf_periodogram(df: DataFrame, keys: Sequence[str], ts: str,
     return (left.join(right, cond)
             .groupBy(*keys, "lag")
             .agg(F.round(F.corr("__n", "__rn"), 6).alias("acf")))
+
+
+def series_decompose(df: DataFrame, keys: Sequence[str], ts: str,
+                     bucket_seconds: int, period: int) -> DataFrame:
+    """Additive trend/seasonal/residual decomposition per key series —
+    the capability of the reference's ``seriesDecomposeSTL`` ([U]
+    src/Functions/seriesDecomposeSTL.cpp), via the classical
+    moving-average method rather than LOESS (documented deviation: STL's
+    loess smoother is a row-local iterative kernel; the classical
+    decomposition is windows + one phase aggregation, so it distributes
+    and oracle-checks):
+
+      trend_t    = centered mean of the ±period/2 bucket window
+      seasonal_p = mean over t≡p (mod period) of (x_t − trend_t),
+                   re-centered to sum 0 over the period
+      residual_t = x_t − trend_t − seasonal_p
+
+    Windows are keyed by the series key (parallel across keys); the
+    seasonal pass is a (key, phase) hash agg joined back broadcast.
+    """
+    keys = list(keys)
+    half = period // 2
+    b = (F.floor(F.col(ts).cast("double") / bucket_seconds)
+         .cast("long").alias("bucket"))
+    s = df.groupBy(*keys, b).agg(F.count("*").cast("double").alias("x"))
+    w = (Window.partitionBy(*keys).orderBy("bucket")
+         .rowsBetween(-half, half))
+    s = s.withColumn("trend", F.round(F.avg("x").over(w), 6))
+    s = s.withColumn("phase", F.pmod(F.col("bucket"), F.lit(period)))
+    seas = (s.groupBy(*keys, "phase")
+            .agg(F.avg(F.col("x") - F.col("trend")).alias("__sp")))
+    center = (seas.groupBy(*keys)
+              .agg(F.avg("__sp").alias("__c")))
+    seas = (seas.join(center, keys)
+            .select(*keys, "phase",
+                    F.round(F.col("__sp") - F.col("__c"), 6)
+                    .alias("seasonal")))
+    out = (s.join(F.broadcast(seas), [*keys, "phase"])
+           .withColumn("residual",
+                       F.round(F.col("x") - F.col("trend")
+                               - F.col("seasonal"), 6)))
+    return out.select(*keys, "bucket", "x", "trend", "seasonal", "residual")

@@ -1148,3 +1148,40 @@ def series_acf_periodogram(spark, sf):
 
     ev = load_table(spark, sf, "events")
     return acf_periodogram(ev, ["event_type"], "ts", 21600, 8)
+
+
+@register("series_decompose_additive", oracle="""
+WITH s AS (
+  SELECT event_type,
+         cast(floor(epoch_us(date_trunc('microseconds', ts)) / 1000000.0
+                    / 21600) AS BIGINT) AS bucket,
+         cast(count(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2),
+t AS (
+  SELECT event_type, bucket, x,
+         round(avg(x) OVER (PARTITION BY event_type ORDER BY bucket
+                            ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6)
+           AS trend,
+         bucket % 4 AS phase
+  FROM s),
+sp AS (SELECT event_type, phase, avg(x - trend) AS sp
+       FROM t GROUP BY 1, 2),
+c AS (SELECT event_type, avg(sp) AS c FROM sp GROUP BY 1),
+seas AS (SELECT sp.event_type, phase, round(sp - c, 6) AS seasonal
+         FROM sp JOIN c USING (event_type))
+SELECT t.event_type, bucket, x, trend, seasonal,
+       round(x - trend - seasonal, 6) AS residual
+FROM t JOIN seas ON seas.event_type = t.event_type
+                AND seas.phase = t.phase
+""")
+def series_decompose_additive(spark, sf):
+    """seriesDecomposeSTL-class decomposition (classical moving-average
+    additive form — operators/advanced.series_decompose): 6h-bucketed
+    counts per event type, period 4 (daily cycle), trend/seasonal/
+    residual. Keyed windows + one phase agg, broadcast re-join."""
+    from clickhouse_clickhouse_spark.operators.advanced import (
+        series_decompose,
+    )
+
+    ev = load_table(spark, sf, "events")
+    return series_decompose(ev, ["event_type"], "ts", 21600, 4)
