@@ -101,6 +101,13 @@ _FUNCS: dict[str, str] = {
     "minIf": "MIN(CASE WHEN {1} THEN {0} END)",
     "maxIf": "MAX(CASE WHEN {1} THEN {0} END)",
     "avgWeighted": "SUM(({0}) * ({1})) / SUM({1})",
+    "sumIfOrNull": "SUM(CASE WHEN {1} THEN {0} END)",
+    "anyIf": "FIRST(CASE WHEN {1} THEN {0} END, TRUE)",
+    "argMinIf": "MIN_BY(CASE WHEN {2} THEN {0} END, "
+                "CASE WHEN {2} THEN {1} END)",
+    "argMaxIf": "MAX_BY(CASE WHEN {2} THEN {0} END, "
+                "CASE WHEN {2} THEN {1} END)",
+    "uniqExactIf": "COUNT(DISTINCT CASE WHEN {1} THEN {0} END)",
     "varPop": "VAR_POP({0})", "varSamp": "VAR_SAMP({0})",
     "stddevPop": "STDDEV_POP({0})", "stddevSamp": "STDDEV_SAMP({0})",
     "covarPop": "COVAR_POP({0}, {1})", "covarSamp": "COVAR_SAMP({0}, {1})",

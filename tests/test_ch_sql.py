@@ -286,3 +286,15 @@ def test_vector_distance_sql_names(views):
         FROM nation WHERE n_nationkey = 0""").collect()[0]
     assert r.dp == 11.0 and r.l2 == 5.0 and r.nrm == 5.0
     assert r.cd == 1.0 and r.h1 is True and r.h0 is False
+
+
+def test_if_combinator_sql_forms(views):
+    r = ch_sql(views, """
+        SELECT argMaxIf(n_name, n_nationkey, n_nationkey < 3) AS am,
+               anyIf(n_name, n_nationkey = 2) AS ai,
+               uniqExactIf(n_regionkey, n_nationkey < 10) AS u
+        FROM nation""").collect()[0]
+    assert r.am == "NATION_2" and r.ai == "NATION_2"
+    exp = views.sql("SELECT count(DISTINCT n_regionkey) AS n FROM nation "
+                    "WHERE n_nationkey < 10").first().n
+    assert r.u == exp
