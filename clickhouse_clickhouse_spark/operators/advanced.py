@@ -497,3 +497,25 @@ def series_decompose(df: DataFrame, keys: Sequence[str], ts: str,
                        F.round(F.col("x") - F.col("trend")
                                - F.col("seasonal"), 6)))
     return out.select(*keys, "bucket", "x", "trend", "seasonal", "residual")
+
+
+def corr_matrix(df: DataFrame, cols: Sequence[str],
+                round_dp: int = 6) -> DataFrame:
+    """``corrMatrix`` (reference 23.x matrix aggregates) in tidy
+    relational form: one row per (col_a, col_b) pair, upper triangle
+    including the diagonal. ONE aggregation computes every pairwise
+    Pearson correlation (p(p+1)/2 aggregate expressions over a single
+    scan); the unpivot is a plan-time stack over the 1-row result."""
+    cols = list(cols)
+    aggs, stack_parts = [], []
+    for i, a in enumerate(cols):
+        for bcol in cols[i:]:
+            alias = f"__c_{a}_{bcol}"
+            aggs.append(F.round(F.corr(F.col(a).cast("double"),
+                                       F.col(bcol).cast("double")),
+                                round_dp).alias(alias))
+            stack_parts.append(f"'{a}', '{bcol}', {alias}")
+    one = df.agg(*aggs)
+    n = len(stack_parts)
+    return one.selectExpr(
+        f"stack({n}, {', '.join(stack_parts)}) AS (col_a, col_b, corr)")

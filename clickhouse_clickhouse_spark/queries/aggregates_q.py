@@ -1185,3 +1185,28 @@ def series_decompose_additive(spark, sf):
 
     ev = load_table(spark, sf, "events")
     return series_decompose(ev, ["event_type"], "ts", 21600, 4)
+
+
+@register("agg_corr_matrix", oracle="""
+SELECT 'l_quantity' AS col_a, 'l_quantity' AS col_b,
+       round(corr(l_quantity, l_quantity), 6) AS corr FROM lineitem
+UNION ALL SELECT 'l_quantity', 'l_extendedprice',
+       round(corr(l_quantity, l_extendedprice), 6) FROM lineitem
+UNION ALL SELECT 'l_quantity', 'l_discount',
+       round(corr(l_quantity, l_discount), 6) FROM lineitem
+UNION ALL SELECT 'l_extendedprice', 'l_extendedprice',
+       round(corr(l_extendedprice, l_extendedprice), 6) FROM lineitem
+UNION ALL SELECT 'l_extendedprice', 'l_discount',
+       round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+UNION ALL SELECT 'l_discount', 'l_discount',
+       round(corr(l_discount, l_discount), 6) FROM lineitem
+""")
+def agg_corr_matrix(spark, sf):
+    """corrMatrix (reference matrix aggregate) as tidy (col_a, col_b,
+    corr) pairs — one scan, all pairwise correlations in a single
+    aggregation, plan-time stack unpivot
+    (operators/advanced.corr_matrix)."""
+    from clickhouse_clickhouse_spark.operators.advanced import corr_matrix
+
+    li = load_table(spark, sf, "lineitem")
+    return corr_matrix(li, ["l_quantity", "l_extendedprice", "l_discount"])
