@@ -218,3 +218,40 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                    cos.alias("cosine"))
            .filter(F.col("cosine") >= threshold))
     return out
+
+
+def chunk_dedup(df: DataFrame, id_col: str, text_col: str,
+                size: int = 100, stride: int | None = None,
+                max_chunks: int = 20) -> DataFrame:
+    """Chunk-level exact dedup — the sub-document dedup stage of a
+    training pipeline (boilerplate headers/footers repeat across docs
+    even when whole documents differ). Splits each text into fixed-size
+    character windows (``stride`` defaults to ``size`` = non-overlapping),
+    then keeps each distinct chunk's FIRST occurrence (minimum
+    ``(doc_id, chunk_id)``). Returns (doc_id, chunk_id, chunk, keep).
+
+    Scale shape: one narrow explode (no shuffle), one hash-aggregate on
+    the chunk content to elect keepers, one equi-join back — identical to
+    exact_dedup but at chunk granularity. The keeper key is encoded
+    arithmetically (doc_id * (max_chunks+1) + chunk_id) so the election
+    is a plain ``min`` — no struct-ordering dependence.
+
+    Reference parity: the reference dedups at part granularity via
+    ReplacingMergeTree ordering; chunk-level text dedup is the
+    LLM-pipeline extension of the same keep-first-by-key semantics.
+    """
+    stride = stride or size
+    n = F.length(F.col(text_col))
+    c = (df.select(F.col(id_col), F.col(text_col).alias("__t"),
+                   F.explode(F.sequence(F.lit(0), F.lit(max_chunks)))
+                    .alias("chunk_id"))
+         .filter(F.col("chunk_id") * stride + 1 <= F.length("__t"))
+         .select(F.col(id_col), F.col("chunk_id").cast("long").alias("chunk_id"),
+                 F.substring(F.col("__t"), F.col("chunk_id") * stride + 1,
+                             F.lit(size)).alias("chunk")))
+    enc = F.col(id_col) * (max_chunks + 1) + F.col("chunk_id")
+    keepers = (c.groupBy("chunk")
+               .agg(F.min(enc).alias("__keeper")))
+    return (c.join(keepers, "chunk")
+            .select(id_col, "chunk_id", "chunk",
+                    (enc == F.col("__keeper")).alias("keep")))

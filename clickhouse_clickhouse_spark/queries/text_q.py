@@ -728,3 +728,81 @@ def pipeline_full_curation(spark, sf):
             .agg(F.count("*").alias("n_docs"),
                  F.sum(TXT.token_count(F.col("text"))).cast("long")
                   .alias("total_tokens")))
+
+
+@register("dedup_near_clusters", oracle=f"""
+WITH RECURSIVE {_BIGRAM_VOCAB_CTE},
+sig AS (SELECT doc_id, {_MH8} FROM tt GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, mh0 || '_' || mh1 AS key FROM sig
+  UNION ALL SELECT doc_id, 1, mh2 || '_' || mh3 FROM sig
+  UNION ALL SELECT doc_id, 2, mh4 || '_' || mh5 FROM sig
+  UNION ALL SELECT doc_id, 3, mh6 || '_' || mh7 FROM sig),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(n, m) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a),
+comp AS (SELECT n, min(m) AS lbl FROM reach GROUP BY n)
+SELECT lang, count(*) AS n_surviving,
+       cast(sum(doc_id) AS BIGINT) AS id_sum
+FROM documents d LEFT JOIN comp ON d.doc_id = comp.n
+WHERE comp.n IS NULL OR d.doc_id = comp.lbl
+GROUP BY lang
+""")
+def dedup_near_clusters(spark, sf):
+    """The COMPLETE near-dup removal pipeline in one plan — the
+    composition a 100 TB curation job actually runs: MinHash(8) over
+    bigram shingles -> 4-band LSH candidate pairs (banded equi-join, not
+    all-pairs) -> connected components (min-label propagation,
+    pipeline/components.py) -> keep each cluster's canonical minimum
+    doc_id -> per-language survivor stats. Docs in no pair survive via
+    the left-join null path. Oracle replays the identical hash
+    arithmetic in DuckDB and closes the pair graph with a recursive CTE.
+    """
+    from clickhouse_clickhouse_spark.pipeline.components import (
+        dedup_keep_canonical,
+    )
+
+    d = load_table(spark, sf, "documents")
+    pairs = minhash_candidate_pairs(d, "doc_id", "text", num_hashes=8,
+                                    bands=4, shingle=2, token_hash="vocab")
+    surv = dedup_keep_canonical(d, "doc_id", pairs, "id_a", "id_b")
+    return (surv.groupBy("lang")
+            .agg(F.count("*").alias("n_surviving"),
+                 F.sum("doc_id").cast("long").alias("id_sum")))
+
+
+@register("chunk_dedup_stats", oracle="""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+c AS (SELECT doc_id, s.i AS chunk_id, substr(text, 1 + s.i * 100, 100) AS chunk
+      FROM d, (SELECT unnest(generate_series(0, 20)) AS i) s
+      WHERE s.i * 100 + 1 <= length(text)),
+k AS (SELECT chunk, min(doc_id * 21 + chunk_id) AS keeper FROM c GROUP BY chunk)
+SELECT c.doc_id, count(*) AS n_chunks,
+       cast(sum(CASE WHEN c.doc_id * 21 + c.chunk_id = k.keeper
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_surviving
+FROM c JOIN k USING (chunk)
+GROUP BY c.doc_id
+""")
+def chunk_dedup_stats(spark, sf):
+    """Sub-document (chunk-level) exact dedup: non-overlapping 100-char
+    windows, each distinct chunk's first occurrence (minimum
+    (doc_id, chunk_id), encoded arithmetically) is the keeper
+    (pipeline/dedup.chunk_dedup). Catches boilerplate repeated across
+    otherwise-distinct documents — the dedup stage whole-document
+    hashing misses. One explode + one hash-agg + one equi-join."""
+    from clickhouse_clickhouse_spark.pipeline.dedup import chunk_dedup
+
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    cd = chunk_dedup(d, "doc_id", "text", size=100, stride=100,
+                     max_chunks=20)
+    return (cd.groupBy("doc_id")
+            .agg(F.count("*").alias("n_chunks"),
+                 F.sum(F.col("keep").cast("int")).cast("long")
+                  .alias("n_surviving")))
