@@ -67,6 +67,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
         # integer division: double math would lose precision at 1e18 ns
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        # Fixture timestamps are tz-naive; Spark 4 surfaces un-adjusted
+        # parquet timestamps as TIMESTAMP_NTZ, which rejects numeric casts
+        # (epoch arithmetic) the engine uses. With the session pinned to
+        # UTC, NTZ -> LTZ is value-identical, so normalize at the scan.
+        from pyspark.sql import functions as F
+        df = df.withColumns(
+            {c: F.col(c).cast("timestamp") for c in ntz_cols})
     _RELATION_CACHE[key] = df
     return df
 
