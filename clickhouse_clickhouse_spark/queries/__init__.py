@@ -18,4 +18,5 @@ from clickhouse_clickhouse_spark.queries import (  # noqa: F401
     tpch_q,
     tpch_full_q,
     clickbench_q,
+    formats_q,
 )

@@ -1,0 +1,153 @@
+"""FORMAT serialization queries (SURVEY.md §2.1 — the reference's text
+I/O formats, upstream ``src/Processors/Formats/Impl/*RowOutputFormat.cpp``
+/ ``*RowInputFormat.cpp``).
+
+Each query exercises ``sources/render.py`` distributively: serializers are
+pure JVM projections (one row in → one formatted line out), parsers are
+``from_json``/``from_csv`` expressions, RowBinary is the Arrow-batched
+binary exchange path. Oracles rebuild the exact same lines with DuckDB
+string/JSON functions, or (for the round trips) simply select the source
+columns — parse(serialize(x)) must equal x.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_clickhouse_spark.registry import register
+from clickhouse_clickhouse_spark.sources import render
+from clickhouse_clickhouse_spark.tables import load_table
+
+
+@register("format_jsoneachrow", oracle="""
+SELECT to_json(struct_pack(
+         n_nationkey := n_nationkey,
+         n_name := n_name,
+         n_regionkey := n_regionkey))::VARCHAR AS line
+FROM nation
+""")
+def format_jsoneachrow(spark, sf):
+    """JSONEachRow output: one JSON object per row, keys in column order,
+    no whitespace — byte-identical to the reference's JSONEachRow for
+    int/string columns (JSONEachRowRowOutputFormat.cpp)."""
+    return render.serialize_lines(load_table(spark, sf, "nation"),
+                                  "JSONEachRow")
+
+
+@register("format_jsoncompact", oracle="""
+SELECT to_json([n_nationkey::JSON, to_json(n_name), n_regionkey::JSON])::VARCHAR
+       AS line
+FROM nation
+""")
+def format_jsoncompact(spark, sf):
+    """JSONCompactEachRow output: positional JSON arrays."""
+    return render.serialize_lines(load_table(spark, sf, "nation"),
+                                  "JSONCompactEachRow")
+
+
+@register("format_csv_lines", oracle="""
+SELECT n_nationkey || ',"' || replace(n_name, '"', '""') || '",'
+       || n_regionkey AS line
+FROM nation
+""")
+def format_csv_lines(spark, sf):
+    """CSV output: strings always double-quoted (quote doubling), numerics
+    bare — the reference's CSV dialect (CSVRowOutputFormat.cpp)."""
+    return render.serialize_lines(load_table(spark, sf, "nation"), "CSV")
+
+
+@register("format_tsv_lines", oracle="""
+SELECT s_suppkey || chr(9) || replace(s_name, chr(92), chr(92) || chr(92))
+       || chr(9) || s_nationkey AS line
+FROM supplier
+""")
+def format_tsv_lines(spark, sf):
+    """TabSeparated output with backslash escaping, NULL → \\N."""
+    s = load_table(spark, sf, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey")
+    return render.serialize_lines(s, "TSV")
+
+
+@register("format_values_lines", oracle="""
+SELECT '(' || o_orderkey || ',''' ||
+       replace(replace(o_orderpriority, chr(92), chr(92) || chr(92)),
+               '''', chr(92) || '''') ||
+       ''',''' || strftime(o_orderdate, '%Y-%m-%d') || ''')' AS line
+FROM orders
+""")
+def format_values_lines(spark, sf):
+    """Values output: SQL literal tuples (backslash-escaped single-quoted
+    strings, dates quoted) — the INSERT-ready exchange format."""
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.to_date("o_orderdate").alias("o_orderdate"))
+    return render.serialize_lines(o, "Values")
+
+
+@register("format_roundtrip_csv", oracle="""
+SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 6) AS acctbal
+FROM supplier
+""")
+def format_roundtrip_csv(spark, sf):
+    """CSV serialize → parse round trip over all supplier columns
+    (including the double) — parse(serialize(x)) = x, both sides
+    distributed expressions (CSVRowInputFormat.cpp analog)."""
+    s = load_table(spark, sf, "supplier").withColumn(
+        "s_acctbal", F.round("s_acctbal", 6))
+    lines = render.serialize_lines(s, "CSV")
+    back = render.parse_lines(lines, "CSV", s.schema)
+    return back.select("s_suppkey", "s_name", "s_nationkey",
+                       F.round("s_acctbal", 6).alias("acctbal"))
+
+
+@register("format_roundtrip_tsv", oracle="""
+SELECT o_orderkey, o_orderpriority, o_orderdate
+FROM orders WHERE o_orderkey % 7 = 0
+""")
+def format_roundtrip_tsv(spark, sf):
+    """TSV serialize → parse round trip (string unescaping + date cast)."""
+    o = (load_table(spark, sf, "orders")
+         .filter(F.col("o_orderkey") % 7 == 0)
+         .select("o_orderkey", "o_orderpriority", "o_orderdate"))
+    lines = render.serialize_lines(o, "TSV")
+    return render.parse_lines(lines, "TSV", o.schema)
+
+
+@register("format_roundtrip_values", oracle="""
+SELECT o_orderkey, o_orderpriority, o_orderdate
+FROM orders WHERE o_orderkey % 5 = 0
+""")
+def format_roundtrip_values(spark, sf):
+    """Values serialize → parse round trip (quoted-literal parsing)."""
+    o = (load_table(spark, sf, "orders")
+         .filter(F.col("o_orderkey") % 5 == 0)
+         .select("o_orderkey", "o_orderpriority", "o_orderdate"))
+    lines = render.serialize_lines(o, "Values")
+    return render.parse_lines(lines, "Values", o.schema)
+
+
+@register("format_rowbinary_roundtrip", oracle="""
+SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 6) AS acctbal
+FROM supplier
+""")
+def format_rowbinary_roundtrip(spark, sf):
+    """RowBinary encode → decode round trip: little-endian numerics,
+    LEB128-prefixed strings, Arrow-batched per partition (the reference's
+    binary exchange format; RowBinary spec is public)."""
+    s = load_table(spark, sf, "supplier").withColumn(
+        "s_acctbal", F.round("s_acctbal", 6))
+    enc = render.rowbinary_encode(s)
+    dec = render.rowbinary_decode(enc, s.schema)
+    return dec.select("s_suppkey", "s_name", "s_nationkey",
+                      F.round("s_acctbal", 6).alias("acctbal"))
+
+
+@register("format_markdown_lines", oracle="""
+SELECT '| ' || r_regionkey || ' | ' || replace(r_name, '|', chr(92) || '|')
+       || ' |' AS line
+FROM region
+""")
+def format_markdown_lines(spark, sf):
+    """Markdown table body rows (MarkdownRowOutputFormat.cpp analog)."""
+    r = load_table(spark, sf, "region").select("r_regionkey", "r_name")
+    return render.serialize_lines(r, "Markdown")

@@ -43,9 +43,28 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark("run_query")
         for t in TABLES:
             load_table(spark, args.sf, t).createOrReplaceTempView(t)
+        # honor a trailing FORMAT <name> (the translator strips it as a
+        # client directive — the CLI is that client)
+        import re
+
+        from clickhouse_clickhouse_spark.sources import render
+
+        fmt = None
+        m = re.search(r"\bFORMAT\s+(\w+)\s*$", args.sql, re.IGNORECASE)
+        if m:
+            fmt = m.group(1)
         df = ch_sql(spark, args.sql)
         if args.explain:
             df.explain("formatted")
+        elif fmt in render.LINE_FORMATS:
+            for h in render.header_lines(df, fmt):
+                print(h)
+            for row in render.serialize_lines(df, fmt).toLocalIterator():
+                print(row["line"])
+        elif fmt == "Vertical":
+            print(render.render_vertical(df, args.limit))
+        elif fmt in ("Pretty", "PrettyCompact"):
+            print(render.render_pretty(df, args.limit))
         else:
             df.show(args.limit, truncate=False)
         return 0

@@ -54,6 +54,9 @@ def get_spark(app_name: str = "clickhouse_clickhouse_spark",
         # events.parquet carries TIMESTAMP(NANOS); read as long then convert
         # (Spark has no ns timestamps — µs truncation documented in FIXTURES.md)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # read un-adjusted parquet timestamps as LTZ (session tz = UTC, so
+        # value-identical) — keeps epoch arithmetic legal on fixture columns
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")

@@ -1,0 +1,388 @@
+"""Row-level FORMAT serialization — the reference's text output/input
+formats as distributed column expressions.
+
+The reference renders every result through a pluggable row format
+(upstream ``src/Processors/Formats/Impl/*RowOutputFormat.cpp`` — ~70
+formats; SURVEY.md §2.1). The widely used *line-oriented* ones map
+cleanly onto Spark: one input row → one output string row, so the whole
+serialization is a JVM-side projection (no driver involvement, scales
+with the data):
+
+===================  ==========================================
+JSONEachRow          ``{"col":value,...}`` per line (upstream
+                     JSONEachRowRowOutputFormat.cpp)
+JSONCompactEachRow   ``[v1,v2,...]`` per line
+CSV / CSVWithNames   comma-separated, strings always double-quoted,
+                     NULL → ``\\N`` (CSVRowOutputFormat.cpp)
+TSV / TSVWithNames / TabSeparated: ``\\t``-separated with backslash
+TSVWithNamesAndTypes escapes, NULL → ``\\N``
+Values               SQL literal tuples ``(1,'x',NULL)``
+Markdown             ``| v | v |`` table rows
+RowBinary            little-endian fixed-width numerics + LEB128
+                     length-prefixed strings (RowBinary spec) —
+                     Arrow-batched mapInPandas (binary exchange
+                     format, the documented slow path)
+===================  ==========================================
+
+Presentation formats (Pretty*, Vertical) are rendered client-side by the
+reference's CLI; ``render_pretty``/``render_vertical`` mirror that: the
+*result* is computed distributed, the final box-drawing happens on the
+driver over an explicitly limited row count (same contract as
+``DataFrame.show``).
+
+Header lines (``WithNames``/``WithNamesAndTypes``/Markdown) are
+constants derived from the schema — emitted separately by
+``header_lines`` so the data path stays one-row-in/one-row-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LINE_FORMATS = (
+    "JSONEachRow", "JSONCompactEachRow", "CSV", "CSVWithNames",
+    "TSV", "TSVWithNames", "TSVWithNamesAndTypes", "TabSeparated",
+    "Values", "Markdown",
+)
+
+# Spark type -> reference type name (for TSVWithNamesAndTypes headers).
+_CH_TYPE = {
+    "tinyint": "Int8", "smallint": "Int16", "int": "Int32",
+    "bigint": "Int64", "float": "Float32", "double": "Float64",
+    "string": "String", "date": "Date", "timestamp": "DateTime",
+    "timestamp_ntz": "DateTime", "boolean": "Bool",
+}
+
+
+def _raw(c: Column, dt: T.DataType) -> Column:
+    """Canonical text for one value, before per-format escaping/quoting.
+    Dates/times use the reference's fixed renderings; numerics/bools use
+    Spark's cast (identical to DuckDB's for ints/bools, which is why the
+    oracle-compared formats stick to int/string/date columns)."""
+    if isinstance(dt, T.DateType):
+        return F.date_format(c, "yyyy-MM-dd")
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+    return c.cast("string")
+
+
+def _esc(c: Column, pairs: list[tuple[str, str]]) -> Column:
+    for a, b in pairs:
+        c = F.replace(c, F.lit(a), F.lit(b))
+    return c
+
+
+def _json_value(c: Column, name: str = "x") -> Column:
+    """JSON rendering of a single value of any type: serialize a one-field
+    struct and strip the fixed ``{"x":`` prefix / ``}`` suffix — reuses
+    Spark's JSON writer (escaping, nested types) without a UDF."""
+    j = F.to_json(F.struct(c.alias(name)), {"ignoreNullFields": "false"})
+    return j.substr(F.lit(6), F.length(j) - 6)
+
+
+def _field(df: DataFrame, name: str) -> tuple[Column, T.DataType]:
+    return F.col(name), df.schema[name].dataType
+
+
+def _rendered(df: DataFrame, fmt: str) -> list[Column]:
+    """Per-column string renderings (nullable → format's NULL literal)."""
+    cols = []
+    for name in df.columns:
+        c, dt = _field(df, name)
+        is_str = isinstance(dt, T.StringType)
+        if fmt in ("JSONEachRow",):
+            raise ValueError("JSONEachRow renders whole-row, not per-column")
+        if fmt == "JSONCompactEachRow":
+            cols.append(_json_value(c))
+            continue
+        raw = _raw(c, dt)
+        if fmt in ("CSV", "CSVWithNames"):
+            if is_str or isinstance(dt, (T.DateType, T.TimestampType,
+                                         T.TimestampNTZType)):
+                # reference CSV always double-quotes strings/dates
+                q = F.concat(F.lit('"'), _esc(raw, [('"', '""')]), F.lit('"'))
+            else:
+                q = raw
+            cols.append(F.coalesce(q, F.lit("\\N")))
+        elif fmt in ("TSV", "TSVWithNames", "TSVWithNamesAndTypes",
+                     "TabSeparated"):
+            e = _esc(raw, [("\\", "\\\\"), ("\t", "\\t"),
+                           ("\n", "\\n"), ("\r", "\\r")]) if is_str else raw
+            cols.append(F.coalesce(e, F.lit("\\N")))
+        elif fmt == "Values":
+            if is_str or isinstance(dt, (T.DateType, T.TimestampType,
+                                         T.TimestampNTZType)):
+                q = F.concat(F.lit("'"),
+                             _esc(raw, [("\\", "\\\\"), ("'", "\\'")]),
+                             F.lit("'"))
+            else:
+                q = raw
+            cols.append(F.coalesce(q, F.lit("NULL")))
+        elif fmt == "Markdown":
+            e = _esc(raw, [("|", "\\|")]) if is_str else raw
+            cols.append(F.coalesce(e, F.lit("\\N")))
+        else:
+            raise ValueError(f"unknown line format {fmt!r}")
+    return cols
+
+
+def serialize_lines(df: DataFrame, fmt: str) -> DataFrame:
+    """Serialize every row of ``df`` to one formatted text line (column
+    ``line``). Pure projection — runs inside whole-stage codegen, no
+    shuffle, no driver data. Header lines (WithNames variants) are
+    schema constants: see ``header_lines``."""
+    if fmt == "JSONEachRow":
+        line = F.to_json(F.struct(*[F.col(c) for c in df.columns]),
+                         {"ignoreNullFields": "false"})
+    elif fmt == "JSONCompactEachRow":
+        line = F.concat(F.lit("["),
+                        F.concat_ws(",", *_rendered(df, fmt)), F.lit("]"))
+    elif fmt in ("CSV", "CSVWithNames"):
+        line = F.concat_ws(",", *_rendered(df, fmt))
+    elif fmt in ("TSV", "TSVWithNames", "TSVWithNamesAndTypes",
+                 "TabSeparated"):
+        line = F.concat_ws("\t", *_rendered(df, fmt))
+    elif fmt == "Values":
+        line = F.concat(F.lit("("),
+                        F.concat_ws(",", *_rendered(df, fmt)), F.lit(")"))
+    elif fmt == "Markdown":
+        line = F.concat(F.lit("| "),
+                        F.concat_ws(" | ", *_rendered(df, fmt)),
+                        F.lit(" |"))
+    else:
+        raise ValueError(f"unknown line format {fmt!r}")
+    return df.select(line.alias("line"))
+
+
+def header_lines(df: DataFrame, fmt: str) -> list[str]:
+    """Constant header lines for the format (empty for headerless ones)."""
+    names = df.columns
+    if fmt in ("CSVWithNames",):
+        return [",".join(f'"{n}"' for n in names)]
+    if fmt in ("TSVWithNames",):
+        return ["\t".join(names)]
+    if fmt == "TSVWithNamesAndTypes":
+        types = [_CH_TYPE.get(dict(df.dtypes)[n], "String") for n in names]
+        return ["\t".join(names), "\t".join(types)]
+    if fmt == "Markdown":
+        return ["| " + " | ".join(names) + " |",
+                "|" + "|".join("---" for _ in names) + "|"]
+    return []
+
+
+def into_outfile(df: DataFrame, path: str, fmt: str,
+                 mode: str = "overwrite") -> None:
+    """``SELECT ... INTO OUTFILE 'path' FORMAT fmt`` — writes the
+    serialized lines as a text directory (distributed; at cluster scale
+    each task writes its own part file, same as the reference's parallel
+    formatting). Header-variant headers go to a ``_header`` sidecar since
+    part files have no global first-row."""
+    lines = serialize_lines(df, fmt)
+    lines.write.mode(mode).text(path)
+    hdr = header_lines(df, fmt)
+    if hdr:
+        import os
+        with open(os.path.join(path, "_header"), "w") as f:
+            f.write("\n".join(hdr) + "\n")
+
+
+# ---------------------------------------------------------------- parsing
+
+def parse_lines(lines: DataFrame, fmt: str, schema: T.StructType,
+                col: str = "line") -> DataFrame:
+    """Parse formatted text lines back into typed rows (the reference's
+    *RowInputFormat side). Distributed: ``from_json``/``from_csv`` are
+    JVM expressions. Supported: JSONEachRow, CSV, TSV/TabSeparated,
+    Values."""
+    c = F.col(col)
+    if fmt == "JSONEachRow":
+        parsed = lines.select(F.from_json(c, schema).alias("r"))
+        return parsed.select("r.*")
+    if fmt in ("CSV", "CSVWithNames"):
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                        for f in schema.fields)
+        parsed = lines.select(
+            F.from_csv(c, ddl, {"nullValue": "\\N", "escape": '"'})
+            .alias("r"))
+        return parsed.select("r.*")
+    if fmt in ("TSV", "TabSeparated", "TSVWithNames"):
+        ddl = ",".join(f"{f.name} STRING" for f in schema.fields)
+        parsed = lines.select(
+            F.from_csv(c, ddl, {"sep": "\t", "quote": "", "nullValue": "\\N"})
+            .alias("r")).select("r.*")
+        out = []
+        for f in schema.fields:
+            v = F.col(f.name)
+            if isinstance(f.dataType, T.StringType):
+                v = _esc(v, [("\\n", "\n"), ("\\r", "\r"),
+                             ("\\t", "\t"), ("\\\\", "\\")])
+            out.append(v.cast(f.dataType).alias(f.name))
+        return parsed.select(*out)
+    if fmt == "Values":
+        inner = F.regexp_replace(c, r"^\(|\)$", "")
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                        for f in schema.fields)
+        parsed = lines.select(
+            F.from_csv(inner, ddl,
+                       {"quote": "'", "escape": "\\", "nullValue": "NULL"})
+            .alias("r"))
+        return parsed.select("r.*")
+    raise ValueError(f"unsupported input format {fmt!r}")
+
+
+# ------------------------------------------------------------- RowBinary
+
+_FIXED = {
+    T.IntegerType: ("<i", 4), T.LongType: ("<q", 8),
+    T.ShortType: ("<h", 2), T.ByteType: ("<b", 1),
+    T.FloatType: ("<f", 4), T.DoubleType: ("<d", 8),
+}
+
+
+def _leb128(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def rowbinary_encode(df: DataFrame) -> DataFrame:
+    """Encode rows to the reference's RowBinary wire format (one binary
+    cell per row, column ``bin``): little-endian fixed-width numerics,
+    LEB128-length-prefixed UTF-8 strings, Date as UInt16 days, DateTime
+    as UInt32 epoch seconds. Arrow-batched ``mapInPandas`` — binary
+    exchange is the documented Python path; per-partition, nothing on the
+    driver. NULLs are not representable in plain RowBinary (the reference
+    requires Nullable columns be wrapped); callers must pre-coalesce."""
+    import struct
+    import sys
+
+    # executor workers under an external driver session don't have the
+    # repo on sys.path — ship this module by value in the closure
+    from pyspark import cloudpickle
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+    fields = [(f.name, type(f.dataType)) for f in df.schema.fields]
+
+    def encode(batches):
+        import pandas as pd
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                buf = bytearray()
+                for (name, ftype), v in zip(fields, row):
+                    if ftype in _FIXED:
+                        buf += struct.pack(_FIXED[ftype][0], v)
+                    elif ftype is T.StringType:
+                        raw = str(v).encode("utf-8")
+                        buf += _leb128(len(raw)) + raw
+                    elif ftype is T.DateType:
+                        buf += struct.pack("<H", (v - __import__("datetime")
+                                                  .date(1970, 1, 1)).days)
+                    elif ftype in (T.TimestampType, T.TimestampNTZType):
+                        ts = pd.Timestamp(v)
+                        buf += struct.pack("<I", int(ts.value // 1_000_000_000))
+                    else:
+                        raise TypeError(f"RowBinary: unsupported {ftype}")
+                out.append(bytes(buf))
+            yield pd.DataFrame({"bin": out})
+
+    return df.mapInPandas(encode, "bin binary")
+
+
+def rowbinary_decode(df: DataFrame, schema: T.StructType,
+                     col: str = "bin") -> DataFrame:
+    """Inverse of ``rowbinary_encode`` given the target schema."""
+    import struct
+    import sys
+
+    from pyspark import cloudpickle
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+    fields = [(f.name, type(f.dataType)) for f in schema.fields]
+
+    def decode(batches):
+        import datetime
+
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for raw in pdf[col]:
+                buf = memoryview(bytes(raw))
+                pos, vals = 0, []
+                for name, ftype in fields:
+                    if ftype in _FIXED:
+                        fmt_s, width = _FIXED[ftype]
+                        vals.append(struct.unpack_from(fmt_s, buf, pos)[0])
+                        pos += width
+                    elif ftype is T.StringType:
+                        ln, shift = 0, 0
+                        while True:
+                            b = buf[pos]
+                            pos += 1
+                            ln |= (b & 0x7F) << shift
+                            if not b & 0x80:
+                                break
+                            shift += 7
+                        vals.append(bytes(buf[pos:pos + ln]).decode("utf-8"))
+                        pos += ln
+                    elif ftype is T.DateType:
+                        days = struct.unpack_from("<H", buf, pos)[0]
+                        pos += 2
+                        vals.append(datetime.date(1970, 1, 1)
+                                    + datetime.timedelta(days=days))
+                    elif ftype in (T.TimestampType, T.TimestampNTZType):
+                        sec = struct.unpack_from("<I", buf, pos)[0]
+                        pos += 4
+                        vals.append(datetime.datetime.utcfromtimestamp(sec))
+                    else:
+                        raise TypeError(f"RowBinary: unsupported {ftype}")
+                rows.append(vals)
+            yield pd.DataFrame(rows, columns=[n for n, _ in fields])
+
+    return df.mapInPandas(decode, schema)
+
+
+# --------------------------------------------------- presentation formats
+
+def render_vertical(df: DataFrame, limit: int = 20) -> str:
+    """The reference CLI's ``Vertical`` display: one ``col: value`` block
+    per row. Rendering is client-side in the reference too — the result
+    set is computed distributed, only ``limit`` rows reach the driver."""
+    rows = df.limit(limit).collect()
+    width = max((len(c) for c in df.columns), default=0)
+    blocks = []
+    null_lit = "\\N"
+    for i, row in enumerate(rows, 1):
+        head = f"Row {i}:\n" + "─" * 10
+        body = "\n".join(
+            f"{c.rjust(width)}: {null_lit if row[c] is None else row[c]}"
+            for c in df.columns)
+        blocks.append(head + "\n" + body)
+    return "\n\n".join(blocks)
+
+
+def render_pretty(df: DataFrame, limit: int = 20) -> str:
+    """``PrettyCompact``-style box table (driver-side assembly over a
+    limited result, as in the reference client)."""
+    rows = df.limit(limit).collect()
+    cells = [[("\\N" if row[c] is None else str(row[c])) for c in df.columns]
+             for row in rows]
+    widths = [max([len(c)] + [len(r[i]) for r in cells])
+              for i, c in enumerate(df.columns)]
+    top = "┌" + "┬".join("─" * (w + 2) for w in widths) + "┐"
+    hdr = "│" + "│".join(f" {c.ljust(w)} "
+                                   for c, w in zip(df.columns, widths)) + "│"
+    sep = "├" + "┼".join("─" * (w + 2) for w in widths) + "┤"
+    bot = "└" + "┴".join("─" * (w + 2) for w in widths) + "┘"
+    body = ["│" + "│".join(f" {v.ljust(w)} "
+                                     for v, w in zip(r, widths)) + "│"
+            for r in cells]
+    return "\n".join([top, hdr, sep, *body, bot])

@@ -34,6 +34,13 @@ def ensure_engine_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    # Normalize ALL parquet read paths (not just load_table) to LTZ
+    # timestamps: Spark 4 otherwise infers TIMESTAMP_NTZ for un-adjusted
+    # parquet timestamps, which rejects the numeric casts (epoch
+    # arithmetic) the engine uses. Value-identical with the session pinned
+    # to UTC above. The per-column cast in load_table stays as a fallback
+    # for sessions that read fixtures before this conf is applied.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # externally created sessions default to 200 shuffle partitions — far
     # too many for the fixture scales; AQE coalesces, but a right-sized
     # default avoids scheduling overhead entirely

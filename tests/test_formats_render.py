@@ -1,0 +1,134 @@
+"""FORMAT serialization layer (sources/render.py) — escaping, NULLs,
+headers, OUTFILE, RowBinary, presentation rendering."""
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from clickhouse_clickhouse_spark.sources import render
+
+
+@pytest.fixture(scope="module")
+def nasty(spark):
+    """Rows exercising every escape target + NULLs."""
+    return spark.createDataFrame(
+        [
+            Row(k=1, s='plain', d=datetime.date(2024, 1, 2)),
+            Row(k=2, s='tab\there', d=None),
+            Row(k=3, s='new\nline', d=datetime.date(2024, 3, 4)),
+            Row(k=4, s='quote"dq\'sq', d=None),
+            Row(k=5, s='back\\slash', d=None),
+            Row(k=6, s=None, d=datetime.date(2024, 5, 6)),
+            Row(k=7, s='pipe|bar,comma', d=None),
+        ]
+    )
+
+
+def _lines(df, fmt):
+    return [r["line"] for r in
+            render.serialize_lines(df.orderBy("k"), fmt).collect()]
+
+
+def test_tsv_escapes_and_null(nasty):
+    lines = {ln.split("\t")[0]: ln for ln in _lines(nasty, "TSV")}
+    assert lines["2"] == "2\ttab\\there\t\\N"
+    assert lines["3"] == "3\tnew\\nline\t2024-03-04"
+    assert lines["5"] == "5\tback\\\\slash\t\\N"
+    assert lines["6"] == "6\t\\N\t2024-05-06"
+
+
+def test_csv_quoting_and_null(nasty):
+    lines = {ln.split(",")[0]: ln for ln in _lines(nasty, "CSV")}
+    assert lines["4"] == '4,"quote""dq\'sq",\\N'
+    assert lines["7"] == '7,"pipe|bar,comma",\\N'
+
+
+def test_values_escaping(nasty):
+    lines = {ln[1:].split(",")[0]: ln for ln in _lines(nasty, "Values")}
+    assert lines["4"] == "(4,'quote\"dq\\'sq',NULL)"
+    assert lines["5"] == "(5,'back\\\\slash',NULL)"
+    assert lines["6"] == "(6,NULL,'2024-05-06')"
+
+
+def test_json_each_row_null_kept(nasty):
+    lines = _lines(nasty, "JSONEachRow")
+    assert '"s":null' in lines[5]
+    compact = _lines(nasty, "JSONCompactEachRow")
+    assert compact[5].startswith("[6,null,")
+
+
+def test_markdown_pipe_escape(nasty):
+    lines = _lines(nasty, "Markdown")
+    assert lines[6] == "| 7 | pipe\\|bar,comma | \\N |"
+    hdr = render.header_lines(nasty, "Markdown")
+    assert hdr == ["| k | s | d |", "|---|---|---|"]
+
+
+def test_tsv_roundtrip_nasty(nasty):
+    """serialize→parse recovers every escaped string and NULL exactly."""
+    lines = render.serialize_lines(nasty, "TSV")
+    back = render.parse_lines(lines, "TSV", nasty.schema)
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, nasty.collect()))
+
+
+def test_csv_roundtrip_nasty(nasty):
+    lines = render.serialize_lines(nasty, "CSV")
+    back = render.parse_lines(lines, "CSV", nasty.schema)
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, nasty.collect()))
+
+
+def test_headers_with_types(nasty):
+    hdr = render.header_lines(nasty, "TSVWithNamesAndTypes")
+    assert hdr == ["k\ts\td", "Int64\tString\tDate"]
+    assert render.header_lines(nasty, "CSVWithNames") == ['"k","s","d"']
+    assert render.header_lines(nasty, "TSV") == []
+
+
+def test_into_outfile_roundtrip(nasty, tmp_path):
+    path = str(tmp_path / "out_tsv")
+    render.into_outfile(nasty, path, "TSVWithNames")
+    spark = nasty.sparkSession
+    back = render.parse_lines(
+        spark.read.text(path).withColumnRenamed("value", "line"),
+        "TSV", nasty.schema)
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, nasty.collect()))
+    assert (tmp_path / "out_tsv" / "_header").read_text().startswith("k\ts\td")
+
+
+def test_rowbinary_rejects_unsupported(spark):
+    df = spark.createDataFrame([Row(a=[1, 2])])
+    with pytest.raises(Exception):
+        render.rowbinary_encode(df).collect()
+
+
+def test_rowbinary_timestamp_date(spark):
+    df = spark.createDataFrame(
+        [Row(k=1, t=datetime.datetime(2024, 5, 6, 7, 8, 9),
+             d=datetime.date(2020, 2, 29))])
+    dec = render.rowbinary_decode(render.rowbinary_encode(df), df.schema)
+    assert dec.collect() == df.collect()
+
+
+def test_render_pretty_vertical(spark):
+    df = spark.createDataFrame([Row(a=1, b="x"), Row(a=2, b=None)])
+    pretty = render.render_pretty(df.orderBy("a"))
+    assert pretty.splitlines()[0].startswith("┌")
+    assert "│ 1" in pretty and "\\N" in pretty
+    vert = render.render_vertical(df.orderBy("a"))
+    assert vert.startswith("Row 1:")
+    assert "b: \\N" in vert
+
+
+def test_serialize_plan_is_projection_only(spark, sf_dir):
+    """The serializer must not add exchanges — pure narrow projection."""
+    from clickhouse_clickhouse_spark.tables import load_table
+
+    df = render.serialize_lines(load_table(spark, sf_dir, "nation"),
+                                "JSONEachRow")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
