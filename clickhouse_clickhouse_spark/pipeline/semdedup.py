@@ -1,0 +1,80 @@
+"""Semantic (embedding-space) deduplication — SemDeDup-style
+cluster-then-dedup.
+
+Public algorithm: Abbas et al., "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication" (arXiv:2303.09540). The 100 TB
+shape: k-means the embedding space into clusters (each a tiny fraction of
+the corpus), then compare pairs ONLY within a cluster — the cross-corpus
+all-pairs join never exists. Complements the lexical near-dup pipeline
+(``pipeline/dedup.py``: MinHash-LSH catches edited copies; SemDeDup
+catches paraphrases/translations that share no shingles).
+
+Composition of existing scale-safe pieces:
+
+* clustering  — ``similarity.kmeans_centroids`` (broadcast-join Lloyd
+  iterations; seeds via TakeOrderedAndProject, no global window);
+* assignment  — ``similarity.assign_to_centroids`` (broadcast argmax);
+* intra-cluster pairs — self-equi-join on ``centroid_id`` (shuffle on the
+  cluster key; AQE skew-join handles hot clusters);
+* keep rule   — connected components over the near-dup edges, keep each
+  component's canonical (minimum) id (``components.dedup_keep_canonical``).
+
+At 1000 executors: cluster count k scales with corpus size to hold
+per-cluster occupancy flat (same lever as ``dedup.auto_bucket_bits``),
+centroids stay broadcast-sized (k × dim floats), and every stage is a
+hash shuffle or broadcast — no single-partition exchange, nothing on the
+driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clickhouse_clickhouse_spark.functions.vectors import cosine_similarity
+from clickhouse_clickhouse_spark.pipeline.components import (
+    dedup_keep_canonical,
+)
+from clickhouse_clickhouse_spark.pipeline.similarity import (
+    assign_to_centroids,
+    kmeans_centroids,
+)
+
+
+def cluster_near_dup_pairs(corpus: DataFrame, *, k: int = 16,
+                           iterations: int = 2, threshold: float = 0.95,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Within-cluster near-duplicate candidate pairs
+    (``src`` < ``dst``, plus the cosine ``sim``). The self-join is keyed
+    on ``centroid_id`` — per-cluster quadratic, corpus-wide linear in
+    cluster occupancy."""
+    cents = kmeans_centroids(corpus, k, iterations=iterations,
+                             vec=vec_col, id_col=id_col)
+    assigned = (assign_to_centroids(corpus, cents, vec=vec_col,
+                                    id_col=id_col)
+                .join(corpus.select(id_col, vec_col), id_col))
+    left = assigned.select(F.col("centroid_id"),
+                           F.col(id_col).alias("src"),
+                           F.col(vec_col).alias("__va"))
+    right = assigned.select(F.col("centroid_id"),
+                            F.col(id_col).alias("dst"),
+                            F.col(vec_col).alias("__vb"))
+    return (left.join(right, "centroid_id")
+            .filter(F.col("src") < F.col("dst"))
+            .withColumn("sim", cosine_similarity(F.col("__va"),
+                                                 F.col("__vb")))
+            .filter(F.col("sim") >= threshold)
+            .select("src", "dst", "sim"))
+
+
+def semantic_dedup(corpus: DataFrame, *, k: int = 16, iterations: int = 2,
+                   threshold: float = 0.95, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup: keep one representative (minimum id) per semantic
+    near-duplicate component; rows without a near-dup pass through
+    untouched. Returns the surviving rows of ``corpus``."""
+    pairs = cluster_near_dup_pairs(
+        corpus, k=k, iterations=iterations, threshold=threshold,
+        id_col=id_col, vec_col=vec_col).select("src", "dst")
+    return dedup_keep_canonical(corpus, id_col, pairs, "src", "dst")

@@ -314,3 +314,65 @@ def ann_ivf_pq_topk(spark, sf):
          .select(F.col("vec_id").alias("query_id"), "embedding"))
     return ivf_pq_topk(e, q, k=5, n_centroids=8, n_probe=3, m=8, codes=16,
                        dim=64, query_id="query_id")
+
+
+# cosine in explicit DOUBLE unnest arithmetic (matches Spark's aggregate
+# fold exactly — same pattern as vec_near_dup_blocked's oracle)
+def _cos_sql(ea: str, eb: str) -> str:
+    return (f"sum(CAST({ea}[g.i] AS DOUBLE) * CAST({eb}[g.i] AS DOUBLE)) / "
+            f"(sqrt(sum(CAST({ea}[g.i] AS DOUBLE) * CAST({ea}[g.i] AS DOUBLE))) * "
+            f"sqrt(sum(CAST({eb}[g.i] AS DOUBLE) * CAST({eb}[g.i] AS DOUBLE))))")
+
+
+@register("semantic_dedup_keep", oracle=f"""
+WITH corpus AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding, label
+  FROM embeddings WHERE vec_id % 50 = 0),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+         embedding AS centroid
+  FROM (SELECT vec_id, embedding FROM corpus ORDER BY vec_id LIMIT 8)),
+sims AS (
+  SELECT c.vec_id, ct.centroid_id, {_cos_sql('c.embedding', 'ct.centroid')} AS sim
+  FROM corpus c CROSS JOIN cents ct,
+       (SELECT unnest(generate_series(1, 64)) AS i) g
+  GROUP BY c.vec_id, ct.centroid_id),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, centroid_id) AS rn
+    FROM sims) WHERE rn = 1),
+drops AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM assigned a
+  JOIN assigned b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  JOIN corpus ca ON ca.vec_id = a.vec_id
+  JOIN corpus cb ON cb.vec_id = b.vec_id,
+       (SELECT unnest(generate_series(1, 64)) AS i) g
+  GROUP BY a.vec_id, b.vec_id
+  HAVING {_cos_sql('ca.embedding', 'cb.embedding')} >= 0.99)
+SELECT vec_id, label FROM corpus
+WHERE vec_id NOT IN (SELECT dst FROM drops)
+""")
+def semantic_dedup_keep(spark, sf):
+    """SemDeDup (cluster-then-dedup over embeddings,
+    pipeline/semdedup.semantic_dedup): the fixture has no natural
+    semantic duplicates (max pairwise cosine 0.51), so exact copies of
+    every 50th vector are injected; the pipeline must drop exactly the
+    copies (cosine 1.0 with their originals inside the same cluster) and
+    keep everything else. Fixed seeds (iterations=0 → the 8 lowest-id
+    vectors are the centroids) keep the whole computation
+    SQL-expressible for the oracle; the Lloyd-iteration path is pinned
+    by unit tests."""
+    from clickhouse_clickhouse_spark.pipeline.semdedup import semantic_dedup
+
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id", "embedding", "label")
+    copies = (e.filter(F.col("vec_id") % 50 == 0)
+              .withColumn("vec_id", F.col("vec_id") + F.lit(100000)))
+    corpus = e.unionByName(copies)
+    return semantic_dedup(corpus, k=8, iterations=0,
+                          threshold=0.99).select("vec_id", "label")
