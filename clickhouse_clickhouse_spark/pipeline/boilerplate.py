@@ -1,0 +1,104 @@
+"""Cross-document repeated n-gram (boilerplate) detection.
+
+The within-document repetition filters (``functions/text.py``: Gopher
+ratios, ``repetition_profile``) can't see *cross*-document repetition —
+boilerplate headers, license blocks, templated spans duplicated across
+thousands of pages. The public recipe (Lee et al., "Deduplicating
+Training Data Makes Language Models Better", ACL 2022, which removes
+substrings repeated across the corpus) maps to Spark as:
+
+1. shingle every document into word n-grams **with positions** (explode —
+   linear, no shuffle);
+2. count distinct documents per gram (one hash shuffle on the gram key);
+   grams in ≥ ``min_docs`` documents form the boilerplate set;
+3. semi-join the positioned grams against that set and union the covered
+   token intervals per document → per-doc repeated-span coverage.
+
+Scale notes: the gram-count shuffle is the only wide stage; at 100 TB
+group on ``xxhash64(gram)`` instead of the string to cut shuffle bytes
+~10× (collisions are ~2⁻⁶⁴ — irrelevant for a ≥k-docs filter), and cap
+per-doc positions with ``max_positions`` to bound explode width on
+pathological documents. Coverage counting explodes only *flagged*
+positions (post-filter), not all grams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _positioned_grams(docs: DataFrame, n: int, id_col: str, text_col: str,
+                      max_positions: int | None) -> DataFrame:
+    """(id, i, g, n_tokens): word n-gram starting at 1-based token i.
+    Tokenization is a plain single-space split of the lowercased text —
+    the oracle-replayable convention used across the text pipeline."""
+    w = F.split(F.lower(F.col(text_col)), " ")
+    out = docs.select(F.col(id_col), w.alias("__w"),
+                      F.size(w).alias("n_tokens"))
+    hi = F.col("n_tokens") - (n - 1)
+    if max_positions is not None:
+        hi = F.least(hi, F.lit(max_positions))
+    # sequence(1, 0) would generate a DESCENDING [1, 0] — guard sub-n-token
+    # documents with an empty array (explode then drops them; callers
+    # re-add short docs explicitly)
+    positions = F.when(hi >= 1, F.sequence(F.lit(1), hi)) \
+                 .otherwise(F.array().cast("array<int>"))
+    return (out.select(
+        id_col, "n_tokens",
+        F.explode(positions).alias("i"),
+        F.col("__w"))
+        .withColumn("g", F.array_join(F.slice("__w", F.col("i"), n), " "))
+        .drop("__w"))
+
+
+def frequent_ngrams(docs: DataFrame, *, n: int = 5, min_docs: int = 3,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    max_positions: int | None = None) -> DataFrame:
+    """The corpus-wide boilerplate set: (gram, n_docs) for every word
+    n-gram appearing in at least ``min_docs`` distinct documents."""
+    grams = _positioned_grams(docs, n, id_col, text_col, max_positions)
+    return (grams.groupBy("g")
+            .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+            .filter(F.col("n_docs") >= min_docs))
+
+
+def repeated_span_stats(docs: DataFrame, *, n: int = 5, min_docs: int = 3,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        max_positions: int | None = None) -> DataFrame:
+    """Per-document repeated-span coverage: how much of each document is
+    covered by corpus-frequent n-grams.
+
+    Returns (id, n_tokens, n_gram_pos, n_rep_pos, n_cov_tokens,
+    rep_fraction): gram positions, positions whose gram is boilerplate,
+    distinct tokens covered by the union of those spans, and the covered
+    fraction of the document — the score a curation pipeline thresholds
+    to drop or trim templated documents."""
+    grams = _positioned_grams(docs, n, id_col, text_col, max_positions)
+    freq = frequent_ngrams(docs, n=n, min_docs=min_docs, id_col=id_col,
+                           text_col=text_col, max_positions=max_positions)
+    flagged = grams.join(freq.select("g"), "g", "left_semi")
+    rep = flagged.groupBy(id_col).agg(F.count("*").alias("n_rep_pos"))
+    cov = (flagged
+           .select(id_col,
+                   F.explode(F.sequence(F.col("i"),
+                                        F.col("i") + (n - 1))).alias("t"))
+           .groupBy(id_col)
+           .agg(F.count_distinct("t").alias("n_cov_tokens")))
+    base = (grams.groupBy(id_col)
+            .agg(F.first("n_tokens").alias("n_tokens"),
+                 F.count("*").alias("n_gram_pos")))
+    short = (docs.select(id_col,
+                         F.size(F.split(F.lower(F.col(text_col)), " "))
+                         .alias("n_tokens"))
+             .join(base.select(id_col), id_col, "left_anti")
+             .withColumn("n_gram_pos", F.lit(0)))
+    return (base.unionByName(short)
+            .join(rep, id_col, "left").join(cov, id_col, "left")
+            .select(
+                id_col, "n_tokens", "n_gram_pos",
+                F.coalesce("n_rep_pos", F.lit(0)).alias("n_rep_pos"),
+                F.coalesce("n_cov_tokens", F.lit(0)).alias("n_cov_tokens"),
+                F.round(F.coalesce("n_cov_tokens", F.lit(0))
+                        / F.col("n_tokens").cast("double"), 6)
+                .alias("rep_fraction")))

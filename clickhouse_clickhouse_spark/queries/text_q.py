@@ -806,3 +806,67 @@ def chunk_dedup_stats(spark, sf):
             .agg(F.count("*").alias("n_chunks"),
                  F.sum(F.col("keep").cast("int")).cast("long")
                   .alias("n_surviving")))
+
+
+@register("boilerplate_ngrams", oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(w[g.i:g.i+4], ' ') AS g
+  FROM toks CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(w) - 4, 0))) AS i) g)
+SELECT g AS gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 3
+""")
+def boilerplate_ngrams(spark, sf):
+    """Corpus-frequent word 5-grams (cross-document boilerplate set;
+    pipeline/boilerplate.frequent_ngrams — one gram-keyed hash shuffle)."""
+    from clickhouse_clickhouse_spark.pipeline.boilerplate import (
+        frequent_ngrams,
+    )
+
+    d = load_table(spark, sf, "documents")
+    return (frequent_ngrams(d, n=5, min_docs=3)
+            .select(F.col("g").alias("gram"), "n_docs"))
+
+
+@register("repeated_span_stats", oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, g.i AS i, array_to_string(w[g.i:g.i+4], ' ') AS g,
+         len(w) AS nw
+  FROM toks CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(w) - 4, 0))) AS i) g),
+freq AS (
+  SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 3),
+flagged AS (
+  SELECT doc_id, i FROM grams WHERE g IN (SELECT g FROM freq)),
+cov AS (
+  SELECT doc_id, CAST(count(DISTINCT x.t) AS BIGINT) AS n_cov_tokens,
+         CAST(count(DISTINCT i) AS BIGINT) AS n_rep_pos
+  FROM flagged CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(i, i + 4)) AS t) x
+  GROUP BY doc_id),
+base AS (
+  SELECT doc_id, CAST(len(w) AS INT) AS n_tokens,
+         CAST(greatest(len(w) - 4, 0) AS BIGINT) AS n_gram_pos
+  FROM toks)
+SELECT b.doc_id, b.n_tokens, b.n_gram_pos,
+       coalesce(c.n_rep_pos, 0) AS n_rep_pos,
+       coalesce(c.n_cov_tokens, 0) AS n_cov_tokens,
+       round(coalesce(c.n_cov_tokens, 0) / CAST(b.n_tokens AS DOUBLE), 6)
+         AS rep_fraction
+FROM base b LEFT JOIN cov c USING (doc_id)
+""")
+def repeated_span_stats_q(spark, sf):
+    """Per-document repeated-span coverage: fraction of each document
+    covered by the union of corpus-frequent 5-gram spans
+    (pipeline/boilerplate.repeated_span_stats — the Lee-et-al-style
+    cross-doc repetition score a curation pipeline thresholds)."""
+    from clickhouse_clickhouse_spark.pipeline.boilerplate import (
+        repeated_span_stats,
+    )
+
+    d = load_table(spark, sf, "documents")
+    return repeated_span_stats(d, n=5, min_docs=3)

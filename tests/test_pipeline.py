@@ -369,3 +369,25 @@ def test_pq_degenerates_to_exact_with_full_codebook(spark):
     exact = [i for _, i in sorted(
         (float(np.sum((v[i] - v[0]) ** 2)), i) for i in v if i != 0)]
     assert got == exact
+
+
+def test_repeated_span_stats_short_docs_and_cap(spark):
+    from clickhouse_clickhouse_spark.pipeline.boilerplate import (
+        frequent_ngrams,
+        repeated_span_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e x y"), (3, "a b c d e z w"),
+         (4, "tiny doc")],
+        ["doc_id", "text"])
+    stats = {r.doc_id: r for r in
+             repeated_span_stats(df, n=5, min_docs=3).collect()}
+    # "a b c d e" appears in 3 docs -> flagged; covers tokens 1..5
+    assert stats[1].n_rep_pos == 1 and stats[1].n_cov_tokens == 5
+    assert abs(stats[1].rep_fraction - 5 / 7) < 1e-6
+    # doc 4 has < 5 tokens: zero gram positions, zero coverage
+    assert stats[4].n_gram_pos == 0 and stats[4].rep_fraction == 0.0
+    # max_positions bounds the per-doc shingle count (scale lever)
+    capped = frequent_ngrams(df, n=2, min_docs=2, max_positions=1)
+    assert capped.count() == 1  # only position 1's gram ("a b") survives
