@@ -1,0 +1,104 @@
+"""Training-set assembly ops: deterministic splits, sequence packing,
+reproducible shuffling.
+
+The last mile of a 100 TB curation pipeline (after dedup/quality/decontam)
+is assembling examples: carve reproducible train/val/test splits, pack
+variable-length documents into fixed-token training sequences, and give
+the corpus a deterministic pseudo-random order so every rerun and every
+resumption sees the same stream.
+
+All three are pure DataFrame ops. The splitter and shuffler key on a
+Knuth multiplicative hash (public: Knuth TAOCP vol. 3 §6.4, the 2654435761
+= ⌊2³²/φ⌋ constant) because it is exactly replayable in ANSI SQL for the
+oracle — at scale on string keys, swap ``_knuth_hash`` for
+``F.xxhash64`` (same shape, wider mixing; not SQL-replayable, which is
+the only reason it isn't the default here).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_KNUTH = 2654435761  # ⌊2^32 / φ⌋
+_MOD = 1 << 32
+
+
+def _knuth_hash(key: Column, seed: int) -> Column:
+    """(key ⊕ seed) · 2654435761 mod 2³² — a replayable scatter of an
+    integer key to [0, 2³²)."""
+    return (key.cast("long").bitwiseXOR(F.lit(seed)) * F.lit(_KNUTH)) % F.lit(_MOD)
+
+
+def hash_split(df: DataFrame, id_col: str,
+               weights: Mapping[str, float] | None = None,
+               seed: int = 0) -> DataFrame:
+    """Assign every row a reproducible split label from its id hash.
+
+    Membership depends only on (id, seed) — stable under corpus growth,
+    re-partitioning, and re-runs (the property random() splits lack, and
+    the reason eval contamination creeps in when splits aren't hashed).
+    Narrow projection: no shuffle, no state."""
+    weights = dict(weights or {"train": 0.9, "val": 0.05, "test": 0.05})
+    total = sum(weights.values())
+    h = _knuth_hash(F.col(id_col), seed).cast("double") / F.lit(float(_MOD))
+    expr = None
+    acc = 0.0
+    *head, (last_name, _) = weights.items()
+    for name, w in head:
+        acc += w / total
+        cond = h < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else \
+            expr.when(cond, F.lit(name))
+    expr = F.lit(last_name) if expr is None else expr.otherwise(F.lit(last_name))
+    return df.withColumn("split", expr)
+
+
+def pack_sequences(docs: DataFrame, max_tokens: int, *,
+                   id_col: str = "doc_id", tokens_col: str = "n_tokens",
+                   group_col: str | None = None) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid end-to-end
+    in deterministic id order and cut into ``max_tokens`` blocks (the
+    GPT-style packing used when examples are concatenated with separator
+    tokens rather than padded). Returns the layout: ``pack_id`` (block
+    holding the document's first token), ``pack_offset`` (token offset in
+    that block), plus the exclusive running total ``start_token``.
+
+    Distribution: one window per ``group_col`` partition (sources pack
+    independently — parallel, and incremental corpora keep old packs
+    stable). With no group, falls back to the distributed prefix-sum in
+    ``operators/grank.py`` rather than a single-partition window."""
+    toks = F.col(tokens_col).cast("long")
+    if group_col is not None:
+        w = (Window.partitionBy(group_col).orderBy(id_col)
+             .rowsBetween(Window.unboundedPreceding, -1))
+        out = docs.withColumn("start_token",
+                              F.coalesce(F.sum(toks).over(w), F.lit(0)))
+    else:
+        from clickhouse_clickhouse_spark.operators.grank import (
+            global_prefix_sums,
+        )
+        out = global_prefix_sums(docs, id_col, {"__cum": toks})
+        # global_prefix_sums is inclusive; make it exclusive of self
+        out = out.withColumn("start_token", F.col("__cum") - toks) \
+                 .drop("__cum")
+    return (out
+            .withColumn("pack_id",
+                        (F.col("start_token") / max_tokens).cast("long"))
+            .withColumn("pack_offset", F.col("start_token") % max_tokens))
+
+
+def training_shuffle_rank(df: DataFrame, id_col: str,
+                          seed: int = 0) -> DataFrame:
+    """Deterministic global shuffle order: rank every row by its id hash
+    (ties broken by id). Reproducible across runs/partitionings — the
+    property needed to resume a data stream mid-epoch. Uses the
+    distributed global rank (no single-partition window)."""
+    from clickhouse_clickhouse_spark.operators.grank import global_row_number
+
+    hashed = df.withColumn("__h", _knuth_hash(F.col(id_col), seed))
+    return (global_row_number(hashed, "__h", tiebreaks=(id_col,),
+                              out="shuffle_rank")
+            .drop("__h"))

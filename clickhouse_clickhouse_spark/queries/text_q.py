@@ -870,3 +870,80 @@ def repeated_span_stats_q(spark, sf):
 
     d = load_table(spark, sf, "documents")
     return repeated_span_stats(d, n=5, min_docs=3)
+
+
+# Knuth multiplicative hash spelled in plain SQL — identical arithmetic
+# to pipeline/training._knuth_hash (seed 0)
+_KNUTH_SQL = "((doc_id * 2654435761) % 4294967296)"
+
+
+@register("hash_split_assign", oracle=f"""
+SELECT doc_id,
+       CASE WHEN {_KNUTH_SQL} / 4294967296.0 < 0.9 THEN 'train'
+            WHEN {_KNUTH_SQL} / 4294967296.0 < 0.95 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""")
+def hash_split_assign(spark, sf):
+    """Reproducible train/val/test split from the id hash
+    (pipeline/training.hash_split): membership depends only on
+    (id, seed), so it is stable under corpus growth and re-partitioning —
+    no shuffle, pure projection."""
+    from clickhouse_clickhouse_spark.pipeline.training import hash_split
+
+    d = load_table(spark, sf, "documents")
+    return hash_split(d, "doc_id",
+                      {"train": 0.9, "val": 0.05, "test": 0.05}) \
+        .select("doc_id", "split")
+
+
+@register("pack_sequences_layout", oracle="""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+st AS (
+  SELECT doc_id, source,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS start_token
+  FROM t)
+SELECT doc_id, source, start_token,
+       start_token // 512 AS pack_id,
+       start_token % 512 AS pack_offset
+FROM st
+""")
+def pack_sequences_layout(spark, sf):
+    """Concat-and-chunk sequence packing per source
+    (pipeline/training.pack_sequences): documents laid end-to-end in id
+    order, cut into 512-token blocks; each doc gets its block id and
+    offset. One window per source partition — parallel across sources."""
+    from clickhouse_clickhouse_spark.pipeline.training import pack_sequences
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", "source",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"))
+    return pack_sequences(d, 512, group_col="source").select(
+        "doc_id", "source", "start_token", "pack_id", "pack_offset")
+
+
+@register("training_shuffle_order", oracle="""
+SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS BIGINT)
+         AS shuffle_rank
+FROM documents
+""")
+def training_shuffle_order(spark, sf):
+    """Deterministic global shuffle order
+    (pipeline/training.training_shuffle_rank): rank by id hash via the
+    distributed bucketed global rank — reproducible across runs and
+    partitionings, no single-partition window."""
+    from clickhouse_clickhouse_spark.pipeline.training import (
+        training_shuffle_rank,
+    )
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+    return training_shuffle_rank(d, "doc_id").select("doc_id",
+                                                     "shuffle_rank")
