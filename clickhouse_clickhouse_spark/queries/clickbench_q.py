@@ -347,3 +347,147 @@ def cb_star_filter_page(spark, sf):
     return (ev.filter((F.col("event_type") == "purchase")
                       & (F.col("value") > 40))
             .orderBy("ts", "event_id").limit(25))
+
+
+@register("cb_minmax_ts", oracle="""
+SELECT min(ts) AS first_ts, max(ts) AS last_ts,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+""")
+def cb_minmax_ts(spark, sf):
+    """ClickBench Q6 shape: min/max over the time column — answered from
+    parquet row-group stats + a count-star (no data columns read)."""
+    ev = load_table(spark, sf, "events")
+    return ev.agg(F.min("ts").alias("first_ts"),
+                  F.max("ts").alias("last_ts"),
+                  F.count("*").alias("n"))
+
+
+@register("cb_point_lookup", oracle="""
+SELECT event_id, ts, event_type, round(value, 6) AS value
+FROM events WHERE user_id = 42
+""")
+def cb_point_lookup(spark, sf):
+    """ClickBench Q19 shape: point lookup on a key column — the filter
+    must reach the parquet scan (PushedFilters), reading only matching
+    row groups."""
+    ev = load_table(spark, sf, "events")
+    return (ev.filter(F.col("user_id") == 42)
+            .select("event_id", "ts", "event_type",
+                    F.round("value", 6).alias("value")))
+
+
+@register("cb_user_minute_type", oracle="""
+SELECT user_id, CAST(minute(ts) AS INT) AS m, event_type,
+       CAST(count(*) AS BIGINT) AS c
+FROM events GROUP BY user_id, minute(ts), event_type
+ORDER BY c DESC, user_id, m, event_type LIMIT 10
+""")
+def cb_user_minute_type(spark, sf):
+    """ClickBench Q18 shape: multi-key group with a time-part extraction
+    key; top-10 via TakeOrderedAndProject (per-partition heaps, no global
+    sort)."""
+    ev = load_table(spark, sf, "events")
+    return (ev.groupBy("user_id", F.minute("ts").alias("m"), "event_type")
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), "user_id", "m", "event_type")
+            .limit(10))
+
+
+@register("cb_having_avg_len", oracle="""
+SELECT event_type, round(avg(len(props)), 6) AS avg_len,
+       CAST(count(*) AS BIGINT) AS c
+FROM events WHERE props <> ''
+GROUP BY event_type HAVING count(*) > 50
+ORDER BY avg_len DESC, event_type LIMIT 25
+""")
+def cb_having_avg_len(spark, sf):
+    """ClickBench Q27 shape: aggregate over a string-length expression
+    with a HAVING floor and ordered limit."""
+    ev = load_table(spark, sf, "events")
+    return (ev.filter(F.col("props") != "")
+            .groupBy("event_type")
+            .agg(F.round(F.avg(F.length("props")), 6).alias("avg_len"),
+                 F.count("*").alias("c"))
+            .filter(F.col("c") > 50)
+            .orderBy(F.desc("avg_len"), "event_type")
+            .limit(25))
+
+
+@register("cb_expr_group_keys", oracle="""
+SELECT user_id, user_id - 1 AS u1, user_id - 2 AS u2, user_id - 3 AS u3,
+       CAST(count(*) AS BIGINT) AS c
+FROM events GROUP BY user_id, user_id - 1, user_id - 2, user_id - 3
+ORDER BY c DESC, user_id LIMIT 10
+""")
+def cb_expr_group_keys(spark, sf):
+    """ClickBench Q35 shape: grouping on derived expressions of one key
+    (Catalyst collapses them to a single-key exchange)."""
+    ev = load_table(spark, sf, "events")
+    return (ev.groupBy(
+        F.col("user_id"),
+        (F.col("user_id") - 1).alias("u1"),
+        (F.col("user_id") - 2).alias("u2"),
+        (F.col("user_id") - 3).alias("u3"))
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "user_id")
+        .limit(10))
+
+
+@register("cb_case_source_split", oracle="""
+SELECT CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
+            WHEN event_type = 'purchase' THEN 'conversion'
+            WHEN event_type = 'error' THEN 'failure'
+            ELSE 'other' END AS bucket,
+       CAST(count(*) AS BIGINT) AS c,
+       round(sum(value), 4) AS total_value
+FROM events GROUP BY 1 ORDER BY c DESC, bucket LIMIT 1000
+""")
+def cb_case_source_split(spark, sf):
+    """ClickBench Q39 shape: CASE-bucketed traffic classification."""
+    ev = load_table(spark, sf, "events")
+    bucket = (F.when(F.col("event_type").isin("click", "view"),
+                     "engagement")
+              .when(F.col("event_type") == "purchase", "conversion")
+              .when(F.col("event_type") == "error", "failure")
+              .otherwise("other"))
+    return (ev.groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").alias("c"),
+                 F.round(F.sum("value"), 4).alias("total_value"))
+            .orderBy(F.desc("c"), "bucket")
+            .limit(1000))
+
+
+@register("cb_like_min_agg", oracle="""
+SELECT event_type, min(props) AS first_props,
+       CAST(count(*) AS BIGINT) AS c,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS u
+FROM events WHERE event_type LIKE '%c%' AND value > 0
+GROUP BY event_type ORDER BY c DESC, event_type LIMIT 10
+""")
+def cb_like_min_agg(spark, sf):
+    """ClickBench Q21 shape: LIKE + range filter feeding min-string and
+    distinct-count aggregates."""
+    ev = load_table(spark, sf, "events")
+    return (ev.filter(F.col("event_type").like("%c%")
+                      & (F.col("value") > 0))
+            .groupBy("event_type")
+            .agg(F.min("props").alias("first_props"),
+                 F.count("*").alias("c"),
+                 F.count_distinct("user_id").alias("u"))
+            .orderBy(F.desc("c"), "event_type")
+            .limit(10))
+
+
+@register("cb_order_by_string", oracle="""
+SELECT event_id, props FROM events WHERE event_type = 'click'
+ORDER BY props, event_id LIMIT 10
+""")
+def cb_order_by_string(spark, sf):
+    """ClickBench Q25 shape: filtered string-ordered top rows
+    (TakeOrderedAndProject — per-partition heaps)."""
+    ev = load_table(spark, sf, "events")
+    return (ev.filter(F.col("event_type") == "click")
+            .select("event_id", "props")
+            .orderBy("props", "event_id")
+            .limit(10))
