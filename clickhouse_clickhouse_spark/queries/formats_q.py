@@ -151,3 +151,41 @@ def format_markdown_lines(spark, sf):
     """Markdown table body rows (MarkdownRowOutputFormat.cpp analog)."""
     r = load_table(spark, sf, "region").select("r_regionkey", "r_name")
     return render.serialize_lines(r, "Markdown")
+
+
+@register("format_regexp_parse", oracle="""
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+""")
+def format_regexp_parse(spark, sf):
+    """Regexp input format (RegexpRowInputFormat.cpp analog): serialize
+    each document's metadata to a log-style line, then recover typed
+    columns purely with distributed regexp_extract expressions."""
+    from pyspark.sql import types as T
+
+    d = load_table(spark, sf, "documents")
+    lines = d.select(F.format_string("doc=%s lang=[%s] chars=%s",
+                                     F.col("doc_id").cast("string"),
+                                     F.col("lang"),
+                                     F.col("n_chars").cast("string"))
+                     .alias("line"))
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    return render.parse_regexp(
+        lines, r"^doc=(\d+) lang=\[(\w+)\] chars=(\d+)$", schema)
+
+
+@register("format_template_lines", oracle="""
+SELECT 'nation ' || n_name || ' (' || n_nationkey || ') in region '
+       || n_regionkey AS line
+FROM nation
+""")
+def format_template_lines(spark, sf):
+    """Template output format (${column} placeholders, everything else
+    literal — TemplateBlockOutputFormat.cpp analog)."""
+    n = load_table(spark, sf, "nation")
+    return render.serialize_template(
+        n, "nation ${n_name} (${n_nationkey}) in region ${n_regionkey}")

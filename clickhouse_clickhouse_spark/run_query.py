@@ -53,8 +53,22 @@ def main(argv: list[str] | None = None) -> int:
         m = re.search(r"\bFORMAT\s+(\w+)\s*$", args.sql, re.IGNORECASE)
         if m:
             fmt = m.group(1)
-        df = ch_sql(spark, args.sql)
-        if args.explain:
+        # SELECT ... INTO OUTFILE 'path' [FORMAT x] — client-side export,
+        # exactly as the reference CLI handles it
+        sql = args.sql
+        mo = re.search(r"\bINTO\s+OUTFILE\s+'([^']+)'", sql, re.IGNORECASE)
+        outfile = mo.group(1) if mo else None
+        if outfile:
+            sql = re.sub(r"\bINTO\s+OUTFILE\s+'[^']+'", "", sql,
+                         flags=re.IGNORECASE)
+        df = ch_sql(spark, sql)
+        if outfile:
+            from clickhouse_clickhouse_spark.sources.render import (
+                into_outfile,
+            )
+            into_outfile(df, outfile, fmt or "TSV")
+            print(f"wrote {outfile} ({fmt or 'TSV'})")
+        elif args.explain:
             df.explain("formatted")
         elif fmt in render.LINE_FORMATS:
             for h in render.header_lines(df, fmt):

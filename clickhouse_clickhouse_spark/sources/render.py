@@ -232,6 +232,49 @@ def parse_lines(lines: DataFrame, fmt: str, schema: T.StructType,
     raise ValueError(f"unsupported input format {fmt!r}")
 
 
+def parse_regexp(lines: DataFrame, pattern: str, schema,
+                 col: str = "line") -> DataFrame:
+    """The reference's ``Regexp`` input format: one regex with capture
+    groups per line; group i (1-based) binds to schema field i. Rows not
+    matching yield NULLs (the reference's skip-unmatched mode is a
+    ``dropna`` away). Distributed ``regexp_extract`` expressions."""
+    c = F.col(col)
+    out = []
+    for i, f in enumerate(schema.fields, start=1):
+        v = F.regexp_extract(c, pattern, i)
+        v = F.when(v == "", F.lit(None)).otherwise(v)
+        out.append(v.cast(f.dataType).alias(f.name))
+    return lines.select(*out)
+
+
+def parse_line_as_string(lines: DataFrame, col: str = "line",
+                         out: str = "line") -> DataFrame:
+    """``LineAsString``: each input line is one row with a single string
+    column — the identity parse (useful as the front of a Regexp/JSON
+    post-parse chain)."""
+    return lines.select(F.col(col).alias(out))
+
+
+def serialize_template(df: DataFrame, template: str) -> DataFrame:
+    """The reference's ``Template``/``CustomSeparated`` output family:
+    ``${column}`` placeholders substituted per row, everything else
+    literal. Pure format_string projection."""
+    import re as _re
+
+    parts = _re.split(r"\$\{(\w+)\}", template)
+    cols, fmt = [], ""
+    for i, p in enumerate(parts):
+        if i % 2 == 0:
+            fmt += p.replace("%", "%%")
+        else:
+            if p not in df.columns:
+                raise KeyError(f"template references unknown column {p!r}")
+            fmt += "%s"
+            cols.append(F.coalesce(_raw(F.col(p), df.schema[p].dataType),
+                                   F.lit("\\N")))
+    return df.select(F.format_string(fmt, *cols).alias("line"))
+
+
 # ------------------------------------------------------------- RowBinary
 
 _FIXED = {

@@ -132,3 +132,28 @@ def test_serialize_plan_is_projection_only(spark, sf_dir):
                                 "JSONEachRow")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_template_nulls_and_unknown_column(nasty):
+    out = render.serialize_template(nasty.orderBy("k"),
+                                    "k=${k}; s=${s}")
+    lines = [r.line for r in out.collect()]
+    assert lines[0] == "k=1; s=plain"
+    assert lines[5] == "k=6; s=\\N"
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        render.serialize_template(nasty, "${missing}")
+
+
+def test_parse_regexp_unmatched_rows_null(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    lines = spark.createDataFrame([Row(line="id=5 name=x"),
+                                   Row(line="garbage")])
+    sch = T.StructType([T.StructField("id", T.LongType()),
+                        T.StructField("name", T.StringType())])
+    rows = render.parse_regexp(lines, r"^id=(\d+) name=(\w+)$",
+                               sch).collect()
+    assert sorted(rows, key=repr) == sorted(
+        [(5, "x"), (None, None)], key=repr)
