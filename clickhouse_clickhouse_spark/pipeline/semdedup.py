@@ -41,14 +41,27 @@ from clickhouse_clickhouse_spark.pipeline.similarity import (
 )
 
 
-def cluster_near_dup_pairs(corpus: DataFrame, *, k: int = 16,
+def auto_clusters(n_rows: int, target_occupancy: int = 512) -> int:
+    """Cluster count that holds per-cluster occupancy ~flat as the corpus
+    grows (k ≈ n / target): per-cluster pair work stays ``occupancy²/2``
+    and corpus-wide work stays LINEAR in n (n·occ/2 pairs). A fixed k is
+    the quadratic trap — at 10× the corpus it costs 100× (measured in
+    SCALE.md). Same lever as ``dedup.auto_bucket_bits``. Clamped to
+    [4, 2²⁰]; centroids stay broadcast-sized (k·dim floats)."""
+    return max(4, min(1 << 20, -(-n_rows // target_occupancy)))
+
+
+def cluster_near_dup_pairs(corpus: DataFrame, *, k: int | None = None,
                            iterations: int = 2, threshold: float = 0.95,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding") -> DataFrame:
     """Within-cluster near-duplicate candidate pairs
     (``src`` < ``dst``, plus the cosine ``sim``). The self-join is keyed
     on ``centroid_id`` — per-cluster quadratic, corpus-wide linear in
-    cluster occupancy."""
+    cluster occupancy. ``k=None`` (the default) sizes the cluster count
+    from the corpus (one count job) via ``auto_clusters``."""
+    if k is None:
+        k = auto_clusters(corpus.count())
     cents = kmeans_centroids(corpus, k, iterations=iterations,
                              vec=vec_col, id_col=id_col)
     assigned = (assign_to_centroids(corpus, cents, vec=vec_col,
@@ -68,7 +81,8 @@ def cluster_near_dup_pairs(corpus: DataFrame, *, k: int = 16,
             .select("src", "dst", "sim"))
 
 
-def semantic_dedup(corpus: DataFrame, *, k: int = 16, iterations: int = 2,
+def semantic_dedup(corpus: DataFrame, *, k: int | None = None,
+                   iterations: int = 2,
                    threshold: float = 0.95, id_col: str = "vec_id",
                    vec_col: str = "embedding") -> DataFrame:
     """SemDeDup: keep one representative (minimum id) per semantic
