@@ -77,15 +77,98 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=_FEATURE_SCHEMA)
 
 
+def synthetic_png_media(spark, n: int = 16) -> DataFrame:
+    """Deterministic REAL-PNG media table (valid files, seeded pixels) —
+    the in-repo PNG codec needs no external libraries."""
+    from clickhouse_clickhouse_spark.functions.png import png_encode
+
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(seed=i)
+        w, h = 8 + i % 5, 6 + i % 4
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        rows.append((i, bytearray(png_encode(np.asarray(img))),
+                     ("image/png", w, h)))
+    return spark.createDataFrame(rows, IMAGE_SCHEMA)
+
+
+_PROBE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("format", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("extra", T.DoubleType(), True),
+])
+
+
+def probe_media(media: DataFrame) -> DataFrame:
+    """Header-level metadata probe (PNG/JPEG/GIF/WAV) — REAL decode of
+    container headers via the stdlib-only sniffer, Arrow-batched per
+    partition. The cheap first pass of any media-curation pipeline:
+    dimensions/duration without touching pixel/sample data."""
+    import sys
+
+    from pyspark import cloudpickle
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+    from clickhouse_clickhouse_spark.functions import png as _png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "format": [], "width": [],
+                   "height": [], "extra": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                meta = (_png.sniff_media(bytes(payload))
+                        if payload is not None else None) or {}
+                out["media_id"].append(mid)
+                out["format"].append(meta.get("format"))
+                out["width"].append(meta.get("width"))
+                out["height"].append(meta.get("height"))
+                out["extra"].append(meta.get("extra"))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=_PROBE_SCHEMA)
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize — kernel NOT implemented in this container (no PIL);
-    plumbing kept so the operator slot exists."""
-    raise NotImplementedError("image resize requires a media library absent "
-                              "from this environment; plug a decoder into "
-                              "extract_features-style mapInPandas")
+    """Image resize. REAL kernel for PNG payloads (in-repo stdlib codec:
+    decode → nearest-neighbor resample → re-encode); other formats raise
+    per-row until a JPEG decoder is available in the environment."""
+    import sys
+
+    from pyspark import cloudpickle
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+    from clickhouse_clickhouse_spark.functions import png as _png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, metas = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    ids.append(mid)
+                    payloads.append(None)
+                    metas.append(None)
+                    continue
+                data = bytes(payload)
+                sniff = _png.sniff_media(data)
+                if not sniff or sniff["format"] != "png":
+                    raise NotImplementedError(
+                        "resize kernel implemented for PNG only; "
+                        f"got {sniff and sniff['format']!r} — JPEG/video "
+                        "need external decoders absent here")
+                resized = _png.png_resize_nearest(data, width, height)
+                ids.append(mid)
+                payloads.append(resized)
+                metas.append(("image/png", width, height))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads,
+                                "meta": metas})
+
+    return media.mapInPandas(run, schema=IMAGE_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_n: int) -> DataFrame:
-    """Video frame sampling — kernel NOT implemented (no ffmpeg); see
-    resize_images."""
+    """Video frame sampling — kernel NOT implemented (no ffmpeg in this
+    environment; video container demux is out of pure-stdlib reach).
+    Plumbing slot kept; see resize_images for the implemented pattern."""
     raise NotImplementedError("video decode requires ffmpeg; absent here")

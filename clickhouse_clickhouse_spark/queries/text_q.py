@@ -947,3 +947,42 @@ def training_shuffle_order(spark, sf):
     d = load_table(spark, sf, "documents").select("doc_id")
     return training_shuffle_rank(d, "doc_id").select("doc_id",
                                                      "shuffle_rank")
+
+
+@register("media_probe_meta", oracle="""
+SELECT CAST(g.i AS BIGINT) AS media_id, 'png' AS format,
+       CAST(8 + g.i % 5 AS INT) AS width, CAST(6 + g.i % 4 AS INT) AS height
+FROM (SELECT unnest(generate_series(0, 15)) AS i) g
+""")
+def media_probe_meta(spark, sf):
+    """Header-level media probe over REAL PNG payloads produced by the
+    in-repo stdlib codec (pipeline/multimodal.probe_media +
+    functions/png.sniff_media): the oracle states the independently
+    known dimensions the encode→sniff path must recover."""
+    from clickhouse_clickhouse_spark.pipeline.multimodal import (
+        probe_media,
+        synthetic_png_media,
+    )
+
+    media = synthetic_png_media(spark, 16)
+    return probe_media(media).select("media_id", "format", "width",
+                                     "height")
+
+
+@register("media_resize_probe", oracle="""
+SELECT CAST(g.i AS BIGINT) AS media_id, CAST(5 AS INT) AS width,
+       CAST(4 AS INT) AS height
+FROM (SELECT unnest(generate_series(0, 15)) AS i) g
+""")
+def media_resize_probe(spark, sf):
+    """PNG resize kernel end-to-end (decode → nearest-neighbor → encode →
+    re-probe): every payload must come back as a valid 5×4 PNG."""
+    from clickhouse_clickhouse_spark.pipeline.multimodal import (
+        probe_media,
+        resize_images,
+        synthetic_png_media,
+    )
+
+    media = synthetic_png_media(spark, 16)
+    return (probe_media(resize_images(media, 5, 4))
+            .select("media_id", "width", "height"))
