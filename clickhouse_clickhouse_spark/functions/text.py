@@ -240,3 +240,37 @@ def repetition_profile(df, id_col: str = "doc_id", text_col: str = "text",
         "keep",
         (F.col("word_rep_frac") <= max_word_rep)
         & (F.col("top_bigram_frac") <= max_top_bigram))
+
+
+def hashed_linear_score(text: Column, dim: int = 1024,
+                        seed: int = 0) -> Column:
+    """fastText-style linear classifier inference via the hashing trick
+    (public: Joulin et al., "Bag of Tricks for Efficient Text
+    Classification"; Weinberger et al., "Feature Hashing for Large Scale
+    Multitask Learning"): token → hash-bucket feature id → mean of the
+    bucket weights, squashed by a logistic.
+
+    Both the token hash and the weight table are deterministic
+    ANSI-replayable placeholders (char-arithmetic bucket; bucket id
+    scattered by the Knuth constant to [-0.5, 0.5]) so the whole path is
+    expression-only and oracle-checkable. Production swaps: bucket →
+    ``xxhash64(token) % dim``; weights → a broadcast-joined trained
+    weight column. The featurization/scoring plumbing is the product;
+    weights are a deployment artifact. Expression-only (aggregate over
+    the token array — stays inside codegen, no explode, no shuffle)."""
+    toks_arr = tokens(F.lower(text))
+
+    def bucket(t: Column) -> Column:
+        h = (F.ascii(F.substring(t, 1, 1)) * 961
+             + F.ascii(F.substring(t, F.length(t), 1)) * 31
+             + F.length(t) + F.lit(seed))
+        return F.pmod(h, F.lit(dim))
+
+    def weight(b: Column) -> Column:
+        return ((b.cast("long") * F.lit(2654435761)) % F.lit(1000)
+                ).cast("double") / F.lit(1000.0) - F.lit(0.5)
+
+    total = F.aggregate(toks_arr, F.lit(0.0),
+                        lambda acc, t: acc + weight(bucket(t)))
+    mean = total / F.greatest(F.size(toks_arr), F.lit(1)).cast("double")
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-mean * 10)), 6)

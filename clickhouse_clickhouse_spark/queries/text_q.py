@@ -986,3 +986,32 @@ def media_resize_probe(spark, sf):
     media = synthetic_png_media(spark, 16)
     return (probe_media(resize_images(media, 5, 4))
             .select("media_id", "width", "height"))
+
+
+@register("hashed_linear_quality", oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+  FROM documents),
+scored AS (
+  SELECT doc_id,
+         ((((ascii(t[1]) * 961 + ascii(t[-1]) * 31 + len(t)) % 1024
+            + 1024) % 1024) * 2654435761) % 1000 / 1000.0 - 0.5 AS w
+  FROM toks WHERE t <> ''),
+agg AS (
+  SELECT doc_id, sum(w) / count(*) AS mean_w FROM scored GROUP BY doc_id)
+SELECT doc_id, round(1.0 / (1.0 + exp(-mean_w * 10)), 6) AS model_score
+FROM agg
+""")
+def hashed_linear_quality(spark, sf):
+    """Model-based quality filter slot: fastText-style hashing-trick
+    linear scorer (functions/text.hashed_linear_score) — token →
+    hash bucket → weight, mean-pooled, logistic-squashed. Placeholder
+    hash/weights keep it oracle-replayable; production swaps in
+    xxhash64 buckets and trained broadcast weights."""
+    from clickhouse_clickhouse_spark.functions.text import (
+        hashed_linear_score,
+    )
+
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id",
+                    hashed_linear_score(F.col("text")).alias("model_score"))
