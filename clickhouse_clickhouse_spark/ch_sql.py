@@ -648,3 +648,91 @@ def ch_sql(spark: SparkSession, sql: str,
     Tables must already be catalog-visible (temp views / saveAsTable)."""
     _register_udfs(spark)
     return spark.sql(translate(sql, final_keys=final_keys))
+
+
+# ------------------------------------------------------------------ INSERT
+
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<table>\w+)\s*"
+    r"(?:\((?P<cols>[^)]*)\)\s*)?"
+    r"(?:(?P<values>VALUES\s*(?P<tuples>.+))|FORMAT\s+(?P<fmt>\w+))\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+
+def ch_insert(spark: SparkSession, sql: str,
+              data: "DataFrame | list[str] | None" = None) -> DataFrame:
+    """The reference's ingest statement: ``INSERT INTO t [(cols)]
+    VALUES (...), (...)`` with inline literal tuples, or ``INSERT INTO t
+    [(cols)] FORMAT JSONEachRow|CSV|TSV|Values`` with the payload
+    supplied separately (``data`` = a one-string-column DataFrame of
+    lines, or a list of line strings — the clickhouse-client contract,
+    where FORMAT data follows the statement).
+
+    Returns the typed rows to insert, parsed DISTRIBUTED via the format
+    parsers in ``sources/render.py`` and cast against the target table's
+    catalog schema. The caller appends them (``append_to_view`` for temp
+    views, ``.write.insertInto`` for warehouse tables) — same separation
+    as the reference's parse-then-squash insert pipeline (upstream
+    src/Interpreters/InterpreterInsertQuery.cpp)."""
+    from pyspark.sql import types as T
+
+    from clickhouse_clickhouse_spark.sources import render
+
+    m = _INSERT_RE.match(sql)
+    if not m:
+        raise ValueError("unsupported INSERT syntax; expected INSERT INTO "
+                         "t [(cols)] VALUES (...)|FORMAT <fmt>")
+    target = spark.table(m.group("table"))
+    schema = target.schema
+    if m.group("cols"):
+        names = [c.strip() for c in m.group("cols").split(",")]
+        schema = T.StructType([schema[n] for n in names])
+    if m.group("values"):
+        tuples = m.group("tuples").strip()
+        # split top-level parenthesized tuples into one line each
+        lines, depth, start, in_str = [], 0, None, False
+        i = 0
+        while i < len(tuples):
+            ch = tuples[i]
+            if in_str:
+                if ch == "\\":
+                    i += 2
+                    continue
+                if ch == "'":
+                    in_str = False
+            elif ch == "'":
+                in_str = True
+            elif ch == "(":
+                if depth == 0:
+                    start = i
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    lines.append(tuples[start:i + 1])
+            i += 1
+        fmt = "Values"
+        data = spark.createDataFrame([(ln,) for ln in lines], "line string")
+    else:
+        fmt = m.group("fmt")
+        if data is None:
+            raise ValueError(f"INSERT ... FORMAT {fmt} needs the data "
+                             "lines passed separately (client contract)")
+        if isinstance(data, list):
+            data = spark.createDataFrame([(ln,) for ln in data],
+                                         "line string")
+        else:
+            data = data.toDF("line")
+    if fmt not in ("Values", "JSONEachRow", "CSV", "TSV", "TabSeparated"):
+        raise ValueError(f"unsupported INSERT format {fmt!r}")
+    return render.parse_lines(data, fmt, schema)
+
+
+def append_to_view(spark: SparkSession, view: str,
+                   rows: DataFrame) -> DataFrame:
+    """Append parsed rows to a temp view (the Memory-engine insert path):
+    union by name with null-fill for omitted columns, re-register."""
+    base = spark.table(view)
+    out = base.unionByName(rows, allowMissingColumns=True)
+    out.createOrReplaceTempView(view)
+    return out

@@ -43,6 +43,24 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark("run_query")
         for t in TABLES:
             load_table(spark, args.sf, t).createOrReplaceTempView(t)
+        # INSERT statements: parse inline VALUES, or FORMAT payload from
+        # stdin (the clickhouse-client contract)
+        if args.sql.lstrip().upper().startswith("INSERT"):
+            from clickhouse_clickhouse_spark.ch_sql import (
+                append_to_view,
+                ch_insert,
+            )
+            data = None
+            if "FORMAT" in args.sql.upper():
+                data = [ln for ln in sys.stdin.read().splitlines() if ln]
+            rows = ch_insert(spark, args.sql, data)
+            import re as _re
+            view = _re.search(r"INSERT\s+INTO\s+(\w+)", args.sql,
+                              _re.IGNORECASE).group(1)
+            total = append_to_view(spark, view, rows)
+            print(f"inserted {rows.count()} rows into {view} "
+                  f"(now {total.count()})")
+            return 0
         # honor a trailing FORMAT <name> (the translator strips it as a
         # client directive — the CLI is that client)
         import re

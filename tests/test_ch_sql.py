@@ -298,3 +298,48 @@ def test_if_combinator_sql_forms(views):
     exp = views.sql("SELECT count(DISTINCT n_regionkey) AS n FROM nation "
                     "WHERE n_nationkey < 10").first().n
     assert r.u == exp
+
+
+class TestInsert:
+    def test_insert_values_inline(self, spark):
+        from clickhouse_clickhouse_spark.ch_sql import (
+            append_to_view,
+            ch_insert,
+        )
+
+        spark.createDataFrame([(1, "a", 1.5)], "k int, s string, v double") \
+            .createOrReplaceTempView("ins_t")
+        rows = ch_insert(
+            spark,
+            "INSERT INTO ins_t VALUES (2,'b\\'x',2.5), (3,NULL,NULL)")
+        got = sorted(map(tuple, rows.collect()))
+        assert got == [(2, "b'x", 2.5), (3, None, None)]
+        total = append_to_view(spark, "ins_t", rows)
+        assert spark.table("ins_t").count() == 3
+        assert total.count() == 3
+
+    def test_insert_format_jsoneachrow_with_column_subset(self, spark):
+        from clickhouse_clickhouse_spark.ch_sql import (
+            append_to_view,
+            ch_insert,
+        )
+
+        spark.createDataFrame([(1, "a", 1.5)], "k int, s string, v double") \
+            .createOrReplaceTempView("ins_t2")
+        rows = ch_insert(spark, "INSERT INTO ins_t2 (k, s) FORMAT JSONEachRow",
+                         ['{"k":7,"s":"x"}', '{"k":8,"s":null}'])
+        assert sorted(map(tuple, rows.collect())) == [(7, "x"), (8, None)]
+        appended = append_to_view(spark, "ins_t2", rows)
+        # omitted column null-filled
+        vs = {r.k: r.v for r in appended.collect()}
+        assert vs[7] is None and vs[1] == 1.5
+
+    def test_insert_format_requires_data(self, spark):
+        import pytest as _pytest
+
+        from clickhouse_clickhouse_spark.ch_sql import ch_insert
+
+        spark.createDataFrame([(1,)], "k int") \
+            .createOrReplaceTempView("ins_t3")
+        with _pytest.raises(ValueError):
+            ch_insert(spark, "INSERT INTO ins_t3 FORMAT CSV")
