@@ -249,3 +249,122 @@ def nested_collect_first(spark, sf):
         F.size("items").alias("n_items"),
         F.col("items").getItem(0).getField("ln").alias("first_ln"),
         F.col("items").getItem(0).getField("qty").alias("first_qty"))
+
+
+@register("tpch_q1_dialect", oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def tpch_q1_dialect(spark, sf):
+    """TPC-H Q1 written in the reference dialect (PREWHERE, count(),
+    multiply) through the ch_sql front end — proof the translator carries
+    a real reporting query, with pushdown intact."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return ch_sql(spark, """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(multiply(l_extendedprice, minus(1, l_discount))), 2)
+                 AS sum_disc_price,
+               count() AS count_order
+        FROM lineitem
+        PREWHERE l_shipdate <= toDateTime('1998-09-02')
+        GROUP BY l_returnflag, l_linestatus""")
+
+
+@register("tpch_q3_dialect", oracle="""
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-03-15'
+  AND l_shipdate  > TIMESTAMP '1997-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""")
+def tpch_q3_dialect(spark, sf):
+    """TPC-H Q3 (three-way join, top-10) through the dialect front end —
+    joins pass through the rewriter untouched, CH function names and the
+    LIMIT land in the same TakeOrderedAndProject plan as the DataFrame
+    form."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf, t).createOrReplaceTempView(t)
+    return ch_sql(spark, """
+        SELECT l_orderkey,
+               round(sum(multiply(l_extendedprice, minus(1, l_discount))), 2)
+                 AS revenue,
+               o_orderdate
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < toDateTime('1997-03-15')
+          AND l_shipdate  > toDateTime('1997-03-15')
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey LIMIT 10""")
+
+
+@register("tpch_q12_dialect", oracle="""
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_late,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_late
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY l_linestatus
+""")
+def tpch_q12_dialect(spark, sf):
+    """TPC-H Q12 shape in the dialect: countIf combinators + addDays date
+    arithmetic, translated to COUNT_IF / INTERVAL by the front end."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    for t in ("orders", "lineitem"):
+        load_table(spark, sf, t).createOrReplaceTempView(t)
+    return ch_sql(spark, """
+        SELECT l_linestatus,
+               countIf(o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       AND l_shipdate > addDays(o_orderdate, 90))
+                 AS high_late,
+               countIf(o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                       AND l_shipdate > addDays(o_orderdate, 90))
+                 AS low_late
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY l_linestatus""")
+
+
+@register("tpch_q14_dialect", oracle="""
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+""")
+def tpch_q14_dialect(spark, sf):
+    """TPC-H Q14 in the dialect: sumIf ratio (the CH idiom for the promo
+    share) over a broadcast dimension join."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    for t in ("lineitem", "part"):
+        load_table(spark, sf, t).createOrReplaceTempView(t)
+    return ch_sql(spark, """
+        SELECT round(100.0 * coalesce(sumIf(
+                 multiply(l_extendedprice, minus(1, l_discount)),
+                 p_type = 'PROMO'), 0)
+               / sum(multiply(l_extendedprice, minus(1, l_discount))), 4)
+                 AS promo_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        PREWHERE l_shipdate >= toDateTime('1996-09-01')
+          AND l_shipdate < toDateTime('1996-10-01')""")
