@@ -1,0 +1,48 @@
+"""Streaming FORMAT ingest/egress — the Kafka-payload parse path and the
+formatted sink, reusing the batch format layer (``sources/render.py``).
+
+The reference's streaming engines deliver raw message payloads that a
+row input format parses (upstream ``src/Storages/Kafka/
+KafkaSource.cpp`` feeding ``*RowInputFormat``). In Spark the same shape
+is: a streaming DataFrame with one string ``value`` column (Kafka source
+or file-backed stand-in, per the repo's no-broker environment) → the
+SAME ``parse_lines`` expressions used in batch — format parsing is pure
+projection, so it composes with watermarks/windows untouched.
+
+Egress mirrors it: ``serialize_lines`` then a text sink — each
+micro-batch writes formatted part files, the streaming INTO OUTFILE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from clickhouse_clickhouse_spark.sources.render import (
+    parse_lines,
+    serialize_lines,
+)
+
+
+def read_stream_lines(spark: SparkSession, path: str, fmt: str,
+                      schema: T.StructType) -> DataFrame:
+    """Streaming ingest of formatted text (JSONEachRow/CSV/TSV/Values):
+    file-backed line stream → typed rows via the batch parsers. With a
+    broker available, replace ``readStream.text`` with
+    ``readStream.format("kafka")`` and parse ``CAST(value AS STRING)`` —
+    the parse expressions are identical."""
+    lines = spark.readStream.text(path).withColumnRenamed("value", "line")
+    return parse_lines(lines, fmt, schema)
+
+
+def stream_into_outfile(df: DataFrame, path: str, fmt: str,
+                        checkpoint: str):
+    """Streaming formatted egress: serialize each micro-batch to the text
+    format and append part files — exactly-once via the checkpoint, one
+    file per task per batch (the reference's parallel formatting)."""
+    lines = serialize_lines(df, fmt)
+    return (lines.writeStream.outputMode("append")
+            .format("text")
+            .option("path", path)
+            .option("checkpointLocation", checkpoint)
+            .start())

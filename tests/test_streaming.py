@@ -479,3 +479,35 @@ def test_streaming_curation_state_survives_restart(spark, tmp_path):
     out = [r.doc_id for r in spark.read.parquet(tgt).collect()]
     assert sorted(out) == [1, 3]          # 2 deduped across the restart
     assert out.count(1) == 1              # batch 1 not re-emitted
+
+
+def test_stream_format_ingest_and_egress(spark, sf_dir, tmp_path):
+    """JSONEachRow in → typed rows → TSV out, through the streaming
+    format layer (the Kafka-payload parse path on a file stand-in)."""
+    from clickhouse_clickhouse_spark.sources.render import (
+        parse_lines,
+        serialize_lines,
+    )
+    from clickhouse_clickhouse_spark.streaming.formats import (
+        read_stream_lines,
+        stream_into_outfile,
+    )
+
+    src = load_table(spark, sf_dir, "nation")
+    in_dir = str(tmp_path / "json_in")
+    serialize_lines(src, "JSONEachRow").write.text(in_dir)
+
+    typed = read_stream_lines(spark, in_dir, "JSONEachRow", src.schema)
+    assert typed.isStreaming
+    out_dir = str(tmp_path / "tsv_out")
+    q = stream_into_outfile(typed, out_dir, "TSV",
+                            str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = parse_lines(
+        spark.read.text(out_dir).withColumnRenamed("value", "line"),
+        "TSV", src.schema)
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, src.collect()))
