@@ -208,18 +208,26 @@ def parse_lines(lines: DataFrame, fmt: str, schema: T.StructType,
             .alias("r"))
         return parsed.select("r.*")
     if fmt in ("TSV", "TabSeparated", "TSVWithNames"):
-        ddl = ",".join(f"{f.name} STRING" for f in schema.fields)
-        parsed = lines.select(
-            F.from_csv(c, ddl, {"sep": "\t", "quote": "", "nullValue": "\\N"})
-            .alias("r")).select("r.*")
+        # exact split, NOT from_csv: TSV has no quoting (tabs in data are
+        # escaped), and the CSV reader cannot distinguish an unquoted
+        # empty field from NULL — split preserves "" vs \N exactly
+        fields = F.split(c, "\t", -1)
         out = []
-        for f in schema.fields:
-            v = F.col(f.name)
+        for i, f in enumerate(schema.fields):
+            v = F.element_at(fields, i + 1)
+            v = F.when(v == "\\N", F.lit(None)).otherwise(v)
             if isinstance(f.dataType, T.StringType):
-                v = _esc(v, [("\\n", "\n"), ("\\r", "\r"),
-                             ("\\t", "\t"), ("\\\\", "\\")])
+                # order-safe unescape: split on doubled backslashes so a
+                # literal "\" next to an "n" can't be misread as "\n",
+                # unescape \n/\r/\t inside each segment, rejoin with "\"
+                segs = F.split(v, "\\\\\\\\", -1)
+                un = F.transform(
+                    segs, lambda s: _esc(s, [("\\n", "\n"), ("\\r", "\r"),
+                                             ("\\t", "\t")]))
+                v = F.when(v.isNull(), F.lit(None)) \
+                     .otherwise(F.array_join(un, "\\"))
             out.append(v.cast(f.dataType).alias(f.name))
-        return parsed.select(*out)
+        return lines.select(*out)
     if fmt == "Values":
         inner = F.regexp_replace(c, r"^\(|\)$", "")
         ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"

@@ -182,3 +182,33 @@ def test_ngram_contamination_matches_bruteforce(spark, train, bench, n):
     got = {r.doc_id: (r.n_gram_hits, r.n_bench_docs)
            for r in ngram_contamination(tdf, bdf, n=n).collect()}
     assert got == exp
+
+
+_text_cell = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FF),
+        max_size=24))
+
+_fmt_rows = st.lists(
+    st.tuples(st.integers(-2**31, 2**31 - 1), _text_cell, _text_cell),
+    min_size=1, max_size=12)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=_fmt_rows)
+def test_format_roundtrips_arbitrary_strings(spark, rows):
+    """TSV, CSV, and JSONEachRow serialize→parse must be the identity for
+    arbitrary unicode cells (tabs, newlines, quotes, backslashes, NULLs)
+    — the property the reference's format fuzz tests pin."""
+    from clickhouse_clickhouse_spark.sources.render import (
+        parse_lines,
+        serialize_lines,
+    )
+
+    df = spark.createDataFrame(rows, "k int, a string, b string")
+    expect = sorted(map(tuple, df.collect()), key=repr)
+    for fmt in ("TSV", "CSV", "JSONEachRow"):
+        back = parse_lines(serialize_lines(df, fmt), fmt, df.schema)
+        got = sorted(map(tuple, back.collect()), key=repr)
+        assert got == expect, (fmt, got, expect)
