@@ -115,7 +115,9 @@ def _rendered(df: DataFrame, fmt: str) -> list[Column]:
             if is_str or isinstance(dt, (T.DateType, T.TimestampType,
                                          T.TimestampNTZType)):
                 q = F.concat(F.lit("'"),
-                             _esc(raw, [("\\", "\\\\"), ("'", "\\'")]),
+                             _esc(raw, [("\\", "\\\\"), ("'", "\\'"),
+                                        ("\n", "\\n"), ("\r", "\\r"),
+                                        ("\t", "\\t")]),
                              F.lit("'"))
             else:
                 q = raw
@@ -229,14 +231,32 @@ def parse_lines(lines: DataFrame, fmt: str, schema: T.StructType,
             out.append(v.cast(f.dataType).alias(f.name))
         return lines.select(*out)
     if fmt == "Values":
+        # order-safe unescape around the quoted-field splitter: serialized
+        # lines contain no raw \n/\r/\t (all escaped), so CR can serve as
+        # a backslash sentinel. 1) collapse doubled backslashes to the
+        # sentinel; 2) restore \n/\t (unambiguous now); 3) let the CSV
+        # reader split quoted fields and eat \'; 4) per string field,
+        # restore \r inside sentinel-delimited segments, then the
+        # sentinel back to a literal backslash.
         inner = F.regexp_replace(c, r"^\(|\)$", "")
-        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
-                        for f in schema.fields)
+        inner = _esc(inner, [("\\\\", "\r"), ("\\n", "\n"),
+                             ("\\t", "\t")])
+        ddl = ", ".join(f"{f.name} string" for f in schema.fields)
         parsed = lines.select(
             F.from_csv(inner, ddl,
                        {"quote": "'", "escape": "\\", "nullValue": "NULL"})
-            .alias("r"))
-        return parsed.select("r.*")
+            .alias("r")).select("r.*")
+        out = []
+        for f in schema.fields:
+            v = F.col(f.name)
+            if isinstance(f.dataType, T.StringType):
+                segs = F.split(v, "\r", -1)
+                un = F.transform(segs,
+                                 lambda sgt: _esc(sgt, [("\\r", "\r")]))
+                v = F.when(v.isNull(), F.lit(None)) \
+                     .otherwise(F.array_join(un, "\\"))
+            out.append(v.cast(f.dataType).alias(f.name))
+        return parsed.select(*out)
     raise ValueError(f"unsupported input format {fmt!r}")
 
 

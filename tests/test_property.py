@@ -208,7 +208,7 @@ def test_format_roundtrips_arbitrary_strings(spark, rows):
 
     df = spark.createDataFrame(rows, "k int, a string, b string")
     expect = sorted(map(tuple, df.collect()), key=repr)
-    for fmt in ("TSV", "CSV", "JSONEachRow"):
+    for fmt in ("TSV", "CSV", "JSONEachRow", "Values"):
         back = parse_lines(serialize_lines(df, fmt), fmt, df.schema)
         got = sorted(map(tuple, back.collect()), key=repr)
         assert got == expect, (fmt, got, expect)
