@@ -30,6 +30,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--list", action="store_true", help="list query names")
     ap.add_argument("--sql", help="run a ClickHouse-dialect SQL string "
                     "against the fixture tables (ch_sql translator)")
+    ap.add_argument("--format", dest="fmt",
+                    help="output FORMAT for a named query (JSONEachRow, "
+                    "CSV, TSV, Values, Markdown, Pretty, Vertical, ...)")
     args = ap.parse_args(argv)
 
     from clickhouse_clickhouse_spark.registry import all_oracles, all_queries
@@ -116,6 +119,19 @@ def main(argv: list[str] | None = None) -> int:
     df = qs[args.name](spark, args.sf)
     if args.explain:
         df.explain("formatted")
+    elif args.fmt:
+        from clickhouse_clickhouse_spark.sources import render
+
+        if args.fmt in render.LINE_FORMATS:
+            for h in render.header_lines(df, args.fmt):
+                print(h)
+            for row in render.serialize_lines(df, args.fmt) \
+                    .toLocalIterator():
+                print(row["line"])
+        elif args.fmt == "Vertical":
+            print(render.render_vertical(df, args.limit))
+        else:
+            print(render.render_pretty(df, args.limit))
     else:
         df.show(args.limit, truncate=False)
     return 0
