@@ -128,3 +128,21 @@ def apply_ch_settings(spark: SparkSession, settings: dict) -> dict:
         spark.conf.set(conf, sval)
         applied[name] = (conf, sval)
     return applied
+
+
+def system_formats(spark: SparkSession) -> DataFrame:
+    """``system.formats`` (reference StorageSystemFormats) — every format
+    the engine can serialize/parse, with capability flags."""
+    from clickhouse_clickhouse_spark.sources.render import LINE_FORMATS
+
+    rows = [(f, True, f in ("JSONEachRow", "JSONCompactEachRow", "CSV",
+                            "CSVWithNames", "TSV", "TSVWithNames",
+                            "TabSeparated", "Values"))
+            for f in LINE_FORMATS]
+    rows += [("RowBinary", True, True), ("Regexp", False, True),
+             ("Template", True, False), ("LineAsString", False, True),
+             ("Pretty", True, False), ("Vertical", True, False),
+             ("Parquet", True, True), ("ORC", True, True),
+             ("JSON", True, True), ("Text", True, True), ("XML", True, True)]
+    return spark.createDataFrame(
+        rows, "name string, is_output boolean, is_input boolean")

@@ -227,3 +227,16 @@ def test_optimize_deduplicate_and_modify_column(spark, tmp_path):
     modify_column_type(spark, p, "v", "Float64")
     assert dict(spark.read.parquet(p).dtypes)["v"] == "double"
     assert {r.v for r in spark.read.parquet(p).collect()} == {5.0, 7.0}
+
+
+def test_system_formats(spark):
+    from clickhouse_clickhouse_spark.sources.system_tables import (
+        system_formats,
+    )
+
+    f = {r.name: (r.is_output, r.is_input)
+         for r in system_formats(spark).collect()}
+    assert f["JSONEachRow"] == (True, True)
+    assert f["Regexp"] == (False, True)
+    assert f["Pretty"] == (True, False)
+    assert len(f) >= 20
