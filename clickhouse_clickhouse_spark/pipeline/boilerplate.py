@@ -54,18 +54,25 @@ def _positioned_grams(docs: DataFrame, n: int, id_col: str, text_col: str,
 
 def frequent_ngrams(docs: DataFrame, *, n: int = 5, min_docs: int = 3,
                     id_col: str = "doc_id", text_col: str = "text",
-                    max_positions: int | None = None) -> DataFrame:
+                    max_positions: int | None = None,
+                    hash_grams: bool = False) -> DataFrame:
     """The corpus-wide boilerplate set: (gram, n_docs) for every word
-    n-gram appearing in at least ``min_docs`` distinct documents."""
+    n-gram appearing in at least ``min_docs`` distinct documents.
+    ``hash_grams=True`` shuffles/groups on ``xxhash64(gram)`` instead of
+    the gram string (column ``gh``) — ~10× fewer shuffle bytes at
+    corpus scale, collisions ~2⁻⁶⁴; the oracle-checked string mode stays
+    the default for replayability."""
     grams = _positioned_grams(docs, n, id_col, text_col, max_positions)
-    return (grams.groupBy("g")
+    key = F.xxhash64("g").alias("gh") if hash_grams else F.col("g")
+    return (grams.groupBy(key)
             .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
             .filter(F.col("n_docs") >= min_docs))
 
 
 def repeated_span_stats(docs: DataFrame, *, n: int = 5, min_docs: int = 3,
                         id_col: str = "doc_id", text_col: str = "text",
-                        max_positions: int | None = None) -> DataFrame:
+                        max_positions: int | None = None,
+                        hash_grams: bool = False) -> DataFrame:
     """Per-document repeated-span coverage: how much of each document is
     covered by corpus-frequent n-grams.
 
@@ -76,8 +83,13 @@ def repeated_span_stats(docs: DataFrame, *, n: int = 5, min_docs: int = 3,
     to drop or trim templated documents."""
     grams = _positioned_grams(docs, n, id_col, text_col, max_positions)
     freq = frequent_ngrams(docs, n=n, min_docs=min_docs, id_col=id_col,
-                           text_col=text_col, max_positions=max_positions)
-    flagged = grams.join(freq.select("g"), "g", "left_semi")
+                           text_col=text_col, max_positions=max_positions,
+                           hash_grams=hash_grams)
+    if hash_grams:
+        grams = grams.withColumn("gh", F.xxhash64("g"))
+        flagged = grams.join(freq.select("gh"), "gh", "left_semi")
+    else:
+        flagged = grams.join(freq.select("g"), "g", "left_semi")
     rep = flagged.groupBy(id_col).agg(F.count("*").alias("n_rep_pos"))
     cov = (flagged
            .select(id_col,

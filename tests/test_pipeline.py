@@ -391,3 +391,19 @@ def test_repeated_span_stats_short_docs_and_cap(spark):
     # max_positions bounds the per-doc shingle count (scale lever)
     capped = frequent_ngrams(df, n=2, min_docs=2, max_positions=1)
     assert capped.count() == 1  # only position 1's gram ("a b") survives
+
+
+def test_repeated_span_stats_hash_mode_identical(spark, sf_dir):
+    """hash_grams=True (the shuffle-bytes scale lever) must produce
+    byte-identical per-doc stats to the string-keyed mode."""
+    from clickhouse_clickhouse_spark.pipeline.boilerplate import (
+        repeated_span_stats,
+    )
+    from clickhouse_clickhouse_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(120)
+    a = sorted(map(tuple, repeated_span_stats(d, n=5, min_docs=3)
+                   .collect()))
+    b = sorted(map(tuple, repeated_span_stats(d, n=5, min_docs=3,
+                                              hash_grams=True).collect()))
+    assert a == b
