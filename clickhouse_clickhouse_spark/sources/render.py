@@ -341,9 +341,25 @@ def rowbinary_encode(df: DataFrame) -> DataFrame:
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
     fields = [(f.name, type(f.dataType)) for f in df.schema.fields]
+    all_fixed = all(ft in _FIXED for _, ft in fields)
 
     def encode(batches):
+        import numpy as np
         import pandas as pd
+        if all_fixed:
+            # vectorized fast path: one little-endian record array per
+            # batch, sliced into per-row cells (no per-field struct.pack)
+            dtype = np.dtype([(name, _FIXED[ft][0]) for name, ft in fields])
+            for pdf in batches:
+                arr = np.empty(len(pdf), dtype=dtype)
+                for name, _ in fields:
+                    arr[name] = pdf[name].to_numpy()
+                buf = arr.tobytes()
+                w = dtype.itemsize
+                yield pd.DataFrame(
+                    {"bin": [buf[i * w:(i + 1) * w]
+                             for i in range(len(pdf))]})
+            return
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
@@ -378,11 +394,21 @@ def rowbinary_decode(df: DataFrame, schema: T.StructType,
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
     fields = [(f.name, type(f.dataType)) for f in schema.fields]
+    all_fixed = all(ft in _FIXED for _, ft in fields)
 
     def decode(batches):
         import datetime
 
+        import numpy as np
         import pandas as pd
+        if all_fixed:
+            dtype = np.dtype([(name, _FIXED[ft][0]) for name, ft in fields])
+            for pdf in batches:
+                buf = b"".join(bytes(b) for b in pdf[col])
+                arr = np.frombuffer(buf, dtype=dtype)
+                yield pd.DataFrame({name: arr[name]
+                                    for name, _ in fields})
+            return
         for pdf in batches:
             rows = []
             for raw in pdf[col]:
