@@ -674,6 +674,7 @@ def ch_insert(spark: SparkSession, sql: str,
     views, ``.write.insertInto`` for warehouse tables) — same separation
     as the reference's parse-then-squash insert pipeline (upstream
     src/Interpreters/InterpreterInsertQuery.cpp)."""
+    from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     from clickhouse_clickhouse_spark.sources import render
@@ -688,31 +689,18 @@ def ch_insert(spark: SparkSession, sql: str,
         names = [c.strip() for c in m.group("cols").split(",")]
         schema = T.StructType([schema[n] for n in names])
     if m.group("values"):
-        tuples = m.group("tuples").strip()
-        # split top-level parenthesized tuples into one line each
-        lines, depth, start, in_str = [], 0, None, False
-        i = 0
-        while i < len(tuples):
-            ch = tuples[i]
-            if in_str:
-                if ch == "\\":
-                    i += 2
-                    continue
-                if ch == "'":
-                    in_str = False
-            elif ch == "'":
-                in_str = True
-            elif ch == "(":
-                if depth == 0:
-                    start = i
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-                if depth == 0:
-                    lines.append(tuples[start:i + 1])
-            i += 1
-        fmt = "Values"
-        data = spark.createDataFrame([(ln,) for ln in lines], "line string")
+        # Evaluate through Spark's own VALUES clause (after CH function
+        # renames), so tuples may contain EXPRESSIONS — toDate('...'),
+        # arithmetic, CASE — exactly as the reference's Values parser
+        # evaluates expressions it can't fast-path
+        # (upstream src/Processors/Formats/Impl/ValuesBlockInputFormat.cpp).
+        tuples = _rewrite_calls(m.group("tuples").strip())
+        names = [f.name for f in schema.fields]
+        rows = spark.sql(
+            f"SELECT * FROM VALUES {tuples} AS __ins({', '.join(names)})")
+        out = [F.col(f.name).cast(f.dataType).alias(f.name)
+               for f in schema.fields]
+        return rows.select(*out)
     else:
         fmt = m.group("fmt")
         if data is None:

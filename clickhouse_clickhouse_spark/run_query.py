@@ -98,6 +98,9 @@ def main(argv: list[str] | None = None) -> int:
                 print(row["line"])
         elif fmt == "Vertical":
             print(render.render_vertical(df, args.limit))
+        elif fmt in ("JSON", "JSONCompact"):
+            print(render.render_json_envelope(
+                df, args.limit, compact=fmt == "JSONCompact"))
         elif fmt in ("Pretty", "PrettyCompact"):
             print(render.render_pretty(df, args.limit))
         else:

@@ -483,3 +483,20 @@ def render_pretty(df: DataFrame, limit: int = 20) -> str:
                                      for v, w in zip(r, widths)) + "│"
             for r in cells]
     return "\n".join([top, hdr, sep, *body, bot])
+
+
+def render_json_envelope(df: DataFrame, limit: int = 1000,
+                         compact: bool = False) -> str:
+    """The reference's ``JSON`` / ``JSONCompact`` whole-result envelope:
+    ``{"meta": [...], "data": [...], "rows": N}``. Assembled client-side
+    over an explicitly limited result (like Pretty/Vertical); the
+    per-row serialization is the distributed JSONEachRow projection."""
+    fmt = "JSONCompactEachRow" if compact else "JSONEachRow"
+    rows = [r["line"] for r in
+            serialize_lines(df.limit(limit), fmt).collect()]
+    meta = ",".join(
+        '{"name":"%s","type":"%s"}' % (n, _CH_TYPE.get(t, "String"))
+        for n, t in df.dtypes)
+    body = ",\n".join(rows)
+    return ('{\n"meta":\n[\n' + meta + '\n],\n"data":\n[\n' + body
+            + '\n],\n"rows": ' + str(len(rows)) + '\n}')

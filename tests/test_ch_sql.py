@@ -343,3 +343,18 @@ class TestInsert:
             .createOrReplaceTempView("ins_t3")
         with _pytest.raises(ValueError):
             ch_insert(spark, "INSERT INTO ins_t3 FORMAT CSV")
+
+    def test_insert_values_with_expressions(self, spark):
+        """Reference Values semantics: tuples may contain expressions
+        (toDate, arithmetic) — evaluated, not just parsed."""
+        from clickhouse_clickhouse_spark.ch_sql import ch_insert
+
+        spark.createDataFrame([(1, None, 0.0)],
+                              "k int, d date, v double") \
+            .createOrReplaceTempView("ins_t4")
+        rows = ch_insert(
+            spark,
+            "INSERT INTO ins_t4 VALUES "
+            "(1 + 1, toDate('2024-03-05'), multiply(2, 3.5))")
+        import datetime
+        assert rows.collect() == [(2, datetime.date(2024, 3, 5), 7.0)]

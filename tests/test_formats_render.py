@@ -157,3 +157,16 @@ def test_parse_regexp_unmatched_rows_null(spark):
                                sch).collect()
     assert sorted(rows, key=repr) == sorted(
         [(5, "x"), (None, None)], key=repr)
+
+
+def test_json_envelope(spark):
+    import json as _json
+
+    df = spark.createDataFrame([Row(a=1, b="x"), Row(a=2, b="y")])
+    env = _json.loads(render.render_json_envelope(df.orderBy("a")))
+    assert env["rows"] == 2
+    assert env["meta"][0] == {"name": "a", "type": "Int64"}
+    assert env["data"][1] == {"a": 2, "b": "y"}
+    compact = _json.loads(
+        render.render_json_envelope(df.orderBy("a"), compact=True))
+    assert compact["data"] == [[1, "x"], [2, "y"]]
