@@ -500,3 +500,62 @@ def render_json_envelope(df: DataFrame, limit: int = 1000,
     body = ",\n".join(rows)
     return ('{\n"meta":\n[\n' + meta + '\n],\n"data":\n[\n' + body
             + '\n],\n"rows": ' + str(len(rows)) + '\n}')
+
+
+def write_npy(df: DataFrame, vec_col: str, path: str) -> DataFrame:
+    """The reference's ``Npy`` output format for an array column: each
+    partition writes one ``.npy`` part file (float32 matrix) under
+    ``path`` and the call returns the manifest (file, rows) — the
+    embedding-interchange shape a training job mmaps. Files land on the
+    filesystem visible to executors (shared FS on a cluster, local dir
+    here) — same contract as any Spark file sink."""
+    import os
+    import sys
+    import uuid
+
+    from pyspark import cloudpickle
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+    os.makedirs(path, exist_ok=True)
+
+    def dump(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.asarray([np.asarray(v, dtype=np.float32)
+                              for v in pdf[vec_col]])
+            fname = os.path.join(path, f"part-{uuid.uuid4().hex}.npy")
+            np.save(fname, mat)
+            yield pd.DataFrame({"file": [fname], "rows": [len(pdf)]})
+
+    return df.select(vec_col).mapInPandas(dump, "file string, rows long")
+
+
+def read_npy(spark: SparkSession, path: str,
+             vec_col: str = "embedding") -> DataFrame:
+    """Inverse of ``write_npy``: every ``.npy`` part file parses to rows
+    of ``array<float>`` — distributed via the binaryFile source (each
+    file is one Arrow batch, parsed executor-side)."""
+    import sys
+
+    from pyspark import cloudpickle
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+    files = spark.read.format("binaryFile").load(f"{path}/*.npy")
+
+    def parse(batches):
+        import io
+
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            out = []
+            for blob in pdf["content"]:
+                mat = np.load(io.BytesIO(bytes(blob)))
+                out.extend(row.astype(np.float32).tolist() for row in mat)
+            yield pd.DataFrame({vec_col: out})
+
+    return files.select("content").mapInPandas(
+        parse, f"{vec_col} array<float>")

@@ -170,3 +170,17 @@ def test_json_envelope(spark):
     compact = _json.loads(
         render.render_json_envelope(df.orderBy("a"), compact=True))
     assert compact["data"] == [[1, "x"], [2, "y"]]
+
+
+def test_npy_roundtrip(spark, sf_dir, tmp_path):
+    from clickhouse_clickhouse_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings") \
+        .select("embedding").repartition(4)
+    d = str(tmp_path / "npy_out")
+    manifest = render.write_npy(e, "embedding", d).collect()
+    assert sum(m.rows for m in manifest) == 500
+    back = render.read_npy(spark, d)
+    a = sorted(tuple(r.embedding) for r in e.collect())
+    b = sorted(tuple(r.embedding) for r in back.collect())
+    assert a == b
