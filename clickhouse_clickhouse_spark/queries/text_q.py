@@ -1015,3 +1015,113 @@ def hashed_linear_quality(spark, sf):
     d = load_table(spark, sf, "documents")
     return d.select("doc_id",
                     hashed_linear_score(F.col("text")).alias("model_score"))
+
+
+@register("pipeline_full_curation_v2", oracle="""
+WITH toks AS (SELECT doc_id, text, lang, source, n_chars,
+                     string_split(text, ' ') AS t
+              FROM documents),
+w AS (SELECT doc_id,
+             round(1.0 - len(list_distinct(t)) * 1.0 / greatest(len(t), 1), 6)
+               AS wr
+      FROM toks),
+b1 AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(t) - 1),
+                                    i -> array_to_string(t[i:i+1], ' '))) AS g
+       FROM toks),
+b1c AS (SELECT doc_id, g, count(*) AS c FROM b1 GROUP BY 1, 2),
+tb AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS tbf
+       FROM b1c GROUP BY 1),
+bgrams AS (
+  SELECT doc_id, array_to_string(lt[g.i:g.i+4], ' ') AS g
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS lt FROM documents)
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(lt) - 4, 0))) AS i) g),
+bfreq AS (SELECT g FROM bgrams GROUP BY g
+          HAVING count(DISTINCT doc_id) >= 3),
+bflag AS (SELECT doc_id, g FROM bgrams
+          WHERE g IN (SELECT g FROM bfreq)),
+bcov AS (SELECT b.doc_id,
+                count(*) * 1.0 / greatest(len(tk.t), 1) AS rough_cov
+         FROM bflag b JOIN toks tk USING (doc_id) GROUP BY b.doc_id, len(tk.t)),
+mtoks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+          FROM documents),
+mscored AS (
+  SELECT doc_id,
+         ((((ascii(tok[1]) * 961 + ascii(tok[-1]) * 31 + len(tok)) % 1024
+            + 1024) % 1024) * 2654435761) % 1000 / 1000.0 - 0.5 AS wgt
+  FROM mtoks WHERE tok <> ''),
+model AS (SELECT doc_id,
+                 1.0 / (1.0 + exp(-(sum(wgt) / count(*)) * 10)) AS ms
+          FROM mscored GROUP BY doc_id),
+keepers AS (
+  SELECT w.doc_id FROM w
+  JOIN tb USING (doc_id)
+  JOIN model USING (doc_id)
+  LEFT JOIN bcov USING (doc_id)
+  WHERE wr <= 0.6 AND tbf <= 0.10
+    AND coalesce(rough_cov, 0) <= 0.9 AND ms >= 0.3),
+base AS (SELECT toks.* FROM toks JOIN keepers USING (doc_id)
+         WHERE len(t) >= 10),
+surv AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY text),
+ded AS (SELECT base.* FROM base JOIN surv USING (doc_id)),
+g3 AS (SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                               i -> array_to_string(t[i:i+2], ' '))) AS gram
+       FROM toks WHERE len(t) >= 3),
+bench AS (SELECT doc_id AS bid, gram FROM g3 WHERE doc_id % 41 = 0),
+bad AS (SELECT DISTINCT g3.doc_id FROM g3 JOIN bench USING (gram)
+        WHERE g3.doc_id <> bench.bid),
+clean AS (SELECT ded.* FROM ded ANTI JOIN bad USING (doc_id))
+SELECT source,
+       CASE WHEN ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < 0.9
+            THEN 'train'
+            WHEN ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < 0.95
+            THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       cast(sum(len(t)) AS BIGINT) AS total_tokens
+FROM clean GROUP BY 1, 2
+""")
+def pipeline_full_curation_v2(spark, sf):
+    """The round-4 curation composition in ONE declarative plan:
+    Gopher repetition gate → cross-doc boilerplate-coverage cap
+    (pipeline/boilerplate) → model-based quality floor
+    (hashed_linear_score) → token floor → exact dedup → benchmark
+    decontamination → reproducible hash split → per-(source, split)
+    corpus stats. Each stage is an already-oracled operator; the whole
+    chain is Catalyst-fused with the gram-count shuffle and dedup rank
+    as the only wide stages."""
+    from clickhouse_clickhouse_spark.functions.text import (
+        hashed_linear_score,
+        repetition_profile,
+    )
+    from clickhouse_clickhouse_spark.pipeline.boilerplate import (
+        repeated_span_stats,
+    )
+    from clickhouse_clickhouse_spark.pipeline.decontam import decontaminate
+    from clickhouse_clickhouse_spark.pipeline.training import hash_split
+
+    d = load_table(spark, sf, "documents")
+    keep_ids = repetition_profile(d).filter("keep").select("doc_id")
+    cov = (repeated_span_stats(d, n=5, min_docs=3)
+           .select("doc_id",
+                   (F.col("n_rep_pos")
+                    / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"))
+                   .alias("rough_cov")))
+    scored = d.select("doc_id",
+                      hashed_linear_score(F.col("text")).alias("ms"))
+    base = (d.join(keep_ids, "doc_id")
+            .join(cov, "doc_id", "left")
+            .join(scored, "doc_id")
+            .filter((F.coalesce("rough_cov", F.lit(0.0)) <= 0.9)
+                    & (F.col("ms") >= 0.3))
+            .filter(TXT.token_count(F.col("text")) >= 10)
+            .select(*d.columns))
+    deduped = exact_dedup(base, "text", "doc_id")
+    bench = d.filter(F.col("doc_id") % 41 == 0)
+    clean = decontaminate(deduped, bench, n=3)
+    return (hash_split(clean, "doc_id")
+            .groupBy("source", "split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(TXT.token_count(F.col("text"))).cast("long")
+                 .alias("total_tokens")))
