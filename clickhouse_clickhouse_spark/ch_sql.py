@@ -724,3 +724,92 @@ def append_to_view(spark: SparkSession, view: str,
     out = base.unionByName(rows, allowMissingColumns=True)
     out.createOrReplaceTempView(view)
     return out
+
+
+# -------------------------------------------------------------- CREATE TABLE
+
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<table>\w+)\s*"
+    r"\((?P<cols>.*)\)\s*"
+    r"ENGINE\s*=\s*(?P<engine>\w+)(?:\([^)]*\))?\s*"
+    r"(?:PARTITION\s+BY\s+(?P<part>[^\n]*?))?\s*"
+    r"(?:ORDER\s+BY\s+(?P<order>[^\n]*?))?\s*"
+    r"(?:SETTINGS\s+.*)?$",
+    re.IGNORECASE | re.DOTALL)
+
+
+class TableSpec:
+    """Parsed reference DDL: schema + layout, the contract the write path
+    (``sources.write.insert_partitioned``) and scan layer execute."""
+
+    def __init__(self, name: str, schema, engine: str,
+                 partition_by: list[str], order_by: list[str]):
+        self.name = name
+        self.schema = schema
+        self.engine = engine
+        self.partition_by = partition_by
+        self.order_by = order_by
+
+    def __repr__(self) -> str:
+        return (f"TableSpec({self.name}, engine={self.engine}, "
+                f"partition_by={self.partition_by}, "
+                f"order_by={self.order_by})")
+
+
+def _key_list(expr: str | None) -> list[str]:
+    if not expr:
+        return []
+    expr = expr.strip()
+    if expr.startswith("(") and expr.endswith(")"):
+        expr = expr[1:-1]
+    return [e.strip() for e in _split_top_commas(expr) if e.strip()]
+
+
+def ch_create_table(spark: SparkSession, sql: str) -> TableSpec:
+    """``CREATE TABLE t (cols...) ENGINE=MergeTree PARTITION BY p ORDER
+    BY k`` — the reference's DDL, executed as: parse the column list
+    through the type mapper (``types_map.ch_schema_to_struct``:
+    Nullable/Array/LowCardinality/Decimal/DateTime64 all map), register
+    an empty typed temp view under the table name, and return the
+    ``TableSpec`` whose layout keys drive ``insert_partitioned`` (the
+    MergeTree part-writing analog) on every subsequent insert.
+
+    Engines map per SURVEY §2.1: MergeTree-family → partitioned+sorted
+    parquet; Memory/Null → temp-view only. Unknown engines are accepted
+    with MergeTree semantics (the reference's default behavior for the
+    family aliases)."""
+    from clickhouse_clickhouse_spark.types_map import ch_schema_to_struct
+
+    m = _CREATE_RE.match(sql.strip().rstrip(";"))
+    if not m:
+        raise ValueError("unsupported CREATE TABLE syntax")
+    schema = ch_schema_to_struct(m.group("cols"))
+    spec = TableSpec(m.group("table"), schema, m.group("engine"),
+                     _key_list(m.group("part")),
+                     _key_list(m.group("order")))
+    for key in spec.partition_by + spec.order_by:
+        if key not in schema.fieldNames():
+            raise ValueError(f"layout key {key!r} is not a column "
+                             f"(expressions in PARTITION BY/ORDER BY are "
+                             f"not supported here — pre-compute a column)")
+    spark.createDataFrame([], schema).createOrReplaceTempView(spec.name)
+    return spec
+
+
+def insert_into_table(spark: SparkSession, spec: TableSpec,
+                      rows: DataFrame, path: str | None = None) -> None:
+    """INSERT honoring the DDL's layout: with a ``path``, write
+    partitioned+sorted parquet (MergeTree part shape) and re-register the
+    view over the files; without, append to the in-memory view (Memory
+    engine)."""
+    if path is None or spec.engine.lower() in ("memory", "null"):
+        if spec.engine.lower() != "null":
+            append_to_view(spark, spec.name, rows)
+        return
+    from clickhouse_clickhouse_spark.sources.write import (
+        insert_partitioned,
+    )
+
+    insert_partitioned(rows, path, partition_by=spec.partition_by,
+                       sort_by=spec.order_by, mode="append")
+    spark.read.parquet(path).createOrReplaceTempView(spec.name)

@@ -358,3 +358,62 @@ class TestInsert:
             "(1 + 1, toDate('2024-03-05'), multiply(2, 3.5))")
         import datetime
         assert rows.collect() == [(2, datetime.date(2024, 3, 5), 7.0)]
+
+
+class TestCreateTable:
+    DDL = """CREATE TABLE hits (
+        id UInt64,
+        ts DateTime,
+        url String,
+        score Nullable(Float64),
+        tags Array(String)
+    ) ENGINE = MergeTree()
+    PARTITION BY url
+    ORDER BY id"""
+
+    def test_parse_and_register(self, spark):
+        from clickhouse_clickhouse_spark.ch_sql import ch_create_table
+
+        spec = ch_create_table(spark, self.DDL)
+        assert spec.partition_by == ["url"] and spec.order_by == ["id"]
+        t = spark.table("hits")
+        assert dict(t.dtypes)["tags"] == "array<string>"
+        assert dict(t.dtypes)["score"] == "double"
+        assert t.count() == 0
+
+    def test_ddl_insert_select_roundtrip(self, spark, tmp_path):
+        """The migration path end-to-end: paste reference DDL, INSERT
+        dialect VALUES, SELECT through ch_sql — files land
+        partitioned+sorted per the DDL's layout."""
+        from clickhouse_clickhouse_spark.ch_sql import (
+            ch_create_table,
+            ch_insert,
+            ch_sql,
+            insert_into_table,
+        )
+
+        spec = ch_create_table(spark, self.DDL)
+        rows = ch_insert(
+            spark,
+            "INSERT INTO hits (id, ts, url) VALUES "
+            "(1, toDateTime('2024-01-02 03:04:05'), 'a'), "
+            "(2, toDateTime('2024-01-02 03:04:06'), 'b')")
+        full = rows.withColumn("score", F.lit(None).cast("double")) \
+                   .withColumn("tags", F.lit(None).cast("array<string>"))
+        path = str(tmp_path / "hits_data")
+        insert_into_table(spark, spec, full, path)
+        got = ch_sql(spark, "SELECT count() AS n, uniqExact(url) AS u "
+                            "FROM hits").collect()
+        assert got == [(2, 2)]
+        import os
+        assert any(d.startswith("url=") for d in os.listdir(path))
+
+    def test_layout_key_must_be_column(self, spark):
+        import pytest as _pytest
+
+        from clickhouse_clickhouse_spark.ch_sql import ch_create_table
+
+        with _pytest.raises(ValueError):
+            ch_create_table(
+                spark, "CREATE TABLE t2 (a UInt8) ENGINE = MergeTree "
+                       "ORDER BY missing_col")
