@@ -442,6 +442,19 @@ def _masked_sub(regex: re.Pattern, repl, q: str) -> str:
     return "".join(out)
 
 
+def _array_literals(q: str) -> str:
+    """Rewrite CH bracket array literals ``[a, b]`` to Spark ``array(a,
+    b)`` — innermost-first so nesting works. A ``[`` directly after an
+    identifier/``)``/``]`` is SUBSCRIPT access, not a literal, and is
+    left alone."""
+    pat = re.compile(r"(?<![\w\)\]])\[([^\[\]]*)\]")
+    while True:
+        new = _masked_sub(pat, lambda m: f"array({m.group(1)})", q)
+        if new == q:
+            return q
+        q = new
+
+
 def _strip_parens(s: str) -> str:
     """Blank out parenthesized spans so a top-level comma test can't be
     fooled by commas inside function calls."""
@@ -484,6 +497,7 @@ def translate(sql: str,
                    re.IGNORECASE),
         lambda m: m.group(1), q)
     q = _masked_sub(re.compile(r"=="), lambda m: "=", q)
+    q = _array_literals(q)
 
     # strictness/positional joins change SEMANTICS — refuse loudly rather
     # than translate to a plain join that returns different rows
@@ -694,7 +708,8 @@ def ch_insert(spark: SparkSession, sql: str,
         # arithmetic, CASE — exactly as the reference's Values parser
         # evaluates expressions it can't fast-path
         # (upstream src/Processors/Formats/Impl/ValuesBlockInputFormat.cpp).
-        tuples = _rewrite_calls(m.group("tuples").strip())
+        tuples = _array_literals(
+            _rewrite_calls(m.group("tuples").strip()))
         names = [f.name for f in schema.fields]
         rows = spark.sql(
             f"SELECT * FROM VALUES {tuples} AS __ins({', '.join(names)})")
@@ -813,3 +828,100 @@ def insert_into_table(spark: SparkSession, spec: TableSpec,
     insert_partitioned(rows, path, partition_by=spec.partition_by,
                        sort_by=spec.order_by, mode="append")
     spark.read.parquet(path).createOrReplaceTempView(spec.name)
+
+
+# ----------------------------------------------------------- statements
+
+# DDL registry for SHOW CREATE TABLE (session-keyed, like the reference's
+# metadata store)
+_SPECS: dict[tuple[int, str], "TableSpec"] = {}
+
+
+def _remember_spec(spark: SparkSession, spec: "TableSpec") -> None:
+    _SPECS[(id(spark), spec.name.lower())] = spec
+
+
+def ch_statement(spark: SparkSession, sql: str,
+                 data: "DataFrame | list[str] | None" = None) -> DataFrame:
+    """One entry point for the reference's statement surface — dispatches
+    CREATE TABLE / INSERT / DESCRIBE / SHOW TABLES / SHOW CREATE TABLE /
+    EXISTS / DROP / TRUNCATE to their implementations and everything
+    else to the SELECT translator. Always returns a DataFrame (DDL
+    statements return their status row, as the reference client
+    prints)."""
+    head = sql.strip().split(None, 2)
+    kw = head[0].upper() if head else ""
+    if kw == "CREATE":
+        spec = ch_create_table(spark, sql)
+        _remember_spec(spark, spec)
+        return spark.createDataFrame(
+            [(spec.name, spec.engine, ",".join(spec.partition_by),
+              ",".join(spec.order_by))],
+            "name string, engine string, partition_by string, "
+            "order_by string")
+    if kw == "INSERT":
+        rows = ch_insert(spark, sql, data)
+        m = _INSERT_RE.match(sql)
+        append_to_view(spark, m.group("table"), rows)
+        return spark.createDataFrame([(m.group("table"), rows.count())],
+                                     "table string, written long")
+    if kw == "DESCRIBE" or kw == "DESC":
+        name = head[-1].strip().rstrip(";")
+        if name.upper().startswith("TABLE "):
+            name = name.split(None, 1)[1]
+        t = spark.table(name)
+        from clickhouse_clickhouse_spark.types_map import (
+            spark_type_to_ch,
+        )
+        rows = [(f.name, spark_type_to_ch(f.dataType, f.nullable))
+                for f in t.schema.fields]
+        return spark.createDataFrame(rows, "name string, type string")
+    if kw == "SHOW":
+        rest = sql.strip()[4:].strip().rstrip(";")
+        if rest.upper().startswith("TABLES"):
+            from clickhouse_clickhouse_spark.sources.system_tables import (
+                system_tables,
+            )
+            return system_tables(spark).select("name")
+        mm = re.match(r"CREATE\s+TABLE\s+(\w+)", rest, re.IGNORECASE)
+        if mm:
+            spec = _SPECS.get((id(spark), mm.group(1).lower()))
+            if spec is None:
+                raise ValueError(f"no DDL recorded for {mm.group(1)!r} "
+                                 "(created outside ch_statement?)")
+            from clickhouse_clickhouse_spark.types_map import (
+                spark_type_to_ch,
+            )
+            cols = ",\n    ".join(
+                f"{f.name} {spark_type_to_ch(f.dataType, f.nullable)}"
+                for f in spec.schema.fields)
+            stmt = (f"CREATE TABLE {spec.name}\n(\n    {cols}\n)\n"
+                    f"ENGINE = {spec.engine}")
+            if spec.partition_by:
+                stmt += f"\nPARTITION BY ({', '.join(spec.partition_by)})"
+            if spec.order_by:
+                stmt += f"\nORDER BY ({', '.join(spec.order_by)})"
+            return spark.createDataFrame([(stmt,)], "statement string")
+        raise ValueError(f"unsupported SHOW statement: {rest!r}")
+    if kw == "EXISTS":
+        name = head[-1].strip().rstrip(";")
+        if name.upper().startswith("TABLE "):
+            name = name.split(None, 1)[1]
+        ok = spark.catalog.tableExists(name)
+        return spark.createDataFrame([(1 if ok else 0,)], "result int")
+    if kw == "DROP":
+        mm = re.match(r"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)",
+                      sql.strip(), re.IGNORECASE)
+        if not mm:
+            raise ValueError("unsupported DROP statement")
+        spark.catalog.dropTempView(mm.group(1))
+        _SPECS.pop((id(spark), mm.group(1).lower()), None)
+        return spark.createDataFrame([(mm.group(1),)], "dropped string")
+    if kw == "TRUNCATE":
+        mm = re.match(r"TRUNCATE\s+(?:TABLE\s+)?(\w+)", sql.strip(),
+                      re.IGNORECASE)
+        name = mm.group(1)
+        schema = spark.table(name).schema
+        spark.createDataFrame([], schema).createOrReplaceTempView(name)
+        return spark.createDataFrame([(name,)], "truncated string")
+    return ch_sql(spark, sql)

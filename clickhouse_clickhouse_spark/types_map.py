@@ -131,3 +131,29 @@ def ch_schema_to_struct(ddl: str) -> T.StructType:
         dt, nullable = parse_ch_type(typ)
         fields.append(T.StructField(name, dt, nullable))
     return T.StructType(fields)
+
+
+def spark_type_to_ch(dt: T.DataType, nullable: bool = False) -> str:
+    """Reverse mapping for DESCRIBE / SHOW CREATE TABLE output: Spark
+    type → reference type name (the inverse of ``parse_ch_type`` over
+    the supported surface)."""
+    base = {
+        T.ByteType: "Int8", T.ShortType: "Int16", T.IntegerType: "Int32",
+        T.LongType: "Int64", T.FloatType: "Float32",
+        T.DoubleType: "Float64", T.StringType: "String",
+        T.BooleanType: "Bool", T.DateType: "Date",
+        T.TimestampType: "DateTime", T.TimestampNTZType: "DateTime",
+        T.BinaryType: "String",
+    }
+    if isinstance(dt, T.DecimalType):
+        name = f"Decimal({dt.precision}, {dt.scale})"
+    elif isinstance(dt, T.ArrayType):
+        name = f"Array({spark_type_to_ch(dt.elementType, dt.containsNull)})"
+    elif isinstance(dt, T.MapType):
+        name = (f"Map({spark_type_to_ch(dt.keyType)}, "
+                f"{spark_type_to_ch(dt.valueType, dt.valueContainsNull)})")
+    else:
+        name = base.get(type(dt), dt.simpleString())
+    if nullable and not isinstance(dt, (T.ArrayType, T.MapType)):
+        return f"Nullable({name})"
+    return name

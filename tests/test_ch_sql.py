@@ -417,3 +417,41 @@ class TestCreateTable:
             ch_create_table(
                 spark, "CREATE TABLE t2 (a UInt8) ENGINE = MergeTree "
                        "ORDER BY missing_col")
+
+
+class TestStatements:
+    def test_statement_surface(self, spark):
+        from clickhouse_clickhouse_spark.ch_sql import ch_statement
+
+        ch_statement(spark, """CREATE TABLE st_t (
+            id UInt64, name Nullable(String), v Array(Float32)
+        ) ENGINE = Memory""")
+        assert spark.catalog.tableExists("st_t")
+        out = ch_statement(spark,
+                           "INSERT INTO st_t VALUES (1, 'a', [1.0, 2.0])")
+        assert out.collect()[0].written == 1
+        desc = {r.name: r.type
+                for r in ch_statement(spark, "DESCRIBE st_t").collect()}
+        assert desc["id"] == "Int64"  # UInt64 maps to Int64 (documented)
+        assert desc["name"] == "Nullable(String)"
+        assert desc["v"] == "Array(Float32)"
+        tables = [r.name for r in
+                  ch_statement(spark, "SHOW TABLES").collect()]
+        assert "st_t" in tables
+        stmt = ch_statement(spark,
+                            "SHOW CREATE TABLE st_t").collect()[0].statement
+        assert "ENGINE = Memory" in stmt and "Nullable(String)" in stmt
+        assert ch_statement(spark,
+                            "EXISTS TABLE st_t").collect()[0].result == 1
+        ch_statement(spark, "TRUNCATE TABLE st_t")
+        assert spark.table("st_t").count() == 0
+        ch_statement(spark, "DROP TABLE st_t")
+        assert not spark.catalog.tableExists("st_t")
+
+    def test_statement_falls_through_to_select(self, spark, sf_dir):
+        from clickhouse_clickhouse_spark.ch_sql import ch_statement
+
+        load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+        got = ch_statement(spark,
+                           "SELECT count() AS n FROM nation").collect()
+        assert got == [(25,)]
