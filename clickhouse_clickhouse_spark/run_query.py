@@ -46,6 +46,15 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark("run_query")
         for t in TABLES:
             load_table(spark, args.sf, t).createOrReplaceTempView(t)
+        # DDL / metadata statements route through the dispatcher
+        first = args.sql.strip().split(None, 1)[0].upper() \
+            if args.sql.strip() else ""
+        if first in ("CREATE", "DESCRIBE", "DESC", "SHOW", "EXISTS",
+                     "DROP", "TRUNCATE"):
+            from clickhouse_clickhouse_spark.ch_sql import ch_statement
+
+            ch_statement(spark, args.sql).show(args.limit, truncate=False)
+            return 0
         # INSERT statements: parse inline VALUES, or FORMAT payload from
         # stdin (the clickhouse-client contract)
         if args.sql.lstrip().upper().startswith("INSERT"):
