@@ -917,6 +917,56 @@ def ch_statement(spark: SparkSession, sql: str,
         spark.catalog.dropTempView(mm.group(1))
         _SPECS.pop((id(spark), mm.group(1).lower()), None)
         return spark.createDataFrame([(mm.group(1),)], "dropped string")
+    if kw == "ALTER":
+        from pyspark.sql import functions as F
+
+        mm = re.match(
+            r"ALTER\s+TABLE\s+(?P<t>\w+)\s+(?P<op>.+)$",
+            sql.strip().rstrip(";"), re.IGNORECASE | re.DOTALL)
+        if not mm:
+            raise ValueError("unsupported ALTER statement")
+        name, op = mm.group("t"), mm.group("op").strip()
+        base = spark.table(name)
+        om = re.match(r"ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+                      r"(\w+)\s+([\w\(\), ]+)$", op, re.IGNORECASE)
+        if om:
+            from clickhouse_clickhouse_spark.types_map import parse_ch_type
+            dt, _ = parse_ch_type(om.group(2).strip())
+            out = base.withColumn(om.group(1), F.lit(None).cast(dt))
+            out.createOrReplaceTempView(name)
+            return spark.createDataFrame([(name, om.group(1))],
+                                         "table string, added string")
+        om = re.match(r"DROP\s+COLUMN\s+(?:IF\s+EXISTS\s+)?(\w+)$",
+                      op, re.IGNORECASE)
+        if om:
+            base.drop(om.group(1)).createOrReplaceTempView(name)
+            return spark.createDataFrame([(name, om.group(1))],
+                                         "table string, dropped string")
+        om = re.match(r"DELETE\s+WHERE\s+(.+)$", op,
+                      re.IGNORECASE | re.DOTALL)
+        if om:
+            # the reference's lightweight-delete mutation: rewrite the
+            # view without matching rows (condition through the dialect
+            # expression rewriter)
+            cond = _rewrite_calls(om.group(1))
+            out = base.filter(f"NOT ({cond})")
+            out.createOrReplaceTempView(name)
+            return spark.createDataFrame([(name,)], "mutated string")
+        om = re.match(r"UPDATE\s+(.+?)\s+WHERE\s+(.+)$", op,
+                      re.IGNORECASE | re.DOTALL)
+        if om:
+            cond = _rewrite_calls(om.group(2))
+            out = base
+            for assign in _split_top_commas(om.group(1)):
+                col, expr = assign.split("=", 1)
+                col = col.strip()
+                expr = _rewrite_calls(expr.strip())
+                out = out.withColumn(
+                    col, F.expr(f"CASE WHEN {cond} THEN {expr} "
+                                f"ELSE {col} END"))
+            out.createOrReplaceTempView(name)
+            return spark.createDataFrame([(name,)], "mutated string")
+        raise ValueError(f"unsupported ALTER operation: {op!r}")
     if kw == "TRUNCATE":
         mm = re.match(r"TRUNCATE\s+(?:TABLE\s+)?(\w+)", sql.strip(),
                       re.IGNORECASE)

@@ -455,3 +455,22 @@ class TestStatements:
         got = ch_statement(spark,
                            "SELECT count() AS n FROM nation").collect()
         assert got == [(25,)]
+
+    def test_alter_mutations(self, spark):
+        from clickhouse_clickhouse_spark.ch_sql import ch_statement
+
+        spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)],
+                              "k int, v double") \
+            .createOrReplaceTempView("alt_t")
+        ch_statement(spark, "ALTER TABLE alt_t ADD COLUMN note "
+                            "Nullable(String)")
+        assert "note" in spark.table("alt_t").columns
+        ch_statement(spark,
+                     "ALTER TABLE alt_t UPDATE v = multiply(v, 2) "
+                     "WHERE k >= 2")
+        assert {r.k: r.v for r in spark.table("alt_t").collect()} == \
+            {1: 10.0, 2: 40.0, 3: 60.0}
+        ch_statement(spark, "ALTER TABLE alt_t DELETE WHERE k = 1")
+        assert spark.table("alt_t").count() == 2
+        ch_statement(spark, "ALTER TABLE alt_t DROP COLUMN note")
+        assert "note" not in spark.table("alt_t").columns
