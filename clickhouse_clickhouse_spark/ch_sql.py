@@ -498,6 +498,8 @@ def translate(sql: str,
         lambda m: m.group(1), q)
     q = _masked_sub(re.compile(r"=="), lambda m: "=", q)
     q = _array_literals(q)
+    q = _masked_sub(re.compile(r"\bsystem\.(\w+)", re.IGNORECASE),
+                    lambda m: f"__system_{m.group(1).lower()}", q)
 
     # strictness/positional joins change SEMANTICS — refuse loudly rather
     # than translate to a plain join that returns different rows
@@ -655,12 +657,34 @@ def _register_udfs(spark: SparkSession) -> None:
     _REGISTERED.add(id(spark))
 
 
+def _register_system_views(spark: SparkSession, sql: str) -> None:
+    """Materialize the ``system.*`` views a query references (translate
+    rewrites ``system.X`` → ``__system_X``) — fresh per query, as the
+    reference computes them on read."""
+    import re as _re
+
+    from clickhouse_clickhouse_spark.sources import system_tables as ST
+
+    providers = {
+        "one": ST.system_one,
+        "tables": ST.system_tables,
+        "formats": ST.system_formats,
+        "settings": ST.system_settings,
+    }
+    for name in set(_re.findall(r"\bsystem\.(\w+)", sql,
+                                _re.IGNORECASE)):
+        fn = providers.get(name.lower())
+        if fn is not None:
+            fn(spark).createOrReplaceTempView(f"__system_{name.lower()}")
+
+
 def ch_sql(spark: SparkSession, sql: str,
            final_keys: dict[str, tuple[list[str], str]] | None = None
            ) -> DataFrame:
     """Run a reference-dialect query: translate, then ``spark.sql``.
     Tables must already be catalog-visible (temp views / saveAsTable)."""
     _register_udfs(spark)
+    _register_system_views(spark, sql)
     return spark.sql(translate(sql, final_keys=final_keys))
 
 

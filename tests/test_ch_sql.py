@@ -474,3 +474,12 @@ class TestStatements:
         assert spark.table("alt_t").count() == 2
         ch_statement(spark, "ALTER TABLE alt_t DROP COLUMN note")
         assert "note" not in spark.table("alt_t").columns
+
+    def test_system_tables_in_dialect(self, spark):
+        from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+        n = ch_sql(spark, "SELECT count() AS n FROM system.formats "
+                          "WHERE is_input").collect()[0].n
+        assert n >= 10
+        one = ch_sql(spark, "SELECT dummy FROM system.one").collect()
+        assert one == [(0,)]
