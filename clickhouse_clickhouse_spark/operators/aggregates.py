@@ -184,3 +184,19 @@ def group_array_moving(df: DataFrame, keys: Sequence[str],
             .agg(F.transform(F.array_sort(F.collect_list(pack)),
                              lambda s: s["__mv"])
                  .alias(f"moving_{kind}s")))
+
+
+def group_array_intersect(df: DataFrame, keys: Sequence[str],
+                          arr_col: str, out: str = "common") -> DataFrame:
+    """``groupArrayIntersect`` (upstream
+    AggregateFunctionGroupArrayIntersect.cpp): per group, the
+    intersection of all array values. One hash aggregation collects the
+    group's arrays (bounded by group size), then an ``array_intersect``
+    fold — a JVM higher-order expression — reduces them; sorted output
+    for deterministic comparison."""
+    collected = df.groupBy(*keys).agg(F.collect_list(arr_col).alias("__a"))
+    folded = F.aggregate(
+        F.slice(F.col("__a"), 2, 1 << 30),
+        F.element_at(F.col("__a"), 1),
+        lambda acc, x: F.array_intersect(acc, x))
+    return collected.select(*keys, F.array_sort(folded).alias(out))

@@ -1210,3 +1210,30 @@ def agg_corr_matrix(spark, sf):
 
     li = load_table(spark, sf, "lineitem")
     return corr_matrix(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+@register("agg_group_array_intersect", oracle="""
+WITH g AS (
+  SELECT lang, doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+  FROM documents WHERE doc_id < 60),
+folded AS (
+  SELECT lang, list_sort(list_reduce(list(toks), (x, y) -> list_intersect(x, y)))
+           AS common
+  FROM g GROUP BY lang)
+SELECT lang, common FROM folded
+""")
+def agg_group_array_intersect(spark, sf):
+    """groupArrayIntersect: tokens common to EVERY document of a
+    language (operators/aggregates.group_array_intersect — collect +
+    array_intersect fold, one hash aggregation)."""
+    from clickhouse_clickhouse_spark.functions.text import tokens
+    from clickhouse_clickhouse_spark.operators.aggregates import (
+        group_array_intersect,
+    )
+
+    d = (load_table(spark, sf, "documents")
+         .filter(F.col("doc_id") < 60)
+         .select("lang",
+                 F.array_distinct(tokens(F.lower(F.col("text"))))
+                 .alias("toks")))
+    return group_array_intersect(d, ["lang"], "toks", out="common")
