@@ -109,9 +109,13 @@ def probe_media(media: DataFrame) -> DataFrame:
     import sys
 
     from pyspark import cloudpickle
-    cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
     from clickhouse_clickhouse_spark.functions import png as _png
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    # the closure references the png module — ship it by value as well
+    # (executor workers under an external session lack the repo on
+    # sys.path)
+    cloudpickle.register_pickle_by_value(_png)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -137,9 +141,13 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     import sys
 
     from pyspark import cloudpickle
-    cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
     from clickhouse_clickhouse_spark.functions import png as _png
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    # the closure references the png module — ship it by value as well
+    # (executor workers under an external session lack the repo on
+    # sys.path)
+    cloudpickle.register_pickle_by_value(_png)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
