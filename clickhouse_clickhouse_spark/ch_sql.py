@@ -641,7 +641,9 @@ def translate(sql: str,
              f"(PARTITION BY {keys} ORDER BY {order}) AS __ch_rn FROM "
              f"({body})) WHERE __ch_rn <= {n} ORDER BY {order} {rest}")
 
-    return _rewrite_calls(q)
+    # whitespace-stable output (clause strips can leave trailing blanks;
+    # keeps translate idempotent — pinned by test)
+    return _rewrite_calls(q).strip()
 
 
 _REGISTERED: set[int] = set()

@@ -483,3 +483,25 @@ class TestStatements:
         assert n >= 10
         one = ch_sql(spark, "SELECT dummy FROM system.one").collect()
         assert one == [(0,)]
+
+
+def test_translate_idempotent_on_dialect_corpus(spark):
+    """translate(translate(q)) == translate(q) for every dialect form the
+    registered queries use — rewrites must not double-apply (a regression
+    risk each time a new rule lands)."""
+    from clickhouse_clickhouse_spark.ch_sql import translate
+
+    corpus = [
+        "SELECT count() FROM lineitem PREWHERE l_quantity < 10",
+        "SELECT l_orderkey, sum(multiply(l_extendedprice, l_discount)) "
+        "FROM lineitem GROUP BY l_orderkey ORDER BY 2 DESC LIMIT 5",
+        "SELECT countIf(a > 1), sumIf(b, a = 2) FROM t",
+        "SELECT [1, 2, 3] AS arr, arr[1] AS first FROM system.one",
+        "SELECT quantile(0.9)(x) FROM t SETTINGS max_threads = 4",
+        "SELECT * FROM events SAMPLE 0.1 LIMIT 5 BY user_id LIMIT 100",
+        "SELECT toDate('2024-01-01'), addDays(toDate('2024-01-01'), 7)",
+        "SELECT x FROM t WHERE s == 'FORMAT JSONEachRow' FORMAT TSV",
+    ]
+    for q in corpus:
+        once = translate(q)
+        assert translate(once) == once, q
