@@ -695,7 +695,9 @@ def ch_sql(spark: SparkSession, sql: str,
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+(?P<table>\w+)\s*"
     r"(?:\((?P<cols>[^)]*)\)\s*)?"
-    r"(?:(?P<values>VALUES\s*(?P<tuples>.+))|FORMAT\s+(?P<fmt>\w+))\s*$",
+    r"(?:(?P<values>VALUES\s*(?P<tuples>.+))"
+    r"|(?P<select>SELECT\s+.+|WITH\s+.+)"
+    r"|FORMAT\s+(?P<fmt>\w+))\s*$",
     re.IGNORECASE | re.DOTALL)
 
 
@@ -728,6 +730,19 @@ def ch_insert(spark: SparkSession, sql: str,
     if m.group("cols"):
         names = [c.strip() for c in m.group("cols").split(",")]
         schema = T.StructType([schema[n] for n in names])
+    if m.group("select"):
+        # INSERT ... SELECT — the common bulk form: the SELECT text goes
+        # through the full dialect translator, then casts against the
+        # target schema (positional, as the reference inserts)
+        rows = ch_sql(spark, m.group("select"))
+        if len(rows.columns) != len(schema.fields):
+            raise ValueError(
+                f"INSERT SELECT arity mismatch: query returns "
+                f"{len(rows.columns)} columns, target expects "
+                f"{len(schema.fields)}")
+        out = [rows[rows.columns[i]].cast(f.dataType).alias(f.name)
+               for i, f in enumerate(schema.fields)]
+        return rows.select(*out)
     if m.group("values"):
         # Evaluate through Spark's own VALUES clause (after CH function
         # renames), so tuples may contain EXPRESSIONS — toDate('...'),

@@ -505,3 +505,19 @@ def test_translate_idempotent_on_dialect_corpus(spark):
     for q in corpus:
         once = translate(q)
         assert translate(once) == once, q
+
+
+def test_insert_select_through_dialect(spark, sf_dir):
+    from clickhouse_clickhouse_spark.ch_sql import ch_statement
+
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    ch_statement(spark, "CREATE TABLE top_nations (name String, k Int64) "
+                        "ENGINE = Memory")
+    out = ch_statement(
+        spark,
+        "INSERT INTO top_nations SELECT n_name, toInt64(n_nationkey) "
+        "FROM nation WHERE n_nationkey < 3")
+    assert out.collect()[0].written == 3
+    assert spark.table("top_nations").count() == 3
+    assert dict(spark.table("top_nations").dtypes) == \
+        {"name": "string", "k": "bigint"}
