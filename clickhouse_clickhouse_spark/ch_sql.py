@@ -944,6 +944,23 @@ def ch_statement(spark: SparkSession, sql: str,
                 stmt += f"\nORDER BY ({', '.join(spec.order_by)})"
             return spark.createDataFrame([(stmt,)], "statement string")
         raise ValueError(f"unsupported SHOW statement: {rest!r}")
+    if kw == "EXPLAIN":
+        rest = sql.strip()[7:].strip()
+        first = rest.split(None, 1)[0].upper() if rest else ""
+        if first == "SYNTAX":
+            # the reference's EXPLAIN SYNTAX shows the rewritten query —
+            # here that IS the dialect translation
+            return spark.createDataFrame(
+                [(translate(rest.split(None, 1)[1]),)],
+                "rewritten_query string")
+        variants = {"ESTIMATE": "EXPLAIN COST",
+                    "PIPELINE": "EXPLAIN FORMATTED",
+                    "AST": "EXPLAIN EXTENDED",
+                    "PLAN": "EXPLAIN FORMATTED"}
+        if first in variants:
+            body = rest.split(None, 1)[1]
+            return spark.sql(f"{variants[first]} {translate(body)}")
+        return spark.sql(f"EXPLAIN {translate(rest)}")
     if kw == "EXISTS":
         name = head[-1].strip().rstrip(";")
         if name.upper().startswith("TABLE "):

@@ -521,3 +521,22 @@ def test_insert_select_through_dialect(spark, sf_dir):
     assert spark.table("top_nations").count() == 3
     assert dict(spark.table("top_nations").dtypes) == \
         {"name": "string", "k": "bigint"}
+
+
+def test_explain_family(spark, sf_dir):
+    from clickhouse_clickhouse_spark.ch_sql import ch_statement
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem")
+    syn = ch_statement(
+        spark, "EXPLAIN SYNTAX SELECT count() FROM lineitem "
+               "PREWHERE l_quantity < 5").collect()[0].rewritten_query
+    assert "COUNT(*)" in syn and "WHERE" in syn and "PREWHERE" not in syn
+    plan = ch_statement(
+        spark, "EXPLAIN PIPELINE SELECT count() FROM lineitem") \
+        .collect()[0][0]
+    assert "Physical Plan" in plan or "Scan" in plan
+    cost = ch_statement(
+        spark, "EXPLAIN ESTIMATE SELECT count() FROM lineitem") \
+        .collect()[0][0]
+    assert "sizeInBytes" in cost or "Statistics" in cost
