@@ -102,3 +102,39 @@ def training_shuffle_rank(df: DataFrame, id_col: str,
     return (global_row_number(hashed, "__h", tiebreaks=(id_col,),
                               out="shuffle_rank")
             .drop("__h"))
+
+
+def mixture_sample(docs: DataFrame, weights: Mapping[str, float],
+                   total: int, *, source_col: str = "source",
+                   id_col: str = "doc_id", seed: int = 0) -> DataFrame:
+    """Deterministic data mixing: sample each source down so the corpus
+    approximates the target ``weights`` mixture at ``total`` documents
+    (the composition step of training-set assembly — e.g. "60% web,
+    30% code, 10% books").
+
+    Per-source keep fraction = min(1, target_count / available), applied
+    as a hash threshold on the id — so membership is reproducible and
+    stable under re-partitioning, and a source short of its target keeps
+    everything (under-sampling is surfaced by comparing achieved vs
+    target counts, not silently rebalanced). One tiny aggregation for
+    the source counts (broadcast back); the filter itself is a pure
+    projection."""
+    w = {k: float(v) for k, v in weights.items()}
+    total_w = sum(w.values())
+    counts = docs.groupBy(source_col).agg(F.count("*").alias("__n"))
+    wexpr = None
+    for k, v in w.items():
+        cond = F.col(source_col) == k
+        wexpr = F.when(cond, F.lit(v)) if wexpr is None \
+            else wexpr.when(cond, F.lit(v))
+    wexpr = wexpr.otherwise(F.lit(0.0)) if wexpr is not None else F.lit(0.0)
+    frac = F.least(
+        F.lit(1.0),
+        F.when(F.col("__n") > 0,
+               wexpr / F.lit(total_w) * F.lit(float(total)) / F.col("__n"))
+        .otherwise(F.lit(0.0)))
+    targets = counts.withColumn("__frac", frac).drop("__n")
+    h = _knuth_hash(F.col(id_col), seed).cast("double") / F.lit(float(_MOD))
+    return (docs.join(F.broadcast(targets), source_col)
+            .filter(h < F.col("__frac"))
+            .drop("__frac"))

@@ -1125,3 +1125,33 @@ def pipeline_full_curation_v2(spark, sf):
             .agg(F.count("*").alias("n_docs"),
                  F.sum(TXT.token_count(F.col("text"))).cast("long")
                  .alias("total_tokens")))
+
+
+@register("mixture_sample_assign", oracle="""
+WITH counts AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source),
+targets AS (
+  SELECT source,
+         least(1.0, (CASE WHEN source = 'src0' THEN 0.5
+                          WHEN source = 'src1' THEN 0.3
+                          WHEN source = 'src2' THEN 0.2
+                          ELSE 0.0 END) / 1.0 * 120.0 / n) AS frac
+  FROM counts)
+SELECT d.doc_id, d.source
+FROM documents d JOIN targets t USING (source)
+WHERE ((d.doc_id * 2654435761) % 4294967296) / 4294967296.0 < t.frac
+""")
+def mixture_sample_assign(spark, sf):
+    """Deterministic data mixing (pipeline/training.mixture_sample):
+    sample sources toward a 50/30/20 target mixture at 120 docs via a
+    reproducible id-hash threshold; sources absent from the weights drop
+    out, over-represented ones thin down, membership is stable under
+    re-partitioning."""
+    from clickhouse_clickhouse_spark.pipeline.training import (
+        mixture_sample,
+    )
+
+    d = load_table(spark, sf, "documents")
+    return mixture_sample(
+        d, {"src0": 0.5, "src1": 0.3, "src2": 0.2}, 120) \
+        .select("doc_id", "source")

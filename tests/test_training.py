@@ -61,3 +61,21 @@ def test_training_shuffle_rank_is_permutation(spark):
     again = [r.shuffle_rank
              for r in training_shuffle_rank(d, "doc_id").collect()]
     assert ranks == again
+
+
+def test_mixture_sample_properties(spark):
+    from clickhouse_clickhouse_spark.pipeline.training import mixture_sample
+
+    d = _docs(spark, 300)  # sources "0","1","2", 100 docs each
+    out = mixture_sample(d, {"0": 0.6, "1": 0.4}, 100)
+    by_src = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert "2" not in by_src              # unweighted source dropped
+    assert by_src["0"] > by_src["1"]      # mixture ordering respected
+    # reproducible and partition-independent
+    again = mixture_sample(d.repartition(7), {"0": 0.6, "1": 0.4}, 100)
+    assert sorted(r.doc_id for r in out.collect()) == \
+        sorted(r.doc_id for r in again.collect())
+    # a source short of its target keeps everything (no silent rebalance)
+    keep_all = mixture_sample(d, {"0": 1.0}, 10_000)
+    assert keep_all.count() == 100
