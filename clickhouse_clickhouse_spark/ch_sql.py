@@ -697,7 +697,7 @@ _INSERT_RE = re.compile(
     r"(?:\((?P<cols>[^)]*)\)\s*)?"
     r"(?:(?P<values>VALUES\s*(?P<tuples>.+))"
     r"|(?P<select>SELECT\s+.+|WITH\s+.+)"
-    r"|FORMAT\s+(?P<fmt>\w+))\s*$",
+    r"|FORMAT\s+(?P<fmt>\w+)(?:\s*\n(?P<payload>.*))?)\s*$",
     re.IGNORECASE | re.DOTALL)
 
 
@@ -759,9 +759,14 @@ def ch_insert(spark: SparkSession, sql: str,
         return rows.select(*out)
     else:
         fmt = m.group("fmt")
+        if data is None and m.group("payload"):
+            # single-blob client form: payload lines follow the statement
+            data = [ln for ln in m.group("payload").splitlines()
+                    if ln.strip()]
         if data is None:
             raise ValueError(f"INSERT ... FORMAT {fmt} needs the data "
-                             "lines passed separately (client contract)")
+                             "lines passed separately (client contract) "
+                             "or inline after the statement")
         if isinstance(data, list):
             data = spark.createDataFrame([(ln,) for ln in data],
                                          "line string")

@@ -540,3 +540,13 @@ def test_explain_family(spark, sf_dir):
         spark, "EXPLAIN ESTIMATE SELECT count() FROM lineitem") \
         .collect()[0][0]
     assert "sizeInBytes" in cost or "Statistics" in cost
+
+
+def test_insert_format_inline_payload(spark):
+    from clickhouse_clickhouse_spark.ch_sql import ch_insert
+
+    spark.createDataFrame([(1, "a")], "k int, s string") \
+        .createOrReplaceTempView("ins_t5")
+    rows = ch_insert(spark, 'INSERT INTO ins_t5 FORMAT JSONEachRow\n'
+                            '{"k":5,"s":"x"}\n{"k":6,"s":"y"}\n')
+    assert sorted(map(tuple, rows.collect())) == [(5, "x"), (6, "y")]
