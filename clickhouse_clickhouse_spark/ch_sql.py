@@ -204,6 +204,9 @@ _PARAMETRIC: dict[str, str] = {
                     "e -> e.key), 1, {p0})",
     "quantileExact": "PERCENTILE({a0}, {p0})",
     "quantileTDigest": "PERCENTILE_APPROX({a0}, {p0})",
+    # Greenwald-Khanna class: Spark's approx_percentile IS a GK sketch;
+    # the optional second parameter (accuracy) maps directly
+    "quantileGK": "PERCENTILE_APPROX({a0}, {p0})",
     "quantiles": "PERCENTILE_APPROX({a0}, ARRAY({p*}))",
     "quantilesExact": "PERCENTILE({a0}, ARRAY({p*}))",
     "topK": "SLICE(TRANSFORM(ARRAY_SORT(MAP_ENTRIES("

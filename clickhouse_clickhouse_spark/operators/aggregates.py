@@ -200,3 +200,45 @@ def group_array_intersect(df: DataFrame, keys: Sequence[str],
         F.element_at(F.col("__a"), 1),
         lambda acc, x: F.array_intersect(acc, x))
     return collected.select(*keys, F.array_sort(folded).alias(out))
+
+
+def group_array_insert_at(df: DataFrame, keys: Sequence[str],
+                          value: str, pos: str, size: int,
+                          default: str = "", out: str = "arr") -> DataFrame:
+    """``groupArrayInsertAt(default, size)(value, pos)``: per group, an
+    array of ``size`` slots with each value placed at its position
+    (minimum value wins on duplicate positions — deterministic, where
+    the reference keeps an arbitrary "first"), empty slots filled with
+    ``default``. Two hash aggregations (slot dedup, then the map build)
+    and a constant-length transform."""
+    slot = (df.filter((F.col(pos) >= 0) & (F.col(pos) < size))
+            .groupBy(*keys, F.col(pos).alias("__k"))
+            .agg(F.min(F.col(value)).alias("__v")))
+    g = slot.groupBy(*keys).agg(
+        F.map_from_entries(F.collect_list(F.struct("__k", "__v")))
+        .alias("__m"))
+    fill = F.transform(
+        F.sequence(F.lit(0), F.lit(size - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("__m"), i), F.lit(default)))
+    return g.select(*keys, fill.alias(out))
+
+
+def sparkbar(df: DataFrame, keys: Sequence[str], x: str, y: str,
+             buckets: int = 8, out: str = "bar") -> DataFrame:
+    """``sparkbar``: per group, a block-character histogram string — each
+    x-ordered bucket's y total scaled to the eight block glyphs
+    (▁▂▃▄▅▆▇█; AggregateFunctionSparkbar.cpp). Two hash aggregations
+    (bucket totals, then assembly) — no windows, no driver."""
+    blocks = "▁▂▃▄▅▆▇█"
+    b = df.groupBy(*keys, F.col(x).alias("__b")) \
+          .agg(F.sum(F.col(y)).alias("__s"))
+    agg = b.groupBy(*keys).agg(
+        F.array_sort(F.collect_list(F.struct("__b", "__s"))).alias("__e"),
+        F.max("__s").alias("__mx"))
+    glyph = lambda e: F.substring(  # noqa: E731
+        F.lit(blocks),
+        F.greatest(F.lit(1), F.least(F.lit(8),
+                   F.ceil(e["__s"] / F.col("__mx") * 8).cast("int"))), 1)
+    return agg.select(
+        *keys,
+        F.array_join(F.transform(F.col("__e"), glyph), "").alias(out))

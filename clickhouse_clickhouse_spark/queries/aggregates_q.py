@@ -1237,3 +1237,58 @@ def agg_group_array_intersect(spark, sf):
                  F.array_distinct(tokens(F.lower(F.col("text"))))
                  .alias("toks")))
     return group_array_intersect(d, ["lang"], "toks", out="common")
+
+
+@register("agg_group_array_insert_at", oracle="""
+WITH slot AS (
+  SELECT l_orderkey, CAST(l_linenumber - 1 AS INT) AS k,
+         min(l_quantity) AS v
+  FROM lineitem WHERE l_orderkey < 40 AND l_linenumber <= 4
+  GROUP BY 1, 2)
+SELECT l_orderkey,
+       [coalesce(min(CASE WHEN k = 0 THEN v END), -1.0),
+        coalesce(min(CASE WHEN k = 1 THEN v END), -1.0),
+        coalesce(min(CASE WHEN k = 2 THEN v END), -1.0),
+        coalesce(min(CASE WHEN k = 3 THEN v END), -1.0)] AS arr
+FROM slot GROUP BY l_orderkey
+""")
+def agg_group_array_insert_at(spark, sf):
+    """groupArrayInsertAt: position-addressed array assembly per group
+    (operators/aggregates.group_array_insert_at) — line quantities slotted
+    by line number, -1 default for missing slots."""
+    from clickhouse_clickhouse_spark.operators.aggregates import (
+        group_array_insert_at,
+    )
+
+    li = (load_table(spark, sf, "lineitem")
+          .filter((F.col("l_orderkey") < 40) & (F.col("l_linenumber") <= 4))
+          .select("l_orderkey",
+                  (F.col("l_linenumber") - 1).cast("int").alias("slot"),
+                  F.col("l_quantity")))
+    return group_array_insert_at(li, ["l_orderkey"], "l_quantity", "slot",
+                                 size=4, default=-1.0)
+
+
+@register("agg_sparkbar", oracle="""
+WITH b AS (
+  SELECT event_type, CAST(hour(ts) AS INT) // 3 AS bkt,
+         sum(value) AS s
+  FROM events GROUP BY 1, 2),
+m AS (SELECT event_type, max(s) AS mx FROM b GROUP BY 1)
+SELECT b.event_type,
+       string_agg(substr('▁▂▃▄▅▆▇█',
+                         greatest(1, least(8, CAST(ceil(s / mx * 8) AS INT))),
+                         1), '' ORDER BY bkt) AS bar
+FROM b JOIN m USING (event_type)
+GROUP BY b.event_type
+""")
+def agg_sparkbar(spark, sf):
+    """sparkbar: block-glyph histogram per group (3-hour activity bars
+    per event type; operators/aggregates.sparkbar — two hash aggs)."""
+    from clickhouse_clickhouse_spark.operators.aggregates import sparkbar
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type",
+        (F.hour("ts").cast("int") / 3).cast("int").alias("bkt"),
+        "value")
+    return sparkbar(ev, ["event_type"], "bkt", "value")
