@@ -481,6 +481,16 @@ _SAMPLE_N = re.compile(r"\bSAMPLE\s+(\d+)\b(?!\s*/)", re.IGNORECASE)
 _FINAL = re.compile(r"\bFROM\s+(\w+)\s+FINAL\b", re.IGNORECASE)
 
 
+def _numbers_subquery(start: int, count: int) -> str:
+    """numbers() rewrite target: literal bounds, so the zero-count edge
+    (sequence would flip descending) resolves at translate time."""
+    if count <= 0:
+        return ("FROM (SELECT * FROM (SELECT CAST(NULL AS BIGINT) "
+                "AS number) WHERE 1 = 0)")
+    return (f"FROM (SELECT explode(sequence(CAST({start} AS BIGINT), "
+            f"CAST({start + count - 1} AS BIGINT))) AS number)")
+
+
 def translate(sql: str,
               final_keys: dict[str, tuple[list[str], str]] | None = None
               ) -> str:
@@ -503,6 +513,15 @@ def translate(sql: str,
     q = _array_literals(q)
     q = _masked_sub(re.compile(r"\bsystem\.(\w+)", re.IGNORECASE),
                     lambda m: f"__system_{m.group(1).lower()}", q)
+    # numbers(N) / numbers(start, N) table function -> Spark range();
+    # the reference's `number` column name maps to range's `id`
+    q = _masked_sub(
+        re.compile(r"\bFROM\s+numbers\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
+                   re.IGNORECASE),
+        lambda m: _numbers_subquery(
+            int(m.group(1)) if m.group(2) else 0,
+            int(m.group(2)) if m.group(2) else int(m.group(1))),
+        q)
 
     # strictness/positional joins change SEMANTICS — refuse loudly rather
     # than translate to a plain join that returns different rows

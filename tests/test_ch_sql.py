@@ -550,3 +550,13 @@ def test_insert_format_inline_payload(spark):
     rows = ch_insert(spark, 'INSERT INTO ins_t5 FORMAT JSONEachRow\n'
                             '{"k":5,"s":"x"}\n{"k":6,"s":"y"}\n')
     assert sorted(map(tuple, rows.collect())) == [(5, "x"), (6, "y")]
+
+
+def test_numbers_table_function(spark):
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    assert ch_sql(spark, "SELECT sum(number) AS s FROM numbers(10)") \
+        .collect() == [(45,)]
+    assert [r.number for r in
+            ch_sql(spark, "SELECT number FROM numbers(5, 3)").collect()] \
+        == [5, 6, 7]
