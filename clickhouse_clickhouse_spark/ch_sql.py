@@ -702,6 +702,47 @@ def _register_system_views(spark: SparkSession, sql: str) -> None:
             fn(spark).createOrReplaceTempView(f"__system_{name.lower()}")
 
 
+_FILE_FMT = {
+    "parquet": ("parquet", {}),
+    "orc": ("orc", {}),
+    "csv": ("csv", {"inferSchema": "true"}),
+    "csvwithnames": ("csv", {"header": "true", "inferSchema": "true"}),
+    "tsv": ("csv", {"sep": "\t", "inferSchema": "true"}),
+    "tabseparated": ("csv", {"sep": "\t", "inferSchema": "true"}),
+    "tsvwithnames": ("csv", {"sep": "\t", "header": "true",
+                             "inferSchema": "true"}),
+    "jsoneachrow": ("json", {}),
+    "json": ("json", {}),
+    "lineasstring": ("text", {}),
+}
+
+
+def _register_file_views(spark: SparkSession, sql: str) -> str:
+    """The reference's ``file('path'[, 'Format'])`` table function: each
+    occurrence becomes a temp view over the matching Spark source
+    (format names per _FILE_FMT; default Parquet). Returns the SQL with
+    occurrences replaced by the view names."""
+    import re as _re
+
+    pat = _re.compile(r"file\(\s*'([^']+)'\s*(?:,\s*'(\w+)'\s*)?\)",
+                      _re.IGNORECASE)
+
+    def repl(m: "_re.Match[str]") -> str:
+        path, fmt = m.group(1), (m.group(2) or "Parquet")
+        key = fmt.lower()
+        if key not in _FILE_FMT:
+            raise ValueError(f"file(): unsupported format {fmt!r}")
+        src, opts = _FILE_FMT[key]
+        name = f"__file_{abs(hash((path, key))) % 10**8}"
+        r = spark.read
+        for k, v in opts.items():
+            r = r.option(k, v)
+        r.format(src).load(path).createOrReplaceTempView(name)
+        return name
+
+    return pat.sub(repl, sql)
+
+
 def ch_sql(spark: SparkSession, sql: str,
            final_keys: dict[str, tuple[list[str], str]] | None = None
            ) -> DataFrame:
@@ -709,6 +750,7 @@ def ch_sql(spark: SparkSession, sql: str,
     Tables must already be catalog-visible (temp views / saveAsTable)."""
     _register_udfs(spark)
     _register_system_views(spark, sql)
+    sql = _register_file_views(spark, sql)
     return spark.sql(translate(sql, final_keys=final_keys))
 
 

@@ -560,3 +560,16 @@ def test_numbers_table_function(spark):
     assert [r.number for r in
             ch_sql(spark, "SELECT number FROM numbers(5, 3)").collect()] \
         == [5, 6, 7]
+
+
+def test_file_table_function(spark, sf_dir):
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    got = ch_sql(spark, f"SELECT count() AS n, min(n_nationkey) AS mn "
+                        f"FROM file('{sf_dir}/nation.parquet')").collect()
+    assert got == [(25, 0)]
+    got2 = ch_sql(spark,
+                  f"SELECT count() AS n FROM "
+                  f"file('{sf_dir}/nation.parquet', 'Parquet') "
+                  f"WHERE n_regionkey = 0").collect()[0].n
+    assert got2 > 0
