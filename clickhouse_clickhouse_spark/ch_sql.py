@@ -740,7 +740,15 @@ def _register_file_views(spark: SparkSession, sql: str) -> str:
         r.format(src).load(path).createOrReplaceTempView(name)
         return name
 
-    return pat.sub(repl, sql)
+    out = pat.sub(repl, sql)
+    # network-backed table functions are environment-gated, loudly
+    for fn in ("url", "s3", "hdfs", "remote", "mysql", "postgresql"):
+        if re.search(rf"\b{fn}\(\s*'", out, re.IGNORECASE):
+            raise NotImplementedError(
+                f"{fn}() needs network/connector access absent from this "
+                "environment; file() covers local data, and the same "
+                "view-registration pattern applies when endpoints exist")
+    return out
 
 
 def ch_sql(spark: SparkSession, sql: str,

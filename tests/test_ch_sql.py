@@ -573,3 +573,12 @@ def test_file_table_function(spark, sf_dir):
                   f"file('{sf_dir}/nation.parquet', 'Parquet') "
                   f"WHERE n_regionkey = 0").collect()[0].n
     assert got2 > 0
+
+
+def test_network_table_functions_gated(spark):
+    import pytest as _pytest
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    with _pytest.raises(NotImplementedError):
+        ch_sql(spark, "SELECT * FROM url('http://x/y.csv', 'CSV')")
