@@ -204,7 +204,8 @@ def group_array_intersect(df: DataFrame, keys: Sequence[str],
 
 def group_array_insert_at(df: DataFrame, keys: Sequence[str],
                           value: str, pos: str, size: int,
-                          default: str = "", out: str = "arr") -> DataFrame:
+                          default: object = "", out: str = "arr"
+                          ) -> DataFrame:
     """``groupArrayInsertAt(default, size)(value, pos)``: per group, an
     array of ``size`` slots with each value placed at its position
     (minimum value wins on duplicate positions — deterministic, where
