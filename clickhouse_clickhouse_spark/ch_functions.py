@@ -807,3 +807,32 @@ def mapConcat(*ms):
     for m in ms[1:]:
         out = mapUpdate(out, m)
     return out
+
+
+def formatReadableTimeDelta(sec):
+    """Seconds → '2 days, 3 hours and 5 seconds' (reference
+    formatReadableTimeDelta: non-zero units joined with commas, ' and '
+    before the last; bare '0 seconds' for zero). Units: days, hours,
+    minutes, seconds."""
+    s = _c(sec).cast("long")
+    parts = []
+    for unit, size in (("day", 86400), ("hour", 3600), ("minute", 60),
+                       ("second", 1)):
+        n = (s % F.lit(size * (60 if unit == "minute" else
+                               24 if unit == "hour" else
+                               1 if unit == "day" else 60))) / F.lit(size) \
+            if unit != "day" else s / F.lit(size)
+        n = F.floor(n).cast("long")
+        parts.append(
+            F.when(n > 0,
+                   F.concat(n.cast("string"), F.lit(f" {unit}"),
+                            F.when(n > 1, F.lit("s")).otherwise(F.lit(""))))
+            .otherwise(F.lit(None)))
+    arr = F.filter(F.array(*parts), lambda x: x.isNotNull())
+    n_parts = F.size(arr)
+    head = F.array_join(F.slice(arr, 1, F.greatest(n_parts - 1, F.lit(1))
+                                .cast("int")), ", ")
+    joined = F.when(n_parts <= 1, F.array_join(arr, "")) \
+        .otherwise(F.concat(head, F.lit(" and "),
+                            F.element_at(arr, -1)))
+    return F.when(n_parts == 0, F.lit("0 seconds")).otherwise(joined)

@@ -1199,3 +1199,43 @@ def ch_dialect_demo4(spark, sf):
                countMatches(n_name, '[AEIOU]') AS vowels,
                isFinite(1.0) AS fin
         FROM nation""")
+
+
+@register("format_readable_time_delta", oracle="""
+WITH src AS (
+  SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) % 200000 AS s
+  FROM orders WHERE o_orderkey < 200),
+u AS (
+  SELECT o_orderkey, s,
+         list_filter([
+           CASE WHEN s // 86400 > 0 THEN s // 86400 || ' day' ||
+                CASE WHEN s // 86400 > 1 THEN 's' ELSE '' END END,
+           CASE WHEN (s % 86400) // 3600 > 0 THEN (s % 86400) // 3600
+                || ' hour' ||
+                CASE WHEN (s % 86400) // 3600 > 1 THEN 's' ELSE '' END END,
+           CASE WHEN (s % 3600) // 60 > 0 THEN (s % 3600) // 60
+                || ' minute' ||
+                CASE WHEN (s % 3600) // 60 > 1 THEN 's' ELSE '' END END,
+           CASE WHEN s % 60 > 0 THEN s % 60 || ' second' ||
+                CASE WHEN s % 60 > 1 THEN 's' ELSE '' END END],
+           x -> x IS NOT NULL) AS p
+  FROM src)
+SELECT o_orderkey,
+       CASE WHEN len(p) = 0 THEN '0 seconds'
+            WHEN len(p) = 1 THEN p[1]
+            ELSE array_to_string(p[1:len(p)-1], ', ') || ' and ' || p[-1]
+       END AS readable
+FROM u
+""")
+def format_readable_time_delta(spark, sf):
+    """formatReadableTimeDelta (reference formatReadable.cpp family):
+    seconds → '1 day, 2 hours and 5 seconds' — when-chain + array_join,
+    pure expressions."""
+    from clickhouse_clickhouse_spark import ch_functions as ch
+
+    o = (load_table(spark, sf, "orders")
+         .filter(F.col("o_orderkey") < 200)
+         .select("o_orderkey",
+                 (F.floor("o_totalprice").cast("long") % 200000).alias("s")))
+    return o.select("o_orderkey",
+                    ch.formatReadableTimeDelta(F.col("s")).alias("readable"))
