@@ -513,6 +513,14 @@ def translate(sql: str,
     q = _array_literals(q)
     q = _masked_sub(re.compile(r"\bsystem\.(\w+)", re.IGNORECASE),
                     lambda m: f"__system_{m.group(1).lower()}", q)
+    # GROUP BY k WITH TOTALS -> GROUPING SETS ((k), ()) — grouped rows
+    # plus the grand-total row with NULL keys (operators.with_totals is
+    # the DataFrame twin)
+    q = _masked_sub(
+        re.compile(r"GROUP\s+BY\s+(.+?)\s+WITH\s+TOTALS",
+                   re.IGNORECASE | re.DOTALL),
+        lambda m: f"GROUP BY GROUPING SETS (({m.group(1).strip()}), ())",
+        q)
     # numbers(N) / numbers(start, N) table function -> Spark range();
     # the reference's `number` column name maps to range's `id`
     q = _masked_sub(

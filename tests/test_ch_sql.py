@@ -582,3 +582,15 @@ def test_network_table_functions_gated(spark):
 
     with _pytest.raises(NotImplementedError):
         ch_sql(spark, "SELECT * FROM url('http://x/y.csv', 'CSV')")
+
+
+def test_with_totals_dialect(spark, sf_dir):
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    rows = ch_sql(spark, "SELECT event_type, count() AS c FROM events "
+                         "GROUP BY event_type WITH TOTALS").collect()
+    by_key = {r.event_type: r.c for r in rows}
+    assert None in by_key  # the totals row
+    assert by_key[None] == sum(v for k, v in by_key.items()
+                               if k is not None)
