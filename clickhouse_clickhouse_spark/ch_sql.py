@@ -513,6 +513,13 @@ def translate(sql: str,
     q = _array_literals(q)
     q = _masked_sub(re.compile(r"\bsystem\.(\w+)", re.IGNORECASE),
                     lambda m: f"__system_{m.group(1).lower()}", q)
+    # LIMIT n WITH TIES needs rank semantics Spark SQL text can't express
+    # without reshaping the projection — refuse with the operator named
+    if _masked_search(re.compile(r"\bLIMIT\s+\d+\s+WITH\s+TIES\b",
+                                 re.IGNORECASE), q):
+        raise ValueError(
+            "LIMIT n WITH TIES has no faithful SQL translation here — use "
+            "the DataFrame operator operators.windows.limit_with_ties")
     # GROUP BY k WITH TOTALS -> GROUPING SETS ((k), ()) — grouped rows
     # plus the grand-total row with NULL keys (operators.with_totals is
     # the DataFrame twin)

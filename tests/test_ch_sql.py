@@ -594,3 +594,12 @@ def test_with_totals_dialect(spark, sf_dir):
     assert None in by_key  # the totals row
     assert by_key[None] == sum(v for k, v in by_key.items()
                                if k is not None)
+
+
+def test_limit_with_ties_refused(spark):
+    import pytest as _pytest
+
+    from clickhouse_clickhouse_spark.ch_sql import translate
+
+    with _pytest.raises(ValueError, match="limit_with_ties"):
+        translate("SELECT a FROM t ORDER BY a LIMIT 3 WITH TIES")
