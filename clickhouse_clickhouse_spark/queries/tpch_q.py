@@ -368,3 +368,41 @@ def tpch_q14_dialect(spark, sf):
         FROM lineitem JOIN part ON l_partkey = p_partkey
         PREWHERE l_shipdate >= toDateTime('1996-09-01')
           AND l_shipdate < toDateTime('1996-10-01')""")
+
+
+@register("tpch_q5_dialect", oracle="""
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""")
+def tpch_q5_dialect(spark, sf):
+    """TPC-H Q5 (six-way join) through the dialect front end — the
+    full local-supplier join graph survives translation with the same
+    broadcast-dim plan as the DataFrame form."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+    from clickhouse_clickhouse_spark.tables import TABLES
+
+    for t in TABLES[:7]:
+        load_table(spark, sf, t).createOrReplaceTempView(t)
+    return ch_sql(spark, """
+        SELECT n_name,
+               round(sum(multiply(l_extendedprice, minus(1, l_discount))), 2)
+                 AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= toDateTime('1996-01-01')
+          AND o_orderdate < toDateTime('1998-01-01')
+        GROUP BY n_name""")
