@@ -189,3 +189,16 @@ def format_template_lines(spark, sf):
     n = load_table(spark, sf, "nation")
     return render.serialize_template(
         n, "nation ${n_name} (${n_nationkey}) in region ${n_regionkey}")
+
+
+@register("format_jsonstrings", oracle="""
+SELECT '{"n_nationkey":"' || n_nationkey || '","n_name":' ||
+       to_json(n_name) || ',"n_regionkey":"' || n_regionkey || '"}'
+       AS line
+FROM nation
+""")
+def format_jsonstrings(spark, sf):
+    """JSONStringsEachRow: every value rendered as its text form, then
+    JSON-quoted (JSONStringsEachRowRowOutputFormat.cpp analog)."""
+    return render.serialize_lines(load_table(spark, sf, "nation"),
+                                  "JSONStringsEachRow")

@@ -42,9 +42,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 LINE_FORMATS = (
-    "JSONEachRow", "JSONCompactEachRow", "CSV", "CSVWithNames",
+    "JSONEachRow", "JSONCompactEachRow", "JSONStringsEachRow",
+    "CSV", "CSVWithNames",
     "TSV", "TSVWithNames", "TSVWithNamesAndTypes", "TabSeparated",
-    "Values", "Markdown",
+    "TSVRaw", "Values", "Markdown",
 )
 
 # Spark type -> reference type name (for TSVWithNamesAndTypes headers).
@@ -97,6 +98,10 @@ def _rendered(df: DataFrame, fmt: str) -> list[Column]:
         if fmt == "JSONCompactEachRow":
             cols.append(_json_value(c))
             continue
+        if fmt == "JSONStringsEachRow":
+            # every value rendered as its text form, then JSON-quoted
+            cols.append(_json_value(_raw(c, dt)))
+            continue
         raw = _raw(c, dt)
         if fmt in ("CSV", "CSVWithNames"):
             if is_str or isinstance(dt, (T.DateType, T.TimestampType,
@@ -111,6 +116,10 @@ def _rendered(df: DataFrame, fmt: str) -> list[Column]:
             e = _esc(raw, [("\\", "\\\\"), ("\t", "\\t"),
                            ("\n", "\\n"), ("\r", "\\r")]) if is_str else raw
             cols.append(F.coalesce(e, F.lit("\\N")))
+        elif fmt == "TSVRaw":
+            # no escaping at all (the format's documented property:
+            # caller guarantees no tabs/newlines in the data)
+            cols.append(F.coalesce(raw, F.lit("\\N")))
         elif fmt == "Values":
             if is_str or isinstance(dt, (T.DateType, T.TimestampType,
                                          T.TimestampNTZType)):
@@ -138,13 +147,20 @@ def serialize_lines(df: DataFrame, fmt: str) -> DataFrame:
     if fmt == "JSONEachRow":
         line = F.to_json(F.struct(*[F.col(c) for c in df.columns]),
                          {"ignoreNullFields": "false"})
+    elif fmt == "JSONStringsEachRow":
+        pieces = []
+        for name in df.columns:
+            c, dt = _field(df, name)
+            key = F.lit('"' + name.replace('"', '\\"') + '":')
+            pieces.append(F.concat(key, _json_value(_raw(c, dt))))
+        line = F.concat(F.lit("{"), F.concat_ws(",", *pieces), F.lit("}"))
     elif fmt == "JSONCompactEachRow":
         line = F.concat(F.lit("["),
                         F.concat_ws(",", *_rendered(df, fmt)), F.lit("]"))
     elif fmt in ("CSV", "CSVWithNames"):
         line = F.concat_ws(",", *_rendered(df, fmt))
     elif fmt in ("TSV", "TSVWithNames", "TSVWithNamesAndTypes",
-                 "TabSeparated"):
+                 "TabSeparated", "TSVRaw"):
         line = F.concat_ws("\t", *_rendered(df, fmt))
     elif fmt == "Values":
         line = F.concat(F.lit("("),
@@ -209,6 +225,14 @@ def parse_lines(lines: DataFrame, fmt: str, schema: T.StructType,
             F.from_csv(c, ddl, {"nullValue": "\\N", "escape": '"'})
             .alias("r"))
         return parsed.select("r.*")
+    if fmt == "TSVRaw":
+        fields = F.split(c, "\t", -1)
+        out = []
+        for i, f in enumerate(schema.fields):
+            v = F.element_at(fields, i + 1)
+            v = F.when(v == "\\N", F.lit(None)).otherwise(v)
+            out.append(v.cast(f.dataType).alias(f.name))
+        return lines.select(*out)
     if fmt in ("TSV", "TabSeparated", "TSVWithNames"):
         # exact split, NOT from_csv: TSV has no quoting (tabs in data are
         # escaped), and the CSV reader cannot distinguish an unquoted

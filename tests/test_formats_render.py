@@ -184,3 +184,18 @@ def test_npy_roundtrip(spark, sf_dir, tmp_path):
     a = sorted(tuple(r.embedding) for r in e.collect())
     b = sorted(tuple(r.embedding) for r in back.collect())
     assert a == b
+
+
+def test_tsvraw_and_jsonstrings(spark, sf_dir):
+    from clickhouse_clickhouse_spark.tables import load_table
+
+    n = load_table(spark, sf_dir, "nation").orderBy("n_nationkey").limit(2)
+    raw = [r.line for r in render.serialize_lines(n, "TSVRaw").collect()]
+    assert raw[0] == "0\tNATION_0\t0"
+    back = render.parse_lines(render.serialize_lines(n, "TSVRaw"),
+                              "TSVRaw", n.schema)
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, n.collect()))
+    js = [r.line for r in
+          render.serialize_lines(n, "JSONStringsEachRow").collect()]
+    assert js[0] == '{"n_nationkey":"0","n_name":"NATION_0","n_regionkey":"0"}'
