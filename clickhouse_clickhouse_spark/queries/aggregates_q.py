@@ -1292,3 +1292,27 @@ def agg_sparkbar(spark, sf):
         (F.hour("ts").cast("int") / 3).cast("int").alias("bkt"),
         "value")
     return sparkbar(ev, ["event_type"], "bkt", "value")
+
+
+@register("sketch_tolerance_gate", oracle="""
+SELECT true AS uniq_ok, true AS hll_ok, true AS quantile_ok
+""")
+def sketch_tolerance_gate(spark, sf):
+    """Hash-checked accuracy gate for the approximate sketches: each
+    estimate must land within its documented error bound of the exact
+    answer computed in the same job (uniq/HLL within 5%, GK median
+    within 5% relative) — converting the sketches' rows-only status into
+    a strict oracle assertion (the oracle states the expected verdicts)."""
+    ev = load_table(spark, sf, "events")
+    agg = ev.agg(
+        F.approx_count_distinct("user_id").alias("au"),
+        F.count_distinct("user_id").alias("eu"),
+        F.expr("approx_count_distinct(event_id, 0.02)").alias("ah"),
+        F.count_distinct("event_id").alias("eh"),
+        F.percentile_approx("value", 0.5, 10000).alias("aq"),
+        F.expr("percentile(value, 0.5)").alias("eq"))
+    rel = lambda a, e: F.abs(a - e) / F.greatest(e, F.lit(1e-9))  # noqa: E731
+    return agg.select(
+        (rel(F.col("au"), F.col("eu")) < 0.05).alias("uniq_ok"),
+        (rel(F.col("ah"), F.col("eh")) < 0.05).alias("hll_ok"),
+        (rel(F.col("aq"), F.col("eq")) < 0.05).alias("quantile_ok"))
