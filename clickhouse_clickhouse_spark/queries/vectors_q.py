@@ -376,3 +376,40 @@ def semantic_dedup_keep(spark, sf):
     corpus = e.unionByName(copies)
     return semantic_dedup(corpus, k=8, iterations=0,
                           threshold=0.99).select("vec_id", "label")
+
+
+@register("ann_recall_gate", oracle="""
+SELECT true AS ivf_ok, true AS lsh_ok
+""")
+def ann_recall_gate(spark, sf):
+    """Hash-checked recall gate for the approximate-NN family: recall@5
+    vs the exact brute-force baseline computed in the same job must
+    clear the documented floors (IVF 8-list/2-probe >= 0.6; 6-bit
+    sign-LSH >= 0.2 — the low floor is the honest 64-dim random-vector
+    tradeoff, raised by more bits/probes). Converts the ANN rows-only
+    entries into a strict oracle assertion."""
+    from clickhouse_clickhouse_spark.pipeline.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_bucketed_topk,
+    )
+
+    e = load_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    kw = dict(corpus_id="vec_id", corpus_vec="embedding",
+              query_id="vec_id", query_vec="embedding")
+    exact = brute_force_topk(e, q, 5, **kw).select(
+        F.col("query_id").alias("qid"), F.col("corpus_id").alias("nid"))
+    lsh = lsh_bucketed_topk(e, q, k=5, bits=6, multiprobe=1, **kw).select(
+        F.col("query_id").alias("qid"), F.col("corpus_id").alias("nid"))
+    ivf = ivf_topk(e, q, k=5, n_centroids=8, n_probe=2,
+                   query_id="vec_id", query_vec="embedding").select(
+        F.col("query_id").alias("qid"), F.col("corpus_id").alias("nid"))
+
+    def recall(approx):
+        hits = exact.join(approx, ["qid", "nid"]).count()
+        return hits / exact.count()
+
+    ivf_ok, lsh_ok = recall(ivf) >= 0.6, recall(lsh) >= 0.2
+    return spark.createDataFrame([(ivf_ok, lsh_ok)],
+                                 "ivf_ok boolean, lsh_ok boolean")
