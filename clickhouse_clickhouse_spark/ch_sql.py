@@ -185,8 +185,9 @@ _FUNCS: dict[str, str] = {
     "JSONExtractString": "GET_JSON_OBJECT({0}, CONCAT('$.', {1}))",
 }
 
-# parametric double-call forms: name(params)(args)
-_PARAMETRIC: dict[str, str] = {
+# parametric double-call forms: name(params)(args); a value may be a
+# template string or a callable (params, args) -> SQL text
+_PARAMETRIC: dict = {
     # HLL precision bits -> Spark's relative-error parameter (the
     # standard HLL rsd ~ 1.04/sqrt(2^bits)); Spark needs a LITERAL rsd,
     # so the division is folded at translate time ({p0:hll_rsd})
@@ -204,9 +205,12 @@ _PARAMETRIC: dict[str, str] = {
                     "e -> e.key), 1, {p0})",
     "quantileExact": "PERCENTILE({a0}, {p0})",
     "quantileTDigest": "PERCENTILE_APPROX({a0}, {p0})",
-    # Greenwald-Khanna class: Spark's approx_percentile IS a GK sketch;
-    # the optional second parameter (accuracy) maps directly
-    "quantileGK": "PERCENTILE_APPROX({a0}, {p0})",
+    # Greenwald-Khanna class: Spark's approx_percentile IS a GK sketch.
+    # Upstream signature is quantileGK(accuracy[, level])(expr) — accuracy
+    # FIRST, level defaulting to 0.5 — so the mapping is positional-swap
+    # (a callable template; see the _PARAMETRIC apply site).
+    "quantileGK": lambda params, args: "PERCENTILE_APPROX({}, {}, {})".format(
+        args[0], params[1] if len(params) > 1 else "0.5", params[0]),
     "quantiles": "PERCENTILE_APPROX({a0}, ARRAY({p*}))",
     "quantilesExact": "PERCENTILE({a0}, ARRAY({p*}))",
     "topK": "SLICE(TRANSFORM(ARRAY_SORT(MAP_ENTRIES("
@@ -319,6 +323,10 @@ def _rewrite_calls(sql: str) -> str:
                 params = _split_args(inner)
                 args = _split_args(_rewrite_calls(sql[k + 1:close2]))
                 tpl = _PARAMETRIC[name]
+                if callable(tpl):
+                    out.append(tpl(params, args))
+                    i = close2 + 1
+                    continue
                 text = tpl.replace("{p*}", ", ".join(params))
                 for idx, p in enumerate(params):
                     if "{p%d:hll_rsd}" % idx in text:
@@ -736,13 +744,18 @@ def _register_file_views(spark: SparkSession, sql: str) -> str:
     """The reference's ``file('path'[, 'Format'])`` table function: each
     occurrence becomes a temp view over the matching Spark source
     (format names per _FILE_FMT; default Parquet). Returns the SQL with
-    occurrences replaced by the view names."""
-    import re as _re
+    occurrences replaced by the view names.
 
-    pat = _re.compile(r"file\(\s*'([^']+)'\s*(?:,\s*'(\w+)'\s*)?\)",
-                      _re.IGNORECASE)
+    Both the substitution and the network-function gate run through the
+    string-literal mask (like every other rewrite in translate): a
+    literal CONTAINING the text ``file('x')`` or ``url('...`` is data,
+    not a table function. The groups use ``[^']*`` (not ``\\w+``)
+    because the masked twin has NULs where literal contents were —
+    original text is recovered via the span match."""
+    pat = re.compile(r"\bfile\(\s*'([^']*)'\s*(?:,\s*'([^']*)'\s*)?\)",
+                     re.IGNORECASE)
 
-    def repl(m: "_re.Match[str]") -> str:
+    def repl(m) -> str:
         path, fmt = m.group(1), (m.group(2) or "Parquet")
         key = fmt.lower()
         if key not in _FILE_FMT:
@@ -755,10 +768,10 @@ def _register_file_views(spark: SparkSession, sql: str) -> str:
         r.format(src).load(path).createOrReplaceTempView(name)
         return name
 
-    out = pat.sub(repl, sql)
+    out = _masked_sub(pat, repl, sql)
     # network-backed table functions are environment-gated, loudly
     for fn in ("url", "s3", "hdfs", "remote", "mysql", "postgresql"):
-        if re.search(rf"\b{fn}\(\s*'", out, re.IGNORECASE):
+        if _masked_search(re.compile(rf"\b{fn}\(\s*'", re.IGNORECASE), out):
             raise NotImplementedError(
                 f"{fn}() needs network/connector access absent from this "
                 "environment; file() covers local data, and the same "

@@ -226,20 +226,44 @@ def group_array_insert_at(df: DataFrame, keys: Sequence[str],
 
 def sparkbar(df: DataFrame, keys: Sequence[str], x: str, y: str,
              buckets: int = 8, out: str = "bar") -> DataFrame:
-    """``sparkbar``: per group, a block-character histogram string — each
-    x-ordered bucket's y total scaled to the eight block glyphs
-    (▁▂▃▄▅▆▇█; AggregateFunctionSparkbar.cpp). Two hash aggregations
-    (bucket totals, then assembly) — no windows, no driver."""
+    """``sparkbar(width)(x, y)``: per group, a block-character histogram
+    string — the group's x range condensed into ``buckets`` equi-width
+    segments, each segment's y total scaled to the eight block glyphs
+    (▁▂▃▄▅▆▇█; AggregateFunctionSparkbar.cpp).
+
+    Bucket index = floor((x - xmin) · buckets / (xmax - xmin + 1)) —
+    the integer-range condensation the reference uses; when the x range
+    already has ≤ ``buckets`` distinct integer positions the mapping is
+    the identity. Empty segments render as a space. A per-group min/max
+    aggregation (broadcast back on the group keys) plus two hash
+    aggregations — no windows, no driver."""
     blocks = "▁▂▃▄▅▆▇█"
-    b = df.groupBy(*keys, F.col(x).alias("__b")) \
-          .agg(F.sum(F.col(y)).alias("__s"))
+    xc = F.col(x).cast("double")
+    span = (df.groupBy(*keys)
+            .agg(F.min(xc).alias("__xlo"), F.max(xc).alias("__xhi")))
+    d = df.join(F.broadcast(span), list(keys))
+    idx = F.when(
+        F.col("__xhi") == F.col("__xlo"), F.lit(0)
+    ).otherwise(
+        F.least(F.lit(buckets - 1),
+                F.floor((xc - F.col("__xlo")) * buckets
+                        / (F.col("__xhi") - F.col("__xlo") + 1))
+                .cast("int")))
+    b = d.groupBy(*keys, idx.alias("__b")) \
+         .agg(F.sum(F.col(y)).alias("__s"))
     agg = b.groupBy(*keys).agg(
-        F.array_sort(F.collect_list(F.struct("__b", "__s"))).alias("__e"),
+        F.map_from_entries(F.collect_list(F.struct("__b", "__s")))
+        .alias("__m"),
         F.max("__s").alias("__mx"))
-    glyph = lambda e: F.substring(  # noqa: E731
+    glyph = lambda i: F.when(  # noqa: E731
+        F.element_at(F.col("__m"), i).isNull(), F.lit(" ")
+    ).otherwise(F.substring(
         F.lit(blocks),
         F.greatest(F.lit(1), F.least(F.lit(8),
-                   F.ceil(e["__s"] / F.col("__mx") * 8).cast("int"))), 1)
+                   F.ceil(F.element_at(F.col("__m"), i)
+                          / F.col("__mx") * 8).cast("int"))), 1))
     return agg.select(
         *keys,
-        F.array_join(F.transform(F.col("__e"), glyph), "").alias(out))
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), F.lit(buckets - 1)), glyph),
+            "").alias(out))

@@ -10,9 +10,8 @@ resumption sees the same stream.
 All three are pure DataFrame ops. The splitter and shuffler key on a
 Knuth multiplicative hash (public: Knuth TAOCP vol. 3 §6.4, the 2654435761
 = ⌊2³²/φ⌋ constant) because it is exactly replayable in ANSI SQL for the
-oracle — at scale on string keys, swap ``_knuth_hash`` for
-``F.xxhash64`` (same shape, wider mixing; not SQL-replayable, which is
-the only reason it isn't the default here).
+oracle. String/binary ids route through ``F.xxhash64`` automatically
+(wider mixing; not SQL-replayable — the oracles use numeric ids).
 """
 
 from __future__ import annotations
@@ -28,8 +27,36 @@ _MOD = 1 << 32
 
 def _knuth_hash(key: Column, seed: int) -> Column:
     """(key ⊕ seed) · 2654435761 mod 2³² — a replayable scatter of an
-    integer key to [0, 2³²)."""
-    return (key.cast("long").bitwiseXOR(F.lit(seed)) * F.lit(_KNUTH)) % F.lit(_MOD)
+    integer key to [0, 2³²).
+
+    Hardened (round-5 advice): a key that casts to NULL raises instead of
+    silently landing every such row in one split; ``pmod`` (not ``%``)
+    keeps negative keys in [0, 2³²); the multiply is split 16/16-bit so
+    keys ≥ ~3.5e9 cannot overflow the 64-bit product (both engines would
+    otherwise diverge — DuckDB errors, Spark wraps). For small positive
+    keys this is bit-identical to the plain ``(key*K) % 2³²`` the SQL
+    oracles replay."""
+    casted = key.cast("long")
+    checked = F.when(
+        casted.isNull(),
+        F.raise_error(F.concat(
+            F.lit("hash key is NULL / not castable to long: "),
+            F.coalesce(key.cast("string"), F.lit("NULL")))).cast("long")
+    ).otherwise(casted)
+    k = F.pmod(checked.bitwiseXOR(F.lit(seed)), F.lit(_MOD))
+    hi = F.pmod(F.shiftright(k, 16) * F.lit(_KNUTH), F.lit(_MOD)) * F.lit(65536)
+    lo = k.bitwiseAND(F.lit(65535)) * F.lit(_KNUTH)
+    return F.pmod(hi + lo, F.lit(_MOD))
+
+
+def _key_hash(df: DataFrame, id_col: str, seed: int) -> Column:
+    """Dispatch on the id column's type: numeric ids use the
+    SQL-replayable Knuth hash; string/binary ids use xxhash64 (folded to
+    the same [0, 2³²) range) instead of degenerating via cast('long')."""
+    dtype = dict(df.dtypes).get(id_col, "")
+    if dtype in ("string", "binary"):
+        return F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(_MOD))
+    return _knuth_hash(F.col(id_col), seed)
 
 
 def hash_split(df: DataFrame, id_col: str,
@@ -43,7 +70,7 @@ def hash_split(df: DataFrame, id_col: str,
     Narrow projection: no shuffle, no state."""
     weights = dict(weights or {"train": 0.9, "val": 0.05, "test": 0.05})
     total = sum(weights.values())
-    h = _knuth_hash(F.col(id_col), seed).cast("double") / F.lit(float(_MOD))
+    h = _key_hash(df, id_col, seed).cast("double") / F.lit(float(_MOD))
     expr = None
     acc = 0.0
     *head, (last_name, _) = weights.items()
@@ -98,7 +125,7 @@ def training_shuffle_rank(df: DataFrame, id_col: str,
     distributed global rank (no single-partition window)."""
     from clickhouse_clickhouse_spark.operators.grank import global_row_number
 
-    hashed = df.withColumn("__h", _knuth_hash(F.col(id_col), seed))
+    hashed = df.withColumn("__h", _key_hash(df, id_col, seed))
     return (global_row_number(hashed, "__h", tiebreaks=(id_col,),
                               out="shuffle_rank")
             .drop("__h"))
@@ -134,7 +161,7 @@ def mixture_sample(docs: DataFrame, weights: Mapping[str, float],
                wexpr / F.lit(total_w) * F.lit(float(total)) / F.col("__n"))
         .otherwise(F.lit(0.0)))
     targets = counts.withColumn("__frac", frac).drop("__n")
-    h = _knuth_hash(F.col(id_col), seed).cast("double") / F.lit(float(_MOD))
+    h = _key_hash(docs, id_col, seed).cast("double") / F.lit(float(_MOD))
     return (docs.join(F.broadcast(targets), source_col)
             .filter(h < F.col("__frac"))
             .drop("__frac"))

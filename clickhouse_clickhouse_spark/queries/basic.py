@@ -307,3 +307,33 @@ def ch_sql_frontend2(spark, sf):
         GROUP BY o_custkey, wk
         ORDER BY vol DESC, o_custkey, wk
         LIMIT 5, 15""")
+
+
+@register("ch_sql_quantile_gk", oracle="""
+WITH r AS (
+  SELECT l_returnflag, l_quantity,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_quantity) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS c
+  FROM lineitem)
+SELECT l_returnflag,
+       min(CASE WHEN rn >= ceil(0.25 * c) THEN l_quantity END) AS q25,
+       min(CASE WHEN rn >= ceil(0.5 * c) THEN l_quantity END) AS med
+FROM r GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def ch_sql_quantile_gk(spark, sf):
+    """quantileGK(accuracy[, level])(expr) through the dialect — accuracy
+    is the FIRST parameter (upstream AggregateFunctionQuantileGK
+    signature), translated to PERCENTILE_APPROX(expr, level, accuracy)
+    with the one-param form defaulting level to 0.5. Accuracy exceeds the
+    per-group row count so the GK sketch is exact; the oracle replays
+    Spark's documented pick (smallest value whose rank >= ceil(p*n)) with
+    a window rank."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return ch_sql(spark, """
+        SELECT l_returnflag,
+               quantileGK(500000, 0.25)(l_quantity) AS q25,
+               quantileGK(500000)(l_quantity) AS med
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")

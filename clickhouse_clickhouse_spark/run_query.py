@@ -59,11 +59,18 @@ def main(argv: list[str] | None = None) -> int:
         # stdin (the clickhouse-client contract)
         if args.sql.lstrip().upper().startswith("INSERT"):
             from clickhouse_clickhouse_spark.ch_sql import (
+                _INSERT_RE,
                 append_to_view,
                 ch_insert,
             )
+            # stdin supplies FORMAT payload ONLY when the statement has
+            # none inline and stdin is piped — an empty-stdin [] would
+            # shadow an inline payload (ch_insert prefers non-None data),
+            # and a TTY would block
             data = None
-            if "FORMAT" in args.sql.upper():
+            mi = _INSERT_RE.match(args.sql)
+            if (mi and mi.group("fmt") and not mi.group("payload")
+                    and not sys.stdin.isatty()):
                 data = [ln for ln in sys.stdin.read().splitlines() if ln]
             rows = ch_insert(spark, args.sql, data)
             import re as _re

@@ -603,3 +603,68 @@ def test_limit_with_ties_refused(spark):
 
     with _pytest.raises(ValueError, match="limit_with_ties"):
         translate("SELECT a FROM t ORDER BY a LIMIT 3 WITH TIES")
+
+
+def test_quantile_gk_param_order():
+    """quantileGK(accuracy[, level])(expr): accuracy FIRST (upstream
+    signature), level defaults to 0.5 — round-5 advice fix."""
+    from clickhouse_clickhouse_spark.ch_sql import translate
+
+    assert translate("SELECT quantileGK(100, 0.95)(x) FROM t") == \
+        "SELECT PERCENTILE_APPROX(x, 0.95, 100) FROM t"
+    assert translate("SELECT quantileGK(100)(x) FROM t") == \
+        "SELECT PERCENTILE_APPROX(x, 0.5, 100) FROM t"
+
+
+def test_file_view_gate_masked_string_literals(spark):
+    """Table-function substitution and the network gate must not fire on
+    string-literal CONTENTS (round-5 advice fix)."""
+    from clickhouse_clickhouse_spark.ch_sql import _register_file_views
+
+    # a literal containing url(' is data, not a table function
+    sql = "SELECT 'url(''http://x' AS s, 'file(''x'')' AS f"
+    assert _register_file_views(spark, sql) == sql
+    # a real url() outside literals still gates loudly
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        _register_file_views(spark, "SELECT * FROM url('http://x', 'CSV')")
+
+
+def test_cli_insert_inline_payload_not_shadowed_by_empty_stdin(
+        spark, monkeypatch, capsys):
+    """An inline FORMAT payload wins even when stdin is piped-but-empty
+    (the old behavior silently inserted 0 rows) — round-5 advice fix."""
+    import io
+
+    from clickhouse_clickhouse_spark import run_query
+
+    spark.createDataFrame([(1, "a")], "k long, s string") \
+        .createOrReplaceTempView("cli_ins_t")
+    monkeypatch.setattr("sys.stdin", io.StringIO(""))  # isatty() False
+    rc = run_query.main([
+        "--sql",
+        'INSERT INTO cli_ins_t FORMAT JSONEachRow\n{"k": 2, "s": "b"}'])
+    assert rc == 0
+    assert "inserted 1 rows" in capsys.readouterr().out
+    assert spark.table("cli_ins_t").count() == 2
+
+
+def test_cli_insert_format_tty_errors_instead_of_blocking(
+        spark, monkeypatch):
+    """FORMAT with no payload on a TTY raises loudly (ch_insert's
+    missing-data error) rather than blocking on stdin."""
+    import io
+
+    import pytest as _pytest
+
+    from clickhouse_clickhouse_spark import run_query
+
+    class _TTY(io.StringIO):
+        def isatty(self):
+            return True
+
+    spark.createDataFrame([(1,)], "k long") \
+        .createOrReplaceTempView("cli_ins_tty")
+    monkeypatch.setattr("sys.stdin", _TTY(""))
+    with _pytest.raises(ValueError):
+        run_query.main(["--sql", "INSERT INTO cli_ins_tty FORMAT CSV"])

@@ -215,3 +215,22 @@ def test_exp_time_decayed_family_vs_bruteforce(spark):
         assert abs(got_c[t] - cnt) < 1e-9 * max(cnt, 1)
         assert abs(got_a[t] - sm / cnt) < 1e-9 * max(abs(sm / cnt), 1)
         assert abs(got_m[t] - mx) < 1e-9 * max(abs(mx), 1)
+
+
+def test_sparkbar_buckets_condense_x_range(spark):
+    """sparkbar(width)(x, y): the x range condenses into `buckets`
+    equi-width segments (round-5 advice fix — the parameter is real),
+    empty segments render as spaces."""
+    from clickhouse_clickhouse_spark.operators.aggregates import sparkbar
+
+    # 16 x positions into 4 buckets: idx = x*4//16 = x//4; per-bucket
+    # totals 4,8,12,16 -> glyphs 2,4,6,8 of the 8-block ramp
+    rows = [("g", x, 1.0 + (x // 4)) for x in range(16)]
+    df = spark.createDataFrame(rows, "g string, x int, y double")
+    bar = sparkbar(df, ["g"], "x", "y", buckets=4).collect()[0]["bar"]
+    assert bar == "▂▄▆█"
+    # occupancy gaps: only the first and last segment have data
+    df2 = spark.createDataFrame([("g", 0, 5.0), ("g", 15, 5.0)],
+                                "g string, x int, y double")
+    bar2 = sparkbar(df2, ["g"], "x", "y", buckets=4).collect()[0]["bar"]
+    assert bar2 == "█  █"

@@ -63,6 +63,51 @@ def test_training_shuffle_rank_is_permutation(spark):
     assert ranks == again
 
 
+def test_hash_split_string_ids_route_through_xxhash(spark):
+    """String ids must NOT degenerate via cast('long')-to-NULL (round-5
+    advice): they hash through xxhash64, stay partition-independent, and
+    every row keeps a split."""
+    d = _docs(spark, 200).select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("doc_id"))
+    s1 = {r.doc_id: r.split for r in hash_split(d, "doc_id").collect()}
+    s2 = {r.doc_id: r.split
+          for r in hash_split(d.repartition(9), "doc_id").collect()}
+    assert s1 == s2 and len(s1) == 200
+    assert set(s1.values()) == {"train", "val", "test"}
+    # not everything in one bucket (the old degenerate behavior)
+    assert max(list(s1.values()).count(x) for x in set(s1.values())) < 200
+
+
+def test_hash_split_null_key_raises(spark):
+    """A NULL id (or one not castable to long) raises instead of being
+    silently misassigned to the last split."""
+    import pytest
+
+    d = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    with pytest.raises(Exception, match="hash key is NULL"):
+        hash_split(d, "doc_id").collect()
+
+
+def test_knuth_hash_large_and_negative_keys(spark):
+    """Keys >= ~3.5e9 and negative keys stay in [0, 2^32) — the split
+    16/16-bit multiply can't overflow and pmod keeps the sign positive;
+    small positive keys are bit-identical to the plain formula."""
+    from clickhouse_clickhouse_spark.pipeline.training import (
+        _KNUTH,
+        _MOD,
+        _knuth_hash,
+    )
+
+    keys = [0, 1, 12345, 2**31 - 1, 2**32 + 17, 2**62 // 3, -5, -2**33 - 7]
+    d = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {r.k: r.h for r in
+           d.select("k", _knuth_hash(F.col("k"), 0).alias("h")).collect()}
+    for k in keys:
+        expect = ((k % _MOD) * _KNUTH) % _MOD
+        assert got[k] == expect, k
+        assert 0 <= got[k] < _MOD
+
+
 def test_mixture_sample_properties(spark):
     from clickhouse_clickhouse_spark.pipeline.training import mixture_sample
 
