@@ -336,18 +336,6 @@ _FIXED = {
 }
 
 
-def _leb128(n: int) -> bytes:
-    out = bytearray()
-    while True:
-        b = n & 0x7F
-        n >>= 7
-        if n:
-            out.append(b | 0x80)
-        else:
-            out.append(b)
-            return bytes(out)
-
-
 def rowbinary_encode(df: DataFrame) -> DataFrame:
     """Encode rows to the reference's RowBinary wire format (one binary
     cell per row, column ``bin``): little-endian fixed-width numerics,
@@ -356,7 +344,6 @@ def rowbinary_encode(df: DataFrame) -> DataFrame:
     exchange is the documented Python path; per-partition, nothing on the
     driver. NULLs are not representable in plain RowBinary (the reference
     requires Nullable columns be wrapped); callers must pre-coalesce."""
-    import struct
     import sys
 
     # executor workers under an external driver session don't have the
@@ -384,26 +371,85 @@ def rowbinary_encode(df: DataFrame) -> DataFrame:
                     {"bin": [buf[i * w:(i + 1) * w]
                              for i in range(len(pdf))]})
             return
+        # variable-width path, vectorized (round-5: was a per-row Python
+        # pack loop, 5.2x wall at 10x rows in SCALE.md). Each column
+        # becomes one or two SEGMENTS — (contiguous uint8 chunk, per-row
+        # byte lengths); strings contribute a LEB128-prefix segment and a
+        # payload segment cut from the Arrow values buffer. Row cells are
+        # then assembled with one O(total-bytes) numpy gather/scatter per
+        # segment — no per-row Python.
         for pdf in batches:
-            out = []
-            for row in pdf.itertuples(index=False):
-                buf = bytearray()
-                for (name, ftype), v in zip(fields, row):
-                    if ftype in _FIXED:
-                        buf += struct.pack(_FIXED[ftype][0], v)
-                    elif ftype is T.StringType:
-                        raw = str(v).encode("utf-8")
-                        buf += _leb128(len(raw)) + raw
-                    elif ftype is T.DateType:
-                        buf += struct.pack("<H", (v - __import__("datetime")
-                                                  .date(1970, 1, 1)).days)
-                    elif ftype in (T.TimestampType, T.TimestampNTZType):
-                        ts = pd.Timestamp(v)
-                        buf += struct.pack("<I", int(ts.value // 1_000_000_000))
-                    else:
-                        raise TypeError(f"RowBinary: unsupported {ftype}")
-                out.append(bytes(buf))
-            yield pd.DataFrame({"bin": out})
+            n = len(pdf)
+            if n == 0:
+                continue
+            segments = []  # (chunk uint8[], lengths int64[n])
+            for name, ftype in fields:
+                if ftype in _FIXED:
+                    fmt_s, width = _FIXED[ftype]
+                    vals = pdf[name].to_numpy().astype(fmt_s)
+                    segments.append((vals.view(np.uint8),
+                                     np.full(n, width, dtype=np.int64)))
+                elif ftype is T.StringType:
+                    import pyarrow as pa
+                    a = pa.array(pdf[name].astype(str),
+                                 type=pa.large_utf8())
+                    offs = np.frombuffer(a.buffers()[1], dtype=np.int64)
+                    payload = np.frombuffer(
+                        a.buffers()[2] or b"", dtype=np.uint8
+                    )[:offs[-1]].copy()
+                    lens = np.diff(offs)
+                    # LEB128 prefixes, vectorized: byte count per length,
+                    # then ≤5 masked fills (7 bits per fill)
+                    nb = np.ones(n, dtype=np.int64)
+                    for k, bound in enumerate((1 << 7, 1 << 14,
+                                               1 << 21, 1 << 28)):
+                        nb[lens >= bound] = k + 2
+                    pstart = np.concatenate(
+                        ([0], np.cumsum(nb)))[:-1]
+                    prefix = np.zeros(int(nb.sum()), dtype=np.uint8)
+                    for k in range(int(nb.max())):
+                        m = nb > k
+                        byte = (lens[m] >> (7 * k)) & 0x7F
+                        byte = np.where(nb[m] > k + 1, byte | 0x80, byte)
+                        prefix[pstart[m] + k] = byte
+                    segments.append((prefix, nb))
+                    segments.append((payload, lens))
+                elif ftype is T.DateType:
+                    days = (pd.to_datetime(pdf[name])
+                            .to_numpy().astype("datetime64[D]")
+                            .astype("int64"))
+                    segments.append((days.astype("<u2").view(np.uint8),
+                                     np.full(n, 2, dtype=np.int64)))
+                elif ftype in (T.TimestampType, T.TimestampNTZType):
+                    secs = (pd.to_datetime(pdf[name])
+                            .to_numpy().astype("datetime64[s]")
+                            .astype("int64"))
+                    segments.append((secs.astype("<u4").view(np.uint8),
+                                     np.full(n, 4, dtype=np.int64)))
+                else:
+                    raise TypeError(f"RowBinary: unsupported {ftype}")
+            seg_lens = np.stack([l for _, l in segments], axis=1)
+            row_len = seg_lens.sum(axis=1)
+            row_start = np.concatenate(([0], np.cumsum(row_len)))
+            within_row = np.cumsum(seg_lens, axis=1) - seg_lens
+            out = np.empty(int(row_start[-1]), dtype=np.uint8)
+            for j, (chunk, L) in enumerate(segments):
+                tot = int(L.sum())
+                if tot == 0:
+                    continue
+                src_start = np.concatenate(([0], np.cumsum(L)))[:-1]
+                tgt_start = row_start[:-1] + within_row[:, j]
+                within = np.arange(tot) - np.repeat(np.cumsum(L) - L, L)
+                out[np.repeat(tgt_start, L) + within] = \
+                    chunk[np.repeat(src_start, L) + within]
+            # row cells come back as an Arrow LargeBinary column built
+            # straight from (offsets, values) — no per-row slicing
+            import pyarrow as pa
+            arr = pa.Array.from_buffers(
+                pa.large_binary(), n,
+                [None, pa.py_buffer(row_start.tobytes()),
+                 pa.py_buffer(out.tobytes())])
+            yield pd.DataFrame({"bin": arr.to_pandas()})
 
     return df.mapInPandas(encode, "bin binary")
 
@@ -411,7 +457,6 @@ def rowbinary_encode(df: DataFrame) -> DataFrame:
 def rowbinary_decode(df: DataFrame, schema: T.StructType,
                      col: str = "bin") -> DataFrame:
     """Inverse of ``rowbinary_encode`` given the target schema."""
-    import struct
     import sys
 
     from pyspark import cloudpickle
@@ -421,8 +466,6 @@ def rowbinary_decode(df: DataFrame, schema: T.StructType,
     all_fixed = all(ft in _FIXED for _, ft in fields)
 
     def decode(batches):
-        import datetime
-
         import numpy as np
         import pandas as pd
         if all_fixed:
@@ -433,40 +476,72 @@ def rowbinary_decode(df: DataFrame, schema: T.StructType,
                 yield pd.DataFrame({name: arr[name]
                                     for name, _ in fields})
             return
+        # variable-width path, vectorized (round-5, mirror of the encode
+        # rewrite): all cells of a batch concatenate into one uint8
+        # buffer; a per-row CURSOR array advances column by column.
+        # Fixed-width columns gather (n, w) byte blocks; strings parse
+        # their LEB128 prefixes in ≤5 masked passes, then one gather
+        # builds an Arrow LargeString column straight from offsets —
+        # no per-row Python anywhere.
+        def _gather_fixed(buf, pos, width, np):
+            block = buf[pos[:, None] + np.arange(width)]
+            return np.ascontiguousarray(block)
+
         for pdf in batches:
-            rows = []
-            for raw in pdf[col]:
-                buf = memoryview(bytes(raw))
-                pos, vals = 0, []
-                for name, ftype in fields:
-                    if ftype in _FIXED:
-                        fmt_s, width = _FIXED[ftype]
-                        vals.append(struct.unpack_from(fmt_s, buf, pos)[0])
-                        pos += width
-                    elif ftype is T.StringType:
-                        ln, shift = 0, 0
-                        while True:
-                            b = buf[pos]
-                            pos += 1
-                            ln |= (b & 0x7F) << shift
-                            if not b & 0x80:
-                                break
-                            shift += 7
-                        vals.append(bytes(buf[pos:pos + ln]).decode("utf-8"))
-                        pos += ln
-                    elif ftype is T.DateType:
-                        days = struct.unpack_from("<H", buf, pos)[0]
-                        pos += 2
-                        vals.append(datetime.date(1970, 1, 1)
-                                    + datetime.timedelta(days=days))
-                    elif ftype in (T.TimestampType, T.TimestampNTZType):
-                        sec = struct.unpack_from("<I", buf, pos)[0]
-                        pos += 4
-                        vals.append(datetime.datetime.utcfromtimestamp(sec))
-                    else:
-                        raise TypeError(f"RowBinary: unsupported {ftype}")
-                rows.append(vals)
-            yield pd.DataFrame(rows, columns=[n for n, _ in fields])
+            n = len(pdf)
+            if n == 0:
+                continue
+            lens = np.fromiter((len(c) for c in pdf[col]),
+                               dtype=np.int64, count=n)
+            buf = np.frombuffer(b"".join(pdf[col]), dtype=np.uint8)
+            pos = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            out = {}
+            for name, ftype in fields:
+                if ftype in _FIXED:
+                    fmt_s, width = _FIXED[ftype]
+                    block = _gather_fixed(buf, pos, width, np)
+                    out[name] = block.view(fmt_s).ravel()
+                    pos = pos + width
+                elif ftype is T.StringType:
+                    import pyarrow as pa
+                    # masked LEB128 parse: pass k reads byte k of every
+                    # still-continuing row's prefix (≤5 passes)
+                    ln = np.zeros(n, dtype=np.int64)
+                    nb = np.zeros(n, dtype=np.int64)
+                    active = np.arange(n)
+                    k = 0
+                    while active.size:
+                        b = buf[pos[active] + k].astype(np.int64)
+                        ln[active] |= (b & 0x7F) << (7 * k)
+                        done = (b & 0x80) == 0
+                        nb[active[done]] = k + 1
+                        active = active[~done]
+                        k += 1
+                    pos = pos + nb
+                    tot = int(ln.sum())
+                    within = np.arange(tot) - np.repeat(
+                        np.cumsum(ln) - ln, ln)
+                    payload = buf[np.repeat(pos, ln) + within]
+                    offs = np.concatenate(([0], np.cumsum(ln)))
+                    arr = pa.LargeStringArray.from_buffers(
+                        n, pa.py_buffer(offs.tobytes()),
+                        pa.py_buffer(payload.tobytes()))
+                    out[name] = arr.to_pandas()
+                    pos = pos + ln
+                elif ftype is T.DateType:
+                    block = _gather_fixed(buf, pos, 2, np)
+                    days = block.view("<u2").ravel().astype("int64")
+                    out[name] = pd.Series(
+                        pd.to_datetime(days, unit="D")).dt.date
+                    pos = pos + 2
+                elif ftype in (T.TimestampType, T.TimestampNTZType):
+                    block = _gather_fixed(buf, pos, 4, np)
+                    secs = block.view("<u4").ravel().astype("int64")
+                    out[name] = pd.Series(pd.to_datetime(secs, unit="s"))
+                    pos = pos + 4
+                else:
+                    raise TypeError(f"RowBinary: unsupported {ftype}")
+            yield pd.DataFrame(out)
 
     return df.mapInPandas(decode, schema)
 

@@ -199,3 +199,15 @@ def test_tsvraw_and_jsonstrings(spark, sf_dir):
     js = [r.line for r in
           render.serialize_lines(n, "JSONStringsEachRow").collect()]
     assert js[0] == '{"n_nationkey":"0","n_name":"NATION_0","n_regionkey":"0"}'
+
+
+def test_rowbinary_multibyte_leb128_roundtrip(spark):
+    """Strings needing 2- and 3-byte LEB128 length prefixes survive the
+    vectorized encode/decode (round-5 rewrite of the variable-width
+    path)."""
+    rows = [(1, "x" * 5), (2, "y" * 300), (3, "z" * 20000), (4, ""),
+            (5, "é" * 100)]
+    df = spark.createDataFrame(rows, "k int, s string")
+    dec = render.rowbinary_decode(render.rowbinary_encode(df), df.schema)
+    got = {r.k: r.s for r in dec.collect()}
+    assert got == dict(rows)
