@@ -111,10 +111,12 @@ def paste_join(left: DataFrame, right: DataFrame,
     and equi-joined on the number. Extra rows on the longer side drop
     (reference semantics: zip to the shorter length).
 
-    Numbering uses the distributed bucketed global rank
-    (operators/grank.py — no single-partition exchange) when the leading
-    order key is numeric/temporal; non-range-bucketable keys (strings)
-    fall back to the single-window path, documented as small-input only.
+    Numbering ALWAYS uses the distributed bucketed global rank
+    (operators/grank.py — no single-partition exchange): arbitrary Column
+    order expressions are materialized to temp columns first (round-5 —
+    the single-window fallback is gone). Order entries must be plain
+    ascending value expressions (grank's contract); the leading key must
+    be numeric/temporal/string/boolean.
     """
     ln = _ordered_rn(left, left_order)
     rn = _ordered_rn(right, right_order)
@@ -123,17 +125,27 @@ def paste_join(left: DataFrame, right: DataFrame,
 
 def _ordered_rn(df: DataFrame, order: Sequence[Column | str]) -> DataFrame:
     from pyspark.sql.types import (
-        DateType, NumericType, StringType, TimestampType,
+        BooleanType, DateType, NumericType, StringType, TimestampType,
     )
 
     from clickhouse_clickhouse_spark.operators.grank import global_row_number
 
-    lead = order[0]
-    if isinstance(lead, str) and all(isinstance(c, str) for c in order) \
-            and isinstance(df.schema[lead].dataType,
-                           (NumericType, DateType, TimestampType,
-                            StringType)):
-        return global_row_number(df, lead, list(order[1:]), out="__rn")
-    w = Window.orderBy(*[F.col(c) if isinstance(c, str) else c
-                         for c in order])
-    return df.withColumn("__rn", F.row_number().over(w))
+    # materialize every order entry (name or Column expression) to a
+    # temp column — uniform, never mutates a user column, all dropped
+    # after numbering
+    names, d = [], df
+    for i, c in enumerate(order):
+        n = f"__ord_{i}"
+        d = d.withColumn(n, F.col(c) if isinstance(c, str) else c)
+        names.append(n)
+    lead = names[0]
+    dt = d.schema[lead].dataType
+    if isinstance(dt, BooleanType):
+        d = d.withColumn(lead, F.col(lead).cast("int"))
+        dt = d.schema[lead].dataType
+    if not isinstance(dt, (NumericType, DateType, TimestampType,
+                           StringType)):
+        raise TypeError(
+            f"paste_join leading order key has non-bucketable type {dt}; "
+            "cast the expression to a numeric/temporal/string value")
+    return global_row_number(d, lead, names[1:], out="__rn").drop(*names)

@@ -132,3 +132,24 @@ def test_no_query_sorts_or_windows_on_single_partition(spark, sf_dir):
             if "Sort " in ctx or "Window " in ctx:
                 offenders[name] = lines[max(0, i - 2)].strip()[:80]
     assert not offenders, offenders
+
+
+def test_paste_join_column_expression_is_distributed(spark, sf_dir):
+    """A Column-EXPRESSION order key routes through the bucketed grank
+    too (round-5: the single-window fallback is deleted) — no Sort or
+    Window over Exchange SinglePartition, and results still zip
+    positionally."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_clickhouse_spark.operators.joins import paste_join
+    from clickhouse_clickhouse_spark.tables import load_table
+
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    r = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k2"))
+    out = paste_join(n, r, [F.col("n_nationkey") * 2 + 1], [F.col("k2")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    _assert_no_single_partition_sort_or_window(plan, "paste_expr")
+    rows = out.collect()
+    assert len(rows) == 25
+    assert all(row.n_nationkey == row.k2 for row in rows)
