@@ -453,6 +453,33 @@ def _masked_sub(regex: re.Pattern, repl, q: str) -> str:
     return "".join(out)
 
 
+def _subst_outside_subqueries(text: str, name: str, repl: str) -> str:
+    """Whole-word identifier substitution that leaves parenthesized
+    SUBQUERY spans untouched (the ARRAY JOIN element name shadows outer
+    references only — a subquery defining the array keeps its own
+    scope). Non-subquery parens (function calls) are substituted."""
+    out, i, last, n = [], 0, 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "'":
+            j = i + 1
+            while j < n and text[j] != "'":
+                j += 1
+            i = j + 1
+            continue
+        if c == "(":
+            j = _find_close(text, i)
+            if j > 0 and re.match(r"\s*(SELECT|WITH)\b", text[i + 1:j],
+                                  re.IGNORECASE):
+                out.append(_subst_ident(text[last:i], name, repl))
+                out.append(text[i:j + 1])
+                last = i = j + 1
+                continue
+        i += 1
+    out.append(_subst_ident(text[last:], name, repl))
+    return "".join(out)
+
+
 def _array_literals(q: str) -> str:
     """Rewrite CH bracket array literals ``[a, b]`` to Spark ``array(a,
     b)`` — innermost-first so nesting works. A ``[`` directly after an
@@ -586,40 +613,79 @@ def translate(sql: str,
                 ctes = [_subst_ident(c, name, f"({expr})") for c in ctes]
             q = (f"WITH {', '.join(ctes)} {rest}" if ctes else rest)
 
-    # WITH FILL / INTERPOLATE need sequence generation, not a rewrite —
-    # refuse loudly with the operator that has the semantics
+    # WITH FILL / INTERPOLATE need sequence generation, not a text
+    # rewrite — ch_sql() handles the clause (it extracts it BEFORE
+    # translate and applies operators.fill.with_fill_bounds); reaching
+    # here means translate() was called directly, so refuse loudly
     if _masked_search(re.compile(r"\bWITH\s+FILL\b|\bINTERPOLATE\s*\(",
                                  re.IGNORECASE), q):
         raise ValueError(
-            "ORDER BY ... WITH FILL / INTERPOLATE has no SQL translation "
-            "here — use the DataFrame operator operators.fill.with_fill "
-            "(same semantics, distributed spine generation)")
+            "ORDER BY ... WITH FILL / INTERPOLATE is handled by ch_sql() "
+            "(which runs the fill as a DataFrame op), not by translate() "
+            "text rewriting — run the query through ch_sql, or use "
+            "operators.fill.with_fill_bounds directly")
 
-    # [LEFT] ARRAY JOIN expr AS alias -> LATERAL VIEW [OUTER] EXPLODE.
-    # Single aliased array only: CH zips MULTIPLE arrays positionally
-    # (not a cross product) and makes a BARE array name refer to its
-    # elements — both would silently change semantics under a naive
-    # rewrite, so they are refused with the faithful alternative named.
-    def aj_sub(m) -> str:
-        outer = "OUTER " if m.group(1) else ""
-        expr, alias = m.group(2).strip(), m.group(3)
-        if "," in _strip_parens(expr):
-            raise ValueError(
-                "ARRAY JOIN over multiple arrays zips them positionally — "
-                "translate as ARRAY JOIN arrays_zip(a, b) AS z (fields "
-                "z.a, z.b), or use explode(arrays_zip(...)) in DataFrame "
-                "code")
-        return f"LATERAL VIEW {outer}EXPLODE({expr}) __ch_aj AS {alias}"
-    aj_re = re.compile(r"\b(LEFT\s+)?ARRAY\s+JOIN\s+(.+?)\s+AS\s+(\w+)"
+    # [LEFT] ARRAY JOIN -> LATERAL VIEW [OUTER] EXPLODE. Three forms:
+    #   ARRAY JOIN expr AS x            -> EXPLODE(expr) AS x
+    #   ARRAY JOIN a [AS x], b [AS y]   -> EXPLODE(arrays_zip(a, b)) AS z,
+    #                                      x/y (or bare a/b) substituted
+    #                                      with z.a / z.b (CH zips
+    #                                      positionally, NOT a product)
+    #   ARRAY JOIN arr                  -> EXPLODE(arr) AS __ch_e with the
+    #                                      bare name substituted (CH makes
+    #                                      the array name mean its element)
+    # Multi-form items must be PLAIN column names ([AS alias]) — complex
+    # expressions have no stable arrays_zip field name and are refused.
+    aj_re = re.compile(r"\b(LEFT\s+)?ARRAY\s+JOIN\s+(.+?)"
                        r"(?=\s+WHERE\b|\s+GROUP\s+BY\b|\s+ORDER\s+BY\b|"
                        r"\s+LIMIT\b|\s+HAVING\b|\s*$)",
                        re.IGNORECASE | re.DOTALL)
-    q = _masked_sub(aj_re, aj_sub, q)
-    if _masked_search(re.compile(r"\bARRAY\s+JOIN\b", re.IGNORECASE), q):
-        raise ValueError(
-            "ARRAY JOIN without AS makes the array name refer to its "
-            "elements — alias it (ARRAY JOIN arr AS x) so the rewrite "
-            "cannot shadow the array column")
+    while True:
+        m = _masked_search(aj_re, q)
+        if not m:
+            break
+        outer = "OUTER " if m.group(1) else ""
+        items = [(it, re.match(r"^(.*?)\s+AS\s+(\w+)$", it.strip(),
+                               re.IGNORECASE | re.DOTALL))
+                 for it in _split_top_commas(m.group(2))]
+        parsed = [(mm.group(1).strip(), mm.group(2)) if mm
+                  else (it.strip(), None) for it, mm in items]
+        subs: dict[str, str] = {}
+        if len(parsed) == 1 and parsed[0][1] is not None:
+            expr, alias = parsed[0]
+            repl = f"LATERAL VIEW {outer}EXPLODE({expr}) __ch_aj AS {alias}"
+        else:
+            if not all(re.fullmatch(r"\w+", e) for e, _ in parsed):
+                raise ValueError(
+                    "multi-array / bare ARRAY JOIN items must be plain "
+                    "column names (optionally AS alias) — for complex "
+                    "expressions alias a single item (ARRAY JOIN expr AS "
+                    "x) or use explode(arrays_zip(...)) in DataFrame code")
+            # elements come back as a named_struct whose field names are
+            # the CH-visible names (alias, or the bare column name) — so
+            # __ch_z.<name> resolves AND the output column is named
+            # exactly as the reference names it
+            names = [alias or e for e, alias in parsed]
+            if len(parsed) == 1:
+                col, _ = parsed[0]
+                fields = f"'{names[0]}', __ch_x"
+                src = col
+            else:
+                src = "arrays_zip({})".format(
+                    ", ".join(e for e, _ in parsed))
+                fields = ", ".join(
+                    f"'{nm}', __ch_x.{e}"
+                    for (e, _), nm in zip(parsed, names))
+            repl = (f"LATERAL VIEW {outer}EXPLODE(TRANSFORM({src}, "
+                    f"__ch_x -> named_struct({fields}))) "
+                    f"__ch_aj AS __ch_z")
+            for nm in names:
+                subs[nm] = f"__ch_z.{nm}"
+        pre, post = q[:m.start()], q[m.end():]
+        for name, target in subs.items():
+            pre = _subst_outside_subqueries(pre, name, target)
+            post = _subst_outside_subqueries(post, name, target)
+        q = f"{pre}{repl}{post}"
 
     # FROM t FINAL -> dedup-on-read subquery (needs declared merge keys)
     def final_sub(m) -> str:
@@ -779,14 +845,77 @@ def _register_file_views(spark: SparkSession, sql: str) -> str:
     return out
 
 
+# ORDER BY <col> WITH FILL [FROM lit] [TO lit] [STEP lit]
+# [INTERPOLATE (col, ...)] at the end of the query
+_WITH_FILL_RE = re.compile(
+    r"\bORDER\s+BY\s+(\w+)\s+WITH\s+FILL"
+    r"(?:\s+FROM\s+(\S+(?:\([^)]*\))?))?"
+    r"(?:\s+TO\s+(\S+(?:\([^)]*\))?))?"
+    r"(?:\s+STEP\s+(\S+))?"
+    r"(?:\s+INTERPOLATE\s*\(([^)]*)\))?\s*$",
+    re.IGNORECASE)
+
+
+def _parse_fill_literal(s: str | None):
+    """A WITH FILL bound: integer, float, or date (toDate('...') /
+    DATE '...')."""
+    if s is None:
+        return None
+    s = s.strip()
+    mm = re.match(r"(?:toDate\s*\(\s*'([\d-]+)'\s*\)|DATE\s*'([\d-]+)')$",
+                  s, re.IGNORECASE)
+    if mm:
+        import datetime as _dt
+        return _dt.date.fromisoformat(mm.group(1) or mm.group(2))
+    try:
+        return int(s)
+    except ValueError:
+        try:
+            return float(s)
+        except ValueError:
+            raise ValueError(
+                f"WITH FILL bound {s!r}: only numeric and date "
+                "(toDate('...') / DATE '...') literals are supported")
+
+
 def ch_sql(spark: SparkSession, sql: str,
            final_keys: dict[str, tuple[list[str], str]] | None = None
            ) -> DataFrame:
     """Run a reference-dialect query: translate, then ``spark.sql``.
-    Tables must already be catalog-visible (temp views / saveAsTable)."""
+    Tables must already be catalog-visible (temp views / saveAsTable).
+
+    ``ORDER BY col WITH FILL [FROM/TO/STEP] [INTERPOLATE (cols)]`` is
+    extracted here and applied as the DataFrame fill operator
+    (operators/fill.with_fill_bounds) over the translated inner query —
+    gap filling needs sequence generation, not a text rewrite.
+    INTERPOLATE supports the bare-column carry-forward form; expression
+    interpolation is refused."""
     _register_udfs(spark)
     _register_system_views(spark, sql)
     sql = _register_file_views(spark, sql)
+    m = _masked_search(_WITH_FILL_RE, sql.strip().rstrip(";"))
+    if m:
+        from clickhouse_clickhouse_spark.operators.fill import (
+            with_fill_bounds,
+        )
+
+        body = sql.strip().rstrip(";")[:m.start()].rstrip()
+        key = m.group(1)
+        frm, to = _parse_fill_literal(m.group(2)), \
+            _parse_fill_literal(m.group(3))
+        step = int(m.group(4)) if m.group(4) else 1
+        carry = None
+        if m.group(5) is not None:
+            cols = [c.strip() for c in m.group(5).split(",") if c.strip()]
+            if any(not re.fullmatch(r"\w+", c) for c in cols):
+                raise ValueError(
+                    "INTERPOLATE with expressions is not supported — "
+                    "bare columns carry the previous value forward; use "
+                    "operators.fill.with_fill for custom interpolation")
+            carry = cols
+        inner = spark.sql(translate(body, final_keys=final_keys))
+        return with_fill_bounds(inner, key, frm, to, step,
+                                carry_forward=carry)
     return spark.sql(translate(sql, final_keys=final_keys))
 
 

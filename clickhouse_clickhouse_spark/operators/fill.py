@@ -39,3 +39,45 @@ def with_fill(df: DataFrame, key: str, start, stop, step,
         for c in carry_forward:
             out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return out
+
+
+def with_fill_bounds(df: DataFrame, key: str, frm=None, to=None,
+                     step: int = 1,
+                     carry_forward: Sequence[str] | None = None
+                     ) -> DataFrame:
+    """Reference ``ORDER BY key WITH FILL [FROM frm] [TO to] [STEP step]``
+    semantics (FillingTransform): EVERY data row is kept (even off the
+    fill grid — unlike :func:`with_fill`'s join form) and missing grid
+    points in [frm, to) gain a row with NULL non-key columns. Bounds
+    default to the data's min (inclusive) / max (inclusive when derived,
+    exclusive when given — the reference's TO is exclusive).
+
+    Integer and date keys; ``step`` is units (days for dates). The
+    bounds aggregate is one broadcast row; the spine anti-join is
+    spine-sized. ``carry_forward`` columns get the previous non-null
+    value in key order (INTERPOLATE with identity expression) — a
+    spine-bounded global window, the documented bounded exception."""
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    kdt = df.schema[key].dataType
+    temporal = isinstance(kdt, (DateType, TimestampType, TimestampNTZType))
+    bounds = df.agg(F.min(key).alias("__lo"), F.max(key).alias("__hi"))
+    lo = F.lit(frm).cast(kdt) if frm is not None else F.col("__lo")
+    hi = F.lit(to).cast(kdt) if to is not None else F.col("__hi")
+    step_e = F.expr(f"INTERVAL {int(step)} DAY") if temporal \
+        else F.lit(step)
+    spine = bounds.select(
+        F.explode(F.sequence(lo, hi, step_e)).alias(key))
+    if to is not None:
+        spine = spine.filter(F.col(key) < F.lit(to).cast(kdt))
+    pad = (spine.join(df.select(key).distinct(), [key], "left_anti")
+           .select(*[F.col(key) if c == key
+                     else F.lit(None).cast(df.schema[c].dataType).alias(c)
+                     for c in df.columns]))
+    out = df.unionByName(pad)
+    if carry_forward:
+        w = (Window.orderBy(key)
+             .rowsBetween(Window.unboundedPreceding, 0))
+        for c in carry_forward:
+            out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out.orderBy(key)

@@ -337,3 +337,62 @@ def ch_sql_quantile_gk(spark, sf):
                quantileGK(500000, 0.25)(l_quantity) AS q25,
                quantileGK(500000)(l_quantity) AS med
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+
+
+@register("ch_sql_with_fill", oracle="""
+WITH g AS (
+  SELECT o_orderdate AS d, count(*) AS cnt FROM orders
+  WHERE o_totalprice > 350000
+    AND o_orderdate >= DATE '1995-01-01'
+    AND o_orderdate < DATE '1995-03-01'
+  GROUP BY 1),
+spine AS (SELECT CAST(range AS DATE) AS d
+          FROM range(DATE '1995-01-01', DATE '1995-03-01',
+                     INTERVAL 1 DAY))
+SELECT CAST(spine.d AS TIMESTAMP) AS d, g.cnt AS cnt
+FROM spine LEFT JOIN g USING (d)
+""")
+def ch_sql_with_fill(spark, sf):
+    """ORDER BY ... WITH FILL through the dialect (round-5: translated
+    instead of refused): ch_sql extracts the clause and applies
+    operators/fill.with_fill_bounds — a sequence() spine anti-joined in,
+    every data row kept, TO exclusive. Upstream FillingTransform.cpp."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "orders").createOrReplaceTempView("orders")
+    out = ch_sql(spark, """
+        SELECT d, cnt
+        FROM (SELECT o_orderdate AS d, count() AS cnt FROM orders
+              WHERE o_totalprice > 350000
+                AND o_orderdate >= toDate('1995-01-01')
+                AND o_orderdate < toDate('1995-03-01')
+              GROUP BY d)
+        ORDER BY d WITH FILL FROM toDate('1995-01-01')
+                             TO toDate('1995-03-01')""")
+    return out.select(F.col("d").cast("timestamp").alias("d"), "cnt")
+
+
+@register("ch_sql_array_join_zip", oracle="""
+WITH g AS (SELECT l_orderkey, list_sort(list(l_linenumber)) AS lns,
+                  list_sort(list(l_quantity)) AS qtys
+           FROM lineitem WHERE l_orderkey < 200 GROUP BY l_orderkey)
+SELECT l_orderkey, unnest(lns) AS ln, unnest(qtys) AS qty FROM g
+""")
+def ch_sql_array_join_zip(spark, sf):
+    """Multi-array ARRAY JOIN through the dialect (round-5: the zip form
+    is translated instead of refused): positional zip via
+    explode(transform(arrays_zip(...), named_struct)) with the aliases
+    substituted — NOT a cross product. Upstream ArrayJoinAction.cpp."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return ch_sql(spark, """
+        SELECT l_orderkey, ln, qty
+        FROM (SELECT l_orderkey,
+                     arraySort(groupArray(l_linenumber)) AS lns,
+                     arraySort(groupArray(l_quantity)) AS qtys
+              FROM lineitem WHERE l_orderkey < 200
+              GROUP BY l_orderkey)
+        ARRAY JOIN lns AS ln, qtys AS qty""")

@@ -156,13 +156,45 @@ def test_array_join_clause(views):
     assert [(r.n, r.x) for r in out] == [(0, None), (1, None)]
 
 
-def test_array_join_refusals_and_with_fill(views):
-    with pytest.raises(ValueError, match="arrays_zip"):
-        translate("SELECT a, b FROM t ARRAY JOIN xs, ys AS b")
-    with pytest.raises(ValueError, match="alias it"):
-        translate("SELECT xs FROM t ARRAY JOIN xs")
-    with pytest.raises(ValueError, match="with_fill"):
+def test_array_join_zip_and_bare_forms(views):
+    """Round-5: the multi-array zip form and the bare-name form TRANSLATE
+    (positional zip via arrays_zip + named_struct; bare names substituted
+    with the element) instead of refusing."""
+    out = ch_sql(views, """
+        SELECT n, x, y
+        FROM (SELECT n_nationkey AS n, array(1, 2) AS xs,
+                     array(10, 20) AS ys
+              FROM nation WHERE n_nationkey < 2)
+        ARRAY JOIN xs AS x, ys AS y ORDER BY n, x""").collect()
+    assert [(r.n, r.x, r.y) for r in out] == \
+        [(0, 1, 10), (0, 2, 20), (1, 1, 10), (1, 2, 20)]
+    # bare name: the array name refers to its elements, output column
+    # keeps the name
+    out = ch_sql(views, """
+        SELECT n, xs
+        FROM (SELECT n_nationkey AS n, array(8, 7) AS xs
+              FROM nation WHERE n_nationkey < 1)
+        ARRAY JOIN xs ORDER BY xs""").collect()
+    assert [(r.n, r.xs) for r in out] == [(0, 7), (0, 8)]
+    # complex expressions in the multi form still refuse loudly
+    with pytest.raises(ValueError, match="plain column names"):
+        translate("SELECT a, b FROM t "
+                  "ARRAY JOIN arrayMap(v -> v, xs) AS a, ys AS b")
+    # translate() alone still refuses WITH FILL (ch_sql handles it)
+    with pytest.raises(ValueError, match="with_fill_bounds"):
         translate("SELECT d FROM t ORDER BY d WITH FILL")
+
+
+def test_with_fill_dialect(views):
+    """Round-5: ORDER BY ... WITH FILL runs through ch_sql — spine rows
+    appear with NULLs, data rows off the grid are kept, TO is
+    exclusive."""
+    out = ch_sql(views, """
+        SELECT n_nationkey AS k, count() AS c FROM nation
+        WHERE n_nationkey IN (1, 4) GROUP BY k
+        ORDER BY k WITH FILL FROM 0 TO 6 STEP 2""").collect()
+    assert [(r.k, r.c) for r in out] == \
+        [(0, None), (1, 1), (2, None), (4, 1)]
 
 
 def test_week_and_bucket_functions(views):
