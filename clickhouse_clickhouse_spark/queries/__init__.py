@@ -17,6 +17,7 @@ from clickhouse_clickhouse_spark.queries import (  # noqa: F401
     advanced_q,
     tpch_q,
     tpch_full_q,
+    tpch_dialect_q,
     clickbench_q,
     formats_q,
 )
