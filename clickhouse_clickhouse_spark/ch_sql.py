@@ -349,7 +349,10 @@ def _rewrite_calls(sql: str) -> str:
                             for x in range(0, len(a) - 1, 2))
             out.append(f"CASE{whens} ELSE {a[-1]} END")
         else:
-            out.append(f"{name}({inner})")
+            # unknown name (incl. keywords like WHEN/AND before a paren):
+            # keep the ORIGINAL spacing between name and '(' — collapsing
+            # it would break translate-idempotence (fuzzer-found)
+            out.append(f"{name}{sql[m.end():j + 1]}{inner})")
         i = close + 1
     return "".join(out)
 
