@@ -77,14 +77,24 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
                             num_hashes: int = 16, bands: int = 4, shingle: int = 2,
-                            token_hash: str = "xxhash") -> DataFrame:
+                            token_hash: str = "xxhash",
+                            max_bucket: int | None = None) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands, group docs by
     (band index, band value), emit candidate pairs (a < b) that share at
     least one band. Returns distinct (id_a, id_b).
 
     Scale: the band-join is a self-equi-join on the band key — shuffle by
-    band hash; hot buckets (boilerplate docs) are the skew risk, handled by
-    AQE skew-join or a bucket-size cap upstream.
+    band hash. Hot buckets (boilerplate: many near-identical docs landing
+    in ONE bucket) are the skew risk — a bucket of B members emits B²/2
+    pairs, and AQE skew-join only splits the task, not the quadratic
+    OUTPUT. ``max_bucket`` is the real 100 TB mitigation: buckets larger
+    than it collapse to a STAR on the bucket's minimum id (each member
+    pairs with the canonical only) — O(B) pairs, and the connected
+    components downstream are IDENTICAL (every member still reaches the
+    canonical, so transitive grouping is unchanged; only redundant intra-
+    bucket edges drop). Verified-pair pipelines then verify member-vs-
+    canonical, which is exactly the pair that matters for boilerplate.
+    Default None keeps the exact all-pairs behavior (oracle mode).
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle, token_hash)
@@ -99,15 +109,32 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")) \
                 .select(id_col, F.col("bb.band").alias("band"),
                         F.col("bb.sig").alias("sig"))
+    star = None
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        # per-bucket occupancy + canonical in one hash-partitioned window
+        # pass (O(B) per bucket — counting, not pairing)
+        w = Window.partitionBy("band", "sig")
+        tagged = (banded
+                  .withColumn("__n", F.count("*").over(w))
+                  .withColumn("__min", F.min(id_col).over(w)))
+        star = (tagged.filter((F.col("__n") > max_bucket) &
+                              (F.col(id_col) > F.col("__min")))
+                .select(F.col("__min").alias("id_a"),
+                        F.col(id_col).alias("id_b")))
+        banded = tagged.filter(F.col("__n") <= max_bucket) \
+                       .drop("__n", "__min")
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band")) &
                     (F.col("a.sig") == F.col("b.sig")) &
                     (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
              .select(F.col(f"a.{id_col}").alias("id_a"),
-                     F.col(f"b.{id_col}").alias("id_b"))
-             .distinct())
-    return pairs
+                     F.col(f"b.{id_col}").alias("id_b")))
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,

@@ -407,3 +407,62 @@ def test_repeated_span_stats_hash_mode_identical(spark, sf_dir):
     b = sorted(map(tuple, repeated_span_stats(d, n=5, min_docs=3,
                                               hash_grams=True).collect()))
     assert a == b
+
+
+def test_minhash_hot_bucket_cap_star_collapse(spark):
+    """Round-5 skew hardening: a pathological boilerplate bucket (30% of
+    docs identical) must NOT emit quadratic pairs when max_bucket caps
+    it — oversized buckets collapse to a star on the canonical id, and
+    the connected components are IDENTICAL to the uncapped all-pairs
+    run."""
+    import itertools
+
+    from clickhouse_clickhouse_spark.pipeline.dedup import (
+        minhash_candidate_pairs,
+    )
+
+    hot = 90  # 30% of 300
+    rows = [(i, "the same boilerplate header repeated verbatim everywhere")
+            for i in range(hot)]
+    rows += [(hot + i,
+              f"unique document number {i} with words w{i}a w{i * 7}b "
+              f"w{i * 13}c w{i * 29}d") for i in range(210)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = minhash_candidate_pairs(df, "doc_id", "text",
+                                     max_bucket=25).collect()
+    uncapped = minhash_candidate_pairs(df, "doc_id", "text").collect()
+
+    # quadratic suppressed: the hot block alone would be 90*89/2 = 4005
+    # all-pairs edges; the star form is 89 — assert the whole output is
+    # nowhere near quadratic
+    hot_capped = [r for r in capped if r.id_a < hot and r.id_b < hot]
+    hot_uncapped = [r for r in uncapped if r.id_a < hot and r.id_b < hot]
+    assert len(hot_uncapped) == 4005
+    assert len(hot_capped) == 89
+    assert len(capped) <= len(uncapped) - 4005 + 89
+
+    # identical connected components (union-find over each edge list)
+    def components(pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in pairs:
+            ra, rb = find(r.id_a), find(r.id_b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in list(parent)}
+
+    ca, cb = components(capped), components(uncapped)
+    groups_a = {frozenset(k for k, v in ca.items() if v == root)
+                for root in set(ca.values())}
+    groups_b = {frozenset(k for k, v in cb.items() if v == root)
+                for root in set(cb.values())}
+    assert groups_a == groups_b
+    assert frozenset(range(hot)) in groups_a  # the hot block is one group
