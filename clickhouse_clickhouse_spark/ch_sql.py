@@ -16,12 +16,17 @@ Covered dialect surface (the constructs that differ from Spark SQL):
   parenthesized expressions, string-literal-safe; constants must come
   BEFORE any CTE in the WITH list — a later constant fails loudly at
   Spark's parser rather than silently misbinding),
-  ``[LEFT] ARRAY JOIN expr AS x`` (→ LATERAL VIEW [OUTER] EXPLODE; the
-  multi-array zip form and the bare-name form are refused with the
-  faithful alternative named), ``WITH FILL``/``INTERPOLATE`` (refused →
-  operators.fill.with_fill), ``EXPLAIN <query>`` (passes through — the
-  inner dialect text is translated and Spark's EXPLAIN statement
-  returns the plan rows).
+  ``[LEFT] ARRAY JOIN`` (→ LATERAL VIEW [OUTER] EXPLODE; the multi-array
+  zip form explodes ``arrays_zip`` positionally, the bare-name form
+  substitutes the exploded element for the column name),
+  ``ORDER BY ... WITH FILL [FROM/TO/STEP] [INTERPOLATE]`` (handled by
+  ``ch_sql()`` → operators.fill.with_fill_bounds — gap filling needs
+  sequence generation, not a text rewrite), trailing ``ORDER BY ...
+  LIMIT n WITH TIES`` (handled by ``ch_sql()`` →
+  operators.windows.limit_with_ties, the two-pass boundary filter;
+  expression order keys are refused loudly), ``EXPLAIN <query>``
+  (passes through — the inner dialect text is translated and Spark's
+  EXPLAIN statement returns the plan rows).
 * parametric aggregates: ``quantile(p)(x)``-style double-call syntax for
   the quantile family and ``topK(k)(x)``.
 * ~80 function-name mappings (`_FUNCS` below): conversions, date/time,
@@ -551,13 +556,17 @@ def translate(sql: str,
     q = _array_literals(q)
     q = _masked_sub(re.compile(r"\bsystem\.(\w+)", re.IGNORECASE),
                     lambda m: f"__system_{m.group(1).lower()}", q)
-    # LIMIT n WITH TIES needs rank semantics Spark SQL text can't express
-    # without reshaping the projection — refuse with the operator named
+    # LIMIT n WITH TIES needs rank semantics Spark SQL text can't express.
+    # ch_sql() intercepts the trailing bare-column form before translate()
+    # and applies the boundary-filter operator; anything that reaches here
+    # (expression order keys, nested position) is refused loudly.
     if _masked_search(re.compile(r"\bLIMIT\s+\d+\s+WITH\s+TIES\b",
                                  re.IGNORECASE), q):
         raise ValueError(
-            "LIMIT n WITH TIES has no faithful SQL translation here — use "
-            "the DataFrame operator operators.windows.limit_with_ties")
+            "LIMIT n WITH TIES here is not translatable to SQL text — "
+            "ch_sql() handles the trailing `ORDER BY <cols> LIMIT n WITH "
+            "TIES` form; for expression keys or nested use, call the "
+            "DataFrame operator operators.windows.limit_with_ties")
     # GROUP BY k WITH TOTALS -> GROUPING SETS ((k), ()) — grouped rows
     # plus the grand-total row with NULL keys (operators.with_totals is
     # the DataFrame twin)
@@ -848,6 +857,37 @@ def _register_file_views(spark: SparkSession, sql: str) -> str:
     return out
 
 
+# trailing ORDER BY <bare cols with optional ASC/DESC/NULLS> LIMIT n WITH
+# TIES — the ties mode is applied as the two-pass boundary-filter operator
+# (operators/windows.limit_with_ties), never a single-partition RANK.
+# Expression order keys don't match (translate() then refuses loudly).
+_LIMIT_TIES_RE = re.compile(
+    r"\bORDER\s+BY\s+([\w\s,]+?)\s+LIMIT\s+(\d+)\s+WITH\s+TIES\s*$",
+    re.IGNORECASE)
+
+_TIES_ITEM_RE = re.compile(
+    r"(\w+)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?",
+    re.IGNORECASE)
+
+
+def _parse_ties_spec(spec_text: str) -> list[tuple[str, bool, bool]]:
+    """``col [ASC|DESC] [NULLS FIRST|LAST]`` items -> limit_with_ties
+    spec tuples, with the reference's NULL-greatest default."""
+    spec = []
+    for item in (s.strip() for s in spec_text.split(",")):
+        mm = _TIES_ITEM_RE.fullmatch(item)
+        if not mm:
+            raise ValueError(
+                f"LIMIT WITH TIES order key {item!r}: only bare column "
+                "names (with ASC/DESC/NULLS) are supported — project the "
+                "expression to a column first")
+        asc = (mm.group(2) or "ASC").upper() == "ASC"
+        nf = (not asc) if mm.group(3) is None \
+            else mm.group(3).upper() == "FIRST"
+        spec.append((mm.group(1), asc, nf))
+    return spec
+
+
 # ORDER BY <col> WITH FILL [FROM lit] [TO lit] [STEP lit]
 # [INTERPOLATE (col, ...)] at the end of the query
 _WITH_FILL_RE = re.compile(
@@ -896,6 +936,19 @@ def ch_sql(spark: SparkSession, sql: str,
     _register_udfs(spark)
     _register_system_views(spark, sql)
     sql = _register_file_views(spark, sql)
+    m = _masked_search(_LIMIT_TIES_RE, sql.strip().rstrip(";"))
+    if m:
+        from clickhouse_clickhouse_spark.operators.windows import (
+            _sort_cols,
+            limit_with_ties,
+        )
+
+        body = sql.strip().rstrip(";")[:m.start()].rstrip()
+        spec = _parse_ties_spec(m.group(1))
+        inner = spark.sql(translate(body, final_keys=final_keys))
+        out = limit_with_ties(inner, int(m.group(2)), spec)
+        # re-apply the presentation order the stripped clause asked for
+        return out.orderBy(*_sort_cols(spec))
     m = _masked_search(_WITH_FILL_RE, sql.strip().rstrip(";"))
     if m:
         from clickhouse_clickhouse_spark.operators.fill import (

@@ -76,7 +76,12 @@ def with_fill_bounds(df: DataFrame, key: str, frm=None, to=None,
                      for c in df.columns]))
     out = df.unionByName(pad)
     if carry_forward:
-        w = (Window.orderBy(key)
+        # WITH FILL INTERPOLATE carries values forward across the whole
+        # ordered series; the filled spine is presentation-bound (one result
+        # series), so the single partition is the semantics, not an accident.
+        # The constant partition key silences the "No Partition Defined"
+        # warning without changing the plan.
+        w = (Window.partitionBy(F.lit(0)).orderBy(key)
              .rowsBetween(Window.unboundedPreceding, 0))
         for c in carry_forward:
             out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))

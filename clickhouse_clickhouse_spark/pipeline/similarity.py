@@ -118,7 +118,11 @@ def kmeans_centroids(corpus: DataFrame, k: int, iterations: int = 2,
     from pyspark.sql import Window
 
     seeds = c.orderBy("cid").limit(k)
-    w = Window.orderBy("cid")
+    # Input here is <= k rows (post-TakeOrderedAndProject), so a
+    # single-partition window is harmless at any corpus scale; the constant
+    # partition key keeps the plan identical while silencing Spark's
+    # "No Partition Defined" warning so plan audits stay signal-clean.
+    w = Window.partitionBy(F.lit(0)).orderBy("cid")
     cents = (seeds.withColumn("rn", F.row_number().over(w))
              .select((F.col("rn") - 1).alias("centroid_id"), "centroid"))
     for _ in range(iterations):

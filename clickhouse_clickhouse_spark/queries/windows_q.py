@@ -156,6 +156,27 @@ def limit_with_ties_q(spark, sf):
                            5, ["o_orderpriority"])
 
 
+@register("ch_sql_limit_with_ties", oracle="""
+SELECT o_custkey, o_totalprice FROM (
+  SELECT o_custkey, o_totalprice,
+         rank() OVER (ORDER BY o_custkey DESC) AS rk
+  FROM orders WHERE o_totalprice > 400000) t WHERE rk <= 3
+""")
+def ch_sql_limit_with_ties(spark, sf):
+    """LIMIT n WITH TIES through the dialect front end (round-5:
+    translated instead of refused): ch_sql strips the trailing clause and
+    applies the two-pass boundary filter — no single-partition RANK
+    exchange. DESC key exercises the direction-aware boundary compare.
+    Upstream LimitTransform.cpp ties mode."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "orders").createOrReplaceTempView("orders")
+    return ch_sql(spark, """
+        SELECT o_custkey, o_totalprice FROM orders
+        WHERE o_totalprice > 400000
+        ORDER BY o_custkey DESC LIMIT 3 WITH TIES""")
+
+
 @register("with_fill_days", oracle="""
 WITH spine AS (
   SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-03-31',

@@ -82,18 +82,22 @@ def system_parts(spark: SparkSession, path: str,
 
 
 def system_settings(spark: SparkSession) -> DataFrame:
-    """``system.settings`` — the session's effective Spark SQL confs."""
-    items = [(k, v) for k, v in spark.sparkContext.getConf().getAll()]
-    sql_items = []
-    for k in ("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled",
-              "spark.sql.autoBroadcastJoinThreshold",
-              "spark.sql.files.maxPartitionBytes",
-              "spark.sql.session.timeZone", "spark.sql.ansi.enabled"):
+    """``system.settings`` — the session's effective Spark SQL confs.
+    One row per name: the RUNTIME conf value wins over the context-conf
+    value captured at session build (a later ``SET`` — or a second
+    ``getOrCreate`` with different builder configs — changes only the
+    runtime side, and "effective" means what the next query sees)."""
+    effective = dict(spark.sparkContext.getConf().getAll())
+    for k in list(effective) + [
+            "spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.files.maxPartitionBytes",
+            "spark.sql.session.timeZone", "spark.sql.ansi.enabled"]:
         try:
-            sql_items.append((k, spark.conf.get(k)))
+            effective[k] = spark.conf.get(k)
         except Exception:
             pass
-    return spark.createDataFrame(sorted(set(items + sql_items)),
+    return spark.createDataFrame(sorted(effective.items()),
                                  "name string, value string")
 
 

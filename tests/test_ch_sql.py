@@ -629,12 +629,39 @@ def test_with_totals_dialect(spark, sf_dir):
 
 
 def test_limit_with_ties_refused(spark):
+    """translate() alone (no ch_sql interception) still refuses loudly —
+    the text layer can't express rank semantics."""
     import pytest as _pytest
 
     from clickhouse_clickhouse_spark.ch_sql import translate
 
     with _pytest.raises(ValueError, match="limit_with_ties"):
         translate("SELECT a FROM t ORDER BY a LIMIT 3 WITH TIES")
+
+
+def test_limit_with_ties_dialect(spark):
+    """Trailing ORDER BY ... LIMIT n WITH TIES runs end-to-end through
+    ch_sql (round-5: translated instead of refused), including DESC and
+    the reference's NULL-greatest default placement."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "c"), (3, "d"), (None, "n")],
+        "k int, s string").createOrReplaceTempView("__ties_t")
+    asc = ch_sql(spark, "SELECT s, k FROM __ties_t "
+                        "ORDER BY k LIMIT 2 WITH TIES").collect()
+    assert sorted((r.s, r.k) for r in asc) == [("a", 1), ("b", 2),
+                                               ("c", 2)]
+    # DESC: the reference sorts NULL greatest, so it leads DESC order
+    desc = ch_sql(spark, "SELECT s, k FROM __ties_t "
+                         "ORDER BY k DESC LIMIT 2 WITH TIES").collect()
+    assert sorted([(r.s, r.k) for r in desc], key=str) == \
+        sorted([("n", None), ("d", 3)], key=str)
+    # expression order keys fall through to the loud refusal
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="limit_with_ties"):
+        ch_sql(spark, "SELECT s, k FROM __ties_t "
+                      "ORDER BY k + 1 LIMIT 2 WITH TIES")
 
 
 def test_quantile_gk_param_order():

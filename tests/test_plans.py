@@ -78,7 +78,7 @@ def test_wholestage_codegen_everywhere_simple(spark, sf_dir):
 _GRANK_QUERIES = (
     "agg_auc", "agg_ks_test", "agg_mannwhitney_u", "cb_value_deciles",
     "window_range_frame", "cb_top_users_by_errors", "limit_with_ties_q",
-    "join_paste",
+    "ch_sql_limit_with_ties", "join_paste",
 )
 
 

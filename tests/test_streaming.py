@@ -511,3 +511,24 @@ def test_stream_format_ingest_and_egress(spark, sf_dir, tmp_path):
         "TSV", src.schema)
     assert sorted(map(tuple, back.collect())) == \
         sorted(map(tuple, src.collect()))
+
+
+def test_kafka_gate_is_loud(spark, monkeypatch):
+    """The Kafka source twin refuses loudly (naming the env gate and the
+    file-source alternative) when no broker/jar is present, and reports
+    unavailability rather than guessing."""
+    import pyspark.sql.types as T
+
+    from clickhouse_clickhouse_spark.streaming import kafka as K
+
+    monkeypatch.delenv(K.KAFKA_ENV, raising=False)
+    assert K.kafka_available(spark) is False
+    schema = T.StructType([T.StructField("x", T.IntegerType())])
+    with pytest.raises(RuntimeError, match=K.KAFKA_ENV):
+        K.kafka_stream_lines(spark, "topic", "JSONEachRow", schema)
+
+    # With the env var set but no connector jar, the refusal names the jar.
+    monkeypatch.setenv(K.KAFKA_ENV, "localhost:9092")
+    if not K.kafka_available(spark):
+        with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+            K.kafka_stream_lines(spark, "topic", "JSONEachRow", schema)
