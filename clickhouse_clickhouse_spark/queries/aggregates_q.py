@@ -1316,3 +1316,69 @@ def sketch_tolerance_gate(spark, sf):
         (rel(F.col("au"), F.col("eu")) < 0.05).alias("uniq_ok"),
         (rel(F.col("ah"), F.col("eh")) < 0.05).alias("hll_ok"),
         (rel(F.col("aq"), F.col("eq")) < 0.05).alias("quantile_ok"))
+
+
+@register("bitmap_serialized_merge", oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS INT) AS card,
+       CAST(min(user_id) AS BIGINT) AS min_id,
+       CAST(max(user_id) AS BIGINT) AS max_id
+FROM events GROUP BY event_type
+""")
+def bitmap_serialized_merge(spark, sf):
+    """AggregateFunction(groupBitmap, UInt32) STORAGE parity (round-5:
+    closes the roaring-persistence gap, [U]
+    src/AggregateFunctions/AggregateFunctionGroupBitmap.cpp): partial
+    bitmap states per (event_type, user_id mod 4) are serialized to the
+    roaring-style binary codec, merged up to event_type over the BINARY
+    states (only compact states shuffle), and read out — cardinality
+    straight from container headers, min/max from the deserialized
+    array. Bitmaps are exact, so this is fully hash-oracled."""
+    from clickhouse_clickhouse_spark.operators import bitmap as B
+
+    ev = load_table(spark, sf, "events")
+    part = (ev.groupBy("event_type",
+                       (F.col("user_id") % 4).alias("__shard"))
+            .agg(B.group_bitmap_state("user_id").alias("bm"))
+            .select("event_type", B.bitmap_serialize("bm").alias("bin")))
+    merged = B.bitmap_merge_serialized(part, ["event_type"], "bin")
+    return (merged
+            .withColumn("arr", B.bitmap_deserialize("bin"))
+            .select("event_type",
+                    B.bitmap_cardinality_serialized("bin")
+                    .cast("int").alias("card"),
+                    F.array_min("arr").alias("min_id"),
+                    F.array_max("arr").alias("max_id")))
+
+
+@register("agg_quantile_tdigest_merge")
+def agg_quantile_tdigest_merge(spark, sf):
+    """quantileTDigest -State/-Merge algebra (round-5: real t-digest
+    centroid states, [U] src/AggregateFunctions/QuantileTDigest.h;
+    public algorithm: Dunning & Ertl's merging t-digest): map-side
+    partial digests -> one centroid-state shuffle -> merge -> median and
+    p90 readout, exact values alongside. Digest estimates are merge-order
+    dependent by design, so rows-only with a self-verifying ``within_tol``
+    (1% of the group's value range — t-digest is far tighter than that
+    at mid quantiles)."""
+    from clickhouse_clickhouse_spark.operators.tdigest import (
+        quantile_tdigest,
+    )
+
+    li = load_table(spark, sf, "lineitem")
+    dig = quantile_tdigest(li, ["l_returnflag"], "l_extendedprice",
+                           {"p50_td": 0.5, "p90_td": 0.9})
+    exact = (li.groupBy("l_returnflag")
+             .agg(F.expr("percentile(l_extendedprice, 0.5)").alias("e50"),
+                  F.expr("percentile(l_extendedprice, 0.9)").alias("e90"),
+                  (F.max("l_extendedprice")
+                   - F.min("l_extendedprice")).alias("rng")))
+    return (dig.join(exact, "l_returnflag")
+            .select("l_returnflag",
+                    F.round("p50_td", 2).alias("p50_td"),
+                    F.round("p90_td", 2).alias("p90_td"),
+                    ((F.abs(F.col("p50_td") - F.col("e50"))
+                      <= 0.01 * F.col("rng") + 1e-9)
+                     & (F.abs(F.col("p90_td") - F.col("e90"))
+                        <= 0.01 * F.col("rng") + 1e-9))
+                    .alias("within_tol")))

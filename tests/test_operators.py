@@ -234,3 +234,95 @@ def test_sparkbar_buckets_condense_x_range(spark):
                                 "g string, x int, y double")
     bar2 = sparkbar(df2, ["g"], "x", "y", buckets=4).collect()[0]["bar"]
     assert bar2 == "█  █"
+
+
+def test_tdigest_state_merge_and_persistence(spark, sf_dir, tmp_path):
+    """Round-5 AggregateFunction-parity: t-digest centroid states are
+    accurate, mergeable in any split, and survive a parquet write/read
+    (the AggregateFunction(quantileTDigest) column storage contract)."""
+    import pyspark.sql.functions as F
+
+    from clickhouse_clickhouse_spark.operators.tdigest import (
+        quantile_tdigest,
+        tdigest_merge_states,
+        tdigest_quantile,
+        tdigest_quantiles,
+        tdigest_state,
+    )
+    from clickhouse_clickhouse_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dig = quantile_tdigest(li, ["l_returnflag"], "l_extendedprice",
+                           {"p50": 0.5, "p99": 0.99})
+    exact = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("e50"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("e99"),
+        (F.max("l_extendedprice") - F.min("l_extendedprice")).alias("rng"))
+    for r in dig.join(exact, "l_returnflag").collect():
+        assert abs(r.p50 - r.e50) <= 0.01 * r.rng
+        assert abs(r.p99 - r.e99) <= 0.02 * r.rng
+
+    # state table: bounded size, parquet round trip, further merge
+    st = tdigest_merge_states(
+        tdigest_state(li, ["l_returnflag"], "l_extendedprice"),
+        ["l_returnflag"])
+    rows = st.collect()
+    assert all(len(r.td) <= 220 for r in rows)  # ~2x delta hard bound
+    p = str(tmp_path / "td")
+    st.write.parquet(p)
+    back = spark.read.parquet(p)
+    again = {r.l_returnflag: r.p50 for r in
+             tdigest_quantiles(back, {"p50": 0.5}).collect()}
+    direct = {r.l_returnflag: r.p50 for r in
+              tdigest_quantiles(st, {"p50": 0.5}).collect()}
+    assert again == direct  # storage is lossless over the state
+    # driver-side readout of a persisted cell
+    one = back.limit(1).collect()[0]
+    assert abs(tdigest_quantile(one.td, 0.5) - again[one.l_returnflag]) \
+        < 1e-9
+
+
+def test_bitmap_codec_roundtrip_and_merge(spark, tmp_path):
+    """Roaring-style binary bitmap state: codec round trip across both
+    container kinds, UInt32 domain enforcement, parquet persistence, and
+    merge over serialized states."""
+    import numpy as np
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from clickhouse_clickhouse_spark.operators.bitmap import (
+        _deserialize_one,
+        _serialize_one,
+        bitmap_cardinality_serialized,
+        bitmap_deserialize,
+        bitmap_merge_serialized,
+        bitmap_serialize,
+        group_bitmap_state,
+    )
+
+    # array containers, bitset container, container boundary crossing
+    rng = np.random.default_rng(7)
+    sparse = rng.choice(1 << 22, size=500, replace=False).tolist()
+    dense = list(range(3 << 16, (3 << 16) + 9000))  # one bitset container
+    for vals in ([], [0], [0xFFFFFFFF], sparse, dense, sparse + dense):
+        assert _deserialize_one(_serialize_one(vals)) == sorted(set(vals))
+    b = _serialize_one(dense)
+    assert len(b) < 2 * len(dense)  # bitset kind actually engaged
+    with _pytest.raises(ValueError, match="UInt32"):
+        _serialize_one([1 << 33])
+
+    df = spark.createDataFrame(
+        [("a", int(v)) for v in sparse[:100]]
+        + [("b", int(v)) for v in dense[:5000]], "g string, v long")
+    st = (df.groupBy("g", (F.col("v") % 3).alias("shard"))
+          .agg(group_bitmap_state("v").alias("bm"))
+          .select("g", bitmap_serialize("bm").alias("bin")))
+    p = str(tmp_path / "bm")
+    st.write.parquet(p)
+    merged = bitmap_merge_serialized(spark.read.parquet(p), ["g"], "bin")
+    got = {r.g: (r.card, r.arr) for r in
+           merged.select(
+               "g", bitmap_cardinality_serialized("bin").alias("card"),
+               bitmap_deserialize("bin").alias("arr")).collect()}
+    assert got["a"] == (100, sorted(set(sparse[:100])))
+    assert got["b"] == (5000, sorted(set(dense[:5000])))

@@ -28,7 +28,7 @@ def test_contract_shapes():
         "stream_dedup_state", "udtf_explode_sessions",
         # sketch-state algebra (self-verifying bool columns instead)
         "agg_uniq_merge_two_phase", "agg_uniq_theta",
-        "agg_quantile_kll_merge",
+        "agg_quantile_kll_merge", "agg_quantile_tdigest_merge",
     }
     assert rows_only <= allowed, rows_only - allowed
 
