@@ -202,3 +202,33 @@ def format_jsonstrings(spark, sf):
     JSON-quoted (JSONStringsEachRowRowOutputFormat.cpp analog)."""
     return render.serialize_lines(load_table(spark, sf, "nation"),
                                   "JSONStringsEachRow")
+
+
+@register("format_native_roundtrip", oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(o_orderdate AS TIMESTAMP) AS odate,
+       round(o_totalprice, 6) AS price
+FROM orders WHERE o_orderkey % 7 = 0
+""")
+def format_native_roundtrip(spark, sf):
+    """Native columnar block format encode -> decode round trip (round-5:
+    closes the Native wire-format gap, [U] src/Formats/NativeWriter.cpp /
+    NativeReader.cpp): self-describing blocks, columnar numpy assembly on
+    encode, and the pointer-doubling vectorized varint-chain decoder for
+    interleaved String columns — no per-value Python either way.
+    Nullable(T) null-mask layout exercised via the Spark-nullable parquet
+    columns."""
+    from clickhouse_clickhouse_spark.sources.native import (
+        native_decode,
+        native_encode,
+    )
+
+    o = (load_table(spark, sf, "orders")
+         .filter(F.col("o_orderkey") % 7 == 0)
+         .select("o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_orderdate", F.round("o_totalprice", 6)
+                 .alias("o_totalprice")))
+    dec = native_decode(native_encode(o), o.schema)
+    return dec.select("o_orderkey", "o_custkey", "o_orderstatus",
+                      F.col("o_orderdate").cast("timestamp").alias("odate"),
+                      F.round("o_totalprice", 6).alias("price"))

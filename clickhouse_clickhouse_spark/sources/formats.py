@@ -4,7 +4,8 @@ round-trip tests).
 
 Supported here: parquet, orc, csv (with header), json (lines), text,
 xml (Spark 4 built-in; maps the reference's XML output format — rows
-under a fixed rowTag). Avro/Delta/Iceberg need jars absent from this
+under a fixed rowTag), native (the reference's columnar block format —
+``sources/native.py``, schema required on read). Avro/Delta/Iceberg need jars absent from this
 environment — they raise a clear error instead of failing obscurely
 (import-try gating per brief).
 """
@@ -27,6 +28,10 @@ def write_any(df: DataFrame, path: str, fmt: str, mode: str = "overwrite",
         raise NotImplementedError(
             f"format {fmt!r} requires connector jars not present in this "
             "environment; gate behind a deployment that ships them")
+    if fmt == "native":
+        from clickhouse_clickhouse_spark.sources.native import write_native
+        write_native(df, path).collect()
+        return
     if fmt not in _NATIVE:
         raise ValueError(f"unknown format {fmt!r}")
     w = df.write.mode(mode)
@@ -43,6 +48,13 @@ def read_any(spark: SparkSession, path: str, fmt: str,
              schema: T.StructType | None = None) -> DataFrame:
     if fmt in _NEEDS_JARS:
         raise NotImplementedError(f"format {fmt!r} requires connector jars")
+    if fmt == "native":
+        if schema is None:
+            raise ValueError("format 'native' requires an explicit schema "
+                             "(self-describing blocks are validated "
+                             "against it)")
+        from clickhouse_clickhouse_spark.sources.native import read_native
+        return read_native(spark, path, schema)
     if fmt not in _NATIVE:
         raise ValueError(f"unknown format {fmt!r}")
     r = spark.read

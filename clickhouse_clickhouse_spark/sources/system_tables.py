@@ -143,7 +143,8 @@ def system_formats(spark: SparkSession) -> DataFrame:
                             "CSVWithNames", "TSV", "TSVWithNames",
                             "TabSeparated", "Values"))
             for f in LINE_FORMATS]
-    rows += [("RowBinary", True, True), ("Regexp", False, True),
+    rows += [("RowBinary", True, True), ("Native", True, True),
+             ("Regexp", False, True),
              ("Template", True, False), ("LineAsString", False, True),
              ("Pretty", True, False), ("Vertical", True, False),
              ("Parquet", True, True), ("ORC", True, True),

@@ -211,3 +211,69 @@ def test_rowbinary_multibyte_leb128_roundtrip(spark):
     dec = render.rowbinary_decode(render.rowbinary_encode(df), df.schema)
     got = {r.k: r.s for r in dec.collect()}
     assert got == dict(rows)
+
+
+def test_native_format_roundtrips(spark, sf_dir, tmp_path):
+    """Native block format: in-plan and file round trips, Nullable mask
+    layout, multi-byte varint prefixes (>=128-byte strings), unicode,
+    and the loud unexpected-column error."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from clickhouse_clickhouse_spark.sources.native import (
+        native_decode,
+        native_encode,
+        read_native,
+        write_native,
+    )
+    from clickhouse_clickhouse_spark.tables import load_table
+
+    df = spark.createDataFrame(
+        [(1, "a" * 5, 1.5, None), (2, "b" * 200, None, "x"),
+         (3, "", 2.5, "y" * 300), (None, "unicode £éф", 3.5, "z")],
+        "k int, s string, f double, t string")
+    back = native_decode(native_encode(df), df.schema)
+    assert sorted(map(tuple, back.collect()), key=str) == \
+        sorted(map(tuple, df.collect()), key=str)
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice")
+    p = str(tmp_path / "native")
+    man = write_native(o, p).collect()
+    assert sum(r.blocks for r in man) >= 1
+    rd = read_native(spark, p, o.schema)
+    assert sorted(map(tuple, rd.collect()), key=str) == \
+        sorted(map(tuple, o.collect()), key=str)
+
+    wrong = o.withColumnRenamed("o_orderkey", "nope").schema
+    with _pytest.raises(Exception, match="unexpected column"):
+        native_decode(native_encode(o), wrong).collect()
+
+
+def test_native_varint_chain_decoder():
+    """The pointer-doubling interleaved-varint decoder against a direct
+    sequential reference over adversarial length mixes (0, 1, 127, 128,
+    16383, 16384 — every prefix-width boundary)."""
+    import numpy as np
+
+    from clickhouse_clickhouse_spark.sources.native import (
+        _leb128_block,
+        _varint_chain,
+    )
+
+    rng = np.random.default_rng(11)
+    lens = np.array([0, 1, 127, 128, 300, 16383, 16384, 5, 0, 70000]
+                    + rng.integers(0, 1000, size=200).tolist(),
+                    dtype=np.int64)
+    prefix, nb = _leb128_block(lens)
+    # build the interleaved stream: prefix_i + payload_i
+    parts, pstart = [], 0
+    for ln, k in zip(lens, nb):
+        parts.append(prefix[pstart:pstart + k])
+        parts.append(rng.integers(0, 256, size=ln).astype(np.uint8))
+        pstart += k
+    buf = np.concatenate(parts)
+    starts, got_lens = _varint_chain(buf, 0, lens.size)
+    exp_starts = np.cumsum(nb + lens) - lens
+    assert (got_lens == lens).all()
+    assert (starts == exp_starts).all()
