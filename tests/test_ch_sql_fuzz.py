@@ -212,3 +212,84 @@ def test_fuzz_aggregate_differential_vs_duckdb(fuzz_env, num, pred,
                CAST(max({num[1]}) AS BIGINT) AS hi
         FROM nation GROUP BY g{hv_an}""").fetchall())
     assert got == exp
+
+
+# ------------------------------------------- round-5 dialect constructs
+#
+# LIMIT n WITH TIES and ORDER BY ... WITH FILL are ch_sql()-level
+# translations (DataFrame operators applied around the translated text),
+# so they get their own differential properties: ties against a DuckDB
+# RANK() oracle under every direction/null-placement combination, fill
+# against a generate_series spine.
+
+@pytest.fixture(scope="module")
+def ties_env(spark):
+    rows = [("a", 1, 3), ("b", 2, None), ("c", 2, 1), ("d", None, 2),
+            ("e", 3, 2), ("f", 2, 1), ("g", None, None), ("h", 1, 3)]
+    spark.createDataFrame(rows, "s string, k1 int, k2 int") \
+        .createOrReplaceTempView("tiesfz")
+    con = duckdb.connect()
+    vals = ", ".join(
+        "({}, {}, {})".format(
+            f"'{s}'", "NULL" if a is None else a, "NULL" if b is None else b)
+        for s, a, b in rows)
+    con.execute(f"CREATE VIEW tiesfz AS SELECT * FROM (VALUES {vals}) "
+                f"v(s, k1, k2)")
+    yield spark, con
+    con.close()
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(keys=st.permutations(["k1", "k2"]),
+       nkeys=st.integers(1, 2),
+       dirs=st.tuples(st.sampled_from(["", " ASC", " DESC"]),
+                      st.sampled_from(["", " ASC", " DESC"])),
+       nulls=st.tuples(st.sampled_from(["", " NULLS FIRST", " NULLS LAST"]),
+                       st.sampled_from(["", " NULLS FIRST", " NULLS LAST"])),
+       n=st.integers(1, 8))
+def test_fuzz_limit_with_ties_differential(ties_env, keys, nkeys, dirs,
+                                           nulls, n):
+    """Every direction x null-placement x key-order x n: the dialect
+    LIMIT WITH TIES equals DuckDB's RANK() <= n with the reference's
+    NULL-greatest defaults made explicit."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    spark, con = ties_env
+    items_ch, items_dk = [], []
+    for k, d, nf in list(zip(keys, dirs, nulls))[:nkeys]:
+        items_ch.append(f"{k}{d}{nf}")
+        if not nf:  # reference default: NULL sorts greatest
+            nf = " NULLS FIRST" if d == " DESC" else " NULLS LAST"
+        items_dk.append(f"{k}{d}{nf}")
+    got = _normalize(ch_sql(
+        spark, f"SELECT s, k1, k2 FROM tiesfz ORDER BY "
+               f"{', '.join(items_ch)} LIMIT {n} WITH TIES").collect())
+    exp = _normalize(con.execute(
+        f"SELECT s, k1, k2 FROM (SELECT *, rank() OVER (ORDER BY "
+        f"{', '.join(items_dk)}) AS rk FROM tiesfz) t WHERE rk <= {n}"
+    ).fetchall())
+    assert got == exp, (items_ch, n)
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(frm=st.integers(0, 5), to=st.integers(6, 16), step=st.integers(1, 3))
+def test_fuzz_with_fill_differential(ties_env, frm, to, step):
+    """ORDER BY k WITH FILL FROM/TO/STEP through ch_sql equals the
+    data-rows-plus-missing-spine-rows oracle for every bound/step mix."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    spark, con = ties_env
+    got = _normalize(ch_sql(spark, f"""
+        SELECT k, c FROM (SELECT k1 AS k, count() AS c FROM tiesfz
+                          WHERE k1 IS NOT NULL GROUP BY k)
+        ORDER BY k WITH FILL FROM {frm} TO {to} STEP {step}""").collect())
+    exp = _normalize(con.execute(f"""
+        WITH d AS (SELECT k1 AS k, CAST(count(*) AS BIGINT) AS c
+                   FROM tiesfz WHERE k1 IS NOT NULL GROUP BY k1)
+        SELECT k, c FROM d
+        UNION ALL
+        SELECT g, NULL FROM (SELECT unnest(range({frm}, {to}, {step})) AS g)
+        WHERE g NOT IN (SELECT k FROM d)""").fetchall())
+    assert got == exp, (frm, to, step)
