@@ -1183,6 +1183,27 @@ def ch_statement(spark: SparkSession, sql: str,
     head = sql.strip().split(None, 2)
     kw = head[0].upper() if head else ""
     if kw == "CREATE":
+        vm = re.match(
+            r"CREATE\s+(?:OR\s+REPLACE\s+)?(MATERIALIZED\s+)?VIEW\s+"
+            r"(?:IF\s+NOT\s+EXISTS\s+)?(?P<v>\w+)\s+AS\s+(?P<q>.+)$",
+            sql.strip().rstrip(";"), re.IGNORECASE | re.DOTALL)
+        if vm:
+            if vm.group(1):
+                raise ValueError(
+                    "CREATE MATERIALIZED VIEW is a streaming construct — "
+                    "use streaming.matview.MaterializedView (the "
+                    "source->transform->target cascade with checkpoints)")
+            # the reference stores the query and re-executes it on every
+            # read (late binding: mutations to base tables show through).
+            # A SQL-created temp view over the TRANSLATED text has
+            # exactly that semantics — verified late-bound in Spark 4.
+            # Bodies needing DataFrame operators (WITH FILL, ties) raise
+            # here, same refusal as translate() everywhere else.
+            _register_udfs(spark)
+            spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW "
+                      f"{vm.group('v')} AS {translate(vm.group('q'))}")
+            return spark.createDataFrame([(vm.group("v"), "View")],
+                                         "name string, engine string")
         spec = ch_create_table(spark, sql)
         _remember_spec(spark, spec)
         return spark.createDataFrame(
@@ -1258,7 +1279,7 @@ def ch_statement(spark: SparkSession, sql: str,
         ok = spark.catalog.tableExists(name)
         return spark.createDataFrame([(1 if ok else 0,)], "result int")
     if kw == "DROP":
-        mm = re.match(r"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)",
+        mm = re.match(r"DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?(\w+)",
                       sql.strip(), re.IGNORECASE)
         if not mm:
             raise ValueError("unsupported DROP statement")
@@ -1315,6 +1336,20 @@ def ch_statement(spark: SparkSession, sql: str,
             out.createOrReplaceTempView(name)
             return spark.createDataFrame([(name,)], "mutated string")
         raise ValueError(f"unsupported ALTER operation: {op!r}")
+    if kw == "DELETE":
+        # the reference's lightweight DELETE FROM t WHERE c — same
+        # rewrite-the-view mutation as ALTER TABLE ... DELETE WHERE
+        mm = re.match(r"DELETE\s+FROM\s+(?P<t>\w+)\s+WHERE\s+(?P<c>.+)$",
+                      sql.strip().rstrip(";"),
+                      re.IGNORECASE | re.DOTALL)
+        if not mm:
+            raise ValueError("unsupported DELETE statement (WHERE is "
+                             "required — the reference refuses a bare "
+                             "DELETE too)")
+        cond = _rewrite_calls(mm.group("c"))
+        spark.table(mm.group("t")).filter(f"NOT ({cond})") \
+            .createOrReplaceTempView(mm.group("t"))
+        return spark.createDataFrame([(mm.group("t"),)], "mutated string")
     if kw == "TRUNCATE":
         mm = re.match(r"TRUNCATE\s+(?:TABLE\s+)?(\w+)", sql.strip(),
                       re.IGNORECASE)

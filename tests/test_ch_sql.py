@@ -727,3 +727,35 @@ def test_cli_insert_format_tty_errors_instead_of_blocking(
     monkeypatch.setattr("sys.stdin", _TTY(""))
     with _pytest.raises(ValueError):
         run_query.main(["--sql", "INSERT INTO cli_ins_tty FORMAT CSV"])
+
+
+def test_create_view_and_lightweight_delete(spark):
+    """Round-5 statement surface: CREATE VIEW stores the translated query
+    as a temp view; DELETE FROM t WHERE c is the lightweight-delete
+    mutation; DROP VIEW removes it; MATERIALIZED VIEW refuses with the
+    streaming pointer."""
+    import pytest as _pytest
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_statement
+
+    spark.createDataFrame([(1, "a"), (2, "b"), (3, "c"), (12, "d")],
+                          "k int, s string") \
+        .createOrReplaceTempView("__stmt_t")
+    ch_statement(spark, "CREATE VIEW __stmt_v AS SELECT k, upper(s) AS u "
+                        "FROM __stmt_t PREWHERE k < 10")
+    assert sorted((r.k, r.u) for r in spark.table("__stmt_v").collect()) \
+        == [(1, "A"), (2, "B"), (3, "C")]
+
+    ch_statement(spark, "DELETE FROM __stmt_t WHERE modulo(k, 2) = 0")
+    assert sorted(r.k for r in spark.table("__stmt_t").collect()) == [1, 3]
+    # the view re-executes its stored query over the mutated base
+    assert sorted(r.k for r in spark.table("__stmt_v").collect()) == [1, 3]
+
+    ch_statement(spark, "DROP VIEW __stmt_v")
+    assert not any(t.name == "__stmt_v"
+                   for t in spark.catalog.listTables())
+    with _pytest.raises(ValueError, match="MaterializedView"):
+        ch_statement(spark, "CREATE MATERIALIZED VIEW mv AS "
+                            "SELECT * FROM __stmt_t")
+    with _pytest.raises(ValueError, match="WHERE is required"):
+        ch_statement(spark, "DELETE FROM __stmt_t")
