@@ -836,3 +836,116 @@ def formatReadableTimeDelta(sec):
         .otherwise(F.concat(head, F.lit(" and "),
                             F.element_at(arr, -1)))
     return F.when(n_parts == 0, F.lit("0 seconds")).otherwise(joined)
+
+
+# -- round-5 batch: text/array/date long tail -----------------------------
+def splitByRegexp(pattern, s):
+    """``splitByRegexp(re, s)`` — note the reference's (separator, string)
+    argument order."""
+    return F.split(_c(s), pattern)
+
+
+def tokens(s):
+    """Split into alphanumeric tokens (reference ``tokens`` with the
+    default tokenizer)."""
+    return F.filter(F.split(_c(s), r"\W+"), lambda t: t != "")
+
+
+def ngrams(s, n: int):
+    """Character n-grams (reference ``ngrams(s, n)``): sliding substrings
+    via a sequence + substr transform — pure column ops."""
+    col = _c(s)
+    return F.when(
+        F.length(col) >= n,
+        F.transform(F.sequence(F.lit(1), F.length(col) - (n - 1)),
+                    lambda i: col.substr(i, F.lit(n)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def multiSearchAny(h, needles):
+    """True when ANY needle is a substring of the haystack."""
+    arr = needles if isinstance(needles, Column) else \
+        F.array(*[F.lit(x) for x in needles])
+    hay = _c(h)
+    return F.exists(arr, lambda ndl: F.contains(hay, ndl))
+
+
+def countSubstrings(h, needle):
+    """Occurrences of needle in haystack (non-overlapping, like the
+    reference): length difference over the removed occurrences."""
+    hay, ndl = _c(h), F.lit(needle) if isinstance(needle, str) else _c(needle)
+    return ((F.length(hay) - F.length(F.replace(hay, ndl, F.lit(""))))
+            / F.length(ndl)).cast("long")
+
+
+def translateUTF8(s, frm, to):
+    return F.translate(_c(s), frm, to)
+
+
+def normalizeQuery(q):
+    """Replace literals with ``?`` placeholders (reference
+    ``normalizeQuery``; approximation: quoted strings and bare numbers —
+    the reference also collapses long IN lists)."""
+    no_str = F.regexp_replace(_c(q), r"'([^'\\]|\\.)*'", "?")
+    return F.regexp_replace(no_str, r"\b\d+(\.\d+)?\b", "?")
+
+
+def normalizedQueryHash(q):
+    """Hash of the normalized query text. The reference uses its own
+    64-bit hash; this is xxhash64 over our normalizeQuery — stable within
+    this engine, not bit-compatible across engines (documented)."""
+    return F.xxhash64(normalizeQuery(q))
+
+
+def arrayShuffle(a):
+    return F.shuffle(_c(a))
+
+
+def arrayJaccardIndex(a, b):
+    inter = F.size(F.array_intersect(_c(a), _c(b)))
+    un = F.size(F.array_union(_c(a), _c(b)))
+    return F.when(un == 0, F.lit(float("nan"))) \
+        .otherwise(inter.cast("double") / un)
+
+
+def toModifiedJulianDay(d):
+    return F.datediff(_c(d), F.lit("1858-11-17")).cast("int")
+
+
+def fromModifiedJulianDay(n):
+    return F.date_add(F.lit("1858-11-17").cast("date"), _c(n).cast("int"))
+
+
+def JSONArrayLength(j):
+    return F.json_array_length(_c(j))
+
+
+def randNormal(mean=0.0, sd=1.0):
+    return F.randn() * F.lit(sd) + F.lit(mean)
+
+
+def randUniform(lo, hi):
+    return F.rand() * (F.lit(hi) - F.lit(lo)) + F.lit(lo)
+
+
+def randExponential(lmb):
+    return -F.log(F.lit(1.0) - F.rand()) / F.lit(lmb)
+
+
+def generateUUIDv4():
+    """Random v4 UUID string (Spark has no UUID type; the reference's
+    UUID prints in the same canonical form)."""
+    return F.expr("uuid()")
+
+
+def lagInFrame(col, n=1, default=None):
+    """Window-frame lag — same as F.lag; apply ``.over(window)``."""
+    return F.lag(_c(col), n, default)
+
+
+def leadInFrame(col, n=1, default=None):
+    return F.lead(_c(col), n, default)
+
+
+def nthValue(col, n):
+    return F.nth_value(_c(col), n)

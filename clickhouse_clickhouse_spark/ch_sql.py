@@ -127,6 +127,31 @@ _FUNCS: dict[str, str] = {
     "replaceAll": "REPLACE({0}, {1}, {2})",
     "replaceRegexpAll": "REGEXP_REPLACE({0}, {1}, {2})",
     "splitByChar": "SPLIT({1}, {0})",
+    "splitByRegexp": "SPLIT({1}, {0})",
+    "tokens": "FILTER(SPLIT({0}, '\\\\W+'), __t -> __t != '')",
+    "multiSearchAny":
+        "EXISTS({1}, __n -> CONTAINS({0}, __n))",
+    "ngrams":
+        "(CASE WHEN LENGTH({0}) >= ({1}) THEN TRANSFORM("
+        "SEQUENCE(1, LENGTH({0}) - ({1}) + 1), "
+        "__i -> SUBSTRING({0}, __i, {1})) "
+        "ELSE CAST(ARRAY() AS ARRAY<STRING>) END)",
+    "countSubstrings": "CAST((LENGTH({0}) - LENGTH(REPLACE({0}, {1}, '')))"
+                       " / LENGTH({1}) AS BIGINT)",
+    "translateUTF8": "TRANSLATE({0}, {1}, {2})",
+    "normalizeQuery":
+        "REGEXP_REPLACE(REGEXP_REPLACE({0}, "
+        "'''([^''\\\\\\\\]|\\\\\\\\.)*''', '?'), "
+        "'\\\\b\\\\d+(\\\\.\\\\d+)?\\\\b', '?')",
+    "arrayJaccardIndex":
+        "(CASE WHEN SIZE(ARRAY_UNION({0}, {1})) = 0 THEN CAST('NaN' AS "
+        "DOUBLE) ELSE CAST(SIZE(ARRAY_INTERSECT({0}, {1})) AS DOUBLE) / "
+        "SIZE(ARRAY_UNION({0}, {1})) END)",
+    "toModifiedJulianDay": "CAST(DATEDIFF({0}, DATE '1858-11-17') AS INT)",
+    "fromModifiedJulianDay": "DATE_ADD(DATE '1858-11-17', CAST({0} AS INT))",
+    "JSONArrayLength": "JSON_ARRAY_LENGTH({0})",
+    "generateUUIDv4": "UUID()",
+    "arrayShuffle": "SHUFFLE({0})",
     "arrayStringConcat": "ARRAY_JOIN({0}, {1})",
     "lengthUTF8": "LENGTH({0})", "lowerUTF8": "LOWER({0})",
     "upperUTF8": "UPPER({0})",

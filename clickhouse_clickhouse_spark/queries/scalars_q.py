@@ -1239,3 +1239,46 @@ def format_readable_time_delta(spark, sf):
                  (F.floor("o_totalprice").cast("long") % 200000).alias("s")))
     return o.select("o_orderkey",
                     ch.formatReadableTimeDelta(F.col("s")).alias("readable"))
+
+
+@register("ch_dialect_demo5", oracle=r"""
+SELECT n_nationkey AS k,
+       string_split_regex(n_name, '\W+') AS toks,
+       [substr(n_name, i, 3)
+        for i in generate_series(1, len(n_name) - 2)] AS ng,
+       (contains(n_name, 'ION_1') OR contains(n_name, 'ZZZ')) AS has_any,
+       translate(n_name, 'N_', 'n-') AS tr,
+       CAST((len(n_name) - len(replace(n_name, 'N', ''))) AS BIGINT)
+           AS n_count,
+       round(CAST(len(list_intersect(string_split(n_name, '_'),
+                                     ['NATION', 'X'])) AS DOUBLE)
+             / len(list_distinct(list_concat(
+                   string_split(n_name, '_'), ['NATION', 'X']))), 6)
+           AS jac,
+       regexp_replace(regexp_replace('k = ' || n_nationkey,
+                                     '''([^''\\]|\\.)*''', '?', 'g'),
+                      '\b\d+(\.\d+)?\b', '?', 'g') AS nq
+FROM nation ORDER BY k
+""")
+def ch_dialect_demo5(spark, sf):
+    """Round-5 function long tail through the dialect front end:
+    splitByRegexp / ngrams / multiSearchAny / translateUTF8 /
+    countSubstrings / arrayJaccardIndex / normalizeQuery — each rewritten
+    by the paren-matching scanner into built-in Spark expressions
+    (upstream src/Functions/: FunctionsStringArray.cpp, ngrams.cpp,
+    MultiSearchAnyImpl, translate.cpp, countSubstrings.cpp,
+    arrayJaccardIndex.cpp, normalizeQuery.cpp)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "nation").createOrReplaceTempView("nation")
+    return ch_sql(spark, """
+        SELECT n_nationkey AS k,
+               tokens(n_name) AS toks,
+               ngrams(n_name, 3) AS ng,
+               multiSearchAny(n_name, array('ION_1', 'ZZZ')) AS has_any,
+               translateUTF8(n_name, 'N_', 'n-') AS tr,
+               countSubstrings(n_name, 'N') AS n_count,
+               round(arrayJaccardIndex(splitByChar('_', n_name),
+                                       array('NATION', 'X')), 6) AS jac,
+               normalizeQuery(concat('k = ', toString(n_nationkey))) AS nq
+        FROM nation ORDER BY k""")

@@ -242,3 +242,67 @@ def test_array_rotate_shift_map_update(spark):
     assert r.sl == [3, 4, 0, 0] and r.sr == [0, 0, 1, 2]
     assert r.empty == []
     assert r.mu == {"a": 1, "b": 9, "c": 3}
+
+
+def test_round5_long_tail_batch(spark):
+    """Round-5 ch_functions batch: deterministic results checked by
+    value; random/uuid generators by shape and range."""
+    import pyspark.sql.functions as F
+
+    from clickhouse_clickhouse_spark import ch_functions as ch
+
+    df = spark.createDataFrame([("ab cd-ef", "hello")], "s string, h string")
+    r = df.select(
+        ch.tokens("s").alias("toks"),
+        ch.splitByRegexp(r"\W+", "s").alias("sp"),
+        ch.ngrams("h", 3).alias("ng"),
+        ch.multiSearchAny("h", ["xyz", "ell"]).alias("any1"),
+        ch.multiSearchAny("h", ["xyz", "zzz"]).alias("any2"),
+        ch.countSubstrings("h", "l").alias("cs"),
+        ch.translateUTF8("h", "lo", "LO").alias("tr"),
+        ch.arrayJaccardIndex(F.array(F.lit(1), F.lit(2)),
+                             F.array(F.lit(2), F.lit(3))).alias("jac"),
+        ch.toModifiedJulianDay(F.lit("1995-01-01").cast("date")).alias("mjd"),
+        ch.fromModifiedJulianDay(F.lit(49718)).alias("back"),
+        ch.JSONArrayLength(F.lit('[1,2,3]')).alias("jl"),
+        ch.normalizeQuery(F.lit("k = 42 AND s = 'x'")).alias("nq"),
+        ch.normalizedQueryHash(F.lit("k = 42")).alias("nqh1"),
+        ch.normalizedQueryHash(F.lit("k = 777")).alias("nqh2"),
+    ).collect()[0]
+    assert r.toks == ["ab", "cd", "ef"]
+    assert r.sp == ["ab", "cd", "ef"]
+    assert r.ng == ["hel", "ell", "llo"]
+    assert r.any1 is True and r.any2 is False
+    assert r.cs == 2
+    assert r.tr == "heLLO"
+    assert abs(r.jac - 1 / 3) < 1e-9
+    assert r.mjd == 49718
+    assert str(r.back) == "1995-01-01"
+    assert r.jl == 3
+    assert r.nq == "k = ? AND s = ?"
+    assert r.nqh1 == r.nqh2  # same normalized form -> same hash
+
+    import re as _re
+    rows = spark.range(200).select(
+        ch.generateUUIDv4().alias("u"),
+        ch.randUniform(5.0, 6.0).alias("ru"),
+        ch.randNormal(10.0, 0.001).alias("rn"),
+        ch.randExponential(1000.0).alias("re"),
+        ch.arrayShuffle(F.sequence(F.lit(1), F.lit(5))).alias("sh")).collect()
+    assert len({r.u for r in rows}) == 200
+    assert all(_re.fullmatch(r"[0-9a-f-]{36}", r.u) for r in rows)
+    assert all(5.0 <= r.ru < 6.0 for r in rows)
+    assert all(9.9 < r.rn < 10.1 for r in rows)
+    assert all(r.re >= 0 for r in rows)
+    assert all(sorted(r.sh) == [1, 2, 3, 4, 5] for r in rows)
+
+    from pyspark.sql import Window
+    w = Window.partitionBy(F.lit(0)).orderBy("id")
+    lr = spark.range(3).select(
+        F.col("id"), ch.lagInFrame("id").over(w).alias("lg"),
+        ch.leadInFrame("id").over(w).alias("ld"),
+        ch.nthValue("id", 2).over(
+            w.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)).alias("nv")).collect()
+    assert [(r.lg, r.ld, r.nv) for r in sorted(lr, key=lambda r: r.id)] == \
+        [(None, 1, 1), (0, 2, 1), (1, None, 1)]
