@@ -915,13 +915,26 @@ def _parse_ties_spec(spec_text: str) -> list[tuple[str, bool, bool]]:
 
 # ORDER BY <col> WITH FILL [FROM lit] [TO lit] [STEP lit]
 # [INTERPOLATE (col, ...)] at the end of the query
+_FILL_BOUND = (r"(?:\w+\s*\([^)]*\)"            # toDate('...') call form
+               r"|(?:DATE|TIMESTAMP)\s+'[^']*'"  # SQL literal form
+               r"|\S+)")                         # plain number
 _WITH_FILL_RE = re.compile(
     r"\bORDER\s+BY\s+(\w+)\s+WITH\s+FILL"
-    r"(?:\s+FROM\s+(\S+(?:\([^)]*\))?))?"
-    r"(?:\s+TO\s+(\S+(?:\([^)]*\))?))?"
-    r"(?:\s+STEP\s+(\S+))?"
+    rf"(?:\s+FROM\s+({_FILL_BOUND}))?"
+    rf"(?:\s+TO\s+({_FILL_BOUND}))?"
+    r"(?:\s+STEP\s+(INTERVAL\s+\d+\s+\w+|\S+))?"
     r"(?:\s+INTERPOLATE\s*\(([^)]*)\))?\s*$",
     re.IGNORECASE)
+
+
+def _parse_fill_step(s: str | None):
+    """STEP literal: plain int, or ``INTERVAL n UNIT`` -> (n, unit)."""
+    if s is None:
+        return 1
+    mm = re.match(r"INTERVAL\s+(\d+)\s+(\w+)$", s.strip(), re.IGNORECASE)
+    if mm:
+        return (int(mm.group(1)), mm.group(2).lower())
+    return int(s)
 
 
 def _parse_fill_literal(s: str | None):
@@ -930,11 +943,15 @@ def _parse_fill_literal(s: str | None):
     if s is None:
         return None
     s = s.strip()
+    import datetime as _dt
     mm = re.match(r"(?:toDate\s*\(\s*'([\d-]+)'\s*\)|DATE\s*'([\d-]+)')$",
                   s, re.IGNORECASE)
     if mm:
-        import datetime as _dt
         return _dt.date.fromisoformat(mm.group(1) or mm.group(2))
+    mm = re.match(r"(?:toDateTime\s*\(\s*'([^']+)'\s*\)"
+                  r"|TIMESTAMP\s*'([^']+)')$", s, re.IGNORECASE)
+    if mm:
+        return _dt.datetime.fromisoformat(mm.group(1) or mm.group(2))
     try:
         return int(s)
     except ValueError:
@@ -942,8 +959,10 @@ def _parse_fill_literal(s: str | None):
             return float(s)
         except ValueError:
             raise ValueError(
-                f"WITH FILL bound {s!r}: only numeric and date "
-                "(toDate('...') / DATE '...') literals are supported")
+                f"WITH FILL bound {s!r}: only numeric, date "
+                "(toDate('...') / DATE '...') and datetime "
+                "(toDateTime('...') / TIMESTAMP '...') literals are "
+                "supported")
 
 
 def ch_sql(spark: SparkSession, sql: str,
@@ -984,7 +1003,7 @@ def ch_sql(spark: SparkSession, sql: str,
         key = m.group(1)
         frm, to = _parse_fill_literal(m.group(2)), \
             _parse_fill_literal(m.group(3))
-        step = int(m.group(4)) if m.group(4) else 1
+        step = _parse_fill_step(m.group(4))
         carry = None
         if m.group(5) is not None:
             cols = [c.strip() for c in m.group(5).split(",") if c.strip()]

@@ -41,8 +41,12 @@ def with_fill(df: DataFrame, key: str, start, stop, step,
     return out
 
 
+_STEP_UNITS = ("second", "minute", "hour", "day", "week", "month",
+               "quarter", "year")
+
+
 def with_fill_bounds(df: DataFrame, key: str, frm=None, to=None,
-                     step: int = 1,
+                     step: "int | tuple[int, str]" = 1,
                      carry_forward: Sequence[str] | None = None
                      ) -> DataFrame:
     """Reference ``ORDER BY key WITH FILL [FROM frm] [TO to] [STEP step]``
@@ -52,7 +56,10 @@ def with_fill_bounds(df: DataFrame, key: str, frm=None, to=None,
     default to the data's min (inclusive) / max (inclusive when derived,
     exclusive when given — the reference's TO is exclusive).
 
-    Integer and date keys; ``step`` is units (days for dates). The
+    Integer and temporal keys; a plain int ``step`` means units for
+    integers, DAYS for Date keys, SECONDS for DateTime keys (the
+    reference's numeric-step convention), and a ``(n, unit)`` tuple is
+    the dialect's ``STEP INTERVAL n UNIT`` form. The
     bounds aggregate is one broadcast row; the spine anti-join is
     spine-sized. ``carry_forward`` columns get the previous non-null
     value in key order (INTERPOLATE with identity expression) — a
@@ -60,12 +67,25 @@ def with_fill_bounds(df: DataFrame, key: str, frm=None, to=None,
     from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
 
     kdt = df.schema[key].dataType
-    temporal = isinstance(kdt, (DateType, TimestampType, TimestampNTZType))
+    is_date = isinstance(kdt, DateType)
+    is_ts = isinstance(kdt, (TimestampType, TimestampNTZType))
     bounds = df.agg(F.min(key).alias("__lo"), F.max(key).alias("__hi"))
     lo = F.lit(frm).cast(kdt) if frm is not None else F.col("__lo")
     hi = F.lit(to).cast(kdt) if to is not None else F.col("__hi")
-    step_e = F.expr(f"INTERVAL {int(step)} DAY") if temporal \
-        else F.lit(step)
+    if isinstance(step, tuple):
+        n, unit = int(step[0]), str(step[1]).lower().rstrip("s")
+        if unit not in _STEP_UNITS:
+            raise ValueError(f"WITH FILL STEP unit {unit!r}; supported: "
+                             f"{_STEP_UNITS}")
+        if not (is_date or is_ts):
+            raise ValueError("INTERVAL step needs a date/timestamp key")
+        step_e = F.expr(f"INTERVAL {n} {unit.upper()}")
+    elif is_date:
+        step_e = F.expr(f"INTERVAL {int(step)} DAY")
+    elif is_ts:
+        step_e = F.expr(f"INTERVAL {int(step)} SECOND")
+    else:
+        step_e = F.lit(step)
     spine = bounds.select(
         F.explode(F.sequence(lo, hi, step_e)).alias(key))
     if to is not None:

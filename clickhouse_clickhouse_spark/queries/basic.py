@@ -362,9 +362,12 @@ def ch_sql_with_fill(spark, sf):
     from clickhouse_clickhouse_spark.ch_sql import ch_sql
 
     load_table(spark, sf, "orders").createOrReplaceTempView("orders")
+    # toDate() matters: the fixture stores o_orderdate as DateTime, and a
+    # numeric fill step over DateTime means SECONDS (reference
+    # convention) — the day-grain fill wants a real Date key
     out = ch_sql(spark, """
         SELECT d, cnt
-        FROM (SELECT o_orderdate AS d, count() AS cnt FROM orders
+        FROM (SELECT toDate(o_orderdate) AS d, count() AS cnt FROM orders
               WHERE o_totalprice > 350000
                 AND o_orderdate >= toDate('1995-01-01')
                 AND o_orderdate < toDate('1995-03-01')

@@ -759,3 +759,45 @@ def test_create_view_and_lightweight_delete(spark):
                             "SELECT * FROM __stmt_t")
     with _pytest.raises(ValueError, match="WHERE is required"):
         ch_statement(spark, "DELETE FROM __stmt_t")
+
+
+def test_with_fill_datetime_interval_step(views):
+    """Round-5: WITH FILL over a DateTime key with STEP INTERVAL 1 HOUR
+    (and the numeric-step = seconds convention) through the dialect."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    out = ch_sql(views, """
+        SELECT h, n FROM (
+          SELECT toStartOfHour(ts) AS h, count() AS n
+          FROM events WHERE event_type = 'purchase' GROUP BY h)
+        ORDER BY h WITH FILL STEP INTERVAL 1 HOUR""").collect()
+    hours = [r.h for r in out]
+    assert len(hours) == len(set(hours))
+    import datetime as dt
+    assert all((b - a) == dt.timedelta(hours=1)
+               for a, b in zip(hours, hours[1:]))
+    assert any(r.n is None for r in out) or len(out) == len([
+        r for r in out if r.n is not None])
+
+    # numeric step on DateTime = seconds (3600 == INTERVAL 1 HOUR)
+    out2 = ch_sql(views, """
+        SELECT h, n FROM (
+          SELECT toStartOfHour(ts) AS h, count() AS n
+          FROM events WHERE event_type = 'purchase' GROUP BY h)
+        ORDER BY h WITH FILL STEP 3600""").collect()
+    assert [(r.h, r.n) for r in out2] == [(r.h, r.n) for r in out]
+
+    # explicit datetime bounds
+    lo = hours[0]
+    out3 = ch_sql(views, f"""
+        SELECT h, n FROM (
+          SELECT toStartOfHour(ts) AS h, count() AS n
+          FROM events WHERE event_type = 'purchase' GROUP BY h)
+        ORDER BY h WITH FILL
+          FROM toDateTime('{lo:%Y-%m-%dT%H:%M:%S}')
+          TO toDateTime('{lo + __import__("datetime").timedelta(hours=5):%Y-%m-%dT%H:%M:%S}')
+          STEP INTERVAL 1 HOUR""").collect()
+    in_window = [r for r in out3 if lo <= r.h]
+    assert len([r for r in in_window
+                if r.h < lo + __import__("datetime").timedelta(hours=5)]) \
+        >= 5
