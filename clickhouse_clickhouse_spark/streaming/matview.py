@@ -98,3 +98,63 @@ def compact_sketch_rollup(spark, target: str, keys: Sequence[str]) -> None:
     compacted.write.mode("overwrite").parquet(tmp)
     shutil.rmtree(target)
     os.rename(tmp, target)
+
+
+def tdigest_rollup_view(source: DataFrame, keys: Sequence[str],
+                        value_col: str, target: str,
+                        checkpoint: str | None = None, delta: int = 100):
+    """Streaming maintenance of a QUANTILE rollup — the reference's
+    Kafka → MV → AggregatingMergeTree(quantileTDigestState, ...) chain:
+    every micro-batch appends partial t-digest centroid states per key
+    (operators/tdigest — parquet-storable array<struct<m,w>> column);
+    readers merge states at query time (``read_tdigest_rollup``). Same
+    append-only contract as ``sketch_rollup_view``, quantiles instead of
+    distincts."""
+    from clickhouse_clickhouse_spark.operators.tdigest import (
+        tdigest_merge_states,
+        tdigest_state,
+    )
+
+    def to_partial(batch: DataFrame) -> DataFrame:
+        # one state row per key per micro-batch (partial -> merged
+        # within the batch so appends stay one-row-per-key)
+        return tdigest_merge_states(
+            tdigest_state(batch, keys, value_col, delta=delta),
+            keys, delta=delta)
+
+    return MaterializedView(source, [(to_partial, target)]) \
+        .start(checkpoint=checkpoint)
+
+
+def read_tdigest_rollup(spark, target: str, keys: Sequence[str],
+                        quantiles: dict[str, float], delta: int = 100):
+    """Query-time -Merge over the streamed digest states + quantile
+    readout."""
+    from clickhouse_clickhouse_spark.operators.tdigest import (
+        tdigest_merge_states,
+        tdigest_quantiles,
+    )
+
+    merged = tdigest_merge_states(spark.read.parquet(target), keys,
+                                  delta=delta)
+    return tdigest_quantiles(merged, quantiles)
+
+
+def compact_tdigest_rollup(spark, target: str, keys: Sequence[str],
+                           delta: int = 100) -> None:
+    """Background-merge analog: collapse accumulated per-batch digest
+    states to one state row per key; readers see tolerance-identical
+    quantiles before and after (digest merge is associative)."""
+    import os
+    import shutil
+
+    from clickhouse_clickhouse_spark.operators.tdigest import (
+        tdigest_merge_states,
+    )
+
+    compacted = tdigest_merge_states(spark.read.parquet(target), keys,
+                                     delta=delta)
+    tmp = target.rstrip("/") + "__compact"
+    compacted.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(target)
+    os.rename(tmp, target)

@@ -532,3 +532,57 @@ def test_kafka_gate_is_loud(spark, monkeypatch):
     if not K.kafka_available(spark):
         with pytest.raises(RuntimeError, match="spark-sql-kafka"):
             K.kafka_stream_lines(spark, "topic", "JSONEachRow", schema)
+
+
+def test_tdigest_rollup_stream_merge_and_compaction(spark, events_dir,
+                                                    tmp_path):
+    """Round-5: the AggregatingMergeTree(quantileTDigestState) chain —
+    streamed per-batch digest states, query-time merge within tolerance
+    of the exact batch median, and compaction keeping answers within the
+    digest's accuracy class."""
+    from clickhouse_clickhouse_spark.streaming.matview import (
+        compact_tdigest_rollup,
+        read_tdigest_rollup,
+        tdigest_rollup_view,
+    )
+
+    multi = str(tmp_path / "ev_td")
+    spark.read.parquet(events_dir).repartition(4).write.parquet(multi)
+    schema = spark.read.parquet(multi).schema
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(multi))
+    target = str(tmp_path / "td_rollup")
+    q = tdigest_rollup_view(src, ["event_type"], "value", target,
+                            checkpoint=str(tmp_path / "td_ck"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r.event_type: (r.p50, r.p90) for r in read_tdigest_rollup(
+        spark, target, ["event_type"],
+        {"p50": 0.5, "p90": 0.9}).collect()}
+    exact = {r.event_type: (r.e50, r.e90, r.rng)
+             for r in spark.read.parquet(events_dir)
+             .groupBy("event_type")
+             .agg(F.expr("percentile(value, 0.5)").alias("e50"),
+                  F.expr("percentile(value, 0.9)").alias("e90"),
+                  (F.max("value") - F.min("value")).alias("rng"))
+             .collect()}
+    assert set(got) == set(exact)
+    for k, (p50, p90) in got.items():
+        e50, e90, rng = exact[k]
+        assert abs(p50 - e50) <= 0.02 * rng
+        assert abs(p90 - e90) <= 0.02 * rng
+
+    n_before = spark.read.parquet(target).count()
+    assert n_before > len(got)      # several per-batch state rows
+    compact_tdigest_rollup(spark, target, ["event_type"])
+    after = {r.event_type: (r.p50, r.p90) for r in read_tdigest_rollup(
+        spark, target, ["event_type"],
+        {"p50": 0.5, "p90": 0.9}).collect()}
+    assert spark.read.parquet(target).count() == len(after)
+    for k, (p50, p90) in after.items():
+        e50, e90, rng = exact[k]
+        assert abs(p50 - e50) <= 0.02 * rng
+        assert abs(p90 - e90) <= 0.02 * rng
