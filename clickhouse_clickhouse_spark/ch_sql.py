@@ -89,7 +89,19 @@ _FUNCS: dict[str, str] = {
     "yesterday": "DATE_SUB(CURRENT_DATE(), 1)",
     "addDays": "DATE_ADD({0}, {1})", "subtractDays": "DATE_SUB({0}, {1})",
     "addMonths": "ADD_MONTHS({0}, {1})",
-    "dateDiff": "TIMESTAMPDIFF({0}, {1}, {2})",
+    # the reference quotes the unit ('hour'); Spark's TIMESTAMPDIFF
+    # takes a bare keyword — strip quotes at translate time
+    "dateDiff": lambda a: "TIMESTAMPDIFF({}, {}, {})".format(
+        a[0].strip().strip("'\""), a[1], a[2]),
+    "age": lambda a: "TIMESTAMPDIFF({}, {}, {})".format(
+        a[0].strip().strip("'\""), a[1], a[2]),
+    "toStartOfInterval": lambda a: _to_start_of_interval(a),
+    "arrayReduce": lambda a: _array_reduce_tpl(a),
+    "arrayEnumerate": "SEQUENCE(1, SIZE({0}))",
+    "arrayEnumerateUniq":
+        "TRANSFORM({0}, (__x, __i) -> "
+        "SIZE(FILTER(SLICE({0}, 1, __i + 1), __y -> __y = __x)))",
+    "runningDifference": lambda a: _refuse_running_difference(),
     # aggregates
     "uniq": "APPROX_COUNT_DISTINCT({0})",
     "uniqCombined": "APPROX_COUNT_DISTINCT({0})",
@@ -303,11 +315,71 @@ def _find_close(s: str, i: int) -> int:
     return -1
 
 
-def _apply_template(tpl: str, args: list[str]) -> str:
+def _apply_template(tpl, args: list[str]) -> str:
+    if callable(tpl):
+        return tpl(args)
     out = tpl.replace("{*}", ", ".join(args))
     for k, a in enumerate(args):
         out = out.replace("{%d}" % k, a)
     return out
+
+
+# arrayReduce('agg', arr): the aggregate name is a LITERAL, so dispatch
+# at translate time — each supported name maps to the built-in array
+# kernel (no UDAF-over-array machinery needed). Unknown names refuse
+# loudly with the supported list.
+_ARRAY_REDUCE = {
+    "sum": "AGGREGATE({a}, CAST(0 AS DOUBLE), (__s, __x) -> "
+           "__s + CAST(__x AS DOUBLE))",
+    "min": "ARRAY_MIN({a})", "max": "ARRAY_MAX({a})",
+    "count": "SIZE({a})",
+    "avg": "(AGGREGATE({a}, CAST(0 AS DOUBLE), (__s, __x) -> "
+           "__s + CAST(__x AS DOUBLE)) / SIZE({a}))",
+    "uniqexact": "SIZE(ARRAY_DISTINCT({a}))",
+    "any": "ELEMENT_AT({a}, 1)", "anylast": "ELEMENT_AT({a}, -1)",
+}
+
+
+def _refuse_running_difference() -> str:
+    raise ValueError(
+        "runningDifference is block-order dependent — use lag() OVER "
+        "(ORDER BY <key>) (explicit order, the principled form)")
+
+
+_INTERVAL_SECS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+def _to_start_of_interval(args: list[str]) -> str:
+    """toStartOfInterval(ts, INTERVAL n UNIT) -> floor to epoch-aligned
+    n-unit buckets for second/minute/hour/day grains; month/year align
+    to calendar (DATE_TRUNC) only for n = 1, else refuse loudly."""
+    if len(args) != 2:
+        raise ValueError("toStartOfInterval(ts, INTERVAL n unit)")
+    mm = re.match(r"INTERVAL\s+(\d+)\s+(\w+)$", args[1].strip(),
+                  re.IGNORECASE)
+    if not mm:
+        raise ValueError(f"toStartOfInterval: second argument must be "
+                         f"INTERVAL n unit, got {args[1]!r}")
+    n, unit = int(mm.group(1)), mm.group(2).lower().rstrip("s")
+    if unit in _INTERVAL_SECS:
+        sec = n * _INTERVAL_SECS[unit]
+        return (f"TIMESTAMP_SECONDS(CAST(FLOOR(UNIX_TIMESTAMP({args[0]}) "
+                f"/ {sec}) AS BIGINT) * {sec})")
+    if n == 1 and unit in ("week", "month", "quarter", "year"):
+        return f"DATE_TRUNC('{unit.upper()}', {args[0]})"
+    raise ValueError(f"toStartOfInterval: INTERVAL {n} {unit} is not "
+                     "supported (n>1 only for second/minute/hour/day)")
+
+
+def _array_reduce_tpl(args: list[str]) -> str:
+    if len(args) != 2:
+        raise ValueError("arrayReduce(aggname, arr) takes exactly 2 "
+                         "arguments here (multi-array form unsupported)")
+    name = args[0].strip().strip("'\"").lower()
+    if name not in _ARRAY_REDUCE:
+        raise ValueError(f"arrayReduce: unsupported aggregate {name!r}; "
+                         f"supported: {sorted(_ARRAY_REDUCE)}")
+    return "(" + _ARRAY_REDUCE[name].replace("{a}", args[1]) + ")"
 
 
 def _rewrite_calls(sql: str) -> str:

@@ -801,3 +801,40 @@ def test_with_fill_datetime_interval_step(views):
     assert len([r for r in in_window
                 if r.h < lo + __import__("datetime").timedelta(hours=5)]) \
         >= 5
+
+
+def test_round5_datetime_and_array_function_fixes(views):
+    """dateDiff/age with the reference's QUOTED unit; toStartOfInterval
+    epoch-aligned buckets; arrayEnumerate[Uniq]; arrayReduce literal
+    dispatch; runningDifference loud refusal."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, translate
+
+    r = ch_sql(views, """
+        SELECT dateDiff('day', toDate('1995-01-01'), toDate('1995-03-01'))
+                 AS dd,
+               age('hour', toDateTime('1995-01-01 00:00:00'),
+                   toDateTime('1995-01-01 07:30:00')) AS ag,
+               toStartOfInterval(toDateTime('1995-01-01 10:47:33'),
+                                 INTERVAL 15 MINUTE) AS b15,
+               arrayEnumerate(array('a','b','c')) AS en,
+               arrayEnumerateUniq(array('a','b','a','a')) AS eu,
+               arrayReduce('sum', array(1, 2, 3)) AS rs,
+               arrayReduce('uniqExact', array(1, 2, 2, 3)) AS ru
+        """).collect()[0]
+    assert r.dd == 59 and r.ag == 7
+    assert str(r.b15) == "1995-01-01 10:45:00"
+    assert r.en == [1, 2, 3]
+    assert r.eu == [1, 1, 2, 3]
+    assert r.rs == 6.0 and r.ru == 3
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="lag"):
+        translate("SELECT runningDifference(x) FROM t")
+    with _pytest.raises(ValueError, match="supported"):
+        translate("SELECT arrayReduce('median', a) FROM t")
+    # idempotence on the new rewrites
+    for q in ("SELECT dateDiff('day', a, b) FROM t",
+              "SELECT toStartOfInterval(ts, INTERVAL 5 MINUTE) FROM t",
+              "SELECT arrayEnumerateUniq(a) FROM t"):
+        once = translate(q)
+        assert translate(once) == once
