@@ -1298,6 +1298,19 @@ def ch_statement(spark: SparkSession, sql: str,
     prints)."""
     head = sql.strip().split(None, 2)
     kw = head[0].upper() if head else ""
+    if kw == "SET":
+        from clickhouse_clickhouse_spark.sources.system_tables import (
+            apply_ch_settings,
+        )
+
+        settings = {}
+        for item in _split_top_commas(sql.strip()[3:].rstrip(";")):
+            name, _, val = item.partition("=")
+            settings[name.strip()] = val.strip().strip("'\"")
+        applied = apply_ch_settings(spark, settings)
+        return spark.createDataFrame(
+            [(k, conf, val) for k, (conf, val) in applied.items()],
+            "setting string, spark_conf string, value string")
     if kw == "CREATE":
         vm = re.match(
             r"CREATE\s+(?:OR\s+REPLACE\s+)?(MATERIALIZED\s+)?VIEW\s+"

@@ -19,6 +19,37 @@ import argparse
 import sys
 
 
+def _split_statements(text: str) -> list[str]:
+    """Split a script on top-level semicolons (single/double-quoted
+    strings and ``--`` line comments respected)."""
+    out, buf = [], []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c in "'\"":
+            j = i + 1
+            while j < n and text[j] != c:
+                j += 2 if text[j] == "\\" else 1
+            buf.append(text[i:min(j + 1, n)])
+            i = j + 1
+        elif c == "-" and text[i:i + 2] == "--":
+            j = text.find("\n", i)
+            i = n if j < 0 else j + 1
+        elif c == ";":
+            s = "".join(buf).strip()
+            if s:
+                out.append(s)
+            buf = []
+            i += 1
+        else:
+            buf.append(c)
+            i += 1
+    s = "".join(buf).strip()
+    if s:
+        out.append(s)
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="run a registered engine query")
     ap.add_argument("name", nargs="?", help="query name (see --list)")
@@ -30,6 +61,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--list", action="store_true", help="list query names")
     ap.add_argument("--sql", help="run a ClickHouse-dialect SQL string "
                     "against the fixture tables (ch_sql translator)")
+    ap.add_argument("--file", dest="script",
+                    help="run a multi-statement dialect script file "
+                    "(clickhouse-client --queries-file analog; statements "
+                    "split on top-level semicolons)")
     ap.add_argument("--format", dest="fmt",
                     help="output FORMAT for a named query (JSONEachRow, "
                     "CSV, TSV, Values, Markdown, Pretty, Vertical, ...)")
@@ -38,6 +73,16 @@ def main(argv: list[str] | None = None) -> int:
     from clickhouse_clickhouse_spark.registry import all_oracles, all_queries
 
     qs = all_queries()
+    if args.script:
+        with open(args.script) as fh:
+            text = fh.read()
+        for i, stmt in enumerate(_split_statements(text)):
+            print(f"-- [{i + 1}] {stmt.splitlines()[0][:76]}")
+            rc = main(["--sql", stmt, "--sf", args.sf,
+                       "--limit", str(args.limit)])
+            if rc:
+                return rc
+        return 0
     if args.sql:
         from clickhouse_clickhouse_spark.ch_sql import ch_sql
         from clickhouse_clickhouse_spark.session import get_spark
@@ -50,7 +95,8 @@ def main(argv: list[str] | None = None) -> int:
         first = args.sql.strip().split(None, 1)[0].upper() \
             if args.sql.strip() else ""
         if first in ("CREATE", "DESCRIBE", "DESC", "SHOW", "EXISTS",
-                     "DROP", "TRUNCATE"):
+                     "DROP", "TRUNCATE", "ALTER", "DELETE", "SET",
+                     "EXPLAIN"):
             from clickhouse_clickhouse_spark.ch_sql import ch_statement
 
             ch_statement(spark, args.sql).show(args.limit, truncate=False)

@@ -838,3 +838,30 @@ def test_round5_datetime_and_array_function_fixes(views):
               "SELECT arrayEnumerateUniq(a) FROM t"):
         once = translate(q)
         assert translate(once) == once
+
+
+def test_script_splitting_and_set_statement(spark):
+    """--file script support: top-level semicolon splitting respects
+    string literals and -- comments; SET routes through
+    apply_ch_settings and reports the mapped confs."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_statement
+    from clickhouse_clickhouse_spark.run_query import _split_statements
+
+    stmts = _split_statements(
+        "-- header comment\n"
+        "SELECT 'a;b' AS s;\n"
+        "INSERT INTO t VALUES (1, ';');\n"
+        "SELECT 1\n;  \nSELECT 2")
+    assert stmts == ["SELECT 'a;b' AS s",
+                     "INSERT INTO t VALUES (1, ';')",
+                     "SELECT 1", "SELECT 2"]
+
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        out = ch_statement(
+            spark, "SET max_bytes_in_join_to_broadcast = 123456").collect()
+        assert out[0].spark_conf == "spark.sql.autoBroadcastJoinThreshold"
+        assert spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold") == "123456"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
