@@ -892,6 +892,7 @@ def _register_system_views(spark: SparkSession, sql: str) -> None:
         "tables": ST.system_tables,
         "formats": ST.system_formats,
         "settings": ST.system_settings,
+        "query_log": ST.system_query_log,
     }
     for name in set(_re.findall(r"\bsystem\.(\w+)", sql,
                                 _re.IGNORECASE)):
@@ -1052,6 +1053,12 @@ def ch_sql(spark: SparkSession, sql: str,
     _register_udfs(spark)
     _register_system_views(spark, sql)
     sql = _register_file_views(spark, sql)
+    from clickhouse_clickhouse_spark.sources.system_tables import log_query
+    try:
+        log_query(spark, sql, "Select", translate(sql,
+                                                  final_keys=final_keys))
+    except ValueError:
+        log_query(spark, sql, "Select")   # ch_sql-level construct
     m = _masked_search(_LIMIT_TIES_RE, sql.strip().rstrip(";"))
     if m:
         from clickhouse_clickhouse_spark.operators.windows import (
@@ -1298,6 +1305,13 @@ def ch_statement(spark: SparkSession, sql: str,
     prints)."""
     head = sql.strip().split(None, 2)
     kw = head[0].upper() if head else ""
+    if kw in ("SET", "CREATE", "INSERT", "DESCRIBE", "DESC", "SHOW",
+              "EXPLAIN", "EXISTS", "DROP", "ALTER", "DELETE", "TRUNCATE"):
+        from clickhouse_clickhouse_spark.sources.system_tables import (
+            log_query,
+        )
+
+        log_query(spark, sql, kw.capitalize())
     if kw == "SET":
         from clickhouse_clickhouse_spark.sources.system_tables import (
             apply_ch_settings,

@@ -151,3 +151,39 @@ def system_formats(spark: SparkSession) -> DataFrame:
              ("JSON", True, True), ("Text", True, True), ("XML", True, True)]
     return spark.createDataFrame(
         rows, "name string, is_output boolean, is_input boolean")
+
+
+# ------------------------------------------------------------ query_log
+#
+# ``system.query_log`` (reference StorageSystemQueryLog /
+# src/Interpreters/QueryLog.cpp): one row per dialect statement the
+# session has executed. Session-keyed in-process storage — the reference
+# buffers log rows in memory and flushes to a MergeTree table; here the
+# session IS the scope, and rows are materialized as a DataFrame on
+# read (computed-on-read like every system table in this module).
+
+_QUERY_LOG: dict[int, list] = {}
+
+
+def log_query(spark: SparkSession, query: str, kind: str,
+              translated: str = "") -> None:
+    """Append one entry. ``event_time`` is wall-clock at submit;
+    ``normalized_query`` replaces literals with ? (the reference's
+    normalizeQuery) so repeated parameterized calls group together."""
+    import datetime
+    import re
+
+    q = " ".join(query.split())
+    norm = re.sub(r"'([^'\\]|\\.)*'", "?", q)
+    norm = re.sub(r"\b\d+(\.\d+)?\b", "?", norm)
+    _QUERY_LOG.setdefault(id(spark), []).append(
+        (datetime.datetime.now(), kind, q, norm, translated))
+
+
+def system_query_log(spark: SparkSession) -> DataFrame:
+    rows = _QUERY_LOG.get(id(spark), [])
+    schema = ("event_time timestamp, query_kind string, query string, "
+              "normalized_query string, translated_query string")
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(rows, schema)

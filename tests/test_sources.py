@@ -240,3 +240,26 @@ def test_system_formats(spark):
     assert f["Regexp"] == (False, True)
     assert f["Pretty"] == (True, False)
     assert len(f) >= 20
+
+
+def test_system_query_log(spark):
+    """system.query_log records dialect statements with normalized
+    forms, queryable from dialect SQL itself."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, ch_statement
+
+    spark.createDataFrame([(1,)], "k int") \
+        .createOrReplaceTempView("__ql_t")
+    ch_sql(spark, "SELECT k FROM __ql_t WHERE k = 42")
+    ch_statement(spark, "DESCRIBE __ql_t")
+    log = ch_sql(spark, "SELECT query_kind, normalized_query "
+                        "FROM system.query_log").collect()
+    kinds = [r.query_kind for r in log]
+    assert "Select" in kinds and "Describe" in kinds
+    assert any(r.normalized_query == "SELECT k FROM __ql_t WHERE k = ?"
+               for r in log)
+    # repeated parameterized calls share one normalized form
+    ch_sql(spark, "SELECT k FROM __ql_t WHERE k = 77")
+    log2 = ch_sql(spark, "SELECT count() AS n FROM system.query_log "
+                         "WHERE normalized_query = "
+                         "'SELECT k FROM __ql_t WHERE k = ?'").collect()
+    assert log2[0].n >= 2
