@@ -158,6 +158,17 @@ def sniff_media(data: bytes) -> dict | None:
             pos += 2 + seg
         return {"format": "jpeg", "width": None, "height": None,
                 "extra": None}
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        # ISO-BMFF (MP4/MOV): defer to the real demuxer for dimensions
+        from clickhouse_clickhouse_spark.functions.mp4 import probe_mp4
+        try:
+            p = probe_mp4(data)
+            return {"format": "mp4", "width": p["width"],
+                    "height": p["height"],
+                    "extra": p["duration_s"]}
+        except Exception:
+            return {"format": "mp4", "width": None, "height": None,
+                    "extra": None}
     if data[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", data[6:10])
         return {"format": "gif", "width": int(w), "height": int(h),

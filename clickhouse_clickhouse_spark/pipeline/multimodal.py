@@ -175,8 +175,90 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.mapInPandas(run, schema=IMAGE_SCHEMA)
 
 
+_FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("sample_idx", T.IntegerType(), False),
+    T.StructField("offset", T.LongType(), False),
+    T.StructField("size", T.LongType(), False),
+    T.StructField("frame_payload", T.BinaryType(), True),
+    T.StructField("codec", T.StringType(), True),
+])
+
+
 def frame_sample(media: DataFrame, every_n: int) -> DataFrame:
-    """Video frame sampling — kernel NOT implemented (no ffmpeg in this
-    environment; video container demux is out of pure-stdlib reach).
-    Plumbing slot kept; see resize_images for the implemented pattern."""
-    raise NotImplementedError("video decode requires ffmpeg; absent here")
+    """Video frame sampling at CONTAINER level (round-5: real MP4 demux
+    replaces the former NotImplementedError): ``functions/mp4.py`` walks
+    the ISO-BMFF boxes, resolves the sample tables to per-sample byte
+    ranges, and every ``every_n``-th encoded sample's bytes are emitted
+    as a row — the exact unit a downstream GPU decode stage consumes.
+    DECODING the returned payloads (H.264/HEVC) still needs codec
+    libraries absent here; selecting them does not."""
+    import sys
+
+    from pyspark import cloudpickle
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    from clickhouse_clickhouse_spark.functions import mp4 as _mp4
+    cloudpickle.register_pickle_by_value(_mp4)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                data = bytes(payload)
+                parsed = _mp4.parse_mp4(data)
+                vid = next((t for t in parsed["tracks"]
+                            if t["handler"] == "vide"), None)
+                if vid is None:
+                    raise ValueError(
+                        f"media_id {mid}: no video track (payload is not "
+                        "an MP4 with a vide handler)")
+                offs, sizes = _mp4.sample_ranges(vid)
+                for idx in range(0, sizes.size, every_n):
+                    o, s = int(offs[idx]), int(sizes[idx])
+                    rows.append((int(mid), idx, o, s, data[o:o + s],
+                                 vid["codec"]))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in _FRAME_SCHEMA.fields])
+
+    return media.mapInPandas(run, schema=_FRAME_SCHEMA)
+
+
+def probe_video(media: DataFrame) -> DataFrame:
+    """MP4 metadata probe: duration, first-video-track codec/dimensions/
+    sample count — per-row demux inside Arrow batches."""
+    import sys
+
+    from pyspark import cloudpickle
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    from clickhouse_clickhouse_spark.functions import mp4 as _mp4
+    cloudpickle.register_pickle_by_value(_mp4)
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("major_brand", T.StringType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("n_tracks", T.IntegerType(), True),
+        T.StructField("video_codec", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                p = _mp4.probe_mp4(bytes(payload))
+                rows.append((int(mid), p["major_brand"], p["duration_s"],
+                             p["n_tracks"], p["video_codec"],
+                             p["width"], p["height"], p["n_samples"]))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in schema.fields])
+
+    return media.mapInPandas(run, schema=schema)

@@ -99,3 +99,90 @@ def test_resize_rejects_non_png(spark):
 
     with pytest.raises(Exception):
         resize_images(synthetic_media(spark, 4), 3, 2).collect()
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    import struct
+    return struct.pack(">I", len(payload) + 8) + btype + payload
+
+
+def _build_test_mp4():
+    """Hand-assemble a minimal valid ISO-BMFF file per the public
+    ISO/IEC 14496-12 layout: 5 samples in 2 chunks, avc1 fourcc,
+    640x360, movie 3000/600 s."""
+    import struct
+    sample_bytes = [bytes([i]) * sz for i, sz in
+                    enumerate([10, 12, 8, 9, 11])]
+    sizes = [len(s) for s in sample_bytes]
+    ftyp = _box(b"ftyp", b"isom" + b"\x00\x00\x02\x00" + b"isomavc1")
+    mdat_body = b"".join(sample_bytes)
+    mdat = _box(b"mdat", mdat_body)
+    c1 = len(ftyp) + 8                      # first chunk: samples 0-2
+    c2 = c1 + sum(sizes[:3])                # second chunk: samples 3-4
+    stsd = _box(b"stsd", struct.pack(">II", 0, 1)
+                + _box(b"avc1", b"\x00" * 16))
+    stts = _box(b"stts", struct.pack(">IIII", 0, 1, 5, 100))
+    stsc = _box(b"stsc", struct.pack(">II", 0, 2)
+                + struct.pack(">III", 1, 3, 1)
+                + struct.pack(">III", 2, 2, 1))
+    stsz = _box(b"stsz", struct.pack(">III", 0, 0, 5)
+                + struct.pack(">5I", *sizes))
+    stco = _box(b"stco", struct.pack(">II", 0, 2)
+                + struct.pack(">II", c1, c2))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", stbl)
+    mdhd = _box(b"mdhd", struct.pack(">IIIII", 0, 0, 0, 1000, 5000)
+                + struct.pack(">HH", 0x55C4, 0))
+    hdlr = _box(b"hdlr", struct.pack(">II", 0, 0) + b"vide"
+                + b"\x00" * 12 + b"h\x00")
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _box(b"tkhd", struct.pack(">IIIIII", 0, 0, 0, 1, 0, 3000)
+                + b"\x00" * 52
+                + struct.pack(">II", 640 << 16, 360 << 16))
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _box(b"mvhd", struct.pack(">III", 0, 0, 0)
+                + struct.pack(">II", 600, 3000) + b"\x00" * 80)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov, sample_bytes, [c1, c2]
+
+
+def test_mp4_demux_probe_and_frame_sample(spark):
+    """Round-5: real ISO-BMFF demux (functions/mp4.py) — box walk, track
+    metadata, stsc x stsz x stco sample-range resolution — drives
+    probe_video and container-level frame_sample; decode stays gated."""
+    from clickhouse_clickhouse_spark.functions.mp4 import (
+        parse_mp4,
+        probe_mp4,
+        sample_ranges,
+    )
+    from clickhouse_clickhouse_spark.pipeline.multimodal import (
+        IMAGE_SCHEMA,
+        frame_sample,
+        probe_video,
+    )
+
+    data, samples, chunk_offs = _build_test_mp4()
+    p = probe_mp4(data)
+    assert p["major_brand"] == "isom"
+    assert p["video_codec"] == "avc1"
+    assert (p["width"], p["height"]) == (640, 360)
+    assert p["n_samples"] == 5
+    assert abs(p["duration_s"] - 5.0) < 1e-9       # 3000 / 600
+
+    vid = parse_mp4(data)["tracks"][0]
+    offs, sizes = sample_ranges(vid)
+    assert list(sizes) == [len(s) for s in samples]
+    for o, s, want in zip(offs, sizes, samples):
+        assert data[int(o):int(o) + int(s)] == want
+    assert int(offs[0]) == chunk_offs[0] and int(offs[3]) == chunk_offs[1]
+
+    media = spark.createDataFrame([(1, bytearray(data),
+                                    ("video/mp4", None, None))],
+                                  IMAGE_SCHEMA)
+    probed = probe_video(media).collect()[0]
+    assert (probed.video_codec, probed.width, probed.n_samples) == \
+        ("avc1", 640, 5)
+    frames = frame_sample(media, every_n=2).collect()
+    assert [(r.sample_idx, bytes(r.frame_payload)) for r in frames] == \
+        [(0, samples[0]), (2, samples[2]), (4, samples[4])]
+    assert all(r.codec == "avc1" for r in frames)
