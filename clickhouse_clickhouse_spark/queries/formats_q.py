@@ -232,3 +232,28 @@ def format_native_roundtrip(spark, sf):
     return dec.select("o_orderkey", "o_custkey", "o_orderstatus",
                       F.col("o_orderdate").cast("timestamp").alias("odate"),
                       F.round("o_totalprice", 6).alias("price"))
+
+
+@register("format_avro_roundtrip", oracle="""
+SELECT s_suppkey, s_name, s_nationkey,
+       CAST(NULL AS VARCHAR) AS s_comment_null,
+       round(s_acctbal, 6) AS acctbal
+FROM supplier
+""")
+def format_avro_roundtrip(spark, sf):
+    """Avro record encode -> decode round trip (round-5: from-scratch
+    OCF codec un-gates the Avro format, [U]
+    src/Processors/Formats/Impl/AvroRowInputFormat.cpp): zigzag-varint
+    segment assembly on encode, the pointer-doubling record-chain
+    decoder on decode — nullable union layout exercised by the
+    all-NULL column."""
+    from clickhouse_clickhouse_spark.sources.avro import (
+        avro_decode_blocks,
+        avro_encode_blocks,
+    )
+
+    s = (load_table(spark, sf, "supplier")
+         .select("s_suppkey", "s_name", "s_nationkey",
+                 F.lit(None).cast("string").alias("s_comment_null"),
+                 F.round("s_acctbal", 6).alias("acctbal")))
+    return avro_decode_blocks(avro_encode_blocks(s), s.schema)

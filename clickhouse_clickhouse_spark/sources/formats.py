@@ -5,7 +5,8 @@ round-trip tests).
 Supported here: parquet, orc, csv (with header), json (lines), text,
 xml (Spark 4 built-in; maps the reference's XML output format — rows
 under a fixed rowTag), native (the reference's columnar block format —
-``sources/native.py``, schema required on read). Avro/Delta/Iceberg need jars absent from this
+``sources/native.py``, schema required on read), avro (from-scratch OCF
+codec, ``sources/avro.py`` — no jar needed). Delta/Iceberg need jars absent from this
 environment — they raise a clear error instead of failing obscurely
 (import-try gating per brief).
 """
@@ -16,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 _NATIVE = {"parquet", "orc", "csv", "json", "text", "xml"}
-_NEEDS_JARS = {"avro", "delta", "iceberg", "hudi"}
+_NEEDS_JARS = {"delta", "iceberg", "hudi"}
 
 
 def write_any(df: DataFrame, path: str, fmt: str, mode: str = "overwrite",
@@ -31,6 +32,10 @@ def write_any(df: DataFrame, path: str, fmt: str, mode: str = "overwrite",
     if fmt == "native":
         from clickhouse_clickhouse_spark.sources.native import write_native
         write_native(df, path).collect()
+        return
+    if fmt == "avro":
+        from clickhouse_clickhouse_spark.sources.avro import write_avro
+        write_avro(df, path, codec=compression or "null").collect()
         return
     if fmt not in _NATIVE:
         raise ValueError(f"unknown format {fmt!r}")
@@ -55,6 +60,9 @@ def read_any(spark: SparkSession, path: str, fmt: str,
                              "against it)")
         from clickhouse_clickhouse_spark.sources.native import read_native
         return read_native(spark, path, schema)
+    if fmt == "avro":
+        from clickhouse_clickhouse_spark.sources.avro import read_avro
+        return read_avro(spark, path, schema)
     if fmt not in _NATIVE:
         raise ValueError(f"unknown format {fmt!r}")
     r = spark.read

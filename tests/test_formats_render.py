@@ -277,3 +277,47 @@ def test_native_varint_chain_decoder():
     exp_starts = np.cumsum(nb + lens) - lens
     assert (got_lens == lens).all()
     assert (starts == exp_starts).all()
+
+
+def test_avro_ocf_roundtrips(spark, sf_dir, tmp_path):
+    """From-scratch Avro OCF codec: mixed types with nulls, negative
+    longs (zigzag), multi-byte length prefixes, binary columns; file
+    round trip with deflate codec and embedded-schema inference; loud
+    refusal for unsupported schema bits."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from clickhouse_clickhouse_spark.sources.avro import (
+        _avro_json_fields,
+        read_avro,
+        write_avro,
+    )
+    from clickhouse_clickhouse_spark.tables import load_table
+
+    df = spark.createDataFrame(
+        [(1, "hello", 1.5, True, None, bytearray(b"\x00\x01")),
+         (2, "x" * 300, None, False, "text £é", None),
+         (None, "", 2.25, None, "z", bytearray(b"")),
+         (-12345678901, "neg", -3.5, True, None, bytearray(b"\xff" * 5))],
+        "k long, s string, f double, b boolean, t string, y binary")
+    p = str(tmp_path / "a1")
+    write_avro(df, p).collect()
+    back = read_avro(spark, p)       # schema from the embedded header
+
+    def norm(rows):
+        return sorted([tuple(bytes(x) if isinstance(x, (bytes, bytearray))
+                             else x for x in r) for r in rows], key=str)
+    assert norm(back.collect()) == norm(df.collect())
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice")
+    p2 = str(tmp_path / "a2")
+    write_avro(o, p2, codec="deflate").collect()
+    rd = read_avro(spark, p2)
+    assert sorted(map(str, rd.collect())) == sorted(map(str, o.collect()))
+
+    with _pytest.raises(TypeError, match="unsupported union"):
+        _avro_json_fields('{"type":"record","name":"r","fields":'
+                          '[{"name":"x","type":["int","string"]}]}')
+    with _pytest.raises(TypeError, match="unsupported column"):
+        write_avro(spark.createDataFrame([([1],)], "a array<int>"), "/tmp/x")
