@@ -145,6 +145,7 @@ def system_formats(spark: SparkSession) -> DataFrame:
             for f in LINE_FORMATS]
     rows += [("RowBinary", True, True), ("Native", True, True),
              ("Avro", True, True),
+             ("Protobuf", True, True), ("ProtobufSingle", True, True),
              ("Regexp", False, True),
              ("Template", True, False), ("LineAsString", False, True),
              ("Pretty", True, False), ("Vertical", True, False),
