@@ -586,3 +586,37 @@ def test_tdigest_rollup_stream_merge_and_compaction(spark, events_dir,
         e50, e90, rng = exact[k]
         assert abs(p50 - e50) <= 0.02 * rng
         assert abs(p90 - e90) <= 0.02 * rng
+
+
+def test_streaming_protobuf_ingest(spark, sf_dir, tmp_path):
+    """Binary protobuf payload stream -> typed rows via the wire codec,
+    equal to the batch decode of the same cells."""
+    from clickhouse_clickhouse_spark.sources.protobuf import (
+        protobuf_encode,
+        spark_schema_to_proto,
+    )
+    from clickhouse_clickhouse_spark.streaming.formats import (
+        read_stream_protobuf,
+    )
+
+    src = load_table(spark, sf_dir, "nation") \
+        .select("n_nationkey", "n_name")
+    proto = spark_schema_to_proto(src.schema)
+    cells = protobuf_encode(src, proto, framed=False, out_col="value")
+    in_dir = str(tmp_path / "pb_in")
+    cells.write.parquet(in_dir)
+
+    typed = read_stream_protobuf(spark, in_dir, proto)
+    assert typed.isStreaming
+    out_dir = str(tmp_path / "pb_out")
+    q = (typed.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "pb_ck"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.parquet(out_dir)
+    assert sorted((r.n_nationkey, r.n_name) for r in back.collect()) == \
+        sorted((r.n_nationkey, r.n_name) for r in src.collect())
