@@ -164,6 +164,22 @@ def _uvarint_all(buf):
     return val, nb
 
 
+
+def _exact_int64(s):
+    """int64 vector from a pandas series WITHOUT float round-tripping:
+    object-dtype input (how exact large ints arrive) converts per value,
+    numeric dtypes stay vectorized. Values beyond 2^53 survive — the
+    pd.to_numeric float64 path would round them."""
+    import numpy as np
+    import pandas as pd
+    arr = s.to_numpy()
+    if arr.dtype == object:
+        return np.array([0 if x is None or x != x else int(x)
+                         for x in arr], dtype=np.int64)
+    return (pd.to_numeric(s, errors="coerce").fillna(0)
+            .to_numpy().astype("int64"))
+
+
 # ------------------------------------------------------------- encode
 
 def _segments_for_batch(pdf, fields):
@@ -204,8 +220,7 @@ def _segments_for_batch(pdf, fields):
                 v = np.where(mask, np.int64(0),
                              ts.astype("datetime64[us]").astype("int64"))
             else:
-                v = (pd.to_numeric(s, errors="coerce").fillna(0)
-                     .to_numpy().astype("int64"))
+                v = _exact_int64(s)
             chunk, nb = _zigzag_chunks(v)
             add(chunk, nb, mask)
         elif prim in ("float", "double"):

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from clickhouse_clickhouse_spark.sources.avro import (
+    _exact_int64,
     _uvarint_all,
     _zigzag_chunks,
 )
@@ -153,13 +154,11 @@ def _message_segments(pdf, fields):
             ones = np.ones(n, dtype=np.int64)
             add(v, ones, np.where(mask, 0, ones))
         elif ptype in ("int32", "int64", "uint32", "uint64"):
-            v = (pd.to_numeric(s, errors="coerce").fillna(0)
-                 .to_numpy().astype("int64"))
+            v = _exact_int64(s)
             chunk, nb = _plain_varint_chunks(v)
             add(chunk, nb, np.where(mask, 0, nb))
         elif ptype in ("sint32", "sint64"):
-            v = (pd.to_numeric(s, errors="coerce").fillna(0)
-                 .to_numpy().astype("int64"))
+            v = _exact_int64(s)
             chunk, nb = _zigzag_chunks(v)
             add(chunk, nb, np.where(mask, 0, nb))
         elif ptype in ("float", "double"):
