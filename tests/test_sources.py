@@ -42,9 +42,17 @@ def test_format_roundtrips(spark, sample, tmp_path):
 
 def test_format_needs_jars_raises(spark, sample, tmp_path):
     with pytest.raises(NotImplementedError):
-        write_any(sample, str(tmp_path / "x"), "avro")
+        write_any(sample, str(tmp_path / "x"), "delta")
     with pytest.raises(ValueError):
         write_any(sample, str(tmp_path / "x"), "bogus")
+    # avro no longer gates (round-5 from-scratch codec): full round trip
+    from clickhouse_clickhouse_spark.sources.formats import read_any
+
+    p = str(tmp_path / "a")
+    write_any(sample, p, "avro")
+    back = read_any(spark, p, "avro")
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, sample.collect()))
 
 
 def test_mutate_update(spark, sample, tmp_path):
