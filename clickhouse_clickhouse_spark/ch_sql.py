@@ -1306,7 +1306,8 @@ def ch_statement(spark: SparkSession, sql: str,
     head = sql.strip().split(None, 2)
     kw = head[0].upper() if head else ""
     if kw in ("SET", "CREATE", "INSERT", "DESCRIBE", "DESC", "SHOW",
-              "EXPLAIN", "EXISTS", "DROP", "ALTER", "DELETE", "TRUNCATE"):
+              "EXPLAIN", "EXISTS", "DROP", "ALTER", "DELETE", "TRUNCATE",
+              "RENAME", "EXCHANGE"):
         from clickhouse_clickhouse_spark.sources.system_tables import (
             log_query,
         )
@@ -1347,8 +1348,27 @@ def ch_statement(spark: SparkSession, sql: str,
                       f"{vm.group('v')} AS {translate(vm.group('q'))}")
             return spark.createDataFrame([(vm.group("v"), "View")],
                                          "name string, engine string")
-        spec = ch_create_table(spark, sql)
-        _remember_spec(spark, spec)
+        cm = re.match(
+            r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<t>\w+)\s+"
+            r"ENGINE\s*=\s*(?P<e>\w+)(?:\([^)]*\))?\s*"
+            r"(?:PARTITION\s+BY\s+(?P<part>\([^)]*\)|\w+)\s*)?"
+            r"(?:ORDER\s+BY\s+(?P<order>\([^)]*\)|\w+)\s*)?"
+            r"AS\s+(?P<q>(?:SELECT|WITH)\b.+)$",
+            sql.strip().rstrip(";"), re.IGNORECASE | re.DOTALL)
+        if cm:
+            # CTAS: schema and contents come from the translated SELECT.
+            # The view binds the SELECT's plan at create time (a later
+            # re-read recomputes over current base data — same answers
+            # unless bases mutate; the reference snapshots instead).
+            rows = ch_sql(spark, cm.group("q"))
+            rows.createOrReplaceTempView(cm.group("t"))
+            spec = TableSpec(cm.group("t"), rows.schema, cm.group("e"),
+                             _key_list(cm.group("part")),
+                             _key_list(cm.group("order")))
+            _remember_spec(spark, spec)
+        else:
+            spec = ch_create_table(spark, sql)
+            _remember_spec(spark, spec)
         return spark.createDataFrame(
             [(spec.name, spec.engine, ",".join(spec.partition_by),
               ",".join(spec.order_by))],
@@ -1493,6 +1513,45 @@ def ch_statement(spark: SparkSession, sql: str,
         spark.table(mm.group("t")).filter(f"NOT ({cond})") \
             .createOrReplaceTempView(mm.group("t"))
         return spark.createDataFrame([(mm.group("t"),)], "mutated string")
+    if kw == "RENAME":
+        mm = re.match(r"RENAME\s+TABLE\s+(.+)$",
+                      sql.strip().rstrip(";"), re.IGNORECASE)
+        if not mm:
+            raise ValueError("unsupported RENAME statement")
+        moved = []
+        for pair in _split_top_commas(mm.group(1)):
+            pm = re.match(r"(\w+)\s+TO\s+(\w+)$", pair.strip(),
+                          re.IGNORECASE)
+            if not pm:
+                raise ValueError(f"RENAME TABLE: bad clause {pair!r}")
+            a, b = pm.group(1), pm.group(2)
+            spark.table(a).createOrReplaceTempView(b)
+            spark.catalog.dropTempView(a)
+            spec = _SPECS.pop((id(spark), a.lower()), None)
+            if spec is not None:
+                spec.name = b
+                _remember_spec(spark, spec)
+            moved.append((a, b))
+        return spark.createDataFrame(moved, "from string, to string")
+    if kw == "EXCHANGE":
+        mm = re.match(r"EXCHANGE\s+TABLES\s+(\w+)\s+AND\s+(\w+)$",
+                      sql.strip().rstrip(";"), re.IGNORECASE)
+        if not mm:
+            raise ValueError("unsupported EXCHANGE statement")
+        a, b = mm.group(1), mm.group(2)
+        da, db = spark.table(a), spark.table(b)
+        db.createOrReplaceTempView(a)
+        da.createOrReplaceTempView(b)
+        sa = _SPECS.pop((id(spark), a.lower()), None)
+        sb = _SPECS.pop((id(spark), b.lower()), None)
+        if sa is not None:
+            sa.name = b
+            _remember_spec(spark, sa)
+        if sb is not None:
+            sb.name = a
+            _remember_spec(spark, sb)
+        return spark.createDataFrame([(a, b)],
+                                     "exchanged string, with string")
     if kw == "TRUNCATE":
         mm = re.match(r"TRUNCATE\s+(?:TABLE\s+)?(\w+)", sql.strip(),
                       re.IGNORECASE)

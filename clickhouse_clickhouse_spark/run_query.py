@@ -96,7 +96,7 @@ def main(argv: list[str] | None = None) -> int:
             if args.sql.strip() else ""
         if first in ("CREATE", "DESCRIBE", "DESC", "SHOW", "EXISTS",
                      "DROP", "TRUNCATE", "ALTER", "DELETE", "SET",
-                     "EXPLAIN"):
+                     "EXPLAIN", "RENAME", "EXCHANGE"):
             from clickhouse_clickhouse_spark.ch_sql import ch_statement
 
             ch_statement(spark, args.sql).show(args.limit, truncate=False)

@@ -865,3 +865,37 @@ def test_script_splitting_and_set_statement(spark):
             "spark.sql.autoBroadcastJoinThreshold") == "123456"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+
+
+def test_ctas_rename_exchange(spark):
+    """CREATE TABLE ... ENGINE ... AS SELECT; RENAME TABLE; EXCHANGE
+    TABLES — statement-surface round trip through ch_statement."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_statement
+
+    spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)],
+                          "k int, v double") \
+        .createOrReplaceTempView("__ct_base")
+    out = ch_statement(spark, """
+        CREATE TABLE __ct_sum ENGINE = MergeTree ORDER BY k
+        AS SELECT k, sumIf(v, v > 5) AS sv FROM __ct_base GROUP BY k
+    """).collect()[0]
+    assert (out.name, out.engine, out.order_by) == \
+        ("__ct_sum", "MergeTree", "k")
+    assert sorted((r.k, r.sv) for r in spark.table("__ct_sum").collect()) \
+        == [(1, 10.0), (2, 20.0), (3, 30.0)]
+    # SHOW CREATE TABLE knows the CTAS-derived schema
+    stmt = ch_statement(spark,
+                        "SHOW CREATE TABLE __ct_sum").collect()[0].statement
+    assert "ORDER BY (k)" in stmt and "sv" in stmt
+
+    ch_statement(spark, "RENAME TABLE __ct_sum TO __ct_renamed")
+    assert not spark.catalog.tableExists("__ct_sum")
+    assert spark.table("__ct_renamed").count() == 3
+    assert "__ct_renamed" in ch_statement(
+        spark, "SHOW CREATE TABLE __ct_renamed").collect()[0].statement
+
+    spark.createDataFrame([(9,)], "x int") \
+        .createOrReplaceTempView("__ct_other")
+    ch_statement(spark, "EXCHANGE TABLES __ct_renamed AND __ct_other")
+    assert spark.table("__ct_renamed").columns == ["x"]
+    assert spark.table("__ct_other").columns == ["k", "sv"]
