@@ -37,6 +37,9 @@ def write_any(df: DataFrame, path: str, fmt: str, mode: str = "overwrite",
         from clickhouse_clickhouse_spark.sources.avro import write_avro
         write_avro(df, path, codec=compression or "null").collect()
         return
+    if fmt == "arrow":
+        write_arrow(df, path).collect()
+        return
     if fmt not in _NATIVE:
         raise ValueError(f"unknown format {fmt!r}")
     w = df.write.mode(mode)
@@ -63,6 +66,8 @@ def read_any(spark: SparkSession, path: str, fmt: str,
     if fmt == "avro":
         from clickhouse_clickhouse_spark.sources.avro import read_avro
         return read_avro(spark, path, schema)
+    if fmt == "arrow":
+        return read_arrow(spark, path, schema)
     if fmt not in _NATIVE:
         raise ValueError(f"unknown format {fmt!r}")
     r = spark.read
@@ -73,3 +78,58 @@ def read_any(spark: SparkSession, path: str, fmt: str,
     if fmt == "xml":
         r = r.option("rowTag", "row")
     return r.format(fmt).load(path)
+
+
+def write_arrow(df: DataFrame, path: str) -> DataFrame:
+    """The reference's ``Arrow`` format (upstream
+    src/Processors/Formats/Impl/ArrowBlockOutputFormat.cpp): one Arrow
+    IPC file per partition under ``path`` — mapInPandas hands us Arrow
+    batches already, so serialization is pyarrow-native (zero custom
+    code). Returns the (file, rows) manifest."""
+    import os
+    import uuid
+
+    os.makedirs(path, exist_ok=True)
+
+    def dump(batches):
+        import pandas as pd
+        import pyarrow as pa
+        tables = [pa.Table.from_pandas(pdf, preserve_index=False)
+                  for pdf in batches if len(pdf)]
+        if not tables:
+            return
+        table = pa.concat_tables(tables)
+        fname = os.path.join(path, f"part-{uuid.uuid4().hex}.arrow")
+        with pa.ipc.new_file(fname, table.schema) as w:
+            w.write_table(table)
+        yield pd.DataFrame({"file": [fname], "rows": [table.num_rows]})
+
+    return df.mapInPandas(dump, "file string, rows long")
+
+
+def read_arrow(spark: SparkSession, path: str,
+               schema: T.StructType | None = None) -> DataFrame:
+    """Arrow IPC source: files parallelize via binaryFile; record
+    batches stream out as pandas frames. Schema defaults to the files'
+    own (read driver-side from one footer)."""
+    files = spark.read.format("binaryFile").load(f"{path}/*.arrow")
+    if schema is None:
+        import io
+
+        import pyarrow as pa
+        one = files.select("content").limit(1).collect()[0].content
+        with pa.ipc.open_file(io.BytesIO(bytes(one))) as r:
+            from pyspark.sql.pandas.types import from_arrow_schema
+            schema = from_arrow_schema(r.schema)
+
+    def parse(batches):
+        import io
+
+        import pyarrow as pa
+        for pdf in batches:
+            for blob in pdf["content"]:
+                with pa.ipc.open_file(io.BytesIO(bytes(blob))) as r:
+                    for i in range(r.num_record_batches):
+                        yield r.get_batch(i).to_pandas()
+
+    return files.select("content").mapInPandas(parse, schema)

@@ -144,7 +144,7 @@ def system_formats(spark: SparkSession) -> DataFrame:
                             "TabSeparated", "Values"))
             for f in LINE_FORMATS]
     rows += [("RowBinary", True, True), ("Native", True, True),
-             ("Avro", True, True),
+             ("Avro", True, True), ("Arrow", True, True),
              ("Protobuf", True, True), ("ProtobufSingle", True, True),
              ("Regexp", False, True),
              ("Template", True, False), ("LineAsString", False, True),

@@ -271,3 +271,21 @@ def test_system_query_log(spark):
                          "WHERE normalized_query = "
                          "'SELECT k FROM __ql_t WHERE k = ?'").collect()
     assert log2[0].n >= 2
+
+
+def test_arrow_ipc_roundtrip(spark, sf_dir, tmp_path):
+    """Arrow IPC format: per-partition IPC files round-trip through
+    write_any/read_any with schema inference from the file footer."""
+    from clickhouse_clickhouse_spark.sources.formats import (
+        read_any,
+        write_any,
+    )
+    from clickhouse_clickhouse_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice")
+    p = str(tmp_path / "arrow")
+    write_any(o, p, "arrow")
+    back = read_any(spark, p, "arrow")
+    assert sorted(map(str, back.collect())) == \
+        sorted(map(str, o.collect()))
