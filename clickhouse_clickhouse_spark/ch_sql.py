@@ -96,6 +96,13 @@ _FUNCS: dict[str, str] = {
     "age": lambda a: "TIMESTAMPDIFF({}, {}, {})".format(
         a[0].strip().strip("'\""), a[1], a[2]),
     "toStartOfInterval": lambda a: _to_start_of_interval(a),
+    # CH transform(x, [from...], [to...], default) is VALUE mapping —
+    # NOT Spark's array transform HOF (that name stays untouched when
+    # called with a lambda, since 4 plain args can't be the HOF form)
+    "transform": lambda a: (
+        "COALESCE(ELEMENT_AT(MAP_FROM_ARRAYS({1}, {2}), {0}), {3})"
+        .format(*a) if len(a) == 4 else
+        "transform({})".format(", ".join(a))),
     "arrayReduce": lambda a: _array_reduce_tpl(a),
     "arrayEnumerate": "SEQUENCE(1, SIZE({0}))",
     "arrayEnumerateUniq":

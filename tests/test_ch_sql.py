@@ -899,3 +899,19 @@ def test_ctas_rename_exchange(spark):
     ch_statement(spark, "EXCHANGE TABLES __ct_renamed AND __ct_other")
     assert spark.table("__ct_renamed").columns == ["x"]
     assert spark.table("__ct_other").columns == ["k", "sv"]
+
+
+def test_transform_value_mapping(views):
+    """CH transform(x, [from], [to], default) is value mapping, not the
+    array HOF — both forms coexist in the dialect."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    out = ch_sql(views, """
+        SELECT n_nationkey AS k,
+               transform(n_nationkey, [0, 1], ['zero', 'one'], 'other')
+                 AS label,
+               transform(array(1, 2), v -> v * 10) AS doubled
+        FROM nation WHERE n_nationkey < 3 ORDER BY k""").collect()
+    assert [(r.k, r.label, r.doubled) for r in out] == \
+        [(0, "zero", [10, 20]), (1, "one", [10, 20]),
+         (2, "other", [10, 20])]
