@@ -949,3 +949,31 @@ def leadInFrame(col, n=1, default=None):
 
 def nthValue(col, n):
     return F.nth_value(_c(col), n)
+
+
+def toDecimalString(v, scale: int):
+    """Fixed-scale decimal rendering (reference toDecimalString) —
+    format_number without the thousands separators."""
+    return F.regexp_replace(F.format_number(_c(v).cast("double"), scale),
+                            ",", "")
+
+
+def arrayRandomSample(a, k: int):
+    """k random elements without replacement (reference
+    arrayRandomSample)."""
+    return F.slice(F.shuffle(_c(a)), 1, k)
+
+
+def multiSearchFirstIndex(h, needles):
+    """1-based index of the needle with the LEFTMOST occurrence in the
+    haystack (0 when none matches) — reference multiSearchFirstIndex."""
+    arr = needles if isinstance(needles, Column) else \
+        F.array(*[F.lit(x) for x in needles])
+    hay = _c(h)
+    # (position, needle_index) pairs for matching needles; array_min
+    # picks the leftmost occurrence, ties broken by needle order
+    pairs = F.filter(
+        F.transform(arr, lambda ndl, i: F.struct(
+            F.instr(hay, ndl).alias("pos"), (i + 1).alias("idx"))),
+        lambda s: s["pos"] > 0)
+    return F.coalesce(F.array_min(pairs)["idx"], F.lit(0))

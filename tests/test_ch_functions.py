@@ -306,3 +306,20 @@ def test_round5_long_tail_batch(spark):
                           Window.unboundedFollowing)).alias("nv")).collect()
     assert [(r.lg, r.ld, r.nv) for r in sorted(lr, key=lambda r: r.id)] == \
         [(None, 1, 1), (0, 2, 1), (1, None, 1)]
+
+
+def test_round5_small_batch2(spark):
+    import pyspark.sql.functions as F
+
+    from clickhouse_clickhouse_spark import ch_functions as ch
+
+    df = spark.createDataFrame([("the quick brown fox",)], "s string")
+    r = df.select(
+        ch.toDecimalString(F.lit(1234.5678), 2).alias("d"),
+        ch.toDecimalString(F.lit(-0.125), 1).alias("dn"),
+        F.size(ch.arrayRandomSample(
+            F.sequence(F.lit(1), F.lit(10)), 3)).alias("k"),
+        ch.multiSearchFirstIndex("s", ["fox", "quick", "zzz"]).alias("i1"),
+        ch.multiSearchFirstIndex("s", ["zzz"]).alias("i0")).collect()[0]
+    assert (r.d, r.dn, r.k, r.i1, r.i0) == \
+        ("1234.57", "-0.1", 3, 2, 0)
