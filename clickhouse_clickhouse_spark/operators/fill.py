@@ -99,9 +99,11 @@ def with_fill_bounds(df: DataFrame, key: str, frm=None, to=None,
         # WITH FILL INTERPOLATE carries values forward across the whole
         # ordered series; the filled spine is presentation-bound (one result
         # series), so the single partition is the semantics, not an accident.
-        # The constant partition key silences the "No Partition Defined"
-        # warning without changing the plan.
-        w = (Window.partitionBy(F.lit(0)).orderBy(key)
+        # The non-foldable constant partition key silences the "No
+        # Partition Defined" warning without changing the plan (a bare
+        # F.lit(0) is constant-folded away inside larger plans).
+        from clickhouse_clickhouse_spark.operators.grank import single_partition_key
+        w = (Window.partitionBy(single_partition_key(key)).orderBy(key)
              .rowsBetween(Window.unboundedPreceding, 0))
         for c in carry_forward:
             out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))

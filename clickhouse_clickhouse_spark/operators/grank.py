@@ -44,6 +44,18 @@ _BKT = "__gr_bkt"
 _BNDS = "__gr_bnds"
 
 
+def single_partition_key(col: Column | str) -> Column:
+    """A non-foldable always-zero Window partition key, for the few places
+    where a single partition IS the semantics (k-row seed numbering,
+    presentation-bound WITH FILL spines). A literal key (``F.lit(0)``)
+    gets constant-folded out of the partition spec inside larger plans,
+    resurfacing Spark's "No Partition Defined" warning; deriving zero from
+    a column survives optimization while still grouping every row
+    together."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(F.length(c.cast("string")) % 1, F.lit(0))
+
+
 def _bucket_key_expr(df: DataFrame, key: str):
     """Numeric range-bucketing key for ``key``. Numeric/temporal columns
     cast to double. STRING columns map to their first 7 UTF-8 bytes as a

