@@ -50,14 +50,23 @@ def main() -> None:
     spark.range(1000).count()
     from clickhouse_clickhouse_spark.tables import load_table
     load_table(spark, sf_dir, "lineitem").limit(10).count()
+    # Untimed warmup pass: execute every headline query once at the
+    # smallest fixture scale so whole-stage-codegen classes, broadcast
+    # machinery, and the parquet footer/page caches are hot before any
+    # timer starts — the timed runs then measure the plans, not JIT or
+    # first-touch I/O (same reason ClickBench discards the cold run).
+    warm_dir = "/root/testdata/sf0.001"
+    warm = warm_dir if os.path.isdir(warm_dir) else sf_dir
+    for name in HEADLINE:
+        qs[name](spark, warm).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        # hot-run methodology (as in ClickBench): two runs, report the
+        # hot-run methodology (as in ClickBench): three runs, report the
         # best — measures the plan, not page-cache/JIT noise. count()
         # forces full execution without serializing results to the driver.
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
