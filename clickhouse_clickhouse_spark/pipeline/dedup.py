@@ -282,3 +282,32 @@ def chunk_dedup(df: DataFrame, id_col: str, text_col: str,
     return (c.join(keepers, "chunk")
             .select(id_col, "chunk_id", "chunk",
                     (enc == F.col("__keeper")).alias("keep")))
+
+
+def chunk_dedup_rebuild(df: DataFrame, id_col: str, text_col: str,
+                        size: int = 100, stride: int | None = None,
+                        max_chunks: int = 20) -> DataFrame:
+    """Sub-document dedup with text reassembly — the *cleaning* step the
+    span-removal literature applies after finding duplicated spans
+    (public: Lee et al., "Deduplicating Training Data Makes Language
+    Models Better"): run :func:`chunk_dedup`, drop each document's
+    non-keeper chunks, and stitch the survivors back together in chunk
+    order. Returns (id, clean_text, n_kept, n_dropped).
+
+    The reassembly is one per-doc hash aggregation: collect the kept
+    (chunk_id, chunk) structs, array_sort (orders by the struct's first
+    field — the chunk position), project the text and concat. Per-doc
+    state is bounded by document length, never by corpus size, so the
+    shape holds at 100 TB.
+    """
+    cd = chunk_dedup(df, id_col, text_col, size=size, stride=stride,
+                     max_chunks=max_chunks)
+    kept_struct = F.when(F.col("keep"), F.struct("chunk_id", "chunk"))
+    return (cd.groupBy(id_col)
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s["chunk"]), "").alias("clean_text"),
+                F.sum(F.col("keep").cast("long")).alias("n_kept"),
+                F.sum((~F.col("keep")).cast("long")).alias("n_dropped")))

@@ -1155,3 +1155,121 @@ def mixture_sample_assign(spark, sf):
     return mixture_sample(
         d, {"src0": 0.5, "src1": 0.3, "src2": 0.2}, 120) \
         .select("doc_id", "source")
+
+
+@register("dsir_log_weights", oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+  FROM documents),
+tk AS (
+  SELECT doc_id,
+         ((ascii(t[1]) * 961 + ascii(t[-1]) * 31 + len(t)) % 1024
+          + 1024) % 1024 AS b
+  FROM toks WHERE t <> ''),
+tgt AS (SELECT DISTINCT doc_id FROM documents WHERE lang = 'en'),
+rcnt AS (SELECT b, count(*) AS r_cnt FROM tk GROUP BY b),
+tcnt AS (SELECT b, count(*) AS t_cnt
+         FROM tk JOIN tgt USING (doc_id) GROUP BY b),
+tot AS (SELECT (SELECT sum(r_cnt) FROM rcnt) AS r_tot,
+               (SELECT sum(t_cnt) FROM tcnt) AS t_tot),
+ratio AS (
+  SELECT r.b,
+         round(ln((coalesce(t.t_cnt, 0) + 1.0) / (tot.t_tot + 1024.0))
+             - ln((r.r_cnt + 1.0) / (tot.r_tot + 1024.0)), 6) AS lr
+  FROM rcnt r LEFT JOIN tcnt t ON r.b = t.b CROSS JOIN tot)
+SELECT tk.doc_id, round(sum(ratio.lr), 4) AS log_weight
+FROM tk JOIN ratio ON tk.b = ratio.b
+GROUP BY tk.doc_id
+""")
+def dsir_log_weights_q(spark, sf):
+    """DSIR importance log-weights (pipeline/dsir.dsir_log_weights;
+    public method: Xie et al., NeurIPS 2023): hashed-unigram bucket
+    distributions for the in-domain target (lang='en') vs the raw
+    corpus, Laplace-smoothed log-ratio per bucket, summed per document.
+    The ratio table is <=1024 rows (broadcast); corpus-wide work is one
+    token explode + one bucket count + one per-doc sum."""
+    from clickhouse_clickhouse_spark.pipeline.dsir import dsir_log_weights
+
+    d = load_table(spark, sf, "documents")
+    tgt = d.filter(F.col("lang") == "en").select("doc_id")
+    return dsir_log_weights(d, tgt)
+
+
+@register("dsir_resample_topk", oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+  FROM documents),
+tk AS (
+  SELECT doc_id,
+         ((ascii(t[1]) * 961 + ascii(t[-1]) * 31 + len(t)) % 1024
+          + 1024) % 1024 AS b
+  FROM toks WHERE t <> ''),
+tgt AS (SELECT DISTINCT doc_id FROM documents WHERE lang = 'en'),
+rcnt AS (SELECT b, count(*) AS r_cnt FROM tk GROUP BY b),
+tcnt AS (SELECT b, count(*) AS t_cnt
+         FROM tk JOIN tgt USING (doc_id) GROUP BY b),
+tot AS (SELECT (SELECT sum(r_cnt) FROM rcnt) AS r_tot,
+               (SELECT sum(t_cnt) FROM tcnt) AS t_tot),
+ratio AS (
+  SELECT r.b,
+         round(ln((coalesce(t.t_cnt, 0) + 1.0) / (tot.t_tot + 1024.0))
+             - ln((r.r_cnt + 1.0) / (tot.r_tot + 1024.0)), 6) AS lr
+  FROM rcnt r LEFT JOIN tcnt t ON r.b = t.b CROSS JOIN tot),
+w AS (SELECT tk.doc_id, round(sum(ratio.lr), 4) AS log_weight
+      FROM tk JOIN ratio ON tk.b = ratio.b GROUP BY tk.doc_id),
+keyed AS (
+  SELECT doc_id, log_weight,
+         round(log_weight
+               - ln(-ln(((doc_id * 2654435761) % 1000003 + 1)
+                        / 1000005.0)), 4) AS sample_key
+  FROM w)
+SELECT doc_id, log_weight, sample_key
+FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 100
+""")
+def dsir_resample_topk(spark, sf):
+    """DSIR Gumbel top-k resampling (pipeline/dsir.dsir_resample):
+    sampling-without-replacement proportional to importance weight via
+    the Gumbel-max trick — k largest (log_weight + Gumbel(id)) keys,
+    with deterministic replayable noise. Global top-k is
+    TakeOrderedAndProject (per-partition heaps)."""
+    from clickhouse_clickhouse_spark.pipeline.dsir import dsir_resample
+
+    d = load_table(spark, sf, "documents")
+    tgt = d.filter(F.col("lang") == "en").select("doc_id")
+    return dsir_resample(d, tgt, 100)
+
+
+@register("chunk_dedup_rebuild", oracle="""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+c AS (SELECT doc_id, s.i AS chunk_id,
+             substr(text, 1 + s.i * 100, 100) AS chunk
+      FROM d, (SELECT unnest(generate_series(0, 20)) AS i) s
+      WHERE s.i * 100 + 1 <= length(text)),
+k AS (SELECT chunk, min(doc_id * 21 + chunk_id) AS keeper
+      FROM c GROUP BY chunk),
+f AS (SELECT c.doc_id, c.chunk_id, c.chunk,
+             c.doc_id * 21 + c.chunk_id = k.keeper AS keep
+      FROM c JOIN k USING (chunk))
+SELECT doc_id,
+       md5(coalesce(string_agg(CASE WHEN keep THEN chunk END, ''
+                               ORDER BY chunk_id), '')) AS clean_md5,
+       cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       cast(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+FROM f GROUP BY doc_id
+""")
+def chunk_dedup_rebuild_q(spark, sf):
+    """Sub-document dedup with text reassembly
+    (pipeline/dedup.chunk_dedup_rebuild): drop each document's non-keeper
+    100-char chunks and stitch the survivors back in order — the
+    span-removal cleaning step (Lee et al.) downstream of chunk-level
+    duplicate detection. md5 keeps the cleaned text hash-comparable
+    without multi-KB driver rows."""
+    from clickhouse_clickhouse_spark.pipeline.dedup import (
+        chunk_dedup_rebuild,
+    )
+
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    out = chunk_dedup_rebuild(d, "doc_id", "text", size=100, stride=100,
+                              max_chunks=20)
+    return out.select("doc_id", F.md5("clean_text").alias("clean_md5"),
+                      "n_kept", "n_dropped")

@@ -466,3 +466,51 @@ def test_minhash_hot_bucket_cap_star_collapse(spark):
                 for root in set(cb.values())}
     assert groups_a == groups_b
     assert frozenset(range(hot)) in groups_a  # the hot block is one group
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """Docs whose tokens match the target subset's vocabulary must score
+    strictly above docs drawn from a disjoint vocabulary."""
+    from clickhouse_clickhouse_spark.pipeline.dsir import (
+        dsir_log_weights, dsir_resample,
+    )
+    import pyspark.sql.functions as F
+
+    rows = (
+        # target-domain docs: vocabulary A
+        [(i, "alpha beta gamma delta alpha beta", "en") for i in range(10)]
+        # raw-only docs: disjoint vocabulary B
+        + [(100 + i, "omega sigma theta lambda omega sigma", "de")
+           for i in range(10)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    tgt = docs.filter(F.col("lang") == "en").select("doc_id")
+    w = {r.doc_id: r.log_weight
+         for r in dsir_log_weights(docs, tgt, dim=64).collect()}
+    assert min(w[i] for i in range(10)) > max(w[100 + i] for i in range(10))
+
+    # resampling with k=10 must pick exactly the target-like docs: their
+    # weight margin dwarfs the bounded Gumbel noise here
+    picked = {r.doc_id for r in dsir_resample(docs, tgt, 10, dim=64).collect()}
+    assert picked == set(range(10))
+
+
+def test_chunk_dedup_rebuild_removes_cross_doc_spans(spark):
+    """A boilerplate chunk shared by every doc survives only in the first;
+    unique chunks all survive; reassembly preserves chunk order."""
+    from clickhouse_clickhouse_spark.pipeline.dedup import chunk_dedup_rebuild
+
+    boiler = "B" * 10
+    rows = [(0, boiler + "0123456789"),
+            (1, boiler + "abcdefghij"),
+            (2, boiler + "qrstuvwxyz")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           chunk_dedup_rebuild(docs, "doc_id", "text",
+                               size=10, stride=10, max_chunks=5).collect()}
+    assert out[0].clean_text == boiler + "0123456789"
+    assert out[0].n_kept == 2 and out[0].n_dropped == 0
+    # later docs lose the boilerplate chunk but keep their unique tail
+    assert out[1].clean_text == "abcdefghij"
+    assert out[1].n_kept == 1 and out[1].n_dropped == 1
+    assert out[2].clean_text == "qrstuvwxyz"
