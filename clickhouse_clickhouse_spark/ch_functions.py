@@ -977,3 +977,441 @@ def multiSearchFirstIndex(h, needles):
             F.instr(hay, ndl).alias("pos"), (i + 1).alias("idx"))),
         lambda s: s["pos"] > 0)
     return F.coalesce(F.array_min(pairs)["idx"], F.lit(0))
+
+
+# -- round-5 late batch: array calculus / JSON / URL / encode / misc -----
+def arrayAUC(scores, labels):
+    """Area under the ROC curve from parallel score/label arrays
+    (reference arrayAUC, src/Functions/array/arrayAUC.cpp upstream):
+    rank formulation with average ranks for ties — for every positive,
+    count negatives scoring strictly below plus half the ties, divided
+    by P*N. O(|arr|²) per row over plain HOFs (arrays are row-local)."""
+    sc, lb = _c(scores), _c(labels)
+    pairs = F.zip_with(sc, lb, lambda s, y: F.struct(s.alias("s"),
+                                                    y.alias("y")))
+    pos = F.filter(pairs, lambda p: p["y"] > 0)
+    neg = F.filter(pairs, lambda p: ~(p["y"] > 0))
+    num = F.aggregate(
+        pos, F.lit(0.0),
+        lambda acc, p: acc
+        + F.size(F.filter(neg, lambda q: q["s"] < p["s"])).cast("double")
+        + F.size(F.filter(neg, lambda q: q["s"] == p["s"])).cast("double")
+        / 2.0)
+    denom = (F.size(pos) * F.size(neg)).cast("double")
+    return F.when(denom > 0, num / denom)
+
+
+def arrayFill(cond, a):
+    """Left-to-right fill (reference arrayFill(func, arr)): where
+    func(x) is false, x is replaced by the nearest preceding element
+    with func true (leading falses stay). One fold, no explode."""
+    arr = _c(a)
+    return F.aggregate(
+        arr, F.slice(arr, 1, 0),
+        lambda acc, x: F.concat(acc, F.array(
+            F.when(cond(x) | (F.size(acc) == 0), x)
+             .otherwise(F.element_at(acc, -1)))))
+
+
+def arrayReverseFill(cond, a):
+    """Right-to-left twin of arrayFill (reference arrayReverseFill)."""
+    return F.reverse(arrayFill(cond, F.reverse(_c(a))))
+
+
+def arraySplit(cond, a):
+    """Split into consecutive groups, cutting BEFORE each element where
+    func is true (reference arraySplit); no leading empty group. One
+    fold building array<array<T>> — the seed is a slice of the input so
+    the nested element type is inferred, not hand-spelled."""
+    arr = _c(a)
+    seed = F.array(F.slice(arr, 1, 0))
+    return F.aggregate(
+        arr, seed,
+        lambda acc, x: F.when(
+            cond(x) & (F.size(F.element_at(acc, -1)) > 0),
+            F.concat(acc, F.array(F.array(x)))
+        ).otherwise(F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(F.concat(F.element_at(acc, -1), F.array(x))))))
+
+
+def arrayReverseSplit(cond, a):
+    """Cut AFTER each flagged element (reference arrayReverseSplit)."""
+    arr = _c(a)
+    rev = F.transform(arraySplit(cond, F.reverse(arr)), F.reverse)
+    return F.reverse(rev)
+
+
+def arrayPartialSort(limit, a):
+    """Reference arrayPartialSort(limit, arr): first ``limit`` elements
+    sorted, remainder unspecified — a full sort is a valid refinement
+    (and what Tungsten does cheaply for row-local arrays)."""
+    return F.array_sort(_c(a))
+
+
+# -- timestamps at fixed precision ---------------------------------------
+def toUnixTimestamp64Milli(t): return F.unix_millis(_c(t))
+def toUnixTimestamp64Micro(t): return F.unix_micros(_c(t))
+def toUnixTimestamp64Nano(t): return F.unix_micros(_c(t)) * 1000
+def fromUnixTimestamp64Milli(x): return F.timestamp_millis(_c(x).cast("long"))
+def fromUnixTimestamp64Micro(x): return F.timestamp_micros(_c(x).cast("long"))
+def fromUnixTimestamp64Nano(x):
+    # Spark timestamps are µs precision; ns truncate (FIXTURES.md)
+    return F.timestamp_micros((_c(x).cast("long") / F.lit(1000)).cast("long"))
+
+
+def toDaysSinceYearZero(d):
+    """Days since 0000-01-01 of the proleptic Gregorian calendar
+    (reference toDaysSinceYearZero): 0001-01-01 is day 366."""
+    return (F.datediff(_c(d), F.lit("0001-01-01").cast("date")) + 366) \
+        .cast("long")
+
+
+def tumbleStart(t, slide):
+    """Start of the tumbling window containing t (reference tumbleStart);
+    slide is a seconds width."""
+    sec = F.lit(int(slide))
+    return F.timestamp_seconds(
+        F.floor(F.unix_timestamp(_c(t)) / sec) * sec)
+
+
+def tumbleEnd(t, slide):
+    return F.timestamp_seconds(
+        F.unix_timestamp(tumbleStart(t, slide)) + F.lit(int(slide)))
+
+
+# -- readable rendering ---------------------------------------------------
+def formatReadableQuantity(x):
+    """123456789 → '123.46 million' (reference formatReadableQuantity)."""
+    v = _c(x).cast("double")
+    a = F.abs(v)
+    return F.when(a >= 1e12, F.concat(F.format_number(v / 1e12, 2),
+                                      F.lit(" trillion"))) \
+            .when(a >= 1e9, F.concat(F.format_number(v / 1e9, 2),
+                                     F.lit(" billion"))) \
+            .when(a >= 1e6, F.concat(F.format_number(v / 1e6, 2),
+                                     F.lit(" million"))) \
+            .when(a >= 1e3, F.concat(F.format_number(v / 1e3, 2),
+                                     F.lit(" thousand"))) \
+            .otherwise(F.format_number(v, 2))
+
+
+# -- JSON ------------------------------------------------------------------
+def JSONExtractKeys(j):
+    """Top-level object keys (reference JSONExtractKeys)."""
+    return F.json_object_keys(_c(j))
+
+
+def JSONExtractArrayRaw(j):
+    """Array elements as JSON strings (reference JSONExtractArrayRaw):
+    indexes the JSON array with a computed $[i] path — stays JVM-side
+    (GetJsonObject accepts a non-foldable path). Divergence: string
+    elements come back unquoted ('a', not '\"a\"') because GetJsonObject
+    unwraps scalars; objects/arrays/numbers are byte-identical raw."""
+    jj = _c(j)
+    n = F.json_array_length(jj)
+    return F.when(n.isNotNull(), F.transform(
+        F.sequence(F.lit(0), n - 1, F.lit(1)),
+        lambda i: F.call_function(
+            "get_json_object", jj,
+            F.concat(F.lit("$["), i.cast("string"), F.lit("]")))))
+
+
+def simpleJSONExtractString(j, field: str):
+    """Reference simpleJSONExtract* — the fast-path scanners; on Spark the
+    full parser IS the fast path (codegen'd GetJsonObject)."""
+    return F.get_json_object(_c(j), f"$.{field}")
+
+
+def simpleJSONExtractInt(j, field: str):
+    return F.get_json_object(_c(j), f"$.{field}").cast("long")
+
+
+def simpleJSONExtractFloat(j, field: str):
+    return F.get_json_object(_c(j), f"$.{field}").cast("double")
+
+
+def simpleJSONExtractBool(j, field: str):
+    return F.get_json_object(_c(j), f"$.{field}") == "true"
+
+
+def simpleJSONHas(j, field: str):
+    return F.get_json_object(_c(j), f"$.{field}").isNotNull()
+
+
+# -- regex group extraction ------------------------------------------------
+def _group_count(pattern: str) -> int:
+    """Capturing groups in a literal pattern: unescaped '(' not followed
+    by '?'."""
+    import re as _re
+    return len(_re.findall(r"(?<!\\)\((?!\?)", pattern))
+
+
+def extractGroups(s, pattern: str):
+    """All capturing groups of the FIRST match, as array<string>
+    (reference extractGroups). Group count is read from the literal
+    pattern, as the reference does at parse time."""
+    n = _group_count(pattern)
+    return F.array(*[F.regexp_extract(_c(s), pattern, g + 1)
+                     for g in range(n)])
+
+
+def extractAllGroupsHorizontal(s, pattern: str):
+    """Per-group arrays across ALL matches (reference
+    extractAllGroupsHorizontal): result[g] = matches of group g+1."""
+    n = _group_count(pattern)
+    return F.array(*[F.regexp_extract_all(_c(s), F.lit(pattern), g + 1)
+                     for g in range(n)])
+
+
+def extractAllGroupsVertical(s, pattern: str):
+    """Per-match group arrays (reference extractAllGroupsVertical):
+    result[m] = groups of match m — the zip of the horizontal form."""
+    n = _group_count(pattern)
+    groups = [F.regexp_extract_all(_c(s), F.lit(pattern), g + 1)
+              for g in range(n)]
+    if n == 1:
+        return F.transform(groups[0], lambda x: F.array(x))
+    zipped = F.arrays_zip(*groups)
+    return F.transform(
+        zipped, lambda st: F.array(*[st[str(g)] for g in range(n)]))
+
+
+def multiSearchAllPositions(h, needles):
+    """1-based positions of each needle (0 when absent) — reference
+    multiSearchAllPositions."""
+    arr = needles if isinstance(needles, Column) else \
+        F.array(*[F.lit(x) for x in needles])
+    hay = _c(h)
+    return F.transform(arr, lambda n: F.instr(hay, n).cast("long"))
+
+
+def initcapUTF8(s): return F.initcap(_c(s))
+def concatWithSeparator(sep, *xs): return F.concat_ws(sep, *[_c(x) for x in xs])
+def widthBucket(v, lo, hi, n): return F.width_bucket(_c(v), _c(lo), _c(hi), _c(n))
+def monthsBetween(a, b): return F.months_between(_c(a), _c(b))
+
+
+# -- maps ------------------------------------------------------------------
+def mapPopulateSeries(m, max_key=None):
+    """Fill integer-key gaps with zero values from min(key) to
+    max(key) (or ``max_key``) — reference mapPopulateSeries."""
+    mm = _c(m)
+    ks = F.map_keys(mm)
+    mn = F.array_min(ks)
+    mx = F.array_max(ks) if max_key is None else \
+        (max_key if isinstance(max_key, Column) else F.lit(max_key))
+    seq = F.sequence(mn, mx, F.lit(1))
+    return F.map_from_arrays(
+        seq, F.transform(seq, lambda k: F.coalesce(
+            F.try_element_at(mm, k),
+            F.lit(0).cast("long"))))
+
+
+def mapContainsKeyLike(m, pattern: str):
+    """True when any key matches the LIKE pattern (reference
+    mapContainsKeyLike)."""
+    return F.exists(F.map_keys(_c(m)), lambda k: k.like(pattern))
+
+
+def mapExtractKeyLike(m, pattern: str):
+    """Sub-map of keys matching the LIKE pattern (reference
+    mapExtractKeyLike)."""
+    return F.map_filter(_c(m), lambda k, _v: k.like(pattern))
+
+
+# -- bitmaps (sorted-distinct-array representation, operators/bitmap.py) --
+def subBitmap(b, offset, cardinality):
+    """Slice of the ordered bitmap starting at 0-based ``offset``
+    (reference subBitmap)."""
+    off = offset if isinstance(offset, Column) else F.lit(offset)
+    n = cardinality if isinstance(cardinality, Column) else F.lit(cardinality)
+    return F.slice(_c(b), off + 1, n)
+
+
+def bitmapTransform(b, from_vals, to_vals):
+    """Map selected bitmap values from→to, re-normalizing to the sorted
+    distinct representation (reference bitmapTransform)."""
+    fr = from_vals if isinstance(from_vals, Column) else \
+        F.array(*[F.lit(x) for x in from_vals])
+    to = to_vals if isinstance(to_vals, Column) else \
+        F.array(*[F.lit(x) for x in to_vals])
+    mapped = F.transform(
+        _c(b),
+        lambda v: F.coalesce(F.try_element_at(F.map_from_arrays(fr, to), v), v))
+    return F.array_sort(F.array_distinct(mapped))
+
+
+# -- geo -------------------------------------------------------------------
+def greatCircleAngle(lon1, lat1, lon2, lat2):
+    """Central angle between two points in degrees (reference
+    greatCircleAngle) — spherical law of cosines."""
+    la1, la2 = F.radians(_c(lat1)), F.radians(_c(lat2))
+    dl = F.radians(_c(lon2) - _c(lon1))
+    cosc = (F.sin(la1) * F.sin(la2)
+            + F.cos(la1) * F.cos(la2) * F.cos(dl))
+    return F.degrees(F.acos(F.least(F.greatest(cosc, F.lit(-1.0)),
+                                    F.lit(1.0))))
+
+
+def pointInEllipses(x, y, *params):
+    """True when (x,y) lies in ANY of the axis-aligned ellipses given as
+    (cx, cy, a, b) quadruples (reference pointInEllipses)."""
+    if len(params) % 4 != 0 or not params:
+        raise ValueError("pointInEllipses needs (cx, cy, a, b) groups")
+    px, py = _c(x).cast("double"), _c(y).cast("double")
+    hit = F.lit(False)
+    for i in range(0, len(params), 4):
+        cx, cy, a, b = (p if isinstance(p, Column) else F.lit(float(p))
+                        for p in params[i:i + 4])
+        hit = hit | (((px - cx) / a) ** 2 + ((py - cy) / b) ** 2 <= 1.0)
+    return hit
+
+
+# -- UUID / IP predicates --------------------------------------------------
+def UUIDStringToNum(s):
+    """Canonical UUID text → binary(16) (reference UUIDStringToNum)."""
+    return F.unhex(F.replace(_c(s), F.lit("-"), F.lit("")))
+
+
+def UUIDNumToString(b):
+    """binary(16) → canonical dashed UUID text (reference
+    UUIDNumToString)."""
+    h = F.lower(F.hex(_c(b)))
+    return F.concat_ws(
+        "-", F.substring(h, 1, 8), F.substring(h, 9, 4),
+        F.substring(h, 13, 4), F.substring(h, 17, 4), F.substring(h, 21, 12))
+
+
+_IPV4_RE = (r"^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+            r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$")
+
+
+def isIPv4String(s):
+    """Strict dotted-quad validation (reference isIPv4String)."""
+    return _c(s).rlike(_IPV4_RE)
+
+
+def isIPv6String(s):
+    """True when the full IPv6 parser accepts the text (reference
+    isIPv6String) — delegates to functions/ip.ipv6_string_to_num, which
+    yields NULL on malformed input."""
+    from clickhouse_clickhouse_spark.functions.ip import ipv6_string_to_num
+    return ipv6_string_to_num(_c(s)).isNotNull() & _c(s).contains(":")
+
+
+# -- URL -------------------------------------------------------------------
+_COMMON_SLD = ("com", "net", "org", "co", "gov", "edu", "mil", "ac")
+
+
+def firstSignificantSubdomain(url):
+    """The registrable label: 'a.b.clickhouse.com' → 'clickhouse'
+    (reference firstSignificantSubdomain; the upstream embeds a TLD
+    list — this uses the common second-level set, documented subset)."""
+    host = F.parse_url(_c(url), F.lit("HOST"))
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    second = F.element_at(parts, -2)
+    return F.when((n >= 3) & F.element_at(parts, -2).isin(*_COMMON_SLD),
+                  F.element_at(parts, -3)) \
+            .when(n >= 2, second).otherwise(host)
+
+
+def cutToFirstSignificantSubdomain(url):
+    """'a.b.clickhouse.com' → 'clickhouse.com' (reference
+    cutToFirstSignificantSubdomain)."""
+    host = F.parse_url(_c(url), F.lit("HOST"))
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    tail2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    tail3 = F.concat_ws(".", F.element_at(parts, -3), F.element_at(parts, -2),
+                        F.element_at(parts, -1))
+    return F.when((n >= 3) & F.element_at(parts, -2).isin(*_COMMON_SLD), tail3) \
+            .when(n >= 2, tail2).otherwise(host)
+
+
+def queryStringAndFragment(url):
+    """query + '#' + fragment, either part optional (reference
+    queryStringAndFragment)."""
+    q = F.parse_url(_c(url), F.lit("QUERY"))
+    r = F.parse_url(_c(url), F.lit("REF"))
+    return F.when(r.isNotNull(),
+                  F.concat(F.coalesce(q, F.lit("")), F.lit("#"), r)) \
+            .otherwise(F.coalesce(q, F.lit("")))
+
+
+# -- XML / HTML / base64 ---------------------------------------------------
+def encodeXMLComponent(s):
+    """Escape &, <, >, \", ' as XML entities (reference
+    encodeXMLComponent); '&' first so entities don't double-escape."""
+    out = F.replace(_c(s), F.lit("&"), F.lit("&amp;"))
+    for lit, ent in (("<", "&lt;"), (">", "&gt;"),
+                     ('"', "&quot;"), ("'", "&apos;")):
+        out = F.replace(out, F.lit(lit), F.lit(ent))
+    return out
+
+
+def decodeXMLComponent(s):
+    """Inverse of encodeXMLComponent for the five predefined entities
+    (numeric character references are out of scope — documented)."""
+    out = _c(s)
+    for ent, lit in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                     ("&apos;", "'"), ("&amp;", "&")):
+        out = F.replace(out, F.lit(ent), F.lit(lit))
+    return out
+
+
+def decodeHTMLComponent(s):
+    """Common named HTML entities (reference decodeHTMLComponent;
+    numeric references out of scope — documented subset)."""
+    out = _c(s)
+    for ent, lit in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                     ("&apos;", "'"), ("&nbsp;", " "), ("&#39;", "'"),
+                     ("&amp;", "&")):
+        out = F.replace(out, F.lit(ent), F.lit(lit))
+    return out
+
+
+_B64_RE = r"^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
+
+
+def tryBase64Decode(s):
+    """'' on malformed input instead of an error (reference
+    tryBase64Decode)."""
+    t = _c(s)
+    return F.when(t.rlike(_B64_RE),
+                  F.unbase64(t).cast("string")).otherwise(F.lit(""))
+
+
+def base64URLEncode(s):
+    """RFC 4648 URL-safe alphabet, unpadded (reference base64URLEncode)."""
+    return F.regexp_replace(
+        F.translate(F.base64(_c(s).cast("binary")), "+/", "-_"), "=+$", "")
+
+
+def base64URLDecode(s):
+    """Inverse of base64URLEncode: restore padding + standard alphabet."""
+    t = F.translate(_c(s), "-_", "+/")
+    pad = F.pmod(4 - F.pmod(F.length(t), F.lit(4)), F.lit(4))
+    padded = F.concat(t, F.repeat(F.lit("="), pad.cast("int")))
+    return F.unbase64(padded).cast("string")
+
+
+# -- deterministic string hashes (bit-parity, fold-based) ------------------
+def javaHash(s):
+    """java.lang.String.hashCode bit-parity: h = 31*h + code over UTF-16
+    units with int32 wraparound (public contract, JLS §15.28). Folded
+    JVM-side; wraparound via pmod into [-2^31, 2^31)."""
+    chars = F.split(_c(s), "")
+    two31, two32 = F.lit(2147483648), F.lit(4294967296)
+    return (F.pmod(
+        F.aggregate(
+            chars, F.lit(0).cast("long"),
+            lambda acc, ch: F.pmod(acc * 31 + F.ascii(ch), two32)),
+        two32) + two31) % two32 - two31
+
+
+def hiveHash(s):
+    """Hive's string hash = javaHash with the sign bit cleared (public
+    Hive ObjectInspectorUtils contract)."""
+    return F.pmod(javaHash(s), F.lit(2147483648))

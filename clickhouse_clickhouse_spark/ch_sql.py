@@ -232,6 +232,42 @@ _FUNCS: dict[str, str] = {
     "toTypeName": "TYPEOF({0})",
     "visitParamExtractString": "GET_JSON_OBJECT({0}, CONCAT('$.', {1}))",
     "JSONExtractString": "GET_JSON_OBJECT({0}, CONCAT('$.', {1}))",
+    # round-5 late batch
+    "widthBucket": "WIDTH_BUCKET({0}, {1}, {2}, {3})",
+    "concatWithSeparator": "CONCAT_WS({*})",
+    "initcapUTF8": "INITCAP({0})",
+    "toUnixTimestamp64Milli": "UNIX_MILLIS({0})",
+    "toUnixTimestamp64Micro": "UNIX_MICROS({0})",
+    "fromUnixTimestamp64Milli": "TIMESTAMP_MILLIS(CAST({0} AS BIGINT))",
+    "fromUnixTimestamp64Micro": "TIMESTAMP_MICROS(CAST({0} AS BIGINT))",
+    "JSONExtractKeys": "JSON_OBJECT_KEYS({0})",
+    "simpleJSONExtractString": "GET_JSON_OBJECT({0}, CONCAT('$.', {1}))",
+    "simpleJSONExtractInt":
+        "CAST(GET_JSON_OBJECT({0}, CONCAT('$.', {1})) AS BIGINT)",
+    "monthsBetween": "MONTHS_BETWEEN({0}, {1})",
+    "mapContainsKeyLike": "EXISTS(MAP_KEYS({0}), k -> k LIKE {1})",
+    "multiSearchAllPositions":
+        "TRANSFORM({1}, n -> CAST(INSTR({0}, n) AS BIGINT))",
+    "toDaysSinceYearZero":
+        "CAST(DATEDIFF({0}, DATE'0001-01-01') + 366 AS BIGINT)",
+    "UUIDStringToNum": "UNHEX(REPLACE({0}, '-', ''))",
+    "greatCircleAngle":
+        "DEGREES(ACOS(LEAST(GREATEST("
+        "SIN(RADIANS({1})) * SIN(RADIANS({3}))"
+        " + COS(RADIANS({1})) * COS(RADIANS({3}))"
+        " * COS(RADIANS(({2}) - ({0}))), -1.0D), 1.0D)))",
+    "encodeXMLComponent":
+        "REPLACE(REPLACE(REPLACE(REPLACE(REPLACE("
+        "{0}, '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),"
+        " '\"', '&quot;'), '''', '&apos;')",
+    "decodeXMLComponent":
+        "REPLACE(REPLACE(REPLACE(REPLACE(REPLACE("
+        "{0}, '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'),"
+        " '&apos;', ''''), '&amp;', '&')",
+    # single-arg: the regex's literal {3} survives (only {0} is an arg slot)
+    "isIPv4String":
+        "({0} RLIKE '^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+        "\\\\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$')",
 }
 
 # parametric double-call forms: name(params)(args); a value may be a

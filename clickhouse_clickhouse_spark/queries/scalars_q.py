@@ -1282,3 +1282,54 @@ def ch_dialect_demo5(spark, sf):
                                        array('NATION', 'X')), 6) AS jac,
                normalizeQuery(concat('k = ', toString(n_nationkey))) AS nq
         FROM nation ORDER BY k""")
+
+
+@register("ch_dialect_demo6", oracle="""
+SELECT o_orderkey AS k,
+       CAST(CASE WHEN o_totalprice < 0 THEN 0
+                 WHEN o_totalprice >= 600000 THEN 11
+                 ELSE 1 + floor(o_totalprice / 60000) END AS BIGINT) AS wb,
+       concat_ws('-', o_orderstatus, o_orderpriority) AS cws,
+       array_to_string(list_transform(
+           string_split(lower(o_orderstatus || ' ' || o_orderpriority), ' '),
+           w -> upper(w[1]) || w[2:]), ' ') AS ic,
+       epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS ms,
+       CAST(date_diff('day', DATE '0001-01-01', o_orderdate) + 366
+            AS BIGINT) AS d0,
+       [CAST(strpos(o_orderpriority, 'E') AS BIGINT),
+        CAST(strpos(o_orderpriority, 'URGENT') AS BIGINT)] AS msap,
+       replace(replace(replace(replace(replace(substr(o_orderpriority, 1, 20),
+           '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+           '"', '&quot;'), '''', '&apos;') AS xml,
+       regexp_matches('10.0.0.' || CAST(o_orderkey % 300 AS VARCHAR),
+           '^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$')
+           AS ip4
+FROM orders WHERE o_orderkey < 200 ORDER BY k
+""")
+def ch_dialect_demo6(spark, sf):
+    """Round-5 late function batch through the dialect front end:
+    widthBucket / concatWithSeparator / initcapUTF8 /
+    toUnixTimestamp64Milli / toDaysSinceYearZero /
+    multiSearchAllPositions / encodeXMLComponent / isIPv4String — each
+    rewritten by the paren-matching scanner into built-in Spark
+    expressions (upstream src/Functions/: widthBucket.cpp, concat.cpp,
+    initcap.cpp, FunctionsConversion, toDaysSinceYearZero.cpp,
+    MultiSearchAllPositionsImpl, XMLEncode, isIPv4String)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "orders").createOrReplaceTempView("orders")
+    return ch_sql(spark, """
+        SELECT o_orderkey AS k,
+               widthBucket(o_totalprice, 0, 600000, 10) AS wb,
+               concatWithSeparator('-', o_orderstatus, o_orderpriority) AS cws,
+               initcapUTF8(lower(concat(o_orderstatus, ' ',
+                                        o_orderpriority))) AS ic,
+               toUnixTimestamp64Milli(toDateTime(o_orderdate)) AS ms,
+               toDaysSinceYearZero(o_orderdate) AS d0,
+               multiSearchAllPositions(o_orderpriority,
+                                       ['E', 'URGENT']) AS msap,
+               encodeXMLComponent(substring(o_orderpriority, 1, 20)) AS xml,
+               isIPv4String(concat('10.0.0.',
+                                   toString(o_orderkey % 300))) AS ip4
+        FROM orders WHERE o_orderkey < 200 ORDER BY k
+    """)

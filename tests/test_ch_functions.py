@@ -323,3 +323,111 @@ def test_round5_small_batch2(spark):
         ch.multiSearchFirstIndex("s", ["zzz"]).alias("i0")).collect()[0]
     assert (r.d, r.dn, r.k, r.i1, r.i0) == \
         ("1234.57", "-0.1", 3, 2, 0)
+
+
+def test_round5_late_batch_arrays_json_regex(spark):
+    import pyspark.sql.functions as F
+
+    from clickhouse_clickhouse_spark import ch_functions as ch
+
+    df = spark.createDataFrame([(1,)], "i int")
+    r = df.select(
+        # CH docs example: arrayAUC([0.1,0.4,0.35,0.8],[0,0,1,1]) = 0.75
+        ch.arrayAUC(F.array(F.lit(0.1), F.lit(0.4), F.lit(0.35), F.lit(0.8)),
+                    F.array(F.lit(0), F.lit(0), F.lit(1), F.lit(1))).alias("auc"),
+        ch.arrayFill(lambda x: x > 0,
+                     F.array(*[F.lit(v) for v in (1, 0, 0, 5, 0)])).alias("fl"),
+        ch.arrayReverseFill(lambda x: x > 0,
+                            F.array(*[F.lit(v) for v in (0, 2, 0)])).alias("rf"),
+        ch.arraySplit(lambda x: x == 1,
+                      F.array(*[F.lit(v) for v in (1, 2, 3, 1, 5)])).alias("sp"),
+        ch.arrayPartialSort(2, F.array(*[F.lit(v) for v in (3, 1, 2)])).alias("ps"),
+        ch.JSONExtractKeys(F.lit('{"a":1,"b":2}')).alias("jk"),
+        ch.JSONExtractArrayRaw(F.lit('[1,"a",{"b":2}]')).alias("jr"),
+        ch.simpleJSONExtractInt(F.lit('{"n":"7"}'), "n").alias("sj"),
+        ch.extractGroups(F.lit("k=v"), r"(\w+)=(\w+)").alias("eg"),
+        ch.extractAllGroupsVertical(F.lit("a=1, b=2"),
+                                    r"(\w+)=(\w+)").alias("egv"),
+        ch.extractAllGroupsHorizontal(F.lit("a=1, b=2"),
+                                      r"(\w+)=(\w+)").alias("egh"),
+        ch.multiSearchAllPositions(F.lit("hello world"),
+                                   ["wor", "xx", "hello"]).alias("msap"),
+    ).collect()[0]
+    assert abs(r.auc - 0.75) < 1e-9
+    assert r.fl == [1, 1, 1, 5, 5] and r.rf == [2, 2, 0]
+    assert r.sp == [[1, 2, 3], [1, 5]] and r.ps == [1, 2, 3]
+    assert r.jk == ["a", "b"] and r.jr == ["1", "a", '{"b":2}']
+    assert r.sj == 7 and r.eg == ["k", "v"]
+    assert r.egv == [["a", "1"], ["b", "2"]]
+    assert r.egh == [["a", "b"], ["1", "2"]]
+    assert r.msap == [7, 0, 1]
+
+
+def test_round5_late_batch_maps_urls_encodings(spark):
+    import pyspark.sql.functions as F
+
+    from clickhouse_clickhouse_spark import ch_functions as ch
+
+    df = spark.createDataFrame([(1,)], "i int")
+    uuid = "61f0c404-5cb3-11e7-907b-a6006ad3dba0"
+    r = df.select(
+        ch.mapPopulateSeries(F.create_map(
+            F.lit(1), F.lit(10).cast("long"),
+            F.lit(4), F.lit(40).cast("long"))).alias("mps"),
+        ch.mapContainsKeyLike(F.create_map(F.lit("abc"), F.lit(1)),
+                              "a%").alias("mk"),
+        F.map_keys(ch.mapExtractKeyLike(
+            F.create_map(F.lit("ax"), F.lit(1), F.lit("bx"), F.lit(2)),
+            "a%")).alias("mek"),
+        ch.subBitmap(F.array(*[F.lit(v) for v in (1, 3, 5, 7)]),
+                     1, 2).alias("sb"),
+        ch.bitmapTransform(F.array(*[F.lit(v) for v in (1, 3, 5)]),
+                           [3], [9]).alias("bt"),
+        ch.greatCircleAngle(F.lit(0.0), F.lit(0.0), F.lit(90.0),
+                            F.lit(0.0)).alias("gca"),
+        ch.pointInEllipses(F.lit(1.0), F.lit(0.0), 0, 0, 2, 1).alias("pe_in"),
+        ch.pointInEllipses(F.lit(3.0), F.lit(0.0), 0, 0, 2, 1).alias("pe_out"),
+        ch.UUIDNumToString(ch.UUIDStringToNum(F.lit(uuid))).alias("uu"),
+        ch.isIPv4String(F.lit("1.2.3.255")).alias("p4"),
+        ch.isIPv4String(F.lit("1.2.3.256")).alias("p4b"),
+        ch.isIPv6String(F.lit("2001:db8::1")).alias("p6"),
+        ch.isIPv6String(F.lit("nope")).alias("p6b"),
+        ch.firstSignificantSubdomain(
+            F.lit("https://a.b.clickhouse.com/x")).alias("fss"),
+        ch.cutToFirstSignificantSubdomain(
+            F.lit("https://sub.example.co.uk/x")).alias("cfss"),
+        ch.queryStringAndFragment(F.lit("http://x.com/p?a=1#f")).alias("qsf"),
+        ch.decodeXMLComponent(ch.encodeXMLComponent(
+            F.lit('<a href="x">&\'</a>'))).alias("xml"),
+        ch.decodeHTMLComponent(F.lit("a&nbsp;&lt;b&gt;&amp;c")).alias("html"),
+        ch.tryBase64Decode(F.lit("aGVsbG8=")).alias("b ok").alias("bok"),
+        ch.tryBase64Decode(F.lit("!!bad")).alias("bbad"),
+        ch.base64URLEncode(F.lit("https://clickhouse.com")).alias("burl"),
+        ch.base64URLDecode(ch.base64URLEncode(
+            F.lit("https://clickhouse.com?a=b"))).alias("brt"),
+        ch.javaHash(F.lit("abc")).alias("jh"),
+        ch.hiveHash(F.lit("abc")).alias("hh"),
+        ch.javaHash(F.lit("")).alias("jh0"),
+        ch.formatReadableQuantity(F.lit(123456789)).alias("frq"),
+        ch.toUnixTimestamp64Milli(
+            F.lit("2024-01-01 00:00:01").cast("timestamp")).alias("ms"),
+        ch.fromUnixTimestamp64Milli(F.lit(1704067201000)).alias("fms"),
+        ch.toDaysSinceYearZero(F.lit("0001-01-01").cast("date")).alias("d0"),
+    ).collect()[0]
+    assert r.mps == {1: 10, 2: 0, 3: 0, 4: 40} and r.mk and r.mek == ["ax"]
+    assert r.sb == [3, 5] and r.bt == [1, 5, 9]
+    assert abs(r.gca - 90.0) < 1e-9 and r.pe_in and not r.pe_out
+    assert r.uu == uuid
+    assert (r.p4, r.p4b, r.p6, r.p6b) == (True, False, True, False)
+    assert r.fss == "clickhouse" and r.cfss == "example.co.uk"
+    assert r.qsf == "a=1#f"
+    assert r.xml == '<a href="x">&\'</a>' and r.html == "a <b>&c"
+    assert r.bok == "hello" and r.bbad == ""
+    # CH docs example: unpadded URL-safe output
+    assert r.burl == "aHR0cHM6Ly9jbGlja2hvdXNlLmNvbQ"
+    assert r.brt == "https://clickhouse.com?a=b"
+    # java.lang.String.hashCode("abc") == 96354; hash("") == 0
+    assert r.jh == 96354 and r.hh == 96354 and r.jh0 == 0
+    assert r.frq == "123.46 million"
+    assert r.ms == 1704067201000 and str(r.fms) == "2024-01-01 00:00:01"
+    assert r.d0 == 366
