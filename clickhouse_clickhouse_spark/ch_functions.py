@@ -1415,3 +1415,58 @@ def hiveHash(s):
     """Hive's string hash = javaHash with the sign bit cleared (public
     Hive ObjectInspectorUtils contract)."""
     return F.pmod(javaHash(s), F.lit(2147483648))
+
+
+# -- error function / normal CDF / z-tests --------------------------------
+_ERF_COEFFS = (0.254829592, -0.284496736, 1.421413741,
+               -1.453152027, 1.061405429)
+_Z_CRIT = {0.90: 1.6448536269514722, 0.95: 1.959963984540054,
+           0.99: 2.5758293035489004}
+
+
+def erf(x):
+    """Gauss error function (reference erf, src/Functions/erf.cpp
+    upstream) via the Abramowitz–Stegun 7.1.26 rational polynomial —
+    max abs error 1.5e-7, pure expressions (no Python per row)."""
+    v = _c(x).cast("double")
+    ax = F.abs(v)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * ax)
+    poly = F.lit(0.0)
+    for i, a in enumerate(_ERF_COEFFS):
+        poly = poly + F.lit(a) * t ** (i + 1)
+    mag = F.lit(1.0) - poly * F.exp(-ax * ax)
+    return F.signum(v) * mag
+
+
+def erfc(x):
+    """Complementary error function (reference erfc)."""
+    return F.lit(1.0) - erf(x)
+
+
+def normalCDF(x):
+    """Φ(x) — standard normal CDF from erf (not a reference function by
+    itself; the building block of its z-test family)."""
+    return (F.lit(1.0) + erf(_c(x) / F.lit(2.0 ** 0.5))) / F.lit(2.0)
+
+
+def proportionsZTest(s1, t1, s2, t2, confidence: float = 0.95):
+    """Two-proportion pooled z-test (reference proportionsZTest):
+    successes/trials per sample → struct(z_stat, p_value, ci_low,
+    ci_high) where the CI is on the proportion difference (unpooled
+    standard error, as upstream). Confidence must be one of
+    0.90/0.95/0.99 (z-critical table — the inverse normal CDF is not
+    expression-expressible)."""
+    if confidence not in _Z_CRIT:
+        raise ValueError(f"confidence must be one of {sorted(_Z_CRIT)}")
+    zc = F.lit(_Z_CRIT[confidence])
+    x1, n1 = _c(s1).cast("double"), _c(t1).cast("double")
+    x2, n2 = _c(s2).cast("double"), _c(t2).cast("double")
+    p1, p2 = x1 / n1, x2 / n2
+    pp = (x1 + x2) / (n1 + n2)
+    se_pooled = F.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n2))
+    z = (p1 - p2) / se_pooled
+    p = F.lit(2.0) * (F.lit(1.0) - normalCDF(F.abs(z)))
+    se_diff = F.sqrt(p1 * (1 - p1) / n1 + p2 * (1 - p2) / n2)
+    return F.struct(z.alias("z_stat"), p.alias("p_value"),
+                    ((p1 - p2) - zc * se_diff).alias("ci_low"),
+                    ((p1 - p2) + zc * se_diff).alias("ci_high"))

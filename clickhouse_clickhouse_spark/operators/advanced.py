@@ -519,3 +519,38 @@ def corr_matrix(df: DataFrame, cols: Sequence[str],
     n = len(stack_parts)
     return one.selectExpr(
         f"stack({n}, {', '.join(stack_parts)}) AS (col_a, col_b, corr)")
+
+
+def mean_z_test(df: DataFrame, value: Column | str, group: Column | str,
+                group_a, group_b, pop_var_a: float, pop_var_b: float,
+                confidence: float = 0.95) -> DataFrame:
+    """Two-sample mean z-test with KNOWN population variances (reference
+    ``meanZTest(pop_var_x, pop_var_y, conf)(x, y)``,
+    AggregateFunctionMeanZTest.h upstream): z = (m_a − m_b) /
+    sqrt(σ²_a/n_a + σ²_b/n_b); two-sided p from the erf-based normal CDF
+    (exact for z, unlike the t tests whose CDF is out of expression
+    scope); CI on the mean difference at the requested confidence.
+    Same two-scalar-agg + cross-join shape as welch_t_statistic."""
+    from clickhouse_clickhouse_spark.ch_functions import _Z_CRIT, normalCDF
+
+    if confidence not in _Z_CRIT:
+        raise ValueError(f"confidence must be one of {sorted(_Z_CRIT)}")
+    v = F.col(value) if isinstance(value, str) else value
+    g = F.col(group) if isinstance(group, str) else group
+    stats = (df.filter(g.isin([group_a, group_b]))
+             .groupBy(g.alias("__g"))
+             .agg(F.avg(v).alias("m"), F.count("*").alias("n")))
+    a = stats.filter(F.col("__g") == group_a)
+    b = stats.filter(F.col("__g") == group_b)
+    j = a.crossJoin(b.select(F.col("m").alias("mb"),
+                             F.col("n").alias("nb")))
+    se = F.sqrt(F.lit(pop_var_a) / F.col("n")
+                + F.lit(pop_var_b) / F.col("nb"))
+    z = (F.col("m") - F.col("mb")) / se
+    p = F.lit(2.0) * (F.lit(1.0) - normalCDF(F.abs(z)))
+    zc = F.lit(_Z_CRIT[confidence])
+    diff = F.col("m") - F.col("mb")
+    return j.select(F.round(z, 6).alias("z_stat"),
+                    F.round(p, 6).alias("p_value"),
+                    F.round(diff - zc * se, 6).alias("ci_low"),
+                    F.round(diff + zc * se, 6).alias("ci_high"))

@@ -634,3 +634,105 @@ def geo_hex_smooth(spark, sf):
             .groupBy("hq", "hr")
             .agg(F.any_value("n_self").alias("n_self"),
                  F.sum(F.coalesce(F.col("nn"), F.lit(0))).alias("n_ring")))
+
+
+@register("agg_mean_z_test", oracle="""
+WITH s AS (
+  SELECT event_type, avg(value) AS m, count(*) AS n
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY event_type),
+j AS (
+  SELECT a.m AS ma, a.n AS na, b.m AS mb, b.n AS nb
+  FROM (SELECT * FROM s WHERE event_type = 'click') a
+  CROSS JOIN (SELECT * FROM s WHERE event_type = 'view') b),
+zc AS (
+  SELECT ma, mb, sqrt(2.0 / na + 2.0 / nb) AS se,
+         (ma - mb) / sqrt(2.0 / na + 2.0 / nb) AS z
+  FROM j),
+pv AS (
+  SELECT z, se, ma, mb,
+         1 / (1 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+  FROM zc)
+SELECT round(z, 6) AS z_stat,
+       round(1 - (1 - (0.254829592 * t - 0.284496736 * power(t, 2)
+                       + 1.421413741 * power(t, 3)
+                       - 1.453152027 * power(t, 4)
+                       + 1.061405429 * power(t, 5))
+                      * exp(-(abs(z) / sqrt(2.0))
+                            * (abs(z) / sqrt(2.0)))), 6) AS p_value,
+       round((ma - mb) - 1.959963984540054 * se, 6) AS ci_low,
+       round((ma - mb) + 1.959963984540054 * se, 6) AS ci_high
+FROM pv
+""")
+def agg_mean_z_test(spark, sf):
+    """meanZTest with known population variances (=2.0 for the uniform-ish
+    fixture values; reference AggregateFunctionMeanZTest.h): z statistic,
+    two-sided p via the erf-based normal CDF (ch_functions.erf — the
+    Abramowitz–Stegun 7.1.26 polynomial, replayed identically in the
+    oracle), and the 95% CI on the mean difference."""
+    from clickhouse_clickhouse_spark.operators.advanced import mean_z_test
+
+    ev = load_table(spark, sf, "events")
+    return mean_z_test(ev, "value", "event_type", "click", "view",
+                       2.0, 2.0, confidence=0.95)
+
+
+@register("proportions_z_test_q", oracle="""
+WITH c AS (
+  SELECT
+    CAST(sum(CASE WHEN event_type = 'purchase' AND value > 50
+             THEN 1 ELSE 0 END) AS DOUBLE) AS s1,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS DOUBLE) AS t1,
+    CAST(sum(CASE WHEN event_type = 'click' AND value > 50
+             THEN 1 ELSE 0 END) AS DOUBLE) AS s2,
+    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         AS DOUBLE) AS t2
+  FROM events),
+z AS (
+  SELECT s1 / t1 AS p1, s2 / t2 AS p2,
+         (s1 + s2) / (t1 + t2) AS pp, t1, t2 FROM c),
+zz AS (
+  SELECT (p1 - p2) / sqrt(pp * (1 - pp) * (1 / t1 + 1 / t2)) AS z,
+         sqrt(p1 * (1 - p1) / t1 + p2 * (1 - p2) / t2) AS sed,
+         p1 - p2 AS d
+  FROM z),
+pv AS (
+  SELECT z, sed, d,
+         1 / (1 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+  FROM zz)
+SELECT round(z, 6) AS z_stat,
+       round(1 - (1 - (0.254829592 * t - 0.284496736 * power(t, 2)
+                       + 1.421413741 * power(t, 3)
+                       - 1.453152027 * power(t, 4)
+                       + 1.061405429 * power(t, 5))
+                      * exp(-(abs(z) / sqrt(2.0))
+                            * (abs(z) / sqrt(2.0)))), 6) AS p_value,
+       round(d - 1.959963984540054 * sed, 6) AS ci_low,
+       round(d + 1.959963984540054 * sed, 6) AS ci_high
+FROM pv
+""")
+def proportions_z_test_q(spark, sf):
+    """proportionsZTest (reference src/Functions/proportionsZTest.cpp):
+    pooled two-proportion z, two-sided erf-based p, unpooled-SE CI —
+    conversion-rate (value>50) comparison purchase vs click."""
+    from clickhouse_clickhouse_spark import ch_functions as ch
+
+    ev = load_table(spark, sf, "events")
+    counts = ev.agg(
+        F.sum(F.when((F.col("event_type") == "purchase")
+                     & (F.col("value") > 50), 1).otherwise(0))
+         .cast("double").alias("s1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+         .cast("double").alias("t1"),
+        F.sum(F.when((F.col("event_type") == "click")
+                     & (F.col("value") > 50), 1).otherwise(0))
+         .cast("double").alias("s2"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+         .cast("double").alias("t2"))
+    st = counts.select(
+        ch.proportionsZTest("s1", "t1", "s2", "t2", 0.95).alias("r"))
+    return st.select(F.round(F.col("r.z_stat"), 6).alias("z_stat"),
+                     F.round(F.col("r.p_value"), 6).alias("p_value"),
+                     F.round(F.col("r.ci_low"), 6).alias("ci_low"),
+                     F.round(F.col("r.ci_high"), 6).alias("ci_high"))

@@ -431,3 +431,39 @@ def test_round5_late_batch_maps_urls_encodings(spark):
     assert r.frq == "123.46 million"
     assert r.ms == 1704067201000 and str(r.fms) == "2024-01-01 00:00:01"
     assert r.d0 == 366
+
+
+def test_erf_normal_cdf_and_z_tests(spark):
+    import math
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from clickhouse_clickhouse_spark import ch_functions as ch
+    from clickhouse_clickhouse_spark.operators.advanced import mean_z_test
+
+    r = spark.range(1).select(
+        ch.erf(F.lit(1.0)).alias("e1"),
+        ch.erfc(F.lit(0.5)).alias("ec"),
+        ch.normalCDF(F.lit(0.0)).alias("n0"),
+        ch.normalCDF(F.lit(1.959963984540054)).alias("n95"),
+        ch.proportionsZTest(F.lit(45), F.lit(100), F.lit(30),
+                            F.lit(100)).alias("pz")).collect()[0]
+    assert abs(r.e1 - math.erf(1.0)) < 2e-7
+    assert abs(r.ec - math.erfc(0.5)) < 2e-7
+    assert abs(r.n0 - 0.5) < 1e-9 and abs(r.n95 - 0.975) < 1e-6
+    # standard two-proportion example: 45/100 vs 30/100 -> z≈2.19, p≈0.028
+    assert abs(r.pz.z_stat - 2.1908902) < 1e-5
+    assert abs(r.pz.p_value - 0.0284596) < 1e-5
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in (1, 2, 3, 4, 5)]
+        + [("b", float(v)) for v in (6, 7, 8, 9, 10)], "g string, v double")
+    out = mean_z_test(df, "v", "g", "a", "b", 2.5, 2.5).collect()[0]
+    # diff=-5, se=1 -> z=-5, p≈5.7e-7 (polynomial floors near zero)
+    assert abs(out.z_stat + 5.0) < 1e-9
+    assert out.p_value < 1e-5
+    assert abs(out.ci_low - (-5 - 1.959963984540054)) < 1e-5
+    assert abs(out.ci_high - (-5 + 1.959963984540054)) < 1e-5
+    with pytest.raises(ValueError):
+        mean_z_test(df, "v", "g", "a", "b", 1.0, 1.0, confidence=0.8)
