@@ -113,6 +113,8 @@ _FUNCS: dict[str, str] = {
     "uniq": "APPROX_COUNT_DISTINCT({0})",
     "uniqCombined": "APPROX_COUNT_DISTINCT({0})",
     "uniqHLL12": "APPROX_COUNT_DISTINCT({0})",
+    "uniqCombined": "APPROX_COUNT_DISTINCT({0})",
+    "uniqCombined64": "APPROX_COUNT_DISTINCT({0})",
     "uniqExact": "COUNT(DISTINCT {*})",
     "median": "PERCENTILE({0}, 0.5)",
     "medianExact": "PERCENTILE({0}, 0.5)",
@@ -264,6 +266,15 @@ _FUNCS: dict[str, str] = {
         "REPLACE(REPLACE(REPLACE(REPLACE(REPLACE("
         "{0}, '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'),"
         " '&apos;', ''''), '&amp;', '&')",
+    # erf via the A&S 7.1.26 polynomial (ch_functions.erf twin); the arg
+    # expression repeats, so pass a column/simple expression
+    "erf":
+        "(SIGN({0}) * (1.0D - (0.254829592D / (1.0D + 0.3275911D * ABS({0}))"
+        " - 0.284496736D * POWER(1.0D / (1.0D + 0.3275911D * ABS({0})), 2)"
+        " + 1.421413741D * POWER(1.0D / (1.0D + 0.3275911D * ABS({0})), 3)"
+        " - 1.453152027D * POWER(1.0D / (1.0D + 0.3275911D * ABS({0})), 4)"
+        " + 1.061405429D * POWER(1.0D / (1.0D + 0.3275911D * ABS({0})), 5))"
+        " * EXP(-ABS({0}) * ABS({0}))))",
     # single-arg: the regex's literal {3} survives (only {0} is an arg slot)
     "isIPv4String":
         "({0} RLIKE '^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"

