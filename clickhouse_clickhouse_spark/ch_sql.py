@@ -308,6 +308,14 @@ _PARAMETRIC: dict = {
     "quantileGK": lambda params, args: "PERCENTILE_APPROX({}, {}, {})".format(
         args[0], params[1] if len(params) > 1 else "0.5", params[0]),
     "quantiles": "PERCENTILE_APPROX({a0}, ARRAY({p*}))",
+    # web-latency grid (exact <1024ms, 16ms buckets to 30s, clamped):
+    # quantize as upstream AggregateFunctionsQuantileTiming, then a
+    # discrete high-accuracy percentile over the quantized values
+    "quantileTiming":
+        "PERCENTILE_APPROX(CASE WHEN ({a0}) < 0 THEN 0L "
+        "WHEN ({a0}) >= 30000 THEN 30000L "
+        "WHEN ({a0}) >= 1024 THEN CAST(FLOOR(({a0}) / 16) * 16 AS BIGINT) "
+        "ELSE CAST(FLOOR({a0}) AS BIGINT) END, {p0}, 100000)",
     "quantilesExact": "PERCENTILE({a0}, ARRAY({p*}))",
     "topK": "SLICE(TRANSFORM(ARRAY_SORT(MAP_ENTRIES("
             "AGGREGATE(COLLECT_LIST({a0}), MAP(), (m, x) -> "

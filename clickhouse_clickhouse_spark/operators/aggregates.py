@@ -267,3 +267,35 @@ def sparkbar(df: DataFrame, keys: Sequence[str], x: str, y: str,
         F.array_join(
             F.transform(F.sequence(F.lit(0), F.lit(buckets - 1)), glyph),
             "").alias(out))
+
+
+def quantile_timing(df: DataFrame, keys: Sequence[str], value: str,
+                    qs: dict[str, float]) -> DataFrame:
+    """``quantileTiming`` (reference AggregateFunctionsQuantileTiming:
+    the web-latency quantile with a fixed quantization grid): values are
+    clamped to [0, 30000] and stored as integers — exact below 1024 ms,
+    16 ms-wide buckets from 1024 to 30000, everything above pinned at
+    30000. The result is the nearest-rank pick over the quantized
+    multiset: the first value whose cumulative count exceeds
+    floor(level * N) (upstream's accumulation loop).
+
+    ``qs`` maps output column name -> level. Distributed form mirrors
+    quantile_exact_pick: quantize per row (pure expressions), rank with
+    one window, conditional-min per level — one shuffle, unbounded group
+    size, no collect."""
+    v = F.col(value).cast("double")
+    quant = (F.when(v < 0, F.lit(0))
+             .when(v >= 30000, F.lit(30000))
+             .when(v >= 1024, (F.floor(v / 16) * 16).cast("long"))
+             .otherwise(F.floor(v).cast("long")))
+    w = Window.partitionBy(*keys).orderBy("__q")
+    wn = Window.partitionBy(*keys)
+    r = (df.select(*keys, quant.alias("__q"))
+         .withColumn("__rn", F.row_number().over(w))
+         .withColumn("__n", F.count("*").over(wn)))
+    aggs = []
+    for out, level in qs.items():
+        pos = F.floor(F.lit(float(level)) * F.col("__n")) + 1
+        aggs.append(F.min(F.when(F.col("__rn") >= pos, F.col("__q")))
+                    .alias(out))
+    return r.groupBy(*keys).agg(*aggs)

@@ -1382,3 +1382,39 @@ def agg_quantile_tdigest_merge(spark, sf):
                      & (F.abs(F.col("p90_td") - F.col("e90"))
                         <= 0.01 * F.col("rng") + 1e-9))
                     .alias("within_tol")))
+
+
+@register("agg_quantile_timing", oracle="""
+WITH q AS (
+  SELECT event_type,
+         CASE WHEN value * 400 < 0 THEN 0
+              WHEN value * 400 >= 30000 THEN 30000
+              WHEN value * 400 >= 1024
+                THEN CAST(floor(value * 400 / 16) * 16 AS BIGINT)
+              ELSE CAST(floor(value * 400) AS BIGINT) END AS qv
+  FROM events),
+r AS (
+  SELECT event_type, qv,
+         row_number() OVER (PARTITION BY event_type ORDER BY qv) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM q)
+SELECT event_type,
+       min(CASE WHEN rn >= floor(0.5 * n) + 1 THEN qv END) AS p50,
+       min(CASE WHEN rn >= floor(0.9 * n) + 1 THEN qv END) AS p90,
+       min(CASE WHEN rn >= floor(0.99 * n) + 1 THEN qv END) AS p99
+FROM r GROUP BY event_type
+""")
+def agg_quantile_timing(spark, sf):
+    """quantileTiming at 0.5/0.9/0.99 (reference
+    AggregateFunctionsQuantileTiming): the fixed web-latency
+    quantization grid — exact <1024 ms, 16 ms buckets to 30 s, clamped
+    above — then the nearest-rank pick, replayed value-exactly by the
+    oracle. value*400 spans all three grid regimes."""
+    from clickhouse_clickhouse_spark.operators.aggregates import (
+        quantile_timing,
+    )
+
+    ev = load_table(spark, sf, "events") \
+        .withColumn("lat_ms", F.col("value") * 400)
+    return quantile_timing(ev, ["event_type"], "lat_ms",
+                           {"p50": 0.5, "p90": 0.9, "p99": 0.99})

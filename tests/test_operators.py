@@ -326,3 +326,21 @@ def test_bitmap_codec_roundtrip_and_merge(spark, tmp_path):
                bitmap_deserialize("bin").alias("arr")).collect()}
     assert got["a"] == (100, sorted(set(sparse[:100])))
     assert got["b"] == (5000, sorted(set(dense[:5000])))
+
+
+def test_quantile_timing_grid_and_nearest_rank(spark):
+    """quantileTiming quantization: exact <1024, 16ms buckets to 30s,
+    clamped at 30000; nearest-rank pick (first cum > floor(level*N))."""
+    from clickhouse_clickhouse_spark.operators.aggregates import (
+        quantile_timing,
+    )
+
+    vals = [-5.0, 3.7, 100.0, 1023.9, 1030.0, 2000.5, 29999.0, 45000.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "k string, v double")
+    out = quantile_timing(df, ["k"], "v",
+                          {"p0": 0.0, "p50": 0.5, "p100": 0.99}).collect()[0]
+    # quantized multiset: [0, 3, 100, 1023, 1024, 2000, 29984, 30000]
+    # (2000.5 -> floor(2000.5/16)*16 = 1996? no: floor(125.03)*16 = 2000)
+    assert out.p0 == 0          # rank floor(0*8)+1 = 1 -> smallest
+    assert out.p50 == 1024      # rank floor(4)+1 = 5 -> 5th smallest
+    assert out.p100 == 30000    # rank floor(7.92)+1 = 8 -> largest
