@@ -299,3 +299,32 @@ def quantile_timing(df: DataFrame, keys: Sequence[str], value: str,
         aggs.append(F.min(F.when(F.col("__rn") >= pos, F.col("__q")))
                     .alias(out))
     return r.groupBy(*keys).agg(*aggs)
+
+
+def quantile_timing_weighted(df: DataFrame, keys: Sequence[str],
+                             value: str, weight: str,
+                             qs: dict[str, float]) -> DataFrame:
+    """``quantileTimingWeighted`` (reference twin of
+    :func:`quantile_timing` with integer repeat-count weights): the same
+    quantization grid, nearest-rank over the weight-expanded multiset —
+    first value whose CUMULATIVE WEIGHT exceeds floor(level * W). The
+    running weight is a window prefix sum (no expansion of the
+    multiset)."""
+    v = F.col(value).cast("double")
+    quant = (F.when(v < 0, F.lit(0))
+             .when(v >= 30000, F.lit(30000))
+             .when(v >= 1024, (F.floor(v / 16) * 16).cast("long"))
+             .otherwise(F.floor(v).cast("long")))
+    wsum = Window.partitionBy(*keys).orderBy("__q") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.partitionBy(*keys)
+    r = (df.select(*keys, quant.alias("__q"),
+                   F.col(weight).cast("long").alias("__w"))
+         .withColumn("__cw", F.sum("__w").over(wsum))
+         .withColumn("__wtot", F.sum("__w").over(wn)))
+    aggs = []
+    for out, level in qs.items():
+        pos = F.floor(F.lit(float(level)) * F.col("__wtot")) + 1
+        aggs.append(F.min(F.when(F.col("__cw") >= pos, F.col("__q")))
+                    .alias(out))
+    return r.groupBy(*keys).agg(*aggs)

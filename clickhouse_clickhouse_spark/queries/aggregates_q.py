@@ -1418,3 +1418,39 @@ def agg_quantile_timing(spark, sf):
         .withColumn("lat_ms", F.col("value") * 400)
     return quantile_timing(ev, ["event_type"], "lat_ms",
                            {"p50": 0.5, "p90": 0.9, "p99": 0.99})
+
+
+@register("agg_quantile_timing_weighted", oracle="""
+WITH q AS (
+  SELECT event_type,
+         CASE WHEN value * 400 < 0 THEN 0
+              WHEN value * 400 >= 30000 THEN 30000
+              WHEN value * 400 >= 1024
+                THEN CAST(floor(value * 400 / 16) * 16 AS BIGINT)
+              ELSE CAST(floor(value * 400) AS BIGINT) END AS qv,
+         CAST(1 + event_id % 5 AS BIGINT) AS w
+  FROM events),
+r AS (
+  SELECT event_type, qv, w,
+         sum(w) OVER (PARTITION BY event_type ORDER BY qv
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         sum(w) OVER (PARTITION BY event_type) AS wtot
+  FROM q)
+SELECT event_type,
+       min(CASE WHEN cw >= floor(0.5 * wtot) + 1 THEN qv END) AS p50,
+       min(CASE WHEN cw >= floor(0.95 * wtot) + 1 THEN qv END) AS p95
+FROM r GROUP BY event_type
+""")
+def agg_quantile_timing_weighted(spark, sf):
+    """quantileTimingWeighted: the timing grid with repeat-count weights
+    (1 + event_id % 5) — nearest-rank over cumulative weight, windowed
+    prefix sum (no multiset expansion), oracle-exact."""
+    from clickhouse_clickhouse_spark.operators.aggregates import (
+        quantile_timing_weighted,
+    )
+
+    ev = (load_table(spark, sf, "events")
+          .withColumn("lat_ms", F.col("value") * 400)
+          .withColumn("w", (F.lit(1) + F.col("event_id") % 5)))
+    return quantile_timing_weighted(ev, ["event_type"], "lat_ms", "w",
+                                    {"p50": 0.5, "p95": 0.95})

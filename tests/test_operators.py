@@ -344,3 +344,22 @@ def test_quantile_timing_grid_and_nearest_rank(spark):
     assert out.p0 == 0          # rank floor(0*8)+1 = 1 -> smallest
     assert out.p50 == 1024      # rank floor(4)+1 = 5 -> 5th smallest
     assert out.p100 == 30000    # rank floor(7.92)+1 = 8 -> largest
+
+
+def test_quantile_timing_weighted_expansion_equivalence(spark):
+    """Weighted nearest-rank == unweighted over the weight-expanded
+    multiset."""
+    from clickhouse_clickhouse_spark.operators.aggregates import (
+        quantile_timing, quantile_timing_weighted,
+    )
+
+    rows = [("g", 10.0, 3), ("g", 500.0, 1), ("g", 2000.0, 2),
+            ("g", 40000.0, 1)]
+    df = spark.createDataFrame(rows, "k string, v double, w int")
+    expanded = spark.createDataFrame(
+        [("g", v) for _, v, w in rows for _ in range(w)],
+        "k string, v double")
+    qs = {"p25": 0.25, "p50": 0.5, "p90": 0.9}
+    a = quantile_timing_weighted(df, ["k"], "v", "w", qs).collect()[0]
+    b = quantile_timing(expanded, ["k"], "v", qs).collect()[0]
+    assert (a.p25, a.p50, a.p90) == (b.p25, b.p50, b.p90)
