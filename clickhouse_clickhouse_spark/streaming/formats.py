@@ -63,3 +63,22 @@ def read_stream_protobuf(spark: SparkSession, path: str, proto: str,
 
     stream = spark.readStream.schema("value binary").parquet(path)
     return protobuf_decode(stream, proto, col="value", framed=framed)
+
+
+def read_stream_avro(spark: SparkSession, path: str,
+                     schema: T.StructType,
+                     codec: str = "null") -> DataFrame:
+    """Streaming ingest of BINARY Avro block payloads (upstream
+    kafka_format='Avro'): a parquet-backed stream with one binary
+    ``value`` column stands in for the broker — each message carries an
+    Avro block (count + size + body, the OCF block framing), decoded per
+    micro-batch through the vectorized chain decoder
+    (sources/avro.avro_decode_blocks). With a broker, swap the source as
+    in ``streaming.kafka`` keeping ``value`` binary."""
+    from clickhouse_clickhouse_spark.sources.avro import (
+        avro_decode_blocks,
+    )
+
+    stream = spark.readStream.schema("value binary").parquet(path)
+    return avro_decode_blocks(stream, schema, block_col="value",
+                              codec=codec)

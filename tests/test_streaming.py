@@ -620,3 +620,35 @@ def test_streaming_protobuf_ingest(spark, sf_dir, tmp_path):
     back = spark.read.parquet(out_dir)
     assert sorted((r.n_nationkey, r.n_name) for r in back.collect()) == \
         sorted((r.n_nationkey, r.n_name) for r in src.collect())
+
+
+def test_stream_avro_binary_ingest(spark, sf_dir, tmp_path):
+    """Avro-framed binary Kafka-value twin: encode nation into Avro
+    blocks, stream-decode each micro-batch, land parquet — typed rows
+    round-trip exactly (streaming twin of the protobuf ingest)."""
+    from clickhouse_clickhouse_spark.sources.avro import avro_encode_blocks
+    from clickhouse_clickhouse_spark.streaming.formats import (
+        read_stream_avro,
+    )
+    from clickhouse_clickhouse_spark.tables import load_table
+
+    src = load_table(spark, sf_dir, "nation") \
+        .select("n_nationkey", "n_name")
+    blocks = avro_encode_blocks(src).withColumnRenamed("block", "value")
+    in_dir = str(tmp_path / "av_in")
+    blocks.write.parquet(in_dir)
+
+    typed = read_stream_avro(spark, in_dir, src.schema)
+    assert typed.isStreaming
+    out_dir = str(tmp_path / "av_out")
+    q = (typed.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "av_ck"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.parquet(out_dir)
+    assert sorted((r.n_nationkey, r.n_name) for r in back.collect()) == \
+        sorted((r.n_nationkey, r.n_name) for r in src.collect())
