@@ -1100,6 +1100,139 @@ def _parse_fill_literal(s: str | None):
                 "supported")
 
 
+# ------------------------------------------------------- projections
+# ALTER TABLE t ADD PROJECTION p (SELECT keys, aggs GROUP BY keys) builds
+# a SummaryTable (plans/summary.py) and registers it; the SELECT router
+# below answers matching aggregations from the projection instead of the
+# base table (upstream ProjectionsDescription.cpp +
+# optimizeUseAggregateProjection.cpp). Routing is restricted to measures
+# whose routed result is bit-identical to the translated base-table plan
+# (sum/count/min/max); sketch measures (uniq/quantile) stay available
+# through the programmatic plans.summary.route_aggregation API, whose
+# read path uses the same sketch algorithm on both sides.
+
+_PROJ_ITEM_RE = re.compile(
+    r"^(?P<fn>\w+)\s*\((?P<a1>[^()]*)\)\s*(?:\((?P<a2>[^()]*)\)\s*)?"
+    r"(?:AS\s+(?P<alias>\w+)\s*)?$", re.IGNORECASE)
+
+_PROJ_OPS = {"count": "count", "sum": "sum", "min": "min", "max": "max",
+             "uniq": "uniq", "uniqtheta": "uniq_theta",
+             "quantile": "quantile"}
+_ROUTABLE = {"count", "sum", "min", "max"}
+
+
+def _parse_proj_item(item: str):
+    """One select-list item -> ('key', name) | ('agg', alias, src, op) |
+    None (unparseable)."""
+    item = item.strip()
+    if re.fullmatch(r"\w+", item):
+        return ("key", item)
+    m = _PROJ_ITEM_RE.match(item)
+    if not m:
+        return None
+    fn = m.group("fn").lower()
+    if fn not in _PROJ_OPS:
+        return None
+    a1 = (m.group("a1") or "").strip()
+    a2 = (m.group("a2") or "").strip() if m.group("a2") is not None else None
+    if fn == "quantile":
+        if a2 is None or not re.fullmatch(r"\w+", a2):
+            return None
+        src, op = a2, f"quantile:{float(a1)}"
+    elif fn == "count":
+        if a1 not in ("", "*"):
+            return None
+        src, op = "*", "count"
+    else:
+        if a2 is not None or not re.fullmatch(r"\w+", a1):
+            return None
+        src, op = a1, _PROJ_OPS[fn]
+    alias = m.group("alias") or (fn if fn == "count"
+                                 else f"{fn}_{src}".lower())
+    return ("agg", alias, src, op)
+
+
+_PROJ_SELECT_RE = re.compile(
+    r"^SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<t>\w+)"
+    r"(?:\s+WHERE\s+(?P<w>.+?))?"
+    r"\s+GROUP\s+BY\s+(?P<g>[\w\s,]+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+_PROJ_BLOCKERS = re.compile(
+    r"\b(JOIN|HAVING|ORDER\s+BY|LIMIT|UNION|INTERSECT|EXCEPT|WITH\s+"
+    r"TOTALS|ROLLUP|CUBE|GROUPING|ARRAY\s+JOIN|PREWHERE|SAMPLE|FINAL)\b",
+    re.IGNORECASE)
+
+
+def _try_projection_route(spark: SparkSession, sql: str):
+    """Answer a simple single-table aggregation from a registered
+    projection when one subsumes it; None = not routable (normal
+    translation proceeds — always correct, just unrouted)."""
+    from clickhouse_clickhouse_spark.plans.summary import (
+        _merge, projections_for,
+    )
+
+    text = sql.strip().rstrip(";")
+    if _masked_search(_PROJ_BLOCKERS, text):
+        return None
+    m = _PROJ_SELECT_RE.match(text)
+    if not m:
+        return None
+    table = m.group("t")
+    summaries = projections_for(table)
+    if not summaries:
+        return None
+    group_keys = [g.strip() for g in m.group("g").split(",") if g.strip()]
+    if any(not re.fullmatch(r"\w+", g) for g in group_keys):
+        return None
+    parsed = [_parse_proj_item(i)
+              for i in _split_top_commas(m.group("items"))]
+    if any(p is None for p in parsed):
+        return None
+    sel_keys = [p[1] for p in parsed if p[0] == "key"]
+    aggs = [p for p in parsed if p[0] == "agg"]
+    if set(sel_keys) - set(group_keys) or not aggs:
+        return None
+    if any(_op_base_local(op) not in _ROUTABLE for _, _, _, op in aggs):
+        return None
+    cond = m.group("w")
+    for s in sorted(summaries, key=lambda t: len(t.keys)):
+        if not set(group_keys) <= set(s.keys):
+            continue
+        if cond is not None:
+            # identifiers (incl. any function names) must all be summary
+            # keys, else the filter can't evaluate pre-merge; string
+            # literals are masked so their contents don't read as
+            # identifiers
+            idents = {i.lower() for i in
+                      re.findall(r"[A-Za-z_]\w*", _mask_strings(cond))}
+            if not idents <= {k.lower() for k in s.keys} | \
+                    {"and", "or", "not", "in", "between", "like"}:
+                continue
+        resolved = []
+        for _, alias, src, op in aggs:
+            hit = next((mn for mn, (msrc, mop) in s.measures.items()
+                        if msrc == src and mop == op), None)
+            if hit is None:
+                break
+            resolved.append((alias, hit, op))
+        else:
+            df = s.read(spark)
+            if cond is not None:
+                df = df.filter(cond)
+            out_aggs = [_merge(mn, op).alias(alias)
+                        for alias, mn, op in resolved]
+            res = df.groupBy(*group_keys).agg(*out_aggs)
+            # output exactly the select list, in its original order
+            order = [p[1] for p in parsed]
+            return res.select(*order)
+    return None
+
+
+def _op_base_local(op: str) -> str:
+    return op.split(":", 1)[0]
+
+
 def ch_sql(spark: SparkSession, sql: str,
            final_keys: dict[str, tuple[list[str], str]] | None = None
            ) -> DataFrame:
@@ -1121,6 +1254,9 @@ def ch_sql(spark: SparkSession, sql: str,
                                                   final_keys=final_keys))
     except ValueError:
         log_query(spark, sql, "Select")   # ch_sql-level construct
+    routed = _try_projection_route(spark, sql)
+    if routed is not None:
+        return routed
     m = _masked_search(_LIMIT_TIES_RE, sql.strip().rstrip(";"))
     if m:
         from clickhouse_clickhouse_spark.operators.windows import (
@@ -1560,6 +1696,56 @@ def ch_statement(spark: SparkSession, sql: str,
                                 f"ELSE {col} END"))
             out.createOrReplaceTempView(name)
             return spark.createDataFrame([(name,)], "mutated string")
+        om = re.match(r"ADD\s+PROJECTION\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)"
+                      r"\s*\(\s*SELECT\s+(.+?)\s+GROUP\s+BY\s+(.+?)\s*\)$",
+                      op, re.IGNORECASE | re.DOTALL)
+        if om:
+            import tempfile
+
+            from clickhouse_clickhouse_spark.plans.summary import (
+                SummaryTable, register_projection,
+            )
+
+            pname = om.group(1)
+            keys = [k.strip() for k in om.group(3).split(",") if k.strip()]
+            if any(not re.fullmatch(r"\w+", k) for k in keys):
+                raise ValueError("projection GROUP BY must list bare "
+                                 "columns")
+            measures: dict[str, tuple[str, str]] = {}
+            for item in _split_top_commas(om.group(2)):
+                p = _parse_proj_item(item)
+                if p is None:
+                    raise ValueError(
+                        f"unsupported projection select item {item!r}; "
+                        "supported: key columns and count()/sum/min/max/"
+                        "uniq/uniqTheta/quantile(p) aggregates (avg: "
+                        "store sum + count and divide at read time)")
+                if p[0] == "key":
+                    if p[1] not in keys:
+                        raise ValueError(f"projection column {p[1]!r} "
+                                         "missing from GROUP BY")
+                    continue
+                _, alias, src, aop = p
+                measures[alias] = (src, aop)
+            path = tempfile.mkdtemp(prefix=f"ch_proj_{name}_{pname}_")
+            s = SummaryTable(path, tuple(keys), measures)
+            s.build(base)
+            register_projection(name, pname, s)
+            return spark.createDataFrame(
+                [(name, pname, ",".join(keys), len(measures))],
+                "table string, projection string, keys string, "
+                "measures int")
+        om = re.match(r"DROP\s+PROJECTION\s+(?:IF\s+EXISTS\s+)?(\w+)$",
+                      op, re.IGNORECASE)
+        if om:
+            from clickhouse_clickhouse_spark.plans.summary import (
+                drop_projection,
+            )
+
+            dropped = drop_projection(name, om.group(1))
+            return spark.createDataFrame(
+                [(name, om.group(1), bool(dropped))],
+                "table string, projection string, dropped boolean")
         raise ValueError(f"unsupported ALTER operation: {op!r}")
     if kw == "DELETE":
         # the reference's lightweight DELETE FROM t WHERE c — same

@@ -145,3 +145,29 @@ def route_aggregation(spark: SparkSession, base: DataFrame,
     aggs = [_direct(src, op).alias(name)
             for name, (src, op) in wanted.items()]
     return base.groupBy(*group_keys).agg(*aggs)
+
+
+# ---------------------------------------------------------------- registry
+# Dialect-visible projection registry: ALTER TABLE t ADD PROJECTION p
+# (SELECT keys, aggs GROUP BY keys) materializes a SummaryTable here and
+# ch_sql's SELECT router consults it (the executable analog of upstream
+# ProjectionsDescription + optimizeUseAggregateProjection).
+_PROJECTIONS: dict[str, dict[str, SummaryTable]] = {}
+
+
+def register_projection(table: str, name: str,
+                        summary: SummaryTable) -> None:
+    _PROJECTIONS.setdefault(table.lower(), {})[name.lower()] = summary
+
+
+def drop_projection(table: str, name: str) -> bool:
+    t = _PROJECTIONS.get(table.lower(), {})
+    return t.pop(name.lower(), None) is not None
+
+
+def projections_for(table: str) -> list[SummaryTable]:
+    return list(_PROJECTIONS.get(table.lower(), {}).values())
+
+
+def clear_projections() -> None:
+    _PROJECTIONS.clear()

@@ -1333,3 +1333,42 @@ def ch_dialect_demo6(spark, sf):
                                    toString(o_orderkey % 300))) AS ip4
         FROM orders WHERE o_orderkey < 200 ORDER BY k
     """)
+
+
+@register("projection_routed_agg", oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS sv,
+       min(value) AS mn,
+       max(value) AS mx
+FROM events GROUP BY event_type
+""")
+def projection_routed_agg(spark, sf):
+    """Aggregate-projection routing end-to-end (upstream
+    ProjectionsDescription.cpp + optimizeUseAggregateProjection.cpp):
+    ADD PROJECTION keyed (event_type, user_id) materializes partial
+    states; the coarser GROUP BY event_type query answers from the
+    projection (merge of partials — verified identical to the base scan
+    by the oracle). Rounding on both sides absorbs partial-merge
+    summation order."""
+    import uuid
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, ch_statement
+    from clickhouse_clickhouse_spark.plans.summary import drop_projection
+
+    view = f"events_proj_{uuid.uuid4().hex[:8]}"
+    load_table(spark, sf, "events").createOrReplaceTempView(view)
+    ch_statement(spark, f"""
+        ALTER TABLE {view} ADD PROJECTION p_rt
+        (SELECT event_type, user_id, count() AS n, sum(value) AS sv,
+                min(value) AS mn, max(value) AS mx
+         GROUP BY event_type, user_id)""")
+    routed = ch_sql(spark, f"""
+        SELECT event_type, count() AS n, sum(value) AS sv,
+               min(value) AS mn, max(value) AS mx
+        FROM {view} GROUP BY event_type""")
+    assert any("ch_proj" in f for f in routed.inputFiles()), \
+        "projection did not route"
+    drop_projection(view, "p_rt")
+    return routed.select("event_type", "n", F.round("sv", 6).alias("sv"),
+                         "mn", "mx")

@@ -915,3 +915,56 @@ def test_transform_value_mapping(views):
     assert [(r.k, r.label, r.doubled) for r in out] == \
         [(0, "zero", [10, 20]), (1, "one", [10, 20]),
          (2, "other", [10, 20])]
+
+
+def test_projection_ddl_and_routing(spark, sf_dir):
+    """ALTER TABLE ADD PROJECTION builds a summary table; the SELECT
+    router answers subsumed aggregations from it (verified via
+    inputFiles), falls through on non-matching shapes, and DROP
+    PROJECTION restores the base path. Routed results are identical."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, ch_statement
+    from clickhouse_clickhouse_spark.tables import load_table
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    q = ("SELECT event_type, count() AS n, sum(value) AS sv "
+         "FROM events GROUP BY event_type")
+    direct = {r.event_type: (r.n, round(r.sv, 6))
+              for r in ch_sql(spark, q).collect()}
+
+    st = ch_statement(spark, """
+        ALTER TABLE events ADD PROJECTION p_et
+        (SELECT event_type, user_id, count() AS n, sum(value) AS sv,
+                min(value) AS mn GROUP BY event_type, user_id)
+    """).collect()[0]
+    assert st.projection == "p_et" and st.measures == 3
+    try:
+        routed_df = ch_sql(spark, q)
+        assert any("ch_proj_events_p_et" in f
+                   for f in routed_df.inputFiles())
+        routed = {r.event_type: (r.n, round(r.sv, 6))
+                  for r in routed_df.collect()}
+        assert routed == direct
+
+        # WHERE over projection keys routes; works pre-merge
+        qw = ("SELECT event_type, count() AS n FROM events "
+              "WHERE event_type = 'click' GROUP BY event_type")
+        rw = ch_sql(spark, qw)
+        assert any("ch_proj" in f for f in rw.inputFiles())
+        assert rw.collect()[0].n == direct["click"][0]
+
+        # non-subsumed group key / blocked clauses fall through to base
+        for fq in ("SELECT ts, sum(value) AS s FROM events GROUP BY ts",
+                   "SELECT event_type, sum(value) AS s FROM events "
+                   "GROUP BY event_type ORDER BY s"):
+            assert not any("ch_proj" in f
+                           for f in ch_sql(spark, fq).inputFiles())
+        # uniq is deliberately unroutable in the dialect (different
+        # estimator than the translated APPROX_COUNT_DISTINCT)
+        qu = ("SELECT event_type, uniq(user_id) AS u FROM events "
+              "GROUP BY event_type")
+        assert not any("ch_proj" in f for f in ch_sql(spark, qu).inputFiles())
+    finally:
+        d = ch_statement(
+            spark, "ALTER TABLE events DROP PROJECTION p_et").collect()[0]
+        assert d.dropped
+    assert not any("ch_proj" in f for f in ch_sql(spark, q).inputFiles())
