@@ -274,3 +274,28 @@ def hashed_linear_score(text: Column, dim: int = 1024,
                         lambda acc, t: acc + weight(bucket(t)))
     mean = total / F.greatest(F.size(toks_arr), F.lit(1)).cast("double")
     return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-mean * 10)), 6)
+
+
+def html_extract_text(html: Column) -> Column:
+    """HTML → visible text extraction — the web-corpus ingestion stage
+    upstream of every text filter (public ancestry: jusText/trafilatura's
+    strip-and-collapse core, simplified to the tag/entity layer; block
+    scoring is model territory). Chained JVM regexes, no Python per row:
+
+    1. drop <script>/<style> blocks wholesale (their content is code,
+       not text) — spelled per-tag because the DuckDB oracle's RE2 has
+       no backreferences;
+    2. drop comments, then all remaining tags;
+    3. decode the common named entities (&amp; last so it can't
+       re-introduce entity starts);
+    4. collapse runs of whitespace and trim.
+    """
+    out = F.regexp_replace(html, r"(?is)<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]*>", " ")
+    for ent, lit in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+                     ("&apos;", "'"), ("&#39;", "'"), ("&nbsp;", " "),
+                     ("&amp;", "&")):
+        out = F.replace(out, F.lit(ent), F.lit(lit))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

@@ -1273,3 +1273,50 @@ def chunk_dedup_rebuild_q(spark, sf):
                               max_chunks=20)
     return out.select("doc_id", F.md5("clean_text").alias("clean_md5"),
                       "n_kept", "n_dropped")
+
+
+@register("html_extract_text", oracle="""
+WITH h AS (
+  SELECT doc_id,
+         '<html><head><style>p {color: red}</style></head><body><h1>'
+         || substr(text, 1, 40)
+         || '</h1><!-- note --><p>' || substr(text, 41, 120)
+         || ' &amp; more &lt;tags&gt;</p><script>var a = 1 < 2;</script>'
+         || '</body></html>' AS html
+  FROM documents WHERE doc_id < 200),
+x AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             html,
+             '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+             '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+             '(?s)<!--.*?-->', ' ', 'g'),
+             '(?s)<[^>]*>', ' ', 'g') AS t1
+  FROM h),
+d AS (
+  SELECT doc_id,
+         replace(replace(replace(replace(replace(replace(replace(
+             t1, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&apos;', ''''), '&#39;', ''''), '&nbsp;', ' '),
+             '&amp;', '&') AS t2
+  FROM x)
+SELECT doc_id, trim(regexp_replace(t2, '\\s+', ' ', 'g')) AS clean
+FROM d
+""")
+def html_extract_text_q(spark, sf):
+    """HTML→text extraction (functions/text.html_extract_text): fixture
+    text wrapped in synthetic HTML with style/script blocks, comments,
+    and entities, then stripped back — byte-exact vs the oracle's
+    identical regex/entity chain."""
+    from clickhouse_clickhouse_spark.functions.text import (
+        html_extract_text,
+    )
+
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    html = F.concat(
+        F.lit("<html><head><style>p {color: red}</style></head><body><h1>"),
+        F.substring("text", 1, 40),
+        F.lit("</h1><!-- note --><p>"), F.substring("text", 41, 120),
+        F.lit(" &amp; more &lt;tags&gt;</p><script>var a = 1 < 2;</script>"),
+        F.lit("</body></html>"))
+    return d.select("doc_id", html_extract_text(html).alias("clean"))

@@ -118,3 +118,18 @@ def test_cityhash64_pinned_regression_vectors():
               b"w" * 200: 0x5E2472CC5058C894}
     for data, want in pinned.items():
         assert cityhash64_py(data) == want, data[:4]
+
+
+def test_html_extract_text(spark):
+    from pyspark.sql import functions as F
+
+    from clickhouse_clickhouse_spark.functions.text import (
+        html_extract_text,
+    )
+
+    html = ('<html><head><style>p{x:1}</style><script src="a.js">var i=0;'
+            '</script></head><body>  <h1>Title</h1><!-- c --><p>A &amp; B '
+            '&lt;ok&gt;&nbsp;end</p></body></html>')
+    r = spark.range(1).select(
+        html_extract_text(F.lit(html)).alias("t")).collect()[0]
+    assert r.t == "Title A & B <ok> end"
