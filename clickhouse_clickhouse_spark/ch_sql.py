@@ -1387,6 +1387,11 @@ def append_to_view(spark: SparkSession, view: str,
                    rows: DataFrame) -> DataFrame:
     """Append parsed rows to a temp view (the Memory-engine insert path):
     union by name with null-fill for omitted columns, re-register."""
+    from clickhouse_clickhouse_spark.plans.summary import (
+        invalidate_projections,
+    )
+
+    invalidate_projections(view)
     base = spark.table(view)
     out = base.unionByName(rows, allowMissingColumns=True)
     out.createOrReplaceTempView(view)
@@ -1646,6 +1651,11 @@ def ch_statement(spark: SparkSession, sql: str,
             raise ValueError("unsupported DROP statement")
         spark.catalog.dropTempView(mm.group(1))
         _SPECS.pop((id(spark), mm.group(1).lower()), None)
+        from clickhouse_clickhouse_spark.plans.summary import (
+            invalidate_projections,
+        )
+
+        invalidate_projections(mm.group(1))
         return spark.createDataFrame([(mm.group(1),)], "dropped string")
     if kw == "ALTER":
         from pyspark.sql import functions as F
@@ -1657,6 +1667,12 @@ def ch_statement(spark: SparkSession, sql: str,
             raise ValueError("unsupported ALTER statement")
         name, op = mm.group("t"), mm.group("op").strip()
         base = spark.table(name)
+        if not re.match(r"(ADD|DROP)\s+PROJECTION\b", op, re.IGNORECASE):
+            from clickhouse_clickhouse_spark.plans.summary import (
+                invalidate_projections,
+            )
+
+            invalidate_projections(name)
         om = re.match(r"ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?"
                       r"(\w+)\s+([\w\(\), ]+)$", op, re.IGNORECASE)
         if om:
@@ -1758,6 +1774,11 @@ def ch_statement(spark: SparkSession, sql: str,
                              "required — the reference refuses a bare "
                              "DELETE too)")
         cond = _rewrite_calls(mm.group("c"))
+        from clickhouse_clickhouse_spark.plans.summary import (
+            invalidate_projections,
+        )
+
+        invalidate_projections(mm.group("t"))
         spark.table(mm.group("t")).filter(f"NOT ({cond})") \
             .createOrReplaceTempView(mm.group("t"))
         return spark.createDataFrame([(mm.group("t"),)], "mutated string")
@@ -1773,6 +1794,11 @@ def ch_statement(spark: SparkSession, sql: str,
             if not pm:
                 raise ValueError(f"RENAME TABLE: bad clause {pair!r}")
             a, b = pm.group(1), pm.group(2)
+            from clickhouse_clickhouse_spark.plans.summary import (
+                invalidate_projections,
+            )
+
+            invalidate_projections(a, b)
             spark.table(a).createOrReplaceTempView(b)
             spark.catalog.dropTempView(a)
             spec = _SPECS.pop((id(spark), a.lower()), None)
@@ -1787,6 +1813,11 @@ def ch_statement(spark: SparkSession, sql: str,
         if not mm:
             raise ValueError("unsupported EXCHANGE statement")
         a, b = mm.group(1), mm.group(2)
+        from clickhouse_clickhouse_spark.plans.summary import (
+            invalidate_projections,
+        )
+
+        invalidate_projections(a, b)
         da, db = spark.table(a), spark.table(b)
         db.createOrReplaceTempView(a)
         da.createOrReplaceTempView(b)
@@ -1804,6 +1835,11 @@ def ch_statement(spark: SparkSession, sql: str,
         mm = re.match(r"TRUNCATE\s+(?:TABLE\s+)?(\w+)", sql.strip(),
                       re.IGNORECASE)
         name = mm.group(1)
+        from clickhouse_clickhouse_spark.plans.summary import (
+            invalidate_projections,
+        )
+
+        invalidate_projections(name)
         schema = spark.table(name).schema
         spark.createDataFrame([], schema).createOrReplaceTempView(name)
         return spark.createDataFrame([(name,)], "truncated string")

@@ -171,3 +171,15 @@ def projections_for(table: str) -> list[SummaryTable]:
 
 def clear_projections() -> None:
     _PROJECTIONS.clear()
+
+
+def invalidate_projections(*tables: str) -> int:
+    """Drop every projection of the named tables — called by each dialect
+    mutation path (INSERT / ALTER UPDATE-DELETE-COLUMN / DELETE /
+    TRUNCATE / DROP / RENAME / EXCHANGE). The reference rebuilds
+    projections during the mutation's part rewrite; a registry engine
+    must not serve stale partials, and an explicit re-ADD is the rebuild."""
+    n = 0
+    for t in tables:
+        n += len(_PROJECTIONS.pop(t.lower(), {}))
+    return n

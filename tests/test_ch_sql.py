@@ -968,3 +968,41 @@ def test_projection_ddl_and_routing(spark, sf_dir):
             spark, "ALTER TABLE events DROP PROJECTION p_et").collect()[0]
         assert d.dropped
     assert not any("ch_proj" in f for f in ch_sql(spark, q).inputFiles())
+
+
+def test_projection_invalidated_by_mutation(spark, sf_dir):
+    """A mutation must not leave a stale projection serving old
+    partials: INSERT / ALTER UPDATE / DELETE / TRUNCATE all drop the
+    table's projections (the reference rebuilds them in the mutation's
+    part rewrite; an explicit re-ADD is the rebuild here)."""
+    import pyspark.sql.functions as F
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, ch_statement
+    from clickhouse_clickhouse_spark.plans.summary import projections_for
+    from clickhouse_clickhouse_spark.tables import load_table
+
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nat_mut")
+    add = ("ALTER TABLE nat_mut ADD PROJECTION p_m "
+           "(SELECT n_regionkey, count() AS n GROUP BY n_regionkey)")
+    q = "SELECT n_regionkey, count() AS n FROM nat_mut GROUP BY n_regionkey"
+
+    ch_statement(spark, add)
+    assert any("ch_proj" in f for f in ch_sql(spark, q).inputFiles())
+
+    # UPDATE mutation invalidates; the query falls back to base and sees
+    # the mutated data
+    ch_statement(spark, "ALTER TABLE nat_mut UPDATE n_regionkey = 9 "
+                        "WHERE n_regionkey = 0")
+    assert projections_for("nat_mut") == []
+    routed = ch_sql(spark, q)
+    assert not any("ch_proj" in f for f in routed.inputFiles())
+    keys = {r.n_regionkey for r in routed.collect()}
+    assert 0 not in keys and 9 in keys
+
+    # re-ADD (the rebuild), then DELETE invalidates again
+    ch_statement(spark, add)
+    assert len(projections_for("nat_mut")) == 1
+    ch_statement(spark, "DELETE FROM nat_mut WHERE n_regionkey = 9")
+    assert projections_for("nat_mut") == []
+
+    spark.catalog.dropTempView("nat_mut")
