@@ -955,6 +955,7 @@ def _register_system_views(spark: SparkSession, sql: str) -> None:
         "formats": ST.system_formats,
         "settings": ST.system_settings,
         "query_log": ST.system_query_log,
+        "projections": ST.system_projections,
     }
     for name in set(_re.findall(r"\bsystem\.(\w+)", sql,
                                 _re.IGNORECASE)):

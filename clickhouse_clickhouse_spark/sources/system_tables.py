@@ -189,3 +189,23 @@ def system_query_log(spark: SparkSession) -> DataFrame:
     if not rows:
         return spark.createDataFrame([], schema)
     return spark.createDataFrame(rows, schema)
+
+
+def system_projections(spark: SparkSession) -> DataFrame:
+    """``system.projections`` (upstream StorageSystemProjections): one row
+    per registered aggregate projection — table, name, group keys, and
+    the measure list as ``alias=op(src)`` strings."""
+    from clickhouse_clickhouse_spark.plans.summary import _PROJECTIONS
+
+    rows = []
+    for table, projs in _PROJECTIONS.items():
+        for name, s in projs.items():
+            rows.append((table, name, ",".join(s.keys),
+                         ",".join(f"{a}={op}({src})"
+                                  for a, (src, op) in s.measures.items()),
+                         s.path))
+    schema = ("table string, name string, keys string, measures string, "
+              "path string")
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(rows, schema)

@@ -1006,3 +1006,25 @@ def test_projection_invalidated_by_mutation(spark, sf_dir):
     assert projections_for("nat_mut") == []
 
     spark.catalog.dropTempView("nat_mut")
+
+
+def test_system_projections_view(spark, sf_dir):
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, ch_statement
+    from clickhouse_clickhouse_spark.tables import load_table
+
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nat_sp")
+    ch_statement(spark, "ALTER TABLE nat_sp ADD PROJECTION psys "
+                        "(SELECT n_regionkey, count() AS n, "
+                        "sum(n_nationkey) AS s GROUP BY n_regionkey)")
+    try:
+        r = ch_sql(spark, "SELECT table, name, keys, measures "
+                          "FROM system.projections "
+                          "WHERE table = 'nat_sp'").collect()
+        assert len(r) == 1 and r[0].name == "psys"
+        assert r[0].keys == "n_regionkey"
+        assert "s=sum(n_nationkey)" in r[0].measures
+    finally:
+        ch_statement(spark, "ALTER TABLE nat_sp DROP PROJECTION psys")
+    assert ch_sql(spark, "SELECT count() AS c FROM system.projections "
+                         "WHERE table = 'nat_sp'").collect()[0].c == 0
+    spark.catalog.dropTempView("nat_sp")
