@@ -293,3 +293,71 @@ def test_fuzz_with_fill_differential(ties_env, frm, to, step):
         SELECT g, NULL FROM (SELECT unnest(range({frm}, {to}, {step})) AS g)
         WHERE g NOT IN (SELECT k FROM d)""").fetchall())
     assert got == exp, (frm, to, step)
+
+
+# -------------------------------------------------- projection routing
+
+@pytest.fixture(scope="module")
+def proj_env(spark):
+    """events view with a two-key projection registered for the whole
+    module; torn down after."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_statement
+    from clickhouse_clickhouse_spark.plans.summary import drop_projection
+
+    load_table(spark, SF_DIR, "events") \
+        .createOrReplaceTempView("events_fz")
+    ch_statement(spark, """
+        ALTER TABLE events_fz ADD PROJECTION p_fz
+        (SELECT event_type, user_id, count() AS n, sum(value) AS sv,
+                min(value) AS mn, max(value) AS mx
+         GROUP BY event_type, user_id)""")
+    yield spark
+    drop_projection("events_fz", "p_fz")
+    spark.catalog.dropTempView("events_fz")
+
+
+_PROJ_AGGS = st.lists(
+    st.sampled_from([("count() AS n", "n"),
+                     ("sum(value) AS sv", "sv"),
+                     ("min(value) AS mn", "mn"),
+                     ("max(value) AS mx", "mx")]),
+    min_size=1, max_size=4, unique=True)
+
+_PROJ_KEYS = st.sampled_from([["event_type"], ["user_id"],
+                              ["event_type", "user_id"]])
+
+_PROJ_WHERE = st.sampled_from([
+    None,
+    "event_type = 'click'",
+    "event_type IN ('view', 'purchase')",
+    "user_id IN (1, 2, 3) AND event_type != 'error'",
+])
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(aggs=_PROJ_AGGS, keys=_PROJ_KEYS, cond=_PROJ_WHERE)
+def test_fuzz_projection_route_equals_direct(proj_env, aggs, keys, cond):
+    """Every routable aggregation answered from the projection equals
+    the same query with routing disabled (base-table plan)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+    from clickhouse_clickhouse_spark.plans import summary as S
+
+    spark = proj_env
+    # WHERE on user_id routes only when user_id is a projection key —
+    # it always is here; conditions referencing non-keys would fall
+    # through (covered by the unit test).
+    sql = "SELECT {keys}, {aggs} FROM events_fz{w} GROUP BY {keys}".format(
+        keys=", ".join(keys),
+        aggs=", ".join(a for a, _ in aggs),
+        w=f" WHERE {cond}" if cond else "")
+    routed_df = ch_sql(spark, sql)
+    assert any("ch_proj" in f for f in routed_df.inputFiles()), sql
+    saved = S._PROJECTIONS.pop("events_fz")
+    try:
+        direct_df = ch_sql(spark, sql)
+        assert not any("ch_proj" in f for f in direct_df.inputFiles())
+        assert _normalize([tuple(r) for r in routed_df.collect()]) == \
+            _normalize([tuple(r) for r in direct_df.collect()]), sql
+    finally:
+        S._PROJECTIONS["events_fz"] = saved
