@@ -1470,3 +1470,307 @@ def proportionsZTest(s1, t1, s2, t2, confidence: float = 0.95):
     return F.struct(z.alias("z_stat"), p.alias("p_value"),
                     ((p1 - p2) - zc * se_diff).alias("ci_low"),
                     ((p1 - p2) + zc * se_diff).alias("ci_high"))
+
+
+# -- round-5 batch 3: dates, intervals, arrays, strings, misc -------------
+def toWeek(d, mode: int = 0):
+    """Week number (reference toWeek; mode 0 = Sunday-start weeks 0-53,
+    mode 3 = ISO). Only the two common modes are mapped."""
+    if mode == 3:
+        return F.weekofyear(_c(d))
+    # mode 0: weeks start Sunday; week 0 holds days before the first Sunday
+    doy = F.dayofyear(_c(d))
+    jan1_dow = F.dayofweek(F.trunc(_c(d), "year"))  # 1=Sunday
+    return ((doy + jan1_dow - F.lit(2)) / 7).cast("int") \
+        + F.when(jan1_dow == 1, 1).otherwise(0)
+
+
+def toISOYear(d):
+    """Year of the ISO week (reference toISOYear): the year of the
+    Thursday of d's ISO week."""
+    dd = _c(d)
+    # ISO weekday 1..7 (Mon..Sun); Thursday = +4 - wd days
+    wd = F.weekday(dd) + 1
+    return F.year(F.date_add(dd, (F.lit(4) - wd).cast("int")))
+
+
+def toStartOfISOYear(d):
+    """First day of the ISO year: the Monday of ISO week 1."""
+    dd = _c(d)
+    jan4 = F.make_date(toISOYear(dd), F.lit(1), F.lit(4))
+    return F.date_sub(jan4, F.weekday(jan4).cast("int"))
+
+
+def toYearWeek(d, mode: int = 0):
+    """YYYYWW (reference toYearWeek)."""
+    if mode == 3:
+        return toISOYear(d) * 100 + F.weekofyear(_c(d))
+    return F.year(_c(d)) * 100 + toWeek(d, mode)
+
+
+def makeDate(y, m, d):
+    return F.make_date(_c(y), _c(m), _c(d))
+
+
+def makeDate32(y, m, d):
+    return F.make_date(_c(y), _c(m), _c(d))
+
+
+def makeDateTime(y, mo, d, h, mi, s):
+    return F.make_timestamp(_c(y), _c(mo), _c(d), _c(h), _c(mi), _c(s))
+
+
+def YYYYMMDDToDate(n):
+    """20240131 → DATE (reference YYYYMMDDToDate)."""
+    v = _c(n).cast("long")
+    return F.make_date((v / 10000).cast("int"),
+                       F.pmod((v / 100).cast("long"), 100).cast("int"),
+                       F.pmod(v, 100).cast("int"))
+
+
+def toYYYYMMDDhhmmss(t):
+    return F.date_format(_c(t), "yyyyMMddHHmmss").cast("long")
+
+
+def toIntervalSecond(n): return F.make_dt_interval(secs=_c(n).cast("double"))
+def toIntervalMinute(n): return F.make_dt_interval(mins=_c(n).cast("int"))
+def toIntervalHour(n): return F.make_dt_interval(hours=_c(n).cast("int"))
+def toIntervalDay(n): return F.make_dt_interval(days=_c(n).cast("int"))
+def toIntervalWeek(n): return F.make_dt_interval(days=(_c(n) * 7).cast("int"))
+def toIntervalMonth(n): return F.make_interval(months=_c(n).cast("int"))
+def toIntervalQuarter(n): return F.make_interval(months=(_c(n) * 3).cast("int"))
+def toIntervalYear(n): return F.make_interval(years=_c(n).cast("int"))
+
+
+# -- context functions (plan-time constants; the reference evaluates them
+# per server — one Spark driver plays that role) --------------------------
+def version():
+    return F.lit("clickhouse_clickhouse_spark 5.0")
+
+
+def hostName():
+    import socket
+    return F.lit(socket.gethostname())
+
+
+def currentUser():
+    import getpass
+    return F.lit(getpass.getuser())
+
+
+def currentDatabase(spark=None):
+    from pyspark.sql import SparkSession
+    s = spark or SparkSession.getActiveSession()
+    return F.lit(s.catalog.currentDatabase() if s else "default")
+
+
+def serverUUID():
+    import uuid as _uuid
+    # stable per engine install (hash of hostname), not per call
+    import socket
+    return F.lit(str(_uuid.uuid5(_uuid.NAMESPACE_DNS,
+                                 socket.gethostname())))
+
+
+# -- rounding to sets ------------------------------------------------------
+def roundDown(x, boundaries):
+    """Round down to the nearest element of a sorted set; values below
+    the smallest get the FIRST element (reference roundDown)."""
+    arr = boundaries if isinstance(boundaries, Column) else \
+        F.array(*[F.lit(b) for b in boundaries])
+    v = _c(x)
+    le = F.filter(arr, lambda b: b <= v)
+    return F.coalesce(F.array_max(le), F.element_at(arr, 1))
+
+
+# -- bits ------------------------------------------------------------------
+def _rot64(v: Column, n) -> tuple:
+    nn = (n if isinstance(n, Column) else F.lit(int(n))) % 64
+    return v, nn
+
+
+def bitRotateLeft(x, n):
+    """64-bit rotate left (reference bitRotateLeft). call_function routes
+    the shift amounts as Columns (the python shiftleft wrapper only takes
+    an int)."""
+    v, nn = _rot64(_c(x).cast("long"), n)
+    return F.when(nn == 0, v).otherwise(
+        F.call_function("shiftleft", v, nn.cast("int"))
+        .bitwiseOR(F.call_function("shiftrightunsigned", v,
+                                   (64 - nn).cast("int"))))
+
+
+def bitRotateRight(x, n):
+    """64-bit rotate right (reference bitRotateRight)."""
+    v, nn = _rot64(_c(x).cast("long"), n)
+    return F.when(nn == 0, v).otherwise(
+        F.call_function("shiftrightunsigned", v, nn.cast("int"))
+        .bitwiseOR(F.call_function("shiftleft", v, (64 - nn).cast("int"))))
+
+
+# -- arrays ---------------------------------------------------------------
+def countEqual(a, x):
+    """Occurrences of x in the array, NULL-aware (reference countEqual)."""
+    xx = x if isinstance(x, Column) else F.lit(x)
+    return F.size(F.filter(_c(a), lambda e: e.eqNullSafe(xx)))
+
+
+def arrayFirst(cond, a):
+    return F.element_at(F.filter(_c(a), cond), 1)
+
+
+def arrayLast(cond, a):
+    return F.element_at(F.filter(_c(a), cond), -1)
+
+
+def arrayFirstIndex(cond, a):
+    """1-based index of the first matching element, 0 when none
+    (reference arrayFirstIndex)."""
+    arr = _c(a)
+    hits = F.filter(F.transform(arr, lambda e, i: F.struct(
+        (i + 1).alias("i"), cond(e).alias("ok"))), lambda s: s["ok"])
+    return F.coalesce(hits[0]["i"], F.lit(0))
+
+
+def arrayLastIndex(cond, a):
+    arr = _c(a)
+    hits = F.filter(F.transform(arr, lambda e, i: F.struct(
+        (i + 1).alias("i"), cond(e).alias("ok"))), lambda s: s["ok"])
+    return F.coalesce(F.element_at(hits, -1)["i"], F.lit(0))
+
+
+def arrayCumSumNonNegative(a):
+    """Running sum clamped at zero after each step (reference
+    arrayCumSumNonNegative) — single fold carrying the running value and
+    the output prefix."""
+    arr = _c(a)
+    init = F.struct(F.lit(0.0).alias("run"),
+                    F.slice(arr.cast("array<double>"), 1, 0).alias("out"))
+    folded = F.aggregate(
+        arr, init,
+        lambda acc, x: F.struct(
+            F.greatest(acc["run"] + x.cast("double"),
+                       F.lit(0.0)).alias("run"),
+            F.concat(acc["out"], F.array(
+                F.greatest(acc["run"] + x.cast("double"),
+                           F.lit(0.0)))).alias("out")))
+    return folded["out"]
+
+
+# -- strings ---------------------------------------------------------------
+def isNull(a): return _c(a).isNull()
+def isNotNull(a): return _c(a).isNotNull()
+def leftUTF8(s, n): return F.substring(_c(s), 1, n)
+def rightUTF8(s, n):
+    ss = _c(s)
+    nn = n if isinstance(n, Column) else F.lit(int(n))
+    return F.substring(ss, (F.length(ss) - nn + 1).cast("int"), nn)
+def reverseUTF8(s): return F.reverse(_c(s))
+def lengthBytes(s): return F.octet_length(_c(s))
+def space(n): return F.repeat(F.lit(" "), _c(n).cast("int") if isinstance(n, Column) else int(n))
+def notLike(s, p: str): return ~_c(s).like(p)
+def notILike(s, p: str): return ~_c(s).ilike(p)
+
+
+def locate(needle, haystack, pos=None):
+    """MySQL argument order — needle FIRST (reference locate; contrast
+    position(haystack, needle))."""
+    if pos is None:
+        return F.instr(_c(haystack), _c(needle) if isinstance(needle, Column)
+                       else F.lit(needle))
+    return F.locate(needle, _c(haystack), pos)
+
+
+def positionUTF8(haystack, needle):
+    return F.instr(_c(haystack),
+                   _c(needle) if isinstance(needle, Column) else F.lit(needle))
+
+
+def appendTrailingCharIfAbsent(s, c: str):
+    ss = _c(s)
+    return F.when(ss.endswith(c), ss).otherwise(F.concat(ss, F.lit(c)))
+
+
+def toFixedString(s, n: int):
+    """Pad with NUL bytes to exactly n (reference toFixedString); longer
+    input errors in the reference — here it truncates, documented."""
+    return F.rpad(F.substring(_c(s), 1, n), n, "\x00")
+
+
+def toStringCutToZero(s):
+    """Cut at the first NUL byte (reference toStringCutToZero)."""
+    return F.split(_c(s), "\x00").getItem(0)
+
+
+def replaceRegexpOne(s, pattern: str, repl: str):
+    """Replace only the FIRST regex match (reference replaceRegexpOne;
+    Spark's regexp_replace is replace-all). Splices at regexp_instr's
+    match position; backreferences in the replacement are out of scope
+    (documented)."""
+    ss = _c(s)
+    m = F.regexp_extract(ss, pattern, 0)
+    pos = F.regexp_instr(ss, F.lit(pattern))
+    return F.when(
+        (m == "") | (pos == 0), ss
+    ).otherwise(F.concat(
+        F.substring(ss, 1, (pos - 1).cast("int")),
+        F.lit(repl),
+        F.substring(ss, (pos + F.length(m)).cast("int"), F.lit(1 << 30))))
+
+
+def overlay_(s, repl, pos, length=None):
+    return F.overlay(_c(s), _c(repl) if isinstance(repl, Column)
+                     else F.lit(repl), pos,
+                     length if length is not None else -1)
+
+
+def splitByWhitespace(s):
+    return F.filter(F.split(_c(s), r"\s+"), lambda t: t != "")
+
+
+def alphaTokens(s):
+    """Maximal runs of a-zA-Z (reference alphaTokens)."""
+    return F.filter(F.split(_c(s), r"[^a-zA-Z]+"), lambda t: t != "")
+
+
+def normalizeUTF8NFC(s):
+    """Unicode NFC normalization (reference normalizeUTF8NFC) — Arrow-
+    batched pandas UDF over stdlib unicodedata (no JVM builtin exists;
+    this is the documented slow path, still vectorized per batch)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(col: pd.Series) -> pd.Series:
+        import unicodedata
+        return col.map(lambda v: None if v is None
+                       else unicodedata.normalize("NFC", v))
+    return _nfc(_c(s))
+
+
+def normalizeUTF8NFD(s):
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfd(col: pd.Series) -> pd.Series:
+        import unicodedata
+        return col.map(lambda v: None if v is None
+                       else unicodedata.normalize("NFD", v))
+    return _nfd(_c(s))
+
+
+# -- block pseudo-columns (the reference's block order is Spark's
+# partition order: same determinism caveats) ------------------------------
+def blockNumber():
+    return F.spark_partition_id().cast("long")
+
+
+def rowNumberInBlock():
+    """Row counter within the current partition — decoded from
+    monotonically_increasing_id's partition-local low bits."""
+    return F.monotonically_increasing_id() % F.lit(1 << 33)
+
+
+def rowNumberInAllBlocks():
+    return F.monotonically_increasing_id()

@@ -187,6 +187,31 @@ _FUNCS: dict[str, str] = {
     # higher-order: CH takes the lambda FIRST, Spark takes it last
     "arrayMap": "TRANSFORM({1}, {0})", "arrayFilter": "FILTER({1}, {0})",
     "arrayExists": "EXISTS({1}, {0})", "arrayAll": "FORALL({1}, {0})",
+    "arrayFirst": "ELEMENT_AT(FILTER({1}, {0}), 1)",
+    "arrayLast": "ELEMENT_AT(FILTER({1}, {0}), -1)",
+    "countEqual": "SIZE(FILTER({0}, __ce -> __ce <=> {1}))",
+    "makeDate": "MAKE_DATE({0}, {1}, {2})",
+    "makeDate32": "MAKE_DATE({0}, {1}, {2})",
+    "makeDateTime": "MAKE_TIMESTAMP({0}, {1}, {2}, {3}, {4}, {5})",
+    "YYYYMMDDToDate":
+        "MAKE_DATE(CAST(({0}) DIV 10000 AS INT), "
+        "CAST((({0}) DIV 100) % 100 AS INT), CAST(({0}) % 100 AS INT))",
+    "toYYYYMMDDhhmmss":
+        "CAST(DATE_FORMAT({0}, 'yyyyMMddHHmmss') AS BIGINT)",
+    "toISOYear": "YEAR(DATE_ADD({0}, 4 - (WEEKDAY({0}) + 1)))",
+    "locate": "INSTR({1}, {0})",
+    "positionUTF8": "INSTR({0}, {1})",
+    "notLike": "(NOT (({0}) LIKE {1}))",
+    "notILike": "(NOT (({0}) ILIKE {1}))",
+    "space": "REPEAT(' ', {0})",
+    "lengthBytes": "OCTET_LENGTH({0})",
+    "splitByWhitespace": "FILTER(SPLIT({0}, '\\\\s+'), __t -> __t != '')",
+    "alphaTokens": "FILTER(SPLIT({0}, '[^a-zA-Z]+'), __t -> __t != '')",
+    "appendTrailingCharIfAbsent":
+        "CASE WHEN ENDSWITH({0}, {1}) THEN {0} ELSE CONCAT({0}, {1}) END",
+    "leftUTF8": "SUBSTRING({0}, 1, {1})",
+    "rightUTF8": "SUBSTRING({0}, -CAST({1} AS INT), {1})",
+    "reverseUTF8": "REVERSE({0})",
     "arrayCount": "SIZE(FILTER({1}, {0}))",
     # vector distances (SQL names of functions/vectors.py)
     "dotProduct": "AGGREGATE(ZIP_WITH({0}, {1}, (x, y) -> x * y), "

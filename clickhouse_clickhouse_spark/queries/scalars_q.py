@@ -1372,3 +1372,55 @@ def projection_routed_agg(spark, sf):
     drop_projection(view, "p_rt")
     return routed.select("event_type", "n", F.round("sv", 6).alias("sv"),
                          "mn", "mx")
+
+
+@register("ch_dialect_demo7", oracle="""
+SELECT n_nationkey AS k,
+       CAST(make_date(2020 + (n_nationkey % 5)::INT,
+                      1 + (n_nationkey % 12)::INT,
+                      1 + (n_nationkey % 28)::INT) AS TIMESTAMP) AS md,
+       CAST(strftime(make_timestamp(2024, 1, 2, 3, 4,
+                                    (n_nationkey % 60)::DOUBLE),
+                     '%Y%m%d%H%M%S') AS BIGINT) AS t14,
+       CAST(make_date(((20200101 + n_nationkey * 10000) // 10000)::INT,
+                      (((20200101 + n_nationkey * 10000) // 100) % 100)::INT,
+                      ((20200101 + n_nationkey * 10000) % 100)::INT)
+            AS TIMESTAMP) AS ymd,
+       CAST(len(n_name) AS BIGINT) AS lb,
+       n_name[-3:] AS r3,
+       CAST(strpos(n_name, 'AN') AS BIGINT) AS loc,
+       NOT (n_name LIKE 'A%') AS nl,
+       CASE WHEN n_name LIKE '%A' THEN n_name ELSE n_name || 'A' END AS atc,
+       CAST(len(list_filter([n_regionkey, 2, 2], x -> x = 2))
+            AS INT) AS ce2,
+       list_filter([n_regionkey, n_regionkey + 2, 9],
+                   x -> x > 1)[1] AS af
+FROM nation ORDER BY k
+""")
+def ch_dialect_demo7(spark, sf):
+    """Round-5 batch-3 names through the dialect front end: makeDate /
+    makeDateTime / toYYYYMMDDhhmmss / YYYYMMDDToDate / lengthBytes /
+    rightUTF8 / locate (MySQL arg order) / notLike /
+    appendTrailingCharIfAbsent / alphaTokens / arrayFirst."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "nation").createOrReplaceTempView("nation")
+    return ch_sql(spark, """
+        SELECT n_nationkey AS k,
+               toDateTime(makeDate(2020 + n_nationkey % 5,
+                                   1 + n_nationkey % 12,
+                                   1 + n_nationkey % 28)) AS md,
+               toYYYYMMDDhhmmss(makeDateTime(2024, 1, 2, 3, 4,
+                                             n_nationkey % 60)) AS t14,
+               toDateTime(YYYYMMDDToDate(20200101 + n_nationkey * 10000))
+                   AS ymd,
+               lengthBytes(n_name) AS lb,
+               rightUTF8(n_name, 3) AS r3,
+               locate('AN', n_name) AS loc,
+               notLike(n_name, 'A%') AS nl,
+               appendTrailingCharIfAbsent(n_name, 'A') AS atc,
+               toInt32(countEqual([n_regionkey, 2, 2], 2)) AS ce2,
+               arrayFirst(x -> x > 1,
+                          [n_regionkey, n_regionkey + 2, 9]) AS af
+        FROM nation ORDER BY k
+    """)

@@ -467,3 +467,63 @@ def test_erf_normal_cdf_and_z_tests(spark):
     assert abs(out.ci_high - (-5 + 1.959963984540054)) < 1e-5
     with pytest.raises(ValueError):
         mean_z_test(df, "v", "g", "a", "b", 1.0, 1.0, confidence=0.8)
+
+
+def test_round5_batch3_dates_arrays_strings(spark):
+    import pyspark.sql.functions as F
+
+    from clickhouse_clickhouse_spark import ch_functions as ch
+
+    df = spark.range(1)
+    r = df.select(
+        ch.toISOYear(F.lit("2021-01-01").cast("date")).alias("iy"),
+        ch.toStartOfISOYear(F.lit("2021-06-15").cast("date")).alias("isoy"),
+        ch.toYearWeek(F.lit("2024-03-15").cast("date"), 3).alias("yw"),
+        ch.makeDate(F.lit(2024), F.lit(2), F.lit(29)).alias("md"),
+        ch.makeDateTime(F.lit(2024), F.lit(1), F.lit(2), F.lit(3),
+                        F.lit(4), F.lit(5)).alias("mdt"),
+        ch.YYYYMMDDToDate(F.lit(20240131)).alias("ymd"),
+        ch.toYYYYMMDDhhmmss(
+            F.lit("2024-01-02 03:04:05").cast("timestamp")).alias("t14"),
+        (F.lit("2024-01-01").cast("date")
+         + ch.toIntervalDay(F.lit(30))).alias("p30"),
+        ch.roundDown(F.lit(17), [0, 10, 20, 30]).alias("rd"),
+        ch.roundDown(F.lit(-5), [0, 10]).alias("rdl"),
+        ch.bitRotateLeft(F.lit(1), 63).alias("brl"),
+        ch.bitRotateRight(F.lit(1), 1).alias("brr"),
+        ch.countEqual(F.array(F.lit(1), F.lit(2), F.lit(1)), 1).alias("ce"),
+        ch.arrayFirst(lambda x: x > 1,
+                      F.array(F.lit(1), F.lit(2), F.lit(3))).alias("af"),
+        ch.arrayFirstIndex(lambda x: x > 9,
+                           F.array(F.lit(1), F.lit(2))).alias("afi0"),
+        ch.arrayLastIndex(lambda x: x > 1,
+                          F.array(F.lit(1), F.lit(2), F.lit(3))).alias("ali"),
+        ch.arrayCumSumNonNegative(
+            F.array(F.lit(1), F.lit(-3), F.lit(2))).alias("acs"),
+        ch.rightUTF8(F.lit("hello"), 3).alias("r3"),
+        ch.locate(F.lit("lo"), F.lit("hello")).alias("loc"),
+        ch.appendTrailingCharIfAbsent(F.lit("dir"), "/").alias("atc"),
+        ch.appendTrailingCharIfAbsent(F.lit("dir/"), "/").alias("atc2"),
+        ch.toStringCutToZero(ch.toFixedString(F.lit("ab"), 5)).alias("fxz"),
+        ch.replaceRegexpOne(F.lit("a1b2c3"), r"\d", "X").alias("rro"),
+        ch.replaceRegexpOne(F.lit("abc"), r"\d", "X").alias("rro0"),
+        ch.splitByWhitespace(F.lit(" a  b c ")).alias("sbw"),
+        ch.alphaTokens(F.lit("abc1def's")).alias("at"),
+        ch.normalizeUTF8NFD(ch.normalizeUTF8NFC(F.lit("café"))).alias("nfd"),
+        ch.notLike(F.lit("abc"), "a%").alias("nl"),
+    ).collect()[0]
+    assert r.iy == 2020 and str(r.isoy) == "2021-01-04"
+    assert r.yw == 202411
+    assert str(r.md) == "2024-02-29" and str(r.mdt) == "2024-01-02 03:04:05"
+    assert str(r.ymd) == "2024-01-31" and r.t14 == 20240102030405
+    assert str(r.p30) == "2024-01-31 00:00:00"
+    assert r.rd == 10 and r.rdl == 0
+    assert r.brl == -(2 ** 63) and r.brr == -(2 ** 63)
+    assert r.ce == 2 and r.af == 2 and r.afi0 == 0 and r.ali == 3
+    assert r.acs == [1.0, 0.0, 2.0]
+    assert r.r3 == "llo" and r.loc == 4
+    assert r.atc == "dir/" and r.atc2 == "dir/"
+    assert r.fxz == "ab"
+    assert r.rro == "aXb2c3" and r.rro0 == "abc"
+    assert r.sbw == ["a", "b", "c"] and r.at == ["abc", "def", "s"]
+    assert len(r.nfd) == 5 and not r.nl  # NFD decomposes the accent
