@@ -86,6 +86,14 @@ def _bool_expr(num):
             lambda p: (f"({p[0][0]} OR {p[1][0]})",
                        f"({p[0][1]} OR {p[1][1]})")),
         cmp_.map(lambda c: (f"(NOT {c[0]})", f"(NOT {c[1]})")),
+        # round-5 late-batch predicates with exact DuckDB twins
+        st.just((
+            "notLike(n_name, 'A%')", "(NOT (n_name LIKE 'A%'))")),
+        st.just((
+            "isIPv4String(concat('10.0.0.', toString(n_nationkey)))",
+            "regexp_matches('10.0.0.' || CAST(n_nationkey AS VARCHAR), "
+            "'^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}"
+            "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$')")),
     )
 
 
@@ -100,6 +108,21 @@ _STR = st.one_of(
                    f"concat({p[0][1]}, {p[1][1]})")),
     _STR_BASE.map(lambda s: (f"substring({s[0]}, 1, 3)",
                              f"substring({s[1]}, 1, 3)")),
+    # round-5 late-batch names with exact DuckDB twins
+    st.tuples(_STR_BASE, _STR_BASE).map(
+        lambda p: (f"concatWithSeparator('-', {p[0][0]}, {p[1][0]})",
+                   f"concat_ws('-', {p[0][1]}, {p[1][1]})")),
+    _STR_BASE.map(lambda s: (
+        f"encodeXMLComponent({s[0]})",
+        f"replace(replace(replace(replace(replace({s[1]}, '&', '&amp;'),"
+        f" '<', '&lt;'), '>', '&gt;'), '\"', '&quot;'),"
+        f" '''', '&apos;')")),
+    _STR_BASE.map(lambda s: (f"reverseUTF8({s[0]})", f"reverse({s[1]})")),
+    _STR_BASE.map(lambda s: (f"leftUTF8({s[0]}, 2)",
+                             f"substr({s[1]}, 1, 2)")),
+    _STR_BASE.map(lambda s: (f"appendTrailingCharIfAbsent({s[0]}, '!')",
+                             f"CASE WHEN {s[1]} LIKE '%!' THEN {s[1]} "
+                             f"ELSE {s[1]} || '!' END")),
 )
 
 # conditionals mix bool + num through the CH-only spellings
