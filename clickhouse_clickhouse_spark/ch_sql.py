@@ -1409,18 +1409,48 @@ def ch_insert(spark: SparkSession, sql: str,
     return render.parse_lines(data, fmt, schema)
 
 
+# Batch materialized views (upstream StorageMaterializedView): an MV is
+# an INSERT trigger — it transforms each INSERTED BLOCK (never history)
+# and appends the result to its target table. source -> list of
+# (mv name, target view, translated transform SQL). Cascades compose
+# because the target append re-enters append_to_view; a visited set
+# breaks accidental cycles.
+_MATVIEWS: dict[str, list[tuple[str, str, str]]] = {}
+
+
+def _mv_fire(spark: SparkSession, source: str, block: DataFrame,
+             _seen: frozenset) -> None:
+    for mv_name, target, tsql in _MATVIEWS.get(source.lower(), []):
+        if mv_name in _seen:
+            continue
+        block_view = f"__mv_block_{mv_name}"
+        block.createOrReplaceTempView(block_view)
+        body = re.sub(rf"\b{re.escape(source)}\b", block_view, tsql,
+                      flags=re.IGNORECASE)
+        out = spark.sql(body)
+        append_to_view(spark, target, out,
+                       _seen=_seen | {mv_name})
+
+
 def append_to_view(spark: SparkSession, view: str,
-                   rows: DataFrame) -> DataFrame:
+                   rows: DataFrame,
+                   _seen: frozenset = frozenset()) -> DataFrame:
     """Append parsed rows to a temp view (the Memory-engine insert path):
-    union by name with null-fill for omitted columns, re-register."""
+    union by name with null-fill for omitted columns, re-register — then
+    fire any materialized views registered on this table with the
+    inserted block (reference semantics: the MV transform sees ONLY the
+    new block, not history)."""
     from clickhouse_clickhouse_spark.plans.summary import (
         invalidate_projections,
     )
 
     invalidate_projections(view)
     base = spark.table(view)
+    # materialize the union so the block's lineage (and its __mv_block
+    # temp view) isn't re-read after later re-registrations
     out = base.unionByName(rows, allowMissingColumns=True)
     out.createOrReplaceTempView(view)
+    _mv_fire(spark, view, rows, _seen)
     return out
 
 
@@ -1556,16 +1586,55 @@ def ch_statement(spark: SparkSession, sql: str,
             [(k, conf, val) for k, (conf, val) in applied.items()],
             "setting string, spark_conf string, value string")
     if kw == "CREATE":
+        mvm = re.match(
+            r"CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+            r"(?P<v>\w+)\s+(?:TO\s+(?P<to>\w+)\s+)?"
+            r"(?:(?P<pop>POPULATE)\s+)?AS\s+(?P<q>.+)$",
+            sql.strip().rstrip(";"), re.IGNORECASE | re.DOTALL)
+        if mvm:
+            # Batch MATERIALIZED VIEW (upstream StorageMaterializedView):
+            # an INSERT trigger — each inserted block is transformed and
+            # appended to the target; history is NOT backfilled unless
+            # POPULATE. (The streaming flavor with checkpoints lives in
+            # streaming.matview.MaterializedView.)
+            mv = mvm.group("v")
+            q = mvm.group("q").strip()
+            target = mvm.group("to") or mv
+            populate = mvm.group("pop") is not None
+            fm = _masked_search(re.compile(r"\bFROM\s+(\w+)",
+                                           re.IGNORECASE), q)
+            if not fm:
+                raise ValueError("materialized view query needs a FROM "
+                                 "table to attach the insert trigger to")
+            source = fm.group(1)
+            _register_udfs(spark)
+            tsql = translate(q)
+            transformed = spark.sql(tsql)
+            try:
+                spark.table(target)
+            except Exception:
+                spark.createDataFrame([], transformed.schema) \
+                    .createOrReplaceTempView(target)
+            _MATVIEWS.setdefault(source.lower(), []).append(
+                (mv, target, tsql))
+            if populate:
+                append_to_view(spark, target, transformed,
+                               _seen=frozenset({mv}))
+            if target != mv:
+                # the MV name itself reads the target (reference
+                # behavior) — registered from SQL TEXT so it stays
+                # late-bound as the target re-registers on each insert
+                spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {mv} "
+                          f"AS SELECT * FROM {target}")
+            return spark.createDataFrame(
+                [(mv, target, source, populate)],
+                "name string, target string, source string, "
+                "populated boolean")
         vm = re.match(
-            r"CREATE\s+(?:OR\s+REPLACE\s+)?(MATERIALIZED\s+)?VIEW\s+"
+            r"CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+"
             r"(?:IF\s+NOT\s+EXISTS\s+)?(?P<v>\w+)\s+AS\s+(?P<q>.+)$",
             sql.strip().rstrip(";"), re.IGNORECASE | re.DOTALL)
         if vm:
-            if vm.group(1):
-                raise ValueError(
-                    "CREATE MATERIALIZED VIEW is a streaming construct — "
-                    "use streaming.matview.MaterializedView (the "
-                    "source->transform->target cascade with checkpoints)")
             # the reference stores the query and re-executes it on every
             # read (late binding: mutations to base tables show through).
             # A SQL-created temp view over the TRANSLATED text has
@@ -1682,6 +1751,12 @@ def ch_statement(spark: SparkSession, sql: str,
         )
 
         invalidate_projections(mm.group(1))
+        # unregister any materialized-view trigger with this name
+        for src_tbl in list(_MATVIEWS):
+            _MATVIEWS[src_tbl] = [t for t in _MATVIEWS[src_tbl]
+                                  if t[0].lower() != mm.group(1).lower()]
+            if not _MATVIEWS[src_tbl]:
+                del _MATVIEWS[src_tbl]
         return spark.createDataFrame([(mm.group(1),)], "dropped string")
     if kw == "ALTER":
         from pyspark.sql import functions as F

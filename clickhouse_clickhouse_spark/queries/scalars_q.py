@@ -1424,3 +1424,40 @@ def ch_dialect_demo7(spark, sf):
                           [n_regionkey, n_regionkey + 2, 9]) AS af
         FROM nation ORDER BY k
     """)
+
+
+@register("matview_insert_trigger", oracle="""
+WITH b1 AS (
+  SELECT n_regionkey AS k, CAST(sum(n_nationkey) AS BIGINT) AS s
+  FROM nation WHERE n_nationkey < 10 GROUP BY n_regionkey),
+b2 AS (
+  SELECT n_regionkey AS k, CAST(sum(n_nationkey) AS BIGINT) AS s
+  FROM nation WHERE n_nationkey >= 10 GROUP BY n_regionkey)
+SELECT * FROM b1 UNION ALL SELECT * FROM b2
+""")
+def matview_insert_trigger(spark, sf):
+    """Batch materialized view (upstream StorageMaterializedView): the
+    INSERT trigger transforms each inserted BLOCK independently — two
+    inserts yield two partial aggregates per key, exactly the reference's
+    per-block MV output (query-time reaggregation merges them). Oracle
+    reproduces the two blocks explicitly."""
+    import uuid
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, ch_statement
+
+    sfx = uuid.uuid4().hex[:8]
+    src, tgt, mv = f"mvq_src_{sfx}", f"mvq_tgt_{sfx}", f"mvq_mv_{sfx}"
+    load_table(spark, sf, "nation").createOrReplaceTempView("nation")
+    ch_statement(spark, f"CREATE TABLE {src} (n_nationkey Int64, "
+                        f"n_regionkey Int64) ENGINE = Memory")
+    ch_statement(spark, f"CREATE MATERIALIZED VIEW {mv} TO {tgt} AS "
+                        f"SELECT n_regionkey AS k, "
+                        f"toInt64(sum(n_nationkey)) AS s "
+                        f"FROM {src} GROUP BY n_regionkey")
+    ch_statement(spark, f"INSERT INTO {src} SELECT n_nationkey, "
+                        f"n_regionkey FROM nation WHERE n_nationkey < 10")
+    ch_statement(spark, f"INSERT INTO {src} SELECT n_nationkey, "
+                        f"n_regionkey FROM nation WHERE n_nationkey >= 10")
+    out = ch_sql(spark, f"SELECT k, s FROM {tgt}")
+    ch_statement(spark, f"DROP VIEW {mv}")
+    return out

@@ -754,9 +754,13 @@ def test_create_view_and_lightweight_delete(spark):
     ch_statement(spark, "DROP VIEW __stmt_v")
     assert not any(t.name == "__stmt_v"
                    for t in spark.catalog.listTables())
-    with _pytest.raises(ValueError, match="MaterializedView"):
-        ch_statement(spark, "CREATE MATERIALIZED VIEW mv AS "
-                            "SELECT * FROM __stmt_t")
+    # batch MATERIALIZED VIEW is implemented (insert-trigger semantics;
+    # see test_batch_materialized_view_insert_trigger) — it registers
+    # and returns instead of refusing
+    mv_row = ch_statement(spark, "CREATE MATERIALIZED VIEW __stmt_mv AS "
+                                 "SELECT * FROM __stmt_t").collect()[0]
+    assert mv_row.source == "__stmt_t"
+    ch_statement(spark, "DROP VIEW __stmt_mv")
     with _pytest.raises(ValueError, match="WHERE is required"):
         ch_statement(spark, "DELETE FROM __stmt_t")
 
@@ -1028,3 +1032,55 @@ def test_system_projections_view(spark, sf_dir):
     assert ch_sql(spark, "SELECT count() AS c FROM system.projections "
                          "WHERE table = 'nat_sp'").collect()[0].c == 0
     spark.catalog.dropTempView("nat_sp")
+
+
+def test_batch_materialized_view_insert_trigger(spark):
+    """Batch MV semantics (upstream StorageMaterializedView): the
+    transform sees ONLY each inserted block; POPULATE backfills; DROP
+    VIEW detaches the trigger; cascades fire through targets."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, ch_statement
+
+    ch_statement(spark, "CREATE TABLE mvt_src (k Int64, v Float64) "
+                        "ENGINE = Memory")
+    ch_statement(spark, "CREATE TABLE mvt_tgt (k Int64, sv Float64) "
+                        "ENGINE = Memory")
+    ch_statement(spark, "CREATE MATERIALIZED VIEW mvt_mv TO mvt_tgt AS "
+                        "SELECT k, sum(v) AS sv FROM mvt_src GROUP BY k")
+    # cascade: second MV reads the first MV's target
+    ch_statement(spark, "CREATE MATERIALIZED VIEW mvt_mv2 AS "
+                        "SELECT k, sv * 10 AS tv FROM mvt_tgt")
+
+    ch_statement(spark, "INSERT INTO mvt_src VALUES (1, 10.0), (1, 5.0), "
+                        "(2, 1.0)")
+    ch_statement(spark, "INSERT INTO mvt_src VALUES (1, 100.0)")
+
+    # per-block partials: k=1 appears once per block, NOT merged
+    tgt = sorted((r.k, r.sv) for r in
+                 ch_sql(spark, "SELECT * FROM mvt_tgt").collect())
+    assert tgt == [(1, 15.0), (1, 100.0), (2, 1.0)]
+    # the MV name reads the target, late-bound
+    assert sorted((r.k, r.sv) for r in
+                  ch_sql(spark, "SELECT * FROM mvt_mv").collect()) == tgt
+    # cascade fired per block too
+    casc = sorted((r.k, r.tv) for r in
+                  ch_sql(spark, "SELECT * FROM mvt_mv2").collect())
+    assert casc == [(1, 150.0), (1, 1000.0), (2, 10.0)]
+    # query-time reaggregation gives the true totals
+    agg = {r.k: r.s for r in ch_sql(
+        spark, "SELECT k, sum(sv) AS s FROM mvt_tgt GROUP BY k").collect()}
+    assert agg == {1: 115.0, 2: 1.0}
+
+    # POPULATE backfills current contents
+    ch_statement(spark, "CREATE MATERIALIZED VIEW mvt_mv3 POPULATE AS "
+                        "SELECT count() AS c FROM mvt_src")
+    assert ch_sql(spark, "SELECT * FROM mvt_mv3").collect()[0].c == 4
+
+    # DROP detaches: no further rows land in mv3's view
+    ch_statement(spark, "DROP VIEW mvt_mv3")
+    ch_statement(spark, "DROP VIEW mvt_mv2")
+    before = ch_sql(spark, "SELECT count() AS c FROM mvt_tgt").collect()[0].c
+    ch_statement(spark, "INSERT INTO mvt_src VALUES (9, 9.0)")
+    after = ch_sql(spark, "SELECT count() AS c FROM mvt_tgt").collect()[0].c
+    assert after == before + 1  # mvt_mv still attached
+    for v in ("mvt_mv", "mvt_src", "mvt_tgt"):
+        ch_statement(spark, f"DROP VIEW {v}")
