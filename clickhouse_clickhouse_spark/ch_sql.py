@@ -1432,6 +1432,25 @@ def _mv_fire(spark: SparkSession, source: str, block: DataFrame,
                        _seen=_seen | {mv_name})
 
 
+# Recent inserted-block checksums per view, newest last (the reference's
+# replicated-table dedup window of block ids — default window 100).
+_INSERT_BLOCK_HASHES: dict[str, list[int]] = {}
+_DEDUP_WINDOW = 100
+
+
+def _block_hash(rows: DataFrame) -> int:
+    """Order-insensitive content checksum of an inserted block: the sum
+    of per-row xxhash64 over all columns plus the count (computed
+    distributed; one scalar lands on the driver)."""
+    from pyspark.sql import functions as F
+
+    agg = rows.agg(
+        F.coalesce(F.sum(F.xxhash64(*[F.col(c) for c in rows.columns])),
+                   F.lit(0)).alias("h"),
+        F.count("*").alias("n")).collect()[0]
+    return hash((int(agg.h), int(agg.n)))
+
+
 def append_to_view(spark: SparkSession, view: str,
                    rows: DataFrame,
                    _seen: frozenset = frozenset()) -> DataFrame:
@@ -1439,11 +1458,26 @@ def append_to_view(spark: SparkSession, view: str,
     union by name with null-fill for omitted columns, re-register — then
     fire any materialized views registered on this table with the
     inserted block (reference semantics: the MV transform sees ONLY the
-    new block, not history)."""
+    new block, not history).
+
+    With ``SET insert_deduplicate = 1`` (reference replicated-table
+    retry protection), a block whose content checksum matches one of the
+    view's last 100 inserted blocks is silently skipped — the idempotent
+    client-retry contract."""
     from clickhouse_clickhouse_spark.plans.summary import (
         invalidate_projections,
     )
 
+    if spark.conf.get(
+            "spark.clickhouse_clickhouse_spark.insertDeduplicate",
+            "false") == "true":
+        key = view.lower()
+        h = _block_hash(rows)
+        seen_hashes = _INSERT_BLOCK_HASHES.setdefault(key, [])
+        if h in seen_hashes:
+            return spark.table(view)
+        seen_hashes.append(h)
+        del seen_hashes[:-_DEDUP_WINDOW]
     invalidate_projections(view)
     base = spark.table(view)
     # materialize the union so the block's lineage (and its __mv_block

@@ -113,6 +113,11 @@ _SETTINGS_MAP = {
     "max_bytes_in_join_to_broadcast":
         ("spark.sql.autoBroadcastJoinThreshold", str),
     "session_timezone": ("spark.sql.session.timeZone", str),
+    # engine-level setting (no Spark conf): stored under a private conf
+    # key and read by the INSERT path (ch_sql.append_to_view)
+    "insert_deduplicate":
+        ("spark.clickhouse_clickhouse_spark.insertDeduplicate",
+         lambda v: "true" if str(v) in ("1", "true", "True") else "false"),
 }
 
 

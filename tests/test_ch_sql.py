@@ -1084,3 +1084,28 @@ def test_batch_materialized_view_insert_trigger(spark):
     assert after == before + 1  # mvt_mv still attached
     for v in ("mvt_mv", "mvt_src", "mvt_tgt"):
         ch_statement(spark, f"DROP VIEW {v}")
+
+
+def test_insert_deduplicate_retry_protection(spark):
+    """SET insert_deduplicate = 1: re-inserting an identical block is a
+    silent no-op (the reference's replicated-table retry contract);
+    different blocks and the setting's default-off both append."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, ch_statement
+
+    ch_statement(spark, "CREATE TABLE dd_t (k Int64) ENGINE = Memory")
+    try:
+        ch_statement(spark, "SET insert_deduplicate = 1")
+        ch_statement(spark, "INSERT INTO dd_t VALUES (1), (2)")
+        ch_statement(spark, "INSERT INTO dd_t VALUES (1), (2)")  # retry
+        assert ch_sql(spark,
+                      "SELECT count() AS c FROM dd_t").collect()[0].c == 2
+        ch_statement(spark, "INSERT INTO dd_t VALUES (3)")       # new block
+        assert ch_sql(spark,
+                      "SELECT count() AS c FROM dd_t").collect()[0].c == 3
+        ch_statement(spark, "SET insert_deduplicate = 0")
+        ch_statement(spark, "INSERT INTO dd_t VALUES (3)")       # off: dup ok
+        assert ch_sql(spark,
+                      "SELECT count() AS c FROM dd_t").collect()[0].c == 4
+    finally:
+        ch_statement(spark, "SET insert_deduplicate = 0")
+        ch_statement(spark, "DROP VIEW dd_t")
