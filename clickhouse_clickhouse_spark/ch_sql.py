@@ -1463,9 +1463,14 @@ def append_to_view(spark: SparkSession, view: str,
     With ``SET insert_deduplicate = 1`` (reference replicated-table
     retry protection), a block whose content checksum matches one of the
     view's last 100 inserted blocks is silently skipped — the idempotent
-    client-retry contract."""
+    client-retry contract.
+
+    Registered projections are maintained INCREMENTALLY on insert — the
+    block's partial states append to the summary (upstream: each
+    inserted part writes its own projection part); only rewriting
+    mutations (UPDATE/DELETE/column DDL) invalidate."""
     from clickhouse_clickhouse_spark.plans.summary import (
-        invalidate_projections,
+        append_block, projections_for,
     )
 
     if spark.conf.get(
@@ -1478,7 +1483,8 @@ def append_to_view(spark: SparkSession, view: str,
             return spark.table(view)
         seen_hashes.append(h)
         del seen_hashes[:-_DEDUP_WINDOW]
-    invalidate_projections(view)
+    for s in projections_for(view):
+        append_block(s, rows)
     base = spark.table(view)
     # materialize the union so the block's lineage (and its __mv_block
     # temp view) isn't re-read after later re-registrations

@@ -183,3 +183,15 @@ def invalidate_projections(*tables: str) -> int:
     for t in tables:
         n += len(_PROJECTIONS.pop(t.lower(), {}))
     return n
+
+
+def append_block(summary: SummaryTable, block: DataFrame) -> None:
+    """Incremental projection maintenance (upstream: each inserted part
+    writes its own projection part): aggregate the inserted block's
+    partial states and APPEND them to the summary parquet. Merge-
+    correctness is free — the read path already merges partials, so
+    extra partial rows per key are exactly what a new part contributes."""
+    aggs = [_partial(src, op).alias(name)
+            for name, (src, op) in summary.measures.items()]
+    (block.groupBy(*summary.keys).agg(*aggs)
+     .write.mode("append").parquet(summary.path))

@@ -1109,3 +1109,30 @@ def test_insert_deduplicate_retry_protection(spark):
     finally:
         ch_statement(spark, "SET insert_deduplicate = 0")
         ch_statement(spark, "DROP VIEW dd_t")
+
+
+def test_projection_incremental_on_insert(spark):
+    """INSERT maintains projections incrementally (block partials append
+    — upstream per-part projection writes): the routed answer includes
+    freshly inserted rows and still reads the projection parquet."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, ch_statement
+    from clickhouse_clickhouse_spark.plans.summary import projections_for
+
+    ch_statement(spark, "CREATE TABLE pri_t (g String, v Int64) "
+                        "ENGINE = Memory")
+    ch_statement(spark, "INSERT INTO pri_t VALUES ('a', 1), ('b', 2)")
+    ch_statement(spark, "ALTER TABLE pri_t ADD PROJECTION p_i "
+                        "(SELECT g, count() AS n, sum(v) AS sv "
+                        "GROUP BY g)")
+    try:
+        ch_statement(spark, "INSERT INTO pri_t VALUES ('a', 10), ('c', 5)")
+        # projection survived the insert
+        assert len(projections_for("pri_t")) == 1
+        q = "SELECT g, count() AS n, sum(v) AS sv FROM pri_t GROUP BY g"
+        routed = ch_sql(spark, q)
+        assert any("ch_proj" in f for f in routed.inputFiles())
+        got = {r.g: (r.n, r.sv) for r in routed.collect()}
+        assert got == {"a": (2, 11), "b": (1, 2), "c": (1, 5)}
+    finally:
+        ch_statement(spark, "ALTER TABLE pri_t DROP PROJECTION p_i")
+        ch_statement(spark, "DROP VIEW pri_t")
