@@ -1808,12 +1808,16 @@ def ch_statement(spark: SparkSession, sql: str,
             raise ValueError("unsupported ALTER statement")
         name, op = mm.group("t"), mm.group("op").strip()
         base = spark.table(name)
-        if not re.match(r"(ADD|DROP)\s+PROJECTION\b", op, re.IGNORECASE):
+
+        def _rebuild():
+            # mutation-time projection rebuild (upstream: the mutation
+            # rewrites each part's projections); runs AFTER the view
+            # re-registration so it sees post-mutation contents
             from clickhouse_clickhouse_spark.plans.summary import (
-                invalidate_projections,
+                rebuild_projections,
             )
 
-            invalidate_projections(name)
+            rebuild_projections(spark, name)
         om = re.match(r"ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?"
                       r"(\w+)\s+([\w\(\), ]+)$", op, re.IGNORECASE)
         if om:
@@ -1821,12 +1825,14 @@ def ch_statement(spark: SparkSession, sql: str,
             dt, _ = parse_ch_type(om.group(2).strip())
             out = base.withColumn(om.group(1), F.lit(None).cast(dt))
             out.createOrReplaceTempView(name)
+            _rebuild()
             return spark.createDataFrame([(name, om.group(1))],
                                          "table string, added string")
         om = re.match(r"DROP\s+COLUMN\s+(?:IF\s+EXISTS\s+)?(\w+)$",
                       op, re.IGNORECASE)
         if om:
             base.drop(om.group(1)).createOrReplaceTempView(name)
+            _rebuild()
             return spark.createDataFrame([(name, om.group(1))],
                                          "table string, dropped string")
         om = re.match(r"DELETE\s+WHERE\s+(.+)$", op,
@@ -1838,6 +1844,7 @@ def ch_statement(spark: SparkSession, sql: str,
             cond = _rewrite_calls(om.group(1))
             out = base.filter(f"NOT ({cond})")
             out.createOrReplaceTempView(name)
+            _rebuild()
             return spark.createDataFrame([(name,)], "mutated string")
         om = re.match(r"UPDATE\s+(.+?)\s+WHERE\s+(.+)$", op,
                       re.IGNORECASE | re.DOTALL)
@@ -1852,6 +1859,7 @@ def ch_statement(spark: SparkSession, sql: str,
                     col, F.expr(f"CASE WHEN {cond} THEN {expr} "
                                 f"ELSE {col} END"))
             out.createOrReplaceTempView(name)
+            _rebuild()
             return spark.createDataFrame([(name,)], "mutated string")
         om = re.match(r"ADD\s+PROJECTION\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)"
                       r"\s*\(\s*SELECT\s+(.+?)\s+GROUP\s+BY\s+(.+?)\s*\)$",
@@ -1915,13 +1923,13 @@ def ch_statement(spark: SparkSession, sql: str,
                              "required — the reference refuses a bare "
                              "DELETE too)")
         cond = _rewrite_calls(mm.group("c"))
-        from clickhouse_clickhouse_spark.plans.summary import (
-            invalidate_projections,
-        )
-
-        invalidate_projections(mm.group("t"))
         spark.table(mm.group("t")).filter(f"NOT ({cond})") \
             .createOrReplaceTempView(mm.group("t"))
+        from clickhouse_clickhouse_spark.plans.summary import (
+            rebuild_projections,
+        )
+
+        rebuild_projections(spark, mm.group("t"))
         return spark.createDataFrame([(mm.group("t"),)], "mutated string")
     if kw == "RENAME":
         mm = re.match(r"RENAME\s+TABLE\s+(.+)$",
@@ -1936,10 +1944,11 @@ def ch_statement(spark: SparkSession, sql: str,
                 raise ValueError(f"RENAME TABLE: bad clause {pair!r}")
             a, b = pm.group(1), pm.group(2)
             from clickhouse_clickhouse_spark.plans.summary import (
-                invalidate_projections,
+                invalidate_projections, move_projections,
             )
 
-            invalidate_projections(a, b)
+            invalidate_projections(b)      # overwritten target's are gone
+            move_projections(a, b)         # data unchanged: no rebuild
             spark.table(a).createOrReplaceTempView(b)
             spark.catalog.dropTempView(a)
             spec = _SPECS.pop((id(spark), a.lower()), None)
@@ -1955,10 +1964,13 @@ def ch_statement(spark: SparkSession, sql: str,
             raise ValueError("unsupported EXCHANGE statement")
         a, b = mm.group(1), mm.group(2)
         from clickhouse_clickhouse_spark.plans.summary import (
-            invalidate_projections,
+            move_projections,
         )
 
-        invalidate_projections(a, b)
+        # projections follow their data through the swap
+        move_projections(a, "__xchg_tmp__")
+        move_projections(b, a)
+        move_projections("__xchg_tmp__", b)
         da, db = spark.table(a), spark.table(b)
         db.createOrReplaceTempView(a)
         da.createOrReplaceTempView(b)
@@ -1976,12 +1988,12 @@ def ch_statement(spark: SparkSession, sql: str,
         mm = re.match(r"TRUNCATE\s+(?:TABLE\s+)?(\w+)", sql.strip(),
                       re.IGNORECASE)
         name = mm.group(1)
-        from clickhouse_clickhouse_spark.plans.summary import (
-            invalidate_projections,
-        )
-
-        invalidate_projections(name)
         schema = spark.table(name).schema
         spark.createDataFrame([], schema).createOrReplaceTempView(name)
+        from clickhouse_clickhouse_spark.plans.summary import (
+            rebuild_projections,
+        )
+
+        rebuild_projections(spark, name)
         return spark.createDataFrame([(name,)], "truncated string")
     return ch_sql(spark, sql)

@@ -195,3 +195,30 @@ def append_block(summary: SummaryTable, block: DataFrame) -> None:
             for name, (src, op) in summary.measures.items()]
     (block.groupBy(*summary.keys).agg(*aggs)
      .write.mode("append").parquet(summary.path))
+
+
+def rebuild_projections(spark: SparkSession, table: str) -> int:
+    """Mutation-time projection rebuild (upstream: a mutation rewrites
+    each part's projections along with the part): re-aggregate every
+    registered projection of ``table`` from its post-mutation contents.
+    A projection whose columns no longer exist (column DDL) is dropped
+    instead — the reference errors on such ALTERs unless the projection
+    is dropped first; dropping is the permissive equivalent."""
+    n = 0
+    t = _PROJECTIONS.get(table.lower(), {})
+    for name in list(t):
+        s = t[name]
+        try:
+            s.build(spark.table(table))
+            n += 1
+        except Exception:
+            del t[name]
+    return n
+
+
+def move_projections(old: str, new: str) -> None:
+    """RENAME/EXCHANGE support: projections follow their table (the data
+    is unchanged, so no rebuild)."""
+    entry = _PROJECTIONS.pop(old.lower(), None)
+    if entry is not None:
+        _PROJECTIONS[new.lower()] = entry

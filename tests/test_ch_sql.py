@@ -974,11 +974,11 @@ def test_projection_ddl_and_routing(spark, sf_dir):
     assert not any("ch_proj" in f for f in ch_sql(spark, q).inputFiles())
 
 
-def test_projection_invalidated_by_mutation(spark, sf_dir):
-    """A mutation must not leave a stale projection serving old
-    partials: INSERT / ALTER UPDATE / DELETE / TRUNCATE all drop the
-    table's projections (the reference rebuilds them in the mutation's
-    part rewrite; an explicit re-ADD is the rebuild here)."""
+def test_projection_rebuilt_by_mutation(spark, sf_dir):
+    """A mutation REBUILDS registered projections from post-mutation
+    contents (upstream: mutations rewrite projection parts), so routing
+    keeps working and serves the mutated data; DROP/column-loss drops
+    the projection instead."""
     import pyspark.sql.functions as F
 
     from clickhouse_clickhouse_spark.ch_sql import ch_sql, ch_statement
@@ -993,23 +993,33 @@ def test_projection_invalidated_by_mutation(spark, sf_dir):
     ch_statement(spark, add)
     assert any("ch_proj" in f for f in ch_sql(spark, q).inputFiles())
 
-    # UPDATE mutation invalidates; the query falls back to base and sees
-    # the mutated data
+    # UPDATE rebuilds: still routed, and the routed answer reflects the
+    # mutation
     ch_statement(spark, "ALTER TABLE nat_mut UPDATE n_regionkey = 9 "
                         "WHERE n_regionkey = 0")
-    assert projections_for("nat_mut") == []
-    routed = ch_sql(spark, q)
-    assert not any("ch_proj" in f for f in routed.inputFiles())
-    keys = {r.n_regionkey for r in routed.collect()}
-    assert 0 not in keys and 9 in keys
-
-    # re-ADD (the rebuild), then DELETE invalidates again
-    ch_statement(spark, add)
     assert len(projections_for("nat_mut")) == 1
+    routed = ch_sql(spark, q)
+    assert any("ch_proj" in f for f in routed.inputFiles())
+    got = {r.n_regionkey: r.n for r in routed.collect()}
+    assert 0 not in got and got[9] >= 1
+    direct = {r.n_regionkey: r.n for r in spark.sql(
+        "SELECT n_regionkey, count(*) AS n FROM nat_mut "
+        "GROUP BY n_regionkey").collect()}
+    assert got == direct
+
+    # DELETE rebuilds too
     ch_statement(spark, "DELETE FROM nat_mut WHERE n_regionkey = 9")
+    assert len(projections_for("nat_mut")) == 1
+    routed2 = {r.n_regionkey: r.n for r in ch_sql(spark, q).collect()}
+    assert 9 not in routed2 and sum(routed2.values()) == 20
+
+    # dropping the projection's own column drops the projection (the
+    # permissive form of the reference's refusal)
+    ch_statement(spark, "ALTER TABLE nat_mut DROP COLUMN n_regionkey")
     assert projections_for("nat_mut") == []
 
     spark.catalog.dropTempView("nat_mut")
+
 
 
 def test_system_projections_view(spark, sf_dir):
