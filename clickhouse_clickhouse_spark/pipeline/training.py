@@ -165,3 +165,42 @@ def mixture_sample(docs: DataFrame, weights: Mapping[str, float],
     return (docs.join(F.broadcast(targets), source_col)
             .filter(h < F.col("__frac"))
             .drop("__frac"))
+
+
+def temperature_sample(docs: DataFrame, alpha: float, total: int, *,
+                       source_col: str = "source", id_col: str = "doc_id",
+                       seed: int = 0) -> DataFrame:
+    """Temperature-based (α-smoothed) source mixing — the multilingual /
+    multi-domain rebalancing rule (public: the p_i^α ∕ Σ p_j^α sampling
+    of the multilingual-pretraining literature, e.g. mBERT/XLM-R): a
+    source's target share is its corpus share raised to ``alpha``
+    (0 < α ≤ 1 upweights the tail; α = 1 is proportional, α = 0 uniform)
+    and renormalized, then each source keeps a reproducible id-hash
+    fraction sized to ``total`` documents.
+
+    Everything derives from ONE tiny per-source count aggregate:
+    smoothed shares, per-source keep fractions (capped at 1 — a source
+    short of its target keeps everything, surfaced not rebalanced),
+    broadcast back; the filter is a pure projection. Scale shape is
+    identical to :func:`mixture_sample`."""
+    if not (0.0 <= alpha <= 1.0):
+        raise ValueError("alpha must be in [0, 1]")
+    counts = docs.groupBy(source_col).agg(F.count("*").alias("__n"))
+    # Σ n_j^α via a 1-row aggregate cross-joined back (no collect); the
+    # aggregate shares counts' lineage, so disambiguate with aliases
+    tot = counts.agg(
+        F.sum(F.pow(F.col("__n").cast("double"), F.lit(alpha)))
+        .alias("__z")).alias("__tot")
+    c = counts.alias("__cnt")
+    n = F.col("__cnt.__n").cast("double")
+    frac = F.least(
+        F.lit(1.0),
+        F.pow(n, F.lit(alpha)) / F.col("__tot.__z")
+        * F.lit(float(total)) / n)
+    targets = (c.crossJoin(F.broadcast(tot))
+               .select(F.col(f"__cnt.{source_col}").alias(source_col),
+                       frac.alias("__frac")))
+    h = _key_hash(docs, id_col, seed).cast("double") / F.lit(float(_MOD))
+    return (docs.join(F.broadcast(targets), source_col)
+            .filter(h < F.col("__frac"))
+            .drop("__frac"))

@@ -1320,3 +1320,27 @@ def html_extract_text_q(spark, sf):
         F.lit(" &amp; more &lt;tags&gt;</p><script>var a = 1 < 2;</script>"),
         F.lit("</body></html>"))
     return d.select("doc_id", html_extract_text(html).alias("clean"))
+
+
+@register("temperature_sample_assign", oracle="""
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+z AS (SELECT sum(n ** 0.5) AS z FROM c),
+t AS (SELECT c.source,
+             least(1.0, (c.n ** 0.5) / z.z * 300.0 / c.n) AS frac
+      FROM c CROSS JOIN z)
+SELECT d.doc_id, d.source
+FROM documents d JOIN t USING (source)
+WHERE ((d.doc_id * 2654435761) % 4294967296) / 4294967296.0 < t.frac
+""")
+def temperature_sample_assign(spark, sf):
+    """α-smoothed temperature sampling (pipeline/training.
+    temperature_sample, α=0.5, 300-doc budget): source shares raised to
+    α and renormalized, membership by replayable id hash — the
+    multilingual-rebalance composition rule. Oracle replays the share
+    math and the Knuth-mix hash bit-exactly."""
+    from clickhouse_clickhouse_spark.pipeline.training import (
+        temperature_sample,
+    )
+
+    d = load_table(spark, sf, "documents")
+    return temperature_sample(d, 0.5, 300).select("doc_id", "source")

@@ -124,3 +124,46 @@ def test_mixture_sample_properties(spark):
     # a source short of its target keeps everything (no silent rebalance)
     keep_all = mixture_sample(d, {"0": 1.0}, 10_000)
     assert keep_all.count() == 100
+
+
+def test_temperature_sample_rebalances_toward_tail(spark):
+    """alpha < 1 upweights small sources: with a 90/10 corpus and
+    alpha=0.5, the kept set's tail share must exceed its corpus share;
+    alpha=1 keeps proportions; membership is deterministic."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from clickhouse_clickhouse_spark.pipeline.training import (
+        temperature_sample,
+    )
+
+    rows = [(i, "big") for i in range(900)] + \
+           [(1000 + i, "small") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+
+    kept = temperature_sample(docs, 0.5, 400).groupBy("source").count()
+    shares = {r.source: r["count"] for r in kept.collect()}
+    total = sum(shares.values())
+    # sqrt smoothing: target small-share = sqrt(100)/(sqrt(900)+sqrt(100))
+    # = 0.25 vs corpus 0.10
+    assert shares["small"] / total > 0.18
+    # hash-threshold sampling is approximate in COUNT but the budget is
+    # the scale target
+    assert 0.7 * 400 < total < 1.3 * 400
+
+    # alpha=1 is proportional sampling
+    kept1 = {r.source: r["count"] for r in
+             temperature_sample(docs, 1.0, 400)
+             .groupBy("source").count().collect()}
+    t1 = sum(kept1.values())
+    assert abs(kept1["big"] / t1 - 0.9) < 0.08
+
+    # deterministic: same call -> same membership
+    a = sorted(r.doc_id for r in
+               temperature_sample(docs, 0.5, 400).collect())
+    b = sorted(r.doc_id for r in
+               temperature_sample(docs, 0.5, 400).collect())
+    assert a == b
+
+    with pytest.raises(ValueError):
+        temperature_sample(docs, 1.5, 10)
