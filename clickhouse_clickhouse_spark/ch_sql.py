@@ -1606,7 +1606,7 @@ def ch_statement(spark: SparkSession, sql: str,
     kw = head[0].upper() if head else ""
     if kw in ("SET", "CREATE", "INSERT", "DESCRIBE", "DESC", "SHOW",
               "EXPLAIN", "EXISTS", "DROP", "ALTER", "DELETE", "TRUNCATE",
-              "RENAME", "EXCHANGE"):
+              "RENAME", "EXCHANGE", "OPTIMIZE"):
         from clickhouse_clickhouse_spark.sources.system_tables import (
             log_query,
         )
@@ -1771,7 +1771,23 @@ def ch_statement(spark: SparkSession, sql: str,
                     "PLAN": "EXPLAIN FORMATTED"}
         if first in variants:
             body = rest.split(None, 1)[1]
+            routed = _try_projection_route(spark, body)
+            if routed is not None:
+                plan = routed._jdf.queryExecution().explainString(
+                    spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                    .fromString("formatted"))
+                return spark.createDataFrame(
+                    [("== Answered from aggregate projection ==\n"
+                      + plan,)], "plan string")
             return spark.sql(f"{variants[first]} {translate(body)}")
+        routed = _try_projection_route(spark, rest)
+        if routed is not None:
+            plan = routed._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("simple"))
+            return spark.createDataFrame(
+                [("== Answered from aggregate projection ==\n" + plan,)],
+                "plan string")
         return spark.sql(f"EXPLAIN {translate(rest)}")
     if kw == "EXISTS":
         name = head[-1].strip().rstrip(";")
@@ -1931,6 +1947,31 @@ def ch_statement(spark: SparkSession, sql: str,
 
         rebuild_projections(spark, mm.group("t"))
         return spark.createDataFrame([(mm.group("t"),)], "mutated string")
+    if kw == "OPTIMIZE":
+        mm = re.match(r"OPTIMIZE\s+TABLE\s+(\w+)(?:\s+FINAL)?"
+                      r"(?:\s+(DEDUPLICATE)(?:\s+BY\s+(.+))?)?\s*$",
+                      sql.strip().rstrip(";"), re.IGNORECASE)
+        if not mm:
+            raise ValueError("unsupported OPTIMIZE statement")
+        name = mm.group(1)
+        if mm.group(2):
+            cols = [c.strip() for c in (mm.group(3) or "").split(",")
+                    if c.strip()]
+            t = spark.table(name)
+            deduped = t.dropDuplicates(cols) if cols else t.dropDuplicates()
+            deduped.createOrReplaceTempView(name)
+        # merge-time projection maintenance (upstream: merges merge
+        # projection parts): re-aggregating compacts the incremental
+        # per-insert partials back to one row per key
+        from clickhouse_clickhouse_spark.plans.summary import (
+            rebuild_projections,
+        )
+
+        n = rebuild_projections(spark, name)
+        return spark.createDataFrame(
+            [(name, bool(mm.group(2)), n)],
+            "optimized string, deduplicated boolean, "
+            "projections_compacted int")
     if kw == "RENAME":
         mm = re.match(r"RENAME\s+TABLE\s+(.+)$",
                       sql.strip().rstrip(";"), re.IGNORECASE)

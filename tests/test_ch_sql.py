@@ -1146,3 +1146,42 @@ def test_projection_incremental_on_insert(spark):
     finally:
         ch_statement(spark, "ALTER TABLE pri_t DROP PROJECTION p_i")
         ch_statement(spark, "DROP VIEW pri_t")
+
+
+def test_optimize_statement_and_explain_routing(spark):
+    """OPTIMIZE TABLE [DEDUPLICATE] drops duplicate rows and compacts
+    incremental projection partials back to one row per key (merge-time
+    projection maintenance); EXPLAIN reveals when a SELECT is answered
+    from a projection."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, ch_statement
+    from clickhouse_clickhouse_spark.plans.summary import projections_for
+
+    ch_statement(spark, "CREATE TABLE opt_t (g String, v Int64) "
+                        "ENGINE = Memory")
+    ch_statement(spark, "INSERT INTO opt_t VALUES ('a', 1), ('a', 1), "
+                        "('b', 2)")
+    ch_statement(spark, "ALTER TABLE opt_t ADD PROJECTION p "
+                        "(SELECT g, sum(v) AS sv GROUP BY g)")
+    ch_statement(spark, "INSERT INTO opt_t VALUES ('a', 5)")
+    try:
+        ex = ch_statement(spark, "EXPLAIN SELECT g, sum(v) AS sv "
+                                 "FROM opt_t GROUP BY g").collect()[0][0]
+        assert "aggregate projection" in ex
+        # non-routable query explains normally
+        ex2 = ch_statement(spark, "EXPLAIN SELECT v, count() AS n "
+                                  "FROM opt_t GROUP BY v").collect()
+        assert "aggregate projection" not in str(ex2[0])
+
+        path = projections_for("opt_t")[0].path
+        assert len(spark.read.parquet(path).collect()) == 3  # 2 blocks
+        r = ch_statement(spark,
+                         "OPTIMIZE TABLE opt_t DEDUPLICATE").collect()[0]
+        assert r.deduplicated and r.projections_compacted == 1
+        assert len(spark.read.parquet(path).collect()) == 2  # compacted
+        got = {x.g: x.sv for x in ch_sql(
+            spark, "SELECT g, sum(v) AS sv FROM opt_t GROUP BY g"
+        ).collect()}
+        assert got == {"a": 6, "b": 2}
+    finally:
+        ch_statement(spark, "ALTER TABLE opt_t DROP PROJECTION p")
+        ch_statement(spark, "DROP VIEW opt_t")
