@@ -1181,11 +1181,15 @@ def _parse_proj_item(item: str):
 _PROJ_SELECT_RE = re.compile(
     r"^SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<t>\w+)"
     r"(?:\s+WHERE\s+(?P<w>.+?))?"
-    r"\s+GROUP\s+BY\s+(?P<g>[\w\s,]+?)\s*;?\s*$",
+    r"\s+GROUP\s+BY\s+(?P<g>[\w\s,]+?)"
+    r"(?:\s+ORDER\s+BY\s+(?P<o>[\w\s,]+?))?"
+    r"(?:\s+LIMIT\s+(?P<l>\d+))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL)
 
+# ORDER BY / LIMIT are handled by the router itself; LIMIT..BY and
+# LIMIT..OFFSET forms simply fail the SELECT regex and fall through
 _PROJ_BLOCKERS = re.compile(
-    r"\b(JOIN|HAVING|ORDER\s+BY|LIMIT|UNION|INTERSECT|EXCEPT|WITH\s+"
+    r"\b(JOIN|HAVING|UNION|INTERSECT|EXCEPT|WITH\s+"
     r"TOTALS|ROLLUP|CUBE|GROUPING|ARRAY\s+JOIN|PREWHERE|SAMPLE|FINAL)\b",
     re.IGNORECASE)
 
@@ -1251,7 +1255,30 @@ def _try_projection_route(spark: SparkSession, sql: str):
             res = df.groupBy(*group_keys).agg(*out_aggs)
             # output exactly the select list, in its original order
             order = [p[1] for p in parsed]
-            return res.select(*order)
+            res = res.select(*order)
+            ob = m.group("o")
+            if ob is not None:
+                from pyspark.sql import functions as F
+
+                cols = []
+                for item in ob.split(","):
+                    toks = item.split()
+                    if not toks:
+                        continue
+                    name_, direction = toks[0], \
+                        (toks[1].upper() if len(toks) > 1 else "ASC")
+                    if name_ not in order or len(toks) > 2 or \
+                            direction not in ("ASC", "DESC"):
+                        return None   # unroutable order spec
+                    c = F.col(name_)
+                    cols.append(c.desc() if direction == "DESC" else c.asc())
+                res = res.orderBy(*cols)
+            if m.group("l") is not None:
+                if ob is None:
+                    return None       # bare LIMIT without order: keep the
+                                      # translated path's row choice
+                res = res.limit(int(m.group("l")))
+            return res
     return None
 
 

@@ -956,10 +956,19 @@ def test_projection_ddl_and_routing(spark, sf_dir):
         assert any("ch_proj" in f for f in rw.inputFiles())
         assert rw.collect()[0].n == direct["click"][0]
 
+        # ORDER BY / LIMIT route too (the canonical top-k rollup)
+        qt = ("SELECT event_type, sum(value) AS s FROM events "
+              "GROUP BY event_type ORDER BY s DESC LIMIT 2")
+        rt = ch_sql(spark, qt)
+        assert any("ch_proj" in f for f in rt.inputFiles())
+        assert [r.event_type for r in rt.collect()] == [
+            r.event_type for r in spark.sql(
+                "SELECT event_type, sum(value) AS s FROM events "
+                "GROUP BY event_type ORDER BY s DESC LIMIT 2").collect()]
         # non-subsumed group key / blocked clauses fall through to base
         for fq in ("SELECT ts, sum(value) AS s FROM events GROUP BY ts",
                    "SELECT event_type, sum(value) AS s FROM events "
-                   "GROUP BY event_type ORDER BY s"):
+                   "GROUP BY event_type HAVING count() > 1"):
             assert not any("ch_proj" in f
                            for f in ch_sql(spark, fq).inputFiles())
         # uniq is deliberately unroutable in the dialect (different
