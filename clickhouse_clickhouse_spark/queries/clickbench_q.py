@@ -491,3 +491,79 @@ def cb_order_by_string(spark, sf):
             .select("event_id", "props")
             .orderBy("props", "event_id")
             .limit(10))
+
+
+@register("cb_month_type_matrix", oracle="""
+SELECT CAST(strftime(ts, '%Y-%m') AS VARCHAR) AS ym, event_type,
+       CAST(count(*) AS BIGINT) AS c,
+       round(avg(value), 6) AS av
+FROM events
+GROUP BY ym, event_type
+ORDER BY ym, event_type
+""")
+def cb_month_type_matrix(spark, sf):
+    """ClickBench Q35 shape: two-key time-bucket matrix (month x type)
+    with count + avg — one hash aggregation, pushed-down scan."""
+    ev = load_table(spark, sf, "events")
+    return (ev.groupBy(F.date_format("ts", "yyyy-MM").alias("ym"),
+                       "event_type")
+            .agg(F.count("*").alias("c"),
+                 F.round(F.avg("value"), 6).alias("av"))
+            .orderBy("ym", "event_type"))
+
+
+@register("cb_json_key_quartiles", oracle="""
+WITH j AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv,
+         event_type
+  FROM events WHERE props IS NOT NULL)
+SELECT event_type,
+       CAST(count(*) FILTER (WHERE kv >= 50) AS BIGINT) AS hi,
+       CAST(count(*) FILTER (WHERE kv < 50) AS BIGINT) AS lo,
+       CAST(max(kv) AS BIGINT) AS mx
+FROM j GROUP BY event_type ORDER BY event_type
+""")
+def cb_json_key_quartiles(spark, sf):
+    """ClickBench JSON-param shape: typed JSON extraction feeding
+    conditional counts — GetJsonObject stays in codegen, one hash agg."""
+    ev = load_table(spark, sf, "events")
+    kv = F.get_json_object("props", "$.k").cast("long")
+    return (ev.filter(F.col("props").isNotNull())
+            .groupBy("event_type")
+            .agg(F.count(F.when(kv >= 50, 1)).alias("hi"),
+                 F.count(F.when(kv < 50, 1)).alias("lo"),
+                 F.max(kv).alias("mx"))
+            .orderBy("event_type"))
+
+
+@register("cb_user_retention_week", oracle="""
+WITH w AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+              AS BIGINT) AS wk
+  FROM events),
+f AS (SELECT user_id, min(wk) AS first_wk FROM w GROUP BY user_id),
+r AS (SELECT DISTINCT w.user_id, f.first_wk, w.wk
+      FROM w JOIN f USING (user_id))
+SELECT first_wk, CAST(wk - first_wk AS BIGINT) AS age_weeks,
+       CAST(count(*) AS BIGINT) AS users
+FROM r GROUP BY first_wk, age_weeks
+ORDER BY first_wk, age_weeks
+""")
+def cb_user_retention_week(spark, sf):
+    """Cohort retention matrix (the ClickBench-adjacent product-analytics
+    rollup): first-seen week per user (one agg), cohort age per active
+    week, user counts — two hash shuffles on user_id then on the cohort
+    key, no windows."""
+    ev = load_table(spark, sf, "events")
+    w = ev.select("user_id",
+                  F.floor(F.datediff(F.col("ts").cast("date"),
+                                     F.lit("2024-01-01").cast("date"))
+                          / 7).cast("long").alias("wk"))
+    f = w.groupBy("user_id").agg(F.min("wk").alias("first_wk"))
+    r = w.join(f, "user_id").select("user_id", "first_wk", "wk").distinct()
+    return (r.groupBy("first_wk",
+                      (F.col("wk") - F.col("first_wk")).cast("long")
+                      .alias("age_weeks"))
+            .agg(F.count("*").alias("users"))
+            .orderBy("first_wk", "age_weeks"))
