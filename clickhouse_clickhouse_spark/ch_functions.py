@@ -1478,6 +1478,9 @@ def toWeek(d, mode: int = 0):
     mode 3 = ISO). Only the two common modes are mapped."""
     if mode == 3:
         return F.weekofyear(_c(d))
+    if mode != 0:
+        raise ValueError(f"toWeek: only modes 0 and 3 are implemented, "
+                         f"got {mode}")
     # mode 0: weeks start Sunday; week 0 holds days before the first Sunday
     doy = F.dayofyear(_c(d))
     jan1_dow = F.dayofweek(F.trunc(_c(d), "year"))  # 1=Sunday
@@ -1505,6 +1508,9 @@ def toYearWeek(d, mode: int = 0):
     """YYYYWW (reference toYearWeek)."""
     if mode == 3:
         return toISOYear(d) * 100 + F.weekofyear(_c(d))
+    if mode != 0:
+        raise ValueError(f"toYearWeek: only modes 0 and 3 are "
+                         f"implemented, got {mode}")
     return F.year(_c(d)) * 100 + toWeek(d, mode)
 
 
@@ -1662,9 +1668,12 @@ def isNull(a): return _c(a).isNull()
 def isNotNull(a): return _c(a).isNotNull()
 def leftUTF8(s, n): return F.substring(_c(s), 1, n)
 def rightUTF8(s, n):
+    # negative-start substring clamps like the reference when n exceeds
+    # the string length (start = len-n+1 would go negative and return
+    # only the last char); mirrors the SQL template SUBSTRING(s, -n, n)
     ss = _c(s)
     nn = n if isinstance(n, Column) else F.lit(int(n))
-    return F.substring(ss, (F.length(ss) - nn + 1).cast("int"), nn)
+    return F.substring(ss, (-nn).cast("int"), nn)
 def reverseUTF8(s): return F.reverse(_c(s))
 def lengthBytes(s): return F.octet_length(_c(s))
 def space(n): return F.repeat(F.lit(" "), _c(n).cast("int") if isinstance(n, Column) else int(n))

@@ -113,7 +113,6 @@ _FUNCS: dict[str, str] = {
     "uniq": "APPROX_COUNT_DISTINCT({0})",
     "uniqCombined": "APPROX_COUNT_DISTINCT({0})",
     "uniqHLL12": "APPROX_COUNT_DISTINCT({0})",
-    "uniqCombined": "APPROX_COUNT_DISTINCT({0})",
     "uniqCombined64": "APPROX_COUNT_DISTINCT({0})",
     "uniqExact": "COUNT(DISTINCT {*})",
     "median": "PERCENTILE({0}, 0.5)",
@@ -142,7 +141,8 @@ _FUNCS: dict[str, str] = {
     "assumeNotNull": "({0})", "empty": "(LENGTH({0}) = 0)",
     "notEmpty": "(LENGTH({0}) > 0)",
     # strings
-    "position": "LOCATE({1}, {0})", "match": "({0} RLIKE {1})",
+    "position": lambda a: _position_tpl(a, haystack_first=True),
+    "match": "({0} RLIKE {1})",
     "extract": "REGEXP_EXTRACT({0}, {1}, 1)",
     "extractAll": "REGEXP_EXTRACT_ALL({0}, {1}, 0)",
     "replaceAll": "REPLACE({0}, {1}, {2})",
@@ -199,8 +199,10 @@ _FUNCS: dict[str, str] = {
     "toYYYYMMDDhhmmss":
         "CAST(DATE_FORMAT({0}, 'yyyyMMddHHmmss') AS BIGINT)",
     "toISOYear": "YEAR(DATE_ADD({0}, 4 - (WEEKDAY({0}) + 1)))",
-    "locate": "INSTR({1}, {0})",
-    "positionUTF8": "INSTR({0}, {1})",
+    # CH locate() is MySQL arg order (needle, haystack[, start]);
+    # position() is (haystack, needle[, start]). Both honor start_pos.
+    "locate": lambda a: _position_tpl(a, haystack_first=False),
+    "positionUTF8": lambda a: _position_tpl(a, haystack_first=True),
     "notLike": "(NOT (({0}) LIKE {1}))",
     "notILike": "(NOT (({0}) ILIKE {1}))",
     "space": "REPEAT(' ', {0})",
@@ -402,10 +404,31 @@ def _find_close(s: str, i: int) -> int:
     return -1
 
 
+def _position_tpl(args: list[str], haystack_first: bool) -> str:
+    """position/locate family with optional start_pos (upstream
+    FunctionsStringSearch: position(haystack, needle[, start_pos]);
+    locate is the MySQL-compatible (needle, haystack[, start_pos])
+    order). Spark LOCATE(substr, str[, pos]) carries start natively."""
+    if len(args) not in (2, 3):
+        raise ValueError(f"position/locate take 2 or 3 args, got {len(args)}")
+    h, n = (args[0], args[1]) if haystack_first else (args[1], args[0])
+    if len(args) == 3:
+        return f"LOCATE({n}, {h}, {args[2]})"
+    return f"LOCATE({n}, {h})"
+
+
 def _apply_template(tpl, args: list[str]) -> str:
     if callable(tpl):
         return tpl(args)
     out = tpl.replace("{*}", ", ".join(args))
+    if "{*}" not in tpl:
+        used = {int(x) for x in re.findall(r"\{(\d+)\}", tpl)}
+        if len(args) > (max(used) + 1 if used else 0):
+            # fail loudly instead of silently dropping an argument
+            # (e.g. a start_pos or mode the template doesn't carry)
+            raise ValueError(
+                f"function template {tpl!r} uses {len(used)} argument(s) "
+                f"but the call supplied {len(args)}: {args!r}")
     for k, a in enumerate(args):
         out = out.replace("{%d}" % k, a)
     return out
@@ -588,6 +611,20 @@ def _subst_ident(sql: str, name: str, repl: str) -> str:
         chunk = sql[i:nxt] if nxt != -1 else sql[i:]
         out.append(pat.sub(repl, chunk))
         i = nxt if nxt != -1 else len(sql)
+    return "".join(out)
+
+
+def _subst_ident_nocase(sql: str, name: str, repl: str) -> str:
+    """Case-insensitive whole-word identifier substitution outside
+    single-quoted string literals (the MV-fire source→block rewrite)."""
+    pat = re.compile(rf"\b{re.escape(name)}\b", re.IGNORECASE)
+    mask = _mask_strings(sql)
+    out, last = [], 0
+    for m in pat.finditer(mask):
+        out.append(sql[last:m.start()])
+        out.append(repl)
+        last = m.end()
+    out.append(sql[last:])
     return "".join(out)
 
 
@@ -1452,8 +1489,10 @@ def _mv_fire(spark: SparkSession, source: str, block: DataFrame,
             continue
         block_view = f"__mv_block_{mv_name}"
         block.createOrReplaceTempView(block_view)
-        body = re.sub(rf"\b{re.escape(source)}\b", block_view, tsql,
-                      flags=re.IGNORECASE)
+        # identifier-aware substitution: never rewrites matches inside
+        # string literals or quoted text (a blind re.sub corrupted
+        # transforms whose literals contained the source table's name)
+        body = _subst_ident_nocase(tsql, source, block_view)
         out = spark.sql(body)
         append_to_view(spark, target, out,
                        _seen=_seen | {mv_name})
@@ -1463,6 +1502,15 @@ def _mv_fire(spark: SparkSession, source: str, block: DataFrame,
 # replicated-table dedup window of block ids — default window 100).
 _INSERT_BLOCK_HASHES: dict[str, list[int]] = {}
 _DEDUP_WINDOW = 100
+
+
+def _forget_block_hashes(*names: str) -> None:
+    """Drop a table's insert-dedup window. The reference clears block
+    ids when the parts holding them are dropped — without this,
+    re-inserting identical data after TRUNCATE/DROP/OPTIMIZE
+    DEDUPLICATE would be silently skipped (data loss)."""
+    for n in names:
+        _INSERT_BLOCK_HASHES.pop(n.lower(), None)
 
 
 def _block_hash(rows: DataFrame) -> int:
@@ -1829,6 +1877,7 @@ def ch_statement(spark: SparkSession, sql: str,
             raise ValueError("unsupported DROP statement")
         spark.catalog.dropTempView(mm.group(1))
         _SPECS.pop((id(spark), mm.group(1).lower()), None)
+        _forget_block_hashes(mm.group(1))
         from clickhouse_clickhouse_spark.plans.summary import (
             invalidate_projections,
         )
@@ -1987,6 +2036,7 @@ def ch_statement(spark: SparkSession, sql: str,
             t = spark.table(name)
             deduped = t.dropDuplicates(cols) if cols else t.dropDuplicates()
             deduped.createOrReplaceTempView(name)
+            _forget_block_hashes(name)   # parts rewritten → block ids gone
         # merge-time projection maintenance (upstream: merges merge
         # projection parts): re-aggregating compacts the incremental
         # per-insert partials back to one row per key
@@ -2017,6 +2067,7 @@ def ch_statement(spark: SparkSession, sql: str,
 
             invalidate_projections(b)      # overwritten target's are gone
             move_projections(a, b)         # data unchanged: no rebuild
+            _forget_block_hashes(a, b)     # block-id windows don't follow
             spark.table(a).createOrReplaceTempView(b)
             spark.catalog.dropTempView(a)
             spec = _SPECS.pop((id(spark), a.lower()), None)
@@ -2036,6 +2087,7 @@ def ch_statement(spark: SparkSession, sql: str,
         )
 
         # projections follow their data through the swap
+        _forget_block_hashes(a, b)
         move_projections(a, "__xchg_tmp__")
         move_projections(b, a)
         move_projections("__xchg_tmp__", b)
@@ -2058,6 +2110,7 @@ def ch_statement(spark: SparkSession, sql: str,
         name = mm.group(1)
         schema = spark.table(name).schema
         spark.createDataFrame([], schema).createOrReplaceTempView(name)
+        _forget_block_hashes(name)
         from clickhouse_clickhouse_spark.plans.summary import (
             rebuild_projections,
         )

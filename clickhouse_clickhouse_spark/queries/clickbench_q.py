@@ -567,3 +567,288 @@ def cb_user_retention_week(spark, sf):
                       .alias("age_weeks"))
             .agg(F.count("*").alias("users"))
             .orderBy("first_wk", "age_weeks"))
+
+
+# ---------------------------------------------------------------------------
+# Round 6: the remaining ClickBench query shapes (43-query suite parity —
+# [P] github.com/ClickHouse/ClickBench queries 20-28/32-39 classes: URL /
+# referrer string surgery, regex-heavy scans, multi-level top-N with tie
+# semantics, date-histogram + uniq combinations). The events fixture has no
+# URL column, so URL-shaped strings are built DETERMINISTICALLY from the
+# row (same expression on both engines) — the string-surgery work the
+# shape exists to exercise is real.
+# ---------------------------------------------------------------------------
+
+_URL_SQL = ("'https://ex' || CAST(user_id % 3 AS VARCHAR) || '.com/' || "
+            "event_type || '/p' || CAST(user_id % 20 AS VARCHAR) || "
+            "'?k=' || COALESCE(json_extract_string(props, '$.k'), '0')")
+
+
+def _url_col():
+    """URL-shaped string derived from the row (Spark side)."""
+    return F.concat(
+        F.lit("https://ex"), (F.col("user_id") % 3).cast("string"),
+        F.lit(".com/"), F.col("event_type"),
+        F.lit("/p"), (F.col("user_id") % 20).cast("string"),
+        F.lit("?k="),
+        F.coalesce(F.get_json_object("props", "$.k"), F.lit("0")))
+
+
+@register("cb_url_host_seg_topk", oracle=f"""
+WITH u AS (SELECT {_URL_SQL} AS url, user_id FROM events)
+SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+       string_split(regexp_extract(url, '^https?://[^/]+(/[^?#]*)', 1),
+                    '/')[2] AS seg,
+       CAST(count(*) AS BIGINT) AS c,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS u
+FROM u GROUP BY host, seg ORDER BY c DESC, host, seg LIMIT 10
+""")
+def cb_url_host_seg_topk(spark, sf):
+    """ClickBench Q22-class URL surgery: host + first path segment via
+    parse_url (JVM codegen — no UDF), two-key group, top-10."""
+    ev = load_table(spark, sf, "events").withColumn("url", _url_col())
+    host = F.parse_url("url", F.lit("HOST"))
+    seg = F.split(F.parse_url("url", F.lit("PATH")), "/").getItem(1)
+    return (ev.groupBy(host.alias("host"), seg.alias("seg"))
+            .agg(F.count("*").alias("c"),
+                 F.countDistinct("user_id").alias("u"))
+            .orderBy(F.desc("c"), "host", "seg").limit(10))
+
+
+@register("cb_url_query_param_buckets", oracle=f"""
+WITH u AS (SELECT {_URL_SQL} AS url, value FROM events)
+SELECT CAST(CAST(regexp_extract(url, '[?&]k=([^&#]*)', 1) AS INT) % 10
+            AS INT) AS k_bucket,
+       CAST(count(*) AS BIGINT) AS c, round(avg(value), 6) AS av
+FROM u WHERE regexp_extract(url, '[?&]k=([^&#]*)', 1) <> ''
+GROUP BY k_bucket ORDER BY k_bucket
+""")
+def cb_url_query_param_buckets(spark, sf):
+    """ClickBench URL-parameter shape: extract a query-string parameter
+    from every row (parse_url QUERY key form), bucket, aggregate."""
+    ev = load_table(spark, sf, "events").withColumn("url", _url_col())
+    k = F.parse_url("url", F.lit("QUERY"), F.lit("k"))
+    return (ev.filter(k.isNotNull() & (k != ""))
+            .groupBy((k.cast("int") % 10).cast("int").alias("k_bucket"))
+            .agg(F.count("*").alias("c"),
+                 F.round(F.avg("value"), 6).alias("av"))
+            .orderBy("k_bucket"))
+
+
+@register("cb_url_path_depth", oracle=f"""
+WITH u AS (SELECT {_URL_SQL} AS url, user_id FROM events)
+SELECT CAST(len(string_split(regexp_extract(url,
+            '^https?://[^/]+(/[^?#]*)', 1), '/')) - 1 AS INT) AS depth,
+       CAST(count(*) AS BIGINT) AS c,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS u
+FROM u GROUP BY depth ORDER BY depth
+""")
+def cb_url_path_depth(spark, sf):
+    """URL path-depth histogram (segment count via split — the
+    reference's URLHierarchy/pathDepth shape)."""
+    ev = load_table(spark, sf, "events").withColumn("url", _url_col())
+    depth = (F.size(F.split(F.parse_url("url", F.lit("PATH")), "/")) - 1)
+    return (ev.groupBy(depth.cast("int").alias("depth"))
+            .agg(F.count("*").alias("c"),
+                 F.countDistinct("user_id").alias("u"))
+            .orderBy("depth"))
+
+
+@register("cb_referrer_domain_uniq", oracle="""
+WITH r AS (
+  SELECT CASE user_id % 4 WHEN 0 THEN 'google.com' WHEN 1 THEN 'bing.com'
+         WHEN 2 THEN '' ELSE 'news.site' END AS domain, user_id
+  FROM events)
+SELECT domain, CAST(count(DISTINCT user_id) AS BIGINT) AS u,
+       CAST(count(*) AS BIGINT) AS c
+FROM r WHERE domain <> '' GROUP BY domain ORDER BY u DESC, domain
+""")
+def cb_referrer_domain_uniq(spark, sf):
+    """ClickBench Q24-class referrer-domain rollup: non-empty-referrer
+    filter, per-domain distinct users."""
+    ev = load_table(spark, sf, "events")
+    domain = (F.when(F.col("user_id") % 4 == 0, "google.com")
+              .when(F.col("user_id") % 4 == 1, "bing.com")
+              .when(F.col("user_id") % 4 == 2, "")
+              .otherwise("news.site"))
+    return (ev.select(domain.alias("domain"), "user_id")
+            .filter(F.col("domain") != "")
+            .groupBy("domain")
+            .agg(F.countDistinct("user_id").alias("u"),
+                 F.count("*").alias("c"))
+            .orderBy(F.desc("u"), "domain"))
+
+
+@register("cb_topn_with_ties", oracle="""
+SELECT event_type, user_id, n, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT event_type, user_id, count(*) AS n,
+         rank() OVER (PARTITION BY event_type ORDER BY count(*) DESC)
+           AS rnk
+  FROM events GROUP BY event_type, user_id) t
+WHERE rnk <= 3
+""")
+def cb_topn_with_ties(spark, sf):
+    """Multi-level top-N WITH TIE SEMANTICS (ClickBench Q32-class):
+    rank() keeps every user tied at the cut — the window partitions by
+    event_type, so no single-partition exchange."""
+    ev = load_table(spark, sf, "events")
+    g = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"))
+    return (g.withColumn("rnk", F.rank().over(w).cast("long"))
+            .filter(F.col("rnk") <= 3))
+
+
+@register("cb_top_users_per_type", oracle="""
+SELECT event_type, user_id, tv FROM (
+  SELECT event_type, user_id, round(sum(value), 4) AS tv,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY round(sum(value), 4) DESC, user_id)
+           AS rn
+  FROM events GROUP BY event_type, user_id) t
+WHERE rn <= 5
+""")
+def cb_top_users_per_type(spark, sf):
+    """Top-5 users by spend within each event type (grouped top-N):
+    hash agg then a PARTITIONED row_number window."""
+    ev = load_table(spark, sf, "events")
+    g = (ev.groupBy("event_type", "user_id")
+         .agg(F.round(F.sum("value"), 4).alias("tv")))
+    w = Window.partitionBy("event_type").orderBy(F.desc("tv"), "user_id")
+    return (g.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5).drop("rn"))
+
+
+@register("cb_regex_heavy_scan", oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS c,
+       round(sum(value), 4) AS tv
+FROM events
+WHERE regexp_matches(props, '"k": [0-9]*[13579]}')
+  AND regexp_matches(event_type, '^(click|view|purchase)$')
+  AND NOT regexp_matches(props, '"k": 9[0-9]}')
+GROUP BY event_type ORDER BY event_type
+""")
+def cb_regex_heavy_scan(spark, sf):
+    """Regex-heavy scan (ClickBench Q28-class): three regex predicates
+    ANDed over the payload — all stay in whole-stage codegen (RLIKE)."""
+    ev = load_table(spark, sf, "events")
+    return (ev.filter(F.col("props").rlike(r'"k": [0-9]*[13579]}')
+                      & F.col("event_type").rlike(r"^(click|view|purchase)$")
+                      & ~F.col("props").rlike(r'"k": 9[0-9]}'))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("c"),
+                 F.round(F.sum("value"), 4).alias("tv"))
+            .orderBy("event_type"))
+
+
+@register("cb_regex_replace_group", oracle="""
+SELECT event_type || ':' || regexp_replace(props, '[0-9]+', 'N', 'g')
+         AS norm,
+       CAST(count(*) AS BIGINT) AS c, round(avg(value), 6) AS av
+FROM events GROUP BY norm ORDER BY c DESC, norm LIMIT 20
+""")
+def cb_regex_replace_group(spark, sf):
+    """ClickBench Q28 Referer-normalization shape: regexp_replace
+    surgery feeding the group key."""
+    ev = load_table(spark, sf, "events")
+    norm = F.concat("event_type", F.lit(":"),
+                    F.regexp_replace("props", "[0-9]+", "N"))
+    return (ev.groupBy(norm.alias("norm"))
+            .agg(F.count("*").alias("c"),
+                 F.round(F.avg("value"), 6).alias("av"))
+            .orderBy(F.desc("c"), "norm").limit(20))
+
+
+@register("cb_date_histogram_uniq", oracle="""
+SELECT date_trunc('day', ts) AS d,
+       CAST(count(*) AS BIGINT) AS c,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS u,
+       CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                           THEN user_id END) AS BIGINT) AS buyers,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value
+                 ELSE 0 END), 4) AS rev
+FROM events GROUP BY d ORDER BY d
+""")
+def cb_date_histogram_uniq(spark, sf):
+    """Date histogram + uniq combination (ClickBench Q33/34-class):
+    daily totals, distinct users, distinct CONDITIONAL users, revenue —
+    one pass, one hash agg."""
+    ev = load_table(spark, sf, "events")
+    return (ev.groupBy(F.date_trunc("day", "ts").alias("d"))
+            .agg(F.count("*").alias("c"),
+                 F.countDistinct("user_id").alias("u"),
+                 F.countDistinct(
+                     F.when(F.col("event_type") == "purchase",
+                            F.col("user_id"))).alias("buyers"),
+                 F.round(F.sum(F.when(F.col("event_type") == "purchase",
+                                      F.col("value")).otherwise(0.0)),
+                         4).alias("rev"))
+            .orderBy("d"))
+
+
+@register("cb_minute_histogram", oracle="""
+SELECT CAST(minute(ts) AS INT) AS m, CAST(count(*) AS BIGINT) AS c,
+       round(avg(value), 6) AS av
+FROM events GROUP BY m ORDER BY m
+""")
+def cb_minute_histogram(spark, sf):
+    """Per-minute-of-hour histogram (ClickBench Q36-class toMinute
+    rollup) — 60-row result, map-side combined."""
+    ev = load_table(spark, sf, "events")
+    return (ev.groupBy(F.minute("ts").alias("m"))
+            .agg(F.count("*").alias("c"),
+                 F.round(F.avg("value"), 6).alias("av"))
+            .orderBy("m"))
+
+
+@register("cb_substr_topk", oracle="""
+SELECT substr(props, 1, 8) AS prefix, CAST(count(*) AS BIGINT) AS c,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS u
+FROM events WHERE props <> ''
+GROUP BY prefix ORDER BY c DESC, prefix LIMIT 10
+""")
+def cb_substr_topk(spark, sf):
+    """ClickBench Q37/38 truncated-title shape: fixed-width prefix as
+    the group key, top-10 by frequency."""
+    ev = load_table(spark, sf, "events")
+    return (ev.filter(F.col("props") != "")
+            .groupBy(F.substring("props", 1, 8).alias("prefix"))
+            .agg(F.count("*").alias("c"),
+                 F.countDistinct("user_id").alias("u"))
+            .orderBy(F.desc("c"), "prefix").limit(10))
+
+
+@register("cb_activity_histogram", oracle="""
+WITH per_user AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+SELECT CAST(n // 10 * 10 AS BIGINT) AS n_bucket,
+       CAST(count(*) AS BIGINT) AS users
+FROM per_user GROUP BY n_bucket ORDER BY n_bucket
+""")
+def cb_activity_histogram(spark, sf):
+    """Count-of-counts: per-user event totals re-histogrammed into
+    activity bands (two cascaded hash aggs — the second input is one
+    row per user, tiny)."""
+    ev = load_table(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    return (per_user
+            .groupBy((F.floor(F.col("n") / 10) * 10).alias("n_bucket"))
+            .agg(F.count("*").alias("users"))
+            .orderBy("n_bucket"))
+
+
+@register("cb_day_type_uniq_matrix", oracle="""
+SELECT date_trunc('day', ts) AS d, event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS u,
+       CAST(count(*) AS BIGINT) AS c
+FROM events WHERE value > 1
+GROUP BY d, event_type ORDER BY d, event_type
+""")
+def cb_day_type_uniq_matrix(spark, sf):
+    """Two-key date-histogram × type matrix with distinct users under a
+    pushed filter (ClickBench Q34-class uniq-by-two-keys)."""
+    ev = load_table(spark, sf, "events")
+    return (ev.filter(F.col("value") > 1)
+            .groupBy(F.date_trunc("day", "ts").alias("d"), "event_type")
+            .agg(F.countDistinct("user_id").alias("u"),
+                 F.count("*").alias("c"))
+            .orderBy("d", "event_type"))
