@@ -816,9 +816,15 @@ def translate(sql: str,
         helper = {"ANY": "operators.joins.any_join",
                   "ASOF": "operators.joins.asof_join",
                   "PASTE": "operators.joins.paste_join"}[kind]
+        hint = ("" if kind == "PASTE" else
+                " — ch_sql() translates the common form `SELECT ... FROM "
+                "t1 [a] {k} [LEFT] JOIN t2 [b] ON a.k = b.k [AND a.ts >= "
+                "b.ts] ...`; this text has a shape it doesn't cover"
+                .format(k=kind))
         raise ValueError(
-            f"{kind} JOIN has no faithful SQL translation here — use the "
-            f"DataFrame operator {helper} (same semantics, scale-safe)")
+            f"{kind} JOIN has no faithful SQL translation here{hint} — "
+            f"use the DataFrame operator {helper} (same semantics, "
+            f"scale-safe)")
 
     # CH scalar WITH: ``WITH <expr> AS <name>`` (expression FIRST —
     # distinct from the CTE form ``name AS (SELECT ...)``). Constants
@@ -1323,6 +1329,168 @@ def _op_base_local(op: str) -> str:
     return op.split(":", 1)[0]
 
 
+# ASOF / ANY JOIN dialect translation (upstream src/Interpreters/HashJoin/
+# kind+strictness matrix; AsofRowRefs for the inequality lookup). These
+# change row multiplicity, so a text rewrite to a plain JOIN would be
+# WRONG — ch_sql() intercepts the common migration shape (two named
+# tables, ON/USING, optional trailing clauses) and routes it through the
+# scale-safe DataFrame operators; anything else still refuses loudly in
+# translate() with a pointer to the operator.
+_STRICT_JOIN_RE = re.compile(
+    r"^\s*SELECT\s+(?P<sel>.*?)\s+"
+    r"FROM\s+(?P<lt>\w+)(?:\s+(?:AS\s+)?(?!ANY\b|ASOF\b)(?P<la>\w+))?\s+"
+    r"(?P<kind>ANY|ASOF)\s+(?P<how>(?:LEFT|INNER|RIGHT|OUTER)\s+)?JOIN\s+"
+    r"(?P<rt>\w+)(?:\s+(?:AS\s+)?(?!ON\b|USING\b)(?P<ra>\w+))?\s+"
+    r"(?:ON\s+(?P<on>.+?)|USING\s*\(?(?P<using>[\w\s,]+?)\)?)"
+    r"(?P<rest>\s+(?:WHERE|GROUP|HAVING|ORDER|LIMIT)\b.*)?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+_ON_COND_RE = re.compile(
+    r"^(\w+)\.(\w+)\s*(>=|<=|=|>|<)\s*(\w+)\.(\w+)$")
+
+# (operator as written with LEFT side first) -> (direction, strict)
+_ASOF_OPS = {">=": ("backward", False), ">": ("backward", True),
+             "<=": ("forward", False), "<": ("forward", True)}
+_FLIP = {">=": "<=", "<=": ">=", ">": "<", "<": ">", "=": "="}
+
+
+def _split_top_and(s: str) -> list[str]:
+    """Split on word-boundary AND at paren depth 0, outside literals."""
+    mask = _mask_strings(s)
+    parts, last, depth = [], 0, 0
+    for m in re.finditer(r"[()]|\bAND\b", mask, re.IGNORECASE):
+        t = m.group(0)
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0:
+            parts.append(s[last:m.start()])
+            last = m.end()
+    parts.append(s[last:])
+    return [p for p in (x.strip() for x in parts) if p]
+
+
+def _try_strictness_join(spark: SparkSession, sql: str, final_keys):
+    """Recognize ``SELECT ... FROM l [la] ASOF|ANY [LEFT] JOIN r [ra]
+    ON/USING ... [trailing clauses]`` and run it through
+    operators.joins.asof_join / any_join. Returns None when the text is
+    not this shape (normal translate path continues)."""
+    q = sql.strip().rstrip(";")
+    if not _masked_search(re.compile(r"\b(ANY|ASOF)\s+(?:(?:LEFT|RIGHT|"
+                                     r"INNER|OUTER)\s+)*JOIN\b",
+                                     re.IGNORECASE), q):
+        return None
+    m = _STRICT_JOIN_RE.match(_mask_strings(q)) and _STRICT_JOIN_RE.match(q)
+    if not m:
+        return None          # unusual shape -> translate() refuses loudly
+    from clickhouse_clickhouse_spark.operators.joins import (
+        any_join,
+        asof_join,
+    )
+
+    kind = m.group("kind").upper()
+    how = (m.group("how") or "INNER").strip().upper()
+    if how in ("RIGHT", "OUTER"):
+        raise ValueError(f"{kind} {how} JOIN is not supported here — "
+                         "LEFT and INNER strictness joins are; swap the "
+                         "sides or use the DataFrame operator")
+    how = "left" if how == "LEFT" else "inner"
+    lt, rt = m.group("lt"), m.group("rt")
+    la = (m.group("la") or lt).lower()
+    ra = (m.group("ra") or rt).lower()
+    left, right = spark.table(lt), spark.table(rt)
+
+    keys: list[str] = []          # left-side key names (output names)
+    renames: dict[str, str] = {}  # right col -> left name
+    ineq = None                   # (left_ts, right_ts, op)
+    if m.group("using") is not None:
+        cols = [c.strip() for c in m.group("using").split(",") if c.strip()]
+        if kind == "ASOF":
+            if len(cols) < 2:
+                raise ValueError("ASOF JOIN USING needs at least one key "
+                                 "plus the trailing asof column")
+            keys = cols[:-1]
+            ineq = (cols[-1], cols[-1], ">=")   # CH: last USING col, >=
+        else:
+            keys = cols
+    else:
+        for cond in _split_top_and(m.group("on")):
+            cm = _ON_COND_RE.match(cond.strip())
+            if not cm:
+                raise ValueError(
+                    f"{kind} JOIN ON supports alias-qualified "
+                    f"`l.col <op> r.col` conjuncts, got {cond.strip()!r}")
+            a1, c1, op, a2, c2 = cm.groups()
+            if {a1.lower(), a2.lower()} != {la, ra} or a1.lower() == a2.lower():
+                raise ValueError(
+                    f"{kind} JOIN ON condition must reference both sides "
+                    f"({la!r}, {ra!r}), got {cond.strip()!r}")
+            if a1.lower() == ra:      # normalize: left side first
+                a1, c1, a2, c2, op = a2, c2, a1, c1, _FLIP[op]
+            if op == "=":
+                keys.append(c1)
+                if c2 != c1:
+                    renames[c2] = c1
+            else:
+                if kind == "ANY":
+                    raise ValueError("ANY JOIN ON takes equality "
+                                     "conditions only")
+                if ineq is not None:
+                    raise ValueError("ASOF JOIN takes exactly one "
+                                     "inequality condition")
+                ineq = (c1, c2, op)
+    if not keys:
+        raise ValueError(f"{kind} JOIN needs at least one equality key")
+    for src, dst in renames.items():
+        right = right.withColumnRenamed(src, dst)
+
+    if kind == "ASOF":
+        if ineq is None:
+            raise ValueError("ASOF JOIN needs an inequality condition "
+                             "(l.ts >= r.ts)")
+        left_ts, right_ts, op = ineq
+        direction, strict = _ASOF_OPS[op]
+        if right_ts not in right.columns:
+            raise ValueError(f"ASOF column {right_ts!r} missing from {rt}")
+        plain = right_ts
+        if right_ts == left_ts:
+            # same-named asof col: asof_join unions both sides, so the
+            # right one must carry a distinct name
+            right = right.withColumnRenamed(right_ts, f"__r_{right_ts}")
+            right_ts = f"__r_{right_ts}"
+        out = asof_join(left, right, keys, left_ts, right_ts,
+                        direction=direction, strict=strict, how=how)
+        if right_ts != plain:
+            # matched asof timestamp is dialect-visible as asof_<col>
+            out = out.withColumnRenamed(f"asof_{right_ts}",
+                                        f"asof_{plain}")
+    else:
+        # deterministic ANY: the reference picks an arbitrary build-side
+        # row; we pick the lexicographic minimum over the build row so
+        # results are replayable (same stance as PASTE's explicit order)
+        payload = [c for c in right.columns if c not in keys]
+        out = any_join(left, right, keys, how=how,
+                       order_by=payload or keys)
+
+    view = "__ch_strict_join"
+    out.createOrReplaceTempView(view)
+    sel, rest = m.group("sel"), m.group("rest") or ""
+    if kind == "ASOF":
+        # the matched right-side timestamp surfaces as asof_<col>
+        ts_ref = re.compile(rf"\b{re.escape(ra)}\.{re.escape(plain)}\b",
+                            re.IGNORECASE)
+        sel = _masked_sub(ts_ref, lambda _m: f"asof_{plain}", sel)
+        rest = _masked_sub(ts_ref, lambda _m: f"asof_{plain}", rest)
+    # strip side-alias qualifiers: the joined view is a flat namespace
+    strip = re.compile(rf"\b({re.escape(la)}|{re.escape(ra)})\.",
+                       re.IGNORECASE)
+    sel = _masked_sub(strip, lambda _m: "", sel)
+    rest = _masked_sub(strip, lambda _m: "", rest)
+    return ch_sql(spark, f"SELECT {sel} FROM {view}{rest}",
+                  final_keys=final_keys)
+
+
 def ch_sql(spark: SparkSession, sql: str,
            final_keys: dict[str, tuple[list[str], str]] | None = None
            ) -> DataFrame:
@@ -1347,6 +1515,9 @@ def ch_sql(spark: SparkSession, sql: str,
     routed = _try_projection_route(spark, sql)
     if routed is not None:
         return routed
+    joined = _try_strictness_join(spark, sql, final_keys)
+    if joined is not None:
+        return joined
     m = _masked_search(_LIMIT_TIES_RE, sql.strip().rstrip(";"))
     if m:
         from clickhouse_clickhouse_spark.operators.windows import (

@@ -336,3 +336,82 @@ def dict_hierarchy(spark, sf):
                                  lambda x: x.cast("string")), ",")
         .alias("hierarchy"),
         d.is_in(key, F.lit(102)).alias("in_asia"))
+
+
+@register("ch_sql_asof_join", oracle="""
+SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts,
+       round(c.value, 6) AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""")
+def ch_sql_asof_join(spark, sf):
+    """ASOF JOIN written in the reference DIALECT and executed through
+    the ch_sql front end (round-5 advice item 2 — the refusal is gone
+    for the common migration shape). Routes to operators.joins.asof_join
+    (union-tag single-window, one shuffle); DuckDB native ASOF JOIN is
+    the oracle. Upstream: src/Interpreters/HashJoin/ strictness=Asof."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    ev = load_table(spark, sf, "events")
+    ev.filter(F.col("event_type") == "purchase") \
+      .select("event_id", "user_id", "ts") \
+      .createOrReplaceTempView("asof_l")
+    ev.filter(F.col("event_type") == "click") \
+      .select("user_id", F.col("ts").alias("c_ts"), "value") \
+      .createOrReplaceTempView("asof_r")
+    return ch_sql(spark, """
+        SELECT l.event_id, l.user_id, l.ts, r.c_ts AS click_ts,
+               round(r.value, 6) AS click_value
+        FROM asof_l l ASOF JOIN asof_r r
+          ON l.user_id = r.user_id AND l.ts >= r.c_ts""")
+
+
+@register("ch_sql_asof_left_strict", oracle="""
+SELECT c.event_id, c.user_id, p.ts AS next_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts < p.ts
+""")
+def ch_sql_asof_left_strict(spark, sf):
+    """ASOF LEFT JOIN with a STRICT forward inequality (<) through the
+    dialect: each click's strictly-later next purchase, unmatched clicks
+    kept with NULL."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    ev = load_table(spark, sf, "events")
+    ev.filter(F.col("event_type") == "click") \
+      .select("event_id", "user_id", "ts") \
+      .createOrReplaceTempView("asofs_l")
+    ev.filter(F.col("event_type") == "purchase") \
+      .select("user_id", F.col("ts").alias("p_ts")) \
+      .createOrReplaceTempView("asofs_r")
+    return ch_sql(spark, """
+        SELECT l.event_id, l.user_id, r.p_ts AS next_ts
+        FROM asofs_l l ASOF LEFT JOIN asofs_r r
+          ON l.user_id = r.user_id AND l.ts < r.p_ts""")
+
+
+@register("ch_sql_any_join", oracle="""
+SELECT n_name, s.s_name
+FROM nation LEFT JOIN (
+  SELECT s_nationkey, min(s_name) AS s_name
+  FROM supplier GROUP BY s_nationkey) s
+ON n_nationkey = s.s_nationkey
+""")
+def ch_sql_any_join(spark, sf):
+    """ANY LEFT JOIN through the dialect: at most one build-side row per
+    key. The reference's pick is arrival-order-arbitrary; this engine
+    makes it DETERMINISTIC (lexicographic minimum over the build row),
+    which the oracle mirrors with min(). Routes to
+    operators.joins.any_join (per-key row_number dedup, one shuffle)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf, "supplier") \
+        .select("s_nationkey", "s_name").createOrReplaceTempView("any_r")
+    return ch_sql(spark, """
+        SELECT l.n_name, r.s_name
+        FROM nation l ANY LEFT JOIN any_r r
+          ON l.n_nationkey = r.s_nationkey""")

@@ -1,0 +1,92 @@
+"""Dialect ASOF/ANY JOIN translation (round-5 advice item 2): the
+common two-table shape routes through operators.joins; edge shapes keep
+the loud refusal. Upstream: src/Interpreters/HashJoin/ kind+strictness.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_clickhouse_spark.ch_sql import ch_sql, translate
+
+
+@pytest.fixture(scope="module")
+def join_tables(spark):
+    spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 15, "c"), (3, 5, "d")],
+        "k int, ts int, lv string").createOrReplaceTempView("sjl")
+    spark.createDataFrame(
+        [(1, 8, "r1"), (1, 15, "r2"), (2, 15, "r3"), (9, 1, "rx")],
+        "k int, rts int, rv string").createOrReplaceTempView("sjr")
+    return "sjl", "sjr"
+
+
+def test_asof_join_backward_inner(spark, join_tables):
+    rows = {(r.k, r.ts): (r.rv, r.m) for r in ch_sql(spark, """
+        SELECT l.k, l.ts, r.rv, r.rts AS m
+        FROM sjl l ASOF JOIN sjr r ON l.k = r.k AND l.ts >= r.rts
+    """).collect()}
+    # k=1 ts=10 -> rts=8; k=1 ts=20 -> rts=15; k=2 ts=15 -> rts=15 (ties ok)
+    assert rows == {(1, 10): ("r1", 8), (1, 20): ("r2", 15),
+                    (2, 15): ("r3", 15)}
+
+
+def test_asof_left_join_strict_backward(spark, join_tables):
+    rows = {(r.k, r.ts): r.rv for r in ch_sql(spark, """
+        SELECT l.k, l.ts, r.rv FROM sjl l
+        ASOF LEFT JOIN sjr r ON l.k = r.k AND l.ts > r.rts
+    """).collect()}
+    # strict: k=2 ts=15 must NOT see rts=15; left keeps it as NULL
+    assert rows == {(1, 10): "r1", (1, 20): "r2", (2, 15): None,
+                    (3, 5): None}
+
+
+def test_asof_join_using_form(spark, join_tables):
+    spark.createDataFrame([(1, 9, "u1"), (1, 25, "u2")],
+                          "k int, ts int, uv string") \
+        .createOrReplaceTempView("sjru")
+    rows = {(r.k, r.ts): r.uv for r in ch_sql(spark, """
+        SELECT l.k, l.ts, r.uv FROM sjl l ASOF JOIN sjru r USING (k, ts)
+    """).collect()}
+    assert rows == {(1, 10): "u1", (1, 20): "u1"}
+
+
+def test_any_left_join_deterministic(spark, join_tables):
+    rows = {r.k: r.rv for r in ch_sql(spark, """
+        SELECT l.k, r.rv FROM sjl l ANY LEFT JOIN sjr r ON l.k = r.k
+    """).collect()}
+    # deterministic pick: lexicographic min over the build row
+    assert rows == {1: "r1", 2: "r3", 3: None}
+
+
+def test_any_join_with_trailing_clauses(spark, join_tables):
+    out = ch_sql(spark, """
+        SELECT l.k, count() AS c FROM sjl l ANY JOIN sjr r ON l.k = r.k
+        GROUP BY l.k ORDER BY l.k
+    """).collect()
+    assert [(r.k, r.c) for r in out] == [(1, 2), (2, 1)]
+
+
+def test_asof_two_inequalities_refused(spark, join_tables):
+    with pytest.raises(ValueError, match="exactly one inequality"):
+        ch_sql(spark, """
+            SELECT l.k FROM sjl l ASOF JOIN sjr r
+            ON l.k = r.k AND l.ts >= r.rts AND l.ts < r.rts""")
+
+
+def test_any_right_join_refused(spark, join_tables):
+    with pytest.raises(ValueError, match="not supported"):
+        ch_sql(spark, "SELECT l.k FROM sjl l ANY RIGHT JOIN sjr r "
+                      "ON l.k = r.k")
+
+
+def test_paste_join_still_refuses():
+    with pytest.raises(ValueError, match="paste_join"):
+        translate("SELECT * FROM a PASTE JOIN b")
+
+
+def test_asof_subquery_shape_still_refuses(spark, join_tables):
+    # join sides must be plain named tables; a subquery falls through to
+    # the loud translate() refusal, not a silent wrong plan
+    with pytest.raises(ValueError, match="asof_join"):
+        ch_sql(spark, "SELECT 1 FROM (SELECT * FROM sjl) l "
+                      "ASOF JOIN sjr r ON l.k = r.k AND l.ts >= r.rts")
