@@ -1174,11 +1174,13 @@ def _parse_fill_literal(s: str | None):
 # a SummaryTable (plans/summary.py) and registers it; the SELECT router
 # below answers matching aggregations from the projection instead of the
 # base table (upstream ProjectionsDescription.cpp +
-# optimizeUseAggregateProjection.cpp). Routing is restricted to measures
-# whose routed result is bit-identical to the translated base-table plan
-# (sum/count/min/max); sketch measures (uniq/quantile) stay available
-# through the programmatic plans.summary.route_aggregation API, whose
-# read path uses the same sketch algorithm on both sides.
+# optimizeUseAggregateProjection.cpp). sum/count/min/max route with
+# bit-identical results; uniq/uniqTheta/quantile route through the
+# mergeable sketch states (plans/summary.py — approximate by contract,
+# deterministic union, tolerance-gated in tests/test_projection_sketch);
+# HAVING over routed aggregates applies post-merge when every identifier
+# it references is a select-list alias, else the query falls back to the
+# always-correct translated path.
 
 _PROJ_ITEM_RE = re.compile(
     r"^(?P<fn>\w+)\s*\((?P<a1>[^()]*)\)\s*(?:\((?P<a2>[^()]*)\)\s*)?"
@@ -1187,7 +1189,12 @@ _PROJ_ITEM_RE = re.compile(
 _PROJ_OPS = {"count": "count", "sum": "sum", "min": "min", "max": "max",
              "uniq": "uniq", "uniqtheta": "uniq_theta",
              "quantile": "quantile"}
-_ROUTABLE = {"count", "sum", "min", "max"}
+# sum/count/min/max route bit-identically; uniq/uniq_theta/quantile route
+# through the mergeable sketch states (plans/summary.py) — the estimates
+# are approximate BY CONTRACT (the reference's uniq/quantile are too),
+# and the sketch union is deterministic, so routing stays replayable.
+_ROUTABLE = {"count", "sum", "min", "max",
+             "uniq", "uniq_theta", "quantile"}
 
 
 def _parse_proj_item(item: str):
@@ -1225,14 +1232,15 @@ _PROJ_SELECT_RE = re.compile(
     r"^SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<t>\w+)"
     r"(?:\s+WHERE\s+(?P<w>.+?))?"
     r"\s+GROUP\s+BY\s+(?P<g>[\w\s,]+?)"
+    r"(?:\s+HAVING\s+(?P<h>.+?))?"
     r"(?:\s+ORDER\s+BY\s+(?P<o>[\w\s,]+?))?"
     r"(?:\s+LIMIT\s+(?P<l>\d+))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL)
 
-# ORDER BY / LIMIT are handled by the router itself; LIMIT..BY and
-# LIMIT..OFFSET forms simply fail the SELECT regex and fall through
+# ORDER BY / LIMIT / HAVING are handled by the router itself; LIMIT..BY
+# and LIMIT..OFFSET forms simply fail the SELECT regex and fall through
 _PROJ_BLOCKERS = re.compile(
-    r"\b(JOIN|HAVING|UNION|INTERSECT|EXCEPT|WITH\s+"
+    r"\b(JOIN|UNION|INTERSECT|EXCEPT|WITH\s+"
     r"TOTALS|ROLLUP|CUBE|GROUPING|ARRAY\s+JOIN|PREWHERE|SAMPLE|FINAL)\b",
     re.IGNORECASE)
 
@@ -1284,8 +1292,13 @@ def _try_projection_route(spark: SparkSession, sql: str):
                 continue
         resolved = []
         for _, alias, src, op in aggs:
+            # quantile matches on the BASE op: the summary stores one KLL
+            # sketch regardless of p; the query's p applies at read time
             hit = next((mn for mn, (msrc, mop) in s.measures.items()
-                        if msrc == src and mop == op), None)
+                        if msrc == src and
+                        (mop == op or (_op_base_local(op) == "quantile"
+                                       and _op_base_local(mop) ==
+                                       "quantile"))), None)
             if hit is None:
                 break
             resolved.append((alias, hit, op))
@@ -1299,6 +1312,19 @@ def _try_projection_route(spark: SparkSession, sql: str):
             # output exactly the select list, in its original order
             order = [p[1] for p in parsed]
             res = res.select(*order)
+            hv = m.group("h")
+            if hv is not None:
+                # HAVING over routed output: identifiers must all be
+                # select-list aliases (merged aggregates included) so the
+                # filter evaluates on the routed frame; anything else
+                # falls back to the translated path
+                idents = {i.lower() for i in
+                          re.findall(r"[A-Za-z_]\w*", _mask_strings(hv))}
+                if not idents <= {c.lower() for c in order} | \
+                        {"and", "or", "not", "in", "between", "like",
+                         "is", "null"}:
+                    return None
+                res = res.filter(hv)
             ob = m.group("o")
             if ob is not None:
                 from pyspark.sql import functions as F

@@ -1374,6 +1374,68 @@ def projection_routed_agg(spark, sf):
                          "mn", "mx")
 
 
+@register("projection_routed_having", oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS sv
+FROM events GROUP BY event_type HAVING count(*) > 1000
+""")
+def projection_routed_having(spark, sf):
+    """Projection routing WITH a HAVING clause over routed aggregates
+    (round-5 advice item 3): the filter applies to the merged partials
+    post-aggregation — identical rows to the base plan, hash-verified."""
+    import uuid
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, ch_statement
+    from clickhouse_clickhouse_spark.plans.summary import drop_projection
+
+    view = f"events_projh_{uuid.uuid4().hex[:8]}"
+    load_table(spark, sf, "events").createOrReplaceTempView(view)
+    ch_statement(spark, f"""
+        ALTER TABLE {view} ADD PROJECTION p_hv
+        (SELECT event_type, user_id, count() AS n, sum(value) AS sv
+         GROUP BY event_type, user_id)""")
+    routed = ch_sql(spark, f"""
+        SELECT event_type, count() AS n, sum(value) AS sv
+        FROM {view} GROUP BY event_type HAVING n > 1000""")
+    assert any("ch_proj" in f for f in routed.inputFiles()), \
+        "projection did not route with HAVING"
+    drop_projection(view, "p_hv")
+    return routed.select("event_type", "n", F.round("sv", 6).alias("sv"))
+
+
+@register("projection_routed_uniq")
+def projection_routed_uniq(spark, sf):
+    """Sketch-measure projection routing (round-5 advice item 3): uniq
+    routes through HLL partial states (hll_sketch_agg per part,
+    hll_union_agg + estimate at read), quantile through a KLL sketch
+    with the query's p applied at READ time (the projection stored
+    quantile(0.5); the query asks 0.9). Approximate by contract — the
+    tolerance gate is tests/test_projection_sketch.py; driver check is
+    rows-only."""
+    import uuid
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, ch_statement
+    from clickhouse_clickhouse_spark.plans.summary import drop_projection
+
+    view = f"events_projU_{uuid.uuid4().hex[:8]}"
+    load_table(spark, sf, "events").createOrReplaceTempView(view)
+    ch_statement(spark, f"""
+        ALTER TABLE {view} ADD PROJECTION p_u
+        (SELECT event_type, user_id, uniq(user_id) AS uu,
+                quantile(0.5)(value) AS qv
+         GROUP BY event_type, user_id)""")
+    routed = ch_sql(spark, f"""
+        SELECT event_type, uniq(user_id) AS uu,
+               quantile(0.9)(value) AS p90
+        FROM {view} GROUP BY event_type""")
+    assert any("ch_proj" in f for f in routed.inputFiles()), \
+        "sketch measures did not route"
+    drop_projection(view, "p_u")
+    return routed.select("event_type", "uu",
+                         F.round("p90", 2).alias("p90"))
+
+
 @register("ch_dialect_demo7", oracle="""
 SELECT n_nationkey AS k,
        CAST(make_date(2020 + (n_nationkey % 5)::INT,

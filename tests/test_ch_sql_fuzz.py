@@ -356,11 +356,18 @@ _PROJ_WHERE = st.sampled_from([
     "user_id IN (1, 2, 3) AND event_type != 'error'",
 ])
 
+# HAVING templates over the FIRST selected agg alias (always present) —
+# round-6: HAVING over routed aggregates routes too
+_PROJ_HAVING = st.sampled_from([
+    None, "{a} > 0", "{a} >= 1 AND {a} < 1000000000", "{a} IS NOT NULL"])
+
 
 @settings(max_examples=40, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
-@given(aggs=_PROJ_AGGS, keys=_PROJ_KEYS, cond=_PROJ_WHERE)
-def test_fuzz_projection_route_equals_direct(proj_env, aggs, keys, cond):
+@given(aggs=_PROJ_AGGS, keys=_PROJ_KEYS, cond=_PROJ_WHERE,
+       having=_PROJ_HAVING)
+def test_fuzz_projection_route_equals_direct(proj_env, aggs, keys, cond,
+                                             having):
     """Every routable aggregation answered from the projection equals
     the same query with routing disabled (base-table plan)."""
     from clickhouse_clickhouse_spark.ch_sql import ch_sql
@@ -370,10 +377,13 @@ def test_fuzz_projection_route_equals_direct(proj_env, aggs, keys, cond):
     # WHERE on user_id routes only when user_id is a projection key —
     # it always is here; conditions referencing non-keys would fall
     # through (covered by the unit test).
-    sql = "SELECT {keys}, {aggs} FROM events_fz{w} GROUP BY {keys}".format(
-        keys=", ".join(keys),
-        aggs=", ".join(a for a, _ in aggs),
-        w=f" WHERE {cond}" if cond else "")
+    sql = ("SELECT {keys}, {aggs} FROM events_fz{w} GROUP BY {keys}{h}"
+           .format(
+               keys=", ".join(keys),
+               aggs=", ".join(a for a, _ in aggs),
+               w=f" WHERE {cond}" if cond else "",
+               h=f" HAVING {having.format(a=aggs[0][1])}" if having
+                 else ""))
     routed_df = ch_sql(spark, sql)
     assert any("ch_proj" in f for f in routed_df.inputFiles()), sql
     saved = S._PROJECTIONS.pop("events_fz")
