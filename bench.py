@@ -61,16 +61,22 @@ def main() -> None:
         qs[name](spark, warm).count()
 
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
         # hot-run methodology (as in ClickBench): three runs, report the
         # best — measures the plan, not page-cache/JIT noise. count()
         # forces full execution without serializing results to the driver.
-        best = float("inf")
+        # The median rides along so a cross-round comparison can tell
+        # run-environment variance from a real regression (round-5
+        # verdict: a uniform ~10% drift with zero code diff).
+        runs = []
         for _ in range(3):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[0], 3)
+        medians[name] = round(runs[1], 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -78,6 +84,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
+        "total_median": round(sum(medians.values()), 3),
         "sf": float(sf),
     }))
 

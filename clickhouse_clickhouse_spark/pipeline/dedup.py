@@ -52,9 +52,18 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
     One explode + one hash-agg; signature columns are k ints per doc.
     """
+    # Physical-form note (A/B'd round 6): a row-local HOF form
+    # (transform + array_min per hash, zero shuffles) LOSES to this
+    # explode + groupBy at every scale tried - higher-order functions
+    # fall out of whole-stage codegen and materialize k arrays per doc,
+    # while the hash agg's per-doc mins are computed MAP-SIDE (a doc's
+    # tokens explode inside one partition, partial_min collapses them
+    # before the exchange), so the "token-table shuffle" actually moves
+    # ~1 row per doc. Signatures are bit-identical either way (verified).
     tok = _token_table(df, id_col, text_col, shingle)
     if token_hash == "xxhash":
-        tok = tok.withColumn("tid", F.pmod(F.xxhash64("token"), F.lit(MINHASH_PRIME)))
+        tok = tok.withColumn("tid", F.pmod(F.xxhash64("token"),
+                                           F.lit(MINHASH_PRIME)))
     elif token_hash == "vocab":
         from clickhouse_clickhouse_spark.operators.grank import (
             global_row_number,
@@ -103,10 +112,19 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
         members = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
         # Flat string key (same shape as the SQL oracle's mh||'_'||mh):
         # a scalar join key hashes/compares cheaper than array equality.
+        # NULL sig for a NULL signature (token-less doc, xxhash mode).
         band_cols.append(F.struct(
             F.lit(b).alias("band"),
-            F.concat_ws("_", *[m.cast("string") for m in members]).alias("sig")))
-    banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")) \
+            F.when(members[0].isNotNull(),
+                   F.concat_ws("_", *[m.cast("string") for m in members]))
+            .alias("sig")))
+    # token-less docs drop INSIDE the generate (filter on the struct
+    # array) — a post-hoc Filter would push down through the projection
+    # and re-evaluate the shingle pipeline in the scan
+    banded = sig.select(F.col(id_col),
+                        F.explode(F.filter(
+                            F.array(*band_cols),
+                            lambda s: s["sig"].isNotNull())).alias("bb")) \
                 .select(id_col, F.col("bb.band").alias("band"),
                         F.col("bb.sig").alias("sig"))
     star = None
@@ -125,7 +143,14 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
                         F.col(id_col).alias("id_b")))
         banded = tagged.filter(F.col("__n") <= max_bucket) \
                        .drop("__n", "__min")
-    a = banded.alias("a")
+    # SHUFFLE_HASH pins a shuffle join: both sides exchange on the SAME
+    # (band, sig) hash partitioning, so ReusedExchange computes the
+    # signature pipeline ONCE (a broadcast side would re-execute the
+    # whole shingle→minhash subtree — A/B'd at bench scale: broadcast
+    # paid the double pipeline and lost ~20% even with the banded rows
+    # under the broadcast threshold; at 100 TB broadcast isn't planable
+    # anyway and exchange reuse is exactly the right shape).
+    a = banded.alias("a").hint("SHUFFLE_HASH")
     b = banded.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band")) &
                     (F.col("a.sig") == F.col("b.sig")) &
