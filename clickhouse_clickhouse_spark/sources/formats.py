@@ -40,6 +40,12 @@ def write_any(df: DataFrame, path: str, fmt: str, mode: str = "overwrite",
     if fmt == "arrow":
         write_arrow(df, path).collect()
         return
+    if fmt == "msgpack":
+        from clickhouse_clickhouse_spark.sources.msgpack import (
+            write_msgpack,
+        )
+        write_msgpack(df, path).collect()
+        return
     if fmt not in _NATIVE:
         raise ValueError(f"unknown format {fmt!r}")
     w = df.write.mode(mode)
@@ -68,6 +74,15 @@ def read_any(spark: SparkSession, path: str, fmt: str,
         return read_avro(spark, path, schema)
     if fmt == "arrow":
         return read_arrow(spark, path, schema)
+    if fmt == "msgpack":
+        if schema is None:
+            raise ValueError("format 'msgpack' requires an explicit "
+                             "schema (bare value streams carry no "
+                             "self-description)")
+        from clickhouse_clickhouse_spark.sources.msgpack import (
+            read_msgpack,
+        )
+        return read_msgpack(spark, path, schema)
     if fmt not in _NATIVE:
         raise ValueError(f"unknown format {fmt!r}")
     r = spark.read
