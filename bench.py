@@ -34,6 +34,17 @@ HEADLINE = [
     "topk_cosine",
 ]
 
+# Secondary section (round 6): the 5 heaviest of the 43-query
+# ClickBench-analog suite — reported under their own key so the primary
+# metric stays comparable across rounds.
+CLICKBENCH_HEAVY = [
+    "cb_value_deciles",
+    "cb_url_query_param_buckets",
+    "cb_url_host_seg_topk",
+    "cb_json_prop_buckets",
+    "cb_url_path_depth",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -78,6 +89,16 @@ def main() -> None:
         timings[name] = round(runs[0], 3)
         medians[name] = round(runs[1], 3)
 
+    cb: dict[str, float] = {}
+    for name in CLICKBENCH_HEAVY:
+        qs[name](spark, warm).count()
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        cb[name] = round(min(runs), 3)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
@@ -86,6 +107,8 @@ def main() -> None:
         "queries": timings,
         "queries_median": medians,
         "total_median": round(sum(medians.values()), 3),
+        "clickbench": cb,
+        "clickbench_total": round(sum(cb.values()), 3),
         "sf": float(sf),
     }))
 

@@ -82,3 +82,18 @@ def read_stream_avro(spark: SparkSession, path: str,
     stream = spark.readStream.schema("value binary").parquet(path)
     return avro_decode_blocks(stream, schema, block_col="value",
                               codec=codec)
+
+
+def read_stream_msgpack(spark: SparkSession, path: str,
+                        schema: T.StructType | str) -> DataFrame:
+    """Streaming ingest of BINARY MessagePack payloads (upstream
+    kafka_format='MsgPack'): a parquet-backed stream with one binary
+    ``value`` column stands in for the broker — each message carries one
+    row's column values as consecutive msgpack values (the cell layout
+    of sources/msgpack), decoded per micro-batch through the vectorized
+    masked-gather decoder. With a broker, swap the source as in
+    ``streaming.kafka`` keeping ``value`` binary."""
+    from clickhouse_clickhouse_spark.sources.msgpack import msgpack_decode
+
+    stream = spark.readStream.schema("value binary").parquet(path)
+    return msgpack_decode(stream, schema, col="value")
