@@ -1358,19 +1358,11 @@ def _op_base_local(op: str) -> str:
 # ASOF / ANY JOIN dialect translation (upstream src/Interpreters/HashJoin/
 # kind+strictness matrix; AsofRowRefs for the inequality lookup). These
 # change row multiplicity, so a text rewrite to a plain JOIN would be
-# WRONG — ch_sql() intercepts the common migration shape (two named
-# tables, ON/USING, optional trailing clauses) and routes it through the
-# scale-safe DataFrame operators; anything else still refuses loudly in
-# translate() with a pointer to the operator.
-_STRICT_JOIN_RE = re.compile(
-    r"^\s*SELECT\s+(?P<sel>.*?)\s+"
-    r"FROM\s+(?P<lt>\w+)(?:\s+(?:AS\s+)?(?!ANY\b|ASOF\b)(?P<la>\w+))?\s+"
-    r"(?P<kind>ANY|ASOF)\s+(?P<how>(?:LEFT|INNER|RIGHT|OUTER)\s+)?JOIN\s+"
-    r"(?P<rt>\w+)(?:\s+(?:AS\s+)?(?!ON\b|USING\b)(?P<ra>\w+))?\s+"
-    r"(?:ON\s+(?P<on>.+?)|USING\s*\(?(?P<using>[\w\s,]+?)\)?)"
-    r"(?P<rest>\s+(?:WHERE|GROUP|HAVING|ORDER|LIMIT)\b.*)?\s*$",
-    re.IGNORECASE | re.DOTALL)
-
+# WRONG — ch_sql() intercepts the common migration shape (two relations,
+# each a named table or a (SELECT ...) subquery, ON/USING, optional
+# trailing clauses) and routes it through the scale-safe DataFrame
+# operators; anything else still refuses loudly in translate() with a
+# pointer to the operator.
 _ON_COND_RE = re.compile(
     r"^(\w+)\.(\w+)\s*(>=|<=|=|>|<)\s*(\w+)\.(\w+)$")
 
@@ -1397,41 +1389,123 @@ def _split_top_and(s: str) -> list[str]:
     return [p for p in (x.strip() for x in parts) if p]
 
 
+_REL_STOPWORDS = {"ANY", "ASOF", "ON", "USING", "LEFT", "RIGHT", "INNER",
+                  "OUTER", "JOIN", "PASTE"}
+
+
+def _parse_rel(q: str, i: int):
+    """Parse a relation at q[i]: a table NAME or a parenthesized
+    (SUBQUERY), plus an optional [AS] alias. Returns (expr, is_subquery,
+    alias, next_index) or None."""
+    n = len(q)
+    while i < n and q[i].isspace():
+        i += 1
+    if i < n and q[i] == "(":
+        j = _find_close(q, i)
+        if j < 0:
+            return None
+        expr, k, is_sub = q[i + 1:j], j + 1, True
+    else:
+        m = re.compile(r"\w+").match(q, i)
+        if not m or m.group(0).upper() in _REL_STOPWORDS:
+            return None
+        expr, k, is_sub = m.group(0), m.end(), False
+    alias = None
+    am = re.compile(r"\s+(?:AS\s+)?(\w+)", re.IGNORECASE).match(q, k)
+    if am and am.group(1).upper() not in _REL_STOPWORDS:
+        alias, k = am.group(1), am.end()
+    return expr, is_sub, alias, k
+
+
+def _depth0_search(mask: str, pattern: str, start: int = 0):
+    """First match of ``pattern`` at paren depth 0 in masked text."""
+    depth = 0
+    for m in re.finditer(rf"[()]|{pattern}", mask[start:], re.IGNORECASE):
+        t = m.group(0)
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0:
+            return start + m.start(), start + m.end(), m
+    return None
+
+
 def _try_strictness_join(spark: SparkSession, sql: str, final_keys):
     """Recognize ``SELECT ... FROM l [la] ASOF|ANY [LEFT] JOIN r [ra]
-    ON/USING ... [trailing clauses]`` and run it through
-    operators.joins.asof_join / any_join. Returns None when the text is
-    not this shape (normal translate path continues)."""
+    ON/USING ... [trailing clauses]`` — each side a table NAME or a
+    parenthesized (SELECT ...) subquery (itself full dialect, run
+    recursively) — and route through operators.joins.asof_join /
+    any_join. Returns None when the text is not this shape (the normal
+    translate path continues, refusing loudly)."""
     q = sql.strip().rstrip(";")
-    if not _masked_search(re.compile(r"\b(ANY|ASOF)\s+(?:(?:LEFT|RIGHT|"
-                                     r"INNER|OUTER)\s+)*JOIN\b",
-                                     re.IGNORECASE), q):
+    mask = _mask_strings(q)
+    jk = _depth0_search(
+        mask, r"\b(ANY|ASOF)\s+(?:(?:LEFT|RIGHT|INNER|OUTER)\s+)*JOIN\b")
+    if jk is None:
         return None
-    m = _STRICT_JOIN_RE.match(_mask_strings(q)) and _STRICT_JOIN_RE.match(q)
-    if not m:
-        return None          # unusual shape -> translate() refuses loudly
+    j_start, j_end, jm = jk
+    pm = re.match(r"\s*SELECT\s+", mask, re.IGNORECASE)
+    if not pm:
+        return None
+    fm = _depth0_search(mask, r"\bFROM\b", pm.end())
+    if fm is None or fm[0] > j_start:
+        return None
+    sel = q[pm.end():fm[0]].strip()
+    lp = _parse_rel(q, fm[1])
+    if lp is None:
+        return None
+    lexpr, lsub, la_raw, k = lp
+    if q[k:j_start].strip():
+        return None              # something between left rel and the join
+    rp = _parse_rel(q, j_end)
+    if rp is None:
+        return None
+    rexpr, rsub, ra_raw, k2 = rp
+    om = re.compile(r"\s*(ON|USING)\b", re.IGNORECASE).match(mask, k2)
+    if not om:
+        return None
+    rm = _depth0_search(mask,
+                        r"\b(WHERE|GROUP|HAVING|ORDER|LIMIT)\b", om.end())
+    cond_end = rm[0] if rm else len(q)
+    cond_text = q[om.end():cond_end].strip()
+    rest = (" " + q[cond_end:].strip()) if rm else ""
+
     from clickhouse_clickhouse_spark.operators.joins import (
         any_join,
         asof_join,
     )
 
-    kind = m.group("kind").upper()
-    how = (m.group("how") or "INNER").strip().upper()
+    kind = jm.group(1).upper()
+    hm = re.search(r"\b(LEFT|RIGHT|INNER|OUTER)\b", jm.group(0),
+                   re.IGNORECASE)
+    how = hm.group(1).upper() if hm else "INNER"
     if how in ("RIGHT", "OUTER"):
         raise ValueError(f"{kind} {how} JOIN is not supported here — "
                          "LEFT and INNER strictness joins are; swap the "
                          "sides or use the DataFrame operator")
     how = "left" if how == "LEFT" else "inner"
-    lt, rt = m.group("lt"), m.group("rt")
-    la = (m.group("la") or lt).lower()
-    ra = (m.group("ra") or rt).lower()
-    left, right = spark.table(lt), spark.table(rt)
+    for side, is_sub, alias in ((lexpr, lsub, la_raw),
+                                (rexpr, rsub, ra_raw)):
+        if is_sub and alias is None:
+            raise ValueError(f"{kind} JOIN: a subquery side needs an "
+                             "alias")
+    la = (la_raw or lexpr).lower()
+    ra = (ra_raw or rexpr).lower()
+    lt = la_raw or lexpr
+    rt = ra_raw or rexpr
+    left = ch_sql(spark, lexpr) if lsub else spark.table(lexpr)
+    right = ch_sql(spark, rexpr) if rsub else spark.table(rexpr)
 
     keys: list[str] = []          # left-side key names (output names)
     renames: dict[str, str] = {}  # right col -> left name
     ineq = None                   # (left_ts, right_ts, op)
-    if m.group("using") is not None:
-        cols = [c.strip() for c in m.group("using").split(",") if c.strip()]
+    if om.group(1).upper() == "USING":
+        cols = [c.strip() for c in
+                cond_text.strip().strip("()").split(",") if c.strip()]
+        if any(not re.fullmatch(r"\w+", c) for c in cols):
+            raise ValueError(f"{kind} JOIN USING takes bare column "
+                             f"names, got {cond_text!r}")
         if kind == "ASOF":
             if len(cols) < 2:
                 raise ValueError("ASOF JOIN USING needs at least one key "
@@ -1441,7 +1515,7 @@ def _try_strictness_join(spark: SparkSession, sql: str, final_keys):
         else:
             keys = cols
     else:
-        for cond in _split_top_and(m.group("on")):
+        for cond in _split_top_and(cond_text):
             cm = _ON_COND_RE.match(cond.strip())
             if not cm:
                 raise ValueError(
@@ -1501,7 +1575,6 @@ def _try_strictness_join(spark: SparkSession, sql: str, final_keys):
 
     view = "__ch_strict_join"
     out.createOrReplaceTempView(view)
-    sel, rest = m.group("sel"), m.group("rest") or ""
     if kind == "ASOF":
         # the matched right-side timestamp surfaces as asof_<col>
         ts_ref = re.compile(rf"\b{re.escape(ra)}\.{re.escape(plain)}\b",

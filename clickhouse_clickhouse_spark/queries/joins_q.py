@@ -353,18 +353,17 @@ def ch_sql_asof_join(spark, sf):
     the oracle. Upstream: src/Interpreters/HashJoin/ strictness=Asof."""
     from clickhouse_clickhouse_spark.ch_sql import ch_sql
 
-    ev = load_table(spark, sf, "events")
-    ev.filter(F.col("event_type") == "purchase") \
-      .select("event_id", "user_id", "ts") \
-      .createOrReplaceTempView("asof_l")
-    ev.filter(F.col("event_type") == "click") \
-      .select("user_id", F.col("ts").alias("c_ts"), "value") \
-      .createOrReplaceTempView("asof_r")
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    # subquery sides — paste-your-reference-SQL form (round-6: sides may
+    # be (SELECT ...) subqueries, themselves full dialect)
     return ch_sql(spark, """
-        SELECT l.event_id, l.user_id, l.ts, r.c_ts AS click_ts,
-               round(r.value, 6) AS click_value
-        FROM asof_l l ASOF JOIN asof_r r
-          ON l.user_id = r.user_id AND l.ts >= r.c_ts""")
+        SELECT p.event_id, p.user_id, p.ts, c.c_ts AS click_ts,
+               round(c.value, 6) AS click_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type == 'purchase') p
+        ASOF JOIN (SELECT user_id, ts AS c_ts, value FROM events
+                   WHERE event_type == 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.c_ts""")
 
 
 @register("ch_sql_asof_left_strict", oracle="""

@@ -84,9 +84,19 @@ def test_paste_join_still_refuses():
         translate("SELECT * FROM a PASTE JOIN b")
 
 
-def test_asof_subquery_shape_still_refuses(spark, join_tables):
-    # join sides must be plain named tables; a subquery falls through to
-    # the loud translate() refusal, not a silent wrong plan
-    with pytest.raises(ValueError, match="asof_join"):
-        ch_sql(spark, "SELECT 1 FROM (SELECT * FROM sjl) l "
-                      "ASOF JOIN sjr r ON l.k = r.k AND l.ts >= r.rts")
+def test_asof_subquery_sides(spark, join_tables):
+    # round-6: subquery sides (the common migration shape) translate —
+    # each side runs through ch_sql recursively, full dialect inside
+    rows = {(r.k, r.ts): r.rv for r in ch_sql(spark, """
+        SELECT l.k, l.ts, r.rv
+        FROM (SELECT k, ts, lv FROM sjl WHERE k != 3) l
+        ASOF JOIN (SELECT k, rts, upper(rv) AS rv FROM sjr) r
+          ON l.k = r.k AND l.ts >= r.rts
+    """).collect()}
+    assert rows == {(1, 10): "R1", (1, 20): "R2", (2, 15): "R3"}
+
+
+def test_asof_subquery_needs_alias(spark, join_tables):
+    with pytest.raises(ValueError, match="alias"):
+        ch_sql(spark, "SELECT 1 FROM (SELECT * FROM sjl) "
+                      "ASOF JOIN sjr r ON sjl.k = r.k AND sjl.ts >= r.rts")
