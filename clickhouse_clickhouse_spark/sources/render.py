@@ -190,13 +190,24 @@ def header_lines(df: DataFrame, fmt: str) -> list[str]:
     return []
 
 
+# reference binary format names -> write_any keys (INTO OUTFILE FORMAT)
+_BINARY_OUTFILE = {"Parquet": "parquet", "ORC": "orc", "Native": "native",
+                   "Avro": "avro", "Arrow": "arrow", "MsgPack": "msgpack"}
+
+
 def into_outfile(df: DataFrame, path: str, fmt: str,
                  mode: str = "overwrite") -> None:
     """``SELECT ... INTO OUTFILE 'path' FORMAT fmt`` — writes the
     serialized lines as a text directory (distributed; at cluster scale
     each task writes its own part file, same as the reference's parallel
     formatting). Header-variant headers go to a ``_header`` sidecar since
-    part files have no global first-row."""
+    part files have no global first-row. Binary formats (Parquet / ORC /
+    Native / Avro / Arrow / MsgPack) dispatch to the format layer."""
+    if fmt in _BINARY_OUTFILE:
+        from clickhouse_clickhouse_spark.sources.formats import write_any
+
+        write_any(df, path, _BINARY_OUTFILE[fmt], mode=mode)
+        return
     lines = serialize_lines(df, fmt)
     lines.write.mode(mode).text(path)
     hdr = header_lines(df, fmt)

@@ -167,3 +167,19 @@ def test_msgpack_via_write_read_any(spark, tmp_path):
                     schema="id bigint, s string, d double")
     assert back.count() == 50
     assert {r.id for r in back.collect()} == set(range(50))
+
+
+def test_into_outfile_binary_formats(spark, tmp_path):
+    # SELECT ... INTO OUTFILE 'p' FORMAT Parquet|MsgPack dispatch to the
+    # binary format layer (reference CLI semantics)
+    from clickhouse_clickhouse_spark.sources.formats import read_any
+    from clickhouse_clickhouse_spark.sources.render import into_outfile
+
+    df = spark.range(20).selectExpr("id", "concat('r', id) AS s")
+    pq = str(tmp_path / "of_parquet")
+    into_outfile(df, pq, "Parquet")
+    assert spark.read.parquet(pq).count() == 20
+    mp = str(tmp_path / "of_msgpack")
+    into_outfile(df, mp, "MsgPack")
+    back = read_any(spark, mp, "msgpack", schema="id bigint, s string")
+    assert sorted(r.id for r in back.collect()) == list(range(20))

@@ -29,6 +29,9 @@ def test_contract_shapes():
         # sketch-state algebra (self-verifying bool columns instead)
         "agg_uniq_merge_two_phase", "agg_uniq_theta",
         "agg_quantile_kll_merge", "agg_quantile_tdigest_merge",
+        # routed sketch measures (round 6) — tolerance-gated in
+        # tests/test_projection_sketch.py
+        "projection_routed_uniq",
     }
     assert rows_only <= allowed, rows_only - allowed
 
