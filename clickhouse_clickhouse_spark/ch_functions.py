@@ -1473,19 +1473,41 @@ def proportionsZTest(s1, t1, s2, t2, confidence: float = 0.95):
 
 
 # -- round-5 batch 3: dates, intervals, arrays, strings, misc -------------
-def toWeek(d, mode: int = 0):
-    """Week number (reference toWeek; mode 0 = Sunday-start weeks 0-53,
-    mode 3 = ISO). Only the two common modes are mapped."""
-    if mode == 3:
-        return F.weekofyear(_c(d))
-    if mode != 0:
-        raise ValueError(f"toWeek: only modes 0 and 3 are implemented, "
-                         f"got {mode}")
-    # mode 0: weeks start Sunday; week 0 holds days before the first Sunday
-    doy = F.dayofyear(_c(d))
-    jan1_dow = F.dayofweek(F.trunc(_c(d), "year"))  # 1=Sunday
+def _week_mode0(dd):
+    """Sunday-start 0-53: week 0 holds days before the first Sunday."""
+    doy = F.dayofyear(dd)
+    jan1_dow = F.dayofweek(F.trunc(dd, "year"))  # 1=Sunday
     return ((doy + jan1_dow - F.lit(2)) / 7).cast("int") \
         + F.when(jan1_dow == 1, 1).otherwise(0)
+
+
+def _week_mode1(dd):
+    """Monday-start 0-53: week 1 is the first week with 4+ days this
+    year (ISO rule), earlier days are week 0."""
+    doy = F.dayofyear(dd)
+    wd1 = F.weekday(F.trunc(dd, "year")) + 1     # ISO Mon=1..Sun=7
+    return ((doy + wd1 - F.lit(2)) / 7).cast("int") \
+        + F.when(wd1 <= 4, 1).otherwise(0)
+
+
+def toWeek(d, mode: int = 0):
+    """Week number (reference toWeek == MySQL WEEK modes):
+    0 = Sunday-start 0-53; 1 = Monday-start 0-53 (4-day rule);
+    2 = Sunday-start 1-53 (week-0 days carry the previous year's last
+    week); 3 = ISO 1-53. Verified against MySQL's documented vectors."""
+    dd = _c(d)
+    if mode == 3:
+        return F.weekofyear(dd)
+    if mode == 1:
+        return _week_mode1(dd)
+    if mode in (0, 2):
+        w0 = _week_mode0(dd)
+        if mode == 0:
+            return w0
+        prev_dec31 = F.date_sub(F.trunc(dd, "year"), 1)
+        return F.when(w0 > 0, w0).otherwise(_week_mode0(prev_dec31))
+    raise ValueError(f"toWeek: only modes 0-3 are implemented, "
+                     f"got {mode}")
 
 
 def toISOYear(d):
@@ -1505,13 +1527,20 @@ def toStartOfISOYear(d):
 
 
 def toYearWeek(d, mode: int = 0):
-    """YYYYWW (reference toYearWeek)."""
+    """YYYYWW (reference toYearWeek == MySQL YEARWEEK): week-0 days
+    belong to the PREVIOUS year's last week (YEARWEEK('2000-01-01') =
+    199952), so the year part follows the week, not the calendar."""
+    dd = _c(d)
     if mode == 3:
-        return toISOYear(d) * 100 + F.weekofyear(_c(d))
-    if mode != 0:
-        raise ValueError(f"toYearWeek: only modes 0 and 3 are "
+        return toISOYear(dd) * 100 + F.weekofyear(dd)
+    if mode not in (0, 1):
+        raise ValueError(f"toYearWeek: only modes 0, 1 and 3 are "
                          f"implemented, got {mode}")
-    return F.year(_c(d)) * 100 + toWeek(d, mode)
+    w = _week_mode0(dd) if mode == 0 else _week_mode1(dd)
+    prev_dec31 = F.date_sub(F.trunc(dd, "year"), 1)
+    pw = _week_mode0(prev_dec31) if mode == 0 else _week_mode1(prev_dec31)
+    return F.when(w > 0, F.year(dd) * 100 + w) \
+            .otherwise((F.year(dd) - 1) * 100 + pw)
 
 
 def makeDate(y, m, d):

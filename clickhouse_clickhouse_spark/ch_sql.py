@@ -1439,6 +1439,10 @@ def _try_strictness_join(spark: SparkSession, sql: str, final_keys):
     any_join. Returns None when the text is not this shape (the normal
     translate path continues, refusing loudly)."""
     q = sql.strip().rstrip(";")
+    # GLOBAL is distribution advice, not semantics (same strip as
+    # translate()): GLOBAL ANY JOIN == ANY JOIN here
+    q = _masked_sub(re.compile(r"\bGLOBAL\s+(?=ANY\b|ASOF\b)",
+                               re.IGNORECASE), lambda _m: "", q)
     mask = _mask_strings(q)
     jk = _depth0_search(
         mask, r"\b(ANY|ASOF)\s+(?:(?:LEFT|RIGHT|INNER|OUTER)\s+)*JOIN\b")

@@ -46,9 +46,38 @@ def test_toweek_unsupported_mode_raises():
     from clickhouse_clickhouse_spark import ch_functions as chf
 
     with pytest.raises(ValueError, match="mode"):
-        chf.toWeek("d", mode=1)
+        chf.toWeek("d", mode=7)
     with pytest.raises(ValueError, match="mode"):
         chf.toYearWeek("d", mode=5)
+
+
+def test_toweek_modes_match_mysql_vectors(spark):
+    # MySQL WEEK()/YEARWEEK() documented vectors (the reference's toWeek
+    # follows MySQL mode semantics)
+    from pyspark.sql import functions as F
+
+    from clickhouse_clickhouse_spark import ch_functions as chf
+
+    def week(day, mode):
+        return spark.range(1).select(
+            chf.toWeek(F.lit(day).cast("date"), mode).alias("w")
+        ).collect()[0].w
+
+    def yearweek(day, mode=0):
+        return spark.range(1).select(
+            chf.toYearWeek(F.lit(day).cast("date"), mode).alias("w")
+        ).collect()[0].w
+
+    assert week("2008-02-20", 0) == 7
+    assert week("2008-02-20", 1) == 8
+    assert week("2008-02-20", 2) == 7
+    assert week("2008-02-20", 3) == 8
+    assert week("2000-01-01", 0) == 0
+    assert week("2000-01-01", 2) == 52
+    assert week("2008-12-31", 1) == 53
+    assert yearweek("2000-01-01") == 199952
+    assert yearweek("2008-02-20") == 200807
+    assert yearweek("2000-01-01", 1) == 199952
 
 
 def test_insert_dedup_window_cleared_on_truncate(spark):

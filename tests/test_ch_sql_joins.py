@@ -100,3 +100,12 @@ def test_asof_subquery_needs_alias(spark, join_tables):
     with pytest.raises(ValueError, match="alias"):
         ch_sql(spark, "SELECT 1 FROM (SELECT * FROM sjl) "
                       "ASOF JOIN sjr r ON sjl.k = r.k AND sjl.ts >= r.rts")
+
+
+def test_global_any_join_translates(spark, join_tables):
+    # GLOBAL is distribution advice, not semantics
+    rows = {r.k: r.rv for r in ch_sql(spark, """
+        SELECT l.k, r.rv FROM sjl l GLOBAL ANY LEFT JOIN sjr r
+        ON l.k = r.k
+    """).collect()}
+    assert rows == {1: "r1", 2: "r3", 3: None}
