@@ -1024,6 +1024,7 @@ def _register_system_views(spark: SparkSession, sql: str) -> None:
         "settings": ST.system_settings,
         "query_log": ST.system_query_log,
         "projections": ST.system_projections,
+        "view_refreshes": ST.system_view_refreshes,
     }
     for name in set(_re.findall(r"\bsystem\.(\w+)", sql,
                                 _re.IGNORECASE)):
@@ -1772,6 +1773,55 @@ def _mv_fire(spark: SparkSession, source: str, block: DataFrame,
                        _seen=_seen | {mv_name})
 
 
+# Refreshable materialized views (upstream 23.12 RefreshTask /
+# StorageMaterializedView with REFRESH): unlike the incremental INSERT
+# trigger, a refreshable MV re-runs its FULL query on a schedule and
+# atomically replaces the target's contents. The snapshot materializes
+# to parquet (distributed write — the analog of the atomic table swap),
+# so reads between refreshes see a CONSISTENT point-in-time result, not
+# a late-bound view. name -> state dict.
+_REFRESHABLES: dict[str, dict] = {}
+
+_REFRESH_UNITS = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+                  "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}
+
+
+def _do_refresh(spark: SparkSession, name: str) -> int:
+    """Run one refresh of a refreshable MV: execute the stored query,
+    snapshot to the view's parquet dir, swap the target view. Returns
+    the snapshot row count."""
+    import time as _time
+
+    r = _REFRESHABLES[name.lower()]
+    out = spark.sql(r["tsql"])
+    out.write.mode("overwrite").parquet(r["path"])
+    snap = spark.read.parquet(r["path"])
+    snap.createOrReplaceTempView(r["target"])
+    if r["target"].lower() != name.lower():
+        snap.createOrReplaceTempView(name)
+    n = snap.count()
+    r["last_refresh"] = _time.time()
+    r["next_refresh"] = r["last_refresh"] + r["interval_s"]
+    r["refresh_count"] += 1
+    r["last_rows"] = n
+    return n
+
+
+def refresh_tick(spark: SparkSession, now: float | None = None) -> list[str]:
+    """Refresh every due view (a scheduler's tick — the reference runs
+    RefreshTask on a background pool; a library engine exposes the tick
+    so the host's scheduler drives it). Returns the refreshed names."""
+    import time as _time
+
+    now = _time.time() if now is None else now
+    done = []
+    for name, r in list(_REFRESHABLES.items()):
+        if now >= r["next_refresh"]:
+            _do_refresh(spark, name)
+            done.append(name)
+    return done
+
+
 # Recent inserted-block checksums per view, newest last (the reference's
 # replicated-table dedup window of block ids — default window 100).
 _INSERT_BLOCK_HASHES: dict[str, list[int]] = {}
@@ -1955,7 +2005,7 @@ def ch_statement(spark: SparkSession, sql: str,
     kw = head[0].upper() if head else ""
     if kw in ("SET", "CREATE", "INSERT", "DESCRIBE", "DESC", "SHOW",
               "EXPLAIN", "EXISTS", "DROP", "ALTER", "DELETE", "TRUNCATE",
-              "RENAME", "EXCHANGE", "OPTIMIZE"):
+              "RENAME", "EXCHANGE", "OPTIMIZE", "SYSTEM"):
         from clickhouse_clickhouse_spark.sources.system_tables import (
             log_query,
         )
@@ -1974,12 +2024,56 @@ def ch_statement(spark: SparkSession, sql: str,
         return spark.createDataFrame(
             [(k, conf, val) for k, (conf, val) in applied.items()],
             "setting string, spark_conf string, value string")
+    if kw == "SYSTEM":
+        sm = re.match(r"SYSTEM\s+REFRESH\s+VIEW\s+(\w+)$",
+                      sql.strip().rstrip(";"), re.IGNORECASE)
+        if sm:
+            name = sm.group(1)
+            if name.lower() not in _REFRESHABLES:
+                raise ValueError(f"{name!r} is not a refreshable "
+                                 "materialized view")
+            n = _do_refresh(spark, name)
+            return spark.createDataFrame([(name, n)],
+                                         "refreshed string, rows long")
+        raise ValueError("unsupported SYSTEM statement (SYSTEM REFRESH "
+                         "VIEW <name> is)")
     if kw == "CREATE":
         mvm = re.match(
             r"CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-            r"(?P<v>\w+)\s+(?:TO\s+(?P<to>\w+)\s+)?"
+            r"(?P<v>\w+)\s+"
+            r"(?:REFRESH\s+EVERY\s+(?P<rn>\d+)\s+(?P<ru>\w+)\s+)?"
+            r"(?:TO\s+(?P<to>\w+)\s+)?"
             r"(?:(?P<pop>POPULATE)\s+)?AS\s+(?P<q>.+)$",
             sql.strip().rstrip(";"), re.IGNORECASE | re.DOTALL)
+        if mvm and mvm.group("rn") is not None:
+            # Refreshable MV: full-query re-run on a schedule, snapshot
+            # swap — NOT an insert trigger (upstream RefreshTask)
+            import tempfile
+            import time as _time
+
+            unit = mvm.group("ru").lower()
+            if unit not in _REFRESH_UNITS:
+                raise ValueError(f"REFRESH EVERY: unsupported unit "
+                                 f"{mvm.group('ru')!r}")
+            name = mvm.group("v")
+            _register_udfs(spark)
+            tsql = translate(mvm.group("q").strip())
+            _REFRESHABLES[name.lower()] = {
+                "name": name,
+                "target": mvm.group("to") or name,
+                "tsql": tsql,
+                "interval_s": int(mvm.group("rn")) * _REFRESH_UNITS[unit],
+                "path": tempfile.mkdtemp(prefix=f"ch_refresh_{name}_"),
+                "last_refresh": 0.0, "next_refresh": 0.0,
+                "refresh_count": 0, "last_rows": 0,
+                "created": _time.time(),
+            }
+            n = _do_refresh(spark, name)   # initial refresh (reference
+                                           # behavior: runs on create)
+            return spark.createDataFrame(
+                [(name, mvm.group("to") or name,
+                  int(mvm.group("rn")) * _REFRESH_UNITS[unit], n)],
+                "name string, target string, interval_s long, rows long")
         if mvm:
             # Batch MATERIALIZED VIEW (upstream StorageMaterializedView):
             # an INSERT trigger — each inserted block is transformed and
@@ -2152,6 +2246,7 @@ def ch_statement(spark: SparkSession, sql: str,
         spark.catalog.dropTempView(mm.group(1))
         _SPECS.pop((id(spark), mm.group(1).lower()), None)
         _forget_block_hashes(mm.group(1))
+        _REFRESHABLES.pop(mm.group(1).lower(), None)
         from clickhouse_clickhouse_spark.plans.summary import (
             invalidate_projections,
         )

@@ -1523,3 +1523,43 @@ def matview_insert_trigger(spark, sf):
     out = ch_sql(spark, f"SELECT k, s FROM {tgt}")
     ch_statement(spark, f"DROP VIEW {mv}")
     return out
+
+
+@register("matview_refreshable", oracle="""
+SELECT n_regionkey AS k, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_nationkey) AS BIGINT) AS s
+FROM nation GROUP BY n_regionkey
+""")
+def matview_refreshable(spark, sf):
+    """Refreshable materialized view (round-6; upstream 23.12
+    RefreshTask): full-query re-run + parquet snapshot swap, NOT an
+    insert trigger. The query creates the MV over a PARTIAL source,
+    inserts the rest (snapshot stays stale — verified), then SYSTEM
+    REFRESH VIEW picks up everything; the oracle is the full-source
+    rollup."""
+    import uuid
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, ch_statement
+
+    sfx = uuid.uuid4().hex[:8]
+    src, mv = f"rmvq_src_{sfx}", f"rmvq_mv_{sfx}"
+    load_table(spark, sf, "nation").createOrReplaceTempView("nation")
+    ch_statement(spark, f"CREATE TABLE {src} (n_nationkey Int64, "
+                        f"n_regionkey Int64) ENGINE = Memory")
+    ch_statement(spark, f"INSERT INTO {src} SELECT n_nationkey, "
+                        f"n_regionkey FROM nation WHERE n_nationkey < 10")
+    ch_statement(spark, f"""
+        CREATE MATERIALIZED VIEW {mv} REFRESH EVERY 1 HOUR AS
+        SELECT n_regionkey AS k, toInt64(count()) AS n,
+               toInt64(sum(n_nationkey)) AS s
+        FROM {src} GROUP BY n_regionkey""")
+    ch_statement(spark, f"INSERT INTO {src} SELECT n_nationkey, "
+                        f"n_regionkey FROM nation WHERE n_nationkey >= 10")
+    stale = ch_sql(spark, f"SELECT toInt64(sum(n)) AS t FROM {mv}") \
+        .collect()[0].t
+    assert stale == 10, "snapshot must not see post-create inserts"
+    ch_statement(spark, f"SYSTEM REFRESH VIEW {mv}")
+    out = ch_sql(spark, f"SELECT k, n, s FROM {mv}")
+    ch_statement(spark, f"DROP TABLE {mv}")
+    ch_statement(spark, f"DROP TABLE {src}")
+    return out

@@ -214,3 +214,21 @@ def system_projections(spark: SparkSession) -> DataFrame:
     if not rows:
         return spark.createDataFrame([], schema)
     return spark.createDataFrame(rows, schema)
+
+
+def system_view_refreshes(spark: SparkSession) -> DataFrame:
+    """``system.view_refreshes`` (upstream StorageSystemViewRefreshes):
+    one row per refreshable materialized view — schedule, last/next
+    refresh times (epoch seconds), run count, last snapshot row count."""
+    from clickhouse_clickhouse_spark.ch_sql import _REFRESHABLES
+
+    rows = [(r["name"], r["target"], int(r["interval_s"]),
+             float(r["last_refresh"]), float(r["next_refresh"]),
+             int(r["refresh_count"]), int(r["last_rows"]))
+            for r in _REFRESHABLES.values()]
+    schema = ("view string, target string, interval_s long, "
+              "last_refresh_time double, next_refresh_time double, "
+              "refresh_count long, last_rows long")
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(rows, schema)
