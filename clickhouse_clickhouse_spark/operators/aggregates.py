@@ -328,3 +328,4 @@ def quantile_timing_weighted(df: DataFrame, keys: Sequence[str],
         aggs.append(F.min(F.when(F.col("__cw") >= pos, F.col("__q")))
                     .alias(out))
     return r.groupBy(*keys).agg(*aggs)
+

@@ -1454,3 +1454,4 @@ def agg_quantile_timing_weighted(spark, sf):
           .withColumn("w", (F.lit(1) + F.col("event_id") % 5)))
     return quantile_timing_weighted(ev, ["event_type"], "lat_ms", "w",
                                     {"p50": 0.5, "p95": 0.95})
+
