@@ -1344,3 +1344,50 @@ def temperature_sample_assign(spark, sf):
 
     d = load_table(spark, sf, "documents")
     return temperature_sample(d, 0.5, 300).select("doc_id", "source")
+
+
+@register("corpus_report_by_source", oracle="""
+WITH q AS (
+  SELECT source, text, lang,
+         len(string_split(text, ' ')) AS tok,
+         round(
+           least(len(string_split(text, ' ')) / 50.0, 1.0) * 0.4
+           + (1.0 - least(
+               ((length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')))
+                  / greatest(length(text), 1)) * 4
+               + ((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                  / greatest(length(text), 1)) * 2, 1.0)) * 0.4
+           + CASE WHEN cast(list_aggregate(list_transform(string_split(text, ' '),
+                                                          x -> length(x)), 'sum') AS DOUBLE)
+                       / greatest(len(string_split(text, ' ')), 1)
+                       BETWEEN 2 AND 12
+                  THEN 1.0 ELSE 0.3 END * 0.2, 6) AS score
+  FROM documents)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS total_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       round(avg(tok), 4) AS avg_tokens,
+       round(avg(CASE WHEN length(trim(text)) = 0 THEN 1.0
+                 ELSE 0.0 END), 6) AS empty_share,
+       round(avg(score), 6) AS avg_quality,
+       round(1.0 - CAST(count(DISTINCT text) AS DOUBLE) / count(*), 6)
+           AS dup_share,
+       CAST(count(DISTINCT lang) AS INT) AS n_langs
+FROM q GROUP BY source
+""")
+def corpus_report_by_source(spark, sf):
+    """Dataset report (round-6, pipeline/report.corpus_report): the
+    one-pass per-source dataset-card summary a training pipeline
+    publishes with every snapshot — volume, token/length profile,
+    empty/dup shares, mean quality, language count. One scan + two
+    hash shuffles at any corpus size; the oracle replicates the full
+    quality formula."""
+    from clickhouse_clickhouse_spark.pipeline.report import corpus_report
+
+    d = load_table(spark, sf, "documents")
+    r = corpus_report(d, "text", "doc_id", group_by="source")
+    return r.select(
+        "source", "n_docs", "total_tokens", "total_chars", "avg_tokens",
+        "empty_share", "avg_quality", "dup_share",
+        F.size(F.map_keys("lang_docs")).alias("n_langs"))

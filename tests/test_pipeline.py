@@ -514,3 +514,23 @@ def test_chunk_dedup_rebuild_removes_cross_doc_spans(spark):
     assert out[1].clean_text == "abcdefghij"
     assert out[1].n_kept == 1 and out[1].n_dropped == 1
     assert out[2].clean_text == "qrstuvwxyz"
+
+
+def test_corpus_report_whole_and_grouped(spark, sf_dir):
+    from clickhouse_clickhouse_spark.pipeline.report import corpus_report
+    from clickhouse_clickhouse_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    whole = corpus_report(d, group_by=None).collect()
+    assert len(whole) == 1
+    r = whole[0]
+    assert r.n_docs == d.count()
+    assert 0.0 <= r.dup_share <= 1.0 and 0.0 <= r.avg_quality <= 1.0
+    assert r.p50_tokens <= r.p95_tokens
+    assert sum(r.lang_docs.values()) == r.n_docs
+    grouped = corpus_report(d, group_by="source").collect()
+    assert sum(g.n_docs for g in grouped) == r.n_docs
+    # planted duplicates raise dup_share
+    dup = d.limit(50).union(d.limit(50))
+    r2 = corpus_report(dup, group_by=None).collect()[0]
+    assert r2.dup_share >= 0.5
