@@ -203,6 +203,27 @@ _FUNCS: dict[str, str] = {
     # position() is (haystack, needle[, start]). Both honor start_pos.
     "locate": lambda a: _position_tpl(a, haystack_first=False),
     "positionUTF8": lambda a: _position_tpl(a, haystack_first=True),
+    # round-6 long-tail batch
+    "formatDateTime": lambda a: _fmt_datetime_tpl(a, parse=False),
+    "parseDateTime": lambda a: _fmt_datetime_tpl(a, parse=True),
+    "substringIndex": "SUBSTRING_INDEX({0}, {1}, {2})",
+    "moduloOrZero": "(CASE WHEN ({1}) = 0 THEN 0 ELSE ({0}) % ({1}) END)",
+    "intDivOrZero":
+        "(CASE WHEN ({1}) = 0 THEN 0 ELSE ({0}) DIV ({1}) END)",
+    "max2": "GREATEST({0}, {1})", "min2": "LEAST({0}, {1})",
+    "exp2": "POWER(2, {0})", "exp10": "POWER(10, {0})",
+    "bitNot": "(~({0}))",
+    "toStartOfSecond": "DATE_TRUNC('SECOND', {0})",
+    "toMillisecond":
+        "CAST(FLOOR((UNIX_MICROS({0}) % 1000000) / 1000) AS INT)",
+    # Twitter snowflake id <-> timestamp (epoch 2010-11-04T01:42:54.657Z)
+    "snowflakeToDateTime":
+        "TIMESTAMP_MILLIS((CAST({0} AS BIGINT) >> 22) + 1288834974657)",
+    "dateTimeToSnowflake":
+        "((UNIX_MILLIS({0}) - 1288834974657) << 22)",
+    "mapFromArrays": "MAP_FROM_ARRAYS({0}, {1})",
+    "dateAdd": "TIMESTAMPADD({0}, {1}, {2})",
+    "dateSub": "TIMESTAMPADD({0}, -({1}), {2})",
     "notLike": "(NOT (({0}) LIKE {1}))",
     "notILike": "(NOT (({0}) ILIKE {1}))",
     "space": "REPEAT(' ', {0})",
@@ -402,6 +423,28 @@ def _find_close(s: str, i: int) -> int:
                 return i
         i += 1
     return -1
+
+
+def _fmt_datetime_tpl(args: list[str], parse: bool) -> str:
+    """formatDateTime / parseDateTime with the reference's %-codes: the
+    format must be a LITERAL so it can translate to a Java pattern at
+    translate time (functions/datetime_fmt.ch_format_to_java)."""
+    if len(args) != 2:
+        raise ValueError("formatDateTime/parseDateTime take (value, "
+                         "'%-format'); the timezone argument is not "
+                         "supported here")
+    fmt = args[1].strip()
+    if not (fmt.startswith("'") and fmt.endswith("'")):
+        raise ValueError("formatDateTime/parseDateTime need a literal "
+                         "format string")
+    from clickhouse_clickhouse_spark.functions.datetime_fmt import (
+        ch_format_to_java,
+    )
+
+    java = ch_format_to_java(fmt[1:-1]).replace("'", "\\'")
+    if parse:
+        return f"TO_TIMESTAMP({args[0]}, '{java}')"
+    return f"DATE_FORMAT({args[0]}, '{java}')"
 
 
 def _position_tpl(args: list[str], haystack_first: bool) -> str:

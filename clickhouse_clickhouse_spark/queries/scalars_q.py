@@ -1563,3 +1563,56 @@ def matview_refreshable(spark, sf):
     ch_statement(spark, f"DROP TABLE {mv}")
     ch_statement(spark, f"DROP TABLE {src}")
     return out
+
+
+@register("ch_dialect_demo8", oracle="""
+SELECT n_nationkey AS k,
+       strftime(make_timestamp(2024, 3, 5, 6, 7,
+                               (n_nationkey % 60)::DOUBLE),
+                '%Y/%m/%d %H:%M:%S') AS f,
+       strptime('2024-03-' || lpad(CAST(1 + n_nationkey % 28 AS VARCHAR),
+                                   2, '0'), '%Y-%m-%d') AS p,
+       array_to_string(list_slice(string_split(n_name, 'A'), 1, 2), 'A')
+           AS si,
+       CAST(CASE WHEN n_nationkey % 3 = 0 THEN 0
+            ELSE 17 % (n_nationkey % 3) END AS BIGINT) AS mz,
+       CAST(CASE WHEN n_nationkey % 3 = 0 THEN 0
+            ELSE 17 // (n_nationkey % 3) END AS BIGINT) AS dz,
+       CAST(greatest(n_nationkey, 12) AS BIGINT) AS mx,
+       CAST(least(n_nationkey, 12) AS BIGINT) AS mn,
+       round(power(2, n_nationkey % 8), 4) AS e2,
+       CAST(~n_nationkey AS BIGINT) AS bn,
+       make_timestamp(((CAST(n_nationkey AS BIGINT) * 4194304
+                        + 1426981144257900544 >> 22)
+                       + 1288834974657) * 1000) AS sf,
+       CAST(DATE '2024-01-30' + ((n_nationkey % 5) || ' days')::INTERVAL
+            AS TIMESTAMP) AS da
+FROM nation
+""")
+def ch_dialect_demo8(spark, sf):
+    """Round-6 dialect long-tail batch through ch_sql: formatDateTime /
+    parseDateTime (%-code translation at translate time),
+    substringIndex, moduloOrZero/intDivOrZero, max2/min2, exp2, bitNot,
+    snowflakeToDateTime, dateAdd — every name oracle-exercised."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "nation").createOrReplaceTempView("nation")
+    return ch_sql(spark, """
+        SELECT n_nationkey AS k,
+               formatDateTime(makeDateTime(2024, 3, 5, 6, 7,
+                                           n_nationkey % 60),
+                              '%Y/%m/%d %H:%M:%S') AS f,
+               parseDateTime(concat('2024-03-',
+                                    leftPad(toString(1 + n_nationkey % 28),
+                                            2, '0')), '%Y-%m-%d') AS p,
+               substringIndex(n_name, 'A', 2) AS si,
+               toInt64(moduloOrZero(17, n_nationkey % 3)) AS mz,
+               toInt64(intDivOrZero(17, n_nationkey % 3)) AS dz,
+               toInt64(max2(n_nationkey, 12)) AS mx,
+               toInt64(min2(n_nationkey, 12)) AS mn,
+               round(exp2(n_nationkey % 8), 4) AS e2,
+               toInt64(bitNot(n_nationkey)) AS bn,
+               snowflakeToDateTime(toInt64(n_nationkey) * 4194304
+                                   + 1426981144257900544) AS sf,
+               dateAdd(DAY, n_nationkey % 5, toDate('2024-01-30')) AS da
+        FROM nation""")
