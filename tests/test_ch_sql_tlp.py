@@ -97,3 +97,25 @@ def test_tlp_partition_invariant(tlp_env, p):
                f"SELECT count() AS c FROM events_tlp WHERE {p}"
                ).collect()[0]
     assert w.c == row.t, f"WHERE/countIf mismatch for {p!r}"
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(p=_pred())
+def test_tlp_aggregate_and_norec(tlp_env, p):
+    """Aggregate TLP (sum partitions to the unfiltered sum) + a
+    NoREC-style check (WHERE-filtered count == unfiltered sum of
+    if(p,1,0) — the optimizer must not change predicate semantics)."""
+    spark = tlp_env
+    row = ch_sql(spark, f"""
+        SELECT round(sum(value), 4) AS total,
+               round(sumIf(value, {p}), 4) AS s_t,
+               round(sumIf(value, NOT ({p})), 4) AS s_f,
+               round(sumIf(value, ({p}) IS NULL), 4) AS s_n,
+               countIf({p}) AS c_t,
+               toInt64(sum(if({p}, 1, 0))) AS norec
+        FROM events_tlp""").collect()[0]
+    parts = sum(x for x in (row.s_t, row.s_f, row.s_n) if x is not None)
+    assert abs(parts - row.total) < 1e-2, \
+        f"aggregate TLP violated for {p!r}: {row}"
+    assert row.norec == row.c_t, f"NoREC mismatch for {p!r}: {row}"
