@@ -1513,8 +1513,16 @@ def _try_strictness_join(spark: SparkSession, sql: str, final_keys):
     om = re.compile(r"\s*(ON|USING)\b", re.IGNORECASE).match(mask, k2)
     if not om:
         return None
-    rm = _depth0_search(mask,
-                        r"\b(WHERE|GROUP|HAVING|ORDER|LIMIT)\b", om.end())
+    # ON conds end at the next top-level clause OR a following plain
+    # JOIN — the remaining joins re-run over the flattened strictness
+    # result (SELECT ... FROM __ch_strict_join LEFT JOIN c ...), so
+    # mixed-join chains translate too
+    rm = _depth0_search(
+        mask,
+        r"\b(WHERE|GROUP|HAVING|ORDER|LIMIT"
+        r"|(?:ANY|ASOF|PASTE|GLOBAL|LEFT|RIGHT|INNER|FULL|CROSS)\s+"
+        r"(?:(?:ANY|ASOF|LEFT|RIGHT|INNER|OUTER)\s+)*JOIN|JOIN)\b",
+        om.end())
     cond_end = rm[0] if rm else len(q)
     cond_text = q[om.end():cond_end].strip()
     rest = (" " + q[cond_end:].strip()) if rm else ""
@@ -1629,11 +1637,13 @@ def _try_strictness_join(spark: SparkSession, sql: str, final_keys):
                             re.IGNORECASE)
         sel = _masked_sub(ts_ref, lambda _m: f"asof_{plain}", sel)
         rest = _masked_sub(ts_ref, lambda _m: f"asof_{plain}", rest)
-    # strip side-alias qualifiers: the joined view is a flat namespace
+    # re-qualify side aliases to the flat joined view (a bare strip
+    # would turn `l.k` into an AMBIGUOUS `k` when trailing plain joins
+    # bring their own `k`)
     strip = re.compile(rf"\b({re.escape(la)}|{re.escape(ra)})\.",
                        re.IGNORECASE)
-    sel = _masked_sub(strip, lambda _m: "", sel)
-    rest = _masked_sub(strip, lambda _m: "", rest)
+    sel = _masked_sub(strip, lambda _m: f"{view}.", sel)
+    rest = _masked_sub(strip, lambda _m: f"{view}.", rest)
     return ch_sql(spark, f"SELECT {sel} FROM {view}{rest}",
                   final_keys=final_keys)
 

@@ -109,3 +109,30 @@ def test_global_any_join_translates(spark, join_tables):
         ON l.k = r.k
     """).collect()}
     assert rows == {1: "r1", 2: "r3", 3: None}
+
+
+def test_strictness_join_then_plain_join(spark, join_tables):
+    spark.createDataFrame([(1, "x1"), (2, "x2"), (3, "x3")],
+                          "k int, extra string") \
+        .createOrReplaceTempView("sjc")
+    rows = {(r.k, r.ts): (r.rv, r.extra) for r in ch_sql(spark, """
+        SELECT l.k, l.ts, r.rv, sjc.extra
+        FROM sjl l ASOF JOIN sjr r ON l.k = r.k AND l.ts >= r.rts
+        JOIN sjc ON l.k = sjc.k
+        WHERE l.k < 3
+    """).collect()}
+    assert rows == {(1, 10): ("r1", "x1"), (1, 20): ("r2", "x1"),
+                    (2, 15): ("r3", "x2")}
+
+
+def test_chained_strictness_joins(spark, join_tables):
+    spark.createDataFrame([(1, "c1"), (1, "c0"), (3, "c3")],
+                          "k int, cv string") \
+        .createOrReplaceTempView("sjd")
+    rows = {r.k: (r.rv, r.cv) for r in ch_sql(spark, """
+        SELECT l.k, r.rv, sjd.cv
+        FROM sjl l ANY LEFT JOIN sjr r ON l.k = r.k
+        ANY LEFT JOIN sjd ON l.k = sjd.k
+    """).collect()}
+    # second ANY join also dedups (lexicographic min -> c0)
+    assert rows == {1: ("r1", "c0"), 2: ("r3", None), 3: (None, "c3")}
