@@ -2276,6 +2276,14 @@ def ch_statement(spark: SparkSession, sql: str,
                     [("== Answered from aggregate projection ==\n"
                       + plan,)], "plan string")
             return spark.sql(f"{variants[first]} {translate(body)}")
+        joined = _try_strictness_join(spark, rest, None)
+        if joined is not None:
+            plan = joined._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("simple"))
+            return spark.createDataFrame(
+                [("== Strictness join (operator route) ==\n" + plan,)],
+                "plan string")
         routed = _try_projection_route(spark, rest)
         if routed is not None:
             plan = routed._jdf.queryExecution().explainString(

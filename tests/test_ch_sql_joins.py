@@ -136,3 +136,12 @@ def test_chained_strictness_joins(spark, join_tables):
     """).collect()}
     # second ANY join also dedups (lexicographic min -> c0)
     assert rows == {1: ("r1", "c0"), 2: ("r3", None), 3: (None, "c3")}
+
+
+def test_explain_asof_join_shows_operator_route(spark, join_tables):
+    from clickhouse_clickhouse_spark.ch_sql import ch_statement
+
+    out = ch_statement(spark, """
+        EXPLAIN SELECT l.k FROM sjl l ASOF JOIN sjr r
+        ON l.k = r.k AND l.ts >= r.rts""").collect()[0].plan
+    assert "Strictness join" in out and "Physical Plan" in out
