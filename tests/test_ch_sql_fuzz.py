@@ -64,6 +64,17 @@ def _num_ops(children):
                            f"greatest({p[0][1]}, {p[1][1]})")),
         two.map(lambda p: (f"least({p[0][0]}, {p[1][0]})",
                            f"least({p[0][1]}, {p[1][1]})")),
+        # round-6 names: max2/min2 and the OrZero division guards
+        two.map(lambda p: (f"max2({p[0][0]}, {p[1][0]})",
+                           f"greatest({p[0][1]}, {p[1][1]})")),
+        two.map(lambda p: (f"min2({p[0][0]}, {p[1][0]})",
+                           f"least({p[0][1]}, {p[1][1]})")),
+        children.map(lambda a: (f"moduloOrZero({a[0]}, 5)",
+                                f"({a[1]} % 5)")),
+        children.map(lambda a: (f"moduloOrZero({a[0]}, 0)", "0")),
+        children.map(lambda a: (f"intDivOrZero({a[0]}, 4)",
+                                f"({a[1]} // 4)")),
+        children.map(lambda a: (f"intDivOrZero({a[0]}, 0)", "0")),
     )
 
 
