@@ -114,3 +114,71 @@ def repeated_span_stats(docs: DataFrame, *, n: int = 5, min_docs: int = 3,
                 F.round(F.coalesce("n_cov_tokens", F.lit(0))
                         / F.col("n_tokens").cast("double"), 6)
                 .alias("rep_fraction")))
+
+
+def exact_substring_spans(docs: DataFrame, *, n: int = 50,
+                          min_docs: int = 2,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          max_positions: int | None = None,
+                          hash_grams: bool = False) -> DataFrame:
+    """Exact-substring dedup SPANS (Lee et al. ACL'22 §4.1 — remove any
+    substring of >= n tokens that appears verbatim in >= ``min_docs``
+    documents): every stride-1 length-n window shared across documents
+    is flagged, and overlapping/adjacent flagged windows merge into
+    maximal token intervals. Returns (id, span_start, span_end) with
+    1-based INCLUSIVE token positions.
+
+    This is the suffix-array recipe re-expressed as joins: the
+    positioned-gram explode is the suffix enumeration, the gram-count
+    shuffle is the cross-doc match, and the island merge (one
+    hash-partitioned window per doc) replaces the sorted-suffix scan —
+    no global sort, no driver state.
+    """
+    grams = _positioned_grams(docs, n, id_col, text_col, max_positions)
+    freq = frequent_ngrams(docs, n=n, min_docs=min_docs, id_col=id_col,
+                           text_col=text_col, max_positions=max_positions,
+                           hash_grams=hash_grams)
+    if hash_grams:
+        grams = grams.withColumn("gh", F.xxhash64("g"))
+        flagged = grams.join(freq.select("gh"), "gh", "left_semi")
+    else:
+        flagged = grams.join(freq.select("g"), "g", "left_semi")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("i")
+    # windows [i, i+n-1] and [j, j+n-1] merge iff j <= i + n (overlap or
+    # touch); a gap starts a new island
+    prev = F.lag("i").over(w)
+    isl = (flagged
+           .withColumn("__new", F.when(prev.isNull()
+                                       | (F.col("i") > prev + n), 1)
+                       .otherwise(0))
+           .withColumn("__island", F.sum("__new").over(
+               w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (isl.groupBy(id_col, "__island")
+            .agg(F.min("i").alias("span_start"),
+                 (F.max("i") + (n - 1)).cast("long").alias("span_end"))
+            .drop("__island"))
+
+
+def remove_repeated_spans(docs: DataFrame, spans: DataFrame, *,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Apply :func:`exact_substring_spans`: rebuild each document with
+    the span tokens REMOVED (the Lee et al. cut — survivors keep one
+    copy because spans only flag cross-doc matches per document that
+    has them; pair with exact/minhash dedup for the keep-one policy).
+    Token positions are the same 1-based single-space-split convention
+    the span extractor used. Documents without spans pass through."""
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__sp"))
+    d = docs.join(sp, id_col, "left")
+    toks = F.split(F.col(text_col), " ")
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.coalesce(F.col("__sp"), F.array()),
+            lambda s: (i + 1 >= s["span_start"])
+            & (i + 1 <= s["span_end"])))
+    return (d.withColumn(text_col, F.array_join(kept, " "))
+            .drop("__sp"))

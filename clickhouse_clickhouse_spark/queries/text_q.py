@@ -1391,3 +1391,38 @@ def corpus_report_by_source(spark, sf):
         "source", "n_docs", "total_tokens", "total_chars", "avg_tokens",
         "empty_share", "avg_quality", "dup_share",
         F.size(F.map_keys("lang_docs")).alias("n_langs"))
+
+
+@register("exact_substring_spans_q", oracle="""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+           FROM documents),
+p AS (SELECT doc_id, t,
+             unnest(generate_series(1, len(t) - 2)) AS i FROM w),
+g AS (SELECT doc_id, i, array_to_string(t[i:i + 2], ' ') AS gram
+      FROM p),
+f AS (SELECT gram FROM g GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= 2),
+fl AS (SELECT doc_id, i FROM g WHERE gram IN (SELECT gram FROM f)),
+isl AS (SELECT doc_id, i,
+               sum(CASE WHEN prev IS NULL OR i > prev + 3 THEN 1
+                   ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY i) AS island
+        FROM (SELECT doc_id, i,
+                     lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+              FROM fl))
+SELECT doc_id, CAST(min(i) AS INT) AS span_start,
+       CAST(max(i) + 2 AS BIGINT) AS span_end
+FROM isl GROUP BY doc_id, island
+""")
+def exact_substring_spans_q(spark, sf):
+    """Exact-substring dedup spans (Lee et al. ACL'22 — round 6,
+    pipeline/boilerplate.exact_substring_spans): maximal token
+    intervals whose every 3-token window appears verbatim in >= 2
+    documents; the DuckDB oracle replays the full
+    enumerate -> cross-doc filter -> island merge recipe."""
+    from clickhouse_clickhouse_spark.pipeline.boilerplate import (
+        exact_substring_spans,
+    )
+
+    d = load_table(spark, sf, "documents")
+    return exact_substring_spans(d, n=3, min_docs=2)

@@ -534,3 +534,31 @@ def test_corpus_report_whole_and_grouped(spark, sf_dir):
     dup = d.limit(50).union(d.limit(50))
     r2 = corpus_report(dup, group_by=None).collect()[0]
     assert r2.dup_share >= 0.5
+
+
+def test_exact_substring_spans_and_removal(spark):
+    from clickhouse_clickhouse_spark.pipeline.boilerplate import (
+        exact_substring_spans, remove_repeated_spans,
+    )
+
+    docs = spark.createDataFrame([
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "prefix alpha beta gamma delta other tail"),
+        (3, "totally unrelated words here now"),
+    ], "doc_id int, text string")
+    spans = exact_substring_spans(docs, n=3, min_docs=2)
+    got = {(r.doc_id): (r.span_start, r.span_end)
+           for r in spans.collect()}
+    # 'alpha beta gamma delta' (4 tokens) shared: windows at 1,2 in doc1
+    # (tokens 1-4) and at 2,3 in doc2 (tokens 2-5) merge per doc
+    assert got[1] == (1, 4) and got[2] == (2, 5)
+    assert 3 not in got
+    out = {r.doc_id: r.text
+           for r in remove_repeated_spans(docs, spans).collect()}
+    assert out[1] == "epsilon zeta"
+    assert out[2] == "prefix other tail"
+    assert out[3] == "totally unrelated words here now"
+    # spans never cut below the n-window guarantee: every removed span
+    # is >= n tokens long
+    for s, e in got.values():
+        assert e - s + 1 >= 3
