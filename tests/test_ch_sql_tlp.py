@@ -119,3 +119,22 @@ def test_tlp_aggregate_and_norec(tlp_env, p):
     assert abs(parts - row.total) < 1e-2, \
         f"aggregate TLP violated for {p!r}: {row}"
     assert row.norec == row.c_t, f"NoREC mismatch for {p!r}: {row}"
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(p=_pred())
+def test_tlp_grouped_partition(tlp_env, p):
+    """GROUP BY TLP: within every group, the ternary partition must
+    tile the group's count (exercises predicate translation under
+    grouped aggregation)."""
+    spark = tlp_env
+    rows = ch_sql(spark, f"""
+        SELECT event_type, count() AS total,
+               countIf({p}) AS t, countIf(NOT ({p})) AS f,
+               countIf(({p}) IS NULL) AS n
+        FROM events_tlp GROUP BY event_type""").collect()
+    assert rows, "no groups"
+    for r in rows:
+        assert r.t + r.f + r.n == r.total, \
+            f"grouped TLP violated for {p!r} in {r.event_type}: {r}"
