@@ -465,13 +465,19 @@ def _apply_template(tpl, args: list[str]) -> str:
         return tpl(args)
     out = tpl.replace("{*}", ", ".join(args))
     if "{*}" not in tpl:
-        used = {int(x) for x in re.findall(r"\{(\d+)\}", tpl)}
-        if len(args) > (max(used) + 1 if used else 0):
-            # fail loudly instead of silently dropping an argument
-            # (e.g. a start_pos or mode the template doesn't carry)
+        # scan the literal-masked template: a regex quantifier like {3}
+        # inside a '...' literal is NOT a placeholder (fuzzer-found via
+        # isIPv4String's IPv4 regex)
+        used = {int(x) for x in re.findall(r"\{(\d+)\}",
+                                           _mask_strings(tpl))}
+        if used != set(range(len(args))):
+            # fail loudly instead of silently dropping an argument —
+            # including a SKIPPED index ({0}/{2} with 3 args), the exact
+            # hole the arity-only check left open (round-6 review)
             raise ValueError(
-                f"function template {tpl!r} uses {len(used)} argument(s) "
-                f"but the call supplied {len(args)}: {args!r}")
+                f"function template {tpl!r} consumes argument indices "
+                f"{sorted(used)} but the call supplied {len(args)}: "
+                f"{args!r}")
     for k, a in enumerate(args):
         out = out.replace("{%d}" % k, a)
     return out
@@ -1433,8 +1439,11 @@ def _split_top_and(s: str) -> list[str]:
     return [p for p in (x.strip() for x in parts) if p]
 
 
+# FINAL/SAMPLE are modifiers, not aliases: swallowing them as an alias
+# would silently skip dedup-on-read semantics — leaving them unparsed
+# makes the scanner bail so translate() refuses LOUDLY instead
 _REL_STOPWORDS = {"ANY", "ASOF", "ON", "USING", "LEFT", "RIGHT", "INNER",
-                  "OUTER", "JOIN", "PASTE"}
+                  "OUTER", "JOIN", "PASTE", "FINAL", "SAMPLE"}
 
 
 def _parse_rel(q: str, i: int):
@@ -1600,6 +1609,18 @@ def _try_strictness_join(spark: SparkSession, sql: str, final_keys):
         raise ValueError(f"{kind} JOIN needs at least one equality key")
     for src, dst in renames.items():
         right = right.withColumnRenamed(src, dst)
+    # same-named payload columns on BOTH sides would collide in the flat
+    # joined view (round-6 review: `p.value, c.value` raised
+    # AMBIGUOUS_REFERENCE): prefix the build side's copy and map
+    # `ra.col` references onto it below
+    asof_ts_name = ineq[1] if (kind == "ASOF" and ineq) else None
+    col_map: dict[str, str] = {}
+    for c in list(right.columns):
+        if c in keys or c == asof_ts_name:
+            continue
+        if c in left.columns:
+            col_map[c] = f"__r_{c}"
+            right = right.withColumnRenamed(c, col_map[c])
 
     if kind == "ASOF":
         if ineq is None:
@@ -1637,6 +1658,11 @@ def _try_strictness_join(spark: SparkSession, sql: str, final_keys):
                             re.IGNORECASE)
         sel = _masked_sub(ts_ref, lambda _m: f"asof_{plain}", sel)
         rest = _masked_sub(ts_ref, lambda _m: f"asof_{plain}", rest)
+    for orig, new in col_map.items():
+        ref = re.compile(rf"\b{re.escape(ra)}\.{re.escape(orig)}\b",
+                         re.IGNORECASE)
+        sel = _masked_sub(ref, lambda _m, n=new: n, sel)
+        rest = _masked_sub(ref, lambda _m, n=new: n, rest)
     # re-qualify side aliases to the flat joined view (a bare strip
     # would turn `l.k` into an AMBIGUOUS `k` when trailing plain joins
     # bring their own `k`)
@@ -1839,10 +1865,13 @@ _REFRESH_UNITS = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
                   "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}
 
 
-def _do_refresh(spark: SparkSession, name: str) -> int:
+def _do_refresh(spark: SparkSession, name: str,
+                now: float | None = None) -> int:
     """Run one refresh of a refreshable MV: execute the stored query,
     snapshot to the view's parquet dir, swap the target view. Returns
-    the snapshot row count."""
+    the snapshot row count. ``now`` lets a logical-clock scheduler
+    reschedule consistently (round-6 review: rescheduling from wall
+    time under a logical tick made views never/always due)."""
     import time as _time
 
     r = _REFRESHABLES[name.lower()]
@@ -1853,7 +1882,7 @@ def _do_refresh(spark: SparkSession, name: str) -> int:
     if r["target"].lower() != name.lower():
         snap.createOrReplaceTempView(name)
     n = snap.count()
-    r["last_refresh"] = _time.time()
+    r["last_refresh"] = _time.time() if now is None else now
     r["next_refresh"] = r["last_refresh"] + r["interval_s"]
     r["refresh_count"] += 1
     r["last_rows"] = n
@@ -1870,7 +1899,7 @@ def refresh_tick(spark: SparkSession, now: float | None = None) -> list[str]:
     done = []
     for name, r in list(_REFRESHABLES.items()):
         if now >= r["next_refresh"]:
-            _do_refresh(spark, name)
+            _do_refresh(spark, name, now=now)
             done.append(name)
     return done
 

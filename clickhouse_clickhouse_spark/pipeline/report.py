@@ -53,16 +53,30 @@ def corpus_report(df: DataFrame, text_col: str = "text",
                       .cast("double")), 6).alias("empty_share"),
         F.round(F.avg("__q"), 6).alias("avg_quality"),
     ]
+    def _join(left, right):
+        # null-safe key join: a NULL group key (e.g. source unset for
+        # some docs) is a legitimate group and must not vanish
+        if not keys:
+            return left.crossJoin(right)
+        r = right
+        for k in keys:
+            r = r.withColumnRenamed(k, f"__rk_{k}")
+        cond = [left[k].eqNullSafe(r[f"__rk_{k}"]) for k in keys]
+        out = left.join(r, cond)
+        return out.drop(*[f"__rk_{k}" for k in keys])
+
     base = d.groupBy(*keys).agg(*aggs)
     if "lang" in df.columns:
-        langs = (d.groupBy(*keys, "lang").count()
+        # NULL lang (undetected) buckets as 'unknown' — map keys cannot
+        # be null and dropping the docs would understate the mix
+        lang_key = F.coalesce(F.col("lang"), F.lit("unknown"))
+        langs = (d.groupBy(*keys, lang_key.alias("__lang")).count()
                  .groupBy(*keys)
                  .agg(F.map_from_entries(F.sort_array(F.collect_list(
-                     F.struct(F.col("lang"),
+                     F.struct(F.col("__lang"),
                               F.col("count"))))).alias("lang_docs")))
-        base = base.join(langs, keys) if keys else base.crossJoin(langs)
-    out = base.join(distinct_texts, keys) if keys \
-        else base.crossJoin(distinct_texts)
+        base = _join(base, langs)
+    out = _join(base, distinct_texts)
     return out.withColumn(
         "dup_share",
         F.round(1.0 - F.col("__uniq_texts") / F.col("n_docs"), 6)) \

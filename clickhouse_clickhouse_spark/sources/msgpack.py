@@ -565,16 +565,16 @@ def _dec_array(buf, cur, alive, t, n):
     cur = cur + hl
     remaining = counts.copy()
     et = t.elementType
-    elems: list[list] = [[] if ok else None for ok in valid]
+    numeric = isinstance(et, (T.LongType, T.IntegerType, T.DoubleType))
+    it_vals, it_ok, it_act = [], [], []      # per-iteration matrices
+    str_elems: list = [[] if ok else None for ok in valid]
     # iterate to the batch max count; each pass is vectorized across rows
     while bool((remaining > 0).any()):
         act = remaining > 0
         if isinstance(et, (T.LongType, T.IntegerType)):
             v, ev, cl = _dec_int_at(buf, cur, act)
-            py = [int(x) if ok else None for x, ok in zip(v, ev)]
         elif isinstance(et, T.DoubleType):
             v, ev, cl = _dec_float_at(buf, cur, act)
-            py = [float(x) if ok else None for x, ok in zip(v, ev)]
         else:
             h2, p2, ev = _dec_strbin_lens_at(buf, cur, act, True)
             seg, offs = _collect_strbin(buf, cur, h2, p2, ev)
@@ -582,16 +582,40 @@ def _dec_array(buf, cur, alive, t, n):
                 pa.large_string(), n,
                 [None, pa.py_buffer(offs.tobytes()),
                  pa.py_buffer(seg.tobytes())]).to_pylist()
-            py = [s if ok else None for s, ok in zip(sarr, ev)]
+            # strings stay a per-row assembly (python string objects
+            # anyway); numeric elements below assemble with one
+            # row-major boolean gather, no per-element python
+            for i in np.nonzero(act)[0]:
+                str_elems[i].append(sarr[i] if ev[i] else None)
             cl = h2 + np.where(ev, p2, 0)
-        for i in np.nonzero(act)[0]:
-            elems[i].append(py[i])
+            cur = cur + np.where(act, cl, 0)
+            remaining = remaining - act.astype(np.int64)
+            continue
+        it_vals.append(v)
+        it_ok.append(ev)
+        it_act.append(act)
         cur = cur + np.where(act, cl, 0)
         remaining = remaining - act.astype(np.int64)
     pa_elem = {T.LongType: pa.int64(), T.IntegerType: pa.int32(),
                T.DoubleType: pa.float64(),
                T.StringType: pa.large_string()}[type(et)]
-    return cur, pa.array(elems, type=pa.large_list(pa_elem))
+    if not numeric:
+        return cur, pa.array(str_elems, type=pa.large_list(pa_elem))
+    import pyarrow.compute as pc
+
+    ecounts = np.where(valid, counts, 0).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(ecounts)))
+    if it_vals:
+        AT = np.stack(it_act).T              # [rows, iters], row-major
+        flat = np.stack(it_vals).T[AT]
+        okf = np.stack(it_ok).T[AT]
+        values = pa.array(flat, type=pa_elem, mask=~okf)
+    else:
+        values = pa.array([], type=pa_elem)
+    lst = pa.LargeListArray.from_arrays(
+        pa.array(offsets, type=pa.int64()), values)
+    vmask = pa.array([bool(x) for x in valid], type=pa.bool_())
+    return cur, pc.if_else(vmask, lst, pa.nulls(n, lst.type))
 
 
 # ------------------------------------------------- stream file format
@@ -760,6 +784,13 @@ def _decode_grid(buf, grid, schema, n):
                 type=pa_t)
         elif isinstance(t, T.BooleanType):
             tb = buf[cur]
+            known = (tb == 0xC2) | (tb == 0xC3) | (tb == 0xC0)
+            if not bool(known.all()):
+                # refuse loudly like the cell decoder — a silent False
+                # for a foreign type byte is wrong data
+                bad = tb[~known][0]
+                raise ValueError(f"msgpack stream: unexpected type byte "
+                                 f"0x{int(bad):02x} decoding a bool")
             out[f.name] = pa.array(
                 [bool(x == 0xC3) if x != 0xC0 else None for x in tb],
                 type=pa.bool_())

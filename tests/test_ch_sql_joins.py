@@ -145,3 +145,25 @@ def test_explain_asof_join_shows_operator_route(spark, join_tables):
         EXPLAIN SELECT l.k FROM sjl l ASOF JOIN sjr r
         ON l.k = r.k AND l.ts >= r.rts""").collect()[0].plan
     assert "Strictness join" in out and "Physical Plan" in out
+
+
+def test_final_modifier_refuses_loudly(spark, join_tables):
+    # FINAL must not be swallowed as a table alias (round-6 review):
+    # the scanner bails and translate() refuses with the operator name
+    with pytest.raises(ValueError, match="any_join|ANY JOIN"):
+        ch_sql(spark, "SELECT l.k FROM sjl FINAL ANY LEFT JOIN sjr r "
+                      "USING (k)")
+
+
+def test_same_named_payload_columns(spark, join_tables):
+    # both sides carry `lv`-like same-named payloads: the build side's
+    # copy prefixes and r.<col> maps onto it (round-6 review:
+    # AMBIGUOUS_REFERENCE before)
+    spark.createDataFrame([(1, 8, "R")], "k int, rts int, lv string") \
+        .createOrReplaceTempView("sjr2")
+    rows = {(r.k, r.ts): (r.left_lv, r.right_lv)
+            for r in ch_sql(spark, """
+        SELECT l.k, l.ts, l.lv AS left_lv, r.lv AS right_lv
+        FROM sjl l ASOF JOIN sjr2 r ON l.k = r.k AND l.ts >= r.rts
+    """).collect()}
+    assert rows == {(1, 10): ("a", "R"), (1, 20): ("b", "R")}

@@ -562,3 +562,23 @@ def test_exact_substring_spans_and_removal(spark):
     # is >= n tokens long
     for s, e in got.values():
         assert e - s + 1 >= 3
+
+
+def test_corpus_report_null_source_and_lang(spark):
+    from clickhouse_clickhouse_spark.pipeline.report import corpus_report
+
+    docs = spark.createDataFrame(
+        [(1, "one two three", "en", "web"),
+         (2, "vier funf", None, None),        # NULL lang AND source
+         (3, "one two three", "en", "web")],
+        "doc_id int, text string, lang string, source string")
+    rows = {r.source: r for r in
+            corpus_report(docs, group_by="source").collect()}
+    # the NULL-source group must survive (round-6 review: inner joins
+    # dropped it) and NULL lang buckets as 'unknown'
+    assert set(rows) == {"web", None}
+    assert rows[None].n_docs == 1
+    assert rows[None].lang_docs == {"unknown": 1}
+    assert rows["web"].n_docs == 2 and rows["web"].dup_share == 0.5
+    total = sum(r.n_docs for r in rows.values())
+    assert total == 3
