@@ -554,3 +554,53 @@ def mean_z_test(df: DataFrame, value: Column | str, group: Column | str,
                     F.round(p, 6).alias("p_value"),
                     F.round(diff - zc * se, 6).alias("ci_low"),
                     F.round(diff + zc * se, 6).alias("ci_high"))
+
+
+def kolmogorov_smirnov_test(df: DataFrame, value: Column | str,
+                            group: Column | str, group_a,
+                            group_b) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test WITH the asymptotic p-value
+    (reference ``kolmogorovSmirnovTest``, [U]
+    src/AggregateFunctions/AggregateFunctionKolmogorovSmirnovTest.h):
+    D = sup_x |ECDF_a(x) − ECDF_b(x)|;
+    p = 2·Σ_{k≥1} (−1)^{k−1} e^{−2k²λ²},
+    λ = (√n_e + 0.12 + 0.11/√n_e)·D, n_e = n_a·n_b/(n_a+n_b)
+    (Numerical Recipes §14.3 form of the public asymptotic; the D-only
+    form lives in ``agg_ks_test``).
+
+    Scale: the joint ECDF walk is the distributed bucketed prefix-sum
+    (operators/grank.global_prefix_sums — hash/broadcast exchanges
+    only, no single-partition sort); ties reduce per distinct value so
+    the supremum is evaluated AFTER all tied rows, which is the
+    tie-correct ECDF. The series is one array fold over 100 terms."""
+    v = F.col(value) if isinstance(value, str) else value
+    g = F.col(group) if isinstance(group, str) else group
+    from clickhouse_clickhouse_spark.operators.grank import (
+        global_prefix_sums,
+    )
+
+    d = (df.filter(g.isin([group_a, group_b]))
+         .select(v.cast("double").alias("__v"),
+                 (g == group_a).cast("long").alias("__ia"),
+                 (g == group_b).cast("long").alias("__ib")))
+    ps = global_prefix_sums(d, "__v", {"ca": F.col("__ia"),
+                                       "cb": F.col("__ib")})
+    red = ps.groupBy("__v").agg(F.max("ca").alias("ca"),
+                                F.max("cb").alias("cb"))
+    tot = d.agg(F.sum("__ia").alias("na"), F.sum("__ib").alias("nb"))
+    j = red.crossJoin(F.broadcast(tot))
+    diff = F.abs(F.col("ca") / F.col("na") - F.col("cb") / F.col("nb"))
+    s = j.agg(F.max(diff).alias("d"),
+              F.first("na").alias("na"), F.first("nb").alias("nb"))
+    ne = F.col("na").cast("double") * F.col("nb") \
+        / (F.col("na") + F.col("nb"))
+    lam = (F.sqrt(ne) + 0.12 + 0.11 / F.sqrt(ne)) * F.col("d")
+    s = s.withColumn("__lam", lam)
+    term = lambda k: (F.when(k % 2 == 1, F.lit(1.0)).otherwise(-1.0)
+                      * F.exp(-2.0 * k.cast("double") * k
+                              * F.col("__lam") * F.col("__lam")))
+    p = 2.0 * F.aggregate(F.sequence(F.lit(1), F.lit(100)),
+                          F.lit(0.0), lambda acc, k: acc + term(k))
+    p = F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0))
+    return s.select(F.round("d", 6).alias("d_statistic"),
+                    F.round(p, 6).alias("p_value"))

@@ -798,8 +798,9 @@ def agg_ks_test(spark, sf):
     between the 'O' and 'F' l_quantity distributions: distributed
     running ECDF counts (bucketed prefix sums, operators/grank.py — no
     single-partition window), max gap taken at each distinct value. No
-    per-group collect; p-value needs the KS CDF and is declared out of
-    DF scope like the t-test p-values."""
+    per-group collect. Round 6: the asymptotic p-value is now available
+    too — operators/advanced.kolmogorov_smirnov_test (agg_ks_test_pvalue
+    exercises it with a full-series oracle)."""
     from clickhouse_clickhouse_spark.operators.grank import global_prefix_sums
 
     li = load_table(spark, sf, "lineitem")
@@ -1454,4 +1455,44 @@ def agg_quantile_timing_weighted(spark, sf):
           .withColumn("w", (F.lit(1) + F.col("event_id") % 5)))
     return quantile_timing_weighted(ev, ["event_type"], "lat_ms", "w",
                                     {"p50": 0.5, "p95": 0.95})
+
+
+
+@register("agg_ks_test_pvalue", oracle="""
+WITH s AS (
+  SELECT value AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ib
+  FROM events WHERE event_type IN ('click', 'view')),
+t AS (SELECT CAST(sum(ia) AS DOUBLE) AS na,
+             CAST(sum(ib) AS DOUBLE) AS nb FROM s),
+c AS (SELECT v,
+             sum(ia) OVER (ORDER BY v) AS ca,
+             sum(ib) OVER (ORDER BY v) AS cb
+      FROM s),
+m AS (SELECT max(abs(ca / na - cb / nb)) AS d FROM c, t),
+l AS (SELECT d, (sqrt(na * nb / (na + nb)) + 0.12
+                 + 0.11 / sqrt(na * nb / (na + nb))) * d AS lam
+      FROM m, t)
+SELECT round(d, 6) AS d_statistic,
+       round(least(greatest(
+         2 * (SELECT sum(CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END
+                          * exp(-2.0 * k * k * lam * lam))
+              FROM generate_series(1, 100) AS gs(k)), 0.0), 1.0), 6)
+           AS p_value
+FROM l
+""")
+def agg_ks_test_pvalue(spark, sf):
+    """Two-sample Kolmogorov–Smirnov test WITH p-value, click vs view
+    (round 6 — operators/advanced.kolmogorov_smirnov_test over the
+    distributed bucketed prefix-sum; the oracle replays the ECDF walk
+    with a RANGE window, tie-equivalent to the per-value reduce, and
+    the same 100-term Kolmogorov series)."""
+    from clickhouse_clickhouse_spark.operators.advanced import (
+        kolmogorov_smirnov_test,
+    )
+
+    ev = load_table(spark, sf, "events")
+    return kolmogorov_smirnov_test(ev, "value", "event_type",
+                                   "click", "view")
 
