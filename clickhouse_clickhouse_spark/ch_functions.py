@@ -1812,3 +1812,90 @@ def rowNumberInBlock():
 
 def rowNumberInAllBlocks():
     return F.monotonically_increasing_id()
+
+
+# -- round-6: inverse normal CDF + A/B-test sample-size planners ----------
+# Acklam's rational approximation to the normal quantile (public
+# algorithm + constants, Peter Acklam 2003; |relative error| < 1.15e-9)
+# — the z-value source for the reference's minSampleSize* planners
+# ([U] src/Functions/minSampleSize.cpp).
+_ACKLAM_A = [-3.969683028665376e+01, 2.209460984245205e+02,
+             -2.759285104469687e+02, 1.383577518672690e+02,
+             -3.066479806614716e+01, 2.506628277459239e+00]
+_ACKLAM_B = [-5.447609879822406e+01, 1.615858368580409e+02,
+             -1.556989798598866e+02, 6.680131188771972e+01,
+             -1.328068155288572e+01]
+_ACKLAM_C = [-7.784894002430293e-03, -3.223964580411365e-01,
+             -2.400758277161838e+00, -2.549732539343734e+00,
+             4.374664141464968e+00, 2.938163982698783e+00]
+_ACKLAM_D = [7.784695709041462e-03, 3.224671290700398e-01,
+             2.445134137142996e+00, 3.754408661907416e+00]
+
+
+def _horner(coeffs, x):
+    out = F.lit(coeffs[0])
+    for c in coeffs[1:]:
+        out = out * x + F.lit(c)
+    return out
+
+
+def normalQuantile(p):
+    """Inverse standard-normal CDF Φ⁻¹(p) as a column expression
+    (Acklam's approximation; NULL outside (0, 1))."""
+    pp = _c(p).cast("double") if isinstance(p, Column) else F.lit(float(p))
+    lo, hi = 0.02425, 1.0 - 0.02425
+    ql = F.sqrt(-2.0 * F.log(pp))
+    x_low = _horner(_ACKLAM_C, ql) / (_horner(_ACKLAM_D, ql) * ql
+                                      + F.lit(1.0))
+    qu = F.sqrt(-2.0 * F.log(1.0 - pp))
+    x_up = -(_horner(_ACKLAM_C, qu) / (_horner(_ACKLAM_D, qu) * qu
+                                       + F.lit(1.0)))
+    qc = pp - 0.5
+    rc = qc * qc
+    x_mid = (_horner(_ACKLAM_A, rc) * qc
+             / (_horner(_ACKLAM_B, rc) * rc + F.lit(1.0)))
+    return (F.when((pp <= 0) | (pp >= 1), F.lit(None).cast("double"))
+            .when(pp < lo, x_low)
+            .when(pp > hi, x_up)
+            .otherwise(x_mid))
+
+
+def minSampleSizeConversion(baseline, mde, power=0.8, alpha=0.05):
+    """Per-group sample size to detect an absolute conversion-rate
+    change of ``mde`` from ``baseline`` (reference
+    minSampleSizeConversion): n = (z_{1-α/2} + z_{power})² ·
+    (p₁(1−p₁) + p₂(1−p₂)) / mde², p₂ = p₁ + mde. Returns a struct
+    (minimum_sample_size, detect_range_lower, detect_range_upper)."""
+    p1 = _c(baseline).cast("double") if isinstance(baseline, Column) \
+        else F.lit(float(baseline))
+    d = _c(mde).cast("double") if isinstance(mde, Column) \
+        else F.lit(float(mde))
+    z = normalQuantile(1.0 - alpha / 2.0) + normalQuantile(power)
+    p2 = p1 + d
+    n = z * z * (p1 * (1.0 - p1) + p2 * (1.0 - p2)) / (d * d)
+    return F.struct(n.alias("minimum_sample_size"),
+                    (p1 - d).alias("detect_range_lower"),
+                    (p1 + d).alias("detect_range_upper"))
+
+
+def minSampleSizeContinous(baseline, sigma, mde, power=0.8, alpha=0.05):
+    """Per-group sample size for a continuous metric with RELATIVE
+    minimum detectable effect ``mde`` (reference minSampleSizeContinous
+    — the reference spells it without the second 'u'):
+    n = 2 (z_{1-α/2} + z_{power})² σ² / (mde·baseline)². Returns a
+    struct (minimum_sample_size, detect_range_lower,
+    detect_range_upper)."""
+    mu = _c(baseline).cast("double") if isinstance(baseline, Column) \
+        else F.lit(float(baseline))
+    sg = _c(sigma).cast("double") if isinstance(sigma, Column) \
+        else F.lit(float(sigma))
+    d = _c(mde).cast("double") if isinstance(mde, Column) \
+        else F.lit(float(mde))
+    z = normalQuantile(1.0 - alpha / 2.0) + normalQuantile(power)
+    n = 2.0 * z * z * sg * sg / (d * mu * d * mu)
+    return F.struct(n.alias("minimum_sample_size"),
+                    (mu * (1.0 - d)).alias("detect_range_lower"),
+                    (mu * (1.0 + d)).alias("detect_range_upper"))
+
+
+minSampleSizeContinuous = minSampleSizeContinous

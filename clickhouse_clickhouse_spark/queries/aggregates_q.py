@@ -1496,3 +1496,27 @@ def agg_ks_test_pvalue(spark, sf):
     return kolmogorov_smirnov_test(ev, "value", "event_type",
                                    "click", "view")
 
+
+
+@register("ab_sample_size_gate", oracle="""
+SELECT true AS z_ok, true AS conv_ok, true AS cont_ok
+""")
+def ab_sample_size_gate(spark, sf):
+    """A/B-test planning functions as a strict verdict gate (round 6 —
+    ch_functions.normalQuantile via Acklam's published approximation,
+    minSampleSizeConversion/Continous per the reference formulas):
+    each computed value must land within 1e-6 relative of the closed
+    form evaluated with the published z constants; the oracle states
+    the expected verdicts."""
+    import clickhouse_clickhouse_spark.ch_functions as ch
+
+    z = 1.959963985 + 0.841621234
+    n_conv = z * z * (0.25 * 0.75 + 0.28 * 0.72) / (0.03 * 0.03)
+    n_cont = 2 * z * z * 20.0 ** 2 / (0.05 * 100.0) ** 2
+    rel = lambda a, e: F.abs(a - e) / F.lit(abs(e))  # noqa: E731
+    return spark.range(1).select(
+        (rel(ch.normalQuantile(0.975), 1.959963985) < 1e-6).alias("z_ok"),
+        (rel(ch.minSampleSizeConversion(0.25, 0.03)
+             ["minimum_sample_size"], n_conv) < 1e-6).alias("conv_ok"),
+        (rel(ch.minSampleSizeContinous(100.0, 20.0, 0.05)
+             ["minimum_sample_size"], n_cont) < 1e-6).alias("cont_ok"))

@@ -527,3 +527,45 @@ def test_round5_batch3_dates_arrays_strings(spark):
     assert r.rro == "aXb2c3" and r.rro0 == "abc"
     assert r.sbw == ["a", "b", "c"] and r.at == ["abc", "def", "s"]
     assert len(r.nfd) == 5 and not r.nl  # NFD decomposes the accent
+
+
+def test_normal_quantile_acklam(spark):
+    # published z-values (|rel err| < 1.15e-9 per Acklam)
+    import clickhouse_clickhouse_spark.ch_functions as ch
+    from pyspark.sql import functions as F
+
+    row = spark.range(1).select(
+        ch.normalQuantile(0.975).alias("z975"),
+        ch.normalQuantile(0.8).alias("z80"),
+        ch.normalQuantile(0.5).alias("z50"),
+        ch.normalQuantile(0.01).alias("z01"),
+        ch.normalQuantile(0.99).alias("z99"),
+        ch.normalQuantile(F.lit(1.5)).alias("oob"),
+    ).collect()[0]
+    assert abs(row.z975 - 1.959963985) < 1e-6
+    assert abs(row.z80 - 0.841621234) < 1e-6
+    assert abs(row.z50) < 1e-9
+    assert abs(row.z01 + 2.326347874) < 1e-6
+    assert abs(row.z99 - 2.326347874) < 1e-6
+    assert row.oob is None
+
+
+def test_min_sample_size_planners(spark):
+    import math
+
+    import clickhouse_clickhouse_spark.ch_functions as ch
+
+    row = spark.range(1).select(
+        ch.minSampleSizeConversion(0.25, 0.03).alias("c"),
+        ch.minSampleSizeContinous(100.0, 20.0, 0.05).alias("m"),
+    ).collect()[0]
+    # independent python computation with the published z constants
+    z = 1.959963985 + 0.841621234
+    p1, p2, mde = 0.25, 0.28, 0.03
+    n_conv = z * z * (p1 * (1 - p1) + p2 * (1 - p2)) / (mde * mde)
+    assert math.isclose(row.c.minimum_sample_size, n_conv, rel_tol=1e-6)
+    assert math.isclose(row.c.detect_range_lower, 0.22, rel_tol=1e-9)
+    assert math.isclose(row.c.detect_range_upper, 0.28, rel_tol=1e-9)
+    n_cont = 2 * z * z * 20.0 ** 2 / (0.05 * 100.0) ** 2
+    assert math.isclose(row.m.minimum_sample_size, n_cont, rel_tol=1e-6)
+    assert math.isclose(row.m.detect_range_lower, 95.0, rel_tol=1e-9)
