@@ -190,11 +190,17 @@ def _arr_header(counts, valid):
     return buf, hl
 
 
-def _pa_col(pdf, name, pa_type):
-    import pyarrow as pa
-
-    arr = pa.array(pdf[name], type=pa_type)
+def _pa_col(batch, name, pa_type):
+    """Column `name` of an arrow RecordBatch, cast to pa_type, plus its
+    validity mask. Arrow-native: NO pandas round-trip anywhere — pandas
+    would convert int64-with-nulls through float64 and silently round
+    values past 2^53 (hypothesis-found with 9007199254740993)."""
     import numpy as np
+    import pyarrow as pa  # noqa: F401
+
+    arr = batch.column(batch.schema.get_field_index(name))
+    if arr.type != pa_type:
+        arr = arr.cast(pa_type)
 
     n = len(arr)
     if arr.buffers()[0] is None:
@@ -206,23 +212,23 @@ def _pa_col(pdf, name, pa_type):
     return arr, valid
 
 
-def _encode_column(pdf, f):
+def _encode_column(batch, f):
     """One column -> (buf, per-row lens)."""
     import numpy as np
     import pyarrow as pa
 
     t = f.dataType
     if isinstance(t, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
-        arr, valid = _pa_col(pdf, f.name, pa.int64())
+        arr, valid = _pa_col(batch, f.name, pa.int64())
         v = np.asarray(arr.fill_null(0), dtype=np.int64)
         return _enc_int_flat(v, valid)
     if isinstance(t, (T.DoubleType, T.FloatType)):
-        arr, valid = _pa_col(pdf, f.name, pa.float64())
+        arr, valid = _pa_col(batch, f.name, pa.float64())
         v = np.asarray(arr.fill_null(0.0), dtype=np.float64)
         return _enc_float_flat(v, valid,
                                single=isinstance(t, T.FloatType))
     if isinstance(t, T.BooleanType):
-        arr, valid = _pa_col(pdf, f.name, pa.bool_())
+        arr, valid = _pa_col(batch, f.name, pa.bool_())
         v = np.asarray(arr.fill_null(False), dtype=bool)
         buf = np.where(valid, np.where(v, 0xC3, 0xC2), 0xC0) \
             .astype(np.uint8)
@@ -230,7 +236,8 @@ def _encode_column(pdf, f):
     if isinstance(t, (T.StringType, T.BinaryType)):
         is_str = isinstance(t, T.StringType)
         arr, valid = _pa_col(
-            pdf, f.name, pa.large_string() if is_str else pa.large_binary())
+            batch, f.name,
+            pa.large_string() if is_str else pa.large_binary())
         offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
             arr.offset:arr.offset + len(arr) + 1]
         data = np.frombuffer(arr.buffers()[2], dtype=np.uint8) \
@@ -242,7 +249,7 @@ def _encode_column(pdf, f):
         pa_elem = {T.LongType: pa.int64(), T.IntegerType: pa.int64(),
                    T.DoubleType: pa.float64(),
                    T.StringType: pa.large_string()}[type(et)]
-        arr, valid = _pa_col(pdf, f.name, pa.large_list(pa_elem))
+        arr, valid = _pa_col(batch, f.name, pa.large_list(pa_elem))
         offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
             arr.offset:arr.offset + len(arr) + 1]
         counts = np.where(valid, offs[1:] - offs[:-1], 0).astype(np.int64)
@@ -296,13 +303,12 @@ def msgpack_encode(df: DataFrame, out_col: str = "mp") -> DataFrame:
 
     def enc(batches):
         import numpy as np
-        import pandas as pd
         import pyarrow as pa
-        for pdf in batches:
-            n = len(pdf)
+        for batch in batches:
+            n = batch.num_rows
             if n == 0:
                 continue
-            cols = [_encode_column(pdf, f) for f in fields]
+            cols = [_encode_column(batch, f) for f in fields]
             row_lens = np.zeros(n, dtype=np.int64)
             for _, lens in cols:
                 row_lens += lens
@@ -319,9 +325,10 @@ def msgpack_encode(df: DataFrame, out_col: str = "mp") -> DataFrame:
                 pa.large_binary(), n,
                 [None, pa.py_buffer(offs.tobytes()),
                  pa.py_buffer(out.tobytes())])
-            yield pd.DataFrame({out_col: arr.to_pandas()})
+            yield pa.RecordBatch.from_arrays([arr.cast(pa.binary())],
+                                             [out_col])
 
-    return df.mapInPandas(enc, f"{out_col} binary")
+    return df.mapInArrow(enc, f"{out_col} binary")
 
 
 # ---------------------------------------------------------------- decode
@@ -452,6 +459,30 @@ def _collect_strbin(buf, cur, hl, pl, valid):
     return seg, offs
 
 
+def _spark_arrow_type(t):
+    """The arrow type Spark expects for a schema field (mapInArrow
+    output contract — large_* variants cast down here)."""
+    import pyarrow as pa
+
+    if isinstance(t, T.LongType):
+        return pa.int64()
+    if isinstance(t, T.IntegerType):
+        return pa.int32()
+    if isinstance(t, T.DoubleType):
+        return pa.float64()
+    if isinstance(t, T.FloatType):
+        return pa.float32()
+    if isinstance(t, T.BooleanType):
+        return pa.bool_()
+    if isinstance(t, T.StringType):
+        return pa.string()
+    if isinstance(t, T.BinaryType):
+        return pa.binary()
+    if isinstance(t, T.ArrayType):
+        return pa.list_(_spark_arrow_type(t.elementType))
+    raise ValueError(f"msgpack: unsupported type {t}")
+
+
 def msgpack_decode(df: DataFrame, schema: T.StructType | str,
                    col: str = "mp") -> DataFrame:
     """Decode MessagePack cells (one row of consecutive column values per
@@ -469,14 +500,15 @@ def msgpack_decode(df: DataFrame, schema: T.StructType | str,
 
     def dec(batches):
         import numpy as np
-        import pandas as pd  # noqa: F401  (mapInPandas contract)
         import pyarrow as pa
         import pyarrow.compute  # noqa: F401  (pa.compute below)
-        for pdf in batches:
-            n = len(pdf)
+        for batch in batches:
+            n = batch.num_rows
             if n == 0:
                 continue
-            cells = [bytes(b) if b is not None else b"" for b in pdf[col]]
+            cells = [b if b is not None else b"" for b in
+                     batch.column(batch.schema.get_field_index(col))
+                     .to_pylist()]
             lens = np.array([len(c) for c in cells], dtype=np.int64)
             buf = np.frombuffer(b"".join(cells), dtype=np.uint8)
             starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
@@ -532,11 +564,11 @@ def msgpack_decode(df: DataFrame, schema: T.StructType | str,
                     cur, out[f.name] = _dec_array(buf, cur, alive, t, n)
                 else:
                     raise ValueError(f"msgpack: unsupported type {t}")
-            names = [f.name for f in fields]
-            tbl = pa.table({k: out[k] for k in names})
-            yield tbl.to_pandas()
+            yield pa.RecordBatch.from_arrays(
+                [out[f.name].cast(_spark_arrow_type(f.dataType))
+                 for f in fields], [f.name for f in fields])
 
-    return df.mapInPandas(dec, schema)
+    return df.mapInArrow(dec, schema)
 
 
 def _dec_array(buf, cur, alive, t, n):
@@ -725,10 +757,10 @@ def read_msgpack(spark, path: str, schema: T.StructType | str,
 
     def dec(batches):
         import numpy as np
-        import pandas as pd
-        for pdf in batches:
-            for blob in pdf["content"]:
-                buf = np.frombuffer(bytes(blob), dtype=np.uint8)
+        for batch in batches:
+            col = batch.column(batch.schema.get_field_index("content"))
+            for blob in col.to_pylist():
+                buf = np.frombuffer(blob or b"", dtype=np.uint8)
                 B = buf.size
                 if B == 0:
                     continue
@@ -749,18 +781,14 @@ def read_msgpack(spark, path: str, schema: T.StructType | str,
                         f"schema ({len(starts)} values, {ncol} columns)")
                 grid = np.asarray(starts, dtype=np.int64) \
                     .reshape(-1, ncol)
-                n = grid.shape[0]
-                cell_pdf = pd.DataFrame({"mp": [b""] * n})   # placeholder
                 # reuse the cell decoders with per-column cursors
-                out = _decode_grid(buf, grid, schema, n)
-                yield out if out is not None else cell_pdf
+                yield _decode_grid(buf, grid, schema, grid.shape[0])
 
-    return files.mapInPandas(dec, schema)
+    return files.mapInArrow(dec, schema)
 
 
 def _decode_grid(buf, grid, schema, n):
     import numpy as np
-    import pandas as pd
     import pyarrow as pa
     import pyarrow.compute  # noqa: F401
 
@@ -807,4 +835,6 @@ def _decode_grid(buf, grid, schema, n):
                                              pa.nulls(n, arr.type))
         else:
             raise ValueError(f"msgpack stream: unsupported type {t}")
-    return pa.table(out).to_pandas()
+    return pa.RecordBatch.from_arrays(
+        [out[f.name].cast(_spark_arrow_type(f.dataType))
+         for f in schema.fields], [f.name for f in schema.fields])

@@ -183,3 +183,37 @@ def test_into_outfile_binary_formats(spark, tmp_path):
     into_outfile(df, mp, "MsgPack")
     back = read_any(spark, mp, "msgpack", schema="id bigint, s string")
     assert sorted(r.id for r in back.collect()) == list(range(20))
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as hst
+
+_scalar_rows = hst.lists(
+    hst.tuples(
+        hst.one_of(hst.none(), hst.integers(min_value=-(2**63),
+                                            max_value=2**63 - 1)),
+        hst.one_of(hst.none(), hst.text(max_size=40)),
+        hst.one_of(hst.none(),
+                   hst.floats(allow_nan=False, width=64)),
+        hst.one_of(hst.none(), hst.booleans()),
+        hst.one_of(hst.none(), hst.binary(max_size=40)),
+        hst.one_of(hst.none(), hst.lists(
+            hst.one_of(hst.none(), hst.integers(min_value=-(2**63),
+                                                max_value=2**63 - 1)),
+            max_size=8)),
+    ), min_size=1, max_size=30)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_scalar_rows)
+def test_msgpack_property_roundtrip(spark, rows):
+    """Any batch of arbitrary scalars + int arrays (full int64 range,
+    unicode, NULLs everywhere) round-trips bit-exactly."""
+    ddl = ("i bigint, s string, d double, b boolean, raw binary, "
+           "al array<bigint>")
+    df = spark.createDataFrame(rows, ddl)
+    back = msgpack_decode(msgpack_encode(df), ddl)
+    a = sorted((tuple(r) for r in df.collect()), key=repr)
+    b = sorted((tuple(r) for r in back.collect()), key=repr)
+    assert a == b
