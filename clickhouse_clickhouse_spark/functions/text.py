@@ -299,3 +299,77 @@ def html_extract_text(html: Column) -> Column:
                      ("&amp;", "&")):
         out = F.replace(out, F.lit(ent), F.lit(lit))
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def word_shingle_simhash(text: Column, shingle: int = 2,
+                         bits: int = 16) -> Column:
+    """Scalar ``wordShingleSimHash`` analog ([U]
+    src/Functions/FunctionsStringHash.cpp): per-string SimHash over
+    DISTINCT word shingles — each shingle votes ±1 on every signature
+    bit of its affine xxhash; bit set when the vote sum is positive.
+    Same hash family and vote rule as the corpus-level
+    pipeline/dedup.simhash (verified equal in pytest), so per-string
+    and per-corpus signatures interoperate. Pure column expressions —
+    bits × |shingles| lambda steps, no UDF."""
+    from clickhouse_clickhouse_spark.pipeline.dedup import (
+        MINHASH_COEFFS,
+        MINHASH_PRIME,
+    )
+
+    grams = F.array_distinct(
+        word_ngrams(text, shingle) if shingle > 1 else tokens(text))
+    a, b = MINHASH_COEFFS[0]
+    hashes = F.transform(
+        grams,
+        lambda g: (F.lit(a) * F.pmod(F.xxhash64(g), F.lit(MINHASH_PRIME))
+                   + F.lit(b)) % F.lit(MINHASH_PRIME))
+    # shiftright/shiftleft take a python int in the DataFrame API, so
+    # bit extraction uses exact power-of-two arithmetic (hashes < 2^31,
+    # well inside double precision)
+    pow2 = lambda bit: F.pow(F.lit(2.0), bit).cast("long")
+    vote = lambda bit: F.aggregate(
+        hashes, F.lit(0).cast("long"),
+        lambda acc, h: acc + F.when(
+            (F.floor(h / pow2(bit)).cast("long") % 2) == 1, 1)
+        .otherwise(-1))
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, bit: acc + F.when(vote(bit) > 0, pow2(bit))
+        .otherwise(F.lit(0).cast("long")))
+
+
+def ngram_simhash(text: Column, n: int = 3, bits: int = 16) -> Column:
+    """Scalar ``ngramSimHash`` analog: the character-n-gram twin of
+    :func:`word_shingle_simhash` (same hash family and vote rule over
+    DISTINCT character n-grams of the lowercased string)."""
+    from clickhouse_clickhouse_spark.pipeline.dedup import (
+        MINHASH_COEFFS,
+        MINHASH_PRIME,
+    )
+
+    low = F.lower(text)
+    grams = F.array_distinct(F.when(
+        F.length(low) >= n,
+        F.transform(F.sequence(F.lit(1), F.length(low) - (n - 1)),
+                    lambda i: F.substring(low, i, n)))
+        .otherwise(F.array().cast("array<string>")))
+    a, b = MINHASH_COEFFS[0]
+    hashes = F.transform(
+        grams,
+        lambda g: (F.lit(a) * F.pmod(F.xxhash64(g), F.lit(MINHASH_PRIME))
+                   + F.lit(b)) % F.lit(MINHASH_PRIME))
+    # shiftright/shiftleft take a python int in the DataFrame API, so
+    # bit extraction uses exact power-of-two arithmetic (hashes < 2^31,
+    # well inside double precision)
+    pow2 = lambda bit: F.pow(F.lit(2.0), bit).cast("long")
+    vote = lambda bit: F.aggregate(
+        hashes, F.lit(0).cast("long"),
+        lambda acc, h: acc + F.when(
+            (F.floor(h / pow2(bit)).cast("long") % 2) == 1, 1)
+        .otherwise(-1))
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, bit: acc + F.when(vote(bit) > 0, pow2(bit))
+        .otherwise(F.lit(0).cast("long")))

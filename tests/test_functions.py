@@ -133,3 +133,33 @@ def test_html_extract_text(spark):
     r = spark.range(1).select(
         html_extract_text(F.lit(html)).alias("t")).collect()[0]
     assert r.t == "Title A & B <ok> end"
+
+
+def test_scalar_simhash_matches_pipeline(spark, sf_dir):
+    """word_shingle_simhash (scalar, column expressions) must equal the
+    corpus-level pipeline/dedup.simhash signature for every document —
+    the per-string and per-corpus paths interoperate."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_clickhouse_spark.functions.text import (
+        ngram_simhash, word_shingle_simhash,
+    )
+    from clickhouse_clickhouse_spark.pipeline.dedup import simhash
+    from clickhouse_clickhouse_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(60)
+    scalar = d.select("doc_id", word_shingle_simhash(
+        F.col("text"), shingle=1, bits=16).alias("sh"))
+    pipe = simhash(d, "doc_id", "text", bits=16, shingle=1)
+    j = scalar.join(pipe, "doc_id")
+    assert j.filter(F.col("sh") != F.col("simhash")).count() == 0
+    # ngram variant: near-identical strings land near in hamming space
+    rows = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),
+         (3, "completely different words entirely here")],
+        "id int, t string").select(
+        "id", ngram_simhash(F.col("t")).alias("h")).collect()
+    h = {r.id: r.h for r in rows}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(h[1], h[2]) < ham(h[1], h[3])
