@@ -109,11 +109,17 @@ _FUNCS: dict[str, str] = {
         "TRANSFORM({0}, (__x, __i) -> "
         "SIZE(FILTER(SLICE({0}, 1, __i + 1), __y -> __y = __x)))",
     "runningDifference": lambda a: _refuse_running_difference(),
-    # aggregates
-    "uniq": "APPROX_COUNT_DISTINCT({0})",
-    "uniqCombined": "APPROX_COUNT_DISTINCT({0})",
-    "uniqHLL12": "APPROX_COUNT_DISTINCT({0})",
-    "uniqCombined64": "APPROX_COUNT_DISTINCT({0})",
+    # aggregates. uniq-family estimates use the SAME Datasketches HLL as
+    # projection routing (plans/summary.py), over the same string-cast
+    # input — so registering a projection cannot change a query's result
+    # (round-6 advice: routed and unrouted estimates must match; the HLL
+    # union is lossless at fixed lgConfigK, making the two-phase routed
+    # estimate EQUAL the one-phase translated one).
+    "uniq": "HLL_SKETCH_ESTIMATE(HLL_SKETCH_AGG(CAST({0} AS STRING)))",
+    "uniqCombined": "HLL_SKETCH_ESTIMATE(HLL_SKETCH_AGG(CAST({0} AS STRING)))",
+    "uniqHLL12": "HLL_SKETCH_ESTIMATE(HLL_SKETCH_AGG(CAST({0} AS STRING)))",
+    "uniqCombined64":
+        "HLL_SKETCH_ESTIMATE(HLL_SKETCH_AGG(CAST({0} AS STRING)))",
     "uniqExact": "COUNT(DISTINCT {*})",
     "median": "PERCENTILE({0}, 0.5)",
     "medianExact": "PERCENTILE({0}, 0.5)",
@@ -341,12 +347,16 @@ _FUNCS: dict[str, str] = {
 # parametric double-call forms: name(params)(args); a value may be a
 # template string or a callable (params, args) -> SQL text
 _PARAMETRIC: dict = {
-    # HLL precision bits -> Spark's relative-error parameter (the
-    # standard HLL rsd ~ 1.04/sqrt(2^bits)); Spark needs a LITERAL rsd,
-    # so the division is folded at translate time ({p0:hll_rsd})
-    "uniqCombined": "APPROX_COUNT_DISTINCT({a0}, {p0:hll_rsd})",
-    "uniqHLL12": "APPROX_COUNT_DISTINCT({a0}, {p0:hll_rsd})",
-    "quantile": "PERCENTILE_APPROX({a0}, {p0})",
+    # HLL precision bits map 1:1 onto Datasketches lgConfigK (register
+    # count log2) — same estimator family as the projection-routed path
+    "uniqCombined": "HLL_SKETCH_ESTIMATE("
+                    "HLL_SKETCH_AGG(CAST({a0} AS STRING), {p0}))",
+    "uniqHLL12": "HLL_SKETCH_ESTIMATE("
+                 "HLL_SKETCH_AGG(CAST({a0} AS STRING), {p0}))",
+    # same KLL sketch as projection routing (plans/summary._direct) so a
+    # registered projection cannot change quantile() results
+    "quantile": "KLL_SKETCH_GET_QUANTILE_DOUBLE("
+                "KLL_SKETCH_AGG_DOUBLE(CAST({a0} AS DOUBLE)), {p0})",
     # reference: exact count while <= N, else N+1
     "uniqUpTo": "LEAST(COUNT(DISTINCT {a0}), {p0} + 1)",
     "groupArraySorted": "SLICE(ARRAY_SORT(COLLECT_LIST({a0})), 1, {p0})",
@@ -1273,7 +1283,11 @@ def _parse_proj_item(item: str):
     if fn == "quantile":
         if a2 is None or not re.fullmatch(r"\w+", a2):
             return None
-        src, op = a2, f"quantile:{float(a1)}"
+        try:
+            p = float(a1)           # non-literal p (e.g. 1/2): unroutable,
+        except ValueError:          # fall through to the translated path
+            return None
+        src, op = a2, f"quantile:{p}"
     elif fn == "count":
         if a1 not in ("", "*"):
             return None
@@ -1667,6 +1681,14 @@ def _try_strictness_join(spark: SparkSession, sql: str, final_keys):
                             re.IGNORECASE)
         sel = _masked_sub(ts_ref, lambda _m: f"asof_{plain}", sel)
         rest = _masked_sub(ts_ref, lambda _m: f"asof_{plain}", rest)
+    # ON a.k1 = b.k2 renamed the right key to the left name — remap
+    # `ra.k2` references onto the (view-qualified) joined key so SELECT/
+    # WHERE written against the original right name still resolve
+    for src, dst in renames.items():
+        ref = re.compile(rf"\b{re.escape(ra)}\.{re.escape(src)}\b",
+                         re.IGNORECASE)
+        sel = _masked_sub(ref, lambda _m, n=dst: f"{view}.{n}", sel)
+        rest = _masked_sub(ref, lambda _m, n=dst: f"{view}.{n}", rest)
     for orig, new in col_map.items():
         ref = re.compile(rf"\b{re.escape(ra)}\.{re.escape(orig)}\b",
                          re.IGNORECASE)

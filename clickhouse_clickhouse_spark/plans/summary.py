@@ -52,7 +52,9 @@ def _partial(src: str, op: str) -> Column:
     if base == "count":
         return F.count(src)
     if base == "uniq":
-        return F.hll_sketch_agg(src)
+        # string-cast input: the SAME representation ch_sql's translated
+        # uniq() hashes, so routed and unrouted estimates are identical
+        return F.hll_sketch_agg(F.col(src).cast("string"))
     if base == "uniq_theta":
         return F.theta_sketch_agg(src)
     if base == "quantile":
@@ -90,7 +92,8 @@ def _direct(src: str, op: str) -> Column:
     result-identical, not just approximately equal."""
     base = _op_base(op)
     if base == "uniq":
-        return F.hll_sketch_estimate(F.hll_sketch_agg(src))
+        return F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col(src).cast("string")))
     if base == "uniq_theta":
         return F.theta_sketch_estimate(F.theta_sketch_agg(src))
     if base == "quantile":

@@ -370,7 +370,16 @@ def _dec_int_at(buf, cur, active):
                                 (0xD2, 4, "i4", True), (0xD3, 8, "i8", True)):
         m = a & (t == code)
         if m.any():
-            vals[m] = _be(buf, cur[m] + 1, k, dt).astype(np.int64)
+            raw = _be(buf, cur[m] + 1, k, dt)
+            if code == 0xCF and bool((raw > np.uint64(2**63 - 1)).any()):
+                # silent wrap to negative would corrupt data downstream —
+                # refuse loudly (Spark LongType has no unsigned 64-bit;
+                # SURVEY §1.2 documents the UInt64 range loss)
+                raise ValueError(
+                    "msgpack: uint64 value >= 2^63 does not fit Int64; "
+                    "decode this column as DECIMAL(20,0) via the "
+                    "uint64_as_decimal path or re-encode as int64")
+            vals[m] = raw.astype(np.int64)
             valid[m], lens[m] = True, 1 + k
     bad = a & (lens == 0)
     if bad.any():
@@ -564,6 +573,18 @@ def msgpack_decode(df: DataFrame, schema: T.StructType | str,
                     cur, out[f.name] = _dec_array(buf, cur, alive, t, n)
                 else:
                     raise ValueError(f"msgpack: unsupported type {t}")
+            # every cell's value stream must tile the cell exactly — a
+            # short/truncated cell would otherwise let the cursor run
+            # into the NEXT row's concatenated bytes and silently
+            # mis-decode later columns (same guard as the stream
+            # reader's p != B check)
+            overrun = alive & (cur != starts + lens)
+            if bool(overrun.any()):
+                i = int(np.nonzero(overrun)[0][0])
+                raise ValueError(
+                    f"msgpack: cell {i} decoded {int(cur[i] - starts[i])} "
+                    f"of {int(lens[i])} bytes — truncated or trailing "
+                    "garbage in the cell")
             yield pa.RecordBatch.from_arrays(
                 [out[f.name].cast(_spark_arrow_type(f.dataType))
                  for f in fields], [f.name for f in fields])

@@ -167,3 +167,17 @@ def test_same_named_payload_columns(spark, join_tables):
         FROM sjl l ASOF JOIN sjr2 r ON l.k = r.k AND l.ts >= r.rts
     """).collect()}
     assert rows == {(1, 10): ("a", "R"), (1, 20): ("b", "R")}
+
+
+def test_on_keys_with_differing_names(spark, join_tables):
+    # ON l.k = r.k2 renames the right key to the left name; SELECT/WHERE
+    # references to the ORIGINAL right name must still resolve (round-6
+    # advice: they previously rewrote to a nonexistent column)
+    spark.createDataFrame([(1, "x1"), (2, "x2")],
+                          "k2 int, xv string").createOrReplaceTempView("sjk2")
+    rows = {(r.k, r.rk): r.xv for r in ch_sql(spark, """
+        SELECT l.k, r.k2 AS rk, r.xv FROM sjl l
+        ANY JOIN sjk2 r ON l.k = r.k2
+        WHERE r.k2 < 2
+    """).collect()}
+    assert rows == {(1, 1): "x1"}

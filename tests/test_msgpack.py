@@ -217,3 +217,33 @@ def test_msgpack_property_roundtrip(spark, rows):
     a = sorted((tuple(r) for r in df.collect()), key=repr)
     b = sorted((tuple(r) for r in back.collect()), key=repr)
     assert a == b
+
+
+def test_msgpack_uint64_overflow_refused(spark):
+    # uint64 >= 2^63 would silently wrap negative via int64 — refuse
+    # loudly instead (round-6 advice)
+    cell = b"\xcf" + struct.pack(">Q", 2**63)
+    df = spark.createDataFrame([Row(mp=cell)], "mp binary")
+    with pytest.raises(Exception, match="uint64|2\\^63"):
+        msgpack_decode(df, "i bigint").collect()
+    # ... and the float-promotion path must not wrap either
+    with pytest.raises(Exception, match="uint64|2\\^63"):
+        msgpack_decode(df, "d double").collect()
+    # 2^63 - 1 still decodes fine
+    ok = b"\xcf" + struct.pack(">Q", 2**63 - 1)
+    df = spark.createDataFrame([Row(mp=ok)], "mp binary")
+    assert msgpack_decode(df, "i bigint").collect()[0].i == 2**63 - 1
+
+
+def test_msgpack_truncated_cell_refused(spark):
+    # a cell whose value stream does not tile it exactly (trailing
+    # garbage / short row) must raise, not silently mis-decode the next
+    # column from stale cursor bytes (round-6 advice)
+    good = b"\x05\xa2hi"               # i=5, s="hi"
+    trailing = good + b"\x07"          # extra byte after the last column
+    df = spark.createDataFrame([Row(mp=trailing)], "mp binary")
+    with pytest.raises(Exception, match="truncated|trailing|bytes"):
+        msgpack_decode(df, "i bigint, s string").collect()
+    df = spark.createDataFrame([Row(mp=good)], "mp binary")
+    out = msgpack_decode(df, "i bigint, s string").collect()[0]
+    assert (out.i, out.s) == (5, "hi")

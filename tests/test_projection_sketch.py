@@ -103,3 +103,31 @@ def test_having_with_orderby_limit_routes(sketch_proj):
     assert any("ch_proj" in f for f in out.inputFiles())
     ns = [r.n for r in out.collect()]
     assert ns == sorted(ns, reverse=True) and len(ns) <= 3
+
+
+def test_routed_uniq_equals_unrouted(sketch_proj):
+    """Round-6 advice: registering a projection must not CHANGE results.
+    Translated uniq() and the routed HLL path now use the same
+    Datasketches sketch over the same string-cast input, and the HLL
+    union is lossless at fixed lgConfigK — so the estimates are EQUAL,
+    not merely close."""
+    spark, view = sketch_proj
+    q = f"SELECT event_type, uniq(user_id) AS u FROM {view} " \
+        "GROUP BY event_type"
+    routed = ch_sql(spark, q)
+    assert any("ch_proj" in f for f in routed.inputFiles())
+    unrouted = ch_sql(spark, q.replace(view, f"(SELECT * FROM {view}) s"))
+    assert not any("ch_proj" in f for f in unrouted.inputFiles())
+    assert {(r.event_type, r.u) for r in routed.collect()} == \
+        {(r.event_type, r.u) for r in unrouted.collect()}
+
+
+def test_nonliteral_quantile_param_falls_through(sketch_proj):
+    # quantile(1/2)(x) has a non-literal p: unroutable, but must fall
+    # through to the translated path, not raise (round-6 advice)
+    spark, view = sketch_proj
+    df = ch_sql(spark, f"""
+        SELECT event_type, quantile(1/2)(value) AS m
+        FROM {view} GROUP BY event_type""")
+    assert not any("ch_proj" in f for f in df.inputFiles())
+    assert df.count() > 0
