@@ -1899,3 +1899,102 @@ def minSampleSizeContinous(baseline, sigma, mde, power=0.8, alpha=0.05):
 
 
 minSampleSizeContinuous = minSampleSizeContinous
+
+
+# -- string-similarity / multi-search scalar tail (round 7; [U]
+# src/Functions/FunctionsStringSimilarity.cpp, MultiMatchAnyImpl.h,
+# HasTokenImpl.h, FunctionsStringHash.cpp) — thin dialect-named wrappers
+# over functions/text.py so reference SQL names resolve 1:1.
+def wordShingleMinHash(text, shingle=2, num_hashes=16):
+    from clickhouse_clickhouse_spark.functions.text import (
+        word_shingle_minhash,
+    )
+    return word_shingle_minhash(_c(text), shingle, num_hashes)
+
+
+def ngramMinHash(text, n=3, num_hashes=16):
+    from clickhouse_clickhouse_spark.functions.text import ngram_minhash
+    return ngram_minhash(_c(text), n, num_hashes)
+
+
+def hasToken(haystack, token):
+    from clickhouse_clickhouse_spark.functions.text import has_token
+    return has_token(_c(haystack), token)
+
+
+def hasTokenCaseInsensitive(haystack, token):
+    from clickhouse_clickhouse_spark.functions.text import has_token
+    return has_token(_c(haystack), token, case_insensitive=True)
+
+
+def multiMatchAny(haystack, patterns):
+    from clickhouse_clickhouse_spark.functions.text import multi_match_any
+    return multi_match_any(_c(haystack), patterns)
+
+
+def multiMatchAnyIndex(haystack, patterns):
+    from clickhouse_clickhouse_spark.functions.text import (
+        multi_match_any_index,
+    )
+    return multi_match_any_index(_c(haystack), patterns)
+
+
+def multiFuzzyMatchAny(haystack, distance, patterns):
+    from clickhouse_clickhouse_spark.functions.text import (
+        multi_fuzzy_match_any,
+    )
+    return multi_fuzzy_match_any(_c(haystack), distance, patterns)
+
+
+def ngramDistance(a, b, n=4):
+    from clickhouse_clickhouse_spark.functions.text import ngram_distance
+    return ngram_distance(_c(a), _c(b), n)
+
+
+def ngramDistanceCaseInsensitive(a, b, n=4):
+    from clickhouse_clickhouse_spark.functions.text import ngram_distance
+    return ngram_distance(_c(a), _c(b), n, case_insensitive=True)
+
+
+def randomString(length):
+    """Random string of ``length`` chars. Deviation: printable ASCII
+    (33..126) rather than the reference's arbitrary bytes — Spark
+    strings are UTF-8, arbitrary byte soup would be invalid; same
+    entropy-per-char contract for test-data generation."""
+    ln = _c(length).cast("int") if isinstance(length, Column) \
+        else F.lit(int(length))
+    return F.concat_ws("", F.transform(
+        F.sequence(F.lit(1), ln),
+        lambda _i: F.char(F.lit(33)
+                          + F.floor(F.rand() * 94).cast("int"))))
+
+
+randomPrintableASCII = randomString
+
+
+# -- tuple arithmetic ([U] src/Functions/tupleArithmetic) — structs have
+# no generic element-wise ops in Spark, so the helpers take the arity
+# (or read it from a DataFrame-bound struct column's dtype upstream).
+def _tuple_zip(a, b, arity, op):
+    a, b = _c(a), _c(b)
+    return F.struct(*[
+        op(a.getField(f"_{i + 1}"), b.getField(f"_{i + 1}"))
+        .alias(f"_{i + 1}") for i in range(arity)])
+
+
+def tuplePlus(a, b, arity):
+    return _tuple_zip(a, b, arity, lambda x, y: x + y)
+
+
+def tupleMinus(a, b, arity):
+    return _tuple_zip(a, b, arity, lambda x, y: x - y)
+
+
+def tupleMultiply(a, b, arity):
+    return _tuple_zip(a, b, arity, lambda x, y: x * y)
+
+
+def tupleNegate(a, arity):
+    a = _c(a)
+    return F.struct(*[(-a.getField(f"_{i + 1}")).alias(f"_{i + 1}")
+                      for i in range(arity)])

@@ -338,6 +338,51 @@ _FUNCS: dict[str, str] = {
         " - 1.453152027D * POWER(1.0D / (1.0D + 0.3275911D * ABS({0})), 4)"
         " + 1.061405429D * POWER(1.0D / (1.0D + 0.3275911D * ABS({0})), 5))"
         " * EXP(-ABS({0}) * ABS({0}))))",
+    # round-7 batch: URL family (PARSE_URL is JVM codegen), multi-search
+    # / string-similarity tail, tuple arithmetic, random strings
+    "domain": "PARSE_URL({0}, 'HOST')",
+    "domainWithoutWWW": "REGEXP_REPLACE(PARSE_URL({0}, 'HOST'), "
+                        "'^www\\\\.', '')",
+    "topLevelDomain":
+        "ELEMENT_AT(SPLIT(PARSE_URL({0}, 'HOST'), '\\\\.'), -1)",
+    "path": "PARSE_URL({0}, 'PATH')",
+    "pathFull": "(CASE WHEN PARSE_URL({0}, 'QUERY') IS NOT NULL THEN "
+                "CONCAT(PARSE_URL({0}, 'PATH'), '?', "
+                "PARSE_URL({0}, 'QUERY')) ELSE PARSE_URL({0}, 'PATH') "
+                "END)",
+    "protocol": "PARSE_URL({0}, 'PROTOCOL')",
+    "queryString": "PARSE_URL({0}, 'QUERY')",
+    "extractURLParameter": "PARSE_URL({0}, 'QUERY', {1})",
+    "cutQueryString": "REGEXP_REPLACE({0}, '\\\\?.*$', '')",
+    "decodeURLComponent": "URL_DECODE({0})",
+    "multiMatchAny": "EXISTS({1}, __p -> REGEXP_LIKE({0}, __p))",
+    "multiMatchAnyIndex":
+        "CAST(COALESCE(ARRAY_POSITION(TRANSFORM({1}, "
+        "__p -> REGEXP_LIKE({0}, __p)), TRUE), 0) AS BIGINT)",
+    "multiSearchFirstIndex":
+        "CAST(COALESCE(ARRAY_POSITION(TRANSFORM({1}, "
+        "__n -> CONTAINS({0}, __n)), TRUE), 0) AS BIGINT)",
+    "hasToken": lambda a: _has_token_tpl(a, ci=False),
+    "hasTokenCaseInsensitive": lambda a: _has_token_tpl(a, ci=True),
+    "ngramDistance": lambda a: _ngram_distance_tpl(a, ci=False),
+    "ngramDistanceCaseInsensitive":
+        lambda a: _ngram_distance_tpl(a, ci=True),
+    "multiFuzzyMatchAny": lambda a: _multi_fuzzy_tpl(a),
+    # printable-ASCII deviation documented at ch_functions.randomString
+    "randomString":
+        "CONCAT_WS('', TRANSFORM(SEQUENCE(1, CAST({0} AS INT)), "
+        "__i -> CHAR(33 + CAST(FLOOR(RAND() * 94) AS INT))))",
+    "randomPrintableASCII":
+        "CONCAT_WS('', TRANSFORM(SEQUENCE(1, CAST({0} AS INT)), "
+        "__i -> CHAR(33 + CAST(FLOOR(RAND() * 94) AS INT))))",
+    "tuple": lambda a: "NAMED_STRUCT({})".format(
+        ", ".join(f"'_{i + 1}', {x}" for i, x in enumerate(a))),
+    "tupleElement": lambda a: _tuple_element_tpl(a),
+    "untuple": lambda a: _untuple_tpl(a),
+    "tuplePlus": lambda a: _tuple_arith_tpl(a, "+"),
+    "tupleMinus": lambda a: _tuple_arith_tpl(a, "-"),
+    "tupleMultiply": lambda a: _tuple_arith_tpl(a, "*"),
+    "tupleNegate": lambda a: _tuple_arith_tpl([a[0]], None),
     # single-arg: the regex's literal {3} survives (only {0} is an arg slot)
     "isIPv4String":
         "({0} RLIKE '^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
@@ -558,6 +603,150 @@ def _array_reduce_tpl(args: list[str]) -> str:
         raise ValueError(f"arrayReduce: unsupported aggregate {name!r}; "
                          f"supported: {sorted(_ARRAY_REDUCE)}")
     return "(" + _ARRAY_REDUCE[name].replace("{a}", args[1]) + ")"
+
+
+def _has_token_tpl(args: list[str], ci: bool) -> str:
+    """hasToken[CaseInsensitive](haystack, 'tok'): whole-token match
+    over maximal [0-9A-Za-z_] runs. The needle must be a constant
+    single token (the upstream error contract); the pattern uses
+    RE2-compatible boundary groups, not lookarounds, so oracles can run
+    the identical regex."""
+    if len(args) != 2:
+        raise ValueError("hasToken(haystack, 'token')")
+    m = re.fullmatch(r"\s*'([0-9A-Za-z_]+)'\s*", args[1])
+    if not m:
+        raise ValueError(
+            f"hasToken: needle {args[1]!r} must be a constant single "
+            "token (alphanumeric/underscore), as in the reference")
+    pre = "(?i)" if ci else ""
+    return (f"REGEXP_LIKE({args[0]}, '{pre}(^|[^0-9A-Za-z_])"
+            f"{m.group(1)}([^0-9A-Za-z_]|$)')")
+
+
+def _ngram_grams_sql(s: str, n: int = 4) -> str:
+    return (f"(CASE WHEN LENGTH({s}) >= {n} THEN "
+            f"TRANSFORM(SEQUENCE(1, LENGTH({s}) - {n - 1}), "
+            f"__i -> SUBSTRING({s}, __i, {n})) "
+            "ELSE CAST(ARRAY() AS ARRAY<STRING>) END)")
+
+
+def _ngram_distance_tpl(args: list[str], ci: bool) -> str:
+    """ngramDistance: 4-gram multiset symmetric difference over total
+    gram count (functions/text.ngram_distance SQL twin). The argument
+    expressions repeat — pass columns or cheap expressions."""
+    if len(args) != 2:
+        raise ValueError("ngramDistance(a, b)")
+    a, b = args
+    if ci:
+        a, b = f"LOWER({a})", f"LOWER({b})"
+    ga, gb = _ngram_grams_sql(a), _ngram_grams_sql(b)
+    return (f"(CASE WHEN SIZE({ga}) + SIZE({gb}) = 0 THEN 0.0D "
+            f"ELSE CAST(AGGREGATE(ARRAY_DISTINCT(CONCAT({ga}, {gb})), 0, "
+            f"(__s, __g) -> __s + ABS(SIZE(FILTER({ga}, __x -> __x = __g))"
+            f" - SIZE(FILTER({gb}, __x -> __x = __g)))) AS DOUBLE) "
+            f"/ (SIZE({ga}) + SIZE({gb})) END)")
+
+
+def _multi_fuzzy_tpl(args: list[str]) -> str:
+    """multiFuzzyMatchAny(haystack, d, ['lit', ...]): any literal
+    needle occurring as a substring within Levenshtein distance d.
+    Literal patterns only (no regex metacharacters) — the
+    needle-with-typos migration shape; hyperscan approximate-REGEX is
+    out of scope and refuses loudly."""
+    if len(args) != 3:
+        raise ValueError("multiFuzzyMatchAny(haystack, distance, "
+                         "[patterns])")
+    h = args[0]
+    try:
+        d = int(args[1].strip())
+    except ValueError:
+        raise ValueError("multiFuzzyMatchAny: distance must be an "
+                         f"integer literal, got {args[1]!r}") from None
+    am = re.fullmatch(r"(?is)\s*array\s*\((.*)\)\s*", args[2])
+    if not am:
+        raise ValueError("multiFuzzyMatchAny: patterns must be an "
+                         "array literal ['a', 'b']")
+    ors = []
+    for p in _split_args(am.group(1)):
+        pm = re.fullmatch(r"\s*'([^']*)'\s*", p)
+        if not pm:
+            raise ValueError(f"multiFuzzyMatchAny: pattern {p!r} must "
+                             "be a string literal")
+        lit = pm.group(1)
+        if re.search(r"[.^$*+?()\[\]{}|\\]", lit):
+            raise ValueError(
+                f"multiFuzzyMatchAny: pattern {lit!r} contains regex "
+                "metacharacters — only literal needles are supported")
+        for w in range(max(len(lit) - d, 1), len(lit) + d + 1):
+            ors.append(
+                f"EXISTS(SEQUENCE(1, GREATEST(LENGTH({h}), 1)), "
+                f"__i -> LEVENSHTEIN(SUBSTRING({h}, __i, {w}), "
+                f"'{lit}') <= {d})")
+        if len(lit) <= d:
+            ors.append(f"(LENGTH({h}) = 0)")
+    return "(" + " OR ".join(ors) + ")"
+
+
+def _tuple_element_tpl(args: list[str]) -> str:
+    """tupleElement(t, n) / tupleElement(t, 'name') — positional index
+    resolves against the NAMED_STRUCT('_1', ...) convention tuple()
+    emits."""
+    if len(args) != 2:
+        raise ValueError("tupleElement(tuple, index_or_name)")
+    idx = args[1].strip()
+    nm = re.fullmatch(r"'(\w+)'", idx)
+    if nm:
+        return f"({args[0]}).{nm.group(1)}"
+    try:
+        return f"({args[0]})._{int(idx)}"
+    except ValueError:
+        raise ValueError("tupleElement: index must be an integer or "
+                         f"name literal, got {idx!r}") from None
+
+
+def _untuple_tpl(args: list[str]) -> str:
+    """untuple(t) expands a tuple column's fields into columns — Spark
+    star-expands only NAMED references, so the argument must be a
+    (possibly qualified) column name; alias the expression first
+    otherwise."""
+    if len(args) != 1 or not re.fullmatch(r"\s*\w+(\.\w+)?\s*",
+                                          args[0]):
+        raise ValueError(
+            "untuple() takes a named tuple column (alias the tuple "
+            f"expression first), got {args!r}")
+    return f"{args[0].strip()}.*"
+
+
+def _tuple_arith_tpl(args: list[str], op: str | None) -> str:
+    """tuplePlus/Minus/Multiply (op) and tupleNegate (op=None) over
+    EXPLICIT tuple literals — the arity must be visible at translate
+    time (Spark structs have no generic element-wise arithmetic; for
+    struct columns use ch_functions.tuplePlus(col, col, arity))."""
+    def elems(s: str) -> list[str]:
+        s = s.strip()
+        m = re.fullmatch(r"(?is)named_struct\s*\((.*)\)", s)
+        if m:
+            parts = _split_args(m.group(1))
+            return [p for i, p in enumerate(parts) if i % 2 == 1]
+        m = re.fullmatch(r"\((.*)\)", s)
+        if m and len(_split_args(m.group(1))) > 1:
+            return _split_args(m.group(1))
+        raise ValueError(
+            "tuple arithmetic needs explicit tuple literals at "
+            "translate time (tuple(a, b) or (a, b)); for struct "
+            f"COLUMNS use ch_functions.tuplePlus(a, b, arity): got {s!r}")
+
+    if op is None:
+        ea = elems(args[0])
+        fields = ", ".join(f"'_{i + 1}', (-({x}))"
+                           for i, x in enumerate(ea))
+        return f"NAMED_STRUCT({fields})"
+    ea, eb = elems(args[0]), elems(args[1])
+    if len(ea) != len(eb):
+        raise ValueError(f"tuple arity mismatch: {len(ea)} vs {len(eb)}")
+    fields = ", ".join(f"'_{i + 1}', (({x}) {op} ({y}))"
+                       for i, (x, y) in enumerate(zip(ea, eb)))
+    return f"NAMED_STRUCT({fields})"
 
 
 def _rewrite_calls(sql: str) -> str:

@@ -373,3 +373,170 @@ def ngram_simhash(text: Column, n: int = 3, bits: int = 16) -> Column:
         F.lit(0).cast("long"),
         lambda acc, bit: acc + F.when(vote(bit) > 0, pow2(bit))
         .otherwise(F.lit(0).cast("long")))
+
+
+def _affine_hashes(grams: Column, num_hashes: int) -> list[Column]:
+    """k affine xxhash streams over a gram array — the EXACT hash family
+    of pipeline/dedup.minhash_signatures (xxhash token mode), so scalar
+    and corpus-level MinHash signatures interoperate."""
+    from clickhouse_clickhouse_spark.pipeline.dedup import (
+        MINHASH_COEFFS,
+        MINHASH_PRIME,
+    )
+
+    tid = lambda g: F.pmod(F.xxhash64(g), F.lit(MINHASH_PRIME))
+
+    # closure factory, NOT default-arg lambdas — defaults change the
+    # detected HOF arity (round-6 gotcha)
+    def one(a: int, b: int) -> Column:
+        return F.transform(
+            grams, lambda g: (F.lit(a) * tid(g) + F.lit(b))
+            % F.lit(MINHASH_PRIME))
+
+    return [one(a, b) for a, b in MINHASH_COEFFS[:num_hashes]]
+
+
+def word_shingle_minhash(text: Column, shingle: int = 2,
+                         num_hashes: int = 16) -> Column:
+    """Scalar ``wordShingleMinHash`` analog ([U]
+    src/Functions/FunctionsStringHash.cpp): per-string MinHash signature
+    over DISTINCT word shingles as ``array<bigint>`` — element k is the
+    min of affine hash k, the same (coeffs, prime, xxhash) family as
+    ``pipeline/dedup.minhash_signatures(token_hash='xxhash')``, so the
+    scalar signature EQUALS the corpus pipeline's (mh0..mhk) row
+    (pytest-verified). Upstream returns Tuple(UInt64, UInt64) of
+    combined hashes — same contract (signature for near-dup detection),
+    different representation, documented deviation. Empty/short input
+    yields an empty array (the pipeline drops such docs pre-agg)."""
+    grams = F.array_distinct(
+        word_ngrams(text, shingle) if shingle > 1 else tokens(text))
+    sig = F.array(*[F.array_min(h)
+                    for h in _affine_hashes(grams, num_hashes)])
+    return (F.when(F.size(grams) > 0, sig)
+            .otherwise(F.array().cast("array<bigint>")))
+
+
+def ngram_minhash(text: Column, n: int = 3,
+                  num_hashes: int = 16) -> Column:
+    """Scalar ``ngramMinHash`` analog: character-n-gram twin of
+    :func:`word_shingle_minhash` (distinct lowercased char n-grams,
+    same hash family)."""
+    grams = F.array_distinct(char_ngrams(F.lower(text), n))
+    sig = F.array(*[F.array_min(h)
+                    for h in _affine_hashes(grams, num_hashes)])
+    return (F.when(F.size(grams) > 0, sig)
+            .otherwise(F.array().cast("array<bigint>")))
+
+
+# hasToken tokenizer class: maximal runs of [0-9A-Za-z_] (upstream
+# tokenbf/hasToken split on non-alphanumeric). RE2-compatible groups
+# (not lookarounds) so the DuckDB oracle can run the SAME pattern.
+_TOKEN_BOUNDARY = "[^0-9A-Za-z_]"
+
+
+def has_token(haystack: Column, token: str,
+              case_insensitive: bool = False) -> Column:
+    """``hasToken[CaseInsensitive]`` ([U]
+    src/Functions/HasTokenImpl.h): true when ``token`` appears as a
+    WHOLE token (maximal alphanumeric run) of the haystack. The needle
+    must itself be one token — anything containing a separator refuses
+    loudly, matching the upstream error contract."""
+    if not isinstance(token, str):
+        raise ValueError("has_token: the needle must be a constant "
+                         "string (upstream requires a constant)")
+    import re as _re
+
+    if not _re.fullmatch(r"[0-9A-Za-z_]+", token):
+        raise ValueError(
+            f"has_token: needle {token!r} must be a single token "
+            "(alphanumeric/underscore only), as in the reference")
+    pat = (f"(^|{_TOKEN_BOUNDARY}){token}({_TOKEN_BOUNDARY}|$)")
+    if case_insensitive:
+        pat = "(?i)" + pat
+    return haystack.rlike(pat)
+
+
+def multi_match_any(haystack: Column, patterns) -> Column:
+    """``multiMatchAny`` ([U] src/Functions/MultiMatchAnyImpl.h): true
+    when ANY of the regex patterns matches. Patterns may be a python
+    list (unrolled to ORed RLIKEs — stays in codegen) or an array
+    Column (EXISTS + per-row regex compile)."""
+    if isinstance(patterns, (list, tuple)):
+        out = F.lit(False)
+        for p in patterns:
+            out = out | haystack.rlike(p)
+        return out
+    return F.exists(patterns, lambda p: F.regexp_like(haystack, p))
+
+
+def multi_match_any_index(haystack: Column, patterns) -> Column:
+    """``multiMatchAnyIndex``: 1-based index of the first matching
+    pattern, 0 when none match."""
+    arr = (F.array(*[F.lit(p) for p in patterns])
+           if isinstance(patterns, (list, tuple)) else patterns)
+    flags = F.transform(arr, lambda p: F.regexp_like(haystack, p))
+    return F.coalesce(F.array_position(flags, F.lit(True)),
+                      F.lit(0)).cast("bigint")
+
+
+def multi_fuzzy_match_any(haystack: Column, distance: int,
+                          patterns) -> Column:
+    """``multiFuzzyMatchAny`` ([U] MultiMatchAnyImpl with hyperscan
+    edit-distance): true when any pattern occurs as a SUBSTRING of the
+    haystack within Levenshtein distance ``distance``. Supported for
+    LITERAL patterns (no regex metacharacters) — the common
+    needle-with-typos migration shape; regex patterns refuse loudly
+    (hyperscan approximate-regex is out of scope). Cost: |text| ×
+    (2d+1) levenshteins per pattern — a scalar-predicate tool, not a
+    corpus-dedup one (pipeline/dedup owns that at scale)."""
+    import re as _re
+
+    if not isinstance(patterns, (list, tuple)):
+        raise ValueError("multi_fuzzy_match_any takes a python list of "
+                         "literal patterns")
+    d = int(distance)
+    out = F.lit(False)
+    for p in patterns:
+        if _re.search(r"[.^$*+?()\[\]{}|\\]", p):
+            raise ValueError(
+                f"multi_fuzzy_match_any: pattern {p!r} contains regex "
+                "metacharacters — only literal needles are supported "
+                "(approximate-regex matching is out of scope)")
+        lp = len(p)
+
+        # closure factory (default-arg lambdas change HOF arity)
+        def window_hit(w: int, pat: str) -> Column:
+            return F.exists(
+                F.sequence(F.lit(1), F.greatest(F.length(haystack),
+                                                F.lit(1))),
+                lambda i: F.levenshtein(
+                    F.substring(haystack, i, w), F.lit(pat)) <= d)
+
+        # a window of each length in [lp-d, lp+d] at each start; any
+        # window within distance d is a fuzzy hit
+        hit = F.lit(False)
+        for w in range(max(lp - d, 1), lp + d + 1):
+            hit = hit | window_hit(w, p)
+        out = out | (hit & (F.length(haystack) > 0)) | \
+            ((F.length(haystack) == 0) & F.lit(lp <= d))
+    return out
+
+
+def ngram_distance(a: Column, b: Column, n: int = 4,
+                   case_insensitive: bool = False) -> Column:
+    """``ngramDistance`` ([U] src/Functions/FunctionsStringSimilarity.cpp):
+    multiset symmetric difference of the two strings' character
+    n-grams, normalized by the total gram count — 0.0 identical
+    profiles, 1.0 disjoint. Both-empty → 0.0, one-empty → 1.0 (the
+    normalized formula's own limits)."""
+    if case_insensitive:
+        a, b = F.lower(a), F.lower(b)
+    ga, gb = char_ngrams(a, n), char_ngrams(b, n)
+    symdiff = F.aggregate(
+        F.array_distinct(F.concat(ga, gb)), F.lit(0),
+        lambda s, g: s + F.abs(
+            F.size(F.filter(ga, lambda x: x == g))
+            - F.size(F.filter(gb, lambda x: x == g))))
+    total = F.size(ga) + F.size(gb)
+    return (F.when(total == 0, F.lit(0.0))
+            .otherwise(symdiff.cast("double") / total))

@@ -1426,3 +1426,80 @@ def exact_substring_spans_q(spark, sf):
 
     d = load_table(spark, sf, "documents")
     return exact_substring_spans(d, n=3, min_docs=2)
+
+
+_ND_GA = ("(CASE WHEN len(n_name) >= 4 THEN "
+          "list_transform(generate_series(1, len(n_name) - 3), "
+          "i -> substr(n_name, i, 4)) "
+          "ELSE CAST([] AS VARCHAR[]) END)")
+_ND_GB = ("list_transform(generate_series(1, len('UNITED STATES') - 3), "
+          "i -> substr('UNITED STATES', i, 4))")
+
+
+@register("ch_dialect_demo9", oracle=f"""
+SELECT n_nationkey AS k,
+       regexp_matches(replace(n_name, 'A', ' '),
+           '(^|[^0-9A-Za-z_])KENY([^0-9A-Za-z_]|$)') AS ht,
+       regexp_matches(n_name,
+           '(?i)(^|[^0-9A-Za-z_])kenya([^0-9A-Za-z_]|$)') AS hti,
+       (regexp_matches(n_name, 'IA$')
+        OR regexp_matches(n_name, '^K')) AS mma,
+       CAST(CASE WHEN regexp_matches(n_name, 'IA$') THEN 1
+                 WHEN regexp_matches(n_name, '^K') THEN 2
+                 ELSE 0 END AS BIGINT) AS mmi,
+       CAST(CASE WHEN contains(n_name, 'AN') THEN 1
+                 WHEN contains(n_name, 'IA') THEN 2
+                 ELSE 0 END AS BIGINT) AS msf,
+       [CAST(strpos(n_name, 'AN') AS BIGINT),
+        CAST(strpos(n_name, 'IA') AS BIGINT)] AS msp,
+       round(CASE WHEN len({_ND_GA}) + len({_ND_GB}) = 0 THEN 0.0
+             ELSE CAST(list_sum(list_transform(
+                      list_distinct(list_concat({_ND_GA}, {_ND_GB})),
+                      g -> abs(len(list_filter({_ND_GA}, x -> x = g))
+                           - len(list_filter({_ND_GB}, x -> x = g)))))
+                  AS DOUBLE) / (len({_ND_GA}) + len({_ND_GB})) END,
+             6) AS nd,
+       (len(list_filter(generate_series(1, greatest(len(n_name), 1)),
+            i -> levenshtein(substr(n_name, i, 11),
+                             'UNITED STATE') <= 1)) > 0
+        OR len(list_filter(generate_series(1, greatest(len(n_name), 1)),
+            i -> levenshtein(substr(n_name, i, 12),
+                             'UNITED STATE') <= 1)) > 0
+        OR len(list_filter(generate_series(1, greatest(len(n_name), 1)),
+            i -> levenshtein(substr(n_name, i, 13),
+                             'UNITED STATE') <= 1)) > 0) AS mfm,
+       CAST(n_nationkey + 10 AS BIGINT) AS tp,
+       CAST(16 AS BIGINT) AS rs_len
+FROM nation
+""")
+def ch_dialect_demo9(spark, sf):
+    """Round-7 string-similarity / multi-search scalar tail through
+    ch_sql ([U] src/Functions/FunctionsStringSimilarity.cpp,
+    MultiMatchAnyImpl.h, HasTokenImpl.h, tupleArithmetic):
+    hasToken[CaseInsensitive] (RE2-compatible token boundaries — the
+    oracle runs the IDENTICAL regex), multiMatchAny[Index],
+    multiSearchFirstIndex/AllPositions, ngramDistance (4-gram multiset
+    symmetric difference, replayed in DuckDB list algebra),
+    multiFuzzyMatchAny (literal needle within Levenshtein distance 1,
+    window-scan replayed), tuplePlus/tupleElement, randomString
+    (length-checked — content is random by contract). The
+    wordShingleMinHash/ngramMinHash scalars interop-match the corpus
+    pipeline in tests/test_functions.py (xxhash64 has no DuckDB
+    equivalent — same stance as the r6 SimHash twins)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "nation").createOrReplaceTempView("nation")
+    return ch_sql(spark, """
+        SELECT n_nationkey AS k,
+               hasToken(replaceAll(n_name, 'A', ' '), 'KENY') AS ht,
+               hasTokenCaseInsensitive(n_name, 'kenya') AS hti,
+               multiMatchAny(n_name, ['IA$', '^K']) AS mma,
+               multiMatchAnyIndex(n_name, ['IA$', '^K']) AS mmi,
+               multiSearchFirstIndex(n_name, ['AN', 'IA']) AS msf,
+               multiSearchAllPositions(n_name, ['AN', 'IA']) AS msp,
+               round(ngramDistance(n_name, 'UNITED STATES'), 6) AS nd,
+               multiFuzzyMatchAny(n_name, 1, ['UNITED STATE']) AS mfm,
+               toInt64(tupleElement(tuplePlus(tuple(n_nationkey, 2),
+                                              tuple(10, 20)), 1)) AS tp,
+               toInt64(length(randomString(16))) AS rs_len
+        FROM nation""")

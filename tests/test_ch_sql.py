@@ -1194,3 +1194,35 @@ def test_optimize_statement_and_explain_routing(spark):
     finally:
         ch_statement(spark, "ALTER TABLE opt_t DROP PROJECTION p")
         ch_statement(spark, "DROP VIEW opt_t")
+
+
+def test_round7_scalar_tail_dialect(spark):
+    """Round-7 multi-search / tuple / randomString dialect names."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, translate
+
+    r = ch_sql(spark, """
+        SELECT tuplePlus(tuple(1, 2), tuple(10, 20)) AS tp,
+               tupleNegate(tuple(3, 4)) AS tn,
+               tupleElement(tuple(7, 8), 2) AS te,
+               randomString(12) AS rs,
+               hasToken('ab the cd', 'the') AS ht,
+               hasToken('xthey', 'the') AS ht2
+    """).collect()[0]
+    assert (r.tp._1, r.tp._2) == (11, 22)
+    assert (r.tn._1, r.tn._2) == (-3, -4)
+    assert r.te == 8
+    assert len(r.rs) == 12 and all(33 <= ord(c) <= 126 for c in r.rs)
+    assert r.ht is True and r.ht2 is False
+    # untuple expands a NAMED tuple column
+    rows = ch_sql(spark, "SELECT untuple(t) FROM "
+                         "(SELECT tuple(1, 'x') AS t) s").collect()
+    assert rows == [(1, "x")]
+    # ... and refuses an unnamed expression loudly
+    import pytest as _p
+
+    with _p.raises(ValueError, match="untuple"):
+        translate("SELECT untuple(tuple(1, 2))")
+    with _p.raises(ValueError, match="needle"):
+        translate("SELECT hasToken('x', concat('a', 'b'))")
+    with _p.raises(ValueError, match="arity"):
+        translate("SELECT tuplePlus(tuple(1, 2), tuple(1, 2, 3))")

@@ -163,3 +163,69 @@ def test_scalar_simhash_matches_pipeline(spark, sf_dir):
     h = {r.id: r.h for r in rows}
     ham = lambda a, b: bin(a ^ b).count("1")
     assert ham(h[1], h[2]) < ham(h[1], h[3])
+
+
+def test_scalar_minhash_matches_pipeline(spark, sf_dir):
+    """wordShingleMinHash (scalar, column expressions) must equal the
+    corpus-level pipeline/dedup.minhash_signatures row per document —
+    per-string and per-corpus MinHash interoperate (round-7; same
+    stance as the r6 SimHash twins)."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_clickhouse_spark.functions.text import (
+        ngram_minhash, word_shingle_minhash,
+    )
+    from clickhouse_clickhouse_spark.pipeline.dedup import (
+        minhash_signatures,
+    )
+    from clickhouse_clickhouse_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(60)
+    scalar = d.select("doc_id", word_shingle_minhash(
+        F.col("text"), shingle=2, num_hashes=8).alias("sig"))
+    pipe = minhash_signatures(d, "doc_id", "text", num_hashes=8,
+                              shingle=2)
+    j = scalar.join(pipe, "doc_id")
+    bad = j.filter(
+        F.col("sig") != F.array(*[F.col(f"mh{k}") for k in range(8)]))
+    assert bad.count() == 0
+    # ngram variant: near-identical strings share most signature slots
+    rows = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),
+         (3, "completely different words entirely here")],
+        "id int, t string").select(
+        "id", ngram_minhash(F.col("t"), 3, 16).alias("s")).collect()
+    s = {r.id: r.s for r in rows}
+    shared = lambda a, b: sum(1 for x, y in zip(a, b) if x == y)
+    assert shared(s[1], s[2]) > shared(s[1], s[3])
+
+
+def test_multi_fuzzy_and_token_predicates(spark):
+    from pyspark.sql import functions as F
+
+    from clickhouse_clickhouse_spark.functions.text import (
+        has_token, multi_fuzzy_match_any, multi_match_any,
+        ngram_distance,
+    )
+
+    d = spark.createDataFrame(
+        [("the cat sat",), ("concatenate",), ("",)], "t string")
+    r = d.select(
+        has_token(F.col("t"), "cat").alias("ht"),
+        multi_match_any(F.col("t"), [r"c.t", r"^x"]).alias("mm"),
+        multi_fuzzy_match_any(F.col("t"), 1, ["zat"]).alias("fz"),
+        F.round(ngram_distance(F.col("t"), F.col("t"), 3), 6)
+        .alias("self_d")).collect()
+    # 'cat' is a token of the first row only (substring != token)
+    assert [x.ht for x in r] == [True, False, False]
+    assert [x.mm for x in r] == [True, True, False]
+    # 'sat'/'cat' are within distance 1 of 'zat'
+    assert [x.fz for x in r] == [True, True, False]
+    assert all(x.self_d == 0.0 for x in r if x.self_d is not None)
+    import pytest as _p
+
+    with _p.raises(ValueError, match="single token"):
+        d.select(has_token(F.col("t"), "two words"))
+    with _p.raises(ValueError, match="metacharacters"):
+        d.select(multi_fuzzy_match_any(F.col("t"), 1, ["a.b"]))
