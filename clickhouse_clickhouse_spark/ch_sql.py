@@ -186,6 +186,9 @@ _FUNCS: dict[str, str] = {
     "startsWith": "STARTSWITH({0}, {1})", "endsWith": "ENDSWITH({0}, {1})",
     # arrays
     "arrayJoin": "EXPLODE({0})", "has": "ARRAY_CONTAINS({0}, {1})",
+    # 1-based like the reference (Spark's a[i] subscript is 0-based and
+    # deliberately NOT rewritten — bracket indexing stays Spark-law)
+    "arrayElement": "ELEMENT_AT({0}, CAST({1} AS INT))",
     "indexOf": "ARRAY_POSITION({0}, {1})",
     "arrayDistinct": "ARRAY_DISTINCT({0})", "arraySort": "ARRAY_SORT({0})",
     "arrayConcat": "CONCAT({*})", "arrayFlatten": "FLATTEN({0})",
