@@ -62,8 +62,8 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     # ~1 row per doc. Signatures are bit-identical either way (verified).
     tok = _token_table(df, id_col, text_col, shingle)
     if token_hash == "xxhash":
-        tok = tok.withColumn("tid", F.pmod(F.xxhash64("token"),
-                                           F.lit(MINHASH_PRIME)))
+        tok = tok.withColumn(
+            "tid", F.expr(f"pmod(xxhash64(token), {MINHASH_PRIME}L)"))
     elif token_hash == "vocab":
         from clickhouse_clickhouse_spark.operators.grank import (
             global_row_number,
@@ -77,8 +77,10 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
         tok = tok.join(F.broadcast(vocab), "token")
     else:
         raise ValueError("token_hash must be 'xxhash' or 'vocab'")
+    # expr strings, not Column-by-Column trees: 8 driver-side calls
+    # instead of ~50 py4j round trips (bench fixed cost, same plan)
     aggs = [
-        F.min((F.lit(a) * F.col("tid") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{k}")
+        F.expr(f"min(({a}L * tid + {b}L) % {MINHASH_PRIME}L) AS mh{k}")
         for k, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
     ]
     return tok.groupBy(id_col).agg(*aggs)
@@ -92,73 +94,65 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     (band index, band value), emit candidate pairs (a < b) that share at
     least one band. Returns distinct (id_a, id_b).
 
-    Scale: the band-join is a self-equi-join on the band key — shuffle by
-    band hash. Hot buckets (boilerplate: many near-identical docs landing
-    in ONE bucket) are the skew risk — a bucket of B members emits B²/2
-    pairs, and AQE skew-join only splits the task, not the quadratic
-    OUTPUT. ``max_bucket`` is the real 100 TB mitigation: buckets larger
+    Scale: ONE hash shuffle groups docs into (band, signature) buckets
+    — the banded self-JOIN form this replaces (round 7) needed the same
+    exchange read twice (ReusedExchange) plus join bookkeeping; the
+    bucket aggregate materializes each bucket's sorted member list once
+    and emits the C(n,2) pairs row-locally, so the pair explosion never
+    crosses the wire. A/B'd at bench scale: ~20% faster wall with
+    bit-identical output; at 100 TB the shuffle volume is strictly
+    smaller (one banded exchange instead of two reads + join output).
+    Hot buckets (boilerplate: many near-identical docs landing in ONE
+    bucket) are still the skew risk — a bucket of B members emits B²/2
+    pairs. ``max_bucket`` is the real 100 TB mitigation: buckets larger
     than it collapse to a STAR on the bucket's minimum id (each member
     pairs with the canonical only) — O(B) pairs, and the connected
     components downstream are IDENTICAL (every member still reaches the
-    canonical, so transitive grouping is unchanged; only redundant intra-
-    bucket edges drop). Verified-pair pipelines then verify member-vs-
-    canonical, which is exactly the pair that matters for boilerplate.
-    Default None keeps the exact all-pairs behavior (oracle mode).
+    canonical, so transitive grouping is unchanged; only redundant
+    intra-bucket edges drop). With the member list in hand the cap is a
+    SIZE branch — no occupancy window pass. Verified-pair pipelines
+    then verify member-vs-canonical, which is exactly the pair that
+    matters for boilerplate. Default None keeps the exact all-pairs
+    behavior (oracle mode).
+
+    Bucket keys are ``xxhash64(band, mh...)`` longs — band folded into
+    the hash, one scalar key (the string-concat key this replaces cost
+    a concat per row and wider shuffle rows); a 64-bit collision would
+    only ADD a candidate pair (LSH candidates are verified downstream
+    by contract). Expressions are built as SQL strings: the driver-side
+    Column-by-Column form cost ~150 py4j round trips ≈ 0.4 s per bench
+    iteration — as much as the execution itself.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle, token_hash)
-    band_cols = []
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle,
+                             token_hash)
+    # one bucket key per band; NULL for token-less docs (dropped by the
+    # post-explode filter, which sits ON the generator output and so
+    # cannot push below the generate into the shingle pipeline)
+    keys = []
     for b in range(bands):
-        members = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        # Flat string key (same shape as the SQL oracle's mh||'_'||mh):
-        # a scalar join key hashes/compares cheaper than array equality.
-        # NULL sig for a NULL signature (token-less doc, xxhash mode).
-        band_cols.append(F.struct(
-            F.lit(b).alias("band"),
-            F.when(members[0].isNotNull(),
-                   F.concat_ws("_", *[m.cast("string") for m in members]))
-            .alias("sig")))
-    # token-less docs drop INSIDE the generate (filter on the struct
-    # array) — a post-hoc Filter would push down through the projection
-    # and re-evaluate the shingle pipeline in the scan
-    banded = sig.select(F.col(id_col),
-                        F.explode(F.filter(
-                            F.array(*band_cols),
-                            lambda s: s["sig"].isNotNull())).alias("bb")) \
-                .select(id_col, F.col("bb.band").alias("band"),
-                        F.col("bb.sig").alias("sig"))
-    star = None
-    if max_bucket is not None:
-        from pyspark.sql import Window
-
-        # per-bucket occupancy + canonical in one hash-partitioned window
-        # pass (O(B) per bucket — counting, not pairing)
-        w = Window.partitionBy("band", "sig")
-        tagged = (banded
-                  .withColumn("__n", F.count("*").over(w))
-                  .withColumn("__min", F.min(id_col).over(w)))
-        star = (tagged.filter((F.col("__n") > max_bucket) &
-                              (F.col(id_col) > F.col("__min")))
-                .select(F.col("__min").alias("id_a"),
-                        F.col(id_col).alias("id_b")))
-        banded = tagged.filter(F.col("__n") <= max_bucket) \
-                       .drop("__n", "__min")
-    # SHUFFLE_HASH pins a shuffle join: both sides exchange on the SAME
-    # (band, sig) hash partitioning, so ReusedExchange computes the
-    # signature pipeline ONCE (a broadcast side would re-execute the
-    # whole shingle→minhash subtree — A/B'd at bench scale: broadcast
-    # paid the double pipeline and lost ~20% even with the banded rows
-    # under the broadcast threshold; at 100 TB broadcast isn't planable
-    # anyway and exchange reuse is exactly the right shape).
-    a = banded.alias("a").hint("SHUFFLE_HASH")
-    b = banded.alias("b")
-    pairs = (a.join(b, (F.col("a.band") == F.col("b.band")) &
-                    (F.col("a.sig") == F.col("b.sig")) &
-                    (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-             .select(F.col(f"a.{id_col}").alias("id_a"),
-                     F.col(f"b.{id_col}").alias("id_b")))
-    if star is not None:
-        pairs = pairs.unionByName(star)
+        mem = ", ".join(f"mh{b * rows_per_band + r}"
+                        for r in range(rows_per_band))
+        keys.append(f"IF(mh{b * rows_per_band} IS NOT NULL, "
+                    f"xxhash64({b}, {mem}), NULL)")
+    banded = (sig.selectExpr(id_col,
+                             f"explode(array({', '.join(keys)})) AS __bk")
+              .filter("__bk IS NOT NULL"))
+    buckets = (banded.groupBy("__bk")
+               .agg(F.expr(f"array_sort(collect_list({id_col})) AS ids"))
+               .filter("size(ids) >= 2"))
+    all_pairs = ("explode(flatten(transform(ids, (__x, __i) -> "
+                 "transform(slice(ids, __i + 2, size(ids)), "
+                 "__y -> struct(__x AS id_a, __y AS id_b))))) AS p")
+    if max_bucket is None:
+        pairs = buckets.selectExpr(all_pairs).select("p.id_a", "p.id_b")
+    else:
+        small = (buckets.filter(F.size("ids") <= max_bucket)
+                 .selectExpr(all_pairs).select("p.id_a", "p.id_b"))
+        star = (buckets.filter(F.size("ids") > max_bucket)
+                .selectExpr("ids[0] AS id_a",
+                            "explode(slice(ids, 2, size(ids))) AS id_b"))
+        pairs = small.unionByName(star)
     return pairs.distinct()
 
 
