@@ -313,3 +313,45 @@ def format_msgpack_roundtrip(spark, sf):
     ddl = ("s_suppkey bigint, s_name string, s_nationkey bigint, "
            "acctbal double, always_null bigint")
     return msgpack_decode(msgpack_encode(s), ddl)
+
+
+@register("format_uint64_full_range", oracle="""
+SELECT CAST(n_nationkey AS BIGINT) AS k,
+       CAST(CAST('9223372036854775808' AS DECIMAL(20,0))
+            + CAST(n_nationkey AS DECIMAL(20,0))
+              * CAST('368934881474191032' AS DECIMAL(20,0))
+            AS DECIMAL(20,0)) AS u64
+FROM nation
+""")
+def format_uint64_full_range(spark, sf):
+    """UInt64 full-range opt-in (round-7; SURVEY §1.2's one documented
+    type loss, [U] src/DataTypes/DataTypeNumber.cpp):
+    ``types_map.parse_ch_type(..., uint64_as_decimal=True)`` maps
+    UInt64 to DECIMAL(20,0); values in 2^63..2^64-1 round-trip
+    losslessly through BOTH binary formats — RowBinary (little-endian
+    u8) and MsgPack (canonical unsigned forms incl. 0xCF), where the
+    default LongType path wraps (and now refuses loudly instead).
+    The query builds 25 values spanning 2^63..~2^64, pushes them
+    through MsgPack encode→decode then RowBinary encode→decode with
+    the opt-in schema, and returns the survivors for DuckDB to
+    hash-match against exact decimal arithmetic."""
+    from clickhouse_clickhouse_spark.sources.msgpack import (
+        msgpack_decode,
+        msgpack_encode,
+    )
+    from clickhouse_clickhouse_spark.sources.render import (
+        rowbinary_decode,
+        rowbinary_encode,
+    )
+    from clickhouse_clickhouse_spark.types_map import ch_schema_to_struct
+
+    n = load_table(spark, sf, "nation").selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS k",
+        "CAST(CAST('9223372036854775808' AS DECIMAL(20,0)) "
+        "+ CAST(n_nationkey AS DECIMAL(20,0)) "
+        "  * CAST('368934881474191032' AS DECIMAL(20,0)) "
+        "AS DECIMAL(20,0)) AS u64")
+    mp = msgpack_decode(msgpack_encode(n), "k bigint, u64 decimal(20,0)")
+    schema = ch_schema_to_struct("k Int64, u64 UInt64",
+                                 uint64_as_decimal=True)
+    return rowbinary_decode(rowbinary_encode(mp), schema)

@@ -42,6 +42,15 @@ def _check_schema(schema: T.StructType) -> None:
                     f"msgpack: array element type {t.elementType} for "
                     f"{f.name!r} not supported (int/long/double/string)")
             continue
+        if isinstance(t, T.DecimalType):
+            # the UInt64 full-range opt-in (types_map uint64_as_decimal):
+            # Decimal(20,0) carries 0..2^64-1 and wires as msgpack uint
+            if (t.precision, t.scale) != (20, 0):
+                raise ValueError(
+                    f"msgpack: decimal column {f.name!r} must be "
+                    "DECIMAL(20,0) (the UInt64 opt-in); other decimals "
+                    "are unsupported")
+            continue
         if not isinstance(t, (T.LongType, T.IntegerType, T.ShortType,
                               T.ByteType, T.DoubleType, T.FloatType,
                               T.BooleanType, T.StringType, T.BinaryType)):
@@ -84,6 +93,61 @@ def _enc_int_flat(v, valid):
     _wide(m_i32, 0xD2, ">i4", 4)
     _wide(m_i64, 0xD3, ">i8", 8)
     return buf, lens
+
+
+def _enc_uint_flat(u, valid):
+    """Canonical UNSIGNED encodings for a uint64 vector (the UInt64
+    opt-in): positive fixint, uint8/16/32/64 (0xCC-0xCF) — the spec's
+    smallest unsigned form per value; nil for invalid entries."""
+    import numpy as np
+
+    u = u.astype(np.uint64, copy=False)
+    m_nil = ~valid
+    m_fix = valid & (u <= 127)
+    m_u8 = valid & ~m_fix & (u <= 0xFF)
+    m_u16 = valid & ~m_fix & ~m_u8 & (u <= 0xFFFF)
+    m_u32 = valid & ~m_fix & ~m_u8 & ~m_u16 & (u <= 0xFFFFFFFF)
+    m_u64 = valid & ~m_fix & ~m_u8 & ~m_u16 & ~m_u32
+    lens = np.select([m_nil, m_fix, m_u8, m_u16, m_u32, m_u64],
+                     [1, 1, 2, 3, 5, 9]).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    buf = np.zeros(int(lens.sum()), dtype=np.uint8)
+    buf[starts[m_nil]] = 0xC0
+    buf[starts[m_fix]] = (u[m_fix] & np.uint64(0xFF)).astype(np.uint8)
+
+    def _wide(mask, code, dt, k):
+        s = starts[mask]
+        if not s.size:
+            return
+        buf[s] = code
+        payload = u[mask].astype(dt).view(np.uint8).reshape(-1, k)
+        buf[s[:, None] + 1 + np.arange(k)] = payload
+
+    _wide(m_u8, 0xCC, ">u1", 1)
+    _wide(m_u16, 0xCD, ">u2", 2)
+    _wide(m_u32, 0xCE, ">u4", 4)
+    _wide(m_u64, 0xCF, ">u8", 8)
+    return buf, lens
+
+
+def _dec128_to_u64(arr, valid):
+    """Arrow decimal128(20,0) -> uint64 vector (vectorized: the low
+    128-bit word IS the value for 0 <= v < 2^64; anything outside
+    refuses loudly)."""
+    import numpy as np
+
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    buf = np.frombuffer(arr.buffers()[1], dtype=np.uint64)
+    words = buf[arr.offset * 2:(arr.offset + n) * 2].reshape(-1, 2)
+    lo, hi = words[:, 0], words[:, 1]   # little-endian 128-bit
+    bad = valid & (hi != 0) & ~((hi == np.uint64(2**64 - 1)))
+    neg = valid & (hi == np.uint64(2**64 - 1))   # two's-complement sign
+    if bool(bad.any()) or bool(neg.any()):
+        raise ValueError("msgpack: DECIMAL(20,0) value outside the "
+                         "UInt64 range 0..2^64-1")
+    return lo
 
 
 def _enc_float_flat(v, valid, single=False):
@@ -222,6 +286,9 @@ def _encode_column(batch, f):
         arr, valid = _pa_col(batch, f.name, pa.int64())
         v = np.asarray(arr.fill_null(0), dtype=np.int64)
         return _enc_int_flat(v, valid)
+    if isinstance(t, T.DecimalType):
+        arr, valid = _pa_col(batch, f.name, pa.decimal128(20, 0))
+        return _enc_uint_flat(_dec128_to_u64(arr, valid), valid)
     if isinstance(t, (T.DoubleType, T.FloatType)):
         arr, valid = _pa_col(batch, f.name, pa.float64())
         v = np.asarray(arr.fill_null(0.0), dtype=np.float64)
@@ -388,6 +455,54 @@ def _dec_int_at(buf, cur, active):
     return vals, valid, lens
 
 
+def _dec_uint_at(buf, cur, active):
+    """Decode one msgpack UNSIGNED int (or nil) per active row — the
+    DECIMAL(20,0)/UInt64 opt-in target, so 0xCF takes the full 64-bit
+    range. Signed forms (0xD0-0xD3) are accepted when non-negative;
+    negative values refuse loudly (UInt64 has no negatives)."""
+    import numpy as np
+
+    n = len(cur)
+    vals = np.zeros(n, dtype=np.uint64)
+    valid = np.zeros(n, dtype=bool)
+    lens = np.zeros(n, dtype=np.int64)
+    if not active.any():
+        return vals, valid, lens
+    t = np.zeros(n, dtype=np.uint8)
+    t[active] = buf[cur[active]]
+    a = active
+    m = a & (t <= 0x7F)
+    vals[m], valid[m], lens[m] = t[m].astype(np.uint64), True, 1
+    m = a & (t == 0xC0)
+    lens[m] = 1
+    for code, k, dt in ((0xCC, 1, "u1"), (0xCD, 2, "u2"),
+                        (0xCE, 4, "u4"), (0xCF, 8, "u8")):
+        m = a & (t == code)
+        if m.any():
+            vals[m] = _be(buf, cur[m] + 1, k, dt).astype(np.uint64)
+            valid[m], lens[m] = True, 1 + k
+    for code, k, dt in ((0xD0, 1, "i1"), (0xD1, 2, "i2"),
+                        (0xD2, 4, "i4"), (0xD3, 8, "i8")):
+        m = a & (t == code)
+        if m.any():
+            sv = _be(buf, cur[m] + 1, k, dt).astype(np.int64)
+            if bool((sv < 0).any()):
+                raise ValueError("msgpack: negative value while decoding "
+                                 "an unsigned (DECIMAL(20,0)) column")
+            vals[m] = sv.astype(np.uint64)
+            valid[m], lens[m] = True, 1 + k
+    bad = a & (t >= 0xE0)          # negative fixint
+    if bad.any():
+        raise ValueError("msgpack: negative value while decoding an "
+                         "unsigned (DECIMAL(20,0)) column")
+    bad = a & (lens == 0)
+    if bad.any():
+        raise ValueError(
+            f"msgpack: unexpected type byte 0x{int(t[bad][0]):02x} "
+            "while decoding an unsigned integer")
+    return vals, valid, lens
+
+
 def _dec_float_at(buf, cur, active):
     import numpy as np
 
@@ -483,6 +598,8 @@ def _spark_arrow_type(t):
         return pa.float32()
     if isinstance(t, T.BooleanType):
         return pa.bool_()
+    if isinstance(t, T.DecimalType):
+        return pa.decimal128(t.precision, t.scale)
     if isinstance(t, T.StringType):
         return pa.string()
     if isinstance(t, T.BinaryType):
@@ -533,6 +650,13 @@ def msgpack_decode(df: DataFrame, schema: T.StructType | str,
                     out[f.name] = pa.array(
                         [int(x) if ok else None
                          for x, ok in zip(v, valid)], type=pa_t)
+                    cur = cur + cl
+                elif isinstance(t, T.DecimalType):
+                    v, valid, cl = _dec_uint_at(buf, cur, alive)
+                    out[f.name] = pa.array(
+                        [int(x) if ok else None
+                         for x, ok in zip(v, valid)],
+                        type=pa.decimal128(20, 0))
                     cur = cur + cl
                 elif isinstance(t, (T.DoubleType, T.FloatType)):
                     v, valid, cl = _dec_float_at(buf, cur, alive)

@@ -362,6 +362,11 @@ def rowbinary_encode(df: DataFrame) -> DataFrame:
     from pyspark import cloudpickle
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.DecimalType) and \
+                (f.dataType.precision, f.dataType.scale) != (20, 0):
+            raise TypeError("RowBinary: decimal columns must be "
+                            "DECIMAL(20,0) (the UInt64 opt-in)")
     fields = [(f.name, type(f.dataType)) for f in df.schema.fields]
     all_fixed = all(ft in _FIXED for _, ft in fields)
 
@@ -425,6 +430,16 @@ def rowbinary_encode(df: DataFrame) -> DataFrame:
                         prefix[pstart[m] + k] = byte
                     segments.append((prefix, nb))
                     segments.append((payload, lens))
+                elif ftype is T.DecimalType:
+                    # UInt64 opt-in (DECIMAL(20,0)): little-endian u8,
+                    # full 0..2^64-1 range. Decimal objects arrive as
+                    # python objects in pandas — the int() walk is the
+                    # one per-row step on this OPT-IN path (the default
+                    # LongType column stays fully vectorized).
+                    u = np.fromiter((int(x) for x in pdf[name]),
+                                    dtype=np.uint64, count=n)
+                    segments.append((u.astype("<u8").view(np.uint8),
+                                     np.full(n, 8, dtype=np.int64)))
                 elif ftype is T.DateType:
                     days = (pd.to_datetime(pdf[name])
                             .to_numpy().astype("datetime64[D]")
@@ -473,6 +488,11 @@ def rowbinary_decode(df: DataFrame, schema: T.StructType,
     from pyspark import cloudpickle
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
+    for f in schema.fields:
+        if isinstance(f.dataType, T.DecimalType) and \
+                (f.dataType.precision, f.dataType.scale) != (20, 0):
+            raise TypeError("RowBinary: decimal columns must be "
+                            "DECIMAL(20,0) (the UInt64 opt-in)")
     fields = [(f.name, type(f.dataType)) for f in schema.fields]
     all_fixed = all(ft in _FIXED for _, ft in fields)
 
@@ -539,6 +559,14 @@ def rowbinary_decode(df: DataFrame, schema: T.StructType,
                         pa.py_buffer(payload.tobytes()))
                     out[name] = arr.to_pandas()
                     pos = pos + ln
+                elif ftype is T.DecimalType:
+                    import decimal
+                    block = _gather_fixed(buf, pos, 8, np)
+                    u = block.view("<u8").ravel()
+                    out[name] = pd.Series(
+                        [decimal.Decimal(int(x)) for x in u],
+                        dtype=object)
+                    pos = pos + 8
                 elif ftype is T.DateType:
                     block = _gather_fixed(buf, pos, 2, np)
                     days = block.view("<u2").ravel().astype("int64")

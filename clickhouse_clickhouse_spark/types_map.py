@@ -32,33 +32,43 @@ _SIMPLE: dict[str, T.DataType] = {
 _WRAPPERS_TRANSPARENT = ("LowCardinality", "SimpleAggregateFunction")
 
 
-def parse_ch_type(s: str) -> tuple[T.DataType, bool]:
+def parse_ch_type(s: str,
+                  uint64_as_decimal: bool = False) -> tuple[T.DataType, bool]:
     """Return (spark_type, nullable). Reference columns are NOT NULL by
-    default; only Nullable(...) flips it."""
+    default; only Nullable(...) flips it.
+
+    ``uint64_as_decimal=True`` opts UInt64 into ``DecimalType(20, 0)``
+    so the FULL unsigned range (2^63..2^64-1) round-trips losslessly
+    through casts and the binary text formats (RowBinary/MsgPack honor
+    it); the default LongType wraps above 2^63 (documented §1.2 loss —
+    faster arithmetic, the right default for key columns)."""
     s = s.strip()
     m = re.match(r"^(\w+)\s*\((.*)\)$", s, re.DOTALL)
     if not m:
+        if s == "UInt64" and uint64_as_decimal:
+            return T.DecimalType(20, 0), False
         if s in _SIMPLE:
             return _SIMPLE[s], False
         if s.startswith("Enum"):
             return T.StringType(), False
         raise ValueError(f"unsupported reference type: {s!r}")
     head, inner = m.group(1), m.group(2)
+    u64 = uint64_as_decimal
     if head == "Nullable":
-        dt, _ = parse_ch_type(inner)
+        dt, _ = parse_ch_type(inner, u64)
         return dt, True
     if head == "LowCardinality":
-        return parse_ch_type(inner)
+        return parse_ch_type(inner, u64)
     if head == "SimpleAggregateFunction":
         # SimpleAggregateFunction(f, T) stores plain T (§1.2)
-        return parse_ch_type(_split_args(inner)[-1])
+        return parse_ch_type(_split_args(inner)[-1], u64)
     if head == "Array":
-        dt, null = parse_ch_type(inner)
+        dt, null = parse_ch_type(inner, u64)
         return T.ArrayType(dt, containsNull=null), False
     if head == "Map":
         k, v = _split_args(inner)
-        kt, _ = parse_ch_type(k)
-        vt, vnull = parse_ch_type(v)
+        kt, _ = parse_ch_type(k, u64)
+        vt, vnull = parse_ch_type(v, u64)
         return T.MapType(kt, vt, valueContainsNull=vnull), False
     if head == "Tuple":
         fields = []
@@ -68,11 +78,11 @@ def parse_ch_type(s: str) -> tuple[T.DataType, bool]:
                 name, typ = nm.group(1), nm.group(2)
             else:
                 name, typ = f"_{i + 1}", part
-            dt, null = parse_ch_type(typ)
+            dt, null = parse_ch_type(typ, u64)
             fields.append(T.StructField(name, dt, null))
         return T.StructType(fields), False
     if head == "Nested":
-        inner_struct, _ = parse_ch_type(f"Tuple({inner})")
+        inner_struct, _ = parse_ch_type(f"Tuple({inner})", u64)
         return T.ArrayType(inner_struct, containsNull=False), False
     if head == "Decimal":
         p, sc = [int(x) for x in _split_args(inner)]
@@ -116,9 +126,11 @@ def _split_args(s: str) -> list[str]:
     return out
 
 
-def ch_schema_to_struct(ddl: str) -> T.StructType:
+def ch_schema_to_struct(ddl: str,
+                        uint64_as_decimal: bool = False) -> T.StructType:
     """Map a reference DDL column list (``name Type, name Type, ...``) to
-    a Spark StructType."""
+    a Spark StructType. ``uint64_as_decimal`` threads through to
+    :func:`parse_ch_type`."""
     fields = []
     for part in _split_args(ddl):
         part = part.strip()
@@ -128,7 +140,7 @@ def ch_schema_to_struct(ddl: str) -> T.StructType:
         if not m:
             raise ValueError(f"cannot parse column definition: {part!r}")
         name, typ = m.group(2), m.group(3)
-        dt, nullable = parse_ch_type(typ)
+        dt, nullable = parse_ch_type(typ, uint64_as_decimal)
         fields.append(T.StructField(name, dt, nullable))
     return T.StructType(fields)
 

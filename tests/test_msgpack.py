@@ -247,3 +247,51 @@ def test_msgpack_truncated_cell_refused(spark):
     df = spark.createDataFrame([Row(mp=good)], "mp binary")
     out = msgpack_decode(df, "i bigint, s string").collect()[0]
     assert (out.i, out.s) == (5, "hi")
+
+
+def test_uint64_decimal_optin_roundtrip(spark):
+    # the DECIMAL(20,0) opt-in (types_map uint64_as_decimal): full
+    # unsigned range incl. 2^64-1 round-trips; negatives refuse
+    import decimal
+
+    from clickhouse_clickhouse_spark.types_map import parse_ch_type
+
+    from pyspark.sql import types as T
+    assert parse_ch_type("UInt64", uint64_as_decimal=True)[0] == \
+        T.DecimalType(20, 0)
+    assert parse_ch_type("UInt64")[0] == T.LongType()
+
+    vals = [0, 42, 2**63 - 1, 2**63, 2**64 - 1, None]
+    df = spark.createDataFrame([(decimal.Decimal(v) if v is not None
+                                 else None,) for v in vals],
+                               "v decimal(20,0)")
+    back = msgpack_decode(msgpack_encode(df), "v decimal(20,0)")
+    got = sorted((r.v for r in back.collect()),
+                 key=lambda x: (x is None, x))
+    assert got == sorted((decimal.Decimal(v) if v is not None else None
+                          for v in vals), key=lambda x: (x is None, x))
+    with pytest.raises(Exception, match="UInt64 range|DECIMAL"):
+        msgpack_encode(spark.sql(
+            "SELECT CAST(-1 AS DECIMAL(20,0)) AS v")).collect()
+
+
+def test_uint64_rowbinary_optin_roundtrip(spark):
+    import decimal
+
+    from clickhouse_clickhouse_spark.sources.render import (
+        rowbinary_decode, rowbinary_encode,
+    )
+    from clickhouse_clickhouse_spark.types_map import ch_schema_to_struct
+
+    vals = [0, 1, 2**63, 2**64 - 1]
+    df = spark.createDataFrame(
+        [(i, decimal.Decimal(v)) for i, v in enumerate(vals)],
+        "k bigint, v decimal(20,0)")
+    schema = ch_schema_to_struct("k Int64, v UInt64",
+                                 uint64_as_decimal=True)
+    back = rowbinary_decode(rowbinary_encode(df), schema)
+    assert sorted((r.k, r.v) for r in back.collect()) == \
+        [(i, decimal.Decimal(v)) for i, v in enumerate(vals)]
+    with pytest.raises(TypeError, match="DECIMAL\\(20,0\\)"):
+        rowbinary_encode(spark.sql(
+            "SELECT CAST(1 AS DECIMAL(10,2)) AS v"))
