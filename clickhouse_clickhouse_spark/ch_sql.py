@@ -139,6 +139,52 @@ _FUNCS: dict[str, str] = {
     "argMaxIf": "MAX_BY(CASE WHEN {2} THEN {0} END, "
                 "CASE WHEN {2} THEN {1} END)",
     "uniqExactIf": "COUNT(DISTINCT CASE WHEN {1} THEN {0} END)",
+    # -OrNull combinator (NULL when nothing aggregated): Spark's
+    # SUM/MIN/MAX/AVG are already NULL over empty/all-null input, so
+    # only the counting forms need the NULLIF wrap
+    "sumOrNull": "SUM({0})", "minOrNull": "MIN({0})",
+    "maxOrNull": "MAX({0})", "avgOrNull": "AVG({0})",
+    "anyOrNull": "FIRST({0})",
+    "countOrNull": "NULLIF(COUNT({0}), 0)",
+    "uniqExactOrNull": "NULLIF(COUNT(DISTINCT {0}), 0)",
+    # -ForEach combinator: element-wise aggregation over array columns
+    # ([U] src/AggregateFunctions/AggregateFunctionForEach.h) — a
+    # collect_list fold with null-padding zip (zip_with extends to the
+    # longer array, exactly the reference's ragged-array behavior)
+    "sumForEach":
+        "AGGREGATE(COLLECT_LIST({0}), CAST(ARRAY() AS ARRAY<DOUBLE>), "
+        "(__acc, __x) -> ZIP_WITH(__acc, TRANSFORM(__x, "
+        "__e -> CAST(__e AS DOUBLE)), "
+        "(__a, __b) -> COALESCE(__a, 0D) + COALESCE(__b, 0D)))",
+    "countForEach":
+        "AGGREGATE(COLLECT_LIST({0}), CAST(ARRAY() AS ARRAY<BIGINT>), "
+        "(__acc, __x) -> ZIP_WITH(__acc, __x, (__a, __b) -> "
+        "COALESCE(__a, 0L) + IF(__b IS NULL, 0L, 1L)))",
+    # min/max are idempotent, so seeding the fold with the FIRST
+    # collected array (and folding it again) is correct and dodges the
+    # translate-time unknown element type an empty-array init would need
+    "minForEach":
+        "AGGREGATE(COLLECT_LIST({0}), "
+        "ELEMENT_AT(COLLECT_LIST({0}), 1), (__acc, __x) -> "
+        "ZIP_WITH(__acc, __x, (__a, __b) -> CASE WHEN __a IS NULL "
+        "THEN __b WHEN __b IS NULL THEN __a "
+        "ELSE LEAST(__a, __b) END))",
+    "maxForEach":
+        "AGGREGATE(COLLECT_LIST({0}), "
+        "ELEMENT_AT(COLLECT_LIST({0}), 1), (__acc, __x) -> "
+        "ZIP_WITH(__acc, __x, (__a, __b) -> CASE WHEN __a IS NULL "
+        "THEN __b WHEN __b IS NULL THEN __a "
+        "ELSE GREATEST(__a, __b) END))",
+    "avgForEach":
+        "ZIP_WITH("
+        "AGGREGATE(COLLECT_LIST({0}), CAST(ARRAY() AS ARRAY<DOUBLE>), "
+        "(__acc, __x) -> ZIP_WITH(__acc, TRANSFORM(__x, "
+        "__e -> CAST(__e AS DOUBLE)), "
+        "(__a, __b) -> COALESCE(__a, 0D) + COALESCE(__b, 0D))), "
+        "AGGREGATE(COLLECT_LIST({0}), CAST(ARRAY() AS ARRAY<BIGINT>), "
+        "(__acc, __x) -> ZIP_WITH(__acc, __x, (__a, __b) -> "
+        "COALESCE(__a, 0L) + IF(__b IS NULL, 0L, 1L))), "
+        "(__s, __n) -> IF(__n = 0, CAST(NULL AS DOUBLE), __s / __n))",
     "varPop": "VAR_POP({0})", "varSamp": "VAR_SAMP({0})",
     "stddevPop": "STDDEV_POP({0})", "stddevSamp": "STDDEV_SAMP({0})",
     "covarPop": "COVAR_POP({0}, {1})", "covarSamp": "COVAR_SAMP({0}, {1})",

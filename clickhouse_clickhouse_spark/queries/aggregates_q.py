@@ -1520,3 +1520,49 @@ def ab_sample_size_gate(spark, sf):
              ["minimum_sample_size"], n_conv) < 1e-6).alias("conv_ok"),
         (rel(ch.minSampleSizeContinous(100.0, 20.0, 0.05)
              ["minimum_sample_size"], n_cont) < 1e-6).alias("cont_ok"))
+
+
+@register("ch_dialect_demo10", oracle="""
+SELECT CAST(n_regionkey AS BIGINT) AS r,
+       [CAST(sum(n_nationkey) AS DOUBLE), CAST(sum(n_regionkey) AS DOUBLE),
+        CAST(sum(n_nationkey % 5) AS DOUBLE)] AS s,
+       [count(*), count(*), count(*)] AS c,
+       [CAST(min(n_nationkey) AS BIGINT), CAST(min(n_regionkey) AS BIGINT),
+        CAST(min(n_nationkey % 5) AS BIGINT)] AS mn,
+       [CAST(max(n_nationkey) AS BIGINT), CAST(max(n_regionkey) AS BIGINT),
+        CAST(max(n_nationkey % 5) AS BIGINT)] AS mx,
+       [round(avg(n_nationkey), 6), round(avg(n_regionkey), 6),
+        round(avg(n_nationkey % 5), 6)] AS av,
+       CAST(sum(n_nationkey) AS BIGINT) AS so,
+       CAST(NULL AS BIGINT) AS co
+FROM nation GROUP BY n_regionkey
+""")
+def ch_dialect_demo10(spark, sf):
+    """Round-7 aggregate combinators through ch_sql: -ForEach
+    (element-wise array aggregation, [U]
+    src/AggregateFunctions/AggregateFunctionForEach.h — collect_list
+    fold with null-padding zip, ragged arrays extend like the
+    reference) and -OrNull (NULL when nothing aggregated). The DuckDB
+    oracle replays the fixed-width case element-by-element; ragged /
+    null-element behavior is pinned in tests/test_ch_sql.py."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "nation").createOrReplaceTempView("nation")
+    return ch_sql(spark, """
+        SELECT toInt64(n_regionkey) AS r,
+               sumForEach([n_nationkey, n_regionkey,
+                           n_nationkey % 5]) AS s,
+               countForEach([n_nationkey, n_regionkey,
+                             n_nationkey % 5]) AS c,
+               arrayMap(__x -> toInt64(__x),
+                        minForEach([n_nationkey, n_regionkey,
+                                    n_nationkey % 5])) AS mn,
+               arrayMap(__x -> toInt64(__x),
+                        maxForEach([n_nationkey, n_regionkey,
+                                    n_nationkey % 5])) AS mx,
+               arrayMap(__x -> round(__x, 6),
+                        avgForEach([n_nationkey, n_regionkey,
+                                    n_nationkey % 5])) AS av,
+               toInt64(sumOrNull(n_nationkey)) AS so,
+               countOrNull(if(n_nationkey < 0, 1, NULL)) AS co
+        FROM nation GROUP BY r""")

@@ -1503,3 +1503,81 @@ def ch_dialect_demo9(spark, sf):
                                               tuple(10, 20)), 1)) AS tp,
                toInt64(length(randomString(16))) AS rs_len
         FROM nation""")
+
+
+_TOKS_SQL = ("list_filter(string_split_regex(lower(text), '\\s+'), "
+             "__t -> __t != '')")
+
+
+@register("lm_perplexity_bigram", oracle=f"""
+WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+bpair AS (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2
+  FROM (SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                                     i -> [t[i], t[i + 1]])) AS p
+        FROM tk WHERE len(t) >= 2)),
+uni AS (SELECT w1, count(*) AS u_cnt
+        FROM (SELECT unnest(t) AS w1 FROM tk) GROUP BY w1),
+bi AS (SELECT w1, w2, count(*) AS b_cnt FROM bpair GROUP BY w1, w2),
+v AS (SELECT count(*) AS vocab FROM uni),
+nll AS (
+  SELECT g.doc_id,
+         -ln((coalesce(bi.b_cnt, 0) + 0.5)
+             / (coalesce(uni.u_cnt, 0) + 0.5 * v.vocab)) AS x
+  FROM bpair g
+  LEFT JOIN uni USING (w1)
+  LEFT JOIN bi ON g.w1 = bi.w1 AND g.w2 = bi.w2
+  CROSS JOIN v)
+SELECT doc_id, round(avg(x), 6) AS avg_nll,
+       count(*) AS n_bigrams,
+       round(exp(avg(x)), 6) AS perplexity
+FROM nll GROUP BY doc_id
+""")
+def lm_perplexity_bigram(spark, sf):
+    """Bigram-LM perplexity quality scoring (round-7;
+    pipeline/lm_score.py — the CCNet/Gopher quality-filter class, [P]
+    Wenzek et al. LREC 2020): the model trains FROM the corpus (two
+    hash aggregates), every doc scores by average NLL with add-0.5
+    smoothing. DuckDB replays the entire train+score recipe exactly."""
+    from clickhouse_clickhouse_spark.pipeline.lm_score import (
+        score_perplexity,
+        train_bigram_lm,
+    )
+
+    d = load_table(spark, sf, "documents")
+    uni, bi, stats = train_bigram_lm(d, "doc_id", "text")
+    out = score_perplexity(d, "doc_id", "text", uni, bi, stats, k=0.5)
+    return out.select("doc_id", F.round("avg_nll", 6).alias("avg_nll"),
+                      "n_bigrams",
+                      F.round("perplexity", 6).alias("perplexity"))
+
+
+@register("bm25_topk_q", oracle=f"""
+WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+dl AS (SELECT doc_id, len(t) AS dl FROM tk),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(t) AS term FROM tk)
+       WHERE term IN ('vector', 'hash', 'stream')
+       GROUP BY doc_id, term),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term)
+SELECT doc_id,
+       round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * 2.2
+                 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))),
+             6) AS bm25,
+       count(*) AS n_terms_hit
+FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10
+""")
+def bm25_topk_q(spark, sf):
+    """BM25 top-10 for a 3-term keyword query (round-7;
+    pipeline/bm25.py, [P] Robertson & Zaragoza 2009) — retrieval /
+    decontamination twin of the embedding top-k; corpus stats ride as
+    broadcast joins, no driver collect."""
+    from clickhouse_clickhouse_spark.pipeline.bm25 import bm25_topk
+
+    d = load_table(spark, sf, "documents")
+    return bm25_topk(d, "doc_id", "text", ["vector", "hash", "stream"],
+                     k=10)

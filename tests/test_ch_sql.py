@@ -1226,3 +1226,31 @@ def test_round7_scalar_tail_dialect(spark):
         translate("SELECT hasToken('x', concat('a', 'b'))")
     with _p.raises(ValueError, match="arity"):
         translate("SELECT tuplePlus(tuple(1, 2), tuple(1, 2, 3))")
+
+
+def test_foreach_ornull_combinators_ragged(spark):
+    """-ForEach over RAGGED arrays and null elements (the fixed-width
+    case is oracle-checked via ch_dialect_demo10): shorter arrays
+    null-pad, null elements skip counts, empty groups go NULL."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    spark.createDataFrame(
+        [(1, [1, 2, 3]), (1, [10, 20]), (2, [5, None, 7])],
+        "k int, a array<int>").createOrReplaceTempView("fe_t")
+    rows = {r.k: r for r in ch_sql(spark, """
+        SELECT k, sumForEach(a) AS s, countForEach(a) AS c,
+               minForEach(a) AS mn, maxForEach(a) AS mx,
+               avgForEach(a) AS av
+        FROM fe_t GROUP BY k""").collect()}
+    assert rows[1].s == [11.0, 22.0, 3.0]
+    assert rows[1].c == [2, 2, 1]
+    assert rows[1].mn == [1, 2, 3] and rows[1].mx == [10, 20, 3]
+    assert rows[1].av == [5.5, 11.0, 3.0]
+    assert rows[2].s == [5.0, 0.0, 7.0]
+    assert rows[2].c == [1, 0, 1]
+    assert rows[2].av == [5.0, None, 7.0]
+    r = ch_sql(spark, "SELECT sumOrNull(x) AS s, countOrNull(x) AS c, "
+                      "uniqExactOrNull(x) AS u FROM "
+                      "(SELECT CAST(NULL AS INT) AS x WHERE 1 = 0)") \
+        .collect()[0]
+    assert (r.s, r.c, r.u) == (None, None, None)

@@ -582,3 +582,51 @@ def test_corpus_report_null_source_and_lang(spark):
     assert rows["web"].n_docs == 2 and rows["web"].dup_share == 0.5
     total = sum(r.n_docs for r in rows.values())
     assert total == 3
+
+
+def test_bigram_lm_perplexity_orders_quality(spark):
+    """In-distribution text must score lower perplexity than
+    out-of-vocabulary gibberish under the corpus-trained bigram LM."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_clickhouse_spark.pipeline.lm_score import (
+        score_perplexity, train_bigram_lm,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog again and "
+             "again the quick brown fox returns") for i in range(20)]
+        + [(100, "the quick brown fox jumps"),
+           (101, "zyx wvut qpo nmlk jihg fedc ba")],
+        "doc_id long, text string")
+    uni, bi, stats = train_bigram_lm(corpus, "doc_id", "text")
+    out = {r.doc_id: r.perplexity
+           for r in score_perplexity(corpus, "doc_id", "text",
+                                     uni, bi, stats).collect()}
+    assert out[100] < out[101]
+    # a 1-token doc has no bigram -> no row, not a fake score
+    one = spark.createDataFrame([(7, "single")], "doc_id long, text string")
+    assert score_perplexity(one, "doc_id", "text",
+                            uni, bi, stats).count() == 0
+
+
+def test_bm25_ranking_and_determinism(spark):
+    from clickhouse_clickhouse_spark.pipeline.bm25 import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "vector search with vector index and vector math"),
+         (2, "vector mentioned once here"),
+         (3, "nothing relevant at all"),
+         (4, "hash join hash table hash map")],
+        "doc_id long, text string")
+    top = bm25_topk(docs, "doc_id", "text", ["vector", "hash"], k=3) \
+        .collect()
+    ids = [r.doc_id for r in top]
+    assert ids[0] in (1, 4) and 3 not in ids
+    # doc 1 (3x vector) must outrank doc 2 (1x vector)
+    rank = {r.doc_id: i for i, r in enumerate(top)}
+    assert rank[1] < rank.get(2, 99)
+    # replayable: same result twice
+    again = bm25_topk(docs, "doc_id", "text", ["vector", "hash"],
+                      k=3).collect()
+    assert [tuple(r) for r in top] == [tuple(r) for r in again]
