@@ -139,6 +139,14 @@ _FUNCS: dict[str, str] = {
     "argMaxIf": "MAX_BY(CASE WHEN {2} THEN {0} END, "
                 "CASE WHEN {2} THEN {1} END)",
     "uniqExactIf": "COUNT(DISTINCT CASE WHEN {1} THEN {0} END)",
+    # funnel analytics ([U] AggregateFunctionRetention.h): r1 = cond1
+    # ever met; rk = cond1 met AND condk met (independent rows) — the
+    # same max-product the DataFrame operator (operators/events.py
+    # retention) computes
+    "retention": lambda a: ("ARRAY(" + ", ".join(
+        [f"CAST(MAX(IF({a[0]}, 1, 0)) AS INT)"]
+        + [f"CAST(MAX(IF({a[0]}, 1, 0)) * MAX(IF({c}, 1, 0)) AS INT)"
+           for c in a[1:]]) + ")"),
     # -OrNull combinator (NULL when nothing aggregated): Spark's
     # SUM/MIN/MAX/AVG are already NULL over empty/all-null input, so
     # only the counting forms need the NULLIF wrap
@@ -469,6 +477,14 @@ _PARAMETRIC: dict = {
     "quantileGK": lambda params, args: "PERCENTILE_APPROX({}, {}, {})".format(
         args[0], params[1] if len(params) > 1 else "0.5", params[0]),
     "quantiles": "PERCENTILE_APPROX({a0}, ARRAY({p*}))",
+    # event-sequence aggregates, SQL-expressible as folds/regex over the
+    # per-group sorted event array — same semantics as the DataFrame
+    # operators in operators/events.py
+    "windowFunnel": lambda params, args: _window_funnel_tpl(params, args),
+    "sequenceMatch": lambda params, args: _sequence_tpl(params, args,
+                                                        count=False),
+    "sequenceCount": lambda params, args: _sequence_tpl(params, args,
+                                                        count=True),
     # web-latency grid (exact <1024ms, 16ms buckets to 30s, clamped):
     # quantize as upstream AggregateFunctionsQuantileTiming, then a
     # discrete high-accuracy percentile over the quantized values
@@ -652,6 +668,123 @@ def _array_reduce_tpl(args: list[str]) -> str:
         raise ValueError(f"arrayReduce: unsupported aggregate {name!r}; "
                          f"supported: {sorted(_ARRAY_REDUCE)}")
     return "(" + _ARRAY_REDUCE[name].replace("{a}", args[1]) + ")"
+
+
+def _window_funnel_tpl(params: list[str], args: list[str]) -> str:
+    """windowFunnel(window[, 'mode'])(timestamp, cond1, ...): the
+    greedy earliest-chain fold over the group's time-sorted events —
+    the SQL twin of operators/events.window_funnel_hof (same modes,
+    same precedence: dead -> start -> advance -> freeze). Window is in
+    seconds of the timestamp argument ([U]
+    src/AggregateFunctions/AggregateFunctionWindowFunnel.cpp)."""
+    try:
+        win_us = int(float(params[0])) * 1_000_000
+    except (ValueError, IndexError):
+        raise ValueError("windowFunnel(window_seconds[, 'mode'])"
+                         "(ts, cond1, ...)") from None
+    mode = "default"
+    if len(params) > 1:
+        mm = re.fullmatch(r"\s*'(\w+)'\s*", params[1])
+        if not mm or mm.group(1) not in ("default", "strict_order",
+                                         "strict_dedup"):
+            raise ValueError(
+                f"windowFunnel: unsupported mode {params[1]!r} "
+                "(default/strict_order/strict_dedup)")
+        mode = mm.group(1)
+    if len(args) < 2:
+        raise ValueError("windowFunnel needs (timestamp, cond1, ...)")
+    ts, conds = args[0], args[1:]
+    k = len(conds)
+    ev = "NAMED_STRUCT('t', UNIX_MICROS({}), {})".format(
+        ts, ", ".join(f"'c{i + 1}', CAST({c} AS BOOLEAN)"
+                      for i, c in enumerate(conds)))
+
+    def st(level: str, t0: str, tp: str, dead: str = "FALSE") -> str:
+        return (f"NAMED_STRUCT('level', {level}, 't0', {t0}, "
+                f"'tp', {tp}, 'dead', {dead})")
+
+    whens = ["WHEN __acc.dead THEN __acc",
+             f"WHEN __acc.level = 0 AND __e.c1 THEN "
+             f"{st('1', '__e.t', '__e.t')}"]
+    for lvl in range(1, k):
+        guard = (f"__acc.level = {lvl} AND __e.c{lvl + 1} "
+                 f"AND __e.t <= __acc.t0 + {win_us}L")
+        if mode == "default":
+            guard += " AND __e.t > __acc.tp"
+        whens.append(f"WHEN {guard} THEN "
+                     + st("__acc.level + 1", "__acc.t0", "__e.t"))
+    frozen = st("__acc.level", "__acc.t0", "__acc.tp", "TRUE")
+    if mode == "strict_order":
+        whens.append(f"WHEN __acc.level >= 1 AND __acc.level < {k} "
+                     f"THEN {frozen}")
+    elif mode == "strict_dedup":
+        dup = " OR ".join(f"(__acc.level >= {lvl} AND __e.c{lvl})"
+                          for lvl in range(1, k))
+        whens.append(f"WHEN __acc.level < {k} AND ({dup}) "
+                     f"THEN {frozen}")
+    init = st("0", "CAST(0 AS BIGINT)", "CAST(0 AS BIGINT)")
+    return ("AGGREGATE(ARRAY_SORT(COLLECT_LIST({ev})), {init}, "
+            "(__acc, __e) -> CASE {whens} ELSE __acc END, "
+            "__s -> __s.level)").format(
+        ev=ev, init=init, whens=" ".join(whens))
+
+
+def _sequence_tpl(params: list[str], args: list[str],
+                  count: bool) -> str:
+    """sequenceMatch/sequenceCount('pattern')(ts, cond1, ...): each
+    event of the time-sorted group encodes to one character carrying
+    its condition BITMASK; ``(?N)`` translates to the character class
+    with bit N-1 set and ``.*``/``.+`` pass through, so the pattern
+    runs as an ordinary regex over the group's event string — the SQL
+    twin of operators/events.event_string + sequence_count. Time
+    constraints ``(?t...)`` refuse loudly ([U]
+    src/AggregateFunctions/AggregateFunctionSequenceMatch.h)."""
+    if len(params) != 1 or len(args) < 2:
+        raise ValueError("sequenceMatch('pattern')(ts, cond1, ...)")
+    pm = re.fullmatch(r"\s*'([^']*)'\s*", params[0])
+    if pm is None:
+        raise ValueError("sequenceMatch: pattern must be a string "
+                         "literal")
+    pattern = pm.group(1)
+    ts, conds = args[0], args[1:]
+    k = len(conds)
+    if k > 5:
+        raise ValueError("sequenceMatch supports up to 5 conditions "
+                         "here (2^k event classes)")
+    if "(?t" in pattern:
+        raise ValueError("sequenceMatch time constraints (?t...) are "
+                         "not supported — filter on the timestamp "
+                         "column instead")
+    # translate (?N); anything left must be .* / .+ tokens
+    out, rest = [], pattern
+    while rest:
+        m = re.match(r"\(\?(\d+)\)", rest)
+        if m:
+            n = int(m.group(1))
+            if not 1 <= n <= k:
+                raise ValueError(f"sequenceMatch: (?{n}) out of range")
+            chars = "".join(chr(65 + bm) for bm in range(1 << k)
+                            if bm >> (n - 1) & 1)
+            out.append(f"[{chars}]")
+            rest = rest[m.end():]
+            continue
+        m = re.match(r"\.\*|\.\+", rest)
+        if m:
+            out.append(m.group(0))
+            rest = rest[m.end():]
+            continue
+        raise ValueError(f"sequenceMatch: unsupported pattern element "
+                         f"at {rest!r} ((?N), .*, .+ only)")
+    regex = "".join(out)
+    bm = " + ".join(f"IF({c}, {1 << i}, 0)"
+                    for i, c in enumerate(conds))
+    s = ("ARRAY_JOIN(TRANSFORM(ARRAY_SORT(COLLECT_LIST("
+         "NAMED_STRUCT('t', UNIX_MICROS({ts}), 'bm', {bm}))), "
+         "__ev -> CHAR(65 + __ev.bm)), '')").format(ts=ts, bm=bm)
+    if count:
+        return (f"CAST(SIZE(REGEXP_EXTRACT_ALL({s}, '{regex}', 0)) "
+                "AS BIGINT)")
+    return f"REGEXP_LIKE({s}, '{regex}')"
 
 
 def _has_token_tpl(args: list[str], ci: bool) -> str:

@@ -360,3 +360,95 @@ def lttb_downsample(spark, sf):
     out = lttb(ev, ["event_type"], "xs", "value", 20)
     return out.select("event_type", "i",
                       F.round("x", 6).alias("x"), F.round("y", 6).alias("y"))
+
+
+@register("ch_sql_window_funnel", oracle="""
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(ts) AS t2
+       FROM events e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND ts > t1 AND ts <= t1 + INTERVAL 7 DAY
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(ts) AS t3
+       FROM events e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+       WHERE event_type = 'purchase' AND ts > t2 AND ts <= t1 + INTERVAL 7 DAY
+       GROUP BY e.user_id)
+SELECT s1.user_id,
+       cast(CASE WHEN t3 IS NOT NULL THEN 3
+                 WHEN t2 IS NOT NULL THEN 2
+                 ELSE 1 END AS INT) AS level
+FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+""")
+def ch_sql_window_funnel(spark, sf):
+    """Round-7: ``windowFunnel(w)(ts, cond...)`` as DIALECT SQL TEXT —
+    the parametric double-call translates to the greedy earliest-chain
+    fold (ch_sql._window_funnel_tpl), same semantics as
+    operators/events.window_funnel_hof; oracle = the cascade replay
+    that already gates the operator form."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return ch_sql(spark, """
+        SELECT user_id, level FROM (
+          SELECT user_id,
+                 windowFunnel(604800)(ts, event_type == 'view',
+                                      event_type == 'click',
+                                      event_type == 'purchase') AS level
+          FROM events GROUP BY user_id) t
+        WHERE level >= 1""")
+
+
+@register("ch_sql_retention", oracle="""
+SELECT user_id,
+       [CAST(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS INT),
+        CAST(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             * max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS INT),
+        CAST(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             * max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS INT)] AS r
+FROM events GROUP BY user_id
+""")
+def ch_sql_retention(spark, sf):
+    """``retention(cond...)`` as dialect SQL ([U]
+    AggregateFunctionRetention.h): r1 = cond1 met, rk = cond1 AND
+    condk met on any rows — one hash aggregate."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return ch_sql(spark, """
+        SELECT user_id, retention(event_type == 'view',
+                                  event_type == 'click',
+                                  event_type == 'purchase') AS r
+        FROM events GROUP BY user_id""")
+
+
+@register("ch_sql_sequence_count", oracle="""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(chr(65 + CASE WHEN event_type = 'view' THEN 1
+                              WHEN event_type = 'purchase' THEN 2
+                              ELSE 0 END), '' ORDER BY ts) AS s
+  FROM events GROUP BY user_id)
+SELECT user_id,
+       CAST(len(regexp_extract_all(s, '[BD][CD]')) AS BIGINT) AS n,
+       (strpos(s, 'B') > 0 AND
+        regexp_matches(substr(s, strpos(s, 'B')), '[BD].*[CD]')) AS m
+FROM seq
+""")
+def ch_sql_sequence_count(spark, sf):
+    """``sequenceMatch/sequenceCount('pattern')(ts, cond...)`` as
+    dialect SQL: events encode to bitmask characters, (?N) becomes a
+    character class, the pattern runs as a regex over the group's
+    time-sorted event string — the DuckDB oracle builds the IDENTICAL
+    string with string_agg and runs the same regexes."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return ch_sql(spark, """
+        SELECT user_id,
+               sequenceCount('(?1)(?2)')(ts, event_type == 'view',
+                                         event_type == 'purchase') AS n,
+               sequenceMatch('(?1).*(?2)')(ts, event_type == 'view',
+                                           event_type == 'purchase') AS m
+        FROM events GROUP BY user_id""")

@@ -1254,3 +1254,56 @@ def test_foreach_ornull_combinators_ragged(spark):
                       "(SELECT CAST(NULL AS INT) AS x WHERE 1 = 0)") \
         .collect()[0]
     assert (r.s, r.c, r.u) == (None, None, None)
+
+
+def test_dialect_event_aggregates(spark):
+    """windowFunnel/sequenceMatch/sequenceCount/retention as dialect
+    SQL (round-7): default + strict modes against a hand-checked
+    fixture; unsupported forms refuse loudly."""
+    import datetime
+
+    import pytest as _p
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, translate
+
+    T = lambda s: datetime.datetime(2024, 1, 1) + \
+        datetime.timedelta(seconds=s)
+    rows = [
+        (1, T(0), "view"), (1, T(10), "click"), (1, T(20), "buy"),
+        (2, T(0), "view"), (2, T(5), "other"), (2, T(9), "click"),
+        (3, T(0), "click"), (3, T(5), "buy"),
+        (4, T(0), "view"), (4, T(4000), "click"),
+        (5, T(0), "view"), (5, T(1), "click"), (5, T(2), "click"),
+        (5, T(3), "buy"),
+    ]
+    spark.createDataFrame(rows, "u int, ts timestamp, e string") \
+        .createOrReplaceTempView("ev_dlg")
+    funnel = lambda mode: {r.u: r.lvl for r in ch_sql(spark, f"""
+        SELECT u, windowFunnel(3600{mode})(ts, e == 'view',
+            e == 'click', e == 'buy') AS lvl
+        FROM ev_dlg GROUP BY u""").collect()}
+    assert funnel("") == {1: 3, 2: 2, 3: 0, 4: 1, 5: 3}
+    # strict_order: user 2's 'other' freezes; user 5's repeat 'click'
+    # freezes at level 2
+    assert funnel(", 'strict_order'") == {1: 3, 2: 1, 3: 0, 4: 1, 5: 2}
+    # strict_dedup: repeat of a matched step freezes (user 5)
+    assert funnel(", 'strict_dedup'") == {1: 3, 2: 2, 3: 0, 4: 1, 5: 2}
+    seq = {r.u: (r.m, r.n) for r in ch_sql(spark, """
+        SELECT u, sequenceMatch('(?1).*(?2)')(ts, e == 'view',
+                                              e == 'buy') AS m,
+               sequenceCount('(?1)')(ts, e == 'view' OR
+                                     e == 'click') AS n
+        FROM ev_dlg GROUP BY u""").collect()}
+    assert seq[1] == (True, 2) and seq[3] == (False, 1)
+    ret = {r.u: r.r for r in ch_sql(spark, """
+        SELECT u, retention(e == 'view', e == 'click', e == 'buy') AS r
+        FROM ev_dlg GROUP BY u""").collect()}
+    assert ret[1] == [1, 1, 1] and ret[2] == [1, 1, 0] \
+        and ret[3] == [0, 0, 0]
+    with _p.raises(ValueError, match="time constraints"):
+        translate("SELECT sequenceMatch('(?1)(?t<3600)(?2)')"
+                  "(ts, a, b) FROM t")
+    with _p.raises(ValueError, match="mode"):
+        translate("SELECT windowFunnel(10, 'bogus')(ts, a) FROM t")
+    with _p.raises(ValueError, match="unsupported pattern"):
+        translate("SELECT sequenceMatch('(?1)[x]')(ts, a) FROM t")
