@@ -63,16 +63,24 @@ def geohash_decode(gh: Column, precision: int = 6) -> Column:
     for k in range(precision):
         idx = (F.array_position(alpha, F.substring(gh, k + 1, 1)) - 1)
         code = code + F.shiftleft(idx, 5 * (precision - 1 - k))
-    lon_q = F.lit(0).cast("long")
-    lat_q = F.lit(0).cast("long")
-    for j in range(half):
-        lon_q = lon_q + F.shiftleft(
-            F.shiftright(code, 2 * j + 1).bitwiseAND(F.lit(1)), j)
-        lat_q = lat_q + F.shiftleft(
-            F.shiftright(code, 2 * j).bitwiseAND(F.lit(1)), j)
-    lon = (lon_q.cast("double") + 0.5) / scale * 360.0 - 180.0
-    lat = (lat_q.cast("double") + 0.5) / scale * 180.0 - 90.0
-    return F.struct(lon.alias("lon"), lat.alias("lat"))
+
+    # bind `code` ONCE as a lambda variable before the 2·half bit
+    # extractions below reference it — bare Column reuse deep-copies the
+    # whole decode subtree per reference (30 copies blew analysis to
+    # ~50 s; the bound variable is a leaf node)
+    def unpack(c: Column) -> Column:
+        lon_q = F.lit(0).cast("long")
+        lat_q = F.lit(0).cast("long")
+        for j in range(half):
+            lon_q = lon_q + F.shiftleft(
+                F.shiftright(c, 2 * j + 1).bitwiseAND(F.lit(1)), j)
+            lat_q = lat_q + F.shiftleft(
+                F.shiftright(c, 2 * j).bitwiseAND(F.lit(1)), j)
+        lon = (lon_q.cast("double") + 0.5) / scale * 360.0 - 180.0
+        lat = (lat_q.cast("double") + 0.5) / scale * 180.0 - 90.0
+        return F.struct(lon.alias("lon"), lat.alias("lat"))
+
+    return F.element_at(F.transform(F.array(code), unpack), 1)
 
 
 def geohash_oracle_expr(lon_sql: str, lat_sql: str, precision: int = 6) -> str:

@@ -19,3 +19,24 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+def run_parallel(cases, fn, workers=8):
+    """Run one check per case on a thread pool — Spark actions are
+    thread-safe and overlap in local mode, so N tiny differential
+    queries take ~N/workers wall instead of N (the fuzz suites were
+    ~60% of suite wall time executing serially). Deterministic: the
+    case list is pre-generated (seeded), only EXECUTION is concurrent.
+    Raises the first failure with its case attached."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(workers) as ex:
+        futs = [(c, ex.submit(fn, c)) for c in cases]
+        errors = []
+        for c, f in futs:
+            try:
+                f.result()
+            except AssertionError as e:
+                errors.append((c, e))
+    assert not errors, f"{len(errors)} case(s) failed; first 3: " \
+                       f"{errors[:3]}"

@@ -28,7 +28,7 @@ from hypothesis import HealthCheck, given, settings, strategies as st
 from clickhouse_clickhouse_spark.ch_sql import translate
 from clickhouse_clickhouse_spark.tables import load_table
 
-from conftest import SF_DIR
+from conftest import SF_DIR, run_parallel
 
 # ---------------------------------------------------------------- grammar
 # node = (ch_text, ansi_text); both renderings come from one tree.
@@ -273,60 +273,79 @@ def ties_env(spark):
     con.close()
 
 
-@settings(max_examples=60, deadline=None,
-          suppress_health_check=[HealthCheck.function_scoped_fixture])
-@given(keys=st.permutations(["k1", "k2"]),
-       nkeys=st.integers(1, 2),
-       dirs=st.tuples(st.sampled_from(["", " ASC", " DESC"]),
-                      st.sampled_from(["", " ASC", " DESC"])),
-       nulls=st.tuples(st.sampled_from(["", " NULLS FIRST", " NULLS LAST"]),
-                       st.sampled_from(["", " NULLS FIRST", " NULLS LAST"])),
-       n=st.integers(1, 8))
-def test_fuzz_limit_with_ties_differential(ties_env, keys, nkeys, dirs,
-                                           nulls, n):
-    """Every direction x null-placement x key-order x n: the dialect
-    LIMIT WITH TIES equals DuckDB's RANK() <= n with the reference's
-    NULL-greatest defaults made explicit."""
+def test_fuzz_limit_with_ties_differential(ties_env):
+    """Direction x null-placement x key-order x n sweep (60 seeded
+    cases, round-7: parallel execution per conftest.run_parallel): the
+    dialect LIMIT WITH TIES equals DuckDB's RANK() <= n with the
+    reference's NULL-greatest defaults made explicit."""
+    import random
+
     from clickhouse_clickhouse_spark.ch_sql import ch_sql
 
     spark, con = ties_env
-    items_ch, items_dk = [], []
-    for k, d, nf in list(zip(keys, dirs, nulls))[:nkeys]:
-        items_ch.append(f"{k}{d}{nf}")
-        if not nf:  # reference default: NULL sorts greatest
-            nf = " NULLS FIRST" if d == " DESC" else " NULLS LAST"
-        items_dk.append(f"{k}{d}{nf}")
-    got = _normalize(ch_sql(
-        spark, f"SELECT s, k1, k2 FROM tiesfz ORDER BY "
-               f"{', '.join(items_ch)} LIMIT {n} WITH TIES").collect())
-    exp = _normalize(con.execute(
-        f"SELECT s, k1, k2 FROM (SELECT *, rank() OVER (ORDER BY "
-        f"{', '.join(items_dk)}) AS rk FROM tiesfz) t WHERE rk <= {n}"
-    ).fetchall())
-    assert got == exp, (items_ch, n)
+    rnd = random.Random(704)
+    dirs_pool = ["", " ASC", " DESC"]
+    nulls_pool = ["", " NULLS FIRST", " NULLS LAST"]
+    cases = []
+    for _ in range(60):
+        keys = rnd.sample(["k1", "k2"], 2)
+        cases.append((tuple(keys), rnd.randint(1, 2),
+                      (rnd.choice(dirs_pool), rnd.choice(dirs_pool)),
+                      (rnd.choice(nulls_pool), rnd.choice(nulls_pool)),
+                      rnd.randint(1, 8)))
+
+    def check(case):
+        keys, nkeys, dirs, nulls, n = case
+        items_ch, items_dk = [], []
+        for k, d, nf in list(zip(keys, dirs, nulls))[:nkeys]:
+            items_ch.append(f"{k}{d}{nf}")
+            if not nf:  # reference default: NULL sorts greatest
+                nf = " NULLS FIRST" if d == " DESC" else " NULLS LAST"
+            items_dk.append(f"{k}{d}{nf}")
+        got = _normalize(ch_sql(
+            spark, f"SELECT s, k1, k2 FROM tiesfz ORDER BY "
+                   f"{', '.join(items_ch)} LIMIT {n} WITH TIES")
+            .collect())
+        exp = _normalize(con.cursor().execute(
+            f"SELECT s, k1, k2 FROM (SELECT *, rank() OVER (ORDER BY "
+            f"{', '.join(items_dk)}) AS rk FROM tiesfz) t WHERE rk <= {n}"
+        ).fetchall())
+        assert got == exp, (items_ch, n)
+
+    run_parallel(cases, check)
 
 
-@settings(max_examples=30, deadline=None,
-          suppress_health_check=[HealthCheck.function_scoped_fixture])
-@given(frm=st.integers(0, 5), to=st.integers(6, 16), step=st.integers(1, 3))
-def test_fuzz_with_fill_differential(ties_env, frm, to, step):
+def test_fuzz_with_fill_differential(ties_env):
     """ORDER BY k WITH FILL FROM/TO/STEP through ch_sql equals the
-    data-rows-plus-missing-spine-rows oracle for every bound/step mix."""
+    data-rows-plus-missing-spine-rows oracle for every bound/step mix
+    (exhaustive 6x11x3 grid sampled to 30 seeded cases, parallel)."""
+    import random
+
     from clickhouse_clickhouse_spark.ch_sql import ch_sql
 
     spark, con = ties_env
-    got = _normalize(ch_sql(spark, f"""
-        SELECT k, c FROM (SELECT k1 AS k, count() AS c FROM tiesfz
-                          WHERE k1 IS NOT NULL GROUP BY k)
-        ORDER BY k WITH FILL FROM {frm} TO {to} STEP {step}""").collect())
-    exp = _normalize(con.execute(f"""
-        WITH d AS (SELECT k1 AS k, CAST(count(*) AS BIGINT) AS c
-                   FROM tiesfz WHERE k1 IS NOT NULL GROUP BY k1)
-        SELECT k, c FROM d
-        UNION ALL
-        SELECT g, NULL FROM (SELECT unnest(range({frm}, {to}, {step})) AS g)
-        WHERE g NOT IN (SELECT k FROM d)""").fetchall())
-    assert got == exp, (frm, to, step)
+    rnd = random.Random(705)
+    cases = [(rnd.randint(0, 5), rnd.randint(6, 16), rnd.randint(1, 3))
+             for _ in range(30)]
+
+    def check(case):
+        frm, to, step = case
+        got = _normalize(ch_sql(spark, f"""
+            SELECT k, c FROM (SELECT k1 AS k, count() AS c FROM tiesfz
+                              WHERE k1 IS NOT NULL GROUP BY k)
+            ORDER BY k WITH FILL FROM {frm} TO {to} STEP {step}""")
+            .collect())
+        exp = _normalize(con.cursor().execute(f"""
+            WITH d AS (SELECT k1 AS k, CAST(count(*) AS BIGINT) AS c
+                       FROM tiesfz WHERE k1 IS NOT NULL GROUP BY k1)
+            SELECT k, c FROM d
+            UNION ALL
+            SELECT g, NULL
+            FROM (SELECT unnest(range({frm}, {to}, {step})) AS g)
+            WHERE g NOT IN (SELECT k FROM d)""").fetchall())
+        assert got == exp, (frm, to, step)
+
+    run_parallel(cases, check)
 
 
 # -------------------------------------------------- projection routing

@@ -117,13 +117,16 @@ _SINGLE_PARTITION_ALLOWED = {
 
 
 def test_no_query_sorts_or_windows_on_single_partition(spark, sf_dir):
+    from conftest import run_parallel
+
     from clickhouse_clickhouse_spark.registry import all_queries
 
     offenders = {}
-    for name, fn in sorted(all_queries().items()):
-        if name in _SINGLE_PARTITION_ALLOWED:
-            continue
-        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+    def check(item):
+        name, fn = item
+        plan = fn(spark, sf_dir)._jdf.queryExecution() \
+            .executedPlan().toString()
         lines = plan.splitlines()
         for i, line in enumerate(lines):
             if "Exchange SinglePartition" not in line:
@@ -131,6 +134,11 @@ def test_no_query_sorts_or_windows_on_single_partition(spark, sf_dir):
             ctx = " ".join(lines[max(0, i - 2):i])
             if "Sort " in ctx or "Window " in ctx:
                 offenders[name] = lines[max(0, i - 2)].strip()[:80]
+
+    # build+plan is driver-side and thread-safe; the sweep covers the
+    # whole registry, so parallel planning cuts ~40 s of wall
+    run_parallel([(n, f) for n, f in sorted(all_queries().items())
+                  if n not in _SINGLE_PARTITION_ALLOWED], check)
     assert not offenders, offenders
 
 
