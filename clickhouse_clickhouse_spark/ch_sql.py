@@ -2263,6 +2263,67 @@ def _mv_fire(spark: SparkSession, source: str, block: DataFrame,
 # a late-bound view. name -> state dict.
 _REFRESHABLES: dict[str, dict] = {}
 
+# CREATE DICTIONARY registry: name -> {"table": source view, "key":
+# key column, "attrs": [attr names]} (upstream src/Dictionaries/ —
+# RAM-resident key->value lookups; here dictGet() translates to a
+# correlated scalar subquery, which Catalyst plans as a broadcast/hash
+# left join, the 100 TB-correct shape; duplicate source keys surface
+# Spark's more-than-one-row error, matching the uniqueness contract)
+_DICTIONARIES: dict[str, dict] = {}
+
+
+def _dict_get_tpl(args: list[str], typed: str | None = None,
+                  default: bool = False) -> str:
+    """dictGet['Type'][OrDefault]('dict', 'attr', key[, default])."""
+    need = 4 if default else 3
+    if len(args) != need:
+        raise ValueError("dictGet('dict', 'attr', key"
+                         + (", default)" if default else ")"))
+    nm = re.fullmatch(r"\s*'(\w+)'\s*", args[0])
+    am = re.fullmatch(r"\s*'(\w+)'\s*", args[1])
+    if not nm or not am:
+        raise ValueError("dictGet: dictionary and attribute names must "
+                         "be string literals")
+    d = _DICTIONARIES.get(nm.group(1).lower())
+    if d is None:
+        raise ValueError(f"unknown dictionary {nm.group(1)!r} — "
+                         "CREATE DICTIONARY first")
+    attr = am.group(1)
+    if attr not in d["attrs"]:
+        raise ValueError(f"dictionary {nm.group(1)!r} has no attribute "
+                         f"{attr!r} (has {d['attrs']})")
+    sq = (f"(SELECT {attr} FROM {d['table']} "
+          f"WHERE {d['key']} = ({args[2]}))")
+    if typed:
+        sq = f"CAST({sq} AS {typed})"
+    if default:
+        return f"COALESCE({sq}, {args[3]})"
+    return sq
+
+
+def _dict_has_tpl(args: list[str]) -> str:
+    if len(args) != 2:
+        raise ValueError("dictHas('dict', key)")
+    nm = re.fullmatch(r"\s*'(\w+)'\s*", args[0])
+    if not nm:
+        raise ValueError("dictHas: dictionary name must be a literal")
+    d = _DICTIONARIES.get(nm.group(1).lower())
+    if d is None:
+        raise ValueError(f"unknown dictionary {nm.group(1)!r}")
+    return (f"((SELECT COUNT(*) FROM {d['table']} "
+            f"WHERE {d['key']} = ({args[1]})) > 0)")
+
+
+_FUNCS.update({
+    "dictGet": lambda a: _dict_get_tpl(a),
+    "dictGetOrDefault": lambda a: _dict_get_tpl(a, default=True),
+    "dictGetString": lambda a: _dict_get_tpl(a, typed="STRING"),
+    "dictGetUInt64": lambda a: _dict_get_tpl(a, typed="BIGINT"),
+    "dictGetInt64": lambda a: _dict_get_tpl(a, typed="BIGINT"),
+    "dictGetFloat64": lambda a: _dict_get_tpl(a, typed="DOUBLE"),
+    "dictHas": lambda a: _dict_has_tpl(a),
+})
+
 _REFRESH_UNITS = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
                   "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}
 
@@ -2522,6 +2583,38 @@ def ch_statement(spark: SparkSession, sql: str,
         raise ValueError("unsupported SYSTEM statement (SYSTEM REFRESH "
                          "VIEW <name> is)")
     if kw == "CREATE":
+        dm = re.match(
+            r"CREATE\s+DICTIONARY\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<n>\w+)"
+            r"\s*\((?P<cols>.*?)\)\s*"
+            r"PRIMARY\s+KEY\s+(?P<k>\w+)\s*"
+            r"SOURCE\s*\(\s*(?P<src>\w+)\s*\((?P<sargs>.*?)\)\s*\)"
+            r"(?P<rest>.*)$",
+            sql.strip().rstrip(";"), re.IGNORECASE | re.DOTALL)
+        if dm:
+            if dm.group("src").upper() != "CLICKHOUSE":
+                raise ValueError(
+                    f"CREATE DICTIONARY: SOURCE({dm.group('src')}) is "
+                    "not supported — table-backed CLICKHOUSE sources "
+                    "only (network sources are out of scope)")
+            tm = re.search(r"TABLE\s+'?(\w+)'?", dm.group("sargs"),
+                           re.IGNORECASE)
+            if not tm:
+                raise ValueError("CREATE DICTIONARY: SOURCE(CLICKHOUSE("
+                                 "TABLE 'name')) is the supported form")
+            cols = [re.match(r"\s*`?(\w+)`?", c).group(1)
+                    for c in _split_top_commas(dm.group("cols"))
+                    if c.strip()]
+            key = dm.group("k")
+            if key not in cols:
+                raise ValueError(f"CREATE DICTIONARY: PRIMARY KEY "
+                                 f"{key!r} not in the column list")
+            name = dm.group("n")
+            _DICTIONARIES[name.lower()] = {
+                "table": tm.group(1), "key": key,
+                "attrs": [c for c in cols if c != key]}
+            return spark.createDataFrame(
+                [(name, tm.group(1), key)],
+                "dictionary string, source_table string, key string")
         mvm = re.match(
             r"CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
             r"(?P<v>\w+)\s+"
@@ -2731,6 +2824,14 @@ def ch_statement(spark: SparkSession, sql: str,
         ok = spark.catalog.tableExists(name)
         return spark.createDataFrame([(1 if ok else 0,)], "result int")
     if kw == "DROP":
+        ddm = re.match(r"DROP\s+DICTIONARY\s+(?:IF\s+EXISTS\s+)?(\w+)",
+                       sql.strip().rstrip(";"), re.IGNORECASE)
+        if ddm:
+            dropped = _DICTIONARIES.pop(ddm.group(1).lower(),
+                                        None) is not None
+            return spark.createDataFrame(
+                [(ddm.group(1), dropped)],
+                "dictionary string, dropped boolean")
         mm = re.match(r"DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?(\w+)",
                       sql.strip(), re.IGNORECASE)
         if not mm:

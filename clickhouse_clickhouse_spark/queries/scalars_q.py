@@ -1616,3 +1616,38 @@ def ch_dialect_demo8(spark, sf):
                                    + 1426981144257900544) AS sf,
                dateAdd(DAY, n_nationkey % 5, toDate('2024-01-30')) AS da
         FROM nation""")
+
+
+@register("ch_sql_dictionary", oracle="""
+SELECT CAST(n.n_nationkey AS BIGINT) AS k,
+       r.r_name AS rname,
+       coalesce(r.r_name, 'none') AS rname2,
+       (r.r_name IS NOT NULL) AS h
+FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+""")
+def ch_sql_dictionary(spark, sf):
+    """Round-7: CREATE DICTIONARY DDL + dictGet/dictGetOrDefault/
+    dictHas in dialect SQL ([U] src/Dictionaries/,
+    FunctionsExternalDictionaries.h): the dictionary registers against
+    its source TABLE and dictGet translates to a correlated scalar
+    subquery — Catalyst plans it as a broadcast left join (the RAM-
+    dictionary analog; network sources refuse loudly). Oracle = the
+    equivalent LEFT JOIN."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, ch_statement
+
+    load_table(spark, sf, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf, "region").createOrReplaceTempView("region")
+    ch_statement(spark, """
+        CREATE DICTIONARY IF NOT EXISTS q_region_dict
+        (r_regionkey UInt64, r_name String)
+        PRIMARY KEY r_regionkey
+        SOURCE(CLICKHOUSE(TABLE 'region'))
+        LAYOUT(HASHED()) LIFETIME(MIN 0 MAX 300)""")
+    out = ch_sql(spark, """
+        SELECT toInt64(n_nationkey) AS k,
+               dictGet('q_region_dict', 'r_name', n_regionkey) AS rname,
+               dictGetOrDefault('q_region_dict', 'r_name',
+                                n_regionkey, 'none') AS rname2,
+               dictHas('q_region_dict', n_regionkey) AS h
+        FROM nation""")
+    return out

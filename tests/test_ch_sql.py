@@ -1307,3 +1307,42 @@ def test_dialect_event_aggregates(spark):
         translate("SELECT windowFunnel(10, 'bogus')(ts, a) FROM t")
     with _p.raises(ValueError, match="unsupported pattern"):
         translate("SELECT sequenceMatch('(?1)[x]')(ts, a) FROM t")
+
+
+def test_create_dictionary_and_dictget(spark):
+    """CREATE/DROP DICTIONARY DDL + dictGet family translation: lookups
+    resolve via correlated scalar subqueries; misses go NULL/default;
+    unknown names, network sources, and bad attributes refuse."""
+    import pytest as _p
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, ch_statement
+
+    spark.createDataFrame([(0, "A", 1.5), (1, "B", 2.5)],
+                          "k int, v string, w double") \
+        .createOrReplaceTempView("dict_src_t")
+    ch_statement(spark, """
+        CREATE DICTIONARY t_dict (k UInt64, v String, w Float64)
+        PRIMARY KEY k SOURCE(CLICKHOUSE(TABLE 'dict_src_t'))
+        LAYOUT(FLAT()) LIFETIME(300)""")
+    try:
+        r = ch_sql(spark, """
+            SELECT dictGet('t_dict', 'v', 1) AS v,
+                   dictGetString('t_dict', 'v', 0) AS vs,
+                   dictGetFloat64('t_dict', 'w', 1) AS w,
+                   dictGetOrDefault('t_dict', 'v', 9, 'dflt') AS d,
+                   dictHas('t_dict', 9) AS h
+        """).collect()[0]
+        assert (r.v, r.vs, r.w, r.d, r.h) == ("B", "A", 2.5, "dflt",
+                                              False)
+        with _p.raises(ValueError, match="no attribute"):
+            ch_sql(spark, "SELECT dictGet('t_dict', 'zz', 1)")
+        with _p.raises(ValueError, match="CLICKHOUSE"):
+            ch_statement(spark, """
+                CREATE DICTIONARY bad_d (k UInt64, v String)
+                PRIMARY KEY k SOURCE(MYSQL(HOST 'x' TABLE 'y'))
+                LAYOUT(HASHED())""")
+    finally:
+        d = ch_statement(spark, "DROP DICTIONARY t_dict").collect()[0]
+        assert d.dropped
+    with _p.raises(ValueError, match="unknown dictionary"):
+        ch_sql(spark, "SELECT dictGet('t_dict', 'v', 1)")
