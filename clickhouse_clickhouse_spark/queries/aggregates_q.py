@@ -1566,3 +1566,35 @@ def ch_dialect_demo10(spark, sf):
                toInt64(sumOrNull(n_nationkey)) AS so,
                countOrNull(if(n_nationkey < 0, 1, NULL)) AS co
         FROM nation GROUP BY r""")
+
+
+@register("ch_dialect_demo11", oracle="""
+SELECT CAST(n_regionkey AS BIGINT) AS r,
+       CAST(bit_and(n_nationkey) AS BIGINT) AS ba,
+       CAST(bit_or(n_nationkey) AS BIGINT) AS bo,
+       CAST(bit_xor(n_nationkey) AS BIGINT) AS bx,
+       CAST(sum(n_nationkey) AS BIGINT) AS s,
+       count(*) AS c,
+       round(quantile_cont(CAST(n_nationkey AS DOUBLE), 0.5), 6) AS qd
+FROM nation GROUP BY n_regionkey
+""")
+def ch_dialect_demo11(spark, sf):
+    """Round-7 aggregate-name tail through ch_sql: groupBitAnd/Or/Xor
+    (→ Spark BIT_AND/OR/XOR), sumCount (struct unpacked via
+    tupleElement), quantileDeterministic (determinator drops —
+    percentile_approx is already deterministic; accuracy high enough
+    to be exact on 25 ints). uniqTheta is sketch-estimated —
+    pytest-gated, not oracle-hashed."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "nation").createOrReplaceTempView("nation")
+    return ch_sql(spark, """
+        SELECT toInt64(n_regionkey) AS r,
+               toInt64(groupBitAnd(n_nationkey)) AS ba,
+               toInt64(groupBitOr(n_nationkey)) AS bo,
+               toInt64(groupBitXor(n_nationkey)) AS bx,
+               toInt64(tupleElement(sumCount(n_nationkey), 'sum')) AS s,
+               tupleElement(sumCount(n_nationkey), 'count') AS c,
+               round(quantileDeterministic(toFloat64(n_nationkey),
+                                           n_nationkey), 6) AS qd
+        FROM nation GROUP BY r""")
