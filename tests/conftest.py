@@ -21,7 +21,7 @@ def sf_dir():
     return SF_DIR
 
 
-def run_parallel(cases, fn, workers=8):
+def run_parallel(cases, fn, workers=16):
     """Run one check per case on a thread pool — Spark actions are
     thread-safe and overlap in local mode, so N tiny differential
     queries take ~N/workers wall instead of N (the fuzz suites were

@@ -3,6 +3,8 @@ against the actual physical plans (SURVEY.md §4: pushdown, pruning,
 broadcast, single-shuffle operators). These protect the 100 TB posture the
 way golden outputs protect semantics."""
 
+import re
+
 from clickhouse_clickhouse_spark.registry import all_queries
 
 
@@ -135,10 +137,19 @@ def test_no_query_sorts_or_windows_on_single_partition(spark, sf_dir):
             if "Sort " in ctx or "Window " in ctx:
                 offenders[name] = lines[max(0, i - 2)].strip()[:80]
 
-    # build+plan is driver-side and thread-safe; the sweep covers the
-    # whole registry, so parallel planning cuts ~40 s of wall
-    run_parallel([(n, f) for n, f in sorted(all_queries().items())
-                  if n not in _SINGLE_PARTITION_ALLOWED], check)
+    # build+plan is driver-side and thread-safe for PURE queries; the
+    # DDL-side-effect families (matviews, refreshables, dictionaries,
+    # projection registration) create/drop session views and must not
+    # interleave — they run serially first, the rest in parallel
+    # (cuts ~40 s of wall)
+    ddl = re.compile(r"matview|refresh|dictionary|projection_routed"
+                     r"|insert|truncate|engine")
+    items = [(n, f) for n, f in sorted(all_queries().items())
+             if n not in _SINGLE_PARTITION_ALLOWED]
+    for item in items:
+        if ddl.search(item[0]):
+            check(item)
+    run_parallel([i for i in items if not ddl.search(i[0])], check)
     assert not offenders, offenders
 
 
