@@ -775,7 +775,10 @@ def _sequence_tpl(params: list[str], args: list[str],
             n = int(m.group(1))
             if not 1 <= n <= k:
                 raise ValueError(f"sequenceMatch: (?{n}) out of range")
-            chars = "".join(chr(65 + bm) for bm in range(1 << k)
+            # offset 48 ('0'): bitmask chars span '0'..'O' for k <= 5 —
+            # all literal inside a regex class (65 would reach '[','\\',
+            # ']' at bm >= 26 and break the class)
+            chars = "".join(chr(48 + bm) for bm in range(1 << k)
                             if bm >> (n - 1) & 1)
             out.append(f"[{chars}]")
             rest = rest[m.end():]
@@ -792,7 +795,7 @@ def _sequence_tpl(params: list[str], args: list[str],
                     for i, c in enumerate(conds))
     s = ("ARRAY_JOIN(TRANSFORM(ARRAY_SORT(COLLECT_LIST("
          "NAMED_STRUCT('t', UNIX_MICROS({ts}), 'bm', {bm}))), "
-         "__ev -> CHAR(65 + __ev.bm)), '')").format(ts=ts, bm=bm)
+         "__ev -> CHAR(48 + __ev.bm)), '')").format(ts=ts, bm=bm)
     if count:
         return (f"CAST(SIZE(REGEXP_EXTRACT_ALL({s}, '{regex}', 0)) "
                 "AS BIGINT)")
