@@ -1963,10 +1963,12 @@ def randomString(length):
     entropy-per-char contract for test-data generation."""
     ln = _c(length).cast("int") if isinstance(length, Column) \
         else F.lit(int(length))
-    return F.concat_ws("", F.transform(
-        F.sequence(F.lit(1), ln),
-        lambda _i: F.char(F.lit(33)
-                          + F.floor(F.rand() * 94).cast("int"))))
+    # n <= 0 -> '' (SEQUENCE(1, 0) silently descends to [1, 0])
+    return F.when(ln <= 0, F.lit("")).otherwise(F.concat_ws(
+        "", F.transform(
+            F.sequence(F.lit(1), ln),
+            lambda _i: F.char(F.lit(33)
+                              + F.floor(F.rand() * 94).cast("int")))))
 
 
 randomPrintableASCII = randomString

@@ -251,8 +251,14 @@ _FUNCS: dict[str, str] = {
     # arrays
     "arrayJoin": "EXPLODE({0})", "has": "ARRAY_CONTAINS({0}, {1})",
     # 1-based like the reference (Spark's a[i] subscript is 0-based and
-    # deliberately NOT rewritten — bracket indexing stays Spark-law)
-    "arrayElement": "ELEMENT_AT({0}, CAST({1} AS INT))",
+    # deliberately NOT rewritten — bracket indexing stays Spark-law).
+    # TRY_ form: index 0 / out-of-range yield NULL — a documented
+    # deviation from the reference's element-type DEFAULT (0/''), which
+    # is untypeable at translate time; NULL beats a runtime error
+    # (TRY_ELEMENT_AT suppresses out-of-range but still throws on the
+    # literal index 0 — guard it explicitly)
+    "arrayElement": "IF(CAST({1} AS INT) = 0, NULL, "
+                    "TRY_ELEMENT_AT({0}, CAST({1} AS INT)))",
     "indexOf": "ARRAY_POSITION({0}, {1})",
     "arrayDistinct": "ARRAY_DISTINCT({0})", "arraySort": "ARRAY_SORT({0})",
     "arrayConcat": "CONCAT({*})", "arrayFlatten": "FLATTEN({0})",
@@ -435,13 +441,16 @@ _FUNCS: dict[str, str] = {
     "ngramDistanceCaseInsensitive":
         lambda a: _ngram_distance_tpl(a, ci=True),
     "multiFuzzyMatchAny": lambda a: _multi_fuzzy_tpl(a),
-    # printable-ASCII deviation documented at ch_functions.randomString
+    # printable-ASCII deviation documented at ch_functions.randomString;
+    # n <= 0 guards '' (SEQUENCE(1, 0) silently descends to [1, 0])
     "randomString":
+        "IF(CAST({0} AS INT) <= 0, '', "
         "CONCAT_WS('', TRANSFORM(SEQUENCE(1, CAST({0} AS INT)), "
-        "__i -> CHAR(33 + CAST(FLOOR(RAND() * 94) AS INT))))",
+        "__i -> CHAR(33 + CAST(FLOOR(RAND() * 94) AS INT)))))",
     "randomPrintableASCII":
+        "IF(CAST({0} AS INT) <= 0, '', "
         "CONCAT_WS('', TRANSFORM(SEQUENCE(1, CAST({0} AS INT)), "
-        "__i -> CHAR(33 + CAST(FLOOR(RAND() * 94) AS INT))))",
+        "__i -> CHAR(33 + CAST(FLOOR(RAND() * 94) AS INT)))))",
     "tuple": lambda a: "NAMED_STRUCT({})".format(
         ", ".join(f"'_{i + 1}', {x}" for i, x in enumerate(a))),
     "tupleElement": lambda a: _tuple_element_tpl(a),
@@ -790,11 +799,19 @@ def _sequence_tpl(params: list[str], args: list[str],
             continue
         raise ValueError(f"sequenceMatch: unsupported pattern element "
                          f"at {rest!r} ((?N), .*, .+ only)")
-    regex = "".join(out)
+    # count mode: lazy quantifiers, so non-overlapping scanning counts
+    # each earliest-completing chain separately (greedy '.*' would
+    # swallow '1212' into ONE match where the reference counts 2)
+    regex = "".join(x + "?" if count and x in (".*", ".+") else x
+                    for x in out)
     bm = " + ".join(f"IF({c}, {1 << i}, 0)"
                     for i, c in enumerate(conds))
-    s = ("ARRAY_JOIN(TRANSFORM(ARRAY_SORT(COLLECT_LIST("
+    # events matching NO condition are SKIPPED (the reference considers
+    # only condition-matching events, so '(?1)(?2)' adjacency must not
+    # break on interleaved unrelated rows)
+    s = ("ARRAY_JOIN(TRANSFORM(FILTER(ARRAY_SORT(COLLECT_LIST("
          "NAMED_STRUCT('t', UNIX_MICROS({ts}), 'bm', {bm}))), "
+         "__ev -> __ev.bm != 0), "
          "__ev -> CHAR(48 + __ev.bm)), '')").format(ts=ts, bm=bm)
     if count:
         return (f"CAST(SIZE(REGEXP_EXTRACT_ALL({s}, '{regex}', 0)) "
@@ -2599,7 +2616,7 @@ def ch_statement(spark: SparkSession, sql: str,
                          "VIEW <name> is)")
     if kw == "CREATE":
         dm = re.match(
-            r"CREATE\s+DICTIONARY\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<n>\w+)"
+            r"CREATE\s+DICTIONARY\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<n>\w+)"
             r"\s*\((?P<cols>.*?)\)\s*"
             r"PRIMARY\s+KEY\s+(?P<k>\w+)\s*"
             r"SOURCE\s*\(\s*(?P<src>\w+)\s*\((?P<sargs>.*?)\)\s*\)"
@@ -2624,6 +2641,18 @@ def ch_statement(spark: SparkSession, sql: str,
                 raise ValueError(f"CREATE DICTIONARY: PRIMARY KEY "
                                  f"{key!r} not in the column list")
             name = dm.group("n")
+            if name.lower() in _DICTIONARIES:
+                # reference DDL contract: plain CREATE on an existing
+                # name errors (DICTIONARY_ALREADY_EXISTS); IF NOT
+                # EXISTS skips, leaving the existing binding intact
+                if dm.group("ine") is None:
+                    raise ValueError(
+                        f"dictionary {name!r} already exists — "
+                        "DROP DICTIONARY first or use IF NOT EXISTS")
+                d = _DICTIONARIES[name.lower()]
+                return spark.createDataFrame(
+                    [(name, d["table"], d["key"])],
+                    "dictionary string, source_table string, key string")
             _DICTIONARIES[name.lower()] = {
                 "table": tm.group(1), "key": key,
                 "attrs": [c for c in cols if c != key]}

@@ -384,6 +384,11 @@ def _affine_hashes(grams: Column, num_hashes: int) -> list[Column]:
         MINHASH_PRIME,
     )
 
+    if num_hashes > len(MINHASH_COEFFS):
+        raise ValueError(
+            f"num_hashes={num_hashes} exceeds the {len(MINHASH_COEFFS)} "
+            "defined hash streams — a silently shorter signature would "
+            "mis-band downstream")
     tid = lambda g: F.pmod(F.xxhash64(g), F.lit(MINHASH_PRIME))
 
     # closure factory, NOT default-arg lambdas — defaults change the

@@ -60,6 +60,11 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     # tokens explode inside one partition, partial_min collapses them
     # before the exchange), so the "token-table shuffle" actually moves
     # ~1 row per doc. Signatures are bit-identical either way (verified).
+    if num_hashes > len(MINHASH_COEFFS):
+        raise ValueError(
+            f"num_hashes={num_hashes} exceeds the {len(MINHASH_COEFFS)} "
+            "defined hash streams — a silently shorter signature would "
+            "mis-band downstream")
     tok = _token_table(df, id_col, text_col, shingle)
     if token_hash == "xxhash":
         tok = tok.withColumn(

@@ -426,14 +426,15 @@ def ch_sql_retention(spark, sf):
 @register("ch_sql_sequence_count", oracle="""
 WITH seq AS (
   SELECT user_id,
-         string_agg(chr(65 + CASE WHEN event_type = 'view' THEN 1
-                              WHEN event_type = 'purchase' THEN 2
-                              ELSE 0 END), '' ORDER BY ts) AS s
+         string_agg(CASE WHEN event_type = 'view' THEN 'B'
+                         WHEN event_type = 'purchase' THEN 'C' END,
+                    '' ORDER BY ts)
+           FILTER (WHERE event_type IN ('view', 'purchase')) AS s
   FROM events GROUP BY user_id)
 SELECT user_id,
-       CAST(len(regexp_extract_all(s, '[BD][CD]')) AS BIGINT) AS n,
-       (strpos(s, 'B') > 0 AND
-        regexp_matches(substr(s, strpos(s, 'B')), '[BD].*[CD]')) AS m
+       CAST(len(regexp_extract_all(coalesce(s, ''), 'BC')) AS BIGINT)
+           AS n,
+       regexp_matches(coalesce(s, ''), 'B.*C') AS m
 FROM seq
 """)
 def ch_sql_sequence_count(spark, sf):

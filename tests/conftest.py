@@ -32,11 +32,16 @@ def run_parallel(cases, fn, workers=16):
 
     with ThreadPoolExecutor(workers) as ex:
         futs = [(c, ex.submit(fn, c)) for c in cases]
-        errors = []
+        errors, hard = [], None
         for c, f in futs:
             try:
                 f.result()
             except AssertionError as e:
                 errors.append((c, e))
+            except Exception as e:           # noqa: BLE001 — keep the
+                if hard is None:             # triggering case attached
+                    hard = (c, e)
+    if hard is not None:
+        raise RuntimeError(f"case {hard[0]!r} raised") from hard[1]
     assert not errors, f"{len(errors)} case(s) failed; first 3: " \
                        f"{errors[:3]}"

@@ -1346,3 +1346,70 @@ def test_create_dictionary_and_dictget(spark):
         assert d.dropped
     with _p.raises(ValueError, match="unknown dictionary"):
         ch_sql(spark, "SELECT dictGet('t_dict', 'v', 1)")
+
+
+def test_review_r7_edge_semantics(spark):
+    """Round-7 review fixes: sequenceMatch skips non-matching events
+    (reference contract) and sequenceCount scans lazily (counts each
+    earliest-completing chain); randomString(0) is ''; arrayElement
+    out-of-range/0 yields NULL not an error; duplicate CREATE
+    DICTIONARY refuses without IF NOT EXISTS."""
+    import datetime
+
+    import pytest as _p
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, ch_statement
+
+    T = lambda s: datetime.datetime(2024, 1, 1) + \
+        datetime.timedelta(seconds=s)
+    # view, OTHER, purchase: adjacency (?1)(?2) must hold (the
+    # unmatched event is skipped); 1,2,1,2 must COUNT 2 chains
+    spark.createDataFrame(
+        [(1, T(0), "view"), (1, T(5), "other"), (1, T(9), "purchase"),
+         (2, T(0), "view"), (2, T(1), "purchase"),
+         (2, T(2), "view"), (2, T(3), "purchase")],
+        "u int, ts timestamp, e string").createOrReplaceTempView("sq_r7")
+    rows = {r.u: (r.adj, r.n) for r in ch_sql(spark, """
+        SELECT u, sequenceMatch('(?1)(?2)')(ts, e == 'view',
+                                            e == 'purchase') AS adj,
+               sequenceCount('(?1).*(?2)')(ts, e == 'view',
+                                           e == 'purchase') AS n
+        FROM sq_r7 GROUP BY u""").collect()}
+    assert rows[1] == (True, 1)
+    assert rows[2] == (True, 2)      # greedy '.*' would say 1
+    r = ch_sql(spark, """
+        SELECT randomString(0) AS z, length(randomString(5)) AS n,
+               arrayElement([10, 20], 5) AS oob,
+               arrayElement([10, 20], 0) AS zero
+    """).collect()[0]
+    assert r.z == "" and r.n == 5
+    assert r.oob is None and r.zero is None
+    spark.createDataFrame([(1, "x")], "k int, v string") \
+        .createOrReplaceTempView("dup_src_t")
+    ch_statement(spark, """
+        CREATE DICTIONARY dup_d (k UInt64, v String) PRIMARY KEY k
+        SOURCE(CLICKHOUSE(TABLE 'dup_src_t')) LAYOUT(HASHED())""")
+    try:
+        with _p.raises(ValueError, match="already exists"):
+            ch_statement(spark, """
+                CREATE DICTIONARY dup_d (k UInt64, v String)
+                PRIMARY KEY k SOURCE(CLICKHOUSE(TABLE 'dup_src_t'))
+                LAYOUT(HASHED())""")
+        # IF NOT EXISTS skips, keeping the existing binding
+        row = ch_statement(spark, """
+            CREATE DICTIONARY IF NOT EXISTS dup_d (k UInt64, zz String)
+            PRIMARY KEY k SOURCE(CLICKHOUSE(TABLE 'other_t'))
+            LAYOUT(HASHED())""").collect()[0]
+        assert row.source_table == "dup_src_t"
+    finally:
+        ch_statement(spark, "DROP DICTIONARY dup_d")
+    # oversized minhash signature request refuses instead of silently
+    # truncating
+    from pyspark.sql import functions as F
+
+    from clickhouse_clickhouse_spark.functions.text import (
+        word_shingle_minhash,
+    )
+
+    with _p.raises(ValueError, match="num_hashes"):
+        word_shingle_minhash(F.lit("a b c"), 2, 32)
