@@ -459,6 +459,47 @@ _FUNCS: dict[str, str] = {
     "tupleMinus": lambda a: _tuple_arith_tpl(a, "-"),
     "tupleMultiply": lambda a: _tuple_arith_tpl(a, "*"),
     "tupleNegate": lambda a: _tuple_arith_tpl([a[0]], None),
+    # presentation helpers (SQL twins of the ch_functions versions —
+    # differential-tested equal)
+    "formatReadableSize":
+        "(CASE WHEN CAST({0} AS DOUBLE) >= 1073741824.0D THEN "
+        "CONCAT(CAST(ROUND(CAST({0} AS DOUBLE) / 1073741824.0D, 2) "
+        "AS STRING), ' GiB') "
+        "WHEN CAST({0} AS DOUBLE) >= 1048576.0D THEN "
+        "CONCAT(CAST(ROUND(CAST({0} AS DOUBLE) / 1048576.0D, 2) "
+        "AS STRING), ' MiB') "
+        "WHEN CAST({0} AS DOUBLE) >= 1024.0D THEN "
+        "CONCAT(CAST(ROUND(CAST({0} AS DOUBLE) / 1024.0D, 2) "
+        "AS STRING), ' KiB') "
+        "ELSE CONCAT(CAST(CAST(CAST({0} AS DOUBLE) AS BIGINT) "
+        "AS STRING), ' B') END)",
+    "formatReadableQuantity":
+        "(CASE WHEN ABS(CAST({0} AS DOUBLE)) >= 1e12 THEN "
+        "CONCAT(FORMAT_NUMBER(CAST({0} AS DOUBLE) / 1e12, 2), "
+        "' trillion') "
+        "WHEN ABS(CAST({0} AS DOUBLE)) >= 1e9 THEN "
+        "CONCAT(FORMAT_NUMBER(CAST({0} AS DOUBLE) / 1e9, 2), "
+        "' billion') "
+        "WHEN ABS(CAST({0} AS DOUBLE)) >= 1e6 THEN "
+        "CONCAT(FORMAT_NUMBER(CAST({0} AS DOUBLE) / 1e6, 2), "
+        "' million') "
+        "WHEN ABS(CAST({0} AS DOUBLE)) >= 1e3 THEN "
+        "CONCAT(FORMAT_NUMBER(CAST({0} AS DOUBLE) / 1e3, 2), "
+        "' thousand') "
+        "ELSE FORMAT_NUMBER(CAST({0} AS DOUBLE), 2) END)",
+    "bar": lambda a: (
+        "REPEAT('#', CAST(ROUND((LEAST(GREATEST(CAST({x} AS DOUBLE), "
+        "CAST({lo} AS DOUBLE)), CAST({hi} AS DOUBLE)) "
+        "- CAST({lo} AS DOUBLE)) / (CAST({hi} AS DOUBLE) "
+        "- CAST({lo} AS DOUBLE)) * ({w}), 0) AS INT))").format(
+            x=a[0], lo=a[1], hi=a[2], w=a[3] if len(a) > 3 else "80"),
+    "mapKeys": "MAP_KEYS({0})", "mapValues": "MAP_VALUES({0})",
+    "arrayZip": "ARRAYS_ZIP({*})",
+    "toStartOfTenMinutes":
+        "TIMESTAMP_SECONDS(FLOOR(UNIX_TIMESTAMP({0}) / 600) * 600)",
+    # optimizer hints that carry no semantics here
+    "indexHint": lambda a: "TRUE",
+    "ignore": lambda a: "0",
     # single-arg: the regex's literal {3} survives (only {0} is an arg slot)
     "isIPv4String":
         "({0} RLIKE '^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"

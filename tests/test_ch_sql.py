@@ -1413,3 +1413,36 @@ def test_review_r7_edge_semantics(spark):
 
     with _p.raises(ValueError, match="num_hashes"):
         word_shingle_minhash(F.lit("a b c"), 2, 32)
+
+
+def test_presentation_dialect_twins(spark):
+    """SQL-dialect presentation helpers equal their ch_functions Column
+    twins (formatReadableSize/Quantity, bar); map/zip/hint names
+    translate."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_clickhouse_spark import ch_functions as CH
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    d = spark.createDataFrame(
+        [(0,), (999,), (2048,), (5 * 1024**2,), (3 * 1024**3,),
+         (123456789,)], "n long")
+    d.createOrReplaceTempView("pres_t")
+    got = ch_sql(spark, """
+        SELECT n, formatReadableSize(n) AS sz,
+               formatReadableQuantity(n) AS q,
+               bar(n, 0, 3221225472, 10) AS b
+        FROM pres_t""").collect()
+    want = d.select(
+        "n", CH.formatReadableSize("n").alias("sz"),
+        CH.formatReadableQuantity("n").alias("q"),
+        CH.bar("n", 0, 3221225472, 10).alias("b")).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    r = ch_sql(spark, """
+        SELECT mapKeys(map('a', 1, 'b', 2)) AS mk,
+               mapValues(map('a', 1)) AS mv,
+               arrayZip([1, 2], ['x', 'y']) AS az,
+               indexHint(1 > 0) AS ih, ignore(42, 'x') AS ig
+    """).collect()[0]
+    assert sorted(r.mk) == ["a", "b"] and r.mv == [1]
+    assert len(r.az) == 2 and r.ih is True and r.ig == 0
