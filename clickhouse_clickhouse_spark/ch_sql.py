@@ -539,6 +539,15 @@ _PARAMETRIC: dict = {
     "quantiles": "PERCENTILE_APPROX({a0}, ARRAY({p*}))",
     "quantileDeterministic": lambda params, args:
         f"PERCENTILE_APPROX({args[0]}, {params[0]})",
+    # -Resample combinator ([U] AggregateFunctionResample.h): bucket the
+    # aggregation by a key column over [start, end) with `step`, one
+    # array slot per bucket
+    "sumResample": lambda params, args: _resample_tpl(params, args,
+                                                      "sum"),
+    "countResample": lambda params, args: _resample_tpl(params, args,
+                                                        "count"),
+    "avgResample": lambda params, args: _resample_tpl(params, args,
+                                                      "avg"),
     # event-sequence aggregates, SQL-expressible as folds/regex over the
     # per-group sorted event array — same semantics as the DataFrame
     # operators in operators/events.py
@@ -730,6 +739,55 @@ def _array_reduce_tpl(args: list[str]) -> str:
         raise ValueError(f"arrayReduce: unsupported aggregate {name!r}; "
                          f"supported: {sorted(_ARRAY_REDUCE)}")
     return "(" + _ARRAY_REDUCE[name].replace("{a}", args[1]) + ")"
+
+
+def _resample_tpl(params: list[str], args: list[str], op: str) -> str:
+    """sum/count/avgResample(start, end, step)(value[, ...], key): one
+    aggregate per key bucket over [start, end), returned as an array —
+    a collect_list fold updating the matching bucket slot (O(n·buckets)
+    per group; buckets come from translate-time literals). sum/avg cast
+    to DOUBLE; count is BIGINT. The key is the LAST argument (upstream
+    convention)."""
+    try:
+        start, end, step = (float(p) for p in params)
+    except ValueError:
+        raise ValueError(f"{op}Resample(start, end, step) takes numeric "
+                         "literals") from None
+    if step <= 0 or end <= start:
+        raise ValueError(f"{op}Resample: need step > 0 and end > start")
+    nb = int((end - start + step - 1) // step)
+    if nb > 4096:
+        raise ValueError(f"{op}Resample: {nb} buckets exceeds the 4096 "
+                         "sanity cap")
+    if len(args) != (1 if op == "count" else 2):
+        raise ValueError(
+            f"{op}Resample(start, end, step)"
+            f"({'key' if op == 'count' else 'value, key'})")
+    key = args[-1]
+    val = args[0] if op != "count" else "1"
+    ev = (f"NAMED_STRUCT('k', CAST({key} AS DOUBLE), "
+          f"'v', CAST({val} AS DOUBLE))")
+    idx = (f"CAST(FLOOR((__e.k - {start}) / {step}) AS INT)")
+
+    def fold(zero: str) -> str:
+        return (f"AGGREGATE(COLLECT_LIST({ev}), "
+                f"TRANSFORM(SEQUENCE(1, {nb}), __z -> {zero}), "
+                f"(__acc, __e) -> IF(__e.k >= {start} AND __e.k < {end},"
+                f" TRANSFORM(__acc, (__s, __j) -> "
+                f"IF(__j = {idx}, __s + __e.v, __s)), __acc))")
+
+    sums = fold("CAST(0 AS DOUBLE)")
+    if op == "sum":
+        return sums
+    counts = (f"AGGREGATE(COLLECT_LIST({ev}), "
+              f"TRANSFORM(SEQUENCE(1, {nb}), __z -> CAST(0 AS BIGINT)), "
+              f"(__acc, __e) -> IF(__e.k >= {start} AND __e.k < {end},"
+              f" TRANSFORM(__acc, (__s, __j) -> "
+              f"IF(__j = {idx}, __s + 1L, __s)), __acc))")
+    if op == "count":
+        return counts
+    return (f"ZIP_WITH({sums}, {counts}, (__s, __n) -> "
+            "IF(__n = 0, CAST(NULL AS DOUBLE), __s / __n))")
 
 
 def _window_funnel_tpl(params: list[str], args: list[str]) -> str:

@@ -1446,3 +1446,28 @@ def test_presentation_dialect_twins(spark):
     """).collect()[0]
     assert sorted(r.mk) == ["a", "b"] and r.mv == [1]
     assert len(r.az) == 2 and r.ih is True and r.ig == 0
+
+
+def test_resample_combinator(spark):
+    """sum/count/avgResample(start,end,step)(...): per-bucket aggregate
+    arrays; out-of-range keys ignored; empty buckets 0/0/NULL."""
+    import pytest as _p
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, translate
+
+    spark.createDataFrame(
+        [(0, 10.0), (1, 20.0), (5, 50.0), (99, 999.0), (-3, 1.0)],
+        "k long, v double").createOrReplaceTempView("rs_t")
+    r = ch_sql(spark, """
+        SELECT sumResample(0, 6, 2)(v, k) AS s,
+               countResample(0, 6, 2)(k) AS c,
+               avgResample(0, 6, 2)(v, k) AS a
+        FROM rs_t""").collect()[0]
+    # buckets [0,2) [2,4) [4,6): k=99 and k=-3 ignored
+    assert r.s == [30.0, 0.0, 50.0]
+    assert r.c == [2, 0, 1]
+    assert r.a == [15.0, None, 50.0]
+    with _p.raises(ValueError, match="numeric literals"):
+        translate("SELECT sumResample(a, 6, 2)(v, k) FROM t")
+    with _p.raises(ValueError, match="end > start"):
+        translate("SELECT countResample(6, 0, 2)(k) FROM t")
