@@ -1581,3 +1581,66 @@ def bm25_topk_q(spark, sf):
     d = load_table(spark, sf, "documents")
     return bm25_topk(d, "doc_id", "text", ["vector", "hash", "stream"],
                      k=10)
+
+
+@register("curation_lm_quality_gate", oracle=f"""
+WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+bpair AS (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2
+  FROM (SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                                     i -> [t[i], t[i + 1]])) AS p
+        FROM tk WHERE len(t) >= 2)),
+uni AS (SELECT w1, count(*) AS u_cnt
+        FROM (SELECT unnest(t) AS w1 FROM tk) GROUP BY w1),
+bi AS (SELECT w1, w2, count(*) AS b_cnt FROM bpair GROUP BY w1, w2),
+v AS (SELECT count(*) AS vocab FROM uni),
+nll AS (
+  SELECT g.doc_id,
+         -ln((coalesce(bi.b_cnt, 0) + 0.5)
+             / (coalesce(uni.u_cnt, 0) + 0.5 * v.vocab)) AS x
+  FROM bpair g
+  LEFT JOIN uni USING (w1)
+  LEFT JOIN bi ON g.w1 = bi.w1 AND g.w2 = bi.w2
+  CROSS JOIN v),
+sc AS (SELECT doc_id, avg(x) AS avg_nll FROM nll GROUP BY doc_id),
+med AS (SELECT quantile_cont(avg_nll, 0.5) AS m FROM sc)
+SELECT d.source,
+       CAST(count(*) FILTER (WHERE sc.avg_nll <= med.m) AS BIGINT)
+           AS n_kept,
+       CAST(count(*) FILTER (WHERE sc.avg_nll > med.m) AS BIGINT)
+           AS n_dropped,
+       round(avg(CASE WHEN sc.avg_nll <= med.m
+                 THEN exp(sc.avg_nll) END), 4) AS kept_ppl
+FROM documents d JOIN sc USING (doc_id) CROSS JOIN med
+GROUP BY d.source
+""")
+def curation_lm_quality_gate(spark, sf):
+    """Round-7 capstone: the CCNet-style LM quality gate composed into
+    a curation report — the corpus-trained bigram LM scores every doc,
+    the corpus MEDIAN avg-NLL (computed in-plan, broadcast) is the
+    keep threshold, and the per-source kept/dropped split plus kept
+    perplexity reports out. One declarative plan: the LM count tables,
+    the scorer, the exact median, and the report all fuse under
+    Catalyst; nothing collects to the driver. DuckDB replays the
+    entire train → score → median-gate → report chain."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_clickhouse_spark.pipeline.lm_score import (
+        score_perplexity,
+        train_bigram_lm,
+    )
+
+    d = load_table(spark, sf, "documents")
+    uni, bi, stats = train_bigram_lm(d, "doc_id", "text")
+    sc = score_perplexity(d, "doc_id", "text", uni, bi, stats, k=0.5)
+    med = sc.agg(F.percentile("avg_nll", F.lit(0.5)).alias("m"))
+    return (d.join(sc, "doc_id").crossJoin(F.broadcast(med))
+            .groupBy("source")
+            .agg(F.count_if(F.col("avg_nll") <= F.col("m"))
+                 .alias("n_kept"),
+                 F.count_if(F.col("avg_nll") > F.col("m"))
+                 .alias("n_dropped"),
+                 F.round(F.avg(F.when(F.col("avg_nll") <= F.col("m"),
+                                      F.exp("avg_nll"))), 4)
+                 .alias("kept_ppl")))
