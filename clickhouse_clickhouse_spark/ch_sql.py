@@ -47,6 +47,7 @@ SURVEY.md §2.8 tables pin down.
 
 from __future__ import annotations
 
+import math
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -123,7 +124,10 @@ _FUNCS: dict[str, str] = {
     "uniqExact": "COUNT(DISTINCT {*})",
     "median": "PERCENTILE({0}, 0.5)",
     "medianExact": "PERCENTILE({0}, 0.5)",
-    "any": "FIRST({0})", "anyLast": "LAST({0})",
+    # IGNORE NULLS: the reference's any/anyLast skip NULLs for Nullable
+    # input (round-8 advice) — FIRST/LAST(x, TRUE) still yield NULL on
+    # empty/all-NULL groups
+    "any": "FIRST({0}, TRUE)", "anyLast": "LAST({0}, TRUE)",
     "argMin": "MIN_BY({0}, {1})", "argMax": "MAX_BY({0}, {1})",
     "groupArray": "COLLECT_LIST({0})", "groupUniqArray": "COLLECT_SET({0})",
     "countIf": "COUNT_IF({0})",
@@ -162,18 +166,26 @@ _FUNCS: dict[str, str] = {
     # only the counting forms need the NULLIF wrap
     "sumOrNull": "SUM({0})", "minOrNull": "MIN({0})",
     "maxOrNull": "MAX({0})", "avgOrNull": "AVG({0})",
-    "anyOrNull": "FIRST({0})",
+    "anyOrNull": "FIRST({0}, TRUE)",
     "countOrNull": "NULLIF(COUNT({0}), 0)",
     "uniqExactOrNull": "NULLIF(COUNT(DISTINCT {0}), 0)",
     # -ForEach combinator: element-wise aggregation over array columns
     # ([U] src/AggregateFunctions/AggregateFunctionForEach.h) — a
     # collect_list fold with null-padding zip (zip_with extends to the
     # longer array, exactly the reference's ragged-array behavior)
+    # type-preserving fold (round-8 advice): seed with the FIRST
+    # collected array zeroed in its own element type (x - x), so
+    # integer arrays sum exactly in the widened integer type instead
+    # of silently widening to DOUBLE past 2^53; the CASE slot update
+    # keeps the element type through ragged NULL-padded extensions.
+    # An all-NULL slot yields NULL (documented deviation from the
+    # reference's 0 — NULL is the only typeable empty sum here).
     "sumForEach":
-        "AGGREGATE(COLLECT_LIST({0}), CAST(ARRAY() AS ARRAY<DOUBLE>), "
-        "(__acc, __x) -> ZIP_WITH(__acc, TRANSFORM(__x, "
-        "__e -> CAST(__e AS DOUBLE)), "
-        "(__a, __b) -> COALESCE(__a, 0D) + COALESCE(__b, 0D)))",
+        "AGGREGATE(COLLECT_LIST({0}), "
+        "TRANSFORM(ELEMENT_AT(COLLECT_LIST({0}), 1), __z -> __z - __z), "
+        "(__acc, __x) -> ZIP_WITH(__acc, __x, (__a, __b) -> "
+        "CASE WHEN __a IS NULL THEN __b WHEN __b IS NULL THEN __a "
+        "ELSE __a + __b END))",
     "countForEach":
         "AGGREGATE(COLLECT_LIST({0}), CAST(ARRAY() AS ARRAY<BIGINT>), "
         "(__acc, __x) -> ZIP_WITH(__acc, __x, (__a, __b) -> "
@@ -432,9 +444,14 @@ _FUNCS: dict[str, str] = {
     "multiMatchAnyIndex":
         "CAST(COALESCE(ARRAY_POSITION(TRANSFORM({1}, "
         "__p -> REGEXP_LIKE({0}, __p)), TRUE), 0) AS BIGINT)",
+    # LEFTMOST-occurrence semantics (round-8 advice): the winner is the
+    # needle whose first occurrence starts earliest in the haystack
+    # (ties -> lower needle index), NOT the first needle in array order
+    # that matches anywhere — mirrors ch_functions.multiSearchFirstIndex
     "multiSearchFirstIndex":
-        "CAST(COALESCE(ARRAY_POSITION(TRANSFORM({1}, "
-        "__n -> CONTAINS({0}, __n)), TRUE), 0) AS BIGINT)",
+        "CAST(COALESCE(ARRAY_MIN(FILTER(TRANSFORM({1}, (__n, __i) -> "
+        "NAMED_STRUCT('pos', INSTR({0}, __n), 'idx', __i + 1)), "
+        "__s -> __s.pos > 0)).idx, 0) AS BIGINT)",
     "hasToken": lambda a: _has_token_tpl(a, ci=False),
     "hasTokenCaseInsensitive": lambda a: _has_token_tpl(a, ci=True),
     "ngramDistance": lambda a: _ngram_distance_tpl(a, ci=False),
@@ -755,7 +772,10 @@ def _resample_tpl(params: list[str], args: list[str], op: str) -> str:
                          "literals") from None
     if step <= 0 or end <= start:
         raise ValueError(f"{op}Resample: need step > 0 and end > start")
-    nb = int((end - start + step - 1) // step)
+    # ceil((end-start)/step) with a float-noise guard: the old
+    # int((end-start+step-1)//step) form equals ceil only for integer
+    # steps (round-8 advice — sumResample(0,1,0.5) needs 2 buckets)
+    nb = int(math.ceil((end - start) / step - 1e-9))
     if nb > 4096:
         raise ValueError(f"{op}Resample: {nb} buckets exceeds the 4096 "
                          "sanity cap")
@@ -767,7 +787,10 @@ def _resample_tpl(params: list[str], args: list[str], op: str) -> str:
     val = args[0] if op != "count" else "1"
     ev = (f"NAMED_STRUCT('k', CAST({key} AS DOUBLE), "
           f"'v', CAST({val} AS DOUBLE))")
-    idx = (f"CAST(FLOOR((__e.k - {start}) / {step}) AS INT)")
+    # clamp guards float round-off at the upper edge (k just below
+    # `end` must never index past the last bucket)
+    idx = (f"LEAST(CAST(FLOOR((__e.k - {start}) / {step}) AS INT), "
+           f"{nb - 1})")
 
     def fold(zero: str) -> str:
         return (f"AGGREGATE(COLLECT_LIST({ev}), "

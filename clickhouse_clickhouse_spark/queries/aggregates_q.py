@@ -1524,8 +1524,8 @@ def ab_sample_size_gate(spark, sf):
 
 @register("ch_dialect_demo10", oracle="""
 SELECT CAST(n_regionkey AS BIGINT) AS r,
-       [CAST(sum(n_nationkey) AS DOUBLE), CAST(sum(n_regionkey) AS DOUBLE),
-        CAST(sum(n_nationkey % 5) AS DOUBLE)] AS s,
+       [CAST(sum(n_nationkey) AS BIGINT), CAST(sum(n_regionkey) AS BIGINT),
+        CAST(sum(n_nationkey % 5) AS BIGINT)] AS s,
        [count(*), count(*), count(*)] AS c,
        [CAST(min(n_nationkey) AS BIGINT), CAST(min(n_regionkey) AS BIGINT),
         CAST(min(n_nationkey % 5) AS BIGINT)] AS mn,
@@ -1550,8 +1550,9 @@ def ch_dialect_demo10(spark, sf):
     load_table(spark, sf, "nation").createOrReplaceTempView("nation")
     return ch_sql(spark, """
         SELECT toInt64(n_regionkey) AS r,
-               sumForEach([n_nationkey, n_regionkey,
-                           n_nationkey % 5]) AS s,
+               arrayMap(__x -> toInt64(__x),
+                        sumForEach([n_nationkey, n_regionkey,
+                                    n_nationkey % 5])) AS s,
                countForEach([n_nationkey, n_regionkey,
                              n_nationkey % 5]) AS c,
                arrayMap(__x -> toInt64(__x),

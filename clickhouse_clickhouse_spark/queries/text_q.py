@@ -1447,8 +1447,11 @@ SELECT n_nationkey AS k,
        CAST(CASE WHEN regexp_matches(n_name, 'IA$') THEN 1
                  WHEN regexp_matches(n_name, '^K') THEN 2
                  ELSE 0 END AS BIGINT) AS mmi,
-       CAST(CASE WHEN contains(n_name, 'AN') THEN 1
-                 WHEN contains(n_name, 'IA') THEN 2
+       CAST(CASE WHEN strpos(n_name, 'AN') > 0
+                  AND (strpos(n_name, 'IA') = 0
+                       OR strpos(n_name, 'AN') <= strpos(n_name, 'IA'))
+                 THEN 1
+                 WHEN strpos(n_name, 'IA') > 0 THEN 2
                  ELSE 0 END AS BIGINT) AS msf,
        [CAST(strpos(n_name, 'AN') AS BIGINT),
         CAST(strpos(n_name, 'IA') AS BIGINT)] AS msp,

@@ -1242,11 +1242,13 @@ def test_foreach_ornull_combinators_ragged(spark):
                minForEach(a) AS mn, maxForEach(a) AS mx,
                avgForEach(a) AS av
         FROM fe_t GROUP BY k""").collect()}
-    assert rows[1].s == [11.0, 22.0, 3.0]
+    # sumForEach is type-preserving since round 8 (integer arrays sum
+    # exactly in the element type; an all-NULL slot yields NULL)
+    assert rows[1].s == [11, 22, 3]
     assert rows[1].c == [2, 2, 1]
     assert rows[1].mn == [1, 2, 3] and rows[1].mx == [10, 20, 3]
     assert rows[1].av == [5.5, 11.0, 3.0]
-    assert rows[2].s == [5.0, 0.0, 7.0]
+    assert rows[2].s == [5, None, 7]
     assert rows[2].c == [1, 0, 1]
     assert rows[2].av == [5.0, None, 7.0]
     r = ch_sql(spark, "SELECT sumOrNull(x) AS s, countOrNull(x) AS c, "
@@ -1254,6 +1256,13 @@ def test_foreach_ornull_combinators_ragged(spark):
                       "(SELECT CAST(NULL AS INT) AS x WHERE 1 = 0)") \
         .collect()[0]
     assert (r.s, r.c, r.u) == (None, None, None)
+    # integer exactness past 2^53 (a DOUBLE accumulator would round)
+    spark.createDataFrame(
+        [([9007199254740993, 1],), ([9007199254740993, 2],)],
+        "a array<long>").createOrReplaceTempView("fe_big")
+    big = ch_sql(spark, "SELECT sumForEach(a) AS s FROM fe_big") \
+        .collect()[0]
+    assert big.s == [18014398509481986, 3]
 
 
 def test_dialect_event_aggregates(spark):
@@ -1471,3 +1480,13 @@ def test_resample_combinator(spark):
         translate("SELECT sumResample(a, 6, 2)(v, k) FROM t")
     with _p.raises(ValueError, match="end > start"):
         translate("SELECT countResample(6, 0, 2)(k) FROM t")
+    # fractional step (round-8 advice): ceil((1-0)/0.5) = 2 buckets and
+    # the in-range event near the top edge lands in the LAST bucket
+    spark.createDataFrame(
+        [(0.1, 1.0), (0.6, 10.0), (0.9999999, 100.0)],
+        "k double, v double").createOrReplaceTempView("rs_frac")
+    fr = ch_sql(spark, "SELECT sumResample(0, 1, 0.5)(v, k) AS s, "
+                       "countResample(0, 1, 0.5)(k) AS c "
+                       "FROM rs_frac").collect()[0]
+    assert fr.s == [1.0, 110.0]
+    assert fr.c == [1, 2]
