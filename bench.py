@@ -100,6 +100,13 @@ def main() -> None:
         cb[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
+    # box-load context (round-8 verdict item: driver rounds recorded on
+    # a loaded box mislead trend-reading — a judge can discount noise
+    # when the 1/5/15-min load averages ride high)
+    try:
+        load = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load = None
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -110,6 +117,8 @@ def main() -> None:
         "clickbench": cb,
         "clickbench_total": round(sum(cb.values()), 3),
         "sf": float(sf),
+        "load_average": load,
+        "cpus": os.cpu_count(),
     }))
 
 
