@@ -591,6 +591,243 @@ _PARAMETRIC: dict = {
             "e -> e.key), 1, {p0})",
 }
 
+# ---------------------------------------------------------------------------
+# Generic aggregate-combinator composition (round 8). The reference builds
+# combinator names MECHANICALLY (base aggregate + ordered suffix stack, [U]
+# src/AggregateFunctions/Combinators/) — so `avgArrayIf`, `countDistinctIf`,
+# `sumMapOrNull`-class names a user writes must translate without each one
+# being enumerated. A name not found in _FUNCS/_PARAMETRIC is suffix-peeled
+# right-to-left until a known base aggregate remains; the peeled stack then
+# applies LEFT-to-RIGHT (leftmost combinator innermost, matching upstream
+# where `sumArrayIf` = If(Array(sum)): -If filters rows, -Array iterates
+# elements of the filtered rows).
+#
+# Combinator semantics (each layer must tolerate NULL input so stacking
+# composes — e.g. an -If that fails its condition feeds NULL to -Array's
+# fold, which yields NULL, which the cross-row aggregate skips):
+#   -If       appends one condition argument; value args wrap in
+#             CASE WHEN cond THEN v END (all bases here skip NULLs)
+#   -OrNull   NULL when nothing aggregated (counting bases NULLIF 0;
+#             array-collecting bases NULL on empty; others already NULL)
+#   -Array    per-row element iteration (type-preserving folds; see each
+#             template)
+#   -ForEach  element-wise aggregation across rows (reuses the enumerated
+#             {base}ForEach templates)
+#   -Map      key-wise aggregation over MAP columns, key-sorted result
+#   -Distinct aggregate over distinct values
+# Valid stacks: at most one structural combinator (-Array/-ForEach/-Map),
+# applied before any -If; -Distinct only in scalar position. Invalid
+# stacks refuse loudly (never a silent wrong answer).
+
+
+def _arr_sum_tpl(cast_double: bool) -> str:
+    """Per-row array sum: FILTER out NULL elements, seed the fold with a
+    typed zero (first element minus itself) so integer arrays stay exact
+    past 2^53; the double-cast variant feeds avg."""
+    if cast_double:
+        inner = ("AGGREGATE(__nn, CAST(0 AS DOUBLE), "
+                 "(__s, __e2) -> __s + CAST(__e2 AS DOUBLE))")
+    else:
+        inner = ("AGGREGATE(__nn, "
+                 "TRY_ELEMENT_AT(__nn, 1) - TRY_ELEMENT_AT(__nn, 1), "
+                 "(__s, __e2) -> __s + __e2)")
+    return ("TRY_ELEMENT_AT(TRANSFORM(ARRAY(FILTER({0}, "
+            "__e -> __e IS NOT NULL)), __nn -> " + inner + "), 1)")
+
+
+_ARR_NELEM = ("CASE WHEN {0} IS NULL THEN 0L ELSE "
+              "CAST(SIZE(FILTER({0}, __e -> __e IS NOT NULL)) "
+              "AS BIGINT) END")
+
+
+def _map_fold_tpl(seed: str, merge: str, sort: bool = True) -> str:
+    """Cross-row map merge: fold COLLECT_LIST of maps with MAP_ZIP_WITH
+    (unions keys; absent keys surface as NULL sides for `merge`), then
+    key-sort the entries (the reference returns key-sorted maps)."""
+    fold = ("AGGREGATE(COLLECT_LIST({0}), " + seed +
+            ", (__acc, __x) -> MAP_ZIP_WITH(__acc, __x, "
+            "(__k, __a, __b) -> " + merge + "))")
+    if not sort:
+        return fold
+    return ("MAP_FROM_ENTRIES(ARRAY_SORT(MAP_ENTRIES(" + fold + ")))")
+
+
+_MAP_ZERO_SEED = ("TRANSFORM_VALUES(TRY_ELEMENT_AT(COLLECT_LIST({0}), 1), "
+                  "(__k, __v) -> __v - __v)")
+_MAP_FIRST_SEED = "TRY_ELEMENT_AT(COLLECT_LIST({0}), 1)"
+_CASE_ADD = ("CASE WHEN __a IS NULL THEN __b WHEN __b IS NULL THEN __a "
+             "ELSE __a + __b END")
+
+_MAP_SUM = _map_fold_tpl(_MAP_ZERO_SEED, _CASE_ADD)
+_MAP_COUNT = _map_fold_tpl(
+    "TRANSFORM_VALUES(TRY_ELEMENT_AT(COLLECT_LIST({0}), 1), "
+    "(__k, __v) -> 0L)",
+    "COALESCE(__a, 0L) + IF(__b IS NULL, 0L, 1L)")
+
+_AGG_BASES: dict[str, dict] = {
+    "sum": {"n": 1, "plain": "SUM({0})", "distinct": "SUM(DISTINCT {0})",
+            "ornull": "pass", "arr": "SUM(" + _arr_sum_tpl(False) + ")",
+            "map": _MAP_SUM},
+    "avg": {"n": 1, "plain": "AVG({0})", "distinct": "AVG(DISTINCT {0})",
+            "ornull": "pass",
+            "arr": "(SUM(" + _arr_sum_tpl(True) + ") / SUM(" +
+                   _ARR_NELEM + "))",
+            "map": ("MAP_FROM_ENTRIES(ARRAY_SORT(MAP_ENTRIES("
+                    "MAP_ZIP_WITH(" +
+                    _map_fold_tpl(_MAP_ZERO_SEED, _CASE_ADD, sort=False) +
+                    ", " + _map_fold_tpl(
+                        "TRANSFORM_VALUES(TRY_ELEMENT_AT("
+                        "COLLECT_LIST({0}), 1), (__k, __v) -> 0L)",
+                        "COALESCE(__a, 0L) + IF(__b IS NULL, 0L, 1L)",
+                        sort=False) +
+                    ", (__k, __s, __n) -> IF(__n IS NULL OR __n = 0, "
+                    "CAST(NULL AS DOUBLE), CAST(__s AS DOUBLE) / __n"
+                    ")))))")},
+    "min": {"n": 1, "plain": "MIN({0})", "distinct": "MIN(DISTINCT {0})",
+            "ornull": "pass", "arr": "MIN(ARRAY_MIN({0}))",
+            "map": _map_fold_tpl(
+                _MAP_FIRST_SEED,
+                "CASE WHEN __a IS NULL THEN __b WHEN __b IS NULL "
+                "THEN __a ELSE LEAST(__a, __b) END")},
+    "max": {"n": 1, "plain": "MAX({0})", "distinct": "MAX(DISTINCT {0})",
+            "ornull": "pass", "arr": "MAX(ARRAY_MAX({0}))",
+            "map": _map_fold_tpl(
+                _MAP_FIRST_SEED,
+                "CASE WHEN __a IS NULL THEN __b WHEN __b IS NULL "
+                "THEN __a ELSE GREATEST(__a, __b) END")},
+    "count": {"n": 1, "plain": "COUNT({0})",
+              "distinct": "COUNT(DISTINCT {0})", "ornull": "nullif0",
+              "arr": "COALESCE(SUM(" + _ARR_NELEM + "), 0L)",
+              "map": _MAP_COUNT},
+    "any": {"n": 1, "plain": "FIRST({0}, TRUE)", "ornull": "pass",
+            "arr": "FIRST(TRY_ELEMENT_AT(FILTER({0}, "
+                   "__e -> __e IS NOT NULL), 1), TRUE)"},
+    "anyLast": {"n": 1, "plain": "LAST({0}, TRUE)", "ornull": "pass",
+                "arr": "LAST(TRY_ELEMENT_AT(FILTER({0}, "
+                       "__e -> __e IS NOT NULL), -1), TRUE)"},
+    "uniqExact": {"n": 1, "plain": "COUNT(DISTINCT {0})",
+                  "ornull": "nullif0",
+                  "arr": "CAST(SIZE(ARRAY_DISTINCT(FLATTEN("
+                         "COLLECT_LIST(FILTER({0}, "
+                         "__e -> __e IS NOT NULL))))) AS BIGINT)"},
+    "groupArray": {"n": 1, "plain": "COLLECT_LIST({0})",
+                   "ornull": "empty_array",
+                   "arr": "FLATTEN(COLLECT_LIST({0}))"},
+    "groupUniqArray": {"n": 1, "plain": "COLLECT_SET({0})",
+                       "ornull": "empty_array",
+                       "arr": "ARRAY_DISTINCT(FLATTEN("
+                              "COLLECT_LIST({0})))"},
+    "argMin": {"n": 2, "plain": "MIN_BY({0}, {1})", "ornull": "pass"},
+    "argMax": {"n": 2, "plain": "MAX_BY({0}, {1})", "ornull": "pass"},
+    "median": {"n": 1, "plain": "PERCENTILE({0}, 0.5)", "ornull": "pass"},
+    "stddevPop": {"n": 1, "plain": "STDDEV_POP({0})", "ornull": "pass"},
+    "stddevSamp": {"n": 1, "plain": "STDDEV_SAMP({0})", "ornull": "pass"},
+    "varPop": {"n": 1, "plain": "VAR_POP({0})", "ornull": "pass"},
+    "varSamp": {"n": 1, "plain": "VAR_SAMP({0})", "ornull": "pass"},
+    "corr": {"n": 2, "plain": "CORR({0}, {1})", "ornull": "pass"},
+    "covarPop": {"n": 2, "plain": "COVAR_POP({0}, {1})", "ornull": "pass"},
+    "covarSamp": {"n": 2, "plain": "COVAR_SAMP({0}, {1})",
+                  "ornull": "pass"},
+}
+
+_COMB_SUFFIXES = ("ForEach", "OrNull", "Distinct", "Array", "Map", "If")
+_STRUCTURAL = {"Array", "ForEach", "Map"}
+
+
+def _peel_combinators(name: str):
+    """name -> (base, stack-in-application-order) or None."""
+    peeled: list[str] = []
+    cur = name
+    while cur not in _AGG_BASES:
+        for suf in _COMB_SUFFIXES:
+            if cur.endswith(suf) and len(cur) > len(suf):
+                peeled.append(suf)
+                cur = cur[: -len(suf)]
+                break
+        else:
+            return None
+    if not peeled:
+        return None            # bare base names translate natively
+    return cur, peeled[::-1]
+
+
+def _compose_combinators(name: str):
+    """Template callable for a combinator-composed aggregate name, or
+    None when the name doesn't peel to a known base (→ passthrough)."""
+    if not name.endswith(_COMB_SUFFIXES):
+        return None
+    peeled = _peel_combinators(name)
+    if peeled is None:
+        return None
+    base_name, stack = peeled
+    base = _AGG_BASES[base_name]
+
+    def tpl(args: list[str]) -> str:
+        n = base["n"]
+        n_if = stack.count("If")
+        if base_name == "count" and len(args) == n_if:
+            # count() is nullary upstream: countIf(cond) counts rows
+            # where cond holds — inject the constant row marker
+            args = ["1"] + list(args)
+        if len(args) != n + n_if:
+            raise ValueError(
+                f"{name} takes {n + n_if} arguments "
+                f"({n} for {base_name} + {n_if} condition"
+                f"{'s' if n_if != 1 else ''}), got {len(args)}")
+        vals, conds = list(args[:n]), list(args[n:])
+        form, distinct, ornull, if_applied = "plain", False, False, False
+        for comb in stack:
+            if comb == "If":
+                cond = conds.pop(0)
+                vals = [f"CASE WHEN {cond} THEN {v} END" for v in vals]
+                if_applied = True
+            elif comb == "OrNull":
+                ornull = True
+            elif comb == "Distinct":
+                if form != "plain" or "distinct" not in base:
+                    raise ValueError(
+                        f"{name}: -Distinct does not compose with "
+                        f"-{form}/{base_name} here")
+                distinct = True
+            elif comb in _STRUCTURAL:
+                if form != "plain" or distinct or if_applied:
+                    raise ValueError(
+                        f"{name}: only one structural combinator "
+                        "(-Array/-ForEach/-Map) may apply, before any "
+                        "-If (array-valued conditions per element are "
+                        "not supported)")
+                key = {"Array": "arr", "ForEach": "foreach",
+                       "Map": "map"}[comb]
+                if key == "foreach":
+                    if base_name + "ForEach" not in _FUNCS:
+                        raise ValueError(
+                            f"{name}: -ForEach is not supported for "
+                            f"base {base_name}")
+                elif key not in base:
+                    raise ValueError(
+                        f"{name}: -{comb} is not supported for base "
+                        f"{base_name}")
+                form = key
+        if form == "plain":
+            t = base["distinct"] if distinct else base["plain"]
+        elif form == "foreach":
+            t = _FUNCS[base_name + "ForEach"]
+        else:
+            t = base[form]
+        expr = _apply_template(t, vals)
+        if ornull:
+            strat = base["ornull"]
+            if strat == "nullif0":
+                expr = f"NULLIF({expr}, 0)"
+            elif strat == "empty_array":
+                expr = (f"TRY_ELEMENT_AT(TRANSFORM(ARRAY({expr}), "
+                        "__oa -> IF(SIZE(__oa) = 0, NULL, __oa)), 1)")
+            # 'pass': already NULL when nothing aggregated
+        return expr
+
+    return tpl
+
+
 _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
 
@@ -1153,6 +1390,10 @@ def _rewrite_calls(sql: str) -> str:
             whens = "".join(f" WHEN {a[x]} THEN {a[x + 1]}"
                             for x in range(0, len(a) - 1, 2))
             out.append(f"CASE{whens} ELSE {a[-1]} END")
+        elif (_comb := _compose_combinators(name)) is not None:
+            # mechanically-composed combinator name (sumArrayIf,
+            # countDistinctIf, avgMapOrNull, ...) — see _AGG_BASES
+            out.append(_comb(_split_args(inner)))
         else:
             # unknown name (incl. keywords like WHEN/AND before a paren):
             # keep the ORIGINAL spacing between name and '(' — collapsing

@@ -1599,3 +1599,84 @@ def ch_dialect_demo11(spark, sf):
                round(quantileDeterministic(toFloat64(n_nationkey),
                                            n_nationkey), 6) AS qd
         FROM nation GROUP BY r""")
+
+
+@register("agg_combinator_stack", oracle="""
+WITH m AS (
+  SELECT n_regionkey AS r, n_nationkey AS n FROM nation),
+me AS (                      -- sumMapIf entry replay (rows n > 0 only)
+  SELECT r, key, CAST(sum(v) AS BIGINT) AS s
+  FROM (SELECT r, 'k' AS key, n % 3 AS v FROM m WHERE n > 0
+        UNION ALL
+        SELECT r, 'g' || CAST(n % 2 AS VARCHAR) AS key, n AS v
+        FROM m WHERE n > 0)
+  GROUP BY r, key),
+mm AS (
+  SELECT r, list(key ORDER BY key) AS smk,
+         list(s ORDER BY key) AS smv
+  FROM me GROUP BY r),
+ue AS (                      -- uniqExactArray replay (unnest both slots)
+  SELECT r, CAST(count(DISTINCT v) AS BIGINT) AS uea
+  FROM (SELECT r, n % 3 AS v FROM m
+        UNION ALL SELECT r, n % 5 FROM m)
+  GROUP BY r)
+SELECT CAST(m.r AS BIGINT) AS r,
+       CAST(sum(CASE WHEN n % 2 = 0 THEN n + (n % 7) END)
+            AS BIGINT) AS sai,
+       round(CAST(sum(n + (n % 7)) AS DOUBLE) / (2 * count(*)), 6) AS aa,
+       CAST(count(DISTINCT CASE WHEN n > 2 THEN n % 4 END)
+            AS BIGINT) AS cdi,
+       any_value(ue.uea) AS uea,
+       CAST(nullif(count(CASE WHEN n < 0 THEN 1 END), 0)
+            AS BIGINT) AS cio,
+       CAST(sum(DISTINCT CASE WHEN n > 1 THEN n % 5 END)
+            AS BIGINT) AS sdi,
+       [CAST(sum(CASE WHEN n % 2 = 0 THEN n END) AS BIGINT),
+        CAST(sum(CASE WHEN n % 2 = 0 THEN m.r * 2 END) AS BIGINT)]
+         AS sfe,
+       any_value(mm.smk) AS smk,
+       any_value(mm.smv) AS smv
+FROM m
+LEFT JOIN mm ON mm.r = m.r
+LEFT JOIN ue ON ue.r = m.r
+GROUP BY m.r
+""")
+def agg_combinator_stack(spark, sf):
+    """Round-8 generic combinator composition through ch_sql
+    (_compose_combinators — suffix-peeling base+stack parser mirroring
+    [U] src/AggregateFunctions/Combinators/): one representative per
+    pairing class — -ArrayIf (sumArrayIf), -Array (avgArray),
+    -DistinctIf (countDistinctIf, sumDistinctIf), -Array on uniqExact,
+    -IfOrNull on nullary count, -ForEachIf, and -MapIf (sumMapIf,
+    key-sorted, emitted as keys/values arrays). The DuckDB oracle
+    replays each through independent unnest/CASE algebra: the map and
+    uniqExactArray replays unnest in their own CTEs (joined back per
+    group) so the main aggregate never sees duplicated rows."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "nation").createOrReplaceTempView("nation")
+    return ch_sql(spark, """
+        SELECT toInt64(n_regionkey) AS r,
+               toInt64(sumArrayIf([n_nationkey, n_nationkey % 7],
+                                  n_nationkey % 2 = 0)) AS sai,
+               round(avgArray([n_nationkey, n_nationkey % 7]), 6) AS aa,
+               countDistinctIf(n_nationkey % 4, n_nationkey > 2) AS cdi,
+               uniqExactArray([n_nationkey % 3, n_nationkey % 5]) AS uea,
+               countIfOrNull(n_nationkey < 0) AS cio,
+               toInt64(sumDistinctIf(n_nationkey % 5,
+                                     n_nationkey > 1)) AS sdi,
+               arrayMap(__x -> toInt64(__x),
+                        sumForEachIf([n_nationkey, n_regionkey * 2],
+                                     n_nationkey % 2 = 0)) AS sfe,
+               map_keys(sumMapIf(
+                   map('k', n_nationkey % 3,
+                       concat('g', toString(n_nationkey % 2)),
+                       n_nationkey),
+                   n_nationkey > 0)) AS smk,
+               arrayMap(__x -> toInt64(__x),
+                        map_values(sumMapIf(
+                            map('k', n_nationkey % 3,
+                                concat('g', toString(n_nationkey % 2)),
+                                n_nationkey),
+                            n_nationkey > 0))) AS smv
+        FROM nation GROUP BY r""")
