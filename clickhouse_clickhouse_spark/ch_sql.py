@@ -1051,12 +1051,24 @@ def _resample_tpl(params: list[str], args: list[str], op: str) -> str:
 
 
 def _window_funnel_tpl(params: list[str], args: list[str]) -> str:
-    """windowFunnel(window[, 'mode'])(timestamp, cond1, ...): the
-    greedy earliest-chain fold over the group's time-sorted events —
-    the SQL twin of operators/events.window_funnel_hof (same modes,
-    same precedence: dead -> start -> advance -> freeze). Window is in
-    seconds of the timestamp argument ([U]
-    src/AggregateFunctions/AggregateFunctionWindowFunnel.cpp)."""
+    """windowFunnel(window[, 'mode'])(timestamp, cond1, ...) — the SQL
+    twin of operators/events.window_funnel_hof ([U]
+    src/AggregateFunctions/AggregateFunctionWindowFunnel.cpp).
+
+    default / strict_increase: the reference per-level chain-start
+    algorithm via the SHARED fold template
+    (operators.events.funnel_rearm_fold_sql) — the level-1 timestamp
+    re-arms on every cond1 event, advances propagate the chain start,
+    equal timestamps advance in default mode (both fixed round 8; the
+    old fold was greedy earliest-chain with a strictly-increasing
+    guard). One event may satisfy several conditions — each true
+    condition contributes its own (t, i) entry, ordered (t, i) like
+    upstream's ascending-bit scan.
+
+    strict_order / strict_dedup: single-chain freeze fold (exact for
+    these modes — any deviation kills the chain, so only the first
+    chain matters; see the operator docstring for the strict_order
+    upstream-sentinel deviation note)."""
     try:
         win_us = int(float(params[0])) * 1_000_000
     except (ValueError, IndexError):
@@ -1066,15 +1078,28 @@ def _window_funnel_tpl(params: list[str], args: list[str]) -> str:
     if len(params) > 1:
         mm = re.fullmatch(r"\s*'(\w+)'\s*", params[1])
         if not mm or mm.group(1) not in ("default", "strict_order",
-                                         "strict_dedup"):
+                                         "strict_dedup",
+                                         "strict_increase"):
             raise ValueError(
                 f"windowFunnel: unsupported mode {params[1]!r} "
-                "(default/strict_order/strict_dedup)")
+                "(default/strict_order/strict_dedup/strict_increase)")
         mode = mm.group(1)
     if len(args) < 2:
         raise ValueError("windowFunnel needs (timestamp, cond1, ...)")
     ts, conds = args[0], args[1:]
     k = len(conds)
+    if mode in ("default", "strict_increase"):
+        from clickhouse_clickhouse_spark.operators.events import (
+            funnel_rearm_fold_sql,
+        )
+
+        entries = ", ".join(
+            f"IF({c}, NAMED_STRUCT('t', UNIX_MICROS({ts}), "
+            f"'i', {i + 1}), NULL)" for i, c in enumerate(conds))
+        evs = (f"ARRAY_SORT(FLATTEN(COLLECT_LIST(FILTER("
+               f"ARRAY({entries}), __x -> __x IS NOT NULL))))")
+        return funnel_rearm_fold_sql(
+            evs, k, win_us, strict_increase=(mode == "strict_increase"))
     ev = "NAMED_STRUCT('t', UNIX_MICROS({}), {})".format(
         ts, ", ".join(f"'c{i + 1}', CAST({c} AS BOOLEAN)"
                       for i, c in enumerate(conds)))
@@ -1089,8 +1114,6 @@ def _window_funnel_tpl(params: list[str], args: list[str]) -> str:
     for lvl in range(1, k):
         guard = (f"__acc.level = {lvl} AND __e.c{lvl + 1} "
                  f"AND __e.t <= __acc.t0 + {win_us}L")
-        if mode == "default":
-            guard += " AND __e.t > __acc.tp"
         whens.append(f"WHEN {guard} THEN "
                      + st("__acc.level + 1", "__acc.t0", "__e.t"))
     frozen = st("__acc.level", "__acc.t0", "__acc.tp", "TRUE")
@@ -1109,16 +1132,156 @@ def _window_funnel_tpl(params: list[str], args: list[str]) -> str:
         ev=ev, init=init, whens=" ".join(whens))
 
 
+def _parse_sequence_pattern(pattern: str, k: int):
+    """Parse the reference sequence-pattern grammar ([U]
+    src/AggregateFunctions/AggregateFunctionSequenceMatch.h): a linear
+    chain of ``(?N)`` condition refs separated by adjacency (nothing),
+    ``.*``/``.+``, with optional ``(?t op N)`` time guards binding the
+    two surrounding condition refs. Returns (steps, has_time): steps =
+    [{'n', 'sep' ('start'|'adj'|'star'|'plus'), 'guard' (op, secs) |
+    None}, ...]."""
+    steps: list[dict] = []
+    rest, sep, guard = pattern, "start", None
+    while rest:
+        m = re.match(r"\(\?(\d+)\)", rest)
+        if m:
+            n = int(m.group(1))
+            if not 1 <= n <= k:
+                raise ValueError(f"sequenceMatch: (?{n}) out of range")
+            steps.append({"n": n, "sep": sep, "guard": guard})
+            sep, guard = "adj", None
+            rest = rest[m.end():]
+            continue
+        m = re.match(r"\(\?t\s*(<=|>=|==|!=|<|>)\s*(\d+)\)", rest)
+        if m:
+            if guard is not None:
+                raise ValueError("sequenceMatch: double (?t) guard")
+            if not steps:
+                raise ValueError("sequenceMatch: (?t) must follow a "
+                                 "condition ref")
+            guard = (m.group(1), int(m.group(2)))
+            rest = rest[m.end():]
+            continue
+        m = re.match(r"\.\*|\.\+", rest)
+        if m:
+            sep = "star" if m.group(0) == ".*" else "plus"
+            rest = rest[m.end():]
+            continue
+        raise ValueError(f"sequenceMatch: unsupported pattern element "
+                         f"at {rest!r} ((?N), (?t op N), .*, .+ only)")
+    if guard is not None:
+        raise ValueError("sequenceMatch: trailing (?t) guard")
+    if not steps:
+        raise ValueError("sequenceMatch: empty pattern")
+    has_time = any(s["guard"] is not None for s in steps)
+    return steps, has_time
+
+
+# hex-pair event tokens (round 8 — lifts the condition cap from 5 to
+# 8): each condition-matching event encodes as 'g' + two uppercase hex
+# digits of its bitmask. The 'g' marker (not a hex digit) anchors token
+# starts so a regex match can never begin mid-token, and a (?N) class
+# constrains only the nibble carrying bit N-1.
+_HEXD = "0123456789ABCDEF"
+
+
+def _seq_token_regex(n: int) -> str:
+    bit = n - 1
+    if bit < 4:
+        cls = "".join(d for i, d in enumerate(_HEXD) if i >> bit & 1)
+        return f"g[0-9A-F][{cls}]"
+    cls = "".join(d for i, d in enumerate(_HEXD) if i >> (bit - 4) & 1)
+    return f"g[{cls}][0-9A-F]"
+
+
+def _sequence_time_fold(steps: list[dict], evs: str,
+                        count: bool) -> str:
+    """DP fold for time-constrained patterns over the sorted
+    (t, bm) event array ``evs``: per pattern prefix j it carries the
+    MIN and MAX last-event timestamps over all ways to match it (for
+    a chain, feasibility of the single guard between adjacent steps is
+    monotone in the previous step's timestamp, so the min/max pair is
+    a complete dominance set for <,<=,>,>= guards), plus a
+    set-at-previous-char boolean per prefix for adjacency separators.
+    Count mode resets all progress on each completed match
+    (non-overlapping earliest-completion, the reference's counting
+    discipline)."""
+    m = len(steps)
+    reach = []
+    for j, st in enumerate(steps, start=1):
+        bit_test = f"((__e.bm DIV {1 << (st['n'] - 1)}) % 2) = 1"
+        if st["guard"] is not None:
+            op, secs = st["guard"]
+            n_us = secs * 1_000_000
+            # pick the dominating endpoint of [mn, mx] per direction
+            src = "mn" if op in (">", ">=") else "mx"
+        if st["sep"] in ("start", "star"):
+            if j == 1:
+                cond = "TRUE"
+            else:
+                cond = f"ELEMENT_AT(__acc.mn, {j}) IS NOT NULL"
+            if st["guard"] is not None:
+                cond += (f" AND (__e.t - ELEMENT_AT(__acc.{src}, {j}))"
+                         f" {op} {n_us}L")
+        else:                                   # adjacency
+            cond = f"ELEMENT_AT(__acc.pv, {j})"
+            if st["guard"] is not None:
+                cond += f" AND (__e.t - __acc.pt) {op} {n_us}L"
+        reach.append(f"({bit_test} AND ({cond}))")
+    nr = "ARRAY(" + ", ".join(reach) + ")"
+    # index 1 (prefix 0) is never read: step 1 has no guard by
+    # construction and its reachability is constant TRUE
+    init_arr = (f"TRANSFORM(SEQUENCE(0, {m}), "
+                f"__x -> CAST(NULL AS BIGINT))")
+    init_pv = f"TRANSFORM(SEQUENCE(0, {m}), __x -> FALSE)"
+    init = (f"NAMED_STRUCT('mn', {init_arr}, 'mx', {init_arr}, "
+            f"'pv', {init_pv}, 'pt', CAST(0 AS BIGINT), "
+            f"'c', CAST(0 AS BIGINT), 'ok', FALSE)")
+    upd_mn = (f"TRANSFORM(__acc.mn, (__v, __j0) -> CASE WHEN __j0 = 0 "
+              f"THEN __v WHEN ELEMENT_AT(__nr, __j0) THEN "
+              f"LEAST(COALESCE(__v, __e.t), __e.t) ELSE __v END)")
+    upd_mx = (f"TRANSFORM(__acc.mx, (__v, __j0) -> CASE WHEN __j0 = 0 "
+              f"THEN __v WHEN ELEMENT_AT(__nr, __j0) THEN "
+              f"GREATEST(COALESCE(__v, __e.t), __e.t) ELSE __v END)")
+    upd_pv = f"CONCAT(ARRAY(FALSE), __nr)"
+    advance = (f"NAMED_STRUCT('mn', {upd_mn}, 'mx', {upd_mx}, "
+               f"'pv', {upd_pv}, 'pt', __e.t, 'c', __acc.c, "
+               f"'ok', __acc.ok OR ELEMENT_AT(__nr, {m}))")
+    if count:
+        step = (f"IF(ELEMENT_AT(__nr, {m}), "
+                f"NAMED_STRUCT('mn', {init_arr}, 'mx', {init_arr}, "
+                f"'pv', {init_pv}, 'pt', __e.t, "
+                f"'c', __acc.c + 1, 'ok', TRUE), {advance})")
+    else:
+        step = advance
+    body = (f"ELEMENT_AT(TRANSFORM(ARRAY({nr}), __nr -> {step}), 1)")
+    fin = "__s.c" if count else "__s.ok"
+    return (f"AGGREGATE({evs}, {init}, (__acc, __e) -> {body}, "
+            f"__s -> {fin})")
+
+
 def _sequence_tpl(params: list[str], args: list[str],
                   count: bool) -> str:
-    """sequenceMatch/sequenceCount('pattern')(ts, cond1, ...): each
-    event of the time-sorted group encodes to one character carrying
-    its condition BITMASK; ``(?N)`` translates to the character class
-    with bit N-1 set and ``.*``/``.+`` pass through, so the pattern
-    runs as an ordinary regex over the group's event string — the SQL
-    twin of operators/events.event_string + sequence_count. Time
-    constraints ``(?t...)`` refuse loudly ([U]
-    src/AggregateFunctions/AggregateFunctionSequenceMatch.h)."""
+    """sequenceMatch/sequenceCount('pattern')(ts, cond1, ...) — the
+    SQL twin of operators/events.event_string + sequence_count ([U]
+    src/AggregateFunctions/AggregateFunctionSequenceMatch.h).
+
+    Patterns without time guards: each event of the time-sorted group
+    encodes to a 3-char hex-pair token carrying its condition BITMASK
+    ('g' + 2 hex digits; the marker anchors token alignment), ``(?N)``
+    becomes the token class with bit N-1 set, and ``.*``/``.+`` become
+    token-group quantifiers — the pattern runs as an ordinary regex,
+    lazily in count mode (non-overlapping earliest-completion). The
+    hex-pair alphabet lifts the condition cap from 5 to 8 (round 8).
+
+    ``(?t op N)`` time guards (new round 8, previously a loud refusal)
+    route to a DP fold over (t, bitmask) pairs — see
+    _sequence_time_fold; adjacency and ``.*`` separators compose with
+    guards, ``.+``/``==``/``!=`` with guards refuse loudly.
+
+    Events matching NO condition are SKIPPED (the reference considers
+    only condition-matching events, so '(?1)(?2)' adjacency must not
+    break on interleaved unrelated rows)."""
     if len(params) != 1 or len(args) < 2:
         raise ValueError("sequenceMatch('pattern')(ts, cond1, ...)")
     pm = re.fullmatch(r"\s*'([^']*)'\s*", params[0])
@@ -1128,50 +1291,40 @@ def _sequence_tpl(params: list[str], args: list[str],
     pattern = pm.group(1)
     ts, conds = args[0], args[1:]
     k = len(conds)
-    if k > 5:
-        raise ValueError("sequenceMatch supports up to 5 conditions "
+    if k > 8:
+        raise ValueError("sequenceMatch supports up to 8 conditions "
                          "here (2^k event classes)")
-    if "(?t" in pattern:
-        raise ValueError("sequenceMatch time constraints (?t...) are "
-                         "not supported — filter on the timestamp "
-                         "column instead")
-    # translate (?N); anything left must be .* / .+ tokens
-    out, rest = [], pattern
-    while rest:
-        m = re.match(r"\(\?(\d+)\)", rest)
-        if m:
-            n = int(m.group(1))
-            if not 1 <= n <= k:
-                raise ValueError(f"sequenceMatch: (?{n}) out of range")
-            # offset 48 ('0'): bitmask chars span '0'..'O' for k <= 5 —
-            # all literal inside a regex class (65 would reach '[','\\',
-            # ']' at bm >= 26 and break the class)
-            chars = "".join(chr(48 + bm) for bm in range(1 << k)
-                            if bm >> (n - 1) & 1)
-            out.append(f"[{chars}]")
-            rest = rest[m.end():]
-            continue
-        m = re.match(r"\.\*|\.\+", rest)
-        if m:
-            out.append(m.group(0))
-            rest = rest[m.end():]
-            continue
-        raise ValueError(f"sequenceMatch: unsupported pattern element "
-                         f"at {rest!r} ((?N), .*, .+ only)")
-    # count mode: lazy quantifiers, so non-overlapping scanning counts
-    # each earliest-completing chain separately (greedy '.*' would
-    # swallow '1212' into ONE match where the reference counts 2)
-    regex = "".join(x + "?" if count and x in (".*", ".+") else x
-                    for x in out)
+    steps, has_time = _parse_sequence_pattern(pattern, k)
     bm = " + ".join(f"IF({c}, {1 << i}, 0)"
                     for i, c in enumerate(conds))
-    # events matching NO condition are SKIPPED (the reference considers
-    # only condition-matching events, so '(?1)(?2)' adjacency must not
-    # break on interleaved unrelated rows)
-    s = ("ARRAY_JOIN(TRANSFORM(FILTER(ARRAY_SORT(COLLECT_LIST("
-         "NAMED_STRUCT('t', UNIX_MICROS({ts}), 'bm', {bm}))), "
-         "__ev -> __ev.bm != 0), "
-         "__ev -> CHAR(48 + __ev.bm)), '')").format(ts=ts, bm=bm)
+    evs = ("FILTER(ARRAY_SORT(COLLECT_LIST("
+           "NAMED_STRUCT('t', UNIX_MICROS({ts}), 'bm', {bm}))), "
+           "__ev -> __ev.bm != 0)").format(ts=ts, bm=bm)
+    if has_time:
+        for st in steps:
+            if st["guard"] is not None and st["guard"][0] in ("==",
+                                                              "!="):
+                raise ValueError(
+                    "sequenceMatch: (?t) supports <, <=, >, >= "
+                    "(==/!= would need exact time sets)")
+            if st["sep"] == "plus" and st["guard"] is not None:
+                raise ValueError(
+                    "sequenceMatch: .+ combined with a (?t) guard is "
+                    "not supported — use .* or adjacency")
+        return _sequence_time_fold(steps, evs, count)
+    # regex path over hex-pair tokens
+    out = []
+    tok = "(?:g[0-9A-F]{2})"
+    lazy = "?" if count else ""
+    for st in steps:
+        if st["sep"] == "star":
+            out.append(f"{tok}*{lazy}")
+        elif st["sep"] == "plus":
+            out.append(f"{tok}+{lazy}")
+        out.append(_seq_token_regex(st["n"]))
+    regex = "".join(out)
+    s = (f"ARRAY_JOIN(TRANSFORM({evs}, "
+         "__ev -> CONCAT('g', LPAD(HEX(__ev.bm), 2, '0'))), '')")
     if count:
         return (f"CAST(SIZE(REGEXP_EXTRACT_ALL({s}, '{regex}', 0)) "
                 "AS BIGINT)")

@@ -20,31 +20,49 @@ from pyspark.sql import functions as F
 
 def window_funnel(df: DataFrame, entity: str, ts: str, event: str,
                   steps: Sequence[str], window: str) -> DataFrame:
-    """Greedy earliest-chain funnel: per entity, level k is reached when the
-    k-th step occurs after the chain's (k-1)-th timestamp and within
-    ``window`` (interval string) of the chain's FIRST step.
+    """Reference-default windowFunnel ([U]
+    src/AggregateFunctions/AggregateFunctionWindowFunnel.cpp): the
+    level-1 chain start RE-ARMS on every step-1 event and a step
+    advances from the best prior chain, so level k is reached iff a
+    (timestamp, step-index)-ordered subsequence step1..stepk exists
+    whose last event is within ``window`` of its first (equal
+    timestamps advance, as upstream's default mode allows — ties order
+    step-1 first).
 
-    DF-native cascade: one conditional-min aggregation per step (k small,
-    each a partial/final hash agg on the entity key — at 100 TB, k scans of
-    one shuffled dataset; the per-entity state is just k timestamps).
-    Returns (entity, level).
+    Window-chain form (rewritten round 8 — the old per-level join
+    cascade was both a semantics deviation, greedy earliest-chain only,
+    AND k shuffles): each level's best chain start is a running max
+    over the entity's (ts, step)-ordered events, so the whole funnel is
+    ONE shuffle + one sort with k stacked window expressions — the
+    right 100 TB shape. Returns (entity, level) for entities that
+    reached step 1.
     """
     iv = F.expr(f"INTERVAL {window}")
-    cur = df.filter(F.col(event) == steps[0]).groupBy(entity).agg(
-        F.min(ts).alias("__t1"))
-    prev_col = "__t1"
-    for i, step in enumerate(steps[1:], start=2):
-        nxt = (df.filter(F.col(event) == step)
-               .join(cur.select(entity, "__t1", prev_col), entity)
-               .filter((F.col(ts) > F.col(prev_col)) & (F.col(ts) <= F.col("__t1") + iv))
-               .groupBy(entity).agg(F.min(ts).alias(f"__t{i}")))
-        cur = cur.join(nxt.select(entity, f"__t{i}"), entity, "left")
-        prev_col = f"__t{i}"
-    # deepest reached step wins
-    lvl = F.lit(1)
-    for i in range(2, len(steps) + 1):
-        lvl = F.when(F.col(f"__t{i}").isNotNull(), F.lit(i)).otherwise(lvl)
-    return cur.select(F.col(entity), lvl.alias("level"))
+    idx = F.when(F.col(event) == steps[0], 1)
+    for i, s in enumerate(steps[1:], start=2):
+        idx = idx.when(F.col(event) == s, i)
+    e = (df.select(F.col(entity), F.col(ts).alias("__ts"),
+                   idx.otherwise(0).alias("__i"))
+         .filter(F.col("__i") != 0))
+    w = (Window.partitionBy(entity).orderBy("__ts", "__i")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # __s{L} = best (latest) chain start that has reached level L as of
+    # this row; later starts dominate (more window room), so max is the
+    # right combine — mirrors upstream's events_timestamp propagation
+    cur = e.withColumn(
+        "__s1", F.max(F.when(F.col("__i") == 1, F.col("__ts"))).over(w))
+    for lvl in range(2, len(steps) + 1):
+        cur = cur.withColumn(f"__s{lvl}", F.max(F.when(
+            (F.col("__i") == lvl)
+            & (F.col("__ts") <= F.col(f"__s{lvl - 1}") + iv),
+            F.col(f"__s{lvl - 1}"))).over(w))
+    row_lvl = F.when(F.col("__i") == 1, 1)
+    for lvl in range(2, len(steps) + 1):
+        row_lvl = row_lvl.when(
+            (F.col("__i") == lvl)
+            & (F.col("__ts") <= F.col(f"__s{lvl - 1}") + iv), lvl)
+    g = cur.groupBy(entity).agg(F.max(row_lvl).alias("level"))
+    return g.filter(F.col("level").isNotNull())
 
 
 def retention(df: DataFrame, entity: str, conditions: Sequence) -> DataFrame:
@@ -113,20 +131,71 @@ def funnel_apply_in_pandas(df: DataFrame, entity: str, ts: str, event: str,
     cascade can't. Slow path by design (SURVEY.md §2.10)."""
     steps = list(steps)
 
+    step_idx = {s: i for i, s in enumerate(steps)}
+
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts])
-        level, t0, t_prev = 0, None, None
+        # the reference per-level chain-start algorithm (same as
+        # window_funnel_hof default mode): re-arm level 1 on every
+        # step-1 event, propagate the chain start on advance, equal
+        # timestamps allowed; ties order lower steps first
+        ent = pdf[entity].iloc[0]
+        pdf = pdf.assign(__i=pdf[event].map(step_idx))
+        pdf = pdf[pdf["__i"].notna()].sort_values([ts, "__i"])
+        starts = [None] * len(steps)
         for _, row in pdf.iterrows():
-            if level == 0:
-                if row[event] == steps[0]:
-                    level, t0, t_prev = 1, row[ts], row[ts]
-            elif level < len(steps) and row[event] == steps[level]:
-                if row[ts] > t_prev and (row[ts] - t0).total_seconds() <= window_seconds:
-                    level += 1
-                    t_prev = row[ts]
-        return pd.DataFrame({entity: [pdf[entity].iloc[0]], "level": [level]})
+            i = int(row["__i"])
+            if i == 0:
+                starts[0] = row[ts]
+            elif starts[i - 1] is not None and \
+                    (row[ts] - starts[i - 1]).total_seconds() \
+                    <= window_seconds:
+                starts[i] = starts[i - 1]
+        level = 0
+        for s in starts:
+            if s is None:
+                break
+            level += 1
+        return pd.DataFrame({entity: [ent], "level": [level]})
 
     return df.groupBy(entity).applyInPandas(scan, schema=f"{entity} long, level int")
+
+
+def funnel_rearm_fold_sql(evs_sql: str, k: int, win_us: int,
+                          strict_increase: bool = False) -> str:
+    """SQL text of the reference-default windowFunnel fold over a
+    sorted ARRAY<STRUCT<t: BIGINT, i: INT>> expression (``evs_sql``):
+    per-level chain-start array, re-armed on every step-1 event and
+    propagated forward on advance — the algorithm of [U]
+    src/AggregateFunctions/AggregateFunctionWindowFunnel.cpp
+    getEventLevel (events_timestamp[i] = events_timestamp[i-1]).
+    Equal timestamps advance (upstream default); ``strict_increase``
+    additionally requires each step strictly after the previous
+    step's event. Shared by operators.window_funnel_hof and the
+    ch_sql dialect template so the two stay twins."""
+    inc = (" AND __e.t > ELEMENT_AT(__acc.tl, __e.i - 1)"
+           if strict_increase else "")
+    set_slot = ("TRANSFORM(__acc.{a}, (__v, __j) -> "
+                "IF(__j = {{idx}}, {{val}}, __v))")
+    arm_ts = set_slot.format(a="ts").format(idx="0", val="__e.t")
+    arm_tl = set_slot.format(a="tl").format(idx="0", val="__e.t")
+    adv_ts = set_slot.format(a="ts").format(
+        idx="__e.i - 1", val="ELEMENT_AT(__acc.ts, __e.i - 1)")
+    adv_tl = set_slot.format(a="tl").format(idx="__e.i - 1",
+                                            val="__e.t")
+    return (
+        "AGGREGATE({evs}, NAMED_STRUCT("
+        "'ts', TRANSFORM(SEQUENCE(1, {k}), __x -> CAST(NULL AS BIGINT)),"
+        " 'tl', TRANSFORM(SEQUENCE(1, {k}), __x -> CAST(NULL AS BIGINT))"
+        "), (__acc, __e) -> CASE "
+        "WHEN __e.i = 1 THEN NAMED_STRUCT('ts', {arm_ts}, 'tl', {arm_tl}) "
+        "WHEN ELEMENT_AT(__acc.ts, __e.i - 1) IS NOT NULL "
+        "AND __e.t <= ELEMENT_AT(__acc.ts, __e.i - 1) + {win}L{inc} "
+        "THEN NAMED_STRUCT('ts', {adv_ts}, 'tl', {adv_tl}) "
+        "ELSE __acc END, "
+        "__s -> CAST(SIZE(FILTER(__s.ts, __v -> __v IS NOT NULL)) "
+        "AS INT))").format(evs=evs_sql, k=k, win=win_us, inc=inc,
+                           arm_ts=arm_ts, arm_tl=arm_tl,
+                           adv_ts=adv_ts, adv_tl=adv_tl)
 
 
 def window_funnel_hof(df: DataFrame, entity: str, ts: str, event: str,
@@ -134,27 +203,58 @@ def window_funnel_hof(df: DataFrame, entity: str, ts: str, event: str,
                       mode: str = "default",
                       tiebreak: str | None = None) -> DataFrame:
     """Single-shuffle windowFunnel: collect each entity's events into a
-    sorted array and run the greedy chain scan as a JVM ``aggregate``
-    higher-order fold — same semantics as the cascade form
-    (window_funnel), but ONE shuffle instead of one per step. The better
-    100 TB shape when k is large; per-entity history must fit in memory
-    (the same bound the reference's AggregateFunctionWindowFunnel has).
+    sorted array and run the chain scan as a JVM ``aggregate``
+    higher-order fold — ONE shuffle regardless of funnel depth. The
+    better 100 TB shape when k is large; per-entity history must fit in
+    memory (the same bound the reference's
+    AggregateFunctionWindowFunnel has).
 
     ``mode`` mirrors the reference's windowFunnel modes
     ([U] src/AggregateFunctions/AggregateFunctionWindowFunnel.cpp):
 
-    - ``default``: greedy earliest chain; a step advances when its event
-      occurs strictly after the previous step and within ``window`` of
-      the chain start; unrelated events are ignored.
+    - ``default``: the reference algorithm (fixed round 8 — the old
+      fold was greedy earliest-chain only): the level-1 timestamp
+      re-arms on EVERY step-1 event, advances propagate the chain
+      start per level, and equal-timestamp advances are allowed.
+      Same semantics as window_funnel (the window-chain form).
+    - ``strict_increase``: default plus each step's timestamp must be
+      STRICTLY greater than the previous step's event timestamp.
     - ``strict_order``: once the chain starts, ANY event other than the
       next expected step freezes the chain at its current level.
+      (Deviation note: upstream tracks out-of-order events with a
+      dedicated sentinel; this freeze-on-any-non-advancing-event form
+      matches upstream's documented A->B->D->C => level 2 example but
+      may differ on exotic overlapping-condition inputs.)
     - ``strict_dedup``: a repeat of an already-matched step event before
       the next step freezes the chain; other events are ignored.
 
     ``tiebreak`` names a column giving a total order for equal
-    timestamps (required for deterministic strict modes). Returns
-    (entity, level) for entities that reached step 1."""
+    timestamps (used by the strict single-chain modes; the default/
+    strict_increase fold orders by (ts, step index) like upstream).
+    Returns (entity, level) for entities that reached step 1."""
     win_us = int(window_seconds) * 1_000_000
+    if mode in ("default", "strict_increase"):
+        # (t, i) entries for step events only, sorted; the fold is a
+        # shared SQL template (built as ONE expression string — the
+        # py4j-per-Column cost on this bench headliner is real)
+        def q(s: str) -> str:
+            return "'" + s.replace("'", "''") + "'"
+
+        whens = " ".join(f"WHEN {q(s)} THEN {i + 1}"
+                         for i, s in enumerate(steps))
+        ev = (f"IF((CASE {event} {whens} ELSE 0 END) = 0, NULL, "
+              f"NAMED_STRUCT('t', UNIX_MICROS({ts}), "
+              f"'i', CASE {event} {whens} ELSE 0 END))")
+        evs = f"ARRAY_SORT(COLLECT_LIST({ev}))"
+        fold = funnel_rearm_fold_sql(
+            evs, len(steps), win_us,
+            strict_increase=(mode == "strict_increase"))
+        g = df.groupBy(entity).agg(F.expr(fold).alias("level"))
+        return g.filter(F.col("level") >= 1)
+    if mode not in ("strict_order", "strict_dedup"):
+        raise ValueError(f"windowFunnel: unknown mode {mode!r}")
+    # strict modes: single-chain fold is EXACT (any deviation kills the
+    # chain, so only the first chain matters)
     fields = [F.unix_micros(F.col(ts)).alias("t")]
     if tiebreak:
         fields.append(F.col(tiebreak).alias("tb"))
@@ -178,10 +278,7 @@ def window_funnel_hof(df: DataFrame, entity: str, ts: str, event: str,
         out = out.when((acc["level"] == 0) & (e["e"] == steps[0]), start)
         for lvl in range(1, len(steps)):
             at = (acc["level"] == lvl) & (e["e"] == steps[lvl])
-            if mode == "default":
-                out = out.when(at & (e["t"] > acc["tp"]) & in_window, advanced)
-            else:
-                out = out.when(at & in_window, advanced)
+            out = out.when(at & in_window, advanced)
         if mode == "strict_order":
             # any non-advancing event after the chain started freezes it
             out = out.when((acc["level"] >= 1) &

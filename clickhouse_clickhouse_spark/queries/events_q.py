@@ -14,6 +14,37 @@ from clickhouse_clickhouse_spark.registry import register
 from clickhouse_clickhouse_spark.streaming.windows import hop_agg, tumble_agg
 from clickhouse_clickhouse_spark.tables import load_table
 
+# Reference-default windowFunnel replay (round 8): per-level best
+# chain-start as a running max over (ts, step)-ordered events — the
+# DuckDB mirror of the re-arm algorithm in operators/events
+# (funnel_rearm_fold_sql / window_funnel). Shared by the cascade, HOF,
+# and dialect-SQL funnel entries so all three gate the SAME semantics.
+_FUNNEL_REARM_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts,
+         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+              WHEN 'purchase' THEN 3 END AS i
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+w1 AS (
+  SELECT user_id, ts, i,
+         max(CASE WHEN i = 1 THEN ts END) OVER
+           (PARTITION BY user_id ORDER BY ts, i
+            ROWS UNBOUNDED PRECEDING) AS s1
+  FROM e),
+w2 AS (
+  SELECT user_id, ts, i, s1,
+         max(CASE WHEN i = 2 AND ts <= s1 + INTERVAL 7 DAY THEN s1 END)
+           OVER (PARTITION BY user_id ORDER BY ts, i
+                 ROWS UNBOUNDED PRECEDING) AS s2
+  FROM w1)
+SELECT user_id,
+       CAST(max(CASE WHEN i = 3 AND ts <= s2 + INTERVAL 7 DAY THEN 3
+                     WHEN i = 2 AND ts <= s1 + INTERVAL 7 DAY THEN 2
+                     WHEN i = 1 THEN 1 END) AS INT) AS level
+FROM w2 GROUP BY user_id
+HAVING max(CASE WHEN i = 1 THEN 1 ELSE 0 END) = 1
+"""
+
 
 @register("tumble_hourly", oracle="""
 SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
@@ -46,27 +77,12 @@ def hop_6h_3h(spark, sf):
     return hop_agg(ev, "ts", "6 hours", "3 hours", [], {"n": F.count("*")})
 
 
-@register("funnel_levels", oracle="""
-WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
-            WHERE event_type = 'view' GROUP BY user_id),
-s2 AS (SELECT e.user_id, min(ts) AS t2
-       FROM events e JOIN s1 USING (user_id)
-       WHERE event_type = 'click' AND ts > t1 AND ts <= t1 + INTERVAL 7 DAY
-       GROUP BY e.user_id),
-s3 AS (SELECT e.user_id, min(ts) AS t3
-       FROM events e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
-       WHERE event_type = 'purchase' AND ts > t2 AND ts <= t1 + INTERVAL 7 DAY
-       GROUP BY e.user_id)
-SELECT s1.user_id,
-       cast(CASE WHEN t3 IS NOT NULL THEN 3
-                 WHEN t2 IS NOT NULL THEN 2
-                 ELSE 1 END AS INT) AS level
-FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
-        LEFT JOIN s3 ON s1.user_id = s3.user_id
-""")
+@register("funnel_levels", oracle=_FUNNEL_REARM_ORACLE)
 def funnel_levels(spark, sf):
-    """windowFunnel(7 days)(view→click→purchase): greedy earliest-chain
-    levels per user via the DF-native cascade (SURVEY.md §4.3 item 4)."""
+    """windowFunnel(7 days)(view→click→purchase): reference-default
+    levels per user (re-arm + chain-start propagation) via the
+    single-shuffle window-chain form (SURVEY.md §4.3 item 4; semantics
+    fixed round 8 — was greedy earliest-chain)."""
     ev = load_table(spark, sf, "events")
     return window_funnel(ev, "user_id", "ts", "event_type",
                          ["view", "click", "purchase"], "7 DAYS")
@@ -166,29 +182,13 @@ def sequence_match_bool(spark, sf):
         F.col("seq").rlike("s.*e").alias("signup_then_error"))
 
 
-@register("funnel_levels_hof", oracle="""
-WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
-            WHERE event_type = 'view' GROUP BY user_id),
-s2 AS (SELECT e.user_id, min(ts) AS t2
-       FROM events e JOIN s1 USING (user_id)
-       WHERE event_type = 'click' AND ts > t1 AND ts <= t1 + INTERVAL 7 DAY
-       GROUP BY e.user_id),
-s3 AS (SELECT e.user_id, min(ts) AS t3
-       FROM events e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
-       WHERE event_type = 'purchase' AND ts > t2 AND ts <= t1 + INTERVAL 7 DAY
-       GROUP BY e.user_id)
-SELECT s1.user_id,
-       cast(CASE WHEN t3 IS NOT NULL THEN 3
-                 WHEN t2 IS NOT NULL THEN 2
-                 ELSE 1 END AS INT) AS level
-FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
-        LEFT JOIN s3 ON s1.user_id = s3.user_id
-""")
+@register("funnel_levels_hof", oracle=_FUNNEL_REARM_ORACLE)
 def funnel_levels_hof(spark, sf):
     """windowFunnel via the single-shuffle JVM-fold implementation
-    (operators/events.window_funnel_hof) — same oracle as the cascade
-    form, proving the two algorithms agree; this is the shape to run at
-    100 TB (one shuffle regardless of funnel depth)."""
+    (operators/events.window_funnel_hof, reference-default re-arm
+    semantics since round 8) — same oracle as the window-chain form,
+    proving the two algorithms agree; one shuffle regardless of
+    funnel depth."""
     from clickhouse_clickhouse_spark.operators.events import window_funnel_hof
 
     ev = load_table(spark, sf, "events")
@@ -256,6 +256,57 @@ def funnel_strict_dedup(spark, sf):
     return window_funnel_hof(ev, "user_id", "ts", "event_type",
                              ["view", "click", "purchase"], 365 * 86400,
                              mode="strict_dedup", tiebreak="event_id")
+
+
+@register("funnel_strict_increase", oracle="""
+WITH e AS (
+  SELECT user_id, ts,
+         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+              WHEN 'purchase' THEN 3 END AS i
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+w1 AS (
+  SELECT user_id, ts, i,
+         max(CASE WHEN i = 1 THEN ts END) OVER
+           (PARTITION BY user_id ORDER BY ts, i
+            ROWS UNBOUNDED PRECEDING) AS s1,
+         max(CASE WHEN i = 1 THEN ts END) OVER
+           (PARTITION BY user_id ORDER BY ts, i
+            ROWS UNBOUNDED PRECEDING) AS l1
+  FROM e),
+w2 AS (
+  SELECT user_id, ts, i, s1, l1,
+         max(CASE WHEN i = 2 AND ts <= s1 + INTERVAL 7 DAY AND ts > l1
+                  THEN s1 END) OVER
+           (PARTITION BY user_id ORDER BY ts, i
+            ROWS UNBOUNDED PRECEDING) AS s2,
+         max(CASE WHEN i = 2 AND ts <= s1 + INTERVAL 7 DAY AND ts > l1
+                  THEN ts END) OVER
+           (PARTITION BY user_id ORDER BY ts, i
+            ROWS UNBOUNDED PRECEDING) AS l2
+  FROM w1)
+SELECT user_id,
+       CAST(max(CASE WHEN i = 3 AND ts <= s2 + INTERVAL 7 DAY
+                          AND ts > l2 THEN 3
+                     WHEN i = 2 AND ts <= s1 + INTERVAL 7 DAY
+                          AND ts > l1 THEN 2
+                     WHEN i = 1 THEN 1 END) AS INT) AS level
+FROM w2 GROUP BY user_id
+HAVING max(CASE WHEN i = 1 THEN 1 ELSE 0 END) = 1
+""")
+def funnel_strict_increase(spark, sf):
+    """windowFunnel strict_increase mode (new round 8 — upstream's
+    fourth mode): the re-arm algorithm with each advance requiring a
+    STRICTLY greater timestamp than the previous step's event. The
+    oracle extends the re-arm running-max replay with per-level
+    last-event timestamps (l1/l2); the l-chain dominance argument
+    still holds because a later chain start also has a later-or-equal
+    last event at each level."""
+    from clickhouse_clickhouse_spark.operators.events import window_funnel_hof
+
+    ev = load_table(spark, sf, "events")
+    return window_funnel_hof(ev, "user_id", "ts", "event_type",
+                             ["view", "click", "purchase"], 7 * 86400,
+                             mode="strict_increase")
 
 
 @register("sequence_next_node", oracle="""
@@ -362,30 +413,12 @@ def lttb_downsample(spark, sf):
                       F.round("x", 6).alias("x"), F.round("y", 6).alias("y"))
 
 
-@register("ch_sql_window_funnel", oracle="""
-WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
-            WHERE event_type = 'view' GROUP BY user_id),
-s2 AS (SELECT e.user_id, min(ts) AS t2
-       FROM events e JOIN s1 USING (user_id)
-       WHERE event_type = 'click' AND ts > t1 AND ts <= t1 + INTERVAL 7 DAY
-       GROUP BY e.user_id),
-s3 AS (SELECT e.user_id, min(ts) AS t3
-       FROM events e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
-       WHERE event_type = 'purchase' AND ts > t2 AND ts <= t1 + INTERVAL 7 DAY
-       GROUP BY e.user_id)
-SELECT s1.user_id,
-       cast(CASE WHEN t3 IS NOT NULL THEN 3
-                 WHEN t2 IS NOT NULL THEN 2
-                 ELSE 1 END AS INT) AS level
-FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
-        LEFT JOIN s3 ON s1.user_id = s3.user_id
-""")
+@register("ch_sql_window_funnel", oracle=_FUNNEL_REARM_ORACLE)
 def ch_sql_window_funnel(spark, sf):
-    """Round-7: ``windowFunnel(w)(ts, cond...)`` as DIALECT SQL TEXT —
-    the parametric double-call translates to the greedy earliest-chain
-    fold (ch_sql._window_funnel_tpl), same semantics as
-    operators/events.window_funnel_hof; oracle = the cascade replay
-    that already gates the operator form."""
+    """``windowFunnel(w)(ts, cond...)`` as DIALECT SQL TEXT — the
+    parametric double-call translates through the SHARED re-arm fold
+    (operators/events.funnel_rearm_fold_sql; reference-default
+    semantics since round 8), same oracle as the operator forms."""
     from clickhouse_clickhouse_spark.ch_sql import ch_sql
 
     load_table(spark, sf, "events").createOrReplaceTempView("events")
@@ -452,4 +485,60 @@ def ch_sql_sequence_count(spark, sf):
                                          event_type == 'purchase') AS n,
                sequenceMatch('(?1).*(?2)')(ts, event_type == 'view',
                                            event_type == 'purchase') AS m
+        FROM events GROUP BY user_id""")
+
+
+@register("ch_sql_sequence_time", oracle="""
+WITH e AS (
+  SELECT user_id, ts,
+         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 END AS i
+  FROM events WHERE event_type IN ('view', 'click')),
+a AS (
+  SELECT user_id, ts, i,
+         lead(ts) OVER w AS nts, lead(i) OVER w AS ni
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, i)),
+adj AS (
+  SELECT user_id,
+         bool_or(i = 1 AND ni = 2
+                 AND epoch(nts) - epoch(ts) <= 3600) AS m1,
+         CAST(coalesce(sum(CASE WHEN i = 1 AND ni = 2
+                           AND epoch(nts) - epoch(ts) <= 3600
+                           THEN 1 END), 0) AS BIGINT) AS c1
+  FROM a GROUP BY user_id),
+sp AS (
+  SELECT user_id,
+         coalesce(epoch(max(CASE WHEN i = 2 THEN ts END))
+                  - epoch(min(CASE WHEN i = 1 THEN ts END))
+                  >= 172800, false) AS m2
+  FROM e GROUP BY user_id),
+all_u AS (SELECT DISTINCT user_id FROM events)
+SELECT all_u.user_id, coalesce(m1, false) AS m1,
+       CAST(coalesce(c1, 0) AS BIGINT) AS c1,
+       coalesce(m2, false) AS m2
+FROM all_u LEFT JOIN adj ON all_u.user_id = adj.user_id
+           LEFT JOIN sp ON all_u.user_id = sp.user_id
+""")
+def ch_sql_sequence_time(spark, sf):
+    """``(?t op N)`` time guards in dialect sequenceMatch/sequenceCount
+    (new round 8 — previously a loud refusal; [U]
+    src/AggregateFunctions/AggregateFunctionSequenceMatch.h): adjacent
+    view→click within an hour (match + non-overlapping count — adjacent
+    disjoint pairs, so the count equals the plain pair count) and the
+    ``.*(?t>=2d)`` spread form (equivalent to max(click) - min(view)
+    >= 2d since the guard forces the click after the view). The DuckDB
+    oracle replays via lead() windows and min/max epochs."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return ch_sql(spark, """
+        SELECT user_id,
+               sequenceMatch('(?1)(?t<=3600)(?2)')(
+                   ts, event_type == 'view',
+                   event_type == 'click') AS m1,
+               sequenceCount('(?1)(?t<=3600)(?2)')(
+                   ts, event_type == 'view',
+                   event_type == 'click') AS c1,
+               sequenceMatch('(?1).*(?t>=172800)(?2)')(
+                   ts, event_type == 'view',
+                   event_type == 'click') AS m2
         FROM events GROUP BY user_id""")

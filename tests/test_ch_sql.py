@@ -1297,6 +1297,23 @@ def test_dialect_event_aggregates(spark):
     assert funnel(", 'strict_order'") == {1: 3, 2: 1, 3: 0, 4: 1, 5: 2}
     # strict_dedup: repeat of a matched step freezes (user 5)
     assert funnel(", 'strict_dedup'") == {1: 3, 2: 2, 3: 0, 4: 1, 5: 2}
+    # strict_increase (new r8): same as default on this fixture (all
+    # advances strictly increase) — discriminating equal-ts cases are
+    # pinned in tests/test_events_ops.py
+    assert funnel(", 'strict_increase'") == {1: 3, 2: 2, 3: 0, 4: 1,
+                                             5: 3}
+    # default-mode RE-ARM (r8): view@0, view@3000, click@3500 inside
+    # window 3600 of the SECOND view -> level 2
+    spark.createDataFrame(
+        [(9, T(0), "view"), (9, T(3000), "view"), (9, T(3500), "click"),
+         (9, T(7000), "buy")],
+        "u int, ts timestamp, e string").createOrReplaceTempView(
+        "ev_dlg2")
+    rearm = ch_sql(spark, """
+        SELECT windowFunnel(3600)(ts, e == 'view', e == 'click',
+                                  e == 'buy') AS lvl
+        FROM ev_dlg2 GROUP BY u""").collect()[0]
+    assert rearm.lvl == 2
     seq = {r.u: (r.m, r.n) for r in ch_sql(spark, """
         SELECT u, sequenceMatch('(?1).*(?2)')(ts, e == 'view',
                                               e == 'buy') AS m,
@@ -1309,13 +1326,64 @@ def test_dialect_event_aggregates(spark):
         FROM ev_dlg GROUP BY u""").collect()}
     assert ret[1] == [1, 1, 1] and ret[2] == [1, 1, 0] \
         and ret[3] == [0, 0, 0]
-    with _p.raises(ValueError, match="time constraints"):
-        translate("SELECT sequenceMatch('(?1)(?t<3600)(?2)')"
-                  "(ts, a, b) FROM t")
     with _p.raises(ValueError, match="mode"):
         translate("SELECT windowFunnel(10, 'bogus')(ts, a) FROM t")
     with _p.raises(ValueError, match="unsupported pattern"):
         translate("SELECT sequenceMatch('(?1)[x]')(ts, a) FROM t")
+    # (?t) guards are supported since r8; the un-expressible corners
+    # still refuse loudly
+    with _p.raises(ValueError, match="exact time sets"):
+        translate("SELECT sequenceMatch('(?1)(?t==5)(?2)')"
+                  "(ts, a, b) FROM t")
+    with _p.raises(ValueError, match="not supported"):
+        translate("SELECT sequenceMatch('(?1).+(?t<5)(?2)')"
+                  "(ts, a, b) FROM t")
+    with _p.raises(ValueError, match="trailing"):
+        translate("SELECT sequenceMatch('(?1)(?t<5)')(ts, a) FROM t")
+
+
+def test_sequence_time_constraints_and_cap(spark):
+    """(?t op N) time guards (new r8) + the hex-pair token encoding
+    that lifts the condition cap to 8; hand-checked fixture."""
+    import datetime
+
+    import pytest as _p
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, translate
+
+    T = lambda s: datetime.datetime(2024, 1, 1) + \
+        datetime.timedelta(seconds=s)
+    rows = [
+        (1, T(0), "v"), (1, T(10), "c"), (1, T(50), "v"),
+        (1, T(55), "c"),
+        (2, T(0), "v"), (2, T(5), "x"), (2, T(2000), "c"),
+        (4, T(0), "v"), (4, T(100), "v"), (4, T(150), "c"),
+    ]
+    spark.createDataFrame(rows, "u int, ts timestamp, e string") \
+        .createOrReplaceTempView("sq_t")
+    out = {r.u: tuple(r)[1:] for r in ch_sql(spark, """
+        SELECT u,
+          sequenceMatch('(?1)(?t<100)(?2)')(ts, e = 'v', e = 'c') AS a,
+          sequenceMatch('(?1)(?t>1000)(?2)')(ts, e = 'v', e = 'c') AS b,
+          sequenceMatch('(?1).*(?t>=100)(?2)')(ts, e = 'v', e = 'c') AS s,
+          sequenceCount('(?1)(?t<100)(?2)')(ts, e = 'v', e = 'c') AS n
+        FROM sq_t GROUP BY u""").collect()}
+    assert out[1] == (True, False, False, 2)
+    assert out[2] == (False, True, True, 0)
+    assert out[4] == (True, False, True, 1)
+    # 6..8 conditions work through the hex-pair alphabet; 9 refuses
+    conds6 = ", ".join(f"e = 'x{i}'" for i in range(6))
+    spark.createDataFrame(
+        [(1, T(i), f"x{i}") for i in range(6)],
+        "u int, ts timestamp, e string").createOrReplaceTempView("sq_c")
+    r = ch_sql(spark, f"""
+        SELECT sequenceMatch('(?1).*(?6)')(ts, {conds6}) AS m,
+               sequenceCount('(?3)')(ts, {conds6}) AS n
+        FROM sq_c GROUP BY u""").collect()[0]
+    assert r.m is True and r.n == 1
+    conds9 = ", ".join(["a"] * 9)
+    with _p.raises(ValueError, match="up to 8"):
+        translate(f"SELECT sequenceMatch('(?1)')(ts, {conds9}) FROM t")
 
 
 def test_create_dictionary_and_dictget(spark):

@@ -153,6 +153,58 @@ def test_window_funnel_default_mode_unchanged(spark):
     assert out == {1: 3, 2: 3, 3: 3, 4: 3}
 
 
+def _rearm_events(spark):
+    """The round-8 advice counter-examples for reference-default
+    semantics ([U] AggregateFunctionWindowFunnel.cpp):
+    - user 1: c1@0, c1@90, c2@100, window 60 — the re-armed chain from
+      t=90 reaches level 2 (earliest-chain-only gives 1)
+    - user 2: c1@0, c2@0 (EQUAL timestamps) — default advances (the
+      old strictly-increasing guard gave 1)
+    - user 3: c1@0, c2@0 — strict_increase must NOT advance
+    - user 4: c1@0, c2@30, c3@95, window 60 — level-2 chain start
+      propagates (t0 stays 0, so c3@95 is out of window: level 2),
+      then c1@50, c2@80, c3@95 re-armed chain completes: level 3
+    """
+    rows = [
+        (1, 0, "a"), (1, 90, "a"), (1, 100, "b"),
+        (2, 0, "a"), (2, 0, "b"),
+        (3, 0, "a"), (3, 0, "b"),
+        (4, 0, "a"), (4, 30, "b"), (4, 50, "a"), (4, 80, "b"),
+        (4, 95, "c"),
+    ]
+    return spark.createDataFrame(
+        [(u, T(2024, 1, 1) + datetime.timedelta(seconds=s), e)
+         for u, s, e in rows],
+        "user_id long, ts timestamp, event_type string")
+
+
+def test_window_funnel_rearm_semantics(spark):
+    from clickhouse_clickhouse_spark.operators.events import window_funnel_hof
+
+    ev = _rearm_events(spark)
+    out = {r.user_id: r.level for r in
+           window_funnel_hof(ev, "user_id", "ts", "event_type",
+                             ["a", "b", "c"], 60).collect()}
+    assert out[1] == 2      # re-armed chain from t=90
+    assert out[2] == 2      # equal timestamps advance in default mode
+    assert out[4] == 3      # second chain (50, 80, 95) completes
+    inc = {r.user_id: r.level for r in
+           window_funnel_hof(ev, "user_id", "ts", "event_type",
+                             ["a", "b", "c"], 60,
+                             mode="strict_increase").collect()}
+    assert inc[3] == 1      # equal timestamps do NOT advance
+    assert inc[1] == 2 and inc[4] == 3
+    # window-chain and applyInPandas forms agree on the same fixture
+    casc = {r.user_id: r.level for r in
+            window_funnel(ev, "user_id", "ts", "event_type",
+                          ["a", "b", "c"], "60 SECONDS").collect()}
+    assert casc == {k: v for k, v in out.items() if v >= 1}
+    pand = {r.user_id: r.level for r in
+            funnel_apply_in_pandas(ev, "user_id", "ts", "event_type",
+                                   ["a", "b", "c"], 60).collect()}
+    assert {k: v for k, v in pand.items() if v >= 1} == casc
+
+
 def test_exp_time_decayed_sum_long_span_stays_finite(spark):
     """A key spanning >> 709*tau used to overflow the single-anchor
     running sum (exp(dt/tau) -> inf); the piecewise-renormalized version
