@@ -114,11 +114,17 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     pairs with the canonical only) — O(B) pairs, and the connected
     components downstream are IDENTICAL (every member still reaches the
     canonical, so transitive grouping is unchanged; only redundant
-    intra-bucket edges drop). With the member list in hand the cap is a
-    SIZE branch — no occupancy window pass. Verified-pair pipelines
-    then verify member-vs-canonical, which is exactly the pair that
-    matters for boilerplate. Default None keeps the exact all-pairs
-    behavior (oracle mode).
+    intra-bucket edges drop). The routing (rewritten round 8) never
+    materializes an over-cap member array: a cheap (count, min)
+    pre-aggregate per bucket routes members via a same-key join — the
+    banded exchange is reused for both sides, over-cap members stream
+    straight to (canonical, member) rows, and collect_list only ever
+    sees buckets already filtered to <= max_bucket members (the old
+    SIZE branch built the full multi-GB array row for a mega-bucket
+    BEFORE the branch could drop it). Verified-pair pipelines then
+    verify member-vs-canonical, which is exactly the pair that matters
+    for boilerplate. Default None keeps the exact all-pairs single
+    aggregate (oracle/bench mode — zero plan change).
 
     Bucket keys are ``xxhash64(band, mh...)`` longs — band folded into
     the hash, one scalar key (the string-concat key this replaces cost
@@ -143,20 +149,38 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     banded = (sig.selectExpr(id_col,
                              f"explode(array({', '.join(keys)})) AS __bk")
               .filter("__bk IS NOT NULL"))
-    buckets = (banded.groupBy("__bk")
-               .agg(F.expr(f"array_sort(collect_list({id_col})) AS ids"))
-               .filter("size(ids) >= 2"))
     all_pairs = ("explode(flatten(transform(ids, (__x, __i) -> "
                  "transform(slice(ids, __i + 2, size(ids)), "
                  "__y -> struct(__x AS id_a, __y AS id_b))))) AS p")
     if max_bucket is None:
+        buckets = (banded.groupBy("__bk")
+                   .agg(F.expr(f"array_sort(collect_list({id_col})) "
+                               "AS ids"))
+                   .filter("size(ids) >= 2"))
         pairs = buckets.selectExpr(all_pairs).select("p.id_a", "p.id_b")
     else:
-        small = (buckets.filter(F.size("ids") <= max_bucket)
+        # Over-cap buckets must never MATERIALIZE their member array
+        # (round-8 verdict watch item: collect_list builds the full
+        # multi-GB array row before a size branch can drop it — a
+        # boilerplate mega-bucket at 100 TB dies on the 2 GB array
+        # limit). Route by a pre-count instead: a cheap (count, min)
+        # aggregate per bucket, then join members back — both sides
+        # hash-partition on __bk, so the banded exchange is REUSED
+        # (one shingle pass) and the under-cap collect_list runs on
+        # rows already filtered to bounded buckets.
+        sizes = banded.groupBy("__bk").agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(id_col).alias("__canon"))
+        j = banded.join(sizes.filter(F.col("__n") >= 2), "__bk")
+        star = (j.filter(F.col("__n") > max_bucket)
+                .filter(F.col(id_col) != F.col("__canon"))
+                .select(F.col("__canon").alias("id_a"),
+                        F.col(id_col).alias("id_b")))
+        small = (j.filter(F.col("__n") <= max_bucket)
+                 .groupBy("__bk")
+                 .agg(F.expr(f"array_sort(collect_list({id_col})) "
+                             "AS ids"))
                  .selectExpr(all_pairs).select("p.id_a", "p.id_b"))
-        star = (buckets.filter(F.size("ids") > max_bucket)
-                .selectExpr("ids[0] AS id_a",
-                            "explode(slice(ids, 2, size(ids))) AS id_b"))
         pairs = small.unionByName(star)
     return pairs.distinct()
 

@@ -630,3 +630,38 @@ def test_bm25_ranking_and_determinism(spark):
     again = bm25_topk(docs, "doc_id", "text", ["vector", "hash"],
                       k=3).collect()
     assert [tuple(r) for r in top] == [tuple(r) for r in again]
+
+
+def test_minhash_mega_bucket_never_materializes(spark):
+    """Round-8 verdict watch item: an over-cap bucket must stream
+    member rows (star on min id) WITHOUT collect_list ever seeing it —
+    the old SIZE branch built the full member array first, which dies
+    on the 2 GB array-row limit for a boilerplate mega-bucket at
+    100 TB. Pins: (a) one mega-bucket (every doc identical) produces
+    exactly n-1 star pairs; (b) the executed plan has exactly ONE
+    collect_list aggregate (the under-cap path) and reuses the banded
+    exchange for the size-routing join."""
+    from clickhouse_clickhouse_spark.pipeline.dedup import (
+        minhash_candidate_pairs,
+    )
+
+    n = 4000
+    df = spark.range(n).selectExpr(
+        "id AS doc_id",
+        "'the exact same boilerplate text in every document' AS text")
+    out = minhash_candidate_pairs(df, "doc_id", "text", max_bucket=10)
+    rows = out.collect()
+    assert len(rows) == n - 1
+    assert all(r.id_a == 0 and r.id_b >= 1 for r in rows)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one logical collect aggregate = partial + final plan nodes; the
+    # star path must not add a third
+    n_agg = sum(1 for ln in plan.splitlines()
+                if "collect_list" in ln.lower()
+                and "Aggregate" in ln)
+    assert n_agg <= 2, plan
+    # the size-routing join either broadcasts the tiny (count, min)
+    # aggregate (AQE at test scale) or reuses the banded exchange
+    # (shuffle-join regime at real scale) — both are shuffle-free for
+    # the probe side
+    assert "ReusedExchange" in plan or "BroadcastExchange" in plan, plan
