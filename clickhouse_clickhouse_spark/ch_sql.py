@@ -2638,6 +2638,7 @@ def ch_sql(spark: SparkSession, sql: str,
     interpolation is refused."""
     _register_udfs(spark)
     _register_system_views(spark, sql)
+    _register_dict_hier_views(spark, sql)
     sql = _register_file_views(spark, sql)
     from clickhouse_clickhouse_spark.sources.system_tables import log_query
     try:
@@ -2820,46 +2821,107 @@ _REFRESHABLES: dict[str, dict] = {}
 _DICTIONARIES: dict[str, dict] = {}
 
 
-def _dict_get_tpl(args: list[str], typed: str | None = None,
-                  default: bool = False) -> str:
-    """dictGet['Type'][OrDefault]('dict', 'attr', key[, default])."""
-    need = 4 if default else 3
-    if len(args) != need:
-        raise ValueError("dictGet('dict', 'attr', key"
-                         + (", default)" if default else ")"))
-    nm = re.fullmatch(r"\s*'(\w+)'\s*", args[0])
-    am = re.fullmatch(r"\s*'(\w+)'\s*", args[1])
-    if not nm or not am:
-        raise ValueError("dictGet: dictionary and attribute names must "
-                         "be string literals")
+def _dict_lookup(name_arg: str) -> tuple[str, dict]:
+    nm = re.fullmatch(r"\s*'(\w+)'\s*", name_arg)
+    if not nm:
+        raise ValueError("dictionary name must be a string literal")
     d = _DICTIONARIES.get(nm.group(1).lower())
     if d is None:
         raise ValueError(f"unknown dictionary {nm.group(1)!r} — "
                          "CREATE DICTIONARY first")
+    return nm.group(1), d
+
+
+def _dict_get_tpl(args: list[str], typed: str | None = None,
+                  default: bool = False) -> str:
+    """dictGet['Type'][OrDefault]('dict', 'attr', key[, range_point]
+    [, default]). range_hashed dictionaries (new round 8, [U]
+    src/Dictionaries/RangeHashedDictionary.h) take the extra range
+    point and match rmin <= point <= rmax; overlapping intervals pick
+    the latest start (MAX_BY — a deterministic refinement of
+    upstream's unspecified pick), expressed as a correlated scalar
+    AGGREGATE so Catalyst plans the broadcast/hash left join."""
+    name, d = _dict_lookup(args[0])
+    ranged = d.get("layout") == "range_hashed"
+    need = 3 + (1 if ranged else 0) + (1 if default else 0)
+    if len(args) != need:
+        raise ValueError(
+            f"dictGet on {name!r}: expected ('dict', 'attr', key"
+            + (", range_point" if ranged else "")
+            + (", default)" if default else ")"))
+    am = re.fullmatch(r"\s*'(\w+)'\s*", args[1])
+    if not am:
+        raise ValueError("dictGet: attribute name must be a string "
+                         "literal")
     attr = am.group(1)
     if attr not in d["attrs"]:
-        raise ValueError(f"dictionary {nm.group(1)!r} has no attribute "
+        raise ValueError(f"dictionary {name!r} has no attribute "
                          f"{attr!r} (has {d['attrs']})")
-    sq = (f"(SELECT {attr} FROM {d['table']} "
-          f"WHERE {d['key']} = ({args[2]}))")
+    # the inner projection RENAMES every dictionary column (__dk/__dv/
+    # __rlo/__rhi) so an outer key expression that happens to name a
+    # column also present in the dictionary table cannot be shadowed
+    # by the subquery scope (round-8 fix: `WHERE pid = (pid)` resolved
+    # both sides to the inner table and matched every row)
+    if ranged:
+        pt = args[3]
+        inner = (f"(SELECT {d['key']} AS __dk, {attr} AS __dv, "
+                 f"{d['rmin']} AS __rlo, {d['rmax']} AS __rhi "
+                 f"FROM {d['table']}) __da")
+        sq = (f"(SELECT MAX_BY(__dv, __rlo) FROM {inner} "
+              f"WHERE __da.__dk = ({args[2]}) "
+              f"AND __da.__rlo <= ({pt}) "
+              f"AND (__da.__rhi IS NULL OR __da.__rhi >= ({pt})))")
+    else:
+        sq = (f"(SELECT __dv FROM (SELECT {d['key']} AS __dk, "
+              f"{attr} AS __dv FROM {d['table']}) __da "
+              f"WHERE __da.__dk = ({args[2]}))")
     if typed:
         sq = f"CAST({sq} AS {typed})"
     if default:
-        return f"COALESCE({sq}, {args[3]})"
+        return f"COALESCE({sq}, {args[-1]})"
     return sq
 
 
 def _dict_has_tpl(args: list[str]) -> str:
-    if len(args) != 2:
-        raise ValueError("dictHas('dict', key)")
-    nm = re.fullmatch(r"\s*'(\w+)'\s*", args[0])
-    if not nm:
-        raise ValueError("dictHas: dictionary name must be a literal")
-    d = _DICTIONARIES.get(nm.group(1).lower())
-    if d is None:
-        raise ValueError(f"unknown dictionary {nm.group(1)!r}")
-    return (f"((SELECT COUNT(*) FROM {d['table']} "
-            f"WHERE {d['key']} = ({args[1]})) > 0)")
+    name, d = _dict_lookup(args[0])
+    ranged = d.get("layout") == "range_hashed"
+    if len(args) != (3 if ranged else 2):
+        raise ValueError(f"dictHas('dict', key"
+                         + (", range_point)" if ranged else ")"))
+    cond = f"__da.__dk = ({args[1]})"
+    proj = f"{d['key']} AS __dk"
+    if ranged:
+        proj += f", {d['rmin']} AS __rlo, {d['rmax']} AS __rhi"
+        cond += (f" AND __da.__rlo <= ({args[2]}) "
+                 f"AND (__da.__rhi IS NULL OR "
+                 f"__da.__rhi >= ({args[2]}))")
+    return (f"((SELECT COUNT(*) FROM (SELECT {proj} FROM "
+            f"{d['table']}) __da WHERE {cond}) > 0)")
+
+
+def _dict_hier_tpl(args: list[str], is_in: bool) -> str:
+    """dictGetHierarchy('dict', key) / dictIsIn('dict', child,
+    ancestor) in dialect SQL (new round 8): scalar subqueries over the
+    bounded-depth closure view that _register_dict_hier_views
+    materializes (8 broadcast self-joins of the dimension table — no
+    driver collect; twins operators/dictionary.HierarchicalDictionary,
+    including the dangling-parent-id tail and the [key]-only result
+    for keys absent from the dictionary)."""
+    if len(args) != (3 if is_in else 2):
+        raise ValueError("dictIsIn('dict', child, ancestor)" if is_in
+                         else "dictGetHierarchy('dict', key)")
+    name, d = _dict_lookup(args[0])
+    if not d.get("parent"):
+        raise ValueError(
+            f"dictionary {name!r} has no HIERARCHICAL attribute — "
+            "mark the parent-key column HIERARCHICAL in CREATE "
+            "DICTIONARY")
+    view = f"__dict_hier_{name.lower()}"
+    path = (f"COALESCE((SELECT __path FROM {view} "
+            f"WHERE __k = ({args[1]})), ARRAY(({args[1]})))")
+    if is_in:
+        return f"COALESCE(ARRAY_CONTAINS({path}, ({args[2]})), FALSE)"
+    return path
 
 
 _FUNCS.update({
@@ -2870,7 +2932,45 @@ _FUNCS.update({
     "dictGetInt64": lambda a: _dict_get_tpl(a, typed="BIGINT"),
     "dictGetFloat64": lambda a: _dict_get_tpl(a, typed="DOUBLE"),
     "dictHas": lambda a: _dict_has_tpl(a),
+    "dictGetHierarchy": lambda a: _dict_hier_tpl(a, is_in=False),
+    "dictIsIn": lambda a: _dict_hier_tpl(a, is_in=True),
 })
+
+
+def _register_dict_hier_views(spark: SparkSession, sql: str) -> None:
+    """Materialize the bounded-depth hierarchy closure view
+    ``__dict_hier_<name>`` for every hierarchical dictionary the query
+    references via dictGetHierarchy/dictIsIn. Built as 8 broadcast
+    self-joins of the (dimension-sized) source table — fully
+    distributed, no driver collect; the path is [key, parent,
+    grandparent, ...] stopping at the first NULL/absent parent, with a
+    dangling parent id kept (same contract as
+    operators/dictionary.HierarchicalDictionary.get_hierarchy)."""
+    if not re.search(r"\b(dictGetHierarchy|dictIsIn)\b", sql,
+                     re.IGNORECASE):
+        return
+    from pyspark.sql import functions as F
+
+    for name, d in _DICTIONARIES.items():
+        if not d.get("parent"):
+            continue
+        if not re.search(rf"'{re.escape(name)}'", sql, re.IGNORECASE):
+            continue
+        h = spark.table(d["table"]).selectExpr(
+            f"{d['key']} AS __k", f"{d['parent']} AS __p")
+        cur = h.selectExpr("__k", "ARRAY(__k) AS __path",
+                           "__k AS __cur")
+        look = h.selectExpr("__k AS __jk", "__p AS __jp")
+        for _ in range(8):
+            cur = (cur.join(F.broadcast(look),
+                            cur["__cur"] == F.col("__jk"), "left")
+                   .selectExpr(
+                       "__k",
+                       "IF(__jp IS NOT NULL, "
+                       "CONCAT(__path, ARRAY(__jp)), __path) AS __path",
+                       "__jp AS __cur"))
+        cur.select("__k", "__path").createOrReplaceTempView(
+            f"__dict_hier_{name}")
 
 _REFRESH_UNITS = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
                   "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}
@@ -3149,13 +3249,44 @@ def ch_statement(spark: SparkSession, sql: str,
             if not tm:
                 raise ValueError("CREATE DICTIONARY: SOURCE(CLICKHOUSE("
                                  "TABLE 'name')) is the supported form")
-            cols = [re.match(r"\s*`?(\w+)`?", c).group(1)
-                    for c in _split_top_commas(dm.group("cols"))
-                    if c.strip()]
+            col_texts = [c.strip()
+                         for c in _split_top_commas(dm.group("cols"))
+                         if c.strip()]
+            cols = [re.match(r"`?(\w+)`?", c).group(1)
+                    for c in col_texts]
+            # HIERARCHICAL attribute marker (upstream: the parent-key
+            # column that dictGetHierarchy/dictIsIn walk)
+            parent = next(
+                (re.match(r"`?(\w+)`?", c).group(1) for c in col_texts
+                 if re.search(r"\bHIERARCHICAL\b", c, re.IGNORECASE)),
+                None)
             key = dm.group("k")
             if key not in cols:
                 raise ValueError(f"CREATE DICTIONARY: PRIMARY KEY "
                                  f"{key!r} not in the column list")
+            rest = dm.group("rest") or ""
+            lay = re.search(r"LAYOUT\s*\(\s*(\w+)", rest, re.IGNORECASE)
+            layout = lay.group(1).lower() if lay else "flat"
+            if layout not in ("flat", "hashed", "sparse_hashed",
+                              "complex_key_hashed", "direct",
+                              "range_hashed"):
+                raise ValueError(
+                    f"CREATE DICTIONARY: LAYOUT({layout.upper()}) is "
+                    "not supported (flat/hashed/sparse_hashed/"
+                    "complex_key_hashed/direct/range_hashed)")
+            rmin = rmax = None
+            rng = re.search(r"RANGE\s*\(\s*MIN\s+(\w+)\s+MAX\s+(\w+)"
+                            r"\s*\)", rest, re.IGNORECASE)
+            if layout == "range_hashed":
+                if not rng:
+                    raise ValueError(
+                        "CREATE DICTIONARY: LAYOUT(RANGE_HASHED()) "
+                        "needs RANGE(MIN col MAX col)")
+                rmin, rmax = rng.group(1), rng.group(2)
+                if rmin not in cols or rmax not in cols:
+                    raise ValueError(
+                        f"CREATE DICTIONARY: RANGE columns "
+                        f"({rmin}, {rmax}) must be in the column list")
             name = dm.group("n")
             if name.lower() in _DICTIONARIES:
                 # reference DDL contract: plain CREATE on an existing
@@ -3171,7 +3302,10 @@ def ch_statement(spark: SparkSession, sql: str,
                     "dictionary string, source_table string, key string")
             _DICTIONARIES[name.lower()] = {
                 "table": tm.group(1), "key": key,
-                "attrs": [c for c in cols if c != key]}
+                "attrs": [c for c in cols
+                          if c != key and c not in (rmin, rmax)],
+                "layout": layout, "rmin": rmin, "rmax": rmax,
+                "parent": parent}
             return spark.createDataFrame(
                 [(name, tm.group(1), key)],
                 "dictionary string, source_table string, key string")

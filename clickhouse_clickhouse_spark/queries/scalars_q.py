@@ -1651,3 +1651,101 @@ def ch_sql_dictionary(spark, sf):
                dictHas('q_region_dict', n_regionkey) AS h
         FROM nation""")
     return out
+
+
+@register("ch_sql_dict_range", oracle="""
+WITH tiers AS (
+  SELECT r_regionkey AS pid, CAST(r_regionkey * 5 AS BIGINT) AS lo,
+         CAST(r_regionkey * 5 + 4 AS BIGINT) AS hi,
+         r_name AS tier
+  FROM region)
+SELECT CAST(n.n_nationkey AS BIGINT) AS k,
+       t.tier AS tier,
+       coalesce(t.tier, 'none') AS tier_d,
+       (t.tier IS NOT NULL) AS h
+FROM nation n
+LEFT JOIN tiers t
+  ON n.n_regionkey = t.pid
+ AND t.lo <= n.n_nationkey AND t.hi >= n.n_nationkey
+""")
+def ch_sql_dict_range(spark, sf):
+    """Round-8: LAYOUT(RANGE_HASHED()) dictionaries ([U]
+    src/Dictionaries/RangeHashedDictionary.h) — dictGet takes a range
+    point and matches rmin <= point <= rmax (overlaps resolve to the
+    latest interval start via MAX_BY, a deterministic refinement of
+    upstream's unspecified pick). The correlated scalar AGGREGATE
+    decorrelates to a join; the inner projection renames every
+    dictionary column so outer expressions can never be shadowed
+    (round-8 fix). Oracle = the equivalent range LEFT JOIN (intervals
+    are non-overlapping per key here, so MAX_BY equals the unique
+    match)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, ch_statement
+
+    load_table(spark, sf, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf, "region").createOrReplaceTempView("region")
+    ch_sql(spark, """
+        SELECT r_regionkey AS pid,
+               toInt64(r_regionkey * 5) AS lo,
+               toInt64(r_regionkey * 5 + 4) AS hi,
+               r_name AS tier
+        FROM region""").createOrReplaceTempView("q_rng_src")
+    ch_statement(spark, """
+        CREATE DICTIONARY IF NOT EXISTS q_rng_dict
+        (pid UInt64, lo Int64, hi Int64, tier String)
+        PRIMARY KEY pid
+        SOURCE(CLICKHOUSE(TABLE 'q_rng_src'))
+        LAYOUT(RANGE_HASHED()) RANGE(MIN lo MAX hi)""")
+    return ch_sql(spark, """
+        SELECT toInt64(n_nationkey) AS k,
+               dictGet('q_rng_dict', 'tier', n_regionkey,
+                       n_nationkey) AS tier,
+               dictGetOrDefault('q_rng_dict', 'tier', n_regionkey,
+                                n_nationkey, 'none') AS tier_d,
+               dictHas('q_rng_dict', n_regionkey, n_nationkey) AS h
+        FROM nation""")
+
+
+@register("ch_sql_dict_hierarchy", oracle="""
+WITH nodes AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS id,
+         CAST(n_regionkey + 100 AS BIGINT) AS parent
+  FROM nation)
+SELECT n.id AS k,
+       [n.id, n.parent] AS path,
+       (n.parent = 102) AS in_r2,
+       true AS in_self
+FROM nodes n
+""")
+def ch_sql_dict_hierarchy(spark, sf):
+    """Round-8: dictGetHierarchy/dictIsIn as dialect SQL over a
+    HIERARCHICAL dictionary attribute: nation -> region (+100 offset)
+    -> root sentinel 0. The closure view builds via bounded broadcast
+    self-joins (no driver collect); the path keeps the dangling root
+    parent id, matching operators/dictionary.HierarchicalDictionary.
+    Oracle spells the two-level chain explicitly."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, ch_statement
+
+    load_table(spark, sf, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf, "region").createOrReplaceTempView("region")
+    ch_sql(spark, """
+        SELECT toInt64(r_regionkey + 100) AS id,
+               CAST(NULL AS BIGINT) AS parent
+        FROM region
+        UNION ALL
+        SELECT toInt64(n_nationkey), toInt64(n_regionkey + 100)
+        FROM nation""").createOrReplaceTempView("q_hier_src")
+    ch_statement(spark, """
+        CREATE DICTIONARY IF NOT EXISTS q_hier_dict
+        (id UInt64, parent UInt64 HIERARCHICAL)
+        PRIMARY KEY id
+        SOURCE(CLICKHOUSE(TABLE 'q_hier_src'))
+        LAYOUT(HASHED())""")
+    return ch_sql(spark, """
+        SELECT toInt64(n_nationkey) AS k,
+               dictGetHierarchy('q_hier_dict', toInt64(n_nationkey))
+                 AS path,
+               dictIsIn('q_hier_dict', toInt64(n_nationkey),
+                        toInt64(102)) AS in_r2,
+               dictIsIn('q_hier_dict', toInt64(n_nationkey),
+                        toInt64(n_nationkey)) AS in_self
+        FROM nation""")

@@ -1558,3 +1558,67 @@ def test_resample_combinator(spark):
                        "FROM rs_frac").collect()[0]
     assert fr.s == [1.0, 110.0]
     assert fr.c == [1, 2]
+
+
+def test_dict_range_hashed_and_hierarchy(spark):
+    """Round-8 dictionary surface: RANGE_HASHED layout (point-in-range
+    lookups, overlap -> latest start), key-column shadowing fix (outer
+    key expression naming a dictionary column), HIERARCHICAL walks
+    with dangling-parent retention and cycle-bounded depth, DDL
+    refusals."""
+    import pytest as _p
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, ch_statement
+
+    spark.createDataFrame(
+        [(1, 10, 19, "low"), (1, 15, 30, "over"), (2, 0, None, "open")],
+        "pid int, lo int, hi int, tier string") \
+        .createOrReplaceTempView("rng_src_t")
+    ch_statement(spark, """CREATE DICTIONARY IF NOT EXISTS t_rng
+        (pid UInt64, lo Int64, hi Int64, tier String)
+        PRIMARY KEY pid SOURCE(CLICKHOUSE(TABLE 'rng_src_t'))
+        LAYOUT(RANGE_HASHED()) RANGE(MIN lo MAX hi)""")
+    # outer column is ALSO named pid — the round-8 shadowing fix
+    spark.createDataFrame([(1, 17), (1, 25), (2, 999), (3, 1)],
+                          "pid int, q int").createOrReplaceTempView(
+        "rng_q_t")
+    out = {(r.pid, r.q): (r.t, r.h) for r in ch_sql(spark, """
+        SELECT pid, q, dictGet('t_rng', 'tier', pid, q) AS t,
+               dictHas('t_rng', pid, q) AS h
+        FROM rng_q_t""").collect()}
+    # q=17 matches [10,19] AND [15,30] -> latest start (15) wins
+    assert out[(1, 17)] == ("over", True)
+    assert out[(1, 25)] == ("over", True)
+    assert out[(2, 999)] == ("open", True)    # NULL hi = open interval
+    assert out[(3, 1)] == (None, False)
+    with _p.raises(ValueError, match="RANGE"):
+        ch_statement(spark, """CREATE DICTIONARY t_rng_bad (k UInt64)
+            PRIMARY KEY k SOURCE(CLICKHOUSE(TABLE 'rng_src_t'))
+            LAYOUT(RANGE_HASHED())""")
+    with _p.raises(ValueError, match="expected"):
+        ch_sql(spark, "SELECT dictGet('t_rng', 'tier', 1) AS x")
+
+    # hierarchy: dangling parent kept, cycles bounded, missing key ->
+    # [key]
+    spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 2), (7, 8), (8, 7)],
+        "id int, parent int").createOrReplaceTempView("hier_src_t")
+    ch_statement(spark, """CREATE DICTIONARY IF NOT EXISTS t_hier
+        (id UInt64, parent UInt64 HIERARCHICAL)
+        PRIMARY KEY id SOURCE(CLICKHOUSE(TABLE 'hier_src_t'))
+        LAYOUT(HASHED())""")
+    r = {row.id: (row.p, row.isin) for row in ch_sql(spark, """
+        SELECT id, dictGetHierarchy('t_hier', id) AS p,
+               dictIsIn('t_hier', id, 1) AS isin
+        FROM hier_src_t""").collect()}
+    # 3 -> 2 -> 1 -> 0 (0 dangling, kept — twin of the programmatic
+    # HierarchicalDictionary contract)
+    assert r[3] == ([3, 2, 1, 0], True)
+    assert r[1] == ([1, 0], True)
+    # 7 <-> 8 cycle: bounded at depth 8, no hang
+    assert len(r[7][0]) == 9 and r[7][1] is False
+    missing = ch_sql(
+        spark, "SELECT dictGetHierarchy('t_hier', 42) AS p").collect()[0]
+    assert missing.p == [42]
+    with _p.raises(ValueError, match="HIERARCHICAL"):
+        ch_sql(spark, "SELECT dictGetHierarchy('t_rng', 1) AS x")
