@@ -1647,3 +1647,79 @@ def curation_lm_quality_gate(spark, sf):
                  F.round(F.avg(F.when(F.col("avg_nll") <= F.col("m"),
                                       F.exp("avg_nll"))), 4)
                  .alias("kept_ppl")))
+
+
+@register("hybrid_retrieval_rrf", oracle=f"""
+WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+dl AS (SELECT doc_id, len(t) AS dl FROM tk),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(t) AS term FROM tk)
+       WHERE term IN ('vector', 'hash', 'stream')
+       GROUP BY doc_id, term),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+bm AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS ra
+  FROM (SELECT doc_id,
+               round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                         * tf * 2.2
+                         / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))),
+                     6) AS bm25
+        FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+        CROSS JOIN stats
+        GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20)),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id = 0),
+c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+x AS (
+  SELECT corpus_id,
+         sum(CAST(cv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)) AS dot,
+         sum(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)) AS nc,
+         sum(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)) AS nq
+  FROM c JOIN q ON corpus_id <> query_id,
+       (SELECT unnest(generate_series(1, 64)) AS i) g
+  GROUP BY corpus_id),
+cs AS (
+  SELECT corpus_id AS doc_id,
+         row_number() OVER (ORDER BY cosine DESC, corpus_id) AS rb
+  FROM (SELECT corpus_id,
+               round(dot / (sqrt(nc) * sqrt(nq)), 6) AS cosine
+        FROM x ORDER BY cosine DESC, corpus_id LIMIT 20)),
+f AS (
+  SELECT coalesce(bm.doc_id, cs.doc_id) AS doc_id,
+         round(coalesce(1.0 / (60 + ra), 0)
+               + coalesce(1.0 / (60 + rb), 0), 6) AS rrf,
+         CAST(ra AS INT) AS rank_0, CAST(rb AS INT) AS rank_1
+  FROM bm FULL OUTER JOIN cs ON bm.doc_id = cs.doc_id)
+SELECT CAST(0 AS BIGINT) AS query_id, doc_id, rrf,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT)
+         AS rank,
+       rank_0, rank_1
+FROM f
+QUALIFY rank <= 10
+""")
+def hybrid_retrieval_rrf(spark, sf):
+    """Hybrid retrieval capstone (round 8; pipeline/retrieval.rrf_fuse,
+    [P] Cormack et al. SIGIR 2009): BM25 keyword top-20 fused with
+    exact-cosine top-20 for the same corpus (doc_id == vec_id in the
+    fixture) by reciprocal-rank fusion, k=60. Candidate generation is
+    the distributed heavy part (one tf shuffle + one broadcast
+    crossJoin topk); fusion runs per-query windows over 2x20 rows. The
+    DuckDB oracle replays both rankers and the fusion end-to-end."""
+    from clickhouse_clickhouse_spark.pipeline.bm25 import bm25_topk
+    from clickhouse_clickhouse_spark.pipeline.retrieval import rrf_fuse
+    from clickhouse_clickhouse_spark.pipeline.similarity import (
+        brute_force_topk,
+    )
+
+    d = load_table(spark, sf, "documents")
+    e = load_table(spark, sf, "embeddings")
+    bm = (bm25_topk(d, "doc_id", "text", ["vector", "hash", "stream"],
+                    k=20)
+          .withColumn("query_id", F.lit(0).cast("long")))
+    cos = (brute_force_topk(e, e.filter(F.col("vec_id") == 0), k=20,
+                            query_id="vec_id")
+           .withColumnRenamed("corpus_id", "doc_id"))
+    return rrf_fuse([(bm, "bm25"), (cos, "cosine")],
+                    "query_id", "doc_id", k=60, topk=10)
