@@ -1742,9 +1742,41 @@ def _numbers_subquery(start: int, count: int) -> str:
             f"CAST({start + count - 1} AS BIGINT))) AS number)")
 
 
+# translate() is a pure text transform; ch_sql() calls it twice per
+# statement (once for system.query_log, once for execution) and the
+# differential fuzz suites re-translate identical texts thousands of
+# times — a small memo collapses that. The ONLY mutable input is the
+# dictionary registry (dictGet templates resolve names at translate
+# time), so the cache key carries a generation counter bumped by
+# CREATE/DROP DICTIONARY.
+_TRANSLATE_CACHE: dict = {}
+_DICT_GEN = [0]
+
+
 def translate(sql: str,
               final_keys: dict[str, tuple[list[str], str]] | None = None
               ) -> str:
+    """Translate one reference-dialect query to Spark SQL text
+    (memoized — see _TRANSLATE_CACHE)."""
+    if final_keys:
+        fk_key = tuple(sorted(
+            (k, (tuple(v[0]), v[1])) for k, v in final_keys.items()))
+    else:
+        fk_key = None
+    key = (sql, fk_key, _DICT_GEN[0])
+    hit = _TRANSLATE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = _translate_impl(sql, final_keys)
+    if len(_TRANSLATE_CACHE) > 4096:
+        _TRANSLATE_CACHE.clear()
+    _TRANSLATE_CACHE[key] = out
+    return out
+
+
+def _translate_impl(sql: str,
+                    final_keys: dict[str, tuple[list[str], str]] | None
+                    = None) -> str:
     """Translate one reference-dialect query to Spark SQL text."""
     q = sql.strip().rstrip(";")
     # Every clause-level rewrite below goes through the string-literal
@@ -3306,6 +3338,7 @@ def ch_statement(spark: SparkSession, sql: str,
                           if c != key and c not in (rmin, rmax)],
                 "layout": layout, "rmin": rmin, "rmax": rmax,
                 "parent": parent}
+            _DICT_GEN[0] += 1          # invalidate the translate memo
             return spark.createDataFrame(
                 [(name, tm.group(1), key)],
                 "dictionary string, source_table string, key string")
@@ -3523,6 +3556,7 @@ def ch_statement(spark: SparkSession, sql: str,
         if ddm:
             dropped = _DICTIONARIES.pop(ddm.group(1).lower(),
                                         None) is not None
+            _DICT_GEN[0] += 1          # invalidate the translate memo
             return spark.createDataFrame(
                 [(ddm.group(1), dropped)],
                 "dictionary string, dropped boolean")

@@ -31,38 +31,49 @@ def streaming_window_funnel(events: DataFrame, entity: str, ts: str,
                             output_mode: str = "update"):
     """Build the stateful funnel transformation on a STREAMING DataFrame.
 
-    Greedy earliest-chain semantics (same as
-    ``operators.events.window_funnel``): the chain starts at the first
-    step-1 event seen; step k advances when its event arrives with a
-    timestamp after the previous step's and within ``window_seconds`` of
-    the chain start. Events may arrive across micro-batches; state
-    persists between them. Returns (entity, level) in ``update`` mode.
+    Reference-default re-arm semantics (round 8 — same per-level
+    chain-start algorithm as ``operators.events.window_funnel`` /
+    ``window_funnel_hof``): the level-1 chain start re-arms on every
+    step-1 event, step k advances from level k-1's stored chain start
+    when its event arrives within ``window_seconds`` of it (equal
+    timestamps allowed), and the advance propagates the chain start.
+    State = one chain-start timestamp per level (0 = unset) — still
+    O(entities × k longs), no event history retained. Events may
+    arrive across micro-batches; state persists between them. Returns
+    (entity, level) in ``update`` mode.
     """
     steps = list(steps)
+    k = len(steps)
+    step_idx = {s: i for i, s in enumerate(steps)}
+    win_us = window_seconds * 1_000_000
 
     def update(key, pdfs: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            level, t0, tp = state.get
-        else:
-            level, t0, tp = 0, 0, 0
+        starts = list(state.get) if state.exists else [0] * k
         rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values(ts)
-        for t, e in zip(rows[ts], rows[event]):
+        rows = rows.assign(__i=rows[event].map(step_idx))
+        rows = rows[rows["__i"].notna()].sort_values([ts, "__i"])
+        for t, i in zip(rows[ts], rows["__i"]):
             t_us = int(pd.Timestamp(t).value // 1_000)
-            if level == 0:
-                if e == steps[0]:
-                    level, t0, tp = 1, t_us, t_us
-            elif level < len(steps) and e == steps[level]:
-                if t_us > tp and t_us <= t0 + window_seconds * 1_000_000:
-                    level, tp = level + 1, t_us
-        state.update((level, t0, tp))
+            i = int(i)
+            if i == 0:
+                starts[0] = t_us
+            elif starts[i - 1] != 0 and \
+                    t_us <= starts[i - 1] + win_us:
+                starts[i] = starts[i - 1]
+        level = 0
+        for s in starts:
+            if s == 0:
+                break
+            level += 1
+        state.update(tuple(starts))
         yield pd.DataFrame({entity: [key[0]], "level": [level]})
 
+    state_schema = ", ".join(f"s{i} long" for i in range(k))
     return (events.groupBy(entity)
             .applyInPandasWithState(
                 update,
                 outputStructType=f"{entity} long, level int",
-                stateStructType="level int, t0 long, tp long",
+                stateStructType=state_schema,
                 outputMode=output_mode,
                 timeoutConf=GroupStateTimeout.NoTimeout))
