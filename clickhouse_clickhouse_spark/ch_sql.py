@@ -173,18 +173,21 @@ _FUNCS: dict[str, str] = {
     # ([U] src/AggregateFunctions/AggregateFunctionForEach.h) — a
     # collect_list fold with null-padding zip (zip_with extends to the
     # longer array, exactly the reference's ragged-array behavior)
-    # type-preserving fold (round-8 advice): seed with the FIRST
-    # collected array zeroed in its own element type (x - x), so
-    # integer arrays sum exactly in the widened integer type instead
-    # of silently widening to DOUBLE past 2^53; the CASE slot update
-    # keeps the element type through ragged NULL-padded extensions.
-    # An all-NULL slot yields NULL (documented deviation from the
+    # type-exact fold (round-8 advice): seed with the FIRST collected
+    # array zeroed via (x - x) + 0L — the `+ 0L` promotes integral
+    # element types to BIGINT (the reference widens Int32 sums to
+    # Int64; a bare x - x would keep INT and silently wrap past 2^31)
+    # while DOUBLE/DECIMAL elements keep their own type, so integer
+    # sums stay exact past 2^53. The CASE slot update preserves the
+    # accumulator type through ragged NULL-padded extensions. An
+    # all-NULL slot yields NULL (documented deviation from the
     # reference's 0 — NULL is the only typeable empty sum here).
     "sumForEach":
         "AGGREGATE(COLLECT_LIST({0}), "
-        "TRANSFORM(ELEMENT_AT(COLLECT_LIST({0}), 1), __z -> __z - __z), "
+        "TRANSFORM(ELEMENT_AT(COLLECT_LIST({0}), 1), "
+        "__z -> __z - __z + 0L), "
         "(__acc, __x) -> ZIP_WITH(__acc, __x, (__a, __b) -> "
-        "CASE WHEN __a IS NULL THEN __b WHEN __b IS NULL THEN __a "
+        "CASE WHEN __a IS NULL THEN __b + 0L WHEN __b IS NULL THEN __a "
         "ELSE __a + __b END))",
     "countForEach":
         "AGGREGATE(COLLECT_LIST({0}), CAST(ARRAY() AS ARRAY<BIGINT>), "
@@ -621,16 +624,19 @@ _PARAMETRIC: dict = {
 
 
 def _arr_sum_tpl(cast_double: bool) -> str:
-    """Per-row array sum: FILTER out NULL elements, seed the fold with a
-    typed zero (first element minus itself) so integer arrays stay exact
-    past 2^53; the double-cast variant feeds avg."""
+    """Per-row array sum: FILTER out NULL elements, seed the fold with
+    a typed zero ((first - first) + 0L — the `+ 0L` widens integral
+    element types to BIGINT like the reference's Int64 sum, while
+    DOUBLE/DECIMAL keep their own type) so integer arrays stay exact
+    past 2^53 and never wrap at 2^31; the double-cast variant feeds
+    avg."""
     if cast_double:
         inner = ("AGGREGATE(__nn, CAST(0 AS DOUBLE), "
                  "(__s, __e2) -> __s + CAST(__e2 AS DOUBLE))")
     else:
         inner = ("AGGREGATE(__nn, "
-                 "TRY_ELEMENT_AT(__nn, 1) - TRY_ELEMENT_AT(__nn, 1), "
-                 "(__s, __e2) -> __s + __e2)")
+                 "TRY_ELEMENT_AT(__nn, 1) - TRY_ELEMENT_AT(__nn, 1) "
+                 "+ 0L, (__s, __e2) -> __s + __e2)")
     return ("TRY_ELEMENT_AT(TRANSFORM(ARRAY(FILTER({0}, "
             "__e -> __e IS NOT NULL)), __nn -> " + inner + "), 1)")
 
@@ -652,17 +658,20 @@ def _map_fold_tpl(seed: str, merge: str, sort: bool = True) -> str:
     return ("MAP_FROM_ENTRIES(ARRAY_SORT(MAP_ENTRIES(" + fold + ")))")
 
 
+# `+ 0L` widens integral value types to BIGINT (reference Int64 sums —
+# a bare v - v would wrap at 2^31); DOUBLE/DECIMAL keep their own type
 _MAP_ZERO_SEED = ("TRANSFORM_VALUES(TRY_ELEMENT_AT(COLLECT_LIST({0}), 1), "
-                  "(__k, __v) -> __v - __v)")
+                  "(__k, __v) -> __v - __v + 0L)")
 _MAP_FIRST_SEED = "TRY_ELEMENT_AT(COLLECT_LIST({0}), 1)"
 _CASE_ADD = ("CASE WHEN __a IS NULL THEN __b WHEN __b IS NULL THEN __a "
              "ELSE __a + __b END")
 
+_MAP_CNT_SEED = ("TRANSFORM_VALUES(TRY_ELEMENT_AT(COLLECT_LIST({0}), 1), "
+                 "(__k, __v) -> 0L)")
+_MAP_CNT_MERGE = "COALESCE(__a, 0L) + IF(__b IS NULL, 0L, 1L)"
+
 _MAP_SUM = _map_fold_tpl(_MAP_ZERO_SEED, _CASE_ADD)
-_MAP_COUNT = _map_fold_tpl(
-    "TRANSFORM_VALUES(TRY_ELEMENT_AT(COLLECT_LIST({0}), 1), "
-    "(__k, __v) -> 0L)",
-    "COALESCE(__a, 0L) + IF(__b IS NULL, 0L, 1L)")
+_MAP_COUNT = _map_fold_tpl(_MAP_CNT_SEED, _MAP_CNT_MERGE)
 
 _AGG_BASES: dict[str, dict] = {
     "sum": {"n": 1, "plain": "SUM({0})", "distinct": "SUM(DISTINCT {0})",
@@ -675,11 +684,9 @@ _AGG_BASES: dict[str, dict] = {
             "map": ("MAP_FROM_ENTRIES(ARRAY_SORT(MAP_ENTRIES("
                     "MAP_ZIP_WITH(" +
                     _map_fold_tpl(_MAP_ZERO_SEED, _CASE_ADD, sort=False) +
-                    ", " + _map_fold_tpl(
-                        "TRANSFORM_VALUES(TRY_ELEMENT_AT("
-                        "COLLECT_LIST({0}), 1), (__k, __v) -> 0L)",
-                        "COALESCE(__a, 0L) + IF(__b IS NULL, 0L, 1L)",
-                        sort=False) +
+                    ", " +
+                    _map_fold_tpl(_MAP_CNT_SEED, _MAP_CNT_MERGE,
+                                  sort=False) +
                     ", (__k, __s, __n) -> IF(__n IS NULL OR __n = 0, "
                     "CAST(NULL AS DOUBLE), CAST(__s AS DOUBLE) / __n"
                     ")))))")},
@@ -1307,10 +1314,14 @@ def _sequence_tpl(params: list[str], args: list[str],
                 raise ValueError(
                     "sequenceMatch: (?t) supports <, <=, >, >= "
                     "(==/!= would need exact time sets)")
-            if st["sep"] == "plus" and st["guard"] is not None:
+            if st["sep"] == "plus":
+                # refuse .+ ANYWHERE in a time-guarded pattern — the
+                # DP fold has no at-least-one-gap transition, so a
+                # silent fallthrough would treat it as adjacency
+                # (round-8 review finding)
                 raise ValueError(
-                    "sequenceMatch: .+ combined with a (?t) guard is "
-                    "not supported — use .* or adjacency")
+                    "sequenceMatch: .+ inside a time-guarded pattern "
+                    "is not supported — use .* or adjacency")
         return _sequence_time_fold(steps, evs, count)
     # regex path over hex-pair tokens
     out = []
@@ -2853,7 +2864,10 @@ _REFRESHABLES: dict[str, dict] = {}
 _DICTIONARIES: dict[str, dict] = {}
 
 
-def _dict_lookup(name_arg: str) -> tuple[str, dict]:
+def _dict_lookup(args: list[str], usage: str) -> tuple[str, dict]:
+    if not args:
+        raise ValueError(usage)
+    name_arg = args[0]
     nm = re.fullmatch(r"\s*'(\w+)'\s*", name_arg)
     if not nm:
         raise ValueError("dictionary name must be a string literal")
@@ -2873,7 +2887,7 @@ def _dict_get_tpl(args: list[str], typed: str | None = None,
     the latest start (MAX_BY — a deterministic refinement of
     upstream's unspecified pick), expressed as a correlated scalar
     AGGREGATE so Catalyst plans the broadcast/hash left join."""
-    name, d = _dict_lookup(args[0])
+    name, d = _dict_lookup(args, "dictGet('dict', 'attr', key, ...)")
     ranged = d.get("layout") == "range_hashed"
     need = 3 + (1 if ranged else 0) + (1 if default else 0)
     if len(args) != need:
@@ -2915,7 +2929,7 @@ def _dict_get_tpl(args: list[str], typed: str | None = None,
 
 
 def _dict_has_tpl(args: list[str]) -> str:
-    name, d = _dict_lookup(args[0])
+    name, d = _dict_lookup(args, "dictHas('dict', key[, range_point])")
     ranged = d.get("layout") == "range_hashed"
     if len(args) != (3 if ranged else 2):
         raise ValueError(f"dictHas('dict', key"
@@ -2942,7 +2956,7 @@ def _dict_hier_tpl(args: list[str], is_in: bool) -> str:
     if len(args) != (3 if is_in else 2):
         raise ValueError("dictIsIn('dict', child, ancestor)" if is_in
                          else "dictGetHierarchy('dict', key)")
-    name, d = _dict_lookup(args[0])
+    name, d = _dict_lookup(args, "dictGetHierarchy('dict', key)")
     if not d.get("parent"):
         raise ValueError(
             f"dictionary {name!r} has no HIERARCHICAL attribute — "

@@ -5,10 +5,11 @@ semantics over LIVE data (SURVEY.md §2.9: "stateful sequence detection
 The reference reaches this with a Kafka engine + materialized view into
 an AggregatingMergeTree holding windowFunnel states ([U]
 src/Storages/Kafka/StorageKafka.cpp + AggregateFunctionWindowFunnel.cpp).
-Spark-first: per-entity funnel state (current level, chain-start and
-last-step timestamps) lives in the state store, updated per micro-batch;
-emits one row per entity per batch with the current level. State size is
-O(entities × 3 longs) — the same bound the reference's state column has.
+Spark-first: per-entity funnel state (one chain-start timestamp per
+level — the reference algorithm's events_timestamp array) lives in the
+state store, updated per micro-batch; emits one row per entity per
+batch with the current level. State size is O(entities × k longs) —
+the same bound the reference's state column has.
 
 At scale the state store shards by the grouping key across executors;
 no per-entity history is retained (contrast the batch HOF form, which
@@ -39,8 +40,13 @@ def streaming_window_funnel(events: DataFrame, entity: str, ts: str,
     timestamps allowed), and the advance propagates the chain start.
     State = one chain-start timestamp per level (0 = unset) — still
     O(entities × k longs), no event history retained. Events may
-    arrive across micro-batches; state persists between them. Returns
-    (entity, level) in ``update`` mode.
+    arrive across micro-batches; state persists between them. A late
+    event with a timestamp BEFORE the stored chain start never
+    advances (the lower bound below — without it a cross-batch
+    straggler click older than the view would count); it also cannot
+    retroactively start chains for already-seen later events, since no
+    event history is kept — the documented trade of the O(k) state
+    bound. Returns (entity, level) in ``update`` mode.
     """
     steps = list(steps)
     k = len(steps)
@@ -59,7 +65,7 @@ def streaming_window_funnel(events: DataFrame, entity: str, ts: str,
             if i == 0:
                 starts[0] = t_us
             elif starts[i - 1] != 0 and \
-                    t_us <= starts[i - 1] + win_us:
+                    starts[i - 1] <= t_us <= starts[i - 1] + win_us:
                 starts[i] = starts[i - 1]
         level = 0
         for s in starts:

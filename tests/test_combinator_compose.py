@@ -324,3 +324,23 @@ def test_combinator_stack_grid(spark, duck, cb_view):
             if not _cmp(g, w):
                 bad.append((k, cases[i][0], g, w))
     assert not bad, f"{len(bad)} grid mismatches; first 5: {bad[:5]}"
+
+
+def test_integer_sum_widens_past_int32(spark, cb_view):
+    """Round-8 review finding: integral accumulators widen to BIGINT
+    (the reference widens Int32 sums to Int64) — a bare type-preserving
+    fold would silently wrap past 2^31 with ANSI off."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    spark.createDataFrame(
+        [(1, [2000000000, 2000000000], {"a": 2000000000}),
+         (1, [2000000000, 2000000000], {"a": 2000000000})],
+        "k int, arr array<int>, m map<string,int>") \
+        .createOrReplaceTempView("wide_t")
+    r = ch_sql(spark, """
+        SELECT sumArray(arr) AS sa, sumForEach(arr) AS sf,
+               map_values(sumMap(m)) AS sm
+        FROM wide_t GROUP BY k""").collect()[0]
+    assert r.sa == 8000000000
+    assert r.sf == [4000000000, 4000000000]
+    assert r.sm == [4000000000]

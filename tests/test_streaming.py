@@ -685,3 +685,39 @@ def test_stream_msgpack_binary_ingest(spark, sf_dir, tmp_path):
     back = spark.read.parquet(out_dir)
     assert sorted((r.n_nationkey, r.n_name) for r in back.collect()) == \
         sorted((r.n_nationkey, r.n_name) for r in src.collect())
+
+
+def test_streaming_funnel_ignores_pre_chain_stragglers(spark, tmp_path):
+    """Round-8 review finding: a late event arriving in a later
+    micro-batch with a timestamp BEFORE the stored chain start must not
+    advance the funnel (the window check alone would accept it)."""
+    import datetime
+
+    from clickhouse_clickhouse_spark.streaming.funnel import (
+        streaming_window_funnel,
+    )
+
+    T = datetime.datetime
+    src = str(tmp_path / "straggler_src")
+    schema = "user_id long, ts timestamp, event_type string"
+    # batch 1: the view at t=1000s
+    spark.createDataFrame([(1, T(2024, 1, 1, 0, 16, 40), "view")],
+                          schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    # batch 2: a STRAGGLER click from t=500s (before the view)
+    spark.createDataFrame([(1, T(2024, 1, 1, 0, 8, 20), "click")],
+                          schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(schema).format("parquet")
+              .option("maxFilesPerTrigger", 1).option("path", src).load())
+    q = (streaming_window_funnel(stream, "user_id", "ts", "event_type",
+                                 ["view", "click"], 3600)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("straggler_out").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    level = spark.sql("SELECT max(level) AS l FROM straggler_out") \
+        .collect()[0].l
+    assert level == 1
