@@ -542,12 +542,20 @@ _PARAMETRIC: dict = {
     # reference: exact count while <= N, else N+1
     "uniqUpTo": "LEAST(COUNT(DISTINCT {a0}), {p0} + 1)",
     "groupArraySorted": "SLICE(ARRAY_SORT(COLLECT_LIST({a0})), 1, {p0})",
-    "topKWeighted": "SLICE(TRANSFORM(ARRAY_SORT(MAP_ENTRIES("
-                    "MAP_FROM_ARRAYS(COLLECT_LIST({a0}), "
-                    "COLLECT_LIST({a1}))), (e1, e2) -> "
-                    "CASE WHEN e1.value > e2.value THEN -1 "
-                    "WHEN e1.value < e2.value THEN 1 ELSE 0 END), "
-                    "e -> e.key), 1, {p0})",
+    # per-distinct-value WEIGHT SUM (the old MAP_FROM_ARRAYS form threw
+    # DUPLICATED_MAP_KEY the moment a value repeated — round-8 fix);
+    # ties break on the value for determinism
+    "topKWeighted":
+        "SLICE(TRANSFORM(ARRAY_SORT("
+        "TRANSFORM(ARRAY_DISTINCT(COLLECT_LIST({a0})), __v -> "
+        "NAMED_STRUCT('w', AGGREGATE(FILTER(COLLECT_LIST("
+        "NAMED_STRUCT('v', {a0}, 'w', {a1})), __p -> __p.v <=> __v), "
+        "CAST(0 AS DOUBLE), (__s, __p) -> __s + __p.w), 'val', __v)), "
+        "(__e1, __e2) -> CASE WHEN __e1.w > __e2.w THEN -1 "
+        "WHEN __e1.w < __e2.w THEN 1 "
+        "WHEN __e1.val < __e2.val THEN -1 "
+        "WHEN __e1.val > __e2.val THEN 1 ELSE 0 END), "
+        "__e -> __e.val), 1, {p0})",
     "quantileExact": "PERCENTILE({a0}, {p0})",
     "quantileTDigest": "PERCENTILE_APPROX({a0}, {p0})",
     # Greenwald-Khanna class: Spark's approx_percentile IS a GK sketch.
@@ -585,13 +593,19 @@ _PARAMETRIC: dict = {
         "WHEN ({a0}) >= 1024 THEN CAST(FLOOR(({a0}) / 16) * 16 AS BIGINT) "
         "ELSE CAST(FLOOR({a0}) AS BIGINT) END, {p0}, 100000)",
     "quantilesExact": "PERCENTILE({a0}, ARRAY({p*}))",
-    "topK": "SLICE(TRANSFORM(ARRAY_SORT(MAP_ENTRIES("
-            "AGGREGATE(COLLECT_LIST({a0}), MAP(), (m, x) -> "
-            "MAP_CONCAT(MAP_FILTER(m, (k, v) -> k != x), "
-            "MAP(x, COALESCE(ELEMENT_AT(m, x), 0) + 1)))), "
-            "(e1, e2) -> CASE WHEN e1.value > e2.value THEN -1 "
-            "WHEN e1.value < e2.value THEN 1 ELSE 0 END), "
-            "e -> e.key), 1, {p0})",
+    # distinct-values + per-value count (the old MAP() fold seed was
+    # MAP<VOID,VOID> and never type-checked — round-8 fix); identical
+    # aggregate expressions dedupe to ONE collect in the plan. Ties
+    # break on the value for determinism.
+    "topK": "SLICE(TRANSFORM(ARRAY_SORT("
+            "TRANSFORM(ARRAY_DISTINCT(COLLECT_LIST({a0})), __v -> "
+            "NAMED_STRUCT('cnt', SIZE(FILTER(COLLECT_LIST({a0}), "
+            "__y -> __y <=> __v)), 'val', __v)), "
+            "(__e1, __e2) -> CASE WHEN __e1.cnt > __e2.cnt THEN -1 "
+            "WHEN __e1.cnt < __e2.cnt THEN 1 "
+            "WHEN __e1.val < __e2.val THEN -1 "
+            "WHEN __e1.val > __e2.val THEN 1 ELSE 0 END), "
+            "__e -> __e.val), 1, {p0})",
 }
 
 # ---------------------------------------------------------------------------
@@ -1523,12 +1537,28 @@ def _rewrite_calls(sql: str) -> str:
         k = close + 1
         while k < len(sql) and sql[k] == " ":
             k += 1
-        if name in _PARAMETRIC and k < len(sql) and sql[k] == "(":
+        # parametric names compose with a trailing -If mechanically
+        # (upstream's combinator machinery: quantileIf(0.9)(x, cond),
+        # topKIf(3)(x, cond), ...) — the condition is the LAST call
+        # argument and CASE-wraps every value argument (round 8)
+        p_base, p_ifs = name, 0
+        while p_base not in _PARAMETRIC and p_base.endswith("If") \
+                and len(p_base) > 2:
+            p_base, p_ifs = p_base[:-2], p_ifs + 1
+        if p_base in _PARAMETRIC and k < len(sql) and sql[k] == "(":
             close2 = _find_close(sql, k)
             if close2 >= 0:
                 params = _split_args(inner)
                 args = _split_args(_rewrite_calls(sql[k + 1:close2]))
-                tpl = _PARAMETRIC[name]
+                for _ in range(p_ifs):
+                    if len(args) < 2:
+                        raise ValueError(
+                            f"{name}: the -If form needs a condition "
+                            "as the last argument")
+                    cond = args.pop()
+                    args = [f"CASE WHEN {cond} THEN {a} END"
+                            for a in args]
+                tpl = _PARAMETRIC[p_base]
                 if callable(tpl):
                     out.append(tpl(params, args))
                     i = close2 + 1

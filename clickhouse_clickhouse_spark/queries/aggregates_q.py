@@ -1680,3 +1680,50 @@ def agg_combinator_stack(spark, sf):
                                 n_nationkey),
                             n_nationkey > 0))) AS smv
         FROM nation GROUP BY r""")
+
+
+@register("agg_parametric_if", oracle="""
+WITH m AS (SELECT n_regionkey AS r, n_nationkey AS n FROM nation),
+tk AS (
+  SELECT r, (list(v ORDER BY c DESC, v))[1:2] AS topk
+  FROM (SELECT r, n % 4 AS v, count(*) AS c FROM m GROUP BY r, n % 4)
+  GROUP BY r),
+tw AS (
+  SELECT r, (list(v ORDER BY w DESC, v))[1:2] AS topw
+  FROM (SELECT r, n % 4 AS v, sum(n) AS w FROM m WHERE n > 2
+        GROUP BY r, n % 4)
+  GROUP BY r)
+SELECT CAST(m.r AS BIGINT) AS r,
+       round(quantile_cont(CAST(n AS DOUBLE), 0.5)
+             FILTER (n % 2 = 0), 6) AS q,
+       CAST(least(count(DISTINCT CASE WHEN n > 10 THEN n % 7 END), 4)
+            AS BIGINT) AS u,
+       any_value(tk.topk) AS topk,
+       coalesce(any_value(tw.topw), CAST([] AS BIGINT[])) AS topw
+FROM m
+LEFT JOIN tk ON tk.r = m.r
+LEFT JOIN tw ON tw.r = m.r
+GROUP BY m.r
+""")
+def agg_parametric_if(spark, sf):
+    """Round-8: parametric aggregates compose with -If mechanically
+    (quantileExactIf(0.5)(x, cond), topKIf, uniqUpToIf — the upstream
+    combinator machinery over parametric names), plus the repaired
+    exact topK / topKWeighted templates (the old MAP()-seed fold never
+    type-checked and MAP_FROM_ARRAYS threw on duplicate values). Ties
+    break on the value; DuckDB replays via count/weight-ordered list
+    slices."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "nation").createOrReplaceTempView("nation")
+    return ch_sql(spark, """
+        SELECT toInt64(n_regionkey) AS r,
+               round(quantileExactIf(0.5)(toFloat64(n_nationkey),
+                                          n_nationkey % 2 = 0), 6) AS q,
+               uniqUpToIf(3)(n_nationkey % 7, n_nationkey > 10) AS u,
+               arrayMap(__x -> toInt64(__x),
+                        topK(2)(n_nationkey % 4)) AS topk,
+               arrayMap(__x -> toInt64(__x),
+                        topKWeightedIf(2)(n_nationkey % 4, n_nationkey,
+                                          n_nationkey > 2)) AS topw
+        FROM nation GROUP BY r""")

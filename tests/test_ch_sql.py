@@ -1622,3 +1622,29 @@ def test_dict_range_hashed_and_hierarchy(spark):
     assert missing.p == [42]
     with _p.raises(ValueError, match="HIERARCHICAL"):
         ch_sql(spark, "SELECT dictGetHierarchy('t_rng', 1) AS x")
+
+
+def test_parametric_if_composition_and_topk(spark):
+    """Round-8: parametric names compose with trailing -If (condition =
+    last call argument, CASE-wraps every value arg); exact topK /
+    topKWeighted repaired (old templates never executed: MAP() seed
+    type mismatch / DUPLICATED_MAP_KEY on repeats)."""
+    import pytest as _p
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, translate
+
+    spark.createDataFrame([(i, i % 3) for i in range(10)],
+                          "x int, g int").createOrReplaceTempView("pif_t")
+    r = ch_sql(spark, """
+        SELECT topK(2)(g) AS t,
+               topKIf(2)(g, x > 3) AS ti,
+               topKWeighted(2)(g, x) AS tw,
+               quantileExactIf(0.5)(x, x % 2 = 0) AS q,
+               uniqUpToIf(3)(g, x > 100) AS u,
+               quantilesIf(0.25, 0.75)(x, x < 8) AS qs
+        FROM pif_t""").collect()[0]
+    # counts g: 0->4, 1->3, 2->3 (tie 1<2); weights g: 18/12/15
+    assert r.t == [0, 1] and r.ti == [0, 1] and r.tw == [0, 2]
+    assert r.q == 4.0 and r.u == 0 and r.qs == [1, 5]
+    with _p.raises(ValueError, match="condition"):
+        translate("SELECT quantileIf(0.5)() FROM t")
