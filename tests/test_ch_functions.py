@@ -569,3 +569,31 @@ def test_min_sample_size_planners(spark):
     n_cont = 2 * z * z * 20.0 ** 2 / (0.05 * 100.0) ** 2
     assert math.isclose(row.m.minimum_sample_size, n_cont, rel_tol=1e-6)
     assert math.isclose(row.m.detect_range_lower, 95.0, rel_tol=1e-9)
+
+
+def test_vectorized_hashes_bit_parity():
+    """Round-8: the numpy-vectorized SipHash-2-4 / MurmurHash2-64A
+    batch kernels must be bit-identical to the scalar reference
+    implementations on adversarial lengths (0..100 incl. exact 8-byte
+    multiples)."""
+    import random
+
+    import numpy as np
+
+    from clickhouse_clickhouse_spark.functions.hashing import (
+        murmurhash2_64_np,
+        murmurhash2_64_py,
+        siphash64_np,
+        siphash64_py,
+    )
+
+    rnd = random.Random(8080)
+    cases = [b"", b"a", b"12345678", b"123456789", bytes(range(256))]
+    cases += [bytes(rnd.randrange(256) for _ in range(n))
+              for n in list(range(0, 33)) + [63, 64, 65, 100]]
+    with np.errstate(over="ignore"):
+        sv = siphash64_np(cases)
+        mv = murmurhash2_64_np(cases)
+    for i, b in enumerate(cases):
+        assert int(sv[i]) == siphash64_py(b), (i, b)
+        assert int(mv[i]) == murmurhash2_64_py(b), (i, b)
