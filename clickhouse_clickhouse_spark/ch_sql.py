@@ -749,6 +749,29 @@ _AGG_BASES: dict[str, dict] = {
     "covarPop": {"n": 2, "plain": "COVAR_POP({0}, {1})", "ornull": "pass"},
     "covarSamp": {"n": 2, "plain": "COVAR_SAMP({0}, {1})",
                   "ornull": "pass"},
+    # estimate family: the -If CASE wrap feeds NULL to the sketch agg,
+    # which skips it — same Datasketches estimators as the enumerated
+    # names so projection routing invariants hold
+    "uniq": {"n": 1, "ornull": "pass",
+             "plain": "HLL_SKETCH_ESTIMATE(HLL_SKETCH_AGG("
+                      "CAST({0} AS STRING)))"},
+    "uniqCombined": {"n": 1, "ornull": "pass",
+                     "plain": "HLL_SKETCH_ESTIMATE(HLL_SKETCH_AGG("
+                              "CAST({0} AS STRING)))"},
+    "uniqHLL12": {"n": 1, "ornull": "pass",
+                  "plain": "HLL_SKETCH_ESTIMATE(HLL_SKETCH_AGG("
+                           "CAST({0} AS STRING)))"},
+    "uniqCombined64": {"n": 1, "ornull": "pass",
+                       "plain": "HLL_SKETCH_ESTIMATE(HLL_SKETCH_AGG("
+                                "CAST({0} AS STRING)))"},
+    "uniqTheta": {"n": 1, "ornull": "pass",
+                  "plain": "THETA_SKETCH_ESTIMATE("
+                           "THETA_SKETCH_AGG({0}))"},
+    "avgWeighted": {"n": 2, "ornull": "pass",
+                    "plain": "SUM(({0}) * ({1})) / SUM({1})"},
+    "groupBitAnd": {"n": 1, "plain": "BIT_AND({0})", "ornull": "pass"},
+    "groupBitOr": {"n": 1, "plain": "BIT_OR({0})", "ornull": "pass"},
+    "groupBitXor": {"n": 1, "plain": "BIT_XOR({0})", "ornull": "pass"},
 }
 
 _COMB_SUFFIXES = ("ForEach", "OrNull", "Distinct", "Array", "Map", "If")

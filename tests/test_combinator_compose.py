@@ -344,3 +344,25 @@ def test_integer_sum_widens_past_int32(spark, cb_view):
     assert r.sa == 8000000000
     assert r.sf == [4000000000, 4000000000]
     assert r.sm == [4000000000]
+
+
+def test_estimate_and_misc_base_if_forms(spark, cb_view):
+    """Round-8 late batch: uniq-family estimates, avgWeighted and
+    groupBit* compose with -If (the CASE wrap feeds NULL, which the
+    sketch/bit aggregates skip)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    spark.createDataFrame([(i, i % 3, float(i)) for i in range(12)],
+                          "x int, g int, w double") \
+        .createOrReplaceTempView("nb_if")
+    r = ch_sql(spark, """
+        SELECT uniqIf(g, x > 5) AS u,
+               uniqCombined64If(g, x > 5) AS uc,
+               round(avgWeightedIf(x, w, x % 2 = 0), 6) AS aw,
+               groupBitOrIf(x, x < 4) AS bo
+        FROM nb_if""").collect()[0]
+    assert r.u == 3 and r.uc == 3       # g in {0,1,2} over x=6..11
+    evens = [i for i in range(12) if i % 2 == 0]
+    assert abs(r.aw - round(sum(i * float(i) for i in evens)
+                            / sum(float(i) for i in evens), 6)) < 1e-9
+    assert r.bo == 3
