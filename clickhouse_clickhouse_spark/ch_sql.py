@@ -584,6 +584,8 @@ _PARAMETRIC: dict = {
                                                         count=False),
     "sequenceCount": lambda params, args: _sequence_tpl(params, args,
                                                         count=True),
+    "sequenceNextNode": lambda params, args:
+        _sequence_next_node_tpl(params, args),
     # web-latency grid (exact <1024ms, 16ms buckets to 30s, clamped):
     # quantize as upstream AggregateFunctionsQuantileTiming, then a
     # discrete high-accuracy percentile over the quantized values
@@ -1304,8 +1306,87 @@ def _sequence_time_fold(steps: list[dict], evs: str,
             f"__s -> {fin})")
 
 
-def _sequence_tpl(params: list[str], args: list[str],
-                  count: bool) -> str:
+def _seq_mask_token(mask: int, capture: bool = False) -> str:
+    """Regex for one `|HH:value` event token whose bitmask contains
+    every bit of ``mask`` (0 = any token); value part `[^|]*`,
+    captured when asked."""
+    lo, hi = mask & 0xF, mask >> 4
+    lo_cls = ("[0-9A-F]" if lo == 0 else
+              "[" + "".join(d for i, d in enumerate(_HEXD)
+                            if i & lo == lo) + "]")
+    hi_cls = ("[0-9A-F]" if hi == 0 else
+              "[" + "".join(d for i, d in enumerate(_HEXD)
+                            if i & hi == hi) + "]")
+    body = f"\\\\|{hi_cls}{lo_cls}:[^|]*"
+    # capture the WHOLE token (not just the value): REGEXP_EXTRACT
+    # returns '' for both no-match and an empty capture, so the caller
+    # strips the 4-char '|HH:' prefix to keep the two distinguishable
+    return f"({body})" if capture else body
+
+
+def _sequence_next_node_tpl(params: list[str], args: list[str]) -> str:
+    """sequenceNextNode(direction, base)(ts, event, base_cond,
+    cond1, ...) ([U] src/AggregateFunctions/
+    AggregateFunctionSequenceNextNode.h): the value of the event
+    DIRECTLY after the first/last consecutive chain
+    base&cond1 → cond2 → ... in the chosen scan direction.
+
+    Every event (matching or not) encodes to a `|HH:value` token —
+    HH = hex bitmask (bit0 = base_cond, bit i = cond_i), value with
+    '|' munged to space — in (t, bm, value) order (reversed for
+    backward), and the chain runs as an anchored/lazy/greedy regex
+    whose trailing token captures the answer. NULL when no chain or
+    no next event. Supported combos mirror upstream: forward +
+    head/first_match/last_match, backward + tail/first_match/
+    last_match."""
+    if len(params) != 2 or len(args) < 4:
+        raise ValueError(
+            "sequenceNextNode(direction, base)"
+            "(ts, event, base_cond, cond1, ...)")
+    dm = re.fullmatch(r"\s*'(\w+)'\s*", params[0])
+    bm_ = re.fullmatch(r"\s*'(\w+)'\s*", params[1])
+    if not dm or not bm_:
+        raise ValueError("sequenceNextNode: direction and base must "
+                         "be string literals")
+    direction, base = dm.group(1), bm_.group(1)
+    allowed = {"forward": ("head", "first_match", "last_match"),
+               "backward": ("tail", "first_match", "last_match")}
+    if direction not in allowed or base not in allowed[direction]:
+        raise ValueError(
+            f"sequenceNextNode: unsupported ({direction!r}, {base!r}) "
+            "— forward+head/first_match/last_match or "
+            "backward+tail/first_match/last_match")
+    ts, ev, base_cond, conds = args[0], args[1], args[2], args[3:]
+    if len(conds) > 7:
+        raise ValueError("sequenceNextNode supports up to 7 chain "
+                         "conditions here (8 bitmask bits)")
+    bits = [f"IF({base_cond}, 1, 0)"] + \
+        [f"IF({c}, {1 << (i + 1)}, 0)" for i, c in enumerate(conds)]
+    bm_expr = " + ".join(bits)
+    tok = (f"CONCAT('|', LPAD(HEX(__ev.bm), 2, '0'), ':', "
+           f"REPLACE(COALESCE(__ev.v, ''), '|', ' '))")
+    arr = ("ARRAY_SORT(COLLECT_LIST(NAMED_STRUCT("
+           "'t', UNIX_MICROS({ts}), 'bm', {bm}, "
+           "'v', CAST({ev} AS STRING))))").format(ts=ts, bm=bm_expr,
+                                                  ev=ev)
+    if direction == "backward":
+        arr = f"REVERSE({arr})"
+    s = f"ARRAY_JOIN(TRANSFORM({arr}, __ev -> {tok}), '')"
+    any_tok = "(?:\\\\|[0-9A-F]{2}:[^|]*)"
+    prefix = {"head": "^", "tail": "^",
+              "first_match": f"^{any_tok}*?",
+              "last_match": f"^{any_tok}*"}[base]
+    chain = [_seq_mask_token(0b11)]       # base AND cond1 on the head
+    for i in range(1, len(conds)):
+        chain.append(_seq_mask_token(1 << (i + 1)))
+    regex = prefix + "".join(chain) + _seq_mask_token(0, capture=True)
+    # no-match yields '' (length 0); a matched token is always >= 4
+    # chars ('|HH:'), so an EMPTY next-event value stays '' instead of
+    # collapsing to NULL
+    return ("ELEMENT_AT(TRANSFORM(ARRAY("
+            f"REGEXP_EXTRACT({s}, '{regex}', 1)), "
+            "__m -> IF(LENGTH(__m) >= 4, SUBSTRING(__m, 5), "
+            "CAST(NULL AS STRING))), 1)")
     """sequenceMatch/sequenceCount('pattern')(ts, cond1, ...) — the
     SQL twin of operators/events.event_string + sequence_count ([U]
     src/AggregateFunctions/AggregateFunctionSequenceMatch.h).

@@ -542,3 +542,45 @@ def ch_sql_sequence_time(spark, sf):
                    ts, event_type == 'view',
                    event_type == 'click') AS m2
         FROM events GROUP BY user_id""")
+
+
+@register("ch_sql_sequence_next_node", oracle="""
+WITH o AS (
+  SELECT user_id, event_type AS e,
+         row_number() OVER w AS rn,
+         lead(event_type, 1) OVER w AS n1,
+         lead(event_type, 2) OVER w AS n2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY ts, CASE event_type WHEN 'view' THEN 3
+                                 WHEN 'click' THEN 4 ELSE 0 END,
+                        event_type))
+SELECT user_id,
+       arg_min(n2, rn) FILTER (e = 'view' AND n1 = 'click')
+         AS nxt_first,
+       arg_max(n2, rn) FILTER (e = 'view' AND n1 = 'click')
+         AS nxt_last
+FROM o GROUP BY user_id
+""")
+def ch_sql_sequence_next_node(spark, sf):
+    """``sequenceNextNode(direction, base)(ts, event, base_cond,
+    cond...)`` as dialect SQL (round 8, [U]
+    AggregateFunctionSequenceNextNode.h): the event value directly
+    after the first/last consecutive view→click chain. Every event
+    (matching or not) joins the token string, so adjacency is true
+    consecutiveness — the DuckDB replay uses lead() windows over the
+    identically-ordered event sequence."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return ch_sql(spark, """
+        SELECT user_id,
+               sequenceNextNode('forward', 'first_match')(
+                   ts, event_type, event_type = 'view',
+                   event_type = 'view', event_type = 'click')
+                 AS nxt_first,
+               sequenceNextNode('forward', 'last_match')(
+                   ts, event_type, event_type = 'view',
+                   event_type = 'view', event_type = 'click')
+                 AS nxt_last
+        FROM events GROUP BY user_id""")

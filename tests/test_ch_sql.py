@@ -1648,3 +1648,43 @@ def test_parametric_if_composition_and_topk(spark):
     assert r.q == 4.0 and r.u == 0 and r.qs == [1, 5]
     with _p.raises(ValueError, match="condition"):
         translate("SELECT quantileIf(0.5)() FROM t")
+
+
+def test_sequence_next_node_dialect(spark):
+    """sequenceNextNode(direction, base) (round 8): hand-checked
+    fixture covering head anchoring, first/last match, backward/tail,
+    the no-next-event NULL, and combo refusals."""
+    import datetime
+
+    import pytest as _p
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, translate
+
+    T = lambda s: datetime.datetime(2024, 1, 1) + \
+        datetime.timedelta(seconds=s)
+    rows = [
+        (1, T(0), "A"), (1, T(1), "B"), (1, T(2), "C"), (1, T(3), "D"),
+        (2, T(0), "X"), (2, T(1), "A"), (2, T(2), "B"), (2, T(3), "C"),
+        (3, T(0), "A"), (3, T(1), "B"),
+        (4, T(0), "A"), (4, T(1), "B"), (4, T(2), "C"),
+        (4, T(3), "A"), (4, T(4), "B"), (4, T(5), "D"),
+        (5, T(0), "C"), (5, T(1), "B"), (5, T(2), "A"),
+    ]
+    spark.createDataFrame(rows, "u int, ts timestamp, e string") \
+        .createOrReplaceTempView("snn_t")
+    q = lambda d, b: {r.u: r.nn for r in ch_sql(spark, f"""
+        SELECT u, sequenceNextNode('{d}', '{b}')(ts, e, e = 'A',
+            e = 'A', e = 'B') AS nn
+        FROM snn_t GROUP BY u""").collect()}
+    assert q("forward", "head") == {1: "C", 2: None, 3: None, 4: "C",
+                                    5: None}
+    assert q("forward", "first_match")[2] == "C"
+    assert q("forward", "last_match")[4] == "D"
+    # backward/tail: A at the end, B before it -> the event before B
+    assert q("backward", "tail")[5] == "C"
+    with _p.raises(ValueError, match="unsupported"):
+        translate("SELECT sequenceNextNode('forward', 'tail')"
+                  "(ts, e, a, b) FROM t")
+    with _p.raises(ValueError, match="direction"):
+        translate("SELECT sequenceNextNode(1, 'head')"
+                  "(ts, e, a, b) FROM t")
