@@ -1387,6 +1387,10 @@ def _sequence_next_node_tpl(params: list[str], args: list[str]) -> str:
             f"REGEXP_EXTRACT({s}, '{regex}', 1)), "
             "__m -> IF(LENGTH(__m) >= 4, SUBSTRING(__m, 5), "
             "CAST(NULL AS STRING))), 1)")
+
+
+def _sequence_tpl(params: list[str], args: list[str],
+                  count: bool) -> str:
     """sequenceMatch/sequenceCount('pattern')(ts, cond1, ...) — the
     SQL twin of operators/events.event_string + sequence_count ([U]
     src/AggregateFunctions/AggregateFunctionSequenceMatch.h).

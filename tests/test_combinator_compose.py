@@ -366,3 +366,43 @@ def test_estimate_and_misc_base_if_forms(spark, cb_view):
     assert abs(r.aw - round(sum(i * float(i) for i in evens)
                             / sum(float(i) for i in evens), 6)) < 1e-9
     assert r.bo == 3
+
+
+def test_composer_name_fuzz_never_crashes():
+    """Random base x suffix-permutation names must either translate or
+    raise ValueError — never an unhandled exception (the composer sits
+    on the path of EVERY unknown identifier)."""
+    import itertools
+    import random
+
+    from clickhouse_clickhouse_spark.ch_sql import translate
+
+    rnd = random.Random(88)
+    bases = ["sum", "avg", "min", "max", "count", "any", "uniqExact",
+             "groupArray", "argMin", "median", "uniq", "avgWeighted",
+             "notABase", "toDecimal", "arrayMap", ""]
+    sufs = ["If", "OrNull", "Array", "Distinct", "ForEach", "Map"]
+    n_ok = n_refused = 0
+    for _ in range(400):
+        name = rnd.choice(bases) + "".join(
+            rnd.choice(sufs) for _ in range(rnd.randint(0, 3)))
+        if not name:
+            continue
+        nargs = rnd.randint(0, 4)
+        args = ", ".join(f"c{i}" for i in range(nargs))
+        try:
+            translate(f"SELECT {name}({args}) FROM t")
+            n_ok += 1
+        except ValueError:
+            n_refused += 1
+    # sanity: the fuzz hit both outcomes
+    assert n_ok > 50 and n_refused > 50, (n_ok, n_refused)
+    # every enumerated base x single suffix with the right arity either
+    # translates or refuses with ValueError
+    for base, suf in itertools.product(bases[:12], sufs):
+        for n in (1, 2, 3):
+            args = ", ".join(f"c{i}" for i in range(n))
+            try:
+                translate(f"SELECT {base}{suf}({args}) FROM t")
+            except ValueError:
+                pass
