@@ -776,8 +776,43 @@ _AGG_BASES: dict[str, dict] = {
     "groupBitXor": {"n": 1, "plain": "BIT_XOR({0})", "ornull": "pass"},
 }
 
-_COMB_SUFFIXES = ("ForEach", "OrNull", "Distinct", "Array", "Map", "If")
+_COMB_SUFFIXES = ("ForEach", "OrNull", "Distinct", "Array", "Map",
+                  "State", "Merge", "If")
 _STRUCTURAL = {"Array", "ForEach", "Map"}
+
+# -State / -Merge two-phase forms per base ([U]
+# src/AggregateFunctions/Combinators/AggregateFunctionState.h /
+# ...Merge.h): `state` renders the mergeable partial (exact partials
+# for algebraic bases, Datasketches binaries for estimates, raw
+# collections for array bases), `merge` combines a column of such
+# partials and finalizes. Two-phase == one-phase is oracle-gated for
+# the exact bases and invariant-gated for the sketches (lossless HLL
+# union at fixed lgConfigK, same stance as projection routing).
+_STATE_MERGE: dict[str, tuple[str, str]] = {
+    "sum": ("SUM({0})", "SUM({0})"),
+    "count": ("COUNT({0})", "SUM({0})"),
+    "min": ("MIN({0})", "MIN({0})"),
+    "max": ("MAX({0})", "MAX({0})"),
+    "avg": ("NAMED_STRUCT('s', SUM(CAST({0} AS DOUBLE)), "
+            "'c', COUNT({0}))",
+            "(SUM({0}.s) / SUM({0}.c))"),
+    "any": ("FIRST({0}, TRUE)", "FIRST({0}, TRUE)"),
+    "anyLast": ("LAST({0}, TRUE)", "LAST({0}, TRUE)"),
+    "uniq": ("HLL_SKETCH_AGG(CAST({0} AS STRING))",
+             "HLL_SKETCH_ESTIMATE(HLL_UNION_AGG({0}))"),
+    "uniqCombined": ("HLL_SKETCH_AGG(CAST({0} AS STRING))",
+                     "HLL_SKETCH_ESTIMATE(HLL_UNION_AGG({0}))"),
+    "uniqHLL12": ("HLL_SKETCH_AGG(CAST({0} AS STRING))",
+                  "HLL_SKETCH_ESTIMATE(HLL_UNION_AGG({0}))"),
+    "uniqTheta": ("THETA_SKETCH_AGG({0})",
+                  "THETA_SKETCH_ESTIMATE(THETA_UNION_AGG({0}))"),
+    "uniqExact": ("COLLECT_SET({0})",
+                  "CAST(SIZE(ARRAY_DISTINCT(FLATTEN("
+                  "COLLECT_LIST({0})))) AS BIGINT)"),
+    "groupArray": ("COLLECT_LIST({0})", "FLATTEN(COLLECT_LIST({0}))"),
+    "groupUniqArray": ("COLLECT_SET({0})",
+                       "ARRAY_DISTINCT(FLATTEN(COLLECT_LIST({0})))"),
+}
 
 
 def _peel_combinators(name: str):
@@ -835,6 +870,15 @@ def _compose_combinators(name: str):
                         f"{name}: -Distinct does not compose with "
                         f"-{form}/{base_name} here")
                 distinct = True
+            elif comb in ("State", "Merge"):
+                if form != "plain" or distinct or ornull:
+                    raise ValueError(
+                        f"{name}: -{comb} composes only with -If here")
+                if base_name not in _STATE_MERGE:
+                    raise ValueError(
+                        f"{name}: -{comb} is not supported for base "
+                        f"{base_name}")
+                form = "state" if comb == "State" else "merge"
             elif comb in _STRUCTURAL:
                 if form != "plain" or distinct or if_applied:
                     raise ValueError(
@@ -858,6 +902,12 @@ def _compose_combinators(name: str):
             t = base["distinct"] if distinct else base["plain"]
         elif form == "foreach":
             t = _FUNCS[base_name + "ForEach"]
+        elif form in ("state", "merge"):
+            if ornull:
+                raise ValueError(
+                    f"{name}: -OrNull does not compose with "
+                    "-State/-Merge here")
+            t = _STATE_MERGE[base_name][0 if form == "state" else 1]
         else:
             t = base[form]
         expr = _apply_template(t, vals)

@@ -1727,3 +1727,39 @@ def agg_parametric_if(spark, sf):
                         topKWeightedIf(2)(n_nationkey % 4, n_nationkey,
                                           n_nationkey > 2)) AS topw
         FROM nation GROUP BY r""")
+
+
+@register("ch_sql_state_merge", oracle="""
+SELECT CAST(n_regionkey AS BIGINT) AS r,
+       CAST(sum(n_nationkey) AS BIGINT) AS s,
+       CAST(count(*) AS BIGINT) AS c,
+       round(avg(n_nationkey), 6) AS a,
+       CAST(count(DISTINCT n_nationkey % 7) AS BIGINT) AS ue,
+       CAST(min(n_nationkey) AS BIGINT) AS mn
+FROM nation GROUP BY n_regionkey
+""")
+def ch_sql_state_merge(spark, sf):
+    """-State/-Merge as DIALECT SQL (round 8, [U]
+    src/AggregateFunctions/Combinators/AggregateFunctionState.h):
+    mechanical composition renders mergeable partials (exact partials,
+    Datasketches binaries for the uniq family, raw collections for the
+    array bases) and the merge finalizers; two-phase over an inner
+    (region, nationkey%3) grouping must equal the one-phase aggregate
+    — the DuckDB oracle IS the one-phase replay. The sketch bases'
+    two-phase == one-phase invariant is pinned in
+    tests/test_combinator_compose.py (lossless HLL union)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "nation").createOrReplaceTempView("nation")
+    return ch_sql(spark, """
+        SELECT toInt64(r) AS r, toInt64(sumMerge(s)) AS s,
+               countMerge(c) AS c, round(avgMerge(a), 6) AS a,
+               uniqExactMerge(ue) AS ue, toInt64(minMerge(mn)) AS mn
+        FROM (
+          SELECT n_regionkey AS r, n_nationkey % 3 AS p,
+                 sumState(n_nationkey) AS s, countState() AS c,
+                 avgState(n_nationkey) AS a,
+                 uniqExactState(n_nationkey % 7) AS ue,
+                 minState(n_nationkey) AS mn
+          FROM nation GROUP BY r, p) t
+        GROUP BY r""")

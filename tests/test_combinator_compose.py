@@ -406,3 +406,50 @@ def test_composer_name_fuzz_never_crashes():
                 translate(f"SELECT {base}{suf}({args}) FROM t")
             except ValueError:
                 pass
+
+
+def test_state_merge_two_phase_equals_direct(spark):
+    """-State/-Merge composition (round 8): two-phase through dialect
+    SQL equals the one-phase aggregate for EVERY supported base,
+    including the sketch estimates (lossless HLL/theta union at fixed
+    config) and array collectors; invalid compositions refuse."""
+    import pytest as _p
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, translate
+
+    spark.range(100).selectExpr("id AS x", "id % 7 AS g", "id % 5 AS p") \
+        .createOrReplaceTempView("sm_t")
+    two = {r.g: tuple(r)[1:] for r in ch_sql(spark, """
+        SELECT g, toInt64(sumMerge(s)) AS s, countMerge(c) AS c,
+               round(avgMerge(a), 6) AS a, uniqMerge(u) AS u,
+               uniqThetaMerge(ut) AS ut, uniqExactMerge(ue) AS ue,
+               toInt64(maxMerge(mx)) AS mx,
+               arraySort(groupUniqArrayMerge(ga)) AS ga
+        FROM (SELECT g, p, sumState(x) AS s, countState() AS c,
+                     avgState(x) AS a, uniqState(x) AS u,
+                     uniqThetaState(x) AS ut, uniqExactState(x) AS ue,
+                     maxState(x) AS mx,
+                     groupUniqArrayState(x % 3) AS ga
+              FROM sm_t GROUP BY g, p) t
+        GROUP BY g""").collect()}
+    one = {r.g: tuple(r)[1:] for r in ch_sql(spark, """
+        SELECT g, toInt64(sum(x)) AS s, count() AS c,
+               round(avg(x), 6) AS a, uniq(x) AS u, uniqTheta(x) AS ut,
+               uniqExact(x) AS ue, toInt64(max(x)) AS mx,
+               arraySort(groupUniqArray(x % 3)) AS ga
+        FROM sm_t GROUP BY g""").collect()}
+    assert two == one
+    # -If composes under -State
+    r = ch_sql(spark, """
+        SELECT toInt64(sumMerge(s)) AS s FROM (
+          SELECT g, sumIfState(x, x % 2 = 0) AS s
+          FROM sm_t GROUP BY g) t""").collect()[0]
+    assert r.s == sum(i for i in range(100) if i % 2 == 0)
+    for bad, msg in [
+        ("SELECT medianState(x) FROM t", "not supported"),
+        ("SELECT sumStateOrNull(x) FROM t", "OrNull"),
+        ("SELECT sumArrayState(x) FROM t", "composes only"),
+        ("SELECT sumStateMerge(x) FROM t", "composes only"),
+    ]:
+        with _p.raises(ValueError, match=msg):
+            translate(bad)
