@@ -381,7 +381,8 @@ def test_composer_name_fuzz_never_crashes():
     bases = ["sum", "avg", "min", "max", "count", "any", "uniqExact",
              "groupArray", "argMin", "median", "uniq", "avgWeighted",
              "notABase", "toDecimal", "arrayMap", ""]
-    sufs = ["If", "OrNull", "Array", "Distinct", "ForEach", "Map"]
+    sufs = ["If", "OrNull", "Array", "Distinct", "ForEach",
+            "Map", "State", "Merge"]
     n_ok = n_refused = 0
     for _ in range(400):
         name = rnd.choice(bases) + "".join(
