@@ -135,7 +135,12 @@ _FUNCS: dict[str, str] = {
     "avgIf": "AVG(CASE WHEN {1} THEN {0} END)",
     "minIf": "MIN(CASE WHEN {1} THEN {0} END)",
     "maxIf": "MAX(CASE WHEN {1} THEN {0} END)",
-    "avgWeighted": "SUM(({0}) * ({1})) / SUM({1})",
+    # pair-filtered (round-8 review): the reference skips rows with
+    # EITHER argument NULL — a NULL value must not leave its weight in
+    # the denominator (template shared with the combinator base)
+    "avgWeighted": "(SUM(CASE WHEN ({0}) IS NOT NULL THEN ({0}) * ({1})"
+                   " END) / SUM(CASE WHEN ({0}) IS NOT NULL THEN ({1})"
+                   " END))",
     "sumIfOrNull": "SUM(CASE WHEN {1} THEN {0} END)",
     "anyIf": "FIRST(CASE WHEN {1} THEN {0} END, TRUE)",
     "argMinIf": "MIN_BY(CASE WHEN {2} THEN {0} END, "
@@ -544,12 +549,18 @@ _PARAMETRIC: dict = {
     "groupArraySorted": "SLICE(ARRAY_SORT(COLLECT_LIST({a0})), 1, {p0})",
     # per-distinct-value WEIGHT SUM (the old MAP_FROM_ARRAYS form threw
     # DUPLICATED_MAP_KEY the moment a value repeated — round-8 fix);
-    # ties break on the value for determinism
+    # rows with a NULL value or NULL weight are skipped entirely like
+    # the reference (a NULL weight must neither poison the sum nor
+    # admit the value with weight 0); ties break on the value
     "topKWeighted":
-        "SLICE(TRANSFORM(ARRAY_SORT("
-        "TRANSFORM(ARRAY_DISTINCT(COLLECT_LIST({a0})), __v -> "
+        "SLICE(TRANSFORM(ARRAY_SORT(TRANSFORM(ARRAY_DISTINCT("
+        "TRANSFORM(FILTER(COLLECT_LIST("
+        "NAMED_STRUCT('v', {a0}, 'w', {a1})), "
+        "__p -> __p.v IS NOT NULL AND __p.w IS NOT NULL), "
+        "__p -> __p.v)), __v -> "
         "NAMED_STRUCT('w', AGGREGATE(FILTER(COLLECT_LIST("
-        "NAMED_STRUCT('v', {a0}, 'w', {a1})), __p -> __p.v <=> __v), "
+        "NAMED_STRUCT('v', {a0}, 'w', {a1})), "
+        "__p -> __p.v <=> __v AND __p.w IS NOT NULL), "
         "CAST(0 AS DOUBLE), (__s, __p) -> __s + __p.w), 'val', __v)), "
         "(__e1, __e2) -> CASE WHEN __e1.w > __e2.w THEN -1 "
         "WHEN __e1.w < __e2.w THEN 1 "
@@ -770,7 +781,7 @@ _AGG_BASES: dict[str, dict] = {
                   "plain": "THETA_SKETCH_ESTIMATE("
                            "THETA_SKETCH_AGG({0}))"},
     "avgWeighted": {"n": 2, "ornull": "pass",
-                    "plain": "SUM(({0}) * ({1})) / SUM({1})"},
+                    "plain": _FUNCS["avgWeighted"]},
     "groupBitAnd": {"n": 1, "plain": "BIT_AND({0})", "ornull": "pass"},
     "groupBitOr": {"n": 1, "plain": "BIT_OR({0})", "ornull": "pass"},
     "groupBitXor": {"n": 1, "plain": "BIT_XOR({0})", "ornull": "pass"},
@@ -1423,16 +1434,35 @@ def _sequence_next_node_tpl(params: list[str], args: list[str]) -> str:
         arr = f"REVERSE({arr})"
     s = f"ARRAY_JOIN(TRANSFORM({arr}, __ev -> {tok}), '')"
     any_tok = "(?:\\\\|[0-9A-F]{2}:[^|]*)"
-    prefix = {"head": "^", "tail": "^",
-              "first_match": f"^{any_tok}*?",
-              "last_match": f"^{any_tok}*"}[base]
     chain = [_seq_mask_token(0b11)]       # base AND cond1 on the head
     for i in range(1, len(conds)):
         chain.append(_seq_mask_token(1 << (i + 1)))
-    regex = prefix + "".join(chain) + _seq_mask_token(0, capture=True)
+    chain_re = "".join(chain)
+    if base == "last_match":
+        # two-step: a greedy prefix WITHOUT a required next token pins
+        # the LAST chain occurrence (nothing after the chain to satisfy
+        # means no backtracking to earlier chains), then the token
+        # right after that prefix is the answer — so a last match at
+        # the very end yields NULL instead of silently falling back to
+        # an earlier chain (round-8 review finding)
+        upto = f"^(?:{any_tok}*{chain_re})"
+        return (
+            "ELEMENT_AT(TRANSFORM(ARRAY(" + s + "), __s0 -> "
+            "ELEMENT_AT(TRANSFORM(ARRAY("
+            f"REGEXP_EXTRACT(__s0, '({upto})', 1)), "
+            "__m1 -> ELEMENT_AT(TRANSFORM(ARRAY("
+            "REGEXP_EXTRACT(SUBSTRING(__s0, LENGTH(__m1) + 1), "
+            "'^(\\\\|[0-9A-F]{2}:[^|]*)', 1)), "
+            "__m -> IF(LENGTH(__m1) >= 4 AND LENGTH(__m) >= 4, "
+            "SUBSTRING(__m, 5), CAST(NULL AS STRING))), 1)), 1)), 1)")
+    prefix = {"head": "^", "tail": "^",
+              "first_match": f"^{any_tok}*?"}[base]
+    regex = prefix + chain_re + _seq_mask_token(0, capture=True)
     # no-match yields '' (length 0); a matched token is always >= 4
     # chars ('|HH:'), so an EMPTY next-event value stays '' instead of
-    # collapsing to NULL
+    # collapsing to NULL. (first_match cannot fall back the way
+    # last_match could: a first chain with no next event is necessarily
+    # at the string end, so no later chain exists to backtrack to.)
     return ("ELEMENT_AT(TRANSFORM(ARRAY("
             f"REGEXP_EXTRACT({s}, '{regex}', 1)), "
             "__m -> IF(LENGTH(__m) >= 4, SUBSTRING(__m, 5), "
@@ -1703,6 +1733,16 @@ def _rewrite_calls(sql: str) -> str:
         while p_base not in _PARAMETRIC and p_base.endswith("If") \
                 and len(p_base) > 2:
             p_base, p_ifs = p_base[:-2], p_ifs + 1
+        if p_ifs and p_base == "sequenceNextNode":
+            # the CASE wrap cannot express ROW exclusion here: unlike
+            # sequenceMatch/windowFunnel (which filter zero-bitmask
+            # events), sequenceNextNode keeps ALL events for true
+            # adjacency, so a nulled-out row would still tokenize and
+            # corrupt ordering/adjacency/the captured value
+            raise ValueError(
+                "sequenceNextNodeIf is not supported — filter the "
+                "input rows instead (the -If wrap cannot drop rows "
+                "from an all-events sequence)")
         if p_base in _PARAMETRIC and k < len(sql) and sql[k] == "(":
             close2 = _find_close(sql, k)
             if close2 >= 0:

@@ -325,13 +325,35 @@ def murmurhash2_64_np(data: list[bytes], seed: int = 0) -> "np.ndarray":
     return h
 
 
+# matrix cells per packed bucket (~64 MB of uint8): _pack_batch pads
+# every row to the bucket's longest value, so one long outlier in a
+# big Arrow batch would otherwise allocate n_rows x max_len zeros —
+# bucketing rows by length bounds the padding waste (round-8 review)
+_PACK_MAX_CELLS = 1 << 26
+
+
 def _hash_series(s: "pd.Series", np_fn) -> "pd.Series":
     mask = s.notna()
     data = [_as_bytes(v) for v in s[mask]]
     out = pd.Series([pd.NA] * len(s), index=s.index, dtype="Int64")
     if data:
+        order = sorted(range(len(data)), key=lambda i: len(data[i]))
+        vals = np.empty(len(data), dtype=np.int64)
         with np.errstate(over="ignore"):
-            vals = np_fn(data).astype(np.int64)
+            start = 0
+            while start < len(order):
+                end, width = start, 8
+                while end < len(order):
+                    width = max(width, (len(data[order[end]]) // 8
+                                        + 1) * 8)
+                    if (end - start + 1) * width > _PACK_MAX_CELLS \
+                            and end > start:
+                        break
+                    end += 1
+                idx = order[start:end]
+                vals[idx] = np_fn([data[i] for i in idx]) \
+                    .astype(np.int64)
+                start = end
         out[mask] = vals
     return out
 

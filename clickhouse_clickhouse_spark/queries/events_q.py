@@ -556,9 +556,11 @@ WITH o AS (
                                  WHEN 'click' THEN 4 ELSE 0 END,
                         event_type))
 SELECT user_id,
-       arg_min(n2, rn) FILTER (e = 'view' AND n1 = 'click')
+       nullif(arg_min(coalesce(n2, chr(1)), rn)
+              FILTER (e = 'view' AND n1 = 'click'), chr(1))
          AS nxt_first,
-       arg_max(n2, rn) FILTER (e = 'view' AND n1 = 'click')
+       nullif(arg_max(coalesce(n2, chr(1)), rn)
+              FILTER (e = 'view' AND n1 = 'click'), chr(1))
          AS nxt_last
 FROM o GROUP BY user_id
 """)
@@ -569,7 +571,10 @@ def ch_sql_sequence_next_node(spark, sf):
     after the first/last consecutive view→click chain. Every event
     (matching or not) joins the token string, so adjacency is true
     consecutiveness — the DuckDB replay uses lead() windows over the
-    identically-ordered event sequence."""
+    identically-ordered event sequence (arg_min/arg_max through a
+    chr(1) sentinel so a last match with NO next event replays as NULL
+    instead of silently skipping to an earlier chain — the sf0.01
+    fixture exercises that case)."""
     from clickhouse_clickhouse_spark.ch_sql import ch_sql
 
     load_table(spark, sf, "events").createOrReplaceTempView("events")

@@ -1648,6 +1648,22 @@ def test_parametric_if_composition_and_topk(spark):
     assert r.q == 4.0 and r.u == 0 and r.qs == [1, 5]
     with _p.raises(ValueError, match="condition"):
         translate("SELECT quantileIf(0.5)() FROM t")
+    # NULL weights neither poison a value's sum nor admit the value
+    # with weight 0; NULL values are skipped (round-8 review finding)
+    spark.createDataFrame([(1, 10), (1, None), (2, 5), (None, 7)],
+                          "v int, w int").createOrReplaceTempView(
+        "tw_null")
+    tw = ch_sql(spark, "SELECT topKWeighted(2)(v, w) AS t "
+                       "FROM tw_null").collect()[0]
+    assert tw.t == [1, 2]
+    # avgWeighted skips rows whose VALUE is NULL entirely (their
+    # weight must not inflate the denominator)
+    spark.createDataFrame([(None, 5.0), (2.0, 1.0)],
+                          "x double, w double").createOrReplaceTempView(
+        "aw_null")
+    aw = ch_sql(spark, "SELECT avgWeighted(x, w) AS a FROM aw_null") \
+        .collect()[0]
+    assert aw.a == 2.0
 
 
 def test_sequence_next_node_dialect(spark):
@@ -1688,3 +1704,19 @@ def test_sequence_next_node_dialect(spark):
     with _p.raises(ValueError, match="direction"):
         translate("SELECT sequenceNextNode(1, 'head')"
                   "(ts, e, a, b) FROM t")
+    # last_match whose LAST chain has no next event -> NULL (must NOT
+    # fall back to an earlier chain's next; round-8 review finding)
+    spark.createDataFrame(
+        [(9, T(0), "A"), (9, T(1), "B"), (9, T(2), "C"),
+         (9, T(3), "A"), (9, T(4), "B")],
+        "u int, ts timestamp, e string").createOrReplaceTempView(
+        "snn_lm")
+    lm = ch_sql(spark, '''
+        SELECT sequenceNextNode('forward', 'last_match')(ts, e,
+            e = 'A', e = 'A', e = 'B') AS nn
+        FROM snn_lm GROUP BY u''').collect()[0]
+    assert lm.nn is None
+    # -If cannot compose (row exclusion is inexpressible here)
+    with _p.raises(ValueError, match="sequenceNextNodeIf"):
+        translate("SELECT sequenceNextNodeIf('forward', 'head')"
+                  "(ts, e, a, b, c) FROM t")
