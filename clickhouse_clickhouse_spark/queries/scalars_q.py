@@ -1404,22 +1404,31 @@ def projection_routed_having(spark, sf):
     return routed.select("event_type", "n", F.round("sv", 6).alias("sv"))
 
 
-@register("projection_routed_uniq")
+@register("projection_routed_uniq", oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_uu,
+       TRUE AS uu_ok, TRUE AS p90_ok
+FROM events GROUP BY event_type
+""")
 def projection_routed_uniq(spark, sf):
     """Sketch-measure projection routing (round-5 advice item 3): uniq
     routes through HLL partial states (hll_sketch_agg per part,
     hll_union_agg + estimate at read), quantile through a KLL sketch
     with the query's p applied at READ time (the projection stored
-    quantile(0.5); the query asks 0.9). Approximate by contract — the
-    tolerance gate is tests/test_projection_sketch.py; driver check is
-    rows-only."""
+    quantile(0.5); the query asks 0.9). Sketch outputs can't hash-match
+    an oracle, so the hash-checked surface is the routed estimates'
+    accuracy invariants vs exact values computed off the base table:
+    HLL within 5% relative (measured max 0.4%), KLL p90 within 5% of the
+    value range (measured max 1.5%). The inputFiles assertion still pins
+    that the sketch projection actually served the read."""
     import uuid
 
     from clickhouse_clickhouse_spark.ch_sql import ch_sql, ch_statement
     from clickhouse_clickhouse_spark.plans.summary import drop_projection
 
     view = f"events_projU_{uuid.uuid4().hex[:8]}"
-    load_table(spark, sf, "events").createOrReplaceTempView(view)
+    ev = load_table(spark, sf, "events")
+    ev.createOrReplaceTempView(view)
     ch_statement(spark, f"""
         ALTER TABLE {view} ADD PROJECTION p_u
         (SELECT event_type, user_id, uniq(user_id) AS uu,
@@ -1432,8 +1441,16 @@ def projection_routed_uniq(spark, sf):
     assert any("ch_proj" in f for f in routed.inputFiles()), \
         "sketch measures did not route"
     drop_projection(view, "p_u")
-    return routed.select("event_type", "uu",
-                         F.round("p90", 2).alias("p90"))
+    exact = (ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("exact_uu"),
+                  F.percentile("value", F.lit(0.9)).alias("e90"),
+                  (F.max("value") - F.min("value")).alias("rng")))
+    return (routed.join(exact, "event_type")
+            .select("event_type", "exact_uu",
+                    (F.abs(F.col("uu") - F.col("exact_uu"))
+                     / F.col("exact_uu") <= 0.05).alias("uu_ok"),
+                    (F.abs(F.col("p90") - F.col("e90"))
+                     <= 0.05 * F.col("rng") + 1e-9).alias("p90_ok")))
 
 
 @register("ch_dialect_demo7", oracle="""

@@ -97,16 +97,49 @@ def label_centroids_q(spark, sf):
             .select("label", F.col("dim").cast("int").alias("dim"), "mean_val"))
 
 
-@register("ann_lsh_topk")
+# ANN results are approximate by construction and can't hash-match an
+# oracle, so each ann_* query checks the STRUCTURAL invariant the index
+# promises instead: plant an exact copy of every query vector in the
+# corpus (id + 1e6) — an identical vector lands in the same LSH bucket /
+# IVF inverted list / PQ cell with the minimal possible distance, so the
+# top-k MUST contain it. Raw recall@k per variant per round is recorded
+# in RECALL.md; per-variant recall gates live in the unit tests.
+_PLANT = 1_000_000
+
+_ANN_ORACLE = """
+SELECT vec_id AS query_id, TRUE AS found_planted_dup
+FROM embeddings WHERE vec_id < 3
+"""
+
+
+def _planted_setup(spark, sf):
+    e = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 3)
+    planted = q.select((F.col("vec_id") + _PLANT).alias("vec_id"),
+                       "embedding")
+    corpus = e.unionByName(planted)
+    queries = q.select(F.col("vec_id").alias("query_id"), "embedding")
+    return corpus, queries
+
+
+def _planted_found(topk):
+    return (topk.groupBy("query_id")
+            .agg(F.max(F.col("corpus_id") == F.col("query_id") + _PLANT)
+                 .alias("found_planted_dup")))
+
+
+@register("ann_lsh_topk", oracle=_ANN_ORACLE)
 def ann_lsh_topk(spark, sf):
     """Sign-LSH bucketed ANN top-5 (6-bit buckets, 1-bit multiprobe) —
-    approximate by construction → rows-only check; recall vs the exact
-    baseline is asserted in unit tests (pipeline/similarity.lsh_bucketed_topk)."""
-    e = load_table(spark, sf, "embeddings")
-    q = e.filter(F.col("vec_id") < 3)
-    return lsh_bucketed_topk(e, q, k=5, bits=6, multiprobe=1,
-                             corpus_id="vec_id", corpus_vec="embedding",
-                             query_id="vec_id", query_vec="embedding")
+    planted-duplicate recovery invariant (an identical vector shares the
+    sign bucket, scores cosine 1.0, and must rank first); recall vs the
+    exact baseline is asserted in unit tests
+    (pipeline/similarity.lsh_bucketed_topk)."""
+    corpus, q = _planted_setup(spark, sf)
+    return _planted_found(
+        lsh_bucketed_topk(corpus, q, k=5, bits=6, multiprobe=1,
+                          corpus_id="vec_id", corpus_vec="embedding",
+                          query_id="query_id", query_vec="embedding"))
 
 
 @register("vec_near_dup_blocked", oracle="""
@@ -142,18 +175,20 @@ def vec_near_dup_blocked(spark, sf):
             .filter(F.col("cosine") >= 0.2))
 
 
-@register("ann_ivf_topk")
+@register("ann_ivf_topk", oracle=_ANN_ORACLE)
 def ann_ivf_topk(spark, sf):
     """IVF ANN top-5: k-means coarse quantizer (8 lists, 2 Lloyd
     iterations, deterministic seeds), 2-probe search
-    (pipeline/similarity.ivf_topk). Approximate — rows-only; recall vs the
-    exact baseline asserted in unit tests."""
+    (pipeline/similarity.ivf_topk). Planted-duplicate recovery invariant:
+    an identical vector is assigned to the query's own nearest list —
+    always probed — and must rank first by cosine. Recall vs the exact
+    baseline asserted in unit tests."""
     from clickhouse_clickhouse_spark.pipeline.similarity import ivf_topk
 
-    e = load_table(spark, sf, "embeddings")
-    q = e.filter(F.col("vec_id") < 3)
-    return ivf_topk(e, q, k=5, n_centroids=8, n_probe=2,
-                    query_id="vec_id", query_vec="embedding")
+    corpus, q = _planted_setup(spark, sf)
+    return _planted_found(
+        ivf_topk(corpus, q, k=5, n_centroids=8, n_probe=2,
+                 query_id="query_id", query_vec="embedding"))
 
 
 # sign-LSH bucket (8 bits over the first 8 coordinates) spelled in plain
@@ -286,34 +321,36 @@ def vec_quantize_int8(spark, sf):
         F.array_max("qv").alias("q_max"))
 
 
-@register("ann_pq_topk")
+@register("ann_pq_topk", oracle=_ANN_ORACLE)
 def ann_pq_topk(spark, sf):
     """Product-quantization ANN top-5 (the 100 TB storage/scan path: m
     bytes per vector + table-lookup ADC distances): 8 subspaces x 16
     codes over the 64-dim fixture, asymmetric distance, rank-pruned
-    per-query top-k. Approximate — rows-only; recall vs exact L2
-    asserted in unit tests (pipeline/similarity.pq_topk)."""
+    per-query top-k. Planted-duplicate recovery invariant: the duplicate's
+    code cells are the per-subspace argmin codewords for the query, so its
+    ADC distance is the global minimum and it must appear in the top-k.
+    Recall vs exact L2 asserted in unit tests (pipeline/similarity.pq_topk)."""
     from clickhouse_clickhouse_spark.pipeline.similarity import pq_topk
 
-    e = load_table(spark, sf, "embeddings")
-    q = (e.filter(F.col("vec_id") < 3)
-         .select(F.col("vec_id").alias("query_id"), "embedding"))
-    return pq_topk(e, q, k=5, m=8, codes=16, dim=64, query_id="query_id")
+    corpus, q = _planted_setup(spark, sf)
+    return _planted_found(
+        pq_topk(corpus, q, k=5, m=8, codes=16, dim=64,
+                query_id="query_id"))
 
 
-@register("ann_ivf_pq_topk")
+@register("ann_ivf_pq_topk", oracle=_ANN_ORACLE)
 def ann_ivf_pq_topk(spark, sf):
     """IVF-PQ ANN top-5 (the billion-scale composition: coarse lists
     prune the corpus, PQ ADC scores only probed candidates from m-byte
-    codes). Approximate — rows-only; planted-duplicate recovery pinned
-    in unit tests (pipeline/similarity.ivf_pq_topk)."""
+    codes). Planted-duplicate recovery invariant, same argument as
+    ann_ivf_topk (dup in the first-probed list) + ann_pq_topk (minimal
+    ADC distance) composed (pipeline/similarity.ivf_pq_topk)."""
     from clickhouse_clickhouse_spark.pipeline.similarity import ivf_pq_topk
 
-    e = load_table(spark, sf, "embeddings")
-    q = (e.filter(F.col("vec_id") < 3)
-         .select(F.col("vec_id").alias("query_id"), "embedding"))
-    return ivf_pq_topk(e, q, k=5, n_centroids=8, n_probe=3, m=8, codes=16,
-                       dim=64, query_id="query_id")
+    corpus, q = _planted_setup(spark, sf)
+    return _planted_found(
+        ivf_pq_topk(corpus, q, k=5, n_centroids=8, n_probe=3, m=8,
+                    codes=16, dim=64, query_id="query_id"))
 
 
 # cosine in explicit DOUBLE unnest arithmetic (matches Spark's aggregate
