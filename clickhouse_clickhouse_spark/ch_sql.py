@@ -189,7 +189,7 @@ _FUNCS: dict[str, str] = {
     # reference's 0 — NULL is the only typeable empty sum here).
     "sumForEach":
         "AGGREGATE(COLLECT_LIST({0}), "
-        "TRANSFORM(ELEMENT_AT(COLLECT_LIST({0}), 1), "
+        "TRANSFORM(TRY_ELEMENT_AT(COLLECT_LIST({0}), 1), "
         "__z -> __z - __z + 0L), "
         "(__acc, __x) -> ZIP_WITH(__acc, __x, (__a, __b) -> "
         "CASE WHEN __a IS NULL THEN __b + 0L WHEN __b IS NULL THEN __a "
@@ -203,13 +203,13 @@ _FUNCS: dict[str, str] = {
     # translate-time unknown element type an empty-array init would need
     "minForEach":
         "AGGREGATE(COLLECT_LIST({0}), "
-        "ELEMENT_AT(COLLECT_LIST({0}), 1), (__acc, __x) -> "
+        "TRY_ELEMENT_AT(COLLECT_LIST({0}), 1), (__acc, __x) -> "
         "ZIP_WITH(__acc, __x, (__a, __b) -> CASE WHEN __a IS NULL "
         "THEN __b WHEN __b IS NULL THEN __a "
         "ELSE LEAST(__a, __b) END))",
     "maxForEach":
         "AGGREGATE(COLLECT_LIST({0}), "
-        "ELEMENT_AT(COLLECT_LIST({0}), 1), (__acc, __x) -> "
+        "TRY_ELEMENT_AT(COLLECT_LIST({0}), 1), (__acc, __x) -> "
         "ZIP_WITH(__acc, __x, (__a, __b) -> CASE WHEN __a IS NULL "
         "THEN __b WHEN __b IS NULL THEN __a "
         "ELSE GREATEST(__a, __b) END))",
@@ -552,21 +552,34 @@ _PARAMETRIC: dict = {
     # rows with a NULL value or NULL weight are skipped entirely like
     # the reference (a NULL weight must neither poison the sum nor
     # admit the value with weight 0); ties break on the value
+    # single-pass run-length form (round-9 advice: the old per-distinct
+    # re-filter was O(distinct x n)): sort the collected (v, w) structs
+    # once — equal values become adjacent — find run starts, then one
+    # bounded AGGREGATE per run sums its weights (runs partition the
+    # array, so the fold work is O(n) total after the O(n log n) sort).
+    # Weight sums seed with (w - w) + 0L so integral weights accumulate
+    # in BIGINT (exact past 2^53 — the reference sums weights in UInt64)
+    # while DOUBLE/DECIMAL weights keep their own type.
     "topKWeighted":
-        "SLICE(TRANSFORM(ARRAY_SORT(TRANSFORM(ARRAY_DISTINCT("
-        "TRANSFORM(FILTER(COLLECT_LIST("
-        "NAMED_STRUCT('v', {a0}, 'w', {a1})), "
-        "__p -> __p.v IS NOT NULL AND __p.w IS NOT NULL), "
-        "__p -> __p.v)), __v -> "
-        "NAMED_STRUCT('w', AGGREGATE(FILTER(COLLECT_LIST("
-        "NAMED_STRUCT('v', {a0}, 'w', {a1})), "
-        "__p -> __p.v <=> __v AND __p.w IS NOT NULL), "
-        "CAST(0 AS DOUBLE), (__s, __p) -> __s + __p.w), 'val', __v)), "
+        "TRY_ELEMENT_AT(TRANSFORM(ARRAY(ARRAY_SORT(COLLECT_LIST("
+        "CASE WHEN ({a0}) IS NOT NULL AND ({a1}) IS NOT NULL THEN "
+        "NAMED_STRUCT('v', {a0}, 'w', {a1}) END))), __s -> "
+        "IF(SIZE(__s) = 0, SLICE(TRANSFORM(__s, __p -> __p.v), 1, 0), "
+        "TRY_ELEMENT_AT(TRANSFORM(ARRAY(FILTER(SEQUENCE(1, SIZE(__s)), "
+        "__i -> __i = 1 OR NOT (ELEMENT_AT(__s, __i).v <=> "
+        "ELEMENT_AT(__s, __i - 1).v))), __st -> "
+        "SLICE(TRANSFORM(ARRAY_SORT(ZIP_WITH(__st, "
+        "CONCAT(SLICE(__st, 2, SIZE(__st) - 1), ARRAY(SIZE(__s) + 1)), "
+        "(__a, __b) -> NAMED_STRUCT('w', "
+        "AGGREGATE(SLICE(__s, __a, __b - __a), "
+        "ELEMENT_AT(__s, __a).w - ELEMENT_AT(__s, __a).w + 0L, "
+        "(__acc, __p) -> __acc + __p.w), "
+        "'val', ELEMENT_AT(__s, __a).v)), "
         "(__e1, __e2) -> CASE WHEN __e1.w > __e2.w THEN -1 "
         "WHEN __e1.w < __e2.w THEN 1 "
         "WHEN __e1.val < __e2.val THEN -1 "
         "WHEN __e1.val > __e2.val THEN 1 ELSE 0 END), "
-        "__e -> __e.val), 1, {p0})",
+        "__e -> __e.val), 1, {p0})), 1))), 1)",
     "quantileExact": "PERCENTILE({a0}, {p0})",
     "quantileTDigest": "PERCENTILE_APPROX({a0}, {p0})",
     # Greenwald-Khanna class: Spark's approx_percentile IS a GK sketch.
@@ -610,15 +623,25 @@ _PARAMETRIC: dict = {
     # MAP<VOID,VOID> and never type-checked — round-8 fix); identical
     # aggregate expressions dedupe to ONE collect in the plan. Ties
     # break on the value for determinism.
-    "topK": "SLICE(TRANSFORM(ARRAY_SORT("
-            "TRANSFORM(ARRAY_DISTINCT(COLLECT_LIST({a0})), __v -> "
-            "NAMED_STRUCT('cnt', SIZE(FILTER(COLLECT_LIST({a0}), "
-            "__y -> __y <=> __v)), 'val', __v)), "
+    # single-pass run-length form (round-9 advice: the old
+    # SIZE(FILTER(...)) per distinct value was O(distinct x n)): sort the
+    # collected values once, run starts are the positions where the value
+    # changes, run length = gap to the next start — O(n log n) total.
+    "topK": "TRY_ELEMENT_AT(TRANSFORM(ARRAY(ARRAY_SORT("
+            "COLLECT_LIST({a0}))), __s -> "
+            "IF(SIZE(__s) = 0, SLICE(__s, 1, 0), "
+            "TRY_ELEMENT_AT(TRANSFORM(ARRAY(FILTER(SEQUENCE(1, SIZE(__s)), "
+            "__i -> __i = 1 OR NOT (ELEMENT_AT(__s, __i) <=> "
+            "ELEMENT_AT(__s, __i - 1)))), __st -> "
+            "SLICE(TRANSFORM(ARRAY_SORT(ZIP_WITH(__st, "
+            "CONCAT(SLICE(__st, 2, SIZE(__st) - 1), ARRAY(SIZE(__s) + 1)), "
+            "(__a, __b) -> NAMED_STRUCT('cnt', CAST(__b - __a AS BIGINT), "
+            "'val', ELEMENT_AT(__s, __a))), "
             "(__e1, __e2) -> CASE WHEN __e1.cnt > __e2.cnt THEN -1 "
             "WHEN __e1.cnt < __e2.cnt THEN 1 "
             "WHEN __e1.val < __e2.val THEN -1 "
             "WHEN __e1.val > __e2.val THEN 1 ELSE 0 END), "
-            "__e -> __e.val), 1, {p0})",
+            "__e -> __e.val), 1, {p0})), 1))), 1)",
 }
 
 # ---------------------------------------------------------------------------

@@ -63,7 +63,11 @@ def streaming_window_funnel(events: DataFrame, entity: str, ts: str,
             t_us = int(pd.Timestamp(t).value // 1_000)
             i = int(i)
             if i == 0:
-                starts[0] = t_us
+                # max, not overwrite: in time order the slot always holds
+                # the latest step-1 timestamp, so a cross-batch straggler
+                # older than the stored chain start must not regress it
+                # (same late-event guard as the advance path below)
+                starts[0] = max(starts[0], t_us)
             elif starts[i - 1] != 0 and \
                     starts[i - 1] <= t_us <= starts[i - 1] + win_us:
                 starts[i] = starts[i - 1]

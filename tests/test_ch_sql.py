@@ -1664,6 +1664,27 @@ def test_parametric_if_composition_and_topk(spark):
     aw = ch_sql(spark, "SELECT avgWeighted(x, w) AS a FROM aw_null") \
         .collect()[0]
     assert aw.a == 2.0
+    # round-9 advice: integral weights accumulate in BIGINT ((w - w) + 0L
+    # seed), so sums past 2^53 stay exact and near-tied top-k entries
+    # order correctly — in DOUBLE both sums below round to the same value
+    # and the tiebreak would wrongly order by value ascending
+    big = 2 ** 53
+    spark.createDataFrame(
+        [(1, big + 1), (1, big + 1), (2, 2 * big + 3)],
+        "v int, w long").createOrReplaceTempView("tw_big")
+    twb = ch_sql(spark, "SELECT topKWeighted(2)(v, w) AS t FROM tw_big") \
+        .collect()[0]
+    assert twb.t == [2, 1]   # 2*big+3 > 2*big+2, only visible in BIGINT
+    # high-cardinality group: the run-length form is O(n log n), not
+    # O(distinct x n) — 4000 distinct values with a known top-2
+    rows = [(i % 2000, 1) for i in range(4000)] + [(9999, 1)] * 5 + \
+           [(9998, 1)] * 4
+    spark.createDataFrame(rows, "v int, w int") \
+        .createOrReplaceTempView("tk_wide")
+    wide = ch_sql(spark, "SELECT topK(2)(v) AS t, "
+                         "topKWeighted(2)(v, w) AS tw FROM tk_wide") \
+        .collect()[0]
+    assert wide.t == [9999, 9998] and wide.tw == [9999, 9998]
 
 
 def test_sequence_next_node_dialect(spark):

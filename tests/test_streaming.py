@@ -232,6 +232,44 @@ def test_streaming_window_funnel_state_across_batches(spark, sf_dir, tmp_path):
     assert got == expect
 
 
+def test_streaming_funnel_straggler_rearm_guard(spark, tmp_path):
+    """Round-9 advice: a cross-batch straggler step-1 event OLDER than the
+    stored chain start must not regress it (re-arm is max, mirroring the
+    advance path's late-event guard). Batch 1: step1@t=100; batch 2:
+    straggler step1@t=50 then step2@t=115 (window 20s). Time-ordered
+    truth keeps the chain start at 100 → step2 advances → level 2; the
+    pre-fix overwrite rearmed to 50 and the chain stalled at level 1."""
+    import datetime
+
+    from clickhouse_clickhouse_spark.streaming.funnel import (
+        streaming_window_funnel,
+    )
+
+    T = lambda s: datetime.datetime(2024, 1, 1) + \
+        datetime.timedelta(seconds=s)
+    src = str(tmp_path / "straggler_src")
+    b1 = spark.createDataFrame([(1, T(100), "s1")],
+                               "user_id long, ts timestamp, ev string")
+    b2 = spark.createDataFrame([(1, T(50), "s1"), (1, T(115), "s2")],
+                               "user_id long, ts timestamp, ev string")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema).format("parquet")
+              .option("maxFilesPerTrigger", 1).option("path", src).load())
+    q = (streaming_window_funnel(stream, "user_id", "ts", "ev",
+                                 ["s1", "s2"], 20)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("straggler_out").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    level = spark.sql("SELECT max(level) AS l FROM straggler_out") \
+        .collect()[0].l
+    assert level == 2
+
+
 def test_stream_stream_interval_join(spark, events_dir, tmp_path):
     """Two event streams (clicks vs purchases) interval-joined on
     user_id within 1 hour — results must equal the equivalent batch
