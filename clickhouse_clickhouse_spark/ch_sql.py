@@ -161,6 +161,8 @@ _FUNCS: dict[str, str] = {
     "uniqTheta": "THETA_SKETCH_ESTIMATE(THETA_SKETCH_AGG({0}))",
     "groupBitAnd": "BIT_AND({0})", "groupBitOr": "BIT_OR({0})",
     "groupBitXor": "BIT_XOR({0})",
+    # bitmap cardinality over integer ids ([U] AggregateFunctionGroupBitmap.h)
+    "groupBitmap": "COUNT(DISTINCT {0})",
     "sumCount": "NAMED_STRUCT('sum', SUM({0}), 'count', COUNT({0}))",
     # the determinator argument drops DELIBERATELY: Spark's
     # percentile_approx is already deterministic (lambda form so the
@@ -805,6 +807,8 @@ _AGG_BASES: dict[str, dict] = {
                            "THETA_SKETCH_AGG({0}))"},
     "avgWeighted": {"n": 2, "ornull": "pass",
                     "plain": _FUNCS["avgWeighted"]},
+    "groupBitmap": {"n": 1, "plain": "COUNT(DISTINCT {0})",
+                    "ornull": "nullif0"},
     "groupBitAnd": {"n": 1, "plain": "BIT_AND({0})", "ornull": "pass"},
     "groupBitOr": {"n": 1, "plain": "BIT_OR({0})", "ornull": "pass"},
     "groupBitXor": {"n": 1, "plain": "BIT_XOR({0})", "ornull": "pass"},
@@ -813,6 +817,58 @@ _AGG_BASES: dict[str, dict] = {
 _COMB_SUFFIXES = ("ForEach", "OrNull", "Distinct", "Array", "Map",
                   "State", "Merge", "If")
 _STRUCTURAL = {"Array", "ForEach", "Map"}
+
+def _quantile_exact_merge_tpl(p: str, arg: str = "{0}") -> str:
+    """EXACT quantile readout over collected raw-value states: flatten
+    the per-partial COLLECT_LISTs, sort once, linear-interpolate at
+    h = p * (n - 1) — the same definition as Spark PERCENTILE / DuckDB
+    quantile_cont, so quantileExactState/Merge two-phase == one-phase
+    bit-for-bit. Empty input → NULL (ANSI-safe: indexing is guarded)."""
+    h = f"(({p}) * (SIZE(__s) - 1))"
+    lo = f"CAST(ELEMENT_AT(__s, CAST(FLOOR({h}) AS INT) + 1) AS DOUBLE)"
+    hi = (f"CAST(ELEMENT_AT(__s, LEAST(CAST(FLOOR({h}) AS INT) + 2, "
+          f"SIZE(__s))) AS DOUBLE)")
+    return ("TRY_ELEMENT_AT(TRANSFORM(ARRAY(ARRAY_SORT(FLATTEN("
+            f"COLLECT_LIST({arg})))), __s -> "
+            "IF(SIZE(__s) = 0, CAST(NULL AS DOUBLE), "
+            f"{lo} + ({h} - FLOOR({h})) * ({hi} - {lo}))), 1)")
+
+
+# KLL doubles sketch as the SQL-expressible mergeable quantile state
+# (kll_sketch_merge_double is a binary scalar, not an aggregate — fold
+# the collected partials pairwise, same pattern as agg_quantile_kll_merge)
+_KLL_STATE = "KLL_SKETCH_AGG_DOUBLE(CAST({a0} AS DOUBLE))"
+_KLL_FOLD = ("AGGREGATE(SLICE(COLLECT_LIST({a0}), 2, "
+             "GREATEST(SIZE(COLLECT_LIST({a0})) - 1, 0)), "
+             "TRY_ELEMENT_AT(COLLECT_LIST({a0}), 1), "
+             "(__acc, __x) -> KLL_SKETCH_MERGE_DOUBLE(__acc, __x))")
+
+# -State/-Merge for PARAMETRIC bases ([U] src/AggregateFunctions/
+# Combinators/AggregateFunctionState.h — `quantileState/Merge` is the
+# canonical AggregatingMergeTree column type). quantileExact keeps the
+# raw collection (exact, oracle-matchable); the sketch family renders a
+# mergeable KLL binary — the parameter p applies at MERGE/read time,
+# exactly as upstream reads the digest state (the true Dunning t-digest
+# centroid state is the DataFrame operator, operators/tdigest.py).
+_PARAMETRIC_STATE_MERGE: dict[str, tuple[str, str]] = {
+    "quantileExact": ("COLLECT_LIST({a0})",
+                      _quantile_exact_merge_tpl("{p0}", "{a0}")),
+    "quantile": (_KLL_STATE,
+                 "KLL_SKETCH_GET_QUANTILE_DOUBLE(" + _KLL_FOLD + ", {p0})"),
+    "quantileTDigest": (_KLL_STATE,
+                        "KLL_SKETCH_GET_QUANTILE_DOUBLE(" + _KLL_FOLD +
+                        ", {p0})"),
+    # readout per p unrolled at translate time: the sketch reader's rank
+    # argument must be FOLDABLE (a lambda var is rejected at analysis)
+    "quantiles": (_KLL_STATE,
+                  lambda params, args: (
+                      "TRY_ELEMENT_AT(TRANSFORM(ARRAY(" +
+                      _KLL_FOLD.replace("{a0}", args[0]) +
+                      "), __sk -> ARRAY(" +
+                      ", ".join("KLL_SKETCH_GET_QUANTILE_DOUBLE(__sk, "
+                                f"{p})" for p in params) +
+                      ")), 1)")),
+}
 
 # -State / -Merge two-phase forms per base ([U]
 # src/AggregateFunctions/Combinators/AggregateFunctionState.h /
@@ -846,6 +902,48 @@ _STATE_MERGE: dict[str, tuple[str, str]] = {
     "groupArray": ("COLLECT_LIST({0})", "FLATTEN(COLLECT_LIST({0}))"),
     "groupUniqArray": ("COLLECT_SET({0})",
                        "ARRAY_DISTINCT(FLATTEN(COLLECT_LIST({0})))"),
+    # groupBitmap ([U] src/AggregateFunctions/AggregateFunctionGroupBitmap
+    # .h): cardinality of the distinct-integer set; the SQL-expressible
+    # state analog of the roaring bitmap is the distinct set itself
+    # (operators/bitmap.py holds the DataFrame bitmap algebra)
+    "groupBitmap": ("COLLECT_SET({0})",
+                    "CAST(SIZE(ARRAY_DISTINCT(FLATTEN("
+                    "COLLECT_LIST({0})))) AS BIGINT)"),
+    # median = quantileExact(0.5): raw-collection state, EXACT
+    # interpolated readout at merge (same definition as PERCENTILE /
+    # DuckDB quantile_cont, so two-phase == one-phase bit-for-bit)
+    "median": ("COLLECT_LIST({0})", _quantile_exact_merge_tpl("0.5")),
+}
+
+# -State/-Merge under ONE structural combinator ([U]
+# src/AggregateFunctions/Combinators/AggregateFunctionState.h composes
+# under any stack; here the algebraic structural forms). The -Map/-ForEach
+# partial IS the key-/element-wise merged container; merging partials
+# re-runs the same fold over the STATE column — except count, whose
+# partials merge by SUM. The -Array partial is the scalar fold over
+# elements; its merge is the scalar merge op.
+_STRUCT_STATE_MERGE: dict[tuple[str, str], tuple[str, str]] = {
+    ("sum", "map"): (_MAP_SUM, _MAP_SUM),
+    ("min", "map"): (_AGG_BASES["min"]["map"], _AGG_BASES["min"]["map"]),
+    ("max", "map"): (_AGG_BASES["max"]["map"], _AGG_BASES["max"]["map"]),
+    ("count", "map"): (_MAP_COUNT, _MAP_SUM),
+    ("sum", "arr"): (_AGG_BASES["sum"]["arr"], "SUM({0})"),
+    ("min", "arr"): (_AGG_BASES["min"]["arr"], "MIN({0})"),
+    ("max", "arr"): (_AGG_BASES["max"]["arr"], "MAX({0})"),
+    ("count", "arr"): (_AGG_BASES["count"]["arr"], "SUM({0})"),
+    ("groupArray", "arr"): (_AGG_BASES["groupArray"]["arr"],
+                            "FLATTEN(COLLECT_LIST({0}))"),
+    ("groupUniqArray", "arr"): (_AGG_BASES["groupUniqArray"]["arr"],
+                                "ARRAY_DISTINCT(FLATTEN("
+                                "COLLECT_LIST({0})))"),
+    ("uniqExact", "arr"): ("ARRAY_DISTINCT(FLATTEN(COLLECT_LIST("
+                           "FILTER({0}, __e -> __e IS NOT NULL))))",
+                           "CAST(SIZE(ARRAY_DISTINCT(FLATTEN("
+                           "COLLECT_LIST({0})))) AS BIGINT)"),
+    ("sum", "foreach"): (_FUNCS["sumForEach"], _FUNCS["sumForEach"]),
+    ("count", "foreach"): (_FUNCS["countForEach"], _FUNCS["sumForEach"]),
+    ("min", "foreach"): (_FUNCS["minForEach"], _FUNCS["minForEach"]),
+    ("max", "foreach"): (_FUNCS["maxForEach"], _FUNCS["maxForEach"]),
 }
 
 
@@ -891,6 +989,7 @@ def _compose_combinators(name: str):
                 f"{'s' if n_if != 1 else ''}), got {len(args)}")
         vals, conds = list(args[:n]), list(args[n:])
         form, distinct, ornull, if_applied = "plain", False, False, False
+        sm = None
         for comb in stack:
             if comb == "If":
                 cond = conds.pop(0)
@@ -905,21 +1004,29 @@ def _compose_combinators(name: str):
                         f"-{form}/{base_name} here")
                 distinct = True
             elif comb in ("State", "Merge"):
-                if form != "plain" or distinct or ornull:
+                if distinct or ornull or sm is not None:
                     raise ValueError(
-                        f"{name}: -{comb} composes only with -If here")
-                if base_name not in _STATE_MERGE:
+                        f"{name}: -{comb} composes only with -If and "
+                        "one structural combinator (not -Distinct/"
+                        "-OrNull, at most one -State/-Merge)")
+                if form == "plain" and base_name not in _STATE_MERGE:
                     raise ValueError(
                         f"{name}: -{comb} is not supported for base "
                         f"{base_name}")
-                form = "state" if comb == "State" else "merge"
+                if form != "plain" and \
+                        (base_name, form) not in _STRUCT_STATE_MERGE:
+                    raise ValueError(
+                        f"{name}: -{comb} is not supported for base "
+                        f"{base_name} with -{form}")
+                sm = "state" if comb == "State" else "merge"
             elif comb in _STRUCTURAL:
-                if form != "plain" or distinct or if_applied:
+                if form != "plain" or distinct or if_applied \
+                        or sm is not None:
                     raise ValueError(
                         f"{name}: only one structural combinator "
                         "(-Array/-ForEach/-Map) may apply, before any "
-                        "-If (array-valued conditions per element are "
-                        "not supported)")
+                        "-If or -State/-Merge (array-valued conditions "
+                        "per element are not supported)")
                 key = {"Array": "arr", "ForEach": "foreach",
                        "Map": "map"}[comb]
                 if key == "foreach":
@@ -932,16 +1039,20 @@ def _compose_combinators(name: str):
                         f"{name}: -{comb} is not supported for base "
                         f"{base_name}")
                 form = key
-        if form == "plain":
-            t = base["distinct"] if distinct else base["plain"]
-        elif form == "foreach":
-            t = _FUNCS[base_name + "ForEach"]
-        elif form in ("state", "merge"):
+        if sm is not None:
             if ornull:
                 raise ValueError(
                     f"{name}: -OrNull does not compose with "
                     "-State/-Merge here")
-            t = _STATE_MERGE[base_name][0 if form == "state" else 1]
+            if form == "plain":
+                t = _STATE_MERGE[base_name][0 if sm == "state" else 1]
+            else:
+                t = _STRUCT_STATE_MERGE[(base_name, form)][
+                    0 if sm == "state" else 1]
+        elif form == "plain":
+            t = base["distinct"] if distinct else base["plain"]
+        elif form == "foreach":
+            t = _FUNCS[base_name + "ForEach"]
         else:
             t = base[form]
         expr = _apply_template(t, vals)
@@ -1094,8 +1205,12 @@ _INTERVAL_SECS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
 
 def _to_start_of_interval(args: list[str]) -> str:
     """toStartOfInterval(ts, INTERVAL n UNIT) -> floor to epoch-aligned
-    n-unit buckets for second/minute/hour/day grains; month/year align
-    to calendar (DATE_TRUNC) only for n = 1, else refuse loudly."""
+    n-unit buckets. second/minute/hour/day quantize unix seconds;
+    month/quarter/year (round 9, n>1) quantize the months-since-1970-01
+    index the way upstream's DateLUT toStartOf*Interval does; n-week
+    buckets anchor at 1970-01-05 — the first epoch MONDAY, matching
+    upstream's Monday-based weeks (n = 1 keeps DATE_TRUNC, which is also
+    Monday-based)."""
     if len(args) != 2:
         raise ValueError("toStartOfInterval(ts, INTERVAL n unit)")
     mm = re.match(r"INTERVAL\s+(\d+)\s+(\w+)$", args[1].strip(),
@@ -1104,14 +1219,29 @@ def _to_start_of_interval(args: list[str]) -> str:
         raise ValueError(f"toStartOfInterval: second argument must be "
                          f"INTERVAL n unit, got {args[1]!r}")
     n, unit = int(mm.group(1)), mm.group(2).lower().rstrip("s")
+    if n < 1:
+        raise ValueError("toStartOfInterval: n must be >= 1")
     if unit in _INTERVAL_SECS:
         sec = n * _INTERVAL_SECS[unit]
         return (f"TIMESTAMP_SECONDS(CAST(FLOOR(UNIX_TIMESTAMP({args[0]}) "
                 f"/ {sec}) AS BIGINT) * {sec})")
     if n == 1 and unit in ("week", "month", "quarter", "year"):
         return f"DATE_TRUNC('{unit.upper()}', {args[0]})"
+    t = args[0]
+    if unit == "week":
+        days = 7 * n
+        return (f"CAST(DATE_ADD(DATE'1970-01-05', CAST(FLOOR(DATEDIFF("
+                f"CAST({t} AS DATE), DATE'1970-01-05') / {days}.0) "
+                f"* {days} AS INT)) AS TIMESTAMP)")
+    if unit in ("month", "quarter", "year"):
+        step = n * {"month": 1, "quarter": 3, "year": 12}[unit]
+        midx = f"((YEAR({t}) - 1970) * 12 + MONTH({t}) - 1)"
+        b = f"(CAST(FLOOR({midx} / {step}.0) AS BIGINT) * {step})"
+        # PMOD keeps the month slot positive for pre-1970 inputs
+        return (f"CAST(MAKE_DATE(1970 + CAST(FLOOR({b} / 12.0) AS INT), "
+                f"CAST(PMOD({b}, 12) AS INT) + 1, 1) AS TIMESTAMP)")
     raise ValueError(f"toStartOfInterval: INTERVAL {n} {unit} is not "
-                     "supported (n>1 only for second/minute/hour/day)")
+                     "supported")
 
 
 def _array_reduce_tpl(args: list[str]) -> str:
@@ -1307,21 +1437,27 @@ def _parse_sequence_pattern(pattern: str, k: int):
     return steps, has_time
 
 
-# hex-pair event tokens (round 8 — lifts the condition cap from 5 to
-# 8): each condition-matching event encodes as 'g' + two uppercase hex
-# digits of its bitmask. The 'g' marker (not a hex digit) anchors token
-# starts so a regex match can never begin mid-token, and a (?N) class
-# constrains only the nibble carrying bit N-1.
+# hex-quad event tokens (round 8 introduced the hex-pair alphabet for a
+# 5→8 condition lift; round 9 widens to FOUR hex digits = 16 bits,
+# halfway to upstream's 32, [U] src/AggregateFunctions/
+# AggregateFunctionSequenceMatch.h MAX_EVENTS): each condition-matching
+# event encodes as 'g' + four uppercase hex digits of its bitmask. The
+# 'g' marker (not a hex digit) anchors token starts so a regex match can
+# never begin mid-token, and a (?N) class constrains only the nibble
+# carrying bit N-1.
 _HEXD = "0123456789ABCDEF"
+_SEQ_NIBBLES = 4                   # hex digits per token = 4*4 = 16 bits
+_SEQ_MAX_CONDS = 4 * _SEQ_NIBBLES
+_PFX = 2 + _SEQ_NIBBLES      # len('|') + hex digits + len(':')
 
 
 def _seq_token_regex(n: int) -> str:
     bit = n - 1
-    if bit < 4:
-        cls = "".join(d for i, d in enumerate(_HEXD) if i >> bit & 1)
-        return f"g[0-9A-F][{cls}]"
-    cls = "".join(d for i, d in enumerate(_HEXD) if i >> (bit - 4) & 1)
-    return f"g[{cls}][0-9A-F]"
+    pos = _SEQ_NIBBLES - 1 - bit // 4       # digit index from the left
+    cls = "".join(d for i, d in enumerate(_HEXD) if i >> (bit % 4) & 1)
+    digits = ["[0-9A-F]"] * _SEQ_NIBBLES
+    digits[pos] = f"[{cls}]"
+    return "g" + "".join(digits)
 
 
 def _sequence_time_fold(steps: list[dict], evs: str,
@@ -1391,20 +1527,20 @@ def _sequence_time_fold(steps: list[dict], evs: str,
 
 
 def _seq_mask_token(mask: int, capture: bool = False) -> str:
-    """Regex for one `|HH:value` event token whose bitmask contains
+    """Regex for one `|HHHH:value` event token whose bitmask contains
     every bit of ``mask`` (0 = any token); value part `[^|]*`,
     captured when asked."""
-    lo, hi = mask & 0xF, mask >> 4
-    lo_cls = ("[0-9A-F]" if lo == 0 else
-              "[" + "".join(d for i, d in enumerate(_HEXD)
-                            if i & lo == lo) + "]")
-    hi_cls = ("[0-9A-F]" if hi == 0 else
-              "[" + "".join(d for i, d in enumerate(_HEXD)
-                            if i & hi == hi) + "]")
-    body = f"\\\\|{hi_cls}{lo_cls}:[^|]*"
+    digits = []
+    for pos in range(_SEQ_NIBBLES - 1, -1, -1):    # hi nibble first
+        nib = (mask >> (4 * pos)) & 0xF
+        digits.append("[0-9A-F]" if nib == 0 else
+                      "[" + "".join(d for i, d in enumerate(_HEXD)
+                                    if i & nib == nib) + "]")
+    body = "\\\\|" + "".join(digits) + ":[^|]*"
     # capture the WHOLE token (not just the value): REGEXP_EXTRACT
     # returns '' for both no-match and an empty capture, so the caller
-    # strips the 4-char '|HH:' prefix to keep the two distinguishable
+    # strips the (2 + _SEQ_NIBBLES)-char '|HHHH:' prefix to keep the
+    # two distinguishable
     return f"({body})" if capture else body
 
 
@@ -1441,14 +1577,15 @@ def _sequence_next_node_tpl(params: list[str], args: list[str]) -> str:
             "— forward+head/first_match/last_match or "
             "backward+tail/first_match/last_match")
     ts, ev, base_cond, conds = args[0], args[1], args[2], args[3:]
-    if len(conds) > 7:
-        raise ValueError("sequenceNextNode supports up to 7 chain "
-                         "conditions here (8 bitmask bits)")
+    if len(conds) > _SEQ_MAX_CONDS - 1:
+        raise ValueError(
+            f"sequenceNextNode supports up to {_SEQ_MAX_CONDS - 1} "
+            "chain conditions here (hex-quad bitmask, bit0 = base)")
     bits = [f"IF({base_cond}, 1, 0)"] + \
         [f"IF({c}, {1 << (i + 1)}, 0)" for i, c in enumerate(conds)]
     bm_expr = " + ".join(bits)
-    tok = (f"CONCAT('|', LPAD(HEX(__ev.bm), 2, '0'), ':', "
-           f"REPLACE(COALESCE(__ev.v, ''), '|', ' '))")
+    tok = (f"CONCAT('|', LPAD(HEX(__ev.bm), {_SEQ_NIBBLES}, '0'), "
+           f"':', REPLACE(COALESCE(__ev.v, ''), '|', ' '))")
     arr = ("ARRAY_SORT(COLLECT_LIST(NAMED_STRUCT("
            "'t', UNIX_MICROS({ts}), 'bm', {bm}, "
            "'v', CAST({ev} AS STRING))))").format(ts=ts, bm=bm_expr,
@@ -1456,7 +1593,7 @@ def _sequence_next_node_tpl(params: list[str], args: list[str]) -> str:
     if direction == "backward":
         arr = f"REVERSE({arr})"
     s = f"ARRAY_JOIN(TRANSFORM({arr}, __ev -> {tok}), '')"
-    any_tok = "(?:\\\\|[0-9A-F]{2}:[^|]*)"
+    any_tok = "(?:\\\\|[0-9A-F]{%d}:[^|]*)" % _SEQ_NIBBLES
     chain = [_seq_mask_token(0b11)]       # base AND cond1 on the head
     for i in range(1, len(conds)):
         chain.append(_seq_mask_token(1 << (i + 1)))
@@ -1469,26 +1606,30 @@ def _sequence_next_node_tpl(params: list[str], args: list[str]) -> str:
         # the very end yields NULL instead of silently falling back to
         # an earlier chain (round-8 review finding)
         upto = f"^(?:{any_tok}*{chain_re})"
+        one_tok = "'^(\\\\|[0-9A-F]{%d}:[^|]*)'" % _SEQ_NIBBLES
         return (
             "ELEMENT_AT(TRANSFORM(ARRAY(" + s + "), __s0 -> "
             "ELEMENT_AT(TRANSFORM(ARRAY("
             f"REGEXP_EXTRACT(__s0, '({upto})', 1)), "
             "__m1 -> ELEMENT_AT(TRANSFORM(ARRAY("
             "REGEXP_EXTRACT(SUBSTRING(__s0, LENGTH(__m1) + 1), "
-            "'^(\\\\|[0-9A-F]{2}:[^|]*)', 1)), "
-            "__m -> IF(LENGTH(__m1) >= 4 AND LENGTH(__m) >= 4, "
-            "SUBSTRING(__m, 5), CAST(NULL AS STRING))), 1)), 1)), 1)")
+            f"{one_tok}, 1)), "
+            f"__m -> IF(LENGTH(__m1) >= {_PFX} AND LENGTH(__m) >= "
+            f"{_PFX}, SUBSTRING(__m, {_PFX + 1}), "
+            "CAST(NULL AS STRING))), 1)), 1)), 1)")
     prefix = {"head": "^", "tail": "^",
               "first_match": f"^{any_tok}*?"}[base]
     regex = prefix + chain_re + _seq_mask_token(0, capture=True)
-    # no-match yields '' (length 0); a matched token is always >= 4
-    # chars ('|HH:'), so an EMPTY next-event value stays '' instead of
-    # collapsing to NULL. (first_match cannot fall back the way
-    # last_match could: a first chain with no next event is necessarily
-    # at the string end, so no later chain exists to backtrack to.)
+    # no-match yields '' (length 0); a matched token is always >=
+    # _PFX chars ('|HHHH:'), so an EMPTY next-event value stays ''
+    # instead of collapsing to NULL. (first_match cannot fall back the
+    # way last_match could: a first chain with no next event is
+    # necessarily at the string end, so no later chain exists to
+    # backtrack to.)
     return ("ELEMENT_AT(TRANSFORM(ARRAY("
             f"REGEXP_EXTRACT({s}, '{regex}', 1)), "
-            "__m -> IF(LENGTH(__m) >= 4, SUBSTRING(__m, 5), "
+            f"__m -> IF(LENGTH(__m) >= {_PFX}, "
+            f"SUBSTRING(__m, {_PFX + 1}), "
             "CAST(NULL AS STRING))), 1)")
 
 
@@ -1523,9 +1664,10 @@ def _sequence_tpl(params: list[str], args: list[str],
     pattern = pm.group(1)
     ts, conds = args[0], args[1:]
     k = len(conds)
-    if k > 8:
-        raise ValueError("sequenceMatch supports up to 8 conditions "
-                         "here (2^k event classes)")
+    if k > _SEQ_MAX_CONDS:
+        raise ValueError(
+            f"sequenceMatch supports up to {_SEQ_MAX_CONDS} conditions "
+            "here (hex-quad token alphabet; upstream caps at 32)")
     steps, has_time = _parse_sequence_pattern(pattern, k)
     bm = " + ".join(f"IF({c}, {1 << i}, 0)"
                     for i, c in enumerate(conds))
@@ -1548,9 +1690,9 @@ def _sequence_tpl(params: list[str], args: list[str],
                     "sequenceMatch: .+ inside a time-guarded pattern "
                     "is not supported — use .* or adjacency")
         return _sequence_time_fold(steps, evs, count)
-    # regex path over hex-pair tokens
+    # regex path over hex-quad tokens
     out = []
-    tok = "(?:g[0-9A-F]{2})"
+    tok = "(?:g[0-9A-F]{%d})" % _SEQ_NIBBLES
     lazy = "?" if count else ""
     for st in steps:
         if st["sep"] == "star":
@@ -1560,7 +1702,8 @@ def _sequence_tpl(params: list[str], args: list[str],
         out.append(_seq_token_regex(st["n"]))
     regex = "".join(out)
     s = (f"ARRAY_JOIN(TRANSFORM({evs}, "
-         "__ev -> CONCAT('g', LPAD(HEX(__ev.bm), 2, '0'))), '')")
+         f"__ev -> CONCAT('g', LPAD(HEX(__ev.bm), {_SEQ_NIBBLES}, "
+         "'0'))), '')")
     if count:
         return (f"CAST(SIZE(REGEXP_EXTRACT_ALL({s}, '{regex}', 0)) "
                 "AS BIGINT)")
@@ -1751,11 +1894,22 @@ def _rewrite_calls(sql: str) -> str:
         # parametric names compose with a trailing -If mechanically
         # (upstream's combinator machinery: quantileIf(0.9)(x, cond),
         # topKIf(3)(x, cond), ...) — the condition is the LAST call
-        # argument and CASE-wraps every value argument (round 8)
-        p_base, p_ifs = name, 0
-        while p_base not in _PARAMETRIC and p_base.endswith("If") \
-                and len(p_base) > 2:
-            p_base, p_ifs = p_base[:-2], p_ifs + 1
+        # argument and CASE-wraps every value argument (round 8).
+        # Round 9: -State/-Merge also peels (once) for the quantile
+        # family — quantileState(0.5)(x) is the canonical
+        # AggregatingMergeTree column type ([U] src/AggregateFunctions/
+        # Combinators/AggregateFunctionState.h); see
+        # _PARAMETRIC_STATE_MERGE for the rendered partials.
+        p_base, p_ifs, p_sm = name, 0, None
+        while p_base not in _PARAMETRIC:
+            if p_base.endswith("If") and len(p_base) > 2:
+                p_base, p_ifs = p_base[:-2], p_ifs + 1
+            elif p_sm is None and len(p_base) > 5 \
+                    and p_base.endswith(("State", "Merge")):
+                p_sm = "state" if p_base.endswith("State") else "merge"
+                p_base = p_base[:-5]
+            else:
+                break
         if p_ifs and p_base == "sequenceNextNode":
             # the CASE wrap cannot express ROW exclusion here: unlike
             # sequenceMatch/windowFunnel (which filter zero-bitmask
@@ -1779,7 +1933,15 @@ def _rewrite_calls(sql: str) -> str:
                     cond = args.pop()
                     args = [f"CASE WHEN {cond} THEN {a} END"
                             for a in args]
-                tpl = _PARAMETRIC[p_base]
+                if p_sm is not None:
+                    pair = _PARAMETRIC_STATE_MERGE.get(p_base)
+                    if pair is None:
+                        raise ValueError(
+                            f"{name}: -State/-Merge is not supported "
+                            f"for parametric base {p_base}")
+                    tpl = pair[0 if p_sm == "state" else 1]
+                else:
+                    tpl = _PARAMETRIC[p_base]
                 if callable(tpl):
                     out.append(tpl(params, args))
                     i = close2 + 1

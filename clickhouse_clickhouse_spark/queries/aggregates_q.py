@@ -1868,3 +1868,41 @@ def ch_sql_state_merge(spark, sf):
                  minState(n_nationkey) AS mn
           FROM nation GROUP BY r, p) t
         GROUP BY r""")
+
+
+@register("ch_sql_state_merge_parametric", oracle="""
+SELECT CAST(l_returnflag AS VARCHAR) AS rf,
+       round(quantile_cont(l_quantity, 0.5), 6) AS q50,
+       round(quantile_cont(l_quantity, 0.9), 6) AS q90,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END), 2)
+           AS sum_open,
+       count(DISTINCT l_suppkey % 512) AS bm
+FROM lineitem GROUP BY l_returnflag
+""")
+def ch_sql_state_merge_parametric(spark, sf):
+    """Parametric + structural -State/-Merge in dialect SQL (round 9,
+    [U] src/AggregateFunctions/Combinators/AggregateFunctionState.h —
+    quantileState/Merge is the canonical AggregatingMergeTree column
+    type): quantileExactState keeps the raw collection and the merge
+    readout linear-interpolates exactly like PERCENTILE / DuckDB
+    quantile_cont, so the two-phase form over an inner
+    (returnflag, linestatus) grouping hash-matches the one-phase
+    oracle; sumIfState + groupBitmapState ride along. The KLL-backed
+    quantileState/quantilesState (sketch states) are tolerance-gated in
+    tests/test_combinator_compose.py."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return ch_sql(spark, """
+        SELECT rf, round(quantileExactMerge(0.5)(q50), 6) AS q50,
+               round(quantileExactMerge(0.9)(q90), 6) AS q90,
+               round(sumMerge(so), 2) AS sum_open,
+               groupBitmapMerge(bm) AS bm
+        FROM (
+          SELECT l_returnflag AS rf, l_linestatus AS ls,
+                 quantileExactState(0.5)(l_quantity) AS q50,
+                 quantileExactState(0.9)(l_quantity) AS q90,
+                 sumIfState(l_extendedprice, l_linestatus = 'O') AS so,
+                 groupBitmapState(l_suppkey % 512) AS bm
+          FROM lineitem GROUP BY rf, ls) t
+        GROUP BY rf""")

@@ -589,3 +589,28 @@ def ch_sql_sequence_next_node(spark, sf):
                    event_type = 'view', event_type = 'click')
                  AS nxt_last
         FROM events GROUP BY user_id""")
+
+
+@register("ch_sql_interval_calendar", oracle="""
+SELECT time_bucket(INTERVAL '2 months', ts, TIMESTAMP '1970-01-01') AS m2,
+       time_bucket(INTERVAL '14 days', ts, TIMESTAMP '1970-01-05') AS w2,
+       count(*) AS n,
+       round(sum(value), 4) AS sv
+FROM events GROUP BY m2, w2
+""")
+def ch_sql_interval_calendar(spark, sf):
+    """toStartOfInterval with n>1 CALENDAR grains (round 9, [U]
+    src/Functions/toStartOfInterval.cpp): 2-month buckets quantize the
+    months-since-1970-01 index, 2-week buckets anchor at 1970-01-05
+    (the first epoch Monday, upstream's week origin). The DuckDB oracle
+    replays both with time_bucket + explicit epoch origins — the
+    default time_bucket origin (2000-01-03) would sit one week out of
+    phase for even n, which is exactly the anchoring the test pins."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return ch_sql(spark, """
+        SELECT toStartOfInterval(ts, INTERVAL 2 MONTH) AS m2,
+               toStartOfInterval(ts, INTERVAL 2 WEEK) AS w2,
+               count() AS n, round(sum(value), 4) AS sv
+        FROM events GROUP BY m2, w2""")

@@ -1381,9 +1381,26 @@ def test_sequence_time_constraints_and_cap(spark):
                sequenceCount('(?3)')(ts, {conds6}) AS n
         FROM sq_c GROUP BY u""").collect()[0]
     assert r.m is True and r.n == 1
-    conds9 = ", ".join(["a"] * 9)
-    with _p.raises(ValueError, match="up to 8"):
-        translate(f"SELECT sequenceMatch('(?1)')(ts, {conds9}) FROM t")
+    # round 9: hex-quad tokens lift the cap 8 -> 16 (upstream allows 32)
+    conds17 = ", ".join(["a"] * 17)
+    with _p.raises(ValueError, match="up to 16"):
+        translate(f"SELECT sequenceMatch('(?1)')(ts, {conds17}) FROM t")
+    with _p.raises(ValueError, match="up to 15"):
+        translate("SELECT sequenceNextNode('forward', 'head')"
+                  f"(ts, e, {conds17}) FROM t")
+    # 12 conditions execute end-to-end through the widened alphabet:
+    # a chain across all 12, a high-bit count, and a guarded pair
+    conds12 = ", ".join(f"e = 'y{i}'" for i in range(12))
+    spark.createDataFrame(
+        [(1, T(i), f"y{i}") for i in range(12)] + [(1, T(12), "y11")],
+        "u int, ts timestamp, e string").createOrReplaceTempView("sq_w")
+    pat12 = "".join(f"(?{i})" for i in range(1, 13))
+    r = ch_sql(spark, f"""
+        SELECT sequenceMatch('{pat12}')(ts, {conds12}) AS chain,
+               sequenceCount('(?12)')(ts, {conds12}) AS hi,
+               sequenceMatch('(?10)(?t<5)(?11)')(ts, {conds12}) AS g
+        FROM sq_w GROUP BY u""").collect()[0]
+    assert r.chain is True and r.hi == 2 and r.g is True
 
 
 def test_create_dictionary_and_dictget(spark):

@@ -447,10 +447,89 @@ def test_state_merge_two_phase_equals_direct(spark):
           FROM sm_t GROUP BY g) t""").collect()[0]
     assert r.s == sum(i for i in range(100) if i % 2 == 0)
     for bad, msg in [
-        ("SELECT medianState(x) FROM t", "not supported"),
+        ("SELECT corrState(x, p) FROM t", "not supported"),
         ("SELECT sumStateOrNull(x) FROM t", "OrNull"),
-        ("SELECT sumArrayState(x) FROM t", "composes only"),
         ("SELECT sumStateMerge(x) FROM t", "composes only"),
+        # structural AFTER -State is the wrong order (upstream names put
+        # the structural combinator before -State: sumMapState)
+        ("SELECT sumStateMap(x) FROM t", "structural"),
+        ("SELECT avgMapState(x) FROM t", "not supported"),
+        ("SELECT quantileTimingState(0.5)(x) FROM t", "not supported"),
     ]:
         with _p.raises(ValueError, match=msg):
             translate(bad)
+
+
+def test_state_merge_structural_and_parametric(spark):
+    """Round 9: -State/-Merge under ONE structural combinator
+    (sumMapState, countForEachState, maxArrayState, ...) and for
+    parametric quantile bases ([U] src/AggregateFunctions/Combinators/
+    AggregateFunctionState.h — quantileState is the canonical
+    AggregatingMergeTree column type). Exact bases: two-phase ==
+    one-phase bit-for-bit; KLL-backed quantile states: rank-error
+    tolerance."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    spark.range(100).selectExpr(
+        "id AS x", "id % 7 AS g", "id % 5 AS p",
+        "map('a', id % 3, 'b', id % 4) AS m",
+        "array(id % 3, id % 5, id % 2) AS arr") \
+        .createOrReplaceTempView("smsp_t")
+    two = ch_sql(spark, """
+      SELECT toInt64(sumMapMerge(sm)['a']) AS sma,
+             countMapMerge(cm)['b'] AS cmb,
+             toInt64(minMapMerge(mm)['a']) AS mma,
+             toInt64(sumArrayMerge(sa)) AS sa,
+             toInt64(maxArrayMerge(ma)) AS ma,
+             sumForEachMerge(sfe) AS sfe, countForEachMerge(cfe) AS cfe,
+             uniqExactArrayMerge(uea) AS uea,
+             arraySort(groupArrayArrayMerge(gaa)) AS gaa
+      FROM (SELECT g, sumMapState(m) AS sm, countMapState(m) AS cm,
+                   minMapState(m) AS mm, sumArrayState(arr) AS sa,
+                   maxArrayState(arr) AS ma, sumForEachState(arr) AS sfe,
+                   countForEachState(arr) AS cfe,
+                   uniqExactArrayState(arr) AS uea,
+                   groupArrayArrayState(arr) AS gaa
+            FROM smsp_t GROUP BY g) s""").collect()[0]
+    one = ch_sql(spark, """
+      SELECT toInt64(sumMap(m)['a']) AS sma, countMap(m)['b'] AS cmb,
+             toInt64(minMap(m)['a']) AS mma,
+             toInt64(sumArray(arr)) AS sa, toInt64(maxArray(arr)) AS ma,
+             sumForEach(arr) AS sfe, countForEach(arr) AS cfe,
+             uniqExactArray(arr) AS uea,
+             arraySort(groupArrayArray(arr)) AS gaa
+      FROM smsp_t""").collect()[0]
+    assert tuple(two) == tuple(one)
+    # parametric: quantileExactState/Merge and medianState/Merge are
+    # EXACT (raw-collection state + interpolated readout == PERCENTILE);
+    # the KLL-backed family reads an actual element within the sketch's
+    # rank-error bound of the exact quantile
+    rows = ch_sql(spark, """
+      SELECT g, quantileExactMerge(0.5)(qe) AS qe, medianMerge(md) AS md,
+             quantileMerge(0.5)(q) AS q,
+             quantilesMerge(0.25, 0.75)(qs) AS qs,
+             groupBitmapMerge(bm) AS bm
+      FROM (SELECT g, p, quantileExactState(0.5)(x) AS qe,
+                   medianState(x) AS md, quantileState(0.5)(x) AS q,
+                   quantilesState(0.25, 0.75)(x) AS qs,
+                   groupBitmapState(x % 11) AS bm
+            FROM smsp_t GROUP BY g, p) s GROUP BY g""").collect()
+    ones = {r.g: r for r in ch_sql(spark, """
+      SELECT g, quantileExact(0.5)(x) AS qe, median(x) AS md,
+             groupBitmap(x % 11) AS bm
+      FROM smsp_t GROUP BY g""").collect()}
+    for r in rows:
+        o = ones[r.g]
+        assert r.qe == o.qe and r.md == o.md and r.bm == o.bm
+        # per-group values stride by 7 over ~14 samples: one stride is
+        # the max rank-1 gap for an element-valued median readout
+        assert abs(r.q - o.md) <= 7.0
+        assert r.qs[0] <= r.qs[1]
+    # -If composes under parametric -State
+    v = ch_sql(spark, """
+      SELECT quantileExactMerge(0.5)(s) AS v FROM (
+        SELECT g, quantileExactIfState(0.5)(x, x % 2 = 0) AS s
+        FROM smsp_t GROUP BY g) t""").collect()[0].v
+    exp = ch_sql(spark, "SELECT quantileExactIf(0.5)(x, x % 2 = 0) AS v "
+                        "FROM smsp_t").collect()[0].v
+    assert v == exp
