@@ -34,15 +34,22 @@ HEADLINE = [
     "topk_cosine",
 ]
 
-# Secondary section (round 6): the 5 heaviest of the 43-query
-# ClickBench-analog suite — reported under their own key so the primary
-# metric stays comparable across rounds.
+# Secondary section (round 6, widened round 9 per verdict item 7): the
+# 10 most expensive of the 43-query ClickBench-analog suite (measured at
+# sf0.1, descending) — reported under their own key so the primary
+# metric stays comparable across rounds. The first five are the round-6
+# set, so their trend lines continue unbroken.
 CLICKBENCH_HEAVY = [
     "cb_value_deciles",
     "cb_url_query_param_buckets",
     "cb_url_host_seg_topk",
     "cb_json_prop_buckets",
     "cb_url_path_depth",
+    "cb_activity_histogram",
+    "cb_user_retention_week",
+    "cb_busiest_10min",
+    "cb_user_minute_type",
+    "cb_day_type_uniq_matrix",
 ]
 
 

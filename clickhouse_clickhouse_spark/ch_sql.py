@@ -53,6 +53,26 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 # name -> template with {0}, {1}... arg slots (already-rewritten args)
+# accurateCast type argument: quoted upstream type name -> Spark type
+_ACC_CAST_TYPES = {
+    "int8": "TINYINT", "int16": "SMALLINT", "int32": "INT",
+    "int64": "BIGINT", "uint8": "SMALLINT", "uint16": "INT",
+    "uint32": "BIGINT", "uint64": "BIGINT", "float32": "FLOAT",
+    "float64": "DOUBLE", "string": "STRING", "date": "DATE",
+    "datetime": "TIMESTAMP", "bool": "BOOLEAN",
+}
+
+
+def _acc_cast_type(arg: str) -> str:
+    name = arg.strip().strip("'\"")
+    t = _ACC_CAST_TYPES.get(name.lower())
+    if t is None:
+        raise ValueError(
+            f"accurateCast: unsupported target type {name!r} "
+            f"(supported: {sorted(_ACC_CAST_TYPES)})")
+    return t
+
+
 _FUNCS: dict[str, str] = {
     # conversions
     "toInt8": "CAST({0} AS TINYINT)", "toInt16": "CAST({0} AS SMALLINT)",
@@ -62,7 +82,15 @@ _FUNCS: dict[str, str] = {
     "toFloat32": "CAST({0} AS FLOAT)", "toFloat64": "CAST({0} AS DOUBLE)",
     "toString": "CAST({0} AS STRING)", "toDate": "TO_DATE({0})",
     "toDateTime": "CAST({0} AS TIMESTAMP)",
+    "toDecimal32": "CAST({0} AS DECIMAL(9, {1}))",
     "toDecimal64": "CAST({0} AS DECIMAL(18, {1}))",
+    "toDecimal128": "CAST({0} AS DECIMAL(38, {1}))",
+    "toDecimal32OrNull": "TRY_CAST({0} AS DECIMAL(9, {1}))",
+    "toDecimal64OrNull": "TRY_CAST({0} AS DECIMAL(18, {1}))",
+    "toDecimal128OrNull": "TRY_CAST({0} AS DECIMAL(38, {1}))",
+    "accurateCast": lambda a: f"CAST({a[0]} AS {_acc_cast_type(a[1])})",
+    "accurateCastOrNull":
+        lambda a: f"TRY_CAST({a[0]} AS {_acc_cast_type(a[1])})",
     # date/time
     "toYear": "YEAR({0})", "toMonth": "MONTH({0})",
     "toDayOfMonth": "DAY({0})", "toHour": "HOUR({0})",
@@ -89,7 +117,41 @@ _FUNCS: dict[str, str] = {
     "today": "CURRENT_DATE()", "now": "CURRENT_TIMESTAMP()",
     "yesterday": "DATE_SUB(CURRENT_DATE(), 1)",
     "addDays": "DATE_ADD({0}, {1})", "subtractDays": "DATE_SUB({0}, {1})",
-    "addMonths": "ADD_MONTHS({0}, {1})",
+    # month/year arithmetic via calendar intervals: preserves the TIME
+    # component on DateTime inputs (the reference keeps it; ADD_MONTHS
+    # would truncate to DATE) and stays DATE for DATE inputs; month-end
+    # clamping matches (Jan 31 + 1 month = Feb 29)
+    "addMonths": "({0} + MAKE_INTERVAL(0, {1}, 0, 0, 0, 0, 0))",
+    "subtractMonths": "({0} - MAKE_INTERVAL(0, {1}, 0, 0, 0, 0, 0))",
+    "addYears": "({0} + MAKE_INTERVAL({1}, 0, 0, 0, 0, 0, 0))",
+    "subtractYears": "({0} - MAKE_INTERVAL({1}, 0, 0, 0, 0, 0, 0))",
+    "addWeeks": "DATE_ADD({0}, ({1}) * 7)",
+    "subtractWeeks": "DATE_SUB({0}, ({1}) * 7)",
+    "addHours": "({0} + MAKE_INTERVAL(0, 0, 0, 0, {1}, 0, 0))",
+    "subtractHours": "({0} - MAKE_INTERVAL(0, 0, 0, 0, {1}, 0, 0))",
+    "addMinutes": "({0} + MAKE_INTERVAL(0, 0, 0, 0, 0, {1}, 0))",
+    "subtractMinutes": "({0} - MAKE_INTERVAL(0, 0, 0, 0, 0, {1}, 0))",
+    "addSeconds": "({0} + MAKE_INTERVAL(0, 0, 0, 0, 0, 0, {1}))",
+    "subtractSeconds": "({0} - MAKE_INTERVAL(0, 0, 0, 0, 0, 0, {1}))",
+    # 30-minute slotting + slot enumeration ([U] src/Functions/timeSlots.cpp)
+    "timeSlot": "TIMESTAMP_SECONDS(CAST(FLOOR(UNIX_TIMESTAMP({0}) / 1800)"
+                " AS BIGINT) * 1800)",
+    "timeSlots": lambda a: (
+        "TRANSFORM(SEQUENCE(CAST(FLOOR(UNIX_TIMESTAMP({t}) / {sz}) AS "
+        "BIGINT), CAST(FLOOR((UNIX_TIMESTAMP({t}) + ({d})) / {sz}) AS "
+        "BIGINT)), __i -> TIMESTAMP_SECONDS(__i * {sz}))".format(
+            t=a[0], d=a[1], sz=a[2] if len(a) == 3 else 1800)),
+    # toRelative*Num family ([U] src/Functions/toRelative*Num.cpp):
+    # monotone epoch-anchored counters (weekNum omitted — its upstream
+    # anchor is not derivable from the docs; refuses via passthrough)
+    "toRelativeYearNum": "CAST(YEAR({0}) AS INT)",
+    "toRelativeQuarterNum": "CAST(YEAR({0}) * 4 + QUARTER({0}) - 1 AS INT)",
+    "toRelativeMonthNum": "CAST(YEAR({0}) * 12 + MONTH({0}) AS INT)",
+    "toRelativeDayNum":
+        "CAST(DATEDIFF(CAST({0} AS DATE), DATE'1970-01-01') AS INT)",
+    "toRelativeHourNum": "CAST(FLOOR(UNIX_TIMESTAMP({0}) / 3600) AS BIGINT)",
+    "toRelativeMinuteNum": "CAST(FLOOR(UNIX_TIMESTAMP({0}) / 60) AS BIGINT)",
+    "toRelativeSecondNum": "UNIX_TIMESTAMP({0})",
     # the reference quotes the unit ('hour'); Spark's TIMESTAMPDIFF
     # takes a bare keyword — strip quotes at translate time
     "dateDiff": lambda a: "TIMESTAMPDIFF({}, {}, {})".format(
@@ -129,6 +191,24 @@ _FUNCS: dict[str, str] = {
     # empty/all-NULL groups
     "any": "FIRST({0}, TRUE)", "anyLast": "LAST({0}, TRUE)",
     "argMin": "MIN_BY({0}, {1})", "argMax": "MAX_BY({0}, {1})",
+    # NULL unless the group has exactly one distinct value ([U]
+    # AggregateFunctionSingleValueOrNull.h)
+    "singleValueOrNull": "(CASE WHEN COUNT(DISTINCT {0}) = 1 "
+                         "THEN MAX({0}) END)",
+    # slope between the min-x and max-x points ([U]
+    # AggregateFunctionBoundingRatio.h)
+    "boundingRatio": "((MAX_BY({1}, {0}) - MIN_BY({1}, {0})) "
+                     "/ (MAX({0}) - MIN({0})))",
+    # exact mode where upstream uses a probabilistic heavy-hitter slot
+    # (documented deviation: MODE is exact, anyHeavy is approximate)
+    "anyHeavy": "MODE({0})",
+    "groupConcat": "ARRAY_JOIN(TRANSFORM(COLLECT_LIST({0}), "
+                   "__x -> CAST(__x AS STRING)), '')",
+    # in-frame offset access: Spark's LAG/LEAD over the same window
+    # (upstream adds the InFrame variants because its plain lag/lead
+    # don't exist as window functions; frame-edge behavior matches for
+    # the default full frame)
+    "lagInFrame": "LAG({*})", "leadInFrame": "LEAD({*})",
     "groupArray": "COLLECT_LIST({0})", "groupUniqArray": "COLLECT_SET({0})",
     "countIf": "COUNT_IF({0})",
     "sumIf": "SUM(CASE WHEN {1} THEN {0} END)",
@@ -381,6 +461,45 @@ _FUNCS: dict[str, str] = {
     "trimBoth": "TRIM({0})", "initcap": "INITCAP({0})",
     "countMatches": "REGEXP_COUNT({0}, {1})",
     "isNaN": "ISNAN({0})",
+    "isInfinite": "(ABS({0}) = CAST('Infinity' AS DOUBLE))",
+    "ifNotFinite": "(CASE WHEN ISNAN({0}) OR ABS({0}) = "
+                   "CAST('Infinity' AS DOUBLE) THEN {1} ELSE {0} END)",
+    "bitCount": "BIT_COUNT({0})",
+    "bitTest": "CAST((SHIFTRIGHT({0}, {1}) & 1) AS INT)",
+    "bitTestAll": lambda a: ("CAST(IF(" + " AND ".join(
+        f"(SHIFTRIGHT({a[0]}, {b}) & 1) = 1" for b in a[1:]) +
+        ", 1, 0) AS INT)"),
+    "bitTestAny": lambda a: ("CAST(IF(" + " OR ".join(
+        f"(SHIFTRIGHT({a[0]}, {b}) & 1) = 1" for b in a[1:]) +
+        ", 1, 0) AS INT)"),
+    # 64-bit rotates (two's-complement wraparound, upstream UInt64 view)
+    # rotate on the 64-bit two's-complement view (upstream rotates at
+    # the argument's own width; INT literals would rotate at 32 bits
+    # without the BIGINT cast)
+    "bitRotateLeft": "(SHIFTLEFT(CAST({0} AS BIGINT), {1}) | "
+                     "SHIFTRIGHTUNSIGNED(CAST({0} AS BIGINT), 64 - ({1})))",
+    "bitRotateRight": "(SHIFTRIGHTUNSIGNED(CAST({0} AS BIGINT), {1}) | "
+                      "SHIFTLEFT(CAST({0} AS BIGINT), 64 - ({1})))",
+    # magnitude-bucketing helpers ([U] src/Functions/roundToExp2.cpp,
+    # roundDuration.cpp, roundAge.cpp): fixed reporting grids
+    "roundToExp2": "(CASE WHEN NOT ({0} >= 1) THEN 0L ELSE "
+                   "CAST(POW(2, FLOOR(LOG2(CAST({0} AS DOUBLE)))) "
+                   "AS BIGINT) END)",
+    "roundDuration": "(CASE WHEN NOT ({0} >= 1) THEN 0L "
+        "WHEN {0} < 10 THEN 1L WHEN {0} < 30 THEN 10L "
+        "WHEN {0} < 60 THEN 30L WHEN {0} < 120 THEN 60L "
+        "WHEN {0} < 180 THEN 120L WHEN {0} < 240 THEN 180L "
+        "WHEN {0} < 300 THEN 240L WHEN {0} < 600 THEN 300L "
+        "WHEN {0} < 1200 THEN 600L WHEN {0} < 1800 THEN 1200L "
+        "WHEN {0} < 3600 THEN 1800L WHEN {0} < 7200 THEN 3600L "
+        "WHEN {0} < 18000 THEN 7200L WHEN {0} < 36000 THEN 18000L "
+        "ELSE 36000L END)",
+    "roundAge": "(CASE WHEN NOT ({0} >= 1) THEN 0L "
+        "WHEN {0} < 18 THEN 17L WHEN {0} < 25 THEN 18L "
+        "WHEN {0} < 35 THEN 25L WHEN {0} < 45 THEN 35L "
+        "WHEN {0} < 55 THEN 45L ELSE 55L END)",
+    "roundDown": "COALESCE(ARRAY_MAX(FILTER(ARRAY_SORT({1}), "
+                 "__e -> __e <= {0})), ELEMENT_AT(ARRAY_SORT({1}), 1))",
     "isFinite": "(NOT (ISNAN({0}) OR ABS({0}) = CAST('Infinity' AS DOUBLE)))",
     # arithmetic / misc
     "intDiv": "DIV(CAST({0} AS BIGINT), CAST({1} AS BIGINT))",
@@ -411,6 +530,26 @@ _FUNCS: dict[str, str] = {
     "toDaysSinceYearZero":
         "CAST(DATEDIFF({0}, DATE'0001-01-01') + 366 AS BIGINT)",
     "UUIDStringToNum": "UNHEX(REPLACE({0}, '-', ''))",
+    # angle in radians x a 6371 km sphere -> meters (matches the
+    # upstream docs example within 4e-6 and operators/advanced.
+    # haversine_km; [U] src/Functions/greatCircleDistance.cpp)
+    "greatCircleDistance":
+        "(ACOS(LEAST(GREATEST("
+        "SIN(RADIANS({1})) * SIN(RADIANS({3}))"
+        " + COS(RADIANS({1})) * COS(RADIANS({3}))"
+        " * COS(RADIANS(({2}) - ({0}))), -1.0D), 1.0D)) "
+        "* 6371000.0D)",
+    "cutFragment": "REGEXP_REPLACE({0}, '#.*$', '')",
+    "extractURLParameters":
+        "FILTER(SPLIT(COALESCE(PARSE_URL({0}, 'QUERY'), ''), '&'), "
+        "__p -> __p != '')",
+    "extractURLParameterNames":
+        "TRANSFORM(FILTER(SPLIT(COALESCE(PARSE_URL({0}, 'QUERY'), ''), "
+        "'&'), __p -> __p != ''), __p -> ELEMENT_AT(SPLIT(__p, '='), 1))",
+    "toFixedString":
+        "(CASE WHEN LENGTH({0}) > {1} THEN CAST(RAISE_ERROR(CONCAT("
+        "'toFixedString: value longer than ', CAST({1} AS STRING))) "
+        "AS STRING) ELSE RPAD({0}, {1}, CHAR(0)) END)",
     "greatCircleAngle":
         "DEGREES(ACOS(LEAST(GREATEST("
         "SIN(RADIANS({1})) * SIN(RADIANS({3}))"
@@ -521,6 +660,17 @@ _FUNCS: dict[str, str] = {
         "- CAST({lo} AS DOUBLE)) * ({w}), 0) AS INT))").format(
             x=a[0], lo=a[1], hi=a[2], w=a[3] if len(a) > 3 else "80"),
     "mapKeys": "MAP_KEYS({0})", "mapValues": "MAP_VALUES({0})",
+    "mapContains": "MAP_CONTAINS_KEY({0}, {1})",
+    "arrayRotateLeft":
+        "(CASE WHEN SIZE({0}) < 2 THEN {0} ELSE CONCAT("
+        "SLICE({0}, CAST(PMOD({1}, SIZE({0})) AS INT) + 1, "
+        "SIZE({0}) - CAST(PMOD({1}, SIZE({0})) AS INT)), "
+        "SLICE({0}, 1, CAST(PMOD({1}, SIZE({0})) AS INT))) END)",
+    "arrayRotateRight":
+        "(CASE WHEN SIZE({0}) < 2 THEN {0} ELSE CONCAT("
+        "SLICE({0}, CAST(PMOD(-({1}), SIZE({0})) AS INT) + 1, "
+        "SIZE({0}) - CAST(PMOD(-({1}), SIZE({0})) AS INT)), "
+        "SLICE({0}, 1, CAST(PMOD(-({1}), SIZE({0})) AS INT))) END)",
     "arrayZip": "ARRAYS_ZIP({*})",
     "toStartOfTenMinutes":
         "TIMESTAMP_SECONDS(FLOOR(UNIX_TIMESTAMP({0}) / 600) * 600)",
@@ -549,6 +699,12 @@ _PARAMETRIC: dict = {
     # reference: exact count while <= N, else N+1
     "uniqUpTo": "LEAST(COUNT(DISTINCT {a0}), {p0} + 1)",
     "groupArraySorted": "SLICE(ARRAY_SORT(COLLECT_LIST({a0})), 1, {p0})",
+    # last n collected values (same insertion-order stance as groupArray)
+    "groupArrayLast":
+        "SLICE(COLLECT_LIST({a0}), "
+        "GREATEST(SIZE(COLLECT_LIST({a0})) - ({p0}) + 1, 1), {p0})",
+    "groupConcat": "ARRAY_JOIN(TRANSFORM(COLLECT_LIST({a0}), "
+                   "__x -> CAST(__x AS STRING)), {p0})",
     # per-distinct-value WEIGHT SUM (the old MAP_FROM_ARRAYS form threw
     # DUPLICATED_MAP_KEY the moment a value repeated — round-8 fix);
     # rows with a NULL value or NULL weight are skipped entirely like
@@ -909,6 +1065,35 @@ _STATE_MERGE: dict[str, tuple[str, str]] = {
     "groupBitmap": ("COLLECT_SET({0})",
                     "CAST(SIZE(ARRAY_DISTINCT(FLATTEN("
                     "COLLECT_LIST({0})))) AS BIGINT)"),
+    # two-argument bases: the state is a struct partial, the merge
+    # re-runs the pick over (chosen-arg, chosen-key) pairs — exact
+    "argMin": ("NAMED_STRUCT('a', MIN_BY({0}, {1}), 'k', MIN({1}))",
+               "MIN_BY({0}.a, {0}.k)"),
+    "argMax": ("NAMED_STRUCT('a', MAX_BY({0}, {1}), 'k', MAX({1}))",
+               "MAX_BY({0}.a, {0}.k)"),
+    # moment partials (n, s, s2) — the textbook mergeable form; the
+    # merged readout can differ from Spark's numerically-stabilized
+    # one-phase STDDEV in the last float digits (tolerance-gated)
+    "varPop": ("NAMED_STRUCT('n', COUNT({0}), "
+               "'s', SUM(CAST({0} AS DOUBLE)), "
+               "'s2', SUM(CAST({0} AS DOUBLE) * CAST({0} AS DOUBLE)))",
+               "((SUM({0}.s2) - SUM({0}.s) * SUM({0}.s) / SUM({0}.n)) "
+               "/ SUM({0}.n))"),
+    "varSamp": ("NAMED_STRUCT('n', COUNT({0}), "
+                "'s', SUM(CAST({0} AS DOUBLE)), "
+                "'s2', SUM(CAST({0} AS DOUBLE) * CAST({0} AS DOUBLE)))",
+                "((SUM({0}.s2) - SUM({0}.s) * SUM({0}.s) / SUM({0}.n)) "
+                "/ (SUM({0}.n) - 1))"),
+    "stddevPop": ("NAMED_STRUCT('n', COUNT({0}), "
+                  "'s', SUM(CAST({0} AS DOUBLE)), "
+                  "'s2', SUM(CAST({0} AS DOUBLE) * CAST({0} AS DOUBLE)))",
+                  "SQRT((SUM({0}.s2) - SUM({0}.s) * SUM({0}.s) "
+                  "/ SUM({0}.n)) / SUM({0}.n))"),
+    "stddevSamp": ("NAMED_STRUCT('n', COUNT({0}), "
+                   "'s', SUM(CAST({0} AS DOUBLE)), "
+                   "'s2', SUM(CAST({0} AS DOUBLE) * CAST({0} AS DOUBLE)))",
+                   "SQRT((SUM({0}.s2) - SUM({0}.s) * SUM({0}.s) "
+                   "/ SUM({0}.n)) / (SUM({0}.n) - 1))"),
     # median = quantileExact(0.5): raw-collection state, EXACT
     # interpolated readout at merge (same definition as PERCENTILE /
     # DuckDB quantile_cont, so two-phase == one-phase bit-for-bit)
@@ -976,7 +1161,9 @@ def _compose_combinators(name: str):
     base = _AGG_BASES[base_name]
 
     def tpl(args: list[str]) -> str:
-        n = base["n"]
+        # -Merge consumes ONE state column whatever the base arity
+        # (argMaxMerge(state), corrMerge(state) — upstream signature)
+        n = 1 if "Merge" in stack else base["n"]
         n_if = stack.count("If")
         if base_name == "count" and len(args) == n_if:
             # count() is nullary upstream: countIf(cond) counts rows
@@ -3382,6 +3569,10 @@ def _dict_hier_tpl(args: list[str], is_in: bool) -> str:
         return f"COALESCE(ARRAY_CONTAINS({path}, ({args[2]})), FALSE)"
     return path
 
+
+# built from the normalizeQuery template so the regex escaping stays
+# single-sourced
+_FUNCS["normalizedQueryHash"] = "XXHASH64(" + _FUNCS["normalizeQuery"] + ")"
 
 _FUNCS.update({
     "dictGet": lambda a: _dict_get_tpl(a),

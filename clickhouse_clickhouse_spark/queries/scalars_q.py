@@ -1766,3 +1766,55 @@ def ch_sql_dict_hierarchy(spark, sf):
                dictIsIn('q_hier_dict', toInt64(n_nationkey),
                         toInt64(n_nationkey)) AS in_self
         FROM nation""")
+
+
+@register("ch_sql_scalar_tail_r9", oracle="""
+SELECT event_id,
+       CAST(ts - INTERVAL 2 MONTH AS TIMESTAMP) AS sub2m,
+       time_bucket(INTERVAL '30 minutes', ts) AS slot,
+       CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+            AS INT) AS rel_day,
+       CAST(bit_count(event_id) AS INT) AS bc,
+       CAST((event_id >> 2) & 1 AS INT) AS bt,
+       CASE WHEN NOT (event_id >= 1) THEN 0
+            ELSE CAST(pow(2, floor(log2(CAST(event_id AS DOUBLE))))
+                      AS BIGINT) END AS exp2,
+       CASE WHEN NOT (value * 100 >= 1) THEN 0
+            WHEN value * 100 < 10 THEN 1 WHEN value * 100 < 30 THEN 10
+            WHEN value * 100 < 60 THEN 30 WHEN value * 100 < 120 THEN 60
+            WHEN value * 100 < 180 THEN 120 WHEN value * 100 < 240 THEN 180
+            WHEN value * 100 < 300 THEN 240 WHEN value * 100 < 600 THEN 300
+            WHEN value * 100 < 1200 THEN 600 WHEN value * 100 < 1800 THEN 1200
+            WHEN value * 100 < 3600 THEN 1800 WHEN value * 100 < 7200 THEN 3600
+            WHEN value * 100 < 18000 THEN 7200
+            WHEN value * 100 < 36000 THEN 18000
+            ELSE 36000 END AS dur,
+       round(acos(least(greatest(
+           sin(radians(value)) * sin(radians(value + 1))
+           + cos(radians(value)) * cos(radians(value + 1))
+           * cos(radians(1.5)), -1.0), 1.0)) * 6371000.0, 2) AS gcd,
+       CAST(isinf(1.0 / nullif(value - value, 1)) AS BOOLEAN) AS inf
+FROM events WHERE event_id < 500
+""")
+def ch_sql_scalar_tail_r9(spark, sf):
+    """Round-9 scalar tail in dialect SQL — subtract/add*, timeSlot,
+    toRelative*Num, bitCount/bitTest, roundToExp2/roundDuration,
+    greatCircleDistance, isInfinite — each replayed value-exactly by the
+    DuckDB oracle ([U] src/Functions/{timeSlots,roundToExp2,
+    roundDuration,greatCircleDistance}.cpp)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return ch_sql(spark, """
+        SELECT event_id,
+               subtractMonths(ts, 2) AS sub2m,
+               timeSlot(ts) AS slot,
+               toRelativeDayNum(ts) AS rel_day,
+               CAST(bitCount(event_id) AS INT) AS bc,
+               bitTest(event_id, 2) AS bt,
+               roundToExp2(event_id) AS exp2,
+               roundDuration(value * 100) AS dur,
+               round(greatCircleDistance(value, value, 1.5 + value,
+                                         value + 1), 2) AS gcd,
+               isInfinite(1.0 / nullif(value - value, 1)) AS inf
+        FROM events WHERE event_id < 500""")

@@ -1758,3 +1758,48 @@ def test_sequence_next_node_dialect(spark):
     with _p.raises(ValueError, match="sequenceNextNodeIf"):
         translate("SELECT sequenceNextNodeIf('forward', 'head')"
                   "(ts, e, a, b, c) FROM t")
+
+
+def test_round9_scalar_tail(spark):
+    """Round-9 dialect tail — every new template executes and matches a
+    hand-checked value (the oracle query ch_sql_scalar_tail_r9 covers
+    the rest value-exactly vs DuckDB)."""
+    import pytest as _p
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, translate
+
+    spark.createDataFrame([(1,)], "i int").createOrReplaceTempView("one9")
+    r = ch_sql(spark, """
+        SELECT bitRotateLeft(bitRotateRight(123456789, 13), 13) AS rot,
+               bitTestAll(7, 0, 1, 2) AS bta, bitTestAny(4, 0, 1) AS btany,
+               length(toFixedString('ab', 4)) AS fx,
+               CAST(toDecimal32('3.145', 2) AS STRING) AS dec32,
+               accurateCast('42', 'Int64') AS ac,
+               accurateCastOrNull('abc', 'Int64') AS acn,
+               mapContains(map('a', 1), 'a') AS mc,
+               arrayRotateLeft(array(1, 2, 3, 4, 5), 7) AS rotl,
+               arrayRotateRight(array(1, 2, 3), 1) AS rotr,
+               roundDown(7, array(1, 5, 10)) AS rd,
+               roundAge(44) AS ra,
+               size(timeSlots(CAST('2024-03-15 10:44:00' AS TIMESTAMP),
+                              3600)) AS slots,
+               ifNotFinite(CAST('NaN' AS DOUBLE), 42.0) AS inf,
+               extractURLParameterNames('http://x.com/a?b=1&c=2') AS pn,
+               toRelativeMonthNum(CAST('2023-01-10' AS DATE)) AS rm,
+               (normalizedQueryHash('SELECT 1 + 2') =
+                normalizedQueryHash('SELECT 3 + 4')) AS nqh,
+               addHours(CAST('2024-03-15 10:00:00' AS TIMESTAMP), 5) AS ah,
+               subtractMonths(CAST('2024-03-31 09:30:00' AS TIMESTAMP),
+                              1) AS sm
+        FROM one9""").collect()[0]
+    assert r.rot == 123456789 and r.bta == 1 and r.btany == 0
+    assert r.fx == 4 and r.dec32 == "3.15" and r.ac == 42 and r.acn is None
+    assert r.mc is True and r.rotl == [3, 4, 5, 1, 2] and r.rotr == [3, 1, 2]
+    assert r.rd == 5 and r.ra == 35 and r.slots == 3 and r.inf == 42.0
+    assert r.pn == ["b", "c"] and r.rm == 24277 and r.nqh is True
+    assert str(r.ah) == "2024-03-15 15:00:00"
+    # month-end clamp + preserved time component (the reference keeps
+    # the DateTime time-of-day; ADD_MONTHS would have truncated it)
+    assert str(r.sm) == "2024-02-29 09:30:00"
+    with _p.raises(ValueError, match="unsupported target type"):
+        translate("SELECT accurateCast(x, 'Tuple') FROM t")

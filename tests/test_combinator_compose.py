@@ -533,3 +533,50 @@ def test_state_merge_structural_and_parametric(spark):
     exp = ch_sql(spark, "SELECT quantileExactIf(0.5)(x, x % 2 = 0) AS v "
                         "FROM smsp_t").collect()[0].v
     assert v == exp
+
+
+def test_state_merge_round9_tail(spark):
+    """Round-9 tail: argMin/argMax State/Merge (exact, struct partial),
+    var/stddev State/Merge (moment partials, float-tolerance vs the
+    numerically-stabilized one-phase), merge arity = 1 state column for
+    two-argument bases, and the new aggregate scalar names."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    spark.range(100).selectExpr("id AS x", "id % 7 AS g",
+                                "pmod(id * 37, 101) AS k") \
+        .createOrReplaceTempView("t9sm")
+    two = ch_sql(spark, """
+      SELECT argMinMerge(amn) AS amn, argMaxMerge(amx) AS amx,
+             round(varPopMerge(vp), 9) AS vp,
+             round(varSampMerge(vs), 9) AS vs,
+             round(stddevPopMerge(sp), 9) AS sp,
+             round(stddevSampMerge(ss), 9) AS ss
+      FROM (SELECT g, argMinState(x, k) AS amn, argMaxState(x, k) AS amx,
+                   varPopState(x) AS vp, varSampState(x) AS vs,
+                   stddevPopState(x) AS sp, stddevSampState(x) AS ss
+            FROM t9sm GROUP BY g) s""").collect()[0]
+    one = ch_sql(spark, """
+      SELECT argMin(x, k) AS amn, argMax(x, k) AS amx,
+             round(varPop(x), 9) AS vp, round(varSamp(x), 9) AS vs,
+             round(stddevPop(x), 9) AS sp, round(stddevSamp(x), 9) AS ss
+      FROM t9sm""").collect()[0]
+    assert two.amn == one.amn and two.amx == one.amx
+    for f in ("vp", "vs", "sp", "ss"):
+        assert abs(two[f] - one[f]) < 1e-6, (f, two[f], one[f])
+    r2 = ch_sql(spark, """
+      SELECT singleValueOrNull(g) AS sv1,
+             boundingRatio(x, x * 2 + 1) AS br,
+             anyHeavy(g) IS NOT NULL AS ah,
+             groupConcat(',')(g) AS gc, groupConcat(g) AS gc0,
+             size(groupArrayLast(3)(x)) AS gal
+      FROM (SELECT * FROM t9sm WHERE g = 3) s""").collect()[0]
+    assert r2.sv1 == 3 and abs(r2.br - 2.0) < 1e-9 and r2.ah
+    assert r2.gc.startswith("3,3") and r2.gc0.startswith("33")
+    assert r2.gal == 3
+    assert ch_sql(spark, "SELECT singleValueOrNull(g) AS sv "
+                         "FROM t9sm").collect()[0].sv is None
+    rows = ch_sql(spark, """
+      SELECT x, lagInFrame(x, 1) OVER (ORDER BY x) AS lg,
+             leadInFrame(x) OVER (ORDER BY x) AS ld
+      FROM t9sm ORDER BY x LIMIT 3""").collect()
+    assert rows[0].lg is None and rows[1].lg == 0 and rows[0].ld == 1

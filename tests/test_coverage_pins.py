@@ -65,3 +65,18 @@ def test_backticked_query_references_exist():
                     and tok not in names:
                 stale.append((tok, row))
     assert not stale, f"stale backticked query references: {stale}"
+
+
+def test_recall_record_covers_every_ann_variant():
+    """RECALL.md (round-9 verdict item 6) must carry a recall row and a
+    recorded correctness gate for every ANN variant the registry
+    exposes, so recall regressions are as visible as perf regressions."""
+    with open("/root/repo/RECALL.md", encoding="utf-8") as f:
+        recall = f.read()
+    for variant in ("brute_force", "lsh", "ivf ", "pq ", "ivf-pq"):
+        assert f"| {variant}" in recall, f"missing RECALL.md row: {variant}"
+    for row in recall.splitlines():
+        if row.startswith("|") and not set(row.strip()) <= set("|- ") \
+                and "variant" not in row:
+            gate = row.strip().strip("|").split("|")[-1].strip()
+            assert gate, f"RECALL.md row missing its gate column: {row}"
