@@ -73,6 +73,248 @@ def _acc_cast_type(arg: str) -> str:
     return t
 
 
+# erf via the A&S 7.1.26 polynomial; shared by erf/erfc and the z-test
+# renderings. The arg expression repeats — pass a column/simple expr.
+_ERF_TPL = (
+    "(SIGN({0}) * (1.0D - (0.254829592D / (1.0D + 0.3275911D * ABS({0}))"
+    " - 0.284496736D * POWER(1.0D / (1.0D + 0.3275911D * ABS({0})), 2)"
+    " + 1.421413741D * POWER(1.0D / (1.0D + 0.3275911D * ABS({0})), 3)"
+    " - 1.453152027D * POWER(1.0D / (1.0D + 0.3275911D * ABS({0})), 4)"
+    " + 1.061405429D * POWER(1.0D / (1.0D + 0.3275911D * ABS({0})), 5))"
+    " * EXP(-ABS({0}) * ABS({0}))))")
+
+
+def _lgamma_pos_sql(x: str) -> str:
+    """ln Γ(x) for x > 0: Stirling series at y = x + 8 (|err| < 1e-10
+    there) pulled back through the recurrence
+    ln Γ(x) = ln Γ(x+8) − ln(x·(x+1)·…·(x+7))."""
+    y = f"(CAST({x} AS DOUBLE) + 8.0D)"
+    stir = (f"(({y} - 0.5D) * LN({y}) - {y} + 0.9189385332046727D"
+            f" + 1.0D / (12.0D * {y}) - 1.0D / (360.0D * POWER({y}, 3))"
+            f" + 1.0D / (1260.0D * POWER({y}, 5)))")
+    prod = " * ".join(f"(CAST({x} AS DOUBLE) + {i}.0D)" for i in range(8))
+    return f"({stir} - LN({prod}))"
+
+
+def _lgamma_tpl(a: list[str]) -> str:
+    """lgamma(x) ([U] src/Functions/FunctionMathUnary.h lgamma): the
+    positive branch via Stirling+recurrence, x <= 0 via the reflection
+    ln|Γ(x)| = ln(π/|sin πx|) − ln Γ(1−x) (poles at non-positive
+    integers surface as NULL/inf, matching libm's ±inf contract
+    loosely)."""
+    x = a[0]
+    pos = _lgamma_pos_sql(x)
+    refl = (f"(LN(PI() / ABS(SIN(PI() * CAST({x} AS DOUBLE)))) - "
+            + _lgamma_pos_sql(f"(1.0D - CAST({x} AS DOUBLE))") + ")")
+    return (f"(CASE WHEN CAST({x} AS DOUBLE) > 0.0D THEN {pos} "
+            f"ELSE {refl} END)")
+
+
+def _tgamma_tpl(a: list[str]) -> str:
+    """tgamma(x): exp(lgamma) for x > 0; the Euler reflection
+    Γ(x) = π / (sin(πx) · Γ(1−x)) for x <= 0 (keeps the alternating
+    sign that |exp(lgamma)| would lose)."""
+    x = a[0]
+    pos = f"EXP({_lgamma_pos_sql(x)})"
+    refl = (f"(PI() / (SIN(PI() * CAST({x} AS DOUBLE)) * "
+            f"EXP({_lgamma_pos_sql(f'(1.0D - CAST({x} AS DOUBLE))')})))")
+    return (f"(CASE WHEN CAST({x} AS DOUBLE) > 0.0D THEN {pos} "
+            f"ELSE {refl} END)")
+
+
+def _array_shift_tpl(a: list[str], left: bool) -> str:
+    """arrayShiftLeft/Right(arr, n[, fill]) ([U] src/Functions/
+    arrayShingles.cpp sibling family): drop n from one end, pad the
+    other with `fill`. DEVIATION: upstream pads with the element
+    type's default value (0 / ''); without type information the SQL
+    template pads NULL unless `fill` is passed explicitly. Negative n
+    shifts the other way, as upstream."""
+    arr, n = a[0], a[1]
+    fill = a[2] if len(a) == 3 else "NULL"
+    k = f"LEAST(CAST(ABS({n}) AS INT), SIZE({arr}))"
+    tail = f"CONCAT(SLICE({arr}, {k} + 1, SIZE({arr}) - {k}), " \
+           f"ARRAY_REPEAT({fill}, {k}))"
+    head = f"CONCAT(ARRAY_REPEAT({fill}, {k}), " \
+           f"SLICE({arr}, 1, SIZE({arr}) - {k}))"
+    pos_body, neg_body = (tail, head) if left else (head, tail)
+    return (f"(CASE WHEN SIZE({arr}) = 0 THEN {arr} "
+            f"WHEN CAST({n} AS INT) >= 0 THEN {pos_body} "
+            f"ELSE {neg_body} END)")
+
+
+def _fmt_timedelta_tpl(a: list[str]) -> str:
+    """formatReadableTimeDelta(sec[, max_unit]) ([U] src/Functions/
+    formatReadableTimeDelta.cpp): comma-joined non-zero units with
+    singular/plural forms; '0 seconds' for zero. Units supported here:
+    days/hours/minutes/seconds (upstream's default years/months use
+    365/30.5-day approximations — refused loudly, pass an explicit
+    max_unit). Whole seconds only (fractional input floors)."""
+    divisors = {"days": 86400, "hours": 3600, "minutes": 60,
+                "seconds": 1}
+    max_unit = "days"
+    if len(a) == 2:
+        m = re.fullmatch(r"\s*'(\w+)'\s*", a[1])
+        if not m or m.group(1) not in divisors:
+            raise ValueError(
+                "formatReadableTimeDelta: max_unit must be one of "
+                f"{sorted(divisors)} (years/months are 365/30.5-day "
+                "approximations upstream — not supported here)")
+        max_unit = m.group(1)
+    s = f"CAST(FLOOR(CAST({a[0]} AS DOUBLE)) AS BIGINT)"
+    parts, started = [], False
+    for unit, div in divisors.items():
+        if not started and unit != max_unit:
+            continue
+        if not started:
+            n = f"({s} DIV {div})" if div > 1 else s
+            started = True
+        else:
+            n = f"(PMOD({s}, {prev_div}) DIV {div})" if div > 1 \
+                else f"PMOD({s}, {prev_div})"
+        prev_div = div
+        parts.append(
+            f"IF({n} = 0, NULL, CONCAT(CAST({n} AS STRING), "
+            f"' {unit[:-1]}', IF({n} = 1, '', 's')))")
+    joined = "CONCAT_WS(', ', " + ", ".join(parts) + ")"
+    return f"IF({s} = 0, '0 seconds', {joined})"
+
+
+def _bind_once(bindings: dict[str, str], body: str) -> str:
+    """Evaluate each binding expression ONCE and expose it to `body`
+    as a field of the lambda struct `__v` — the single-element
+    TRANSFORM trick used by the sequence folds. `body` references
+    `__v.<name>`."""
+    ns = ", ".join(f"'{k}', {v}" for k, v in bindings.items())
+    return (f"ELEMENT_AT(TRANSFORM(ARRAY(NAMED_STRUCT({ns})), "
+            f"__v -> {body}), 1)")
+
+
+def _chars_sql(s: str) -> str:
+    # SEQUENCE(1, 0) DESCENDS in Spark — '' must give [], not ['', '']
+    return (f"TRANSFORM(IF(LENGTH({s}) = 0, ARRAY(), "
+            f"SEQUENCE(1, LENGTH({s}))), "
+            f"__k -> SUBSTRING({s}, __k, 1))")
+
+
+def _damerau_tpl(a: list[str]) -> str:
+    """damerauLevenshteinDistance(a, b) ([U] src/Functions/
+    StringDistance.cpp): the FULL Damerau-Levenshtein ("distance with
+    adjacent transpositions", the da/db formulation), not the
+    restricted/OSA variant — verified convention-identical to DuckDB's
+    native damerau_levenshtein on a 300-pair differential (e.g.
+    'ca'→'abc' is 2 here, 3 under OSA). Nested SQL folds: the outer
+    AGGREGATE walks the chars of `a` keeping ALL previous DP rows (the
+    transposition lane reaches back to the last row where a[k]=b[j]);
+    the inner AGGREGATE builds each row left-to-right. The da/db
+    last-occurrence state is recomputed functionally (ARRAY_MAX over a
+    FILTERed SEQUENCE) instead of carried — O(n·m·(n+m)), fine for the
+    function-argument string lengths this targets. Code-point distance
+    (upstream counts bytes; identical on ASCII)."""
+    s1, s2 = a
+    # k = last row index < i with a[k] = b[j]; l = last col < j with
+    # b[l] = a[i]; 0 when none (the maxdist sentinel row/col absorbs it)
+    # SEQUENCE(1, 0) DESCENDS in Spark — guard the i=1/j=1 edges
+    k = ("COALESCE(ARRAY_MAX(FILTER("
+         "IF(__e.i <= 1, ARRAY(), SEQUENCE(1, __e.i - 1)), "
+         "__p -> ELEMENT_AT(__v.a, __p) = __f.c)), 0)")
+    low = ("COALESCE(ARRAY_MAX(FILTER("
+           "IF(__f.j <= 1, ARRAY(), SEQUENCE(1, __f.j - 1)), "
+           "__q -> ELEMENT_AT(__v.b, __q) = __e.c)), 0)")
+    # rows[r+1] = pseudo-code row d[r]; while building row i+1 the
+    # outer acc holds rows d[0..i]; cur[c+1] = d[i+1][c]
+    cell = (
+        f"ELEMENT_AT(TRANSFORM(ARRAY(NAMED_STRUCT("
+        f"'k', {k}, 'l', {low})), __kl -> LEAST("
+        "ELEMENT_AT(ELEMENT_AT(__rw, __e.i + 1), __f.j + 1) "
+        "+ IF(__e.c = __f.c, 0, 1), "
+        "ELEMENT_AT(__cu, __f.j + 1) + 1, "
+        "ELEMENT_AT(ELEMENT_AT(__rw, __e.i + 1), __f.j + 2) + 1, "
+        "ELEMENT_AT(ELEMENT_AT(__rw, __kl.k + 1), __kl.l + 1) "
+        "+ (__e.i - __kl.k - 1) + 1 + (__f.j - __kl.l - 1))), 1)")
+    inner = (
+        "AGGREGATE("
+        "TRANSFORM(__v.b, (__bc, __bj) -> "
+        "NAMED_STRUCT('c', __bc, 'j', __bj + 1)), "
+        "ARRAY(SIZE(__v.a) + SIZE(__v.b), __e.i), "
+        f"(__cu, __f) -> CONCAT(__cu, ARRAY({cell})))")
+    init_rows = (
+        "ARRAY("
+        "ARRAY_REPEAT(SIZE(__v.a) + SIZE(__v.b), SIZE(__v.b) + 2), "
+        "CONCAT(ARRAY(SIZE(__v.a) + SIZE(__v.b)), "
+        "SEQUENCE(0, SIZE(__v.b))))")
+    body = (
+        "CASE WHEN SIZE(__v.a) = 0 THEN SIZE(__v.b) "
+        "WHEN SIZE(__v.b) = 0 THEN SIZE(__v.a) "
+        "ELSE ELEMENT_AT(ELEMENT_AT(AGGREGATE("
+        "TRANSFORM(__v.a, (__ac, __ai) -> "
+        "NAMED_STRUCT('c', __ac, 'i', __ai + 1)), "
+        f"{init_rows}, "
+        f"(__rw, __e) -> CONCAT(__rw, ARRAY({inner}))), "
+        "SIZE(__v.a) + 2), SIZE(__v.b) + 2) END")
+    return _bind_once({"a": _chars_sql(s1), "b": _chars_sql(s2)}, body)
+
+
+def _jaro_tpl(a: list[str], winkler: bool) -> str:
+    """jaroSimilarity / jaroWinklerSimilarity(a, b) ([U] src/Functions/
+    StringDistance.cpp JaroSimilarityImpl): greedy in-window matching
+    via a fold over `a`'s chars carrying `b`'s matched-flag array and
+    the matched chars of `a` in order; transpositions compared against
+    `b`'s matched chars afterwards. Winkler adds the standard
+    prefix boost l·0.1·(1−j) above the 0.7 threshold (max prefix 4).
+    Code-point based (upstream counts bytes; identical on ASCII)."""
+    s1, s2 = a
+    win = ("GREATEST(CAST(FLOOR(GREATEST(SIZE(__v.a), SIZE(__v.b)) "
+           "/ 2.0D) AS INT) - 1, 0)")
+    cand = (f"ARRAY_MIN(FILTER("
+            f"IF(GREATEST(__e.i - {win}, 1) > "
+            f"LEAST(SIZE(__v.b), __e.i + {win}), ARRAY(), "
+            f"SEQUENCE(GREATEST(__e.i - {win}, 1), "
+            f"LEAST(SIZE(__v.b), __e.i + {win}))), "
+            f"__j -> NOT ELEMENT_AT(__fl.fl, __j) "
+            f"AND ELEMENT_AT(__v.b, __j) = __e.c))")
+    fold = (
+        "AGGREGATE("
+        "TRANSFORM(__v.a, (__ac, __ai) -> "
+        "NAMED_STRUCT('c', __ac, 'i', __ai + 1)), "
+        "NAMED_STRUCT('fl', TRANSFORM(__v.b, __x -> FALSE), "
+        "'ma', CAST(ARRAY() AS ARRAY<STRING>)), "
+        "(__fl, __e) -> "
+        f"ELEMENT_AT(TRANSFORM(ARRAY({cand}), __j2 -> "
+        "IF(__j2 IS NULL, __fl, NAMED_STRUCT("
+        "'fl', TRANSFORM(__fl.fl, (__x, __k) -> __x OR __k + 1 = __j2), "
+        "'ma', CONCAT(__fl.ma, ARRAY(__e.c))))), 1))")
+    # m, transpositions, jaro — bound to the fold result __r
+    mb = ("TRANSFORM(FILTER(SEQUENCE(1, SIZE(__v.b)), "
+          "__j -> ELEMENT_AT(__r.fl, __j)), "
+          "__j -> ELEMENT_AT(__v.b, __j))")
+    m = "CAST(SIZE(__r.ma) AS DOUBLE)"
+    # strcmp95-lineage convention (shared by DuckDB, differential-
+    # verified): transpositions are INTEGER-halved
+    t = (f"CAST(SIZE(FILTER(SEQUENCE(1, SIZE(__r.ma)), "
+         f"__k -> ELEMENT_AT(__r.ma, __k) != ELEMENT_AT({mb}, __k))) "
+         f"DIV 2 AS DOUBLE)")
+    jaro = (f"IF({m} = 0.0D, 0.0D, "
+            f"({m} / SIZE(__v.a) + {m} / SIZE(__v.b) "
+            f"+ ({m} - {t}) / {m}) / 3.0D)")
+    if winkler:
+        pfx = ("(COALESCE(ARRAY_MIN(FILTER("
+               "SEQUENCE(1, LEAST(4, SIZE(__v.a), SIZE(__v.b))), "
+               "__k -> ELEMENT_AT(__v.a, __k) != "
+               "ELEMENT_AT(__v.b, __k))), "
+               "LEAST(4, SIZE(__v.a), SIZE(__v.b)) + 1) - 1)")
+        expr = (f"ELEMENT_AT(TRANSFORM(ARRAY({jaro}), __jr -> "
+                f"IF(__jr > 0.7D, __jr + {pfx} * 0.1D * (1.0D - __jr), "
+                f"__jr)), 1)")
+    else:
+        expr = jaro
+    # strcmp95-lineage convention (shared by DuckDB): ANY empty input —
+    # including both-empty — scores 0.0
+    body = (f"CASE WHEN SIZE(__v.a) = 0 OR SIZE(__v.b) = 0 THEN 0.0D "
+            f"ELSE ELEMENT_AT(TRANSFORM(ARRAY({fold}), "
+            f"__r -> {expr}), 1) END")
+    return _bind_once({"a": _chars_sql(s1), "b": _chars_sql(s2)}, body)
+
+
 _FUNCS: dict[str, str] = {
     # conversions
     "toInt8": "CAST({0} AS TINYINT)", "toInt16": "CAST({0} AS SMALLINT)",
@@ -348,7 +590,17 @@ _FUNCS: dict[str, str] = {
     "arrayStringConcat": "ARRAY_JOIN({0}, {1})",
     "lengthUTF8": "LENGTH({0})", "lowerUTF8": "LOWER({0})",
     "upperUTF8": "UPPER({0})",
-    "leftPad": "LPAD({0}, {1}, {2})", "rightPad": "RPAD({0}, {1}, {2})",
+    # pad string defaults to a single space when omitted ([U]
+    # src/Functions/padString.cpp)
+    "leftPad": lambda a: f"LPAD({a[0]}, {a[1]}, "
+                         f"{a[2] if len(a) == 3 else chr(39)+' '+chr(39)})",
+    "rightPad": lambda a: f"RPAD({a[0]}, {a[1]}, "
+                          f"{a[2] if len(a) == 3 else chr(39)+' '+chr(39)})",
+    # Spark LPAD/RPAD count code points, which is exactly the UTF8
+    # variants' contract (the non-UTF8 forms count bytes — identical
+    # on ASCII)
+    "leftPadUTF8": lambda a: _FUNCS["leftPad"](a),
+    "rightPadUTF8": lambda a: _FUNCS["rightPad"](a),
     "startsWith": "STARTSWITH({0}, {1})", "endsWith": "ENDSWITH({0}, {1})",
     # arrays
     "arrayJoin": "EXPLODE({0})", "has": "ARRAY_CONTAINS({0}, {1})",
@@ -565,13 +817,10 @@ _FUNCS: dict[str, str] = {
         " '&apos;', ''''), '&amp;', '&')",
     # erf via the A&S 7.1.26 polynomial (ch_functions.erf twin); the arg
     # expression repeats, so pass a column/simple expression
-    "erf":
-        "(SIGN({0}) * (1.0D - (0.254829592D / (1.0D + 0.3275911D * ABS({0}))"
-        " - 0.284496736D * POWER(1.0D / (1.0D + 0.3275911D * ABS({0})), 2)"
-        " + 1.421413741D * POWER(1.0D / (1.0D + 0.3275911D * ABS({0})), 3)"
-        " - 1.453152027D * POWER(1.0D / (1.0D + 0.3275911D * ABS({0})), 4)"
-        " + 1.061405429D * POWER(1.0D / (1.0D + 0.3275911D * ABS({0})), 5))"
-        " * EXP(-ABS({0}) * ABS({0}))))",
+    "erf": _ERF_TPL,
+    "erfc": "(1.0D - " + _ERF_TPL + ")",
+    "lgamma": lambda a: _lgamma_tpl(a),
+    "tgamma": lambda a: _tgamma_tpl(a),
     # round-7 batch: URL family (PARSE_URL is JVM codegen), multi-search
     # / string-similarity tail, tuple arithmetic, random strings
     "domain": "PARSE_URL({0}, 'HOST')",
@@ -672,6 +921,81 @@ _FUNCS: dict[str, str] = {
         "SIZE({0}) - CAST(PMOD(-({1}), SIZE({0})) AS INT)), "
         "SLICE({0}, 1, CAST(PMOD(-({1}), SIZE({0})) AS INT))) END)",
     "arrayZip": "ARRAYS_ZIP({*})",
+    # round-9 dialect tail: array/string/date/math/url/base64 names
+    # surfaced by a resolve-probe over common upstream queries
+    "arrayShiftLeft": lambda a: _array_shift_tpl(a, left=True),
+    "arrayShiftRight": lambda a: _array_shift_tpl(a, left=False),
+    # nondeterministic by contract, like randomString
+    "arrayRandomSample":
+        "SLICE(SHUFFLE({0}), 1, "
+        "GREATEST(LEAST(CAST({1} AS INT), SIZE({0})), 0))",
+    # upstream arrayFold(lambda, arr, init) with an (acc, x) lambda —
+    # exactly Spark's AGGREGATE argument order, reordered slots only
+    # ([U] src/Functions/array/arrayFold.cpp); single-array form
+    "arrayFold": lambda a: (
+        f"AGGREGATE({a[1]}, {a[2]}, {a[0]})" if len(a) == 3
+        else (_ for _ in ()).throw(ValueError(
+            "arrayFold(lambda, arr, init): exactly one array here "
+            "(multi-array forms: zip first)"))),
+    "arrayDotProduct":
+        "AGGREGATE(ZIP_WITH({0}, {1}, (__x, __y) -> "
+        "CAST(__x AS DOUBLE) * CAST(__y AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (__s, __dp) -> __s + __dp)",
+    "toLastDayOfWeek": "DATE_ADD(CAST(DATE_TRUNC('WEEK', {0}) AS DATE), 6)",
+    # day 719528 since year zero = 1970-01-01 (proleptic Gregorian,
+    # year 0 counted — the toDaysSinceYearZero twin's anchor)
+    "fromDaysSinceYearZero":
+        "DATE_ADD(DATE '1970-01-01', CAST({0} AS INT) - 719528)",
+    "timeDiff": "(UNIX_TIMESTAMP({1}) - UNIX_TIMESTAMP({0}))",
+    "fragment": "PARSE_URL({0}, 'REF')",
+    "queryStringAndFragment":
+        "CONCAT(COALESCE(PARSE_URL({0}, 'QUERY'), ''), "
+        "IF(PARSE_URL({0}, 'REF') IS NULL, '', "
+        "CONCAT('#', PARSE_URL({0}, 'REF'))))",
+    "base64Encode": "BASE64(CAST({0} AS BINARY))",
+    "base64Decode": "CAST(UNBASE64({0}) AS STRING)",
+    # upstream returns '' on invalid input rather than throwing
+    "tryBase64Decode": "COALESCE(CAST(UNBASE64({0}) AS STRING), '')",
+    # RFC 4648 URL-safe alphabet, unpadded (ch_functions twins)
+    "base64URLEncode":
+        "REGEXP_REPLACE(TRANSLATE(BASE64(CAST({0} AS BINARY)), "
+        "'+/', '-_'), '=+$', '')",
+    "base64URLDecode":
+        "CAST(UNBASE64(CONCAT(TRANSLATE({0}, '-_', '+/'), "
+        "REPEAT('=', PMOD(4 - PMOD(LENGTH({0}), 4), 4)))) AS STRING)",
+    "tryBase64URLDecode":
+        "COALESCE(CAST(UNBASE64(CONCAT(TRANSLATE({0}, '-_', '+/'), "
+        "REPEAT('=', PMOD(4 - PMOD(LENGTH({0}), 4), 4)))) AS STRING), '')",
+    "formatReadableDecimalSize":
+        "(CASE WHEN CAST({0} AS DOUBLE) >= 1e9 THEN "
+        "CONCAT(CAST(ROUND(CAST({0} AS DOUBLE) / 1e9, 2) "
+        "AS STRING), ' GB') "
+        "WHEN CAST({0} AS DOUBLE) >= 1e6 THEN "
+        "CONCAT(CAST(ROUND(CAST({0} AS DOUBLE) / 1e6, 2) "
+        "AS STRING), ' MB') "
+        "WHEN CAST({0} AS DOUBLE) >= 1e3 THEN "
+        "CONCAT(CAST(ROUND(CAST({0} AS DOUBLE) / 1e3, 2) "
+        "AS STRING), ' KB') "
+        "ELSE CONCAT(CAST(CAST(CAST({0} AS DOUBLE) AS BIGINT) "
+        "AS STRING), ' B') END)",
+    "formatReadableTimeDelta": lambda a: _fmt_timedelta_tpl(a),
+    "damerauLevenshteinDistance": lambda a: _damerau_tpl(a),
+    "jaroSimilarity": lambda a: _jaro_tpl(a, winkler=False),
+    "jaroWinklerSimilarity": lambda a: _jaro_tpl(a, winkler=True),
+    # UUIDv7: 48-bit unix-millis + version/variant bits + 74 random
+    # bits (RFC 9562 layout; randomness from RAND() like generateUUIDv4)
+    "generateUUIDv7":
+        "LOWER(CONCAT("
+        "SUBSTRING(LPAD(HEX(UNIX_MILLIS(CURRENT_TIMESTAMP())), 12, '0'), "
+        "1, 8), '-', "
+        "SUBSTRING(LPAD(HEX(UNIX_MILLIS(CURRENT_TIMESTAMP())), 12, '0'), "
+        "9, 4), '-7', "
+        "LPAD(HEX(CAST(FLOOR(RAND() * 4096) AS INT)), 3, '0'), '-', "
+        "ELEMENT_AT(ARRAY('8', '9', 'A', 'B'), "
+        "CAST(FLOOR(RAND() * 4) AS INT) + 1), "
+        "LPAD(HEX(CAST(FLOOR(RAND() * 4096) AS INT)), 3, '0'), '-', "
+        "LPAD(HEX(CAST(FLOOR(RAND() * 281474976710656) AS BIGINT)), "
+        "12, '0')))",
     "toStartOfTenMinutes":
         "TIMESTAMP_SECONDS(FLOOR(UNIX_TIMESTAMP({0}) / 600) * 600)",
     # optimizer hints that carry no semantics here
@@ -1624,16 +1948,16 @@ def _parse_sequence_pattern(pattern: str, k: int):
     return steps, has_time
 
 
-# hex-quad event tokens (round 8 introduced the hex-pair alphabet for a
-# 5→8 condition lift; round 9 widens to FOUR hex digits = 16 bits,
-# halfway to upstream's 32, [U] src/AggregateFunctions/
-# AggregateFunctionSequenceMatch.h MAX_EVENTS): each condition-matching
-# event encodes as 'g' + four uppercase hex digits of its bitmask. The
-# 'g' marker (not a hex digit) anchors token starts so a regex match can
-# never begin mid-token, and a (?N) class constrains only the nibble
-# carrying bit N-1.
+# hex-oct event tokens (round 8 introduced the hex-pair alphabet for a
+# 5→8 condition lift; round 9 widened to 4 then 8 hex digits = 32 bits,
+# matching upstream's cap exactly, [U] src/AggregateFunctions/
+# AggregateFunctionSequenceMatch.h max_events = 32): each
+# condition-matching event encodes as 'g' + eight uppercase hex digits
+# of its bitmask. The 'g' marker (not a hex digit) anchors token starts
+# so a regex match can never begin mid-token, and a (?N) class
+# constrains only the nibble carrying bit N-1.
 _HEXD = "0123456789ABCDEF"
-_SEQ_NIBBLES = 4                   # hex digits per token = 4*4 = 16 bits
+_SEQ_NIBBLES = 8                   # hex digits per token = 8*4 = 32 bits
 _SEQ_MAX_CONDS = 4 * _SEQ_NIBBLES
 _PFX = 2 + _SEQ_NIBBLES      # len('|') + hex digits + len(':')
 
@@ -1767,7 +2091,7 @@ def _sequence_next_node_tpl(params: list[str], args: list[str]) -> str:
     if len(conds) > _SEQ_MAX_CONDS - 1:
         raise ValueError(
             f"sequenceNextNode supports up to {_SEQ_MAX_CONDS - 1} "
-            "chain conditions here (hex-quad bitmask, bit0 = base)")
+            "chain conditions here (hex-oct bitmask, bit0 = base)")
     bits = [f"IF({base_cond}, 1, 0)"] + \
         [f"IF({c}, {1 << (i + 1)}, 0)" for i, c in enumerate(conds)]
     bm_expr = " + ".join(bits)
@@ -1827,12 +2151,12 @@ def _sequence_tpl(params: list[str], args: list[str],
     src/AggregateFunctions/AggregateFunctionSequenceMatch.h).
 
     Patterns without time guards: each event of the time-sorted group
-    encodes to a 3-char hex-pair token carrying its condition BITMASK
-    ('g' + 2 hex digits; the marker anchors token alignment), ``(?N)``
+    encodes to a 9-char hex-oct token carrying its condition BITMASK
+    ('g' + 8 hex digits; the marker anchors token alignment), ``(?N)``
     becomes the token class with bit N-1 set, and ``.*``/``.+`` become
     token-group quantifiers — the pattern runs as an ordinary regex,
     lazily in count mode (non-overlapping earliest-completion). The
-    hex-pair alphabet lifts the condition cap from 5 to 8 (round 8).
+    hex alphabet widened 5→8 conds (r8) →16 →32 (r9, upstream's cap).
 
     ``(?t op N)`` time guards (new round 8, previously a loud refusal)
     route to a DP fold over (t, bitmask) pairs — see
@@ -1854,7 +2178,7 @@ def _sequence_tpl(params: list[str], args: list[str],
     if k > _SEQ_MAX_CONDS:
         raise ValueError(
             f"sequenceMatch supports up to {_SEQ_MAX_CONDS} conditions "
-            "here (hex-quad token alphabet; upstream caps at 32)")
+            "(hex-oct token alphabet — upstream's exact cap)")
     steps, has_time = _parse_sequence_pattern(pattern, k)
     bm = " + ".join(f"IF({c}, {1 << i}, 0)"
                     for i, c in enumerate(conds))
@@ -1877,7 +2201,7 @@ def _sequence_tpl(params: list[str], args: list[str],
                     "sequenceMatch: .+ inside a time-guarded pattern "
                     "is not supported — use .* or adjacency")
         return _sequence_time_fold(steps, evs, count)
-    # regex path over hex-quad tokens
+    # regex path over hex-oct tokens
     out = []
     tok = "(?:g[0-9A-F]{%d})" % _SEQ_NIBBLES
     lazy = "?" if count else ""

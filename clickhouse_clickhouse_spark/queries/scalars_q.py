@@ -1818,3 +1818,39 @@ def ch_sql_scalar_tail_r9(spark, sf):
                                          value + 1), 2) AS gcd,
                isInfinite(1.0 / nullif(value - value, 1)) AS inf
         FROM events WHERE event_id < 500""")
+
+
+@register("ch_sql_string_distance_tail", oracle="""
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       cast(damerau_levenshtein(a.p_brand, b.p_brand) AS BIGINT)
+           AS dam_brand,
+       cast(damerau_levenshtein(a.p_type, b.p_type) AS BIGINT) AS dam_type,
+       round(jaro_similarity(a.p_type, b.p_type), 8) AS jaro_type,
+       round(jaro_winkler_similarity(a.p_type, b.p_type), 8) AS jw_type,
+       to_base64(encode(a.p_brand)) AS b64
+FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+WHERE a.p_partkey <= 15 AND b.p_partkey <= 15
+""")
+def ch_sql_string_distance_tail(spark, sf):
+    """Round-9 string-distance tail in dialect SQL —
+    damerauLevenshteinDistance (restricted/OSA DP as nested SQL folds),
+    jaroSimilarity / jaroWinklerSimilarity (greedy in-window matching
+    fold), base64Encode — each hash-matched against DuckDB's native
+    damerau_levenshtein / jaro_similarity / jaro_winkler_similarity /
+    to_base64 implementations, a fully independent oracle ([U]
+    src/Functions/StringDistance.cpp)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "part").createOrReplaceTempView("part")
+    return ch_sql(spark, """
+        SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+               CAST(damerauLevenshteinDistance(a.p_brand, b.p_brand)
+                    AS BIGINT) AS dam_brand,
+               CAST(damerauLevenshteinDistance(a.p_type, b.p_type)
+                    AS BIGINT) AS dam_type,
+               round(jaroSimilarity(a.p_type, b.p_type), 8) AS jaro_type,
+               round(jaroWinklerSimilarity(a.p_type, b.p_type), 8)
+                   AS jw_type,
+               base64Encode(a.p_brand) AS b64
+        FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        WHERE a.p_partkey <= 15 AND b.p_partkey <= 15""")

@@ -1381,24 +1381,26 @@ def test_sequence_time_constraints_and_cap(spark):
                sequenceCount('(?3)')(ts, {conds6}) AS n
         FROM sq_c GROUP BY u""").collect()[0]
     assert r.m is True and r.n == 1
-    # round 9: hex-quad tokens lift the cap 8 -> 16 (upstream allows 32)
-    conds17 = ", ".join(["a"] * 17)
-    with _p.raises(ValueError, match="up to 16"):
-        translate(f"SELECT sequenceMatch('(?1)')(ts, {conds17}) FROM t")
-    with _p.raises(ValueError, match="up to 15"):
+    # round 9: hex-oct tokens lift the cap to 32 (upstream's exact cap,
+    # [U] AggregateFunctionSequenceMatch.h max_events)
+    conds33 = ", ".join(["a"] * 33)
+    with _p.raises(ValueError, match="up to 32"):
+        translate(f"SELECT sequenceMatch('(?1)')(ts, {conds33}) FROM t")
+    with _p.raises(ValueError, match="up to 31"):
         translate("SELECT sequenceNextNode('forward', 'head')"
-                  f"(ts, e, {conds17}) FROM t")
-    # 12 conditions execute end-to-end through the widened alphabet:
-    # a chain across all 12, a high-bit count, and a guarded pair
-    conds12 = ", ".join(f"e = 'y{i}'" for i in range(12))
+                  f"(ts, e, {conds33}) FROM t")
+    # 24 conditions execute end-to-end through the widened alphabet:
+    # a chain across all 24, a top-bit count (bit 23, beyond the old
+    # 16-condition cap), and a guarded pair in the high half
+    conds24 = ", ".join(f"e = 'y{i}'" for i in range(24))
     spark.createDataFrame(
-        [(1, T(i), f"y{i}") for i in range(12)] + [(1, T(12), "y11")],
+        [(1, T(i), f"y{i}") for i in range(24)] + [(1, T(24), "y23")],
         "u int, ts timestamp, e string").createOrReplaceTempView("sq_w")
-    pat12 = "".join(f"(?{i})" for i in range(1, 13))
+    pat24 = "".join(f"(?{i})" for i in range(1, 25))
     r = ch_sql(spark, f"""
-        SELECT sequenceMatch('{pat12}')(ts, {conds12}) AS chain,
-               sequenceCount('(?12)')(ts, {conds12}) AS hi,
-               sequenceMatch('(?10)(?t<5)(?11)')(ts, {conds12}) AS g
+        SELECT sequenceMatch('{pat24}')(ts, {conds24}) AS chain,
+               sequenceCount('(?24)')(ts, {conds24}) AS hi,
+               sequenceMatch('(?22)(?t<5)(?23)')(ts, {conds24}) AS g
         FROM sq_w GROUP BY u""").collect()[0]
     assert r.chain is True and r.hi == 2 and r.g is True
 
@@ -1803,3 +1805,134 @@ def test_round9_scalar_tail(spark):
     assert str(r.sm) == "2024-02-29 09:30:00"
     with _p.raises(ValueError, match="unsupported target type"):
         translate("SELECT accurateCast(x, 'Tuple') FROM t")
+
+
+def test_round9_scalar_tail2(spark):
+    """Round-9 dialect tail, second batch (resolve-probe findings):
+    pad defaults, array shift/sample/fold/dot, date/time tail, base64
+    family, readable renderings, gamma family, string distances — one
+    Spark action; the oracle query ch_sql_string_distance_tail covers
+    the distance functions value-exactly vs DuckDB natives."""
+    import math
+
+    import pytest as _p
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, translate
+
+    spark.createDataFrame([(1,)], "i int").createOrReplaceTempView("one9b")
+    r = ch_sql(spark, """
+        SELECT leftPad('ab', 4) AS lp, rightPad('ab', 4, '.') AS rp,
+               leftPadUTF8('ab', 4) AS lpu,
+               arrayShiftLeft(array(1, 2, 3), 1, 0) AS shl,
+               arrayShiftRight(array(1, 2, 3), 1, 0) AS shr,
+               arrayShiftLeft(array(1, 2, 3), -1, 0) AS shneg,
+               arrayShiftLeft(array(1, 2, 3), 9, 7) AS shover,
+               size(arrayRandomSample(array(1, 2, 3), 2)) AS samp,
+               arrayFold((acc, x) -> acc + x, array(1, 2, 3), 10) AS fold,
+               arrayDotProduct(array(1.0, 2.0), array(4.0, 5.0)) AS dot,
+               toLastDayOfWeek(CAST('2024-02-15' AS DATE)) AS ldw,
+               fromDaysSinceYearZero(719528) AS fdyz,
+               timeDiff(CAST('2024-02-15 10:00:00' AS TIMESTAMP),
+                        CAST('2024-02-15 11:30:00' AS TIMESTAMP)) AS td,
+               fragment('https://a.b/c?d=1#frag') AS frg,
+               queryStringAndFragment('https://a.b/c?d=1#frag') AS qsf,
+               base64Encode('kitten') AS b64,
+               base64Decode('a2l0dGVu') AS b64d,
+               tryBase64Decode('!!!') AS b64t,
+               base64URLDecode(base64URLEncode('ab?cd>e~')) AS b64u,
+               formatReadableDecimalSize(1234567) AS frds,
+               formatReadableTimeDelta(90061) AS frtd,
+               formatReadableTimeDelta(3725, 'minutes') AS frtd_m,
+               formatReadableTimeDelta(0) AS frtd_0,
+               erfc(0.5) AS ec, lgamma(6.5) AS lg, lgamma(0.3) AS lg_s,
+               lgamma(-2.5) AS lg_n, tgamma(4.0) AS tg,
+               tgamma(-0.5) AS tg_n,
+               damerauLevenshteinDistance('ca', 'abc') AS dam,
+               damerauLevenshteinDistance('ab', 'ba') AS dam_t,
+               jaroSimilarity('martha', 'marhta') AS jaro,
+               jaroWinklerSimilarity('martha', 'marhta') AS jw,
+               jaroWinklerSimilarity('aXXXXXX', 'aYYYYYY') AS jw_nb,
+               jaroSimilarity('', '') AS jaro_e,
+               generateUUIDv7() AS u7
+        FROM one9b""").collect()[0]
+    assert r.lp == "  ab" and r.rp == "ab.." and r.lpu == "  ab"
+    assert r.shl == [2, 3, 0] and r.shr == [0, 1, 2]
+    assert r.shneg == [0, 1, 2] and r.shover == [7, 7, 7]
+    assert r.samp == 2 and r.fold == 16 and r.dot == 14.0
+    assert str(r.ldw) == "2024-02-18" and str(r.fdyz) == "1970-01-01"
+    assert r.td == 5400 and r.frg == "frag" and r.qsf == "d=1#frag"
+    assert r.b64 == "a2l0dGVu" and r.b64d == "kitten" and r.b64t == ""
+    assert r.b64u == "ab?cd>e~" and r.frds == "1.23 MB"
+    assert r.frtd == "1 day, 1 hour, 1 minute, 1 second"
+    assert r.frtd_m == "62 minutes, 5 seconds" and r.frtd_0 == "0 seconds"
+    # erf polynomial carries the A&S 7.1.26 ~1.5e-7 bound; Stirling
+    # lgamma is ~1e-9 at these arguments
+    assert abs(r.ec - (1 - math.erf(0.5))) < 1e-6
+    assert abs(r.lg - math.lgamma(6.5)) < 1e-7
+    assert abs(r.lg_s - math.lgamma(0.3)) < 1e-7
+    assert abs(r.lg_n - math.lgamma(-2.5)) < 1e-7
+    assert abs(r.tg - 6.0) < 1e-7 and abs(r.tg_n - math.gamma(-0.5)) < 1e-7
+    # FULL Damerau-Levenshtein (da/db formulation): 'ca'->'abc' is 2
+    # (transpose + insert inside the transposition; OSA would give 3)
+    assert r.dam == 2 and r.dam_t == 1
+    assert abs(r.jaro - 17 / 18) < 1e-12
+    # common prefix 'mar' -> l = 3
+    assert abs(r.jw - (17 / 18 + 3 * 0.1 * (1 - 17 / 18))) < 1e-12
+    # below the 0.7 boost threshold the winkler form IS the jaro form
+    assert abs(r.jw_nb - 3 / 7) < 1e-12
+    # strcmp95 convention: any empty input (even both) scores 0.0
+    assert r.jaro_e == 0.0
+    import re as _re
+    assert _re.fullmatch(
+        r"[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[89ab][0-9a-f]{3}-"
+        r"[0-9a-f]{12}", r.u7)
+    with _p.raises(ValueError, match="max_unit"):
+        translate("SELECT formatReadableTimeDelta(5, 'years') FROM t")
+    with _p.raises(ValueError, match="exactly one array"):
+        translate("SELECT arrayFold((a, x) -> a, arr, arr2, 0) FROM t")
+
+
+def test_string_distance_differential_vs_duckdb(spark):
+    """damerauLevenshteinDistance / jaroSimilarity /
+    jaroWinklerSimilarity: 300 seeded adversarial pairs (transpositions,
+    repeats, shared prefixes, empties, length skew) differentially
+    checked against DuckDB's independent native implementations in ONE
+    Spark action."""
+    import random
+
+    import duckdb
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    rnd = random.Random(909)
+    alph = "abcde"
+    pairs = [("", ""), ("", "abc"), ("a", "a"), ("ab", "ba"),
+             ("ca", "abc"), ("aaaa", "aa"), ("abcd", "abdc"),
+             ("xxabyy", "xxbayy")]
+    while len(pairs) < 300:
+        n1, n2 = rnd.randint(0, 9), rnd.randint(0, 9)
+        a = "".join(rnd.choice(alph) for _ in range(n1))
+        b = "".join(rnd.choice(alph) for _ in range(n2))
+        if rnd.random() < 0.3 and len(a) > 1:    # planted transposition
+            i = rnd.randrange(len(a) - 1)
+            b = a[:i] + a[i + 1] + a[i] + a[i + 2:]
+        pairs.append((a, b))
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "id int, a string, b string").createOrReplaceTempView("sd_pairs")
+    got = {r.id: r for r in ch_sql(spark, """
+        SELECT id, damerauLevenshteinDistance(a, b) AS dam,
+               jaroSimilarity(a, b) AS jaro,
+               jaroWinklerSimilarity(a, b) AS jw
+        FROM sd_pairs""").collect()}
+    con = duckdb.connect()
+    bad = []
+    for i, (a, b) in enumerate(pairs):
+        ed, ej, ew = con.execute(
+            "SELECT damerau_levenshtein(?, ?), jaro_similarity(?, ?), "
+            "jaro_winkler_similarity(?, ?)",
+            [a, b, a, b, a, b]).fetchone()
+        g = got[i]
+        if g.dam != ed or abs(g.jaro - ej) > 1e-9 or abs(g.jw - ew) > 1e-9:
+            bad.append((a, b, (g.dam, g.jaro, g.jw), (ed, ej, ew)))
+    assert not bad, f"{len(bad)} mismatches; first 3: {bad[:3]}"

@@ -250,7 +250,7 @@ _PATTERNS_12 = [
 
 
 def test_sequence_12cond_vs_bruteforce(spark):
-    """Round 9: the hex-quad token alphabet's HIGH bits (conditions
+    """Round 9: the widened token alphabet's HIGH bits (conditions
     9-12, beyond the old 8-condition cap) verified against the same
     independent brute-force enumerations on seeded random histories
     with 12 co-firing conditions. One Spark action for all cases."""
@@ -290,6 +290,63 @@ def test_sequence_12cond_vs_bruteforce(spark):
         if cid not in got:
             continue
         for pat, alias in _PATTERNS_12:
+            steps, _ = _parse_sequence_pattern(pat, K)
+            em = _brute_seq_match(evs, steps)
+            ec = _brute_seq_count(evs, steps)
+            gm, gc = got[cid][f"m_{alias}"], got[cid][f"c_{alias}"]
+            if bool(gm) != em or gc != ec:
+                bad.append((cid, pat, evs, (gm, gc), (em, ec)))
+    assert not bad, f"{len(bad)} mismatches; first 3: {bad[:3]}"
+
+
+_PATTERNS_28 = [
+    ("(?1)(?28)", "lo_hi"),
+    ("(?17).*(?25)", "hi_star"),
+    ("(?26)(?27)(?28)", "top_chain"),
+    ("(?28)(?t<=10)(?20)", "hi_guard_le"),
+    ("(?18).*(?t>=50)(?24)", "hi_guard_ge"),
+]
+
+
+def test_sequence_28cond_vs_bruteforce(spark):
+    """Round 9: hex-oct tokens lift the cap to 32 (upstream parity).
+    Conditions 17-28 — beyond the previous 16-condition cap — verified
+    against the same independent brute-force enumerations on seeded
+    random histories with 28 co-firing conditions. One Spark action."""
+    from clickhouse_clickhouse_spark.ch_sql import (
+        _parse_sequence_pattern,
+        ch_sql,
+    )
+
+    K = 28
+    rnd = random.Random(SEED + 28)
+    cases = []
+    for cid in range(40):
+        n = rnd.randint(0, 10)
+        evs = [(rnd.choice([0, 1, 5, 10, 11, 50, 99, 100]),
+                rnd.randint(0, (1 << K) - 1)) for _ in range(n)]
+        cases.append((cid, evs))
+    rows = [(cid, float(t), *(bool(bm >> i & 1) for i in range(K)))
+            for cid, evs in cases for t, bm in evs]
+    schema = "cid int, tsec double, " + \
+        ", ".join(f"c{i} boolean" for i in range(K))
+    spark.createDataFrame(rows, schema) \
+        .selectExpr("cid", "timestamp_seconds(tsec) AS ts",
+                    *[f"c{i}" for i in range(K)]) \
+        .createOrReplaceTempView("bf_seq28")
+    conds = ", ".join(f"c{i}" for i in range(K))
+    cols = []
+    for pat, alias in _PATTERNS_28:
+        cols.append(f"sequenceMatch('{pat}')(ts, {conds}) AS m_{alias}")
+        cols.append(f"sequenceCount('{pat}')(ts, {conds}) AS c_{alias}")
+    got = {r.cid: r for r in ch_sql(
+        spark, f"SELECT cid, {', '.join(cols)} FROM bf_seq28 "
+               "GROUP BY cid").collect()}
+    bad = []
+    for cid, evs in cases:
+        if cid not in got:
+            continue
+        for pat, alias in _PATTERNS_28:
             steps, _ = _parse_sequence_pattern(pat, K)
             em = _brute_seq_match(evs, steps)
             ec = _brute_seq_count(evs, steps)
