@@ -122,6 +122,132 @@ def _tgamma_tpl(a: list[str]) -> str:
             f"ELSE {refl} END)")
 
 
+# Acklam's rational approximation to the normal quantile (public
+# algorithm + constants, Peter Acklam 2003; |rel err| < 1.15e-9) — the
+# Python-side z source for dialect templates whose confidence/power/
+# alpha arguments are literals (ch_functions.normalQuantile is the
+# column-expression twin with the same constants).
+_ACK_A = (-3.969683028665376e+01, 2.209460984245205e+02,
+          -2.759285104469687e+02, 1.383577518672690e+02,
+          -3.066479806614716e+01, 2.506628277459239e+00)
+_ACK_B = (-5.447609879822406e+01, 1.615858368580409e+02,
+          -1.556989798598866e+02, 6.680131188771972e+01,
+          -1.328068155288572e+01)
+_ACK_C = (-7.784894002430293e-03, -3.223964580411365e-01,
+          -2.400758277161838e+00, -2.549732539343734e+00,
+          4.374664141464968e+00, 2.938163982698783e+00)
+_ACK_D = (7.784695709041462e-03, 3.224671290700398e-01,
+          2.445134137142996e+00, 3.754408661907416e+00)
+
+
+def _norm_quantile_py(p: float) -> float:
+    import math as _m
+
+    def horner(cs, x):
+        out = cs[0]
+        for c in cs[1:]:
+            out = out * x + c
+        return out
+
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"normal quantile needs p in (0, 1), got {p}")
+    if p < 0.02425:
+        q = _m.sqrt(-2.0 * _m.log(p))
+        return horner(_ACK_C, q) / (horner(_ACK_D, q) * q + 1.0)
+    if p > 1.0 - 0.02425:
+        q = _m.sqrt(-2.0 * _m.log(1.0 - p))
+        return -horner(_ACK_C, q) / (horner(_ACK_D, q) * q + 1.0)
+    q = p - 0.5
+    r = q * q
+    return horner(_ACK_A, r) * q / (horner(_ACK_B, r) * r + 1.0)
+
+
+def _literal_float(arg: str, what: str) -> float:
+    try:
+        return float(arg.strip())
+    except ValueError:
+        raise ValueError(
+            f"{what} must be a numeric literal here (a z-quantile is "
+            f"derived from it at translate time); use the programmatic "
+            f"ch_functions twin for column-valued arguments") from None
+
+
+def _proportions_ztest_tpl(args: list[str]) -> str:
+    """proportionsZTest(successes_x, successes_y, trials_x, trials_y,
+    conf_level, usevar) ([U] src/Functions/proportionsZTest.cpp):
+    z under pooled/unpooled variance per `usevar`, two-sided p-value
+    via erf, CI of the proportion difference with the UNPOOLED standard
+    error (upstream's convention) — SQL twin of
+    ch_functions.proportionsZTest, returning the same named struct."""
+    if len(args) != 6:
+        raise ValueError("proportionsZTest(sx, sy, tx, ty, conf, "
+                         "'pooled'|'unpooled')")
+    sx, sy, tx, ty = (f"CAST({a} AS DOUBLE)" for a in args[:4])
+    conf = _literal_float(args[4], "proportionsZTest conf_level")
+    um = re.fullmatch(r"\s*'(\w+)'\s*", args[5])
+    if not um or um.group(1) not in ("pooled", "unpooled"):
+        raise ValueError("proportionsZTest usevar must be 'pooled' or "
+                         "'unpooled'")
+    zc = _norm_quantile_py(1.0 - (1.0 - conf) / 2.0)
+    bind = {"p1": f"({sx} / {tx})", "p2": f"({sy} / {ty})",
+            "n1": tx, "n2": ty,
+            "pp": f"(({sx} + {sy}) / ({tx} + {ty}))"}
+    if um.group(1) == "pooled":
+        se_z = ("SQRT(__v.pp * (1.0D - __v.pp) "
+                "* (1.0D / __v.n1 + 1.0D / __v.n2))")
+    else:
+        se_z = ("SQRT(__v.p1 * (1.0D - __v.p1) / __v.n1 "
+                "+ __v.p2 * (1.0D - __v.p2) / __v.n2)")
+    se_ci = ("SQRT(__v.p1 * (1.0D - __v.p1) / __v.n1 "
+             "+ __v.p2 * (1.0D - __v.p2) / __v.n2)")
+    z = f"((__v.p1 - __v.p2) / {se_z})"
+    phi_abs = "(0.5D * (1.0D + {e}))".format(
+        e=_ERF_TPL.format(f"(ABS({z}) / SQRT(2.0D))"))
+    body = (f"NAMED_STRUCT("
+            f"'z_stat', {z}, "
+            f"'p_value', 2.0D * (1.0D - {phi_abs}), "
+            f"'ci_low', (__v.p1 - __v.p2) - {zc!r}D * {se_ci}, "
+            f"'ci_high', (__v.p1 - __v.p2) + {zc!r}D * {se_ci})")
+    return _bind_once(bind, body)
+
+
+def _min_sample_size_tpl(args: list[str], conversion: bool) -> str:
+    """minSampleSizeConversion(baseline, mde, power, alpha) /
+    minSampleSizeContinous(baseline, sigma, mde, power, alpha) ([U]
+    src/Functions/minSampleSize.cpp): SQL twins of the ch_functions
+    planners; power/alpha must be literals (z at translate time)."""
+    want = 4 if conversion else 5
+    name = "minSampleSizeConversion" if conversion \
+        else "minSampleSizeContinous"
+    if len(args) != want:
+        raise ValueError(f"{name} takes {want} args")
+    power = _literal_float(args[-2], f"{name} power")
+    alpha = _literal_float(args[-1], f"{name} alpha")
+    z = _norm_quantile_py(1.0 - alpha / 2.0) + _norm_quantile_py(power)
+    z2 = z * z
+    if conversion:
+        p1 = f"CAST({args[0]} AS DOUBLE)"
+        d = f"CAST({args[1]} AS DOUBLE)"
+        bind = {"p1": p1, "d": d}
+        n = (f"({z2!r}D * (__v.p1 * (1.0D - __v.p1) "
+             f"+ (__v.p1 + __v.d) * (1.0D - __v.p1 - __v.d)) "
+             f"/ (__v.d * __v.d))")
+        lo, hi = "(__v.p1 - __v.d)", "(__v.p1 + __v.d)"
+    else:
+        mu = f"CAST({args[0]} AS DOUBLE)"
+        sigma = f"CAST({args[1]} AS DOUBLE)"
+        d = f"CAST({args[2]} AS DOUBLE)"
+        bind = {"mu": mu, "sg": sigma, "d": d}
+        n = (f"(2.0D * {z2!r}D * __v.sg * __v.sg "
+             f"/ ((__v.d * __v.mu) * (__v.d * __v.mu)))")
+        lo = "(__v.mu * (1.0D - __v.d))"
+        hi = "(__v.mu * (1.0D + __v.d))"
+    body = (f"NAMED_STRUCT('minimum_sample_size', {n}, "
+            f"'detect_range_lower', {lo}, "
+            f"'detect_range_upper', {hi})")
+    return _bind_once(bind, body)
+
+
 def _array_shift_tpl(a: list[str], left: bool) -> str:
     """arrayShiftLeft/Right(arr, n[, fill]) ([U] src/Functions/
     arrayShingles.cpp sibling family): drop n from one end, pad the
@@ -208,8 +334,10 @@ def _damerau_tpl(a: list[str]) -> str:
     the inner AGGREGATE builds each row left-to-right. The da/db
     last-occurrence state is recomputed functionally (ARRAY_MAX over a
     FILTERed SEQUENCE) instead of carried — O(n·m·(n+m)), fine for the
-    function-argument string lengths this targets. Code-point distance
-    (upstream counts bytes; identical on ASCII)."""
+    name/code-token lengths this targets but a scale footgun on
+    document columns, so inputs beyond 500 code points RAISE_ERROR at
+    the offending row. Code-point distance (upstream counts bytes;
+    identical on ASCII)."""
     s1, s2 = a
     # k = last row index < i with a[k] = b[j]; l = last col < j with
     # b[l] = a[i]; 0 when none (the maxdist sentinel row/col absorbs it)
@@ -243,7 +371,11 @@ def _damerau_tpl(a: list[str]) -> str:
         "CONCAT(ARRAY(SIZE(__v.a) + SIZE(__v.b)), "
         "SEQUENCE(0, SIZE(__v.b))))")
     body = (
-        "CASE WHEN SIZE(__v.a) = 0 THEN SIZE(__v.b) "
+        "CASE WHEN SIZE(__v.a) > 500 OR SIZE(__v.b) > 500 THEN "
+        "RAISE_ERROR('damerauLevenshteinDistance: input beyond 500 "
+        "code points — the SQL-fold DP is for name-length strings; "
+        "use levenshtein()/minhash for documents') "
+        "WHEN SIZE(__v.a) = 0 THEN SIZE(__v.b) "
         "WHEN SIZE(__v.b) = 0 THEN SIZE(__v.a) "
         "ELSE ELEMENT_AT(ELEMENT_AT(AGGREGATE("
         "TRANSFORM(__v.a, (__ac, __ai) -> "
@@ -308,8 +440,13 @@ def _jaro_tpl(a: list[str], winkler: bool) -> str:
     else:
         expr = jaro
     # strcmp95-lineage convention (shared by DuckDB): ANY empty input —
-    # including both-empty — scores 0.0
-    body = (f"CASE WHEN SIZE(__v.a) = 0 OR SIZE(__v.b) = 0 THEN 0.0D "
+    # including both-empty — scores 0.0. Same 500-code-point scale
+    # guard as the Damerau fold (the in-window scan is O(n²) worst).
+    body = (f"CASE WHEN SIZE(__v.a) > 500 OR SIZE(__v.b) > 500 THEN "
+            f"RAISE_ERROR('jaroSimilarity: input beyond 500 code "
+            f"points — the SQL-fold matcher is for name-length "
+            f"strings; use minhash/ngram similarity for documents') "
+            f"WHEN SIZE(__v.a) = 0 OR SIZE(__v.b) = 0 THEN 0.0D "
             f"ELSE ELEMENT_AT(TRANSFORM(ARRAY({fold}), "
             f"__r -> {expr}), 1) END")
     return _bind_once({"a": _chars_sql(s1), "b": _chars_sql(s2)}, body)
@@ -979,6 +1116,14 @@ _FUNCS: dict[str, str] = {
         "ELSE CONCAT(CAST(CAST(CAST({0} AS DOUBLE) AS BIGINT) "
         "AS STRING), ' B') END)",
     "formatReadableTimeDelta": lambda a: _fmt_timedelta_tpl(a),
+    "proportionsZTest": lambda a: _proportions_ztest_tpl(a),
+    "minSampleSizeConversion":
+        lambda a: _min_sample_size_tpl(a, conversion=True),
+    # upstream spells it without the second 'u'
+    "minSampleSizeContinous":
+        lambda a: _min_sample_size_tpl(a, conversion=False),
+    "minSampleSizeContinuous":
+        lambda a: _min_sample_size_tpl(a, conversion=False),
     "damerauLevenshteinDistance": lambda a: _damerau_tpl(a),
     "jaroSimilarity": lambda a: _jaro_tpl(a, winkler=False),
     "jaroWinklerSimilarity": lambda a: _jaro_tpl(a, winkler=True),

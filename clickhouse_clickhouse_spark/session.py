@@ -33,13 +33,17 @@ def _default_parallelism() -> int:
 
 def get_spark(app_name: str = "clickhouse_clickhouse_spark",
               shuffle_partitions: int | None = None,
-              extra_conf: dict[str, str] | None = None) -> SparkSession:
+              extra_conf: dict[str, str] | None = None,
+              cores: int | None = None) -> SparkSession:
     """Create (or reuse) the engine's SparkSession.
 
     Parameters are overridable for tests/bench; on a real cluster the same
     configs apply, with ``master`` supplied by the cluster manager.
+    ``cores`` caps local-mode parallelism — the test suite passes a small
+    value because tiny-fixture stages pay per-task scheduling overhead at
+    local[32] (~20% suite wall, measured round 9).
     """
-    cores = _default_parallelism()
+    cores = cores or _default_parallelism()
     if shuffle_partitions is None:
         shuffle_partitions = cores
     builder = (

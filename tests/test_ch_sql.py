@@ -1936,3 +1936,50 @@ def test_string_distance_differential_vs_duckdb(spark):
         if g.dam != ed or abs(g.jaro - ej) > 1e-9 or abs(g.jw - ew) > 1e-9:
             bad.append((a, b, (g.dam, g.jaro, g.jw), (ed, ej, ew)))
     assert not bad, f"{len(bad)} mismatches; first 3: {bad[:3]}"
+    # scale guard: the SQL-fold DP refuses document-length inputs
+    # loudly at the offending row (O(n*m*(n+m)) is a name-length tool)
+    import pytest as _p
+    with _p.raises(Exception, match="500 code points"):
+        ch_sql(spark, "SELECT damerauLevenshteinDistance("
+                      "repeat('x', 600), 'abc') AS d").collect()
+
+
+def test_ztest_planner_dialect_twins(spark):
+    """Dialect proportionsZTest / minSampleSizeConversion /
+    minSampleSizeContinous match the programmatic ch_functions twins
+    field-for-field (same Acklam constants python-side vs
+    column-expression side), plus literal-guard refusals."""
+    import pytest as _p
+
+    from clickhouse_clickhouse_spark import ch_functions as ch
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, translate
+
+    spark.createDataFrame([(1,)], "i int").createOrReplaceTempView("zt1")
+    got = ch_sql(spark, """
+        SELECT proportionsZTest(34, 43, 100, 120, 0.95, 'pooled') AS zp,
+               proportionsZTest(34, 43, 100, 120, 0.90, 'unpooled') AS zu,
+               minSampleSizeConversion(0.25, 0.03, 0.8, 0.05) AS msc,
+               minSampleSizeContinous(100.0, 20.0, 0.05, 0.8, 0.05) AS msk
+        FROM zt1""").collect()[0]
+    from pyspark.sql import functions as F
+    exp = spark.range(1).select(
+        ch.proportionsZTest(F.lit(34), F.lit(100), F.lit(43),
+                            F.lit(120), 0.95).alias("zp"),
+        ch.minSampleSizeConversion(F.lit(0.25), F.lit(0.03)).alias("msc"),
+        ch.minSampleSizeContinous(F.lit(100.0), F.lit(20.0),
+                                  F.lit(0.05)).alias("msk"),
+    ).collect()[0]
+    for f in ("z_stat", "p_value", "ci_low", "ci_high"):
+        assert abs(got.zp[f] - exp.zp[f]) < 1e-9, f
+    for q in ("msc", "msk"):
+        for f in ("minimum_sample_size", "detect_range_lower",
+                  "detect_range_upper"):
+            assert abs(got[q][f] - exp[q][f]) < 1e-6, (q, f)
+    # unpooled z differs from pooled z; CI fields are usevar-invariant
+    assert got.zu["z_stat"] != got.zp["z_stat"]
+    assert abs(got.zu["ci_low"] - got.zp["ci_low"]) > 0  # narrower 90% CI
+    with _p.raises(ValueError, match="numeric literal"):
+        translate("SELECT proportionsZTest(a, b, c, d, conf, 'pooled') "
+                  "FROM t")
+    with _p.raises(ValueError, match="pooled"):
+        translate("SELECT proportionsZTest(1, 2, 3, 4, 0.95, 'x') FROM t")

@@ -274,11 +274,19 @@ def ties_env(spark):
 
 
 def test_fuzz_limit_with_ties_differential(ties_env):
-    """Direction x null-placement x key-order x n sweep (60 seeded
-    cases, round-7: parallel execution per conftest.run_parallel): the
-    dialect LIMIT WITH TIES equals DuckDB's RANK() <= n with the
-    reference's NULL-greatest defaults made explicit."""
+    """Direction x null-placement x key-order x n sweep: the dialect
+    LIMIT WITH TIES equals DuckDB's RANK() <= n with the reference's
+    NULL-greatest defaults made explicit. Round 9 restructure: the
+    single-key (dir, nulls) grid is EXHAUSTIVE (9 combos, n cycling)
+    plus 12 seeded two-key combos — structurally the same coverage the
+    old 60 random draws sampled — and all arms union into ONE Spark
+    action and one DuckDB query (each arm plans its own broadcast
+    boundary job, so arm count — not row count — is the wall-time
+    driver; was 120 parallel actions, ~40 s of suite wall)."""
     import random
+    from functools import reduce
+
+    from pyspark.sql import functions as F
 
     from clickhouse_clickhouse_spark.ch_sql import ch_sql
 
@@ -287,65 +295,91 @@ def test_fuzz_limit_with_ties_differential(ties_env):
     dirs_pool = ["", " ASC", " DESC"]
     nulls_pool = ["", " NULLS FIRST", " NULLS LAST"]
     cases = []
-    for _ in range(60):
+    n_cycle = 0
+    for d in dirs_pool:                    # exhaustive single-key grid
+        for nf in nulls_pool:
+            n_cycle += 1
+            cases.append((("k1", "k2"), 1, (d, ""), (nf, ""),
+                          1 + n_cycle % 8))
+    for _ in range(12):                    # seeded two-key sample
         keys = rnd.sample(["k1", "k2"], 2)
-        cases.append((tuple(keys), rnd.randint(1, 2),
+        cases.append((tuple(keys), 2,
                       (rnd.choice(dirs_pool), rnd.choice(dirs_pool)),
                       (rnd.choice(nulls_pool), rnd.choice(nulls_pool)),
                       rnd.randint(1, 8)))
 
-    def check(case):
-        keys, nkeys, dirs, nulls, n = case
+    arms, dk_arms = [], []
+    for cid, (keys, nkeys, dirs, nulls, n) in enumerate(cases):
         items_ch, items_dk = [], []
         for k, d, nf in list(zip(keys, dirs, nulls))[:nkeys]:
             items_ch.append(f"{k}{d}{nf}")
             if not nf:  # reference default: NULL sorts greatest
                 nf = " NULLS FIRST" if d == " DESC" else " NULLS LAST"
             items_dk.append(f"{k}{d}{nf}")
-        got = _normalize(ch_sql(
+        arm = ch_sql(
             spark, f"SELECT s, k1, k2 FROM tiesfz ORDER BY "
                    f"{', '.join(items_ch)} LIMIT {n} WITH TIES")
-            .collect())
-        exp = _normalize(con.cursor().execute(
-            f"SELECT s, k1, k2 FROM (SELECT *, rank() OVER (ORDER BY "
-            f"{', '.join(items_dk)}) AS rk FROM tiesfz) t WHERE rk <= {n}"
-        ).fetchall())
-        assert got == exp, (items_ch, n)
-
-    run_parallel(cases, check)
+        arms.append(arm.select(F.lit(cid).alias("cid"),
+                               "s", "k1", "k2"))
+        dk_arms.append(
+            f"SELECT {cid} AS cid, s, k1, k2 FROM (SELECT *, rank() "
+            f"OVER (ORDER BY {', '.join(items_dk)}) AS rk FROM tiesfz)"
+            f" t WHERE rk <= {n}")
+    got, exp = {}, {}
+    for r in reduce(lambda a, b: a.unionAll(b), arms).collect():
+        got.setdefault(r.cid, []).append(tuple(r)[1:])
+    for r in con.execute(" UNION ALL ".join(dk_arms)).fetchall():
+        exp.setdefault(r[0], []).append(tuple(r)[1:])
+    key = lambda t: tuple((v is None, v) for v in t)
+    for cid, case in enumerate(cases):
+        g = sorted(_normalize(got.get(cid, [])), key=key)
+        e = sorted(_normalize(exp.get(cid, [])), key=key)
+        assert g == e, (cid, case, g, e)
 
 
 def test_fuzz_with_fill_differential(ties_env):
     """ORDER BY k WITH FILL FROM/TO/STEP through ch_sql equals the
     data-rows-plus-missing-spine-rows oracle for every bound/step mix
-    (exhaustive 6x11x3 grid sampled to 30 seeded cases, parallel)."""
+    (exhaustive 6x11x3 grid sampled to 30 seeded cases). Round 9: all
+    30 arms union into ONE Spark action and one DuckDB query."""
     import random
+    from functools import reduce
 
     from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    from pyspark.sql import functions as F
 
     spark, con = ties_env
     rnd = random.Random(705)
     cases = [(rnd.randint(0, 5), rnd.randint(6, 16), rnd.randint(1, 3))
              for _ in range(30)]
 
-    def check(case):
-        frm, to, step = case
-        got = _normalize(ch_sql(spark, f"""
+    arms, dk_arms = [], []
+    for cid, (frm, to, step) in enumerate(cases):
+        arm = ch_sql(spark, f"""
             SELECT k, c FROM (SELECT k1 AS k, count() AS c FROM tiesfz
                               WHERE k1 IS NOT NULL GROUP BY k)
             ORDER BY k WITH FILL FROM {frm} TO {to} STEP {step}""")
-            .collect())
-        exp = _normalize(con.cursor().execute(f"""
-            WITH d AS (SELECT k1 AS k, CAST(count(*) AS BIGINT) AS c
-                       FROM tiesfz WHERE k1 IS NOT NULL GROUP BY k1)
-            SELECT k, c FROM d
-            UNION ALL
-            SELECT g, NULL
-            FROM (SELECT unnest(range({frm}, {to}, {step})) AS g)
-            WHERE g NOT IN (SELECT k FROM d)""").fetchall())
-        assert got == exp, (frm, to, step)
-
-    run_parallel(cases, check)
+        arms.append(arm.select(F.lit(cid).alias("cid"), "k", "c"))
+        dk_arms.append(f"""
+            SELECT {cid} AS cid, k, c FROM (
+              WITH d AS (SELECT k1 AS k, CAST(count(*) AS BIGINT) AS c
+                         FROM tiesfz WHERE k1 IS NOT NULL GROUP BY k1)
+              SELECT k, c FROM d
+              UNION ALL
+              SELECT g, NULL
+              FROM (SELECT unnest(range({frm}, {to}, {step})) AS g)
+              WHERE g NOT IN (SELECT k FROM d))""")
+    got, exp = {}, {}
+    for r in reduce(lambda a, b: a.unionAll(b), arms).collect():
+        got.setdefault(r.cid, []).append(tuple(r)[1:])
+    for r in con.execute(" UNION ALL ".join(dk_arms)).fetchall():
+        exp.setdefault(r[0], []).append(tuple(r)[1:])
+    key = lambda t: tuple((v is None, v) for v in t)
+    for cid, case in enumerate(cases):
+        g = sorted(_normalize(got.get(cid, [])), key=key)
+        e = sorted(_normalize(exp.get(cid, [])), key=key)
+        assert g == e, (cid, case, g, e)
 
 
 # -------------------------------------------------- projection routing
