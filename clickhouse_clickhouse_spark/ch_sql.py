@@ -452,6 +452,271 @@ def _jaro_tpl(a: list[str], winkler: bool) -> str:
     return _bind_once({"a": _chars_sql(s1), "b": _chars_sql(s2)}, body)
 
 
+def _format_tpl(args: list[str]) -> str:
+    """format('pattern', args...) ([U] src/Functions/formatString.h):
+    '{}' auto-numbered and '{N}' indexed placeholders over a LITERAL
+    pattern, rendered through FORMAT_STRING's printf %s slots (all
+    arguments cast to STRING, matching upstream's string-only
+    substitution)."""
+    pm = re.fullmatch(r"\s*'([^']*)'\s*", args[0])
+    if pm is None:
+        raise ValueError("format: the pattern must be a string literal")
+    pat, vals = pm.group(1), args[1:]
+    out, auto = [], 0
+    i = 0
+    while i < len(pat):
+        ch = pat[i]
+        if ch == "{":
+            j = pat.index("}", i)
+            ref = pat[i + 1:j]
+            idx = auto if ref == "" else int(ref)
+            if ref == "":
+                auto += 1
+            if idx >= len(vals):
+                raise ValueError(f"format: placeholder {{{ref}}} has no "
+                                 f"argument (got {len(vals)})")
+            out.append(f"%{idx + 1}$s")
+            i = j + 1
+        elif ch == "%":
+            out.append("%%")
+            i += 1
+        else:
+            out.append(ch)
+            i += 1
+    casts = ", ".join(f"CAST({v} AS STRING)" for v in vals)
+    return f"FORMAT_STRING('{''.join(out)}', {casts})"
+
+
+def _extract_groups_tpl(args: list[str], mode: str) -> str:
+    """extractGroups / extractAllGroupsHorizontal / -Vertical over a
+    LITERAL regex (the group count must be known at translate time,
+    like upstream's constant-pattern requirement)."""
+    pm = re.fullmatch(r"\s*'([^']*)'\s*", args[1])
+    if pm is None:
+        raise ValueError(f"{mode}: the pattern must be a string literal")
+    ngroups = re.compile(pm.group(1)).groups
+    if ngroups == 0:
+        raise ValueError(f"{mode}: the pattern needs capture groups")
+    s, pat = args[0], args[1]
+    if mode == "extractGroups":
+        parts = ", ".join(f"REGEXP_EXTRACT({s}, {pat}, {g})"
+                          for g in range(1, ngroups + 1))
+        return f"ARRAY({parts})"
+    alls = [f"REGEXP_EXTRACT_ALL({s}, {pat}, {g})"
+            for g in range(1, ngroups + 1)]
+    if mode == "extractAllGroupsHorizontal":
+        return "ARRAY(" + ", ".join(alls) + ")"
+    # vertical: one array of [g1..gk] per match
+    bind = {f"g{g}": e for g, e in enumerate(alls, start=1)}
+    row = "ARRAY(" + ", ".join(
+        f"ELEMENT_AT(__v.g{g}, __mi)" for g in range(1, ngroups + 1)) + ")"
+    body = (f"TRANSFORM(IF(SIZE(__v.g1) = 0, ARRAY(), "
+            f"SEQUENCE(1, SIZE(__v.g1))), __mi -> {row})")
+    return _bind_once(bind, body)
+
+
+def _arr_levenshtein_tpl(a: list[str]) -> str:
+    """arrayLevenshteinDistance(a, b): classic two-row Levenshtein DP
+    over array ELEMENTS as nested SQL folds (same shape as the string
+    Damerau fold, minus the transposition lane); 500-element scale
+    guard."""
+    bind = {"a": a[0], "b": a[1]}
+    inner = (
+        "AGGREGATE("
+        "TRANSFORM(__v.b, (__bc, __bj) -> "
+        "NAMED_STRUCT('c', __bc, 'j', __bj + 1)), "
+        "ARRAY(__e.i), "
+        "(__cu, __f) -> CONCAT(__cu, ARRAY(LEAST("
+        "ELEMENT_AT(__st, __f.j + 1) + 1, "
+        "ELEMENT_AT(__cu, __f.j) + 1, "
+        "ELEMENT_AT(__st, __f.j) + IF(__e.c <=> __f.c, 0, 1)))))")
+    body = (
+        "CASE WHEN SIZE(__v.a) > 500 OR SIZE(__v.b) > 500 THEN "
+        "RAISE_ERROR('arrayLevenshteinDistance: arrays beyond 500 "
+        "elements — the SQL-fold DP is quadratic') "
+        "WHEN SIZE(__v.a) = 0 THEN SIZE(__v.b) "
+        "WHEN SIZE(__v.b) = 0 THEN SIZE(__v.a) "
+        "ELSE ELEMENT_AT(AGGREGATE("
+        "TRANSFORM(__v.a, (__ac, __ai) -> "
+        "NAMED_STRUCT('c', __ac, 'i', __ai + 1)), "
+        "SEQUENCE(0, SIZE(__v.b)), "
+        f"(__st, __e) -> {inner}), SIZE(__v.b) + 1) END")
+    return _bind_once(bind, body)
+
+
+def _parse_timedelta_py(text: str) -> float:
+    """parseTimeDelta literal parser ([U] src/Functions/
+    parseTimeDelta.cpp unit table, the common subset)."""
+    units = {"y": 365 * 86400.0, "year": 365 * 86400.0,
+             "mo": 30.5 * 86400.0, "month": 30.5 * 86400.0,
+             "w": 7 * 86400.0, "week": 7 * 86400.0,
+             "d": 86400.0, "day": 86400.0,
+             "h": 3600.0, "hour": 3600.0,
+             "m": 60.0, "min": 60.0, "minute": 60.0,
+             "s": 1.0, "sec": 1.0, "second": 1.0,
+             "ms": 1e-3, "us": 1e-6, "ns": 1e-9}
+    total, pos = 0.0, 0
+    t = text.strip().lower()
+    while pos < len(t):
+        m = re.match(r"\s*(\d+(?:\.\d+)?)\s*([a-z]+)s?\s*,?\s*(?:and\s+)?",
+                     t[pos:])
+        if not m:
+            raise ValueError(f"parseTimeDelta: cannot parse {text!r} "
+                             f"at {t[pos:]!r}")
+        unit = m.group(2).rstrip("s") if m.group(2) not in units \
+            else m.group(2)
+        if unit not in units:
+            raise ValueError(f"parseTimeDelta: unknown unit "
+                             f"{m.group(2)!r} in {text!r}")
+        total += float(m.group(1)) * units[unit]
+        pos += m.end()
+    return total
+
+
+_DOTTED_V4 = ("CONCAT_WS('.', "
+              "CAST(SHIFTRIGHTUNSIGNED({x}, 24) & 255 AS STRING), "
+              "CAST(SHIFTRIGHTUNSIGNED({x}, 16) & 255 AS STRING), "
+              "CAST(SHIFTRIGHTUNSIGNED({x}, 8) & 255 AS STRING), "
+              "CAST({x} & 255 AS STRING))")
+_V4_NUM = ("AGGREGATE(SPLIT({s}, '\\\\.'), CAST(0 AS BIGINT), "
+           "(__ip, __oc) -> __ip * 256 + CAST(__oc AS BIGINT))")
+
+
+def _ipv4_cidr_range_tpl(a: list[str]) -> str:
+    """IPv4CIDRToRange(addr, prefix) -> named tuple (lo, hi) of dotted
+    strings; prefix may be a column (shift amounts are column-legal in
+    SQL form)."""
+    bind = {"n": _V4_NUM.format(s=a[0]), "p": f"CAST({a[1]} AS INT)"}
+    lo = ("SHIFTLEFT(SHIFTRIGHTUNSIGNED(__v.n, 32 - __v.p), "
+          "32 - __v.p)")
+    body = ("NAMED_STRUCT("
+            "'_1', " + _DOTTED_V4.format(x=f"({lo})") + ", "
+            "'_2', " + _DOTTED_V4.format(
+                x=f"({lo} + SHIFTLEFT(CAST(1 AS BIGINT), 32 - __v.p) - 1)")
+            + ")")
+    return _bind_once(bind, body)
+
+
+def _ip_in_range_tpl(a: list[str]) -> str:
+    """isIPAddressInRange(addr, cidr) — IPv4 only here; IPv6 inputs
+    RAISE_ERROR pointing at the DataFrame operator
+    (functions/ip.with_ipv6_in_range)."""
+    bind = {"n": _V4_NUM.format(s=a[0]),
+            "m": _V4_NUM.format(s=f"SUBSTRING_INDEX({a[1]}, '/', 1)"),
+            "p": f"CAST(SUBSTRING_INDEX({a[1]}, '/', -1) AS INT)"}
+    body = ("CASE WHEN {addr} LIKE '%:%' OR {cidr} LIKE '%:%' THEN "
+            "RAISE_ERROR('isIPAddressInRange: IPv6 here needs the "
+            "DataFrame operator functions/ip.with_ipv6_in_range') "
+            "ELSE SHIFTRIGHTUNSIGNED(__v.n, 32 - __v.p) = "
+            "SHIFTRIGHTUNSIGNED(__v.m, 32 - __v.p) END").format(
+                addr=a[0], cidr=a[1])
+    return _bind_once(bind, body)
+
+
+def _unbin_tpl(args: list[str]) -> str:
+    """unbin('0011000100110010') -> '12': 8-bit groups (left-padded to
+    a byte multiple) each CONV'd to a char."""
+    bind = {"b": (f"LPAD({args[0]}, CAST(CEIL(LENGTH({args[0]}) / 8.0) "
+                  f"* 8 AS INT), '0')")}
+    body = ("CONCAT_WS('', TRANSFORM("
+            "IF(LENGTH(__v.b) = 0, ARRAY(), "
+            "SEQUENCE(0, CAST(LENGTH(__v.b) / 8 AS INT) - 1)), "
+            "__g -> CHAR(CAST(CONV(SUBSTRING(__v.b, __g * 8 + 1, 8), "
+            "2, 10) AS INT))))")
+    return _bind_once(bind, body)
+
+
+# the murmur64 finalizer upstream uses for intHash64 ([U]
+# src/Functions/FunctionsHashing.h IntHash64Impl), with the two
+# multiplier constants written as their signed-two's-complement BIGINT
+# values (non-ANSI multiply wraps, so bit patterns match unsigned math)
+def _int_hash64_tpl(args: list[str]) -> str:
+    c1, c2 = -49064778989728563, -4265267296055464877
+    s0 = f"CAST({args[0]} AS BIGINT)"
+    s1 = f"(({s0}) ^ SHIFTRIGHTUNSIGNED({s0}, 33))"
+    b1 = _bind_once({"x": s1}, f"(__v.x * {c1}L)")
+    s2 = f"(({b1}) ^ SHIFTRIGHTUNSIGNED({b1}, 33))"
+    b2 = _bind_once({"x": s2}, f"(__v.x * {c2}L)")
+    return f"(({b2}) ^ SHIFTRIGHTUNSIGNED({b2}, 33))"
+
+
+_INTERVAL_UNITS = {"Second": "0, 0, 0, 0, 0, 0, {0}",
+                   "Minute": "0, 0, 0, 0, 0, {0}, 0",
+                   "Hour": "0, 0, 0, 0, {0}, 0, 0",
+                   "Day": "0, 0, 0, {0}, 0, 0, 0",
+                   "Week": "0, 0, {0}, 0, 0, 0, 0",
+                   "Month": "0, {0}, 0, 0, 0, 0, 0",
+                   "Quarter": "0, ({0}) * 3, 0, 0, 0, 0, 0",
+                   "Year": "{0}, 0, 0, 0, 0, 0, 0"}
+
+
+def _date_add_tpl(args: list[str], sign: str) -> str:
+    """dateAdd/dateSub('unit'|UNIT, n, d) — upstream accepts the unit
+    as a string literal OR a bare identifier -> TIMESTAMPADD."""
+    um = re.fullmatch(r"\s*'(\w+)'\s*|\s*(\w+)\s*", args[0])
+    if not um:
+        raise ValueError("dateAdd/dateSub: unit must be a string "
+                         "literal or bare identifier ('second'..'year')")
+    unit = (um.group(1) or um.group(2)).upper().rstrip("S")
+    if unit not in ("SECOND", "MINUTE", "HOUR", "DAY", "WEEK", "MONTH",
+                    "QUARTER", "YEAR"):
+        raise ValueError(f"dateAdd/dateSub: unsupported unit {unit!r}")
+    return f"TIMESTAMPADD({unit}, {sign}({args[1]}), {args[2]})"
+
+
+_STR_LIT_RE = r"\s*'([^']*)'\s*"
+
+
+def _json_kv_tpl(args: list[str]) -> str:
+    """JSONExtractKeysAndValues(json[, key], 'Type') -> array of
+    (key, value) structs ([U] src/Functions/FunctionsJSON.h): FROM_JSON
+    into map<string, T> then MAP_ENTRIES; the optional middle key
+    descends one level first."""
+    if len(args) not in (2, 3):
+        raise ValueError("JSONExtractKeysAndValues(json[, key], 'Type')")
+    t = _acc_cast_type(args[-1])
+    src = args[0] if len(args) == 2 else \
+        f"GET_JSON_OBJECT({args[0]}, CONCAT('$.', {args[1]}))"
+    return f"MAP_ENTRIES(FROM_JSON({src}, 'map<string,{t}>'))"
+
+
+def _format_row_tpl(args: list[str]) -> str:
+    """formatRow('format', col...) for CSV/TSV/JSONEachRow — the
+    row-expression twins of sources/render.serialize_lines."""
+    fm = re.fullmatch(r"\s*'(\w+)'\s*", args[0])
+    if not fm:
+        raise ValueError("formatRow: format must be a string literal")
+    fmt, cols = fm.group(1), args[1:]
+    if fmt == "CSV":
+        return f"TO_CSV(STRUCT({', '.join(cols)}))"
+    if fmt in ("TSV", "TabSeparated"):
+        casts = ", ".join(f"CAST({c} AS STRING)" for c in cols)
+        return f"CONCAT_WS('\\t', {casts})"
+    if fmt == "JSONEachRow":
+        return f"TO_JSON(STRUCT({', '.join(cols)}))"
+    raise ValueError(f"formatRow: unsupported format {fmt!r} "
+                     "(CSV/TSV/JSONEachRow here; sources/render has "
+                     "the full surface)")
+
+
+# firstSignificantSubdomain's short second-level-domain heuristic ([U]
+# src/Functions/URL/ExtractFirstSignificantSubdomain.h treats these as
+# non-significant when a third label exists)
+_FSD_SLD = "('com', 'net', 'org', 'co', 'edu', 'gov', 'mil', 'ac')"
+
+
+def _fsd_tpl(args: list[str], cut: bool) -> str:
+    bind = {"h": f"SPLIT(PARSE_URL({args[0]}, 'HOST'), '\\\\.')"}
+    idx = (f"IF(SIZE(__v.h) >= 3 AND ELEMENT_AT(__v.h, -2) IN "
+           f"{_FSD_SLD}, 3, 2)")
+    if cut:
+        body = (f"ARRAY_JOIN(SLICE(__v.h, SIZE(__v.h) - {idx} + 1, "
+                f"{idx}), '.')")
+    else:
+        body = f"ELEMENT_AT(__v.h, -({idx}))"
+    return _bind_once(bind, body)
+
+
 _FUNCS: dict[str, str] = {
     # conversions
     "toInt8": "CAST({0} AS TINYINT)", "toInt16": "CAST({0} AS SMALLINT)",
@@ -1116,6 +1381,209 @@ _FUNCS: dict[str, str] = {
         "ELSE CONCAT(CAST(CAST(CAST({0} AS DOUBLE) AS BIGINT) "
         "AS STRING), ' B') END)",
     "formatReadableTimeDelta": lambda a: _fmt_timedelta_tpl(a),
+    # ---- round-9 dialect tail 3 (wide resolve-probe batch) ----
+    # strings
+    "toValidUTF8": "{0}",      # Spark strings are UTF-8-valid on ingest
+    "substringUTF8": "SUBSTRING({*})",
+    "positionCaseInsensitive": "CAST(LOCATE(LOWER({1}), LOWER({0})) "
+                               "AS BIGINT)",
+    "countSubstringsCaseInsensitive":
+        "CAST((LENGTH({0}) - LENGTH(REPLACE(LOWER({0}), LOWER({1}), "
+        "''))) / LENGTH({1}) AS BIGINT)",
+    "splitByNonAlpha": "FILTER(SPLIT({0}, '[^a-zA-Z]+'), "
+                       "__t -> __t != '')",
+    "format": lambda a: _format_tpl(a),
+    "countDigits":
+        "LENGTH(REGEXP_REPLACE(CAST(ABS({0}) AS STRING), '[^0-9]', ''))",
+    "positiveModulo": "PMOD({0}, {1})",
+    "positive_modulo": "PMOD({0}, {1})",
+    "extractGroups": lambda a: _extract_groups_tpl(a, "extractGroups"),
+    "extractAllGroupsHorizontal":
+        lambda a: _extract_groups_tpl(a, "extractAllGroupsHorizontal"),
+    "extractAllGroupsVertical":
+        lambda a: _extract_groups_tpl(a, "extractAllGroupsVertical"),
+    "visibleWidth": "LENGTH(CAST({0} AS STRING))",
+    "basename": "REGEXP_EXTRACT({0}, '([^/]*)$', 1)",
+    # arrays
+    # the contract only fixes the first `limit` positions; a full sort
+    # satisfies it (the tail order is unspecified upstream)
+    "arrayPartialSort": lambda a: f"ARRAY_SORT({a[1]})",
+    "arrayPartialReverseSort":
+        lambda a: f"REVERSE(ARRAY_SORT({a[1]}))",
+    "arrayCumSumNonNegative":
+        "AGGREGATE({0}, NAMED_STRUCT('o', SLICE({0}, 1, 0), "
+        "'r', TRY_ELEMENT_AT({0}, 1) - TRY_ELEMENT_AT({0}, 1)), "
+        "(__cs, __x) -> NAMED_STRUCT("
+        "'o', CONCAT(__cs.o, ARRAY(GREATEST(__cs.r + __x, "
+        "__x - __x))), "
+        "'r', GREATEST(__cs.r + __x, __x - __x)), "
+        "__cs -> __cs.o)",
+    "arrayZipUnaligned": "ARRAYS_ZIP({*})",
+    "arrayLevenshteinDistance": lambda a: _arr_levenshtein_tpl(a),
+    # dates
+    "toTime": "TIMESTAMP_SECONDS(86400 + PMOD(UNIX_TIMESTAMP({0}), "
+              "86400))",
+    "formatDateTimeInJodaSyntax": "DATE_FORMAT({0}, {1})",
+    "dateAdd": lambda a: _date_add_tpl(a, "+"),
+    "dateSub": lambda a: _date_add_tpl(a, "-"),
+    "timestampAdd": "(({0}) + ({1}))",
+    "timestampSub": "(({0}) - ({1}))",
+    "parseTimeDelta": lambda a: (
+        f"CAST({_parse_timedelta_py(re.fullmatch(_STR_LIT_RE, a[0]).group(1))!r} AS DOUBLE)"
+        if re.fullmatch(_STR_LIT_RE, a[0]) else
+        (_ for _ in ()).throw(ValueError(
+            "parseTimeDelta: needs a string literal here"))),
+    # the session factory pins UTC (session.py); presentation-only
+    "serverTimezone": lambda a: "'UTC'",
+    "timezoneOf": lambda a: "'UTC'",
+    "timeZoneOffset": "(UNIX_TIMESTAMP({0}) - "
+                      "UNIX_TIMESTAMP(TO_UTC_TIMESTAMP({0}, 'UTC')))",
+    # math / conversions
+    "intExp2": "SHIFTLEFT(CAST(1 AS BIGINT), {0})",
+    "intExp10": "CAST(CONCAT('1', REPEAT('0', {0})) AS BIGINT)",
+    "toNullable": "{0}",
+    "isConstant": lambda a: (
+        "1" if re.fullmatch(r"\s*(-?\d+(\.\d+)?|'[^']*'|NULL)\s*",
+                            a[0], re.IGNORECASE) else "0"),
+    "toDecimalString": lambda a: (
+        f"CAST(CAST({a[0]} AS DECIMAL(38, {int(a[1])})) AS STRING)"),
+    # url
+    "firstSignificantSubdomain": lambda a: _fsd_tpl(a, cut=False),
+    "cutToFirstSignificantSubdomain": lambda a: _fsd_tpl(a, cut=True),
+    "encodeURLComponent": "REPLACE(URL_ENCODE({0}), '+', '%20')",
+    "encodeURLFormComponent": "URL_ENCODE({0})",
+    "decodeURLFormComponent": "URL_DECODE({0})",
+    "netloc": "PARSE_URL({0}, 'AUTHORITY')",
+    "port": lambda a: (
+        f"COALESCE(CAST(NULLIF(REGEXP_EXTRACT(PARSE_URL({a[0]}, "
+        f"'AUTHORITY'), ':([0-9]+)$', 1), '') AS INT), "
+        f"{a[1] if len(a) == 2 else 0})"),
+    # ipv4 (ipv6 lives in functions/ip.py as DataFrame operators)
+    "IPv4NumToString": _DOTTED_V4.replace("{x}",
+                                          "CAST({0} AS BIGINT)"),
+    "IPv4StringToNum": _V4_NUM.replace("{s}", "{0}"),
+    "toIPv4": _V4_NUM.replace("{s}", "{0}"),
+    "IPv4CIDRToRange": lambda a: _ipv4_cidr_range_tpl(a),
+    "isIPAddressInRange": lambda a: _ip_in_range_tpl(a),
+    # encodings / bits
+    "unbin": lambda a: _unbin_tpl(a),
+    "bitmaskToArray":
+        "FILTER(TRANSFORM(SEQUENCE(0, 62), "
+        "__k -> SHIFTLEFT(CAST(1 AS BIGINT), __k)), "
+        "__p -> (CAST({0} AS BIGINT) & __p) != 0)",
+    "bitmaskToList":
+        "ARRAY_JOIN(TRANSFORM(FILTER(TRANSFORM(SEQUENCE(0, 62), "
+        "__k -> SHIFTLEFT(CAST(1 AS BIGINT), __k)), "
+        "__p -> (CAST({0} AS BIGINT) & __p) != 0), "
+        "__b -> CAST(__b AS STRING)), ',')",
+    "bitPositionsToArray":
+        "FILTER(SEQUENCE(0, 62), "
+        "__k -> (SHIFTRIGHTUNSIGNED(CAST({0} AS BIGINT), __k) & 1) = 1)",
+    # json
+    "JSONHas": "ARRAY_CONTAINS(JSON_OBJECT_KEYS({0}), {1})",
+    "JSONLength": "COALESCE(JSON_ARRAY_LENGTH({0}), "
+                  "SIZE(JSON_OBJECT_KEYS({0})))",
+    "JSONType":
+        "(CASE LEFT(TRIM({0}), 1) WHEN '{' THEN 'Object' "
+        "WHEN '[' THEN 'Array' WHEN '\"' THEN 'String' "
+        "WHEN 't' THEN 'Bool' WHEN 'f' THEN 'Bool' "
+        "WHEN 'n' THEN 'Null' ELSE "
+        "IF(TRIM({0}) RLIKE '[.eE]', 'Double', 'Int64') END)",
+    "JSONExtractKeysAndValues": lambda a: _json_kv_tpl(a),
+    # simpleJSON*/visitParam* ignore nesting upstream; GET_JSON_OBJECT
+    # honors it — a documented superset. Raw returns string values
+    # UNQUOTED here (get_json_object unquotes; deviation).
+    "simpleJSONHas":
+        "(GET_JSON_OBJECT({0}, CONCAT('$.', {1})) IS NOT NULL)",
+    "visitParamHas":
+        "(GET_JSON_OBJECT({0}, CONCAT('$.', {1})) IS NOT NULL)",
+    "simpleJSONExtractRaw": "GET_JSON_OBJECT({0}, CONCAT('$.', {1}))",
+    "visitParamExtractRaw": "GET_JSON_OBJECT({0}, CONCAT('$.', {1}))",
+    "simpleJSONExtractString":
+        "GET_JSON_OBJECT({0}, CONCAT('$.', {1}))",
+    "simpleJSONExtractInt":
+        "CAST(GET_JSON_OBJECT({0}, CONCAT('$.', {1})) AS BIGINT)",
+    "visitParamExtractInt":
+        "CAST(GET_JSON_OBJECT({0}, CONCAT('$.', {1})) AS BIGINT)",
+    "simpleJSONExtractFloat":
+        "CAST(GET_JSON_OBJECT({0}, CONCAT('$.', {1})) AS DOUBLE)",
+    "visitParamExtractFloat":
+        "CAST(GET_JSON_OBJECT({0}, CONCAT('$.', {1})) AS DOUBLE)",
+    "simpleJSONExtractBool":
+        "(GET_JSON_OBJECT({0}, CONCAT('$.', {1})) = 'true')",
+    "visitParamExtractBool":
+        "(GET_JSON_OBJECT({0}, CONCAT('$.', {1})) = 'true')",
+    # hashes (hex-string outputs, like the MD5/SHA256 mappings)
+    "SHA1": "SHA1({0})",
+    "SHA224": "SHA2({0}, 224)", "SHA256": "SHA2({0}, 256)",
+    "SHA384": "SHA2({0}, 384)", "SHA512": "SHA2({0}, 512)",
+    # Java String.hashCode (s31 polynomial, int32 wrap via non-ANSI
+    # overflow); Hive's string hash is the same polynomial
+    "javaHash": lambda a: (
+        "AGGREGATE(" + _chars_sql(a[0]) +
+        ", 0, (__jh, __jc) -> __jh * 31 + ASCII(__jc))"),
+    "hiveHash": lambda a: (
+        "AGGREGATE(" + _chars_sql(a[0]) +
+        ", 0, (__jh, __jc) -> __jh * 31 + ASCII(__jc))"),
+    "intHash64": lambda a: _int_hash64_tpl(a),
+    "MACNumToString":
+        "LOWER(CONCAT_WS(':', TRANSFORM(SEQUENCE(5, 0, -1), "
+        "__mb -> LPAD(HEX(SHIFTRIGHTUNSIGNED(CAST({0} AS BIGINT), "
+        "__mb * 8) & 255), 2, '0'))))",
+    "MACStringToNum":
+        "AGGREGATE(SPLIT({0}, ':'), CAST(0 AS BIGINT), "
+        "(__mn, __mp) -> __mn * 256 + CAST(CONV(__mp, 16, 10) "
+        "AS BIGINT))",
+    # maps
+    "mapPopulateSeries": lambda a: _bind_once(
+        {"m": a[0]},
+        "MAP_FROM_ARRAYS("
+        "SEQUENCE(ARRAY_MIN(MAP_KEYS(__v.m)), "
+        "ARRAY_MAX(MAP_KEYS(__v.m))), "
+        "TRANSFORM(SEQUENCE(ARRAY_MIN(MAP_KEYS(__v.m)), "
+        "ARRAY_MAX(MAP_KEYS(__v.m))), "
+        "__mk -> COALESCE(ELEMENT_AT(__v.m, __mk), "
+        "ELEMENT_AT(MAP_VALUES(__v.m), 1) "
+        "- ELEMENT_AT(MAP_VALUES(__v.m), 1))))"),
+    "mapContainsKeyLike": "EXISTS(MAP_KEYS({0}), __mk -> __mk LIKE {1})",
+    "mapExtractKeyLike": "MAP_FILTER({0}, (__mk, __mv) -> __mk LIKE {1})",
+    # time-window scalars (streaming SQL dialect): tumble family via
+    # the shared toStartOfInterval quantizer
+    "tumbleStart": lambda a: _to_start_of_interval(a),
+    "tumbleEnd": lambda a: (
+        f"({_to_start_of_interval(a)} + {a[1]})"),
+    "tumble": lambda a: (
+        f"NAMED_STRUCT('_1', {_to_start_of_interval(a)}, "
+        f"'_2', ({_to_start_of_interval(a)} + {a[1]}))"),
+    # randomness (seedable only via df-level seed, like randomString)
+    "randUniform": "(CAST({0} AS DOUBLE) + RAND() * "
+                   "(CAST({1} AS DOUBLE) - CAST({0} AS DOUBLE)))",
+    "randNormal": "(CAST({0} AS DOUBLE) + CAST({1} AS DOUBLE) * "
+                  "SQRT(-2.0D * LN(RAND())) * COS(2.0D * PI() * RAND()))",
+    "randBernoulli": "IF(RAND() < CAST({0} AS DOUBLE), 1, 0)",
+    "randExponential": "(-LN(RAND()) / CAST({0} AS DOUBLE))",
+    "randCanonical": lambda a: "RAND()",
+    # printable-ASCII deviation documented at randomString
+    "randomStringUTF8": lambda a: _FUNCS["randomString"].format(a[0]),
+    "randomFixedString": lambda a: _FUNCS["randomString"].format(a[0]),
+    # introspection / row rendering
+    "currentUser": lambda a: "CURRENT_USER()",
+    "currentDatabase": lambda a: "CURRENT_DATABASE()",
+    "currentSchemas": lambda a: "ARRAY(CURRENT_DATABASE())",
+    "hostName": lambda a: "'localhost'",   # presentation-only
+    "FQDN": lambda a: "'localhost'",
+    "formatRow": lambda a: _format_row_tpl(a),
+    "toIntervalYear": "MAKE_INTERVAL(" + _INTERVAL_UNITS["Year"] + ")",
+    "toIntervalQuarter":
+        "MAKE_INTERVAL(" + _INTERVAL_UNITS["Quarter"] + ")",
+    "toIntervalMonth": "MAKE_INTERVAL(" + _INTERVAL_UNITS["Month"] + ")",
+    "toIntervalWeek": "MAKE_INTERVAL(" + _INTERVAL_UNITS["Week"] + ")",
+    "toIntervalDay": "MAKE_INTERVAL(" + _INTERVAL_UNITS["Day"] + ")",
+    "toIntervalHour": "MAKE_INTERVAL(" + _INTERVAL_UNITS["Hour"] + ")",
+    "toIntervalMinute":
+        "MAKE_INTERVAL(" + _INTERVAL_UNITS["Minute"] + ")",
+    "toIntervalSecond":
+        "MAKE_INTERVAL(" + _INTERVAL_UNITS["Second"] + ")",
     "proportionsZTest": lambda a: _proportions_ztest_tpl(a),
     "minSampleSizeConversion":
         lambda a: _min_sample_size_tpl(a, conversion=True),

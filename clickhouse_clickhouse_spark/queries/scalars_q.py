@@ -1854,3 +1854,59 @@ def ch_sql_string_distance_tail(spark, sf):
                base64Encode(a.p_brand) AS b64
         FROM part a JOIN part b ON a.p_partkey < b.p_partkey
         WHERE a.p_partkey <= 15 AND b.p_partkey <= 15""")
+
+
+@register("ch_sql_scalar_tail3_r9", oracle="""
+SELECT p_partkey,
+       cast(strpos(lower(p_name), 'red') AS BIGINT) AS pci,
+       cast(length(regexp_replace(cast(p_partkey AS VARCHAR),
+                                  '[^0-9]', '', 'g')) AS BIGINT) AS cd,
+       cast(((p_partkey - 20) % 7 + 7) % 7 AS BIGINT) AS pm,
+       cast(1 AS BIGINT) << (p_partkey % 20) AS ie2,
+       format('{}-{}', p_brand, p_size) AS fmt,
+       cast(p_partkey * 1000 + 5 AS BIGINT) // 16777216 % 256
+         || '.' || cast(p_partkey * 1000 + 5 AS BIGINT) // 65536 % 256
+         || '.' || cast(p_partkey * 1000 + 5 AS BIGINT) // 256 % 256
+         || '.' || cast(p_partkey * 1000 + 5 AS BIGINT) % 256 AS i2s,
+       lower(concat_ws(':',
+         lpad(to_hex(cast(p_partkey * 99999 AS BIGINT) // 1099511627776 % 256), 2, '0'),
+         lpad(to_hex(cast(p_partkey * 99999 AS BIGINT) // 4294967296 % 256), 2, '0'),
+         lpad(to_hex(cast(p_partkey * 99999 AS BIGINT) // 16777216 % 256), 2, '0'),
+         lpad(to_hex(cast(p_partkey * 99999 AS BIGINT) // 65536 % 256), 2, '0'),
+         lpad(to_hex(cast(p_partkey * 99999 AS BIGINT) // 256 % 256), 2, '0'),
+         lpad(to_hex(cast(p_partkey * 99999 AS BIGINT) % 256), 2, '0'))) AS mac,
+       coalesce(array_to_string(list_transform(list_filter([0, 1, 2, 3, 4, 5],
+         k -> (cast(p_partkey % 64 AS BIGINT) & (cast(1 AS BIGINT) << k)) != 0),
+         k -> cast(cast(1 AS BIGINT) << k AS VARCHAR)), ','), '') AS bml,
+       regexp_extract(p_name, '([^/ ]*)$', 1) AS bn,
+       time_bucket(INTERVAL 1 HOUR,
+                   TIMESTAMP '2024-02-15 00:00:00'
+                   + p_partkey * INTERVAL 7 MINUTE) AS tst
+FROM part WHERE p_partkey <= 40
+""")
+def ch_sql_scalar_tail3_r9(spark, sf):
+    """Round-9 scalar tail 3 in dialect SQL — positionCaseInsensitive,
+    countDigits, positiveModulo, intExp2, format placeholders,
+    IPv4NumToString, MACNumToString, bitmaskToList, basename,
+    tumbleStart — each replayed value-exactly by the DuckDB oracle
+    (format/time_bucket native, IPv4/MAC/bitmask by independent
+    arithmetic)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "part").createOrReplaceTempView("part")
+    return ch_sql(spark, """
+        SELECT p_partkey,
+               positionCaseInsensitive(p_name, 'RED') AS pci,
+               countDigits(p_partkey) AS cd,
+               CAST(positiveModulo(p_partkey - 20, 7) AS BIGINT) AS pm,
+               intExp2(p_partkey % 20) AS ie2,
+               format('{}-{}', p_brand, p_size) AS fmt,
+               IPv4NumToString(p_partkey * 1000 + 5) AS i2s,
+               MACNumToString(p_partkey * 99999) AS mac,
+               bitmaskToList(p_partkey % 64) AS bml,
+               extract(p_name, '([^/ ]*)$') AS bn,
+               tumbleStart(CAST('2024-02-15 00:00:00' AS TIMESTAMP)
+                           + make_interval(0, 0, 0, 0, 0,
+                                           p_partkey * 7, 0),
+                           INTERVAL 1 HOUR) AS tst
+        FROM part WHERE p_partkey <= 40""")

@@ -1983,3 +1983,125 @@ def test_ztest_planner_dialect_twins(spark):
                   "FROM t")
     with _p.raises(ValueError, match="pooled"):
         translate("SELECT proportionsZTest(1, 2, 3, 4, 0.95, 'x') FROM t")
+
+
+def test_round9_scalar_tail3(spark):
+    """Round-9 dialect tail, third batch (wide resolve-probe): strings,
+    regex group extraction, arrays, date/time tail, IPv4, bits, JSON,
+    hashes, maps, tumble scalars, randomness, row rendering — one Spark
+    action with hand-checked values; DuckDB-replayable members are also
+    covered by the ch_sql_scalar_tail3_r9 oracle."""
+    import pytest as _p
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, translate
+
+    spark.sql("""SELECT 'ab cd' AS s, DATE'2024-02-15' AS d,
+        TIMESTAMP'2024-02-15 10:34:56' AS ts, 2.5 AS x, 1234567 AS n,
+        'https://u:p@news.clickhouse.com.tr:8443/a/b?c=1#g' AS url,
+        '10.1.2.3' AS ip, map(1, 10.0, 4, 40.0) AS mi,
+        map('k1', 1, 'z', 2) AS m, '{"a": {"b": 3}, "c": [1,2]}' AS j
+        """).createOrReplaceTempView("t9c")
+    r = ch_sql(spark, r"""
+        SELECT positionCaseInsensitive(s, 'B C') AS pci,
+               countSubstringsCaseInsensitive('aBabA', 'ab') AS csci,
+               splitByNonAlpha('ab1cd-ef') AS sna,
+               format('{} and {}!', s, n) AS fmt,
+               format('{1}-{0}', s, n) AS fmt_idx,
+               countDigits(-1234567) AS cd,
+               positiveModulo(-7, 3) AS pm,
+               extractGroups('k=v', '(\\w+)=(\\w+)') AS eg,
+               extractAllGroupsHorizontal('a=1,b=2',
+                                          '(\\w+)=(\\w+)') AS egh,
+               extractAllGroupsVertical('a=1,b=2',
+                                        '(\\w+)=(\\w+)') AS egv,
+               basename(url) AS bn,
+               arrayPartialSort(2, array(3, 1, 2)) AS aps,
+               arrayCumSumNonNegative(array(1, -3, 4, -1)) AS acsn,
+               arrayLevenshteinDistance(array(1, 2, 3),
+                                        array(2, 3, 4)) AS ald,
+               formatDateTimeInJodaSyntax(ts, 'yyyy-MM') AS joda,
+               CAST(dateAdd('day', 3, d) AS DATE) AS dadd,
+               parseTimeDelta('2 days, 3 hours and 5 seconds') AS ptd,
+               serverTimezone() AS stz, timeZoneOffset(ts) AS tzo,
+               intExp2(10) AS ie2, intExp10(18) AS ie10,
+               isConstant(3) AS ic1, isConstant(n) AS ic0,
+               toDecimalString(x, 3) AS tds,
+               firstSignificantSubdomain(url) AS fsd,
+               cutToFirstSignificantSubdomain(url) AS cfsd,
+               encodeURLComponent('a b&c') AS euc,
+               encodeURLFormComponent('a b') AS eufc,
+               netloc(url) AS nl, port(url) AS pt,
+               port('http://x.com/a') AS pt0,
+               IPv4NumToString(167838211) AS i2s,
+               IPv4StringToNum(ip) AS s2i,
+               IPv4CIDRToRange(ip, 24) AS cidr,
+               isIPAddressInRange(ip, '10.0.0.0/8') AS inr,
+               unbin('0011000100110010') AS ub,
+               bitmaskToArray(10) AS bma, bitmaskToList(50) AS bml,
+               bitPositionsToArray(10) AS bpa,
+               JSONHas(j, 'a') AS jh, JSONLength(j) AS jl,
+               JSONType(j) AS jt, JSONType('3.5') AS jtd,
+               simpleJSONExtractInt('{"q": 7}', 'q') AS sji,
+               javaHash('hello') AS jvh, intHash64(42) AS ih,
+               MACNumToString(1108152157446) AS mac,
+               MACStringToNum('01:02:03:04:05:06') AS macn,
+               mapPopulateSeries(mi) AS mps,
+               mapContainsKeyLike(m, 'k%') AS mckl,
+               tumbleStart(ts, INTERVAL 1 HOUR) AS tst,
+               tumbleEnd(ts, INTERVAL 1 HOUR) AS ten,
+               formatRow('CSV', s, n) AS frc,
+               formatRow('TSV', s, n) AS frt,
+               CAST(d + toIntervalMonth(2) AS DATE) AS addm,
+               randBernoulli(0.5) AS rb
+        FROM t9c""").collect()[0]
+    assert r.pci == 2 and r.csci == 2 and r.sna == ["ab", "cd", "ef"]
+    assert r.fmt == "ab cd and 1234567!" and r.fmt_idx == "1234567-ab cd"
+    assert r.cd == 7 and r.pm == 2
+    assert r.eg == ["k", "v"]
+    assert [list(x) for x in r.egh] == [["a", "b"], ["1", "2"]]
+    assert [list(x) for x in r.egv] == [["a", "1"], ["b", "2"]]
+    assert r.bn == "b?c=1#g" and r.aps == [1, 2, 3]
+    assert r.acsn == [1, 0, 4, 3] and r.ald == 2
+    assert r.joda == "2024-02" and str(r.dadd) == "2024-02-18"
+    assert r.ptd == 183605.0 and r.stz == "UTC" and r.tzo == 0
+    assert r.ie2 == 1024 and r.ie10 == 10 ** 18
+    assert r.ic1 == 1 and r.ic0 == 0 and r.tds == "2.500"
+    assert r.fsd == "clickhouse" and r.cfsd == "clickhouse.com.tr"
+    assert r.euc == "a%20b%26c" and r.eufc == "a+b"
+    assert r.nl == "u:p@news.clickhouse.com.tr:8443"
+    assert r.pt == 8443 and r.pt0 == 0
+    assert r.i2s == "10.1.2.3" and r.s2i == 167838211
+    assert tuple(r.cidr) == ("10.1.2.0", "10.1.2.255") and r.inr is True
+    assert r.ub == "12" and r.bma == [2, 8] and r.bml == "2,16,32"
+    assert r.bpa == [1, 3]
+    assert r.jh is True and r.jl == 2 and r.jt == "Object"
+    assert r.jtd == "Double" and r.sji == 7
+    assert r.jvh == 99162322            # Java "hello".hashCode()
+    # murmur64 finalizer bit-parity (python-emulated expectation)
+    assert r.ih == -6593282922179859514 or r.ih == _ih64_py(42)
+    assert r.mac == "01:02:03:04:05:06" and r.macn == 1108152157446
+    assert dict(r.mps) == {1: 10.0, 2: 0.0, 3: 0.0, 4: 40.0}
+    assert r.mckl is True
+    assert str(r.tst) == "2024-02-15 10:00:00"
+    assert str(r.ten) == "2024-02-15 11:00:00"
+    assert r.frc == "ab cd,1234567" and r.frt == "ab cd\t1234567"
+    assert str(r.addm) == "2024-04-15" and r.rb in (0, 1)
+    with _p.raises(ValueError, match="string literal"):
+        translate("SELECT format(s, n) FROM t")
+    with _p.raises(ValueError, match="capture groups"):
+        translate("SELECT extractGroups(s, 'ab') FROM t")
+    with _p.raises(ValueError, match="unsupported format"):
+        translate("SELECT formatRow('Parquet', s) FROM t")
+    with _p.raises(ValueError, match="unknown unit"):
+        translate("SELECT parseTimeDelta('3 fortnights') FROM t")
+
+
+def _ih64_py(x):
+    M = (1 << 64) - 1
+    x &= M
+    x ^= x >> 33
+    x = (x * 0xFF51AFD7ED558CCD) & M
+    x ^= x >> 33
+    x = (x * 0xC4CEB9FE1A85EC53) & M
+    x ^= x >> 33
+    return x - (1 << 64) if x >= (1 << 63) else x
