@@ -680,6 +680,42 @@ def _json_kv_tpl(args: list[str]) -> str:
     return f"MAP_ENTRIES(FROM_JSON({src}, 'map<string,{t}>'))"
 
 
+def _array_auc_tpl(args: list[str]) -> str:
+    """arrayAUC(scores, labels) ([U] src/Functions/array/arrayAUC.cpp):
+    ROC AUC with trapezoidal tie handling, computed via the equivalent
+    Mann-Whitney average-rank formula
+    AUC = (Σ_{pos} avgrank − P(P+1)/2) / (P·N),
+    avgrank_i = (#{s_j < s_i} + #{s_j <= s_i} + 1) / 2.
+    Labels: nonzero = positive. NaN when either class is empty (as
+    upstream). O(n²) — 500-element scale guard like the distance
+    folds."""
+    if len(args) != 2:
+        raise ValueError("arrayAUC(scores, labels)")
+    bind = {"sc": args[0],
+            "pz": (f"TRANSFORM({args[1]}, "
+                   f"__l -> CAST(CAST(__l AS DOUBLE) != 0.0D AS INT))")}
+    p = "CAST(AGGREGATE(__v.pz, 0, (__a, __x) -> __a + __x) AS DOUBLE)"
+    avg_rank = (
+        "(CAST(SIZE(FILTER(__v.sc, __y -> __y < ELEMENT_AT(__v.sc, __i)"
+        ")) AS DOUBLE) + SIZE(FILTER(__v.sc, "
+        "__y -> __y <= ELEMENT_AT(__v.sc, __i))) + 1.0D) / 2.0D")
+    sumrank = (
+        f"AGGREGATE(SEQUENCE(1, SIZE(__v.sc)), CAST(0 AS DOUBLE), "
+        f"(__sr, __i) -> __sr + IF(ELEMENT_AT(__v.pz, __i) = 1, "
+        f"{avg_rank}, 0.0D))")
+    body = (
+        f"CASE WHEN SIZE(__v.sc) > 500 THEN "
+        f"RAISE_ERROR('arrayAUC: arrays beyond 500 elements — the "
+        f"SQL-fold ranker is quadratic') "
+        f"WHEN SIZE(__v.sc) != SIZE(__v.pz) THEN "
+        f"RAISE_ERROR('arrayAUC: scores and labels differ in size') "
+        f"ELSE ELEMENT_AT(TRANSFORM(ARRAY({p}), __p -> "
+        f"IF(__p = 0.0D OR __p = SIZE(__v.sc), CAST('NaN' AS DOUBLE), "
+        f"({sumrank} - __p * (__p + 1.0D) / 2.0D) "
+        f"/ (__p * (SIZE(__v.sc) - __p)))), 1) END")
+    return _bind_once(bind, body)
+
+
 def _format_row_tpl(args: list[str]) -> str:
     """formatRow('format', col...) for CSV/TSV/JSONEachRow — the
     row-expression twins of sources/render.serialize_lines."""
@@ -1420,6 +1456,8 @@ _FUNCS: dict[str, str] = {
         "__cs -> __cs.o)",
     "arrayZipUnaligned": "ARRAYS_ZIP({*})",
     "arrayLevenshteinDistance": lambda a: _arr_levenshtein_tpl(a),
+    "arrayAUC": lambda a: _array_auc_tpl(a),
+    "arrayROCAUC": lambda a: _array_auc_tpl(a),
     # dates
     "toTime": "TIMESTAMP_SECONDS(86400 + PMOD(UNIX_TIMESTAMP({0}), "
               "86400))",
@@ -2334,9 +2372,15 @@ def _to_start_of_interval(args: list[str]) -> str:
     index the way upstream's DateLUT toStartOf*Interval does; n-week
     buckets anchor at 1970-01-05 — the first epoch MONDAY, matching
     upstream's Monday-based weeks (n = 1 keeps DATE_TRUNC, which is also
-    Monday-based)."""
-    if len(args) != 2:
-        raise ValueError("toStartOfInterval(ts, INTERVAL n unit)")
+    Monday-based).
+
+    The 3-argument origin form (round 9, [U] 23.x toStartOfInterval
+    origin overload) re-anchors fixed-width units at the origin:
+    origin + floor((ts − origin)/step)·step; calendar units with an
+    origin refuse loudly."""
+    if len(args) not in (2, 3):
+        raise ValueError("toStartOfInterval(ts, INTERVAL n unit"
+                         "[, origin])")
     mm = re.match(r"INTERVAL\s+(\d+)\s+(\w+)$", args[1].strip(),
                   re.IGNORECASE)
     if not mm:
@@ -2345,6 +2389,17 @@ def _to_start_of_interval(args: list[str]) -> str:
     n, unit = int(mm.group(1)), mm.group(2).lower().rstrip("s")
     if n < 1:
         raise ValueError("toStartOfInterval: n must be >= 1")
+    if len(args) == 3:
+        if unit not in _INTERVAL_SECS:
+            raise ValueError(
+                "toStartOfInterval: an origin composes with fixed-width "
+                "units (second..day) here; calendar units with origin "
+                "are not supported")
+        sec = n * _INTERVAL_SECS[unit]
+        o = f"UNIX_TIMESTAMP({args[2]})"
+        return (f"TIMESTAMP_SECONDS({o} + CAST(FLOOR("
+                f"(UNIX_TIMESTAMP({args[0]}) - {o}) / {sec}) "
+                f"AS BIGINT) * {sec})")
     if unit in _INTERVAL_SECS:
         sec = n * _INTERVAL_SECS[unit]
         return (f"TIMESTAMP_SECONDS(CAST(FLOOR(UNIX_TIMESTAMP({args[0]}) "

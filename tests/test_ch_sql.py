@@ -2105,3 +2105,71 @@ def _ih64_py(x):
     x = (x * 0xC4CEB9FE1A85EC53) & M
     x ^= x >> 33
     return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def test_array_auc_vs_python(spark):
+    """arrayAUC: 120 seeded (scores, labels) cases — ties, all-positive,
+    all-negative, singletons — against an independent python
+    average-rank AUC in ONE Spark action."""
+    import math
+    import random
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    def py_auc(scores, labels):
+        pos = [s for s, l in zip(scores, labels) if l]
+        neg = [s for s, l in zip(scores, labels) if not l]
+        if not pos or not neg:
+            return None                       # NaN case
+        wins = sum((p > n_) + 0.5 * (p == n_) for p in pos for n_ in neg)
+        return wins / (len(pos) * len(neg))
+
+    rnd = random.Random(911)
+    cases = [([0.5], [1]), ([0.5], [0]), ([0.1, 0.9], [0, 1]),
+             ([0.5, 0.5], [0, 1]), ([0.3, 0.3, 0.3], [1, 0, 1])]
+    while len(cases) < 120:
+        n = rnd.randint(1, 12)
+        scores = [round(rnd.choice([0.1, 0.25, 0.5, 0.5, 0.8]), 3)
+                  for _ in range(n)]
+        labels = [rnd.randint(0, 1) for _ in range(n)]
+        cases.append((scores, labels))
+    spark.createDataFrame(
+        [(i, s, l) for i, (s, l) in enumerate(cases)],
+        "id int, sc array<double>, lb array<int>") \
+        .createOrReplaceTempView("auc_t")
+    got = {r.id: r.auc for r in ch_sql(
+        spark, "SELECT id, arrayAUC(sc, lb) AS auc FROM auc_t"
+    ).collect()}
+    bad = []
+    for i, (s, l) in enumerate(cases):
+        exp = py_auc(s, l)
+        g = got[i]
+        if exp is None:
+            if not (g is None or math.isnan(g)):
+                bad.append((i, s, l, g, "NaN"))
+        elif g is None or abs(g - exp) > 1e-12:
+            bad.append((i, s, l, g, exp))
+    assert not bad, f"{len(bad)} mismatches; first 3: {bad[:3]}"
+
+
+def test_to_start_of_interval_origin(spark):
+    """3-arg toStartOfInterval(ts, interval, origin): fixed-width units
+    re-anchor at the origin (hand-checked grid); calendar units with an
+    origin refuse loudly."""
+    import pytest as _p
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, translate
+
+    spark.sql("SELECT TIMESTAMP'2024-02-15 10:34:56' AS ts") \
+        .createOrReplaceTempView("osi_t")
+    r = ch_sql(spark, """
+        SELECT toStartOfInterval(ts, INTERVAL 90 SECOND,
+                                 toDateTime('2024-01-01 00:00:30')) AS a,
+               toStartOfInterval(ts, INTERVAL 1 DAY,
+                                 toDateTime('2024-01-01 12:00:00')) AS b
+        FROM osi_t""").collect()[0]
+    assert str(r.a) == "2024-02-15 10:33:30"
+    assert str(r.b) == "2024-02-14 12:00:00"
+    with _p.raises(ValueError, match="origin"):
+        translate("SELECT toStartOfInterval(ts, INTERVAL 2 MONTH, "
+                  "toDateTime('2024-01-01 00:00:00')) FROM t")
