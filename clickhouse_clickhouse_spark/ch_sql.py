@@ -305,14 +305,15 @@ def _fmt_timedelta_tpl(a: list[str]) -> str:
     return f"IF({s} = 0, '0 seconds', {joined})"
 
 
-def _bind_once(bindings: dict[str, str], body: str) -> str:
+def _bind_once(bindings: dict[str, str], body: str,
+               var: str = "__v") -> str:
     """Evaluate each binding expression ONCE and expose it to `body`
-    as a field of the lambda struct `__v` — the single-element
+    as a field of the lambda struct ``var`` — the single-element
     TRANSFORM trick used by the sequence folds. `body` references
-    `__v.<name>`."""
+    ``<var>.<name>``; pass distinct ``var`` names when nesting."""
     ns = ", ".join(f"'{k}', {v}" for k, v in bindings.items())
     return (f"ELEMENT_AT(TRANSFORM(ARRAY(NAMED_STRUCT({ns})), "
-            f"__v -> {body}), 1)")
+            f"{var} -> {body}), 1)")
 
 
 def _chars_sql(s: str) -> str:
@@ -751,6 +752,554 @@ def _fsd_tpl(args: list[str], cut: bool) -> str:
     else:
         body = f"ELEMENT_AT(__v.h, -({idx}))"
     return _bind_once(bind, body)
+
+
+# ---- round-9 statistical aggregates in dialect SQL -----------------
+# The DataFrame operators (operators/advanced.py etc.) remain the scale
+# path; these are their single-expression dialect twins so the NAMES
+# resolve in ch_sql — collect-fold based, with loud size guards where
+# the fold is super-linear per group.
+
+def _runs_sql(sl: str) -> str:
+    """array<struct<v, c>> of run-lengths over the SORTED array `sl`
+    (the O(n log n) distinct-counting workhorse — same idea as the
+    round-9 topK sorted-run fold). `sl` must be a simple reference
+    (bind it first): it is read three times."""
+    empty = (f"TRANSFORM(SLICE({sl}, 1, 0), "
+             f"__z -> NAMED_STRUCT('v', __z, 'c', CAST(0 AS BIGINT)))")
+    return (
+        f"AGGREGATE({sl}, "
+        f"NAMED_STRUCT('rs', {empty}, 'cur', TRY_ELEMENT_AT({sl}, 1), "
+        f"'c', CAST(0 AS BIGINT)), "
+        f"(__ra, __rx) -> IF(__ra.c > 0 AND NOT (__rx <=> __ra.cur), "
+        f"NAMED_STRUCT('rs', CONCAT(__ra.rs, ARRAY(NAMED_STRUCT("
+        f"'v', __ra.cur, 'c', __ra.c))), 'cur', __rx, "
+        f"'c', CAST(1 AS BIGINT)), "
+        f"NAMED_STRUCT('rs', __ra.rs, 'cur', __rx, 'c', __ra.c + 1)), "
+        f"__rf -> IF(__rf.c = 0, __rf.rs, CONCAT(__rf.rs, "
+        f"ARRAY(NAMED_STRUCT('v', __rf.cur, 'c', __rf.c)))))")
+
+
+def _entropy_tpl(args: list[str]) -> str:
+    """entropy(x) ([U] AggregateFunctionEntropy.h): Shannon entropy in
+    bits of the value distribution, H = log2(n) − Σ c·log2(c)/n over
+    run-length counts of the sorted collected values (one collect,
+    O(n log n))."""
+    inner = _bind_once(
+        {"rs": _runs_sql("__vo.sl"),
+         "n": "CAST(SIZE(__vo.sl) AS DOUBLE)"},
+        "IF(__v.n = 0.0D, CAST('NaN' AS DOUBLE), "
+        "LOG2(__v.n) - AGGREGATE(__v.rs, CAST(0 AS DOUBLE), "
+        "(__ea, __er) -> __ea + __er.c * LOG2(CAST(__er.c AS DOUBLE)))"
+        " / __v.n)")
+    return _bind_once(
+        {"sl": f"ARRAY_SORT(COLLECT_LIST({args[0]}))"}, inner,
+        var="__vo")
+
+
+def _delta_sum_ts_tpl(args: list[str]) -> str:
+    """deltaSumTimestamp(value, ts) ([U]
+    AggregateFunctionDeltaSumTimestamp.h): sum of POSITIVE deltas
+    between consecutive values in ts order. The bare deltaSum refuses
+    (block-order dependent upstream — pass a timestamp)."""
+    sl = (f"ARRAY_SORT(COLLECT_LIST(NAMED_STRUCT('t', {args[1]}, "
+          f"'dv', CAST({args[0]} AS DOUBLE))))")
+    body = ("AGGREGATE(__v.sl, "
+            "NAMED_STRUCT('s', CAST(0 AS DOUBLE), "
+            "'pv', CAST(NULL AS DOUBLE)), "
+            "(__da, __dx) -> NAMED_STRUCT("
+            "'s', __da.s + IF(__da.pv IS NOT NULL "
+            "AND __dx.dv > __da.pv, __dx.dv - __da.pv, 0.0D), "
+            "'pv', __dx.dv), "
+            "__df -> __df.s)")
+    return _bind_once({"sl": sl}, body)
+
+
+def _max_intersections_tpl(args: list[str], position: bool) -> str:
+    """maxIntersections / maxIntersectionsPosition(start, end) ([U]
+    AggregateFunctionMaxIntersections.h): sweep over ±1 events of the
+    collected intervals (end exclusive: −1 sorts before +1 at equal t);
+    Position reports the sweep point where the maximum is first
+    reached."""
+    ev = (f"ARRAY_SORT(FLATTEN(COLLECT_LIST(ARRAY("
+          f"NAMED_STRUCT('t', CAST({args[0]} AS DOUBLE), 'd', 1), "
+          f"NAMED_STRUCT('t', CAST({args[1]} AS DOUBLE), 'd', -1)))))")
+    fin = "__mf.bt" if position else "__mf.best"
+    body = ("AGGREGATE(__v.ev, "
+            "NAMED_STRUCT('open', 0, 'best', 0, "
+            "'bt', CAST(NULL AS DOUBLE)), "
+            "(__ma, __me) -> IF(__ma.open + __me.d > __ma.best, "
+            "NAMED_STRUCT('open', __ma.open + __me.d, "
+            "'best', __ma.open + __me.d, 'bt', __me.t), "
+            "NAMED_STRUCT('open', __ma.open + __me.d, "
+            "'best', __ma.best, 'bt', __ma.bt)), "
+            f"__mf -> {fin})")
+    return _bind_once({"ev": ev}, body)
+
+
+def _rank_corr_tpl(args: list[str]) -> str:
+    """rankCorr(x, y) ([U] AggregateFunctionRankCorr.h): Spearman ρ
+    with average-rank tie handling — ranks via the count formula
+    (#lt + #le + 1)/2, then Pearson on the rank vectors. O(n²) per
+    group, 2000-row guard (the windowed DataFrame path scales)."""
+    sl = (f"COLLECT_LIST(NAMED_STRUCT('x', CAST({args[0]} AS DOUBLE), "
+          f"'y', CAST({args[1]} AS DOUBLE)))")
+    rank = lambda f: (
+        f"TRANSFORM(__v.l, __ri -> (CAST(SIZE(FILTER(__v.l, "
+        f"__rj -> __rj.{f} < __ri.{f})) AS DOUBLE) "
+        f"+ SIZE(FILTER(__v.l, __rj -> __rj.{f} <= __ri.{f})) + 1.0D) "
+        f"/ 2.0D)")
+    inner = _bind_once(
+        {"rx": rank("x"), "ry": rank("y"),
+         "n": "CAST(SIZE(__v.l) AS DOUBLE)"},
+        "(__w.n * AGGREGATE(ZIP_WITH(__w.rx, __w.ry, "
+        "(__za, __zb) -> __za * __zb), CAST(0 AS DOUBLE), "
+        "(__sa, __sx) -> __sa + __sx) "
+        "- AGGREGATE(__w.rx, CAST(0 AS DOUBLE), (__sa, __sx) -> "
+        "__sa + __sx) * AGGREGATE(__w.ry, CAST(0 AS DOUBLE), "
+        "(__sa, __sx) -> __sa + __sx)) / "
+        "SQRT((__w.n * AGGREGATE(__w.rx, CAST(0 AS DOUBLE), "
+        "(__sa, __sx) -> __sa + __sx * __sx / 1.0D, __q -> __q) "
+        "- POWER(AGGREGATE(__w.rx, CAST(0 AS DOUBLE), (__sa, __sx) -> "
+        "__sa + __sx), 2)) * (__w.n * AGGREGATE(__w.ry, "
+        "CAST(0 AS DOUBLE), (__sa, __sx) -> __sa + __sx * __sx / 1.0D, "
+        "__q -> __q) - POWER(AGGREGATE(__w.ry, CAST(0 AS DOUBLE), "
+        "(__sa, __sx) -> __sa + __sx), 2)))",
+        var="__w")
+    body = ("CASE WHEN SIZE(__v.l) > 2000 THEN "
+            "RAISE_ERROR('rankCorr: group beyond 2000 rows — the "
+            "dialect fold is quadratic; use the windowed rank path') "
+            f"ELSE {inner} END")
+    return _bind_once({"l": sl}, body)
+
+
+def _pair_runs_binds(a_expr: str, b_expr: str) -> dict[str, str]:
+    """Bindings for contingency-style stats: run-length counts of the
+    pair list, each margin, and n — everything O(n log n) on one
+    collect. Values stringify so mixed types sort/compare uniformly."""
+    pair = (f"ARRAY_SORT(COLLECT_LIST(NAMED_STRUCT("
+            f"'v', NAMED_STRUCT('a', CAST({a_expr} AS STRING), "
+            f"'b', CAST({b_expr} AS STRING)))))")
+    return {"pl": f"TRANSFORM({pair}, __p -> __p.v)"}
+
+
+def _chi2_sql() -> str:
+    """χ² over the bound __w struct (cells/ma/mb maps + n)."""
+    return ("AGGREGATE(__w.cells, CAST(0 AS DOUBLE), (__ca, __cc) -> "
+            "__ca + POWER(__cc.c - ELEMENT_AT(__w.ma, __cc.v.a) * "
+            "ELEMENT_AT(__w.mb, __cc.v.b) / __w.n, 2) / "
+            "(ELEMENT_AT(__w.ma, __cc.v.a) * "
+            "ELEMENT_AT(__w.mb, __cc.v.b) / __w.n))")
+
+
+def _contingency_tpl(args: list[str], kind: str) -> str:
+    """cramersV / cramersVBiasCorrected / contingency / theilsU over
+    two categorical columns ([U] src/AggregateFunctions/
+    AggregateFunctionsStatisticsSimple + CrossTab.h): χ² (or
+    conditional entropy for Theil's U) from run-length cell counts and
+    margin maps — one collect, O(n log n)."""
+    a, b = args
+    inner_binds = {
+        "cells": _runs_sql("__vo.pl"),
+        "ma": ("MAP_FROM_ENTRIES(TRANSFORM(" +
+               _runs_sql("ARRAY_SORT(TRANSFORM(__vo.pl, __p -> __p.a))")
+               + ", __r -> STRUCT(__r.v, CAST(__r.c AS DOUBLE))))"),
+        "mb": ("MAP_FROM_ENTRIES(TRANSFORM(" +
+               _runs_sql("ARRAY_SORT(TRANSFORM(__vo.pl, __p -> __p.b))")
+               + ", __r -> STRUCT(__r.v, CAST(__r.c AS DOUBLE))))"),
+        "n": "CAST(SIZE(__vo.pl) AS DOUBLE)",
+    }
+    chi2 = _chi2_sql()
+    ka, kb = "SIZE(__w.ma)", "SIZE(__w.mb)"
+    if kind == "cramersV":
+        body = (f"SQRT({chi2} / (__w.n * "
+                f"LEAST({ka} - 1, {kb} - 1)))")
+    elif kind == "cramersVBiasCorrected":
+        # Bergsma's correction: φ²_corr = max(0, φ² − (r−1)(c−1)/(n−1)),
+        # r/c shrink to r − (r−1)²/(n−1), c − (c−1)²/(n−1)
+        body = _bind_once(
+            {"p2": f"GREATEST({chi2} / __w.n - "
+                   f"({ka} - 1.0D) * ({kb} - 1.0D) / (__w.n - 1.0D), "
+                   f"0.0D)",
+             "rr": f"({ka} - POWER({ka} - 1.0D, 2) / (__w.n - 1.0D))",
+             "cc": f"({kb} - POWER({kb} - 1.0D, 2) / (__w.n - 1.0D))"},
+            "SQRT(__u.p2 / LEAST(__u.rr - 1.0D, __u.cc - 1.0D))",
+            var="__u")
+    elif kind == "contingency":
+        body = f"SQRT({chi2} / ({chi2} + __w.n))"
+    else:                                             # theilsU
+        # U(a|b) = (H(a) − H(a|b)) / H(a); entropies from the same runs
+        ha = ("(LOG2(__w.n) - AGGREGATE(MAP_VALUES(__w.ma), "
+              "CAST(0 AS DOUBLE), (__ea, __ec) -> "
+              "__ea + __ec * LOG2(__ec)) / __w.n)")
+        # H(a|b) = Σ_cells (c/n)·log2(cb/c)  (= H(a,b) − H(b))
+        hab = ("AGGREGATE(__w.cells, CAST(0 AS DOUBLE), "
+               "(__ea, __cc) -> __ea + (__cc.c / __w.n) * "
+               "LOG2(ELEMENT_AT(__w.mb, __cc.v.b) / __cc.c))")
+        body = f"(({ha}) - ({hab})) / ({ha})"
+    inner = _bind_once(inner_binds, body, var="__w")
+    return _bind_once(_pair_runs_binds(a, b), inner, var="__vo")
+
+
+def _ttest_tpl(args: list[str], welch: bool) -> str:
+    """welchTTest / studentTTest(value, index) ([U]
+    AggregateFunctionTTest.h; index 0/1): t from conditional moment
+    aggregates; two-sided p via the NORMAL approximation of the t CDF
+    (erf) — a documented deviation (the exact Student CDF needs the
+    incomplete beta, outside expression scope; exact for large df)."""
+    v, g = f"CAST({args[0]} AS DOUBLE)", args[1]
+    binds = {
+        "m0": f"AVG(CASE WHEN ({g}) = 0 THEN {v} END)",
+        "m1": f"AVG(CASE WHEN ({g}) = 1 THEN {v} END)",
+        "v0": f"VAR_SAMP(CASE WHEN ({g}) = 0 THEN {v} END)",
+        "v1": f"VAR_SAMP(CASE WHEN ({g}) = 1 THEN {v} END)",
+        "n0": f"CAST(COUNT(CASE WHEN ({g}) = 0 THEN 1 END) AS DOUBLE)",
+        "n1": f"CAST(COUNT(CASE WHEN ({g}) = 1 THEN 1 END) AS DOUBLE)",
+    }
+    if welch:
+        se = "SQRT(__v.v0 / __v.n0 + __v.v1 / __v.n1)"
+    else:
+        sp2 = ("((__v.n0 - 1.0D) * __v.v0 + (__v.n1 - 1.0D) * __v.v1) "
+               "/ (__v.n0 + __v.n1 - 2.0D)")
+        se = f"SQRT(({sp2}) * (1.0D / __v.n0 + 1.0D / __v.n1))"
+    t = f"((__v.m0 - __v.m1) / {se})"
+    inner = _bind_once(
+        {"t": t},
+        "NAMED_STRUCT('t_stat', __u.t, 'p_value', "
+        "2.0D * (1.0D - (0.5D * (1.0D + "
+        + _ERF_TPL.format("(ABS(__u.t) / SQRT(2.0D))") + "))))",
+        var="__u")
+    return _bind_once(binds, inner)
+
+
+def _mann_whitney_tpl(args: list[str]) -> str:
+    """mannWhitneyUTest(value, index) ([U]
+    AggregateFunctionMannWhitney.h): U for sample 0 via average ranks
+    (run-length folds, O(n log n)), z with the tie-corrected variance,
+    two-sided p via the normal CDF (the reference's asymptotic too)."""
+    sl = (f"ARRAY_SORT(COLLECT_LIST(NAMED_STRUCT("
+          f"'x', CAST({args[0]} AS DOUBLE), "
+          f"'i', CAST(({args[1]}) AS INT))))")
+    # walk runs of equal x: average rank = pos + (c+1)/2 − 1 offsets
+    inner = _bind_once(
+        {"rs": _runs_sql("TRANSFORM(__vo.sl, __p -> __p.x)"),
+         "n0": ("CAST(SIZE(FILTER(__vo.sl, __p -> __p.i = 0)) "
+                "AS DOUBLE)"),
+         "n1": ("CAST(SIZE(FILTER(__vo.sl, __p -> __p.i = 1)) "
+                "AS DOUBLE)"),
+         # Σ avg-ranks of sample 0: fold runs carrying consumed count;
+         # per run, the #sample-0 members inside it share the run's
+         # average rank — count them via a FILTER on the pair list
+         "r0": ("AGGREGATE(" +
+                _runs_sql("TRANSFORM(__vo.sl, __p -> __p.x)") + ", "
+                "NAMED_STRUCT('pos', CAST(0 AS DOUBLE), "
+                "'s', CAST(0 AS DOUBLE)), "
+                "(__ua, __ur) -> NAMED_STRUCT("
+                "'pos', __ua.pos + __ur.c, "
+                "'s', __ua.s + (__ua.pos + (__ur.c + 1.0D) / 2.0D) * "
+                "SIZE(FILTER(__vo.sl, __p -> __p.x <=> __ur.v "
+                "AND __p.i = 0))), "
+                "__uf -> __uf.s)"),
+         "tie": ("AGGREGATE(" +
+                 _runs_sql("TRANSFORM(__vo.sl, __p -> __p.x)") + ", "
+                 "CAST(0 AS DOUBLE), (__ta, __tr) -> "
+                 "__ta + POWER(CAST(__tr.c AS DOUBLE), 3) - __tr.c)")},
+        _bind_once(
+            {"u": "(__w.r0 - __w.n0 * (__w.n0 + 1.0D) / 2.0D)",
+             "mu": "(__w.n0 * __w.n1 / 2.0D)",
+             "sg": ("SQRT(__w.n0 * __w.n1 / 12.0D * "
+                    "((__w.n0 + __w.n1 + 1.0D) - __w.tie / "
+                    "((__w.n0 + __w.n1) * (__w.n0 + __w.n1 - 1.0D))))")},
+            "NAMED_STRUCT('u_stat', __z.u, 'p_value', "
+            "2.0D * (1.0D - (0.5D * (1.0D + "
+            + _ERF_TPL.format("(ABS((__z.u - __z.mu) / __z.sg) "
+                              "/ SQRT(2.0D))") + "))))",
+            var="__z"),
+        var="__w")
+    return _bind_once({"sl": sl}, inner, var="__vo")
+
+
+def _ks_test_tpl(args: list[str]) -> str:
+    """kolmogorovSmirnovTest(value, index) ([U]
+    AggregateFunctionKolmogorovSmirnovTest.h): D = sup|ECDF0 − ECDF1|
+    evaluated after tied rows (run fold over the sorted sample), p via
+    the Numerical Recipes asymptotic series — the same formulation as
+    operators/advanced.kolmogorov_smirnov_test."""
+    sl = (f"ARRAY_SORT(COLLECT_LIST(NAMED_STRUCT("
+          f"'x', CAST({args[0]} AS DOUBLE), "
+          f"'i', CAST(({args[1]}) AS INT))))")
+    inner = _bind_once(
+        {"d": ("AGGREGATE(__vo.sl, "
+               "NAMED_STRUCT('c0', CAST(0 AS DOUBLE), "
+               "'c1', CAST(0 AS DOUBLE), 'px', CAST(NULL AS DOUBLE), "
+               "'d', CAST(0 AS DOUBLE)), "
+               "(__ka, __ke) -> NAMED_STRUCT("
+               "'c0', __ka.c0 + IF(__ke.i = 0, 1.0D, 0.0D), "
+               "'c1', __ka.c1 + IF(__ke.i = 1, 1.0D, 0.0D), "
+               "'px', __ke.x, "
+               "'d', GREATEST(__ka.d, IF(__ka.px IS NOT NULL AND "
+               "NOT (__ka.px <=> __ke.x), "
+               "ABS(__ka.c0 / __vo.n0 - __ka.c1 / __vo.n1), 0.0D))), "
+               "__kf -> GREATEST(__kf.d, "
+               "ABS(__kf.c0 / __vo.n0 - __kf.c1 / __vo.n1)))")},
+        _bind_once(
+            {"lam": ("((SQRT(__vo.n0 * __vo.n1 / (__vo.n0 + __vo.n1)) "
+                     "+ 0.12D + 0.11D / SQRT(__vo.n0 * __vo.n1 / "
+                     "(__vo.n0 + __vo.n1))) * __w.d)")},
+            "NAMED_STRUCT('d_stat', __w.d, 'p_value', "
+            "LEAST(1.0D, GREATEST(0.0D, 2.0D * AGGREGATE("
+            "SEQUENCE(1, 100), CAST(0 AS DOUBLE), (__pa, __pk) -> "
+            "__pa + POWER(-1.0D, __pk - 1) * "
+            "EXP(-2.0D * __pk * __pk * __z.lam * __z.lam)))))",
+            var="__z"),
+        var="__w")
+    return _bind_once(
+        {"sl": sl,
+         "n0": ("CAST(SIZE(FILTER(" + sl + ", __p -> __p.i = 0)) "
+                "AS DOUBLE)"),
+         "n1": ("CAST(SIZE(FILTER(" + sl + ", __p -> __p.i = 1)) "
+                "AS DOUBLE)")},
+        inner, var="__vo")
+
+
+def _anova_tpl(args: list[str]) -> str:
+    """analysisOfVariance(value, group) ([U]
+    AggregateFunctionAnalysisOfVariance.h): one-way ANOVA F from
+    run-length group sums over the sorted (group, value) collect; the
+    F statistic only (the p-value needs the F CDF / incomplete beta —
+    documented deviation, same contract as operators/advanced.anova_f)."""
+    sl = (f"ARRAY_SORT(COLLECT_LIST(NAMED_STRUCT("
+          f"'g', CAST({args[1]} AS STRING), "
+          f"'x', CAST({args[0]} AS DOUBLE))))")
+    # per-group (n, sum): fold runs of g carrying sums
+    groups = ("AGGREGATE(__vo.sl, "
+              "NAMED_STRUCT('gs', TRANSFORM(SLICE(__vo.sl, 1, 0), "
+              "__z -> NAMED_STRUCT('n', CAST(0 AS DOUBLE), "
+              "'s', CAST(0 AS DOUBLE))), "
+              "'cg', CAST(NULL AS STRING), 'n', CAST(0 AS DOUBLE), "
+              "'s', CAST(0 AS DOUBLE)), "
+              "(__ga, __ge) -> IF(__ga.n > 0 AND "
+              "NOT (__ge.g <=> __ga.cg), "
+              "NAMED_STRUCT('gs', CONCAT(__ga.gs, ARRAY(NAMED_STRUCT("
+              "'n', __ga.n, 's', __ga.s))), 'cg', __ge.g, 'n', 1.0D, "
+              "'s', __ge.x), "
+              "NAMED_STRUCT('gs', __ga.gs, 'cg', __ge.g, "
+              "'n', __ga.n + 1.0D, 's', __ga.s + __ge.x)), "
+              "__gf -> IF(__gf.n = 0, __gf.gs, CONCAT(__gf.gs, "
+              "ARRAY(NAMED_STRUCT('n', __gf.n, 's', __gf.s)))))")
+    inner = _bind_once(
+        {"gs": groups,
+         "n": "CAST(SIZE(__vo.sl) AS DOUBLE)",
+         "tot": ("AGGREGATE(__vo.sl, CAST(0 AS DOUBLE), "
+                 "(__sa, __se) -> __sa + __se.x)"),
+         "ss": ("AGGREGATE(__vo.sl, CAST(0 AS DOUBLE), "
+                "(__sa, __se) -> __sa + __se.x * __se.x)")},
+        _bind_once(
+            {"k": "CAST(SIZE(__w.gs) AS DOUBLE)",
+             "ssb": ("AGGREGATE(__w.gs, CAST(0 AS DOUBLE), "
+                     "(__ba, __bg) -> __ba + __bg.s * __bg.s / __bg.n) "
+                     "- __w.tot * __w.tot / __w.n"),
+             "sst": "(__w.ss - __w.tot * __w.tot / __w.n)"},
+            "((__z.ssb / (__z.k - 1.0D)) / "
+            "((__z.sst - __z.ssb) / (__w.n - __z.k)))",
+            var="__z"),
+        var="__w")
+    return _bind_once({"sl": sl}, inner, var="__vo")
+
+
+_TIMING_QUANT = ("CASE WHEN ({v}) < 0 THEN 0.0D "
+                 "WHEN ({v}) >= 30000 THEN 30000.0D "
+                 "WHEN ({v}) >= 1024 THEN FLOOR(({v}) / 16) * 16.0D "
+                 "ELSE FLOOR({v}) END")
+
+
+def _weighted_quantile_tpl(params: list[str], args: list[str],
+                           timing: bool, multi: bool) -> str:
+    """quantile[s]ExactWeighted / quantile[s]TimingWeighted ([U]
+    AggregateFunctionQuantileExactWeighted.h): sort the collected
+    (value, weight) pairs, accumulate weights, return the FIRST value
+    whose cumulative weight reaches level·total (no interpolation —
+    upstream's pick). Timing variants quantize to the web-latency grid
+    first. NULL-value/NULL-weight rows are skipped like the reference."""
+    try:
+        levels = [float(p) for p in params]
+    except ValueError:
+        raise ValueError("quantile*Weighted levels must be numeric "
+                         "literals") from None
+    v0 = f"CAST({args[0]} AS DOUBLE)"
+    v = _TIMING_QUANT.format(v=v0) if timing else v0
+    sl = (f"ARRAY_SORT(COLLECT_LIST(CASE WHEN ({args[0]}) IS NOT NULL "
+          f"AND ({args[1]}) IS NOT NULL THEN NAMED_STRUCT('v', {v}, "
+          f"'w', CAST({args[1]} AS BIGINT)) END))")
+    def pick(level: float) -> str:
+        return (f"AGGREGATE(__v.sl, "
+                f"NAMED_STRUCT('cum', CAST(0 AS BIGINT), "
+                f"'ans', CAST(NULL AS DOUBLE)), "
+                f"(__qa, __qe) -> NAMED_STRUCT("
+                f"'cum', __qa.cum + __qe.w, "
+                f"'ans', IF(__qa.ans IS NULL AND __qa.cum + __qe.w >= "
+                f"{level!r} * __v.tw, __qe.v, __qa.ans)), "
+                f"__qf -> __qf.ans)")
+    if multi:
+        body = "ARRAY(" + ", ".join(pick(q) for q in levels) + ")"
+    else:
+        body = pick(levels[0])
+    return _bind_once(
+        {"sl": sl,
+         "tw": ("AGGREGATE(" + sl + ", CAST(0 AS BIGINT), "
+                "(__ta, __te) -> __ta + __te.w)")},
+        body)
+
+
+def _quantile_exc_tpl(params: list[str], args: list[str]) -> str:
+    """quantileExactExclusive(q)(v) — Excel PERCENTILE.EXC: h =
+    (n+1)·q over the sorted values, linear interpolation, clamped to
+    [1, n] ([U] AggregateFunctionQuantileExactExclusive; the Inclusive
+    twin is Spark's native PERCENTILE interpolation)."""
+    q = float(params[0])
+    sl = (f"ARRAY_SORT(COLLECT_LIST(CAST({args[0]} AS DOUBLE)))")
+    h = f"GREATEST(LEAST(({q!r} * (SIZE(__v.sl) + 1)), " \
+        f"CAST(SIZE(__v.sl) AS DOUBLE)), 1.0D)"
+    body = _bind_once(
+        {"h": h},
+        "ELEMENT_AT(__v.sl, CAST(FLOOR(__u.h) AS INT)) "
+        "+ (__u.h - FLOOR(__u.h)) * "
+        "(ELEMENT_AT(__v.sl, LEAST(CAST(FLOOR(__u.h) AS INT) + 1, "
+        "SIZE(__v.sl))) - ELEMENT_AT(__v.sl, CAST(FLOOR(__u.h) "
+        "AS INT)))",
+        var="__u")
+    return _bind_once({"sl": sl}, body)
+
+
+def _moving_tpl(params: list[str], args: list[str], avg: bool) -> str:
+    """groupArrayMovingSum/Avg[(w)](v) ([U]
+    AggregateFunctionMovingSum/Avg): prefix-window sums over the
+    collected values; the Avg divides by the WINDOW SIZE (w, or n when
+    no window is given) — including at the head, exactly upstream.
+    DOUBLE accumulation (upstream keeps integer division for int
+    inputs — documented deviation)."""
+    if params and len(params) != 1:
+        raise ValueError("groupArrayMoving*([window])(value)")
+    l = f"COLLECT_LIST(CAST({args[0]} AS DOUBLE))"
+    w = f"CAST({params[0]} AS INT)" if params else "SIZE(__v.l)"
+    # prefix sums once, then out[i] = ps[i] − ps[i−w] (ps[<1] = 0)
+    ps = (f"AGGREGATE(__v.l, SLICE(__v.l, 1, 0), "
+          f"(__pa, __px) -> CONCAT(__pa, ARRAY("
+          f"IF(SIZE(__pa) = 0, 0.0D, ELEMENT_AT(__pa, -1)) + __px)))")
+    out = (f"TRANSFORM(SEQUENCE(1, SIZE(__u.ps)), __mi -> "
+           f"(ELEMENT_AT(__u.ps, __mi) - IF(__mi - ({w}) >= 1, "
+           f"ELEMENT_AT(__u.ps, __mi - ({w})), 0.0D))"
+           + (f" / CAST({w} AS DOUBLE)" if avg else "") + ")")
+    body = _bind_once(
+        {"ps": ps},
+        f"IF(SIZE(__v.l) = 0, SLICE(__v.l, 1, 0), {out})",
+        var="__u")
+    return _bind_once({"l": l}, body)
+
+
+def _group_insert_at_tpl(params: list[str], args: list[str]) -> str:
+    """groupArrayInsertAt(default, size)(value, pos) ([U]
+    AggregateFunctionGroupArrayInsertAt.h): place each value at its
+    0-based position; unfilled slots take the default (FIRST writer
+    wins per slot, as upstream)."""
+    if len(params) != 2 or len(args) != 2:
+        raise ValueError("groupArrayInsertAt(default, size)"
+                         "(value, pos)")
+    default, size = params
+    l = (f"COLLECT_LIST(NAMED_STRUCT('p', CAST({args[1]} AS INT), "
+         f"'x', {args[0]}))")
+    body = (f"TRANSFORM(SEQUENCE(0, CAST({size} AS INT) - 1), "
+            f"__gi -> COALESCE(ELEMENT_AT(FILTER(__v.l, "
+            f"__ge -> __ge.p = __gi), 1).x, {default}))")
+    return _bind_once({"l": l}, body)
+
+
+def _exp_decay_tpl(params: list[str], args: list[str],
+                   kind: str) -> str:
+    """exponentialTimeDecayed{Sum,Count,Avg,Max}(λ)(v, t) ([U]
+    AggregateFunctionExponentialMovingAverage.h family): each point
+    decays by exp(−(t_max − t)/λ) at the group's latest time."""
+    lam = float(params[0])
+    if kind == "count":
+        pair = f"NAMED_STRUCT('t', CAST({args[0]} AS DOUBLE), 'x', 1.0D)"
+    else:
+        pair = (f"NAMED_STRUCT('t', CAST({args[1]} AS DOUBLE), "
+                f"'x', CAST({args[0]} AS DOUBLE))")
+    l = f"COLLECT_LIST({pair})"
+    dec = (f"TRANSFORM(__v.l, __de -> __de.x * "
+           f"EXP((__de.t - __v.tm) / {lam!r}))")
+    if kind == "max":
+        body = f"ARRAY_MAX({dec})"
+    elif kind == "avg":
+        body = (f"AGGREGATE({dec}, CAST(0 AS DOUBLE), "
+                f"(__sa, __sx) -> __sa + __sx) / "
+                f"AGGREGATE(TRANSFORM(__v.l, __de -> "
+                f"EXP((__de.t - __v.tm) / {lam!r})), CAST(0 AS DOUBLE), "
+                f"(__sa, __sx) -> __sa + __sx)")
+    else:
+        body = (f"AGGREGATE({dec}, CAST(0 AS DOUBLE), "
+                f"(__sa, __sx) -> __sa + __sx)")
+    return _bind_once(
+        {"l": l,
+         "tm": ("ARRAY_MAX(TRANSFORM(" + l + ", __de -> __de.t))")},
+        body)
+
+
+def _histogram_tpl(params: list[str], args: list[str]) -> str:
+    """histogram(n)(v): n equi-width bins over the group's [min, max]
+    as array<struct<lo, hi, cnt>>. DEVIATION: upstream's histogram is
+    an adaptive centroid-merging estimate (bin EDGES differ run to
+    run); fixed-width bins keep the dialect result deterministic —
+    the same stance as operators/aggregates.histogram."""
+    nb = int(params[0])
+    l = f"COLLECT_LIST(CAST({args[0]} AS DOUBLE))"
+    idx = (f"LEAST(GREATEST(CAST(FLOOR((__he - __v.lo) / __v.wd) "
+           f"AS INT), 0), {nb - 1})")
+    body = (f"TRANSFORM(SEQUENCE(0, {nb - 1}), __hb -> NAMED_STRUCT("
+            f"'lo', __v.lo + __hb * __v.wd, "
+            f"'hi', __v.lo + (__hb + 1) * __v.wd, "
+            f"'cnt', CAST(SIZE(FILTER(__v.l, "
+            f"__he -> {idx} = __hb)) AS BIGINT)))")
+    return _bind_once(
+        {"l": l, "lo": f"ARRAY_MIN({l})",
+         "wd": (f"GREATEST((ARRAY_MAX({l}) - ARRAY_MIN({l})) "
+                f"/ {nb}.0D, 1e-12D)")},
+        body)
+
+
+def _sparkbar_tpl(params: list[str], args: list[str]) -> str:
+    """sparkbar(width)(x, y): block-glyph histogram string — the exact
+    formulation of operators/aggregates.sparkbar (bucket index
+    floor((x−xlo)·w/(xhi−xlo+1)), y-sums scaled to ▁▂▃▄▅▆▇█, space for
+    empty segments)."""
+    wdt = int(params[0])
+    l = (f"COLLECT_LIST(NAMED_STRUCT('x', CAST({args[0]} AS DOUBLE), "
+         f"'y', CAST({args[1]} AS DOUBLE)))")
+    idx = (f"IF(__v.xh = __v.xl, 0, LEAST({wdt - 1}, "
+           f"CAST(FLOOR((__se.x - __v.xl) * {wdt} "
+           f"/ (__v.xh - __v.xl + 1)) AS INT)))")
+    sums = (f"TRANSFORM(SEQUENCE(0, {wdt - 1}), __sb -> "
+            f"AGGREGATE(FILTER(__v.l, __se -> {idx} = __sb), "
+            f"CAST(NULL AS DOUBLE), (__sa, __se) -> "
+            f"COALESCE(__sa, 0.0D) + __se.y))")
+    glyph = ("IF(__sv IS NULL, ' ', SUBSTRING('▁▂▃▄▅▆▇█', "
+             "GREATEST(1, LEAST(8, CAST(CEIL(__sv / __w.mx * 8) "
+             "AS INT))), 1))")
+    body = _bind_once(
+        {"ss": sums},
+        _bind_once({"mx": "ARRAY_MAX(__u.ss)"},
+                   f"ARRAY_JOIN(TRANSFORM(__u.ss, __sv -> {glyph}), "
+                   f"'', '')",
+                   var="__w"),
+        var="__u")
+    # ARRAY_JOIN(.., '', '') would treat NULL as ''; glyphs handle NULL
+    # explicitly so the plain two-arg form suffices
+    body = body.replace(", '', '')", ", '')")
+    return _bind_once(
+        {"l": l,
+         "xl": f"ARRAY_MIN(TRANSFORM({l}, __se -> __se.x))",
+         "xh": f"ARRAY_MAX(TRANSFORM({l}, __se -> __se.x))"},
+        body)
 
 
 _FUNCS: dict[str, str] = {
@@ -1622,6 +2171,51 @@ _FUNCS: dict[str, str] = {
         "MAKE_INTERVAL(" + _INTERVAL_UNITS["Minute"] + ")",
     "toIntervalSecond":
         "MAKE_INTERVAL(" + _INTERVAL_UNITS["Second"] + ")",
+    # ---- round-9 statistical aggregates (dialect twins of the
+    # DataFrame operators in operators/advanced.py — see the helper
+    # docstrings for formulas and deviations) ----
+    "entropy": lambda a: _entropy_tpl(a),
+    "deltaSum": lambda a: (_ for _ in ()).throw(ValueError(
+        "deltaSum is block-order dependent upstream — pass a time "
+        "column via deltaSumTimestamp(value, ts)")),
+    "deltaSumTimestamp": lambda a: _delta_sum_ts_tpl(a),
+    "maxIntersections":
+        lambda a: _max_intersections_tpl(a, position=False),
+    "maxIntersectionsPosition":
+        lambda a: _max_intersections_tpl(a, position=True),
+    "rankCorr": lambda a: _rank_corr_tpl(a),
+    "cramersV": lambda a: _contingency_tpl(a, "cramersV"),
+    "cramersVBiasCorrected":
+        lambda a: _contingency_tpl(a, "cramersVBiasCorrected"),
+    "contingency": lambda a: _contingency_tpl(a, "contingency"),
+    "theilsU": lambda a: _contingency_tpl(a, "theilsU"),
+    "welchTTest": lambda a: _ttest_tpl(a, welch=True),
+    "studentTTest": lambda a: _ttest_tpl(a, welch=False),
+    "mannWhitneyUTest": lambda a: _mann_whitney_tpl(a),
+    "kolmogorovSmirnovTest": lambda a: _ks_test_tpl(a),
+    "analysisOfVariance": lambda a: _anova_tpl(a),
+    "anova": lambda a: _anova_tpl(a),
+    "skewPop": "SKEWNESS({0})",
+    # sample forms rescale the population moments by ((n−1)/n)^k
+    "skewSamp": lambda a: _bind_once(
+        {"sk": f"SKEWNESS({a[0]})",
+         "n": f"CAST(COUNT({a[0]}) AS DOUBLE)"},
+        "__v.sk * POWER((__v.n - 1.0D) / __v.n, 1.5D)"),
+    "kurtPop": "(KURTOSIS({0}) + 3.0D)",
+    "kurtSamp": lambda a: _bind_once(
+        {"kt": f"(KURTOSIS({a[0]}) + 3.0D)",
+         "n": f"CAST(COUNT({a[0]}) AS DOUBLE)"},
+        "__v.kt * POWER((__v.n - 1.0D) / __v.n, 2.0D)"),
+    "simpleLinearRegression":
+        "NAMED_STRUCT('k', REGR_SLOPE(CAST({1} AS DOUBLE), "
+        "CAST({0} AS DOUBLE)), 'b', REGR_INTERCEPT(CAST({1} AS "
+        "DOUBLE), CAST({0} AS DOUBLE)))",
+    # Spark's SUM over DOUBLE is the plain-summation twin (Kahan
+    # compensation is an implementation detail of the same contract)
+    "sumKahan": "SUM(CAST({0} AS DOUBLE))",
+    # paramless moving forms: window = the whole prefix
+    "groupArrayMovingSum": lambda a: _moving_tpl([], a, avg=False),
+    "groupArrayMovingAvg": lambda a: _moving_tpl([], a, avg=True),
     "proportionsZTest": lambda a: _proportions_ztest_tpl(a),
     "minSampleSizeConversion":
         lambda a: _min_sample_size_tpl(a, conversion=True),
@@ -1715,6 +2309,69 @@ _PARAMETRIC: dict = {
         "__e -> __e.val), 1, {p0})), 1))), 1)",
     "quantileExact": "PERCENTILE({a0}, {p0})",
     "quantileTDigest": "PERCENTILE_APPROX({a0}, {p0})",
+    # round-9 weighted/variant quantile tail
+    "quantileExactWeighted": lambda params, args:
+        _weighted_quantile_tpl(params, args, timing=False, multi=False),
+    "quantilesExactWeighted": lambda params, args:
+        _weighted_quantile_tpl(params, args, timing=False, multi=True),
+    "quantileTimingWeighted": lambda params, args:
+        _weighted_quantile_tpl(params, args, timing=True, multi=False),
+    "quantilesTimingWeighted": lambda params, args:
+        _weighted_quantile_tpl(params, args, timing=True, multi=True),
+    # Spark PERCENTILE with a frequency column IS the interpolated
+    # weighted quantile (linear interpolation on the expanded multiset)
+    "quantileInterpolatedWeighted":
+        "PERCENTILE(CAST({a0} AS DOUBLE), {p0}, CAST({a1} AS BIGINT))",
+    # Excel-style INC = Spark PERCENTILE's native interpolation
+    "quantileExactInclusive": "PERCENTILE(CAST({a0} AS DOUBLE), {p0})",
+    "quantileExactExclusive": lambda params, args:
+        _quantile_exc_tpl(params, args),
+    # bfloat16 truncation is a precision detail of an approximate
+    # estimator — the approx sketch is the semantic twin
+    "quantileBFloat16": "PERCENTILE_APPROX(CAST({a0} AS DOUBLE), {p0})",
+    "quantileBFloat16Weighted":
+        "PERCENTILE(CAST({a0} AS DOUBLE), {p0}, CAST({a1} AS BIGINT))",
+    # DDSketch relative-error -> GK accuracy (~1/eps)
+    "quantileDD": lambda params, args: (
+        f"PERCENTILE_APPROX(CAST({args[0]} AS DOUBLE), {params[1]}, "
+        f"{max(100, int(1.0 / float(params[0])))})"),
+    "uniqCombined64": "HLL_SKETCH_ESTIMATE("
+                      "HLL_SKETCH_AGG(CAST({a0} AS STRING), {p0}))",
+    "groupUniqArray": "SLICE(COLLECT_SET({a0}), 1, {p0})",
+    # nondeterministic by contract, like arrayRandomSample
+    "groupArraySample": lambda params, args: (
+        f"SLICE(SHUFFLE(COLLECT_LIST({args[0]})), 1, "
+        f"CAST({params[0]} AS INT))"),
+    "groupArrayMovingSum": lambda params, args:
+        _moving_tpl(params, args, avg=False),
+    "groupArrayMovingAvg": lambda params, args:
+        _moving_tpl(params, args, avg=True),
+    "groupArrayInsertAt": lambda params, args:
+        _group_insert_at_tpl(params, args),
+    "exponentialTimeDecayedSum": lambda params, args:
+        _exp_decay_tpl(params, args, "sum"),
+    "exponentialTimeDecayedCount": lambda params, args:
+        _exp_decay_tpl(params, args, "count"),
+    "exponentialTimeDecayedAvg": lambda params, args:
+        _exp_decay_tpl(params, args, "avg"),
+    "exponentialTimeDecayedMax": lambda params, args:
+        _exp_decay_tpl(params, args, "max"),
+    "histogram": lambda params, args: _histogram_tpl(params, args),
+    "sparkbar": lambda params, args: _sparkbar_tpl(params, args),
+    # parametric test forms: the default two-sided asymptotic is what
+    # the plain templates compute; other alternatives refuse loudly
+    "mannWhitneyUTest": lambda params, args: (
+        _mann_whitney_tpl(args)
+        if re.fullmatch(r"\s*'two-sided'\s*", params[0])
+        else (_ for _ in ()).throw(ValueError(
+            "mannWhitneyUTest: only the 'two-sided' alternative is "
+            "supported here"))),
+    "kolmogorovSmirnovTest": lambda params, args: (
+        _ks_test_tpl(args)
+        if re.fullmatch(r"\s*'two-sided'\s*", params[0])
+        else (_ for _ in ()).throw(ValueError(
+            "kolmogorovSmirnovTest: only the 'two-sided' alternative "
+            "is supported here"))),
     # Greenwald-Khanna class: Spark's approx_percentile IS a GK sketch.
     # Upstream signature is quantileGK(accuracy[, level])(expr) — accuracy
     # FIRST, level defaulting to 0.5 — so the mapping is positional-swap

@@ -1906,3 +1906,69 @@ def ch_sql_state_merge_parametric(spark, sf):
                  groupBitmapState(l_suppkey % 512) AS bm
           FROM lineitem GROUP BY rf, ls) t
         GROUP BY rf""")
+
+
+@register("ch_sql_stats_aggregates_r9", oracle="""
+WITH base AS (SELECT event_id, user_id, value,
+                     epoch(ts) AS tsec FROM events WHERE event_id < 800),
+ds AS (SELECT sum(greatest(d, 0)) AS dst FROM (
+         SELECT value - lag(value) OVER (ORDER BY tsec, event_id) AS d
+         FROM base)),
+mi AS (SELECT max(o) AS mx FROM (
+         SELECT sum(d) OVER (ORDER BY t, d
+                             ROWS UNBOUNDED PRECEDING) AS o
+         FROM (SELECT value AS t, 1 AS d FROM base
+               UNION ALL SELECT value + 3.0, -1 FROM base))),
+rk AS (SELECT corr(arx, ary) AS rc FROM (
+         SELECT rank() OVER (ORDER BY value)
+                + (count(*) OVER (PARTITION BY value) - 1) / 2.0 AS arx,
+                rank() OVER (ORDER BY user_id)
+                + (count(*) OVER (PARTITION BY user_id) - 1) / 2.0 AS ary
+         FROM base)),
+qw AS (SELECT min(value) AS q FROM (
+         SELECT value, sum(CAST(user_id % 5 + 1 AS BIGINT))
+                       OVER (ORDER BY value) AS cum,
+                (SELECT sum(CAST(user_id % 5 + 1 AS BIGINT))
+                 FROM base) AS tw
+         FROM base) WHERE cum >= 0.5 * tw),
+agg AS (SELECT
+  round(entropy(user_id % 10), 8) AS ent,
+  round(skewness(value) * (count(*) - 2)
+        / sqrt(count(*) * (count(*) - 1.0)), 8) AS skew_pop,
+  round((kurtosis(value) * (count(*) - 2.0) * (count(*) - 3.0)
+         / (count(*) + 1.0) / (count(*) - 1.0) - 6.0 / (count(*) + 1.0))
+        + 3.0, 8) AS kurt_pop,
+  round(regr_slope(value, CAST(event_id AS DOUBLE)), 8) AS slr_k,
+  round(regr_intercept(value, CAST(event_id AS DOUBLE)), 8) AS slr_b
+  FROM base)
+SELECT agg.ent, agg.skew_pop, agg.kurt_pop, agg.slr_k, agg.slr_b,
+       round(ds.dst, 6) AS dst, CAST(mi.mx AS INT) AS mi,
+       round(rk.rc, 8) AS rank_corr, qw.q AS qew
+FROM agg, ds, mi, rk, qw
+""")
+def ch_sql_stats_aggregates_r9(spark, sf):
+    """Round-9 statistical aggregates in dialect SQL — entropy,
+    skewPop/kurtPop, simpleLinearRegression, deltaSumTimestamp,
+    maxIntersections, rankCorr, quantileExactWeighted — replayed
+    value-exactly by DuckDB (native entropy/skewness/kurtosis with the
+    G1/G2 -> population-moment conversions, window-based rank/ECDF/
+    cumulative-weight formulations; fully independent renderings)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return ch_sql(spark, """
+        SELECT round(entropy(user_id % 10), 8) AS ent,
+               round(skewPop(value), 8) AS skew_pop,
+               round(kurtPop(value), 8) AS kurt_pop,
+               round(simpleLinearRegression(
+                   CAST(event_id AS DOUBLE), value).k, 8) AS slr_k,
+               round(simpleLinearRegression(
+                   CAST(event_id AS DOUBLE), value).b, 8) AS slr_b,
+               round(deltaSumTimestamp(value,
+                   tuple(toUnixTimestamp(ts), event_id)), 6) AS dst,
+               maxIntersections(value, value + 3.0) AS mi,
+               round(rankCorr(value, CAST(user_id AS DOUBLE)), 8)
+                   AS rank_corr,
+               quantileExactWeighted(0.5)(value,
+                   user_id % 5 + 1) AS qew
+        FROM events WHERE event_id < 800""")

@@ -2173,3 +2173,215 @@ def test_to_start_of_interval_origin(spark):
     with _p.raises(ValueError, match="origin"):
         translate("SELECT toStartOfInterval(ts, INTERVAL 2 MONTH, "
                   "toDateTime('2024-01-01 00:00:00')) FROM t")
+
+
+def test_stats_aggregates_dialect_vs_python(spark):
+    """Round-9 statistical-aggregate dialect names — entropy,
+    deltaSumTimestamp, maxIntersections[Position], rankCorr, cramersV
+    (+biasCorrected), contingency, theilsU, welch/student t, Mann-
+    Whitney U, Kolmogorov-Smirnov, ANOVA F, skew/kurt pop+samp,
+    simpleLinearRegression, weighted/variant quantiles, moving sums,
+    insertAt, exponentialTimeDecayed*, histogram — ONE Spark action
+    checked against independent python formulations (seeded fixture).
+    The oracle ch_sql_stats_aggregates_r9 adds the DuckDB replay."""
+    import collections
+    import math
+    import random
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    rnd = random.Random(42)
+    data = [(i, i % 4, round(rnd.uniform(0, 10), 2), i % 2,
+             1700000000 + i * 60, rnd.choice("abc"), rnd.choice("xy"),
+             rnd.randint(1, 4)) for i in range(60)]
+    spark.createDataFrame(
+        data, "k long, g int, v double, b int, t long, ca string, "
+              "cb string, w int").createOrReplaceTempView("st9")
+    out = ch_sql(spark, """
+        SELECT entropy(g) AS ent,
+               deltaSumTimestamp(v, t) AS dst,
+               maxIntersections(v, v + 3.0) AS mi,
+               maxIntersectionsPosition(v, v + 3.0) AS mip,
+               rankCorr(v, CAST(k AS DOUBLE)) AS rc,
+               cramersV(ca, cb) AS cv,
+               contingency(ca, cb) AS cont,
+               theilsU(ca, cb) AS tu,
+               welchTTest(v, b) AS wt,
+               studentTTest(v, b) AS st_,
+               mannWhitneyUTest(v, b) AS mw,
+               kolmogorovSmirnovTest(v, b) AS ks,
+               analysisOfVariance(v, g) AS av,
+               skewPop(v) AS sp, skewSamp(v) AS ss,
+               kurtPop(v) AS kp, kurtSamp(v) AS ksmp,
+               simpleLinearRegression(CAST(k AS DOUBLE), v) AS slr,
+               quantileExactWeighted(0.5)(v, w) AS qew,
+               quantilesExactWeighted(0.25, 0.75)(v, w) AS qsew,
+               quantileExactInclusive(0.5)(v) AS qinc,
+               quantileExactExclusive(0.5)(v) AS qexc,
+               groupArrayMovingSum(3)(v) AS gms,
+               groupArrayMovingAvg(3)(v) AS gma,
+               groupArrayMovingSum(v) AS gms_all,
+               groupArrayInsertAt('-', 6)(ca, g) AS gia,
+               exponentialTimeDecayedSum(600)(v, t) AS eds,
+               exponentialTimeDecayedCount(600)(t) AS edc,
+               exponentialTimeDecayedAvg(600)(v, t) AS eda,
+               exponentialTimeDecayedMax(600)(v, t) AS edm,
+               histogram(4)(v) AS hist,
+               sparkbar(8)(g, v) AS sb
+        FROM st9""").collect()[0]
+    vs = [r[2] for r in data]
+    n = len(vs)
+    cnt = collections.Counter(r[1] for r in data)
+    assert abs(out.ent + sum(c / n * math.log2(c / n)
+                             for c in cnt.values())) < 1e-9
+    sv = [r[2] for r in sorted(data, key=lambda r: r[4])]
+    assert abs(out.dst - sum(max(b2 - a2, 0)
+                             for a2, b2 in zip(sv, sv[1:]))) < 1e-9
+    evs = sorted([(r[2], 1) for r in data]
+                 + [(r[2] + 3.0, -1) for r in data])
+    o = best = 0
+    bt = None
+    for t_, d in evs:
+        o += d
+        if o > best:
+            best, bt = o, t_
+    assert out.mi == best and abs(out.mip - bt) < 1e-9
+
+    def avgranks(xs):
+        return [(sum(1 for z in xs if z < x)
+                 + sum(1 for z in xs if z <= x) + 1) / 2 for x in xs]
+
+    rx = avgranks(vs)
+    ry = avgranks([float(r[0]) for r in data])
+    mrx, mry = sum(rx) / n, sum(ry) / n
+    rho = (sum((a - mrx) * (b2 - mry) for a, b2 in zip(rx, ry))
+           / math.sqrt(sum((a - mrx) ** 2 for a in rx)
+                       * sum((b2 - mry) ** 2 for b2 in ry)))
+    assert abs(out.rc - rho) < 1e-9
+    pc = collections.Counter((r[5], r[6]) for r in data)
+    ac = collections.Counter(r[5] for r in data)
+    bc = collections.Counter(r[6] for r in data)
+    chi2 = sum((c - ac[a] * bc[b2] / n) ** 2 / (ac[a] * bc[b2] / n)
+               for (a, b2), c in pc.items())
+    chi2 += sum(ac[a] * bc[b2] / n for a in ac for b2 in bc
+                if (a, b2) not in pc)
+    assert abs(out.cv - math.sqrt(
+        chi2 / (n * min(len(ac) - 1, len(bc) - 1)))) < 1e-9
+    assert abs(out.cont - math.sqrt(chi2 / (chi2 + n))) < 1e-9
+    ha = -sum(c / n * math.log2(c / n) for c in ac.values())
+    hab = sum(c / n * math.log2(bc[b2] / c) for (a, b2), c in pc.items())
+    assert abs(out.tu - (ha - hab) / ha) < 1e-9
+    g0 = [r[2] for r in data if r[3] == 0]
+    g1 = [r[2] for r in data if r[3] == 1]
+
+    def var(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+
+    tw_ = ((sum(g0) / len(g0) - sum(g1) / len(g1))
+           / math.sqrt(var(g0) / len(g0) + var(g1) / len(g1)))
+    assert abs(out.wt.t_stat - tw_) < 1e-9 and 0 <= out.wt.p_value <= 1
+    sp2 = (((len(g0) - 1) * var(g0) + (len(g1) - 1) * var(g1))
+           / (len(g0) + len(g1) - 2))
+    ts_ = ((sum(g0) / len(g0) - sum(g1) / len(g1))
+           / math.sqrt(sp2 * (1 / len(g0) + 1 / len(g1))))
+    assert abs(out.st_.t_stat - ts_) < 1e-9
+    ar = avgranks(vs)
+    u = (sum(a for a, r in zip(ar, data) if r[3] == 0)
+         - len(g0) * (len(g0) + 1) / 2)
+    assert abs(out.mw.u_stat - u) < 1e-9 and 0 <= out.mw.p_value <= 1
+
+    def ecdf(s, x):
+        return sum(1 for z in s if z <= x) / len(s)
+
+    D = max(abs(ecdf(g0, x) - ecdf(g1, x)) for x in sorted(set(vs)))
+    assert abs(out.ks.d_stat - D) < 1e-9 and 0 <= out.ks.p_value <= 1
+    groups = collections.defaultdict(list)
+    for r in data:
+        groups[r[1]].append(r[2])
+    k = len(groups)
+    tot = sum(vs)
+    ssb = sum(sum(g) ** 2 / len(g) for g in groups.values()) \
+        - tot ** 2 / n
+    sst = sum(x * x for x in vs) - tot ** 2 / n
+    assert abs(out.av - (ssb / (k - 1)) / ((sst - ssb) / (n - k))) < 1e-9
+    m = tot / n
+    m2 = sum((x - m) ** 2 for x in vs) / n
+    m3 = sum((x - m) ** 3 for x in vs) / n
+    m4 = sum((x - m) ** 4 for x in vs) / n
+    assert abs(out.sp - m3 / m2 ** 1.5) < 1e-7
+    assert abs(out.kp - m4 / m2 ** 2) < 1e-7
+    assert abs(out.ss - (m3 / m2 ** 1.5) * ((n - 1) / n) ** 1.5) < 1e-7
+    assert abs(out.ksmp - (m4 / m2 ** 2) * ((n - 1) / n) ** 2) < 1e-7
+    xk = [float(r[0]) for r in data]
+    sxy = sum(a * b2 for a, b2 in zip(xk, vs))
+    sx, sy, sxx = sum(xk), sum(vs), sum(a * a for a in xk)
+    kk = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert abs(out.slr.k - kk) < 1e-9
+    assert abs(out.slr.b - (sy - kk * sx) / n) < 1e-9
+    pairs = sorted((r[2], r[7]) for r in data)
+    tww = sum(w for _, w in pairs)
+
+    def qew(level):
+        cum = 0
+        for v_, w_ in pairs:
+            cum += w_
+            if cum >= level * tww:
+                return v_
+
+    assert out.qew == qew(0.5)
+    assert list(out.qsew) == [qew(0.25), qew(0.75)]
+    svv = sorted(vs)
+    h = 0.5 * (n - 1) + 1                       # INC: 1-based h = q(n-1)+1
+    qinc = svv[int(h) - 1] + (h - int(h)) * (svv[int(h)] - svv[int(h) - 1])
+    assert abs(out.qinc - qinc) < 1e-9
+    he = min(max(0.5 * (n + 1), 1.0), float(n))  # EXC: h = q(n+1)
+    lo_i = int(he)
+    qexc = svv[lo_i - 1] + (he - lo_i) * (svv[min(lo_i, n - 1)]
+                                          - svv[lo_i - 1])
+    assert abs(out.qexc - qexc) < 1e-9
+    gms3 = [sum(vs[max(0, i - 2):i + 1]) for i in range(n)]
+    assert all(abs(a - b2) < 1e-9 for a, b2 in zip(out.gms, gms3))
+    assert all(abs(a - b2 / 3) < 1e-9 for a, b2 in zip(out.gma, gms3))
+    run, acc = 0.0, []
+    for x in vs:
+        run += x
+        acc.append(run)
+    assert all(abs(a - b2) < 1e-9 for a, b2 in zip(out.gms_all, acc))
+    gia = ["-"] * 6
+    for r in data:
+        if gia[r[1]] == "-":
+            gia[r[1]] = r[5]
+    assert list(out.gia) == gia
+    tm = max(r[4] for r in data)
+    eds = sum(r[2] * math.exp((r[4] - tm) / 600) for r in data)
+    edc = sum(math.exp((r[4] - tm) / 600) for r in data)
+    assert abs(out.eds - eds) < 1e-9 and abs(out.edc - edc) < 1e-9
+    assert abs(out.eda - eds / edc) < 1e-9
+    assert abs(out.edm - max(r[2] * math.exp((r[4] - tm) / 600)
+                             for r in data)) < 1e-9
+    lo, hi = min(vs), max(vs)
+    wd = (hi - lo) / 4
+    hc = [0] * 4
+    for x in vs:
+        hc[min(max(int((x - lo) // wd), 0), 3)] += 1
+    assert [hh.cnt for hh in out.hist] == hc
+    assert len(out.sb) == 8 and set(out.sb) <= set("▁▂▃▄▅▆▇█ ")
+
+
+def test_stats_aggregates_refusals(spark):
+    """Loud refusals: bare deltaSum (order-dependent), oversize
+    rankCorr groups, non-two-sided alternatives."""
+    import pytest as _p
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, translate
+
+    with _p.raises(ValueError, match="deltaSumTimestamp"):
+        translate("SELECT deltaSum(v) FROM t")
+    with _p.raises(ValueError, match="two-sided"):
+        translate("SELECT mannWhitneyUTest('greater')(v, b) FROM t")
+    spark.createDataFrame(
+        [(float(i), float(i)) for i in range(2100)], "x double, y double"
+    ).createOrReplaceTempView("rc_big")
+    with _p.raises(Exception, match="2000"):
+        ch_sql(spark, "SELECT rankCorr(x, y) AS r FROM rc_big").collect()
