@@ -1302,6 +1302,97 @@ def _sparkbar_tpl(params: list[str], args: list[str]) -> str:
         body)
 
 
+def _quantile_pick_tpl(params: list[str], args: list[str],
+                       high: bool) -> str:
+    """quantileExactLow/High(q)(v) ([U]
+    AggregateFunctionQuantileExact.h Low/High variants): the EXACT
+    element at index floor(q·(n−1)) / ceil(q·(n−1)) of the sorted
+    values — same pick as operators/aggregates.quantile_exact_pick."""
+    q = float(params[0])
+    f = "CEIL" if high else "FLOOR"
+    return _bind_once(
+        {"sl": f"ARRAY_SORT(COLLECT_LIST(CAST({args[0]} AS DOUBLE)))"},
+        f"ELEMENT_AT(__v.sl, CAST({f}({q!r} * (SIZE(__v.sl) - 1)) "
+        f"AS INT) + 1)")
+
+
+def _lttb_tpl(params: list[str], args: list[str]) -> str:
+    """largestTriangleThreeBuckets(n)(x, y) ([U]
+    AggregateFunctionLargestTriangleThreeBuckets.h — Steinarsson's
+    LTTB): first + last always kept; each of the n−2 middle buckets
+    keeps the point with the largest triangle area against the
+    previous pick and the next bucket's centroid (ties → smallest
+    index). SQL transcription of operators/downsample.lttb_indices
+    over the (x, y)-sorted collected points; returns
+    array<struct<x, y>>."""
+    n_out = int(params[0])
+    if n_out < 3:
+        raise ValueError("largestTriangleThreeBuckets: n must be >= 3")
+    pts = (f"ARRAY_SORT(COLLECT_LIST(NAMED_STRUCT("
+           f"'x', CAST({args[0]} AS DOUBLE), "
+           f"'y', CAST({args[1]} AS DOUBLE))))")
+    # all indices 0-based (python-identical arithmetic); +1 only at
+    # ELEMENT_AT. Bucket bounds per middle bucket i:
+    lo = "(CAST(FLOOR(__bi * __v.ev) AS INT) + 1)"
+    hi = "(CAST(FLOOR((__bi + 1) * __v.ev) AS INT) + 1)"
+    nhi0 = "(CAST(FLOOR((__bi + 2) * __v.ev) AS INT) + 1)"
+    # centroid of [nlo, nhi) with the degenerate-tail fallback
+    centroid = (
+        f"ELEMENT_AT(TRANSFORM(ARRAY(IF(LEAST({nhi0}, __v.n) <= {hi}, "
+        f"NAMED_STRUCT('l', __v.n - 1, 'h', __v.n), "
+        f"NAMED_STRUCT('l', {hi}, 'h', LEAST({nhi0}, __v.n)))), "
+        f"__nb -> NAMED_STRUCT("
+        f"'cx', AGGREGATE(SLICE(__v.pts, __nb.l + 1, __nb.h - __nb.l), "
+        f"0.0D, (__sa, __pp) -> __sa + __pp.x) / (__nb.h - __nb.l), "
+        f"'cy', AGGREGATE(SLICE(__v.pts, __nb.l + 1, __nb.h - __nb.l), "
+        f"0.0D, (__sa, __pp) -> __sa + __pp.y) / (__nb.h - __nb.l))), "
+        f"1)")
+    # argmax area over [lo, hi) against previous pick a and centroid c
+    argmax = (
+        f"ELEMENT_AT(TRANSFORM(ARRAY({centroid}), __c -> "
+        f"AGGREGATE(SEQUENCE({lo}, {hi} - 1), "
+        f"NAMED_STRUCT('bi2', -1, 'ba', CAST(-1 AS DOUBLE)), "
+        f"(__am, __ci) -> ELEMENT_AT(TRANSFORM(ARRAY(ABS("
+        f"(ELEMENT_AT(__v.pts, __la.a + 1).x - __c.cx) * "
+        f"(ELEMENT_AT(__v.pts, __ci + 1).y - "
+        f"ELEMENT_AT(__v.pts, __la.a + 1).y) - "
+        f"(ELEMENT_AT(__v.pts, __la.a + 1).x - "
+        f"ELEMENT_AT(__v.pts, __ci + 1).x) * "
+        f"(__c.cy - ELEMENT_AT(__v.pts, __la.a + 1).y))), "
+        f"__ar -> IF(__ar > __am.ba, "
+        f"NAMED_STRUCT('bi2', __ci, 'ba', __ar), __am)), 1), "
+        f"__af -> __af.bi2)), 1)")
+    fold = (
+        f"AGGREGATE(SEQUENCE(0, {n_out} - 3), "
+        f"NAMED_STRUCT('a', 0, 'o', ARRAY(0)), "
+        f"(__la, __bi) -> ELEMENT_AT(TRANSFORM(ARRAY({argmax}), "
+        f"__na -> NAMED_STRUCT('a', __na, "
+        f"'o', CONCAT(__la.o, ARRAY(__na)))), 1), "
+        f"__lf -> CONCAT(__lf.o, ARRAY(__v.n - 1)))")
+    body = (
+        f"IF(SIZE(__v.pts) <= {n_out}, "
+        f"TRANSFORM(__v.pts, __pp -> NAMED_STRUCT('x', __pp.x, "
+        f"'y', __pp.y)), "
+        f"TRANSFORM({fold}, __oi -> NAMED_STRUCT("
+        f"'x', ELEMENT_AT(__v.pts, __oi + 1).x, "
+        f"'y', ELEMENT_AT(__v.pts, __oi + 1).y)))")
+    return _bind_once(
+        {"pts": pts, "n": f"SIZE({pts})",
+         "ev": f"(CAST(SIZE({pts}) - 2 AS DOUBLE) / {n_out - 2})"},
+        body)
+
+
+def _matrix_agg_tpl(args: list[str], fn: str) -> str:
+    """corrMatrix / covarSampMatrix / covarPopMatrix(x1, ..., xk):
+    array of arrays of the pairwise aggregates ([U]
+    AggregateFunctionCorrMatrix.h family)."""
+    rows = ", ".join(
+        "ARRAY(" + ", ".join(f"{fn}(CAST({a} AS DOUBLE), "
+                             f"CAST({b} AS DOUBLE))" for b in args) + ")"
+        for a in args)
+    return f"ARRAY({rows})"
+
+
 _FUNCS: dict[str, str] = {
     # conversions
     "toInt8": "CAST({0} AS TINYINT)", "toInt16": "CAST({0} AS SMALLINT)",
@@ -2216,6 +2307,34 @@ _FUNCS: dict[str, str] = {
     # paramless moving forms: window = the whole prefix
     "groupArrayMovingSum": lambda a: _moving_tpl([], a, avg=False),
     "groupArrayMovingAvg": lambda a: _moving_tpl([], a, avg=True),
+    # intersection of all collected arrays ([U]
+    # AggregateFunctionGroupArrayIntersect.h); sorted output for
+    # determinism (upstream's order is unspecified)
+    "groupArrayIntersect": lambda a: _bind_once(
+        {"l": f"COLLECT_LIST({a[0]})"},
+        "IF(SIZE(__v.l) = 0, ELEMENT_AT(__v.l, 1), "
+        "ARRAY_SORT(AGGREGATE(SLICE(__v.l, 2, SIZE(__v.l) - 1), "
+        "ELEMENT_AT(__v.l, 1), "
+        "(__ia, __ix) -> ARRAY_INTERSECT(__ia, __ix))))"),
+    # pairwise-aggregate matrices
+    "corrMatrix": lambda a: _matrix_agg_tpl(a, "CORR"),
+    "covarSampMatrix": lambda a: _matrix_agg_tpl(a, "COVAR_SAMP"),
+    "covarPopMatrix": lambda a: _matrix_agg_tpl(a, "COVAR_POP"),
+    # median aliases for the round-9 quantile variants
+    "medianExactWeighted": lambda a:
+        _weighted_quantile_tpl(["0.5"], a, timing=False, multi=False),
+    "medianTimingWeighted": lambda a:
+        _weighted_quantile_tpl(["0.5"], a, timing=True, multi=False),
+    "medianInterpolatedWeighted":
+        "PERCENTILE(CAST({0} AS DOUBLE), 0.5, CAST({1} AS BIGINT))",
+    "medianBFloat16": "PERCENTILE_APPROX(CAST({0} AS DOUBLE), 0.5)",
+    "medianTiming": lambda a:
+        _PARAMETRIC["quantileTiming"].replace("{p0}", "0.5")
+        .replace("{a0}", a[0]),
+    "medianExactLow": lambda a: _quantile_pick_tpl(["0.5"], a,
+                                                   high=False),
+    "medianExactHigh": lambda a: _quantile_pick_tpl(["0.5"], a,
+                                                    high=True),
     "proportionsZTest": lambda a: _proportions_ztest_tpl(a),
     "minSampleSizeConversion":
         lambda a: _min_sample_size_tpl(a, conversion=True),
@@ -2358,6 +2477,22 @@ _PARAMETRIC: dict = {
         _exp_decay_tpl(params, args, "max"),
     "histogram": lambda params, args: _histogram_tpl(params, args),
     "sparkbar": lambda params, args: _sparkbar_tpl(params, args),
+    "quantileExactLow": lambda params, args:
+        _quantile_pick_tpl(params, args, high=False),
+    "quantileExactHigh": lambda params, args:
+        _quantile_pick_tpl(params, args, high=True),
+    "largestTriangleThreeBuckets": lambda params, args:
+        _lttb_tpl(params, args),
+    "lttb": lambda params, args: _lttb_tpl(params, args),
+    # sumMapFiltered(keys)(map) = sumMap over the key-filtered map;
+    # the keys parameter arrives as a bracket literal or expression
+    "sumMapFiltered": lambda params, args: _apply_template(
+        _MAP_SUM, ["MAP_FILTER({m}, (__fk, __fv) -> ARRAY_CONTAINS("
+                   "{ks}, __fk))".format(
+                       m=args[0],
+                       ks="ARRAY(" + params[0].strip()[1:-1] + ")"
+                       if params[0].strip().startswith("[")
+                       else params[0])]),
     # parametric test forms: the default two-sided asymptotic is what
     # the plain templates compute; other alternatives refuse loudly
     "mannWhitneyUTest": lambda params, args: (

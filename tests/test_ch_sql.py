@@ -2385,3 +2385,72 @@ def test_stats_aggregates_refusals(spark):
     ).createOrReplaceTempView("rc_big")
     with _p.raises(Exception, match="2000"):
         ch_sql(spark, "SELECT rankCorr(x, y) AS r FROM rc_big").collect()
+
+
+def test_straggler_aggregates_dialect(spark):
+    """Round-9 straggler names: quantileExactLow/High,
+    groupArrayIntersect, largestTriangleThreeBuckets (differential vs
+    operators/downsample.lttb_indices on seeded non-trivial series),
+    median aliases, corr/covar matrices, sumMapFiltered."""
+    import math
+    import random
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+    from clickhouse_clickhouse_spark.operators.downsample import (
+        lttb_indices,
+    )
+    import numpy as np
+
+    rnd = random.Random(77)
+    series = [(float(i), round(rnd.uniform(-5, 5), 3)) for i in range(40)]
+    spark.createDataFrame(
+        [(i, x, y, [1, 2, 3 + i % 2], i % 3 + 1)
+         for i, (x, y) in enumerate(series)],
+        "k int, x double, y double, a array<int>, w int") \
+        .createOrReplaceTempView("strag")
+    r = ch_sql(spark, """
+        SELECT quantileExactLow(0.3)(y) AS ql,
+               quantileExactHigh(0.3)(y) AS qh,
+               groupArrayIntersect(a) AS gai,
+               largestTriangleThreeBuckets(7)(x, y) AS lt,
+               largestTriangleThreeBuckets(100)(x, y) AS lt_all,
+               medianExactWeighted(y, w) AS mew,
+               medianExactLow(y) AS mel,
+               corrMatrix(x, y) AS cm,
+               covarPopMatrix(x, y) AS cpm,
+               sumMapFiltered([1, 2])(map(k % 4, y)) AS smf
+        FROM strag""").collect()[0]
+    ys = sorted(y for _, y in series)
+    n = len(ys)
+    assert r.ql == ys[int(math.floor(0.3 * (n - 1)))]
+    assert r.qh == ys[int(math.ceil(0.3 * (n - 1)))]
+    assert list(r.gai) == [1, 2]
+    xs = [x for x, _ in series]
+    yy = [y for _, y in series]
+    exp = [(xs[i], yy[i]) for i in
+           lttb_indices(np.array(xs), np.array(yy), 7)]
+    assert [tuple(p) for p in r.lt] == exp
+    assert len(r.lt_all) == n                     # n_out >= n -> identity
+    # weighted median: first value reaching half the total weight
+    pairs = sorted((y, w) for (_, y), w in
+                   zip(series, [i % 3 + 1 for i in range(n)]))
+    tw = sum(w for _, w in pairs)
+    cum = 0
+    for v_, w_ in pairs:
+        cum += w_
+        if cum >= 0.5 * tw:
+            break
+    assert r.mew == v_
+    assert r.mel == ys[int(math.floor(0.5 * (n - 1)))]
+    assert abs(r.cm[0][0] - 1.0) < 1e-12 and abs(r.cm[1][1] - 1.0) < 1e-12
+    assert abs(r.cm[0][1] - r.cm[1][0]) < 1e-12
+    mx, my = sum(xs) / n, sum(yy) / n
+    cov = sum((a - mx) * (b - my) for a, b in zip(xs, yy)) / n
+    assert abs(r.cpm[0][1] - cov) < 1e-9
+    smf = {}
+    for i, (_, y) in enumerate(series):
+        kk = i % 4
+        if kk in (1, 2):
+            smf[kk] = smf.get(kk, 0.0) + y
+    assert {k2: round(v2, 9) for k2, v2 in dict(r.smf).items()} == \
+        {k2: round(v2, 9) for k2, v2 in smf.items()}
