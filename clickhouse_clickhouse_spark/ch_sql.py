@@ -2286,6 +2286,7 @@ _FUNCS: dict[str, str] = {
     "kolmogorovSmirnovTest": lambda a: _ks_test_tpl(a),
     "analysisOfVariance": lambda a: _anova_tpl(a),
     "anova": lambda a: _anova_tpl(a),
+    "denseRank": lambda a: "DENSE_RANK()",
     "skewPop": "SKEWNESS({0})",
     # sample forms rescale the population moments by ((n−1)/n)^k
     "skewSamp": lambda a: _bind_once(
