@@ -271,10 +271,12 @@ def _array_shift_tpl(a: list[str], left: bool) -> str:
 def _fmt_timedelta_tpl(a: list[str]) -> str:
     """formatReadableTimeDelta(sec[, max_unit]) ([U] src/Functions/
     formatReadableTimeDelta.cpp): comma-joined non-zero units with
-    singular/plural forms; '0 seconds' for zero. Units supported here:
-    days/hours/minutes/seconds (upstream's default years/months use
-    365/30.5-day approximations — refused loudly, pass an explicit
-    max_unit). Whole seconds only (fractional input floors)."""
+    singular/plural forms; '0 seconds' for zero; negative inputs render
+    the magnitude with a leading '-' (matching upstream's signed
+    output). Units supported here: days/hours/minutes/seconds
+    (upstream's default years/months use 365/30.5-day approximations —
+    refused loudly, pass an explicit max_unit). Whole seconds only
+    (fractional input floors toward zero on the magnitude)."""
     divisors = {"days": 86400, "hours": 3600, "minutes": 60,
                 "seconds": 1}
     max_unit = "days"
@@ -286,7 +288,9 @@ def _fmt_timedelta_tpl(a: list[str]) -> str:
                 f"{sorted(divisors)} (years/months are 365/30.5-day "
                 "approximations upstream — not supported here)")
         max_unit = m.group(1)
-    s = f"CAST(FLOOR(CAST({a[0]} AS DOUBLE)) AS BIGINT)"
+    s0 = f"CAST(FLOOR(ABS(CAST({a[0]} AS DOUBLE))) AS BIGINT)"
+    sign = f"IF(CAST({a[0]} AS DOUBLE) < 0, '-', '')"
+    s = "__v.sa"
     parts, started = [], False
     for unit, div in divisors.items():
         if not started and unit != max_unit:
@@ -302,7 +306,8 @@ def _fmt_timedelta_tpl(a: list[str]) -> str:
             f"IF({n} = 0, NULL, CONCAT(CAST({n} AS STRING), "
             f"' {unit[:-1]}', IF({n} = 1, '', 's')))")
     joined = "CONCAT_WS(', ', " + ", ".join(parts) + ")"
-    return f"IF({s} = 0, '0 seconds', {joined})"
+    body = f"IF({s} = 0, '0 seconds', CONCAT(__v.sg, {joined}))"
+    return _bind_once({"sa": s0, "sg": sign}, body)
 
 
 def _bind_once(bindings: dict[str, str], body: str,
@@ -468,8 +473,19 @@ def _format_tpl(args: list[str]) -> str:
     while i < len(pat):
         ch = pat[i]
         if ch == "{":
-            j = pat.index("}", i)
+            if pat.startswith("{{", i):  # upstream's literal-brace escape
+                out.append("{")
+                i += 2
+                continue
+            j = pat.find("}", i)
+            if j < 0:
+                raise ValueError(
+                    f"format: unterminated '{{' at position {i} in "
+                    f"pattern {pat!r} (use '{{{{' for a literal brace)")
             ref = pat[i + 1:j]
+            if ref != "" and not ref.isdigit():
+                raise ValueError(f"format: bad placeholder {{{ref}}} "
+                                 "(use {} or {N})")
             idx = auto if ref == "" else int(ref)
             if ref == "":
                 auto += 1
@@ -478,6 +494,9 @@ def _format_tpl(args: list[str]) -> str:
                                  f"argument (got {len(vals)})")
             out.append(f"%{idx + 1}$s")
             i = j + 1
+        elif pat.startswith("}}", i):
+            out.append("}")
+            i += 2
         elif ch == "%":
             out.append("%%")
             i += 1
@@ -801,7 +820,14 @@ def _delta_sum_ts_tpl(args: list[str]) -> str:
     """deltaSumTimestamp(value, ts) ([U]
     AggregateFunctionDeltaSumTimestamp.h): sum of POSITIVE deltas
     between consecutive values in ts order. The bare deltaSum refuses
-    (block-order dependent upstream — pass a timestamp)."""
+    (block-order dependent upstream — pass a timestamp).
+
+    Tie handling: equal timestamps sort by value (ARRAY_SORT over
+    struct(t, dv)); upstream keeps insertion order, which a set-oriented
+    engine cannot observe. For a deterministic total order — and for any
+    differential oracle — pass a composite ts that is unique per group,
+    e.g. ``tuple(toUnixTimestamp(ts), event_id)`` as the registry query
+    ch_sql_stats_aggregates_r9 does."""
     sl = (f"ARRAY_SORT(COLLECT_LIST(NAMED_STRUCT('t', {args[1]}, "
           f"'dv', CAST({args[0]} AS DOUBLE))))")
     body = ("AGGREGATE(__v.sl, "
@@ -2019,7 +2045,9 @@ _FUNCS: dict[str, str] = {
         "AGGREGATE(ZIP_WITH({0}, {1}, (__x, __y) -> "
         "CAST(__x AS DOUBLE) * CAST(__y AS DOUBLE)), "
         "CAST(0 AS DOUBLE), (__s, __dp) -> __s + __dp)",
-    "toLastDayOfWeek": "DATE_ADD(CAST(DATE_TRUNC('WEEK', {0}) AS DATE), 6)",
+    # Sunday-based week (mode 0), matching toStartOfWeek above: the
+    # following (or same-day) Saturday. DAYOFWEEK is 1=Sunday..7=Saturday.
+    "toLastDayOfWeek": "DATE_ADD(CAST({0} AS DATE), 7 - DAYOFWEEK({0}))",
     # day 719528 since year zero = 1970-01-01 (proleptic Gregorian,
     # year 0 counted — the toDaysSinceYearZero twin's anchor)
     "fromDaysSinceYearZero":
@@ -2066,7 +2094,10 @@ _FUNCS: dict[str, str] = {
     "countSubstringsCaseInsensitive":
         "CAST((LENGTH({0}) - LENGTH(REPLACE(LOWER({0}), LOWER({1}), "
         "''))) / LENGTH({1}) AS BIGINT)",
-    "splitByNonAlpha": "FILTER(SPLIT({0}, '[^a-zA-Z]+'), "
+    # upstream splits ONLY on whitespace + ASCII punctuation ([U]
+    # src/Functions/FunctionsStringArray.h SplitByNonAlphaImpl:
+    # isWhitespace || isPunctuation) — digits are NOT separators
+    "splitByNonAlpha": "FILTER(SPLIT({0}, '[\\\\s\\\\p{Punct}]+'), "
                        "__t -> __t != '')",
     "format": lambda a: _format_tpl(a),
     "countDigits":
@@ -3167,10 +3198,15 @@ def _to_start_of_interval(args: list[str]) -> str:
     upstream's Monday-based weeks (n = 1 keeps DATE_TRUNC, which is also
     Monday-based).
 
-    The 3-argument origin form (round 9, [U] 23.x toStartOfInterval
-    origin overload) re-anchors fixed-width units at the origin:
-    origin + floor((ts − origin)/step)·step; calendar units with an
-    origin refuse loudly."""
+    The 3-argument origin form ([U] 23.x toStartOfInterval origin
+    overload) re-anchors fixed-width units (second..day, week) at the
+    origin: origin + floor((ts − origin)/step)·step. Round 10 extends
+    it to calendar units (month/quarter/year): the months-since-1970
+    index is re-anchored at the ORIGIN's month index —
+    origin_midx + floor((midx − origin_midx)/step)·step, first day of
+    the resulting month — matching DuckDB ``time_bucket(width, ts,
+    origin)``, which likewise ignores the origin's sub-month part
+    (day/time) for month-granular widths."""
     if len(args) not in (2, 3):
         raise ValueError("toStartOfInterval(ts, INTERVAL n unit"
                          "[, origin])")
@@ -3183,12 +3219,24 @@ def _to_start_of_interval(args: list[str]) -> str:
     if n < 1:
         raise ValueError("toStartOfInterval: n must be >= 1")
     if len(args) == 3:
-        if unit not in _INTERVAL_SECS:
+        if unit in ("month", "quarter", "year"):
+            step = n * {"month": 1, "quarter": 3, "year": 12}[unit]
+            t, og = args[0], args[2]
+            midx = f"((YEAR({t}) - 1970) * 12 + MONTH({t}) - 1)"
+            omidx = f"((YEAR({og}) - 1970) * 12 + MONTH({og}) - 1)"
+            b = (f"({omidx} + CAST(FLOOR(({midx} - {omidx}) "
+                 f"/ {step}.0) AS BIGINT) * {step})")
+            return (f"CAST(MAKE_DATE(1970 + CAST(FLOOR({b} / 12.0) "
+                    f"AS INT), CAST(PMOD({b}, 12) AS INT) + 1, 1) "
+                    f"AS TIMESTAMP)")
+        if unit == "week":
+            sec = n * 7 * 86400
+        elif unit in _INTERVAL_SECS:
+            sec = n * _INTERVAL_SECS[unit]
+        else:
             raise ValueError(
-                "toStartOfInterval: an origin composes with fixed-width "
-                "units (second..day) here; calendar units with origin "
-                "are not supported")
-        sec = n * _INTERVAL_SECS[unit]
+                f"toStartOfInterval: origin with INTERVAL {n} {unit} "
+                "is not supported")
         o = f"UNIX_TIMESTAMP({args[2]})"
         return (f"TIMESTAMP_SECONDS({o} + CAST(FLOOR("
                 f"(UNIX_TIMESTAMP({args[0]}) - {o}) / {sec}) "

@@ -20,4 +20,7 @@ from clickhouse_clickhouse_spark.queries import (  # noqa: F401
     tpch_dialect_q,
     clickbench_q,
     formats_q,
+    # LAST on purpose: rows-only estimate twins register after the driver's
+    # sampled first-50 prefix (see zz_estimates_q docstring).
+    zz_estimates_q,
 )

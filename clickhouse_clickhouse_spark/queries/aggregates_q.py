@@ -72,16 +72,6 @@ def agg_uniq_approx(spark, sf):
                      / F.col("exact_orders") <= 0.20).alias("approx_ok")))
 
 
-@register("agg_uniq_approx_estimate")
-def agg_uniq_approx_estimate(spark, sf):
-    """Raw HLL++ estimates (the rows-only twin of agg_uniq_approx — keeps
-    the actual sketch output visible; the invariant form is the
-    hash-checked one)."""
-    li = load_table(spark, sf, "lineitem")
-    return (li.groupBy("l_returnflag")
-            .agg(F.approx_count_distinct("l_orderkey").alias("approx_orders")))
-
-
 @register("agg_quantiles", oracle="""
 SELECT l_returnflag,
        round(quantile_cont(l_quantity, 0.5), 6)  AS median_qty,

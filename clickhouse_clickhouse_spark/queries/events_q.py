@@ -614,3 +614,35 @@ def ch_sql_interval_calendar(spark, sf):
                toStartOfInterval(ts, INTERVAL 2 WEEK) AS w2,
                count() AS n, round(sum(value), 4) AS sv
         FROM events GROUP BY m2, w2""")
+
+
+@register("ch_sql_interval_origin", oracle="""
+SELECT time_bucket(INTERVAL '2 months', ts, TIMESTAMP '2023-01-15') AS m2o,
+       time_bucket(INTERVAL '1 year', ts, TIMESTAMP '2020-07-01') AS y1o,
+       time_bucket(INTERVAL '14 days', ts, TIMESTAMP '2024-01-08') AS w2o,
+       time_bucket(INTERVAL '90 seconds', ts,
+                   TIMESTAMP '2024-01-01 00:00:30') AS s90o,
+       count(*) AS n
+FROM events GROUP BY m2o, y1o, w2o, s90o
+""")
+def ch_sql_interval_origin(spark, sf):
+    """toStartOfInterval with an ORIGIN across unit classes (round 10,
+    [U] src/Functions/toStartOfInterval.cpp origin overload): calendar
+    months/years re-anchor the months-since-1970 index at the origin's
+    month (DuckDB time_bucket semantics — origin's sub-month part
+    ignored); week + sub-day units re-anchor by fixed-width arithmetic
+    from the origin instant."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return ch_sql(spark, """
+        SELECT toStartOfInterval(ts, INTERVAL 2 MONTH,
+                   toDateTime('2023-01-15 00:00:00')) AS m2o,
+               toStartOfInterval(ts, INTERVAL 1 YEAR,
+                   toDateTime('2020-07-01 00:00:00')) AS y1o,
+               toStartOfInterval(ts, INTERVAL 2 WEEK,
+                   toDateTime('2024-01-08 00:00:00')) AS w2o,
+               toStartOfInterval(ts, INTERVAL 90 SECOND,
+                   toDateTime('2024-01-01 00:00:30')) AS s90o,
+               count() AS n
+        FROM events GROUP BY m2o, y1o, w2o, s90o""")

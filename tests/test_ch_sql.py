@@ -1844,6 +1844,7 @@ def test_round9_scalar_tail2(spark):
                formatReadableTimeDelta(90061) AS frtd,
                formatReadableTimeDelta(3725, 'minutes') AS frtd_m,
                formatReadableTimeDelta(0) AS frtd_0,
+               formatReadableTimeDelta(-90) AS frtd_n,
                erfc(0.5) AS ec, lgamma(6.5) AS lg, lgamma(0.3) AS lg_s,
                lgamma(-2.5) AS lg_n, tgamma(4.0) AS tg,
                tgamma(-0.5) AS tg_n,
@@ -1859,12 +1860,16 @@ def test_round9_scalar_tail2(spark):
     assert r.shl == [2, 3, 0] and r.shr == [0, 1, 2]
     assert r.shneg == [0, 1, 2] and r.shover == [7, 7, 7]
     assert r.samp == 2 and r.fold == 16 and r.dot == 14.0
-    assert str(r.ldw) == "2024-02-18" and str(r.fdyz) == "1970-01-01"
+    # Sunday-based week mode 0: 2024-02-15 is a Thursday → that week's
+    # Saturday is 2024-02-17 (consistent with toStartOfWeek = 02-11)
+    assert str(r.ldw) == "2024-02-17" and str(r.fdyz) == "1970-01-01"
     assert r.td == 5400 and r.frg == "frag" and r.qsf == "d=1#frag"
     assert r.b64 == "a2l0dGVu" and r.b64d == "kitten" and r.b64t == ""
     assert r.b64u == "ab?cd>e~" and r.frds == "1.23 MB"
     assert r.frtd == "1 day, 1 hour, 1 minute, 1 second"
     assert r.frtd_m == "62 minutes, 5 seconds" and r.frtd_0 == "0 seconds"
+    # negative inputs: magnitude with a leading '-', not DIV/PMOD garbage
+    assert r.frtd_n == "-1 minute, 30 seconds"
     # erf polynomial carries the A&S 7.1.26 ~1.5e-7 bound; Stirling
     # lgamma is ~1e-9 at these arguments
     assert abs(r.ec - (1 - math.erf(0.5))) < 1e-6
@@ -1888,6 +1893,8 @@ def test_round9_scalar_tail2(spark):
         r"[0-9a-f]{12}", r.u7)
     with _p.raises(ValueError, match="max_unit"):
         translate("SELECT formatReadableTimeDelta(5, 'years') FROM t")
+    with _p.raises(ValueError, match="unterminated"):
+        translate("SELECT format('a{b', s) FROM t")
     with _p.raises(ValueError, match="exactly one array"):
         translate("SELECT arrayFold((a, x) -> a, arr, arr2, 0) FROM t")
 
@@ -2007,6 +2014,7 @@ def test_round9_scalar_tail3(spark):
                splitByNonAlpha('ab1cd-ef') AS sna,
                format('{} and {}!', s, n) AS fmt,
                format('{1}-{0}', s, n) AS fmt_idx,
+               format('a{{b}} {}', n) AS fmt_br,
                countDigits(-1234567) AS cd,
                positiveModulo(-7, 3) AS pm,
                extractGroups('k=v', '(\\w+)=(\\w+)') AS eg,
@@ -2054,8 +2062,11 @@ def test_round9_scalar_tail3(spark):
                CAST(d + toIntervalMonth(2) AS DATE) AS addm,
                randBernoulli(0.5) AS rb
         FROM t9c""").collect()[0]
-    assert r.pci == 2 and r.csci == 2 and r.sna == ["ab", "cd", "ef"]
+    # digits are NOT separators (upstream: whitespace + punctuation only)
+    assert r.pci == 2 and r.csci == 2 and r.sna == ["ab1cd", "ef"]
     assert r.fmt == "ab cd and 1234567!" and r.fmt_idx == "1234567-ab cd"
+    # '{{'/'}}' render literal braces (upstream escape)
+    assert r.fmt_br == "a{b} 1234567"
     assert r.cd == 7 and r.pm == 2
     assert r.eg == ["k", "v"]
     assert [list(x) for x in r.egh] == [["a", "b"], ["1", "2"]]
@@ -2154,11 +2165,12 @@ def test_array_auc_vs_python(spark):
 
 def test_to_start_of_interval_origin(spark):
     """3-arg toStartOfInterval(ts, interval, origin): fixed-width units
-    re-anchor at the origin (hand-checked grid); calendar units with an
-    origin refuse loudly."""
-    import pytest as _p
-
-    from clickhouse_clickhouse_spark.ch_sql import ch_sql, translate
+    re-anchor at the origin; round 10 extends calendar units
+    (month/quarter/year — months-index re-anchored at the origin's
+    month, matching DuckDB time_bucket) and week-with-origin
+    (fixed 7-day arithmetic). Expected values pinned from DuckDB
+    time_bucket(width, ts, origin)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
 
     spark.sql("SELECT TIMESTAMP'2024-02-15 10:34:56' AS ts") \
         .createOrReplaceTempView("osi_t")
@@ -2166,13 +2178,25 @@ def test_to_start_of_interval_origin(spark):
         SELECT toStartOfInterval(ts, INTERVAL 90 SECOND,
                                  toDateTime('2024-01-01 00:00:30')) AS a,
                toStartOfInterval(ts, INTERVAL 1 DAY,
-                                 toDateTime('2024-01-01 12:00:00')) AS b
+                                 toDateTime('2024-01-01 12:00:00')) AS b,
+               toStartOfInterval(ts, INTERVAL 2 MONTH,
+                                 toDateTime('2023-01-15 00:00:00')) AS c,
+               toStartOfInterval(ts, INTERVAL 1 YEAR,
+                                 toDateTime('2020-07-01 00:00:00')) AS d,
+               toStartOfInterval(ts, INTERVAL 3 MONTH,
+                                 toDateTime('2024-02-01 00:00:00')) AS e,
+               toStartOfInterval(ts, INTERVAL 2 WEEK,
+                                 toDateTime('2024-01-08 00:00:00')) AS f
         FROM osi_t""").collect()[0]
     assert str(r.a) == "2024-02-15 10:33:30"
     assert str(r.b) == "2024-02-14 12:00:00"
-    with _p.raises(ValueError, match="origin"):
-        translate("SELECT toStartOfInterval(ts, INTERVAL 2 MONTH, "
-                  "toDateTime('2024-01-01 00:00:00')) FROM t")
+    # calendar origins: DuckDB time_bucket re-anchors the month index at
+    # the origin's month (sub-month part of the origin ignored)
+    assert str(r.c) == "2024-01-01 00:00:00"
+    assert str(r.d) == "2023-07-01 00:00:00"
+    assert str(r.e) == "2024-02-01 00:00:00"
+    # week origin = fixed 14-day arithmetic from 2024-01-08 (a Monday)
+    assert str(r.f) == "2024-02-05 00:00:00"
 
 
 def test_stats_aggregates_dialect_vs_python(spark):
