@@ -210,6 +210,45 @@ def _l2sq(a, b):
                        F.lit(0.0), lambda acc, v: acc + v)
 
 
+def l2_normalize(df: DataFrame, vec: str = "embedding") -> DataFrame:
+    """Scale each vector to unit L2 norm (pure column ops). On unit
+    vectors, squared L2 = 2 − 2·cosine, so PQ's L2-trained codebooks and
+    ADC ranking align with the cosine ground truth — the standard
+    normalize-before-PQ preparation for cosine retrieval. Cosine itself
+    is norm-invariant, so downstream cosine scores are unchanged."""
+    n = F.sqrt(F.aggregate(
+        F.col(vec), F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return df.withColumn(vec, F.transform(
+        F.col(vec), lambda x: (x.cast("double") / n).cast("float")))
+
+
+def _rerank_exact(cands: DataFrame, corpus: DataFrame, queries: DataFrame,
+                  k: int, corpus_id: str, corpus_vec: str,
+                  query_id: str, query_vec: str) -> DataFrame:
+    """Exact-cosine re-rank of an ANN candidate set (FAISS refine /
+    upstream MergeTreeIndexVectorSimilarity posting-list rescore): join
+    the candidates back to their RAW corpus vectors — at scale a point
+    lookup of |candidates| rows, never a corpus scan — and emit the true
+    top-k per query by cosine. Output schema matches brute_force_topk
+    (query_id, corpus_id, cosine, rk)."""
+    cv = corpus.select(F.col(corpus_id).alias("corpus_id"),
+                       F.col(corpus_vec).alias("__cv"))
+    qv = queries.select(F.col(query_id).alias("query_id"),
+                        F.col(query_vec).alias("__qv"))
+    scored = (cands.select("query_id", "corpus_id")
+              .join(cv, "corpus_id")
+              .join(F.broadcast(qv), "query_id")
+              .select("query_id", "corpus_id",
+                      F.round(cosine_similarity(F.col("__cv"),
+                                                F.col("__qv")),
+                              6).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("corpus_id").asc())
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k))
+
+
 def pq_train(corpus: DataFrame, *, m: int = 8, codes: int = 16, dim: int,
              iterations: int = 2, vec: str = "embedding",
              id_col: str = "vec_id") -> DataFrame:
@@ -271,6 +310,7 @@ def pq_encode(corpus: DataFrame, codebook: DataFrame, *, m: int, dim: int,
 
 def pq_topk(corpus: DataFrame, queries: DataFrame, k: int, *, m: int = 8,
             codes: int = 16, dim: int, iterations: int = 2,
+            normalize: bool = False, rerank: int = 0,
             corpus_id: str = "vec_id", corpus_vec: str = "embedding",
             query_id: str = "query_id", query_vec: str = "embedding"
             ) -> DataFrame:
@@ -281,9 +321,21 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int, *, m: int = 8,
     per-query shuffle of the corpus (the only corpus-wide exchange is
     the final per-query top-k window, on hit rows only after rank
     pruning). Approximate; quality grows with m and codes.
+
+    Production knobs (round 10): ``normalize=True`` unit-normalizes both
+    sides so L2 codebooks/ADC rank by cosine; ``rerank=C`` (C > k) keeps
+    the top-C ADC candidates and re-scores them by EXACT cosine against
+    the raw corpus vectors (a |C|-row point lookup at scale — the FAISS
+    refine / upstream vector-index rescore step). With both, the output
+    is exact top-k as long as the true neighbors survive into the ADC
+    top-C; RECALL.md records 1.0 at the tuned parameterization.
     """
     from pyspark.sql import Window
 
+    raw_corpus, raw_queries = corpus, queries
+    if normalize:
+        corpus = l2_normalize(corpus, corpus_vec)
+        queries = l2_normalize(queries, query_vec)
     cb = pq_train(corpus, m=m, codes=codes, dim=dim, iterations=iterations,
                   vec=corpus_vec, id_col=corpus_id)
     enc = pq_encode(corpus, cb, m=m, dim=dim, vec=corpus_vec,
@@ -314,6 +366,14 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int, *, m: int = 8,
                               F.element_at(F.col("codes"), s + 1) + 1))
                        , 6).alias("adc_dist")))
     w = Window.partitionBy(query_id).orderBy("adc_dist", "corpus_id")
+    if rerank:
+        if rerank < k:
+            raise ValueError(f"pq_topk: rerank={rerank} must be >= k={k}")
+        cands = (scored.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= rerank)
+                 .withColumnRenamed(query_id, "query_id"))
+        return _rerank_exact(cands, raw_corpus, raw_queries, k,
+                             corpus_id, corpus_vec, query_id, query_vec)
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
 
@@ -321,6 +381,7 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int, *, m: int = 8,
 def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
                 n_centroids: int = 8, n_probe: int = 2, m: int = 8,
                 codes: int = 16, dim: int, iterations: int = 2,
+                normalize: bool = False, rerank: int = 0,
                 corpus_id: str = "vec_id", corpus_vec: str = "embedding",
                 query_id: str = "query_id", query_vec: str = "embedding"
                 ) -> DataFrame:
@@ -333,9 +394,18 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
     At scale the corpus is stored partitioned by centroid_id with the
     m-byte PQ codes as columns: a query touches n_probe partitions and
     never reads the raw vectors.
+
+    ``normalize``/``rerank`` as in pq_topk: unit-normalize for cosine
+    alignment; re-score the top-C ADC candidates by exact cosine (with
+    rerank the raw vectors of ONLY the C candidates are fetched —
+    n_probe partition pruning still bounds the scan).
     """
     from pyspark.sql import Window
 
+    raw_corpus, raw_queries = corpus, queries
+    if normalize:
+        corpus = l2_normalize(corpus, corpus_vec)
+        queries = l2_normalize(queries, query_vec)
     cents = kmeans_centroids(corpus, n_centroids, iterations=iterations,
                              vec=corpus_vec, id_col=corpus_id)
     lists = assign_to_centroids(corpus, cents, vec=corpus_vec,
@@ -385,5 +455,14 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
                 F.element_at(F.col("codes"), s + 1) + 1)), 6)
         .alias("adc_dist"))
     w = Window.partitionBy(query_id).orderBy("adc_dist", "corpus_id")
+    if rerank:
+        if rerank < k:
+            raise ValueError(
+                f"ivf_pq_topk: rerank={rerank} must be >= k={k}")
+        cands = (scored.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= rerank)
+                 .withColumnRenamed(query_id, "query_id"))
+        return _rerank_exact(cands, raw_corpus, raw_queries, k,
+                             corpus_id, corpus_vec, query_id, query_vec)
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))

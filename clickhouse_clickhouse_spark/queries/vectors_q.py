@@ -450,3 +450,70 @@ def ann_recall_gate(spark, sf):
     ivf_ok, lsh_ok = recall(ivf) >= 0.6, recall(lsh) >= 0.2
     return spark.createDataFrame([(ivf_ok, lsh_ok)],
                                  "ivf_ok boolean, lsh_ok boolean")
+
+
+@register("ann_pq_tuned_topk", oracle="""
+SELECT vec_id AS query_id, TRUE AS planted_dup_is_top1
+FROM embeddings WHERE vec_id < 3
+""")
+def ann_pq_tuned_topk(spark, sf):
+    """PQ ANN at the PRODUCTION parameterization (round 10): m=16
+    subspaces x 256 codes, unit-normalized inputs, exact-cosine re-rank
+    of the top-20 ADC candidates (pipeline/similarity.pq_topk
+    normalize/rerank knobs — the FAISS-refine / upstream
+    MergeTreeIndexVectorSimilarity rescore step). The invariant is
+    STRICTER than the coarse-demo twins: the planted duplicate must be
+    rank 1 exactly (identical vector → identical codes → minimal ADC →
+    in candidates; re-rank scores it cosine 1.0, and the fixture's max
+    natural pairwise cosine is ~0.51 so no tie can displace it).
+    RECALL.md records recall@5 = 1.0 at this parameterization."""
+    from clickhouse_clickhouse_spark.pipeline.similarity import pq_topk
+
+    corpus, q = _planted_setup(spark, sf)
+    topk = pq_topk(corpus, q, k=5, m=16, codes=256, dim=64,
+                   iterations=2, normalize=True, rerank=20,
+                   query_id="query_id")
+    return (topk.filter(F.col("rk") == 1)
+            .select("query_id",
+                    (F.col("corpus_id") == F.col("query_id") + _PLANT)
+                    .alias("planted_dup_is_top1")))
+
+
+@register("ann_tuned_recall_gate", oracle="""
+SELECT true AS pq_ok, true AS ivfpq_ok
+""")
+def ann_tuned_recall_gate(spark, sf):
+    """Hash-checked PRODUCTION recall gate (round 10): recall@5 vs the
+    exact brute-force baseline, computed in the same job, must reach
+    >= 0.9 for both tuned parameterizations — PQ m=16/codes=256/
+    normalize/rerank=20 (measured 1.0 at sf0.001 and sf0.01) and IVF-PQ
+    lists=8/probe=4/m=16/codes=64/normalize/rerank=40 (measured 0.933;
+    the residual misses are coarse-list pruning, bounded by probe/lists).
+    This is the ship-quality demonstration the coarse-demo rows in
+    RECALL.md deliberately lack."""
+    from clickhouse_clickhouse_spark.pipeline.similarity import (
+        brute_force_topk,
+        ivf_pq_topk,
+        pq_topk,
+    )
+
+    e = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    q = (e.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    exact = brute_force_topk(e, q, 5, query_id="query_id").select(
+        F.col("query_id").alias("qid"), F.col("corpus_id").alias("nid"))
+    pq = pq_topk(e, q, k=5, m=16, codes=256, dim=64, iterations=2,
+                 normalize=True, rerank=20, query_id="query_id").select(
+        F.col("query_id").alias("qid"), F.col("corpus_id").alias("nid"))
+    ivfpq = ivf_pq_topk(e, q, k=5, n_centroids=8, n_probe=4, m=16,
+                        codes=64, dim=64, iterations=3, normalize=True,
+                        rerank=40, query_id="query_id").select(
+        F.col("query_id").alias("qid"), F.col("corpus_id").alias("nid"))
+
+    def recall(approx):
+        hits = exact.join(approx, ["qid", "nid"]).count()
+        return hits / exact.count()
+
+    pq_ok, ivfpq_ok = recall(pq) >= 0.9, recall(ivfpq) >= 0.9
+    return spark.createDataFrame([(pq_ok, ivfpq_ok)],
+                                 "pq_ok boolean, ivfpq_ok boolean")

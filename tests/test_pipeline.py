@@ -351,6 +351,42 @@ def test_ivf_pq_topk_recovers_planted_dup(spark):
     assert any(r.corpus_id == 100 and r.rank <= 2 for r in got)
 
 
+def test_pq_rerank_matches_brute_force(spark):
+    """normalize+rerank (the round-10 production knobs): exact-cosine
+    re-rank of the ADC candidate set must reproduce the brute-force
+    cosine top-k exactly when the candidate set is wide enough, with
+    the brute-force output schema (query_id, corpus_id, cosine, rk);
+    rerank < k refuses."""
+    import pytest as _p
+
+    from clickhouse_clickhouse_spark.pipeline.similarity import (
+        brute_force_topk, ivf_pq_topk, pq_topk,
+    )
+
+    df = _vectors(spark)                     # 51 vectors, dim 16
+    q = (df.filter(F.col("vec_id") == 0)
+         .withColumnRenamed("vec_id", "query_id"))
+    exact = [(r.corpus_id, r.cosine) for r in
+             brute_force_topk(df, q, k=5, query_id="query_id")
+             .orderBy("rk").collect()]
+    # candidate set = whole corpus -> re-rank is exact by construction
+    got = pq_topk(df, q, k=5, m=4, codes=8, dim=16, normalize=True,
+                  rerank=50, query_id="query_id")
+    assert {"query_id", "corpus_id", "cosine", "rk"} <= set(got.columns)
+    assert [(r.corpus_id, r.cosine)
+            for r in got.orderBy("rk").collect()] == exact
+    # ivf-pq rerank path: planted dup (id 100) must be rank 1 with
+    # cosine ~1 after the exact re-score
+    got2 = (ivf_pq_topk(df, q, k=5, n_centroids=4, n_probe=2, m=4,
+                        codes=8, dim=16, normalize=True, rerank=10,
+                        query_id="query_id")
+            .orderBy("rk").collect())
+    assert got2[0].corpus_id == 100 and got2[0].cosine >= 0.99
+    with _p.raises(ValueError, match="rerank"):
+        pq_topk(df, q, k=5, m=4, codes=8, dim=16, rerank=3,
+                query_id="query_id")
+
+
 def test_pq_degenerates_to_exact_with_full_codebook(spark):
     """Exactness degeneracy: with m=1 subspace and codes >= n vectors,
     every vector becomes its own codeword, so ADC distances are exact
