@@ -5586,12 +5586,17 @@ class TableSpec:
     (``sources.write.insert_partitioned``) and scan layer execute."""
 
     def __init__(self, name: str, schema, engine: str,
-                 partition_by: list[str], order_by: list[str]):
+                 partition_by: list[str], order_by: list[str],
+                 path: str | None = None):
         self.name = name
         self.schema = schema
         self.engine = engine
         self.partition_by = partition_by
         self.order_by = order_by
+        # parquet directory backing a MergeTree-family table (set by
+        # ch_statement when spark.clickhouse_clickhouse_spark.dataDir
+        # is configured); None = Memory-engine temp-view storage
+        self.path = path
 
     def __repr__(self) -> str:
         return (f"TableSpec({self.name}, engine={self.engine}, "
@@ -5904,6 +5909,16 @@ def ch_statement(spark: SparkSession, sql: str,
             _remember_spec(spark, spec)
         else:
             spec = ch_create_table(spark, sql)
+            # With a configured dataDir, MergeTree-family tables become
+            # FILE-backed: inserts write partitioned+sorted parquet
+            # (real on-disk parts, the upstream storage contract) and
+            # the view re-registers over the files. Memory/Null/etc.
+            # keep the temp-view path.
+            data_dir = spark.conf.get(
+                "spark.clickhouse_clickhouse_spark.dataDir", "")
+            if data_dir and spec.engine.lower().endswith("mergetree"):
+                import os as _os
+                spec.path = _os.path.join(data_dir, spec.name)
             _remember_spec(spark, spec)
         return spark.createDataFrame(
             [(spec.name, spec.engine, ",".join(spec.partition_by),
@@ -5913,6 +5928,12 @@ def ch_statement(spark: SparkSession, sql: str,
     if kw == "INSERT":
         rows = ch_insert(spark, sql, data)
         m = _INSERT_RE.match(sql)
+        spec = _SPECS.get((id(spark), m.group("table").lower()))
+        if spec is not None and spec.path:
+            n = rows.count()
+            insert_into_table(spark, spec, rows, spec.path)
+            return spark.createDataFrame([(m.group("table"), n)],
+                                         "table string, written long")
         append_to_view(spark, m.group("table"), rows)
         return spark.createDataFrame([(m.group("table"), rows.count())],
                                      "table string, written long")

@@ -1898,6 +1898,77 @@ def ch_sql_state_merge_parametric(spark, sf):
         GROUP BY rf""")
 
 
+@register("ch_sql_state_merge_stored_insert", oracle="""
+SELECT CAST(l_returnflag AS VARCHAR) AS rf,
+       round(quantile_cont(l_quantity, 0.9), 6) AS q90,
+       TRUE AS q90_sketch_ok,
+       count(DISTINCT l_suppkey) AS uniq_supp,
+       TRUE AS uniq_sketch_ok,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       round(avg(l_discount), 6) AS avg_disc
+FROM lineitem GROUP BY l_returnflag
+""")
+def ch_sql_state_merge_stored_insert(spark, sf):
+    """AggregatingMergeTree STORAGE path end-to-end (round 10, [U]
+    src/DataTypes/DataTypeAggregateFunction.cpp +
+    src/AggregateFunctions/Combinators/AggregateFunctionState.h): a
+    dialect CREATE TABLE with ``AggregateFunction(f, T)`` columns (typed
+    to the -State renderings: KLL/HLL binaries, raw collections, struct
+    partials — types_map._agg_state_type), a dialect INSERT ... SELECT
+    of fState(...) partials that writes REAL sorted parquet files (the
+    dataDir-backed MergeTree insert), and a SEPARATE statement reading
+    the files back with fMerge(...). Exact bases (quantileExact, sum,
+    avg, uniqExact) hash-match the one-phase oracle; the sketch columns
+    (KLL quantileState, Datasketches uniqState) are gated by in-query
+    relative-error invariants against their exact twins read from the
+    same stored states."""
+    import tempfile
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, ch_statement
+
+    load_table(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    ddir = tempfile.mkdtemp(prefix="agg_states_r10_")
+    prev = spark.conf.get(
+        "spark.clickhouse_clickhouse_spark.dataDir", "")
+    spark.conf.set("spark.clickhouse_clickhouse_spark.dataDir", ddir)
+    try:
+        ch_statement(spark, """
+            CREATE TABLE qstates_r10 (
+                rf String, ls String,
+                q90x AggregateFunction(quantileExact, Float64),
+                q90k AggregateFunction(quantile(0.9), Float64),
+                ux AggregateFunction(uniqExact, Int64),
+                u AggregateFunction(uniq, Int64),
+                s AggregateFunction(sum, Float64),
+                a AggregateFunction(avg, Float64)
+            ) ENGINE = AggregatingMergeTree ORDER BY rf""")
+        ch_statement(spark, """
+            INSERT INTO qstates_r10 SELECT
+                l_returnflag, l_linestatus,
+                quantileExactState(0.9)(l_quantity),
+                quantileState(0.9)(l_quantity),
+                uniqExactState(l_suppkey),
+                uniqState(l_suppkey),
+                sumState(l_extendedprice),
+                avgState(l_discount)
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""")
+    finally:
+        spark.conf.set("spark.clickhouse_clickhouse_spark.dataDir", prev)
+    return ch_sql(spark, """
+        SELECT rf,
+               round(quantileExactMerge(0.9)(q90x), 6) AS q90,
+               abs(quantileMerge(0.9)(q90k)
+                   - quantileExactMerge(0.9)(q90x))
+                 / quantileExactMerge(0.9)(q90x) <= 0.10
+                 AS q90_sketch_ok,
+               uniqExactMerge(ux) AS uniq_supp,
+               abs(uniqMerge(u) - uniqExactMerge(ux))
+                 / uniqExactMerge(ux) <= 0.20 AS uniq_sketch_ok,
+               round(sumMerge(s), 2) AS sum_price,
+               round(avgMerge(a), 6) AS avg_disc
+        FROM qstates_r10 GROUP BY rf""")
+
+
 @register("ch_sql_stats_aggregates_r9", oracle="""
 WITH base AS (SELECT event_id, user_id, value,
                      epoch(ts) AS tsec FROM events WHERE event_id < 800),

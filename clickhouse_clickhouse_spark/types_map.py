@@ -103,9 +103,71 @@ def parse_ch_type(s: str,
     if head.startswith("Enum"):
         return T.StringType(), False
     if head == "AggregateFunction":
-        raise ValueError("AggregateFunction state columns are out of scope "
-                         "(SURVEY.md §4.3 item 1): recompute from raw data")
+        # AggregateFunction(f[, params], T...) — the AggregatingMergeTree
+        # state column ([U] src/DataTypes/DataTypeAggregateFunction.cpp).
+        # The Spark type is the state shape the dialect's -State
+        # templates render (ch_sql._STATE_MERGE/_PARAMETRIC_STATE_MERGE),
+        # so `INSERT ... SELECT fState(x)` lands in a column that
+        # `fMerge(col)` reads back in a later statement. Parameters
+        # (quantile(0.9)) don't change the state type.
+        parts = _split_args(inner)
+        fm = re.match(r"^\s*(\w+)", parts[0])
+        if not fm:
+            raise ValueError(f"unsupported reference type: {s!r}")
+        fname = fm.group(1)
+        argts = [parse_ch_type(p, u64)[0] for p in parts[1:]]
+        return _agg_state_type(fname, argts, s), False
     raise ValueError(f"unsupported reference type: {s!r}")
+
+
+def _agg_state_type(fname: str, argts: list[T.DataType],
+                    full: str) -> T.DataType:
+    """Spark storage type of an AggregateFunction state, matching the
+    dialect -State renderings exactly (see parse_ch_type)."""
+    def arg(i: int = 0) -> T.DataType:
+        if i >= len(argts):
+            raise ValueError(f"{full!r}: AggregateFunction needs the "
+                             "argument type(s) after the function name")
+        return argts[i]
+
+    def widened(dt: T.DataType) -> T.DataType:
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                           T.LongType)):
+            return T.LongType()
+        return dt
+
+    moments = T.StructType([T.StructField("n", T.LongType(), False),
+                            T.StructField("s", T.DoubleType(), True),
+                            T.StructField("s2", T.DoubleType(), True)])
+    if fname in ("quantile", "quantileTDigest", "quantiles", "uniq",
+                 "uniqCombined", "uniqHLL12", "uniqTheta"):
+        return T.BinaryType()          # KLL / Datasketches HLL / Theta
+    if fname in ("quantileExact", "median", "groupArray",
+                 "groupUniqArray", "uniqExact", "groupBitmap"):
+        inner = T.DoubleType() if fname in ("quantileExact", "median") \
+            else arg()
+        return T.ArrayType(inner, containsNull=True)
+    if fname == "count":
+        return T.LongType()
+    if fname == "sum":
+        return widened(arg())
+    if fname in ("min", "max", "any", "anyLast"):
+        return arg()
+    if fname == "avg":
+        return T.StructType([T.StructField("s", T.DoubleType(), True),
+                             T.StructField("c", T.LongType(), False)])
+    if fname in ("argMin", "argMax"):
+        return T.StructType([T.StructField("a", arg(0), True),
+                             T.StructField("k", arg(1), True)])
+    if fname in ("varPop", "varSamp", "stddevPop", "stddevSamp"):
+        return moments
+    raise ValueError(
+        f"AggregateFunction base {fname!r} has no storable state "
+        "mapping here (supported: quantile[Exact/TDigest/s], median, "
+        "uniq[Combined/HLL12/Theta/Exact], sum, count, min, max, avg, "
+        "any[Last], argMin/argMax, var*/stddev*, groupArray, "
+        "groupUniqArray, groupBitmap) — recompute from raw data for "
+        "other bases (SURVEY.md §4.3 item 1)")
 
 
 def _split_args(s: str) -> list[str]:

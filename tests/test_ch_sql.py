@@ -450,6 +450,66 @@ class TestCreateTable:
                 spark, "CREATE TABLE t2 (a UInt8) ENGINE = MergeTree "
                        "ORDER BY missing_col")
 
+    def test_aggregating_mergetree_stored_states(self, spark, tmp_path):
+        """Round 10: with dataDir configured, a MergeTree-family CREATE
+        + dialect INSERT ... SELECT of -State partials writes REAL
+        parquet files (binary KLL column included), and a separate
+        statement fMerge-reads them back equal to the one-phase answer.
+        Memory-engine tables keep the temp-view path (no files)."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from clickhouse_clickhouse_spark.ch_sql import ch_sql, ch_statement
+
+        spark.sql("SELECT id % 3 AS g, id % 2 AS g2, "
+                  "CAST(id AS DOUBLE) AS v FROM RANGE(1000)") \
+            .createOrReplaceTempView("amt_src")
+        spark.conf.set("spark.clickhouse_clickhouse_spark.dataDir",
+                       str(tmp_path))
+        try:
+            ch_statement(spark, """
+                CREATE TABLE amt_states (
+                    g Int64,
+                    q AggregateFunction(quantileExact, Float64),
+                    k AggregateFunction(quantile(0.5), Float64),
+                    s AggregateFunction(sum, Float64),
+                    a AggregateFunction(avg, Float64)
+                ) ENGINE = AggregatingMergeTree ORDER BY g""")
+            ch_statement(spark, """
+                INSERT INTO amt_states SELECT g * 2 + g2 AS gg,
+                    quantileExactState(0.5)(v), quantileState(0.5)(v),
+                    sumState(v), avgState(v)
+                FROM amt_src GROUP BY gg""")
+            ch_statement(spark, "CREATE TABLE amt_mem (x Int64) "
+                                "ENGINE = Memory")
+            ch_statement(spark, "INSERT INTO amt_mem VALUES (1)")
+        finally:
+            spark.conf.set(
+                "spark.clickhouse_clickhouse_spark.dataDir", "")
+        # real files on disk, KLL state stored as BINARY
+        files = os.listdir(str(tmp_path / "amt_states"))
+        assert any(f.endswith(".parquet") for f in files)
+        assert not (tmp_path / "amt_mem").exists()
+        stored = spark.table("amt_states")
+        assert dict(stored.dtypes)["k"] == "binary"
+        assert dict(stored.dtypes)["q"] == "array<double>"
+        got = {r.g: r for r in ch_sql(spark, """
+            SELECT intDiv(g, 2) AS g,
+                   round(quantileExactMerge(0.5)(q), 6) AS qe,
+                   quantileMerge(0.5)(k) AS qk,
+                   sumMerge(s) AS sv, round(avgMerge(a), 6) AS av
+            FROM amt_states GROUP BY intDiv(g, 2)""").collect()}
+        exp = {r.g: r for r in spark.sql("""
+            SELECT g, percentile(v, 0.5D) AS qe, sum(v) AS sv, avg(v) AS av
+            FROM amt_src GROUP BY g""").collect()}
+        assert set(got) == {0, 1, 2}
+        for g, e in exp.items():
+            assert got[g].qe == round(e.qe, 6) and got[g].sv == e.sv
+            assert got[g].av == round(e.av, 6)
+            # KLL sketch readout: tolerance-gated vs exact
+            assert abs(got[g].qk - e.qe) <= 0.05 * max(abs(e.qe), 1.0)
+
 
 class TestStatements:
     def test_statement_surface(self, spark):

@@ -50,10 +50,32 @@ def test_parse_nested():
 def test_unsupported_types_raise():
     with pytest.raises(ValueError):
         parse_ch_type("Decimal(76, 10)")
-    with pytest.raises(ValueError):
-        parse_ch_type("AggregateFunction(sum, Int64)")
+    with pytest.raises(ValueError):     # base with no storable state
+        parse_ch_type("AggregateFunction(sequenceMatch, String)")
     with pytest.raises(ValueError):
         parse_ch_type("SomethingMadeUp")
+
+
+def test_aggregate_function_state_types():
+    """Round 10: AggregateFunction(f, T) maps to the -State rendering's
+    storage type (AggregatingMergeTree column contract)."""
+    assert parse_ch_type("AggregateFunction(sum, Int32)") \
+        == (T.LongType(), False)
+    assert parse_ch_type("AggregateFunction(sum, Float64)") \
+        == (T.DoubleType(), False)
+    assert parse_ch_type("AggregateFunction(quantile(0.9), Float64)") \
+        == (T.BinaryType(), False)
+    assert parse_ch_type("AggregateFunction(uniq, Int64)") \
+        == (T.BinaryType(), False)
+    dt, _ = parse_ch_type("AggregateFunction(quantileExact, Float64)")
+    assert dt == T.ArrayType(T.DoubleType(), True)
+    dt, _ = parse_ch_type("AggregateFunction(uniqExact, Int64)")
+    assert dt == T.ArrayType(T.LongType(), True)
+    dt, _ = parse_ch_type("AggregateFunction(avg, Float64)")
+    assert dt.fieldNames() == ["s", "c"]
+    dt, _ = parse_ch_type("AggregateFunction(argMax, String, Int64)")
+    assert dt.fieldNames() == ["a", "k"]
+    assert dt["a"].dataType == T.StringType()
 
 
 def test_schema_ddl_roundtrip(spark):
