@@ -783,20 +783,34 @@ def _runs_sql(sl: str) -> str:
     """array<struct<v, c>> of run-lengths over the SORTED array `sl`
     (the O(n log n) distinct-counting workhorse — same idea as the
     round-9 topK sorted-run fold). `sl` must be a simple reference
-    (bind it first): it is read three times."""
-    empty = (f"TRANSFORM(SLICE({sl}, 1, 0), "
+    (bind it first): it is read several times.
+
+    Round 10 (scale-soak finding): the original AGGREGATE fold appended
+    each finished run with CONCAT(acc, ARRAY(...)), copying the
+    accumulator array per run — O(runs²), quadratic on mostly-distinct
+    data (200k-distinct groups never finished). Now the boundary-index
+    form the topK template already used: FILTER the run-END indices
+    (linear), then one TRANSFORM derives each run's value and count
+    from consecutive boundaries. O(n) after the caller's sort. The
+    input is bound ONCE internally (__rs) — this template reads it
+    inside per-element lambdas, where a complex argument would
+    otherwise re-evaluate per element."""
+    s = "__rs.s"
+    empty = (f"TRANSFORM(SLICE({s}, 1, 0), "
              f"__z -> NAMED_STRUCT('v', __z, 'c', CAST(0 AS BIGINT)))")
-    return (
-        f"AGGREGATE({sl}, "
-        f"NAMED_STRUCT('rs', {empty}, 'cur', TRY_ELEMENT_AT({sl}, 1), "
-        f"'c', CAST(0 AS BIGINT)), "
-        f"(__ra, __rx) -> IF(__ra.c > 0 AND NOT (__rx <=> __ra.cur), "
-        f"NAMED_STRUCT('rs', CONCAT(__ra.rs, ARRAY(NAMED_STRUCT("
-        f"'v', __ra.cur, 'c', __ra.c))), 'cur', __rx, "
-        f"'c', CAST(1 AS BIGINT)), "
-        f"NAMED_STRUCT('rs', __ra.rs, 'cur', __rx, 'c', __ra.c + 1)), "
-        f"__rf -> IF(__rf.c = 0, __rf.rs, CONCAT(__rf.rs, "
-        f"ARRAY(NAMED_STRUCT('v', __rf.cur, 'c', __rf.c)))))")
+    # run ENDS: i is a boundary when it is the last index or sl[i+1]
+    # differs (ELEMENT_AT past the end is NULL under ANSI-off, so the
+    # <=> comparison is safe without short-circuit guarantees)
+    ends = (f"FILTER(SEQUENCE(1, SIZE({s})), __ri -> "
+            f"__ri = SIZE({s}) OR NOT (ELEMENT_AT({s}, __ri) <=> "
+            f"ELEMENT_AT({s}, __ri + 1)))")
+    body = (f"IF(SIZE({s}) = 0, {empty}, "
+            f"TRY_ELEMENT_AT(TRANSFORM(ARRAY({ends}), __re -> "
+            f"TRANSFORM(SEQUENCE(1, SIZE(__re)), __rj -> NAMED_STRUCT("
+            f"'v', ELEMENT_AT({s}, ELEMENT_AT(__re, __rj)), "
+            f"'c', CAST(ELEMENT_AT(__re, __rj) - IF(__rj = 1, 0, "
+            f"ELEMENT_AT(__re, __rj - 1)) AS BIGINT)))), 1))")
+    return _bind_once({"s": sl}, body, var="__rs")
 
 
 def _entropy_tpl(args: list[str]) -> str:
@@ -1006,35 +1020,41 @@ def _mann_whitney_tpl(args: list[str]) -> str:
     sl = (f"ARRAY_SORT(COLLECT_LIST(NAMED_STRUCT("
           f"'x', CAST({args[0]} AS DOUBLE), "
           f"'i', CAST(({args[1]}) AS INT))))")
-    # walk runs of equal x: average rank = pos + (c+1)/2 − 1 offsets
+    # ONE pass over the sorted pairs carrying (rows consumed before the
+    # current run, run length, sample-0 count in run, previous value,
+    # Σ avg-ranks of sample 0, Σ(c³−c) tie correction); a value change
+    # flushes the finished run. Round 10: replaces the per-run
+    # SIZE(FILTER(sl, ...)) lookup, which re-scanned the whole list for
+    # every run — O(runs·n), quadratic on mostly-distinct data.
+    rank_tie_fold = (
+        "AGGREGATE(__vo.sl, "
+        "NAMED_STRUCT('pos', CAST(0 AS DOUBLE), 'c', CAST(0 AS DOUBLE), "
+        "'c0', CAST(0 AS DOUBLE), 'pv', CAST(NULL AS DOUBLE), "
+        "'s', CAST(0 AS DOUBLE), 'tie', CAST(0 AS DOUBLE)), "
+        "(__ua, __ue) -> IF(__ua.c = 0.0D OR (__ua.pv <=> __ue.x), "
+        "NAMED_STRUCT('pos', __ua.pos, 'c', __ua.c + 1.0D, "
+        "'c0', __ua.c0 + IF(__ue.i = 0, 1.0D, 0.0D), "
+        "'pv', __ue.x, 's', __ua.s, 'tie', __ua.tie), "
+        "NAMED_STRUCT('pos', __ua.pos + __ua.c, 'c', 1.0D, "
+        "'c0', IF(__ue.i = 0, 1.0D, 0.0D), 'pv', __ue.x, "
+        "'s', __ua.s + (__ua.pos + (__ua.c + 1.0D) / 2.0D) * __ua.c0, "
+        "'tie', __ua.tie + POWER(__ua.c, 3) - __ua.c)), "
+        "__uf -> NAMED_STRUCT("
+        "'s', __uf.s + IF(__uf.c > 0.0D, "
+        "(__uf.pos + (__uf.c + 1.0D) / 2.0D) * __uf.c0, 0.0D), "
+        "'tie', __uf.tie + IF(__uf.c > 0.0D, "
+        "POWER(__uf.c, 3) - __uf.c, 0.0D)))")
     inner = _bind_once(
-        {"rs": _runs_sql("TRANSFORM(__vo.sl, __p -> __p.x)"),
-         "n0": ("CAST(SIZE(FILTER(__vo.sl, __p -> __p.i = 0)) "
+        {"n0": ("CAST(SIZE(FILTER(__vo.sl, __p -> __p.i = 0)) "
                 "AS DOUBLE)"),
          "n1": ("CAST(SIZE(FILTER(__vo.sl, __p -> __p.i = 1)) "
                 "AS DOUBLE)"),
-         # Σ avg-ranks of sample 0: fold runs carrying consumed count;
-         # per run, the #sample-0 members inside it share the run's
-         # average rank — count them via a FILTER on the pair list
-         "r0": ("AGGREGATE(" +
-                _runs_sql("TRANSFORM(__vo.sl, __p -> __p.x)") + ", "
-                "NAMED_STRUCT('pos', CAST(0 AS DOUBLE), "
-                "'s', CAST(0 AS DOUBLE)), "
-                "(__ua, __ur) -> NAMED_STRUCT("
-                "'pos', __ua.pos + __ur.c, "
-                "'s', __ua.s + (__ua.pos + (__ur.c + 1.0D) / 2.0D) * "
-                "SIZE(FILTER(__vo.sl, __p -> __p.x <=> __ur.v "
-                "AND __p.i = 0))), "
-                "__uf -> __uf.s)"),
-         "tie": ("AGGREGATE(" +
-                 _runs_sql("TRANSFORM(__vo.sl, __p -> __p.x)") + ", "
-                 "CAST(0 AS DOUBLE), (__ta, __tr) -> "
-                 "__ta + POWER(CAST(__tr.c AS DOUBLE), 3) - __tr.c)")},
+         "rt": rank_tie_fold},
         _bind_once(
-            {"u": "(__w.r0 - __w.n0 * (__w.n0 + 1.0D) / 2.0D)",
+            {"u": "(__w.rt.s - __w.n0 * (__w.n0 + 1.0D) / 2.0D)",
              "mu": "(__w.n0 * __w.n1 / 2.0D)",
              "sg": ("SQRT(__w.n0 * __w.n1 / 12.0D * "
-                    "((__w.n0 + __w.n1 + 1.0D) - __w.tie / "
+                    "((__w.n0 + __w.n1 + 1.0D) - __w.rt.tie / "
                     "((__w.n0 + __w.n1) * (__w.n0 + __w.n1 - 1.0D))))")},
             "NAMED_STRUCT('u_stat', __z.u, 'p_value', "
             "2.0D * (1.0D - (0.5D * (1.0D + "

@@ -1,0 +1,101 @@
+"""Group-size soak for the dialect collect-fold statistical aggregates
+(round-10 verdict item 3): the round-9 additions (entropy, cramersV,
+theilsU, mannWhitneyUTest, kolmogorovSmirnovTest, welchTTest,
+analysisOfVariance, weighted quantiles) are O(n log n) per-group folds
+over ONE COLLECT_LIST per aggregate — reasoned linear in SCALE.md, here
+MEASURED at 100x group sizes.
+
+Fixture: 32 groups x 2,000 rows (base) vs 32 groups x 200,000 rows
+(100x), deterministic hash-derived columns (no RNG — reproducible).
+One Spark action per scale runs the whole family; prints wall times and
+the 100x/base ratio (at-most-linear means ratio <= ~100, sort overhead
+included). Also verifies the rankCorr O(n^2) guard RAISES at the big
+group size instead of running quadratic.
+
+Usage: python tools/scale_folds.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from clickhouse_clickhouse_spark.ch_sql import ch_sql  # noqa: E402
+from clickhouse_clickhouse_spark.session import get_spark  # noqa: E402
+
+GROUPS = 32
+BASE_ROWS = 2_000
+SCALE = 100
+
+FOLD_SQL = """
+SELECT g,
+       entropy(CAST(v * 100 AS INT) % 10) AS ent,
+       cramersV(ca, cb) AS cv,
+       theilsU(ca, cb) AS tu,
+       mannWhitneyUTest(v, b) AS mw,
+       kolmogorovSmirnovTest(v, b) AS ks,
+       welchTTest(v, b) AS wt,
+       analysisOfVariance(v, k4) AS av,
+       quantileExactWeighted(0.5)(v, w) AS qew,
+       quantilesExactWeighted(0.25, 0.75)(v, w) AS qsew
+FROM folds_src GROUP BY g
+"""
+
+
+def make_src(spark, rows_per_group: int, view: str) -> None:
+    n = GROUPS * rows_per_group
+    spark.sql(f"""
+        SELECT id % {GROUPS} AS g,
+               (PMOD(XXHASH64(id), 10000)) / 1000.0 AS v,
+               CAST(PMOD(XXHASH64(id + 1), 2) AS INT) AS b,
+               CAST(PMOD(XXHASH64(id + 2), 4) AS INT) AS k4,
+               CHAR(97 + PMOD(XXHASH64(id + 3), 3)) AS ca,
+               CHAR(120 + PMOD(XXHASH64(id + 4), 2)) AS cb,
+               CAST(PMOD(XXHASH64(id + 5), 4) + 1 AS INT) AS w
+        FROM RANGE({n})
+    """).createOrReplaceTempView(view)
+
+
+def time_folds(spark, view: str) -> float:
+    best = float("inf")
+    sql = FOLD_SQL.replace("folds_src", view)
+    for _ in range(2):
+        t0 = time.perf_counter()
+        # noop sink forces FULL evaluation of every aggregate column —
+        # a bare .count() lets Catalyst prune the fold expressions out
+        # of the Aggregate and measures nothing
+        ch_sql(spark, sql).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    spark = get_spark("scale-folds")
+    spark.sparkContext.setLogLevel("ERROR")
+    make_src(spark, BASE_ROWS, "folds_base")
+    make_src(spark, BASE_ROWS * SCALE, "folds_big")
+    t_base = time_folds(spark, "folds_base")
+    t_big = time_folds(spark, "folds_big")
+    print(f"| fold family batch | {GROUPS}x{BASE_ROWS} | "
+          f"{GROUPS}x{BASE_ROWS * SCALE} | ratio |")
+    print("|---|---|---|---|")
+    print(f"| entropy+cramersV+theilsU+MW+KS+welch+ANOVA+weighted-q "
+          f"| {t_base:.2f}s | {t_big:.2f}s | {t_big / t_base:.1f}x |",
+          flush=True)
+    # the O(n^2)-per-group rankCorr must REFUSE at this group size
+    try:
+        ch_sql(spark, "SELECT g, rankCorr(v, v + b) AS rc "
+                      "FROM folds_big GROUP BY g") \
+            .write.format("noop").mode("overwrite").save()
+        print("rankCorr guard: FAILED TO RAISE (bug)")
+    except Exception as e:  # noqa: BLE001 - Spark wraps the RAISE_ERROR
+        msg = str(e).splitlines()[0][:100]
+        print(f"rankCorr guard at 200k-row groups: raised as designed "
+              f"({msg})")
+
+
+if __name__ == "__main__":
+    main()
