@@ -1980,6 +1980,118 @@ _FUNCS: dict[str, str] = {
     "ngramDistanceCaseInsensitive":
         lambda a: _ngram_distance_tpl(a, ci=True),
     "multiFuzzyMatchAny": lambda a: _multi_fuzzy_tpl(a),
+    # ---- round-10 resolve-probe batch -----------------------------------
+    "soundex": "SOUNDEX({0})",
+    "editDistanceUTF8": "LEVENSHTEIN({0}, {1})",   # Spark counts codepoints
+    "regexpExtract": lambda a: (
+        f"REGEXP_EXTRACT({a[0]}, {a[1]}, "
+        f"{a[2] if len(a) == 3 else '1'})"),
+    # char-positional slice; char == byte on ASCII — pass BINARY for
+    # true byte semantics (Spark SUBSTRING is byte-based on BINARY)
+    "byteSlice": "SUBSTRING({0}, {1}, {2})",
+    "mapSort": "MAP_FROM_ENTRIES(ARRAY_SORT(MAP_ENTRIES({0})))",
+    "mapReverseSort":
+        "MAP_FROM_ENTRIES(REVERSE(ARRAY_SORT(MAP_ENTRIES({0}))))",
+    # dense first-appearance index: ARRAY_DISTINCT preserves first-seen
+    # order, ARRAY_POSITION is the 1-based dense id (NULL elements give
+    # NULL — upstream enumerates them; documented deviation)
+    "arrayEnumerateDense": lambda a: _bind_once(
+        {"a": a[0], "d": f"ARRAY_DISTINCT({a[0]})"},
+        "TRANSFORM(__v.a, __x -> "
+        "CAST(ARRAY_POSITION(__v.d, __x) AS BIGINT))"),
+    # code-point set Jaccard (upstream compares bytes; identical on
+    # ASCII, consistent with the string-distance family's stance)
+    "stringJaccardIndex": lambda a: _bind_once(
+        {"x": f"ARRAY_DISTINCT({_chars_sql(a[0])})",
+         "y": f"ARRAY_DISTINCT({_chars_sql(a[1])})"},
+        "CASE WHEN SIZE(__v.x) = 0 AND SIZE(__v.y) = 0 THEN 0.0D "
+        "ELSE CAST(SIZE(ARRAY_INTERSECT(__v.x, __v.y)) AS DOUBLE) "
+        "/ SIZE(ARRAY_UNION(__v.x, __v.y)) END"),
+    # ZIP_WITH pads the shorter side with NULL, and NULL <=> char is
+    # false — so the fold counts the length difference too, exactly
+    # upstream's mismatch + |len(a) − len(b)|
+    "byteHammingDistance": lambda a: _bind_once(
+        {"x": _chars_sql(a[0]), "y": _chars_sql(a[1])},
+        "AGGREGATE(ZIP_WITH(__v.x, __v.y, (__cx, __cy) -> "
+        "IF(__cx <=> __cy, 0L, 1L)), CAST(0 AS BIGINT), "
+        "(__s, __e) -> __s + __e)"),
+    "mismatches": lambda a: _bind_once(
+        {"x": _chars_sql(a[0]), "y": _chars_sql(a[1])},
+        "AGGREGATE(ZIP_WITH(__v.x, __v.y, (__cx, __cy) -> "
+        "IF(__cx <=> __cy, 0L, 1L)), CAST(0 AS BIGINT), "
+        "(__s, __e) -> __s + __e)"),
+    # subsequence scan: one fold over the haystack advancing a pointer
+    # into the needle — O(|h|)
+    "hasSubsequence": lambda a: _bind_once(
+        {"h": _chars_sql(a[0]), "n": _chars_sql(a[1])},
+        "(AGGREGATE(__v.h, 0, (__j, __c) -> "
+        "IF(__j < SIZE(__v.n) AND ELEMENT_AT(__v.n, __j + 1) = __c, "
+        "__j + 1, __j)) >= SIZE(__v.n))"),
+    "hasSubsequenceCaseInsensitive": lambda a: _bind_once(
+        {"h": _chars_sql(f"LOWER({a[0]})"),
+         "n": _chars_sql(f"LOWER({a[1]})")},
+        "(AGGREGATE(__v.h, 0, (__j, __c) -> "
+        "IF(__j < SIZE(__v.n) AND ELEMENT_AT(__v.n, __j + 1) = __c, "
+        "__j + 1, __j)) >= SIZE(__v.n))"),
+    "multiSearchFirstPosition": lambda a: _bind_once(
+        {"ps": (f"FILTER(TRANSFORM({a[1]}, __n -> LOCATE(__n, {a[0]})), "
+                f"__p -> __p > 0)")},
+        "CAST(IF(SIZE(__v.ps) = 0, 0, ARRAY_MIN(__v.ps)) AS BIGINT)"),
+    "ngramSearch": lambda a: _ngram_search_tpl(a, ci=False),
+    "ngramSearchCaseInsensitive": lambda a: _ngram_search_tpl(a, ci=True),
+    "dateName": lambda a: _date_name_tpl(a),
+    "changeYear": lambda a: _change_date_part_tpl(a, "year"),
+    "changeMonth": lambda a: _change_date_part_tpl(a, "month"),
+    "changeDay": lambda a: _change_date_part_tpl(a, "day"),
+    "changeHour": lambda a: _change_time_part_tpl(a, "hour"),
+    "changeMinute": lambda a: _change_time_part_tpl(a, "minute"),
+    "changeSecond": lambda a: _change_time_part_tpl(a, "second"),
+    # ---- round-10 principled refusals (loud, with the alternative) ------
+    "byteSize": lambda a: (_ for _ in ()).throw(ValueError(
+        "byteSize reports the engine's in-memory value size — a storage "
+        "introspection with no Parquet/Tungsten equivalent; use "
+        "OCTET_LENGTH for string byte lengths")),
+    "tupleToNameValuePairs": lambda a: (_ for _ in ()).throw(ValueError(
+        "tupleToNameValuePairs needs runtime struct reflection; access "
+        "named tuple fields directly (tupleElement) or restructure with "
+        "NAMED_STRUCT")),
+    "jumpConsistentHash": lambda a: (_ for _ in ()).throw(ValueError(
+        "jumpConsistentHash's unbounded rehash loop is not expressible "
+        "here; use pmod(xxhash64(x), n) for stable bucketing (Spark "
+        "repartitions on shuffle anyway)")),
+    "kostikConsistentHash": lambda a: (_ for _ in ()).throw(ValueError(
+        "kostikConsistentHash is not expressible here; use "
+        "pmod(xxhash64(x), n) for stable bucketing")),
+    "yandexConsistentHash": lambda a: (_ for _ in ()).throw(ValueError(
+        "yandexConsistentHash is not expressible here; use "
+        "pmod(xxhash64(x), n) for stable bucketing")),
+    "ngramSimHash": lambda a: (_ for _ in ()).throw(ValueError(
+        "ngramSimHash's bit-exact fingerprint is engine-specific; use "
+        "the pipeline SimHash operators (pipeline/dedup.simhash_*) for "
+        "near-dup detection")),
+    "wordShingleSimHash": lambda a: (_ for _ in ()).throw(ValueError(
+        "wordShingleSimHash's bit-exact fingerprint is engine-specific; "
+        "use the pipeline SimHash operators (pipeline/dedup.simhash_*)")),
+    "bitSlice": lambda a: (_ for _ in ()).throw(ValueError(
+        "bitSlice (sub-byte offsets) is not supported — byteSlice + bit "
+        "operators cover byte-aligned slicing")),
+    "idnaEncode": lambda a: (_ for _ in ()).throw(ValueError(
+        "idnaEncode needs the IDNA/punycode codec (no codec library "
+        "here); ASCII domains pass through unchanged — preprocess "
+        "internationalized domains upstream")),
+    "idnaDecode": lambda a: (_ for _ in ()).throw(ValueError(
+        "idnaDecode needs the IDNA/punycode codec (no codec library "
+        "here)")),
+    "punycodeEncode": lambda a: (_ for _ in ()).throw(ValueError(
+        "punycodeEncode needs the punycode codec (no codec library "
+        "here)")),
+    "punycodeDecode": lambda a: (_ for _ in ()).throw(ValueError(
+        "punycodeDecode needs the punycode codec (no codec library "
+        "here)")),
+    "addTupleOfIntervals": lambda a: (_ for _ in ()).throw(ValueError(
+        "addTupleOfIntervals: apply the intervals individually "
+        "(d + INTERVAL ... + INTERVAL ...) — tuple-of-interval "
+        "arithmetic is not supported here")),
     # printable-ASCII deviation documented at ch_functions.randomString;
     # n <= 0 guards '' (SEQUENCE(1, 0) silently descends to [1, 0])
     "randomString":
@@ -3773,6 +3885,76 @@ def _ngram_grams_sql(s: str, n: int = 4) -> str:
             f"TRANSFORM(SEQUENCE(1, LENGTH({s}) - {n - 1}), "
             f"__i -> SUBSTRING({s}, __i, {n})) "
             "ELSE CAST(ARRAY() AS ARRAY<STRING>) END)")
+
+
+def _date_name_tpl(args: list[str]) -> str:
+    """dateName('part', ts) ([U] src/Functions/dateName.cpp): the named
+    part as a STRING — month/weekday give English names, numeric parts
+    render their number. The part must be a literal."""
+    if len(args) != 2:
+        raise ValueError("dateName('part', ts)")
+    pm = re.fullmatch(r"\s*'(\w+)'\s*", args[0])
+    if not pm:
+        raise ValueError("dateName: the part must be a string literal")
+    part, t = pm.group(1).lower(), args[1]
+    fmts = {"month": "MMMM", "weekday": "EEEE"}
+    nums = {"year": f"YEAR({t})", "quarter": f"QUARTER({t})",
+            "week": f"WEEKOFYEAR({t})", "dayofyear": f"DAYOFYEAR({t})",
+            "day": f"DAY({t})", "hour": f"HOUR({t})",
+            "minute": f"MINUTE({t})", "second": f"SECOND({t})"}
+    if part in fmts:
+        return f"DATE_FORMAT({t}, '{fmts[part]}')"
+    if part in nums:
+        return f"CAST({nums[part]} AS STRING)"
+    raise ValueError(f"dateName: unsupported part {part!r} "
+                     f"(supported: {sorted(fmts) + sorted(nums)})")
+
+
+def _change_date_part_tpl(args: list[str], part: str) -> str:
+    """changeYear/changeMonth/changeDay(ts, v) ([U] src/Functions/
+    changeDate.cpp): replace one calendar component, CLAMPING an
+    invalid day to the month's last day (upstream behavior — e.g.
+    changeYear('2020-02-29', 2021) -> 2021-02-28). Returns TIMESTAMP
+    with the time-of-day preserved (whole-second)."""
+    t, v = args
+    y = f"CAST({v} AS INT)" if part == "year" else f"YEAR({t})"
+    m = f"CAST({v} AS INT)" if part == "month" else f"MONTH({t})"
+    d = f"CAST({v} AS INT)" if part == "day" else f"DAY({t})"
+    base = (f"COALESCE(MAKE_DATE({y}, {m}, {d}), "
+            f"LAST_DAY(MAKE_DATE({y}, {m}, 1)))")
+    tod = (f"(CAST({t} AS TIMESTAMP) - "
+           f"CAST(CAST({t} AS DATE) AS TIMESTAMP))")
+    return f"(CAST({base} AS TIMESTAMP) + {tod})"
+
+
+def _change_time_part_tpl(args: list[str], part: str) -> str:
+    """changeHour/changeMinute/changeSecond(ts, v): rebuild the
+    timestamp with one time component replaced (whole seconds)."""
+    t, v = args
+    comps = {"hour": f"HOUR({t})", "minute": f"MINUTE({t})",
+             "second": f"CAST(FLOOR(SECOND({t})) AS INT)"}
+    comps[part] = f"CAST({v} AS INT)"
+    return (f"MAKE_TIMESTAMP(YEAR({t}), MONTH({t}), DAY({t}), "
+            f"{comps['hour']}, {comps['minute']}, {comps['second']})")
+
+
+def _ngram_search_tpl(args: list[str], ci: bool) -> str:
+    """ngramSearch(haystack, needle) ([U] FunctionsStringSimilarity.cpp
+    NgramSearchImpl): NON-symmetric 4-gram similarity — the fraction of
+    the needle's grams (multiset) found in the haystack. Same
+    per-distinct-gram counting shape (and scale note) as
+    ngramDistance."""
+    if len(args) != 2:
+        raise ValueError("ngramSearch(haystack, needle)")
+    h, n = args
+    if ci:
+        h, n = f"LOWER({h})", f"LOWER({n})"
+    gh, gn = _ngram_grams_sql(h), _ngram_grams_sql(n)
+    missing = (f"AGGREGATE(ARRAY_DISTINCT({gn}), 0, (__s, __g) -> "
+               f"__s + GREATEST(SIZE(FILTER({gn}, __x -> __x = __g)) "
+               f"- SIZE(FILTER({gh}, __x -> __x = __g)), 0))")
+    return (f"(CASE WHEN SIZE({gn}) = 0 THEN 0.0D "
+            f"ELSE 1.0D - CAST({missing} AS DOUBLE) / SIZE({gn}) END)")
 
 
 def _ngram_distance_tpl(args: list[str], ci: bool) -> str:

@@ -1910,3 +1910,52 @@ def ch_sql_scalar_tail3_r9(spark, sf):
                                            p_partkey * 7, 0),
                            INTERVAL 1 HOUR) AS tst
         FROM part WHERE p_partkey <= 40""")
+
+
+@register("ch_sql_scalar_tail_r10", oracle="""
+SELECT n_nationkey AS k,
+       levenshtein(n_name, 'ALGERIA') AS ed,
+       substr(n_name, 2, 3) AS bs,
+       round(jaccard(n_name, 'ARGENTINA'), 6) AS sji,
+       hamming(substr(n_name, 1, 3), 'ARG') AS bhd,
+       regexp_matches(n_name, 'N.*' || (n_nationkey % 10)) AS hs,
+       COALESCE(list_min(list_filter([position('TI' in n_name),
+                                      position('ON' in n_name),
+                                      position('ZZ' in n_name)],
+                                     x -> x > 0)), 0) AS msfp,
+       strftime(TIMESTAMP '2020-02-29 10:00:00', '%B') AS dnm,
+       make_timestamp(2024, 1, (n_nationkey % 28) + 1, 0, 0, 0) AS cd,
+       TIMESTAMP '2021-02-28 10:30:00' AS cy
+FROM nation
+""")
+def ch_sql_scalar_tail_r10(spark, sf):
+    """Round-10 resolve-probe scalar batch in dialect SQL —
+    editDistanceUTF8, byteSlice, stringJaccardIndex (char-set Jaccard,
+    DuckDB's native jaccard agrees), byteHammingDistance (DuckDB native
+    hamming), hasSubsequence (subsequence regex replay),
+    multiSearchFirstPosition (min positive locate),
+    dateName, changeDay (varying day, all valid), changeYear (Feb-29
+    clamp to Feb-28, time preserved). soundex / mapSort /
+    arrayEnumerateDense / ngramSearch are battery-tested
+    (test_round10_resolve_probe_batch) — DuckDB lacks independent
+    equivalents with matching order/definitions."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "nation").createOrReplaceTempView("nation")
+    return ch_sql(spark, """
+        SELECT n_nationkey AS k,
+               CAST(editDistanceUTF8(n_name, 'ALGERIA') AS BIGINT) AS ed,
+               byteSlice(n_name, 2, 3) AS bs,
+               round(stringJaccardIndex(n_name, 'ARGENTINA'), 6) AS sji,
+               byteHammingDistance(byteSlice(n_name, 1, 3), 'ARG') AS bhd,
+               hasSubsequence(n_name,
+                              concat('N', toString(n_nationkey % 10)))
+                   AS hs,
+               multiSearchFirstPosition(n_name, ['TI', 'ON', 'ZZ'])
+                   AS msfp,
+               dateName('month', toDateTime('2020-02-29 10:00:00'))
+                   AS dnm,
+               changeDay(toDate('2024-01-31'), n_nationkey % 28 + 1)
+                   AS cd,
+               changeYear(toDateTime('2020-02-29 10:30:00'), 2021) AS cy
+        FROM nation""")

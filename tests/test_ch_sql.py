@@ -463,7 +463,7 @@ class TestCreateTable:
         from clickhouse_clickhouse_spark.ch_sql import ch_sql, ch_statement
 
         spark.sql("SELECT id % 3 AS g, id % 2 AS g2, "
-                  "CAST(id AS DOUBLE) AS v FROM RANGE(1000)") \
+                  "CAST(id AS DOUBLE) AS v FROM RANGE(300)") \
             .createOrReplaceTempView("amt_src")
         spark.conf.set("spark.clickhouse_clickhouse_spark.dataDir",
                        str(tmp_path))
@@ -2538,3 +2538,76 @@ def test_straggler_aggregates_dialect(spark):
             smf[kk] = smf.get(kk, 0.0) + y
     assert {k2: round(v2, 9) for k2, v2 in dict(r.smf).items()} == \
         {k2: round(v2, 9) for k2, v2 in smf.items()}
+
+
+def test_round10_resolve_probe_batch(spark):
+    """Round-10 resolve-probe batch — soundex, editDistanceUTF8,
+    regexpExtract, byteSlice, mapSort, arrayEnumerateDense,
+    stringJaccardIndex, byteHammingDistance/mismatches, hasSubsequence,
+    multiSearchFirstPosition, ngramSearch, dateName, change* — ONE
+    Spark action, hand-checked values; the engine-specific names refuse
+    loudly with the alternative."""
+    import pytest as _p
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, translate
+
+    spark.sql("""SELECT 'Robert' AS nm, 'kitten' AS a, 'sitting' AS b,
+        'abcdef' AS s, map('z', 1, 'a', 2) AS m,
+        array(10, 20, 10, 30) AS arr,
+        TIMESTAMP'2020-02-29 10:34:56' AS ts,
+        DATE'2020-02-29' AS d""").createOrReplaceTempView("t10a")
+    r = ch_sql(spark, """
+        SELECT soundex(nm) AS sx,
+               editDistanceUTF8(a, b) AS ed,
+               regexpExtract(s, 'a(b)(c)') AS re1,
+               regexpExtract(s, 'a(b)(c)', 2) AS re2,
+               byteSlice(s, 2, 3) AS bs,
+               map_keys(mapSort(m)) AS msk,
+               arrayEnumerateDense(arr) AS aed,
+               stringJaccardIndex('abc', 'bcd') AS sji,
+               stringJaccardIndex('', '') AS sji_e,
+               byteHammingDistance('karolin', 'kathrin') AS bhd,
+               byteHammingDistance('abc', 'abcdef') AS bhd_len,
+               mismatches('abc', 'abd') AS mm,
+               hasSubsequence('abcdef', 'ace') AS hs1,
+               hasSubsequence('abcdef', 'aec') AS hs0,
+               hasSubsequenceCaseInsensitive('aBcDeF', 'ACE') AS hsc,
+               multiSearchFirstPosition(s, ['zz', 'cd', 'b']) AS msfp,
+               multiSearchFirstPosition(s, ['zz', 'yy']) AS msfp0,
+               ngramSearch('abcdefgh', 'abcd') AS ngs1,
+               ngramSearch('abcdefgh', 'zzzz') AS ngs0,
+               dateName('month', ts) AS dn_m,
+               dateName('weekday', ts) AS dn_w,
+               dateName('year', ts) AS dn_y,
+               changeYear(d, 2021) AS cy,
+               changeMonth(ts, 1) AS cm,
+               changeDay(DATE'2024-01-31', 15) AS cd,
+               changeHour(ts, 5) AS chh
+        FROM t10a""").collect()[0]
+    assert r.sx == "R163" and r.ed == 3
+    assert r.re1 == "b" and r.re2 == "c" and r.bs == "bcd"
+    assert r.msk == ["a", "z"]
+    assert r.aed == [1, 2, 1, 3]
+    # chars {a,b,c} vs {b,c,d}: |∩|=2, |∪|=4
+    assert abs(r.sji - 0.5) < 1e-12 and r.sji_e == 0.0
+    assert r.bhd == 3 and r.bhd_len == 3 and r.mm == 1
+    assert r.hs1 is True and r.hs0 is False and r.hsc is True
+    assert r.msfp == 2 and r.msfp0 == 0      # 'b' at 2 beats 'cd' at 3
+    assert r.ngs1 == 1.0 and r.ngs0 == 0.0
+    assert r.dn_m == "February" and r.dn_w == "Saturday"
+    assert r.dn_y == "2020"
+    # Feb 29 -> 2021 clamps to Feb 28; time preserved on timestamps
+    assert str(r.cy) == "2021-02-28 00:00:00"
+    assert str(r.cm) == "2020-01-29 10:34:56"
+    assert str(r.cd) == "2024-01-15 00:00:00"
+    assert str(r.chh) == "2020-02-29 05:34:56"
+    for bad, frag in [("byteSize(s)", "byteSize"),
+                      ("jumpConsistentHash(ed, 4)", "bucketing"),
+                      ("ngramSimHash(s)", "SimHash"),
+                      ("bitSlice(s, 1, 3)", "byteSlice"),
+                      ("punycodeEncode(s)", "codec"),
+                      ("tupleToNameValuePairs(s)", "tupleElement"),
+                      ("addTupleOfIntervals(d, s)", "individually"),
+                      ("dateName('fortnight', ts)", "unsupported part")]:
+        with _p.raises(ValueError, match=frag):
+            translate(f"SELECT {bad} FROM t")

@@ -370,16 +370,17 @@ def test_pq_rerank_matches_brute_force(spark):
              brute_force_topk(df, q, k=5, query_id="query_id")
              .orderBy("rk").collect()]
     # candidate set = whole corpus -> re-rank is exact by construction
-    got = pq_topk(df, q, k=5, m=4, codes=8, dim=16, normalize=True,
-                  rerank=50, query_id="query_id")
+    # (for ANY codebook quality — so iterations=1 keeps the test cheap)
+    got = pq_topk(df, q, k=5, m=4, codes=8, dim=16, iterations=1,
+                  normalize=True, rerank=50, query_id="query_id")
     assert {"query_id", "corpus_id", "cosine", "rk"} <= set(got.columns)
     assert [(r.corpus_id, r.cosine)
             for r in got.orderBy("rk").collect()] == exact
     # ivf-pq rerank path: planted dup (id 100) must be rank 1 with
     # cosine ~1 after the exact re-score
     got2 = (ivf_pq_topk(df, q, k=5, n_centroids=4, n_probe=2, m=4,
-                        codes=8, dim=16, normalize=True, rerank=10,
-                        query_id="query_id")
+                        codes=8, dim=16, iterations=1, normalize=True,
+                        rerank=10, query_id="query_id")
             .orderBy("rk").collect())
     assert got2[0].corpus_id == 100 and got2[0].cosine >= 0.99
     with _p.raises(ValueError, match="rerank"):
