@@ -2046,7 +2046,224 @@ _FUNCS: dict[str, str] = {
     "changeHour": lambda a: _change_time_part_tpl(a, "hour"),
     "changeMinute": lambda a: _change_time_part_tpl(a, "minute"),
     "changeSecond": lambda a: _change_time_part_tpl(a, "second"),
+    # ---- round-10 resolve-probe batch 2 ---------------------------------
+    "regexpQuoteMeta":
+        "REGEXP_REPLACE({0}, '([\\\\\\\\.^$|?*+()\\\\[\\\\]{}])', "
+        "'\\\\\\\\$1')",
+    "arrayFill": lambda a: _array_fill_tpl(a, rev=False),
+    "arrayReverseFill": lambda a: _array_fill_tpl(a, rev=True),
+    "arraySplit": lambda a: _array_split_tpl(a, rev=False),
+    "arrayReverseSplit": lambda a: _array_split_tpl(a, rev=True),
+    "arrayShingles": lambda a: _bind_once(
+        {"a": a[0], "k": f"CAST({a[1]} AS INT)"},
+        "IF(__v.k <= 0 OR SIZE(__v.a) < __v.k, "
+        "TRANSFORM(SLICE(__v.a, 1, 0), __x -> ARRAY(__x)), "
+        "TRANSFORM(SEQUENCE(1, SIZE(__v.a) - __v.k + 1), "
+        "__i -> SLICE(__v.a, __i, __v.k)))"),
+    "initializeAggregation": lambda a: _init_aggregation_tpl(a),
+    "structureToProtobufSchema": lambda a: _structure_to_proto_tpl(a),
+    # 16-byte state <-> canonical 8-4-4-4-12 text
+    "UUIDNumToString": lambda a: _bind_once(
+        {"h": f"LOWER(HEX({a[0]}))"},
+        "CONCAT_WS('-', SUBSTRING(__v.h, 1, 8), "
+        "SUBSTRING(__v.h, 9, 4), SUBSTRING(__v.h, 13, 4), "
+        "SUBSTRING(__v.h, 17, 4), SUBSTRING(__v.h, 21, 12))"),
+    "UUIDStringToNum": "UNHEX(REPLACE({0}, '-', ''))",
+    # big-endian first-8-bytes of MD5 as the UInt64 convention (wraps
+    # to signed like every UInt64 here); CONV(..., 16, -10) is the
+    # signed 64-bit reading
+    "halfMD5": "CAST(CONV(SUBSTRING(MD5({0}), 1, 16), 16, -10) "
+               "AS BIGINT)",
+    "toBool":
+        "(CASE LOWER(TRIM(CAST({0} AS STRING))) "
+        "WHEN 'true' THEN TRUE WHEN 't' THEN TRUE WHEN '1' THEN TRUE "
+        "WHEN 'yes' THEN TRUE WHEN 'y' THEN TRUE WHEN 'on' THEN TRUE "
+        "WHEN 'enable' THEN TRUE WHEN 'enabled' THEN TRUE "
+        "WHEN 'false' THEN FALSE WHEN 'f' THEN FALSE "
+        "WHEN '0' THEN FALSE WHEN 'no' THEN FALSE WHEN 'n' THEN FALSE "
+        "WHEN 'off' THEN FALSE WHEN 'disable' THEN FALSE "
+        "WHEN 'disabled' THEN FALSE ELSE NULL END)",
+    # same entity set as decodeXMLComponent (HTML adds the numeric
+    # forms upstream — named big-five + &nbsp;/&#39; here, documented)
+    "decodeHTMLComponent":
+        "REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE("
+        "{0}, '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'),"
+        " '&apos;', ''''), '&#39;', ''''), '&nbsp;', ' '), "
+        "'&amp;', '&')",
+    # functions/text.html_extract_text's regex chain in SQL (the
+    # DataFrame operator is the pipeline path)
+    "extractTextFromHTML":
+        "TRIM(REGEXP_REPLACE("
+        "REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE("
+        "REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE("
+        "{0}, '(?is)<script[^>]*>.*?</script>', ' '), "
+        "'(?is)<style[^>]*>.*?</style>', ' '), "
+        "'(?s)<!--.*?-->', ' '), '(?s)<[^>]*>', ' '), "
+        "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), "
+        "'&apos;', ''''), '&#39;', ''''), '&nbsp;', ' '), "
+        "'&amp;', '&'), "
+        "'\\\\s+', ' '))",
+    "mapAdd":
+        "MAP_ZIP_WITH({0}, {1}, (__mk, __m1, __m2) -> "
+        "COALESCE(__m1, __m2 - __m2) + COALESCE(__m2, __m1 - __m1))",
+    "mapSubtract":
+        "MAP_ZIP_WITH({0}, {1}, (__mk, __m1, __m2) -> "
+        "COALESCE(__m1, __m2 - __m2) - COALESCE(__m2, __m1 - __m1))",
+    "mapUpdate":
+        "MAP_ZIP_WITH({0}, {1}, (__mk, __m1, __m2) -> "
+        "COALESCE(__m2, __m1))",
+    "isValidJSON":
+        "(GET_JSON_OBJECT({0}, '$') IS NOT NULL "
+        "OR TRIM({0}) = 'null')",
+    "toStartOfMillisecond":
+        "TIMESTAMP_MICROS((UNIX_MICROS({0}) DIV 1000) * 1000)",
+    "toStartOfMicrosecond": "TIMESTAMP_MICROS(UNIX_MICROS({0}))",
+    # µs storage precision — ns grain truncates (documented §1.2 loss)
+    "toStartOfNanosecond": "TIMESTAMP_MICROS(UNIX_MICROS({0}))",
+    "toUnixTimestamp64Nano": "(UNIX_MICROS({0}) * 1000)",
+    "fromUnixTimestamp64Nano":
+        "TIMESTAMP_MICROS(CAST({0} AS BIGINT) DIV 1000)",
+    # no Const/LowCardinality wrappers in this engine — the column type
+    # IS the type (documented deviation)
+    "toColumnTypeName": "TYPEOF({0})",
+    "version": lambda a: "'1.0.0-clickhouse-clickhouse-spark'",
     # ---- round-10 principled refusals (loud, with the alternative) ------
+    "normalizeUTF8NFC": lambda a: (_ for _ in ()).throw(ValueError(
+        "normalizeUTF8* needs ICU normalization (no unicodedata in the "
+        "JVM SQL surface); normalize upstream or in a pandas UDF")),
+    "normalizeUTF8NFD": lambda a: (_ for _ in ()).throw(ValueError(
+        "normalizeUTF8* needs ICU normalization; normalize upstream or "
+        "in a pandas UDF")),
+    "normalizeUTF8NFKC": lambda a: (_ for _ in ()).throw(ValueError(
+        "normalizeUTF8* needs ICU normalization; normalize upstream or "
+        "in a pandas UDF")),
+    "normalizeUTF8NFKD": lambda a: (_ for _ in ()).throw(ValueError(
+        "normalizeUTF8* needs ICU normalization; normalize upstream or "
+        "in a pandas UDF")),
+    "MD4": lambda a: (_ for _ in ()).throw(ValueError(
+        "MD4 is a legacy digest with no JVM implementation here; use "
+        "MD5/SHA2/xxHash64")),
+    "sipHash128": lambda a: (_ for _ in ()).throw(ValueError(
+        "sipHash128 is not implemented — sipHash64 carries the "
+        "bit-parity surface; xxHash64 is the scale path")),
+    "wyHash64": lambda a: (_ for _ in ()).throw(ValueError(
+        "wyHash64 is not implemented; xxHash64 is the scale hash")),
+    "gccMurmurHash": lambda a: (_ for _ in ()).throw(ValueError(
+        "gccMurmurHash is not implemented; murmurHash2_64 carries the "
+        "murmur bit-parity surface")),
+    "stem": lambda a: (_ for _ in ()).throw(ValueError(
+        "stem needs a stemmer model (none in this environment); the "
+        "text pipeline's token/ngram operators are model-free")),
+    "lemmatize": lambda a: (_ for _ in ()).throw(ValueError(
+        "lemmatize needs language models (none in this environment)")),
+    "synonyms": lambda a: (_ for _ in ()).throw(ValueError(
+        "synonyms needs extension dictionaries (none here)")),
+    "detectLanguage": lambda a: (_ for _ in ()).throw(ValueError(
+        "detectLanguage's CLD model is not available — use the n-gram "
+        "heuristic lang_id in functions/text.py (documents pipeline)")),
+    "detectCharset": lambda a: (_ for _ in ()).throw(ValueError(
+        "detectCharset's model is not available; UTF-8 is assumed "
+        "throughout (§1.2)")),
+    "generateULID": lambda a: (_ for _ in ()).throw(ValueError(
+        "generateULID is not implemented — generateUUIDv7 provides "
+        "time-ordered unique ids")),
+    "ULIDStringToDateTime": lambda a: (_ for _ in ()).throw(ValueError(
+        "ULIDStringToDateTime is not implemented (no ULID surface); "
+        "UUIDv7 timestamps decode via substring + CONV")),
+    "serverUUID": lambda a: (_ for _ in ()).throw(ValueError(
+        "serverUUID has no stable equivalent in a Spark app; use the "
+        "applicationId from SparkContext if you need an instance id")),
+    "divideDecimal": lambda a: (_ for _ in ()).throw(ValueError(
+        "divideDecimal: use native decimal arithmetic with an explicit "
+        "CAST(... AS DECIMAL(p, s)) for the result scale")),
+    "multiplyDecimal": lambda a: (_ for _ in ()).throw(ValueError(
+        "multiplyDecimal: use native decimal arithmetic with an "
+        "explicit CAST(... AS DECIMAL(p, s)) for the result scale")),
+    "mapApply": lambda a: (_ for _ in ()).throw(ValueError(
+        "mapApply: rebuild via MAP_FROM_ENTRIES(TRANSFORM(MAP_ENTRIES("
+        "m), e -> STRUCT(...))) — or transformKeys/transformValues for "
+        "one-sided changes")),
+    "mapPartialSort": lambda a: (_ for _ in ()).throw(ValueError(
+        "mapPartialSort is not supported; mapSort sorts fully")),
+    "flattenTuple": lambda a: (_ for _ in ()).throw(ValueError(
+        "flattenTuple needs struct reflection; restructure with "
+        "NAMED_STRUCT / tupleElement")),
+    "formatQuery": lambda a: (_ for _ in ()).throw(ValueError(
+        "formatQuery (SQL pretty-printer) is out of scope; EXPLAIN "
+        "SYNTAX shows the translated query")),
+    "getSetting": lambda a: (_ for _ in ()).throw(ValueError(
+        "getSetting: read system.settings (SELECT value FROM "
+        "system.settings WHERE name = ...) — settings apply via SET")),
+    "transactionID": lambda a: (_ for _ in ()).throw(ValueError(
+        "transactionID: no transaction surface here (parquet writes "
+        "are atomic per directory commit)")),
+    "blockNumber": lambda a: (_ for _ in ()).throw(ValueError(
+        "blockNumber exposes the engine's physical block split — "
+        "meaningless over Spark partitions; use "
+        "monotonically_increasing_id()/spark_partition_id()")),
+    "rowNumberInBlock": lambda a: (_ for _ in ()).throw(ValueError(
+        "rowNumberInBlock is block-order dependent; use row_number() "
+        "over an explicit window")),
+    "neighbor": lambda a: (_ for _ in ()).throw(ValueError(
+        "neighbor is block-order dependent upstream (its own docs warn "
+        "so); use lag()/lead() over an explicit window")),
+    "runningAccumulate": lambda a: (_ for _ in ()).throw(ValueError(
+        "runningAccumulate is block-order dependent; use a running "
+        "window aggregate (SUM(...) OVER (ORDER BY ...))")),
+    "finalizeAggregation": lambda a: (_ for _ in ()).throw(ValueError(
+        "finalizeAggregation can't infer the base from a column here; "
+        "read states with fMerge(col) in an aggregate context")),
+    "runningConcurrency": lambda a: (_ for _ in ()).throw(ValueError(
+        "runningConcurrency is block-order dependent; "
+        "maxIntersections(start, end) is the set-oriented form")),
+    "dumpColumnStructure": lambda a: (_ for _ in ()).throw(ValueError(
+        "dumpColumnStructure exposes engine internals; toTypeName/"
+        "TYPEOF gives the logical type")),
+    "defaultValueOfArgumentType": lambda a: (_ for _ in ()).throw(
+        ValueError("defaultValueOfArgumentType needs type reflection; "
+                   "spell the default literal directly")),
+    "replicate": lambda a: (_ for _ in ()).throw(ValueError(
+        "replicate is an internal function upstream; ARRAY_REPEAT "
+        "covers the user-facing shape")),
+    "sleep": lambda a: (_ for _ in ()).throw(ValueError(
+        "sleep/sleepEachRow are test-harness functions; not supported "
+        "in a distributed plan")),
+    "sleepEachRow": lambda a: (_ for _ in ()).throw(ValueError(
+        "sleep/sleepEachRow are test-harness functions; not supported "
+        "in a distributed plan")),
+    "filesystemAvailable": lambda a: (_ for _ in ()).throw(ValueError(
+        "filesystemAvailable/uptime/buildId are server introspection "
+        "with no Spark equivalent; see system.* views for what is "
+        "mirrored")),
+    "uptime": lambda a: (_ for _ in ()).throw(ValueError(
+        "uptime is server introspection; no equivalent here")),
+    "buildId": lambda a: (_ for _ in ()).throw(ValueError(
+        "buildId is server introspection; version() returns the "
+        "engine version string")),
+    "errorCodeToName": lambda a: (_ for _ in ()).throw(ValueError(
+        "errorCodeToName's code table is engine-internal; Spark errors "
+        "carry SQLSTATE + message")),
+    "sqidEncode": lambda a: (_ for _ in ()).throw(ValueError(
+        "sqidEncode/base58/bech32 codecs are out of scope; hex/base64 "
+        "are the supported binary-text codecs")),
+    "sqidDecode": lambda a: (_ for _ in ()).throw(ValueError(
+        "sqidEncode/base58/bech32 codecs are out of scope; hex/base64 "
+        "are the supported binary-text codecs")),
+    "base58Encode": lambda a: (_ for _ in ()).throw(ValueError(
+        "base58 is out of scope; hex/base64 are the supported "
+        "binary-text codecs")),
+    "base58Decode": lambda a: (_ for _ in ()).throw(ValueError(
+        "base58 is out of scope; hex/base64 are the supported "
+        "binary-text codecs")),
+    "bech32Encode": lambda a: (_ for _ in ()).throw(ValueError(
+        "bech32 is out of scope; hex/base64 are the supported "
+        "binary-text codecs")),
+    "bech32Decode": lambda a: (_ for _ in ()).throw(ValueError(
+        "bech32 is out of scope; hex/base64 are the supported "
+        "binary-text codecs")),
+    "JSONMergePatch": lambda a: (_ for _ in ()).throw(ValueError(
+        "JSONMergePatch needs recursive JSON merge (RFC 7386) — "
+        "restructure with to_json/from_json at a known schema")),
     "byteSize": lambda a: (_ for _ in ()).throw(ValueError(
         "byteSize reports the engine's in-memory value size — a storage "
         "introspection with no Parquet/Tungsten equivalent; use "
@@ -3885,6 +4102,128 @@ def _ngram_grams_sql(s: str, n: int = 4) -> str:
             f"TRANSFORM(SEQUENCE(1, LENGTH({s}) - {n - 1}), "
             f"__i -> SUBSTRING({s}, __i, {n})) "
             "ELSE CAST(ARRAY() AS ARRAY<STRING>) END)")
+
+
+def _array_fill_tpl(args: list[str], rev: bool) -> str:
+    """arrayFill/arrayReverseFill(func, arr) ([U] src/Functions/array/
+    arrayFill.cpp): where func is false the element is replaced by the
+    nearest PRECEDING (arrayFill) / FOLLOWING (arrayReverseFill)
+    element where func held; leading (trailing) false elements stay.
+    The lambda is evaluated ONCE via TRANSFORM, then one fold carries
+    (result, last-kept). Single-array form (zip arrays first). A
+    legitimately-NULL kept value restarts the carry (documented edge).
+    CONCAT-append fold — per-ROW arrays (same stance as
+    arrayCumSumNonNegative), not per-group collects."""
+    if len(args) != 2:
+        raise ValueError("arrayFill(lambda, arr): single-array form "
+                         "here — zip multiple arrays first")
+    lam, arr = args
+    a = f"REVERSE({arr})" if rev else arr
+    fold = (f"AGGREGATE(ZIP_WITH(__v.a, TRANSFORM(__v.a, {lam}), "
+            "(__zx, __zm) -> NAMED_STRUCT('x', __zx, 'm', __zm)), "
+            "NAMED_STRUCT('res', SLICE(__v.a, 1, 0), "
+            "'lst', TRY_ELEMENT_AT(__v.a, SIZE(__v.a) + 1)), "
+            "(__fa, __fe) -> NAMED_STRUCT("
+            "'res', CONCAT(__fa.res, ARRAY(IF(__fe.m OR "
+            "__fa.lst IS NULL, __fe.x, __fa.lst))), "
+            "'lst', IF(__fe.m OR __fa.lst IS NULL, __fe.x, __fa.lst)), "
+            "__ff -> __ff.res)")
+    body = f"REVERSE({fold})" if rev else fold
+    return _bind_once({"a": a}, body)
+
+
+def _array_split_tpl(args: list[str], rev: bool) -> str:
+    """arraySplit/arrayReverseSplit(func, arr[, arr2]) ([U]
+    src/Functions/array/arraySplit.cpp): cut the array into consecutive
+    groups — arraySplit opens a new group AT each element where func
+    holds (the first group always starts at 1); arrayReverseSplit
+    CLOSES the group after each such element. Linear: the lambda mask
+    once, boundary indices via FILTER, slices via one TRANSFORM."""
+    if len(args) == 2:
+        lam, arr = args
+        mask = f"TRANSFORM({arr}, {lam})"     # sibling binding: can't
+    elif len(args) == 3:                      # see __v.a, repeat arr
+        lam, arr, arr2 = args
+        mask = f"ZIP_WITH({arr}, {arr2}, {lam})"
+    else:
+        raise ValueError("arraySplit(lambda, arr[, arr2])")
+    if rev:
+        # group ends at flagged elements: starts = 1 + each flagged i<n
+        starts = ("CONCAT(ARRAY(1), TRANSFORM(FILTER("
+                  "SEQUENCE(1, SIZE(__v.a)), __si -> "
+                  "__si < SIZE(__v.a) AND ELEMENT_AT(__v.mk, __si)), "
+                  "__sj -> __sj + 1))")
+    else:
+        starts = ("CONCAT(ARRAY(1), FILTER(SEQUENCE(1, SIZE(__v.a)), "
+                  "__si -> __si > 1 AND ELEMENT_AT(__v.mk, __si)))")
+    slices = (f"TRANSFORM(SEQUENCE(1, SIZE(__w.st)), __gj -> "
+              f"SLICE(__v.a, ELEMENT_AT(__w.st, __gj), "
+              f"COALESCE(TRY_ELEMENT_AT(__w.st, __gj + 1), "
+              f"SIZE(__v.a) + 1) - ELEMENT_AT(__w.st, __gj)))")
+    inner = _bind_once({"st": starts}, slices, var="__w")
+    return _bind_once(
+        {"a": arr, "mk": mask},
+        f"IF(SIZE(__v.a) = 0, TRANSFORM(SLICE(__v.a, 1, 0), "
+        f"__z -> ARRAY(__z)), {inner})")
+
+
+def _init_aggregation_tpl(args: list[str]) -> str:
+    """initializeAggregation('fState', x) ([U] src/Functions/
+    initializeAggregation.cpp): build a single-value aggregate state —
+    the scalar twin of the -State renderings, storable in
+    AggregateFunction(f, T) columns and readable by fMerge. Algebraic
+    bases only (sketch states are aggregate-built binaries)."""
+    nm = re.fullmatch(r"\s*'(\w+)State'\s*", args[0])
+    if not nm or len(args) != 2:
+        raise ValueError("initializeAggregation('fState', value) with "
+                         "a literal name")
+    base, x = nm.group(1), args[1]
+    forms = {
+        "sum": f"({x})",
+        "min": f"({x})", "max": f"({x})",
+        "any": f"({x})", "anyLast": f"({x})",
+        "count": f"IF(({x}) IS NULL, 0L, 1L)",
+        "avg": (f"NAMED_STRUCT('s', CAST({x} AS DOUBLE), "
+                f"'c', IF(({x}) IS NULL, 0L, 1L))"),
+        "groupArray": f"IF(({x}) IS NULL, SLICE(ARRAY({x}), 1, 0), "
+                      f"ARRAY({x}))",
+        "groupUniqArray": f"IF(({x}) IS NULL, SLICE(ARRAY({x}), 1, 0), "
+                          f"ARRAY({x}))",
+        "uniqExact": f"IF(({x}) IS NULL, SLICE(ARRAY({x}), 1, 0), "
+                     f"ARRAY({x}))",
+        "groupBitmap": f"IF(({x}) IS NULL, SLICE(ARRAY({x}), 1, 0), "
+                       f"ARRAY({x}))",
+        "quantileExact": f"IF(({x}) IS NULL, "
+                         f"SLICE(ARRAY(CAST({x} AS DOUBLE)), 1, 0), "
+                         f"ARRAY(CAST({x} AS DOUBLE)))",
+        "median": f"IF(({x}) IS NULL, "
+                  f"SLICE(ARRAY(CAST({x} AS DOUBLE)), 1, 0), "
+                  f"ARRAY(CAST({x} AS DOUBLE)))",
+    }
+    if base not in forms:
+        raise ValueError(
+            f"initializeAggregation: base {base!r} has no scalar state "
+            f"form (supported: {sorted(forms)}); sketch states are "
+            "aggregate-built — use fState over a one-row group")
+    return forms[base]
+
+
+def _structure_to_proto_tpl(args: list[str]) -> str:
+    """structureToProtobufSchema('col Type, ...'): renders the flat
+    .proto message for a LITERAL structure via the same type mapper the
+    Protobuf codec uses (sources/protobuf.spark_schema_to_proto)."""
+    pm = re.fullmatch(r"\s*'([^']*)'\s*", args[0])
+    if not pm:
+        raise ValueError("structureToProtobufSchema needs a literal "
+                         "'name Type, ...' structure string")
+    from clickhouse_clickhouse_spark.sources.protobuf import (
+        spark_schema_to_proto,
+    )
+    from clickhouse_clickhouse_spark.types_map import ch_schema_to_struct
+
+    text = spark_schema_to_proto(ch_schema_to_struct(pm.group(1)))
+    return "'" + text.replace("\\", "\\\\").replace("'", "\\'") \
+                     .replace("\n", "\\n") + "'"
 
 
 def _date_name_tpl(args: list[str]) -> str:

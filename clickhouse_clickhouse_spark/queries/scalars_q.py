@@ -1959,3 +1959,59 @@ def ch_sql_scalar_tail_r10(spark, sf):
                    AS cd,
                changeYear(toDateTime('2020-02-29 10:30:00'), 2021) AS cy
         FROM nation""")
+
+
+@register("ch_sql_scalar_tail2_r10", oracle="""
+SELECT k,
+       CAST(CASE WHEN v >= 9223372036854775808::HUGEINT
+            THEN v - 18446744073709551616::HUGEINT ELSE v END
+            AS BIGINT) AS hm,
+       regexp_escape(nm || '.*') AS rqm,
+       json_valid('{"k": ' || k || '}') AS vj1,
+       json_valid(nm) AS vj0,
+       CASE WHEN k % 3 = 0 THEN true WHEN k % 3 = 1 THEN false
+            ELSE NULL END AS tb,
+       '<' || nm || '&' AS dh,
+       nm AS eth,
+       [[k, k + 1], [k + 1, k + 2]] AS ash,
+       '01234567-89ab-cdef-0123-456789abcdef' AS uu
+FROM (
+  SELECT n_nationkey AS k, n_name AS nm,
+         list_reduce(list_transform(generate_series(1, 16),
+           i -> (strpos('0123456789abcdef',
+                        substr(md5(n_name), i, 1)) - 1)::HUGEINT),
+           (a, b) -> a * 16 + b) AS v
+  FROM nation)
+""")
+def ch_sql_scalar_tail2_r10(spark, sf):
+    """Round-10 batch 2 oracle — halfMD5 (DuckDB replays the big-endian
+    first-8-bytes UInt64 reading via a Horner hex-digit fold in HUGEINT
+    with the exact signed wrap), regexpQuoteMeta (RE2 QuoteMeta
+    agreement on the exercised metachars), isValidJSON (json_valid),
+    toBool, decodeHTMLComponent, extractTextFromHTML (tag+entity strip
+    recovers the raw name), arrayShingles, UUID string<->bytes round
+    trip. mapAdd/arrayFill/arraySplit/initializeAggregation are
+    battery-tested (test_round10_resolve_probe_batch2) with upstream
+    doc examples — DuckDB lacks matching natives."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "nation").createOrReplaceTempView("nation")
+    return ch_sql(spark, """
+        SELECT n_nationkey AS k,
+               halfMD5(n_name) AS hm,
+               regexpQuoteMeta(concat(n_name, '.*')) AS rqm,
+               isValidJSON(concat('{"k": ', toString(n_nationkey), '}'))
+                   AS vj1,
+               isValidJSON(n_name) AS vj0,
+               toBool(CASE WHEN n_nationkey % 3 = 0 THEN 'yes'
+                           WHEN n_nationkey % 3 = 1 THEN 'off'
+                           ELSE 'xx' END) AS tb,
+               decodeHTMLComponent(concat('&lt;', n_name, '&amp;'))
+                   AS dh,
+               extractTextFromHTML(concat('<b>', n_name,
+                   '</b><script>var x;</script>')) AS eth,
+               arrayShingles([n_nationkey, n_nationkey + 1,
+                              n_nationkey + 2], 2) AS ash,
+               UUIDNumToString(UUIDStringToNum(
+                   '01234567-89ab-cdef-0123-456789abcdef')) AS uu
+        FROM nation""")

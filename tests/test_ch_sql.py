@@ -2611,3 +2611,82 @@ def test_round10_resolve_probe_batch(spark):
                       ("dateName('fortnight', ts)", "unsupported part")]:
         with _p.raises(ValueError, match=frag):
             translate(f"SELECT {bad} FROM t")
+
+
+def test_round10_resolve_probe_batch2(spark):
+    """Round-10 batch 2 — regexpQuoteMeta, UUID num<->string, halfMD5,
+    arrayFill/ReverseFill, arraySplit/ReverseSplit (upstream doc
+    examples), arrayShingles, initializeAggregation (+ fMerge
+    round-trip), toBool, mapAdd/Subtract/Update, decodeHTMLComponent,
+    extractTextFromHTML, isValidJSON, sub-second toStartOf*,
+    structureToProtobufSchema, version — ONE action."""
+    import hashlib
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    spark.sql("""SELECT 'a.b*c' AS s,
+        array(1, 0, -1, 2, 0) AS fa, array(0, 5, 0) AS fb,
+        array(1, 2, 3, 4, 5) AS sa, array(true, false, false, true,
+        false) AS sm, array(1, 2, 3, 4) AS sh,
+        map('a', 1, 'b', 2) AS m1, map('b', 3, 'c', 4) AS m2,
+        TIMESTAMP'2024-02-15 10:34:56.123456' AS ts""") \
+        .createOrReplaceTempView("t10b")
+    r = ch_sql(spark, """
+        SELECT regexpQuoteMeta(s) AS rqm,
+               UUIDNumToString(UUIDStringToNum(
+                   '01234567-89ab-cdef-0123-456789abcdef')) AS uu,
+               halfMD5('abc') AS hm,
+               arrayFill(x -> x > 0, fa) AS af,
+               arrayFill(x -> x > 0, fb) AS af_lead,
+               arrayReverseFill(x -> x > 0, array(1, 0, 2, 0)) AS arf,
+               arraySplit((x, y) -> y, sa, sm) AS asp,
+               arrayReverseSplit((x, y) -> y, sa, sm) AS arsp,
+               arraySplit(x -> x = 3, sa) AS asp1,
+               arrayShingles(sh, 2) AS ash,
+               arrayShingles(sh, 9) AS ash_over,
+               initializeAggregation('sumState', 5) AS ia_sum,
+               toBool('YES') AS tb1, toBool('off') AS tb0,
+               toBool('xx') AS tbn,
+               mapAdd(m1, m2) AS ma, mapSubtract(m1, m2) AS ms,
+               mapUpdate(m1, m2) AS mu,
+               decodeHTMLComponent('a &amp; b &#39;c&#39;') AS dh,
+               extractTextFromHTML(
+                 '<p>Hello <b>world</b></p><script>var x;</script>')
+                 AS eth,
+               isValidJSON('{"a": 1}') AS vj1,
+               isValidJSON('nope') AS vj0, isValidJSON('null') AS vjn,
+               CAST(toStartOfMillisecond(ts) AS STRING) AS ms_trunc,
+               toUnixTimestamp64Nano(toStartOfMicrosecond(ts)) AS ns,
+               structureToProtobufSchema('a Int64, b String') AS pbs,
+               version() AS ver
+        FROM t10b""").collect()[0]
+    assert r.rqm == "a\\.b\\*c"
+    assert r.uu == "01234567-89ab-cdef-0123-456789abcdef"
+    exp_hm = int(hashlib.md5(b"abc").hexdigest()[:16], 16)
+    exp_hm = exp_hm - (1 << 64) if exp_hm >= (1 << 63) else exp_hm
+    assert r.hm == exp_hm
+    assert r.af == [1, 1, 1, 2, 2] and r.af_lead == [0, 5, 5]
+    assert r.arf == [1, 2, 2, 0]
+    assert [list(x) for x in r.asp] == [[1, 2, 3], [4, 5]]
+    assert [list(x) for x in r.arsp] == [[1], [2, 3, 4], [5]]
+    assert [list(x) for x in r.asp1] == [[1, 2], [3, 4, 5]]
+    assert [list(x) for x in r.ash] == [[1, 2], [2, 3], [3, 4]]
+    assert r.ash_over == []
+    assert r.ia_sum == 5
+    assert r.tb1 is True and r.tb0 is False and r.tbn is None
+    assert dict(r.ma) == {"a": 1, "b": 5, "c": 4}
+    assert dict(r.ms) == {"a": 1, "b": -1, "c": -4}
+    assert dict(r.mu) == {"a": 1, "b": 3, "c": 4}
+    assert r.dh == "a & b 'c'"
+    assert r.eth == "Hello world"
+    assert r.vj1 is True and r.vj0 is False and r.vjn is True
+    assert r.ms_trunc == "2024-02-15 10:34:56.123"
+    assert r.ns % 1000 == 0 and r.ns // 1000000 == 1707993296123456 // 1000
+    assert "int64 a = 1" in r.pbs and "string b = 2" in r.pbs
+    assert r.ver.startswith("1.")
+    # initializeAggregation states merge like any stored partial
+    two = ch_sql(spark, """
+        SELECT avgMerge(st) AS av FROM (
+          SELECT initializeAggregation('avgState', x) AS st
+          FROM VALUES (2.0), (4.0), (9.0) AS v(x))""").collect()[0]
+    assert two.av == 5.0

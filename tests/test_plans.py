@@ -115,6 +115,12 @@ def test_top_users_uses_take_ordered(spark, sf_dir):
 # onto the string-keyed bucketed rank in round 2.)
 _SINGLE_PARTITION_ALLOWED = {
     "with_fill_interpolate",
+    # driver-side GATE queries: they EXECUTE their retrieval pipelines
+    # eagerly at build time (recall joins + counts, ~25 s combined) and
+    # return a one-row LocalTableScan of booleans — no plan to audit.
+    # The operators they exercise are swept through their ann_* twins.
+    "ann_recall_gate",
+    "ann_tuned_recall_gate",
 }
 
 
