@@ -173,6 +173,21 @@ def sniff_media(data: bytes) -> dict | None:
         w, h = struct.unpack("<HH", data[6:10])
         return {"format": "gif", "width": int(w), "height": int(h),
                 "extra": None}
+    if data[:2] == b"BM" and len(data) >= 32:
+        w, h = struct.unpack("<ii", data[18:26])
+        bpp = struct.unpack("<H", data[28:30])[0]
+        return {"format": "bmp", "width": int(w), "height": abs(int(h)),
+                "extra": float(bpp)}
+    if data[:2] in (b"P6", b"P5") and len(data) > 2 \
+            and data[2:3].isspace():
+        try:
+            img = ppm_decode(data)
+            return {"format": "ppm", "width": img.shape[1],
+                    "height": img.shape[0],
+                    "extra": float(3 if img.ndim == 3 else 1)}
+        except Exception:
+            return {"format": "ppm", "width": None, "height": None,
+                    "extra": None}
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         # fmt chunk: channels @22, sample rate @24, data size → seconds
         channels, rate = struct.unpack("<HI", data[22:28])
@@ -189,3 +204,115 @@ def sniff_media(data: bytes) -> dict | None:
         return {"format": "wav", "width": int(channels), "height": int(rate),
                 "extra": duration}
     return None
+
+
+# ------------------------------------------------ BMP (BI_RGB) codec
+
+def bmp_encode(arr: np.ndarray) -> bytes:
+    """Encode (H, W, 3) or (H, W) uint8 as a 24-bit uncompressed BMP
+    (BITMAPINFOHEADER, bottom-up rows, BGR order, 4-byte row padding) —
+    the second lib-free raster format (public BMP file format docs)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"bmp_encode: need (H, W[, 3]), got {arr.shape}")
+    h, w = arr.shape[:2]
+    bgr = arr[::-1, :, ::-1]                      # bottom-up, BGR
+    pad = (-(w * 3)) % 4
+    rows = b"".join(bgr[y].tobytes() + b"\x00" * pad for y in range(h))
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows),
+                       2835, 2835, 0, 0)
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(rows), 0, 0, 54)
+    return head + info + rows
+
+
+def bmp_decode(data: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP to (H, W, 3) uint8 RGB (handles
+    bottom-up and top-down row order)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP (bad signature)")
+    (offset,) = struct.unpack("<I", data[10:14])
+    size, w, h, planes, bpp, comp = struct.unpack("<IiiHHI", data[14:34])
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24-bit BI_RGB BMP supported "
+                         f"(bpp={bpp}, compression={comp})")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    px = np.frombuffer(data, np.uint8,
+                       count=stride * h, offset=offset)
+    rows = px.reshape(h, stride)[:, :w * 3].reshape(h, w, 3)
+    rgb = rows[:, :, ::-1]
+    return rgb[::-1] if flip else rgb.copy()
+
+
+# ------------------------------------------------ PPM/PGM (binary) codec
+
+def ppm_encode(arr: np.ndarray) -> bytes:
+    """Encode (H, W, 3) as binary PPM (P6) or (H, W) as PGM (P5),
+    maxval 255 (netpbm spec)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 3 and arr.shape[2] == 3:
+        magic = b"P6"
+    elif arr.ndim == 2:
+        magic = b"P5"
+    else:
+        raise ValueError(f"ppm_encode: need (H, W[, 3]), got {arr.shape}")
+    h, w = arr.shape[:2]
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def ppm_decode(data: bytes) -> np.ndarray:
+    """Decode binary PPM (P6) → (H, W, 3) / PGM (P5) → (H, W); handles
+    whitespace and '#' comments in the header."""
+    if data[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM (P6/P5)")
+    channels = 3 if data[:2] == b"P6" else 1
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos:pos + 1].isspace():
+            pos += 1
+        if data[pos:pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos:pos + 1].isspace():
+            pos += 1
+        tokens.append(int(data[start:pos]))
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    pos += 1                                   # single whitespace after maxval
+    px = np.frombuffer(data, np.uint8, count=w * h * channels, offset=pos)
+    return px.reshape(h, w, 3) if channels == 3 else px.reshape(h, w)
+
+
+# ------------------------------------------------ format-generic raster
+
+_RASTER = {
+    "png": (png_decode, png_encode),
+    "bmp": (bmp_decode, bmp_encode),
+    "ppm": (ppm_decode, ppm_encode),
+}
+
+
+def raster_decode(data: bytes) -> tuple[str, np.ndarray]:
+    """Sniff + decode any supported lib-free raster (png/bmp/ppm)."""
+    s = sniff_media(data)
+    if not s or s["format"] not in _RASTER:
+        raise ValueError(f"not a decodable raster: "
+                         f"{s and s['format']!r}")
+    return s["format"], _RASTER[s["format"]][0](data)
+
+
+def raster_resize_nearest(data: bytes, width: int, height: int) -> bytes:
+    """Decode → nearest-neighbor resample → re-encode in the SAME
+    format. The kernel behind multimodal.resize_images for every
+    lib-free raster format."""
+    fmt, img = raster_decode(data)
+    h, w = img.shape[:2]
+    ys = (np.arange(height) * h // height).clip(0, h - 1)
+    xs = (np.arange(width) * w // width).clip(0, w - 1)
+    return _RASTER[fmt][1](img[ys][:, xs])

@@ -135,9 +135,11 @@ def probe_media(media: DataFrame) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize. REAL kernel for PNG payloads (in-repo stdlib codec:
-    decode → nearest-neighbor resample → re-encode); other formats raise
-    per-row until a JPEG decoder is available in the environment."""
+    """Image resize. REAL kernel for every lib-free raster format —
+    PNG, BMP (24-bit BI_RGB), binary PPM/PGM (round 10) — via the
+    in-repo stdlib codecs: decode → nearest-neighbor resample →
+    re-encode in the same format. JPEG/video still raise per-row (their
+    decoders need external libs absent here)."""
     import sys
 
     from pyspark import cloudpickle
@@ -160,15 +162,16 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                     continue
                 data = bytes(payload)
                 sniff = _png.sniff_media(data)
-                if not sniff or sniff["format"] != "png":
+                fmt = sniff and sniff["format"]
+                if fmt not in ("png", "bmp", "ppm"):
                     raise NotImplementedError(
-                        "resize kernel implemented for PNG only; "
-                        f"got {sniff and sniff['format']!r} — JPEG/video "
-                        "need external decoders absent here")
-                resized = _png.png_resize_nearest(data, width, height)
+                        "resize kernel covers the lib-free rasters "
+                        f"(png/bmp/ppm); got {fmt!r} — JPEG/video need "
+                        "external decoders absent here")
+                resized = _png.raster_resize_nearest(data, width, height)
                 ids.append(mid)
                 payloads.append(resized)
-                metas.append(("image/png", width, height))
+                metas.append((f"image/{fmt}", width, height))
             yield pd.DataFrame({"media_id": ids, "payload": payloads,
                                 "meta": metas})
 

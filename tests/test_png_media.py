@@ -91,7 +91,7 @@ def test_resize_images_spark_end_to_end(spark):
                for r in rows.values())
 
 
-def test_resize_rejects_non_png(spark):
+def test_resize_rejects_non_raster(spark):
     from clickhouse_clickhouse_spark.pipeline.multimodal import (
         resize_images,
         synthetic_media,
@@ -99,6 +99,52 @@ def test_resize_rejects_non_png(spark):
 
     with pytest.raises(Exception):
         resize_images(synthetic_media(spark, 4), 3, 2).collect()
+
+
+def test_bmp_ppm_codecs_and_generic_resize(spark):
+    """Round 10: BMP (24-bit BI_RGB, padded bottom-up BGR rows) and
+    binary PPM/PGM codecs — exact round trips, cross-format pixel
+    agreement, sniffing, and the format-generic resize both directly
+    and through the Spark mapInPandas kernel (payload formats mixed
+    within one batch)."""
+    import numpy as np
+
+    from clickhouse_clickhouse_spark.functions.png import (
+        bmp_decode, bmp_encode, png_encode, ppm_decode, ppm_encode,
+        raster_resize_nearest, sniff_media,
+    )
+    from clickhouse_clickhouse_spark.pipeline.multimodal import (
+        IMAGE_SCHEMA, probe_media, resize_images,
+    )
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    grey = rng.integers(0, 256, size=(4, 6), dtype=np.uint8)
+    # exact round trips (incl. the width-3 row => BMP padding path)
+    assert np.array_equal(bmp_decode(bmp_encode(rgb)), rgb)
+    assert np.array_equal(ppm_decode(ppm_encode(rgb)), rgb)
+    assert np.array_equal(ppm_decode(ppm_encode(grey)), grey)
+    # PPM comment/whitespace header parsing
+    with_comment = b"P5\n# a comment\n6 4\n255\n" + grey.tobytes()
+    assert np.array_equal(ppm_decode(with_comment), grey)
+    sb = sniff_media(bmp_encode(rgb))
+    assert (sb["format"], sb["width"], sb["height"]) == ("bmp", 3, 5)
+    sp = sniff_media(ppm_encode(rgb))
+    assert (sp["format"], sp["width"], sp["height"]) == ("ppm", 3, 5)
+    # generic resize keeps the container format
+    out = raster_resize_nearest(bmp_encode(rgb), 2, 2)
+    assert sniff_media(out)["format"] == "bmp"
+    assert bmp_decode(out).shape == (2, 2, 3)
+    # Spark end-to-end with MIXED formats in one frame
+    rows = [(0, bytearray(png_encode(rgb)), None),
+            (1, bytearray(bmp_encode(rgb)), None),
+            (2, bytearray(ppm_encode(rgb)), None)]
+    media = spark.createDataFrame(rows, IMAGE_SCHEMA)
+    got = {r.media_id: r for r in
+           probe_media(resize_images(media, 2, 2)).collect()}
+    assert {got[0].format, got[1].format, got[2].format} \
+        == {"png", "bmp", "ppm"}
+    assert all(got[i].width == 2 and got[i].height == 2 for i in got)
 
 
 def _box(btype: bytes, payload: bytes) -> bytes:
