@@ -1,11 +1,15 @@
 """Multimodal column plumbing (SURVEY.md §7 M7 / driver brief): image,
 audio, video as opaque ``binary`` columns with typed metadata structs.
 
-The decode/feature-extraction kernels require media libraries not present
-in this container, so the *kernels* are stubbed (deterministic fakes or
-``NotImplementedError``), but the Spark-side plumbing — schemas, Arrow
-batch shape, ``mapInPandas`` signatures, partitioning — is real and
-tested. Swapping in a real decoder is a one-function change.
+Kernels are REAL wherever the format needs no external library: PNG /
+BMP / binary-PPM decode+resize+re-encode (``functions/png.py``),
+RIFF-PCM WAV decode + DSP features (``functions/audio.py``), ISO-BMFF
+demux + frame sampling (``functions/mp4.py``), and header probes for
+all of them. Only the codec-dependent steps (JPEG pixels, H.264/HEVC
+frame decode, compressed audio) raise ``NotImplementedError`` —
+swapping in a real decoder is a one-function change; the Spark-side
+plumbing (schemas, Arrow batch shape, ``mapInPandas`` signatures,
+partitioning) is identical either way.
 """
 
 from __future__ import annotations
@@ -265,3 +269,64 @@ def probe_video(media: DataFrame) -> DataFrame:
                     rows, columns=[f.name for f in schema.fields])
 
     return media.mapInPandas(run, schema=schema)
+
+
+_AUDIO_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("rate", T.IntegerType(), True),
+    T.StructField("duration_s", T.DoubleType(), True),
+    T.StructField("rms", T.DoubleType(), True),
+    T.StructField("zcr_hz", T.DoubleType(), True),
+    T.StructField("dominant_hz", T.DoubleType(), True),
+])
+
+
+def synthetic_wav_media(spark, n: int = 8, rate: int = 8000,
+                        seconds: float = 0.5) -> DataFrame:
+    """Deterministic sine-tone WAV clips (REAL RIFF/PCM-16 bytes via
+    functions/audio.wav_encode): clip i is a pure tone at
+    200·(i+1) Hz with amplitude 0.1·(i+1) — every feature the DSP path
+    should recover is known in closed form."""
+    from clickhouse_clickhouse_spark.functions.audio import wav_encode
+
+    rows = []
+    t = np.arange(int(rate * seconds)) / rate
+    for i in range(n):
+        freq, amp = 200.0 * (i + 1), 0.1 * (i + 1)
+        wav = wav_encode(rate, amp * np.sin(2 * np.pi * freq * t))
+        rows.append((i, bytearray(wav), ("audio/wav", None, None)))
+    return spark.createDataFrame(rows, IMAGE_SCHEMA)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode + DSP features (round 10): PCM WAV payloads →
+    (rate, duration, RMS, zero-crossing rate, dominant frequency via
+    rFFT) — numpy kernels in an Arrow-batched mapInPandas, the same
+    shape a real embedding/featurizer stage takes. Non-WAV payloads
+    raise per-row (compressed audio needs codec libs absent here)."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    from clickhouse_clickhouse_spark.functions import audio as _audio
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    cloudpickle.register_pickle_by_value(_audio)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "rate", "duration_s",
+                                   "rms", "zcr_hz", "dominant_hz")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(mid)
+                if payload is None:
+                    for k in ("rate", "duration_s", "rms", "zcr_hz",
+                              "dominant_hz"):
+                        out[k].append(None)
+                    continue
+                f = _audio.audio_features(bytes(payload))
+                for k in ("rate", "duration_s", "rms", "zcr_hz",
+                          "dominant_hz"):
+                    out[k].append(f[k])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=_AUDIO_SCHEMA)

@@ -1723,3 +1723,32 @@ def hybrid_retrieval_rrf(spark, sf):
            .withColumnRenamed("corpus_id", "doc_id"))
     return rrf_fuse([(bm, "bm25"), (cos, "cosine")],
                     "query_id", "doc_id", k=60, topk=10)
+
+
+@register("audio_sine_features", oracle="""
+SELECT CAST(g.i AS BIGINT) AS media_id,
+       TRUE AS freq_ok, TRUE AS rms_ok, TRUE AS dur_ok, TRUE AS zcr_ok
+FROM (SELECT unnest(generate_series(0, 7)) AS i) g
+""")
+def audio_sine_features(spark, sf):
+    """REAL audio decode + DSP (round 10): pure sine WAV clips with
+    closed-form ground truth — clip i at 200·(i+1) Hz, amplitude
+    0.1·(i+1), 0.5 s @ 8 kHz. The mapInPandas kernel
+    (pipeline/multimodal.extract_audio_features over the stdlib RIFF
+    codec functions/audio.py) must recover the dominant frequency to
+    the exact FFT bin, RMS to amp/sqrt(2) within 1%, the duration
+    exactly, and the zero-crossing rate to 2·f within 4 Hz."""
+    from clickhouse_clickhouse_spark.pipeline.multimodal import (
+        extract_audio_features,
+        synthetic_wav_media,
+    )
+
+    feats = extract_audio_features(synthetic_wav_media(spark, 8))
+    f = F.col("media_id") + 1
+    return feats.select(
+        "media_id",
+        (F.abs(F.col("dominant_hz") - 200.0 * f) < 1e-9).alias("freq_ok"),
+        (F.abs(F.col("rms") - 0.1 * f / F.sqrt(F.lit(2.0)))
+         <= 0.01 * 0.1 * f).alias("rms_ok"),
+        (F.col("duration_s") == 0.5).alias("dur_ok"),
+        (F.abs(F.col("zcr_hz") - 2 * 200.0 * f) <= 4.0).alias("zcr_ok"))

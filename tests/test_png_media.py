@@ -232,3 +232,35 @@ def test_mp4_demux_probe_and_frame_sample(spark):
     assert [(r.sample_idx, bytes(r.frame_payload)) for r in frames] == \
         [(0, samples[0]), (2, samples[2]), (4, samples[4])]
     assert all(r.codec == "avc1" for r in frames)
+
+
+def test_wav_codec_and_audio_features(spark):
+    """Round 10: RIFF/PCM WAV codec round trip (16-bit stereo + 8-bit
+    via decode), DSP features against closed-form sine ground truth,
+    and the Spark mapInPandas feature path end-to-end."""
+    import numpy as np
+
+    from clickhouse_clickhouse_spark.functions.audio import (
+        audio_features, wav_decode, wav_encode,
+    )
+    from clickhouse_clickhouse_spark.pipeline.multimodal import (
+        extract_audio_features, synthetic_wav_media,
+    )
+
+    rate = 8000
+    t = np.arange(4000) / rate
+    stereo = np.stack([0.5 * np.sin(2 * np.pi * 440 * t),
+                       0.25 * np.sin(2 * np.pi * 440 * t)], axis=1)
+    r2, back = wav_decode(wav_encode(rate, stereo))
+    assert r2 == rate and back.shape == (4000, 2)
+    assert np.max(np.abs(back - stereo)) < 1e-3   # int16 quantization
+    f = audio_features(wav_encode(rate, stereo))
+    assert f["dominant_hz"] == 440.0 and abs(f["duration_s"] - 0.5) < 1e-12
+    # mixed-down RMS of equal-phase 0.5/0.25 sines = 0.375/sqrt(2)
+    assert abs(f["rms"] - 0.375 / np.sqrt(2)) < 0.004
+    got = {r.media_id: r for r in
+           extract_audio_features(synthetic_wav_media(spark, 4))
+           .collect()}
+    for i in range(4):
+        assert got[i].dominant_hz == 200.0 * (i + 1)
+        assert abs(got[i].rms - 0.1 * (i + 1) / np.sqrt(2)) < 0.002
