@@ -330,3 +330,47 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=_AUDIO_SCHEMA)
+
+
+_EMB_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+])
+
+
+def audio_embedding(media: DataFrame, bands: int = 16) -> DataFrame:
+    """REAL audio embedding (round 10): mono mix → rFFT magnitude →
+    ``bands`` equal-width spectral band energies → log1p → L2
+    normalize. Deterministic, library-free, and shaped exactly like the
+    ``embeddings`` fixture column — so the ANN/similarity operators
+    (pipeline/similarity.*) consume it unchanged. The audio analog of
+    an embedding-model featurizer at the plumbing level."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    from clickhouse_clickhouse_spark.functions import audio as _audio
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    cloudpickle.register_pickle_by_value(_audio)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, embs = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(mid)
+                if payload is None:
+                    embs.append(None)
+                    continue
+                _, samples = _audio.wav_decode(bytes(payload))
+                mono = samples.mean(axis=1)
+                spec = np.abs(np.fft.rfft(mono))
+                edges = np.linspace(0, len(spec), bands + 1).astype(int)
+                e = np.array([spec[a:b].sum()
+                              for a, b in zip(edges[:-1], edges[1:])])
+                e = np.log1p(e)
+                n = np.linalg.norm(e)
+                embs.append((e / n if n > 0 else e)
+                            .astype(np.float32).tolist())
+            yield pd.DataFrame({"media_id": ids, "embedding": embs})
+
+    return media.mapInPandas(run, schema=_EMB_SCHEMA)

@@ -1752,3 +1752,36 @@ def audio_sine_features(spark, sf):
          <= 0.01 * 0.1 * f).alias("rms_ok"),
         (F.col("duration_s") == 0.5).alias("dur_ok"),
         (F.abs(F.col("zcr_hz") - 2 * 200.0 * f) <= 4.0).alias("zcr_ok"))
+
+
+@register("audio_embedding_ann", oracle="""
+SELECT CAST(g.i AS BIGINT) AS query_id, TRUE AS planted_dup_is_top1
+FROM (SELECT unnest(generate_series(0, 2)) AS i) g
+""")
+def audio_embedding_ann(spark, sf):
+    """Multimodal retrieval end-to-end (round 10): WAV clips → REAL
+    spectral-band embeddings (pipeline/multimodal.audio_embedding) →
+    exact cosine top-k (pipeline/similarity.brute_force_topk) — the
+    audio analog of the embeddings-fixture ANN queries. Planted
+    duplicate clips (id + 1000) embed identically and must rank 1 by
+    cosine for each of the first three query clips."""
+    from clickhouse_clickhouse_spark.pipeline.multimodal import (
+        audio_embedding,
+        synthetic_wav_media,
+    )
+    from clickhouse_clickhouse_spark.pipeline.similarity import (
+        brute_force_topk,
+    )
+
+    media = synthetic_wav_media(spark, 12)
+    planted = (media.filter(F.col("media_id") < 3)
+               .withColumn("media_id", F.col("media_id") + 1000))
+    emb = audio_embedding(media.unionByName(planted))
+    corpus = emb.withColumnRenamed("media_id", "vec_id")
+    queries = (emb.filter(F.col("media_id") < 3)
+               .withColumnRenamed("media_id", "query_id"))
+    topk = brute_force_topk(corpus, queries, k=3, query_id="query_id")
+    return (topk.filter(F.col("rk") == 1)
+            .select("query_id",
+                    (F.col("corpus_id") == F.col("query_id") + 1000)
+                    .alias("planted_dup_is_top1")))
