@@ -2127,7 +2127,144 @@ _FUNCS: dict[str, str] = {
     # IS the type (documented deviation)
     "toColumnTypeName": "TYPEOF({0})",
     "version": lambda a: "'1.0.0-clickhouse-clickhouse-spark'",
+    # ---- round-10 resolve-probe batch 3 ---------------------------------
+    # arrayMin/Max/Avg/Product: bare form + upstream's optional lambda
+    # (applied via TRANSFORM before the reduction)
+    "arrayMin": lambda a: (f"ARRAY_MIN({a[0]})" if len(a) == 1
+                           else f"ARRAY_MIN(TRANSFORM({a[1]}, {a[0]}))"),
+    "arrayMax": lambda a: (f"ARRAY_MAX({a[0]})" if len(a) == 1
+                           else f"ARRAY_MAX(TRANSFORM({a[1]}, {a[0]}))"),
+    "arrayAvg": lambda a: (
+        "(AGGREGATE({0}, CAST(0 AS DOUBLE), (__s, __x) -> "
+        "__s + CAST(__x AS DOUBLE)) / SIZE({0}))".format(
+            a[0] if len(a) == 1 else f"TRANSFORM({a[1]}, {a[0]})")),
+    "arrayProduct": lambda a: (
+        "AGGREGATE({0}, CAST(1 AS DOUBLE), (__s, __x) -> "
+        "__s * CAST(__x AS DOUBLE))".format(
+            a[0] if len(a) == 1 else f"TRANSFORM({a[1]}, {a[0]})")),
+    "arrayFirstOrNull": "TRY_ELEMENT_AT(FILTER({1}, {0}), 1)",
+    "arrayLastOrNull": "TRY_ELEMENT_AT(FILTER({1}, {0}), -1)",
+    # last matching 1-based index (0 when none): mask once, max index
+    "arrayLastIndex": lambda a: _bind_once(
+        {"mk": f"TRANSFORM({a[1]}, {a[0]})"},
+        "IF(SIZE(__v.mk) = 0, 0, COALESCE(ARRAY_MAX(FILTER("
+        "SEQUENCE(1, SIZE(__v.mk)), __i -> "
+        "COALESCE(ELEMENT_AT(__v.mk, __i), FALSE))), 0))"),
+    # sortedness is an execution hint upstream — same answer
+    "indexOfAssumeSorted": "CAST(COALESCE(ARRAY_POSITION({0}, {1}), 0) "
+                           "AS BIGINT)",
+    "arrayElementOrNull":
+        "IF(CAST({1} AS INT) = 0, NULL, "
+        "TRY_ELEMENT_AT({0}, CAST({1} AS INT)))",
+    "arrayUnion": "ARRAY_DISTINCT(CONCAT({0}, {1}))",
+    "arraySymmetricDifference":
+        "CONCAT(ARRAY_EXCEPT({0}, {1}), ARRAY_EXCEPT({1}, {0}))",
+    # 64-bit byte swap from shift/mask terms (BIGINT two's complement)
+    "byteSwap": lambda a: _bind_once(
+        {"x": f"CAST({a[0]} AS BIGINT)"},
+        "AGGREGATE(SEQUENCE(0, 7), CAST(0 AS BIGINT), (__s, __i) -> "
+        "__s + SHIFTLEFT(SHIFTRIGHTUNSIGNED(__v.x, CAST(__i * 8 "
+        "AS INT)) & 255, CAST((7 - __i) * 8 AS INT)))"),
+    "toUUIDOrNull":
+        "CASE WHEN {0} RLIKE '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-"
+        "[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$' "
+        "THEN LOWER({0}) END",
+    "toUUIDOrZero":
+        "CASE WHEN {0} RLIKE '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-"
+        "[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$' "
+        "THEN LOWER({0}) "
+        "ELSE '00000000-0000-0000-0000-000000000000' END",
+    "toWeek": lambda a: _to_week_tpl(a, year_week=False),
+    "toYearWeek": lambda a: _to_week_tpl(a, year_week=True),
+    "addMicroseconds": "TIMESTAMP_MICROS(UNIX_MICROS({0}) "
+                       "+ CAST({1} AS BIGINT))",
+    "subtractMicroseconds": "TIMESTAMP_MICROS(UNIX_MICROS({0}) "
+                            "- CAST({1} AS BIGINT))",
+    "addMilliseconds": "TIMESTAMP_MICROS(UNIX_MICROS({0}) "
+                       "+ CAST({1} AS BIGINT) * 1000)",
+    "subtractMilliseconds": "TIMESTAMP_MICROS(UNIX_MICROS({0}) "
+                            "- CAST({1} AS BIGINT) * 1000)",
+    # ns grain truncates to µs (documented §1.2 loss)
+    "addNanoseconds": "TIMESTAMP_MICROS(UNIX_MICROS({0}) "
+                      "+ CAST({1} AS BIGINT) DIV 1000)",
+    "subtractNanoseconds": "TIMESTAMP_MICROS(UNIX_MICROS({0}) "
+                           "- CAST({1} AS BIGINT) DIV 1000)",
+    "toModifiedJulianDayOrNull":
+        "CAST(DATEDIFF(TRY_TO_DATE({0}), DATE '1858-11-17') AS INT)",
+    "tupleIntDiv": lambda a: _tuple_arith_tpl(a, "DIV"),
+    "tupleModulo": lambda a: _tuple_arith_tpl(a, "%"),
+    "LpNorm":
+        "POWER(AGGREGATE({0}, CAST(0 AS DOUBLE), (__s, __x) -> "
+        "__s + POWER(ABS(CAST(__x AS DOUBLE)), CAST({1} AS DOUBLE))), "
+        "1.0D / CAST({1} AS DOUBLE))",
+    "LpDistance":
+        "POWER(AGGREGATE(ZIP_WITH({0}, {1}, (__x, __y) -> "
+        "POWER(ABS(CAST(__x AS DOUBLE) - CAST(__y AS DOUBLE)), "
+        "CAST({2} AS DOUBLE))), CAST(0 AS DOUBLE), "
+        "(__s, __d) -> __s + __d), 1.0D / CAST({2} AS DOUBLE))",
+    # WKT point I/O (tuple convention: struct('_1' x, '_2' y))
+    "readWKTPoint": lambda a: _bind_once(
+        {"s": a[0]},
+        "NAMED_STRUCT("
+        "'_1', CAST(REGEXP_EXTRACT(__v.s, "
+        "'POINT\\\\s*\\\\(\\\\s*([-0-9.eE+]+)\\\\s+([-0-9.eE+]+)', 1) "
+        "AS DOUBLE), "
+        "'_2', CAST(REGEXP_EXTRACT(__v.s, "
+        "'POINT\\\\s*\\\\(\\\\s*([-0-9.eE+]+)\\\\s+([-0-9.eE+]+)', 2) "
+        "AS DOUBLE))"),
+    "wkt": ("CONCAT('POINT(', CAST({0}._1 AS STRING), ' ', "
+            "CAST({0}._2 AS STRING), ')')"),
+    # single-process engine: the scatter-gather domain is one "shard";
+    # partition-level parallelism is spark_partition_id() territory
+    "shardNum": lambda a: "1",
+    "shardCount": lambda a: "1",
+    "connection_id": lambda a: "0",
+    "connectionId": lambda a: "0",
+    "revision": lambda a: "54500",
+    "hostname": lambda a: "'localhost'",   # alias of hostName
     # ---- round-10 principled refusals (loud, with the alternative) ------
+    "reinterpretAsUInt64": lambda a: (_ for _ in ()).throw(ValueError(
+        "reinterpretAs* raw type-punning is storage-layout territory; "
+        "the RowBinary/Native codecs (sources/) are the byte-exact "
+        "exchange surface")),
+    "reinterpretAsString": lambda a: (_ for _ in ()).throw(ValueError(
+        "reinterpretAs* raw type-punning is storage-layout territory; "
+        "the RowBinary/Native codecs (sources/) are the byte-exact "
+        "exchange surface")),
+    "nonNegativeDerivative": lambda a: (_ for _ in ()).throw(ValueError(
+        "nonNegativeDerivative is a window function upstream; spell it "
+        "GREATEST((v - lag(v) OVER w) / ((UNIX_TIMESTAMP(t) - "
+        "UNIX_TIMESTAMP(lag(t) OVER w))), 0)")),
+    "aggThrow": lambda a: (_ for _ in ()).throw(ValueError(
+        "aggThrow is an upstream test-harness aggregate")),
+    "categoricalInformationValue": lambda a: (_ for _ in ()).throw(
+        ValueError("categoricalInformationValue: compute per-category "
+                   "WoE/IV from a (category, tag) GROUP BY — the "
+                   "cramersV/theilsU family covers association "
+                   "strength")),
+    "arrayReduceInRanges": lambda a: (_ for _ in ()).throw(ValueError(
+        "arrayReduceInRanges: TRANSFORM the ranges to SLICE(arr, off, "
+        "len) and arrayReduce each slice")),
+    "arrayNormalizedGini": lambda a: (_ for _ in ()).throw(ValueError(
+        "arrayNormalizedGini is not implemented; arrayAUC covers the "
+        "ranking-quality surface")),
+    "h3IsValid": lambda a: (_ for _ in ()).throw(ValueError(
+        "h3*/s2* indexing is declared out of scope (SURVEY §2.8 geo "
+        "row); geohashEncode/Decode are the supported cell indexes")),
+    "globalVariable": lambda a: (_ for _ in ()).throw(ValueError(
+        "globalVariable is MySQL-compat introspection; see "
+        "system.settings")),
+    "currentProfiles": lambda a: (_ for _ in ()).throw(ValueError(
+        "profiles/roles/grants have no equivalent here (no access "
+        "control layer)")),
+    "showCertificate": lambda a: (_ for _ in ()).throw(ValueError(
+        "TLS introspection has no equivalent here")),
+    "zookeeperSessionUptime": lambda a: (_ for _ in ()).throw(ValueError(
+        "no ZooKeeper in this engine (replication is delegated to the "
+        "storage layer)")),
+    "catboostEvaluate": lambda a: (_ for _ in ()).throw(ValueError(
+        "catboostEvaluate needs the CatBoost runtime; apply models via "
+        "a pandas UDF")),
     "normalizeUTF8NFC": lambda a: (_ for _ in ()).throw(ValueError(
         "normalizeUTF8* needs ICU normalization (no unicodedata in the "
         "JVM SQL surface); normalize upstream or in a pandas UDF")),
@@ -2895,8 +3032,10 @@ _PARAMETRIC: dict = {
     "quantileGK": lambda params, args: "PERCENTILE_APPROX({}, {}, {})".format(
         args[0], params[1] if len(params) > 1 else "0.5", params[0]),
     "quantiles": "PERCENTILE_APPROX({a0}, ARRAY({p*}))",
+    "quantilesTDigest": "PERCENTILE_APPROX({a0}, ARRAY({p*}))",
     "quantileDeterministic": lambda params, args:
         f"PERCENTILE_APPROX({args[0]}, {params[0]})",
+    "meanZTest": lambda params, args: _mean_ztest_tpl(params, args),
     # -Resample combinator ([U] AggregateFunctionResample.h): bucket the
     # aggregation by a key column over [start, end) with `step`, one
     # array slot per bucket
@@ -4102,6 +4241,85 @@ def _ngram_grams_sql(s: str, n: int = 4) -> str:
             f"TRANSFORM(SEQUENCE(1, LENGTH({s}) - {n - 1}), "
             f"__i -> SUBSTRING({s}, __i, {n})) "
             "ELSE CAST(ARRAY() AS ARRAY<STRING>) END)")
+
+
+def _mean_ztest_tpl(params: list[str], args: list[str]) -> str:
+    """meanZTest(pop_var_x, pop_var_y, conf)(value, index) ([U]
+    AggregateFunctionMeanZTest.h): z-test with KNOWN population
+    variances — z from conditional means, two-sided p via erf, CI of
+    the mean difference at the literal confidence level (Acklam z)."""
+    if len(params) != 3 or len(args) != 2:
+        raise ValueError(
+            "meanZTest(pop_var_x, pop_var_y, conf)(value, index)")
+    vx = _literal_float(params[0], "meanZTest pop_var_x")
+    vy = _literal_float(params[1], "meanZTest pop_var_y")
+    conf = _literal_float(params[2], "meanZTest conf")
+    zc = _norm_quantile_py(1.0 - (1.0 - conf) / 2.0)
+    v, g = f"CAST({args[0]} AS DOUBLE)", args[1]
+    binds = {
+        "m0": f"AVG(CASE WHEN ({g}) = 0 THEN {v} END)",
+        "m1": f"AVG(CASE WHEN ({g}) = 1 THEN {v} END)",
+        "n0": f"CAST(COUNT(CASE WHEN ({g}) = 0 THEN 1 END) AS DOUBLE)",
+        "n1": f"CAST(COUNT(CASE WHEN ({g}) = 1 THEN 1 END) AS DOUBLE)",
+    }
+    se = f"SQRT({vx!r}D / __v.n0 + {vy!r}D / __v.n1)"
+    z = f"((__v.m0 - __v.m1) / {se})"
+    phi_abs = "(0.5D * (1.0D + {e}))".format(
+        e=_ERF_TPL.format(f"(ABS({z}) / SQRT(2.0D))"))
+    body = (f"NAMED_STRUCT('z_stat', {z}, "
+            f"'p_value', 2.0D * (1.0D - {phi_abs}), "
+            f"'ci_low', (__v.m0 - __v.m1) - {zc!r}D * {se}, "
+            f"'ci_high', (__v.m0 - __v.m1) + {zc!r}D * {se})")
+    return _bind_once(binds, body)
+
+
+def _to_week_tpl(args: list[str], year_week: bool) -> str:
+    """toWeek(ts[, mode]) / toYearWeek(ts[, mode]) ([U]
+    src/Functions/toCustomWeek.cpp — MySQL WEEK modes): mode 0
+    (default) = Sunday-start weeks numbered from the year's first
+    Sunday (0..53); mode 3 = ISO (Monday, 1..53, Spark's WEEKOFYEAR);
+    mode 1 = ISO numbering but weeks before ISO week 1 give 0. Other
+    modes refuse. toYearWeek returns YYYY*100 + week of the week's OWN
+    year (mode 0: the week's Sunday decides the year; mode 3: ISO
+    YEAROFWEEK)."""
+    t = args[0]
+    mode = 0
+    if len(args) == 2:
+        m = re.fullmatch(r"\s*(\d)\s*", args[1])
+        if not m or int(m.group(1)) not in (0, 1, 3):
+            raise ValueError("toWeek/toYearWeek: supported modes are "
+                             "0 (Sunday), 1 (Monday, 0-based), 3 (ISO) "
+                             f"— got {args[1]!r}")
+        mode = int(m.group(1))
+    if mode == 3:
+        if year_week:
+            return (f"(EXTRACT(YEAROFWEEK FROM {t}) * 100 "
+                    f"+ WEEKOFYEAR({t}))")
+        return f"WEEKOFYEAR({t})"
+    if mode == 1:
+        # Monday of ISO week 1 = Jan 4 shifted back to its Monday
+        j4 = f"MAKE_DATE(YEAR({t}), 1, 4)"
+        w1 = f"DATE_SUB({j4}, CAST(PMOD(DAYOFWEEK({j4}) + 5, 7) AS INT))"
+        wk = (f"IF(CAST({t} AS DATE) < {w1}, 0, "
+              f"CAST(FLOOR(DATEDIFF(CAST({t} AS DATE), {w1}) / 7.0) "
+              f"AS INT) + 1)")
+        if year_week:
+            raise ValueError("toYearWeek mode 1 is not supported here "
+                             "(modes 0 and 3)")
+        return wk
+    # mode 0: classify by the week's SUNDAY start; week number counts
+    # from the year's first Sunday (fs = its day-of-year)
+    ws = f"DATE_SUB(CAST({t} AS DATE), DAYOFWEEK({t}) - 1)"
+    jan1 = "MAKE_DATE(YEAR(__u.ws), 1, 1)"
+    wk = "(CAST((DAYOFYEAR(__u.ws) - __w.fs) / 7 AS INT) + 1)"
+    if year_week:
+        body = f"(YEAR(__u.ws) * 100 + {wk})"
+    else:
+        body = f"IF(YEAR(__u.ws) < YEAR(__u.d), 0, {wk})"
+    inner = _bind_once(
+        {"fs": f"PMOD(8 - DAYOFWEEK({jan1}), 7) + 1"}, body, var="__w")
+    return _bind_once({"d": f"CAST({t} AS DATE)", "ws": ws},
+                      inner, var="__u")
 
 
 def _array_fill_tpl(args: list[str], rev: bool) -> str:

@@ -2015,3 +2015,52 @@ def ch_sql_scalar_tail2_r10(spark, sf):
                UUIDNumToString(UUIDStringToNum(
                    '01234567-89ab-cdef-0123-456789abcdef')) AS uu
         FROM nation""")
+
+
+@register("ch_sql_scalar_tail3_r10", oracle="""
+SELECT o_orderkey AS k,
+       CAST(strftime(o_orderdate, '%U') AS INT) AS w0,
+       CAST(weekofyear(o_orderdate) AS INT) AS w3,
+       CAST(year(ws) * 100 + CAST(strftime(ws, '%U') AS INT) AS INT)
+           AS yw0,
+       CAST(CAST(strftime(o_orderdate, '%G') AS INT) * 100
+            + weekofyear(o_orderdate) AS INT) AS yw3,
+       round(pow(list_sum(list_transform(
+           [CAST(o_orderkey % 7 AS DOUBLE), 4.0],
+           x -> pow(abs(x), 3.0))), 1.0 / 3.0), 6) AS lp,
+       list_sort(list_distinct([o_orderkey % 5, o_orderkey % 3, 2]))
+           AS au,
+       [o_orderkey % 7 + 1, NULL][CAST(o_orderkey % 3 AS INT) + 1]
+           AS aeo,
+       CASE WHEN o_orderkey % 2 = 0
+            THEN '01234567-89ab-cdef-0123-456789abcdef' END AS uu
+FROM (SELECT o_orderkey, o_orderdate,
+             o_orderdate - INTERVAL (dayofweek(o_orderdate)) DAY AS ws
+      FROM orders WHERE o_orderkey < 800)
+""")
+def ch_sql_scalar_tail3_r10(spark, sf):
+    """Round-10 batch 3 oracle on REAL multi-year dates — toWeek mode 0
+    (MySQL/C strftime %U Sunday weeks, DuckDB replays natively), mode 3
+    (ISO), toYearWeek modes 0 (week's-Sunday year) and 3 (ISO %G),
+    LpNorm, arrayUnion (sorted — set semantics), arrayElementOrNull
+    (out-of-bounds → NULL both engines), toUUIDOrNull/Zero. byteSwap /
+    meanZTest / WKT / tuple DIV are battery-tested with hand values."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "orders").createOrReplaceTempView("orders")
+    return ch_sql(spark, """
+        SELECT o_orderkey AS k,
+               toWeek(o_orderdate) AS w0,
+               toWeek(o_orderdate, 3) AS w3,
+               toYearWeek(o_orderdate) AS yw0,
+               CAST(toYearWeek(o_orderdate, 3) AS INT) AS yw3,
+               round(LpNorm([CAST(o_orderkey % 7 AS DOUBLE), 4.0], 3), 6)
+                   AS lp,
+               arraySort(arrayUnion([o_orderkey % 5, o_orderkey % 3],
+                                    [2])) AS au,
+               arrayElementOrNull([o_orderkey % 7 + 1],
+                                  o_orderkey % 3 + 1) AS aeo,
+               toUUIDOrNull(CASE WHEN o_orderkey % 2 = 0
+                   THEN '01234567-89AB-CDEF-0123-456789abcdef'
+                   ELSE 'not-a-uuid' END) AS uu
+        FROM orders WHERE o_orderkey < 800""")

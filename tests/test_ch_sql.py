@@ -2690,3 +2690,94 @@ def test_round10_resolve_probe_batch2(spark):
           SELECT initializeAggregation('avgState', x) AS st
           FROM VALUES (2.0), (4.0), (9.0) AS v(x))""").collect()[0]
     assert two.av == 5.0
+
+
+def test_round10_resolve_probe_batch3(spark):
+    """Round-10 batch 3 — arrayMin/Max/Avg/Product (+lambda forms),
+    array First/Last OrNull + LastIndex, arrayUnion/SymmetricDifference,
+    arrayElementOrNull, byteSwap (64-bit), toUUIDOrNull/Zero,
+    toWeek/toYearWeek modes 0/1/3 (MySQL WEEK semantics), sub-second
+    add/subtract, toModifiedJulianDayOrNull, tupleIntDiv/Modulo,
+    LpNorm/LpDistance, WKT point I/O, shard/connection introspection,
+    meanZTest, quantilesTDigest — ONE action, hand-checked."""
+    import math
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    spark.sql("""SELECT array(3, 1, 2) AS arr, array(1, 2) AS a2,
+        TIMESTAMP'2024-02-15 10:34:56.123456' AS ts,
+        TIMESTAMP'2024-01-02 00:00:00' AS t2""") \
+        .createOrReplaceTempView("t10c")
+    r = ch_sql(spark, """
+        SELECT arrayMin(arr) AS amn, arrayMax(x -> -x, arr) AS amx,
+               arrayAvg(arr) AS aav, arrayProduct(arr) AS apr,
+               arrayFirstOrNull(x -> x > 5, arr) AS afn,
+               arrayLastOrNull(x -> x > 0, arr) AS aln,
+               arrayLastIndex(x -> x > 1, arr) AS ali,
+               arrayLastIndex(x -> x > 9, arr) AS ali0,
+               indexOfAssumeSorted(array(1, 2, 3), 3) AS ias,
+               arrayElementOrNull(arr, 99) AS aeo,
+               arrayElementOrNull(arr, -1) AS aen,
+               arrayElementOrNull(arr, 0) AS aez,
+               arrayUnion(array(1, 2), array(2, 3)) AS au,
+               arraySymmetricDifference(array(1, 2, 3),
+                                        array(2, 3, 4)) AS asd,
+               byteSwap(1) AS bsw,
+               toUUIDOrNull('01234567-89AB-cdef-0123-456789abcdef')
+                   AS uun,
+               toUUIDOrNull('nope') AS uux,
+               toUUIDOrZero('nope') AS uuz,
+               toWeek(ts) AS w0, toWeek(ts, 1) AS w1,
+               toWeek(ts, 3) AS w3, toWeek(t2) AS w0e,
+               toYearWeek(ts) AS yw0, toYearWeek(t2) AS yw0e,
+               toYearWeek(ts, 3) AS yw3,
+               CAST(addMicroseconds(ts, 5) AS STRING) AS amc,
+               CAST(subtractMilliseconds(ts, 3) AS STRING) AS sms,
+               toModifiedJulianDayOrNull('2024-01-01') AS mjd,
+               toModifiedJulianDayOrNull('garbage') AS mjdn,
+               tupleIntDiv((10, 9), (3, 2)) AS tid,
+               tupleModulo((10, 9), (3, 2)) AS tmo,
+               LpNorm(array(3.0, 4.0), 2) AS lp2,
+               LpNorm(array(1.0, 2.0, 3.0), 1) AS lp1,
+               LpDistance(array(1.0, 2.0), array(4.0, 6.0), 2) AS lpd,
+               readWKTPoint('POINT(1.5 -2)') AS wp,
+               wkt(readWKTPoint('POINT(1.5 -2)')) AS wk,
+               shardNum() AS sn, shardCount() AS sc,
+               connection_id() AS ci, revision() AS rev
+        FROM t10c""").collect()[0]
+    assert r.amn == 1 and r.amx == -1 and r.aav == 2.0 and r.apr == 6.0
+    assert r.afn is None and r.aln == 2 and r.ali == 3 and r.ali0 == 0
+    assert r.ias == 3 and r.aeo is None and r.aen == 2 and r.aez is None
+    assert sorted(r.au) == [1, 2, 3] and sorted(r.asd) == [1, 4]
+    assert r.bsw == 1 << 56
+    assert r.uun == "01234567-89ab-cdef-0123-456789abcdef"
+    assert r.uux is None
+    assert r.uuz == "00000000-0000-0000-0000-000000000000"
+    # 2024-02-15: MySQL WEEK mode 0 = 6, ISO week = 7;
+    # 2024-01-02: week 0, YEARWEEK 202353 (belongs to 2023's week 53)
+    assert r.w0 == 6 and r.w1 == 7 and r.w3 == 7 and r.w0e == 0
+    assert r.yw0 == 202406 and r.yw0e == 202353 and r.yw3 == 202407
+    assert r.amc == "2024-02-15 10:34:56.123461"
+    assert r.sms == "2024-02-15 10:34:56.120456"
+    assert r.mjd == 60310 and r.mjdn is None
+    assert (r.tid._1, r.tid._2) == (3, 4)
+    assert (r.tmo._1, r.tmo._2) == (1, 1)
+    assert abs(r.lp2 - 5.0) < 1e-12 and abs(r.lp1 - 6.0) < 1e-12
+    assert abs(r.lpd - 5.0) < 1e-12
+    assert (r.wp._1, r.wp._2) == (1.5, -2.0)
+    assert r.wk == "POINT(1.5 -2.0)"
+    assert r.sn == 1 and r.sc == 1 and r.ci == 0 and r.rev == 54500
+    # meanZTest numeric check on a real two-sample frame
+    spark.sql("""SELECT * FROM VALUES (1.0, 0), (2.0, 0), (3.0, 0),
+        (2.0, 1), (4.0, 1) AS v(x, g)""").createOrReplaceTempView("mzt")
+    zr = ch_sql(spark, """
+        SELECT meanZTest(1.0, 1.0, 0.95)(x, g) AS r,
+               quantilesTDigest(0.25, 0.75)(x) AS qtd FROM mzt""") \
+        .collect()[0]
+    z = zr.r
+    assert list(zr.qtd) == [2.0, 3.0]
+    se = math.sqrt(1.0 / 3 + 1.0 / 2)
+    assert abs(z.z_stat - (-1.0 / se)) < 1e-9
+    assert abs(z.ci_low - (-1.0 - 1.959963984540054 * se)) < 1e-6
+    assert abs(z.p_value - 2 * (1 - 0.5 * (1 + math.erf(
+        abs(-1.0 / se) / math.sqrt(2))))) < 1e-6
