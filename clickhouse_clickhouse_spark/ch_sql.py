@@ -6951,13 +6951,33 @@ def ch_statement(spark: SparkSession, sql: str,
         if not mm:
             raise ValueError("unsupported OPTIMIZE statement")
         name = mm.group(1)
+        spec = _SPECS.get((id(spark), name.lower()))
         if mm.group(2):
             cols = [c.strip() for c in (mm.group(3) or "").split(",")
                     if c.strip()]
             t = spark.table(name)
             deduped = t.dropDuplicates(cols) if cols else t.dropDuplicates()
-            deduped.createOrReplaceTempView(name)
+            if spec is not None and spec.path:
+                # file-backed table: the dedup is a PART REWRITE, not a
+                # view swap — write back and re-register over the files
+                from clickhouse_clickhouse_spark.sources.write import (
+                    _rewrite,
+                )
+                _rewrite(spark, deduped, spec.path, spec.partition_by)
+                spark.read.parquet(spec.path) \
+                    .createOrReplaceTempView(name)
+            else:
+                deduped.createOrReplaceTempView(name)
             _forget_block_hashes(name)   # parts rewritten → block ids gone
+        elif spec is not None and spec.path:
+            # background-merge analog on files: compact to fewer sorted
+            # parts, keeping the partition-directory layout
+            from clickhouse_clickhouse_spark.sources.write import (
+                optimize_compact,
+            )
+            optimize_compact(spark, spec.path, sort_by=spec.order_by,
+                             partition_by=spec.partition_by)
+            spark.read.parquet(spec.path).createOrReplaceTempView(name)
         # merge-time projection maintenance (upstream: merges merge
         # projection parts): re-aggregating compacts the incremental
         # per-insert partials back to one row per key

@@ -2781,3 +2781,41 @@ def test_round10_resolve_probe_batch3(spark):
     assert abs(z.ci_low - (-1.0 - 1.959963984540054 * se)) < 1e-6
     assert abs(z.p_value - 2 * (1 - 0.5 * (1 + math.erf(
         abs(-1.0 / se) / math.sqrt(2))))) < 1e-6
+
+
+def test_optimize_compacts_file_backed_table(spark, tmp_path):
+    """Round 10: OPTIMIZE on a dataDir-backed MergeTree table compacts
+    the parquet parts (file count drops, rows identical); OPTIMIZE ...
+    DEDUPLICATE rewrites the files, not just the view."""
+    import os
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, ch_statement
+
+    spark.conf.set("spark.clickhouse_clickhouse_spark.dataDir",
+                   str(tmp_path))
+    try:
+        ch_statement(spark, "CREATE TABLE opt_t (k Int64, v Float64) "
+                            "ENGINE = MergeTree ORDER BY k")
+        for lo in (0, 500):
+            ch_statement(spark, f"""
+                INSERT INTO opt_t SELECT number % 100 AS k,
+                    CAST(number AS DOUBLE) FROM numbers({lo + 500})
+                WHERE number >= {lo}""")
+    finally:
+        spark.conf.set("spark.clickhouse_clickhouse_spark.dataDir", "")
+    d = str(tmp_path / "opt_t")
+
+    def parts():
+        return len([f for f in os.listdir(d) if f.endswith(".parquet")])
+
+    before = parts()
+    assert before >= 2                      # two insert "parts"
+    ch_statement(spark, "OPTIMIZE TABLE opt_t")
+    assert parts() < before
+    assert ch_sql(spark, "SELECT count() AS n FROM opt_t") \
+        .collect()[0].n == 1000
+    ch_statement(spark, "OPTIMIZE TABLE opt_t DEDUPLICATE BY k")
+    assert ch_sql(spark, "SELECT count() AS n FROM opt_t") \
+        .collect()[0].n == 100
+    # dedup persisted to the FILES, not just the session view
+    assert spark.read.parquet(d).count() == 100
