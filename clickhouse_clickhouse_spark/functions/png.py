@@ -295,11 +295,14 @@ _RASTER = {
     "png": (png_decode, png_encode),
     "bmp": (bmp_decode, bmp_encode),
     "ppm": (ppm_decode, ppm_encode),
+    # decode-only: re-encoding arbitrary RGB needs palette quantization
+    # (gif_encode covers greyscale); see raster_resize_nearest
+    "gif": (lambda d: gif_decode(d), None),
 }
 
 
 def raster_decode(data: bytes) -> tuple[str, np.ndarray]:
-    """Sniff + decode any supported lib-free raster (png/bmp/ppm)."""
+    """Sniff + decode any supported lib-free raster (png/bmp/ppm/gif)."""
     s = sniff_media(data)
     if not s or s["format"] not in _RASTER:
         raise ValueError(f"not a decodable raster: "
@@ -310,9 +313,170 @@ def raster_decode(data: bytes) -> tuple[str, np.ndarray]:
 def raster_resize_nearest(data: bytes, width: int, height: int) -> bytes:
     """Decode → nearest-neighbor resample → re-encode in the SAME
     format. The kernel behind multimodal.resize_images for every
-    lib-free raster format."""
+    lib-free raster format with an encoder (GIF resizes re-encode as
+    PNG — lossless, no palette re-quantization)."""
     fmt, img = raster_decode(data)
     h, w = img.shape[:2]
     ys = (np.arange(height) * h // height).clip(0, h - 1)
     xs = (np.arange(width) * w // width).clip(0, w - 1)
-    return _RASTER[fmt][1](img[ys][:, xs])
+    enc = _RASTER[fmt][1] or png_encode
+    return enc(img[ys][:, xs])
+
+
+# ------------------------------------------------ GIF (LZW) codec
+
+def _lzw_decode(min_code_size: int, data: bytes) -> list:
+    """GIF-variant LZW (public GIF89a spec appendix F): variable code
+    width starting at min+1 bits, LSB-first bit packing, clear/end
+    codes, dictionary grows to 4095 then waits for clear."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    base = [[i] for i in range(clear)] + [None, None]
+    table = list(base)
+    width = min_code_size + 1
+    out, prev = [], None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = list(base)
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table) and table[code] is not None:
+                entry = table[code]
+                table.append(prev + [entry[0]])
+            else:                       # the KwKwK case
+                entry = prev + [prev[0]]
+                table.append(entry)
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+def _lzw_encode(min_code_size: int, indices) -> bytes:
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    next_code = end + 1
+    width = min_code_size + 1
+    table = {(i,): i for i in range(clear)}
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code, w):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear, width)
+    cur = ()
+    for idx in indices:
+        nxt = cur + (int(idx),)
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        table[nxt] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        cur = (int(idx),)
+    if cur:
+        emit(table[cur], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def gif_encode(arr: np.ndarray) -> bytes:
+    """Encode (H, W) uint8 GREYSCALE as a GIF89a with a 256-entry grey
+    palette (single frame, no interlace, LZW-compressed). Color images
+    would need palette quantization — out of scope; decode handles any
+    palette."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError("gif_encode: greyscale (H, W) only")
+    h, w = arr.shape
+    gct = bytes(v for g in range(256) for v in (g, g, g))
+    lzw = _lzw_encode(8, arr.reshape(-1))
+    subs = b"".join(bytes([min(255, len(lzw) - i)])
+                    + lzw[i:i + 255]
+                    for i in range(0, len(lzw), 255)) + b"\x00"
+    return (b"GIF89a" + struct.pack("<HHBBB", w, h, 0xF7, 0, 0) + gct
+            + b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            + bytes([8]) + subs + b"\x3B")
+
+
+def gif_decode(data: bytes) -> np.ndarray:
+    """Decode the FIRST frame of a GIF87a/89a to (H, W, 3) uint8 RGB
+    (global/local palettes, interlace supported)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data, np.uint8, count=3 * n,
+                            offset=pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:                      # extension: skip sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:                    # image descriptor
+            _, _, iw, ih, iflags = struct.unpack("<HHHHB",
+                                                 data[pos + 1:pos + 10])
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                ct = np.frombuffer(data, np.uint8, count=3 * n,
+                                   offset=pos).reshape(n, 3)
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF image without a color table")
+            mcs = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                lzw += data[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.array(_lzw_decode(mcs, bytes(lzw))[:iw * ih],
+                           dtype=np.int32).reshape(ih, iw)
+            if iflags & 0x40:              # de-interlace (4 passes)
+                rows = ([*range(0, ih, 8)] + [*range(4, ih, 8)]
+                        + [*range(2, ih, 4)] + [*range(1, ih, 2)])
+                tmp = np.empty_like(idx)
+                tmp[rows] = idx[:len(rows)]
+                idx = tmp
+            return ct[np.clip(idx, 0, len(ct) - 1)]
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"corrupt GIF (block 0x{b:02x})")
+    raise ValueError("GIF contains no image block")

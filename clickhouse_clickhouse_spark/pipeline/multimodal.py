@@ -167,15 +167,16 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 data = bytes(payload)
                 sniff = _png.sniff_media(data)
                 fmt = sniff and sniff["format"]
-                if fmt not in ("png", "bmp", "ppm"):
+                if fmt not in ("png", "bmp", "ppm", "gif"):
                     raise NotImplementedError(
                         "resize kernel covers the lib-free rasters "
-                        f"(png/bmp/ppm); got {fmt!r} — JPEG/video need "
-                        "external decoders absent here")
+                        f"(png/bmp/ppm/gif); got {fmt!r} — JPEG/video "
+                        "need external decoders absent here")
                 resized = _png.raster_resize_nearest(data, width, height)
                 ids.append(mid)
                 payloads.append(resized)
-                metas.append((f"image/{fmt}", width, height))
+                out_fmt = "png" if fmt == "gif" else fmt
+                metas.append((f"image/{out_fmt}", width, height))
             yield pd.DataFrame({"media_id": ids, "payload": payloads,
                                 "meta": metas})
 

@@ -264,3 +264,51 @@ def test_wav_codec_and_audio_features(spark):
     for i in range(4):
         assert got[i].dominant_hz == 200.0 * (i + 1)
         assert abs(got[i].rms - 0.1 * (i + 1) / np.sqrt(2)) < 0.002
+
+
+def test_gif_lzw_codec():
+    """Round 10: GIF89a LZW codec — grey encode -> decode round trip
+    (exercises variable code widths + the 4096-entry dictionary reset
+    on a 100x80 gradient), the KwKwK LZW case via a crafted run, an
+    interlaced image, and sniff/raster integration (GIF resize
+    re-encodes as PNG)."""
+    import numpy as np
+
+    from clickhouse_clickhouse_spark.functions.png import (
+        gif_decode, gif_encode, png_decode, raster_decode,
+        raster_resize_nearest, sniff_media,
+    )
+
+    rng = np.random.default_rng(5)
+    # gradient + noise: many distinct codes -> width growth + resets
+    grey = ((np.add.outer(np.arange(80), np.arange(100)) % 251)
+            + rng.integers(0, 5, size=(80, 100))).astype(np.uint8)
+    rgb = gif_decode(gif_encode(grey))
+    assert rgb.shape == (80, 100, 3)
+    assert np.array_equal(rgb[:, :, 0], grey)          # grey palette
+    assert np.array_equal(rgb[:, :, 1], grey)
+    # KwKwK: immediate repetition of a fresh dictionary entry
+    runs = np.array([[1, 1, 1, 1, 1, 2, 2, 2, 2, 2]] * 3, np.uint8)
+    assert np.array_equal(gif_decode(gif_encode(runs))[:, :, 0], runs)
+    s = sniff_media(gif_encode(grey))
+    assert (s["format"], s["width"], s["height"]) == ("gif", 100, 80)
+    fmt, img = raster_decode(gif_encode(grey))
+    assert fmt == "gif" and img.shape == (80, 100, 3)
+    out = raster_resize_nearest(gif_encode(grey), 10, 8)
+    assert sniff_media(out)["format"] == "png"
+    assert png_decode(out).shape == (8, 10, 3)
+    # interlaced: build one by hand from the encoder's parts
+    import struct
+
+    from clickhouse_clickhouse_spark.functions import png as P
+    small = (np.arange(7 * 5, dtype=np.uint8).reshape(7, 5) * 3) % 256
+    rows = ([*range(0, 7, 8)] + [*range(4, 7, 8)]
+            + [*range(2, 7, 4)] + [*range(1, 7, 2)])
+    lzw = P._lzw_encode(8, small[rows].reshape(-1))
+    gct = bytes(v for g in range(256) for v in (g, g, g))
+    subs = b"".join(bytes([min(255, len(lzw) - i)]) + lzw[i:i + 255]
+                    for i in range(0, len(lzw), 255)) + b"\x00"
+    gif = (b"GIF89a" + struct.pack("<HHBBB", 5, 7, 0xF7, 0, 0) + gct
+           + b"\x2C" + struct.pack("<HHHHB", 0, 0, 5, 7, 0x40)
+           + bytes([8]) + subs + b"\x3B")
+    assert np.array_equal(gif_decode(gif)[:, :, 0], small)
