@@ -3,7 +3,9 @@
 The container has no media libraries, but PNG needs none: the format is
 zlib-compressed filtered scanlines (public W3C PNG spec / RFC 2083).
 This gives the multimodal pipeline a REAL decode/transform/encode kernel
-for one concrete format; JPEG/video stay gated on external libs.
+for one concrete format; baseline JPEG lives in functions/jpeg.py and
+registers in _RASTER below; video frame decode stays gated on external
+libs.
 
 Scope: 8-bit RGB / RGBA / greyscale, non-interlaced. Decode handles all
 five scanline filters (None/Sub/Up/Average/Paeth); encode writes filter
@@ -291,6 +293,11 @@ def ppm_decode(data: bytes) -> np.ndarray:
 
 # ------------------------------------------------ format-generic raster
 
+from clickhouse_clickhouse_spark.functions.jpeg import (  # noqa: E402
+    jpeg_decode,
+    jpeg_encode,
+)
+
 _RASTER = {
     "png": (png_decode, png_encode),
     "bmp": (bmp_decode, bmp_encode),
@@ -298,6 +305,8 @@ _RASTER = {
     # decode-only: re-encoding arbitrary RGB needs palette quantization
     # (gif_encode covers greyscale); see raster_resize_nearest
     "gif": (lambda d: gif_decode(d), None),
+    # baseline sequential codec (ITU-T T.81), functions/jpeg.py
+    "jpeg": (jpeg_decode, jpeg_encode),
 }
 
 

@@ -140,20 +140,24 @@ def probe_media(media: DataFrame) -> DataFrame:
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Image resize. REAL kernel for every lib-free raster format —
-    PNG, BMP (24-bit BI_RGB), binary PPM/PGM (round 10) — via the
-    in-repo stdlib codecs: decode → nearest-neighbor resample →
-    re-encode in the same format. JPEG/video still raise per-row (their
+    PNG, BMP (24-bit BI_RGB), binary PPM/PGM, GIF, and baseline JPEG
+    (round-10 in-repo T.81 codec) — via the stdlib codecs: decode →
+    nearest-neighbor resample → re-encode in the same format (JPEG
+    re-encodes at the codec's default quality — lossy, like any
+    JPEG-to-JPEG resize). Video frames still raise per-row (their
     decoders need external libs absent here)."""
     import sys
 
     from pyspark import cloudpickle
 
+    from clickhouse_clickhouse_spark.functions import jpeg as _jpeg
     from clickhouse_clickhouse_spark.functions import png as _png
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
-    # the closure references the png module — ship it by value as well
-    # (executor workers under an external session lack the repo on
-    # sys.path)
+    # the closures reference the png/jpeg modules — ship them by value
+    # as well (executor workers under an external session lack the repo
+    # on sys.path)
     cloudpickle.register_pickle_by_value(_png)
+    cloudpickle.register_pickle_by_value(_jpeg)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -167,11 +171,11 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 data = bytes(payload)
                 sniff = _png.sniff_media(data)
                 fmt = sniff and sniff["format"]
-                if fmt not in ("png", "bmp", "ppm", "gif"):
+                if fmt not in ("png", "bmp", "ppm", "gif", "jpeg"):
                     raise NotImplementedError(
                         "resize kernel covers the lib-free rasters "
-                        f"(png/bmp/ppm/gif); got {fmt!r} — JPEG/video "
-                        "need external decoders absent here")
+                        f"(png/bmp/ppm/gif/jpeg); got {fmt!r} — video "
+                        "frames need external decoders absent here")
                 resized = _png.raster_resize_nearest(data, width, height)
                 ids.append(mid)
                 payloads.append(resized)
