@@ -136,22 +136,31 @@ def kmeans_centroids(corpus: DataFrame, k: int, iterations: int = 2,
                  .groupBy("centroid_id")
                  .agg(F.transform(F.array_sort(F.collect_list(F.struct("dim", "m"))),
                                   lambda s: s["m"]).alias("centroid")))
+        # k tiny rows; persisting each Lloyd step stops the lineage from
+        # re-running every earlier iteration once per downstream branch
+        # (assign + the next update both read it) — the standard Spark
+        # iterative-training idiom. LRU-evictable, lazy.
+        cents = cents.persist()
     return cents
 
 
 def assign_to_centroids(corpus: DataFrame, centroids: DataFrame,
                         vec: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """Nearest-centroid assignment by cosine (broadcast centroids)."""
-    from pyspark.sql import Window
+    """Nearest-centroid assignment by cosine (broadcast centroids).
 
+    Argmax via ``min_by`` over (-sim, centroid_id) — a partial (map-side
+    combining) hash aggregate instead of a sort-window, so the k-fold
+    exploded score rows never shuffle sorted; same deterministic
+    tiebreak (highest sim, then lowest centroid id)."""
     scored = (corpus.select(F.col(id_col), F.col(vec).alias("__v"))
               .crossJoin(F.broadcast(centroids))
               .select(id_col, "centroid_id",
                       cosine_similarity(F.col("__v"), F.col("centroid")).alias("sim")))
-    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(),
-                                           F.col("centroid_id"))
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1).select(id_col, "centroid_id"))
+    return (scored.groupBy(id_col)
+            .agg(F.min_by("centroid_id",
+                          F.struct((-F.col("sim")).alias("ns"),
+                                   F.col("centroid_id").alias("ci")))
+                 .alias("centroid_id")))
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
@@ -279,21 +288,30 @@ def pq_train(corpus: DataFrame, *, m: int = 8, codes: int = 16, dim: int,
               .agg(F.transform(
                   F.array_sort(F.collect_list(F.struct("dim", "mv"))),
                   lambda s: s["mv"].cast("float")).alias("codeword")))
+        # m*codes tiny rows; see kmeans_centroids — persisting per Lloyd
+        # step keeps downstream branches (encode + query tables) from
+        # re-running the whole training chain.
+        cb = cb.persist()
     return cb
 
 
 def _pq_assign(subs: DataFrame, codebook: DataFrame,
                id_col: str) -> DataFrame:
-    """Nearest codeword per (id, sub) — broadcast codebook, window
-    argmin keyed by (id, sub) (parallel across the corpus)."""
-    from pyspark.sql import Window
-
+    """Nearest codeword per (id, sub) — broadcast codebook, then argmin
+    via ``min_by`` over (d, code_id): a partial hash aggregate with
+    map-side combining, so the corpus×codes exploded rows collapse
+    before the exchange instead of sort-shuffling (at codes=256 that
+    is a 256× reduction in shuffled rows). Deterministic tiebreak
+    (lowest distance, then lowest code id) — identical to the former
+    sort-window."""
     scored = (subs.join(F.broadcast(codebook), "sub")
               .select(id_col, "sub", "code_id",
                       _l2sq(F.col("subvec"), F.col("codeword")).alias("d")))
-    w = Window.partitionBy(id_col, "sub").orderBy("d", "code_id")
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1).select(id_col, "sub", "code_id"))
+    return (scored.groupBy(id_col, "sub")
+            .agg(F.min_by("code_id",
+                          F.struct(F.col("d").alias("dd"),
+                                   F.col("code_id").alias("cc")))
+                 .alias("code_id")))
 
 
 def pq_encode(corpus: DataFrame, codebook: DataFrame, *, m: int, dim: int,

@@ -443,9 +443,11 @@ def ann_recall_gate(spark, sf):
                    query_id="vec_id", query_vec="embedding").select(
         F.col("query_id").alias("qid"), F.col("corpus_id").alias("nid"))
 
+    exact = exact.persist()
+    n_exact = exact.count()
+
     def recall(approx):
-        hits = exact.join(approx, ["qid", "nid"]).count()
-        return hits / exact.count()
+        return exact.join(approx, ["qid", "nid"]).count() / n_exact
 
     ivf_ok, lsh_ok = recall(ivf) >= 0.6, recall(lsh) >= 0.2
     return spark.createDataFrame([(ivf_ok, lsh_ok)],
@@ -510,9 +512,11 @@ def ann_tuned_recall_gate(spark, sf):
                         rerank=40, query_id="query_id").select(
         F.col("query_id").alias("qid"), F.col("corpus_id").alias("nid"))
 
+    exact = exact.persist()
+    n_exact = exact.count()
+
     def recall(approx):
-        hits = exact.join(approx, ["qid", "nid"]).count()
-        return hits / exact.count()
+        return exact.join(approx, ["qid", "nid"]).count() / n_exact
 
     pq_ok, ivfpq_ok = recall(pq) >= 0.9, recall(ivfpq) >= 0.9
     return spark.createDataFrame([(pq_ok, ivfpq_ok)],

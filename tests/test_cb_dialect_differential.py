@@ -303,13 +303,22 @@ def _canon(df):
                    for row in df.collect()), key=repr)
 
 
-@pytest.mark.parametrize("name", sorted(CASES))
-def test_cb_dialect_twin_matches(spark, name):
+def test_cb_dialect_twin_matches(spark):
+    """All 43 dialect twins in ONE battery — translation + both
+    executions are read-only, so the cases run on the conftest thread
+    pool (~43 serial pytest cases → one parallel pass; every mismatch
+    is still reported with its case name)."""
+    from conftest import run_parallel
+
     qs = all_queries()
     load_table(spark, SF_DIR, "events").createOrReplaceTempView("events")
-    expect = qs[name](spark, SF_DIR)
-    got = ch_sql(spark, CASES[name])
-    assert sorted(c.lower() for c in got.columns) == \
-        sorted(c.lower() for c in expect.columns), name
-    got = got.select(*expect.columns)
-    assert _canon(got) == _canon(expect), name
+
+    def check(name):
+        expect = qs[name](spark, SF_DIR)
+        got = ch_sql(spark, CASES[name])
+        assert sorted(c.lower() for c in got.columns) == \
+            sorted(c.lower() for c in expect.columns), name
+        got = got.select(*expect.columns)
+        assert _canon(got) == _canon(expect), name
+
+    run_parallel(sorted(CASES), check)
