@@ -379,3 +379,76 @@ def audio_embedding(media: DataFrame, bands: int = 16) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "embedding": embs})
 
     return media.mapInPandas(run, schema=_EMB_SCHEMA)
+
+
+def synthetic_jpeg_media(spark, n: int = 12) -> DataFrame:
+    """Deterministic REAL-JPEG media table: gradient RGB images encoded
+    by the in-repo baseline T.81 codec, cycling subsampling (4:4:4 /
+    4:2:2 / 4:2:0) and restart intervals so all decoder paths are on
+    the driver's oracle gate."""
+    from clickhouse_clickhouse_spark.functions.jpeg import jpeg_encode
+
+    subs = ["444", "422", "420"]
+    rows = []
+    for i in range(n):
+        h, w = 9 + i % 4, 12 + i % 5
+        img = _gradient_rgb(h, w)
+        payload = jpeg_encode(img, quality=92, subsampling=subs[i % 3],
+                              restart_interval=i % 3)
+        rows.append((i, bytearray(payload), ("image/jpeg", w, h)))
+    return spark.createDataFrame(rows, IMAGE_SCHEMA)
+
+
+def _gradient_rgb(h: int, w: int) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([xx * 255 // max(w - 1, 1),
+                     yy * 255 // max(h - 1, 1),
+                     (xx + yy) * 255 // max(h + w - 2, 1)],
+                    axis=-1).astype(np.uint8)
+
+
+_JPEG_REPORT_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("format", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("mae_ok", T.BooleanType(), True),
+])
+
+
+def jpeg_roundtrip_report(media: DataFrame) -> DataFrame:
+    """Decode every JPEG payload with the in-repo codec, recompute the
+    deterministic gradient the encoder saw, and report sniffed
+    format/dims plus a lossy-accuracy invariant (mean abs error < 8/255;
+    the steep tiny-image gradients push subsampled chroma to ~6, while
+    a wrong decode would sit near 85) — the hash-matchable form of
+    'the codec round-trips'."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    from clickhouse_clickhouse_spark.functions import jpeg as _jpeg
+    from clickhouse_clickhouse_spark.functions import png as _png
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    cloudpickle.register_pickle_by_value(_png)
+    cloudpickle.register_pickle_by_value(_jpeg)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "format": [], "width": [],
+                   "height": [], "mae_ok": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                s = _png.sniff_media(data) or {}
+                img = _jpeg.jpeg_decode(data)
+                ref = _gradient_rgb(*img.shape[:2])
+                mae = float(np.abs(img.astype(int)
+                                   - ref.astype(int)).mean())
+                out["media_id"].append(mid)
+                out["format"].append(s.get("format"))
+                out["width"].append(s.get("width"))
+                out["height"].append(s.get("height"))
+                out["mae_ok"].append(mae < 8.0)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=_JPEG_REPORT_SCHEMA)

@@ -1785,3 +1785,23 @@ def audio_embedding_ann(spark, sf):
             .select("query_id",
                     (F.col("corpus_id") == F.col("query_id") + 1000)
                     .alias("planted_dup_is_top1")))
+
+
+@register("media_jpeg_roundtrip", oracle="""
+SELECT CAST(g.i AS BIGINT) AS media_id, 'jpeg' AS format,
+       CAST(12 + g.i % 5 AS INT) AS width,
+       CAST(9 + g.i % 4 AS INT) AS height, TRUE AS mae_ok
+FROM (SELECT unnest(generate_series(0, 11)) AS i) g
+""")
+def media_jpeg_roundtrip(spark, sf):
+    """Baseline JPEG codec end-to-end on the driver's oracle gate
+    (functions/jpeg.py, round 10): deterministic gradient images →
+    in-repo T.81 encode (4:4:4/4:2:2/4:2:0, restart markers) → sniff +
+    decode → dims recovered exactly and decoded pixels within the lossy
+    bound the oracle states as TRUE."""
+    from clickhouse_clickhouse_spark.pipeline.multimodal import (
+        jpeg_roundtrip_report,
+        synthetic_jpeg_media,
+    )
+
+    return jpeg_roundtrip_report(synthetic_jpeg_media(spark, 12))
