@@ -2265,18 +2265,6 @@ _FUNCS: dict[str, str] = {
     "catboostEvaluate": lambda a: (_ for _ in ()).throw(ValueError(
         "catboostEvaluate needs the CatBoost runtime; apply models via "
         "a pandas UDF")),
-    "normalizeUTF8NFC": lambda a: (_ for _ in ()).throw(ValueError(
-        "normalizeUTF8* needs ICU normalization (no unicodedata in the "
-        "JVM SQL surface); normalize upstream or in a pandas UDF")),
-    "normalizeUTF8NFD": lambda a: (_ for _ in ()).throw(ValueError(
-        "normalizeUTF8* needs ICU normalization; normalize upstream or "
-        "in a pandas UDF")),
-    "normalizeUTF8NFKC": lambda a: (_ for _ in ()).throw(ValueError(
-        "normalizeUTF8* needs ICU normalization; normalize upstream or "
-        "in a pandas UDF")),
-    "normalizeUTF8NFKD": lambda a: (_ for _ in ()).throw(ValueError(
-        "normalizeUTF8* needs ICU normalization; normalize upstream or "
-        "in a pandas UDF")),
     "MD4": lambda a: (_ for _ in ()).throw(ValueError(
         "MD4 is a legacy digest with no JVM implementation here; use "
         "MD5/SHA2/xxHash64")),
@@ -2386,12 +2374,6 @@ _FUNCS: dict[str, str] = {
     "sqidDecode": lambda a: (_ for _ in ()).throw(ValueError(
         "sqidEncode/base58/bech32 codecs are out of scope; hex/base64 "
         "are the supported binary-text codecs")),
-    "base58Encode": lambda a: (_ for _ in ()).throw(ValueError(
-        "base58 is out of scope; hex/base64 are the supported "
-        "binary-text codecs")),
-    "base58Decode": lambda a: (_ for _ in ()).throw(ValueError(
-        "base58 is out of scope; hex/base64 are the supported "
-        "binary-text codecs")),
     "bech32Encode": lambda a: (_ for _ in ()).throw(ValueError(
         "bech32 is out of scope; hex/base64 are the supported "
         "binary-text codecs")),
@@ -2429,19 +2411,6 @@ _FUNCS: dict[str, str] = {
     "bitSlice": lambda a: (_ for _ in ()).throw(ValueError(
         "bitSlice (sub-byte offsets) is not supported — byteSlice + bit "
         "operators cover byte-aligned slicing")),
-    "idnaEncode": lambda a: (_ for _ in ()).throw(ValueError(
-        "idnaEncode needs the IDNA/punycode codec (no codec library "
-        "here); ASCII domains pass through unchanged — preprocess "
-        "internationalized domains upstream")),
-    "idnaDecode": lambda a: (_ for _ in ()).throw(ValueError(
-        "idnaDecode needs the IDNA/punycode codec (no codec library "
-        "here)")),
-    "punycodeEncode": lambda a: (_ for _ in ()).throw(ValueError(
-        "punycodeEncode needs the punycode codec (no codec library "
-        "here)")),
-    "punycodeDecode": lambda a: (_ for _ in ()).throw(ValueError(
-        "punycodeDecode needs the punycode codec (no codec library "
-        "here)")),
     "addTupleOfIntervals": lambda a: (_ for _ in ()).throw(ValueError(
         "addTupleOfIntervals: apply the intervals individually "
         "(d + INTERVAL ... + INTERVAL ...) — tuple-of-interval "
@@ -5228,6 +5197,8 @@ def _register_udfs(spark: SparkSession) -> None:
 
     spark.udf.register("cityHash64", H._udf("city"))
     spark.udf.register("sipHash64", H._udf("sip"))
+    from clickhouse_clickhouse_spark.functions import textcodecs as TC
+    TC.register_codec_udfs(spark)
     _REGISTERED.add(id(spark))
 
 

@@ -1,0 +1,133 @@
+"""Unicode/text codecs for the dialect front end — pure Python stdlib.
+
+Backs the reference's punycode/IDNA/UTF8-normalization/base58 scalar
+functions (upstream ``src/Functions/punycode.cpp`` / ``idna.cpp`` /
+``normalizeUTF8.h`` / ``FunctionBase58Conversion.h``) with stdlib
+codecs — no external libraries:
+
+* ``punycodeEncode/Decode`` — RFC 3492 via Python's built-in
+  ``punycode`` codec (the same algorithm upstream takes from ada/idna).
+* ``idnaEncode/Decode`` — per-label ToASCII/ToUnicode: ASCII labels
+  lowercase-pass-through, non-ASCII labels get ``xn--`` + punycode.
+  This is the raw-punycode label mapping (matches upstream's documented
+  examples, e.g. ``straße.münchen.de → xn--strae-oqa.xn--mnchen-3ya.de``);
+  the IDNA2003 nameprep remappings (``ß → ss``) are deliberately NOT
+  applied — Python's ``idna`` codec would, upstream does not.
+* ``normalizeUTF8NFC/NFD/NFKC/NFKD`` — ``unicodedata.normalize``.
+* ``base58Encode/Decode`` — Bitcoin alphabet, leading-zero ``1`` runs
+  preserved (the convention upstream pins).
+
+Per-value Python inside Arrow-batched pandas UDFs — these are
+compatibility codecs for name-like short strings, the same stance as
+``cityHash64`` (documented in SCALE.md); none sit on a scale path.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+
+_B58 = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+_B58_IDX = {c: i for i, c in enumerate(_B58)}
+
+
+def punycode_encode_py(s: str) -> str:
+    return s.encode("punycode").decode("ascii")
+
+
+def punycode_decode_py(s: str) -> str:
+    return s.encode("ascii").decode("punycode")
+
+
+def idna_encode_py(domain: str) -> str:
+    out = []
+    for label in domain.split("."):
+        low = label.lower()
+        if low.isascii():
+            out.append(low)
+        else:
+            out.append("xn--" + low.encode("punycode").decode("ascii"))
+    return ".".join(out)
+
+
+def idna_decode_py(domain: str) -> str:
+    out = []
+    for label in domain.split("."):
+        low = label.lower()
+        if low.startswith("xn--"):
+            out.append(low[4:].encode("ascii").decode("punycode"))
+        else:
+            out.append(low)
+    return ".".join(out)
+
+
+def base58_encode_py(s: str) -> str:
+    data = s.encode("utf-8")
+    n = int.from_bytes(data, "big")
+    enc = ""
+    while n:
+        n, rem = divmod(n, 58)
+        enc = _B58[rem] + enc
+    pad = 0
+    for b in data:
+        if b:
+            break
+        pad += 1
+    return "1" * pad + enc
+
+
+def base58_decode_py(s: str) -> str:
+    n = 0
+    for c in s:
+        if c not in _B58_IDX:
+            raise ValueError(f"invalid base58 character {c!r}")
+        n = n * 58 + _B58_IDX[c]
+    raw = n.to_bytes((n.bit_length() + 7) // 8, "big") if n else b""
+    pad = 0
+    for c in s:
+        if c != "1":
+            break
+        pad += 1
+    return (b"\x00" * pad + raw).decode("utf-8")
+
+
+def _str_udf(fn, try_mode: bool = False):
+    """Wrap a str->str core as a null-safe Arrow-batched pandas UDF.
+    ``try_mode`` maps failures to '' (the reference's try* contract);
+    otherwise failures raise with the offending value named."""
+
+    @pandas_udf("string")
+    def run(col: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            try:
+                return fn(v)
+            except Exception as ex:
+                if try_mode:
+                    return ""
+                raise ValueError(f"{fn.__name__}({v!r}): {ex}") from ex
+        return col.map(one)
+
+    return run
+
+
+def register_codec_udfs(spark) -> None:
+    """Register every codec under its reference name (idempotent per
+    session via ch_sql._register_udfs)."""
+    spark.udf.register("punycodeEncode", _str_udf(punycode_encode_py))
+    spark.udf.register("punycodeDecode", _str_udf(punycode_decode_py))
+    spark.udf.register("tryPunycodeDecode",
+                       _str_udf(punycode_decode_py, try_mode=True))
+    spark.udf.register("idnaEncode", _str_udf(idna_encode_py))
+    spark.udf.register("idnaDecode", _str_udf(idna_decode_py))
+    spark.udf.register("tryIdnaEncode",
+                       _str_udf(idna_encode_py, try_mode=True))
+    spark.udf.register("base58Encode", _str_udf(base58_encode_py))
+    spark.udf.register("base58Decode", _str_udf(base58_decode_py))
+    for form in ("NFC", "NFD", "NFKC", "NFKD"):
+        spark.udf.register(
+            f"normalizeUTF8{form}",
+            _str_udf(lambda v, f=form: unicodedata.normalize(f, v)))

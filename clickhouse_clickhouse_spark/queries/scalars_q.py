@@ -2064,3 +2064,43 @@ def ch_sql_scalar_tail3_r10(spark, sf):
                    THEN '01234567-89AB-CDEF-0123-456789abcdef'
                    ELSE 'not-a-uuid' END) AS uu
         FROM orders WHERE o_orderkey < 800""")
+
+
+@register("ch_sql_text_codecs", oracle="""
+SELECT n_nationkey AS k,
+       true AS pc_rt, true AS idna_rt, true AS b58_rt,
+       CAST(len(n_name) + 1 AS INT) AS nfc_len,
+       CAST(len(n_name) + 2 AS INT) AS nfd_len,
+       'Mnchen-3ya' AS pe,
+       'xn--strae-oqa.xn--mnchen-3ya.de' AS ie,
+       '3dc8KtHrwM' AS be
+FROM nation
+""")
+def ch_sql_text_codecs(spark, sf):
+    """Round-10 stdlib text codecs in dialect SQL
+    (functions/textcodecs.py; upstream src/Functions/{punycode,idna}.cpp,
+    FunctionBase58Conversion.h, normalizeUTF8.h): encode->decode round
+    trips over per-row non-ASCII strings as hash-checked TRUE columns,
+    NFC/NFD length laws on a combining-mark suffix, and the upstream
+    doc-example literals (punycode 'München', IDNA 'straße.münchen.de',
+    base58 'Encoded') the oracle states verbatim."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "nation").createOrReplaceTempView("nation")
+    return ch_sql(spark, """
+        SELECT n_nationkey AS k,
+               punycodeDecode(punycodeEncode(s)) = s AS pc_rt,
+               idnaDecode(idnaEncode(concat(s, '.example.com')))
+                   = concat(s, '.example.com') AS idna_rt,
+               base58Decode(base58Encode(s)) = s AS b58_rt,
+               toInt32(length(normalizeUTF8NFC(concat(n_name, 'é'))))
+                   AS nfc_len,
+               toInt32(length(normalizeUTF8NFD(concat(n_name, 'é'))))
+                   AS nfd_len,
+               punycodeEncode('München') AS pe,
+               idnaEncode('straße.münchen.de') AS ie,
+               base58Encode('Encoded') AS be
+        FROM (SELECT n_nationkey,  n_name,
+                     concat(lower(n_name), 'üß',
+                            toString(n_nationkey)) AS s
+              FROM nation)""")

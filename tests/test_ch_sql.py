@@ -2605,7 +2605,7 @@ def test_round10_resolve_probe_batch(spark):
                       ("jumpConsistentHash(ed, 4)", "bucketing"),
                       ("ngramSimHash(s)", "SimHash"),
                       ("bitSlice(s, 1, 3)", "byteSlice"),
-                      ("punycodeEncode(s)", "codec"),
+                      ("bech32Encode(s, s)", "bech32"),
                       ("tupleToNameValuePairs(s)", "tupleElement"),
                       ("addTupleOfIntervals(d, s)", "individually"),
                       ("dateName('fortnight', ts)", "unsupported part")]:
@@ -2819,3 +2819,46 @@ def test_optimize_compacts_file_backed_table(spark, tmp_path):
         .collect()[0].n == 100
     # dedup persisted to the FILES, not just the session view
     assert spark.read.parquet(d).count() == 100
+
+
+def test_round10_text_codecs(spark):
+    """Stdlib text codecs (functions/textcodecs.py): upstream doc
+    examples, round trips, try* empty-string contract, loud errors on
+    invalid input, and base58 leading-zero-byte preservation — ONE
+    battery."""
+    import pytest as _p
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+    from clickhouse_clickhouse_spark.functions.textcodecs import (
+        base58_decode_py, base58_encode_py,
+    )
+
+    r = ch_sql(spark, """
+        SELECT punycodeEncode('München') AS pe,
+               punycodeDecode('Mnchen-3ya') AS pd,
+               tryPunycodeDecode('???invalid&payload') AS tpd,
+               idnaEncode('straße.münchen.de') AS ie,
+               idnaEncode('WWW.Example.COM') AS ie_ascii,
+               idnaDecode('xn--strae-oqa.xn--mnchen-3ya.de') AS idd,
+               tryIdnaEncode('ok.com') AS tie,
+               base58Encode('Encoded') AS be,
+               base58Decode('3dc8KtHrwM') AS bd,
+               normalizeUTF8NFC('é') AS nfc,
+               length(normalizeUTF8NFD('é')) AS nfd_len,
+               length(normalizeUTF8NFKC('ﬁ')) AS nfkc_len
+        """).collect()[0]
+    assert r.pe == "Mnchen-3ya" and r.pd == "München"
+    assert r.tpd == ""                      # try* maps failure to ''
+    assert r.ie == "xn--strae-oqa.xn--mnchen-3ya.de"
+    assert r.ie_ascii == "www.example.com"  # ASCII: lowercase passthrough
+    assert r.idd == "straße.münchen.de"
+    assert r.tie == "ok.com"
+    assert r.be == "3dc8KtHrwM" and r.bd == "Encoded"
+    assert r.nfc == "é" and r.nfd_len == 2
+    assert r.nfkc_len == 2                  # fi ligature decomposes
+    # loud (non-try) failure names the offending value
+    with _p.raises(Exception, match="invalid base58"):
+        ch_sql(spark, "SELECT base58Decode('bad 0OIl') AS x").collect()
+    # leading NULs become leading '1's (the bitcoin convention)
+    assert base58_encode_py("\x00\x00a") == "112g"
+    assert base58_decode_py("112g") == "\x00\x00a"

@@ -226,14 +226,16 @@ def test_star_components_matches_label_propagation(spark):
             connected_components(df, "id_a", "id_b").collect()}
     assert star == prop
 
-    # a 30-edge chain: diameter exceeds label propagation's max_iter=25
-    # -> it must now FAIL LOUDLY (it used to return silently-wrong
-    # labels); the star variant collapses it to root 0 in O(log n) rounds
+    # a 30-edge chain: diameter exceeds label propagation's iteration
+    # budget -> it must FAIL LOUDLY (it used to return silently-wrong
+    # labels); the star variant collapses it to root 0 in O(log n)
+    # rounds. max_iter=6 exercises the identical non-convergence path
+    # as the default 25 without paying 19 extra Spark rounds of wall.
     chain = spark.createDataFrame([(i, i + 1) for i in range(30)],
                                   "id_a long, id_b long")
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="connected_components_star"):
-        connected_components(chain, "id_a", "id_b")
+        connected_components(chain, "id_a", "id_b", max_iter=6)
     cstar = {r.n: r.lbl for r in
              connected_components_star(chain, "id_a", "id_b").collect()}
     assert set(cstar.values()) == {0} and len(cstar) == 31
