@@ -4,9 +4,10 @@ this walks boxes, reads track metadata (mvhd/tkhd/mdhd/hdlr/stsd), and
 resolves the sample tables (stsc x stsz x stco/co64) into per-sample
 byte ranges — exactly what a large-scale video pipeline needs to
 frame-SAMPLE: select every k-th encoded sample's bytes and hand them to
-a downstream GPU decode stage. Frame DECODE (H.264/HEVC entropy
-decoding) genuinely needs codec libraries and stays env-gated in
-``pipeline/multimodal.py``; demux does not, and is implemented here.
+a downstream GPU decode stage. Motion-JPEG samples decode fully in-repo
+(``functions/jpeg.py`` + ``pipeline/multimodal.decode_frames``; the
+``build_mp4`` muxer below produces such files); H.264/HEVC frame DECODE
+genuinely needs codec libraries and stays env-gated.
 
 Reference parity: the upstream engine treats media as opaque strings and
 leaves demux to UDFs; this module is the 100 TB-shaped version — all
@@ -159,3 +160,55 @@ def probe_mp4(data: bytes) -> dict:
         "width": vid and vid["width"], "height": vid and vid["height"],
         "n_samples": vid["n_samples"] if vid else 0,
     }
+
+
+# --------------------------------------------------------------- mux
+
+def _mkbox(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + btype + payload
+
+
+def build_mp4(samples: list, *, codec: str = "jpeg", width: int,
+              height: int, timescale: int = 600,
+              sample_duration: int = 100) -> bytes:
+    """Minimal valid ISO-BMFF mux (public ISO/IEC 14496-12 layout): one
+    video track, all samples in one chunk, fourcc ``codec``. With
+    ``codec='jpeg'`` and baseline-JPEG sample payloads
+    (``functions/jpeg.jpeg_encode``) this produces a Motion-JPEG file
+    this repo can demux AND pixel-decode end-to-end — the first fully
+    in-repo video path; other fourccs mux fine but decode stays gated."""
+    if not samples:
+        raise ValueError("build_mp4 needs at least one sample")
+    if len(codec) != 4:
+        raise ValueError(f"fourcc must be 4 chars, got {codec!r}")
+    sizes = [len(s) for s in samples]
+    n = len(samples)
+    ftyp = _mkbox(b"ftyp", b"isom" + b"\x00\x00\x02\x00" + b"isomiso2")
+    chunk_off = len(ftyp) + 8                 # sole chunk starts in mdat
+    mdat = _mkbox(b"mdat", b"".join(samples))
+    stsd = _mkbox(b"stsd", struct.pack(">II", 0, 1)
+                  + _mkbox(codec.encode("latin1"), b"\x00" * 16))
+    stts = _mkbox(b"stts", struct.pack(">IIII", 0, 1, n, sample_duration))
+    stsc = _mkbox(b"stsc", struct.pack(">II", 0, 1)
+                  + struct.pack(">III", 1, n, 1))
+    stsz = _mkbox(b"stsz", struct.pack(">III", 0, 0, n)
+                  + struct.pack(f">{n}I", *sizes))
+    stco = _mkbox(b"stco", struct.pack(">II", 0, 1)
+                  + struct.pack(">I", chunk_off))
+    stbl = _mkbox(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _mkbox(b"minf", stbl)
+    duration = n * sample_duration
+    mdhd = _mkbox(b"mdhd", struct.pack(">IIIII", 0, 0, 0, timescale,
+                                       duration)
+                  + struct.pack(">HH", 0x55C4, 0))
+    hdlr = _mkbox(b"hdlr", struct.pack(">II", 0, 0) + b"vide"
+                  + b"\x00" * 12 + b"v\x00")
+    mdia = _mkbox(b"mdia", mdhd + hdlr + minf)
+    tkhd = _mkbox(b"tkhd", struct.pack(">IIIIII", 0, 0, 0, 1, 0, duration)
+                  + b"\x00" * 52
+                  + struct.pack(">II", width << 16, height << 16))
+    trak = _mkbox(b"trak", tkhd + mdia)
+    mvhd = _mkbox(b"mvhd", struct.pack(">III", 0, 0, 0)
+                  + struct.pack(">II", timescale, duration) + b"\x00" * 80)
+    moov = _mkbox(b"moov", mvhd + trak)
+    return ftyp + mdat + moov

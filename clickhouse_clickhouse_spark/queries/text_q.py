@@ -1805,3 +1805,45 @@ def media_jpeg_roundtrip(spark, sf):
     )
 
     return jpeg_roundtrip_report(synthetic_jpeg_media(spark, 12))
+
+
+@register("video_mjpeg_decode", oracle="""
+SELECT CAST(v.i AS BIGINT) AS media_id, CAST(s.j AS INT) AS sample_idx,
+       'jpeg' AS codec,
+       CAST(24 + 8 * (v.i % 3) AS INT) AS width,
+       CAST(16 + 8 * (v.i % 2) AS INT) AS height,
+       TRUE AS ok
+FROM (SELECT unnest(generate_series(0, 3)) AS i) v,
+     (SELECT unnest(generate_series(0, 4, 2)) AS j) s
+""")
+def video_mjpeg_decode(spark, sf):
+    """The fully in-repo VIDEO path on the driver's oracle gate
+    (round 10): Motion-JPEG mux (functions/mp4.build_mp4) → ISO-BMFF
+    demux → every-2nd-frame sampling → baseline-JPEG pixel decode
+    (functions/jpeg.py) → per-channel means, checked against the
+    recomputed source frames (max channel-mean error < 4/255, stated
+    TRUE by the oracle along with the demuxed dims/codec)."""
+    from clickhouse_clickhouse_spark.pipeline.multimodal import (
+        _mjpeg_frame,
+        decode_frames,
+        synthetic_mjpeg_media,
+    )
+
+    frames = decode_frames(synthetic_mjpeg_media(spark, 4, 6), every_n=2)
+    expect = []
+    for i in range(4):
+        h, w = 16 + 8 * (i % 2), 24 + 8 * (i % 3)
+        for j in range(0, 6, 2):
+            ref = _mjpeg_frame(j, h, w)
+            expect.append((i, j, [float(ref[..., c].mean())
+                                  for c in range(3)]))
+    exp = spark.createDataFrame(
+        expect, "media_id long, sample_idx int, want array<double>")
+    return (frames.join(F.broadcast(exp), ["media_id", "sample_idx"])
+            .select("media_id", "sample_idx", "codec", "width", "height",
+                    (F.aggregate(
+                        F.zip_with("mean_rgb", "want",
+                                   lambda a, b: F.abs(a - b)),
+                        F.lit(0.0),
+                        lambda acc, d: F.greatest(acc, d))
+                     < 4.0).alias("ok")))

@@ -390,3 +390,47 @@ def test_jpeg_baseline_codec(spark):
            probe_media(resize_images(media, 5, 4)).collect()}
     assert got[1].format == "png" and got[2].format == "jpeg"
     assert all(r.width == 5 and r.height == 4 for r in got.values())
+
+
+def test_mjpeg_video_decode_end_to_end(spark):
+    """Round 10: the fully in-repo VIDEO path — Motion-JPEG mux
+    (functions/mp4.build_mp4) → demux → frame select → baseline-JPEG
+    pixel decode → per-channel means vs the recomputed source frames;
+    non-MJPEG fourccs still gate loudly."""
+    import numpy as np
+
+    from clickhouse_clickhouse_spark.functions.jpeg import jpeg_encode
+    from clickhouse_clickhouse_spark.functions.mp4 import (
+        build_mp4, probe_mp4,
+    )
+    from clickhouse_clickhouse_spark.pipeline.multimodal import (
+        IMAGE_SCHEMA, _mjpeg_frame, decode_frames, probe_video,
+        synthetic_mjpeg_media,
+    )
+
+    media = synthetic_mjpeg_media(spark, 3, 5)
+    # demux metadata agrees with the mux inputs
+    probed = {r.media_id: r for r in probe_video(media).collect()}
+    assert all(r.video_codec == "jpeg" and r.n_samples == 5
+               for r in probed.values())
+    out = sorted(decode_frames(media, every_n=2).collect(),
+                 key=lambda r: (r.media_id, r.sample_idx))
+    assert [(r.media_id, r.sample_idx) for r in out] == \
+        [(i, j) for i in range(3) for j in (0, 2, 4)]
+    for r in out:
+        ref = _mjpeg_frame(r.sample_idx, r.height, r.width)
+        want = [float(ref[..., c].mean()) for c in range(3)]
+        assert max(abs(a - b) for a, b in zip(r.mean_rgb, want)) < 4, r
+    # a non-MJPEG fourcc gates loudly at decode (demux still fine)
+    h264ish = build_mp4([b"\x00\x01\x02"], codec="avc1",
+                        width=8, height=8)
+    assert probe_mp4(h264ish)["video_codec"] == "avc1"
+    bad = spark.createDataFrame(
+        [(9, bytearray(h264ish), ("video/mp4", 8, 8))], IMAGE_SCHEMA)
+    with pytest.raises(Exception, match="frame decode for fourcc"):
+        decode_frames(bad, every_n=1).collect()
+    # mux validation errors
+    with pytest.raises(ValueError, match="at least one sample"):
+        build_mp4([], codec="jpeg", width=8, height=8)
+    with pytest.raises(ValueError, match="fourcc"):
+        build_mp4([b"x"], codec="toolong5", width=8, height=8)
