@@ -1439,6 +1439,424 @@ def _matrix_agg_tpl(args: list[str], fn: str) -> str:
     return f"ARRAY({rows})"
 
 
+# ---- round-10 helpers: number theory, space-filling curves, geo tail ----
+
+# Euclid fold: 96 iterations cover the 64-bit worst case (consecutive
+# Fibonacci pairs need ~91 steps). Body references __v.a/__v.b bound once.
+_GCD_BODY = (
+    "AGGREGATE(SEQUENCE(1, 96), "
+    "NAMED_STRUCT('a', ABS(__v.a), 'b', ABS(__v.b)), "
+    "(__g, __i) -> IF(__g.b = 0, __g, "
+    "NAMED_STRUCT('a', __g.b, 'b', __g.a % __g.b)), __g -> __g.a)")
+
+
+def _gcd_tpl(a: list[str]) -> str:
+    """gcd(a, b) ([U] src/Functions/gcd.cpp) — Euclid as a bounded JVM
+    fold (no UDF); gcd(0, 0) = 0, negatives via ABS like upstream."""
+    return _bind_once(
+        {"a": f"CAST({a[0]} AS BIGINT)", "b": f"CAST({a[1]} AS BIGINT)"},
+        _GCD_BODY)
+
+
+def _lcm_tpl(a: list[str]) -> str:
+    """lcm(a, b) = |a| / gcd * |b| (division first so the product can't
+    overflow when the result fits); lcm with 0 = 0 like upstream."""
+    return _bind_once(
+        {"a": f"CAST({a[0]} AS BIGINT)", "b": f"CAST({a[1]} AS BIGINT)"},
+        f"IF(__v.a = 0 OR __v.b = 0, CAST(0 AS BIGINT), "
+        f"ABS(__v.a DIV {_GCD_BODY} * __v.b))")
+
+
+def _morton_encode_tpl(a: list[str]) -> str:
+    """mortonEncode(u1, ..., uk), k in 2..8 ([U] src/Functions/
+    mortonEncode.cpp): bit j of input i lands at bit k*j + i — arg
+    order pinned by the upstream docs example mortonEncode(1,2,3)=53.
+    Unrolled disjoint-bit ORs (constant-folded, no fold, no overflow —
+    bit ops don't trip ANSI)."""
+    k = len(a)
+    if not 2 <= k <= 8:
+        raise ValueError("mortonEncode supports 2..8 coordinates")
+    bits = 64 // k
+    binds = {f"c{i}": f"CAST({x} AS BIGINT)" for i, x in enumerate(a)}
+    terms = [
+        f"SHIFTLEFT(SHIFTRIGHTUNSIGNED(__v.c{i}, {j}) & 1, {k * j + i})"
+        for i in range(k) for j in range(bits)
+    ]
+    return _bind_once(binds, " | ".join(terms))
+
+
+def _morton_decode_tpl(a: list[str]) -> str:
+    """mortonDecode(k, code) → tuple of k coordinates (struct fields
+    _1.._k, the repo's tuple convention)."""
+    try:
+        k = int(a[0].strip())
+    except ValueError:
+        raise ValueError("mortonDecode needs a literal dimension count")
+    if not 2 <= k <= 8:
+        raise ValueError("mortonDecode supports 2..8 dimensions")
+    bits = 64 // k
+    fields = []
+    for i in range(k):
+        terms = " | ".join(
+            f"SHIFTLEFT(SHIFTRIGHTUNSIGNED(__v.m, {k * j + i}) & 1, {j})"
+            for j in range(bits))
+        fields.append(f"'_{i + 1}', ({terms})")
+    return _bind_once({"m": f"CAST({a[1]} AS BIGINT)"},
+                      f"NAMED_STRUCT({', '.join(fields)})")
+
+
+# 2-D Hilbert curve at fixed order 31 (n = 2^31): the classic xy2d /
+# d2xy construction (Wikipedia "Hilbert curve", public domain
+# pseudocode). Reproduces the upstream docs example
+# hilbertEncode(3, 4) = 31; ids beyond that are NOT guaranteed
+# bit-parity with upstream's state-machine LUT ([U] src/Functions/
+# hilbertEncode2DLUT.h) — documented like the hex_bin/H3 stance.
+# Coordinates are guarded to [0, 2^31) so d < 2^62 (no ANSI overflow).
+_HILBERT_N1 = (1 << 31) - 1
+
+
+def _hilbert_encode_tpl(a: list[str]) -> str:
+    if len(a) != 2:
+        raise ValueError("hilbertEncode here supports exactly 2 "
+                         "coordinates (upstream 2D form)")
+    guard = (f"IF(__v.x < 0 OR __v.x > {_HILBERT_N1} OR __v.y < 0 "
+             f"OR __v.y > {_HILBERT_N1}, "
+             f"CAST(RAISE_ERROR('hilbertEncode: coordinates must be in "
+             f"[0, 2^31)') AS BIGINT), CAST(0 AS BIGINT))")
+    rx = "(SHIFTRIGHT(__h.x, CAST(__i AS INT)) & 1)"
+    ry = "(SHIFTRIGHT(__h.y, CAST(__i AS INT)) & 1)"
+    step = (
+        f"NAMED_STRUCT("
+        f"'x', IF({ry} = 0, IF({rx} = 1, {_HILBERT_N1} - __h.y, __h.y), "
+        f"__h.x), "
+        f"'y', IF({ry} = 0, IF({rx} = 1, {_HILBERT_N1} - __h.x, __h.x), "
+        f"__h.y), "
+        f"'d', __h.d + SHIFTLEFT(CAST((3 * {rx}) ^ {ry} AS BIGINT), "
+        f"CAST(2 * __i AS INT)))")
+    return _bind_once(
+        {"x": f"CAST({a[0]} AS BIGINT)", "y": f"CAST({a[1]} AS BIGINT)"},
+        f"AGGREGATE(SEQUENCE(30, 0, -1), "
+        f"NAMED_STRUCT('x', __v.x + {guard}, 'y', __v.y, "
+        f"'d', CAST(0 AS BIGINT)), (__h, __i) -> {step}, __h -> __h.d)")
+
+
+def _hilbert_decode_tpl(a: list[str]) -> str:
+    if len(a) != 2 or a[0].strip() != "2":
+        raise ValueError("hilbertDecode here supports the 2-D form: "
+                         "hilbertDecode(2, code)")
+    # d2xy: s = 2^i ascending; rot uses s-1; then x += s*rx, y += s*ry
+    s = "SHIFTLEFT(CAST(1 AS BIGINT), CAST(__i AS INT))"
+    rx = "(SHIFTRIGHT(__h.t, 1) & 1)"
+    ry = "((__h.t ^ (SHIFTRIGHT(__h.t, 1) & 1)) & 1)"
+    step = (
+        f"NAMED_STRUCT("
+        f"'x', IF({ry} = 0, IF({rx} = 1, ({s}) - 1 - __h.y, __h.y), "
+        f"__h.x) + ({s}) * {rx}, "
+        f"'y', IF({ry} = 0, IF({rx} = 1, ({s}) - 1 - __h.x, __h.x), "
+        f"__h.y) + ({s}) * {ry}, "
+        f"'t', SHIFTRIGHTUNSIGNED(__h.t, 2))")
+    return _bind_once(
+        {"c": f"CAST({a[1]} AS BIGINT)"},
+        f"AGGREGATE(SEQUENCE(0, 30), "
+        f"NAMED_STRUCT('x', CAST(0 AS BIGINT), 'y', CAST(0 AS BIGINT), "
+        f"'t', IF(__v.c < 0, CAST(RAISE_ERROR('hilbertDecode: code must "
+        f"be in [0, 2^62)') AS BIGINT), __v.c)), "
+        f"(__h, __i) -> {step}, "
+        f"__h -> NAMED_STRUCT('_1', __h.x, '_2', __h.y))")
+
+
+def _char_tpl(a: list[str]) -> str:
+    """char(n1, n2, ...) ([U] src/Functions/char.cpp): each arg is one
+    byte (mod 256) of the output string."""
+    parts = ", ".join(f"CHAR(CAST({x} AS BIGINT) % 256)" for x in a)
+    return f"CONCAT({parts})" if len(a) > 1 else f"CHAR({a[0]} % 256)"
+
+
+def _array_intersect_tpl(a: list[str]) -> str:
+    """arrayIntersect(a1, a2, ...) — n-ary, distinct elements (Spark's
+    ARRAY_INTERSECT dedupes, same as upstream)."""
+    if len(a) == 1:
+        return f"ARRAY_DISTINCT({a[0]})"
+    out = a[0]
+    for nxt in a[1:]:
+        out = f"ARRAY_INTERSECT({out}, {nxt})"
+    return out
+
+
+def _array_shuffle_tpl(a: list[str]) -> str:
+    """arrayShuffle(arr[, seed]): unseeded → Spark SHUFFLE; seeded →
+    deterministic permutation by XXHASH64(element, position, seed)
+    (seed-stable like upstream; the PERMUTATION differs from upstream's
+    RNG — documented, same stance as generateRandom)."""
+    if len(a) == 1:
+        return f"SHUFFLE({a[0]})"
+    return _bind_once(
+        {"a": a[0]},
+        f"IF(SIZE(__v.a) < 2, __v.a, TRANSFORM(ARRAY_SORT("
+        f"ZIP_WITH(__v.a, SEQUENCE(0, SIZE(__v.a) - 1), (__e, __i) -> "
+        f"NAMED_STRUCT('h', XXHASH64(__e, __i, {a[1]}), 'v', __e))), "
+        f"__s -> __s.v))")
+
+
+_READABLE_UNITS = {
+    "B": "1", "KB": "1000", "KIB": "1024",
+    "MB": "1000000", "MIB": "1048576",
+    "GB": "1000000000", "GIB": "1073741824",
+    "TB": "1000000000000", "TIB": "1099511627776",
+    "PB": "1000000000000000", "PIB": "1125899906842624",
+    "EB": "1000000000000000000", "EIB": "1152921504606846976",
+}
+
+
+def _parse_readable_size_tpl(a: list[str], mode: str) -> str:
+    """parseReadableSize[OrNull/OrZero] ([U] src/Functions/
+    parseReadableSize.cpp): '<num> <unit>' → bytes, fractional values
+    rounded up (ceil) like upstream."""
+    num_re = "^\\\\s*([0-9]+(?:\\\\.[0-9]+)?)\\\\s*([A-Za-z]+)\\\\s*$"
+    cases = " ".join(f"WHEN '{u}' THEN CAST({m} AS DOUBLE)"
+                     for u, m in _READABLE_UNITS.items())
+    body = (
+        f"IF(__v.n = '' OR (CASE UPPER(__v.u) {cases} END) IS NULL, "
+        f"{{bad}}, "
+        f"CAST(CEIL(CAST(__v.n AS DOUBLE) * "
+        f"(CASE UPPER(__v.u) {cases} END)) AS BIGINT))")
+    bad = {
+        "strict": "CAST(RAISE_ERROR(CONCAT('parseReadableSize: cannot "
+                  "parse ', COALESCE(__v.s, 'NULL'))) AS BIGINT)",
+        "null": "CAST(NULL AS BIGINT)",
+        "zero": "CAST(0 AS BIGINT)",
+    }[mode]
+    return _bind_once(
+        {"s": a[0],
+         "n": f"REGEXP_EXTRACT({a[0]}, '{num_re}', 1)",
+         "u": f"REGEXP_EXTRACT({a[0]}, '{num_re}', 2)"},
+        body.format(bad=bad))
+
+
+def _point_in_ellipses_tpl(a: list[str]) -> str:
+    """pointInEllipses(x, y, x0, y0, a0, b0, ...) ([U] src/Functions/
+    pointInEllipses.cpp): true if (x, y) is inside ANY ellipse."""
+    if len(a) < 6 or (len(a) - 2) % 4:
+        raise ValueError("pointInEllipses needs x, y plus one or more "
+                         "(cx, cy, a, b) quadruples")
+    terms = []
+    for i in range(2, len(a), 4):
+        cx, cy, ax, bx = a[i], a[i + 1], a[i + 2], a[i + 3]
+        terms.append(
+            f"(POWER((CAST(__v.x AS DOUBLE) - ({cx})) / ({ax}), 2) + "
+            f"POWER((CAST(__v.y AS DOUBLE) - ({cy})) / ({bx}), 2) "
+            f"<= 1.0D)")
+    return _bind_once({"x": a[0], "y": a[1]}, "(" + " OR ".join(terms) + ")")
+
+
+# WGS-84 local-radius great circle ([U] src/Functions/
+# greatCircleDistance.cpp geoDistance method): haversine on the Earth
+# radius at the mean latitude — R(phi) from the WGS-84 ellipsoid
+# (a = 6378137, b = 6356752.314245). Upstream evaluates the same model
+# through lookup-table approximations; this closed form tracks it to
+# <0.5% (vs 6371-km-sphere greatCircleDistance, which both engines
+# keep as the spherical variant).
+def _geo_distance_tpl(a: list[str]) -> str:
+    ca, cb = "40680631590769.0D", "40408299984661.453D"  # a^2, b^2
+    r = ("SQRT(({ca} * COS(__v.mla) * {ca} * COS(__v.mla) + "
+         "{cb} * SIN(__v.mla) * {cb} * SIN(__v.mla)) / "
+         "({ca} * COS(__v.mla) * COS(__v.mla) + "
+         "{cb} * SIN(__v.mla) * SIN(__v.mla)))").format(ca=ca, cb=cb)
+    ang = ("ACOS(LEAST(GREATEST("
+           "SIN(__v.la1) * SIN(__v.la2) + COS(__v.la1) * COS(__v.la2) "
+           "* COS(__v.lo2 - __v.lo1), -1.0D), 1.0D))")
+    return _bind_once(
+        {"lo1": f"RADIANS(CAST({a[0]} AS DOUBLE))",
+         "la1": f"RADIANS(CAST({a[1]} AS DOUBLE))",
+         "lo2": f"RADIANS(CAST({a[2]} AS DOUBLE))",
+         "la2": f"RADIANS(CAST({a[3]} AS DOUBLE))",
+         "mla": f"RADIANS((CAST({a[1]} AS DOUBLE) + "
+                f"CAST({a[3]} AS DOUBLE)) / 2.0D)"},
+        f"({ang} * {r})")
+
+
+def _geohashes_in_box_tpl(a: list[str]) -> str:
+    """geohashesInBox(lon_min, lat_min, lon_max, lat_max, precision)
+    ([U] src/Functions/geohashesInBox.cpp): every cell intersecting the
+    box, as a translate-time array literal (bounds must be literals —
+    the cover is a pure function of them). Even precisions only (the
+    repo geohash convention); >4096 cells refuses like upstream's
+    max_geohashes guard."""
+    from clickhouse_clickhouse_spark.functions.geo import GEOHASH_ALPHABET
+    try:
+        lon_min, lat_min, lon_max, lat_max = (float(x) for x in a[:4])
+        p = int(a[4])
+    except ValueError:
+        raise ValueError("geohashesInBox here needs literal bounds and "
+                         "precision")
+    if p % 2 or not 2 <= p <= 12:
+        raise ValueError("geohashesInBox: even precision in [2, 12]")
+    half = 5 * p // 2
+    scale = 1 << half
+
+    def q(v, lo, span):
+        return max(0, min(scale - 1, int((v - lo) / span * scale)))
+
+    i0, i1 = q(lon_min, -180.0, 360.0), q(lon_max, -180.0, 360.0)
+    j0, j1 = q(lat_min, -90.0, 180.0), q(lat_max, -90.0, 180.0)
+    n_cells = (i1 - i0 + 1) * (j1 - j0 + 1)
+    if n_cells > 4096:
+        raise ValueError(f"geohashesInBox: {n_cells} cells at precision "
+                         f"{p} exceeds the 4096-cell guard — use a "
+                         f"coarser precision")
+    out = []
+    for i in range(i0, i1 + 1):
+        for j in range(j0, j1 + 1):
+            code = 0
+            for k in range(half):
+                code |= ((i >> k) & 1) << (2 * k + 1)
+                code |= ((j >> k) & 1) << (2 * k)
+            gh = "".join(GEOHASH_ALPHABET[(code >> (5 * (p - 1 - c))) & 31]
+                         for c in range(p))
+            out.append(f"'{gh}'")
+    return f"ARRAY({', '.join(sorted(out))})"
+
+
+def _geohash_encode_tpl(a: list[str]) -> str:
+    """geohashEncode(lon, lat[, precision]) — unrolled SQL twin of
+    functions/geo.geohash_encode (same formula, Spark spellings)."""
+    p = 6
+    if len(a) > 2:
+        try:
+            p = int(a[2])
+        except ValueError:
+            raise ValueError("geohashEncode needs a literal precision")
+    if p % 2 or not 2 <= p <= 12:
+        raise ValueError("geohashEncode: even precision in [2, 12]")
+    from clickhouse_clickhouse_spark.functions.geo import GEOHASH_ALPHABET
+    half = 5 * p // 2
+    scale = 1 << half
+    terms = []
+    for j in range(half):
+        terms.append(f"SHIFTLEFT(SHIFTRIGHT(__v.lq, {j}) & 1, {2 * j + 1})")
+        terms.append(f"SHIFTLEFT(SHIFTRIGHT(__v.tq, {j}) & 1, {2 * j})")
+    code = "(" + " + ".join(terms) + ")"
+    chars = ", ".join(
+        f"SUBSTRING('{GEOHASH_ALPHABET}', "
+        f"CAST((SHIFTRIGHT({code}, {5 * (p - 1 - k)}) & 31) + 1 AS INT), 1)"
+        for k in range(p))
+    return _bind_once(
+        {"lq": f"LEAST(CAST(FLOOR((CAST({a[0]} AS DOUBLE) + 180.0D) "
+               f"/ 360.0D * {scale}) AS BIGINT), {scale - 1})",
+         "tq": f"LEAST(CAST(FLOOR((CAST({a[1]} AS DOUBLE) + 90.0D) "
+               f"/ 180.0D * {scale}) AS BIGINT), {scale - 1})"},
+        f"CONCAT({chars})")
+
+
+# ---- round-10 batch 5 helpers (second wide probe) ----
+
+def _array_resize_tpl(a: list[str]) -> str:
+    """arrayResize(arr, size[, fill]) ([U] src/Functions/array/
+    arrayResize.cpp): truncate/extend on the right for positive size,
+    on the LEFT for negative. Without an explicit fill the numeric
+    zero-of-type trick seeds the padding (non-numeric needs the fill
+    arg)."""
+    fill = a[2] if len(a) > 2 else ("(TRY_ELEMENT_AT(__v.a, 1) "
+                                    "- TRY_ELEMENT_AT(__v.a, 1))")
+    return _bind_once(
+        {"a": a[0], "n": f"CAST({a[1]} AS INT)"},
+        f"IF(__v.n >= 0, "
+        f"IF(SIZE(__v.a) >= __v.n, SLICE(__v.a, 1, __v.n), "
+        f"CONCAT(__v.a, ARRAY_REPEAT({fill}, __v.n - SIZE(__v.a)))), "
+        f"IF(SIZE(__v.a) >= -__v.n, "
+        f"SLICE(__v.a, SIZE(__v.a) + __v.n + 1, -__v.n), "
+        f"CONCAT(ARRAY_REPEAT({fill}, -__v.n - SIZE(__v.a)), __v.a)))")
+
+
+def _range_tpl(a: list[str]) -> str:
+    """range(end) / range(start, end[, step]) — end-exclusive like
+    upstream; empty when the walk can't reach end."""
+    if len(a) == 1:
+        return (f"CASE WHEN ({a[0]}) > 0 THEN SEQUENCE(CAST(0 AS "
+                f"BIGINT), CAST({a[0]} AS BIGINT) - 1) ELSE ARRAY() END")
+    step = a[2] if len(a) > 2 else "1"
+    return _bind_once(
+        {"s": f"CAST({a[0]} AS BIGINT)", "e": f"CAST({a[1]} AS BIGINT)",
+         "p": f"CAST({step} AS BIGINT)"},
+        "CASE WHEN __v.p = 0 THEN CAST(RAISE_ERROR('range: step must "
+        "not be zero') AS ARRAY<BIGINT>) "
+        "WHEN __v.p > 0 AND __v.s < __v.e THEN "
+        "SEQUENCE(__v.s, __v.e - 1, __v.p) "
+        "WHEN __v.p < 0 AND __v.s > __v.e THEN "
+        "SEQUENCE(__v.s, __v.e + 1, __v.p) "
+        "ELSE ARRAY() END")
+
+
+def _tuple_scalar_tpl(args: list[str], op: str) -> str:
+    """tupleMultiplyByNumber / tupleDivideByNumber — element-wise
+    scalar op over an explicit tuple literal (same translate-time
+    arity rule as _tuple_arith_tpl)."""
+    s = args[0].strip()
+    m = re.fullmatch(r"(?is)named_struct\s*\((.*)\)", s)
+    if m:
+        parts = _split_args(m.group(1))
+        elems = [p for i, p in enumerate(parts) if i % 2 == 1]
+    else:
+        m = re.fullmatch(r"\((.*)\)", s)
+        if not m or len(_split_args(m.group(1))) < 2:
+            raise ValueError("tuple-by-number arithmetic needs an "
+                             "explicit tuple literal at translate time")
+        elems = _split_args(m.group(1))
+    if op == "/":   # upstream divide is always Float64
+        fields = ", ".join(
+            f"'_{i + 1}', (CAST({x} AS DOUBLE) / CAST({args[1]} "
+            f"AS DOUBLE))" for i, x in enumerate(elems))
+    else:
+        fields = ", ".join(f"'_{i + 1}', (({x}) {op} ({args[1]}))"
+                           for i, x in enumerate(elems))
+    return f"NAMED_STRUCT({fields})"
+
+
+def _cut_url_parameter_tpl(a: list[str]) -> str:
+    """cutURLParameter(url, name) — removes name=value keeping the
+    remaining separators well-formed (upstream docs examples)."""
+    name = a[1].strip()
+    if not (name.startswith("'") and name.endswith("'")):
+        raise ValueError("cutURLParameter needs a literal parameter "
+                         "name here")
+    esc = re.escape(name[1:-1]).replace("\\", "\\\\").replace("'", "''")
+    return _bind_once(
+        {"u": a[0]},
+        f"REGEXP_REPLACE(REGEXP_REPLACE(__v.u, "
+        f"'([?&]){esc}=[^&#]*&', '$1'), "
+        f"'[?&]{esc}=[^&#]*', '')")
+
+
+def _url_hierarchy_tpl(a: list[str], with_host: bool) -> str:
+    """URLHierarchy / URLPathHierarchy ([U] src/Functions/URL/
+    URLHierarchy.cpp): cumulative path prefixes cut at each '/'
+    (upstream docs examples: URLHierarchy leads with 'scheme://host/',
+    URLPathHierarchy starts at the first path segment); a trailing
+    query/fragment stays attached to the final element."""
+    base = ("REGEXP_EXTRACT(__v.u, '^([a-zA-Z][a-zA-Z0-9+.-]*://"
+            "[^/?#]*)', 1)")
+    segs = ("FILTER(SPLIT(REGEXP_EXTRACT(__v.u, "
+            "'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/'), "
+            "__s -> __s != '')")
+    tail = ("COALESCE(REGEXP_EXTRACT(__v.u, "
+            "'^[a-zA-Z][a-zA-Z0-9+.-]*://[^#?]*([?#].*)$', 1), '')")
+    b = "__w.b" if with_host else "''"
+    steps = (f"TRANSFORM(SEQUENCE(1, SIZE(__w.g)), __k -> CONCAT("
+             f"{b}, '/', ARRAY_JOIN(SLICE(__w.g, 1, __k), '/'), "
+             f"IF(__k < SIZE(__w.g), '/', __w.t)))")
+    if with_host:
+        body = (f"CASE WHEN __w.b = '' THEN CAST(ARRAY() AS "
+                f"ARRAY<STRING>) WHEN SIZE(__w.g) = 0 THEN "
+                f"ARRAY(CONCAT(__w.b, '/')) "
+                f"ELSE CONCAT(ARRAY(CONCAT(__w.b, '/')), {steps}) END")
+    else:
+        body = (f"IF(SIZE(__w.g) = 0, CAST(ARRAY() AS ARRAY<STRING>), "
+                f"{steps})")
+    return _bind_once(
+        {"u": a[0]},
+        _bind_once({"b": base, "g": segs, "t": tail}, body, var="__w"))
+
+
 _FUNCS: dict[str, str] = {
     # conversions
     "toInt8": "CAST({0} AS TINYINT)", "toInt16": "CAST({0} AS SMALLINT)",
@@ -1710,7 +2128,6 @@ _FUNCS: dict[str, str] = {
     "fromModifiedJulianDay": "DATE_ADD(DATE '1858-11-17', CAST({0} AS INT))",
     "JSONArrayLength": "JSON_ARRAY_LENGTH({0})",
     "generateUUIDv4": "UUID()",
-    "arrayShuffle": "SHUFFLE({0})",
     "arrayStringConcat": "ARRAY_JOIN({0}, {1})",
     "lengthUTF8": "LENGTH({0})", "lowerUTF8": "LOWER({0})",
     "upperUTF8": "UPPER({0})",
@@ -1826,8 +2243,6 @@ _FUNCS: dict[str, str] = {
     "arrayPopBack": "SLICE({0}, 1, GREATEST(SIZE({0}) - 1, 0))",
     "arrayPopFront": "SLICE({0}, 2, GREATEST(SIZE({0}) - 1, 0))",
     "arrayWithConstant": "ARRAY_REPEAT({1}, CAST({0} AS INT))",
-    "range": "CASE WHEN ({0}) > 0 THEN SEQUENCE(CAST(0 AS BIGINT), "
-             "CAST({0} AS BIGINT) - 1) ELSE ARRAY() END",
     "toLastDayOfMonth": "LAST_DAY({0})",
     "monthName": "DATE_FORMAT({0}, 'MMMM')",
     "addHours": "({0} + MAKE_INTERVAL(0, 0, 0, 0, {1}, 0, 0))",
@@ -2222,6 +2637,136 @@ _FUNCS: dict[str, str] = {
     "connectionId": lambda a: "0",
     "revision": lambda a: "54500",
     "hostname": lambda a: "'localhost'",   # alias of hostName
+    # ---- round-10 resolve-probe batch 5 (second wide sweep) ------------
+    "tupleDivide": lambda a: _tuple_arith_tpl(a, "/"),
+    "tupleMultiplyByNumber": lambda a: _tuple_scalar_tpl(a, "*"),
+    "tupleDivideByNumber": lambda a: _tuple_scalar_tpl(a, "/"),
+    "L1Norm": "AGGREGATE({0}, CAST(0 AS DOUBLE), "
+              "(__s, __x) -> __s + ABS(CAST(__x AS DOUBLE)))",
+    "LinfNorm": "COALESCE(ARRAY_MAX(TRANSFORM({0}, "
+                "__x -> ABS(CAST(__x AS DOUBLE)))), 0.0D)",
+    "L2SquaredNorm": "AGGREGATE({0}, CAST(0 AS DOUBLE), "
+                     "(__s, __x) -> __s + CAST(__x AS DOUBLE) "
+                     "* CAST(__x AS DOUBLE))",
+    "L1Distance": "AGGREGATE(ZIP_WITH({0}, {1}, (__x, __y) -> "
+                  "ABS(CAST(__x AS DOUBLE) - CAST(__y AS DOUBLE))), "
+                  "CAST(0 AS DOUBLE), (__s, __d) -> __s + __d)",
+    "L2SquaredDistance":
+        "AGGREGATE(ZIP_WITH({0}, {1}, (__x, __y) -> "
+        "(CAST(__x AS DOUBLE) - CAST(__y AS DOUBLE)) "
+        "* (CAST(__x AS DOUBLE) - CAST(__y AS DOUBLE))), "
+        "CAST(0 AS DOUBLE), (__s, __d) -> __s + __d)",
+    "LinfDistance": "COALESCE(ARRAY_MAX(ZIP_WITH({0}, {1}, "
+                    "(__x, __y) -> ABS(CAST(__x AS DOUBLE) "
+                    "- CAST(__y AS DOUBLE)))), 0.0D)",
+    "addQuarters": "ADD_MONTHS({0}, 3 * ({1}))",
+    "subtractQuarters": "ADD_MONTHS({0}, -3 * ({1}))",
+    # >2^63 wraparound differs (SURVEY §1.2 UInt64 stance) — documented
+    "sumWithOverflow": "SUM({0})",
+    "arrayDifference": lambda a: _bind_once(
+        {"a": a[0]},
+        "TRANSFORM(IF(SIZE(__v.a) = 0, ARRAY(), "
+        "SEQUENCE(1, SIZE(__v.a))), __i -> IF(__i = 1, "
+        "ELEMENT_AT(__v.a, 1) - ELEMENT_AT(__v.a, 1), "
+        "ELEMENT_AT(__v.a, __i) - ELEMENT_AT(__v.a, __i - 1)))"),
+    # per-row arrays: the CONCAT-append accumulator is the
+    # arrayCumSumNonNegative precedent (bounded by array length)
+    "arrayCumSum":
+        "AGGREGATE({0}, NAMED_STRUCT('o', SLICE({0}, 1, 0), "
+        "'r', TRY_ELEMENT_AT({0}, 1) - TRY_ELEMENT_AT({0}, 1)), "
+        "(__cs, __x) -> NAMED_STRUCT("
+        "'o', CONCAT(__cs.o, ARRAY(__cs.r + __x)), "
+        "'r', __cs.r + __x), __cs -> __cs.o)",
+    "hasAll": "FORALL({1}, __x -> ARRAY_CONTAINS({0}, __x))",
+    "hasAny": "ARRAYS_OVERLAP({0}, {1})",
+    "hasSubstr": lambda a: _bind_once(
+        {"a": a[0], "b": a[1]},
+        "CASE WHEN SIZE(__v.b) = 0 THEN TRUE "
+        "WHEN SIZE(__v.b) > SIZE(__v.a) THEN FALSE "
+        "ELSE EXISTS(SEQUENCE(1, SIZE(__v.a) - SIZE(__v.b) + 1), "
+        "__i -> SLICE(__v.a, __i, SIZE(__v.b)) = __v.b) END"),
+    "arrayResize": _array_resize_tpl,
+    "arrayCompact": lambda a: _bind_once(
+        {"a": a[0]},
+        "TRANSFORM(FILTER(IF(SIZE(__v.a) = 0, ARRAY(), "
+        "SEQUENCE(1, SIZE(__v.a))), __i -> __i = 1 OR NOT "
+        "(ELEMENT_AT(__v.a, __i) <=> ELEMENT_AT(__v.a, __i - 1))), "
+        "__i -> ELEMENT_AT(__v.a, __i))"),
+    "bitHammingDistance": "BIT_COUNT(({0}) ^ ({1}))",
+    "truncate": lambda a: (
+        f"(CAST(({a[0]}) * POWER(10, {a[1] if len(a) > 1 else 0}) "
+        f"AS BIGINT) / POWER(10, {a[1] if len(a) > 1 else 0}))"),
+    "cutWWW": "REGEXP_REPLACE({0}, "
+              "'^((?:[a-zA-Z][a-zA-Z0-9+.-]*://)?)www\\\\.', '$1')",
+    "cutURLParameter": _cut_url_parameter_tpl,
+    "URLHierarchy": lambda a: _url_hierarchy_tpl(a, with_host=True),
+    "URLPathHierarchy": lambda a: _url_hierarchy_tpl(a, with_host=False),
+    "startsWithUTF8": "STARTSWITH({0}, {1})",
+    "endsWithUTF8": "ENDSWITH({0}, {1})",
+    "overlayUTF8": "OVERLAY({*})",
+    "range": _range_tpl,
+    "date_diff": lambda a: "TIMESTAMPDIFF({}, {}, {})".format(
+        a[0].strip().strip("'\""), a[1], a[2]),
+    # ---- round-10 resolve-probe batch 4 (wide upstream-name sweep) ------
+    "sigmoid": "(1.0D / (1.0D + EXP(-CAST({0} AS DOUBLE))))",
+    "gcd": _gcd_tpl,
+    "lcm": _lcm_tpl,
+    "mortonEncode": _morton_encode_tpl,
+    "mortonDecode": _morton_decode_tpl,
+    "hilbertEncode": _hilbert_encode_tpl,
+    "hilbertDecode": _hilbert_decode_tpl,
+    "char": _char_tpl,
+    "firstLine": "ELEMENT_AT(SPLIT({0}, '\\\\r\\\\n|\\\\r|\\\\n', 2), 1)",
+    "isValidUTF8": "IS_VALID_UTF8({0})",
+    "arrayIntersect": _array_intersect_tpl,
+    "arrayShuffle": _array_shuffle_tpl,
+    "parseReadableSize":
+        lambda a: _parse_readable_size_tpl(a, "strict"),
+    "parseReadableSizeOrNull":
+        lambda a: _parse_readable_size_tpl(a, "null"),
+    "parseReadableSizeOrZero":
+        lambda a: _parse_readable_size_tpl(a, "zero"),
+    "pointInEllipses": _point_in_ellipses_tpl,
+    "geoDistance": _geo_distance_tpl,
+    "geohashEncode": _geohash_encode_tpl,
+    "geohashesInBox": _geohashes_in_box_tpl,
+    "YYYYMMDDhhmmssToDateTime": lambda a: _bind_once(
+        {"n": f"CAST({a[0]} AS BIGINT)"},
+        "MAKE_TIMESTAMP(CAST(__v.n DIV 10000000000 AS INT), "
+        "CAST((__v.n DIV 100000000) % 100 AS INT), "
+        "CAST((__v.n DIV 1000000) % 100 AS INT), "
+        "CAST((__v.n DIV 10000) % 100 AS INT), "
+        "CAST((__v.n DIV 100) % 100 AS INT), "
+        "CAST(__v.n % 100 AS INT))"),
+    # Snowflake ids ([U] src/Functions/snowflakeIDToDateTime.cpp — the
+    # current unix-epoch family; the deprecated snowflake* pair uses the
+    # Twitter epoch 1288834974657, [U] src/Functions/FunctionsConversion)
+    "snowflakeIDToDateTime":
+        lambda a: (f"TIMESTAMP_MILLIS(SHIFTRIGHTUNSIGNED("
+                   f"CAST({a[0]} AS BIGINT), 22) + "
+                   f"CAST({a[1] if len(a) > 1 else 0} AS BIGINT))"),
+    "dateTimeToSnowflakeID":
+        lambda a: (f"SHIFTLEFT(UNIX_MILLIS(CAST({a[0]} AS TIMESTAMP)) - "
+                   f"CAST({a[1] if len(a) > 1 else 0} AS BIGINT), 22)"),
+    "generateSnowflakeID": lambda a: (
+        "(SHIFTLEFT(UNIX_MILLIS(NOW()), 22) | "
+        "CAST(FLOOR(RAND() * 4194304) AS BIGINT))"),
+    "UUIDv7ToDateTime":
+        "TIMESTAMP_MILLIS(CAST(CONV(CONCAT(SUBSTRING({0}, 1, 8), "
+        "SUBSTRING({0}, 10, 4)), 16, 10) AS BIGINT))",
+    "JSONExtractArrayRaw": lambda a: (
+        "COALESCE(TRANSFORM(FROM_JSON("
+        + (a[0] if len(a) == 1
+           else f"GET_JSON_OBJECT({a[0]}, CONCAT('$.', {a[1]}))")
+        + ", 'array<variant>'), __e -> TO_JSON(__e)), ARRAY())"),
+    "toTimezone": lambda a: (_ for _ in ()).throw(ValueError(
+        "toTimezone changes a value's display timezone — Spark "
+        "timestamps carry no timezone metadata; use "
+        "CONVERT_TIMEZONE('UTC', tz, ts) to shift wall-clock instead")),
+    "toTimeZone": lambda a: (_ for _ in ()).throw(ValueError(
+        "toTimezone changes a value's display timezone — Spark "
+        "timestamps carry no timezone metadata; use "
+        "CONVERT_TIMEZONE('UTC', tz, ts) to shift wall-clock instead")),
     # ---- round-10 principled refusals (loud, with the alternative) ------
     "reinterpretAsUInt64": lambda a: (_ for _ in ()).throw(ValueError(
         "reinterpretAs* raw type-punning is storage-layout territory; "
@@ -2231,10 +2776,9 @@ _FUNCS: dict[str, str] = {
         "reinterpretAs* raw type-punning is storage-layout territory; "
         "the RowBinary/Native codecs (sources/) are the byte-exact "
         "exchange surface")),
-    "nonNegativeDerivative": lambda a: (_ for _ in ()).throw(ValueError(
-        "nonNegativeDerivative is a window function upstream; spell it "
-        "GREATEST((v - lag(v) OVER w) / ((UNIX_TIMESTAMP(t) - "
-        "UNIX_TIMESTAMP(lag(t) OVER w))), 0)")),
+    # nonNegativeDerivative(v, t[, interval]) OVER (...) is rewritten by
+    # the dedicated window pre-pass (_rewrite_nonneg_derivative) — a bare
+    # call without OVER refuses there.
     "aggThrow": lambda a: (_ for _ in ()).throw(ValueError(
         "aggThrow is an upstream test-harness aggregate")),
     "categoricalInformationValue": lambda a: (_ for _ in ()).throw(
@@ -4597,8 +5141,13 @@ def _tuple_arith_tpl(args: list[str], op: str | None) -> str:
     ea, eb = elems(args[0]), elems(args[1])
     if len(ea) != len(eb):
         raise ValueError(f"tuple arity mismatch: {len(ea)} vs {len(eb)}")
-    fields = ", ".join(f"'_{i + 1}', (({x}) {op} ({y}))"
-                       for i, (x, y) in enumerate(zip(ea, eb)))
+    if op == "/":   # upstream divide is always Float64
+        fields = ", ".join(
+            f"'_{i + 1}', (CAST({x} AS DOUBLE) / CAST({y} AS DOUBLE))"
+            for i, (x, y) in enumerate(zip(ea, eb)))
+    else:
+        fields = ", ".join(f"'_{i + 1}', (({x}) {op} ({y}))"
+                           for i, (x, y) in enumerate(zip(ea, eb)))
     return f"NAMED_STRUCT({fields})"
 
 
@@ -4881,6 +5430,114 @@ def _array_literals(q: str) -> str:
         q = new
 
 
+_NND_PAT = re.compile(r"\bnonNegativeDerivative\s*\(", re.IGNORECASE)
+_NND_IVAL = re.compile(
+    r"^\s*(?:INTERVAL\s+)?(\d+)\s+(SECOND|MINUTE|HOUR|DAY)S?\s*$",
+    re.IGNORECASE)
+_NND_SECS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+def _rewrite_nonneg_derivative(q: str) -> str:
+    """``nonNegativeDerivative(metric, ts[, interval]) OVER w`` ([U]
+    src/Processors/Transforms/WindowTransform.cpp): per-second (or
+    per-interval) rate of change vs the previous frame row, clamped at
+    0; the first row (no predecessor) and tied timestamps yield 0.
+    Needs the OVER clause text (two LAGs share it), so it's a dedicated
+    pre-pass rather than a _FUNCS template."""
+    while True:
+        m = _masked_search(_NND_PAT, q)
+        if not m:
+            return q
+        open_p = q.index("(", m.start())
+        close = _find_close(q, open_p)
+        if close < 0:
+            raise ValueError("nonNegativeDerivative: unbalanced call")
+        args = _split_args(q[open_p + 1:close])
+        if len(args) not in (2, 3):
+            raise ValueError("nonNegativeDerivative takes (metric, ts"
+                             "[, interval])")
+        mo = re.match(r"\s*OVER\s*", q[close + 1:], re.IGNORECASE)
+        if not mo:
+            raise ValueError(
+                "nonNegativeDerivative is a window function — add an "
+                "OVER (...) clause")
+        wstart = close + 1 + mo.end()
+        if wstart < len(q) and q[wstart] == "(":
+            wclose = _find_close(q, wstart)
+            if wclose < 0:
+                raise ValueError("nonNegativeDerivative: unbalanced "
+                                 "OVER clause")
+            win = q[wstart:wclose + 1]
+            tail = wclose + 1
+        else:
+            mw = re.match(r"\w+", q[wstart:])
+            if not mw:
+                raise ValueError("nonNegativeDerivative: missing window")
+            win = mw.group(0)
+            tail = wstart + mw.end()
+        scale = 1
+        if len(args) == 3:
+            mi = _NND_IVAL.match(args[2])
+            if not mi:
+                raise ValueError(
+                    "nonNegativeDerivative interval must be a literal "
+                    "INTERVAL n SECOND/MINUTE/HOUR/DAY here")
+            scale = int(mi.group(1)) * _NND_SECS[mi.group(2).lower()]
+        v, t = args[0].strip(), args[1].strip()
+        dt = (f"(CAST(UNIX_MICROS(CAST({t} AS TIMESTAMP)) - "
+              f"UNIX_MICROS(CAST(LAG({t}) OVER {win} AS TIMESTAMP)) "
+              f"AS DOUBLE) / 1000000.0D)")
+        expr = (f"COALESCE(GREATEST((CAST({v} AS DOUBLE) - "
+                f"CAST(LAG({v}) OVER {win} AS DOUBLE)) / "
+                f"NULLIF({dt}, 0.0D) * {scale}.0D, 0.0D), 0.0D)")
+        q = q[:m.start()] + expr + q[tail:]
+
+
+# CAST(x AS <CHType>) / x::<CHType> type-name mapping (the ``toInt64``-
+# style conversions have always translated; the reference's equally-valid
+# cast SYNTAX forms reached Spark untranslated before round 10).
+# Anchored to cast contexts: ``AS <type>`` must be followed by ``)`` and
+# ``::`` binds directly to the name, so column aliases are never touched.
+_CH_CAST_TYPES = {
+    "int8": "TINYINT", "int16": "SMALLINT", "int32": "INT",
+    "int64": "BIGINT", "uint8": "SMALLINT", "uint16": "INT",
+    "uint32": "BIGINT", "uint64": "BIGINT",
+    "float32": "FLOAT", "float64": "DOUBLE",
+    "string": "STRING", "date": "DATE", "date32": "DATE",
+    "datetime": "TIMESTAMP", "bool": "BOOLEAN", "boolean": "BOOLEAN",
+    "uuid": "STRING",
+}
+_CH_TYPE_ALT = (r"(?:Int8|Int16|Int32|Int64|UInt8|UInt16|UInt32|UInt64|"
+                r"Float32|Float64|String|Date32|Date|"
+                r"DateTime64\s*\(\s*\d+\s*\)|DateTime|Bool|Boolean|UUID)")
+# Either Nullable(T) (its closing paren consumed with it) or bare T.
+_CH_CAST_ALT = (rf"(?:Nullable\s*\(\s*({_CH_TYPE_ALT})\s*\)"
+                rf"|({_CH_TYPE_ALT}))")
+_CAST_AS = re.compile(r"\bAS\s+" + _CH_CAST_ALT + r"(\s*\))",
+                      re.IGNORECASE)
+_CAST_COLON = re.compile(r"::\s*" + _CH_CAST_ALT, re.IGNORECASE)
+
+
+def _map_cast_type(name: str) -> str:
+    base = re.sub(r"\s*\(.*", "", name).lower()
+    if base == "datetime64":
+        return "TIMESTAMP"
+    return _CH_CAST_TYPES[base]
+
+
+def _cast_type_names(q: str) -> str:
+    """Translate CH type names inside ``CAST(... AS T)`` and ``x::T``
+    (``Nullable(T)`` unwraps — Spark types are nullable already)."""
+    q = _masked_sub(
+        _CAST_AS,
+        lambda m: "AS "
+        + _map_cast_type(m.group(1) or m.group(2)) + m.group(3), q)
+    q = _masked_sub(
+        _CAST_COLON,
+        lambda m: "::" + _map_cast_type(m.group(1) or m.group(2)), q)
+    return q
+
+
 def _strip_parens(s: str) -> str:
     """Blank out parenthesized spans so a top-level comma test can't be
     fooled by commas inside function calls."""
@@ -4966,6 +5623,8 @@ def _translate_impl(sql: str,
         lambda m: m.group(1), q)
     q = _masked_sub(re.compile(r"=="), lambda m: "=", q)
     q = _array_literals(q)
+    q = _cast_type_names(q)
+    q = _rewrite_nonneg_derivative(q)
     q = _masked_sub(re.compile(r"\bsystem\.(\w+)", re.IGNORECASE),
                     lambda m: f"__system_{m.group(1).lower()}", q)
     # LIMIT n WITH TIES needs rank semantics Spark SQL text can't express.
@@ -5199,6 +5858,8 @@ def _register_udfs(spark: SparkSession) -> None:
     spark.udf.register("sipHash64", H._udf("sip"))
     from clickhouse_clickhouse_spark.functions import textcodecs as TC
     TC.register_codec_udfs(spark)
+    from clickhouse_clickhouse_spark.functions import ipcodecs as IP
+    IP.register_ip_udfs(spark)
     _REGISTERED.add(id(spark))
 
 
@@ -6136,6 +6797,18 @@ def _dict_hier_tpl(args: list[str], is_in: bool) -> str:
 # built from the normalizeQuery template so the regex escaping stays
 # single-sourced
 _FUNCS["normalizedQueryHash"] = "XXHASH64(" + _FUNCS["normalizeQuery"] + ")"
+
+# emptyArray<T>() family ([U] src/Functions/emptyArray*.cpp): typed
+# empty-array constants, one alias per supported type
+for _ea_name, _ea_type in [
+    ("Int8", "TINYINT"), ("Int16", "SMALLINT"), ("Int32", "INT"),
+    ("Int64", "BIGINT"), ("UInt8", "SMALLINT"), ("UInt16", "INT"),
+    ("UInt32", "BIGINT"), ("UInt64", "BIGINT"), ("Float32", "FLOAT"),
+    ("Float64", "DOUBLE"), ("String", "STRING"), ("Date", "DATE"),
+    ("DateTime", "TIMESTAMP"),
+]:
+    _FUNCS[f"emptyArray{_ea_name}"] = (
+        lambda a, t=_ea_type: f"CAST(ARRAY() AS ARRAY<{t}>)")
 
 _FUNCS.update({
     "dictGet": lambda a: _dict_get_tpl(a),

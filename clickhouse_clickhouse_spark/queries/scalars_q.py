@@ -2104,3 +2104,210 @@ def ch_sql_text_codecs(spark, sf):
                      concat(lower(n_name), 'üß',
                             toString(n_nationkey)) AS s
               FROM nation)""")
+
+
+def _morton16_oracle(x_sql: str, y_sql: str) -> str:
+    """DuckDB twin of mortonEncode for 16-bit coords: the same
+    disjoint-bit interleave, unrolled from the same convention
+    (bit j of input i lands at bit 2*j + i)."""
+    terms = []
+    for j in range(16):
+        terms.append(f"((({x_sql} >> {j}) & 1) << {2 * j})")
+        terms.append(f"((({y_sql} >> {j}) & 1) << {2 * j + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+from clickhouse_clickhouse_spark.functions.geo import geohash_oracle_expr
+
+_R10_GEO_ORACLE = (
+    "round(acos(least(greatest("
+    "sin(radians(lat)) * sin(radians(0.0)) + cos(radians(lat)) "
+    "* cos(radians(0.0)) * cos(radians(0.0 - lon)), -1.0), 1.0)) "
+    "* sqrt((40680631590769.0 * cos(radians(lat / 2.0)) "
+    "* 40680631590769.0 * cos(radians(lat / 2.0)) "
+    "+ 40408299984661.453 * sin(radians(lat / 2.0)) "
+    "* 40408299984661.453 * sin(radians(lat / 2.0))) "
+    "/ (40680631590769.0 * cos(radians(lat / 2.0)) "
+    "* cos(radians(lat / 2.0)) + 40408299984661.453 "
+    "* sin(radians(lat / 2.0)) * sin(radians(lat / 2.0)))), 3)")
+
+
+@register("ch_sql_round10_curves", oracle=f"""
+SELECT event_id AS k,
+       gcd(event_id, user_id) AS g,
+       lcm(event_id % 1000, user_id % 100) AS l,
+       round(1.0 / (1.0 + exp(-value / 100.0)), 6) AS sg,
+       {_morton16_oracle("(event_id % 65536)", "(user_id % 65536)")} AS me,
+       true AS mrt, true AS hrt, CAST(31 AS BIGINT) AS h34,
+       CAST(ceil((event_id % 100 + 0.5) * 1024) AS BIGINT) AS pr,
+       chr(CAST(65 + event_id % 26 AS INT))
+           || chr(CAST(97 + user_id % 26 AS INT)) AS ch,
+       event_type AS fl,
+       {geohash_oracle_expr("lon", "lat", 4)} AS ge,
+       {_R10_GEO_ORACLE} AS gd
+FROM (SELECT *, CAST(event_id % 360 - 180 + 0.25 AS DOUBLE) AS lon,
+             CAST(user_id % 170 - 85 + 0.25 AS DOUBLE) AS lat
+      FROM events)
+""")
+def ch_sql_round10_curves(spark, sf):
+    """Round-10 batch 4 in dialect SQL over `events`: gcd/lcm (DuckDB
+    natives — fully independent oracle), sigmoid, mortonEncode (oracle
+    re-derives the interleave bit-by-bit) + decode roundtrip,
+    hilbertEncode/Decode roundtrip + the upstream docs literal
+    hilbertEncode(3,4)=31, parseReadableSize on per-row '<n>.5 KiB'
+    strings, multi-arg char(), firstLine, geohashEncode (shared-formula
+    oracle via functions/geo.geohash_oracle_expr), geoDistance (WGS-84
+    local-radius haversine twin). Upstream [U] src/Functions/{{gcd,lcm,
+    mortonEncode,hilbertEncode2DLUT,parseReadableSize,geohash}}."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return ch_sql(spark, """
+        SELECT event_id AS k,
+               gcd(event_id, user_id) AS g,
+               lcm(event_id % 1000, user_id % 100) AS l,
+               round(sigmoid(value / 100.0), 6) AS sg,
+               mortonEncode(event_id % 65536, user_id % 65536) AS me,
+               (mortonDecode(2, mortonEncode(event_id % 65536,
+                                             user_id % 65536))._1
+                    = event_id % 65536
+                AND mortonDecode(2, mortonEncode(event_id % 65536,
+                                                 user_id % 65536))._2
+                    = user_id % 65536) AS mrt,
+               (hilbertDecode(2, hilbertEncode(event_id % 32768,
+                                               user_id % 32768))._1
+                    = event_id % 32768
+                AND hilbertDecode(2, hilbertEncode(event_id % 32768,
+                                                   user_id % 32768))._2
+                    = user_id % 32768) AS hrt,
+               hilbertEncode(3, 4) AS h34,
+               parseReadableSize(concat(toString(event_id % 100),
+                                        '.5 KiB')) AS pr,
+               char(65 + event_id % 26, 97 + user_id % 26) AS ch,
+               firstLine(concat(event_type, '\\n', props)) AS fl,
+               geohashEncode(lon, lat, 4) AS ge,
+               round(geoDistance(lon, lat, 0.0, 0.0), 3) AS gd
+        FROM (SELECT *,
+                     CAST(event_id % 360 - 180 + 0.25 AS Float64) AS lon,
+                     CAST(user_id % 170 - 85 + 0.25 AS Float64) AS lat
+              FROM events)""")
+
+
+@register("ch_sql_ipv6_time_ids", oracle="""
+SELECT event_id AS k,
+       '2001:db8::' || lower(hex(1 + event_id % 65535)) AS canon,
+       true AS is6, false AS not6,
+       '::ffff:' || CAST(1 + event_id % 254 AS VARCHAR) || '.'
+           || CAST(user_id % 256 AS VARCHAR) || '.0.1' AS v46,
+       '2001:db8::' AS cut8,
+       date_trunc('milliseconds', ts) AS sf_rt,
+       TIMESTAMP '2024-04-22 12:02:48.616' AS u7,
+       round(greatest(coalesce((value - lag(value) OVER w)
+           / nullif(date_part('epoch', ts)
+                    - date_part('epoch', lag(ts) OVER w), 0), 0), 0), 4)
+           AS nnd
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def ch_sql_ipv6_time_ids(spark, sf):
+    """IPv6 codec family (stdlib inet_pton/ntop — RFC 5952 canonical
+    like upstream src/Functions/FunctionsCoding.h), snowflake-ID
+    round trip (unix-epoch family, [U] src/Functions/
+    snowflakeIDToDateTime.cpp), UUIDv7 timestamp extraction, and the
+    nonNegativeDerivative window pre-pass over per-user event series
+    (deterministic ORDER BY ts, event_id; ties and first rows → 0)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return ch_sql(spark, """
+        SELECT event_id AS k,
+               IPv6NumToString(IPv6StringToNum(s6)) AS canon,
+               isIPv6String(s6) AS is6,
+               isIPv6String(event_type) AS not6,
+               IPv6NumToString(IPv4ToIPv6(IPv4StringToNum(s4))) AS v46,
+               cutIPv6(IPv6StringToNum(s6), 8, 0) AS cut8,
+               snowflakeIDToDateTime(dateTimeToSnowflakeID(ts)) AS sf_rt,
+               UUIDv7ToDateTime(
+                   '018f05af-f4a8-778f-beee-1bedbc95c93b') AS u7,
+               round(nonNegativeDerivative(value, ts)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id), 4)
+                   AS nnd
+        FROM (SELECT *,
+                     concat('2001:db8::',
+                            lower(hex(1 + event_id % 65535))) AS s6,
+                     concat(toString(1 + event_id % 254), '.',
+                            toString(user_id % 256), '.0.1') AS s4
+              FROM events)""")
+
+
+@register("ch_sql_round10_tail5", oracle="""
+SELECT event_id AS k,
+       value / 2.0 AS td1,
+       user_id * 3 AS tm2,
+       round(2 * abs(value), 6) AS l1,
+       round(value * value + 4.0, 6) AS l2s,
+       round(greatest(abs(value), 1.0), 6) AS li,
+       true AS ha, true AS hy, true AS hs,
+       [event_id % 7, 0, 0] AS ar,
+       1 + event_id % 10 + user_id % 10 AS cs_last,
+       user_id % 100 - event_id % 100 AS ad2,
+       CASE WHEN event_id % 2 = 0 THEN [1, 0, 5] ELSE [1, 5] END AS ac,
+       bit_count(xor(event_id, user_id)) AS bh,
+       trunc(value * 100) / 100 AS tr,
+       'http://ex' || CAST(event_id % 10 AS VARCHAR) || '.com/p' AS cw,
+       'http://x.com/?c=d' AS cp,
+       ['https://ex.com/',
+        'https://ex.com/a' || CAST(event_id % 5 AS VARCHAR) || '/',
+        'https://ex.com/a' || CAST(event_id % 5 AS VARCHAR) || '/b']
+           AS uh,
+       range(event_id % 4) AS rg,
+       DATE '2020-01-31'
+           + to_months(CAST(3 * (event_id % 8) AS INT)) AS aq
+FROM events
+""")
+def ch_sql_round10_tail5(spark, sf):
+    """Round-10 batch 5 in dialect SQL over `events`: tuple scalar
+    arithmetic (divide → Float64 like upstream), L-norm family tail
+    (L1/L2Squared/Linf norms+distances), hasAll/hasAny/hasSubstr,
+    arrayResize/arrayCumSum/arrayDifference/arrayCompact,
+    bitHammingDistance, truncate, cutWWW/cutURLParameter/URLHierarchy
+    (upstream docs examples pinned in the pytest battery), multi-arg
+    range, addQuarters. Upstream [U] src/Functions/{tupleArithmetic,
+    array/*, bitHammingDistance, URL/*}."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return ch_sql(spark, """
+        SELECT event_id AS k,
+               tupleDivide((value, value * 2), (2, 4))._1 AS td1,
+               tupleMultiplyByNumber((event_id, user_id), 3)._2 AS tm2,
+               round(L1Norm(array(value, -value)), 6) AS l1,
+               round(L2SquaredNorm(array(value, 2.0)), 6) AS l2s,
+               round(LinfDistance(array(value, 0.0), array(0.0, 1.0)),
+                     6) AS li,
+               hasAll(array(user_id % 5, 7), array(7)) AS ha,
+               hasAny(array(user_id % 5), array(0, 1, 2, 3, 4)) AS hy,
+               hasSubstr(array(1, user_id % 5, 9),
+                         array(user_id % 5, 9)) AS hs,
+               arrayResize(array(event_id % 7), 3, 0) AS ar,
+               arrayElement(arrayCumSum(array(1, event_id % 10,
+                                              user_id % 10)), 3)
+                   AS cs_last,
+               arrayElement(arrayDifference(array(event_id % 100,
+                                                  user_id % 100)), 2)
+                   AS ad2,
+               arrayCompact(array(1, 1, event_id % 2, event_id % 2, 5))
+                   AS ac,
+               bitHammingDistance(event_id, user_id) AS bh,
+               truncate(value, 2) AS tr,
+               cutWWW(concat('http://www.ex', toString(event_id % 10),
+                             '.com/p')) AS cw,
+               cutURLParameter(concat('http://x.com/?a=',
+                                      toString(event_id), '&c=d'),
+                               'a') AS cp,
+               URLHierarchy(concat('https://ex.com/a',
+                                   toString(event_id % 5), '/b')) AS uh,
+               range(event_id % 4) AS rg,
+               toDateTime(addQuarters(DATE'2020-01-31', event_id % 8))
+                   AS aq
+        FROM events""")

@@ -2862,3 +2862,229 @@ def test_round10_text_codecs(spark):
     # leading NULs become leading '1's (the bitcoin convention)
     assert base58_encode_py("\x00\x00a") == "112g"
     assert base58_decode_py("112g") == "\x00\x00a"
+
+
+def test_round10_cast_type_names(spark):
+    """CAST(x AS <CHType>) / x::<CHType> syntax forms translate the type
+    name (round-10 fix: previously only the toInt64-style conversions
+    mapped; the cast SYNTAX reached Spark untranslated and failed on
+    e.g. FLOAT64). Nullable(T) unwraps; already-Spark type names and
+    string literals are untouched."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, translate
+
+    r = ch_sql(spark, """
+        SELECT CAST(3 AS Float64) AS f,
+               CAST('7' AS Nullable(Int32)) AS n,
+               (1::UInt64 + 1)::String AS s,
+               CAST('2020-02-29' AS Date) AS d,
+               CAST('2020-02-29 10:11:12' AS DateTime64(3)) AS dt
+        """).collect()[0]
+    assert r.f == 3.0 and r.n == 7 and r.s == "2"
+    assert str(r.d) == "2020-02-29"
+    assert str(r.dt).startswith("2020-02-29 10:11:12")
+    # Spark spellings pass through; literals are masked
+    out = translate("SELECT CAST(a AS DOUBLE) AS x, 'AS Float64' AS lit")
+    assert "AS DOUBLE" in out and "'AS Float64'" in out
+
+
+def test_round10_resolve_probe_batch4(spark):
+    """Round-10 batch 4 (wide resolve-probe): number theory (gcd/lcm/
+    sigmoid), Morton + Hilbert space-filling curves, char(), firstLine,
+    isValidUTF8, n-ary arrayIntersect, seeded arrayShuffle,
+    parseReadableSize family, pointInEllipses, geoDistance,
+    geohashEncode/geohashesInBox, YYYYMMDDhhmmss, snowflake-ID codecs,
+    UUIDv7ToDateTime, JSONExtractArrayRaw — ONE action, hand-checked
+    (morton/hilbert/snowflake values pinned to upstream docs examples:
+    mortonEncode(1,2,3)=53, hilbertEncode(3,4)=31,
+    snowflakeIDToDateTime(7204436857747984384)='2024-06-06 10:59:58')."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    r = ch_sql(spark, """
+        SELECT gcd(12246, -312) AS g, gcd(0, 0) AS g0,
+               lcm(4, 6) AS l, lcm(0, 5) AS l0,
+               sigmoid(0.0) AS sg,
+               mortonEncode(1, 2) AS m2, mortonEncode(1, 2, 3) AS m3,
+               mortonDecode(3, 53) AS md,
+               hilbertEncode(3, 4) AS h2, hilbertDecode(2, 31) AS hd,
+               hilbertDecode(2, hilbertEncode(77777, 12345)) AS hrt,
+               char(72, 105, 33) AS ch,
+               firstLine('ab\ncd\nef') AS fl,
+               isValidUTF8('hé') AS vu,
+               arraySort(arrayIntersect(array(1,2,3), array(2,3,4),
+                                        array(3,2))) AS ai,
+               arrayShuffle(array(10,20,30,40), 42) AS sh1,
+               arrayShuffle(array(10,20,30,40), 42) AS sh2,
+               parseReadableSize('1 MiB') AS pr,
+               parseReadableSize('3.2 KB') AS pr2,
+               parseReadableSizeOrNull('oops') AS prn,
+               parseReadableSizeOrZero('oops') AS prz,
+               pointInEllipses(10., 10., 10., 9.1, 1., 0.9999) AS pe,
+               pointInEllipses(0., 0., 10., 9.1, 1., 0.9999) AS pe0,
+               round(geoDistance(-10.0, 40.0, -10.0, 41.0)) AS gd,
+               geohashEncode(-5.60302734375, 42.593994140625, 4) AS ge,
+               geohashesInBox(24.48, 40.56, 24.785, 40.81, 4) AS gb,
+               YYYYMMDDhhmmssToDateTime(20230911131415) AS ymd,
+               snowflakeIDToDateTime(7204436857747984384) AS sf,
+               snowflakeIDToDateTime(
+                   dateTimeToSnowflakeID(
+                       toDateTime('2024-06-06 10:59:58'))) AS sfrt,
+               UUIDv7ToDateTime(
+                   '018f05af-f4a8-778f-beee-1bedbc95c93b') AS u7,
+               JSONExtractArrayRaw('{"a":[{"b":1},2]}', 'a') AS jar,
+               JSONExtractArrayRaw('nope') AS jbad
+        """).collect()[0]
+    assert r.g == 78 and r.g0 == 0 and r.l == 12 and r.l0 == 0
+    assert r.sg == 0.5
+    assert r.m2 == 9 and r.m3 == 53
+    assert (r.md._1, r.md._2, r.md._3) == (1, 2, 3)
+    assert r.h2 == 31 and (r.hd._1, r.hd._2) == (3, 4)
+    assert (r.hrt._1, r.hrt._2) == (77777, 12345)   # encode/decode inverse
+    assert r.ch == "Hi!" and r.fl == "ab" and r.vu is True
+    assert r.ai == [2, 3]
+    assert sorted(r.sh1) == [10, 20, 30, 40] and r.sh1 == r.sh2  # seeded
+    assert r.pr == 1048576 and r.pr2 == 3200
+    assert r.prn is None and r.prz == 0
+    assert r.pe is True and r.pe0 is False
+    assert abs(r.gd - 111163.0) < 200         # WGS84 local radius (~111 km)
+    assert r.ge == "ezs4"                      # upstream docs example
+    assert r.gb == ["sx1q", "sx1r", "sx1w", "sx1x", "sx32", "sx38"]
+    assert str(r.ymd) == "2023-09-11 13:14:15"
+    assert str(r.sf).startswith("2024-06-06 10:59:58")
+    assert str(r.sfrt) == "2024-06-06 10:59:58"
+    assert str(r.u7).startswith("2024-04-22 12:02:48")
+    assert r.jar == ['{"b":1}', "2"] and r.jbad == []
+
+
+def test_round10_ipv6_and_nnd(spark):
+    """IPv6 codec family (stdlib inet_pton/ntop UDFs, RFC 5952
+    canonical rendering like upstream) + the nonNegativeDerivative
+    window pre-pass."""
+    import pytest as _p
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    r = ch_sql(spark, """
+        SELECT IPv6NumToString(IPv6StringToNum('2001:DB8::1')) AS rt,
+               IPv6StringToNumOrNull('not-an-ip') AS bad,
+               isIPv6String('::ffff:1.2.3.4') AS is6,
+               isIPv6String('1.2.3.4') AS not6,
+               toIPv6('2001:0db8:0000:0000:0000:0000:0000:0001') AS t6,
+               IPv6NumToString(IPv4ToIPv6(
+                   IPv4StringToNum('192.168.0.1'))) AS v46,
+               cutIPv6(IPv6StringToNum(
+                   '2001:db8:ac10:fe01:feed:babe:cafe:f00d'),
+                   10, 0) AS cut6,
+               cutIPv6(IPv4ToIPv6(IPv4StringToNum('192.168.0.1')),
+                   0, 2) AS cut4,
+               length(IPv6StringToNum('::1')) AS blen
+        """).collect()[0]
+    assert r.rt == "2001:db8::1" and r.bad is None
+    assert r.is6 is True and r.not6 is False
+    assert r.t6 == "2001:db8::1"
+    assert r.v46 == "::ffff:192.168.0.1"
+    assert r.cut6 == "2001:db8:ac10::"       # trailing 10 bytes zeroed
+    assert r.cut4 == "::ffff:192.168.0.0"    # mapped → IPv4 cut applies
+    assert r.blen == 16
+    # nonNegativeDerivative: v=n^2 over 1-second steps → max delta 7;
+    # first row → 0; negative slopes clamp to 0; interval arg scales
+    rows = ch_sql(spark, """
+        SELECT nonNegativeDerivative(v, t) OVER (ORDER BY t) AS d,
+               nonNegativeDerivative(v, t, INTERVAL 1 HOUR)
+                   OVER (ORDER BY t) AS dh
+        FROM (SELECT CAST(number AS Float64) * CAST(number AS Float64)
+                     AS v,
+                     toDateTime('2020-01-01 00:00:00')
+                     + INTERVAL 1 SECOND * number AS t
+              FROM numbers(5))
+        ORDER BY d
+        """).collect()
+    assert [x.d for x in rows] == [0.0, 1.0, 3.0, 5.0, 7.0]
+    assert rows[-1].dh == 7.0 * 3600
+    with _p.raises(Exception, match="OVER"):
+        ch_sql(spark, "SELECT nonNegativeDerivative(1.0, now()) AS x")
+
+
+def test_round10_resolve_probe_batch5(spark):
+    """Round-10 batch 5 (second wide resolve-probe): tuple divide /
+    by-number scalar arithmetic (Float64 divide like upstream), the
+    L-norm tail, addQuarters, sumWithOverflow alias, arrayDifference/
+    CumSum/Resize/Compact, hasAll/hasAny/hasSubstr, bitHammingDistance,
+    truncate, cutWWW/cutURLParameter (upstream docs examples),
+    URLHierarchy/URLPathHierarchy (upstream docs examples), UTF8
+    aliases, multi-arg range, emptyArray family — ONE action."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    r = ch_sql(spark, """
+        SELECT tupleDivide((8., 6.), (2., 3.)) AS td,
+               tupleMultiplyByNumber((1, 2), 3) AS tm,
+               tupleDivideByNumber((6., 4.), 2) AS tdn,
+               L1Norm(array(1, -2)) AS l1,
+               LinfNorm(array(1, -7)) AS li,
+               L2SquaredNorm(array(3, 4)) AS l2s,
+               L1Distance(array(1, 2), array(2, 4)) AS l1d,
+               L2SquaredDistance(array(1, 2), array(2, 4)) AS l2sd,
+               LinfDistance(array(1, 2), array(2, 9)) AS lid,
+               addQuarters(DATE'2020-01-31', 2) AS aq,
+               arrayDifference(array(1, 4, 9)) AS ad,
+               arrayDifference(emptyArrayInt64()) AS ade,
+               arrayCumSum(array(1, 2, 3)) AS acs,
+               hasAll(array(1, 2, 3), array(2, 3)) AS ha,
+               hasAll(array(1, 2), emptyArrayInt64()) AS hae,
+               hasAny(array(1, 2), array(9, 2)) AS hy,
+               hasSubstr(array(1, 2, 3, 4), array(2, 3)) AS hs,
+               hasSubstr(array(1, 2, 3, 4), array(2, 4)) AS hsf,
+               arrayResize(array(1, 2, 3), 2) AS ar1,
+               arrayResize(array(1, 2, 3), 5) AS ar2,
+               arrayResize(array(1, 2, 3), 5, 9) AS ar3,
+               arrayResize(array(1, 2, 3), -2) AS ar4,
+               arrayResize(array(1, 2, 3), -5, 7) AS ar5,
+               arrayCompact(array(1, 1, 2, 2, 1)) AS ac,
+               bitHammingDistance(5, 3) AS bh,
+               truncate(3.789, 2) AS tr,
+               truncate(-3.789) AS tr0,
+               cutWWW('http://www.example.com/a') AS cw,
+               cutWWW('www.example.com') AS cw2,
+               cutURLParameter('http://bigmir.net/?a=b&c=d', 'a') AS cp1,
+               cutURLParameter('http://bigmir.net/?a=b&c=d', 'c') AS cp2,
+               URLHierarchy('https://example.com/browse/CONV-6788')
+                   AS uh,
+               URLPathHierarchy('https://example.com/browse/CONV-6788')
+                   AS up,
+               URLHierarchy('https://example.com/a?q=1') AS uhq,
+               startsWithUTF8('héllo', 'hé') AS sw,
+               endsWithUTF8('héllo', 'lo') AS ew,
+               overlayUTF8('Spark SQL', 'CORE', 7) AS ov,
+               range(3) AS r1,
+               range(1, 4) AS r2,
+               range(0, 10, 3) AS r3,
+               range(5, 1, -2) AS r4,
+               range(4, 1) AS r5,
+               date_diff('day', DATE'2020-01-01', DATE'2020-03-01')
+                   AS dd,
+               emptyArrayString() AS es
+        """).collect()[0]
+    assert (r.td._1, r.td._2) == (4.0, 2.0)
+    assert (r.tm._1, r.tm._2) == (3, 6)
+    assert (r.tdn._1, r.tdn._2) == (3.0, 2.0)
+    assert (r.l1, r.li, r.l2s) == (3.0, 7.0, 25.0)
+    assert (r.l1d, r.l2sd, r.lid) == (3.0, 5.0, 7.0)
+    assert str(r.aq) == "2020-07-31"
+    assert r.ad == [0, 3, 5] and r.ade == [] and r.acs == [1, 3, 6]
+    assert r.ha is True and r.hae is True and r.hy is True
+    assert r.hs is True and r.hsf is False
+    assert r.ar1 == [1, 2] and r.ar2 == [1, 2, 3, 0, 0]
+    assert r.ar3 == [1, 2, 3, 9, 9]
+    assert r.ar4 == [2, 3] and r.ar5 == [7, 7, 1, 2, 3]
+    assert r.ac == [1, 2, 1]
+    assert r.bh == 2 and r.tr == 3.78 and r.tr0 == -3.0
+    assert r.cw == "http://example.com/a" and r.cw2 == "example.com"
+    assert r.cp1 == "http://bigmir.net/?c=d"
+    assert r.cp2 == "http://bigmir.net/?a=b"
+    assert r.uh == ["https://example.com/", "https://example.com/browse/",
+                    "https://example.com/browse/CONV-6788"]
+    assert r.up == ["/browse/", "/browse/CONV-6788"]
+    assert r.uhq == ["https://example.com/", "https://example.com/a?q=1"]
+    assert r.sw is True and r.ew is True and r.ov == "Spark CORE"
+    assert r.r1 == [0, 1, 2] and r.r2 == [1, 2, 3]
+    assert r.r3 == [0, 3, 6, 9] and r.r4 == [5, 3] and r.r5 == []
+    assert r.dd == 60 and r.es == []
