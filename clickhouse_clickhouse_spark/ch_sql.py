@@ -2637,6 +2637,70 @@ _FUNCS: dict[str, str] = {
     "connectionId": lambda a: "0",
     "revision": lambda a: "54500",
     "hostname": lambda a: "'localhost'",   # alias of hostName
+    # ---- round-10 resolve-probe batch 6 (third sweep) -------------------
+    # crc32 is Spark-native zlib (same as upstream CRC32); the IEEE-init
+    # variant differs only in seeding and is refused toward it
+    "crc32IEEE": lambda a: (_ for _ in ()).throw(ValueError(
+        "crc32IEEE's non-zlib seeding is not implemented — CRC32 (the "
+        "zlib variant, upstream's CRC32) is")),
+    "makeDateTime64": lambda a: (
+        "MAKE_TIMESTAMP(CAST({} AS INT), CAST({} AS INT), "
+        "CAST({} AS INT), CAST({} AS INT), CAST({} AS INT), "
+        "CAST({} AS DECIMAL(16, 6)) + {})".format(
+            *a[:6],
+            (f"CAST({a[6]} AS DOUBLE) / POWER(10, "
+             f"{a[7] if len(a) > 7 else 3})") if len(a) > 6 else "0")),
+    # scale > 6 truncates to µs (§1.2 DateTime64(9) stance)
+    "toDateTime64": lambda a: f"CAST({a[0]} AS TIMESTAMP)",
+    "substringIndexUTF8": "SUBSTRING_INDEX({0}, {1}, {2})",
+    "bitShiftLeft": "SHIFTLEFT({0}, CAST({1} AS INT))",
+    "bitShiftRight": "SHIFTRIGHT({0}, CAST({1} AS INT))",
+    "divideOrNull": "(CAST({0} AS DOUBLE) / NULLIF(CAST({1} AS DOUBLE), "
+                    "0.0D))",
+    "isZeroOrNull": "({0} IS NULL OR {0} = 0)",
+    "caseWithExpression": lambda a: (
+        "(CASE " + " ".join(
+            f"WHEN ({a[0]}) = ({a[i]}) THEN ({a[i + 1]})"
+            for i in range(1, len(a) - 1, 2))
+        + (f" ELSE ({a[-1]})" if len(a) % 2 == 0 else "") + " END)"),
+    "dateTrunc": "DATE_TRUNC({0}, {1})",
+    "addDate": "({0} + {1})",
+    "subDate": "({0} - {1})",
+    "stringBytesUniq": lambda a: _bind_once(
+        {"h": f"HEX(ENCODE({a[0]}, 'UTF-8'))"},
+        "SIZE(ARRAY_DISTINCT(TRANSFORM(IF(LENGTH(__v.h) = 0, ARRAY(), "
+        "SEQUENCE(1, LENGTH(__v.h) DIV 2)), "
+        "__i -> SUBSTRING(__v.h, 2 * __i - 1, 2))))"),
+    "stringBytesEntropy": lambda a: _bind_once(
+        {"b": f"ARRAY_SORT(TRANSFORM(IF(LENGTH(HEX(ENCODE({a[0]}, "
+              f"'UTF-8'))) = 0, ARRAY(), SEQUENCE(1, "
+              f"LENGTH(HEX(ENCODE({a[0]}, 'UTF-8'))) DIV 2)), "
+              f"__i -> SUBSTRING(HEX(ENCODE({a[0]}, 'UTF-8')), "
+              f"2 * __i - 1, 2)))"},
+        _bind_once(
+            {"e": "FILTER(SEQUENCE(1, GREATEST(SIZE(__v.b), 1)), "
+                  "__i -> __i <= SIZE(__v.b) AND (__i = SIZE(__v.b) "
+                  "OR ELEMENT_AT(__v.b, __i) "
+                  "!= ELEMENT_AT(__v.b, __i + 1)))",
+             "n": "CAST(SIZE(__v.b) AS DOUBLE)"},
+            "IF(__w.n = 0, 0.0D, AGGREGATE(ZIP_WITH(__w.e, "
+            "CONCAT(ARRAY(0), SLICE(__w.e, 1, SIZE(__w.e) - 1)), "
+            "(__e2, __p) -> __e2 - __p), 0.0D, (__s, __c) -> "
+            "__s - (CAST(__c AS DOUBLE) / __w.n) "
+            "* LOG2(CAST(__c AS DOUBLE) / __w.n)))",
+            var="__w")),
+    "queryID": lambda a: (_ for _ in ()).throw(ValueError(
+        "queryID/initialQueryID: per-query ids live in "
+        "system.query_log here")),
+    "initialQueryID": lambda a: (_ for _ in ()).throw(ValueError(
+        "queryID/initialQueryID: per-query ids live in "
+        "system.query_log here")),
+    "tid": lambda a: "0",      # single-process convention (shardNum=1)
+    # §1.2: Int128/256 map to DECIMAL(38,0) — beyond 38 digits refuses
+    "toInt128": "CAST({0} AS DECIMAL(38, 0))",
+    "toInt256": "CAST({0} AS DECIMAL(38, 0))",
+    "toUInt128": "CAST({0} AS DECIMAL(38, 0))",
+    "toUInt256": "CAST({0} AS DECIMAL(38, 0))",
     # ---- round-10 resolve-probe batch 5 (second wide sweep) ------------
     "tupleDivide": lambda a: _tuple_arith_tpl(a, "/"),
     "tupleMultiplyByNumber": lambda a: _tuple_scalar_tpl(a, "*"),
@@ -3091,6 +3155,9 @@ _FUNCS: dict[str, str] = {
     "positionCaseInsensitive": "CAST(LOCATE(LOWER({1}), LOWER({0})) "
                                "AS BIGINT)",
     "countSubstringsCaseInsensitive":
+        "CAST((LENGTH({0}) - LENGTH(REPLACE(LOWER({0}), LOWER({1}), "
+        "''))) / LENGTH({1}) AS BIGINT)",
+    "countSubstringsCaseInsensitiveUTF8":
         "CAST((LENGTH({0}) - LENGTH(REPLACE(LOWER({0}), LOWER({1}), "
         "''))) / LENGTH({1}) AS BIGINT)",
     # upstream splits ONLY on whitespace + ASCII punctuation ([U]

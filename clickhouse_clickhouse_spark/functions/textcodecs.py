@@ -93,6 +93,51 @@ def base58_decode_py(s: str) -> str:
     return (b"\x00" * pad + raw).decode("utf-8")
 
 
+def base32_encode_py(s: str) -> str:
+    import base64
+    return base64.b32encode(s.encode("utf-8")).decode("ascii")
+
+
+def base32_decode_py(s: str) -> str:
+    import base64
+    return base64.b32decode(s.encode("ascii"), casefold=False) \
+        .decode("utf-8")
+
+
+# CRC-64 per upstream src/Functions/CRC.h (CRC-64/XZ parameters:
+# poly 0x42F0E1EBA9EA3693 reflected, init/xorout all-ones) — table-driven
+_CRC64_POLY_REFL = 0xC96C5795D7870F42
+_CRC64_TABLE: list[int] = []
+
+
+def _crc64_table() -> list[int]:
+    if not _CRC64_TABLE:
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ _CRC64_POLY_REFL if c & 1 else c >> 1
+            _CRC64_TABLE.append(c)
+    return _CRC64_TABLE
+
+
+def crc64_py(s: str) -> int:
+    tbl = _crc64_table()
+    crc = 0xFFFFFFFFFFFFFFFF
+    for b in s.encode("utf-8"):
+        crc = tbl[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    crc ^= 0xFFFFFFFFFFFFFFFF
+    return crc - (1 << 64) if crc >= (1 << 63) else crc  # BIGINT wrap
+
+
+def bfloat16_py(x: float) -> float:
+    """Round a double to bfloat16 precision (round-to-nearest-even on
+    the float32 representation, the standard truncation trick)."""
+    import struct
+    v = struct.unpack("<I", struct.pack("<f", x))[0]
+    v = (v + 0x7FFF + ((v >> 16) & 1)) & 0xFFFF0000
+    return struct.unpack("<f", struct.pack("<I", v))[0]
+
+
 def _str_udf(fn, try_mode: bool = False):
     """Wrap a str->str core as a null-safe Arrow-batched pandas UDF.
     ``try_mode`` maps failures to '' (the reference's try* contract);
@@ -131,3 +176,19 @@ def register_codec_udfs(spark) -> None:
         spark.udf.register(
             f"normalizeUTF8{form}",
             _str_udf(lambda v, f=form: unicodedata.normalize(f, v)))
+    spark.udf.register("base32Encode", _str_udf(base32_encode_py))
+    spark.udf.register("base32Decode", _str_udf(base32_decode_py))
+    spark.udf.register("tryBase32Decode",
+                       _str_udf(base32_decode_py, try_mode=True))
+
+    @pandas_udf("bigint")
+    def _crc64(col: pd.Series) -> pd.Series:
+        return col.map(lambda v: None if v is None else crc64_py(v))
+
+    spark.udf.register("crc64", _crc64)
+
+    @pandas_udf("float")
+    def _bf16(col: pd.Series) -> pd.Series:
+        return col.map(lambda v: None if v is None else bfloat16_py(v))
+
+    spark.udf.register("toBFloat16", _bf16)

@@ -2311,3 +2311,63 @@ def ch_sql_round10_tail5(spark, sf):
                toDateTime(addQuarters(DATE'2020-01-31', event_id % 8))
                    AS aq
         FROM events""")
+
+
+@register("ch_sql_round10_tail6", oracle="""
+SELECT event_id AS k,
+       2 AS sbu,
+       round(-((na / nn) * log2(na / nn) + (nb / nn) * log2(nb / nn)),
+             6) AS sbe,
+       true AS b32rt,
+       value / nullif(CAST(event_id % 3 AS DOUBLE), 0) AS dor,
+       event_id % 3 = 0 AS izn,
+       CASE event_id % 3 WHEN 0 THEN 'z' WHEN 1 THEN 'o'
+            ELSE 'm' END AS cwe,
+       date_trunc('month', ts) AS dt,
+       ts + INTERVAL 2 DAY AS ad,
+       ts - INTERVAL 2 DAY AS sd,
+       (event_id % 16) << 2 AS bsl,
+       CASE 1 + event_id % 3 WHEN 1 THEN 'a' WHEN 2 THEN 'a.b'
+            ELSE 'a.b.c' END AS si,
+       TIMESTAMP '2020-02-29 10:11:00'
+           + to_seconds(CAST(event_id % 60 AS INT)) AS mdt,
+       CAST(event_id * 1000000 AS DECIMAL(38, 0)) AS i128
+FROM (SELECT *,
+             CAST(1 + event_id % 5 AS DOUBLE) AS na,
+             CAST(1 + user_id % 3 AS DOUBLE) AS nb,
+             CAST(2 + event_id % 5 + user_id % 3 AS DOUBLE) AS nn
+      FROM events)
+""")
+def ch_sql_round10_tail6(spark, sf):
+    """Round-10 batch 6 in dialect SQL over `events`: byte-level string
+    statistics (stringBytesUniq/stringBytesEntropy vs the closed-form
+    two-symbol entropy the oracle states), base32 round trip,
+    divideOrNull/isZeroOrNull, caseWithExpression, dateTrunc/addDate/
+    subDate, bitShiftLeft, substringIndexUTF8, makeDateTime64,
+    Int128 → DECIMAL(38,0). crc64/toBFloat16 are pytest-pinned to
+    external vectors (CRC-64/XZ check value; bfloat16 rounding)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return ch_sql(spark, """
+        SELECT event_id AS k,
+               stringBytesUniq(s) AS sbu,
+               round(stringBytesEntropy(s), 6) AS sbe,
+               base32Decode(base32Encode(props)) = props AS b32rt,
+               divideOrNull(value, event_id % 3) AS dor,
+               isZeroOrNull(event_id % 3) AS izn,
+               caseWithExpression(event_id % 3, 0, 'z', 1, 'o', 'm')
+                   AS cwe,
+               dateTrunc('month', ts) AS dt,
+               addDate(ts, INTERVAL 2 DAY) AS ad,
+               subDate(ts, INTERVAL 2 DAY) AS sd,
+               bitShiftLeft(event_id % 16, 2) AS bsl,
+               substringIndexUTF8('a.b.c', '.',
+                                  CAST(1 + event_id % 3 AS Int32)) AS si,
+               makeDateTime64(2020, 2, 29, 10, 11, event_id % 60) AS mdt,
+               toInt128(event_id * 1000000) AS i128
+        FROM (SELECT *,
+                     concat(repeat('a', CAST(1 + event_id % 5 AS Int32)),
+                            repeat('b', CAST(1 + user_id % 3 AS Int32)))
+                         AS s
+              FROM events)""")

@@ -3088,3 +3088,61 @@ def test_round10_resolve_probe_batch5(spark):
     assert r.r1 == [0, 1, 2] and r.r2 == [1, 2, 3]
     assert r.r3 == [0, 3, 6, 9] and r.r4 == [5, 3] and r.r5 == []
     assert r.dd == 60 and r.es == []
+
+
+def test_round10_resolve_probe_batch6(spark):
+    """Round-10 batch 6 (third sweep): base32 codecs (stdlib), CRC-64/XZ
+    (pinned to the standard check vector crc64('123456789') =
+    0x995DC9BBDF1939FA per upstream src/Functions/CRC.h parameters),
+    toBFloat16 (round-to-nearest-even on the float32 high half),
+    makeDateTime64/toDateTime64, substringIndexUTF8, bitShift aliases,
+    divideOrNull/isZeroOrNull, caseWithExpression, dateTrunc/addDate/
+    subDate, stringBytesUniq/stringBytesEntropy, tid, Int128/256
+    DECIMAL(38,0) mapping — ONE action."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    r = ch_sql(spark, """
+        SELECT base32Encode('Hi') AS b32,
+               base32Decode('JBUQ====') AS b32d,
+               tryBase32Decode('%%%') AS b32t,
+               crc64('123456789') AS c64,
+               toBFloat16(5.7) AS bf,
+               makeDateTime64(2020, 2, 29, 10, 11, 12) AS mdt,
+               makeDateTime64(2020, 2, 29, 10, 11, 12, 123) AS mdtf,
+               toDateTime64('2020-02-29 10:11:12.123', 3) AS dt64,
+               substringIndexUTF8('a.b.c', '.', 2) AS si,
+               bitShiftLeft(1, 3) AS bsl,
+               bitShiftRight(8, 3) AS bsr,
+               divideOrNull(7, 0) AS dor,
+               divideOrNull(7, 2) AS dor2,
+               isZeroOrNull(0) AS izn,
+               isZeroOrNull(5) AS izn5,
+               caseWithExpression(2, 1, 'a', 2, 'b', 'c') AS cwe,
+               caseWithExpression(9, 1, 'a', 2, 'b', 'c') AS cwed,
+               dateTrunc('month', TIMESTAMP'2020-02-29 10:11:12') AS dt,
+               addDate(DATE'2020-01-05', INTERVAL 3 DAY) AS ad,
+               subDate(DATE'2020-01-05', INTERVAL 3 DAY) AS sd,
+               stringBytesUniq('hello') AS sbu,
+               round(stringBytesEntropy('aab'), 4) AS sbe,
+               stringBytesEntropy('') AS sbe0,
+               stringBytesEntropy('aaaa') AS sbe1,
+               tid() AS tid,
+               toInt128(5) AS i128,
+               countSubstringsCaseInsensitiveUTF8('Héllo hÉllo',
+                                                  'héllo') AS cci
+        """).collect()[0]
+    assert r.b32 == "JBUQ====" and r.b32d == "Hi" and r.b32t == ""
+    assert r.c64 == -0x66A23644_20E6C606  # 0x995DC9BBDF1939FA as BIGINT
+    assert abs(r.bf - 5.6875) < 1e-9      # bfloat16(5.7)
+    assert str(r.mdt) == "2020-02-29 10:11:12"
+    assert str(r.mdtf) == "2020-02-29 10:11:12.123000"
+    assert str(r.dt64) == "2020-02-29 10:11:12.123000"
+    assert r.si == "a.b" and r.bsl == 8 and r.bsr == 1
+    assert r.dor is None and r.dor2 == 3.5
+    assert r.izn is True and r.izn5 is False
+    assert r.cwe == "b" and r.cwed == "c"
+    assert str(r.dt) == "2020-02-01 00:00:00"
+    assert str(r.ad) == "2020-01-08" and str(r.sd) == "2020-01-02"
+    assert r.sbu == 4 and r.sbe == 0.9183
+    assert r.sbe0 == 0.0 and r.sbe1 == 0.0
+    assert r.tid == 0 and r.i128 == 5 and r.cci == 2
