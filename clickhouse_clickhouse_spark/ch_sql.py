@@ -2666,13 +2666,21 @@ _FUNCS: dict[str, str] = {
     "dateTrunc": "DATE_TRUNC({0}, {1})",
     "addDate": "({0} + {1})",
     "subDate": "({0} - {1})",
+    # byte-stat folds materialize a per-row hex-pair array — bounded to
+    # 64 KiB (the SCALE.md fold-guard convention; document-scale text
+    # goes through pipeline/functions text stats, which stream)
     "stringBytesUniq": lambda a: _bind_once(
-        {"h": f"HEX(ENCODE({a[0]}, 'UTF-8'))"},
+        {"h": f"IF(LENGTH({a[0]}) > 65536, RAISE_ERROR("
+              f"'stringBytesUniq: input beyond 64KiB — use the "
+              f"pipeline text stats'), HEX(ENCODE({a[0]}, 'UTF-8')))"},
         "SIZE(ARRAY_DISTINCT(TRANSFORM(IF(LENGTH(__v.h) = 0, ARRAY(), "
         "SEQUENCE(1, LENGTH(__v.h) DIV 2)), "
         "__i -> SUBSTRING(__v.h, 2 * __i - 1, 2))))"),
     "stringBytesEntropy": lambda a: _bind_once(
-        {"b": f"ARRAY_SORT(TRANSFORM(IF(LENGTH(HEX(ENCODE({a[0]}, "
+        {"b": f"ARRAY_SORT(TRANSFORM(IF(LENGTH(HEX(ENCODE("
+              f"IF(LENGTH({a[0]}) > 65536, RAISE_ERROR("
+              f"'stringBytesEntropy: input beyond 64KiB — use the "
+              f"pipeline text stats'), {a[0]}), "
               f"'UTF-8'))) = 0, ARRAY(), SEQUENCE(1, "
               f"LENGTH(HEX(ENCODE({a[0]}, 'UTF-8'))) DIV 2)), "
               f"__i -> SUBSTRING(HEX(ENCODE({a[0]}, 'UTF-8')), "
