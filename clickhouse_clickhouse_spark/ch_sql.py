@@ -2159,8 +2159,34 @@ _FUNCS: dict[str, str] = {
     "arrayConcat": "CONCAT({*})", "arrayFlatten": "FLATTEN({0})",
     "arraySum": "AGGREGATE({0}, CAST(0 AS DOUBLE), (s, x) -> s + x)",
     # higher-order: CH takes the lambda FIRST, Spark takes it last
-    "arrayMap": "TRANSFORM({1}, {0})", "arrayFilter": "FILTER({1}, {0})",
-    "arrayExists": "EXISTS({1}, {0})", "arrayAll": "FORALL({1}, {0})",
+    # multi-array lambda forms ([U] arrayMap(lam, a1, a2, ...)): two
+    # arrays zip positionally into the binary lambda; predicates over
+    # two arrays evaluate via ZIP_WITH then reduce on the bool array
+    "arrayMap": lambda a: (
+        f"TRANSFORM({a[1]}, {a[0]})" if len(a) == 2 else
+        f"ZIP_WITH({a[1]}, {a[2]}, {a[0]})" if len(a) == 3 else
+        (_ for _ in ()).throw(ValueError(
+            "arrayMap supports 1 or 2 array arguments here"))),
+    "arrayFilter": lambda a: (
+        f"FILTER({a[1]}, {a[0]})" if len(a) == 2 else
+        (f"TRANSFORM(FILTER(ZIP_WITH({a[1]}, "
+         f"ZIP_WITH({a[1]}, {a[2]}, {a[0]}), (__e, __k) -> "
+         f"NAMED_STRUCT('e', __e, 'k', __k)), __s -> __s.k), "
+         f"__s -> __s.e)") if len(a) == 3 else
+        (_ for _ in ()).throw(ValueError(
+            "arrayFilter supports 1 or 2 array arguments here"))),
+    "arrayExists": lambda a: (
+        f"EXISTS({a[1]}, {a[0]})" if len(a) == 2 else
+        (f"EXISTS(ZIP_WITH({a[1]}, {a[2]}, {a[0]}), __k -> __k)"
+         if len(a) == 3 else
+         (_ for _ in ()).throw(ValueError(
+             "arrayExists supports 1 or 2 array arguments here")))),
+    "arrayAll": lambda a: (
+        f"FORALL({a[1]}, {a[0]})" if len(a) == 2 else
+        (f"FORALL(ZIP_WITH({a[1]}, {a[2]}, {a[0]}), __k -> __k)"
+         if len(a) == 3 else
+         (_ for _ in ()).throw(ValueError(
+             "arrayAll supports 1 or 2 array arguments here")))),
     "arrayFirst": "ELEMENT_AT(FILTER({1}, {0}), 1)",
     "arrayLast": "ELEMENT_AT(FILTER({1}, {0}), -1)",
     "countEqual": "SIZE(FILTER({0}, __ce -> __ce <=> {1}))",
@@ -2218,7 +2244,12 @@ _FUNCS: dict[str, str] = {
     "leftUTF8": "SUBSTRING({0}, 1, {1})",
     "rightUTF8": "SUBSTRING({0}, -CAST({1} AS INT), {1})",
     "reverseUTF8": "REVERSE({0})",
-    "arrayCount": "SIZE(FILTER({1}, {0}))",
+    "arrayCount": lambda a: (
+        f"SIZE(FILTER({a[1]}, {a[0]}))" if len(a) == 2 else
+        (f"SIZE(FILTER(ZIP_WITH({a[1]}, {a[2]}, {a[0]}), "
+         f"__k -> __k))" if len(a) == 3 else
+         (_ for _ in ()).throw(ValueError(
+             "arrayCount supports 1 or 2 array arguments here")))),
     # vector distances (SQL names of functions/vectors.py)
     "dotProduct": "AGGREGATE(ZIP_WITH({0}, {1}, (x, y) -> x * y), "
                   "CAST(0 AS DOUBLE), (s, v) -> s + v)",
@@ -5505,6 +5536,83 @@ def _array_literals(q: str) -> str:
         q = new
 
 
+_VALUES_TF_PAT = re.compile(r"\b(FROM|JOIN)\s+values\s*\(", re.IGNORECASE)
+
+
+def _values_col_type(ctype: str) -> str:
+    """CH column type in a values() schema string → Spark cast type."""
+    base = ctype.strip()
+    m = re.fullmatch(r"(?is)Nullable\s*\((.*)\)", base)
+    if m:
+        base = m.group(1).strip()
+    if re.fullmatch(r"(?is)Decimal\s*\(\s*\d+\s*,\s*\d+\s*\)", base):
+        return base.upper().replace(" ", "")
+    if re.fullmatch(r"(?is)DateTime64\s*\(\s*\d+\s*\)", base):
+        return "TIMESTAMP"
+    t = _CH_CAST_TYPES.get(re.sub(r"\s*\(.*", "", base).lower())
+    if t is None:
+        raise ValueError(f"values(): unsupported column type {ctype!r}")
+    return t
+
+
+def _rewrite_values_tf(q: str) -> str:
+    """``values('a T, b U', (..), ..)`` / ``values((..), ..)`` table
+    function ([U] src/TableFunctions/TableFunctionValues.cpp) → Spark's
+    inline ``VALUES ... AS t(cols)`` (typed via the schema string; bare
+    form gets upstream's c1..cN names). Spark's native parse of
+    ``FROM values((1,'x'),(2,'y'))`` silently yields ONE row of struct
+    columns — the wrong shape — so this rewrite is semantic, not
+    cosmetic."""
+    pos = 0
+    while True:
+        m = _masked_search(_VALUES_TF_PAT, q[pos:])
+        if not m:
+            return q
+        mstart = pos + m.start()
+        open_p = q.index("(", mstart + len(m.group(1)))
+        close = _find_close(q, open_p)
+        if close < 0:
+            raise ValueError("values(): unbalanced call")
+        # Spark's NATIVE `FROM VALUES (r1), (r2) AS t(cols)` spells each
+        # row in its own parens — the first close paren is followed by
+        # `,` or an `AS t(cols)` alias. Leave those untouched; only the
+        # reference's single-paren table function rewrites.
+        after = q[close + 1:]
+        if re.match(r"\s*,", after) or \
+                re.match(r"\s*AS\s+\w+\s*\(", after, re.IGNORECASE):
+            pos = close + 1
+            continue
+        args = _split_args(q[open_p + 1:close])
+        if not args or not args[0].strip():
+            raise ValueError("values() needs at least one row")
+        schema, rows = None, args
+        if args[0].strip().startswith("'"):
+            schema, rows = args[0].strip()[1:-1], args[1:]
+        if schema is not None:
+            cols = []
+            for colspec in _split_args(schema):
+                parts = colspec.strip().split(None, 1)
+                if len(parts) != 2:
+                    raise ValueError(
+                        f"values(): malformed schema column {colspec!r}")
+                cols.append((parts[0], _values_col_type(parts[1])))
+        else:
+            first = rows[0].strip()
+            arity = (len(_split_args(first[1:-1]))
+                     if first.startswith("(") else 1)
+            cols = [(f"c{i + 1}", None) for i in range(arity)]
+        inner = ", ".join(f"__c{i + 1}" for i in range(len(cols)))
+        sel = ", ".join(
+            (f"CAST(__c{i + 1} AS {t}) AS {n}" if t else
+             f"__c{i + 1} AS {n}")
+            for i, (n, t) in enumerate(cols))
+        repl = (f"{m.group(1)} (SELECT {sel} FROM VALUES "
+                f"{', '.join(r.strip() for r in rows)} "
+                f"AS __vt({inner}))")
+        q = q[:mstart] + repl + q[close + 1:]
+        pos = mstart + len(repl)
+
+
 _NND_PAT = re.compile(r"\bnonNegativeDerivative\s*\(", re.IGNORECASE)
 _NND_IVAL = re.compile(
     r"^\s*(?:INTERVAL\s+)?(\d+)\s+(SECOND|MINUTE|HOUR|DAY)S?\s*$",
@@ -5699,6 +5807,7 @@ def _translate_impl(sql: str,
     q = _masked_sub(re.compile(r"=="), lambda m: "=", q)
     q = _array_literals(q)
     q = _cast_type_names(q)
+    q = _rewrite_values_tf(q)
     q = _rewrite_nonneg_derivative(q)
     q = _masked_sub(re.compile(r"\bsystem\.(\w+)", re.IGNORECASE),
                     lambda m: f"__system_{m.group(1).lower()}", q)
@@ -5706,6 +5815,15 @@ def _translate_impl(sql: str,
     # ch_sql() intercepts the trailing bare-column form before translate()
     # and applies the boundary-filter operator; anything that reaches here
     # (expression order keys, nested position) is refused loudly.
+    # * REPLACE/APPLY need the input schema, which a text translator
+    # doesn't have — refuse toward the DataFrame pattern (* EXCEPT is
+    # Spark-native and passes through)
+    if _masked_search(re.compile(r"\*\s+(REPLACE|APPLY)\s*\(",
+                                 re.IGNORECASE), q):
+        raise ValueError(
+            "* REPLACE/APPLY need the schema — use the DataFrame "
+            "column-list pattern (queries/advanced_q.star_except_"
+            "replace); * EXCEPT (cols) is supported natively")
     if _masked_search(re.compile(r"\bLIMIT\s+\d+\s+WITH\s+TIES\b",
                                  re.IGNORECASE), q):
         raise ValueError(
@@ -5724,11 +5842,11 @@ def _translate_impl(sql: str,
     # numbers(N) / numbers(start, N) table function -> Spark range();
     # the reference's `number` column name maps to range's `id`
     q = _masked_sub(
-        re.compile(r"\bFROM\s+numbers\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
-                   re.IGNORECASE),
-        lambda m: _numbers_subquery(
-            int(m.group(1)) if m.group(2) else 0,
-            int(m.group(2)) if m.group(2) else int(m.group(1))),
+        re.compile(r"\b(FROM|JOIN)\s+numbers\(\s*(\d+)\s*"
+                   r"(?:,\s*(\d+)\s*)?\)", re.IGNORECASE),
+        lambda m: m.group(1) + _numbers_subquery(
+            int(m.group(2)) if m.group(3) else 0,
+            int(m.group(3)) if m.group(3) else int(m.group(2)))[4:],
         q)
 
     # strictness/positional joins change SEMANTICS — refuse loudly rather
@@ -7416,13 +7534,20 @@ def ch_statement(spark: SparkSession, sql: str,
         return spark.createDataFrame([(m.group("table"), rows.count())],
                                      "table string, written long")
     if kw == "DESCRIBE" or kw == "DESC":
-        name = head[-1].strip().rstrip(";")
-        if name.upper().startswith("TABLE "):
-            name = name.split(None, 1)[1]
-        t = spark.table(name)
+        rest = sql.strip().split(None, 1)[1].strip().rstrip(";")
+        if rest.upper().startswith("TABLE "):
+            rest = rest.split(None, 1)[1].strip()
         from clickhouse_clickhouse_spark.types_map import (
             spark_type_to_ch,
         )
+        if rest.startswith("("):
+            # DESCRIBE TABLE (SELECT ...) — subquery schema ([U]
+            # InterpreterDescribeQuery.cpp); LIMIT 0 keeps it plan-only
+            close = _find_close(rest, 0)
+            body = translate(rest[1:close])
+            t = spark.sql(f"SELECT * FROM ({body}) __dq LIMIT 0")
+        else:
+            t = spark.table(rest)
         rows = [(f.name, spark_type_to_ch(f.dataType, f.nullable))
                 for f in t.schema.fields]
         return spark.createDataFrame(rows, "name string, type string")

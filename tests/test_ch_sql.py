@@ -3146,3 +3146,53 @@ def test_round10_resolve_probe_batch6(spark):
     assert r.sbu == 4 and r.sbe == 0.9183
     assert r.sbe0 == 0.0 and r.sbe1 == 0.0
     assert r.tid == 0 and r.i128 == 5 and r.cci == 2
+
+
+def test_round10_values_tf_and_hof_arity(spark):
+    """values() table function both forms (schema-string typed columns;
+    bare form gets upstream's c1..cN names — Spark's native parse of
+    values((1,'x')) yields ONE row of structs, so the rewrite is
+    semantic), numbers() in JOIN position, multi-array lambda HOFs
+    (arrayMap/Filter/Exists/All/Count over two arrays), DESCRIBE of a
+    subquery, and the * REPLACE/APPLY loud refusal."""
+    import pytest as _p
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, ch_statement
+
+    rows = ch_sql(spark, """
+        SELECT * FROM values('a UInt64, b String', (1, 'x'), (2, 'y'))
+        ORDER BY a""").collect()
+    assert [(r.a, r.b) for r in rows] == [(1, "x"), (2, "y")]
+    rows = ch_sql(spark, """
+        SELECT c1 + 1 AS d, c2 FROM values((1, 'x'), (2, 'y'))
+        ORDER BY d""").collect()
+    assert [(r.d, r.c2) for r in rows] == [(2, "x"), (3, "y")]
+    rows = ch_sql(spark, """
+        SELECT v.b, n.number FROM values('a Int64, b String',
+            (0, 'x'), (1, 'y')) v
+        JOIN numbers(2) n ON v.a = n.number ORDER BY n.number""") \
+        .collect()
+    assert [(r.b, r.number) for r in rows] == [("x", 0), ("y", 1)]
+
+    r = ch_sql(spark, """
+        SELECT arrayMap((x, i) -> x + i, array(10, 20),
+                        array(1, 2)) AS m,
+               arrayFilter((x, i) -> i > 1, array(10, 20),
+                           array(1, 2)) AS f,
+               arrayExists((x, i) -> x = 20 AND i = 2, array(10, 20),
+                           array(1, 2)) AS e,
+               arrayAll((x, i) -> x > i, array(10, 20),
+                        array(1, 2)) AS al,
+               arrayCount((x, i) -> x > 10 * i, array(10, 20, 30),
+                          array(1, 2, 2)) AS c
+        """).collect()[0]
+    assert r.m == [11, 22] and r.f == [20]
+    assert r.e is True and r.al is True and r.c == 1
+
+    d = ch_statement(
+        spark, "DESCRIBE TABLE (SELECT toUInt64(1) AS x, 'a' AS y)") \
+        .collect()
+    assert [(r.name, r.type) for r in d] == [("x", "Int64"),
+                                             ("y", "String")]
+    with _p.raises(ValueError, match="REPLACE/APPLY"):
+        ch_sql(spark, "SELECT * APPLY (sum) FROM numbers(1)")
