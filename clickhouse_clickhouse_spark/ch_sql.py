@@ -6066,6 +6066,11 @@ def _register_system_views(spark: SparkSession, sql: str) -> None:
 
     providers = {
         "one": ST.system_one,
+        # upstream system.numbers is infinite and always LIMITed; a lazy
+        # 2^32 range plans GlobalLimit over Range — only the requested
+        # prefix executes
+        "numbers": lambda s: ST.system_numbers(s, 1 << 32),
+        "numbers_mt": lambda s: ST.system_numbers(s, 1 << 32),
         "tables": ST.system_tables,
         "formats": ST.system_formats,
         "settings": ST.system_settings,
@@ -6684,9 +6689,62 @@ def _try_strictness_join(spark: SparkSession, sql: str, final_keys):
                   final_keys=final_keys)
 
 
+_PARAM_RE = re.compile(r"\{(\w+)\s*:\s*([A-Za-z0-9_() ]+?)\s*\}")
+
+
+def _render_param(value, ctype: str) -> str:
+    """Render one query-parameter value as a SQL literal of the declared
+    reference type ([U] src/Interpreters/ReplaceQueryParameterVisitor
+    .cpp — typed substitution, not string splicing)."""
+    base = ctype.strip()
+    m = re.fullmatch(r"(?is)Array\s*\((.*)\)", base)
+    if m:
+        inner = m.group(1)
+        return ("array(" + ", ".join(
+            _render_param(v, inner) for v in value) + ")")
+    low = re.sub(r"\s*\(.*", "", base).lower()
+    if low == "identifier":
+        if not re.fullmatch(r"[\w.]+", str(value)):
+            raise ValueError(f"Identifier parameter {value!r} is not a "
+                             "valid identifier")
+        return str(value)
+    if low in ("string", "fixedstring", "uuid"):
+        return "'" + str(value).replace("\\", "\\\\") \
+            .replace("'", "\\'") + "'"
+    if low in ("date", "date32"):
+        return f"DATE'{value}'"
+    if low in ("datetime", "datetime64"):
+        return f"TIMESTAMP'{value}'"
+    if low in ("bool", "boolean"):
+        return "TRUE" if value in (True, 1, "true", "1") else "FALSE"
+    if low in ("int8", "int16", "int32", "int64", "uint8", "uint16",
+               "uint32", "uint64", "int128", "int256", "uint128",
+               "uint256"):
+        return str(int(value))
+    if low in ("float32", "float64", "decimal", "decimal32",
+               "decimal64", "decimal128"):
+        return repr(float(value)) if low.startswith("float") \
+            else str(value)
+    raise ValueError(f"unsupported query-parameter type {ctype!r}")
+
+
+def substitute_params(sql: str, params: dict | None) -> str:
+    """``{name:Type}`` query parameters → typed literals (the reference
+    client's ``--param_name`` surface). Unbound names raise; extra
+    params are ignored like upstream."""
+    def one(m):
+        name, ctype = m.group(1), m.group(2)
+        if params is None or name not in params:
+            raise ValueError(f"query parameter {name!r} is not set "
+                             "(pass params={...})")
+        return _render_param(params[name], ctype)
+
+    return _masked_sub(_PARAM_RE, one, sql)
+
+
 def ch_sql(spark: SparkSession, sql: str,
-           final_keys: dict[str, tuple[list[str], str]] | None = None
-           ) -> DataFrame:
+           final_keys: dict[str, tuple[list[str], str]] | None = None,
+           params: dict | None = None) -> DataFrame:
     """Run a reference-dialect query: translate, then ``spark.sql``.
     Tables must already be catalog-visible (temp views / saveAsTable).
 
@@ -6695,7 +6753,12 @@ def ch_sql(spark: SparkSession, sql: str,
     (operators/fill.with_fill_bounds) over the translated inner query —
     gap filling needs sequence generation, not a text rewrite.
     INTERPOLATE supports the bare-column carry-forward form; expression
-    interpolation is refused."""
+    interpolation is refused.
+
+    ``params``: ``{name:Type}`` query parameters, substituted as typed
+    literals before translation."""
+    if params is not None or _masked_search(_PARAM_RE, sql):
+        sql = substitute_params(sql, params)
     _register_udfs(spark)
     _register_system_views(spark, sql)
     _register_dict_hier_views(spark, sql)

@@ -399,3 +399,19 @@ def ch_sql_array_join_zip(spark, sf):
               FROM lineitem WHERE l_orderkey < 200
               GROUP BY l_orderkey)
         ARRAY JOIN lns AS ln, qtys AS qty""")
+
+
+@register("system_numbers_limit", oracle="""
+SELECT CAST(sum(n) AS BIGINT) AS s
+FROM (SELECT generate_series AS n FROM generate_series(0, 999))
+""")
+def system_numbers_limit(spark, sf):
+    """system.numbers as a lazily-bounded range ([U]
+    src/Storages/System/StorageSystemNumbers.cpp — infinite upstream,
+    always consumed through LIMIT; here GlobalLimit over Range executes
+    only the requested prefix)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    return ch_sql(spark, """
+        SELECT toInt64(sum(number)) AS s
+        FROM (SELECT number FROM system.numbers LIMIT 1000)""")

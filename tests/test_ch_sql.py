@@ -3196,3 +3196,38 @@ def test_round10_values_tf_and_hof_arity(spark):
                                              ("y", "String")]
     with _p.raises(ValueError, match="REPLACE/APPLY"):
         ch_sql(spark, "SELECT * APPLY (sum) FROM numbers(1)")
+
+
+def test_round10_query_params_and_system_numbers(spark):
+    """{name:Type} query parameters substitute as TYPED literals
+    (upstream ReplaceQueryParameterVisitor semantics: strings escape,
+    identifiers validate, arrays recurse; unbound names raise) and
+    system.numbers works as a lazily-bounded range (only the LIMITed
+    prefix executes)."""
+    import pytest as _p
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    r = ch_sql(spark, "SELECT {n:UInt64} + number AS x FROM numbers(2) "
+                      "ORDER BY x", params={"n": 10}).collect()
+    assert [x.x for x in r] == [10, 11]
+    assert ch_sql(spark, "SELECT {s:String} AS x",
+                  params={"s": "it's"}).collect()[0].x == "it's"
+    assert ch_sql(spark, "SELECT has({xs:Array(Int64)}, 2) AS x",
+                  params={"xs": [1, 2, 3]}).collect()[0].x is True
+    assert ch_sql(spark, "SELECT toYear({d:Date}) AS x",
+                  params={"d": "2020-02-29"}).collect()[0].x == 2020
+    spark.range(3).createOrReplaceTempView("__pv_params")
+    assert ch_sql(spark, "SELECT count(*) AS c FROM {t:Identifier}",
+                  params={"t": "__pv_params"}).collect()[0].c == 3
+    with _p.raises(ValueError, match="not set"):
+        ch_sql(spark, "SELECT {q:Int32} AS x")
+    with _p.raises(ValueError, match="not a valid identifier"):
+        ch_sql(spark, "SELECT 1 FROM {t:Identifier}",
+               params={"t": "x; DROP"})
+    # masked: braces inside string literals are NOT parameters
+    assert ch_sql(spark, "SELECT '{n:Int32}' AS x").collect()[0].x \
+        == "{n:Int32}"
+    rows = ch_sql(spark, "SELECT number FROM system.numbers LIMIT 5") \
+        .collect()
+    assert [x.number for x in rows] == [0, 1, 2, 3, 4]
