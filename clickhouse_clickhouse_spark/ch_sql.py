@@ -2092,6 +2092,71 @@ _FUNCS: dict[str, str] = {
     "varPop": "VAR_POP({0})", "varSamp": "VAR_SAMP({0})",
     "stddevPop": "STDDEV_POP({0})", "stddevSamp": "STDDEV_SAMP({0})",
     "covarPop": "COVAR_POP({0}, {1})", "covarSamp": "COVAR_SAMP({0}, {1})",
+    # *Stable variants differ only in summation algorithm upstream —
+    # Spark's aggregates are already numerically stable
+    "covarPopStable": "COVAR_POP({0}, {1})",
+    "covarSampStable": "COVAR_SAMP({0}, {1})",
+    "corrStable": "CORR({0}, {1})",
+    "stddevPopStable": "STDDEV_POP({0})",
+    "stddevSampStable": "STDDEV_SAMP({0})",
+    "varPopStable": "VAR_POP({0})",
+    "varSampStable": "VAR_SAMP({0})",
+    # scalar bitmap family over sorted-distinct-array bitmaps ([U]
+    # src/Functions/FunctionsBitmap.h — roaring bitmaps upstream; the
+    # array form keeps identical set semantics)
+    "bitmapBuild": "ARRAY_SORT(ARRAY_DISTINCT({0}))",
+    "bitmapToArray": "ARRAY_SORT({0})",
+    "bitmapCardinality": "CAST(SIZE({0}) AS BIGINT)",
+    "bitmapAnd": "ARRAY_SORT(ARRAY_INTERSECT({0}, {1}))",
+    "bitmapOr": "ARRAY_SORT(ARRAY_DISTINCT(CONCAT({0}, {1})))",
+    "bitmapXor": "ARRAY_SORT(CONCAT(ARRAY_EXCEPT({0}, {1}), "
+                 "ARRAY_EXCEPT({1}, {0})))",
+    "bitmapAndnot": "ARRAY_SORT(ARRAY_EXCEPT({0}, {1}))",
+    "bitmapAndCardinality": "CAST(SIZE(ARRAY_INTERSECT({0}, {1})) "
+                            "AS BIGINT)",
+    "bitmapOrCardinality": "CAST(SIZE(ARRAY_DISTINCT(CONCAT({0}, {1}))) "
+                           "AS BIGINT)",
+    "bitmapXorCardinality":
+        "CAST(SIZE(ARRAY_EXCEPT({0}, {1})) "
+        "+ SIZE(ARRAY_EXCEPT({1}, {0})) AS BIGINT)",
+    "bitmapAndnotCardinality": "CAST(SIZE(ARRAY_EXCEPT({0}, {1})) "
+                               "AS BIGINT)",
+    "bitmapContains": "ARRAY_CONTAINS({0}, {1})",
+    "bitmapHasAny": "ARRAYS_OVERLAP({0}, {1})",
+    "bitmapHasAll": "FORALL({1}, __x -> ARRAY_CONTAINS({0}, __x))",
+    "bitmapMin": "ARRAY_MIN({0})",
+    "bitmapMax": "ARRAY_MAX({0})",
+    "bitmapSubsetInRange": "ARRAY_SORT(FILTER({0}, "
+                           "__x -> __x >= {1} AND __x < {2}))",
+    "bitmapSubsetLimit": "SLICE(ARRAY_SORT(FILTER({0}, "
+                         "__x -> __x >= {1})), 1, CAST({2} AS INT))",
+    "subBitmap": "SLICE(ARRAY_SORT({0}), CAST({1} AS INT) + 1, "
+                 "CAST({2} AS INT))",
+    "bitmapTransform": lambda a: _bind_once(
+        {"m": f"MAP_FROM_ARRAYS({a[1]}, {a[2]})"},
+        f"ARRAY_SORT(ARRAY_DISTINCT(TRANSFORM({a[0]}, "
+        f"__x -> COALESCE(TRY_ELEMENT_AT(__v.m, __x), __x))))"),
+    # bitmap aggregates over array-bitmaps ([U]
+    # AggregateFunctionGroupBitmap.cpp -And/-Or/-Xor return cardinality)
+    "groupBitmapAnd": lambda a: _bind_once(
+        {"l": f"COLLECT_LIST({a[0]})"},
+        "IF(SIZE(__v.l) = 0, 0, SIZE(AGGREGATE("
+        "SLICE(__v.l, 2, GREATEST(SIZE(__v.l) - 1, 0)), "
+        "ELEMENT_AT(__v.l, 1), "
+        "(__acc, __b) -> ARRAY_INTERSECT(__acc, __b))))"),
+    "groupBitmapOr": lambda a: (
+        f"SIZE(ARRAY_DISTINCT(FLATTEN(COLLECT_LIST({a[0]}))))"),
+    "groupBitmapXor": lambda a: _bind_once(
+        {"s": f"ARRAY_SORT(FLATTEN(COLLECT_LIST({a[0]})))"},
+        _bind_once(
+            {"e": "FILTER(SEQUENCE(1, GREATEST(SIZE(__v.s), 1)), "
+                  "__i -> __i <= SIZE(__v.s) AND (__i = SIZE(__v.s) "
+                  "OR ELEMENT_AT(__v.s, __i) "
+                  "!= ELEMENT_AT(__v.s, __i + 1)))"},
+            "SIZE(FILTER(ZIP_WITH(__w.e, CONCAT(ARRAY(0), "
+            "SLICE(__w.e, 1, GREATEST(SIZE(__w.e) - 1, 0))), "
+            "(__e2, __p) -> __e2 - __p), __c -> __c % 2 = 1))",
+            var="__w")),
     # conditionals
     "ifNull": "NVL({0}, {1})", "nullIf": "NULLIF({0}, {1})",
     "assumeNotNull": "({0})", "empty": "(LENGTH({0}) = 0)",
@@ -3572,6 +3637,13 @@ _PARAMETRIC: dict = {
         _weighted_quantile_tpl(params, args, timing=False, multi=True),
     "quantileTimingWeighted": lambda params, args:
         _weighted_quantile_tpl(params, args, timing=True, multi=False),
+    # TDigestWeighted is approximate upstream; the exact weighted pick
+    # is inside its accuracy envelope (same stance as the uniq family's
+    # invariant forms)
+    "quantileTDigestWeighted": lambda params, args:
+        _weighted_quantile_tpl(params, args, timing=False, multi=False),
+    "quantilesTDigestWeighted": lambda params, args:
+        _weighted_quantile_tpl(params, args, timing=False, multi=True),
     "quantilesTimingWeighted": lambda params, args:
         _weighted_quantile_tpl(params, args, timing=True, multi=True),
     # Spark PERCENTILE with a frequency column IS the interpolated
@@ -3626,7 +3698,8 @@ _PARAMETRIC: dict = {
     "sumMapFiltered": lambda params, args: _apply_template(
         _MAP_SUM, ["MAP_FILTER({m}, (__fk, __fv) -> ARRAY_CONTAINS("
                    "{ks}, __fk))".format(
-                       m=args[0],
+                       m=(args[0] if len(args) == 1 else
+                          f"MAP_FROM_ARRAYS({args[0]}, {args[1]})"),
                        ks="ARRAY(" + params[0].strip()[1:-1] + ")"
                        if params[0].strip().startswith("[")
                        else params[0])]),
@@ -4075,6 +4148,10 @@ def _compose_combinators(name: str):
             # count() is nullary upstream: countIf(cond) counts rows
             # where cond holds — inject the constant row marker
             args = ["1"] + list(args)
+        if "Map" in stack and len(args) == n + n_if + 1:
+            # upstream's two-array spelling: sumMap(keys, values[, cond])
+            args = ([f"MAP_FROM_ARRAYS({args[0]}, {args[1]})"]
+                    + list(args[2:]))
         if len(args) != n + n_if:
             raise ValueError(
                 f"{name} takes {n + n_if} arguments "
@@ -4148,6 +4225,10 @@ def _compose_combinators(name: str):
             t = _FUNCS[base_name + "ForEach"]
         else:
             t = base[form]
+        if form == "map" and len(vals) == 2:
+            # upstream's two-array spelling: sumMap(keys, values) ([U]
+            # AggregateFunctionSumMap.cpp accepts both)
+            vals = [f"MAP_FROM_ARRAYS({vals[0]}, {vals[1]})"]
         expr = _apply_template(t, vals)
         if ornull:
             strat = base["ornull"]
@@ -5536,6 +5617,84 @@ def _array_literals(q: str) -> str:
         q = new
 
 
+_SUBSCRIPT = re.compile(r"(?<=[\w\)\]])\[([^\[\]]+)\]")
+
+
+def _string_spans(q: str) -> list[tuple[int, int]]:
+    spans, i = [], 0
+    while i < len(q):
+        if q[i] == "'":
+            j = i + 1
+            while j < len(q) and q[j] != "'":
+                j += 1
+            spans.append((i, j))
+            i = j + 1
+        else:
+            i += 1
+    return spans
+
+
+def _rewrite_subscripts(q: str) -> str:
+    """Reference subscript access ``x[i]`` is 1-BASED for arrays
+    (negative = from the end) and key-based for maps ([U]
+    src/Functions/array/arrayElement.cpp); Spark's native ``[]`` is
+    0-based — a silent off-by-one if left untouched. ELEMENT_AT carries
+    exactly the reference semantics for both container kinds, so every
+    subscript rewrites (after ``_array_literals``, a ``[`` preceded by
+    ident/)/] is always a subscript). Out-of-range → NULL; index 0 →
+    NULL (upstream returns the type's default value — the nullable
+    analog, same stance as the arrayElement template)."""
+    while True:
+        m = _masked_search(_SUBSCRIPT, q)
+        if not m:
+            return q
+        spans = _string_spans(q)
+
+        def in_span(p):
+            return next((s for s in spans if s[0] <= p <= s[1]), None)
+
+        i = m.start() - 1
+        if q[i] in ")]":
+            opener = {"]": "[", ")": "("}[q[i]]
+            closer = q[i]
+            depth, j = 0, i
+            while j >= 0:
+                sp = in_span(j)
+                if sp:
+                    j = sp[0] - 1
+                    continue
+                if q[j] == closer:
+                    depth += 1
+                elif q[j] == opener:
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j -= 1
+            if j < 0:
+                raise ValueError("unbalanced parentheses before "
+                                 "subscript")
+            k = j - 1
+            while k >= 0 and (q[k].isalnum() or q[k] in "_."):
+                k -= 1
+            start = k + 1
+        else:
+            k = i
+            while k >= 0 and (q[k].isalnum() or q[k] in "_."):
+                k -= 1
+            start = k + 1
+        base, idx = q[start:m.start()], m.group(1)
+        istr = idx.strip()
+        if re.fullmatch(r"0+", istr):
+            repl = "NULL"
+        elif re.fullmatch(r"-?\d+", istr) or (
+                istr.startswith("'") and istr.endswith("'")):
+            repl = f"TRY_ELEMENT_AT({base}, {idx})"
+        else:
+            repl = (f"CASE WHEN TRY_CAST(({idx}) AS INT) = 0 THEN NULL "
+                    f"ELSE TRY_ELEMENT_AT({base}, {idx}) END")
+        q = q[:start] + repl + q[m.end():]
+
+
 _VALUES_TF_PAT = re.compile(r"\b(FROM|JOIN)\s+values\s*\(", re.IGNORECASE)
 
 
@@ -5806,6 +5965,7 @@ def _translate_impl(sql: str,
         lambda m: m.group(1), q)
     q = _masked_sub(re.compile(r"=="), lambda m: "=", q)
     q = _array_literals(q)
+    q = _rewrite_subscripts(q)
     q = _cast_type_names(q)
     q = _rewrite_values_tf(q)
     q = _rewrite_nonneg_derivative(q)

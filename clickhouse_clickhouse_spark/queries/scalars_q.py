@@ -2371,3 +2371,55 @@ def ch_sql_round10_tail6(spark, sf):
                             repeat('b', CAST(1 + user_id % 3 AS Int32)))
                          AS s
               FROM events)""")
+
+
+@register("ch_sql_round10_bitmaps", oracle="""
+SELECT event_id AS k,
+       list_sort(list_distinct([1, 2, CAST(event_id % 5 AS BIGINT)]))
+           AS bb,
+       CAST(len(list_intersect(
+           list_distinct([1, 2, CAST(event_id % 5 AS BIGINT)]),
+           [2, 3])) AS BIGINT) AS bac,
+       list_sort(list_distinct([1, 2, CAST(event_id % 5 AS BIGINT),
+                                3])) AS bor,
+       list_contains(list_distinct([1, 2,
+           CAST(event_id % 5 AS BIGINT)]), 2) AS bc,
+       CAST(CASE event_id % 5 WHEN 0 THEN 0 WHEN 3 THEN 2
+                 WHEN 4 THEN 3 ELSE 1 END AS BIGINT) AS bmin,
+       list_sort(list_filter(list_distinct([1, 2,
+           CAST(event_id % 5 AS BIGINT)]), x -> x >= 2)) AS bsir,
+       round(value * 2, 6) AS w_med,
+       user_id AS sm
+FROM events
+""")
+def ch_sql_round10_bitmaps(spark, sf):
+    """Round-10 bitmap family + aggregate tail in dialect SQL over
+    `events`: bitmapBuild/And/Or cardinalities and subsets over the
+    sorted-distinct-array representation ([U] src/Functions/
+    FunctionsBitmap.h), quantileTDigestWeighted (exact weighted pick —
+    inside the upstream sketch's accuracy envelope), and sumMap's
+    two-array spelling (per-group sum keyed by constant 1 replayed as
+    user_id*2 via a 2-row group)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return ch_sql(spark, """
+        SELECT event_id AS k,
+               bitmapBuild(array(1, 2, event_id % 5)) AS bb,
+               bitmapAndCardinality(bitmapBuild(array(1, 2,
+                   event_id % 5)), bitmapBuild(array(2, 3))) AS bac,
+               bitmapToArray(bitmapOr(bitmapBuild(array(1, 2,
+                   event_id % 5)), bitmapBuild(array(3)))) AS bor,
+               bitmapContains(bitmapBuild(array(1, 2, event_id % 5)),
+                              2) AS bc,
+               bitmapMin(bitmapBuild(array(1, 2, event_id % 5)))
+                   + bitmapMax(bitmapBuild(array(1, 2, event_id % 5)))
+                   - 2 AS bmin,
+               bitmapToArray(bitmapSubsetInRange(bitmapBuild(
+                   array(1, 2, event_id % 5)), 2, 100)) AS bsir,
+               round(quantileTDigestWeighted(0.5)(value, 2)
+                     + quantileTDigestWeighted(0.5)(value, 3), 6)
+                   AS w_med,
+               mapValues(sumMap(array(1), array(user_id)))[1] AS sm
+        FROM events
+        GROUP BY event_id, value, user_id""")

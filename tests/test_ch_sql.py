@@ -3231,3 +3231,84 @@ def test_round10_query_params_and_system_numbers(spark):
     rows = ch_sql(spark, "SELECT number FROM system.numbers LIMIT 5") \
         .collect()
     assert [x.number for x in rows] == [0, 1, 2, 3, 4]
+
+
+def test_round10_subscripts_one_based(spark):
+    """Reference subscript semantics: x[i] is 1-based for arrays
+    (negative = from the end, 0 and out-of-range → NULL) and key-based
+    for maps — previously the brackets reached Spark's 0-based native
+    indexing, a silent off-by-one. ONE action."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    r = ch_sql(spark, """
+        SELECT array(10, 20)[1] AS a1,
+               [10, 20][2] AS a2,
+               [10, 20][-1] AS an,
+               [10, 20][0] AS a0,
+               [10][5] AS oob,
+               [10, 20][1 + 1] AS aexpr,
+               map('k', 7)['k'] AS mk,
+               [[1, 2], [3, 4]][2][1] AS chain,
+               splitByChar(',', 'a,b')[2] AS fn,
+               extractAll('a1b2', '(\\\\d)')[1] AS rex,
+               arr[2] AS col2, arr[idx] AS colv, arr[zidx] AS colz
+        FROM (SELECT array(5, 6) AS arr, 2 AS idx, 0 AS zidx)
+        """).collect()[0]
+    assert (r.a1, r.a2, r.an) == (10, 20, 20)
+    assert r.a0 is None and r.oob is None
+    assert r.aexpr == 20 and r.mk == 7 and r.chain == 3
+    assert r.fn == "b" and r.rex == "1"
+    assert r.col2 == 6 and r.colv == 6 and r.colz is None
+
+
+def test_round10_resolve_probe_batch7(spark):
+    """Round-10 batch 7: *Stable aggregate aliases, TDigestWeighted
+    quantiles, sumMap/sumMapFiltered two-array spelling (+ -If), the
+    scalar bitmap family over sorted-distinct arrays, and
+    groupBitmapAnd/Or/Xor cardinality aggregates — ONE action each
+    group."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    r = ch_sql(spark, """
+        SELECT round(covarSampStable(number, number * 2), 4) AS cvs,
+               round(stddevPopStable(number), 4) AS sps,
+               round(corrStable(number, number * 3), 4) AS cs,
+               quantileTDigestWeighted(0.5)(number, 1) AS qtw,
+               quantilesTDigestWeighted(0.25, 0.75)(number, 1) AS qtws,
+               sumMap(array(1, 2), array(10, 20)) AS sm2,
+               sumMapIf(array(1), array(10), number > 0) AS smi,
+               sumMapFiltered([1])(array(1, 2), array(10, 20)) AS smf
+        FROM numbers(3)""").collect()[0]
+    assert r.cvs == 2.0 and r.sps == 0.8165 and r.cs == 1.0
+    assert r.qtw == 1.0 and r.qtws == [0.0, 2.0]  # first-cum-weight pick
+    assert r.sm2 == {1: 30, 2: 60} and r.smi == {1: 20}
+    assert r.smf == {1: 30}
+    b = ch_sql(spark, """
+        SELECT bitmapBuild(array(3, 1, 3)) AS bb,
+               bitmapCardinality(bitmapBuild(array(1, 2, 2))) AS bc,
+               bitmapToArray(bitmapAnd(bitmapBuild(array(1, 2, 3)),
+                                       bitmapBuild(array(2, 3, 4))))
+                   AS ba,
+               bitmapXorCardinality(bitmapBuild(array(1, 2)),
+                                    bitmapBuild(array(2, 3))) AS bx,
+               bitmapHasAll(bitmapBuild(array(1, 2, 3)),
+                            bitmapBuild(array(1, 3))) AS bh,
+               bitmapSubsetLimit(bitmapBuild(array(1, 5, 9, 12)), 5, 2)
+                   AS bsl,
+               subBitmap(bitmapBuild(array(1, 5, 9, 12)), 1, 2) AS sb,
+               bitmapTransform(bitmapBuild(array(1, 2, 3)), array(2),
+                               array(20)) AS bt
+        """).collect()[0]
+    assert b.bb == [1, 3] and b.bc == 2 and b.ba == [2, 3]
+    assert b.bx == 2 and b.bh is True
+    assert b.bsl == [5, 9] and b.sb == [5, 9] and b.bt == [1, 3, 20]
+    g = ch_sql(spark, """
+        SELECT groupBitmapAnd(bitmapBuild(array(1, 2,
+                   CAST(number AS INT)))) AS ga,
+               groupBitmapOr(bitmapBuild(array(1,
+                   CAST(number AS INT)))) AS go,
+               groupBitmapXor(bitmapBuild(array(1,
+                   CAST(number AS INT)))) AS gx
+        FROM numbers(1, 3)""").collect()[0]
+    assert g.ga == 2 and g.go == 3
+    assert g.gx == 3    # 1 appears 3x (odd) + 2, 3 once each
