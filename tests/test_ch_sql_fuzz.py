@@ -458,3 +458,42 @@ def test_fuzz_projection_route_equals_direct(proj_env, aggs, keys, cond,
             _normalize([tuple(r) for r in direct_df.collect()]), sql
     finally:
         S._PROJECTIONS["events_fz"] = saved
+
+
+def test_fuzz_subscripts_vs_duckdb(spark):
+    """Differential fuzz for the round-10 1-based subscript rewrite:
+    DuckDB's list indexing is ALSO 1-based with NULL out-of-range, so
+    random (array literal, index) pairs form an independent oracle.
+    Seeded cases, ONE Spark action + one DuckDB query."""
+    import random
+
+    import duckdb
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    rnd = random.Random(1042)
+    cases = []
+    for cid in range(60):
+        n = rnd.randint(1, 5)
+        vals = [rnd.randint(-99, 99) for _ in range(n)]
+        arr = "[" + ", ".join(map(str, vals)) + "]"
+        kind = rnd.choice(["lit", "neg", "expr", "oob", "chain"])
+        if kind == "lit":
+            idx = str(rnd.randint(1, n))
+        elif kind == "neg":
+            idx = str(-rnd.randint(1, n))
+        elif kind == "expr":
+            k = rnd.randint(1, n)
+            idx = f"({k - 1} + 1)"
+        elif kind == "oob":
+            idx = str(rnd.choice([n + 1, n + 7, -(n + 3)]))
+        else:
+            inner = "[" + arr + ", " + arr + "]"
+            idx = f"{rnd.randint(1, 2)}][{rnd.randint(1, n)}"
+            arr = inner
+        cases.append(f"{arr}[{idx}]")
+    sel_ch = ", ".join(f"{c} AS c{i}" for i, c in enumerate(cases))
+    got = ch_sql(spark, f"SELECT {sel_ch}").collect()[0]
+    want = duckdb.connect().execute(f"SELECT {sel_ch}").fetchone()
+    for i, (g, w) in enumerate(zip(got, want)):
+        assert g == w, (cases[i], g, w)
