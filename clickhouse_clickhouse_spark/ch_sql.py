@@ -2392,7 +2392,18 @@ _FUNCS: dict[str, str] = {
     "intDiv": "DIV(CAST({0} AS BIGINT), CAST({1} AS BIGINT))",
     "modulo": "(({0}) % ({1}))", "plus": "(({0}) + ({1}))",
     "minus": "(({0}) - ({1}))", "multiply": "(({0}) * ({1}))",
-    "divide": "(({0}) / ({1}))", "negate": "(-({0}))",
+    # upstream divide is ALWAYS floating and yields ±inf / nan on a zero
+    # divisor ([U] src/Functions/divide.cpp); the bare `/` OPERATOR
+    # under ANSI-off yields NULL instead — documented divergence, the
+    # named form is exact
+    "divide": lambda a: _bind_once(
+        {"n": f"CAST({a[0]} AS DOUBLE)", "d": f"CAST({a[1]} AS DOUBLE)"},
+        "CASE WHEN __v.d = 0.0D THEN "
+        "CASE WHEN __v.n > 0.0D THEN CAST('Infinity' AS DOUBLE) "
+        "WHEN __v.n < 0.0D THEN CAST('-Infinity' AS DOUBLE) "
+        "WHEN __v.n = 0.0D THEN CAST('NaN' AS DOUBLE) END "
+        "ELSE __v.n / __v.d END"),
+    "negate": "(-({0}))",
     "roundBankers": "BROUND({*})",
     "xxHash64": "XXHASH64({*})", "MD5": "MD5({0})",
     "toTypeName": "TYPEOF({0})",
@@ -6205,6 +6216,12 @@ _REGISTERED: set[int] = set()
 def _register_udfs(spark: SparkSession) -> None:
     if id(spark) in _REGISTERED:
         return
+    # every ch_sql/ch_statement entry pins the dialect's semantic confs
+    # (ANSI off: reference-permissive arithmetic — 1/0 → inf, overflow
+    # wraps; UTC; ns-parquet reads) even on an externally created
+    # default session
+    from clickhouse_clickhouse_spark.tables import ensure_engine_confs
+    ensure_engine_confs(spark)
     from clickhouse_clickhouse_spark.functions import hashing as H
 
     spark.udf.register("cityHash64", H._udf("city"))

@@ -3312,3 +3312,26 @@ def test_round10_resolve_probe_batch7(spark):
         FROM numbers(1, 3)""").collect()[0]
     assert g.ga == 2 and g.go == 3
     assert g.gx == 3    # 1 appears 3x (odd) + 2, 3 once each
+
+
+def test_round10_permissive_arithmetic_confs(spark):
+    """ch_sql pins the dialect's semantic confs on ANY session (round
+    10: ensure_engine_confs runs on first entry): overflow casts wrap
+    like upstream, and the named divide() renders the reference's
+    ±inf/nan on zero divisors exactly (the bare `/` operator yields
+    NULL under ANSI-off — documented divergence, SURVEY §1.2)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    r = ch_sql(spark, """
+        SELECT toInt8(300) AS wrap,
+               divide(1, 0) AS pinf,
+               divide(-2.5, 0) AS ninf,
+               isNaN(divide(0, 0)) AS nan,
+               divide(7, 2) AS norm,
+               divide(1, NULL) IS NULL AS nl,
+               1 / 0 IS NULL AS op_null
+        """).collect()[0]
+    assert r.wrap == 44                      # two's-complement wrap
+    assert r.pinf == float("inf") and r.ninf == float("-inf")
+    assert r.nan is True and r.norm == 3.5
+    assert r.nl is True and r.op_null is True
