@@ -2196,6 +2196,17 @@ _FUNCS: dict[str, str] = {
     "arrayStringConcat": "ARRAY_JOIN({0}, {1})",
     "lengthUTF8": "LENGTH({0})", "lowerUTF8": "LOWER({0})",
     "upperUTF8": "UPPER({0})",
+    # upstream upper/lower are ASCII-ONLY ([U] src/Functions/
+    # LowerUpperImpl.h — byte loop over A-Z/a-z; upperUTF8/lowerUTF8 are
+    # the unicode forms) — TRANSLATE is byte-parity, Spark's UPPER isn't
+    "upper": "TRANSLATE({0}, 'abcdefghijklmnopqrstuvwxyz', "
+             "'ABCDEFGHIJKLMNOPQRSTUVWXYZ')",
+    "lower": "TRANSLATE({0}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+             "'abcdefghijklmnopqrstuvwxyz')",
+    "ucase": "TRANSLATE({0}, 'abcdefghijklmnopqrstuvwxyz', "
+             "'ABCDEFGHIJKLMNOPQRSTUVWXYZ')",
+    "lcase": "TRANSLATE({0}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+             "'abcdefghijklmnopqrstuvwxyz')",
     # pad string defaults to a single space when omitted ([U]
     # src/Functions/padString.cpp)
     "leftPad": lambda a: f"LPAD({a[0]}, {a[1]}, "
