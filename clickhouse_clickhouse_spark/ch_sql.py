@@ -2416,6 +2416,11 @@ _FUNCS: dict[str, str] = {
         "ELSE __v.n / __v.d END"),
     "negate": "(-({0}))",
     "roundBankers": "BROUND({*})",
+    # upstream round() is BANKER'S for floats ([U] src/Functions/round.h
+    # — docs example round(2.5) = 2); Spark's native ROUND is half-up.
+    # Decimal inputs round away-from-zero upstream — documented
+    # deviation (BROUND applies to those too here).
+    "round": "BROUND({*})",
     "xxHash64": "XXHASH64({*})", "MD5": "MD5({0})",
     "toTypeName": "TYPEOF({0})",
     "visitParamExtractString": "GET_JSON_OBJECT({0}, CONCAT('$.', {1}))",

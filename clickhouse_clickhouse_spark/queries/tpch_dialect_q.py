@@ -263,7 +263,7 @@ WITH rv AS (
   JOIN region   ON n_regionkey = r_regionkey
   WHERE r_name = 'EUROPE'
   GROUP BY l_partkey)
-SELECT l_partkey, round(v, 2) AS part_value
+SELECT l_partkey, round_even(v, 2) AS part_value
 FROM rv WHERE v > (SELECT sum(v) * 0.0008 FROM rv)
 """)
 def tpch_q11_dialect(spark, sf):

@@ -3335,3 +3335,19 @@ def test_round10_permissive_arithmetic_confs(spark):
     assert r.pinf == float("inf") and r.ninf == float("-inf")
     assert r.nan is True and r.norm == 3.5
     assert r.nl is True and r.op_null is True
+
+
+def test_round10_bankers_round(spark):
+    """Upstream round() is banker's for floats (docs: round(2.5) = 2,
+    [U] src/Functions/round.h); Spark's native ROUND is half-up — bare
+    round now maps to BROUND (Decimal away-from-zero deviation
+    documented at the template)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    r = ch_sql(spark, """
+        SELECT round(2.5) AS a, round(3.5) AS b, round(-2.5) AS c,
+               round(2.675, 2) AS d, roundBankers(2.5) AS e
+        """).collect()[0]
+    assert (float(r.a), float(r.b), float(r.c)) == (2.0, 4.0, -2.0)
+    assert float(r.d) == 2.67  # 2.675 is below the half in binary
+    assert float(r.e) == 2.0
