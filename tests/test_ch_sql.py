@@ -3349,5 +3349,6 @@ def test_round10_bankers_round(spark):
                round(2.675, 2) AS d, roundBankers(2.5) AS e
         """).collect()[0]
     assert (float(r.a), float(r.b), float(r.c)) == (2.0, 4.0, -2.0)
-    assert float(r.d) == 2.67  # 2.675 is below the half in binary
+    # 2.675 parses as DECIMAL (exact) → half-even takes 7 up to 8
+    assert float(r.d) == 2.68
     assert float(r.e) == 2.0
