@@ -2760,6 +2760,23 @@ _FUNCS: dict[str, str] = {
     "connectionId": lambda a: "0",
     "revision": lambda a: "54500",
     "hostname": lambda a: "'localhost'",   # alias of hostName
+    # upstream greatest/least PROPAGATE NULL ([U] src/Functions/
+    # greatest.cpp — NULL if any argument is NULL); Spark's natives skip
+    # NULLs, a silent divergence
+    "greatest": lambda a: (f"GREATEST({a[0]})" if len(a) == 1 else
+                           _bind_once(
+        {f"g{i}": x for i, x in enumerate(a)},
+        "IF(" + " OR ".join(f"__v.g{i} IS NULL"
+                            for i in range(len(a)))
+        + ", NULL, GREATEST("
+        + ", ".join(f"__v.g{i}" for i in range(len(a))) + "))")),
+    "least": lambda a: (f"LEAST({a[0]})" if len(a) == 1 else
+                        _bind_once(
+        {f"g{i}": x for i, x in enumerate(a)},
+        "IF(" + " OR ".join(f"__v.g{i} IS NULL"
+                            for i in range(len(a)))
+        + ", NULL, LEAST("
+        + ", ".join(f"__v.g{i}" for i in range(len(a))) + "))")),
     # ---- round-10 resolve-probe batch 6 (third sweep) -------------------
     # crc32 is Spark-native zlib (same as upstream CRC32); the IEEE-init
     # variant differs only in seeding and is refused toward it

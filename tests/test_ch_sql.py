@@ -3352,3 +3352,20 @@ def test_round10_bankers_round(spark):
     # 2.675 parses as DECIMAL (exact) → half-even takes 7 up to 8
     assert float(r.d) == 2.68
     assert float(r.e) == 2.0
+
+
+def test_round10_greatest_least_null_propagation(spark):
+    """Upstream greatest/least return NULL when ANY argument is NULL
+    ([U] src/Functions/greatest.cpp); Spark's natives skip NULLs — the
+    dialect names now propagate (uppercase GREATEST/LEAST stay Spark
+    natives, they are not reference names)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    r = ch_sql(spark, """
+        SELECT greatest(1, NULL) IS NULL AS gn,
+               greatest(1, 7, 3) AS gv,
+               least(NULL, 2) IS NULL AS ln2,
+               least(5, 2, 9) AS lv
+        """).collect()[0]
+    assert r.gn is True and r.gv == 7
+    assert r.ln2 is True and r.lv == 2
