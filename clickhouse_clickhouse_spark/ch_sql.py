@@ -6019,6 +6019,24 @@ def _translate_impl(sql: str,
     # ch_sql() intercepts the trailing bare-column form before translate()
     # and applies the boundary-filter operator; anything that reaches here
     # (expression order keys, nested position) is refused loudly.
+    # Set-operation default modes ([U] Settings intersect_default_mode /
+    # except_default_mode = ALL; Spark's bare forms mean DISTINCT — a
+    # silent row-count divergence on duplicates). Bare UNION errors
+    # upstream (union_default_mode = '') — refuse the same way.
+    q = _masked_sub(
+        re.compile(r"\bINTERSECT\b(?!\s+(?:ALL|DISTINCT)\b)",
+                   re.IGNORECASE),
+        lambda m: "INTERSECT ALL", q)
+    q = _masked_sub(
+        re.compile(r"\bEXCEPT\b(?!\s*\()(?!\s+(?:ALL|DISTINCT)\b)",
+                   re.IGNORECASE),
+        lambda m: "EXCEPT ALL", q)
+    if _masked_search(
+            re.compile(r"\bUNION\b(?!\s+(?:ALL|DISTINCT)\b)",
+                       re.IGNORECASE), q):
+        raise ValueError(
+            "bare UNION: the reference requires UNION ALL or UNION "
+            "DISTINCT (union_default_mode is empty upstream)")
     # * REPLACE/APPLY need the input schema, which a text translator
     # doesn't have — refuse toward the DataFrame pattern (* EXCEPT is
     # Spark-native and passes through)

@@ -3369,3 +3369,36 @@ def test_round10_greatest_least_null_propagation(spark):
         """).collect()[0]
     assert r.gn is True and r.gv == 7
     assert r.ln2 is True and r.lv == 2
+
+
+def test_round10_setop_default_modes(spark):
+    """Upstream set-operation defaults ([U] Settings intersect/
+    except_default_mode = ALL, union_default_mode = '' → error): bare
+    INTERSECT/EXCEPT keep duplicates here too; bare UNION refuses; the
+    Spark-native star `* EXCEPT (cols)` form stays untouched."""
+    import pytest as _p
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    c = ch_sql(spark, """
+        SELECT count(*) AS c FROM (
+            SELECT number % 2 AS x FROM numbers(4)
+            INTERSECT
+            SELECT number % 2 AS x FROM numbers(4))""").collect()[0].c
+    assert c == 4                       # ALL semantics: duplicates kept
+    c = ch_sql(spark, """
+        SELECT count(*) AS c FROM (
+            SELECT number % 2 AS x FROM numbers(4)
+            INTERSECT DISTINCT
+            SELECT number % 2 AS x FROM numbers(4))""").collect()[0].c
+    assert c == 2
+    c = ch_sql(spark, """
+        SELECT count(*) AS c FROM (
+            SELECT number % 2 AS x FROM numbers(4)
+            EXCEPT SELECT 0 AS x)""").collect()[0].c
+    assert c == 3                       # one 0 removed, not both
+    assert ch_sql(spark, "SELECT * EXCEPT (number) FROM "
+                         "(SELECT number, 1 AS k FROM numbers(1))") \
+        .columns == ["k"]
+    with _p.raises(ValueError, match="UNION ALL or UNION DISTINCT"):
+        ch_sql(spark, "SELECT 1 AS x UNION SELECT 2 AS x")
