@@ -5940,7 +5940,8 @@ def _strip_parens(s: str) -> str:
 _PREWHERE = re.compile(r"\bPREWHERE\b(.*?)(?=\bWHERE\b|\bGROUP\s+BY\b|"
                        r"\bORDER\s+BY\b|\bLIMIT\b|\bHAVING\b|$)",
                        re.IGNORECASE | re.DOTALL)
-_LIMIT_BY = re.compile(r"\bLIMIT\s+(\d+)\s+BY\s+([^\n;]+?)"
+_LIMIT_BY = re.compile(r"\bLIMIT\s+(\d+)(?:\s+OFFSET\s+(\d+)|,\s*(\d+))?"
+                       r"\s+BY\s+([^\n;]+?)"
                        r"(?=\s+LIMIT\b|\s*$)", re.IGNORECASE)
 _SAMPLE = re.compile(r"\bSAMPLE\s+(0?\.\d+|\d+/\d+)", re.IGNORECASE)
 _SAMPLE_N = re.compile(r"\bSAMPLE\s+(\d+)\b(?!\s*/)", re.IGNORECASE)
@@ -6231,6 +6232,12 @@ def _translate_impl(sql: str,
     q = _masked_sub(_SAMPLE_N,
                     lambda m: f"TABLESAMPLE ({m.group(1)} ROWS)", q)
 
+    # SELECT TOP n ... (T-SQL-style CH form, top-level only; upstream
+    # forbids combining it with LIMIT) -> trailing LIMIT n
+    mt = re.match(r"(\s*SELECT\s+)TOP\s+(\d+)\s+", q, re.IGNORECASE)
+    if mt:
+        q = mt.group(1) + q[mt.end():] + f" LIMIT {mt.group(2)}"
+
     # LIMIT offset, count (MySQL-style CH form) -> LIMIT count OFFSET n.
     # Only at clause position and NOT followed by BY (LIMIT n BY is the
     # per-group form handled below).
@@ -6239,10 +6246,14 @@ def _translate_impl(sql: str,
                    re.IGNORECASE),
         lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", q)
 
-    # LIMIT n BY k,... -> row_number wrap of the whole query
+    # LIMIT [m,] n [OFFSET m] BY k,... -> row_number wrap of the query
     m = _masked_search(_LIMIT_BY, q)
     if m:
-        n, keys = int(m.group(1)), m.group(2).strip()
+        if m.group(3) is not None:       # LIMIT off, n BY (comma form)
+            off, n = int(m.group(1)), int(m.group(3))
+        else:
+            n, off = int(m.group(1)), int(m.group(2) or 0)
+        keys = m.group(4).strip()
         rest = q[m.end():].strip()
         body = q[:m.start()].strip()
         order = keys  # deterministic: CH uses input order; keys is stable
@@ -6254,7 +6265,8 @@ def _translate_impl(sql: str,
         # outer ORDER BY keeps the reference's post-LIMIT-BY ordering
         q = (f"SELECT * EXCEPT(__ch_rn) FROM (SELECT *, ROW_NUMBER() OVER "
              f"(PARTITION BY {keys} ORDER BY {order}) AS __ch_rn FROM "
-             f"({body})) WHERE __ch_rn <= {n} ORDER BY {order} {rest}")
+             f"({body})) WHERE __ch_rn > {off} AND __ch_rn <= {off + n} "
+             f"ORDER BY {order} {rest}")
 
     # whitespace-stable output (clause strips can leave trailing blanks;
     # keeps translate idempotent — pinned by test)

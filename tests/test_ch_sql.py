@@ -3402,3 +3402,27 @@ def test_round10_setop_default_modes(spark):
         .columns == ["k"]
     with _p.raises(ValueError, match="UNION ALL or UNION DISTINCT"):
         ch_sql(spark, "SELECT 1 AS x UNION SELECT 2 AS x")
+
+
+def test_round10_limit_by_offset_and_top(spark):
+    """LIMIT n OFFSET m BY k and the comma form LIMIT m, n BY k ([U]
+    LimitByTransform offset support); plain LIMIT m, n pagination is
+    unaffected; SELECT TOP n rewrites to a trailing LIMIT."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    rows = ch_sql(spark, """
+        SELECT number % 2 AS k, number AS n FROM numbers(8)
+        ORDER BY k, n LIMIT 1 OFFSET 1 BY k""").collect()
+    assert [(r.k, r.n) for r in rows] == [(0, 2), (1, 3)]
+    rows = ch_sql(spark, """
+        SELECT number % 2 AS k, number AS n FROM numbers(8)
+        ORDER BY k, n LIMIT 1, 2 BY k""").collect()
+    assert [(r.k, r.n) for r in rows] == [(0, 2), (0, 4), (1, 3), (1, 5)]
+    rows = ch_sql(spark, """
+        SELECT number AS n FROM numbers(6) ORDER BY n LIMIT 2, 3""") \
+        .collect()
+    assert [r.n for r in rows] == [2, 3, 4]
+    rows = ch_sql(spark, """
+        SELECT TOP 2 number AS n FROM numbers(5) ORDER BY n DESC""") \
+        .collect()
+    assert [r.n for r in rows] == [4, 3]
