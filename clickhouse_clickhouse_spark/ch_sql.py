@@ -1748,6 +1748,68 @@ def _geohash_encode_tpl(a: list[str]) -> str:
         f"CONCAT({chars})")
 
 
+# ---- round-10 regex-replacement helpers ----
+
+def _regex_group_count(pat: str) -> int | None:
+    """Capturing groups in a LITERAL regex argument (SQL-text form);
+    None when the pattern is not a literal."""
+    s = pat.strip()
+    if not (s.startswith("'") and s.endswith("'")):
+        return None
+    body, n, i = s[1:-1], 0, 0
+    while i < len(body):
+        if body[i] == "\\":
+            i += 2
+            continue
+        if body[i] == "(" and not body.startswith("(?", i):
+            n += 1
+        i += 1
+    return n
+
+
+def _ch_replacement(rep: str) -> str:
+    """Reference replacement semantics → Java: ``\\N`` backrefs become
+    ``$N`` and literal ``$`` is escaped. Operates on the SQL-text form
+    of literal strings; non-literal replacements pass through (their
+    backref convention is the caller's responsibility, documented)."""
+    s = rep.strip()
+    if not (s.startswith("'") and s.endswith("'")):
+        return rep
+    b, out, i = s[1:-1], [], 0
+    while i < len(b):
+        if (b[i] == "\\" and i + 2 < len(b) and b[i + 1] == "\\"
+                and b[i + 2].isdigit()):
+            out.append("$" + b[i + 2])
+            i += 3
+        elif b[i] == "$":
+            out.append("\\\\$")
+            i += 1
+        else:
+            out.append(b[i])
+            i += 1
+    return "'" + "".join(out) + "'"
+
+
+def _replace_regexp_one_tpl(a: list[str]) -> str:
+    """replaceRegexpOne: first occurrence only. Java has no replaceFirst
+    in Spark SQL, so the pattern is extended with a (?s)(.*) tail group
+    that swallows the remainder — one match, one replacement. Needs a
+    literal pattern (the tail backref index is its group count + 1)."""
+    g = _regex_group_count(a[1])
+    if g is None:
+        raise ValueError("replaceRegexpOne needs a literal pattern "
+                         "here — replaceRegexpAll covers expression "
+                         "patterns")
+    pat = a[1].strip()[1:-1]
+    rep = _ch_replacement(a[2])
+    rep_body = rep.strip()[1:-1] if rep.strip().startswith("'") else None
+    if rep_body is None:
+        raise ValueError("replaceRegexpOne needs a literal replacement "
+                         "here")
+    return (f"REGEXP_REPLACE({a[0]}, '(?s)(?:{pat})((?s:.*))', "
+            f"'{rep_body}${g + 1}')")
+
+
 # ---- round-10 batch 5 helpers (second wide probe) ----
 
 def _array_resize_tpl(a: list[str]) -> str:
@@ -1879,7 +1941,7 @@ _FUNCS: dict[str, str] = {
     "toYear": "YEAR({0})", "toMonth": "MONTH({0})",
     "toDayOfMonth": "DAY({0})", "toHour": "HOUR({0})",
     "toMinute": "MINUTE({0})", "toSecond": "SECOND({0})",
-    "toDayOfWeek": "WEEKDAY({0}) + 1", "toQuarter": "QUARTER({0})",
+    "toQuarter": "QUARTER({0})",
     "toStartOfDay": "DATE_TRUNC('day', {0})",
     "toStartOfHour": "DATE_TRUNC('hour', {0})",
     "toStartOfMinute": "DATE_TRUNC('minute', {0})",
@@ -1888,7 +1950,6 @@ _FUNCS: dict[str, str] = {
     "toStartOfYear": "DATE_TRUNC('year', {0})",
     "toMonday": "CAST(DATE_TRUNC('week', {0}) AS DATE)",
     # reference default mode 0 = round down to nearest SUNDAY
-    "toStartOfWeek": "DATE_SUB(CAST({0} AS DATE), DAYOFWEEK({0}) - 1)",
     "toDayOfYear": "DAYOFYEAR({0})", "toISOWeek": "WEEKOFYEAR({0})",
     "toStartOfFiveMinutes":
         "TIMESTAMP_SECONDS(FLOOR(UNIX_TIMESTAMP({0}) / 300) * 300)",
@@ -2164,11 +2225,8 @@ _FUNCS: dict[str, str] = {
     # strings
     "position": lambda a: _position_tpl(a, haystack_first=True),
     "match": "({0} RLIKE {1})",
-    "extract": "REGEXP_EXTRACT({0}, {1}, 1)",
     "extractAll": "REGEXP_EXTRACT_ALL({0}, {1}, 0)",
     "replaceAll": "REPLACE({0}, {1}, {2})",
-    "replaceRegexpAll": "REGEXP_REPLACE({0}, {1}, {2})",
-    "splitByChar": "SPLIT({1}, {0})",
     "splitByRegexp": "SPLIT({1}, {0})",
     "tokens": "FILTER(SPLIT({0}, '\\\\W+'), __t -> __t != '')",
     "multiSearchAny":
@@ -2355,8 +2413,7 @@ _FUNCS: dict[str, str] = {
     "addHours": "({0} + MAKE_INTERVAL(0, 0, 0, 0, {1}, 0, 0))",
     "addMinutes": "({0} + MAKE_INTERVAL(0, 0, 0, 0, 0, {1}, 0))",
     "addYears": "({0} + MAKE_INTERVAL({1}, 0, 0, 0, 0, 0, 0))",
-    "trimLeft": "LTRIM({0})", "trimRight": "RTRIM({0})",
-    "trimBoth": "TRIM({0})", "initcap": "INITCAP({0})",
+    "initcap": "INITCAP({0})",
     "countMatches": "REGEXP_COUNT({0}, {1})",
     "isNaN": "ISNAN({0})",
     "isInfinite": "(ABS({0}) = CAST('Infinity' AS DOUBLE))",
@@ -2760,6 +2817,43 @@ _FUNCS: dict[str, str] = {
     "connectionId": lambda a: "0",
     "revision": lambda a: "54500",
     "hostname": lambda a: "'localhost'",   # alias of hostName
+    # upstream replace* replacement strings use \1 backrefs and literal
+    # $ ([U] src/Functions/ReplaceRegexpImpl.h); Spark/Java use $1 and
+    # need $ escaped — literal replacements convert at translate time
+    "replaceRegexpAll": lambda a: (
+        f"REGEXP_REPLACE({a[0]}, {a[1]}, {_ch_replacement(a[2])})"),
+    "replaceRegexpOne": lambda a: _replace_regexp_one_tpl(a),
+    # the separator is a CHARACTER, not a regex — \Q..\E quotes it
+    # (the old SPLIT({1}, {0}) treated '.' as match-anything)
+    "splitByChar": lambda a: (
+        f"SPLIT({a[1]}, CONCAT('\\\\Q', {a[0]}, '\\\\E')"
+        + (f", CAST({a[2]} AS INT)" if len(a) > 2 else "") + ")"),
+    "trimBoth": lambda a: (f"TRIM({a[0]})" if len(a) == 1 else
+                           f"TRIM(BOTH {a[1]} FROM {a[0]})"),
+    "trimLeft": lambda a: (f"LTRIM({a[0]})" if len(a) == 1 else
+                           f"TRIM(LEADING {a[1]} FROM {a[0]})"),
+    "trimRight": lambda a: (f"RTRIM({a[0]})" if len(a) == 1 else
+                            f"TRIM(TRAILING {a[1]} FROM {a[0]})"),
+    # week modes ([U] toStartOfWeek/toDayOfWeek mode args): 0 = Sunday
+    # week start (default), 1/3 = Monday; day numbering per mode table
+    "toStartOfWeek": lambda a: (
+        f"DATE_SUB(CAST({a[0]} AS DATE), DAYOFWEEK({a[0]}) - 1)"
+        if len(a) == 1 or a[1].strip() in ("0", "2") else
+        f"DATE_SUB(CAST({a[0]} AS DATE), (DAYOFWEEK({a[0]}) + 5) % 7)"),
+    "toDayOfWeek": lambda a: {
+        "0": f"WEEKDAY({a[0]}) + 1",
+        "1": f"WEEKDAY({a[0]})",
+        "2": f"DAYOFWEEK({a[0]})",
+        "3": f"DAYOFWEEK({a[0]}) - 1",
+    }.get(a[1].strip() if len(a) > 1 else "0") or (_ for _ in ()).throw(
+        ValueError("toDayOfWeek: mode must be a literal 0..3")),
+    "positionCaseInsensitiveUTF8": "CAST(LOCATE(LOWER({1}), LOWER({0})) "
+                                   "AS BIGINT)",
+    # extract() returns the first GROUP if the pattern has one, else
+    # the whole match — group count resolved from literal patterns
+    "extract": lambda a: "REGEXP_EXTRACT({}, {}, {})".format(
+        a[0], a[1],
+        1 if (_regex_group_count(a[1]) or 0) >= 1 else 0),
     # upstream greatest/least PROPAGATE NULL ([U] src/Functions/
     # greatest.cpp — NULL if any argument is NULL); Spark's natives skip
     # NULLs, a silent divergence

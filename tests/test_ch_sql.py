@@ -3426,3 +3426,45 @@ def test_round10_limit_by_offset_and_top(spark):
         SELECT TOP 2 number AS n FROM numbers(5) ORDER BY n DESC""") \
         .collect()
     assert [r.n for r in rows] == [4, 3]
+
+
+def test_round10_regex_replacement_and_week_modes(spark):
+    """Reference replacement strings use \\1 backrefs and literal $
+    (ReplaceRegexpImpl.h) — converted to Java's $1/\\$ for literal
+    replacements; replaceRegexpOne via a (?s)(.*) tail group (first
+    occurrence only); splitByChar quotes its separator (\\Q..\\E — the
+    old template treated '.' as match-anything); custom-char trim;
+    toStartOfWeek/toDayOfWeek mode arguments; extract() whole-match vs
+    first-group by literal pattern group count."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    r = ch_sql(spark, """
+        SELECT replaceRegexpAll('Hello, World!', '([A-Z])', '-\\\\1')
+                   AS br,
+               replaceRegexpAll('price', 'p', '$') AS dl,
+               replaceRegexpOne('aaa', 'a', 'b') AS r1,
+               replaceRegexpOne('Hello World', '([A-Z])', '<\\\\1>')
+                   AS r1g,
+               replaceRegexpOne('abc', 'zz', 'x') AS r1n,
+               splitByChar('.', 'a.b.c') AS sc,
+               splitByChar(',', 'a,b,c', 2) AS scl,
+               trimBoth('xxaxx', 'x') AS tb,
+               trimLeft('xxaxx', 'x') AS tl,
+               trimRight('xxaxx', 'x') AS tr2,
+               toStartOfWeek(DATE'2024-02-15') AS w0,
+               toStartOfWeek(DATE'2024-02-15', 1) AS w1,
+               toDayOfWeek(DATE'2024-02-18') AS d0,
+               toDayOfWeek(DATE'2024-02-18', 1) AS d1,
+               toDayOfWeek(DATE'2024-02-18', 2) AS d2,
+               toDayOfWeek(DATE'2024-02-18', 3) AS d3,
+               positionCaseInsensitiveUTF8('HÉllo', 'hél') AS pci,
+               extract('abc123', '\\\\d+') AS e0,
+               extract('key=val', '=(\\\\w+)') AS e1
+        """).collect()[0]
+    assert r.br == "-Hello, -World!" and r.dl == "$rice"
+    assert r.r1 == "baa" and r.r1g == "<H>ello World" and r.r1n == "abc"
+    assert r.sc == ["a", "b", "c"] and r.scl == ["a", "b,c"]
+    assert r.tb == "a" and r.tl == "axx" and r.tr2 == "xxa"
+    assert str(r.w0) == "2024-02-11" and str(r.w1) == "2024-02-12"
+    assert (r.d0, r.d1, r.d2, r.d3) == (7, 6, 1, 0)
+    assert r.pci == 1 and r.e0 == "123" and r.e1 == "val"
