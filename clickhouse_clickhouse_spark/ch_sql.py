@@ -2340,6 +2340,8 @@ _FUNCS: dict[str, str] = {
     # round-6 long-tail batch
     "formatDateTime": lambda a: _fmt_datetime_tpl(a, parse=False),
     "parseDateTime": lambda a: _fmt_datetime_tpl(a, parse=True),
+    "parseDateTimeOrNull": lambda a: _fmt_datetime_tpl(a, parse="null"),
+    "parseDateTimeOrZero": lambda a: _fmt_datetime_tpl(a, parse="zero"),
     "substringIndex": "SUBSTRING_INDEX({0}, {1}, {2})",
     "moduloOrZero": "(CASE WHEN ({1}) = 0 THEN 0 ELSE ({0}) % ({1}) END)",
     "intDivOrZero":
@@ -4449,6 +4451,11 @@ def _fmt_datetime_tpl(args: list[str], parse: bool) -> str:
     )
 
     java = ch_format_to_java(fmt[1:-1]).replace("'", "\\'")
+    if parse == "null":
+        return f"TRY_TO_TIMESTAMP({args[0]}, '{java}')"
+    if parse == "zero":
+        return (f"COALESCE(TRY_TO_TIMESTAMP({args[0]}, '{java}'), "
+                f"TIMESTAMP'1970-01-01 00:00:00')")
     if parse:
         return f"TO_TIMESTAMP({args[0]}, '{java}')"
     return f"DATE_FORMAT({args[0]}, '{java}')"
@@ -7387,6 +7394,83 @@ def _dict_hier_tpl(args: list[str], is_in: bool) -> str:
 # built from the normalizeQuery template so the regex escaping stays
 # single-sourced
 _FUNCS["normalizedQueryHash"] = "XXHASH64(" + _FUNCS["normalizeQuery"] + ")"
+
+# to<T>OrNull / to<T>OrZero conversion family ([U] src/Functions/
+# FunctionsConversion.cpp — TRY_CAST is exactly the OrNull contract:
+# strict parse, whitespace-tolerant, NULL on failure)
+for _cv_name, _cv_type, _cv_zero in [
+    ("Int8", "TINYINT", "0"), ("Int16", "SMALLINT", "0"),
+    ("Int32", "INT", "0"), ("Int64", "BIGINT", "0"),
+    ("UInt8", "SMALLINT", "0"), ("UInt16", "INT", "0"),
+    ("UInt32", "BIGINT", "0"), ("UInt64", "BIGINT", "0"),
+    ("Float32", "FLOAT", "CAST(0 AS FLOAT)"),
+    ("Float64", "DOUBLE", "CAST(0 AS DOUBLE)"),
+    ("Date", "DATE", "DATE'1970-01-01'"),
+    ("Date32", "DATE", "DATE'1970-01-01'"),
+    ("DateTime", "TIMESTAMP", "TIMESTAMP'1970-01-01 00:00:00'"),
+]:
+    _FUNCS.setdefault(f"to{_cv_name}OrNull",
+                      f"TRY_CAST({{0}} AS {_cv_type})")
+    _FUNCS.setdefault(
+        f"to{_cv_name}OrZero",
+        f"COALESCE(TRY_CAST({{0}} AS {_cv_type}), {_cv_zero})")
+
+# typed JSONExtract shorthands ([U] src/Functions/FunctionsJSON.h —
+# type default on missing/mismatched values)
+for _jx_name, _jx_type, _jx_zero in [
+    ("Int", "BIGINT", "0"), ("UInt", "BIGINT", "0"),
+    ("Float", "DOUBLE", "CAST(0 AS DOUBLE)"),
+    ("Bool", "BOOLEAN", "FALSE"),
+]:
+    _FUNCS[f"JSONExtract{_jx_name}"] = (
+        lambda a, t=_jx_type, z=_jx_zero: "COALESCE(TRY_CAST({} AS {}), {})".format(
+            a[0] if len(a) == 1
+            else f"GET_JSON_OBJECT({a[0]}, CONCAT('$.', {a[1]}))",
+            t, z))
+
+
+def _best_effort_ts_tpl(a: list[str], mode: str, us: bool) -> str:
+    """parseDateTimeBestEffort family ([U] src/IO/
+    parseDateTimeBestEffort.cpp): a documented subset of the upstream
+    heuristics — ISO forms via CAST, D/M/Y (or M/D/Y for the US
+    variant), compact digit forms, unix seconds, RFC-1123."""
+    day_first = ["dd/MM/yyyy HH:mm:ss", "dd/MM/yyyy"]
+    month_first = ["MM/dd/yyyy HH:mm:ss", "MM/dd/yyyy"]
+    # (RFC-1123 'EEE, ...' is rejected by Spark 4's pattern parser —
+    # day-of-week names are not supported for PARSING; omitted)
+    fmts = (month_first if us else day_first) + [
+        "yyyyMMddHHmmss", "dd MMM yyyy HH:mm:ss", "dd MMM yyyy",
+    ]
+    parts = ["TRY_CAST(__v.s AS TIMESTAMP)"]
+    parts += [f"TRY_TO_TIMESTAMP(__v.s, '{f}')" for f in fmts]
+    parts.append("IF(__v.s RLIKE '^[0-9]{9,10}$', "
+                 "TIMESTAMP_SECONDS(CAST(__v.s AS BIGINT)), NULL)")
+    parts.append("IF(__v.s RLIKE '^[0-9]{8}$', "
+                 "TRY_TO_TIMESTAMP(__v.s, 'yyyyMMdd'), NULL)")
+    expr = "COALESCE(" + ", ".join(parts) + ")"
+    if mode == "zero":
+        expr = f"COALESCE({expr}, TIMESTAMP'1970-01-01 00:00:00')"
+    elif mode == "strict":
+        expr = (f"COALESCE({expr}, CAST(RAISE_ERROR(CONCAT("
+                f"'parseDateTimeBestEffort: cannot parse ', "
+                f"COALESCE(__v.s, 'NULL'))) AS TIMESTAMP))")
+    return _bind_once({"s": a[0]}, expr)
+
+
+for _be_name, _be_mode, _be_us in [
+    ("parseDateTimeBestEffort", "strict", False),
+    ("parseDateTimeBestEffortOrNull", "null", False),
+    ("parseDateTimeBestEffortOrZero", "zero", False),
+    ("parseDateTime32BestEffort", "strict", False),
+    ("parseDateTime64BestEffort", "strict", False),
+    ("parseDateTimeBestEffortUS", "strict", True),
+    ("parseDateTimeBestEffortUSOrNull", "null", True),
+    ("parseDateTimeBestEffortUSOrZero", "zero", True),
+]:
+    _FUNCS[_be_name] = (
+        lambda a, m=_be_mode, u=_be_us: _best_effort_ts_tpl(a, m, u))
+
+_FUNCS["now64"] = lambda a: "NOW()"
 
 # emptyArray<T>() family ([U] src/Functions/emptyArray*.cpp): typed
 # empty-array constants, one alias per supported type

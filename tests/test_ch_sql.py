@@ -3468,3 +3468,50 @@ def test_round10_regex_replacement_and_week_modes(spark):
     assert str(r.w0) == "2024-02-11" and str(r.w1) == "2024-02-12"
     assert (r.d0, r.d1, r.d2, r.d3) == (7, 6, 1, 0)
     assert r.pci == 1 and r.e0 == "123" and r.e1 == "val"
+
+
+def test_round10_conversion_ornull_and_best_effort(spark):
+    """to<T>OrNull/OrZero conversion family (TRY_CAST contract: strict
+    parse, whitespace-tolerant), typed JSONExtract shorthands (type
+    default on missing), parseDateTimeBestEffort family (ISO, D/M/Y vs
+    US M/D/Y, compact digits, unix seconds; strict raises / OrNull /
+    OrZero), parseDateTime[OrNull/OrZero] %-formats, now64."""
+    import pytest as _p
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    r = ch_sql(spark, """
+        SELECT toInt32OrNull('abc') AS a, toInt32OrNull(' 42 ') AS b,
+               toInt32OrNull('2.5') AS c, toInt32OrZero('abc') AS d,
+               toFloat64OrNull('2.5') AS e,
+               toDateOrNull('2020-13-40') AS f,
+               toDateOrZero('bad') AS g,
+               toUInt64OrZero('7') AS h,
+               JSONExtractInt('{"a":"5"}', 'a') AS ji,
+               JSONExtractInt('{"a":5}', 'b') AS jm,
+               JSONExtractFloat('{"a":2.5}', 'a') AS jf,
+               JSONExtractBool('{"a":true}', 'a') AS jb,
+               parseDateTimeBestEffort('2020-01-01 10:20:30') AS p1,
+               parseDateTimeBestEffort('01/02/2020') AS p2,
+               parseDateTimeBestEffortUS('01/02/2020') AS p3,
+               parseDateTimeBestEffort('1577836800') AS p4,
+               parseDateTimeBestEffort('20200102030405') AS p5,
+               parseDateTimeBestEffortOrNull('garbage') AS p6,
+               parseDateTimeBestEffortOrZero('garbage') AS p7,
+               parseDateTimeOrNull('xx', '%Y') AS p8,
+               now64() IS NOT NULL AS n64
+        """).collect()[0]
+    assert r.a is None and r.b == 42 and r.c is None and r.d == 0
+    assert r.e == 2.5 and r.f is None and str(r.g) == "1970-01-01"
+    assert r.h == 7
+    assert r.ji == 5 and r.jm == 0 and r.jf == 2.5 and r.jb is True
+    assert str(r.p1) == "2020-01-01 10:20:30"
+    assert str(r.p2) == "2020-02-01 00:00:00"     # D/M/Y default
+    assert str(r.p3) == "2020-01-02 00:00:00"     # US: M/D/Y
+    assert str(r.p4) == "2020-01-01 00:00:00"     # unix seconds
+    assert str(r.p5) == "2020-01-02 03:04:05"     # compact 14-digit
+    assert r.p6 is None and str(r.p7) == "1970-01-01 00:00:00"
+    assert r.p8 is None and r.n64 is True
+    with _p.raises(Exception, match="cannot parse"):
+        ch_sql(spark, "SELECT parseDateTimeBestEffort('garbage') AS x") \
+            .collect()
