@@ -2023,9 +2023,19 @@ _FUNCS: dict[str, str] = {
     # (round-6 advice: routed and unrouted estimates must match; the HLL
     # union is lossless at fixed lgConfigK, making the two-phase routed
     # estimate EQUAL the one-phase translated one).
-    "uniq": "HLL_SKETCH_ESTIMATE(HLL_SKETCH_AGG(CAST({0} AS STRING)))",
-    "uniqCombined": "HLL_SKETCH_ESTIMATE(HLL_SKETCH_AGG(CAST({0} AS STRING)))",
-    "uniqHLL12": "HLL_SKETCH_ESTIMATE(HLL_SKETCH_AGG(CAST({0} AS STRING)))",
+    # multi-arg forms ([U] uniq over arg tuples): hash the tuple — a
+    # 64-bit collision is far below the sketch's own error
+    "uniq": lambda a: ("HLL_SKETCH_ESTIMATE(HLL_SKETCH_AGG({}))".format(
+        f"CAST({a[0]} AS STRING)" if len(a) == 1
+        else f"XXHASH64({', '.join(a)})")),
+    "uniqCombined": lambda a: (
+        "HLL_SKETCH_ESTIMATE(HLL_SKETCH_AGG({}))".format(
+            f"CAST({a[0]} AS STRING)" if len(a) == 1
+            else f"XXHASH64({', '.join(a)})")),
+    "uniqHLL12": lambda a: (
+        "HLL_SKETCH_ESTIMATE(HLL_SKETCH_AGG({}))".format(
+            f"CAST({a[0]} AS STRING)" if len(a) == 1
+            else f"XXHASH64({', '.join(a)})")),
     "uniqCombined64":
         "HLL_SKETCH_ESTIMATE(HLL_SKETCH_AGG(CAST({0} AS STRING)))",
     "uniqExact": "COUNT(DISTINCT {*})",
@@ -2481,7 +2491,35 @@ _FUNCS: dict[str, str] = {
     # deviation (BROUND applies to those too here).
     "round": "BROUND({*})",
     "xxHash64": "XXHASH64({*})", "MD5": "MD5({0})",
-    "toTypeName": "TYPEOF({0})",
+    # two-arg CAST(x, 'Type') — the reference's function-call spelling
+    # of cast syntax; the AS form passes through as one argument
+    "CAST": lambda a: (
+        f"CAST({a[0]})" if len(a) == 1 else
+        f"CAST({a[0]} AS {_values_col_type(a[1].strip()[1:-1])})"
+        if len(a) == 2 and a[1].strip().startswith("'") else
+        (_ for _ in ()).throw(ValueError(
+            "CAST(x, 'Type') needs a literal type string"))),
+    "cast": lambda a: (
+        f"CAST({a[0]})" if len(a) == 1 else
+        f"CAST({a[0]} AS {_values_col_type(a[1].strip()[1:-1])})"
+        if len(a) == 2 and a[1].strip().startswith("'") else
+        (_ for _ in ()).throw(ValueError(
+            "CAST(x, 'Type') needs a literal type string"))),
+    # bare (non-parametric) quantile forms: p defaults to 0.5 upstream
+    "quantile": "KLL_SKETCH_GET_QUANTILE_DOUBLE("
+                "KLL_SKETCH_AGG_DOUBLE(CAST({0} AS DOUBLE)), 0.5D)",
+    "quantileExact": "PERCENTILE({0}, 0.5D)",
+    # reference type names for the scalar types; composite/other
+    # spellings fall through as Spark names (documented best-effort)
+    "toTypeName": lambda a: _bind_once(
+        {"t": f"TYPEOF({a[0]})"},
+        "CASE __v.t WHEN 'tinyint' THEN 'Int8' "
+        "WHEN 'smallint' THEN 'Int16' WHEN 'int' THEN 'Int32' "
+        "WHEN 'bigint' THEN 'Int64' WHEN 'float' THEN 'Float32' "
+        "WHEN 'double' THEN 'Float64' WHEN 'string' THEN 'String' "
+        "WHEN 'date' THEN 'Date' WHEN 'timestamp' THEN 'DateTime' "
+        "WHEN 'boolean' THEN 'Bool' "
+        "ELSE REGEXP_REPLACE(__v.t, '^decimal', 'Decimal') END"),
     "visitParamExtractString": "GET_JSON_OBJECT({0}, CONCAT('$.', {1}))",
     "JSONExtractString": "GET_JSON_OBJECT({0}, CONCAT('$.', {1}))",
     # round-5 late batch
@@ -3806,6 +3844,7 @@ _PARAMETRIC: dict = {
     "uniqCombined64": "HLL_SKETCH_ESTIMATE("
                       "HLL_SKETCH_AGG(CAST({a0} AS STRING), {p0}))",
     "groupUniqArray": "SLICE(COLLECT_SET({a0}), 1, {p0})",
+    "groupArray": "SLICE(COLLECT_LIST({a0}), 1, {p0})",
     # nondeterministic by contract, like arrayRandomSample
     "groupArraySample": lambda params, args: (
         f"SLICE(SHUFFLE(COLLECT_LIST({args[0]})), 1, "

@@ -3515,3 +3515,27 @@ def test_round10_conversion_ornull_and_best_effort(spark):
     with _p.raises(Exception, match="cannot parse"):
         ch_sql(spark, "SELECT parseDateTimeBestEffort('garbage') AS x") \
             .collect()
+
+
+def test_round10_cast2_quantile_bare_uniq_multi(spark):
+    """Two-arg CAST(x, 'Type') function spelling; bare quantile/
+    quantileExact default to p=0.5; multi-arg uniq family hashes the
+    argument tuple; parametric groupArray(n)(x) cap; toTypeName renders
+    reference type names."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    r = ch_sql(spark, """
+        SELECT CAST('42', 'Int64') AS c1,
+               CAST('7', 'Nullable(Int32)') AS c2,
+               quantile(number) AS qm,
+               quantileExact(number) AS qe,
+               uniq(number % 3, number % 2) AS um,
+               groupArray(3)(number) AS ga,
+               toTypeName(CAST(1 AS Int32)) AS tn,
+               toTypeName('a') AS ts,
+               toTypeName(now()) AS tt
+        FROM numbers(11)""").collect()[0]
+    assert r.c1 == 42 and r.c2 == 7
+    assert r.qm == 5.0 and r.qe == 5.0 and r.um == 6
+    assert r.ga == [0, 1, 2]
+    assert (r.tn, r.ts, r.tt) == ("Int32", "String", "DateTime")
