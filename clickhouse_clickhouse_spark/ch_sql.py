@@ -4641,9 +4641,27 @@ def _array_reduce_tpl(args: list[str]) -> str:
         raise ValueError("arrayReduce(aggname, arr) takes exactly 2 "
                          "arguments here (multi-array form unsupported)")
     name = args[0].strip().strip("'\"").lower()
+    # parametric-in-string quantile forms ([U] arrayReduce('quantile(
+    # 0.5)', arr)): exact interpolated pick over the sorted array
+    pm = re.match(r"^(quantile|quantileexact|median)\s*"
+                  r"(?:\(\s*([0-9.]+)\s*\))?$", name)
+    if pm:
+        p = float(pm.group(2)) if pm.group(2) else 0.5
+        return _bind_once(
+            {"s": f"ARRAY_SORT(TRANSFORM({args[1]}, "
+                  f"__x -> CAST(__x AS DOUBLE)))"},
+            f"IF(SIZE(__v.s) = 0, NULL, ELEMENT_AT(__v.s, "
+            f"CAST(FLOOR((SIZE(__v.s) - 1) * {p}) AS INT) + 1) "
+            f"+ ((SIZE(__v.s) - 1) * {p} "
+            f"- FLOOR((SIZE(__v.s) - 1) * {p})) "
+            f"* (ELEMENT_AT(__v.s, LEAST(CAST(FLOOR((SIZE(__v.s) - 1) "
+            f"* {p}) AS INT) + 2, SIZE(__v.s))) "
+            f"- ELEMENT_AT(__v.s, CAST(FLOOR((SIZE(__v.s) - 1) * {p}) "
+            f"AS INT) + 1)))")
     if name not in _ARRAY_REDUCE:
         raise ValueError(f"arrayReduce: unsupported aggregate {name!r}; "
-                         f"supported: {sorted(_ARRAY_REDUCE)}")
+                         f"supported: {sorted(_ARRAY_REDUCE)} and "
+                         "quantile[Exact](p)/median")
     return "(" + _ARRAY_REDUCE[name].replace("{a}", args[1]) + ")"
 
 

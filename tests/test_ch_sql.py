@@ -3539,3 +3539,21 @@ def test_round10_cast2_quantile_bare_uniq_multi(spark):
     assert r.qm == 5.0 and r.qe == 5.0 and r.um == 6
     assert r.ga == [0, 1, 2]
     assert (r.tn, r.ts, r.tt) == ("Int32", "String", "DateTime")
+
+
+def test_round10_array_reduce_quantile(spark):
+    """arrayReduce parametric-in-string quantile forms ([U]
+    arrayReduce('quantile(0.5)', arr)): exact interpolated pick; empty
+    arrays yield NULL; the plain whitelist still works."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    r = ch_sql(spark, """
+        SELECT arrayReduce('quantile(0.5)', array(1, 2, 3, 4, 5)) AS a,
+               arrayReduce('quantileExact(0.25)', array(0, 1, 2, 3))
+                   AS b,
+               arrayReduce('median', array(1, 2, 3, 10)) AS c,
+               arrayReduce('median', emptyArrayInt64()) AS d,
+               arrayReduce('sum', array(1, 2, 3)) AS e
+        """).collect()[0]
+    assert r.a == 3.0 and r.b == 0.75 and r.c == 2.5
+    assert r.d is None and r.e == 6.0
