@@ -6390,6 +6390,30 @@ def _translate_impl(sql: str,
     q = _masked_sub(_SAMPLE_N,
                     lambda m: f"TABLESAMPLE ({m.group(1)} ROWS)", q)
 
+    # SELECT DISTINCT ON (keys) ... ([U] InterpreterSelectQuery
+    # DISTINCT ON = first row per key group) — routed through the
+    # LIMIT 1 BY machinery below (same row_number wrap, same
+    # deterministic-order contract)
+    md = _masked_search(
+        re.compile(r"^\s*SELECT\s+DISTINCT\s+ON\s*\(", re.IGNORECASE), q)
+    if md:
+        open_p = q.index("(", md.start() + 6)
+        close = _find_close(q, open_p)
+        if close < 0:
+            raise ValueError("DISTINCT ON: unbalanced key list")
+        keys = q[open_p + 1:close].strip()
+        q = "SELECT " + q[close + 1:].strip() + f" LIMIT 1 BY {keys}"
+
+    # MOD infix (MySQL-compat spelling upstream accepts) -> %.
+    # Anchored to infix position (operand-space-MOD-space-operand, next
+    # token not a clause keyword) so mod(a, b) calls and identifiers
+    # stay untouched.
+    q = _masked_sub(
+        re.compile(r"(?<=[\w\)\]'])(\s+)MOD(\s+)"
+                   r"(?!(?:FROM|WHERE|GROUP|ORDER|LIMIT|HAVING|AS|"
+                   r"JOIN|ON|AND|OR)\b)(?=[\w\('-])", re.IGNORECASE),
+        lambda m: m.group(1) + "%" + m.group(2), q)
+
     # SELECT TOP n ... (T-SQL-style CH form, top-level only; upstream
     # forbids combining it with LIMIT) -> trailing LIMIT n
     mt = re.match(r"(\s*SELECT\s+)TOP\s+(\d+)\s+", q, re.IGNORECASE)

@@ -894,8 +894,12 @@ def test_round5_datetime_and_array_function_fixes(views):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="lag"):
         translate("SELECT runningDifference(x) FROM t")
+    # median/quantile(p) became SUPPORTED arrayReduce forms in round 10;
+    # genuinely unknown aggregates still refuse with the list
     with _pytest.raises(ValueError, match="supported"):
-        translate("SELECT arrayReduce('median', a) FROM t")
+        translate("SELECT arrayReduce('corr', a) FROM t")
+    assert "ARRAY_SORT" in translate("SELECT arrayReduce('median', a) "
+                                     "FROM t")
     # idempotence on the new rewrites
     for q in ("SELECT dateDiff('day', a, b) FROM t",
               "SELECT toStartOfInterval(ts, INTERVAL 5 MINUTE) FROM t",
@@ -3557,3 +3561,19 @@ def test_round10_array_reduce_quantile(spark):
         """).collect()[0]
     assert r.a == 3.0 and r.b == 0.75 and r.c == 2.5
     assert r.d is None and r.e == 6.0
+
+
+def test_round10_distinct_on_and_mod(spark):
+    """SELECT DISTINCT ON (keys) — first row per key group via the
+    LIMIT 1 BY machinery; MOD infix (MySQL-compat) rewrites to % only
+    in infix position (mod(a, b) calls untouched)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    rows = ch_sql(spark, """
+        SELECT DISTINCT ON (k) k, n
+        FROM (SELECT number % 2 AS k, number AS n FROM numbers(6))
+        ORDER BY k, n""").collect()
+    assert [(r.k, r.n) for r in rows] == [(0, 0), (1, 1)]
+    r = ch_sql(spark, "SELECT 7 MOD 2 AS a, mod(7, 2) AS b, "
+                      "(1 + 1) MOD 2 AS c").collect()[0]
+    assert (r.a, r.b, r.c) == (1, 1, 0)
