@@ -6494,6 +6494,8 @@ def _register_system_views(spark: SparkSession, sql: str) -> None:
         "numbers": lambda s: ST.system_numbers(s, 1 << 32),
         "numbers_mt": lambda s: ST.system_numbers(s, 1 << 32),
         "tables": ST.system_tables,
+        "columns": ST.system_columns_all,
+        "databases": ST.system_databases,
         "formats": ST.system_formats,
         "settings": ST.system_settings,
         "query_log": ST.system_query_log,

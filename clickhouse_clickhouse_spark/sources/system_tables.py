@@ -47,6 +47,37 @@ def system_columns(spark: SparkSession, table: str) -> DataFrame:
         rows, "table string, name string, type string, nullable boolean")
 
 
+def system_columns_all(spark: SparkSession) -> DataFrame:
+    """``system.columns`` over EVERY catalog-visible table ([U]
+    src/Storages/System/StorageSystemColumns.cpp) — the dialect's
+    ``FROM system.columns`` view (computed on read like the other
+    system views; reference type names via types_map)."""
+    from clickhouse_clickhouse_spark.types_map import spark_type_to_ch
+
+    rows = []
+    for t in spark.catalog.listTables():
+        if t.name.startswith("__"):
+            continue            # engine-internal scratch views
+        try:
+            for f in spark.table(t.name).schema.fields:
+                rows.append((
+                    t.namespace[0] if t.namespace else "default",
+                    t.name, f.name,
+                    spark_type_to_ch(f.dataType, f.nullable)))
+        except Exception:       # noqa: BLE001 — dropped mid-iteration
+            continue
+    schema = "database string, table string, name string, type string"
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(rows, schema)
+
+
+def system_databases(spark: SparkSession) -> DataFrame:
+    """``system.databases`` over the Spark catalog."""
+    rows = [(d.name,) for d in spark.catalog.listDatabases()]
+    return spark.createDataFrame(rows or [("default",)], "name string")
+
+
 def system_parts(spark: SparkSession, path: str,
                  table: str = "") -> DataFrame:
     """``system.parts`` for a parquet table path: one row per data file

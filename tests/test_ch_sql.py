@@ -3577,3 +3577,20 @@ def test_round10_distinct_on_and_mod(spark):
     r = ch_sql(spark, "SELECT 7 MOD 2 AS a, mod(7, 2) AS b, "
                       "(1 + 1) MOD 2 AS c").collect()[0]
     assert (r.a, r.b, r.c) == (1, 1, 0)
+
+
+def test_round10_system_columns_databases(spark):
+    """system.columns (catalog-wide, reference type names) and
+    system.databases resolve as computed-on-read views like the other
+    system tables."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    spark.createDataFrame([(1, "a")], "id int, tag string") \
+        .createOrReplaceTempView("syscol_demo")
+    rows = ch_sql(spark, """
+        SELECT name, type FROM system.columns
+        WHERE table = 'syscol_demo' ORDER BY name""").collect()
+    assert [(r.name, r.type) for r in rows] == [
+        ("id", "Nullable(Int32)"), ("tag", "Nullable(String)")]
+    assert ch_sql(spark, "SELECT count(*) > 0 AS x "
+                         "FROM system.databases").collect()[0].x is True
