@@ -2423,3 +2423,47 @@ def ch_sql_round10_bitmaps(spark, sf):
                mapValues(sumMap(array(1), array(user_id)))[1] AS sm
         FROM events
         GROUP BY event_id, value, user_id""")
+
+
+@register("ch_sql_round10_stmt_tail", oracle="""
+SELECT k, n, cnt, q50, udm, mi, tn, c2
+FROM (
+  SELECT DISTINCT ON (k) k, n, cnt, q50, udm, mi, tn, c2
+  FROM (
+    SELECT user_id % 7 AS k, event_id AS n,
+           CAST(count(*) OVER (PARTITION BY user_id % 7) AS BIGINT)
+               AS cnt,
+           round(CAST(quantile_cont(value, 0.5)
+               OVER (PARTITION BY user_id % 7) AS DOUBLE), 6) AS q50,
+           (SELECT CAST(count(DISTINCT (user_id % 5, event_id % 3))
+                        AS BIGINT) FROM events) AS udm,
+           CAST(event_id % 3 AS BIGINT) AS mi,
+           'Int32' AS tn,
+           42 AS c2
+    FROM events)
+  ORDER BY k, n)
+ORDER BY k
+""")
+def ch_sql_round10_stmt_tail(spark, sf):
+    """Round-10 statement tail on the DuckDB gate: DISTINCT ON (DuckDB
+    has it natively — an independent oracle), MOD infix, bare
+    quantileExact (p = 0.5) as a window aggregate twin, multi-arg
+    uniqExact (DuckDB count(DISTINCT (a, b))), toTypeName reference
+    names, two-arg CAST."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return ch_sql(spark, """
+        SELECT DISTINCT ON (k) k, n, cnt, q50, udm, mi, tn, c2
+        FROM (
+          SELECT user_id % 7 AS k, event_id AS n,
+                 count(*) OVER (PARTITION BY user_id % 7) AS cnt,
+                 round(quantileExact(value)
+                     OVER (PARTITION BY user_id % 7), 6) AS q50,
+                 (SELECT uniqExact(user_id % 5, event_id % 3)
+                  FROM events) AS udm,
+                 event_id MOD 3 AS mi,
+                 toTypeName(CAST(1 AS Int32)) AS tn,
+                 CAST('42', 'Int64') AS c2
+          FROM events)
+        ORDER BY k, n""")
