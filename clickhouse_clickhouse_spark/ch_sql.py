@@ -5819,6 +5819,36 @@ def _array_literals(q: str) -> str:
         q = new
 
 
+_TUPLE_DOT = re.compile(r"([\w\)\]])\.(\d+)(?!\w)")
+
+
+def _rewrite_tuple_dot(q: str) -> str:
+    """Reference positional tuple access ``t.1`` → struct field
+    ``t._1`` ([U] tupleElement sugar). Guarded against decimal
+    literals: the preceding token must be an identifier or a closing
+    paren/bracket, not a number."""
+    pos = 0
+    while True:
+        m = _masked_search(_TUPLE_DOT, q[pos:])
+        if not m:
+            return q
+        mstart = pos + m.start()
+        # walk the preceding token back; pure-numeric → decimal literal
+        j = mstart + len(m.group(1)) - 1
+        k = j
+        while k >= 0 and (q[k].isalnum() or q[k] == "_"):
+            k -= 1
+        tok = q[k + 1:j + 1]
+        if q[j] in ")]" or (tok and not re.fullmatch(r"\d+", tok)):
+            repl = f"{m.group(1)}._{m.group(2)}"
+            q = q[:mstart] + repl + q[mstart + len(m.group(0)):]
+            # resume ON the last char so chained access (t.1.2) can
+            # use it as the next preceding-token char
+            pos = mstart + len(repl) - 1
+        else:
+            pos = mstart + len(m.group(0))
+
+
 _SUBSCRIPT = re.compile(r"(?<=[\w\)\]])\[([^\[\]]+)\]")
 
 
@@ -5912,7 +5942,9 @@ def _values_col_type(ctype: str) -> str:
         return "TIMESTAMP"
     t = _CH_CAST_TYPES.get(re.sub(r"\s*\(.*", "", base).lower())
     if t is None:
-        raise ValueError(f"values(): unsupported column type {ctype!r}")
+        raise ValueError(f"unsupported reference type {ctype!r} here "
+                         "(scalar types, Nullable(T), Decimal(p,s), "
+                         "DateTime64(n))")
     return t
 
 
@@ -6169,6 +6201,7 @@ def _translate_impl(sql: str,
     q = _masked_sub(re.compile(r"=="), lambda m: "=", q)
     q = _array_literals(q)
     q = _rewrite_subscripts(q)
+    q = _rewrite_tuple_dot(q)
     q = _cast_type_names(q)
     q = _rewrite_values_tf(q)
     q = _rewrite_nonneg_derivative(q)

@@ -3594,3 +3594,23 @@ def test_round10_system_columns_databases(spark):
         ("id", "Nullable(Int32)"), ("tag", "Nullable(String)")]
     assert ch_sql(spark, "SELECT count(*) > 0 AS x "
                          "FROM system.databases").collect()[0].x is True
+
+
+def test_round10_tuple_positional_access(spark):
+    """Reference positional tuple access t.1 / chained t.1.2 → struct
+    _N fields; decimal literals are protected (preceding token must be
+    an identifier or closing paren/bracket, not a number); composes
+    with 1-based subscripts."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    r = ch_sql(spark, """
+        SELECT tuple(1, 'a').2 AS a,
+               tuple(tuple(1, 2), 3).1.2 AS b,
+               t.1 AS c,
+               c2.1 AS d,
+               1.5 + 1.25 AS e,
+               array(tuple(5, 6))[1].2 AS f
+        FROM (SELECT tuple(7, 8) AS t, tuple(9) AS c2)
+        """).collect()[0]
+    assert r.a == "a" and r.b == 2 and r.c == 7 and r.d == 9
+    assert float(r.e) == 2.75 and r.f == 6
