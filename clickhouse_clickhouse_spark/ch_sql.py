@@ -4505,6 +4505,14 @@ def _position_tpl(args: list[str], haystack_first: bool) -> str:
     FunctionsStringSearch: position(haystack, needle[, start_pos]);
     locate is the MySQL-compatible (needle, haystack[, start_pos])
     order). Spark LOCATE(substr, str[, pos]) carries start natively."""
+    if len(args) == 1:
+        # SQL-standard position(needle IN haystack) — one arg at the
+        # comma level; split at the first IN outside string literals
+        spans = _string_spans(args[0])
+        for m in re.finditer(r"(?i)\s+IN\s+", args[0]):
+            if not any(s0 <= m.start() <= s1 for s0, s1 in spans):
+                return (f"LOCATE({args[0][:m.start()].strip()}, "
+                        f"{args[0][m.end():].strip()})")
     if len(args) not in (2, 3):
         raise ValueError(f"position/locate take 2 or 3 args, got {len(args)}")
     h, n = (args[0], args[1]) if haystack_first else (args[1], args[0])

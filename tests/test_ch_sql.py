@@ -3614,3 +3614,18 @@ def test_round10_tuple_positional_access(spark):
         """).collect()[0]
     assert r.a == "a" and r.b == 2 and r.c == 7 and r.d == 9
     assert float(r.e) == 2.75 and r.f == 6
+
+
+def test_round10_position_in_form(spark):
+    """SQL-standard position(needle IN haystack) — split at the first
+    IN outside string literals; the 2/3-arg reference forms keep the
+    haystack-first convention."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    r = ch_sql(spark, """
+        SELECT position('ll' IN 'hello') AS a,
+               position(' IN ' IN 'a IN b') AS b,
+               position('hello', 'll') AS c,
+               position('hellohello', 'll', 5) AS d
+        """).collect()[0]
+    assert (r.a, r.b, r.c, r.d) == (3, 2, 3, 8)
