@@ -2261,7 +2261,9 @@ _FUNCS: dict[str, str] = {
     "fromModifiedJulianDay": "DATE_ADD(DATE '1858-11-17', CAST({0} AS INT))",
     "JSONArrayLength": "JSON_ARRAY_LENGTH({0})",
     "generateUUIDv4": "UUID()",
-    "arrayStringConcat": "ARRAY_JOIN({0}, {1})",
+    "arrayStringConcat": lambda a: (
+        "ARRAY_JOIN({}, {})".format(a[0],
+                                    a[1] if len(a) > 1 else "''")),
     "lengthUTF8": "LENGTH({0})", "lowerUTF8": "LOWER({0})",
     "upperUTF8": "UPPER({0})",
     # upstream upper/lower are ASCII-ONLY ([U] src/Functions/
@@ -2911,6 +2913,13 @@ _FUNCS: dict[str, str] = {
                             for i in range(len(a)))
         + ", NULL, LEAST("
         + ", ".join(f"__v.g{i}" for i in range(len(a))) + "))")),
+    "ifEmpty": lambda a: _bind_once(
+        {"s": a[0]}, f"IF(__v.s = '', {a[1]}, __v.s)"),
+    "concatAssumeInjective": "CONCAT({*})",    # injectivity is a hint
+    "xor": lambda a: "(" + " != ".join(f"({x})" for x in a) + ")",
+    "bitAnd": "(({0}) & ({1}))",
+    "bitOr": "(({0}) | ({1}))",
+    "bitXor": "(({0}) ^ ({1}))",
     # ---- round-10 resolve-probe batch 6 (third sweep) -------------------
     # crc32 is Spark-native zlib (same as upstream CRC32); the IEEE-init
     # variant differs only in seeding and is refused toward it

@@ -3629,3 +3629,23 @@ def test_round10_position_in_form(spark):
                position('hellohello', 'll', 5) AS d
         """).collect()[0]
     assert (r.a, r.b, r.c, r.d) == (3, 2, 3, 8)
+
+
+def test_round10_final_name_batch(spark):
+    """Last probe batch: ifEmpty, concatAssumeInjective (hint alias),
+    n-ary logical xor, bitAnd/bitOr/bitXor function names,
+    single-arg arrayStringConcat (empty separator default)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    r = ch_sql(spark, """
+        SELECT ifEmpty('', 'dflt') AS a, ifEmpty('v', 'dflt') AS b,
+               concatAssumeInjective('a', 'b', 'c') AS c,
+               xor(true, false) AS d, xor(true, true, true) AS e,
+               bitAnd(6, 3) AS f, bitOr(4, 1) AS g, bitXor(6, 3) AS h,
+               arrayStringConcat(array('a', 'b')) AS i,
+               arrayStringConcat(array('a', 'b'), '-') AS j
+        """).collect()[0]
+    assert (r.a, r.b, r.c) == ("dflt", "v", "abc")
+    assert r.d is True and r.e is True
+    assert (r.f, r.g, r.h) == (2, 5, 5)
+    assert (r.i, r.j) == ("ab", "a-b")
