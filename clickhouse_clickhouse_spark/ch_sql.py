@@ -1559,7 +1559,8 @@ def _hilbert_decode_tpl(a: list[str]) -> str:
         {"c": f"CAST({a[1]} AS BIGINT)"},
         f"AGGREGATE(SEQUENCE(0, 30), "
         f"NAMED_STRUCT('x', CAST(0 AS BIGINT), 'y', CAST(0 AS BIGINT), "
-        f"'t', IF(__v.c < 0, CAST(RAISE_ERROR('hilbertDecode: code must "
+        f"'t', IF(__v.c < 0 OR __v.c >= 4611686018427387904, "
+        f"CAST(RAISE_ERROR('hilbertDecode: code must "
         f"be in [0, 2^62)') AS BIGINT), __v.c)), "
         f"(__h, __i) -> {step}, "
         f"__h -> NAMED_STRUCT('_1', __h.x, '_2', __h.y))")
@@ -2866,10 +2867,14 @@ _FUNCS: dict[str, str] = {
         f"REGEXP_REPLACE({a[0]}, {a[1]}, {_ch_replacement(a[2])})"),
     "replaceRegexpOne": lambda a: _replace_regexp_one_tpl(a),
     # the separator is a CHARACTER, not a regex — \Q..\E quotes it
-    # (the old SPLIT({1}, {0}) treated '.' as match-anything)
+    # (the old SPLIT({1}, {0}) treated '.' as match-anything).
+    # 3-arg max_substrings DISCARDS the remainder (upstream default
+    # splitby_max_substrings_includes_remaining_string = 0), so take a
+    # SLICE of the full split rather than Spark's keep-remainder limit
     "splitByChar": lambda a: (
-        f"SPLIT({a[1]}, CONCAT('\\\\Q', {a[0]}, '\\\\E')"
-        + (f", CAST({a[2]} AS INT)" if len(a) > 2 else "") + ")"),
+        f"SPLIT({a[1]}, CONCAT('\\\\Q', {a[0]}, '\\\\E'))" if len(a) <= 2
+        else (f"SLICE(SPLIT({a[1]}, CONCAT('\\\\Q', {a[0]}, '\\\\E')), "
+              f"1, CAST({a[2]} AS INT))")),
     "trimBoth": lambda a: (f"TRIM({a[0]})" if len(a) == 1 else
                            f"TRIM(BOTH {a[1]} FROM {a[0]})"),
     "trimLeft": lambda a: (f"LTRIM({a[0]})" if len(a) == 1 else
@@ -5783,6 +5788,54 @@ def _masked_search(regex: re.Pattern, q: str) -> _SpanMatch | None:
     return _SpanMatch(m, q) if m else None
 
 
+_FLOAT_LIT = re.compile(r"(?<![\w.])(\d+\.\d+|\.\d+)(?![\w.])")
+
+
+def _float_literal_pass(q: str) -> str:
+    """Upstream parses bare non-integer numeric literals as Float64
+    ([U] src/Parsers/Lexer + Field Float64 literal semantics), while
+    Spark types them DECIMAL(p,s) — observable: 0.1 + 0.2 = 0.3 is
+    true under exact decimals but false upstream; toTypeName(2.5) is
+    Float64 upstream. Runs on the FINAL translated SQL (templates have
+    already parsed their numeric parameters) and suffixes bare
+    fractional literals with Spark's D (double) marker. Skips string
+    literals (masked), already-suffixed/identifier-adjacent numbers,
+    TABLESAMPLE percentages/row counts, and unquoted INTERVAL units
+    where a D suffix is not valid syntax."""
+    mask = _mask_strings(q)
+    out, last = [], 0
+    for m in _FLOAT_LIT.finditer(mask):
+        s, e = m.span(1)
+        if re.match(r"\s*(?:PERCENT|ROWS)\b", mask[e:], re.IGNORECASE):
+            continue
+        if re.search(r"\bINTERVAL\s*$", mask[:s], re.IGNORECASE):
+            continue
+        out.append(q[last:e])
+        out.append("D")
+        last = e
+    out.append(q[last:])
+    return "".join(out)
+
+
+def _toplevel_kw_pos(q: str, regex: re.Pattern) -> int:
+    """Start offset of the first regex match outside string literals
+    AND outside any parenthesized span (subquery-safe clause search);
+    -1 if none."""
+    mask = list(_mask_strings(q))
+    depth = 0
+    for i, c in enumerate(mask):
+        if c == "(":
+            depth += 1
+            mask[i] = "\x00"
+        elif c == ")":
+            depth -= 1
+            mask[i] = "\x00"
+        elif depth > 0:
+            mask[i] = "\x00"
+    m = regex.search("".join(mask))
+    return m.start() if m else -1
+
+
 def _masked_sub(regex: re.Pattern, repl, q: str) -> str:
     """re.sub outside string literals; ``repl`` is a callable on the
     span-match (original-text groups)."""
@@ -6240,6 +6293,13 @@ def _translate_impl(sql: str,
         re.compile(r"\bEXCEPT\b(?!\s*\()(?!\s+(?:ALL|DISTINCT)\b)",
                    re.IGNORECASE),
         lambda m: "EXCEPT ALL", q)
+    # the set operation with a parenthesized right side — 'EXCEPT
+    # (SELECT ...' — is also bare-ALL; only the star-projection
+    # '* EXCEPT (cols)' keeps its Spark-native meaning
+    q = _masked_sub(
+        re.compile(r"\bEXCEPT(?=\s*\(\s*(?:SELECT|WITH)\b)",
+                   re.IGNORECASE),
+        lambda m: "EXCEPT ALL", q)
     if _masked_search(
             re.compile(r"\bUNION\b(?!\s+(?:ALL|DISTINCT)\b)",
                        re.IGNORECASE), q):
@@ -6452,7 +6512,19 @@ def _translate_impl(sql: str,
         if close < 0:
             raise ValueError("DISTINCT ON: unbalanced key list")
         keys = q[open_p + 1:close].strip()
-        q = "SELECT " + q[close + 1:].strip() + f" LIMIT 1 BY {keys}"
+        tail = q[close + 1:].strip()
+        # Splice LIMIT 1 BY BEFORE any top-level LIMIT/OFFSET: upstream
+        # deduplicates first, then limits the deduplicated result. The
+        # LIMIT BY machinery below re-attaches the trailing LIMIT after
+        # its outer ORDER BY. Without a query ORDER BY the surviving
+        # row per key is arbitrary (same contract as upstream).
+        lp = _toplevel_kw_pos(
+            tail, re.compile(r"\b(?:LIMIT|OFFSET)\b", re.IGNORECASE))
+        if lp >= 0:
+            q = ("SELECT " + tail[:lp].rstrip()
+                 + f" LIMIT 1 BY {keys} " + tail[lp:])
+        else:
+            q = f"SELECT {tail} LIMIT 1 BY {keys}"
 
     # MOD infix (MySQL-compat spelling upstream accepts) -> %.
     # Anchored to infix position (operand-space-MOD-space-operand, next
@@ -6501,8 +6573,9 @@ def _translate_impl(sql: str,
              f"ORDER BY {order} {rest}")
 
     # whitespace-stable output (clause strips can leave trailing blanks;
-    # keeps translate idempotent — pinned by test)
-    return _rewrite_calls(q).strip()
+    # keeps translate idempotent — pinned by test). Float64 literal
+    # typing runs LAST, on the fully expanded SQL.
+    return _float_literal_pass(_rewrite_calls(q)).strip()
 
 
 _REGISTERED: set[int] = set()

@@ -2467,3 +2467,36 @@ def ch_sql_round10_stmt_tail(spark, sf):
                  CAST('42', 'Int64') AS c2
           FROM events)
         ORDER BY k, n""")
+
+
+@register("ch_sql_float64_literals", oracle="""
+SELECT n_nationkey,
+       CAST(0.1e0 + 0.2e0 = 0.3e0 AS INT)        AS eq_sum,
+       0.1e0 + 0.2e0                             AS s,
+       n_nationkey * 1.1e0                       AS scaled,
+       CAST(n_nationkey + 0.1e0 + 0.2e0 > n_nationkey + 0.3e0
+            AS INT)                              AS gt_row,
+       2.675e0 * 100                             AS snap,
+       1e0 / 3e0                                 AS third
+FROM nation
+""")
+def ch_sql_float64_literals(spark, sf):
+    """Round-11 verdict item 1: bare non-integer literals type as
+    Float64 ([U] src/Parsers — number literals parse to Float64 fields),
+    closed by the translate-time D-suffix pass. The oracle spells every
+    fractional literal with DuckDB's e0 DOUBLE form (DuckDB's own bare
+    fractional literals are DECIMAL — verified), so both engines run
+    IEEE double math and the hash compare is bit-exact."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "nation").createOrReplaceTempView("nation")
+    return ch_sql(spark, """
+        SELECT n_nationkey,
+               CAST(0.1 + 0.2 = 0.3 AS Int32)                AS eq_sum,
+               0.1 + 0.2                                     AS s,
+               n_nationkey * 1.1                             AS scaled,
+               CAST(n_nationkey + 0.1 + 0.2 > n_nationkey + 0.3
+                    AS Int32)                                AS gt_row,
+               2.675 * 100                                   AS snap,
+               1.0 / 3                                       AS third
+        FROM nation""")

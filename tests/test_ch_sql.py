@@ -730,9 +730,9 @@ def test_quantile_gk_param_order():
     from clickhouse_clickhouse_spark.ch_sql import translate
 
     assert translate("SELECT quantileGK(100, 0.95)(x) FROM t") == \
-        "SELECT PERCENTILE_APPROX(x, 0.95, 100) FROM t"
+        "SELECT PERCENTILE_APPROX(x, 0.95D, 100) FROM t"
     assert translate("SELECT quantileGK(100)(x) FROM t") == \
-        "SELECT PERCENTILE_APPROX(x, 0.5, 100) FROM t"
+        "SELECT PERCENTILE_APPROX(x, 0.5D, 100) FROM t"
 
 
 def test_file_view_gate_masked_string_literals(spark):
@@ -3467,7 +3467,9 @@ def test_round10_regex_replacement_and_week_modes(spark):
         """).collect()[0]
     assert r.br == "-Hello, -World!" and r.dl == "$rice"
     assert r.r1 == "baa" and r.r1g == "<H>ello World" and r.r1n == "abc"
-    assert r.sc == ["a", "b", "c"] and r.scl == ["a", "b,c"]
+    # max_substrings discards the remainder (upstream default
+    # splitby_max_substrings_includes_remaining_string = 0)
+    assert r.sc == ["a", "b", "c"] and r.scl == ["a", "b"]
     assert r.tb == "a" and r.tl == "axx" and r.tr2 == "xxa"
     assert str(r.w0) == "2024-02-11" and str(r.w1) == "2024-02-12"
     assert (r.d0, r.d1, r.d2, r.d3) == (7, 6, 1, 0)
@@ -3649,3 +3651,40 @@ def test_round10_final_name_batch(spark):
     assert r.d is True and r.e is True
     assert (r.f, r.g, r.h) == (2, 5, 5)
     assert (r.i, r.j) == ("ab", "a-b")
+
+
+def test_round11_advice_fixes(spark):
+    """Round-11 ADVICE batch in one DataFrame pass where possible:
+    DISTINCT ON deduplicates BEFORE a trailing LIMIT (upstream clause
+    order); 'EXCEPT (SELECT ...' is the set operation and defaults to
+    ALL (only star-projection '* EXCEPT (cols)' is Spark-native);
+    splitByChar max_substrings discards the remainder (upstream default
+    splitby_max_substrings_includes_remaining_string = 0);
+    hilbertDecode rejects codes >= 2^62 (not just negatives)."""
+    import pytest as _p
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    rows = ch_sql(spark, """
+        SELECT DISTINCT ON (k) k, n
+        FROM (SELECT number % 3 AS k, number AS n FROM numbers(9))
+        ORDER BY k, n LIMIT 2""").collect()
+    assert [(r.k, r.n) for r in rows] == [(0, 0), (1, 1)]
+
+    vals = sorted(r.v for r in ch_sql(spark, """
+        SELECT number % 2 AS v FROM numbers(4)
+        EXCEPT (SELECT 0 AS v)""").collect())
+    assert vals == [0, 1, 1]            # ALL: dup 1s kept, one 0 removed
+
+    r = ch_sql(spark, """
+        SELECT splitByChar(',', 'a,b,c,d', 2) AS s2,
+               splitByChar(',', 'a,b,c,d') AS sall""").collect()[0]
+    assert r.s2 == ["a", "b"] and r.sall == ["a", "b", "c", "d"]
+
+    with _p.raises(Exception, match="hilbertDecode"):
+        ch_sql(spark,
+               "SELECT hilbertDecode(2, 4611686018427387904) AS x") \
+            .collect()
+    r = ch_sql(spark, "SELECT hilbertDecode(2, hilbertEncode(100, 200))"
+                      " AS x").collect()[0]
+    assert (r.x._1, r.x._2) == (100, 200)
