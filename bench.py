@@ -34,23 +34,12 @@ HEADLINE = [
     "topk_cosine",
 ]
 
-# Secondary section (round 6, widened round 9 per verdict item 7): the
-# 10 most expensive of the 43-query ClickBench-analog suite (measured at
-# sf0.1, descending) — reported under their own key so the primary
-# metric stays comparable across rounds. The first five are the round-6
-# set, so their trend lines continue unbroken.
-CLICKBENCH_HEAVY = [
-    "cb_value_deciles",
-    "cb_url_query_param_buckets",
-    "cb_url_host_seg_topk",
-    "cb_json_prop_buckets",
-    "cb_url_path_depth",
-    "cb_activity_histogram",
-    "cb_user_retention_week",
-    "cb_busiest_10min",
-    "cb_user_minute_type",
-    "cb_day_type_uniq_matrix",
-]
+# Secondary section (round 6: top-10; round 11 per verdict item 4: ALL
+# 43 ClickBench-analog queries, so long-tail perf regressions are
+# visible per round). Resolved from the registry at run time — every
+# name with the cb_ prefix, sorted, so new queries join automatically.
+# The former top-10's trend lines continue unbroken (same keys).
+CLICKBENCH_PREFIX = "cb_"
 
 
 def main() -> None:
@@ -97,14 +86,17 @@ def main() -> None:
         medians[name] = round(runs[1], 3)
 
     cb: dict[str, float] = {}
-    for name in CLICKBENCH_HEAVY:
+    cb_medians: dict[str, float] = {}
+    for name in sorted(n for n in qs if n.startswith(CLICKBENCH_PREFIX)):
         qs[name](spark, warm).count()
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
-        cb[name] = round(min(runs), 3)
+        runs.sort()
+        cb[name] = round(runs[0], 3)
+        cb_medians[name] = round(runs[1], 3)
 
     total = round(sum(timings.values()), 3)
     # box-load context (round-8 verdict item: driver rounds recorded on
@@ -122,7 +114,9 @@ def main() -> None:
         "queries_median": medians,
         "total_median": round(sum(medians.values()), 3),
         "clickbench": cb,
+        "clickbench_median": cb_medians,
         "clickbench_total": round(sum(cb.values()), 3),
+        "clickbench_total_median": round(sum(cb_medians.values()), 3),
         "sf": float(sf),
         "load_average": load,
         "cpus": os.cpu_count(),

@@ -3119,14 +3119,17 @@ _FUNCS: dict[str, str] = {
         + (a[0] if len(a) == 1
            else f"GET_JSON_OBJECT({a[0]}, CONCAT('$.', {a[1]}))")
         + ", 'array<variant>'), __e -> TO_JSON(__e)), ARRAY())"),
-    "toTimezone": lambda a: (_ for _ in ()).throw(ValueError(
-        "toTimezone changes a value's display timezone — Spark "
-        "timestamps carry no timezone metadata; use "
-        "CONVERT_TIMEZONE('UTC', tz, ts) to shift wall-clock instead")),
-    "toTimeZone": lambda a: (_ for _ in ()).throw(ValueError(
-        "toTimezone changes a value's display timezone — Spark "
-        "timestamps carry no timezone metadata; use "
-        "CONVERT_TIMEZONE('UTC', tz, ts) to shift wall-clock instead")),
+    # upstream toTimezone re-labels the DateTime's display timezone,
+    # keeping the instant ([U] docs/functions/date-time toTimezone).
+    # Spark timestamps carry no tz metadata, so the rendering-shift is
+    # carried as a wall-clock conversion (session tz is pinned UTC):
+    # component extraction afterwards (toHour/toDate/formatting)
+    # matches upstream; comparing a shifted value against an UNshifted
+    # one diverges (upstream compares instants) — documented deviation.
+    "toTimezone": lambda a: (
+        f"CONVERT_TIMEZONE('UTC', {a[1]}, {a[0]})"),
+    "toTimeZone": lambda a: (
+        f"CONVERT_TIMEZONE('UTC', {a[1]}, {a[0]})"),
     # ---- round-10 principled refusals (loud, with the alternative) ------
     "reinterpretAsUInt64": lambda a: (_ for _ in ()).throw(ValueError(
         "reinterpretAs* raw type-punning is storage-layout territory; "
@@ -5788,6 +5791,96 @@ def _masked_search(regex: re.Pattern, q: str) -> _SpanMatch | None:
     return _SpanMatch(m, q) if m else None
 
 
+# ch_compat: upstream no-GROUP-BY aggregates over an EMPTY set return
+# type defaults, not ANSI NULL ([U] docs/aggregate-functions — "empty
+# result set" semantics; Settings empty_result_for_aggregation_by_empty_
+# set = 0 default). Scope here (documented, SURVEY §2.4): the
+# type-independent family — sum*/uniq* -> 0, avg -> nan (Float64
+# upstream). min/max/any keep ANSI NULL (their upstream default is the
+# COLUMN type's zero value, unknowable at the text layer). Default-on;
+# flip off for ANSI behavior.
+CH_COMPAT_EMPTY_SET_DEFAULTS = True
+
+_ESD_AGG = re.compile(
+    r"\b(sum|sumIf|sumKahan|uniq|uniqExact|uniqCombined|uniqCombined64|"
+    r"uniqHLL12|uniqTheta|avg|avgIf)\s*\(", re.IGNORECASE)
+_ESD_DEFAULT = {
+    "avg": "CAST('NaN' AS DOUBLE)", "avgif": "CAST('NaN' AS DOUBLE)",
+}
+
+
+def _empty_set_defaults_pass(q: str) -> str:
+    """COALESCE-wrap scalar (no-GROUP-BY, non-window) aggregates so an
+    empty input yields the upstream type default instead of ANSI NULL.
+    Recurses into parenthesized subselects (each is its own scope with
+    its own GROUP BY check); window (OVER) uses are left alone — a
+    window aggregate never sees an empty frame row."""
+    # recurse into subqueries first, splicing processed text back
+    out, i, last, n = [], 0, 0, len(q)
+    while i < n:
+        c = q[i]
+        if c == "'":
+            j = i + 1
+            while j < n and q[j] != "'":
+                j += 1
+            i = j + 1
+            continue
+        if c == "(":
+            j = _find_close(q, i)
+            if j > 0 and re.match(r"\s*(SELECT|WITH)\b", q[i + 1:j],
+                                  re.IGNORECASE):
+                out.append(q[last:i + 1])
+                out.append(_empty_set_defaults_pass(q[i + 1:j]))
+                out.append(")")
+                last = i = j + 1
+                continue
+        i += 1
+    out.append(q[last:])
+    q = "".join(out)
+    # this scope: skip entirely if it aggregates BY keys (empty input
+    # then produces zero rows upstream too) or is not a SELECT scope
+    mask = _mask_strings(q)
+    # mask subquery contents so scope-level scans don't see them
+    mlist = list(mask)
+    i = 0
+    while i < len(mlist):
+        if mlist[i] == "(":
+            j = _find_close(mask, i)
+            if j > 0 and re.match(r"\s*(SELECT|WITH)\b", mask[i + 1:j],
+                                  re.IGNORECASE):
+                for k in range(i + 1, j):
+                    mlist[k] = "\x00"
+                i = j + 1
+                continue
+        i += 1
+    scope = "".join(mlist)
+    if re.search(r"\bGROUP\s+BY\b", scope, re.IGNORECASE):
+        return q
+    # wrap each non-window aggregate call found in this scope
+    res, pos = [], 0
+    for m in _ESD_AGG.finditer(scope):
+        name = m.group(1)
+        op = scope.index("(", m.end(1))
+        close = _find_close(q, op)
+        if close < 0:
+            continue
+        if re.match(r"\s*OVER\b", scope[close + 1:], re.IGNORECASE):
+            continue
+        if re.match(r"\s*\(", scope[close + 1:]):
+            continue        # parametric form f(p)(args) — out of scope
+        if m.start() < pos:
+            continue        # nested inside an already-wrapped call
+        if re.search(r"COALESCE\(\s*$", scope[:m.start()],
+                     re.IGNORECASE):
+            continue        # already wrapped — keeps translate idempotent
+        dflt = _ESD_DEFAULT.get(name.lower(), "0")
+        res.append(q[pos:m.start()])
+        res.append(f"COALESCE({q[m.start():close + 1]}, {dflt})")
+        pos = close + 1
+    res.append(q[pos:])
+    return "".join(res)
+
+
 _FLOAT_LIT = re.compile(r"(?<![\w.])(\d+\.\d+|\.\d+)(?![\w.])")
 
 
@@ -6572,6 +6665,11 @@ def _translate_impl(sql: str,
              f"({body})) WHERE __ch_rn > {off} AND __ch_rn <= {off + n} "
              f"ORDER BY {order} {rest}")
 
+    # empty-set type defaults (ch_compat, see flag docstring) run on
+    # dialect names BEFORE template expansion — the COALESCE wrap
+    # passes through every rendering
+    if CH_COMPAT_EMPTY_SET_DEFAULTS:
+        q = _empty_set_defaults_pass(q)
     # whitespace-stable output (clause strips can leave trailing blanks;
     # keeps translate idempotent — pinned by test). Float64 literal
     # typing runs LAST, on the fully expanded SQL.

@@ -230,7 +230,8 @@ def ch_sql_frontend(spark, sf):
 
 
 @register("tpch_q6_dialect", oracle="""
-SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+SELECT round(coalesce(sum(l_extendedprice * l_discount), 0), 4)
+    AS revenue
 FROM lineitem
 WHERE l_shipdate >= DATE '1994-01-01'
   AND l_shipdate < DATE '1995-01-01'
@@ -240,7 +241,9 @@ WHERE l_shipdate >= DATE '1994-01-01'
 def tpch_q6_dialect(spark, sf):
     """TPC-H Q6 exactly as a reference user writes it (toDate casts,
     PREWHERE on the cheap predicate, multiply/round) — through the
-    ch_sql front end; same plan-level pushdown as the DataFrame form."""
+    ch_sql front end; same plan-level pushdown as the DataFrame form.
+    The fixture has zero qualifying rows at small SF, so the oracle
+    COALESCEs to upstream's empty-set default (sum -> 0, r11)."""
     from clickhouse_clickhouse_spark.ch_sql import ch_sql
 
     load_table(spark, sf, "lineitem").createOrReplaceTempView("lineitem")

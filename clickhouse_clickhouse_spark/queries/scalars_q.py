@@ -2500,3 +2500,58 @@ def ch_sql_float64_literals(spark, sf):
                2.675 * 100                                   AS snap,
                1.0 / 3                                       AS third
         FROM nation""")
+
+
+@register("ch_sql_empty_set_defaults", oracle="""
+SELECT CAST(0 AS BIGINT) AS s,
+       CAST(0 AS BIGINT) AS u,
+       1                 AS a_nan,
+       CAST(0 AS BIGINT) AS c,
+       CAST(0 AS BIGINT) AS si
+""")
+def ch_sql_empty_set_defaults(spark, sf):
+    """Round-11 verdict item 5: upstream no-GROUP-BY aggregates over an
+    empty set return type defaults (sum -> 0, uniq -> 0, avg -> nan
+    Float64), not ANSI NULL ([U] aggregate-function empty-set
+    semantics). ch_compat COALESCE wrap, scalar non-window positions
+    only (CH_COMPAT_EMPTY_SET_DEFAULTS). The oracle IS the literal
+    upstream defaults — DuckDB itself returns NULLs here, so agreement
+    can only come from the compat wrap."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "lineitem").createOrReplaceTempView(
+        "esd_lineitem")
+    return ch_sql(spark, """
+        SELECT sum(l_orderkey)                          AS s,
+               uniqExact(l_partkey)                     AS u,
+               CAST(isNaN(avg(l_extendedprice)) AS Int32) AS a_nan,
+               count(*)                                 AS c,
+               sumIf(l_orderkey, l_orderkey > 0)        AS si
+        FROM esd_lineitem WHERE l_orderkey < 0""")
+
+
+@register("ch_sql_to_timezone", oracle="""
+SELECT e.event_id,
+       timezone('Asia/Tokyo', e.ts::TIMESTAMPTZ)       AS tok,
+       CAST(hour(timezone('Asia/Tokyo', e.ts::TIMESTAMPTZ)) AS INT)
+                                                       AS tok_h,
+       timezone('America/New_York', e.ts::TIMESTAMPTZ) AS ny
+FROM events e WHERE e.event_id <= 200
+""")
+def ch_sql_to_timezone(spark, sf):
+    """Round-11 verdict item 6: toTimezone carries the display-shift
+    semantics via CONVERT_TIMEZONE ([U] toTimezone keeps the instant,
+    changes the rendering tz; here the wall-clock shifts because Spark
+    timestamps have no tz attribute — component extraction matches
+    upstream). DuckDB oracle: timezone(tz, ts::TIMESTAMPTZ) under a UTC
+    session, instant-preserving wall-clock in tz — independent ground
+    truth including DST (America/New_York)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "events").createOrReplaceTempView("tz_events")
+    return ch_sql(spark, """
+        SELECT event_id,
+               toTimezone(ts, 'Asia/Tokyo') AS tok,
+               toHour(toTimezone(ts, 'Asia/Tokyo')) AS tok_h,
+               toTimeZone(ts, 'America/New_York') AS ny
+        FROM tz_events WHERE event_id <= 200""")

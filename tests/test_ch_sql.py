@@ -3688,3 +3688,52 @@ def test_round11_advice_fixes(spark):
     r = ch_sql(spark, "SELECT hilbertDecode(2, hilbertEncode(100, 200))"
                       " AS x").collect()[0]
     assert (r.x._1, r.x._2) == (100, 200)
+
+
+def test_round11_empty_set_defaults(spark):
+    """ch_compat empty-set defaults (CH_COMPAT_EMPTY_SET_DEFAULTS,
+    default on): scalar no-GROUP-BY sum/uniq -> 0 and avg -> nan over
+    an empty set, per upstream type-default semantics; grouped and
+    window scopes untouched (grouped empty set -> zero rows); the wrap
+    is translate-idempotent."""
+    import math
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, translate
+
+    spark.range(0).selectExpr("id AS x").createOrReplaceTempView(
+        "__esd_empty")
+    r = ch_sql(spark, "SELECT sum(x) AS s, uniqExact(x) AS u, "
+                      "avg(x) AS a, count(*) AS c, "
+                      "(SELECT sum(x) FROM __esd_empty) AS sub "
+                      "FROM __esd_empty").collect()[0]
+    assert (r.s, r.u, r.c, r.sub) == (0, 0, 0, 0)
+    assert math.isnan(r.a)
+    assert ch_sql(spark, "SELECT x, sum(x) AS s FROM __esd_empty "
+                         "GROUP BY x").collect() == []
+    t = translate("SELECT sum(x), avg(x) FROM t")
+    assert t == translate(t)
+    assert "COALESCE" not in translate(
+        "SELECT k, sum(x) FROM t GROUP BY k")
+    assert "COALESCE" not in translate(
+        "SELECT sum(x) OVER (PARTITION BY k) FROM t")
+
+
+def test_round11_to_timezone(spark):
+    """toTimezone/toTimeZone carry the display shift via
+    CONVERT_TIMEZONE (session tz pinned UTC): Tokyo +9, New York DST
+    -4 in June / -5 in January; toHour composes like upstream."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    r = ch_sql(spark, """
+        SELECT toTimezone(toDateTime('2024-02-15 12:00:00'),
+                          'Asia/Tokyo') AS tok,
+               toHour(toTimezone(toDateTime('2024-02-15 12:00:00'),
+                                 'Asia/Tokyo')) AS h,
+               toTimeZone(toDateTime('2024-06-15 12:00:00'),
+                          'America/New_York') AS ny_dst,
+               toTimeZone(toDateTime('2024-01-15 12:00:00'),
+                          'America/New_York') AS ny_est
+        """).collect()[0]
+    assert str(r.tok) == "2024-02-15 21:00:00" and r.h == 21
+    assert str(r.ny_dst) == "2024-06-15 08:00:00"
+    assert str(r.ny_est) == "2024-01-15 07:00:00"

@@ -227,7 +227,11 @@ def test_unknown_names_pass_through(spark):
     assert "TRANSFORM(a, __x -> __x)" in translate(
         "SELECT arrayMap(__x -> __x, a) FROM t")
     # bare bases translate through their native/enumerated route
-    assert translate("SELECT sum(x) FROM t") == "SELECT sum(x) FROM t"
+    # (the r11 ch_compat empty-set wrap applies in scalar positions)
+    assert translate("SELECT sum(x) FROM t") == \
+        "SELECT COALESCE(sum(x), 0) FROM t"
+    assert translate("SELECT k, sum(x) FROM t GROUP BY k") == \
+        "SELECT k, sum(x) FROM t GROUP BY k"
 
 
 def _grid_cases():
