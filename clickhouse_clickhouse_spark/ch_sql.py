@@ -2011,6 +2011,10 @@ _FUNCS: dict[str, str] = {
     "transform": lambda a: (
         "COALESCE(ELEMENT_AT(MAP_FROM_ARRAYS({1}, {2}), {0}), {3})"
         .format(*a) if len(a) == 4 else
+        # 3-arg form: unmatched values pass through ([U] transform docs
+        # — same-type from/to, x kept when absent from `from`)
+        "COALESCE(ELEMENT_AT(MAP_FROM_ARRAYS({1}, {2}), {0}), {0})"
+        .format(*a) if len(a) == 3 and "->" not in a[0] else
         "transform({})".format(", ".join(a))),
     "arrayReduce": lambda a: _array_reduce_tpl(a),
     "arrayEnumerate": "SEQUENCE(1, SIZE({0}))",
@@ -3211,10 +3215,7 @@ _FUNCS: dict[str, str] = {
     "multiplyDecimal": lambda a: (_ for _ in ()).throw(ValueError(
         "multiplyDecimal: use native decimal arithmetic with an "
         "explicit CAST(... AS DECIMAL(p, s)) for the result scale")),
-    "mapApply": lambda a: (_ for _ in ()).throw(ValueError(
-        "mapApply: rebuild via MAP_FROM_ENTRIES(TRANSFORM(MAP_ENTRIES("
-        "m), e -> STRUCT(...))) — or transformKeys/transformValues for "
-        "one-sided changes")),
+    # mapApply implemented in the r11 batch-7 block below
     "mapPartialSort": lambda a: (_ for _ in ()).throw(ValueError(
         "mapPartialSort is not supported; mapSort sorts fully")),
     "flattenTuple": lambda a: (_ for _ in ()).throw(ValueError(
@@ -3557,12 +3558,17 @@ _FUNCS: dict[str, str] = {
     "JSONHas": "ARRAY_CONTAINS(JSON_OBJECT_KEYS({0}), {1})",
     "JSONLength": "COALESCE(JSON_ARRAY_LENGTH({0}), "
                   "SIZE(JSON_OBJECT_KEYS({0})))",
-    "JSONType":
-        "(CASE LEFT(TRIM({0}), 1) WHEN '{' THEN 'Object' "
-        "WHEN '[' THEN 'Array' WHEN '\"' THEN 'String' "
-        "WHEN 't' THEN 'Bool' WHEN 'f' THEN 'Bool' "
-        "WHEN 'n' THEN 'Null' ELSE "
-        "IF(TRIM({0}) RLIKE '[.eE]', 'Double', 'Int64') END)",
+    "JSONType": lambda a: _json_type_tpl(a),
+    # raw JSON text of the element at the key path — variant round
+    # trip keeps string values QUOTED (unlike get_json_object)
+    "JSONExtractRaw": lambda a: (
+        f"TO_JSON(PARSE_JSON({a[0]}))" if len(a) == 1 else
+        f"TO_JSON(VARIANT_GET(PARSE_JSON({a[0]}), {_json_path(a[1:])}))"),
+    # JSON text of ANY value: array-wrap + strip the brackets (TO_JSON
+    # needs a container; the element keeps quotes/escapes intact)
+    "toJSONString": lambda a: _bind_once(
+        {"j": f"TO_JSON(ARRAY({a[0]}))"},
+        "SUBSTRING(__v.j, 2, LENGTH(__v.j) - 2)"),
     "JSONExtractKeysAndValues": lambda a: _json_kv_tpl(a),
     # simpleJSON*/visitParam* ignore nesting upstream; GET_JSON_OBJECT
     # honors it — a documented superset. Raw returns string values
@@ -3766,6 +3772,105 @@ _FUNCS: dict[str, str] = {
     "isIPv4String":
         "({0} RLIKE '^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
         "\\\\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$')",
+    # ---- round-11 batch 7 (resolve-probe gaps) --------------------------
+    "regexpExtractAll": "REGEXP_EXTRACT_ALL({0}, {1}, 1)",
+    "fromUnixTimestampInJodaSyntax": lambda a: (
+        f"DATE_FORMAT(TIMESTAMP_SECONDS({a[0]}), {a[1]})"
+        if len(a) == 2 else f"TIMESTAMP_SECONDS({a[0]})"),
+    # single-process convention (like shardNum/hostname): the initial
+    # query IS this query
+    "initialQueryStartTime": lambda a: "NOW()",
+    # weeks since epoch, Monday-start ([U] DateLUTImpl toRelativeWeekNum
+    # — epoch Thu 1970-01-01 is week 0; first Monday 1970-01-05 week 1)
+    "toRelativeWeekNum":
+        "CAST((DATEDIFF(CAST({0} AS DATE), DATE'1970-01-01') + 7 "
+        "- WEEKDAY({0})) DIV 7 AS INT)",
+    "clamp": "GREATEST({1}, LEAST({0}, {2}))",
+    # mapConcat: FIRST value wins on key overlap ([U] docs
+    # tuple-map-functions mapConcat — mapUpdate is the explicit
+    # override form); left fold keeps left values
+    "mapConcat": lambda a: _map_concat_tpl(a),
+    "mapExists": lambda a: (
+        f"(CARDINALITY(MAP_FILTER({a[1]}, {a[0]})) > 0)"),
+    "mapAll": lambda a: (
+        f"(CARDINALITY(MAP_FILTER({a[1]}, {a[0]})) = "
+        f"CARDINALITY({a[1]}))"),
+    "mapFilter": lambda a: f"MAP_FILTER({a[1]}, {a[0]})",
+    "mapApply": lambda a: _map_apply_tpl(a),
+    "tupleConcat": lambda a: _tuple_concat_tpl(a),
+    "tupleHammingDistance": lambda a: _tuple_hamming_tpl(a),
+    # FixedString(16) big-endian bytes (variant 1, the default; the
+    # little-endian variant 2 swaps the three time fields — refuse)
+    "UUIDToNum": lambda a: (
+        f"UNHEX(REPLACE(CAST({a[0]} AS STRING), '-', ''))"
+        if len(a) == 1 or a[1].strip() == "1" else
+        (_ for _ in ()).throw(ValueError(
+            "UUIDToNum variant 2 (little-endian byte order) is a "
+            "storage-layout reinterpretation — variant 1 (big-endian, "
+            "the default) is supported"))),
+    "pointInPolygon": lambda a: _point_in_polygon_tpl(a),
+    "arrayPrAUC": lambda a: _array_pr_auc_tpl(a),
+    "arrayAUCPR": lambda a: _array_pr_auc_tpl(a),
+    "toIPv4OrDefault": lambda a: _ip_or_default_tpl(a, v6=False),
+    "IPv4StringToNumOrDefault": lambda a: _ip_or_default_tpl(
+        a, v6=False),
+    "toIPv6OrDefault": lambda a: _ip_or_default_tpl(a, v6=True),
+    # principled refusals (engine-specific fingerprints / env-blocked
+    # lookup tables), alternatives named
+    "wordShingleMinHash": lambda a: (_ for _ in ()).throw(ValueError(
+        "wordShingleMinHash's bit-exact fingerprint is "
+        "engine-specific; pipeline/dedup.minhash_signatures is the "
+        "scalable MinHash path (ngramMinHash has the same stance)")),
+    "ngramMinHash": lambda a: (_ for _ in ()).throw(ValueError(
+        "ngramMinHash's bit-exact fingerprint is engine-specific; "
+        "pipeline/dedup.minhash_signatures is the scalable MinHash "
+        "path")),
+    "h3ToGeo": lambda a: (_ for _ in ()).throw(ValueError(
+        "h3* needs the H3 hierarchical-grid LUT (lib not in this "
+        "environment); geohashEncode/geohashDecode cover grid "
+        "bucketing")),
+    "arrayEnumerateRanked": lambda a: (_ for _ in ()).throw(ValueError(
+        "arrayEnumerateRanked's multi-depth ranking contract is "
+        "niche; arrayEnumerate/arrayEnumerateUniq/arrayEnumerateDense "
+        "are implemented")),
+    "subtractTupleOfIntervals": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "subtractTupleOfIntervals: apply interval arithmetic "
+            "directly (d - INTERVAL x - INTERVAL y), same stance as "
+            "addTupleOfIntervals")),
+    # ---- round-11 batch 7b --------------------------------------------
+    # OrNull twins return NULL for a non-token needle instead of the
+    # strict forms' translate-time error
+    "hasTokenOrNull": lambda a: _has_token_or_null_tpl(a, ci=False),
+    "hasTokenCaseInsensitiveOrNull": lambda a: _has_token_or_null_tpl(
+        a, ci=True),
+    "MACStringToOUI": lambda a: (
+        "SHIFTRIGHTUNSIGNED("
+        + _FUNCS["MACStringToNum"].format(a[0]) + ", 24)"),
+    "cutQueryStringAndFragment":
+        "REGEXP_REPLACE({0}, '[?#].*$', '')",
+    # single-process conventions (upstream default ports)
+    "tcpPort": lambda a: "9000",
+    "httpPort": lambda a: "8123",
+    # RESPECT NULLS aliases: Spark FIRST/LAST default to respecting
+    # nulls (ignoreNulls = false)
+    "anyRespectNulls": "FIRST({0})",
+    "any_respect_nulls": "FIRST({0})",
+    "firstValueRespectNulls": "FIRST({0})",
+    "first_value_respect_nulls": "FIRST({0})",
+    "anyLastRespectNulls": "LAST({0})",
+    "lastValueRespectNulls": "LAST({0})",
+    "last_value_respect_nulls": "LAST({0})",
+    "JSONAllPaths": lambda a: (_ for _ in ()).throw(ValueError(
+        "JSONAllPaths introspects the JSON column type's dynamic "
+        "paths; enumerate with JSONExtractKeys per level or cast "
+        "through parse_json/variant")),
+    "fuzzBits": lambda a: (_ for _ in ()).throw(ValueError(
+        "fuzzBits is the fuzzer's byte-mutation helper; "
+        "randomString/randomPrintableASCII cover random test data")),
+    "approxTopSum": lambda a: (_ for _ in ()).throw(ValueError(
+        "approxTopSum: topKWeighted(k)(x, w) carries the weighted "
+        "top-k values here")),
 }
 
 # parametric double-call forms: name(params)(args); a value may be a
@@ -3825,6 +3930,14 @@ _PARAMETRIC: dict = {
         "__e -> __e.val), 1, {p0})), 1))), 1)",
     "quantileExact": "PERCENTILE({a0}, {p0})",
     "quantileTDigest": "PERCENTILE_APPROX({a0}, {p0})",
+    # approxTopK(k)(x) -> Array(Tuple(item, count, error)) ([U]
+    # AggregateFunctionApproxTopK); Spark's approx_top_k sketch carries
+    # item/count — the error bound renders 0 (exact at the default
+    # sketch depth for local scales; documented)
+    "approxTopK":
+        "TRANSFORM(APPROX_TOP_K({a0}, CAST({p0} AS INT)), "
+        "__tk -> NAMED_STRUCT('_1', __tk.item, "
+        "'_2', CAST(__tk.count AS BIGINT), '_3', CAST(0 AS BIGINT)))",
     # round-9 weighted/variant quantile tail
     "quantileExactWeighted": lambda params, args:
         _weighted_quantile_tpl(params, args, timing=False, multi=False),
@@ -5498,21 +5611,291 @@ def _multi_fuzzy_tpl(args: list[str]) -> str:
     return "(" + " OR ".join(ors) + ")"
 
 
+def _paren_tuple_fields(arg: str) -> list[str] | None:
+    """If ``arg`` is a bare parenthesized tuple literal — ``(a, b)`` or
+    the one-element ``(a,)`` — return its field expressions, else
+    None (a plain parenthesized expression has no top-level comma)."""
+    s = arg.strip()
+    if not (s.startswith("(") and _find_close(s, 0) == len(s) - 1):
+        return None
+    inner = _split_args(s[1:-1])
+    if len(inner) == 1 and not s[1:-1].strip().endswith(","):
+        return None
+    return [x.strip() for x in inner if x.strip()]
+
+
+def _tuple_struct_fields(arg: str) -> list[str] | None:
+    """Field expressions of a tuple argument in either spelling: a bare
+    paren literal, or the already-expanded NAMED_STRUCT('_1', x, ...)
+    that tuple() renders to (inner calls expand before the outer
+    template fires)."""
+    f = _paren_tuple_fields(arg)
+    if f is not None:
+        return f
+    s = arg.strip()
+    m = re.match(r"NAMED_STRUCT\s*\(", s, re.IGNORECASE)
+    if m and _find_close(s, s.index("(", m.start())) == len(s) - 1:
+        kv = _split_args(s[s.index("(") + 1:-1])
+        return [kv[i].strip() for i in range(1, len(kv), 2)]
+    return None
+
+
 def _tuple_element_tpl(args: list[str]) -> str:
     """tupleElement(t, n) / tupleElement(t, 'name') — positional index
     resolves against the NAMED_STRUCT('_1', ...) convention tuple()
-    emits."""
+    emits; bare paren-tuple literals (whose Spark field names are
+    col1/col2) are re-rendered through that convention first (r11)."""
     if len(args) != 2:
         raise ValueError("tupleElement(tuple, index_or_name)")
+    base = args[0]
+    fields = _paren_tuple_fields(base)
+    if fields is not None:
+        base = "NAMED_STRUCT({})".format(
+            ", ".join(f"'_{i + 1}', {x}" for i, x in enumerate(fields)))
     idx = args[1].strip()
     nm = re.fullmatch(r"'(\w+)'", idx)
     if nm:
-        return f"({args[0]}).{nm.group(1)}"
+        return f"({base}).{nm.group(1)}"
     try:
-        return f"({args[0]})._{int(idx)}"
+        return f"({base})._{int(idx)}"
     except ValueError:
         raise ValueError("tupleElement: index must be an integer or "
                          f"name literal, got {idx!r}") from None
+
+
+def _tuple_concat_tpl(args: list[str]) -> str:
+    """tupleConcat(t1, t2, ...) — splices LITERAL tuple arguments
+    (paren or tuple() spelling) into one renumbered tuple; non-literal
+    tuple-typed expressions have unknowable arity at the text layer."""
+    all_fields: list[str] = []
+    for a in args:
+        f = _tuple_struct_fields(a)
+        if f is None:
+            raise ValueError(
+                "tupleConcat here splices literal tuples — rebuild "
+                f"with tuple(...) arguments (got {a.strip()!r})")
+        all_fields.extend(f)
+    return "NAMED_STRUCT({})".format(
+        ", ".join(f"'_{i + 1}', {x}" for i, x in enumerate(all_fields)))
+
+
+def _tuple_hamming_tpl(args: list[str]) -> str:
+    """tupleHammingDistance(t1, t2) over literal tuples: count of
+    positions whose elements differ (NULL-safe inequality)."""
+    if len(args) != 2:
+        raise ValueError("tupleHammingDistance(t1, t2)")
+    f1, f2 = (_tuple_struct_fields(a) for a in args)
+    if f1 is None or f2 is None:
+        raise ValueError(
+            "tupleHammingDistance here takes literal tuples — rebuild "
+            "with tuple(...) arguments")
+    if len(f1) != len(f2):
+        raise ValueError("tupleHammingDistance: tuples differ in size")
+    terms = " + ".join(
+        f"CAST(NOT ({a} <=> {b}) AS INT)" for a, b in zip(f1, f2))
+    return f"({terms})"
+
+
+def _map_concat_tpl(args: list[str]) -> str:
+    """mapConcat(m1, m2, ...) — first value wins on key overlap ([U]
+    docs tuple-map-functions mapConcat); left fold of the
+    COALESCE(left, right) zip mapUpdate uses, mirrored."""
+    if len(args) < 2:
+        raise ValueError("mapConcat needs at least two maps")
+    acc = args[0]
+    for nxt in args[1:]:
+        acc = (f"MAP_ZIP_WITH({acc}, {nxt}, "
+               f"(__mk, __m1, __m2) -> COALESCE(__m1, __m2))")
+    return acc
+
+
+def _map_apply_tpl(args: list[str]) -> str:
+    """mapApply((k, v) -> (k', v'), m): rebuild each entry through the
+    tuple-returning lambda — MAP_FROM_ENTRIES over transformed
+    MAP_ENTRIES (the Spark idiom the old refusal named, automated)."""
+    if len(args) != 2:
+        raise ValueError("mapApply((k, v) -> (k2, v2), map)")
+    lm = re.match(r"\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*->\s*(.*)\s*$",
+                  args[0], re.DOTALL)
+    if not lm:
+        raise ValueError("mapApply needs a two-parameter lambda "
+                         "(k, v) -> (k2, v2)")
+    k, v, body = lm.group(1), lm.group(2), lm.group(3).strip()
+    fields = _tuple_struct_fields(body)
+    if fields is None or len(fields) != 2:
+        raise ValueError("mapApply's lambda must return a 2-tuple "
+                         f"(k2, v2), got {body!r}")
+    bk = _subst_ident(_subst_ident(fields[0], k, "__me.key"),
+                      v, "__me.value")
+    bv = _subst_ident(_subst_ident(fields[1], k, "__me.key"),
+                      v, "__me.value")
+    return (f"MAP_FROM_ENTRIES(TRANSFORM(MAP_ENTRIES({args[1]}), "
+            f"__me -> STRUCT({bk}, {bv})))")
+
+
+def _ip_or_default_tpl(args: list[str], v6: bool) -> str:
+    """toIPv4OrDefault / IPv4StringToNumOrDefault / toIPv6OrDefault:
+    parse-or-default ([U] IPv4/IPv6 OrDefault variants — default is
+    the type's zero address when not given). The v4 number form keeps
+    this engine's UInt32 convention; v6 keeps the canonical-string
+    convention of toIPv6."""
+    if len(args) not in (1, 2):
+        raise ValueError("(to)IP*OrDefault(s[, default])")
+    s = args[0]
+    if v6:
+        # COALESCE over the tolerant UDF, not IF over the strict one:
+        # python UDFs are batch-extracted out of IF branches and would
+        # raise on the not-taken side
+        dflt = args[1] if len(args) == 2 else "'::'"
+        return f"COALESCE(toIPv6OrNull({s}), {dflt})"
+    else:
+        dflt = args[1] if len(args) == 2 else "CAST(0 AS BIGINT)"
+        guard = _FUNCS["isIPv4String"].replace("{0}", f"({s})")
+        val = _V4_NUM.replace("{s}", s)
+    return f"IF({guard}, {val}, {dflt})"
+
+
+def _point_in_polygon_tpl(args: list[str]) -> str:
+    """pointInPolygon((x, y), [(x1,y1), ...]) ([U] src/Functions/
+    pointInPolygon.cpp — even-odd rule): classic ray casting. Literal
+    vertex lists split into x/y arrays at translate time; expression
+    arguments fall back to the tuple() _1/_2 convention."""
+    if len(args) != 2:
+        raise ValueError(
+            "pointInPolygon((x, y), [(x1, y1), ...]) — the single-ring "
+            "form (holes are out of scope)")
+    pt = _tuple_struct_fields(args[0])
+    if pt is not None and len(pt) == 2:
+        px, py = pt
+    else:
+        px, py = f"({args[0]})._1", f"({args[0]})._2"
+    poly = args[1].strip()
+    verts = None
+    m = re.match(r"(?:ARRAY\s*\(|\[)", poly, re.IGNORECASE)
+    if m and _find_close(poly, m.end() - 1) == len(poly) - 1:
+        items = _split_args(poly[m.end():-1])
+        fields = [_tuple_struct_fields(it) for it in items]
+        if all(f is not None and len(f) == 2 for f in fields):
+            verts = fields
+    if verts is not None:
+        xs = "ARRAY({})".format(
+            ", ".join(f"CAST({f[0]} AS DOUBLE)" for f in verts))
+        ys = "ARRAY({})".format(
+            ", ".join(f"CAST({f[1]} AS DOUBLE)" for f in verts))
+    else:
+        xs = f"TRANSFORM({args[1]}, __t -> CAST(__t._1 AS DOUBLE))"
+        ys = f"TRANSFORM({args[1]}, __t -> CAST(__t._2 AS DOUBLE))"
+    bind = {"px": f"CAST({px} AS DOUBLE)",
+            "py": f"CAST({py} AS DOUBLE)", "xs": xs, "ys": ys}
+    # edge i -> j where j wraps: crossings parity (even-odd rule)
+    xi, yi = "ELEMENT_AT(__v.xs, __i)", "ELEMENT_AT(__v.ys, __i)"
+    xj = "ELEMENT_AT(__v.xs, __i % SIZE(__v.xs) + 1)"
+    yj = "ELEMENT_AT(__v.ys, __i % SIZE(__v.ys) + 1)"
+    cross = (f"(({yi} > __v.py) != ({yj} > __v.py)) AND "
+             f"(__v.px < ({xj} - {xi}) * (__v.py - {yi}) "
+             f"/ ({yj} - {yi}) + {xi})")
+    body = (f"(AGGREGATE(SEQUENCE(1, SIZE(__v.xs)), 0, "
+            f"(__c, __i) -> __c + IF({cross}, 1, 0)) % 2 = 1)")
+    return _bind_once(bind, body)
+
+
+def _has_token_or_null_tpl(a: list[str], ci: bool) -> str:
+    """hasToken[CaseInsensitive]OrNull: NULL for a needle that is not a
+    single token (the strict forms raise at translate time)."""
+    m = re.fullmatch(r"\s*'([^']*)'\s*", a[1])
+    if m and not re.fullmatch(r"[A-Za-z0-9_]+", m.group(1)):
+        return "NULL"
+    return _has_token_tpl(a, ci=ci)
+
+
+def _json_path(keys: list[str]) -> str:
+    """Build a variant_get path literal (or CONCAT expression) from
+    JSONExtract-style key/index args: string literal -> .key, positive
+    integer literal -> [i-1] (upstream indices are 1-based), other
+    expressions -> dynamic CONCAT as a dotted key."""
+    parts: list[str] = ["'$'"]
+    for k in keys:
+        ks = k.strip()
+        m = re.fullmatch(r"'([^']*)'", ks)
+        if m:
+            parts.append(f"'.{m.group(1)}'")
+            continue
+        try:
+            i = int(ks)
+        except ValueError:
+            parts.append(f"CONCAT('.', CAST({ks} AS STRING))")
+            continue
+        if i <= 0:
+            raise ValueError(
+                "JSON path indices here are positive 1-based (variant "
+                "paths cannot address from the end)")
+        parts.append(f"'[{i - 1}]'")
+    if len(parts) == 1:
+        return "'$'"
+    if all(p.startswith("'") for p in parts):
+        return "'" + "".join(p[1:-1] for p in parts) + "'"
+    return "CONCAT({})".format(", ".join(parts))
+
+
+def _json_type_tpl(args: list[str]) -> str:
+    """JSONType(json[, keys...]) — the reference's type-name enum from
+    the first character of the (raw) element text; numbers split
+    Int64/Double by the presence of a fraction/exponent marker (the
+    UInt64 distinction needs the engine's integer parse — documented
+    collapse to Int64). Missing keys report 'Null' like JSON null."""
+    if len(args) == 1:
+        src = f"TRIM({args[0]})"
+    else:
+        src = (f"TRIM(COALESCE(TO_JSON(VARIANT_GET(PARSE_JSON("
+               f"{args[0]}), {_json_path(args[1:])})), 'null'))")
+    return _bind_once({"t": src}, (
+        "(CASE LEFT(__v.t, 1) WHEN '{' THEN 'Object' "
+        "WHEN '[' THEN 'Array' WHEN '\"' THEN 'String' "
+        "WHEN 't' THEN 'Bool' WHEN 'f' THEN 'Bool' "
+        "WHEN 'n' THEN 'Null' ELSE "
+        "IF(__v.t RLIKE '[.eE]', 'Double', 'Int64') END)"))
+
+
+def _array_pr_auc_tpl(args: list[str]) -> str:
+    """arrayPrAUC(scores, labels) ([U] src/Functions/array/
+    arrayPrAUC.cpp): area under the precision-recall curve by the
+    right-endpoint rectangle sum over distinct-score thresholds —
+    Σ_t (TP_t − TP_prev) · Precision_t / P — i.e. average precision
+    with ties grouped per threshold (the reference's point-per-
+    threshold construction). NaN when there are no positives. O(n²)
+    fold with the same 500-element guard as arrayAUC."""
+    if len(args) != 2:
+        raise ValueError("arrayPrAUC(scores, labels)")
+    bind = {"sc": args[0],
+            "pz": (f"TRANSFORM({args[1]}, "
+                   f"__l -> CAST(CAST(__l AS DOUBLE) != 0.0D AS INT))")}
+    p_tot = "CAST(AGGREGATE(__v.pz, 0, (__a, __x) -> __a + __x) AS DOUBLE)"
+    si = "ELEMENT_AT(__v.sc, __i)"
+    # cumulative counts at threshold s_i (>= / > s_i), positives only
+    idx = "SEQUENCE(1, SIZE(__v.sc))"
+    tp_ge = (f"CAST(AGGREGATE({idx}, 0, (__a, __j) -> __a + "
+             f"IF(ELEMENT_AT(__v.sc, __j) >= {si} AND "
+             f"ELEMENT_AT(__v.pz, __j) = 1, 1, 0)) AS DOUBLE)")
+    tp_gt = (f"CAST(AGGREGATE({idx}, 0, (__a, __j) -> __a + "
+             f"IF(ELEMENT_AT(__v.sc, __j) > {si} AND "
+             f"ELEMENT_AT(__v.pz, __j) = 1, 1, 0)) AS DOUBLE)")
+    cnt_ge = (f"CAST(AGGREGATE({idx}, 0, (__a, __j) -> __a + "
+              f"IF(ELEMENT_AT(__v.sc, __j) >= {si}, 1, 0)) AS DOUBLE)")
+    first_of_score = (
+        f"SIZE(FILTER(SLICE(__v.sc, 1, __i - 1), __y -> __y = {si})) = 0")
+    area = (f"AGGREGATE({idx}, CAST(0 AS DOUBLE), (__ar, __i) -> __ar + "
+            f"IF({first_of_score}, "
+            f"({tp_ge} - {tp_gt}) * ({tp_ge} / {cnt_ge}), 0.0D))")
+    body = (
+        f"CASE WHEN SIZE(__v.sc) > 500 THEN "
+        f"RAISE_ERROR('arrayPrAUC: arrays beyond 500 elements — the "
+        f"SQL-fold ranker is quadratic') "
+        f"WHEN SIZE(__v.sc) != SIZE(__v.pz) THEN "
+        f"RAISE_ERROR('arrayPrAUC: scores and labels differ in size') "
+        f"ELSE ELEMENT_AT(TRANSFORM(ARRAY({p_tot}), __p -> "
+        f"IF(__p = 0.0D, CAST('NaN' AS DOUBLE), ({area}) / __p)), 1) "
+        f"END")
+    return _bind_once(bind, body)
 
 
 def _untuple_tpl(args: list[str]) -> str:

@@ -102,6 +102,20 @@ def register_ip_udfs(spark) -> None:
                 raise ValueError(f"toIPv6({v!r}): {ex}") from ex
         return col.map(one)
 
+    @pandas_udf("string")
+    def _to6_or_null(col: pd.Series) -> pd.Series:
+        # tolerant twin for the OrNull/OrDefault forms — python UDFs
+        # are batch-extracted out of IF branches, so the strict toIPv6
+        # would fire even on the not-taken branch
+        def one(v):
+            if v is None:
+                return None
+            try:
+                return ipv6_ntop_py(ipv6_pton_py(v))
+            except OSError:
+                return None
+        return col.map(one)
+
     @pandas_udf("binary")
     def _v4to6(col: pd.Series) -> pd.Series:
         return col.map(lambda v: None if v is None else ipv4_to_ipv6_py(v))
@@ -118,5 +132,6 @@ def register_ip_udfs(spark) -> None:
     spark.udf.register("IPv6NumToString", _ntop)
     spark.udf.register("isIPv6String", _is6)
     spark.udf.register("toIPv6", _to6)
+    spark.udf.register("toIPv6OrNull", _to6_or_null)
     spark.udf.register("IPv4ToIPv6", _v4to6)
     spark.udf.register("cutIPv6", _cut6)

@@ -2555,3 +2555,127 @@ def ch_sql_to_timezone(spark, sf):
                toHour(toTimezone(ts, 'Asia/Tokyo')) AS tok_h,
                toTimeZone(ts, 'America/New_York') AS ny
         FROM tz_events WHERE event_id <= 200""")
+
+
+@register("ch_sql_pr_auc", oracle="""
+WITH pts AS (
+  SELECT user_id % 5 AS g, value AS score,
+         CAST(event_id % 2 AS INT) AS lab
+  FROM events WHERE event_id <= 1200
+), w AS (
+  SELECT g, score,
+         SUM(lab) OVER (PARTITION BY g ORDER BY score DESC
+                        RANGE BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)        AS tp_ge,
+         COUNT(*) OVER (PARTITION BY g ORDER BY score DESC
+                        RANGE BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)        AS cnt_ge,
+         SUM(lab) OVER (PARTITION BY g, score)  AS tie_tp,
+         SUM(lab) OVER (PARTITION BY g)         AS p_tot,
+         ROW_NUMBER() OVER (PARTITION BY g, score ORDER BY score)
+                                                AS rn
+  FROM pts
+)
+SELECT g, round(CAST(SUM(
+           (tp_ge - (tp_ge - tie_tp)) * tp_ge / cnt_ge / p_tot
+       ) AS DOUBLE), 6) AS ap
+FROM w WHERE rn = 1
+GROUP BY g ORDER BY g
+""")
+def ch_sql_pr_auc(spark, sf):
+    """Round-11: arrayPrAUC ([U] src/Functions/array/arrayPrAUC.cpp) —
+    area under the precision-recall curve by the right-endpoint
+    rectangle sum over distinct-score thresholds (threshold-grouped
+    average precision). The DuckDB oracle is an INDEPENDENT window-
+    function construction of the same curve (RANGE frames group score
+    ties; one representative row per distinct threshold), so the
+    SQL-fold and the window algebra must agree exactly. The fold is
+    order-free (every term is a >=/>-count), so groupArray's
+    nondeterministic ordering cannot flip the result."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "events").createOrReplaceTempView(
+        "prauc_events")
+    return ch_sql(spark, """
+        SELECT g, round(arrayPrAUC(groupArray(score),
+                                   groupArray(lab)), 6) AS ap
+        FROM (SELECT user_id % 5 AS g, value AS score,
+                     event_id % 2 AS lab
+              FROM prauc_events WHERE event_id <= 1200)
+        GROUP BY g ORDER BY g""")
+
+
+@register("ch_sql_round11_batch7", oracle="""
+SELECT r_regionkey,
+       regexp_extract_all('a1b2c3', '(\\d)', 1)     AS rea,
+       greatest(1, least(r_regionkey + 10, 3))      AS cl,
+       CAST(((DATE '2024-02-15' - DATE '1970-01-01') + 7
+             - (isodow(DATE '2024-02-15') - 1)) // 7 AS INT)
+                                                    AS relweek,
+       upper('61f0c4045cb311e7907ba6006ad3dba0')    AS un,
+       TRUE                                         AS pin,
+       FALSE                                        AS pout,
+       'x'                                          AS tr3,
+       strftime(to_timestamp(1700000000), '%Y-%m-%d') AS joda
+FROM region
+""")
+def ch_sql_round11_batch7(spark, sf):
+    """Round-11 batch-7 names on the DuckDB gate: regexpExtractAll
+    (duck regexp_extract_all), clamp (greatest/least twin),
+    toRelativeWeekNum (duck isodow arithmetic — independent
+    construction of the Monday-start epoch week), UUIDToNum hex bytes,
+    pointInPolygon literal ray casts, 3-arg transform passthrough,
+    fromUnixTimestampInJodaSyntax (duck strftime)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "region").createOrReplaceTempView(
+        "b7_region")
+    return ch_sql(spark, """
+        SELECT r_regionkey,
+               regexpExtractAll('a1b2c3', '(\\\\d)') AS rea,
+               clamp(r_regionkey + 10, 1, 3) AS cl,
+               toRelativeWeekNum(toDate('2024-02-15')) AS relweek,
+               hex(UUIDToNum(
+                   toUUID('61f0c404-5cb3-11e7-907b-a6006ad3dba0')))
+                   AS un,
+               pointInPolygon((0.5, 0.5),
+                   [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)])
+                   AS pin,
+               pointInPolygon((2.0, 0.5),
+                   [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)])
+                   AS pout,
+               transform('x', ['a'], ['b']) AS tr3,
+               fromUnixTimestampInJodaSyntax(1700000000, 'yyyy-MM-dd')
+                   AS joda
+        FROM b7_region""")
+
+
+@register("ch_sql_round11_batch7b", oracle="""
+SELECT r_regionkey,
+       CAST(json_extract('{"a":{"b":1}}', '$.a') AS VARCHAR)  AS raw_obj,
+       CAST(json_extract('{"a":"x"}', '$.a') AS VARCHAR)      AS raw_str,
+       CAST(json_extract('{"a":[5,6]}', '$.a[1]') AS VARCHAR) AS raw_idx,
+       CAST(to_json([1, 2, 3]) AS VARCHAR)                    AS tjs,
+       'Int64'                                                AS jt,
+       1193046                                                AS oui
+FROM region
+""")
+def ch_sql_round11_batch7b(spark, sf):
+    """Round-11 batch 7b on the DuckDB gate: JSONExtractRaw (duck
+    json_extract keeps string quoting — an independent raw-JSON
+    oracle), toJSONString (duck to_json), JSONType literal, and
+    MACStringToOUI vs the upstream docs constant."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "region").createOrReplaceTempView(
+        "b7b_region")
+    return ch_sql(spark, """
+        SELECT r_regionkey,
+               JSONExtractRaw('{"a":{"b":1}}', 'a') AS raw_obj,
+               JSONExtractRaw('{"a":"x"}', 'a') AS raw_str,
+               JSONExtractRaw('{"a":[5,6]}', 'a', 2) AS raw_idx,
+               toJSONString([1, 2, 3]) AS tjs,
+               JSONType('{"a":1}', 'a') AS jt,
+               CAST(MACStringToOUI('12:34:56:78:9C:DE') AS Int32)
+                   AS oui
+        FROM b7b_region""")

@@ -13,9 +13,28 @@ def spark():
     from clickhouse_clickhouse_spark.session import get_spark
 
     # local[8]: tiny-fixture stages pay ~20% wall in per-task scheduling
-    # at local[32] (measured r9: test_property 119->95 s, fuzz 131->103 s)
-    s = get_spark("tests", shuffle_partitions=8,
-                  cores=int(os.environ.get("SPARK_GRAFT_TEST_CORES", "8")))
+    # at local[32] (measured r9: test_property 119->95 s, fuzz 131->103 s).
+    # AQE off by default for TESTS only (r11): on sub-MB fixtures every
+    # query pays AQE's per-stage re-optimization rounds but can never
+    # benefit — measured -12% suite wall; production sessions
+    # (session.get_spark default) keep AQE on.
+    extra = {}
+    if os.environ.get("SPARK_GRAFT_TEST_AQE", "off") == "off":
+        extra["spark.sql.adaptive.enabled"] = "false"
+    if os.environ.get("SPARK_GRAFT_TEST_CODEGEN", "off") == "off":
+        # Janino compilation dominates per-action wall on KB fixtures
+        # (every distinct query compiles fresh codegen classes);
+        # interpreted mode is faster below ~100k rows. Production
+        # sessions keep whole-stage codegen on.
+        # NO_CODEGEN factoryMode breaks catalog bean decoding
+        # (EXPRESSION_DECODING_FAILED on catalog.listTables) — only the
+        # whole-stage fusion is disabled
+        extra["spark.sql.codegen.wholeStage"] = "false"
+    s = get_spark("tests",
+                  shuffle_partitions=int(
+                      os.environ.get("SPARK_GRAFT_TEST_SHUFFLE", "8")),
+                  cores=int(os.environ.get("SPARK_GRAFT_TEST_CORES", "8")),
+                  extra_conf=extra)
     yield s
 
 

@@ -3737,3 +3737,128 @@ def test_round11_to_timezone(spark):
     assert str(r.tok) == "2024-02-15 21:00:00" and r.h == 21
     assert str(r.ny_dst) == "2024-06-15 08:00:00"
     assert str(r.ny_est) == "2024-01-15 07:00:00"
+
+
+def test_round11_resolve_probe_batch7(spark):
+    """Round-11 probe batch: regexpExtractAll, clamp, toRelativeWeekNum
+    (epoch Thu = week 0, Monday starts week 1), mapConcat (first value
+    wins on overlap, [U] docs tuple-map-functions), mapExists/mapAll/
+    mapFilter/mapApply lambdas, tupleElement over bare paren tuples,
+    tupleConcat/tupleHammingDistance literal splices, UUIDToNum
+    (variant 1 big-endian), pointInPolygon even-odd ray casting,
+    arrayPrAUC (threshold-grouped average precision), IPv4/IPv6
+    OrDefault parse guards, 3-arg transform passthrough,
+    fromUnixTimestampInJodaSyntax."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    r = ch_sql(spark, """
+        SELECT regexpExtractAll('a1b2', '(\\\\d)') AS rea,
+               clamp(5, 1, 3) AS cl1, clamp(0, 1, 3) AS cl2,
+               toRelativeWeekNum(toDate('1970-01-01')) AS w0,
+               toRelativeWeekNum(toDate('1970-01-05')) AS w1,
+               mapConcat(map('a', 1), map('a', 9, 'b', 2))['a'] AS mc,
+               mapConcat(map('a', 1), map('b', 2))['b'] AS mc2,
+               mapExists((k, v) -> v > 1, map('a', 1)) AS mex,
+               mapAll((k, v) -> v > 0, map('a', 1, 'b', 2)) AS mall,
+               mapValues(mapFilter((k, v) -> v > 1,
+                                   map('a', 1, 'b', 2)))[1] AS mfil,
+               mapApply((k, v) -> (k, v * 2), map('a', 3))['a'] AS mapp,
+               tupleElement((1, 'a'), 2) AS te,
+               tupleConcat(tuple(1), tuple(2, 3)).3 AS tc,
+               tupleHammingDistance((1, 2, 3), (1, 9, 3)) AS thd,
+               hex(UUIDToNum(
+                   toUUID('61f0c404-5cb3-11e7-907b-a6006ad3dba0')))
+                   AS un,
+               pointInPolygon((0.5, 0.5),
+                   [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)])
+                   AS pin,
+               pointInPolygon((2.0, 0.5),
+                   [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)])
+                   AS pout,
+               round(arrayPrAUC([0.8, 0.4, 0.35, 0.1],
+                                [1, 0, 1, 0]), 6) AS ap,
+               toIPv4OrDefault('1.2.3.4') AS ip4,
+               toIPv4OrDefault('bad') AS ip4d,
+               toIPv6OrDefault('bad') AS ip6d,
+               toIPv6OrDefault('bad', 'fe80::1') AS ip6d2,
+               transform('x', ['a'], ['b']) AS tr3,
+               fromUnixTimestampInJodaSyntax(1700000000,
+                                             'yyyy-MM-dd') AS joda
+        """).collect()[0]
+    assert r.rea == ["1", "2"] and (r.cl1, r.cl2) == (3, 1)
+    assert (r.w0, r.w1) == (0, 1)
+    assert (r.mc, r.mc2) == (1, 2)
+    assert r.mex is False and r.mall is True
+    assert (r.mfil, r.mapp) == (2, 6)
+    assert r.te == "a" and r.tc == 3 and r.thd == 1
+    assert r.un == "61F0C4045CB311E7907BA6006AD3DBA0"
+    assert r.pin is True and r.pout is False
+    # AP for desc-sorted (0.8 P)(0.4 N)(0.35 P)(0.1 N): 1/2*(1 + 2/3)
+    assert abs(float(r.ap) - 0.833333) < 1e-6
+    assert (r.ip4, r.ip4d) == (16909060, 0)
+    assert (r.ip6d, r.ip6d2) == ("::", "fe80::1")
+    assert r.tr3 == "x" and r.joda == "2023-11-14"
+
+
+def test_round11_batch7_refusals(spark):
+    """Loud refusals with alternatives: MinHash fingerprints, H3 LUT,
+    arrayEnumerateRanked, subtractTupleOfIntervals, UUIDToNum
+    variant 2."""
+    import pytest as _p
+
+    from clickhouse_clickhouse_spark.ch_sql import translate
+
+    for bad, msg in [
+        ("SELECT wordShingleMinHash('a b')", "minhash_signatures"),
+        ("SELECT ngramMinHash('ab')", "minhash_signatures"),
+        ("SELECT h3ToGeo(1)", "geohashEncode"),
+        ("SELECT arrayEnumerateRanked([1])", "arrayEnumerateDense"),
+        ("SELECT subtractTupleOfIntervals(d, t)", "interval arithmetic"),
+        ("SELECT UUIDToNum(u, 2)", "variant 1"),
+    ]:
+        with _p.raises(ValueError, match=msg):
+            translate(bad)
+
+
+def test_round11_resolve_probe_batch7b(spark):
+    """JSON tail (variant-backed): JSONType with key paths (Int64/
+    Double split on fraction marker; missing key -> Null),
+    JSONExtractRaw keeps string quoting (variant round trip),
+    toJSONString via array-wrap; hasToken OrNull twins; MACStringToOUI
+    (upstream docs example 12:34:56 -> 1193046); RESPECT NULLS
+    aliases; approxTopK tuples; port conventions."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    r = ch_sql(spark, """
+        SELECT JSONType('{"a":1}') AS t0,
+               JSONType('{"a":1}', 'a') AS t1,
+               JSONType('{"a":1.5}', 'a') AS t2,
+               JSONType('{"a":"x"}', 'a') AS t3,
+               JSONType('{"a":null}', 'a') AS t4,
+               JSONType('{"a":1}', 'zz') AS t5,
+               JSONExtractRaw('{"a":{"b":1}}', 'a') AS r1,
+               JSONExtractRaw('{"a":"x"}', 'a') AS r2,
+               JSONExtractRaw('{"a":[5,6]}', 'a', 2) AS r3,
+               toJSONString(map('a', 1)) AS j1,
+               toJSONString('x') AS j2,
+               hasTokenOrNull('a b c', 'b') AS h1,
+               hasTokenOrNull('a b c', 'b c') AS h2,
+               MACStringToOUI('12:34:56:78:9C:DE') AS oui,
+               cutQueryStringAndFragment('http://a.com/p?x=1#f') AS cq,
+               tcpPort() AS tp, httpPort() AS hp
+        """).collect()[0]
+    assert (r.t0, r.t1, r.t2, r.t3, r.t4, r.t5) == (
+        "Object", "Int64", "Double", "String", "Null", "Null")
+    assert (r.r1, r.r2, r.r3) == ('{"b":1}', '"x"', "6")
+    assert (r.j1, r.j2) == ('{"a":1}', '"x"')
+    assert r.h1 is True and r.h2 is None
+    assert r.oui == 0x123456
+    assert r.cq == "http://a.com/p" and (r.tp, r.hp) == (9000, 8123)
+
+    rows = ch_sql(spark, """
+        SELECT approxTopK(1)(k) AS tk,
+               anyRespectNulls(nv) AS arn, anyLastRespectNulls(v) AS aln
+        FROM (SELECT number % 2 AS k, NULL AS nv, 7 AS v
+              FROM numbers(25))""").collect()[0]
+    assert [(e._1, e._2, e._3) for e in rows.tk] == [(0, 13, 0)]
+    assert rows.arn is None and rows.aln == 7

@@ -64,9 +64,16 @@ def test_dict_get_has_no_join(spark, sf_dir):
 
 
 def test_wholestage_codegen_everywhere_simple(spark, sf_dir):
-    # codegen'd operators carry the "*(n)" stage prefix in plan toString
-    plan = _plan(spark, "projection_pushdown", sf_dir)
-    assert "*(1)" in plan
+    # codegen'd operators carry the "*(n)" stage prefix in plan
+    # toString. The TEST session disables whole-stage codegen (Janino
+    # compile wall on KB fixtures, conftest r11); this pin is about
+    # the PRODUCTION config, so flip the runtime conf for one plan.
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    try:
+        plan = _plan(spark, "projection_pushdown", sf_dir)
+        assert "*(1)" in plan
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
 
 
 # -- distributed global-rank invariants (operators/grank.py) --------------

@@ -206,9 +206,15 @@ def test_format_roundtrips_arbitrary_strings(spark, rows):
         serialize_lines,
     )
 
+    from conftest import run_parallel
+
     df = spark.createDataFrame(rows, "k int, a string, b string")
     expect = sorted(map(tuple, df.collect()), key=repr)
-    for fmt in ("TSV", "CSV", "JSONEachRow", "Values"):
+
+    def one(fmt):
         back = parse_lines(serialize_lines(df, fmt), fmt, df.schema)
         got = sorted(map(tuple, back.collect()), key=repr)
         assert got == expect, (fmt, got, expect)
+
+    # the four formats are independent checks — overlap their actions
+    run_parallel(["TSV", "CSV", "JSONEachRow", "Values"], one, workers=4)
