@@ -3819,12 +3819,13 @@ _FUNCS: dict[str, str] = {
     # lookup tables), alternatives named
     "wordShingleMinHash": lambda a: (_ for _ in ()).throw(ValueError(
         "wordShingleMinHash's bit-exact fingerprint is "
-        "engine-specific; pipeline/dedup.minhash_signatures is the "
-        "scalable MinHash path (ngramMinHash has the same stance)")),
+        "engine-specific; the DataFrame scalar analog is "
+        "ch_functions.wordShingleMinHash (interop-matched to "
+        "pipeline/dedup.minhash_signatures, the scalable path)")),
     "ngramMinHash": lambda a: (_ for _ in ()).throw(ValueError(
-        "ngramMinHash's bit-exact fingerprint is engine-specific; "
-        "pipeline/dedup.minhash_signatures is the scalable MinHash "
-        "path")),
+        "ngramMinHash's bit-exact fingerprint is engine-specific; the "
+        "DataFrame scalar analog is ch_functions.ngramMinHash "
+        "(interop-matched to pipeline/dedup.minhash_signatures)")),
     "h3ToGeo": lambda a: (_ for _ in ()).throw(ValueError(
         "h3* needs the H3 hierarchical-grid LUT (lib not in this "
         "environment); geohashEncode/geohashDecode cover grid "

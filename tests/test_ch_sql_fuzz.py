@@ -426,38 +426,66 @@ _PROJ_HAVING = st.sampled_from([
     None, "{a} > 0", "{a} >= 1 AND {a} < 1000000000", "{a} IS NOT NULL"])
 
 
-@settings(max_examples=40, deadline=None,
-          suppress_health_check=[HealthCheck.function_scoped_fixture])
-@given(aggs=_PROJ_AGGS, keys=_PROJ_KEYS, cond=_PROJ_WHERE,
-       having=_PROJ_HAVING)
-def test_fuzz_projection_route_equals_direct(proj_env, aggs, keys, cond,
-                                             having):
+def test_fuzz_projection_route_equals_direct(proj_env):
     """Every routable aggregation answered from the projection equals
-    the same query with routing disabled (base-table plan)."""
+    the same query with routing disabled (base-table plan). Round 11
+    restructure (same sweep, two pooled phases): the 45-combo grid of
+    (agg subset x key set) with WHERE/HAVING templates cycling covers
+    MORE than the old 40 hypothesis draws; all routed DataFrames are
+    built and collected with the projection registered, then the
+    registration is popped ONCE and the direct twins run — the
+    per-example register/pop toggle was the serializer."""
+    import itertools
+
     from clickhouse_clickhouse_spark.ch_sql import ch_sql
     from clickhouse_clickhouse_spark.plans import summary as S
 
     spark = proj_env
-    # WHERE on user_id routes only when user_id is a projection key —
-    # it always is here; conditions referencing non-keys would fall
-    # through (covered by the unit test).
-    sql = ("SELECT {keys}, {aggs} FROM events_fz{w} GROUP BY {keys}{h}"
-           .format(
-               keys=", ".join(keys),
-               aggs=", ".join(a for a, _ in aggs),
-               w=f" WHERE {cond}" if cond else "",
-               h=f" HAVING {having.format(a=aggs[0][1])}" if having
-                 else ""))
-    routed_df = ch_sql(spark, sql)
-    assert any("ch_proj" in f for f in routed_df.inputFiles()), sql
+    agg_pool = [("count() AS n", "n"), ("sum(value) AS sv", "sv"),
+                ("min(value) AS mn", "mn"), ("max(value) AS mx", "mx")]
+    agg_subsets = [list(c) for r in range(1, 5)
+                   for c in itertools.combinations(agg_pool, r)]
+    key_pool = [["event_type"], ["user_id"], ["event_type", "user_id"]]
+    where_pool = [None, "event_type = 'click'",
+                  "event_type IN ('view', 'purchase')",
+                  "user_id IN (1, 2, 3) AND event_type != 'error'"]
+    having_pool = [None, "{a} > 0",
+                   "{a} >= 1 AND {a} < 1000000000", "{a} IS NOT NULL"]
+    sqls = []
+    for i, (aggs, keys) in enumerate(
+            itertools.product(agg_subsets, key_pool)):
+        cond, having = where_pool[i % 4], having_pool[(i // 4) % 4]
+        sqls.append(
+            "SELECT {keys}, {aggs} FROM events_fz{w} GROUP BY {keys}{h}"
+            .format(keys=", ".join(keys),
+                    aggs=", ".join(a for a, _ in aggs),
+                    w=f" WHERE {cond}" if cond else "",
+                    h=f" HAVING {having.format(a=aggs[0][1])}"
+                      if having else ""))
+
+    routed = {}
+    for sql in sqls:                      # projection registered
+        df = ch_sql(spark, sql)
+        assert any("ch_proj" in f for f in df.inputFiles()), sql
+        routed[sql] = df
+    got = {}
+    run_parallel(sqls, lambda s: got.__setitem__(
+        s, _normalize([tuple(r) for r in routed[s].collect()])))
+
     saved = S._PROJECTIONS.pop("events_fz")
     try:
-        direct_df = ch_sql(spark, sql)
-        assert not any("ch_proj" in f for f in direct_df.inputFiles())
-        assert _normalize([tuple(r) for r in routed_df.collect()]) == \
-            _normalize([tuple(r) for r in direct_df.collect()]), sql
+        direct = {}
+        for sql in sqls:
+            df = ch_sql(spark, sql)
+            assert not any("ch_proj" in f for f in df.inputFiles()), sql
+            direct[sql] = df
+        want = {}
+        run_parallel(sqls, lambda s: want.__setitem__(
+            s, _normalize([tuple(r) for r in direct[s].collect()])))
     finally:
         S._PROJECTIONS["events_fz"] = saved
+    for sql in sqls:
+        assert got[sql] == want[sql], sql
 
 
 def test_fuzz_subscripts_vs_duckdb(spark):
