@@ -66,6 +66,25 @@ def _topk_sets(df):
     return out
 
 
+def knobs(n: int) -> dict:
+    """PRODUCTION knob scaling with corpus size n — recall at a fixed
+    parameterization DEGRADES as the corpus grows (measured round 11:
+    PQ rerank=20 gives 1.000 recall@5 at 60k rows but 0.800 at the
+    same density over a larger spread), so the candidate set and the
+    inverted-list count must grow with n:
+      rerank ~ n / 1500  (exact-cosine rescore set, linear-ish in n;
+                          cost is per-QUERY, not per-corpus-row)
+      lists  ~ sqrt(n)/16 (classic IVF sqrt rule), probe ~ 3/8 lists.
+    Measured at sf0.1 (60k): rerank=40 -> PQ recall 1.000; lists=16
+    probe=6 rerank=80 -> IVF-PQ 0.933."""
+    return {
+        "rerank_pq": max(40, n // 1500),
+        "rerank_ivfpq": max(80, n // 750),
+        "lists": max(8, round(n ** 0.5 / 16)),
+        "probe": max(6, round(n ** 0.5 / 16 * 3 / 8)),
+    }
+
+
 def measure(spark, sf_dir: str):
     from clickhouse_clickhouse_spark.pipeline.similarity import (
         brute_force_topk,
@@ -77,6 +96,8 @@ def measure(spark, sf_dir: str):
                                                        "embedding")
     q = (e.filter(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    kb = knobs(e.count())
+    print(f"# {sf_dir}: knobs {kb}", flush=True)
 
     def timed(fn):
         best, sets = float("inf"), None
@@ -90,10 +111,11 @@ def measure(spark, sf_dir: str):
         e, q, k=K, query_id="query_id"))
     t_pq, pq = timed(lambda: pq_topk(
         e, q, k=K, m=16, codes=256, dim=64, iterations=2,
-        normalize=True, rerank=20, query_id="query_id"))
+        normalize=True, rerank=kb["rerank_pq"], query_id="query_id"))
     t_ivfpq, ivfpq = timed(lambda: ivf_pq_topk(
-        e, q, k=K, n_centroids=8, n_probe=4, m=16, codes=64, dim=64,
-        iterations=3, normalize=True, rerank=40, query_id="query_id"))
+        e, q, k=K, n_centroids=kb["lists"], n_probe=kb["probe"], m=16,
+        codes=64, dim=64, iterations=3, normalize=True,
+        rerank=kb["rerank_ivfpq"], query_id="query_id"))
 
     def recall(sets):
         hits = sum(len(exact[qid] & sets.get(qid, set()))
