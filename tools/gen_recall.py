@@ -129,7 +129,19 @@ def main() -> None:
         kind = kw.get("kind", "brute_force")
         cells = " | ".join(f"{per_sf[d][kind]:.3f}" for d in sf_dirs)
         lines.append(f"| {label} | {cells} | {gate} |")
-    lines.append("")
+    lines += [
+        "",
+        "The TUNED rows keep their sf0.01 parameterization FIXED across "
+        "columns by design, so the sf0.1 column shows the expected "
+        "fixed-knob degradation (round-11 measurement: PQ rerank=20 "
+        "falls from 1.000 to 0.800 recall@5 when the corpus grows 10x) "
+        "— the production contract is the corpus-scaled knobs "
+        "(rerank ~ n/1500, lists ~ sqrt(n)/16, probe ~ 3/8 lists) "
+        "validated by tools/scale_ann.py, which holds recall@5 at "
+        "1.000 (PQ) / 0.933 (IVF-PQ) at a 10x-sf0.1 (600k-vector) "
+        "corpus; see SCALE.md round-11 section.",
+        "",
+    ]
     with open(os.path.join(REPO, "RECALL.md"), "w") as f:
         f.write("\n".join(lines))
     print("\n".join(lines))
