@@ -30,9 +30,15 @@ def spark():
         # (EXPRESSION_DECODING_FAILED on catalog.listTables) — only the
         # whole-stage fusion is disabled
         extra["spark.sql.codegen.wholeStage"] = "false"
+    # shuffle=4 (r11): tiny fixtures never fill 8 post-shuffle tasks,
+    # and streaming state ops pay one state-store instance PER shuffle
+    # partition per operator — halving partitions measured -11% on the
+    # streaming+pipeline subset (160->143 s) and -20% on fuzz+property
+    # (122->98 s); shuffle=2 was no better (145 s). Production default
+    # (session.get_spark) stays cores-matched.
     s = get_spark("tests",
                   shuffle_partitions=int(
-                      os.environ.get("SPARK_GRAFT_TEST_SHUFFLE", "8")),
+                      os.environ.get("SPARK_GRAFT_TEST_SHUFFLE", "4")),
                   cores=int(os.environ.get("SPARK_GRAFT_TEST_CORES", "8")),
                   extra_conf=extra)
     yield s

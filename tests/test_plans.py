@@ -162,7 +162,11 @@ def test_no_query_sorts_or_windows_on_single_partition(spark, sf_dir):
     for item in items:
         if ddl.search(item[0]):
             check(item)
-    run_parallel([i for i in items if not ddl.search(i[0])], check)
+    # workers=32: the build phase is py4j roundtrip latency (profiled
+    # r11: 47 of 56 serial seconds in socket recv for ~141k commands),
+    # so threads overlap it well past the CPU count (28->23 s vs 16)
+    run_parallel([i for i in items if not ddl.search(i[0])], check,
+                 workers=32)
     assert not offenders, offenders
 
 

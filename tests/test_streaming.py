@@ -11,10 +11,14 @@ from clickhouse_clickhouse_spark.streaming.windows import (
 from clickhouse_clickhouse_spark.tables import load_table
 
 
-@pytest.fixture
-def events_dir(spark, sf_dir, tmp_path):
-    """Copy events (ns timestamps normalized) to a stream-source dir."""
-    src = str(tmp_path / "events_src")
+@pytest.fixture(scope="session")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Copy events (ns timestamps normalized) to a stream-source dir.
+
+    Session-scoped: the source dir is read-only for every streaming
+    test, and the per-test parquet rewrite was a full Spark write job
+    paid 12 times."""
+    src = str(tmp_path_factory.mktemp("events_stream") / "events_src")
     load_table(spark, sf_dir, "events").write.parquet(src)
     return src
 
