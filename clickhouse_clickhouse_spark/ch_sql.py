@@ -328,6 +328,161 @@ def _chars_sql(s: str) -> str:
             f"__k -> SUBSTRING({s}, __k, 1))")
 
 
+_AES_MODES = {"ecb": "ECB", "cbc": "CBC", "gcm": "GCM"}
+
+
+def _aes_tpl(args: list[str], fn: str) -> str:
+    """encrypt/decrypt('aes-<bits>-<cipher>', data, key[, iv[, aad]])
+    ([U] src/Functions/FunctionsAES.h) -> Spark aes_* builtins. The
+    mode must be a translate-time literal; ECB/CBC/GCM are the shared
+    modes (CTR/CFB/OFB have no Spark carrier and refuse).
+
+    IV plumbing: the reference keeps the IV OUTSIDE the ciphertext
+    (caller passes it to both sides) while Spark embeds it as a prefix
+    (16 bytes CBC, 12 bytes GCM) of aes_encrypt's output and reads it
+    back in aes_decrypt. For value parity with the reference, encrypt
+    strips the known prefix off Spark's output and decrypt re-prepends
+    the caller's IV — so ECB/CBC/GCM ciphertexts are byte-identical to
+    the reference's OpenSSL output (CBC is PKCS#7-padded, GCM appends
+    the 16-byte tag, both engines alike). CBC/GCM WITHOUT an explicit
+    IV refuse: Spark would pick a random IV (non-deterministic, not
+    reference-comparable)."""
+    if len(args) < 3:
+        raise ValueError(f"{fn.lower()}: need (mode, data, key[, iv[, aad]])")
+    mm = re.fullmatch(r"\s*'aes-(128|192|256)-([a-z]+)'\s*", args[0],
+                      re.IGNORECASE)
+    if not mm:
+        raise ValueError(
+            "encrypt/decrypt: mode must be a literal like 'aes-256-gcm'")
+    cipher = mm.group(2).lower()
+    mode = _AES_MODES.get(cipher)
+    if mode is None:
+        raise ValueError(
+            f"encrypt/decrypt: aes-{cipher} has no Spark carrier — "
+            "ECB/CBC/GCM are supported")
+    iv = aad = None
+    if len(args) >= 4:
+        if mode == "ECB":
+            raise ValueError("encrypt/decrypt: ECB takes no IV")
+        iv = f"CAST({args[3]} AS BINARY)"
+        if len(args) >= 5:
+            if mode != "GCM":
+                raise ValueError("encrypt/decrypt: AAD is GCM-only")
+            aad = args[4]
+    if mode != "ECB" and iv is None:
+        raise ValueError(
+            f"encrypt/decrypt: {cipher.upper()} needs an explicit IV "
+            "here — Spark would otherwise embed a random IV and the "
+            "ciphertext would not match the reference's")
+    if fn == "AES_ENCRYPT":
+        if mode == "ECB":
+            return f"{fn}({args[1]}, {args[2]}, 'ECB', 'DEFAULT')"
+        skip = 17 if mode == "CBC" else 13   # 1-based SUBSTRING start
+        return (f"SUBSTRING({fn}({args[1]}, {args[2]}, '{mode}', "
+                f"'DEFAULT', {iv}), {skip})")
+    # decrypt path: re-prepend the caller's IV so Spark can read it
+    if mode == "ECB":
+        return f"{fn}({args[1]}, {args[2]}, 'ECB', 'DEFAULT')"
+    aad_part = f", {aad}" if aad is not None else ""
+    return (f"{fn}(CONCAT({iv}, CAST({args[1]} AS BINARY)), {args[2]}, "
+            f"'{mode}', 'DEFAULT'{aad_part})")
+
+
+def _nested_tpl(args: list[str]) -> str:
+    """nested(['k','v'], arr_k, arr_v) -> array of named tuples via
+    ARRAYS_ZIP + per-element NAMED_STRUCT rename (zip fields are
+    positional '0','1',... for expressions)."""
+    mm = (re.fullmatch(r"\s*\[(.*)\]\s*", args[0], re.DOTALL)
+          or re.fullmatch(r"\s*ARRAY\s*\((.*)\)\s*", args[0],
+                          re.IGNORECASE | re.DOTALL))
+    if not mm:
+        raise ValueError(
+            "nested: first argument must be a literal array of names, "
+            "e.g. nested(['k', 'v'], karr, varr)")
+    names = [n.strip().strip("'\"") for n in mm.group(1).split(",")]
+    arrays = args[1:]
+    if len(names) != len(arrays) or not arrays:
+        raise ValueError(
+            f"nested: {len(names)} names for {len(arrays)} arrays")
+    fields = ", ".join(f"'{n}', __nz.`{i}`" for i, n in enumerate(names))
+    return (f"TRANSFORM(ARRAYS_ZIP({', '.join(arrays)}), "
+            f"__nz -> NAMED_STRUCT({fields}))")
+
+
+def _interval_length_sum_tpl(args: list[str]) -> str:
+    """intervalLengthSum(start, end) ([U] AggregateFunctionIntervalLengthSum
+    — total length of the UNION of the [start, end) segments, overlaps
+    counted once): classic sweep over the start-sorted segments as one
+    fold. Numeric inputs (cast timestamps to epoch first). Scale: the
+    per-group array is the group's rows — same collect-fold envelope as
+    the sequence/statistical aggregates (guarded family, SCALE.md)."""
+    if len(args) != 2:
+        raise ValueError("intervalLengthSum takes (start, end)")
+    seg = (f"ARRAY_SORT(COLLECT_LIST(IF(({args[0]}) IS NOT NULL AND "
+           f"({args[1]}) IS NOT NULL, NAMED_STRUCT("
+           f"'s', CAST({args[0]} AS DOUBLE), "
+           f"'e', CAST({args[1]} AS DOUBLE)), NULL)))")
+    return (f"AGGREGATE({seg}, "
+            "NAMED_STRUCT('tot', 0.0D, 'cur', CAST('-Infinity' AS DOUBLE)), "
+            "(__il, __ix) -> NAMED_STRUCT("
+            "'tot', __il.tot + GREATEST(__ix.e - GREATEST(__ix.s, __il.cur)"
+            ", 0.0D), "
+            "'cur', GREATEST(__il.cur, __ix.e)), "
+            "__il -> __il.tot)")
+
+
+def _tukey_outliers_tpl(args: list[str]) -> str:
+    """seriesOutliersDetectTukey(arr[, q_lo, q_hi, k]) ([U]
+    src/Functions/seriesOutliersDetectTukey.cpp): per element, 0 when
+    inside [q_lo - k*IQR, q_hi + k*IQR], else the signed distance past
+    the fence. Quantiles by linear interpolation over the sorted copy
+    (the upstream method). Per-row array work — linear in array size."""
+    if len(args) not in (1, 4):
+        raise ValueError(
+            "seriesOutliersDetectTukey takes (arr) or (arr, q1, q3, k)")
+    q_lo, q_hi, k = ("0.25", "0.75", "1.5") if len(args) == 1 \
+        else (args[1], args[2], args[3])
+
+    def q(p):
+        # rank = p*(n-1) zero-based; interpolate adjacent sorted values
+        return (f"ELEMENT_AT(__tk.srt, CAST(FLOOR(({p}) * (__tk.n - 1)) "
+                f"AS INT) + 1) * (1.0D - (({p}) * (__tk.n - 1) - "
+                f"FLOOR(({p}) * (__tk.n - 1)))) + "
+                f"ELEMENT_AT(__tk.srt, LEAST(CAST(FLOOR(({p}) * "
+                f"(__tk.n - 1)) AS INT) + 2, __tk.n)) * "
+                f"(({p}) * (__tk.n - 1) - FLOOR(({p}) * (__tk.n - 1)))")
+
+    fences = _bind_once(
+        {"q1": q(q_lo), "q3": q(q_hi)},
+        f"NAMED_STRUCT('lo', __tf.q1 - ({k}) * (__tf.q3 - __tf.q1), "
+        f"'hi', __tf.q3 + ({k}) * (__tf.q3 - __tf.q1))", var="__tf")
+    return _bind_once(
+        {"srt": f"ARRAY_SORT(CAST({args[0]} AS ARRAY<DOUBLE>))",
+         "n": f"SIZE({args[0]})"},
+        _bind_once(
+            {"f": fences},
+            f"TRANSFORM(CAST({args[0]} AS ARRAY<DOUBLE>), __tx -> CASE "
+            "WHEN __tx < __tb.f.lo THEN __tx - __tb.f.lo "
+            "WHEN __tx > __tb.f.hi THEN __tx - __tb.f.hi "
+            "ELSE 0.0D END)", var="__tb"),
+        var="__tk")
+
+
+def _siphash_keyed_tpl(args: list[str]) -> str:
+    """sipHash64Keyed((k0, k1), data): the key must be a literal int
+    tuple (upstream callers pass constants)."""
+    if len(args) != 2:
+        raise ValueError("sipHash64Keyed takes ((k0, k1), data)")
+    mm = re.fullmatch(r"\s*(?:tuple)?\(\s*(-?\d+)\s*,\s*(-?\d+)\s*\)\s*",
+                      args[0], re.IGNORECASE)
+    if not mm:
+        raise ValueError(
+            "sipHash64Keyed: the key pair must be a literal tuple of "
+            "integers, e.g. sipHash64Keyed((1, 2), s)")
+    return (f"__siphash64_keyed({mm.group(1)}L, {mm.group(2)}L, "
+            f"CAST({args[1]} AS STRING))")
+
+
 def _damerau_tpl(a: list[str]) -> str:
     """damerauLevenshteinDistance(a, b) ([U] src/Functions/
     StringDistance.cpp): the FULL Damerau-Levenshtein ("distance with
@@ -3872,6 +4027,118 @@ _FUNCS: dict[str, str] = {
     "approxTopSum": lambda a: (_ for _ in ()).throw(ValueError(
         "approxTopSum: topKWeighted(k)(x, w) carries the weighted "
         "top-k values here")),
+    # ---- round-11 batch 8 (second resolve-probe sweep) -----------------
+    # editDistance is BYTE-based upstream ([U] src/Functions/
+    # FunctionsStringDistance.cpp); Spark LEVENSHTEIN counts codepoints —
+    # ASCII-equal, documented with the other string deviations (same
+    # stance as editDistanceUTF8 above)
+    "editDistance": "LEVENSHTEIN({0}, {1})",
+    "nanIfNull": "IFNULL(CAST({0} AS DOUBLE), CAST('NaN' AS DOUBLE))",
+    # identical semantics to Spark's tz shifts ([U] src/Functions/
+    # toUTCTimestamp.cpp: interpret wall-clock in tz -> UTC instant)
+    "toUTCTimestamp": "TO_UTC_TIMESTAMP({0}, {1})",
+    "fromUTCTimestamp": "FROM_UTC_TIMESTAMP({0}, {1})",
+    "displayName": lambda a: "'localhost'",   # presentation-only, as hostName
+    "toIntervalMillisecond":
+        "MAKE_INTERVAL(0, 0, 0, 0, 0, 0, CAST({0} AS DECIMAL(18, 6)) "
+        "/ 1000)",
+    "toIntervalMicrosecond":
+        "MAKE_INTERVAL(0, 0, 0, 0, 0, 0, CAST({0} AS DECIMAL(18, 6)) "
+        "/ 1000000)",
+    # Spark intervals are microsecond-resolution: whole-us nanosecond
+    # counts convert exactly, anything finer raises per-row
+    "toIntervalNanosecond":
+        "MAKE_INTERVAL(0, 0, 0, 0, 0, 0, CAST(IF(({0}) % 1000 = 0, {0}, "
+        "RAISE_ERROR(CONCAT('toIntervalNanosecond: ', CAST({0} AS STRING), "
+        "' ns is below Spark''s microsecond interval resolution'))) "
+        "AS DECIMAL(24, 6)) / 1000000000)",
+    # AES family -> Spark's aes_* builtins (mode literal required; ECB/
+    # CBC/GCM are the modes both engines share — CTR/CFB/OFB refuse).
+    # Upstream enforces key length == mode bits at call time; Spark
+    # enforces 16/24/32-byte keys at runtime (the 128/192/256 split),
+    # so a wrong-family key still errors, just with Spark's message.
+    "encrypt": lambda a: _aes_tpl(a, "AES_ENCRYPT"),
+    "decrypt": lambda a: _aes_tpl(a, "AES_DECRYPT"),
+    "tryDecrypt": lambda a: _aes_tpl(a, "TRY_AES_DECRYPT"),
+    # MySQL-compat twins: MySQL's nonstandard key folding (repeat-XOR of
+    # over/under-length keys) is NOT applied — exact-length keys only
+    "aes_encrypt_mysql": lambda a: _aes_tpl(a, "AES_ENCRYPT"),
+    "aes_decrypt_mysql": lambda a: _aes_tpl(a, "AES_DECRYPT"),
+    # nested(['k','v'], arr_k, arr_v) ([U] src/Functions/nested.cpp):
+    # zip the arrays into an array of named tuples
+    "nested": lambda a: _nested_tpl(a),
+    "intervalLengthSum": lambda a: _interval_length_sum_tpl(a),
+    "seriesOutliersDetectTukey": lambda a: _tukey_outliers_tpl(a),
+    "seriesPeriodDetectFFT": lambda a:
+        f"__series_fft_period(CAST({a[0]} AS ARRAY<DOUBLE>))",
+    "SHA512_256": lambda a: f"__sha512_256({a[0]})",
+    # keyed SipHash-2-4: the key pair must be a literal tuple (upstream
+    # callers pass constants; column keys would need a 3-arg UDF route)
+    "sipHash64Keyed": lambda a: _siphash_keyed_tpl(a),
+    # Kafka's murmur2 (seed 0x9747b28c, sign-masked) — partition-parity
+    # for data keyed by Kafka's default partitioner
+    "kafkaMurmurHash": lambda a: f"__kafka_murmur2({a[0]})",
+    # Java String.hashCode over UTF-16 code units incl. surrogate pairs
+    # (javaHash above is the ASCII/BMP fast form; this one is exact for
+    # astral codepoints). INT arithmetic wraps like Java int (ANSI off).
+    "javaHashUTF16LE": lambda a: (
+        "AGGREGATE(" + _chars_sql(a[0]) + ", 0, (__jh, __jc) -> "
+        "IF(ASCII(__jc) < 65536, __jh * 31 + ASCII(__jc), "
+        "(__jh * 31 + (55296 + CAST((ASCII(__jc) - 65536) DIV 1024 "
+        "AS INT))) * 31 + (56320 + CAST((ASCII(__jc) - 65536) % 1024 "
+        "AS INT))))"),
+    # ---- batch-8 loud refusals (no honest Spark carrier) ---------------
+    "xxh3": lambda a: (_ for _ in ()).throw(ValueError(
+        "xxh3 is not implemented; xxHash64 is the scale hash and the "
+        "persisted-hash compat surface")),
+    "metroHash64": lambda a: (_ for _ in ()).throw(ValueError(
+        "metroHash64 is not implemented; xxHash64 (scale) or "
+        "cityHash64/sipHash64 (bit-parity) cover hashing")),
+    "BLAKE3": lambda a: (_ for _ in ()).throw(ValueError(
+        "BLAKE3 has no implementation in this environment; "
+        "SHA256/SHA512_256 are the strong digests here")),
+    "ripeMD160": lambda a: (_ for _ in ()).throw(ValueError(
+        "ripeMD160 depends on OpenSSL legacy providers that are not "
+        "guaranteed in this environment; use SHA256/SHA512_256")),
+    "sipHash128Keyed": lambda a: (_ for _ in ()).throw(ValueError(
+        "sipHash128Keyed is not implemented — sipHash64Keyed carries "
+        "the keyed bit-parity surface")),
+    "geoToH3": lambda a: (_ for _ in ()).throw(ValueError(
+        "the h3 indexing library is not in this environment; "
+        "geohashEncode/geohashesInBox are the cell-index surface")),
+    "h3kRing": lambda a: (_ for _ in ()).throw(ValueError(
+        "the h3 indexing library is not in this environment; "
+        "geohashesInBox enumerates neighbor cells")),
+    "regionToName": lambda a: (_ for _ in ()).throw(ValueError(
+        "regionTo* needs the embedded geobase (a deployment data "
+        "artifact, not shipped); join a regions dimension table")),
+    "regionToCity": lambda a: (_ for _ in ()).throw(ValueError(
+        "regionTo* needs the embedded geobase (a deployment data "
+        "artifact, not shipped); join a regions dimension table")),
+    "detectTonality": lambda a: (_ for _ in ()).throw(ValueError(
+        "detectTonality needs a sentiment model (none in this "
+        "environment); the text pipeline's quality scores are "
+        "model-free")),
+    "detectProgrammingLanguage": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "detectProgrammingLanguage needs its frequency model "
+            "(none in this environment)")),
+    "seriesDecomposeSTL": lambda a: (_ for _ in ()).throw(ValueError(
+        "seriesDecomposeSTL (LOESS-based STL) is not implemented — a "
+        "classical decomposition would silently diverge; "
+        "seriesPeriodDetectFFT/seriesOutliersDetectTukey are the "
+        "in-repo series ops")),
+    "JSONDynamicPaths": lambda a: (_ for _ in ()).throw(ValueError(
+        "JSONDynamicPaths introspects the JSON column type's dynamic "
+        "paths; JSON_OBJECT_KEYS / JSONExtractKeys enumerate object "
+        "keys per level")),
+    "JSONSharedDataPaths": lambda a: (_ for _ in ()).throw(ValueError(
+        "JSONSharedDataPaths introspects JSON column storage "
+        "internals; no equivalent over parquet-backed JSON strings")),
+    "structureToCapnProtoSchema": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "CapnProto schema generation is out of scope (format not "
+            "supported; see sources/formats.py for the format matrix)")),
 }
 
 # parametric double-call forms: name(params)(args); a value may be a
@@ -4033,6 +4300,13 @@ _PARAMETRIC: dict = {
     # (a callable template; see the _PARAMETRIC apply site).
     "quantileGK": lambda params, args: "PERCENTILE_APPROX({}, {}, {})".format(
         args[0], params[1] if len(params) > 1 else "0.5", params[0]),
+    # plural GK: quantilesGK(accuracy, p1, p2, ...)(x)
+    "quantilesGK": lambda params, args:
+        "PERCENTILE_APPROX({}, ARRAY({}), {})".format(
+            args[0], ", ".join(params[1:]), params[0])
+        if len(params) > 1 else (_ for _ in ()).throw(ValueError(
+            "quantilesGK(accuracy, level...)(x) needs at least one "
+            "level")),
     "quantiles": "PERCENTILE_APPROX({a0}, ARRAY({p*}))",
     "quantilesTDigest": "PERCENTILE_APPROX({a0}, ARRAY({p*}))",
     "quantileDeterministic": lambda params, args:
@@ -7080,6 +7354,13 @@ def _register_udfs(spark: SparkSession) -> None:
     TC.register_codec_udfs(spark)
     from clickhouse_clickhouse_spark.functions import ipcodecs as IP
     IP.register_ip_udfs(spark)
+    # batch-8 compat UDFs (lazily-built pandas UDFs, same stance as
+    # cityHash64: compatibility paths; xxHash64 stays the scale hash)
+    from clickhouse_clickhouse_spark.functions import series as SR
+    spark.udf.register("__series_fft_period", SR.fft_period_udf())
+    spark.udf.register("__sha512_256", H.sha512_256_udf())
+    spark.udf.register("__kafka_murmur2", H.kafka_murmur2_udf())
+    spark.udf.register("__siphash64_keyed", H.siphash64_keyed_udf())
     _REGISTERED.add(id(spark))
 
 
@@ -8082,6 +8363,10 @@ def _dict_hier_tpl(args: list[str], is_in: bool) -> str:
 # built from the normalizeQuery template so the regex escaping stays
 # single-sourced
 _FUNCS["normalizedQueryHash"] = "XXHASH64(" + _FUNCS["normalizeQuery"] + ")"
+# batch-8 same-rendering aliases (upstream UTF8/Date32 twins of entries
+# whose Spark carriers are already codepoint-/date-based)
+_FUNCS["stringJaccardIndexUTF8"] = _FUNCS["stringJaccardIndex"]
+_FUNCS["YYYYMMDDToDate32"] = _FUNCS["YYYYMMDDToDate"]
 
 # to<T>OrNull / to<T>OrZero conversion family ([U] src/Functions/
 # FunctionsConversion.cpp — TRY_CAST is exactly the OrNull contract:

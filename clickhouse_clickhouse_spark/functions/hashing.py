@@ -485,3 +485,89 @@ def jaro_winkler(a: Column, b: Column) -> Column:
                 for u, v in zip(x, y))
         _UDFS["jw"] = _jw
     return _UDFS["jw"](a, b)
+
+
+def kafka_murmur2_py(data: bytes) -> int:
+    """Kafka's 32-bit MurmurHash2 (Appleby's public murmur2 with the
+    Kafka client's seed 0x9747b28c), sign-masked to the non-negative
+    31-bit value Kafka's default partitioner consumes — the reference's
+    ``kafkaMurmurHash`` ([U] src/Functions/FunctionsHashing.h)."""
+    m32 = 0xFFFFFFFF
+    m = 0x5BD1E995
+    r = 24
+    n = len(data)
+    h = (0x9747B28C ^ n) & m32
+    end = n - (n % 4)
+    for i in range(0, end, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * m) & m32
+        k ^= k >> r
+        k = (k * m) & m32
+        h = (h * m) & m32
+        h ^= k
+    tail = data[end:]
+    if len(tail) >= 3:
+        h ^= tail[2] << 16
+    if len(tail) >= 2:
+        h ^= tail[1] << 8
+    if len(tail) >= 1:
+        h ^= tail[0]
+        h = (h * m) & m32
+    h ^= h >> 13
+    h = (h * m) & m32
+    h ^= h >> 15
+    return h & 0x7FFFFFFF
+
+
+def kafka_murmur2_udf():
+    if "kafka_mm2" not in _UDFS:
+        @pandas_udf("int")
+        def _kmm2(s: pd.Series) -> pd.Series:
+            return s.map(lambda v: None if v is None
+                         else kafka_murmur2_py(_as_bytes(v)))
+        _UDFS["kafka_mm2"] = _kmm2
+    return _UDFS["kafka_mm2"]
+
+
+def kafka_murmur2(c: Column) -> Column:
+    """Column wrapper: ``kafkaMurmurHash(x)``."""
+    return kafka_murmur2_udf()(c)
+
+
+def siphash64_keyed_udf():
+    if "sip_keyed" not in _UDFS:
+        @pandas_udf("long")
+        def _sipk(a: pd.Series, b: pd.Series, s: pd.Series) -> pd.Series:
+            return pd.Series(
+                None if v is None else _to_signed(siphash64_py(
+                    _as_bytes(v), int(x) & _M64, int(y) & _M64))
+                for x, y, v in zip(a, b, s))
+        _UDFS["sip_keyed"] = _sipk
+    return _UDFS["sip_keyed"]
+
+
+def siphash64_keyed(k0: Column, k1: Column, data: Column) -> Column:
+    """Column wrapper: ``sipHash64Keyed((k0, k1), x)`` — the same
+    SipHash-2-4 core as sipHash64 with a caller-supplied 128-bit key
+    (two UInt64 halves). Compat path (scalar core per value)."""
+    return siphash64_keyed_udf()(k0, k1, data)
+
+
+def sha512_256(c: Column) -> Column:
+    """Column wrapper: ``SHA512_256(x)`` — the FIPS 180-4 SHA-512/256
+    truncated variant (distinct IV; NOT a truncation of SHA-512),
+    via hashlib. Hex-string output (same presentation convention as
+    the MD5 mapping; upstream returns raw FixedString(32) bytes)."""
+    return sha512_256_udf()(c)
+
+
+def sha512_256_udf():
+    if "sha512_256" not in _UDFS:
+        import hashlib
+
+        @pandas_udf("string")
+        def _sha(s: pd.Series) -> pd.Series:
+            return s.map(lambda v: None if v is None else hashlib.new(
+                "sha512_256", _as_bytes(v)).hexdigest())
+        _UDFS["sha512_256"] = _sha
+    return _UDFS["sha512_256"]

@@ -2679,3 +2679,134 @@ def ch_sql_round11_batch7b(spark, sf):
                CAST(MACStringToOUI('12:34:56:78:9C:DE') AS Int32)
                    AS oui
         FROM b7b_region""")
+
+
+@register("ch_sql_round11_batch8", oracle="""
+SELECT r_regionkey,
+       levenshtein('kitten', 'sitting')                    AS ed,
+       jaccard('abc', 'bcd')                               AS sj,
+       make_date(2024, 2, 15)                              AS d32,
+       CAST(isnan(COALESCE(CAST(NULL AS DOUBLE),
+                           'nan'::DOUBLE)) AS INT)         AS nin,
+       TIMESTAMP '2024-02-15 02:00:00'                     AS toutc,
+       TIMESTAMP '2024-02-15 18:00:00'                     AS fromutc,
+       TIMESTAMP '2024-02-15 10:00:00'
+           + INTERVAL 1500 MILLISECONDS                    AS msadd,
+       (WITH seg(a, b) AS (VALUES (1, 3), (2, 5), (10, 12)),
+             o AS (SELECT a, b,
+                          max(b) OVER (ORDER BY a, b
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS pe
+                   FROM seg)
+        SELECT CAST(sum(greatest(b - greatest(a, coalesce(pe, a)), 0))
+                    AS DOUBLE) FROM o)                     AS ils,
+       (SELECT CAST(quantile_disc(n_nationkey, 0.5) AS DOUBLE)
+        FROM nation)                                       AS gkq
+FROM region
+""")
+def ch_sql_round11_batch8(spark, sf):
+    """Round-11 batch-8 names on the DuckDB gate: editDistance (duck
+    levenshtein), stringJaccardIndexUTF8 (duck jaccard — same char-set
+    Jaccard), YYYYMMDDToDate32 (duck make_date), nanIfNull (duck
+    coalesce-to-nan twin), toUTCTimestamp/fromUTCTimestamp (wall-clock
+    shift pins: Asia/Shanghai is UTC+8, no DST), toIntervalMillisecond
+    (duck INTERVAL ... MILLISECONDS — independent), intervalLengthSum
+    (duck window-sweep union length — independent construction of the
+    same sweep), quantilesGK at high accuracy on 25 ints (exact; duck
+    quantile_disc)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "region").createOrReplaceTempView("b8_region")
+    load_table(spark, sf, "nation").createOrReplaceTempView("b8_nation")
+    return ch_sql(spark, """
+        SELECT r_regionkey,
+               editDistance('kitten', 'sitting') AS ed,
+               stringJaccardIndexUTF8('abc', 'bcd') AS sj,
+               YYYYMMDDToDate32(20240215) AS d32,
+               CAST(isNaN(nanIfNull(CAST(NULL AS Float64))) AS Int32)
+                   AS nin,
+               toUTCTimestamp(toDateTime('2024-02-15 10:00:00'),
+                              'Asia/Shanghai') AS toutc,
+               fromUTCTimestamp(toDateTime('2024-02-15 10:00:00'),
+                                'Asia/Shanghai') AS fromutc,
+               toDateTime('2024-02-15 10:00:00')
+                   + toIntervalMillisecond(1500) AS msadd,
+               (SELECT intervalLengthSum(a, b)
+                FROM VALUES (1, 3), (2, 5), (10, 12) AS s(a, b)) AS ils,
+               (SELECT CAST(ELEMENT_AT(
+                    quantilesGK(10000, 0.5)(n_nationkey), 1)
+                    AS Float64)
+                FROM b8_nation) AS gkq
+        FROM b8_region""")
+
+
+@register("ch_sql_round11_batch8b", oracle="""
+SELECT r_regionkey,
+       -- FIPS 180-4 SHA-512/256 test vector for 'abc'
+       '53048e2681941ef99b2e29b76b4c7dabe4c2d0c634fc6d46e0e2f13107e7af23'
+                                                           AS sha,
+       -- SipHash-2-4 paper appendix vector: key 000102..0f, input ''
+       8246050544436514353                                 AS sipk,
+       -- Java's documented "abc".hashCode()
+       96354                                               AS jh,
+       -- murmur2(seed 0x9747b28c) of 'test', sign-masked; pinned and
+       -- re-derived by an independent reimplementation in tests
+       716234879                                           AS kmm,
+       -- OpenSSL CLI-derived pin: aes-256-cbc, key/iv below, 'secret'
+       'e9b7bd65fef7fdd6fc45ae09610fc6ce'                  AS aes_cbc,
+       TRUE                                                AS aes_rt,
+       TRUE                                                AS aes_ecb_rt,
+       2                                                   AS nk,
+       'b'                                                 AS nv,
+       TRUE                                                AS tukey_hit,
+       0.0                                                 AS tukey_in,
+       4.0                                                 AS fftp
+FROM region
+""")
+def ch_sql_round11_batch8b(spark, sf):
+    """Round-11 batch 8b: digest/hash vectors pinned to their PUBLISHED
+    test values (NIST FIPS 180-4 for SHA-512/256, the SipHash paper's
+    appendix vector for sipHash64Keyed, the Java Language Spec
+    hashCode example), AES encrypt->decrypt roundtrips (GCM and ECB),
+    nested() field access, Tukey outlier scores, FFT period of a clean
+    4-sample cycle. The CBC ciphertext is pinned to the OpenSSL
+    CLI-derived bytes (the reference encrypts via OpenSSL): the
+    encrypt mapping strips Spark's embedded-IV prefix so ciphertexts
+    are byte-identical to the reference's external-IV convention."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "region").createOrReplaceTempView(
+        "b8b_region")
+    return ch_sql(spark, """
+        SELECT r_regionkey,
+               SHA512_256('abc') AS sha,
+               sipHash64Keyed((506097522914230528,
+                               1084818905618843912), '') AS sipk,
+               javaHashUTF16LE('abc') AS jh,
+               kafkaMurmurHash('test') AS kmm,
+               lower(hex(encrypt('aes-256-cbc', 'secret',
+                       '32byteskey32byteskey32byteskey32',
+                       'theiv16bytes!!!!'))) AS aes_cbc,
+               decrypt('aes-256-gcm',
+                       encrypt('aes-256-gcm', 'secret',
+                               '32byteskey32byteskey32byteskey32',
+                               'gcm12byteiv!'),
+                       '32byteskey32byteskey32byteskey32',
+                       'gcm12byteiv!')
+                   = CAST('secret' AS BINARY) AS aes_rt,
+               tryDecrypt('aes-128-ecb',
+                          encrypt('aes-128-ecb', 'hi',
+                                  '16byteslongkey!!'),
+                          '16byteslongkey!!')
+                   = CAST('hi' AS BINARY) AS aes_ecb_rt,
+               nested(['k', 'v'], [1, 2], ['a', 'b'])[2].k AS nk,
+               nested(['k', 'v'], [1, 2], ['a', 'b'])[2].v AS nv,
+               ELEMENT_AT(seriesOutliersDetectTukey(
+                   [1.0, 2.0, 1.5, 100.0, 1.2, 1.8]), 4) > 90.0
+                   AS tukey_hit,
+               ELEMENT_AT(seriesOutliersDetectTukey(
+                   [1.0, 2.0, 1.5, 100.0, 1.2, 1.8]), 1) AS tukey_in,
+               seriesPeriodDetectFFT(
+                   [1.0, 0.0, -1.0, 0.0, 1.0, 0.0, -1.0, 0.0,
+                    1.0, 0.0, -1.0, 0.0]) AS fftp
+        FROM b8b_region""")

