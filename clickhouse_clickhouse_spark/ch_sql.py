@@ -328,6 +328,90 @@ def _chars_sql(s: str) -> str:
             f"__k -> SUBSTRING({s}, __k, 1))")
 
 
+def _rand_lit_int(arg: str, name: str, cap: int) -> int:
+    """Literal non-negative int param for the unrolled random
+    distributions (each draw is an independent RAND() term spliced at
+    translate time — a column param would need a different carrier)."""
+    mm = re.fullmatch(r"\s*(\d+)\s*", arg)
+    if not mm:
+        raise ValueError(
+            f"{name}: the degrees/count parameter must be a literal "
+            "integer (each draw unrolls to an independent RAND() term)")
+    v = int(mm.group(1))
+    if v < 1 or v > cap:
+        raise ValueError(f"{name}: parameter must be in [1, {cap}] "
+                         "(unrolled draws)")
+    return v
+
+
+def _chi2_draw_sql(k: int) -> str:
+    """Exact chi-square(k) sample from uniforms: sum of k/2 iid
+    Exp(scale 2) = -2 ln(U1*...*U_{k/2}) (Gamma(k/2, 2) for integer
+    halves), plus one squared Box-Muller normal when k is odd.
+    (Distinct from _chi2_sql below — the contingency-test statistic.)"""
+    parts = []
+    if k >= 2:
+        us = " * ".join(["RAND()"] * (k // 2))
+        parts.append(f"(-2.0D * LN({us}))")
+    if k % 2:
+        parts.append("POW(SQRT(-2.0D * LN(RAND())) * "
+                     "COS(2.0D * PI() * RAND()), 2.0D)")
+    return "(" + " + ".join(parts) + ")"
+
+
+def _rand_chi_squared_tpl(a: list[str]) -> str:
+    k = _rand_lit_int(a[0], "randChiSquared", 2000)
+    return _chi2_draw_sql(k)
+
+
+def _rand_student_t_tpl(a: list[str]) -> str:
+    k = _rand_lit_int(a[0], "randStudentT", 2000)
+    return ("((SQRT(-2.0D * LN(RAND())) * COS(2.0D * PI() * RAND())) / "
+            f"SQRT({_chi2_draw_sql(k)} / {k}.0D))")
+
+
+def _rand_fisher_f_tpl(a: list[str]) -> str:
+    d1 = _rand_lit_int(a[0], "randFisherF", 2000)
+    d2 = _rand_lit_int(a[1], "randFisherF", 2000)
+    return (f"(({_chi2_draw_sql(d1)} / {d1}.0D) / "
+            f"({_chi2_draw_sql(d2)} / {d2}.0D))")
+
+
+def _rand_binomial_tpl(a: list[str]) -> str:
+    n = _rand_lit_int(a[0], "randBinomial", 1024)
+    terms = " + ".join(
+        [f"IF(RAND() < CAST({a[1]} AS DOUBLE), 1L, 0L)"] * n)
+    return f"({terms})"
+
+
+def _rand_neg_binomial_tpl(a: list[str]) -> str:
+    # failures before the r-th success: sum of r geometric draws
+    # FLOOR(ln U / ln(1-p)); p=1 degenerates to 0 via ln(0) = -inf
+    r = _rand_lit_int(a[0], "randNegativeBinomial", 1024)
+    geo = (f"CAST(FLOOR(LN(RAND()) / "
+           f"LN(1.0D - CAST({a[1]} AS DOUBLE))) AS BIGINT)")
+    return "(" + " + ".join([geo] * r) + ")"
+
+
+def _variant_type_tpl(a: list[str]) -> str:
+    """variantType/dynamicType(v): CH names for scalar kinds out of
+    SCHEMA_OF_VARIANT; NULL -> 'None' (upstream Dynamic convention)."""
+    return _bind_once(
+        {"t": f"SCHEMA_OF_VARIANT({a[0]})"},
+        "CASE WHEN __v.t = 'VOID' THEN 'None' "
+        "WHEN __v.t = 'BIGINT' THEN 'Int64' "
+        "WHEN __v.t = 'DOUBLE' THEN 'Float64' "
+        "WHEN __v.t = 'STRING' THEN 'String' "
+        "WHEN __v.t = 'BOOLEAN' THEN 'Bool' "
+        # upstream JSON/Dynamic reads non-integer numerics as Float64
+        "WHEN __v.t RLIKE '^DECIMAL\\\\([0-9]+,0\\\\)$' THEN 'Int64' "
+        "WHEN __v.t RLIKE '^DECIMAL' THEN 'Float64' "
+        "ELSE TRANSLATE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE("
+        "REGEXP_REPLACE(REGEXP_REPLACE(__v.t, "
+        "'^ARRAY', 'Array'), 'BIGINT', 'Int64'), 'DOUBLE', 'Float64'), "
+        "'STRING', 'String'), 'BOOLEAN', 'Bool'), '<>', '()') END")
+
+
 _AES_MODES = {"ecb": "ECB", "cbc": "CBC", "gcm": "GCM"}
 
 
@@ -3798,6 +3882,34 @@ _FUNCS: dict[str, str] = {
     "randBernoulli": "IF(RAND() < CAST({0} AS DOUBLE), 1, 0)",
     "randExponential": "(-LN(RAND()) / CAST({0} AS DOUBLE))",
     "randCanonical": lambda a: "RAND()",
+    # round-11 distribution tail — EXACT constructions from uniforms,
+    # unrolled at translate time (JVM-side; see the helper docstrings):
+    # chi2(k) = -2 ln(prod of k/2 uniforms) [+ Z^2 if odd], t(k) =
+    # Z/sqrt(chi2/k), F = ratio of scaled chi2s, binomial = Bernoulli
+    # sum, neg-binomial = geometric sum. Poisson draws through numpy
+    # (exact; no bounded uniform construction exists).
+    "randLogNormal": "EXP(CAST({0} AS DOUBLE) + CAST({1} AS DOUBLE) * "
+                     "SQRT(-2.0D * LN(RAND())) * "
+                     "COS(2.0D * PI() * RAND()))",
+    "randChiSquared": lambda a: _rand_chi_squared_tpl(a),
+    "randStudentT": lambda a: _rand_student_t_tpl(a),
+    "randFisherF": lambda a: _rand_fisher_f_tpl(a),
+    "randBinomial": lambda a: _rand_binomial_tpl(a),
+    "randNegativeBinomial": lambda a: _rand_neg_binomial_tpl(a),
+    "randPoisson": lambda a:
+        f"__rand_poisson(CAST({a[0]} AS DOUBLE), RAND())",
+    # Variant/Dynamic introspection over Spark 4 VariantType ([U]
+    # src/Functions/variantType.cpp, dynamicType.cpp): CH type names
+    # for the scalar kinds, best-effort Spark spelling passthrough for
+    # the composites (documented; same stance as toTypeName's tail)
+    "variantType": lambda a: _variant_type_tpl(a),
+    "dynamicType": lambda a: _variant_type_tpl(a),
+    "variantElement": lambda a: (
+        f"VARIANT_GET({a[0]}, '$', "
+        f"'{_values_col_type(a[1].strip()[1:-1])}')"
+        if len(a) == 2 and a[1].strip().startswith("'")
+        else (_ for _ in ()).throw(ValueError(
+            "variantElement(v, 'Type') needs a literal type string"))),
     # printable-ASCII deviation documented at randomString
     "randomStringUTF8": lambda a: _FUNCS["randomString"].format(a[0]),
     "randomFixedString": lambda a: _FUNCS["randomString"].format(a[0]),
@@ -7357,6 +7469,8 @@ def _register_udfs(spark: SparkSession) -> None:
     # batch-8 compat UDFs (lazily-built pandas UDFs, same stance as
     # cityHash64: compatibility paths; xxHash64 stays the scale hash)
     from clickhouse_clickhouse_spark.functions import series as SR
+    from clickhouse_clickhouse_spark.functions import randomdist as RD
+    spark.udf.register("__rand_poisson", RD.rand_poisson_udf())
     spark.udf.register("__series_fft_period", SR.fft_period_udf())
     spark.udf.register("__sha512_256", H.sha512_256_udf())
     spark.udf.register("__kafka_murmur2", H.kafka_murmur2_udf())

@@ -2810,3 +2810,52 @@ def ch_sql_round11_batch8b(spark, sf):
                    [1.0, 0.0, -1.0, 0.0, 1.0, 0.0, -1.0, 0.0,
                     1.0, 0.0, -1.0, 0.0]) AS fftp
         FROM b8b_region""")
+
+
+@register("ch_sql_round11_batch8c", oracle="""
+SELECT TRUE  AS pois_ok,
+       TRUE  AS chisq_ok,
+       TRUE  AS t_ok,
+       TRUE  AS f_ok,
+       TRUE  AS binom_ok,
+       TRUE  AS negbin_ok,
+       TRUE  AS logn_ok,
+       'Int64'        AS vt_int,
+       'Float64'      AS vt_float,
+       'String'       AS vt_str,
+       'Array(Int64)' AS vt_arr,
+       'None'         AS vt_null,
+       123            AS ve_int
+""")
+def ch_sql_round11_batch8c(spark, sf):
+    """Round-11 batch 8c: the random-distribution tail as MOMENT GATES
+    (each |sample mean - analytic mean| bound is ~14 sigma at n=20k, so
+    the booleans are deterministic-in-practice like the ANN recall
+    gates), plus Variant/Dynamic introspection pins. Analytic means:
+    Poisson(4)=4, chi2(5)=5, t(10)=0, F(10,20)=20/18, Binomial(10,.3)=3,
+    NegBin(5,.5)=5, LogNormal(0,.5)=exp(.125)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    return ch_sql(spark, """
+        SELECT ABS(AVG(pois) - 4.0) < 0.2       AS pois_ok,
+               ABS(AVG(chisq) - 5.0) < 0.3      AS chisq_ok,
+               ABS(AVG(t)) < 0.15               AS t_ok,
+               ABS(AVG(f) - 1.1111) < 0.2       AS f_ok,
+               ABS(AVG(binom) - 3.0) < 0.15     AS binom_ok,
+               ABS(AVG(negbin) - 5.0) < 0.3     AS negbin_ok,
+               ABS(AVG(logn) - 1.1331) < 0.1    AS logn_ok,
+               ANY_VALUE(variantType(parse_json('123')))   AS vt_int,
+               ANY_VALUE(variantType(parse_json('1.5')))   AS vt_float,
+               ANY_VALUE(variantType(parse_json('"x"')))   AS vt_str,
+               ANY_VALUE(variantType(parse_json('[1,2]'))) AS vt_arr,
+               ANY_VALUE(variantType(parse_json('null')))  AS vt_null,
+               ANY_VALUE(variantElement(parse_json('123'), 'Int64'))
+                   AS ve_int
+        FROM (SELECT randPoisson(4.0) AS pois,
+                     randChiSquared(5) AS chisq,
+                     randStudentT(10) AS t,
+                     randFisherF(10, 20) AS f,
+                     randBinomial(10, 0.3) AS binom,
+                     randNegativeBinomial(5, 0.5) AS negbin,
+                     randLogNormal(0.0, 0.5) AS logn
+              FROM RANGE(20000))""")

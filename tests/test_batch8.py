@@ -170,3 +170,48 @@ def test_batch8_nanosecond_subresolution_raises(spark):
     with pytest.raises(Exception, match="microsecond interval"):
         ch_sql(spark, "SELECT toDateTime('2024-02-15 10:00:00') + "
                       "toIntervalNanosecond(1500) AS v").collect()
+
+
+def test_batch8c_distributions_and_variant(spark):
+    """Moment checks for the distribution tail (one pooled action; the
+    constructions are exact, so mean AND variance must both land) and
+    the Variant/Dynamic introspection pins."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    row = ch_sql(spark, """
+        SELECT AVG(pois) AS pm, VARIANCE(pois) AS pv,
+               AVG(chisq) AS cm, VARIANCE(chisq) AS cv,
+               AVG(t) AS tm, VARIANCE(t) AS tv,
+               AVG(f) AS fm,
+               AVG(binom) AS bm, VARIANCE(binom) AS bv,
+               AVG(negbin) AS nm,
+               AVG(logn) AS lm,
+               ANY_VALUE(variantType(parse_json('1.5'))) AS vtf,
+               ANY_VALUE(variantType(parse_json('[1,2]'))) AS vta,
+               ANY_VALUE(dynamicType(parse_json('null'))) AS vtn,
+               ANY_VALUE(variantElement(parse_json('"s"'), 'String'))
+                   AS ves
+        FROM (SELECT randPoisson(4.0) AS pois,
+                     randChiSquared(5) AS chisq,
+                     randStudentT(10) AS t,
+                     randFisherF(10, 20) AS f,
+                     randBinomial(10, 0.3) AS binom,
+                     randNegativeBinomial(5, 0.5) AS negbin,
+                     randLogNormal(0.0, 0.5) AS logn
+              FROM RANGE(20000))
+    """).collect()[0]
+    assert abs(row.pm - 4.0) < 0.2 and abs(row.pv - 4.0) < 0.6
+    assert abs(row.cm - 5.0) < 0.3 and abs(row.cv - 10.0) < 2.0
+    assert abs(row.tm) < 0.15 and abs(row.tv - 1.25) < 0.4
+    assert abs(row.fm - 20.0 / 18.0) < 0.2
+    assert abs(row.bm - 3.0) < 0.15 and abs(row.bv - 2.1) < 0.4
+    assert abs(row.nm - 5.0) < 0.3
+    assert abs(row.lm - 1.1331) < 0.1
+    assert row.vtf == "Float64" and row.vta == "Array(Int64)"
+    assert row.vtn == "None" and row.ves == "s"
+    # literal-param refusals
+    for q in ("SELECT randChiSquared(0)", "SELECT randBinomial(2000, 0.5)",
+              "SELECT randStudentT(x)",
+              "SELECT variantElement(parse_json('1'), t)"):
+        with pytest.raises(ValueError):
+            ch_sql(spark, q)
