@@ -2685,7 +2685,7 @@ def ch_sql_round11_batch7b(spark, sf):
 SELECT r_regionkey,
        levenshtein('kitten', 'sitting')                    AS ed,
        jaccard('abc', 'bcd')                               AS sj,
-       make_date(2024, 2, 15)                              AS d32,
+       CAST(make_date(2024, 2, 15) AS VARCHAR)             AS d32,
        CAST(isnan(COALESCE(CAST(NULL AS DOUBLE),
                            'nan'::DOUBLE)) AS INT)         AS nin,
        TIMESTAMP '2024-02-15 02:00:00'                     AS toutc,
@@ -2722,7 +2722,7 @@ def ch_sql_round11_batch8(spark, sf):
         SELECT r_regionkey,
                editDistance('kitten', 'sitting') AS ed,
                stringJaccardIndexUTF8('abc', 'bcd') AS sj,
-               YYYYMMDDToDate32(20240215) AS d32,
+               CAST(YYYYMMDDToDate32(20240215) AS STRING) AS d32,
                CAST(isNaN(nanIfNull(CAST(NULL AS Float64))) AS Int32)
                    AS nin,
                toUTCTimestamp(toDateTime('2024-02-15 10:00:00'),
