@@ -4251,6 +4251,34 @@ _FUNCS: dict[str, str] = {
         ValueError(
             "CapnProto schema generation is out of scope (format not "
             "supported; see sources/formats.py for the format matrix)")),
+    # batch-8 tail: extractKeyValuePairs via STR_TO_MAP (Spark's
+    # delimiters are REGEX char classes — upstream defaults are ':' kv
+    # and ',;/space' pair delimiters; the 4-arg quoting form refuses)
+    "extractKeyValuePairs": lambda a: (
+        f"STR_TO_MAP({a[0]}, '[,; ]+', "
+        + (a[1] if len(a) > 1 else "':'") + ")"
+        if len(a) <= 2 else
+        f"STR_TO_MAP({a[0]}, CONCAT('[', {a[2]}, ']+'), {a[1]})"
+        if len(a) == 3 else (_ for _ in ()).throw(ValueError(
+            "extractKeyValuePairs: the 4-arg quoting-character form "
+            "is not supported (STR_TO_MAP has no quote handling)"))),
+    "mapPartialReverseSort": lambda a: (_ for _ in ()).throw(ValueError(
+        "mapPartialReverseSort is not supported; mapReverseSort sorts "
+        "fully")),
+    "isDynamicElementInSharedData": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "isDynamicElementInSharedData introspects Dynamic column "
+            "storage internals; no equivalent over parquet")),
+    "getSizeOfEnumType": lambda a: (_ for _ in ()).throw(ValueError(
+        "getSizeOfEnumType needs Enum type reflection; Enum DDL "
+        "columns surface as strings here (types_map)")),
+    "transactionLatestSnapshot": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "transactionLatestSnapshot: no transaction surface here "
+            "(parquet writes are atomic per directory commit)")),
+    "formatQuerySingleLine": lambda a: (_ for _ in ()).throw(ValueError(
+        "formatQuerySingleLine (SQL pretty-printer) is out of scope; "
+        "EXPLAIN SYNTAX shows the translated query")),
 }
 
 # parametric double-call forms: name(params)(args); a value may be a
@@ -8481,6 +8509,8 @@ _FUNCS["normalizedQueryHash"] = "XXHASH64(" + _FUNCS["normalizeQuery"] + ")"
 # whose Spark carriers are already codepoint-/date-based)
 _FUNCS["stringJaccardIndexUTF8"] = _FUNCS["stringJaccardIndex"]
 _FUNCS["YYYYMMDDToDate32"] = _FUNCS["YYYYMMDDToDate"]
+# DateTime64 sub-second precision is the same µs-resolution TIMESTAMP
+_FUNCS["YYYYMMDDhhmmssToDateTime64"] = _FUNCS["YYYYMMDDhhmmssToDateTime"]
 
 # to<T>OrNull / to<T>OrZero conversion family ([U] src/Functions/
 # FunctionsConversion.cpp — TRY_CAST is exactly the OrNull contract:

@@ -215,3 +215,25 @@ def test_batch8c_distributions_and_variant(spark):
               "SELECT variantElement(parse_json('1'), t)"):
         with pytest.raises(ValueError):
             ch_sql(spark, q)
+
+
+def test_batch8_tail_ekv_and_aliases(spark):
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    row = ch_sql(spark, """
+        SELECT extractKeyValuePairs('a:1, b:2;c:3') AS m1,
+               extractKeyValuePairs('a=1, b=2', '=') AS m2,
+               extractKeyValuePairs('a=1|b=2', '=', '|') AS m3,
+               YYYYMMDDhhmmssToDateTime64(20240215103045) AS dt
+    """).collect()[0]
+    assert row.m1 == {"a": "1", "b": "2", "c": "3"}
+    assert row.m2 == {"a": "1", "b": "2"} == row.m3
+    assert (row.dt.year, row.dt.second) == (2024, 45)
+    for q in ("SELECT mapPartialReverseSort(m)",
+              "SELECT getSizeOfEnumType(x)",
+              "SELECT transactionLatestSnapshot()",
+              "SELECT formatQuerySingleLine('SELECT 1')",
+              "SELECT isDynamicElementInSharedData(d)",
+              "SELECT extractKeyValuePairs('a', ':', ',', 'q')"):
+        with pytest.raises(ValueError):
+            ch_sql(spark, q)
