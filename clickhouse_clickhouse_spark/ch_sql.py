@@ -393,6 +393,78 @@ def _rand_neg_binomial_tpl(a: list[str]) -> str:
     return "(" + " + ".join([geo] * r) + ")"
 
 
+_TYPE_DEFAULTS = {
+    "int8": "CAST(0 AS TINYINT)", "int16": "CAST(0 AS SMALLINT)",
+    "int32": "CAST(0 AS INT)", "int64": "CAST(0 AS BIGINT)",
+    "uint8": "CAST(0 AS SMALLINT)", "uint16": "CAST(0 AS INT)",
+    "uint32": "CAST(0 AS BIGINT)", "uint64": "CAST(0 AS BIGINT)",
+    "float32": "CAST(0 AS FLOAT)", "float64": "CAST(0 AS DOUBLE)",
+    "string": "''", "bool": "FALSE",
+    "date": "DATE'1970-01-01'", "date32": "DATE'1970-01-01'",
+    "datetime": "TIMESTAMP'1970-01-01 00:00:00'",
+}
+
+
+def _default_of_type_tpl(a: list[str]) -> str:
+    """defaultValueOfTypeName('Int64') ([U] FunctionsMiscellaneous):
+    the type's zero value as a literal, scalar names only."""
+    mm = re.fullmatch(r"\s*'([^']+)'\s*", a[0])
+    if not mm:
+        raise ValueError(
+            "defaultValueOfTypeName needs a literal type-name string")
+    d = _TYPE_DEFAULTS.get(mm.group(1).strip().lower())
+    if d is None:
+        raise ValueError(
+            f"defaultValueOfTypeName: no default for "
+            f"{mm.group(1)!r} (scalar types: "
+            f"{sorted(_TYPE_DEFAULTS)})")
+    return d
+
+
+def _polygon_fold_tpl(a: list[str], kind: str) -> str:
+    """polygonArea/PerimeterCartesian([(x, y), ...]) ([U]
+    src/Functions/polygon*.cpp via boost::geometry): shoelace area /
+    closed-ring edge-length sum as one fold over the vertex array
+    (per-row, linear in ring size). Single ring."""
+    if len(a) != 1:
+        raise ValueError(f"polygon{kind.title()}Cartesian([ring])")
+    nxt = ("ELEMENT_AT(__v.r, IF(__pi = SIZE(__v.r), 1, __pi + 1))")
+    cur = "ELEMENT_AT(__v.r, __pi)"
+    if kind == "area":
+        term = (f"(CAST({cur}._1 AS DOUBLE) * CAST({nxt}._2 AS DOUBLE) "
+                f"- CAST({nxt}._1 AS DOUBLE) * CAST({cur}._2 AS DOUBLE))")
+        body = (f"ABS(AGGREGATE(SEQUENCE(1, SIZE(__v.r)), 0.0D, "
+                f"(__pa, __pi) -> __pa + {term})) / 2.0D")
+    else:
+        term = (f"SQRT(POW(CAST({nxt}._1 AS DOUBLE) - "
+                f"CAST({cur}._1 AS DOUBLE), 2.0D) + "
+                f"POW(CAST({nxt}._2 AS DOUBLE) - "
+                f"CAST({cur}._2 AS DOUBLE), 2.0D))")
+        body = (f"AGGREGATE(SEQUENCE(1, SIZE(__v.r)), 0.0D, "
+                f"(__pa, __pi) -> __pa + {term})")
+    return _bind_once(
+        {"r": f"TRANSFORM({a[0]}, __pc -> "
+              "CAST(__pc AS STRUCT<_1: DOUBLE, _2: DOUBLE>))"}, body)
+
+
+def _read_wkt_polygon_tpl(a: list[str]) -> str:
+    """readWKTPolygon('POLYGON((x y, ...))') -> array of (x, y) tuples
+    (the engine's ring carrier). Single outer ring; multi-ring WKT
+    raises per-row."""
+    if len(a) != 1:
+        raise ValueError("readWKTPolygon(wkt_string)")
+    ring = (f"REGEXP_REPLACE({a[0]}, "
+            "'(?i)^\\\\s*POLYGON\\\\s*\\\\(\\\\(|\\\\)\\\\)\\\\s*$', '')")
+    guarded = (f"IF({a[0]} RLIKE '\\\\)\\\\s*,\\\\s*\\\\(', "
+               "RAISE_ERROR('readWKTPolygon: multi-ring polygons "
+               "(holes) are not supported'), " + ring + ")")
+    return (f"TRANSFORM(SPLIT({guarded}, ','), __wp -> NAMED_STRUCT("
+            "'_1', CAST(ELEMENT_AT(SPLIT(TRIM(__wp), '\\\\s+'), 1) "
+            "AS DOUBLE), "
+            "'_2', CAST(ELEMENT_AT(SPLIT(TRIM(__wp), '\\\\s+'), 2) "
+            "AS DOUBLE)))")
+
+
 def _variant_type_tpl(a: list[str]) -> str:
     """variantType/dynamicType(v): CH names for scalar kinds out of
     SCHEMA_OF_VARIANT; NULL -> 'None' (upstream Dynamic convention)."""
@@ -4279,6 +4351,34 @@ _FUNCS: dict[str, str] = {
     "formatQuerySingleLine": lambda a: (_ for _ in ()).throw(ValueError(
         "formatQuerySingleLine (SQL pretty-printer) is out of scope; "
         "EXPLAIN SYNTAX shows the translated query")),
+    # ---- round-11 probe batch 9 ----------------------------------------
+    # WithOverflow keeps the input type (wrapping) — with ANSI off this
+    # engine's sumMap already wraps, so the name is the composed sumMap
+    "sumMapWithOverflow": lambda a: _compose_combinators("sumMap")(a),
+    "toStringCutToZero": "ELEMENT_AT(SPLIT({0}, '\\\\x00'), 1)",
+    "defaultValueOfTypeName": lambda a: _default_of_type_tpl(a),
+    "toIPv4OrZero": lambda a: _ip_or_default_tpl(a[:1], v6=False),
+    "toIPv6OrZero": lambda a: _ip_or_default_tpl(a[:1], v6=True),
+    # ARRAYS_ZIP null-pads to the longest input — exactly the Unaligned
+    # contract (arrayZip above shares the carrier; upstream's strict
+    # equal-size error is a documented deviation there)
+    "arrayZipUnaligned": "ARRAYS_ZIP({*})",
+    "polygonAreaCartesian": lambda a: _polygon_fold_tpl(a, "area"),
+    "polygonPerimeterCartesian":
+        lambda a: _polygon_fold_tpl(a, "perimeter"),
+    "readWKTPolygon": lambda a: _read_wkt_polygon_tpl(a),
+    "IPv6CIDRToRange": lambda a: (_ for _ in ()).throw(ValueError(
+        "IPv6CIDRToRange is not implemented (128-bit mask math over "
+        "the string-carried IPv6 type); IPv4CIDRToRange covers v4")),
+    "exponentialMovingAverage": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "exponentialMovingAverage's IIR recurrence is "
+            "insertion-order dependent; exponentialTimeDecayedAvg(λ)"
+            "(v, t) is the time-anchored equivalent here")),
+    "sequenceMatchEvents": lambda a: (_ for _ in ()).throw(ValueError(
+        "sequenceMatchEvents (matched-event timestamps) is not "
+        "implemented; sequenceMatch tests the pattern and windowFunnel "
+        "returns chain depth")),
 }
 
 # parametric double-call forms: name(params)(args); a value may be a

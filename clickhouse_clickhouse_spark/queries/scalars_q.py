@@ -2859,3 +2859,47 @@ def ch_sql_round11_batch8c(spark, sf):
                      randNegativeBinomial(5, 0.5) AS negbin,
                      randLogNormal(0.0, 0.5) AS logn
               FROM RANGE(20000))""")
+
+
+@register("ch_sql_round11_batch9", oracle="""
+SELECT r_regionkey,
+       'ab'                          AS cutz,
+       0                             AS d_int,
+       ''                            AS d_str,
+       16909060                      AS ip_ok,
+       0                             AS ip_bad,
+       3                             AS zun,
+       50.0                          AS area,
+       30.0                          AS perim,
+       90.0                          AS wkt_area,
+       4                             AS wkt_n
+FROM region
+""")
+def ch_sql_round11_batch9(spark, sf):
+    """Round-11 probe batch 9 on the gate: toStringCutToZero,
+    defaultValueOfTypeName, toIPv4OrZero (parse-or-zero in the UInt32
+    convention), arrayZipUnaligned null-padding, cartesian polygon
+    area (shoelace) / perimeter folds, and the WKT ring parser feeding
+    the same folds (POLYGON((1 0, 10 0, 10 10, 1 10)) is a 9x10
+    rectangle)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "region").createOrReplaceTempView("b9_region")
+    return ch_sql(spark, """
+        SELECT r_regionkey,
+               toStringCutToZero(CONCAT('ab', CHAR(0), 'cd')) AS cutz,
+               defaultValueOfTypeName('Int32') AS d_int,
+               defaultValueOfTypeName('String') AS d_str,
+               toIPv4OrZero('1.2.3.4') AS ip_ok,
+               toIPv4OrZero('not-an-ip') AS ip_bad,
+               SIZE(arrayZipUnaligned([1, 2, 3], ['a'])) AS zun,
+               polygonAreaCartesian([(0.0, 0.0), (10.0, 0.0),
+                                     (10.0, 5.0), (0.0, 5.0)]) AS area,
+               polygonPerimeterCartesian(
+                   [(0.0, 0.0), (10.0, 0.0),
+                    (10.0, 5.0), (0.0, 5.0)]) AS perim,
+               polygonAreaCartesian(readWKTPolygon(
+                   'POLYGON((1 0, 10 0, 10 10, 1 10))')) AS wkt_area,
+               SIZE(readWKTPolygon(
+                   'POLYGON((1 0, 10 0, 10 10, 1 10))')) AS wkt_n
+        FROM b9_region""")

@@ -237,3 +237,33 @@ def test_batch8_tail_ekv_and_aliases(spark):
               "SELECT extractKeyValuePairs('a', ':', ',', 'q')"):
         with pytest.raises(ValueError):
             ch_sql(spark, q)
+
+
+def test_batch9_polygons_defaults_misc(spark):
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    row = ch_sql(spark, """
+        SELECT sumMapWithOverflow(k, v) AS m,
+               ANY_VALUE(defaultValueOfTypeName('DateTime')) AS ddt,
+               ANY_VALUE(toIPv6OrZero('nope')) AS v6z,
+               ANY_VALUE(polygonAreaCartesian(
+                   [(0.0,0.0), (4.0,0.0), (4.0,3.0)])) AS tri,
+               ANY_VALUE(polygonPerimeterCartesian(
+                   [(0.0,0.0), (4.0,0.0), (4.0,3.0)])) AS trip
+        FROM VALUES (array(1,2), array(10,10)), (array(2,3), array(5,5))
+             AS t(k, v)
+    """).collect()[0]
+    assert row.m == {1: 10, 2: 15, 3: 5}
+    assert row.ddt.year == 1970 and row.v6z == "::"
+    assert row.tri == 6.0 and row.trip == 12.0   # 3-4-5 triangle
+    for q in ("SELECT IPv6CIDRToRange(a, 16)",
+              "SELECT exponentialMovingAverage(0.5)(v, t)",
+              "SELECT sequenceMatchEvents('(?1)')(t, c)",
+              "SELECT defaultValueOfTypeName('Array(Int64)')",
+              "SELECT readWKTPolygon(w, 2)"):
+        with pytest.raises(ValueError):
+            ch_sql(spark, q)
+    with pytest.raises(Exception, match="multi-ring"):
+        ch_sql(spark, "SELECT readWKTPolygon("
+                      "'POLYGON((0 0,1 0,1 1),(2 2,3 3,4 4))') AS r"
+               ).collect()
