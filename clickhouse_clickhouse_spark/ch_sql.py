@@ -7517,6 +7517,23 @@ def _translate_impl(sql: str,
         else:
             q = f"SELECT {tail} LIMIT 1 BY {keys}"
 
+    # QUALIFY <cond> ([U] InterpreterSelectQuery qualify clause —
+    # post-window row filter): Spark has no QUALIFY, so wrap the query
+    # and filter on the projected aliases in the outer WHERE; trailing
+    # ORDER BY/LIMIT/... clauses move to the outer query so they apply
+    # AFTER the filter, exactly as upstream evaluates them.
+    qp = _toplevel_kw_pos(q, re.compile(r"\bQUALIFY\b", re.IGNORECASE))
+    if qp >= 0:
+        body, rest = q[:qp].rstrip(), q[qp + len("QUALIFY"):]
+        tp = _toplevel_kw_pos(rest, re.compile(
+            r"\b(?:ORDER\s+BY|LIMIT|OFFSET|SETTINGS|FORMAT|UNION|"
+            r"INTERSECT|EXCEPT)\b", re.IGNORECASE))
+        cond, tail = (rest, "") if tp < 0 else (rest[:tp], rest[tp:])
+        if not cond.strip():
+            raise ValueError("QUALIFY needs a condition")
+        q = (f"SELECT * FROM ({body}) __ch_qualify "
+             f"WHERE {cond.strip()} {tail}")
+
     # MOD infix (MySQL-compat spelling upstream accepts) -> %.
     # Anchored to infix position (operand-space-MOD-space-operand, next
     # token not a clause keyword) so mod(a, b) calls and identifiers

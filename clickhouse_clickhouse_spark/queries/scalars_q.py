@@ -2903,3 +2903,26 @@ def ch_sql_round11_batch9(spark, sf):
                SIZE(readWKTPolygon(
                    'POLYGON((1 0, 10 0, 10 10, 1 10))')) AS wkt_n
         FROM b9_region""")
+
+
+@register("ch_sql_qualify", oracle="""
+SELECT n_regionkey, n_name,
+       row_number() OVER (PARTITION BY n_regionkey
+                          ORDER BY n_nationkey) AS rn
+FROM nation QUALIFY rn <= 2
+ORDER BY n_regionkey, rn
+""")
+def ch_sql_qualify(spark, sf):
+    """QUALIFY post-window filter — DuckDB supports QUALIFY natively,
+    so this is a true differential oracle (same clause, independent
+    engine). Trailing ORDER BY applies after the filter on both
+    sides."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "nation").createOrReplaceTempView("q_nation")
+    return ch_sql(spark, """
+        SELECT n_regionkey, n_name,
+               row_number() OVER (PARTITION BY n_regionkey
+                                  ORDER BY n_nationkey) AS rn
+        FROM q_nation QUALIFY rn <= 2
+        ORDER BY n_regionkey, rn""")

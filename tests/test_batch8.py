@@ -267,3 +267,21 @@ def test_batch9_polygons_defaults_misc(spark):
         ch_sql(spark, "SELECT readWKTPolygon("
                       "'POLYGON((0 0,1 0,1 1),(2 2,3 3,4 4))') AS r"
                ).collect()
+
+
+def test_qualify_clause(spark, sf_dir):
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+    from clickhouse_clickhouse_spark.tables import load_table
+
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "qual_nation")
+    rows = ch_sql(spark, """
+        SELECT n_regionkey,
+               row_number() OVER (PARTITION BY n_regionkey
+                                  ORDER BY n_nationkey) AS rn
+        FROM qual_nation QUALIFY rn = 1 ORDER BY n_regionkey LIMIT 3
+    """).collect()
+    assert [(r.n_regionkey, r.rn) for r in rows] == [(0, 1), (1, 1),
+                                                     (2, 1)]
+    with pytest.raises(ValueError, match="condition"):
+        ch_sql(spark, "SELECT 1 AS x QUALIFY ORDER BY x")
