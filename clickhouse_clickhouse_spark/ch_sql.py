@@ -7297,15 +7297,19 @@ def _translate_impl(sql: str,
         raise ValueError(
             "bare UNION: the reference requires UNION ALL or UNION "
             "DISTINCT (union_default_mode is empty upstream)")
-    # * REPLACE/APPLY need the input schema, which a text translator
-    # doesn't have — refuse toward the DataFrame pattern (* EXCEPT is
-    # Spark-native and passes through)
-    if _masked_search(re.compile(r"\*\s+(REPLACE|APPLY)\s*\(",
+    # Star transformers need the input schema, which a text translator
+    # doesn't have — ch_sql() resolves the FROM schema lazily and
+    # rebuilds the select list (top-level form); nested/text-only use
+    # refuses toward the DataFrame pattern
+    if _masked_search(re.compile(r"(\*|COLUMNS\s*\(\s*'[^']*'\s*\))\s+"
+                                 r"(REPLACE|APPLY)\s*\(",
                                  re.IGNORECASE), q):
         raise ValueError(
-            "* REPLACE/APPLY need the schema — use the DataFrame "
+            "* REPLACE/APPLY / COLUMNS(...) APPLY need the schema — "
+            "ch_sql() handles the TOP-LEVEL 'SELECT * EXCEPT/REPLACE/"
+            "APPLY ... FROM ...' form; for nested use, the DataFrame "
             "column-list pattern (queries/advanced_q.star_except_"
-            "replace); * EXCEPT (cols) is supported natively")
+            "replace)")
     if _masked_search(re.compile(r"\bLIMIT\s+\d+\s+WITH\s+TIES\b",
                                  re.IGNORECASE), q):
         raise ValueError(
@@ -8311,6 +8315,88 @@ def substitute_params(sql: str, params: dict | None) -> str:
     return _masked_sub(_PARAM_RE, one, sql)
 
 
+_STAR_TRANSFORM_RE = re.compile(
+    r"^\s*SELECT\s+(\*|COLUMNS\s*\(\s*'[^']*'\s*\))\s*"
+    r"((?:(?:EXCEPT|REPLACE|APPLY)\s*\().*?)\s+FROM\s+(.*)$",
+    re.IGNORECASE | re.DOTALL)
+
+
+def _try_star_transformers(spark: SparkSession, sql: str, final_keys):
+    """SELECT * EXCEPT(...) / * REPLACE(expr AS col) / COLUMNS('re')
+    APPLY(fn) ([U] select-list column transformers): Spark has no
+    star transformers, so resolve the schema from the FROM clause
+    (lazy, no execution) and rebuild the select list in DIALECT text —
+    REPLACE/APPLY expressions then translate through the normal path.
+    Top-level single-SELECT form; transformers chain left-to-right."""
+    s = sql.strip().rstrip(";")
+    masked = _mask_strings(s)
+    mm = _STAR_TRANSFORM_RE.match(masked)
+    if not mm:
+        return None
+    head = s[mm.start(1):mm.end(1)]
+    rest = s[mm.start(3):]
+    # split the transformer chain on balanced parens
+    chain, i = [], mm.start(2)
+    while i < mm.end(2):
+        km = re.match(r"\s*(EXCEPT|REPLACE|APPLY)\s*\(", masked[i:],
+                      re.IGNORECASE)
+        if not km:
+            break
+        op = km.group(1).upper()
+        open_p = i + km.end() - 1
+        close = _find_close(s, open_p)
+        if close < 0:
+            raise ValueError(f"* {op}: unbalanced parentheses")
+        chain.append((op, s[open_p + 1:close]))
+        i = close + 1
+    if not chain:
+        return None
+    cols = list(spark.sql(
+        translate(f"SELECT * FROM {rest}", final_keys=final_keys))
+        .schema.names)
+    cm = re.match(r"COLUMNS\s*\(\s*'([^']*)'\s*\)", head, re.IGNORECASE)
+    if cm:
+        pat = re.compile(cm.group(1))
+        cols = [c for c in cols if pat.search(c)]
+    sel_cols = [(c, f"`{c}`") for c in cols]   # (output name, expr)
+    for op, body in chain:
+        if op == "EXCEPT":
+            drop = {c.strip().strip("`") for c in body.split(",")}
+            unknown = drop - {n for n, _ in sel_cols}
+            if unknown:
+                raise ValueError(f"* EXCEPT: unknown columns "
+                                 f"{sorted(unknown)}")
+            sel_cols = [(n, e) for n, e in sel_cols if n not in drop]
+        elif op == "REPLACE":
+            repl = {}
+            for part in _split_args(body):
+                rm = re.match(r"(?s)^\s*(.*?)\s+AS\s+`?(\w+)`?\s*$",
+                              part)
+                if not rm:
+                    raise ValueError(
+                        "* REPLACE needs 'expr AS column' entries")
+                repl[rm.group(2)] = f"({rm.group(1)})"
+            unknown = set(repl) - {n for n, _ in sel_cols}
+            if unknown:
+                raise ValueError(f"* REPLACE: unknown columns "
+                                 f"{sorted(unknown)}")
+            sel_cols = [(n, repl.get(n, e)) for n, e in sel_cols]
+        else:   # APPLY — upstream names results fn(col)
+            fn = body.strip()
+            if not re.fullmatch(r"[A-Za-z_][\w]*", fn):
+                raise ValueError("APPLY takes a single function name")
+            sel_cols = [(f"{fn}({n})", f"{fn}({e})")
+                        for n, e in sel_cols]
+    if not sel_cols:
+        raise ValueError("star transformers removed every column")
+    # rename AFTER execution (toDF): a parenthesized alias like
+    # `max(col)` would otherwise be parsed as a call by the rewriter
+    sel = ", ".join(e for _, e in sel_cols)
+    out = ch_sql(spark, f"SELECT {sel} FROM {rest}",
+                 final_keys=final_keys)
+    return out.toDF(*[n for n, _ in sel_cols])
+
+
 def ch_sql(spark: SparkSession, sql: str,
            final_keys: dict[str, tuple[list[str], str]] | None = None,
            params: dict | None = None) -> DataFrame:
@@ -8341,6 +8427,9 @@ def ch_sql(spark: SparkSession, sql: str,
     routed = _try_projection_route(spark, sql)
     if routed is not None:
         return routed
+    starred = _try_star_transformers(spark, sql, final_keys)
+    if starred is not None:
+        return starred
     joined = _try_strictness_join(spark, sql, final_keys)
     if joined is not None:
         return joined

@@ -2926,3 +2926,23 @@ def ch_sql_qualify(spark, sf):
                                   ORDER BY n_nationkey) AS rn
         FROM q_nation QUALIFY rn <= 2
         ORDER BY n_regionkey, rn""")
+
+
+@register("ch_sql_star_transformers", oracle="""
+SELECT n_nationkey, n_regionkey * 10 AS n_regionkey
+FROM nation ORDER BY n_nationkey LIMIT 5
+""")
+def ch_sql_star_transformers(spark, sf):
+    """Select-list column transformers ([U] select * EXCEPT/REPLACE):
+    ch_sql resolves the FROM schema lazily and rebuilds the select
+    list, so REPLACE expressions run through the normal dialect
+    translation; names follow upstream (fn(col) for APPLY). DuckDB has
+    EXCLUDE/REPLACE but the oracle here spells the final projection
+    directly — an independent construction."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "nation").createOrReplaceTempView("st_nation")
+    return ch_sql(spark, """
+        SELECT * EXCEPT (n_name)
+               REPLACE (n_regionkey * 10 AS n_regionkey)
+        FROM st_nation ORDER BY n_nationkey LIMIT 5""")

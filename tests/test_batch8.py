@@ -285,3 +285,30 @@ def test_qualify_clause(spark, sf_dir):
                                                      (2, 1)]
     with pytest.raises(ValueError, match="condition"):
         ch_sql(spark, "SELECT 1 AS x QUALIFY ORDER BY x")
+
+
+def test_star_transformers(spark, sf_dir):
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+    from clickhouse_clickhouse_spark.tables import load_table
+
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "st_nation")
+    df = ch_sql(spark, "SELECT COLUMNS('n_(nation|region)key') "
+                       "APPLY(max) FROM st_nation")
+    assert df.columns == ["max(n_nationkey)", "max(n_regionkey)"]
+    assert list(df.collect()[0]) == [24, 4]
+    df2 = ch_sql(spark, "SELECT * EXCEPT (n_name) REPLACE "
+                        "(n_regionkey * 10 AS n_regionkey) "
+                        "FROM st_nation WHERE n_nationkey = 3")
+    assert list(df2.collect()[0]) == [3, 30]
+    # dialect functions translate inside APPLY
+    df3 = ch_sql(spark, "SELECT COLUMNS('n_nationkey') APPLY(toInt32) "
+                        "FROM st_nation LIMIT 1")
+    assert df3.columns == ["toInt32(n_nationkey)"]
+    for q in ("SELECT * EXCEPT (nope) FROM st_nation",
+              "SELECT * REPLACE (n_name) FROM st_nation",
+              "SELECT * APPLY(max, min) FROM st_nation",
+              "SELECT * EXCEPT (n_nationkey, n_name, n_regionkey) "
+              "FROM st_nation"):
+        with pytest.raises(ValueError):
+            ch_sql(spark, q)

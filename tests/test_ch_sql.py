@@ -3198,8 +3198,10 @@ def test_round10_values_tf_and_hof_arity(spark):
         .collect()
     assert [(r.name, r.type) for r in d] == [("x", "Int64"),
                                              ("y", "String")]
-    with _p.raises(ValueError, match="REPLACE/APPLY"):
-        ch_sql(spark, "SELECT * APPLY (sum) FROM numbers(1)")
+    # r11: the top-level star-transformer form is now implemented
+    # (ch_sql resolves the FROM schema and rebuilds the select list)
+    ap = ch_sql(spark, "SELECT * APPLY (sum) FROM numbers(3)")
+    assert ap.columns == ["sum(number)"] and ap.collect()[0][0] == 3
 
 
 def test_round10_query_params_and_system_numbers(spark):
