@@ -465,6 +465,50 @@ def _read_wkt_polygon_tpl(a: list[str]) -> str:
             "AS DOUBLE)))")
 
 
+# CREATE FUNCTION name AS (params) -> expr ([U] UserDefinedSQLFunction
+# — lambda-expression UDFs): name -> (params, body). Session-global
+# like the dictionary registry; calls expand by textual substitution
+# at translate time, so the body's dialect functions translate through
+# the normal path afterwards.
+_SQL_UDFS: dict[str, tuple[list[str], str]] = {}
+
+
+def _expand_sql_udfs(q: str) -> str:
+    """Expand registered SQL-lambda UDF calls (macro substitution with
+    parenthesized args; nested/recursive expansion capped)."""
+    if not _SQL_UDFS:
+        return q
+    for _ in range(10):
+        changed = False
+        for name, (params, body) in _SQL_UDFS.items():
+            pat = re.compile(rf"\b{re.escape(name)}\s*\(")
+            while True:
+                mm = _masked_search(pat, q)
+                if not mm:
+                    break
+                open_p = q.index("(", mm.start())
+                close = _find_close(q, open_p)
+                if close < 0:
+                    raise ValueError(f"{name}: unbalanced call")
+                args = [a.strip() for a in
+                        _split_args(q[open_p + 1:close])] \
+                    if q[open_p + 1:close].strip() else []
+                if len(args) != len(params):
+                    raise ValueError(
+                        f"{name} takes {len(params)} arguments "
+                        f"({', '.join(params)}), got {len(args)}")
+                expanded = body
+                for p, a in zip(params, args):
+                    expanded = re.sub(rf"\b{re.escape(p)}\b",
+                                      f"({a})", expanded)
+                q = q[:mm.start()] + f"({expanded})" + q[close + 1:]
+                changed = True
+        if not changed:
+            return q
+    raise ValueError("SQL UDF expansion did not converge "
+                     "(recursive CREATE FUNCTION definitions?)")
+
+
 def _variant_type_tpl(a: list[str]) -> str:
     """variantType/dynamicType(v): CH names for scalar kinds out of
     SCHEMA_OF_VARIANT; NULL -> 'None' (upstream Dynamic convention)."""
@@ -7592,7 +7636,7 @@ def _translate_impl(sql: str,
     # whitespace-stable output (clause strips can leave trailing blanks;
     # keeps translate idempotent — pinned by test). Float64 literal
     # typing runs LAST, on the fully expanded SQL.
-    return _float_literal_pass(_rewrite_calls(q)).strip()
+    return _float_literal_pass(_rewrite_calls(_expand_sql_udfs(q))).strip()
 
 
 _REGISTERED: set[int] = set()
@@ -9119,6 +9163,30 @@ def ch_statement(spark: SparkSession, sql: str,
         raise ValueError("unsupported SYSTEM statement (SYSTEM REFRESH "
                          "VIEW <name> is)")
     if kw == "CREATE":
+        fm = re.match(
+            r"CREATE\s+FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<n>\w+)"
+            r"\s+AS\s*\(\s*(?P<p>[\w\s,]*)\)\s*->\s*(?P<b>.+)$",
+            sql.strip().rstrip(";"), re.IGNORECASE | re.DOTALL)
+        if fm:
+            name = fm.group("n")
+            if name in _FUNCS or name.lower() in {
+                    f.lower() for f in _FUNCS}:
+                raise ValueError(
+                    f"CREATE FUNCTION: {name!r} would override a "
+                    "built-in function (upstream forbids this too)")
+            params = [p.strip() for p in fm.group("p").split(",")
+                      if p.strip()]
+            if len(set(params)) != len(params):
+                raise ValueError("CREATE FUNCTION: duplicate parameter")
+            _SQL_UDFS[name] = (params, fm.group("b").strip())
+            return spark.createDataFrame(
+                [(name, len(params))], "function string, arity int")
+        if re.match(r"CREATE\s+FUNCTION\b", sql.strip(),
+                    re.IGNORECASE):
+            raise ValueError(
+                "CREATE FUNCTION name AS (params) -> expression is the "
+                "supported form (executable UDFs — external processes "
+                "— are out of scope)")
         dm = re.match(
             r"CREATE\s+DICTIONARY\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<n>\w+)"
             r"\s*\((?P<cols>.*?)\)\s*"
@@ -9430,6 +9498,17 @@ def ch_statement(spark: SparkSession, sql: str,
         ok = spark.catalog.tableExists(name)
         return spark.createDataFrame([(1 if ok else 0,)], "result int")
     if kw == "DROP":
+        fdm = re.match(r"DROP\s+FUNCTION\s+(?:IF\s+EXISTS\s+)?(\w+)",
+                       sql.strip().rstrip(";"), re.IGNORECASE)
+        if fdm:
+            dropped = _SQL_UDFS.pop(fdm.group(1), None) is not None
+            if not dropped and not re.search(r"IF\s+EXISTS", sql,
+                                             re.IGNORECASE):
+                raise ValueError(
+                    f"DROP FUNCTION: {fdm.group(1)!r} does not exist")
+            return spark.createDataFrame(
+                [(fdm.group(1), dropped)],
+                "function string, dropped boolean")
         ddm = re.match(r"DROP\s+DICTIONARY\s+(?:IF\s+EXISTS\s+)?(\w+)",
                        sql.strip().rstrip(";"), re.IGNORECASE)
         if ddm:

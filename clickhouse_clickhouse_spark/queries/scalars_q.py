@@ -2946,3 +2946,29 @@ def ch_sql_star_transformers(spark, sf):
         SELECT * EXCEPT (n_name)
                REPLACE (n_regionkey * 10 AS n_regionkey)
         FROM st_nation ORDER BY n_nationkey LIMIT 5""")
+
+
+@register("ch_sql_create_function", oracle="""
+SELECT n_nationkey, n_nationkey * 10 + 7 AS lin,
+       CAST(n_nationkey * n_nationkey AS BIGINT) AS sq
+FROM nation ORDER BY n_nationkey LIMIT 10
+""")
+def ch_sql_create_function(spark, sf):
+    """CREATE FUNCTION name AS (params) -> expr ([U]
+    UserDefinedSQLFunctionVisitor — SQL-lambda UDFs): calls expand by
+    macro substitution at translate time, so the body's dialect
+    functions translate through the normal path, nested UDF calls
+    compose, and the oracle spells the arithmetic inline."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, ch_statement
+
+    load_table(spark, sf, "nation").createOrReplaceTempView("cf_nation")
+    ch_statement(spark, "DROP FUNCTION IF EXISTS __q_lin")
+    ch_statement(spark, "DROP FUNCTION IF EXISTS __q_sq")
+    ch_statement(spark,
+                 "CREATE FUNCTION __q_lin AS (x, k, b) -> k * x + b")
+    ch_statement(spark,
+                 "CREATE FUNCTION __q_sq AS (x) -> toInt64(x * x)")
+    return ch_sql(spark, """
+        SELECT n_nationkey, __q_lin(n_nationkey, 10, 7) AS lin,
+               __q_sq(n_nationkey) AS sq
+        FROM cf_nation ORDER BY n_nationkey LIMIT 10""")

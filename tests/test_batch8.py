@@ -312,3 +312,23 @@ def test_star_transformers(spark, sf_dir):
               "FROM st_nation"):
         with pytest.raises(ValueError):
             ch_sql(spark, q)
+
+
+def test_create_function_sql_udfs(spark):
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, ch_statement
+
+    ch_statement(spark, "DROP FUNCTION IF EXISTS t_lin")
+    ch_statement(spark, "DROP FUNCTION IF EXISTS t_lin2")
+    ch_statement(spark, "CREATE FUNCTION t_lin AS (x, k, b) -> k*x + b")
+    ch_statement(spark, "CREATE FUNCTION t_lin2 AS (x) -> t_lin(x, 2, 1)")
+    row = ch_sql(spark, "SELECT t_lin(2, 3, 4) AS a, t_lin2(10) AS b, "
+                        "t_lin2(t_lin2(1)) AS c").collect()[0]
+    assert (row.a, row.b, row.c) == (10, 21, 7)
+    with pytest.raises(ValueError, match="override"):
+        ch_statement(spark, "CREATE FUNCTION toDate AS (x) -> x")
+    with pytest.raises(ValueError, match="takes 3"):
+        ch_sql(spark, "SELECT t_lin(1) AS v")
+    with pytest.raises(ValueError, match="does not exist"):
+        ch_statement(spark, "DROP FUNCTION t_nope")
+    ch_statement(spark, "DROP FUNCTION t_lin2")
+    ch_statement(spark, "DROP FUNCTION IF EXISTS t_lin")
