@@ -4419,10 +4419,6 @@ _FUNCS: dict[str, str] = {
             "exponentialMovingAverage's IIR recurrence is "
             "insertion-order dependent; exponentialTimeDecayedAvg(λ)"
             "(v, t) is the time-anchored equivalent here")),
-    "sequenceMatchEvents": lambda a: (_ for _ in ()).throw(ValueError(
-        "sequenceMatchEvents (matched-event timestamps) is not "
-        "implemented; sequenceMatch tests the pattern and windowFunnel "
-        "returns chain depth")),
 }
 
 # parametric double-call forms: name(params)(args); a value may be a
@@ -4609,6 +4605,8 @@ _PARAMETRIC: dict = {
     # per-group sorted event array — same semantics as the DataFrame
     # operators in operators/events.py
     "windowFunnel": lambda params, args: _window_funnel_tpl(params, args),
+    "sequenceMatchEvents": lambda params, args:
+        _sequence_events_tpl(params, args),
     "sequenceMatch": lambda params, args: _sequence_tpl(params, args,
                                                         count=False),
     "sequenceCount": lambda params, args: _sequence_tpl(params, args,
@@ -5738,6 +5736,75 @@ def _sequence_next_node_tpl(params: list[str], args: list[str]) -> str:
             f"__m -> IF(LENGTH(__m) >= {_PFX}, "
             f"SUBSTRING(__m, {_PFX + 1}), "
             "CAST(NULL AS STRING))), 1)")
+
+
+def _sequence_events_tpl(params: list[str], args: list[str]) -> str:
+    """sequenceMatchEvents('pattern')(ts, cond1, ...) ([U]
+    AggregateFunctionSequenceMatch.h, Events form): the timestamps of
+    the events matching the pattern's (?N) steps for the FIRST
+    (leftmost) match, as Array(DateTime); empty array when no match.
+
+    Same hex-oct token encoding as sequenceMatch, extended with a
+    7-hex-digit EVENT INDEX suffix per token; each (?N) step becomes a
+    CAPTURE group, one REGEXP_EXTRACT per step recovers the matched
+    token, and the index suffix maps back into the group's sorted
+    timestamp array. Groups beyond 16^7 events raise (index width)."""
+    if len(params) != 1 or len(args) < 2:
+        raise ValueError("sequenceMatchEvents('pattern')(ts, cond1, ...)")
+    pm = re.fullmatch(r"\s*'([^']*)'\s*", params[0])
+    if pm is None:
+        raise ValueError("sequenceMatchEvents: pattern must be a "
+                         "string literal")
+    ts, conds = args[0], args[1:]
+    k = len(conds)
+    if k > _SEQ_MAX_CONDS:
+        raise ValueError(
+            f"sequenceMatchEvents supports up to {_SEQ_MAX_CONDS} "
+            "conditions")
+    steps, has_time = _parse_sequence_pattern(pm.group(1), k)
+    if has_time:
+        raise ValueError(
+            "sequenceMatchEvents: (?t) time guards are not supported "
+            "in the Events form here — sequenceMatch handles guarded "
+            "patterns")
+    bm = " + ".join(f"IF({c}, {1 << i}, 0)"
+                    for i, c in enumerate(conds))
+    evs = ("FILTER(ARRAY_SORT(COLLECT_LIST("
+           "NAMED_STRUCT('t', UNIX_MICROS({ts}), 'bm', {bm}))), "
+           "__ev -> __ev.bm != 0)").format(ts=ts, bm=bm)
+    idx_re = "[0-9A-F]{7}"
+    tok = "(?:g[0-9A-F]{%d}%s)" % (_SEQ_NIBBLES, idx_re)
+    out, ngroups = [], 0
+    for st in steps:
+        # LAZY separators: upstream's one-pass matcher binds each step
+        # to the EARLIEST satisfying event (earliest completion), which
+        # is exactly lazy-quantifier leftmost matching
+        if st["sep"] == "star":
+            out.append(f"{tok}*?")
+        elif st["sep"] == "plus":
+            out.append(f"{tok}+?")
+        out.append("(" + _seq_token_regex(st["n"]) + idx_re + ")")
+        ngroups += 1
+    regex = "".join(out)
+    s_expr = (f"ARRAY_JOIN(TRANSFORM(__se.e, (__ev, __ei) -> "
+              f"CONCAT('g', LPAD(HEX(__ev.bm), {_SEQ_NIBBLES}, '0'), "
+              "LPAD(HEX(__ei), 7, '0'))), '')")
+    extracts = ", ".join(
+        f"REGEXP_EXTRACT(__sv.s, '{regex}', {i + 1})"
+        for i in range(ngroups))
+    final = (f"CASE WHEN REGEXP_LIKE(__sv.s, '{regex}') THEN "
+             f"TRANSFORM(ARRAY({extracts}), __tk -> TIMESTAMP_MICROS("
+             "ELEMENT_AT(__sv.ta, CAST(CONV(SUBSTRING(__tk, -7), 16, "
+             "10) AS INT) + 1))) "
+             "ELSE CAST(ARRAY() AS ARRAY<TIMESTAMP>) END")
+    inner = _bind_once(
+        {"s": s_expr, "ta": "TRANSFORM(__se.e, __ev -> __ev.t)"},
+        final, var="__sv")
+    return _bind_once(
+        {"e": evs},
+        f"IF(SIZE(__se.e) >= 268435456, RAISE_ERROR("
+        "'sequenceMatchEvents: group exceeds the 16^7-event index "
+        f"width'), {inner})", var="__se")
 
 
 def _sequence_tpl(params: list[str], args: list[str],

@@ -646,3 +646,40 @@ def ch_sql_interval_origin(spark, sf):
                    toDateTime('2024-01-01 00:00:30')) AS s90o,
                count() AS n
         FROM events GROUP BY m2o, y1o, w2o, s90o""")
+
+
+@register("seq_match_events", oracle="""
+WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_type
+            FROM events),
+c AS (SELECT user_id, min(t) AS t1 FROM ev
+      WHERE event_type = 'click' GROUP BY user_id),
+p AS (SELECT ev.user_id, min(ev.t) AS t2
+      FROM ev JOIN c ON ev.user_id = c.user_id AND ev.t >= c.t1
+      WHERE ev.event_type = 'purchase' GROUP BY ev.user_id)
+SELECT c.user_id, c.t1 AS first_click, p.t2 AS next_purchase
+FROM c JOIN p ON c.user_id = p.user_id
+ORDER BY c.user_id
+""")
+def seq_match_events(spark, sf):
+    """sequenceMatchEvents ([U] AggregateFunctionSequenceMatch.h Events
+    form): the matched (?N) event timestamps of the leftmost match.
+    The DuckDB twin derives the same pair independently — earliest
+    click, then earliest purchase at-or-after it (lazy leftmost
+    matching binds each step to the earliest satisfying event; the
+    condition-filtered token string skips non-matching events, so
+    at-or-after is >= on the microsecond-cast timestamps, which are
+    tie-free in this fixture)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "events").createOrReplaceTempView(
+        "sme_events")
+    return ch_sql(spark, """
+        SELECT user_id,
+               m[1] AS first_click, m[2] AS next_purchase
+        FROM (SELECT user_id,
+                     sequenceMatchEvents('(?1).*(?2)')(
+                         ts, event_type = 'click',
+                         event_type = 'purchase') AS m
+              FROM sme_events GROUP BY user_id)
+        WHERE SIZE(m) = 2
+        ORDER BY user_id""")

@@ -332,3 +332,32 @@ def test_create_function_sql_udfs(spark):
         ch_statement(spark, "DROP FUNCTION t_nope")
     ch_statement(spark, "DROP FUNCTION t_lin2")
     ch_statement(spark, "DROP FUNCTION IF EXISTS t_lin")
+
+
+def test_sequence_match_events(spark):
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    rows = ch_sql(spark, """
+        SELECT user,
+               sequenceMatchEvents('(?1).*(?2)')(
+                   ts, ev = 'a', ev = 'b') AS m,
+               sequenceMatchEvents('(?1)(?2)')(
+                   ts, ev = 'a', ev = 'b') AS adj
+        FROM VALUES
+         (1, toDateTime('2024-01-01 00:00:01'), 'a'),
+         (1, toDateTime('2024-01-01 00:00:02'), 'x'),
+         (1, toDateTime('2024-01-01 00:00:03'), 'b'),
+         (1, toDateTime('2024-01-01 00:00:04'), 'b'),
+         (2, toDateTime('2024-01-01 00:00:05'), 'b'),
+         (2, toDateTime('2024-01-01 00:00:06'), 'a')
+         AS t(user, ts, ev)
+        GROUP BY user ORDER BY user
+    """).collect()
+    # lazy leftmost: (?2) binds the EARLIEST b after the first a;
+    # unrelated events ('x') are skipped by the condition filter
+    assert [x.second for x in rows[0].m] == [1, 3]
+    assert [x.second for x in rows[0].adj] == [1, 3]
+    assert rows[1].m == [] and rows[1].adj == []
+    with pytest.raises(ValueError, match="time guards"):
+        ch_sql(spark, "SELECT sequenceMatchEvents('(?1)(?t<10)(?2)')"
+                      "(t, a, b) FROM VALUES (1,2,3) v(t,a,b)")
