@@ -258,7 +258,6 @@ def test_batch9_polygons_defaults_misc(spark):
     assert row.tri == 6.0 and row.trip == 12.0   # 3-4-5 triangle
     for q in ("SELECT IPv6CIDRToRange(a, 16)",
               "SELECT exponentialMovingAverage(0.5)(v, t)",
-              "SELECT sequenceMatchEvents('(?1)')(t, c)",
               "SELECT defaultValueOfTypeName('Array(Int64)')",
               "SELECT readWKTPolygon(w, 2)"):
         with pytest.raises(ValueError):
