@@ -7707,6 +7707,10 @@ def _translate_impl(sql: str,
 
 
 _REGISTERED: set[int] = set()
+# original spellings of session-registered compat UDFs (the Spark
+# catalog lowercases names); populated by _register_udfs, read by
+# system.functions
+_UDF_NAMES: set[str] = set()
 
 
 def _register_udfs(spark: SparkSession) -> None:
@@ -7720,8 +7724,12 @@ def _register_udfs(spark: SparkSession) -> None:
     ensure_engine_confs(spark)
     from clickhouse_clickhouse_spark.functions import hashing as H
 
-    spark.udf.register("cityHash64", H._udf("city"))
-    spark.udf.register("sipHash64", H._udf("sip"))
+    def _reg(name, udf):
+        _UDF_NAMES.add(name)
+        spark.udf.register(name, udf)
+
+    _reg("cityHash64", H._udf("city"))
+    _reg("sipHash64", H._udf("sip"))
     from clickhouse_clickhouse_spark.functions import textcodecs as TC
     TC.register_codec_udfs(spark)
     from clickhouse_clickhouse_spark.functions import ipcodecs as IP
@@ -7760,6 +7768,7 @@ def _register_system_views(spark: SparkSession, sql: str) -> None:
         "settings": ST.system_settings,
         "query_log": ST.system_query_log,
         "projections": ST.system_projections,
+        "functions": ST.system_functions,
         "view_refreshes": ST.system_view_refreshes,
     }
     for name in set(_re.findall(r"\bsystem\.(\w+)", sql,
@@ -9516,6 +9525,17 @@ def ch_statement(spark: SparkSession, sql: str,
             if spec.order_by:
                 stmt += f"\nORDER BY ({', '.join(spec.order_by)})"
             return spark.createDataFrame([(stmt,)], "statement string")
+        fm = re.match(r"FUNCTIONS(?:\s+LIKE\s+'([^']*)')?$", rest,
+                      re.IGNORECASE)
+        if fm:
+            from clickhouse_clickhouse_spark.sources.system_tables import (
+                system_functions,
+            )
+            df = system_functions(spark).select("name")
+            if fm.group(1) is not None:
+                from pyspark.sql import functions as F
+                df = df.filter(F.col("name").like(fm.group(1)))
+            return df
         raise ValueError(f"unsupported SHOW statement: {rest!r}")
     if kw == "EXPLAIN":
         rest = sql.strip()[7:].strip()

@@ -21,6 +21,16 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 
 
+
+# exact spellings of the registered UDF names (the Spark catalog
+# lowercases; system.functions restores case from this set)
+REGISTERED_NAMES: set[str] = set()
+
+
+def _reg(spark, name, udf):
+    REGISTERED_NAMES.add(name)
+    spark.udf.register(name, udf)
+
 def ipv6_pton_py(s: str) -> bytes:
     return socket.inet_pton(socket.AF_INET6, s)
 
@@ -127,11 +137,11 @@ def register_ip_udfs(spark) -> None:
             for v, x6, x4 in zip(b, c6, c4)
         ])
 
-    spark.udf.register("IPv6StringToNum", _pton)
-    spark.udf.register("IPv6StringToNumOrNull", _pton_or_null)
-    spark.udf.register("IPv6NumToString", _ntop)
-    spark.udf.register("isIPv6String", _is6)
-    spark.udf.register("toIPv6", _to6)
-    spark.udf.register("toIPv6OrNull", _to6_or_null)
-    spark.udf.register("IPv4ToIPv6", _v4to6)
-    spark.udf.register("cutIPv6", _cut6)
+    _reg(spark, "IPv6StringToNum", _pton)
+    _reg(spark, "IPv6StringToNumOrNull", _pton_or_null)
+    _reg(spark, "IPv6NumToString", _ntop)
+    _reg(spark, "isIPv6String", _is6)
+    _reg(spark, "toIPv6", _to6)
+    _reg(spark, "toIPv6OrNull", _to6_or_null)
+    _reg(spark, "IPv4ToIPv6", _v4to6)
+    _reg(spark, "cutIPv6", _cut6)

@@ -33,6 +33,16 @@ _B58 = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
 _B58_IDX = {c: i for i, c in enumerate(_B58)}
 
 
+
+# exact spellings of the registered UDF names (the Spark catalog
+# lowercases; system.functions restores case from this set)
+REGISTERED_NAMES: set[str] = set()
+
+
+def _reg(spark, name, udf):
+    REGISTERED_NAMES.add(name)
+    spark.udf.register(name, udf)
+
 def punycode_encode_py(s: str) -> str:
     return s.encode("punycode").decode("ascii")
 
@@ -162,33 +172,33 @@ def _str_udf(fn, try_mode: bool = False):
 def register_codec_udfs(spark) -> None:
     """Register every codec under its reference name (idempotent per
     session via ch_sql._register_udfs)."""
-    spark.udf.register("punycodeEncode", _str_udf(punycode_encode_py))
-    spark.udf.register("punycodeDecode", _str_udf(punycode_decode_py))
-    spark.udf.register("tryPunycodeDecode",
+    _reg(spark, "punycodeEncode", _str_udf(punycode_encode_py))
+    _reg(spark, "punycodeDecode", _str_udf(punycode_decode_py))
+    _reg(spark, "tryPunycodeDecode",
                        _str_udf(punycode_decode_py, try_mode=True))
-    spark.udf.register("idnaEncode", _str_udf(idna_encode_py))
-    spark.udf.register("idnaDecode", _str_udf(idna_decode_py))
-    spark.udf.register("tryIdnaEncode",
+    _reg(spark, "idnaEncode", _str_udf(idna_encode_py))
+    _reg(spark, "idnaDecode", _str_udf(idna_decode_py))
+    _reg(spark, "tryIdnaEncode",
                        _str_udf(idna_encode_py, try_mode=True))
-    spark.udf.register("base58Encode", _str_udf(base58_encode_py))
-    spark.udf.register("base58Decode", _str_udf(base58_decode_py))
+    _reg(spark, "base58Encode", _str_udf(base58_encode_py))
+    _reg(spark, "base58Decode", _str_udf(base58_decode_py))
     for form in ("NFC", "NFD", "NFKC", "NFKD"):
-        spark.udf.register(
+        _reg(spark, 
             f"normalizeUTF8{form}",
             _str_udf(lambda v, f=form: unicodedata.normalize(f, v)))
-    spark.udf.register("base32Encode", _str_udf(base32_encode_py))
-    spark.udf.register("base32Decode", _str_udf(base32_decode_py))
-    spark.udf.register("tryBase32Decode",
+    _reg(spark, "base32Encode", _str_udf(base32_encode_py))
+    _reg(spark, "base32Decode", _str_udf(base32_decode_py))
+    _reg(spark, "tryBase32Decode",
                        _str_udf(base32_decode_py, try_mode=True))
 
     @pandas_udf("bigint")
     def _crc64(col: pd.Series) -> pd.Series:
         return col.map(lambda v: None if v is None else crc64_py(v))
 
-    spark.udf.register("crc64", _crc64)
+    _reg(spark, "crc64", _crc64)
 
     @pandas_udf("float")
     def _bf16(col: pd.Series) -> pd.Series:
         return col.map(lambda v: None if v is None else bfloat16_py(v))
 
-    spark.udf.register("toBFloat16", _bf16)
+    _reg(spark, "toBFloat16", _bf16)

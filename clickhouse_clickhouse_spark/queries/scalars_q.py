@@ -2972,3 +2972,23 @@ def ch_sql_create_function(spark, sf):
         SELECT n_nationkey, __q_lin(n_nationkey, 10, 7) AS lin,
                __q_sq(n_nationkey) AS sq
         FROM cf_nation ORDER BY n_nationkey LIMIT 10""")
+
+
+@register("ch_sql_system_functions", oracle="""
+SELECT TRUE AS has_quantile, TRUE AS has_summap, TRUE AS many,
+       'System' AS org
+""")
+def ch_sql_system_functions(spark, sf):
+    """system.functions ([U] StorageSystemFunctions): the resolvable
+    name registry as a queryable table — invariant pins (named entries
+    present, surface >900 names) since the exact count moves with
+    every batch."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    return ch_sql(spark, """
+        SELECT SUM(IF(name = 'quantileGK', 1, 0)) > 0 AS has_quantile,
+               SUM(IF(name = 'sumMapFiltered', 1, 0)) > 0 AS has_summap,
+               count() > 900 AS many,
+               ANY_VALUE(IF(name = 'quantileGK', origin, NULL),
+                         TRUE) AS org
+        FROM system.functions""")

@@ -263,3 +263,32 @@ def system_view_refreshes(spark: SparkSession) -> DataFrame:
     if not rows:
         return spark.createDataFrame([], schema)
     return spark.createDataFrame(rows, schema)
+
+
+def system_functions(spark: SparkSession) -> DataFrame:
+    """``system.functions`` (upstream StorageSystemFunctions): one row
+    per resolvable function name — the scalar/aggregate template
+    registry, the parametric double-call registry, and CREATE FUNCTION
+    SQL-lambda UDFs (origin 'SQLUserDefined', as upstream reports
+    them). Names that refuse at translate time still LIST here, like
+    upstream lists functions that then reject bad arguments."""
+    from clickhouse_clickhouse_spark import ch_sql as C
+
+    C._register_udfs(spark)
+    from clickhouse_clickhouse_spark.functions import ipcodecs, textcodecs
+    rows = {}
+    # session-registered compat UDFs (cityHash64/sipHash64, codecs, ...)
+    # with their exact spellings (the Spark catalog lowercases names)
+    for n in (C._UDF_NAMES | textcodecs.REGISTERED_NAMES
+              | ipcodecs.REGISTERED_NAMES):
+        if not n.startswith("__"):
+            rows[n] = (n, "System", False)
+    for n in C._FUNCS:
+        rows[n] = (n, "System", False)
+    for n in C._PARAMETRIC:
+        rows[n] = (n, "System", True)
+    for n in C._SQL_UDFS:
+        rows[n] = (n, "SQLUserDefined", False)
+    return spark.createDataFrame(
+        sorted(rows.values()),
+        "name string, origin string, is_parametric boolean")

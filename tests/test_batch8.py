@@ -360,3 +360,20 @@ def test_sequence_match_events(spark):
     with pytest.raises(ValueError, match="time guards"):
         ch_sql(spark, "SELECT sequenceMatchEvents('(?1)(?t<10)(?2)')"
                       "(t, a, b) FROM VALUES (1,2,3) v(t,a,b)")
+
+
+def test_system_functions_and_show(spark):
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, ch_statement
+
+    n = ch_sql(spark, "SELECT count() AS c FROM system.functions") \
+        .collect()[0].c
+    assert n > 900
+    names = {r.name for r in ch_statement(
+        spark, "SHOW FUNCTIONS LIKE 'sipHash%'").collect()}
+    assert "sipHash64Keyed" in names and "sipHash64" in names
+    ch_statement(spark, "DROP FUNCTION IF EXISTS sf_probe")
+    ch_statement(spark, "CREATE FUNCTION sf_probe AS (x) -> x")
+    row = ch_sql(spark, "SELECT origin FROM system.functions "
+                        "WHERE name = 'sf_probe'").collect()
+    assert row and row[0].origin == "SQLUserDefined"
+    ch_statement(spark, "DROP FUNCTION sf_probe")
