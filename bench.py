@@ -106,17 +106,27 @@ def main() -> None:
         load = [round(x, 2) for x in os.getloadavg()]
     except OSError:
         load = None
+    # Round-12 (verdict item 1): the driver keeps only the output TAIL, and
+    # the round-11 single giant line (43 cb queries × 2 dicts) overflowed
+    # that cap, so BENCH_r11.json recorded `parsed: null`. Emit the bulky
+    # detail dicts on an EARLIER line and keep the FINAL line compact:
+    # headline totals + per-query headline numbers + clickbench totals.
+    print(json.dumps({
+        "detail": {
+            "queries_median": medians,
+            "clickbench": cb,
+            "clickbench_median": cb_medians,
+        },
+    }))
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "queries_median": medians,
         "total_median": round(sum(medians.values()), 3),
-        "clickbench": cb,
-        "clickbench_median": cb_medians,
         "clickbench_total": round(sum(cb.values()), 3),
         "clickbench_total_median": round(sum(cb_medians.values()), 3),
+        "clickbench_count": len(cb),
         "sf": float(sf),
         "load_average": load,
         "cpus": os.cpu_count(),

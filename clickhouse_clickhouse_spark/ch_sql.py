@@ -346,13 +346,24 @@ def _rand_lit_int(arg: str, name: str, cap: int) -> int:
 
 def _chi2_draw_sql(k: int) -> str:
     """Exact chi-square(k) sample from uniforms: sum of k/2 iid
-    Exp(scale 2) = -2 ln(U1*...*U_{k/2}) (Gamma(k/2, 2) for integer
-    halves), plus one squared Box-Muller normal when k is odd.
-    (Distinct from _chi2_sql below — the contingency-test statistic.)"""
+    Exp(scale 2) = -2 (ln U1 + ... + ln U_{k/2}) (Gamma(k/2, 2) for
+    integer halves), plus one squared Box-Muller normal when k is odd.
+    The single product of all k/2 uniforms underflows double near
+    k/2 ≈ 709/E[-ln U] and Spark's LN(0) is NULL (round-12 advisor
+    finding); a fully-unrolled log-SUM trips the parser's
+    expression-complexity cap at the 2000-dof limit. Middle path:
+    sum of LN over CHUNKS of ≤50 uniforms — a 50-uniform product
+    underflows only when its exponential sum exceeds 745 (≈15× its
+    mean of 50; Gamma(50) tail mass ~e⁻⁵⁰⁰, never observed).
+    (Distinct from _chi2_sql below — the contingency statistic.)"""
     parts = []
     if k >= 2:
-        us = " * ".join(["RAND()"] * (k // 2))
-        parts.append(f"(-2.0D * LN({us}))")
+        half, chunk = k // 2, 50
+        lns = []
+        for c0 in range(0, half, chunk):
+            n = min(chunk, half - c0)
+            lns.append("LN(" + " * ".join(["RAND()"] * n) + ")")
+        parts.append(f"(-2.0D * ({' + '.join(lns)}))")
     if k % 2:
         parts.append("POW(SQRT(-2.0D * LN(RAND())) * "
                      "COS(2.0D * PI() * RAND()), 2.0D)")
@@ -386,11 +397,14 @@ def _rand_binomial_tpl(a: list[str]) -> str:
 
 def _rand_neg_binomial_tpl(a: list[str]) -> str:
     # failures before the r-th success: sum of r geometric draws
-    # FLOOR(ln U / ln(1-p)); p=1 degenerates to 0 via ln(0) = -inf
+    # FLOOR(ln U / ln(1-p)). p >= 1 must short-circuit to 0: Spark's
+    # LN(0) is NULL (ANSI off), so the ln(1-p) form would yield NULL,
+    # not the upstream 0 (round-12 advisor finding).
     r = _rand_lit_int(a[0], "randNegativeBinomial", 1024)
-    geo = (f"CAST(FLOOR(LN(RAND()) / "
-           f"LN(1.0D - CAST({a[1]} AS DOUBLE))) AS BIGINT)")
-    return "(" + " + ".join([geo] * r) + ")"
+    p = f"CAST({a[1]} AS DOUBLE)"
+    geo = f"CAST(FLOOR(LN(RAND()) / LN(1.0D - {p})) AS BIGINT)"
+    draws = "(" + " + ".join([geo] * r) + ")"
+    return f"IF({p} >= 1.0D, 0L, {draws})"
 
 
 _TYPE_DEFAULTS = {
@@ -497,10 +511,23 @@ def _expand_sql_udfs(q: str) -> str:
                     raise ValueError(
                         f"{name} takes {len(params)} arguments "
                         f"({', '.join(params)}), got {len(args)}")
+                # Splice manually on spans from the string-masked twin:
+                # re.sub would (a) interpret the argument text as a
+                # regex replacement TEMPLATE (backslashes in args like
+                # '\\d+' raise or corrupt), and (b) rewrite parameter
+                # names inside the body's own string literals (round-12
+                # advisor finding).
                 expanded = body
                 for p, a in zip(params, args):
-                    expanded = re.sub(rf"\b{re.escape(p)}\b",
-                                      f"({a})", expanded)
+                    pat_p = re.compile(rf"\b{re.escape(p)}\b")
+                    masked = _mask_strings(expanded)
+                    pieces, last = [], 0
+                    for m in pat_p.finditer(masked):
+                        pieces.append(expanded[last:m.start()])
+                        pieces.append(f"({a})")
+                        last = m.end()
+                    pieces.append(expanded[last:])
+                    expanded = "".join(pieces)
                 q = q[:mm.start()] + f"({expanded})" + q[close + 1:]
                 changed = True
         if not changed:
@@ -578,8 +605,14 @@ def _aes_tpl(args: list[str], fn: str) -> str:
         if mode == "ECB":
             return f"{fn}({args[1]}, {args[2]}, 'ECB', 'DEFAULT')"
         skip = 17 if mode == "CBC" else 13   # 1-based SUBSTRING start
+        # GCM AAD must reach aes_encrypt too (6th arg) — the tag is
+        # computed over the AAD, so dropping it here would produce a
+        # ciphertext whose tag fails decrypt-side verification and
+        # diverges from the reference's OpenSSL output (round-12
+        # advisor finding).
+        aad_part = f", {aad}" if aad is not None else ""
         return (f"SUBSTRING({fn}({args[1]}, {args[2]}, '{mode}', "
-                f"'DEFAULT', {iv}), {skip})")
+                f"'DEFAULT', {iv}{aad_part}), {skip})")
     # decrypt path: re-prepend the caller's IV so Spark can read it
     if mode == "ECB":
         return f"{fn}({args[1]}, {args[2]}, 'ECB', 'DEFAULT')"
@@ -589,9 +622,14 @@ def _aes_tpl(args: list[str], fn: str) -> str:
 
 
 def _nested_tpl(args: list[str]) -> str:
-    """nested(['k','v'], arr_k, arr_v) -> array of named tuples via
-    ARRAYS_ZIP + per-element NAMED_STRUCT rename (zip fields are
-    positional '0','1',... for expressions)."""
+    """nested(['k','v'], arr_k, arr_v) -> array of named tuples. No
+    ARRAYS_ZIP: Spark names zip-struct fields after the COLUMN when an
+    input is a bare column reference (positional '0','1' apply only to
+    non-named expressions), so reading `__nz.`0`` broke the typical
+    table-column usage (round-12 advisor finding). Instead: index by
+    position over SEQUENCE with TRY_ELEMENT_AT (NULL-pads the shorter
+    arrays, matching ARRAYS_ZIP's longest-wins contract); arrays bind
+    once via the TRANSFORM struct trick."""
     mm = (re.fullmatch(r"\s*\[(.*)\]\s*", args[0], re.DOTALL)
           or re.fullmatch(r"\s*ARRAY\s*\((.*)\)\s*", args[0],
                           re.IGNORECASE | re.DOTALL))
@@ -604,9 +642,16 @@ def _nested_tpl(args: list[str]) -> str:
     if len(names) != len(arrays) or not arrays:
         raise ValueError(
             f"nested: {len(names)} names for {len(arrays)} arrays")
-    fields = ", ".join(f"'{n}', __nz.`{i}`" for i, n in enumerate(names))
-    return (f"TRANSFORM(ARRAYS_ZIP({', '.join(arrays)}), "
-            f"__nz -> NAMED_STRUCT({fields}))")
+    bindings = {f"a{i}": a for i, a in enumerate(arrays)}
+    size = "GREATEST(" + ", ".join(
+        f"SIZE(__nv.a{i})" for i in range(len(arrays))) + ")"
+    fields = ", ".join(
+        f"'{n}', TRY_ELEMENT_AT(__nv.a{i}, __ni)"
+        for i, n in enumerate(names))
+    # SEQUENCE(1, 0) DESCENDS in Spark — empty arrays must yield []
+    body = (f"IF({size} <= 0, ARRAY(), TRANSFORM(SEQUENCE(1, {size}), "
+            f"__ni -> NAMED_STRUCT({fields})))")
+    return _bind_once(bindings, body, var="__nv")
 
 
 def _interval_length_sum_tpl(args: list[str]) -> str:

@@ -1,0 +1,104 @@
+"""Round-12 advisor findings — regression pins.
+
+1. encrypt GCM must pass the AAD through to aes_encrypt (tag covers
+   AAD; dropping it broke round-trip tag verification).
+2. _chi2_draw_sql must sum logs, not multiply uniforms (product
+   underflows double near dof ~1300 and LN(0) is NULL).
+3. nested() must resolve over REAL table columns (ARRAYS_ZIP names
+   struct fields after bare column refs, breaking positional reads).
+4. _expand_sql_udfs must not treat argument text as a regex
+   replacement template, nor rewrite parameter names inside the
+   body's own string literals.
+5. randNegativeBinomial(r, p>=1) must return 0, not NULL.
+"""
+
+import pytest
+
+
+def test_advice_r12_values_one_action(spark):
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, ch_statement
+
+    ch_statement(spark, "DROP FUNCTION IF EXISTS t_rex12")
+    ch_statement(spark, "DROP FUNCTION IF EXISTS t_lit12")
+    ch_statement(spark,
+                 "CREATE FUNCTION t_rex12 AS (pat, s) -> s RLIKE pat")
+    ch_statement(spark, "CREATE FUNCTION t_lit12 AS (x) -> "
+                        "CONCAT('x=', CAST(x AS STRING))")
+    row = ch_sql(spark, """
+        SELECT decrypt('aes-256-gcm',
+                       encrypt('aes-256-gcm', 'msg',
+                               '32byteskey32byteskey32byteskey32',
+                               'theiv12bytes', 'additional-data'),
+                       '32byteskey32byteskey32byteskey32',
+                       'theiv12bytes', 'additional-data') AS gcm_rt,
+               tryDecrypt('aes-256-gcm',
+                          encrypt('aes-256-gcm', 'msg',
+                                  '32byteskey32byteskey32byteskey32',
+                                  'theiv12bytes', 'aad-one'),
+                          '32byteskey32byteskey32byteskey32',
+                          'theiv12bytes', 'aad-two') AS gcm_badaad,
+               decrypt('aes-256-gcm',
+                       encrypt('aes-256-gcm', 'noaad',
+                               '32byteskey32byteskey32byteskey32',
+                               'theiv12bytes'),
+                       '32byteskey32byteskey32byteskey32',
+                       'theiv12bytes') AS gcm_noaad,
+               randNegativeBinomial(3, 1) AS nb_p1,
+               randNegativeBinomial(3, 1.0) AS nb_p1f,
+               randNegativeBinomial(4, 0.5) AS nb_half,
+               nested(['k', 'v'], ka, va) AS nst_cols,
+               nested(['k', 'v'], ka, ARRAY('x')) AS nst_pad,
+               nested(['k', 'v'], ARRAY(), ARRAY()) AS nst_empty,
+               t_rex12('\\\\d+', 'a1') AS rex_hit,
+               t_rex12('\\\\d+', 'abc') AS rex_miss,
+               t_lit12(5) AS lit_keep
+        FROM VALUES (ARRAY(1, 2), ARRAY('a', 'b')) AS t(ka, va)
+    """).collect()[0]
+
+    assert bytes(row.gcm_rt) == b"msg"          # AAD reaches both sides
+    assert row.gcm_badaad is None               # wrong AAD -> tag fails
+    assert bytes(row.gcm_noaad) == b"noaad"     # no-AAD path unchanged
+    assert row.nb_p1 == 0 and row.nb_p1f == 0   # upstream p=1 -> 0
+    assert row.nb_half is not None and row.nb_half >= 0
+    # bare COLUMN refs — the advisor's broken case
+    assert [(s.k, s.v) for s in row.nst_cols] == [(1, "a"), (2, "b")]
+    # longest-wins NULL padding (ARRAYS_ZIP contract)
+    assert [(s.k, s.v) for s in row.nst_pad] == [(1, "x"), (2, None)]
+    assert row.nst_empty == []
+    assert row.rex_hit is True and row.rex_miss is False
+    assert row.lit_keep == "x=5"                # 'x=' literal untouched
+    ch_statement(spark, "DROP FUNCTION t_rex12")
+    ch_statement(spark, "DROP FUNCTION t_lit12")
+
+
+def test_advice_r12_chi2_large_dof_one_action(spark):
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    # product-of-uniforms form underflowed at dof ~1300 -> NULL; the
+    # log-sum form must stay finite through the 2000 cap. 200 draws:
+    # chi2(2000) mean 2000, sd ~63 -> sample mean within +-100 easily.
+    row = ch_sql(spark, """
+        SELECT COUNT(*) AS n,
+               SUM(IF(c IS NULL OR t IS NULL OR f IS NULL, 1, 0))
+                   AS nulls,
+               MIN(c) AS cmin, AVG(c) AS cmean
+        FROM (SELECT randChiSquared(2000) AS c,
+                     randStudentT(1500) AS t,
+                     randFisherF(1500, 1500) AS f
+              FROM numbers(200))
+    """).collect()[0]
+    assert row.n == 200 and row.nulls == 0
+    assert row.cmin > 0
+    assert abs(row.cmean - 2000.0) < 100.0
+
+
+def test_advice_r12_udf_backslash_arg_no_regex_error(spark):
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql, ch_statement
+
+    # Before the fix this raised re.error ("bad escape \\d") at
+    # translate time; now translation must succeed.
+    ch_statement(spark, "DROP FUNCTION IF EXISTS t_pat12")
+    ch_statement(spark, "CREATE FUNCTION t_pat12 AS (p) -> UPPER(p)")
+    out = ch_sql(spark, "SELECT t_pat12('\\\\d+\\\\s') AS u").collect()
+    assert out[0].u == "\\D+\\S"
+    ch_statement(spark, "DROP FUNCTION t_pat12")
