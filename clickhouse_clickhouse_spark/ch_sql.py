@@ -1664,7 +1664,15 @@ def _exp_decay_tpl(params: list[str], args: list[str],
                    kind: str) -> str:
     """exponentialTimeDecayed{Sum,Count,Avg,Max}(λ)(v, t) ([U]
     AggregateFunctionExponentialMovingAverage.h family): each point
-    decays by exp(−(t_max − t)/λ) at the group's latest time."""
+    decays by exp(−(t_max − t)/λ) at the group's latest time.
+
+    kind='ema' is exponentialMovingAverage(half_life)(v, t) ([U]
+    AggregateFunctionExponentialMovingAverage.cpp): same decayed-sum /
+    decayed-count ratio but with base-2 half-life weights
+    2^((t − t_max)/hl). The timestamped form is ORDER-FREE — every
+    weight anchors to the group max, so this is deterministic under
+    shuffle (the bare IIR recurrence upstream documents for
+    non-timestamped use is not, and stays refused)."""
     lam = float(params[0])
     if kind == "count":
         pair = f"NAMED_STRUCT('t', CAST({args[0]} AS DOUBLE), 'x', 1.0D)"
@@ -1672,15 +1680,18 @@ def _exp_decay_tpl(params: list[str], args: list[str],
         pair = (f"NAMED_STRUCT('t', CAST({args[1]} AS DOUBLE), "
                 f"'x', CAST({args[0]} AS DOUBLE))")
     l = f"COLLECT_LIST({pair})"
-    dec = (f"TRANSFORM(__v.l, __de -> __de.x * "
-           f"EXP((__de.t - __v.tm) / {lam!r}))")
+    if kind == "ema":
+        w = f"POW(2.0D, (__de.t - __v.tm) / {lam!r})"
+    else:
+        w = f"EXP((__de.t - __v.tm) / {lam!r})"
+    dec = f"TRANSFORM(__v.l, __de -> __de.x * {w})"
     if kind == "max":
         body = f"ARRAY_MAX({dec})"
-    elif kind == "avg":
+    elif kind in ("avg", "ema"):
         body = (f"AGGREGATE({dec}, CAST(0 AS DOUBLE), "
                 f"(__sa, __sx) -> __sa + __sx) / "
-                f"AGGREGATE(TRANSFORM(__v.l, __de -> "
-                f"EXP((__de.t - __v.tm) / {lam!r})), CAST(0 AS DOUBLE), "
+                f"AGGREGATE(TRANSFORM(__v.l, __de -> {w}), "
+                f"CAST(0 AS DOUBLE), "
                 f"(__sa, __sx) -> __sa + __sx)")
     else:
         body = (f"AGGREGATE({dec}, CAST(0 AS DOUBLE), "
@@ -4461,9 +4472,9 @@ _FUNCS: dict[str, str] = {
         "the string-carried IPv6 type); IPv4CIDRToRange covers v4")),
     "exponentialMovingAverage": lambda a: (_ for _ in ()).throw(
         ValueError(
-            "exponentialMovingAverage's IIR recurrence is "
-            "insertion-order dependent; exponentialTimeDecayedAvg(λ)"
-            "(v, t) is the time-anchored equivalent here")),
+            "exponentialMovingAverage needs its half-life parameter: "
+            "exponentialMovingAverage(half_life)(value, time) — the "
+            "timestamped upstream signature, order-free here")),
 }
 
 # parametric double-call forms: name(params)(args); a value may be a
@@ -4586,6 +4597,8 @@ _PARAMETRIC: dict = {
         _exp_decay_tpl(params, args, "avg"),
     "exponentialTimeDecayedMax": lambda params, args:
         _exp_decay_tpl(params, args, "max"),
+    "exponentialMovingAverage": lambda params, args:
+        _exp_decay_tpl(params, args, "ema"),
     "histogram": lambda params, args: _histogram_tpl(params, args),
     "sparkbar": lambda params, args: _sparkbar_tpl(params, args),
     "quantileExactLow": lambda params, args:

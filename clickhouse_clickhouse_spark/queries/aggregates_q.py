@@ -2033,3 +2033,40 @@ def ch_sql_stats_aggregates_r9(spark, sf):
                quantileExactWeighted(0.5)(value,
                    user_id % 5 + 1) AS qew
         FROM events WHERE event_id < 800""")
+
+
+@register("ch_sql_ema", oracle="""
+WITH e AS (
+  SELECT user_id % 8 AS g,
+         epoch_us(date_trunc('microseconds', ts)) / 1000000.0 AS sec,
+         value
+  FROM events WHERE event_id < 900),
+m AS (SELECT g, max(sec) AS tm FROM e GROUP BY g)
+SELECT e.g AS g,
+       round(sum(value * pow(2.0, (sec - tm) / 3600.0))
+             / sum(pow(2.0, (sec - tm) / 3600.0)), 8) AS ema_1h,
+       round(sum(value * pow(2.0, (sec - tm) / 86400.0))
+             / sum(pow(2.0, (sec - tm) / 86400.0)), 8) AS ema_1d
+FROM e JOIN m ON e.g = m.g
+GROUP BY e.g
+""")
+def ch_sql_ema(spark, sf):
+    """Round-12 verdict item 2: deterministic
+    exponentialMovingAverage(half_life)(value, time) in dialect SQL
+    ([U] src/AggregateFunctions/AggregateFunctionExponentialMovingAverage.cpp
+    — timestamped signature). Order-free closed form: every point's
+    weight 2^((t - t_max)/hl) anchors to the group's latest time, so
+    the decayed-sum / decayed-count ratio is shuffle-deterministic.
+    DuckDB oracle renders the same closed form independently (group-max
+    join + pow ratio)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "events").createOrReplaceTempView("ema_events")
+    return ch_sql(spark, """
+        SELECT user_id % 8 AS g,
+               round(exponentialMovingAverage(3600)(value,
+                   toUnixTimestamp64Micro(ts) / 1000000.0), 8) AS ema_1h,
+               round(exponentialMovingAverage(86400)(value,
+                   toUnixTimestamp64Micro(ts) / 1000000.0), 8) AS ema_1d
+        FROM ema_events WHERE event_id < 900
+        GROUP BY user_id % 8""")

@@ -102,3 +102,37 @@ def test_advice_r12_udf_backslash_arg_no_regex_error(spark):
     out = ch_sql(spark, "SELECT t_pat12('\\\\d+\\\\s') AS u").collect()
     assert out[0].u == "\\D+\\S"
     ch_statement(spark, "DROP FUNCTION t_pat12")
+
+
+def test_ema_deterministic_brute_force(spark):
+    """exponentialMovingAverage(hl)(v, t): value pinned against an
+    independent python fold of the closed form, and invariant to input
+    order (the determinism contract that un-refused the name)."""
+    import math
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    pts = [(1.0, 10.0), (5.0, 40.0), (2.0, 70.0), (9.0, 100.0),
+           (4.0, 55.0), (7.0, 100.0)]  # duplicate t on purpose
+    hl = 30.0
+    tm = max(t for _, t in pts)
+    ws = [(v * 2 ** ((t - tm) / hl), 2 ** ((t - tm) / hl))
+          for v, t in pts]
+    expected = sum(w[0] for w in ws) / sum(w[1] for w in ws)
+
+    def run(rows):
+        vals = ", ".join(f"({v!r}, {t!r})" for v, t in rows)
+        return ch_sql(spark, f"""
+            SELECT exponentialMovingAverage(30)(v, t) AS ema
+            FROM VALUES {vals} AS p(v, t)""").collect()[0].ema
+
+    fwd = run(pts)
+    rev = run(list(reversed(pts)))
+    assert math.isclose(fwd, expected, rel_tol=1e-12)
+    assert fwd == rev
+
+    # bare call (no half-life parameter) still refuses, with the
+    # parametric signature named
+    with pytest.raises(ValueError, match="half-life"):
+        ch_sql(spark, "SELECT exponentialMovingAverage(v, t) "
+                      "FROM VALUES (1.0, 1.0) AS p(v, t)")
