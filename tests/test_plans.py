@@ -170,6 +170,69 @@ def test_no_query_sorts_or_windows_on_single_partition(spark, sf_dir):
     assert not offenders, offenders
 
 
+# -- ClickBench-family plan pins (round-12 verdict item 3) ----------------
+#
+# Sub-second timings on a noisy box cannot adjudicate regressions in the
+# cb_* family; the plan SHAPE can. Per-query Exchange budgets pinned at
+# the round-12 HEAD (static plans, AQE-off test session — counts are the
+# upper bound AQE can only improve on). A new cb_ query without a pin
+# gets the generic budget; CartesianProduct is banned outright, and the
+# Sort/Window-over-SinglePartition ban is inherited from the repo-wide
+# sweep above.
+_CB_EXCHANGE_BUDGET = {
+    "cb_activity_histogram": 3, "cb_busiest_10min": 1,
+    "cb_case_source_split": 1, "cb_counts_by_type": 2,
+    "cb_daily_unique_active": 2, "cb_date_histogram_uniq": 3,
+    "cb_day_type_uniq_matrix": 3, "cb_dialect_daily": 2,
+    "cb_dialect_top_types": 2, "cb_expr_group_keys": 1,
+    "cb_having_avg_len": 1, "cb_heavy_users": 1,
+    "cb_hourly_activity": 1, "cb_json_key_quartiles": 2,
+    "cb_json_prop_buckets": 1, "cb_like_filter_topk": 1,
+    "cb_like_min_agg": 2, "cb_minmax_ts": 1,
+    "cb_minute_histogram": 2, "cb_month_type_matrix": 2,
+    "cb_multi_distinct": 2, "cb_order_by_string": 0,
+    "cb_point_lookup": 0, "cb_referrer_domain_uniq": 3,
+    "cb_regex_extract_group": 2, "cb_regex_heavy_scan": 2,
+    "cb_regex_replace_group": 1, "cb_star_filter_page": 0,
+    "cb_substr_topk": 2, "cb_top_users_by_errors": 1,
+    "cb_top_users_per_type": 2, "cb_topn_with_ties": 2,
+    "cb_type_share_per_user": 1, "cb_url_host_seg_topk": 2,
+    "cb_url_path_depth": 3, "cb_url_query_param_buckets": 2,
+    "cb_user_minute_type": 1, "cb_user_retention_week": 5,
+    "cb_user_value_page2": 1,
+    # exact global deciles through the distributed bucketed rank
+    # (operators/grank.py) — the rank exchange fan is the documented
+    # scale trade (round-11 verdict plan audit)
+    "cb_value_deciles": 14,
+    "cb_value_pow2_histogram": 1, "cb_weekday_purchase_rate": 1,
+    "cb_wide_sums": 1,
+}
+_CB_DEFAULT_BUDGET = 4
+
+
+def test_clickbench_family_plan_budgets(spark, sf_dir):
+    from conftest import run_parallel
+
+    offenders = {}
+
+    def check(item):
+        name, fn = item
+        plan = fn(spark, sf_dir)._jdf.queryExecution() \
+            .executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+            return
+        budget = _CB_EXCHANGE_BUDGET.get(name, _CB_DEFAULT_BUDGET)
+        n_ex = plan.count("Exchange ")
+        if n_ex > budget:
+            offenders[name] = f"{n_ex} exchanges > budget {budget}"
+
+    items = [(n, f) for n, f in sorted(all_queries().items())
+             if n.startswith("cb_")]
+    run_parallel(items, check, workers=32)
+    assert not offenders, offenders
+
+
 def test_paste_join_column_expression_is_distributed(spark, sf_dir):
     """A Column-EXPRESSION order key routes through the bucketed grank
     too (round-5: the single-window fallback is deleted) — no Sort or
