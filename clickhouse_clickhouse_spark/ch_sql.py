@@ -7667,7 +7667,9 @@ def _translate_impl(sql: str,
     # SELECT DISTINCT ON (keys) ... ([U] InterpreterSelectQuery
     # DISTINCT ON = first row per key group) — routed through the
     # LIMIT 1 BY machinery below (same row_number wrap, same
-    # deterministic-order contract)
+    # deterministic-order contract; ORDER BY keys the select list
+    # renamed or dropped are alias-rewritten / hoisted by
+    # _wrap_order_rewrite so the survivor tracks the oracle)
     md = _masked_search(
         re.compile(r"^\s*SELECT\s+DISTINCT\s+ON\s*\(", re.IGNORECASE), q)
     if md:
@@ -7742,13 +7744,16 @@ def _translate_impl(sql: str,
         rest = q[m.end():].strip()
         body = q[:m.start()].strip()
         order = keys  # deterministic: CH uses input order; keys is stable
+        hoisted: list[str] = []
         om = re.search(r"\bORDER\s+BY\s+(.+)$", body,
                        re.IGNORECASE | re.DOTALL)
         if om:
-            order = om.group(1).strip()
+            order_txt = om.group(1).strip()
             body = body[:om.start()].strip()
+            body, order, hoisted = _wrap_order_rewrite(body, order_txt)
         # outer ORDER BY keeps the reference's post-LIMIT-BY ordering
-        q = (f"SELECT * EXCEPT(__ch_rn) FROM (SELECT *, ROW_NUMBER() OVER "
+        exc = ", ".join(["__ch_rn"] + hoisted)
+        q = (f"SELECT * EXCEPT({exc}) FROM (SELECT *, ROW_NUMBER() OVER "
              f"(PARTITION BY {keys} ORDER BY {order}) AS __ch_rn FROM "
              f"({body})) WHERE __ch_rn > {off} AND __ch_rn <= {off + n} "
              f"ORDER BY {order} {rest}")
@@ -7762,6 +7767,86 @@ def _translate_impl(sql: str,
     # keeps translate idempotent — pinned by test). Float64 literal
     # typing runs LAST, on the fully expanded SQL.
     return _float_literal_pass(_rewrite_calls(_expand_sql_udfs(q))).strip()
+
+
+def _norm_expr_text(s: str) -> str:
+    return re.sub(r"\s+", "", s).lower()
+
+
+_ORDER_SUFFIX = re.compile(
+    r"\s+(?:(?:ASC|DESC)(?:\s+NULLS\s+(?:FIRST|LAST))?|"
+    r"NULLS\s+(?:FIRST|LAST))\s*$", re.IGNORECASE)
+
+
+def _wrap_order_rewrite(body: str,
+                        order_txt: str) -> tuple[str, str, list[str]]:
+    """LIMIT-BY / DISTINCT-ON wrap (round-12 verdict item 5): the
+    row_number subquery sees only the body's OUTPUT columns, while
+    upstream resolves ORDER BY against the source relation too. Per
+    order key: projected bare column -> keep; expression the select
+    list projects under an alias -> use the alias; positional N ->
+    the N-th select item's alias/name; anything else -> HOIST into the
+    body as __ch_obN (stripped back out by the outer * EXCEPT).
+    Returns (new_body, new_order, hoisted_names)."""
+    sp = re.match(r"\s*SELECT\s+(?:DISTINCT\s+)?", body, re.IGNORECASE)
+    fp = _toplevel_kw_pos(body, re.compile(r"\bFROM\b", re.IGNORECASE))
+    if not sp or fp < sp.end():
+        return body, order_txt, []
+    sel_items = [t.strip() for t in _split_args(body[sp.end():fp])]
+    star = any(t == "*" or t.endswith(".*")
+               or re.match(r"\*\s*(EXCEPT|REPLACE|APPLY)\b", t,
+                           re.IGNORECASE)
+               for t in sel_items)
+    out_names: set[str] = set()
+    expr_to_alias: dict[str, str] = {}
+    positional: list[str | None] = []
+    for t in sel_items:
+        ma = re.search(r"\s+AS\s+(`[^`]+`|\w+)\s*$", t, re.IGNORECASE)
+        if ma:
+            alias = ma.group(1).strip("`")
+            out_names.add(alias.lower())
+            expr_to_alias[_norm_expr_text(t[:ma.start()])] = alias
+            positional.append(alias)
+        elif re.fullmatch(r"[\w.]+", t):
+            out_names.add(t.rsplit(".", 1)[-1].lower())
+            positional.append(t)
+        else:
+            positional.append(None)      # unaliased expression
+    hoists: list[str] = []
+    new_items: list[str] = []
+    for it in _split_args(order_txt):
+        t = it.strip()
+        md = _ORDER_SUFFIX.search(t)
+        expr, suff = (t[:md.start()].strip(), t[md.start():]) \
+            if md else (t, "")
+        if re.fullmatch(r"\d+", expr):
+            # positional ref: a bare number inside a WINDOW ORDER BY is
+            # a constant, so it MUST be resolved to the item here
+            idx = int(expr) - 1
+            if star or not 0 <= idx < len(positional):
+                new_items.append(t)
+                continue
+            tgt = positional[idx]
+            if tgt is not None:
+                new_items.append(tgt + suff)
+                continue
+            expr = sel_items[idx]        # unaliased expr -> hoist below
+        if re.fullmatch(r"[\w.]+", expr) and (
+                star or expr.rsplit(".", 1)[-1].lower() in out_names):
+            new_items.append(expr + suff)
+        elif _norm_expr_text(expr) in expr_to_alias:
+            new_items.append(expr_to_alias[_norm_expr_text(expr)] + suff)
+        elif star:
+            new_items.append(expr + suff)  # source cols flow through *
+        else:
+            name = f"__ch_ob{len(hoists)}"
+            hoists.append(f"({expr}) AS {name}")
+            new_items.append(name + suff)
+    if hoists:
+        body = (body[:fp].rstrip() + ", " + ", ".join(hoists)
+                + " " + body[fp:])
+    return body, ", ".join(new_items), [h.rsplit(" AS ", 1)[-1]
+                                        for h in hoists]
 
 
 _REGISTERED: set[int] = set()

@@ -2992,3 +2992,28 @@ def ch_sql_system_functions(spark, sf):
                ANY_VALUE(IF(name = 'quantileGK', origin, NULL),
                          TRUE) AS org
         FROM system.functions""")
+
+
+@register("ch_sql_distinct_on_ordered", oracle="""
+SELECT DISTINCT ON (l_orderkey)
+       l_orderkey, CAST(l_linenumber AS INT) AS ln, l_extendedprice AS px
+FROM lineitem WHERE l_orderkey < 2000
+ORDER BY l_orderkey, l_extendedprice DESC, l_linenumber
+""")
+def ch_sql_distinct_on_ordered(spark, sf):
+    """Round-12 verdict item 5: DISTINCT ON with a top-level ORDER BY
+    must pick a DETERMINISTIC, oracle-tracking survivor — the query's
+    ORDER BY keys feed the LIMIT-1-BY window's ORDER BY, so the first
+    row per key under (price DESC, linenumber) survives in both engines
+    identically (no seed pinning; l_linenumber breaks price ties).
+    DuckDB's native DISTINCT ON is the independent rendering."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "lineitem") \
+        .createOrReplaceTempView("don_lineitem")
+    return ch_sql(spark, """
+        SELECT DISTINCT ON (l_orderkey)
+               l_orderkey, CAST(l_linenumber AS INT) AS ln,
+               l_extendedprice AS px
+        FROM don_lineitem WHERE l_orderkey < 2000
+        ORDER BY l_orderkey, l_extendedprice DESC, l_linenumber""")

@@ -136,3 +136,39 @@ def test_ema_deterministic_brute_force(spark):
     with pytest.raises(ValueError, match="half-life"):
         ch_sql(spark, "SELECT exponentialMovingAverage(v, t) "
                       "FROM VALUES (1.0, 1.0) AS p(v, t)")
+
+
+def test_distinct_on_order_rewrite_battery(spark):
+    """DISTINCT ON / LIMIT n BY with a top-level ORDER BY whose keys
+    the select list RENAMED, DROPPED, or referenced POSITIONALLY must
+    still pick the oracle-tracking survivor (round-12 verdict item 5:
+    alias-rewrite + hoist in _wrap_order_rewrite)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    rows = [(1, 10, "a"), (1, 30, "b"), (1, 20, "c"),
+            (2, 5, "d"), (2, 5, "e")]
+    vals = ", ".join(f"({k}, {v}, '{s}')" for k, v, s in rows)
+    view = f"(SELECT * FROM VALUES {vals} AS t(k, v, s))"
+
+    # renamed: ORDER BY v resolves to the alias vv
+    r = ch_sql(spark, f"SELECT DISTINCT ON (k) k, v AS vv FROM {view} "
+                      "ORDER BY k, v DESC").collect()
+    assert sorted((x.k, x.vv) for x in r) == [(1, 30), (2, 5)]
+    # dropped: ORDER BY v is NOT projected at all -> hoisted
+    r = ch_sql(spark, f"SELECT DISTINCT ON (k) k, s FROM {view} "
+                      "ORDER BY k, v DESC").collect()
+    assert sorted((x.k, x.s) for x in r) == [(1, "b"), (2, "d")]
+    # tie on v=5 for k=2 broken by s -> deterministic survivor 'd'
+    r = ch_sql(spark, f"SELECT DISTINCT ON (k) k, s FROM {view} "
+                      "ORDER BY k, v, s").collect()
+    assert sorted((x.k, x.s) for x in r) == [(1, "a"), (2, "d")]
+    # positional: ORDER BY 2 must mean the 2nd item, not literal 2
+    # (a bare number inside a WINDOW ORDER BY is a constant)
+    r = ch_sql(spark, f"SELECT DISTINCT ON (k) k, v FROM {view} "
+                      "ORDER BY 1, 2 DESC").collect()
+    assert sorted((x.k, x.v) for x in r) == [(1, 30), (2, 5)]
+    # LIMIT n BY with renamed order key
+    r = ch_sql(spark, f"SELECT k, v AS vv FROM {view} "
+                      "ORDER BY k, v DESC LIMIT 2 BY k").collect()
+    assert sorted((x.k, x.vv) for x in r) == [(1, 20), (1, 30),
+                                              (2, 5), (2, 5)]
