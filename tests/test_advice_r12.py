@@ -172,3 +172,42 @@ def test_distinct_on_order_rewrite_battery(spark):
                       "ORDER BY k, v DESC LIMIT 2 BY k").collect()
     assert sorted((x.k, x.vv) for x in r) == [(1, 20), (1, 30),
                                               (2, 5), (2, 5)]
+
+
+def test_minhash_tuple_family_one_action(spark):
+    """ngramMinHash / wordShingleMinHash dialect family (round-12
+    verdict item 6): planted near-dup pair agrees on the min tuple
+    while an unrelated doc does not; Arg forms return grams sorted by
+    their hash; parameter validation refuses non-literals."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " x"     # one extra token, gram sets overlap heavily
+    far = "totally unrelated content about solar panel efficiency data"
+    row = ch_sql(spark, f"""
+        SELECT wordShingleMinHash('{base}', 1, 2) AS b,
+               wordShingleMinHash('{near}', 1, 2) AS nr,
+               wordShingleMinHash('{far}', 1, 2) AS fr,
+               ngramMinHashArg('abcdefgh', 3, 6) AS all_grams,
+               wordShingleMinHashCaseInsensitive('A b C d') =
+                   wordShingleMinHashCaseInsensitive('a B c D') AS ci,
+               ngramMinHash('ab') AS short_s
+    """).collect()[0]
+    # hashnum=2 over size-1 shingles: appending one token keeps the two
+    # smallest token hashes with overwhelming (and fixture-pinned)
+    # certainty; the verdict's "planted near-dup agreement"
+    assert row.b._1 == row.nr._1
+    assert row.b._1 != row.fr._1 and row.b._2 != row.fr._2
+    # 6 grams requested, 'abcdefgh' has exactly 6 distinct 3-grams:
+    # _1 ascending-hash order, _2 descending — same set
+    assert sorted(row.all_grams._1) == sorted(row.all_grams._2)
+    assert len(row.all_grams._1) == 6
+    assert row.ci is True
+    # string shorter than the gram size -> empty-set sentinel tuple
+    assert row.short_s._1 == row.short_s._2
+
+    with pytest.raises(ValueError, match="literal integer"):
+        ch_sql(spark, "SELECT ngramMinHash('x', k) FROM VALUES (2) "
+                      "AS t(k)")
+    with pytest.raises(ValueError, match="hashnum"):
+        ch_sql(spark, "SELECT wordShingleMinHash('x', 2, 0)")
