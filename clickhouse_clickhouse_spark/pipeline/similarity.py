@@ -484,3 +484,22 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
                              corpus_id, corpus_vec, query_id, query_vec)
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def production_knobs(n: int) -> dict:
+    """Corpus-scaled ANN parameterization (the production contract,
+    RECALL.md): recall at FIXED knobs degrades as the corpus grows
+    (measured round 11: PQ rerank=20 gives 1.000 recall@5 at 60k rows
+    but 0.800 at 10x), so the rescore set and inverted-list count must
+    grow with n:
+      rerank ~ n / 1500   (exact-cosine rescore; cost per QUERY)
+      lists  ~ sqrt(n)/16 (classic IVF sqrt rule), probe ~ 3/8 lists.
+    Shared by tools/scale_ann.py (the soak harness) and
+    ann_scaled_recall_gate (the per-round sweep gate) so the contract
+    the gate checks is the contract the soak validated."""
+    return {
+        "rerank_pq": max(40, n // 1500),
+        "rerank_ivfpq": max(80, n // 750),
+        "lists": max(8, round(n ** 0.5 / 16)),
+        "probe": max(6, round(n ** 0.5 / 16 * 3 / 8)),
+    }

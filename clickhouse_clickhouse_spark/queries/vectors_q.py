@@ -521,3 +521,51 @@ def ann_tuned_recall_gate(spark, sf):
     pq_ok, ivfpq_ok = recall(pq) >= 0.9, recall(ivfpq) >= 0.9
     return spark.createDataFrame([(pq_ok, ivfpq_ok)],
                                  "pq_ok boolean, ivfpq_ok boolean")
+
+
+@register("ann_scaled_recall_gate", oracle="""
+SELECT true AS pq_ok, true AS ivfpq_ok
+""")
+def ann_scaled_recall_gate(spark, sf):
+    """Round-12 verdict item 7: the recall gate at the PRODUCTION
+    contract — knobs derived from the corpus count via
+    pipeline/similarity.production_knobs (rerank ~ n/1500, lists ~
+    sqrt(n)/16, probe ~ 3/8 lists) instead of the fixed sf0.01 tuning,
+    so the property the sweep checks is the one that holds at ANY
+    scale (RECALL.md: fixed rerank=20 degrades 1.000 -> 0.800 at 10x;
+    scaled knobs hold 1.000/0.933 at 600k vectors). recall@5 vs the
+    in-job brute-force baseline must reach >= 0.9 for both tuned
+    paths."""
+    from clickhouse_clickhouse_spark.pipeline.similarity import (
+        brute_force_topk,
+        ivf_pq_topk,
+        pq_topk,
+        production_knobs,
+    )
+
+    e = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    kb = production_knobs(e.count())
+    q = (e.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    exact = brute_force_topk(e, q, 5, query_id="query_id").select(
+        F.col("query_id").alias("qid"), F.col("corpus_id").alias("nid"))
+    pq = pq_topk(e, q, k=5, m=16, codes=256, dim=64, iterations=2,
+                 normalize=True, rerank=kb["rerank_pq"],
+                 query_id="query_id").select(
+        F.col("query_id").alias("qid"), F.col("corpus_id").alias("nid"))
+    ivfpq = ivf_pq_topk(e, q, k=5, n_centroids=kb["lists"],
+                        n_probe=kb["probe"], m=16, codes=64, dim=64,
+                        iterations=3, normalize=True,
+                        rerank=kb["rerank_ivfpq"],
+                        query_id="query_id").select(
+        F.col("query_id").alias("qid"), F.col("corpus_id").alias("nid"))
+
+    exact = exact.persist()
+    n_exact = exact.count()
+
+    def recall(approx):
+        return exact.join(approx, ["qid", "nid"]).count() / n_exact
+
+    pq_ok, ivfpq_ok = recall(pq) >= 0.9, recall(ivfpq) >= 0.9
+    return spark.createDataFrame([(pq_ok, ivfpq_ok)],
+                                 "pq_ok boolean, ivfpq_ok boolean")

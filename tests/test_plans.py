@@ -128,6 +128,7 @@ _SINGLE_PARTITION_ALLOWED = {
     # The operators they exercise are swept through their ann_* twins.
     "ann_recall_gate",
     "ann_tuned_recall_gate",
+    "ann_scaled_recall_gate",
 }
 
 

@@ -67,22 +67,14 @@ def _topk_sets(df):
 
 
 def knobs(n: int) -> dict:
-    """PRODUCTION knob scaling with corpus size n — recall at a fixed
-    parameterization DEGRADES as the corpus grows (measured round 11:
-    PQ rerank=20 gives 1.000 recall@5 at 60k rows but 0.800 at the
-    same density over a larger spread), so the candidate set and the
-    inverted-list count must grow with n:
-      rerank ~ n / 1500  (exact-cosine rescore set, linear-ish in n;
-                          cost is per-QUERY, not per-corpus-row)
-      lists  ~ sqrt(n)/16 (classic IVF sqrt rule), probe ~ 3/8 lists.
-    Measured at sf0.1 (60k): rerank=40 -> PQ recall 1.000; lists=16
-    probe=6 rerank=80 -> IVF-PQ 0.933."""
-    return {
-        "rerank_pq": max(40, n // 1500),
-        "rerank_ivfpq": max(80, n // 750),
-        "lists": max(8, round(n ** 0.5 / 16)),
-        "probe": max(6, round(n ** 0.5 / 16 * 3 / 8)),
-    }
+    """Production knob scaling — single source of truth lives in
+    pipeline/similarity.production_knobs (shared with the per-round
+    ann_scaled_recall_gate so the soak and the gate check the same
+    contract)."""
+    from clickhouse_clickhouse_spark.pipeline.similarity import (
+        production_knobs,
+    )
+    return production_knobs(n)
 
 
 def measure(spark, sf_dir: str):
