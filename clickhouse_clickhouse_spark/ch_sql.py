@@ -713,6 +713,9 @@ def _minhash_tuple_tpl(a: list[str], fname: str, *, word: bool,
             f"'_2', {mk('REVERSE(__mv.pr)')})")
     inner = _bind_once({"pr": pairs}, body, var="__mv")
     return _bind_once(pre, inner, var="__mw")
+
+
+def _interval_length_sum_tpl(args: list[str]) -> str:
     """intervalLengthSum(start, end) ([U] AggregateFunctionIntervalLengthSum
     — total length of the UNION of the [start, end) segments, overlaps
     counted once): classic sweep over the start-sorted segments as one

@@ -256,8 +256,10 @@ def test_batch9_polygons_defaults_misc(spark):
     assert row.m == {1: 10, 2: 15, 3: 5}
     assert row.ddt.year == 1970 and row.v6z == "::"
     assert row.tri == 6.0 and row.trip == 12.0   # 3-4-5 triangle
+    # exponentialMovingAverage(hl)(v, t) is IMPLEMENTED since round 12
+    # (deterministic timestamped form) — only the bare parameterless
+    # call still refuses (tests/test_advice_r12.py)
     for q in ("SELECT IPv6CIDRToRange(a, 16)",
-              "SELECT exponentialMovingAverage(0.5)(v, t)",
               "SELECT defaultValueOfTypeName('Array(Int64)')",
               "SELECT readWKTPolygon(w, 2)"):
         with pytest.raises(ValueError):
