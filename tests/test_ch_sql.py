@@ -3810,9 +3810,9 @@ def test_round11_batch7_refusals(spark):
 
     from clickhouse_clickhouse_spark.ch_sql import translate
 
+    # (ngramMinHash / wordShingleMinHash left this list in round 12 —
+    # implemented as (h1, h2) tuple templates, tests/test_advice_r12.py)
     for bad, msg in [
-        ("SELECT wordShingleMinHash('a b')", "minhash_signatures"),
-        ("SELECT ngramMinHash('ab')", "minhash_signatures"),
         ("SELECT h3ToGeo(1)", "geohashEncode"),
         ("SELECT arrayEnumerateRanked([1])", "arrayEnumerateDense"),
         ("SELECT subtractTupleOfIntervals(d, t)", "interval arithmetic"),

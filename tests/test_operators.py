@@ -16,44 +16,52 @@ from clickhouse_clickhouse_spark.operators.windows import limit_with_ties
 TS = datetime.datetime
 
 
-def test_asof_backward(spark):
+def test_asof_modes_pooled(spark):
+    """backward / strict / forward / left-outer semantics in FOUR
+    actions over ONE shared fixture (suite-wall pattern: the per-case
+    micro frames cost per-ACTION overhead, not compute — the join key
+    is the case discriminator). Cases: k=1 backward chain, k=2 tie row
+    (non-strict matches, strict excludes), k=3 exact-tie row, k=4
+    forward pick, k=9 unmatched left."""
     left = spark.createDataFrame(
-        [(1, TS(2024, 1, 1, 10)), (1, TS(2024, 1, 1, 12)), (2, TS(2024, 1, 1, 9))],
+        [(1, TS(2024, 1, 1, 10)), (1, TS(2024, 1, 1, 12)),
+         (2, TS(2024, 1, 1, 9)), (3, TS(2024, 1, 1, 9)),
+         (4, TS(2024, 1, 1, 10)), (9, TS(2024, 1, 1))],
         "k int, ts timestamp")
     right = spark.createDataFrame(
         [(1, TS(2024, 1, 1, 9), 100.0), (1, TS(2024, 1, 1, 11), 200.0),
-         (2, TS(2024, 1, 1, 9), 300.0)],
+         (2, TS(2024, 1, 1, 9), 300.0), (3, TS(2024, 1, 1, 9), 1.0),
+         (4, TS(2024, 1, 1, 9), 1.0), (4, TS(2024, 1, 1, 11), 2.0)],
         "k int, rts timestamp, v double")
-    out = asof_join(left, right, ["k"], "ts", "rts", "backward")
-    got = {(r.k, r.ts): r.v for r in out.collect()}
-    assert got == {(1, TS(2024, 1, 1, 10)): 100.0,
-                   (1, TS(2024, 1, 1, 12)): 200.0,
-                   (2, TS(2024, 1, 1, 9)): 300.0}  # ties match (non-strict)
 
+    back = {(r.k, r.ts): r.v for r in
+            asof_join(left, right, ["k"], "ts", "rts",
+                      "backward").collect()}
+    assert back == {(1, TS(2024, 1, 1, 10)): 100.0,
+                    (1, TS(2024, 1, 1, 12)): 200.0,
+                    (2, TS(2024, 1, 1, 9)): 300.0,   # ties (non-strict)
+                    (3, TS(2024, 1, 1, 9)): 1.0,
+                    (4, TS(2024, 1, 1, 10)): 1.0}
 
-def test_asof_strict_excludes_equal(spark):
-    left = spark.createDataFrame([(1, TS(2024, 1, 1, 9))], "k int, ts timestamp")
-    right = spark.createDataFrame([(1, TS(2024, 1, 1, 9), 1.0)],
-                                  "k int, rts timestamp, v double")
-    assert asof_join(left, right, ["k"], "ts", "rts", strict=True).count() == 0
-    assert asof_join(left, right, ["k"], "ts", "rts", strict=False).count() == 1
+    strict = {(r.k, r.ts): r.v for r in
+              asof_join(left, right, ["k"], "ts", "rts",
+                        strict=True).collect()}
+    assert strict == {(1, TS(2024, 1, 1, 10)): 100.0,
+                      (1, TS(2024, 1, 1, 12)): 200.0,
+                      (4, TS(2024, 1, 1, 10)): 1.0}  # ties excluded
 
+    fwd = {(r.k, r.ts): r.v for r in
+           asof_join(left, right, ["k"], "ts", "rts",
+                     "forward").collect()}
+    assert fwd == {(1, TS(2024, 1, 1, 10)): 200.0,
+                   (2, TS(2024, 1, 1, 9)): 300.0,
+                   (3, TS(2024, 1, 1, 9)): 1.0,
+                   (4, TS(2024, 1, 1, 10)): 2.0}     # 12:00 has no next
 
-def test_asof_forward(spark):
-    left = spark.createDataFrame([(1, TS(2024, 1, 1, 10))], "k int, ts timestamp")
-    right = spark.createDataFrame(
-        [(1, TS(2024, 1, 1, 9), 1.0), (1, TS(2024, 1, 1, 11), 2.0)],
-        "k int, rts timestamp, v double")
-    out = asof_join(left, right, ["k"], "ts", "rts", "forward").collect()
-    assert len(out) == 1 and out[0].v == 2.0
-
-
-def test_asof_left_keeps_unmatched(spark):
-    left = spark.createDataFrame([(9, TS(2024, 1, 1))], "k int, ts timestamp")
-    right = spark.createDataFrame([(1, TS(2024, 1, 1), 1.0)],
-                                  "k int, rts timestamp, v double")
-    out = asof_join(left, right, ["k"], "ts", "rts", how="left").collect()
-    assert len(out) == 1 and out[0].v is None
+    outer = {(r.k, r.ts): r.v for r in
+             asof_join(left, right, ["k"], "ts", "rts",
+                       how="left").collect()}
+    assert outer[(9, TS(2024, 1, 1))] is None and len(outer) == 6
 
 
 def test_any_join_picks_first_by_order(spark):
@@ -171,18 +179,20 @@ def test_map_combinator_avg_and_assembled(spark):
     df = spark.createDataFrame(
         [(1, {"a": 2.0, "b": 10.0}), (1, {"a": 4.0}), (2, {"b": 1.0})],
         "g long, m map<string,double>")
-    flat = {(r.g, r.map_key): r.map_value
-            for r in map_combinator(df, ["g"], "m", "avg",
-                                    assemble=False).collect()}
+    # ONE action: the three variants join on g (suite-wall pattern)
+    rows = (map_combinator(df, ["g"], "m", "avg", assemble=False)
+            .groupBy("g")
+            .agg(F.map_from_entries(F.sort_array(F.collect_list(
+                F.struct("map_key", "map_value")))).alias("flat"))
+            .join(map_combinator(df, ["g"], "m", "avg"), "g")
+            .join(map_combinator(df, ["g"], "m", "count"), "g")
+            .collect())
+    flat = {(r.g, k): v for r in rows for k, v in r.flat.items()}
     assert flat == {(1, "a"): 3.0, (1, "b"): 10.0, (2, "b"): 1.0}
-
-    asm = {r.g: r.avg_m
-           for r in map_combinator(df, ["g"], "m", "avg").collect()}
-    assert asm == {1: {"a": 3.0, "b": 10.0}, 2: {"b": 1.0}}
-
-    cnt = {r.g: r.count_m for r in map_combinator(df, ["g"], "m",
-                                                  "count").collect()}
-    assert cnt == {1: {"a": 2, "b": 1}, 2: {"b": 1}}
+    assert {r.g: r.avg_m for r in rows} == \
+        {1: {"a": 3.0, "b": 10.0}, 2: {"b": 1.0}}
+    assert {r.g: r.count_m for r in rows} == \
+        {1: {"a": 2, "b": 1}, 2: {"b": 1}}
 
 
 def test_exp_time_decayed_family_vs_bruteforce(spark):
@@ -202,12 +212,17 @@ def test_exp_time_decayed_family_vs_bruteforce(spark):
     rows = [(1, float(t), float(v)) for t, v in pts]
     df = spark.createDataFrame(rows, "k long, ts double, v double")
 
-    got_c = {r.ts: r.decayed_count for r in
-             exp_time_decayed_count(df, ["k"], "ts", tau).collect()}
-    got_a = {r.ts: r.decayed_avg for r in
-             exp_time_decayed_avg(df, ["k"], "ts", "v", tau).collect()}
-    got_m = {r.ts: r.decayed_max for r in
-             exp_time_decayed_max(df, ["k"], "ts", "v", tau).collect()}
+    # ONE action: the three variants join on ts (suite-wall pattern)
+    rows = (exp_time_decayed_count(df, ["k"], "ts", tau)
+            .select("ts", "decayed_count")
+            .join(exp_time_decayed_avg(df, ["k"], "ts", "v", tau)
+                  .select("ts", "decayed_avg"), "ts")
+            .join(exp_time_decayed_max(df, ["k"], "ts", "v", tau)
+                  .select("ts", "decayed_max"), "ts")
+            .collect())
+    got_c = {r.ts: r.decayed_count for r in rows}
+    got_a = {r.ts: r.decayed_avg for r in rows}
+    got_m = {r.ts: r.decayed_max for r in rows}
     for t, _ in pts:
         cnt = sum(math.exp(-(t - ti)) for ti, _ in pts if ti <= t)
         sm = sum(vi * math.exp(-(t - ti)) for ti, vi in pts if ti <= t)
