@@ -7843,14 +7843,17 @@ def _translate_impl(sql: str,
         keys = m.group(4).strip()
         rest = q[m.end():].strip()
         body = q[:m.start()].strip()
-        order = keys  # deterministic: CH uses input order; keys is stable
-        hoisted: list[str] = []
         om = re.search(r"\bORDER\s+BY\s+(.+)$", body,
                        re.IGNORECASE | re.DOTALL)
         if om:
             order_txt = om.group(1).strip()
             body = body[:om.start()].strip()
-            body, order, hoisted = _wrap_order_rewrite(body, order_txt)
+            body, (keys, order), hoisted = _wrap_order_rewrite(
+                body, [keys, order_txt])
+        else:
+            # deterministic: CH uses input order; keys is stable
+            body, (keys,), hoisted = _wrap_order_rewrite(body, [keys])
+            order = keys
         # outer ORDER BY keeps the reference's post-LIMIT-BY ordering
         exc = ", ".join(["__ch_rn"] + hoisted)
         q = (f"SELECT * EXCEPT({exc}) FROM (SELECT *, ROW_NUMBER() OVER "
@@ -7879,19 +7882,21 @@ _ORDER_SUFFIX = re.compile(
 
 
 def _wrap_order_rewrite(body: str,
-                        order_txt: str) -> tuple[str, str, list[str]]:
+                        lists: list[str]) -> tuple[str, list[str],
+                                                   list[str]]:
     """LIMIT-BY / DISTINCT-ON wrap (round-12 verdict item 5): the
     row_number subquery sees only the body's OUTPUT columns, while
-    upstream resolves ORDER BY against the source relation too. Per
-    order key: projected bare column -> keep; expression the select
-    list projects under an alias -> use the alias; positional N ->
-    the N-th select item's alias/name; anything else -> HOIST into the
-    body as __ch_obN (stripped back out by the outer * EXCEPT).
-    Returns (new_body, new_order, hoisted_names)."""
+    upstream resolves the BY keys and ORDER BY against the source
+    relation too. Per key in each list: projected bare column -> keep;
+    expression the select list projects under an alias -> use the
+    alias; positional N -> the N-th select item's alias/name; anything
+    else -> HOIST into the body as __ch_obN (stripped back out by the
+    outer * EXCEPT). Returns (new_body, rewritten_lists,
+    hoisted_names) — hoists are shared across the lists."""
     sp = re.match(r"\s*SELECT\s+(?:DISTINCT\s+)?", body, re.IGNORECASE)
     fp = _toplevel_kw_pos(body, re.compile(r"\bFROM\b", re.IGNORECASE))
     if not sp or fp < sp.end():
-        return body, order_txt, []
+        return body, lists, []
     sel_items = [t.strip() for t in _split_args(body[sp.end():fp])]
     star = any(t == "*" or t.endswith(".*")
                or re.match(r"\*\s*(EXCEPT|REPLACE|APPLY)\b", t,
@@ -7913,9 +7918,9 @@ def _wrap_order_rewrite(body: str,
         else:
             positional.append(None)      # unaliased expression
     hoists: list[str] = []
-    new_items: list[str] = []
-    for it in _split_args(order_txt):
-        t = it.strip()
+    hoist_by_expr: dict[str, str] = {}
+
+    def rewrite_one(t: str) -> str:
         md = _ORDER_SUFFIX.search(t)
         expr, suff = (t[:md.start()].strip(), t[md.start():]) \
             if md else (t, "")
@@ -7924,29 +7929,32 @@ def _wrap_order_rewrite(body: str,
             # a constant, so it MUST be resolved to the item here
             idx = int(expr) - 1
             if star or not 0 <= idx < len(positional):
-                new_items.append(t)
-                continue
+                return t
             tgt = positional[idx]
             if tgt is not None:
-                new_items.append(tgt + suff)
-                continue
+                return tgt + suff
             expr = sel_items[idx]        # unaliased expr -> hoist below
         if re.fullmatch(r"[\w.]+", expr) and (
                 star or expr.rsplit(".", 1)[-1].lower() in out_names):
-            new_items.append(expr + suff)
-        elif _norm_expr_text(expr) in expr_to_alias:
-            new_items.append(expr_to_alias[_norm_expr_text(expr)] + suff)
-        elif star:
-            new_items.append(expr + suff)  # source cols flow through *
-        else:
+            return expr + suff
+        key = _norm_expr_text(expr)
+        if key in expr_to_alias:
+            return expr_to_alias[key] + suff
+        if star:
+            return expr + suff           # source cols flow through *
+        if key not in hoist_by_expr:
             name = f"__ch_ob{len(hoists)}"
             hoists.append(f"({expr}) AS {name}")
-            new_items.append(name + suff)
+            hoist_by_expr[key] = name
+        return hoist_by_expr[key] + suff
+
+    new_lists = [", ".join(rewrite_one(it.strip())
+                           for it in _split_args(txt))
+                 for txt in lists]
     if hoists:
         body = (body[:fp].rstrip() + ", " + ", ".join(hoists)
                 + " " + body[fp:])
-    return body, ", ".join(new_items), [h.rsplit(" AS ", 1)[-1]
-                                        for h in hoists]
+    return body, new_lists, [h.rsplit(" AS ", 1)[-1] for h in hoists]
 
 
 _REGISTERED: set[int] = set()
