@@ -211,3 +211,45 @@ def test_minhash_tuple_family_one_action(spark):
                       "AS t(k)")
     with pytest.raises(ValueError, match="hashnum"):
         ch_sql(spark, "SELECT wordShingleMinHash('x', 2, 0)")
+
+
+def test_gcm_aad_byte_parity_vs_openssl(spark):
+    """encrypt('aes-256-gcm', ...) byte parity against an INDEPENDENT
+    OpenSSL-backed implementation (python `cryptography` AESGCM):
+    ciphertext||tag must match exactly, with and without AAD — the
+    docstring's byte-parity claim, now externally verified (the
+    round-11 advisor found the AAD was silently dropped)."""
+    pytest.importorskip("cryptography")
+    from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    key = b"32byteskey32byteskey32byteskey32"
+    iv = b"theiv12bytes"
+    row = ch_sql(spark, """
+        SELECT encrypt('aes-256-gcm', 'payload',
+                       '32byteskey32byteskey32byteskey32',
+                       'theiv12bytes', 'the-aad') AS with_aad,
+               encrypt('aes-256-gcm', 'payload',
+                       '32byteskey32byteskey32byteskey32',
+                       'theiv12bytes') AS no_aad
+    """).collect()[0]
+    ref = AESGCM(key)
+    assert bytes(row.with_aad) == ref.encrypt(iv, b"payload", b"the-aad")
+    assert bytes(row.no_aad) == ref.encrypt(iv, b"payload", None)
+
+    # CBC too: PKCS#7-padded ciphertext, byte-exact
+    from cryptography.hazmat.primitives import padding
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher, algorithms, modes,
+    )
+
+    iv16 = b"theiv16bytes!!!!"
+    cbc = ch_sql(spark, """
+        SELECT encrypt('aes-256-cbc', 'payload',
+                       '32byteskey32byteskey32byteskey32',
+                       'theiv16bytes!!!!') AS ct""").collect()[0].ct
+    padder = padding.PKCS7(128).padder()
+    data = padder.update(b"payload") + padder.finalize()
+    enc = Cipher(algorithms.AES(key), modes.CBC(iv16)).encryptor()
+    assert bytes(cbc) == enc.update(data) + enc.finalize()
