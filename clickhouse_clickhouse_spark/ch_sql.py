@@ -556,13 +556,21 @@ def _variant_type_tpl(a: list[str]) -> str:
 
 
 _AES_MODES = {"ecb": "ECB", "cbc": "CBC", "gcm": "GCM"}
+# stream modes (no Spark carrier): routed through the cryptography-
+# backed __aes_stream UDF (functions/aescrypt.py), round 12. cfb is
+# upstream's cfb128 (the OpenSSL default feedback width).
+_AES_STREAM_MODES = {"ctr", "ofb", "cfb", "cfb128", "cfb8"}
 
 
 def _aes_tpl(args: list[str], fn: str) -> str:
     """encrypt/decrypt('aes-<bits>-<cipher>', data, key[, iv[, aad]])
     ([U] src/Functions/FunctionsAES.h) -> Spark aes_* builtins. The
-    mode must be a translate-time literal; ECB/CBC/GCM are the shared
-    modes (CTR/CFB/OFB have no Spark carrier and refuse).
+    mode must be a translate-time literal; ECB/CBC/GCM ride Spark's
+    native aes_encrypt/aes_decrypt, and the stream modes
+    CTR/OFB/CFB128/CFB8 route through the cryptography-backed
+    __aes_stream UDF (functions/aescrypt.py, round 12 — OpenSSL
+    keystreams, byte-identical to the reference; CFB1 has no carrier
+    in either and refuses).
 
     IV plumbing: the reference keeps the IV OUTSIDE the ciphertext
     (caller passes it to both sides) while Spark embeds it as a prefix
@@ -576,17 +584,29 @@ def _aes_tpl(args: list[str], fn: str) -> str:
     reference-comparable)."""
     if len(args) < 3:
         raise ValueError(f"{fn.lower()}: need (mode, data, key[, iv[, aad]])")
-    mm = re.fullmatch(r"\s*'aes-(128|192|256)-([a-z]+)'\s*", args[0],
+    mm = re.fullmatch(r"\s*'aes-(128|192|256)-([a-z0-9]+)'\s*", args[0],
                       re.IGNORECASE)
     if not mm:
         raise ValueError(
             "encrypt/decrypt: mode must be a literal like 'aes-256-gcm'")
-    cipher = mm.group(2).lower()
+    bits, cipher = mm.group(1), mm.group(2).lower()
+    if cipher in _AES_STREAM_MODES:
+        if len(args) < 4:
+            raise ValueError(
+                f"encrypt/decrypt: aes-{cipher} needs an explicit IV "
+                "(stream modes keystream from it)")
+        if len(args) >= 5:
+            raise ValueError("encrypt/decrypt: AAD is GCM-only")
+        dirn = "dec" if "DECRYPT" in fn else "enc"
+        return (f"__aes_stream(CAST({args[1]} AS BINARY), "
+                f"CAST({args[2]} AS BINARY), CAST({args[3]} AS BINARY), "
+                f"'{cipher}', '{dirn}', {bits})")
     mode = _AES_MODES.get(cipher)
     if mode is None:
         raise ValueError(
             f"encrypt/decrypt: aes-{cipher} has no Spark carrier — "
-            "ECB/CBC/GCM are supported")
+            "ECB/CBC/GCM natively, CTR/OFB/CFB128/CFB8 via the "
+            "cryptography-backed stream UDF")
     iv = aad = None
     if len(args) >= 4:
         if mode == "ECB":
@@ -7994,6 +8014,14 @@ def _register_udfs(spark: SparkSession) -> None:
     spark.udf.register("__sha512_256", H.sha512_256_udf())
     spark.udf.register("__kafka_murmur2", H.kafka_murmur2_udf())
     spark.udf.register("__siphash64_keyed", H.siphash64_keyed_udf())
+    # AES stream modes (ctr/ofb/cfb) — cryptography-backed, round 12;
+    # the builder raises a loud env gate when the package is absent,
+    # but ONLY when a query actually names a stream mode (lazy probe)
+    try:
+        from clickhouse_clickhouse_spark.functions import aescrypt as AE
+        spark.udf.register("__aes_stream", AE.aes_stream_udf())
+    except EnvironmentError:
+        pass  # _aes_tpl output will fail loudly at resolution instead
     _REGISTERED.add(id(spark))
 
 

@@ -3052,3 +3052,43 @@ def ch_sql_minhash_tuples(spark, sf):
                ngramMinHash(text)._1 !=
                    ngramMinHash(REPEAT('z', 40))._1 AS neq_far
         FROM mh_documents WHERE doc_id < 300""")
+
+
+@register("ch_sql_aes_stream", oracle="""
+SELECT doc_id, TRUE AS rt_ctr, TRUE AS rt_ofb, TRUE AS rt_cfb8,
+       TRUE AS len_eq, TRUE AS ct_differs
+FROM documents WHERE doc_id < 100
+""")
+def ch_sql_aes_stream(spark, sf):
+    """Round 12: aes-*-ctr/ofb/cfb stream modes (the former 'no Spark
+    carrier' refusal) via the cryptography-backed __aes_stream UDF —
+    OpenSSL keystreams, byte-parity pinned against the library in
+    tests/test_advice_r12.py. Oracle invariants per doc: decrypt ∘
+    encrypt is identity, ciphertext length equals plaintext length
+    (stream modes pad nothing), and the ciphertext differs from the
+    plaintext (keystream is never all-zero for this key/iv — fixture-
+    exact)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "documents") \
+        .createOrReplaceTempView("aes_documents")
+    return ch_sql(spark, """
+        SELECT doc_id,
+               CAST(decrypt('aes-256-ctr',
+                    encrypt('aes-256-ctr', text, k, v), k, v)
+                    AS STRING) = text AS rt_ctr,
+               CAST(decrypt('aes-256-ofb',
+                    encrypt('aes-256-ofb', text, k, v), k, v)
+                    AS STRING) = text AS rt_ofb,
+               CAST(decrypt('aes-128-cfb8',
+                    encrypt('aes-128-cfb8', text, SUBSTRING(k, 1, 16),
+                            v), SUBSTRING(k, 1, 16), v)
+                    AS STRING) = text AS rt_cfb8,
+               LENGTH(encrypt('aes-256-ctr', text, k, v)) =
+                   LENGTH(CAST(text AS BINARY)) AS len_eq,
+               encrypt('aes-256-ctr', text, k, v) !=
+                   CAST(text AS BINARY) AS ct_differs
+        FROM (SELECT doc_id, text,
+                     '32byteskey32byteskey32byteskey32' AS k,
+                     'theiv16bytes!!!!' AS v
+              FROM aes_documents WHERE doc_id < 100)""")

@@ -253,3 +253,50 @@ def test_gcm_aad_byte_parity_vs_openssl(spark):
     data = padder.update(b"payload") + padder.finalize()
     enc = Cipher(algorithms.AES(key), modes.CBC(iv16)).encryptor()
     assert bytes(cbc) == enc.update(data) + enc.finalize()
+
+
+def test_aes_stream_modes_byte_parity(spark):
+    """aes-*-ctr/ofb/cfb128/cfb8 (round 12: the former 'no Spark
+    carrier' refusal, now a cryptography-backed stream UDF): byte
+    parity against the OpenSSL reference, encrypt->decrypt round trip,
+    output length == input length (no padding), and the wrong-key-size
+    loud raise."""
+    pytest.importorskip("cryptography")
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher, algorithms, modes,
+    )
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    key = b"32byteskey32byteskey32byteskey32"
+    iv = b"theiv16bytes!!!!"
+    row = ch_sql(spark, """
+        SELECT encrypt('aes-256-ctr', 'payload7', k, v) AS ctr,
+               encrypt('aes-256-ofb', 'payload7', k, v) AS ofb,
+               encrypt('aes-256-cfb128', 'payload7', k, v) AS cfb,
+               encrypt('aes-256-cfb8', 'payload7', k, v) AS cfb8,
+               decrypt('aes-256-ctr',
+                       encrypt('aes-256-ctr', 'payload7', k, v),
+                       k, v) AS rt,
+               decrypt('aes-256-cfb128',
+                       encrypt('aes-256-cfb128', 'payload7', k, v),
+                       k, v) AS rt_cfb
+        FROM VALUES ('32byteskey32byteskey32byteskey32',
+                     'theiv16bytes!!!!') AS t(k, v)
+    """).collect()[0]
+
+    def ref(mode):
+        enc = Cipher(algorithms.AES(key), mode(iv)).encryptor()
+        return enc.update(b"payload7") + enc.finalize()
+
+    assert bytes(row.ctr) == ref(modes.CTR)
+    assert bytes(row.ofb) == ref(modes.OFB)
+    assert bytes(row.cfb) == ref(modes.CFB)
+    assert bytes(row.cfb8) == ref(modes.CFB8)
+    assert len(row.ctr) == 8                  # stream: no padding
+    assert bytes(row.rt) == b"payload7" and bytes(row.rt_cfb) == \
+        b"payload7"
+
+    with pytest.raises(Exception, match="key must be"):
+        ch_sql(spark, "SELECT encrypt('aes-256-ctr', 'x', 'shortkey', "
+                      "'theiv16bytes!!!!') AS e").collect()

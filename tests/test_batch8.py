@@ -133,7 +133,10 @@ def test_batch8_translate_time_refusals(spark):
 
     cases = [
         ("SELECT toIntervalNanosecond(1)", None),  # runtime raise, below
-        ("SELECT encrypt('aes-128-ctr', 'x', 'k')", "no Spark carrier"),
+        ("SELECT encrypt('aes-128-ctr', 'x', 'k')", "explicit IV"),
+        ("SELECT encrypt('aes-128-cfb1', 'x', 'k')", "no Spark carrier"),
+        ("SELECT encrypt('aes-128-ctr', 'x', 'k', 'iv', 'aad')",
+         "GCM-only"),
         ("SELECT encrypt('aes-128-ecb', 'x', 'k', 'iv')", "no IV"),
         ("SELECT encrypt('aes-128-cbc', 'x', 'k', 'iv', 'aad')",
          "GCM-only"),
