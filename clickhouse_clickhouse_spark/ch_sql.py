@@ -4501,9 +4501,11 @@ _FUNCS: dict[str, str] = {
     "BLAKE3": lambda a: (_ for _ in ()).throw(ValueError(
         "BLAKE3 has no implementation in this environment; "
         "SHA256/SHA512_256 are the strong digests here")),
-    "ripeMD160": lambda a: (_ for _ in ()).throw(ValueError(
-        "ripeMD160 depends on OpenSSL legacy providers that are not "
-        "guaranteed in this environment; use SHA256/SHA512_256")),
+    # round 12: hashlib-backed (hex output, SHA-family convention);
+    # registration probes the OpenSSL legacy provider and the name
+    # resolves only where the box supports it
+    "ripeMD160": lambda a: f"__ripemd160({a[0]})",
+    "RIPEMD160": lambda a: f"__ripemd160({a[0]})",
     "sipHash128Keyed": lambda a: (_ for _ in ()).throw(ValueError(
         "sipHash128Keyed is not implemented — sipHash64Keyed carries "
         "the keyed bit-parity surface")),
@@ -8022,6 +8024,10 @@ def _register_udfs(spark: SparkSession) -> None:
         spark.udf.register("__aes_stream", AE.aes_stream_udf())
     except EnvironmentError:
         pass  # _aes_tpl output will fail loudly at resolution instead
+    try:
+        spark.udf.register("__ripemd160", H.ripemd160_udf())
+    except EnvironmentError:
+        pass  # ripeMD160 calls then fail loudly at resolution
     _REGISTERED.add(id(spark))
 
 

@@ -571,3 +571,28 @@ def sha512_256_udf():
                 "sha512_256", _as_bytes(v)).hexdigest())
         _UDFS["sha512_256"] = _sha
     return _UDFS["sha512_256"]
+
+
+def ripemd160_udf():
+    """``RIPEMD160`` (round 12): hashlib-backed, hex output like the
+    SHA family here. Availability depends on the box's OpenSSL build
+    (legacy provider) — probed ONCE at build; raises EnvironmentError
+    naming the dependency when absent, so the dialect registration can
+    gate gracefully. ISO/IEC 10118-3 vector pinned in tests
+    (RIPEMD160('abc') = 8eb208f7...)."""
+    if "ripemd160" not in _UDFS:
+        import hashlib
+
+        try:
+            hashlib.new("ripemd160", b"")
+        except ValueError as e:        # pragma: no cover - env gate
+            raise EnvironmentError(
+                "ripeMD160 needs OpenSSL's legacy ripemd160 provider, "
+                "absent from this build; use SHA256/SHA512_256") from e
+
+        @pandas_udf("string")
+        def _ripe(s: pd.Series) -> pd.Series:
+            return s.map(lambda v: None if v is None else hashlib.new(
+                "ripemd160", _as_bytes(v)).hexdigest())
+        _UDFS["ripemd160"] = _ripe
+    return _UDFS["ripemd160"]

@@ -300,3 +300,16 @@ def test_aes_stream_modes_byte_parity(spark):
     with pytest.raises(Exception, match="key must be"):
         ch_sql(spark, "SELECT encrypt('aes-256-ctr', 'x', 'shortkey', "
                       "'theiv16bytes!!!!') AS e").collect()
+
+
+def test_ripemd160_vector(spark):
+    """ripeMD160 (round 12: the former OpenSSL-legacy refusal, probed
+    at registration): ISO/IEC 10118-3 published vectors."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    row = ch_sql(spark, "SELECT ripeMD160('abc') AS a, "
+                        "RIPEMD160('') AS e, "
+                        "ripeMD160('message digest') AS m").collect()[0]
+    assert row.a == "8eb208f7e05d987a9b044a8e98c6b087f15a0bfc"
+    assert row.e == "9c1185a5c5e9fc54612808977ee8f548b2258d31"
+    assert row.m == "5d0689ef49d2fae572b881b123a85ffa21595f36"

@@ -147,7 +147,6 @@ def test_batch8_translate_time_refusals(spark):
         ("SELECT xxh3('x')", "xxHash64"),
         ("SELECT metroHash64('x')", "not implemented"),
         ("SELECT BLAKE3('x')", "no implementation"),
-        ("SELECT ripeMD160('x')", "OpenSSL legacy"),
         ("SELECT sipHash128Keyed((1,2), 'x')", "sipHash64Keyed"),
         ("SELECT geoToH3(0.0, 0.0, 1)", "h3 indexing library"),
         ("SELECT h3kRing(1, 1)", "h3 indexing library"),
