@@ -44,6 +44,17 @@ SELECT g,
 FROM folds_src GROUP BY g
 """
 
+# round-12 addition, soaked as its OWN batch: appending an 11th
+# COLLECT_LIST column to the shared query pushes the 32x200k fixture
+# past the driver-JVM heap (each fold holds one group's list at once;
+# the batch holds one PER AGGREGATE). Same collect-fold envelope:
+# one list + an O(n) decay fold anchored at the group max time.
+EMA_SQL = """
+SELECT g, exponentialMovingAverage(500)(v, t) AS ema,
+       exponentialTimeDecayedAvg(500)(v, t) AS eda
+FROM folds_src GROUP BY g
+"""
+
 
 def make_src(spark, rows_per_group: int, view: str) -> None:
     n = GROUPS * rows_per_group
@@ -54,14 +65,15 @@ def make_src(spark, rows_per_group: int, view: str) -> None:
                CAST(PMOD(XXHASH64(id + 2), 4) AS INT) AS k4,
                CHAR(97 + PMOD(XXHASH64(id + 3), 3)) AS ca,
                CHAR(120 + PMOD(XXHASH64(id + 4), 2)) AS cb,
-               CAST(PMOD(XXHASH64(id + 5), 4) + 1 AS INT) AS w
+               CAST(PMOD(XXHASH64(id + 5), 4) + 1 AS INT) AS w,
+               id * 1.0 AS t
         FROM RANGE({n})
     """).createOrReplaceTempView(view)
 
 
-def time_folds(spark, view: str) -> float:
+def time_folds(spark, view: str, template: str = FOLD_SQL) -> float:
     best = float("inf")
-    sql = FOLD_SQL.replace("folds_src", view)
+    sql = template.replace("folds_src", view)
     for _ in range(2):
         t0 = time.perf_counter()
         # noop sink forces FULL evaluation of every aggregate column —
@@ -84,6 +96,11 @@ def main() -> None:
     print("|---|---|---|---|")
     print(f"| entropy+cramersV+theilsU+MW+KS+welch+ANOVA+weighted-q "
           f"| {t_base:.2f}s | {t_big:.2f}s | {t_big / t_base:.1f}x |",
+          flush=True)
+    e_base = time_folds(spark, "folds_base", EMA_SQL)
+    e_big = time_folds(spark, "folds_big", EMA_SQL)
+    print(f"| exponentialMovingAverage + TimeDecayedAvg (r12) "
+          f"| {e_base:.2f}s | {e_big:.2f}s | {e_big / e_base:.1f}x |",
           flush=True)
     # the O(n^2)-per-group rankCorr must REFUSE at this group size
     try:
