@@ -7865,11 +7865,16 @@ def _translate_impl(sql: str,
         keys = m.group(4).strip()
         rest = q[m.end():].strip()
         body = q[:m.start()].strip()
-        om = re.search(r"\bORDER\s+BY\s+(.+)$", body,
-                       re.IGNORECASE | re.DOTALL)
-        if om:
-            order_txt = om.group(1).strip()
-            body = body[:om.start()].strip()
+        # top-level, subquery-safe ORDER BY search: a plain re.search
+        # matched ORDER BY clauses INSIDE subqueries/CTEs and truncated
+        # the body there (round-12 fix, pre-existing hazard)
+        op = _toplevel_kw_pos(body,
+                              re.compile(r"\bORDER\s+BY\b",
+                                         re.IGNORECASE))
+        if op >= 0:
+            order_txt = re.sub(r"^\s*ORDER\s+BY\s*", "", body[op:],
+                               flags=re.IGNORECASE).strip()
+            body = body[:op].strip()
             body, (keys, order), hoisted = _wrap_order_rewrite(
                 body, [keys, order_txt])
         else:

@@ -313,3 +313,28 @@ def test_ripemd160_vector(spark):
     assert row.a == "8eb208f7e05d987a9b044a8e98c6b087f15a0bfc"
     assert row.e == "9c1185a5c5e9fc54612808977ee8f548b2258d31"
     assert row.m == "5d0689ef49d2fae572b881b123a85ffa21595f36"
+
+
+def test_limit_by_ignores_subquery_order_by(spark):
+    """A pre-round-12 hazard: the LIMIT BY wrap's ORDER BY extraction
+    was not subquery-safe — an ORDER BY inside a derived table/CTE
+    truncated the body mid-expression. Must now translate cleanly and
+    keep the inner ORDER BY (it bounds the inner LIMIT 5)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    rows = ", ".join(f"({k}, {n})" for k, n in
+                     [(1, 9), (1, 7), (1, 5), (2, 8), (2, 6), (2, 4)])
+    got = ch_sql(spark, f"""
+        SELECT k, n FROM (SELECT k, n FROM VALUES {rows} AS t(k, n)
+                          ORDER BY n LIMIT 4) s
+        LIMIT 1 BY k""").collect()
+    # inner: the 4 smallest n (4,5,6,7); outer: one row per k
+    assert sorted(r.k for r in got) == [1, 2]
+    assert all(r.n <= 7 for r in got)
+
+    # CTE body: same hazard through the WITH path
+    got2 = ch_sql(spark, f"""
+        WITH c AS (SELECT k, n FROM VALUES {rows} AS t(k, n)
+                   ORDER BY n LIMIT 4)
+        SELECT k, n FROM c ORDER BY k, n LIMIT 1 BY k""").collect()
+    assert [(r.k, r.n) for r in got2] == [(1, 5), (2, 4)]
