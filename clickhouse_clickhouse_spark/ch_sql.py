@@ -7791,28 +7791,10 @@ def _translate_impl(sql: str,
     # LIMIT 1 BY machinery below (same row_number wrap, same
     # deterministic-order contract; ORDER BY keys the select list
     # renamed or dropped are alias-rewritten / hoisted by
-    # _wrap_order_rewrite so the survivor tracks the oracle)
-    md = _masked_search(
-        re.compile(r"^\s*SELECT\s+DISTINCT\s+ON\s*\(", re.IGNORECASE), q)
-    if md:
-        open_p = q.index("(", md.start() + 6)
-        close = _find_close(q, open_p)
-        if close < 0:
-            raise ValueError("DISTINCT ON: unbalanced key list")
-        keys = q[open_p + 1:close].strip()
-        tail = q[close + 1:].strip()
-        # Splice LIMIT 1 BY BEFORE any top-level LIMIT/OFFSET: upstream
-        # deduplicates first, then limits the deduplicated result. The
-        # LIMIT BY machinery below re-attaches the trailing LIMIT after
-        # its outer ORDER BY. Without a query ORDER BY the surviving
-        # row per key is arbitrary (same contract as upstream).
-        lp = _toplevel_kw_pos(
-            tail, re.compile(r"\b(?:LIMIT|OFFSET)\b", re.IGNORECASE))
-        if lp >= 0:
-            q = ("SELECT " + tail[:lp].rstrip()
-                 + f" LIMIT 1 BY {keys} " + tail[lp:])
-        else:
-            q = f"SELECT {tail} LIMIT 1 BY {keys}"
+    # _wrap_order_rewrite so the survivor tracks the oracle).
+    # Subquery-safe since round 12: occurrences inside derived
+    # tables/CTEs splice within their OWN span.
+    q = _apply_distinct_on(q)
 
     # QUALIFY <cond> ([U] InterpreterSelectQuery qualify clause —
     # post-window row filter): Spark has no QUALIFY, so wrap the query
@@ -7855,38 +7837,12 @@ def _translate_impl(sql: str,
                    re.IGNORECASE),
         lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", q)
 
-    # LIMIT [m,] n [OFFSET m] BY k,... -> row_number wrap of the query
-    m = _masked_search(_LIMIT_BY, q)
-    if m:
-        if m.group(3) is not None:       # LIMIT off, n BY (comma form)
-            off, n = int(m.group(1)), int(m.group(3))
-        else:
-            n, off = int(m.group(1)), int(m.group(2) or 0)
-        keys = m.group(4).strip()
-        rest = q[m.end():].strip()
-        body = q[:m.start()].strip()
-        # top-level, subquery-safe ORDER BY search: a plain re.search
-        # matched ORDER BY clauses INSIDE subqueries/CTEs and truncated
-        # the body there (round-12 fix, pre-existing hazard)
-        op = _toplevel_kw_pos(body,
-                              re.compile(r"\bORDER\s+BY\b",
-                                         re.IGNORECASE))
-        if op >= 0:
-            order_txt = re.sub(r"^\s*ORDER\s+BY\s*", "", body[op:],
-                               flags=re.IGNORECASE).strip()
-            body = body[:op].strip()
-            body, (keys, order), hoisted = _wrap_order_rewrite(
-                body, [keys, order_txt])
-        else:
-            # deterministic: CH uses input order; keys is stable
-            body, (keys,), hoisted = _wrap_order_rewrite(body, [keys])
-            order = keys
-        # outer ORDER BY keeps the reference's post-LIMIT-BY ordering
-        exc = ", ".join(["__ch_rn"] + hoisted)
-        q = (f"SELECT * EXCEPT({exc}) FROM (SELECT *, ROW_NUMBER() OVER "
-             f"(PARTITION BY {keys} ORDER BY {order}) AS __ch_rn FROM "
-             f"({body})) WHERE __ch_rn > {off} AND __ch_rn <= {off + n} "
-             f"ORDER BY {order} {rest}")
+    # LIMIT [m,] n [OFFSET m] BY k,... -> row_number wrap of the query.
+    # Recursive since round 12: occurrences inside subqueries/CTEs wrap
+    # their OWN span (innermost first), and the body's ORDER BY is
+    # located with the depth-0 masked search (a plain regex matched
+    # ORDER BYs inside derived tables and truncated the body there).
+    q = _apply_limit_by(q)
 
     # empty-set type defaults (ch_compat, see flag docstring) run on
     # dialect names BEFORE template expansion — the COALESCE wrap
@@ -7982,6 +7938,112 @@ def _wrap_order_rewrite(body: str,
         body = (body[:fp].rstrip() + ", " + ", ".join(hoists)
                 + " " + body[fp:])
     return body, new_lists, [h.rsplit(" AS ", 1)[-1] for h in hoists]
+
+
+def _enclosing_open(masked: str, pos: int) -> int:
+    """Index of the '(' whose span encloses ``pos`` (on the
+    string-masked twin); -1 when pos is at depth 0."""
+    depth = 0
+    for i in range(pos - 1, -1, -1):
+        c = masked[i]
+        if c == ")":
+            depth += 1
+        elif c == "(":
+            if depth == 0:
+                return i
+            depth -= 1
+    return -1
+
+
+def _apply_distinct_on(q: str) -> str:
+    """Rewrite every ``SELECT DISTINCT ON (keys)`` — top-level or
+    inside a subquery span — to ``... LIMIT 1 BY keys`` spliced before
+    that span's own top-level LIMIT/OFFSET (upstream deduplicates
+    first, then limits). Without a query ORDER BY the surviving row
+    per key is arbitrary (same contract as upstream)."""
+    pat = re.compile(r"\bSELECT\s+DISTINCT\s+ON\s*\(", re.IGNORECASE)
+    for _ in range(32):
+        mm = _masked_search(pat, q)
+        if not mm:
+            return q
+        open_k = q.rindex("(", mm.start(), mm.end())
+        close_k = _find_close(q, open_k)
+        if close_k < 0:
+            raise ValueError("DISTINCT ON: unbalanced key list")
+        keys = q[open_k + 1:close_k].strip()
+        masked = _mask_strings(q)
+        pre = masked[:mm.start()]
+        if pre.count("(") - pre.count(")") == 0:
+            span_end = len(q)
+        else:
+            span_end = _find_close(q, _enclosing_open(masked,
+                                                      mm.start()))
+        tail = q[close_k + 1:span_end].strip()
+        lp = _toplevel_kw_pos(
+            tail, re.compile(r"\b(?:LIMIT|OFFSET)\b", re.IGNORECASE))
+        if lp >= 0:
+            new = ("SELECT " + tail[:lp].rstrip()
+                   + f" LIMIT 1 BY {keys} " + tail[lp:])
+        else:
+            new = f"SELECT {tail} LIMIT 1 BY {keys}"
+        q = q[:mm.start()] + new + q[span_end:]
+    raise ValueError("DISTINCT ON: nesting beyond 32 levels")
+
+
+def _apply_limit_by(q: str) -> str:
+    """Apply the LIMIT [m,] n BY row_number wrap to every occurrence,
+    innermost subquery first (each wraps its OWN span, so derived
+    tables and CTEs carrying LIMIT BY translate correctly). The
+    lightweight HINT pattern locates occurrences anywhere (the full
+    _LIMIT_BY anchors its keys at end-of-text, which only holds once
+    the enclosing span is peeled off by the recursion)."""
+    hint = re.compile(r"\bLIMIT\s+\d+(?:\s+OFFSET\s+\d+|,\s*\d+)?"
+                      r"\s+BY\b", re.IGNORECASE)
+    for _ in range(32):
+        mh = _masked_search(hint, q)
+        if not mh:
+            return q
+        masked = _mask_strings(q)
+        pre = masked[:mh.start()]
+        if pre.count("(") - pre.count(")") > 0:
+            open_p = _enclosing_open(masked, mh.start())
+            close = _find_close(q, open_p)
+            inner = _apply_limit_by(q[open_p + 1:close])
+            q = q[:open_p + 1] + inner + q[close:]
+            continue
+        m = _masked_search(_LIMIT_BY, q)
+        if not m or m.start() != mh.start():
+            raise ValueError(
+                "LIMIT n BY: could not parse the BY key list (keys "
+                "must stay on one line, ending the query or followed "
+                "by a plain LIMIT)")
+        if m.group(3) is not None:       # LIMIT off, n BY (comma form)
+            off, n = int(m.group(1)), int(m.group(3))
+        else:
+            n, off = int(m.group(1)), int(m.group(2) or 0)
+        keys = m.group(4).strip()
+        rest = q[m.end():].strip()
+        body = q[:m.start()].strip()
+        op = _toplevel_kw_pos(body,
+                              re.compile(r"\bORDER\s+BY\b",
+                                         re.IGNORECASE))
+        if op >= 0:
+            order_txt = re.sub(r"^\s*ORDER\s+BY\s*", "", body[op:],
+                               flags=re.IGNORECASE).strip()
+            body = body[:op].strip()
+            body, (keys, order), hoisted = _wrap_order_rewrite(
+                body, [keys, order_txt])
+        else:
+            # deterministic: CH uses input order; keys is stable
+            body, (keys,), hoisted = _wrap_order_rewrite(body, [keys])
+            order = keys
+        # outer ORDER BY keeps the reference's post-LIMIT-BY ordering
+        exc = ", ".join(["__ch_rn"] + hoisted)
+        return (f"SELECT * EXCEPT({exc}) FROM (SELECT *, ROW_NUMBER() "
+                f"OVER (PARTITION BY {keys} ORDER BY {order}) AS "
+                f"__ch_rn FROM ({body})) WHERE __ch_rn > {off} AND "
+                f"__ch_rn <= {off + n} ORDER BY {order} {rest}")
+    raise ValueError("LIMIT BY: nesting beyond 32 levels")
 
 
 _REGISTERED: set[int] = set()

@@ -338,3 +338,37 @@ def test_limit_by_ignores_subquery_order_by(spark):
                    ORDER BY n LIMIT 4)
         SELECT k, n FROM c ORDER BY k, n LIMIT 1 BY k""").collect()
     assert [(r.k, r.n) for r in got2] == [(1, 5), (2, 4)]
+
+
+def test_limit_by_and_distinct_on_nested_in_subqueries(spark):
+    """Round 12: LIMIT n BY and DISTINCT ON inside derived tables,
+    IN-subqueries, and CTE bodies wrap their OWN span (innermost
+    first) instead of garbling the outer query."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    rows = ", ".join(f"({k}, {n})" for k, n in
+                     [(1, 9), (1, 7), (2, 8), (2, 6), (3, 5)])
+    src = f"VALUES {rows} AS t(k, n)"
+
+    got = ch_sql(spark, f"""
+        SELECT * FROM (SELECT k, n FROM {src}
+                       ORDER BY k, n DESC LIMIT 1 BY k) s
+        WHERE n > 5""").collect()
+    assert sorted((r.k, r.n) for r in got) == [(1, 9), (2, 8)]
+
+    got = ch_sql(spark, f"""
+        SELECT 'hit' AS tag FROM (SELECT 3 AS a) u
+        WHERE a IN (SELECT k FROM {src}
+                    ORDER BY k, n LIMIT 1 BY k)""").collect()
+    assert [r.tag for r in got] == ["hit"]
+
+    got = ch_sql(spark, f"""
+        SELECT * FROM (SELECT DISTINCT ON (k) k, n FROM {src}
+                       ORDER BY k, n) s WHERE n < 7""").collect()
+    assert sorted((r.k, r.n) for r in got) == [(2, 6), (3, 5)]
+
+    got = ch_sql(spark, f"""
+        WITH best AS (SELECT k, n FROM {src}
+                      ORDER BY k, n DESC LIMIT 1 BY k)
+        SELECT sum(n) AS s FROM best""").collect()
+    assert got[0].s == 22  # 9 + 8 + 5
