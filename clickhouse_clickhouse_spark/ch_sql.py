@@ -7800,18 +7800,9 @@ def _translate_impl(sql: str,
     # post-window row filter): Spark has no QUALIFY, so wrap the query
     # and filter on the projected aliases in the outer WHERE; trailing
     # ORDER BY/LIMIT/... clauses move to the outer query so they apply
-    # AFTER the filter, exactly as upstream evaluates them.
-    qp = _toplevel_kw_pos(q, re.compile(r"\bQUALIFY\b", re.IGNORECASE))
-    if qp >= 0:
-        body, rest = q[:qp].rstrip(), q[qp + len("QUALIFY"):]
-        tp = _toplevel_kw_pos(rest, re.compile(
-            r"\b(?:ORDER\s+BY|LIMIT|OFFSET|SETTINGS|FORMAT|UNION|"
-            r"INTERSECT|EXCEPT)\b", re.IGNORECASE))
-        cond, tail = (rest, "") if tp < 0 else (rest[:tp], rest[tp:])
-        if not cond.strip():
-            raise ValueError("QUALIFY needs a condition")
-        q = (f"SELECT * FROM ({body}) __ch_qualify "
-             f"WHERE {cond.strip()} {tail}")
+    # AFTER the filter, exactly as upstream evaluates them. Recursive
+    # since round 12: a QUALIFY inside a subquery wraps its own span.
+    q = _apply_qualify(q)
 
     # MOD infix (MySQL-compat spelling upstream accepts) -> %.
     # Anchored to infix position (operand-space-MOD-space-operand, next
@@ -8044,6 +8035,35 @@ def _apply_limit_by(q: str) -> str:
                 f"__ch_rn FROM ({body})) WHERE __ch_rn > {off} AND "
                 f"__ch_rn <= {off + n} ORDER BY {order} {rest}")
     raise ValueError("LIMIT BY: nesting beyond 32 levels")
+
+
+def _apply_qualify(q: str) -> str:
+    """Rewrite every QUALIFY — top-level or inside a subquery span —
+    into the outer-WHERE wrap (innermost first)."""
+    kw = re.compile(r"\bQUALIFY\b", re.IGNORECASE)
+    for _ in range(32):
+        mq = _masked_search(kw, q)
+        if not mq:
+            return q
+        masked = _mask_strings(q)
+        pre = masked[:mq.start()]
+        if pre.count("(") - pre.count(")") > 0:
+            open_p = _enclosing_open(masked, mq.start())
+            close = _find_close(q, open_p)
+            inner = _apply_qualify(q[open_p + 1:close])
+            q = q[:open_p + 1] + inner + q[close:]
+            continue
+        qp = mq.start()
+        body, rest = q[:qp].rstrip(), q[qp + len("QUALIFY"):]
+        tp = _toplevel_kw_pos(rest, re.compile(
+            r"\b(?:ORDER\s+BY|LIMIT|OFFSET|SETTINGS|FORMAT|UNION|"
+            r"INTERSECT|EXCEPT)\b", re.IGNORECASE))
+        cond, tail = (rest, "") if tp < 0 else (rest[:tp], rest[tp:])
+        if not cond.strip():
+            raise ValueError("QUALIFY needs a condition")
+        return (f"SELECT * FROM ({body}) __ch_qualify "
+                f"WHERE {cond.strip()} {tail}")
+    raise ValueError("QUALIFY: nesting beyond 32 levels")
 
 
 _REGISTERED: set[int] = set()

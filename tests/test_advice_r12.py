@@ -372,3 +372,20 @@ def test_limit_by_and_distinct_on_nested_in_subqueries(spark):
                       ORDER BY k, n DESC LIMIT 1 BY k)
         SELECT sum(n) AS s FROM best""").collect()
     assert got[0].s == 22  # 9 + 8 + 5
+
+
+def test_qualify_nested_in_subquery(spark):
+    """Round 12: QUALIFY inside a derived table wraps its own span."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    rows = ", ".join(f"({k}, {n})" for k, n in
+                     [(1, 9), (1, 7), (2, 8), (2, 6)])
+    got = ch_sql(spark, f"""
+        SELECT * FROM (
+          SELECT k, n,
+                 ROW_NUMBER() OVER (PARTITION BY k ORDER BY n DESC)
+                     AS rn
+          FROM VALUES {rows} AS t(k, n)
+          QUALIFY rn = 1) s
+        WHERE n > 8""").collect()
+    assert [(r.k, r.n) for r in got] == [(1, 9)]
