@@ -7684,67 +7684,9 @@ def _translate_impl(sql: str,
             "text rewriting — run the query through ch_sql, or use "
             "operators.fill.with_fill_bounds directly")
 
-    # [LEFT] ARRAY JOIN -> LATERAL VIEW [OUTER] EXPLODE. Three forms:
-    #   ARRAY JOIN expr AS x            -> EXPLODE(expr) AS x
-    #   ARRAY JOIN a [AS x], b [AS y]   -> EXPLODE(arrays_zip(a, b)) AS z,
-    #                                      x/y (or bare a/b) substituted
-    #                                      with z.a / z.b (CH zips
-    #                                      positionally, NOT a product)
-    #   ARRAY JOIN arr                  -> EXPLODE(arr) AS __ch_e with the
-    #                                      bare name substituted (CH makes
-    #                                      the array name mean its element)
-    # Multi-form items must be PLAIN column names ([AS alias]) — complex
-    # expressions have no stable arrays_zip field name and are refused.
-    aj_re = re.compile(r"\b(LEFT\s+)?ARRAY\s+JOIN\s+(.+?)"
-                       r"(?=\s+WHERE\b|\s+GROUP\s+BY\b|\s+ORDER\s+BY\b|"
-                       r"\s+LIMIT\b|\s+HAVING\b|\s*$)",
-                       re.IGNORECASE | re.DOTALL)
-    while True:
-        m = _masked_search(aj_re, q)
-        if not m:
-            break
-        outer = "OUTER " if m.group(1) else ""
-        items = [(it, re.match(r"^(.*?)\s+AS\s+(\w+)$", it.strip(),
-                               re.IGNORECASE | re.DOTALL))
-                 for it in _split_top_commas(m.group(2))]
-        parsed = [(mm.group(1).strip(), mm.group(2)) if mm
-                  else (it.strip(), None) for it, mm in items]
-        subs: dict[str, str] = {}
-        if len(parsed) == 1 and parsed[0][1] is not None:
-            expr, alias = parsed[0]
-            repl = f"LATERAL VIEW {outer}EXPLODE({expr}) __ch_aj AS {alias}"
-        else:
-            if not all(re.fullmatch(r"\w+", e) for e, _ in parsed):
-                raise ValueError(
-                    "multi-array / bare ARRAY JOIN items must be plain "
-                    "column names (optionally AS alias) — for complex "
-                    "expressions alias a single item (ARRAY JOIN expr AS "
-                    "x) or use explode(arrays_zip(...)) in DataFrame code")
-            # elements come back as a named_struct whose field names are
-            # the CH-visible names (alias, or the bare column name) — so
-            # __ch_z.<name> resolves AND the output column is named
-            # exactly as the reference names it
-            names = [alias or e for e, alias in parsed]
-            if len(parsed) == 1:
-                col, _ = parsed[0]
-                fields = f"'{names[0]}', __ch_x"
-                src = col
-            else:
-                src = "arrays_zip({})".format(
-                    ", ".join(e for e, _ in parsed))
-                fields = ", ".join(
-                    f"'{nm}', __ch_x.{e}"
-                    for (e, _), nm in zip(parsed, names))
-            repl = (f"LATERAL VIEW {outer}EXPLODE(TRANSFORM({src}, "
-                    f"__ch_x -> named_struct({fields}))) "
-                    f"__ch_aj AS __ch_z")
-            for nm in names:
-                subs[nm] = f"__ch_z.{nm}"
-        pre, post = q[:m.start()], q[m.end():]
-        for name, target in subs.items():
-            pre = _subst_outside_subqueries(pre, name, target)
-            post = _subst_outside_subqueries(post, name, target)
-        q = f"{pre}{repl}{post}"
+    # [LEFT] ARRAY JOIN -> LATERAL VIEW [OUTER] EXPLODE
+    # (_apply_array_join: three forms + subquery recursion since r12)
+    q = _apply_array_join(q)
 
     # FROM t FINAL -> dedup-on-read subquery (needs declared merge keys)
     def final_sub(m) -> str:
@@ -8064,6 +8006,88 @@ def _apply_qualify(q: str) -> str:
         return (f"SELECT * FROM ({body}) __ch_qualify "
                 f"WHERE {cond.strip()} {tail}")
     raise ValueError("QUALIFY: nesting beyond 32 levels")
+
+
+def _apply_array_join(q: str) -> str:
+    """[LEFT] ARRAY JOIN -> LATERAL VIEW [OUTER] EXPLODE. Three forms:
+      ARRAY JOIN expr AS x            -> EXPLODE(expr) AS x
+      ARRAY JOIN a [AS x], b [AS y]   -> EXPLODE(arrays_zip(a, b)) AS z,
+                                         x/y (or bare a/b) substituted
+                                         with z.a / z.b (CH zips
+                                         positionally, NOT a product)
+      ARRAY JOIN arr                  -> EXPLODE(arr) AS __ch_e with the
+                                         bare name substituted (CH makes
+                                         the array name mean its element)
+    Multi-form items must be PLAIN column names ([AS alias]) — complex
+    expressions have no stable arrays_zip field name and are refused.
+    Subquery-recursive since round 12: an ARRAY JOIN inside a derived
+    table rewrites (and substitutes) within its OWN span."""
+    hint = re.compile(r"\bARRAY\s+JOIN\b", re.IGNORECASE)
+    aj_re = re.compile(r"\b(LEFT\s+)?ARRAY\s+JOIN\s+(.+?)"
+                       r"(?=\s+WHERE\b|\s+GROUP\s+BY\b|\s+ORDER\s+BY\b|"
+                       r"\s+LIMIT\b|\s+HAVING\b|\s*$)",
+                       re.IGNORECASE | re.DOTALL)
+    for _ in range(64):
+        # depth check on the keyword HINT only — the items capture of
+        # the full regex is paren-blind, so it may run only once the
+        # enclosing span has been peeled by the recursion
+        mh = _masked_search(hint, q)
+        if not mh:
+            return q
+        masked_q = _mask_strings(q)
+        pre_m = masked_q[:mh.start()]
+        if pre_m.count("(") - pre_m.count(")") > 0:
+            open_p = _enclosing_open(masked_q, mh.start())
+            close = _find_close(q, open_p)
+            inner = _apply_array_join(q[open_p + 1:close])
+            q = q[:open_p + 1] + inner + q[close:]
+            continue
+        m = _masked_search(aj_re, q)
+        if not m:
+            return q
+        outer = "OUTER " if m.group(1) else ""
+        items = [(it, re.match(r"^(.*?)\s+AS\s+(\w+)$", it.strip(),
+                               re.IGNORECASE | re.DOTALL))
+                 for it in _split_top_commas(m.group(2))]
+        parsed = [(mm.group(1).strip(), mm.group(2)) if mm
+                  else (it.strip(), None) for it, mm in items]
+        subs: dict[str, str] = {}
+        if len(parsed) == 1 and parsed[0][1] is not None:
+            expr, alias = parsed[0]
+            repl = f"LATERAL VIEW {outer}EXPLODE({expr}) __ch_aj AS {alias}"
+        else:
+            if not all(re.fullmatch(r"\w+", e) for e, _ in parsed):
+                raise ValueError(
+                    "multi-array / bare ARRAY JOIN items must be plain "
+                    "column names (optionally AS alias) — for complex "
+                    "expressions alias a single item (ARRAY JOIN expr AS "
+                    "x) or use explode(arrays_zip(...)) in DataFrame code")
+            # elements come back as a named_struct whose field names are
+            # the CH-visible names (alias, or the bare column name) — so
+            # __ch_z.<name> resolves AND the output column is named
+            # exactly as the reference names it
+            names = [alias or e for e, alias in parsed]
+            if len(parsed) == 1:
+                col, _ = parsed[0]
+                fields = f"'{names[0]}', __ch_x"
+                src = col
+            else:
+                src = "arrays_zip({})".format(
+                    ", ".join(e for e, _ in parsed))
+                fields = ", ".join(
+                    f"'{nm}', __ch_x.{e}"
+                    for (e, _), nm in zip(parsed, names))
+            repl = (f"LATERAL VIEW {outer}EXPLODE(TRANSFORM({src}, "
+                    f"__ch_x -> named_struct({fields}))) "
+                    f"__ch_aj AS __ch_z")
+            for nm in names:
+                subs[nm] = f"__ch_z.{nm}"
+        pre, post = q[:m.start()], q[m.end():]
+        for name, target in subs.items():
+            pre = _subst_outside_subqueries(pre, name, target)
+            post = _subst_outside_subqueries(post, name, target)
+        q = f"{pre}{repl}{post}"
+    raise ValueError("ARRAY JOIN: nesting beyond 64 levels")
 
 
 _REGISTERED: set[int] = set()

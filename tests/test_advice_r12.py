@@ -389,3 +389,26 @@ def test_qualify_nested_in_subquery(spark):
           QUALIFY rn = 1) s
         WHERE n > 8""").collect()
     assert [(r.k, r.n) for r in got] == [(1, 9)]
+
+
+def test_array_join_nested_in_subquery(spark):
+    """Round 12: ARRAY JOIN inside a derived table rewrites (and
+    substitutes) within its own span."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    spark.sql("SELECT * FROM VALUES (1, ARRAY(10, 20)), "
+              "(2, ARRAY(30)) AS t(id, arr)") \
+        .createOrReplaceTempView("aj_nested_t")
+    got = ch_sql(spark, """
+        SELECT * FROM (
+          SELECT id, v FROM aj_nested_t
+          ARRAY JOIN arr AS v) s
+        WHERE v > 15 ORDER BY id, v""").collect()
+    assert [(r.id, r.v) for r in got] == [(1, 20), (2, 30)]
+
+    # bare-name form nested: the array name means its element inside
+    # the span, and the outer query sees the exploded column
+    got = ch_sql(spark, """
+        SELECT sum(arr) AS s FROM (
+          SELECT arr FROM aj_nested_t ARRAY JOIN arr) q""").collect()
+    assert got[0].s == 60
