@@ -108,3 +108,33 @@ def test_limit_by_matches_window_replay(spark):
           FROM t) WHERE rn <= 2""").fetchall()]
     assert sorted(got) == sorted(want)
     con.close()
+
+
+@pytest.mark.parametrize("seed", [SEED + 3])
+def test_distinct_on_nested_differential(spark, seed):
+    """DISTINCT ON inside a derived table (round-12 recursion), with
+    an outer aggregate over the survivors — vs DuckDB's native nested
+    DISTINCT ON."""
+    rng = random.Random(seed)
+    rows = _make_rows(rng)
+    vals = ", ".join(f"({i}, {k}, {a}, '{b}')" for i, k, a, b in rows)
+    src = f"(SELECT * FROM VALUES {vals} AS t(id, k, a, b))"
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE t AS SELECT * FROM (VALUES {vals}) "
+                "AS v(id, k, a, b)")
+    for _ in range(8):
+        sel, order = _gen_case(rng)
+        sel_txt, ord_txt = ", ".join(sel), ", ".join(order)
+        inner_ch = (f"SELECT DISTINCT ON (k) {sel_txt} FROM {src} "
+                    f"ORDER BY {ord_txt}")
+        inner_dk = (f"SELECT DISTINCT ON (k) {sel_txt} FROM t "
+                    f"ORDER BY {ord_txt}")
+        got = [tuple(r) for r in ch_sql(
+            spark, f"SELECT count(*) AS c, sum(k) AS sk FROM "
+                   f"({inner_ch}) s").collect()]
+        want = [tuple(r) for r in con.execute(
+            f"SELECT CAST(count(*) AS BIGINT) AS c, "
+            f"CAST(sum(k) AS BIGINT) AS sk FROM "
+            f"({inner_dk}) s").fetchall()]
+        assert got == want
+    con.close()
