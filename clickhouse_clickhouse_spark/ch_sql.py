@@ -873,6 +873,24 @@ def _damerau_tpl(a: list[str]) -> str:
     return _bind_once({"a": _chars_sql(s1), "b": _chars_sql(s2)}, body)
 
 
+def _string_compare_tpl(a: list[str]) -> str:
+    """stringCompare(a, b[, off1, off2, n]) -> -1/0/1 ([U]
+    src/Functions/stringCompare.cpp). 5-arg form compares the n-char
+    windows at the 0-based offsets (code points here; upstream counts
+    bytes — identical on ASCII, same stance as the distance family)."""
+    if len(a) == 2:
+        lhs, rhs = a
+    elif len(a) == 5:
+        lhs = f"SUBSTRING({a[0]}, CAST({a[2]} AS INT) + 1, " \
+              f"CAST({a[4]} AS INT))"
+        rhs = f"SUBSTRING({a[1]}, CAST({a[3]} AS INT) + 1, " \
+              f"CAST({a[4]} AS INT))"
+    else:
+        raise ValueError("stringCompare(a, b[, off1, off2, n])")
+    return (f"(CASE WHEN ({lhs}) < ({rhs}) THEN -1 "
+            f"WHEN ({lhs}) > ({rhs}) THEN 1 ELSE 0 END)")
+
+
 def _jaro_tpl(a: list[str], winkler: bool) -> str:
     """jaroSimilarity / jaroWinklerSimilarity(a, b) ([U] src/Functions/
     StringDistance.cpp JaroSimilarityImpl): greedy in-window matching
@@ -3026,6 +3044,12 @@ _FUNCS: dict[str, str] = {
     "concatWithSeparator": "CONCAT_WS({*})",
     "initcapUTF8": "INITCAP({0})",
     "toUnixTimestamp64Milli": "UNIX_MILLIS({0})",
+    "toUnixTimestamp64Second": "UNIX_SECONDS({0})",
+    "fromUnixTimestamp64Second": "TIMESTAMP_SECONDS(CAST({0} AS BIGINT))",
+    # stringCompare(a, b[, off1, off2, n]) -> -1/0/1 ([U]
+    # src/Functions/stringCompare.cpp; the 5-arg form compares the
+    # n-byte windows at the 0-based offsets — rendered via SUBSTRING)
+    "stringCompare": lambda a: _string_compare_tpl(a),
     "toUnixTimestamp64Micro": "UNIX_MICROS({0})",
     "fromUnixTimestamp64Milli": "TIMESTAMP_MILLIS(CAST({0} AS BIGINT))",
     "fromUnixTimestamp64Micro": "TIMESTAMP_MICROS(CAST({0} AS BIGINT))",

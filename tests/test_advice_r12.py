@@ -412,3 +412,25 @@ def test_array_join_nested_in_subquery(spark):
         SELECT sum(arr) AS s FROM (
           SELECT arr FROM aj_nested_t ARRAY JOIN arr) q""").collect()
     assert got[0].s == 60
+
+
+def test_r12_probe_gap_names(spark):
+    """Round-12 resolve-probe gap closures: stringCompare (2- and
+    5-arg window form), to/fromUnixTimestamp64Second."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    row = ch_sql(spark, """
+        SELECT stringCompare('abc', 'abd') AS lt,
+               stringCompare('abd', 'abc') AS gt,
+               stringCompare('abc', 'abc') AS eq,
+               stringCompare('xabcy', 'zabcw', 1, 1, 3) AS win_eq,
+               stringCompare('xabcy', 'zabdw', 1, 1, 3) AS win_lt,
+               toUnixTimestamp64Second(
+                   toDateTime('2024-02-15 10:00:00')) AS ts_s,
+               fromUnixTimestamp64Second(1707991200) AS from_s
+    """).collect()[0]
+    assert (row.lt, row.gt, row.eq) == (-1, 1, 0)
+    assert (row.win_eq, row.win_lt) == (0, -1)
+    assert row.ts_s == 1707991200
+    import datetime
+    assert row.from_s == datetime.datetime(2024, 2, 15, 10, 0)
