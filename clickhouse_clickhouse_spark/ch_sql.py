@@ -873,6 +873,18 @@ def _damerau_tpl(a: list[str]) -> str:
     return _bind_once({"a": _chars_sql(s1), "b": _chars_sql(s2)}, body)
 
 
+def _json_merge_patch_tpl(a: list[str]) -> str:
+    """JSONMergePatch(j1, j2[, ...]) ([U] src/Functions/jsonMergePatch
+    .cpp — RFC 7386): left fold of the pairwise merge UDF."""
+    if len(a) < 2:
+        raise ValueError("JSONMergePatch needs at least two JSON "
+                         "document arguments")
+    out = a[0]
+    for nxt in a[1:]:
+        out = f"__json_merge_patch({out}, {nxt})"
+    return out
+
+
 def _string_compare_tpl(a: list[str]) -> str:
     """stringCompare(a, b[, off1, off2, n]) -> -1/0/1 ([U]
     src/Functions/stringCompare.cpp). 5-arg form compares the n-char
@@ -3045,6 +3057,8 @@ _FUNCS: dict[str, str] = {
     "initcapUTF8": "INITCAP({0})",
     "toUnixTimestamp64Milli": "UNIX_MILLIS({0})",
     "toUnixTimestamp64Second": "UNIX_SECONDS({0})",
+    # alias of groupArrayArray ([U] docs/aggregate-functions/grouparray)
+    "arrayConcatAgg": "FLATTEN(COLLECT_LIST({0}))",
     "fromUnixTimestamp64Second": "TIMESTAMP_SECONDS(CAST({0} AS BIGINT))",
     # stringCompare(a, b[, off1, off2, n]) -> -1/0/1 ([U]
     # src/Functions/stringCompare.cpp; the 5-arg form compares the
@@ -3804,9 +3818,10 @@ _FUNCS: dict[str, str] = {
     "bech32Decode": lambda a: (_ for _ in ()).throw(ValueError(
         "bech32 is out of scope; hex/base64 are the supported "
         "binary-text codecs")),
-    "JSONMergePatch": lambda a: (_ for _ in ()).throw(ValueError(
-        "JSONMergePatch needs recursive JSON merge (RFC 7386) — "
-        "restructure with to_json/from_json at a known schema")),
+    # round 12: RFC 7386 recursive merge via the jsonops UDF; N args
+    # fold left like upstream
+    "JSONMergePatch": lambda a: _json_merge_patch_tpl(a),
+    "jsonMergePatch": lambda a: _json_merge_patch_tpl(a),
     "byteSize": lambda a: (_ for _ in ()).throw(ValueError(
         "byteSize reports the engine's in-memory value size — a storage "
         "introspection with no Parquet/Tungsten equivalent; use "
@@ -8163,6 +8178,8 @@ def _register_udfs(spark: SparkSession) -> None:
         spark.udf.register("__ripemd160", H.ripemd160_udf())
     except EnvironmentError:
         pass  # ripeMD160 calls then fail loudly at resolution
+    from clickhouse_clickhouse_spark.functions import jsonops as JO
+    spark.udf.register("__json_merge_patch", JO.json_merge_patch_udf())
     _REGISTERED.add(id(spark))
 
 

@@ -3092,3 +3092,52 @@ def ch_sql_aes_stream(spark, sf):
                      '32byteskey32byteskey32byteskey32' AS k,
                      'theiv16bytes!!!!' AS v
               FROM aes_documents WHERE doc_id < 100)""")
+
+
+@register("ch_sql_json_merge_patch", oracle="""
+WITH j AS (
+  SELECT event_id,
+         '{"a":' || CAST(event_id AS VARCHAR) ||
+           ',"b":{"x":' || CAST(user_id AS VARCHAR) || '},"r":1}' AS t,
+         '{"b":{"y":' || CAST(user_id % 7 AS VARCHAR) ||
+           '},"r":null,"c":"z"}' AS p
+  FROM events WHERE event_id < 500)
+SELECT event_id,
+       CAST(json_extract_string(json_merge_patch(t, p), '$.a')
+            AS BIGINT) AS a,
+       CAST(json_extract_string(json_merge_patch(t, p), '$.b.x')
+            AS BIGINT) AS bx,
+       CAST(json_extract_string(json_merge_patch(t, p), '$.b.y')
+            AS BIGINT) AS by,
+       json_extract_string(json_merge_patch(t, p), '$.r') AS r,
+       json_extract_string(json_merge_patch(t, p), '$.c') AS c
+FROM j
+""")
+def ch_sql_json_merge_patch(spark, sf):
+    """Round 12: JSONMergePatch (RFC 7386, former refusal) —
+    field-extracted differential against DuckDB's native
+    json_merge_patch over per-row constructed documents: recursive
+    object merge (b.x survives, b.y arrives), null removal (r), and a
+    plain add (c). Extraction (not raw-string compare) keeps the check
+    key-order-independent."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "events").createOrReplaceTempView("jmp_events")
+    return ch_sql(spark, """
+        WITH j AS (
+          SELECT event_id,
+                 CONCAT('{"a":', CAST(event_id AS STRING),
+                        ',"b":{"x":', CAST(user_id AS STRING),
+                        '},"r":1}') AS t,
+                 CONCAT('{"b":{"y":', CAST(user_id % 7 AS STRING),
+                        '},"r":null,"c":"z"}') AS p
+          FROM jmp_events WHERE event_id < 500)
+        SELECT event_id,
+               JSONExtractInt(JSONMergePatch(t, p), 'a') AS a,
+               JSONExtractInt(JSONExtractRaw(
+                   JSONMergePatch(t, p), 'b'), 'x') AS bx,
+               JSONExtractInt(JSONExtractRaw(
+                   JSONMergePatch(t, p), 'b'), 'y') AS by,
+               JSONExtractString(JSONMergePatch(t, p), 'r') AS r,
+               JSONExtractString(JSONMergePatch(t, p), 'c') AS c
+        FROM j""")

@@ -434,3 +434,32 @@ def test_r12_probe_gap_names(spark):
     assert row.ts_s == 1707991200
     import datetime
     assert row.from_s == datetime.datetime(2024, 2, 15, 10, 0)
+
+
+def test_json_merge_patch_rfc7386(spark):
+    """JSONMergePatch (round 12, former refusal): RFC 7386 semantics —
+    recursive object merge, null removes, non-object replaces, N-arg
+    left fold. Cases from the RFC's own example table."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    row = ch_sql(spark, """
+        SELECT JSONMergePatch('{"a":"b"}', '{"a":"c"}') AS replace,
+               JSONMergePatch('{"a":"b"}', '{"b":"c"}') AS add,
+               JSONMergePatch('{"a":"b"}', '{"a":null}') AS remove,
+               JSONMergePatch('{"a":{"b":"c"}}',
+                              '{"a":{"b":"d","c":null}}') AS nested,
+               JSONMergePatch('{"a":[1,2]}', '{"a":[3]}') AS arr,
+               JSONMergePatch('{"a":1}', '{"b":2}', '{"c":3}') AS three,
+               jsonMergePatch('{"x":1}', '{"x":{"y":2}}') AS alias_obj
+    """).collect()[0]
+    import json
+    assert json.loads(row.replace) == {"a": "c"}
+    assert json.loads(row.add) == {"a": "b", "b": "c"}
+    assert json.loads(row.remove) == {}
+    assert json.loads(row.nested) == {"a": {"b": "d"}}
+    assert json.loads(row.arr) == {"a": [3]}     # arrays replace whole
+    assert json.loads(row.three) == {"a": 1, "b": 2, "c": 3}
+    assert json.loads(row.alias_obj) == {"x": {"y": 2}}
+
+    with pytest.raises(Exception, match="not valid JSON"):
+        ch_sql(spark, "SELECT JSONMergePatch('{', '{}') AS v").collect()
