@@ -1523,6 +1523,35 @@ def _ttest_tpl(args: list[str], welch: bool) -> str:
     return _bind_once(binds, inner)
 
 
+def _ttest_one_sample_tpl(args: list[str]) -> str:
+    """studentTTestOneSample(sample, population_mean) ([U]
+    AggregateFunctionStudentTTest one-sample form, round 12):
+    t = (mean − μ)·√n / s; two-sided p via the normal approximation of
+    the t CDF — the same documented deviation as welch/studentTTest
+    (exact Student CDF needs the incomplete beta; exact for large n).
+    population_mean must be constant over the group (upstream requires
+    a constant)."""
+    if len(args) != 2:
+        raise ValueError(
+            "studentTTestOneSample(sample, population_mean)")
+    v = f"CAST({args[0]} AS DOUBLE)"
+    mu = f"CAST({args[1]} AS DOUBLE)"
+    binds = {
+        "m": f"AVG({v})",
+        "s": f"STDDEV_SAMP({v})",
+        "n": f"CAST(COUNT({v}) AS DOUBLE)",
+        "mu": f"MAX({mu})",
+    }
+    t = "((__v.m - __v.mu) * SQRT(__v.n) / __v.s)"
+    inner = _bind_once(
+        {"t": t},
+        "NAMED_STRUCT('t_stat', __u.t, 'p_value', "
+        "2.0D * (1.0D - (0.5D * (1.0D + "
+        + _ERF_TPL.format("(ABS(__u.t) / SQRT(2.0D))") + "))))",
+        var="__u")
+    return _bind_once(binds, inner)
+
+
 def _mann_whitney_tpl(args: list[str]) -> str:
     """mannWhitneyUTest(value, index) ([U]
     AggregateFunctionMannWhitney.h): U for sample 0 via average ranks
@@ -4243,6 +4272,7 @@ _FUNCS: dict[str, str] = {
     "theilsU": lambda a: _contingency_tpl(a, "theilsU"),
     "welchTTest": lambda a: _ttest_tpl(a, welch=True),
     "studentTTest": lambda a: _ttest_tpl(a, welch=False),
+    "studentTTestOneSample": lambda a: _ttest_one_sample_tpl(a),
     "mannWhitneyUTest": lambda a: _mann_whitney_tpl(a),
     "kolmogorovSmirnovTest": lambda a: _ks_test_tpl(a),
     "analysisOfVariance": lambda a: _anova_tpl(a),

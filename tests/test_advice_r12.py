@@ -463,3 +463,27 @@ def test_json_merge_patch_rfc7386(spark):
 
     with pytest.raises(Exception, match="not valid JSON"):
         ch_sql(spark, "SELECT JSONMergePatch('{', '{}') AS v").collect()
+
+
+def test_student_ttest_one_sample(spark):
+    """studentTTestOneSample (round 12): t pinned against the python
+    closed form; p via the documented normal approximation (same
+    deviation stance as welch/studentTTest)."""
+    import math
+    import statistics
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    xs = [4.2, 5.1, 3.8, 4.9, 5.5, 4.0, 4.7, 5.2]
+    mu = 4.0
+    vals = ", ".join(f"({x!r})" for x in xs)
+    row = ch_sql(spark, f"""
+        SELECT studentTTestOneSample(x, {mu}) AS r
+        FROM VALUES {vals} AS t(x)""").collect()[0].r
+    n = len(xs)
+    t_exp = ((statistics.mean(xs) - mu) * math.sqrt(n)
+             / statistics.stdev(xs))
+    p_exp = 2.0 * (1.0 - 0.5 * (1.0 + math.erf(abs(t_exp)
+                                               / math.sqrt(2.0))))
+    assert abs(row.t_stat - t_exp) < 1e-9
+    assert abs(row.p_value - p_exp) < 1e-6
