@@ -873,6 +873,43 @@ def _damerau_tpl(a: list[str]) -> str:
     return _bind_once({"a": _chars_sql(s1), "b": _chars_sql(s2)}, body)
 
 
+def _normalized_gini_tpl(a: list[str]) -> str:
+    """arrayNormalizedGini(predicted, label) ([U]
+    src/Functions/array/arrayNormalizedGini.cpp, round 12) → tuple
+    (gini_predicted, gini_label, normalized). Standard ranked-Gini:
+    sort labels by the key descending, Σ of the label cumsum, then
+    gini = (Σcum/total − (n+1)/2)/n; normalized = ratio. Value-pinned
+    against the upstream docs example ([0.9,0.3,0.8,0.7],[6,1,0,2] →
+    0.18055…, 0.26388…, 0.68421…). Ties within equal key values don't
+    affect Σcum (equal elements commute), so the fold is
+    shuffle-deterministic. Per-row bounded: one zip + two sorts."""
+    if len(a) != 2:
+        raise ValueError("arrayNormalizedGini(predicted, label)")
+    p, l = a
+    pairs = (f"IF(SIZE({p}) = 0, ARRAY(), "
+             f"TRANSFORM(SEQUENCE(1, SIZE({p})), __gi -> NAMED_STRUCT("
+             f"'p', CAST(ELEMENT_AT({p}, __gi) AS DOUBLE), "
+             f"'l', CAST(ELEMENT_AT({l}, __gi) AS DOUBLE))))")
+
+    def gini(field: str) -> str:
+        srt = (f"ARRAY_SORT(__v.z, (__gx, __gy) -> "
+               f"CASE WHEN __gx.{field} > __gy.{field} THEN -1 "
+               f"WHEN __gx.{field} < __gy.{field} THEN 1 ELSE 0 END)")
+        s = (f"AGGREGATE({srt}, NAMED_STRUCT('c', 0.0D, 's', 0.0D), "
+             f"(__ga, __ge) -> NAMED_STRUCT('c', __ga.c + __ge.l, "
+             f"'s', __ga.s + __ga.c + __ge.l), __gf -> __gf.s)")
+        return (f"((({s}) / __v.tot - (__v.n + 1.0D) / 2.0D) / __v.n)")
+
+    body = (f"NAMED_STRUCT('_1', {gini('p')}, '_2', {gini('l')}, "
+            f"'_3', {gini('p')} / {gini('l')})")
+    return _bind_once(
+        {"z": pairs,
+         "n": f"CAST(SIZE({p}) AS DOUBLE)",
+         "tot": (f"AGGREGATE({pairs}, 0.0D, "
+                 f"(__ta, __te) -> __ta + __te.l)")},
+        body)
+
+
 def _json_merge_patch_tpl(a: list[str]) -> str:
     """JSONMergePatch(j1, j2[, ...]) ([U] src/Functions/jsonMergePatch
     .cpp — RFC 7386): left fold of the pairwise merge UDF."""
@@ -3715,9 +3752,7 @@ _FUNCS: dict[str, str] = {
     "arrayReduceInRanges": lambda a: (_ for _ in ()).throw(ValueError(
         "arrayReduceInRanges: TRANSFORM the ranges to SLICE(arr, off, "
         "len) and arrayReduce each slice")),
-    "arrayNormalizedGini": lambda a: (_ for _ in ()).throw(ValueError(
-        "arrayNormalizedGini is not implemented; arrayAUC covers the "
-        "ranking-quality surface")),
+    "arrayNormalizedGini": lambda a: _normalized_gini_tpl(a),
     "h3IsValid": lambda a: (_ for _ in ()).throw(ValueError(
         "h3*/s2* indexing is declared out of scope (SURVEY §2.8 geo "
         "row); geohashEncode/Decode are the supported cell indexes")),

@@ -3141,3 +3141,51 @@ def ch_sql_json_merge_patch(spark, sf):
                JSONExtractString(JSONMergePatch(t, p), 'r') AS r,
                JSONExtractString(JSONMergePatch(t, p), 'c') AS c
         FROM j""")
+
+
+@register("ch_sql_normalized_gini", oracle="""
+WITH e AS (
+  SELECT user_id % 8 AS g, CAST(event_id AS DOUBLE) AS p,
+         CAST(event_id % 3 = 0 AS INT) AS l
+  FROM events WHERE event_id < 2000),
+r AS (
+  SELECT g, l, SUM(l) OVER (PARTITION BY g ORDER BY p DESC
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM e),
+a AS (SELECT g, SUM(cum) AS scum, SUM(l) AS tot, COUNT(*) AS n
+      FROM r GROUP BY g),
+rl AS (
+  SELECT g, SUM(l) OVER (PARTITION BY g ORDER BY l DESC, p
+                         ROWS UNBOUNDED PRECEDING) AS cuml
+  FROM e),
+al AS (SELECT g, SUM(cuml) AS scuml FROM rl GROUP BY g)
+SELECT a.g AS g,
+       round((scum / tot - (n + 1) / 2.0) / n, 8) AS gp,
+       round((scuml / tot - (n + 1) / 2.0) / n, 8) AS gl,
+       round(((scum / tot - (n + 1) / 2.0) / n)
+             / ((scuml / tot - (n + 1) / 2.0) / n), 8) AS ng
+FROM a JOIN al ON a.g = al.g
+""")
+def ch_sql_normalized_gini(spark, sf):
+    """Round 12: arrayNormalizedGini (former refusal) — per-group
+    arrays of (distinct) predicted keys + 0/1 labels, replayed by
+    DuckDB as UNNEST-free window algebra (cumulative label sums over
+    the descending key order). Distinct keys make the internal sort
+    total, so COLLECT_LIST's order nondeterminism cannot leak; within
+    equal-label runs the cumsum SUM is permutation-invariant."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "events").createOrReplaceTempView("ng_events")
+    return ch_sql(spark, """
+        WITH arr AS (
+          SELECT user_id % 8 AS g,
+                 groupArray(CAST(event_id AS Float64)) AS ps,
+                 groupArray(CAST(CAST(event_id % 3 = 0 AS INT)
+                                 AS Float64)) AS ls
+          FROM ng_events WHERE event_id < 2000
+          GROUP BY user_id % 8)
+        SELECT g,
+               round(arrayNormalizedGini(ps, ls)._1, 8) AS gp,
+               round(arrayNormalizedGini(ps, ls)._2, 8) AS gl,
+               round(arrayNormalizedGini(ps, ls)._3, 8) AS ng
+        FROM arr""")

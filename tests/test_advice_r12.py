@@ -487,3 +487,21 @@ def test_student_ttest_one_sample(spark):
                                                / math.sqrt(2.0))))
     assert abs(row.t_stat - t_exp) < 1e-9
     assert abs(row.p_value - p_exp) < 1e-6
+
+
+def test_array_normalized_gini_docs_example(spark):
+    """arrayNormalizedGini (round 12, former refusal): pinned to the
+    upstream documentation's own example values."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    r = ch_sql(spark, """
+        SELECT arrayNormalizedGini([0.9, 0.3, 0.8, 0.7],
+                                   [6, 1, 0, 2]) AS g""").collect()[0].g
+    assert abs(r._1 - 0.18055555555555558) < 1e-12
+    assert abs(r._2 - 0.2638888888888889) < 1e-12
+    assert abs(r._3 - 0.6842105263157896) < 1e-12
+    # perfect ranking: predicted order == label order -> normalized 1
+    r = ch_sql(spark, """
+        SELECT arrayNormalizedGini([0.4, 0.3, 0.2, 0.1],
+                                   [9, 5, 3, 1]) AS g""").collect()[0].g
+    assert abs(r._3 - 1.0) < 1e-12
