@@ -3753,6 +3753,10 @@ _FUNCS: dict[str, str] = {
         "arrayReduceInRanges: TRANSFORM the ranges to SLICE(arr, off, "
         "len) and arrayReduce each slice")),
     "arrayNormalizedGini": lambda a: _normalized_gini_tpl(a),
+    "emptyArrayToSingle": lambda a: (_ for _ in ()).throw(ValueError(
+        "emptyArrayToSingle needs the element type's default value "
+        "(engine type introspection); spell it explicitly: "
+        "IF(empty(arr), [0], arr) with your type's zero")),
     "h3IsValid": lambda a: (_ for _ in ()).throw(ValueError(
         "h3*/s2* indexing is declared out of scope (SURVEY §2.8 geo "
         "row); geohashEncode/Decode are the supported cell indexes")),
