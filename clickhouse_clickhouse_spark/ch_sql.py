@@ -516,18 +516,26 @@ def _expand_sql_udfs(q: str) -> str:
                 # regex replacement TEMPLATE (backslashes in args like
                 # '\\d+' raise or corrupt), and (b) rewrite parameter
                 # names inside the body's own string literals (round-12
-                # advisor finding).
-                expanded = body
-                for p, a in zip(params, args):
-                    pat_p = re.compile(rf"\b{re.escape(p)}\b")
-                    masked = _mask_strings(expanded)
+                # advisor finding). All parameters splice
+                # SIMULTANEOUSLY from ONE masked scan of the original
+                # body (round-13 advisor fix): sequential passes let an
+                # argument containing a later parameter's name get
+                # macro-captured (f(y, 2) with f AS (x, y) -> x + y
+                # rewrote the caller's column y into (2)).
+                if params:
+                    arg_of = dict(zip(params, args))
+                    pat_all = re.compile("|".join(
+                        rf"\b{re.escape(p)}\b" for p in params))
+                    masked = _mask_strings(body)
                     pieces, last = [], 0
-                    for m in pat_p.finditer(masked):
-                        pieces.append(expanded[last:m.start()])
-                        pieces.append(f"({a})")
+                    for m in pat_all.finditer(masked):
+                        pieces.append(body[last:m.start()])
+                        pieces.append(f"({arg_of[m.group(0)]})")
                         last = m.end()
-                    pieces.append(expanded[last:])
+                    pieces.append(body[last:])
                     expanded = "".join(pieces)
+                else:
+                    expanded = body
                 q = q[:mm.start()] + f"({expanded})" + q[close + 1:]
                 changed = True
         if not changed:
@@ -649,7 +657,9 @@ def _nested_tpl(args: list[str]) -> str:
     table-column usage (round-12 advisor finding). Instead: index by
     position over SEQUENCE with TRY_ELEMENT_AT (NULL-pads the shorter
     arrays, matching ARRAYS_ZIP's longest-wins contract); arrays bind
-    once via the TRANSFORM struct trick."""
+    once via the TRANSFORM struct trick. NULL-in → NULL-out (round-13
+    advisor fix: GREATEST skips NULL sizes, so a NULL array silently
+    sized by the others — ARRAYS_ZIP's contract returns NULL)."""
     mm = (re.fullmatch(r"\s*\[(.*)\]\s*", args[0], re.DOTALL)
           or re.fullmatch(r"\s*ARRAY\s*\((.*)\)\s*", args[0],
                           re.IGNORECASE | re.DOTALL))
@@ -663,14 +673,20 @@ def _nested_tpl(args: list[str]) -> str:
         raise ValueError(
             f"nested: {len(names)} names for {len(arrays)} arrays")
     bindings = {f"a{i}": a for i, a in enumerate(arrays)}
-    size = "GREATEST(" + ", ".join(
-        f"SIZE(__nv.a{i})" for i in range(len(arrays))) + ")"
+    # Spark GREATEST requires >= 2 args — single-array form skips it
+    size = "SIZE(__nv.a0)" if len(arrays) == 1 else \
+        ("GREATEST(" + ", ".join(
+            f"SIZE(__nv.a{i})" for i in range(len(arrays))) + ")")
     fields = ", ".join(
         f"'{n}', TRY_ELEMENT_AT(__nv.a{i}, __ni)"
         for i, n in enumerate(names))
+    any_null = " OR ".join(f"__nv.a{i} IS NULL"
+                           for i in range(len(arrays)))
     # SEQUENCE(1, 0) DESCENDS in Spark — empty arrays must yield []
-    body = (f"IF({size} <= 0, ARRAY(), TRANSFORM(SEQUENCE(1, {size}), "
-            f"__ni -> NAMED_STRUCT({fields})))")
+    body = (f"CASE WHEN {any_null} THEN NULL "
+            f"WHEN {size} <= 0 THEN ARRAY() "
+            f"ELSE TRANSFORM(SEQUENCE(1, {size}), "
+            f"__ni -> NAMED_STRUCT({fields})) END")
     return _bind_once(bindings, body, var="__nv")
 
 
@@ -809,6 +825,34 @@ def _siphash_keyed_tpl(args: list[str]) -> str:
             f"CAST({args[1]} AS STRING))")
 
 
+def _sip128_tpl(args: list[str], ref: bool) -> str:
+    """sipHash128 / sipHash128Reference(data) (round 13, [U]
+    src/Common/SipHash.h + src/Functions/FunctionsHashing.h):
+    lowercase-hex string of the 16-byte digest (legacy get128 or the
+    official reference 128-bit variant — functions/hashing.py)."""
+    if len(args) != 1:
+        raise ValueError("sipHash128 takes one argument (hash of "
+                         "multiple columns: concatenate explicitly)")
+    fn = "__siphash128_ref" if ref else "__siphash128"
+    return f"{fn}(CAST({args[0]} AS STRING))"
+
+
+def _sip128_keyed_tpl(args: list[str], name: str, ref: bool) -> str:
+    """sipHash128Keyed / sipHash128ReferenceKeyed((k0, k1), data):
+    literal int key tuple, same contract as sipHash64Keyed."""
+    if len(args) != 2:
+        raise ValueError(f"{name} takes ((k0, k1), data)")
+    mm = re.fullmatch(r"\s*(?:tuple)?\(\s*(-?\d+)\s*,\s*(-?\d+)\s*\)\s*",
+                      args[0], re.IGNORECASE)
+    if not mm:
+        raise ValueError(
+            f"{name}: the key pair must be a literal tuple of "
+            f"integers, e.g. {name}((1, 2), s)")
+    fn = "__siphash128_ref_keyed" if ref else "__siphash128_keyed"
+    return (f"{fn}({mm.group(1)}L, {mm.group(2)}L, "
+            f"CAST({args[1]} AS STRING))")
+
+
 def _damerau_tpl(a: list[str]) -> str:
     """damerauLevenshteinDistance(a, b) ([U] src/Functions/
     StringDistance.cpp): the FULL Damerau-Levenshtein ("distance with
@@ -880,9 +924,11 @@ def _normalized_gini_tpl(a: list[str]) -> str:
     sort labels by the key descending, Σ of the label cumsum, then
     gini = (Σcum/total − (n+1)/2)/n; normalized = ratio. Value-pinned
     against the upstream docs example ([0.9,0.3,0.8,0.7],[6,1,0,2] →
-    0.18055…, 0.26388…, 0.68421…). Ties within equal key values don't
-    affect Σcum (equal elements commute), so the fold is
-    shuffle-deterministic. Per-row bounded: one zip + two sorts."""
+    0.18055…, 0.26388…, 0.68421…). The sort is TOTAL — key descending,
+    then the other field ascending (round-13 advisor fix: equal keys
+    with different labels do not commute in the cumsum, so a tie-blind
+    comparator varied with COLLECT_LIST shuffle order). Each gini
+    value binds once (two sort+fold passes per row, not four)."""
     if len(a) != 2:
         raise ValueError("arrayNormalizedGini(predicted, label)")
     p, l = a
@@ -891,17 +937,21 @@ def _normalized_gini_tpl(a: list[str]) -> str:
              f"'p', CAST(ELEMENT_AT({p}, __gi) AS DOUBLE), "
              f"'l', CAST(ELEMENT_AT({l}, __gi) AS DOUBLE))))")
 
-    def gini(field: str) -> str:
+    def gini(field: str, other: str) -> str:
         srt = (f"ARRAY_SORT(__v.z, (__gx, __gy) -> "
                f"CASE WHEN __gx.{field} > __gy.{field} THEN -1 "
-               f"WHEN __gx.{field} < __gy.{field} THEN 1 ELSE 0 END)")
+               f"WHEN __gx.{field} < __gy.{field} THEN 1 "
+               f"WHEN __gx.{other} < __gy.{other} THEN -1 "
+               f"WHEN __gx.{other} > __gy.{other} THEN 1 ELSE 0 END)")
         s = (f"AGGREGATE({srt}, NAMED_STRUCT('c', 0.0D, 's', 0.0D), "
              f"(__ga, __ge) -> NAMED_STRUCT('c', __ga.c + __ge.l, "
              f"'s', __ga.s + __ga.c + __ge.l), __gf -> __gf.s)")
         return (f"((({s}) / __v.tot - (__v.n + 1.0D) / 2.0D) / __v.n)")
 
-    body = (f"NAMED_STRUCT('_1', {gini('p')}, '_2', {gini('l')}, "
-            f"'_3', {gini('p')} / {gini('l')})")
+    body = _bind_once(
+        {"gp": gini("p", "l"), "gl": gini("l", "p")},
+        "NAMED_STRUCT('_1', __g2.gp, '_2', __g2.gl, "
+        "'_3', __g2.gp / __g2.gl)", var="__g2")
     return _bind_once(
         {"z": pairs,
          "n": f"CAST(SIZE({p}) AS DOUBLE)",
@@ -1849,34 +1899,33 @@ def _exp_decay_tpl(params: list[str], args: list[str],
     2^((t − t_max)/hl). The timestamped form is ORDER-FREE — every
     weight anchors to the group max, so this is deterministic under
     shuffle (the bare IIR recurrence upstream documents for
-    non-timestamped use is not, and stays refused)."""
+    non-timestamped use is not, and stays refused).
+
+    Round 13: two-phase, ARRAY-FREE (the round-12 form collected the
+    whole group into one array — a skewed group was a per-executor OOM
+    risk at scale). The anchor t_max rides a __CH_GMAX__(t) marker that
+    _apply_group_max resolves into MAX(t) OVER (PARTITION BY <group
+    keys>) in an injected subquery, so the aggregate itself is plain
+    SUM/MAX with constant per-group state. exp((t − t_max)/λ) ≤ 1 by
+    construction: no overflow, and points older than ~709·λ underflow
+    to exactly 0 — their true weight. Aggregate context only (the
+    survey's window-function twin is operators/advanced.py's
+    epoch-renormalized exp_time_decayed_*)."""
     lam = float(params[0])
     if kind == "count":
-        pair = f"NAMED_STRUCT('t', CAST({args[0]} AS DOUBLE), 'x', 1.0D)"
+        t, v = f"CAST({args[0]} AS DOUBLE)", "1.0D"
     else:
-        pair = (f"NAMED_STRUCT('t', CAST({args[1]} AS DOUBLE), "
-                f"'x', CAST({args[0]} AS DOUBLE))")
-    l = f"COLLECT_LIST({pair})"
+        t = f"CAST({args[1]} AS DOUBLE)"
+        v = f"CAST({args[0]} AS DOUBLE)"
     if kind == "ema":
-        w = f"POW(2.0D, (__de.t - __v.tm) / {lam!r})"
+        w = f"POW(2.0D, ({t} - __CH_GMAX__({t})) / {lam!r})"
     else:
-        w = f"EXP((__de.t - __v.tm) / {lam!r})"
-    dec = f"TRANSFORM(__v.l, __de -> __de.x * {w})"
+        w = f"EXP(({t} - __CH_GMAX__({t})) / {lam!r})"
     if kind == "max":
-        body = f"ARRAY_MAX({dec})"
-    elif kind in ("avg", "ema"):
-        body = (f"AGGREGATE({dec}, CAST(0 AS DOUBLE), "
-                f"(__sa, __sx) -> __sa + __sx) / "
-                f"AGGREGATE(TRANSFORM(__v.l, __de -> {w}), "
-                f"CAST(0 AS DOUBLE), "
-                f"(__sa, __sx) -> __sa + __sx)")
-    else:
-        body = (f"AGGREGATE({dec}, CAST(0 AS DOUBLE), "
-                f"(__sa, __sx) -> __sa + __sx)")
-    return _bind_once(
-        {"l": l,
-         "tm": ("ARRAY_MAX(TRANSFORM(" + l + ", __de -> __de.t))")},
-        body)
+        return f"MAX({v} * {w})"
+    if kind in ("avg", "ema"):
+        return f"(SUM({v} * {w}) / SUM({w}))"
+    return f"SUM({v} * {w})"
 
 
 def _histogram_tpl(params: list[str], args: list[str]) -> str:
@@ -3777,9 +3826,13 @@ _FUNCS: dict[str, str] = {
     "MD4": lambda a: (_ for _ in ()).throw(ValueError(
         "MD4 is a legacy digest with no JVM implementation here; use "
         "MD5/SHA2/xxHash64")),
-    "sipHash128": lambda a: (_ for _ in ()).throw(ValueError(
-        "sipHash128 is not implemented — sipHash64 carries the "
-        "bit-parity surface; xxHash64 is the scale path")),
+    # sipHash128 family (round 13, former refusals): legacy get128
+    # ([U] src/Common/SipHash.h — (v0^v1, v2^v3) after the 64-bit
+    # finalize) and the official reference 128-bit variant, both as
+    # lowercase-hex strings (upstream returns raw FixedString(16);
+    # callers wrap hex() — same presentation stance as MD5/SHA)
+    "sipHash128": lambda a: _sip128_tpl(a, ref=False),
+    "sipHash128Reference": lambda a: _sip128_tpl(a, ref=True),
     "wyHash64": lambda a: (_ for _ in ()).throw(ValueError(
         "wyHash64 is not implemented; xxHash64 is the scale hash")),
     "gccMurmurHash": lambda a: (_ for _ in ()).throw(ValueError(
@@ -4614,9 +4667,10 @@ _FUNCS: dict[str, str] = {
     # resolves only where the box supports it
     "ripeMD160": lambda a: f"__ripemd160({a[0]})",
     "RIPEMD160": lambda a: f"__ripemd160({a[0]})",
-    "sipHash128Keyed": lambda a: (_ for _ in ()).throw(ValueError(
-        "sipHash128Keyed is not implemented — sipHash64Keyed carries "
-        "the keyed bit-parity surface")),
+    "sipHash128Keyed": lambda a: _sip128_keyed_tpl(
+        a, "sipHash128Keyed", ref=False),
+    "sipHash128ReferenceKeyed": lambda a: _sip128_keyed_tpl(
+        a, "sipHash128ReferenceKeyed", ref=True),
     "geoToH3": lambda a: (_ for _ in ()).throw(ValueError(
         "the h3 indexing library is not in this environment; "
         "geohashEncode/geohashesInBox are the cell-index surface")),
@@ -7226,6 +7280,50 @@ def _toplevel_kw_pos(q: str, regex: re.Pattern) -> int:
     return m.start() if m else -1
 
 
+_SET_OP = re.compile(r"\b(?:UNION|INTERSECT|EXCEPT)"
+                     r"(?:\s+(?:ALL|DISTINCT))?\b", re.IGNORECASE)
+
+
+def _setop_spans(q: str) -> list[tuple[int, int]]:
+    """(start, end) spans of top-level set operators, outside string
+    literals and parens; `* EXCEPT(...)` star-transformers (previous
+    non-space char is '*') are NOT set operators and are skipped."""
+    mask = list(_mask_strings(q))
+    depth = 0
+    for i, c in enumerate(mask):
+        if c == "(":
+            depth += 1
+            mask[i] = "\x00"
+        elif c == ")":
+            depth -= 1
+            mask[i] = "\x00"
+        elif depth > 0:
+            mask[i] = "\x00"
+    masked = "".join(mask)
+    out = []
+    for m in _SET_OP.finditer(masked):
+        if (m.group(0).upper().startswith("EXCEPT")
+                and masked[:m.start()].rstrip().endswith("*")):
+            continue
+        out.append((m.start(), m.end()))
+    return out
+
+
+def _branch_start(q: str, pos: int) -> int:
+    """Offset just after the last top-level set operator before ``pos``
+    (0 when none) — the start of the UNION/INTERSECT/EXCEPT branch
+    containing ``pos``. Clause rewrites that wrap 'everything before
+    the keyword' (QUALIFY, LIMIT BY) must not swallow sibling branches
+    (round-13 advisor fix: second occurrences in later branches)."""
+    return max((e for _, e in _setop_spans(q) if e <= pos), default=0)
+
+
+def _next_setop_pos(q: str, pos: int) -> int:
+    """Start of the first top-level set operator at or after ``pos``;
+    -1 when none."""
+    return min((s for s, _ in _setop_spans(q) if s >= pos), default=-1)
+
+
 def _masked_sub(regex: re.Pattern, repl, q: str) -> str:
     """re.sub outside string literals; ``repl`` is a callable on the
     span-match (original-text groups)."""
@@ -7592,7 +7690,8 @@ _PREWHERE = re.compile(r"\bPREWHERE\b(.*?)(?=\bWHERE\b|\bGROUP\s+BY\b|"
                        re.IGNORECASE | re.DOTALL)
 _LIMIT_BY = re.compile(r"\bLIMIT\s+(\d+)(?:\s+OFFSET\s+(\d+)|,\s*(\d+))?"
                        r"\s+BY\s+([^\n;]+?)"
-                       r"(?=\s+LIMIT\b|\s*$)", re.IGNORECASE)
+                       r"(?=\s+LIMIT\b|\s+UNION\b|\s+INTERSECT\b"
+                       r"|\s+EXCEPT\b|\s*$)", re.IGNORECASE)
 _SAMPLE = re.compile(r"\bSAMPLE\s+(0?\.\d+|\d+/\d+)", re.IGNORECASE)
 _SAMPLE_N = re.compile(r"\bSAMPLE\s+(\d+)\b(?!\s*/)", re.IGNORECASE)
 _FINAL = re.compile(r"\bFROM\s+(\w+)\s+FINAL\b", re.IGNORECASE)
@@ -7893,7 +7992,8 @@ def _translate_impl(sql: str,
     # whitespace-stable output (clause strips can leave trailing blanks;
     # keeps translate idempotent — pinned by test). Float64 literal
     # typing runs LAST, on the fully expanded SQL.
-    return _float_literal_pass(_rewrite_calls(_expand_sql_udfs(q))).strip()
+    return _float_literal_pass(_apply_group_max(
+        _rewrite_calls(_expand_sql_udfs(q)))).strip()
 
 
 def _norm_expr_text(s: str) -> str:
@@ -7921,6 +8021,8 @@ def _wrap_order_rewrite(body: str,
     fp = _toplevel_kw_pos(body, re.compile(r"\bFROM\b", re.IGNORECASE))
     if not sp or fp < sp.end():
         return body, lists, []
+    is_distinct = bool(re.match(r"\s*SELECT\s+DISTINCT\b", body,
+                                re.IGNORECASE))
     sel_items = [t.strip() for t in _split_args(body[sp.end():fp])]
     star = any(t == "*" or t.endswith(".*")
                or re.match(r"\*\s*(EXCEPT|REPLACE|APPLY)\b", t,
@@ -7967,6 +8069,15 @@ def _wrap_order_rewrite(body: str,
         if star:
             return expr + suff           # source cols flow through *
         if key not in hoist_by_expr:
+            if is_distinct:
+                # hoisting into a SELECT DISTINCT body would widen the
+                # dedup key set and silently change which rows survive
+                # (round-13 advisor fix; upstream refuses ORDER BY
+                # columns outside SELECT DISTINCT)
+                raise ValueError(
+                    f"LIMIT BY / DISTINCT ON over SELECT DISTINCT: "
+                    f"'{expr}' is not in the DISTINCT select list — "
+                    f"project it (or order by a projected column)")
             name = f"__ch_ob{len(hoists)}"
             hoists.append(f"({expr}) AS {name}")
             hoist_by_expr[key] = name
@@ -7996,6 +8107,138 @@ def _enclosing_open(masked: str, pos: int) -> int:
     return -1
 
 
+_GMAX_MARK = re.compile(r"__CH_GMAX__\s*\(")
+
+
+def _gmax_rewrite_select(s: str) -> str:
+    """Resolve every __CH_GMAX__(t) marker that belongs to THIS select
+    span: inject ``MAX(t) OVER (PARTITION BY <group keys>)`` columns in
+    a subquery around the select's FROM(+joins/LATERAL VIEW/WHERE)
+    segment, and replace the markers with the column names. Markers
+    inside nested SELECTs are left for their own pass."""
+    fp = _toplevel_kw_pos(s, re.compile(r"\bFROM\b", re.IGNORECASE))
+    if fp < 0:
+        raise ValueError(
+            "exponentialTimeDecayed* / exponentialMovingAverage need a "
+            "FROM relation (the group-max anchor is a window over it)")
+    rel = s[fp:]
+    ce = _toplevel_kw_pos(rel, re.compile(
+        r"\b(?:GROUP\s+BY|HAVING|WINDOW|ORDER\s+BY|LIMIT|OFFSET|"
+        r"DISTRIBUTE\s+BY|SORT\s+BY|CLUSTER\s+BY|SETTINGS|FORMAT)\b",
+        re.IGNORECASE))
+    fw_end = fp + (len(rel) if ce < 0 else ce)
+    tail = s[fw_end:]
+    gm = re.match(r"\s*GROUP\s+BY\s+", tail, re.IGNORECASE)
+    keys = ""
+    if gm:
+        kt = tail[gm.end():]
+        ke = _toplevel_kw_pos(kt, re.compile(
+            r"\b(?:HAVING|WINDOW|ORDER\s+BY|LIMIT|OFFSET|SETTINGS|"
+            r"FORMAT)\b", re.IGNORECASE))
+        keys = (kt if ke < 0 else kt[:ke]).strip()
+        if re.search(r"\b(?:ROLLUP|CUBE|GROUPING\s+SETS)\b"
+                     r"|^\s*ALL\s*$", keys, re.IGNORECASE) \
+                or re.fullmatch(r"[\d\s,]+", keys):
+            raise ValueError(
+                "exponentialTimeDecayed* / exponentialMovingAverage: "
+                "the group-max anchor needs an explicit GROUP BY key "
+                "list (ROLLUP/CUBE/GROUPING SETS/ALL/positional refs "
+                "have no single partition) — spell the keys out")
+    masked_s = _mask_strings(s)
+    spans: list[tuple[int, int, str]] = []
+    for m in _GMAX_MARK.finditer(masked_s):
+        pp, nested = m.start(), False
+        while True:
+            op = _enclosing_open(masked_s, pp)
+            if op < 0:
+                break
+            if re.match(r"\s*SELECT\b", s[op + 1:], re.IGNORECASE):
+                nested = True
+                break
+            pp = op
+        if nested:
+            continue
+        open_p = s.index("(", m.end() - 1)
+        close = _find_close(s, open_p)
+        if close < 0:
+            raise ValueError("__CH_GMAX__: unbalanced marker")
+        spans.append((m.start(), close + 1, s[open_p + 1:close].strip()))
+    if not spans:
+        # every marker in this span sits in a nested select — nothing
+        # to do here; the caller's loop descends next round
+        raise ValueError("__CH_GMAX__: marker resolution did not "
+                         "converge (marker outside any select list?)")
+    names: dict[str, str] = {}
+    cols: list[tuple[str, str]] = []
+    for _, _, tx in spans:
+        k = _norm_expr_text(tx)
+        if k not in names:
+            names[k] = f"__ch_gm{len(names)}"
+            cols.append((names[k], tx))
+    part = keys
+    if keys:
+        # PARTITION BY runs INSIDE the injected subquery, where select
+        # aliases don't exist — resolve bare alias keys to their exprs
+        sp = re.match(r"\s*SELECT\s+(?:DISTINCT\s+)?", s, re.IGNORECASE)
+        alias_expr: dict[str, str] = {}
+        for it in _split_args(s[sp.end():fp]):
+            ma = re.search(r"\s+AS\s+(`[^`]+`|\w+)\s*$", it,
+                           re.IGNORECASE)
+            if ma:
+                alias_expr[ma.group(1).strip("`").lower()] = \
+                    it[:ma.start()].strip()
+        part = ", ".join(
+            alias_expr.get(ktok.strip().lower(), ktok.strip())
+            if re.fullmatch(r"\w+", ktok.strip()) else ktok.strip()
+            for ktok in _split_args(keys))
+    over = f"OVER (PARTITION BY {part})" if part else "OVER ()"
+    gmcols = ", ".join(f"MAX({tx}) {over} AS {nm}" for nm, tx in cols)
+
+    def splice(lo: int, hi: int) -> str:
+        seg, last = [], lo
+        for st, en, tx in spans:
+            if st < lo or st >= hi:
+                continue
+            seg.append(s[last:st])
+            seg.append(names[_norm_expr_text(tx)])
+            last = en
+        seg.append(s[last:hi])
+        return "".join(seg)
+
+    return (f"{splice(0, fp)} FROM (SELECT *, {gmcols} "
+            f"{s[fp:fw_end]}) __ch_gmsrc {splice(fw_end, len(s))}")
+
+
+def _apply_group_max(q: str) -> str:
+    """Resolve __CH_GMAX__(t) markers (emitted by the decayed / EMA
+    aggregate templates, round 13) — each marker becomes a window
+    MAX(t) over its enclosing SELECT's GROUP BY keys, computed in an
+    injected subquery so the anchor sees exactly the grouped rows
+    (post-WHERE). Deletes the per-group COLLECT_LIST the round-12 form
+    used: constant state per group at any skew."""
+    for _ in range(64):
+        mg = _masked_search(_GMAX_MARK, q)
+        if not mg:
+            return q
+        masked = _mask_strings(q)
+        base, end = 0, len(q)
+        p = mg.start()
+        while True:
+            op = _enclosing_open(masked, p)
+            if op < 0:
+                base = _branch_start(q, mg.start())
+                nx = _next_setop_pos(q, mg.start())
+                end = len(q) if nx < 0 else nx
+                break
+            cl = _find_close(q, op)
+            if re.match(r"\s*SELECT\b", q[op + 1:cl], re.IGNORECASE):
+                base, end = op + 1, cl
+                break
+            p = op
+        q = q[:base] + _gmax_rewrite_select(q[base:end]) + q[end:]
+    raise ValueError("__CH_GMAX__: more than 64 markers")
+
+
 def _apply_distinct_on(q: str) -> str:
     """Rewrite every ``SELECT DISTINCT ON (keys)`` — top-level or
     inside a subquery span — to ``... LIMIT 1 BY keys`` spliced before
@@ -8015,7 +8258,12 @@ def _apply_distinct_on(q: str) -> str:
         masked = _mask_strings(q)
         pre = masked[:mm.start()]
         if pre.count("(") - pre.count(")") == 0:
-            span_end = len(q)
+            # stop at the next top-level set operator: DISTINCT ON in
+            # one UNION branch must not splice its LIMIT 1 BY after the
+            # sibling branches (round-13, same family as the QUALIFY /
+            # LIMIT BY branch fix)
+            nx = _next_setop_pos(q, close_k + 1)
+            span_end = len(q) if nx < 0 else nx
         else:
             span_end = _find_close(q, _enclosing_open(masked,
                                                       mm.start()))
@@ -8027,7 +8275,9 @@ def _apply_distinct_on(q: str) -> str:
                    + f" LIMIT 1 BY {keys} " + tail[lp:])
         else:
             new = f"SELECT {tail} LIMIT 1 BY {keys}"
-        q = q[:mm.start()] + new + q[span_end:]
+        # the space keeps the splice from gluing the key list onto a
+        # following set operator ("BY kUNION" hides the \b boundary)
+        q = q[:mm.start()] + new + " " + q[span_end:]
     raise ValueError("DISTINCT ON: nesting beyond 32 levels")
 
 
@@ -8064,7 +8314,12 @@ def _apply_limit_by(q: str) -> str:
             n, off = int(m.group(1)), int(m.group(2) or 0)
         keys = m.group(4).strip()
         rest = q[m.end():].strip()
-        body = q[:m.start()].strip()
+        # wrap only the current set-operation BRANCH; loop on (don't
+        # return) so later branches' LIMIT BY translate too (round-13
+        # advisor fix)
+        bs = _branch_start(q, mh.start())
+        prefix = q[:bs]
+        body = q[bs:m.start()].strip()
         op = _toplevel_kw_pos(body,
                               re.compile(r"\bORDER\s+BY\b",
                                          re.IGNORECASE))
@@ -8080,11 +8335,18 @@ def _apply_limit_by(q: str) -> str:
             order = keys
         # outer ORDER BY keeps the reference's post-LIMIT-BY ordering
         exc = ", ".join(["__ch_rn"] + hoisted)
-        return (f"SELECT * EXCEPT({exc}) FROM (SELECT *, ROW_NUMBER() "
-                f"OVER (PARTITION BY {keys} ORDER BY {order}) AS "
-                f"__ch_rn FROM ({body})) WHERE __ch_rn > {off} AND "
-                f"__ch_rn <= {off + n} ORDER BY {order} {rest}")
-    raise ValueError("LIMIT BY: nesting beyond 32 levels")
+        wrapped = (f"SELECT * EXCEPT({exc}) FROM (SELECT *, ROW_NUMBER() "
+                   f"OVER (PARTITION BY {keys} ORDER BY {order}) AS "
+                   f"__ch_rn FROM ({body})) WHERE __ch_rn > {off} AND "
+                   f"__ch_rn <= {off + n} ORDER BY {order}")
+        if bs > 0 or (rest and _SET_OP.match(rest)):
+            # a set-operation sibling exists: parenthesize the branch
+            # so its ORDER BY stays branch-local
+            q = f"{prefix} ({wrapped}) {rest}" if bs \
+                else f"{prefix}({wrapped}) {rest}"
+        else:
+            q = f"{prefix}{wrapped} {rest}"
+    raise ValueError("LIMIT BY: more than 32 occurrences")
 
 
 def _apply_qualify(q: str) -> str:
@@ -8104,16 +8366,22 @@ def _apply_qualify(q: str) -> str:
             q = q[:open_p + 1] + inner + q[close:]
             continue
         qp = mq.start()
-        body, rest = q[:qp].rstrip(), q[qp + len("QUALIFY"):]
+        # wrap only the current set-operation BRANCH (round-13 advisor
+        # fix): body back to the whole prefix would swallow sibling
+        # UNION branches, and returning here would leave a second
+        # depth-0 QUALIFY in a later branch untranslated
+        bs = _branch_start(q, qp)
+        body, rest = q[bs:qp].rstrip(), q[qp + len("QUALIFY"):]
         tp = _toplevel_kw_pos(rest, re.compile(
             r"\b(?:ORDER\s+BY|LIMIT|OFFSET|SETTINGS|FORMAT|UNION|"
             r"INTERSECT|EXCEPT)\b", re.IGNORECASE))
         cond, tail = (rest, "") if tp < 0 else (rest[:tp], rest[tp:])
         if not cond.strip():
             raise ValueError("QUALIFY needs a condition")
-        return (f"SELECT * FROM ({body}) __ch_qualify "
-                f"WHERE {cond.strip()} {tail}")
-    raise ValueError("QUALIFY: nesting beyond 32 levels")
+        q = (q[:bs] + (" " if bs else "")
+             + f"SELECT * FROM ({body}) __ch_qualify "
+             f"WHERE {cond.strip()} {tail}")
+    raise ValueError("QUALIFY: more than 32 occurrences")
 
 
 def _apply_array_join(q: str) -> str:
@@ -8235,6 +8503,12 @@ def _register_udfs(spark: SparkSession) -> None:
     spark.udf.register("__sha512_256", H.sha512_256_udf())
     spark.udf.register("__kafka_murmur2", H.kafka_murmur2_udf())
     spark.udf.register("__siphash64_keyed", H.siphash64_keyed_udf())
+    spark.udf.register("__siphash128", H.siphash128_udf(False))
+    spark.udf.register("__siphash128_ref", H.siphash128_udf(True))
+    spark.udf.register("__siphash128_keyed",
+                       H.siphash128_keyed_udf(False))
+    spark.udf.register("__siphash128_ref_keyed",
+                       H.siphash128_keyed_udf(True))
     # AES stream modes (ctr/ofb/cfb) — cryptography-backed, round 12;
     # the builder raises a loud env gate when the package is absent,
     # but ONLY when a query actually names a stream mode (lazy probe)

@@ -534,6 +534,105 @@ def kafka_murmur2(c: Column) -> Column:
     return kafka_murmur2_udf()(c)
 
 
+def siphash128_py(data: bytes, k0: int = 0, k1: int = 0,
+                  reference: bool = False) -> bytes:
+    """SipHash-2-4 with 128-bit output, two dialects (round 13):
+
+    ``reference=False`` — the upstream engine's LEGACY ``get128``
+    ([U] src/Common/SipHash.h): the 64-bit rounds verbatim (length-byte
+    tail word, ``v2 ^= 0xFF`` finalize) emitting ``LE(v0^v1) ||
+    LE(v2^v3)``. Consequence pinned in tests: the XOR of the two
+    halves equals the paper-vector-pinned sipHash64, so the legacy
+    128-bit form inherits those pins.
+
+    ``reference=True`` — the official 128-bit variant of the SipHash
+    reference implementation (Aumasson & Bernstein): ``v1 ^= 0xEE`` at
+    init, first finalize ``v2 ^= 0xEE`` → out0, then ``v1 ^= 0xDD`` +
+    4 more rounds → out1. Pinned against the published
+    ``vectors_sip128`` test vectors."""
+    v0 = k0 ^ 0x736F6D6570736575
+    v1 = k1 ^ 0x646F72616E646F6D
+    v2 = k0 ^ 0x6C7967656E657261
+    v3 = k1 ^ 0x7465646279746573
+    if reference:
+        v1 ^= 0xEE
+
+    def sipround():
+        nonlocal v0, v1, v2, v3
+        v0 = (v0 + v1) & _M64
+        v1 = _rotl(v1, 13)
+        v1 ^= v0
+        v0 = _rotl(v0, 32)
+        v2 = (v2 + v3) & _M64
+        v3 = _rotl(v3, 16)
+        v3 ^= v2
+        v0 = (v0 + v3) & _M64
+        v3 = _rotl(v3, 21)
+        v3 ^= v0
+        v2 = (v2 + v1) & _M64
+        v1 = _rotl(v1, 17)
+        v1 ^= v2
+        v2 = _rotl(v2, 32)
+
+    n = len(data)
+    end = n - (n % 8)
+    for off in range(0, end, 8):
+        m = struct.unpack_from("<Q", data, off)[0]
+        v3 ^= m
+        sipround()
+        sipround()
+        v0 ^= m
+    b = (n & 0xFF) << 56
+    for i, ch in enumerate(data[end:]):
+        b |= ch << (8 * i)
+    v3 ^= b
+    sipround()
+    sipround()
+    v0 ^= b
+    if reference:
+        v2 ^= 0xEE
+        for _ in range(4):
+            sipround()
+        out0 = (v0 ^ v1 ^ v2 ^ v3) & _M64
+        v1 ^= 0xDD
+        for _ in range(4):
+            sipround()
+        out1 = (v0 ^ v1 ^ v2 ^ v3) & _M64
+    else:
+        v2 ^= 0xFF
+        for _ in range(4):
+            sipround()
+        out0 = (v0 ^ v1) & _M64
+        out1 = (v2 ^ v3) & _M64
+    return struct.pack("<QQ", out0, out1)
+
+
+def siphash128_udf(reference: bool = False):
+    key = "sip128_ref" if reference else "sip128"
+    if key not in _UDFS:
+        @pandas_udf("string")
+        def _sip128(s: pd.Series) -> pd.Series:
+            return s.map(lambda v: None if v is None else siphash128_py(
+                _as_bytes(v), reference=reference).hex())
+        _UDFS[key] = _sip128
+    return _UDFS[key]
+
+
+def siphash128_keyed_udf(reference: bool = False):
+    key = "sip128k_ref" if reference else "sip128k"
+    if key not in _UDFS:
+        @pandas_udf("string")
+        def _sip128k(a: pd.Series, b: pd.Series,
+                     s: pd.Series) -> pd.Series:
+            return pd.Series(
+                None if v is None else siphash128_py(
+                    _as_bytes(v), int(x) & _M64, int(y) & _M64,
+                    reference=reference).hex()
+                for x, y, v in zip(a, b, s))
+        _UDFS[key] = _sip128k
+    return _UDFS[key]
+
+
 def siphash64_keyed_udf():
     if "sip_keyed" not in _UDFS:
         @pandas_udf("long")

@@ -3145,11 +3145,11 @@ def ch_sql_json_merge_patch(spark, sf):
 
 @register("ch_sql_normalized_gini", oracle="""
 WITH e AS (
-  SELECT user_id % 8 AS g, CAST(event_id AS DOUBLE) AS p,
+  SELECT user_id % 8 AS g, CAST(event_id % 97 AS DOUBLE) AS p,
          CAST(event_id % 3 = 0 AS INT) AS l
   FROM events WHERE event_id < 2000),
 r AS (
-  SELECT g, l, SUM(l) OVER (PARTITION BY g ORDER BY p DESC
+  SELECT g, l, SUM(l) OVER (PARTITION BY g ORDER BY p DESC, l
                             ROWS UNBOUNDED PRECEDING) AS cum
   FROM e),
 a AS (SELECT g, SUM(cum) AS scum, SUM(l) AS tot, COUNT(*) AS n
@@ -3168,18 +3168,19 @@ FROM a JOIN al ON a.g = al.g
 """)
 def ch_sql_normalized_gini(spark, sf):
     """Round 12: arrayNormalizedGini (former refusal) — per-group
-    arrays of (distinct) predicted keys + 0/1 labels, replayed by
-    DuckDB as UNNEST-free window algebra (cumulative label sums over
-    the descending key order). Distinct keys make the internal sort
-    total, so COLLECT_LIST's order nondeterminism cannot leak; within
-    equal-label runs the cumsum SUM is permutation-invariant."""
+    arrays of predicted keys + 0/1 labels, replayed by DuckDB as
+    UNNEST-free window algebra (cumulative label sums over the
+    descending key order). Round 13: keys now REPEAT (event_id % 97)
+    to exercise the total tie-break (key DESC, other field ASC) on
+    both sides — COLLECT_LIST's order nondeterminism must not leak
+    through ties (r12 advisor finding)."""
     from clickhouse_clickhouse_spark.ch_sql import ch_sql
 
     load_table(spark, sf, "events").createOrReplaceTempView("ng_events")
     return ch_sql(spark, """
         WITH arr AS (
           SELECT user_id % 8 AS g,
-                 groupArray(CAST(event_id AS Float64)) AS ps,
+                 groupArray(CAST(event_id % 97 AS Float64)) AS ps,
                  groupArray(CAST(CAST(event_id % 3 = 0 AS INT)
                                  AS Float64)) AS ls
           FROM ng_events WHERE event_id < 2000
@@ -3189,3 +3190,33 @@ def ch_sql_normalized_gini(spark, sf):
                round(arrayNormalizedGini(ps, ls)._2, 8) AS gl,
                round(arrayNormalizedGini(ps, ls)._3, 8) AS ng
         FROM arr""")
+
+
+@register("ch_sql_siphash128", oracle="""
+SELECT 'a3817f04ba25a8e66df67214c7550293' AS ref_keyed_empty,
+       'da87c1d86b99af44347659119b22fc45' AS ref_keyed_1b,
+       CAST(32 AS BIGINT) AS legacy_len,
+       CAST(32 AS BIGINT) AS ref_len,
+       CAST(1 AS BIGINT) AS legacy_distinct
+""")
+def ch_sql_siphash128(spark, sf):
+    """Round 13 (former refusal): sipHash128 family. The reference
+    variant is pinned to the PUBLISHED vectors_sip128 test vectors
+    (SipHash reference implementation, key bytes 00..0f = (k0, k1)
+    below; inputs '' and '\\x00') — real cross-engine constants, not a
+    twin replay. The legacy variant ([U] src/Common/SipHash.h get128)
+    has no public vector; its xor-of-halves == sipHash64 inheritance
+    is pinned in pytest, here only shape-checked."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    return ch_sql(spark, """
+        SELECT sipHash128ReferenceKeyed(
+                   (506097522914230528, 1084818905618843912),
+                   '') AS ref_keyed_empty,
+               sipHash128ReferenceKeyed(
+                   (506097522914230528, 1084818905618843912),
+                   char(0)) AS ref_keyed_1b,
+               length(sipHash128('abc')) AS legacy_len,
+               length(sipHash128Reference('abc')) AS ref_len,
+               CAST(sipHash128('abc') != sipHash128('abd') AS BIGINT)
+                   AS legacy_distinct""")

@@ -41,14 +41,47 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+def _round_salt() -> int:
+    """Current driver round from PROGRESS.jsonl (0 when absent)."""
+    import json
+    import os
+    p = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PROGRESS.jsonl")
+    try:
+        with open(p) as f:
+            lines = [ln for ln in f.read().splitlines() if ln.strip()]
+        return int(json.loads(lines[-1]).get("round", 0))
+    except Exception:
+        return 0
+
+
+def _rotated(d: dict) -> dict:
+    """Enumerate the registry in a round-salted pseudorandom order.
+
+    The driver's correctness record samples a fixed-size prefix of
+    ``queries()`` — with plain insertion order that sample froze on the
+    same 50 names every round (round-12 judge finding). Salting the
+    order by the round number makes each round's driver sample a
+    different window of the full surface while staying deterministic
+    within a round. Full sweeps (tools/check.py) are order-insensitive."""
+    salt = _round_salt()
+    if not salt:
+        return dict(d)
+    import hashlib
+    return dict(sorted(
+        d.items(),
+        key=lambda kv: hashlib.md5(
+            f"{salt}:{kv[0]}".encode()).hexdigest()))
+
+
 def all_queries() -> dict[str, QueryFn]:
     _load_query_modules()
-    return dict(_QUERIES)
+    return _rotated(_QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
     _load_query_modules()
-    return dict(_ORACLES)
+    return _rotated(_ORACLES)
 
 
 _loaded = False

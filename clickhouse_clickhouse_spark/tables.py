@@ -21,6 +21,54 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "customer", "part"})
 
 
+_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``clickhouse_clickhouse_spark`` importable on EXECUTOR
+    python workers (round 13). The driver contract hands us a plain
+    SparkSession whose workers inherit only the environment PYTHONPATH
+    — if that session was created outside the repo, every pandas UDF
+    that references this package by module (the hash/codec compat
+    kernels) failed to unpickle worker-side. Two idempotent moves:
+
+    - PYTHONPATH env: local-mode python daemons are forked from the
+      driver process, so appending the repo dir covers workers that
+      have not started yet;
+    - ``sc.addPyFile`` of a package zip: the cluster-grade path —
+      shipped to every executor and appended to worker sys.path, which
+      also covers daemons that are already running."""
+    if id(spark) in _SHIPPED:
+        return
+    _SHIPPED.add(id(spark))
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    repo = os.path.dirname(pkg_dir)
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = \
+            repo + (os.pathsep + pp if pp else "")
+    try:
+        zpath = os.path.join(tempfile.gettempdir(),
+                             f"__ch_spark_pkg_{os.getpid()}.zip")
+        if not os.path.exists(zpath):
+            with zipfile.ZipFile(zpath, "w") as z:
+                for root, _dirs, files in os.walk(pkg_dir):
+                    for f in files:
+                        if not f.endswith(".py"):
+                            continue
+                        full = os.path.join(root, f)
+                        z.write(full, os.path.join(
+                            os.path.basename(pkg_dir),
+                            os.path.relpath(full, pkg_dir)))
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # Connect sessions have no sparkContext; env path stands
+
+
 def ensure_engine_confs(spark: SparkSession) -> None:
     """Set the engine's semantics-critical runtime confs on an externally
     created session (the driver hands us its own SparkSession — it won't
@@ -31,6 +79,7 @@ def ensure_engine_confs(spark: SparkSession) -> None:
     - UTC session timezone (fixtures are tz-naive; oracle compares naive);
     - ANSI off (reference-permissive arithmetic, SURVEY.md §4.2).
     """
+    _ship_package(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")

@@ -1,0 +1,190 @@
+"""Round-13 advisor findings — regression pins.
+
+1. _wrap_order_rewrite must REFUSE (not silently hoist) when a
+   LIMIT BY / DISTINCT ON key or ORDER BY expression over a SELECT
+   DISTINCT body is outside the DISTINCT select list — hoisting widens
+   the dedup key set (upstream refuses such ORDER BY columns).
+2. _expand_sql_udfs must splice all parameters simultaneously: an
+   argument whose text contains a later parameter's name must not be
+   macro-captured (f AS (x, y) -> x + y called as f(y, 2)).
+3. arrayNormalizedGini's internal sort must be TOTAL (key DESC, other
+   field ASC) so equal predicted keys with different labels cannot
+   leak COLLECT_LIST shuffle order into the cumsum.
+4. QUALIFY / LIMIT n BY / DISTINCT ON must translate in EVERY union
+   branch, each wrap confined to its own branch.
+5. nested() must return NULL when any input array is NULL (the
+   ARRAYS_ZIP contract) — GREATEST skips NULL sizes, so the old form
+   NULL-padded to the other arrays' size.
+"""
+
+import pytest
+
+
+def test_distinct_body_hoist_refuses():
+    from clickhouse_clickhouse_spark.ch_sql import translate
+
+    with pytest.raises(ValueError, match="DISTINCT select list"):
+        translate("SELECT DISTINCT a FROM t ORDER BY b LIMIT 1 BY a")
+    with pytest.raises(ValueError, match="DISTINCT select list"):
+        translate("SELECT DISTINCT a FROM t ORDER BY b + 1 LIMIT 2 BY a")
+    # DISTINCT ON rewrites into a NON-distinct LIMIT 1 BY, where
+    # hoisting an outside ORDER BY key is semantically safe (it only
+    # picks the survivor) — must NOT refuse
+    out = translate("SELECT DISTINCT ON (a) a FROM t ORDER BY b + 1")
+    assert "__ch_ob0" in out
+    # projected keys / ORDER BY stay fine over DISTINCT
+    out = translate("SELECT DISTINCT a, b FROM t ORDER BY b LIMIT 1 BY a")
+    assert "__ch_rn" in out and "__ch_ob" not in out
+
+
+def test_sql_udf_simultaneous_splice():
+    import clickhouse_clickhouse_spark.ch_sql as cs
+
+    cs._SQL_UDFS["__r13fxy"] = (["x", "y"], "x + y * x")
+    try:
+        out = cs._expand_sql_udfs("SELECT __r13fxy(y, 2) FROM t")
+        # the caller's column y must survive; only params rewrite
+        assert "(y) + (2) * (y)" in out
+        out = cs._expand_sql_udfs("SELECT __r13fxy(y, x) FROM t")
+        assert "(y) + (x) * (y)" in out
+    finally:
+        del cs._SQL_UDFS["__r13fxy"]
+
+
+def test_union_branch_clause_rewrites(spark):
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    spark.sql("SELECT * FROM VALUES (1, 'a'), (1, 'b'), (2, 'c') "
+              "AS t(k, v)").createOrReplaceTempView("r13_t")
+    spark.sql("SELECT * FROM VALUES (3, 'x'), (3, 'y'), (4, 'z') "
+              "AS u(k, v)").createOrReplaceTempView("r13_u")
+
+    # QUALIFY in BOTH branches, each confined to its own branch
+    rows = ch_sql(spark, """
+        SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY v) rn
+        FROM r13_t QUALIFY rn = 1
+        UNION ALL
+        SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY v) rn
+        FROM r13_u QUALIFY rn = 1""").collect()
+    got = sorted((r.k, r.v) for r in rows)
+    assert got == [(1, "a"), (2, "c"), (3, "x"), (4, "z")]
+
+    # LIMIT BY in both branches
+    rows = ch_sql(spark, """
+        SELECT k, v FROM r13_t ORDER BY v LIMIT 1 BY k
+        UNION ALL
+        SELECT k, v FROM r13_u ORDER BY v LIMIT 1 BY k""").collect()
+    got = sorted((r.k, r.v) for r in rows)
+    assert got == [(1, "a"), (2, "c"), (3, "x"), (4, "z")]
+
+    # DISTINCT ON in the FIRST branch must not dedup the union
+    rows = ch_sql(spark, """
+        SELECT DISTINCT ON (k) k FROM r13_t
+        UNION ALL SELECT k FROM r13_u""").collect()
+    ks = sorted(r.k for r in rows)
+    assert ks == [1, 2, 3, 3, 4]
+
+    # star-EXCEPT is not a set operator: the branch scanner must not
+    # split mid-select-list, and the query must run
+    from clickhouse_clickhouse_spark.ch_sql import _branch_start
+    assert _branch_start(
+        "SELECT * EXCEPT(v) FROM t LIMIT 1 BY k", 30) == 0
+    assert _branch_start(
+        "SELECT a FROM t EXCEPT SELECT a FROM u QUALIFY x", 40) > 0
+    rows = ch_sql(spark,
+                  "SELECT * EXCEPT(v) FROM r13_t LIMIT 1 BY k"
+                  ).collect()
+    assert sorted(r.k for r in rows) == [1, 2]
+
+
+def test_gini_tie_break_is_shuffle_stable(spark):
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    # equal predicted keys carrying DIFFERENT labels: any permutation
+    # of the input pairs must give the same gini tuple
+    base = [(0.5, 1.0), (0.5, 0.0), (0.5, 3.0), (0.2, 2.0),
+            (0.9, 0.0), (0.9, 5.0)]
+    import itertools
+    seen = set()
+    for perm in list(itertools.permutations(base))[:24:5] + [
+            tuple(base), tuple(reversed(base))]:
+        ps = ", ".join(str(p) for p, _ in perm)
+        ls = ", ".join(str(l) for _, l in perm)
+        row = ch_sql(spark, f"""
+            SELECT round(arrayNormalizedGini(
+                       [{ps}], [{ls}])._3, 10) AS ng""").collect()[0]
+        seen.add(row.ng)
+    assert len(seen) == 1, f"permutation-dependent gini: {seen}"
+
+
+def test_gini_docs_example_still_pinned(spark):
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    row = ch_sql(spark, """
+        SELECT arrayNormalizedGini([0.9, 0.3, 0.8, 0.7],
+                                   [6, 1, 0, 2]) AS g""").collect()[0]
+    assert abs(row.g._1 - 0.18055555555555558) < 1e-12
+    assert abs(row.g._2 - 0.2638888888888889) < 1e-12
+    assert abs(row.g._3 - 0.6842105263157896) < 1e-12
+
+
+def test_nested_null_in_null_out(spark):
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    rows = ch_sql(spark, """
+        SELECT nested(['k', 'v'], CAST(NULL AS ARRAY<INT>),
+                      ARRAY(1, 2)) AS n1,
+               nested(['k', 'v'], ARRAY(1), ARRAY('a', 'b')) AS n2,
+               nested(['k'], CAST(ARRAY() AS ARRAY<INT>)) AS n3
+        """).collect()
+    r = rows[0]
+    assert r.n1 is None
+    assert [(x.k, x.v) for x in r.n2] == [(1, "a"), (None, "b")]
+    assert r.n3 == []
+
+
+def test_siphash128_vectors_and_legacy_inheritance(spark):
+    """Round-13 item: sipHash128 family (former refusals).
+
+    - reference variant == published vectors_sip128 (first four, key
+      bytes 00..0f, inputs 0..n-1 bytes);
+    - legacy get128: XOR of the 16-byte digest's two LE-u64 halves ==
+      the paper-vector-pinned sipHash64 (the [U] src/Common/SipHash.h
+      construction), so the legacy form inherits the 64-bit pins;
+    - Spark-side dialect wiring returns the same hex as the python
+      kernel."""
+    import struct
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+    from clickhouse_clickhouse_spark.functions.hashing import (
+        siphash64_py, siphash128_py)
+
+    k0, k1 = 0x0706050403020100, 0x0F0E0D0C0B0A0908
+    vectors = [
+        "a3817f04ba25a8e66df67214c7550293",
+        "da87c1d86b99af44347659119b22fc45",
+        "8177228da4a45dc7fca38bdef60affe4",
+        "9c70b60c5267a94e5f33b6b02985ed51",
+    ]
+    for n, want in enumerate(vectors):
+        got = siphash128_py(bytes(range(n)), k0, k1,
+                            reference=True).hex()
+        assert got == want, f"vectors_sip128[{n}]"
+
+    for s in [b"", b"a", b"hello world", bytes(range(100)) * 3]:
+        lo, hi = struct.unpack("<QQ", siphash128_py(s))
+        assert (lo ^ hi) == siphash64_py(s)
+
+    row = ch_sql(spark, f"""
+        SELECT sipHash128('hello world') AS legacy,
+               sipHash128Reference('hello world') AS ref,
+               sipHash128Keyed(({k0}, {k1}), 'hello world') AS leg_k,
+               sipHash128ReferenceKeyed(({k0}, {k1}),
+                                        'hello world') AS ref_k
+        """).collect()[0]
+    assert row.legacy == siphash128_py(b"hello world").hex()
+    assert row.ref == siphash128_py(b"hello world",
+                                    reference=True).hex()
+    assert row.leg_k == siphash128_py(b"hello world", k0, k1).hex()
+    assert row.ref_k == siphash128_py(b"hello world", k0, k1,
+                                      reference=True).hex()
