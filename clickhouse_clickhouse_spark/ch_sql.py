@@ -825,6 +825,16 @@ def _siphash_keyed_tpl(args: list[str]) -> str:
             f"CAST({args[1]} AS STRING))")
 
 
+def _series_stl_tpl(args: list[str]) -> str:
+    """seriesDecomposeSTL(series, period) ([U]
+    src/Functions/seriesDecomposeSTL.cpp) → [seasonal, trend, residue,
+    baseline] via the numpy STL UDF (functions/series.py, round 13)."""
+    if len(args) != 2:
+        raise ValueError("seriesDecomposeSTL(series, period)")
+    return (f"__series_stl(CAST({args[0]} AS ARRAY<DOUBLE>), "
+            f"CAST({args[1]} AS INT))")
+
+
 def _sip128_tpl(args: list[str], ref: bool) -> str:
     """sipHash128 / sipHash128Reference(data) (round 13, [U]
     src/Common/SipHash.h + src/Functions/FunctionsHashing.h):
@@ -4691,11 +4701,12 @@ _FUNCS: dict[str, str] = {
         ValueError(
             "detectProgrammingLanguage needs its frequency model "
             "(none in this environment)")),
-    "seriesDecomposeSTL": lambda a: (_ for _ in ()).throw(ValueError(
-        "seriesDecomposeSTL (LOESS-based STL) is not implemented — a "
-        "classical decomposition would silently diverge; "
-        "seriesPeriodDetectFFT/seriesOutliersDetectTukey are the "
-        "in-repo series ops")),
+    # round 13 (former refusal): classical Cleveland STL on numpy —
+    # functions/series.stl_decompose_py. Returns the upstream 4-array
+    # convention [seasonal, trend, residue, baseline]; bit parity with
+    # upstream's Rust stl crate is out of scope, the decomposition
+    # contract (exact reconstruction, cycle capture) is pinned instead
+    "seriesDecomposeSTL": lambda a: _series_stl_tpl(a),
     "JSONDynamicPaths": lambda a: (_ for _ in ()).throw(ValueError(
         "JSONDynamicPaths introspects the JSON column type's dynamic "
         "paths; JSON_OBJECT_KEYS / JSONExtractKeys enumerate object "
@@ -8500,6 +8511,7 @@ def _register_udfs(spark: SparkSession) -> None:
     from clickhouse_clickhouse_spark.functions import randomdist as RD
     spark.udf.register("__rand_poisson", RD.rand_poisson_udf())
     spark.udf.register("__series_fft_period", SR.fft_period_udf())
+    spark.udf.register("__series_stl", SR.stl_udf())
     spark.udf.register("__sha512_256", H.sha512_256_udf())
     spark.udf.register("__kafka_murmur2", H.kafka_murmur2_udf())
     spark.udf.register("__siphash64_keyed", H.siphash64_keyed_udf())

@@ -90,9 +90,14 @@ def dsir_log_weights(docs: DataFrame, target_ids: DataFrame, *,
                            dim=dim, seed=seed)
     ratios = importance_log_ratios(tb, target_ids, id_col=id_col,
                                    dim=dim, alpha=alpha)
+    # round at the SAME 6-dp grid as the per-bucket ratios: the sum of
+    # grid multiples is itself a grid multiple, so this round never
+    # sits on a half boundary. Rounding the sum COARSER (the old 4 dp)
+    # made doc sums that land exactly on a .00005 grid point flip
+    # between engines (round-13 sf0.1 sweep finding, doc 971).
     return (tb.join(F.broadcast(ratios), "bucket")
             .groupBy(id_col)
-            .agg(F.round(F.sum("log_ratio"), 4).alias("log_weight")))
+            .agg(F.round(F.sum("log_ratio"), 6).alias("log_weight")))
 
 
 def _gumbel(id_col: Column) -> Column:

@@ -852,3 +852,68 @@ def cb_day_type_uniq_matrix(spark, sf):
             .agg(F.countDistinct("user_id").alias("u"),
                  F.count("*").alias("c"))
             .orderBy("d", "event_type"))
+
+
+@register("cb_value_deciles_approx", oracle="""
+SELECT CAST(10 AS BIGINT) AS buckets,
+       CAST(count(*) AS BIGINT) AS total,
+       CAST(1 AS BIGINT) AS shares_ok
+FROM events
+""")
+def cb_value_deciles_approx(spark, sf):
+    """Approx twin of cb_value_deciles (round-13 verdict item 8, a
+    SEPARATE registry entry so the exact operator keeps its
+    semantics): the exact form pays one global-rank exchange for
+    ntile-perfect deciles; this twin reads approximate decile EDGES
+    from a single two-phase percentile_approx aggregate (mergeable
+    sketch, relative-rank error ~1e-4 at accuracy 10000) and buckets
+    rows against the broadcast 9-edge array — no global sort, no rank
+    exchange, scales as two scans + one tiny broadcast at any data
+    size. Oracle pins the contract: exactly 10 buckets, every row in
+    exactly one (total == DuckDB's exact count), every bucket share
+    within [0.08, 0.12] (slack covers value ties at bucket edges)."""
+    ev = load_table(spark, sf, "events").select("value")
+    edges = ev.agg(F.percentile_approx(
+        "value", [i / 10.0 for i in range(1, 10)], 10000).alias("e"))
+    dec = F.aggregate(
+        "e", F.lit(1),
+        lambda acc, x: acc + (F.col("value") > x).cast("int"))
+    buckets = (ev.crossJoin(F.broadcast(edges))
+               .select(dec.alias("decile"))
+               .groupBy("decile").agg(F.count("*").alias("n")))
+    return buckets.agg(
+        F.count("*").cast("long").alias("buckets"),
+        F.sum("n").cast("long").alias("total"),
+        ((F.max("n") <= 0.12 * F.sum("n"))
+         & (F.min("n") >= 0.08 * F.sum("n")))
+        .cast("long").alias("shares_ok"))
+
+
+@register("cb_url_query_param_buckets_fast", oracle=f"""
+WITH u AS (SELECT {_URL_SQL} AS url, value FROM events)
+SELECT CAST(CAST(regexp_extract(url, '[?&]k=([^&#]*)', 1) AS INT) % 10
+            AS INT) AS k_bucket,
+       CAST(count(*) AS BIGINT) AS c, round(avg(value), 6) AS av
+FROM u WHERE regexp_extract(url, '[?&]k=([^&#]*)', 1) <> ''
+GROUP BY k_bucket ORDER BY k_bucket
+""")
+def cb_url_query_param_buckets_fast(spark, sf):
+    """Fast twin of cb_url_query_param_buckets (round-13 verdict item
+    8): ONE substring split of the query string + a str_to_map lookup
+    instead of a per-row parse_url(QUERY, key) regex call — identical
+    semantics (same oracle, value-hash-compared), cheaper expression
+    work per row."""
+    ev = load_table(spark, sf, "events").withColumn("url", _url_col())
+    qs = F.when(
+        F.col("url").contains("?"),
+        F.substring_index(F.substring_index(F.col("url"), "?", -1),
+                          "#", 1))
+    k = F.try_element_at(F.str_to_map(qs, F.lit("&"), F.lit("=")),
+                         F.lit("k"))
+    return (ev.withColumn("k", k)
+            .filter(F.col("k").isNotNull() & (F.col("k") != ""))
+            .groupBy((F.col("k").cast("int") % 10).cast("int")
+                     .alias("k_bucket"))
+            .agg(F.count("*").alias("c"),
+                 F.round(F.avg("value"), 6).alias("av"))
+            .orderBy("k_bucket"))

@@ -3220,3 +3220,52 @@ def ch_sql_siphash128(spark, sf):
                length(sipHash128Reference('abc')) AS ref_len,
                CAST(sipHash128('abc') != sipHash128('abd') AS BIGINT)
                    AS legacy_distinct""")
+
+
+@register("ch_sql_series_stl", oracle="""
+WITH e AS (
+  SELECT user_id % 4 AS g, event_id,
+         CAST(value AS DOUBLE) AS v
+  FROM events WHERE event_id < 400),
+a AS (SELECT g, COUNT(*) AS n FROM e GROUP BY g)
+SELECT g, n, CAST(1 AS BIGINT) AS recon_ok,
+       CAST(1 AS BIGINT) AS len_ok,
+       CAST(1 AS BIGINT) AS baseline_ok
+FROM a
+""")
+def ch_sql_series_stl(spark, sf):
+    """Round 13 (former refusal): seriesDecomposeSTL. DuckDB cannot run
+    STL, so the oracle pins the decomposition CONTRACT as constants —
+    exact reconstruction (seasonal + trend + residue == input to 1e-6),
+    all four component arrays sized like the input, baseline ==
+    seasonal + trend — plus the series length n, which DuckDB derives
+    independently from the same rows (catches dropped elements).
+    Component-recovery quality is pinned in pytest on a synthetic
+    series with known parts."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "events").createOrReplaceTempView("stl_events")
+    return ch_sql(spark, """
+        WITH arr AS (
+          SELECT user_id % 4 AS g,
+                 groupArraySorted(400)(named_struct(
+                     'k', event_id,
+                     'v', CAST(value AS Float64))) AS pts
+          FROM stl_events WHERE event_id < 400 GROUP BY user_id % 4),
+        d AS (
+          SELECT g, arrayMap(x -> x.v, pts) AS v,
+                 seriesDecomposeSTL(arrayMap(x -> x.v, pts), 12) AS c
+          FROM arr)
+        SELECT g, CAST(size(v) AS BIGINT) AS n,
+               CAST(round(arrayMax(arrayMap((x, i) ->
+                        abs(x - (c[1][i] + c[2][i] + c[3][i])),
+                        v, arrayEnumerate(v))), 6) = 0 AS BIGINT)
+                   AS recon_ok,
+               CAST(size(c[1]) = size(v) AND size(c[2]) = size(v)
+                    AND size(c[3]) = size(v) AND size(c[4]) = size(v)
+                    AS BIGINT) AS len_ok,
+               CAST(round(arrayMax(arrayMap((b, i) ->
+                        abs(b - (c[1][i] + c[2][i])),
+                        c[4], arrayEnumerate(c[4]))), 9) = 0
+                    AS BIGINT) AS baseline_ok
+        FROM d""")

@@ -1177,7 +1177,7 @@ ratio AS (
          round(ln((coalesce(t.t_cnt, 0) + 1.0) / (tot.t_tot + 1024.0))
              - ln((r.r_cnt + 1.0) / (tot.r_tot + 1024.0)), 6) AS lr
   FROM rcnt r LEFT JOIN tcnt t ON r.b = t.b CROSS JOIN tot)
-SELECT tk.doc_id, round(sum(ratio.lr), 4) AS log_weight
+SELECT tk.doc_id, round(sum(ratio.lr), 6) AS log_weight
 FROM tk JOIN ratio ON tk.b = ratio.b
 GROUP BY tk.doc_id
 """)
@@ -1215,7 +1215,7 @@ ratio AS (
          round(ln((coalesce(t.t_cnt, 0) + 1.0) / (tot.t_tot + 1024.0))
              - ln((r.r_cnt + 1.0) / (tot.r_tot + 1024.0)), 6) AS lr
   FROM rcnt r LEFT JOIN tcnt t ON r.b = t.b CROSS JOIN tot),
-w AS (SELECT tk.doc_id, round(sum(ratio.lr), 4) AS log_weight
+w AS (SELECT tk.doc_id, round(sum(ratio.lr), 6) AS log_weight
       FROM tk JOIN ratio ON tk.b = ratio.b GROUP BY tk.doc_id),
 keyed AS (
   SELECT doc_id, log_weight,

@@ -485,31 +485,39 @@ def ann_pq_tuned_topk(spark, sf):
 SELECT true AS pq_ok, true AS ivfpq_ok
 """)
 def ann_tuned_recall_gate(spark, sf):
-    """Hash-checked PRODUCTION recall gate (round 10): recall@5 vs the
-    exact brute-force baseline, computed in the same job, must reach
-    >= 0.9 for both tuned parameterizations — PQ m=16/codes=256/
-    normalize/rerank=20 (measured 1.0 at sf0.001 and sf0.01) and IVF-PQ
-    lists=8/probe=4/m=16/codes=64/normalize/rerank=40 (measured 0.933;
-    the residual misses are coarse-list pruning, bounded by probe/lists).
-    This is the ship-quality demonstration the coarse-demo rows in
-    RECALL.md deliberately lack."""
+    """Hash-checked recall gate at the round-10 QUANTIZER settings —
+    PQ m=16/codes=256/normalize and IVF-PQ lists=8/probe=4/m=16/
+    codes=64/normalize — with the exact-rescore set scaled to the
+    corpus (production_knobs rerank). Round-13 sf0.1 sweep finding:
+    the original FIXED rerank (20/40, tuned at sf0.01) asserted >= 0.9
+    recall at ANY corpus, contradicting RECALL.md's own measurement
+    that fixed rescore degrades with n (1.000 -> 0.800 at 10x) — the
+    gate first met a corpus large enough to show it at sf0.1. The
+    quantizer-geometry property (these m/codes/lists/probe settings
+    reach >= 0.9 recall@5 when the rescore budget scales) is the one
+    that holds at any scale; the fully-scaled parameterization
+    (lists/probe growing too) is ann_scaled_recall_gate's contract."""
     from clickhouse_clickhouse_spark.pipeline.similarity import (
         brute_force_topk,
         ivf_pq_topk,
         pq_topk,
+        production_knobs,
     )
 
     e = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    kb = production_knobs(e.count())
     q = (e.filter(F.col("vec_id") < 3)
          .select(F.col("vec_id").alias("query_id"), "embedding"))
     exact = brute_force_topk(e, q, 5, query_id="query_id").select(
         F.col("query_id").alias("qid"), F.col("corpus_id").alias("nid"))
     pq = pq_topk(e, q, k=5, m=16, codes=256, dim=64, iterations=2,
-                 normalize=True, rerank=20, query_id="query_id").select(
+                 normalize=True, rerank=kb["rerank_pq"],
+                 query_id="query_id").select(
         F.col("query_id").alias("qid"), F.col("corpus_id").alias("nid"))
     ivfpq = ivf_pq_topk(e, q, k=5, n_centroids=8, n_probe=4, m=16,
                         codes=64, dim=64, iterations=3, normalize=True,
-                        rerank=40, query_id="query_id").select(
+                        rerank=kb["rerank_ivfpq"],
+                        query_id="query_id").select(
         F.col("query_id").alias("qid"), F.col("corpus_id").alias("nid"))
 
     exact = exact.persist()

@@ -188,3 +188,45 @@ def test_siphash128_vectors_and_legacy_inheritance(spark):
     assert row.leg_k == siphash128_py(b"hello world", k0, k1).hex()
     assert row.ref_k == siphash128_py(b"hello world", k0, k1,
                                       reference=True).hex()
+
+
+def test_series_decompose_stl_recovery(spark):
+    """Round-13 item: seriesDecomposeSTL (former refusal). Component
+    recovery on a synthetic series with KNOWN parts — seasonal/trend
+    correlation with the truth > 0.99 — plus exact reconstruction and
+    the 4-array upstream convention, end-to-end through the dialect."""
+    import math
+
+    import numpy as np
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+    from clickhouse_clickhouse_spark.functions.series import (
+        stl_decompose_py)
+
+    n, p = 72, 12
+    t = np.arange(n)
+    true_seas = 3 * np.sin(2 * np.pi * t / p)
+    true_trend = 0.5 * t + 10
+    y = true_seas + true_trend + 0.1 * np.cos(t * 1.7)
+
+    out = stl_decompose_py(y.tolist(), p)
+    s, tr, r, b = map(np.array, out)
+    assert np.abs(y - (s + tr + r)).max() < 1e-9
+    assert np.corrcoef(s, true_seas)[0, 1] > 0.99
+    assert np.corrcoef(tr, true_trend)[0, 1] > 0.999
+    assert np.abs(b - (s + tr)).max() == 0.0
+
+    # upstream-rejected shapes -> NULL (period < 2, < 2 periods, NaN)
+    assert stl_decompose_py([1.0, 2.0, 3.0], 12) is None
+    assert stl_decompose_py(y.tolist(), 1) is None
+    bad = y.tolist()
+    bad[3] = float("nan")
+    assert stl_decompose_py(bad, p) is None
+
+    vals = ", ".join(f"{v!r}" for v in y.tolist())
+    row = ch_sql(spark, f"""
+        SELECT seriesDecomposeSTL([{vals}], {p}) AS c""").collect()[0]
+    assert len(row.c) == 4 and all(len(a) == n for a in row.c)
+    for i in range(n):
+        assert math.isclose(row.c[0][i] + row.c[1][i] + row.c[2][i],
+                            y[i], rel_tol=0, abs_tol=1e-9)

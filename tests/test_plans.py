@@ -205,8 +205,13 @@ _CB_EXCHANGE_BUDGET = {
     # (operators/grank.py) — the rank exchange fan is the documented
     # scale trade (round-11 verdict plan audit)
     "cb_value_deciles": 14,
+    # approx twin (round 13): percentile-sketch edges broadcast to the
+    # bucketing scan — no rank exchange fan (14 -> 4)
+    "cb_value_deciles_approx": 4,
     "cb_value_pow2_histogram": 1, "cb_weekday_purchase_rate": 1,
     "cb_wide_sums": 1,
+    # str_to_map twin of cb_url_query_param_buckets (round 13)
+    "cb_url_query_param_buckets_fast": 2,
 }
 _CB_DEFAULT_BUDGET = 4
 

@@ -44,11 +44,11 @@ SELECT g,
 FROM folds_src GROUP BY g
 """
 
-# round-12 addition, soaked as its OWN batch: appending an 11th
-# COLLECT_LIST column to the shared query pushes the 32x200k fixture
-# past the driver-JVM heap (each fold holds one group's list at once;
-# the batch holds one PER AGGREGATE). Same collect-fold envelope:
-# one list + an O(n) decay fold anchored at the group max time.
+# round-12 addition, soaked as its OWN batch. Round 13: EMA/decayed
+# left the collect-fold envelope entirely — the group-max anchor is a
+# window MAX in an injected subquery and the aggregate is a plain SUM,
+# so per-group state is CONSTANT at any skew (the soak now measures
+# the two-phase path: one extra window exchange, no arrays).
 EMA_SQL = """
 SELECT g, exponentialMovingAverage(500)(v, t) AS ema,
        exponentialTimeDecayedAvg(500)(v, t) AS eda
