@@ -695,3 +695,32 @@ def ripemd160_udf():
                 "ripemd160", _as_bytes(v)).hexdigest())
         _UDFS["ripemd160"] = _ripe
     return _UDFS["ripemd160"]
+
+
+def jump_consistent_hash_py(key: int, n: int) -> int:
+    """Jump consistent hash ([U] src/Functions/jumpConsistentHash.cpp;
+    published algorithm: Lamport & Veach 2014, "A Fast, Minimal Memory,
+    Consistent Hash Algorithm" — this is the paper's code verbatim,
+    including the double-precision division, which upstream shares).
+    O(ln n) iterations; moving from n to n+1 buckets only ever
+    reassigns keys INTO the new bucket (pinned property test)."""
+    key &= _M64
+    b, j = -1, 0
+    while j < n:
+        b = j
+        key = (key * 2862933555777941757 + 1) & _M64
+        j = int(float(b + 1) * (float(1 << 31)
+                                / float((key >> 33) + 1)))
+    return b
+
+
+def jump_consistent_hash_udf():
+    if "jump" not in _UDFS:
+        @pandas_udf("int")
+        def _jump(k: pd.Series, n: pd.Series) -> pd.Series:
+            return pd.Series(
+                None if (kk is None or nn is None or int(nn) <= 0)
+                else jump_consistent_hash_py(int(kk), int(nn))
+                for kk, nn in zip(k, n))
+        _UDFS["jump"] = _jump
+    return _UDFS["jump"]

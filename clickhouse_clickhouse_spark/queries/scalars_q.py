@@ -3269,3 +3269,63 @@ def ch_sql_series_stl(spark, sf):
                         c[4], arrayEnumerate(c[4]))), 9) = 0
                     AS BIGINT) AS baseline_ok
         FROM d""")
+
+
+@register("ch_sql_jump_hash", oracle="""
+SELECT CAST(1 AS BIGINT) AS in_range,
+       CAST(0 AS BIGINT) AS moved_wrong,
+       CAST(32 AS BIGINT) AS used
+""")
+def ch_sql_jump_hash(spark, sf):
+    """Round 13 (former refusal): jumpConsistentHash — the published
+    Lamport-Veach 2014 paper algorithm. The oracle pins the paper's
+    DEFINING properties over the full events key set: every bucket in
+    [0, n); growing n -> n+1 never moves a key to any bucket except
+    the NEW one (minimal-disruption consistency, the reason the
+    function exists); all 32 buckets populated (uniformity at this
+    key count — event_id is distinct per row, so coverage is
+    overwhelming at every fixture sf)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "events").createOrReplaceTempView("jh_events")
+    return ch_sql(spark, """
+        WITH b AS (
+          SELECT jumpConsistentHash(xxHash64(CAST(event_id AS String)),
+                                    32) AS b32,
+                 jumpConsistentHash(xxHash64(CAST(event_id AS String)),
+                                    33) AS b33
+          FROM jh_events)
+        SELECT CAST(SUM(CAST(b32 >= 0 AND b32 < 32 AND b33 >= 0
+                             AND b33 < 33 AS INT)) = COUNT(*) AS BIGINT)
+                   AS in_range,
+               CAST(SUM(CAST(b33 != b32 AND b33 != 32 AS INT))
+                   AS BIGINT) AS moved_wrong,
+               CAST(COUNT(DISTINCT b32) AS BIGINT) AS used
+        FROM b""")
+
+
+@register("ch_sql_ulid", oracle="""
+SELECT CAST(100 AS BIGINT) AS n_distinct,
+       CAST(1 AS BIGINT) AS all_wellformed,
+       CAST(1 AS BIGINT) AS ts_current
+""")
+def ch_sql_ulid(spark, sf):
+    """Round 13 (former refusals): generateULID +
+    ULIDStringToDateTime. Contract oracle: 100 generated ULIDs are
+    distinct (80 random bits), 26-char Crockford-well-formed, and
+    decode (via ULIDStringToDateTime, the Horner base32 fold) to a
+    timestamp within 5 minutes of the session clock."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    return ch_sql(spark, """
+        WITH u AS (SELECT generateULID() AS ulid FROM numbers(100))
+        SELECT CAST(COUNT(DISTINCT ulid) AS BIGINT) AS n_distinct,
+               CAST(SUM(CAST(ulid RLIKE '^[0-9A-HJKMNP-TV-Z]{26}$'
+                             AS INT)) = 100 AS BIGINT)
+                   AS all_wellformed,
+               CAST(SUM(CAST(abs(CAST(ULIDStringToDateTime(ulid)
+                                      AS DOUBLE)
+                             - CAST(current_timestamp() AS DOUBLE))
+                             < 300 AS INT)) = 100 AS BIGINT)
+                   AS ts_current
+        FROM u""")

@@ -147,12 +147,14 @@ def test_batch8_translate_time_refusals(spark):
         ("SELECT xxh3('x')", "xxHash64"),
         ("SELECT metroHash64('x')", "not implemented"),
         ("SELECT BLAKE3('x')", "no implementation"),
-        ("SELECT sipHash128Keyed((1,2), 'x')", "sipHash64Keyed"),
+        # implemented since r13 — the non-literal-key form still refuses
+        ("SELECT sipHash128Keyed(k, 'x')", "literal tuple"),
         ("SELECT geoToH3(0.0, 0.0, 1)", "h3 indexing library"),
         ("SELECT h3kRing(1, 1)", "h3 indexing library"),
         ("SELECT regionToName(1)", "geobase"),
         ("SELECT detectTonality('x')", "sentiment model"),
-        ("SELECT seriesDecomposeSTL([1.0], 2)", "STL"),
+        # implemented since r13 — the wrong arity still refuses
+        ("SELECT seriesDecomposeSTL([1.0])", "seriesDecomposeSTL"),
         ("SELECT JSONDynamicPaths(j)", "dynamic"),
         ("SELECT seriesOutliersDetectTukey([1.0], 0.2)", "takes"),
         ("SELECT intervalLengthSum(a)", "takes"),

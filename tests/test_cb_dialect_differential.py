@@ -206,6 +206,34 @@ CASES = {
                arrayElement(splitByChar('/', path(url)), 2) AS seg,
                count() AS c, uniqExact(user_id) AS u
         FROM u GROUP BY host, seg ORDER BY c DESC, host, seg LIMIT 10""",
+    # the fast twin has IDENTICAL semantics to the parse_url form, so
+    # the same reference-dialect text must reproduce its rows too
+    "cb_url_query_param_buckets_fast": """
+        WITH u AS (SELECT concat('https://ex',
+                                 toString(user_id % 3), '.com/',
+                                 event_type, '/p',
+                                 toString(user_id % 20), '?k=',
+                                 ifNull(JSONExtractString(props, 'k'),
+                                        '0')) AS url, value
+                   FROM events)
+        SELECT toInt32(toInt32(extractURLParameter(url, 'k')) % 10)
+                   AS k_bucket,
+               count() AS c, round(avg(value), 6) AS av
+        FROM u WHERE extractURLParameter(url, 'k') != ''
+        GROUP BY k_bucket ORDER BY k_bucket""",
+    # approx-deciles twin: CH's default quantiles() is approximate too;
+    # the summary row (bucket count / total / share gate) is sketch-
+    # tolerant by construction, so both approximations agree on it
+    "cb_value_deciles_approx": """
+        WITH q AS (SELECT quantiles(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7,
+                                    0.8, 0.9)(value) AS e FROM events),
+        b AS (SELECT arrayCount(x -> value > x, e) + 1 AS decile
+              FROM events, q),
+        g AS (SELECT decile, count() AS n FROM b GROUP BY decile)
+        SELECT toInt64(count()) AS buckets, toInt64(sum(n)) AS total,
+               toInt64(max(n) <= 0.12 * sum(n)
+                       AND min(n) >= 0.08 * sum(n)) AS shares_ok
+        FROM g""",
     "cb_url_query_param_buckets": """
         WITH u AS (SELECT concat('https://ex',
                                  toString(user_id % 3), '.com/',
