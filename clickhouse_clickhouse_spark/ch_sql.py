@@ -828,6 +828,68 @@ def _siphash_keyed_tpl(args: list[str]) -> str:
 _CROCKFORD = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
 
 
+def _stoch_linreg_tpl(params: list[str], args: list[str]) -> str:
+    """stochasticLinearRegression([lr, l2, batch, method])(y, x1..xp)
+    ([U] src/AggregateFunctions/AggregateFunctionMLMethod.cpp) →
+    coefficient array [w1..wp, b]. DEVIATION (documented in
+    functions/ml.py): upstream's SGD output depends on row order and
+    batching — nondeterministic under shuffle; this computes the
+    closed-form ridge MINIMIZER of the same objective (l2 taken from
+    the second parameter; lr/batch/method accepted and irrelevant to
+    the exact optimum). The data pass is plain SUM/COUNT moments —
+    two-phase, constant state at any skew; the (p+1)² solve is a
+    one-row numpy UDF."""
+    l2 = 0.0
+    if params:
+        if len(params) > 4:
+            raise ValueError(
+                "stochasticLinearRegression([lr, l2, batch, method])")
+        if len(params) >= 2:
+            try:
+                l2 = float(params[1])
+            except ValueError:
+                raise ValueError("stochasticLinearRegression: the l2 "
+                                 "parameter must be a literal number")
+    if len(args) < 2:
+        raise ValueError(
+            "stochasticLinearRegression(...)(target, feature1[, ...])")
+    y = f"CAST({args[0]} AS DOUBLE)"
+    xs = [f"CAST({a} AS DOUBLE)" for a in args[1:]]
+    p = len(xs)
+    # rows with ANY null column drop from every moment consistently
+    nn = " OR ".join(f"({e}) IS NULL" for e in [y, *xs])
+    g = lambda e: f"SUM(IF({nn}, NULL, {e}))"  # noqa: E731
+    cells = []
+    for i in range(p):
+        for j in range(p):
+            cell = g(f"({xs[i]}) * ({xs[j]})")
+            if i == j and l2:
+                cell = f"({cell} + {l2!r})"
+            cells.append(cell)
+        cells.append(g(xs[i]))
+    cells.extend(g(x) for x in xs)
+    cells.append(f"COUNT(IF({nn}, NULL, 1))")
+    rhs = [g(f"({x}) * ({y})") for x in xs] + [g(y)]
+    return (f"__linreg_solve(ARRAY({', '.join(cells)}), "
+            f"ARRAY({', '.join(rhs)}))")
+
+
+def _eval_ml_tpl(args: list[str]) -> str:
+    """evalMLMethod(coefs, x1..xp): apply a fitted coefficient array
+    [w1..wp, b] as the linear predictor (logistic callers wrap the
+    sigmoid explicitly — the carrier is a plain array)."""
+    if len(args) < 2:
+        raise ValueError("evalMLMethod(coefficients, feature1[, ...])")
+    # coefs inline per term, NOT _bind_once: the carrier is often a
+    # scalar subquery, which Spark forbids inside higher-order
+    # functions; Catalyst dedups the repeated reference
+    c = f"({args[0]})"
+    terms = " + ".join(
+        f"ELEMENT_AT({c}, {i + 1}) * CAST({x} AS DOUBLE)"
+        for i, x in enumerate(args[1:]))
+    return f"({terms} + ELEMENT_AT({c}, {len(args)}))"
+
+
 def _jump_hash_tpl(args: list[str]) -> str:
     """jumpConsistentHash(key, buckets) ([U]
     src/Functions/jumpConsistentHash.cpp — the published Lamport-Veach
@@ -4446,6 +4508,16 @@ _FUNCS: dict[str, str] = {
         "NAMED_STRUCT('k', REGR_SLOPE(CAST({1} AS DOUBLE), "
         "CAST({0} AS DOUBLE)), 'b', REGR_INTERCEPT(CAST({1} AS "
         "DOUBLE), CAST({0} AS DOUBLE)))",
+    # round 13 (former survey out-of-scope row): bare call = default
+    # params; the parametric form routes through _PARAMETRIC
+    "stochasticLinearRegression": lambda a: _stoch_linreg_tpl([], a),
+    "evalMLMethod": lambda a: _eval_ml_tpl(a),
+    "stochasticLogisticRegression": lambda a: (_ for _ in ()).throw(
+        ValueError(
+            "stochasticLogisticRegression has no single-pass closed "
+            "form; use operators/advanced.logistic_regression_irls "
+            "(deterministic IRLS — one distributed moment aggregation "
+            "per Newton step) and apply with evalMLMethod + sigmoid")),
     # Spark's SUM over DOUBLE is the plain-summation twin (Kahan
     # compensation is an implementation detail of the same contract)
     "sumKahan": "SUM(CAST({0} AS DOUBLE))",
@@ -4935,6 +5007,8 @@ _PARAMETRIC: dict = {
         _moving_tpl(params, args, avg=True),
     "groupArrayInsertAt": lambda params, args:
         _group_insert_at_tpl(params, args),
+    "stochasticLinearRegression": lambda params, args:
+        _stoch_linreg_tpl(params, args),
     "exponentialTimeDecayedSum": lambda params, args:
         _exp_decay_tpl(params, args, "sum"),
     "exponentialTimeDecayedCount": lambda params, args:
@@ -6999,7 +7073,7 @@ def _rewrite_calls(sql: str) -> str:
             continue
         name = m.group(0)
         j = m.end()
-        while j < len(sql) and sql[j] == " ":
+        while j < len(sql) and sql[j] in " \t\n":
             j += 1
         if j >= len(sql) or sql[j] != "(":
             out.append(sql[i:m.end()])
@@ -7011,9 +7085,12 @@ def _rewrite_calls(sql: str) -> str:
             i = m.end()
             continue
         inner = _rewrite_calls(sql[j + 1:close])
-        # parametric double call: name(params)(args)
+        # parametric double call: name(params)(args) — whitespace
+        # INCLUDING newlines may separate the two groups (round 13:
+        # a line-wrapped parametric call fell through to the bare-call
+        # path and swallowed the param list as arguments)
         k = close + 1
-        while k < len(sql) and sql[k] == " ":
+        while k < len(sql) and sql[k] in " \t\n":
             k += 1
         # parametric names compose with a trailing -If mechanically
         # (upstream's combinator machinery: quantileIf(0.9)(x, cond),
@@ -8573,6 +8650,8 @@ def _register_udfs(spark: SparkSession) -> None:
     spark.udf.register("__siphash128_ref_keyed",
                        H.siphash128_keyed_udf(True))
     spark.udf.register("__jump_hash", H.jump_consistent_hash_udf())
+    from clickhouse_clickhouse_spark.functions import ml as ML
+    spark.udf.register("__linreg_solve", ML.linreg_solve_udf())
     # AES stream modes (ctr/ofb/cfb) — cryptography-backed, round 12;
     # the builder raises a loud env gate when the package is absent,
     # but ONLY when a query actually names a stream mode (lazy probe)

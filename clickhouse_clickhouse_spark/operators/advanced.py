@@ -604,3 +604,60 @@ def kolmogorov_smirnov_test(df: DataFrame, value: Column | str,
     p = F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0))
     return s.select(F.round("d", 6).alias("d_statistic"),
                     F.round(p, 6).alias("p_value"))
+
+
+def logistic_regression_irls(df: DataFrame, label: Column | str,
+                             features: Sequence[Column | str],
+                             l2: float = 0.0,
+                             iterations: int = 8) -> list[float]:
+    """Logistic regression coefficients [w1..wp, b] (reference
+    ``stochasticLogisticRegression``, [U] src/AggregateFunctions/
+    AggregateFunctionMLMethod.cpp). DEVIATION, same stance as the
+    linear form (functions/ml.py): upstream fits by SGD — row-order
+    dependent, nondeterministic under shuffle; this runs IRLS (Newton)
+    on the l2-regularized log-likelihood with a FIXED iteration count.
+    Each iteration is ONE distributed moment aggregation — the
+    gradient vector and (p+1)² Hessian are SUMs over rows with the
+    current coefficients inlined as literals — followed by a
+    driver-side solve of the tiny system. Cost: ``iterations`` scans,
+    constant state, no per-group arrays, any skew."""
+    import numpy as np
+
+    y = (F.col(label) if isinstance(label, str) else label) \
+        .cast("double")
+    xs = [(F.col(c) if isinstance(c, str) else c).cast("double")
+          for c in features]
+    p = len(xs)
+    d = df.select(y.alias("__y"),
+                  *[x.alias(f"__x{i}")
+                    for i, x in enumerate(xs)]).na.drop()
+    w = np.zeros(p + 1)
+    for _ in range(max(1, iterations)):
+        z = F.lit(float(w[p]))
+        for i in range(p):
+            z = z + F.lit(float(w[i])) * F.col(f"__x{i}")
+        mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        r = F.col("__y") - mu
+        s = mu * (F.lit(1.0) - mu)
+        cols = [F.sum(r * F.col(f"__x{i}")).alias(f"g{i}")
+                for i in range(p)]
+        cols.append(F.sum(r).alias(f"g{p}"))
+        feats = [F.col(f"__x{i}") for i in range(p)] + [F.lit(1.0)]
+        for i in range(p + 1):
+            for j in range(i, p + 1):
+                cols.append(F.sum(s * feats[i] * feats[j])
+                            .alias(f"h{i}_{j}"))
+        row = d.agg(*cols).collect()[0]  # (p+1)^2 scalars, not data
+        g = np.array([row[f"g{i}"] for i in range(p + 1)])
+        h = np.zeros((p + 1, p + 1))
+        for i in range(p + 1):
+            for j in range(i, p + 1):
+                h[i, j] = h[j, i] = row[f"h{i}_{j}"]
+        if l2:
+            g[:p] -= l2 * w[:p]
+            h[:p, :p] += l2 * np.eye(p)
+        try:
+            w = w + np.linalg.solve(h, g)
+        except np.linalg.LinAlgError:
+            w = w + np.linalg.lstsq(h, g, rcond=None)[0]
+    return [float(v) for v in w]

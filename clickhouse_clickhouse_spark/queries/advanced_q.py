@@ -736,3 +736,89 @@ def proportions_z_test_q(spark, sf):
                      F.round(F.col("r.p_value"), 6).alias("p_value"),
                      F.round(F.col("r.ci_low"), 6).alias("ci_low"),
                      F.round(F.col("r.ci_high"), 6).alias("ci_high"))
+
+
+@register("ch_sql_stochastic_linreg", oracle="""
+WITH d AS (
+  SELECT CAST(event_id % 100 AS DOUBLE) AS x,
+         CAST(user_id % 7 AS DOUBLE) AS x2,
+         CAST(value AS DOUBLE) AS y
+  FROM events WHERE event_id < 5000)
+SELECT round(regr_slope(y, x), 6) AS w1,
+       round(regr_intercept(y, x), 6) AS b1,
+       CAST(1 AS BIGINT) AS grad_zero_2f
+FROM d
+""")
+def ch_sql_stochastic_linreg(spark, sf):
+    """Round 13 (former survey out-of-scope row):
+    stochasticLinearRegression as the closed-form ridge minimizer
+    (functions/ml.py — deterministic where upstream's SGD is
+    row-order-dependent). Oracle: the 1-feature λ=0 coefficients equal
+    DuckDB's native regr_slope/regr_intercept exactly; the 2-feature
+    fit is verified by the optimality condition itself (gradient of
+    the objective at the solution == 0: residuals orthogonal to every
+    regressor and to the intercept), evaluated in-plan with
+    evalMLMethod."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "events").createOrReplaceTempView("slr_events")
+    return ch_sql(spark, """
+        WITH d AS (
+          SELECT CAST(event_id % 100 AS Float64) AS x,
+                 CAST(user_id % 7 AS Float64) AS x2,
+                 CAST(value AS Float64) AS y
+          FROM slr_events WHERE event_id < 5000),
+        m1 AS (SELECT stochasticLinearRegression(y, x) AS c FROM d),
+        m2 AS (SELECT stochasticLinearRegression(0.1, 0.0, 5, 'SGD')
+                          (y, x, x2) AS c FROM d),
+        chk AS (
+          SELECT round(abs(sum((y - evalMLMethod((SELECT c FROM m2),
+                                                 x, x2)) * x)), 4) AS gx,
+                 round(abs(sum((y - evalMLMethod((SELECT c FROM m2),
+                                                 x, x2)) * x2)), 4) AS gx2,
+                 round(abs(sum(y - evalMLMethod((SELECT c FROM m2),
+                                                x, x2))), 4) AS gb
+          FROM d)
+        SELECT round((SELECT c FROM m1)[1], 6) AS w1,
+               round((SELECT c FROM m1)[2], 6) AS b1,
+               CAST(gx < 0.01 AND gx2 < 0.01 AND gb < 0.01 AS BIGINT)
+                   AS grad_zero_2f
+        FROM chk""")
+
+
+@register("logistic_irls_gate", oracle="""
+SELECT CAST(1 AS BIGINT) AS grad_zero,
+       CAST(1 AS BIGINT) AS separates
+""")
+def logistic_irls_gate(spark, sf):
+    """stochasticLogisticRegression analog: deterministic IRLS
+    (operators/advanced.logistic_regression_irls — one distributed
+    moment aggregation per Newton step, driver solves the tiny
+    system). Oracle pins the optimality condition (score equations at
+    the fitted coefficients ~ 0) and that the fitted model actually
+    separates the planted signal (higher mean predictor on the
+    positive class)."""
+    from clickhouse_clickhouse_spark.operators.advanced import (
+        logistic_regression_irls,
+    )
+
+    ev = load_table(spark, sf, "events").filter(F.col("event_id") < 5000)
+    d = ev.select(
+        (F.col("value") / 50.0 - 1.0).alias("x"),
+        # planted deterministic label correlated with x
+        (F.xxhash64(F.col("event_id")) % 100 <
+         30 + F.least(F.greatest((F.col("value") / 50.0 - 1.0) * 20,
+                                 F.lit(-30)), F.lit(30)))
+        .cast("double").alias("y"))
+    w = logistic_regression_irls(d, "y", ["x"], iterations=8)
+    mu = 1.0 / (1.0 + F.exp(-(F.lit(w[0]) * F.col("x") + F.lit(w[1]))))
+    chk = d.agg(
+        F.abs(F.sum((F.col("y") - mu) * F.col("x"))).alias("gx"),
+        F.abs(F.sum(F.col("y") - mu)).alias("gb"),
+        F.avg(F.when(F.col("y") == 1.0, mu)).alias("mu_pos"),
+        F.avg(F.when(F.col("y") == 0.0, mu)).alias("mu_neg"))
+    return chk.select(
+        ((F.col("gx") < 1e-4) & (F.col("gb") < 1e-4))
+        .cast("long").alias("grad_zero"),
+        (F.col("mu_pos") > F.col("mu_neg")).cast("long")
+        .alias("separates"))

@@ -286,3 +286,127 @@ def test_ulid_generate_and_decode(spark):
         assert abs(ms / 1000.0 - now) < 300
         assert abs(r.ut.timestamp() - now) < 300
         assert r.bad is None
+
+
+def test_group_max_marker_shapes(spark):
+    """_apply_group_max (the EMA/decayed two-phase rewrite, round 13)
+    across adversarial query shapes: CTE body, derived table, HAVING,
+    two distinct time expressions (two window columns), whole-table
+    aggregate, union branches, WHERE-before-anchor (the anchor must see
+    only the filtered rows), and a GROUP BY that references a select
+    ALIAS (resolved to its expression inside the injected subquery).
+    Expectations are closed-form hand calculations."""
+    import math
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    spark.sql("SELECT * FROM VALUES (1, 10.0, 1.0), (1, 20.0, 2.0), "
+              "(2, 30.0, 3.0), (2, 40.0, 100.0) AS t(g, v, t)"
+              ).createOrReplaceTempView("gm13_t")
+
+    g1 = 10.0 * math.exp((1 - 2) / 10.0) + 20.0
+    g2 = 30.0 * math.exp((3 - 100) / 10.0) + 40.0
+
+    rows = ch_sql(spark, """
+        WITH base AS (SELECT g, exponentialTimeDecayedSum(10)(v, t) AS s
+                      FROM gm13_t GROUP BY g)
+        SELECT g, round(s, 6) AS s FROM base ORDER BY g""").collect()
+    assert [(r.g, r.s) for r in rows] == [
+        (1, round(g1, 6)), (2, round(g2, 6))]
+
+    rows = ch_sql(spark, """
+        SELECT g FROM gm13_t GROUP BY g
+        HAVING exponentialTimeDecayedCount(10)(t) > 1.0
+        ORDER BY g""").collect()
+    assert [r.g for r in rows] == [1, 2]
+
+    rows = ch_sql(spark, """
+        SELECT g, round(exponentialTimeDecayedSum(10)(v, t), 6) AS a,
+               round(exponentialTimeDecayedSum(10)(v, t / 2), 6) AS b
+        FROM gm13_t GROUP BY g ORDER BY g""").collect()
+    assert rows[0].a == round(g1, 6)
+    assert rows[0].b == round(10.0 * math.exp((0.5 - 1) / 10.0) + 20.0, 6)
+
+    # WHERE runs BEFORE the anchor: group 2 keeps only t=3 -> exactly v
+    rows = ch_sql(spark, """
+        SELECT g, round(exponentialTimeDecayedSum(10)(v, t), 6) AS s
+        FROM gm13_t WHERE t < 50 GROUP BY g ORDER BY g""").collect()
+    assert rows[1].s == 30.0
+
+    # alias GROUP BY resolves to its expression inside the subquery
+    rows = ch_sql(spark, """
+        SELECT g + 0 AS gg,
+               round(exponentialTimeDecayedSum(10)(v, t), 6) AS s
+        FROM gm13_t GROUP BY gg ORDER BY gg""").collect()
+    assert [(r.gg, r.s) for r in rows] == [
+        (1, round(g1, 6)), (2, round(g2, 6))]
+
+    # union branches rewrite independently
+    rows = ch_sql(spark, """
+        SELECT round(exponentialTimeDecayedMax(10)(v, t), 6) AS x
+        FROM gm13_t
+        UNION ALL
+        SELECT round(exponentialTimeDecayedMax(20)(v, t), 6) AS x
+        FROM gm13_t""").collect()
+    assert [r.x for r in rows] == [40.0, 40.0]
+
+
+def test_stochastic_regression_surface(spark):
+    """Round 13: stochasticLinearRegression (closed-form ridge) +
+    evalMLMethod + IRLS logistic — recovery of planted coefficients,
+    parametric/bare equivalence, ridge shrinkage, line-wrapped
+    parametric call (the newline between the two paren groups used to
+    fall through to the bare-call path), and IRLS shuffle
+    determinism."""
+    import numpy as np
+
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+    from clickhouse_clickhouse_spark.operators.advanced import (
+        logistic_regression_irls,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 800
+    x1 = rng.uniform(-5, 5, n)
+    x2 = rng.uniform(-2, 2, n)
+    y = 2 * x1 - 3 * x2 + 5 + 0.01 * np.cos(np.arange(n))
+    vals = ", ".join(f"({a!r}, {b!r}, {c!r})"
+                     for a, b, c in zip(x1, x2, y))
+    spark.sql(f"SELECT * FROM VALUES {vals} AS t(x1, x2, y)"
+              ).createOrReplaceTempView("r13_lr")
+
+    row = ch_sql(spark, """
+        SELECT stochasticLinearRegression(0.1, 0.0, 5, 'SGD')
+                   (y, x1, x2) AS c,
+               stochasticLinearRegression(y, x1, x2) AS c2,
+               stochasticLinearRegression(0.1, 10000.0, 5, 'SGD')
+                   (y, x1, x2) AS ridge
+        FROM r13_lr""").collect()[0]
+    assert abs(row.c[0] - 2) < 0.02 and abs(row.c[1] + 3) < 0.02 \
+        and abs(row.c[2] - 5) < 0.02
+    assert row.c == row.c2          # bare call == default params
+    assert abs(row.ridge[0]) < abs(row.c[0])   # l2 shrinks weights
+
+    mse = ch_sql(spark, """
+        WITH m AS (SELECT stochasticLinearRegression(y, x1, x2) AS c
+                   FROM r13_lr)
+        SELECT round(avg(pow(y - evalMLMethod((SELECT c FROM m),
+                                              x1, x2), 2)), 6) AS mse
+        FROM r13_lr""").collect()[0].mse
+    assert mse < 0.001
+
+    lab = (1 / (1 + np.exp(-(1.5 * x1 - 1.0 * x2 + 0.5)))
+           > rng.uniform(0, 1, n)).astype(float)
+    vals2 = ", ".join(f"({a!r}, {b!r}, {c!r})"
+                      for a, b, c in zip(x1, x2, lab))
+    df = spark.sql(f"SELECT * FROM VALUES {vals2} AS t(x1, x2, y)")
+    w = logistic_regression_irls(df, "y", ["x1", "x2"], iterations=8)
+    assert abs(w[0] - 1.5) < 0.5 and abs(w[1] + 1.0) < 0.5
+    w2 = logistic_regression_irls(df.repartition(13), "y",
+                                  ["x1", "x2"], iterations=8)
+    assert max(abs(a - b) for a, b in zip(w, w2)) < 1e-12
+
+    import pytest as _pt
+    with _pt.raises(Exception, match="logistic_regression_irls"):
+        ch_sql(spark, "SELECT stochasticLogisticRegression(y, x1) "
+                      "FROM r13_lr")

@@ -2605,8 +2605,9 @@ def test_round10_resolve_probe_batch(spark):
     assert str(r.cm) == "2020-01-29 10:34:56"
     assert str(r.cd) == "2024-01-15 00:00:00"
     assert str(r.chh) == "2020-02-29 05:34:56"
+    # jumpConsistentHash left this refusal list in r13 (implemented —
+    # tests/test_advice_r13.py pins the paper properties)
     for bad, frag in [("byteSize(s)", "byteSize"),
-                      ("jumpConsistentHash(ed, 4)", "bucketing"),
                       ("ngramSimHash(s)", "SimHash"),
                       ("bitSlice(s, 1, 3)", "byteSlice"),
                       ("bech32Encode(s, s)", "bech32"),
