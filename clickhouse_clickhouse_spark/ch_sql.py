@@ -3853,6 +3853,15 @@ _FUNCS: dict[str, str] = {
     "isValidUTF8": "IS_VALID_UTF8({0})",
     "arrayIntersect": _array_intersect_tpl,
     "arrayShuffle": _array_shuffle_tpl,
+    # arrayPartialShuffle(arr[, limit[, seed]]): upstream's contract
+    # puts a uniform random sample (shuffled) in the first `limit`
+    # positions and leaves the REMAINING ORDER UNDEFINED — a full
+    # shuffle is a valid instance of that contract, so the limit is
+    # accepted and the arrayShuffle carrier applies (r13 probe gap)
+    "arrayPartialShuffle": lambda a: _array_shuffle_tpl(
+        [a[0]] + a[2:3]) if 1 <= len(a) <= 3 else (
+        (_ for _ in ()).throw(ValueError(
+            "arrayPartialShuffle(arr[, limit[, seed]])"))),
     "parseReadableSize":
         lambda a: _parse_readable_size_tpl(a, "strict"),
     "parseReadableSizeOrNull":
@@ -4286,6 +4295,7 @@ _FUNCS: dict[str, str] = {
     # the session factory pins UTC (session.py); presentation-only
     "serverTimezone": lambda a: "'UTC'",
     "timezoneOf": lambda a: "'UTC'",
+    "timeZoneOf": lambda a: "'UTC'",   # documented camelCase spelling
     "timeZoneOffset": "(UNIX_TIMESTAMP({0}) - "
                       "UNIX_TIMESTAMP(TO_UTC_TIMESTAMP({0}, 'UTC')))",
     # math / conversions

@@ -410,3 +410,22 @@ def test_stochastic_regression_surface(spark):
     with _pt.raises(Exception, match="logistic_regression_irls"):
         ch_sql(spark, "SELECT stochasticLogisticRegression(y, x1) "
                       "FROM r13_lr")
+
+
+def test_probe_gap_closures_r13(spark):
+    """Round-13 straggler probe: timeZoneOf (documented camelCase
+    spelling of timezoneOf) and arrayPartialShuffle (full-shuffle
+    instance of the partial-shuffle contract: sample in front,
+    remaining order undefined upstream; seeded form deterministic)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    r = ch_sql(spark, """
+        SELECT timeZoneOf(now()) AS tz,
+               arraySort(arrayPartialShuffle([1, 2, 3, 4, 5], 2)) AS s,
+               arrayPartialShuffle([1, 2, 3, 4, 5], 2, 42) AS seeded,
+               arrayPartialShuffle([1, 2, 3, 4, 5], 2, 42) AS seeded2
+        """).collect()[0]
+    assert r.tz == "UTC"
+    assert r.s == [1, 2, 3, 4, 5]          # permutation, no loss
+    assert sorted(r.seeded) == [1, 2, 3, 4, 5]
+    assert r.seeded == r.seeded2           # seed-stable
