@@ -355,7 +355,7 @@ def _chi2_draw_sql(k: int) -> str:
     sum of LN over CHUNKS of ≤50 uniforms — a 50-uniform product
     underflows only when its exponential sum exceeds 745 (≈15× its
     mean of 50; Gamma(50) tail mass ~e⁻⁵⁰⁰, never observed).
-    (Distinct from _chi2_sql below — the contingency statistic.)"""
+    (Distinct from the contingency STATISTIC in _contingency_tpl.)"""
     parts = []
     if k >= 2:
         half, chunk = k // 2, 50
@@ -1501,55 +1501,20 @@ def _fsd_tpl(args: list[str], cut: bool) -> str:
 # resolve in ch_sql — collect-fold based, with loud size guards where
 # the fold is super-linear per group.
 
-def _runs_sql(sl: str) -> str:
-    """array<struct<v, c>> of run-lengths over the SORTED array `sl`
-    (the O(n log n) distinct-counting workhorse — same idea as the
-    round-9 topK sorted-run fold). `sl` must be a simple reference
-    (bind it first): it is read several times.
-
-    Round 10 (scale-soak finding): the original AGGREGATE fold appended
-    each finished run with CONCAT(acc, ARRAY(...)), copying the
-    accumulator array per run — O(runs²), quadratic on mostly-distinct
-    data (200k-distinct groups never finished). Now the boundary-index
-    form the topK template already used: FILTER the run-END indices
-    (linear), then one TRANSFORM derives each run's value and count
-    from consecutive boundaries. O(n) after the caller's sort. The
-    input is bound ONCE internally (__rs) — this template reads it
-    inside per-element lambdas, where a complex argument would
-    otherwise re-evaluate per element."""
-    s = "__rs.s"
-    empty = (f"TRANSFORM(SLICE({s}, 1, 0), "
-             f"__z -> NAMED_STRUCT('v', __z, 'c', CAST(0 AS BIGINT)))")
-    # run ENDS: i is a boundary when it is the last index or sl[i+1]
-    # differs (ELEMENT_AT past the end is NULL under ANSI-off, so the
-    # <=> comparison is safe without short-circuit guarantees)
-    ends = (f"FILTER(SEQUENCE(1, SIZE({s})), __ri -> "
-            f"__ri = SIZE({s}) OR NOT (ELEMENT_AT({s}, __ri) <=> "
-            f"ELEMENT_AT({s}, __ri + 1)))")
-    body = (f"IF(SIZE({s}) = 0, {empty}, "
-            f"TRY_ELEMENT_AT(TRANSFORM(ARRAY({ends}), __re -> "
-            f"TRANSFORM(SEQUENCE(1, SIZE(__re)), __rj -> NAMED_STRUCT("
-            f"'v', ELEMENT_AT({s}, ELEMENT_AT(__re, __rj)), "
-            f"'c', CAST(ELEMENT_AT(__re, __rj) - IF(__rj = 1, 0, "
-            f"ELEMENT_AT(__re, __rj - 1)) AS BIGINT)))), 1))")
-    return _bind_once({"s": sl}, body, var="__rs")
-
-
 def _entropy_tpl(args: list[str]) -> str:
     """entropy(x) ([U] AggregateFunctionEntropy.h): Shannon entropy in
-    bits of the value distribution, H = log2(n) − Σ c·log2(c)/n over
-    run-length counts of the sorted collected values (one collect,
-    O(n log n))."""
-    inner = _bind_once(
-        {"rs": _runs_sql("__vo.sl"),
-         "n": "CAST(SIZE(__vo.sl) AS DOUBLE)"},
-        "IF(__v.n = 0.0D, CAST('NaN' AS DOUBLE), "
-        "LOG2(__v.n) - AGGREGATE(__v.rs, CAST(0 AS DOUBLE), "
-        "(__ea, __er) -> __ea + __er.c * LOG2(CAST(__er.c AS DOUBLE)))"
-        " / __v.n)")
-    return _bind_once(
-        {"sl": f"ARRAY_SORT(COLLECT_LIST({args[0]}))"}, inner,
-        var="__vo")
+    bits, H = −Σ p·log2(p). Round 13: two-phase, ARRAY-FREE — each row
+    contributes −log2(c_x/n)/n where c_x and n are window counts
+    injected by _apply_group_max (the round-12 form collected and
+    sorted the whole group per call); summed over the c_x rows of a
+    value that reproduces −(c/n)·log2(c/n) exactly. NULL values drop
+    from both c and n (the COLLECT_LIST behavior); an all-NULL group
+    is NaN like the empty collect was."""
+    x = args[0]
+    p = f"(CAST(__CH_GCNT__({x}) AS DOUBLE) / __CH_GNNC__({x}))"
+    return (f"IF(COUNT({x}) = 0, CAST('NaN' AS DOUBLE), "
+            f"SUM(IF(({x}) IS NULL, NULL, "
+            f"-LOG2({p}) / __CH_GNNC__({x}))))")
 
 
 def _delta_sum_ts_tpl(args: list[str]) -> str:
@@ -1635,72 +1600,62 @@ def _rank_corr_tpl(args: list[str]) -> str:
     return _bind_once({"l": sl}, body)
 
 
-def _pair_runs_binds(a_expr: str, b_expr: str) -> dict[str, str]:
-    """Bindings for contingency-style stats: run-length counts of the
-    pair list, each margin, and n — everything O(n log n) on one
-    collect. Values stringify so mixed types sort/compare uniformly."""
-    pair = (f"ARRAY_SORT(COLLECT_LIST(NAMED_STRUCT("
-            f"'v', NAMED_STRUCT('a', CAST({a_expr} AS STRING), "
-            f"'b', CAST({b_expr} AS STRING)))))")
-    return {"pl": f"TRANSFORM({pair}, __p -> __p.v)"}
-
-
-def _chi2_sql() -> str:
-    """χ² over the bound __w struct (cells/ma/mb maps + n)."""
-    return ("AGGREGATE(__w.cells, CAST(0 AS DOUBLE), (__ca, __cc) -> "
-            "__ca + POWER(__cc.c - ELEMENT_AT(__w.ma, __cc.v.a) * "
-            "ELEMENT_AT(__w.mb, __cc.v.b) / __w.n, 2) / "
-            "(ELEMENT_AT(__w.ma, __cc.v.a) * "
-            "ELEMENT_AT(__w.mb, __cc.v.b) / __w.n))")
-
-
 def _contingency_tpl(args: list[str], kind: str) -> str:
     """cramersV / cramersVBiasCorrected / contingency / theilsU over
     two categorical columns ([U] src/AggregateFunctions/
-    AggregateFunctionsStatisticsSimple + CrossTab.h): χ² (or
-    conditional entropy for Theil's U) from run-length cell counts and
-    margin maps — one collect, O(n log n)."""
+    AggregateFunctionsStatisticsSimple + CrossTab.h).
+
+    Round 13: two-phase, ARRAY-FREE (the round-12 form collected the
+    group into one pair array and built margin maps from it). Each row
+    carries its own cell/margin counts as window columns injected by
+    _apply_group_max, and every statistic is a per-row-contribution
+    sum: a cell with o rows contributing ((o−e)²/e)/o each reproduces
+    Σ_cells (o−e)²/e exactly. NULL is one category (window
+    partitioning groups NULLs — the distinct-count margins add it back
+    explicitly). Constant per-group state at any skew; the cost is the
+    window exchanges on (keys, a), (keys, b), (keys, a, b)."""
     a, b = args
-    inner_binds = {
-        "cells": _runs_sql("__vo.pl"),
-        "ma": ("MAP_FROM_ENTRIES(TRANSFORM(" +
-               _runs_sql("ARRAY_SORT(TRANSFORM(__vo.pl, __p -> __p.a))")
-               + ", __r -> STRUCT(__r.v, CAST(__r.c AS DOUBLE))))"),
-        "mb": ("MAP_FROM_ENTRIES(TRANSFORM(" +
-               _runs_sql("ARRAY_SORT(TRANSFORM(__vo.pl, __p -> __p.b))")
-               + ", __r -> STRUCT(__r.v, CAST(__r.c AS DOUBLE))))"),
-        "n": "CAST(SIZE(__vo.pl) AS DOUBLE)",
-    }
-    chi2 = _chi2_sql()
-    ka, kb = "SIZE(__w.ma)", "SIZE(__w.mb)"
+    o = f"CAST(__CH_GCNT__({a}, {b}) AS DOUBLE)"
+    ma = f"CAST(__CH_GCNT__({a}) AS DOUBLE)"
+    mb = f"CAST(__CH_GCNT__({b}) AS DOUBLE)"
+    nw = f"CAST(__CH_GROWS__() AS DOUBLE)"
+    e = f"({ma} * {mb} / {nw})"
+    chi2 = f"SUM(POWER({o} - {e}, 2) / {e} / {o})"
+    n = "CAST(COUNT(*) AS DOUBLE)"
+    ka = (f"(COUNT(DISTINCT {a}) + "
+          f"MAX(IF(({a}) IS NULL, 1, 0)))")
+    kb = (f"(COUNT(DISTINCT {b}) + "
+          f"MAX(IF(({b}) IS NULL, 1, 0)))")
     if kind == "cramersV":
-        body = (f"SQRT({chi2} / (__w.n * "
-                f"LEAST({ka} - 1, {kb} - 1)))")
-    elif kind == "cramersVBiasCorrected":
+        return _bind_once(
+            {"x2": chi2, "n": n, "k": f"LEAST({ka} - 1, {kb} - 1)"},
+            "SQRT(__v.x2 / (__v.n * __v.k))")
+    if kind == "cramersVBiasCorrected":
         # Bergsma's correction: φ²_corr = max(0, φ² − (r−1)(c−1)/(n−1)),
         # r/c shrink to r − (r−1)²/(n−1), c − (c−1)²/(n−1)
-        body = _bind_once(
-            {"p2": f"GREATEST({chi2} / __w.n - "
-                   f"({ka} - 1.0D) * ({kb} - 1.0D) / (__w.n - 1.0D), "
-                   f"0.0D)",
-             "rr": f"({ka} - POWER({ka} - 1.0D, 2) / (__w.n - 1.0D))",
-             "cc": f"({kb} - POWER({kb} - 1.0D, 2) / (__w.n - 1.0D))"},
-            "SQRT(__u.p2 / LEAST(__u.rr - 1.0D, __u.cc - 1.0D))",
-            var="__u")
-    elif kind == "contingency":
-        body = f"SQRT({chi2} / ({chi2} + __w.n))"
-    else:                                             # theilsU
-        # U(a|b) = (H(a) − H(a|b)) / H(a); entropies from the same runs
-        ha = ("(LOG2(__w.n) - AGGREGATE(MAP_VALUES(__w.ma), "
-              "CAST(0 AS DOUBLE), (__ea, __ec) -> "
-              "__ea + __ec * LOG2(__ec)) / __w.n)")
-        # H(a|b) = Σ_cells (c/n)·log2(cb/c)  (= H(a,b) − H(b))
-        hab = ("AGGREGATE(__w.cells, CAST(0 AS DOUBLE), "
-               "(__ea, __cc) -> __ea + (__cc.c / __w.n) * "
-               "LOG2(ELEMENT_AT(__w.mb, __cc.v.b) / __cc.c))")
-        body = f"(({ha}) - ({hab})) / ({ha})"
-    inner = _bind_once(inner_binds, body, var="__w")
-    return _bind_once(_pair_runs_binds(a, b), inner, var="__vo")
+        return _bind_once(
+            {"x2": chi2, "n": n, "ra": f"CAST({ka} AS DOUBLE)",
+             "cb": f"CAST({kb} AS DOUBLE)"},
+            _bind_once(
+                {"p2": "GREATEST(__v.x2 / __v.n - (__v.ra - 1.0D) * "
+                       "(__v.cb - 1.0D) / (__v.n - 1.0D), 0.0D)",
+                 "rr": "(__v.ra - POWER(__v.ra - 1.0D, 2) "
+                       "/ (__v.n - 1.0D))",
+                 "cc": "(__v.cb - POWER(__v.cb - 1.0D, 2) "
+                       "/ (__v.n - 1.0D))"},
+                "SQRT(__u.p2 / LEAST(__u.rr - 1.0D, __u.cc - 1.0D))",
+                var="__u"))
+    if kind == "contingency":
+        return _bind_once(
+            {"x2": chi2, "n": n},
+            "SQRT(__v.x2 / (__v.x2 + __v.n))")
+    # theilsU: U(a|b) = (H(a) − H(a|b)) / H(a); per-row entropy sums
+    ha = f"SUM(-LOG2({ma} / {nw}) / {nw})"
+    # H(a|b) = Σ_cells (o/n)·log2(mb/o) -> per-row log2(mb/o)/n
+    hab = f"SUM(LOG2({mb} / {o}) / {nw})"
+    return _bind_once(
+        {"ha": ha, "hab": hab},
+        "(__v.ha - __v.hab) / __v.ha")
 
 
 def _ttest_tpl(args: list[str], welch: bool) -> str:
@@ -8256,7 +8211,25 @@ def _enclosing_open(masked: str, pos: int) -> int:
     return -1
 
 
-_GMAX_MARK = re.compile(r"__CH_GMAX__\s*\(")
+_GMAX_MARK = re.compile(r"__CH_G(?:MAX|CNT|NNC|ROWS)__\s*\(")
+_GMAX_KIND = re.compile(r"__CH_G(MAX|CNT|NNC|ROWS)__\s*\(")
+
+
+def _gwin_expr(kind: str, tx: str, part: str) -> str:
+    """Window expression for a group-window marker kind:
+    MAX  → MAX(t)    OVER (PARTITION BY keys)        (decayed anchor)
+    NNC  → COUNT(e)  OVER (PARTITION BY keys)        (non-null count)
+    ROWS → COUNT(*)  OVER (PARTITION BY keys)        (group size)
+    CNT  → COUNT(*)  OVER (PARTITION BY keys, e...)  (cell count)"""
+    if kind == "CNT":
+        keys = f"{part}, {tx}" if part else tx
+        return f"COUNT(*) OVER (PARTITION BY {keys})"
+    over = f"OVER (PARTITION BY {part})" if part else "OVER ()"
+    if kind == "MAX":
+        return f"MAX({tx}) {over}"
+    if kind == "NNC":
+        return f"COUNT({tx}) {over}"
+    return f"COUNT(*) {over}"
 
 
 def _gmax_rewrite_select(s: str) -> str:
@@ -8294,8 +8267,8 @@ def _gmax_rewrite_select(s: str) -> str:
                 "list (ROLLUP/CUBE/GROUPING SETS/ALL/positional refs "
                 "have no single partition) — spell the keys out")
     masked_s = _mask_strings(s)
-    spans: list[tuple[int, int, str]] = []
-    for m in _GMAX_MARK.finditer(masked_s):
+    spans: list[tuple[int, int, str, str]] = []
+    for m in _GMAX_KIND.finditer(masked_s):
         pp, nested = m.start(), False
         while True:
             op = _enclosing_open(masked_s, pp)
@@ -8310,20 +8283,21 @@ def _gmax_rewrite_select(s: str) -> str:
         open_p = s.index("(", m.end() - 1)
         close = _find_close(s, open_p)
         if close < 0:
-            raise ValueError("__CH_GMAX__: unbalanced marker")
-        spans.append((m.start(), close + 1, s[open_p + 1:close].strip()))
+            raise ValueError("__CH_G*__: unbalanced marker")
+        spans.append((m.start(), close + 1, m.group(1),
+                      s[open_p + 1:close].strip()))
     if not spans:
         # every marker in this span sits in a nested select — nothing
         # to do here; the caller's loop descends next round
-        raise ValueError("__CH_GMAX__: marker resolution did not "
+        raise ValueError("__CH_G*__: marker resolution did not "
                          "converge (marker outside any select list?)")
-    names: dict[str, str] = {}
-    cols: list[tuple[str, str]] = []
-    for _, _, tx in spans:
-        k = _norm_expr_text(tx)
+    names: dict[tuple[str, str], str] = {}
+    cols: list[tuple[str, str, str]] = []
+    for _, _, kd, tx in spans:
+        k = (kd, _norm_expr_text(tx))
         if k not in names:
             names[k] = f"__ch_gm{len(names)}"
-            cols.append((names[k], tx))
+            cols.append((names[k], kd, tx))
     part = keys
     if keys:
         # PARTITION BY runs INSIDE the injected subquery, where select
@@ -8340,16 +8314,16 @@ def _gmax_rewrite_select(s: str) -> str:
             alias_expr.get(ktok.strip().lower(), ktok.strip())
             if re.fullmatch(r"\w+", ktok.strip()) else ktok.strip()
             for ktok in _split_args(keys))
-    over = f"OVER (PARTITION BY {part})" if part else "OVER ()"
-    gmcols = ", ".join(f"MAX({tx}) {over} AS {nm}" for nm, tx in cols)
+    gmcols = ", ".join(f"{_gwin_expr(kd, tx, part)} AS {nm}"
+                       for nm, kd, tx in cols)
 
     def splice(lo: int, hi: int) -> str:
         seg, last = [], lo
-        for st, en, tx in spans:
+        for st, en, kd, tx in spans:
             if st < lo or st >= hi:
                 continue
             seg.append(s[last:st])
-            seg.append(names[_norm_expr_text(tx)])
+            seg.append(names[(kd, _norm_expr_text(tx))])
             last = en
         seg.append(s[last:hi])
         return "".join(seg)

@@ -2315,7 +2315,8 @@ def test_stats_aggregates_dialect_vs_python(spark):
                exponentialTimeDecayedAvg(600)(v, t) AS eda,
                exponentialTimeDecayedMax(600)(v, t) AS edm,
                histogram(4)(v) AS hist,
-               sparkbar(8)(g, v) AS sb
+               sparkbar(8)(g, v) AS sb,
+               groupArray(k) AS gord
         FROM st9""").collect()[0]
     vs = [r[2] for r in data]
     n = len(vs)
@@ -2428,16 +2429,24 @@ def test_stats_aggregates_dialect_vs_python(spark):
     qexc = svv[lo_i - 1] + (he - lo_i) * (svv[min(lo_i, n - 1)]
                                           - svv[lo_i - 1])
     assert abs(out.qexc - qexc) < 1e-9
-    gms3 = [sum(vs[max(0, i - 2):i + 1]) for i in range(n)]
+    # order-sensitive aggregates (groupArray* family): their contract
+    # is collect-order-UNDEFINED under shuffle; since r13 the counting
+    # stats in this same query inject window columns whose sort changes
+    # the realized order — derive it from the collected key column
+    # instead of assuming input order
+    by_k = {r[0]: r for r in data}
+    realized = [by_k[k_] for k_ in out.gord]
+    rvs = [r[2] for r in realized]
+    gms3 = [sum(rvs[max(0, i - 2):i + 1]) for i in range(n)]
     assert all(abs(a - b2) < 1e-9 for a, b2 in zip(out.gms, gms3))
     assert all(abs(a - b2 / 3) < 1e-9 for a, b2 in zip(out.gma, gms3))
     run, acc = 0.0, []
-    for x in vs:
+    for x in rvs:
         run += x
         acc.append(run)
     assert all(abs(a - b2) < 1e-9 for a, b2 in zip(out.gms_all, acc))
     gia = ["-"] * 6
-    for r in data:
+    for r in realized:
         if gia[r[1]] == "-":
             gia[r[1]] = r[5]
     assert list(out.gia) == gia

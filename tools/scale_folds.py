@@ -32,15 +32,27 @@ SCALE = 100
 
 FOLD_SQL = """
 SELECT g,
-       entropy(CAST(v * 100 AS INT) % 10) AS ent,
-       cramersV(ca, cb) AS cv,
-       theilsU(ca, cb) AS tu,
        mannWhitneyUTest(v, b) AS mw,
        kolmogorovSmirnovTest(v, b) AS ks,
        welchTTest(v, b) AS wt,
        analysisOfVariance(v, k4) AS av,
        quantileExactWeighted(0.5)(v, w) AS qew,
        quantilesExactWeighted(0.25, 0.75)(v, w) AS qsew
+FROM folds_src GROUP BY g
+"""
+
+# round 13: entropy + the contingency family left the collect-fold
+# envelope (per-row contributions over injected window counts — see
+# ch_sql._contingency_tpl). They soak as their OWN batch measuring the
+# window path; mixing them into FOLD_SQL stacks the window sort
+# buffers on top of the remaining collect arrays and overflows the
+# fixture heap (the same reason EMA_SQL is separate).
+CNT_SQL = """
+SELECT g,
+       entropy(CAST(v * 100 AS INT) % 10) AS ent,
+       cramersV(ca, cb) AS cv,
+       theilsU(ca, cb) AS tu,
+       contingency(ca, cb) AS cont
 FROM folds_src GROUP BY g
 """
 
@@ -94,8 +106,13 @@ def main() -> None:
     print(f"| fold family batch | {GROUPS}x{BASE_ROWS} | "
           f"{GROUPS}x{BASE_ROWS * SCALE} | ratio |")
     print("|---|---|---|---|")
-    print(f"| entropy+cramersV+theilsU+MW+KS+welch+ANOVA+weighted-q "
+    print(f"| MW+KS+welch+ANOVA+weighted-q (collect folds) "
           f"| {t_base:.2f}s | {t_big:.2f}s | {t_big / t_base:.1f}x |",
+          flush=True)
+    c_base = time_folds(spark, "folds_base", CNT_SQL)
+    c_big = time_folds(spark, "folds_big", CNT_SQL)
+    print(f"| entropy+cramersV+theilsU+contingency (r13 window path) "
+          f"| {c_base:.2f}s | {c_big:.2f}s | {c_big / c_base:.1f}x |",
           flush=True)
     e_base = time_folds(spark, "folds_base", EMA_SQL)
     e_big = time_folds(spark, "folds_big", EMA_SQL)
