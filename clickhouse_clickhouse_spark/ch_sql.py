@@ -1564,40 +1564,24 @@ def _max_intersections_tpl(args: list[str], position: bool) -> str:
     return _bind_once({"ev": ev}, body)
 
 
+def _avg_rank_sql(e: str) -> str:
+    """Average rank of ``e`` within the group via injected windows:
+    (#lt + #le + 1)/2 = RANK + (tie_count − 1)/2."""
+    return (f"(CAST(__CH_GRNK__({e}) AS DOUBLE) "
+            f"+ (__CH_GCNT__({e}) - 1.0D) / 2.0D)")
+
+
 def _rank_corr_tpl(args: list[str]) -> str:
     """rankCorr(x, y) ([U] AggregateFunctionRankCorr.h): Spearman ρ
-    with average-rank tie handling — ranks via the count formula
-    (#lt + #le + 1)/2, then Pearson on the rank vectors. O(n²) per
-    group, 2000-row guard (the windowed DataFrame path scales)."""
-    sl = (f"COLLECT_LIST(NAMED_STRUCT('x', CAST({args[0]} AS DOUBLE), "
-          f"'y', CAST({args[1]} AS DOUBLE)))")
-    rank = lambda f: (
-        f"TRANSFORM(__v.l, __ri -> (CAST(SIZE(FILTER(__v.l, "
-        f"__rj -> __rj.{f} < __ri.{f})) AS DOUBLE) "
-        f"+ SIZE(FILTER(__v.l, __rj -> __rj.{f} <= __ri.{f})) + 1.0D) "
-        f"/ 2.0D)")
-    inner = _bind_once(
-        {"rx": rank("x"), "ry": rank("y"),
-         "n": "CAST(SIZE(__v.l) AS DOUBLE)"},
-        "(__w.n * AGGREGATE(ZIP_WITH(__w.rx, __w.ry, "
-        "(__za, __zb) -> __za * __zb), CAST(0 AS DOUBLE), "
-        "(__sa, __sx) -> __sa + __sx) "
-        "- AGGREGATE(__w.rx, CAST(0 AS DOUBLE), (__sa, __sx) -> "
-        "__sa + __sx) * AGGREGATE(__w.ry, CAST(0 AS DOUBLE), "
-        "(__sa, __sx) -> __sa + __sx)) / "
-        "SQRT((__w.n * AGGREGATE(__w.rx, CAST(0 AS DOUBLE), "
-        "(__sa, __sx) -> __sa + __sx * __sx / 1.0D, __q -> __q) "
-        "- POWER(AGGREGATE(__w.rx, CAST(0 AS DOUBLE), (__sa, __sx) -> "
-        "__sa + __sx), 2)) * (__w.n * AGGREGATE(__w.ry, "
-        "CAST(0 AS DOUBLE), (__sa, __sx) -> __sa + __sx * __sx / 1.0D, "
-        "__q -> __q) - POWER(AGGREGATE(__w.ry, CAST(0 AS DOUBLE), "
-        "(__sa, __sx) -> __sa + __sx), 2)))",
-        var="__w")
-    body = ("CASE WHEN SIZE(__v.l) > 2000 THEN "
-            "RAISE_ERROR('rankCorr: group beyond 2000 rows — the "
-            "dialect fold is quadratic; use the windowed rank path') "
-            f"ELSE {inner} END")
-    return _bind_once({"l": sl}, body)
+    with average-rank tie handling — Pearson CORR over per-row average
+    ranks. Round 13: the ranks are RANK/tie-count WINDOW columns
+    injected by the group-window pass, so the former O(n²) collect
+    fold AND its 2000-row guard are gone — two rank-sort exchanges,
+    constant per-group state, any group size. Rows with NULL in either
+    column should be pre-filtered (window ranks order NULLs first;
+    upstream skips them)."""
+    x, y = (f"CAST({args[0]} AS DOUBLE)", f"CAST({args[1]} AS DOUBLE)")
+    return f"CORR({_avg_rank_sql(x)}, {_avg_rank_sql(y)})"
 
 
 def _contingency_tpl(args: list[str], kind: str) -> str:
@@ -1720,47 +1704,29 @@ def _ttest_one_sample_tpl(args: list[str]) -> str:
 
 def _mann_whitney_tpl(args: list[str]) -> str:
     """mannWhitneyUTest(value, index) ([U]
-    AggregateFunctionMannWhitney.h): U for sample 0 via average ranks
-    (run-length folds, O(n log n)), z with the tie-corrected variance,
-    two-sided p via the normal CDF (the reference's asymptotic too)."""
-    sl = (f"ARRAY_SORT(COLLECT_LIST(NAMED_STRUCT("
-          f"'x', CAST({args[0]} AS DOUBLE), "
-          f"'i', CAST(({args[1]}) AS INT))))")
-    # ONE pass over the sorted pairs carrying (rows consumed before the
-    # current run, run length, sample-0 count in run, previous value,
-    # Σ avg-ranks of sample 0, Σ(c³−c) tie correction); a value change
-    # flushes the finished run. Round 10: replaces the per-run
-    # SIZE(FILTER(sl, ...)) lookup, which re-scanned the whole list for
-    # every run — O(runs·n), quadratic on mostly-distinct data.
-    rank_tie_fold = (
-        "AGGREGATE(__vo.sl, "
-        "NAMED_STRUCT('pos', CAST(0 AS DOUBLE), 'c', CAST(0 AS DOUBLE), "
-        "'c0', CAST(0 AS DOUBLE), 'pv', CAST(NULL AS DOUBLE), "
-        "'s', CAST(0 AS DOUBLE), 'tie', CAST(0 AS DOUBLE)), "
-        "(__ua, __ue) -> IF(__ua.c = 0.0D OR (__ua.pv <=> __ue.x), "
-        "NAMED_STRUCT('pos', __ua.pos, 'c', __ua.c + 1.0D, "
-        "'c0', __ua.c0 + IF(__ue.i = 0, 1.0D, 0.0D), "
-        "'pv', __ue.x, 's', __ua.s, 'tie', __ua.tie), "
-        "NAMED_STRUCT('pos', __ua.pos + __ua.c, 'c', 1.0D, "
-        "'c0', IF(__ue.i = 0, 1.0D, 0.0D), 'pv', __ue.x, "
-        "'s', __ua.s + (__ua.pos + (__ua.c + 1.0D) / 2.0D) * __ua.c0, "
-        "'tie', __ua.tie + POWER(__ua.c, 3) - __ua.c)), "
-        "__uf -> NAMED_STRUCT("
-        "'s', __uf.s + IF(__uf.c > 0.0D, "
-        "(__uf.pos + (__uf.c + 1.0D) / 2.0D) * __uf.c0, 0.0D), "
-        "'tie', __uf.tie + IF(__uf.c > 0.0D, "
-        "POWER(__uf.c, 3) - __uf.c, 0.0D)))")
-    inner = _bind_once(
-        {"n0": ("CAST(SIZE(FILTER(__vo.sl, __p -> __p.i = 0)) "
-                "AS DOUBLE)"),
-         "n1": ("CAST(SIZE(FILTER(__vo.sl, __p -> __p.i = 1)) "
-                "AS DOUBLE)"),
-         "rt": rank_tie_fold},
+    AggregateFunctionMannWhitney.h): U for sample 0 via average ranks,
+    z with the tie-corrected variance, two-sided p via the normal CDF
+    (the reference's asymptotic too). Round 13: ranks and tie counts
+    are WINDOW columns injected by the group-window pass — the sorted
+    collect fold is gone; Σ avg-ranks of sample 0 and the Σ(t³−t) tie
+    term are plain conditional SUMs (each row of a t-tie contributes
+    t² − 1, summing to t³ − t). Constant per-group state at any skew."""
+    x = f"CAST({args[0]} AS DOUBLE)"
+    i = f"CAST(({args[1]}) AS INT)"
+    ar = _avg_rank_sql(x)
+    binds = {
+        "n0": f"CAST(COUNT(CASE WHEN {i} = 0 THEN 1 END) AS DOUBLE)",
+        "n1": f"CAST(COUNT(CASE WHEN {i} = 1 THEN 1 END) AS DOUBLE)",
+        "s": f"SUM(CASE WHEN {i} = 0 THEN {ar} END)",
+        "tie": f"SUM(POWER(__CH_GCNT__({x}), 2) - 1.0D)",
+    }
+    return _bind_once(
+        binds,
         _bind_once(
-            {"u": "(__w.rt.s - __w.n0 * (__w.n0 + 1.0D) / 2.0D)",
+            {"u": "(__w.s - __w.n0 * (__w.n0 + 1.0D) / 2.0D)",
              "mu": "(__w.n0 * __w.n1 / 2.0D)",
              "sg": ("SQRT(__w.n0 * __w.n1 / 12.0D * "
-                    "((__w.n0 + __w.n1 + 1.0D) - __w.rt.tie / "
+                    "((__w.n0 + __w.n1 + 1.0D) - __w.tie / "
                     "((__w.n0 + __w.n1) * (__w.n0 + __w.n1 - 1.0D))))")},
             "NAMED_STRUCT('u_stat', __z.u, 'p_value', "
             "2.0D * (1.0D - (0.5D * (1.0D + "
@@ -1768,36 +1734,39 @@ def _mann_whitney_tpl(args: list[str]) -> str:
                               "/ SQRT(2.0D))") + "))))",
             var="__z"),
         var="__w")
-    return _bind_once({"sl": sl}, inner, var="__vo")
 
 
 def _ks_test_tpl(args: list[str]) -> str:
     """kolmogorovSmirnovTest(value, index) ([U]
     AggregateFunctionKolmogorovSmirnovTest.h): D = sup|ECDF0 − ECDF1|
-    evaluated after tied rows (run fold over the sorted sample), p via
-    the Numerical Recipes asymptotic series — the same formulation as
-    operators/advanced.kolmogorov_smirnov_test."""
-    sl = (f"ARRAY_SORT(COLLECT_LIST(NAMED_STRUCT("
-          f"'x', CAST({args[0]} AS DOUBLE), "
-          f"'i', CAST(({args[1]}) AS INT))))")
-    inner = _bind_once(
-        {"d": ("AGGREGATE(__vo.sl, "
-               "NAMED_STRUCT('c0', CAST(0 AS DOUBLE), "
-               "'c1', CAST(0 AS DOUBLE), 'px', CAST(NULL AS DOUBLE), "
-               "'d', CAST(0 AS DOUBLE)), "
-               "(__ka, __ke) -> NAMED_STRUCT("
-               "'c0', __ka.c0 + IF(__ke.i = 0, 1.0D, 0.0D), "
-               "'c1', __ka.c1 + IF(__ke.i = 1, 1.0D, 0.0D), "
-               "'px', __ke.x, "
-               "'d', GREATEST(__ka.d, IF(__ka.px IS NOT NULL AND "
-               "NOT (__ka.px <=> __ke.x), "
-               "ABS(__ka.c0 / __vo.n0 - __ka.c1 / __vo.n1), 0.0D))), "
-               "__kf -> GREATEST(__kf.d, "
-               "ABS(__kf.c0 / __vo.n0 - __kf.c1 / __vo.n1)))")},
+    evaluated after tied rows, p via the Numerical Recipes asymptotic
+    series — the same formulation as
+    operators/advanced.kolmogorov_smirnov_test. Round 13: the
+    cumulative sample counts are RANGE-frame window sums injected by
+    the group-window pass (inclusive of ties — the fold's
+    evaluate-after-tied-rows points), so D is a plain MAX over per-row
+    ECDF gaps; the sorted collect fold is gone."""
+    x = f"CAST({args[0]} AS DOUBLE)"
+    i = f"CAST(({args[1]}) AS INT)"
+    i0 = f"CAST(CASE WHEN {i} = 0 THEN 1 ELSE 0 END AS DOUBLE)"
+    i1 = f"CAST(CASE WHEN {i} = 1 THEN 1 ELSE 0 END AS DOUBLE)"
+    c0 = f"__CH_GCUM__({x}, {i0})"
+    c1 = f"__CH_GCUM__({x}, {i1})"
+    # per-sample group totals as WINDOW columns too (a plain aggregate
+    # is illegal inside the MAX below); PARTITION BY keys, 1 == keys
+    n0w = f"__CH_GSUMBY__(1, {i0})"
+    n1w = f"__CH_GSUMBY__(1, {i1})"
+    binds = {
+        "n0": f"CAST(COUNT(CASE WHEN {i} = 0 THEN 1 END) AS DOUBLE)",
+        "n1": f"CAST(COUNT(CASE WHEN {i} = 1 THEN 1 END) AS DOUBLE)",
+        "d": f"MAX(ABS({c0} / {n0w} - {c1} / {n1w}))",
+    }
+    return _bind_once(
+        binds,
         _bind_once(
-            {"lam": ("((SQRT(__vo.n0 * __vo.n1 / (__vo.n0 + __vo.n1)) "
-                     "+ 0.12D + 0.11D / SQRT(__vo.n0 * __vo.n1 / "
-                     "(__vo.n0 + __vo.n1))) * __w.d)")},
+            {"lam": ("((SQRT(__w.n0 * __w.n1 / (__w.n0 + __w.n1)) "
+                     "+ 0.12D + 0.11D / SQRT(__w.n0 * __w.n1 / "
+                     "(__w.n0 + __w.n1))) * __w.d)")},
             "NAMED_STRUCT('d_stat', __w.d, 'p_value', "
             "LEAST(1.0D, GREATEST(0.0D, 2.0D * AGGREGATE("
             "SEQUENCE(1, 100), CAST(0 AS DOUBLE), (__pa, __pk) -> "
@@ -1805,58 +1774,36 @@ def _ks_test_tpl(args: list[str]) -> str:
             "EXP(-2.0D * __pk * __pk * __z.lam * __z.lam)))))",
             var="__z"),
         var="__w")
-    return _bind_once(
-        {"sl": sl,
-         "n0": ("CAST(SIZE(FILTER(" + sl + ", __p -> __p.i = 0)) "
-                "AS DOUBLE)"),
-         "n1": ("CAST(SIZE(FILTER(" + sl + ", __p -> __p.i = 1)) "
-                "AS DOUBLE)")},
-        inner, var="__vo")
 
 
 def _anova_tpl(args: list[str]) -> str:
     """analysisOfVariance(value, group) ([U]
-    AggregateFunctionAnalysisOfVariance.h): one-way ANOVA F from
-    run-length group sums over the sorted (group, value) collect; the
-    F statistic only (the p-value needs the F CDF / incomplete beta —
-    documented deviation, same contract as operators/advanced.anova_f)."""
-    sl = (f"ARRAY_SORT(COLLECT_LIST(NAMED_STRUCT("
-          f"'g', CAST({args[1]} AS STRING), "
-          f"'x', CAST({args[0]} AS DOUBLE))))")
-    # per-group (n, sum): fold runs of g carrying sums
-    groups = ("AGGREGATE(__vo.sl, "
-              "NAMED_STRUCT('gs', TRANSFORM(SLICE(__vo.sl, 1, 0), "
-              "__z -> NAMED_STRUCT('n', CAST(0 AS DOUBLE), "
-              "'s', CAST(0 AS DOUBLE))), "
-              "'cg', CAST(NULL AS STRING), 'n', CAST(0 AS DOUBLE), "
-              "'s', CAST(0 AS DOUBLE)), "
-              "(__ga, __ge) -> IF(__ga.n > 0 AND "
-              "NOT (__ge.g <=> __ga.cg), "
-              "NAMED_STRUCT('gs', CONCAT(__ga.gs, ARRAY(NAMED_STRUCT("
-              "'n', __ga.n, 's', __ga.s))), 'cg', __ge.g, 'n', 1.0D, "
-              "'s', __ge.x), "
-              "NAMED_STRUCT('gs', __ga.gs, 'cg', __ge.g, "
-              "'n', __ga.n + 1.0D, 's', __ga.s + __ge.x)), "
-              "__gf -> IF(__gf.n = 0, __gf.gs, CONCAT(__gf.gs, "
-              "ARRAY(NAMED_STRUCT('n', __gf.n, 's', __gf.s)))))")
-    inner = _bind_once(
-        {"gs": groups,
-         "n": "CAST(SIZE(__vo.sl) AS DOUBLE)",
-         "tot": ("AGGREGATE(__vo.sl, CAST(0 AS DOUBLE), "
-                 "(__sa, __se) -> __sa + __se.x)"),
-         "ss": ("AGGREGATE(__vo.sl, CAST(0 AS DOUBLE), "
-                "(__sa, __se) -> __sa + __se.x * __se.x)")},
+    AggregateFunctionAnalysisOfVariance.h): one-way ANOVA F; the F
+    statistic only (the p-value needs the F CDF / incomplete beta —
+    documented deviation, same contract as operators/advanced.anova_f).
+    Round 13: group sums/counts are per-cell WINDOW columns injected by
+    the group-window pass, so Σ_g s_g²/n_g is a per-row-contribution
+    sum ((m_g²/1 per row of group g sums to n_g·m_g² = s_g²/n_g)); the
+    sorted collect fold is gone. NULL group is one category (window
+    partitioning); NULL values should be pre-filtered."""
+    x = f"CAST({args[0]} AS DOUBLE)"
+    g = args[1]
+    sg = f"__CH_GSUMBY__({g}, {x})"
+    ng = f"CAST(__CH_GCNT__({g}) AS DOUBLE)"
+    return _bind_once(
+        {"n": "CAST(COUNT(*) AS DOUBLE)",
+         "tot": f"SUM({x})",
+         "ss": f"SUM({x} * {x})",
+         "s2g": f"SUM(POWER({sg} / {ng}, 2))",
+         "k": (f"(COUNT(DISTINCT {g}) + "
+               f"MAX(IF(({g}) IS NULL, 1, 0)))")},
         _bind_once(
-            {"k": "CAST(SIZE(__w.gs) AS DOUBLE)",
-             "ssb": ("AGGREGATE(__w.gs, CAST(0 AS DOUBLE), "
-                     "(__ba, __bg) -> __ba + __bg.s * __bg.s / __bg.n) "
-                     "- __w.tot * __w.tot / __w.n"),
+            {"ssb": "(__w.s2g - __w.tot * __w.tot / __w.n)",
              "sst": "(__w.ss - __w.tot * __w.tot / __w.n)"},
-            "((__z.ssb / (__z.k - 1.0D)) / "
-            "((__z.sst - __z.ssb) / (__w.n - __z.k)))",
+            "((__z.ssb / (__w.k - 1.0D)) / "
+            "((__z.sst - __z.ssb) / (__w.n - __w.k)))",
             var="__z"),
         var="__w")
-    return _bind_once({"sl": sl}, inner, var="__vo")
 
 
 _TIMING_QUANT = ("CASE WHEN ({v}) < 0 THEN 0.0D "
@@ -8211,19 +8158,38 @@ def _enclosing_open(masked: str, pos: int) -> int:
     return -1
 
 
-_GMAX_MARK = re.compile(r"__CH_G(?:MAX|CNT|NNC|ROWS)__\s*\(")
-_GMAX_KIND = re.compile(r"__CH_G(MAX|CNT|NNC|ROWS)__\s*\(")
+_GMAX_MARK = re.compile(
+    r"__CH_G(?:MAX|CNT|NNC|ROWS|RNK|CUM|SUMBY)__\s*\(")
+_GMAX_KIND = re.compile(
+    r"__CH_G(MAX|CNT|NNC|ROWS|RNK|CUM|SUMBY)__\s*\(")
 
 
 def _gwin_expr(kind: str, tx: str, part: str) -> str:
     """Window expression for a group-window marker kind:
-    MAX  → MAX(t)    OVER (PARTITION BY keys)        (decayed anchor)
-    NNC  → COUNT(e)  OVER (PARTITION BY keys)        (non-null count)
-    ROWS → COUNT(*)  OVER (PARTITION BY keys)        (group size)
-    CNT  → COUNT(*)  OVER (PARTITION BY keys, e...)  (cell count)"""
+    MAX   → MAX(t)    OVER (PARTITION BY keys)        (decayed anchor)
+    NNC   → COUNT(e)  OVER (PARTITION BY keys)        (non-null count)
+    ROWS  → COUNT(*)  OVER (PARTITION BY keys)        (group size)
+    CNT   → COUNT(*)  OVER (PARTITION BY keys, e...)  (cell count)
+    RNK   → RANK()    OVER (PARTITION BY keys ORDER BY e)  (= #lt + 1)
+    CUM   → SUM(s)    OVER (PARTITION BY keys ORDER BY e
+                            RANGE UNBOUNDED..CURRENT)  (inclusive ECDF
+                            numerator — ties all counted)
+    SUMBY → SUM(s)    OVER (PARTITION BY keys, e)      (per-cell sum)"""
     if kind == "CNT":
         keys = f"{part}, {tx}" if part else tx
         return f"COUNT(*) OVER (PARTITION BY {keys})"
+    if kind == "SUMBY":
+        e, s = _split_args(tx)
+        keys = f"{part}, {e}" if part else e
+        return f"SUM({s}) OVER (PARTITION BY {keys})"
+    if kind == "RNK":
+        pb = f"PARTITION BY {part} " if part else ""
+        return f"RANK() OVER ({pb}ORDER BY {tx})"
+    if kind == "CUM":
+        e, s = _split_args(tx)
+        pb = f"PARTITION BY {part} " if part else ""
+        return (f"SUM({s}) OVER ({pb}ORDER BY {e} RANGE BETWEEN "
+                f"UNBOUNDED PRECEDING AND CURRENT ROW)")
     over = f"OVER (PARTITION BY {part})" if part else "OVER ()"
     if kind == "MAX":
         return f"MAX({tx}) {over}"

@@ -2467,8 +2467,10 @@ def test_stats_aggregates_dialect_vs_python(spark):
 
 
 def test_stats_aggregates_refusals(spark):
-    """Loud refusals: bare deltaSum (order-dependent), oversize
-    rankCorr groups, non-two-sided alternatives."""
+    """Loud refusals: bare deltaSum (order-dependent), non-two-sided
+    alternatives. rankCorr's former 2000-row guard is GONE (round 13:
+    window-rank two-phase path) — a group that used to refuse now just
+    computes."""
     import pytest as _p
 
     from clickhouse_clickhouse_spark.ch_sql import ch_sql, translate
@@ -2480,8 +2482,9 @@ def test_stats_aggregates_refusals(spark):
     spark.createDataFrame(
         [(float(i), float(i)) for i in range(2100)], "x double, y double"
     ).createOrReplaceTempView("rc_big")
-    with _p.raises(Exception, match="2000"):
-        ch_sql(spark, "SELECT rankCorr(x, y) AS r FROM rc_big").collect()
+    r = ch_sql(spark,
+               "SELECT rankCorr(x, y) AS r FROM rc_big").collect()[0].r
+    assert abs(r - 1.0) < 1e-12   # perfectly monotone pair
 
 
 def test_straggler_aggregates_dialect(spark):

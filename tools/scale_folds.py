@@ -32,27 +32,29 @@ SCALE = 100
 
 FOLD_SQL = """
 SELECT g,
-       mannWhitneyUTest(v, b) AS mw,
-       kolmogorovSmirnovTest(v, b) AS ks,
        welchTTest(v, b) AS wt,
-       analysisOfVariance(v, k4) AS av,
        quantileExactWeighted(0.5)(v, w) AS qew,
        quantilesExactWeighted(0.25, 0.75)(v, w) AS qsew
 FROM folds_src GROUP BY g
 """
 
-# round 13: entropy + the contingency family left the collect-fold
-# envelope (per-row contributions over injected window counts — see
-# ch_sql._contingency_tpl). They soak as their OWN batch measuring the
-# window path; mixing them into FOLD_SQL stacks the window sort
-# buffers on top of the remaining collect arrays and overflows the
-# fixture heap (the same reason EMA_SQL is separate).
+# round 13: entropy + the contingency family + the RANK-based tests
+# (mannWhitney, KS, rankCorr, ANOVA) left the collect-fold envelope
+# (per-row contributions over injected window counts/ranks — see
+# ch_sql._contingency_tpl/_mann_whitney_tpl/_rank_corr_tpl). They soak
+# as their OWN batch measuring the window path; mixing window sort
+# buffers with collect arrays overflowed the fixture heap (the same
+# reason EMA_SQL is separate).
 CNT_SQL = """
 SELECT g,
        entropy(CAST(v * 100 AS INT) % 10) AS ent,
        cramersV(ca, cb) AS cv,
        theilsU(ca, cb) AS tu,
-       contingency(ca, cb) AS cont
+       contingency(ca, cb) AS cont,
+       mannWhitneyUTest(v, b) AS mw,
+       kolmogorovSmirnovTest(v, b) AS ks,
+       rankCorr(v, v + b) AS rc,
+       analysisOfVariance(v, k4) AS av
 FROM folds_src GROUP BY g
 """
 
@@ -106,12 +108,12 @@ def main() -> None:
     print(f"| fold family batch | {GROUPS}x{BASE_ROWS} | "
           f"{GROUPS}x{BASE_ROWS * SCALE} | ratio |")
     print("|---|---|---|---|")
-    print(f"| MW+KS+welch+ANOVA+weighted-q (collect folds) "
+    print(f"| welch+weighted-quantiles (collect folds) "
           f"| {t_base:.2f}s | {t_big:.2f}s | {t_big / t_base:.1f}x |",
           flush=True)
     c_base = time_folds(spark, "folds_base", CNT_SQL)
     c_big = time_folds(spark, "folds_big", CNT_SQL)
-    print(f"| entropy+cramersV+theilsU+contingency (r13 window path) "
+    print(f"| entropy+cramersV+theilsU+contingency+MW+KS+rankCorr+ANOVA (r13 window path) "
           f"| {c_base:.2f}s | {c_big:.2f}s | {c_big / c_base:.1f}x |",
           flush=True)
     e_base = time_folds(spark, "folds_base", EMA_SQL)
@@ -119,16 +121,15 @@ def main() -> None:
     print(f"| exponentialMovingAverage + TimeDecayedAvg (r12) "
           f"| {e_base:.2f}s | {e_big:.2f}s | {e_big / e_base:.1f}x |",
           flush=True)
-    # the O(n^2)-per-group rankCorr must REFUSE at this group size
-    try:
-        ch_sql(spark, "SELECT g, rankCorr(v, v + b) AS rc "
-                      "FROM folds_big GROUP BY g") \
-            .write.format("noop").mode("overwrite").save()
-        print("rankCorr guard: FAILED TO RAISE (bug)")
-    except Exception as e:  # noqa: BLE001 - Spark wraps the RAISE_ERROR
-        msg = str(e).splitlines()[0][:100]
-        print(f"rankCorr guard at 200k-row groups: raised as designed "
-              f"({msg})")
+    # rankCorr's former O(n^2) fold + 2000-row guard are GONE
+    # (round 13: window-rank two-phase) — the 200k-row groups that used
+    # to refuse now COMPUTE; time them
+    t0 = time.perf_counter()
+    ch_sql(spark, "SELECT g, rankCorr(v, v + b) AS rc "
+                  "FROM folds_big GROUP BY g") \
+        .write.format("noop").mode("overwrite").save()
+    print(f"rankCorr at 200k-row groups (former refusal): "
+          f"{time.perf_counter() - t0:.2f}s", flush=True)
 
 
 if __name__ == "__main__":
