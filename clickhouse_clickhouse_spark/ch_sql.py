@@ -1523,23 +1523,22 @@ def _delta_sum_ts_tpl(args: list[str]) -> str:
     between consecutive values in ts order. The bare deltaSum refuses
     (block-order dependent upstream — pass a timestamp).
 
-    Tie handling: equal timestamps sort by value (ARRAY_SORT over
-    struct(t, dv)); upstream keeps insertion order, which a set-oriented
-    engine cannot observe. For a deterministic total order — and for any
+    Tie handling: equal timestamps order by value (the old fold's
+    ARRAY_SORT over struct(t, dv) — the LAG window orders by (t, v));
+    upstream keeps insertion order, which a set-oriented engine cannot
+    observe. For a deterministic total order — and for any
     differential oracle — pass a composite ts that is unique per group,
     e.g. ``tuple(toUnixTimestamp(ts), event_id)`` as the registry query
-    ch_sql_stats_aggregates_r9 does."""
-    sl = (f"ARRAY_SORT(COLLECT_LIST(NAMED_STRUCT('t', {args[1]}, "
-          f"'dv', CAST({args[0]} AS DOUBLE))))")
-    body = ("AGGREGATE(__v.sl, "
-            "NAMED_STRUCT('s', CAST(0 AS DOUBLE), "
-            "'pv', CAST(NULL AS DOUBLE)), "
-            "(__da, __dx) -> NAMED_STRUCT("
-            "'s', __da.s + IF(__da.pv IS NOT NULL "
-            "AND __dx.dv > __da.pv, __dx.dv - __da.pv, 0.0D), "
-            "'pv', __dx.dv), "
-            "__df -> __df.s)")
-    return _bind_once({"sl": sl}, body)
+    ch_sql_stats_aggregates_r9 does.
+
+    Round 13, ARRAY-FREE: the previous value is a LAG window column
+    injected by the group-window pass; the aggregate is one
+    conditional SUM (the first row's NULL lag contributes 0, like the
+    fold's NULL seed)."""
+    v = f"CAST({args[0]} AS DOUBLE)"
+    lag = f"__CH_GLAG__({v}, {args[1]}, {v})"
+    return (f"COALESCE(SUM(CASE WHEN {lag} IS NOT NULL "
+            f"AND {v} > {lag} THEN {v} - {lag} ELSE 0.0D END), 0.0D)")
 
 
 def _max_intersections_tpl(args: list[str], position: bool) -> str:
@@ -1827,27 +1826,27 @@ def _weighted_quantile_tpl(params: list[str], args: list[str],
                          "literals") from None
     v0 = f"CAST({args[0]} AS DOUBLE)"
     v = _TIMING_QUANT.format(v=v0) if timing else v0
-    sl = (f"ARRAY_SORT(COLLECT_LIST(CASE WHEN ({args[0]}) IS NOT NULL "
-          f"AND ({args[1]}) IS NOT NULL THEN NAMED_STRUCT('v', {v}, "
-          f"'w', CAST({args[1]} AS BIGINT)) END))")
+    # round 13, ARRAY-FREE: the inclusive cumulative weight at each
+    # (quantized) value is a RANGE-frame window sum (NULL rows carry
+    # weight 0 and never answer); the pick is MIN(value with
+    # cum >= level * total) — identical to the old fold's
+    # first-crossing answer, since the crossing element's value IS the
+    # tie value. Weights ride windows so the comparison stays
+    # expression-local.
+    wc = (f"CAST(CASE WHEN ({args[0]}) IS NOT NULL AND "
+          f"({args[1]}) IS NOT NULL THEN CAST({args[1]} AS BIGINT) "
+          f"ELSE 0L END AS DOUBLE)")
+    cum = f"__CH_GCUM__({v}, {wc})"
+    tot = f"__CH_GSUMBY__(1, {wc})"
+
     def pick(level: float) -> str:
-        return (f"AGGREGATE(__v.sl, "
-                f"NAMED_STRUCT('cum', CAST(0 AS BIGINT), "
-                f"'ans', CAST(NULL AS DOUBLE)), "
-                f"(__qa, __qe) -> NAMED_STRUCT("
-                f"'cum', __qa.cum + __qe.w, "
-                f"'ans', IF(__qa.ans IS NULL AND __qa.cum + __qe.w >= "
-                f"{level!r} * __v.tw, __qe.v, __qa.ans)), "
-                f"__qf -> __qf.ans)")
+        return (f"MIN(CASE WHEN ({args[0]}) IS NOT NULL AND "
+                f"({args[1]}) IS NOT NULL AND "
+                f"{cum} >= {level!r} * {tot} THEN {v} END)")
+
     if multi:
-        body = "ARRAY(" + ", ".join(pick(q) for q in levels) + ")"
-    else:
-        body = pick(levels[0])
-    return _bind_once(
-        {"sl": sl,
-         "tw": ("AGGREGATE(" + sl + ", CAST(0 AS BIGINT), "
-                "(__ta, __te) -> __ta + __te.w)")},
-        body)
+        return "ARRAY(" + ", ".join(pick(q) for q in levels) + ")"
+    return pick(levels[0])
 
 
 def _quantile_exc_tpl(params: list[str], args: list[str]) -> str:
@@ -1856,18 +1855,24 @@ def _quantile_exc_tpl(params: list[str], args: list[str]) -> str:
     [1, n] ([U] AggregateFunctionQuantileExactExclusive; the Inclusive
     twin is Spark's native PERCENTILE interpolation)."""
     q = float(params[0])
-    sl = (f"ARRAY_SORT(COLLECT_LIST(CAST({args[0]} AS DOUBLE)))")
-    h = f"GREATEST(LEAST(({q!r} * (SIZE(__v.sl) + 1)), " \
-        f"CAST(SIZE(__v.sl) AS DOUBLE)), 1.0D)"
-    body = _bind_once(
-        {"h": h},
-        "ELEMENT_AT(__v.sl, CAST(FLOOR(__u.h) AS INT)) "
-        "+ (__u.h - FLOOR(__u.h)) * "
-        "(ELEMENT_AT(__v.sl, LEAST(CAST(FLOOR(__u.h) AS INT) + 1, "
-        "SIZE(__v.sl))) - ELEMENT_AT(__v.sl, CAST(FLOOR(__u.h) "
-        "AS INT)))",
-        var="__u")
-    return _bind_once({"sl": sl}, body)
+    # round 13, ARRAY-FREE: the two bracketing sorted positions are
+    # ROW_NUMBER-window picks (NULLS LAST order; value at a position
+    # is tie-order-invariant), interpolation happens on the aggregated
+    # scalars
+    v = f"CAST({args[0]} AS DOUBLE)"
+    rn = f"__CH_GRNUM__(({v}) IS NULL, {v})"
+    nn = f"CAST(__CH_GNNC__({v}) AS DOUBLE)"
+    hw = f"GREATEST(LEAST({q!r} * ({nn} + 1.0D), {nn}), 1.0D)"
+    lo_el = (f"MIN(CASE WHEN ({v}) IS NOT NULL AND "
+             f"{rn} = CAST(FLOOR({hw}) AS INT) THEN {v} END)")
+    hi_el = (f"MIN(CASE WHEN ({v}) IS NOT NULL AND {rn} = "
+             f"LEAST(CAST(FLOOR({hw}) AS INT) + 1, "
+             f"CAST({nn} AS INT)) THEN {v} END)")
+    h = (f"GREATEST(LEAST({q!r} * (CAST(COUNT({v}) AS DOUBLE) + 1.0D), "
+         f"CAST(COUNT({v}) AS DOUBLE)), 1.0D)")
+    return _bind_once(
+        {"lo": lo_el, "hi": hi_el, "h": h},
+        "__v.lo + (__v.h - FLOOR(__v.h)) * (__v.hi - __v.lo)")
 
 
 def _moving_tpl(params: list[str], args: list[str], avg: bool) -> str:
@@ -1959,21 +1964,29 @@ def _histogram_tpl(params: list[str], args: list[str]) -> str:
     as array<struct<lo, hi, cnt>>. DEVIATION: upstream's histogram is
     an adaptive centroid-merging estimate (bin EDGES differ run to
     run); fixed-width bins keep the dialect result deterministic —
-    the same stance as operators/aggregates.histogram."""
+    the same stance as operators/aggregates.histogram. Round 13,
+    ARRAY-FREE: each row's bin index derives from window MIN/MAX
+    columns, bin counts are n conditional SUMs unrolled at translate
+    time (n is a literal), and the output edges come from the matching
+    plain MIN/MAX aggregates."""
     nb = int(params[0])
-    l = f"COLLECT_LIST(CAST({args[0]} AS DOUBLE))"
-    idx = (f"LEAST(GREATEST(CAST(FLOOR((__he - __v.lo) / __v.wd) "
+    v = f"CAST({args[0]} AS DOUBLE)"
+    wlo, whi = f"__CH_GMIN__({v})", f"__CH_GMAX__({v})"
+    wwd = f"GREATEST(({whi} - {wlo}) / {nb}.0D, 1e-12D)"
+    idx = (f"LEAST(GREATEST(CAST(FLOOR(({v} - {wlo}) / {wwd}) "
            f"AS INT), 0), {nb - 1})")
-    body = (f"TRANSFORM(SEQUENCE(0, {nb - 1}), __hb -> NAMED_STRUCT("
-            f"'lo', __v.lo + __hb * __v.wd, "
-            f"'hi', __v.lo + (__hb + 1) * __v.wd, "
-            f"'cnt', CAST(SIZE(FILTER(__v.l, "
-            f"__he -> {idx} = __hb)) AS BIGINT)))")
-    return _bind_once(
-        {"l": l, "lo": f"ARRAY_MIN({l})",
-         "wd": (f"GREATEST((ARRAY_MAX({l}) - ARRAY_MIN({l})) "
-                f"/ {nb}.0D, 1e-12D)")},
-        body)
+    cnts = ", ".join(
+        f"COALESCE(SUM(CASE WHEN {idx} = {b} THEN 1L END), 0L)"
+        for b in range(nb))
+    body = _bind_once(
+        {"lo": f"MIN({v})",
+         "wd": f"GREATEST((MAX({v}) - MIN({v})) / {nb}.0D, 1e-12D)",
+         "cs": f"ARRAY({cnts})"},
+        f"TRANSFORM(SEQUENCE(0, {nb - 1}), __hb -> NAMED_STRUCT("
+        f"'lo', __v.lo + __hb * __v.wd, "
+        f"'hi', __v.lo + (__hb + 1) * __v.wd, "
+        f"'cnt', ELEMENT_AT(__v.cs, __hb + 1)))")
+    return body
 
 
 def _sparkbar_tpl(params: list[str], args: list[str]) -> str:
@@ -2019,10 +2032,18 @@ def _quantile_pick_tpl(params: list[str], args: list[str],
     values — same pick as operators/aggregates.quantile_exact_pick."""
     q = float(params[0])
     f = "CEIL" if high else "FLOOR"
-    return _bind_once(
-        {"sl": f"ARRAY_SORT(COLLECT_LIST(CAST({args[0]} AS DOUBLE)))"},
-        f"ELEMENT_AT(__v.sl, CAST({f}({q!r} * (SIZE(__v.sl) - 1)) "
-        f"AS INT) + 1)")
+    # round 13, ARRAY-FREE: the sorted position rides a ROW_NUMBER
+    # window (ties ordered arbitrarily — the VALUE at a position is
+    # order-invariant), the group size a COUNT window; the pick is one
+    # conditional MIN
+    v = f"CAST({args[0]} AS DOUBLE)"
+    # NULLS LAST in the position order so non-null rows keep the
+    # collect-and-skip positions the old fold used
+    rn = f"__CH_GRNUM__(({v}) IS NULL, {v})"
+    nn = f"__CH_GNNC__({v})"
+    return (f"MIN(CASE WHEN ({v}) IS NOT NULL AND {rn} = "
+            f"CAST({f}({q!r} * ({nn} - 1)) AS INT) + 1 "
+            f"THEN {v} END)")
 
 
 def _lttb_tpl(params: list[str], args: list[str]) -> str:
@@ -8159,9 +8180,9 @@ def _enclosing_open(masked: str, pos: int) -> int:
 
 
 _GMAX_MARK = re.compile(
-    r"__CH_G(?:MAX|CNT|NNC|ROWS|RNK|CUM|SUMBY)__\s*\(")
+    r"__CH_G(?:MAX|MIN|CNT|NNC|ROWS|RNK|RNUM|CUM|SUMBY|LAG)__\s*\(")
 _GMAX_KIND = re.compile(
-    r"__CH_G(MAX|CNT|NNC|ROWS|RNK|CUM|SUMBY)__\s*\(")
+    r"__CH_G(MAX|MIN|CNT|NNC|ROWS|RNK|RNUM|CUM|SUMBY|LAG)__\s*\(")
 
 
 def _gwin_expr(kind: str, tx: str, part: str) -> str:
@@ -8185,14 +8206,24 @@ def _gwin_expr(kind: str, tx: str, part: str) -> str:
     if kind == "RNK":
         pb = f"PARTITION BY {part} " if part else ""
         return f"RANK() OVER ({pb}ORDER BY {tx})"
+    if kind == "RNUM":
+        pb = f"PARTITION BY {part} " if part else ""
+        return f"ROW_NUMBER() OVER ({pb}ORDER BY {tx})"
     if kind == "CUM":
         e, s = _split_args(tx)
         pb = f"PARTITION BY {part} " if part else ""
         return (f"SUM({s}) OVER ({pb}ORDER BY {e} RANGE BETWEEN "
                 f"UNBOUNDED PRECEDING AND CURRENT ROW)")
+    if kind == "LAG":
+        parts = _split_args(tx)
+        e, order = parts[0], ", ".join(parts[1:])
+        pb = f"PARTITION BY {part} " if part else ""
+        return f"LAG({e}) OVER ({pb}ORDER BY {order})"
     over = f"OVER (PARTITION BY {part})" if part else "OVER ()"
     if kind == "MAX":
         return f"MAX({tx}) {over}"
+    if kind == "MIN":
+        return f"MIN({tx}) {over}"
     if kind == "NNC":
         return f"COUNT({tx}) {over}"
     return f"COUNT(*) {over}"

@@ -33,8 +33,9 @@ SCALE = 100
 FOLD_SQL = """
 SELECT g,
        welchTTest(v, b) AS wt,
-       quantileExactWeighted(0.5)(v, w) AS qew,
-       quantilesExactWeighted(0.25, 0.75)(v, w) AS qsew
+       maxIntersections(v, v + 3.0) AS mi,
+       sparkbar(8)(k4, v) AS sb,
+       largestTriangleThreeBuckets(20)(t, v) AS lt
 FROM folds_src GROUP BY g
 """
 
@@ -54,7 +55,12 @@ SELECT g,
        mannWhitneyUTest(v, b) AS mw,
        kolmogorovSmirnovTest(v, b) AS ks,
        rankCorr(v, v + b) AS rc,
-       analysisOfVariance(v, k4) AS av
+       analysisOfVariance(v, k4) AS av,
+       quantileExactWeighted(0.5)(v, w) AS qew,
+       quantilesExactWeighted(0.25, 0.75)(v, w) AS qsew,
+       quantileExactLow(0.5)(v) AS qlo,
+       histogram(4)(v) AS hist,
+       deltaSumTimestamp(v, t) AS dst
 FROM folds_src GROUP BY g
 """
 
@@ -108,12 +114,12 @@ def main() -> None:
     print(f"| fold family batch | {GROUPS}x{BASE_ROWS} | "
           f"{GROUPS}x{BASE_ROWS * SCALE} | ratio |")
     print("|---|---|---|---|")
-    print(f"| welch+weighted-quantiles (collect folds) "
+    print(f"| welch+maxIntersections+sparkbar+LTTB (remaining collects) "
           f"| {t_base:.2f}s | {t_big:.2f}s | {t_big / t_base:.1f}x |",
           flush=True)
     c_base = time_folds(spark, "folds_base", CNT_SQL)
     c_big = time_folds(spark, "folds_big", CNT_SQL)
-    print(f"| entropy+cramersV+theilsU+contingency+MW+KS+rankCorr+ANOVA (r13 window path) "
+    print(f"| 13-stat window-path batch (r13) "
           f"| {c_base:.2f}s | {c_big:.2f}s | {c_big / c_base:.1f}x |",
           flush=True)
     e_base = time_folds(spark, "folds_base", EMA_SQL)
