@@ -129,6 +129,15 @@ _SINGLE_PARTITION_ALLOWED = {
     "ann_recall_gate",
     "ann_tuned_recall_gate",
     "ann_scaled_recall_gate",
+    # UNGROUPED order-statistic aggregates (rankCorr / deltaSum /
+    # weighted quantiles over the whole relation, round 13): the
+    # injected rank/lag/cum windows partition by the GROUP BY keys,
+    # and with no keys the total order inherently serializes — same
+    # data motion as the old collect-fold's single final reducer, but
+    # SPILLABLE (no per-group array). Grouped forms partition fine
+    # (pinned by the other plan tests); the distributed global-rank
+    # path for whole-table scale is operators/grank.py.
+    "ch_sql_stats_aggregates_r9",
 }
 
 
