@@ -892,20 +892,25 @@ WITH m AS (
   WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
 SELECT user_id,
-       list(mv_sum ORDER BY ts, event_id) AS moving_sums,
-       list(mv_avg ORDER BY ts, event_id) AS moving_avgs
+       to_json(list_transform(list(mv_sum ORDER BY ts, event_id),
+                              x -> printf('%.6f', x + 0.0))) AS moving_sums,
+       to_json(list_transform(list(mv_avg ORDER BY ts, event_id),
+                              x -> printf('%.6f', x + 0.0))) AS moving_avgs
 FROM m GROUP BY user_id
 """)
 def agg_group_array_moving(spark, sf):
     """groupArrayMovingSum(3) + groupArrayMovingAvg(3) of event value per
     user (reference AggregateFunctionGroupArrayMoving.h): one window pass
-    each, deterministic array order via sorted (ts, event_id) structs."""
+    each, deterministic array order via sorted (ts, event_id) structs.
+    Arrays emitted as %.6f-JSON strings (shapes.py driver-gate note)."""
+    from clickhouse_clickhouse_spark.shapes import json_double_arrays
     ev = load_table(spark, sf, "events").filter(F.col("user_id") < 8)
     sums = group_array_moving(ev, ["user_id"], ["ts", "event_id"],
                               "value", 3, kind="sum")
     avgs = group_array_moving(ev, ["user_id"], ["ts", "event_id"],
                               "value", 3, kind="avg")
-    return sums.join(avgs, "user_id")
+    return json_double_arrays(sums.join(avgs, "user_id"),
+                              "moving_sums", "moving_avgs")
 
 
 @register("agg_uniq_merge_two_phase", oracle="""
@@ -1089,15 +1094,19 @@ WITH x AS (
   FROM embeddings, (SELECT unnest(generate_series(1, 8)) AS i) g
   GROUP BY label, i)
 SELECT label,
-       list(s ORDER BY i) AS sum_foreach,
-       list(m ORDER BY i) AS avg_foreach
+       to_json(list_transform(list(s ORDER BY i),
+                              x -> printf('%.6f', x + 0.0))) AS sum_foreach,
+       to_json(list_transform(list(m ORDER BY i),
+                              x -> printf('%.6f', x + 0.0))) AS avg_foreach
 FROM x GROUP BY label
 """)
 def agg_sum_foreach(spark, sf):
     """-ForEach combinator (reference sumForEach/avgForEach,
     Combinators/AggregateFunctionForEach.h): element-wise aggregation
     across rows of array columns — posexplode + per-position hash-agg +
-    ordered reassembly (first 8 dims of the embedding)."""
+    ordered reassembly (first 8 dims of the embedding). Arrays emitted
+    as %.6f-JSON strings (shapes.py driver-gate note)."""
+    from clickhouse_clickhouse_spark.shapes import json_double_arrays
     e = load_table(spark, sf, "embeddings")
     per_pos = (e.select("label", F.posexplode(F.slice("embedding", 1, 8))
                         .alias("i", "v"))
@@ -1105,9 +1114,10 @@ def agg_sum_foreach(spark, sf):
                .agg(F.round(F.sum(F.col("v").cast("double")), 6).alias("s"),
                     F.round(F.avg(F.col("v").cast("double")), 6).alias("m")))
     packed = F.array_sort(F.collect_list(F.struct("i", "s", "m")))
-    return (per_pos.groupBy("label")
-            .agg(F.transform(packed, lambda t: t["s"]).alias("sum_foreach"),
-                 F.transform(packed, lambda t: t["m"]).alias("avg_foreach")))
+    out = (per_pos.groupBy("label")
+           .agg(F.transform(packed, lambda t: t["s"]).alias("sum_foreach"),
+                F.transform(packed, lambda t: t["m"]).alias("avg_foreach")))
+    return json_double_arrays(out, "sum_foreach", "avg_foreach")
 
 
 @register("agg_avg_map", oracle="""
@@ -1309,12 +1319,13 @@ folded AS (
   SELECT lang, list_sort(list_reduce(list(toks), (x, y) -> list_intersect(x, y)))
            AS common
   FROM g GROUP BY lang)
-SELECT lang, common FROM folded
+SELECT lang, to_json(common) AS common FROM folded
 """)
 def agg_group_array_intersect(spark, sf):
     """groupArrayIntersect: tokens common to EVERY document of a
     language (operators/aggregates.group_array_intersect — collect +
-    array_intersect fold, one hash aggregation)."""
+    array_intersect fold, one hash aggregation). Array emitted as a
+    JSON string (shapes.py driver-gate note)."""
     from clickhouse_clickhouse_spark.functions.text import tokens
     from clickhouse_clickhouse_spark.operators.aggregates import (
         group_array_intersect,
@@ -1325,7 +1336,9 @@ def agg_group_array_intersect(spark, sf):
          .select("lang",
                  F.array_distinct(tokens(F.lower(F.col("text"))))
                  .alias("toks")))
-    return group_array_intersect(d, ["lang"], "toks", out="common")
+    from clickhouse_clickhouse_spark.shapes import json_arrays
+    return json_arrays(
+        group_array_intersect(d, ["lang"], "toks", out="common"), "common")
 
 
 @register("agg_group_array_insert_at", oracle="""
@@ -1335,27 +1348,32 @@ WITH slot AS (
   FROM lineitem WHERE l_orderkey < 40 AND l_linenumber <= 4
   GROUP BY 1, 2)
 SELECT l_orderkey,
-       [coalesce(min(CASE WHEN k = 0 THEN v END), -1.0),
-        coalesce(min(CASE WHEN k = 1 THEN v END), -1.0),
-        coalesce(min(CASE WHEN k = 2 THEN v END), -1.0),
-        coalesce(min(CASE WHEN k = 3 THEN v END), -1.0)] AS arr
+       to_json(list_transform(
+         [coalesce(min(CASE WHEN k = 0 THEN v END), -1.0),
+          coalesce(min(CASE WHEN k = 1 THEN v END), -1.0),
+          coalesce(min(CASE WHEN k = 2 THEN v END), -1.0),
+          coalesce(min(CASE WHEN k = 3 THEN v END), -1.0)],
+         x -> printf('%.6f', x + 0.0))) AS arr
 FROM slot GROUP BY l_orderkey
 """)
 def agg_group_array_insert_at(spark, sf):
     """groupArrayInsertAt: position-addressed array assembly per group
     (operators/aggregates.group_array_insert_at) — line quantities slotted
-    by line number, -1 default for missing slots."""
+    by line number, -1 default for missing slots. Array emitted as a
+    %.6f-JSON string (shapes.py driver-gate note)."""
     from clickhouse_clickhouse_spark.operators.aggregates import (
         group_array_insert_at,
     )
+    from clickhouse_clickhouse_spark.shapes import json_double_arrays
 
     li = (load_table(spark, sf, "lineitem")
           .filter((F.col("l_orderkey") < 40) & (F.col("l_linenumber") <= 4))
           .select("l_orderkey",
                   (F.col("l_linenumber") - 1).cast("int").alias("slot"),
                   F.col("l_quantity")))
-    return group_array_insert_at(li, ["l_orderkey"], "l_quantity", "slot",
-                                 size=4, default=-1.0)
+    out = group_array_insert_at(li, ["l_orderkey"], "l_quantity", "slot",
+                                size=4, default=-1.0)
+    return json_double_arrays(out, "arr")
 
 
 @register("agg_sparkbar", oracle="""
@@ -1624,15 +1642,20 @@ def ab_sample_size_gate(spark, sf):
 
 @register("ch_dialect_demo10", oracle="""
 SELECT CAST(n_regionkey AS BIGINT) AS r,
-       [CAST(sum(n_nationkey) AS BIGINT), CAST(sum(n_regionkey) AS BIGINT),
-        CAST(sum(n_nationkey % 5) AS BIGINT)] AS s,
-       [count(*), count(*), count(*)] AS c,
-       [CAST(min(n_nationkey) AS BIGINT), CAST(min(n_regionkey) AS BIGINT),
-        CAST(min(n_nationkey % 5) AS BIGINT)] AS mn,
-       [CAST(max(n_nationkey) AS BIGINT), CAST(max(n_regionkey) AS BIGINT),
-        CAST(max(n_nationkey % 5) AS BIGINT)] AS mx,
-       [round(avg(n_nationkey), 6), round(avg(n_regionkey), 6),
-        round(avg(n_nationkey % 5), 6)] AS av,
+       to_json([CAST(sum(n_nationkey) AS BIGINT),
+                CAST(sum(n_regionkey) AS BIGINT),
+                CAST(sum(n_nationkey % 5) AS BIGINT)]) AS s,
+       to_json([count(*), count(*), count(*)]) AS c,
+       to_json([CAST(min(n_nationkey) AS BIGINT),
+                CAST(min(n_regionkey) AS BIGINT),
+                CAST(min(n_nationkey % 5) AS BIGINT)]) AS mn,
+       to_json([CAST(max(n_nationkey) AS BIGINT),
+                CAST(max(n_regionkey) AS BIGINT),
+                CAST(max(n_nationkey % 5) AS BIGINT)]) AS mx,
+       to_json(list_transform(
+         [round(avg(n_nationkey), 6), round(avg(n_regionkey), 6),
+          round(avg(n_nationkey % 5), 6)],
+         x -> printf('%.6f', x + 0.0))) AS av,
        CAST(sum(n_nationkey) AS BIGINT) AS so,
        CAST(NULL AS BIGINT) AS co
 FROM nation GROUP BY n_regionkey
@@ -1644,11 +1667,15 @@ def ch_dialect_demo10(spark, sf):
     fold with null-padding zip, ragged arrays extend like the
     reference) and -OrNull (NULL when nothing aggregated). The DuckDB
     oracle replays the fixed-width case element-by-element; ragged /
-    null-element behavior is pinned in tests/test_ch_sql.py."""
+    null-element behavior is pinned in tests/test_ch_sql.py. Array
+    outputs emitted as JSON strings (shapes.py driver-gate note)."""
     from clickhouse_clickhouse_spark.ch_sql import ch_sql
+    from clickhouse_clickhouse_spark.shapes import (
+        json_arrays, json_double_arrays,
+    )
 
     load_table(spark, sf, "nation").createOrReplaceTempView("nation")
-    return ch_sql(spark, """
+    out = ch_sql(spark, """
         SELECT toInt64(n_regionkey) AS r,
                arrayMap(__x -> toInt64(__x),
                         sumForEach([n_nationkey, n_regionkey,
@@ -1667,6 +1694,7 @@ def ch_dialect_demo10(spark, sf):
                toInt64(sumOrNull(n_nationkey)) AS so,
                countOrNull(if(n_nationkey < 0, 1, NULL)) AS co
         FROM nation GROUP BY r""")
+    return json_arrays(json_double_arrays(out, "av"), "s", "c", "mn", "mx")
 
 
 @register("ch_dialect_demo11", oracle="""
@@ -1731,11 +1759,11 @@ SELECT CAST(m.r AS BIGINT) AS r,
             AS BIGINT) AS cio,
        CAST(sum(DISTINCT CASE WHEN n > 1 THEN n % 5 END)
             AS BIGINT) AS sdi,
-       [CAST(sum(CASE WHEN n % 2 = 0 THEN n END) AS BIGINT),
-        CAST(sum(CASE WHEN n % 2 = 0 THEN m.r * 2 END) AS BIGINT)]
+       to_json([CAST(sum(CASE WHEN n % 2 = 0 THEN n END) AS BIGINT),
+                CAST(sum(CASE WHEN n % 2 = 0 THEN m.r * 2 END) AS BIGINT)])
          AS sfe,
-       any_value(mm.smk) AS smk,
-       any_value(mm.smv) AS smv
+       to_json(any_value(mm.smk)) AS smk,
+       to_json(any_value(mm.smv)) AS smv
 FROM m
 LEFT JOIN mm ON mm.r = m.r
 LEFT JOIN ue ON ue.r = m.r
@@ -1751,11 +1779,13 @@ def agg_combinator_stack(spark, sf):
     key-sorted, emitted as keys/values arrays). The DuckDB oracle
     replays each through independent unnest/CASE algebra: the map and
     uniqExactArray replays unnest in their own CTEs (joined back per
-    group) so the main aggregate never sees duplicated rows."""
+    group) so the main aggregate never sees duplicated rows. Array
+    outputs emitted as JSON strings (shapes.py driver-gate note)."""
     from clickhouse_clickhouse_spark.ch_sql import ch_sql
+    from clickhouse_clickhouse_spark.shapes import json_arrays
 
     load_table(spark, sf, "nation").createOrReplaceTempView("nation")
-    return ch_sql(spark, """
+    return json_arrays(ch_sql(spark, """
         SELECT toInt64(n_regionkey) AS r,
                toInt64(sumArrayIf([n_nationkey, n_nationkey % 7],
                                   n_nationkey % 2 = 0)) AS sai,
@@ -1779,7 +1809,7 @@ def agg_combinator_stack(spark, sf):
                                 concat('g', toString(n_nationkey % 2)),
                                 n_nationkey),
                             n_nationkey > 0))) AS smv
-        FROM nation GROUP BY r""")
+        FROM nation GROUP BY r"""), "sfe", "smk", "smv")
 
 
 @register("agg_parametric_if", oracle="""
@@ -1798,8 +1828,8 @@ SELECT CAST(m.r AS BIGINT) AS r,
              FILTER (n % 2 = 0), 6) AS q,
        CAST(least(count(DISTINCT CASE WHEN n > 10 THEN n % 7 END), 4)
             AS BIGINT) AS u,
-       any_value(tk.topk) AS topk,
-       coalesce(any_value(tw.topw), CAST([] AS BIGINT[])) AS topw
+       to_json(any_value(tk.topk)) AS topk,
+       to_json(coalesce(any_value(tw.topw), CAST([] AS BIGINT[]))) AS topw
 FROM m
 LEFT JOIN tk ON tk.r = m.r
 LEFT JOIN tw ON tw.r = m.r
@@ -1812,11 +1842,13 @@ def agg_parametric_if(spark, sf):
     exact topK / topKWeighted templates (the old MAP()-seed fold never
     type-checked and MAP_FROM_ARRAYS threw on duplicate values). Ties
     break on the value; DuckDB replays via count/weight-ordered list
-    slices."""
+    slices. Array outputs emitted as JSON strings (shapes.py
+    driver-gate note)."""
     from clickhouse_clickhouse_spark.ch_sql import ch_sql
+    from clickhouse_clickhouse_spark.shapes import json_arrays
 
     load_table(spark, sf, "nation").createOrReplaceTempView("nation")
-    return ch_sql(spark, """
+    return json_arrays(ch_sql(spark, """
         SELECT toInt64(n_regionkey) AS r,
                round(quantileExactIf(0.5)(toFloat64(n_nationkey),
                                           n_nationkey % 2 = 0), 6) AS q,
@@ -1826,7 +1858,7 @@ def agg_parametric_if(spark, sf):
                arrayMap(__x -> toInt64(__x),
                         topKWeightedIf(2)(n_nationkey % 4, n_nationkey,
                                           n_nationkey > 2)) AS topw
-        FROM nation GROUP BY r""")
+        FROM nation GROUP BY r"""), "topk", "topw")
 
 
 @register("ch_sql_state_merge", oracle="""

@@ -434,26 +434,29 @@ def ch_sql_window_funnel(spark, sf):
 
 @register("ch_sql_retention", oracle="""
 SELECT user_id,
+       to_json(
        [CAST(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS INT),
         CAST(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
              * max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS INT),
         CAST(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
              * max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-             AS INT)] AS r
+             AS INT)]) AS r
 FROM events GROUP BY user_id
 """)
 def ch_sql_retention(spark, sf):
     """``retention(cond...)`` as dialect SQL ([U]
     AggregateFunctionRetention.h): r1 = cond1 met, rk = cond1 AND
-    condk met on any rows — one hash aggregate."""
+    condk met on any rows — one hash aggregate. Array output emitted
+    as a JSON string (shapes.py driver-gate note)."""
     from clickhouse_clickhouse_spark.ch_sql import ch_sql
+    from clickhouse_clickhouse_spark.shapes import json_arrays
 
     load_table(spark, sf, "events").createOrReplaceTempView("events")
-    return ch_sql(spark, """
+    return json_arrays(ch_sql(spark, """
         SELECT user_id, retention(event_type == 'view',
                                   event_type == 'click',
                                   event_type == 'purchase') AS r
-        FROM events GROUP BY user_id""")
+        FROM events GROUP BY user_id"""), "r")
 
 
 @register("ch_sql_sequence_count", oracle="""

@@ -317,10 +317,10 @@ def format_msgpack_roundtrip(spark, sf):
 
 @register("format_uint64_full_range", oracle="""
 SELECT CAST(n_nationkey AS BIGINT) AS k,
-       CAST(CAST('9223372036854775808' AS DECIMAL(20,0))
+       CAST(CAST(CAST('9223372036854775808' AS DECIMAL(20,0))
             + CAST(n_nationkey AS DECIMAL(20,0))
               * CAST('368934881474191032' AS DECIMAL(20,0))
-            AS DECIMAL(20,0)) AS u64
+            AS DECIMAL(20,0)) AS VARCHAR) AS u64
 FROM nation
 """)
 def format_uint64_full_range(spark, sf):
@@ -354,4 +354,9 @@ def format_uint64_full_range(spark, sf):
     mp = msgpack_decode(msgpack_encode(n), "k bigint, u64 decimal(20,0)")
     schema = ch_schema_to_struct("k Int64, u64 UInt64",
                                  uint64_as_decimal=True)
-    return rowbinary_decode(rowbinary_encode(mp), schema)
+    out = rowbinary_decode(rowbinary_encode(mp), schema)
+    # Emit the survivors as decimal STRINGS: full-range UInt64 exceeds
+    # float64's mantissa, and the driver gate hashes Spark Decimal
+    # objects differently from DuckDB's float64 DECIMAL lowering
+    # (round-13 finding; shapes.py driver-gate note).
+    return out.withColumn("u64", F.col("u64").cast("string"))

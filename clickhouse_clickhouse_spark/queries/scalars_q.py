@@ -1087,13 +1087,14 @@ def ch_dialect_demo2(spark, sf):
 
 @register("ch_dialect_demo3", oracle="""
 SELECT p_partkey,
-       list_reverse(list_transform(generate_series(1, cast(p_partkey % 4 AS INT) + 1),
-                                   x -> cast(x - 1 AS BIGINT))) AS rev,
-       list_transform(generate_series(1, cast(p_partkey % 4 AS INT)),
-                      x -> cast(x - 1 AS BIGINT)) AS popped,
-       [cast(1 AS INT), cast(2 AS INT), cast(1 AS INT)] AS dense_demo,
-       [1, 2, 1] AS uniq_demo,
-       CASE WHEN p_partkey % 2 = 0 THEN [1, 3, 1] ELSE [1, 3] END
+       to_json(list_reverse(list_transform(
+         generate_series(1, cast(p_partkey % 4 AS INT) + 1),
+         x -> cast(x - 1 AS BIGINT)))) AS rev,
+       to_json(list_transform(generate_series(1, cast(p_partkey % 4 AS INT)),
+                              x -> cast(x - 1 AS BIGINT))) AS popped,
+       to_json([cast(1 AS INT), cast(2 AS INT), cast(1 AS INT)]) AS dense_demo,
+       to_json([1, 2, 1]) AS uniq_demo,
+       to_json(CASE WHEN p_partkey % 2 = 0 THEN [1, 3, 1] ELSE [1, 3] END)
          AS compact,
        strftime(last_day(DATE '1995-01-01' + cast(p_partkey % 365 AS INT)),
                 '%Y-%m-%d') AS last_dom_probe,
@@ -1130,14 +1131,16 @@ def ch_dialect_demo3(spark, sf):
     1000-based readable sizes, substring/regex counting, finiteness
     predicates, multi-position bit tests. The dense/uniq enumerations
     are pinned on a constant array so the oracle row is
-    value-transparent."""
+    value-transparent. Array outputs emitted as JSON strings (shapes.py
+    driver-gate note)."""
     from clickhouse_clickhouse_spark import ch_functions as ch
+    from clickhouse_clickhouse_spark.shapes import json_arrays
 
     p = load_table(spark, sf, "part")
     k = F.col("p_partkey")
     d = F.date_add(F.lit("1995-01-01").cast("date"), (k % 365).cast("int"))
     inf_or_1 = F.when(k % 2 == 0, F.lit(float("inf"))).otherwise(F.lit(1.0))
-    return p.select(
+    out = p.select(
         "p_partkey",
         ch.arrayReverse(ch.range_((k % 4) + 1)).alias("rev"),
         ch.arrayPopBack(ch.range_((k % 4) + 1)).alias("popped"),
@@ -1163,14 +1166,16 @@ def ch_dialect_demo3(spark, sf):
                        .otherwise(F.lit(1.0)), F.lit(-1.0)).alias("fallback"),
         ch.bitTestAny(k, 0, 1).alias("bit_any"),
         ch.bitTestAll(k, 0, 2).alias("bit_all"))
+    return json_arrays(out, "rev", "popped", "dense_demo", "uniq_demo",
+                       "compact")
 
 
 @register("ch_dialect_demo4", oracle="""
 SELECT n_nationkey,
        array_to_string(string_split(n_name, '_'), '-') AS joined,
-       list_reverse(list_transform(
+       to_json(list_reverse(list_transform(
            generate_series(1, cast(n_nationkey % 3 AS INT) + 1),
-           x -> cast(x - 1 AS BIGINT))) AS rev,
+           x -> cast(x - 1 AS BIGINT)))) AS rev,
        strftime(TIMESTAMP '1995-06-15 10:00:00' + INTERVAL 5 HOUR,
                 '%Y-%m-%d %H:%M:%S') AS t5,
        monthname(DATE '1995-06-15') AS mn,
@@ -1184,11 +1189,13 @@ def ch_dialect_demo4(spark, sf):
     """Round-2c names through the SQL front end (the _FUNCS mirrors,
     oracle-gated rather than pytest-only): splitByString, guarded
     range, arrayReverse, interval add, month name, trim, initcap,
-    regex counting, finiteness."""
+    regex counting, finiteness. Array output emitted as a JSON string
+    (shapes.py driver-gate note)."""
     from clickhouse_clickhouse_spark.ch_sql import ch_sql
+    from clickhouse_clickhouse_spark.shapes import json_arrays
 
     load_table(spark, sf, "nation").createOrReplaceTempView("nation")
-    return ch_sql(spark, """
+    return json_arrays(ch_sql(spark, """
         SELECT n_nationkey,
                arrayStringConcat(splitByString('_', n_name), '-') AS joined,
                arrayReverse(range(toInt64(n_nationkey % 3) + 1)) AS rev,
@@ -1198,7 +1205,7 @@ def ch_dialect_demo4(spark, sf):
                initcap('hello world') AS ic,
                countMatches(n_name, '[AEIOU]') AS vowels,
                isFinite(1.0) AS fin
-        FROM nation""")
+        FROM nation"""), "rev")
 
 
 @register("format_readable_time_delta", oracle="""
@@ -1243,9 +1250,9 @@ def format_readable_time_delta(spark, sf):
 
 @register("ch_dialect_demo5", oracle=r"""
 SELECT n_nationkey AS k,
-       string_split_regex(n_name, '\W+') AS toks,
-       [substr(n_name, i, 3)
-        for i in generate_series(1, len(n_name) - 2)] AS ng,
+       to_json(string_split_regex(n_name, '\W+')) AS toks,
+       to_json([substr(n_name, i, 3)
+        for i in generate_series(1, len(n_name) - 2)]) AS ng,
        (contains(n_name, 'ION_1') OR contains(n_name, 'ZZZ')) AS has_any,
        translate(n_name, 'N_', 'n-') AS tr,
        CAST((len(n_name) - len(replace(n_name, 'N', ''))) AS BIGINT)
@@ -1267,11 +1274,13 @@ def ch_dialect_demo5(spark, sf):
     by the paren-matching scanner into built-in Spark expressions
     (upstream src/Functions/: FunctionsStringArray.cpp, ngrams.cpp,
     MultiSearchAnyImpl, translate.cpp, countSubstrings.cpp,
-    arrayJaccardIndex.cpp, normalizeQuery.cpp)."""
+    arrayJaccardIndex.cpp, normalizeQuery.cpp). Array outputs emitted
+    as JSON strings (shapes.py driver-gate note)."""
     from clickhouse_clickhouse_spark.ch_sql import ch_sql
+    from clickhouse_clickhouse_spark.shapes import json_arrays
 
     load_table(spark, sf, "nation").createOrReplaceTempView("nation")
-    return ch_sql(spark, """
+    return json_arrays(ch_sql(spark, """
         SELECT n_nationkey AS k,
                tokens(n_name) AS toks,
                ngrams(n_name, 3) AS ng,
@@ -1281,7 +1290,7 @@ def ch_dialect_demo5(spark, sf):
                round(arrayJaccardIndex(splitByChar('_', n_name),
                                        array('NATION', 'X')), 6) AS jac,
                normalizeQuery(concat('k = ', toString(n_nationkey))) AS nq
-        FROM nation ORDER BY k""")
+        FROM nation ORDER BY k"""), "toks", "ng")
 
 
 @register("ch_dialect_demo6", oracle="""
@@ -1296,8 +1305,8 @@ SELECT o_orderkey AS k,
        epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS ms,
        CAST(date_diff('day', DATE '0001-01-01', o_orderdate) + 366
             AS BIGINT) AS d0,
-       [CAST(strpos(o_orderpriority, 'E') AS BIGINT),
-        CAST(strpos(o_orderpriority, 'URGENT') AS BIGINT)] AS msap,
+       to_json([CAST(strpos(o_orderpriority, 'E') AS BIGINT),
+                CAST(strpos(o_orderpriority, 'URGENT') AS BIGINT)]) AS msap,
        replace(replace(replace(replace(replace(substr(o_orderpriority, 1, 20),
            '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
            '"', '&quot;'), '''', '&apos;') AS xml,
@@ -1314,11 +1323,13 @@ def ch_dialect_demo6(spark, sf):
     rewritten by the paren-matching scanner into built-in Spark
     expressions (upstream src/Functions/: widthBucket.cpp, concat.cpp,
     initcap.cpp, FunctionsConversion, toDaysSinceYearZero.cpp,
-    MultiSearchAllPositionsImpl, XMLEncode, isIPv4String)."""
+    MultiSearchAllPositionsImpl, XMLEncode, isIPv4String). Array output
+    emitted as a JSON string (shapes.py driver-gate note)."""
     from clickhouse_clickhouse_spark.ch_sql import ch_sql
+    from clickhouse_clickhouse_spark.shapes import json_arrays
 
     load_table(spark, sf, "orders").createOrReplaceTempView("orders")
-    return ch_sql(spark, """
+    return json_arrays(ch_sql(spark, """
         SELECT o_orderkey AS k,
                widthBucket(o_totalprice, 0, 600000, 10) AS wb,
                concatWithSeparator('-', o_orderstatus, o_orderpriority) AS cws,
@@ -1332,7 +1343,7 @@ def ch_dialect_demo6(spark, sf):
                isIPv4String(concat('10.0.0.',
                                    toString(o_orderkey % 300))) AS ip4
         FROM orders WHERE o_orderkey < 200 ORDER BY k
-    """)
+    """), "msap")
 
 
 @register("projection_routed_agg", oracle="""
@@ -1728,7 +1739,7 @@ WITH nodes AS (
          CAST(n_regionkey + 100 AS BIGINT) AS parent
   FROM nation)
 SELECT n.id AS k,
-       [n.id, n.parent] AS path,
+       to_json([n.id, n.parent]) AS path,
        (n.parent = 102) AS in_r2,
        true AS in_self
 FROM nodes n
@@ -1739,8 +1750,10 @@ def ch_sql_dict_hierarchy(spark, sf):
     -> root sentinel 0. The closure view builds via bounded broadcast
     self-joins (no driver collect); the path keeps the dangling root
     parent id, matching operators/dictionary.HierarchicalDictionary.
-    Oracle spells the two-level chain explicitly."""
+    Oracle spells the two-level chain explicitly. Array output emitted
+    as a JSON string (shapes.py driver-gate note)."""
     from clickhouse_clickhouse_spark.ch_sql import ch_sql, ch_statement
+    from clickhouse_clickhouse_spark.shapes import json_arrays
 
     load_table(spark, sf, "nation").createOrReplaceTempView("nation")
     load_table(spark, sf, "region").createOrReplaceTempView("region")
@@ -1757,7 +1770,7 @@ def ch_sql_dict_hierarchy(spark, sf):
         PRIMARY KEY id
         SOURCE(CLICKHOUSE(TABLE 'q_hier_src'))
         LAYOUT(HASHED())""")
-    return ch_sql(spark, """
+    return json_arrays(ch_sql(spark, """
         SELECT toInt64(n_nationkey) AS k,
                dictGetHierarchy('q_hier_dict', toInt64(n_nationkey))
                  AS path,
@@ -1765,7 +1778,7 @@ def ch_sql_dict_hierarchy(spark, sf):
                         toInt64(102)) AS in_r2,
                dictIsIn('q_hier_dict', toInt64(n_nationkey),
                         toInt64(n_nationkey)) AS in_self
-        FROM nation""")
+        FROM nation"""), "path")
 
 
 @register("ch_sql_scalar_tail_r9", oracle="""
@@ -1969,11 +1982,11 @@ SELECT k,
        regexp_escape(nm || '.*') AS rqm,
        json_valid('{"k": ' || k || '}') AS vj1,
        json_valid(nm) AS vj0,
-       CASE WHEN k % 3 = 0 THEN true WHEN k % 3 = 1 THEN false
-            ELSE NULL END AS tb,
+       CAST(CASE WHEN k % 3 = 0 THEN true WHEN k % 3 = 1 THEN false
+            ELSE NULL END AS VARCHAR) AS tb,
        '<' || nm || '&' AS dh,
        nm AS eth,
-       [[k, k + 1], [k + 1, k + 2]] AS ash,
+       to_json([[k, k + 1], [k + 1, k + 2]]) AS ash,
        '01234567-89ab-cdef-0123-456789abcdef' AS uu
 FROM (
   SELECT n_nationkey AS k, n_name AS nm,
@@ -1992,20 +2005,22 @@ def ch_sql_scalar_tail2_r10(spark, sf):
     recovers the raw name), arrayShingles, UUID string<->bytes round
     trip. mapAdd/arrayFill/arraySplit/initializeAggregation are
     battery-tested (test_round10_resolve_probe_batch2) with upstream
-    doc examples — DuckDB lacks matching natives."""
+    doc examples — DuckDB lacks matching natives. Array output emitted
+    as a JSON string (shapes.py driver-gate note)."""
     from clickhouse_clickhouse_spark.ch_sql import ch_sql
+    from clickhouse_clickhouse_spark.shapes import json_arrays
 
     load_table(spark, sf, "nation").createOrReplaceTempView("nation")
-    return ch_sql(spark, """
+    return json_arrays(ch_sql(spark, """
         SELECT n_nationkey AS k,
                halfMD5(n_name) AS hm,
                regexpQuoteMeta(concat(n_name, '.*')) AS rqm,
                isValidJSON(concat('{"k": ', toString(n_nationkey), '}'))
                    AS vj1,
                isValidJSON(n_name) AS vj0,
-               toBool(CASE WHEN n_nationkey % 3 = 0 THEN 'yes'
-                           WHEN n_nationkey % 3 = 1 THEN 'off'
-                           ELSE 'xx' END) AS tb,
+               toString(toBool(CASE WHEN n_nationkey % 3 = 0 THEN 'yes'
+                                    WHEN n_nationkey % 3 = 1 THEN 'off'
+                                    ELSE 'xx' END)) AS tb,
                decodeHTMLComponent(concat('&lt;', n_name, '&amp;'))
                    AS dh,
                extractTextFromHTML(concat('<b>', n_name,
@@ -2014,7 +2029,7 @@ def ch_sql_scalar_tail2_r10(spark, sf):
                               n_nationkey + 2], 2) AS ash,
                UUIDNumToString(UUIDStringToNum(
                    '01234567-89ab-cdef-0123-456789abcdef')) AS uu
-        FROM nation""")
+        FROM nation"""), "ash")
 
 
 @register("ch_sql_scalar_tail3_r10", oracle="""
@@ -2028,7 +2043,7 @@ SELECT o_orderkey AS k,
        round(pow(list_sum(list_transform(
            [CAST(o_orderkey % 7 AS DOUBLE), 4.0],
            x -> pow(abs(x), 3.0))), 1.0 / 3.0), 6) AS lp,
-       list_sort(list_distinct([o_orderkey % 5, o_orderkey % 3, 2]))
+       to_json(list_sort(list_distinct([o_orderkey % 5, o_orderkey % 3, 2])))
            AS au,
        [o_orderkey % 7 + 1, NULL][CAST(o_orderkey % 3 AS INT) + 1]
            AS aeo,
@@ -2044,11 +2059,14 @@ def ch_sql_scalar_tail3_r10(spark, sf):
     (ISO), toYearWeek modes 0 (week's-Sunday year) and 3 (ISO %G),
     LpNorm, arrayUnion (sorted — set semantics), arrayElementOrNull
     (out-of-bounds → NULL both engines), toUUIDOrNull/Zero. byteSwap /
-    meanZTest / WKT / tuple DIV are battery-tested with hand values."""
+    meanZTest / WKT / tuple DIV are battery-tested with hand values.
+    Array output emitted as a JSON string (shapes.py driver-gate
+    note)."""
     from clickhouse_clickhouse_spark.ch_sql import ch_sql
+    from clickhouse_clickhouse_spark.shapes import json_arrays
 
     load_table(spark, sf, "orders").createOrReplaceTempView("orders")
-    return ch_sql(spark, """
+    return json_arrays(ch_sql(spark, """
         SELECT o_orderkey AS k,
                toWeek(o_orderdate) AS w0,
                toWeek(o_orderdate, 3) AS w3,
@@ -2063,7 +2081,7 @@ def ch_sql_scalar_tail3_r10(spark, sf):
                toUUIDOrNull(CASE WHEN o_orderkey % 2 = 0
                    THEN '01234567-89AB-CDEF-0123-456789abcdef'
                    ELSE 'not-a-uuid' END) AS uu
-        FROM orders WHERE o_orderkey < 800""")
+        FROM orders WHERE o_orderkey < 800"""), "au")
 
 
 @register("ch_sql_text_codecs", oracle="""
@@ -2248,19 +2266,20 @@ SELECT event_id AS k,
        round(value * value + 4.0, 6) AS l2s,
        round(greatest(abs(value), 1.0), 6) AS li,
        true AS ha, true AS hy, true AS hs,
-       [event_id % 7, 0, 0] AS ar,
+       to_json([event_id % 7, 0, 0]) AS ar,
        1 + event_id % 10 + user_id % 10 AS cs_last,
        user_id % 100 - event_id % 100 AS ad2,
-       CASE WHEN event_id % 2 = 0 THEN [1, 0, 5] ELSE [1, 5] END AS ac,
+       to_json(CASE WHEN event_id % 2 = 0 THEN [1, 0, 5]
+               ELSE [1, 5] END) AS ac,
        bit_count(xor(event_id, user_id)) AS bh,
        trunc(value * 100) / 100 AS tr,
        'http://ex' || CAST(event_id % 10 AS VARCHAR) || '.com/p' AS cw,
        'http://x.com/?c=d' AS cp,
-       ['https://ex.com/',
+       to_json(['https://ex.com/',
         'https://ex.com/a' || CAST(event_id % 5 AS VARCHAR) || '/',
-        'https://ex.com/a' || CAST(event_id % 5 AS VARCHAR) || '/b']
+        'https://ex.com/a' || CAST(event_id % 5 AS VARCHAR) || '/b'])
            AS uh,
-       range(event_id % 4) AS rg,
+       to_json(range(event_id % 4)) AS rg,
        DATE '2020-01-31'
            + to_months(CAST(3 * (event_id % 8) AS INT)) AS aq
 FROM events
@@ -2273,11 +2292,13 @@ def ch_sql_round10_tail5(spark, sf):
     bitHammingDistance, truncate, cutWWW/cutURLParameter/URLHierarchy
     (upstream docs examples pinned in the pytest battery), multi-arg
     range, addQuarters. Upstream [U] src/Functions/{tupleArithmetic,
-    array/*, bitHammingDistance, URL/*}."""
+    array/*, bitHammingDistance, URL/*}. Array outputs emitted as JSON
+    strings (shapes.py driver-gate note)."""
     from clickhouse_clickhouse_spark.ch_sql import ch_sql
+    from clickhouse_clickhouse_spark.shapes import json_arrays
 
     load_table(spark, sf, "events").createOrReplaceTempView("events")
-    return ch_sql(spark, """
+    return json_arrays(ch_sql(spark, """
         SELECT event_id AS k,
                tupleDivide((value, value * 2), (2, 4))._1 AS td1,
                tupleMultiplyByNumber((event_id, user_id), 3)._2 AS tm2,
@@ -2310,7 +2331,7 @@ def ch_sql_round10_tail5(spark, sf):
                range(event_id % 4) AS rg,
                toDateTime(addQuarters(DATE'2020-01-31', event_id % 8))
                    AS aq
-        FROM events""")
+        FROM events"""), "ar", "ac", "uh", "rg")
 
 
 @register("ch_sql_round10_tail6", oracle="""
@@ -2331,7 +2352,7 @@ SELECT event_id AS k,
             ELSE 'a.b.c' END AS si,
        TIMESTAMP '2020-02-29 10:11:00'
            + to_seconds(CAST(event_id % 60 AS INT)) AS mdt,
-       CAST(event_id * 1000000 AS DECIMAL(38, 0)) AS i128
+       CAST(CAST(event_id * 1000000 AS DECIMAL(38, 0)) AS VARCHAR) AS i128
 FROM (SELECT *,
              CAST(1 + event_id % 5 AS DOUBLE) AS na,
              CAST(1 + user_id % 3 AS DOUBLE) AS nb,
@@ -2345,7 +2366,11 @@ def ch_sql_round10_tail6(spark, sf):
     divideOrNull/isZeroOrNull, caseWithExpression, dateTrunc/addDate/
     subDate, bitShiftLeft, substringIndexUTF8, makeDateTime64,
     Int128 → DECIMAL(38,0). crc64/toBFloat16 are pytest-pinned to
-    external vectors (CRC-64/XZ check value; bfloat16 rounding)."""
+    external vectors (CRC-64/XZ check value; bfloat16 rounding).
+    The i128 column is emitted as its decimal STRING rendering: the
+    driver gate hashes Spark's ``Decimal`` objects differently from
+    DuckDB's float64 lowering (round-13 hash mismatch), and doubles
+    can't hold the full Int128 range — strings preserve it exactly."""
     from clickhouse_clickhouse_spark.ch_sql import ch_sql
 
     load_table(spark, sf, "events").createOrReplaceTempView("events")
@@ -2365,7 +2390,7 @@ def ch_sql_round10_tail6(spark, sf):
                substringIndexUTF8('a.b.c', '.',
                                   CAST(1 + event_id % 3 AS Int32)) AS si,
                makeDateTime64(2020, 2, 29, 10, 11, event_id % 60) AS mdt,
-               toInt128(event_id * 1000000) AS i128
+               toString(toInt128(event_id * 1000000)) AS i128
         FROM (SELECT *,
                      concat(repeat('a', CAST(1 + event_id % 5 AS Int32)),
                             repeat('b', CAST(1 + user_id % 3 AS Int32)))
@@ -2375,19 +2400,19 @@ def ch_sql_round10_tail6(spark, sf):
 
 @register("ch_sql_round10_bitmaps", oracle="""
 SELECT event_id AS k,
-       list_sort(list_distinct([1, 2, CAST(event_id % 5 AS BIGINT)]))
+       to_json(list_sort(list_distinct([1, 2, CAST(event_id % 5 AS BIGINT)])))
            AS bb,
        CAST(len(list_intersect(
            list_distinct([1, 2, CAST(event_id % 5 AS BIGINT)]),
            [2, 3])) AS BIGINT) AS bac,
-       list_sort(list_distinct([1, 2, CAST(event_id % 5 AS BIGINT),
-                                3])) AS bor,
+       to_json(list_sort(list_distinct([1, 2, CAST(event_id % 5 AS BIGINT),
+                                        3]))) AS bor,
        list_contains(list_distinct([1, 2,
            CAST(event_id % 5 AS BIGINT)]), 2) AS bc,
        CAST(CASE event_id % 5 WHEN 0 THEN 0 WHEN 3 THEN 2
                  WHEN 4 THEN 3 ELSE 1 END AS BIGINT) AS bmin,
-       list_sort(list_filter(list_distinct([1, 2,
-           CAST(event_id % 5 AS BIGINT)]), x -> x >= 2)) AS bsir,
+       to_json(list_sort(list_filter(list_distinct([1, 2,
+           CAST(event_id % 5 AS BIGINT)]), x -> x >= 2))) AS bsir,
        round(value * 2, 6) AS w_med,
        user_id AS sm
 FROM events
@@ -2399,11 +2424,13 @@ def ch_sql_round10_bitmaps(spark, sf):
     FunctionsBitmap.h), quantileTDigestWeighted (exact weighted pick —
     inside the upstream sketch's accuracy envelope), and sumMap's
     two-array spelling (per-group sum keyed by constant 1 replayed as
-    user_id*2 via a 2-row group)."""
+    user_id*2 via a 2-row group). Array outputs emitted as JSON strings
+    (shapes.py driver-gate note)."""
     from clickhouse_clickhouse_spark.ch_sql import ch_sql
+    from clickhouse_clickhouse_spark.shapes import json_arrays
 
     load_table(spark, sf, "events").createOrReplaceTempView("events")
-    return ch_sql(spark, """
+    return json_arrays(ch_sql(spark, """
         SELECT event_id AS k,
                bitmapBuild(array(1, 2, event_id % 5)) AS bb,
                bitmapAndCardinality(bitmapBuild(array(1, 2,
@@ -2422,7 +2449,7 @@ def ch_sql_round10_bitmaps(spark, sf):
                    AS w_med,
                mapValues(sumMap(array(1), array(user_id)))[1] AS sm
         FROM events
-        GROUP BY event_id, value, user_id""")
+        GROUP BY event_id, value, user_id"""), "bb", "bor", "bsir")
 
 
 @register("ch_sql_round10_stmt_tail", oracle="""
@@ -2607,7 +2634,7 @@ def ch_sql_pr_auc(spark, sf):
 
 @register("ch_sql_round11_batch7", oracle="""
 SELECT r_regionkey,
-       regexp_extract_all('a1b2c3', '(\\d)', 1)     AS rea,
+       to_json(regexp_extract_all('a1b2c3', '(\\d)', 1)) AS rea,
        greatest(1, least(r_regionkey + 10, 3))      AS cl,
        CAST(((DATE '2024-02-15' - DATE '1970-01-01') + 7
              - (isodow(DATE '2024-02-15') - 1)) // 7 AS INT)
@@ -2625,12 +2652,14 @@ def ch_sql_round11_batch7(spark, sf):
     toRelativeWeekNum (duck isodow arithmetic — independent
     construction of the Monday-start epoch week), UUIDToNum hex bytes,
     pointInPolygon literal ray casts, 3-arg transform passthrough,
-    fromUnixTimestampInJodaSyntax (duck strftime)."""
+    fromUnixTimestampInJodaSyntax (duck strftime). Array output emitted
+    as a JSON string (shapes.py driver-gate note)."""
     from clickhouse_clickhouse_spark.ch_sql import ch_sql
+    from clickhouse_clickhouse_spark.shapes import json_arrays
 
     load_table(spark, sf, "region").createOrReplaceTempView(
         "b7_region")
-    return ch_sql(spark, """
+    return json_arrays(ch_sql(spark, """
         SELECT r_regionkey,
                regexpExtractAll('a1b2c3', '(\\\\d)') AS rea,
                clamp(r_regionkey + 10, 1, 3) AS cl,
@@ -2647,7 +2676,7 @@ def ch_sql_round11_batch7(spark, sf):
                transform('x', ['a'], ['b']) AS tr3,
                fromUnixTimestampInJodaSyntax(1700000000, 'yyyy-MM-dd')
                    AS joda
-        FROM b7_region""")
+        FROM b7_region"""), "rea")
 
 
 @register("ch_sql_round11_batch7b", oracle="""

@@ -1453,8 +1453,8 @@ SELECT n_nationkey AS k,
                  THEN 1
                  WHEN strpos(n_name, 'IA') > 0 THEN 2
                  ELSE 0 END AS BIGINT) AS msf,
-       [CAST(strpos(n_name, 'AN') AS BIGINT),
-        CAST(strpos(n_name, 'IA') AS BIGINT)] AS msp,
+       to_json([CAST(strpos(n_name, 'AN') AS BIGINT),
+                CAST(strpos(n_name, 'IA') AS BIGINT)]) AS msp,
        round(CASE WHEN len({_ND_GA}) + len({_ND_GB}) = 0 THEN 0.0
              ELSE CAST(list_sum(list_transform(
                       list_distinct(list_concat({_ND_GA}, {_ND_GB})),
@@ -1488,11 +1488,13 @@ def ch_dialect_demo9(spark, sf):
     (length-checked — content is random by contract). The
     wordShingleMinHash/ngramMinHash scalars interop-match the corpus
     pipeline in tests/test_functions.py (xxhash64 has no DuckDB
-    equivalent — same stance as the r6 SimHash twins)."""
+    equivalent — same stance as the r6 SimHash twins). Array output
+    emitted as a JSON string (shapes.py driver-gate note)."""
     from clickhouse_clickhouse_spark.ch_sql import ch_sql
+    from clickhouse_clickhouse_spark.shapes import json_arrays
 
     load_table(spark, sf, "nation").createOrReplaceTempView("nation")
-    return ch_sql(spark, """
+    return json_arrays(ch_sql(spark, """
         SELECT n_nationkey AS k,
                hasToken(replaceAll(n_name, 'A', ' '), 'KENY') AS ht,
                hasTokenCaseInsensitive(n_name, 'kenya') AS hti,
@@ -1505,7 +1507,7 @@ def ch_dialect_demo9(spark, sf):
                toInt64(tupleElement(tuplePlus(tuple(n_nationkey, 2),
                                               tuple(10, 20)), 1)) AS tp,
                toInt64(length(randomString(16))) AS rs_len
-        FROM nation""")
+        FROM nation"""), "msp")
 
 
 _TOKS_SQL = ("list_filter(string_split_regex(lower(text), '\\s+'), "

