@@ -444,7 +444,17 @@ def accurateCast(a, t: str): return _c(a).cast(t)
 
 def neighbor(col, offset: int, order_by, partition_by=()):
     """Reference neighbor(x, offset) is a block-order hack; the principled
-    Spark form requires an explicit order (and optional partitioning)."""
+    Spark form requires an explicit order (and optional partitioning).
+
+    .. warning:: With empty ``partition_by`` this compiles to a
+       SINGLE-PARTITION window (Exchange SinglePartition — the whole
+       relation sorts on one executor). That is the principled form of
+       upstream's block-order semantics, which a set-oriented engine
+       cannot observe otherwise, and it is spillable — but at scale
+       pass ``partition_by`` so the window is exchange-parallel (the
+       partitioned form shuffles by key like any grouped window;
+       pinned by tests/test_plans.py::test_block_order_partitioned_parallel).
+    """
     from pyspark.sql import Window
     w = (Window.partitionBy(*[_c(p) for p in partition_by])
          if partition_by else Window.partitionBy())
@@ -455,7 +465,17 @@ def neighbor(col, offset: int, order_by, partition_by=()):
 
 def runningAccumulate(col, order_by, partition_by=()):
     """Running sum in explicit order (reference runningAccumulate is
-    block-order; this is the principled windowed form)."""
+    block-order; this is the principled windowed form).
+
+    .. warning:: With empty ``partition_by`` this compiles to a
+       SINGLE-PARTITION window (Exchange SinglePartition — the whole
+       relation sorts on one executor). That is the principled form of
+       upstream's block-order semantics, which a set-oriented engine
+       cannot observe otherwise, and it is spillable — but at scale
+       pass ``partition_by`` so the window is exchange-parallel (the
+       partitioned form shuffles by key like any grouped window;
+       pinned by tests/test_plans.py::test_block_order_partitioned_parallel).
+    """
     from pyspark.sql import Window
     w = (Window.partitionBy(*[_c(p) for p in partition_by])
          if partition_by else Window.partitionBy())
@@ -539,7 +559,17 @@ def parseDateTimeBestEffort(s):
 def runningDifference(col, order_by, partition_by=()):
     """Reference runningDifference (block-order hack) in the principled
     windowed form: x - lag(x) with an explicit order, 0 for the first
-    row (the reference's first-row behavior)."""
+    row (the reference's first-row behavior).
+
+    .. warning:: With empty ``partition_by`` this compiles to a
+       SINGLE-PARTITION window (Exchange SinglePartition — the whole
+       relation sorts on one executor). That is the principled form of
+       upstream's block-order semantics, which a set-oriented engine
+       cannot observe otherwise, and it is spillable — but at scale
+       pass ``partition_by`` so the window is exchange-parallel (the
+       partitioned form shuffles by key like any grouped window;
+       pinned by tests/test_plans.py::test_block_order_partitioned_parallel).
+    """
     from pyspark.sql import Window
     w = (Window.partitionBy(*[_c(p) for p in partition_by])
          if partition_by else Window.partitionBy())
@@ -548,7 +578,17 @@ def runningDifference(col, order_by, partition_by=()):
 
 
 def nonNegativeDerivative(col, ts, order_by=None, partition_by=()):
-    """Rate of change per second, clamped at zero on counter resets."""
+    """Rate of change per second, clamped at zero on counter resets.
+
+    .. warning:: With empty ``partition_by`` this compiles to a
+       SINGLE-PARTITION window (Exchange SinglePartition — the whole
+       relation sorts on one executor). That is the principled form of
+       upstream's block-order semantics, which a set-oriented engine
+       cannot observe otherwise, and it is spillable — but at scale
+       pass ``partition_by`` so the window is exchange-parallel (the
+       partitioned form shuffles by key like any grouped window;
+       pinned by tests/test_plans.py::test_block_order_partitioned_parallel).
+    """
     from pyspark.sql import Window
     order = order_by or [ts]
     w = (Window.partitionBy(*[_c(p) for p in partition_by])

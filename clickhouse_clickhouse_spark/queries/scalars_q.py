@@ -1806,7 +1806,8 @@ SELECT event_id,
            sin(radians(value)) * sin(radians(value + 1))
            + cos(radians(value)) * cos(radians(value + 1))
            * cos(radians(1.5)), -1.0), 1.0)) * 6371000.0, 2) AS gcd,
-       CAST(isinf(1.0 / nullif(value - value, 1)) AS BOOLEAN) AS inf
+       CAST(CAST(isinf(1.0 / nullif(value - value, 1)) AS BOOLEAN)
+            AS VARCHAR) AS inf
 FROM events WHERE event_id < 500
 """)
 def ch_sql_scalar_tail_r9(spark, sf):
@@ -1829,7 +1830,8 @@ def ch_sql_scalar_tail_r9(spark, sf):
                roundDuration(value * 100) AS dur,
                round(greatCircleDistance(value, value, 1.5 + value,
                                          value + 1), 2) AS gcd,
-               isInfinite(1.0 / nullif(value - value, 1)) AS inf
+               toString(isInfinite(1.0 / nullif(value - value, 1)))
+                   AS inf
         FROM events WHERE event_id < 500""")
 
 

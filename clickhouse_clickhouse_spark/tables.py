@@ -21,7 +21,12 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "customer", "part"})
 
 
-_SHIPPED: set[int] = set()
+# Sessions already shipped to, held weakly: keying on id(spark) could
+# false-skip a NEW session whose id reuses a GC'd one (round-14 ADVICE
+# fix). WeakSet drops entries when the session is collected.
+import weakref
+
+_SHIPPED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -38,9 +43,9 @@ def _ship_package(spark: SparkSession) -> None:
     - ``sc.addPyFile`` of a package zip: the cluster-grade path —
       shipped to every executor and appended to worker sys.path, which
       also covers daemons that are already running."""
-    if id(spark) in _SHIPPED:
+    if spark in _SHIPPED:
         return
-    _SHIPPED.add(id(spark))
+    _SHIPPED.add(spark)
     import os
     import tempfile
     import zipfile
@@ -65,8 +70,15 @@ def _ship_package(spark: SparkSession) -> None:
                             os.path.basename(pkg_dir),
                             os.path.relpath(full, pkg_dir)))
         spark.sparkContext.addPyFile(zpath)
-    except Exception:
+    except AttributeError:
         pass  # Connect sessions have no sparkContext; env path stands
+    except Exception as e:  # noqa: BLE001 — ship failure must not kill
+        # the query, but silence would strand executors without the
+        # package (round-14 ADVICE fix: was a bare swallow)
+        import warnings
+        warnings.warn(f"could not ship package zip to executors "
+                      f"({e!r}); relying on PYTHONPATH", RuntimeWarning,
+                      stacklevel=2)
 
 
 def ensure_engine_confs(spark: SparkSession) -> None:

@@ -1,0 +1,185 @@
+"""Chaos battery for the injected-group-window pass (round-14, judge
+ask #5): ``ch_sql._apply_group_max`` / ``_gmax_rewrite_select`` is
+round-13 load-bearing span machinery of the same class as the masking
+layer that produced the round-12 clobbered-def incident — fuzz it the
+same way. Covers grouped forms × nested subqueries × decoy keywords in
+string literals × the round-14 alias handling (qualified refs, bare
+aliases, join refusal), every case differentially checked against an
+independent python formulation."""
+
+import collections
+import math
+import random
+
+import pytest
+
+
+def _entropy(vals):
+    n = len(vals)
+    cnt = collections.Counter(vals)
+    return -sum(c / n * math.log2(c / n) for c in cnt.values())
+
+
+def _qew(pairs, level=0.5):
+    tw = sum(w for _, w in pairs)
+    cum = 0
+    for v, w in sorted(pairs):
+        cum += w
+        if cum >= level * tw:
+            return v
+    return None
+
+
+@pytest.fixture(scope="module")
+def gmax_view(spark):
+    rng = random.Random(1400)
+    rows = [(i, i % 4, round(rng.uniform(0, 5), 1), rng.randint(1, 3))
+            for i in range(240)]
+    vals = ", ".join(f"({i}, {g}, {v}, {w})" for i, g, v, w in rows)
+    spark.sql(f"SELECT * FROM VALUES {vals} AS t(id, g, v, w)"
+              ).createOrReplaceTempView("gmx14")
+    by_g = collections.defaultdict(list)
+    for r in rows:
+        by_g[r[1]].append(r)
+    return rows, by_g
+
+
+# (name, dialect SQL, row-filter for the expectation, value transform)
+GRID = [
+    ("plain",
+     "SELECT g, entropy(v) AS e FROM gmx14 GROUP BY g",
+     None, None),
+    ("alias_qualified",
+     "SELECT t.g, entropy(t.v) AS e FROM gmx14 t GROUP BY t.g",
+     None, None),
+    ("table_qualified",
+     "SELECT gmx14.g, entropy(gmx14.v) AS e FROM gmx14 "
+     "GROUP BY gmx14.g",
+     None, None),
+    ("bare_alias_key",
+     "SELECT g gg, entropy(v) e FROM gmx14 GROUP BY gg",
+     None, None),
+    ("decoy_literals",
+     "SELECT g, entropy(v) AS e, "
+     "' FROM (SELECT __CH_GMAX__(v) GROUP BY JOIN WHERE ' AS s "
+     "FROM gmx14 GROUP BY g, "
+     "' FROM (SELECT __CH_GMAX__(v) GROUP BY JOIN WHERE '",
+     None, None),
+    ("where_filter",
+     "SELECT g, entropy(v) AS e FROM gmx14 WHERE id % 2 = 0 "
+     "GROUP BY g",
+     lambda r: r[0] % 2 == 0, None),
+    ("nested_inner_stat",
+     "SELECT g, e FROM (SELECT g, entropy(v) AS e FROM gmx14 "
+     "GROUP BY g) sub WHERE e >= 0",
+     None, None),
+    ("derived_table_source",
+     "SELECT g, entropy(v2) AS e FROM "
+     "(SELECT g, v * 2 AS v2 FROM gmx14) x GROUP BY g",
+     None, lambda v: v * 2),
+    ("having_tail",
+     "SELECT g, entropy(v) AS e FROM gmx14 GROUP BY g "
+     "HAVING COUNT(*) > 1 ORDER BY g LIMIT 10",
+     None, None),
+    ("cte_source",
+     "WITH c AS (SELECT * FROM gmx14) "
+     "SELECT g, entropy(v) AS e FROM c GROUP BY g",
+     None, None),
+    ("union_branches",
+     "SELECT g, entropy(v) AS e FROM gmx14 WHERE g < 2 GROUP BY g "
+     "UNION ALL "
+     "SELECT g, entropy(v) AS e FROM gmx14 WHERE g >= 2 GROUP BY g",
+     None, None),
+]
+
+
+@pytest.mark.parametrize("name,sql,rfilter,vmap",
+                         GRID, ids=[c[0] for c in GRID])
+def test_gmax_constructs_vs_python(spark, gmax_view, name, sql,
+                                   rfilter, vmap):
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    rows, _ = gmax_view
+    use = [r for r in rows if rfilter is None or rfilter(r)]
+    by_g = collections.defaultdict(list)
+    for r in use:
+        by_g[r[1]].append((vmap(r[2]) if vmap else r[2]))
+    out = {row[0]: row[1] for row in ch_sql(spark, sql).collect()}
+    assert set(out) == set(by_g), name
+    for g, vals in by_g.items():
+        assert abs(out[g] - _entropy(vals)) < 1e-9, (name, g)
+
+
+def test_gmax_multi_stat_windows(spark, gmax_view):
+    """Two stats with DIFFERENT injected window specs in one select
+    (entropy's per-value counts + the weighted quantile's cumulative
+    RANGE frame) plus a decoy literal — one rewrite pass must place
+    both column sets without crosstalk."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    _, by_g = gmax_view
+    out = {r.g: r for r in ch_sql(spark, """
+        SELECT g, entropy(v) AS e,
+               quantileExactWeighted(0.5)(v, w) AS q,
+               'GROUP BY __CH_GCUM__(x, y) FROM' AS s
+        FROM gmx14 GROUP BY g""").collect()}
+    for g, grp in by_g.items():
+        assert abs(out[g].e - _entropy([r[2] for r in grp])) < 1e-9
+        assert out[g].q == _qew([(r[2], r[3]) for r in grp]), g
+
+
+def test_gmax_join_unqualified_ok(spark, gmax_view):
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    _, by_g = gmax_view
+    spark.sql("SELECT * FROM VALUES (0,'a'),(1,'b'),(2,'c'),(3,'d') "
+              "AS t(g, nm)").createOrReplaceTempView("gmx14_dim")
+    out = {r.nm: r.e for r in ch_sql(spark, """
+        SELECT nm, entropy(v) AS e
+        FROM gmx14 JOIN gmx14_dim ON gmx14.g = gmx14_dim.g
+        GROUP BY nm""").collect()}
+    names = {0: "a", 1: "b", 2: "c", 3: "d"}
+    for g, grp in by_g.items():
+        assert abs(out[names[g]]
+                   - _entropy([r[2] for r in grp])) < 1e-9, g
+
+
+def test_gmax_join_qualified_raises_clearly(spark, gmax_view):
+    """Joins lose their relation aliases inside the injected subquery —
+    qualified outer refs must refuse with guidance, not surface a
+    Spark AnalysisException (round-14 ADVICE fix)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    with pytest.raises(ValueError, match="de-qualify"):
+        ch_sql(spark, """
+            SELECT gmx14_dim.nm, entropy(v) AS e
+            FROM gmx14 JOIN gmx14_dim ON gmx14.g = gmx14_dim.g
+            GROUP BY gmx14_dim.nm""")
+
+
+@pytest.mark.parametrize("seed", [51, 52])
+def test_gmax_fuzz_decoys_and_nesting(spark, gmax_view, seed):
+    """Randomized: decoy keyword soup in string literals, random alias
+    spellings, optional nesting — the rewrite must stay value-exact."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    _, by_g = gmax_view
+    rng = random.Random(seed)
+    kw = ["FROM", "GROUP BY", "JOIN", "WHERE", "SELECT",
+          "__CH_GMAX__(v)", "__CH_GRNK__(", "OVER (PARTITION BY",
+          "UNION ALL", ") __ch_gmsrc ("]
+    for _ in range(8):
+        decoy = " ".join(rng.choice(kw)
+                         for _ in range(rng.randint(1, 4)))
+        decoy = decoy.replace("'", "")
+        alias = rng.choice(["", " t", " AS t"])
+        q = (f"SELECT {'t.' if alias else ''}g, "
+             f"entropy({'t.' if alias else ''}v) AS e, "
+             f"'{decoy}' AS s FROM gmx14{alias} "
+             f"GROUP BY {'t.' if alias else ''}g, '{decoy}'")
+        if rng.random() < 0.5:
+            q = f"SELECT g, e, s FROM ({q}) z WHERE e >= 0"
+        out = {r.g: r.e for r in ch_sql(spark, q).collect()}
+        for g, grp in by_g.items():
+            assert abs(out[g] - _entropy([r[2] for r in grp])) \
+                < 1e-9, (seed, q)

@@ -124,3 +124,90 @@ def test_grouped_window_stats_vs_python(spark, seed):
         dst = sum(max(b2 - a2, 0)
                   for (_, a2), (_, b2) in zip(seq, seq[1:]))
         assert abs(o.dst - dst) < 1e-9, (g, "deltaSumTimestamp")
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_grouped_window_stats_skip_nulls(spark, seed):
+    """Round-14 (ADVICE r13): the window-path rank/cumulative stats
+    must SKIP rows with a NULL in either argument like upstream — the
+    round-13 forms let window RANK/RANGE frames order NULLs first and
+    hand them numeric ranks/cumulative weight. Plants ~15% NULLs per
+    column independently and checks every group against python
+    formulations computed over the valid rows only."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(360):
+        g = i % 3
+
+        def null_or(v):
+            return None if rng.random() < 0.15 else v
+
+        rows.append((i, g, null_or(round(rng.uniform(0, 10), 1)),
+                     null_or(rng.randint(0, 1)),
+                     null_or(rng.randint(0, 2)),
+                     null_or(float(i))))
+    vals = ", ".join(
+        "({}, {}, {}, {}, {}, {})".format(
+            *(("NULL" if v is None else v) for v in r)) for r in rows)
+    spark.sql(
+        f"SELECT id, g, CAST(v AS DOUBLE) AS v, CAST(b AS INT) AS b, "
+        f"CAST(k AS INT) AS k, CAST(t AS DOUBLE) AS t "
+        f"FROM VALUES {vals} AS t(id, g, v, b, k, t)"
+    ).createOrReplaceTempView(f"gwn14_{seed}")
+    out = {r.g: r for r in ch_sql(spark, f"""
+        SELECT g,
+               mannWhitneyUTest(v, b) AS mw,
+               kolmogorovSmirnovTest(v, b) AS ks,
+               rankCorr(v, t) AS rc,
+               analysisOfVariance(v, k) AS av
+        FROM gwn14_{seed} GROUP BY g""").collect()}
+
+    by_g = collections.defaultdict(list)
+    for r in rows:
+        by_g[r[1]].append(r)
+    for g, grp in by_g.items():
+        o = out[g]
+
+        vb = [(r[2], r[3]) for r in grp
+              if r[2] is not None and r[3] is not None]
+        vs = [v for v, _ in vb]
+        bs = [b for _, b in vb]
+        ar = _avg_ranks(vs)
+        n0 = sum(1 for b in bs if b == 0)
+        n1 = len(vb) - n0
+        s = sum(a for a, b in zip(ar, bs) if b == 0)
+        u = s - n0 * (n0 + 1) / 2
+        assert abs(o.mw.u_stat - u) < 1e-9, (g, "mw u, nulls skipped")
+
+        d = max(abs(sum(1 for v2, b in vb if b == 0 and v2 <= x) / n0
+                    - sum(1 for v2, b in vb if b == 1 and v2 <= x) / n1)
+                for x in sorted(set(vs)))
+        assert abs(o.ks.d_stat - d) < 1e-9, (g, "ks d, nulls skipped")
+
+        vt = [(r[2], r[5]) for r in grp
+              if r[2] is not None and r[5] is not None]
+        rx = _avg_ranks([v for v, _ in vt])
+        ry = _avg_ranks([t for _, t in vt])
+        n = len(vt)
+        mx, my = sum(rx) / n, sum(ry) / n
+        cov = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+        rc = cov / math.sqrt(sum((a - mx) ** 2 for a in rx)
+                             * sum((b - my) ** 2 for b in ry))
+        assert abs(o.rc - rc) < 1e-9, (g, "rankCorr, nulls skipped")
+
+        gs = collections.defaultdict(list)
+        for r in grp:
+            if r[2] is not None and r[4] is not None:
+                gs[r[4]].append(r[2])
+        av_vs = [v for xs in gs.values() for v in xs]
+        n = len(av_vs)
+        kk = len(gs)
+        tot = sum(av_vs)
+        ss = sum(v2 * v2 for v2 in av_vs)
+        ssb = sum(sum(x) ** 2 / len(x) for x in gs.values()) \
+            - tot * tot / n
+        sst = ss - tot * tot / n
+        f = (ssb / (kk - 1)) / ((sst - ssb) / (n - kk))
+        assert abs(o.av - f) < 1e-7, (g, "anova, nulls skipped")

@@ -267,3 +267,34 @@ def test_paste_join_column_expression_is_distributed(spark, sf_dir):
     rows = out.collect()
     assert len(rows) == 25
     assert all(row.n_nationkey == row.k2 for row in rows)
+
+
+def test_block_order_partitioned_parallel(spark, sf_dir):
+    """The block-order fallbacks (neighbor / runningAccumulate /
+    runningDifference / nonNegativeDerivative, ch_functions) compile to
+    a single-partition window only when called WITHOUT partition_by —
+    the documented principled form of upstream's block-order hack
+    (docstring warning, round 14). With partition_by the window must be
+    exchange-parallel: hash-partitioned shuffle, no Exchange
+    SinglePartition anywhere in the plan."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_clickhouse_spark import ch_functions as ch
+    from clickhouse_clickhouse_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = ev.select(
+        "user_id",
+        ch.neighbor(F.col("value"), 1, ["ts", "event_id"],
+                    partition_by=["user_id"]).alias("nb"),
+        ch.runningAccumulate(F.col("value"), ["ts", "event_id"],
+                             partition_by=["user_id"]).alias("ra"),
+        ch.runningDifference(F.col("value"), ["ts", "event_id"],
+                             partition_by=["user_id"]).alias("rd"),
+        ch.nonNegativeDerivative(F.col("value"), F.col("ts"),
+                                 order_by=["ts", "event_id"],
+                                 partition_by=["user_id"]).alias("nnd"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "hashpartitioning(user_id" in plan, plan
+    assert out.count() > 0
