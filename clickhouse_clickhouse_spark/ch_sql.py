@@ -1340,19 +1340,23 @@ def _ipv4_cidr_range_tpl(a: list[str]) -> str:
 
 
 def _ip_in_range_tpl(a: list[str]) -> str:
-    """isIPAddressInRange(addr, cidr) — IPv4 only here; IPv6 inputs
-    RAISE_ERROR pointing at the DataFrame operator
-    (functions/ip.with_ipv6_in_range)."""
+    """isIPAddressInRange(addr, cidr): IPv4 in pure JVM shift
+    arithmetic; IPv6 routes to the __ipv6_in_range compat UDF
+    (functions/ipcodecs.ipv6_in_range_py — round-14 conversion of the
+    former RAISE_ERROR branch). The UDF runs only on the ':' rows:
+    Spark batch-extracts python UDFs out of CASE branches, so the
+    v6 side is null-gated with IF inputs instead."""
     bind = {"n": _V4_NUM.format(s=a[0]),
             "m": _V4_NUM.format(s=f"SUBSTRING_INDEX({a[1]}, '/', 1)"),
             "p": f"CAST(SUBSTRING_INDEX({a[1]}, '/', -1) AS INT)"}
-    body = ("CASE WHEN {addr} LIKE '%:%' OR {cidr} LIKE '%:%' THEN "
-            "RAISE_ERROR('isIPAddressInRange: IPv6 here needs the "
-            "DataFrame operator functions/ip.with_ipv6_in_range') "
-            "ELSE SHIFTRIGHTUNSIGNED(__v.n, 32 - __v.p) = "
-            "SHIFTRIGHTUNSIGNED(__v.m, 32 - __v.p) END").format(
-                addr=a[0], cidr=a[1])
-    return _bind_once(bind, body)
+    v4 = _bind_once(bind, "SHIFTRIGHTUNSIGNED(__v.n, 32 - __v.p) = "
+                          "SHIFTRIGHTUNSIGNED(__v.m, 32 - __v.p)")
+    # the python UDF must sit OUTSIDE the _bind_once transform() —
+    # Spark rejects python UDFs inside higher-order-function lambdas
+    return ("CASE WHEN {addr} LIKE '%:%' OR {cidr} LIKE '%:%' THEN "
+            "__ipv6_in_range(IF({addr} LIKE '%:%', {addr}, NULL), "
+            "IF({cidr} LIKE '%:%', {cidr}, NULL)) "
+            "ELSE {v4} END").format(addr=a[0], cidr=a[1], v4=v4)
 
 
 def _unbin_tpl(args: list[str]) -> str:
@@ -1645,6 +1649,45 @@ def _contingency_tpl(args: list[str], kind: str) -> str:
     return _bind_once(
         {"ha": ha, "hab": hab},
         "(__v.ha - __v.hab) / __v.ha")
+
+
+def _categorical_iv_tpl(args: list[str]) -> str:
+    """categoricalInformationValue(cat1, ..., catN, tag) ([U]
+    AggregateFunctionCategoricalInformationValue.h): per category
+    column, the Information Value of the binary ``tag`` —
+    IV = Σ_categories (y_c/Y − n_c/N) · ln((y_c/Y) / (n_c/N)) with
+    y_c/n_c the tag=1/tag=0 counts in category c and Y/N the group
+    totals. Round 14, window path (was a refusal): every count is an
+    injected window column, each row of category c contributes its
+    category's term divided by the category size — constant per-group
+    state at any skew. Rows with NULL category or NULL tag are skipped
+    like upstream; a category with zero events on either side yields
+    ±inf/NaN exactly as upstream's unsmoothed formula does. Returns
+    Array(Float64), one IV per category column."""
+    if len(args) < 2:
+        raise ValueError(
+            "categoricalInformationValue(cat1, ..., tag) needs at "
+            "least one category column and the binary tag")
+    tag = args[-1]
+    terms = []
+    for c in args[:-1]:
+        valid = f"(({c}) IS NOT NULL AND ({tag}) IS NOT NULL)"
+        cg = f"(CASE WHEN {valid} THEN {c} END)"
+        t1 = (f"CAST(CASE WHEN {valid} AND ({tag}) = 1 THEN 1 "
+              f"ELSE 0 END AS DOUBLE)")
+        t0 = (f"CAST(CASE WHEN {valid} AND ({tag}) = 0 THEN 1 "
+              f"ELSE 0 END AS DOUBLE)")
+        yc = f"__CH_GSUMBY__({cg}, {t1})"
+        nc = f"__CH_GSUMBY__({cg}, {t0})"
+        yy = f"__CH_GSUMBY__(1, {t1})"
+        nn = f"__CH_GSUMBY__(1, {t0})"
+        mc = f"CAST(__CH_GCNT__({cg}) AS DOUBLE)"
+        py = f"({yc} / {yy})"
+        pn = f"({nc} / {nn})"
+        terms.append(
+            f"SUM(CASE WHEN {valid} THEN "
+            f"(({py} - {pn}) * LN({py} / {pn})) / {mc} END)")
+    return "ARRAY(" + ", ".join(terms) + ")"
 
 
 def _ttest_tpl(args: list[str], welch: bool) -> str:
@@ -3874,11 +3917,7 @@ _FUNCS: dict[str, str] = {
     # call without OVER refuses there.
     "aggThrow": lambda a: (_ for _ in ()).throw(ValueError(
         "aggThrow is an upstream test-harness aggregate")),
-    "categoricalInformationValue": lambda a: (_ for _ in ()).throw(
-        ValueError("categoricalInformationValue: compute per-category "
-                   "WoE/IV from a (category, tag) GROUP BY — the "
-                   "cramersV/theilsU family covers association "
-                   "strength")),
+    "categoricalInformationValue": lambda a: _categorical_iv_tpl(a),
     "arrayReduceInRanges": lambda a: (_ for _ in ()).throw(ValueError(
         "arrayReduceInRanges: TRANSFORM the ranges to SLICE(arr, off, "
         "len) and arrayReduce each slice")),
@@ -4843,9 +4882,9 @@ _FUNCS: dict[str, str] = {
     "polygonPerimeterCartesian":
         lambda a: _polygon_fold_tpl(a, "perimeter"),
     "readWKTPolygon": lambda a: _read_wkt_polygon_tpl(a),
-    "IPv6CIDRToRange": lambda a: (_ for _ in ()).throw(ValueError(
-        "IPv6CIDRToRange is not implemented (128-bit mask math over "
-        "the string-carried IPv6 type); IPv4CIDRToRange covers v4")),
+    # IPv6CIDRToRange resolves via the session-registered compat UDF
+    # (functions/ipcodecs.ipv6_cidr_range_py, round-14 refusal
+    # conversion) — byte-wise masking, tuple of canonical strings.
     "exponentialMovingAverage": lambda a: (_ for _ in ()).throw(
         ValueError(
             "exponentialMovingAverage needs its half-life parameter: "

@@ -67,6 +67,34 @@ def cut_ipv6_py(b: bytes, bytes_v6: int, bytes_v4: int) -> str:
     return socket.inet_ntop(socket.AF_INET6, kept)
 
 
+def ipv6_cidr_range_py(v, prefix: int) -> tuple[str, str]:
+    """IPv6CIDRToRange: (address, prefix) → (first, last) canonical
+    text of the CIDR block — byte-wise masking, no 128-bit arithmetic.
+    Accepts the string-carried address or the 16-byte binary form."""
+    b = bytearray(v if isinstance(v, (bytes, bytearray))
+                  else ipv6_pton_py(v))
+    if len(b) != 16:
+        raise ValueError(f"IPv6 value must be 16 bytes, got {len(b)}")
+    prefix = max(0, min(128, int(prefix)))
+    full, rem = divmod(prefix, 8)
+    lo, hi = bytearray(b), bytearray(b)
+    if rem and full < 16:
+        mask = (0xFF << (8 - rem)) & 0xFF
+        lo[full] &= mask
+        hi[full] = (hi[full] & mask) | (0xFF >> rem)
+    for i in range(full + (1 if rem else 0), 16):
+        lo[i], hi[i] = 0, 0xFF
+    return (socket.inet_ntop(socket.AF_INET6, bytes(lo)),
+            socket.inet_ntop(socket.AF_INET6, bytes(hi)))
+
+
+def ipv6_in_range_py(addr: str, cidr: str) -> bool:
+    net, _, p = cidr.partition("/")
+    lo, hi = ipv6_cidr_range_py(net, int(p) if p else 128)
+    a = ipv6_pton_py(addr)
+    return ipv6_pton_py(lo) <= a <= ipv6_pton_py(hi)
+
+
 def register_ip_udfs(spark) -> None:
     """Register the IPv6 family under the reference names (idempotent
     per session via ch_sql._register_udfs)."""
@@ -137,6 +165,20 @@ def register_ip_udfs(spark) -> None:
             for v, x6, x4 in zip(b, c6, c4)
         ])
 
+    @pandas_udf("_1 string, _2 string")
+    def _cidr6(a: pd.Series, p: pd.Series) -> pd.DataFrame:
+        out = [(None, None) if v is None or pr is None
+               else ipv6_cidr_range_py(v, pr) for v, pr in zip(a, p)]
+        return pd.DataFrame(out, columns=["_1", "_2"])
+
+    @pandas_udf("boolean")
+    def _in6(a: pd.Series, c: pd.Series) -> pd.Series:
+        return pd.Series([
+            None if v is None or cd is None else ipv6_in_range_py(v, cd)
+            for v, cd in zip(a, c)])
+
+    _reg(spark, "IPv6CIDRToRange", _cidr6)
+    _reg(spark, "__ipv6_in_range", _in6)
     _reg(spark, "IPv6StringToNum", _pton)
     _reg(spark, "IPv6StringToNumOrNull", _pton_or_null)
     _reg(spark, "IPv6NumToString", _ntop)

@@ -207,6 +207,50 @@ def agg_cramers_v(spark, sf):
     return cramers_v(d, "lang", "source")
 
 
+@register("agg_categorical_iv", oracle="""
+WITH base AS (
+  SELECT user_id % 4 AS g, event_type AS c,
+         CAST(event_id % 2 AS INT) AS t
+  FROM events),
+tot AS (
+  SELECT g, CAST(sum(t) AS DOUBLE) AS yy,
+         CAST(count(*) - sum(t) AS DOUBLE) AS nn
+  FROM base GROUP BY g),
+cat AS (
+  SELECT g, c, CAST(sum(t) AS DOUBLE) AS yc,
+         CAST(count(*) - sum(t) AS DOUBLE) AS nc
+  FROM base GROUP BY g, c),
+ivt AS (
+  SELECT cat.g,
+         round(sum((yc / yy - nc / nn) * ln((yc / yy) / (nc / nn))),
+               6) AS iv
+  FROM cat JOIN tot ON cat.g = tot.g GROUP BY cat.g)
+SELECT g, to_json(list_transform([iv], x -> printf('%.6f', x + 0.0)))
+         AS iv
+FROM ivt
+""")
+def agg_categorical_iv(spark, sf):
+    """categoricalInformationValue(event_type, tag) per user cohort
+    ([U] AggregateFunctionCategoricalInformationValue.h — round-14
+    conversion from a refusal): Information Value of the binary tag
+    over event-type categories, computed as per-row window
+    contributions (constant per-group state). The DuckDB oracle
+    replays the IV sum through independent GROUP BY CTEs. Array
+    output emitted as a %.6f-JSON string (shapes.py driver-gate
+    note)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+    from clickhouse_clickhouse_spark.shapes import json_double_arrays
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    out = ch_sql(spark, """
+        SELECT user_id % 4 AS g,
+               arrayMap(__x -> round(__x, 6),
+                        categoricalInformationValue(
+                            event_type, event_id % 2)) AS iv
+        FROM events GROUP BY g""")
+    return json_double_arrays(out, "iv")
+
+
 @register("ip_funcs", oracle="""
 WITH x AS (SELECT event_id, (event_id * 2654435761) % 4294967296 AS ip_num
            FROM events WHERE event_id <= 50)

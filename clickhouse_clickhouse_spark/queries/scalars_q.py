@@ -1976,6 +1976,47 @@ def ch_sql_scalar_tail_r10(spark, sf):
         FROM nation""")
 
 
+@register("ch_sql_ipv6_cidr", oracle="""
+SELECT n_nationkey AS k,
+       CASE WHEN n_nationkey = 0 THEN '2001:db8::'
+            ELSE '2001:db8:' || printf('%x', n_nationkey) || '::'
+       END AS lo48,
+       '2001:db8:' || printf('%x', n_nationkey)
+           || ':ffff:ffff:ffff:ffff:ffff' AS hi48,
+       '2001:db8::' AS lo32,
+       true AS in32,
+       (n_nationkey < 2) AS in48
+FROM nation
+""")
+def ch_sql_ipv6_cidr(spark, sf):
+    """IPv6CIDRToRange + isIPAddressInRange v6 path (round-14 refusal
+    conversions, [U] src/Functions/FunctionsCoding.h): byte-wise CIDR
+    masking in the ipcodecs compat family
+    (functions/ipcodecs.ipv6_cidr_range_py), RFC 5952 canonical text.
+    The oracle replays the nibble-aligned /48 and /32 blocks by string
+    construction (the zero group at key 0 compresses per RFC 5952);
+    membership booleans replay as key predicates."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    load_table(spark, sf, "nation").createOrReplaceTempView("nation")
+    return ch_sql(spark, """
+        SELECT n_nationkey AS k,
+               IPv6CIDRToRange(toIPv6(concat('2001:db8:',
+                   lower(hex(n_nationkey)), '::1')), 48)._1 AS lo48,
+               IPv6CIDRToRange(toIPv6(concat('2001:db8:',
+                   lower(hex(n_nationkey)), '::1')), 48)._2 AS hi48,
+               IPv6CIDRToRange(toIPv6(concat('2001:db8:',
+                   lower(hex(n_nationkey)), '::1')), 32)._1 AS lo32,
+               isIPAddressInRange(concat('2001:db8:',
+                   lower(hex(n_nationkey)), '::1'),
+                   '2001:db8::/32') AS in32,
+               isIPAddressInRange(concat('2001:db8:',
+                   lower(hex(n_nationkey)), '::1'),
+                   concat('2001:db8:', lower(hex(n_nationkey % 2)),
+                          '::/48')) AS in48
+        FROM nation""")
+
+
 @register("ch_sql_scalar_tail2_r10", oracle="""
 SELECT k,
        CAST(CASE WHEN v >= 9223372036854775808::HUGEINT

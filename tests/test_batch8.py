@@ -263,11 +263,23 @@ def test_batch9_polygons_defaults_misc(spark):
     # exponentialMovingAverage(hl)(v, t) is IMPLEMENTED since round 12
     # (deterministic timestamped form) — only the bare parameterless
     # call still refuses (tests/test_advice_r12.py)
-    for q in ("SELECT IPv6CIDRToRange(a, 16)",
-              "SELECT defaultValueOfTypeName('Array(Int64)')",
+    for q in ("SELECT defaultValueOfTypeName('Array(Int64)')",
               "SELECT readWKTPolygon(w, 2)"):
         with pytest.raises(ValueError):
             ch_sql(spark, q)
+    # IPv6CIDRToRange is IMPLEMENTED since round 14 (byte-masking
+    # compat UDF — upstream docs example); mid-nibble prefixes are
+    # pinned against python ipaddress in the registry oracle
+    r = ch_sql(spark, "SELECT IPv6CIDRToRange(toIPv6("
+                      "'2001:0db8:0000:85a3:0000:0000:ac1f:8001'), 32)"
+                      " AS r").collect()[0].r
+    assert (r["_1"], r["_2"]) == (
+        "2001:db8::", "2001:db8:ffff:ffff:ffff:ffff:ffff:ffff")
+    ok = ch_sql(spark, "SELECT isIPAddressInRange('2001:db8::1', "
+                       "'2001:db8::/32') AS a, "
+                       "isIPAddressInRange('2002:db8::1', "
+                       "'2001:db8::/32') AS b").collect()[0]
+    assert ok.a is True and ok.b is False
     with pytest.raises(Exception, match="multi-ring"):
         ch_sql(spark, "SELECT readWKTPolygon("
                       "'POLYGON((0 0,1 0,1 1),(2 2,3 3,4 4))') AS r"

@@ -211,3 +211,40 @@ def test_grouped_window_stats_skip_nulls(spark, seed):
         sst = ss - tot * tot / n
         f = (ssb / (kk - 1)) / ((sst - ssb) / (n - kk))
         assert abs(o.av - f) < 1e-7, (g, "anova, nulls skipped")
+
+
+@pytest.mark.parametrize("seed", [71])
+def test_categorical_iv_vs_python(spark, seed):
+    """categoricalInformationValue (round-14 refusal conversion):
+    per-group IV vs an independent python formulation, with planted
+    NULL category and NULL tag rows that must be skipped."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    rng = random.Random(seed)
+    rows = [(i, i % 3, rng.randint(0, 2), rng.randint(0, 1))
+            for i in range(240)]
+    rows += [(900, 0, None, 1), (901, 1, 2, None), (902, 2, None, None)]
+    vals = ", ".join(
+        "({}, {}, {}, {})".format(
+            *(("NULL" if v is None else v) for v in r)) for r in rows)
+    spark.sql(
+        f"SELECT id, g, CAST(c AS INT) AS c, CAST(t AS INT) AS t "
+        f"FROM VALUES {vals} AS t(id, g, c, t)"
+    ).createOrReplaceTempView(f"civ14_{seed}")
+    out = {r.g: r.iv[0] for r in ch_sql(spark, f"""
+        SELECT g, categoricalInformationValue(c, t) AS iv
+        FROM civ14_{seed} GROUP BY g""").collect()}
+
+    by_g = collections.defaultdict(list)
+    for _, g, c, t in rows:
+        if c is not None and t is not None:
+            by_g[g].append((c, t))
+    for g, pairs in by_g.items():
+        yy = sum(t for _, t in pairs)
+        nn = len(pairs) - yy
+        cats = collections.defaultdict(lambda: [0, 0])
+        for c, t in pairs:
+            cats[c][t] += 1
+        exp = sum((n1 / yy - n0 / nn) * math.log((n1 / yy) / (n0 / nn))
+                  for n0, n1 in cats.values())
+        assert abs(out[g] - exp) < 1e-9, (g, out[g], exp)

@@ -1,0 +1,66 @@
+"""shapes.py — driver-gate serialization helpers (round 14).
+
+The contract under test: Spark's to_json rendering of the serialized
+columns must equal DuckDB's to_json rendering byte-for-byte, because
+the driver hash-compares exact values. Doubles go through %.6f first
+(Java writes 1.0E-6 where DuckDB writes 1e-06), -0.0 normalizes to
+0.0, NULL elements stay null on both sides."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_clickhouse_spark.shapes import (
+    fmt_double_array,
+    json_arrays,
+    json_double_arrays,
+)
+
+
+def test_json_arrays_matches_duckdb_rendering(spark):
+    sdf = spark.sql("""
+        SELECT array(1, 2, 3) AS ints,
+               array('a', 'b "q"', cast(null as string)) AS strs,
+               array(array(1, 2), array(3)) AS nested,
+               cast(null as array<bigint>) AS whole_null
+    """)
+    out = json_arrays(sdf, "ints", "strs", "nested", "whole_null") \
+        .collect()[0]
+    duck = duckdb.connect().execute("""
+        SELECT to_json([1, 2, 3]),
+               to_json(['a', 'b "q"', CAST(NULL AS VARCHAR)]),
+               to_json([[1, 2], [3]]),
+               to_json(CAST(NULL AS BIGINT[]))
+    """).fetchone()
+    assert (out.ints, out.strs, out.nested, out.whole_null) == duck
+
+
+@pytest.mark.parametrize("vals", [
+    [1.5, 1.0, 2.25],
+    [0.000001, -0.0, 123456.789],   # sci-notation + neg-zero hazards
+    [None, 4.5],
+])
+def test_double_arrays_match_duckdb_printf(spark, vals):
+    lit = ", ".join("CAST(NULL AS DOUBLE)" if v is None else f"{v!r}D"
+                    for v in vals)
+    sdf = spark.sql(f"SELECT array({lit}) AS a")
+    out = json_double_arrays(sdf, "a").collect()[0].a
+    dlit = ", ".join("NULL" if v is None else repr(v) for v in vals)
+    duck = duckdb.connect().execute(
+        f"SELECT to_json(list_transform([{dlit}]::DOUBLE[], "
+        f"x -> printf('%.6f', x + 0.0)))").fetchone()[0]
+    assert out == duck
+
+
+def test_fmt_double_array_null_gate(spark):
+    # Spark format_string renders NULL as the string 'null' — the
+    # helper must keep NULL elements NULL (DuckDB printf propagates)
+    row = spark.sql(
+        "SELECT array(cast(null as double), 1.0D) AS a"
+    ).select(fmt_double_array("a").alias("a")).collect()[0]
+    assert row.a == [None, "1.000000"]
+
+
+def test_json_arrays_unknown_column_raises(spark):
+    with pytest.raises(ValueError, match="not in frame"):
+        json_arrays(spark.sql("SELECT array(1) AS a"), "nope")
