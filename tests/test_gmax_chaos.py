@@ -183,3 +183,104 @@ def test_gmax_fuzz_decoys_and_nesting(spark, gmax_view, seed):
         for g, grp in by_g.items():
             assert abs(out[g] - _entropy([r[2] for r in grp])) \
                 < 1e-9, (seed, q)
+
+
+def _max_open(intervals):
+    ev = sorted([(s, 1) for s, e in intervals]
+                + [(e, -1) for s, e in intervals])
+    best = open_ = 0
+    bt = None
+    for t, d in ev:
+        open_ += d
+        if open_ > best:
+            best, bt = open_, t
+    return best, bt
+
+
+MXI_GRID = [
+    ("plain",
+     "SELECT g, maxIntersections(v, v + 1.5) AS mi FROM gmx14 "
+     "GROUP BY g", None),
+    ("alias_qualified",
+     "SELECT t.g, maxIntersections(t.v, t.v + 1.5) AS mi FROM gmx14 t "
+     "GROUP BY t.g", None),
+    ("bare_alias_key",
+     "SELECT g gg, maxIntersections(v, v + 1.5) mi FROM gmx14 "
+     "GROUP BY gg", None),
+    ("decoy_literals",
+     "SELECT g, maxIntersections(v, v + 1.5) AS mi, "
+     "' LATERAL VIEW __CH_MXI__(a, b) CROSS JOIN WHERE ' AS s "
+     "FROM gmx14 GROUP BY g, "
+     "' LATERAL VIEW __CH_MXI__(a, b) CROSS JOIN WHERE '", None),
+    ("where_filter",
+     "SELECT g, maxIntersections(v, v + 1.5) AS mi FROM gmx14 "
+     "WHERE id % 2 = 0 GROUP BY g", lambda r: r[0] % 2 == 0),
+    ("nested_subquery",
+     "SELECT g, mi FROM (SELECT g, maxIntersections(v, v + 1.5) AS mi "
+     "FROM gmx14 GROUP BY g) sub WHERE mi >= 0", None),
+    ("cte_source",
+     "WITH c AS (SELECT * FROM gmx14) "
+     "SELECT g, maxIntersections(v, v + 1.5) AS mi FROM c GROUP BY g",
+     None),
+    ("having_order_tail",
+     "SELECT g, maxIntersections(v, v + 1.5) AS mi FROM gmx14 "
+     "GROUP BY g HAVING COUNT(*) > 1 ORDER BY g LIMIT 10", None),
+]
+
+
+@pytest.mark.parametrize("name,sql,rfilter",
+                         MXI_GRID, ids=[c[0] for c in MXI_GRID])
+def test_mxi_constructs_vs_python(spark, gmax_view, name, sql, rfilter):
+    """The round-14 maxIntersections sweep pass
+    (ch_sql._apply_max_intersections) under the same construct grid the
+    gmax pass gets: grouped forms, alias spellings, decoy markers in
+    string literals, nesting, CTE sources, WHERE/HAVING tails —
+    differentially vs a python event sweep."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    rows, _ = gmax_view
+    use = [r for r in rows if rfilter is None or rfilter(r)]
+    by_g = collections.defaultdict(list)
+    for r in use:
+        by_g[r[1]].append((r[2], r[2] + 1.5))
+    out = {row[0]: row[1] for row in ch_sql(spark, sql).collect()}
+    assert set(out) == set(by_g), name
+    for g, iv in by_g.items():
+        assert out[g] == _max_open(iv)[0], (name, g)
+
+
+def test_mxi_position_and_mixed_stats(spark, gmax_view):
+    """maxIntersectionsPosition + a gmax-path stat + a plain aggregate
+    in ONE select: the mxi join splices first, the group-window wrap
+    second — both passes must compose."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    _, by_g = gmax_view
+    out = {r.g: r for r in ch_sql(spark, """
+        SELECT g, maxIntersections(v, v + 1.5) AS mi,
+               maxIntersectionsPosition(v, v + 1.5) AS mip,
+               entropy(v) AS ent, COUNT(*) AS c
+        FROM gmx14 GROUP BY g""").collect()}
+    for g, grp in by_g.items():
+        iv = [(r[2], r[2] + 1.5) for r in grp]
+        best, bt = _max_open(iv)
+        assert out[g].mi == best, g
+        assert abs(out[g].mip - bt) < 1e-9, g
+        assert abs(out[g].ent - _entropy([r[2] for r in grp])) < 1e-9
+        assert out[g].c == len(grp), g
+
+
+def test_mxi_null_intervals_skipped(spark):
+    """Rows with a NULL start or end are skipped like upstream."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    spark.sql("""SELECT * FROM VALUES
+        (1, 1.0, 5.0), (1, 2.0, 3.0), (1, CAST(NULL AS DOUBLE), 9.0),
+        (1, 4.0, CAST(NULL AS DOUBLE)), (2, 0.0, 1.0)
+        AS t(g, s, e)""").createOrReplaceTempView("gmx14_null")
+    out = {r.g: (r.mi, r.mip) for r in ch_sql(spark, """
+        SELECT g, maxIntersections(s, e) AS mi,
+               maxIntersectionsPosition(s, e) AS mip
+        FROM gmx14_null GROUP BY g""").collect()}
+    assert out[1] == (2, 2.0)   # [1,5) and [2,3) overlap; NULLs out
+    assert out[2] == (1, 0.0)
