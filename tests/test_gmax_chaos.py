@@ -225,6 +225,11 @@ MXI_GRID = [
     ("having_order_tail",
      "SELECT g, maxIntersections(v, v + 1.5) AS mi FROM gmx14 "
      "GROUP BY g HAVING COUNT(*) > 1 ORDER BY g LIMIT 10", None),
+    ("union_branches",
+     "SELECT g, maxIntersections(v, v + 1.5) AS mi FROM gmx14 "
+     "WHERE g < 2 GROUP BY g UNION ALL "
+     "SELECT g, maxIntersections(v, v + 1.5) AS mi FROM gmx14 "
+     "WHERE g >= 2 GROUP BY g", None),
 ]
 
 

@@ -60,16 +60,13 @@ def test_no_driver_incompatible_output_shapes(spark, sf_dir):
     banned by the same convention: Spark hands back datetime.date
     objects where DuckDB hands back midnight Timestamps (cast to
     timestamp or string instead). Plan-time only — builds each query's
-    schema, executes nothing."""
-    from pyspark.sql import types as T
+    schema, executes nothing. The banned-type list lives in shapes.py
+    (shared with tools/audit_shapes.py)."""
+    from clickhouse_clickhouse_spark.shapes import offending_columns
 
-    banned = (T.ArrayType, T.MapType, T.StructType, T.DecimalType,
-              T.DateType)
     offending = {}
     for name, fn in sorted(E.queries().items()):
-        schema = fn(spark, sf_dir).schema
-        bad = [(f.name, f.dataType.simpleString())
-               for f in schema.fields if isinstance(f.dataType, banned)]
+        bad = offending_columns(fn(spark, sf_dir).schema)
         if bad:
             offending[name] = bad
     assert not offending, (

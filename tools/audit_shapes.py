@@ -23,14 +23,9 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-from pyspark.sql import types as T  # noqa: E402
-
-BAD_TYPES = (T.ArrayType, T.MapType, T.StructType, T.DecimalType)
-
-
-def offending_columns(schema):
-    return [(f.name, f.dataType.simpleString())
-            for f in schema.fields if isinstance(f.dataType, BAD_TYPES)]
+from clickhouse_clickhouse_spark.shapes import (  # noqa: E402
+    offending_columns,
+)
 
 
 def main():
