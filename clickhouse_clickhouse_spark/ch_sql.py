@@ -2890,10 +2890,22 @@ _FUNCS: dict[str, str] = {
     # bitmap cardinality over integer ids ([U] AggregateFunctionGroupBitmap.h)
     "groupBitmap": "COUNT(DISTINCT {0})",
     "sumCount": "NAMED_STRUCT('sum', SUM({0}), 'count', COUNT({0}))",
+    # distinct dotted leaf paths across the group's JSON documents
+    # ([U] distinctJSONPaths over the JSON type) — per-row bounded
+    # __json_paths walk, distinct-flatten aggregate
+    "distinctJSONPaths":
+        "SORT_ARRAY(ARRAY_DISTINCT(FLATTEN("
+        "COLLECT_LIST(__json_paths({0})))))",
+    "distinctJSONPathsAndTypes": lambda a: (_ for _ in ()).throw(
+        ValueError("distinctJSONPathsAndTypes: compose "
+                   "distinctJSONPaths(col) with JSONType(col, path) "
+                   "per path — the Map(path, types) assembly has no "
+                   "single-expression form here")),
     # the determinator argument drops DELIBERATELY: Spark's
     # percentile_approx is already deterministic (lambda form so the
     # template guard doesn't flag the unused arg)
     "quantileDeterministic": lambda a: f"PERCENTILE_APPROX({a[0]}, 0.5)",
+    "medianDeterministic": lambda a: f"PERCENTILE_APPROX({a[0]}, 0.5)",
     # -OrNull combinator (NULL when nothing aggregated): Spark's
     # SUM/MIN/MAX/AVG are already NULL over empty/all-null input, so
     # only the counting forms need the NULLIF wrap
@@ -3915,6 +3927,15 @@ _FUNCS: dict[str, str] = {
     "dateTimeToSnowflakeID":
         lambda a: (f"SHIFTLEFT(UNIX_MILLIS(CAST({a[0]} AS TIMESTAMP)) - "
                    f"CAST({a[1] if len(a) > 1 else 0} AS BIGINT), 22)"),
+    # DateTime64 variants (round 14): same epoch-ms arithmetic — the
+    # ms-precision timestamp is Spark's native TIMESTAMP already
+    "snowflakeIDToDateTime64":
+        lambda a: (f"TIMESTAMP_MILLIS(SHIFTRIGHTUNSIGNED("
+                   f"CAST({a[0]} AS BIGINT), 22) + "
+                   f"CAST({a[1] if len(a) > 1 else 0} AS BIGINT))"),
+    "dateTime64ToSnowflakeID":
+        lambda a: (f"SHIFTLEFT(UNIX_MILLIS(CAST({a[0]} AS TIMESTAMP)) - "
+                   f"CAST({a[1] if len(a) > 1 else 0} AS BIGINT), 22)"),
     "generateSnowflakeID": lambda a: (
         "(SHIFTLEFT(UNIX_MILLIS(NOW()), 22) | "
         "CAST(FLOOR(RAND() * 4194304) AS BIGINT))"),
@@ -4315,9 +4336,12 @@ _FUNCS: dict[str, str] = {
             "parseTimeDelta: needs a string literal here"))),
     # the session factory pins UTC (session.py); presentation-only
     "serverTimezone": lambda a: "'UTC'",
+    "serverTimeZone": lambda a: "'UTC'",  # documented camelCase spelling
     "timezoneOf": lambda a: "'UTC'",
     "timeZoneOf": lambda a: "'UTC'",   # documented camelCase spelling
     "timeZoneOffset": "(UNIX_TIMESTAMP({0}) - "
+                      "UNIX_TIMESTAMP(TO_UTC_TIMESTAMP({0}, 'UTC')))",
+    "timezoneOffset": "(UNIX_TIMESTAMP({0}) - "  # lowercase-z spelling
                       "UNIX_TIMESTAMP(TO_UTC_TIMESTAMP({0}, 'UTC')))",
     # math / conversions
     "intExp2": "SHIFTLEFT(CAST(1 AS BIGINT), {0})",
@@ -5069,6 +5093,10 @@ _PARAMETRIC: dict = {
                        ks="ARRAY(" + params[0].strip()[1:-1] + ")"
                        if params[0].strip().startswith("[")
                        else params[0])]),
+    # WithOverflow keeps the input's narrow type upstream; sums here
+    # are wide already — same rendering (round 14 alias)
+    "sumMapFilteredWithOverflow": lambda params, args: _PARAMETRIC[
+        "sumMapFiltered"](params, args),
     # parametric test forms: the default two-sided asymptotic is what
     # the plain templates compute; other alternatives refuse loudly
     "mannWhitneyUTest": lambda params, args: (
@@ -5100,6 +5128,10 @@ _PARAMETRIC: dict = {
     "quantilesTDigest": "PERCENTILE_APPROX({a0}, ARRAY({p*}))",
     "quantileDeterministic": lambda params, args:
         f"PERCENTILE_APPROX({args[0]}, {params[0]})",
+    # plural form; the determinator argument drops like the singular —
+    # Spark's percentile_approx is already deterministic
+    "quantilesDeterministic": lambda params, args:
+        f"PERCENTILE_APPROX({args[0]}, ARRAY({', '.join(params)}))",
     "meanZTest": lambda params, args: _mean_ztest_tpl(params, args),
     # -Resample combinator ([U] AggregateFunctionResample.h): bucket the
     # aggregation by a key column over [start, end) with `step`, one
@@ -9099,6 +9131,7 @@ def _register_udfs(spark: SparkSession) -> None:
         pass  # ripeMD160 calls then fail loudly at resolution
     from clickhouse_clickhouse_spark.functions import jsonops as JO
     spark.udf.register("__json_merge_patch", JO.json_merge_patch_udf())
+    spark.udf.register("__json_paths", JO.json_paths_udf())
     _REGISTERED.add(id(spark))
 
 

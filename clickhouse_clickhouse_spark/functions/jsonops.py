@@ -56,3 +56,44 @@ def json_merge_patch_udf():
             return pd.Series(out)
         _UDF = _jmp
     return _UDF
+
+
+def json_paths_py(s: str) -> list[str]:
+    """Distinct dotted key paths of one JSON document ([U]
+    distinctJSONPaths semantics: leaf paths, arrays treated as leaf
+    values like the upstream JSON type's dynamic paths). Depth-bounded
+    walk (64) — per-row bounded work."""
+    try:
+        doc = json.loads(s)
+    except ValueError:
+        return []
+    out: list[str] = []
+
+    def walk(node, prefix, depth):
+        if depth > 64 or not isinstance(node, dict):
+            return
+        for k, v in node.items():
+            p = f"{prefix}.{k}" if prefix else k
+            if isinstance(v, dict) and v:
+                walk(v, p, depth + 1)
+            else:
+                out.append(p)
+
+    walk(doc, "", 0)
+    return sorted(set(out))
+
+
+_PATHS_UDF = None
+
+
+def json_paths_udf():
+    global _PATHS_UDF
+    if _PATHS_UDF is None:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<string>")
+        def _jp(a: pd.Series) -> pd.Series:
+            return a.map(lambda v: None if v is None
+                         else json_paths_py(v))
+        _PATHS_UDF = _jp
+    return _PATHS_UDF

@@ -1976,6 +1976,42 @@ def ch_sql_scalar_tail_r10(spark, sf):
         FROM nation""")
 
 
+@register("ch_sql_round14_tail", oracle="""
+SELECT CAST(user_id % 3 AS BIGINT) AS g,
+       to_json(['a', 'b', 'n.x']) AS paths,
+       CAST(min(ts) AS TIMESTAMP) AS sf64_rt,
+       0 AS tzoff,
+       'UTC' AS stz
+FROM (SELECT user_id, time_bucket(INTERVAL '1 second', ts) AS ts
+      FROM events)
+GROUP BY 1
+""")
+def ch_sql_round14_tail(spark, sf):
+    """Round-14 probe closures: distinctJSONPaths (dotted leaf paths
+    across a group's JSON docs — every cohort sees both row shapes, so
+    the union is constructively known), dateTime64ToSnowflakeID /
+    snowflakeIDToDateTime64 round trip (second-truncated — the 22-bit
+    shift preserves ms and the fixture carries sub-ms), timezoneOffset
+    and serverTimeZone under the pinned-UTC session. Array output
+    emitted as a JSON string (shapes.py driver-gate note)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+    from clickhouse_clickhouse_spark.shapes import json_arrays
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return json_arrays(ch_sql(spark, """
+        SELECT toInt64(user_id % 3) AS g,
+               distinctJSONPaths(CASE WHEN event_id % 2 = 0
+                   THEN concat('{"a": ', toString(event_id),
+                               ', "n": {"x": 1}}')
+                   ELSE '{"b": [1, 2]}' END) AS paths,
+               min(snowflakeIDToDateTime64(dateTime64ToSnowflakeID(
+                   toStartOfSecond(ts)))) AS sf64_rt,
+               timezoneOffset(toDateTime('2024-01-01 00:00:00'))
+                   AS tzoff,
+               serverTimeZone() AS stz
+        FROM events GROUP BY g"""), "paths")
+
+
 @register("ch_sql_ipv6_cidr", oracle="""
 SELECT n_nationkey AS k,
        CASE WHEN n_nationkey = 0 THEN '2001:db8::'
