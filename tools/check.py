@@ -86,6 +86,20 @@ def canon_parity(df_pandas):
     normalize to naive isoformat (Spark hands back datetime64[ns],
     DuckDB datetime64[us] — equal instants must compare equal)."""
     cols = sorted(df_pandas.columns)
+    # explicit unhashable-cell check: the driver's multi-column lexsort
+    # raises TypeError on list/dict cells, but a SINGLE-column frame
+    # takes pandas' non-lexsort path and would slip through — stay
+    # conservative for any column count
+    for c in cols:
+        col = df_pandas[c]
+        if col.dtype == object and len(col):
+            v = col.iloc[0]
+            if isinstance(v, (list, dict, set)) or \
+                    type(v).__name__ == "ndarray":
+                raise TypeError(
+                    f"unhashable cell type in column {c!r} "
+                    f"({type(v).__name__}) — driver-incompatible "
+                    f"output shape")
     pdf = df_pandas[cols].sort_values(by=cols, kind="mergesort")
     rows = [tuple(_parity_val(v) for v in row)
             for row in pdf.itertuples(index=False)]
