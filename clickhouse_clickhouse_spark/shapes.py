@@ -69,7 +69,18 @@ def json_arrays(df: DataFrame, *cols: str) -> DataFrame:
 def fmt_double_array(col: str | Column) -> Column:
     """array<double> → array<string> via ``%.6f`` so the JSON rendering
     matches DuckDB's ``printf('%.6f', x + 0.0)`` element-for-element
-    (fixed notation, no scientific; NULL elements stay NULL)."""
+    (fixed notation, no scientific; NULL elements stay NULL).
+
+    Domain bound (round-14 fuzz finding,
+    tests/test_shapes.py::test_double_array_rendering_fuzz): the two
+    engines agree byte-for-byte for |x| < 1e10. Beyond ~1e11 Java
+    prints the double's EXACT decimal expansion while DuckDB's fmt
+    pads the shortest-round-trip digits with zeros
+    (``665221496204.312012`` vs ``665221496204.312000``) — if an entry
+    ever serializes doubles that large, scale them down or emit
+    integer strings instead. Every registered array stays orders of
+    magnitude inside the bound (sums over the fixtures top out
+    ~1e6)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.transform(
         c, lambda x: F.when(x.isNotNull(),

@@ -64,3 +64,50 @@ def test_fmt_double_array_null_gate(spark):
 def test_json_arrays_unknown_column_raises(spark):
     with pytest.raises(ValueError, match="not in frame"):
         json_arrays(spark.sql("SELECT array(1) AS a"), "nope")
+
+
+def test_double_array_rendering_fuzz(spark):
+    """Seeded random magnitudes across the %.6f danger zones
+    (sub-epsilon, sci-notation thresholds, large integers, negatives,
+    -0.0): the serialized Spark string must equal DuckDB's rendering
+    byte-for-byte, because the driver hashes exact values.
+
+    The contract's documented domain is |x| < 1e10 (fmt_double_array
+    docstring): beyond ~1e11 Java prints the exact decimal expansion
+    where DuckDB's fmt zero-pads shortest-round-trip digits — the
+    fuzz sweeps the contract domain, and a companion assert pins that
+    the divergence beyond it is REAL (so the bound stays honest)."""
+    import random
+
+    rng = random.Random(1414)
+    vals = []
+    for exp in range(-8, 10):
+        for _ in range(3):
+            v = rng.uniform(1, 10) * (10 ** exp) * rng.choice([1, -1])
+            vals.append(round(v, 6))
+    vals += [-0.0, 0.0, 123456789.123456, 9999999999.999999]
+    # chunks of 6 per array
+    arrays = [vals[i:i + 6] for i in range(0, len(vals), 6)]
+    sel = ", ".join(
+        "array(" + ", ".join(f"{v!r}D" for v in a) + f") AS a{i}"
+        for i, a in enumerate(arrays))
+    sdf = spark.sql(f"SELECT {sel}")
+    out = json_double_arrays(sdf, *[f"a{i}" for i in range(len(arrays))]
+                             ).collect()[0]
+    con = duckdb.connect()
+    for i, a in enumerate(arrays):
+        lit = ", ".join(repr(v) for v in a)
+        duck = con.execute(
+            f"SELECT to_json(list_transform([{lit}]::DOUBLE[], "
+            f"x -> printf('%.6f', x + 0.0)))").fetchone()[0]
+        assert out[f"a{i}"] == duck, (i, a, out[f"a{i}"], duck)
+
+    # the out-of-domain divergence is real: pin it so the documented
+    # bound can't silently go stale
+    big = 665221496204.312012
+    sp = spark.sql(f"SELECT array({big!r}D) AS a")
+    sp = json_double_arrays(sp, "a").collect()[0].a
+    dk = con.execute(
+        f"SELECT to_json(list_transform([{big!r}]::DOUBLE[], "
+        f"x -> printf('%.6f', x + 0.0)))").fetchone()[0]
+    assert sp != dk, "engines now agree beyond 1e11 — relax the bound"
