@@ -1362,9 +1362,14 @@ def _ip_in_range_tpl(a: list[str]) -> str:
         cidr_v6 = ":" in cidr
         fam = f"({addr} LIKE '%:%')"
         if cidr_v6:
+            # the IF null-gate is load-bearing: Spark batch-extracts
+            # the python UDF out of the CASE and runs it on EVERY row,
+            # so an ungated v4 address would crash inet_pton (round-14
+            # second-review finding)
             return (f"CASE WHEN {addr} IS NULL THEN NULL "
                     f"WHEN NOT {fam} THEN FALSE "
-                    f"ELSE __ipv6_in_range({addr}, {cidr}) END")
+                    f"ELSE __ipv6_in_range(IF({fam}, {addr}, NULL), "
+                    f"{cidr}) END")
         return (f"CASE WHEN {addr} IS NULL THEN NULL "
                 f"WHEN {fam} THEN FALSE ELSE {v4} END")
     # column cidr: family known only per row; the python UDF sits
@@ -1706,21 +1711,23 @@ def _categorical_iv_tpl(args: list[str]) -> str:
         mc = f"CAST(__CH_GCNT__({cg}) AS DOUBLE)"
         py = f"({yc} / {yy})"
         pn = f"({nc} / {nn})"
-        # LN(0) is NULL under ANSI-off Spark, which would silently DROP
-        # a zero-side category's term and return a plausible finite IV
-        # (round-14 review finding) — spell out the IEEE limits
-        # upstream's unsmoothed formula produces: one-sided categories
-        # contribute ±inf · (py−pn) = +inf, a both-sides-empty category
-        # (all rows carry a non-0/1 tag) is NaN. The double divisions
-        # themselves are IEEE (0/0 → NaN) — only LN needs the guard.
+        # Spark under ANSI-off returns NULL for BOTH LN(0) and x/0
+        # (even double/double — round-14 second-review correction: the
+        # divisions are NOT IEEE), which would silently DROP zero-side
+        # terms and return a plausible finite (or NULL) IV. Spell out
+        # the limits upstream's unsmoothed IEEE formula produces:
+        # one-sided categories contribute ±inf · (py−pn) = +inf, a
+        # both-sides-empty category is NaN, and a group whose tag
+        # column is all-0 or all-1 (zero total on one side) is NaN.
         lnr = (f"(CASE WHEN {py} = 0.0D AND {pn} = 0.0D "
                f"THEN CAST('NaN' AS DOUBLE) "
                f"WHEN {py} = 0.0D THEN CAST('-Infinity' AS DOUBLE) "
                f"WHEN {pn} = 0.0D THEN CAST('Infinity' AS DOUBLE) "
                f"ELSE LN({py} / {pn}) END)")
-        terms.append(
-            f"SUM(CASE WHEN {valid} THEN "
-            f"(({py} - {pn}) * {lnr}) / {mc} END)")
+        term = (f"(CASE WHEN {yy} = 0.0D OR {nn} = 0.0D "
+                f"THEN CAST('NaN' AS DOUBLE) "
+                f"ELSE (({py} - {pn}) * {lnr}) / {mc} END)")
+        terms.append(f"SUM(CASE WHEN {valid} THEN {term} END)")
     return "ARRAY(" + ", ".join(terms) + ")"
 
 
@@ -8612,10 +8619,15 @@ def _mxi_fold_sql(a: str, b: str, position: bool) -> str:
     fallback for select spans the distributed sweep cannot anchor
     (ROLLUP/CUBE/GROUPING SETS/ALL/positional GROUP BY, FROM-less
     constants). O(group) state on one executor; the default path is
-    the distributed _mxi_rewrite_select twin."""
-    ev = (f"ARRAY_SORT(FLATTEN(COLLECT_LIST(ARRAY("
+    the distributed _mxi_rewrite_select twin. NULL-endpoint intervals
+    are skipped like the distributed path and upstream (round-14
+    second-review finding: an ungated NULL start event sorted first
+    and stayed open for the whole sweep, inflating the count)."""
+    ev = (f"ARRAY_SORT(FLATTEN(COLLECT_LIST("
+          f"IF(({a}) IS NULL OR ({b}) IS NULL, "
+          f"ARRAY(), ARRAY("
           f"NAMED_STRUCT('t', CAST({a} AS DOUBLE), 'd', 1), "
-          f"NAMED_STRUCT('t', CAST({b} AS DOUBLE), 'd', -1)))))")
+          f"NAMED_STRUCT('t', CAST({b} AS DOUBLE), 'd', -1))))))")
     fin = "__mf.bt" if position else "__mf.best"
     body = ("AGGREGATE(__v.ev, "
             "NAMED_STRUCT('open', 0, 'best', 0, "

@@ -144,3 +144,66 @@ def test_categorical_iv_zero_side_category(spark):
     iv = ch_sql(spark, "SELECT categoricalInformationValue(c, tag) "
                        "AS iv FROM r14_civ").collect()[0].iv[0]
     assert math.isinf(iv) and iv > 0
+
+
+def test_mxi_fold_fallback_skips_null_intervals(spark):
+    """Second-review finding: the ROLLUP/positional fold fallback must
+    skip NULL-endpoint intervals exactly like the distributed default
+    (an ungated NULL start event sorted first and stayed open for the
+    whole sweep)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    spark.sql("""SELECT * FROM VALUES
+        (1, CAST(NULL AS DOUBLE), 5.0), (1, 1.0, 10.0)
+        AS t(g, s, e)""").createOrReplaceTempView("r14_nulliv")
+    grouped = {r.g: r.mi for r in ch_sql(
+        spark, "SELECT g, maxIntersections(s, e) AS mi "
+               "FROM r14_nulliv GROUP BY g").collect()}
+    rolled = {(-1 if r.g is None else r.g): r.mi for r in ch_sql(
+        spark, "SELECT g, maxIntersections(s, e) AS mi "
+               "FROM r14_nulliv GROUP BY ROLLUP(g)").collect()}
+    assert grouped == {1: 1}
+    assert rolled == {-1: 1, 1: 1}
+
+
+def test_ip_v6_literal_cidr_with_v4_rows(spark):
+    """Second-review finding: the v6-literal branch must null-gate the
+    UDF input — Spark batch-extracts the python UDF out of the CASE,
+    so ungated v4 rows crashed inet_pton."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    spark.sql("SELECT * FROM VALUES ('10.1.2.3'), ('2001:db8::1') "
+              "AS t(a)").createOrReplaceTempView("r14_mixed_ip")
+    got = {r.a: r.r for r in ch_sql(
+        spark, "SELECT a, isIPAddressInRange(a, '2001:db8::/32') AS r "
+               "FROM r14_mixed_ip").collect()}
+    assert got == {"10.1.2.3": False, "2001:db8::1": True}
+
+
+def test_categorical_iv_zero_total_is_nan(spark):
+    """Second-review finding: Spark's ANSI-off x/0 is NULL (not IEEE
+    NaN), so an all-one-tag group silently returned NULL IV — the
+    template must produce NaN like upstream's unsmoothed formula."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    spark.sql("SELECT * FROM VALUES ('a', 1), ('a', 1), ('b', 1) "
+              "AS t(c, tag)").createOrReplaceTempView("r14_civ_zero")
+    iv = ch_sql(spark, "SELECT categoricalInformationValue(c, tag) "
+                       "AS iv FROM r14_civ_zero").collect()[0].iv[0]
+    assert iv is not None and math.isnan(iv)
+
+
+def test_cb_json_fixture_contract(spark, sf_dir):
+    """Second-review finding (latent): the typed from_json extraction
+    equals get_json_object ONLY while the fixture encodes k as a bare
+    JSON number — pin that contract so a fixture change can't silently
+    diverge the three cb queries from their oracles."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_clickhouse_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    diff = ev.filter(
+        ~F.from_json("props", "k int")["k"].eqNullSafe(
+            F.get_json_object("props", "$.k").cast("int"))).count()
+    assert diff == 0

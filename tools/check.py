@@ -93,9 +93,13 @@ def canon_parity(df_pandas):
     for c in cols:
         col = df_pandas[c]
         if col.dtype == object and len(col):
-            v = col.iloc[0]
-            if isinstance(v, (list, dict, set)) or \
-                    type(v).__name__ == "ndarray":
+            # first NON-NULL cell: a leading NULL would otherwise hide
+            # a list column from the check (round-14 second review)
+            nn = col[col.map(
+                lambda v: isinstance(v, (list, dict, set))
+                or type(v).__name__ == "ndarray")]
+            if len(nn):
+                v = nn.iloc[0]
                 raise TypeError(
                     f"unhashable cell type in column {c!r} "
                     f"({type(v).__name__}) — driver-incompatible "
