@@ -1514,10 +1514,46 @@ def _format_row_tpl(args: list[str]) -> str:
 _FSD_SLD = "('com', 'net', 'org', 'co', 'edu', 'gov', 'mil', 'ac')"
 
 
-def _fsd_tpl(args: list[str], cut: bool) -> str:
+def _normalize_tpl(args: list[str], kind: str) -> str:
+    """L1Normalize/L2Normalize(arr) ([U] src/Functions/vectorFunctions.cpp
+    TupleOrArrayFunctionL{1,2}Normalize): each component divided by the
+    vector's L1/L2 norm. The norm binds ONCE (single-element TRANSFORM
+    trick — a naive template would re-fold the whole array per
+    element); a zero-norm vector yields NaN components, the IEEE 0/0
+    limit upstream produces (Spark's ANSI-off division would silently
+    return NULL — same hazard as categoricalInformationValue)."""
+    if len(args) != 1:
+        raise ValueError(f"{kind}Normalize takes one array argument")
+    arr = args[0]
+    if kind == "L1":
+        norm = (f"AGGREGATE({arr}, CAST(0 AS DOUBLE), "
+                f"(__s, __x) -> __s + ABS(CAST(__x AS DOUBLE)))")
+    else:
+        norm = (f"SQRT(AGGREGATE({arr}, CAST(0 AS DOUBLE), "
+                f"(__s, __x) -> __s + CAST(__x AS DOUBLE) "
+                f"* CAST(__x AS DOUBLE)))")
+    body = (f"TRANSFORM({arr}, __x -> CASE WHEN __nv.n = 0.0D "
+            f"THEN CAST('NaN' AS DOUBLE) "
+            f"ELSE CAST(__x AS DOUBLE) / __nv.n END)")
+    return _bind_once({"n": norm}, body, var="__nv")
+
+
+def _fsd_tpl(args: list[str], cut: bool, www: bool = False) -> str:
     bind = {"h": f"SPLIT(PARSE_URL({args[0]}, 'HOST'), '\\\\.')"}
     idx = (f"IF(SIZE(__v.h) >= 3 AND ELEMENT_AT(__v.h, -2) IN "
            f"{_FSD_SLD}, 3, 2)")
+    if www:
+        # keep a 'www' label sitting immediately before the kept
+        # suffix ([U] src/Functions/URL/ExtractFirstSignificantSubdomain.h
+        # keep_www form). TRY_ELEMENT_AT: the preceding-label index is
+        # computed, so a too-short host yields NULL, not an error; the
+        # SIZE guard keeps the slice inside the array.
+        k = (f"(({idx}) + IF(SIZE(__v.h) > ({idx}) AND "
+             f"COALESCE(TRY_ELEMENT_AT(__v.h, "
+             f"SIZE(__v.h) - ({idx})) = 'www', FALSE), 1, 0))")
+        body = ("ARRAY_JOIN(SLICE(__v.h, SIZE(__v.h) - __w.k + 1, "
+                "__w.k), '.')")
+        return _bind_once(bind, _bind_once({"k": k}, body, var="__w"))
     if cut:
         body = (f"ARRAY_JOIN(SLICE(__v.h, SIZE(__v.h) - {idx} + 1, "
                 f"{idx}), '.')")
@@ -3239,6 +3275,10 @@ _FUNCS: dict[str, str] = {
     "addYears": "({0} + MAKE_INTERVAL({1}, 0, 0, 0, 0, 0, 0))",
     "initcap": "INITCAP({0})",
     "countMatches": "REGEXP_COUNT({0}, {1})",
+    # ([U] src/Functions/countMatches.h) — same non-overlapping scan
+    # with the RE2/Java-common (?i) flag prefix
+    "countMatchesCaseInsensitive":
+        "REGEXP_COUNT({0}, CONCAT('(?i)', {1}))",
     "isNaN": "ISNAN({0})",
     "isInfinite": "(ABS({0}) = CAST('Infinity' AS DOUBLE))",
     "ifNotFinite": "(CASE WHEN ISNAN({0}) OR ABS({0}) = "
@@ -3836,6 +3876,8 @@ _FUNCS: dict[str, str] = {
     "LinfDistance": "COALESCE(ARRAY_MAX(ZIP_WITH({0}, {1}, "
                     "(__x, __y) -> ABS(CAST(__x AS DOUBLE) "
                     "- CAST(__y AS DOUBLE)))), 0.0D)",
+    "L1Normalize": lambda a: _normalize_tpl(a, "L1"),
+    "L2Normalize": lambda a: _normalize_tpl(a, "L2"),
     "addQuarters": "ADD_MONTHS({0}, 3 * ({1}))",
     "subtractQuarters": "ADD_MONTHS({0}, -3 * ({1}))",
     # >2^63 wraparound differs (SURVEY §1.2 UInt64 stance) — documented
@@ -4362,6 +4404,8 @@ _FUNCS: dict[str, str] = {
     # url
     "firstSignificantSubdomain": lambda a: _fsd_tpl(a, cut=False),
     "cutToFirstSignificantSubdomain": lambda a: _fsd_tpl(a, cut=True),
+    "cutToFirstSignificantSubdomainWithWWW":
+        lambda a: _fsd_tpl(a, cut=True, www=True),
     "encodeURLComponent": "REPLACE(URL_ENCODE({0}), '+', '%20')",
     "encodeURLFormComponent": "URL_ENCODE({0})",
     "decodeURLFormComponent": "URL_DECODE({0})",

@@ -182,6 +182,8 @@ def register_codec_udfs(spark) -> None:
                        _str_udf(idna_encode_py, try_mode=True))
     _reg(spark, "base58Encode", _str_udf(base58_encode_py))
     _reg(spark, "base58Decode", _str_udf(base58_decode_py))
+    _reg(spark, "tryBase58Decode",
+                       _str_udf(base58_decode_py, try_mode=True))
     for form in ("NFC", "NFD", "NFKC", "NFKD"):
         _reg(spark, 
             f"normalizeUTF8{form}",

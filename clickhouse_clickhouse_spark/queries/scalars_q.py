@@ -3437,3 +3437,75 @@ def ch_sql_ulid(spark, sf):
                              < 300 AS INT)) = 100 AS BIGINT)
                    AS ts_current
         FROM u""")
+
+
+@register("ch_sql_scalar_tail_r14c", oracle="""
+SELECT doc_id AS k,
+       source AS b58_rt,
+       '' AS b58_bad,
+       CAST(len(regexp_extract_all(upper(text), '(?i)the')) AS BIGINT)
+           AS cm_ci,
+       CAST(0 AS BIGINT) AS cm_cs,
+       CASE WHEN doc_id % 2 = 0
+            THEN 'www.d' || CAST(doc_id AS VARCHAR) || '.com'
+            ELSE 'd' || CAST(doc_id AS VARCHAR) || '.com' END AS fsd_www,
+       'd' || CAST(doc_id AS VARCHAR) || '.com' AS fsd_cut,
+       to_json(list_transform(
+           [(n_chars + 0.0) / 1.2999953::DOUBLE, (doc_id % 7) - 2.7000011::DOUBLE, 3.3000007::DOUBLE],
+           x -> printf('%.6f', x / (abs((n_chars + 0.0) / 1.2999953::DOUBLE)
+                + abs((doc_id % 7) - 2.7000011::DOUBLE) + 3.3000007::DOUBLE) + 0.0))) AS l1n,
+       to_json(list_transform(
+           [(n_chars + 0.0) / 1.2999953::DOUBLE, (doc_id % 7) - 2.7000011::DOUBLE, 3.3000007::DOUBLE],
+           x -> printf('%.6f', x / sqrt(((n_chars + 0.0) / 1.2999953::DOUBLE)
+                * ((n_chars + 0.0) / 1.2999953::DOUBLE) + ((doc_id % 7) - 2.7000011::DOUBLE)
+                * ((doc_id % 7) - 2.7000011::DOUBLE) + 3.3000007::DOUBLE * 3.3000007::DOUBLE) + 0.0))) AS l2n
+FROM documents
+WHERE doc_id < 500
+""")
+def ch_sql_scalar_tail_r14c(spark, sf):
+    """Round-14 second resolve-probe closures (the four genuine misses
+    of the 192-name sweep): tryBase58Decode ([U]
+    src/Functions/FunctionBase58Conversion.h try form — roundtrip plus
+    the empty-string error contract), countMatchesCaseInsensitive
+    ([U] src/Functions/countMatches.h — vs its case-sensitive twin on
+    the same uppercased text), cutToFirstSignificantSubdomainWithWWW
+    ([U] src/Functions/URL/ExtractFirstSignificantSubdomain.h
+    keep_www), and L1Normalize/L2Normalize ([U]
+    src/Functions/vectorFunctions.cpp — %.6f-JSON serialized per the
+    shapes.py driver-gate convention). The deliberately messy
+    1.2999953/2.7000011/3.3000007 constants keep the norm nonzero AND
+    every quotient clear of %.6f rendering ties: round constants put
+    quotients ON 6-dp half-boundaries three separate ways (3/384
+    dyadic-exact; 1.7+3.3 double errors CANCELLING to an exact 5.0
+    norm; 78/1.3 ROUNDING to exactly 60.0), where Java — which rounds
+    the shortest round-trip digits — and C printf — which rounds the
+    exact binary value — disagree (see shapes.fmt_double_array). The
+    oracle replays base58/FSD constructively (DuckDB has neither),
+    the normalizations by the same left-to-right fold arithmetic, and
+    casts its float literals ::DOUBLE (bare 2.7 is DECIMAL(2,1) in
+    DuckDB — decimal-exact arithmetic diverges from Spark's
+    doubles)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+    from clickhouse_clickhouse_spark.shapes import json_double_arrays
+
+    load_table(spark, sf, "documents").createOrReplaceTempView(
+        "documents")
+    return json_double_arrays(ch_sql(spark, """
+        SELECT doc_id AS k,
+               tryBase58Decode(base58Encode(source)) AS b58_rt,
+               tryBase58Decode(concat(source, '!')) AS b58_bad,
+               toInt64(countMatchesCaseInsensitive(upper(text), 'the'))
+                   AS cm_ci,
+               toInt64(countMatches(upper(text), 'the')) AS cm_cs,
+               cutToFirstSignificantSubdomainWithWWW(
+                   concat('https://', if(doc_id % 2 = 0, 'www.', ''),
+                          'd', toString(doc_id), '.com/x')) AS fsd_www,
+               cutToFirstSignificantSubdomain(
+                   concat('https://', if(doc_id % 2 = 0, 'www.', ''),
+                          'd', toString(doc_id), '.com/x')) AS fsd_cut,
+               L1Normalize([toFloat64(n_chars) / 1.2999953,
+                            toFloat64(doc_id % 7) - 2.7000011, 3.3000007]) AS l1n,
+               L2Normalize([toFloat64(n_chars) / 1.2999953,
+                            toFloat64(doc_id % 7) - 2.7000011, 3.3000007]) AS l2n
+        FROM documents
+        WHERE doc_id < 500"""), "l1n", "l2n")

@@ -80,7 +80,25 @@ def fmt_double_array(col: str | Column) -> Column:
     ever serializes doubles that large, scale them down or emit
     integer strings instead. Every registered array stays orders of
     magnitude inside the bound (sums over the fixtures top out
-    ~1e6)."""
+    ~1e6).
+
+    Tie bound (round-14 second finding, found live by
+    ch_sql_scalar_tail_r14c): even inside the domain the engines
+    disagree when a 6-dp HALF-boundary (k + 0.5)·1e-6 falls between
+    the double's exact binary value and its shortest round-trip
+    representation — Java's ``%.6f`` rounds the SHORTEST digits
+    (``3.3/64`` → repr ``0.0515625`` → HALF_UP → ``0.051563``) while C
+    printf rounds the EXACT value (``0.05156249999999999722…`` →
+    ``0.051562``). The boundary must sit within one ulp of the value,
+    so random data never hits it (~1e-11 per element at these
+    magnitudes) — but ROUND arithmetic constants manufacture it
+    reliably (dyadic quotients, error-cancelling sums, divisions that
+    round to exact integers). Rule for registry entries: derive
+    serialized doubles from fixture columns through at least one
+    non-dyadic constant (e.g. ``/1.2999953``), never from
+    integer-over-power-of-two arithmetic
+    (tests/test_shapes.py::test_double_rendering_tie_class pins the
+    divergent example)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.transform(
         c, lambda x: F.when(x.isNotNull(),

@@ -111,3 +111,27 @@ def test_double_array_rendering_fuzz(spark):
         f"SELECT to_json(list_transform([{big!r}]::DOUBLE[], "
         f"x -> printf('%.6f', x + 0.0)))").fetchone()[0]
     assert sp != dk, "engines now agree beyond 1e11 — relax the bound"
+
+
+def test_double_rendering_tie_class(spark):
+    """Round-14 second finding (fmt_double_array docstring): INSIDE
+    the |x|<1e10 domain the engines diverge when a 6-dp half-boundary
+    sits between a double's exact value and its shortest round-trip
+    repr — Java %.6f rounds the shortest digits, C printf the exact
+    binary value. 3.3/64 is the live example ch_sql_scalar_tail_r14c
+    hit (exact 0.05156249999…, repr 0.0515625)."""
+    import duckdb
+
+    sp = spark.sql("SELECT FORMAT_STRING('%.6f', 3.3D / 64) AS f"
+                   ).collect()[0].f
+    dk = duckdb.sql(
+        "SELECT printf('%.6f', 3.3::DOUBLE / 64)").fetchone()[0]
+    assert sp == "0.051563" and dk == "0.051562", (sp, dk)
+    # a non-dyadic perturbation clears the tie on both engines
+    sp2 = spark.sql(
+        "SELECT FORMAT_STRING('%.6f', 3.3D / 64.0000071D) AS f"
+        ).collect()[0].f
+    dk2 = duckdb.sql(
+        "SELECT printf('%.6f', 3.3::DOUBLE / 64.0000071::DOUBLE)"
+        ).fetchone()[0]
+    assert sp2 == dk2
