@@ -48,6 +48,7 @@ SURVEY.md §2.8 tables pin down.
 from __future__ import annotations
 
 import math
+import random
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -3087,6 +3088,12 @@ _FUNCS: dict[str, str] = {
     "tokens": "FILTER(SPLIT({0}, '\\\\W+'), __t -> __t != '')",
     "multiSearchAny":
         "EXISTS({1}, __n -> CONTAINS({0}, __n))",
+    # LOWER is full-unicode, upstream's non-UTF8 CI form is ASCII-only
+    # — a divergence only for non-ASCII needles in the plain spelling
+    "multiSearchAnyCaseInsensitive":
+        "EXISTS({1}, __n -> CONTAINS(LOWER({0}), LOWER(__n)))",
+    "multiSearchAnyCaseInsensitiveUTF8":
+        "EXISTS({1}, __n -> CONTAINS(LOWER({0}), LOWER(__n)))",
     "ngrams":
         "(CASE WHEN LENGTH({0}) >= ({1}) THEN TRANSFORM("
         "SEQUENCE(1, LENGTH({0}) - ({1}) + 1), "
@@ -3461,6 +3468,15 @@ _FUNCS: dict[str, str] = {
     "multiMatchAnyIndex":
         "CAST(COALESCE(ARRAY_POSITION(TRANSFORM({1}, "
         "__p -> REGEXP_LIKE({0}, __p)), TRUE), 0) AS BIGINT)",
+    # SEQUENCE(1, 0) DESCENDS — the empty-pattern guard is load-bearing;
+    # the NULL-haystack gate matches upstream (FILTER would silently
+    # drop the NULL predicate results and return [])
+    "multiMatchAllIndices":
+        "IF(({0}) IS NULL OR ({1}) IS NULL, NULL, "
+        "IF(SIZE({1}) = 0, CAST(ARRAY() AS ARRAY<BIGINT>), "
+        "TRANSFORM(FILTER(SEQUENCE(1, SIZE({1})), "
+        "__i -> REGEXP_LIKE({0}, ELEMENT_AT({1}, __i))), "
+        "__i -> CAST(__i AS BIGINT))))",
     # LEFTMOST-occurrence semantics (round-8 advice): the winner is the
     # needle whose first occurrence starts earliest in the haystack
     # (ties -> lower needle index), NOT the first needle in array order
@@ -3643,6 +3659,11 @@ _FUNCS: dict[str, str] = {
     "arrayLastIndex": lambda a: _bind_once(
         {"mk": f"TRANSFORM({a[1]}, {a[0]})"},
         "IF(SIZE(__v.mk) = 0, 0, COALESCE(ARRAY_MAX(FILTER("
+        "SEQUENCE(1, SIZE(__v.mk)), __i -> "
+        "COALESCE(ELEMENT_AT(__v.mk, __i), FALSE))), 0))"),
+    "arrayFirstIndex": lambda a: _bind_once(
+        {"mk": f"TRANSFORM({a[1]}, {a[0]})"},
+        "IF(SIZE(__v.mk) = 0, 0, COALESCE(ARRAY_MIN(FILTER("
         "SEQUENCE(1, SIZE(__v.mk)), __i -> "
         "COALESCE(ELEMENT_AT(__v.mk, __i), FALSE))), 0))"),
     # sortedness is an execution hint upstream — same answer
@@ -4060,8 +4081,31 @@ _FUNCS: dict[str, str] = {
     "wyHash64": lambda a: (_ for _ in ()).throw(ValueError(
         "wyHash64 is not implemented; xxHash64 is the scale hash")),
     "gccMurmurHash": lambda a: (_ for _ in ()).throw(ValueError(
-        "gccMurmurHash is not implemented; murmurHash2_64 carries the "
-        "murmur bit-parity surface")),
+        "gccMurmurHash (libstdc++ seed/tail variant) is not "
+        "implemented; murmurHash2_64/murmurHash2_32/murmurHash3_32 "
+        "carry the murmur bit-parity surface")),
+    # the 64/128-bit murmur3 forms have no independently verifiable
+    # vectors in this environment (the 32-bit form pins published
+    # vectors + a Spark-builtin differential) — refuse rather than
+    # claim unverified bit parity
+    "murmurHash3_64": lambda a: (_ for _ in ()).throw(ValueError(
+        "murmurHash3_64 is not implemented (no verifiable vectors "
+        "here); murmurHash3_32 and sipHash64 are bit-parity")),
+    "murmurHash3_128": lambda a: (_ for _ in ()).throw(ValueError(
+        "murmurHash3_128 is not implemented (no verifiable vectors "
+        "here); sipHash128 is the bit-parity 128-bit hash")),
+    "farmHash64": lambda a: (_ for _ in ()).throw(ValueError(
+        "farmHash64 is not implemented (Farm diverges from City past "
+        "v1.0.2); cityHash64 is the bit-parity city-family hash")),
+    "farmFingerprint64": lambda a: (_ for _ in ()).throw(ValueError(
+        "farmFingerprint64 is not implemented; cityHash64 (bit-parity)"
+        " or xxHash64 (scale path) cover fingerprinting")),
+    "intHash32": lambda a: (_ for _ in ()).throw(ValueError(
+        "intHash32's upstream bit-mix is not replicated here; "
+        "xxHash64(x) or hash partitioning cover integer hashing")),
+    "intHash64": lambda a: (_ for _ in ()).throw(ValueError(
+        "intHash64's upstream bit-mix is not replicated here; "
+        "xxHash64(x) is the scale hash")),
     "stem": lambda a: (_ for _ in ()).throw(ValueError(
         "stem needs a stemmer model (none in this environment); the "
         "text pipeline's token/ngram operators are model-free")),
@@ -4374,6 +4418,23 @@ _FUNCS: dict[str, str] = {
     "toTime": "TIMESTAMP_SECONDS(86400 + PMOD(UNIX_TIMESTAMP({0}), "
               "86400))",
     "formatDateTimeInJodaSyntax": "DATE_FORMAT({0}, {1})",
+    # Spark's native pattern dialect IS the Joda-descended JDK one
+    "parseDateTimeInJodaSyntax": "TO_TIMESTAMP({0}, {1})",
+    "parseDateTimeInJodaSyntaxOrNull": "TRY_TO_TIMESTAMP({0}, {1})",
+    "parseDateTimeInJodaSyntaxOrZero":
+        "COALESCE(TRY_TO_TIMESTAMP({0}, {1}), "
+        "TIMESTAMP '1970-01-01 00:00:00')",
+    # no-ops here: identity is upstream's optimizer-barrier marker,
+    # materialize lifts a constant to a full column — both are
+    # execution hints a declarative plan has no use for
+    "identity": "({0})",
+    "materialize": "({0})",
+    # one UInt32 draw spliced at TRANSLATE time, shared by every row —
+    # upstream's contract is constant-within-block, fresh across
+    # queries (a `(SELECT RAND())` scalar subquery does NOT work:
+    # Spark re-evaluates the nondeterministic subquery per row)
+    "randConstant": lambda a: (
+        f"CAST({random.randrange(1 << 32)} AS BIGINT)"),
     "dateAdd": lambda a: _date_add_tpl(a, "+"),
     "dateSub": lambda a: _date_add_tpl(a, "-"),
     "timestampAdd": "(({0}) + ({1}))",
@@ -9150,6 +9211,9 @@ def _register_udfs(spark: SparkSession) -> None:
 
     _reg("cityHash64", H._udf("city"))
     _reg("sipHash64", H._udf("sip"))
+    _reg("murmurHash2_64", H.murmur2_64_udf())
+    _reg("murmurHash2_32", H.murmur32_udf("mm2"))
+    _reg("murmurHash3_32", H.murmur32_udf("mm3"))
     from clickhouse_clickhouse_spark.functions import textcodecs as TC
     TC.register_codec_udfs(spark)
     from clickhouse_clickhouse_spark.functions import ipcodecs as IP

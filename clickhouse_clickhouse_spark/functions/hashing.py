@@ -464,15 +464,111 @@ def jaro_winkler_py(s1: str, s2: str) -> float:
     return jaro
 
 
-def murmur_hash2_64(c: Column) -> Column:
-    """Column wrapper: ``murmurHash2_64(x)`` (numpy-vectorized Arrow
-    UDF since round 8)."""
+def murmur2_64_udf():
     if "murmur2" not in _UDFS:
         @pandas_udf("long")
         def _mm2(s: pd.Series) -> pd.Series:
             return _hash_series(s, murmurhash2_64_np)
         _UDFS["murmur2"] = _mm2
-    return _UDFS["murmur2"](c)
+    return _UDFS["murmur2"]
+
+
+def murmur_hash2_64(c: Column) -> Column:
+    """Column wrapper: ``murmurHash2_64(x)`` (numpy-vectorized Arrow
+    UDF since round 8)."""
+    return murmur2_64_udf()(c)
+
+
+def murmurhash2_32_py(data: bytes, seed: int = 0) -> int:
+    """32-bit MurmurHash2 (Appleby's public murmur2), the upstream
+    ``murmurHash2_32`` ([U] src/Functions/FunctionsHashing.h, seed 0).
+    Same kernel as ``kafka_murmur2_py`` minus the Kafka seed and
+    31-bit sign mask — the shared-kernel equality is pinned in
+    tests/test_probe_r14b.py."""
+    m32 = 0xFFFFFFFF
+    m = 0x5BD1E995
+    r = 24
+    n = len(data)
+    h = (seed ^ n) & m32
+    end = n - (n % 4)
+    for i in range(0, end, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * m) & m32
+        k ^= k >> r
+        k = (k * m) & m32
+        h = (h * m) & m32
+        h ^= k
+    tail = data[end:]
+    if len(tail) >= 3:
+        h ^= tail[2] << 16
+    if len(tail) >= 2:
+        h ^= tail[1] << 8
+    if len(tail) >= 1:
+        h ^= tail[0]
+        h = (h * m) & m32
+    h ^= h >> 13
+    h = (h * m) & m32
+    h ^= h >> 15
+    return h
+
+
+def murmurhash3_32_py(data: bytes, seed: int = 0) -> int:
+    """MurmurHash3 x86_32 (Appleby's public murmur3), the upstream
+    ``murmurHash3_32`` ([U] src/Functions/FunctionsHashing.h, seed 0).
+    Verified two ways (tests/test_probe_r14b.py): the published
+    reference vectors ('' -> 0, 'abc' -> 0xB3DD93FA, 'hello' ->
+    0x248BFA47), and a differential against Spark's builtin ``hash()``
+    (Murmur3 x86_32, seed 42) on length%4==0 inputs — Spark's kernel
+    is standard murmur3 for whole 4-byte words and only deviates in
+    its per-byte tail mixing."""
+    m32 = 0xFFFFFFFF
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & m32
+    n = len(data)
+    end = n - (n % 4)
+    for i in range(0, end, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & m32
+        k = ((k << 15) | (k >> 17)) & m32
+        k = (k * c2) & m32
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & m32
+        h = (h * 5 + 0xE6546B64) & m32
+    k = 0
+    tail = data[end:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & m32
+        k = ((k << 15) | (k >> 17)) & m32
+        k = (k * c2) & m32
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & m32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & m32
+    h ^= h >> 16
+    return h
+
+
+def murmur32_udf(kind: str):
+    """BIGINT-typed UDF over the 32-bit murmur kernels (UInt32 range,
+    per upstream's UInt32 return — crc32's Spark convention)."""
+    key = f"mm32:{kind}"
+    if key not in _UDFS:
+        fn = (murmurhash2_32_py if kind == "mm2"
+              else murmurhash3_32_py)
+
+        @pandas_udf("long")
+        def _mm32(s: pd.Series) -> pd.Series:
+            return s.map(lambda v: None if v is None
+                         else fn(_as_bytes(v)))
+        _UDFS[key] = _mm32
+    return _UDFS[key]
 
 
 def jaro_winkler(a: Column, b: Column) -> Column:

@@ -3509,3 +3509,54 @@ def ch_sql_scalar_tail_r14c(spark, sf):
                             toFloat64(doc_id % 7) - 2.7000011, 3.3000007]) AS l2n
         FROM documents
         WHERE doc_id < 500"""), "l1n", "l2n")
+
+
+@register("ch_sql_probe_r14d", oracle="""
+SELECT n_nationkey AS k,
+       to_json(list_filter([1, 2, 3], i ->
+           regexp_matches(n_name, ['^A', 'IA$', 'R'][i]))) AS mmai,
+       (len(list_filter(['ar', 'IA'], n ->
+           contains(lower(n_name), lower(n)))) > 0) AS ms_ci,
+       CAST(COALESCE(list_position(list_transform([2, 4, 6], x ->
+           x > n_nationkey % 5), true), 0) AS BIGINT) AS afi,
+       CAST(strptime('2024-02-29 10:30', '%Y-%m-%d %H:%M')
+            AS TIMESTAMP) AS pj,
+       CAST(n_nationkey + 1 AS BIGINT) AS idn,
+       CAST(3017643002 AS BIGINT) AS mm3_abc,
+       CAST(324500635 AS BIGINT) AS mm2s_abc,
+       CAST(-7148968302806999301 AS BIGINT) AS mm2l_abc
+FROM nation
+""")
+def ch_sql_probe_r14d(spark, sf):
+    """Round-14 probe-batch-2 closures: multiMatchAllIndices (1-based
+    matching-pattern indices, [U] src/Functions/MultiMatchAllIndices
+    Impl.h — JSON-serialized per shapes.py), multiSearchAnyCase
+    Insensitive, arrayFirstIndex (0 when no match), parseDateTimeIn
+    JodaSyntax (Spark's native pattern dialect IS the Joda-descended
+    JDK one; the oracle replays via strptime's C formats), identity
+    (upstream's optimizer barrier — a no-op here), and the murmur
+    dialect names as pinned literals: murmurHash3_32 is externally
+    verified (published vectors + Spark-builtin differential,
+    tests/test_probe_r14b.py) so its 'abc' pin is parity; the
+    murmurHash2_32/64 pins are kernel-stability contracts (murmur2
+    has no independent implementation in this environment — the
+    32-bit kernel is tied to the Kafka-vector-pinned kafka_murmur2
+    by a shared-kernel test)."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+    from clickhouse_clickhouse_spark.shapes import json_arrays
+
+    load_table(spark, sf, "nation").createOrReplaceTempView("nation")
+    return json_arrays(ch_sql(spark, """
+        SELECT n_nationkey AS k,
+               multiMatchAllIndices(n_name, ['^A', 'IA$', 'R']) AS mmai,
+               multiSearchAnyCaseInsensitive(n_name, ['ar', 'IA'])
+                   AS ms_ci,
+               toInt64(arrayFirstIndex(x -> x > n_nationkey % 5,
+                                       [2, 4, 6])) AS afi,
+               parseDateTimeInJodaSyntax('2024-02-29 10:30',
+                                         'yyyy-MM-dd HH:mm') AS pj,
+               toInt64(identity(n_nationkey) + 1) AS idn,
+               murmurHash3_32('abc') AS mm3_abc,
+               murmurHash2_32('abc') AS mm2s_abc,
+               murmurHash2_64('abc') AS mm2l_abc
+        FROM nation"""), "mmai")

@@ -78,3 +78,93 @@ def test_cut_to_fsd_with_www(spark):
     assert r.short == "www.com"      # too few labels: host unchanged
     assert r.deep == "www.example.com"
     assert r.plain == "example.com"
+
+
+def test_murmur3_32_vectors_and_spark_differential(spark):
+    """murmurHash3_32 verified two independent ways: the published
+    reference vectors, and Spark's builtin hash() (Murmur3 x86_32,
+    seed 42) on length%4==0 inputs where Spark's kernel is standard
+    murmur3 (its deviation is per-byte tail mixing only)."""
+    from clickhouse_clickhouse_spark.functions.hashing import (
+        murmurhash3_32_py)
+
+    assert murmurhash3_32_py(b"") == 0
+    assert murmurhash3_32_py(b"abc") == 0xB3DD93FA
+    assert murmurhash3_32_py(b"hello") == 0x248BFA47
+    words = ["abcd", "spark!!!", "0123456789ab", "ClickHouse!!" * 4]
+    rows = spark.sql("SELECT " + ", ".join(
+        f"hash('{w}') AS h{i}" for i, w in enumerate(words))
+        ).collect()[0]
+    for i, w in enumerate(words):
+        mine = murmurhash3_32_py(w.encode(), 42)
+        signed = mine - (1 << 32) if mine >= (1 << 31) else mine
+        assert signed == rows[f"h{i}"], w
+
+
+def test_murmur2_32_shares_kafka_kernel():
+    """murmurHash2_32 is kafka_murmur2 minus the Kafka seed/sign-mask —
+    the kernels must agree when given the Kafka seed."""
+    from clickhouse_clickhouse_spark.functions.hashing import (
+        kafka_murmur2_py, murmurhash2_32_py)
+
+    for v in (b"", b"a", b"ab", b"abc", b"abcd", b"hello world",
+              b"x" * 37, bytes(range(256))):
+        assert (murmurhash2_32_py(v, 0x9747B28C) & 0x7FFFFFFF
+                == kafka_murmur2_py(v))
+
+
+def test_murmur_dialect_names(spark):
+    r = ch_sql(spark, """
+        SELECT murmurHash3_32('abc') AS m3,
+               murmurHash2_32('abc') AS m2s,
+               murmurHash2_64('abc') AS m2l,
+               murmurHash3_32(CAST(NULL AS STRING)) AS n
+    """).collect()[0]
+    assert r.m3 == 0xB3DD93FA
+    from clickhouse_clickhouse_spark.functions.hashing import (
+        murmurhash2_32_py, murmurhash2_64_np)
+    assert r.m2s == murmurhash2_32_py(b"abc")
+    import numpy as np
+    assert r.m2l == int(murmurhash2_64_np([b"abc"]).astype(np.int64)[0])
+    assert r.n is None
+
+
+def test_probe_batch2_scalars(spark):
+    r = ch_sql(spark, """
+        SELECT multiMatchAllIndices('hello world',
+                                    ['x+', 'wor.d', 'he']) AS mmai,
+               multiMatchAllIndices('abc',
+                   CAST(ARRAY() AS ARRAY<STRING>)) AS mmai_empty,
+               multiSearchAnyCaseInsensitive('Hello World',
+                                             ['WORLD']) AS ms_ci,
+               arrayFirstIndex(x -> x > 2, [1, 3, 2, 5]) AS afi,
+               arrayFirstIndex(x -> x > 9, [1, 3]) AS afi_none,
+               parseDateTimeInJodaSyntax('2024-02-29 10:30',
+                                         'yyyy-MM-dd HH:mm') AS pj,
+               parseDateTimeInJodaSyntaxOrNull('garbage',
+                                               'yyyy-MM-dd') AS pjn,
+               identity(42) AS idn,
+               materialize('x') AS mat
+    """).collect()[0]
+    assert r.mmai == [2, 3] and r.mmai_empty == []
+    assert r.ms_ci is True
+    assert (r.afi, r.afi_none) == (2, 0)
+    assert str(r.pj) == "2024-02-29 10:30:00" and r.pjn is None
+    assert (r.idn, r.mat) == (42, "x")
+
+
+def test_rand_constant_is_per_query_constant(spark):
+    out = ch_sql(spark, """
+        SELECT COUNT(DISTINCT rc) AS n, MIN(rc) AS lo
+        FROM (SELECT randConstant() AS rc FROM numbers(1000))
+    """).collect()[0]
+    assert out.n == 1 and 0 <= out.lo < (1 << 32)
+
+
+def test_multi_match_all_indices_null_haystack(spark):
+    r = ch_sql(spark, """
+        SELECT multiMatchAllIndices(CAST(NULL AS STRING), ['a']) AS a,
+               multiMatchAllIndices('x', CAST(NULL AS ARRAY<STRING>))
+                   AS b
+    """).collect()[0]
+    assert r.a is None and r.b is None
