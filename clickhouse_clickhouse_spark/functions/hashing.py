@@ -555,18 +555,88 @@ def murmurhash3_32_py(data: bytes, seed: int = 0) -> int:
     return h
 
 
+def _pack_batch32(data: list[bytes]):
+    """_pack_batch with 4-byte little-endian words (the 32-bit murmur
+    chunk size)."""
+    n = len(data)
+    lens = np.fromiter((len(b) for b in data), dtype=np.int64, count=n)
+    full = lens // 4
+    width = (int(full.max()) + 1) * 4 if n else 4
+    mat = np.zeros((n, width), dtype=np.uint8)
+    for i, b in enumerate(data):
+        if b:
+            mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    return lens, full, mat.view("<u4")
+
+
+def _np_rotl32(x, b):
+    b = np.uint32(b)
+    return (x << b) | (x >> (np.uint32(32) - b))
+
+
+def murmurhash2_32_np(data: list[bytes], seed: int = 0) -> "np.ndarray":
+    """Vectorized murmurhash2_32_py (bit-parity pinned in tests). The
+    1-3 tail bytes collapse to one step: the zero-padded partial word
+    IS the byte cascade h^=b2<<16; h^=b1<<8; h^=b0."""
+    lens, full, words = _pack_batch32(data)
+    n = len(data)
+    u = np.uint32
+    m = u(0x5BD1E995)
+    r = u(24)
+    h = u(seed) ^ lens.astype(np.uint32)
+    for j in range(int(full.max()) if n else 0):
+        active = full > j
+        k = words[:, j] * m
+        k ^= k >> r
+        k = k * m
+        h = np.where(active, (h * m) ^ k, h)
+    rem = (lens % 4) > 0
+    tail = words[np.arange(n), full]
+    h = np.where(rem, (h ^ tail) * m, h)
+    h ^= h >> u(13)
+    h = h * m
+    h ^= h >> u(15)
+    return h
+
+
+def murmurhash3_32_np(data: list[bytes], seed: int = 0) -> "np.ndarray":
+    """Vectorized murmurhash3_32_py (bit-parity pinned in tests)."""
+    lens, full, words = _pack_batch32(data)
+    n = len(data)
+    u = np.uint32
+    c1, c2 = u(0xCC9E2D51), u(0x1B873593)
+    h = np.full(n, u(seed), dtype=np.uint32)
+    for j in range(int(full.max()) if n else 0):
+        active = full > j
+        k = words[:, j] * c1
+        k = _np_rotl32(k, 15) * c2
+        h = np.where(active,
+                     _np_rotl32(h ^ k, 13) * u(5) + u(0xE6546B64), h)
+    rem = (lens % 4) > 0
+    k = words[np.arange(n), full] * c1
+    k = _np_rotl32(k, 15) * c2
+    h = np.where(rem, h ^ k, h)
+    h ^= lens.astype(np.uint32)
+    h ^= h >> u(16)
+    h = h * u(0x85EBCA6B)
+    h ^= h >> u(13)
+    h = h * u(0xC2B2AE35)
+    h ^= h >> u(16)
+    return h
+
+
 def murmur32_udf(kind: str):
     """BIGINT-typed UDF over the 32-bit murmur kernels (UInt32 range,
-    per upstream's UInt32 return — crc32's Spark convention)."""
+    per upstream's UInt32 return — crc32's Spark convention); numpy
+    batch kernels via _hash_series like the 64-bit family."""
     key = f"mm32:{kind}"
     if key not in _UDFS:
-        fn = (murmurhash2_32_py if kind == "mm2"
-              else murmurhash3_32_py)
+        np_fn = (murmurhash2_32_np if kind == "mm2"
+                 else murmurhash3_32_np)
 
         @pandas_udf("long")
         def _mm32(s: pd.Series) -> pd.Series:
-            return s.map(lambda v: None if v is None
-                         else fn(_as_bytes(v)))
+            return _hash_series(s, np_fn)
         _UDFS[key] = _mm32
     return _UDFS[key]
 

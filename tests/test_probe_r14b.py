@@ -168,3 +168,31 @@ def test_multi_match_all_indices_null_haystack(spark):
                    AS b
     """).collect()[0]
     assert r.a is None and r.b is None
+
+
+def test_murmur32_numpy_kernels_bit_parity():
+    """The vectorized 32-bit murmur kernels match the scalar spec
+    loops byte-for-byte over every length 0..67 plus random batches
+    (the round-8 discipline for the 64-bit family)."""
+    import random as _r
+
+    import numpy as np
+
+    from clickhouse_clickhouse_spark.functions.hashing import (
+        murmurhash2_32_np, murmurhash2_32_py,
+        murmurhash3_32_np, murmurhash3_32_py)
+
+    rng = _r.Random(14)
+    data = [bytes(rng.randrange(256) for _ in range(n))
+            for n in range(68)]
+    data += [bytes(rng.randrange(256) for _ in range(rng.randrange(200)))
+             for _ in range(64)]
+    with np.errstate(over="ignore"):
+        for seed in (0, 42, 0x9747B28C):
+            got2 = murmurhash2_32_np(data, seed)
+            got3 = murmurhash3_32_np(data, seed)
+            for i, b in enumerate(data):
+                assert int(got2[i]) == murmurhash2_32_py(b, seed), \
+                    (2, seed, i)
+                assert int(got3[i]) == murmurhash3_32_py(b, seed), \
+                    (3, seed, i)
