@@ -1540,6 +1540,12 @@ def _normalize_tpl(args: list[str], kind: str) -> str:
 
 
 def _fsd_tpl(args: list[str], cut: bool, www: bool = False) -> str:
+    """firstSignificantSubdomain family. Hosts with fewer labels than
+    the kept suffix pass through unchanged (the repo's established
+    2-label behavior — 'www.com' stays 'www.com' — extended to
+    single-label hosts: without the guard SLICE's start index reaches
+    0 and ABORTS the query on any localhost/bare-TLD row, a round-14
+    review catch)."""
     bind = {"h": f"SPLIT(PARSE_URL({args[0]}, 'HOST'), '\\\\.')"}
     idx = (f"IF(SIZE(__v.h) >= 3 AND ELEMENT_AT(__v.h, -2) IN "
            f"{_FSD_SLD}, 3, 2)")
@@ -1552,12 +1558,14 @@ def _fsd_tpl(args: list[str], cut: bool, www: bool = False) -> str:
         k = (f"(({idx}) + IF(SIZE(__v.h) > ({idx}) AND "
              f"COALESCE(TRY_ELEMENT_AT(__v.h, "
              f"SIZE(__v.h) - ({idx})) = 'www', FALSE), 1, 0))")
-        body = ("ARRAY_JOIN(SLICE(__v.h, SIZE(__v.h) - __w.k + 1, "
-                "__w.k), '.')")
+        body = ("IF(SIZE(__v.h) < 2, ARRAY_JOIN(__v.h, '.'), "
+                "ARRAY_JOIN(SLICE(__v.h, SIZE(__v.h) - __w.k + 1, "
+                "__w.k), '.'))")
         return _bind_once(bind, _bind_once({"k": k}, body, var="__w"))
     if cut:
-        body = (f"ARRAY_JOIN(SLICE(__v.h, SIZE(__v.h) - {idx} + 1, "
-                f"{idx}), '.')")
+        body = (f"IF(SIZE(__v.h) < 2, ARRAY_JOIN(__v.h, '.'), "
+                f"ARRAY_JOIN(SLICE(__v.h, SIZE(__v.h) - {idx} + 1, "
+                f"{idx}), '.'))")
     else:
         body = f"ELEMENT_AT(__v.h, -({idx}))"
     return _bind_once(bind, body)
@@ -3282,10 +3290,11 @@ _FUNCS: dict[str, str] = {
     "addYears": "({0} + MAKE_INTERVAL({1}, 0, 0, 0, 0, 0, 0))",
     "initcap": "INITCAP({0})",
     "countMatches": "REGEXP_COUNT({0}, {1})",
-    # ([U] src/Functions/countMatches.h) — same non-overlapping scan
-    # with the RE2/Java-common (?i) flag prefix
+    # ([U] src/Functions/countMatches.h) — same non-overlapping scan;
+    # (?iu) because Java's bare (?i) folds ASCII only while upstream's
+    # RE2 (?i) does Unicode simple folding (round-14 review catch)
     "countMatchesCaseInsensitive":
-        "REGEXP_COUNT({0}, CONCAT('(?i)', {1}))",
+        "REGEXP_COUNT({0}, CONCAT('(?iu)', {1}))",
     "isNaN": "ISNAN({0})",
     "isInfinite": "(ABS({0}) = CAST('Infinity' AS DOUBLE))",
     "ifNotFinite": "(CASE WHEN ISNAN({0}) OR ABS({0}) = "
@@ -3470,13 +3479,18 @@ _FUNCS: dict[str, str] = {
         "__p -> REGEXP_LIKE({0}, __p)), TRUE), 0) AS BIGINT)",
     # SEQUENCE(1, 0) DESCENDS — the empty-pattern guard is load-bearing;
     # the NULL-haystack gate matches upstream (FILTER would silently
-    # drop the NULL predicate results and return [])
+    # drop the NULL predicate results and return []); a NULL ELEMENT
+    # in the patterns errors loudly like upstream's Nullable-array
+    # type-check (FILTER would silently swallow that index too)
     "multiMatchAllIndices":
         "IF(({0}) IS NULL OR ({1}) IS NULL, NULL, "
+        "IF(EXISTS({1}, __p -> __p IS NULL), "
+        "CAST(RAISE_ERROR('multiMatchAllIndices: NULL pattern "
+        "element') AS ARRAY<BIGINT>), "
         "IF(SIZE({1}) = 0, CAST(ARRAY() AS ARRAY<BIGINT>), "
         "TRANSFORM(FILTER(SEQUENCE(1, SIZE({1})), "
         "__i -> REGEXP_LIKE({0}, ELEMENT_AT({1}, __i))), "
-        "__i -> CAST(__i AS BIGINT))))",
+        "__i -> CAST(__i AS BIGINT)))))",
     # LEFTMOST-occurrence semantics (round-8 advice): the winner is the
     # needle whose first occurrence starts earliest in the haystack
     # (ties -> lower needle index), NOT the first needle in array order
@@ -4418,8 +4432,16 @@ _FUNCS: dict[str, str] = {
     "toTime": "TIMESTAMP_SECONDS(86400 + PMOD(UNIX_TIMESTAMP({0}), "
               "86400))",
     "formatDateTimeInJodaSyntax": "DATE_FORMAT({0}, {1})",
-    # Spark's native pattern dialect IS the Joda-descended JDK one
-    "parseDateTimeInJodaSyntax": "TO_TIMESTAMP({0}, {1})",
+    # Spark's native pattern dialect IS the Joda-descended JDK one.
+    # The base form must ERROR on unparseable input like upstream —
+    # under the dialect's pinned ANSI-off sessions TO_TIMESTAMP would
+    # silently return NULL, collapsing it into the OrNull variant
+    # (round-14 review catch); NULL input stays NULL
+    "parseDateTimeInJodaSyntax":
+        "(CASE WHEN ({0}) IS NULL THEN NULL "
+        "ELSE COALESCE(TRY_TO_TIMESTAMP({0}, {1}), "
+        "CAST(RAISE_ERROR(CONCAT('parseDateTimeInJodaSyntax: cannot "
+        "parse ', {0})) AS TIMESTAMP)) END)",
     "parseDateTimeInJodaSyntaxOrNull": "TRY_TO_TIMESTAMP({0}, {1})",
     "parseDateTimeInJodaSyntaxOrZero":
         "COALESCE(TRY_TO_TIMESTAMP({0}, {1}), "
@@ -8042,6 +8064,12 @@ def translate(sql: str,
             (k, (tuple(v[0]), v[1])) for k, v in final_keys.items()))
     else:
         fk_key = None
+    # randConstant splices a fresh draw at TRANSLATE time — memoizing
+    # it would freeze the 'constant per query, fresh across queries'
+    # contract to one value per process (round-14 review catch); it is
+    # the only template whose expansion is not a pure text transform
+    if re.search(r"\brandConstant\b", sql):
+        return _translate_impl(sql, final_keys)
     key = (sql, fk_key, _DICT_GEN[0])
     hit = _TRANSLATE_CACHE.get(key)
     if hit is not None:

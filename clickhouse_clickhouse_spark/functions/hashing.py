@@ -482,9 +482,8 @@ def murmur_hash2_64(c: Column) -> Column:
 def murmurhash2_32_py(data: bytes, seed: int = 0) -> int:
     """32-bit MurmurHash2 (Appleby's public murmur2), the upstream
     ``murmurHash2_32`` ([U] src/Functions/FunctionsHashing.h, seed 0).
-    Same kernel as ``kafka_murmur2_py`` minus the Kafka seed and
-    31-bit sign mask — the shared-kernel equality is pinned in
-    tests/test_probe_r14b.py."""
+    kafka_murmur2_py delegates here with the Kafka seed and 31-bit
+    sign mask — the equality is pinned in tests/test_probe_r14b.py."""
     m32 = 0xFFFFFFFF
     m = 0x5BD1E995
     r = 24
@@ -657,32 +656,10 @@ def kafka_murmur2_py(data: bytes) -> int:
     """Kafka's 32-bit MurmurHash2 (Appleby's public murmur2 with the
     Kafka client's seed 0x9747b28c), sign-masked to the non-negative
     31-bit value Kafka's default partitioner consumes — the reference's
-    ``kafkaMurmurHash`` ([U] src/Functions/FunctionsHashing.h)."""
-    m32 = 0xFFFFFFFF
-    m = 0x5BD1E995
-    r = 24
-    n = len(data)
-    h = (0x9747B28C ^ n) & m32
-    end = n - (n % 4)
-    for i in range(0, end, 4):
-        k = int.from_bytes(data[i:i + 4], "little")
-        k = (k * m) & m32
-        k ^= k >> r
-        k = (k * m) & m32
-        h = (h * m) & m32
-        h ^= k
-    tail = data[end:]
-    if len(tail) >= 3:
-        h ^= tail[2] << 16
-    if len(tail) >= 2:
-        h ^= tail[1] << 8
-    if len(tail) >= 1:
-        h ^= tail[0]
-        h = (h * m) & m32
-    h ^= h >> 13
-    h = (h * m) & m32
-    h ^= h >> 15
-    return h & 0x7FFFFFFF
+    ``kafkaMurmurHash`` ([U] src/Functions/FunctionsHashing.h). One
+    kernel: the seed-parameterized ``murmurhash2_32_py`` (round-14 —
+    this function originally carried its own copy of the loop)."""
+    return murmurhash2_32_py(data, 0x9747B28C) & 0x7FFFFFFF
 
 
 def kafka_murmur2_udf():

@@ -196,3 +196,43 @@ def test_murmur32_numpy_kernels_bit_parity():
                     (2, seed, i)
                 assert int(got3[i]) == murmurhash3_32_py(b, seed), \
                     (3, seed, i)
+
+
+def test_review_fixes_batch3(spark):
+    """Round-14 review catches on the probe-batch additions."""
+    import pytest as _pt
+
+    # 1: single-label hosts pass through instead of SLICE(start=0) abort
+    r = ch_sql(spark, """
+        SELECT cutToFirstSignificantSubdomainWithWWW(
+                   'https://localhost/x') AS a,
+               cutToFirstSignificantSubdomain('https://localhost/x') AS b
+    """).collect()[0]
+    assert r.a == "localhost" and r.b == "localhost"
+    # 2: randConstant draws FRESH per translation (memo bypass)
+    from clickhouse_clickhouse_spark.ch_sql import translate
+    t1 = translate("SELECT randConstant() AS rc")
+    t2 = translate("SELECT randConstant() AS rc")
+    assert t1 != t2
+    # 3: base parseDateTimeInJodaSyntax ERRORS on garbage (OrNull is
+    # the NULL form); NULL input stays NULL
+    with _pt.raises(Exception, match="cannot parse"):
+        ch_sql(spark, "SELECT parseDateTimeInJodaSyntax("
+                      "'garbage', 'yyyy-MM-dd') AS x").collect()
+    ok = ch_sql(spark, """
+        SELECT parseDateTimeInJodaSyntax(CAST(NULL AS STRING),
+                                         'yyyy-MM-dd') AS n
+    """).collect()[0]
+    assert ok.n is None
+    # 4: NULL pattern ELEMENT refuses loudly instead of silent drop
+    with _pt.raises(Exception, match="NULL pattern"):
+        ch_sql(spark, "SELECT multiMatchAllIndices('x', "
+                      "['x', CAST(NULL AS STRING)]) AS x").collect()
+    # 6: (?iu) folds unicode like upstream's RE2 (?i)
+    u = ch_sql(spark, "SELECT countMatchesCaseInsensitive("
+                      "'Ärger', 'ärger') AS c").collect()[0]
+    assert u.c == 1
+    # 5: kafka kernel now DELEGATES (still Kafka-vector compatible)
+    from clickhouse_clickhouse_spark.functions.hashing import (
+        kafka_murmur2_py)
+    assert kafka_murmur2_py(b"") >= 0
