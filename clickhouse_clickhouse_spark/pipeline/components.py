@@ -121,6 +121,14 @@ def connected_components_star(edges: DataFrame, src: str, dst: str,
         E = e2
         if same:
             break
+    else:
+        # round-14 review: falling through silently returned a possibly
+        # multi-labeled edge set (a node under several 'canonicals');
+        # the sibling connected_components raises on non-convergence —
+        # match it
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint after {max_iter} "
+            f"rounds — raise max_iter")
     roots = E.select(F.col("v").alias("n")).distinct() \
              .withColumn("lbl", F.col("n"))
     members = E.select(F.col("u").alias("n"), F.col("v").alias("lbl"))

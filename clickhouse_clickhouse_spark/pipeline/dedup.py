@@ -134,6 +134,11 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     Column-by-Column form cost ~150 py4j round trips ≈ 0.4 s per bench
     iteration — as much as the execution itself.
     """
+    if bands < 1 or num_hashes % bands:
+        raise ValueError(
+            f"minhash_candidate_pairs: bands={bands} must divide "
+            f"num_hashes={num_hashes} (a remainder would silently drop "
+            f"the trailing hashes from every band key)")
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle,
                              token_hash)
@@ -272,15 +277,14 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
     provably small inputs.
     """
     from clickhouse_clickhouse_spark.functions.vectors import cosine_similarity
+    from clickhouse_clickhouse_spark.pipeline.similarity import _sign_bucket
 
     base = df.select(F.col(id_col), F.col(vec_col).alias("v"))
     if bucket_bits > 0:
-        sig = F.aggregate(
-            F.sequence(F.lit(0), F.lit(bucket_bits - 1)),
-            F.lit(0).cast("long"),
-            lambda acc, i: acc * 2 + F.when(F.element_at(F.col("v"), i + 1) > 0, 1).otherwise(0),
-        )
-        base = base.withColumn("__bkt", sig)
+        # one bucketing convention repo-wide (round 14 — this block was
+        # an inline copy of similarity._sign_bucket)
+        base = base.withColumn("__bkt",
+                               _sign_bucket(F.col("v"), bucket_bits))
         cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & \
                (F.col("a.__bkt") == F.col("b.__bkt"))
     else:
@@ -307,9 +311,17 @@ def chunk_dedup(df: DataFrame, id_col: str, text_col: str,
 
     Scale shape: one narrow explode (no shuffle), one hash-aggregate on
     the chunk content to elect keepers, one equi-join back — identical to
-    exact_dedup but at chunk granularity. The keeper key is encoded
-    arithmetically (doc_id * (max_chunks+1) + chunk_id) so the election
-    is a plain ``min`` — no struct-ordering dependence.
+    exact_dedup but at chunk granularity. The keeper is the lexicographic
+    minimum ``(doc_id, chunk_id)`` struct — works for string doc ids and
+    has no collision envelope (round 14: the former arithmetic
+    ``doc_id*(max_chunks+1)+chunk_id`` key NULLed out on string ids and
+    could collide across docs past the cap).
+
+    Chunks are generated per document LENGTH (round-14 review: the
+    former static 0..max_chunks explode silently truncated any document
+    longer than max_chunks*stride+size — 58% data loss on a 5000-char
+    doc at the defaults, presented as dedup output). ``max_chunks`` is
+    retained for API compatibility and ignored.
 
     Reference parity: the reference dedups at part granularity via
     ReplacingMergeTree ordering; chunk-level text dedup is the
@@ -317,19 +329,25 @@ def chunk_dedup(df: DataFrame, id_col: str, text_col: str,
     """
     stride = stride or size
     n = F.length(F.col(text_col))
+    # SEQUENCE(0, -1)/(1, 0) DESCENDS — empty texts must yield an empty
+    # array, not a descending two-row one
+    chunk_ids = F.when(
+        n > 0,
+        F.sequence(F.lit(0).cast("long"),
+                   F.floor((n - F.lit(1)) / F.lit(stride)).cast("long"))
+    ).otherwise(F.array().cast("array<long>"))
     c = (df.select(F.col(id_col), F.col(text_col).alias("__t"),
-                   F.explode(F.sequence(F.lit(0), F.lit(max_chunks)))
-                    .alias("chunk_id"))
-         .filter(F.col("chunk_id") * stride + 1 <= F.length("__t"))
-         .select(F.col(id_col), F.col("chunk_id").cast("long").alias("chunk_id"),
+                   F.explode(chunk_ids).alias("chunk_id"))
+         .select(F.col(id_col), F.col("chunk_id"),
                  F.substring(F.col("__t"), F.col("chunk_id") * stride + 1,
                              F.lit(size)).alias("chunk")))
-    enc = F.col(id_col) * (max_chunks + 1) + F.col("chunk_id")
+    key = F.struct(F.col(id_col).alias("__kd"),
+                   F.col("chunk_id").alias("__kc"))
     keepers = (c.groupBy("chunk")
-               .agg(F.min(enc).alias("__keeper")))
+               .agg(F.min(key).alias("__keeper")))
     return (c.join(keepers, "chunk")
             .select(id_col, "chunk_id", "chunk",
-                    (enc == F.col("__keeper")).alias("keep")))
+                    (key == F.col("__keeper")).alias("keep")))
 
 
 def chunk_dedup_rebuild(df: DataFrame, id_col: str, text_col: str,

@@ -100,11 +100,32 @@ def dsir_log_weights(docs: DataFrame, target_ids: DataFrame, *,
             .agg(F.round(F.sum("log_ratio"), 6).alias("log_weight")))
 
 
-def _gumbel(id_col: Column) -> Column:
+def _gumbel(df: DataFrame, id_col: str) -> Column:
     """Deterministic per-doc Gumbel(0,1) noise from a replayable hash:
-    u = hash(id) scattered to (0,1), g = −ln(−ln u)."""
-    u = ((F.pmod(id_col.cast("long") * F.lit(KNUTH), F.lit(1000003))
-          + F.lit(1)).cast("double") / F.lit(1000005.0))
+    u = hash(id) scattered to (0,1), g = −ln(−ln u). String/binary ids
+    hash via xxhash64 (round-14 review: cast('long') on a string id is
+    NULL under the pinned ANSI-off sessions, which NULLed every
+    sample_key and silently degenerated the resample to picking the k
+    lowest ids); a NULL id raises instead of sorting arbitrarily. The
+    numeric path's values are unchanged."""
+    dtype = dict(df.dtypes).get(id_col, "")
+    key = F.col(id_col)
+    if dtype in ("string", "binary"):
+        h = F.pmod(F.xxhash64(key), F.lit(1000003))
+    else:
+        casted = key.cast("long")
+        checked = F.when(
+            casted.isNull() & key.isNotNull(),
+            F.raise_error(F.concat(
+                F.lit("_gumbel: id not castable to long: "),
+                key.cast("string"))).cast("long")
+        ).otherwise(casted)
+        h = F.pmod(checked * F.lit(KNUTH), F.lit(1000003))
+    nn = F.when(
+        key.isNull(),
+        F.raise_error(F.lit("_gumbel: NULL doc id")).cast("long")
+    ).otherwise(h)
+    u = (nn + F.lit(1)).cast("double") / F.lit(1000005.0)
     return -F.log(-F.log(u))
 
 
@@ -121,6 +142,6 @@ def dsir_resample(docs: DataFrame, target_ids: DataFrame, k: int, *,
     w = dsir_log_weights(docs, target_ids, id_col=id_col,
                          text_col=text_col, dim=dim, seed=seed, alpha=alpha)
     keyed = w.withColumn(
-        "sample_key", F.round(F.col("log_weight") + _gumbel(F.col(id_col)), 4))
+        "sample_key", F.round(F.col("log_weight") + _gumbel(w, id_col), 4))
     return (keyed.orderBy(F.col("sample_key").desc(), F.col(id_col))
             .limit(k))

@@ -438,6 +438,11 @@ def jpeg_roundtrip_report(media: DataFrame) -> DataFrame:
             out = {"media_id": [], "format": [], "width": [],
                    "height": [], "mae_ok": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    # skip like every sibling kernel — bytes(None)
+                    # aborted the whole stage on one NULL row
+                    # (round-14 review)
+                    continue
                 data = bytes(payload)
                 s = _png.sniff_media(data) or {}
                 img = _jpeg.jpeg_decode(data)

@@ -54,7 +54,8 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
 def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int,
                       bits: int = 6, multiprobe: int = 1,
                       corpus_id: str = "vec_id", corpus_vec: str = "embedding",
-                      query_id: str = "query_id", query_vec: str = "embedding") -> DataFrame:
+                      query_id: str = "query_id", query_vec: str = "embedding",
+                      exclude_self: bool = True) -> DataFrame:
     """Sign-LSH ANN: bucket corpus by the sign pattern of the first ``bits``
     coordinates; each query probes its own bucket plus all buckets at
     Hamming distance ≤ ``multiprobe`` (explode of a small static bucket
@@ -74,8 +75,9 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int,
     probe = q.withColumn("__bkt",
                          F.explode(F.array(*[
                              F.col("__qbkt").bitwiseXOR(F.lit(m)) for m in masks])))
-    joined = c.join(F.broadcast(probe), "__bkt") \
-              .filter(F.col("corpus_id") != F.col("query_id"))
+    joined = c.join(F.broadcast(probe), "__bkt")
+    if exclude_self:
+        joined = joined.filter(F.col("corpus_id") != F.col("query_id"))
     scored = joined.select(
         "query_id", "corpus_id",
         F.round(cosine_similarity(F.col("cv"), F.col("qv")), 6).alias("cosine"))
@@ -130,12 +132,16 @@ def kmeans_centroids(corpus: DataFrame, k: int, iterations: int = 2,
              .select((F.col("rn") - 1).alias("centroid_id"), "centroid"))
     for _ in range(iterations):
         assigned = assign_to_centroids(corpus, cents, vec=vec, id_col=id_col)
-        cents = (assigned.join(corpus, id_col)
-                 .select("centroid_id", F.posexplode(F.col(vec)).alias("dim", "v"))
-                 .groupBy("centroid_id", "dim").agg(F.avg("v").alias("m"))
-                 .groupBy("centroid_id")
-                 .agg(F.transform(F.array_sort(F.collect_list(F.struct("dim", "m"))),
-                                  lambda s: s["m"]).alias("centroid")))
+        new_cents = (label_centroids(assigned.join(corpus, id_col),
+                                     label="centroid_id", vec=vec)
+                     .withColumnRenamed("centroid", "__nc"))
+        # empty-cluster carry-forward: a centroid no vector chose keeps
+        # its previous position instead of vanishing (round-14 review —
+        # a dropped id silently shrinks the inverted-list count)
+        cents = (cents.join(new_cents, "centroid_id", "left")
+                 .select("centroid_id",
+                         F.coalesce(F.col("__nc"),
+                                    F.col("centroid")).alias("centroid")))
         # k tiny rows; persisting each Lloyd step stops the lineage from
         # re-running every earlier iteration once per downstream branch
         # (assign + the next update both read it) — the standard Spark
@@ -166,7 +172,8 @@ def assign_to_centroids(corpus: DataFrame, centroids: DataFrame,
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
              n_centroids: int = 8, n_probe: int = 2,
              corpus_id: str = "vec_id", corpus_vec: str = "embedding",
-             query_id: str = "query_id", query_vec: str = "embedding") -> DataFrame:
+             query_id: str = "query_id", query_vec: str = "embedding",
+             exclude_self: bool = True) -> DataFrame:
     """IVF ANN: coarse-quantize the corpus into n_centroids inverted lists
     (k-means), score each query only against its n_probe nearest lists.
     At scale the corpus is WRITTEN partitioned by centroid_id, so a probe
@@ -191,8 +198,9 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
     probes = (qs.withColumn("rn", F.row_number().over(wq))
               .filter(F.col("rn") <= n_probe)
               .select("query_id", "qv", "centroid_id"))
-    joined = c.join(F.broadcast(probes), "centroid_id") \
-              .filter(F.col("corpus_id") != F.col("query_id"))
+    joined = c.join(F.broadcast(probes), "centroid_id")
+    if exclude_self:
+        joined = joined.filter(F.col("corpus_id") != F.col("query_id"))
     scored = joined.select(
         "query_id", "corpus_id",
         F.round(cosine_similarity(F.col("cv"), F.col("qv")), 6).alias("cosine"))
@@ -280,14 +288,24 @@ def pq_train(corpus: DataFrame, *, m: int = 8, codes: int = 16, dim: int,
           .select("sub", "code_id", F.col("subvec").alias("codeword")))
     for _ in range(iterations):
         assigned = _pq_assign(subs, cb, id_col)
-        cb = (assigned.join(subs, [id_col, "sub"])
+        new_cb = (assigned.join(subs, [id_col, "sub"])
+                  .select("sub", "code_id",
+                          F.posexplode("subvec").alias("dim", "v"))
+                  .groupBy("sub", "code_id", "dim")
+                  .agg(F.avg("v").alias("mv"))
+                  .groupBy("sub", "code_id")
+                  .agg(F.transform(
+                      F.array_sort(F.collect_list(F.struct("dim", "mv"))),
+                      lambda s: s["mv"].cast("float")).alias("__ncw")))
+        # empty-cluster carry-forward (round-14 review): a codeword no
+        # subvector chose KEEPS its previous value — the codebook stays
+        # DENSE in code_id, which the positional ADC lookup
+        # (_adc_table rows) depends on; a dropped id would misalign
+        # every lookup above the gap and NULL out the top code
+        cb = (cb.join(new_cb, ["sub", "code_id"], "left")
               .select("sub", "code_id",
-                      F.posexplode("subvec").alias("dim", "v"))
-              .groupBy("sub", "code_id", "dim").agg(F.avg("v").alias("mv"))
-              .groupBy("sub", "code_id")
-              .agg(F.transform(
-                  F.array_sort(F.collect_list(F.struct("dim", "mv"))),
-                  lambda s: s["mv"].cast("float")).alias("codeword")))
+                      F.coalesce(F.col("__ncw"),
+                                 F.col("codeword")).alias("codeword")))
         # m*codes tiny rows; see kmeans_centroids — persisting per Lloyd
         # step keeps downstream branches (encode + query tables) from
         # re-running the whole training chain.
@@ -314,6 +332,25 @@ def _pq_assign(subs: DataFrame, codebook: DataFrame,
                  .alias("code_id")))
 
 
+def _adc_table(qsubs: DataFrame, cb: DataFrame, qid: str) -> DataFrame:
+    """Per-query nested ADC lookup table: qtab[sub][code] = squared L2
+    of the query subvector to that codeword. Rows are positionally
+    indexed by code_id — safe because pq_train keeps the codebook
+    DENSE (empty-cluster carry-forward). Shared by pq_topk and
+    ivf_pq_topk (previously duplicated verbatim, round-14 review)."""
+    return (qsubs.join(F.broadcast(cb), "sub")
+            .select(qid, "sub", "code_id",
+                    _l2sq(F.col("subvec"), F.col("codeword")).alias("d"))
+            .groupBy(qid, "sub")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("code_id", "d"))),
+                lambda s: s["d"]).alias("row"))
+            .groupBy(qid)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "row"))),
+                lambda s: s["row"]).alias("qtab")))
+
+
 def pq_encode(corpus: DataFrame, codebook: DataFrame, *, m: int, dim: int,
               vec: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """(id, codes): each vector reduced to m small ints — the 100 TB
@@ -330,8 +367,8 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int, *, m: int = 8,
             codes: int = 16, dim: int, iterations: int = 2,
             normalize: bool = False, rerank: int = 0,
             corpus_id: str = "vec_id", corpus_vec: str = "embedding",
-            query_id: str = "query_id", query_vec: str = "embedding"
-            ) -> DataFrame:
+            query_id: str = "query_id", query_vec: str = "embedding",
+            exclude_self: bool = True) -> DataFrame:
     """PQ ANN top-k by asymmetric distance (ADC): exact query subvectors
     against quantized corpus codes. Per query, distances to the m*codes
     codewords form a lookup table; a corpus row's distance is m table
@@ -361,21 +398,12 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int, *, m: int = 8,
     qsubs = _subvectors(
         queries.select(F.col(query_id), F.col(query_vec).alias("__qv")),
         m, dim, "__qv", query_id)
-    # per-query nested lookup table: qtab[sub][code] = squared L2
-    qtab = (qsubs.join(F.broadcast(cb), "sub")
-            .select(query_id, "sub", "code_id",
-                    _l2sq(F.col("subvec"), F.col("codeword")).alias("d"))
-            .groupBy(query_id, "sub")
-            .agg(F.transform(
-                F.array_sort(F.collect_list(F.struct("code_id", "d"))),
-                lambda s: s["d"]).alias("row"))
-            .groupBy(query_id)
-            .agg(F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", "row"))),
-                lambda s: s["row"]).alias("qtab")))
-    scored = (enc.withColumnRenamed(corpus_id, "corpus_id")
-              .crossJoin(F.broadcast(qtab))
-              .filter(F.col("corpus_id") != F.col(query_id))
+    qtab = _adc_table(qsubs, cb, query_id)
+    hits = (enc.withColumnRenamed(corpus_id, "corpus_id")
+            .crossJoin(F.broadcast(qtab)))
+    if exclude_self:
+        hits = hits.filter(F.col("corpus_id") != F.col(query_id))
+    scored = (hits
               .select(query_id, "corpus_id",
                       F.round(F.aggregate(
                           F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0),
@@ -401,8 +429,8 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
                 codes: int = 16, dim: int, iterations: int = 2,
                 normalize: bool = False, rerank: int = 0,
                 corpus_id: str = "vec_id", corpus_vec: str = "embedding",
-                query_id: str = "query_id", query_vec: str = "embedding"
-                ) -> DataFrame:
+                query_id: str = "query_id", query_vec: str = "embedding",
+                exclude_self: bool = True) -> DataFrame:
     """IVF-PQ — the standard billion-scale ANN composition: the IVF
     coarse quantizer prunes the corpus to n_probe/n_centroids of its
     inverted lists, then PQ ADC scores only those candidates (no
@@ -448,22 +476,13 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
 
     qsubs = _subvectors(probes.select(query_id, "__qv").distinct(),
                         m, dim, "__qv", query_id)
-    qtab = (qsubs.join(F.broadcast(cb), "sub")
-            .select(query_id, "sub", "code_id",
-                    _l2sq(F.col("subvec"), F.col("codeword")).alias("d"))
-            .groupBy(query_id, "sub")
-            .agg(F.transform(
-                F.array_sort(F.collect_list(F.struct("code_id", "d"))),
-                lambda s: s["d"]).alias("row"))
-            .groupBy(query_id)
-            .agg(F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", "row"))),
-                lambda s: s["row"]).alias("qtab")))
+    qtab = _adc_table(qsubs, cb, query_id)
 
     cand = (enc.join(F.broadcast(probes.select(query_id, "centroid_id")),
                      "centroid_id")
-            .filter(F.col("corpus_id") != F.col(query_id))
             .join(F.broadcast(qtab), query_id))
+    if exclude_self:
+        cand = cand.filter(F.col("corpus_id") != F.col(query_id))
     scored = cand.select(
         query_id, "corpus_id",
         F.round(F.aggregate(
