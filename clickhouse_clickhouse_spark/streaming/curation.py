@@ -57,8 +57,11 @@ def streaming_curation(stream: DataFrame, bench: DataFrame, target: str,
              .dropDuplicates(["__fp"]))
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        # per-epoch overwrite partition -> idempotent under foreachBatch
+        # retries (round-14 review; see MaterializedView.start)
         clean = decontaminate(batch_df, bench, n=ngram).drop("__fp")
-        clean.write.mode("append").parquet(target)
+        (clean.write.mode("overwrite")
+         .parquet(f"{target.rstrip('/')}/__epoch={epoch_id}"))
 
     return (gated.writeStream.foreachBatch(sink)
             .option("checkpointLocation", checkpoint).start())

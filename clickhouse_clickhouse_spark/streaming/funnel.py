@@ -80,10 +80,13 @@ def streaming_window_funnel(events: DataFrame, entity: str, ts: str,
         yield pd.DataFrame({entity: [key[0]], "level": [level]})
 
     state_schema = ", ".join(f"s{i} long" for i in range(k))
+    # entity keeps its column type (round-14 review: hardcoded `long`
+    # crashed Arrow conversion for string keys)
+    etype = dict(events.dtypes)[entity]
     return (events.groupBy(entity)
             .applyInPandasWithState(
                 update,
-                outputStructType=f"{entity} long, level int",
+                outputStructType=f"{entity} {etype}, level int",
                 stateStructType=state_schema,
                 outputMode=output_mode,
                 timeoutConf=GroupStateTimeout.NoTimeout))

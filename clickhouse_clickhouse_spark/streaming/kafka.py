@@ -36,10 +36,19 @@ def kafka_available(spark: SparkSession) -> bool:
     the Kafka connector class are reachable from this session."""
     if not os.environ.get(KAFKA_ENV):
         return False
+    cls = "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+    jvm = spark.sparkContext._jvm
+    # Utils.classForName sees Spark's mutable classloader (--jars /
+    # spark.jars); the bare Class.forName fallback only sees the boot
+    # classpath and false-negatived runtime-added connector jars
+    # (round-14 review)
     try:
-        jvm = spark.sparkContext._jvm
-        jvm.java.lang.Class.forName(
-            "org.apache.spark.sql.kafka010.KafkaSourceProvider")
+        jvm.org.apache.spark.util.Utils.classForName(cls, False, False)
+        return True
+    except Exception:
+        pass
+    try:
+        jvm.java.lang.Class.forName(cls)
         return True
     except Exception:
         return False

@@ -26,10 +26,19 @@ class MaterializedView:
 
     def start(self, checkpoint: str | None = None):
         def fan_out(batch_df: DataFrame, epoch_id: int) -> None:
+            # foreachBatch is at-least-once: a failure after view 1's
+            # append but before the epoch commit re-runs the whole
+            # epoch and would double-append (round-14 review). Writing
+            # each epoch to its own partition directory with OVERWRITE
+            # makes the retry idempotent — the re-run replaces its own
+            # partition. Readers see `__epoch` as an ordinary
+            # discovered partition column (on transactional storage a
+            # Delta sink with txn version is the equivalent).
             batch_df.persist()
             try:
                 for transform, target in self._views:
-                    transform(batch_df).write.mode("append").parquet(target)
+                    (transform(batch_df).write.mode("overwrite")
+                     .parquet(f"{target.rstrip('/')}/__epoch={epoch_id}"))
             finally:
                 batch_df.unpersist()
 
@@ -78,26 +87,46 @@ def read_sketch_rollup(spark, target: str, keys: Sequence[str]):
                  F.sum("count_partial").alias("n_total")))
 
 
+def _swap_compacted(compacted, target: str) -> None:
+    """Replace ``target`` with the compacted frame. MUST run with the
+    feeding stream STOPPED: rows appended between the compaction read
+    and the swap would be deleted with the old directory (round-14
+    review — the contract is now explicit instead of a silent race).
+    The old directory survives as ``__pre_compact`` until the new one
+    is in place, so a crash mid-swap is recoverable; the compacted rows
+    land under ``__epoch=-1`` so the layout stays partition-consistent
+    with the live writer's per-epoch directories."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    tmp = target.rstrip("/") + "__compact"
+    old = target.rstrip("/") + "__pre_compact"
+    (compacted.withColumn("__epoch", F.lit(-1))
+     .write.mode("overwrite").partitionBy("__epoch").parquet(tmp))
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(target, old)
+    os.rename(tmp, target)
+    shutil.rmtree(old)
+
+
 def compact_sketch_rollup(spark, target: str, keys: Sequence[str]) -> None:
     """Background-merge analog for the streamed rollup: collapse the
     accumulated per-batch partial rows to ONE row per key — HLL union
     keeps the merged SKETCH (state, not estimate), sums re-add. Readers
     see identical answers before and after (the test asserts it); the
     summary just stops growing with batch count, exactly what the
-    reference's background merge does to AggregatingMergeTree parts."""
-    import os
-    import shutil
-
+    reference's background merge does to AggregatingMergeTree parts.
+    Run with the feeding stream STOPPED (see _swap_compacted)."""
     from pyspark.sql import functions as F
 
-    compacted = (spark.read.parquet(target).groupBy(*keys)
+    compacted = (spark.read.parquet(target).drop("__epoch").groupBy(*keys)
                  .agg(F.hll_union_agg("uniq_state").alias("uniq_state"),
                       F.sum("sum_partial").alias("sum_partial"),
                       F.sum("count_partial").alias("count_partial")))
-    tmp = target.rstrip("/") + "__compact"
-    compacted.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(target)
-    os.rename(tmp, target)
+    _swap_compacted(compacted, target)
 
 
 def tdigest_rollup_view(source: DataFrame, keys: Sequence[str],
@@ -144,17 +173,12 @@ def compact_tdigest_rollup(spark, target: str, keys: Sequence[str],
                            delta: int = 100) -> None:
     """Background-merge analog: collapse accumulated per-batch digest
     states to one state row per key; readers see tolerance-identical
-    quantiles before and after (digest merge is associative)."""
-    import os
-    import shutil
-
+    quantiles before and after (digest merge is associative). Run with
+    the feeding stream STOPPED (see _swap_compacted)."""
     from clickhouse_clickhouse_spark.operators.tdigest import (
         tdigest_merge_states,
     )
 
-    compacted = tdigest_merge_states(spark.read.parquet(target), keys,
-                                     delta=delta)
-    tmp = target.rstrip("/") + "__compact"
-    compacted.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(target)
-    os.rename(tmp, target)
+    compacted = tdigest_merge_states(
+        spark.read.parquet(target).drop("__epoch"), keys, delta=delta)
+    _swap_compacted(compacted, target)

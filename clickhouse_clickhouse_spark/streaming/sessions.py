@@ -47,7 +47,13 @@ def _fold_events(events: pd.DataFrame, ts: str, value: str, state,
         if start is None:
             start, last, n, vsum = t_us, t_us, 1, float(v)
         elif t_us - last <= gap_us:
-            last, n, vsum = t_us, n + 1, vsum + float(v)
+            # min/max, not overwrite: a cross-batch straggler older
+            # than the stored bounds must not regress them (round-14
+            # review — a regressed `last` closed the session early and
+            # split it; same guard funnel.py documents on its advance
+            # path)
+            start, last = min(start, t_us), max(last, t_us)
+            n, vsum = n + 1, vsum + float(v)
         else:
             closed.append((start, last, n, vsum))
             start, last, n, vsum = t_us, t_us, 1, float(v)
@@ -55,30 +61,57 @@ def _fold_events(events: pd.DataFrame, ts: str, value: str, state,
 
 
 def streaming_sessions(events: DataFrame, entity: str, ts: str,
-                       value: str, gap_seconds: int) -> DataFrame:
+                       value: str, gap_seconds: int,
+                       close_idle: bool = False) -> DataFrame:
     """Gap-timeout sessionizer on ``applyInPandasWithState``: one output
     row per CLOSED session; the open session persists in state across
-    micro-batches."""
+    micro-batches.
+
+    ``close_idle`` (round-14 review): an entity that stops producing
+    events holds its final session open forever — never emitted, state
+    never freed. ``close_idle=True`` arms a ProcessingTime timeout of
+    ``gap_seconds`` wall-clock silence that closes and emits it (wall
+    clock approximates event time on idle entities). OPT-IN because a
+    ProcessingTime timeout makes the engine run continuous
+    state-cleanup micro-batches, so ``processAllAvailable()`` — the
+    batch-style driving pattern the tests and oracles use — never
+    returns (measured: 'No new data but cleaning up state' forever);
+    production queries driven by triggers want it on."""
     gap_us = gap_seconds * 1_000_000
 
     def update(key, pdfs: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
+        if close_idle and state.hasTimedOut:
+            if state.exists:
+                s = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    [(key[0], *s)],
+                    columns=[entity] + _OUT_COLS[1:])
+            return
         rows = pd.concat(list(pdfs), ignore_index=True)
         closed, open_s = _fold_events(
             rows, ts, value, state.get if state.exists else None, gap_us)
         state.update(open_s)
+        if close_idle:
+            # setTimeoutDuration raises under NoTimeout — gate it
+            state.setTimeoutDuration(gap_seconds * 1000)
         if closed:
             yield pd.DataFrame(
                 [(key[0], *c) for c in closed],
                 columns=[entity] + _OUT_COLS[1:])
 
-    out_schema = (f"{entity} long, start_us long, end_us long, "
+    # the entity keeps ITS column type — the former hardcoded `long`
+    # crashed Arrow conversion for string keys (round-14 review)
+    etype = dict(events.dtypes)[entity]
+    out_schema = (f"{entity} {etype}, start_us long, end_us long, "
                   f"n_events long, value_sum double")
     return (events.groupBy(entity).applyInPandasWithState(
         update, outputStructType=out_schema,
         stateStructType="start long, last long, n long, vsum double",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout))
+        timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
+                     if close_idle else GroupStateTimeout.NoTimeout)))
 
 
 def streaming_sessions_tws(events: DataFrame, entity: str, ts: str,
@@ -124,7 +157,8 @@ def streaming_sessions_tws(events: DataFrame, entity: str, ts: str,
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider")
-    out_schema = (f"{entity} long, start_us long, end_us long, "
+    etype = dict(events.dtypes)[entity]
+    out_schema = (f"{entity} {etype}, start_us long, end_us long, "
                   f"n_events long, value_sum double")
     return (events.groupBy(entity).transformWithStateInPandas(
         statefulProcessor=SessionProcessor(),

@@ -18,13 +18,10 @@ from pyspark.sql import functions as F
 def tumble_agg(df: DataFrame, ts: str, size: str,
                keys: Sequence[str], aggs: dict[str, F.Column]) -> DataFrame:
     """``tumble(ts, INTERVAL size)`` aggregation — batch and streaming use
-    the identical expression. Window struct is flattened to start/end so
-    results stay oracle-comparable."""
-    g = df.groupBy(F.window(ts, size).alias("w"), *keys) \
-          .agg(*[c.alias(n) for n, c in aggs.items()])
-    return g.select(F.col("w.start").alias("w_start"),
-                    F.col("w.end").alias("w_end"),
-                    *keys, *aggs.keys())
+    the identical expression. A tumble IS a hop with slide == size; one
+    flattening lives in hop_agg (round 14 — the two bodies were
+    byte-for-byte duplicates)."""
+    return hop_agg(df, ts, size, size, keys, aggs)
 
 
 def hop_agg(df: DataFrame, ts: str, size: str, slide: str,
@@ -40,7 +37,8 @@ def hop_agg(df: DataFrame, ts: str, size: str, slide: str,
 
 def streaming_tumble_counts(spark, src_dir: str, schema, ts: str, size: str,
                             keys: Sequence[str], watermark: str = "1 hour",
-                            query_name: str = "tumble_out"):
+                            query_name: str = "tumble_out",
+                            aggs: dict[str, F.Column] | None = None):
     """True Structured Streaming pipeline over a parquet directory source
     (stands in for the reference's Kafka→MV chain): readStream → watermark
     → tumble agg → memory sink. Returns the started StreamingQuery; caller
@@ -50,19 +48,36 @@ def streaming_tumble_counts(spark, src_dir: str, schema, ts: str, size: str,
     Parquet/Delta table — the MV-to-MergeTree analog."""
     stream = (spark.readStream.schema(schema).format("parquet")
               .option("path", src_dir).load())
+    if aggs is None:
+        if "value" not in stream.columns:
+            raise ValueError(
+                "streaming_tumble_counts: the default aggregation sums "
+                "a 'value' column the source schema lacks — pass aggs= "
+                "explicitly")
+        aggs = {"n": F.count("*"), "sum_value": F.sum("value")}
     agg = (stream
            .withWatermark(ts, watermark)
            .groupBy(F.window(ts, size), *keys)
-           .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value")))
+           .agg(*[c.alias(n) for n, c in aggs.items()]))
     return (agg.writeStream.outputMode("append")
             .format("memory").queryName(query_name).start())
 
 
 def dedup_stream(stream: DataFrame, keys: Sequence[str], ts: str,
                  watermark: str = "1 hour") -> DataFrame:
-    """ReplacingMergeTree-style ingest dedup on a stream: watermark-bounded
-    dropDuplicates (state expires past the watermark)."""
-    return stream.withWatermark(ts, watermark).dropDuplicates(list(keys))
+    """ReplacingMergeTree-style ingest dedup on a stream.
+
+    ``dropDuplicatesWithinWatermark``: plain ``dropDuplicates(keys)``
+    only expires state when the event-time column is AMONG the dedup
+    keys — with keys like (user_id, event_type) the state store grew
+    one entry per distinct key forever (round-14 review). The
+    within-watermark form bounds state to the watermark horizon;
+    duplicates separated by more than the watermark both survive — the
+    bounded-state trade ReplacingMergeTree's background merge also
+    makes (dedup within a part horizon, not across all history at
+    ingest)."""
+    return (stream.withWatermark(ts, watermark)
+            .dropDuplicatesWithinWatermark(list(keys)))
 
 
 def stream_stream_interval_join(left: DataFrame, right: DataFrame,
