@@ -66,12 +66,18 @@ def _avro_json_fields(schema_json: str):
     out = []
     for f in sch["fields"]:
         t = f["type"]
-        nullable = False
+        nullable = 0
         if isinstance(t, list):
             if len(t) != 2 or "null" not in t:
                 raise TypeError(f"avro: unsupported union {t!r}")
-            t = t[0] if t[1] == "null" else t[1]
-            nullable = True
+            # branch ORDER matters on the wire: the union index byte is
+            # zigzag(branch) — 1 = null-first (["null",T], our writer's
+            # convention: present byte 0x02), 2 = null-last (["T",null]
+            # from foreign writers: present byte 0x00). The decoder
+            # previously hardcoded null-first and silently corrupted
+            # null-last files (round-14 review).
+            nullable = 1 if t[0] == "null" else 2
+            t = t[1] if t[0] == "null" else t[0]
         logical = None
         if isinstance(t, dict):
             logical = t.get("logicalType")
@@ -95,7 +101,9 @@ def _fields_to_spark(fields) -> T.StructType:
             dt = T.DateType()
         elif logical in ("timestamp-micros", "timestamp-millis"):
             dt = T.TimestampType()
-        out.append(T.StructField(name, dt, nullable))
+        # nullable is the union-order code (0/1/2) — StructField wants
+        # a real bool (a bare int corrupts the schema JSON)
+        out.append(T.StructField(name, dt, bool(nullable)))
     return T.StructType(out)
 
 
@@ -360,7 +368,8 @@ def _advance_all(buf, fields):
     for name, prim, logical, nullable in fields:
         if nullable:
             idx = buf[np.minimum(cur, B - 1)]
-            present = (idx == 2) & (cur < B)
+            present_byte = 2 if nullable == 1 else 0
+            present = (idx == present_byte) & (cur < B)
             cur = clip(cur + 1)
         else:
             present = cur < B
@@ -398,12 +407,16 @@ def _decode_block(buf, fields, count: int):
             pos[m] = cur[np.minimum(pos[m], B)]
         cur = cur[np.minimum(cur, B)]
         bit <<= 1
-    if count and int(pos[-1]) >= B + 1:
+    # >= B, not B+1: pos is CLIPPED to B, so the old B+1 comparison was
+    # unreachable and truncated blocks decoded to clipped garbage
+    # (round-14 review; native.py uses the same bound)
+    if count and int(pos[-1]) >= B:
         raise ValueError("avro: truncated block")
     out = {}
     for name, prim, logical, nullable in fields:
         if nullable:
-            mask = buf[np.minimum(pos, B - 1)] != 2   # null where idx 0
+            null_byte = 0 if nullable == 1 else 2
+            mask = buf[np.minimum(pos, B - 1)] == null_byte
             pos = pos + 1
         else:
             mask = np.zeros(count, dtype=bool)
@@ -442,7 +455,12 @@ def _decode_block(buf, fields, count: int):
                     [pb[offs[k]:offs[k + 1]] for k in range(count)],
                     dtype=object)
             adv = np.where(mask, 0, unb[p] + lens)
-        # logical types
+        # logical types — zero the masked rows FIRST: their vals are
+        # speculative-varint garbage from the next field's bytes, and
+        # to_datetime on them raised OutOfBoundsDatetime on valid
+        # files (round-14 review); the mask overwrites with None below
+        if logical and mask.any():
+            vals = np.where(mask, 0, np.asarray(vals, dtype="int64"))
         if logical == "date":
             vals = pd.Series(
                 pd.to_datetime(np.asarray(vals, dtype="int64"),

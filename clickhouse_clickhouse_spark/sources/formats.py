@@ -29,6 +29,28 @@ def write_any(df: DataFrame, path: str, fmt: str, mode: str = "overwrite",
         raise NotImplementedError(
             f"format {fmt!r} requires connector jars not present in this "
             "environment; gate behind a deployment that ships them")
+    if fmt in ("native", "arrow", "msgpack") and compression:
+        # loud, not silently dropped (round-14 review)
+        raise ValueError(
+            f"format {fmt!r} does not support a compression codec here; "
+            "avro supports deflate, parquet/orc/csv/json their own")
+    if fmt in ("native", "avro", "arrow", "msgpack"):
+        # the custom writers add uuid-named part files into an existing
+        # directory — honor the mode the caller asked for instead of
+        # silently appending under 'overwrite' (round-14 review:
+        # re-running an INTO OUTFILE doubled every row on read)
+        import os
+        import shutil
+        if os.path.isdir(path):
+            if mode == "overwrite":
+                shutil.rmtree(path)
+            elif mode == "error":
+                raise FileExistsError(
+                    f"write_any: {path} exists and mode='error'")
+            elif mode != "append":
+                raise ValueError(
+                    f"write_any: unsupported mode {mode!r} for custom "
+                    f"format {fmt!r} (overwrite/append/error)")
     if fmt == "native":
         from clickhouse_clickhouse_spark.sources.native import write_native
         write_native(df, path).collect()
@@ -86,10 +108,15 @@ def read_any(spark: SparkSession, path: str, fmt: str,
     if fmt not in _NATIVE:
         raise ValueError(f"unknown format {fmt!r}")
     r = spark.read
+    if fmt == "csv":
+        # header=true ALWAYS (write_any writes one): with an explicit
+        # schema the old code skipped the option and parsed the header
+        # row as data (round-14 review)
+        r = r.option("header", "true")
     if schema is not None:
         r = r.schema(schema)
     elif fmt == "csv":
-        r = r.option("header", "true").option("inferSchema", "true")
+        r = r.option("inferSchema", "true")
     if fmt == "xml":
         r = r.option("rowTag", "row")
     return r.format(fmt).load(path)

@@ -144,6 +144,35 @@ def _varint_chain(buf, start: int, count: int):
     return pos + nb[pos], val[pos]
 
 
+def _varint_chain_windowed(buf, count: int):
+    """_varint_chain over a GROWING window. The former whole-remainder
+    call re-scanned every byte to END OF FILE (10 masked passes) once
+    per string column per block — O(file_bytes x blocks) on multi-block
+    exports (round-14 review). The window doubles until the chain fits
+    strictly inside it (or hits the real end), so total work tracks the
+    bytes actually consumed."""
+    B = buf.size
+    win = int(min(B, max(64, count * 16)))
+    while True:
+        try:
+            starts, lens = _varint_chain(buf[:win], 0, count)
+            consumed = int(starts[-1] + lens[-1]) if count else 0
+            # accept only with a full varint width (10 bytes) of
+            # margin: a varint straddling the window edge reads
+            # clipped bytes and can parse to a zero-advance fixed
+            # point that would falsely accept; the margin guarantees
+            # every varint on the chain saw its bytes unclipped. At
+            # win == B the parse equals the unwindowed original.
+            if win >= B or consumed <= win - 10:
+                return starts, lens
+        except ValueError:
+            # chain overran the window: only a real truncation if the
+            # window already covers the whole buffer
+            if win >= B:
+                raise
+        win = int(min(B, win * 2))
+
+
 def _gather_strings(buf, starts, lens):
     import numpy as np
     import pyarrow as pa
@@ -253,7 +282,7 @@ def _decode_blocks(buf, schema: T.StructType):
                 pos += nrows * w
                 col = pd.Series(vals)
             elif base == "String":
-                starts, lens = _varint_chain(u8[pos:], 0, nrows)
+                starts, lens = _varint_chain_windowed(u8[pos:], nrows)
                 col = pd.Series(_gather_strings(u8[pos:], starts, lens))
                 if nrows:
                     pos += int(starts[-1] + lens[-1])

@@ -282,9 +282,17 @@ def protobuf_decode(df: DataFrame, proto: str,
             n = len(pdf)
             if n == 0:
                 continue
-            cells = [bytes(b) for b in pdf[col]]
+            # NULL cells decode to an all-null row like the msgpack
+            # decoder, instead of a bare TypeError in the executor
+            # (round-14 review)
+            cells = [bytes(b) if b is not None else b"" for b in pdf[col]]
             lens = np.array([len(c) for c in cells], dtype=np.int64)
             buf = np.frombuffer(b"".join(cells), dtype=np.uint8)
+            if buf.size == 0:
+                # a batch of only NULL/empty cells: one zero pad byte
+                # keeps the vector gathers in-bounds; `present` is
+                # all-False (cur == ends), so every field nulls out
+                buf = np.zeros(1, dtype=np.uint8)
             starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
             ends = starts + lens
             uval, unb = _uvarint_all(buf) if buf.size else (
@@ -304,7 +312,11 @@ def protobuf_decode(df: DataFrame, proto: str,
                 if not bool(np.all(ok)):
                     raise ValueError("protobuf: frame length does not "
                                      "match cell size (wrong framing?)")
-                cur = starts + unb[clip(starts)]
+                # empty (NULL) cells have no frame prefix to skip —
+                # an ungated advance overshot their zero-length end
+                # and tripped the trailing-bytes check
+                cur = np.where(lens > 0,
+                               starts + unb[clip(starts)], starts)
             out = {}
             for name, ptype, num in fields:
                 tagv = 0
@@ -326,6 +338,18 @@ def protobuf_decode(df: DataFrame, proto: str,
                         vals = ((u >> np.uint64(1)).astype(np.int64)
                                 ^ -(u & np.uint64(1)).astype(np.int64))
                     else:
+                        # UNSIGNED types refuse like the msgpack
+                        # decoder instead of two's-complement-wrapping
+                        # to negative (round-14 review); for signed
+                        # int32/int64 the high-bit varint IS the
+                        # legitimate negative encoding
+                        if ptype.startswith("uint"):
+                            big = present & (
+                                u >= np.uint64(1) << np.uint64(63))
+                            if bool(big.any()):
+                                raise ValueError(
+                                    f"protobuf: {name} uint64 value >= "
+                                    "2^63 does not fit Spark's Int64")
                         vals = u.astype(np.int64)
                     if ptype in ("int32", "sint32"):
                         vals = vals.astype(np.int32)

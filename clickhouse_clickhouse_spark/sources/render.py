@@ -414,20 +414,11 @@ def rowbinary_encode(df: DataFrame) -> DataFrame:
                         a.buffers()[2] or b"", dtype=np.uint8
                     )[:offs[-1]].copy()
                     lens = np.diff(offs)
-                    # LEB128 prefixes, vectorized: byte count per length,
-                    # then ≤5 masked fills (7 bits per fill)
-                    nb = np.ones(n, dtype=np.int64)
-                    for k, bound in enumerate((1 << 7, 1 << 14,
-                                               1 << 21, 1 << 28)):
-                        nb[lens >= bound] = k + 2
-                    pstart = np.concatenate(
-                        ([0], np.cumsum(nb)))[:-1]
-                    prefix = np.zeros(int(nb.sum()), dtype=np.uint8)
-                    for k in range(int(nb.max())):
-                        m = nb > k
-                        byte = (lens[m] >> (7 * k)) & 0x7F
-                        byte = np.where(nb[m] > k + 1, byte | 0x80, byte)
-                        prefix[pstart[m] + k] = byte
+                    # one LEB128 writer repo-wide (round 14 — this was
+                    # a byte-for-byte copy of native._leb128_block)
+                    from clickhouse_clickhouse_spark.sources.native \
+                        import _leb128_block
+                    prefix, nb = _leb128_block(lens)
                     segments.append((prefix, nb))
                     segments.append((payload, lens))
                 elif ftype is T.DecimalType:

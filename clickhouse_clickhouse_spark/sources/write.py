@@ -94,14 +94,22 @@ def _rewrite(spark: SparkSession, df: DataFrame, path: str,
 
 def _swap_dirs(spark: SparkSession, tmp: str, path: str) -> None:
     """Replace ``path`` with ``tmp`` via the JVM Hadoop FS API (works on
-    any Hadoop-compatible FS, not just local disk)."""
+    any Hadoop-compatible FS, not just local disk). Rename-aside order
+    (round-14 review): the old delete-then-rename lost the whole table
+    when the process died between the two; now the live directory is
+    moved aside first, so a crash leaves either the old or the new
+    table in place (plus a recoverable ``__old`` directory)."""
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
     conf = jsc.hadoopConfiguration()
     Path = jvm.org.apache.hadoop.fs.Path
     fs = Path(path).getFileSystem(conf)
-    fs.delete(Path(path), True)
+    old_p = Path(path + "__old")
+    fs.delete(old_p, True)
+    if fs.exists(Path(path)):
+        fs.rename(Path(path), old_p)
     fs.rename(Path(tmp), Path(path))
+    fs.delete(old_p, True)
 
 
 def detach_partition(path: str, partition_col: str, value) -> str:
