@@ -116,16 +116,35 @@ def global_row_number(df: DataFrame, key: str,
     without a single-partition window: per-bucket ``row_number`` plus the
     broadcast cumulative count of earlier buckets. ``key`` must be a
     numeric or temporal column (it is range-bucketed by value)."""
+    ranked, _counts = _ranked(df, key, tiebreaks, out, buckets)
+    return ranked.drop(_BKT)
+
+
+def _ranked(df: DataFrame, key: str, tiebreaks: Sequence[str],
+            out: str, buckets: int) -> tuple[DataFrame, DataFrame]:
+    """Shared core of :func:`global_row_number` / :func:`global_ntile`:
+    returns (rows + global rank ``out`` + ``__gr_bkt``, per-bucket count
+    relation) so callers that also need totals reuse the tiny counts
+    side instead of re-scanning the input."""
     order = [F.col(key).asc(), *[F.col(t).asc() for t in tiebreaks]]
     b = _bucketize(df, key, buckets)
     wloc = Window.partitionBy(_BKT).orderBy(*order)
     local = b.withColumn("__lrn", F.row_number().over(wloc))
+    # Counts deliberately aggregate the PRE-window relation: the branch
+    # re-scans the input but partial-aggregates map-side (no sort,
+    # ~buckets rows shuffled). The round-14 A/B of the alternative —
+    # anchoring the count on max(row_number) so the window's exchange is
+    # ReusedExchange'd — saved the scan but re-SORTED the whole relation
+    # in the counts branch (WindowExec re-executes above the reused
+    # shuffle) and measured net-slower (KS 2.45→3.1 s at sf0.1); see
+    # OPTIMIZATION_r14.md §grank.
     counts = b.groupBy(_BKT).agg(F.count("*").alias("__cnt"))
     offsets = _bucket_offsets(counts, ["__cnt"])
-    return (local.join(F.broadcast(offsets), _BKT)
-            .withColumn(out, (F.col("__lrn") + F.col("__off___cnt"))
-                        .cast("long"))
-            .drop(_BKT, "__lrn", "__off___cnt"))
+    ranked = (local.join(F.broadcast(offsets), _BKT)
+              .withColumn(out, (F.col("__lrn") + F.col("__off___cnt"))
+                          .cast("long"))
+              .drop("__lrn", "__off___cnt"))
+    return ranked, counts
 
 
 def global_prefix_sums(df: DataFrame, key: str,
@@ -148,6 +167,11 @@ def global_prefix_sums(df: DataFrame, key: str,
     for n in names:
         local = local.withColumn(f"__l_{n}",
                                  F.sum(f"__a_{n}").over(wloc))
+    # Totals aggregate the PRE-window relation on purpose (extra scan,
+    # but map-side partial aggregation and no sort) — the round-14 A/B
+    # of max_by(running_sum, row_number) over the windowed relation
+    # reused the shuffle but re-sorted the whole bucket in this branch
+    # and measured net-slower; see global_row_number's comment.
     totals = b.groupBy(_BKT).agg(
         *[F.sum(f"__a_{n}").alias(f"__t_{n}") for n in names])
     offsets = _bucket_offsets(totals, [f"__t_{n}" for n in names])
@@ -165,10 +189,15 @@ def global_ntile(df: DataFrame, key: str, n_tiles: int,
     """Global ``ntile(n) OVER (ORDER BY key, *tiebreaks)`` with exact SQL
     ntile semantics (the first ``n_rows % n`` tiles get the extra row):
     global row number from :func:`global_row_number` plus a broadcast
-    total count, bucket arithmetic in exact integer math."""
-    rn = global_row_number(df, key, tiebreaks, out="__grn",
-                           buckets=buckets)
-    total = df.agg(F.count("*").alias("__n"))
+    total count, bucket arithmetic in exact integer math.
+
+    The total row count comes from the per-bucket counts relation of the
+    ranking pass (a sum over ≤ buckets+1 rows) — the old ``df.agg``
+    branch was a third full scan of the input."""
+    ranked, counts = _ranked(df, key, tiebreaks, out="__grn",
+                             buckets=buckets)
+    rn = ranked.drop(_BKT)
+    total = counts.agg(F.sum("__cnt").alias("__n"))
     r = rn.crossJoin(F.broadcast(total))
     q = (F.col("__n") / n_tiles).cast("long")         # floor: both positive
     rem = F.col("__n") % n_tiles

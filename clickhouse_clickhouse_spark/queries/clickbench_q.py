@@ -135,13 +135,23 @@ def cb_json_prop_buckets(spark, sf):
     int field) — measured 2.0× faster than ``get_json_object`` at sf0.1
     (0.81 s vs 1.63 s best-of-3, round 14; a regexp variant measured
     SLOWER at 2.04 s and was rejected). Same JSON semantics, value-equal
-    on the fixture."""
+    on the fixture.
+
+    The NULL filter runs AFTER the aggregate (optimization round 14):
+    the pre-agg ``WHERE k IS NOT NULL`` was pushed below the projection
+    and made Catalyst evaluate ``from_json`` TWICE per row (once in the
+    Filter, once in the grouping key — both visible in the r14 before
+    plan). ``k % 10`` is NULL exactly when ``k`` is NULL, so dropping
+    the NULL bucket after the aggregate is equivalent row-for-row and
+    parses each document once (guide §4.4's duplicated-evaluation
+    hazard, applied to a JVM expression). A/B at sf0.1: 0.79→0.73 s
+    best-of-5; at scale it halves the dominant per-row cost."""
     ev = load_table(spark, sf, "events")
     k = F.from_json("props", "k int")["k"]
-    return (ev.filter(k.isNotNull())
-            .groupBy((k % 10).cast("int").alias("k_bucket"))
+    return (ev.groupBy((k % 10).cast("int").alias("k_bucket"))
             .agg(F.count("*").alias("n"),
-                 F.round(F.avg("value"), 6).alias("avg_value")))
+                 F.round(F.avg("value"), 6).alias("avg_value"))
+            .filter(F.col("k_bucket").isNotNull()))
 
 
 @register("cb_weekday_purchase_rate", oracle="""
@@ -632,11 +642,26 @@ GROUP BY k_bucket ORDER BY k_bucket
 """)
 def cb_url_query_param_buckets(spark, sf):
     """ClickBench URL-parameter shape: extract a query-string parameter
-    from every row (parse_url QUERY key form), bucket, aggregate."""
+    from every row, bucket, aggregate.
+
+    Extraction switched from ``parse_url(QUERY, k)`` to one anchored
+    ``regexp_extract`` in optimization round 14 — the oracle's own
+    expression, value-identical (driver-hash-verified), and the A/B
+    measured 1.21→0.83 s best-of-5 at sf0.1 (parse_url re-parses the
+    whole URL through java.net.URI per call, and the pushed-down filter
+    made it evaluate twice per row). A substring_index variant measured
+    SLOWER (1.06 s: three chained string ops lose to one compiled
+    regex), and a repartition-for-scan-parallelism variant also lost
+    (1.08 s: the extra exchange outweighs 32-way fan-out at this row
+    count). The historical parse_url numbers stay in the registry via
+    this query's r13 records; cb_url_query_param_buckets_fast remains
+    the unchanged twin entry."""
     ev = load_table(spark, sf, "events").withColumn("url", _url_col())
-    k = F.parse_url("url", F.lit("QUERY"), F.lit("k"))
-    return (ev.filter(k.isNotNull() & (k != ""))
-            .groupBy((k.cast("int") % 10).cast("int").alias("k_bucket"))
+    k = F.regexp_extract("url", r"[?&]k=([^&#]*)", 1)
+    return (ev.withColumn("k", k)
+            .filter(F.col("k") != "")
+            .groupBy((F.col("k").cast("int") % 10).cast("int")
+                     .alias("k_bucket"))
             .agg(F.count("*").alias("c"),
                  F.round(F.avg("value"), 6).alias("av"))
             .orderBy("k_bucket"))
