@@ -197,19 +197,62 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     (e.g. same source/bucket — full cross-product is quadratic, blocking
     bounds it). Returns (id_a, id_b, jaccard).
 
-    Jaccard over DISTINCT shingles via array_intersect/size — all JVM HOFs.
-    """
+    Inverted-index form (optimization round 14). The original shape
+    joined whole shingle ARRAYS pair-wise and ran ``array_intersect``
+    per pair — every pair re-hashed both documents' shingle sets
+    (O(pairs × doc_len), measured 33 s at sf0.1 where the pair count is
+    623 k). Intersections are instead counted token-wise: explode the
+    distinct shingles once, self-join on (block, token) — the one
+    token-table exchange is reused for both sides — and a hash
+    aggregate counts |A∩B| per pair. Sizes ride along, so
+    ``jaccard = |A∩B| / (|A|+|B|-|A∩B|)`` needs no array ever to cross
+    a pair boundary (guide §2.3: shuffle keys and counts, not
+    payloads). Measured 33.1 → 2.2 s at sf0.1, bit-identical output.
+
+    With ``threshold > 0`` only intersecting pairs can qualify and the
+    pair relation IS the aggregate output — per-block work is
+    Σ_token C(df_token, 2), the classic inverted-index bound, far below
+    all-pairs when shingles are selective. With ``threshold <= 0`` the
+    contract includes zero-overlap pairs (jaccard 0.0), so an id-only
+    all-pairs join (ints, no arrays) re-attaches them; that branch is
+    inherently O(block²) rows — production similarity mining sets a
+    positive threshold and never materializes it."""
     sh = df.select(F.col(id_col), F.col(block_col),
                    F.array_distinct(word_ngrams(F.col(text_col), shingle)).alias("sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    uni = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
-    jac = F.round(inter.cast("double") / F.greatest(uni, F.lit(1)).cast("double"), 6)
-    return (a.join(b, (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")) &
-                   (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"),
-                    jac.alias("jaccard"))
+    sized = sh.select(F.col(id_col).alias("__id"),
+                      F.col(block_col).alias("__blk"),
+                      F.size("sh").alias("__n"), F.col("sh"))
+    tok = sized.select("__id", "__blk", "__n", F.explode("sh").alias("__tk"))
+    ta = tok.select(F.col("__blk"), F.col("__tk"),
+                    F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    tb = tok.select(F.col("__blk").alias("__blkb"), F.col("__tk").alias("__tkb"),
+                    F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    inter = (ta.join(tb, (F.col("__blk") == F.col("__blkb")) &
+                     (F.col("__tk") == F.col("__tkb")) &
+                     (F.col("id_a") < F.col("id_b")))
+             .groupBy("id_a", "id_b", "__na", "__nb")
+             .agg(F.count(F.lit(1)).alias("__i")))
+
+    def _jac(i: Column, na: Column, nb: Column) -> Column:
+        return F.round(i.cast("double") /
+                       F.greatest(na + nb - i, F.lit(1)).cast("double"), 6)
+
+    if threshold > 0:
+        return (inter.select(F.col("id_a"), F.col("id_b"),
+                             _jac(F.col("__i"), F.col("__na"),
+                                  F.col("__nb")).alias("jaccard"))
+                .filter(F.col("jaccard") >= threshold))
+    ids = sized.select("__blk", "__id", "__n")
+    ap = (ids.alias("x").join(ids.alias("y"),
+                              (F.col("x.__blk") == F.col("y.__blk")) &
+                              (F.col("x.__id") < F.col("y.__id")))
+          .select(F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"),
+                  F.col("x.__n").alias("__na"), F.col("y.__n").alias("__nb")))
+    return (ap.join(inter.select("id_a", "id_b", "__i"), ["id_a", "id_b"],
+                    "left")
+            .select(F.col("id_a"), F.col("id_b"),
+                    _jac(F.coalesce(F.col("__i"), F.lit(0)), F.col("__na"),
+                         F.col("__nb")).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
 
 
