@@ -1414,15 +1414,30 @@ def sketch_tolerance_gate(spark, sf):
     at 1.3 sigma). Now: uniq at rsd 0.01 gated at 0.05 (5 sigma), HLL
     at rsd 0.02 gated at 0.08 (4 sigma), GK median within 5%
     relative — deterministic for any corpus the sketch's error
-    analysis covers, not just the SFs we happened to test."""
+    analysis covers, not just the SFs we happened to test.
+
+    Shape (optimization round 14): the sketch aggregates and the exact
+    DISTINCT counts run in SEPARATE single-row aggregations cross-joined
+    at the end. Mixing them in one ``agg`` triggers Spark's
+    multi-distinct rewrite: an Expand to one projection per distinct
+    group, with the first-phase hash aggregate keyed by (gid, user_id /
+    event_id) — ~every distinct value becomes a group, and each group
+    allocates the heavyweight imperative buffers of the NON-distinct
+    aggregates (HLL at rsd 0.01 is ~16 KB of registers, plus two
+    percentile states). Measured 17.6-40 s at sf0.1 for one combined
+    agg vs < 0.4 s per aggregate alone; the split form is ~1.5 s and
+    scales — sketch buffers exist once per partition, not once per
+    distinct key."""
     ev = load_table(spark, sf, "events")
-    agg = ev.agg(
+    sk = ev.agg(
         F.expr("approx_count_distinct(user_id, 0.01)").alias("au"),
-        F.count_distinct("user_id").alias("eu"),
         F.expr("approx_count_distinct(event_id, 0.02)").alias("ah"),
-        F.count_distinct("event_id").alias("eh"),
         F.percentile_approx("value", 0.5, 10000).alias("aq"),
         F.expr("percentile(value, 0.5)").alias("eq"))
+    cd = ev.agg(
+        F.count_distinct("user_id").alias("eu"),
+        F.count_distinct("event_id").alias("eh"))
+    agg = sk.crossJoin(cd)
     rel = lambda a, e: F.abs(a - e) / F.greatest(e, F.lit(1e-9))  # noqa: E731
     return agg.select(
         (rel(F.col("au"), F.col("eu")) < 0.05).alias("uniq_ok"),
