@@ -17,7 +17,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from clickhouse_clickhouse_spark.functions.vectors import cosine_similarity
+from clickhouse_clickhouse_spark.functions.vectors import (
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+)
+
+
+def _paired_cosine(cv, qv, cn, qn):
+    """Cosine for an (exploded) pair join from per-row precomputed norms.
+
+    ``dot/(cn*qn)`` evaluates the identical double arithmetic to
+    ``cosine_similarity`` (= ``dot/(sqrt(dot_aa)*sqrt(dot_bb))``), so
+    scores are bit-equal — but the two norm folds run once per ROW
+    before the join instead of once per candidate PAIR (optimization
+    round 14, guide §2.3: HOF folds are interpreted, and the pair side
+    is the explosive one — corpus×queries here)."""
+    return dot_product(cv, qv) / (cn * qn)
 
 
 def _sign_bucket(vec, bits: int):
@@ -36,15 +52,19 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
     query set is small by assumption); ranking is a per-query window.
     Deterministic tiebreak: (rounded cosine desc, corpus id asc)."""
     q = queries.select(F.col(query_id).alias("query_id"),
-                       F.col(query_vec).alias("qv"))
+                       F.col(query_vec).alias("qv")) \
+               .withColumn("__qn", l2_norm(F.col("qv")))
     c = corpus.select(F.col(corpus_id).alias("corpus_id"),
-                      F.col(corpus_vec).alias("cv"))
+                      F.col(corpus_vec).alias("cv")) \
+              .withColumn("__cn", l2_norm(F.col("cv")))
     joined = c.crossJoin(F.broadcast(q))
     if exclude_self:
         joined = joined.filter(F.col("corpus_id") != F.col("query_id"))
     scored = joined.select(
         "query_id", "corpus_id",
-        F.round(cosine_similarity(F.col("cv"), F.col("qv")), 6).alias("cosine"))
+        F.round(_paired_cosine(F.col("cv"), F.col("qv"),
+                               F.col("__cn"), F.col("__qn")),
+                6).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("corpus_id").asc())
     return (scored.withColumn("rk", F.row_number().over(w))
@@ -66,10 +86,12 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int,
     """
     c = corpus.select(F.col(corpus_id).alias("corpus_id"),
                       F.col(corpus_vec).alias("cv")) \
-              .withColumn("__bkt", _sign_bucket(F.col("cv"), bits))
+              .withColumn("__bkt", _sign_bucket(F.col("cv"), bits)) \
+              .withColumn("__cn", l2_norm(F.col("cv")))
     q = queries.select(F.col(query_id).alias("query_id"),
                        F.col(query_vec).alias("qv")) \
-               .withColumn("__qbkt", _sign_bucket(F.col("qv"), bits))
+               .withColumn("__qbkt", _sign_bucket(F.col("qv"), bits)) \
+               .withColumn("__qn", l2_norm(F.col("qv")))
     # Multi-probe: query bucket XOR each mask with popcount <= multiprobe.
     masks = [m for m in range(1 << bits) if bin(m).count("1") <= multiprobe]
     probe = q.withColumn("__bkt",
@@ -80,7 +102,9 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int,
         joined = joined.filter(F.col("corpus_id") != F.col("query_id"))
     scored = joined.select(
         "query_id", "corpus_id",
-        F.round(cosine_similarity(F.col("cv"), F.col("qv")), 6).alias("cosine"))
+        F.round(_paired_cosine(F.col("cv"), F.col("qv"),
+                               F.col("__cn"), F.col("__qn")),
+                6).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("corpus_id").asc())
     return (scored.withColumn("rk", F.row_number().over(w))
@@ -159,9 +183,13 @@ def assign_to_centroids(corpus: DataFrame, centroids: DataFrame,
     exploded score rows never shuffle sorted; same deterministic
     tiebreak (highest sim, then lowest centroid id)."""
     scored = (corpus.select(F.col(id_col), F.col(vec).alias("__v"))
-              .crossJoin(F.broadcast(centroids))
+              .withColumn("__vn", l2_norm(F.col("__v")))
+              .crossJoin(F.broadcast(
+                  centroids.withColumn("__cn", l2_norm(F.col("centroid")))))
               .select(id_col, "centroid_id",
-                      cosine_similarity(F.col("__v"), F.col("centroid")).alias("sim")))
+                      _paired_cosine(F.col("__v"), F.col("centroid"),
+                                     F.col("__vn"),
+                                     F.col("__cn")).alias("sim")))
     return (scored.groupBy(id_col)
             .agg(F.min_by("centroid_id",
                           F.struct((-F.col("sim")).alias("ns"),
@@ -186,24 +214,28 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
     lists = assign_to_centroids(corpus, cents, vec=corpus_vec, id_col=corpus_id)
     c = corpus.select(F.col(corpus_id).alias("corpus_id"),
                       F.col(corpus_vec).alias("cv")) \
+              .withColumn("__cn", l2_norm(F.col("cv"))) \
               .join(lists.withColumnRenamed(corpus_id, "corpus_id"), "corpus_id")
     # queries probe their n_probe closest centroids
     q = queries.select(F.col(query_id).alias("query_id"),
-                       F.col(query_vec).alias("qv"))
+                       F.col(query_vec).alias("qv")) \
+               .withColumn("__qn", l2_norm(F.col("qv")))
     qs = (q.crossJoin(F.broadcast(cents))
-          .select("query_id", "qv", "centroid_id",
+          .select("query_id", "qv", "__qn", "centroid_id",
                   cosine_similarity(F.col("qv"), F.col("centroid")).alias("csim")))
     wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(),
                                                 F.col("centroid_id"))
     probes = (qs.withColumn("rn", F.row_number().over(wq))
               .filter(F.col("rn") <= n_probe)
-              .select("query_id", "qv", "centroid_id"))
+              .select("query_id", "qv", "__qn", "centroid_id"))
     joined = c.join(F.broadcast(probes), "centroid_id")
     if exclude_self:
         joined = joined.filter(F.col("corpus_id") != F.col("query_id"))
     scored = joined.select(
         "query_id", "corpus_id",
-        F.round(cosine_similarity(F.col("cv"), F.col("qv")), 6).alias("cosine"))
+        F.round(_paired_cosine(F.col("cv"), F.col("qv"),
+                               F.col("__cn"), F.col("__qn")),
+                6).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("corpus_id").asc())
     return (scored.withColumn("rk", F.row_number().over(w))
@@ -250,15 +282,17 @@ def _rerank_exact(cands: DataFrame, corpus: DataFrame, queries: DataFrame,
     top-k per query by cosine. Output schema matches brute_force_topk
     (query_id, corpus_id, cosine, rk)."""
     cv = corpus.select(F.col(corpus_id).alias("corpus_id"),
-                       F.col(corpus_vec).alias("__cv"))
+                       F.col(corpus_vec).alias("__cv")) \
+               .withColumn("__cn", l2_norm(F.col("__cv")))
     qv = queries.select(F.col(query_id).alias("query_id"),
-                        F.col(query_vec).alias("__qv"))
+                        F.col(query_vec).alias("__qv")) \
+                .withColumn("__qn", l2_norm(F.col("__qv")))
     scored = (cands.select("query_id", "corpus_id")
               .join(cv, "corpus_id")
               .join(F.broadcast(qv), "query_id")
               .select("query_id", "corpus_id",
-                      F.round(cosine_similarity(F.col("__cv"),
-                                                F.col("__qv")),
+                      F.round(_paired_cosine(F.col("__cv"), F.col("__qv"),
+                                             F.col("__cn"), F.col("__qn")),
                               6).alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("corpus_id").asc())
