@@ -191,13 +191,20 @@ def global_ntile(df: DataFrame, key: str, n_tiles: int,
     global row number from :func:`global_row_number` plus a broadcast
     total count, bucket arithmetic in exact integer math.
 
-    The total row count comes from the per-bucket counts relation of the
-    ranking pass (a sum over ≤ buckets+1 rows) — the old ``df.agg``
-    branch was a third full scan of the input."""
-    ranked, counts = _ranked(df, key, tiebreaks, out="__grn",
-                             buckets=buckets)
+    The total row count is a direct ``df.agg(count(*))`` branch. The
+    round-14 alternative — summing the per-bucket counts relation of the
+    ranking pass — looked cheaper (≤ buckets+1 rows) but measured a wash
+    AND regressed the static plan: the counts subtree does not
+    exchange-reuse against the offsets branch (the offsets side consumes
+    it through a projection that canonicalizes differently), so the
+    "reused" branch re-executed its own scan + groupBy exchange, taking
+    cb_value_deciles from 14 to 16 exchanges / 3 to 4 scans. The direct
+    count branch is scan + map-side partial count + 1-row exchange —
+    strictly less work than a re-executed grouped count."""
+    ranked, _counts = _ranked(df, key, tiebreaks, out="__grn",
+                              buckets=buckets)
     rn = ranked.drop(_BKT)
-    total = counts.agg(F.sum("__cnt").alias("__n"))
+    total = df.agg(F.count("*").alias("__n"))
     r = rn.crossJoin(F.broadcast(total))
     q = (F.col("__n") / n_tiles).cast("long")         # floor: both positive
     rem = F.col("__n") % n_tiles

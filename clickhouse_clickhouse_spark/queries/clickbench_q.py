@@ -621,11 +621,18 @@ SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
 FROM u GROUP BY host, seg ORDER BY c DESC, host, seg LIMIT 10
 """)
 def cb_url_host_seg_topk(spark, sf):
-    """ClickBench Q22-class URL surgery: host + first path segment via
-    parse_url (JVM codegen — no UDF), two-key group, top-10."""
+    """ClickBench Q22-class URL surgery: host + first path segment,
+    two-key group, top-10. Extraction is the oracle's own anchored
+    regexes (optimization round 14): two compiled regex matches beat
+    two java.net.URI constructions per row — A/B best-of-5 at sf0.1 on
+    a quiet box: parse_url 1.03/1.16 s vs regex 0.86/0.93 s, results
+    verified identical. A single-url-eval HOF binder variant measured
+    SLOWER (1.13 s): the interpreted struct costs more than the second
+    inline url build."""
     ev = load_table(spark, sf, "events").withColumn("url", _url_col())
-    host = F.parse_url("url", F.lit("HOST"))
-    seg = F.split(F.parse_url("url", F.lit("PATH")), "/").getItem(1)
+    host = F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    seg = F.split(F.regexp_extract("url", r"^https?://[^/]+(/[^?#]*)", 1),
+                  "/").getItem(1)
     return (ev.groupBy(host.alias("host"), seg.alias("seg"))
             .agg(F.count("*").alias("c"),
                  F.countDistinct("user_id").alias("u"))
@@ -677,9 +684,14 @@ FROM u GROUP BY depth ORDER BY depth
 """)
 def cb_url_path_depth(spark, sf):
     """URL path-depth histogram (segment count via split — the
-    reference's URLHierarchy/pathDepth shape)."""
+    reference's URLHierarchy/pathDepth shape). Path extraction is the
+    oracle's own anchored regex (optimization round 14): one compiled
+    regex match beats a java.net.URI construction per row — A/B
+    best-of-5 ×2 at sf0.1 on a quiet box: parse_url 0.65/0.76 s vs
+    regex 0.61/0.67 s, results verified identical."""
     ev = load_table(spark, sf, "events").withColumn("url", _url_col())
-    depth = (F.size(F.split(F.parse_url("url", F.lit("PATH")), "/")) - 1)
+    depth = (F.size(F.split(
+        F.regexp_extract("url", r"^https?://[^/]+(/[^?#]*)", 1), "/")) - 1)
     return (ev.groupBy(depth.cast("int").alias("depth"))
             .agg(F.count("*").alias("c"),
                  F.countDistinct("user_id").alias("u"))
