@@ -95,18 +95,27 @@ def _bucketize(df: DataFrame, key: str, buckets: int,
     return out if keep_bounds else out.drop(_BNDS)
 
 
-def _bucket_offsets(counts: DataFrame, sum_cols: Sequence[str]) -> DataFrame:
-    """Exclusive prefix totals over bucket ids via a broadcast triangular
-    self-join — O(buckets²) on a buckets-row relation, no single-partition
-    exchange (a tiny ``Window.orderBy`` would reintroduce one)."""
-    lower = counts.select(
-        F.col(_BKT).alias("__b2"),
-        *[F.col(c).alias(f"__p_{c}") for c in sum_cols])
-    joined = counts.join(F.broadcast(lower),
-                         F.col("__b2") < F.col(_BKT), "left")
-    aggs = [F.coalesce(F.sum(f"__p_{c}"), F.lit(0)).alias(f"__off_{c}")
+def _bucket_offsets(counts: DataFrame, sum_cols: Sequence[str],
+                    max_bkt: int) -> DataFrame:
+    """Exclusive prefix totals over bucket ids in ONE pass over the tiny
+    counts relation: each (bucket, totals) row is exploded to every
+    bucket id from its own through ``max_bkt`` (its own contribution
+    zeroed) and the contributions hash-aggregated per target bucket —
+    O(buckets²) rows through one exchange, no single-partition exchange
+    (a tiny ``Window.orderBy`` would reintroduce one).
+
+    The pre-round-14 triangular self-join (counts ⋈ broadcast(counts)
+    on ``b2 < bkt``) evaluated the counts SUBTREE twice — the join's
+    probe side column-pruned to a distinct-buckets aggregate that does
+    not exchange-reuse against the projected build side — costing every
+    grank consumer a second full scan of the input."""
+    tgt = F.explode(F.sequence(F.col(_BKT), F.lit(max_bkt))).alias("__tgt")
+    contrib = counts.select(F.col(_BKT).alias("__src"), tgt, *sum_cols)
+    aggs = [F.sum(F.when(F.col("__src") < F.col("__tgt"), F.col(c))
+                  .otherwise(F.lit(0))).alias(f"__off_{c}")
             for c in sum_cols]
-    return joined.groupBy(_BKT).agg(*aggs)
+    return (contrib.groupBy("__tgt").agg(*aggs)
+            .withColumnRenamed("__tgt", _BKT))
 
 
 def global_row_number(df: DataFrame, key: str,
@@ -139,7 +148,7 @@ def _ranked(df: DataFrame, key: str, tiebreaks: Sequence[str],
     # shuffle) and measured net-slower (KS 2.45→3.1 s at sf0.1); see
     # OPTIMIZATION_r14.md §grank.
     counts = b.groupBy(_BKT).agg(F.count("*").alias("__cnt"))
-    offsets = _bucket_offsets(counts, ["__cnt"])
+    offsets = _bucket_offsets(counts, ["__cnt"], buckets - 1)
     ranked = (local.join(F.broadcast(offsets), _BKT)
               .withColumn(out, (F.col("__lrn") + F.col("__off___cnt"))
                           .cast("long"))
@@ -174,7 +183,8 @@ def global_prefix_sums(df: DataFrame, key: str,
     # and measured net-slower; see global_row_number's comment.
     totals = b.groupBy(_BKT).agg(
         *[F.sum(f"__a_{n}").alias(f"__t_{n}") for n in names])
-    offsets = _bucket_offsets(totals, [f"__t_{n}" for n in names])
+    offsets = _bucket_offsets(totals, [f"__t_{n}" for n in names],
+                              buckets - 1)
     out = local.join(F.broadcast(offsets), _BKT)
     for n in names:
         out = out.withColumn(n, F.col(f"__l_{n}") + F.col(f"__off___t_{n}"))
