@@ -254,9 +254,28 @@ def _subvectors(df: DataFrame, m: int, dim: int, vec: str,
                      F.posexplode(slices).alias("sub", "subvec"))
 
 
-def _l2sq(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-                       F.lit(0.0), lambda acc, v: acc + v)
+def _l2sq(a, b, d: int | None = None):
+    """Squared L2 between two float arrays. With ``d`` (the statically
+    known width — PQ subvectors are dim/m elements), the sum is
+    UNROLLED into plain column arithmetic that whole-stage codegen
+    compiles, instead of an interpreted ``aggregate`` fold: the fold
+    was the dominant cost of PQ training/encoding (8 M+ evaluations per
+    Lloyd iteration at codes=256 — see OPTIMIZATION_r14.md). Bit-equal
+    to the fold by construction: each squared difference is computed in
+    FLOAT (as ``zip_with`` did), widened to double, and added
+    left-associatively from the first term (the fold's ``0.0 + t1``
+    is exact, so dropping it changes nothing)."""
+    if d is None:
+        return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                           F.lit(0.0), lambda acc, v: acc + v)
+    terms = []
+    for i in range(1, d + 1):
+        diff = F.element_at(a, i) - F.element_at(b, i)
+        terms.append((diff * diff).cast("double"))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
 
 
 def l2_normalize(df: DataFrame, vec: str = "embedding") -> DataFrame:
@@ -321,7 +340,7 @@ def pq_train(corpus: DataFrame, *, m: int = 8, codes: int = 16, dim: int,
           .withColumn("code_id", F.row_number().over(w) - 1)
           .select("sub", "code_id", F.col("subvec").alias("codeword")))
     for _ in range(iterations):
-        assigned = _pq_assign(subs, cb, id_col)
+        assigned = _pq_assign(subs, cb, id_col, d=dim // m)
         new_cb = (assigned.join(subs, [id_col, "sub"])
                   .select("sub", "code_id",
                           F.posexplode("subvec").alias("dim", "v"))
@@ -348,7 +367,7 @@ def pq_train(corpus: DataFrame, *, m: int = 8, codes: int = 16, dim: int,
 
 
 def _pq_assign(subs: DataFrame, codebook: DataFrame,
-               id_col: str) -> DataFrame:
+               id_col: str, d: int | None = None) -> DataFrame:
     """Nearest codeword per (id, sub) — broadcast codebook, then argmin
     via ``min_by`` over (d, code_id): a partial hash aggregate with
     map-side combining, so the corpus×codes exploded rows collapse
@@ -358,7 +377,8 @@ def _pq_assign(subs: DataFrame, codebook: DataFrame,
     sort-window."""
     scored = (subs.join(F.broadcast(codebook), "sub")
               .select(id_col, "sub", "code_id",
-                      _l2sq(F.col("subvec"), F.col("codeword")).alias("d")))
+                      _l2sq(F.col("subvec"), F.col("codeword"),
+                            d).alias("d")))
     return (scored.groupBy(id_col, "sub")
             .agg(F.min_by("code_id",
                           F.struct(F.col("d").alias("dd"),
@@ -366,7 +386,8 @@ def _pq_assign(subs: DataFrame, codebook: DataFrame,
                  .alias("code_id")))
 
 
-def _adc_table(qsubs: DataFrame, cb: DataFrame, qid: str) -> DataFrame:
+def _adc_table(qsubs: DataFrame, cb: DataFrame, qid: str,
+               d: int | None = None) -> DataFrame:
     """Per-query nested ADC lookup table: qtab[sub][code] = squared L2
     of the query subvector to that codeword. Rows are positionally
     indexed by code_id — safe because pq_train keeps the codebook
@@ -374,7 +395,7 @@ def _adc_table(qsubs: DataFrame, cb: DataFrame, qid: str) -> DataFrame:
     ivf_pq_topk (previously duplicated verbatim, round-14 review)."""
     return (qsubs.join(F.broadcast(cb), "sub")
             .select(qid, "sub", "code_id",
-                    _l2sq(F.col("subvec"), F.col("codeword")).alias("d"))
+                    _l2sq(F.col("subvec"), F.col("codeword"), d).alias("d"))
             .groupBy(qid, "sub")
             .agg(F.transform(
                 F.array_sort(F.collect_list(F.struct("code_id", "d"))),
@@ -390,7 +411,7 @@ def pq_encode(corpus: DataFrame, codebook: DataFrame, *, m: int, dim: int,
     """(id, codes): each vector reduced to m small ints — the 100 TB
     storage form (m bytes/vector at codes<=256 vs 4*dim)."""
     subs = _subvectors(corpus, m, dim, vec, id_col)
-    a = _pq_assign(subs, codebook, id_col)
+    a = _pq_assign(subs, codebook, id_col, d=dim // m)
     return (a.groupBy(id_col)
             .agg(F.transform(
                 F.array_sort(F.collect_list(F.struct("sub", "code_id"))),
@@ -432,7 +453,7 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int, *, m: int = 8,
     qsubs = _subvectors(
         queries.select(F.col(query_id), F.col(query_vec).alias("__qv")),
         m, dim, "__qv", query_id)
-    qtab = _adc_table(qsubs, cb, query_id)
+    qtab = _adc_table(qsubs, cb, query_id, d=dim // m)
     hits = (enc.withColumnRenamed(corpus_id, "corpus_id")
             .crossJoin(F.broadcast(qtab)))
     if exclude_self:
@@ -510,7 +531,7 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
 
     qsubs = _subvectors(probes.select(query_id, "__qv").distinct(),
                         m, dim, "__qv", query_id)
-    qtab = _adc_table(qsubs, cb, query_id)
+    qtab = _adc_table(qsubs, cb, query_id, d=dim // m)
 
     cand = (enc.join(F.broadcast(probes.select(query_id, "centroid_id")),
                      "centroid_id")
