@@ -302,15 +302,28 @@ def minhash_verified_pairs(spark, sf):
     d = load_table(spark, sf, "documents")
     cand = minhash_candidate_pairs(d, "doc_id", "text", num_hashes=8,
                                    bands=4, shingle=2, token_hash="vocab")
-    sh = d.select(
-        F.col("doc_id"),
-        F.array_distinct(TXT.word_ngrams(F.col("text"), 2)).alias("g"))
-    ga, gb = sh.alias("ga"), sh.alias("gb")
-    j = (cand.join(ga, cand.id_a == F.col("ga.doc_id"))
-         .join(gb, cand.id_b == F.col("gb.doc_id")))
-    inter = F.size(F.array_intersect(F.col("ga.g"), F.col("gb.g")))
-    uni = F.size(F.col("ga.g")) + F.size(F.col("gb.g")) - inter
-    jac = inter.cast("double") / F.greatest(uni, F.lit(1)).cast("double")
+    # Verification via an inverted index restricted to the candidate
+    # pairs (round 14; same shape as pipeline/dedup.ngram_jaccard_pairs):
+    # joining whole bigram ARRAYS per pair re-built an array_intersect
+    # hashset for every partner of a doc (~3.8 s of the 7.3 s sf0.1
+    # wall).  Exploding distinct bigrams once and counting token matches
+    # per candidate pair is pure codegen join+aggregate — |A∩B| is the
+    # same integer, sizes ride along, so jaccard is bit-equal.  Pairs
+    # with zero overlap drop out of the inner join, but their jaccard
+    # (0.0) fails the >= 0.2 gate anyway.
+    g = F.array_distinct(TXT.word_ngrams(F.col("text"), 2))
+    tok = d.select(F.col("doc_id"), F.explode(g).alias("tk"))
+    sizes = d.select(F.col("doc_id"), F.size(g).alias("n"))
+    ta, tb = tok.alias("ta"), tok.alias("tb")
+    ic = (cand.join(ta, cand.id_a == F.col("ta.doc_id"))
+          .join(tb, (cand.id_b == F.col("tb.doc_id"))
+                & (F.col("ta.tk") == F.col("tb.tk")))
+          .groupBy("id_a", "id_b").agg(F.count("*").alias("__i")))
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    j = (ic.join(sa, ic.id_a == F.col("sa.doc_id"))
+         .join(sb, ic.id_b == F.col("sb.doc_id")))
+    uni = F.col("sa.n") + F.col("sb.n") - F.col("__i")
+    jac = F.col("__i").cast("double") / F.greatest(uni, F.lit(1)).cast("double")
     return (j.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
             .filter(F.col("jaccard") >= 0.2))
 
