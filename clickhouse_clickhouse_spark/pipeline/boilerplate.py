@@ -90,23 +90,40 @@ def repeated_span_stats(docs: DataFrame, *, n: int = 5, min_docs: int = 3,
         flagged = grams.join(freq.select("gh"), "gh", "left_semi")
     else:
         flagged = grams.join(freq.select("g"), "g", "left_semi")
-    rep = flagged.groupBy(id_col).agg(F.count("*").alias("n_rep_pos"))
-    cov = (flagged
-           .select(id_col,
-                   F.explode(F.sequence(F.col("i"),
-                                        F.col("i") + (n - 1))).alias("t"))
+    # ONE pass over the flagged positions (round 14): coverage of the
+    # interval union ∪[i, i+n-1] via an interval sweep — positions are
+    # unique per (doc, i), so in ascending-i order each row adds
+    # min(n, i - prev) new covered tokens (n when it starts a new
+    # island). n_rep_pos = count(*) rides the same aggregate. The
+    # pre-round-14 shape ran rep (pre-explode count) and cov (explode
+    # every position n-fold + count_distinct) as separate branches,
+    # re-executing the shingle explode + semi-join subtree once per
+    # branch; the sweep also keeps the row count independent of n
+    # (the explode form multiplies the aggregate input n×). A/B at
+    # sf0.1: explode+distinct 1.39 s vs sweep 1.23 s, identical rows.
+    from pyspark.sql import Window
+
+    wspec = Window.partitionBy(id_col).orderBy("i")
+    prev = F.lag("i").over(wspec)
+    contrib = F.when(prev.isNull() | (F.col("i") - prev >= n), F.lit(n)) \
+               .otherwise(F.col("i") - prev)
+    rep = (flagged.withColumn("__c", contrib)
            .groupBy(id_col)
-           .agg(F.count_distinct("t").alias("n_cov_tokens")))
-    base = (grams.groupBy(id_col)
-            .agg(F.first("n_tokens").alias("n_tokens"),
-                 F.count("*").alias("n_gram_pos")))
-    short = (docs.select(id_col,
-                         F.size(F.split(F.lower(F.col(text_col)), " "))
-                         .alias("n_tokens"))
-             .join(base.select(id_col), id_col, "left_anti")
-             .withColumn("n_gram_pos", F.lit(0)))
-    return (base.unionByName(short)
-            .join(rep, id_col, "left").join(cov, id_col, "left")
+           .agg(F.count("*").alias("n_rep_pos"),
+                F.sum("__c").cast("long").alias("n_cov_tokens")))
+    # n_tokens / n_gram_pos are algebraic in the token count — no gram
+    # explode, no count branch, no short-doc anti-join union (the
+    # pre-round-14 shape paid TWO more full shingle explodes here):
+    # positions = sequence(1, hi) has exactly max(hi, 0) entries.
+    w = F.split(F.lower(F.col(text_col)), " ")
+    hi = F.size(w) - (n - 1)
+    if max_positions is not None:
+        hi = F.least(hi, F.lit(max_positions))
+    base = docs.select(F.col(id_col), F.size(w).alias("n_tokens"),
+                       F.greatest(hi, F.lit(0)).cast("long")
+                        .alias("n_gram_pos"))
+    return (base
+            .join(rep, id_col, "left")
             .select(
                 id_col, "n_tokens", "n_gram_pos",
                 F.coalesce("n_rep_pos", F.lit(0)).alias("n_rep_pos"),
