@@ -47,6 +47,7 @@ SURVEY.md §2.8 tables pin down.
 
 from __future__ import annotations
 
+import itertools
 import math
 import random
 import re
@@ -9721,6 +9722,9 @@ def _depth0_search(mask: str, pattern: str, start: int = 0):
     return None
 
 
+_STRICT_VIEW_SEQ = itertools.count()
+
+
 def _try_strictness_join(spark: SparkSession, sql: str, final_keys):
     """Recognize ``SELECT ... FROM l [la] ASOF|ANY [LEFT] JOIN r [ra]
     ON/USING ... [trailing clauses]`` — each side a table NAME or a
@@ -9887,7 +9891,10 @@ def _try_strictness_join(spark: SparkSession, sql: str, final_keys):
         out = any_join(left, right, keys, how=how,
                        order_by=payload or keys)
 
-    view = "__ch_strict_join"
+    # per-call unique name: concurrent planning threads (the plan tests
+    # build all registry queries on a 32-thread pool) must not clobber
+    # each other's view between registration and the resolve below
+    view = f"__ch_strict_join_{next(_STRICT_VIEW_SEQ)}"
     out.createOrReplaceTempView(view)
     if kind == "ASOF":
         # the matched right-side timestamp surfaces as asof_<col>
@@ -9915,8 +9922,13 @@ def _try_strictness_join(spark: SparkSession, sql: str, final_keys):
                        re.IGNORECASE)
     sel = _masked_sub(strip, lambda _m: f"{view}.", sel)
     rest = _masked_sub(strip, lambda _m: f"{view}.", rest)
-    return ch_sql(spark, f"SELECT {sel} FROM {view}{rest}",
-                  final_keys=final_keys)
+    try:
+        return ch_sql(spark, f"SELECT {sel} FROM {view}{rest}",
+                      final_keys=final_keys)
+    finally:
+        # the recursive call analyzed the plan (spark.sql resolves the
+        # view eagerly), so the registration can be dropped
+        spark.catalog.dropTempView(view)
 
 
 _PARAM_RE = re.compile(r"\{(\w+)\s*:\s*([A-Za-z0-9_() ]+?)\s*\}")
