@@ -2280,68 +2280,63 @@ def _matrix_agg_tpl(args: list[str], fn: str) -> str:
 
 # ---- round-10 helpers: number theory, space-filling curves, geo tail ----
 
-# Euclid fold: 96 iterations cover the 64-bit worst case (consecutive
-# Fibonacci pairs need ~91 steps). Body references __v.a/__v.b bound once.
-_GCD_BODY = (
-    "AGGREGATE(SEQUENCE(1, 96), "
-    "NAMED_STRUCT('a', ABS(__v.a), 'b', ABS(__v.b)), "
-    "(__g, __i) -> IF(__g.b = 0, __g, "
-    "NAMED_STRUCT('a', __g.b, 'b', __g.a % __g.b)), __g -> __g.a)")
+# Optimization round 14: gcd/lcm were 96-iteration Euclid AGGREGATE
+# folds — interpreted (HOFs are CodegenFallback, and their presence
+# pushed the whole enclosing projection out of whole-stage codegen) and
+# burning 96 struct rebuilds per row regardless of convergence. They now
+# run as numpy kernels (np.gcd is a vectorized C ufunc) behind
+# Arrow-batched pandas UDFs in functions/spacecurves.py, with the exact
+# fold semantics: gcd(0,0)=0, negatives via ABS, NULL in → NULL out,
+# and lcm = ABS(a DIV gcd * b) with int64 wraparound (ANSI off).
 
 
 def _gcd_tpl(a: list[str]) -> str:
-    """gcd(a, b) ([U] src/Functions/gcd.cpp) — Euclid as a bounded JVM
-    fold (no UDF); gcd(0, 0) = 0, negatives via ABS like upstream."""
-    return _bind_once(
-        {"a": f"CAST({a[0]} AS BIGINT)", "b": f"CAST({a[1]} AS BIGINT)"},
-        _GCD_BODY)
+    """gcd(a, b) ([U] src/Functions/gcd.cpp) — vectorized np.gcd via an
+    Arrow-batched UDF; gcd(0, 0) = 0, negatives via ABS like upstream."""
+    return (f"__num_gcd(CAST({a[0]} AS BIGINT), "
+            f"CAST({a[1]} AS BIGINT))")
 
 
 def _lcm_tpl(a: list[str]) -> str:
     """lcm(a, b) = |a| / gcd * |b| (division first so the product can't
     overflow when the result fits); lcm with 0 = 0 like upstream."""
-    return _bind_once(
-        {"a": f"CAST({a[0]} AS BIGINT)", "b": f"CAST({a[1]} AS BIGINT)"},
-        f"IF(__v.a = 0 OR __v.b = 0, CAST(0 AS BIGINT), "
-        f"ABS(__v.a DIV {_GCD_BODY} * __v.b))")
+    return (f"__num_lcm(CAST({a[0]} AS BIGINT), "
+            f"CAST({a[1]} AS BIGINT))")
 
 
 def _morton_encode_tpl(a: list[str]) -> str:
     """mortonEncode(u1, ..., uk), k in 2..8 ([U] src/Functions/
     mortonEncode.cpp): bit j of input i lands at bit k*j + i — arg
     order pinned by the upstream docs example mortonEncode(1,2,3)=53.
-    Unrolled disjoint-bit ORs (constant-folded, no fold, no overflow —
-    bit ops don't trip ANSI)."""
+
+    Optimization round 14: the unrolled 64-term SHIFTLEFT/OR tree sat
+    inside a _bind_once binder — a higher-order function, i.e.
+    CodegenFallback — which forced the enclosing projection out of
+    whole-stage codegen and evaluated ~130 interpreted shift nodes per
+    row. The same interleave now runs as a vectorized numpy kernel
+    behind an Arrow-batched pandas UDF (functions/spacecurves.py);
+    bit-equality proven by a 200 k-row full-range differential per
+    arity (including negatives — (c >> j) & 1 is shift-kind-agnostic).
+    NULL in any coordinate → NULL out, like the old bitwise chain."""
     k = len(a)
     if not 2 <= k <= 8:
         raise ValueError("mortonEncode supports 2..8 coordinates")
-    bits = 64 // k
-    binds = {f"c{i}": f"CAST({x} AS BIGINT)" for i, x in enumerate(a)}
-    terms = [
-        f"SHIFTLEFT(SHIFTRIGHTUNSIGNED(__v.c{i}, {j}) & 1, {k * j + i})"
-        for i in range(k) for j in range(bits)
-    ]
-    return _bind_once(binds, " | ".join(terms))
+    args = ", ".join(f"CAST({x} AS BIGINT)" for x in a)
+    return f"__morton_encode{k}({args})"
 
 
 def _morton_decode_tpl(a: list[str]) -> str:
     """mortonDecode(k, code) → tuple of k coordinates (struct fields
-    _1.._k, the repo's tuple convention)."""
+    _1.._k, the repo's tuple convention). Vectorized twin of the encode
+    template (see note there); a NULL code yields a struct of NULL
+    fields, exactly like the old NAMED_STRUCT over NULL bitwise terms."""
     try:
         k = int(a[0].strip())
     except ValueError:
         raise ValueError("mortonDecode needs a literal dimension count")
     if not 2 <= k <= 8:
         raise ValueError("mortonDecode supports 2..8 dimensions")
-    bits = 64 // k
-    fields = []
-    for i in range(k):
-        terms = " | ".join(
-            f"SHIFTLEFT(SHIFTRIGHTUNSIGNED(__v.m, {k * j + i}) & 1, {j})"
-            for j in range(bits))
-        fields.append(f"'_{i + 1}', ({terms})")
-    return _bind_once({"m": f"CAST({a[1]} AS BIGINT)"},
-                      f"NAMED_STRUCT({', '.join(fields)})")
+    return f"__morton_decode{k}(CAST({a[1]} AS BIGINT))"
 
 
 # 2-D Hilbert curve at fixed order 31 (n = 2^31): the classic xy2d /
@@ -2355,54 +2350,38 @@ _HILBERT_N1 = (1 << 31) - 1
 
 
 def _hilbert_encode_tpl(a: list[str]) -> str:
+    # Optimization round 14: the 31-step AGGREGATE fold this emitted ran
+    # interpreted (HOFs are CodegenFallback) at ~40 µs/row AND pushed the
+    # enclosing projection out of whole-stage codegen; the same xy2d
+    # construction now runs as a vectorized numpy kernel behind an
+    # Arrow-batched pandas UDF (functions/spacecurves.py) — bit-equality
+    # proven by a 350 k-sample differential collect against the fold.
+    # Same guard contract: raises on coords outside [0, 2^31), NULL in →
+    # NULL out.
     if len(a) != 2:
         raise ValueError("hilbertEncode here supports exactly 2 "
                          "coordinates (upstream 2D form)")
-    guard = (f"IF(__v.x < 0 OR __v.x > {_HILBERT_N1} OR __v.y < 0 "
-             f"OR __v.y > {_HILBERT_N1}, "
-             f"CAST(RAISE_ERROR('hilbertEncode: coordinates must be in "
-             f"[0, 2^31)') AS BIGINT), CAST(0 AS BIGINT))")
-    rx = "(SHIFTRIGHT(__h.x, CAST(__i AS INT)) & 1)"
-    ry = "(SHIFTRIGHT(__h.y, CAST(__i AS INT)) & 1)"
-    step = (
-        f"NAMED_STRUCT("
-        f"'x', IF({ry} = 0, IF({rx} = 1, {_HILBERT_N1} - __h.y, __h.y), "
-        f"__h.x), "
-        f"'y', IF({ry} = 0, IF({rx} = 1, {_HILBERT_N1} - __h.x, __h.x), "
-        f"__h.y), "
-        f"'d', __h.d + SHIFTLEFT(CAST((3 * {rx}) ^ {ry} AS BIGINT), "
-        f"CAST(2 * __i AS INT)))")
-    return _bind_once(
-        {"x": f"CAST({a[0]} AS BIGINT)", "y": f"CAST({a[1]} AS BIGINT)"},
-        f"AGGREGATE(SEQUENCE(30, 0, -1), "
-        f"NAMED_STRUCT('x', __v.x + {guard}, 'y', __v.y, "
-        f"'d', CAST(0 AS BIGINT)), (__h, __i) -> {step}, __h -> __h.d)")
+    return (f"__hilbert_encode(CAST({a[0]} AS BIGINT), "
+            f"CAST({a[1]} AS BIGINT))")
 
 
 def _hilbert_decode_tpl(a: list[str]) -> str:
+    # Vectorized twin of the encode template (see note there). The
+    # SQL-level NULL wrap keeps the exact NULL-STRUCT semantics of the
+    # old fold (a NULL code yields a NULL struct, not a struct of NULL
+    # fields). The code expression is spelled twice but NOT evaluated
+    # twice: a Python UDF cannot sit inside a lambda binder
+    # (UNSUPPORTED_FEATURE.LAMBDA_FUNCTION_WITH_PYTHON_UDF), and
+    # ExtractPythonUDFs deduplicates the two textually identical calls
+    # into one ArrowEvalPython slot (plan-verified); the UDF runs
+    # unconditionally on NULL rows and zero-fills them.
     if len(a) != 2 or a[0].strip() != "2":
         raise ValueError("hilbertDecode here supports the 2-D form: "
                          "hilbertDecode(2, code)")
-    # d2xy: s = 2^i ascending; rot uses s-1; then x += s*rx, y += s*ry
-    s = "SHIFTLEFT(CAST(1 AS BIGINT), CAST(__i AS INT))"
-    rx = "(SHIFTRIGHT(__h.t, 1) & 1)"
-    ry = "((__h.t ^ (SHIFTRIGHT(__h.t, 1) & 1)) & 1)"
-    step = (
-        f"NAMED_STRUCT("
-        f"'x', IF({ry} = 0, IF({rx} = 1, ({s}) - 1 - __h.y, __h.y), "
-        f"__h.x) + ({s}) * {rx}, "
-        f"'y', IF({ry} = 0, IF({rx} = 1, ({s}) - 1 - __h.x, __h.x), "
-        f"__h.y) + ({s}) * {ry}, "
-        f"'t', SHIFTRIGHTUNSIGNED(__h.t, 2))")
-    return _bind_once(
-        {"c": f"CAST({a[1]} AS BIGINT)"},
-        f"AGGREGATE(SEQUENCE(0, 30), "
-        f"NAMED_STRUCT('x', CAST(0 AS BIGINT), 'y', CAST(0 AS BIGINT), "
-        f"'t', IF(__v.c < 0 OR __v.c >= 4611686018427387904, "
-        f"CAST(RAISE_ERROR('hilbertDecode: code must "
-        f"be in [0, 2^62)') AS BIGINT), __v.c)), "
-        f"(__h, __i) -> {step}, "
-        f"__h -> NAMED_STRUCT('_1', __h.x, '_2', __h.y))")
+    c = f"CAST({a[1]} AS BIGINT)"
+    return (f"IF(({c}) IS NULL, "
+            f"CAST(NULL AS STRUCT<_1: BIGINT, _2: BIGINT>), "
+            f"__hilbert_decode({c}))")
 
 
 def _char_tpl(a: list[str]) -> str:
@@ -2576,16 +2555,20 @@ def _geohash_encode_tpl(a: list[str]) -> str:
         terms.append(f"SHIFTLEFT(SHIFTRIGHT(__v.lq, {j}) & 1, {2 * j + 1})")
         terms.append(f"SHIFTLEFT(SHIFTRIGHT(__v.tq, {j}) & 1, {2 * j})")
     code = "(" + " + ".join(terms) + ")"
+    # round 14: the interleaved code is bound ONCE in a nested binder —
+    # the old form spliced the full 2·half-term sum into every one of
+    # the p character extractions, so the (interpreted — binders are
+    # CodegenFallback) interleave ran p× per row
     chars = ", ".join(
         f"SUBSTRING('{GEOHASH_ALPHABET}', "
-        f"CAST((SHIFTRIGHT({code}, {5 * (p - 1 - k)}) & 31) + 1 AS INT), 1)"
+        f"CAST((SHIFTRIGHT(__vg.c, {5 * (p - 1 - k)}) & 31) + 1 AS INT), 1)"
         for k in range(p))
     return _bind_once(
         {"lq": f"LEAST(CAST(FLOOR((CAST({a[0]} AS DOUBLE) + 180.0D) "
                f"/ 360.0D * {scale}) AS BIGINT), {scale - 1})",
          "tq": f"LEAST(CAST(FLOOR((CAST({a[1]} AS DOUBLE) + 90.0D) "
                f"/ 180.0D * {scale}) AS BIGINT), {scale - 1})"},
-        f"CONCAT({chars})")
+        _bind_once({"c": code}, f"CONCAT({chars})", var="__vg"))
 
 
 # ---- round-10 regex-replacement helpers ----
@@ -9264,6 +9247,14 @@ def _register_udfs(spark: SparkSession) -> None:
     spark.udf.register("__siphash128_ref_keyed",
                        H.siphash128_keyed_udf(True))
     spark.udf.register("__jump_hash", H.jump_consistent_hash_udf())
+    from clickhouse_clickhouse_spark.functions import spacecurves as SC
+    spark.udf.register("__hilbert_encode", SC.hilbert_encode_udf())
+    spark.udf.register("__hilbert_decode", SC.hilbert_decode_udf())
+    for _k in range(2, 9):
+        spark.udf.register(f"__morton_encode{_k}", SC.morton_encode_udf(_k))
+        spark.udf.register(f"__morton_decode{_k}", SC.morton_decode_udf(_k))
+    spark.udf.register("__num_gcd", SC.gcd_udf())
+    spark.udf.register("__num_lcm", SC.lcm_udf())
     from clickhouse_clickhouse_spark.functions import ml as ML
     spark.udf.register("__linreg_solve", ML.linreg_solve_udf())
     # AES stream modes (ctr/ofb/cfb) — cryptography-backed, round 12;

@@ -2266,17 +2266,11 @@ def ch_sql_round10_curves(spark, sf):
                round(sigmoid(value / 100.0), 6) AS sg,
                mortonEncode(event_id % 65536, user_id % 65536) AS me,
                (mortonDecode(2, mortonEncode(event_id % 65536,
-                                             user_id % 65536))._1
-                    = event_id % 65536
-                AND mortonDecode(2, mortonEncode(event_id % 65536,
-                                                 user_id % 65536))._2
-                    = user_id % 65536) AS mrt,
+                                             user_id % 65536))
+                    = tuple(event_id % 65536, user_id % 65536)) AS mrt,
                (hilbertDecode(2, hilbertEncode(event_id % 32768,
-                                               user_id % 32768))._1
-                    = event_id % 32768
-                AND hilbertDecode(2, hilbertEncode(event_id % 32768,
-                                                   user_id % 32768))._2
-                    = user_id % 32768) AS hrt,
+                                               user_id % 32768))
+                    = tuple(event_id % 32768, user_id % 32768)) AS hrt,
                hilbertEncode(3, 4) AS h34,
                parseReadableSize(concat(toString(event_id % 100),
                                         '.5 KiB')) AS pr,
