@@ -1879,25 +1879,37 @@ def _horner(coeffs, x):
     return out
 
 
+def _let1(value, body):
+    """Bind ``value`` once as a lambda variable (a plan LEAF) — bare
+    Column reuse deep-copies the whole subtree per reference, and the
+    A/B planning stack squares its trees twice over (z², then the
+    gate's |a−e| re-references); see functions/ip._let."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def normalQuantile(p):
     """Inverse standard-normal CDF Φ⁻¹(p) as a column expression
-    (Acklam's approximation; NULL outside (0, 1))."""
-    pp = _c(p).cast("double") if isinstance(p, Column) else F.lit(float(p))
+    (Acklam's approximation; NULL outside (0, 1)). Round 14: every
+    shared subterm (pp, ql, qu, qc·rc) is bound once — the bare-reuse
+    form re-copied the input subtree ~12× and analysis of the stacked
+    A/B gate expressions took seconds for a one-row query."""
+    pp0 = _c(p).cast("double") if isinstance(p, Column) else F.lit(float(p))
     lo, hi = 0.02425, 1.0 - 0.02425
-    ql = F.sqrt(-2.0 * F.log(pp))
-    x_low = _horner(_ACKLAM_C, ql) / (_horner(_ACKLAM_D, ql) * ql
-                                      + F.lit(1.0))
-    qu = F.sqrt(-2.0 * F.log(1.0 - pp))
-    x_up = -(_horner(_ACKLAM_C, qu) / (_horner(_ACKLAM_D, qu) * qu
-                                       + F.lit(1.0)))
-    qc = pp - 0.5
-    rc = qc * qc
-    x_mid = (_horner(_ACKLAM_A, rc) * qc
-             / (_horner(_ACKLAM_B, rc) * rc + F.lit(1.0)))
-    return (F.when((pp <= 0) | (pp >= 1), F.lit(None).cast("double"))
-            .when(pp < lo, x_low)
-            .when(pp > hi, x_up)
-            .otherwise(x_mid))
+
+    def tail(q):
+        # shared tail polynomial: ±Horner_C(q) / (Horner_D(q)·q + 1)
+        return _horner(_ACKLAM_C, q) / (_horner(_ACKLAM_D, q) * q
+                                        + F.lit(1.0))
+
+    def mid(qc):
+        return _let1(qc * qc, lambda rc: _horner(_ACKLAM_A, rc) * qc
+                     / (_horner(_ACKLAM_B, rc) * rc + F.lit(1.0)))
+
+    return _let1(pp0, lambda pp: (
+        F.when((pp <= 0) | (pp >= 1), F.lit(None).cast("double"))
+        .when(pp < lo, _let1(F.sqrt(-2.0 * F.log(pp)), tail))
+        .when(pp > hi, -_let1(F.sqrt(-2.0 * F.log(1.0 - pp)), tail))
+        .otherwise(_let1(pp - 0.5, mid))))
 
 
 def minSampleSizeConversion(baseline, mde, power=0.8, alpha=0.05):
@@ -1910,9 +1922,9 @@ def minSampleSizeConversion(baseline, mde, power=0.8, alpha=0.05):
         else F.lit(float(baseline))
     d = _c(mde).cast("double") if isinstance(mde, Column) \
         else F.lit(float(mde))
-    z = normalQuantile(1.0 - alpha / 2.0) + normalQuantile(power)
-    p2 = p1 + d
-    n = z * z * (p1 * (1.0 - p1) + p2 * (1.0 - p2)) / (d * d)
+    z0 = normalQuantile(1.0 - alpha / 2.0) + normalQuantile(power)
+    n = _let1(z0, lambda z: z * z
+              * (p1 * (1.0 - p1) + (p1 + d) * (1.0 - (p1 + d))) / (d * d))
     return F.struct(n.alias("minimum_sample_size"),
                     (p1 - d).alias("detect_range_lower"),
                     (p1 + d).alias("detect_range_upper"))
@@ -1931,8 +1943,8 @@ def minSampleSizeContinous(baseline, sigma, mde, power=0.8, alpha=0.05):
         else F.lit(float(sigma))
     d = _c(mde).cast("double") if isinstance(mde, Column) \
         else F.lit(float(mde))
-    z = normalQuantile(1.0 - alpha / 2.0) + normalQuantile(power)
-    n = 2.0 * z * z * sg * sg / (d * mu * d * mu)
+    z0 = normalQuantile(1.0 - alpha / 2.0) + normalQuantile(power)
+    n = _let1(z0, lambda z: 2.0 * z * z * sg * sg / (d * mu * d * mu))
     return F.struct(n.alias("minimum_sample_size"),
                     (mu * (1.0 - d)).alias("detect_range_lower"),
                     (mu * (1.0 + d)).alias("detect_range_upper"))

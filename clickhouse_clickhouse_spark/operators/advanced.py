@@ -331,9 +331,14 @@ def tukey_outliers(df: DataFrame, keys: Sequence[str], value: Column | str,
     """
     v = (F.col(value) if isinstance(value, str) else value).cast("double")
     keys = list(keys)
+    # round 14: one array-percentile buffer for both quartiles
+    # (bit-identical to two separate percentile aggregates)
     fences = (df.filter(v.isNotNull()).groupBy(*keys)
-              .agg(F.percentile(v, F.lit(0.25)).alias("q1"),
-                   F.percentile(v, F.lit(0.75)).alias("q3")))
+              .agg(F.percentile(v, F.array(F.lit(0.25), F.lit(0.75)))
+                   .alias("__q"))
+              .select(*keys,
+                      F.element_at("__q", 1).alias("q1"),
+                      F.element_at("__q", 2).alias("q3")))
     fences = fences.select(
         *keys,
         F.round("q1", 6).alias("q1"), F.round("q3", 6).alias("q3"),
@@ -583,10 +588,15 @@ def kolmogorov_smirnov_test(df: DataFrame, value: Column | str,
          .select(v.cast("double").alias("__v"),
                  (g == group_a).cast("long").alias("__ia"),
                  (g == group_b).cast("long").alias("__ib")))
-    ps = global_prefix_sums(d, "__v", {"ca": F.col("__ia"),
-                                       "cb": F.col("__ib")})
-    red = ps.groupBy("__v").agg(F.max("ca").alias("ca"),
-                                F.max("cb").alias("cb"))
+    # round 14: reduce to per-distinct-value counts BEFORE the prefix
+    # machinery (same rewrite as agg_ks_test — the window sort runs
+    # over |distinct values| instead of |rows|, and the inclusive
+    # prefix over one-row-per-value is already the tie-correct ECDF)
+    cnt = d.groupBy("__v").agg(F.sum("__ia").alias("__ta"),
+                               F.sum("__ib").alias("__tb"))
+    red = global_prefix_sums(cnt, "__v", {"ca": F.col("__ta"),
+                                          "cb": F.col("__tb")}) \
+        .select("__v", "ca", "cb")
     tot = d.agg(F.sum("__ia").alias("na"), F.sum("__ib").alias("nb"))
     j = red.crossJoin(F.broadcast(tot))
     diff = F.abs(F.col("ca") / F.col("na") - F.col("cb") / F.col("nb"))

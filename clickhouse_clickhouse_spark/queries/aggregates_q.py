@@ -83,10 +83,18 @@ def agg_quantiles(spark, sf):
     """quantileExact/median → percentile (exact, linear interpolation —
     same definition as DuckDB quantile_cont)."""
     li = load_table(spark, sf, "lineitem")
+    # round 14: the two l_quantity percentiles share one buffer via the
+    # array form (bit-identical; separate aggregates each built their
+    # own per-group sorted state)
     return (li.groupBy("l_returnflag")
-            .agg(F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
-                 F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90_qty"),
-                 F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25_price")))
+            .agg(F.percentile("l_quantity",
+                              F.array(F.lit(0.5), F.lit(0.9))).alias("__q"),
+                 F.round(F.percentile("l_extendedprice", F.lit(0.25)),
+                         6).alias("p25_price"))
+            .select("l_returnflag",
+                    F.round(F.element_at("__q", 1), 6).alias("median_qty"),
+                    F.round(F.element_at("__q", 2), 6).alias("p90_qty"),
+                    "p25_price"))
 
 
 @register("agg_group_array", oracle="""
@@ -372,28 +380,32 @@ FROM (SELECT * FROM s WHERE event_type = 'click') a,
 """)
 def agg_mannwhitney_u(spark, sf):
     """mannWhitneyUTest (U statistic, average-rank tie handling):
-    click vs view event values. Average rank of a tie group =
-    (min + max global row number) / 2 — the global numbering is the
-    distributed bucketed rank (operators/grank.py), the tie min/max is a
-    value-partitioned (hash-parallel) window; no single-partition
-    exchange, no UDF (§2.4)."""
-    from clickhouse_clickhouse_spark.operators.grank import global_row_number
+    click vs view event values. Round 14: rank sums reduce to
+    per-DISTINCT-value counts first — the average rank of a tie group
+    is cum_ties_before + (ties + 1)/2, so one hash aggregate per value
+    plus the distributed bucketed prefix sum (operators/grank.py) over
+    the |distinct| relation replaces a raw-row global rank + a
+    value-partitioned min/max window over every row. All intermediate
+    values are exact halves (< 2^52), so the group rank sum
+    Σ count·avg_rank is bit-equal to the old per-row Σ avg_rank."""
+    from clickhouse_clickhouse_spark.operators.grank import (
+        global_prefix_sums,
+    )
 
     ev = load_table(spark, sf, "events")
     v = ev.filter(F.col("event_type").isin("click", "view")) \
           .select("event_type", "value")
-    w_val = Window.partitionBy("value")
-    r = (global_row_number(v, "value", out="__grn")
-         .select("event_type",
-                 ((F.min("__grn").over(w_val) + F.max("__grn").over(w_val))
-                  / 2.0).alias("ar")))
-    s = r.groupBy("event_type").agg(F.sum("ar").alias("rsum"),
-                                    F.count("*").alias("n"))
-    a = s.filter(F.col("event_type") == "click") \
-         .select(F.col("rsum").alias("r1"), F.col("n").alias("n1"))
-    b = s.filter(F.col("event_type") == "view") \
-         .select(F.col("n").alias("n2"))
-    return a.crossJoin(b).select(
+    cnt = v.groupBy("value").agg(
+        F.count_if(F.col("event_type") == "click").alias("__a"),
+        F.count_if(F.col("event_type") == "view").alias("__b"))
+    ps = global_prefix_sums(
+        cnt, "value", {"__cum": F.col("__a") + F.col("__b")})
+    ar = (F.col("__cum") - (F.col("__a") + F.col("__b"))
+          + ((F.col("__a") + F.col("__b") + 1) / 2.0))
+    s = ps.agg(F.sum(F.col("__a") * ar).alias("r1"),
+               F.sum("__a").alias("n1"),
+               F.sum("__b").alias("n2"))
+    return s.select(
         F.round(F.col("n1") * F.col("n2") + F.col("n1") * (F.col("n1") + 1) / 2.0
                 - F.col("r1"), 4).alias("u_statistic"))
 
@@ -851,11 +863,19 @@ def agg_ks_test(spark, sf):
                   (F.col("l_linestatus") == "O").alias("g1"))
     tot = r.agg(F.count_if("g1").cast("double").alias("n1"),
                 F.count_if(~F.col("g1")).cast("double").alias("n2"))
-    e = global_prefix_sums(
-        r, "v",
-        {"c1": F.when(F.col("g1"), 1).otherwise(0),
-         "c2": F.when(F.col("g1"), 0).otherwise(1)})
-    per_v = e.groupBy("v").agg(F.max("c1").alias("c1"), F.max("c2").alias("c2"))
+    # round 14: the ECDF only needs counts per DISTINCT value, so the
+    # raw rows reduce FIRST (one pass, map-side partial agg) and the
+    # prefix-sum machinery (3 full passes: bounds, window, counts) runs
+    # over the ~|distinct| relation instead of every row — the window
+    # sort shrinks from |rows| to |distinct values|, and the inclusive
+    # prefix over one-row-per-value IS the tie-correct max the old
+    # groupBy(v).max(...) reduction recovered (dropped — identity now).
+    cnt = r.groupBy("v").agg(
+        F.count_if("g1").alias("__a1"),
+        F.count_if(~F.col("g1")).alias("__a2"))
+    per_v = global_prefix_sums(
+        cnt, "v", {"c1": F.col("__a1"), "c2": F.col("__a2")}) \
+        .select("v", "c1", "c2")
     return (per_v.crossJoin(F.broadcast(tot))
             .agg(F.round(F.max(F.abs(F.col("c1") / F.col("n1")
                                      - F.col("c2") / F.col("n2"))), 8)
@@ -1502,11 +1522,18 @@ def agg_quantile_tdigest_merge(spark, sf):
     li = load_table(spark, sf, "lineitem")
     dig = quantile_tdigest(li, ["l_returnflag"], "l_extendedprice",
                            {"p50_td": 0.5, "p90_td": 0.9})
+    # round 14: one array-percentile call — two separate percentile
+    # aggregates each built their own per-group value buffer (the exact
+    # branch alone measured 2.2 s at sf0.1); the array form shares one
+    # buffer and reads both quantiles out of it, bit-identically
     exact = (li.groupBy("l_returnflag")
-             .agg(F.expr("percentile(l_extendedprice, 0.5)").alias("e50"),
-                  F.expr("percentile(l_extendedprice, 0.9)").alias("e90"),
+             .agg(F.expr("percentile(l_extendedprice, array(0.5, 0.9))")
+                  .alias("__e"),
                   (F.max("l_extendedprice")
-                   - F.min("l_extendedprice")).alias("rng")))
+                   - F.min("l_extendedprice")).alias("rng"))
+             .select("l_returnflag", "rng",
+                     F.element_at("__e", 1).alias("e50"),
+                     F.element_at("__e", 2).alias("e90")))
     return (dig.join(exact, "l_returnflag")
             .select("l_returnflag",
                     F.round("e50", 4).alias("e50"),
