@@ -104,11 +104,18 @@ def ensure_engine_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # externally created sessions default to 200 shuffle partitions — far
     # too many for the fixture scales; AQE coalesces, but a right-sized
-    # default avoids scheduling overhead entirely
+    # default avoids scheduling overhead entirely. Round 14: derive it
+    # from the SESSION's parallelism (local[N] → N), not the box's
+    # physical cpu count — the round driver deliberately re-runs the
+    # bench at a lower core count to measure scaling, and a
+    # box-cpu-count default would hand the 8-core session 32 partitions
     if spark.conf.get("spark.sql.shuffle.partitions") == "200":
-        import os
-        spark.conf.set("spark.sql.shuffle.partitions",
-                       str(os.cpu_count() or 8))
+        try:
+            cores = spark.sparkContext.defaultParallelism
+        except Exception:  # Connect sessions have no sparkContext
+            import os
+            cores = os.cpu_count() or 8
+        spark.conf.set("spark.sql.shuffle.partitions", str(cores))
 
 
 # Analyzed-relation cache: fixture tables are immutable, so re-listing the
