@@ -77,10 +77,17 @@ def cluster_near_dup_pairs(corpus: DataFrame, *, k: int | None = None,
     # pair expression keeps only the irreducible dot(a, b);
     # dot/(na*nb) evaluates the identical double arithmetic, so sims
     # are bit-equal to the old form.
+    # keep_vec carries the corpus vector through the assignment
+    # projection — the former assigned ⋈ corpus shuffle join is gone
+    # (optimization round 14). Both sides of the pair self-join read
+    # this relation; persisting it evaluates the assignment (an
+    # Arrow-batched kernel stage) once instead of once per side
+    # (measured 3.7 → 2.5 s at sf0.1). MEMORY_AND_DISK + LRU-evictable,
+    # same idiom as the kmeans Lloyd persist.
     assigned = (assign_to_centroids(corpus, cents, vec=vec_col,
-                                    id_col=id_col)
-                .join(corpus.select(id_col, vec_col), id_col)
-                .withColumn("__nrm", l2_norm(F.col(vec_col))))
+                                    id_col=id_col, keep_vec=True)
+                .withColumn("__nrm", l2_norm(F.col(vec_col)))
+                .persist())
     left = assigned.select(F.col("centroid_id"),
                            F.col(id_col).alias("src"),
                            F.col(vec_col).alias("__va"),

@@ -14,6 +14,8 @@ use case — ``arrayDistance.cpp`` / ``cosineDistance``).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -155,8 +157,12 @@ def kmeans_centroids(corpus: DataFrame, k: int, iterations: int = 2,
     cents = (seeds.withColumn("rn", F.row_number().over(w))
              .select((F.col("rn") - 1).alias("centroid_id"), "centroid"))
     for _ in range(iterations):
-        assigned = assign_to_centroids(corpus, cents, vec=vec, id_col=id_col)
-        new_cents = (label_centroids(assigned.join(corpus, id_col),
+        # keep_vec: the assignment is a projection, so the vector rides
+        # along and the former ``assigned ⋈ corpus`` shuffle join (one
+        # per Lloyd iteration) is gone (optimization round 14)
+        assigned = assign_to_centroids(corpus, cents, vec=vec,
+                                       id_col=id_col, keep_vec=True)
+        new_cents = (label_centroids(assigned,
                                      label="centroid_id", vec=vec)
                      .withColumnRenamed("centroid", "__nc"))
         # empty-cluster carry-forward: a centroid no vector chose keeps
@@ -175,26 +181,82 @@ def kmeans_centroids(corpus: DataFrame, k: int, iterations: int = 2,
 
 
 def assign_to_centroids(corpus: DataFrame, centroids: DataFrame,
-                        vec: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """Nearest-centroid assignment by cosine (broadcast centroids).
+                        vec: str = "embedding", id_col: str = "vec_id",
+                        keep_vec: bool = False) -> DataFrame:
+    """Nearest-centroid assignment by cosine, as a vectorized numpy
+    argmax (optimization round 14).
 
-    Argmax via ``min_by`` over (-sim, centroid_id) — a partial (map-side
-    combining) hash aggregate instead of a sort-window, so the k-fold
-    exploded score rows never shuffle sorted; same deterministic
-    tiebreak (highest sim, then lowest centroid id)."""
-    scored = (corpus.select(F.col(id_col), F.col(vec).alias("__v"))
-              .withColumn("__vn", l2_norm(F.col("__v")))
-              .crossJoin(F.broadcast(
-                  centroids.withColumn("__cn", l2_norm(F.col("centroid")))))
-              .select(id_col, "centroid_id",
-                      _paired_cosine(F.col("__v"), F.col("centroid"),
-                                     F.col("__vn"),
-                                     F.col("__cn")).alias("sim")))
-    return (scored.groupBy(id_col)
-            .agg(F.min_by("centroid_id",
-                          F.struct((-F.col("sim")).alias("ns"),
-                                   F.col("centroid_id").alias("ci")))
-                 .alias("centroid_id")))
+    The former shape crossJoined the broadcast centroids (corpus × k
+    rows, each evaluating an interpreted 64-element dot-product HOF
+    fold) and collapsed them with a min_by hash aggregate. The
+    centroids are tiny (k rows — they were already broadcast;
+    collecting them is the same driver motion), so the argmax now runs
+    inside ONE Arrow-batched pandas UDF over the corpus rows: cosines
+    to all centroids are (rows × k) float64 array arithmetic, the
+    k-fold row explosion never exists, and the result is a projection
+    — no aggregate, no exchange. ``keep_vec`` carries the vector
+    through, letting callers (kmeans update, semdedup pair build, IVF
+    list build) skip re-joining the assignment back to the corpus.
+
+    Bit-equal to the min_by form (differential-verified at sf0.1):
+    - dot products and norms accumulate LEFT-ASSOCIATIVELY in double
+      over elements cast from their stored type — exactly the
+      ``dot_product``/``l2_norm`` fold arithmetic (collected centroid
+      cells are the exact doubles Spark held: float32 → double is
+      value-preserving, and label_centroids means are double already);
+    - ``sim = dot / (vn * cn)`` in that operand order;
+    - ``np.argmax`` returns the FIRST maximal index == min_by's
+      (-sim, centroid_id) lexicographic tiebreak (centroids laid out
+      sorted by centroid_id);
+    - degenerate cases follow Spark's ANSI-off arithmetic + struct
+      ordering exactly (pinned in tests/test_ann_kernels.py): a ZERO
+      denominator makes Spark's division NULL, and NULL sorts FIRST
+      under (-sim, ci) — i.e. a zero-norm centroid CAPTURES every row
+      (masked to +inf here, ties to the lowest id); a NaN sim (NaN
+      input values) sorts LAST as -sim — never chosen (masked to
+      -inf); an all-degenerate row falls back to the lowest centroid
+      id either way.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    crows = centroids.select("centroid_id", "centroid").collect()
+    crows.sort(key=lambda r: r["centroid_id"])
+    cids = np.asarray([int(r["centroid_id"]) for r in crows],
+                      dtype=np.int64)
+    C = np.asarray([list(r["centroid"]) for r in crows],
+                   dtype=np.float64)
+    cn = np.zeros(C.shape[0], dtype=np.float64)
+    for i in range(C.shape[1]):
+        cn += C[:, i] * C[:, i]          # left-assoc self-dot
+    cn = np.sqrt(cn)
+
+    @pandas_udf("long")
+    def _nearest_centroid(v: pd.Series) -> pd.Series:
+        out = np.full(len(v), cids[0], dtype=np.int64)
+        valid = v.notna().to_numpy()
+        if valid.any():
+            A = np.stack(v[valid].to_list()).astype(np.float64)
+            vn = np.zeros(A.shape[0], dtype=np.float64)
+            dot = np.zeros((A.shape[0], C.shape[0]), dtype=np.float64)
+            for i in range(A.shape[1]):
+                vn += A[:, i] * A[:, i]              # left-assoc
+                dot += A[:, i:i + 1] * C[None, :, i]  # left-assoc
+            denom = np.sqrt(vn)[:, None] * cn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = dot / denom
+            if np.isnan(sims).any():
+                sims[np.isnan(sims)] = -np.inf   # NaN input: never wins
+            sims[denom == 0.0] = np.inf          # Spark /0 → NULL: wins
+            out[valid] = cids[np.argmax(sims, axis=1)]
+        return pd.Series(out)
+
+    cols = [F.col(id_col)] + ([F.col(vec)] if keep_vec else [])
+    assigned = corpus.select(
+        *cols, _nearest_centroid(F.col(vec)).alias("centroid_id"))
+    # centroid_id stays the integer type row_number produced (the old
+    # min_by returned it unchanged); kmeans ids are ints
+    return assigned.withColumn("centroid_id",
+                               F.col("centroid_id").cast("int"))
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
@@ -211,11 +273,14 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
 
     cents = kmeans_centroids(corpus, n_centroids, iterations=2,
                              vec=corpus_vec, id_col=corpus_id)
-    lists = assign_to_centroids(corpus, cents, vec=corpus_vec, id_col=corpus_id)
-    c = corpus.select(F.col(corpus_id).alias("corpus_id"),
-                      F.col(corpus_vec).alias("cv")) \
-              .withColumn("__cn", l2_norm(F.col("cv"))) \
-              .join(lists.withColumnRenamed(corpus_id, "corpus_id"), "corpus_id")
+    # keep_vec carries the corpus vector through the assignment
+    # projection — the former corpus ⋈ lists shuffle join is gone
+    # (optimization round 14)
+    c = (assign_to_centroids(corpus, cents, vec=corpus_vec,
+                             id_col=corpus_id, keep_vec=True)
+         .select(F.col(corpus_id).alias("corpus_id"),
+                 F.col(corpus_vec).alias("cv"), "centroid_id")
+         .withColumn("__cn", l2_norm(F.col("cv"))))
     # queries probe their n_probe closest centroids
     q = queries.select(F.col(query_id).alias("query_id"),
                        F.col(query_vec).alias("qv")) \
@@ -340,8 +405,12 @@ def pq_train(corpus: DataFrame, *, m: int = 8, codes: int = 16, dim: int,
           .withColumn("code_id", F.row_number().over(w) - 1)
           .select("sub", "code_id", F.col("subvec").alias("codeword")))
     for _ in range(iterations):
-        assigned = _pq_assign(subs, cb, id_col, d=dim // m)
-        new_cb = (assigned.join(subs, [id_col, "sub"])
+        # keep_subvec: the assignment is a projection, so the subvector
+        # rides along and the former ``assigned ⋈ subs`` shuffle join
+        # (one per Lloyd iteration) is gone (optimization round 14)
+        assigned = _pq_assign(subs, cb, id_col, d=dim // m,
+                              keep_subvec=True)
+        new_cb = (assigned
                   .select("sub", "code_id",
                           F.posexplode("subvec").alias("dim", "v"))
                   .groupBy("sub", "code_id", "dim")
@@ -367,23 +436,82 @@ def pq_train(corpus: DataFrame, *, m: int = 8, codes: int = 16, dim: int,
 
 
 def _pq_assign(subs: DataFrame, codebook: DataFrame,
-               id_col: str, d: int | None = None) -> DataFrame:
-    """Nearest codeword per (id, sub) — broadcast codebook, then argmin
-    via ``min_by`` over (d, code_id): a partial hash aggregate with
-    map-side combining, so the corpus×codes exploded rows collapse
-    before the exchange instead of sort-shuffling (at codes=256 that
-    is a 256× reduction in shuffled rows). Deterministic tiebreak
-    (lowest distance, then lowest code id) — identical to the former
-    sort-window."""
-    scored = (subs.join(F.broadcast(codebook), "sub")
-              .select(id_col, "sub", "code_id",
-                      _l2sq(F.col("subvec"), F.col("codeword"),
-                            d).alias("d")))
-    return (scored.groupBy(id_col, "sub")
-            .agg(F.min_by("code_id",
-                          F.struct(F.col("d").alias("dd"),
-                                   F.col("code_id").alias("cc")))
-                 .alias("code_id")))
+               id_col: str, d: int | None = None,
+               keep_subvec: bool = False) -> DataFrame:
+    """Nearest codeword per (id, sub) row, as a vectorized numpy argmin.
+    ``keep_subvec`` carries the subvector through (the assignment is a
+    projection now, not an aggregate), letting pq_train's update step
+    skip re-joining the assignment back to the subvectors.
+
+    The former shape exploded to (id, sub) × codes rows (broadcast
+    join) and ran the unrolled L2 + a min_by hash aggregate over them —
+    corpus·m·codes rows of codegen arithmetic and aggregate state
+    (8.2 M rows per call at the tuned m=16/codes=256 settings on the
+    2 k-row sf0.1 fixture, and training + encode run it 3-4 times per
+    query). The codebook is tiny (m·codes rows — it was already
+    broadcast; collecting it is the same driver motion), so the argmin
+    now runs inside ONE Arrow-batched pandas UDF over the corpus·m
+    subvector rows: distances to all codewords are (rows × codes)
+    array arithmetic, codes-fold fewer rows ever exist, and the result
+    is a projection — no aggregate, no exchange.
+
+    Bit-equal to the min_by form (differential-verified over the full
+    sf0.1 trajectory — seed assignment, trained codebook, encodings):
+
+    - each squared difference is computed in FLOAT32 and widened to
+      double, accumulated LEFT-ASSOCIATIVELY over the d elements —
+      exactly the unrolled ``_l2sq`` arithmetic;
+    - ``np.argmin`` returns the FIRST minimal index == min_by's
+      (distance, code_id) lexicographic tiebreak (codewords are laid
+      out sorted by code_id);
+    - NaN distances sort HIGHEST under Spark's double ordering, so
+      they are masked to +inf before the argmin; all-NaN / NULL rows
+      fall back to the lowest code id, the old struct-ordering result.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    rows = codebook.select("sub", "code_id", "codeword").collect()
+    by_sub: dict[int, list] = {}
+    for r in rows:
+        by_sub.setdefault(int(r["sub"]), []).append(
+            (int(r["code_id"]), list(r["codeword"])))
+    mats: dict[int, "np.ndarray"] = {}
+    ids: dict[int, "np.ndarray"] = {}
+    for s, lst in by_sub.items():
+        lst.sort()
+        mats[s] = np.asarray([cw for _, cw in lst], dtype=np.float32)
+        ids[s] = np.asarray([cid for cid, _ in lst], dtype=np.int32)
+
+    @pandas_udf("int")
+    def _nearest(sub: pd.Series, sv: pd.Series) -> pd.Series:
+        out = np.zeros(len(sub), dtype=np.int32)
+        subv = sub.to_numpy()
+        valid = sv.notna().to_numpy()
+        for s in np.unique(subv):
+            cid = ids[int(s)]
+            sel = subv == s
+            mask = sel & valid
+            rest = sel & ~valid
+            if rest.any():
+                out[rest] = cid[0]
+            if not mask.any():
+                continue
+            A = np.stack(sv[mask].to_list()).astype(np.float32,
+                                                    copy=False)
+            C = mats[int(s)]
+            acc = np.zeros((A.shape[0], C.shape[0]), dtype=np.float64)
+            for i in range(A.shape[1]):
+                diff = A[:, i:i + 1] - C[None, :, i]      # float32
+                acc += (diff * diff).astype(np.float64)   # left-assoc
+            if np.isnan(acc).any():
+                acc[np.isnan(acc)] = np.inf
+            out[mask] = cid[np.argmin(acc, axis=1)]
+        return pd.Series(out)
+
+    cols = [id_col, "sub"] + (["subvec"] if keep_subvec else [])
+    return subs.select(*cols,
+                       _nearest(F.col("sub"), F.col("subvec"))
+                       .alias("code_id"))
 
 
 def _adc_table(qsubs: DataFrame, cb: DataFrame, qid: str,
