@@ -29,18 +29,27 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     id reachable from it. Returns (node, component). Node ids must be
     orderable (the min id becomes the cluster's canonical id).
 
-    The symmetrized edge list is checkpointed ONCE up front — edges
-    usually arrive as a lazily-defined LSH/banding join, and without the
-    checkpoint every iteration would re-execute that join from scratch.
-    Each iteration's result is likewise checkpointed so the convergence
-    probe and the next iteration share one materialization (on a real
-    cluster swap localCheckpoint for a reliable checkpoint dir; the
-    pattern is identical)."""
+    The symmetrized edge list is materialized ONCE up front — edges
+    usually arrive as a lazily-defined LSH/banding join, and without it
+    every iteration would re-execute that join from scratch. It is
+    PERSISTED (not localCheckpoint'ed) pre-partitioned and pre-sorted on
+    the per-iteration join key: InMemoryRelation keeps the child's
+    outputPartitioning/ordering, so every propagation round's edge-side
+    Exchange AND Sort vanish from the plan, while PySpark's
+    localCheckpoint scan reports UnknownPartitioning and re-shuffles the
+    whole edge list every round (plan-verified, optimization round 14;
+    persist is also eviction-safe where a localCheckpoint block is not
+    recomputable). Each iteration's RESULT stays localCheckpoint'ed —
+    that one must cut the growing lineage, and the convergence probe
+    and the next iteration share its materialization (on a real cluster
+    swap it for a reliable checkpoint dir; the pattern is identical)."""
     sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .unionByName(edges.select(F.col(dst).alias("a"),
                                      F.col(src).alias("b")))
            .distinct()
-           .localCheckpoint(eager=True))
+           .repartition("b")
+           .sortWithinPartitions("b")
+           .persist())
     lbl = (sym.select(F.col("a").alias("n")).distinct()
            .withColumn("lbl", F.col("n")))
     for _ in range(max_iter):
