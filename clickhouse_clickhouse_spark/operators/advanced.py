@@ -595,8 +595,8 @@ def kolmogorov_smirnov_test(df: DataFrame, value: Column | str,
     cnt = d.groupBy("__v").agg(F.sum("__ia").alias("__ta"),
                                F.sum("__ib").alias("__tb"))
     red = global_prefix_sums(cnt, "__v", {"ca": F.col("__ta"),
-                                          "cb": F.col("__tb")}) \
-        .select("__v", "ca", "cb")
+                                          "cb": F.col("__tb")},
+                             kernel=False).select("__v", "ca", "cb")
     tot = d.agg(F.sum("__ia").alias("na"), F.sum("__ib").alias("nb"))
     j = red.crossJoin(F.broadcast(tot))
     diff = F.abs(F.col("ca") / F.col("na") - F.col("cb") / F.col("nb"))

@@ -13,9 +13,9 @@ statistics (AUC, Mann-Whitney U, Kolmogorov-Smirnov, ntile deciles,
 global RANGE frames, PASTE JOIN numbering):
 
 * rows are range-bucketed on the leading order key using approximate
-  quantile boundaries computed *lazily inside the same plan* (a 1-row
-  aggregate, broadcast) — deterministic under re-computation, unlike
-  ``repartitionByRange``'s sampled boundaries;
+  quantile boundaries (a 1-row aggregate, collected once and applied as
+  a vectorized searchsorted kernel — round 14) — deterministic under
+  re-computation, unlike ``repartitionByRange``'s sampled boundaries;
 * each bucket is ranked/prefix-summed independently with an ordinary
   partitioned window (hash shuffle, fully parallel);
 * per-bucket totals (one row per bucket) are offset-cumulated with a
@@ -37,6 +37,8 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -74,25 +76,96 @@ def _bucket_key_expr(df: DataFrame, key: str):
     return F.col(key).cast("double")
 
 
-def _bucketize(df: DataFrame, key: str, buckets: int,
-               keep_bounds: bool = False) -> DataFrame:
-    """Add a range-bucket id column ``__gr_bkt`` for the numeric/temporal/
-    string column ``key``: bucket = number of quantile boundaries strictly
-    below the value (NULLs → -1, matching ASC NULLS FIRST). Boundaries
-    come from ``percentile_approx`` evaluated lazily in-plan and
-    broadcast — the whole construction is deterministic, so downstream
-    branches that recompute it agree on bucket assignment
-    (``repartitionByRange``'s RNG-sampled boundaries do not have that
-    property across jobs)."""
+def _bucket_bounds(df: DataFrame, key: str, buckets: int) -> "object":
+    """Collected ascending quantile boundaries for ``key`` as a float64
+    numpy array (``buckets - 1`` values; empty when the input has no
+    non-null keys). ONE pass over the input — the same single pass the
+    former in-plan broadcast branch executed — and a literal thereafter,
+    so every downstream branch agrees on bucket assignment by
+    construction (``repartitionByRange``'s RNG-sampled boundaries do not
+    have that property across jobs)."""
     kx = _bucket_key_expr(df, key)
     probs = [i / buckets for i in range(1, buckets)]
-    bounds = df.agg(F.percentile_approx(kx, probs, 10000).alias(_BNDS))
-    out = (df.crossJoin(F.broadcast(bounds))
-           .withColumn(
-               _BKT,
-               F.when(F.col(key).isNull(), F.lit(-1)).otherwise(
-                   F.size(F.filter(F.col(_BNDS), lambda b: kx > b)))))
-    return out if keep_bounds else out.drop(_BNDS)
+    row = df.agg(F.percentile_approx(kx, probs, 10000).alias("__b")) \
+            .collect()[0]["__b"]
+    return np.asarray([] if row is None else [float(v) for v in row],
+                      dtype=np.float64)
+
+
+def _searchsorted_kernel(bounds, offset: float = 0.0):
+    """Arrow-batched ``count of boundaries strictly below (value +
+    offset)`` — ``np.searchsorted(side='left')`` over the collected
+    boundary array (optimization round 14). The former per-row
+    ``size(filter(bounds, b < v))`` was an interpreted 63-step HOF fold
+    (CodegenFallback) evaluated for every row of every grank consumer;
+    two SQL-level replacements (comparison unroll, element_at binary
+    search) had both measured SLOWER, but the vectorized binary search
+    costs ~ns/row. Bit-equal by construction: side='left' returns the
+    count of elements strictly less than v over the ascending
+    percentile array — exactly the fold's ``v > b`` count; Spark orders
+    NaN GREATER than every double (unlike IEEE compares), so NaN maps
+    to ``len(bounds)`` explicitly (pinned in tests/test_grank_kernel).
+    NULL inputs are indistinguishable from NaN after the Arrow
+    conversion and also yield ``len(bounds)`` — callers MUST overlay
+    their own NULL semantics SQL-side (``_bucketize`` maps NULL keys to
+    -1; ``global_range_count`` maps NULL frame targets to 0)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _k(v: pd.Series) -> pd.Series:
+        a = v.to_numpy(dtype=np.float64, na_value=np.nan) + offset
+        out = np.searchsorted(bounds, a, side="left").astype(np.int32)
+        bad = np.isnan(a)
+        if bad.any():
+            out[bad] = len(bounds)   # Spark: NaN > every double
+        return pd.Series(out)
+
+    return _k
+
+
+def _bucketize(df: DataFrame, key: str, buckets: int,
+               kernel: bool = True, bounds=None) -> DataFrame:
+    """Add a range-bucket id column ``__gr_bkt`` for the numeric/temporal/
+    string column ``key``: bucket = number of quantile boundaries strictly
+    below the value (NULLs → -1, matching ASC NULLS FIRST).
+
+    Two bit-equal physical forms (round 14), chosen by the CALLER'S
+    input shape:
+
+    - ``kernel=True`` (raw-relation inputs — a scan re-executes per
+      plan branch either way, so collecting the bounds costs no extra
+      pass): boundaries collected once, buckets assigned by the
+      vectorized searchsorted kernel. Replaces an interpreted 63-step
+      HOF fold per row — the per-row term that dominates at scale.
+    - ``kernel=False`` (DERIVED inputs — a distinct/aggregate subtree
+      ending in an exchange, e.g. the token vocabulary or the
+      distinct-value reductions of the rank statistics): boundaries
+      stay a lazily-evaluated in-plan broadcast, so the bounds branch
+      REUSES the subtree's exchange instead of re-executing the whole
+      derivation as a separate collect job (measured: the vocabulary
+      path lost ~1.4 s at sf0.1 under the collect form, and at scale
+      the collect costs one extra full derivation pass).
+
+    ``bounds`` short-circuits the collect when the caller already holds
+    the array (global_range_count shares it with its frame-target
+    kernel)."""
+    kx = _bucket_key_expr(df, key)
+    if not kernel and bounds is None:
+        brel = df.agg(F.percentile_approx(kx, [i / buckets for i in
+                                               range(1, buckets)],
+                                          10000).alias(_BNDS))
+        return (df.crossJoin(F.broadcast(brel))
+                .withColumn(
+                    _BKT,
+                    F.when(F.col(key).isNull(), F.lit(-1)).otherwise(
+                        F.size(F.filter(F.col(_BNDS), lambda b: kx > b))))
+                .drop(_BNDS))
+    if bounds is None:
+        bounds = _bucket_bounds(df, key, buckets)
+    return df.withColumn(
+        _BKT,
+        F.when(F.col(key).isNull(), F.lit(-1)).otherwise(
+            _searchsorted_kernel(bounds)(kx)))
 
 
 def _bucket_offsets(counts: DataFrame, sum_cols: Sequence[str],
@@ -120,23 +193,26 @@ def _bucket_offsets(counts: DataFrame, sum_cols: Sequence[str],
 
 def global_row_number(df: DataFrame, key: str,
                       tiebreaks: Sequence[str] = (),
-                      out: str = "rn", buckets: int = 64) -> DataFrame:
+                      out: str = "rn", buckets: int = 64,
+                      kernel: bool = True) -> DataFrame:
     """Global ``row_number() OVER (ORDER BY key ASC, *tiebreaks ASC)``
     without a single-partition window: per-bucket ``row_number`` plus the
     broadcast cumulative count of earlier buckets. ``key`` must be a
-    numeric or temporal column (it is range-bucketed by value)."""
-    ranked, _counts = _ranked(df, key, tiebreaks, out, buckets)
+    numeric or temporal column (it is range-bucketed by value).
+    ``kernel=False`` for derived-subtree inputs — see _bucketize."""
+    ranked, _counts = _ranked(df, key, tiebreaks, out, buckets, kernel)
     return ranked.drop(_BKT)
 
 
 def _ranked(df: DataFrame, key: str, tiebreaks: Sequence[str],
-            out: str, buckets: int) -> tuple[DataFrame, DataFrame]:
+            out: str, buckets: int,
+            kernel: bool = True) -> tuple[DataFrame, DataFrame]:
     """Shared core of :func:`global_row_number` / :func:`global_ntile`:
     returns (rows + global rank ``out`` + ``__gr_bkt``, per-bucket count
     relation) so callers that also need totals reuse the tiny counts
     side instead of re-scanning the input."""
     order = [F.col(key).asc(), *[F.col(t).asc() for t in tiebreaks]]
-    b = _bucketize(df, key, buckets)
+    b = _bucketize(df, key, buckets, kernel=kernel)
     wloc = Window.partitionBy(_BKT).orderBy(*order)
     local = b.withColumn("__lrn", F.row_number().over(wloc))
     # Counts deliberately aggregate the PRE-window relation: the branch
@@ -158,7 +234,8 @@ def _ranked(df: DataFrame, key: str, tiebreaks: Sequence[str],
 
 def global_prefix_sums(df: DataFrame, key: str,
                        sums: dict[str, Column],
-                       buckets: int = 64) -> DataFrame:
+                       buckets: int = 64,
+                       kernel: bool = True) -> DataFrame:
     """Global inclusive running sums in ``ORDER BY key ASC`` order — each
     entry of ``sums`` (name -> addend expression) becomes a column holding
     ``SUM(expr) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING..CURRENT)``.
@@ -167,7 +244,7 @@ def global_prefix_sums(df: DataFrame, key: str,
     e.g. ``groupBy(key).max(...)`` — the KS statistic does exactly that).
     """
     names = list(sums)
-    b = _bucketize(df, key, buckets)
+    b = _bucketize(df, key, buckets, kernel=kernel)
     for n in names:
         b = b.withColumn(f"__a_{n}", sums[n])
     wloc = (Window.partitionBy(_BKT).orderBy(F.col(key).asc())
@@ -244,17 +321,21 @@ def global_range_count(df: DataFrame, key: str, preceding: float,
     if not float(preceding).is_integer():
         raise ValueError("preceding must be integer-valued; "
                          "scale the key column for fractional ranges")
-    b = _bucketize(df, key, buckets, keep_bounds=True)
+    bounds = _bucket_bounds(df, key, buckets)
+    b = _bucketize(df, key, buckets, bounds=bounds)
     # Bounds are sorted ascending, so the ghost targets of a row are the
     # CONTIGUOUS bucket range (own bucket, highest bucket whose lower
-    # boundary is within `preceding`] — one count-fold over the bounds
-    # plus a sequence, instead of the former struct-zip
-    # transform/filter/transform (which allocated a 63-struct array per
-    # row; round-14 A/B at sf0.1: ghost explode 3.2 → 2.0 s, target
-    # sets verified identical row-for-row).
-    hi = F.size(F.filter(
-        F.col(_BNDS),
-        lambda bb: bb < F.col(key).cast("double") + F.lit(preceding)))
+    # boundary is within `preceding`] — the same searchsorted kernel
+    # with the frame offset folded in (round-14; the per-row count-fold
+    # it replaces was itself the round-14 replacement of a struct-zip
+    # transform/filter/transform). Target sets verified identical
+    # row-for-row at sf0.1.
+    # NULL keys: the old fold's `b < NULL + preceding` predicate was
+    # NULL → dropped → 0 reachable bounds; the kernel cannot tell NULL
+    # from NaN post-Arrow, so the 0 is overlaid here
+    hi = F.when(F.col(key).isNull(), F.lit(0)).otherwise(
+        _searchsorted_kernel(bounds, offset=float(preceding))(
+            F.col(key).cast("double")))
     targets = F.when(hi > F.col(_BKT),
                      F.sequence(F.col(_BKT) + 1, hi)) \
                .otherwise(F.array().cast("array<int>"))

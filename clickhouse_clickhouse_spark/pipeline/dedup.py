@@ -78,7 +78,7 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
         # keys bucket on their 7-byte UTF-8 prefix) - no single-partition
         # window even in oracle mode
         vocab = global_row_number(tok.select("token").distinct(),
-                                  "token", out="tid")
+                                  "token", out="tid", kernel=False)
         tok = tok.join(F.broadcast(vocab), "token")
     else:
         raise ValueError("token_hash must be 'xxhash' or 'vocab'")
@@ -278,7 +278,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
         # keys bucket on their 7-byte UTF-8 prefix) - no single-partition
         # window even in oracle mode
         vocab = global_row_number(tok.select("token").distinct(),
-                                  "token", out="tid")
+                                  "token", out="tid", kernel=False)
         tok = tok.join(F.broadcast(vocab), "token")
     h = (F.lit(MINHASH_COEFFS[0][0]) * F.col("tid") + F.lit(MINHASH_COEFFS[0][1])) \
         % F.lit(MINHASH_PRIME)

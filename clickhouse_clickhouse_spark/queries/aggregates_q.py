@@ -399,7 +399,8 @@ def agg_mannwhitney_u(spark, sf):
         F.count_if(F.col("event_type") == "click").alias("__a"),
         F.count_if(F.col("event_type") == "view").alias("__b"))
     ps = global_prefix_sums(
-        cnt, "value", {"__cum": F.col("__a") + F.col("__b")})
+        cnt, "value", {"__cum": F.col("__a") + F.col("__b")},
+        kernel=False)
     ar = (F.col("__cum") - (F.col("__a") + F.col("__b"))
           + ((F.col("__a") + F.col("__b") + 1) / 2.0))
     s = ps.agg(F.sum(F.col("__a") * ar).alias("r1"),
@@ -874,8 +875,8 @@ def agg_ks_test(spark, sf):
         F.count_if("g1").alias("__a1"),
         F.count_if(~F.col("g1")).alias("__a2"))
     per_v = global_prefix_sums(
-        cnt, "v", {"c1": F.col("__a1"), "c2": F.col("__a2")}) \
-        .select("v", "c1", "c2")
+        cnt, "v", {"c1": F.col("__a1"), "c2": F.col("__a2")},
+        kernel=False).select("v", "c1", "c2")
     return (per_v.crossJoin(F.broadcast(tot))
             .agg(F.round(F.max(F.abs(F.col("c1") / F.col("n1")
                                      - F.col("c2") / F.col("n2"))), 8)
