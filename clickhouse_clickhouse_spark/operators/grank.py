@@ -150,7 +150,10 @@ def _bucketize(df: DataFrame, key: str, buckets: int,
     the array (global_range_count shares it with its frame-target
     kernel)."""
     kx = _bucket_key_expr(df, key)
-    if not kernel and bounds is None:
+    if bounds is not None and not kernel:
+        raise ValueError("_bucketize: a precomputed bounds array is "
+                         "only meaningful on the kernel path")
+    if not kernel:
         brel = df.agg(F.percentile_approx(kx, [i / buckets for i in
                                                range(1, buckets)],
                                           10000).alias(_BNDS))
@@ -272,7 +275,8 @@ def global_prefix_sums(df: DataFrame, key: str,
 
 def global_ntile(df: DataFrame, key: str, n_tiles: int,
                  tiebreaks: Sequence[str] = (),
-                 out: str = "tile", buckets: int = 64) -> DataFrame:
+                 out: str = "tile", buckets: int = 64,
+                 kernel: bool = True) -> DataFrame:
     """Global ``ntile(n) OVER (ORDER BY key, *tiebreaks)`` with exact SQL
     ntile semantics (the first ``n_rows % n`` tiles get the extra row):
     global row number from :func:`global_row_number` plus a broadcast
@@ -289,7 +293,7 @@ def global_ntile(df: DataFrame, key: str, n_tiles: int,
     count branch is scan + map-side partial count + 1-row exchange —
     strictly less work than a re-executed grouped count."""
     ranked, _counts = _ranked(df, key, tiebreaks, out="__grn",
-                              buckets=buckets)
+                              buckets=buckets, kernel=kernel)
     rn = ranked.drop(_BKT)
     total = df.agg(F.count("*").alias("__n"))
     r = rn.crossJoin(F.broadcast(total))

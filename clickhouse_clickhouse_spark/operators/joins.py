@@ -157,4 +157,10 @@ def _ordered_rn(df: DataFrame, order: Sequence[Column | str]) -> DataFrame:
         raise TypeError(
             f"paste_join leading order key has non-bucketable type {dt}; "
             "cast the expression to a numeric/temporal/string value")
-    return global_row_number(d, lead, names[1:], out="__rn").drop(*names)
+    # kernel=False: PASTE operands are ARBITRARY relations (often
+    # derived subqueries at the dialect layer) — the in-plan bounds
+    # form lets the bounds branch reuse a derivation's exchange, where
+    # the collect-bounds kernel would re-execute the whole derivation
+    # as a separate job (see _bucketize; round-14 review finding)
+    return global_row_number(d, lead, names[1:], out="__rn",
+                             kernel=False).drop(*names)

@@ -221,19 +221,42 @@ def assign_to_centroids(corpus: DataFrame, centroids: DataFrame,
 
     crows = centroids.select("centroid_id", "centroid").collect()
     crows.sort(key=lambda r: r["centroid_id"])
+    if not crows:
+        # old lazy form: crossJoin with an empty broadcast produced an
+        # EMPTY assignment — reproduce without crashing the kernel
+        cols = [F.col(id_col)] + ([F.col(vec)] if keep_vec else [])
+        return (corpus.select(*cols,
+                              F.lit(None).cast("int").alias("centroid_id"))
+                .filter(F.lit(False)))
     cids = np.asarray([int(r["centroid_id"]) for r in crows],
                       dtype=np.int64)
-    C = np.asarray([list(r["centroid"]) for r in crows],
-                   dtype=np.float64)
+    # a NULL centroid (or one with NULL elements) made every sim NULL
+    # in the old form, and NULL sorts FIRST under (-sim, ci) — i.e. it
+    # CAPTURES rows like a zero-norm centroid does; an all-zeros row
+    # reproduces exactly that (denominator 0 → +inf mask below)
+    dim0 = next((len(r["centroid"]) for r in crows
+                 if r["centroid"] is not None
+                 and all(x is not None for x in r["centroid"])), 1)
+    C = np.asarray([list(r["centroid"])
+                    if r["centroid"] is not None
+                    and all(x is not None for x in r["centroid"])
+                    else [0.0] * dim0 for r in crows], dtype=np.float64)
     cn = np.zeros(C.shape[0], dtype=np.float64)
     for i in range(C.shape[1]):
         cn += C[:, i] * C[:, i]          # left-assoc self-dot
     cn = np.sqrt(cn)
 
+    all_null_cents = not any(
+        r["centroid"] is not None
+        and all(x is not None for x in r["centroid"]) for r in crows)
+
     @pandas_udf("long")
     def _nearest_centroid(v: pd.Series) -> pd.Series:
         out = np.full(len(v), cids[0], dtype=np.int64)
         valid = v.notna().to_numpy()
+        if all_null_cents:
+            # every sim NULL in the old form → lowest centroid id
+            return pd.Series(out)
         if valid.any():
             A = np.stack(v[valid].to_list()).astype(np.float64)
             vn = np.zeros(A.shape[0], dtype=np.float64)
@@ -474,13 +497,29 @@ def _pq_assign(subs: DataFrame, codebook: DataFrame,
     by_sub: dict[int, list] = {}
     for r in rows:
         by_sub.setdefault(int(r["sub"]), []).append(
-            (int(r["code_id"]), list(r["codeword"])))
+            (int(r["code_id"]), r["codeword"]))
     mats: dict[int, "np.ndarray"] = {}
     ids: dict[int, "np.ndarray"] = {}
+    null_codes: dict[int, "np.ndarray"] = {}
     for s, lst in by_sub.items():
-        lst.sort()
-        mats[s] = np.asarray([cw for _, cw in lst], dtype=np.float32)
+        lst.sort(key=lambda t: t[0])
+        # a NULL codeword (or NULL element) made that code's distance
+        # NULL in the old unrolled form, and NULL sorts FIRST under
+        # (distance, code_id) — i.e. it WINS; mark it and force -inf
+        isnull = [cw is None or any(x is None for x in cw)
+                  for _, cw in lst]
+        d0 = next((len(cw) for (_, cw), n in zip(lst, isnull) if not n), 1)
+        mats[s] = np.asarray(
+            [[0.0] * d0 if n else list(cw)
+             for (_, cw), n in zip(lst, isnull)], dtype=np.float32)
         ids[s] = np.asarray([cid for cid, _ in lst], dtype=np.int32)
+        null_codes[s] = np.asarray(isnull, dtype=bool)
+    # rows whose sub has no codebook entry were DROPPED by the old
+    # inner broadcast join — reproduce with a pre-filter
+    if by_sub:
+        subs = subs.filter(F.col("sub").isin([int(s) for s in by_sub]))
+    else:
+        subs = subs.filter(F.lit(False))
 
     @pandas_udf("int")
     def _nearest(sub: pd.Series, sv: pd.Series) -> pd.Series:
@@ -496,6 +535,12 @@ def _pq_assign(subs: DataFrame, codebook: DataFrame,
                 out[rest] = cid[0]
             if not mask.any():
                 continue
+            nc = null_codes[int(s)]
+            if nc.all():
+                # every codeword NULL → every distance NULL → the old
+                # struct ordering picked the lowest code id
+                out[mask] = cid[0]
+                continue
             A = np.stack(sv[mask].to_list()).astype(np.float32,
                                                     copy=False)
             C = mats[int(s)]
@@ -505,6 +550,8 @@ def _pq_assign(subs: DataFrame, codebook: DataFrame,
                 acc += (diff * diff).astype(np.float64)   # left-assoc
             if np.isnan(acc).any():
                 acc[np.isnan(acc)] = np.inf
+            if nc.any():
+                acc[:, nc] = -np.inf   # NULL codeword: old NULL-first
             out[mask] = cid[np.argmin(acc, axis=1)]
         return pd.Series(out)
 

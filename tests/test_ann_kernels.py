@@ -154,6 +154,55 @@ def test_assign_to_centroids_zero_norm_centroid(spark):
     assert all(c == 1 for _, c in got)  # lowest zero-norm centroid wins
 
 
+def test_assign_degenerate_inputs_match_min_by_form(spark):
+    """Round-14 review fixes: empty centroid relations must yield an
+    EMPTY assignment (the old crossJoin form's behavior), and a NULL
+    centroid must CAPTURE rows (NULL sims sort first under (-sim, ci)),
+    both without crashing the kernel."""
+    dim = 4
+    corpus = spark.createDataFrame(
+        [(i, _vec(i, dim)) for i in range(6)],
+        "vec_id long, embedding array<float>")
+    empty = spark.createDataFrame(
+        [], "centroid_id int, centroid array<float>")
+    out = assign_to_centroids(corpus, empty)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "centroid_id"]
+
+    cents = spark.createDataFrame(
+        [(0, _vec(300, dim)), (1, None), (2, None)],
+        "centroid_id int, centroid array<float>")
+    got = sorted(tuple(r) for r in
+                 assign_to_centroids(corpus, cents).collect())
+    ref = sorted(tuple(r) for r in
+                 _assign_reference(corpus, cents, "embedding",
+                                   "vec_id").collect())
+    assert got == ref
+    assert all(c == 1 for _, c in got)  # lowest NULL centroid captures
+
+
+def test_pq_assign_degenerate_inputs_match_min_by_form(spark):
+    """Round-14 review fixes: a NULL codeword's distance was NULL in
+    the old min_by form and NULL sorts FIRST (it WINS); rows whose sub
+    has no codebook entry were dropped by the old inner join."""
+    dim, m = 4, 2
+    corpus = spark.createDataFrame(
+        [(i, _vec(i, dim)) for i in range(8)],
+        "vec_id long, embedding array<float>")
+    subs = _subvectors(corpus, m, dim, "embedding", "vec_id")
+    # sub 0: codes 0 (real), 1 (NULL -> wins); sub 1 missing entirely
+    cb = spark.createDataFrame(
+        [(0, 0, _vec(40, dim // m)), (0, 1, None)],
+        "sub int, code_id int, codeword array<float>")
+    got = sorted(tuple(r) for r in
+                 _pq_assign(subs, cb, "vec_id", d=dim // m).collect())
+    ref = sorted(tuple(r) for r in
+                 _pq_assign_reference(subs, cb, "vec_id",
+                                      dim // m).collect())
+    assert got == ref
+    assert got and all(s == 0 and c == 1 for _, s, c in got)
+
+
 def test_assign_to_centroids_keep_vec_schema(spark):
     dim = 4
     corpus = spark.createDataFrame(

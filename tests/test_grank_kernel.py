@@ -27,14 +27,6 @@ def spark():
     return get_spark("test_grank_kernel", cores=4)
 
 
-def _both(df, key, buckets):
-    a = {r[key if key != "__k" else "__k"]: r[_BKT]
-         for r in _bucketize(df, key, buckets, kernel=True).collect()}
-    b = {r[key if key != "__k" else "__k"]: r[_BKT]
-         for r in _bucketize(df, key, buckets, kernel=False).collect()}
-    return a, b
-
-
 def test_kernel_matches_fold_numeric_edges(spark):
     vals = ([float(i) for i in range(50)]
             + [12.0, 12.0, 25.5, float("nan"), float("inf"),
