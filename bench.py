@@ -149,7 +149,10 @@ def main() -> None:
         "sf": float(sf),
         "load_average": load,
         "load_average_start": load_start,
-        "cpus": os.cpu_count(),
+        # the session's ACTUAL parallelism ($SPARK_GRAFT_CPUS-honoring),
+        # so a low-core scaling artifact is self-describing (round-14
+        # verdict: the 8-core run's JSON said cpus: 32 via os.cpu_count)
+        "cpus": spark.sparkContext.defaultParallelism,
     }))
 
 

@@ -113,6 +113,255 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int,
             .filter(F.col("rk") <= k))
 
 
+# -- Shared kernel math (optimization round 15) ---------------------------
+#
+# The Lloyd-iteration rewrite (driver-side codebook state, one fused
+# Arrow pass per iteration) and the assignment kernels must use
+# BIT-IDENTICAL arithmetic, so the matrix construction and the per-batch
+# argmin/argmax live here and both paths call them.
+
+def _centroid_arrays(crows):
+    """(cids, C float64, cn, all_null) from (centroid_id, centroid) rows
+    sorted by centroid_id — the exact construction assign_to_centroids
+    has used since round 14 (NULL/zero-norm semantics documented there)."""
+    cids = np.asarray([int(r[0]) for r in crows], dtype=np.int64)
+    dim0 = next((len(r[1]) for r in crows
+                 if r[1] is not None
+                 and all(x is not None for x in r[1])), 1)
+    C = np.asarray([list(r[1])
+                    if r[1] is not None
+                    and all(x is not None for x in r[1])
+                    else [0.0] * dim0 for r in crows], dtype=np.float64)
+    cn = np.zeros(C.shape[0], dtype=np.float64)
+    for i in range(C.shape[1]):
+        cn += C[:, i] * C[:, i]          # left-assoc self-dot
+    cn = np.sqrt(cn)
+    all_null = not any(
+        r[1] is not None
+        and all(x is not None for x in r[1]) for r in crows)
+    return cids, C, cn, all_null
+
+
+def _centroid_batch_positions(A, C, cn):
+    """argmax positions into the sorted centroid array for a float64 row
+    block ``A`` — cosine by left-assoc dot/norm folds, NaN → -inf (never
+    wins), zero denominator → +inf (Spark /0 → NULL sorts first, wins);
+    np.argmax's first-max == min_by's (-sim, centroid_id) tiebreak."""
+    vn = np.zeros(A.shape[0], dtype=np.float64)
+    dot = np.zeros((A.shape[0], C.shape[0]), dtype=np.float64)
+    for i in range(A.shape[1]):
+        vn += A[:, i] * A[:, i]              # left-assoc
+        dot += A[:, i:i + 1] * C[None, :, i]  # left-assoc
+    denom = np.sqrt(vn)[:, None] * cn[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sims = dot / denom
+    if np.isnan(sims).any():
+        sims[np.isnan(sims)] = -np.inf   # NaN input: never wins
+    sims[denom == 0.0] = np.inf          # Spark /0 → NULL: wins
+    return np.argmax(sims, axis=1)
+
+
+def _pq_codebook_arrays(rows):
+    """Per-sub (mats float32, ids, null_codes) dicts from
+    (sub, code_id, codeword) tuples/Rows — the exact construction
+    _pq_assign has used since round 14 (NULL-codeword semantics
+    documented there)."""
+    by_sub: dict[int, list] = {}
+    for r in rows:
+        by_sub.setdefault(int(r[0]), []).append((int(r[1]), r[2]))
+    mats: dict[int, "np.ndarray"] = {}
+    ids: dict[int, "np.ndarray"] = {}
+    null_codes: dict[int, "np.ndarray"] = {}
+    for s, lst in by_sub.items():
+        lst.sort(key=lambda t: t[0])
+        # a NULL codeword (or NULL element) made that code's distance
+        # NULL in the old unrolled form, and NULL sorts FIRST under
+        # (distance, code_id) — i.e. it WINS; mark it and force -inf
+        isnull = [cw is None or any(x is None for x in cw)
+                  for _, cw in lst]
+        d0 = next((len(cw) for (_, cw), n in zip(lst, isnull) if not n), 1)
+        mats[s] = np.asarray(
+            [[0.0] * d0 if n else list(cw)
+             for (_, cw), n in zip(lst, isnull)], dtype=np.float32)
+        ids[s] = np.asarray([cid for cid, _ in lst], dtype=np.int32)
+        null_codes[s] = np.asarray(isnull, dtype=bool)
+    return mats, ids, null_codes
+
+
+def _pq_batch_positions(A, C, nc):
+    """argmin positions into the sorted codeword array for a float32 row
+    block ``A``: float32 squared differences widened to double,
+    accumulated left-associatively (the _l2sq unroll arithmetic); NaN
+    distances → +inf (Spark NaN sorts highest), NULL codewords → -inf
+    (NULL sorts first, wins); np.argmin's first-min == min_by's
+    (distance, code_id) tiebreak. Callers handle the all-NULL-codeword
+    short circuit."""
+    acc = np.zeros((A.shape[0], C.shape[0]), dtype=np.float64)
+    for i in range(A.shape[1]):
+        diff = A[:, i:i + 1] - C[None, :, i]      # float32
+        acc += (diff * diff).astype(np.float64)   # left-assoc
+    if np.isnan(acc).any():
+        acc[np.isnan(acc)] = np.inf
+    if nc.any():
+        acc[:, nc] = -np.inf   # NULL codeword: old NULL-first
+    return np.argmin(acc, axis=1)
+
+
+def _kmeans_lloyd_step(corpus: DataFrame, vec: str, state: list) -> list:
+    """One Lloyd iteration with the centroids as DRIVER-side state
+    (optimization round 15, guide §4.2/§2.4): a single Arrow pass fuses
+    the assignment (the exact _centroid_batch_positions arithmetic the
+    assignment kernel uses) with per-centroid segment sums — the former
+    per-iteration chain (assignment projection → posexplode of corpus·d
+    rows → two hash aggregates → carry-forward join → persist) collapses
+    to ONE job whose shuffle is ≤ batches·k·d tiny partial rows.
+
+    Bit-equality with the label_centroids re-average: np.bincount
+    accumulates float64(v) sequentially in row order — exactly Spark's
+    partial avg (sum += cast(v as double) in iterator order, from 0.0);
+    partials merge through F.sum the same way avg's merge did; the mean
+    is sum/count in double. Rows with NULL vectors contribute nothing
+    (posexplode dropped them); NaN elements propagate into the mean;
+    a centroid no row chose keeps its previous value (the coalesce
+    carry-forward). ``state`` is [(centroid_id, centroid-or-None), ...]
+    sorted by centroid_id; returns the stepped state."""
+    import pyarrow as pa
+
+    cids, C, cn, all_null = _centroid_arrays(state)
+    k = len(cids)
+
+    def gen(batches):
+        for b in batches:
+            sv = b.column(0).to_pandas()
+            valid = sv.notna().to_numpy()
+            if not valid.any():
+                continue
+            A = np.stack(sv[valid].to_list()).astype(np.float64)
+            if all_null:
+                pos = np.zeros(A.shape[0], dtype=np.int64)
+            else:
+                pos = _centroid_batch_positions(A, C, cn)
+            cnt = np.bincount(pos, minlength=k)
+            nz = np.flatnonzero(cnt)
+            if not len(nz) or not A.shape[1]:
+                continue
+            out = {"centroid_id": [], "dim": [], "s": [], "c": []}
+            for d_i in range(A.shape[1]):
+                w = np.bincount(pos, weights=A[:, d_i], minlength=k)
+                out["centroid_id"].append(cids[nz])
+                out["dim"].append(np.full(len(nz), d_i, dtype=np.int32))
+                out["s"].append(w[nz])
+                out["c"].append(cnt[nz].astype(np.int64))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate(out[n]))
+                 for n in ("centroid_id", "dim", "s", "c")],
+                names=["centroid_id", "dim", "s", "c"])
+
+    rows = (corpus.select(F.col(vec).alias("__v"))
+            .mapInArrow(gen, "centroid_id long, dim int, s double, c long")
+            .groupBy("centroid_id", "dim")
+            .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+            .collect())
+    sums: dict[int, dict[int, float]] = {}
+    cnts: dict[int, int] = {}
+    for r in rows:
+        sums.setdefault(int(r["centroid_id"]), {})[int(r["dim"])] = r["s"]
+        cnts[int(r["centroid_id"])] = int(r["c"])
+    stepped = []
+    for cid, old in state:
+        if cid in sums:
+            dmap, n = sums[cid], cnts[cid]
+            stepped.append((cid, [dmap[i] / n for i in range(len(dmap))]))
+        else:
+            stepped.append((cid, old))
+    return stepped
+
+
+def _pq_lloyd_step(subs: DataFrame, state: list) -> list:
+    """One PQ Lloyd iteration with the codebook as DRIVER-side state —
+    the pq_train analog of :func:`_kmeans_lloyd_step`: one Arrow pass
+    fuses the (sub, code) assignment (exact _pq_batch_positions
+    arithmetic) with per-(sub, code) segment sums, replacing the former
+    posexplode of corpus·m·d rows through two hash aggregates plus the
+    carry-forward join and per-iteration persist.
+
+    Bit-equality as in _kmeans_lloyd_step, with the PQ specifics:
+    assignment distances accumulate float32 squared diffs widened to
+    double (the _l2sq unroll); the segment sums use the RAW subvector
+    values widened to float64 (exactly avg's cast(v as double)); the
+    new codeword element is float32(sum/count) — the __ncw FLOAT cast.
+    ``state`` is [(sub, code_id, codeword-or-None), ...] sorted by
+    (sub, code_id); returns the stepped state."""
+    import pyarrow as pa
+
+    mats, ids, null_codes = _pq_codebook_arrays(state)
+
+    def gen(batches):
+        for b in batches:
+            sub = b.column(0).to_numpy(zero_copy_only=False)
+            sv = b.column(1).to_pandas()
+            valid = sv.notna().to_numpy()
+            out = {"sub": [], "code_id": [], "dim": [], "s": [], "c": []}
+            for s in np.unique(sub):
+                s = int(s)
+                if s not in mats:
+                    continue   # the old inner join dropped these rows
+                mask = (sub == s) & valid
+                if not mask.any():
+                    continue
+                cid, nc = ids[s], null_codes[s]
+                raw = np.stack(sv[mask].to_list())
+                if nc.all():
+                    # every codeword NULL → every distance NULL → the
+                    # old struct ordering picked the lowest code id
+                    pos = np.zeros(raw.shape[0], dtype=np.int64)
+                else:
+                    pos = _pq_batch_positions(
+                        raw.astype(np.float32, copy=False), mats[s], nc)
+                kk = len(cid)
+                cnt = np.bincount(pos, minlength=kk)
+                nz = np.flatnonzero(cnt)
+                if not len(nz) or not raw.shape[1]:
+                    continue
+                W = raw.astype(np.float64, copy=False)
+                for d_i in range(raw.shape[1]):
+                    w = np.bincount(pos, weights=W[:, d_i], minlength=kk)
+                    out["sub"].append(np.full(len(nz), s, dtype=np.int32))
+                    out["code_id"].append(cid[nz])
+                    out["dim"].append(np.full(len(nz), d_i, dtype=np.int32))
+                    out["s"].append(w[nz])
+                    out["c"].append(cnt[nz].astype(np.int64))
+            if out["sub"]:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.concatenate(out[n]))
+                     for n in ("sub", "code_id", "dim", "s", "c")],
+                    names=["sub", "code_id", "dim", "s", "c"])
+
+    rows = (subs.select("sub", "subvec")
+            .mapInArrow(gen, "sub int, code_id int, dim int, "
+                             "s double, c long")
+            .groupBy("sub", "code_id", "dim")
+            .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+            .collect())
+    sums: dict[tuple, dict[int, float]] = {}
+    cnts: dict[tuple, int] = {}
+    for r in rows:
+        key = (int(r["sub"]), int(r["code_id"]))
+        sums.setdefault(key, {})[int(r["dim"])] = r["s"]
+        cnts[key] = int(r["c"])
+    stepped = []
+    for s, cid, old in state:
+        key = (s, cid)
+        if key in sums:
+            dmap, n = sums[key], cnts[key]
+            stepped.append((s, cid,
+                            [float(np.float32(dmap[i] / n))
+                             for i in range(len(dmap))]))
+        else:
+            stepped.append((s, cid, old))
+    return stepped
+
+
 def label_centroids(embeddings: DataFrame, label: str = "label",
                     vec: str = "embedding") -> DataFrame:
     """Per-label centroid: posexplode → (label, dim) mean → re-assemble a
@@ -132,12 +381,27 @@ def label_centroids(embeddings: DataFrame, label: str = "label",
 def kmeans_centroids(corpus: DataFrame, k: int, iterations: int = 2,
                      vec: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Coarse k-means for IVF: seeds = the k lowest-id vectors
-    (deterministic), then Lloyd iterations entirely as DataFrame ops —
-    assignment is a broadcast-centroid cosine argmax, update is the
-    label_centroids aggregation. Returns (centroid_id, centroid).
+    (deterministic), then Lloyd iterations with the k centroids as
+    DRIVER-side state — each iteration is ONE fused Arrow job
+    (assignment + per-centroid segment sums, :func:`_kmeans_lloyd_step`)
+    over the corpus. Returns (centroid_id, centroid) as a local
+    relation (k tiny rows).
 
-    Scale: each iteration is one broadcast join + one explode/agg over the
-    corpus — no driver-side data motion beyond the k centroid vectors.
+    Optimization round 15 (guide §4.2/§2.4): the former in-plan loop ran,
+    per iteration, the assignment projection plus a posexplode of
+    corpus·d rows through two hash aggregates, a carry-forward join and
+    a persist — and every downstream consumer's collect re-read that
+    cached chain. Values are bit-equal (see _kmeans_lloyd_step); the
+    result schema is array<double> exactly as the old coalesce typing
+    produced for every iterated codebook. NOTE the training is EAGER:
+    with iterations > 0 the Lloyd jobs run at CALL time (previously they
+    ran at the first downstream collect — which assign_to_centroids
+    already issued at DataFrame-construction time, so the observable
+    contract is unchanged). ``iterations=0`` still returns the lazy seed
+    relation (semantic_dedup's SQL-expressible mode depends on it).
+
+    Scale: driver state is k·dim doubles — model-sized; the per-job
+    shuffle is ≤ batches·k·d partial rows, never corpus-sized.
     """
     c = corpus.select(F.col(id_col).alias("cid"), F.col(vec).alias("centroid"))
     # k lowest ids via TakeOrderedAndProject (per-partition heaps), then a
@@ -156,28 +420,22 @@ def kmeans_centroids(corpus: DataFrame, k: int, iterations: int = 2,
     w = Window.partitionBy(single_partition_key("cid")).orderBy("cid")
     cents = (seeds.withColumn("rn", F.row_number().over(w))
              .select((F.col("rn") - 1).alias("centroid_id"), "centroid"))
+    if iterations <= 0:
+        return cents
+    # empty-cluster carry-forward (round-14 review) lives inside
+    # _kmeans_lloyd_step: a centroid no vector chose keeps its previous
+    # position instead of vanishing
+    state = sorted(((int(r["centroid_id"]),
+                     None if r["centroid"] is None
+                     else list(r["centroid"]))
+                    for r in cents.collect()), key=lambda t: t[0])
     for _ in range(iterations):
-        # keep_vec: the assignment is a projection, so the vector rides
-        # along and the former ``assigned ⋈ corpus`` shuffle join (one
-        # per Lloyd iteration) is gone (optimization round 14)
-        assigned = assign_to_centroids(corpus, cents, vec=vec,
-                                       id_col=id_col, keep_vec=True)
-        new_cents = (label_centroids(assigned,
-                                     label="centroid_id", vec=vec)
-                     .withColumnRenamed("centroid", "__nc"))
-        # empty-cluster carry-forward: a centroid no vector chose keeps
-        # its previous position instead of vanishing (round-14 review —
-        # a dropped id silently shrinks the inverted-list count)
-        cents = (cents.join(new_cents, "centroid_id", "left")
-                 .select("centroid_id",
-                         F.coalesce(F.col("__nc"),
-                                    F.col("centroid")).alias("centroid")))
-        # k tiny rows; persisting each Lloyd step stops the lineage from
-        # re-running every earlier iteration once per downstream branch
-        # (assign + the next update both read it) — the standard Spark
-        # iterative-training idiom. LRU-evictable, lazy.
-        cents = cents.persist()
-    return cents
+        if not state:
+            break
+        state = _kmeans_lloyd_step(corpus, vec, state)
+    return corpus.sparkSession.createDataFrame(
+        [(cid, cw) for cid, cw in state],
+        "centroid_id int, centroid array<double>")
 
 
 def assign_to_centroids(corpus: DataFrame, centroids: DataFrame,
@@ -228,27 +486,13 @@ def assign_to_centroids(corpus: DataFrame, centroids: DataFrame,
         return (corpus.select(*cols,
                               F.lit(None).cast("int").alias("centroid_id"))
                 .filter(F.lit(False)))
-    cids = np.asarray([int(r["centroid_id"]) for r in crows],
-                      dtype=np.int64)
     # a NULL centroid (or one with NULL elements) made every sim NULL
     # in the old form, and NULL sorts FIRST under (-sim, ci) — i.e. it
     # CAPTURES rows like a zero-norm centroid does; an all-zeros row
-    # reproduces exactly that (denominator 0 → +inf mask below)
-    dim0 = next((len(r["centroid"]) for r in crows
-                 if r["centroid"] is not None
-                 and all(x is not None for x in r["centroid"])), 1)
-    C = np.asarray([list(r["centroid"])
-                    if r["centroid"] is not None
-                    and all(x is not None for x in r["centroid"])
-                    else [0.0] * dim0 for r in crows], dtype=np.float64)
-    cn = np.zeros(C.shape[0], dtype=np.float64)
-    for i in range(C.shape[1]):
-        cn += C[:, i] * C[:, i]          # left-assoc self-dot
-    cn = np.sqrt(cn)
-
-    all_null_cents = not any(
-        r["centroid"] is not None
-        and all(x is not None for x in r["centroid"]) for r in crows)
+    # reproduces exactly that (denominator 0 → +inf mask inside
+    # _centroid_batch_positions)
+    cids, C, cn, all_null_cents = _centroid_arrays(
+        [(r["centroid_id"], r["centroid"]) for r in crows])
 
     @pandas_udf("long")
     def _nearest_centroid(v: pd.Series) -> pd.Series:
@@ -259,18 +503,7 @@ def assign_to_centroids(corpus: DataFrame, centroids: DataFrame,
             return pd.Series(out)
         if valid.any():
             A = np.stack(v[valid].to_list()).astype(np.float64)
-            vn = np.zeros(A.shape[0], dtype=np.float64)
-            dot = np.zeros((A.shape[0], C.shape[0]), dtype=np.float64)
-            for i in range(A.shape[1]):
-                vn += A[:, i] * A[:, i]              # left-assoc
-                dot += A[:, i:i + 1] * C[None, :, i]  # left-assoc
-            denom = np.sqrt(vn)[:, None] * cn[None, :]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                sims = dot / denom
-            if np.isnan(sims).any():
-                sims[np.isnan(sims)] = -np.inf   # NaN input: never wins
-            sims[denom == 0.0] = np.inf          # Spark /0 → NULL: wins
-            out[valid] = cids[np.argmax(sims, axis=1)]
+            out[valid] = cids[_centroid_batch_positions(A, C, cn)]
         return pd.Series(out)
 
     cols = [F.col(id_col)] + ([F.col(vec)] if keep_vec else [])
@@ -411,15 +644,29 @@ def pq_train(corpus: DataFrame, *, m: int = 8, codes: int = 16, dim: int,
              iterations: int = 2, vec: str = "embedding",
              id_col: str = "vec_id") -> DataFrame:
     """Train a product-quantization codebook: m independent sub-space
-    k-means (squared-L2 Lloyd), all sub-spaces in ONE DataFrame pipeline
-    per iteration. Returns (sub, code_id, codeword).
+    k-means (squared-L2 Lloyd), the codebook as DRIVER-side state — each
+    iteration is ONE fused Arrow job (assignment + per-(sub, code)
+    segment sums, :func:`_pq_lloyd_step`) over the subvector relation.
+    Returns (sub, code_id, codeword) as a local relation (m·codes tiny
+    rows).
 
     Seeds are the subvectors of the ``codes`` lowest-id corpus rows
     (deterministic, TakeOrderedAndProject — no full scan through one
-    task). Each iteration: broadcast the m*codes codewords, argmin
-    assign (window keyed by (id, sub) — parallel), re-average per
-    (sub, code, dim). No driver data motion beyond the codebook.
-    """
+    task). Optimization round 15 (guide §4.2/§2.4): the former in-plan
+    loop posexploded corpus·m·d rows through two hash aggregates plus a
+    carry-forward join and a persist per iteration; values are bit-equal
+    (see _pq_lloyd_step) and the empty-cluster carry-forward (round-14
+    review — the positional ADC lookup needs a DENSE code_id space)
+    lives inside the step. NOTE training is EAGER for iterations > 0
+    (the Lloyd jobs run at call time — previously they ran at the first
+    downstream collect, which _pq_assign already issued at
+    DataFrame-construction time, so the observable contract is
+    unchanged); ``iterations=0`` still returns the lazy seed relation.
+    Embeddings must be float or double arrays (the only element types
+    whose iterated-codebook schema the old coalesce typing produced;
+    loudly refused rather than silently diverged)."""
+    from pyspark.sql.types import DoubleType, FloatType
+
     subs = _subvectors(corpus, m, dim, vec, id_col)
     seed_ids = corpus.select(id_col).orderBy(id_col).limit(codes)
     from pyspark.sql import Window
@@ -427,35 +674,28 @@ def pq_train(corpus: DataFrame, *, m: int = 8, codes: int = 16, dim: int,
     cb = (subs.join(F.broadcast(seed_ids), id_col)
           .withColumn("code_id", F.row_number().over(w) - 1)
           .select("sub", "code_id", F.col("subvec").alias("codeword")))
+    if iterations <= 0:
+        return cb
+    elem = subs.schema["subvec"].dataType.elementType
+    if isinstance(elem, FloatType):
+        et = "float"
+    elif isinstance(elem, DoubleType):
+        et = "double"
+    else:
+        raise ValueError(
+            f"pq_train: unsupported embedding element type {elem} — "
+            "float or double arrays only")
+    state = sorted(((int(r["sub"]), int(r["code_id"]),
+                     None if r["codeword"] is None
+                     else list(r["codeword"]))
+                    for r in cb.collect()), key=lambda t: (t[0], t[1]))
     for _ in range(iterations):
-        # keep_subvec: the assignment is a projection, so the subvector
-        # rides along and the former ``assigned ⋈ subs`` shuffle join
-        # (one per Lloyd iteration) is gone (optimization round 14)
-        assigned = _pq_assign(subs, cb, id_col, d=dim // m,
-                              keep_subvec=True)
-        new_cb = (assigned
-                  .select("sub", "code_id",
-                          F.posexplode("subvec").alias("dim", "v"))
-                  .groupBy("sub", "code_id", "dim")
-                  .agg(F.avg("v").alias("mv"))
-                  .groupBy("sub", "code_id")
-                  .agg(F.transform(
-                      F.array_sort(F.collect_list(F.struct("dim", "mv"))),
-                      lambda s: s["mv"].cast("float")).alias("__ncw")))
-        # empty-cluster carry-forward (round-14 review): a codeword no
-        # subvector chose KEEPS its previous value — the codebook stays
-        # DENSE in code_id, which the positional ADC lookup
-        # (_adc_table rows) depends on; a dropped id would misalign
-        # every lookup above the gap and NULL out the top code
-        cb = (cb.join(new_cb, ["sub", "code_id"], "left")
-              .select("sub", "code_id",
-                      F.coalesce(F.col("__ncw"),
-                                 F.col("codeword")).alias("codeword")))
-        # m*codes tiny rows; see kmeans_centroids — persisting per Lloyd
-        # step keeps downstream branches (encode + query tables) from
-        # re-running the whole training chain.
-        cb = cb.persist()
-    return cb
+        if not state:
+            break
+        state = _pq_lloyd_step(subs, state)
+    return corpus.sparkSession.createDataFrame(
+        [(s, c, cw) for s, c, cw in state],
+        f"sub int, code_id int, codeword array<{et}>")
 
 
 def _pq_assign(subs: DataFrame, codebook: DataFrame,
@@ -494,30 +734,11 @@ def _pq_assign(subs: DataFrame, codebook: DataFrame,
     from pyspark.sql.functions import pandas_udf
 
     rows = codebook.select("sub", "code_id", "codeword").collect()
-    by_sub: dict[int, list] = {}
-    for r in rows:
-        by_sub.setdefault(int(r["sub"]), []).append(
-            (int(r["code_id"]), r["codeword"]))
-    mats: dict[int, "np.ndarray"] = {}
-    ids: dict[int, "np.ndarray"] = {}
-    null_codes: dict[int, "np.ndarray"] = {}
-    for s, lst in by_sub.items():
-        lst.sort(key=lambda t: t[0])
-        # a NULL codeword (or NULL element) made that code's distance
-        # NULL in the old unrolled form, and NULL sorts FIRST under
-        # (distance, code_id) — i.e. it WINS; mark it and force -inf
-        isnull = [cw is None or any(x is None for x in cw)
-                  for _, cw in lst]
-        d0 = next((len(cw) for (_, cw), n in zip(lst, isnull) if not n), 1)
-        mats[s] = np.asarray(
-            [[0.0] * d0 if n else list(cw)
-             for (_, cw), n in zip(lst, isnull)], dtype=np.float32)
-        ids[s] = np.asarray([cid for cid, _ in lst], dtype=np.int32)
-        null_codes[s] = np.asarray(isnull, dtype=bool)
+    mats, ids, null_codes = _pq_codebook_arrays(rows)
     # rows whose sub has no codebook entry were DROPPED by the old
     # inner broadcast join — reproduce with a pre-filter
-    if by_sub:
-        subs = subs.filter(F.col("sub").isin([int(s) for s in by_sub]))
+    if mats:
+        subs = subs.filter(F.col("sub").isin([int(s) for s in mats]))
     else:
         subs = subs.filter(F.lit(False))
 
@@ -543,16 +764,7 @@ def _pq_assign(subs: DataFrame, codebook: DataFrame,
                 continue
             A = np.stack(sv[mask].to_list()).astype(np.float32,
                                                     copy=False)
-            C = mats[int(s)]
-            acc = np.zeros((A.shape[0], C.shape[0]), dtype=np.float64)
-            for i in range(A.shape[1]):
-                diff = A[:, i:i + 1] - C[None, :, i]      # float32
-                acc += (diff * diff).astype(np.float64)   # left-assoc
-            if np.isnan(acc).any():
-                acc[np.isnan(acc)] = np.inf
-            if nc.any():
-                acc[:, nc] = -np.inf   # NULL codeword: old NULL-first
-            out[mask] = cid[np.argmin(acc, axis=1)]
+            out[mask] = cid[_pq_batch_positions(A, mats[int(s)], nc)]
         return pd.Series(out)
 
     cols = [id_col, "sub"] + (["subvec"] if keep_subvec else [])
@@ -582,15 +794,89 @@ def _adc_table(qsubs: DataFrame, cb: DataFrame, qid: str,
 
 
 def pq_encode(corpus: DataFrame, codebook: DataFrame, *, m: int, dim: int,
-              vec: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+              vec: str = "embedding", id_col: str = "vec_id",
+              passthrough: tuple = ()) -> DataFrame:
     """(id, codes): each vector reduced to m small ints — the 100 TB
-    storage form (m bytes/vector at codes<=256 vs 4*dim)."""
-    subs = _subvectors(corpus, m, dim, vec, id_col)
-    a = _pq_assign(subs, codebook, id_col, d=dim // m)
-    return (a.groupBy(id_col)
-            .agg(F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", "code_id"))),
-                lambda s: s["code_id"]).alias("codes")))
+    storage form (m bytes/vector at codes<=256 vs 4*dim).
+
+    One fused Arrow pass (optimization round 15, guide §4.2): all m
+    subspaces are sliced and assigned inside a single mapInArrow — the
+    former posexplode to corpus·m rows, per-row kernel, and groupBy +
+    collect_list/array_sort RE-ASSEMBLY (a full corpus shuffle) never
+    exist. Codes are the identical ints in the identical sub-ascending
+    order (_pq_batch_positions is the same assignment arithmetic; the
+    old array_sort ordered by the struct's leading ``sub``). Subspaces
+    absent from the codebook are skipped (the old inner join dropped
+    their rows before the collect). ``passthrough`` columns ride along
+    unchanged, letting ivf_pq_topk chain the coarse assignment through
+    instead of re-joining the corpus to itself. Ids are treated as row
+    identities (unique by contract — the old groupBy-on-id form merged
+    duplicate ids into one interleaved codes row, which no caller
+    wants); NULL vectors encode to each subspace's lowest code id,
+    exactly as the old NULL-subvec kernel rows did."""
+    import pyarrow as pa
+
+    rows = codebook.select("sub", "code_id", "codeword").collect()
+    mats, ids, null_codes = _pq_codebook_arrays(rows)
+    d = dim // m
+    sub_list = sorted(mats)
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    pt_t = [f"{c} {corpus.schema[c].dataType.simpleString()}"
+            for c in passthrough]
+    out_schema = ", ".join([f"{id_col} {id_t}", "codes array<int>"] + pt_t)
+    base = corpus.select(id_col, vec, *passthrough)
+    if not sub_list:
+        # empty codebook: the old inner join emptied the assignment and
+        # the groupBy produced zero rows
+        return (base.sparkSession
+                .createDataFrame([], out_schema))
+
+    def gen(batches):
+        for b in batches:
+            vcol = b.column(1).to_pandas()
+            n = len(vcol)
+            valid = vcol.notna().to_numpy()
+            codes = np.zeros((n, len(sub_list)), dtype=np.int32)
+            lists = vcol[valid].to_list()
+            lens = {len(x) for x in lists}
+            V = np.stack(lists) if len(lens) == 1 and lists else None
+            for j, s in enumerate(sub_list):
+                cid, nc = ids[s], null_codes[s]
+                codes[:, j] = cid[0]
+                if nc.all() or not lists:
+                    continue   # all-NULL codewords → lowest code id
+                if V is not None:
+                    A = V[:, s * d:s * d + d]
+                else:   # ragged vectors: per-row F.slice semantics
+                    A = np.stack([x[s * d:s * d + d] for x in lists])
+                codes[valid, j] = cid[_pq_batch_positions(
+                    A.astype(np.float32, copy=False), mats[s], nc)]
+            arrs = [b.column(0),
+                    pa.ListArray.from_arrays(
+                        pa.array(np.arange(0, (n + 1) * len(sub_list),
+                                           len(sub_list), dtype=np.int32)),
+                        pa.array(codes.ravel()))]
+            for i in range(len(passthrough)):
+                arrs.append(b.column(2 + i))
+            yield pa.RecordBatch.from_arrays(
+                arrs, names=[id_col, "codes", *passthrough])
+
+    return base.mapInArrow(gen, out_schema)
+
+
+def _adc_sum(qtab, codes, m: int):
+    """Unrolled ADC lookup sum (optimization round 15): the former
+    ``aggregate(sequence(0, m-1), 0.0, acc + qtab[s][codes[s]])`` was an
+    interpreted HOF fold evaluated once per (corpus × query) row — the
+    explosive relation. The unroll is the identical left-associative
+    ``0.0 + t0 + ... + t(m-1)`` double chain (bit-equal, NULL propagates
+    the same), as plain column arithmetic whole-stage codegen compiles —
+    the _l2sq precedent (round 14) applied to the ADC scorer."""
+    out = F.lit(0.0)
+    for s in range(m):
+        out = out + F.element_at(F.element_at(qtab, s + 1),
+                                 F.element_at(codes, s + 1) + 1)
+    return out
 
 
 def pq_topk(corpus: DataFrame, queries: DataFrame, k: int, *, m: int = 8,
@@ -635,12 +921,8 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int, *, m: int = 8,
         hits = hits.filter(F.col("corpus_id") != F.col(query_id))
     scored = (hits
               .select(query_id, "corpus_id",
-                      F.round(F.aggregate(
-                          F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0),
-                          lambda acc, s: acc + F.element_at(
-                              F.element_at(F.col("qtab"), s + 1),
-                              F.element_at(F.col("codes"), s + 1) + 1))
-                       , 6).alias("adc_dist")))
+                      F.round(_adc_sum(F.col("qtab"), F.col("codes"), m),
+                              6).alias("adc_dist")))
     w = Window.partitionBy(query_id).orderBy("adc_dist", "corpus_id")
     if rerank:
         if rerank < k:
@@ -684,13 +966,17 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
         queries = l2_normalize(queries, query_vec)
     cents = kmeans_centroids(corpus, n_centroids, iterations=iterations,
                              vec=corpus_vec, id_col=corpus_id)
-    lists = assign_to_centroids(corpus, cents, vec=corpus_vec,
-                                id_col=corpus_id)
     cb = pq_train(corpus, m=m, codes=codes, dim=dim, iterations=iterations,
                   vec=corpus_vec, id_col=corpus_id)
-    enc = (pq_encode(corpus, cb, m=m, dim=dim, vec=corpus_vec,
-                     id_col=corpus_id)
-           .join(lists, corpus_id)
+    # the coarse assignment and the PQ encoding are both per-row
+    # PROJECTIONS — chaining them (assignment rides through pq_encode's
+    # passthrough) deletes the former ``enc ⋈ lists`` corpus self-join,
+    # a full shuffle of the corpus on ids (optimization round 15,
+    # guide §2.4)
+    lists = assign_to_centroids(corpus, cents, vec=corpus_vec,
+                                id_col=corpus_id, keep_vec=True)
+    enc = (pq_encode(lists, cb, m=m, dim=dim, vec=corpus_vec,
+                     id_col=corpus_id, passthrough=("centroid_id",))
            .withColumnRenamed(corpus_id, "corpus_id"))
 
     q = queries.select(F.col(query_id), F.col(query_vec).alias("__qv"))
@@ -715,11 +1001,7 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
         cand = cand.filter(F.col("corpus_id") != F.col(query_id))
     scored = cand.select(
         query_id, "corpus_id",
-        F.round(F.aggregate(
-            F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0),
-            lambda acc, s: acc + F.element_at(
-                F.element_at(F.col("qtab"), s + 1),
-                F.element_at(F.col("codes"), s + 1) + 1)), 6)
+        F.round(_adc_sum(F.col("qtab"), F.col("codes"), m), 6)
         .alias("adc_dist"))
     w = Window.partitionBy(query_id).orderBy("adc_dist", "corpus_id")
     if rerank:

@@ -17,7 +17,7 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 SF = "/root/testdata/sf0.1"
-OUT = "/root/repo/plans/r14"
+OUT = os.environ.get("PLANS_OUT", "/root/repo/plans/r15")
 
 
 def main() -> None:
