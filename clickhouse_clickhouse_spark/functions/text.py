@@ -50,15 +50,26 @@ def word_ngrams(text: Column, n: int) -> Column:
     with a much larger constant: 4-5x slower on the documents fixture.)
     zip_with null-pads the shorter side and concat propagates the null,
     so the trailing partial shingles drop in one filter pass.
+
+    The token array is bound ONCE via the single-element transform
+    trick (optimization round 15): the bare Column reuse spliced the
+    split+filter subtree into both zip_with sides, so every row paid
+    the tokenization twice (visible verbatim in the r15 minhash before
+    plans). Same expressions, same output — one evaluation.
     """
     toks = tokens(text)
     if n == 1:
         return toks
-    g = toks
-    for j in range(1, n):
-        shifted = F.slice(toks, j + 1, 1 << 30)
-        g = F.zip_with(g, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.filter(g, lambda x: x.isNotNull())
+
+    def _grams(tv: Column) -> Column:
+        g = tv
+        for j in range(1, n):
+            shifted = F.slice(tv, j + 1, 1 << 30)
+            g = F.zip_with(g, shifted,
+                           lambda a, b: F.concat(a, F.lit(" "), b))
+        return F.filter(g, lambda x: x.isNotNull())
+
+    return F.element_at(F.transform(F.array(toks), _grams), 1)
 
 
 def char_ngrams(text: Column, n: int) -> Column:

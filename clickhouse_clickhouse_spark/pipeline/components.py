@@ -56,17 +56,26 @@ def connected_components(edges: DataFrame, src: str, dst: str,
         nbr = (sym.join(lbl.select(F.col("n").alias("b"),
                                    F.col("lbl").alias("lbl_b")), "b")
                .groupBy("a").agg(F.min("lbl_b").alias("nbr_min")))
+        # LAZY localCheckpoint + a full-scan probe count: the ONE probe
+        # job computes every partition, which materializes the local
+        # checkpoint as a side effect (localCheckpoint is persist-based;
+        # lineage is truncated once all partitions are cached at job
+        # end). The former eager=True + limit(1).count() pair was 2 jobs
+        # per round for the same bytes (optimization round 15, guide §7
+        # — job-submission latency; the r14 report's open item 5).
         stepped = (lbl.join(nbr, lbl["n"] == nbr["a"], "left")
                    .select(lbl["n"],
                            lbl["lbl"].alias("old"),
                            F.least(lbl["lbl"],
                                    F.coalesce(F.col("nbr_min"),
                                               lbl["lbl"])).alias("lbl"))
-                   .localCheckpoint(eager=True))
+                   .localCheckpoint(eager=False))
         # one bounded scalar per iteration: is any label still shrinking?
-        if stepped.filter(F.col("lbl") < F.col("old")).limit(1).count() == 0:
+        if stepped.filter(F.col("lbl") < F.col("old")).count() == 0:
+            sym.unpersist()   # round-15 advice: don't leak the edge cache
             return stepped.select("n", "lbl")
         lbl = stepped.select("n", "lbl")
+    sym.unpersist()
     raise RuntimeError(
         f"label propagation did not converge in {max_iter} iterations — "
         f"the graph has a component with diameter > {max_iter} (e.g. a "

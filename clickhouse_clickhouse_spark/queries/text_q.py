@@ -311,20 +311,25 @@ def minhash_verified_pairs(spark, sf):
     # same integer, sizes ride along, so jaccard is bit-equal.  Pairs
     # with zero overlap drop out of the inner join, but their jaccard
     # (0.0) fails the >= 0.2 gate anyway.
+    # Sizes RIDE ALONG on the token relation (optimization round 15,
+    # guide §2.3 — the ngram_jaccard_pairs shape): the former separate
+    # ``sizes`` relation re-ran the shingle pipeline per side just to
+    # count it, then re-attached the counts with two more joins. |A|
+    # and |B| are now group keys of the intersection aggregate — two
+    # scans, two shingle passes and two joins gone; the jaccard
+    # arithmetic (and its 6-dp rounding) is unchanged.
     g = F.array_distinct(TXT.word_ngrams(F.col("text"), 2))
-    tok = d.select(F.col("doc_id"), F.explode(g).alias("tk"))
-    sizes = d.select(F.col("doc_id"), F.size(g).alias("n"))
+    sized = d.select(F.col("doc_id"), F.size(g).alias("n"), g.alias("g"))
+    tok = sized.select("doc_id", "n", F.explode("g").alias("tk"))
     ta, tb = tok.alias("ta"), tok.alias("tb")
     ic = (cand.join(ta, cand.id_a == F.col("ta.doc_id"))
           .join(tb, (cand.id_b == F.col("tb.doc_id"))
                 & (F.col("ta.tk") == F.col("tb.tk")))
-          .groupBy("id_a", "id_b").agg(F.count("*").alias("__i")))
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    j = (ic.join(sa, ic.id_a == F.col("sa.doc_id"))
-         .join(sb, ic.id_b == F.col("sb.doc_id")))
-    uni = F.col("sa.n") + F.col("sb.n") - F.col("__i")
+          .groupBy("id_a", "id_b", "ta.n", "tb.n")
+          .agg(F.count("*").alias("__i")))
+    uni = F.col("ta.n") + F.col("tb.n") - F.col("__i")
     jac = F.col("__i").cast("double") / F.greatest(uni, F.lit(1)).cast("double")
-    return (j.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    return (ic.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
             .filter(F.col("jaccard") >= 0.2))
 
 
