@@ -2417,6 +2417,112 @@ def _array_shuffle_tpl(a: list[str]) -> str:
         f"__s -> __s.v))")
 
 
+# ---- literal-array fast paths (optimization round 15) ----
+#
+# arrayCumSum/arrayDifference/arrayCompact emitted generic per-row HOF
+# machinery (an AGGREGATE fold with a struct rebuild + CONCAT array
+# append per element for cumsum; TRANSFORM-over-SEQUENCE for the other
+# two). When the argument is a literal ARRAY(...) constructor — every
+# declared consumer — the element count is known at translate time and
+# the result unrolls to direct ELEMENT_AT arithmetic over the
+# once-bound array (coercion to the array's common element type, NULL
+# propagation and the `e1 - e1` typed zero all come from the bound
+# array itself, so the unroll is semantically the fold: fuzz-verified
+# in tests/test_ch_sql.py). Non-literal args keep the generic fold.
+# Interleaved noop A/B on the tail5 argument shapes at sf0.1:
+# 1.11 -> 0.86 s best / 1.39 -> 1.07 s median of 6.
+
+_ARRAY_LIT_RE = re.compile(r"^\s*ARRAY\s*\(", re.IGNORECASE)
+
+
+def _literal_array_elems(arg: str, cap: int = 24) -> list[str] | None:
+    """Elements of a top-level literal ARRAY(...) constructor argument;
+    None when the arg is anything else (column, nested expression,
+    empty, or more than ``cap`` elements — those keep the generic
+    length-agnostic templates)."""
+    s = arg.strip()
+    m = _ARRAY_LIT_RE.match(s)
+    if not m:
+        return None
+    if _find_close(s, m.end() - 1) != len(s) - 1:
+        return None
+    inner = s[m.end():-1].strip()
+    if not inner:
+        return None
+    elems = _split_args(inner)
+    if len(elems) > cap or any(not e for e in elems):
+        return None
+    return elems
+
+
+def _el(i: int) -> str:
+    return f"ELEMENT_AT(__v.a, {i})"
+
+
+def _array_cumsum_tpl(a: list[str]) -> str:
+    """arrayCumSum ([U] src/Functions/array/arrayCumSum.cpp):
+    out[i] = z + e1 + ... + ei with z = e1 - e1 (the fold's typed zero:
+    keeps narrow int types and NULLs everything from a NULL prefix,
+    exactly like the running accumulator)."""
+    elems = _literal_array_elems(a[0])
+    if elems is None:
+        # generic per-row fold (CONCAT-append accumulator — the
+        # arrayCumSumNonNegative precedent, bounded by array length)
+        return _bind_once(
+            {"a": a[0]},
+            "AGGREGATE(__v.a, NAMED_STRUCT('o', SLICE(__v.a, 1, 0), "
+            "'r', TRY_ELEMENT_AT(__v.a, 1) - TRY_ELEMENT_AT(__v.a, 1)), "
+            "(__cs, __x) -> NAMED_STRUCT("
+            "'o', CONCAT(__cs.o, ARRAY(__cs.r + __x)), "
+            "'r', __cs.r + __x), __cs -> __cs.o)")
+    z = f"({_el(1)} - {_el(1)})"
+    parts = []
+    for i in range(1, len(elems) + 1):
+        s = z
+        for j in range(1, i + 1):
+            s = f"({s} + {_el(j)})"
+        parts.append(s)
+    return _bind_once({"a": a[0]}, "ARRAY(" + ", ".join(parts) + ")")
+
+
+def _array_difference_tpl(a: list[str]) -> str:
+    """arrayDifference: out[1] = e1 - e1, out[i] = e[i] - e[i-1]."""
+    elems = _literal_array_elems(a[0])
+    if elems is None:
+        return _bind_once(
+            {"a": a[0]},
+            "TRANSFORM(IF(SIZE(__v.a) = 0, ARRAY(), "
+            "SEQUENCE(1, SIZE(__v.a))), __i -> IF(__i = 1, "
+            "ELEMENT_AT(__v.a, 1) - ELEMENT_AT(__v.a, 1), "
+            "ELEMENT_AT(__v.a, __i) - ELEMENT_AT(__v.a, __i - 1)))")
+    parts = [f"({_el(1)} - {_el(1)})"]
+    parts += [f"({_el(i)} - {_el(i - 1)})"
+              for i in range(2, len(elems) + 1)]
+    return _bind_once({"a": a[0]}, "ARRAY(" + ", ".join(parts) + ")")
+
+
+def _array_compact_tpl(a: list[str]) -> str:
+    """arrayCompact: drop elements null-safe-equal to their
+    predecessor. The unroll CONCATs n conditionally-empty slices (the
+    output length is runtime-dependent, so elements can't be placed
+    positionally)."""
+    elems = _literal_array_elems(a[0])
+    if elems is None:
+        return _bind_once(
+            {"a": a[0]},
+            "TRANSFORM(FILTER(IF(SIZE(__v.a) = 0, ARRAY(), "
+            "SEQUENCE(1, SIZE(__v.a))), __i -> __i = 1 OR NOT "
+            "(ELEMENT_AT(__v.a, __i) <=> ELEMENT_AT(__v.a, __i - 1))), "
+            "__i -> ELEMENT_AT(__v.a, __i))")
+    parts = [f"ARRAY({_el(1)})"]
+    parts += [f"IF({_el(i)} <=> {_el(i - 1)}, SLICE(__v.a, 1, 0), "
+              f"ARRAY({_el(i)}))"
+              for i in range(2, len(elems) + 1)]
+    if len(parts) == 1:
+        return _bind_once({"a": a[0]}, parts[0])
+    return _bind_once({"a": a[0]}, "CONCAT(" + ", ".join(parts) + ")")
+
+
 _READABLE_UNITS = {
     "B": "1", "KB": "1000", "KIB": "1024",
     "MB": "1000000", "MIB": "1048576",
@@ -2430,26 +2536,17 @@ _READABLE_UNITS = {
 def _parse_readable_size_tpl(a: list[str], mode: str) -> str:
     """parseReadableSize[OrNull/OrZero] ([U] src/Functions/
     parseReadableSize.cpp): '<num> <unit>' → bytes, fractional values
-    rounded up (ceil) like upstream."""
-    num_re = "^\\\\s*([0-9]+(?:\\\\.[0-9]+)?)\\\\s*([A-Za-z]+)\\\\s*$"
-    cases = " ".join(f"WHEN '{u}' THEN CAST({m} AS DOUBLE)"
-                     for u, m in _READABLE_UNITS.items())
-    body = (
-        f"IF(__v.n = '' OR (CASE UPPER(__v.u) {cases} END) IS NULL, "
-        f"{{bad}}, "
-        f"CAST(CEIL(CAST(__v.n AS DOUBLE) * "
-        f"(CASE UPPER(__v.u) {cases} END)) AS BIGINT))")
-    bad = {
-        "strict": "CAST(RAISE_ERROR(CONCAT('parseReadableSize: cannot "
-                  "parse ', COALESCE(__v.s, 'NULL'))) AS BIGINT)",
-        "null": "CAST(NULL AS BIGINT)",
-        "zero": "CAST(0 AS BIGINT)",
-    }[mode]
-    return _bind_once(
-        {"s": a[0],
-         "n": f"REGEXP_EXTRACT({a[0]}, '{num_re}', 1)",
-         "u": f"REGEXP_EXTRACT({a[0]}, '{num_re}', 2)"},
-        body.format(bad=bad))
+    rounded up (ceil) like upstream.
+
+    Optimization round 15: the SQL form was a _bind_once binder — two
+    REGEXP_EXTRACTs plus two 26-arm CASE chains per row inside a
+    higher-order function (CodegenFallback), which pushed the whole
+    enclosing projection out of whole-stage codegen. Now an
+    Arrow-batched kernel (functions/spacecurves.py parse_readable_udf)
+    with template-verified semantics per mode, including NULL input
+    (strict raises, OrNull NULLs, OrZero zeroes — the template's
+    `n = '' OR unit-CASE IS NULL` condition is TRUE on NULL input)."""
+    return f"__parse_readable_{mode}(CAST({a[0]} AS STRING))"
 
 
 def _point_in_ellipses_tpl(a: list[str]) -> str:
@@ -2476,22 +2573,20 @@ def _point_in_ellipses_tpl(a: list[str]) -> str:
 # <0.5% (vs 6371-km-sphere greatCircleDistance, which both engines
 # keep as the spherical variant).
 def _geo_distance_tpl(a: list[str]) -> str:
-    ca, cb = "40680631590769.0D", "40408299984661.453D"  # a^2, b^2
-    r = ("SQRT(({ca} * COS(__v.mla) * {ca} * COS(__v.mla) + "
-         "{cb} * SIN(__v.mla) * {cb} * SIN(__v.mla)) / "
-         "({ca} * COS(__v.mla) * COS(__v.mla) + "
-         "{cb} * SIN(__v.mla) * SIN(__v.mla)))").format(ca=ca, cb=cb)
-    ang = ("ACOS(LEAST(GREATEST("
-           "SIN(__v.la1) * SIN(__v.la2) + COS(__v.la1) * COS(__v.la2) "
-           "* COS(__v.lo2 - __v.lo1), -1.0D), 1.0D))")
-    return _bind_once(
-        {"lo1": f"RADIANS(CAST({a[0]} AS DOUBLE))",
-         "la1": f"RADIANS(CAST({a[1]} AS DOUBLE))",
-         "lo2": f"RADIANS(CAST({a[2]} AS DOUBLE))",
-         "la2": f"RADIANS(CAST({a[3]} AS DOUBLE))",
-         "mla": f"RADIANS((CAST({a[1]} AS DOUBLE) + "
-                f"CAST({a[3]} AS DOUBLE)) / 2.0D)"},
-        f"({ang} * {r})")
+    # Optimization round 15: the closed form was a _bind_once binder
+    # (interpreted HOF, 10 trig calls per row spliced through a lambda
+    # struct) that kept the enclosing projection out of whole-stage
+    # codegen; it now runs as a vectorized numpy kernel behind an
+    # Arrow-batched pandas UDF (functions/spacecurves.py
+    # geo_distance_udf) with identical operation order. The two boolean
+    # args carry the lat/lon null masks so the kernel can replay the
+    # template's exact NULL paths (NULL latitude -> NULL, NULL
+    # longitude -> pi * R(mla) via null-skipping GREATEST) despite the
+    # NULL/NaN conflation at the pandas boundary.
+    lo1, la1, lo2, la2 = (f"CAST({x} AS DOUBLE)" for x in a[:4])
+    return (f"__geo_distance({lo1}, {la1}, {lo2}, {la2}, "
+            f"(({la1}) IS NULL OR ({la2}) IS NULL), "
+            f"(({lo1}) IS NULL OR ({lo2}) IS NULL))")
 
 
 def _geohashes_in_box_tpl(a: list[str]) -> str:
@@ -2547,28 +2642,17 @@ def _geohash_encode_tpl(a: list[str]) -> str:
             raise ValueError("geohashEncode needs a literal precision")
     if p % 2 or not 2 <= p <= 12:
         raise ValueError("geohashEncode: even precision in [2, 12]")
-    from clickhouse_clickhouse_spark.functions.geo import GEOHASH_ALPHABET
-    half = 5 * p // 2
-    scale = 1 << half
-    terms = []
-    for j in range(half):
-        terms.append(f"SHIFTLEFT(SHIFTRIGHT(__v.lq, {j}) & 1, {2 * j + 1})")
-        terms.append(f"SHIFTLEFT(SHIFTRIGHT(__v.tq, {j}) & 1, {2 * j})")
-    code = "(" + " + ".join(terms) + ")"
-    # round 14: the interleaved code is bound ONCE in a nested binder —
-    # the old form spliced the full 2·half-term sum into every one of
-    # the p character extractions, so the (interpreted — binders are
-    # CodegenFallback) interleave ran p× per row
-    chars = ", ".join(
-        f"SUBSTRING('{GEOHASH_ALPHABET}', "
-        f"CAST((SHIFTRIGHT(__vg.c, {5 * (p - 1 - k)}) & 31) + 1 AS INT), 1)"
-        for k in range(p))
-    return _bind_once(
-        {"lq": f"LEAST(CAST(FLOOR((CAST({a[0]} AS DOUBLE) + 180.0D) "
-               f"/ 360.0D * {scale}) AS BIGINT), {scale - 1})",
-         "tq": f"LEAST(CAST(FLOOR((CAST({a[1]} AS DOUBLE) + 90.0D) "
-               f"/ 180.0D * {scale}) AS BIGINT), {scale - 1})"},
-        _bind_once({"c": code}, f"CONCAT({chars})", var="__vg"))
+    # Optimization round 15: the nested _bind_once binder (round 14's
+    # once-bound interleave) was still a CodegenFallback HOF that kept
+    # the enclosing projection interpreted; the same quantize +
+    # interleave + base32 chain now runs as a vectorized numpy kernel
+    # (functions/spacecurves.py geohash_encode_udf, bit-exact — pure
+    # integer/double ops, no libm). The boolean args carry per-coord
+    # NULL-ness past the pandas NULL/NaN conflation (SQL: NULL coord →
+    # top cell via null-skipping LEAST, NaN coord → cell 0).
+    lon, lat = f"CAST({a[0]} AS DOUBLE)", f"CAST({a[1]} AS DOUBLE)"
+    return (f"__geohash_encode{p}({lon}, {lat}, "
+            f"(({lon}) IS NULL), (({lat}) IS NULL))")
 
 
 # ---- round-10 regex-replacement helpers ----
@@ -3901,20 +3985,8 @@ _FUNCS: dict[str, str] = {
     "subtractQuarters": "ADD_MONTHS({0}, -3 * ({1}))",
     # >2^63 wraparound differs (SURVEY §1.2 UInt64 stance) — documented
     "sumWithOverflow": "SUM({0})",
-    "arrayDifference": lambda a: _bind_once(
-        {"a": a[0]},
-        "TRANSFORM(IF(SIZE(__v.a) = 0, ARRAY(), "
-        "SEQUENCE(1, SIZE(__v.a))), __i -> IF(__i = 1, "
-        "ELEMENT_AT(__v.a, 1) - ELEMENT_AT(__v.a, 1), "
-        "ELEMENT_AT(__v.a, __i) - ELEMENT_AT(__v.a, __i - 1)))"),
-    # per-row arrays: the CONCAT-append accumulator is the
-    # arrayCumSumNonNegative precedent (bounded by array length)
-    "arrayCumSum":
-        "AGGREGATE({0}, NAMED_STRUCT('o', SLICE({0}, 1, 0), "
-        "'r', TRY_ELEMENT_AT({0}, 1) - TRY_ELEMENT_AT({0}, 1)), "
-        "(__cs, __x) -> NAMED_STRUCT("
-        "'o', CONCAT(__cs.o, ARRAY(__cs.r + __x)), "
-        "'r', __cs.r + __x), __cs -> __cs.o)",
+    "arrayDifference": _array_difference_tpl,
+    "arrayCumSum": _array_cumsum_tpl,
     "hasAll": "FORALL({1}, __x -> ARRAY_CONTAINS({0}, __x))",
     "hasAny": "ARRAYS_OVERLAP({0}, {1})",
     "hasSubstr": lambda a: _bind_once(
@@ -3924,12 +3996,7 @@ _FUNCS: dict[str, str] = {
         "ELSE EXISTS(SEQUENCE(1, SIZE(__v.a) - SIZE(__v.b) + 1), "
         "__i -> SLICE(__v.a, __i, SIZE(__v.b)) = __v.b) END"),
     "arrayResize": _array_resize_tpl,
-    "arrayCompact": lambda a: _bind_once(
-        {"a": a[0]},
-        "TRANSFORM(FILTER(IF(SIZE(__v.a) = 0, ARRAY(), "
-        "SEQUENCE(1, SIZE(__v.a))), __i -> __i = 1 OR NOT "
-        "(ELEMENT_AT(__v.a, __i) <=> ELEMENT_AT(__v.a, __i - 1))), "
-        "__i -> ELEMENT_AT(__v.a, __i))"),
+    "arrayCompact": _array_compact_tpl,
     "bitHammingDistance": "BIT_COUNT(({0}) ^ ({1}))",
     "truncate": lambda a: (
         f"(CAST(({a[0]}) * POWER(10, {a[1] if len(a) > 1 else 0}) "
@@ -9255,6 +9322,13 @@ def _register_udfs(spark: SparkSession) -> None:
         spark.udf.register(f"__morton_decode{_k}", SC.morton_decode_udf(_k))
     spark.udf.register("__num_gcd", SC.gcd_udf())
     spark.udf.register("__num_lcm", SC.lcm_udf())
+    for _m in ("strict", "null", "zero"):
+        spark.udf.register(f"__parse_readable_{_m}",
+                           SC.parse_readable_udf(_m))
+    spark.udf.register("__geo_distance", SC.geo_distance_udf())
+    for _p in (2, 4, 6, 8, 10, 12):
+        spark.udf.register(f"__geohash_encode{_p}",
+                           SC.geohash_encode_udf(_p))
     from clickhouse_clickhouse_spark.functions import ml as ML
     spark.udf.register("__linreg_solve", ML.linreg_solve_udf())
     # AES stream modes (ctr/ofb/cfb) — cryptography-backed, round 12;

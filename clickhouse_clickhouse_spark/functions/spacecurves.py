@@ -215,6 +215,189 @@ def morton_decode_udf(k: int):
     return _UDFS[key]
 
 
+_READABLE_UNITS = {
+    "B": 1.0, "KB": 1e3, "KIB": 1024.0,
+    "MB": 1e6, "MIB": 1048576.0,
+    "GB": 1e9, "GIB": 1073741824.0,
+    "TB": 1e12, "TIB": 1099511627776.0,
+    "PB": 1e15, "PIB": 1125899906842624.0,
+    "EB": 1e18, "EIB": 1152921504606846976.0,
+}
+_I64_MAX = (1 << 63) - 1
+_I64_MIN = -(1 << 63)
+
+
+def parse_readable_udf(mode: str):
+    """parseReadableSize[OrNull/OrZero] kernel (optimization round 15):
+    the SQL template was a _bind_once binder (two REGEXP_EXTRACTs + two
+    26-arm CASE chains per row) that kept the whole enclosing projection
+    on the interpreted path. Exact twin of the template: same anchored
+    ASCII regex, correctly-rounded float parse (Python float() ==
+    Java Double.parseDouble), exact double multiply, CEIL then the
+    ANSI-off saturating double→BIGINT cast. Unparsable input — and NULL
+    input, which the template's `n = '' OR unit-CASE IS NULL` condition
+    routes to the same branch (NULL OR TRUE = TRUE) — raises / NULLs /
+    zeroes per mode, template-verified. Strict mode's error surfaces as
+    a PythonException rather than RAISE_ERROR's SparkRuntimeException
+    (same stance as the hilbert bounds guards — pinned in tests)."""
+    import math
+    import re as _re
+
+    key = f"readable_{mode}"
+    if key not in _UDFS:
+        rx = _re.compile(r"^\s*([0-9]+(?:\.[0-9]+)?)\s*([A-Za-z]+)\s*$",
+                         _re.ASCII)
+
+        def one(s):
+            m = rx.match(s) if s is not None else None
+            mult = _READABLE_UNITS.get(m.group(2).upper()) if m else None
+            if m is None or mult is None:
+                if mode == "strict":
+                    raise ValueError(
+                        "parseReadableSize: cannot parse "
+                        + ("NULL" if s is None else s))
+                return None if mode == "null" else 0
+            v = float(m.group(1)) * mult
+            if math.isinf(v):
+                return _I64_MAX if v > 0 else _I64_MIN
+            return max(_I64_MIN, min(_I64_MAX, math.ceil(v)))
+
+        @pandas_udf("bigint")
+        def _parse(s: pd.Series) -> pd.Series:
+            return pd.Series([one(x) for x in s], dtype="Int64")
+
+        _UDFS[key] = _parse
+    return _UDFS[key]
+
+
+# WGS-84 local-radius great circle — kernel twin of the retired
+# _geo_distance_tpl binder ([U] src/Functions/greatCircleDistance.cpp
+# geoDistance method): haversine angle on the Earth radius at the mean
+# latitude, R(phi) from the WGS-84 ellipsoid (a = 6378137,
+# b = 6356752.314245). numpy trig may differ from JVM Math in the last
+# ulp; every declared consumer rounds (3 dp), and rounded outputs are
+# verified value-identical against the SQL form on all fixture SFs.
+#
+# NULL fidelity: the template's NULL behavior is an artifact of Spark's
+# null-skipping LEAST/GREATEST — a NULL *longitude* NULLs the haversine
+# term, GREATEST(NULL, -1) = -1, and the result is pi * R(mla) (the
+# half-circumference at the mean latitude), while a NULL *latitude*
+# also NULLs mla and hence R, so the product is NULL. The pandas
+# boundary folds NULL and NaN into one NaN, so the template's two
+# null-mask predicates come in as extra boolean args and the kernel
+# replays each path exactly (NaN values — distinguishable from NULL via
+# the masks — propagate through the arithmetic as in the SQL form:
+# a NaN haversine term clips to ACOS(1) = 0 because LEAST(NaN, 1) = 1).
+_GEO_A2 = 40680631590769.0          # a^2
+_GEO_B2 = 40408299984661.453        # b^2
+
+
+def geo_distance_udf():
+    if "geodist" not in _UDFS:
+        @pandas_udf("double")
+        def _geo(lo1: pd.Series, la1: pd.Series,
+                 lo2: pd.Series, la2: pd.Series,
+                 lat_null: pd.Series, lon_null: pd.Series) -> pd.Series:
+            latn = lat_null.fillna(False).to_numpy(dtype=bool)
+            lonn = lon_null.fillna(False).to_numpy(dtype=bool)
+            # no na_value fill: NULL arrives as NaN and the masks carry
+            # the NULL-ness; genuine NaN VALUES must keep propagating
+            # through the arithmetic exactly like the SQL form
+            x1 = np.radians(lo1.to_numpy(dtype=np.float64))
+            y1 = np.radians(la1.to_numpy(dtype=np.float64))
+            x2 = np.radians(lo2.to_numpy(dtype=np.float64))
+            y2 = np.radians(la2.to_numpy(dtype=np.float64))
+            mla = np.radians((la1.to_numpy(dtype=np.float64)
+                              + la2.to_numpy(dtype=np.float64)) / 2.0)
+            inner = (np.sin(y1) * np.sin(y2)
+                     + np.cos(y1) * np.cos(y2) * np.cos(x2 - x1))
+            # LEAST(GREATEST(x, -1), 1) with Spark's NaN-sorts-highest:
+            # GREATEST(NaN, -1) = NaN, LEAST(NaN, 1) = 1.0
+            inner = np.where(np.isnan(inner), 1.0,
+                             np.clip(inner, -1.0, 1.0))
+            ang = np.arccos(inner)
+            c, s = np.cos(mla), np.sin(mla)
+            r = np.sqrt((_GEO_A2 * c * _GEO_A2 * c
+                         + _GEO_B2 * s * _GEO_B2 * s)
+                        / (_GEO_A2 * c * c + _GEO_B2 * s * s))
+            # NULL longitude only: haversine term NULL -> GREATEST
+            # skips it -> ACOS(-1) = pi; R(mla) is still defined.
+            out = np.where(lonn & ~latn, np.pi * r, ang * r)
+            # ArrowDtype return: the plain float64 path re-masks NaN
+            # VALUES as nulls at the pandas->Arrow boundary, but the
+            # SQL form emits NaN (not NULL) for NaN latitudes — build
+            # the Arrow array directly so only the lat-null rows are
+            # null and NaN stays a value.
+            import pyarrow as pa
+            arr = pa.array(out, type=pa.float64(), from_pandas=False,
+                           mask=latn if latn.any() else None)
+            return pd.Series(arr, dtype=pd.ArrowDtype(pa.float64()))
+        _UDFS["geodist"] = _geo
+    return _UDFS["geodist"]
+
+
+_GEOHASH_ALPHABET = np.array(
+    list("0123456789bcdefghjkmnpqrstuvwxyz"))
+
+
+def geohash_encode_udf(p: int):
+    """geohashEncode kernel (optimization round 15): the dialect
+    template's nested _bind_once binder (interpreted 2·half-term
+    interleave + p substring extractions per row) was the last
+    CodegenFallback site in the curves projection. Bit-exact twin of
+    the SQL form: the quantization doubles ((lon+180)/360*scale) are
+    the same IEEE ops, FLOOR + the ANSI-off double→BIGINT cast is
+    replayed including its NaN→0 and saturation behavior, LEAST(…,
+    scale-1) has no lower clamp (out-of-range coordinates wrap through
+    the shifts exactly like the SQL chain). NULL-ness comes in as
+    per-coordinate mask args because the pandas boundary folds NULL
+    and NaN, and the SQL form treats them differently: a NULL
+    coordinate NULLs its FLOOR term and the null-skipping LEAST then
+    yields scale-1 (the top cell), while a NaN coordinate casts to 0
+    (Java (long)NaN) and quantizes to cell 0 — template-verified, so
+    the output is never NULL."""
+    if p % 2 or not 2 <= p <= 12:
+        raise ValueError("geohash_encode_udf: even precision in [2, 12]")
+    key = f"ghenc{p}"
+    if key not in _UDFS:
+        half = 5 * p // 2
+        scale = np.int64(1) << half
+
+        def quant(v: np.ndarray, null_mask: np.ndarray,
+                  lo: float, span: float) -> np.ndarray:
+            f = np.floor((v + lo) / span * np.float64(scale))
+            # Java (long) double: NaN -> 0, +/-inf saturates
+            q = np.where(np.isnan(f), np.int64(0),
+                         np.clip(f, -9.223372036854776e18,
+                                 9.223372036854775e18)).astype(np.int64)
+            q = np.minimum(q, scale - 1)
+            # NULL coordinate: FLOOR term NULL -> LEAST skips it
+            return np.where(null_mask, scale - 1, q)
+
+        @pandas_udf("string")
+        def _ghenc(lon: pd.Series, lat: pd.Series,
+                   lon_null: pd.Series, lat_null: pd.Series) -> pd.Series:
+            lonn = lon_null.fillna(False).to_numpy(dtype=bool)
+            latn = lat_null.fillna(False).to_numpy(dtype=bool)
+            lq = quant(lon.to_numpy(dtype=np.float64), lonn, 180.0, 360.0)
+            tq = quant(lat.to_numpy(dtype=np.float64), latn, 90.0, 180.0)
+            code = np.zeros_like(lq)
+            for j in range(half):
+                code |= ((lq >> j) & 1) << (2 * j + 1)
+                code |= ((tq >> j) & 1) << (2 * j)
+            chars = [
+                _GEOHASH_ALPHABET[(code >> (5 * (p - 1 - k))) & 31]
+                for k in range(p)
+            ]
+            out = chars[0].astype(object)
+            for c in chars[1:]:
+                out = out + c
+            return pd.Series(out, dtype=object)
+
+        _UDFS[key] = _ghenc
+    return _UDFS[key]
+
+
 def hilbert_decode_udf():
     if "hdec" not in _UDFS:
         @pandas_udf("struct<_1: bigint, _2: bigint>")

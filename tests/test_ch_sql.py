@@ -3877,3 +3877,55 @@ def test_round11_resolve_probe_batch7b(spark):
               FROM numbers(25))""").collect()[0]
     assert [(e._1, e._2, e._3) for e in rows.tk] == [(0, 13, 0)]
     assert rows.arn is None and rows.aln == 7
+
+
+def test_literal_array_unroll_fuzz(spark):
+    """Round-15 literal-array fast paths: arrayCumSum / arrayDifference /
+    arrayCompact unroll to direct ELEMENT_AT arithmetic when the arg is
+    a literal ARRAY(...) constructor. Differential battery against the
+    generic fold templates (forced via IF(TRUE, arr, NULL), which the
+    detector rejects but Catalyst folds away) over adversarial element
+    sets: NULLs in every position, narrow-int overflow mixes, doubles,
+    strings with commas/parens/escaped quotes (the masked-split cases),
+    adjacent duplicates, single elements."""
+    from clickhouse_clickhouse_spark.ch_sql import ch_sql
+
+    num_cases = [
+        "array(1, number % 10, number % 7)",
+        "array(CAST(NULL AS BIGINT), 2, 3)",
+        "array(1, CAST(NULL AS BIGINT), 3)",
+        "array(1, 2, CAST(NULL AS BIGINT))",
+        "array(2000000000, 2000000000)",
+        "array(1000000000, 1500000000, CAST(1500000000 AS BIGINT))",
+        "array(number * 1.5, -number / 3.0)",
+        "array(number)",
+    ]
+    str_cases = [
+        "array('a,b', 'a,b', 'c(d', 'c(d', 'e''f')",
+        "array(toString(number % 2), toString(number % 2), 'x')",
+        "array(CAST(NULL AS STRING), CAST(NULL AS STRING), 'x', 'x')",
+    ]
+    checks = []
+    for c in num_cases:
+        g = f"IF(TRUE, {c}, NULL)"
+        for fn in ("arrayCumSum", "arrayDifference", "arrayCompact"):
+            checks.append(f"sum(CASE WHEN {fn}({c}) <=> {fn}({g}) "
+                          f"THEN 0 ELSE 1 END)")
+    for c in str_cases:
+        g = f"IF(TRUE, {c}, NULL)"
+        checks.append(f"sum(CASE WHEN arrayCompact({c}) <=> "
+                      f"arrayCompact({g}) THEN 0 ELSE 1 END)")
+    sel = ", ".join(f"{c} AS c{i}" for i, c in enumerate(checks))
+    r = ch_sql(spark,
+               f"SELECT {sel} FROM numbers(4096)").collect()[0]
+    assert all(v == 0 for v in r), \
+        [i for i, v in enumerate(r) if v != 0]
+    # non-literal args (columns, nested exprs) keep the generic path
+    r2 = ch_sql(spark, """
+        SELECT arrayCumSum(a) AS cs, arrayDifference(a) AS ad,
+               arrayCompact(a) AS ac
+        FROM (SELECT array(number, number % 3, number % 3) AS a
+              FROM numbers(3))""").collect()
+    assert [list(x.cs) for x in r2] == [[0, 0, 0], [1, 2, 3], [2, 4, 6]]
+    assert [list(x.ad) for x in r2] == [[0, 0, 0], [0, 0, 0], [0, 0, 0]]
+    assert [list(x.ac) for x in r2] == [[0], [1], [2]]
