@@ -45,6 +45,21 @@ from pyspark.sql import functions as F
 _BKT = "__gr_bkt"
 _BNDS = "__gr_bnds"
 
+# percentile_approx accuracy for the bucket boundaries (optimization
+# round 15: was 10000). Boundaries only affect LOAD BALANCE, never
+# results — every branch applies the same collected array (or the same
+# in-plan relation), and equal keys land in equal buckets for any
+# ascending boundary set. Rank error 1/1000 against a bucket width of
+# 1/64 skews a bucket by at most ~6% of its size; the smaller sketch
+# shrinks the aggregation state merged per partition (guide §5) and
+# measured 0.44/0.93 -> 0.36/0.44 s best/median on the sf0.1 collect.
+_BOUNDS_ACC = 1000
+
+
+def _q(name: str) -> str:
+    """Backtick-quoted identifier for the expression-string builders."""
+    return "`" + name.replace("`", "``") + "`"
+
 
 def single_partition_key(col: Column | str) -> Column:
     """A non-foldable always-zero Window partition key, for the few places
@@ -86,7 +101,7 @@ def _bucket_bounds(df: DataFrame, key: str, buckets: int) -> "object":
     have that property across jobs)."""
     kx = _bucket_key_expr(df, key)
     probs = [i / buckets for i in range(1, buckets)]
-    row = df.agg(F.percentile_approx(kx, probs, 10000).alias("__b")) \
+    row = df.agg(F.percentile_approx(kx, probs, _BOUNDS_ACC).alias("__b")) \
             .collect()[0]["__b"]
     return np.asarray([] if row is None else [float(v) for v in row],
                       dtype=np.float64)
@@ -156,7 +171,7 @@ def _bucketize(df: DataFrame, key: str, buckets: int,
     if not kernel:
         brel = df.agg(F.percentile_approx(kx, [i / buckets for i in
                                                range(1, buckets)],
-                                          10000).alias(_BNDS))
+                                          _BOUNDS_ACC).alias(_BNDS))
         return (df.crossJoin(F.broadcast(brel))
                 .withColumn(
                     _BKT,
@@ -184,11 +199,16 @@ def _bucket_offsets(counts: DataFrame, sum_cols: Sequence[str],
     on ``b2 < bkt``) evaluated the counts SUBTREE twice — the join's
     probe side column-pruned to a distinct-buckets aggregate that does
     not exchange-reuse against the projected build side — costing every
-    grank consumer a second full scan of the input."""
-    tgt = F.explode(F.sequence(F.col(_BKT), F.lit(max_bkt))).alias("__tgt")
-    contrib = counts.select(F.col(_BKT).alias("__src"), tgt, *sum_cols)
-    aggs = [F.sum(F.when(F.col("__src") < F.col("__tgt"), F.col(c))
-                  .otherwise(F.lit(0))).alias(f"__off_{c}")
+    grank consumer a second full scan of the input.
+
+    Built from expression strings (round 15, guide §7.3): the Column
+    form paid ~15 py4j round trips (~7 ms each on this box) of pure
+    plan-build latency per grank consumer; same plan, 4 trips."""
+    contrib = counts.selectExpr(
+        f"{_BKT} AS __src",
+        f"explode(sequence({_BKT}, {max_bkt})) AS __tgt",
+        *sum_cols)
+    aggs = [F.expr(f"sum(IF(__src < __tgt, {c}, 0)) AS __off_{c}")
             for c in sum_cols]
     return (contrib.groupBy("__tgt").agg(*aggs)
             .withColumnRenamed("__tgt", _BKT))
@@ -214,10 +234,12 @@ def _ranked(df: DataFrame, key: str, tiebreaks: Sequence[str],
     returns (rows + global rank ``out`` + ``__gr_bkt``, per-bucket count
     relation) so callers that also need totals reuse the tiny counts
     side instead of re-scanning the input."""
-    order = [F.col(key).asc(), *[F.col(t).asc() for t in tiebreaks]]
     b = _bucketize(df, key, buckets, kernel=kernel)
-    wloc = Window.partitionBy(_BKT).orderBy(*order)
-    local = b.withColumn("__lrn", F.row_number().over(wloc))
+    order_sql = ", ".join(f"{_q(c)} ASC" for c in [key, *tiebreaks])
+    local = b.selectExpr(
+        "*",
+        f"row_number() OVER (PARTITION BY {_BKT} "
+        f"ORDER BY {order_sql}) AS __lrn")
     # Counts deliberately aggregate the PRE-window relation: the branch
     # re-scans the input but partial-aggregates map-side (no sort,
     # ~buckets rows shuffled). The round-14 A/B of the alternative —
@@ -229,8 +251,9 @@ def _ranked(df: DataFrame, key: str, tiebreaks: Sequence[str],
     counts = b.groupBy(_BKT).agg(F.count("*").alias("__cnt"))
     offsets = _bucket_offsets(counts, ["__cnt"], buckets - 1)
     ranked = (local.join(F.broadcast(offsets), _BKT)
-              .withColumn(out, (F.col("__lrn") + F.col("__off___cnt"))
-                          .cast("long"))
+              .selectExpr(
+                  "*",
+                  f"CAST(__lrn + __off___cnt AS BIGINT) AS {_q(out)}")
               .drop("__lrn", "__off___cnt"))
     return ranked, counts
 
@@ -297,15 +320,18 @@ def global_ntile(df: DataFrame, key: str, n_tiles: int,
     rn = ranked.drop(_BKT)
     total = df.agg(F.count("*").alias("__n"))
     r = rn.crossJoin(F.broadcast(total))
-    q = (F.col("__n") / n_tiles).cast("long")         # floor: both positive
-    rem = F.col("__n") % n_tiles
-    big = rem * (q + 1)                               # rows in the fat tiles
-    ceil_div = lambda a, b: ((a + b - 1) / b).cast("long")  # noqa: E731
-    tile = F.when(F.col("__grn") <= big,
-                  ceil_div(F.col("__grn"), q + 1)) \
-            .otherwise(rem + ceil_div(F.col("__grn") - big,
-                                      F.greatest(q, F.lit(1))))
-    return (r.withColumn(out, tile.cast("int"))
+    # Expression strings (round 15, guide §7.3): the Column form of this
+    # arithmetic was ~20 py4j round trips of plan-build latency; the
+    # spliced sub-expressions (q/rem/big) land in the plan exactly as
+    # the repeated Column references did (each Column reuse deep-copies
+    # its subtree), so the physical plan is unchanged.
+    q = f"CAST(__n / {n_tiles} AS BIGINT)"            # floor: both positive
+    rem = f"(__n % {n_tiles})"
+    big = f"({rem} * ({q} + 1))"                      # rows in the fat tiles
+    ceil_div = lambda a, b: f"CAST(({a} + {b} - 1) / ({b}) AS BIGINT)"  # noqa: E731
+    tile = (f"IF(__grn <= {big}, {ceil_div('__grn', q + ' + 1')}, "
+            f"{rem} + {ceil_div(f'(__grn - {big})', f'GREATEST({q}, 1)')})")
+    return (r.selectExpr("*", f"CAST({tile} AS INT) AS {_q(out)}")
             .drop("__grn", "__n"))
 
 

@@ -62,54 +62,69 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     on = list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in on and c != right_ts]
-    payload = F.struct(*[F.col(c) for c in [right_ts, *right_cols]])
 
-    # Both tagged sides are built as ONE select each (optimization round
-    # 14): the old per-column withColumn loop re-analyzed the plan once
-    # per left column (~n py4j round trips + n Catalyst analyses), which
-    # showed up as ~0.2 s of driver-side plan-build time per call in the
-    # r14 profile — pure fixed cost, same physical plan.
+    # The whole composition is built from SQL expression strings
+    # (optimization round 15, guide §7.3 driver-cost class): the
+    # Column-object form — itself the round-14 replacement of a
+    # withColumn loop — still paid ~35 py4j round trips at ~7 ms each,
+    # ~0.23 s of pure driver-side build time per call (measured; the
+    # query's execution is ~0.29 s, so plan BUILD was ~45% of wall).
+    # selectExpr/expr strings build the identical plan in ~7 round
+    # trips. Identifiers are backtick-quoted; ``q`` doubles embedded
+    # backticks (the documented escape) so exotic names keep working.
+    def q(c: str) -> str:
+        return "`" + c.replace("`", "``") + "`"
+
     l_schema = dict(left.dtypes)
-    payload_type = right.select(payload.alias("p")).schema["p"].dataType
+    r_schema = dict(right.dtypes)
     on_set = set(on)
-    l_tag = left.select(
-        *[F.col(c) for c in left.columns],
-        F.col(left_ts).cast("timestamp").alias("__ts"),
-        F.lit(1).alias("__is_left"),
-        F.lit(None).cast(payload_type).alias("__payload"),
+    payload_ddl = "struct<" + ", ".join(
+        f"{q(c)}: {r_schema[c]}" for c in [right_ts, *right_cols]) + ">"
+    l_tag = left.selectExpr(
+        "*",
+        f"CAST({q(left_ts)} AS TIMESTAMP) AS __ts",
+        "1 AS __is_left",
+        f"CAST(NULL AS {payload_ddl}) AS __payload",
     )
-    r_tag = right.select(
-        *[F.col(c) for c in on],
-        *[F.lit(None).cast(l_schema[c]).alias(c)
+    r_tag = right.selectExpr(
+        *[q(c) for c in on],
+        *[f"CAST(NULL AS {l_schema[c]}) AS {q(c)}"
           for c in left.columns if c not in on_set],
-        F.col(right_ts).cast("timestamp").alias("__ts"),
-        F.lit(0).alias("__is_left"),
-        payload.alias("__payload"),
+        f"CAST({q(right_ts)} AS TIMESTAMP) AS __ts",
+        "0 AS __is_left",
+        "named_struct(" + ", ".join(
+            "'{}', {}".format(c.replace("'", "''"), q(c))
+            for c in [right_ts, *right_cols])
+        + ") AS __payload",
     )
     unioned = l_tag.unionByName(r_tag)
 
-    asc = direction == "backward"
-    ts_order = F.col("__ts").asc() if asc else F.col("__ts").desc()
+    ts_dir = "ASC" if direction == "backward" else "DESC"
     # Non-strict: right row visible at equal ts -> right (tag 0) sorts first.
     # Strict: left row must not see an equal-ts right row -> left (tag 1) first.
-    tag_order = F.col("__is_left").desc() if strict else F.col("__is_left").asc()
-    w = (Window.partitionBy(*on).orderBy(ts_order, tag_order)
-         .rowsBetween(Window.unboundedPreceding, 0))
-    matched = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
-    out = matched.filter(F.col("__is_left") == 1)
+    tag_dir = "DESC" if strict else "ASC"
+    matched = unioned.selectExpr(
+        "*",
+        "last(__payload, true) OVER (PARTITION BY "
+        + ", ".join(q(c) for c in on)
+        + f" ORDER BY __ts {ts_dir}, __is_left {tag_dir}"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __match")
+    match_expr = "__match"
     if strict:
         # Window order put left first at ties, but an equal-ts right row from
         # an EARLIER position could still be non-strict; with distinct ts per
         # side this suffices. Guard exact equality explicitly:
-        cmp = F.col("__match")[right_ts] < F.col(left_ts) if direction == "backward" \
-            else F.col("__match")[right_ts] > F.col(left_ts)
-        out = out.withColumn("__match", F.when(cmp, F.col("__match")))
+        op = "<" if direction == "backward" else ">"
+        match_expr = (f"CASE WHEN __match.{q(right_ts)} {op} "
+                      f"{q(left_ts)} THEN __match END")
+    cond = "__is_left = 1"
     if how == "inner":
-        out = out.filter(F.col("__match").isNotNull())
-    sel = [F.col(c) for c in left.columns]
-    sel.append(F.col("__match")[right_ts].alias(f"asof_{right_ts}"))
-    sel += [F.col("__match")[c].alias(c) for c in right_cols]
-    return out.select(*sel)
+        cond += f" AND ({match_expr}) IS NOT NULL"
+    sel = [q(c) for c in left.columns]
+    sel.append(f"({match_expr}).{q(right_ts)} AS "
+               + q(f"asof_{right_ts}"))
+    sel += [f"({match_expr}).{q(c)} AS {q(c)}" for c in right_cols]
+    return matched.filter(cond).selectExpr(*sel)
 
 
 def paste_join(left: DataFrame, right: DataFrame,
