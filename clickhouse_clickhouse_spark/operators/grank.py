@@ -94,7 +94,10 @@ def _bucket_key_expr(df: DataFrame, key: str):
 def _bucket_bounds(df: DataFrame, key: str, buckets: int) -> "object":
     """Collected ascending quantile boundaries for ``key`` as a float64
     numpy array (``buckets - 1`` values; empty when the input has no
-    non-null keys). ONE pass over the input — the same single pass the
+    non-null keys). EAGER: runs a Spark job at plan-BUILD time (round-15
+    advice — callers on the kernel path pay/observe input errors when
+    constructing, not at the first action).
+    ONE pass over the input — the same single pass the
     former in-plan broadcast branch executed — and a literal thereafter,
     so every downstream branch agrees on bucket assignment by
     construction (``repartitionByRange``'s RNG-sampled boundaries do not

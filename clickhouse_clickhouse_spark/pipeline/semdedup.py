@@ -82,8 +82,11 @@ def cluster_near_dup_pairs(corpus: DataFrame, *, k: int | None = None,
     # (optimization round 14). Both sides of the pair self-join read
     # this relation; persisting it evaluates the assignment (an
     # Arrow-batched kernel stage) once instead of once per side
-    # (measured 3.7 → 2.5 s at sf0.1). MEMORY_AND_DISK + LRU-evictable,
-    # same idiom as the kmeans Lloyd persist.
+    # (measured 3.7 → 2.5 s at sf0.1). MEMORY_AND_DISK + LRU-evictable.
+    # Lifetime note (round-15 advice): the cache is part of the RETURNED
+    # lazy plan, so it cannot be unpersisted here without forfeiting the
+    # once-per-query evaluation; it is bounded to one assignment
+    # relation per call and evicted by LRU / session end.
     assigned = (assign_to_centroids(corpus, cents, vec=vec_col,
                                     id_col=id_col, keep_vec=True)
                 .withColumn("__nrm", l2_norm(F.col(vec_col)))

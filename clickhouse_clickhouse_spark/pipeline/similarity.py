@@ -444,6 +444,13 @@ def assign_to_centroids(corpus: DataFrame, centroids: DataFrame,
     """Nearest-centroid assignment by cosine, as a vectorized numpy
     argmax (optimization round 14).
 
+    EAGER-COLLECT CONTRACT (round-15 advice): building the returned
+    DataFrame collects the centroid relation (k rows — model-sized) to
+    the driver, so merely CONSTRUCTING the plan runs the centroid
+    subtree as a Spark job; errors in it surface at build time, not at
+    the first action. Same stance as grank._bucket_bounds and
+    _pq_assign — the collected rows parameterize the Arrow kernel.
+
     The former shape crossJoined the broadcast centroids (corpus × k
     rows, each evaluating an interpreted 64-element dot-product HOF
     fold) and collapsed them with a min_by hash aggregate. The
@@ -705,6 +712,22 @@ def _pq_assign(subs: DataFrame, codebook: DataFrame,
     ``keep_subvec`` carries the subvector through (the assignment is a
     projection now, not an aggregate), letting pq_train's update step
     skip re-joining the assignment back to the subvectors.
+
+    EAGER-COLLECT CONTRACT (round-15 advice): building the returned
+    DataFrame collects the codebook (m·codes rows — model-sized) to the
+    driver at plan-CONSTRUCTION time; see assign_to_centroids.
+
+    KNOWN DIVERGENCE (round-15 advice, unreachable via pq_train whose
+    coalesce carry-forward keeps codewords non-null): when a NULL
+    CODEWORD coexists with a subvector containing NULL elements, the
+    old SQL form had every distance NULL and min_by picked the lowest
+    code id overall, while the kernel picks the lowest NULL-codeword id
+    (the NULL-element row arrives as NaN through Arrow, and the NaN
+    path — which the kernel replays exactly, matching the SQL NaN
+    semantics — lets the -inf NULL-codeword column win). The two
+    sub-cases (NULL element vs NaN element) are indistinguishable after
+    the Arrow conversion, so replaying both is impossible; the kernel
+    replays the NaN semantics and this note pins the delta.
 
     The former shape exploded to (id, sub) × codes rows (broadcast
     join) and ran the unrolled L2 + a min_by hash aggregate over them —

@@ -450,6 +450,8 @@ def ann_recall_gate(spark, sf):
         return exact.join(approx, ["qid", "nid"]).count() / n_exact
 
     ivf_ok, lsh_ok = recall(ivf) >= 0.6, recall(lsh) >= 0.2
+    exact.unpersist()   # round-15 advice: recalls are computed, the
+    # returned relation is a driver literal - don't leak the cache
     return spark.createDataFrame([(ivf_ok, lsh_ok)],
                                  "ivf_ok boolean, lsh_ok boolean")
 
@@ -527,6 +529,7 @@ def ann_tuned_recall_gate(spark, sf):
         return exact.join(approx, ["qid", "nid"]).count() / n_exact
 
     pq_ok, ivfpq_ok = recall(pq) >= 0.9, recall(ivfpq) >= 0.9
+    exact.unpersist()   # round-15 advice: see ann_recall_gate
     return spark.createDataFrame([(pq_ok, ivfpq_ok)],
                                  "pq_ok boolean, ivfpq_ok boolean")
 
@@ -575,5 +578,6 @@ def ann_scaled_recall_gate(spark, sf):
         return exact.join(approx, ["qid", "nid"]).count() / n_exact
 
     pq_ok, ivfpq_ok = recall(pq) >= 0.9, recall(ivfpq) >= 0.9
+    exact.unpersist()   # round-15 advice: see ann_recall_gate
     return spark.createDataFrame([(pq_ok, ivfpq_ok)],
                                  "pq_ok boolean, ivfpq_ok boolean")

@@ -202,3 +202,17 @@ def test_udf_in_lambda_known_limitation(spark):
         ch_sql(spark,
                "SELECT arrayMap(x -> gcd(x, 10), array(4, 6)) AS m"
                ).collect()
+
+
+def test_hilbert_guard_exception_surface(spark):
+    # Round-15 advice pin: the kernelized hilbert bounds guards surface
+    # as PythonException (the kernel's ValueError propagated from the
+    # worker), not the old RAISE_ERROR SparkRuntimeException. Same
+    # stance as strict parseReadableSize.
+    from pyspark.errors.exceptions.captured import PythonException
+    with pytest.raises(PythonException, match="hilbertEncode"):
+        ch_sql(spark,
+               "SELECT hilbertEncode(-1, 0) AS h").collect()
+    with pytest.raises(PythonException, match="hilbertDecode"):
+        ch_sql(spark, "SELECT hilbertDecode(2, CAST(4611686018427387904 "
+                      "AS BIGINT) * 2) AS h").collect()
