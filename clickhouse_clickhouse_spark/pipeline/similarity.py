@@ -987,10 +987,23 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
     if normalize:
         corpus = l2_normalize(corpus, corpus_vec)
         queries = l2_normalize(queries, query_vec)
-    cents = kmeans_centroids(corpus, n_centroids, iterations=iterations,
-                             vec=corpus_vec, id_col=corpus_id)
-    cb = pq_train(corpus, m=m, codes=codes, dim=dim, iterations=iterations,
-                  vec=corpus_vec, id_col=corpus_id)
+    # The coarse quantizer and the PQ codebook are INDEPENDENT trainings
+    # in this non-residual variant (both consume the raw/normalized
+    # vectors, neither reads the other's output), and both are eager
+    # sequential Lloyd jobs — run them from a 2-thread pool so the
+    # second model's jobs back-fill the idle cluster during the first
+    # one's single-task tails (guide §2.6; optimization round 15:
+    # ann_ivf_pq_topk job chain is otherwise fully serial). Training is
+    # deterministic, so results are unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fc = _pool.submit(kmeans_centroids, corpus, n_centroids,
+                           iterations=iterations, vec=corpus_vec,
+                           id_col=corpus_id)
+        _fb = _pool.submit(pq_train, corpus, m=m, codes=codes, dim=dim,
+                           iterations=iterations, vec=corpus_vec,
+                           id_col=corpus_id)
+        cents, cb = _fc.result(), _fb.result()
     # the coarse assignment and the PQ encoding are both per-row
     # PROJECTIONS — chaining them (assignment rides through pq_encode's
     # passthrough) deletes the former ``enc ⋈ lists`` corpus self-join,
